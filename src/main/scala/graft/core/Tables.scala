@@ -1,0 +1,57 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet tables (TESTDATA.md:13-15,
+  * schemas in FIXTURES.md). One parquet file per table under the
+  * scale-factor directory; Spark's vectorized columnar reader picks the
+  * schema up from the Parquet footers.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
+  /** `events.ts` is Parquet `timestamp[ns]`, which Spark 4 rejects unless
+    * read as raw Long nanos (`nanosAsLong`, runtime-settable). Convert to
+    * a microsecond Timestamp with integer `div` — `/` would round-trip
+    * through Double and lose precision above 2^53 ns (~1970+104 days).
+    * DuckDB keeps ns natively, so every oracle touching `ts` casts it to
+    * plain TIMESTAMP (µs) — see SURVEY.md §1.2.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
+  def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every table as a temp view — the SQL front door (E2).
+    * Goes through the typed loaders so `events.ts` arrives converted.
+    */
+  def reg(spark: SparkSession, dir: String): Unit =
+    names.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else load(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+
+  /** The synthetic lineitem has no short primary key (FIXTURES.md); this
+    * column set is verified unique at sf0.001/sf0.01 and is the standard
+    * deterministic ORDER BY for row-level lineitem outputs.
+    */
+  val liKey: Seq[String] =
+    Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_extendedprice")
+  val liKeySql: String = liKey.mkString(", ")
+}

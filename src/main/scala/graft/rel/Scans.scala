@@ -1,0 +1,71 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.core.{Q, Tables}
+
+/** SURVEY.md §2.1 — scans, sources, sinks.
+  *
+  * `scan_csv`/`scan_json` round-trip a dimension table through the text
+  * format into a deterministic temp dir, then read back with an explicit
+  * schema — exercising the source API while keeping a parquet-derivable
+  * oracle. `sink_parquet`/`sink_partitioned` are side-effecting and are
+  * verified by unit tests (SinkSpec) instead of the DuckDB oracle.
+  */
+object Scans {
+
+  private def tmpDir(sfDir: String, leaf: String): String = {
+    val sf = new java.io.File(sfDir).getName
+    s"${System.getProperty("java.io.tmpdir")}/graft_io/$sf/$leaf"
+  }
+
+  /** Parquet write → read-back used by the sink unit tests. */
+  def parquetRoundTrip(s: SparkSession, d: String): DataFrame = {
+    val out = tmpDir(d, "sink_parquet")
+    Tables.nation(s, d).write.mode("overwrite").parquet(out)
+    s.read.parquet(out)
+  }
+
+  /** Partitioned write (`partitionBy`) — read-back of one partition must
+    * prune input files (asserted in SinkSpec via inputFiles count).
+    */
+  def partitionedWrite(s: SparkSession, d: String): String = {
+    val out = tmpDir(d, "sink_partitioned")
+    Tables.orders(s, d).write.mode("overwrite")
+      .partitionBy("o_orderstatus").parquet(out)
+    out
+  }
+
+  def defs: Seq[(String, Q)] = Seq(
+    "scan_parquet" -> Q(
+      "SELECT * FROM part ORDER BY p_partkey") { (s, d) =>
+      Tables.part(s, d).orderBy("p_partkey")
+    },
+
+    "scan_csv" -> Q(
+      "SELECT * FROM nation ORDER BY n_nationkey") { (s, d) =>
+      val nation = Tables.nation(s, d)
+      val out = tmpDir(d, "nation_csv")
+      nation.write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema(nation.schema).option("header", "true").csv(out)
+        .orderBy("n_nationkey")
+    },
+
+    "scan_json" -> Q(
+      "SELECT * FROM region ORDER BY r_regionkey") { (s, d) =>
+      val region = Tables.region(s, d)
+      val out = tmpDir(d, "region_json")
+      region.write.mode("overwrite").json(out)
+      s.read.schema(region.schema).json(out).orderBy("r_regionkey")
+    },
+
+    "sink_parquet" -> Q.noOracle { (s, d) =>
+      parquetRoundTrip(s, d).orderBy("n_nationkey")
+    },
+
+    "sink_partitioned" -> Q.noOracle { (s, d) =>
+      val out = partitionedWrite(s, d)
+      s.read.parquet(out).filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
+        .orderBy("o_orderkey")
+    }
+  )
+}

@@ -1,0 +1,96 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's t2 gate: replay oracle_sql.json in DuckDB
+over the sf parquet tables and compare against the Spark parquet dumps
+written by graft.Verify. Columns sorted by name, rows compared in order,
+values compared exactly (timestamps normalized to microseconds).
+
+Usage: python3 tools/check.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, json, math
+import duckdb
+import pandas as pd
+
+TABLES = ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]
+
+def norm(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+    return df
+
+def cell_eq(a, b):
+    if a is None and b is None:
+        return True
+    try:
+        if isinstance(a, float) and isinstance(b, float):
+            if math.isnan(a) and math.isnan(b):
+                return True
+            return a == b
+    except Exception:
+        pass
+    if isinstance(a, (list, tuple)) or str(type(a)).endswith("ndarray'>"):
+        la, lb = list(a), list(b)
+        return len(la) == len(lb) and all(cell_eq(x, y) for x, y in zip(la, lb))
+    try:
+        if pd.isna(a) and pd.isna(b):
+            return True
+    except (TypeError, ValueError):
+        pass
+    return a == b
+
+def main():
+    sf, out = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    ok, bad = [], []
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        sql = oracle[name]
+        try:
+            exp = norm(con.execute(sql).df())
+        except Exception as e:
+            bad.append(name); print(f"FAIL {name}: ORACLE ERROR: {e}"); continue
+        try:
+            got = norm(con.execute(
+                f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df())
+        except Exception as e:
+            bad.append(name); print(f"FAIL {name}: SPARK OUTPUT MISSING: {e}"); continue
+        if list(exp.columns) != list(got.columns):
+            bad.append(name)
+            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            continue
+        if len(exp) != len(got):
+            bad.append(name)
+            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            continue
+        diff = None
+        for c in exp.columns:
+            ev, gv = exp[c].tolist(), got[c].tolist()
+            for i, (a, b) in enumerate(zip(ev, gv)):
+                if not cell_eq(a, b):
+                    diff = (c, i, a, b)
+                    break
+            if diff:
+                break
+        if diff:
+            c, i, a, b = diff
+            bad.append(name)
+            near = ""
+            if isinstance(a, float) and isinstance(b, float) and abs(a - b) < 1e-6:
+                near = " [FLOAT-NEAR]"
+            print(f"FAIL {name}: col={c} row={i} exp={a!r} got={b!r}{near}")
+        else:
+            ok.append(name)
+            print(f"ok   {name} ({len(exp)} rows)")
+    print(f"\n{len(ok)} ok, {len(bad)} FAIL" + (": " + " ".join(bad) if bad else ""))
+    sys.exit(1 if bad else 0)
+
+if __name__ == "__main__":
+    main()
