@@ -32,7 +32,10 @@ object SparkEntry {
   /** Ordered registry: (id, Q). Order follows SURVEY.md §2. */
   val registry: Seq[(String, Q)] =
     rel.Scans.defs ++
-    rel.FilterProject.defs
+    rel.FilterProject.defs ++
+    rel.Joins.defs ++
+    rel.Aggregates.defs ++
+    rel.SortSet.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q) => n -> q.build }.toMap

