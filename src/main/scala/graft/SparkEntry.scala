@@ -35,7 +35,9 @@ object SparkEntry {
     rel.FilterProject.defs ++
     rel.Joins.defs ++
     rel.Aggregates.defs ++
-    rel.SortSet.defs
+    rel.SortSet.defs ++
+    rel.Windows.defs ++
+    rel.Functions.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q) => n -> q.build }.toMap

@@ -1,0 +1,160 @@
+package graft.rel
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.core.{Q, Tables}
+
+/** SURVEY.md §2.8 — scalar function families, one representative query
+  * per family. All stock `org.apache.spark.sql.functions._` (codegen'd);
+  * the oracle strings navigate known dialect deltas:
+  *   - DuckDB `dayofweek` is 0=Sunday, Spark is 1=Sunday → oracle adds 1
+  *   - DuckDB `date_trunc`/`last_day` return DATE, Spark TIMESTAMP/DATE →
+  *     Spark side casts to date
+  *   - DuckDB double→INT cast rounds, Spark truncates → never cast
+  *     computed doubles to ints in oracle queries (use floor/ceil)
+  *   - transcendentals (ln/log10/sqrt/pow) are libm-dependent in the last
+  *     ulp → rounded to 6 decimals on both sides
+  */
+object Functions {
+
+  def defs: Seq[(String, Q)] = Seq(
+    "fn_string" -> Q(
+      """SELECT p_partkey,
+        |  concat(p_brand, ':', p_name) AS branded,
+        |  upper(p_name) AS up, lower(p_brand) AS lo,
+        |  trim(concat('  ', p_name, ' ')) AS tr,
+        |  replace(p_name, 'widget', 'gadget') AS repl,
+        |  length(p_name) AS len,
+        |  lpad(p_type, 12, '*') AS pad,
+        |  split_part(p_name, ' ', 1) AS first_word,
+        |  regexp_extract(p_name, '([a-z]+)', 1) AS rex,
+        |  starts_with(p_name, 'small') AS sw,
+        |  ends_with(p_name, 'bolt') AS ew
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        concat(col("p_brand"), lit(":"), col("p_name")).as("branded"),
+        upper(col("p_name")).as("up"), lower(col("p_brand")).as("lo"),
+        trim(concat(lit("  "), col("p_name"), lit(" "))).as("tr"),
+        expr("replace(p_name, 'widget', 'gadget')").as("repl"),
+        length(col("p_name")).as("len"),
+        lpad(col("p_type"), 12, "*").as("pad"),
+        expr("split_part(p_name, ' ', 1)").as("first_word"),
+        regexp_extract(col("p_name"), "([a-z]+)", 1).as("rex"),
+        col("p_name").startsWith("small").as("sw"),
+        col("p_name").endsWith("bolt").as("ew"))
+        .orderBy("p_partkey")
+    },
+
+    "fn_date" -> Q(
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS dd, quarter(o_orderdate) AS q,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  o_orderdate + INTERVAL 5 DAY AS plus5,
+        |  date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_2000,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s,
+        |  last_day(o_orderdate) AS month_end,
+        |  (dayofweek(o_orderdate) + 1) AS dow
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("dd"), quarter(col("o_orderdate")).as("q"),
+        date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+        (col("o_orderdate") + expr("INTERVAL 5 DAY")).as("plus5"),
+        datediff(lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")), col("o_orderdate")).as("days_to_2000"),
+        unix_timestamp(col("o_orderdate")).as("epoch_s"),
+        last_day(col("o_orderdate")).as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"))
+        .orderBy("o_orderkey")
+    },
+
+    "fn_math" -> Q(
+      """SELECT p_partkey,
+        |  round(p_retailprice) AS r0,
+        |  abs(p_size - 25) AS ab,
+        |  ceil(p_retailprice) AS ce, floor(p_retailprice) AS fl,
+        |  pow(p_size, 2) AS p2,
+        |  round(sqrt(p_size), 6) AS sq,
+        |  round(ln(p_retailprice), 6) AS lnp,
+        |  round(log10(p_retailprice), 6) AS lg,
+        |  mod(p_size, 7) AS md,
+        |  CAST(sign(p_size - 25) AS INTEGER) AS sg,
+        |  greatest(p_size, 25) AS g, least(p_size, 25) AS l
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        round(col("p_retailprice")).as("r0"),
+        abs(col("p_size") - 25).as("ab"),
+        ceil(col("p_retailprice")).as("ce"), floor(col("p_retailprice")).as("fl"),
+        pow(col("p_size"), 2).as("p2"),
+        round(sqrt(col("p_size")), 6).as("sq"),
+        round(log(col("p_retailprice")), 6).as("lnp"),
+        round(log10(col("p_retailprice")), 6).as("lg"),
+        expr("mod(p_size, 7)").as("md"),
+        signum(col("p_size") - 25).cast("int").as("sg"),
+        greatest(col("p_size"), lit(25)).as("g"), least(col("p_size"), lit(25)).as("l"))
+        .orderBy("p_partkey")
+    },
+
+    "fn_array" -> Q(
+      """SELECT vec_id,
+        |  len(embedding) AS dim,
+        |  CAST(embedding[1] AS DOUBLE) AS first_val,
+        |  embedding[1:3] AS head3,
+        |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 5) AS vsum,
+        |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 5) AS norm2
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
+      Tables.embeddings(s, d).select(col("vec_id"),
+        size(col("embedding")).as("dim"),
+        element_at(col("embedding"), 1).cast("double").as("first_val"),
+        slice(col("embedding"), 1, 3).as("head3"),
+        expr("round(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)), 5)").as("vsum"),
+        expr("round(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 5)").as("norm2"))
+        .orderBy("vec_id")
+    },
+
+    "fn_map" -> Q(
+      """SELECT event_id,
+        |  map_keys(MAP {'et': event_type, 'src': 'events'}) AS ks,
+        |  map_values(MAP {'et': event_type, 'src': 'events'}) AS vs,
+        |  map_extract(MAP {'et': event_type, 'src': 'events'}, 'et')[1] AS et
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      val m = map(lit("et"), col("event_type"), lit("src"), lit("events"))
+      Tables.events(s, d).select(col("event_id"),
+        map_keys(m).as("ks"), map_values(m).as("vs"),
+        element_at(m, "et").as("et"))
+        .orderBy("event_id")
+    },
+
+    "fn_json" -> Q(
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
+      Tables.events(s, d).select(col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .orderBy("event_id")
+    },
+
+    "fn_cast" -> Q(
+      """SELECT o_orderkey,
+        |  CAST(o_orderkey AS VARCHAR) AS key_str,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price_2dec,
+        |  CAST(o_orderdate AS DATE) AS od,
+        |  CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS od_str,
+        |  TRY_CAST(o_orderpriority AS INTEGER) AS prio_int,
+        |  TRY_CAST(split_part(o_orderpriority, '-', 1) AS INTEGER) AS prio_num,
+        |  CAST(o_custkey AS DOUBLE) AS cust_d
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderkey").cast("string").as("key_str"),
+        col("o_totalprice").cast(DecimalType(18, 2)).cast("double").as("price_2dec"),
+        col("o_orderdate").cast("date").as("od"),
+        col("o_orderdate").cast("date").cast("string").as("od_str"),
+        expr("try_cast(o_orderpriority AS INT)").as("prio_int"),
+        expr("try_cast(split_part(o_orderpriority, '-', 1) AS INT)").as("prio_num"),
+        col("o_custkey").cast("double").as("cust_d"))
+        .orderBy("o_orderkey")
+    }
+  )
+}
