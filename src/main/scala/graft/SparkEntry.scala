@@ -37,7 +37,8 @@ object SparkEntry {
     rel.Aggregates.defs ++
     rel.SortSet.defs ++
     rel.Windows.defs ++
-    rel.Functions.defs
+    rel.Functions.defs ++
+    zonal.Zonal.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q) => n -> q.build }.toMap

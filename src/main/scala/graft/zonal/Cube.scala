@@ -1,0 +1,117 @@
+package graft.zonal
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** The zonal datacube data model (SURVEY.md §1, §2.9; reference scope:
+  * /root/reference/README.md:2 "Scalable Dask-backed zonal statistics").
+  *
+  * A datacube is a *long-form cell relation* — one row per raster cell
+  * `(cell_x, cell_y, value, category, t, w)` — the Raptor-style
+  * "raster as relation" design (PAPERS.md:9) that makes zonal statistics
+  * a relational join + group-by and lets Catalyst/Tungsten run it.
+  * Zones are a tiny table of `(zone_id, envelope)`; at 100 TB the cube is
+  * partitioned by tile and zones are always broadcast.
+  *
+  * No raster ships with the testdata, so the cube/zones are derived
+  * deterministically from `lineitem`/`nation` by pure arithmetic
+  * (FIXTURES.md "Synthetic zonal cube") — both engines derive them
+  * identically, keeping every zonal operator DuckDB-oracle-checkable.
+  */
+object Cube {
+
+  /** Fishnet tile width (8×8 tiles on the 64×64 grid) — the Dask-chunk
+    * analogue and the cube's physical partition key at scale.
+    */
+  val TileSize = 8
+
+  /** DuckDB spelling of the cell derivation (oracle WITH-clause body). */
+  val CellsSql: String =
+    """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber,
+      |  l_orderkey % 64 AS cell_x, l_partkey % 64 AS cell_y,
+      |  l_extendedprice AS value, l_returnflag AS category,
+      |  l_shipdate AS t, l_quantity AS w
+      |FROM lineitem""".stripMargin
+
+  /** DuckDB spelling of the zone derivation. */
+  val ZonesSql: String =
+    """SELECT n_nationkey AS zone_id, n_name AS zone_name,
+      |  (n_nationkey * 2) % 56 AS xmin, (n_nationkey * 2) % 56 + 7 AS xmax,
+      |  (n_nationkey * 3) % 56 AS ymin, (n_nationkey * 3) % 56 + 7 AS ymax
+      |FROM nation""".stripMargin
+
+  /** Oracle preamble shared by all zonal oracles. */
+  def withSql(body: String): String =
+    s"WITH cells AS (\n$CellsSql\n), zones AS (\n$ZonesSql\n)\n$body"
+
+  /** Long-form cell table (keeps the lineitem identity columns so
+    * row-level outputs can order deterministically on Tables.liKey).
+    */
+  def cells(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
+      (col("l_orderkey") % 64).as("cell_x"),
+      (col("l_partkey") % 64).as("cell_y"),
+      col("l_extendedprice").as("value"),
+      col("l_returnflag").as("category"),
+      col("l_shipdate").as("t"),
+      col("l_quantity").as("w"))
+
+  /** Zone features: id + envelope (geometry reduced to envelopes by
+    * design — SURVEY.md §7 trap 7).
+    */
+  def zones(s: SparkSession, d: String): DataFrame =
+    Tables.nation(s, d).select(
+      col("n_nationkey").as("zone_id"), col("n_name").as("zone_name"),
+      (col("n_nationkey") * 2 % 56).as("xmin"),
+      (col("n_nationkey") * 2 % 56 + 7).as("xmax"),
+      (col("n_nationkey") * 3 % 56).as("ymin"),
+      (col("n_nationkey") * 3 % 56 + 7).as("ymax"))
+
+  private def tileOf(c: Column): Column = (c / TileSize).cast("int") // non-negative: trunc == floor
+
+  /** `zonal_fishnet`: tile-index the cells. At 100 TB this is the
+    * partition key (`repartition`/`partitionBy` on tile) bounding each
+    * task's working set — the Dask-chunk analogue.
+    */
+  def withTiles(cellsDf: DataFrame): DataFrame =
+    cellsDf
+      .withColumn("tile_x", tileOf(col("cell_x")))
+      .withColumn("tile_y", tileOf(col("cell_y")))
+
+  /** Zone → tile coverage: explode each envelope into the tiles it
+    * overlaps. Tiny (|zones| × overlapped tiles) and computed inside the
+    * plan — no driver-side collect.
+    */
+  def zoneTiles(zonesDf: DataFrame): DataFrame =
+    zonesDf
+      .withColumn("tile_x", explode(sequence(tileOf(col("xmin")), tileOf(col("xmax")))))
+      .withColumn("tile_y", explode(sequence(tileOf(col("ymin")), tileOf(col("ymax")))))
+
+  /** `zonal_rasterize` / `join_spatial_zones`: assign every cell the
+    * zone(s) whose envelope contains it (many-to-many; overlapping zones
+    * are the general case).
+    *
+    * Raptor-style tile equi-join (PAPERS.md:9): instead of a nested-loop
+    * range join of cells × zones, equi-join cells to the exploded
+    * zone-tile coverage on `(tile_x, tile_y)` — a broadcast *hash* join,
+    * codegen'd and shuffle-free on the cell side — then refine with the
+    * exact envelope predicate. Semantically identical to the range join;
+    * the plan scales to a 1000-executor cube scan.
+    */
+  def rasterize(cellsDf: DataFrame, zonesDf: DataFrame): DataFrame = {
+    val tiled = withTiles(cellsDf)
+    val zt = zoneTiles(zonesDf)
+    tiled.join(broadcast(zt), Seq("tile_x", "tile_y"))
+      .filter(col("cell_x").between(col("xmin"), col("xmax"))
+        && col("cell_y").between(col("ymin"), col("ymax")))
+  }
+
+  /** The oracle spelling of [[rasterize]]'s *result* (the oracle checks
+    * semantics, not the plan): plain envelope-containment range join.
+    */
+  val RasterizeJoinSql: String =
+    """FROM cells JOIN zones
+      |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax""".stripMargin
+}
