@@ -38,7 +38,11 @@ object SparkEntry {
     rel.SortSet.defs ++
     rel.Windows.defs ++
     rel.Functions.defs ++
-    zonal.Zonal.defs
+    zonal.Zonal.defs ++
+    llm.Text.defs ++
+    llm.Dedup.defs ++
+    llm.Sim.defs ++
+    llm.Multimodal.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q) => n -> q.build }.toMap

@@ -1,0 +1,128 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+
+/** SURVEY.md §2.11 — near-duplicate detection for the LLM pipeline:
+  * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
+  * (Exact dedup is `dedup_exact` in rel.Aggregates.)
+  *
+  * MinHash/SimHash build on Spark's xxhash64 (codegen'd, seedable by
+  * prepending a literal) — no DuckDB equivalent exists, so those two are
+  * property-tested (LlmSpec: exact duplicates always collide; hamming
+  * distance 0 for identical docs) per SURVEY.md §2.11's fallback; the
+  * Jaccard and embedding paths are fully oracle-checked.
+  *
+  * Scale posture: everything is per-document map-side work (shingle →
+  * hash → min) followed by one shuffle on the LSH band key — the
+  * canonical scalable near-dup topology. No quadratic step ever touches
+  * the full corpus; pair enumeration happens only within buckets/blocks.
+  */
+object Dedup {
+
+  val NumPerms = 8
+  val BandSize = 2 // → 4 bands of 2 minhashes each
+
+  /** doc_id + MinHash signature + LSH band keys. */
+  def minhash(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("t", split(lower(col("text")), " "))
+      .filter(size(col("t")) >= 3)
+      // 3-word shingles, then per-permutation min over seeded xxhash64
+      .withColumn("shingles", expr(
+        "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
+      .withColumn("sig", expr(
+        s"transform(sequence(0, ${NumPerms - 1}), p -> array_min(transform(shingles, sh -> xxhash64(p, sh))))"))
+      .withColumn("bands", expr(
+        s"transform(sequence(0, ${NumPerms / BandSize - 1}), b -> xxhash64(b, element_at(sig, b * $BandSize + 1), element_at(sig, b * $BandSize + 2)))"))
+      .select("doc_id", "sig", "bands")
+
+  def defs: Seq[(String, Q)] = Seq(
+    // signature table: deterministic, but xxhash64 has no DuckDB twin →
+    // property-tested (LlmSpec)
+    "dedup_minhash" -> Q.noOracle { (s, d) =>
+      minhash(Tables.documents(s, d)).orderBy("doc_id")
+    },
+
+    // LSH candidate pairs: explode band keys, bucket-join, emit pairs.
+    // May legitimately be empty (the synthetic corpus has no near-dups);
+    // LlmSpec injects a duplicate and asserts collision.
+    "dedup_minhash_pairs" -> Q.noOracle { (s, d) =>
+      val mh = minhash(Tables.documents(s, d))
+        .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+      mh.as("a").join(mh.as("b"),
+          col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+        .distinct()
+        .orderBy("doc_id1", "doc_id2")
+    },
+
+    // 16-bit SimHash from seeded token hashes: per-bit majority vote,
+    // folded back to an integer — all inside one codegen'd expression
+    "dedup_simhash" -> Q.noOracle { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("hs", expr("transform(split(lower(text), ' '), x -> xxhash64(x))"))
+        .withColumn("bits", expr(
+          """transform(sequence(0, 15), j ->
+            |  CASE WHEN aggregate(hs, CAST(0 AS BIGINT),
+            |    (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+            |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+        .withColumn("simhash", expr(
+          "aggregate(bits, CAST(0 AS BIGINT), (a, b) -> a * 2 + b)"))
+        .select("doc_id", "simhash")
+        .orderBy("doc_id")
+    },
+
+    "dedup_ngram_jaccard" -> Q(
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    list_distinct(list_transform(generate_series(1, len(t) - 1),
+        |                                 i -> t[i] || ' ' || t[i + 1])) AS bg
+        |  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents)
+        |  WHERE len(t) >= 2)
+        |SELECT a.doc_id AS doc_id1, b2.doc_id AS doc_id2,
+        |  round(CAST(len(list_intersect(a.bg, b2.bg)) AS DOUBLE)
+        |        / (len(a.bg) + len(b2.bg) - len(list_intersect(a.bg, b2.bg))), 6) AS jaccard
+        |FROM b a JOIN b b2
+        |  ON a.source = b2.source AND a.doc_id < b2.doc_id
+        |ORDER BY jaccard DESC, doc_id1, doc_id2 LIMIT 100""".stripMargin) { (s, d) =>
+      // n-gram Jaccard near-dup, blocked on `source` (pair enumeration
+      // only within blocks); top-100 most similar pairs
+      val bg = Tables.documents(s, d)
+        .withColumn("t", split(lower(col("text")), " "))
+        .filter(size(col("t")) >= 2)
+        .withColumn("bg", array_distinct(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")))
+        .select("doc_id", "source", "bg")
+      val inter = size(array_intersect(col("a.bg"), col("b.bg")))
+      bg.as("a").join(bg.as("b"),
+          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+          round(inter.cast("double")
+            / (size(col("a.bg")) + size(col("b.bg")) - inter), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("doc_id1"), col("doc_id2"))
+        .limit(100)
+    },
+
+    "dedup_embedding" -> Q(
+      s"""SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+         |  round(${Sim.cosineSql("a.embedding", "b.embedding")}, 6) AS cos_r
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${Sim.cosineSql("a.embedding", "b.embedding")} >= 0.3
+         |ORDER BY keep_id, drop_id""".stripMargin) { (s, d) =>
+      // embedding-cosine near-dup: within-label pairs over the threshold;
+      // survivor = smaller vec_id (deterministic keep rule)
+      val emb = Tables.embeddings(s, d)
+      emb.as("a").join(emb.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", Sim.cosine("a.embedding", "b.embedding"))
+        .filter(col("cos") >= 0.3)
+        .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
+          round(col("cos"), 6).as("cos_r"))
+        .orderBy("keep_id", "drop_id")
+    }
+  )
+}

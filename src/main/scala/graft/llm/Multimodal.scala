@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+
+/** Multimodal columns (BASELINE.json:6): image/audio/video as opaque
+  * `binary` columns with typed metadata.
+  *
+  * The testdata ships no media, so the binary column is derived
+  * (`CAST(text AS BINARY)`) and the *decode* step is a deterministic
+  * fake (no media libs in this container — SURVEY.md §7 trap 7); the
+  * Spark-side plumbing is real: binary schema, per-row metadata,
+  * fixed-size frame sampling via explode, byte-level feature extraction
+  * (`mm_byte_features`, a custom Catalyst expression in graft.ext).
+  *
+  * Scale posture: all per-row map-side work — no shuffle at all until an
+  * (optional) aggregation; media blobs never serialize through a join.
+  */
+object Multimodal {
+
+  def defs: Seq[(String, Q)] = Seq(
+    "mm_meta" -> Q(
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  md5(text) AS content_md5,
+        |  substr(text, 1, 8) AS head
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // typed metadata over the opaque blob: byte length + checksum
+      Tables.documents(s, d)
+        .withColumn("blob", col("text").cast("binary"))
+        .select(col("doc_id"),
+          length(col("blob")).as("n_bytes"),
+          md5(col("blob")).as("content_md5"),
+          substring(col("text"), 1, 8).as("head"))
+        .orderBy("doc_id")
+    },
+
+    "mm_frame_sample" -> Q(
+      """SELECT doc_id, fi AS frame_idx,
+        |  md5(substr(text, fi * 64 + 1, 64)) AS frame_md5
+        |FROM (SELECT doc_id, text,
+        |        unnest(generate_series(0, (length(text) - 1) // 64)) AS fi
+        |      FROM documents)
+        |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+      // frame sampling: fixed-size windows over the blob via explode —
+      // the 1-row→n-frames generator shape a video pipeline needs
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), floor((length(col("text")) - 1) / 64).cast("int")))
+            .as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(expr("substring(text, frame_idx * 64 + 1, 64)").cast("binary")).as("frame_md5"))
+        .orderBy("doc_id", "frame_idx")
+    }
+  )
+}

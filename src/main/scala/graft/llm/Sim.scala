@@ -1,0 +1,141 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+
+/** SURVEY.md §2.11 — similarity search over the embedding column
+  * (`ArrayType(FloatType)`, dim 64).
+  *
+  * Cosine is composed from codegen'd higher-order functions (zip_with +
+  * aggregate) — a left fold in both engines, so results are
+  * bit-comparable after round(6). Brute-force top-k is the baseline;
+  * `sim_ann_ivf` is the scale path (coarse-quantize to per-label
+  * centroids, search only the probed cluster — IVF-style).
+  *
+  * Scale posture: probes/centroids are always the broadcast side; the
+  * corpus never shuffles. At 100 TB, corpus × probes is a broadcast
+  * nested-loop over a small probe set — embarrassingly parallel over
+  * corpus partitions.
+  */
+object Sim {
+
+  /** Cosine similarity between two array columns, computed as
+    * dot(a,b) / sqrt(dot(a,a) * dot(b,b)) with double accumulators.
+    */
+  def cosine(a: String, b: String): Column = {
+    def dot(x: String, y: String) =
+      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
+    expr(s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})")
+  }
+
+  /** DuckDB spelling of [[cosine]] — same formula, same fold order. */
+  def cosineSql(a: String, b: String): String = {
+    def norm(x: String) =
+      s"list_aggregate(list_transform($x, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE)), 'sum')"
+    s"""(list_aggregate(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), 'sum')
+       | / sqrt(${norm(a)} * ${norm(b)}))""".stripMargin
+  }
+
+  /** User API: brute-force cosine top-k of `corpus` for each probe row. */
+  def topK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.as("b").crossJoin(broadcast(probes.as("a")))
+      .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("vec_id"),
+        round(cosine("a.embedding", "b.embedding"), 6).as("cos_r"))
+    val w = Window.partitionBy("probe_id").orderBy(col("cos_r").desc, col("vec_id"))
+    joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  def defs: Seq[(String, Q)] = Seq(
+    "sim_cosine_topk" -> Q(
+      s"""WITH sims AS (
+         |  SELECT a.vec_id AS probe_id, b.vec_id AS vec_id,
+         |    round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_r
+         |  FROM embeddings a, embeddings b WHERE a.vec_id < 10)
+         |SELECT probe_id, vec_id, cos_r, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_r DESC, vec_id) AS rk
+         |  FROM sims) WHERE rk <= 3
+         |ORDER BY probe_id, rk""".stripMargin) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      topK(emb.filter(col("vec_id") < 10), emb, 3)
+        .select("probe_id", "vec_id", "cos_r", "rk")
+        .orderBy("probe_id", "rk")
+    },
+
+    "sim_pairs_threshold" -> Q(
+      s"""SELECT a.vec_id AS id1, b.vec_id AS id2, a.label,
+         |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_r
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      // similarity self-join blocked on `label` (the blocking key bounds
+      // the pair count; at scale replace with LSH buckets)
+      val emb = Tables.embeddings(s, d)
+      val a = emb.as("a")
+      val b = emb.as("b")
+      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .withColumn("cos", cosine("a.embedding", "b.embedding"))
+        .filter(col("cos") >= 0.35)
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+          col("a.label").as("label"), round(col("cos"), 6).as("cos_r"))
+        .orderBy("id1", "id2")
+    },
+
+    "knn_centroid" -> Q(
+      """SELECT label, u.pos - 1 AS pos, round(avg(u.v), 6) AS c FROM
+        |  (SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+        |     i -> {'pos': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+        |   FROM embeddings)
+        |GROUP BY label, pos ORDER BY label, pos""".stripMargin) { (s, d) =>
+      // per-label centroid in long form (label, dim, mean) — a single
+      // two-phase aggregation over the exploded vectors
+      Tables.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("label"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("c"))
+        .orderBy("label", "pos")
+    },
+
+    "sim_ann_ivf" -> Q(
+      s"""WITH cent_long AS (
+         |  SELECT label AS c_label, u.pos AS pos, avg(u.v) AS c FROM
+         |    (SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+         |       i -> {'pos': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+         |     FROM embeddings)
+         |  GROUP BY c_label, pos),
+         |cent AS (SELECT c_label, list(c ORDER BY pos) AS centroid FROM cent_long GROUP BY c_label),
+         |assign AS (
+         |  SELECT e.vec_id, e.label, c.c_label,
+         |    row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY round(${cosineSql("e.embedding", "c.centroid")}, 6) DESC, c.c_label) AS rk
+         |  FROM embeddings e CROSS JOIN cent c)
+         |SELECT c_label, count(*) AS n_assigned,
+         |  count(CASE WHEN label = c_label THEN 1 END) AS n_matching_label
+         |FROM assign WHERE rk = 1
+         |GROUP BY c_label ORDER BY c_label""".stripMargin) { (s, d) =>
+      // IVF coarse quantizer: centroids = per-label means; every vector
+      // is assigned to its nearest centroid (broadcast 10×64 table —
+      // the corpus side never shuffles). Output: cluster occupancy +
+      // label agreement. The ANN search path then probes only the
+      // assigned cluster (tested in LlmSpec against brute force).
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb
+        .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("c_label"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("c"))
+        .groupBy(col("c_label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(round(cosine("embedding", "centroid"), 6).desc, col("c_label"))
+      emb.crossJoin(broadcast(centroids))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("c_label"))
+        .agg(count(lit(1)).as("n_assigned"),
+          count(when(col("label") === col("c_label"), 1)).as("n_matching_label"))
+        .orderBy("c_label")
+    }
+  )
+}

@@ -1,0 +1,153 @@
+package graft.llm
+
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+
+/** SURVEY.md §2.11 + BASELINE.json:6 — text-analysis operators for the
+  * LLM-data-pipeline surface: tokenization, n-grams, corpus stats,
+  * TF-IDF, language-ID heuristic, quality scoring, fingerprinting.
+  *
+  * All pure `functions._` composition (codegen'd; no UDFs): explode for
+  * the token paths, higher-order transform/filter/aggregate for the
+  * per-document array paths. At 100 TB the explode paths shuffle only
+  * (token, partial-count) pairs thanks to partial aggregation.
+  */
+object Text {
+
+  def defs: Seq[(String, Q)] = Seq(
+    "text_tokenize" -> Q(
+      """SELECT word, count(*) AS n FROM
+        |  (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy("word")
+    },
+
+    "text_ngram" -> Q(
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM (SELECT string_split(lower(text), ' ') AS t FROM documents)
+        |  WHERE len(t) >= 2)
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin) { (s, d) =>
+      // bigrams via an index-mapped transform (no self-join); Spark
+      // sequence(1, 0) would count DOWN, so short docs are filtered on
+      // both engines
+      Tables.documents(s, d)
+        .withColumn("t", split(lower(col("text")), " "))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+          .as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    },
+
+    "text_stats" -> Q(
+      """SELECT lang, source, count(*) AS n_docs,
+        |  sum(n_chars) AS sum_chars,
+        |  (CAST(sum(n_chars) AS DOUBLE) / count(*)) AS avg_chars,
+        |  max(length(text)) AS max_len
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+          max(length(col("text"))).as("max_len"))
+        .orderBy("lang", "source")
+    },
+
+    "text_tfidf" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+        |df AS (SELECT word, count(*) AS df FROM (SELECT DISTINCT doc_id, word FROM tok) GROUP BY word),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.word, tf.tf, df.df,
+        |  round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        |FROM tf JOIN df USING (word) CROSS JOIN n
+        |ORDER BY doc_id, word""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("word"))
+      val tf = tok.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      val df = tok.distinct().groupBy("word").agg(count(lit(1)).as("df"))
+      val n = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      tf.join(broadcast(df), "word")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6).as("tfidf"))
+        .orderBy("doc_id", "word")
+    },
+
+    "text_langid" -> Q(
+      """SELECT doc_id,
+        |  len(list_filter(t, x -> x IN ('the','a','of','and','to','is'))) AS s_en,
+        |  len(list_filter(t, x -> x IN ('el','la','de','y','en','que'))) AS s_es,
+        |  len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS s_de,
+        |  CASE WHEN len(list_filter(t, x -> x IN ('the','a','of','and','to','is'))) >= len(list_filter(t, x -> x IN ('el','la','de','y','en','que')))
+        |        AND len(list_filter(t, x -> x IN ('the','a','of','and','to','is'))) >= len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) THEN 'en'
+        |       WHEN len(list_filter(t, x -> x IN ('el','la','de','y','en','que'))) >= len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) THEN 'es'
+        |       ELSE 'de' END AS lang_pred
+        |FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // stopword-hit n-gram heuristic language ID: count profile hits per
+      // language, argmax with deterministic tie-break (en > es > de)
+      def hits(words: String) = expr(s"size(filter(t, x -> x IN ($words)))")
+      val en = hits("'the','a','of','and','to','is'")
+      val es = hits("'el','la','de','y','en','que'")
+      val de = hits("'der','die','das','und','ist'")
+      Tables.documents(s, d)
+        .withColumn("t", split(lower(col("text")), " "))
+        .select(col("doc_id"), en.as("s_en"), es.as("s_es"), de.as("s_de"),
+          when(en >= es && en >= de, "en").when(es >= de, "es").otherwise("de").as("lang_pred"))
+        .orderBy("doc_id")
+    },
+
+    "text_quality" -> Q(
+      """SELECT doc_id,
+        |  len(t) AS n_tokens,
+        |  len(list_distinct(t)) AS n_uniq,
+        |  (CAST(len(list_distinct(t)) AS DOUBLE) / len(t)) AS uniq_ratio,
+        |  (CAST(length(text) - (len(t) - 1) AS DOUBLE) / len(t)) AS avg_token_len,
+        |  CAST(ceil(length(text) / 4.0) AS INTEGER) AS est_bpe_tokens,
+        |  (CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to','is'))) AS DOUBLE) / len(t)) AS stopword_ratio,
+        |  CASE WHEN len(t) BETWEEN 15 AND 80 AND len(list_distinct(t)) * 2 > len(t)
+        |       THEN 'good' ELSE 'low' END AS quality
+        |FROM (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("t", split(lower(col("text")), " "))
+        .select(col("doc_id"),
+          size(col("t")).as("n_tokens"),
+          size(array_distinct(col("t"))).as("n_uniq"),
+          (size(array_distinct(col("t"))).cast("double") / size(col("t"))).as("uniq_ratio"),
+          ((length(col("text")) - (size(col("t")) - 1)).cast("double") / size(col("t"))).as("avg_token_len"),
+          ceil(length(col("text")) / 4.0).cast("int").as("est_bpe_tokens"),
+          (expr("size(filter(t, x -> x IN ('the','a','of','and','to','is')))").cast("double")
+            / size(col("t"))).as("stopword_ratio"),
+          when(size(col("t")).between(15, 80)
+            && size(array_distinct(col("t"))) * 2 > size(col("t")), "good")
+            .otherwise("low").as("quality"))
+        .orderBy("doc_id")
+    },
+
+    "text_fingerprint" -> Q(
+      """SELECT doc_id,
+        |  md5(text) AS content_fp,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS token_fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // content fingerprint (exact-dup key) + order-insensitive token-set
+      // fingerprint; md5 is bit-identical across engines
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text").cast("binary")).as("content_fp"),
+          md5(concat_ws(" ", sort_array(array_distinct(split(lower(col("text")), " "))))
+            .cast("binary")).as("token_fp"))
+        .orderBy("doc_id")
+    }
+  )
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.llm.{Dedup, Sim}
+
+/** Property tests for the LLM operators the DuckDB oracle can't check
+  * (SURVEY.md §2.11: xxhash64-based MinHash/SimHash).
+  */
+class LlmSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),        // exact dup of 1
+    (3L, "the quick brown fox jumps over the sleepy dog"),      // near dup of 1
+    (4L, "completely different text about spark and datacubes entirely")
+  ).toDF("doc_id", "text")
+
+  test("exact duplicates share the full MinHash signature and all bands") {
+    val mh = Dedup.minhash(docs).collect().map(r =>
+      r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    assert(mh(1L)._1 == mh(2L)._1, "signatures differ for identical docs")
+    assert(mh(1L)._2 == mh(2L)._2, "bands differ for identical docs")
+    assert(mh(1L)._1 != mh(4L)._1, "unrelated docs collided on full signature")
+  }
+
+  test("near-duplicates collide on at least one LSH band") {
+    val mh = Dedup.minhash(docs)
+      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+    val pairs = mh.as("a").join(mh.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup pair missing from LSH candidates")
+  }
+
+  test("simhash: identical docs hash identically; hamming to unrelated is large") {
+    val sh = SparkEntry.queries("dedup_simhash")(spark, sf) // runs on real docs
+    assert(sh.count() > 0)
+    // on the toy frame:
+    val toy = docs.withColumn("hs", expr("transform(split(lower(text), ' '), x -> xxhash64(x))"))
+      .withColumn("bits", expr(
+        """transform(sequence(0, 15), j ->
+          |  CASE WHEN aggregate(hs, CAST(0 AS BIGINT),
+          |    (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
+      .withColumn("simhash", expr("aggregate(bits, CAST(0 AS BIGINT), (a, b) -> a * 2 + b)"))
+      .select("doc_id", "simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(toy(1L) == toy(2L))
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(toy(1L), toy(3L)) <= hamming(toy(1L), toy(4L)),
+      "near-dup should be closer in hamming distance than unrelated doc")
+  }
+
+  test("IVF assignment: every vector assigned exactly once; sizes sum to corpus") {
+    val ivf = q("sim_ann_ivf").agg(sum("n_assigned")).head.getLong(0)
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(ivf == n)
+  }
+
+  test("brute-force top-k: probe's own vector ranks first with cosine 1") {
+    val top1 = q("sim_cosine_topk").filter(col("rk") === 1).collect()
+    top1.foreach { r =>
+      assert(r.getAs[Long]("probe_id") == r.getAs[Long]("vec_id"))
+      assert(math.abs(r.getAs[Double]("cos_r") - 1.0) < 1e-5)
+    }
+  }
+
+  test("tfidf: a term appearing in every doc scores 0") {
+    val tfidf = q("text_tfidf")
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    val ubiquitous = tfidf.filter(col("df") === nDocs)
+    assert(ubiquitous.filter(abs(col("tfidf")) > 1e-9).count() == 0)
+  }
+}
