@@ -42,7 +42,8 @@ object SparkEntry {
     llm.Text.defs ++
     llm.Dedup.defs ++
     llm.Sim.defs ++
-    llm.Multimodal.defs
+    llm.Multimodal.defs ++
+    stream.Streams.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map { case (n, q) => n -> q.build }.toMap

@@ -1,0 +1,139 @@
+package graft.stream
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+import graft.core.Det.{dsum, dsumSql}
+
+/** SURVEY.md §2.10 — event-time windowing over the `events` table.
+  *
+  * The registry entries here are the *batch-equivalent* semantics
+  * (windowing is pure event-time bucketing arithmetic, identical in
+  * micro-batch and batch) so every operator stays DuckDB-oracle-checked;
+  * the same transformations run as real Structured Streaming queries in
+  * [[Streaming]] and are exercised against MemoryStream in StreamSpec
+  * (watermark drop, stateful dedup, custom state — the parts batch can't
+  * show).
+  *
+  * Oracle note: Spark `window(ts, …)` buckets are epoch-aligned; the
+  * DuckDB spelling reconstructs them with integer µs arithmetic
+  * (`epoch_us // 1e6 // width * width`) — no timezone dependence.
+  */
+object Streams {
+
+  private val winStartSql =
+    "TIMESTAMP '1970-01-01' + to_seconds((epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 300) * 300)"
+
+  def defs: Seq[(String, Q)] = Seq(
+    "stream_tumbling" -> Q(
+      s"""SELECT $winStartSql AS win_start, event_type,
+         |  count(*) AS n, ${dsumSql("value")} AS sum_v
+         |FROM events GROUP BY win_start, event_type
+         |ORDER BY win_start, event_type""".stripMargin) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .select(col("window.start").as("win_start"), col("event_type"), col("n"), col("sum_v"))
+        .orderBy("win_start", "event_type")
+    },
+
+    "stream_sliding" -> Q(
+      s"""SELECT $winStartSql - to_seconds(off) AS win_start, count(*) AS n,
+         |  ${dsumSql("value")} AS sum_v
+         |FROM events CROSS JOIN (VALUES (0), (300)) AS offs(off)
+         |GROUP BY win_start ORDER BY win_start""".stripMargin) { (s, d) =>
+      // 10-minute windows sliding by 5: every event falls in exactly two
+      // windows; the oracle reconstructs them as bucket − {0, 300 s}
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .select(col("window.start").as("win_start"), col("n"), col("sum_v"))
+        .orderBy("win_start")
+    },
+
+    "stream_session" -> Q(
+      """WITH m AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    CASE WHEN lag(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+        |           OR CAST(ts AS TIMESTAMP) - lag(CAST(ts AS TIMESTAMP)) OVER w > INTERVAL 10 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
+        |s AS (SELECT user_id, ts,
+        |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 10 MINUTE AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+      // session_window(gap) in batch == gaps-and-islands; Spark's session
+      // end is last event + gap, mirrored in the oracle
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"), col("n_events"))
+        .orderBy("user_id", "session_start")
+    },
+
+    "stream_watermark" -> Q(
+      s"""WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w FROM events)
+         |SELECT $winStartSql AS win_start, count(*) AS n
+         |FROM events CROSS JOIN wm
+         |GROUP BY win_start, w
+         |HAVING win_start + INTERVAL 5 MINUTE <= w
+         |ORDER BY win_start""".stripMargin) { (s, d) =>
+      // batch rendering of watermark semantics: only windows fully below
+      // (max event time − delay) are "closed" and emitted — what append
+      // mode would have produced; the actual late-drop behavior runs in
+      // StreamSpec via MemoryStream
+      val ev = Tables.events(s, d)
+      val wm = ev.agg((max(col("ts")) - expr("INTERVAL 10 MINUTE")).as("w"))
+      ev.groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(wm))
+        .filter(col("window.end") <= col("w"))
+        .select(col("window.start").as("win_start"), col("n"))
+        .orderBy("win_start")
+    },
+
+    "stream_dedup" -> Q(
+      """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM (
+        |  SELECT event_id, user_id, event_type, ts,
+        |    row_number() OVER (
+        |      PARTITION BY user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 // 600
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // batch rendering of dropDuplicatesWithinWatermark: keep the first
+      // (user, type) event per 10-minute bucket, deterministic tiebreak
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"),
+          (unix_timestamp(col("ts")) / 600).cast("long"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("event_id", "user_id", "event_type", "ts")
+        .orderBy("event_id")
+    },
+
+    "stream_static_join" -> Q(
+      """SELECT event_id, user_id, c_name, c_mktsegment, event_type FROM events
+        |JOIN customer ON user_id = c_custkey
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // stream ⋈ static dimension (the streaming form joins each
+      // micro-batch against the same broadcast table)
+      val c = Tables.customer(s, d)
+      Tables.events(s, d)
+        .join(broadcast(c), col("user_id") === col("c_custkey"))
+        .select("event_id", "user_id", "c_name", "c_mktsegment", "event_type")
+        .orderBy("event_id")
+    },
+
+    "stream_stateful" -> Q.noOracle { (s, d) =>
+      // batch twin of the custom-state operator (capped running spend
+      // with reset); the streaming twin uses flatMapGroupsWithState and
+      // is equivalence-tested in StreamSpec
+      Stateful.cappedSpendBatch(Tables.events(s, d)).orderBy("event_id")
+    }
+  )
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.stream.{Ev, Stateful, Streaming}
+
+case class E(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+/** Structured-Streaming behavior the batch oracle can't check
+  * (SURVEY.md §2.10): watermark late-drop, stateful dedup, custom state
+  * across micro-batches. All driven through MemoryStream.
+  */
+class StreamSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(minute: Int, sec: Int = 0) =
+    java.sql.Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$sec%02d")
+
+  test("tumbling streaming agg equals batch agg on the same rows") {
+    implicit val sq = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[E].collect().toSeq
+    val ms = MemoryStream[E]
+    ms.addData(rows)
+    val q = Streaming.tumbling(ms.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("tumbling_out")
+    val batch = SparkEntry.queries("stream_tumbling")(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("watermark drops a row later than (max event time - delay)") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[E]
+    val q = Streaming.tumbling(ms.toDF())
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode("append").start()
+    // batch 1: events at minute 1 and minute 30 → watermark → 20:00,
+    // closing windows through [0:00,05:00)
+    ms.addData(Seq(E(1, ts(1), 1, "click", 1.0), E(2, ts(30), 1, "click", 1.0)))
+    q.processAllAvailable()
+    val closed = spark.table("wm_out").count()
+    assert(closed >= 1, "expected the first window to close")
+    // batch 2: a LATE row back in minute 2 — behind the watermark → dropped
+    ms.addData(Seq(E(3, ts(2), 1, "click", 99.0)))
+    q.processAllAvailable()
+    // batch 3: advance watermark far enough to close everything
+    ms.addData(Seq(E(4, ts(55), 1, "click", 1.0)))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("wm_out")
+      .filter(col("win_start") === ts(0)).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n") == 1,
+      s"late row leaked into the closed window: ${out.mkString(",")}")
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one of two in-watermark duplicates") {
+    implicit val sq = spark.sqlContext
+    val ms = MemoryStream[E]
+    val q = Streaming.dedupWithinWatermark(ms.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    ms.addData(Seq(
+      E(1, ts(1), 7, "click", 1.0),
+      E(2, ts(2), 7, "click", 2.0),   // duplicate key within watermark
+      E(3, ts(3), 7, "view", 3.0)))
+    q.processAllAvailable(); q.stop()
+    val n = spark.table("dedup_out").count()
+    assert(n == 2, s"expected 2 surviving rows, got $n")
+  }
+
+  test("flatMapGroupsWithState capped spend equals the batch twin") {
+    implicit val sq = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sf)
+      .select("event_id", "user_id", "ts", "value").as[Ev]
+      .collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+    val ms = MemoryStream[Ev]
+    ms.addData(rows)
+    val q = Stateful.cappedSpendStreaming(ms.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("state_out")
+    val batch = Stateful.cappedSpendBatch(graft.core.Tables.events(spark, sf))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stateful reset: cumulative never exceeds cap except on the reset row") {
+    val out = Stateful.cappedSpendBatch(graft.core.Tables.events(spark, sf))
+    val bad = out.filter(col("cum_after") > graft.stream.Stateful.Cap && !col("did_reset"))
+    assert(bad.count() == 0)
+  }
+}
