@@ -38,6 +38,7 @@ object SparkEntry {
     rel.SortSet.defs ++
     rel.Windows.defs ++
     rel.Functions.defs ++
+    rel.Udfs.defs ++
     zonal.Zonal.defs ++
     llm.Text.defs ++
     llm.Dedup.defs ++

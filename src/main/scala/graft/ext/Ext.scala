@@ -1,0 +1,36 @@
+package graft.ext
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration for the Catalyst extensions.
+  *
+  * Two front doors:
+  *   - [[Ext.register]]: runtime registration into an existing session's
+  *     FunctionRegistry (what the query builders use — the driver owns
+  *     session construction, SURVEY.md §0 [DRV]).
+  *   - [[GraftExtensions]]: `SparkSessionExtensions` injection for
+  *     production sessions built with
+  *     `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  *     `spark.sql.extensions=graft.ext.GraftExtensions`.
+  */
+object Ext {
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
+    "byte_stats" -> (es => ByteStats(es.head)))
+
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    Ext.functions.foreach { case (name, builder) =>
+      e.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo("graft.ext", name), builder))
+    }
+}

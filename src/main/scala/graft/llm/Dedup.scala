@@ -115,6 +115,7 @@ object Dedup {
          |ORDER BY keep_id, drop_id""".stripMargin) { (s, d) =>
       // embedding-cosine near-dup: within-label pairs over the threshold;
       // survivor = smaller vec_id (deterministic keep rule)
+      graft.ext.Ext.register(s)
       val emb = Tables.embeddings(s, d)
       emb.as("a").join(emb.as("b"),
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))

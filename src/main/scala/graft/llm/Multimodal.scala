@@ -35,6 +35,25 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    "mm_byte_features" -> Q(
+      """SELECT doc_id, length(text) AS n_bytes,
+        |  (CAST(list_aggregate(list_transform(generate_series(1, length(text)),
+        |     i -> ord(substr(text, i, 1))), 'sum') AS DOUBLE) / length(text)) AS mean_byte,
+        |  list_min(list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)))) AS min_byte,
+        |  list_max(list_transform(generate_series(1, length(text)), i -> ord(substr(text, i, 1)))) AS max_byte
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // the "decode" step: graft.ext.ByteStats (custom Catalyst
+      // expression, binary → feature struct); ASCII text makes the byte
+      // features reproducible in the oracle via ord()
+      graft.ext.Ext.register(s)
+      Tables.documents(s, d)
+        .withColumn("f", expr("byte_stats(CAST(text AS BINARY))"))
+        .select(col("doc_id"), col("f.n_bytes").as("n_bytes"),
+          col("f.mean_byte").as("mean_byte"), col("f.min_byte").as("min_byte"),
+          col("f.max_byte").as("max_byte"))
+        .orderBy("doc_id")
+    },
+
     "mm_frame_sample" -> Q(
       """SELECT doc_id, fi AS frame_idx,
         |  md5(substr(text, fi * 64 + 1, 64)) AS frame_md5

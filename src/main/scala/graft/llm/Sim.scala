@@ -23,12 +23,15 @@ object Sim {
 
   /** Cosine similarity between two array columns, computed as
     * dot(a,b) / sqrt(dot(a,a) * dot(b,b)) with double accumulators.
+    *
+    * Backed by the codegen'd Catalyst expression
+    * [[graft.ext.CosineSimilarity]] (registered as `cosine_sim`), which
+    * runs the identical left fold in one fused loop — bit-identical to
+    * the composed zip_with/aggregate form and to the DuckDB oracle
+    * spelling, but ~an order of magnitude cheaper per pair (no lambda
+    * dispatch or boxing). Callers must Ext.register the session first.
     */
-  def cosine(a: String, b: String): Column = {
-    def dot(x: String, y: String) =
-      s"aggregate(zip_with($x, $y, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"
-    expr(s"${dot(a, b)} / sqrt(${dot(a, a)} * ${dot(b, b)})")
-  }
+  def cosine(a: String, b: String): Column = expr(s"cosine_sim($a, $b)")
 
   /** DuckDB spelling of [[cosine]] — same formula, same fold order. */
   def cosineSql(a: String, b: String): String = {
@@ -40,6 +43,7 @@ object Sim {
 
   /** User API: brute-force cosine top-k of `corpus` for each probe row. */
   def topK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    graft.ext.Ext.register(probes.sparkSession)
     val joined = corpus.as("b").crossJoin(broadcast(probes.as("a")))
       .select(col("a.vec_id").as("probe_id"), col("b.vec_id").as("vec_id"),
         round(cosine("a.embedding", "b.embedding"), 6).as("cos_r"))
@@ -72,6 +76,7 @@ object Sim {
          |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       // similarity self-join blocked on `label` (the blocking key bounds
       // the pair count; at scale replace with LSH buckets)
+      graft.ext.Ext.register(s)
       val emb = Tables.embeddings(s, d)
       val a = emb.as("a")
       val b = emb.as("b")
@@ -120,6 +125,7 @@ object Sim {
       // the corpus side never shuffles). Output: cluster occupancy +
       // label agreement. The ANN search path then probes only the
       // assigned cluster (tested in LlmSpec against brute force).
+      graft.ext.Ext.register(s)
       val emb = Tables.embeddings(s, d)
       val centroids = emb
         .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))

@@ -152,6 +152,33 @@ object Zonal {
         .orderBy("zone_id", "yr")
     },
 
+    "zonal_pruned" -> Q(
+      Cube.withSql(
+        s"""SELECT zone_id, count(*) AS n_cells, ${dsumSql("value")} AS sum_v
+           |FROM cells JOIN zones
+           |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+           |WHERE zone_id < 5
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
+      // zone-subset query over the tile-partitioned store: scans ONLY the
+      // tiles intersecting the zones' envelopes (static partition
+      // pruning; ZonalSpec asserts the file-count reduction)
+      val store = ZonalStore.ensureTiled(s, d)
+      val zonesF = Cube.zones(s, d).filter(col("zone_id") < 5)
+      ZonalStore.prunedStats(s, store, zonesF).orderBy("zone_id")
+    },
+
+    // one-pass map-form histogram via the typed Histogram Aggregator
+    // (buffer = Map(bucket → count), shuffled as partials); equivalence
+    // with the long-form zonal_hist is asserted in ExtSpec
+    "zonal_hist_map" -> Q.noOracle { (s, d) =>
+      val hist = org.apache.spark.sql.functions.udaf(
+        new graft.ext.Aggregators.Histogram(20000.0))
+      Cube.rasterize(Cube.cells(s, d), Cube.zones(s, d))
+        .groupBy(col("zone_id"))
+        .agg(hist(col("value")).as("hist"))
+        .orderBy("zone_id")
+    },
+
     "zonal_multiband" -> Q(
       Cube.withSql(
         s"""SELECT zone_id, count(*) AS n_cells,

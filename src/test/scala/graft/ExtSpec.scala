@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Ext
+import graft.zonal.{Cube, ZonalStore}
+
+/** Catalyst-extension specs: codegen cosine parity, byte_stats decode
+  * stub, map-histogram vs long-form, tile-pruned scans.
+  */
+class ExtSpec extends SparkSuite {
+  import spark.implicits._
+
+  test("cosine_sim expression is bit-identical to the composed zip_with/aggregate fold") {
+    Ext.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, sf).limit(50)
+    val composed =
+      """(aggregate(zip_with(a.embedding, b.embedding, (p, q) -> CAST(p AS DOUBLE) * CAST(q AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)
+        | / sqrt(aggregate(a.embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
+        |       * aggregate(b.embedding, CAST(0 AS DOUBLE), (acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))""".stripMargin
+    val diff = emb.as("a").crossJoin(emb.as("b"))
+      .select(expr("cosine_sim(a.embedding, b.embedding)").as("fast"),
+        expr(composed).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+  }
+
+  test("byte_stats matches hand-computed values") {
+    Ext.register(spark)
+    val r = Seq("abc").toDF("s")
+      .select(expr("byte_stats(CAST(s AS BINARY))").as("f"))
+      .select("f.n_bytes", "f.mean_byte", "f.min_byte", "f.max_byte")
+      .head
+    assert(r.getInt(0) == 3 && r.getDouble(1) == 98.0 && r.getInt(2) == 97 && r.getInt(3) == 99)
+  }
+
+  test("geomean aggregator equals the log-domain SQL formula") {
+    val viaAgg = q("udaf_geomean").collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val viaSql = graft.core.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(round(exp(avg(log(col("l_extendedprice")))), 6).as("g"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    viaAgg.foreach { case (k, v) => assert(math.abs(v - viaSql(k)) < 1e-4, s"$k: $v vs ${viaSql(k)}") }
+  }
+
+  test("map-form histogram agrees with the long-form zonal_hist") {
+    val m = q("zonal_hist_map").collect()
+      .map(r => r.getInt(0) -> r.getMap[Int, Long](1).toMap).toMap
+    val long = q("zonal_hist").collect()
+      .groupBy(_.getInt(0))
+      .map { case (z, rows) => z -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap }
+    assert(m == long)
+  }
+
+  test("tile-pruned scan reads fewer files and agrees with the unpruned result") {
+    val store = ZonalStore.ensureTiled(spark, sf)
+    val zonesF = Cube.zones(spark, sf).filter(col("zone_id") < 3)
+    val prunedDf = ZonalStore.prunedStats(spark, store, zonesF)
+    // inputFiles lists pre-pruning; read the scan's numFiles metric after
+    // actually executing the plan
+    def scannedFiles(df: org.apache.spark.sql.DataFrame, pathTag: String): Long = {
+      val qe = df.queryExecution
+      qe.toRdd.count()
+      qe.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.rootPaths.mkString(",").contains(pathTag) => f
+      }.map(_.metrics("numFiles").value).sum
+    }
+    val fullFiles = scannedFiles(spark.read.parquet(store), "cells_tiled")
+    val prunedFiles = scannedFiles(
+      spark.read.parquet(store).filter(ZonalStore.tilePredicate(zonesF)), "cells_tiled")
+    assert(prunedFiles > 0 && prunedFiles < fullFiles,
+      s"pruning did not reduce files: $prunedFiles vs $fullFiles")
+    val unpruned = graft.zonal.Zonal.stats(Cube.cells(spark, sf), zonesF)
+      .select("zone_id", "n_cells", "sum_v")
+    val got = prunedDf.select("zone_id", "n_cells", "sum_v")
+    assert(got.exceptAll(unpruned).isEmpty && unpruned.exceptAll(got).isEmpty)
+  }
+}
