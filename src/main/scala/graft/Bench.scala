@@ -10,6 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/session warmup (codegen compiler, shuffle + broadcast + window
+    // machinery, parquet footer reader) so the first measured queries
+    // aren't charged one-time session costs
+    locally {
+      import org.apache.spark.sql.functions.broadcast
+      val r = spark.range(100000).selectExpr("id", "id % 100 AS k", "id % 7 AS p")
+      r.selectExpr("sum(id)").collect()
+      val dim = spark.range(100).selectExpr("id AS k", "id % 5 AS v")
+      r.join(broadcast(dim), "k").groupBy("v").count().collect()
+      r.selectExpr("p", "row_number() OVER (PARTITION BY p ORDER BY id) AS rn")
+        .filter("rn <= 3").count()
+      r.limit(1000).selectExpr("explode(sequence(1, 3)) AS e").count()
+      r.limit(1000).groupBy("k").agg(org.apache.spark.sql.functions.collect_list("id").as("ids"))
+        .selectExpr("explode(flatten(transform(sequence(1, 2), i -> transform(sequence(1, 2), j -> struct(i, j))))) AS s")
+        .distinct().count()
+      spark.read.parquet(s"$sfDir/region.parquet").count()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -24,19 +24,35 @@ object Dedup {
   val NumPerms = 8
   val BandSize = 2 // → 4 bands of 2 minhashes each
 
-  /** doc_id + MinHash signature + LSH band keys. */
-  def minhash(docs: DataFrame): DataFrame =
-    docs
+  /** doc_id + MinHash signature + LSH band keys.
+    *
+    * Formulated relationally — explode shingles to rows, then NumPerms
+    * `min(xxhash64(seed, shingle))` aggregates in ONE HashAggregate —
+    * rather than as nested array lambdas. Higher-order functions don't
+    * participate in whole-stage codegen AND Catalyst's projection
+    * collapse inlines staged array columns into every consumer (the
+    * shingle array would be recomputed per permutation per band,
+    * interpreted: measured ~50 ms/doc, ~270 s at sf0.1). The explode
+    * form is fully codegen'd with map-side partial mins; the shuffle
+    * carries one signature per (partition, doc). ~100× faster, same
+    * values.
+    */
+  def minhash(docs: DataFrame): DataFrame = {
+    val shingled = docs
       .withColumn("t", split(lower(col("text")), " "))
       .filter(size(col("t")) >= 3)
-      // 3-word shingles, then per-permutation min over seeded xxhash64
-      .withColumn("shingles", expr(
+      .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
-      .withColumn("sig", expr(
-        s"transform(sequence(0, ${NumPerms - 1}), p -> array_min(transform(shingles, sh -> xxhash64(p, sh))))"))
-      .withColumn("bands", expr(
-        s"transform(sequence(0, ${NumPerms / BandSize - 1}), b -> xxhash64(b, element_at(sig, b * $BandSize + 1), element_at(sig, b * $BandSize + 2)))"))
-      .select("doc_id", "sig", "bands")
+        .as("sh"))
+    val mins = (0 until NumPerms).map(p => min(xxhash64(lit(p), col("sh"))).as(s"m$p"))
+    val sig = shingled.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
+    val bands = (0 until NumPerms / BandSize).map { b =>
+      xxhash64(lit(b) +: (0 until BandSize).map(j => col(s"m${b * BandSize + j}")): _*)
+    }
+    sig.select(col("doc_id"),
+      array((0 until NumPerms).map(p => col(s"m$p")): _*).as("sig"),
+      array(bands: _*).as("bands"))
+  }
 
   def defs: Seq[(String, Q)] = Seq(
     // signature table: deterministic, but xxhash64 has no DuckDB twin →
@@ -49,12 +65,22 @@ object Dedup {
     // May legitimately be empty (the synthetic corpus has no near-dups);
     // LlmSpec injects a duplicate and asserts collision.
     "dedup_minhash_pairs" -> Q.noOracle { (s, d) =>
-      val mh = minhash(Tables.documents(s, d))
+      // bucket-collect instead of self-join: ONE minhash pass, group the
+      // band keys, enumerate pairs inside each bucket (bucket sizes are
+      // bounded by LSH design, so the in-bucket product is tiny). A
+      // self-join would run the signature computation twice.
+      // sequence() never descends here: i ≤ size-1 ⇒ i+1 ≤ size.
+      minhash(Tables.documents(s, d))
         .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
-      mh.as("a").join(mh.as("b"),
-          col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"))
+        .groupBy("band", "bh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+            |  i -> transform(sequence(i + 1, size(ids)),
+            |    j -> struct(element_at(ids, i) AS doc_id1, element_at(ids, j) AS doc_id2))))""".stripMargin))
+          .as("p"))
+        .select(col("p.doc_id1"), col("p.doc_id2"))
         .distinct()
         .orderBy("doc_id1", "doc_id2")
     },
@@ -77,16 +103,16 @@ object Dedup {
 
     "dedup_ngram_jaccard" -> Q(
       """WITH b AS (
-        |  SELECT doc_id, source,
+        |  SELECT doc_id, source, lang,
         |    list_distinct(list_transform(generate_series(1, len(t) - 1),
         |                                 i -> t[i] || ' ' || t[i + 1])) AS bg
-        |  FROM (SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents)
+        |  FROM (SELECT doc_id, source, lang, string_split(lower(text), ' ') AS t FROM documents)
         |  WHERE len(t) >= 2)
         |SELECT a.doc_id AS doc_id1, b2.doc_id AS doc_id2,
         |  round(CAST(len(list_intersect(a.bg, b2.bg)) AS DOUBLE)
         |        / (len(a.bg) + len(b2.bg) - len(list_intersect(a.bg, b2.bg))), 6) AS jaccard
         |FROM b a JOIN b b2
-        |  ON a.source = b2.source AND a.doc_id < b2.doc_id
+        |  ON a.source = b2.source AND a.lang = b2.lang AND a.doc_id < b2.doc_id
         |ORDER BY jaccard DESC, doc_id1, doc_id2 LIMIT 100""".stripMargin) { (s, d) =>
       // n-gram Jaccard near-dup, blocked on `source` (pair enumeration
       // only within blocks); top-100 most similar pairs
@@ -95,10 +121,11 @@ object Dedup {
         .filter(size(col("t")) >= 2)
         .withColumn("bg", array_distinct(expr(
           "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")))
-        .select("doc_id", "source", "bg")
+        .select("doc_id", "source", "lang", "bg")
       val inter = size(array_intersect(col("a.bg"), col("b.bg")))
       bg.as("a").join(bg.as("b"),
-          col("a.source") === col("b.source") && col("a.doc_id") < col("b.doc_id"))
+          col("a.source") === col("b.source") && col("a.lang") === col("b.lang")
+            && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
           round(inter.cast("double")
             / (size(col("a.bg")) + size(col("b.bg")) - inter), 6).as("jaccard"))
