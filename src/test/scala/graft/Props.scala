@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties, Test}
+import org.scalacheck.Prop.forAll
+
+/** ScalaCheck invariants (SURVEY.md §5.4) over generated frames. */
+object Props extends Properties("graft") {
+
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(10)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import scala.jdk.CollectionConverters._
+  private def df(rows: List[(Int, Int)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("k", "v")
+  }
+
+  private val rowsGen: Gen[List[(Int, Int)]] =
+    Gen.listOfN(40, Gen.zip(Gen.choose(0, 5), Gen.choose(0, 10)))
+
+  property("windowed dedup is idempotent") = forAll(rowsGen) { rows =>
+    val w = Window.partitionBy("k").orderBy("v")
+    def dedup(d: org.apache.spark.sql.DataFrame) =
+      d.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+    val once = dedup(df(rows))
+    val twice = dedup(once)
+    once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty
+  }
+
+  property("row_number per partition is a permutation of 1..n") = forAll(rowsGen) { rows =>
+    val w = Window.partitionBy("k").orderBy("v", "k")
+    val got = df(rows).withColumn("rn", row_number().over(w))
+      .groupBy("k").agg(count(lit(1)).as("n"), max("rn").as("mx"),
+        min("rn").as("mn"), countDistinct("rn").as("d"))
+      .collect()
+    got.forall(r => r.getLong(1) == r.getInt(2) && r.getInt(3) == 1
+      && r.getLong(4) == r.getLong(1))
+  }
+
+  property("semi ⊎ anti partitions the left side") = forAll(rowsGen, rowsGen) { (l, r) =>
+    val left = df(l)
+    val right = df(r).select(col("k").as("rk"))
+    val semi = left.join(right, col("k") === col("rk"), "left_semi").count()
+    val anti = left.join(right, col("k") === col("rk"), "left_anti").count()
+    semi + anti == left.count()
+  }
+
+  property("union all counts add") = forAll(rowsGen, rowsGen) { (a, b) =>
+    df(a).union(df(b)).count() == a.length + b.length
+  }
+
+  property("intersect ⊆ both sides; except ∩ right = ∅") = forAll(rowsGen, rowsGen) { (a, b) =>
+    val da = df(a).distinct(); val db = df(b).distinct()
+    val inter = da.intersect(db)
+    val exc = da.except(db)
+    inter.exceptAll(da).isEmpty && inter.exceptAll(db).isEmpty &&
+      exc.intersect(db).isEmpty
+  }
+}
