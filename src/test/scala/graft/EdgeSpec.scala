@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Edge cases from SURVEY.md §5.3: empty inputs, empty join sides,
+  * all-NULL columns, degenerate arrays.
+  */
+class EdgeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private val left = Seq((1, "a"), (2, "b"), (3, "c")).toDF("k", "v")
+  private val empty = Seq.empty[(Int, String)].toDF("k", "v2")
+
+  test("joins against an empty side") {
+    assert(left.join(empty, Seq("k"), "inner").count() == 0)
+    val lj = left.join(empty, Seq("k"), "left")
+    assert(lj.count() == 3 && lj.filter(col("v2").isNotNull).count() == 0)
+    assert(left.join(empty, Seq("k"), "left_semi").count() == 0)
+    assert(left.join(empty, Seq("k"), "left_anti").count() == 3)
+    assert(left.join(empty, Seq("k"), "full").count() == 3)
+  }
+
+  test("aggregation over empty input and empty groups") {
+    val g = empty.groupBy("k").agg(count(lit(1)))
+    assert(g.count() == 0, "groupBy over empty input must yield no groups")
+    val global = empty.agg(count(lit(1)).as("n"), sum(col("k")).as("s")).head
+    assert(global.getLong(0) == 0 && global.isNullAt(1),
+      "global agg over empty input: count 0, sum NULL")
+  }
+
+  test("all-NULL column aggregation") {
+    val df = Seq((1, None: Option[Double]), (2, None)).toDF("k", "x")
+    val r = df.agg(sum("x").as("s"), avg("x").as("a"), count(col("x")).as("n"),
+      min("x").as("mn")).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.getLong(2) == 0 && r.isNullAt(3))
+  }
+
+  test("three-valued logic: NULL comparisons filter out, IS NULL keeps") {
+    val df = Seq((1, Some(5.0)), (2, None), (3, Some(7.0))).toDF("k", "x")
+    assert(df.filter(col("x") > 6).count() == 1)          // NULL > 6 → filtered
+    assert(df.filter(!(col("x") > 6)).count() == 1)       // NOT(NULL) → filtered
+    assert(df.filter(col("x").isNull || col("x") > 6).count() == 2)
+  }
+
+  test("explode of empty arrays drops rows; explode_outer keeps a null row") {
+    val df = Seq((1, Seq("a")), (2, Seq.empty[String])).toDF("k", "arr")
+    assert(df.select(col("k"), explode(col("arr"))).count() == 1)
+    assert(df.select(col("k"), explode_outer(col("arr"))).count() == 2)
+  }
+
+  test("minhash skips docs with fewer than 3 tokens") {
+    val docs = Seq((1L, "one two"), (2L, "one two three four")).toDF("doc_id", "text")
+    val sigs = llm.Dedup.minhash(docs).collect()
+    assert(sigs.map(_.getLong(0)).toSet == Set(2L))
+  }
+
+  test("zonal stats over a zone table with no matching cells is empty, not an error") {
+    val cells = zonal.Cube.cells(spark, sf)
+    val farZones = Seq((99, "nowhere", 1000, 1007, 1000, 1007))
+      .toDF("zone_id", "zone_name", "xmin", "xmax", "ymin", "ymax")
+    assert(zonal.Zonal.stats(cells, farZones).count() == 0)
+  }
+
+  test("cosine_sim of a vector with itself is 1; orthogonal vectors 0") {
+    graft.ext.Ext.register(spark)
+    val df = Seq(
+      (Array(1f, 0f), Array(1f, 0f)),
+      (Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+    val got = df.select(expr("cosine_sim(a, b)")).collect().map(_.getDouble(0))
+    assert(got(0) == 1.0 && got(1) == 0.0)
+  }
+}
