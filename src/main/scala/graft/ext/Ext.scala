@@ -18,7 +18,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 object Ext {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
-    "byte_stats" -> (es => ByteStats(es.head)))
+    "byte_stats" -> (es => ByteStats(es.head)),
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -114,15 +114,19 @@ object Dedup {
         |FROM b a JOIN b b2
         |  ON a.source = b2.source AND a.lang = b2.lang AND a.doc_id < b2.doc_id
         |ORDER BY jaccard DESC, doc_id1, doc_id2 LIMIT 100""".stripMargin) { (s, d) =>
-      // n-gram Jaccard near-dup, blocked on `source` (pair enumeration
-      // only within blocks); top-100 most similar pairs
+      // n-gram Jaccard near-dup, blocked on (source, lang) — pair
+      // enumeration only within blocks; top-100 most similar pairs.
+      // Bigram sets are sorted ONCE per document so the per-pair
+      // intersection is a zero-allocation codegen'd merge
+      // (ext.SortedIntersectCount) instead of interpreted array_intersect.
+      graft.ext.Ext.register(s)
       val bg = Tables.documents(s, d)
         .withColumn("t", split(lower(col("text")), " "))
         .filter(size(col("t")) >= 2)
-        .withColumn("bg", array_distinct(expr(
-          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")))
+        .withColumn("bg", sort_array(array_distinct(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))))
         .select("doc_id", "source", "lang", "bg")
-      val inter = size(array_intersect(col("a.bg"), col("b.bg")))
+      val inter = expr("sorted_intersect_count(a.bg, b.bg)")
       bg.as("a").join(bg.as("b"),
           col("a.source") === col("b.source") && col("a.lang") === col("b.lang")
             && col("a.doc_id") < col("b.doc_id"))

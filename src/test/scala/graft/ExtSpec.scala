@@ -24,6 +24,18 @@ class ExtSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted distinct arrays") {
+    Ext.register(spark)
+    val docs = graft.core.Tables.documents(spark, sf).limit(40)
+      .withColumn("bg", sort_array(array_distinct(split(lower(col("text")), " "))))
+      .select("doc_id", "bg")
+    val diff = docs.as("a").crossJoin(docs.as("b"))
+      .select(expr("sorted_intersect_count(a.bg, b.bg)").as("fast"),
+        size(array_intersect(col("a.bg"), col("b.bg"))).as("slow"))
+      .filter(col("fast") =!= col("slow"))
+    assert(diff.count() == 0)
+  }
+
   test("byte_stats matches hand-computed values") {
     Ext.register(spark)
     val r = Seq("abc").toDF("s")
