@@ -106,6 +106,28 @@ object Windows {
         .orderBy("o_orderkey")
     },
 
+    "win_range_time" -> Q(
+      """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |  COUNT(*) OVER w AS n_last_30m,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_last_30m
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+        |             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      // event-time RANGE frame (trailing 30-minute window per user) —
+      // interval frames are SQL-only in Spark, so this rides the E2 front
+      // door; ts is already µs-normalized by Tables.reg
+      Tables.reg(s, d)
+      s.sql(
+        """SELECT event_id, user_id, ts,
+          |  COUNT(*) OVER w AS n_last_30m,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS v_last_30m
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin)
+    },
+
     "win_first_last" -> Q(
       """SELECT o_orderkey, o_orderstatus,
         |  first_value(o_orderkey) OVER w AS cheapest_key,

@@ -1,6 +1,7 @@
 package graft.stream
 
 import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Event row for the typed stateful path. */
@@ -40,14 +41,34 @@ object Stateful {
     (out.result(), acc)
   }
 
+  /** Batch twin via secondary sort: repartition on the key, sort each
+    * partition by (key, ts, id), stream the fold over consecutive
+    * same-key runs in `mapPartitions`. Unlike `flatMapGroups` + an
+    * in-memory sort, no group ever has to fit in memory — the 100 TB
+    * shape for ordered per-key folds.
+    */
   def cappedSpendBatch(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     events.select("event_id", "user_id", "ts", "value").as[Ev]
-      .groupByKey(_.user_id)
-      .flatMapGroups { (_: Long, it: Iterator[Ev]) =>
-        val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        run(sorted.iterator, 0.0)._1.iterator
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        // rows arrive clustered by user and ordered by (ts, id); fold
+        // with O(1) state, resetting the accumulator at key boundaries
+        var started = false
+        var curKey = 0L
+        var acc = 0.0
+        it.map { e =>
+          if (!started || e.user_id != curKey) {
+            started = true; curKey = e.user_id; acc = 0.0
+          }
+          acc += e.value
+          val reset = acc > Cap
+          val o = SpendOut(e.event_id, e.user_id, e.ts, e.value, acc, reset)
+          if (reset) acc = 0.0
+          o
+        }
       }
       .toDF()
   }
