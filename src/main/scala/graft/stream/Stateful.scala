@@ -14,39 +14,51 @@ case class SpendOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
 /** SURVEY.md §2.10 `stream_stateful` — custom per-key running state:
   * cumulative spend per user that RESETS once it crosses a cap. The
   * reset makes it inexpressible as a plain window function (the state is
-  * iterative), which is exactly the `flatMapGroupsWithState` use case.
+  * iterative), which is exactly the custom-state use case.
   *
-  * The same fold runs in two harnesses:
-  *   - batch: `groupByKey.flatMapGroups` with an in-group sort
-  *     (scale note: for huge groups use repartition + sortWithinPartitions
-  *     + mapPartitions instead of the in-memory sort)
-  *   - streaming: `flatMapGroupsWithState`, carrying the accumulator in
-  *     GroupState across micro-batches
-  * StreamSpec asserts they agree on identical input.
+  * ONE fold step ([[Stateful.step]]) drives both harnesses:
+  *   - batch ([[Stateful.cappedSpendBatch]]): secondary sort —
+  *     repartition on the key, sortWithinPartitions by (key, ts, id),
+  *     stream the fold through `mapPartitions` with O(1) state. No group
+  *     ever has to fit in memory: the 100 TB shape for ordered per-key
+  *     folds.
+  *   - streaming ([[Stateful.cappedSpendStreaming]]):
+  *     `flatMapGroupsWithState`, the accumulator carried in GroupState
+  *     across micro-batches.
+  * StreamSpec asserts the two agree on identical input. All three code
+  * paths order events by MICROSECOND timestamps + event_id
+  * ([[Stateful.micros]]) — `Timestamp.getTime` truncates to
+  * milliseconds and would fold same-millisecond events differently than
+  * Spark's full-precision sort.
   */
 object Stateful {
 
   val Cap = 500.0
+
+  /** Full-precision event-time key; `getTime` alone is ms-truncated. */
+  def micros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000
+
+  /** One fold step: (accumulator, event) → (output row, next accumulator). */
+  def step(acc0: Double, e: Ev): (SpendOut, Double) = {
+    val acc = acc0 + e.value
+    val reset = acc > Cap
+    (SpendOut(e.event_id, e.user_id, e.ts, e.value, acc, reset),
+      if (reset) 0.0 else acc)
+  }
 
   /** The shared fold: returns outputs + final accumulator. */
   def run(rows: Iterator[Ev], init: Double): (Seq[SpendOut], Double) = {
     var acc = init
     val out = Seq.newBuilder[SpendOut]
     rows.foreach { e =>
-      acc += e.value
-      val reset = acc > Cap
-      out += SpendOut(e.event_id, e.user_id, e.ts, e.value, acc, reset)
-      if (reset) acc = 0.0
+      val (o, next) = step(acc, e)
+      out += o
+      acc = next
     }
     (out.result(), acc)
   }
 
-  /** Batch twin via secondary sort: repartition on the key, sort each
-    * partition by (key, ts, id), stream the fold over consecutive
-    * same-key runs in `mapPartitions`. Unlike `flatMapGroups` + an
-    * in-memory sort, no group ever has to fit in memory — the 100 TB
-    * shape for ordered per-key folds.
-    */
   def cappedSpendBatch(events: DataFrame): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -63,10 +75,8 @@ object Stateful {
           if (!started || e.user_id != curKey) {
             started = true; curKey = e.user_id; acc = 0.0
           }
-          acc += e.value
-          val reset = acc > Cap
-          val o = SpendOut(e.event_id, e.user_id, e.ts, e.value, acc, reset)
-          if (reset) acc = 0.0
+          val (o, next) = step(acc, e)
+          acc = next
           o
         }
       }
@@ -80,7 +90,7 @@ object Stateful {
       .flatMapGroupsWithState[Double, SpendOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: Long, it: Iterator[Ev], state: GroupState[Double]) =>
-          val sorted = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           val (out, end) = run(sorted.iterator, state.getOption.getOrElse(0.0))
           state.update(end)
           out.iterator

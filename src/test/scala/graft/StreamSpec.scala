@@ -76,7 +76,7 @@ class StreamSpec extends SparkSuite {
     implicit val sq = spark.sqlContext
     val rows = graft.core.Tables.events(spark, sf)
       .select("event_id", "user_id", "ts", "value").as[Ev]
-      .collect().sortBy(e => (e.ts.getTime, e.event_id)).toSeq
+      .collect().sortBy(e => (Stateful.micros(e.ts), e.event_id)).toSeq
     val ms = MemoryStream[Ev]
     ms.addData(rows)
     val q = Stateful.cappedSpendStreaming(ms.toDS())
@@ -86,6 +86,30 @@ class StreamSpec extends SparkSuite {
     val streamed = spark.table("state_out")
     val batch = Stateful.cappedSpendBatch(graft.core.Tables.events(spark, sf))
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("batch and streaming twins agree on same-millisecond events (µs ordering)") {
+    implicit val sq = spark.sqlContext
+    // two events 800 µs apart inside the SAME millisecond: ms-truncated
+    // ordering (Timestamp.getTime) would fold them in event_id order
+    // while Spark's sort uses full precision — both paths must use µs
+    def t(us: Int) = {
+      val ts = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      ts.setNanos(us * 1000); ts
+    }
+    val rows = Seq(Ev(1, 7, t(900), 300.0), Ev(2, 7, t(100), 300.0))
+    val ms = MemoryStream[Ev]
+    ms.addData(rows.sortBy(e => (Stateful.micros(e.ts), e.event_id)))
+    val q = Stateful.cappedSpendStreaming(ms.toDS())
+      .writeStream.format("memory").queryName("msfix_out")
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("msfix_out")
+    val batch = Stateful.cappedSpendBatch(rows.toDF())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // the later event (id 1, 900 µs) must be the one that resets
+    val resetIds = batch.filter(col("did_reset")).collect().map(_.getLong(0)).toSeq
+    assert(resetIds == Seq(1L))
   }
 
   test("stateful reset: cumulative never exceeds cap except on the reset row") {
