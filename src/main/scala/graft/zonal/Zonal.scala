@@ -160,11 +160,12 @@ object Zonal {
            |WHERE zone_id < 5
            |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
       // zone-subset query over the tile-partitioned store: scans ONLY the
-      // tiles intersecting the zones' envelopes (static partition
-      // pruning; ZonalSpec asserts the file-count reduction)
+      // tiles intersecting the zones' envelopes, via dynamic partition
+      // pruning — the tile set never leaves the plan (ExtSpec asserts
+      // both the DPP expression and the scanned-file reduction)
       val store = ZonalStore.ensureTiled(s, d)
       val zonesF = Cube.zones(s, d).filter(col("zone_id") < 5)
-      ZonalStore.prunedStats(s, store, zonesF).orderBy("zone_id")
+      ZonalStore.prunedStatsDynamic(s, store, zonesF).orderBy("zone_id")
     },
 
     // one-pass map-form histogram via the typed Histogram Aggregator

@@ -41,7 +41,8 @@ object ZonalStore {
   }
 
   /** Zonal stats for a zone subset over the tiled store, scanning only
-    * intersecting tiles.
+    * intersecting tiles — STATIC variant: tile set computed up front
+    * (one tiny job) and pushed as a literal partition predicate.
     */
   def prunedStats(s: SparkSession, path: String, zonesDf: DataFrame): DataFrame = {
     val cells = s.read.parquet(path).filter(tilePredicate(zonesDf))
@@ -51,4 +52,20 @@ object ZonalStore {
       .groupBy(col("zone_id"))
       .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
   }
+
+  /** DYNAMIC variant: no driver-side tile collection at all. The tiled
+    * store equi-joins the (broadcast) zone→tile coverage on the
+    * partition columns, and Spark's dynamic partition pruning turns the
+    * broadcast keys into a runtime partition filter
+    * (`dynamicpruningexpression(tile_x IN …)` — asserted in ExtSpec).
+    * This is the preferred 100 TB form: the tile set never leaves the
+    * plan, and the envelope refinement runs on pruned tiles only.
+    */
+  def prunedStatsDynamic(s: SparkSession, path: String, zonesDf: DataFrame): DataFrame =
+    s.read.parquet(path)
+      .join(broadcast(Cube.zoneTiles(zonesDf)), Seq("tile_x", "tile_y"))
+      .filter(col("cell_x").between(col("xmin"), col("xmax"))
+        && col("cell_y").between(col("ymin"), col("ymax")))
+      .groupBy(col("zone_id"))
+      .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
 }

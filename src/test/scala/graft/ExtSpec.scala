@@ -87,4 +87,16 @@ class ExtSpec extends SparkSuite {
     val got = prunedDf.select("zone_id", "n_cells", "sum_v")
     assert(got.exceptAll(unpruned).isEmpty && unpruned.exceptAll(got).isEmpty)
   }
+
+  test("dynamic tile pruning: DPP expression in the plan, same results, no driver collect") {
+    val store = ZonalStore.ensureTiled(spark, sf)
+    val zonesF = Cube.zones(spark, sf).filter(col("zone_id") < 3)
+    val dyn = ZonalStore.prunedStatsDynamic(spark, store, zonesF)
+    val qe = dyn.queryExecution
+    qe.toRdd.count()
+    assert(qe.executedPlan.toString.contains("dynamicpruning"),
+      "dynamic partition pruning did not fire on the tiled store")
+    val static = ZonalStore.prunedStats(spark, store, zonesF)
+    assert(dyn.exceptAll(static).isEmpty && static.exceptAll(dyn).isEmpty)
+  }
 }
