@@ -83,6 +83,40 @@ object Stateful {
       .toDF()
   }
 
+  /** The same operator on the Spark 4 arbitrary-state API
+    * (`transformWithState`): typed ValueState in the RocksDB state store,
+    * timers/TTL available when the semantics need them. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider on the running query.
+    */
+  class CappedSpendProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Ev, SpendOut] {
+    @transient private var acc: org.apache.spark.sql.streaming.ValueState[Double] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      acc = getHandle.getValueState[Double]("acc",
+        org.apache.spark.sql.Encoders.scalaDouble,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SpendOut] = {
+      val init = if (acc.exists()) acc.get() else 0.0
+      val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val (out, end) = run(sorted.iterator, init)
+      acc.update(end)
+      out.iterator
+    }
+  }
+
+  def cappedSpendTws(ds: Dataset[Ev]): Dataset[SpendOut] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(_.user_id)
+      .transformWithState(new CappedSpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
   def cappedSpendStreaming(ds: Dataset[Ev]): Dataset[SpendOut] = {
     val spark = ds.sparkSession
     import spark.implicits._

@@ -88,6 +88,31 @@ class StreamSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("transformWithState (RocksDB ValueState) agrees with the batch twin") {
+    implicit val sq = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val rows = graft.core.Tables.events(spark, sf)
+        .select("event_id", "user_id", "ts", "value").as[Ev]
+        .collect().sortBy(e => (Stateful.micros(e.ts), e.event_id)).toSeq
+      val ms = MemoryStream[Ev]
+      // two micro-batches so ValueState actually carries across batches
+      val (b1, b2) = rows.splitAt(rows.length / 2)
+      val q = Stateful.cappedSpendTws(ms.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode("append").start()
+      ms.addData(b1); q.processAllAvailable()
+      ms.addData(b2); q.processAllAvailable()
+      q.stop()
+      val streamed = spark.table("tws_out")
+      val batch = Stateful.cappedSpendBatch(graft.core.Tables.events(spark, sf))
+      assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("batch and streaming twins agree on same-millisecond events (µs ordering)") {
     implicit val sq = spark.sqlContext
     // two events 800 µs apart inside the SAME millisecond: ms-truncated
