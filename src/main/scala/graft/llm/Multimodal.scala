@@ -54,6 +54,22 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    "mm_resize" -> Q(
+      """SELECT doc_id,
+        |  length(rpad(substr(text, 1, 128), 128, ' ')) AS resized_len,
+        |  md5(rpad(substr(text, 1, 128), 128, ' ')) AS resized_md5
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      // "resize to a fixed frame": truncate-or-pad the blob to 128 bytes
+      // — the deterministic stand-in for an image resize; shape (fixed
+      // output size per row, map-side only) is what matters
+      val resized = rpad(substring(col("text"), 1, 128), 128, " ")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          length(resized).as("resized_len"),
+          md5(resized.cast("binary")).as("resized_md5"))
+        .orderBy("doc_id")
+    },
+
     "mm_frame_sample" -> Q(
       """SELECT doc_id, fi AS frame_idx,
         |  md5(substr(text, fi * 64 + 1, 64)) AS frame_md5

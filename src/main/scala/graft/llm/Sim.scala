@@ -51,6 +51,27 @@ object Sim {
     joined.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  val NumPlanes = 8
+
+  /** (vec_id, label, bucket): sign-bit signature of the vector against
+    * NumPlanes pseudo-random hyperplanes (components hashed from
+    * (plane, dim) — deterministic, no stored model).
+    */
+  def lshBuckets(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val planes = s.range(NumPlanes).select(col("id").as("j"))
+      .crossJoin(s.range(64).select(col("id").as("pos")))
+      .withColumn("p",
+        pmod(xxhash64(col("j"), col("pos")), lit(1000)).cast("double") / 1000.0 - 0.5)
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(broadcast(planes), "pos")
+      .groupBy(col("vec_id"), col("label"), col("j"))
+      .agg(sum(col("v") * col("p")).as("dot"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(when(col("dot") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
+        .as("bucket"))
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     "sim_cosine_topk" -> Q(
       s"""WITH sims AS (
@@ -101,6 +122,20 @@ object Sim {
         .groupBy(col("label"), col("pos"))
         .agg(round(avg(col("v").cast("double")), 6).as("c"))
         .orderBy("label", "pos")
+    },
+
+    // random-hyperplane LSH buckets — the other ANN scale path next to
+    // IVF. Planes are derived deterministically from xxhash64 (no DuckDB
+    // twin → property-tested in LlmSpec); the formulation is fully
+    // relational/codegen'd: explode dims, broadcast-join the tiny plane
+    // table, two-phase sum for the dots, fold sign bits to a bucket id.
+    // Search then probes only the matching bucket.
+    "sim_ann_lsh" -> Q.noOracle { (s, d) =>
+      lshBuckets(s, d)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_vectors"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy("bucket")
     },
 
     "sim_ann_ivf" -> Q(

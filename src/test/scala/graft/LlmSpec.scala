@@ -53,6 +53,19 @@ class LlmSpec extends SparkSuite {
       "near-dup should be closer in hamming distance than unrelated doc")
   }
 
+  test("LSH buckets: total assignment, and same-bucket self-search finds the probe") {
+    val buckets = graft.llm.Sim.lshBuckets(spark, sf)
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(buckets.count() == n, "every vector must land in exactly one bucket")
+    assert(buckets.agg(countDistinct(col("bucket"))).head.getLong(0) > 1,
+      "hyperplanes failed to split the corpus")
+    // probing a vector's own bucket always finds the vector itself
+    val probe = buckets.limit(1).collect().head
+    val sameBucket = buckets.filter(col("bucket") === probe.getLong(2))
+      .filter(col("vec_id") === probe.getLong(0))
+    assert(sameBucket.count() == 1)
+  }
+
   test("IVF assignment: every vector assigned exactly once; sizes sum to corpus") {
     val ivf = q("sim_ann_ivf").agg(sum("n_assigned")).head.getLong(0)
     val n = graft.core.Tables.embeddings(spark, sf).count()
