@@ -88,6 +88,37 @@ class StreamSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("E3 end-to-end: readStream parquet -> watermarked window agg -> parquet sink") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_stream").toFile
+    val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+    Files.copy(Paths.get(s"$sf/events.parquet"),
+      Paths.get(inDir.getPath, "events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(inDir.getPath).schema
+    val ev = spark.readStream.schema(rawSchema).parquet(inDir.getPath)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val out = new java.io.File(tmp, "out").getPath
+    val q = graft.stream.Streaming.tumbling(ev)
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", new java.io.File(tmp, "cp").getPath)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.read.parquet(out)
+    // append mode emits only watermark-closed windows: batch equivalent =
+    // tumbling agg restricted to win_start + 5 min <= max(ts) - 10 min
+    val events = graft.core.Tables.events(spark, sf)
+    val maxTs = events.agg(max("ts")).head.getTimestamp(0)
+    val expected = SparkEntry.queries("stream_tumbling")(spark, sf)
+      .filter(col("win_start") + expr("INTERVAL 5 MINUTE")
+        <= lit(maxTs) - expr("INTERVAL 10 MINUTE"))
+    assert(got.count() > 0, "no closed windows written to the sink")
+    assert(got.exceptAll(expected).isEmpty && expected.exceptAll(got).isEmpty)
+  }
+
   test("transformWithState (RocksDB ValueState) agrees with the batch twin") {
     implicit val sq = spark.sqlContext
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
