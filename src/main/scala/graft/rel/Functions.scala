@@ -136,6 +136,41 @@ object Functions {
         .orderBy("event_id")
     },
 
+    "fn_bitwise" -> Q(
+      """SELECT o_orderkey,
+        |  o_orderkey & 255 AS band, o_orderkey | 16 AS bor,
+        |  xor(o_orderkey, 42) AS bxor,
+        |  o_orderkey << 2 AS shl, o_orderkey >> 1 AS shr,
+        |  CAST(count_if_bit AS INTEGER) AS popcnt
+        |FROM (SELECT *, bit_count(o_orderkey) AS count_if_bit FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_orderkey").bitwiseAND(255).as("band"),
+        col("o_orderkey").bitwiseOR(16).as("bor"),
+        col("o_orderkey").bitwiseXOR(42).as("bxor"),
+        shiftleft(col("o_orderkey"), 2).as("shl"),
+        shiftright(col("o_orderkey"), 1).as("shr"),
+        bit_count(col("o_orderkey")).cast("int").as("popcnt"))
+        .orderBy("o_orderkey")
+    },
+
+    "fn_struct" -> Q(
+      """SELECT o_orderkey,
+        |  {'k': o_orderkey, 'p': o_totalprice} AS st,
+        |  ({'k': o_orderkey, 'p': o_totalprice}).k AS st_k,
+        |  {'outer': {'inner': o_custkey}} AS nested,
+        |  ({'outer': {'inner': o_custkey}}).outer.inner AS deep
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      // nested StructType surface (§1.2 type table): build, access,
+      // two-level nesting
+      val st = struct(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
+      val nested = struct(struct(col("o_custkey").as("inner")).as("outer"))
+      Tables.orders(s, d).select(col("o_orderkey"),
+        st.as("st"), st.getField("k").as("st_k"),
+        nested.as("nested"), nested.getField("outer").getField("inner").as("deep"))
+        .orderBy("o_orderkey")
+    },
+
     "fn_cast" -> Q(
       """SELECT o_orderkey,
         |  CAST(o_orderkey AS VARCHAR) AS key_str,

@@ -81,6 +81,28 @@ object SortSet {
         .orderBy("nationkey")
     },
 
+    "set_intersect_all" -> Q(
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |INTERSECT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 100000).select("o_custkey")
+        .intersectAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
+    "set_except_all" -> Q(
+      """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+        |EXCEPT ALL
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 100000).select("o_custkey")
+        .exceptAll(o.filter(col("o_orderstatus") === "F").select("o_custkey"))
+        .orderBy("o_custkey")
+    },
+
     "set_except" -> Q(
       """SELECT c_nationkey AS nationkey FROM customer
         |EXCEPT
