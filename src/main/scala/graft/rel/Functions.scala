@@ -141,9 +141,8 @@ object Functions {
         |  o_orderkey & 255 AS band, o_orderkey | 16 AS bor,
         |  xor(o_orderkey, 42) AS bxor,
         |  o_orderkey << 2 AS shl, o_orderkey >> 1 AS shr,
-        |  CAST(count_if_bit AS INTEGER) AS popcnt
-        |FROM (SELECT *, bit_count(o_orderkey) AS count_if_bit FROM orders)
-        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+        |  CAST(bit_count(o_orderkey) AS INTEGER) AS popcnt
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       Tables.orders(s, d).select(col("o_orderkey"),
         col("o_orderkey").bitwiseAND(255).as("band"),
         col("o_orderkey").bitwiseOR(16).as("bor"),

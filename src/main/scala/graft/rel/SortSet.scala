@@ -81,6 +81,10 @@ object SortSet {
         .orderBy("nationkey")
     },
 
+    // o_custkey is not unique, but it is the SOLE projected column, so
+    // tied rows are bit-identical and the single-key ORDER BY stays
+    // deterministic; project more columns here and you must extend the
+    // sort key (Q.scala determinism contract)
     "set_intersect_all" -> Q(
       """SELECT o_custkey FROM orders WHERE o_totalprice > 100000
         |INTERSECT ALL
