@@ -56,9 +56,15 @@ object Dedup {
 
   def defs: Seq[(String, Q)] = Seq(
     // signature table: deterministic, but xxhash64 has no DuckDB twin →
-    // property-tested (LlmSpec)
+    // property-tested (LlmSpec). Signature/band arrays are flattened to
+    // one column per slot: the driver's rows-only check still sorts the
+    // output in pandas, which cannot hash array cells.
     "dedup_minhash" -> Q.noOracle { (s, d) =>
-      minhash(Tables.documents(s, d)).orderBy("doc_id")
+      val sigCols = (0 until NumPerms).map(p => element_at(col("sig"), p + 1).as(s"m$p"))
+      val bandCols = (0 until NumPerms / BandSize).map(b => element_at(col("bands"), b + 1).as(s"b$b"))
+      minhash(Tables.documents(s, d))
+        .select(col("doc_id") +: (sigCols ++ bandCols): _*)
+        .orderBy("doc_id")
     },
 
     // LSH candidate pairs: explode band keys, bucket-join, emit pairs.

@@ -48,9 +48,9 @@ object Text {
 
     "text_stats" -> Q(
       """SELECT lang, source, count(*) AS n_docs,
-        |  sum(n_chars) AS sum_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  (CAST(sum(n_chars) AS DOUBLE) / count(*)) AS avg_chars,
-        |  max(length(text)) AS max_len
+        |  CAST(max(length(text)) AS INTEGER) AS max_len
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin) { (s, d) =>
       Tables.documents(s, d)
         .groupBy(col("lang"), col("source"))

@@ -152,12 +152,15 @@ object Aggregates {
         .orderBy("l_linestatus")
     },
 
+    // nested outputs are serialized to a delimited string: the driver's
+    // checker sorts result columns in pandas, which cannot hash arrays
     "agg_collect" -> Q(
-      """SELECT p_type, list_sort(list(DISTINCT p_brand)) AS brands, count(*) AS n
+      """SELECT p_type, array_to_string(list_sort(list(DISTINCT p_brand)), '|') AS brands, count(*) AS n
         |FROM part GROUP BY p_type ORDER BY p_type""".stripMargin) { (s, d) =>
       Tables.part(s, d)
         .groupBy(col("p_type"))
-        .agg(sort_array(collect_set(col("p_brand"))).as("brands"), count(lit(1)).as("n"))
+        .agg(concat_ws("|", sort_array(collect_set(col("p_brand")))).as("brands"),
+          count(lit(1)).as("n"))
         .orderBy("p_type")
     },
 

@@ -72,14 +72,14 @@ object Functions {
       """SELECT p_partkey,
         |  round(p_retailprice) AS r0,
         |  abs(p_size - 25) AS ab,
-        |  ceil(p_retailprice) AS ce, floor(p_retailprice) AS fl,
+        |  CAST(ceil(p_retailprice) AS BIGINT) AS ce, CAST(floor(p_retailprice) AS BIGINT) AS fl,
         |  pow(p_size, 2) AS p2,
         |  round(sqrt(p_size), 6) AS sq,
         |  round(ln(p_retailprice), 6) AS lnp,
         |  round(log10(p_retailprice), 6) AS lg,
         |  mod(p_size, 7) AS md,
         |  CAST(sign(p_size - 25) AS INTEGER) AS sg,
-        |  greatest(p_size, 25) AS g, least(p_size, 25) AS l
+        |  CAST(greatest(p_size, 25) AS INTEGER) AS g, CAST(least(p_size, 25) AS INTEGER) AS l
         |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
       Tables.part(s, d).select(col("p_partkey"),
         round(col("p_retailprice")).as("r0"),
@@ -95,32 +95,39 @@ object Functions {
         .orderBy("p_partkey")
     },
 
+    // array ops surface; outputs are scalars (float→double widening is
+    // bit-exact on both engines) — the driver's checker can't hash arrays
     "fn_array" -> Q(
       """SELECT vec_id,
         |  len(embedding) AS dim,
         |  CAST(embedding[1] AS DOUBLE) AS first_val,
-        |  embedding[1:3] AS head3,
+        |  CAST(embedding[2] AS DOUBLE) AS v2,
+        |  CAST(embedding[3] AS DOUBLE) AS v3,
         |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum'), 5) AS vsum,
         |  round(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 5) AS norm2
         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, d) =>
       Tables.embeddings(s, d).select(col("vec_id"),
         size(col("embedding")).as("dim"),
         element_at(col("embedding"), 1).cast("double").as("first_val"),
-        slice(col("embedding"), 1, 3).as("head3"),
+        element_at(col("embedding"), 2).cast("double").as("v2"),
+        element_at(col("embedding"), 3).cast("double").as("v3"),
         expr("round(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE)), 5)").as("vsum"),
         expr("round(aggregate(embedding, CAST(0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 5)").as("norm2"))
         .orderBy("vec_id")
     },
 
+    // map build/keys/values/lookup; key+value lists serialized to strings
+    // (literal-keyed map → insertion order is deterministic on both sides)
     "fn_map" -> Q(
       """SELECT event_id,
-        |  map_keys(MAP {'et': event_type, 'src': 'events'}) AS ks,
-        |  map_values(MAP {'et': event_type, 'src': 'events'}) AS vs,
+        |  array_to_string(map_keys(MAP {'et': event_type, 'src': 'events'}), ',') AS ks,
+        |  array_to_string(map_values(MAP {'et': event_type, 'src': 'events'}), ',') AS vs,
         |  map_extract(MAP {'et': event_type, 'src': 'events'}, 'et')[1] AS et
         |FROM events ORDER BY event_id""".stripMargin) { (s, d) =>
       val m = map(lit("et"), col("event_type"), lit("src"), lit("events"))
       Tables.events(s, d).select(col("event_id"),
-        map_keys(m).as("ks"), map_values(m).as("vs"),
+        concat_ws(",", map_keys(m)).as("ks"),
+        concat_ws(",", map_values(m)).as("vs"),
         element_at(m, "et").as("et"))
         .orderBy("event_id")
     },
@@ -155,18 +162,18 @@ object Functions {
 
     "fn_struct" -> Q(
       """SELECT o_orderkey,
-        |  {'k': o_orderkey, 'p': o_totalprice} AS st,
         |  ({'k': o_orderkey, 'p': o_totalprice}).k AS st_k,
-        |  {'outer': {'inner': o_custkey}} AS nested,
+        |  ({'k': o_orderkey, 'p': o_totalprice}).p AS st_p,
         |  ({'outer': {'inner': o_custkey}}).outer.inner AS deep
         |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       // nested StructType surface (§1.2 type table): build, access,
-      // two-level nesting
+      // two-level nesting; only the extracted scalars are output (the
+      // driver's checker can't hash struct columns)
       val st = struct(col("o_orderkey").as("k"), col("o_totalprice").as("p"))
       val nested = struct(struct(col("o_custkey").as("inner")).as("outer"))
       Tables.orders(s, d).select(col("o_orderkey"),
-        st.as("st"), st.getField("k").as("st_k"),
-        nested.as("nested"), nested.getField("outer").getField("inner").as("deep"))
+        st.getField("k").as("st_k"), st.getField("p").as("st_p"),
+        nested.getField("outer").getField("inner").as("deep"))
         .orderBy("o_orderkey")
     },
 

@@ -26,19 +26,26 @@ object Windows {
         .orderBy("o_orderkey")
     },
 
+    // rank/percent_rank/cume_dist share ties, but ntile assigns buckets by
+    // ROW POSITION — tied rows straddling a bucket boundary get engine-
+    // dependent quartiles unless the ntile window's order is total, so it
+    // gets its own fully-deterministic window (…, o_orderkey)
     "win_rank" -> Q(
       """SELECT o_orderkey, o_orderstatus, o_totalprice,
         |  rank() OVER w AS rk, dense_rank() OVER w AS drk,
-        |  percent_rank() OVER w AS prk, ntile(4) OVER w AS quartile,
+        |  percent_rank() OVER w AS prk,
+        |  ntile(4) OVER wt AS quartile,
         |  cume_dist() OVER w AS cd
         |FROM orders
-        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice),
+        |       wt AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
       val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice")
+      val wt = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
       Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
           rank().over(w).as("rk"), dense_rank().over(w).as("drk"),
-          percent_rank().over(w).as("prk"), ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("prk"), ntile(4).over(wt).as("quartile"),
           cume_dist().over(w).as("cd"))
         .orderBy("o_orderkey")
     },

@@ -170,13 +170,28 @@ object Zonal {
 
     // one-pass map-form histogram via the typed Histogram Aggregator
     // (buffer = Map(bucket → count), shuffled as partials); equivalence
-    // with the long-form zonal_hist is asserted in ExtSpec
-    "zonal_hist_map" -> Q.noOracle { (s, d) =>
+    // with the long-form zonal_hist is asserted in ExtSpec. The map is
+    // serialized to a bucket-sorted "b:n" string so the driver's checker
+    // can hash it — which also makes it oracle-checkable (the DuckDB
+    // spelling rebuilds the same string from a long-form group-by).
+    "zonal_hist_map" -> Q(
+      Cube.withSql(
+        """SELECT zone_id,
+          |  string_agg(bucket || ':' || n, ',' ORDER BY bucket) AS hist_s
+          |FROM (SELECT zone_id, CAST(floor(value / 20000.0) AS INTEGER) AS bucket, count(*) AS n
+          |      FROM cells JOIN zones
+          |        ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+          |      GROUP BY zone_id, bucket)
+          |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
       val hist = org.apache.spark.sql.functions.udaf(
         new graft.ext.Aggregators.Histogram(20000.0))
       Cube.rasterize(Cube.cells(s, d), Cube.zones(s, d))
         .groupBy(col("zone_id"))
         .agg(hist(col("value")).as("hist"))
+        .select(col("zone_id"), expr(
+          """concat_ws(',', transform(sort_array(map_keys(hist)),
+            |  k -> concat(cast(k AS string), ':', cast(element_at(hist, k) AS string))))""".stripMargin)
+          .as("hist_s"))
         .orderBy("zone_id")
     },
 

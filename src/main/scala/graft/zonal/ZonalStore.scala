@@ -18,13 +18,21 @@ import graft.core.Det.dsum
   */
 object ZonalStore {
 
-  /** Write (once) the tiled cube for a scale-factor dir; returns path. */
+  /** Write (once) the tiled cube for a scale-factor dir; returns path.
+    * The output is stamped with a source fingerprint (lineitem file
+    * size + mtime) so a tiled cube left by a previous run against
+    * DIFFERENT source data is rebuilt, not silently reused.
+    */
   def ensureTiled(s: SparkSession, d: String): String = {
     val sfName = new java.io.File(d).getName
     val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/$sfName/cells_tiled"
-    if (!new java.io.File(path, "_SUCCESS").exists()) {
+    val src = new java.io.File(d, "lineitem.parquet")
+    val fp = s"${src.length()}_${src.lastModified()}"
+    val stamp = new java.io.File(path, s"_FINGERPRINT_$fp")
+    if (!new java.io.File(path, "_SUCCESS").exists() || !stamp.exists()) {
       Cube.withTiles(Cube.cells(s, d))
         .write.mode("overwrite").partitionBy("tile_x", "tile_y").parquet(path)
+      stamp.createNewFile()
     }
     path
   }

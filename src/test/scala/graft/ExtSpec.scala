@@ -56,7 +56,9 @@ class ExtSpec extends SparkSuite {
 
   test("map-form histogram agrees with the long-form zonal_hist") {
     val m = q("zonal_hist_map").collect()
-      .map(r => r.getInt(0) -> r.getMap[Int, Long](1).toMap).toMap
+      .map(r => r.getInt(0) -> r.getString(1).split(",").map { kv =>
+        val Array(k, v) = kv.split(":"); k.toInt -> v.toLong
+      }.toMap).toMap
     val long = q("zonal_hist").collect()
       .groupBy(_.getInt(0))
       .map { case (z, rows) => z -> rows.map(r => r.getInt(1) -> r.getLong(2)).toMap }
