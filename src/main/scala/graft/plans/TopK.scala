@@ -1,0 +1,173 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graftbridge.GraftBridge
+
+/** Whole-operator Catalyst extension (SURVEY.md §2.13): top-k rows per
+  * group as a FIRST-CLASS physical operator, the (c)-tier extension path
+  * — custom `LogicalPlan` + `SparkStrategy` + `SparkPlan`.
+  *
+  * The composed spelling (`row_number() OVER (PARTITION BY g ORDER BY o)
+  * <= k`, operator id `topk_per_group`) shuffles EVERY row of every
+  * group, sorts each partition, then discards all but k — at 100 TB the
+  * shuffle and sort of the discarded rows dominate. This operator runs
+  * the canonical two-phase bounded-heap plan instead:
+  *
+  *   partial TopKExec   (map side: one ≤k-row heap per group, no sort)
+  *   → shuffle           (carries at most k rows per (partition, group))
+  *   → final TopKExec    (merge heaps per group)
+  *
+  * The shuffle volume drops from O(rows) to O(partitions × groups × k),
+  * and no full sort ever runs — the same partial/final shape Spark uses
+  * for hash aggregates, applied to a ranking operator it lacks natively.
+  * Memory: each task holds (groups-in-partition × k) rows, the same
+  * bound as a hash aggregate buffer (spill is not implemented; for
+  * k × groups ≫ memory fall back to the window form).
+  *
+  * Equivalence with the window spelling requires a TOTAL sort order
+  * (ties broken explicitly), same as every oracle query in this repo.
+  */
+case class TopKPerGroupPlan(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    child: LogicalPlan) extends UnaryNode {
+  require(k > 0, s"k must be positive, got $k")
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
+    copy(child = newChild)
+}
+
+/** Plans the logical TopK as partial-exec → (exchange) → final-exec; the
+  * exchange is inserted by `EnsureRequirements` because the final exec
+  * declares `ClusteredDistribution` on the group keys.
+  */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerGroupPlan(g, o, k, child) =>
+      val partial = TopKPerGroupExec(g, o, k, partial = true, planLater(child))
+      TopKPerGroupExec(g, o, k, partial = false, partial) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded-heap top-k per group over one partition's rows.
+  *
+  * Keeps, per group key, a max-heap of the k best rows (heap head = the
+  * WORST retained row, so a candidate only displaces it when it compares
+  * strictly better under the sort order). Rows and keys are copied on
+  * retention — the scan reuses row buffers.
+  */
+case class TopKPerGroupExec(
+    groupExprs: Seq[Expression],
+    order: Seq[SortOrder],
+    k: Int,
+    partial: Boolean,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def nodeName: String =
+    if (partial) "TopKPerGroupPartial" else "TopKPerGroupFinal"
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(groupExprs) :: Nil
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val g = groupExprs
+    val ord = order
+    val kk = k
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(g, childOutput)
+      // codegen'd row comparator for the sort order (compare < 0 = better)
+      val cmp = GenerateOrdering.generate(ord, childOutput)
+      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new scala.collection.mutable.PriorityQueue[InternalRow]()(cmp)
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < kk) heap.enqueue(row.copy())
+        else if (cmp.compare(row, heap.head) < 0) {
+          heap.dequeue()
+          heap.enqueue(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator)
+    }, preservesPartitioning = true)
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
+    copy(child = newChild)
+}
+
+/** Optimizer rule (`Rule[LogicalPlan]`): rewrites the composed top-k
+  * idiom — `row_number() OVER (PARTITION BY g ORDER BY o) AS rk` filtered
+  * by `rk <= k` and then DROPPED — into [[TopKPerGroupPlan]], so any user
+  * query written in the window spelling silently gets the bounded-heap
+  * plan. Fires only when:
+  *   - the Window computes exactly one expression, a row_number()
+  *   - the filter bounds that attribute by an integer literal
+  *   - the projection above discards the rank (otherwise the rank values
+  *     must be materialized and the window form is required)
+  */
+object TopKRewriteRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
+  import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
+
+  private def bound(cond: Expression, rk: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, _)) if a.semanticEquals(rk) => Some(k)
+    case LessThan(a: AttributeReference, Literal(k: Int, _)) if a.semanticEquals(rk) => Some(k - 1)
+    case EqualTo(a: AttributeReference, Literal(1, _)) if a.semanticEquals(rk) => Some(1)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case p @ Project(projectList,
+        Filter(cond, w @ Window(Seq(a @ Alias(WindowExpression(_: RowNumber, _), _)), part, ord, child, _)))
+        if !projectList.exists(_.references.contains(a.toAttribute)) &&
+          projectList.forall(_.references.subsetOf(child.outputSet)) =>
+      bound(cond, a.toAttribute) match {
+        case Some(k) if k > 0 => Project(projectList, TopKPerGroupPlan(part, ord, k, child))
+        case Some(_) => org.apache.spark.sql.catalyst.plans.logical.LocalRelation(p.output)
+        case None => p
+      }
+  }
+}
+
+object TopK {
+
+  /** Top-k rows per group under `orderSpec` ((column, ascending) pairs —
+    * make the order total or results are tie-dependent), planned through
+    * [[TopKStrategy]]. Strategy injection is idempotent and per-session.
+    */
+  def topKPerGroup(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderSpec: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    val spark = df.sparkSession
+    GraftBridge.ensureStrategy(spark, TopKStrategy)
+    val lp = GraftBridge.analyzed(df)
+    val byName = lp.output.map(a => a.name -> a).toMap
+    val g = groupCols.map(byName)
+    val so = orderSpec.map { case (n, asc) =>
+      SortOrder(byName(n), if (asc) Ascending else Descending)
+    }
+    GraftBridge.ofRows(spark, TopKPerGroupPlan(g, so, k, lp))
+  }
+}

@@ -58,11 +58,17 @@ object Scans {
       s.read.schema(region.schema).json(out).orderBy("r_regionkey")
     },
 
-    "sink_parquet" -> Q.noOracle { (s, d) =>
+    // the sinks return the read-back of what they wrote, so the DuckDB
+    // oracle over the SOURCE table verifies the full write→read round
+    // trip (values and types); file-level behavior (file counts,
+    // partition pruning on read-back) stays in SinkSpec
+    "sink_parquet" -> Q(
+      "SELECT * FROM nation ORDER BY n_nationkey") { (s, d) =>
       parquetRoundTrip(s, d).orderBy("n_nationkey")
     },
 
-    "sink_partitioned" -> Q.noOracle { (s, d) =>
+    "sink_partitioned" -> Q(
+      "SELECT * FROM orders WHERE o_orderstatus = 'F' ORDER BY o_orderkey") { (s, d) =>
       val out = partitionedWrite(s, d)
       s.read.parquet(out).filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
         .orderBy("o_orderkey")

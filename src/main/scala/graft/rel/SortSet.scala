@@ -49,6 +49,45 @@ object SortSet {
         .orderBy("o_custkey", "rk")
     },
 
+    // the same top-3-per-customer result through the custom two-phase
+    // bounded-heap operator (plans.TopK: LogicalPlan + Strategy +
+    // SparkPlan) — shuffles ≤ k rows per (partition, group) instead of
+    // every row, and never sorts full partitions. Same oracle semantics
+    // as topk_per_group (sans the rank column, which TopK doesn't emit).
+    "topk_native" -> Q(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      graft.plans.TopK.topKPerGroup(
+        Tables.orders(s, d).select("o_custkey", "o_orderkey", "o_totalprice"),
+        Seq("o_custkey"), Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
+    // the WINDOW spelling with the rank dropped, under the TopKRewriteRule
+    // optimizer rule — the user writes row_number<=k, the plan that runs
+    // is the native bounded-heap TopK (PlanShapeSpec asserts no Window
+    // survives). Same oracle as topk_native.
+    "topk_rewrite" -> Q(
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 3
+        |ORDER BY o_custkey, o_orderkey""".stripMargin) { (s, d) =>
+      org.apache.spark.sql.graftbridge.GraftBridge.ensureStrategy(s, graft.plans.TopKStrategy)
+      org.apache.spark.sql.graftbridge.GraftBridge.ensureOptimization(s, graft.plans.TopKRewriteRule)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+          row_number().over(w).as("rk"))
+        .filter(col("rk") <= 3)
+        .drop("rk")
+        .orderBy("o_custkey", "o_orderkey")
+    },
+
     "set_union_all" -> Q(
       """SELECT c_custkey, c_acctbal FROM customer WHERE c_mktsegment = 'BUILDING'
         |UNION ALL

@@ -57,6 +57,34 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "rasterize not a broadcast hash join")
   }
 
+  test("topk_native: two-phase TopKPerGroupExec around an exchange, matches the window spelling") {
+    val df = q("topk_native")
+    df.collect()
+    // AQE hides the live plan from collect() — assert on the rendering
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+      s"expected partial+final TopKPerGroup nodes in:\n${p.take(2000)}")
+    assert(p.contains("Exchange") || p.contains("ShuffleQueryStage"),
+      s"no exchange between partial and final topk:\n${p.take(2000)}")
+    assert(!p.contains("Window"), "native topk must not fall back to a window")
+    // result equivalence with the window-rank formulation
+    val viaWindow = q("topk_per_group").select("o_custkey", "o_orderkey", "o_totalprice")
+    val native = df.select("o_custkey", "o_orderkey", "o_totalprice")
+    assert(native.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(native).isEmpty)
+  }
+
+  test("topk_rewrite: the optimizer rule replaces Window+Filter with native TopK") {
+    val df = q("topk_rewrite")
+    df.collect()
+    val opt = df.queryExecution.optimizedPlan
+    assert(opt.collect { case t: graft.plans.TopKPerGroupPlan => t }.nonEmpty,
+      s"rewrite rule did not fire:\n$opt")
+    assert(opt.collect { case w: org.apache.spark.sql.catalyst.plans.logical.Window => w }.isEmpty,
+      s"window survived the rewrite:\n$opt")
+    val viaWindow = q("topk_per_group").select("o_custkey", "o_orderkey", "o_totalprice")
+    assert(df.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(df).isEmpty)
+  }
+
   test("asof join shuffles once on the partition key (no join at all)") {
     val p = plan("join_asof")
     assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
