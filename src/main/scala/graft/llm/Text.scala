@@ -135,6 +135,50 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // redaction pass (the PII-masking shape): global regex replace +
+    // per-doc match count. Spark regexp_replace is global by default;
+    // DuckDB needs the 'g' flag. \b is ASCII word-boundary in both
+    // Java regex and RE2.
+    "text_redact" -> Q(
+      """SELECT doc_id,
+        |  regexp_replace(text, '\b(customer|supplier)\b', '[REDACTED]', 'g') AS redacted,
+        |  len(regexp_extract_all(text, '\b(customer|supplier)\b')) AS n_hits
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_replace(col("text"), "\\b(customer|supplier)\\b", "[REDACTED]").as("redacted"),
+          size(expr("regexp_extract_all(text, '\\\\b(customer|supplier)\\\\b', 0)")).as("n_hits"))
+        .orderBy("doc_id")
+    },
+
+    // end-to-end corpus-cleaning composition: token-count quality gate →
+    // exact-dedup keeping the smallest doc_id per content fingerprint.
+    // The whole pipeline is two shuffles at any scale: one groupBy(fp)
+    // for survivors, one broadcast-back join (fp cardinality ≈ corpus, so
+    // at 100 TB the join is a shuffle join on fp — still linear).
+    "pipeline_corpus_clean" -> Q(
+      """WITH scored AS (
+        |  SELECT doc_id, lang, source,
+        |    len(string_split(lower(text), ' ')) AS n_tokens,
+        |    md5(text) AS fp
+        |  FROM documents),
+        |kept AS (SELECT * FROM scored WHERE n_tokens BETWEEN 15 AND 80),
+        |keep AS (SELECT fp, min(doc_id) AS keep_id FROM kept GROUP BY fp)
+        |SELECT k.doc_id, k.lang, k.source, k.n_tokens
+        |FROM kept k JOIN keep ON k.fp = keep.fp AND k.doc_id = keep.keep_id
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          size(split(lower(col("text")), " ")).as("n_tokens"),
+          md5(col("text").cast("binary")).as("fp"))
+      val kept = scored.filter(col("n_tokens").between(15, 80))
+      val keep = kept.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+      kept.join(keep,
+          kept("fp") === keep("fp") && kept("doc_id") === keep("keep_id"))
+        .select(kept("doc_id"), col("lang"), col("source"), col("n_tokens"))
+        .orderBy("doc_id")
+    },
+
     "text_fingerprint" -> Q(
       """SELECT doc_id,
         |  md5(text) AS content_fp,
