@@ -26,6 +26,50 @@ object Bench {
         .selectExpr("explode(flatten(transform(sequence(1, 2), i -> transform(sequence(1, 2), j -> struct(i, j))))) AS s")
         .distinct().count()
       spark.read.parquet(s"$sfDir/region.parquet").count()
+      // prime the remaining recurring codegen/runtime shapes so one-time
+      // janino/JIT compilation isn't charged to the first query that
+      // happens to use each shape: wide multi-min aggregate (minhash),
+      // hash/regex/array HOF expressions (dedup/text), sort-merge join +
+      // bag set-ops (join/set), ntile + range windows, a parquet write
+      // (sinks), and one micro-batch so the streaming engine is warm.
+      r.limit(5000).selectExpr("id", "cast(id AS string) AS s")
+        .groupBy("id")
+        .agg(org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit(0), org.apache.spark.sql.functions.col("s"))).as("m0"),
+          (1 until 8).map(i => org.apache.spark.sql.functions.min(org.apache.spark.sql.functions.xxhash64(
+            org.apache.spark.sql.functions.lit(i), org.apache.spark.sql.functions.col("s"))).as(s"m$i")): _*)
+        .selectExpr("xxhash64(0L, m0, m1) AS b").distinct().count()
+      r.limit(2000).selectExpr(
+          "md5(cast(cast(id AS string) AS binary)) AS h",
+          "regexp_replace(cast(id AS string), '[0-9]', 'x') AS rr",
+          "size(regexp_extract_all(cast(id AS string), '[0-9]', 0)) AS ra",
+          "sort_array(array_distinct(split(cast(id AS string), ''))) AS sa",
+          "aggregate(sequence(1, 5), CAST(0 AS DOUBLE), (a, x) -> a + x) AS ag",
+          "size(filter(sequence(1, 5), x -> x > 2)) AS fi")
+        .selectExpr("size(array_intersect(sa, sa))").distinct().count()
+      val big1 = spark.range(50000).selectExpr("id AS k", "id % 13 AS v")
+      val big2 = spark.range(50000).selectExpr("id AS k", "id % 17 AS w")
+      big1.hint("merge").join(big2, "k").count()
+      big1.limit(5000).intersectAll(big1.limit(4000)).count()
+      big1.limit(5000).exceptAll(big1.limit(4000)).count()
+      r.selectExpr("p", "ntile(4) OVER (PARTITION BY p ORDER BY id) AS nt",
+          "sum(k) OVER (PARTITION BY p ORDER BY id RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS rs")
+        .count()
+      val wtmp = s"${System.getProperty("java.io.tmpdir")}/graft_io/bench_warm"
+      r.limit(1000).write.mode("overwrite").parquet(wtmp)
+      spark.read.parquet(wtmp).count()
+      locally {
+        import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+        import org.apache.spark.sql.streaming.Trigger
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+        import spark.implicits._
+        val ms = MemoryStream[Long]
+        ms.addData(1L to 100L: _*)
+        ms.toDS().groupBy().count()
+          .writeStream.format("memory").queryName("bench_warm_stream")
+          .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+          .awaitTermination()
+      }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
