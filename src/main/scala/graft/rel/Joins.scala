@@ -106,6 +106,26 @@ object Joins {
         .orderBy("r_regionkey", "n_nationkey")
     },
 
+    // co-located large⋈large join over BUCKETED tables: both sides are
+    // written bucketBy(8, key) (one file per bucket, so the sortBy order
+    // is honored too), and the join plans with ZERO exchange — at 100 TB
+    // this is the standing answer to repeated fact⋈fact joins on a
+    // stable key: pay the shuffle once at write time, never at read.
+    // PlanShapeSpec asserts the SortMergeJoin has no shuffle below it.
+    "join_bucketed" -> Q(
+      s"""SELECT c_mktsegment, count(*) AS n_orders,
+         |  ${Det.dsumSql("o_totalprice")} AS sum_total
+         |FROM orders JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, d) =>
+      val (to, tc) = Bucketed.ensure(s, d)
+      val o = s.table(to)
+      val c = s.table(tc)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"), Det.dsum(col("o_totalprice")).as("sum_total"))
+        .orderBy("c_mktsegment")
+    },
+
     "join_theta" -> Q(
       """SELECT s_suppkey, s_acctbal, c_custkey, c_acctbal FROM supplier
         |JOIN customer ON s_acctbal > c_acctbal AND c_acctbal > 5000

@@ -57,6 +57,27 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("BroadcastHashJoin"), "rasterize not a broadcast hash join")
   }
 
+  test("join_bucketed: bucketed tables sort-merge join with no exchange below") {
+    // the registry query lets Catalyst pick (at tiny SF it broadcasts —
+    // also exchange-free); the scale claim is the merge-hinted shape:
+    // bucketed large⋈large joins with ZERO shuffle
+    val (to, tc) = graft.rel.Bucketed.ensure(spark, sf)
+    val o = spark.table(to)
+    val c = spark.table(tc)
+    val j = o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy("c_mktsegment").count()
+    val smjs = j.queryExecution.sparkPlan.collect {
+      case x: org.apache.spark.sql.execution.joins.SortMergeJoinExec => x
+    }
+    assert(smjs.nonEmpty, s"expected a SortMergeJoin:\n${j.queryExecution.sparkPlan}")
+    val shufflesBelow = smjs.flatMap(_.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    })
+    assert(shufflesBelow.isEmpty,
+      s"bucketed join still shuffles:\n${j.queryExecution.sparkPlan}")
+    assert(q("join_bucketed").count() == 5)
+  }
+
   test("topk_native: two-phase TopKPerGroupExec around an exchange, matches the window spelling") {
     val df = q("topk_native")
     df.collect()
