@@ -129,10 +129,29 @@ object Streams {
         .orderBy("event_id")
     },
 
-    "stream_stateful" -> Q.noOracle { (s, d) =>
-      // batch twin of the custom-state operator (capped running spend
-      // with reset); the streaming twin uses flatMapGroupsWithState and
-      // is equivalence-tested in StreamSpec
+    // batch twin of the custom-state operator (capped running spend with
+    // reset); the streaming twins (flatMapGroupsWithState +
+    // transformWithState) are equivalence-tested in StreamSpec. The fold
+    // is iterative but SEQUENTIAL per key, so a DuckDB recursive CTE
+    // replays it exactly (same double-add order → bit-identical) — the
+    // literal 500 mirrors Stateful.Cap.
+    "stream_stateful" -> Q(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, rn, event_id, ts, value,
+        |    value AS cum_after, (value > 500) AS did_reset,
+        |    CASE WHEN value > 500 THEN 0 ELSE value END AS acc
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.event_id, e.ts, e.value,
+        |    r.acc + e.value, (r.acc + e.value) > 500,
+        |    CASE WHEN r.acc + e.value > 500 THEN 0 ELSE r.acc + e.value END
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT event_id, user_id, ts, value, cum_after, did_reset
+        |FROM r ORDER BY event_id""".stripMargin) { (s, d) =>
       Stateful.cappedSpendBatch(Tables.events(s, d)).orderBy("event_id")
     }
   )
