@@ -1,5 +1,8 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions.{col, row_number}
+
 /** Plan-shape assertions (SURVEY.md §5.5): the optimizer work we rely on
   * at 100 TB must actually appear in the physical plans — pushed
   * filters, pruned read schemas, the right join strategies, top-k
@@ -104,6 +107,21 @@ class PlanShapeSpec extends SparkSuite {
       s"window survived the rewrite:\n$opt")
     val viaWindow = q("topk_per_group").select("o_custkey", "o_orderkey", "o_totalprice")
     assert(df.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(df).isEmpty)
+  }
+
+  test("TopKPerGroup edges: k ≥ group size and null order values match the window form") {
+    import spark.implicits._
+    val data = Seq((1, Option(5)), (1, Option.empty[Int]), (1, Option(3)),
+      (2, Option.empty[Int]), (3, Option(7))).toDF("g", "x")
+    def viaWin(k: Int) = {
+      val w = Window.partitionBy("g").orderBy(col("x").asc)
+      data.withColumn("rn", row_number().over(w)).filter(col("rn") <= k).drop("rn")
+    }
+    Seq(1, 2, 10).foreach { k =>
+      val native = graft.plans.TopK.topKPerGroup(data, Seq("g"), Seq(("x", true)), k)
+      assert(native.exceptAll(viaWin(k)).isEmpty && viaWin(k).exceptAll(native).isEmpty,
+        s"mismatch at k=$k")
+    }
   }
 
   test("asof join shuffles once on the partition key (no join at all)") {

@@ -66,4 +66,16 @@ object Props extends Properties("graft") {
     inter.exceptAll(da).isEmpty && inter.exceptAll(db).isEmpty &&
       exc.intersect(db).isEmpty
   }
+
+  property("native TopKPerGroup ≡ window row_number<=k under a total order") =
+    forAll(rowsGen, Gen.choose(1, 6)) { (rows, k) =>
+      // make the order total: dedup (k, v) so (v, k) can't tie within group
+      val base = df(rows).distinct()
+      val native = graft.plans.TopK.topKPerGroup(
+        base, Seq("k"), Seq(("v", false), ("k", true)), k)
+      val w = Window.partitionBy("k").orderBy(col("v").desc, col("k"))
+      val viaWin = base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= k).drop("rn")
+      native.exceptAll(viaWin).isEmpty && viaWin.exceptAll(native).isEmpty
+    }
 }
