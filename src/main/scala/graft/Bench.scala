@@ -71,11 +71,14 @@ object Bench {
           .awaitTermination()
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // registry (SURVEY §2) order, not Map hash order: deterministic
+    // run-to-run, and related queries (e.g. minhash → minhash_pairs)
+    // warm their successors' shared codegen instead of paying it twice
+    val results = SparkEntry.registry.map { case (name, q) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -21,12 +21,16 @@ object RunOne {
     // session warmup so the timing isolates the query
     spark.range(100000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
-    (1 to 3).foreach { i =>
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val n = df.count()
-      println(f"[runone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
-      if (i == 1 && args.contains("explain")) df.explain("formatted")
+    // comma-separated ids: each runs 3×, in order (to observe shared-
+    // codegen warming between related queries)
+    name.split(",").foreach { nm =>
+      (1 to 3).foreach { i =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(nm)(spark, sfDir)
+        val n = df.count()
+        println(f"[runone] $nm run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+        if (i == 1 && args.contains("explain")) df.explain("formatted")
+      }
     }
     spark.stop()
   }

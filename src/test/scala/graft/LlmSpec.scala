@@ -17,8 +17,10 @@ class LlmSpec extends SparkSuite {
   ).toDF("doc_id", "text")
 
   test("exact duplicates share the full MinHash signature and all bands") {
+    // flat schema: doc_id, m0..m7, b0..b3
     val mh = Dedup.minhash(docs).collect().map(r =>
-      r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+      r.getLong(0) -> (r.toSeq.slice(1, 1 + Dedup.NumPerms),
+        r.toSeq.slice(1 + Dedup.NumPerms, 1 + Dedup.NumPerms + Dedup.NumPerms / Dedup.BandSize))).toMap
     assert(mh(1L)._1 == mh(2L)._1, "signatures differ for identical docs")
     assert(mh(1L)._2 == mh(2L)._2, "bands differ for identical docs")
     assert(mh(1L)._1 != mh(4L)._1, "unrelated docs collided on full signature")
@@ -26,7 +28,7 @@ class LlmSpec extends SparkSuite {
 
   test("near-duplicates collide on at least one LSH band") {
     val mh = Dedup.minhash(docs)
-      .select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "bh")))
+      .selectExpr("doc_id", Dedup.BandStackExpr)
     val pairs = mh.as("a").join(mh.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh")
           && col("a.doc_id") < col("b.doc_id"))
