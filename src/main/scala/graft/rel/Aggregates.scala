@@ -194,6 +194,26 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // explicit SALTED two-stage aggregation — the standing treatment for
+    // skewed group keys at 100 TB (l_returnflag has 3 values, so one
+    // reducer would otherwise take a third of the table): stage 1 groups
+    // by (key, salt) where salt is derived from the DISTINCT-counted
+    // column (same suppkey → same salt, so per-salt distinct counts add
+    // up exactly); stage 2 sums the per-salt partials. Oracle = the
+    // plain count(DISTINCT) spelling.
+    "agg_salted" -> Q(
+      """SELECT l_returnflag, count(DISTINCT l_suppkey) AS n_supp, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      val salted = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_suppkey"),
+          pmod(xxhash64(col("l_suppkey")), lit(16)).as("salt"))
+      salted.groupBy("l_returnflag", "salt")
+        .agg(countDistinct(col("l_suppkey")).as("nd"), count(lit(1)).as("n"))
+        .groupBy("l_returnflag")
+        .agg(sum("nd").as("n_supp"), sum("n").as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
     "dedup_exact" -> Q(
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice FROM (
         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_extendedprice,
