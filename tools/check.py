@@ -40,6 +40,17 @@ def cell_eq(a, b):
         pass
     return a == b
 
+def driver_sortable(df, name):
+    """The driver sorts EVERY query's output with pandas sort_values over
+    all columns before hashing — nested cells (arrays/maps/structs) raise
+    there. Probe the same operation so the failure shows up locally
+    (round-1 lesson: 6 queries passed here but crashed the driver)."""
+    try:
+        df.sort_values(by=sorted(df.columns))
+        return None
+    except Exception as e:
+        return f"FAIL {name}: NOT DRIVER-SORTABLE (nested output?): {e}"
+
 def main():
     sf, out = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -49,6 +60,23 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
     oracle = json.load(open(f"{out}/oracle_sql.json"))
     ok, bad = [], []
+    # rows-only queries (no oracle): still must load and driver-sort
+    import os
+    dumped = sorted(d for d in os.listdir(out)
+                    if os.path.isdir(os.path.join(out, d)))
+    for name in dumped:
+        if name in oracle or (only and name not in only):
+            continue
+        try:
+            got = norm(con.execute(
+                f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df())
+        except Exception as e:
+            bad.append(name); print(f"FAIL {name}: SPARK OUTPUT UNREADABLE: {e}"); continue
+        err = driver_sortable(got, name)
+        if err:
+            bad.append(name); print(err)
+        else:
+            ok.append(name); print(f"ok   {name} ({len(got)} rows, rows-only)")
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -62,6 +90,9 @@ def main():
                 f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").df())
         except Exception as e:
             bad.append(name); print(f"FAIL {name}: SPARK OUTPUT MISSING: {e}"); continue
+        err = driver_sortable(got, name)
+        if err:
+            bad.append(name); print(err); continue
         if list(exp.columns) != list(got.columns):
             bad.append(name)
             print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
