@@ -50,6 +50,16 @@ object Scans {
         .orderBy("n_nationkey")
     },
 
+    "scan_orc" -> Q(
+      "SELECT * FROM supplier ORDER BY s_suppkey") { (s, d) =>
+      // ORC round-trip: Spark's other first-class columnar format (same
+      // vectorized reader path as parquet); oracle reads the source table
+      val sup = Tables.supplier(s, d)
+      val out = tmpDir(d, "supplier_orc")
+      sup.write.mode("overwrite").orc(out)
+      s.read.schema(sup.schema).orc(out).orderBy("s_suppkey")
+    },
+
     "scan_json" -> Q(
       "SELECT * FROM region ORDER BY r_regionkey") { (s, d) =>
       val region = Tables.region(s, d)

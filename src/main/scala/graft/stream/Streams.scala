@@ -135,24 +135,58 @@ object Streams {
     // is iterative but SEQUENTIAL per key, so a DuckDB recursive CTE
     // replays it exactly (same double-add order → bit-identical) — the
     // literal 500 mirrors Stateful.Cap.
-    "stream_stateful" -> Q(
-      """WITH RECURSIVE e AS (
-        |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
-        |  FROM events),
-        |r AS (
-        |  SELECT user_id, rn, event_id, ts, value,
-        |    value AS cum_after, (value > 500) AS did_reset,
-        |    CASE WHEN value > 500 THEN 0 ELSE value END AS acc
-        |  FROM e WHERE rn = 1
-        |  UNION ALL
-        |  SELECT e.user_id, e.rn, e.event_id, e.ts, e.value,
-        |    r.acc + e.value, (r.acc + e.value) > 500,
-        |    CASE WHEN r.acc + e.value > 500 THEN 0 ELSE r.acc + e.value END
-        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
-        |SELECT event_id, user_id, ts, value, cum_after, did_reset
-        |FROM r ORDER BY event_id""".stripMargin) { (s, d) =>
+    "stream_stateful" -> Q(CappedSpendOracle) { (s, d) =>
       Stateful.cappedSpendBatch(Tables.events(s, d)).orderBy("event_id")
+    },
+
+    // the SAME operator run as a REAL Structured Streaming query on the
+    // Spark 4 arbitrary-state API: file source → transformWithState
+    // (typed ValueState in the RocksDB state store) → memory sink,
+    // Trigger.AvailableNow. One input file ⇒ one micro-batch, and the
+    // processor sorts each key's rows by (µs ts, event_id), so the result
+    // equals the batch fold — same recursive-CTE oracle.
+    "stream_tws" -> Q(CappedSpendOracle) { (s, d) =>
+      import s.implicits._
+      s.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = java.nio.file.Files.createTempDirectory("graft_tws").toFile
+      val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
+      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
+        java.nio.file.Paths.get(inDir.getPath, "events.parquet"))
+      val rawSchema = s.read.parquet(inDir.getPath).schema
+      val ev = s.readStream.schema(rawSchema).parquet(inDir.getPath)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("event_id", "user_id", "ts", "value").as[Ev]
+      val q = Stateful.cappedSpendTws(ev)
+        .writeStream.format("memory").queryName("graft_tws_out")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_tws_out").orderBy("event_id")
     }
   )
+
+  /** DuckDB replay of the sequential capped-spend fold (Stateful.Cap =
+    * 500): recursion steps through each user's events in (ts, event_id)
+    * order with the same double-add order as the Scala fold.
+    */
+  private val CappedSpendOracle: String =
+    """WITH RECURSIVE e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+      |  FROM events),
+      |r AS (
+      |  SELECT user_id, rn, event_id, ts, value,
+      |    value AS cum_after, (value > 500) AS did_reset,
+      |    CASE WHEN value > 500 THEN 0 ELSE value END AS acc
+      |  FROM e WHERE rn = 1
+      |  UNION ALL
+      |  SELECT e.user_id, e.rn, e.event_id, e.ts, e.value,
+      |    r.acc + e.value, (r.acc + e.value) > 500,
+      |    CASE WHEN r.acc + e.value > 500 THEN 0 ELSE r.acc + e.value END
+      |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+      |SELECT event_id, user_id, ts, value, cum_after, did_reset
+      |FROM r ORDER BY event_id""".stripMargin
 }
