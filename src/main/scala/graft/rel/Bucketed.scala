@@ -22,35 +22,51 @@ object Bucketed {
   private val done =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
 
-  /** Ensure the bucketed twins exist; returns (ordersTable, customerTable). */
+  private def warehousePath(s: SparkSession, t: String): java.io.File =
+    new java.io.File(new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
+
+  private def rmTree(f: java.io.File): Unit = if (f.exists()) {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
+      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+  }
+
+  /** Ensure the bucketed twins exist; returns (ordersTable, customerTable).
+    *
+    * The bucketed files survive the JVM (warehouse dir on disk) but the
+    * in-memory catalog doesn't, so a fresh session with a fingerprint-
+    * matching layout re-registers the existing files as an EXTERNAL
+    * bucketed table (`CREATE TABLE … CLUSTERED BY … LOCATION`) instead of
+    * rewriting them — the "pay the shuffle once" claim made literal
+    * across sessions. A stale/fingerprint-mismatched layout is rebuilt.
+    */
   def ensure(s: SparkSession, d: String): (String, String) = {
     val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
     val to = s"graft_orders_bucketed_$sf"
     val tc = s"graft_customer_bucketed_$sf"
     if (done.add((s, d))) {
-      // a previous JVM may have left the table location behind without a
-      // catalog entry (in-memory catalog dies with the session) — drop
-      // both the catalog entry and any orphaned warehouse directory
-      Seq(to, tc).foreach { t =>
+      val src = new java.io.File(d, "orders.parquet")
+      val stampName = s"_FINGERPRINT_${src.length()}_${src.lastModified()}"
+      val specs = Seq(
+        (to, "orders", "o_custkey", Tables.orders(s, d)),
+        (tc, "customer", "c_custkey", Tables.customer(s, d)))
+      specs.foreach { case (t, _, key, df) =>
         s.sql(s"DROP TABLE IF EXISTS $t")
-        val loc = new java.io.File(
-          new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
-        if (loc.exists()) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(loc.toPath).sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        val loc = warehousePath(s, t)
+        if (new java.io.File(loc, stampName).exists()) {
+          s.sql(
+            s"""CREATE TABLE $t (${df.schema.toDDL}) USING PARQUET
+               |CLUSTERED BY ($key) SORTED BY ($key) INTO $NumBuckets BUCKETS
+               |LOCATION '${loc.toURI}'""".stripMargin)
+        } else {
+          rmTree(loc)
+          df.repartition(NumBuckets, col(key))
+            .write.mode("overwrite").format("parquet")
+            .bucketBy(NumBuckets, key).sortBy(key)
+            .saveAsTable(t)
+          new java.io.File(loc, stampName).createNewFile()
         }
       }
-      Tables.orders(s, d)
-        .repartition(NumBuckets, col("o_custkey"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(NumBuckets, "o_custkey").sortBy("o_custkey")
-        .saveAsTable(to)
-      Tables.customer(s, d)
-        .repartition(NumBuckets, col("c_custkey"))
-        .write.mode("overwrite").format("parquet")
-        .bucketBy(NumBuckets, "c_custkey").sortBy("c_custkey")
-        .saveAsTable(tc)
     }
     (to, tc)
   }
