@@ -51,6 +51,14 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("LeftSemi"), p.take(2000))
   }
 
+  test("AQE coalesces the small shuffle at tiny SF (fewer tasks than shuffle.partitions)") {
+    val df = q("agg_basic")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("AQEShuffleRead") && p.contains("coalesced"),
+      s"AQE did not coalesce the tiny shuffle:\n${p.take(2000)}")
+  }
+
   test("the zonal kernel stays inside whole-stage codegen") {
     // AQE shows codegen markers only once the final plan exists — execute
     val df = q("zonal_stats_basic")
