@@ -132,6 +132,29 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("TopKRewriteRule guards: rank kept → no rewrite; rk=1 and rk<=0 handled") {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.ensureStrategy(spark, graft.plans.TopKStrategy)
+    GraftBridge.ensureOptimization(spark, graft.plans.TopKRewriteRule)
+    import spark.implicits._
+    val data = Seq((1, 10), (1, 20), (1, 30), (2, 5)).toDF("g", "v")
+    val w = Window.partitionBy("g").orderBy(col("v").desc, col("g"))
+    def ranked = data.withColumn("rk", row_number().over(w))
+    def topkPlans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case t: graft.plans.TopKPerGroupPlan => t }
+    // rank column kept in the output → the window must survive
+    val kept = ranked.filter(col("rk") <= 2)
+    assert(topkPlans(kept).isEmpty, "rewrite fired although the rank is materialized")
+    assert(kept.count() == 3)
+    // rk = 1 → top-1 rewrite
+    val eq1 = ranked.filter(col("rk") === 1).drop("rk")
+    assert(topkPlans(eq1).nonEmpty, "rk=1 did not rewrite")
+    assert(eq1.collect().map(r => (r.getInt(0), r.getInt(1))).toSet == Set((1, 30), (2, 5)))
+    // rk <= 0 → statically empty
+    val none = ranked.filter(col("rk") <= 0).drop("rk")
+    assert(none.count() == 0)
+  }
+
   test("asof join shuffles once on the partition key (no join at all)") {
     val p = plan("join_asof")
     assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
