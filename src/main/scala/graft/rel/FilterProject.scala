@@ -95,6 +95,22 @@ object FilterProject {
         .orderBy(liKey.map(col): _*)
     },
 
+    // wide→long reshaping (melt): Spark's native unpivot; both metric
+    // columns cast to a common DOUBLE before unpivoting. Oracle spelled
+    // as UNION ALL (engine-neutral and trivially deterministic).
+    "project_unpivot" -> Q(
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS value FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part
+        |ORDER BY p_partkey, metric""".stripMargin) { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_retailprice"),
+          col("p_size").cast("double").as("p_size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "metric", "value")
+        .orderBy("p_partkey", "metric")
+    },
+
     "project_case" -> Q(
       """SELECT o_orderkey,
         |  CASE WHEN o_totalprice > 300000 THEN 'high'
