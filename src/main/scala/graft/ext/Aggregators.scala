@@ -26,6 +26,39 @@ object Aggregators {
     override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 
+  /** Element-wise vector sum + count → centroid (mean vector), over
+    * `Array[Float]` embedding columns. The scale rationale: the exploded
+    * alternative (posexplode → groupBy(label, pos) → avg) shuffles one
+    * ROW PER VECTOR COMPONENT; this buffer shuffles one (dim+1)-double
+    * array per (partition, group) — dim× less shuffle volume at any SF.
+    * Buffer layout: [count, sum_0, …, sum_{dim-1}], sized lazily from
+    * the first vector.
+    */
+  object VecCentroid extends Aggregator[Array[Float], Array[Double], Array[Double]] {
+    override def zero: Array[Double] = Array.empty
+    override def reduce(b: Array[Double], v: Array[Float]): Array[Double] = {
+      val buf = if (b.isEmpty) new Array[Double](v.length + 1) else b
+      buf(0) += 1
+      var i = 0
+      while (i < v.length) { buf(i + 1) += v(i); i += 1 }
+      buf
+    }
+    override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    override def finish(b: Array[Double]): Array[Double] =
+      if (b.isEmpty) b else b.drop(1).map(_ / b(0))
+    override def bufferEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+    override def outputEncoder: Encoder[Array[Double]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  }
+
   /** One-pass fixed-width histogram: value → Map(bucket → count).
     * The map-buffer alternative to the long-form groupBy histogram
     * (`zonal_hist`); preferable when the per-group bucket set is small

@@ -150,12 +150,11 @@ object Streams {
       s.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = java.nio.file.Files.createTempDirectory("graft_tws").toFile
-      val inDir = new java.io.File(tmp, "in"); inDir.mkdirs()
-      java.nio.file.Files.copy(java.nio.file.Paths.get(s"$d/events.parquet"),
-        java.nio.file.Paths.get(inDir.getPath, "events.parquet"))
-      val rawSchema = s.read.parquet(inDir.getPath).schema
-      val ev = s.readStream.schema(rawSchema).parquet(inDir.getPath)
+      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+      // stream the source file in place — pathGlobFilter scopes the
+      // directory listing to the one table file, no staging copy
+      val ev = s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d)
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .select("event_id", "user_id", "ts", "value").as[Ev]
       val q = Stateful.cappedSpendTws(ev)

@@ -54,6 +54,23 @@ class ExtSpec extends SparkSuite {
     viaAgg.foreach { case (k, v) => assert(math.abs(v - viaSql(k)) < 1e-4, s"$k: $v vs ${viaSql(k)}") }
   }
 
+  test("VecCentroid aggregator matches the exploded posexplode+avg centroid") {
+    val vecAvg = org.apache.spark.sql.functions.udaf(graft.ext.Aggregators.VecCentroid)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val viaAgg = emb.groupBy("label").agg(vecAvg(col("embedding")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val viaExplode = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy("label", "pos").agg(avg(col("v").cast("double")).as("c"))
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rows) => l -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq }
+    viaAgg.foreach { case (l, c) =>
+      val e = viaExplode(l)
+      assert(c.size == e.size && c.zip(e).forall { case (x, y) => math.abs(x - y) < 1e-9 },
+        s"centroid mismatch for label $l")
+    }
+  }
+
   test("map-form histogram agrees with the long-form zonal_hist") {
     val m = q("zonal_hist_map").collect()
       .map(r => r.getInt(0) -> r.getString(1).split(",").map { kv =>
