@@ -61,6 +61,29 @@ class EdgeSpec extends SparkSuite {
     assert(zonal.Zonal.stats(cells, farZones).count() == 0)
   }
 
+  test("redaction on empty and non-matching text is the identity with 0 hits") {
+    val docs = Seq((1L, ""), (2L, "nothing sensitive here"), (3L, "customer data"))
+      .toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+        regexp_replace(col("text"), "\\b(customer|supplier)\\b", "[REDACTED]").as("r"),
+        size(expr("regexp_extract_all(text, '\\\\b(customer|supplier)\\\\b', 0)")).as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(got(1L) == ("", 0) && got(2L) == ("nothing sensitive here", 0)
+      && got(3L) == ("[REDACTED] data", 1))
+  }
+
+  test("corpus-clean pipeline on a corpus where nothing survives the gate is empty") {
+    val docs = Seq((1L, "too short"), (2L, "way too short")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val scored = docs.select(col("doc_id"), col("lang"), col("source"),
+      size(split(lower(col("text")), " ")).as("n_tokens"),
+      md5(col("text").cast("binary")).as("fp"))
+    val kept = scored.filter(col("n_tokens").between(15, 80))
+    val keep = kept.groupBy("fp").agg(min(col("doc_id")).as("keep_id"))
+    assert(kept.join(keep, kept("fp") === keep("fp")
+      && kept("doc_id") === keep("keep_id")).count() == 0)
+  }
+
   test("cosine_sim of a vector with itself is 1; orthogonal vectors 0") {
     graft.ext.Ext.register(spark)
     val df = Seq(
