@@ -72,6 +72,45 @@ object Sim {
         .as("bucket"))
   }
 
+  /** IVF nearest-centroid assignment: (vec_id, label, embedding,
+    * c_label). Centroids = per-label mean vectors (broadcast, tiny);
+    * the corpus side never shuffles for the assignment.
+    */
+  private def ivfAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.ext.Ext.register(s)
+    val emb = Tables.embeddings(s, d)
+    val centroids = emb
+      .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy(col("c_label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(round(cosine("embedding", "centroid"), 6).desc, col("c_label"))
+    emb.crossJoin(broadcast(centroids))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(emb("vec_id"), emb("label"), emb("embedding"), col("c_label"))
+  }
+
+  /** DuckDB spelling of [[ivfAssigned]] as WITH-clause body (ends with
+    * a `cl` CTE = one row per vector with its cluster).
+    */
+  private val IvfClSql: String =
+    s"""cent_long AS (
+       |  SELECT label AS c_label, u.pos AS pos, avg(u.v) AS c FROM
+       |    (SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
+       |       i -> {'pos': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+       |     FROM embeddings)
+       |  GROUP BY c_label, pos),
+       |cent AS (SELECT c_label, list(c ORDER BY pos) AS centroid FROM cent_long GROUP BY c_label),
+       |assign AS (
+       |  SELECT e.vec_id, e.label, e.embedding, c.c_label,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY round(${cosineSql("e.embedding", "c.centroid")}, 6) DESC, c.c_label) AS rk
+       |  FROM embeddings e CROSS JOIN cent c),
+       |cl AS (SELECT vec_id, label, embedding, c_label FROM assign WHERE rk = 1)""".stripMargin
+
   def defs: Seq[(String, Q)] = Seq(
     "sim_cosine_topk" -> Q(
       s"""WITH sims AS (
@@ -138,45 +177,49 @@ object Sim {
         .orderBy("bucket")
     },
 
+    // IVF coarse quantizer: centroids = per-label means; every vector is
+    // assigned to its nearest centroid (broadcast 10×64 table — the
+    // corpus side never shuffles). Output: cluster occupancy + label
+    // agreement.
     "sim_ann_ivf" -> Q(
-      s"""WITH cent_long AS (
-         |  SELECT label AS c_label, u.pos AS pos, avg(u.v) AS c FROM
-         |    (SELECT label, unnest(list_transform(generate_series(1, len(embedding)),
-         |       i -> {'pos': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
-         |     FROM embeddings)
-         |  GROUP BY c_label, pos),
-         |cent AS (SELECT c_label, list(c ORDER BY pos) AS centroid FROM cent_long GROUP BY c_label),
-         |assign AS (
-         |  SELECT e.vec_id, e.label, c.c_label,
-         |    row_number() OVER (PARTITION BY e.vec_id
-         |      ORDER BY round(${cosineSql("e.embedding", "c.centroid")}, 6) DESC, c.c_label) AS rk
-         |  FROM embeddings e CROSS JOIN cent c)
+      s"""WITH $IvfClSql
          |SELECT c_label, count(*) AS n_assigned,
          |  count(CASE WHEN label = c_label THEN 1 END) AS n_matching_label
-         |FROM assign WHERE rk = 1
-         |GROUP BY c_label ORDER BY c_label""".stripMargin) { (s, d) =>
-      // IVF coarse quantizer: centroids = per-label means; every vector
-      // is assigned to its nearest centroid (broadcast 10×64 table —
-      // the corpus side never shuffles). Output: cluster occupancy +
-      // label agreement. The ANN search path then probes only the
-      // assigned cluster (tested in LlmSpec against brute force).
-      graft.ext.Ext.register(s)
-      val emb = Tables.embeddings(s, d)
-      val centroids = emb
-        .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("c_label"), col("pos"))
-        .agg(avg(col("v").cast("double")).as("c"))
-        .groupBy(col("c_label"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(round(cosine("embedding", "centroid"), 6).desc, col("c_label"))
-      emb.crossJoin(broadcast(centroids))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+         |FROM cl GROUP BY c_label ORDER BY c_label""".stripMargin) { (s, d) =>
+      ivfAssigned(s, d)
         .groupBy(col("c_label"))
         .agg(count(lit(1)).as("n_assigned"),
           count(when(col("label") === col("c_label"), 1)).as("n_matching_label"))
         .orderBy("c_label")
+    },
+
+    // the IVF SEARCH path: each probe scans ONLY its assigned cluster
+    // (1/nlist of the corpus) instead of the full corpus — the ANN scale
+    // play. Probes broadcast; the corpus-side candidates never shuffle.
+    // Approximate by construction (a true neighbor in another cluster is
+    // missed) — LlmSpec measures recall against the brute-force path.
+    "sim_ann_ivf_search" -> Q(
+      s"""WITH $IvfClSql,
+         |sims AS (
+         |  SELECT p.vec_id AS probe_id, b.vec_id AS vec_id,
+         |    round(${cosineSql("p.embedding", "b.embedding")}, 6) AS cos_r
+         |  FROM cl p JOIN cl b ON p.c_label = b.c_label
+         |  WHERE p.vec_id < 10)
+         |SELECT probe_id, vec_id, cos_r, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_r DESC, vec_id) AS rk
+         |  FROM sims) WHERE rk <= 3
+         |ORDER BY probe_id, rk""".stripMargin) { (s, d) =>
+      val cl = ivfAssigned(s, d)
+      val probes = cl.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("c_label"))
+      val cand = cl.select(col("vec_id"), col("embedding").as("b_emb"), col("c_label"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos_r").desc, col("vec_id"))
+      cand.join(broadcast(probes), "c_label")
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine("p_emb", "b_emb"), 6).as("cos_r"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("probe_id", "vec_id", "cos_r", "rk")
+        .orderBy("probe_id", "rk")
     }
   )
 }

@@ -68,6 +68,25 @@ class LlmSpec extends SparkSuite {
     assert(sameBucket.count() == 1)
   }
 
+  test("IVF search: self always found first; recall@3 vs brute force measured") {
+    val ivf = SparkEntry.queries("sim_ann_ivf_search")(spark, sf).collect()
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivfK = key(ivf); val bruteK = key(brute)
+    // the probe's own vector lives in its own cluster → rank 1, cos 1.0
+    ivf.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0,
+        s"probe ${r.getLong(0)} did not find itself first")
+    }
+    val recalls = bruteK.keys.toSeq.sorted.map { p =>
+      ivfK(p).intersect(bruteK(p)).size.toDouble / bruteK(p).size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"IVF recall@3 over ${recalls.size} probes: $mean%.2f")
+    assert(mean >= 1.0 / 3, "recall below the self-match floor — search is broken")
+  }
+
   test("IVF assignment: every vector assigned exactly once; sizes sum to corpus") {
     val ivf = q("sim_ann_ivf").agg(sum("n_assigned")).head.getLong(0)
     val n = graft.core.Tables.embeddings(spark, sf).count()
