@@ -147,6 +147,56 @@ object Dedup {
         .limit(100)
     },
 
+    // duplicate CLUSTERS, not just pairs: connected components over the
+    // embedding near-dup graph by iterative min-label propagation
+    // (Pregel-style: labels = min(own, neighbors') until fixpoint). The
+    // driver loop holds only a convergence counter; every step is a
+    // distributed join+agg, iterations bounded by component diameter
+    // (log-ish in practice), so the shape survives any corpus size. The
+    // oracle replays it as a DuckDB recursive transitive closure.
+    "dedup_cluster" -> Q(
+      s"""WITH RECURSIVE pairs AS (
+         |  SELECT a.vec_id AS x, b.vec_id AS y
+         |  FROM embeddings a JOIN embeddings b
+         |    ON a.label = b.label AND a.vec_id < b.vec_id
+         |  WHERE ${Sim.cosineSql("a.embedding", "b.embedding")} >= 0.3),
+         |edges AS (SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs),
+         |reach AS (
+         |  SELECT vec_id AS node, vec_id AS root FROM embeddings
+         |  UNION
+         |  SELECT e.y AS node, reach.root FROM reach JOIN edges e ON reach.node = e.x),
+         |comp AS (SELECT node, min(root) AS comp_id FROM reach GROUP BY node)
+         |SELECT comp_id, count(*) AS n_members,
+         |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+         |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      val emb = Tables.embeddings(s, d)
+      val pairs = emb.as("a").join(emb.as("b"),
+          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+        .filter(Sim.cosine("a.embedding", "b.embedding") >= 0.3)
+        .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
+      val edges = pairs.union(pairs.select(col("y").as("x"), col("x").as("y"))).cache()
+      var labels = emb.select(col("vec_id").as("node"), col("vec_id").as("comp"))
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 20) {
+        val prop = labels.join(edges, labels("node") === edges("x"))
+          .select(col("y").as("node"), col("comp"))
+        val next = labels.union(prop)
+          .groupBy("node").agg(min("comp").as("comp")).cache()
+        changed = next.as("n").join(labels.as("l"), col("n.node") === col("l.node"))
+          .filter(col("n.comp") =!= col("l.comp")).count()
+        labels = next
+        iter += 1
+      }
+      labels.groupBy(col("comp").as("comp_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sort_array(collect_list(col("node"))).as("ms"))
+        .select(col("comp_id"), col("n_members"),
+          expr("concat_ws(',', transform(ms, x -> cast(x AS string)))").as("members"))
+        .orderBy("comp_id")
+    },
+
     "dedup_embedding" -> Q(
       s"""SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
          |  round(${Sim.cosineSql("a.embedding", "b.embedding")}, 6) AS cos_r
