@@ -177,6 +177,28 @@ object Sim {
         .orderBy("bucket")
     },
 
+    // the LSH SEARCH path (rows-only: xxhash64-derived planes have no
+    // DuckDB twin): probe → same sign-signature bucket → top-3 by exact
+    // cosine within the bucket. Candidates per probe ≈ corpus/2^planes;
+    // probes broadcast, corpus never shuffles. LlmSpec asserts self-
+    // match-first; deterministic output (bucket ids and cosines are
+    // pure functions of the data).
+    "sim_ann_lsh_search" -> Q.noOracle { (s, d) =>
+      graft.ext.Ext.register(s)
+      val emb = Tables.embeddings(s, d)
+      val bk = lshBuckets(s, d).select(col("vec_id"), col("bucket"))
+      val withB = emb.join(bk, "vec_id")
+      val probes = withB.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("bucket"))
+      val w = Window.partitionBy("probe_id").orderBy(col("cos_r").desc, col("vec_id"))
+      withB.join(broadcast(probes), "bucket")
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine("p_emb", "embedding"), 6).as("cos_r"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select("probe_id", "vec_id", "cos_r", "rk")
+        .orderBy("probe_id", "rk")
+    },
+
     // IVF coarse quantizer: centroids = per-label means; every vector is
     // assigned to its nearest centroid (broadcast 10×64 table — the
     // corpus side never shuffles). Output: cluster occupancy + label

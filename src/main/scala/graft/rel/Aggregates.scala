@@ -222,16 +222,18 @@ object Aggregates {
         |  FROM lineitem) WHERE rn = 1
         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
       // Deterministic keyed dedup (LLM-pipeline `dedup_exact`): the
-      // arbitrary-keep dropDuplicates is not hash-matchable, so dedup is
-      // a window row_number()=1 with an explicit tiebreak — same shuffle
-      // profile (one exchange on the key), deterministic survivor.
-      val w = Window.partitionBy(col("l_orderkey"), col("l_linenumber"))
-        .orderBy(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+      // arbitrary-keep dropDuplicates is not hash-matchable, so the
+      // survivor is min_by over the full remaining-column struct
+      // (lexicographic struct order ≡ the ORDER BY tiebreak). A hash
+      // aggregate with map-side partials — no per-partition sort and the
+      // shuffle carries one survivor per (partition, key), unlike the
+      // window form which sorts and shuffles every row.
+      val rest = struct(col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
       Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
-          col("l_suppkey"), col("l_extendedprice"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1).drop("rn")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min_by(rest, rest).as("m"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("m.l_partkey"), col("m.l_suppkey"), col("m.l_extendedprice"))
         .orderBy("l_orderkey", "l_linenumber")
     }
   )

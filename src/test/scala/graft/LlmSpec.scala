@@ -87,6 +87,15 @@ class LlmSpec extends SparkSuite {
     assert(mean >= 1.0 / 3, "recall below the self-match floor — search is broken")
   }
 
+  test("LSH search: self always found first with cosine 1") {
+    val got = SparkEntry.queries("sim_ann_lsh_search")(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0,
+        s"probe ${r.getLong(0)} did not find itself first")
+    }
+  }
+
   test("IVF assignment: every vector assigned exactly once; sizes sum to corpus") {
     val ivf = q("sim_ann_ivf").agg(sum("n_assigned")).head.getLong(0)
     val n = graft.core.Tables.embeddings(spark, sf).count()
