@@ -106,6 +106,25 @@ object Joins {
         .orderBy("r_regionkey", "n_nationkey")
     },
 
+    // correlated LATERAL subquery through the SQL front door — Catalyst
+    // decorrelates it to a plain aggregate+join (no per-row re-execution;
+    // the same plan a hand-written join+groupBy would get). Customers
+    // without orders are dropped by the inner join, deterministic.
+    "join_lateral" -> Q(
+      """SELECT c_custkey, c_mktsegment, l.n_orders, l.max_total
+        |FROM customer c JOIN LATERAL (
+        |  SELECT count(*) AS n_orders, max(o_totalprice) AS max_total
+        |  FROM orders WHERE o_custkey = c.c_custkey) l ON l.n_orders > 0
+        |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+      Tables.reg(s, d)
+      s.sql(
+        """SELECT c_custkey, c_mktsegment, l.n_orders, l.max_total
+          |FROM customer c JOIN LATERAL (
+          |  SELECT count(*) AS n_orders, max(o_totalprice) AS max_total
+          |  FROM orders WHERE o_custkey = c.c_custkey) l ON l.n_orders > 0
+          |ORDER BY c_custkey""".stripMargin)
+    },
+
     // co-located large⋈large join over BUCKETED tables: both sides are
     // written bucketBy(8, key) (one file per bucket, so the sortBy order
     // is honored too), and the join plans with ZERO exchange — at 100 TB
