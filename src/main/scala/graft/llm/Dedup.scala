@@ -186,8 +186,11 @@ object Dedup {
         .localCheckpoint(true)
       // labels only ever DECREASE, so sum(comp) strictly decreases iff
       // any node changed — one cheap aggregate per round instead of a
-      // join-based diff
-      def sig(df: DataFrame): Long = df.agg(sum(col("comp"))).head.getLong(0)
+      // join-based diff. Decimal sum: a Long sum could overflow (and
+      // falsely report convergence) at billions of nodes × wide ids.
+      def sig(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .head.getDecimal(0)
       var prevSig = sig(labels)
       var iter = 0
       var converged = false
