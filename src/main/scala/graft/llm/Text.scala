@@ -179,6 +179,32 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // edit-distance fuzzy matching (the levenshtein dedup family), run
+    // over part names: pairs blocked on (p_brand, p_size) so the
+    // per-block pair count stays bounded at any SF, near-match =
+    // distance ≤ 2 within the same length class. Both engines implement
+    // classic levenshtein — exact integer match.
+    "text_fuzzy_match" -> Q(
+      """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+        |  levenshtein(a.p_name, b.p_name) AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 1
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size", "p_name")
+      p.as("a").join(p.as("b"),
+          col("a.p_brand") === col("b.p_brand")
+            && col("a.p_size") === col("b.p_size")
+            && col("a.p_partkey") < col("b.p_partkey")
+            && abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 1)
+        .withColumn("dist", levenshtein(col("a.p_name"), col("b.p_name")))
+        .filter(col("dist") <= 2)
+        .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"), col("dist"))
+        .orderBy("id1", "id2")
+    },
+
     "text_fingerprint" -> Q(
       """SELECT doc_id,
         |  md5(text) AS content_fp,

@@ -194,6 +194,21 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // boolean aggregate family (every/any/count_if)
+    "agg_bool" -> Q(
+      """SELECT o_orderstatus,
+        |  bool_and(o_totalprice > 1000) AS all_over_1k,
+        |  bool_or(o_totalprice > 400000) AS any_over_400k,
+        |  count(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(bool_and(col("o_totalprice") > 1000).as("all_over_1k"),
+          bool_or(col("o_totalprice") > 400000).as("any_over_400k"),
+          count_if(col("o_orderpriority") === "1-URGENT").as("n_urgent"))
+        .orderBy("o_orderstatus")
+    },
+
     // explicit SALTED two-stage aggregation — the standing treatment for
     // skewed group keys at 100 TB (l_returnflag has 3 values, so one
     // reducer would otherwise take a third of the table): stage 1 groups
