@@ -97,6 +97,26 @@ object Functions {
 
     // array ops surface; outputs are scalars (float→double widening is
     // bit-exact on both engines) — the driver's checker can't hash arrays
+    // trigonometric family — libm-dependent in the last ulp, so rounded
+    // at 6 decimals on both engines (same rule as ln/log10/sqrt)
+    "fn_trig" -> Q(
+      """SELECT p_partkey,
+        |  round(sin(p_size), 6) AS sn, round(cos(p_size), 6) AS cs,
+        |  round(tan(p_size), 6) AS tn,
+        |  round(atan2(p_size, 10), 6) AS at2,
+        |  round(degrees(atan(p_size)), 6) AS deg,
+        |  round(radians(p_size), 6) AS rad
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, d) =>
+      Tables.part(s, d).select(col("p_partkey"),
+        round(sin(col("p_size")), 6).as("sn"),
+        round(cos(col("p_size")), 6).as("cs"),
+        round(tan(col("p_size")), 6).as("tn"),
+        round(atan2(col("p_size"), lit(10)), 6).as("at2"),
+        round(degrees(atan(col("p_size"))), 6).as("deg"),
+        round(radians(col("p_size")), 6).as("rad"))
+        .orderBy("p_partkey")
+    },
+
     "fn_array" -> Q(
       """SELECT vec_id,
         |  len(embedding) AS dim,
