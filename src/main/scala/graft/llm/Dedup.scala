@@ -2,6 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import graft.core.{Q, Tables}
 
 /** SURVEY.md §2.11 — near-duplicate detection for the LLM pipeline:
@@ -62,6 +63,61 @@ object Dedup {
   val BandStackExpr: String = {
     val args = (0 until NumPerms / BandSize).map(b => s"$b, b$b").mkString(", ")
     s"stack(${NumPerms / BandSize}, $args) AS (band, bh)"
+  }
+
+  /** Distributed connected components over `nodes` (one `node` column,
+    * ids orderable) and `edges` (`x` → `y`, BOTH directions present).
+    *
+    * Min-label propagation with POINTER DOUBLING: each round first takes
+    * `comp(u) ← min(comp(u), min over neighbors comp(v))`, then jumps
+    * `comp(u) ← comp(comp(u))` (comp always holds a valid node id, so
+    * the jump is an equi-join of the label table with itself). The jump
+    * halves the remaining label-propagation distance, so rounds are
+    * O(log diameter) instead of O(diameter) — a 10k-node chain converges
+    * in ~25 rounds, not 10k. Every step is a distributed join+agg; the
+    * driver holds only the convergence signature.
+    *
+    * Labels only ever DECREASE, so `sum(comp)` strictly decreases iff
+    * any node changed — one cheap aggregate per round instead of a
+    * join-based diff. Decimal sum: a Long sum could overflow (and
+    * falsely report convergence) at billions of nodes × wide ids.
+    *
+    * Eager localCheckpoint per round: without it each iteration's
+    * LOGICAL plan contains the whole lineage so far, and re-analyzing
+    * the growing chain dominates (measured 249 s vs ~5 s at sf0.1 on
+    * 2000 nodes). On a real cluster use reliable checkpoint() to shared
+    * storage instead — same lineage truncation, fault-tolerant.
+    *
+    * THROWS IllegalStateException if `maxIter` rounds pass without
+    * convergence — unconverged labels must never masquerade as clusters.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
+    val e = edges.select(col("x"), col("y")).localCheckpoint(true)
+    var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint(true)
+    def sig(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
+    var prevSig = sig(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = labels.join(e, labels("node") === e("x"))
+        .select(col("y").as("node"), col("comp"))
+      val m = labels.union(prop).groupBy("node").agg(min("comp").as("comp"))
+      val jump = m.select(col("node").as("pn"), col("comp").as("pc"))
+      val next = m.join(jump, m("comp") === jump("pn"))
+        .select(m("node"), col("pc").as("comp"))
+        .localCheckpoint(true)
+      val s = sig(next)
+      converged = s == prevSig
+      prevSig = s
+      labels = next
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within $maxIter rounds — " +
+        "raise maxIter; results were NOT returned because unconverged " +
+        "labels are not components")
+    labels
   }
 
   def defs: Seq[(String, Q)] = Seq(
@@ -148,12 +204,11 @@ object Dedup {
     },
 
     // duplicate CLUSTERS, not just pairs: connected components over the
-    // embedding near-dup graph by iterative min-label propagation
-    // (Pregel-style: labels = min(own, neighbors') until fixpoint). The
-    // driver loop holds only a convergence counter; every step is a
-    // distributed join+agg, iterations bounded by component diameter
-    // (log-ish in practice), so the shape survives any corpus size. The
-    // oracle replays it as a DuckDB recursive transitive closure.
+    // embedding near-dup graph via [[connectedComponents]] (min-label
+    // propagation + pointer doubling, O(log diameter) rounds, loud fail
+    // on non-convergence). Every step is a distributed join+agg, so the
+    // shape survives any corpus size. The oracle replays it as a DuckDB
+    // recursive transitive closure.
     "dedup_cluster" -> Q(
       s"""WITH RECURSIVE pairs AS (
          |  SELECT a.vec_id AS x, b.vec_id AS y
@@ -175,36 +230,9 @@ object Dedup {
           col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
         .filter(Sim.cosine("a.embedding", "b.embedding") >= 0.3)
         .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
-      // eager localCheckpoint per step: without it each iteration's
-      // LOGICAL plan contains the whole lineage so far, and re-analyzing
-      // the growing chain dominates (measured 249 s vs ~5 s at sf0.1 on
-      // 2000 nodes). On a real cluster use reliable checkpoint() to
-      // shared storage instead — same lineage-truncation, fault-tolerant.
       val edges = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
-        .localCheckpoint(true)
-      var labels = emb.select(col("vec_id").as("node"), col("vec_id").as("comp"))
-        .localCheckpoint(true)
-      // labels only ever DECREASE, so sum(comp) strictly decreases iff
-      // any node changed — one cheap aggregate per round instead of a
-      // join-based diff. Decimal sum: a Long sum could overflow (and
-      // falsely report convergence) at billions of nodes × wide ids.
-      def sig(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("comp").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
-          .head.getDecimal(0)
-      var prevSig = sig(labels)
-      var iter = 0
-      var converged = false
-      while (!converged && iter < 20) {
-        val prop = labels.join(edges, labels("node") === edges("x"))
-          .select(col("y").as("node"), col("comp"))
-        val next = labels.union(prop)
-          .groupBy("node").agg(min("comp").as("comp")).localCheckpoint(true)
-        val s = sig(next)
-        converged = s == prevSig
-        prevSig = s
-        labels = next
-        iter += 1
-      }
+      val labels = connectedComponents(
+        emb.select(col("vec_id").as("node")), edges)
       labels.groupBy(col("comp").as("comp_id"))
         .agg(count(lit(1)).as("n_members"),
           sort_array(collect_list(col("node"))).as("ms"))

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
 import org.apache.spark.sql.graftbridge.GraftBridge
 
@@ -22,14 +22,28 @@ import org.apache.spark.sql.graftbridge.GraftBridge
   *
   *   partial TopKExec   (map side: one ≤k-row heap per group, no sort)
   *   → shuffle           (carries at most k rows per (partition, group))
-  *   → final TopKExec    (merge heaps per group)
+  *   → sort              (inserted by EnsureRequirements; spillable)
+  *   → final TopKExec    (stream the sorted run, emit first k per group)
   *
   * The shuffle volume drops from O(rows) to O(partitions × groups × k),
-  * and no full sort ever runs — the same partial/final shape Spark uses
-  * for hash aggregates, applied to a ranking operator it lacks natively.
-  * Memory: each task holds (groups-in-partition × k) rows, the same
-  * bound as a hash aggregate buffer (spill is not implemented; for
-  * k × groups ≫ memory fall back to the window form).
+  * and the only full sort runs over the ALREADY-REDUCED candidate set.
+  *
+  * Memory safety (both phases are spill-proof, so the rewrite can never
+  * turn a working window query into an OOM):
+  *   - the PARTIAL phase caps retained rows at `spark.graft.topk
+  *     .maxRowsInMemory` (default 4M); on overflow it FLUSHES — emits
+  *     the current heaps downstream and starts fresh. A flush emits a
+  *     superset of the partition's true top-k (union of per-segment
+  *     top-k), which the final phase re-filters, so overflow degrades
+  *     pruning, never correctness.
+  *   - the FINAL phase holds O(1) state: it declares a required child
+  *     ordering on (group keys, sort order), Spark plans a spillable
+  *     SortExec under it, and the operator just streams the sorted run
+  *     counting rows per group — the same discipline as sort-based
+  *     aggregation fallback.
+  *
+  * Global top-k (no group keys) declares `AllTuples` — single partition,
+  * sorted, take k — instead of the invalid `ClusteredDistribution(Nil)`.
   *
   * Equivalence with the window spelling requires a TOTAL sort order
   * (ties broken explicitly), same as every oracle query in this repo.
@@ -46,9 +60,10 @@ case class TopKPerGroupPlan(
     copy(child = newChild)
 }
 
-/** Plans the logical TopK as partial-exec → (exchange) → final-exec; the
-  * exchange is inserted by `EnsureRequirements` because the final exec
-  * declares `ClusteredDistribution` on the group keys.
+/** Plans the logical TopK as partial-exec → (exchange + sort) →
+  * final-exec; the exchange and sort are inserted by `EnsureRequirements`
+  * because the final exec declares `ClusteredDistribution` on the group
+  * keys and an ordering on (group keys, sort order).
   */
 object TopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
@@ -59,12 +74,18 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
-/** Bounded-heap top-k per group over one partition's rows.
+/** Top-k per group over one partition's rows; see [[TopKPerGroupPlan]]
+  * for the two-phase contract.
   *
-  * Keeps, per group key, a max-heap of the k best rows (heap head = the
-  * WORST retained row, so a candidate only displaces it when it compares
-  * strictly better under the sort order). Rows and keys are copied on
-  * retention — the scan reuses row buffers.
+  * Partial: per group key, a max-heap of the k best rows (heap head =
+  * the WORST retained row, so a candidate only displaces it when it
+  * compares strictly better under the sort order). Rows and keys are
+  * copied on retention — the scan reuses row buffers. Total retained
+  * rows are bounded; overflow flushes (emit + clear), preserving the
+  * superset invariant.
+  *
+  * Final: input arrives clustered by group and sorted by (group, order);
+  * emit the first k rows of each group with O(1) state.
   */
 case class TopKPerGroupExec(
     groupExprs: Seq[Expression],
@@ -80,34 +101,84 @@ case class TopKPerGroupExec(
 
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
+    else if (groupExprs.isEmpty) AllTuples :: Nil
     else ClusteredDistribution(groupExprs) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(groupExprs.map(SortOrder(_, Ascending)) ++ order)
+
+  override def outputOrdering: Seq[SortOrder] =
+    if (partial) Nil else groupExprs.map(SortOrder(_, Ascending)) ++ order
 
   protected override def doExecute(): RDD[InternalRow] = {
     val g = groupExprs
-    val ord = order
     val kk = k
     val childOutput = child.output
-    child.execute().mapPartitions({ iter =>
-      val keyProj = UnsafeProjection.create(g, childOutput)
-      // codegen'd row comparator for the sort order (compare < 0 = better)
-      val cmp = GenerateOrdering.generate(ord, childOutput)
-      val heaps = new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
-      iter.foreach { row =>
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new scala.collection.mutable.PriorityQueue[InternalRow]()(cmp)
-          heaps.put(key.copy(), heap)
+    if (partial) {
+      val ord = order
+      val budget = math.max(kk,
+        conf.getConfString("spark.graft.topk.maxRowsInMemory", "4194304").toInt)
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(g, childOutput)
+        // codegen'd row comparator for the sort order (compare < 0 = better)
+        val cmp = GenerateOrdering.generate(ord, childOutput)
+        new Iterator[InternalRow] {
+          private val heaps =
+            new java.util.HashMap[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]()
+          private var retained = 0L
+          private var pending: Iterator[InternalRow] = Iterator.empty
+          private var inputDone = false
+
+          private def drain(): Iterator[InternalRow] = {
+            import scala.jdk.CollectionConverters._
+            // materialization is bounded by the row budget
+            val rows = heaps.values().iterator().asScala.flatMap(_.iterator).toArray
+            heaps.clear(); retained = 0L
+            rows.iterator
+          }
+
+          private def advance(): Unit = {
+            while (!pending.hasNext && !inputDone) {
+              if (!iter.hasNext) { inputDone = true; pending = drain() }
+              else {
+                val row = iter.next()
+                val key = keyProj(row)
+                var heap = heaps.get(key)
+                if (heap == null) {
+                  heap = new scala.collection.mutable.PriorityQueue[InternalRow]()(cmp)
+                  heaps.put(key.copy(), heap)
+                }
+                if (heap.size < kk) { heap.enqueue(row.copy()); retained += 1 }
+                else if (cmp.compare(row, heap.head) < 0) {
+                  heap.dequeue()
+                  heap.enqueue(row.copy())
+                }
+                if (retained >= budget) pending = drain()
+              }
+            }
+          }
+
+          override def hasNext: Boolean = { advance(); pending.hasNext }
+          override def next(): InternalRow = { advance(); pending.next() }
         }
-        if (heap.size < kk) heap.enqueue(row.copy())
-        else if (cmp.compare(row, heap.head) < 0) {
-          heap.dequeue()
-          heap.enqueue(row.copy())
+      }, preservesPartitioning = true)
+    } else {
+      // sorted-run streaming emit: O(1) state per task
+      child.execute().mapPartitions({ iter =>
+        val keyProj = UnsafeProjection.create(g, childOutput)
+        var curKey: UnsafeRow = null
+        var emitted = 0
+        iter.filter { row =>
+          val key = keyProj(row)
+          if (curKey == null || key != curKey) {
+            curKey = key.copy(); emitted = 0
+          }
+          emitted += 1
+          emitted <= kk
         }
-      }
-      import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator)
-    }, preservesPartitioning = true)
+      }, preservesPartitioning = true)
+    }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerGroupExec =
@@ -123,16 +194,20 @@ case class TopKPerGroupExec(
   *   - the filter bounds that attribute by an integer literal
   *   - the projection above discards the rank (otherwise the rank values
   *     must be materialized and the window form is required)
+  * An empty PARTITION BY is fine (global top-k → AllTuples plan); a
+  * non-positive bound rewrites to a statically-empty relation.
   */
 object TopKRewriteRule
     extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
   import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, EqualTo, LessThan, LessThanOrEqual, Literal, RowNumber, WindowExpression}
   import org.apache.spark.sql.catalyst.plans.logical.{Filter, Project, Window}
 
-  private def bound(cond: Expression, rk: Attribute): Option[Int] = cond match {
-    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, _)) if a.semanticEquals(rk) => Some(k)
-    case LessThan(a: AttributeReference, Literal(k: Int, _)) if a.semanticEquals(rk) => Some(k - 1)
-    case EqualTo(a: AttributeReference, Literal(1, _)) if a.semanticEquals(rk) => Some(1)
+  // Long arithmetic: `rk < Int.MinValue` must fall into the
+  // statically-empty branch, not wrap around to top-Int.MaxValue
+  private def bound(cond: Expression, rk: Attribute): Option[Long] = cond match {
+    case LessThanOrEqual(a: AttributeReference, Literal(k: Int, _)) if a.semanticEquals(rk) => Some(k.toLong)
+    case LessThan(a: AttributeReference, Literal(k: Int, _)) if a.semanticEquals(rk) => Some(k.toLong - 1L)
+    case EqualTo(a: AttributeReference, Literal(1, _)) if a.semanticEquals(rk) => Some(1L)
     case _ => None
   }
 
@@ -142,7 +217,8 @@ object TopKRewriteRule
         if !projectList.exists(_.references.contains(a.toAttribute)) &&
           projectList.forall(_.references.subsetOf(child.outputSet)) =>
       bound(cond, a.toAttribute) match {
-        case Some(k) if k > 0 => Project(projectList, TopKPerGroupPlan(part, ord, k, child))
+        case Some(k) if k > 0 =>
+          Project(projectList, TopKPerGroupPlan(part, ord, math.min(k, Int.MaxValue.toLong).toInt, child))
         case Some(_) => org.apache.spark.sql.catalyst.plans.logical.LocalRelation(p.output)
         case None => p
       }
@@ -153,7 +229,8 @@ object TopK {
 
   /** Top-k rows per group under `orderSpec` ((column, ascending) pairs —
     * make the order total or results are tie-dependent), planned through
-    * [[TopKStrategy]]. Strategy injection is idempotent and per-session.
+    * [[TopKStrategy]]. `groupCols` may be empty (global top-k). Strategy
+    * injection is idempotent and per-session.
     */
   def topKPerGroup(
       df: DataFrame,

@@ -19,8 +19,11 @@ object Bucketed {
 
   val NumBuckets = 8
 
+  // computeIfAbsent both dedupes and BLOCKS concurrent callers for the
+  // same (session, dir) until the build completes — a thread can never
+  // observe table names before the files exist
   private val done =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(SparkSession, String)]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (String, String)]()
 
   private def warehousePath(s: SparkSession, t: String): java.io.File =
     new java.io.File(new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
@@ -40,17 +43,20 @@ object Bucketed {
     * rewriting them — the "pay the shuffle once" claim made literal
     * across sessions. A stale/fingerprint-mismatched layout is rebuilt.
     */
-  def ensure(s: SparkSession, d: String): (String, String) = {
-    val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
-    val to = s"graft_orders_bucketed_$sf"
-    val tc = s"graft_customer_bucketed_$sf"
-    if (done.add((s, d))) {
-      val src = new java.io.File(d, "orders.parquet")
-      val stampName = s"_FINGERPRINT_${src.length()}_${src.lastModified()}"
+  def ensure(s: SparkSession, d: String): (String, String) =
+    done.computeIfAbsent((s, d), { _ =>
+      val sf = new java.io.File(d).getName.replaceAll("[^A-Za-z0-9]", "_")
+      val to = s"graft_orders_bucketed_$sf"
+      val tc = s"graft_customer_bucketed_$sf"
       val specs = Seq(
         (to, "orders", "o_custkey", Tables.orders(s, d)),
         (tc, "customer", "c_custkey", Tables.customer(s, d)))
-      specs.foreach { case (t, _, key, df) =>
+      specs.foreach { case (t, srcName, key, df) =>
+        // fingerprint from THIS table's own source file — a regenerated
+        // customer.parquet must invalidate the customer layout even when
+        // orders.parquet is unchanged
+        val src = new java.io.File(d, s"$srcName.parquet")
+        val stampName = s"_FINGERPRINT_${src.length()}_${src.lastModified()}"
         s.sql(s"DROP TABLE IF EXISTS $t")
         val loc = warehousePath(s, t)
         if (new java.io.File(loc, stampName).exists()) {
@@ -67,7 +73,6 @@ object Bucketed {
           new java.io.File(loc, stampName).createNewFile()
         }
       }
-    }
-    (to, tc)
-  }
+      (to, tc)
+    })
 }

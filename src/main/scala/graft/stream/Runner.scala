@@ -1,0 +1,57 @@
+package graft.stream
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** Harness for running a §2.10 operator as a REAL Structured Streaming
+  * query inside a registry entry: file source over the scale-factor
+  * directory → transform → memory sink, `Trigger.AvailableNow`, then
+  * return the sink table as the entry's result. One input file ⇒ one
+  * micro-batch (plus the no-data batch Spark appends to advance the
+  * watermark and flush closed windows), so event-time results are
+  * deterministic and DuckDB-oracle-checkable.
+  */
+object Runner {
+
+  /** The events table as a file-source STREAM — same ns→µs timestamp
+    * conversion as `Tables.events`; `pathGlobFilter` scopes the directory
+    * listing to the one table file, no staging copy.
+    */
+  def eventsStream(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = s.read.parquet(s"$d/events.parquet").schema
+    s.readStream.schema(rawSchema)
+      .option("pathGlobFilter", "events.parquet").parquet(d)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+  private val RocksDb =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Start the writer, wait for termination, return the memory-sink
+    * table. When `rocksdb` is set the state-store provider conf is
+    * scoped to THIS query (saved/restored around the run) — a later
+    * streaming query in the same session must not silently inherit a
+    * different state-store backend.
+    */
+  def runToTable(s: SparkSession, table: String, rocksdb: Boolean = false)(
+      mk: => DataStreamWriter[_]): DataFrame = {
+    val prev = if (rocksdb) {
+      val p = s.conf.getOption(ProviderKey)
+      s.conf.set(ProviderKey, RocksDb)
+      Some(p)
+    } else None
+    try {
+      val q = mk.start()
+      q.awaitTermination()
+    } finally {
+      prev.foreach {
+        case Some(v) => s.conf.set(ProviderKey, v)
+        case None    => s.conf.unset(ProviderKey)
+      }
+    }
+    s.table(table)
+  }
+}

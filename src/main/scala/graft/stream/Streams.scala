@@ -147,23 +147,14 @@ object Streams {
     // equals the batch fold — same recursive-CTE oracle.
     "stream_tws" -> Q(CappedSpendOracle) { (s, d) =>
       import s.implicits._
-      s.conf.set("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-      // stream the source file in place — pathGlobFilter scopes the
-      // directory listing to the one table file, no staging copy
-      val ev = s.readStream.schema(rawSchema)
-        .option("pathGlobFilter", "events.parquet").parquet(d)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ev = Runner.eventsStream(s, d)
         .select("event_id", "user_id", "ts", "value").as[Ev]
-      val q = Stateful.cappedSpendTws(ev)
-        .writeStream.format("memory").queryName("graft_tws_out")
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.table("graft_tws_out").orderBy("event_id")
+      Runner.runToTable(s, "graft_tws_out", rocksdb = true) {
+        Stateful.cappedSpendTws(ev)
+          .writeStream.format("memory").queryName("graft_tws_out")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      }.orderBy("event_id")
     }
   )
 

@@ -37,6 +37,32 @@ class LlmSpec extends SparkSuite {
     assert(pairs.contains((1L, 2L)), "exact dup pair missing from LSH candidates")
   }
 
+  test("connectedComponents: 200-diameter chain converges (pointer doubling), loud fail on tiny cap") {
+    // a path graph 0—1—…—199: diameter 199, so plain min-label
+    // propagation needs 199 rounds — pointer doubling must do it in
+    // O(log n) and the old silent 20-round cap would have returned
+    // wrong clusters here
+    val n = 200
+    val fwd = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("x", "y")
+    val edges = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
+    val nodes = (0 until n).map(_.toLong).toDF("node")
+    val comps = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == n && comps.values.forall(_ == 0L),
+      "chain did not collapse to a single component rooted at 0")
+    // two components stay separate
+    val nodes2 = (0 until 6).map(_.toLong).toDF("node")
+    val fwd2 = Seq((0L, 1L), (1L, 2L), (3L, 4L), (4L, 5L)).toDF("x", "y")
+    val edges2 = fwd2.union(fwd2.select(col("y").as("x"), col("x").as("y")))
+    val comps2 = Dedup.connectedComponents(nodes2, edges2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(0L, 1L, 2L).forall(comps2(_) == 0L) && Seq(3L, 4L, 5L).forall(comps2(_) == 3L))
+    // an impossible round cap must THROW, never return unconverged labels
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, edges, maxIter = 2).collect()
+    }
+  }
+
   test("simhash: identical docs hash identically; hamming to unrelated is large") {
     val sh = SparkEntry.queries("dedup_simhash")(spark, sf) // runs on real docs
     assert(sh.count() > 0)

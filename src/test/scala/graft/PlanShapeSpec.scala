@@ -153,6 +153,49 @@ class PlanShapeSpec extends SparkSuite {
     // rk <= 0 → statically empty
     val none = ranked.filter(col("rk") <= 0).drop("rk")
     assert(none.count() == 0)
+    // rk < Int.MinValue must be statically empty, not wrap to top-MaxValue
+    val wrap = ranked.filter(col("rk") < Int.MinValue).drop("rk")
+    assert(topkPlans(wrap).isEmpty && wrap.count() == 0,
+      "rk < Int.MinValue wrapped instead of planning empty")
+  }
+
+  test("TopK global (no group keys): AllTuples plan, native and rewrite match sort+limit") {
+    import org.apache.spark.sql.graftbridge.GraftBridge
+    GraftBridge.ensureStrategy(spark, graft.plans.TopKStrategy)
+    GraftBridge.ensureOptimization(spark, graft.plans.TopKRewriteRule)
+    import spark.implicits._
+    val data = Seq((1, 10), (2, 40), (3, 20), (4, 30), (5, 25)).toDF("id", "v")
+    val expected = data.orderBy(col("v").desc, col("id")).limit(2)
+    // direct API with empty group list
+    val native = graft.plans.TopK.topKPerGroup(data, Nil, Seq(("v", false), ("id", true)), 2)
+    assert(native.exceptAll(expected).isEmpty && expected.exceptAll(native).isEmpty)
+    // user SQL spelling: global row_number with the rank dropped — the
+    // rule fires with part=Nil and the plan must not crash at planning
+    val w = Window.orderBy(col("v").desc, col("id"))
+    val viaSql = data.withColumn("rk", row_number().over(w)).filter(col("rk") <= 2).drop("rk")
+    assert(viaSql.queryExecution.optimizedPlan
+      .collect { case t: graft.plans.TopKPerGroupPlan => t }.nonEmpty, "global rewrite did not fire")
+    assert(viaSql.exceptAll(expected).isEmpty && expected.exceptAll(viaSql).isEmpty)
+  }
+
+  test("TopK partial-phase row budget: overflow flushes, never wrong and never OOM-shaped") {
+    import spark.implicits._
+    // adversarial shape: every row its own group → retained rows would
+    // equal input size without the budget
+    val n = 5000
+    val data = (1 to n).map(i => (i % 997, i)).toDF("g", "x")
+    val w = Window.partitionBy("g").orderBy(col("x").asc)
+    val viaWin = data.withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+    val prev = spark.conf.getOption("spark.graft.topk.maxRowsInMemory")
+    spark.conf.set("spark.graft.topk.maxRowsInMemory", "16")
+    try {
+      val native = graft.plans.TopK.topKPerGroup(data, Seq("g"), Seq(("x", true)), 3)
+      assert(native.exceptAll(viaWin).isEmpty && viaWin.exceptAll(native).isEmpty,
+        "budget-flushed partial phase changed the result")
+    } finally {
+      prev.fold(spark.conf.unset("spark.graft.topk.maxRowsInMemory"))(
+        v => spark.conf.set("spark.graft.topk.maxRowsInMemory", v))
+    }
   }
 
   test("asof join shuffles once on the partition key (no join at all)") {
