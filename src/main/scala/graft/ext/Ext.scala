@@ -19,7 +19,8 @@ object Ext {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "byte_stats" -> (es => ByteStats(es.head)),
-    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))))
+    "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
+    "poly_hash" -> (es => PolyHash(es.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

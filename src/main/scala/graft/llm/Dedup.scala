@@ -65,6 +65,76 @@ object Dedup {
     s"stack(${NumPerms / BandSize}, $args) AS (band, bh)"
   }
 
+  /** Engine-portable MinHash (round 3): permutations of
+    * [[graft.ext.PolyHash]] bigram hashes — both engines compute
+    * IDENTICAL signatures, so the banded-LSH candidate generation is
+    * itself oracle-checked end to end (unlike the xxhash64 minhash
+    * above, whose signatures are property-tested). This is the
+    * candidate source for `dedup_ngram_jaccard`.
+    */
+  val HashMod = 1000000007L
+  val ArithPerms = 8
+  val ArithBandSize = 2 // → 4 bands of 2 minhashes each
+
+  /** Permutation constants: h_p = (A_p·h + B_p) mod HashMod. */
+  val HashA: Seq[Long] = Seq(3L, 5L, 7L, 11L, 13L, 17L, 19L, 23L)
+  val HashB: Seq[Long] = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L)
+
+  /** doc_id + arithmetic MinHash signature (am0..am7): explode bigrams →
+    * poly_hash → ArithPerms permuted mins in ONE HashAggregate (same
+    * codegen'd map-side-partial topology as [[minhash]]).
+    */
+  def arithMinhash(docs: DataFrame): DataFrame = {
+    val ex = docs.withColumn("t", split(lower(col("text")), " "))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .as("bg"))
+      .withColumn("h", expr("poly_hash(bg)"))
+    val mins = (0 until ArithPerms).map(p =>
+      min((col("h") * HashA(p) + HashB(p)) % HashMod).as(s"am$p"))
+    ex.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** `stack` spelling of the (band, bh) long form over [[arithMinhash]]
+    * columns; the band key packs two mod-HashMod minhashes into one
+    * BIGINT (m·HashMod + m' < 2^60).
+    */
+  val ArithBandStackExpr: String = {
+    val nb = ArithPerms / ArithBandSize
+    val args = (0 until nb).map(b =>
+      s"$b, am${2 * b} * ${HashMod}L + am${2 * b + 1}").mkString(", ")
+    s"stack($nb, $args) AS (band, bh)"
+  }
+
+  /** DuckDB twins of the whole candidate pipeline as WITH-clause CTEs:
+    * `toks`, `bgs`, `hs` (poly_hash twin), `sig`, `bands`,
+    * `cand(doc_id1, doc_id2)`, `sets` (distinct bigram sets).
+    */
+  val ArithCandSql: String = {
+    val perms = (0 until ArithPerms).map(p =>
+      s"min((${HashA(p)} * h + ${HashB(p)}) % $HashMod) AS am$p").mkString(", ")
+    val bands = (0 until ArithPerms / ArithBandSize).map(b =>
+      s"SELECT doc_id, $b AS band, am${2 * b} * $HashMod + am${2 * b + 1} AS bh FROM sig")
+      .mkString("\n  UNION ALL ")
+    s"""toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |bgs AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+       |    i -> t[i] || ' ' || t[i + 1])) AS bg
+       |  FROM toks WHERE len(t) >= 2),
+       |hs AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] ||
+       |    list_transform(generate_series(1, length(bg)), i -> CAST(unicode(bg[i]) AS BIGINT)),
+       |    (a, c) -> (a * 31 + c) % $HashMod) AS h FROM bgs),
+       |sig AS (SELECT doc_id, $perms FROM hs GROUP BY doc_id),
+       |bands AS (
+       |  $bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+       |         FROM bands a JOIN bands b
+       |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sets AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 1),
+       |           i -> t[i] || ' ' || t[i + 1])) AS bg FROM toks WHERE len(t) >= 2)""".stripMargin
+  }
+
   /** Distributed connected components over `nodes` (one `node` column,
     * ids orderable) and `edges` (`x` → `y`, BOTH directions present).
     *
@@ -168,37 +238,48 @@ object Dedup {
     },
 
     "dedup_ngram_jaccard" -> Q(
-      """WITH b AS (
-        |  SELECT doc_id, source, lang,
-        |    list_distinct(list_transform(generate_series(1, len(t) - 1),
-        |                                 i -> t[i] || ' ' || t[i + 1])) AS bg
-        |  FROM (SELECT doc_id, source, lang, string_split(lower(text), ' ') AS t FROM documents)
-        |  WHERE len(t) >= 2)
-        |SELECT a.doc_id AS doc_id1, b2.doc_id AS doc_id2,
-        |  round(CAST(len(list_intersect(a.bg, b2.bg)) AS DOUBLE)
-        |        / (len(a.bg) + len(b2.bg) - len(list_intersect(a.bg, b2.bg))), 6) AS jaccard
-        |FROM b a JOIN b b2
-        |  ON a.source = b2.source AND a.lang = b2.lang AND a.doc_id < b2.doc_id
-        |ORDER BY jaccard DESC, doc_id1, doc_id2 LIMIT 100""".stripMargin) { (s, d) =>
-      // n-gram Jaccard near-dup, blocked on (source, lang) — pair
-      // enumeration only within blocks; top-100 most similar pairs.
-      // Bigram sets are sorted ONCE per document so the per-pair
-      // intersection is a zero-allocation codegen'd merge
+      s"""WITH $ArithCandSql
+         |SELECT doc_id1, doc_id2,
+         |  round(CAST(len(list_intersect(x.bg, y.bg)) AS DOUBLE)
+         |        / (len(x.bg) + len(y.bg) - len(list_intersect(x.bg, y.bg))), 6) AS jaccard
+         |FROM cand JOIN sets x ON doc_id1 = x.doc_id
+         |          JOIN sets y ON doc_id2 = y.doc_id
+         |ORDER BY jaccard DESC, doc_id1, doc_id2 LIMIT 100""".stripMargin) { (s, d) =>
+      // n-gram Jaccard near-dup: candidates from the engine-portable
+      // banded MinHash ([[arithMinhash]] — ONE aggregate pass, then
+      // bucket-collect pair enumeration inside signature buckets, whose
+      // sizes are LSH-bounded), exact Jaccard computed ONLY on
+      // candidates — never an all-pairs join. Top-100 most similar
+      // candidate pairs. Bigram sets are sorted ONCE per document so
+      // the per-pair intersection is a zero-allocation codegen'd merge
       // (ext.SortedIntersectCount) instead of interpreted array_intersect.
       graft.ext.Ext.register(s)
-      val bg = Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
+      val cand = arithMinhash(docs)
+        .selectExpr("doc_id", ArithBandStackExpr)
+        .groupBy("band", "bh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+            |  i -> transform(sequence(i + 1, size(ids)),
+            |    j -> struct(element_at(ids, i) AS doc_id1, element_at(ids, j) AS doc_id2))))""".stripMargin))
+          .as("p"))
+        .select(col("p.doc_id1"), col("p.doc_id2"))
+        .distinct()
+      val bg = docs
         .withColumn("t", split(lower(col("text")), " "))
         .filter(size(col("t")) >= 2)
         .withColumn("bg", sort_array(array_distinct(expr(
           "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))))
-        .select("doc_id", "source", "lang", "bg")
-      val inter = expr("sorted_intersect_count(a.bg, b.bg)")
-      bg.as("a").join(bg.as("b"),
-          col("a.source") === col("b.source") && col("a.lang") === col("b.lang")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+        .select(col("doc_id"), col("bg"))
+      val inter = expr("sorted_intersect_count(a_bg, b_bg)")
+      cand
+        .join(bg.select(col("doc_id").as("doc_id1"), col("bg").as("a_bg")), "doc_id1")
+        .join(bg.select(col("doc_id").as("doc_id2"), col("bg").as("b_bg")), "doc_id2")
+        .select(col("doc_id1"), col("doc_id2"),
           round(inter.cast("double")
-            / (size(col("a.bg")) + size(col("b.bg")) - inter), 6).as("jaccard"))
+            / (size(col("a_bg")) + size(col("b_bg")) - inter), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("doc_id1"), col("doc_id2"))
         .limit(100)
     },
@@ -206,15 +287,14 @@ object Dedup {
     // duplicate CLUSTERS, not just pairs: connected components over the
     // embedding near-dup graph via [[connectedComponents]] (min-label
     // propagation + pointer doubling, O(log diameter) rounds, loud fail
-    // on non-convergence). Every step is a distributed join+agg, so the
+    // on non-convergence). Edges come from the sign-band LSH candidate
+    // equi-join ([[Sim.nearPairs]]) — the edge step is never an
+    // all-pairs join. Every step is a distributed join+agg, so the
     // shape survives any corpus size. The oracle replays it as a DuckDB
-    // recursive transitive closure.
+    // recursive transitive closure over the same candidate edges.
     "dedup_cluster" -> Q(
-      s"""WITH RECURSIVE pairs AS (
-         |  SELECT a.vec_id AS x, b.vec_id AS y
-         |  FROM embeddings a JOIN embeddings b
-         |    ON a.label = b.label AND a.vec_id < b.vec_id
-         |  WHERE ${Sim.cosineSql("a.embedding", "b.embedding")} >= 0.3),
+      s"""WITH RECURSIVE ${Sim.nearSql(0.3)},
+         |pairs AS (SELECT id1 AS x, id2 AS y FROM near),
          |edges AS (SELECT x, y FROM pairs UNION ALL SELECT y AS x, x AS y FROM pairs),
          |reach AS (
          |  SELECT vec_id AS node, vec_id AS root FROM embeddings
@@ -226,10 +306,8 @@ object Dedup {
          |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin) { (s, d) =>
       graft.ext.Ext.register(s)
       val emb = Tables.embeddings(s, d)
-      val pairs = emb.as("a").join(emb.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .filter(Sim.cosine("a.embedding", "b.embedding") >= 0.3)
-        .select(col("a.vec_id").as("x"), col("b.vec_id").as("y"))
+      val pairs = Sim.nearPairs(s, d, 0.3)
+        .select(col("id1").as("x"), col("id2").as("y"))
       val edges = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
       val labels = connectedComponents(
         emb.select(col("vec_id").as("node")), edges)
@@ -242,21 +320,15 @@ object Dedup {
     },
 
     "dedup_embedding" -> Q(
-      s"""SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
-         |  round(${Sim.cosineSql("a.embedding", "b.embedding")}, 6) AS cos_r
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${Sim.cosineSql("a.embedding", "b.embedding")} >= 0.3
-         |ORDER BY keep_id, drop_id""".stripMargin) { (s, d) =>
-      // embedding-cosine near-dup: within-label pairs over the threshold;
-      // survivor = smaller vec_id (deterministic keep rule)
-      graft.ext.Ext.register(s)
-      val emb = Tables.embeddings(s, d)
-      emb.as("a").join(emb.as("b"),
-          col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", Sim.cosine("a.embedding", "b.embedding"))
-        .filter(col("cos") >= 0.3)
-        .select(col("a.vec_id").as("keep_id"), col("b.vec_id").as("drop_id"),
+      s"""WITH ${Sim.nearSql(0.3)}
+         |SELECT id1 AS keep_id, id2 AS drop_id, round(cos, 6) AS cos_r
+         |FROM near ORDER BY keep_id, drop_id""".stripMargin) { (s, d) =>
+      // embedding-cosine near-dup: sign-band LSH candidates
+      // ([[Sim.signCandidates]], bucket equi-join — never all-pairs)
+      // verified by exact cosine; survivor = smaller vec_id
+      // (deterministic keep rule)
+      Sim.nearPairs(s, d, 0.3)
+        .select(col("id1").as("keep_id"), col("id2").as("drop_id"),
           round(col("cos"), 6).as("cos_r"))
         .orderBy("keep_id", "drop_id")
     }

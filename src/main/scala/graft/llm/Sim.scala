@@ -41,6 +41,102 @@ object Sim {
        | / sqrt(${norm(a)} * ${norm(b)}))""".stripMargin
   }
 
+  /** Sign-signature banding — the DuckDB-EXPRESSIBLE LSH that feeds every
+    * near-dup pair operator (SURVEY.md §2.13 round-3: candidate
+    * generation must be a bucket equi-join, never an all-pairs join).
+    *
+    * The 64 dims split into [[SigBands]] bands of [[SigDims]] dims; a
+    * band's signature packs the dims' sign bits into an integer. Two
+    * vectors are CANDIDATES iff they agree on at least one band — the
+    * classic banded-LSH shape, but over pure `embedding[i] > 0`
+    * arithmetic both engines evaluate identically (unlike xxhash64).
+    * Narrow 4-dim bands are tuned for the LOW similarity threshold the
+    * dedup operators use (τ≈0.3 ⇒ P(sign agree) ≈ 0.6/dim): measured at
+    * sf0.01, recall 105/111 = 94.6% of the brute-force τ=0.3 pairs with
+    * 7 930/12 344 = 64% of the within-label pairs as candidates, and the
+    * filter sharpens as τ rises. Band count/width are the recall knobs a
+    * deployment tunes per threshold.
+    */
+  val SigBands = 16
+  val SigDims = 4
+
+  /** One band's signature terms; `ix` renders ONE-BASED array access for
+    * the target engine (Spark `element_at` / DuckDB `arr[i]`), keeping
+    * both spellings generated from the same constants.
+    */
+  private def bandSigTerms(emb: String, b: Int, ix: (String, Int) => String): String =
+    (0 until SigDims).map { j =>
+      s"CASE WHEN ${ix(emb, b * SigDims + j + 1)} > 0 THEN ${1 << j} ELSE 0 END"
+    }.mkString(" + ")
+
+  /** Spark: (vec_id, label, band, sig) long-form sign signatures —
+    * `stack` generator, fully codegen'd projection (no aggregation, no
+    * higher-order functions).
+    */
+  def signBands(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val stackArgs = (0 until SigBands).map { b =>
+      s"$b, ${bandSigTerms("embedding", b, (e, i) => s"element_at($e, $i)")}"
+    }.mkString(", ")
+    Tables.embeddings(s, d).selectExpr("vec_id", "label",
+      s"stack($SigBands, $stackArgs) AS (band, sig)")
+  }
+
+  /** Candidate same-label pairs sharing ≥1 band signature. The join is a
+    * pure EQUI-join on (label, band, sig) — one shuffle on the band key,
+    * pair enumeration only inside signature buckets (bucket sizes are
+    * the corpus/2^SigDims LSH bound, not the label-block size).
+    */
+  def signCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val sb = signBands(s, d)
+    sb.as("a").join(sb.as("b"),
+        col("a.label") === col("b.label") && col("a.band") === col("b.band")
+          && col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        col("a.label").as("label"))
+      .distinct()
+  }
+
+  /** DuckDB twins of [[signBands]]+[[signCandidates]] as WITH-clause
+    * CTEs `sigs` and `cand(id1, id2, label)`.
+    */
+  val SignCandSql: String = {
+    val sel = (0 until SigBands).map { b =>
+      s"SELECT vec_id, label, $b AS band, " +
+        s"${bandSigTerms("embedding", b, (e, i) => s"$e[$i]")} AS sig FROM embeddings"
+    }.mkString("\n  UNION ALL ")
+    s"""sigs AS (
+       |  $sel),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS id1, b.vec_id AS id2, a.label AS label
+       |  FROM sigs a JOIN sigs b
+       |    ON a.label = b.label AND a.band = b.band AND a.sig = b.sig
+       |       AND a.vec_id < b.vec_id)""".stripMargin
+  }
+
+  /** `near` CTE: LSH candidates verified by exact cosine ≥ tau. */
+  def nearSql(tau: Double): String =
+    s"""$SignCandSql,
+       |near AS (
+       |  SELECT cand.id1, cand.id2, cand.label,
+       |    ${cosineSql("e1.embedding", "e2.embedding")} AS cos
+       |  FROM cand JOIN embeddings e1 ON cand.id1 = e1.vec_id
+       |            JOIN embeddings e2 ON cand.id2 = e2.vec_id
+       |  WHERE ${cosineSql("e1.embedding", "e2.embedding")} >= $tau)""".stripMargin
+
+  /** Spark twin of [[nearSql]]: candidates joined back to their vectors,
+    * exact cosine verify. Output (id1, id2, label, cos).
+    */
+  def nearPairs(s: org.apache.spark.sql.SparkSession, d: String, tau: Double): DataFrame = {
+    graft.ext.Ext.register(s)
+    val emb = Tables.embeddings(s, d)
+    signCandidates(s, d)
+      .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+      .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+      .withColumn("cos", cosine("e1", "e2"))
+      .filter(col("cos") >= tau)
+      .select(col("id1"), col("id2"), col("label"), col("cos"))
+  }
+
   /** User API: brute-force cosine top-k of `corpus` for each probe row. */
   def topK(probes: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     graft.ext.Ext.register(probes.sparkSession)
@@ -128,23 +224,16 @@ object Sim {
     },
 
     "sim_pairs_threshold" -> Q(
-      s"""SELECT a.vec_id AS id1, b.vec_id AS id2, a.label,
-         |  round(${cosineSql("a.embedding", "b.embedding")}, 6) AS cos_r
-         |FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id
-         |WHERE ${cosineSql("a.embedding", "b.embedding")} >= 0.35
-         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      // similarity self-join blocked on `label` (the blocking key bounds
-      // the pair count; at scale replace with LSH buckets)
-      graft.ext.Ext.register(s)
-      val emb = Tables.embeddings(s, d)
-      val a = emb.as("a")
-      val b = emb.as("b")
-      a.join(b, col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-        .withColumn("cos", cosine("a.embedding", "b.embedding"))
-        .filter(col("cos") >= 0.35)
-        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-          col("a.label").as("label"), round(col("cos"), 6).as("cos_r"))
+      s"""WITH ${nearSql(0.35)}
+         |SELECT id1, id2, label, round(cos, 6) AS cos_r
+         |FROM near ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      // similarity pairs over the threshold — candidates from the sign-
+      // band LSH equi-join ([[signCandidates]]), verified by exact
+      // cosine. No all-pairs join anywhere: the label block is further
+      // subdivided by signature buckets, so pair enumeration stays
+      // bounded at any corpus size (PlanShapeSpec asserts the shape).
+      nearPairs(s, d, 0.35)
+        .select(col("id1"), col("id2"), col("label"), round(col("cos"), 6).as("cos_r"))
         .orderBy("id1", "id2")
     },
 

@@ -36,6 +36,20 @@ class ExtSpec extends SparkSuite {
     assert(diff.count() == 0)
   }
 
+  test("poly_hash: hand-computed value, empty string, and engine-portable fold") {
+    import spark.implicits._
+    // 'ab cd' → ((((0·31+97)·31+98)·31+32)·31+99)·31+100 mod 1e9+7 =
+    // 92534976 — the same value DuckDB's list_reduce twin returns
+    // (verified against duckdb 1.x during development)
+    graft.ext.Ext.register(spark)
+    val got = Seq("ab cd", "", "a").toDF("s")
+      .selectExpr("poly_hash(s)").collect().map(_.getLong(0))
+    assert(got.toSeq == Seq(92534976L, 0L, 97L))
+    // interpreted eval agrees with the codegen path exercised above
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(graft.ext.PolyHash(Literal("ab cd")).eval(null) == 92534976L)
+  }
+
   test("byte_stats matches hand-computed values") {
     Ext.register(spark)
     val r = Seq("abc").toDF("s")

@@ -37,6 +37,53 @@ class LlmSpec extends SparkSuite {
     assert(pairs.contains((1L, 2L)), "exact dup pair missing from LSH candidates")
   }
 
+  test("sign-band LSH: candidates are a strict subdivision of label blocks, recall measured vs brute force") {
+    graft.ext.Ext.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val n = emb.count()
+    val cand = Sim.signCandidates(spark, sf)
+    val nCand = cand.count()
+    // all within-label pairs (what the old blocked all-pairs join enumerated)
+    val allPairs = emb.groupBy("label").count()
+      .agg(sum(expr("count * (count - 1) / 2"))).head.getDouble(0)
+    assert(nCand < 0.75 * allPairs,
+      s"bands do not subdivide the label blocks: $nCand of $allPairs pairs")
+    // candidates per doc stay bounded (measured ~32 at sf0.001 — the
+    // LSH bucket bound, not the label-block size)
+    assert(nCand * 2.0 / n <= 64.0, s"candidates per doc too high: ${nCand * 2.0 / n}")
+    // recall vs the brute-force τ=0.3 truth (measured 74/82 = 90% at
+    // sf0.001; 94.6% at sf0.01) — band width/count are the tuning knobs
+    val tru = emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .filter(Sim.cosine("a.embedding", "b.embedding") >= 0.3)
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+    val nTrue = tru.count()
+    val hit = tru.join(cand, Seq("id1", "id2")).count()
+    assert(nTrue > 0 && hit.toDouble / nTrue >= 0.85,
+      s"sign-band recall degraded: $hit/$nTrue")
+  }
+
+  test("arith minhash: exact dups collide on every band; candidates stay sparse on the corpus") {
+    graft.ext.Ext.register(spark)
+    // identical docs → identical poly-hash minhash signature → all bands
+    val sig = Dedup.arithMinhash(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq.tail).toMap
+    assert(sig(1L) == sig(2L), "identical docs must share the arithmetic signature")
+    assert(sig(1L) != sig(4L), "unrelated docs collided on the full signature")
+    // corpus-level: banded candidates ≪ all pairs (measured ~1.5% at sf0.01)
+    val docsTbl = graft.core.Tables.documents(spark, sf)
+    val nDocs = docsTbl.count()
+    val cand = Dedup.arithMinhash(docsTbl)
+      .selectExpr("doc_id", Dedup.ArithBandStackExpr)
+      .groupBy("band", "bh").agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        "flatten(transform(sequence(1, size(ids) - 1), i -> transform(sequence(i + 1, size(ids)), j -> struct(element_at(ids, i) AS d1, element_at(ids, j) AS d2))))")))
+      .distinct().count()
+    assert(cand < 0.1 * nDocs * (nDocs - 1) / 2,
+      s"minhash bands are not pruning: $cand candidate pairs for $nDocs docs")
+  }
+
   test("connectedComponents: 200-diameter chain converges (pointer doubling), loud fail on tiny cap") {
     // a path graph 0—1—…—199: diameter 199, so plain min-label
     // propagation needs 199 rounds — pointer doubling must do it in

@@ -198,6 +198,38 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("near-dup ops: candidate generation is a bucketed equi-join, no unblocked self-join") {
+    // every join in the pair-producing plans must be an EQUI-join (hash/
+    // sort-merge — never nested-loop or cartesian), and the candidate
+    // join must be keyed by the LSH signature, not just the label block
+    def joins(name: String) = {
+      val df = q(name)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name still contains a non-equi join:\n${p.take(3000)}")
+      p
+    }
+    Seq("dedup_embedding", "sim_pairs_threshold").foreach { n =>
+      val p = joins(n)
+      assert(p.contains("sig#") && p.contains("band#"),
+        s"$n candidate join is not keyed by the sign-band signature:\n${p.take(3000)}")
+    }
+    // dedup_cluster's published plan starts at a checkpoint (lineage is
+    // truncated every CC round), so assert on its EDGE step directly —
+    // the same nearPairs the registry entry consumes
+    val edges = graft.llm.Sim.nearPairs(spark, sf, 0.3)
+    edges.collect()
+    val ep = edges.queryExecution.executedPlan.toString
+    assert(!ep.contains("BroadcastNestedLoopJoin") && !ep.contains("CartesianProduct")
+      && ep.contains("sig#") && ep.contains("band#"),
+      s"cluster edge generation is not the banded equi-join:\n${ep.take(3000)}")
+    // ngram path: candidates come from the banded-minhash bucket
+    // aggregation (group on band/bh), not a self-join
+    val p = joins("dedup_ngram_jaccard")
+    assert(p.contains("bh#"), s"ngram candidates not keyed by minhash band:\n${p.take(3000)}")
+  }
+
   test("asof join shuffles once on the partition key (no join at all)") {
     val p = plan("join_asof")
     assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
