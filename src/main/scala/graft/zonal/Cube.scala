@@ -114,4 +114,48 @@ object Cube {
   val RasterizeJoinSql: String =
     """FROM cells JOIN zones
       |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax""".stripMargin
+
+  // ---- polygon zones (round 3: real geometry instead of envelopes) ----
+
+  /** Deterministic simple quadrilateral per zone: one integer vertex on
+    * each envelope side, traversed bottom → right → top → left — always
+    * a simple (non-self-intersecting) ring, varying by zone_id. Pure
+    * arithmetic, so both engines derive identical rings and every
+    * polygon operator stays DuckDB-oracle-checkable.
+    */
+  val VertexDefs: Seq[(String, String)] = Seq(
+    "vx0" -> "xmin + 1 + zone_id % 3", "vy0" -> "ymin",
+    "vx1" -> "xmax",                   "vy1" -> "ymin + 1 + zone_id % 4",
+    "vx2" -> "xmax - zone_id % 2",     "vy2" -> "ymax",
+    "vx3" -> "xmin",                   "vy3" -> "ymax - zone_id % 3")
+
+  /** [[zones]] + ring vertex columns (the polygon zone table). */
+  def polyZones(s: SparkSession, d: String): DataFrame =
+    VertexDefs.foldLeft(zones(s, d)) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+
+  /** DuckDB twin of [[polyZones]] (a `pzones` derived table body). */
+  val PolyZonesSql: String =
+    s"SELECT *, ${VertexDefs.map { case (n, e) => s"$e AS $n" }.mkString(", ")} FROM zones"
+
+  /** Even-odd ray-casting point-in-polygon over the ring columns —
+    * EXACT integer arithmetic (no division: the crossing test compares
+    * the cross-product sign against the edge direction), so the same
+    * string evaluates identically as a Spark expression and as DuckDB
+    * SQL. `scale` multiplies the ring onto a finer integer lattice (the
+    * coverage supersampler scales ×8 so subcell sample coords stay
+    * integral). Points exactly on an edge follow the half-open crossing
+    * rule — deterministic and identical in both engines.
+    */
+  def pipSql(px: String, py: String, scale: Int = 1): String = {
+    val crossings = (0 until 4).map { i =>
+      val j = (i + 1) % 4
+      val (xi, yi) = (s"($scale * vx$i)", s"($scale * vy$i)")
+      val (xj, yj) = (s"($scale * vx$j)", s"($scale * vy$j)")
+      val dy = s"($yj - $yi)"
+      val cr = s"(($xj - $xi) * (($py) - $yi) - (($px) - $xi) * $dy)"
+      s"(CASE WHEN (($yi > ($py)) <> ($yj > ($py))) " +
+        s"AND (($dy > 0 AND $cr > 0) OR ($dy < 0 AND $cr < 0)) THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+    s"(($crossings) % 2 = 1)"
+  }
 }

@@ -195,6 +195,147 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // real polygon geometry (round 3): same tile equi-join as every
+    // zonal op, then exact integer point-in-ring refinement — the
+    // refinement is pure arithmetic, so the DuckDB oracle replays it
+    // bit-for-bit. ZonalSpec asserts the ring answer differs from the
+    // envelope answer (the refinement bites).
+    "zonal_stats_polygon" -> Q(
+      Cube.withSql(
+        s"""SELECT zone_id, count(*) AS n_cells, ${dsumSql("value")} AS sum_v
+           |FROM cells JOIN (${Cube.PolyZonesSql}) pz
+           |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+           |WHERE ${Cube.pipSql("cell_x", "cell_y")}
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
+      Cube.rasterize(Cube.cells(s, d), Cube.polyZones(s, d))
+        .filter(expr(Cube.pipSql("cell_x", "cell_y")))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
+        .orderBy("zone_id")
+    },
+
+    // true partial-coverage weights from the ring geometry: each cell is
+    // a unit square sampled on a 4×4 subcell lattice (coords scaled ×8
+    // so the point-in-ring test stays exact integer arithmetic); a
+    // cell's weight = in-ring samples / 16. The weighted mean reduces to
+    // the plain mean over in-ring SAMPLES, so the whole operator is one
+    // explode + filter + aggregation — no per-cell fraction ever
+    // materializes, and the decimal sum keeps both engines bit-equal.
+    "zonal_stats_coverage" -> Q(
+      Cube.withSql(
+        s"""SELECT zone_id,
+           |  (${dsumSql("value")} / count(*)) AS wmean_v,
+           |  CAST(count(*) AS DOUBLE) / 16 AS cov_cells
+           |FROM cells JOIN (${Cube.PolyZonesSql}) pz
+           |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+           |CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ss
+           |WHERE ${Cube.pipSql("8 * cell_x + 2 * (k % 4) + 1", "8 * cell_y + 2 * (k // 4) + 1", 8)}
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
+      Cube.rasterize(Cube.cells(s, d), Cube.polyZones(s, d))
+        .withColumn("k", explode(sequence(lit(0), lit(15))))
+        .filter(expr(Cube.pipSql(
+          "8 * cell_x + 2 * (k % 4) + 1", "8 * cell_y + 2 * (k div 4) + 1", 8)))
+        .groupBy(col("zone_id"))
+        .agg((dsum(col("value")) / count(lit(1))).as("wmean_v"),
+          (count(lit(1)).cast("double") / 16).as("cov_cells"))
+        .orderBy("zone_id")
+    },
+
+    // nodata/mask semantics: a deterministic subset of cells carries a
+    // NULL value (real cubes have nodata pixels); count(*) vs
+    // count(value) split and null-skipping stats exercise 3VL through
+    // the whole zonal path.
+    "zonal_stats_nodata" -> Q(
+      Cube.withSql(
+        s"""SELECT zone_id, count(*) AS n_cells, count(value_n) AS n_valid,
+           |  ${dsumSql("value_n")} AS sum_valid,
+           |  (${dsumSql("value_n")} / count(value_n)) AS mean_valid
+           |FROM (SELECT zone_id,
+           |        CASE WHEN (l_orderkey + l_partkey) % 7 = 0 THEN NULL ELSE value END AS value_n
+           |      ${Cube.RasterizeJoinSql})
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
+      Cube.rasterize(Cube.cells(s, d), Cube.zones(s, d))
+        .withColumn("value_n",
+          when((col("l_orderkey") + col("l_partkey")) % 7 === 0, lit(null))
+            .otherwise(col("value")))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          count(col("value_n")).as("n_valid"),
+          dsum(col("value_n")).as("sum_valid"),
+          (dsum(col("value_n")) / count(col("value_n"))).as("mean_valid"))
+        .orderBy("zone_id")
+    },
+
+    // zonal skew: one GLOBAL zone covering the whole grid is the
+    // canonical zonal hot key (a country-sized zone next to parcels) —
+    // its reducer would receive the entire cube. The salted two-stage
+    // aggregation (pattern: rel.Aggregates agg_salted) splits the hot
+    // zone across 16 deterministic salts, sums per (zone, salt), then
+    // sums the tiny per-salt partials; decimal partials keep the final
+    // double bit-equal to the unsalted oracle. ZonalSpec asserts the
+    // two-stage plan shape.
+    "zonal_skew" -> Q(
+      s"""WITH cells AS (
+         |${Cube.CellsSql}
+         |), zones AS (
+         |${Cube.ZonesSql}
+         |), zones2 AS (
+         |  SELECT zone_id, xmin, xmax, ymin, ymax FROM zones
+         |  UNION ALL SELECT 99, 0, 63, 0, 63)
+         |SELECT zone_id, count(*) AS n_cells, ${dsumSql("value")} AS sum_v
+         |FROM cells JOIN zones2
+         |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+         |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+      val giant = s.range(1).select(lit(99).as("zone_id"),
+        lit(0).as("xmin"), lit(63).as("xmax"), lit(0).as("ymin"), lit(63).as("ymax"))
+      val zones2 = Cube.zones(s, d)
+        .select("zone_id", "xmin", "xmax", "ymin", "ymax").union(giant)
+      Cube.rasterize(Cube.cells(s, d), zones2)
+        .withColumn("salt", pmod(col("cell_x") * 64 + col("cell_y"), lit(16)))
+        .groupBy(col("zone_id"), col("salt"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+        .groupBy(col("zone_id"))
+        .agg(sum(col("n")).as("n_cells"), sum(col("sv")).cast("double").as("sum_v"))
+        .orderBy("zone_id")
+    },
+
+    // multi-resolution pyramid (datacube zoom levels): ONE pass over the
+    // raw cells builds the finest level; every coarser level aggregates
+    // the level below it (64 → 16 → 4 → 1 tiles), never the cells —
+    // the rollup cost is the tile count, not the cube size. Decimal
+    // partials all the way up; cast to double only at the output.
+    "zonal_pyramid" -> Q(
+      {
+        val levels = (0 to 3).map { l =>
+          val f = 1 << (3 - l)
+          s"""SELECT $l AS level, tx // $f AS tile_x, ty // $f AS tile_y,
+             |  CAST(SUM(n) AS BIGINT) AS n_cells, CAST(SUM(sv) AS DOUBLE) AS sum_v
+             |FROM base GROUP BY tile_x, tile_y""".stripMargin
+        }.mkString("\nUNION ALL ")
+        s"""WITH cells AS (
+           |${Cube.CellsSql}
+           |), base AS (
+           |  SELECT cell_x // 8 AS tx, cell_y // 8 AS ty, count(*) AS n,
+           |    SUM(CAST(value AS DECIMAL(18,2))) AS sv
+           |  FROM cells GROUP BY tx, ty)
+           |$levels
+           |ORDER BY level, tile_x, tile_y""".stripMargin
+      }) { (s, d) =>
+      val base = Cube.cells(s, d)
+        .groupBy((col("cell_x") / 8).cast("int").as("tx"),
+          (col("cell_y") / 8).cast("int").as("ty"))
+        .agg(count(lit(1)).as("n"), sum(col("value").cast(DecimalType(18, 2))).as("sv"))
+      (0 to 3).map { l =>
+        val f = 1 << (3 - l)
+        base.groupBy((col("tx") / f).cast("int").as("tile_x"),
+            (col("ty") / f).cast("int").as("tile_y"))
+          .agg(sum(col("n")).as("n_cells"), sum(col("sv")).cast("double").as("sum_v"))
+          .select(lit(l).as("level"), col("tile_x"), col("tile_y"),
+            col("n_cells"), col("sum_v"))
+      }.reduce(_ union _).orderBy("level", "tile_x", "tile_y")
+    },
+
     "zonal_multiband" -> Q(
       Cube.withSql(
         s"""SELECT zone_id, count(*) AS n_cells,

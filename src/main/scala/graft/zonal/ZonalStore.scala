@@ -39,6 +39,14 @@ object ZonalStore {
 
   /** Disjunction over the tile pairs covered by `zonesDf` — a predicate
     * on the partition columns, so it statically prunes the tiled store.
+    *
+    * NOTE: this is the STATIC fallback and the only zonal path with a
+    * driver-side collect (bounded by |zones| × tiles-per-zone). Prefer
+    * [[prunedStatsDynamic]] — dynamic partition pruning keeps the tile
+    * set inside the plan with no collect at all; the registry's
+    * `zonal_pruned` uses it, and ExtSpec asserts the DPP expression.
+    * Keep this form only for engines/queries where DPP cannot fire
+    * (e.g. a non-broadcastable zone table).
     */
   def tilePredicate(zonesDf: DataFrame): org.apache.spark.sql.Column = {
     val tiles = Cube.zoneTiles(zonesDf).select("tile_x", "tile_y")

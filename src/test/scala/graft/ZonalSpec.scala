@@ -55,4 +55,57 @@ class ZonalSpec extends SparkSuite {
     val basic = q("zonal_stats_basic").select("zone_id", "n_cells")
     assert(hist.join(basic, "zone_id").filter(col("total") =!= col("n_cells")).count() == 0)
   }
+
+  test("polygon refinement bites: ring counts strictly inside the envelope counts") {
+    val env = q("zonal_stats_basic").select(col("zone_id"), col("n_cells").as("env_n"))
+    val ring = q("zonal_stats_polygon").select(col("zone_id"), col("n_cells").as("ring_n"))
+    val j = env.join(ring, "zone_id")
+    // never more cells than the envelope, and strictly fewer overall
+    assert(j.filter(col("ring_n") > col("env_n")).count() == 0,
+      "a ring contains cells outside its envelope")
+    val (envT, ringT) = (j.agg(sum("env_n")).head.getLong(0), j.agg(sum("ring_n")).head.getLong(0))
+    assert(ringT > 0 && ringT < envT,
+      s"polygon refinement did not bite: ring=$ringT envelope=$envT")
+  }
+
+  test("coverage weights: fractional cell area, bounded by the ring cell count") {
+    val ring = q("zonal_stats_polygon").select(col("zone_id"), col("n_cells"))
+    val cov = q("zonal_stats_coverage")
+    val j = cov.join(ring, "zone_id")
+    // covered area in cells can exceed the count of CENTER-inside cells
+    // only by boundary cells; it must stay within the envelope-level
+    // rasterized cell count and be positive
+    assert(j.filter(col("cov_cells") <= 0).count() == 0)
+    val env = q("zonal_stats_basic").select(col("zone_id"), col("n_cells").as("env_n"))
+    assert(cov.join(env, "zone_id").filter(col("cov_cells") > col("env_n")).count() == 0)
+    // fractional: at least one zone's coverage is NOT an integer cell
+    // count (boundary cells partially covered)
+    assert(cov.filter(col("cov_cells") =!= col("cov_cells").cast("long").cast("double"))
+      .count() > 0, "no fractional coverage anywhere — supersampling not biting")
+  }
+
+  test("zonal_skew: salted two-stage aggregation shape, giant zone present") {
+    val df = q("zonal_skew")
+    val rows = df.collect()
+    // the giant zone saw every cell
+    val total = Cube.cells(spark, sf).count()
+    assert(rows.find(_.getAs[Any]("zone_id").toString == "99")
+      .exists(_.getAs[Long]("n_cells") == total), "global zone missing or wrong count")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("salt"), s"salt key absent from the plan:\n${p.take(2000)}")
+    // two aggregation stages: (zone, salt) partial+final, then (zone)
+    // partial+final ⇒ ≥ 4 HashAggregate nodes
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      s"expected two-stage salted aggregation:\n${p.take(2000)}")
+  }
+
+  test("pyramid levels are consistent: every level sums to the cube total") {
+    val pyr = q("zonal_pyramid").collect()
+    val total = Cube.cells(spark, sf).count()
+    (0 to 3).foreach { l =>
+      val lv = pyr.filter(_.getInt(0) == l)
+      assert(lv.map(_.getAs[Long]("n_cells")).sum == total, s"level $l loses cells")
+    }
+    assert(pyr.count(_.getInt(0) == 0) == 1 && pyr.count(_.getInt(0) == 3) == 64)
+  }
 }
