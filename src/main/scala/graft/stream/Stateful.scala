@@ -11,6 +11,10 @@ case class Ev(event_id: Long, user_id: Long, ts: java.sql.Timestamp, value: Doub
 case class SpendOut(event_id: Long, user_id: Long, ts: java.sql.Timestamp,
     value: Double, cum_after: Double, did_reset: Boolean)
 
+/** Event row for the streaming bucket-dedup path. */
+case class DedupEv(event_id: Long, user_id: Long, event_type: String,
+    ts: java.sql.Timestamp)
+
 /** SURVEY.md §2.10 `stream_stateful` — custom per-key running state:
   * cumulative spend per user that RESETS once it crosses a cap. The
   * reset makes it inexpressible as a plain window function (the state is
@@ -114,6 +118,49 @@ object Stateful {
     import spark.implicits._
     ds.groupByKey(_.user_id)
       .transformWithState(new CappedSpendProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
+  }
+
+  /** Streaming bucket-dedup (the `stream_dedup` operator as a REAL
+    * streaming query): per (user_id, event_type), keep the first event
+    * of each 10-minute event-time bucket. Seen buckets live in
+    * ListState, so the dedup holds across micro-batches; within a batch
+    * rows fold in (µs ts, event_id) order — the same deterministic
+    * tiebreak as the batch window spelling, so the recursive oracle
+    * replays it exactly.
+    */
+  class BucketDedupProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, String), DedupEv, DedupEv] {
+    @transient private var seen: org.apache.spark.sql.streaming.ListState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getListState[Long]("seen",
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[DedupEv],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[DedupEv] = {
+      val known = scala.collection.mutable.Set.empty[Long]
+      seen.get().foreach(known += _)
+      val out = Vector.newBuilder[DedupEv]
+      rows.toSeq.sortBy(e => (micros(e.ts), e.event_id)).foreach { e =>
+        val b = Math.floorDiv(micros(e.ts), 600000000L)
+        if (!known(b)) {
+          known += b
+          seen.appendValue(b)
+          out += e
+        }
+      }
+      out.result().iterator
+    }
+  }
+
+  def bucketDedupTws(ds: Dataset[DedupEv]): Dataset[DedupEv] = {
+    val spark = ds.sparkSession
+    import spark.implicits._
+    ds.groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new BucketDedupProcessor,
         org.apache.spark.sql.streaming.TimeMode.None(), OutputMode.Append())
   }
 

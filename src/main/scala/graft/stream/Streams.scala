@@ -51,6 +51,11 @@ object Streams {
         .orderBy("win_start")
     },
 
+    // REAL streaming sessionization (promoted r3): session_window +
+    // watermark in append mode. A session is emitted once it can no
+    // longer grow — session_end ≤ final watermark (max−10min) — so the
+    // oracle is gaps-and-islands PLUS the emission filter; the open
+    // tail sessions stay in state by design (978/979 at sf0.001).
     "stream_session" -> Q(
       """WITH m AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
@@ -60,21 +65,34 @@ object Streams {
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP))),
         |s AS (SELECT user_id, ts,
         |        sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
-        |      FROM m)
+        |      FROM m),
+        |wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w FROM events)
         |SELECT user_id, min(ts) AS session_start,
         |  max(ts) + INTERVAL 10 MINUTE AS session_end, count(*) AS n_events
-        |FROM s GROUP BY user_id, sid
+        |FROM s CROSS JOIN wm GROUP BY user_id, sid, w
+        |HAVING max(ts) + INTERVAL 10 MINUTE <= w
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-      // session_window(gap) in batch == gaps-and-islands; Spark's session
-      // end is last event + gap, mirrored in the oracle
-      Tables.events(s, d)
-        .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
-        .agg(count(lit(1)).as("n_events"))
-        .select(col("user_id"), col("session_window.start").as("session_start"),
-          col("session_window.end").as("session_end"), col("n_events"))
-        .orderBy("user_id", "session_start")
+      Runner.runToTable(s, "graft_sess_out") {
+        Runner.eventsStream(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("session_window.start").as("session_start"),
+            col("session_window.end").as("session_end"), col("n_events"))
+          .writeStream.format("memory").queryName("graft_sess_out")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      }.orderBy("user_id", "session_start")
     },
 
+    // REAL streaming watermark semantics (promoted r3): file source →
+    // withWatermark → windowed count → append-mode memory sink,
+    // Trigger.AvailableNow. The one data batch advances the watermark
+    // to max−10min and the trailing no-data batch flushes every window
+    // with end ≤ watermark — exactly the oracle's closed-window set
+    // (verified: 935/936 windows at sf0.001, the open tail held back).
+    // Late-row DROP behavior (needs ≥2 batches) stays in StreamSpec via
+    // MemoryStream.
     "stream_watermark" -> Q(
       s"""WITH wm AS (SELECT max(CAST(ts AS TIMESTAMP)) - INTERVAL 10 MINUTE AS w FROM events)
          |SELECT $winStartSql AS win_start, count(*) AS n
@@ -82,19 +100,23 @@ object Streams {
          |GROUP BY win_start, w
          |HAVING win_start + INTERVAL 5 MINUTE <= w
          |ORDER BY win_start""".stripMargin) { (s, d) =>
-      // batch rendering of watermark semantics: only windows fully below
-      // (max event time − delay) are "closed" and emitted — what append
-      // mode would have produced; the actual late-drop behavior runs in
-      // StreamSpec via MemoryStream
-      val ev = Tables.events(s, d)
-      val wm = ev.agg((max(col("ts")) - expr("INTERVAL 10 MINUTE")).as("w"))
-      ev.groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
-        .crossJoin(broadcast(wm))
-        .filter(col("window.end") <= col("w"))
-        .select(col("window.start").as("win_start"), col("n"))
-        .orderBy("win_start")
+      Runner.runToTable(s, "graft_wm_out") {
+        Runner.eventsStream(s, d)
+          .withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
+          .select(col("window.start").as("win_start"), col("n"))
+          .writeStream.format("memory").queryName("graft_wm_out")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      }.orderBy("win_start")
     },
 
+    // REAL streaming stateful dedup (promoted r3): keep the first
+    // (user, type) event per 10-minute event-time bucket, run as a
+    // transformWithState query — seen buckets live in ListState (RocksDB)
+    // and survive across micro-batches; rows fold per key in
+    // (µs ts, event_id) order, so the result equals the batch window
+    // spelling and shares its oracle.
     "stream_dedup" -> Q(
       """SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM (
         |  SELECT event_id, user_id, event_type, ts,
@@ -103,17 +125,15 @@ object Streams {
         |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY event_id""".stripMargin) { (s, d) =>
-      // batch rendering of dropDuplicatesWithinWatermark: keep the first
-      // (user, type) event per 10-minute bucket, deterministic tiebreak
-      val w = Window
-        .partitionBy(col("user_id"), col("event_type"),
-          (unix_timestamp(col("ts")) / 600).cast("long"))
-        .orderBy(col("ts"), col("event_id"))
-      Tables.events(s, d)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select("event_id", "user_id", "event_type", "ts")
-        .orderBy("event_id")
+      import s.implicits._
+      val ev = Runner.eventsStream(s, d)
+        .select("event_id", "user_id", "event_type", "ts").as[DedupEv]
+      Runner.runToTable(s, "graft_dedup_out", rocksdb = true) {
+        Stateful.bucketDedupTws(ev)
+          .writeStream.format("memory").queryName("graft_dedup_out")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      }.orderBy("event_id")
     },
 
     "stream_static_join" -> Q(
