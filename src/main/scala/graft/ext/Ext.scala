@@ -20,7 +20,8 @@ object Ext {
     "cosine_sim" -> (es => CosineSimilarity(es(0), es(1))),
     "byte_stats" -> (es => ByteStats(es.head)),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
-    "poly_hash" -> (es => PolyHash(es.head)))
+    "poly_hash" -> (es => PolyHash(es.head)),
+    "point_in_quad" -> (es => PointInQuad(es)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -158,4 +158,16 @@ object Cube {
     }.mkString(" + ")
     s"(($crossings) % 2 = 1)"
   }
+
+  /** Spark-side pip: the codegen'd [[graft.ext.PointInQuad]] expression
+    * (callers Ext.register first). Same semantics as [[pipSql]] — which
+    * stays the DuckDB oracle spelling — but compiles to one call into a
+    * tight static loop instead of a composed expression tree whose
+    * generated method would blow past the JIT's huge-method limit
+    * (ExtSpec asserts the two spellings agree on every grid point).
+    */
+  def pipExpr(px: String, py: String, scale: Int = 1): String = {
+    val vs = (0 until 4).flatMap(i => Seq(s"$scale * vx$i", s"$scale * vy$i"))
+    s"point_in_quad($px, $py, ${vs.mkString(", ")})"
+  }
 }

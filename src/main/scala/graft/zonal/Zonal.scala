@@ -207,8 +207,9 @@ object Zonal {
            |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
            |WHERE ${Cube.pipSql("cell_x", "cell_y")}
            |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
+      graft.ext.Ext.register(s)
       Cube.rasterize(Cube.cells(s, d), Cube.polyZones(s, d))
-        .filter(expr(Cube.pipSql("cell_x", "cell_y")))
+        .filter(expr(Cube.pipExpr("cell_x", "cell_y")))
         .groupBy(col("zone_id"))
         .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
         .orderBy("zone_id")
@@ -231,9 +232,10 @@ object Zonal {
            |CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) ss
            |WHERE ${Cube.pipSql("8 * cell_x + 2 * (k % 4) + 1", "8 * cell_y + 2 * (k // 4) + 1", 8)}
            |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
+      graft.ext.Ext.register(s)
       Cube.rasterize(Cube.cells(s, d), Cube.polyZones(s, d))
         .withColumn("k", explode(sequence(lit(0), lit(15))))
-        .filter(expr(Cube.pipSql(
+        .filter(expr(Cube.pipExpr(
           "8 * cell_x + 2 * (k % 4) + 1", "8 * cell_y + 2 * (k div 4) + 1", 8)))
         .groupBy(col("zone_id"))
         .agg((dsum(col("value")) / count(lit(1))).as("wmean_v"),

@@ -50,6 +50,23 @@ class ExtSpec extends SparkSuite {
     assert(graft.ext.PolyHash(Literal("ab cd")).eval(null) == 92534976L)
   }
 
+  test("point_in_quad expression ≡ the composed pipSql predicate on every grid point") {
+    graft.ext.Ext.register(spark)
+    // all zones × all 64×64 grid points, both spellings side by side
+    val pts = spark.range(64).selectExpr("CAST(id AS INT) AS gx")
+      .crossJoin(spark.range(64).selectExpr("CAST(id AS INT) AS gy"))
+    val z = Cube.polyZones(spark, sf).crossJoin(pts)
+    val both = z.selectExpr(
+      s"${Cube.pipExpr("gx", "gy")} AS fast",
+      s"${Cube.pipSql("gx", "gy")} AS slow")
+    assert(both.filter(col("fast") =!= col("slow")).count() == 0)
+    // and on the ×8 lattice used by the coverage supersampler
+    val both8 = z.selectExpr(
+      s"${Cube.pipExpr("8 * gx + 1", "8 * gy + 1", 8)} AS fast",
+      s"${Cube.pipSql("8 * gx + 1", "8 * gy + 1", 8)} AS slow")
+    assert(both8.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
   test("byte_stats matches hand-computed values") {
     Ext.register(spark)
     val r = Seq("abc").toDF("s")
