@@ -135,6 +135,42 @@ object Dedup {
        |           i -> t[i] || ' ' || t[i + 1])) AS bg FROM toks WHERE len(t) >= 2)""".stripMargin
   }
 
+  /** Banded-MinHash candidate pairs with exact Jaccard (unrounded):
+    * ONE signature pass, bucket-collect pair enumeration inside
+    * LSH-bounded signature buckets, then the codegen'd sorted-merge
+    * intersection on candidates only. Shared by `dedup_ngram_jaccard`
+    * and `dedup_text_cluster`. Output: (doc_id1, doc_id2, jaccard).
+    */
+  def arithCandJaccard(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.ext.Ext.register(s)
+    val docs = Tables.documents(s, d)
+    val cand = arithMinhash(docs)
+      .selectExpr("doc_id", ArithBandStackExpr)
+      .groupBy("band", "bh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> struct(element_at(ids, i) AS doc_id1, element_at(ids, j) AS doc_id2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_id1"), col("p.doc_id2"))
+      .distinct()
+    val bg = docs
+      .withColumn("t", split(lower(col("text")), " "))
+      .filter(size(col("t")) >= 2)
+      .withColumn("bg", sort_array(array_distinct(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))))
+      .select(col("doc_id"), col("bg"))
+    val inter = expr("sorted_intersect_count(a_bg, b_bg)")
+    cand
+      .join(bg.select(col("doc_id").as("doc_id1"), col("bg").as("a_bg")), "doc_id1")
+      .join(bg.select(col("doc_id").as("doc_id2"), col("bg").as("b_bg")), "doc_id2")
+      .select(col("doc_id1"), col("doc_id2"),
+        (inter.cast("double")
+          / (size(col("a_bg")) + size(col("b_bg")) - inter)).as("jaccard"))
+  }
+
   /** Distributed connected components over `nodes` (one `node` column,
     * ids orderable) and `edges` (`x` → `y`, BOTH directions present).
     *
@@ -253,35 +289,48 @@ object Dedup {
       // candidate pairs. Bigram sets are sorted ONCE per document so
       // the per-pair intersection is a zero-allocation codegen'd merge
       // (ext.SortedIntersectCount) instead of interpreted array_intersect.
-      graft.ext.Ext.register(s)
-      val docs = Tables.documents(s, d)
-      val cand = arithMinhash(docs)
-        .selectExpr("doc_id", ArithBandStackExpr)
-        .groupBy("band", "bh")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-            |  i -> transform(sequence(i + 1, size(ids)),
-            |    j -> struct(element_at(ids, i) AS doc_id1, element_at(ids, j) AS doc_id2))))""".stripMargin))
-          .as("p"))
-        .select(col("p.doc_id1"), col("p.doc_id2"))
-        .distinct()
-      val bg = docs
-        .withColumn("t", split(lower(col("text")), " "))
-        .filter(size(col("t")) >= 2)
-        .withColumn("bg", sort_array(array_distinct(expr(
-          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))))
-        .select(col("doc_id"), col("bg"))
-      val inter = expr("sorted_intersect_count(a_bg, b_bg)")
-      cand
-        .join(bg.select(col("doc_id").as("doc_id1"), col("bg").as("a_bg")), "doc_id1")
-        .join(bg.select(col("doc_id").as("doc_id2"), col("bg").as("b_bg")), "doc_id2")
-        .select(col("doc_id1"), col("doc_id2"),
-          round(inter.cast("double")
-            / (size(col("a_bg")) + size(col("b_bg")) - inter), 6).as("jaccard"))
+      arithCandJaccard(s, d)
+        .select(col("doc_id1"), col("doc_id2"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("doc_id1"), col("doc_id2"))
         .limit(100)
+    },
+
+    // duplicate clusters over TEXT (the MinHash twin of dedup_cluster,
+    // fully oracle-checked because every stage — poly_hash signatures,
+    // banded candidates, exact Jaccard, transitive closure — has a
+    // DuckDB twin): edges = candidate pairs with Jaccard ≥ 0.5,
+    // components via [[connectedComponents]], singletons dropped.
+    "dedup_text_cluster" -> Q(
+      s"""WITH RECURSIVE $ArithCandSql,
+         |near AS (
+         |  SELECT doc_id1 AS x, doc_id2 AS y
+         |  FROM cand JOIN sets sx ON doc_id1 = sx.doc_id
+         |            JOIN sets sy ON doc_id2 = sy.doc_id
+         |  WHERE CAST(len(list_intersect(sx.bg, sy.bg)) AS DOUBLE)
+         |        / (len(sx.bg) + len(sy.bg) - len(list_intersect(sx.bg, sy.bg))) >= 0.5),
+         |edges AS (SELECT x, y FROM near UNION ALL SELECT y AS x, x AS y FROM near),
+         |reach AS (
+         |  SELECT doc_id AS node, doc_id AS root FROM documents
+         |  UNION
+         |  SELECT e.y AS node, reach.root FROM reach JOIN edges e ON reach.node = e.x),
+         |comp AS (SELECT node, min(root) AS comp_id FROM reach GROUP BY node)
+         |SELECT comp_id, count(*) AS n_members,
+         |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+         |FROM comp GROUP BY comp_id HAVING count(*) >= 2
+         |ORDER BY comp_id""".stripMargin) { (s, d) =>
+      val pairs = arithCandJaccard(s, d)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_id1").as("x"), col("doc_id2").as("y"))
+      val edges = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+      connectedComponents(
+          Tables.documents(s, d).select(col("doc_id").as("node")), edges)
+        .groupBy(col("comp").as("comp_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sort_array(collect_list(col("node"))).as("ms"))
+        .filter(col("n_members") >= 2)
+        .select(col("comp_id"), col("n_members"),
+          expr("concat_ws(',', transform(ms, x -> cast(x AS string)))").as("members"))
+        .orderBy("comp_id")
     },
 
     // duplicate CLUSTERS, not just pairs: connected components over the

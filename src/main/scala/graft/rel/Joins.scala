@@ -158,6 +158,35 @@ object Joins {
         .orderBy(col("s_suppkey"), col("c_custkey"))
     },
 
+    // band join (|x − y| ≤ δ): the 100 TB spelling of a proximity
+    // inequality join. Bucket both sides at width δ; each right row
+    // probes its bucket and both neighbors (three equi-keys), then the
+    // exact predicate filters — candidates per row are bounded by three
+    // bucket occupancies, never the block size, and the join is a pure
+    // hash/sort-merge equi-join (PlanShapeSpec asserts no NLJ). The
+    // oracle is the plain range-predicate spelling — same result set.
+    "join_band" -> Q(
+      """SELECT a.c_custkey AS id1, b.c_custkey AS id2, a.c_nationkey AS nation,
+        |  a.c_acctbal AS bal1, b.c_acctbal AS bal2
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |  AND abs(a.c_acctbal - b.c_acctbal) <= 5
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val c = Tables.customer(s, d).select("c_custkey", "c_nationkey", "c_acctbal")
+      val a = c.withColumn("bucket", floor(col("c_acctbal") / 5.0).cast("long"))
+      val b = c.withColumn("b0", floor(col("c_acctbal") / 5.0).cast("long"))
+        .withColumn("bucket", explode(expr("array(b0 - 1, b0, b0 + 1)")))
+      a.as("a").join(b.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey")
+            && col("a.bucket") === col("b.bucket")
+            && col("a.c_custkey") < col("b.c_custkey")
+            && abs(col("a.c_acctbal") - col("b.c_acctbal")) <= 5)
+        .select(col("a.c_custkey").as("id1"), col("b.c_custkey").as("id2"),
+          col("a.c_nationkey").as("nation"),
+          col("a.c_acctbal").as("bal1"), col("b.c_acctbal").as("bal2"))
+        .orderBy("id1", "id2")
+    },
+
     "join_interval" -> Q(
       s"""SELECT $liKeySql, o_orderdate, l_shipdate FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey

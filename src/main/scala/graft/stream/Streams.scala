@@ -136,6 +136,43 @@ object Streams {
       }.orderBy("event_id")
     },
 
+    // REAL stream-stream inner join (r3): two file-source streams over
+    // the same events table (clicks / purchases), watermarked on both
+    // sides, joined on user with an event-time range — the range bounds
+    // each side's state retention (watermark + 30 min) so state never
+    // grows unboundedly. Inner-join emission is match-time (not
+    // watermark-gated), so the append output equals the batch join: the
+    // oracle is the plain range-join spelling.
+    "stream_stream_join" -> Q(
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+        |  CAST(c.ts AS TIMESTAMP) AS click_ts, CAST(p.ts AS TIMESTAMP) AS purchase_ts
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND CAST(p.ts AS TIMESTAMP) >= CAST(c.ts AS TIMESTAMP)
+        |  AND CAST(p.ts AS TIMESTAMP) <= CAST(c.ts AS TIMESTAMP) + INTERVAL 30 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+      val clicks = Runner.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = Runner.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      Runner.runToTable(s, "graft_ssj_out") {
+        clicks.join(purchases,
+            col("user_id") === col("p_user")
+              && col("purchase_ts") >= col("click_ts")
+              && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTE"))
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            col("click_ts"), col("purchase_ts"))
+          .writeStream.format("memory").queryName("graft_ssj_out")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      }.orderBy("click_id", "purchase_id")
+    },
+
     "stream_static_join" -> Q(
       """SELECT event_id, user_id, c_name, c_mktsegment, event_type FROM events
         |JOIN customer ON user_id = c_custkey

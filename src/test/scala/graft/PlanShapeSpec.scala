@@ -228,6 +228,9 @@ class PlanShapeSpec extends SparkSuite {
     // aggregation (group on band/bh), not a self-join
     val p = joins("dedup_ngram_jaccard")
     assert(p.contains("bh#"), s"ngram candidates not keyed by minhash band:\n${p.take(3000)}")
+    // band join: |x−y| ≤ δ planned as a bucket equi-join, not NLJ
+    val pb = joins("join_band")
+    assert(pb.contains("bucket#"), s"band join not keyed by the δ-bucket:\n${pb.take(3000)}")
   }
 
   test("asof join shuffles once on the partition key (no join at all)") {
