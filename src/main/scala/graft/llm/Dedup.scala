@@ -107,6 +107,14 @@ object Dedup {
     s"stack($nb, $args) AS (band, bh)"
   }
 
+  /** DuckDB twin of [[graft.ext.PolyHash]] over a column named `e`
+    * (must be a plain column reference — it is indexed per character).
+    */
+  def polyHashSql(e: String): String =
+    s"list_reduce([CAST(0 AS BIGINT)] || " +
+      s"list_transform(generate_series(1, length($e)), i -> CAST(unicode($e[i]) AS BIGINT)), " +
+      s"(a, c) -> (a * 31 + c) % $HashMod)"
+
   /** DuckDB twins of the whole candidate pipeline as WITH-clause CTEs:
     * `toks`, `bgs`, `hs` (poly_hash twin), `sig`, `bands`,
     * `cand(doc_id1, doc_id2)`, `sets` (distinct bigram sets).
@@ -122,9 +130,7 @@ object Dedup {
        |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
        |    i -> t[i] || ' ' || t[i + 1])) AS bg
        |  FROM toks WHERE len(t) >= 2),
-       |hs AS (SELECT doc_id, list_reduce([CAST(0 AS BIGINT)] ||
-       |    list_transform(generate_series(1, length(bg)), i -> CAST(unicode(bg[i]) AS BIGINT)),
-       |    (a, c) -> (a * 31 + c) % $HashMod) AS h FROM bgs),
+       |hs AS (SELECT doc_id, ${polyHashSql("bg")} AS h FROM bgs),
        |sig AS (SELECT doc_id, $perms FROM hs GROUP BY doc_id),
        |bands AS (
        |  $bands),
@@ -133,6 +139,36 @@ object Dedup {
        |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |sets AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 1),
        |           i -> t[i] || ' ' || t[i + 1])) AS bg FROM toks WHERE len(t) >= 2)""".stripMargin
+  }
+
+  /** CTE chain `…, near, edges, reach, comp` for the TEXT near-dup
+    * closure (Jaccard ≥ 0.5 on banded-minhash candidates) — callers
+    * prefix `WITH RECURSIVE`. Shared by `dedup_text_cluster` and
+    * `pipeline_dedup_keep_best`.
+    */
+  val TextCompSql: String =
+    s"""$ArithCandSql,
+       |near AS (
+       |  SELECT doc_id1 AS x, doc_id2 AS y
+       |  FROM cand JOIN sets sx ON doc_id1 = sx.doc_id
+       |            JOIN sets sy ON doc_id2 = sy.doc_id
+       |  WHERE CAST(len(list_intersect(sx.bg, sy.bg)) AS DOUBLE)
+       |        / (len(sx.bg) + len(sy.bg) - len(list_intersect(sx.bg, sy.bg))) >= 0.5),
+       |edges AS (SELECT x, y FROM near UNION ALL SELECT y AS x, x AS y FROM near),
+       |reach AS (
+       |  SELECT doc_id AS node, doc_id AS root FROM documents
+       |  UNION
+       |  SELECT e.y AS node, reach.root FROM reach JOIN edges e ON reach.node = e.x),
+       |comp AS (SELECT node, min(root) AS comp_id FROM reach GROUP BY node)""".stripMargin
+
+  /** Spark twin of [[TextCompSql]]: (node, comp) labels over documents. */
+  def textClusters(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val pairs = arithCandJaccard(s, d)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_id1").as("x"), col("doc_id2").as("y"))
+    val edges = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+    connectedComponents(
+      Tables.documents(s, d).select(col("doc_id").as("node")), edges)
   }
 
   /** Banded-MinHash candidate pairs with exact Jaccard (unrounded):
@@ -301,35 +337,55 @@ object Dedup {
     // DuckDB twin): edges = candidate pairs with Jaccard ≥ 0.5,
     // components via [[connectedComponents]], singletons dropped.
     "dedup_text_cluster" -> Q(
-      s"""WITH RECURSIVE $ArithCandSql,
-         |near AS (
-         |  SELECT doc_id1 AS x, doc_id2 AS y
-         |  FROM cand JOIN sets sx ON doc_id1 = sx.doc_id
-         |            JOIN sets sy ON doc_id2 = sy.doc_id
-         |  WHERE CAST(len(list_intersect(sx.bg, sy.bg)) AS DOUBLE)
-         |        / (len(sx.bg) + len(sy.bg) - len(list_intersect(sx.bg, sy.bg))) >= 0.5),
-         |edges AS (SELECT x, y FROM near UNION ALL SELECT y AS x, x AS y FROM near),
-         |reach AS (
-         |  SELECT doc_id AS node, doc_id AS root FROM documents
-         |  UNION
-         |  SELECT e.y AS node, reach.root FROM reach JOIN edges e ON reach.node = e.x),
-         |comp AS (SELECT node, min(root) AS comp_id FROM reach GROUP BY node)
+      s"""WITH RECURSIVE $TextCompSql
          |SELECT comp_id, count(*) AS n_members,
          |  string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
          |FROM comp GROUP BY comp_id HAVING count(*) >= 2
          |ORDER BY comp_id""".stripMargin) { (s, d) =>
-      val pairs = arithCandJaccard(s, d)
-        .filter(col("jaccard") >= 0.5)
-        .select(col("doc_id1").as("x"), col("doc_id2").as("y"))
-      val edges = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
-      connectedComponents(
-          Tables.documents(s, d).select(col("doc_id").as("node")), edges)
+      textClusters(s, d)
         .groupBy(col("comp").as("comp_id"))
         .agg(count(lit(1)).as("n_members"),
           sort_array(collect_list(col("node"))).as("ms"))
         .filter(col("n_members") >= 2)
         .select(col("comp_id"), col("n_members"),
           expr("concat_ws(',', transform(ms, x -> cast(x AS string)))").as("members"))
+        .orderBy("comp_id")
+    },
+
+    // the survivor-selection end of the dedup pipeline: within each
+    // multi-member near-dup cluster keep the doc with the most distinct
+    // tokens (tiebreak min doc_id) — the "keep best, drop the rest"
+    // rule every training-data pipeline applies after clustering.
+    "pipeline_dedup_keep_best" -> Q(
+      s"""WITH RECURSIVE $TextCompSql,
+         |q AS (SELECT doc_id, len(list_distinct(string_split(lower(text), ' '))) AS n_uniq
+         |      FROM documents),
+         |sizes AS (SELECT comp_id, count(*) AS n_members FROM comp
+         |          GROUP BY comp_id HAVING count(*) >= 2),
+         |ranked AS (
+         |  SELECT s.comp_id, s.n_members, c.node, q.n_uniq,
+         |    row_number() OVER (PARTITION BY s.comp_id ORDER BY q.n_uniq DESC, c.node) AS rk
+         |  FROM sizes s JOIN comp c ON s.comp_id = c.comp_id
+         |               JOIN q ON q.doc_id = c.node)
+         |SELECT comp_id, node AS keep_id, n_uniq AS keep_n_uniq,
+         |  n_members - 1 AS n_dropped
+         |FROM ranked WHERE rk = 1 ORDER BY comp_id""".stripMargin) { (s, d) =>
+      val labels = textClusters(s, d)
+      val quality = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(array_distinct(split(lower(col("text")), " "))).as("n_uniq"))
+      val members = labels.join(quality, labels("node") === quality("doc_id"))
+        .select(col("comp").as("comp_id"), col("node"), col("n_uniq"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("comp_id").orderBy(col("n_uniq").desc, col("node"))
+      members
+        .withColumn("n_members", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("comp_id")))
+        .filter(col("n_members") >= 2)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("comp_id"), col("node").as("keep_id"),
+          col("n_uniq").as("keep_n_uniq"), (col("n_members") - 1).as("n_dropped"))
         .orderBy("comp_id")
     },
 

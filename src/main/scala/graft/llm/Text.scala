@@ -216,6 +216,30 @@ object Text {
         .orderBy("id1", "id2")
     },
 
+    // deterministic train/val/test hash-split (80/10/10): the bucket is
+    // a pure function of doc_id via the engine-portable poly_hash, so
+    // the assignment is reproducible on any engine, any partitioning,
+    // any corpus size — the standard way LLM pipelines keep splits
+    // stable across reprocessing runs. Per-row assignment is
+    // embarrassingly parallel; the output here is the split summary.
+    "split_hash" -> Q(
+      s"""SELECT split, count(*) AS n_docs, min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM (SELECT doc_id,
+         |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |      FROM (SELECT doc_id, ${graft.llm.Dedup.polyHashSql("ds")} % 100 AS b
+         |            FROM (SELECT doc_id, CAST(doc_id AS VARCHAR) AS ds FROM documents)))
+         |GROUP BY split ORDER BY split""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      Tables.documents(s, d)
+        .withColumn("b", expr("poly_hash(cast(doc_id AS string)) % 100"))
+        .withColumn("split",
+          when(col("b") < 80, "train").when(col("b") < 90, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("split")
+    },
+
     "text_fingerprint" -> Q(
       """SELECT doc_id,
         |  md5(text) AS content_fp,

@@ -11,7 +11,7 @@ class RelSpec extends SparkSuite {
     // synthetic data has no near-dups / fuzzy matches / close-balance
     // pairs / multi-doc text clusters at the tiny SF
     val allowEmpty = Set("dedup_minhash_pairs", "text_fuzzy_match",
-      "join_band", "dedup_text_cluster")
+      "join_band", "dedup_text_cluster", "pipeline_dedup_keep_best")
     SparkEntry.registry.foreach { case (name, qd) =>
       val n = qd.build(spark, sf).count()
       assert(allowEmpty.contains(name) || n > 0, s"$name returned 0 rows")
