@@ -161,14 +161,25 @@ object Dedup {
        |  SELECT e.y AS node, reach.root FROM reach JOIN edges e ON reach.node = e.x),
        |comp AS (SELECT node, min(root) AS comp_id FROM reach GROUP BY node)""".stripMargin
 
+  // memoized per (session, dir): the CC fixpoint materializes its result
+  // via localCheckpoint anyway, so consumers (dedup_text_cluster,
+  // pipeline_dedup_keep_best) can share one run instead of re-running
+  // the minhash + closure loop. Stopped sessions are evicted like
+  // Tables.load.
+  private val textClustersCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+
   /** Spark twin of [[TextCompSql]]: (node, comp) labels over documents. */
   def textClusters(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val pairs = arithCandJaccard(s, d)
-      .filter(col("jaccard") >= 0.5)
-      .select(col("doc_id1").as("x"), col("doc_id2").as("y"))
-    val edges = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
-    connectedComponents(
-      Tables.documents(s, d).select(col("doc_id").as("node")), edges)
+    textClustersCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    textClustersCache.computeIfAbsent((s, d), { _ =>
+      val pairs = arithCandJaccard(s, d)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("doc_id1").as("x"), col("doc_id2").as("y"))
+      val edges = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+      connectedComponents(
+        Tables.documents(s, d).select(col("doc_id").as("node")), edges)
+    })
   }
 
   /** Banded-MinHash candidate pairs with exact Jaccard (unrounded):

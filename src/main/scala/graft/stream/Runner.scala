@@ -31,26 +31,39 @@ object Runner {
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** Start the writer, wait for termination, return the memory-sink
-    * table. When `rocksdb` is set the state-store provider conf is
-    * scoped to THIS query (saved/restored around the run) — a later
-    * streaming query in the same session must not silently inherit a
-    * different state-store backend.
+    * table. Conf mutations are scoped to THIS query (saved/restored
+    * around the run) — a later streaming query in the same session must
+    * not silently inherit a different state-store backend or fan-out:
+    *   - `rocksdb` switches the state-store provider;
+    *   - `statePartitions` bounds `spark.sql.shuffle.partitions` for the
+    *     run: a streaming query pins its state fan-out at first start,
+    *     and every micro-batch commits one state file per partition, so
+    *     a stateful query over a small keyspace pays 32×(sides) commit
+    *     overheads it never needs. (On a real cluster, size this to the
+    *     key cardinality, not the core count.)
     */
-  def runToTable(s: SparkSession, table: String, rocksdb: Boolean = false)(
+  def runToTable(s: SparkSession, table: String, rocksdb: Boolean = false,
+      statePartitions: Option[Int] = None)(
       mk: => DataStreamWriter[_]): DataFrame = {
-    val prev = if (rocksdb) {
+    val prevProvider = if (rocksdb) {
       val p = s.conf.getOption(ProviderKey)
       s.conf.set(ProviderKey, RocksDb)
       Some(p)
     } else None
+    val prevParts = statePartitions.map { n =>
+      val p = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      p
+    }
     try {
       val q = mk.start()
       q.awaitTermination()
     } finally {
-      prev.foreach {
+      prevProvider.foreach {
         case Some(v) => s.conf.set(ProviderKey, v)
         case None    => s.conf.unset(ProviderKey)
       }
+      prevParts.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
     }
     s.table(table)
   }

@@ -72,7 +72,7 @@ object Streams {
         |FROM s CROSS JOIN wm GROUP BY user_id, sid, w
         |HAVING max(ts) + INTERVAL 10 MINUTE <= w
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-      Runner.runToTable(s, "graft_sess_out") {
+      Runner.runToTable(s, "graft_sess_out", statePartitions = Some(8)) {
         Runner.eventsStream(s, d)
           .withWatermark("ts", "10 minutes")
           .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
@@ -100,7 +100,7 @@ object Streams {
          |GROUP BY win_start, w
          |HAVING win_start + INTERVAL 5 MINUTE <= w
          |ORDER BY win_start""".stripMargin) { (s, d) =>
-      Runner.runToTable(s, "graft_wm_out") {
+      Runner.runToTable(s, "graft_wm_out", statePartitions = Some(8)) {
         Runner.eventsStream(s, d)
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
@@ -128,7 +128,7 @@ object Streams {
       import s.implicits._
       val ev = Runner.eventsStream(s, d)
         .select("event_id", "user_id", "event_type", "ts").as[DedupEv]
-      Runner.runToTable(s, "graft_dedup_out", rocksdb = true) {
+      Runner.runToTable(s, "graft_dedup_out", rocksdb = true, statePartitions = Some(8)) {
         Stateful.bucketDedupTws(ev)
           .writeStream.format("memory").queryName("graft_dedup_out")
           .outputMode("append")
@@ -160,7 +160,7 @@ object Streams {
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
           col("ts").as("purchase_ts"))
         .withWatermark("purchase_ts", "10 minutes")
-      Runner.runToTable(s, "graft_ssj_out") {
+      Runner.runToTable(s, "graft_ssj_out", statePartitions = Some(8)) {
         clicks.join(purchases,
             col("user_id") === col("p_user")
               && col("purchase_ts") >= col("click_ts")
@@ -206,7 +206,7 @@ object Streams {
       import s.implicits._
       val ev = Runner.eventsStream(s, d)
         .select("event_id", "user_id", "ts", "value").as[Ev]
-      Runner.runToTable(s, "graft_tws_out", rocksdb = true) {
+      Runner.runToTable(s, "graft_tws_out", rocksdb = true, statePartitions = Some(8)) {
         Stateful.cappedSpendTws(ev)
           .writeStream.format("memory").queryName("graft_tws_out")
           .outputMode("append")
