@@ -186,6 +186,69 @@ object Streams {
         .orderBy("event_id")
     },
 
+    // classic event-pipeline funnel: view → click → purchase in temporal
+    // order per user (each stage's anchor = first qualifying event at or
+    // after the previous stage's anchor). Three hash aggregations + two
+    // broadcast-scale joins — no window over the full event stream, so
+    // the plan is shuffle-light at any event volume.
+    "events_funnel" -> Q(
+      """WITH fv AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS v
+        |            FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |fc AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS c
+        |       FROM events e JOIN fv ON e.user_id = fv.user_id
+        |       WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= fv.v
+        |       GROUP BY e.user_id),
+        |fp AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS p
+        |       FROM events e JOIN fc ON e.user_id = fc.user_id
+        |       WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= fc.c
+        |       GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM fv) AS n_view,
+        |       (SELECT count(*) FROM fc) AS n_view_click,
+        |       (SELECT count(*) FROM fp) AS n_full_funnel""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val fv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("v"))
+      val fc = ev.filter(col("event_type") === "click")
+        .join(fv, "user_id").filter(col("ts") >= col("v"))
+        .groupBy("user_id").agg(min("ts").as("c"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fc, "user_id").filter(col("ts") >= col("c"))
+        .groupBy("user_id").agg(min("ts").as("p"))
+      fv.agg(count(lit(1)).as("n_view"))
+        .crossJoin(fc.agg(count(lit(1)).as("n_view_click")))
+        .crossJoin(fp.agg(count(lit(1)).as("n_full_funnel")))
+    },
+
+    // cohort retention: users bucketed by first-seen hour, retention =
+    // any activity exactly 1/2 hours later. The distinct-activity set
+    // and the cohort table are both per-user aggregates — two shuffles
+    // total regardless of event volume.
+    "events_retention" -> Q(
+      """WITH f AS (SELECT user_id, date_trunc('hour', min(CAST(ts AS TIMESTAMP))) AS cohort
+        |           FROM events GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events),
+        |r AS (SELECT f.user_id, f.cohort,
+        |        max(CASE WHEN act.h = f.cohort + INTERVAL 1 HOUR THEN 1 ELSE 0 END) AS ret1,
+        |        max(CASE WHEN act.h = f.cohort + INTERVAL 2 HOUR THEN 1 ELSE 0 END) AS ret2
+        |      FROM f JOIN act ON f.user_id = act.user_id
+        |      GROUP BY f.user_id, f.cohort)
+        |SELECT cohort, count(*) AS n_users,
+        |  CAST(SUM(ret1) AS BIGINT) AS n_ret_1h, CAST(SUM(ret2) AS BIGINT) AS n_ret_2h
+        |FROM r GROUP BY cohort ORDER BY cohort""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val f = ev.groupBy("user_id")
+        .agg(date_trunc("hour", min("ts")).as("cohort"))
+      val act = ev.select(col("user_id"), date_trunc("hour", col("ts")).as("h")).distinct()
+      f.join(act, "user_id")
+        .groupBy(col("user_id"), col("cohort"))
+        .agg(max(when(col("h") === col("cohort") + expr("INTERVAL 1 HOUR"), 1).otherwise(0)).as("ret1"),
+          max(when(col("h") === col("cohort") + expr("INTERVAL 2 HOUR"), 1).otherwise(0)).as("ret2"))
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n_users"),
+          sum("ret1").as("n_ret_1h"), sum("ret2").as("n_ret_2h"))
+        .orderBy("cohort")
+    },
+
     // batch twin of the custom-state operator (capped running spend with
     // reset); the streaming twins (flatMapGroupsWithState +
     // transformWithState) are equivalence-tested in StreamSpec. The fold

@@ -78,4 +78,66 @@ object Props extends Properties("graft") {
         .filter(col("rn") <= k).drop("rn")
       native.exceptAll(viaWin).isEmpty && viaWin.exceptAll(native).isEmpty
     }
+
+  private val graphGen: Gen[(Int, List[(Int, Int)])] = for {
+    n <- Gen.choose(2, 30)
+    m <- Gen.choose(0, 40)
+    es <- Gen.listOfN(m, Gen.zip(Gen.choose(0, n - 1), Gen.choose(0, n - 1)))
+  } yield (n, es.filter { case (a, b) => a != b })
+
+  property("connectedComponents ≡ driver-side union-find on random graphs") =
+    forAll(graphGen) { case (n, es) =>
+      val s = spark
+      import s.implicits._
+      // reference: classic union-find with path compression
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id canonical labels
+      val want = (0 until n).map { i =>
+        i.toLong -> (0 until n).filter(j => find(j) == find(i)).min.toLong
+      }.toMap
+      val nodes = (0 until n).map(_.toLong).toDF("node")
+      val fwd = es.map { case (a, b) => (a.toLong, b.toLong) }.toDF("x", "y")
+      val edges = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
+      val got = graft.llm.Dedup.connectedComponents(nodes, edges)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      got == want
+    }
+
+  private val asciiGen: Gen[String] =
+    Gen.listOf(Gen.choose(32.toChar, 126.toChar)).map(_.mkString).map(_.take(40))
+
+  property("poly_hash ≡ the reference fold on arbitrary ASCII strings") =
+    forAll(Gen.listOfN(8, asciiGen)) { strs =>
+      val s = spark
+      import s.implicits._
+      graft.ext.Ext.register(s)
+      def ref(str: String): Long =
+        str.codePoints().toArray.foldLeft(0L)((h, c) => (31L * h + c) % 1000000007L)
+      val got = strs.toDF("s").selectExpr("poly_hash(s)").collect().map(_.getLong(0))
+      got.toSeq == strs.map(ref)
+    }
+
+  property("band-bucket join ≡ naive |x−y| ≤ δ range join") =
+    forAll(rowsGen) { rows =>
+      val delta = 2.0
+      val base = df(rows).withColumn("id", monotonically_increasing_id())
+      val naive = base.as("a").join(base.as("b"),
+          col("a.k") === col("b.k") && col("a.id") < col("b.id")
+            && abs(col("a.v") - col("b.v")) <= delta)
+        .select(col("a.id"), col("b.id"))
+      val a = base.withColumn("bucket", floor(col("v") / delta).cast("long"))
+      val b = base.withColumn("b0", floor(col("v") / delta).cast("long"))
+        .withColumn("bucket", explode(expr("array(b0 - 1, b0, b0 + 1)")))
+      val banded = a.as("a").join(b.as("b"),
+          col("a.k") === col("b.k") && col("a.bucket") === col("b.bucket")
+            && col("a.id") < col("b.id")
+            && abs(col("a.v") - col("b.v")) <= delta)
+        .select(col("a.id"), col("b.id"))
+      banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty
+    }
 }
