@@ -35,6 +35,27 @@ object Aggregates {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // most-frequent value per group, spelled as count + window argmax
+    // with an explicit lexicographic tiebreak — engine-native mode()
+    // picks ties arbitrarily, which can never hash-match
+    "agg_mode" -> Q(
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, n FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY count(*) DESC, o_orderpriority) AS rk
+        |  FROM orders GROUP BY o_orderstatus, o_orderpriority)
+        |WHERE rk = 1 ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+      val counts = Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("o_orderstatus").orderBy(col("n").desc, col("o_orderpriority"))
+      counts.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"), col("n"))
+        .orderBy("o_orderstatus")
+    },
+
     "agg_global" -> Q(
       s"""SELECT count(*) AS n, ${dsumSql("o_totalprice")} AS total,
          |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,

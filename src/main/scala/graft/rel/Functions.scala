@@ -18,6 +18,29 @@ import graft.core.{Q, Tables}
 object Functions {
 
   def defs: Seq[(String, Q)] = Seq(
+    // C-style formatting family: printf/format_string agree literally;
+    // %.2f on 2-decimal money never hits a rounding tie (the stored
+    // double is never exactly halfway), so the rendering is identical
+    "fn_format" -> Q(
+      """SELECT s_suppkey,
+        |  printf('%s|%.2f', s_name, s_acctbal) AS fmt,
+        |  lpad(s_name, 30, '*') AS padded,
+        |  rpad(s_name, 30, '.') AS rpadded,
+        |  translate(s_name, 'AEIOU', 'aeiou') AS tr,
+        |  reverse(s_name) AS rev,
+        |  repeat(s_nationkey || '-', 3) AS rep
+        |FROM supplier ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          format_string("%s|%.2f", col("s_name"), col("s_acctbal")).as("fmt"),
+          lpad(col("s_name"), 30, "*").as("padded"),
+          rpad(col("s_name"), 30, ".").as("rpadded"),
+          translate(col("s_name"), "AEIOU", "aeiou").as("tr"),
+          reverse(col("s_name")).as("rev"),
+          repeat(concat(col("s_nationkey").cast("string"), lit("-")), 3).as("rep"))
+        .orderBy("s_suppkey")
+    },
+
     "fn_string" -> Q(
       """SELECT p_partkey,
         |  concat(p_brand, ':', p_name) AS branded,
