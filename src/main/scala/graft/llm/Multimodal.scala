@@ -35,6 +35,19 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
+    // blob-level exact dedup (the image/audio dedup baseline): one hash
+    // aggregation over content checksums, keep-min-id survivor rule —
+    // a single shuffle of (md5, partials) at any corpus size
+    "mm_dedup" -> Q(
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY content_md5 ORDER BY content_md5""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("blob", col("text").cast("binary"))
+        .groupBy(md5(col("blob")).as("content_md5"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("content_md5")
+    },
+
     "mm_byte_features" -> Q(
       """SELECT doc_id, length(text) AS n_bytes,
         |  (CAST(list_aggregate(list_transform(generate_series(1, length(text)),

@@ -82,6 +82,20 @@ object Scans {
       val out = partitionedWrite(s, d)
       s.read.parquet(out).filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
         .orderBy("o_orderkey")
+    },
+
+    // small-files compaction (the lakehouse maintenance staple): a
+    // fragmented table (one file per shuffle partition) is rewritten to
+    // a small fixed file count with coalesce — no shuffle, each output
+    // task concatenates input splits. The oracle verifies every row
+    // survived; RelSpec asserts the file-count drop.
+    "sink_compact" -> Q(
+      "SELECT * FROM customer ORDER BY c_custkey") { (s, d) =>
+      val frag = tmpDir(d, "compact_in")
+      val out = tmpDir(d, "compact_out")
+      Tables.customer(s, d).repartition(16).write.mode("overwrite").parquet(frag)
+      s.read.parquet(frag).coalesce(2).write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("c_custkey")
     }
   )
 }

@@ -146,11 +146,11 @@ object Cube {
     * integral). Points exactly on an edge follow the half-open crossing
     * rule — deterministic and identical in both engines.
     */
-  def pipSql(px: String, py: String, scale: Int = 1): String = {
+  def pipSql(px: String, py: String, scale: Int = 1, vp: String = "v"): String = {
     val crossings = (0 until 4).map { i =>
       val j = (i + 1) % 4
-      val (xi, yi) = (s"($scale * vx$i)", s"($scale * vy$i)")
-      val (xj, yj) = (s"($scale * vx$j)", s"($scale * vy$j)")
+      val (xi, yi) = (s"($scale * ${vp}x$i)", s"($scale * ${vp}y$i)")
+      val (xj, yj) = (s"($scale * ${vp}x$j)", s"($scale * ${vp}y$j)")
       val dy = s"($yj - $yi)"
       val cr = s"(($xj - $xi) * (($py) - $yi) - (($px) - $xi) * $dy)"
       s"(CASE WHEN (($yi > ($py)) <> ($yj > ($py))) " +
@@ -166,8 +166,26 @@ object Cube {
     * generated method would blow past the JIT's huge-method limit
     * (ExtSpec asserts the two spellings agree on every grid point).
     */
-  def pipExpr(px: String, py: String, scale: Int = 1): String = {
-    val vs = (0 until 4).flatMap(i => Seq(s"$scale * vx$i", s"$scale * vy$i"))
+  def pipExpr(px: String, py: String, scale: Int = 1, vp: String = "v"): String = {
+    val vs = (0 until 4).flatMap(i => Seq(s"$scale * ${vp}x$i", s"$scale * ${vp}y$i"))
     s"point_in_quad($px, $py, ${vs.mkString(", ")})"
   }
+
+  /** Interior hole ring (even-odd semantics make zone∖hole simply the
+    * XOR of the two ring containments): a small diamond near the
+    * envelope's lower-left, varying by zone_id.
+    */
+  val HoleDefs: Seq[(String, String)] = Seq(
+    "hx0" -> "xmin + 3", "hy0" -> "ymin + 2",
+    "hx1" -> "xmin + 5", "hy1" -> "ymin + 3 + zone_id % 2",
+    "hx2" -> "xmin + 4", "hy2" -> "ymin + 5",
+    "hx3" -> "xmin + 2", "hy3" -> "ymin + 4")
+
+  /** [[polyZones]] + hole ring columns. */
+  def polyZonesHole(s: SparkSession, d: String): DataFrame =
+    HoleDefs.foldLeft(polyZones(s, d)) { case (df, (n, e)) => df.withColumn(n, expr(e)) }
+
+  /** DuckDB twin of [[polyZonesHole]]. */
+  val PolyZonesHoleSql: String =
+    s"SELECT *, ${HoleDefs.map { case (n, e) => s"$e AS $n" }.mkString(", ")} FROM ($PolyZonesSql) pzz"
 }

@@ -215,6 +215,26 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // polygon-with-hole (admin region minus its lake): even-odd over the
+    // two rings reduces zone∖hole to an XOR of the ring containments —
+    // still pure integer arithmetic, same string both engines.
+    "zonal_stats_polygon_hole" -> Q(
+      Cube.withSql(
+        s"""SELECT zone_id, count(*) AS n_cells, ${dsumSql("value")} AS sum_v
+           |FROM cells JOIN (${Cube.PolyZonesHoleSql}) pz
+           |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+           |WHERE (${Cube.pipSql("cell_x", "cell_y")})
+           |  <> (${Cube.pipSql("cell_x", "cell_y", 1, "h")})
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
+      graft.ext.Ext.register(s)
+      Cube.rasterize(Cube.cells(s, d), Cube.polyZonesHole(s, d))
+        .filter(expr(s"(${Cube.pipExpr("cell_x", "cell_y")}) " +
+          s"<> (${Cube.pipExpr("cell_x", "cell_y", 1, "h")})"))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
+        .orderBy("zone_id")
+    },
+
     // true partial-coverage weights from the ring geometry: each cell is
     // a unit square sampled on a 4×4 subcell lattice (coords scaled ×8
     // so the point-in-ring test stays exact integer arithmetic); a

@@ -18,6 +18,18 @@ class RelSpec extends SparkSuite {
     }
   }
 
+  test("sink_compact: the rewrite actually reduces the file count") {
+    q("sink_compact").count()
+    val sfName = new java.io.File(sf).getName
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_io/$sfName"
+    def parquetFiles(dir: String) =
+      Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+        .count(_.getName.endsWith(".parquet"))
+    val (nIn, nOut) = (parquetFiles(s"$base/compact_in"), parquetFiles(s"$base/compact_out"))
+    assert(nIn >= 8 && nOut <= 2 && nOut >= 1,
+      s"compaction did not reduce files: $nIn -> $nOut")
+  }
+
   test("semi ⊎ anti partitions the left side") {
     val c = graft.core.Tables.customer(spark, sf)
     val hi = graft.core.Tables.orders(spark, sf).filter(col("o_totalprice") > 450000)

@@ -68,6 +68,16 @@ class ZonalSpec extends SparkSuite {
       s"polygon refinement did not bite: ring=$ringT envelope=$envT")
   }
 
+  test("polygon hole bites: ring-minus-hole counts strictly below the ring counts") {
+    val ring = q("zonal_stats_polygon").select(col("zone_id"), col("n_cells").as("ring_n"))
+    val holed = q("zonal_stats_polygon_hole").select(col("zone_id"), col("n_cells").as("hole_n"))
+    val j = ring.join(holed, "zone_id")
+    assert(j.filter(col("hole_n") > col("ring_n")).count() == 0,
+      "a holed zone contains cells its ring does not")
+    val (r, h) = (j.agg(sum("ring_n")).head.getLong(0), j.agg(sum("hole_n")).head.getLong(0))
+    assert(h > 0 && h < r, s"hole did not bite: holed=$h ring=$r")
+  }
+
   test("coverage weights: fractional cell area, bounded by the ring cell count") {
     val ring = q("zonal_stats_polygon").select(col("zone_id"), col("n_cells"))
     val cov = q("zonal_stats_coverage")
