@@ -245,32 +245,45 @@ object Dedup {
     * convergence — unconverged labels must never masquerade as clusters.
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    val e = edges.select(col("x"), col("y")).localCheckpoint(true)
-    var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint(true)
-    def sig(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
-    var prevSig = sig(labels)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val prop = labels.join(e, labels("node") === e("x"))
-        .select(col("y").as("node"), col("comp"))
-      val m = labels.union(prop).groupBy("node").agg(min("comp").as("comp"))
-      val jump = m.select(col("node").as("pn"), col("comp").as("pc"))
-      val next = m.join(jump, m("comp") === jump("pn"))
-        .select(m("node"), col("pc").as("comp"))
-        .localCheckpoint(true)
-      val s = sig(next)
-      converged = s == prevSig
-      prevSig = s
-      labels = next
-      iter += 1
-    }
-    if (!converged) throw new IllegalStateException(
-      s"connectedComponents did not converge within $maxIter rounds — " +
-        "raise maxIter; results were NOT returned because unconverged " +
-        "labels are not components")
-    labels
+    val session = nodes.sparkSession
+    // scope the shuffle fan-out down for the fixpoint rounds: each round
+    // is 2-3 shuffles over a label table that only SHRINKS in distinct
+    // values, so wide fan-out is pure task-scheduling overhead at any
+    // label-table size that fits a round trip — on a real cluster set
+    // this to the label-table scale, not the input scale. Restored after
+    // the loop.
+    val partsKey = "spark.sql.shuffle.partitions"
+    val prevParts = session.conf.get(partsKey)
+    val loopParts = math.min(8, prevParts.toInt).toString
+    session.conf.set(partsKey, loopParts)
+    try {
+      val e = edges.select(col("x"), col("y")).localCheckpoint(true)
+      var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint(true)
+      def sig(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
+      var prevSig = sig(labels)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val prop = labels.join(e, labels("node") === e("x"))
+          .select(col("y").as("node"), col("comp"))
+        val m = labels.union(prop).groupBy("node").agg(min("comp").as("comp"))
+        val jump = m.select(col("node").as("pn"), col("comp").as("pc"))
+        val next = m.join(jump, m("comp") === jump("pn"))
+          .select(m("node"), col("pc").as("comp"))
+          .localCheckpoint(true)
+        val s = sig(next)
+        converged = s == prevSig
+        prevSig = s
+        labels = next
+        iter += 1
+      }
+      if (!converged) throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIter rounds — " +
+          "raise maxIter; results were NOT returned because unconverged " +
+          "labels are not components")
+      labels
+    } finally session.conf.set(partsKey, prevParts)
   }
 
   def defs: Seq[(String, Q)] = Seq(
