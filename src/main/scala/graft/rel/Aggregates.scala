@@ -35,6 +35,27 @@ object Aggregates {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // order-independent table checksum (the data-validation staple for
+    // comparing a table across engines/migrations): sum of per-row
+    // engine-portable poly_hash values over the key columns, mod a
+    // prime. Commutative, so partition order never matters; decimal sum
+    // so the checksum cannot overflow at any row count.
+    "agg_checksum" -> Q(
+      s"""WITH r AS (SELECT ${graft.llm.Dedup.polyHashSql("rs")} AS h FROM
+         |  (SELECT concat_ws('|', l_orderkey, l_partkey, l_suppkey, l_linenumber) AS rs
+         |   FROM lineitem))
+         |SELECT count(*) AS n_rows,
+         |  CAST(SUM(h) % 1000000007 AS BIGINT) AS checksum FROM r""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      Tables.lineitem(s, d)
+        .select(concat_ws("|", col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_linenumber")).as("rs"))
+        .select(expr("poly_hash(rs)").as("h"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("h").cast(DecimalType(38, 0))) % 1000000007L)
+            .cast("long").as("checksum"))
+    },
+
     // most-frequent value per group, spelled as count + window argmax
     // with an explicit lexicographic tiebreak — engine-native mode()
     // picks ties arbitrarily, which can never hash-match

@@ -186,6 +186,43 @@ object Streams {
         .orderBy("event_id")
     },
 
+    // REAL streaming FILE sink (the production `readStream → transform →
+    // writeStream(parquet)` shape): a stateless filter/project streamed
+    // to a parquet directory with an exactly-once checkpoint, then read
+    // back and aggregated. Sink+checkpoint are cleared first so each
+    // run is a fresh exactly-once write — the oracle aggregates the
+    // source table directly.
+    "stream_sink_files" -> Q(
+      s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_v
+         |FROM events WHERE value > 100
+         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
+      val sfName = new java.io.File(d).getName
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_io/$sfName/stream_sink"
+      def rmTree(p: String): Unit = {
+        val f = new java.io.File(p)
+        if (f.exists()) {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(f.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(x => java.nio.file.Files.deleteIfExists(x))
+        }
+      }
+      rmTree(s"$base/out"); rmTree(s"$base/ckpt")
+      val q = Runner.eventsStream(s, d)
+        .filter(col("value") > 100)
+        .select("event_id", "user_id", "event_type", "value")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .orderBy("event_type")
+    },
+
     // classic event-pipeline funnel: view → click → purchase in temporal
     // order per user (each stage's anchor = first qualifying event at or
     // after the previous stage's anchor). Three hash aggregations + two
