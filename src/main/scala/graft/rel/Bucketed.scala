@@ -28,11 +28,7 @@ object Bucketed {
   private def warehousePath(s: SparkSession, t: String): java.io.File =
     new java.io.File(new java.net.URI(s.conf.get("spark.sql.warehouse.dir")).getPath, t)
 
-  private def rmTree(f: java.io.File): Unit = if (f.exists()) {
-    import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(f.toPath).sorted(java.util.Comparator.reverseOrder())
-      .iterator().asScala.foreach(p => java.nio.file.Files.deleteIfExists(p))
-  }
+  private def rmTree(f: java.io.File): Unit = graft.core.Fs.rmTree(f)
 
   /** Ensure the bucketed twins exist; returns (ordersTable, customerTable).
     *

@@ -45,25 +45,11 @@ object Runner {
   def runToTable(s: SparkSession, table: String, rocksdb: Boolean = false,
       statePartitions: Option[Int] = None)(
       mk: => DataStreamWriter[_]): DataFrame = {
-    val prevProvider = if (rocksdb) {
-      val p = s.conf.getOption(ProviderKey)
-      s.conf.set(ProviderKey, RocksDb)
-      Some(p)
-    } else None
-    val prevParts = statePartitions.map { n =>
-      val p = s.conf.get("spark.sql.shuffle.partitions")
-      s.conf.set("spark.sql.shuffle.partitions", n.toString)
-      p
-    }
-    try {
+    val kvs = (if (rocksdb) Seq(ProviderKey -> RocksDb) else Nil) ++
+      statePartitions.map(n => "spark.sql.shuffle.partitions" -> n.toString)
+    graft.core.SessionConf.scoped(s, kvs: _*) {
       val q = mk.start()
       q.awaitTermination()
-    } finally {
-      prevProvider.foreach {
-        case Some(v) => s.conf.set(ProviderKey, v)
-        case None    => s.conf.unset(ProviderKey)
-      }
-      prevParts.foreach(p => s.conf.set("spark.sql.shuffle.partitions", p))
     }
     s.table(table)
   }

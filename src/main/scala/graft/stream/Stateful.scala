@@ -128,7 +128,17 @@ object Stateful {
     * rows fold in (µs ts, event_id) order — the same deterministic
     * tiebreak as the batch window spelling, so the recursive oracle
     * replays it exactly.
+    *
+    * State is BOUNDED: after each batch the seen-bucket list is
+    * rewritten to buckets within [[DedupRetainBuckets]] of the newest
+    * bucket the key has observed — the same retention contract as
+    * `dropDuplicatesWithinWatermark` (an event arriving later than the
+    * retention window may re-emit, exactly as a watermark would have
+    * dropped or re-admitted it). Without the rewrite, per-key state
+    * grows by one entry per bucket forever (~52k entries/key/year).
     */
+  val DedupRetainBuckets = 3 // 30 min of 10-min buckets
+
   class BucketDedupProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[(Long, String), DedupEv, DedupEv] {
     @transient private var seen: org.apache.spark.sql.streaming.ListState[Long] = _
@@ -148,9 +158,13 @@ object Stateful {
         val b = Math.floorDiv(micros(e.ts), 600000000L)
         if (!known(b)) {
           known += b
-          seen.appendValue(b)
           out += e
         }
+      }
+      if (known.nonEmpty) {
+        val floor = known.max - DedupRetainBuckets
+        seen.clear()
+        known.toArray.filter(_ >= floor).sorted.foreach(seen.appendValue)
       }
       out.result().iterator
     }

@@ -198,16 +198,8 @@ object Streams {
          |GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
       val sfName = new java.io.File(d).getName
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_io/$sfName/stream_sink"
-      def rmTree(p: String): Unit = {
-        val f = new java.io.File(p)
-        if (f.exists()) {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(f.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(x => java.nio.file.Files.deleteIfExists(x))
-        }
-      }
-      rmTree(s"$base/out"); rmTree(s"$base/ckpt")
+      graft.core.Fs.rmTree(s"$base/out")
+      graft.core.Fs.rmTree(s"$base/ckpt")
       val q = Runner.eventsStream(s, d)
         .filter(col("value") > 100)
         .select("event_id", "user_id", "event_type", "value")

@@ -9,9 +9,9 @@ class RelSpec extends SparkSuite {
 
   test("every registered query runs and is non-empty at sf0.001") {
     // synthetic data has no near-dups / fuzzy matches / close-balance
-    // pairs / multi-doc text clusters at the tiny SF
-    val allowEmpty = Set("dedup_minhash_pairs", "text_fuzzy_match",
-      "join_band", "dedup_text_cluster", "pipeline_dedup_keep_best")
+    // pairs at the tiny SF (the text-cluster pipeline DOES yield rows
+    // at sf0.001 — keep it guarded)
+    val allowEmpty = Set("dedup_minhash_pairs", "text_fuzzy_match", "join_band")
     SparkEntry.registry.foreach { case (name, qd) =>
       val n = qd.build(spark, sf).count()
       assert(allowEmpty.contains(name) || n > 0, s"$name returned 0 rows")
