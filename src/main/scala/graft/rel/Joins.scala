@@ -158,6 +158,31 @@ object Joins {
         .orderBy(col("s_suppkey"), col("c_custkey"))
     },
 
+    // salted join — the explicit skew-join treatment (the join twin of
+    // agg_salted / zonal_skew): a 3-value join key would hash the whole
+    // fact table onto 3 reducers. The fact side salts deterministically;
+    // the small side replicates across all 16 salts; the join runs on
+    // (key, salt) so each hot key spreads over 16 partitions. Result is
+    // identical to the unsalted join (oracle = plain spelling).
+    "join_salted" -> Q(
+      s"""WITH dim AS (SELECT l_returnflag, ${Det.dsumSql("l_quantity")} AS flag_qty
+         |            FROM lineitem GROUP BY l_returnflag)
+         |SELECT l.l_returnflag, count(*) AS n, max(d.flag_qty) AS flag_qty
+         |FROM lineitem l JOIN dim d ON l.l_returnflag = d.l_returnflag
+         |GROUP BY l.l_returnflag ORDER BY l.l_returnflag""".stripMargin) { (s, d) =>
+      val li = Tables.lineitem(s, d)
+      val dim = li.groupBy("l_returnflag")
+        .agg(Det.dsum(col("l_quantity")).as("flag_qty"))
+      val dimSalted = dim.crossJoin(
+        s.range(16).select(col("id").cast("int").as("salt")))
+      val factSalted = li.select(col("l_returnflag"),
+        pmod(xxhash64(col("l_orderkey"), col("l_partkey")), lit(16)).cast("int").as("salt"))
+      factSalted.join(dimSalted, Seq("l_returnflag", "salt"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), max("flag_qty").as("flag_qty"))
+        .orderBy("l_returnflag")
+    },
+
     // band join (|x − y| ≤ δ): the 100 TB spelling of a proximity
     // inequality join. Bucket both sides at width δ; each right row
     // probes its bucket and both neighbors (three equi-keys), then the
