@@ -35,6 +35,24 @@ object Aggregates {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // bitwise aggregate family (flag-mask folding): bit_and/or/xor are
+    // commutative+associative, so the two-phase partial/final shape is
+    // exact at any partitioning. greatest/least widen to int64 in
+    // DuckDB → explicit BIGINT casts keep schemas aligned.
+    "agg_bitwise" -> Q(
+      """SELECT l_returnflag,
+        |  CAST(bit_and(l_linenumber) AS BIGINT) AS flags_and,
+        |  CAST(bit_or(l_linenumber) AS BIGINT) AS flags_or,
+        |  CAST(bit_xor(l_linenumber) AS BIGINT) AS flags_xor
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(bit_and(col("l_linenumber")).cast("long").as("flags_and"),
+          bit_or(col("l_linenumber")).cast("long").as("flags_or"),
+          bit_xor(col("l_linenumber")).cast("long").as("flags_xor"))
+        .orderBy("l_returnflag")
+    },
+
     // order-independent table checksum (the data-validation staple for
     // comparing a table across engines/migrations): sum of per-row
     // engine-portable poly_hash values over the key columns, mod a

@@ -18,6 +18,25 @@ import graft.core.{Q, Tables}
 object Functions {
 
   def defs: Seq[(String, Q)] = Seq(
+    // null-handling family: coalesce/nullif/ifnull/greatest/least.
+    // DuckDB widens greatest/least to int64 → explicit casts (memory
+    // trap); nullif(x, x) nulls are exercised through the aggregate
+    "fn_null" -> Q(
+      """SELECT o_orderkey,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_or_open,
+        |  ifnull(nullif(o_orderpriority, o_orderpriority), 'none') AS always_none,
+        |  CAST(greatest(o_custkey, o_orderkey) AS BIGINT) AS gk,
+        |  CAST(least(o_custkey, o_orderkey) AS BIGINT) AS lk
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_or_open"),
+          ifnull(nullif(col("o_orderpriority"), col("o_orderpriority")), lit("none")).as("always_none"),
+          greatest(col("o_custkey"), col("o_orderkey")).cast("long").as("gk"),
+          least(col("o_custkey"), col("o_orderkey")).cast("long").as("lk"))
+        .orderBy("o_orderkey")
+    },
+
     // C-style formatting family: printf/format_string agree literally;
     // %.2f on 2-decimal money never hits a rounding tie (the stored
     // double is never exactly halfway), so the rendering is identical

@@ -66,6 +66,20 @@ object SortSet {
         .orderBy("o_custkey", "o_orderkey")
     },
 
+    // GLOBAL top-k through the native operator (empty PARTITION BY →
+    // AllTuples plan, r3): partial heaps prune per partition, the final
+    // single-partition pass sees at most k rows per upstream partition —
+    // never a global sort of the full table.
+    "topk_global" -> Q(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin) { (s, d) =>
+      graft.plans.TopK.topKPerGroup(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey", "o_totalprice"),
+        Nil, Seq(("o_totalprice", false), ("o_orderkey", true)), 10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    },
+
     // the WINDOW spelling with the rank dropped, under the TopKRewriteRule
     // optimizer rule — the user writes row_number<=k, the plan that runs
     // is the native bounded-heap TopK (PlanShapeSpec asserts no Window
