@@ -21,7 +21,9 @@ object Ext {
     "byte_stats" -> (es => ByteStats(es.head)),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "poly_hash" -> (es => PolyHash(es.head)),
-    "point_in_quad" -> (es => PointInQuad(es)))
+    "point_in_quad" -> (es => PointInQuad(es)),
+    "argmax_cosine" -> (es => ArgmaxCosine(es(0), es(1))),
+    "lsh_bucket" -> (es => LshBucket(es.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

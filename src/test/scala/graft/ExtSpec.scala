@@ -138,6 +138,64 @@ class ExtSpec extends SparkSuite {
     assert(got.exceptAll(unpruned).isEmpty && unpruned.exceptAll(got).isEmpty)
   }
 
+  test("lsh_bucket ≡ the legacy relational spelling (posexplode + plane join + two aggs)") {
+    Ext.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    // plane components: driver-side XxHash64Function fold vs SQL xxhash64
+    val sqlComps = spark.range(graft.ext.LshBucket.NumPlanes).select(col("id").as("j"))
+      .crossJoin(spark.range(64).select(col("id").as("pos")))
+      .withColumn("p",
+        pmod(xxhash64(col("j"), col("pos")), lit(1000)).cast("double") / 1000.0 - 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    for (j <- 0 until graft.ext.LshBucket.NumPlanes; pos <- 0 until 64)
+      assert(graft.ext.LshBucket.component(j.toLong, pos.toLong) == sqlComps((j.toLong, pos.toLong)),
+        s"plane component ($j,$pos) diverges from SQL xxhash64")
+    // full bucket ids over the corpus
+    val planes = spark.range(graft.ext.LshBucket.NumPlanes).select(col("id").as("j"))
+      .crossJoin(spark.range(64).select(col("id").as("pos")))
+      .withColumn("p",
+        pmod(xxhash64(col("j"), col("pos")), lit(1000)).cast("double") / 1000.0 - 0.5)
+    val legacy = emb
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .join(broadcast(planes), "pos")
+      .groupBy(col("vec_id"), col("j"))
+      .agg(sum(col("v") * col("p")).as("dot"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("dot") > 0, expr("CAST(pow(2, j) AS BIGINT)")).otherwise(0L))
+        .as("legacy_bucket"))
+    val fast = emb.select(col("vec_id"), expr("lsh_bucket(embedding)").as("bucket"))
+    val diff = fast.join(legacy, "vec_id")
+      .filter(col("bucket") =!= col("legacy_bucket"))
+    assert(diff.count() == 0, "lsh_bucket diverges from the relational spelling")
+  }
+
+  test("argmax_cosine ≡ the window-argmax centroid assignment") {
+    import org.apache.spark.sql.expressions.Window
+    Ext.register(spark)
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val centroids = emb
+      .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg(avg(col("v").cast("double")).as("c"))
+      .groupBy(col("c_label"))
+      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(round(expr("cosine_sim(embedding, centroid)"), 6).desc, col("c_label"))
+    val legacy = emb.crossJoin(broadcast(centroids))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("vec_id"), col("c_label").as("legacy_label"))
+    val packed = centroids
+      .agg(expr("sort_array(collect_list(struct(c_label, centroid)))").as("cs"))
+      .select(expr("transform(cs, s -> s.c_label)").as("c_labels"),
+        expr("transform(cs, s -> s.centroid)").as("cents"))
+    val fast = emb.crossJoin(broadcast(packed))
+      .select(col("vec_id"),
+        element_at(col("c_labels"), expr("argmax_cosine(embedding, cents)")).as("c_label"))
+    val diff = fast.join(legacy, "vec_id")
+      .filter(col("c_label") =!= col("legacy_label"))
+    assert(diff.count() == 0, "argmax_cosine diverges from the window argmax")
+  }
+
   test("dynamic tile pruning: DPP expression in the plan, same results, no driver collect") {
     val store = ZonalStore.ensureTiled(spark, sf)
     val zonesF = Cube.zones(spark, sf).filter(col("zone_id") < 3)

@@ -233,6 +233,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(pb.contains("bucket#"), s"band join not keyed by the δ-bucket:\n${pb.take(3000)}")
   }
 
+  test("ANN family: native TopK ranks the searches; IVF assignment has no window; LSH is one projection") {
+    // every brute-force / search top-k routes through the bounded-heap
+    // operator — the window only ranks the ≤k survivors per probe
+    Seq("sim_cosine_topk", "sim_ann_lsh_search", "sim_ann_ivf_search").foreach { n =>
+      val df = q(n)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("TopKPerGroupPartial") && p.contains("TopKPerGroupFinal"),
+        s"$n does not route through the native TopK operator:\n${p.take(3000)}")
+    }
+    // centroid assignment is a per-row argmax projection: no Window
+    // exchange over the corpus×nlist expansion anywhere in the plan
+    val ivf = q("sim_ann_ivf")
+    ivf.collect()
+    val pIvf = ivf.queryExecution.executedPlan.toString
+    assert(!pIvf.contains("Window"),
+      s"sim_ann_ivf still assigns centroids through a window:\n${pIvf.take(3000)}")
+    // lsh buckets come from one codegen'd projection: no Generate
+    // (posexplode) and no join against a plane table
+    val lsh = q("sim_ann_lsh")
+    lsh.collect()
+    val pLsh = lsh.queryExecution.executedPlan.toString
+    assert(!pLsh.contains("Generate") && !pLsh.contains("Join"),
+      s"sim_ann_lsh still expands rows / joins planes:\n${pLsh.take(3000)}")
+  }
+
   test("asof join shuffles once on the partition key (no join at all)") {
     val p = plan("join_asof")
     assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
