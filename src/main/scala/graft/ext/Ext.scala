@@ -23,7 +23,9 @@ object Ext {
     "poly_hash" -> (es => PolyHash(es.head)),
     "point_in_quad" -> (es => PointInQuad(es)),
     "argmax_cosine" -> (es => ArgmaxCosine(es(0), es(1))),
-    "lsh_bucket" -> (es => LshBucket(es.head)))
+    "lsh_bucket" -> (es => LshBucket(es.head)),
+    "make_wkb" -> (es => MakeWkb(es.head)),
+    "point_in_wkb" -> (es => PointInWkb(es(0), es(1), es(2))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -1,0 +1,159 @@
+package graft.ext
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** OGC WKB geometry support (SURVEY.md §1.2: zone geometry as WKB
+  * `BinaryType`; §2.14 `zonal_stats_polygon_n` / `zonal_stats_multipolygon`).
+  *
+  * Two codegen'd expressions:
+  *   - `make_wkb(array<struct<part,ring,i,x,y>>)` — assemble standard
+  *     little-endian WKB (Polygon when one part, MultiPolygon otherwise;
+  *     rings closed per spec) from a SORTED flat vertex list. Runs once
+  *     per zone on the tiny broadcast side.
+  *   - `point_in_wkb(px, py, geom)` — even-odd crossing test of an
+  *     integer lattice point against every ring of the geometry, the
+  *     n-ary generalization of [[PointInQuad]]: coordinates are decoded
+  *     to longs, the crossing test is the same division-free exact
+  *     integer arithmetic with the same half-open edge rule, so the
+  *     DuckDB oracle can replay it over the unnested vertex table.
+  *     This is the hot cell-side predicate — one static call per row.
+  *
+  * Parity over ALL rings gives even-odd semantics: holes subtract,
+  * disjoint parts union — no containment bookkeeping needed.
+  */
+object Wkb {
+
+  /** Assemble WKB from vertices sorted by (part, ring, i). Each struct
+    * is (part:int, ring:int, i:int, x:int, y:int). Rings are emitted
+    * closed (first point repeated last) per the OGC spec.
+    */
+  def build(verts: ArrayData): Array[Byte] = {
+    val n = verts.numElements()
+    // parts -> rings -> points, preserving the sorted order
+    val parts = scala.collection.mutable.LinkedHashMap
+      .empty[Int, scala.collection.mutable.LinkedHashMap[Int, scala.collection.mutable.ArrayBuffer[(Int, Int)]]]
+    var k = 0
+    while (k < n) {
+      val row = verts.getStruct(k, 5)
+      val rings = parts.getOrElseUpdate(row.getInt(0),
+        scala.collection.mutable.LinkedHashMap.empty)
+      rings.getOrElseUpdate(row.getInt(1), scala.collection.mutable.ArrayBuffer.empty)
+        .append((row.getInt(3), row.getInt(4)))
+      k += 1
+    }
+    def polySize(rings: Iterable[Iterable[(Int, Int)]]): Int =
+      1 + 4 + 4 + rings.map(r => 4 + (r.size + 1) * 16).sum
+    val multi = parts.size > 1
+    val total = (if (multi) 1 + 4 + 4 else 0) + parts.valuesIterator.map(p => polySize(p.values)).sum
+    val buf = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    if (multi) { buf.put(1.toByte); buf.putInt(6); buf.putInt(parts.size) }
+    parts.valuesIterator.foreach { rings =>
+      buf.put(1.toByte); buf.putInt(3); buf.putInt(rings.size)
+      rings.valuesIterator.foreach { pts =>
+        buf.putInt(pts.size + 1)
+        (pts :+ pts.head).foreach { case (x, y) =>
+          buf.putDouble(x.toDouble); buf.putDouble(y.toDouble)
+        }
+      }
+    }
+    buf.array()
+  }
+
+  /** Even-odd containment of the integer point (px, py): crossing
+    * parity across every ring of every polygon. Exact long arithmetic,
+    * half-open edge rule — identical to [[PointInQuad.inside]] and to
+    * the unnested-edge SQL the oracles replay.
+    */
+  def pointIn(px: Long, py: Long, wkb: Array[Byte]): Boolean = {
+    val buf = java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var crossings = 0
+    def ring(): Unit = {
+      val npts = buf.getInt
+      var x0 = 0L; var y0 = 0L
+      var j = 0
+      while (j < npts) {
+        val x = buf.getDouble.toLong
+        val y = buf.getDouble.toLong
+        if (j > 0 && ((y0 > py) != (y > py))) {
+          val dy = y - y0
+          val cross = (x - x0) * (py - y0) - (px - x0) * dy
+          if ((dy > 0 && cross > 0) || (dy < 0 && cross < 0)) crossings += 1
+        }
+        x0 = x; y0 = y; j += 1
+      }
+    }
+    def polygon(): Unit = {
+      require(buf.get() == 1.toByte, "big-endian WKB unsupported")
+      val tpe = buf.getInt
+      tpe match {
+        case 3 =>
+          val nRings = buf.getInt
+          var r = 0
+          while (r < nRings) { ring(); r += 1 }
+        case 6 =>
+          val nPolys = buf.getInt
+          var p = 0
+          while (p < nPolys) { polygon(); p += 1 }
+        case t => throw new IllegalArgumentException(s"unsupported WKB type $t")
+      }
+    }
+    polygon()
+    (crossings & 1) == 1
+  }
+}
+
+/** `make_wkb(verts)` — see [[Wkb.build]]. */
+case class MakeWkb(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fs), _)
+        if fs.length == 5 && fs.forall(_.dataType == IntegerType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"make_wkb needs array<struct<part:int,ring:int,i:int,x:int,y:int>>, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Wkb.build(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.ext.Wkb.build($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): MakeWkb =
+    copy(child = newChild)
+}
+
+/** `point_in_wkb(px, py, geom)` — see [[Wkb.pointIn]]. */
+case class PointInWkb(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def integral(t: DataType) =
+      t == IntegerType || t == LongType || t == ShortType || t == ByteType
+    if (integral(first.dataType) && integral(second.dataType)
+        && third.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"point_in_wkb needs (integral, integral, binary), got " +
+        s"${first.dataType}, ${second.dataType}, ${third.dataType}")
+  }
+
+  override def nullSafeEval(px: Any, py: Any, wkb: Any): Any =
+    Wkb.pointIn(px.asInstanceOf[Number].longValue(),
+      py.asInstanceOf[Number].longValue(), wkb.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (px, py, wkb) =>
+      s"${ev.value} = graft.ext.Wkb.pointIn((long) $px, (long) $py, $wkb);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): PointInWkb =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}

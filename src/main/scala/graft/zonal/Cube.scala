@@ -188,4 +188,104 @@ object Cube {
   /** DuckDB twin of [[polyZonesHole]]. */
   val PolyZonesHoleSql: String =
     s"SELECT *, ${HoleDefs.map { case (n, e) => s"$e AS $n" }.mkString(", ")} FROM ($PolyZonesSql) pzz"
+
+  // ---- n-vertex / multipolygon WKB zones (round 4: SURVEY §1.2's
+  // promised WKB BinaryType geometry, generalized from the fixed quad) --
+
+  /** One polygon ring drawn by walking a box boundary: `n` vertices at
+    * integer perimeter positions `p_i = (P·i div n + off) mod P` mapped
+    * to boundary points (P = the box perimeter). Vertices land on a
+    * convex curve in cyclic order, so the ring is ALWAYS simple, while
+    * `n`/`off` vary it per zone. Pure integer arithmetic — both engines
+    * derive identical vertices ([[ringVertsSql]] is the shared spelling).
+    *
+    * `n` / `bx0` / `by0` / `off` are SQL expressions over the `zones`
+    * columns; `cond` restricts which zones carry the ring (e.g. holes on
+    * even zone ids only).
+    */
+  final case class RingSpec(part: Int, ring: Int, n: String,
+      bx0: String, by0: String, w: Int, h: Int, off: String,
+      cond: Option[String] = None)
+
+  /** `zonal_stats_polygon_n` geometry: an n-gon outer ring (n = 5..8
+    * varying per zone) on the envelope boundary, plus a square hole on
+    * even zone ids — even-odd parity subtracts the hole.
+    */
+  val NGonRings: Seq[RingSpec] = Seq(
+    RingSpec(0, 0, "5 + zone_id % 4", "xmin", "ymin", 7, 7, "zone_id * 3"),
+    RingSpec(0, 1, "4", "(xmin + 2)", "(ymin + 2)", 2, 2, "0", Some("zone_id % 2 = 0")))
+
+  /** `zonal_stats_multipolygon` geometry: two x-disjoint parts (left /
+    * right of the envelope), vertex counts varying independently.
+    */
+  val MultiRings: Seq[RingSpec] = Seq(
+    RingSpec(0, 0, "4 + zone_id % 3", "xmin", "ymin", 3, 7, "zone_id * 2"),
+    RingSpec(1, 0, "4 + (zone_id + 1) % 3", "(xmin + 5)", "ymin", 2, 7, "zone_id"))
+
+  /** Boundary-walk vx/vy CASE expressions over a position column `p`. */
+  private def walkExprs(r: RingSpec): (String, String) = {
+    val bx1 = s"(${r.bx0} + ${r.w})"
+    val by1 = s"(${r.by0} + ${r.h})"
+    val vx = s"(CASE WHEN p < ${r.w} THEN ${r.bx0} + p" +
+      s" WHEN p < ${r.w + r.h} THEN $bx1" +
+      s" WHEN p < ${2 * r.w + r.h} THEN $bx1 - (p - ${r.w + r.h})" +
+      s" ELSE ${r.bx0} END)"
+    val vy = s"(CASE WHEN p < ${r.w} THEN ${r.by0}" +
+      s" WHEN p < ${r.w + r.h} THEN ${r.by0} + (p - ${r.w})" +
+      s" WHEN p < ${2 * r.w + r.h} THEN $by1" +
+      s" ELSE $by1 - (p - ${2 * r.w + r.h}) END)"
+    (vx, vy)
+  }
+
+  /** Long-form ring vertices (zone_id, part, ring, n, i, vx, vy) —
+    * Spark side. Integer-division / series spellings differ per engine,
+    * everything else is the same generated arithmetic.
+    */
+  private def ringVerts(z: DataFrame, r: RingSpec): DataFrame = {
+    val P = 2 * (r.w + r.h)
+    val (vx, vy) = walkExprs(r)
+    val base = r.cond.fold(z)(c => z.filter(expr(c)))
+    base.select(col("zone_id"), col("xmin"), col("ymin"),
+        lit(r.part).as("part"), lit(r.ring).as("ring"), expr(r.n).as("n"),
+        explode(expr(s"sequence(0, (${r.n}) - 1)")).as("i"))
+      .withColumn("p", expr(s"((($P * i) div n) + ${r.off}) % $P"))
+      .selectExpr("zone_id", "part", "ring", "n", "i",
+        s"CAST($vx AS INT) AS vx", s"CAST($vy AS INT) AS vy")
+  }
+
+  /** DuckDB twin of [[ringVerts]] (one UNION ALL branch of `verts`). */
+  private def ringVertsSql(r: RingSpec): String = {
+    val P = 2 * (r.w + r.h)
+    val (vx, vy) = walkExprs(r)
+    val where = r.cond.fold("")(c => s" WHERE $c")
+    s"""SELECT zone_id, part, ring, n, i,
+       |    CAST($vx AS INTEGER) AS vx, CAST($vy AS INTEGER) AS vy FROM (
+       |  SELECT *, (((($P * i) // n)) + ${r.off}) % $P AS p FROM (
+       |    SELECT zone_id, xmin, ymin, ${r.part} AS part, ${r.ring} AS ring,
+       |           (${r.n}) AS n, unnest(generate_series(0, (${r.n}) - 1)) AS i
+       |    FROM zones$where) t0) t1""".stripMargin
+  }
+
+  /** All ring vertices for a geometry family. */
+  def verts(s: SparkSession, d: String, rings: Seq[RingSpec]): DataFrame =
+    rings.map(ringVerts(zones(s, d), _)).reduce(_ union _)
+
+  /** DuckDB `verts` CTE body for the same family. */
+  def vertsSql(rings: Seq[RingSpec]): String =
+    rings.map(ringVertsSql).mkString("\n  UNION ALL ")
+
+  /** Zones with real WKB `BinaryType` geometry (SURVEY §1.2): assemble
+    * each zone's rings into standard WKB (Polygon / MultiPolygon) via
+    * the [[graft.ext.MakeWkb]] expression — runs once per zone on the
+    * tiny broadcast side. The envelope columns ride along as the
+    * geometry's bbox for the tile equi-join.
+    */
+  def wkbZones(s: SparkSession, d: String, rings: Seq[RingSpec]): DataFrame = {
+    graft.ext.Ext.register(s)
+    verts(s, d, rings)
+      .groupBy(col("zone_id"))
+      .agg(expr("make_wkb(sort_array(collect_list(struct(part, ring, i, vx, vy))))")
+        .as("geom"))
+      .join(zones(s, d).select("zone_id", "xmin", "xmax", "ymin", "ymax"), Seq("zone_id"))
+  }
 }

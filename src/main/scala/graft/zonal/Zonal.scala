@@ -26,6 +26,43 @@ object Zonal {
         max(col("value")).as("max_v"),
         round(stddev_samp(col("value")), 4).as("sd_v"))
 
+  /** DuckDB oracle for the WKB even-odd operators: replay the identical
+    * half-open integer crossing test over the unnested vertex table.
+    * Parity is computed once per DISTINCT (zone, cell_x, cell_y) — the
+    * containment depends only on coordinates — then joined back to the
+    * cells for the aggregation.
+    */
+  private def eoOracleSql(rings: Seq[Cube.RingSpec]): String = {
+    def cross(px: String, py: String) =
+      s"""((e.y1 > $py) <> (e.y2 > $py))
+         |          AND (((e.y2 - e.y1) > 0 AND ((e.x2 - e.x1) * ($py - e.y1) - ($px - e.x1) * (e.y2 - e.y1)) > 0)
+         |            OR ((e.y2 - e.y1) < 0 AND ((e.x2 - e.x1) * ($py - e.y1) - ($px - e.x1) * (e.y2 - e.y1)) < 0))""".stripMargin
+    s"""WITH cells AS (
+       |${Cube.CellsSql}
+       |), zones AS (
+       |${Cube.ZonesSql}
+       |), verts AS (
+       |  ${Cube.vertsSql(rings)}
+       |), edges AS (
+       |  SELECT v1.zone_id, v1.vx AS x1, v1.vy AS y1, v2.vx AS x2, v2.vy AS y2
+       |  FROM verts v1 JOIN verts v2
+       |    ON v1.zone_id = v2.zone_id AND v1.part = v2.part AND v1.ring = v2.ring
+       |   AND v2.i = (v1.i + 1) % v1.n
+       |), cellpar AS (
+       |  SELECT cz.zone_id, cz.cell_x, cz.cell_y,
+       |    SUM(CASE WHEN ${cross("cz.cell_x", "cz.cell_y")}
+       |        THEN 1 ELSE 0 END) AS crossings
+       |  FROM (SELECT DISTINCT z.zone_id, c.cell_x, c.cell_y
+       |        FROM cells c JOIN zones z
+       |          ON c.cell_x BETWEEN z.xmin AND z.xmax AND c.cell_y BETWEEN z.ymin AND z.ymax) cz
+       |  JOIN edges e ON e.zone_id = cz.zone_id
+       |  GROUP BY cz.zone_id, cz.cell_x, cz.cell_y)
+       |SELECT p.zone_id, count(*) AS n_cells, ${dsumSql("value")} AS sum_v
+       |FROM cells c JOIN cellpar p ON c.cell_x = p.cell_x AND c.cell_y = p.cell_y
+       |WHERE p.crossings % 2 = 1
+       |GROUP BY p.zone_id ORDER BY p.zone_id""".stripMargin
+  }
+
   private val statsBodySql = Cube.withSql(
     s"""SELECT zone_id, count(*) AS n_cells,
        |  ${dsumSql("value")} AS sum_v,
@@ -230,6 +267,34 @@ object Zonal {
       Cube.rasterize(Cube.cells(s, d), Cube.polyZonesHole(s, d))
         .filter(expr(s"(${Cube.pipExpr("cell_x", "cell_y")}) " +
           s"<> (${Cube.pipExpr("cell_x", "cell_y", 1, "h")})"))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
+        .orderBy("zone_id")
+    },
+
+    // WKB geometry (round 4): zones carry real OGC WKB BinaryType
+    // geometry (SURVEY §1.2) — an n-gon whose vertex count varies per
+    // zone, with a hole ring on even zone ids. Spark side: assemble WKB
+    // once per zone (make_wkb, broadcast side), tile equi-join, then the
+    // codegen'd n-ary even-odd test (point_in_wkb) refines per cell. The
+    // oracle replays the SAME half-open integer crossing test over the
+    // unnested vertex table — parity across all rings, so the hole
+    // subtracts with no containment bookkeeping.
+    "zonal_stats_polygon_n" -> Q(eoOracleSql(Cube.NGonRings)) { (s, d) =>
+      graft.ext.Ext.register(s)
+      Cube.rasterize(Cube.cells(s, d), Cube.wkbZones(s, d, Cube.NGonRings))
+        .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
+        .orderBy("zone_id")
+    },
+
+    // MultiPolygon WKB: two x-disjoint parts per zone, vertex counts
+    // varying independently — even-odd parity across parts is the union.
+    "zonal_stats_multipolygon" -> Q(eoOracleSql(Cube.MultiRings)) { (s, d) =>
+      graft.ext.Ext.register(s)
+      Cube.rasterize(Cube.cells(s, d), Cube.wkbZones(s, d, Cube.MultiRings))
+        .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
         .groupBy(col("zone_id"))
         .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
         .orderBy("zone_id")

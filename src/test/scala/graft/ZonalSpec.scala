@@ -94,6 +94,84 @@ class ZonalSpec extends SparkSuite {
       .count() > 0, "no fractional coverage anywhere — supersampling not biting")
   }
 
+  test("WKB zones: valid structure (Polygon/MultiPolygon headers, closed rings, hole count)") {
+    graft.ext.Ext.register(spark)
+    def firstGeom(rings: Seq[Cube.RingSpec], zid: Int): Array[Byte] =
+      Cube.wkbZones(spark, sf, rings).filter(col("zone_id") === zid)
+        .select("geom").head.getAs[Array[Byte]](0)
+    def le32(b: Array[Byte], off: Int): Int =
+      java.nio.ByteBuffer.wrap(b, off, 4).order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    // even zone → Polygon (type 3) with 2 rings (outer + hole)
+    val holed = firstGeom(Cube.NGonRings, 2)
+    assert(holed(0) == 1 && le32(holed, 1) == 3, "expected LE WKB Polygon")
+    assert(le32(holed, 5) == 2, "even zone should carry the hole ring")
+    // odd zone → Polygon with 1 ring
+    val plain = firstGeom(Cube.NGonRings, 3)
+    assert(le32(plain, 5) == 1, "odd zone should have no hole")
+    // outer ring closed: numPts = n + 1 with n = 5 + zid % 4
+    assert(le32(plain, 9) == (5 + 3 % 4) + 1, "outer ring not closed per spec")
+    // multipolygon: type 6, 2 parts
+    val multi = firstGeom(Cube.MultiRings, 1)
+    assert(multi(0) == 1 && le32(multi, 1) == 6 && le32(multi, 5) == 2,
+      "expected LE WKB MultiPolygon with 2 parts")
+  }
+
+  test("point_in_wkb ≡ crossing parity over the unnested vertex table (both families)") {
+    graft.ext.Ext.register(spark)
+    val pts = spark.range(64).selectExpr("CAST(id AS INT) AS gx")
+      .crossJoin(spark.range(64).selectExpr("CAST(id AS INT) AS gy"))
+    Seq(Cube.NGonRings, Cube.MultiRings).foreach { rings =>
+      // composed spelling: join every grid point to every ring edge and
+      // take the crossing-count parity — the oracle's exact formulation
+      val v = Cube.verts(spark, sf, rings)
+      val edges = v.as("v1").join(v.as("v2"),
+          col("v1.zone_id") === col("v2.zone_id") && col("v1.part") === col("v2.part")
+            && col("v1.ring") === col("v2.ring")
+            && col("v2.i") === (col("v1.i") + 1) % col("v1.n"))
+        .select(col("v1.zone_id"), col("v1.vx").as("x1"), col("v1.vy").as("y1"),
+          col("v2.vx").as("x2"), col("v2.vy").as("y2"))
+      val parity = pts.crossJoin(edges)
+        .groupBy("zone_id", "gx", "gy")
+        .agg(sum(expr(
+          """CASE WHEN ((y1 > gy) <> (y2 > gy))
+            |  AND (((y2 - y1) > 0 AND ((x2 - x1) * (gy - y1) - (gx - x1) * (y2 - y1)) > 0)
+            |    OR ((y2 - y1) < 0 AND ((x2 - x1) * (gy - y1) - (gx - x1) * (y2 - y1)) < 0))
+            |THEN 1 ELSE 0 END""".stripMargin)).as("cr"))
+        .select(col("zone_id"), col("gx"), col("gy"), (col("cr") % 2 === 1).as("slow"))
+      val viaWkb = Cube.wkbZones(spark, sf, rings).select("zone_id", "geom")
+        .crossJoin(pts)
+        .select(col("zone_id"), col("gx"), col("gy"),
+          expr("point_in_wkb(gx, gy, geom)").as("fast"))
+      val diff = viaWkb.join(parity, Seq("zone_id", "gx", "gy"))
+        .filter(col("fast") =!= col("slow"))
+      assert(diff.count() == 0, "point_in_wkb diverges from the unnested parity")
+    }
+  }
+
+  test("n-gon refinement bites and multipolygon parts are disjoint unions") {
+    val env = q("zonal_stats_basic").select(col("zone_id"), col("n_cells").as("env_n"))
+    val ngon = q("zonal_stats_polygon_n").select(col("zone_id"), col("n_cells").as("ngon_n"))
+    val j = env.join(ngon, "zone_id")
+    assert(j.filter(col("ngon_n") > col("env_n")).count() == 0,
+      "an n-gon contains cells outside its envelope")
+    val (e, g) = (j.agg(sum("env_n")).head.getLong(0), j.agg(sum("ngon_n")).head.getLong(0))
+    assert(g > 0 && g < e, s"n-gon refinement did not bite: ngon=$g env=$e")
+    // multipolygon counts = sum of the two parts measured separately
+    graft.ext.Ext.register(spark)
+    def partCount(part: Int) = {
+      val one = Cube.MultiRings.filter(_.part == part).map(_.copy(part = 0))
+      Cube.rasterize(Cube.cells(spark, sf), Cube.wkbZones(spark, sf, one))
+        .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
+        .groupBy("zone_id").agg(count(lit(1)).as(s"n$part"))
+    }
+    val both = q("zonal_stats_multipolygon").select(col("zone_id"), col("n_cells"))
+      .join(partCount(0), Seq("zone_id"), "left").join(partCount(1), Seq("zone_id"), "left")
+      .select(col("zone_id"), col("n_cells"),
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L))).as("n_sum"))
+    assert(both.filter(col("n_cells") =!= col("n_sum")).count() == 0,
+      "multipolygon parity is not the disjoint union of its parts")
+  }
+
   test("zonal_skew: salted two-stage aggregation shape, giant zone present") {
     val df = q("zonal_skew")
     val rows = df.collect()
