@@ -266,9 +266,18 @@ object Dedup {
         val prop = labels.join(e, labels("node") === e("x"))
           .select(col("y").as("node"), col("comp"))
         val m = labels.union(prop).groupBy("node").agg(min("comp").as("comp"))
+        // two pointer jumps per round (comp ← comp(comp(comp(u))) after
+        // the propagate): each jump is one small equi-join of the label
+        // table with itself, while each ROUND costs a localCheckpoint
+        // materialization — batching the hops roughly halves the rounds
+        // for the same total join work, and the checkpoint/job floor is
+        // what dominates the fixpoint locally.
         val jump = m.select(col("node").as("pn"), col("comp").as("pc"))
-        val next = m.join(jump, m("comp") === jump("pn"))
+        val once = m.join(jump, m("comp") === jump("pn"))
           .select(m("node"), col("pc").as("comp"))
+        val jump2 = once.select(col("node").as("pn"), col("comp").as("pc"))
+        val next = once.join(jump2, once("comp") === jump2("pn"))
+          .select(once("node"), col("pc").as("comp"))
           .localCheckpoint(true)
         val s = sig(next)
         converged = s == prevSig

@@ -205,6 +205,87 @@ object Sim {
         element_at(col("c_labels"), col("ci")).as("c_label"))
   }
 
+  /** k-means-trained IVF coarse quantizer (round 4): Lloyd iterations as
+    * a DataFrame fixpoint, decoupling nlist from label cardinality (the
+    * per-label-mean quantizer welds them together).
+    *
+    * Deterministic and engine-replayable by construction: seeds are the
+    * k lowest vec_ids (no RNG), every centroid component is rounded to 6
+    * decimals after each recompute, and assignment compares round-6
+    * cosines with ties to the lowest cluster id — so DuckDB replays the
+    * SAME [[KmeansIters]] unrolled iterations and lands on the identical
+    * assignment (the same determinism discipline as [[ivfAssigned]]).
+    *
+    * Scale posture: per iteration the corpus is touched by (a) one
+    * map-only argmax projection against the broadcast centroid pack and
+    * (b) one two-phase avg whose partials reduce each partition to
+    * k×dim rows before the exchange. The corpus itself never shuffles;
+    * iteration state (k centroids) lives in the plan, not the driver.
+    * An emptied cluster simply drops out of the centroid table — both
+    * engines shrink identically.
+    */
+  val KmeansK = 8
+  val KmeansIters = 3
+
+  private def kmeansAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.ext.Ext.register(s)
+    val emb = Tables.embeddings(s, d)
+    var cent = emb.filter(col("vec_id") < KmeansK)
+      .select(col("vec_id").cast("int").as("cid"),
+        expr("transform(embedding, v -> CAST(v AS DOUBLE))").as("centroid"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to KmeansIters) {
+      val packed = cent
+        .agg(expr("sort_array(collect_list(struct(cid, centroid)))").as("cs"))
+        .select(expr("transform(cs, s -> s.cid)").as("cids"),
+          expr("transform(cs, s -> s.centroid)").as("cents"))
+      assigned = emb.crossJoin(broadcast(packed))
+        .withColumn("ci", expr("argmax_cosine(embedding, cents)"))
+        .select(col("vec_id"), col("label"), col("embedding"),
+          element_at(col("cids"), col("ci")).as("cid"))
+      cent = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos"))
+        .agg(round(avg(col("v").cast("double")), 6).as("c"))
+        .groupBy(col("cid"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+    }
+    assigned
+  }
+
+  /** DuckDB twin of [[kmeansAssigned]]: the same [[KmeansIters]] Lloyd
+    * iterations unrolled as CTE pairs (assign_i from cent_{i-1}, cent_i
+    * from assign_i), ending with the final `assign` CTE.
+    */
+  private val KmeansClSql: String = {
+    val seed =
+      s"""cent0 AS (
+         |  SELECT CAST(vec_id AS INTEGER) AS cid,
+         |         list_transform(embedding, v -> CAST(v AS DOUBLE)) AS centroid
+         |  FROM embeddings WHERE vec_id < $KmeansK)""".stripMargin
+    val steps = (1 to KmeansIters).map { i =>
+      val assign =
+        s"""assign$i AS (
+           |  SELECT vec_id, label, embedding, cid FROM (
+           |    SELECT e.vec_id, e.label, e.embedding, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY round(${cosineSql("e.embedding", "c.centroid")}, 6) DESC, c.cid) AS rk
+           |    FROM embeddings e CROSS JOIN cent${i - 1} c) WHERE rk = 1)""".stripMargin
+      // the final iteration's centroid table is never read — skip it
+      val cent = if (i == KmeansIters) "" else
+        s""",
+           |cent$i AS (
+           |  SELECT cid, list(c ORDER BY pos) AS centroid FROM (
+           |    SELECT cid, u.pos AS pos, round(avg(u.v), 6) AS c FROM
+           |      (SELECT cid, unnest(list_transform(generate_series(1, len(embedding)),
+           |         i -> {'pos': i, 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+           |       FROM assign$i)
+           |    GROUP BY cid, pos) GROUP BY cid)""".stripMargin
+      assign + cent
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
   /** DuckDB spelling of [[ivfAssigned]] as WITH-clause body (ends with
     * a `cl` CTE = one row per vector with its cluster).
     */
@@ -317,6 +398,22 @@ object Sim {
         .agg(count(lit(1)).as("n_assigned"),
           count(when(col("label") === col("c_label"), 1)).as("n_matching_label"))
         .orderBy("c_label")
+    },
+
+    // k-means-trained IVF (round 4): nlist decoupled from label
+    // cardinality — centroids are Lloyd-trained from deterministic
+    // seeds, not per-label means. Output: cluster occupancy + label
+    // spread; the oracle replays the identical unrolled iterations.
+    "sim_ann_ivf_kmeans" -> Q(
+      s"""WITH $KmeansClSql
+         |SELECT cid, count(*) AS n_assigned,
+         |  count(DISTINCT label) AS n_labels
+         |FROM assign$KmeansIters GROUP BY cid ORDER BY cid""".stripMargin) { (s, d) =>
+      kmeansAssigned(s, d)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_assigned"),
+          countDistinct(col("label")).as("n_labels"))
+        .orderBy("cid")
     },
 
     // the IVF SEARCH path: each probe scans ONLY its assigned cluster

@@ -300,6 +300,21 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // the 100-TB zonal median path (round 4): `agg_percentile`'s exact
+    // percentile buffers each zone's full value multiset in one task — a
+    // memory hazard on a hot zone with billions of cells. This variant
+    // runs the bounded-size approx_percentile sketch (two-phase partial
+    // merge, map-side combine like any hash agg). Sketch ≠ exact by
+    // construction → no DuckDB twin; ZonalSpec bounds the rank error
+    // against the exact percentile at sf, like agg_approx_distinct.
+    "zonal_percentile_approx" -> Q.noOracle { (s, d) =>
+      Cube.rasterize(Cube.cells(s, d), Cube.zones(s, d))
+        .groupBy(col("zone_id"))
+        .agg(expr("approx_percentile(value, array(0.25, 0.5, 0.75), 10000)").as("qs"))
+        .select(col("zone_id"), posexplode(col("qs")).as(Seq("quantile_ix", "approx_v")))
+        .orderBy("zone_id", "quantile_ix")
+    },
+
     // true partial-coverage weights from the ring geometry: each cell is
     // a unit square sampled on a 4×4 subcell lattice (coords scaled ×8
     // so the point-in-ring test stays exact integer arithmetic); a

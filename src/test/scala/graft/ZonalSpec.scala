@@ -172,6 +172,22 @@ class ZonalSpec extends SparkSuite {
       "multipolygon parity is not the disjoint union of its parts")
   }
 
+  test("zonal_percentile_approx tracks the exact per-zone percentile") {
+    val approx = q("zonal_percentile_approx")
+    val exact = Cube.rasterize(Cube.cells(spark, sf), Cube.zones(spark, sf))
+      .groupBy(col("zone_id"))
+      .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("qs"))
+      .select(col("zone_id"), posexplode(col("qs")).as(Seq("quantile_ix", "exact_v")))
+    val j = approx.join(exact, Seq("zone_id", "quantile_ix"))
+      .select(col("zone_id"), col("quantile_ix"),
+        (abs(col("approx_v") - col("exact_v")) / col("exact_v")).as("rel_err"))
+    val worst = j.agg(max("rel_err")).head.getDouble(0)
+    // accuracy 10000 over ~10^3-cell zones: the sketch should be
+    // near-exact; 2% relative headroom keeps the test sf-independent
+    assert(worst < 0.02, s"approx percentile off by $worst relative")
+    assert(approx.count() == exact.count(), "missing (zone, quantile) rows")
+  }
+
   test("zonal_skew: salted two-stage aggregation shape, giant zone present") {
     val df = q("zonal_skew")
     val rows = df.collect()
