@@ -172,20 +172,36 @@ class ZonalSpec extends SparkSuite {
       "multipolygon parity is not the disjoint union of its parts")
   }
 
-  test("zonal_percentile_approx tracks the exact per-zone percentile") {
+  test("zonal_percentile_approx: sketch value sits at the right RANK per zone") {
+    // The GK sketch returns an actual data value (nearest rank), while
+    // Spark's exact `percentile` INTERPOLATES between order statistics —
+    // on small zones the two definitions legitimately diverge by the
+    // inter-value gap, so comparing VALUES is mis-specified (the round-4
+    // red test). The sketch's contract is about RANK: with accuracy a,
+    // the returned value's rank is within n/a of ceil(p*n). Assert that.
     val approx = q("zonal_percentile_approx")
-    val exact = Cube.rasterize(Cube.cells(spark, sf), Cube.zones(spark, sf))
+    val vals = Cube.rasterize(Cube.cells(spark, sf), Cube.zones(spark, sf))
       .groupBy(col("zone_id"))
-      .agg(expr("percentile(value, array(0.25, 0.5, 0.75))").as("qs"))
-      .select(col("zone_id"), posexplode(col("qs")).as(Seq("quantile_ix", "exact_v")))
-    val j = approx.join(exact, Seq("zone_id", "quantile_ix"))
-      .select(col("zone_id"), col("quantile_ix"),
-        (abs(col("approx_v") - col("exact_v")) / col("exact_v")).as("rel_err"))
-    val worst = j.agg(max("rel_err")).head.getDouble(0)
-    // accuracy 10000 over ~10^3-cell zones: the sketch should be
-    // near-exact; 2% relative headroom keeps the test sf-independent
-    assert(worst < 0.02, s"approx percentile off by $worst relative")
-    assert(approx.count() == exact.count(), "missing (zone, quantile) rows")
+      .agg(sort_array(collect_list(col("value"))).as("vals"))
+    val j = approx.join(vals, Seq("zone_id"))
+      .select(col("zone_id"), col("quantile_ix"), col("approx_v"),
+        size(col("vals")).cast("double").as("n"),
+        size(expr("filter(vals, x -> x < approx_v)")).cast("double").as("lo"),
+        size(expr("filter(vals, x -> x <= approx_v)")).cast("double").as("hi"))
+    // approx_v occupies ranks (lo, hi]; target rank is p*n; the sketch
+    // guarantees rank error <= n/accuracy (+1 rank of discreteness slack)
+    val offRank = j
+      .withColumn("target", (col("quantile_ix") + 1) * lit(0.25) * col("n"))
+      .withColumn("tol", col("n") / lit(10000.0) + lit(1.0))
+      .filter(!(col("lo") + 1 <= col("target") + col("tol") &&
+                col("hi") >= col("target") - col("tol")))
+    assert(offRank.count() == 0,
+      s"sketch rank outside tolerance:\n${offRank.limit(5).collect().mkString("\n")}")
+    // nearest-rank semantics: the sketch must return a value that exists
+    // in the zone's multiset, never an interpolated midpoint
+    assert(j.filter(col("hi") === col("lo")).count() == 0,
+      "approx_v is not a member of the zone's value multiset")
+    assert(approx.count() == vals.count() * 3, "missing (zone, quantile) rows")
   }
 
   test("zonal_skew: salted two-stage aggregation shape, giant zone present") {
