@@ -89,10 +89,18 @@ object Bench {
     val sortedT = first.map(_._3).sorted
     val median = if (sortedT.isEmpty) 0.0 else sortedT(sortedT.size / 2)
     val thresh = math.max(0.75, 3 * median)
+    // entries whose builders consult the memoized CC labels: invalidate
+    // the memo before the rerun so the second timing is COLD like the
+    // first — else the rerun reports the warm cache hit and the headline
+    // credits accounting, not plan work
+    val memoized = Set("dedup_text_cluster", "pipeline_dedup_keep_best")
     val rerun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = first.map { case (name, q, t1) =>
-      if (t1 > thresh) { rerun(name) = t1; name -> math.min(t1, run(q)) }
-      else name -> t1
+      if (t1 > thresh) {
+        rerun(name) = t1
+        if (memoized(name)) graft.llm.Dedup.clearTextClustersCache()
+        name -> math.min(t1, run(q))
+      } else name -> t1
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -182,6 +182,13 @@ object Dedup {
     })
   }
 
+  /** Drop the memoized CC labels so the next [[textClusters]] call pays
+    * the full cold cost. Bench invalidates through this before re-timing
+    * a memoized entry — otherwise the outlier rerun reports the warm
+    * second pass (~0.2 s) while the honest cold cost is seconds.
+    */
+  def clearTextClustersCache(): Unit = textClustersCache.clear()
+
   /** Banded-MinHash candidate pairs with exact Jaccard (unrounded):
     * ONE signature pass, bucket-collect pair enumeration inside
     * LSH-bounded signature buckets, then the codegen'd sorted-merge
