@@ -76,8 +76,18 @@ object Wkb {
       var x0 = 0L; var y0 = 0L
       var j = 0
       while (j < npts) {
-        val x = buf.getDouble.toLong
-        val y = buf.getDouble.toLong
+        val xd = buf.getDouble
+        val yd = buf.getDouble
+        val x = xd.toLong
+        val y = yd.toLong
+        // The crossing test is exact INTEGER arithmetic on the shared
+        // lattice (SURVEY §1.2 CRS boundary). Externally supplied WKB
+        // with fractional vertices must fail loudly here — silent
+        // truncation would move polygon edges by up to a whole cell.
+        if (x.toDouble != xd || y.toDouble != yd)
+          throw new IllegalArgumentException(
+            s"point_in_wkb requires integral lattice coordinates, got ($xd, $yd); " +
+              "align/reproject geometry to the cube grid upstream")
         if (j > 0 && ((y0 > py) != (y > py))) {
           val dy = y - y0
           val cross = (x - x0) * (py - y0) - (px - x0) * dy

@@ -84,6 +84,35 @@ class EdgeSpec extends SparkSuite {
       && kept("doc_id") === keep("keep_id")).count() == 0)
   }
 
+  test("point_in_wkb fails loudly on fractional WKB coordinates, never truncates") {
+    graft.ext.Ext.register(spark)
+    // hand-built little-endian WKB Polygon, one ring
+    def wkbSquare(x0: Double, y0: Double, side: Double): Array[Byte] = {
+      val pts = Seq((x0, y0), (x0 + side, y0), (x0 + side, y0 + side), (x0, y0 + side), (x0, y0))
+      val buf = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 4 + pts.size * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put(1.toByte); buf.putInt(3); buf.putInt(1); buf.putInt(pts.size)
+      pts.foreach { case (x, y) => buf.putDouble(x); buf.putDouble(y) }
+      buf.array()
+    }
+    val df = Seq(Tuple1(wkbSquare(0.5, 0.5, 2.0))).toDF("geom")
+    val err = intercept[Exception] {
+      df.select(expr("point_in_wkb(1, 1, geom)")).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null)
+      && causes(err).exists(c => c.getMessage != null
+        && c.getMessage.contains("integral lattice coordinates")),
+      s"expected the loud integral-coordinate error, got: $err")
+    // the integral-lattice path is untouched
+    val ok = Seq(Tuple1(wkbSquare(0.0, 0.0, 2.0))).toDF("geom")
+      .select(expr("point_in_wkb(1, 1, geom)").as("in"),
+        expr("point_in_wkb(5, 5, geom)").as("out"))
+      .head
+    assert(ok.getBoolean(0) && !ok.getBoolean(1))
+  }
+
   test("cosine_sim of a vector with itself is 1; orthogonal vectors 0") {
     graft.ext.Ext.register(spark)
     val df = Seq(
