@@ -261,9 +261,19 @@ object Dedup {
     // serializes + restores the session-global setting.
     val partsKey = "spark.sql.shuffle.partitions"
     val loopParts = math.min(8, session.conf.get(partsKey).toInt).toString
+    // Per-round lineage truncation. Default: eager localCheckpoint
+    // (executor-local blocks — fastest, but a lost executor kills the
+    // fixpoint on a real cluster). Set `spark.graft.cc.checkpointDir` to
+    // a shared path (HDFS/S3) and the loop uses reliable checkpoint()
+    // instead: same truncation, fault-tolerant, one extra write per
+    // round — the right trade at 1000 executors.
+    val ckptDir = session.conf.getOption("spark.graft.cc.checkpointDir")
+    ckptDir.foreach(session.sparkContext.setCheckpointDir)
+    def pin(df: DataFrame): DataFrame =
+      if (ckptDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
     graft.core.SessionConf.scoped(session, partsKey -> loopParts) {
-      val e = edges.select(col("x"), col("y")).localCheckpoint(true)
-      var labels = nodes.select(col("node"), col("node").as("comp")).localCheckpoint(true)
+      val e = pin(edges.select(col("x"), col("y")))
+      var labels = pin(nodes.select(col("node"), col("node").as("comp")))
       def sig(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
       var prevSig = sig(labels)
@@ -283,9 +293,8 @@ object Dedup {
         val once = m.join(jump, m("comp") === jump("pn"))
           .select(m("node"), col("pc").as("comp"))
         val jump2 = once.select(col("node").as("pn"), col("comp").as("pc"))
-        val next = once.join(jump2, once("comp") === jump2("pn"))
-          .select(once("node"), col("pc").as("comp"))
-          .localCheckpoint(true)
+        val next = pin(once.join(jump2, once("comp") === jump2("pn"))
+          .select(once("node"), col("pc").as("comp")))
         val s = sig(next)
         converged = s == prevSig
         prevSig = s

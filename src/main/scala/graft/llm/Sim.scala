@@ -227,7 +227,7 @@ object Sim {
   val KmeansK = 8
   val KmeansIters = 3
 
-  private def kmeansAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[graft] def kmeansAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     graft.ext.Ext.register(s)
     val emb = Tables.embeddings(s, d)
     var cent = emb.filter(col("vec_id") < KmeansK)

@@ -175,6 +175,43 @@ class LlmSpec extends SparkSuite {
     assert(ivf == n)
   }
 
+  test("k-means IVF: assignment is total and exactly-once; k_eff never exceeds K") {
+    // an emptied cluster silently drops out of the centroid table (both
+    // engines shrink identically) — so k_eff ≤ K, never more, and the
+    // assignment must still cover every vector exactly once
+    val a = Sim.kmeansAssigned(spark, sf)
+    val n = graft.core.Tables.embeddings(spark, sf).count()
+    assert(a.count() == n, "assignment is not total")
+    assert(a.select("vec_id").distinct().count() == n, "a vector was assigned twice")
+    val kEff = a.select("cid").distinct().count()
+    assert(kEff >= 1 && kEff <= Sim.KmeansK, s"k_eff=$kEff outside [1, ${Sim.KmeansK}]")
+    // cluster ids come from the seed set (vec_id < K cast to int)
+    val badIds = a.filter(col("cid") < 0 || col("cid") >= Sim.KmeansK).count()
+    assert(badIds == 0, "cluster id outside the seed range")
+  }
+
+  test("connectedComponents: reliable-checkpoint path produces identical labels") {
+    val n = 64
+    val fwd = (0 until n - 1).filter(_ % 8 != 7)
+      .map(i => (i.toLong, i.toLong + 1)).toDF("x", "y")
+    val edges = fwd.union(fwd.select(col("y").as("x"), col("x").as("y")))
+    val nodes = (0 until n).map(_.toLong).toDF("node")
+    val local = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    try {
+      spark.conf.set("spark.graft.cc.checkpointDir", dir)
+      val reliable = Dedup.connectedComponents(nodes, edges).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toSet
+      assert(reliable == local, "reliable checkpoint() changed the labels")
+      // the reliable path actually wrote checkpoint data to the dir
+      assert(new java.io.File(dir).listFiles().nonEmpty, "no checkpoint data written")
+    } finally {
+      spark.conf.unset("spark.graft.cc.checkpointDir")
+      graft.core.Fs.rmTree(new java.io.File(dir))
+    }
+  }
+
   test("brute-force top-k: probe's own vector ranks first with cosine 1") {
     val top1 = q("sim_cosine_topk").filter(col("rk") === 1).collect()
     top1.foreach { r =>
