@@ -22,6 +22,7 @@ object Ext {
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "poly_hash" -> (es => PolyHash(es.head)),
     "point_in_quad" -> (es => PointInQuad(es)),
+    "cell_cover" -> (es => CellCover(es)),
     "argmax_cosine" -> (es => ArgmaxCosine(es(0), es(1))),
     "lsh_bucket" -> (es => LshBucket(es.head)),
     "make_wkb" -> (es => MakeWkb(es.head)),

@@ -63,6 +63,64 @@ object Zonal {
        |GROUP BY p.zone_id ORDER BY p.zone_id""".stripMargin
   }
 
+  /** DuckDB oracle for `zonal_stats_coverage_exact`: replay the EXACT
+    * Sutherland–Hodgman clip of [[graft.ext.CellCover]] as four chained
+    * CTE stages over a LIST<STRUCT(x,y)> polygon column (one half-plane
+    * per stage), then the shoelace numerator — all BIGINT arithmetic on
+    * the same ×840 lattice, so the compared values are exact integers.
+    * `//` is exact here for the same reason the Scala long division is:
+    * every dividend is a multiple of its divisor (CellCover doc).
+    */
+  private val CoverExactSql: String = {
+    val L = graft.ext.CellCover.L // 840
+    // one Sutherland–Hodgman half-plane stage over polygon column `p`:
+    // for each directed edge prev→cur emit [cur] / [inter] / [inter,cur]
+    // / [] by the in/out pattern (identical to CellCover.clip)
+    def clip(ax: String, b: String, ge: Boolean): String = {
+      val cmp = if (ge) ">=" else "<="
+      val prev = "p[i]"
+      val cur = "p[i % len(p) + 1]"
+      val inter =
+        if (ax == "x")
+          s"{'x': $b, 'y': $prev.y + ($cur.y - $prev.y) * (($b) - $prev.x) // ($cur.x - $prev.x)}"
+        else
+          s"{'x': $prev.x + ($cur.x - $prev.x) * (($b) - $prev.y) // ($cur.y - $prev.y), 'y': $b}"
+      s"""flatten(list_transform(generate_series(1, len(p)), i ->
+         |    CASE WHEN $prev.$ax $cmp ($b) AND $cur.$ax $cmp ($b) THEN [$cur]
+         |         WHEN $prev.$ax $cmp ($b) THEN [$inter]
+         |         WHEN $cur.$ax $cmp ($b) THEN [$inter, $cur]
+         |         ELSE CAST([] AS STRUCT(x BIGINT, y BIGINT)[]) END))""".stripMargin
+    }
+    val ringLit = (0 until 4).map(i =>
+      s"{'x': CAST($L * vx$i AS BIGINT), 'y': CAST($L * vy$i AS BIGINT)}").mkString("[", ", ", "]")
+    s"""WITH cells AS (
+       |${Cube.CellsSql}
+       |), zones AS (
+       |${Cube.ZonesSql}
+       |), pz AS (${Cube.PolyZonesSql}),
+       |base AS (
+       |  SELECT zone_id,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100,
+       |    CAST($L * cell_x AS BIGINT) AS bx, CAST($L * cell_y AS BIGINT) AS by,
+       |    $ringLit AS p
+       |  FROM cells JOIN pz
+       |    ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax),
+       |c1 AS (SELECT zone_id, v100, bx, by, ${clip("x", "bx", ge = true)} AS p FROM base),
+       |c2 AS (SELECT zone_id, v100, bx, by, ${clip("x", s"bx + $L", ge = false)} AS p FROM c1),
+       |c3 AS (SELECT zone_id, v100, bx, by, ${clip("y", "by", ge = true)} AS p FROM c2),
+       |c4 AS (SELECT zone_id, v100, ${clip("y", s"by + $L", ge = false)} AS p FROM c3),
+       |nums AS (
+       |  SELECT zone_id, v100,
+       |    abs(CAST(coalesce(list_sum(list_transform(generate_series(1, len(p)), i ->
+       |      p[i].x * p[i % len(p) + 1].y - p[i % len(p) + 1].x * p[i].y)), 0) AS BIGINT)) AS num
+       |  FROM c4)
+       |SELECT zone_id,
+       |  count(CASE WHEN num > 0 THEN 1 END) AS n_cov,
+       |  CAST(sum(num) AS DOUBLE) / ${graft.ext.CellCover.Denom} AS cov_cells_exact,
+       |  (CAST(sum(v100 * num) AS DOUBLE) / CAST(sum(num) AS DOUBLE)) / 100.0 AS wmean_v_exact
+       |FROM nums GROUP BY zone_id HAVING sum(num) > 0 ORDER BY zone_id""".stripMargin
+  }
+
   private val statsBodySql = Cube.withSql(
     s"""SELECT zone_id, count(*) AS n_cells,
        |  ${dsumSql("value")} AS sum_v,
@@ -340,6 +398,35 @@ object Zonal {
         .groupBy(col("zone_id"))
         .agg((dsum(col("value")) / count(lit(1))).as("wmean_v"),
           (count(lit(1)).cast("double") / 16).as("cov_cells"))
+        .orderBy("zone_id")
+    },
+
+    // EXACT partial-coverage weights (round 5, replacing supersampling
+    // as the precise variant — the sampled one stays): per (zone, cell)
+    // the codegen'd `cell_cover` clips the ring against the cell square
+    // (Sutherland–Hodgman on a ×840 integer lattice — every division
+    // exact, see CellCover) and returns the 2·L²·area numerator as a
+    // BIGINT. The oracle replays the identical clip with DuckDB list
+    // lambdas, so the hash gate compares exact integers. Weighted mean
+    // uses value×100 as BIGINT (money is 2-decimal clean) — the whole
+    // aggregation is integer arithmetic until two final IEEE divides
+    // spelled identically on both engines. Topology: rasterize
+    // (broadcast tile equi-join) + one map-side expression + two-phase
+    // hash agg — nothing here changes at 100 TB.
+    "zonal_stats_coverage_exact" -> Q(CoverExactSql) { (s, d) =>
+      graft.ext.Ext.register(s)
+      Cube.rasterize(Cube.cells(s, d), Cube.polyZones(s, d))
+        .withColumn("num", expr(
+          "cell_cover(cell_x, cell_y, vx0, vy0, vx1, vy1, vx2, vy2, vx3, vy3)"))
+        .withColumn("v100", (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .groupBy(col("zone_id"))
+        .agg(sum(col("num")).as("snum"),
+          count(when(col("num") > 0, 1)).as("n_cov"),
+          sum(col("v100") * col("num")).as("wsum"))
+        .filter(col("snum") > 0)
+        .select(col("zone_id"), col("n_cov"),
+          (col("snum").cast("double") / graft.ext.CellCover.Denom).as("cov_cells_exact"),
+          ((col("wsum").cast("double") / col("snum").cast("double")) / 100.0).as("wmean_v_exact"))
         .orderBy("zone_id")
     },
 

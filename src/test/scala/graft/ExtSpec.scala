@@ -67,6 +67,34 @@ class ExtSpec extends SparkSuite {
     assert(both8.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("cell_cover: exact clipped areas on hand-checked quads") {
+    import graft.ext.CellCover
+    val D = CellCover.Denom // 2·840²
+    def cov(cx: Long, cy: Long, vs: (Long, Long)*): Long =
+      CellCover.cover2L2(Array(cx, cy) ++ vs.flatMap(p => Seq(p._1, p._2)))
+    // big square (0,0)-(8,8): interior cell fully covered, outside cell 0
+    val sq = Seq((0L, 0L), (8L, 0L), (8L, 8L), (0L, 8L))
+    assert(cov(3, 3, sq: _*) == D, "interior cell must be fully covered")
+    assert(cov(9, 9, sq: _*) == 0L, "exterior cell must have zero cover")
+    assert(cov(7, 7, sq: _*) == D, "corner-touching interior cell is full")
+    // right triangle (0,0)-(2,0)-(0,2): hypotenuse x+y=2 touches cell
+    // (0,0) only at its far corner → full; halves cell (1,0); leaves
+    // cell (1,1) a zero-area corner sliver
+    val tri3 = Seq((0L, 0L), (2L, 0L), (0L, 2L), (0L, 0L)) // degenerate 4th vertex
+    assert(cov(0, 0, tri3: _*) == D, "cell under the hypotenuse is full")
+    assert(cov(1, 0, tri3: _*) == D / 2, "hypotenuse-split cell must be half")
+    assert(cov(1, 1, tri3: _*) == 0L)
+    // fractional-slope exactness: triangle (0,0)-(3,1)-(0,1) over cell
+    // (0,0) = region between y=x/3 and y=1 → 1 − 1/6 = 5/6 exactly
+    val tri13 = Seq((0L, 0L), (3L, 1L), (0L, 1L), (0L, 0L))
+    assert(cov(0, 0, tri13: _*) == 5 * D / 6, "1/3-slope wedge must be exactly 5/6")
+    // additivity: the four cells under the 2×2 square (0,0)-(2,2) sum to 4 full
+    val sq2 = Seq((0L, 0L), (2L, 0L), (2L, 2L), (0L, 2L))
+    val four = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L))
+      .map { case (x, y) => cov(x, y, sq2: _*) }.sum
+    assert(four == 4 * D)
+  }
+
   test("byte_stats matches hand-computed values") {
     Ext.register(spark)
     val r = Seq("abc").toDF("s")

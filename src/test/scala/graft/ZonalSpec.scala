@@ -204,6 +204,27 @@ class ZonalSpec extends SparkSuite {
     assert(approx.count() == vals.count() * 3, "missing (zone, quantile) rows")
   }
 
+  test("zonal_stats_coverage_exact brackets the supersampled estimate") {
+    val exact = q("zonal_stats_coverage_exact")
+    val sampled = q("zonal_stats_coverage")
+      .select(col("zone_id"), col("cov_cells").as("cov_sampled"))
+    val j = exact.join(sampled, Seq("zone_id"))
+    // both variants weight by cell MULTIPLICITY (one row per lineitem),
+    // so compare multiplicity-weighted area to multiplicity-weighted
+    // sample count: the 4×4 supersample only mis-classifies subcells the
+    // ring boundary crosses — a few % of a zone's mass — plus slack for
+    // low-multiplicity zones
+    val off = j.filter(abs(col("cov_cells_exact") - col("cov_sampled"))
+      > col("cov_sampled") * 0.05 + 1.0)
+    assert(off.count() == 0,
+      s"exact vs sampled coverage diverge:\n${off.limit(5).collect().mkString("\n")}")
+    // per-row area is ≤ 1 cell, so weighted area ≤ covered-row count;
+    // and a surviving zone has positive area by the HAVING gate
+    val bad = exact.filter(col("cov_cells_exact") > col("n_cov")
+      || col("cov_cells_exact") <= 0.0)
+    assert(bad.count() == 0, "cov_cells_exact out of bounds")
+  }
+
   test("zonal_skew: salted two-stage aggregation shape, giant zone present") {
     val df = q("zonal_skew")
     val rows = df.collect()
