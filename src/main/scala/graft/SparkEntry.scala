@@ -40,6 +40,7 @@ object SparkEntry {
     rel.Functions.defs ++
     rel.Udfs.defs ++
     zonal.Zonal.defs ++
+    zonal.Raster.defs ++
     llm.Text.defs ++
     llm.Dedup.defs ++
     llm.Sim.defs ++

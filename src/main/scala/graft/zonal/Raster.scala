@@ -1,0 +1,376 @@
+package graft.zonal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Raster ingestion (round 5 — the last unrepresented piece of the
+  * reference's declared domain: "zonal statistics" over an actual
+  * raster, not only the synthetic cube): a pure-JVM reader for
+  * UNCOMPRESSED TILED (Geo)TIFF, the layout cloud-optimized GeoTIFFs
+  * use, minus the codecs this offline container can't carry.
+  *
+  * Why not an image library: none is available offline, and the tiled
+  * baseline-TIFF container is a plain offset table over fixed-size
+  * blocks — exactly the shape a distributed scan wants anyway.
+  *
+  * Scale design (the point of the exercise): the driver reads ONLY the
+  * few-KB header/IFD — the parquet-footer pattern — and builds a tile
+  * manifest `(offset, byteCount, tx0, ty0)`; executors then each read
+  * their tile's byte range through the Hadoop FileSystem API (works for
+  * file://, hdfs://, s3a:// alike) and decode it to long-form cells.
+  * One tile = one unit of parallelism = one bounded ~tileW·tileH·8-byte
+  * buffer, so a 100 TB COG collection fans out to exactly as many
+  * range-reads as it has tiles, with no whole-file materialization
+  * anywhere. The long-form output feeds [[Cube.rasterize]]/[[Zonal]]
+  * unchanged.
+  *
+  * Supported: little- and big-endian baseline TIFF, Compression=1,
+  * single band, tiled, sample types float64/float32/int32
+  * (SampleFormat 3/3/2 or 1). Anything else fails loudly — silent
+  * misreads of a raster are how wrong science ships.
+  */
+object Raster {
+
+  /** Parsed header facts (primitives only — serialized into tasks). */
+  final case class TiffMeta(
+      width: Int, height: Int, tileW: Int, tileH: Int,
+      bits: Int, sampleFormat: Int, bigEndian: Boolean,
+      tileOffsets: Array[Long], tileByteCounts: Array[Long],
+      // GeoTIFF georeference (identity when tags absent): model-space
+      // origin and per-pixel scale — exposed, not applied: cells stay in
+      // pixel space, the engine's shared integer lattice (SURVEY §1.2)
+      originX: Double, originY: Double, scaleX: Double, scaleY: Double) {
+    def tilesAcross: Int = (width + tileW - 1) / tileW
+    def tilesDown: Int = (height + tileH - 1) / tileH
+  }
+
+  /** One executor work unit: a tile's byte range + pixel origin. */
+  final case class TileRef(
+      path: String, offset: Long, count: Long, tx0: Int, ty0: Int,
+      width: Int, height: Int, tileW: Int, tileH: Int,
+      bits: Int, sampleFormat: Int, bigEndian: Boolean)
+
+  // ---- IFD parsing (TIFF 6.0 baseline) ----
+
+  private val TagWidth = 256
+  private val TagHeight = 257
+  private val TagBits = 258
+  private val TagCompression = 259
+  private val TagSamplesPerPixel = 277
+  private val TagTileW = 322
+  private val TagTileH = 323
+  private val TagTileOffsets = 324
+  private val TagTileByteCounts = 325
+  private val TagSampleFormat = 339
+  private val TagModelPixelScale = 33550
+  private val TagModelTiepoint = 33922
+
+  /** Driver-side header read: the first few KB (header + IFD + arrays),
+    * via the same FileSystem API the executors use.
+    */
+  def readMeta(path: String): TiffMeta = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try {
+      def readAt(off: Long, n: Int): java.nio.ByteBuffer = {
+        val b = new Array[Byte](n)
+        in.readFully(off, b)
+        java.nio.ByteBuffer.wrap(b)
+      }
+      val head = readAt(0, 8)
+      val bigEndian = (head.get(0), head.get(1)) match {
+        case ('I', 'I') => false
+        case ('M', 'M') => true
+        case _ => throw new IllegalArgumentException(s"$path: not a TIFF (bad byte-order mark)")
+      }
+      val order = if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN
+      head.order(order)
+      require(head.getShort(2) == 42, s"$path: not a TIFF (magic != 42)")
+      val ifdOff = head.getInt(4).toLong & 0xffffffffL
+
+      val nEntries = readAt(ifdOff, 2).order(order).getShort(0) & 0xffff
+      val entries = readAt(ifdOff + 2, nEntries * 12).order(order)
+
+      // tag -> (type, count, raw 4-byte value field offset within buffer)
+      var tags = Map.empty[Int, (Int, Long, Int)]
+      var i = 0
+      while (i < nEntries) {
+        val base = i * 12
+        val tag = entries.getShort(base) & 0xffff
+        val tpe = entries.getShort(base + 2) & 0xffff
+        val cnt = entries.getInt(base + 4).toLong & 0xffffffffL
+        tags += tag -> ((tpe, cnt, base + 8))
+        i += 1
+      }
+
+      def typeSize(t: Int): Int = t match {
+        case 1 => 1; case 3 => 2; case 4 => 4; case 12 => 8
+        case other => throw new IllegalArgumentException(s"$path: unsupported IFD type $other")
+      }
+      // scalar or array read honoring the inline-if-fits rule
+      def values(tag: Int): Array[Long] = tags.get(tag) match {
+        case None => Array.empty
+        case Some((tpe, cnt, vOff)) =>
+          val sz = typeSize(tpe)
+          val buf =
+            if (sz * cnt <= 4) {
+              // inline value: the raw 4 value bytes, in declared order
+              val raw = Array.tabulate(4)(k => entries.get(vOff + k))
+              java.nio.ByteBuffer.wrap(raw).order(order)
+            } else {
+              val off = entries.getInt(vOff).toLong & 0xffffffffL
+              readAt(off, (sz * cnt).toInt).order(order)
+            }
+          Array.tabulate(cnt.toInt) { k =>
+            tpe match {
+              case 1 => buf.get(k).toLong & 0xffL
+              case 3 => (buf.getShort(k * 2) & 0xffff).toLong
+              case 4 => buf.getInt(k * 4).toLong & 0xffffffffL
+              case 12 => java.lang.Double.doubleToRawLongBits(buf.getDouble(k * 8))
+            }
+          }
+      }
+      def scalar(tag: Int, default: Long = -1): Long = {
+        val v = values(tag)
+        if (v.isEmpty) {
+          require(default >= 0, s"$path: required TIFF tag $tag missing")
+          default
+        } else v(0)
+      }
+
+      val comp = scalar(TagCompression, default = 1)
+      require(comp == 1, s"$path: compression $comp unsupported (uncompressed tiles only)")
+      require(scalar(TagSamplesPerPixel, default = 1) == 1,
+        s"$path: multi-sample rasters unsupported (single band only)")
+      require(tags.contains(TagTileOffsets),
+        s"$path: striped TIFF unsupported — tiled layout required (the COG shape)")
+      val bits = scalar(TagBits, default = 1).toInt
+      val fmt = scalar(TagSampleFormat, default = 1).toInt
+      require((bits == 64 && fmt == 3) || (bits == 32 && fmt == 3)
+        || (bits == 32 && (fmt == 1 || fmt == 2)),
+        s"$path: sample type bits=$bits format=$fmt unsupported (float64/float32/int32)")
+
+      val geoScale = values(TagModelPixelScale).map(java.lang.Double.longBitsToDouble)
+      val geoTie = values(TagModelTiepoint).map(java.lang.Double.longBitsToDouble)
+      TiffMeta(
+        width = scalar(TagWidth).toInt, height = scalar(TagHeight).toInt,
+        tileW = scalar(TagTileW).toInt, tileH = scalar(TagTileH).toInt,
+        bits = bits, sampleFormat = fmt, bigEndian = bigEndian,
+        tileOffsets = values(TagTileOffsets),
+        tileByteCounts = values(TagTileByteCounts),
+        originX = if (geoTie.length >= 4) geoTie(3) else 0.0,
+        originY = if (geoTie.length >= 5) geoTie(4) else 0.0,
+        scaleX = if (geoScale.length >= 1) geoScale(0) else 1.0,
+        scaleY = if (geoScale.length >= 2) geoScale(1) else 1.0)
+    } finally in.close()
+  }
+
+  /** Decode one tile's bytes to (cell_x, cell_y, value) triples, clipped
+    * to the image bounds (edge tiles are stored full-size, padded).
+    */
+  def decodeTile(bytes: Array[Byte], t: TileRef): Iterator[(Int, Int, Double)] = {
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(
+      if (t.bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val bytesPer = t.bits / 8
+    val wIn = math.min(t.tileW, t.width - t.tx0) // valid columns in this tile
+    val hIn = math.min(t.tileH, t.height - t.ty0)
+    for {
+      r <- Iterator.range(0, hIn)
+      c <- Iterator.range(0, wIn)
+    } yield {
+      val pos = (r * t.tileW + c) * bytesPer
+      val v = (t.bits, t.sampleFormat) match {
+        case (64, 3) => buf.getDouble(pos)
+        case (32, 3) => buf.getFloat(pos).toDouble
+        case (32, _) => buf.getInt(pos).toDouble
+        case _ => throw new IllegalStateException("unreachable: type gated in readMeta")
+      }
+      (t.tx0 + c, t.ty0 + r, v)
+    }
+  }
+
+  /** `scan_raster`: tiled (Geo)TIFF → long-form cell DataFrame
+    * `(cell_x, cell_y, value)` in pixel space. Header on the driver,
+    * one range-read per tile on the executors.
+    */
+  def scanTiff(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val m = readMeta(path)
+    val refs = (0 until m.tilesAcross * m.tilesDown).map { i =>
+      TileRef(path, m.tileOffsets(i), m.tileByteCounts(i),
+        tx0 = (i % m.tilesAcross) * m.tileW, ty0 = (i / m.tilesAcross) * m.tileH,
+        width = m.width, height = m.height, tileW = m.tileW, tileH = m.tileH,
+        bits = m.bits, sampleFormat = m.sampleFormat, bigEndian = m.bigEndian)
+    }
+    // one tile per task up to the session's parallelism: the manifest is
+    // tiny, the data reads happen in the tasks
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { t =>
+        val p = new org.apache.hadoop.fs.Path(t.path)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](t.count.toInt)
+          in.readFully(t.offset, bytes)
+          // the tile buffer is bounded (tileW·tileH·8) and fully read,
+          // so the stream can close before the iterator is drained
+          decodeTile(bytes, t)
+        } finally in.close()
+      }
+      .toDF("cell_x", "cell_y", "value")
+  }
+
+  // ---- fixture writer (also the unit-test oracle-independent path) ----
+
+  /** Write a deterministic uncompressed tiled little-endian GeoTIFF with
+    * float64 samples `f(x, y)`. Used to generate the scan_raster fixture
+    * and the spec roundtrips; the DuckDB oracle replays `f` directly, so
+    * a reader bug that survives the writer is still caught by the gate
+    * unless it is the writer bug's exact inverse — the specs cover the
+    * reader against hand-built byte layouts for that.
+    */
+  def writeTiff(path: String, width: Int, height: Int, tileW: Int, tileH: Int)
+      (f: (Int, Int) => Double): Unit = {
+    val ta = (width + tileW - 1) / tileW
+    val td = (height + tileH - 1) / tileH
+    val nTiles = ta * td
+    val tileBytes = tileW * tileH * 8
+    val nEntries = 12
+    val ifdOff = 8
+    val ifdSize = 2 + nEntries * 12 + 4
+    val offArr = ifdOff + ifdSize        // TileOffsets array (if > 1 tile)
+    val cntArr = offArr + 4 * nTiles     // TileByteCounts array
+    val scaleArr = cntArr + 4 * nTiles   // ModelPixelScale: 3 doubles
+    val tieArr = scaleArr + 24           // ModelTiepoint: 6 doubles
+    val dataOff = tieArr + 48
+    val total = dataOff + nTiles * tileBytes
+    val buf = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    buf.position(ifdOff)
+    buf.putShort(nEntries.toShort)
+    def entry(tag: Int, tpe: Int, cnt: Int, value: Long): Unit = {
+      buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(cnt)
+      if (tpe == 3 && cnt == 1) { buf.putShort(value.toShort); buf.putShort(0) }
+      else buf.putInt(value.toInt)
+    }
+    entry(TagWidth, 4, 1, width)
+    entry(TagHeight, 4, 1, height)
+    entry(TagBits, 3, 1, 64)
+    entry(TagCompression, 3, 1, 1)
+    entry(TagSamplesPerPixel, 3, 1, 1)
+    entry(TagTileW, 4, 1, tileW)
+    entry(TagTileH, 4, 1, tileH)
+    if (nTiles == 1) entry(TagTileOffsets, 4, 1, dataOff)
+    else entry(TagTileOffsets, 4, nTiles, offArr)
+    if (nTiles == 1) entry(TagTileByteCounts, 4, 1, tileBytes)
+    else entry(TagTileByteCounts, 4, nTiles, cntArr)
+    entry(TagSampleFormat, 3, 1, 3)
+    entry(TagModelPixelScale, 12, 3, scaleArr)
+    entry(TagModelTiepoint, 12, 6, tieArr)
+    buf.putInt(0) // next-IFD pointer: none
+    buf.position(offArr)
+    (0 until nTiles).foreach(i => buf.putInt(dataOff + i * tileBytes))
+    (0 until nTiles).foreach(_ => buf.putInt(tileBytes))
+    buf.position(scaleArr)
+    buf.putDouble(1.0).putDouble(1.0).putDouble(0.0)
+    buf.putDouble(0.0).putDouble(0.0).putDouble(0.0) // raster point (0,0) ...
+    buf.putDouble(0.0).putDouble(0.0).putDouble(0.0) // ... is model (0,0,0)
+    var i = 0
+    while (i < nTiles) {
+      val tx0 = (i % ta) * tileW
+      val ty0 = (i / ta) * tileH
+      buf.position(dataOff + i * tileBytes)
+      var r = 0
+      while (r < tileH) {
+        var c = 0
+        while (c < tileW) {
+          val x = tx0 + c; val y = ty0 + r
+          buf.putDouble(if (x < width && y < height) f(x, y) else 0.0)
+          c += 1
+        }
+        r += 1
+      }
+      i += 1
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(buf.array()) finally out.close()
+  }
+
+  // ---- fixture + registry ----
+
+  /** Fixture raster: 90×70 px (NOT tile-aligned — edge tiles exercise
+    * padding), 32×32 tiles, value = (31x + 17y) mod 997 (integers are
+    * exact in float64, so the DuckDB formula replay hash-matches).
+    */
+  val FixW = 90
+  val FixH = 70
+  def fixtureValue(x: Int, y: Int): Double = ((31 * x + 17 * y) % 997).toDouble
+  val FixtureValueSql = "CAST((31 * cell_x + 17 * cell_y) % 997 AS DOUBLE)"
+
+  private val fixtureLock = new Object
+  @volatile private var fixtureReady: String = null
+
+  /** Write-once deterministic fixture; returns its path. */
+  def fixturePath(): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/raster_fixture_${FixW}x$FixH.tif"
+    if (fixtureReady != path) fixtureLock.synchronized {
+      if (fixtureReady != path) {
+        writeTiff(path, FixW, FixH, 32, 32)(fixtureValue)
+        fixtureReady = path
+      }
+    }
+    path
+  }
+
+  /** DuckDB spelling of the fixture's cell table: the raster's content
+    * is a pure integer formula, so the oracle derives the cells without
+    * reading TIFF bytes — a real gate on the reader+writer pair (a
+    * parse bug that moves, drops, or mangles any pixel hash-mismatches).
+    */
+  private val FixtureCellsSql =
+    s"""SELECT x.range AS cell_x, y.range AS cell_y, $FixtureValueSql AS value
+       |FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y""".stripMargin
+
+  import org.apache.spark.sql.functions._
+  import graft.core.Q
+
+  def defs: Seq[(String, Q)] = Seq(
+    // raster ingestion end-to-end: write the deterministic GeoTIFF
+    // fixture (once), scan it tile-parallel, emit the long-form cell
+    // table. The oracle replays the generating formula.
+    "scan_raster" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($FixtureCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanTiff(s, fixturePath())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // the reference's headline pipeline on a REAL raster: scanned TIFF
+    // cells → rasterize against the zone table → per-zone stats. Values
+    // are integral in float64, so long sums are exact on both engines.
+    "zonal_raster_stats" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), cells AS (
+         |$FixtureCellsSql
+         |)
+         |SELECT zone_id, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  CAST(sum(CAST(value AS BIGINT)) AS DOUBLE) / count(*) AS mean_v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |${Cube.RasterizeJoinSql}
+         |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+      Cube.rasterize(scanTiff(s, fixturePath()), Cube.zones(s, d))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          (sum(col("value").cast("long")).cast("double") / count(lit(1))).as("mean_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("zone_id")
+    })
+}

@@ -1,0 +1,118 @@
+package graft
+
+import graft.zonal.Raster
+
+/** The raster reader against byte layouts built INDEPENDENTLY of
+  * [[Raster.writeTiff]] — the oracle's formula replay catches a broken
+  * writer+reader pair, these catch a reader bug the writer compensates
+  * for (endianness, inline vs offset values, padding, sample types).
+  */
+class RasterSpec extends SparkSuite {
+
+  test("roundtrip: written GeoTIFF scans back to the exact formula, edge tiles clipped") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
+    val p = s"$tmp/rt.tif"
+    Raster.writeTiff(p, 37, 29, 16, 16)((x, y) => ((x * 7 + y * 3) % 11).toDouble)
+    val got = Raster.scanTiff(spark, p).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 37 * 29, "padding rows leaked or pixels dropped")
+    for (x <- 0 until 37; y <- 0 until 29)
+      assert(got((x, y)) == ((x * 7 + y * 3) % 11).toDouble, s"pixel ($x,$y)")
+    graft.core.Fs.rmTree(tmp)
+  }
+
+  /** Hand-built BIG-endian float32 TIFF: 3×2 px, 2×2 tiles (2 tiles, the
+    * second right-padded), f(x,y) = 10x + y.
+    */
+  private def beFloat32Bytes(compression: Int): Array[Byte] = {
+    val nE = 10
+    val ifdOff = 8
+    val offArr = ifdOff + 2 + nE * 12 + 4
+    val cntArr = offArr + 8
+    val dataOff = cntArr + 8
+    val tileBytes = 2 * 2 * 4
+    val buf = java.nio.ByteBuffer.allocate(dataOff + 2 * tileBytes) // BIG_ENDIAN default
+    buf.put('M'.toByte).put('M'.toByte).putShort(42).putInt(ifdOff)
+    buf.putShort(nE.toShort)
+    def e(tag: Int, tpe: Int, cnt: Int, v: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(cnt)
+      // inline SHORT is left-justified in the 4-byte field
+      if (tpe == 3 && cnt == 1) { buf.putShort(v.toShort); buf.putShort(0) }
+      else buf.putInt(v)
+    }
+    e(256, 4, 1, 3); e(257, 4, 1, 2)
+    e(258, 3, 1, 32); e(259, 3, 1, compression); e(277, 3, 1, 1)
+    e(322, 4, 1, 2); e(323, 4, 1, 2)
+    e(324, 4, 2, offArr); e(325, 4, 2, cntArr)
+    e(339, 3, 1, 3)
+    buf.putInt(0) // no next IFD
+    buf.putInt(dataOff); buf.putInt(dataOff + tileBytes)
+    buf.putInt(tileBytes); buf.putInt(tileBytes)
+    // tile 0: rows y=0,1 of x=0,1; tile 1: x=2 plus right padding
+    Seq(0f, 10f, 1f, 11f).foreach(buf.putFloat)
+    Seq(20f, -999f, 21f, -999f).foreach(buf.putFloat) // padding must be clipped
+    buf.array()
+  }
+
+  test("big-endian float32 with padded edge tile decodes exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
+    val p = s"$tmp/be.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), beFloat32Bytes(compression = 1))
+    val got = Raster.scanTiff(spark, p).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((0, 0) -> 0.0, (1, 0) -> 10.0, (2, 0) -> 20.0,
+      (0, 1) -> 1.0, (1, 1) -> 11.0, (2, 1) -> 21.0))
+    graft.core.Fs.rmTree(tmp)
+  }
+
+  test("compressed / non-TIFF / striped inputs fail loudly, never misread") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
+    val pc = s"$tmp/lzw.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pc), beFloat32Bytes(compression = 5))
+    val e1 = intercept[IllegalArgumentException](Raster.readMeta(pc))
+    assert(e1.getMessage.contains("compression"))
+    val pn = s"$tmp/not.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pn), "PKjunk".getBytes)
+    intercept[IllegalArgumentException](Raster.readMeta(pn))
+    graft.core.Fs.rmTree(tmp)
+  }
+
+  test("int32 single-tile image with inline offset entries decodes (incl. negatives)") {
+    // 2×2 image exactly one 2×2 tile: count-1 LONG entries stay inline
+    val nE = 10
+    val ifdOff = 8
+    val dataOff = ifdOff + 2 + nE * 12 + 4
+    val buf = java.nio.ByteBuffer.allocate(dataOff + 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    buf.putShort(nE.toShort)
+    def e(tag: Int, tpe: Int, cnt: Int, v: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(cnt)
+      if (tpe == 3 && cnt == 1) { buf.putShort(v.toShort); buf.putShort(0) }
+      else buf.putInt(v)
+    }
+    e(256, 4, 1, 2); e(257, 4, 1, 2)
+    e(258, 3, 1, 32); e(259, 3, 1, 1); e(277, 3, 1, 1)
+    e(322, 4, 1, 2); e(323, 4, 1, 2)
+    e(324, 4, 1, dataOff); e(325, 4, 1, 16)
+    e(339, 3, 1, 2) // signed int
+    buf.putInt(0)
+    Seq(7, -5, 0, 123456).foreach(buf.putInt)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
+    val p = s"$tmp/i32.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), buf.array())
+    val got = Raster.scanTiff(spark, p).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((0, 0) -> 7.0, (1, 0) -> -5.0, (0, 1) -> 0.0, (1, 1) -> 123456.0))
+    graft.core.Fs.rmTree(tmp)
+  }
+
+  test("zonal_raster_stats: every zone inside the raster, counts equal envelope areas") {
+    val df = q("zonal_raster_stats")
+    // zone envelopes are 8×8 and the raster covers the whole lattice →
+    // every zone sees exactly 64 raster cells (one per pixel, no
+    // lineitem multiplicity here)
+    assert(df.count() == 25)
+    assert(df.filter(org.apache.spark.sql.functions.col("n_cells") =!= 64).count() == 0)
+  }
+}
