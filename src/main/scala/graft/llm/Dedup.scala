@@ -269,8 +269,14 @@ object Dedup {
     // round — the right trade at 1000 executors.
     val ckptDir = session.conf.getOption("spark.graft.cc.checkpointDir")
     ckptDir.foreach(session.sparkContext.setCheckpointDir)
+    // LAZY localCheckpoint: the signature aggregate right after is the
+    // round's single action — it materializes the checkpoint blocks AND
+    // computes convergence in ONE job, halving the per-round job floor
+    // (the fixpoint's dominant cost at small label tables). Reliable
+    // checkpoint() stays eager: its contract wants marking before any
+    // action, and it pays a deliberate extra write anyway.
     def pin(df: DataFrame): DataFrame =
-      if (ckptDir.isDefined) df.checkpoint(true) else df.localCheckpoint(true)
+      if (ckptDir.isDefined) df.checkpoint(true) else df.localCheckpoint(false)
     graft.core.SessionConf.scoped(session, partsKey -> loopParts) {
       val e = pin(edges.select(col("x"), col("y")))
       var labels = pin(nodes.select(col("node"), col("node").as("comp")))
