@@ -89,19 +89,39 @@ object CellCover {
     * 2·L²·area(quad ∩ [cx,cx+1]×[cy,cy+1]), exact.
     */
   def cover2L2(v: Array[Long]): Long = {
-    // subject ring on the ×L lattice; SH output of a quad against a box
-    // has at most 8 vertices
-    var nx = new Array[Long](10)
-    var ny = new Array[Long](10)
-    var n = 4
+    val xs = Array(v(2), v(4), v(6), v(8))
+    val ys = Array(v(3), v(5), v(7), v(9))
+    ringCover2L2(xs, ys, 4, v(0), v(1))
+  }
+
+  private def exactDiv(num: Long, den: Long): Long = {
+    // the lattice contract (class doc) makes every clip division
+    // remainder-free; a nonzero remainder means the ring's edge deltas
+    // don't divide L — fail loudly rather than return a wrong area
+    if (num % den != 0)
+      throw new IllegalArgumentException(
+        s"cell_cover: ring edge delta does not divide the lattice scale $L — " +
+          "geometry is outside the engine's lattice-local contract (edge deltas must be ≤ 8)")
+    num / den
+  }
+
+  /** General n-vertex core: 2·L²·area(ring ∩ cell(cx, cy)) for an OPEN
+    * ring (no repeated closing vertex) of UNSCALED integer vertices.
+    */
+  def ringCover2L2(vxs: Array[Long], vys: Array[Long], nIn: Int, cx: Long, cy: Long): Long = {
+    // ring on the ×L lattice; SH against a box adds ≤ 4 vertices
+    var nx = new Array[Long](nIn + 6)
+    var ny = new Array[Long](nIn + 6)
+    var n = nIn
     var i = 0
-    while (i < 4) { nx(i) = v(2 + 2 * i) * L; ny(i) = v(3 + 2 * i) * L; i += 1 }
+    while (i < nIn) { nx(i) = vxs(i) * L; ny(i) = vys(i) * L; i += 1 }
 
     // one half-plane clip; axis 0 = x, 1 = y; keep coord >= b (ge) or <= b
     def clip(axis: Int, b: Long, ge: Boolean): Unit = {
       if (n == 0) return
-      val ox = new Array[Long](n + 4)
-      val oy = new Array[Long](n + 4)
+      // each edge emits ≤ 2 points, so 2n bounds any ring, convex or not
+      val ox = new Array[Long](2 * n + 2)
+      val oy = new Array[Long](2 * n + 2)
       var m = 0
       var j = 0
       while (j < n) {
@@ -113,13 +133,11 @@ object CellCover {
         val pin = if (ge) pc >= b else pc <= b
         val qin = if (ge) qc >= b else qc <= b
         if (pin != qin) {
-          // exact: the divisions below are always remainder-free (see
-          // class doc), so plain long division introduces no error
           if (axis == 0) {
             ox(m) = b
-            oy(m) = py + (qy - py) * (b - px) / (qx - px)
+            oy(m) = py + exactDiv((qy - py) * (b - px), qx - px)
           } else {
-            ox(m) = px + (qx - px) * (b - py) / (qy - py)
+            ox(m) = px + exactDiv((qx - px) * (b - py), qy - py)
             oy(m) = b
           }
           m += 1
@@ -130,8 +148,8 @@ object CellCover {
       nx = ox; ny = oy; n = m
     }
 
-    val bx = v(0) * L
-    val by = v(1) * L
+    val bx = cx * L
+    val by = cy * L
     clip(0, bx, ge = true)
     clip(0, bx + L, ge = false)
     clip(1, by, ge = true)

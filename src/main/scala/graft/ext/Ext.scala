@@ -26,7 +26,8 @@ object Ext {
     "argmax_cosine" -> (es => ArgmaxCosine(es(0), es(1))),
     "lsh_bucket" -> (es => LshBucket(es.head)),
     "make_wkb" -> (es => MakeWkb(es.head)),
-    "point_in_wkb" -> (es => PointInWkb(es(0), es(1), es(2))))
+    "point_in_wkb" -> (es => PointInWkb(es(0), es(1), es(2))),
+    "cell_cover_wkb" -> (es => CellCoverWkb(es(0), es(1), es(2))))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

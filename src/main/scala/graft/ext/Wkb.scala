@@ -114,6 +114,54 @@ object Wkb {
     polygon()
     (crossings & 1) == 1
   }
+
+  /** EXACT covered area of cell (cx, cy) under the geometry's even-odd
+    * semantics, as the 2·L²·area BIGINT numerator ([[CellCover]]): each
+    * polygon contributes |clip(exterior ring)| − Σ|clip(interior
+    * rings)| — valid because holes lie inside their exterior and parts
+    * are disjoint (the OGC polygon validity rules both zone families
+    * obey). Same integral-coordinate and lattice-local contracts as
+    * [[pointIn]]/[[CellCover]]; violations throw, never truncate.
+    */
+  def cover2L2(cx: Long, cy: Long, wkb: Array[Byte]): Long = {
+    val buf = java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var total = 0L
+    def ring(sign: Long): Unit = {
+      val npts = buf.getInt
+      val xs = new Array[Long](npts)
+      val ys = new Array[Long](npts)
+      var j = 0
+      while (j < npts) {
+        val xd = buf.getDouble
+        val yd = buf.getDouble
+        xs(j) = xd.toLong; ys(j) = yd.toLong
+        if (xs(j).toDouble != xd || ys(j).toDouble != yd)
+          throw new IllegalArgumentException(
+            s"cell_cover_wkb requires integral lattice coordinates, got ($xd, $yd); " +
+              "align/reproject geometry to the cube grid upstream")
+        j += 1
+      }
+      // WKB rings are closed (first vertex repeated) — clip the OPEN ring
+      val nOpen = if (npts > 1 && xs(0) == xs(npts - 1) && ys(0) == ys(npts - 1)) npts - 1 else npts
+      total += sign * CellCover.ringCover2L2(xs, ys, nOpen, cx, cy)
+    }
+    def polygon(): Unit = {
+      require(buf.get() == 1.toByte, "big-endian WKB unsupported")
+      buf.getInt match {
+        case 3 =>
+          val nRings = buf.getInt
+          var r = 0
+          while (r < nRings) { ring(if (r == 0) 1L else -1L); r += 1 }
+        case 6 =>
+          val nPolys = buf.getInt
+          var p = 0
+          while (p < nPolys) { polygon(); p += 1 }
+        case t => throw new IllegalArgumentException(s"unsupported WKB type $t")
+      }
+    }
+    polygon()
+    total
+  }
 }
 
 /** `make_wkb(verts)` — see [[Wkb.build]]. */
@@ -165,5 +213,34 @@ case class PointInWkb(first: Expression, second: Expression, third: Expression)
 
   override protected def withNewChildrenInternal(
       newFirst: Expression, newSecond: Expression, newThird: Expression): PointInWkb =
+    copy(first = newFirst, second = newSecond, third = newThird)
+}
+
+/** `cell_cover_wkb(cx, cy, geom)` — see [[Wkb.cover2L2]]. */
+case class CellCoverWkb(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def integral(t: DataType) =
+      t == IntegerType || t == LongType || t == ShortType || t == ByteType
+    if (integral(first.dataType) && integral(second.dataType)
+        && third.dataType == BinaryType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cell_cover_wkb needs (integral, integral, binary), got " +
+        s"${first.dataType}, ${second.dataType}, ${third.dataType}")
+  }
+
+  override def nullSafeEval(cx: Any, cy: Any, wkb: Any): Any =
+    Wkb.cover2L2(cx.asInstanceOf[Number].longValue(),
+      cy.asInstanceOf[Number].longValue(), wkb.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cx, cy, wkb) =>
+      s"${ev.value} = graft.ext.Wkb.cover2L2((long) $cx, (long) $cy, $wkb);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression, newThird: Expression): CellCoverWkb =
     copy(first = newFirst, second = newSecond, third = newThird)
 }

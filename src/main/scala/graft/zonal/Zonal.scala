@@ -71,26 +71,34 @@ object Zonal {
     * `//` is exact here for the same reason the Scala long division is:
     * every dividend is a multiple of its divisor (CellCover doc).
     */
+  /** One Sutherland–Hodgman half-plane stage over polygon column `p`:
+    * for each directed edge prev→cur emit [cur] / [inter] / [inter,cur]
+    * / [] by the in/out pattern (identical to CellCover.clip). Shared by
+    * the quad and WKB exact-coverage oracles.
+    */
+  private def clip(ax: String, b: String, ge: Boolean): String = {
+    val cmp = if (ge) ">=" else "<="
+    val prev = "p[i]"
+    val cur = "p[i % len(p) + 1]"
+    val inter =
+      if (ax == "x")
+        s"{'x': $b, 'y': $prev.y + ($cur.y - $prev.y) * (($b) - $prev.x) // ($cur.x - $prev.x)}"
+      else
+        s"{'x': $prev.x + ($cur.x - $prev.x) * (($b) - $prev.y) // ($cur.y - $prev.y), 'y': $b}"
+    s"""flatten(list_transform(generate_series(1, len(p)), i ->
+       |    CASE WHEN $prev.$ax $cmp ($b) AND $cur.$ax $cmp ($b) THEN [$cur]
+       |         WHEN $prev.$ax $cmp ($b) THEN [$inter]
+       |         WHEN $cur.$ax $cmp ($b) THEN [$inter, $cur]
+       |         ELSE CAST([] AS STRUCT(x BIGINT, y BIGINT)[]) END))""".stripMargin
+  }
+
+  /** Shoelace |2·area| of polygon column `p` as BIGINT. */
+  private val shoelaceSql: String =
+    """abs(CAST(coalesce(list_sum(list_transform(generate_series(1, len(p)), i ->
+      |      p[i].x * p[i % len(p) + 1].y - p[i % len(p) + 1].x * p[i].y)), 0) AS BIGINT))""".stripMargin
+
   private val CoverExactSql: String = {
     val L = graft.ext.CellCover.L // 840
-    // one Sutherland–Hodgman half-plane stage over polygon column `p`:
-    // for each directed edge prev→cur emit [cur] / [inter] / [inter,cur]
-    // / [] by the in/out pattern (identical to CellCover.clip)
-    def clip(ax: String, b: String, ge: Boolean): String = {
-      val cmp = if (ge) ">=" else "<="
-      val prev = "p[i]"
-      val cur = "p[i % len(p) + 1]"
-      val inter =
-        if (ax == "x")
-          s"{'x': $b, 'y': $prev.y + ($cur.y - $prev.y) * (($b) - $prev.x) // ($cur.x - $prev.x)}"
-        else
-          s"{'x': $prev.x + ($cur.x - $prev.x) * (($b) - $prev.y) // ($cur.y - $prev.y), 'y': $b}"
-      s"""flatten(list_transform(generate_series(1, len(p)), i ->
-         |    CASE WHEN $prev.$ax $cmp ($b) AND $cur.$ax $cmp ($b) THEN [$cur]
-         |         WHEN $prev.$ax $cmp ($b) THEN [$inter]
-         |         WHEN $cur.$ax $cmp ($b) THEN [$inter, $cur]
-         |         ELSE CAST([] AS STRUCT(x BIGINT, y BIGINT)[]) END))""".stripMargin
-    }
     val ringLit = (0 until 4).map(i =>
       s"{'x': CAST($L * vx$i AS BIGINT), 'y': CAST($L * vy$i AS BIGINT)}").mkString("[", ", ", "]")
     s"""WITH cells AS (
@@ -110,10 +118,53 @@ object Zonal {
        |c3 AS (SELECT zone_id, v100, bx, by, ${clip("y", "by", ge = true)} AS p FROM c2),
        |c4 AS (SELECT zone_id, v100, ${clip("y", s"by + $L", ge = false)} AS p FROM c3),
        |nums AS (
-       |  SELECT zone_id, v100,
-       |    abs(CAST(coalesce(list_sum(list_transform(generate_series(1, len(p)), i ->
-       |      p[i].x * p[i % len(p) + 1].y - p[i % len(p) + 1].x * p[i].y)), 0) AS BIGINT)) AS num
+       |  SELECT zone_id, v100, $shoelaceSql AS num
        |  FROM c4)
+       |SELECT zone_id,
+       |  count(CASE WHEN num > 0 THEN 1 END) AS n_cov,
+       |  CAST(sum(num) AS DOUBLE) / ${graft.ext.CellCover.Denom} AS cov_cells_exact,
+       |  (CAST(sum(v100 * num) AS DOUBLE) / CAST(sum(num) AS DOUBLE)) / 100.0 AS wmean_v_exact
+       |FROM nums GROUP BY zone_id HAVING sum(num) > 0 ORDER BY zone_id""".stripMargin
+  }
+
+  /** DuckDB oracle for `zonal_stats_coverage_wkb`: the same exact clip
+    * replayed per RING over the unnested vertex table of the
+    * MultiPolygon family, ring areas signed (exterior +, interior −; the
+    * family is OGC-valid so the signed sum IS the even-odd area), summed
+    * per (zone, cell row), then the same aggregation as the quad oracle.
+    */
+  private val CoverWkbSql: String = {
+    val L = graft.ext.CellCover.L
+    val keys = "l_orderkey, l_partkey, l_suppkey, l_linenumber"
+    s"""WITH cells AS (
+       |${Cube.CellsSql}
+       |), zones AS (
+       |${Cube.ZonesSql}
+       |), verts AS (
+       |${Cube.vertsSql(Cube.MultiRings)}
+       |), rings AS (
+       |  SELECT zone_id, part, ring,
+       |    list({'x': CAST($L * vx AS BIGINT), 'y': CAST($L * vy AS BIGINT)} ORDER BY i) AS p
+       |  FROM verts GROUP BY zone_id, part, ring),
+       |base AS (
+       |  SELECT z.zone_id, $keys,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100,
+       |    CAST($L * cell_x AS BIGINT) AS bx, CAST($L * cell_y AS BIGINT) AS by,
+       |    r.ring, r.p
+       |  FROM cells c JOIN zones z
+       |    ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+       |  JOIN rings r ON r.zone_id = z.zone_id),
+       |c1 AS (SELECT zone_id, $keys, v100, bx, by, ring, ${clip("x", "bx", ge = true)} AS p FROM base),
+       |c2 AS (SELECT zone_id, $keys, v100, bx, by, ring, ${clip("x", s"bx + $L", ge = false)} AS p FROM c1),
+       |c3 AS (SELECT zone_id, $keys, v100, bx, by, ring, ${clip("y", "by", ge = true)} AS p FROM c2),
+       |c4 AS (SELECT zone_id, $keys, v100, ring, ${clip("y", s"by + $L", ge = false)} AS p FROM c3),
+       |rnums AS (
+       |  SELECT zone_id, $keys, v100,
+       |    (CASE WHEN ring = 0 THEN 1 ELSE -1 END) * $shoelaceSql AS snum
+       |  FROM c4),
+       |nums AS (
+       |  SELECT zone_id, v100, CAST(sum(snum) AS BIGINT) AS num
+       |  FROM rnums GROUP BY zone_id, $keys, v100)
        |SELECT zone_id,
        |  count(CASE WHEN num > 0 THEN 1 END) AS n_cov,
        |  CAST(sum(num) AS DOUBLE) / ${graft.ext.CellCover.Denom} AS cov_cells_exact,
@@ -418,6 +469,27 @@ object Zonal {
       Cube.rasterize(Cube.cells(s, d), Cube.polyZones(s, d))
         .withColumn("num", expr(
           "cell_cover(cell_x, cell_y, vx0, vy0, vx1, vy1, vx2, vy2, vx3, vy3)"))
+        .withColumn("v100", (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
+        .groupBy(col("zone_id"))
+        .agg(sum(col("num")).as("snum"),
+          count(when(col("num") > 0, 1)).as("n_cov"),
+          sum(col("v100") * col("num")).as("wsum"))
+        .filter(col("snum") > 0)
+        .select(col("zone_id"), col("n_cov"),
+          (col("snum").cast("double") / graft.ext.CellCover.Denom).as("cov_cells_exact"),
+          ((col("wsum").cast("double") / col("snum").cast("double")) / 100.0).as("wmean_v_exact"))
+        .orderBy("zone_id")
+    },
+
+    // exact coverage over REAL WKB geometry (round 5): the same clipped
+    // area, but the ring walk happens inside `cell_cover_wkb` over the
+    // MultiPolygon's rings with OGC ring-sign semantics (exterior +,
+    // interior −). Runs on the x-disjoint multipolygon family — the
+    // OGC-valid one, where the signed ring sum IS the even-odd area.
+    "zonal_stats_coverage_wkb" -> Q(CoverWkbSql) { (s, d) =>
+      graft.ext.Ext.register(s)
+      Cube.rasterize(Cube.cells(s, d), Cube.wkbZones(s, d, Cube.MultiRings))
+        .withColumn("num", expr("cell_cover_wkb(cell_x, cell_y, geom)"))
         .withColumn("v100", (col("value").cast(DecimalType(18, 2)) * 100).cast("long"))
         .groupBy(col("zone_id"))
         .agg(sum(col("num")).as("snum"),

@@ -95,6 +95,55 @@ class ExtSpec extends SparkSuite {
     assert(four == 4 * D)
   }
 
+  test("cell_cover_wkb: hole subtraction, multipolygon additivity, loud contract failures") {
+    import graft.ext.{CellCover, Wkb}
+    val D = CellCover.Denom
+    def ring(pts: (Double, Double)*): Array[Byte] = {
+      val closed = pts :+ pts.head
+      val b = java.nio.ByteBuffer.allocate(4 + closed.size * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(closed.size)
+      closed.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+      b.array()
+    }
+    def poly(rings: Array[Byte]*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(9 + rings.map(_.length).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).putInt(3).putInt(rings.size)
+      rings.foreach(b.put)
+      b.array()
+    }
+    def multi(polys: Array[Byte]*): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(9 + polys.map(_.length).sum)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).putInt(6).putInt(polys.size)
+      polys.foreach(b.put)
+      b.array()
+    }
+    // outer (0,0)-(8,8) with hole (2,2)-(4,4)
+    val holed = poly(
+      ring((0, 0), (8, 0), (8, 8), (0, 8)),
+      ring((2, 2), (4, 2), (4, 4), (2, 4)))
+    assert(Wkb.cover2L2(0, 0, holed) == D, "cell away from the hole is full")
+    assert(Wkb.cover2L2(3, 3, holed) == 0L, "cell inside the hole is empty")
+    assert(Wkb.cover2L2(2, 2, holed) == 0L)
+    assert(Wkb.cover2L2(4, 4, holed) == D, "cell just past the hole is full")
+    // two x-disjoint parts: additive, gap cell empty
+    val mp = multi(
+      poly(ring((0, 0), (2, 0), (2, 2), (0, 2))),
+      poly(ring((4, 0), (6, 0), (6, 2), (4, 2))))
+    assert(Wkb.cover2L2(1, 1, mp) == D && Wkb.cover2L2(5, 0, mp) == D)
+    assert(Wkb.cover2L2(3, 0, mp) == 0L, "gap between parts must be empty")
+    // fractional coordinates: loud failure, never truncation
+    val frac = poly(ring((0.5, 0.5), (2.5, 0.5), (2.5, 2.5), (0.5, 2.5)))
+    val e1 = intercept[IllegalArgumentException](Wkb.cover2L2(1, 1, frac))
+    assert(e1.getMessage.contains("integral lattice"))
+    // edge delta 13 ∤ 840: the clip division would round — must throw
+    val steep = poly(ring((0, 0), (13, 5), (0, 5)))
+    val e2 = intercept[IllegalArgumentException](Wkb.cover2L2(1, 0, steep))
+    assert(e2.getMessage.contains("lattice"), s"got: ${e2.getMessage}")
+  }
+
   test("byte_stats matches hand-computed values") {
     Ext.register(spark)
     val r = Seq("abc").toDF("s")
