@@ -189,19 +189,27 @@ object Raster {
     }
   }
 
-  /** `scan_raster`: tiled (Geo)TIFF → long-form cell DataFrame
-    * `(cell_x, cell_y, value)` in pixel space. Header on the driver,
-    * one range-read per tile on the executors.
-    */
-  def scanTiff(s: SparkSession, path: String): DataFrame = {
-    import s.implicits._
-    val m = readMeta(path)
-    val refs = (0 until m.tilesAcross * m.tilesDown).map { i =>
+  /** The file's tile manifest (driver-side arithmetic only). */
+  private[graft] def tileRefs(m: TiffMeta, path: String): Seq[TileRef] =
+    (0 until m.tilesAcross * m.tilesDown).map { i =>
       TileRef(path, m.tileOffsets(i), m.tileByteCounts(i),
         tx0 = (i % m.tilesAcross) * m.tileW, ty0 = (i / m.tilesAcross) * m.tileH,
         width = m.width, height = m.height, tileW = m.tileW, tileH = m.tileH,
         bits = m.bits, sampleFormat = m.sampleFormat, bigEndian = m.bigEndian)
     }
+
+  /** Manifest subset whose tiles overlap the pixel window — the raster
+    * analogue of parquet partition pruning: non-overlapping tiles are
+    * never range-read at all.
+    */
+  private[graft] def windowRefs(m: TiffMeta, path: String,
+      x0: Int, x1: Int, y0: Int, y1: Int): Seq[TileRef] =
+    tileRefs(m, path).filter(t =>
+      t.tx0 <= x1 && t.tx0 + m.tileW - 1 >= x0 &&
+      t.ty0 <= y1 && t.ty0 + m.tileH - 1 >= y0)
+
+  private def scanRefs(s: SparkSession, refs: Seq[TileRef]): DataFrame = {
+    import s.implicits._
     // one tile per task up to the session's parallelism: the manifest is
     // tiny, the data reads happen in the tasks
     s.createDataset(refs)
@@ -220,6 +228,25 @@ object Raster {
         } finally in.close()
       }
       .toDF("cell_x", "cell_y", "value")
+  }
+
+  /** `scan_raster`: tiled (Geo)TIFF → long-form cell DataFrame
+    * `(cell_x, cell_y, value)` in pixel space. Header on the driver,
+    * one range-read per tile on the executors.
+    */
+  def scanTiff(s: SparkSession, path: String): DataFrame =
+    scanRefs(s, readMeta(path) match { case m => tileRefs(m, path) })
+
+  /** `scan_raster_window`: the COG window query — prune the manifest to
+    * tiles overlapping the pixel window (no byte of a non-overlapping
+    * tile is ever read), then apply the exact residual filter to the
+    * decoded cells of the boundary tiles.
+    */
+  def scanTiffWindow(s: SparkSession, path: String,
+      x0: Int, x1: Int, y0: Int, y1: Int): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    scanRefs(s, windowRefs(readMeta(path), path, x0, x1, y0, y1))
+      .filter(col("cell_x").between(x0, x1) && col("cell_y").between(y0, y1))
   }
 
   // ---- fixture writer (also the unit-test oracle-independent path) ----
@@ -346,6 +373,18 @@ object Raster {
       s"""SELECT cell_x, cell_y, value FROM ($FixtureCellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanTiff(s, fixturePath())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // COG-style window query: only the 4 of 9 tiles overlapping the
+    // window are range-read (RasterSpec asserts the manifest pruning);
+    // the residual cell filter trims the boundary tiles exactly.
+    "scan_raster_window" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($FixtureCellsSql)
+         |WHERE cell_x BETWEEN 10 AND 40 AND cell_y BETWEEN 5 AND 35
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanTiffWindow(s, fixturePath(), 10, 40, 5, 35)
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

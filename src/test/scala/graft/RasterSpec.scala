@@ -107,6 +107,25 @@ class RasterSpec extends SparkSuite {
     graft.core.Fs.rmTree(tmp)
   }
 
+  test("window scan prunes the manifest to overlapping tiles only") {
+    val p = Raster.fixturePath()
+    val m = Raster.readMeta(p)
+    // fixture: 90×70 at 32×32 tiles → 3×3 manifest; window 10..40 × 5..35
+    // overlaps exactly the 2×2 upper-left tiles
+    assert(Raster.tileRefs(m, p).size == 9)
+    val pruned = Raster.windowRefs(m, p, 10, 40, 5, 35)
+    assert(pruned.size == 4, s"expected 4 pruned tiles, got ${pruned.size}")
+    assert(pruned.forall(t => t.tx0 <= 40 && t.ty0 <= 35))
+    // and the windowed result equals the full scan filtered
+    val full = Raster.scanTiff(spark, p)
+      .filter(org.apache.spark.sql.functions.expr(
+        "cell_x BETWEEN 10 AND 40 AND cell_y BETWEEN 5 AND 35"))
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val win = Raster.scanTiffWindow(spark, p, 10, 40, 5, 35)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(win == full && win.size == 31 * 31)
+  }
+
   test("zonal_raster_stats: every zone inside the raster, counts equal envelope areas") {
     val df = q("zonal_raster_stats")
     // zone envelopes are 8×8 and the raster covers the whole lattice →
