@@ -265,4 +265,40 @@ class PlanShapeSpec extends SparkSuite {
       "asof should be window-based, not a physical join")
     assert(p.contains("RunningWindowFunction") || p.contains("Window"), p.take(1500))
   }
+
+  test("exact coverage: one map-side clip expression + two-phase agg, no expansion") {
+    Seq("zonal_stats_coverage_exact", "zonal_stats_coverage_wkb").foreach { n =>
+      val df = q(n)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the clip is a single codegen'd expression per (zone, cell) row —
+      // no 16× subcell explode on the CELL side (the sampled variant's
+      // sequence(0, 15) generate), no Window, no NLJ. The only Generate
+      // nodes are the tiny broadcast-side zone→tile expansions.
+      assert(p.toLowerCase.contains("cellcover"), // cellcover( / cellcoverwkb(
+        s"$n lost the native clip expression:\n${p.take(2000)}")
+      assert(!p.contains("sequence(0, 15") && !p.contains("Window")
+        && !p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+        s"$n expands rows or loops:\n${p.take(3000)}")
+      // partial aggregation before the exchange (map-side combine)
+      assert(p.contains("partial_"), s"$n aggregation is not two-phase:\n${p.take(3000)}")
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n zone join is not the broadcast tile equi-join:\n${p.take(3000)}")
+    }
+  }
+
+  test("raster scans: the only shuffle is the tiny manifest repartition") {
+    Seq("scan_raster", "scan_raster_window").foreach { n =>
+      val df = q(n)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"$n grew a join:\n${p.take(2000)}")
+      // exchanges: exactly the round-robin manifest repartition (plus
+      // the orderBy's range exchange for the deterministic dump)
+      val exchanges = "Exchange [a-z]+".r.findAllIn(p).toList.map(_.stripPrefix("Exchange "))
+      assert(exchanges.count(_ == "roundrobin") <= 1
+        && exchanges.forall(e => e == "roundrobin" || e == "rangepartitioning"),
+        s"$n has unexpected exchanges $exchanges:\n${p.take(3000)}")
+    }
+  }
 }
