@@ -358,7 +358,7 @@ object Raster {
     * reading TIFF bytes — a real gate on the reader+writer pair (a
     * parse bug that moves, drops, or mangles any pixel hash-mismatches).
     */
-  private val FixtureCellsSql =
+  private[zonal] val FixtureCellsSql =
     s"""SELECT x.range AS cell_x, y.range AS cell_y, $FixtureValueSql AS value
        |FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y""".stripMargin
 

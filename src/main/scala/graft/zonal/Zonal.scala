@@ -172,6 +172,49 @@ object Zonal {
        |FROM nums GROUP BY zone_id HAVING sum(num) > 0 ORDER BY zone_id""".stripMargin
   }
 
+  /** DuckDB oracle for `zonal_raster_coverage`: [[CoverWkbSql]]'s
+    * per-ring clip replay, but over the RASTER fixture's formula cells
+    * ((cell_x, cell_y) is the row key — a raster cell is unique) and
+    * with the integral raster value weighting directly as BIGINT.
+    */
+  private val RasterCoverSql: String = {
+    val L = graft.ext.CellCover.L
+    s"""WITH zones AS (
+       |${Cube.ZonesSql}
+       |), cells AS (
+       |${Raster.FixtureCellsSql}
+       |), verts AS (
+       |${Cube.vertsSql(Cube.MultiRings)}
+       |), rings AS (
+       |  SELECT zone_id, part, ring,
+       |    list({'x': CAST($L * vx AS BIGINT), 'y': CAST($L * vy AS BIGINT)} ORDER BY i) AS p
+       |  FROM verts GROUP BY zone_id, part, ring),
+       |base AS (
+       |  SELECT z.zone_id, cell_x, cell_y,
+       |    CAST(value AS BIGINT) AS vint,
+       |    CAST($L * cell_x AS BIGINT) AS bx, CAST($L * cell_y AS BIGINT) AS by,
+       |    r.ring, r.p
+       |  FROM cells c JOIN zones z
+       |    ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+       |  JOIN rings r ON r.zone_id = z.zone_id),
+       |c1 AS (SELECT zone_id, cell_x, cell_y, vint, bx, by, ring, ${clip("x", "bx", ge = true)} AS p FROM base),
+       |c2 AS (SELECT zone_id, cell_x, cell_y, vint, bx, by, ring, ${clip("x", s"bx + $L", ge = false)} AS p FROM c1),
+       |c3 AS (SELECT zone_id, cell_x, cell_y, vint, bx, by, ring, ${clip("y", "by", ge = true)} AS p FROM c2),
+       |c4 AS (SELECT zone_id, cell_x, cell_y, vint, ring, ${clip("y", s"by + $L", ge = false)} AS p FROM c3),
+       |rnums AS (
+       |  SELECT zone_id, cell_x, cell_y, vint,
+       |    (CASE WHEN ring = 0 THEN 1 ELSE -1 END) * $shoelaceSql AS snum
+       |  FROM c4),
+       |nums AS (
+       |  SELECT zone_id, vint, CAST(sum(snum) AS BIGINT) AS num
+       |  FROM rnums GROUP BY zone_id, cell_x, cell_y, vint)
+       |SELECT zone_id,
+       |  count(CASE WHEN num > 0 THEN 1 END) AS n_cov,
+       |  CAST(sum(num) AS DOUBLE) / ${graft.ext.CellCover.Denom} AS cov_cells_exact,
+       |  CAST(sum(vint * num) AS DOUBLE) / CAST(sum(num) AS DOUBLE) AS wmean_v_exact
+       |FROM nums GROUP BY zone_id HAVING sum(num) > 0 ORDER BY zone_id""".stripMargin
+  }
+
   private val statsBodySql = Cube.withSql(
     s"""SELECT zone_id, count(*) AS n_cells,
        |  ${dsumSql("value")} AS sum_v,
@@ -499,6 +542,27 @@ object Zonal {
         .select(col("zone_id"), col("n_cov"),
           (col("snum").cast("double") / graft.ext.CellCover.Denom).as("cov_cells_exact"),
           ((col("wsum").cast("double") / col("snum").cast("double")) / 100.0).as("wmean_v_exact"))
+        .orderBy("zone_id")
+    },
+
+    // the full story in one query (round 5 capstone): REAL raster source
+    // (tile-range-read GeoTIFF) × REAL WKB multipolygon geometry × EXACT
+    // clipped coverage weights. Raster values are integral, so the
+    // weighting is pure BIGINT until one final IEEE divide.
+    "zonal_raster_coverage" -> Q(RasterCoverSql) { (s, d) =>
+      graft.ext.Ext.register(s)
+      Cube.rasterize(Raster.scanTiff(s, Raster.fixturePath()),
+          Cube.wkbZones(s, d, Cube.MultiRings))
+        .withColumn("num", expr("cell_cover_wkb(cell_x, cell_y, geom)"))
+        .withColumn("vint", col("value").cast("long"))
+        .groupBy(col("zone_id"))
+        .agg(sum(col("num")).as("snum"),
+          count(when(col("num") > 0, 1)).as("n_cov"),
+          sum(col("vint") * col("num")).as("wsum"))
+        .filter(col("snum") > 0)
+        .select(col("zone_id"), col("n_cov"),
+          (col("snum").cast("double") / graft.ext.CellCover.Denom).as("cov_cells_exact"),
+          (col("wsum").cast("double") / col("snum").cast("double")).as("wmean_v_exact"))
         .orderBy("zone_id")
     },
 
