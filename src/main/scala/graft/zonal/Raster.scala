@@ -33,7 +33,7 @@ object Raster {
   /** Parsed header facts (primitives only — serialized into tasks). */
   final case class TiffMeta(
       width: Int, height: Int, tileW: Int, tileH: Int,
-      bits: Int, sampleFormat: Int, bigEndian: Boolean,
+      bits: Int, sampleFormat: Int, bigEndian: Boolean, bands: Int,
       tileOffsets: Array[Long], tileByteCounts: Array[Long],
       // GeoTIFF georeference (identity when tags absent): model-space
       // origin and per-pixel scale — exposed, not applied: cells stay in
@@ -47,7 +47,7 @@ object Raster {
   final case class TileRef(
       path: String, offset: Long, count: Long, tx0: Int, ty0: Int,
       width: Int, height: Int, tileW: Int, tileH: Int,
-      bits: Int, sampleFormat: Int, bigEndian: Boolean)
+      bits: Int, sampleFormat: Int, bigEndian: Boolean, bands: Int)
 
   // ---- IFD parsing (TIFF 6.0 baseline) ----
 
@@ -60,6 +60,7 @@ object Raster {
   private val TagTileH = 323
   private val TagTileOffsets = 324
   private val TagTileByteCounts = 325
+  private val TagPlanarConfig = 284
   private val TagSampleFormat = 339
   private val TagModelPixelScale = 33550
   private val TagModelTiepoint = 33922
@@ -140,12 +141,20 @@ object Raster {
 
       val comp = scalar(TagCompression, default = 1)
       require(comp == 1, s"$path: compression $comp unsupported (uncompressed tiles only)")
-      require(scalar(TagSamplesPerPixel, default = 1) == 1,
-        s"$path: multi-sample rasters unsupported (single band only)")
+      val bands = scalar(TagSamplesPerPixel, default = 1).toInt
+      require(bands >= 1, s"$path: SamplesPerPixel $bands invalid")
+      require(bands == 1 || scalar(TagPlanarConfig, default = 1) == 1,
+        s"$path: planar (band-separate) layout unsupported — chunky interleave only")
       require(tags.contains(TagTileOffsets),
         s"$path: striped TIFF unsupported — tiled layout required (the COG shape)")
-      val bits = scalar(TagBits, default = 1).toInt
-      val fmt = scalar(TagSampleFormat, default = 1).toInt
+      val bitsArr = values(TagBits)
+      require(bitsArr.nonEmpty && bitsArr.distinct.length == 1,
+        s"$path: per-band BitsPerSample must be uniform, got ${bitsArr.mkString(",")}")
+      val bits = bitsArr(0).toInt
+      val fmtArr = values(TagSampleFormat)
+      require(fmtArr.isEmpty || fmtArr.distinct.length == 1,
+        s"$path: per-band SampleFormat must be uniform, got ${fmtArr.mkString(",")}")
+      val fmt = if (fmtArr.isEmpty) 1 else fmtArr(0).toInt
       require((bits == 64 && fmt == 3) || (bits == 32 && fmt == 3)
         || (bits == 32 && (fmt == 1 || fmt == 2)),
         s"$path: sample type bits=$bits format=$fmt unsupported (float64/float32/int32)")
@@ -155,7 +164,7 @@ object Raster {
       TiffMeta(
         width = scalar(TagWidth).toInt, height = scalar(TagHeight).toInt,
         tileW = scalar(TagTileW).toInt, tileH = scalar(TagTileH).toInt,
-        bits = bits, sampleFormat = fmt, bigEndian = bigEndian,
+        bits = bits, sampleFormat = fmt, bigEndian = bigEndian, bands = bands,
         tileOffsets = values(TagTileOffsets),
         tileByteCounts = values(TagTileByteCounts),
         originX = if (geoTie.length >= 4) geoTie(3) else 0.0,
@@ -165,10 +174,11 @@ object Raster {
     } finally in.close()
   }
 
-  /** Decode one tile's bytes to (cell_x, cell_y, value) triples, clipped
-    * to the image bounds (edge tiles are stored full-size, padded).
+  /** Decode one tile's bytes to (cell_x, cell_y, band, value) rows,
+    * clipped to the image bounds (edge tiles are stored full-size,
+    * padded). Bands are chunky-interleaved per pixel (PlanarConfig 1).
     */
-  def decodeTile(bytes: Array[Byte], t: TileRef): Iterator[(Int, Int, Double)] = {
+  def decodeTileBands(bytes: Array[Byte], t: TileRef): Iterator[(Int, Int, Int, Double)] = {
     val buf = java.nio.ByteBuffer.wrap(bytes).order(
       if (t.bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
     val bytesPer = t.bits / 8
@@ -177,16 +187,23 @@ object Raster {
     for {
       r <- Iterator.range(0, hIn)
       c <- Iterator.range(0, wIn)
+      b <- Iterator.range(0, t.bands)
     } yield {
-      val pos = (r * t.tileW + c) * bytesPer
+      val pos = ((r * t.tileW + c) * t.bands + b) * bytesPer
       val v = (t.bits, t.sampleFormat) match {
         case (64, 3) => buf.getDouble(pos)
         case (32, 3) => buf.getFloat(pos).toDouble
         case (32, _) => buf.getInt(pos).toDouble
         case _ => throw new IllegalStateException("unreachable: type gated in readMeta")
       }
-      (t.tx0 + c, t.ty0 + r, v)
+      (t.tx0 + c, t.ty0 + r, b, v)
     }
+  }
+
+  /** Single-band decode — (cell_x, cell_y, value) triples. */
+  def decodeTile(bytes: Array[Byte], t: TileRef): Iterator[(Int, Int, Double)] = {
+    require(t.bands == 1, "decodeTile is single-band; use decodeTileBands")
+    decodeTileBands(bytes, t).map { case (x, y, _, v) => (x, y, v) }
   }
 
   /** The file's tile manifest (driver-side arithmetic only). */
@@ -195,7 +212,8 @@ object Raster {
       TileRef(path, m.tileOffsets(i), m.tileByteCounts(i),
         tx0 = (i % m.tilesAcross) * m.tileW, ty0 = (i / m.tilesAcross) * m.tileH,
         width = m.width, height = m.height, tileW = m.tileW, tileH = m.tileH,
-        bits = m.bits, sampleFormat = m.sampleFormat, bigEndian = m.bigEndian)
+        bits = m.bits, sampleFormat = m.sampleFormat, bigEndian = m.bigEndian,
+        bands = m.bands)
     }
 
   /** Manifest subset whose tiles overlap the pixel window — the raster
@@ -230,12 +248,38 @@ object Raster {
       .toDF("cell_x", "cell_y", "value")
   }
 
-  /** `scan_raster`: tiled (Geo)TIFF → long-form cell DataFrame
-    * `(cell_x, cell_y, value)` in pixel space. Header on the driver,
-    * one range-read per tile on the executors.
+  /** `scan_raster`: tiled single-band (Geo)TIFF → long-form cell
+    * DataFrame `(cell_x, cell_y, value)` in pixel space. Header on the
+    * driver, one range-read per tile on the executors.
     */
-  def scanTiff(s: SparkSession, path: String): DataFrame =
-    scanRefs(s, readMeta(path) match { case m => tileRefs(m, path) })
+  def scanTiff(s: SparkSession, path: String): DataFrame = {
+    val m = readMeta(path)
+    require(m.bands == 1, s"$path has ${m.bands} bands — use scanTiffBands")
+    scanRefs(s, tileRefs(m, path))
+  }
+
+  /** `scan_raster_multiband`: chunky-interleaved multi-band tiles →
+    * `(cell_x, cell_y, band, value)` long form, same tile-parallel
+    * range-read path.
+    */
+  def scanTiffBands(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val refs = tileRefs(readMeta(path), path)
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { t =>
+        val p = new org.apache.hadoop.fs.Path(t.path)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](t.count.toInt)
+          in.readFully(t.offset, bytes)
+          decodeTileBands(bytes, t)
+        } finally in.close()
+      }
+      .toDF("cell_x", "cell_y", "band", "value")
+  }
 
   /** `scan_raster_window`: the COG window query — prune the manifest to
     * tiles overlapping the pixel window (no byte of a non-overlapping
@@ -259,12 +303,21 @@ object Raster {
     * reader against hand-built byte layouts for that.
     */
   def writeTiff(path: String, width: Int, height: Int, tileW: Int, tileH: Int)
-      (f: (Int, Int) => Double): Unit = {
+      (f: (Int, Int) => Double): Unit =
+    writeTiffBands(path, width, height, tileW, tileH, bands = 1)((x, y, _) => f(x, y))
+
+  /** Multi-band writer variant: chunky (pixel-interleaved) float64
+    * samples `f(x, y, band)`; bands ≤ 2 so the per-band SHORT tag values
+    * stay inline in the IFD (the reader handles any band count).
+    */
+  def writeTiffBands(path: String, width: Int, height: Int, tileW: Int, tileH: Int,
+      bands: Int)(f: (Int, Int, Int) => Double): Unit = {
+    require(bands >= 1 && bands <= 2, "writer supports 1 or 2 bands (inline IFD values)")
     val ta = (width + tileW - 1) / tileW
     val td = (height + tileH - 1) / tileH
     val nTiles = ta * td
-    val tileBytes = tileW * tileH * 8
-    val nEntries = 12
+    val tileBytes = tileW * tileH * bands * 8
+    val nEntries = 13
     val ifdOff = 8
     val ifdSize = 2 + nEntries * 12 + 4
     val offArr = ifdOff + ifdSize        // TileOffsets array (if > 1 tile)
@@ -282,18 +335,25 @@ object Raster {
       if (tpe == 3 && cnt == 1) { buf.putShort(value.toShort); buf.putShort(0) }
       else buf.putInt(value.toInt)
     }
+    // a SHORT value repeated per band, inline (left-justified; bands ≤ 2)
+    def entryShortPerBand(tag: Int, value: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(3).putInt(bands)
+      var b = 0
+      while (b < 2) { buf.putShort(if (b < bands) value.toShort else 0); b += 1 }
+    }
     entry(TagWidth, 4, 1, width)
     entry(TagHeight, 4, 1, height)
-    entry(TagBits, 3, 1, 64)
+    entryShortPerBand(TagBits, 64)
     entry(TagCompression, 3, 1, 1)
-    entry(TagSamplesPerPixel, 3, 1, 1)
+    entry(TagSamplesPerPixel, 3, 1, bands)
+    entry(TagPlanarConfig, 3, 1, 1)
     entry(TagTileW, 4, 1, tileW)
     entry(TagTileH, 4, 1, tileH)
     if (nTiles == 1) entry(TagTileOffsets, 4, 1, dataOff)
     else entry(TagTileOffsets, 4, nTiles, offArr)
     if (nTiles == 1) entry(TagTileByteCounts, 4, 1, tileBytes)
     else entry(TagTileByteCounts, 4, nTiles, cntArr)
-    entry(TagSampleFormat, 3, 1, 3)
+    entryShortPerBand(TagSampleFormat, 3)
     entry(TagModelPixelScale, 12, 3, scaleArr)
     entry(TagModelTiepoint, 12, 6, tieArr)
     buf.putInt(0) // next-IFD pointer: none
@@ -314,7 +374,11 @@ object Raster {
         var c = 0
         while (c < tileW) {
           val x = tx0 + c; val y = ty0 + r
-          buf.putDouble(if (x < width && y < height) f(x, y) else 0.0)
+          var b = 0
+          while (b < bands) {
+            buf.putDouble(if (x < width && y < height) f(x, y, b) else 0.0)
+            b += 1
+          }
           c += 1
         }
         r += 1
@@ -362,6 +426,28 @@ object Raster {
     s"""SELECT x.range AS cell_x, y.range AS cell_y, $FixtureValueSql AS value
        |FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y""".stripMargin
 
+  /** 2-band fixture: 48×40 px at 32×32 tiles (both edge directions
+    * padded), band folded into the value formula.
+    */
+  val MbW = 48
+  val MbH = 40
+  val MbBands = 2
+  def mbValue(x: Int, y: Int, b: Int): Double = ((31 * x + 17 * y + 7 * b) % 997).toDouble
+
+  private val mbLock = new Object
+  @volatile private var mbReady: String = null
+
+  def mbFixturePath(): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/raster_mb_${MbW}x${MbH}x$MbBands.tif"
+    if (mbReady != path) mbLock.synchronized {
+      if (mbReady != path) {
+        writeTiffBands(path, MbW, MbH, 32, 32, MbBands)(mbValue)
+        mbReady = path
+      }
+    }
+    path
+  }
+
   import org.apache.spark.sql.functions._
   import graft.core.Q
 
@@ -375,6 +461,18 @@ object Raster {
       scanTiff(s, fixturePath())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // multi-band ingestion: chunky pixel-interleaved samples → long-form
+    // (cell, band, value) rows — the layout zonal_multiband consumes.
+    "scan_raster_multiband" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y, b.range AS band,
+         |  CAST((31 * x.range + 17 * y.range + 7 * b.range) % 997 AS DOUBLE) AS value
+         |FROM range(0, $MbW) x CROSS JOIN range(0, $MbH) y CROSS JOIN range(0, $MbBands) b
+         |ORDER BY cell_x, cell_y, band""".stripMargin) { (s, _) =>
+      scanTiffBands(s, mbFixturePath())
+        .select(col("cell_x"), col("cell_y"), col("band"), col("value"))
+        .orderBy("cell_x", "cell_y", "band")
     },
 
     // COG-style window query: only the 4 of 9 tiles overlapping the

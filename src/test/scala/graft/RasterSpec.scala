@@ -126,6 +126,26 @@ class RasterSpec extends SparkSuite {
     assert(win == full && win.size == 31 * 31)
   }
 
+  test("multiband: chunky interleave decodes band-major per pixel; single-band API refuses") {
+    // hand-built tile: 2×1 px, 2 bands, float64 LE — samples are
+    // pixel-interleaved (b0, b1 per pixel), NOT band planes
+    val t = Raster.TileRef("mem", 0, 32, 0, 0, 2, 1, 2, 1, 64, 3, bigEndian = false, bands = 2)
+    val buf = java.nio.ByteBuffer.allocate(2 * 1 * 2 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1.0, 2.0, 3.0, 4.0).foreach(buf.putDouble)
+    val got = Raster.decodeTileBands(buf.array(), t).toSet
+    assert(got == Set((0, 0, 0, 1.0), (0, 0, 1, 2.0), (1, 0, 0, 3.0), (1, 0, 1, 4.0)))
+    // writer → reader roundtrip on the 2-band fixture, padded both ways
+    val rows = Raster.scanTiffBands(spark, Raster.mbFixturePath()).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(rows.size == Raster.MbW * Raster.MbH * Raster.MbBands)
+    assert(rows((47, 39, 1)) == Raster.mbValue(47, 39, 1))
+    assert(rows((0, 0, 0)) == Raster.mbValue(0, 0, 0))
+    // the single-band scan on a multiband file fails loudly
+    val e = intercept[IllegalArgumentException](Raster.scanTiff(spark, Raster.mbFixturePath()))
+    assert(e.getMessage.contains("bands"))
+  }
+
   test("zonal_raster_stats: every zone inside the raster, counts equal envelope areas") {
     val df = q("zonal_raster_stats")
     // zone envelopes are 8×8 and the raster covers the whole lattice →
