@@ -140,4 +140,43 @@ object Props extends Properties("graft") {
         .select(col("a.id"), col("b.id"))
       banded.exceptAll(naive).isEmpty && naive.exceptAll(banded).isEmpty
     }
+
+  // random convex lattice polygons in [0,8]²: hull of ≥3 random points
+  // (hull edges within the box have deltas ≤ 8, honoring the lattice
+  // contract). Pure-JVM property — no Spark session needed.
+  private val hullGen: Gen[List[(Long, Long)]] =
+    Gen.listOfN(8, Gen.zip(Gen.choose(0L, 8L), Gen.choose(0L, 8L)))
+      .map { pts =>
+        val d = pts.distinct
+        // Andrew's monotone chain
+        val sorted = d.sortBy(p => (p._1, p._2))
+        def cross(o: (Long, Long), a: (Long, Long), b: (Long, Long)) =
+          (a._1 - o._1) * (b._2 - o._2) - (a._2 - o._2) * (b._1 - o._1)
+        def half(ps: List[(Long, Long)]) =
+          ps.foldLeft(List.empty[(Long, Long)]) { (h, p) =>
+            var hh = h
+            while (hh.size >= 2 && cross(hh(1), hh.head, p) <= 0) hh = hh.tail
+            p :: hh
+          }
+        val lower = half(sorted).reverse.dropRight(1)
+        val upper = half(sorted.reverse).reverse.dropRight(1)
+        lower ++ upper
+      }
+      .suchThat(_.size >= 3)
+
+  property("cell_cover: per-cell clipped areas sum EXACTLY to the polygon area") =
+    forAll(hullGen) { hull =>
+      import graft.ext.CellCover
+      val xs = hull.map(_._1).toArray
+      val ys = hull.map(_._2).toArray
+      // total polygon area numerator: shoelace on the ×L lattice
+      val L = CellCover.L
+      val total = math.abs(hull.indices.map { i =>
+        val j = (i + 1) % hull.size
+        xs(i) * L * (ys(j) * L) - xs(j) * L * (ys(i) * L)
+      }.sum)
+      val summed = (for (cx <- 0L until 8L; cy <- 0L until 8L)
+        yield CellCover.ringCover2L2(xs, ys, hull.size, cx, cy)).sum
+      summed == total
+    }
 }
