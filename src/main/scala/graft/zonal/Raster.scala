@@ -68,7 +68,13 @@ object Raster {
   /** Driver-side header read: the first few KB (header + IFD + arrays),
     * via the same FileSystem API the executors use.
     */
-  def readMeta(path: String): TiffMeta = {
+  def readMeta(path: String): TiffMeta = readMeta(path, level = 0)
+
+  /** `level` 0 = full resolution; higher levels follow the IFD chain
+    * (the COG overview layout: each next IFD is a reduced-resolution
+    * copy). Fails loudly when the chain is shorter than `level`.
+    */
+  def readMeta(path: String, level: Int): TiffMeta = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val in = fs.open(p)
@@ -87,7 +93,16 @@ object Raster {
       val order = if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN
       head.order(order)
       require(head.getShort(2) == 42, s"$path: not a TIFF (magic != 42)")
-      val ifdOff = head.getInt(4).toLong & 0xffffffffL
+      var ifdOff = head.getInt(4).toLong & 0xffffffffL
+      var lv = 0
+      while (lv < level) {
+        val n = readAt(ifdOff, 2).order(order).getShort(0) & 0xffff
+        val next = readAt(ifdOff + 2 + n * 12, 4).order(order).getInt(0).toLong & 0xffffffffL
+        require(next != 0,
+          s"$path: overview level $level requested but the IFD chain ends at level $lv")
+        ifdOff = next
+        lv += 1
+      }
 
       val nEntries = readAt(ifdOff, 2).order(order).getShort(0) & 0xffff
       val entries = readAt(ifdOff + 2, nEntries * 12).order(order)
@@ -258,6 +273,13 @@ object Raster {
     scanRefs(s, tileRefs(m, path))
   }
 
+  /** Scan one overview level of the IFD chain (0 = full resolution). */
+  def scanTiffLevel(s: SparkSession, path: String, level: Int): DataFrame = {
+    val m = readMeta(path, level)
+    require(m.bands == 1, s"$path has ${m.bands} bands — use scanTiffBands")
+    scanRefs(s, tileRefs(m, path))
+  }
+
   /** `scan_raster_multiband`: chunky-interleaved multi-band tiles →
     * `(cell_x, cell_y, band, value)` long form, same tile-parallel
     * range-read path.
@@ -391,6 +413,93 @@ object Raster {
     try out.write(buf.array()) finally out.close()
   }
 
+  /** Write a 2-level COG-style file: IFD0 = full resolution, IFD1 (via
+    * the next-IFD pointer) = a half-resolution overview decimated
+    * nearest-neighbor (`f(2x, 2y)`) — deterministic, so the overview's
+    * oracle is the same formula at stride 2. Single band, float64, LE.
+    */
+  def writeTiffWithOverview(path: String, width: Int, height: Int,
+      tileW: Int, tileH: Int)(f: (Int, Int) => Double): Unit = {
+    val w1 = (width + 1) / 2
+    val h1 = (height + 1) / 2
+    def tiles(w: Int, h: Int) = ((w + tileW - 1) / tileW) * ((h + tileH - 1) / tileH)
+    val (t0, t1) = (tiles(width, height), tiles(w1, h1))
+    val tileBytes = tileW * tileH * 8
+    val nEntries = 13
+    val ifdSize = 2 + nEntries * 12 + 4
+    val ifd0 = 8
+    val off0 = ifd0 + ifdSize; val cnt0 = off0 + 4 * t0
+    val scaleArr = cnt0 + 4 * t0; val tieArr = scaleArr + 24
+    val ifd1 = tieArr + 48
+    val off1 = ifd1 + ifdSize; val cnt1 = off1 + 4 * t1
+    val data0 = cnt1 + 4 * t1
+    val data1 = data0 + t0 * tileBytes
+    val buf = java.nio.ByteBuffer.allocate(data1 + t1 * tileBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd0)
+
+    def writeIfd(ifdOff: Int, w: Int, h: Int, nT: Int, offArr: Int, cntArr: Int,
+        dataOff: Int, nextIfd: Int): Unit = {
+      buf.position(ifdOff)
+      buf.putShort(nEntries.toShort)
+      def entry(tag: Int, tpe: Int, cnt: Int, value: Long): Unit = {
+        buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(cnt)
+        if (tpe == 3 && cnt == 1) { buf.putShort(value.toShort); buf.putShort(0) }
+        else buf.putInt(value.toInt)
+      }
+      entry(TagWidth, 4, 1, w)
+      entry(TagHeight, 4, 1, h)
+      entry(TagBits, 3, 1, 64)
+      entry(TagCompression, 3, 1, 1)
+      entry(TagSamplesPerPixel, 3, 1, 1)
+      entry(TagPlanarConfig, 3, 1, 1)
+      entry(TagTileW, 4, 1, tileW)
+      entry(TagTileH, 4, 1, tileH)
+      if (nT == 1) entry(TagTileOffsets, 4, 1, dataOff) else entry(TagTileOffsets, 4, nT, offArr)
+      if (nT == 1) entry(TagTileByteCounts, 4, 1, tileBytes) else entry(TagTileByteCounts, 4, nT, cntArr)
+      entry(TagSampleFormat, 3, 1, 3)
+      entry(TagModelPixelScale, 12, 3, scaleArr)
+      entry(TagModelTiepoint, 12, 6, tieArr)
+      buf.putInt(nextIfd)
+      buf.position(offArr)
+      (0 until nT).foreach(i => buf.putInt(dataOff + i * tileBytes))
+      (0 until nT).foreach(_ => buf.putInt(tileBytes))
+    }
+    def writeTiles(dataOff: Int, w: Int, h: Int)(sample: (Int, Int) => Double): Unit = {
+      val ta = (w + tileW - 1) / tileW
+      val nT = tiles(w, h)
+      var i = 0
+      while (i < nT) {
+        val tx0 = (i % ta) * tileW
+        val ty0 = (i / ta) * tileH
+        buf.position(dataOff + i * tileBytes)
+        var r = 0
+        while (r < tileH) {
+          var c = 0
+          while (c < tileW) {
+            val x = tx0 + c; val y = ty0 + r
+            buf.putDouble(if (x < w && y < h) sample(x, y) else 0.0)
+            c += 1
+          }
+          r += 1
+        }
+        i += 1
+      }
+    }
+    writeIfd(ifd0, width, height, t0, off0, cnt0, data0, nextIfd = ifd1)
+    writeIfd(ifd1, w1, h1, t1, off1, cnt1, data1, nextIfd = 0)
+    buf.position(scaleArr)
+    buf.putDouble(1.0).putDouble(1.0).putDouble(0.0)
+    buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+    buf.putDouble(0.0).putDouble(0.0).putDouble(0.0)
+    writeTiles(data0, width, height)(f)
+    writeTiles(data1, w1, h1)((x, y) => f(2 * x, 2 * y)) // nearest-neighbor decimation
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(buf.array()) finally out.close()
+  }
+
   // ---- fixture + registry ----
 
   /** Fixture raster: 90×70 px (NOT tile-aligned — edge tiles exercise
@@ -434,6 +543,21 @@ object Raster {
   val MbBands = 2
   def mbValue(x: Int, y: Int, b: Int): Double = ((31 * x + 17 * y + 7 * b) % 997).toDouble
 
+  private val ovLock = new Object
+  @volatile private var ovReady: String = null
+
+  /** 2-level overview fixture (same formula; level 1 = stride-2). */
+  def ovFixturePath(): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/raster_ov_${FixW}x$FixH.tif"
+    if (ovReady != path) ovLock.synchronized {
+      if (ovReady != path) {
+        writeTiffWithOverview(path, FixW, FixH, 32, 32)(fixtureValue)
+        ovReady = path
+      }
+    }
+    path
+  }
+
   private val mbLock = new Object
   @volatile private var mbReady: String = null
 
@@ -459,6 +583,20 @@ object Raster {
       s"""SELECT cell_x, cell_y, value FROM ($FixtureCellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanTiff(s, fixturePath())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // COG overview: scan level 1 of the IFD chain — the zoom-out read
+    // path that never touches full-resolution bytes. The overview is a
+    // deterministic stride-2 decimation, so the oracle is the same
+    // formula at 2x.
+    "scan_raster_overview" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y,
+         |  CAST((31 * (2 * x.range) + 17 * (2 * y.range)) % 997 AS DOUBLE) AS value
+         |FROM range(0, ${(FixW + 1) / 2}) x CROSS JOIN range(0, ${(FixH + 1) / 2}) y
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanTiffLevel(s, ovFixturePath(), 1)
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

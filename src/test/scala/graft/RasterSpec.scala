@@ -146,6 +146,25 @@ class RasterSpec extends SparkSuite {
     assert(e.getMessage.contains("bands"))
   }
 
+  test("overview chain: level 0 equals the flat file, level 1 is stride-2, level 2 is absent") {
+    val p = Raster.ovFixturePath()
+    // level 0 of the chained file scans identically to the flat fixture
+    val lv0 = Raster.scanTiffLevel(spark, p, 0).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(lv0.size == Raster.FixW * Raster.FixH)
+    assert(lv0((89, 69)) == Raster.fixtureValue(89, 69))
+    // level 1: half dims, stride-2 samples
+    val lv1 = Raster.scanTiffLevel(spark, p, 1).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(lv1.size == ((Raster.FixW + 1) / 2) * ((Raster.FixH + 1) / 2))
+    assert(lv1((10, 10)) == Raster.fixtureValue(20, 20))
+    // a level past the chain end fails loudly
+    val e = intercept[IllegalArgumentException](Raster.readMeta(p, 2))
+    assert(e.getMessage.contains("chain ends"))
+    // the flat (no-overview) fixture has no level 1
+    intercept[IllegalArgumentException](Raster.readMeta(Raster.fixturePath(), 1))
+  }
+
   test("zonal_raster_stats: every zone inside the raster, counts equal envelope areas") {
     val df = q("zonal_raster_stats")
     // zone envelopes are 8×8 and the raster covers the whole lattice →
