@@ -218,6 +218,49 @@ object Text {
         .orderBy("id1", "id2")
     },
 
+    // PassJoin-style segment blocking with a PROVABLE recall guarantee
+    // (round 5): normalize each doc to a fixed 24-char key, split into
+    // 3 disjoint 8-char segments — any pair at Hamming distance ≤ 2
+    // differs in at most 2 segments, so BY PIGEONHOLE at least one
+    // segment matches exactly. Candidates = segment equi-join (never
+    // all-pairs; the shared-word fuzzy match above is heuristic recall,
+    // this one is exact recall by construction), verify = exact Hamming
+    // on the candidates only. LlmSpec checks the operator equals the
+    // brute-force pair set.
+    "text_hamming_pairs" -> Q(
+      """WITH keys AS (
+        |  SELECT doc_id, rpad(substr(replace(text, ' ', ''), 1, 24), 24, '#') AS k
+        |  FROM documents),
+        |segs AS (
+        |  SELECT doc_id, k, i AS seg_ix, substr(k, (i - 1) * 8 + 1, 8) AS seg
+        |  FROM keys CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS i) ii),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2, a.k AS k1, b.k AS k2
+        |  FROM segs a JOIN segs b
+        |    ON a.seg_ix = b.seg_ix AND a.seg = b.seg AND a.doc_id < b.doc_id)
+        |SELECT doc_id1, doc_id2,
+        |  CAST(len(list_filter(generate_series(1, 24), i -> substr(k1, i, 1) <> substr(k2, i, 1))) AS INTEGER) AS hd
+        |FROM cand
+        |WHERE len(list_filter(generate_series(1, 24), i -> substr(k1, i, 1) <> substr(k2, i, 1))) <= 2
+        |ORDER BY doc_id1, doc_id2""".stripMargin) { (s, d) =>
+      val keys = Tables.documents(s, d).select(col("doc_id"),
+        rpad(substring(regexp_replace(col("text"), " ", ""), 1, 24), 24, "#").as("k"))
+      val segs = keys.select(col("doc_id"), col("k"),
+        posexplode(array((1 to 3).map(i => substring(col("k"), (i - 1) * 8 + 1, 8)): _*))
+          .as(Seq("seg_ix", "seg")))
+      segs.as("a").join(segs.as("b"),
+          col("a.seg_ix") === col("b.seg_ix") && col("a.seg") === col("b.seg")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+          col("a.k").as("k1"), col("b.k").as("k2"))
+        .distinct()
+        .withColumn("hd", expr(
+          "size(filter(sequence(1, 24), i -> substring(k1, i, 1) <> substring(k2, i, 1)))"))
+        .filter(col("hd") <= 2)
+        .select(col("doc_id1"), col("doc_id2"), col("hd"))
+        .orderBy("doc_id1", "doc_id2")
+    },
+
     // deterministic train/val/test hash-split (80/10/10): the bucket is
     // a pure function of doc_id via the engine-portable poly_hash, so
     // the assignment is reproducible on any engine, any partitioning,

@@ -190,6 +190,22 @@ class LlmSpec extends SparkSuite {
     assert(badIds == 0, "cluster id outside the seed range")
   }
 
+  test("text_hamming_pairs: segment blocking equals brute force (pigeonhole recall is exact)") {
+    val got = q("text_hamming_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val keys = graft.core.Tables.documents(spark, sf).select(col("doc_id"),
+      rpad(substring(regexp_replace(col("text"), " ", ""), 1, 24), 24, "#").as("k"))
+    val brute = keys.as("a").crossJoin(keys.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id"), expr(
+        "size(filter(sequence(1, 24), i -> substring(a.k, i, 1) <> substring(b.k, i, 1)))").as("hd"))
+      .filter(col("hd") <= 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == brute,
+      s"blocking missed/invented pairs: got ${got.size}, brute ${brute.size}")
+    assert(brute.nonEmpty, "fixture has no near-identical keys — test is vacuous")
+  }
+
   test("connectedComponents: reliable-checkpoint path produces identical labels") {
     val n = 64
     val fwd = (0 until n - 1).filter(_ % 8 != 7)
