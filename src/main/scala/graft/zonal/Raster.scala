@@ -176,9 +176,18 @@ object Raster {
 
       val geoScale = values(TagModelPixelScale).map(java.lang.Double.longBitsToDouble)
       val geoTie = values(TagModelTiepoint).map(java.lang.Double.longBitsToDouble)
+      // a corrupt/truncated manifest must fail here, not as an index
+      // error mid-scan in some executor
+      val w0 = scalar(TagWidth).toInt; val h0 = scalar(TagHeight).toInt
+      val tw0 = scalar(TagTileW).toInt; val th0 = scalar(TagTileH).toInt
+      val expTiles = ((w0 + tw0 - 1) / tw0) * ((h0 + th0 - 1) / th0)
+      require(values(TagTileOffsets).length == expTiles
+          && values(TagTileByteCounts).length == expTiles,
+        s"$path: tile manifest has ${values(TagTileOffsets).length} offsets / " +
+          s"${values(TagTileByteCounts).length} counts for $expTiles tiles")
       TiffMeta(
-        width = scalar(TagWidth).toInt, height = scalar(TagHeight).toInt,
-        tileW = scalar(TagTileW).toInt, tileH = scalar(TagTileH).toInt,
+        width = w0, height = h0,
+        tileW = tw0, tileH = th0,
         bits = bits, sampleFormat = fmt, bigEndian = bigEndian, bands = bands,
         tileOffsets = values(TagTileOffsets),
         tileByteCounts = values(TagTileByteCounts),
@@ -543,6 +552,29 @@ object Raster {
   val MbBands = 2
   def mbValue(x: Int, y: Int, b: Int): Double = ((31 * x + 17 * y + 7 * b) % 997).toDouble
 
+  /** Second epoch of the fixture raster: identical where (x+y)%3 = 0,
+    * shifted elsewhere — change detection has real structure.
+    */
+  def fixture2Value(x: Int, y: Int): Double =
+    if ((x + y) % 3 == 0) fixtureValue(x, y) else ((31 * x + 17 * y + x + 1) % 997).toDouble
+  val Fixture2ValueSql =
+    "CAST(CASE WHEN (cell_x + cell_y) % 3 = 0 THEN (31 * cell_x + 17 * cell_y) % 997 " +
+      "ELSE (31 * cell_x + 17 * cell_y + cell_x + 1) % 997 END AS DOUBLE)"
+
+  private val fix2Lock = new Object
+  @volatile private var fix2Ready: String = null
+
+  def fixture2Path(): String = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/raster_fixture2_${FixW}x$FixH.tif"
+    if (fix2Ready != path) fix2Lock.synchronized {
+      if (fix2Ready != path) {
+        writeTiff(path, FixW, FixH, 32, 32)(fixture2Value)
+        fix2Ready = path
+      }
+    }
+    path
+  }
+
   private val ovLock = new Object
   @volatile private var ovReady: String = null
 
@@ -623,6 +655,45 @@ object Raster {
       scanTiffWindow(s, fixturePath(), 10, 40, 5, 35)
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // two-epoch change detection (the land-cover-change staple): scan
+    // both rasters, equi-join on the cell, diff, rasterize the deltas
+    // against the zones. At 100 TB both sides co-partition by tile
+    // (same manifest layout), so the cell join shuffles once on the
+    // grid key; deltas are integral → exact BIGINT sums.
+    "zonal_raster_change" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), a AS (
+         |$FixtureCellsSql
+         |), b AS (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, $Fixture2ValueSql AS value
+         |  FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y
+         |), cells AS (
+         |  SELECT a.cell_x, a.cell_y,
+         |    CAST(b.value AS BIGINT) - CAST(a.value AS BIGINT) AS delta
+         |  FROM a JOIN b ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y)
+         |SELECT zone_id, count(*) AS n_cells,
+         |  count(CASE WHEN delta <> 0 THEN 1 END) AS n_changed,
+         |  CAST(sum(delta) AS BIGINT) AS sum_delta,
+         |  CAST(sum(abs(delta)) AS DOUBLE) / count(*) AS mean_abs_delta
+         |FROM cells JOIN zones
+         |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+         |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+      val a = scanTiff(s, fixturePath())
+      val b = scanTiff(s, fixture2Path())
+        .withColumnRenamed("value", "value2")
+      val deltas = a.join(b, Seq("cell_x", "cell_y"))
+        .select(col("cell_x"), col("cell_y"),
+          (col("value2").cast("long") - col("value").cast("long")).as("delta"))
+      Cube.rasterize(deltas, Cube.zones(s, d))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          count(when(col("delta") =!= 0, 1)).as("n_changed"),
+          sum(col("delta")).as("sum_delta"),
+          (sum(abs(col("delta"))).cast("double") / count(lit(1))).as("mean_abs_delta"))
+        .orderBy("zone_id")
     },
 
     // the reference's headline pipeline on a REAL raster: scanned TIFF
