@@ -696,6 +696,51 @@ object Raster {
         .orderBy("zone_id")
     },
 
+    // the WRITE path: cells → one single-tile GeoTIFF per 16×16 tile,
+    // written INSIDE the tasks (mapGroups: per-tile bounded buffer, no
+    // cell ever reaches the driver — only the 16-row manifest does),
+    // then read back through the real scanner and aggregated per tile.
+    // The oracle computes the same per-tile stats straight from the
+    // source cells, so the gate covers the full write→read roundtrip.
+    // This is the tile-pyramid-generation shape: at 100 TB each task
+    // owns one tile file, exactly how XYZ/COG collections are built.
+    "sink_raster_tiles" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS tile_x, cell_y // 16 AS tile_y,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |GROUP BY tile_x, tile_y ORDER BY tile_x, tile_y""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/raster_sink"
+      graft.core.Fs.rmTree(dir)
+      val ts = 16
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val manifest = percell
+        .groupByKey(r => (r.getLong(0) / ts, r.getLong(1) / ts))
+        .mapGroups { (key: (Long, Long), rows: Iterator[org.apache.spark.sql.Row]) =>
+          val (tx, ty) = key
+          val arr = new Array[Double](ts * ts)
+          rows.foreach { r =>
+            val x = (r.getLong(0) - tx * ts).toInt
+            val y = (r.getLong(1) - ty * ts).toInt
+            arr(y * ts + x) = r.getDouble(2)
+          }
+          val path = s"$dir/tile_${tx}_$ty.tif"
+          writeTiff(path, ts, ts, ts, ts)((x, y) => arr(y * ts + x))
+          (tx, ty, path)
+        }
+        .collect() // manifest only: one row per tile file
+      manifest.map { case (tx, ty, path) =>
+        scanTiff(s, path).filter(col("value") =!= 0.0)
+          .agg(count(lit(1)).as("n_cells_nonzero"),
+            sum(col("value").cast("long")).as("sum_v"))
+          .select(lit(tx).as("tile_x"), lit(ty).as("tile_y"),
+            col("n_cells_nonzero"), col("sum_v"))
+      }.reduce(_ union _).orderBy("tile_x", "tile_y")
+    },
+
     // the reference's headline pipeline on a REAL raster: scanned TIFF
     // cells → rasterize against the zone table → per-zone stats. Values
     // are integral in float64, so long sums are exact on both engines.

@@ -165,6 +165,18 @@ class RasterSpec extends SparkSuite {
     intercept[IllegalArgumentException](Raster.readMeta(Raster.fixturePath(), 1))
   }
 
+  test("sink_raster_tiles writes one parseable single-tile GeoTIFF per 16×16 tile") {
+    q("sink_raster_tiles").collect() // runs the sink + roundtrip
+    val dir = new java.io.File(s"${System.getProperty("java.io.tmpdir")}/graft_io/raster_sink")
+    val files = dir.listFiles().filter(_.getName.endsWith(".tif"))
+    assert(files.length == 16, s"expected 16 tile files, got ${files.length}")
+    files.foreach { f =>
+      val m = Raster.readMeta(f.getAbsolutePath)
+      assert(m.width == 16 && m.height == 16 && m.tileOffsets.length == 1,
+        s"${f.getName} is not a single-tile 16×16 GeoTIFF")
+    }
+  }
+
   test("zonal_raster_stats: every zone inside the raster, counts equal envelope areas") {
     val df = q("zonal_raster_stats")
     // zone envelopes are 8×8 and the raster covers the whole lattice →
