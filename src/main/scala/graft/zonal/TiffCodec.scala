@@ -1,0 +1,253 @@
+package graft.zonal
+
+/** Pure-JVM TIFF tile codecs (round 5): Deflate (Compression=8, the
+  * zlib-wrapped stream `java.util.zip` speaks natively) and the TIFF-6
+  * LZW variant (Compression=5: MSB-first bit packing, 9→12-bit codes,
+  * ClearCode 256 / EOI 257, and the spec's "early change" width switch —
+  * encoder widens when NextCode reaches 511/1023/2047, decoder one add
+  * earlier at 510/1022/2046 because its table lags the encoder's by one
+  * entry), plus horizontal-differencing Predictor=2 for 32-bit integer
+  * samples.
+  *
+  * Both directions are implemented so raster fixtures are self-generated
+  * and every compressed scan is gated by the formula-replay oracle; the
+  * decoder is additionally pinned against hand-assembled code streams in
+  * RasterSpec so a writer bug can't hide behind its own inverse.
+  *
+  * Scale note: codecs run per tile inside the scan tasks — the unit of
+  * work stays one bounded tile buffer, so compression changes nothing
+  * about the read topology (one range-read per tile, no driver bytes).
+  */
+object TiffCodec {
+
+  // ---- Deflate (TIFF Compression=8, zlib wrapper) ----
+
+  def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    try {
+      d.setInput(data); d.finish()
+      val out = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    } finally d.end()
+  }
+
+  /** Inflate to exactly `expectedLen` bytes — a stream that ends early or
+    * would run long is a corrupt tile and fails loudly.
+    */
+  def inflate(data: Array[Byte], expectedLen: Int): Array[Byte] = {
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(data)
+      val out = new Array[Byte](expectedLen)
+      var off = 0
+      var n = if (expectedLen == 0) 0 else inf.inflate(out, 0, expectedLen)
+      while (n > 0) {
+        off += n
+        n = if (off < expectedLen) inf.inflate(out, off, expectedLen - off) else 0
+      }
+      require(off == expectedLen,
+        s"deflate tile decoded $off of expected $expectedLen bytes (truncated/corrupt)")
+      out
+    } finally inf.end()
+  }
+
+  // ---- TIFF LZW (Compression=5) ----
+
+  private final val Clear = 256
+  private final val Eoi = 257
+
+  /** MSB-first variable-width code writer. */
+  private final class BitWriter {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var acc = 0L
+    private var nbits = 0
+    def put(code: Int, width: Int): Unit = {
+      acc = (acc << width) | (code & ((1L << width) - 1))
+      nbits += width
+      while (nbits >= 8) {
+        out.write(((acc >>> (nbits - 8)) & 0xffL).toInt)
+        nbits -= 8
+      }
+    }
+    def finish(): Array[Byte] = {
+      if (nbits > 0) out.write((((acc & ((1L << nbits) - 1)) << (8 - nbits)) & 0xffL).toInt)
+      out.toByteArray
+    }
+  }
+
+  /** TIFF-6 LZW encoder. Emits ClearCode first, widens at NextCode =
+    * 511/1023/2047 (early change), resets the table at NextCode = 4094.
+    */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val bw = new BitWriter
+    // dict key: (prefixCode << 8) | nextByte — prefix codes fit 12 bits
+    var dict = new java.util.HashMap[Integer, Integer]()
+    var next = 258
+    var width = 9
+    bw.put(Clear, width)
+    var prefix = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (prefix < 0) prefix = b
+      else {
+        val key = Integer.valueOf((prefix << 8) | b)
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          bw.put(prefix, width)
+          dict.put(key, Integer.valueOf(next)); next += 1
+          if (next == (1 << width) - 1 && width < 12) width += 1
+          if (next == 4094) {
+            bw.put(Clear, width)
+            dict = new java.util.HashMap[Integer, Integer]()
+            next = 258; width = 9
+          }
+          prefix = b
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) bw.put(prefix, width)
+    bw.put(Eoi, width)
+    bw.finish()
+  }
+
+  /** TIFF-6 LZW decoder producing exactly `expectedLen` bytes; anything
+    * else (truncation, overrun, code past table end, non-literal after
+    * clear) fails loudly — a silently misread raster is the worst bug
+    * this engine could ship.
+    */
+  def lzwDecode(data: Array[Byte], expectedLen: Int): Array[Byte] = {
+    val out = new Array[Byte](expectedLen)
+    var oPos = 0
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val firstB = new Array[Byte](4096)
+    var next = 258
+    var width = 9
+    var bitPos = 0L
+    val totalBits = data.length.toLong * 8
+    val stack = new Array[Byte](4096)
+
+    def readCode(): Int = {
+      require(bitPos + width <= totalBits, "LZW stream truncated (no EOI)")
+      var v = 0
+      var n = width
+      while (n > 0) {
+        val byteIdx = (bitPos >>> 3).toInt
+        val bitOff = (bitPos & 7).toInt
+        val take = math.min(8 - bitOff, n)
+        val bits = ((data(byteIdx) & 0xff) >>> (8 - bitOff - take)) & ((1 << take) - 1)
+        v = (v << take) | bits
+        bitPos += take
+        n -= take
+      }
+      v
+    }
+    def first(code: Int): Byte = if (code < 256) code.toByte else firstB(code)
+    def writeString(code: Int): Unit = {
+      if (code < 256) {
+        require(oPos < expectedLen, s"LZW output overruns expected $expectedLen bytes")
+        out(oPos) = code.toByte; oPos += 1
+      } else {
+        var c = code
+        var sp = 0
+        while (c >= 258) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+        require(oPos + sp + 1 <= expectedLen, s"LZW output overruns expected $expectedLen bytes")
+        out(oPos) = c.toByte; oPos += 1
+        while (sp > 0) { sp -= 1; out(oPos) = stack(sp); oPos += 1 }
+      }
+    }
+
+    var oldCode = -1
+    var code = readCode()
+    while (code != Eoi) {
+      if (code == Clear) {
+        next = 258; width = 9
+        code = readCode()
+        if (code != Eoi) {
+          require(code < 256, s"LZW: first code after ClearCode must be a literal, got $code")
+          writeString(code)
+          oldCode = code
+        }
+      } else {
+        require(oldCode >= 0, "LZW stream must start with ClearCode")
+        require(code <= next, s"LZW: code $code beyond table size $next (corrupt stream)")
+        if (code < next) {
+          writeString(code)
+          if (next < 4096) {
+            prefix(next) = oldCode; suffix(next) = first(code); firstB(next) = first(oldCode)
+            next += 1
+          }
+        } else { // KwKwK: the just-about-to-be-defined entry
+          val f = first(oldCode)
+          require(next < 4096, "LZW: KwKwK with a full table (corrupt stream)")
+          prefix(next) = oldCode; suffix(next) = f; firstB(next) = first(oldCode)
+          next += 1
+          writeString(next - 1)
+        }
+        oldCode = code
+        // early change, decoder side: one add earlier than the encoder
+        if (next == (1 << width) - 2 && width < 12) width += 1
+      }
+      if (code != Eoi) code = readCode()
+    }
+    require(oPos == expectedLen,
+      s"LZW stream produced $oPos of expected $expectedLen bytes (truncated/corrupt)")
+    out
+  }
+
+  // ---- Predictor=2 (horizontal differencing, 32-bit integer samples) ----
+
+  /** Undo per-row horizontal differencing in place: each int32 sample is
+    * stored as the delta from the previous sample of the SAME band in
+    * the row (chunky interleave). Arithmetic is wrapping, per TIFF.
+    */
+  def undoPredictor2Int32(bytes: Array[Byte], rowPx: Int, rows: Int, bands: Int,
+      bigEndian: Boolean): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowPx * bands
+      var c = 1
+      while (c < rowPx) {
+        var b = 0
+        while (b < bands) {
+          val i = (base + c * bands + b) * 4
+          val p = (base + (c - 1) * bands + b) * 4
+          bb.putInt(i, bb.getInt(i) + bb.getInt(p))
+          b += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Forward differencing (writer side) — exact inverse of the above. */
+  def applyPredictor2Int32(bytes: Array[Byte], rowPx: Int, rows: Int, bands: Int,
+      bigEndian: Boolean): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowPx * bands
+      var c = rowPx - 1
+      while (c >= 1) {
+        var b = 0
+        while (b < bands) {
+          val i = (base + c * bands + b) * 4
+          val p = (base + (c - 1) * bands + b) * 4
+          bb.putInt(i, bb.getInt(i) - bb.getInt(p))
+          b += 1
+        }
+        c -= 1
+      }
+      r += 1
+    }
+  }
+}

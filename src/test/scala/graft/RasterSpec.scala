@@ -65,15 +65,23 @@ class RasterSpec extends SparkSuite {
     graft.core.Fs.rmTree(tmp)
   }
 
-  test("compressed / non-TIFF / striped inputs fail loudly, never misread") {
+  test("unsupported compression / non-TIFF / corrupt LZW fail loudly, never misread") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
-    val pc = s"$tmp/lzw.tif"
-    java.nio.file.Files.write(java.nio.file.Paths.get(pc), beFloat32Bytes(compression = 5))
-    val e1 = intercept[IllegalArgumentException](Raster.readMeta(pc))
+    // JPEG compression is out of scope -> rejected at readMeta
+    val pj = s"$tmp/jpeg.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pj), beFloat32Bytes(compression = 7))
+    val e1 = intercept[IllegalArgumentException](Raster.readMeta(pj))
     assert(e1.getMessage.contains("compression"))
     val pn = s"$tmp/not.tif"
     java.nio.file.Files.write(java.nio.file.Paths.get(pn), "PKjunk".getBytes)
     intercept[IllegalArgumentException](Raster.readMeta(pn))
+    // a file DECLARING LZW whose tile bytes are raw floats: readMeta
+    // accepts the header, the scan must then fail loudly (the stream
+    // doesn't open with ClearCode), never emit garbage cells
+    val pc = s"$tmp/lzw_declared.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pc), beFloat32Bytes(compression = 5))
+    val e2 = intercept[Exception](Raster.scanTiff(spark, pc).collect())
+    assert(e2.getMessage != null && e2.getMessage.contains("LZW"))
     graft.core.Fs.rmTree(tmp)
   }
 
@@ -184,5 +192,127 @@ class RasterSpec extends SparkSuite {
     // lineitem multiplicity here)
     assert(df.count() == 25)
     assert(df.filter(org.apache.spark.sql.functions.col("n_cells") =!= 64).count() == 0)
+  }
+
+  // ---- TIFF codecs (round 5): pinned vectors are hand-assembled from
+  // the TIFF-6 spec, so an encoder bug can't hide behind its own
+  // decoder (and vice versa) ----
+
+  test("LZW: pinned encode vector, KwKwK decode vector, width-transition roundtrip") {
+    import graft.zonal.TiffCodec
+    // [7,7,7,8] -> codes 256,7,258,8,257 at 9 bits, packed MSB-first
+    val enc = TiffCodec.lzwEncode(Array[Byte](7, 7, 7, 8))
+    assert(enc.toSeq == Seq(0x80, 0x01, 0xE0, 0x40, 0x88, 0x08).map(_.toByte),
+      s"got ${enc.map(b => f"0x${b & 0xff}%02X").mkString(",")}")
+    assert(TiffCodec.lzwDecode(enc, 4).toSeq == Seq[Byte](7, 7, 7, 8))
+    // hand-built stream with the KwKwK case (code == next table entry):
+    // codes 256,5,258,258,257 -> [5,5,5,5,5]
+    val kwk = Array(0x80, 0x01, 0x60, 0x50, 0x28, 0x08).map(_.toByte)
+    assert(TiffCodec.lzwDecode(kwk, 5).toSeq == Seq[Byte](5, 5, 5, 5, 5))
+    // deterministic pseudo-random 200k bytes: crosses the 9->10->11->12
+    // bit widths and the 4094-entry table reset, both directions
+    val big = Array.tabulate(200000)(i => ((i * 2654435761L >>> 13) & 0xff).toByte)
+    assert(TiffCodec.lzwDecode(TiffCodec.lzwEncode(big), big.length).toSeq == big.toSeq)
+    // truncation fails loudly
+    val cut = TiffCodec.lzwEncode(big).take(1000)
+    intercept[IllegalArgumentException](TiffCodec.lzwDecode(cut, big.length))
+  }
+
+  test("deflate: exact-length contract, roundtrip, truncation fails loudly") {
+    import graft.zonal.TiffCodec
+    val data = Array.tabulate(65536)(i => ((i * 31 + i / 7) & 0xff).toByte)
+    val z = TiffCodec.deflate(data)
+    assert(z.length < data.length)
+    assert(TiffCodec.inflate(z, data.length).toSeq == data.toSeq)
+    intercept[IllegalArgumentException](TiffCodec.inflate(z.take(z.length / 2), data.length))
+  }
+
+  test("predictor 2: apply/undo roundtrip with negatives and 2 bands") {
+    import graft.zonal.TiffCodec
+    val vals = Array(7, -5, 123456, 0, -1, 42, Int.MinValue + 3, 9)
+    val bb = java.nio.ByteBuffer.allocate(vals.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putInt)
+    val bytes = bb.array().clone()
+    TiffCodec.applyPredictor2Int32(bytes, rowPx = 2, rows = 2, bands = 2, bigEndian = false)
+    assert(bytes.toSeq != bb.array().toSeq, "differencing changed nothing")
+    TiffCodec.undoPredictor2Int32(bytes, rowPx = 2, rows = 2, bands = 2, bigEndian = false)
+    assert(bytes.toSeq == bb.array().toSeq)
+  }
+
+  test("codec/layout fixtures all scan back to the exact formula") {
+    val paths = Seq(
+      "deflate" -> Raster.deflateFixturePath(),
+      "lzw" -> Raster.lzwFixturePath(),
+      "striped" -> Raster.stripedFixturePath(),
+      "predictor" -> Raster.predictorFixturePath(),
+      "bigtiff" -> Raster.bigTiffFixturePath())
+    for ((tag, p) <- paths) {
+      val got = Raster.scanTiff(spark, p).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(got.size == Raster.FixW * Raster.FixH, s"$tag: wrong cell count ${got.size}")
+      for (x <- Seq(0, 31, 32, 63, 89); y <- Seq(0, 31, 32, 69))
+        assert(got((x, y)) == Raster.fixtureValue(x, y), s"$tag: pixel ($x,$y)")
+    }
+  }
+
+  test("hand-built striped LE float64 file decodes (writer-independent strip path)") {
+    // 3x5 px, RowsPerStrip=2 -> 3 strips (2+2+1 rows), f(x,y) = 10x + y
+    val nE = 10
+    val ifdOff = 8
+    val offArr = ifdOff + 2 + nE * 12 + 4
+    val cntArr = offArr + 12
+    val dataOff = cntArr + 12
+    val strips = Seq(2, 2, 1)
+    val buf = java.nio.ByteBuffer.allocate(dataOff + 5 * 3 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifdOff)
+    buf.putShort(nE.toShort)
+    def e(tag: Int, tpe: Int, cnt: Int, v: Int): Unit = {
+      buf.putShort(tag.toShort).putShort(tpe.toShort).putInt(cnt)
+      if (tpe == 3 && cnt == 1) { buf.putShort(v.toShort); buf.putShort(0) }
+      else buf.putInt(v)
+    }
+    e(256, 4, 1, 3); e(257, 4, 1, 5)
+    e(258, 3, 1, 64); e(259, 3, 1, 1)
+    e(273, 4, 3, offArr) // StripOffsets
+    e(277, 3, 1, 1)
+    e(278, 4, 1, 2)      // RowsPerStrip
+    e(279, 4, 3, cntArr) // StripByteCounts
+    e(284, 3, 1, 1)
+    e(339, 3, 1, 3)
+    buf.putInt(0)
+    var off = dataOff
+    strips.foreach { rows => buf.putInt(off); off += rows * 3 * 8 }
+    strips.foreach { rows => buf.putInt(rows * 3 * 8) }
+    for (y <- 0 until 5; x <- 0 until 3) buf.putDouble(10.0 * x + y)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
+    val p = s"$tmp/striped.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), buf.array())
+    val m = Raster.readMeta(p)
+    assert(m.striped && m.tileW == 3 && m.tileH == 2 && m.tileOffsets.length == 3)
+    val got = Raster.scanTiff(spark, p).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 15)
+    for (x <- 0 until 3; y <- 0 until 5) assert(got((x, y)) == 10.0 * x + y, s"($x,$y)")
+    graft.core.Fs.rmTree(tmp)
+  }
+
+  test("BigTIFF header parses; nodata tag parses and masks; missing nodata fails loudly") {
+    val m = Raster.readMeta(Raster.bigTiffFixturePath())
+    assert(m.width == Raster.FixW && m.height == Raster.FixH
+      && m.tileOffsets.length == 9 && m.bits == 64)
+    val mn = Raster.readMeta(Raster.nodataFixturePath())
+    assert(mn.nodata.contains(0.0))
+    val masked = Raster.scanTiffDropNodata(spark, Raster.nodataFixturePath()).collect()
+    val expectDropped = (for (x <- 0 until Raster.FixW; y <- 0 until Raster.FixH
+      if Raster.fixtureValue(x, y) == 0.0) yield 1).size
+    assert(masked.length == Raster.FixW * Raster.FixH - expectDropped)
+    assert(expectDropped > 0, "fixture should contain nodata cells")
+    assert(masked.forall(_.getDouble(2) != 0.0))
+    // a file with no nodata tag refuses the masked scan
+    val e = intercept[IllegalArgumentException](
+      Raster.scanTiffDropNodata(spark, Raster.fixturePath()))
+    assert(e.getMessage.contains("nodata"))
   }
 }
