@@ -1113,6 +1113,21 @@ object Raster {
         .orderBy("cell_x", "cell_y")
     },
 
+    // the DataSource V2 face of the reader: one InputPartition per tile
+    // straight from the manifest (ZERO shuffle — not even the Dataset
+    // path's manifest repartition), cell_x/cell_y filters pushed into
+    // the scan prune tiles at planning time, column pruning reaches the
+    // decoder. The same COG window as scan_raster_window, now as a plain
+    // .filter over a first-class BatchScan.
+    "scan_raster_source" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($FixtureCellsSql)
+         |WHERE cell_x BETWEEN 10 AND 40 AND cell_y BETWEEN 5 AND 35
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.TiffSource").load(fixturePath())
+        .filter(col("cell_x").between(10, 40) && col("cell_y").between(5, 35))
+        .orderBy("cell_x", "cell_y")
+    },
+
     // the reference's headline pipeline on a REAL raster: scanned TIFF
     // cells → rasterize against the zone table → per-zone stats. Values
     // are integral in float64, so long sums are exact on both engines.

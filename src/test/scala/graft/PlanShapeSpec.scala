@@ -301,4 +301,31 @@ class PlanShapeSpec extends SparkSuite {
         s"$n has unexpected exchanges $exchanges:\n${p.take(3000)}")
     }
   }
+
+  test("DSv2 raster source: pushed filters prune tiles, zero scan-side shuffle, pruned decode") {
+    import org.apache.spark.sql.functions.col
+    val path = graft.zonal.Raster.fixturePath()
+    val df = spark.read.format("graft.zonal.TiffSource").load(path)
+      .filter(col("cell_x").between(10, 40) && col("cell_y").between(5, 35))
+    // correctness against the generating formula
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 31 * 31)
+    assert(got((10, 5)) == graft.zonal.Raster.fixtureValue(10, 5))
+    assert(got((40, 35)) == graft.zonal.Raster.fixtureValue(40, 35))
+    val p = df.queryExecution.executedPlan.toString
+    // the scan IS a DSv2 BatchScan with the window visible as pushed filters
+    assert(p.contains("BatchScan"), s"not a DSv2 scan:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"), s"DSv2 raster scan grew a shuffle:\n${p.take(2000)}")
+    // planning pruned the 3x3 manifest to the 4 overlapping tiles
+    assert(df.rdd.getNumPartitions == 4,
+      s"expected 4 pruned tile partitions, got ${df.rdd.getNumPartitions}")
+    // unfiltered: all 9 tiles, all cells
+    val full = spark.read.format("graft.zonal.TiffSource").load(path)
+    assert(full.rdd.getNumPartitions == 9)
+    assert(full.count() == graft.zonal.Raster.FixW.toLong * graft.zonal.Raster.FixH)
+    // column pruning reaches the decoder: positions-only projection and
+    // count(*) both work without the value column
+    val xs = full.select("cell_x").distinct().count()
+    assert(xs == graft.zonal.Raster.FixW)
+  }
 }
