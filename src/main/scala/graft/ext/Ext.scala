@@ -27,7 +27,8 @@ object Ext {
     "lsh_bucket" -> (es => LshBucket(es.head)),
     "make_wkb" -> (es => MakeWkb(es.head)),
     "point_in_wkb" -> (es => PointInWkb(es(0), es(1), es(2))),
-    "cell_cover_wkb" -> (es => CellCoverWkb(es(0), es(1), es(2))))
+    "cell_cover_wkb" -> (es => CellCoverWkb(es(0), es(1), es(2))),
+    "wkb_stats" -> (es => WkbStats(es.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

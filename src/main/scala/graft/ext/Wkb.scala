@@ -162,6 +162,109 @@ object Wkb {
     polygon()
     total
   }
+
+  /** Field order of the [[stats]] struct (shared with [[WkbStats]]). */
+  val StatsSchema: StructType = StructType(Seq(
+    StructField("area2", LongType, nullable = false),     // 2·area (even-odd)
+    StructField("cx_num", LongType, nullable = false),    // centroid_x · 3·area2
+    StructField("cy_num", LongType, nullable = false),
+    StructField("n_parts", IntegerType, nullable = false),
+    StructField("n_rings", IntegerType, nullable = false),
+    StructField("n_verts", IntegerType, nullable = false), // open vertices
+    StructField("gxmin", LongType, nullable = false),
+    StructField("gymin", LongType, nullable = false),
+    StructField("gxmax", LongType, nullable = false),
+    StructField("gymax", LongType, nullable = false)))
+
+  /** Exact geometry metrics in ONE WKB pass, all integer arithmetic:
+    * `area2` = 2·area under even-odd semantics (per-ring |shoelace|,
+    * exterior +, holes −, so ring orientation is irrelevant), centroid
+    * NUMERATORS (centroid = num / (3·area2) — the single IEEE divide
+    * happens in the query, identically on both engines), part/ring/
+    * open-vertex counts, and the vertex bbox. Same integral-coordinate
+    * contract as [[pointIn]]: fractional vertices throw, never truncate.
+    */
+  def stats(wkb: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow = {
+    val buf = java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var area2 = 0L; var cxNum = 0L; var cyNum = 0L
+    var nParts = 0; var nRings = 0; var nVerts = 0
+    var gxmin = Long.MaxValue; var gymin = Long.MaxValue
+    var gxmax = Long.MinValue; var gymax = Long.MinValue
+    def ring(holeSign: Long): Unit = {
+      val npts = buf.getInt
+      val xs = new Array[Long](npts)
+      val ys = new Array[Long](npts)
+      var j = 0
+      while (j < npts) {
+        val xd = buf.getDouble
+        val yd = buf.getDouble
+        xs(j) = xd.toLong; ys(j) = yd.toLong
+        if (xs(j).toDouble != xd || ys(j).toDouble != yd)
+          throw new IllegalArgumentException(
+            s"wkb_stats requires integral lattice coordinates, got ($xd, $yd); " +
+              "align/reproject geometry to the cube grid upstream")
+        j += 1
+      }
+      val nOpen = if (npts > 1 && xs(0) == xs(npts - 1) && ys(0) == ys(npts - 1)) npts - 1 else npts
+      nRings += 1; nVerts += nOpen
+      var a = 0L; var sx = 0L; var sy = 0L
+      var i = 0
+      while (i < nOpen) {
+        val k = if (i + 1 == nOpen) 0 else i + 1
+        val cross = xs(i) * ys(k) - xs(k) * ys(i)
+        a += cross
+        sx += (xs(i) + xs(k)) * cross
+        sy += (ys(i) + ys(k)) * cross
+        if (xs(i) < gxmin) gxmin = xs(i)
+        if (ys(i) < gymin) gymin = ys(i)
+        if (xs(i) > gxmax) gxmax = xs(i)
+        if (ys(i) > gymax) gymax = ys(i)
+        i += 1
+      }
+      val orient = if (a < 0) -1L else 1L // normalize CW/CCW away
+      area2 += holeSign * orient * a
+      cxNum += holeSign * orient * sx
+      cyNum += holeSign * orient * sy
+    }
+    def polygon(): Unit = {
+      require(buf.get() == 1.toByte, "big-endian WKB unsupported")
+      buf.getInt match {
+        case 3 =>
+          nParts += 1
+          val nRingsHere = buf.getInt
+          var r = 0
+          while (r < nRingsHere) { ring(if (r == 0) 1L else -1L); r += 1 }
+        case 6 =>
+          val nPolys = buf.getInt
+          var p = 0
+          while (p < nPolys) { polygon(); p += 1 }
+        case t => throw new IllegalArgumentException(s"unsupported WKB type $t")
+      }
+    }
+    polygon()
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      area2, cxNum, cyNum, nParts, nRings, nVerts, gxmin, gymin, gxmax, gymax))
+  }
+}
+
+/** `wkb_stats(geom)` — see [[Wkb.stats]]. */
+case class WkbStats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = Wkb.StatsSchema
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"wkb_stats needs binary WKB, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Wkb.stats(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = graft.ext.Wkb.stats($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): WkbStats =
+    copy(child = newChild)
 }
 
 /** `make_wkb(verts)` — see [[Wkb.build]]. */

@@ -1,6 +1,6 @@
 package graft.zonal
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.core.{Q, Tables}
@@ -223,6 +223,72 @@ object Zonal {
        |  round(stddev_samp(value), 4) AS sd_v
        |${Cube.RasterizeJoinSql}
        |GROUP BY zone_id ORDER BY zone_id""".stripMargin)
+
+  /** DuckDB oracle for `zonal_geom_stats*`: the shoelace area/centroid
+    * arithmetic of [[graft.ext.Wkb.stats]] replayed over the unnested
+    * vertex table — rings closed by the (i+1) mod n self-join,
+    * orientation normalized per ring, holes subtracted.
+    */
+  private def geomStatsSql(rings: Seq[Cube.RingSpec]): String =
+    s"""WITH zones AS (
+       |${Cube.ZonesSql}
+       |), verts AS (
+       |${Cube.vertsSql(rings)}
+       |), edges AS (
+       |  SELECT a.zone_id, a.part, a.ring,
+       |    a.vx AS x1, a.vy AS y1, b.vx AS x2, b.vy AS y2
+       |  FROM verts a JOIN verts b
+       |    ON a.zone_id = b.zone_id AND a.part = b.part AND a.ring = b.ring
+       |   AND b.i = (a.i + 1) % a.n
+       |), rsums AS (
+       |  SELECT zone_id, part, ring,
+       |    CAST(SUM(x1 * y2 - x2 * y1) AS BIGINT) AS a2raw,
+       |    CAST(SUM((x1 + x2) * (x1 * y2 - x2 * y1)) AS BIGINT) AS cxraw,
+       |    CAST(SUM((y1 + y2) * (x1 * y2 - x2 * y1)) AS BIGINT) AS cyraw,
+       |    COUNT(*) AS nv
+       |  FROM edges GROUP BY zone_id, part, ring
+       |), ragg AS (
+       |  SELECT zone_id,
+       |    CAST(SUM(s * a2raw) AS BIGINT) AS area2,
+       |    CAST(SUM(s * cxraw) AS BIGINT) AS cx_num,
+       |    CAST(SUM(s * cyraw) AS BIGINT) AS cy_num,
+       |    COUNT(*) AS n_rings, CAST(SUM(nv) AS BIGINT) AS n_verts
+       |  FROM (SELECT *,
+       |    (CASE WHEN ring = 0 THEN 1 ELSE -1 END)
+       |      * (CASE WHEN a2raw < 0 THEN -1 ELSE 1 END) AS s FROM rsums) t
+       |  GROUP BY zone_id
+       |), vagg AS (
+       |  SELECT zone_id, COUNT(DISTINCT part) AS n_parts,
+       |    CAST(MIN(vx) AS BIGINT) AS gxmin, CAST(MIN(vy) AS BIGINT) AS gymin,
+       |    CAST(MAX(vx) AS BIGINT) AS gxmax, CAST(MAX(vy) AS BIGINT) AS gymax
+       |  FROM verts GROUP BY zone_id
+       |)
+       |SELECT r.zone_id, area2, cx_num, cy_num,
+       |  CAST(cx_num AS DOUBLE) / (3 * area2) AS centroid_x,
+       |  CAST(cy_num AS DOUBLE) / (3 * area2) AS centroid_y,
+       |  n_parts, n_rings, n_verts, gxmin, gymin, gxmax, gymax
+       |FROM ragg r JOIN vagg v ON r.zone_id = v.zone_id
+       |ORDER BY r.zone_id""".stripMargin
+
+  /** Spark side of `zonal_geom_stats*`: one `wkb_stats` pass per zone
+    * geometry on the broadcast-sized zone table.
+    */
+  private def geomStats(s: SparkSession, d: String,
+      rings: Seq[Cube.RingSpec]): DataFrame = {
+    graft.ext.Ext.register(s)
+    Cube.wkbZones(s, d, rings)
+      .select(col("zone_id"), expr("wkb_stats(geom)").as("g"))
+      .select(col("zone_id"),
+        col("g.area2").as("area2"),
+        col("g.cx_num").as("cx_num"), col("g.cy_num").as("cy_num"),
+        (col("g.cx_num").cast("double") / (lit(3) * col("g.area2"))).as("centroid_x"),
+        (col("g.cy_num").cast("double") / (lit(3) * col("g.area2"))).as("centroid_y"),
+        col("g.n_parts").as("n_parts"), col("g.n_rings").as("n_rings"),
+        col("g.n_verts").as("n_verts"),
+        col("g.gxmin").as("gxmin"), col("g.gymin").as("gymin"),
+        col("g.gxmax").as("gxmax"), col("g.gymax").as("gymax"))
+      .orderBy("zone_id")
+  }
 
   def defs: Seq[(String, Q)] = Seq(
     "scan_cells" -> Q(
@@ -450,6 +516,24 @@ object Zonal {
         .groupBy(col("zone_id"))
         .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
         .orderBy("zone_id")
+    },
+
+    // exact geometry metrics straight from the WKB (round 5): one
+    // codegen'd pass computes 2·area (even-odd: per-ring |shoelace|,
+    // exterior +, holes −, orientation-independent), centroid NUMERATORS
+    // (the single IEEE divide happens here in the query, identically in
+    // DuckDB), part/ring/vertex counts and the bbox. Runs on the tiny
+    // zone side — at 100 TB this is a driver-negligible broadcast stage,
+    // the per-polygon bookkeeping every zonal report wants alongside the
+    // cell statistics.
+    "zonal_geom_stats" -> Q(geomStatsSql(Cube.NGonRings)) { (s, d) =>
+      geomStats(s, d, Cube.NGonRings)
+    },
+
+    // same metrics over the two-part MultiPolygon family (n_parts = 2,
+    // independently varying vertex counts — the multipart bookkeeping).
+    "zonal_geom_stats_multi" -> Q(geomStatsSql(Cube.MultiRings)) { (s, d) =>
+      geomStats(s, d, Cube.MultiRings)
     },
 
     // the 100-TB zonal median path (round 4): `agg_percentile`'s exact

@@ -284,4 +284,47 @@ class ExtSpec extends SparkSuite {
     val static = ZonalStore.prunedStats(spark, store, zonesF)
     assert(dyn.exceptAll(static).isEmpty && static.exceptAll(dyn).isEmpty)
   }
+
+  test("wkb_stats: hand-computed square+hole and multipolygon; orientation-independent") {
+    import graft.ext.Wkb
+    // CCW square (0,0)-(8,0)-(8,8)-(0,8) with CW hole (2,2)-(2,4)-(4,4)-(4,2):
+    // area = 64 - 4 = 60 -> area2 = 120; outer centroid (4,4), hole centroid (3,3)
+    def ring(pts: (Int, Int)*): Seq[(Int, Int)] = pts :+ pts.head
+    def wkbPoly(rings: Seq[Seq[(Int, Int)]]): Array[Byte] = {
+      val total = 1 + 4 + 4 + rings.map(r => 4 + r.size * 16).sum
+      val b = java.nio.ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte); b.putInt(3); b.putInt(rings.size)
+      rings.foreach { r =>
+        b.putInt(r.size)
+        r.foreach { case (x, y) => b.putDouble(x); b.putDouble(y) }
+      }
+      b.array()
+    }
+    val outer = ring((0, 0), (8, 0), (8, 8), (0, 8))               // CCW
+    val hole = ring((2, 2), (2, 4), (4, 4), (4, 2))                // CW
+    val row = Wkb.stats(wkbPoly(Seq(outer, hole)))
+    assert(row.getLong(0) == 120, s"area2 ${row.getLong(0)}")
+    // centroid = cx_num/(3*area2): outer 64@(4,4) minus hole 4@(3,3)
+    // -> x = (64*4 - 4*3)/60 = 244/60; numerator = that * 3*120 = 1464
+    assert(row.getLong(1) == 1464 && row.getLong(2) == 1464,
+      s"centroid nums ${row.getLong(1)},${row.getLong(2)}")
+    assert(row.getInt(3) == 1 && row.getInt(4) == 2 && row.getInt(5) == 8)
+    assert(row.getLong(6) == 0 && row.getLong(7) == 0
+      && row.getLong(8) == 8 && row.getLong(9) == 8)
+    // reversing BOTH ring orientations changes nothing (|shoelace| norm)
+    val rev = Wkb.stats(wkbPoly(Seq(outer.reverse, hole.reverse)))
+    assert((0 until 10).forall(i => rev.get(i, null) == row.get(i, null) ||
+      (rev.getLong(0) == row.getLong(0) && rev.getLong(1) == row.getLong(1)
+        && rev.getLong(2) == row.getLong(2))))
+    assert(rev.getLong(0) == 120 && rev.getLong(1) == 1464 && rev.getLong(2) == 1464)
+    // fractional coordinates fail loudly
+    val bad = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 4 + 4 * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put(1.toByte); bad.putInt(3); bad.putInt(1); bad.putInt(4)
+    Seq((0.5, 0.0), (1.0, 0.0), (1.0, 1.0), (0.5, 0.0)).foreach { case (x, y) =>
+      bad.putDouble(x); bad.putDouble(y)
+    }
+    val e = intercept[IllegalArgumentException](Wkb.stats(bad.array()))
+    assert(e.getMessage.contains("integral"))
+  }
 }
