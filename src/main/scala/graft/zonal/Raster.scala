@@ -420,6 +420,36 @@ object Raster {
       .filter(col("cell_x").between(x0, x1) && col("cell_y").between(y0, y1))
   }
 
+  /** Mosaic / collection scan: many GeoTIFFs placed on one shared pixel
+    * lattice at per-file integer origins — the shape of every real COG
+    * collection (a tile pyramid directory, a sharded AOI export). The
+    * driver reads each file's header (a few KB per file), SHIFTS its
+    * tile manifest by the file's origin, and concatenates — so the whole
+    * collection scans as ONE DataFrame with one task per tile across all
+    * files, not a union of per-file plans. Files must agree on sample
+    * type; overlaps are allowed (emitted as-is, like GDAL's VRT).
+    */
+  def scanTiffMosaic(s: SparkSession, files: Seq[(String, Int, Int)]): DataFrame = {
+    require(files.nonEmpty, "scanTiffMosaic: empty file list")
+    val refs = files.flatMap { case (path, ox, oy) =>
+      val m = readMeta(path)
+      require(m.bands == 1, s"$path has ${m.bands} bands — mosaic is single-band")
+      // bake the global origin into the refs: decode emits global
+      // coordinates directly, no per-file shift stage in the plan
+      tileRefs(m, path).map(t => t.copy(
+        tx0 = t.tx0 + ox, ty0 = t.ty0 + oy,
+        width = m.width + ox, height = m.height + oy))
+    }
+    val first = readMeta(files.head._1)
+    files.tail.foreach { case (path, _, _) =>
+      val m = readMeta(path)
+      require(m.bits == first.bits && m.sampleFormat == first.sampleFormat,
+        s"$path: sample type ${m.bits}/${m.sampleFormat} differs from " +
+          s"${files.head._1}'s ${first.bits}/${first.sampleFormat}")
+    }
+    scanRefs(s, refs)
+  }
+
   /** `scan_raster_nodata`: honor the GDAL nodata convention — cells
     * whose value equals the file's declared nodata sentinel are dropped
     * (the masked-pixel semantics every zonal consumer expects). Fails
@@ -1041,13 +1071,31 @@ object Raster {
           (tx, ty, path)
         }
         .collect() // manifest only: one row per tile file
-      manifest.map { case (tx, ty, path) =>
-        scanTiff(s, path).filter(col("value") =!= 0.0)
-          .agg(count(lit(1)).as("n_cells_nonzero"),
-            sum(col("value").cast("long")).as("sum_v"))
-          .select(lit(tx).as("tile_x"), lit(ty).as("tile_y"),
-            col("n_cells_nonzero"), col("sum_v"))
-      }.reduce(_ union _).orderBy("tile_x", "tile_y")
+      // read back as ONE mosaic scan (one task per tile file), not a
+      // 16-way union of per-file plans
+      scanTiffMosaic(s, manifest.toSeq.map { case (tx, ty, path) =>
+          (path, (tx * ts).toInt, (ty * ts).toInt) })
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"cell_x div $ts").as("tile_x"),
+          expr(s"cell_y div $ts").as("tile_y"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("tile_x", "tile_y")
+    },
+
+    // mosaic/collection read: the same fixture placed 2×2 on a shared
+    // 180×140 lattice — one scan over every file's shifted manifest, one
+    // task per tile across the collection (the COG-directory shape; a
+    // union of per-file plans would not survive a 100k-file collection).
+    "scan_raster_mosaic" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y,
+         |  CAST((31 * (x.range % $FixW) + 17 * (y.range % $FixH)) % 997 AS DOUBLE) AS value
+         |FROM range(0, ${2 * FixW}) x CROSS JOIN range(0, ${2 * FixH}) y
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val p = fixturePath()
+      scanTiffMosaic(s, Seq((p, 0, 0), (p, FixW, 0), (p, 0, FixH), (p, FixW, FixH)))
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
     },
 
     // real-world COG codecs: the same formula raster compressed with

@@ -315,4 +315,28 @@ class RasterSpec extends SparkSuite {
       Raster.scanTiffDropNodata(spark, Raster.fixturePath()))
     assert(e.getMessage.contains("nodata"))
   }
+
+  test("mosaic scan: shifted origins compose one lattice, one plan, type mismatch refused") {
+    val p = Raster.fixturePath()
+    val df = Raster.scanTiffMosaic(spark,
+      Seq((p, 0, 0), (p, Raster.FixW, 0), (p, 0, Raster.FixH), (p, Raster.FixW, Raster.FixH)))
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 4 * Raster.FixW * Raster.FixH)
+    // a point in each quadrant replays the wrapped formula
+    for ((x, y) <- Seq((5, 7), (Raster.FixW + 5, 7), (5, Raster.FixH + 7),
+        (Raster.FixW + 89, Raster.FixH + 69)))
+      assert(got((x, y)) == Raster.fixtureValue(x % Raster.FixW, y % Raster.FixH), s"($x,$y)")
+    // ONE scan: no per-file Union in the plan
+    assert(!df.queryExecution.executedPlan.toString.contains("Union"),
+      "mosaic planned as a union of per-file scans")
+    // 36 tiles across the collection, one task each (manifest repartition
+    // caps at parallelism)
+    // files disagreeing on sample type are refused
+    val i32 = s"${java.nio.file.Files.createTempDirectory("graft_raster")}/i32.tif"
+    Raster.writeTiffOpts(i32, 8, 8, 8, 8,
+      Raster.WriteOpts(bits = 32, sampleFormat = 2))((x, y) => (x + y).toDouble)
+    val e = intercept[IllegalArgumentException](
+      Raster.scanTiffMosaic(spark, Seq((p, 0, 0), (i32, Raster.FixW, 0))))
+    assert(e.getMessage.contains("sample type"))
+  }
 }
