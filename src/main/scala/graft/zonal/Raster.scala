@@ -1176,6 +1176,37 @@ object Raster {
         .orderBy("cell_x", "cell_y")
     },
 
+    // focal (neighborhood) statistics — the raster convolution class:
+    // every cell's 3×3 box mean, edge-aware (corner cells average their
+    // 4 real neighbors, not 9 with phantom zeros). Spark-first spelling:
+    // each cell CONTRIBUTES to its 9 neighbors via a map-side explode,
+    // then one hash agg on the target cell — no self-join, no window
+    // over a 2-D sort. At 100 TB the explode is map-local and the agg
+    // shuffles once on the grid key; tile-partitioned storage keeps
+    // halo exchange inside the same shuffle. Integral values → exact
+    // BIGINT sums; the single divide is IEEE-identical in DuckDB.
+    "raster_focal_mean" -> Q(
+      s"""WITH cells AS (
+         |$FixtureCellsSql
+         |), nb AS (
+         |  SELECT c.cell_x + dx.range AS cell_x, c.cell_y + dy.range AS cell_y, c.value
+         |  FROM cells c CROSS JOIN range(-1, 2) dx CROSS JOIN range(-1, 2) dy)
+         |SELECT cell_x, cell_y, COUNT(*) AS n_nb,
+         |  CAST(SUM(CAST(value AS BIGINT)) AS DOUBLE) / COUNT(*) AS focal_mean
+         |FROM nb WHERE cell_x BETWEEN 0 AND ${FixW - 1} AND cell_y BETWEEN 0 AND ${FixH - 1}
+         |GROUP BY cell_x, cell_y ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val neighbors = (for (dx <- -1 to 1; dy <- -1 to 1)
+        yield s"struct(cell_x + $dx AS x, cell_y + $dy AS y)").mkString(", ")
+      scanTiff(s, fixturePath())
+        .select(explode(expr(s"array($neighbors)")).as("n"), col("value"))
+        .select(col("n.x").as("cell_x"), col("n.y").as("cell_y"), col("value"))
+        .filter(col("cell_x").between(0, FixW - 1) && col("cell_y").between(0, FixH - 1))
+        .groupBy(col("cell_x"), col("cell_y"))
+        .agg(count(lit(1)).as("n_nb"),
+          (sum(col("value").cast("long")).cast("double") / count(lit(1))).as("focal_mean"))
+        .orderBy("cell_x", "cell_y")
+    },
+
     // the reference's headline pipeline on a REAL raster: scanned TIFF
     // cells → rasterize against the zone table → per-zone stats. Values
     // are integral in float64, so long sums are exact on both engines.

@@ -536,6 +536,40 @@ object Zonal {
       geomStats(s, d, Cube.MultiRings)
     },
 
+    // zone-layer OVERLAY (the landcover-class × admin-region staple):
+    // cells cross-tabulated against TWO independent zone layers — layer
+    // A is the nation envelopes (tile equi-join rasterize), layer B a
+    // coarse 16×16 region grid applied as a second broadcast range join.
+    // At 100 TB both zone tables broadcast and the cube scans once; the
+    // only shuffle is the final (zone_a, zone_b) hash agg.
+    "zonal_overlay" -> Q(
+      Cube.withSql(
+        """, zb AS (
+          |  SELECT r_regionkey AS zone_b,
+          |    (r_regionkey * 13) % 48 AS bxmin, (r_regionkey * 13) % 48 + 15 AS bxmax,
+          |    (r_regionkey * 29) % 48 AS bymin, (r_regionkey * 29) % 48 + 15 AS bymax
+          |  FROM region)
+          |SELECT zone_id, zone_b, count(*) AS n_cells,
+          |  """.stripMargin + dsumSql("value") + """ AS sum_v
+          |FROM cells JOIN zones
+          |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+          |JOIN zb ON cell_x BETWEEN bxmin AND bxmax AND cell_y BETWEEN bymin AND bymax
+          |GROUP BY zone_id, zone_b ORDER BY zone_id, zone_b""".stripMargin)) { (s, d) =>
+      val zb = Tables.region(s, d).select(
+        col("r_regionkey").as("zone_b"),
+        (col("r_regionkey") * 13 % 48).as("bxmin"),
+        (col("r_regionkey") * 13 % 48 + 15).as("bxmax"),
+        (col("r_regionkey") * 29 % 48).as("bymin"),
+        (col("r_regionkey") * 29 % 48 + 15).as("bymax"))
+      Cube.rasterize(Cube.cells(s, d), Cube.zones(s, d))
+        .join(broadcast(zb),
+          col("cell_x").between(col("bxmin"), col("bxmax"))
+            && col("cell_y").between(col("bymin"), col("bymax")))
+        .groupBy(col("zone_id"), col("zone_b"))
+        .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
+        .orderBy("zone_id", "zone_b")
+    },
+
     // the 100-TB zonal median path (round 4): `agg_percentile`'s exact
     // percentile buffers each zone's full value multiset in one task — a
     // memory hazard on a hot zone with billions of cells. This variant

@@ -339,4 +339,21 @@ class RasterSpec extends SparkSuite {
       Raster.scanTiffMosaic(spark, Seq((p, 0, 0), (i32, Raster.FixW, 0))))
     assert(e.getMessage.contains("sample type"))
   }
+
+  test("focal mean is edge-aware: corner averages 4, edge 6, interior 9 neighbors") {
+    val rows = q("raster_focal_mean").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    def exact(cx: Int, cy: Int): (Long, Double) = {
+      val nb = for {
+        dx <- -1 to 1; dy <- -1 to 1
+        x = cx + dx; y = cy + dy
+        if x >= 0 && x < Raster.FixW && y >= 0 && y < Raster.FixH
+      } yield Raster.fixtureValue(x, y).toLong
+      (nb.size.toLong, nb.sum.toDouble / nb.size)
+    }
+    assert(rows((0, 0))._1 == 4 && rows((0, 0)) == exact(0, 0))
+    assert(rows((5, 0))._1 == 6 && rows((5, 0)) == exact(5, 0))
+    assert(rows((5, 7))._1 == 9 && rows((5, 7)) == exact(5, 7))
+    assert(rows((89, 69))._1 == 4 && rows((89, 69)) == exact(89, 69))
+  }
 }
