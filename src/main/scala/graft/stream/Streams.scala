@@ -215,6 +215,50 @@ object Streams {
         .orderBy("event_type")
     },
 
+    // the foreachBatch sink — the canonical production pattern for
+    // "stream into a keyed store": the staged events replay as FOUR
+    // micro-batches (maxFilesPerTrigger=1 under AvailableNow); each
+    // batch writes its per-user PARTIAL aggregate into a batch_id
+    // partition with dynamic partition overwrite, so a replayed batch
+    // overwrites its own partition — idempotent, effectively
+    // exactly-once, no read-modify-write race on the store. The final
+    // read re-aggregates the partials (decimal addition is associative,
+    // so the split into batches cannot perturb the sums). At scale the
+    // same shape backs Delta/Iceberg MERGE: append partials, compact by
+    // key downstream.
+    "stream_foreach_batch" -> Q(
+      s"""SELECT user_id, count(*) AS n_events, ${dsumSql("value")} AS sum_v
+         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+      val sfName = new java.io.File(d).getName
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_io/$sfName/stream_feb"
+      graft.core.Fs.rmTree(base)
+      Tables.events(s, d).repartition(4).write.parquet(s"$base/in")
+      val store = s"$base/store"
+      val q = s.readStream.schema(s.read.parquet(s"$base/in").schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$base/in")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          batch.groupBy("user_id")
+            .agg(count(lit(1)).as("n_part"),
+              sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))).as("sum_part"))
+            .withColumn("batch_id", lit(id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(store)
+          ()
+        }
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(store)
+        .groupBy("user_id")
+        .agg(sum(col("n_part")).as("n_events"),
+          sum(col("sum_part")).cast("double").as("sum_v"))
+        .orderBy("user_id")
+    },
+
     // classic event-pipeline funnel: view → click → purchase in temporal
     // order per user (each stage's anchor = first qualifying event at or
     // after the previous stage's anchor). Three hash aggregations + two

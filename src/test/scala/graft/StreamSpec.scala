@@ -173,4 +173,22 @@ class StreamSpec extends SparkSuite {
     val bad = out.filter(col("cum_after") > graft.stream.Stateful.Cap && !col("did_reset"))
     assert(bad.count() == 0)
   }
+
+  test("foreachBatch sink: multiple micro-batches land in idempotent batch_id partitions") {
+    val got = q("stream_foreach_batch").collect()
+    assert(got.length > 0)
+    val sfName = new java.io.File(sf).getName
+    val store = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_io/$sfName/stream_feb/store")
+    val parts = store.listFiles().filter(_.getName.startsWith("batch_id=")).map(_.getName).sorted
+    assert(parts.length >= 2, s"expected multiple micro-batch partitions, got ${parts.toSeq}")
+    // re-aggregated partials equal the plain batch aggregation
+    val direct = graft.core.Tables.events(spark, sf)
+      .groupBy(col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got.foreach(r => assert(direct(r.getLong(0)) == r.getLong(1),
+      s"user ${r.getLong(0)} count mismatch"))
+  }
 }
