@@ -570,6 +570,22 @@ object Zonal {
         .orderBy("zone_id", "zone_b")
     },
 
+    // GeoJSON zone ingestion end-to-end: the NGon zone family serialized
+    // as a standard FeatureCollection fixture, read back through
+    // spark.read.json → posexplode rings/points → make_wkb, then the
+    // SAME rasterize + point_in_wkb pipeline as zonal_stats_polygon_n —
+    // and the SAME oracle, so the gate proves the GeoJSON path is
+    // byte-equivalent to the arithmetic-derived geometry. Fractional
+    // coordinates and non-Polygon features raise inside the plan.
+    "zonal_geojson" -> Q(eoOracleSql(Cube.NGonRings)) { (s, d) =>
+      val zones = GeoJson.readZones(s, GeoJson.fixturePath(s, d))
+      Cube.rasterize(Cube.cells(s, d), zones)
+        .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
+        .orderBy("zone_id")
+    },
+
     // the 100-TB zonal median path (round 4): `agg_percentile`'s exact
     // percentile buffers each zone's full value multiset in one task — a
     // memory hazard on a hot zone with billions of cells. This variant

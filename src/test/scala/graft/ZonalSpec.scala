@@ -249,4 +249,20 @@ class ZonalSpec extends SparkSuite {
     }
     assert(pyr.count(_.getInt(0) == 0) == 1 && pyr.count(_.getInt(0) == 3) == 64)
   }
+
+  test("geojson zones: identical to the arithmetic WKB path; fractional coords raise") {
+    val viaJson = q("zonal_geojson").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val viaWkb = q("zonal_stats_polygon_n").collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(viaJson.toSeq == viaWkb.toSeq, "GeoJSON pipeline diverges from make_wkb pipeline")
+    // fractional coordinates fail inside the plan, never truncate
+    val tmp = java.nio.file.Files.createTempDirectory("graft_geojson").toString
+    val bad = s"$tmp/bad.geojson"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad),
+      ("""{"type": "FeatureCollection", "features": [""" +
+        """{"type": "Feature", "properties": {"zone_id": 1}, "geometry": {"type": "Polygon", """ +
+        """"coordinates": [[[0.5, 0], [4, 0], [4, 4], [0.5, 0]]]}}]}""").getBytes)
+    val e = intercept[Exception](graft.zonal.GeoJson.readZones(spark, bad).collect())
+    assert(e.getMessage != null && e.getMessage.contains("fractional"))
+    graft.core.Fs.rmTree(tmp)
+  }
 }
