@@ -28,7 +28,8 @@ object Ext {
     "make_wkb" -> (es => MakeWkb(es.head)),
     "point_in_wkb" -> (es => PointInWkb(es(0), es(1), es(2))),
     "cell_cover_wkb" -> (es => CellCoverWkb(es(0), es(1), es(2))),
-    "wkb_stats" -> (es => WkbStats(es.head)))
+    "wkb_stats" -> (es => WkbStats(es.head)),
+    "wkb_geojson" -> (es => WkbGeoJson(es.head)))
 
   def register(spark: SparkSession): Unit =
     functions.foreach { case (name, builder) =>

@@ -245,6 +245,90 @@ object Wkb {
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
       area2, cxNum, cyNum, nParts, nRings, nVerts, gxmin, gymin, gxmax, gymax))
   }
+
+  /** WKB → GeoJSON geometry text (`{"type":"Polygon","coordinates":…}`
+    * or MultiPolygon), integer coordinates, no whitespace — the exact
+    * serialization the DuckDB oracle re-derives by string aggregation
+    * over the vertex table, so the sink is hash-gated byte-for-byte.
+    * Same integral-coordinate contract as the other WKB expressions.
+    */
+  def toGeoJson(wkb: Array[Byte]): String = {
+    val buf = java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val sb = new java.lang.StringBuilder(wkb.length)
+    def ring(): Unit = {
+      val npts = buf.getInt
+      sb.append('[')
+      var j = 0
+      while (j < npts) {
+        val xd = buf.getDouble
+        val yd = buf.getDouble
+        val x = xd.toLong
+        val y = yd.toLong
+        if (x.toDouble != xd || y.toDouble != yd)
+          throw new IllegalArgumentException(
+            s"wkb_geojson requires integral lattice coordinates, got ($xd, $yd)")
+        if (j > 0) sb.append(',')
+        sb.append('[').append(x).append(',').append(y).append(']')
+        j += 1
+      }
+      sb.append(']')
+    }
+    def polyBody(): Unit = { // rings of one polygon: [...],[...]
+      val nRings = buf.getInt
+      sb.append('[')
+      var r = 0
+      while (r < nRings) {
+        if (r > 0) sb.append(',')
+        ring()
+        r += 1
+      }
+      sb.append(']')
+    }
+    require(buf.get() == 1.toByte, "big-endian WKB unsupported")
+    buf.getInt match {
+      case 3 =>
+        sb.append("{\"type\":\"Polygon\",\"coordinates\":")
+        polyBody()
+        sb.append('}')
+      case 6 =>
+        sb.append("{\"type\":\"MultiPolygon\",\"coordinates\":[")
+        val nPolys = buf.getInt
+        var p = 0
+        while (p < nPolys) {
+          if (p > 0) sb.append(',')
+          require(buf.get() == 1.toByte, "big-endian WKB unsupported")
+          require(buf.getInt == 3, "MultiPolygon parts must be Polygons")
+          polyBody()
+          p += 1
+        }
+        sb.append("]}")
+      case t => throw new IllegalArgumentException(s"unsupported WKB type $t")
+    }
+    sb.toString
+  }
+}
+
+/** `wkb_geojson(geom)` — see [[Wkb.toGeoJson]]. */
+case class WkbGeoJson(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"wkb_geojson needs binary WKB, got $t")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      Wkb.toGeoJson(input.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.ext.Wkb.toGeoJson($a));")
+
+  override protected def withNewChildInternal(newChild: Expression): WkbGeoJson =
+    copy(child = newChild)
 }
 
 /** `wkb_stats(geom)` — see [[Wkb.stats]]. */

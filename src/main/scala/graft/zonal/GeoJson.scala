@@ -57,16 +57,33 @@ object GeoJson {
     * inside its vertices' hull), so the result plugs straight into
     * [[Cube.rasterize]] + `point_in_wkb` with no side table.
     */
-  def readZones(s: SparkSession, path: String): DataFrame = {
+  def readZones(s: SparkSession, path: String): DataFrame =
+    zonesFromFeatures(s,
+      s.read.option("multiLine", "true").json(path)
+        .select(explode(col("features")).as("f"))
+        .select(col("f.properties.zone_id").cast("int").as("zone_id"),
+          col("f.geometry.type").as("gtype"),
+          col("f.geometry.coordinates").as("coords")))
+
+  /** Line-delimited variant (RFC 8142 text sequences / GDAL's
+    * GeoJSONSeq — one Feature per line, the shape a DISTRIBUTED writer
+    * emits and `sink_geojson` produces): each json line IS a Feature.
+    */
+  def readZonesSeq(s: SparkSession, path: String): DataFrame =
+    zonesFromFeatures(s,
+      s.read.json(path)
+        .select(col("properties.zone_id").cast("int").as("zone_id"),
+          col("geometry.type").as("gtype"),
+          col("geometry.coordinates").as("coords")))
+
+  private def zonesFromFeatures(s: SparkSession, feats: DataFrame): DataFrame = {
     graft.ext.Ext.register(s)
     val intOrFail = (v: String) =>
       s"CASE WHEN $v = CAST($v AS INT) THEN CAST($v AS INT) " +
         s"ELSE CAST(raise_error('geojson: fractional coordinate, align to the lattice') AS INT) END"
-    s.read.option("multiLine", "true").json(path)
-      .select(explode(col("features")).as("f"))
-      .select(col("f.properties.zone_id").cast("int").as("zone_id"),
-        col("f.geometry.type").as("gtype"),
-        posexplode(col("f.geometry.coordinates")).as(Seq("ring", "ringpts")))
+    feats
+      .select(col("zone_id"), col("gtype"),
+        posexplode(col("coords")).as(Seq("ring", "ringpts")))
       .select(col("zone_id"), col("gtype"), col("ring"),
         size(col("ringpts")).as("np"),
         posexplode(col("ringpts")).as(Seq("i", "pt")))

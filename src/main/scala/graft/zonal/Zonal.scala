@@ -586,6 +586,48 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // the vector WRITE path: WKB zones serialized as newline-delimited
+    // GeoJSON Features (RFC 8142 text sequences — the format GDAL calls
+    // GeoJSONSeq, and the one a DISTRIBUTED writer can emit: one
+    // feature per line, no global FeatureCollection envelope to stitch).
+    // wkb_geojson is a codegen'd expression, the write is a plain text
+    // sink, and the gate hash-compares the read-back feature text
+    // BYTE-FOR-BYTE against DuckDB re-deriving the same serialization by
+    // string aggregation over the vertex table.
+    "sink_geojson" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), verts AS (
+         |  ${Cube.vertsSql(Cube.NGonRings)}
+         |), rings AS (
+         |  SELECT zone_id, part, ring,
+         |    '[' || string_agg('[' || vx || ',' || vy || ']', ',' ORDER BY i)
+         |      || ',[' || arg_min(vx, i) || ',' || arg_min(vy, i) || ']]' AS ringstr
+         |  FROM verts GROUP BY zone_id, part, ring
+         |), polys AS (
+         |  SELECT zone_id,
+         |    '[' || string_agg(ringstr, ',' ORDER BY ring) || ']' AS coords
+         |  FROM rings GROUP BY zone_id, part
+         |)
+         |SELECT zone_id,
+         |  '{"type":"Feature","properties":{"zone_id":' || zone_id
+         |    || '},"geometry":{"type":"Polygon","coordinates":' || coords || '}}' AS feature
+         |FROM polys ORDER BY zone_id""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      val sfName = new java.io.File(d).getName
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/$sfName/sink_geojson"
+      graft.core.Fs.rmTree(out)
+      Cube.wkbZones(s, d, Cube.NGonRings)
+        .select(concat(
+          lit("{\"type\":\"Feature\",\"properties\":{\"zone_id\":"), col("zone_id"),
+          lit("},\"geometry\":"), expr("wkb_geojson(geom)"), lit("}")).as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.text(out)
+        .select(get_json_object(col("value"), "$.properties.zone_id").cast("int").as("zone_id"),
+          col("value").as("feature"))
+        .orderBy("zone_id")
+    },
+
     // the 100-TB zonal median path (round 4): `agg_percentile`'s exact
     // percentile buffers each zone's full value multiset in one task — a
     // memory hazard on a hot zone with billions of cells. This variant

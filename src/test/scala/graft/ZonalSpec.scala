@@ -265,4 +265,20 @@ class ZonalSpec extends SparkSuite {
     assert(e.getMessage != null && e.getMessage.contains("fractional"))
     graft.core.Fs.rmTree(tmp)
   }
+
+  test("geojson sink roundtrip: line-delimited features parse back to the same geometry") {
+    q("sink_geojson").collect() // materializes the GeoJSONSeq directory
+    val sfName = new java.io.File(sf).getName
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/$sfName/sink_geojson"
+    val zones = graft.zonal.GeoJson.readZonesSeq(spark, out)
+    val viaSink = graft.zonal.Cube.rasterize(graft.zonal.Cube.cells(spark, sf), zones)
+      .filter(org.apache.spark.sql.functions.expr("point_in_wkb(cell_x, cell_y, geom)"))
+      .groupBy(org.apache.spark.sql.functions.col("zone_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_cells"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val direct = q("zonal_stats_polygon_n").collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(viaSink == direct, "geometry did not survive the GeoJSON write-read roundtrip")
+  }
 }
