@@ -304,6 +304,73 @@ object Sim {
        |  FROM embeddings e CROSS JOIN cent c),
        |cl AS (SELECT vec_id, label, embedding, c_label FROM assign WHERE rk = 1)""".stripMargin
 
+  // ---- product quantization (round 5): the standard embedding
+  // compression — 64 dims split into PqM subspaces of PqW dims, each
+  // sub-vector coded as its nearest of PqK codebook entries, search by
+  // ADC (asymmetric distance computation: per-probe distance TABLE to
+  // every codebook entry, approx distance = sum of table lookups).
+  // Codebook = the PqK lowest vec_ids' sub-vectors (deterministic, no
+  // RNG; a trained codebook plugs the kmeansAssigned machinery in per
+  // subspace unchanged). Encoding is ONE codegen'd projection per row —
+  // array_min over (distance, k) structs, no corpus expansion — and the
+  // corpus never shuffles; probes/codebook broadcast. ----
+
+  val PqM = 4
+  val PqK = 8
+  val PqW = 16
+
+  /** round-6 L2 distance between two double arrays, left-fold order —
+    * the same fold DuckDB's ordered list_aggregate replays.
+    */
+  private def l2Expr(a: String, b: String): String =
+    s"round(aggregate(zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) " +
+      s"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)"
+
+  /** One broadcast row: `cbs[m][k]` = codebook entry k of subspace m. */
+  private def pqCodebook(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") < PqK)
+      .select(col("vec_id").cast("int").as("k"),
+        explode(expr(s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, " +
+          s"transform(slice(embedding, m * $PqW + 1, $PqW), v -> CAST(v AS DOUBLE)) AS cent))")).as("s"))
+      .select(col("s.m").as("m"), col("k"), col("s.cent").as("cent"))
+      .agg(expr("sort_array(collect_list(struct(m, k, cent)))").as("cs"))
+      .select(expr(s"transform(sequence(0, ${PqM - 1}), mm -> " +
+        "transform(filter(cs, s -> s.m = mm), s -> s.cent))").as("cbs"))
+
+  /** (vec_id, code[PqM]) — 1-based codebook indices; argmin by
+    * (round-6 distance, k) via array_min over orderable structs.
+    */
+  private def pqCodes(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).crossJoin(broadcast(pqCodebook(s, d)))
+      .select(col("vec_id"),
+        expr(s"""transform(sequence(0, ${PqM - 1}), m ->
+          |  array_min(transform(sequence(1, $PqK), k ->
+          |    struct(${l2Expr(s"slice(embedding, m * $PqW + 1, $PqW)",
+                 "element_at(element_at(cbs, m + 1), k)")} AS d, k AS k))).k)""".stripMargin)
+          .as("code"))
+
+  /** DuckDB twins: `cb(m, k, cent)`, `dist(vec_id, m, k, d)`, and
+    * `codes(vec_id, m, code)` CTEs.
+    */
+  private val PqSql: String = {
+    val l2 =
+      s"""round(list_aggregate(list_transform(generate_series(1, $PqW),
+         |      i -> (CAST(e.embedding[cb.m * $PqW + i] AS DOUBLE) - cb.cent[i])
+         |         * (CAST(e.embedding[cb.m * $PqW + i] AS DOUBLE) - cb.cent[i])), 'sum'), 6)""".stripMargin
+    s"""cb AS (
+       |  SELECT mr.range AS m, CAST(e.vec_id AS INTEGER) + 1 AS k,
+       |    list_transform(e.embedding[mr.range * $PqW + 1 : mr.range * $PqW + $PqW],
+       |      v -> CAST(v AS DOUBLE)) AS cent
+       |  FROM embeddings e CROSS JOIN range(0, $PqM) mr WHERE e.vec_id < $PqK),
+       |dist AS (
+       |  SELECT e.vec_id, cb.m, cb.k, $l2 AS d
+       |  FROM embeddings e CROSS JOIN cb),
+       |codes AS (
+       |  SELECT vec_id, m, k AS code FROM (
+       |    SELECT vec_id, m, k, row_number() OVER (PARTITION BY vec_id, m ORDER BY d, k) AS rk
+       |    FROM dist) WHERE rk = 1)""".stripMargin
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     "sim_cosine_topk" -> Q(
       s"""WITH sims AS (
@@ -441,6 +508,56 @@ object Sim {
           round(cosine("p_emb", "b_emb"), 6).as("cos_r"))
       rankedTopK(scored, 3)
         .select("probe_id", "vec_id", "cos_r", "rk")
+        .orderBy("probe_id", "rk")
+    },
+
+    // PQ encoding: the whole corpus reduced to PqM codebook indices per
+    // vector (64 floats -> 4 bytes in a real deployment) — one
+    // broadcast + one codegen'd projection, zero corpus shuffle.
+    "sim_pq_codes" -> Q(
+      s"""WITH $PqSql
+         |SELECT vec_id, m, code FROM codes ORDER BY vec_id, m""".stripMargin) { (s, d) =>
+      pqCodes(s, d)
+        .select(col("vec_id"), posexplode(col("code")).as(Seq("m", "code")))
+        .orderBy("vec_id", "m")
+    },
+
+    // ADC search: per probe ONE distance table (PqM × PqK round-6 L2
+    // entries) against the broadcast codebook; the corpus side is a
+    // table LOOKUP per subspace over its stored codes — never touches
+    // the raw corpus vectors. Approx distance folds the M lookups in
+    // subspace order (DuckDB replays the same ordered fold), ranking
+    // routes through the native bounded-heap TopK.
+    "sim_pq_search" -> Q(
+      s"""WITH $PqSql,
+         |adc AS (
+         |  SELECT d.vec_id AS probe_id, c.vec_id AS vec_id,
+         |    round(list_aggregate(list(d.d ORDER BY d.m), 'sum'), 6) AS dist_r
+         |  FROM dist d JOIN codes c ON c.m = d.m AND c.code = d.k
+         |  WHERE d.vec_id < 3
+         |  GROUP BY d.vec_id, c.vec_id)
+         |SELECT probe_id, vec_id, dist_r, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY dist_r, vec_id) AS rk
+         |  FROM adc) WHERE rk <= 10
+         |ORDER BY probe_id, rk""".stripMargin) { (s, d) =>
+      val dt = Tables.embeddings(s, d).filter(col("vec_id") < 3)
+        .crossJoin(broadcast(pqCodebook(s, d)))
+        .select(col("vec_id").as("probe_id"),
+          expr(s"""transform(sequence(0, ${PqM - 1}), m ->
+            |  transform(sequence(1, $PqK), k ->
+            |    ${l2Expr(s"slice(embedding, m * $PqW + 1, $PqW)",
+                   "element_at(element_at(cbs, m + 1), k)")}))""".stripMargin).as("dt"))
+      val scored = pqCodes(s, d).crossJoin(broadcast(dt))
+        .select(col("probe_id"), col("vec_id"),
+          expr(s"round(aggregate(sequence(0, ${PqM - 1}), CAST(0 AS DOUBLE), " +
+            "(acc, m) -> acc + element_at(element_at(dt, m + 1), element_at(code, m + 1))), 6)")
+            .as("dist_r"))
+      val top = graft.plans.TopK.topKPerGroup(scored, Seq("probe_id"),
+        Seq(("dist_r", true), ("vec_id", true)), 10)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("dist_r"), col("vec_id"))
+      top.withColumn("rk", row_number().over(w))
+        .select("probe_id", "vec_id", "dist_r", "rk")
         .orderBy("probe_id", "rk")
     }
   )

@@ -242,4 +242,23 @@ class LlmSpec extends SparkSuite {
     val ubiquitous = tfidf.filter(col("df") === nDocs)
     assert(ubiquitous.filter(abs(col("tfidf")) > 1e-9).count() == 0)
   }
+
+  test("PQ: codes are total in [1,K]; a probe's ADC distance to itself is the global minimum") {
+    val codes = q("sim_pq_codes").collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val nVec = codes.map(_._1).distinct.length
+    assert(codes.length == nVec * graft.llm.Sim.PqM, "codes not total: PqM per vector")
+    assert(codes.forall { case (_, _, c) => c >= 1 && c <= graft.llm.Sim.PqK },
+      "code outside [1, PqK]")
+    val search = q("sim_pq_search").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    for (probe <- search.map(_._1).distinct) {
+      val rows = search.filter(_._1 == probe)
+      val self = rows.find(_._2 == probe)
+      assert(self.isDefined, s"probe $probe missing from its own top-k")
+      val minDist = rows.map(_._3).min
+      // ADC(p, p) = sum of per-subspace minima -> no vector can beat it
+      assert(self.get._3 == minDist,
+        s"probe $probe: self ADC ${self.get._3} above the minimum $minDist")
+    }
+  }
 }

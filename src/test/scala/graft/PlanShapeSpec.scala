@@ -328,4 +328,33 @@ class PlanShapeSpec extends SparkSuite {
     val xs = full.select("cell_x").distinct().count()
     assert(xs == graft.zonal.Raster.FixW)
   }
+
+  test("round-5 ops: focal is explode+one agg, overlay is two broadcasts, geojson zones broadcast") {
+    // focal mean: the neighborhood explode is map-side (Generate), and
+    // the only shuffles are the grid-key agg + the deterministic sort
+    val focal = q("raster_focal_mean")
+    focal.collect()
+    // AQE's toString appends an "Initial Plan" copy — audit the final plan only
+    val fp = focal.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(fp.contains("Generate"), "focal explode missing")
+    assert(!fp.contains("Join"), s"focal grew a join:\n${fp.take(1500)}")
+    val fex = "Exchange [a-z]+".r.findAllIn(fp).toList.map(_.stripPrefix("Exchange "))
+    assert(fex.count(_ == "hashpartitioning") <= 1
+      && fex.forall(e => e == "hashpartitioning" || e == "rangepartitioning" || e == "roundrobin"),
+      s"focal has unexpected exchanges $fex")
+    // overlay: BOTH zone layers broadcast — no shuffle on the cube side
+    // beyond the final aggregation
+    val ov = q("zonal_overlay")
+    ov.collect()
+    val op = ov.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(op).size >= 2,
+      s"overlay should broadcast both zone layers:\n${op.take(1500)}")
+    assert(!op.contains("SortMergeJoin"), "overlay fell back to a sort-merge join")
+    // geojson zones: the parsed zone table still broadcasts into rasterize
+    val gj = q("zonal_geojson")
+    gj.collect()
+    val gp = gj.queryExecution.executedPlan.toString
+    assert(gp.contains("BroadcastHashJoin"), "geojson zones not broadcast")
+    assert(!gp.contains("SortMergeJoin"), "geojson rasterize fell back to sort-merge")
+  }
 }
