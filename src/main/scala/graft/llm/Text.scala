@@ -298,6 +298,42 @@ object Text {
           md5(concat_ws(" ", sort_array(array_distinct(split(lower(col("text")), " "))))
             .cast("binary")).as("token_fp"))
         .orderBy("doc_id")
+    },
+
+    // perplexity-style quality scoring (the CCNet filter): train a
+    // unigram LM on the corpus itself (token counts / total), score
+    // each doc by its cross-entropy −(1/n)Σ ln p(w). Per-token log
+    // probs round to 6 decimals (the transcendental rule) and sum as
+    // DECIMAL(18,6), so the per-doc total is exact and order-free on
+    // both engines. At scale: one token-count agg, one shuffle join of
+    // tokens to counts, one per-doc agg — the whole filter is three
+    // hash-partitioned passes over the corpus, no driver state.
+    "text_perplexity" -> Q(
+      """WITH tok AS (
+        |  SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE w <> ''
+        |), counts AS (
+        |  SELECT w, count(*) AS cnt FROM tok GROUP BY w
+        |), tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM counts)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  -(CAST(sum(CAST(round(ln(CAST(cnt AS DOUBLE) / n_total), 6) AS DECIMAL(18,6))) AS DOUBLE))
+        |    / count(*) AS cross_entropy
+        |FROM tok JOIN counts USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val tok = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+      val counts = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      val tot = counts.agg(sum("cnt").as("n_total"))
+      tok.join(counts, "w").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          round(log(col("cnt").cast("double") / col("n_total")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("lp"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (-sum(col("lp")).cast("double") / count(lit(1))).as("cross_entropy"))
+        .orderBy("doc_id")
     }
   )
 }
