@@ -943,6 +943,69 @@ object Raster {
         WriteOpts(compression = 8, nodata = Some(0.0)))(fixtureValue)
     }
 
+  // ---- per-tile stats sidecar: the parquet-footer pattern for rasters.
+  // The WRITER records each tile file's value min/max in a tiny manifest;
+  // a value-predicate scan prunes tiles whose [min,max] cannot match
+  // BEFORE any data byte is read — the raster analogue of parquet
+  // row-group statistics pushdown. ----
+
+  final case class TileStats(path: String, ox: Int, oy: Int, vmin: Double, vmax: Double)
+
+  /** Write the sidecar (one CSV-ish line per tile: path,ox,oy,min,max). */
+  def writeStatsManifest(dir: String, stats: Seq[TileStats]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_tile_stats")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(stats.map(t => s"${t.path},${t.ox},${t.oy},${t.vmin},${t.vmax}")
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  def readStatsManifest(dir: String): Seq[TileStats] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_tile_stats")
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val raw = new Array[Byte](len)
+      in.readFully(0, raw)
+      val txt = new String(raw, "UTF-8")
+      txt.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+        val a = line.split(",")
+        TileStats(a(0), a(1).toInt, a(2).toInt, a(3).toDouble, a(4).toDouble)
+      }
+    } finally in.close()
+  }
+
+  /** Mosaic scan of only the tiles whose [vmin, vmax] can contain a
+    * value ≥ `lo` — non-matching tile files are never opened (RasterSpec
+    * asserts the file count). The residual exact filter still applies:
+    * pruning is transparent, identical results to the unpruned scan.
+    */
+  def scanTiffStatsPruned(s: SparkSession, dir: String, lo: Double): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val keep = readStatsManifest(dir).filter(_.vmax >= lo)
+    require(keep.nonEmpty, s"$dir: every tile pruned for value >= $lo")
+    scanTiffMosaic(s, keep.map(t => (t.path, t.ox, t.oy)))
+      .filter(col("value") >= lo)
+  }
+
+  /** Gradient tile-collection fixture: value = x + y over a 90×70
+    * lattice split into 6 single-tile files (3×2 of 30×35), each with
+    * its exact min/max recorded in the sidecar — monotone values give
+    * the stats real pruning power.
+    */
+  def gradTilesDir(): String = fixtureOnce("raster_grad_tiles") { dir =>
+    val (tw, th) = (30, 35)
+    val stats = for (tx <- 0 until 3; ty <- 0 until 2) yield {
+      val (ox, oy) = (tx * tw, ty * th)
+      val path = s"$dir/grad_${tx}_$ty.tif"
+      writeTiff(path, tw, th, tw, th)((x, y) => (ox + x + oy + y).toDouble)
+      TileStats(path, ox, oy, (ox + oy).toDouble, (ox + tw - 1 + oy + th - 1).toDouble)
+    }
+    writeStatsManifest(dir, stats)
+  }
+
   import org.apache.spark.sql.functions._
   import graft.core.Q
 
@@ -1173,6 +1236,21 @@ object Raster {
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       s.read.format("graft.zonal.TiffSource").load(fixturePath())
         .filter(col("cell_x").between(10, 40) && col("cell_y").between(5, 35))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // parquet-footer-style stats pruning for rasters: the writer records
+    // per-tile value min/max in a sidecar; a value predicate prunes tile
+    // FILES before any read (3 of 6 survive here — RasterSpec asserts),
+    // and the residual exact filter keeps pruning transparent.
+    "scan_raster_stats_pruned" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y,
+         |  CAST(x.range + y.range AS DOUBLE) AS value
+         |FROM range(0, 90) x CROSS JOIN range(0, 70) y
+         |WHERE x.range + y.range >= 120
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanTiffStatsPruned(s, gradTilesDir(), 120.0)
+        .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },
 

@@ -356,4 +356,24 @@ class RasterSpec extends SparkSuite {
     assert(rows((5, 7))._1 == 9 && rows((5, 7)) == exact(5, 7))
     assert(rows((89, 69))._1 == 4 && rows((89, 69)) == exact(89, 69))
   }
+
+  test("stats sidecar prunes tile files before any read; pruning is transparent") {
+    val dir = Raster.gradTilesDir()
+    val all = Raster.readStatsManifest(dir)
+    assert(all.size == 6)
+    // value >= 120: only files whose max (ox+29+oy+34) reaches 120
+    val keep = all.filter(_.vmax >= 120)
+    assert(keep.size == 3, s"expected 3 surviving tiles, got ${keep.map(_.path)}")
+    // transparent: pruned scan == full mosaic scan + the same filter
+    val pruned = Raster.scanTiffStatsPruned(spark, dir, 120.0)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    val full = Raster.scanTiffMosaic(spark, all.map(t => (t.path, t.ox, t.oy)))
+      .filter(org.apache.spark.sql.functions.col("value") >= 120.0)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))).toSet
+    assert(pruned == full && pruned.nonEmpty)
+    // a predicate above every max prunes everything -> loud, not empty-silent
+    val e = intercept[IllegalArgumentException](
+      Raster.scanTiffStatsPruned(spark, dir, 1e9))
+    assert(e.getMessage.contains("pruned"))
+  }
 }
