@@ -322,6 +322,45 @@ object Streams {
         .orderBy("cohort")
     },
 
+    // batch sessionization — the window-function twin of stream_session:
+    // a session breaks after a >10-minute gap; session index = running
+    // sum of break flags per user (lag + cumulative sum), then one
+    // hash agg per (user, session). Gap arithmetic runs in WHOLE
+    // MICROSECONDS on both engines (the ns->us truncation rule), so the
+    // break decisions are bit-identical. One window shuffle on user_id
+    // + one agg — the classic shape at any event volume.
+    "events_sessionize" -> Q(
+      s"""WITH e AS (
+         |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events
+         |), s AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL
+         |      OR epoch_us(ts) - epoch_us(prev_ts) > 600000000 THEN 1 ELSE 0 END AS new_s
+         |  FROM (SELECT *, lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM e)
+         |), t AS (
+         |  SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM s
+         |)
+         |SELECT user_id, session_idx, count(*) AS n_events,
+         |  min(ts) AS start_ts, max(ts) AS end_ts, ${dsumSql("value")} AS sum_v
+         |FROM t GROUP BY user_id, session_idx
+         |ORDER BY user_id, session_idx""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("prev_ts", lag("ts", 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull
+            || unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 600000000L, 1)
+            .otherwise(0))
+        .withColumn("session_idx",
+          sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          min("ts").as("start_ts"), max("ts").as("end_ts"),
+          dsum(col("value")).as("sum_v"))
+        .orderBy("user_id", "session_idx")
+    },
+
     // batch twin of the custom-state operator (capped running spend with
     // reset); the streaming twins (flatMapGroupsWithState +
     // transformWithState) are equivalence-tested in StreamSpec. The fold
