@@ -559,6 +559,53 @@ object Sim {
       top.withColumn("rk", row_number().over(w))
         .select("probe_id", "vec_id", "dist_r", "rk")
         .orderBy("probe_id", "rk")
+    },
+
+    // IVF-PQ — the FAISS production architecture, composed from the two
+    // pieces above: the coarse quantizer routes each probe to its
+    // cluster (pruning the corpus to one inverted list), ADC ranks the
+    // cluster's members by table lookups over their stored codes. At
+    // scale: candidates come from a broadcast equi-join on the cluster
+    // key, distances never touch raw corpus vectors, ranking rides the
+    // native bounded-heap TopK — every stage is the shape that survives
+    // a billion-vector corpus.
+    "sim_ann_ivfpq_search" -> Q(
+      s"""WITH $IvfClSql,
+         |$PqSql,
+         |adc AS (
+         |  SELECT d.vec_id AS probe_id, c.vec_id AS vec_id,
+         |    round(list_aggregate(list(d.d ORDER BY d.m), 'sum'), 6) AS dist_r
+         |  FROM dist d
+         |  JOIN cl p ON p.vec_id = d.vec_id
+         |  JOIN cl b ON b.c_label = p.c_label
+         |  JOIN codes c ON c.vec_id = b.vec_id AND c.m = d.m AND c.code = d.k
+         |  WHERE d.vec_id < 3
+         |  GROUP BY d.vec_id, c.vec_id)
+         |SELECT probe_id, vec_id, dist_r, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY dist_r, vec_id) AS rk
+         |  FROM adc) WHERE rk <= 5
+         |ORDER BY probe_id, rk""".stripMargin) { (s, d) =>
+      val cl = ivfAssigned(s, d)
+      val cand = cl.select(col("vec_id"), col("c_label")).join(pqCodes(s, d), "vec_id")
+      val probes = cl.filter(col("vec_id") < 3)
+        .crossJoin(broadcast(pqCodebook(s, d)))
+        .select(col("vec_id").as("probe_id"), col("c_label"),
+          expr(s"""transform(sequence(0, ${PqM - 1}), m ->
+            |  transform(sequence(1, $PqK), k ->
+            |    ${l2Expr(s"slice(embedding, m * $PqW + 1, $PqW)",
+                   "element_at(element_at(cbs, m + 1), k)")}))""".stripMargin).as("dt"))
+      val scored = cand.join(broadcast(probes), "c_label")
+        .select(col("probe_id"), col("vec_id"),
+          expr(s"round(aggregate(sequence(0, ${PqM - 1}), CAST(0 AS DOUBLE), " +
+            "(acc, m) -> acc + element_at(element_at(dt, m + 1), element_at(code, m + 1))), 6)")
+            .as("dist_r"))
+      val top = graft.plans.TopK.topKPerGroup(scored, Seq("probe_id"),
+        Seq(("dist_r", true), ("vec_id", true)), 5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id").orderBy(col("dist_r"), col("vec_id"))
+      top.withColumn("rk", row_number().over(w))
+        .select("probe_id", "vec_id", "dist_r", "rk")
+        .orderBy("probe_id", "rk")
     }
   )
 }

@@ -150,6 +150,27 @@ object Windows {
           first(col("o_orderkey")).over(w).as("cheapest_key"),
           last(col("o_orderkey")).over(w).as("priciest_key"))
         .orderBy("o_orderkey")
+    },
+
+    // distribution ranks: ntile bucketing + percent_rank + cume_dist
+    // over a totally-ordered frame (tie-broken by key, so both engines
+    // rank identically); round-6 on the two ratio ranks absorbs the
+    // division's last-ulp variance.
+    "win_ntile" -> Q(
+      """SELECT o_orderkey,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+      val w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .orderBy("o_orderkey")
     }
   )
 }
