@@ -236,7 +236,8 @@ class PlanShapeSpec extends SparkSuite {
   test("ANN family: native TopK ranks the searches; IVF assignment has no window; LSH is one projection") {
     // every brute-force / search top-k routes through the bounded-heap
     // operator — the window only ranks the ≤k survivors per probe
-    Seq("sim_cosine_topk", "sim_ann_lsh_search", "sim_ann_ivf_search").foreach { n =>
+    Seq("sim_cosine_topk", "sim_ann_lsh_search", "sim_ann_ivf_search",
+        "sim_pq_search", "sim_ann_ivfpq_search").foreach { n =>
       val df = q(n)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
