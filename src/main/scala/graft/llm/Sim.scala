@@ -606,6 +606,39 @@ object Sim {
       top.withColumn("rk", row_number().over(w))
         .select("probe_id", "vec_id", "dist_r", "rk")
         .orderBy("probe_id", "rk")
+    },
+
+    // PQ codes as the dedup blocker: vectors agreeing on ALL PqM codes
+    // are candidates (an equality join on one compact key — the
+    // precision-leaning complement to the sign-band LSH blocker, whose
+    // recall knobs live in band width), then exact cosine verifies.
+    // 126 candidate pairs at sf0.01 — real blocking, not a no-op.
+    "dedup_embedding_pq" -> Q(
+      s"""WITH $PqSql,
+         |ck AS (SELECT vec_id, string_agg(code, ',' ORDER BY m) AS ckey
+         |       FROM codes GROUP BY vec_id),
+         |pairs AS (
+         |  SELECT a.vec_id AS id1, b.vec_id AS id2 FROM ck a
+         |  JOIN ck b ON a.ckey = b.ckey AND a.vec_id < b.vec_id)
+         |SELECT id1, id2,
+         |  round(${cosineSql("e1.embedding", "e2.embedding")}, 6) AS cos_r
+         |FROM pairs JOIN embeddings e1 ON id1 = e1.vec_id
+         |           JOIN embeddings e2 ON id2 = e2.vec_id
+         |WHERE round(${cosineSql("e1.embedding", "e2.embedding")}, 6) >= 0.3
+         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      val ck = pqCodes(s, d).select(col("vec_id"),
+        concat_ws(",", expr("transform(code, c -> CAST(c AS STRING))")).as("ckey"))
+      val emb = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      ck.as("a").join(ck.as("b"),
+          col("a.ckey") === col("b.ckey") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"))
+        .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+        .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+        .withColumn("cos_r", round(cosine("e1", "e2"), 6))
+        .filter(col("cos_r") >= 0.3)
+        .select("id1", "id2", "cos_r")
+        .orderBy("id1", "id2")
     }
   )
 }
