@@ -35,13 +35,20 @@ object GeoJson {
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
       .sortBy { case (z, p, rg, i, _, _) => (z, p, rg, i) }
     val features = verts.groupBy(_._1).toSeq.sortBy(_._1).map { case (zoneId, vs) =>
-      require(vs.map(_._2).distinct.length == 1, "fixture writer emits single-part Polygons")
-      val ringsJson = vs.groupBy(_._3).toSeq.sortBy(_._1).map { case (_, pts) =>
-        val ordered = pts.sortBy(_._4).map { case (_, _, _, _, x, y) => s"[$x, $y]" }
-        (ordered :+ ordered.head).mkString("[", ", ", "]") // closed ring
-      }.mkString("[", ", ", "]")
+      def ringsOf(part: Seq[(Int, Int, Int, Int, Int, Int)]): String =
+        part.groupBy(_._3).toSeq.sortBy(_._1).map { case (_, pts) =>
+          val ordered = pts.sortBy(_._4).map { case (_, _, _, _, x, y) => s"[$x, $y]" }
+          (ordered :+ ordered.head).mkString("[", ", ", "]") // closed ring
+        }.mkString("[", ", ", "]")
+      val parts = vs.groupBy(_._2).toSeq.sortBy(_._1)
+      val geom =
+        if (parts.length == 1)
+          s"""{"type": "Polygon", "coordinates": ${ringsOf(parts.head._2)}}"""
+        else
+          s"""{"type": "MultiPolygon", "coordinates": ${
+            parts.map(p => ringsOf(p._2)).mkString("[", ", ", "]")}}"""
       s"""{"type": "Feature", "properties": {"zone_id": $zoneId},
-         | "geometry": {"type": "Polygon", "coordinates": $ringsJson}}""".stripMargin
+         | "geometry": $geom}""".stripMargin
     }
     val json = features.mkString(
       """{"type": "FeatureCollection", "features": [""", ",\n", "]}")
@@ -103,7 +110,54 @@ object GeoJson {
       .drop("_gchk")
   }
 
+  /** MultiPolygon FeatureCollection reader (coordinates nested 4 deep:
+    * part → ring → point → xy). Same WKB assembly, same loud-fail
+    * contract; a uniform-MultiPolygon file is the expected shape (JSON
+    * schema inference is per-file).
+    */
+  def readZonesMulti(s: SparkSession, path: String): DataFrame = {
+    graft.ext.Ext.register(s)
+    val intOrFail = (v: String) =>
+      s"CASE WHEN $v = CAST($v AS INT) THEN CAST($v AS INT) " +
+        s"ELSE CAST(raise_error('geojson: fractional coordinate, align to the lattice') AS INT) END"
+    s.read.option("multiLine", "true").json(path)
+      .select(explode(col("features")).as("f"))
+      .select(col("f.properties.zone_id").cast("int").as("zone_id"),
+        col("f.geometry.type").as("gtype"),
+        posexplode(col("f.geometry.coordinates")).as(Seq("part", "partrings")))
+      .select(col("zone_id"), col("gtype"), col("part"),
+        posexplode(col("partrings")).as(Seq("ring", "ringpts")))
+      .select(col("zone_id"), col("gtype"), col("part"), col("ring"),
+        size(col("ringpts")).as("np"),
+        posexplode(col("ringpts")).as(Seq("i", "pt")))
+      .filter(col("i") < col("np") - 1)
+      .select(col("zone_id"), col("gtype"), col("part"), col("ring"), col("i"),
+        expr(intOrFail("pt[0]")).as("x"),
+        expr(intOrFail("pt[1]")).as("y"))
+      .withColumn("gchk",
+        when(col("gtype") === "MultiPolygon", lit(true))
+          .otherwise(expr(
+            "CAST(raise_error('geojson: readZonesMulti expects MultiPolygon features') AS BOOLEAN)")))
+      .groupBy(col("zone_id"))
+      .agg(expr("make_wkb(sort_array(collect_list(struct(part, ring, i, x, y))))").as("geom"),
+        min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"),
+        min(col("gchk")).as("_gchk"))
+      .drop("_gchk")
+  }
+
   private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once per-sf MultiPolygon fixture of the MultiRings family. */
+  def multiFixturePath(s: SparkSession, d: String): String = {
+    val sfName = new java.io.File(d).getName
+    fixtures.computeIfAbsent(s"$sfName/multi", { _ =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/$sfName/zones_multi.geojson"
+      writeFixture(s, d, Cube.MultiRings, path)
+      path
+    })
+  }
 
   /** Write-once per-sf GeoJSON fixture of the NGonRings family. */
   def fixturePath(s: SparkSession, d: String): String = {

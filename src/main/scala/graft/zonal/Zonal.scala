@@ -586,6 +586,19 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // MultiPolygon GeoJSON ingestion (coordinates nested 4 deep): the
+    // two-part MultiRings family serialized and read back, gated by the
+    // SAME oracle as zonal_stats_multipolygon — the multipart vector
+    // interchange path proven equivalent to the arithmetic geometry.
+    "zonal_geojson_multi" -> Q(eoOracleSql(Cube.MultiRings)) { (s, d) =>
+      val zones = GeoJson.readZonesMulti(s, GeoJson.multiFixturePath(s, d))
+      Cube.rasterize(Cube.cells(s, d), zones)
+        .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
+        .orderBy("zone_id")
+    },
+
     // the vector WRITE path: WKB zones serialized as newline-delimited
     // GeoJSON Features (RFC 8142 text sequences — the format GDAL calls
     // GeoJSONSeq, and the one a DISTRIBUTED writer can emit: one
