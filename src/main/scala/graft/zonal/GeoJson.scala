@@ -95,19 +95,20 @@ object GeoJson {
         size(col("ringpts")).as("np"),
         posexplode(col("ringpts")).as(Seq("i", "pt")))
       .filter(col("i") < col("np") - 1) // GeoJSON rings are closed; WKB builder recloses
-      .select(col("zone_id"), col("gtype"),
+      // the geometry-type guard is FOLDED INTO the coordinate expression:
+      // a free-standing check column would be pruned by the optimizer
+      // (column pruning eliminates unused aggregate inputs — verified),
+      // while a value the WKB assembly consumes cannot be
+      .select(col("zone_id"),
         lit(0).as("part"), col("ring"), col("i"),
-        expr(intOrFail("pt[0]")).as("x"),
+        expr(s"CASE WHEN gtype = 'Polygon' THEN ${intOrFail("pt[0]")} " +
+          "ELSE CAST(raise_error('geojson: only Polygon features supported, got ' || gtype) AS INT) END")
+          .as("x"),
         expr(intOrFail("pt[1]")).as("y"))
-      .withColumn("gchk",
-        when(col("gtype") === "Polygon", lit(true))
-          .otherwise(expr("CAST(raise_error('geojson: only Polygon features supported') AS BOOLEAN)")))
       .groupBy(col("zone_id"))
       .agg(expr("make_wkb(sort_array(collect_list(struct(part, ring, i, x, y))))").as("geom"),
         min(col("x")).as("xmin"), max(col("x")).as("xmax"),
-        min(col("y")).as("ymin"), max(col("y")).as("ymax"),
-        min(col("gchk")).as("_gchk"))
-      .drop("_gchk")
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"))
   }
 
   /** MultiPolygon FeatureCollection reader (coordinates nested 4 deep:
@@ -131,19 +132,16 @@ object GeoJson {
         size(col("ringpts")).as("np"),
         posexplode(col("ringpts")).as(Seq("i", "pt")))
       .filter(col("i") < col("np") - 1)
-      .select(col("zone_id"), col("gtype"), col("part"), col("ring"), col("i"),
-        expr(intOrFail("pt[0]")).as("x"),
+      // same fold-into-the-value guard as the Polygon reader
+      .select(col("zone_id"), col("part"), col("ring"), col("i"),
+        expr(s"CASE WHEN gtype = 'MultiPolygon' THEN ${intOrFail("pt[0]")} " +
+          "ELSE CAST(raise_error('geojson: readZonesMulti expects MultiPolygon, got ' || gtype) AS INT) END")
+          .as("x"),
         expr(intOrFail("pt[1]")).as("y"))
-      .withColumn("gchk",
-        when(col("gtype") === "MultiPolygon", lit(true))
-          .otherwise(expr(
-            "CAST(raise_error('geojson: readZonesMulti expects MultiPolygon features') AS BOOLEAN)")))
       .groupBy(col("zone_id"))
       .agg(expr("make_wkb(sort_array(collect_list(struct(part, ring, i, x, y))))").as("geom"),
         min(col("x")).as("xmin"), max(col("x")).as("xmax"),
-        min(col("y")).as("ymin"), max(col("y")).as("ymax"),
-        min(col("gchk")).as("_gchk"))
-      .drop("_gchk")
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"))
   }
 
   private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()

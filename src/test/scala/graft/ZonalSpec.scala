@@ -263,6 +263,16 @@ class ZonalSpec extends SparkSuite {
         """"coordinates": [[[0.5, 0], [4, 0], [4, 4], [0.5, 0]]]}}]}""").getBytes)
     val e = intercept[Exception](graft.zonal.GeoJson.readZones(spark, bad).collect())
     assert(e.getMessage != null && e.getMessage.contains("fractional"))
+    // a shape-compatible NON-Polygon type must raise, not silently parse
+    // (the guard is folded into the coordinate expression — a
+    // free-standing check column gets pruned by the optimizer)
+    val ls = s"$tmp/ls.geojson"
+    java.nio.file.Files.write(java.nio.file.Paths.get(ls),
+      ("""{"type": "FeatureCollection", "features": [""" +
+        """{"type": "Feature", "properties": {"zone_id": 1}, "geometry": {"type": "LineString", """ +
+        """"coordinates": [[[0, 0], [4, 0], [4, 4], [0, 0]]]}}]}""").getBytes)
+    val e2 = intercept[Exception](graft.zonal.GeoJson.readZones(spark, ls).collect())
+    assert(e2.getMessage != null && e2.getMessage.contains("Polygon"))
     graft.core.Fs.rmTree(tmp)
   }
 
