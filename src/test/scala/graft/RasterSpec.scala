@@ -376,4 +376,32 @@ class RasterSpec extends SparkSuite {
       Raster.scanTiffStatsPruned(spark, dir, 1e9))
     assert(e.getMessage.contains("pruned"))
   }
+
+  test("scale shape: a 1024-tile raster scans with one task per tile and exact sums") {
+    // 1024x1024 px at 32x32 tiles -> 1024 tiles (the thousand-partition
+    // shape a real COG hits); value = (x + 2y) mod 251 keeps sums exact
+    val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
+    val p = s"$tmp/big.tif"
+    Raster.writeTiff(p, 1024, 1024, 32, 32)((x, y) => ((x + 2 * y) % 251).toDouble)
+    val m = Raster.readMeta(p)
+    assert(m.tileOffsets.length == 1024)
+    val df = Raster.scanTiff(spark, p)
+    val agg = df.agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.col("value").cast("long"))).collect()(0)
+    assert(agg.getLong(0) == 1024L * 1024L)
+    // exact expected sum of (x + 2y) mod 251 over the lattice
+    var expect = 0L
+    var y = 0
+    while (y < 1024) {
+      var x = 0
+      while (x < 1024) { expect += (x + 2 * y) % 251; x += 1 }
+      y += 1
+    }
+    assert(agg.getLong(1) == expect, s"sum ${agg.getLong(1)} != $expect")
+    // window pruning stays O(overlap), not O(all tiles)
+    assert(Raster.windowRefs(m, p, 100, 131, 100, 131).size == 4)
+    graft.core.Fs.rmTree(tmp)
+  }
 }
