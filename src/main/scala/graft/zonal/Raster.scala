@@ -1285,6 +1285,56 @@ object Raster {
         .orderBy("cell_x", "cell_y")
     },
 
+    // terrain slope — the gradient member of the focal family: central
+    // differences dz/dx, dz/dy per interior cell. Same contribute-to-
+    // neighbors explode + one grid-key hash agg as focal_mean (each cell
+    // sends ±value to its 4 axis neighbors), so the doubled differences
+    // stay exact BIGINTs; only the final sqrt is rounded (the
+    // transcendental rule). Edge cells (missing a neighbor on either
+    // axis) are excluded, mirroring GDAL's default edge handling.
+    "raster_slope" -> Q(
+      s"""WITH cells AS (
+         |$FixtureCellsSql
+         |), nb AS (
+         |  SELECT cell_x - 1 AS cell_x, cell_y, 'x' AS axis, CAST(value AS BIGINT) AS contrib FROM cells
+         |  UNION ALL SELECT cell_x + 1, cell_y, 'x', -CAST(value AS BIGINT) FROM cells
+         |  UNION ALL SELECT cell_x, cell_y - 1, 'y', CAST(value AS BIGINT) FROM cells
+         |  UNION ALL SELECT cell_x, cell_y + 1, 'y', -CAST(value AS BIGINT) FROM cells)
+         |SELECT cell_x, cell_y,
+         |  CAST(SUM(CASE WHEN axis = 'x' THEN contrib END) AS BIGINT) AS dx2,
+         |  CAST(SUM(CASE WHEN axis = 'y' THEN contrib END) AS BIGINT) AS dy2,
+         |  round(sqrt(CAST(SUM(CASE WHEN axis = 'x' THEN contrib END)
+         |      * SUM(CASE WHEN axis = 'x' THEN contrib END)
+         |      + SUM(CASE WHEN axis = 'y' THEN contrib END)
+         |      * SUM(CASE WHEN axis = 'y' THEN contrib END) AS DOUBLE)) / 2, 6) AS slope
+         |FROM nb
+         |GROUP BY cell_x, cell_y
+         |HAVING COUNT(CASE WHEN axis = 'x' THEN 1 END) = 2
+         |   AND COUNT(CASE WHEN axis = 'y' THEN 1 END) = 2
+         |   AND cell_x BETWEEN 0 AND ${FixW - 1} AND cell_y BETWEEN 0 AND ${FixH - 1}
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val contribs =
+        "array(struct(cell_x - 1 AS x, cell_y AS y, 'x' AS axis, CAST(value AS BIGINT) AS contrib), " +
+          "struct(cell_x + 1 AS x, cell_y AS y, 'x' AS axis, -CAST(value AS BIGINT) AS contrib), " +
+          "struct(cell_x AS x, cell_y - 1 AS y, 'y' AS axis, CAST(value AS BIGINT) AS contrib), " +
+          "struct(cell_x AS x, cell_y + 1 AS y, 'y' AS axis, -CAST(value AS BIGINT) AS contrib))"
+      scanTiff(s, fixturePath())
+        .select(explode(expr(contribs)).as("c"))
+        .select(col("c.x").as("cell_x"), col("c.y").as("cell_y"),
+          col("c.axis").as("axis"), col("c.contrib").as("contrib"))
+        .groupBy(col("cell_x"), col("cell_y"))
+        .agg(sum(when(col("axis") === "x", col("contrib"))).as("dx2"),
+          sum(when(col("axis") === "y", col("contrib"))).as("dy2"),
+          count(when(col("axis") === "x", 1)).as("nx"),
+          count(when(col("axis") === "y", 1)).as("ny"))
+        .filter(col("nx") === 2 && col("ny") === 2
+          && col("cell_x").between(0, FixW - 1) && col("cell_y").between(0, FixH - 1))
+        .select(col("cell_x"), col("cell_y"), col("dx2"), col("dy2"),
+          round(sqrt((col("dx2") * col("dx2") + col("dy2") * col("dy2")).cast("double")) / 2, 6)
+            .as("slope"))
+        .orderBy("cell_x", "cell_y")
+    },
+
     // the reference's headline pipeline on a REAL raster: scanned TIFF
     // cells → rasterize against the zone table → per-zone stats. Values
     // are integral in float64, so long sums are exact on both engines.
