@@ -1335,6 +1335,59 @@ object Raster {
         .orderBy("cell_x", "cell_y")
     },
 
+    // the full terrain pipeline: scanned raster -> central-difference
+    // slope -> rasterize against zones -> per-zone slope statistics
+    // (mean over the exact BIGINT doubled-gradient magnitudes' squares
+    // keeps everything oracle-exact; only the zone-level mean divides).
+    "zonal_slope_stats" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), cells AS (
+         |$FixtureCellsSql
+         |), nb AS (
+         |  SELECT cell_x - 1 AS cell_x, cell_y, 'x' AS axis, CAST(value AS BIGINT) AS contrib FROM cells
+         |  UNION ALL SELECT cell_x + 1, cell_y, 'x', -CAST(value AS BIGINT) FROM cells
+         |  UNION ALL SELECT cell_x, cell_y - 1, 'y', CAST(value AS BIGINT) FROM cells
+         |  UNION ALL SELECT cell_x, cell_y + 1, 'y', -CAST(value AS BIGINT) FROM cells
+         |), grad AS (
+         |  SELECT cell_x, cell_y,
+         |    CAST(SUM(CASE WHEN axis = 'x' THEN contrib END) AS BIGINT) AS dx2,
+         |    CAST(SUM(CASE WHEN axis = 'y' THEN contrib END) AS BIGINT) AS dy2
+         |  FROM nb GROUP BY cell_x, cell_y
+         |  HAVING COUNT(CASE WHEN axis = 'x' THEN 1 END) = 2
+         |     AND COUNT(CASE WHEN axis = 'y' THEN 1 END) = 2
+         |     AND cell_x BETWEEN 0 AND ${FixW - 1} AND cell_y BETWEEN 0 AND ${FixH - 1})
+         |SELECT zone_id, count(*) AS n_cells,
+         |  CAST(SUM(dx2 * dx2 + dy2 * dy2) AS BIGINT) AS sum_grad_sq,
+         |  round(CAST(SUM(dx2 * dx2 + dy2 * dy2) AS DOUBLE) / count(*), 6) AS mean_grad_sq
+         |FROM grad JOIN zones
+         |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+         |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+      val contribs =
+        "array(struct(cell_x - 1 AS x, cell_y AS y, 'x' AS axis, CAST(value AS BIGINT) AS contrib), " +
+          "struct(cell_x + 1 AS x, cell_y AS y, 'x' AS axis, -CAST(value AS BIGINT) AS contrib), " +
+          "struct(cell_x AS x, cell_y - 1 AS y, 'y' AS axis, CAST(value AS BIGINT) AS contrib), " +
+          "struct(cell_x AS x, cell_y + 1 AS y, 'y' AS axis, -CAST(value AS BIGINT) AS contrib))"
+      val grad = scanTiff(s, fixturePath())
+        .select(explode(expr(contribs)).as("c"))
+        .select(col("c.x").as("cell_x"), col("c.y").as("cell_y"),
+          col("c.axis").as("axis"), col("c.contrib").as("contrib"))
+        .groupBy(col("cell_x"), col("cell_y"))
+        .agg(sum(when(col("axis") === "x", col("contrib"))).as("dx2"),
+          sum(when(col("axis") === "y", col("contrib"))).as("dy2"),
+          count(when(col("axis") === "x", 1)).as("nx"),
+          count(when(col("axis") === "y", 1)).as("ny"))
+        .filter(col("nx") === 2 && col("ny") === 2
+          && col("cell_x").between(0, FixW - 1) && col("cell_y").between(0, FixH - 1))
+        .withColumn("grad_sq", col("dx2") * col("dx2") + col("dy2") * col("dy2"))
+      Cube.rasterize(grad, Cube.zones(s, d))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("grad_sq")).as("sum_grad_sq"),
+          round(sum(col("grad_sq")).cast("double") / count(lit(1)), 6).as("mean_grad_sq"))
+        .orderBy("zone_id")
+    },
+
     // the reference's headline pipeline on a REAL raster: scanned TIFF
     // cells → rasterize against the zone table → per-zone stats. Values
     // are integral in float64, so long sums are exact on both engines.
