@@ -1335,6 +1335,48 @@ object Raster {
         .orderBy("cell_x", "cell_y")
     },
 
+    // aspect — slope's direction twin: atan2 of the doubled central
+    // differences (exact BIGINTs in, one rounded transcendental out,
+    // same round-6 rule as ln/sqrt/trig in fn_math). Downhill direction
+    // convention: atan2(dy2, dx2) in radians, 0 = +x, counterclockwise.
+    "raster_aspect" -> Q(
+      s"""WITH cells AS (
+         |$FixtureCellsSql
+         |), nb AS (
+         |  SELECT cell_x - 1 AS cell_x, cell_y, 'x' AS axis, CAST(value AS BIGINT) AS contrib FROM cells
+         |  UNION ALL SELECT cell_x + 1, cell_y, 'x', -CAST(value AS BIGINT) FROM cells
+         |  UNION ALL SELECT cell_x, cell_y - 1, 'y', CAST(value AS BIGINT) FROM cells
+         |  UNION ALL SELECT cell_x, cell_y + 1, 'y', -CAST(value AS BIGINT) FROM cells)
+         |SELECT cell_x, cell_y,
+         |  round(atan2(CAST(SUM(CASE WHEN axis = 'y' THEN contrib END) AS DOUBLE),
+         |              CAST(SUM(CASE WHEN axis = 'x' THEN contrib END) AS DOUBLE)), 6) AS aspect
+         |FROM nb
+         |GROUP BY cell_x, cell_y
+         |HAVING COUNT(CASE WHEN axis = 'x' THEN 1 END) = 2
+         |   AND COUNT(CASE WHEN axis = 'y' THEN 1 END) = 2
+         |   AND cell_x BETWEEN 0 AND ${FixW - 1} AND cell_y BETWEEN 0 AND ${FixH - 1}
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val contribs =
+        "array(struct(cell_x - 1 AS x, cell_y AS y, 'x' AS axis, CAST(value AS BIGINT) AS contrib), " +
+          "struct(cell_x + 1 AS x, cell_y AS y, 'x' AS axis, -CAST(value AS BIGINT) AS contrib), " +
+          "struct(cell_x AS x, cell_y - 1 AS y, 'y' AS axis, CAST(value AS BIGINT) AS contrib), " +
+          "struct(cell_x AS x, cell_y + 1 AS y, 'y' AS axis, -CAST(value AS BIGINT) AS contrib))"
+      scanTiff(s, fixturePath())
+        .select(explode(expr(contribs)).as("c"))
+        .select(col("c.x").as("cell_x"), col("c.y").as("cell_y"),
+          col("c.axis").as("axis"), col("c.contrib").as("contrib"))
+        .groupBy(col("cell_x"), col("cell_y"))
+        .agg(sum(when(col("axis") === "x", col("contrib"))).as("dx2"),
+          sum(when(col("axis") === "y", col("contrib"))).as("dy2"),
+          count(when(col("axis") === "x", 1)).as("nx"),
+          count(when(col("axis") === "y", 1)).as("ny"))
+        .filter(col("nx") === 2 && col("ny") === 2
+          && col("cell_x").between(0, FixW - 1) && col("cell_y").between(0, FixH - 1))
+        .select(col("cell_x"), col("cell_y"),
+          round(atan2(col("dy2").cast("double"), col("dx2").cast("double")), 6).as("aspect"))
+        .orderBy("cell_x", "cell_y")
+    },
+
     // the full terrain pipeline: scanned raster -> central-difference
     // slope -> rasterize against zones -> per-zone slope statistics
     // (mean over the exact BIGINT doubled-gradient magnitudes' squares
