@@ -77,6 +77,13 @@ object Raster {
   private val TagModelTiepoint = 33922
   private val TagGdalNodata = 42113 // ASCII, GDAL convention
 
+  /** Header-read accounting (test instrumentation): RasterSpec's mosaic
+    * scale-shape test asserts one read per file, inside executor tasks.
+    * LongAdders so concurrent tasks don't contend on one cache line.
+    */
+  private[graft] val headerReads = new java.util.concurrent.atomic.LongAdder
+  private[graft] val headerReadsInTask = new java.util.concurrent.atomic.LongAdder
+
   /** Driver-side header read: the first few KB (header + IFD + arrays),
     * via the same FileSystem API the executors use.
     */
@@ -93,6 +100,8 @@ object Raster {
     * parameterization.
     */
   def readMeta(path: String, level: Int): TiffMeta = {
+    headerReads.increment()
+    if (org.apache.spark.TaskContext.get() != null) headerReadsInTask.increment()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val in = fs.open(p)
@@ -238,7 +247,15 @@ object Raster {
         case bytes if bytes.nonEmpty =>
           val str = bytes.takeWhile(_ != 0L).map(_.toChar).mkString.trim
           require(str.nonEmpty, s"$path: empty GDAL nodata tag")
-          try Some(str.toDouble)
+          // GDAL's most common float-raster nodata is NaN, serialized as
+          // lowercase 'nan' (parseDouble rejects it); 'inf' likewise
+          val norm = str.toLowerCase match {
+            case "nan" => "NaN"
+            case "inf" | "+inf" | "infinity" | "+infinity" => "Infinity"
+            case "-inf" | "-infinity" => "-Infinity"
+            case _ => str
+          }
+          try Some(norm.toDouble)
           catch { case _: NumberFormatException =>
             throw new IllegalArgumentException(s"$path: unparseable GDAL nodata '$str'")
           }
@@ -372,10 +389,65 @@ object Raster {
     * DataFrame `(cell_x, cell_y, value)` in pixel space. Header on the
     * driver, one range-read per tile on the executors.
     */
-  def scanTiff(s: SparkSession, path: String): DataFrame = {
-    val m = readMeta(path)
+  def scanTiff(s: SparkSession, path: String): DataFrame =
+    scanTiff(s, path, readMeta(path))
+
+  /** Pre-read-meta variant so multi-raster ops (alignment-checked pairs,
+    * epochs) read each header exactly once.
+    */
+  def scanTiff(s: SparkSession, path: String, m: TiffMeta): DataFrame = {
     require(m.bands == 1, s"$path has ${m.bands} bands — use scanTiffBands")
     scanRefs(s, tileRefs(m, path))
+  }
+
+  /** Grid contract for multi-raster analysis (change detection, map
+    * algebra, epochs): the cell equi-join is only meaningful when both
+    * rasters sit on one lattice — identical pixel dims, model origin and
+    * per-pixel scale. A silent misalignment joins garbage, so this fails
+    * loudly at header-read time, before any tile byte moves.
+    */
+  def requireAligned(pa: String, a: TiffMeta, pb: String, b: TiffMeta): Unit =
+    require(a.width == b.width && a.height == b.height
+        && a.originX == b.originX && a.originY == b.originY
+        && a.scaleX == b.scaleX && a.scaleY == b.scaleY,
+      s"misaligned rasters: $pa is ${a.width}x${a.height} @ " +
+        s"(${a.originX},${a.originY}) scale (${a.scaleX},${a.scaleY}) but $pb is " +
+        s"${b.width}x${b.height} @ (${b.originX},${b.originY}) scale " +
+        s"(${b.scaleX},${b.scaleY}) — resample/reproject upstream, a cell " +
+        "equi-join across different lattices would silently join garbage")
+
+  /** n-epoch aligned scan for time-series analysis: every path must sit
+    * on the SAME lattice (checked loudly per [[requireAligned]]); emits
+    * `(cell_x, cell_y, epoch, value)` with epoch = position in `paths`.
+    * One task per (epoch, tile) — the whole stack scans as one DataFrame,
+    * so per-zone per-epoch stats cost one rasterize + one hash agg.
+    */
+  def scanTiffEpochs(s: SparkSession, paths: Seq[String]): DataFrame = {
+    import s.implicits._
+    require(paths.nonEmpty, "scanTiffEpochs: empty path list")
+    val metas = paths.map(p => (p, readMeta(p)))
+    val (p0, m0) = metas.head
+    metas.foreach { case (p, m) =>
+      require(m.bands == 1, s"$p has ${m.bands} bands — epochs are single-band")
+      requireAligned(p0, m0, p, m)
+    }
+    val refs = metas.zipWithIndex.flatMap { case ((p, m), e) =>
+      tileRefs(m, p).map(t => (e, t))
+    }
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { case (e, t) =>
+        val p = new org.apache.hadoop.fs.Path(t.path)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        try {
+          val bytes = new Array[Byte](t.count.toInt)
+          in.readFully(t.offset, bytes)
+          decodeTile(bytes, t).map { case (x, y, v) => (x, y, e, v) }
+        } finally in.close()
+      }
+      .toDF("cell_x", "cell_y", "epoch", "value")
   }
 
   /** Scan one overview level of the IFD chain (0 = full resolution). */
@@ -389,9 +461,11 @@ object Raster {
     * `(cell_x, cell_y, band, value)` long form, same tile-parallel
     * range-read path.
     */
-  def scanTiffBands(s: SparkSession, path: String): DataFrame = {
+  def scanTiffBands(s: SparkSession, path: String): DataFrame =
+    scanRefsBands(s, tileRefs(readMeta(path), path))
+
+  private def scanRefsBands(s: SparkSession, refs: Seq[TileRef]): DataFrame = {
     import s.implicits._
-    val refs = tileRefs(readMeta(path), path)
     s.createDataset(refs)
       .repartition(math.max(1, math.min(refs.size,
         s.sparkContext.defaultParallelism)))
@@ -430,25 +504,53 @@ object Raster {
     * type; overlaps are allowed (emitted as-is, like GDAL's VRT).
     */
   def scanTiffMosaic(s: SparkSession, files: Seq[(String, Int, Int)]): DataFrame = {
-    require(files.nonEmpty, "scanTiffMosaic: empty file list")
-    val refs = files.flatMap { case (path, ox, oy) =>
-      val m = readMeta(path)
-      require(m.bands == 1, s"$path has ${m.bands} bands — mosaic is single-band")
-      // bake the global origin into the refs: decode emits global
-      // coordinates directly, no per-file shift stage in the plan
-      tileRefs(m, path).map(t => t.copy(
-        tx0 = t.tx0 + ox, ty0 = t.ty0 + oy,
-        width = m.width + ox, height = m.height + oy))
+    val metas = mosaicMetas(s, files)
+    metas.foreach { case (path, _, _, m) =>
+      require(m.bands == 1, s"$path has ${m.bands} bands — use scanTiffMosaicBands")
     }
-    val first = readMeta(files.head._1)
-    files.tail.foreach { case (path, _, _) =>
-      val m = readMeta(path)
+    scanRefs(s, metas.flatMap((shiftedRefs _).tupled))
+  }
+
+  /** Multi-band mosaic: the same shifted-manifest collection scan over
+    * chunky-interleaved files → `(cell_x, cell_y, band, value)`. Band
+    * count must agree across files (checked in [[mosaicMetas]]); per-file
+    * codecs may differ — each ref carries its own compression.
+    */
+  def scanTiffMosaicBands(s: SparkSession, files: Seq[(String, Int, Int)]): DataFrame =
+    scanRefsBands(s, mosaicMetas(s, files).flatMap((shiftedRefs _).tupled))
+
+  /** One header read per file, in EXECUTOR tasks: the driver ships only
+    * the (path, origin) list out and collects only the tiny parsed metas
+    * back, so a 100k-file COG directory costs one parallel stage of
+    * few-KB header reads instead of 100k serial driver GETs (at the
+    * ~50-100 ms/GET of an object store: minutes of fan-out vs hours of
+    * driver stall before the first data task could even launch).
+    */
+  private[graft] def mosaicMetas(s: SparkSession,
+      files: Seq[(String, Int, Int)]): Seq[(String, Int, Int, TiffMeta)] = {
+    require(files.nonEmpty, "scanTiffMosaic: empty file list")
+    val slices = math.max(1, math.min(files.size, s.sparkContext.defaultParallelism))
+    val metas = s.sparkContext.parallelize(files, slices)
+      .map { case (path, ox, oy) => (path, ox, oy, readMeta(path)) }
+      .collect().toSeq
+    val (p0, _, _, first) = metas.head
+    metas.foreach { case (path, _, _, m) =>
       require(m.bits == first.bits && m.sampleFormat == first.sampleFormat,
         s"$path: sample type ${m.bits}/${m.sampleFormat} differs from " +
-          s"${files.head._1}'s ${first.bits}/${first.sampleFormat}")
+          s"$p0's ${first.bits}/${first.sampleFormat}")
+      require(m.bands == first.bands,
+        s"$path: ${m.bands} bands differ from $p0's ${first.bands}")
     }
-    scanRefs(s, refs)
+    metas
   }
+
+  /** Bake the global origin into a file's refs: decode emits global
+    * coordinates directly, no per-file shift stage in the plan.
+    */
+  private def shiftedRefs(path: String, ox: Int, oy: Int, m: TiffMeta): Seq[TileRef] =
+    tileRefs(m, path).map(t => t.copy(
+      tx0 = t.tx0 + ox, ty0 = t.ty0 + oy,
+      width = m.width + ox, height = m.height + oy))
 
   /** `scan_raster_nodata`: honor the GDAL nodata convention — cells
     * whose value equals the file's declared nodata sentinel are dropped
@@ -457,12 +559,16 @@ object Raster {
     * cells would flip the masking semantics.
     */
   def scanTiffDropNodata(s: SparkSession, path: String): DataFrame = {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, isnan}
     val m = readMeta(path)
     require(m.bands == 1, s"$path has ${m.bands} bands — use scanTiffBands")
     val nd = m.nodata.getOrElse(
       throw new IllegalArgumentException(s"$path: no GDAL nodata tag declared"))
-    scanRefs(s, tileRefs(m, path)).filter(col("value") =!= nd)
+    // NaN sentinels (GDAL's default for float rasters) need isnan —
+    // relying on Spark's NaN = NaN equality semantics would be a trap
+    // for any consumer replaying the predicate elsewhere
+    val keep = if (nd.isNaN) !isnan(col("value")) else col("value") =!= nd
+    scanRefs(s, tileRefs(m, path)).filter(keep)
   }
 
   // ---- fixture writer (also the unit-test oracle-independent path) ----
@@ -565,7 +671,8 @@ object Raster {
 
   /** Options for the generalized fixture writer: classic or BigTIFF,
     * tiled or striped, float64 or int32 samples, Compression 1/5/8,
-    * Predictor 2, GDAL nodata. Always little-endian, 1 band.
+    * Predictor 2, GDAL nodata, chunky-interleaved bands. Always
+    * little-endian.
     */
   final case class WriteOpts(
       bits: Int = 64,           // 64+fmt 3 → float64; 32+fmt 2 → int32
@@ -575,21 +682,31 @@ object Raster {
       striped: Boolean = false, // strips of rowsPerStrip rows, not tiles
       rowsPerStrip: Int = 16,
       bigTiff: Boolean = false,
-      nodata: Option[Double] = None)
+      nodata: Option[Double] = None,
+      bands: Int = 1)           // chunky (pixel-interleaved, PlanarConfig 1)
 
-  /** Generalized single-band writer behind [[WriteOpts]]. Blocks (tiles
-    * padded / strips row-clipped) are built, predictor-differenced, and
-    * compressed first; the IFD is then laid out with exact offsets —
-    * classic and BigTIFF share the code path behind the same (entry
-    * size, count width, inline capacity) parameterization as the reader.
-    */
+  /** Generalized single-band writer behind [[WriteOpts]]. */
   def writeTiffOpts(path: String, width: Int, height: Int, tileW: Int, tileH: Int,
       o: WriteOpts)(f: (Int, Int) => Double): Unit = {
+    require(o.bands == 1, "writeTiffOpts is single-band; use writeTiffBandsOpts")
+    writeTiffBandsOpts(path, width, height, tileW, tileH, o)((x, y, _) => f(x, y))
+  }
+
+  /** Generalized multi-band writer. Blocks (tiles padded / strips
+    * row-clipped, bands chunky-interleaved per pixel) are built,
+    * predictor-differenced, and compressed first; the IFD is then laid
+    * out with exact offsets — classic and BigTIFF share the code path
+    * behind the same (entry size, count width, inline capacity)
+    * parameterization as the reader.
+    */
+  def writeTiffBandsOpts(path: String, width: Int, height: Int, tileW: Int, tileH: Int,
+      o: WriteOpts)(f: (Int, Int, Int) => Double): Unit = {
     require((o.bits == 64 && o.sampleFormat == 3) || (o.bits == 32 && o.sampleFormat == 2),
       "writer supports float64 (bits 64/fmt 3) or int32 (bits 32/fmt 2) samples")
     require(o.predictor == 1 || (o.bits == 32 && o.predictor == 2),
       "predictor 2 requires int32 samples")
     require(Set(1, 5, 8)(o.compression), s"compression ${o.compression} unsupported")
+    require(o.bands >= 1, s"bands ${o.bands} invalid")
     val bytesPer = o.bits / 8
     val (bw, bh) = if (o.striped) (width, o.rowsPerStrip) else (tileW, tileH)
     val ta = (width + bw - 1) / bw
@@ -600,22 +717,26 @@ object Raster {
       val tx0 = (i % ta) * bw
       val ty0 = (i / ta) * bh
       val rows = if (o.striped) math.min(bh, height - ty0) else bh
-      val b = java.nio.ByteBuffer.allocate(rows * bw * bytesPer)
+      val b = java.nio.ByteBuffer.allocate(rows * bw * o.bands * bytesPer)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var r = 0
       while (r < rows) {
         var c = 0
         while (c < bw) {
           val x = tx0 + c; val y = ty0 + r
-          val v = if (x < width && y < height) f(x, y) else 0.0
-          if (o.bits == 64) b.putDouble(v) else b.putInt(v.toInt)
+          var bd = 0
+          while (bd < o.bands) {
+            val v = if (x < width && y < height) f(x, y, bd) else 0.0
+            if (o.bits == 64) b.putDouble(v) else b.putInt(v.toInt)
+            bd += 1
+          }
           c += 1
         }
         r += 1
       }
       val arr = b.array()
       if (o.predictor == 2)
-        TiffCodec.applyPredictor2Int32(arr, bw, rows, bands = 1, bigEndian = false)
+        TiffCodec.applyPredictor2Int32(arr, bw, rows, bands = o.bands, bigEndian = false)
       o.compression match {
         case 1 => arr
         case 5 => TiffCodec.lzwEncode(arr)
@@ -629,10 +750,10 @@ object Raster {
     val entsB = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Array[Long])]
     entsB += ((TagWidth, 4, longs(width)))
     entsB += ((TagHeight, 4, longs(height)))
-    entsB += ((TagBits, 3, longs(o.bits)))
+    entsB += ((TagBits, 3, Array.fill(o.bands)(o.bits.toLong)))
     entsB += ((TagCompression, 3, longs(o.compression)))
     if (o.striped) entsB += ((TagStripOffsets, offType, new Array[Long](nBlocks)))
-    entsB += ((TagSamplesPerPixel, 3, longs(1)))
+    entsB += ((TagSamplesPerPixel, 3, longs(o.bands)))
     if (o.striped) {
       entsB += ((TagRowsPerStrip, 4, longs(bh)))
       entsB += ((TagStripByteCounts, 4, blockSizes.map(_.toLong)))
@@ -645,7 +766,7 @@ object Raster {
       entsB += ((TagTileOffsets, offType, new Array[Long](nBlocks)))
       entsB += ((TagTileByteCounts, 4, blockSizes.map(_.toLong)))
     }
-    entsB += ((TagSampleFormat, 3, longs(o.sampleFormat)))
+    entsB += ((TagSampleFormat, 3, Array.fill(o.bands)(o.sampleFormat.toLong)))
     entsB += ((TagModelPixelScale, 12,
       Array(1.0, 1.0, 0.0).map(java.lang.Double.doubleToRawLongBits)))
     entsB += ((TagModelTiepoint, 12,
@@ -943,6 +1064,41 @@ object Raster {
         WriteOpts(compression = 8, nodata = Some(0.0)))(fixtureValue)
     }
 
+  /** Third epoch for the time-series family (a different affine formula
+    * so every epoch pair differs almost everywhere).
+    */
+  def fixture3Value(x: Int, y: Int): Double = ((33 * x + 23 * y + 2) % 997).toDouble
+  val Fixture3ValueSql = "CAST((33 * cell_x + 23 * cell_y + 2) % 997 AS DOUBLE)"
+
+  def fixture3Path(): String =
+    fixtureOnce(s"raster_fixture3_${FixW}x$FixH.tif") { p =>
+      writeTiff(p, FixW, FixH, 32, 32)(fixture3Value)
+    }
+
+  /** Float-valued raster (round-6 item: prove the exact-BIGINT
+    * discipline isn't load-bearing): the integer formula scaled onto the
+    * quarter lattice. Every value is a multiple of 0.25 and every
+    * partial/total sum stays far below 2^52, so float64 addition is
+    * EXACT and order-free on both engines — true float arithmetic with
+    * zero associativity hazard; only the final mean divides (round-6).
+    */
+  def floatFixtureValue(x: Int, y: Int): Double = fixtureValue(x, y) / 4.0
+
+  def floatFixturePath(): String =
+    fixtureOnce(s"raster_float_${FixW}x$FixH.tif") { p =>
+      writeTiff(p, FixW, FixH, 32, 32)(floatFixtureValue)
+    }
+
+  /** 2-band Deflate-compressed fixture (same mbValue formula) — the
+    * multi-band WRITE path through the generalized opts writer, read
+    * back as one member of the multi-band mosaic.
+    */
+  def mbDeflateFixturePath(): String =
+    fixtureOnce(s"raster_mb_deflate_${MbW}x${MbH}x$MbBands.tif") { p =>
+      writeTiffBandsOpts(p, MbW, MbH, 32, 32,
+        WriteOpts(compression = 8, bands = MbBands))(mbValue)
+    }
+
   // ---- per-tile stats sidecar: the parquet-footer pattern for rasters.
   // The WRITER records each tile file's value min/max in a tiny manifest;
   // a value-predicate scan prunes tiles whose [min,max] cannot match
@@ -951,12 +1107,15 @@ object Raster {
 
   final case class TileStats(path: String, ox: Int, oy: Int, vmin: Double, vmax: Double)
 
-  /** Write the sidecar (one CSV-ish line per tile: path,ox,oy,min,max). */
+  /** Write the sidecar (one CSV-ish line per tile: ox,oy,min,max,path —
+    * the path goes LAST so a path containing commas, legal in POSIX/HDFS,
+    * still parses positionally via the limit-5 split on read).
+    */
   def writeStatsManifest(dir: String, stats: Seq[TileStats]): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/_tile_stats")
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val out = fs.create(p, true)
-    try out.write(stats.map(t => s"${t.path},${t.ox},${t.oy},${t.vmin},${t.vmax}")
+    try out.write(stats.map(t => s"${t.ox},${t.oy},${t.vmin},${t.vmax},${t.path}")
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -971,8 +1130,8 @@ object Raster {
       in.readFully(0, raw)
       val txt = new String(raw, "UTF-8")
       txt.split("\n").filter(_.nonEmpty).toSeq.map { line =>
-        val a = line.split(",")
-        TileStats(a(0), a(1).toInt, a(2).toInt, a(3).toDouble, a(4).toDouble)
+        val a = line.split(",", 5)
+        TileStats(a(4), a(0).toInt, a(1).toInt, a(2).toDouble, a(3).toDouble)
       }
     } finally in.close()
   }
@@ -1083,8 +1242,13 @@ object Raster {
          |FROM cells JOIN zones
          |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
          |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
-      val a = scanTiff(s, fixturePath())
-      val b = scanTiff(s, fixture2Path())
+      // grid contract: the cell equi-join requires both epochs on ONE
+      // lattice — loud fail at header time, one header read per file
+      val (pa, pb) = (fixturePath(), fixture2Path())
+      val (ma, mb2) = (readMeta(pa), readMeta(pb))
+      requireAligned(pa, ma, pb, mb2)
+      val a = scanTiff(s, pa, ma)
+      val b = scanTiff(s, pb, mb2)
         .withColumnRenamed("value", "value2")
       val deltas = a.join(b, Seq("cell_x", "cell_y"))
         .select(col("cell_x"), col("cell_y"),
@@ -1452,5 +1616,80 @@ object Raster {
           (sum(col("value").cast("long")).cast("double") / count(lit(1))).as("mean_v"),
           min(col("value")).as("min_v"), max(col("value")).as("max_v"))
         .orderBy("zone_id")
+    },
+
+    // n-epoch zonal time-series (round 6: the generalization of
+    // zonal_raster_change from 2 epochs): three aligned rasters scanned
+    // as ONE DataFrame tagged by epoch (one task per (epoch, tile)),
+    // rasterized against the zones once, per-(zone, epoch) stats in one
+    // hash agg — the per-zone land-cover/biomass trend query. Alignment
+    // is a hard contract (requireAligned) checked before any tile read.
+    "zonal_raster_timeseries" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), grid AS (
+         |  SELECT x.range AS cell_x, y.range AS cell_y
+         |  FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y
+         |), cells AS (
+         |  SELECT cell_x, cell_y, 0 AS epoch, $FixtureValueSql AS value FROM grid
+         |  UNION ALL SELECT cell_x, cell_y, 1, $Fixture2ValueSql FROM grid
+         |  UNION ALL SELECT cell_x, cell_y, 2, $Fixture3ValueSql FROM grid)
+         |SELECT zone_id, epoch, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  CAST(sum(CAST(value AS BIGINT)) AS DOUBLE) / count(*) AS mean_v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |FROM cells JOIN zones
+         |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+         |GROUP BY zone_id, epoch ORDER BY zone_id, epoch""".stripMargin) { (s, d) =>
+      val epochs = scanTiffEpochs(s,
+        Seq(fixturePath(), fixture2Path(), fixture3Path()))
+      Cube.rasterize(epochs, Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("epoch"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          (sum(col("value").cast("long")).cast("double") / count(lit(1))).as("mean_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("zone_id", "epoch")
+    },
+
+    // FLOAT-valued raster through the zonal pipeline (round 6: proves
+    // the exact-BIGINT discipline wasn't load-bearing). Values live on
+    // the quarter lattice (multiples of 0.25, sums far below 2^52), so
+    // float64 sums are exact and order-free on both engines; the mean is
+    // the one true divide and takes round-6, the transcendental rule.
+    "zonal_raster_stats_float" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), cells AS (
+         |  SELECT cell_x, cell_y, value / 4 AS value FROM ($FixtureCellsSql)
+         |)
+         |SELECT zone_id, count(*) AS n_cells,
+         |  sum(value) AS sum_v,
+         |  round(sum(value) / count(*), 6) AS mean_v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |${Cube.RasterizeJoinSql}
+         |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+      Cube.rasterize(scanTiff(s, floatFixturePath()), Cube.zones(s, d))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value")).as("sum_v"),
+          round(sum(col("value")) / count(lit(1)), 6).as("mean_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("zone_id")
+    },
+
+    // multi-band mosaic (round 6): two 2-band files — one uncompressed,
+    // one Deflate through the generalized multi-band WRITE path — on a
+    // shared lattice, scanned as one shifted-manifest collection; band
+    // count must agree across files, per-file codecs may differ.
+    "scan_raster_mosaic_multiband" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y, b.range AS band,
+         |  CAST((31 * (x.range % $MbW) + 17 * y.range + 7 * b.range) % 997 AS DOUBLE) AS value
+         |FROM range(0, ${2 * MbW}) x CROSS JOIN range(0, $MbH) y CROSS JOIN range(0, $MbBands) b
+         |ORDER BY cell_x, cell_y, band""".stripMargin) { (s, _) =>
+      scanTiffMosaicBands(s,
+          Seq((mbFixturePath(), 0, 0), (mbDeflateFixturePath(), MbW, 0)))
+        .select(col("cell_x"), col("cell_y"), col("band"), col("value"))
+        .orderBy("cell_x", "cell_y", "band")
     })
 }

@@ -49,6 +49,11 @@ object TiffCodec {
       }
       require(off == expectedLen,
         s"deflate tile decoded $off of expected $expectedLen bytes (truncated/corrupt)")
+      // a stream that would decode to MORE than expectedLen is equally
+      // corrupt: probe one extra byte instead of trusting the fill stop
+      val scratch = new Array[Byte](1)
+      require(inf.finished() || inf.inflate(scratch, 0, 1) == 0,
+        s"deflate tile stream decodes past expected $expectedLen bytes (corrupt)")
       out
     } finally inf.end()
   }

@@ -404,4 +404,86 @@ class RasterSpec extends SparkSuite {
     assert(Raster.windowRefs(m, p, 100, 131, 100, 131).size == 4)
     graft.core.Fs.rmTree(tmp)
   }
+
+  test("mosaic scale shape: headers read ONCE per file, inside executor tasks (200 files)") {
+    // the round-6 fix for the one structural scale-killer: a 100k-file
+    // COG directory must not cost 2x100k serial driver GETs before the
+    // first data task launches. 200 tiny files stand in for the shape;
+    // the header-read LongAdders prove (a) exactly one read per file and
+    // (b) every read ran inside a Spark task, not the driver loop.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
+    val n = 200
+    val files = (0 until n).map { i =>
+      val p = s"$tmp/m_$i.tif"
+      Raster.writeTiff(p, 8, 8, 8, 8)((x, y) => ((x + y + i) % 97).toDouble)
+      (p, (i % 20) * 8, (i / 20) * 8)
+    }
+    val before = (Raster.headerReads.sum, Raster.headerReadsInTask.sum)
+    val cnt = Raster.scanTiffMosaic(spark, files).count()
+    val dAll = Raster.headerReads.sum - before._1
+    val dTask = Raster.headerReadsInTask.sum - before._2
+    assert(cnt == n * 64L)
+    assert(dAll == n, s"expected $n header reads (once per file), got $dAll")
+    assert(dTask == n, s"expected all $n header reads in executor tasks, got $dTask")
+    graft.core.Fs.rmTree(tmp)
+  }
+
+  test("multi-raster grid contract: misaligned lattices fail loudly at header time") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
+    val pa = s"$tmp/a.tif"; val pb = s"$tmp/b.tif"; val pc = s"$tmp/c.tif"
+    Raster.writeTiff(pa, 20, 10, 16, 16)((x, y) => (x + y).toDouble)
+    Raster.writeTiff(pb, 22, 10, 16, 16)((x, y) => (x + y).toDouble) // width differs
+    val e = intercept[IllegalArgumentException](
+      Raster.scanTiffEpochs(spark, Seq(pa, pb)))
+    assert(e.getMessage.contains("misaligned"))
+    // aligned epochs scan as one DataFrame, tagged by position
+    Raster.writeTiff(pc, 20, 10, 16, 16)((x, y) => 1000.0 + x)
+    val sums = Raster.scanTiffEpochs(spark, Seq(pa, pc))
+      .groupBy("epoch").sum("value").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val s0 = (for (x <- 0 until 20; y <- 0 until 10) yield (x + y).toDouble).sum
+    val s1 = (for (x <- 0 until 20; y <- 0 until 10) yield 1000.0 + x).sum
+    assert(sums == Map(0 -> s0, 1 -> s1))
+    graft.core.Fs.rmTree(tmp)
+  }
+
+  test("NaN nodata: tag parses case-insensitively and masks via isnan") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
+    val p = s"$tmp/nan.tif"
+    Raster.writeTiffOpts(p, 10, 10, 16, 16, Raster.WriteOpts(nodata = Some(Double.NaN)))(
+      (x, y) => if ((x + y) % 7 == 0) Double.NaN else (x + y).toDouble)
+    assert(Raster.readMeta(p).nodata.exists(_.isNaN))
+    // 14 cells have (x+y)%7 == 0 on the 10x10 grid -> 86 survive the mask
+    assert(Raster.scanTiffDropNodata(spark, p).count() == 86L)
+    graft.core.Fs.rmTree(tmp)
+  }
+
+  test("stats manifest: tile paths containing commas roundtrip exactly") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
+    val stats = Seq(
+      Raster.TileStats(s"$tmp/a,b,c.tif", 3, 4, -1.5, 2.5),
+      Raster.TileStats(s"$tmp/plain.tif", 0, 0, 0.0, 9.0))
+    Raster.writeStatsManifest(tmp, stats)
+    assert(Raster.readStatsManifest(tmp) == stats)
+    graft.core.Fs.rmTree(tmp)
+  }
+
+  test("deflate codec: a stream decoding past the expected length fails loudly") {
+    val data = Array.tabulate[Byte](100)(_.toByte)
+    val comp = graft.zonal.TiffCodec.deflate(data)
+    val e = intercept[IllegalArgumentException](graft.zonal.TiffCodec.inflate(comp, 60))
+    assert(e.getMessage.contains("decodes past"))
+    assert(graft.zonal.TiffCodec.inflate(comp, 100).toSeq == data.toSeq)
+  }
+
+  test("multi-band deflate writer roundtrips through the band scanner") {
+    val p = Raster.mbDeflateFixturePath()
+    val m = Raster.readMeta(p)
+    assert(m.bands == 2 && m.compression == 8)
+    val got = Raster.scanTiffBands(spark, p).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.size == Raster.MbW * Raster.MbH * Raster.MbBands)
+    for (x <- 0 until Raster.MbW; y <- 0 until Raster.MbH; b <- 0 until Raster.MbBands)
+      assert(got((x, y, b)) == Raster.mbValue(x, y, b), s"pixel ($x,$y,$b)")
+  }
 }
