@@ -362,6 +362,50 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // zonal majority / minority / variety (round 6 — the most-requested
+    // categorical zonal stats: "dominant land-cover class per zone").
+    // One shuffle does the heavy lifting: per-(zone, category) counts
+    // from the rasterize join; the argmax/argmin then run as windows
+    // over the TINY |zones|×|categories| intermediate (deterministic
+    // tiebreak: count then category, the agg_mode pattern). Variety =
+    // the number of distinct categories present. Scales like any zonal
+    // hash agg — the window never sees raw cells.
+    "zonal_majority" -> Q(
+      Cube.withSql(
+        s"""SELECT zone_id,
+           |  max(CASE WHEN rk_maj = 1 THEN category END) AS majority,
+           |  max(CASE WHEN rk_maj = 1 THEN n END) AS majority_n,
+           |  max(CASE WHEN rk_min = 1 THEN category END) AS minority,
+           |  max(CASE WHEN rk_min = 1 THEN n END) AS minority_n,
+           |  count(*) AS variety
+           |FROM (
+           |  SELECT zone_id, category, n,
+           |    row_number() OVER (PARTITION BY zone_id ORDER BY n DESC, category) AS rk_maj,
+           |    row_number() OVER (PARTITION BY zone_id ORDER BY n ASC, category) AS rk_min
+           |  FROM (
+           |    SELECT zone_id, category, count(*) AS n
+           |    ${Cube.RasterizeJoinSql}
+           |    GROUP BY zone_id, category))
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
+      val counts = Cube.rasterize(Cube.cells(s, d), Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("category"))
+        .agg(count(lit(1)).as("n"))
+      val wMaj = org.apache.spark.sql.expressions.Window
+        .partitionBy("zone_id").orderBy(col("n").desc, col("category"))
+      val wMin = org.apache.spark.sql.expressions.Window
+        .partitionBy("zone_id").orderBy(col("n").asc, col("category"))
+      counts
+        .withColumn("rk_maj", row_number().over(wMaj))
+        .withColumn("rk_min", row_number().over(wMin))
+        .groupBy(col("zone_id"))
+        .agg(max(when(col("rk_maj") === 1, col("category"))).as("majority"),
+          max(when(col("rk_maj") === 1, col("n"))).as("majority_n"),
+          max(when(col("rk_min") === 1, col("category"))).as("minority"),
+          max(when(col("rk_min") === 1, col("n"))).as("minority_n"),
+          count(lit(1)).as("variety"))
+        .orderBy("zone_id")
+    },
+
     "zonal_stats_weighted" -> Q(
       Cube.withSql(
         s"""SELECT zone_id,
@@ -592,6 +636,39 @@ object Zonal {
     // interchange path proven equivalent to the arithmetic geometry.
     "zonal_geojson_multi" -> Q(eoOracleSql(Cube.MultiRings)) { (s, d) =>
       val zones = GeoJson.readZonesMulti(s, GeoJson.multiFixturePath(s, d))
+      Cube.rasterize(Cube.cells(s, d), zones)
+        .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
+        .orderBy("zone_id")
+    },
+
+    // ESRI shapefile ingestion (round 6 — the other ubiquitous vector
+    // format): the NGonRings family serialized to .shp/.shx and parsed
+    // back via the record manifest (driver reads the 8-byte-per-record
+    // .shx only; executors range-read Polygon records). The scan op is
+    // gated vertex-by-vertex against the arithmetic ring derivation —
+    // a parse bug that moves, drops, or reorders any vertex mismatches.
+    "scan_shapefile" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), verts AS (
+         |  ${Cube.vertsSql(Cube.NGonRings)}
+         |)
+         |SELECT zone_id, part, ring, CAST(i AS INTEGER) AS i, vx, vy
+         |FROM verts ORDER BY zone_id, part, ring, i""".stripMargin) { (s, d) =>
+      Shapefile.readVerts(s, Shapefile.fixturePath(s, d))
+        .select(col("zone_id"), col("part"), col("ring"),
+          col("i"), col("x").as("vx"), col("y").as("vy"))
+        .orderBy("zone_id", "part", "ring", "i")
+    },
+
+    // shapefile end-to-end: parsed zones → make_wkb → the SAME rasterize
+    // + point_in_wkb pipeline, gated by the SAME even-odd oracle as
+    // zonal_stats_polygon_n / zonal_geojson — proving the shapefile path
+    // byte-equivalent to the arithmetic-derived geometry.
+    "zonal_shapefile" -> Q(eoOracleSql(Cube.NGonRings)) { (s, d) =>
+      val zones = Shapefile.readZones(s, Shapefile.fixturePath(s, d))
       Cube.rasterize(Cube.cells(s, d), zones)
         .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
         .groupBy(col("zone_id"))

@@ -291,4 +291,54 @@ class ZonalSpec extends SparkSuite {
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(viaSink == direct, "geometry did not survive the GeoJSON write-read roundtrip")
   }
+
+  test("shapefile reader pinned on hand-built bytes; fractional coordinate fails loudly") {
+    // bytes built INDEPENDENTLY of Shapefile.writeFixture (the oracle
+    // gate covers the writer+reader pair; this covers the reader alone):
+    // one Polygon record, 4-vertex square + 4-vertex hole, rings closed
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shp").toString
+    def write(p: String, b: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(p), b)
+    def buildShp(frac: Boolean): String = {
+      val content = java.nio.ByteBuffer.allocate(212)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      content.putInt(5) // Polygon
+      content.putDouble(0).putDouble(0).putDouble(4).putDouble(4)
+      content.putInt(2).putInt(10) // 2 rings, 10 closed points
+      content.putInt(0).putInt(5)  // part offsets
+      val pts = Seq((0, 0), (4, 0), (4, 4), (0, 4), (0, 0),
+        (1, 1), (1, 2), (2, 2), (2, 1), (1, 1))
+      pts.foreach { case (x, y) =>
+        content.putDouble(if (frac && x == 4 && y == 4) 4.5 else x.toDouble)
+        content.putDouble(y.toDouble)
+      }
+      val shp = java.nio.ByteBuffer.allocate(320) // BIG_ENDIAN default
+      shp.putInt(0, 9994); shp.putInt(24, 160)
+      shp.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      shp.putInt(28, 1000); shp.putInt(32, 5)
+      shp.order(java.nio.ByteOrder.BIG_ENDIAN)
+      shp.position(100); shp.putInt(1).putInt(106) // record 1, 106 words
+      shp.put(content.array())
+      val shx = java.nio.ByteBuffer.allocate(108)
+      shx.putInt(0, 9994); shx.putInt(24, 54)
+      shx.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      shx.putInt(28, 1000); shx.putInt(32, 5)
+      shx.order(java.nio.ByteOrder.BIG_ENDIAN)
+      shx.position(100); shx.putInt(50).putInt(106) // header at byte 100 = word 50
+      val name = if (frac) "frac" else "ok"
+      write(s"$tmp/$name.shp", shp.array()); write(s"$tmp/$name.shx", shx.array())
+      s"$tmp/$name.shp"
+    }
+    val verts = graft.zonal.Shapefile.readVerts(spark, buildShp(frac = false)).collect()
+      .map(r => (r.getInt(0), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5))).toSet
+    assert(verts == Set((0, 0, 0, 0, 0), (0, 0, 1, 4, 0), (0, 0, 2, 4, 4), (0, 0, 3, 0, 4),
+      (0, 1, 0, 1, 1), (0, 1, 1, 1, 2), (0, 1, 2, 2, 2), (0, 1, 3, 2, 1)),
+      s"parsed vertices wrong: $verts")
+    val e = intercept[Throwable](
+      graft.zonal.Shapefile.readVerts(spark, buildShp(frac = true)).collect())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(e).contains("fractional"), s"wanted the lattice guard, got: ${msgs(e)}")
+    graft.core.Fs.rmTree(tmp)
+  }
 }
