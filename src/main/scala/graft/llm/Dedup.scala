@@ -189,20 +189,37 @@ object Dedup {
     */
   def clearTextClustersCache(): Unit = textClustersCache.clear()
 
-  /** Banded-MinHash candidate pairs with exact Jaccard (unrounded):
-    * ONE signature pass, bucket-collect pair enumeration inside
-    * LSH-bounded signature buckets, then the codegen'd sorted-merge
-    * intersection on candidates only. Shared by `dedup_ngram_jaccard`
-    * and `dedup_text_cluster`. Output: (doc_id1, doc_id2, jaccard).
+  /** Default ceiling on one LSH bucket's membership. Buckets are
+    * "bounded by LSH design" only when near-dup density is low; a
+    * degenerate corpus region (boilerplate, templated docs) can put n
+    * documents behind ONE band key, and the bucket-collect pair
+    * enumeration would then build an n-array row and explode n²/2 pairs
+    * in a single task. Override with `spark.graft.lsh.maxBucket`.
     */
-  def arithCandJaccard(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    graft.ext.Ext.register(s)
-    val docs = Tables.documents(s, d)
-    val cand = arithMinhash(docs)
-      .selectExpr("doc_id", ArithBandStackExpr)
+  val DefaultMaxBucket = 4096
+
+  private def bucketCap(s: org.apache.spark.sql.SparkSession): Int =
+    s.conf.getOption("spark.graft.lsh.maxBucket").map(_.toInt).getOrElse(DefaultMaxBucket)
+
+  /** Bucket-collect pair enumeration over a long-form (doc_id, band, bh)
+    * table, with the mega-bucket guard: a bucket past `cap` raises
+    * INSIDE the plan (loudly, before any pair is emitted) instead of
+    * OOMing a task on the quadratic in-bucket product — a corpus region
+    * that degenerate needs exact-dedup/splitting upstream, not a silent
+    * 50M-pair explosion. Bucket sizes ≤ cap keep the in-bucket product
+    * bounded at cap²/2 per task.
+    */
+  private def bucketPairs(banded: DataFrame, cap: Int): DataFrame =
+    banded
       .groupBy("band", "bh")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
+      .withColumn("ids", expr(
+        s"""CASE WHEN size(ids) <= $cap THEN ids
+           |ELSE raise_error(concat('LSH mega-bucket: ', cast(size(ids) AS string),
+           |  ' docs share one band key (cap $cap) — a degenerate corpus region;',
+           |  ' remove exact duplicates upstream (pipeline_corpus_clean), split',
+           |  ' the region, or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
       .select(explode(expr(
         """flatten(transform(sequence(1, size(ids) - 1),
           |  i -> transform(sequence(i + 1, size(ids)),
@@ -210,6 +227,27 @@ object Dedup {
         .as("p"))
       .select(col("p.doc_id1"), col("p.doc_id2"))
       .distinct()
+
+  /** xxhash64-banded candidate pairs over an arbitrary documents table
+    * (the `dedup_minhash_pairs` body; parameterized so EdgeSpec can
+    * inject a degenerate corpus against the mega-bucket guard).
+    */
+  def minhashPairs(docs: DataFrame, cap: Int = DefaultMaxBucket): DataFrame =
+    bucketPairs(minhash(docs).selectExpr("doc_id", BandStackExpr), cap)
+      .orderBy("doc_id1", "doc_id2")
+
+  /** Banded-MinHash candidate pairs with exact Jaccard (unrounded):
+    * ONE signature pass, bucket-collect pair enumeration inside
+    * LSH-bounded signature buckets (mega-bucket guarded), then the
+    * codegen'd sorted-merge intersection on candidates only. Shared by
+    * `dedup_ngram_jaccard` and `dedup_text_cluster`. Output:
+    * (doc_id1, doc_id2, jaccard).
+    */
+  def arithCandJaccard(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.ext.Ext.register(s)
+    val docs = Tables.documents(s, d)
+    val cand = bucketPairs(
+      arithMinhash(docs).selectExpr("doc_id", ArithBandStackExpr), bucketCap(s))
     val bg = docs
       .withColumn("t", split(lower(col("text")), " "))
       .filter(size(col("t")) >= 2)
@@ -327,23 +365,11 @@ object Dedup {
     // LlmSpec injects a duplicate and asserts collision.
     "dedup_minhash_pairs" -> Q.noOracle { (s, d) =>
       // bucket-collect instead of self-join: ONE minhash pass, group the
-      // band keys, enumerate pairs inside each bucket (bucket sizes are
-      // bounded by LSH design, so the in-bucket product is tiny). A
-      // self-join would run the signature computation twice.
-      // sequence() never descends here: i ≤ size-1 ⇒ i+1 ≤ size.
-      minhash(Tables.documents(s, d))
-        .selectExpr("doc_id", BandStackExpr)
-        .groupBy("band", "bh")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-            |  i -> transform(sequence(i + 1, size(ids)),
-            |    j -> struct(element_at(ids, i) AS doc_id1, element_at(ids, j) AS doc_id2))))""".stripMargin))
-          .as("p"))
-        .select(col("p.doc_id1"), col("p.doc_id2"))
-        .distinct()
-        .orderBy("doc_id1", "doc_id2")
+      // band keys, enumerate pairs inside each bucket ([[bucketPairs]] —
+      // mega-bucket guarded, so a degenerate region fails loudly instead
+      // of exploding quadratically in one task). A self-join would run
+      // the signature computation twice.
+      minhashPairs(Tables.documents(s, d), bucketCap(s))
     },
 
     // 16-bit SimHash from seeded token hashes: per-bit majority vote,

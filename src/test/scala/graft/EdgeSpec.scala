@@ -121,4 +121,23 @@ class EdgeSpec extends SparkSuite {
     val got = df.select(expr("cosine_sim(a, b)")).collect().map(_.getDouble(0))
     assert(got(0) == 1.0 && got(1) == 0.0)
   }
+
+  test("LSH mega-bucket guard: 10k docs behind one band key fail loudly, never explode") {
+    // a degenerate corpus region — 10k near-identical docs — lands every
+    // doc in the same LSH bucket; the candidate generator must raise
+    // BEFORE enumerating the ~50M in-bucket pairs (the quadratic blowup
+    // round 5 flagged), not OOM a task
+    val boiler = (1L to 10000L).map(i =>
+      (i, "the exact same boilerplate sentence repeated across the corpus"))
+      .toDF("doc_id", "text")
+    val e = intercept[Throwable](graft.llm.Dedup.minhashPairs(boiler).count())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(e).contains("mega-bucket"), s"wanted the loud guard, got: ${msgs(e)}")
+    // under the cap the same pipeline enumerates pairs normally
+    val small = (1L to 5L).map(i =>
+      (i, "the exact same boilerplate sentence repeated across the corpus"))
+      .toDF("doc_id", "text")
+    assert(graft.llm.Dedup.minhashPairs(small).count() == 10) // C(5,2)
+  }
 }
