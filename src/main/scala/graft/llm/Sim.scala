@@ -187,7 +187,7 @@ object Sim {
     * expands ×nlist (the round-3 verdict flagged the old
     * crossJoin+window argmax, which shuffled corpus×nlist rows).
     */
-  private def ivfAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[graft] def ivfAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     graft.ext.Ext.register(s)
     val emb = Tables.embeddings(s, d)
     val packed = emb
@@ -304,20 +304,23 @@ object Sim {
        |  FROM embeddings e CROSS JOIN cent c),
        |cl AS (SELECT vec_id, label, embedding, c_label FROM assign WHERE rk = 1)""".stripMargin
 
-  // ---- product quantization (round 5): the standard embedding
-  // compression — 64 dims split into PqM subspaces of PqW dims, each
-  // sub-vector coded as its nearest of PqK codebook entries, search by
-  // ADC (asymmetric distance computation: per-probe distance TABLE to
-  // every codebook entry, approx distance = sum of table lookups).
-  // Codebook = the PqK lowest vec_ids' sub-vectors (deterministic, no
-  // RNG; a trained codebook plugs the kmeansAssigned machinery in per
-  // subspace unchanged). Encoding is ONE codegen'd projection per row —
-  // array_min over (distance, k) structs, no corpus expansion — and the
-  // corpus never shuffles; probes/codebook broadcast. ----
+  // ---- product quantization (round 5; codebook TRAINED in round 6):
+  // the standard embedding compression — 64 dims split into PqM
+  // subspaces of PqW dims, each sub-vector coded as its nearest of PqK
+  // codebook entries, search by ADC (asymmetric distance computation:
+  // per-probe distance TABLE to every codebook entry, approx distance =
+  // sum of table lookups). Codebook = per-subspace Lloyd k-means from
+  // deterministic seeds (the PqK lowest vec_ids' sub-vectors), PqIters
+  // round-6 assign/recompute iterations — the kmeansAssigned discipline
+  // applied per subspace, so DuckDB replays the identical unrolled
+  // iterations. Encoding is ONE codegen'd projection per row — array_min
+  // over (distance, k) structs, no corpus expansion — and the corpus
+  // never shuffles; probes/codebook broadcast. ----
 
   val PqM = 4
   val PqK = 8
   val PqW = 16
+  val PqIters = 2
 
   /** round-6 L2 distance between two double arrays, left-fold order —
     * the same fold DuckDB's ordered list_aggregate replays.
@@ -326,16 +329,57 @@ object Sim {
     s"round(aggregate(zip_with($a, $b, (x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) " +
       s"* (CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), CAST(0 AS DOUBLE), (acc, v) -> acc + v), 6)"
 
-  /** One broadcast row: `cbs[m][k]` = codebook entry k of subspace m. */
-  private def pqCodebook(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d).filter(col("vec_id") < PqK)
-      .select(col("vec_id").cast("int").as("k"),
-        explode(expr(s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, " +
-          s"transform(slice(embedding, m * $PqW + 1, $PqW), v -> CAST(v AS DOUBLE)) AS cent))")).as("s"))
-      .select(col("s.m").as("m"), col("k"), col("s.cent").as("cent"))
-      .agg(expr("sort_array(collect_list(struct(m, k, cent)))").as("cs"))
+  /** Long-form sub-vectors (vec_id, m, sub): each vector split into PqM
+    * PqW-dim sub-vectors, cast to double once.
+    */
+  private def subVecs(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      explode(expr(s"transform(sequence(0, ${PqM - 1}), m -> struct(m AS m, " +
+        s"transform(slice(embedding, m * $PqW + 1, $PqW), v -> CAST(v AS DOUBLE)) AS sub))")).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sub").as("sub"))
+
+  /** Pack long-form (m, k, cent) centroids into the ONE broadcast row
+    * `cbs[m][k]`. Codes are POSITIONAL (k = position in the sorted-by-k
+    * list), so an emptied training cluster would silently shift every
+    * code — the guard raises inside the plan instead.
+    */
+  private def packCbs(cent: DataFrame): DataFrame =
+    cent.agg(expr("sort_array(collect_list(struct(m, k, cent)))").as("cs"))
       .select(expr(s"transform(sequence(0, ${PqM - 1}), mm -> " +
-        "transform(filter(cs, s -> s.m = mm), s -> s.cent))").as("cbs"))
+        "transform(filter(cs, s -> s.m = mm), s -> s.cent))").as("cbs0"))
+      .select(expr(
+        s"""CASE WHEN aggregate(transform(cbs0, a -> size(a)), 0, (x, y) -> x + y) = ${PqM * PqK}
+           |THEN cbs0 ELSE raise_error('PQ codebook incomplete: a cluster emptied during
+           | training — positional codes would shift; reseed or lower PqK') END""".stripMargin)
+        .as("cbs"))
+
+  /** One broadcast row: `cbs[m][k]` = TRAINED codebook entry k of
+    * subspace m. Scale posture per iteration: one map-only argmin
+    * projection against the broadcast centroid pack + one two-phase avg
+    * whose partials reduce each partition to PqM×PqK×PqW rows before the
+    * exchange — the corpus itself never shuffles, exactly the
+    * [[kmeansAssigned]] shape run per subspace.
+    */
+  private def pqCodebook(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    val sv = subVecs(s, d)
+    var cent = sv.filter(col("vec_id") < PqK)
+      .select(col("m"), (col("vec_id") + 1).cast("int").as("k"), col("sub").as("cent"))
+    for (_ <- 1 to PqIters) {
+      val packed = packCbs(cent)
+      val assigned = sv.crossJoin(broadcast(packed))
+        .select(col("m"), col("sub"),
+          expr(s"array_min(transform(sequence(1, $PqK), k -> " +
+            s"struct(${l2Expr("sub", "element_at(element_at(cbs, m + 1), k)")} AS d, k AS k))).k")
+            .as("k"))
+      cent = assigned
+        .select(col("m"), col("k"), posexplode(col("sub")).as(Seq("pos", "v")))
+        .groupBy(col("m"), col("k"), col("pos"))
+        .agg(round(avg(col("v")), 6).as("c"))
+        .groupBy(col("m"), col("k"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cent"))
+    }
+    packCbs(cent)
+  }
 
   /** (vec_id, code[PqM]) — 1-based codebook indices; argmin by
     * (round-6 distance, k) via array_min over orderable structs.
@@ -349,19 +393,51 @@ object Sim {
                  "element_at(element_at(cbs, m + 1), k)")} AS d, k AS k))).k)""".stripMargin)
           .as("code"))
 
-  /** DuckDB twins: `cb(m, k, cent)`, `dist(vec_id, m, k, d)`, and
-    * `codes(vec_id, m, code)` CTEs.
+  /** DuckDB twin of the [[pqCodebook]] training: sub-vectors, seed
+    * codebook, [[PqIters]] unrolled Lloyd iterations (assign_i from
+    * cb_{i-1} by round-6 L2 argmin with k tiebreak, cb_i = round-6
+    * per-component avg) — ending in the trained `cb(m, k, cent)` CTE,
+    * exactly the [[KmeansClSql]] pattern per subspace.
+    */
+  private val PqTrainSql: String = {
+    val l2asg =
+      s"""round(list_aggregate(list_transform(generate_series(1, $PqW),
+         |      i -> (sv.sub[i] - cb.cent[i]) * (sv.sub[i] - cb.cent[i])), 'sum'), 6)""".stripMargin
+    val seed =
+      s"""sv AS (
+         |  SELECT vec_id, mr.range AS m,
+         |    list_transform(embedding[mr.range * $PqW + 1 : mr.range * $PqW + $PqW],
+         |      v -> CAST(v AS DOUBLE)) AS sub
+         |  FROM embeddings CROSS JOIN range(0, $PqM) mr),
+         |cb0 AS (
+         |  SELECT m, CAST(vec_id AS INTEGER) + 1 AS k, sub AS cent
+         |  FROM sv WHERE vec_id < $PqK)""".stripMargin
+    val steps = (1 to PqIters).map { i =>
+      s"""asg$i AS (
+         |  SELECT m, sub, k FROM (
+         |    SELECT sv.vec_id, sv.m, sv.sub, cb.k,
+         |      row_number() OVER (PARTITION BY sv.vec_id, sv.m ORDER BY $l2asg, cb.k) AS rk
+         |    FROM sv JOIN cb${i - 1} cb ON cb.m = sv.m) WHERE rk = 1),
+         |cb$i AS (
+         |  SELECT m, k, list(c ORDER BY pos) AS cent FROM (
+         |    SELECT m, k, u.pos AS pos, round(avg(u.v), 6) AS c FROM
+         |      (SELECT m, k, unnest(list_transform(generate_series(1, len(sub)),
+         |         i -> {'pos': i, 'v': sub[i]})) AS u
+         |       FROM asg$i)
+         |    GROUP BY m, k, pos) GROUP BY m, k)""".stripMargin
+    }
+    (seed +: steps).mkString(",\n") + s",\ncb AS (SELECT m, k, cent FROM cb$PqIters)"
+  }
+
+  /** DuckDB twins: trained `cb(m, k, cent)` (via [[PqTrainSql]]),
+    * `dist(vec_id, m, k, d)`, and `codes(vec_id, m, code)` CTEs.
     */
   private val PqSql: String = {
     val l2 =
       s"""round(list_aggregate(list_transform(generate_series(1, $PqW),
          |      i -> (CAST(e.embedding[cb.m * $PqW + i] AS DOUBLE) - cb.cent[i])
          |         * (CAST(e.embedding[cb.m * $PqW + i] AS DOUBLE) - cb.cent[i])), 'sum'), 6)""".stripMargin
-    s"""cb AS (
-       |  SELECT mr.range AS m, CAST(e.vec_id AS INTEGER) + 1 AS k,
-       |    list_transform(e.embedding[mr.range * $PqW + 1 : mr.range * $PqW + $PqW],
-       |      v -> CAST(v AS DOUBLE)) AS cent
-       |  FROM embeddings e CROSS JOIN range(0, $PqM) mr WHERE e.vec_id < $PqK),
+    s"""$PqTrainSql,
        |dist AS (
        |  SELECT e.vec_id, cb.m, cb.k, $l2 AS d
        |  FROM embeddings e CROSS JOIN cb),
