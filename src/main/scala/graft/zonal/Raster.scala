@@ -1618,6 +1618,140 @@ object Raster {
         .orderBy("zone_id")
     },
 
+    // hillshade — the terrain-visualization staple, composed WITHOUT
+    // chained data-dependent trig: with the surface normal (-dx2, -dy2, 2)
+    // over the doubled central differences and a FIXED light vector
+    // L = (-0.5, 0.5, sqrt(2)/2) (azimuth 315°, altitude 45°, |L| = 1),
+    // shade = 255 * max(0, L·n / |n|) — exact BIGINTs in, one sqrt and
+    // one divide out (the transcendental rule, round-6). Same explode +
+    // grid-key hash agg topology as slope/aspect.
+    "raster_hillshade" -> Q(
+      s"""WITH cells AS (
+         |$FixtureCellsSql
+         |), nb AS (
+         |  SELECT cell_x - 1 AS cell_x, cell_y, 'x' AS axis, CAST(value AS BIGINT) AS contrib FROM cells
+         |  UNION ALL SELECT cell_x + 1, cell_y, 'x', -CAST(value AS BIGINT) FROM cells
+         |  UNION ALL SELECT cell_x, cell_y - 1, 'y', CAST(value AS BIGINT) FROM cells
+         |  UNION ALL SELECT cell_x, cell_y + 1, 'y', -CAST(value AS BIGINT) FROM cells
+         |), grad AS (
+         |  SELECT cell_x, cell_y,
+         |    CAST(SUM(CASE WHEN axis = 'x' THEN contrib END) AS DOUBLE) AS dx2,
+         |    CAST(SUM(CASE WHEN axis = 'y' THEN contrib END) AS DOUBLE) AS dy2
+         |  FROM nb GROUP BY cell_x, cell_y
+         |  HAVING COUNT(CASE WHEN axis = 'x' THEN 1 END) = 2
+         |     AND COUNT(CASE WHEN axis = 'y' THEN 1 END) = 2
+         |     AND cell_x BETWEEN 0 AND ${FixW - 1} AND cell_y BETWEEN 0 AND ${FixH - 1})
+         |SELECT cell_x, cell_y,
+         |  round(greatest(CAST(0 AS DOUBLE),
+         |    (0.5 * dx2 - 0.5 * dy2 + 2 * 0.7071067811865476)
+         |      / sqrt(dx2 * dx2 + dy2 * dy2 + 4)) * 255, 6) AS hillshade
+         |FROM grad ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val contribs =
+        "array(struct(cell_x - 1 AS x, cell_y AS y, 'x' AS axis, CAST(value AS BIGINT) AS contrib), " +
+          "struct(cell_x + 1 AS x, cell_y AS y, 'x' AS axis, -CAST(value AS BIGINT) AS contrib), " +
+          "struct(cell_x AS x, cell_y - 1 AS y, 'y' AS axis, CAST(value AS BIGINT) AS contrib), " +
+          "struct(cell_x AS x, cell_y + 1 AS y, 'y' AS axis, -CAST(value AS BIGINT) AS contrib))"
+      scanTiff(s, fixturePath())
+        .select(explode(expr(contribs)).as("c"))
+        .select(col("c.x").as("cell_x"), col("c.y").as("cell_y"),
+          col("c.axis").as("axis"), col("c.contrib").as("contrib"))
+        .groupBy(col("cell_x"), col("cell_y"))
+        .agg(sum(when(col("axis") === "x", col("contrib"))).cast("double").as("dx2"),
+          sum(when(col("axis") === "y", col("contrib"))).cast("double").as("dy2"),
+          count(when(col("axis") === "x", 1)).as("nx"),
+          count(when(col("axis") === "y", 1)).as("ny"))
+        .filter(col("nx") === 2 && col("ny") === 2
+          && col("cell_x").between(0, FixW - 1) && col("cell_y").between(0, FixH - 1))
+        .select(col("cell_x"), col("cell_y"),
+          round(greatest(lit(0.0),
+            (lit(0.5) * col("dx2") - lit(0.5) * col("dy2") + lit(2) * lit(0.7071067811865476))
+              / sqrt(col("dx2") * col("dx2") + col("dy2") * col("dy2") + lit(4))) * 255, 6)
+            .as("hillshade"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // map algebra (round 6: the local-operation class that generalizes
+    // zonal_raster_change): two ALIGNED rasters combined cell-wise —
+    // sum, difference, product, and a classified-change flag — under the
+    // grid-alignment contract, one header read per file, one cell
+    // equi-join on the grid key. All arithmetic exact BIGINT.
+    "raster_algebra" -> Q(
+      s"""WITH a AS (
+         |$FixtureCellsSql
+         |), b AS (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, $Fixture2ValueSql AS value
+         |  FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y
+         |)
+         |SELECT a.cell_x, a.cell_y,
+         |  CAST(a.value AS BIGINT) + CAST(b.value AS BIGINT) AS v_sum,
+         |  CAST(b.value AS BIGINT) - CAST(a.value AS BIGINT) AS v_diff,
+         |  CAST(a.value AS BIGINT) * CAST(b.value AS BIGINT) AS v_prod,
+         |  CASE WHEN b.value > a.value THEN 1 WHEN b.value < a.value THEN -1 ELSE 0 END AS change
+         |FROM a JOIN b ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y
+         |ORDER BY a.cell_x, a.cell_y""".stripMargin) { (s, _) =>
+      val (pa, pb) = (fixturePath(), fixture2Path())
+      val (ma, mb2) = (readMeta(pa), readMeta(pb))
+      requireAligned(pa, ma, pb, mb2)
+      val a = scanTiff(s, pa, ma)
+      val b = scanTiff(s, pb, mb2).withColumnRenamed("value", "value2")
+      a.join(b, Seq("cell_x", "cell_y"))
+        .select(col("cell_x"), col("cell_y"),
+          (col("value").cast("long") + col("value2").cast("long")).as("v_sum"),
+          (col("value2").cast("long") - col("value").cast("long")).as("v_diff"),
+          (col("value").cast("long") * col("value2").cast("long")).as("v_prod"),
+          when(col("value2") > col("value"), 1)
+            .when(col("value2") < col("value"), -1).otherwise(0).as("change"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // majority/variety over a REAL scanned raster (round 6: ties the
+    // categorical-zonal argmax to the raster source): classes = value
+    // mod 7, per-zone dominant/rarest class with deterministic tiebreak
+    // (count, then class) + distinct-class count — the land-cover
+    // "dominant class per zone" query end-to-end from TIFF bytes.
+    "zonal_raster_majority" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), cells AS (
+         |  SELECT cell_x, cell_y, CAST(value AS BIGINT) % 7 AS class FROM ($FixtureCellsSql)
+         |)
+         |SELECT zone_id,
+         |  max(CASE WHEN rk_maj = 1 THEN class END) AS majority,
+         |  max(CASE WHEN rk_maj = 1 THEN n END) AS majority_n,
+         |  max(CASE WHEN rk_min = 1 THEN class END) AS minority,
+         |  max(CASE WHEN rk_min = 1 THEN n END) AS minority_n,
+         |  count(*) AS variety
+         |FROM (
+         |  SELECT zone_id, class, n,
+         |    row_number() OVER (PARTITION BY zone_id ORDER BY n DESC, class) AS rk_maj,
+         |    row_number() OVER (PARTITION BY zone_id ORDER BY n ASC, class) AS rk_min
+         |  FROM (
+         |    SELECT zone_id, class, count(*) AS n
+         |    FROM cells JOIN zones
+         |      ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+         |    GROUP BY zone_id, class))
+         |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+      val classes = scanTiff(s, fixturePath())
+        .select(col("cell_x"), col("cell_y"), (col("value").cast("long") % 7).as("class"))
+      val counts = Cube.rasterize(classes, Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("class"))
+        .agg(count(lit(1)).as("n"))
+      val wMaj = org.apache.spark.sql.expressions.Window
+        .partitionBy("zone_id").orderBy(col("n").desc, col("class"))
+      val wMin = org.apache.spark.sql.expressions.Window
+        .partitionBy("zone_id").orderBy(col("n").asc, col("class"))
+      counts
+        .withColumn("rk_maj", row_number().over(wMaj))
+        .withColumn("rk_min", row_number().over(wMin))
+        .groupBy(col("zone_id"))
+        .agg(max(when(col("rk_maj") === 1, col("class"))).as("majority"),
+          max(when(col("rk_maj") === 1, col("n"))).as("majority_n"),
+          max(when(col("rk_min") === 1, col("class"))).as("minority"),
+          max(when(col("rk_min") === 1, col("n"))).as("minority_n"),
+          count(lit(1)).as("variety"))
+        .orderBy("zone_id")
+    },
+
     // n-epoch zonal time-series (round 6: the generalization of
     // zonal_raster_change from 2 epochs): three aligned rasters scanned
     // as ONE DataFrame tagged by epoch (one task per (epoch, tile)),
