@@ -187,19 +187,22 @@ object Sim {
     * expands ×nlist (the round-3 verdict flagged the old
     * crossJoin+window argmax, which shuffled corpus×nlist rows).
     */
-  private[graft] def ivfAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    graft.ext.Ext.register(s)
-    val emb = Tables.embeddings(s, d)
-    val packed = emb
+  /** Per-label mean centroids, long form (c_label, centroid). */
+  private def ivfCentroids(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
       .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("c_label"), col("pos"))
       .agg(avg(col("v").cast("double")).as("c"))
       .groupBy(col("c_label"))
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+
+  private[graft] def ivfAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    graft.ext.Ext.register(s)
+    val packed = ivfCentroids(s, d)
       .agg(expr("sort_array(collect_list(struct(c_label, centroid)))").as("cs"))
       .select(expr("transform(cs, s -> s.c_label)").as("c_labels"),
         expr("transform(cs, s -> s.centroid)").as("cents"))
-    emb.crossJoin(broadcast(packed))
+    Tables.embeddings(s, d).crossJoin(broadcast(packed))
       .withColumn("ci", expr("argmax_cosine(embedding, cents)"))
       .select(col("vec_id"), col("label"), col("embedding"),
         element_at(col("c_labels"), col("ci")).as("c_label"))
@@ -580,6 +583,44 @@ object Sim {
         .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("c_label"))
       val cand = cl.select(col("vec_id"), col("embedding").as("b_emb"), col("c_label"))
       val scored = cand.join(broadcast(probes), "c_label")
+        .select(col("probe_id"), col("vec_id"),
+          round(cosine("p_emb", "b_emb"), 6).as("cos_r"))
+      rankedTopK(scored, 3)
+        .select("probe_id", "vec_id", "cos_r", "rk")
+        .orderBy("probe_id", "rk")
+    },
+
+    // multi-probe IVF (round 6 — the standard recall dial the measured
+    // recall@3 numbers motivate): each probe scans its nprobe=2 NEAREST
+    // clusters instead of 1, trading 2/nlist of the corpus for the
+    // neighbors that landed just across a cluster boundary. The probe-
+    // side cluster ranking is a window over the tiny probes×nlist set;
+    // the corpus side stays ONE broadcast equi-join on the cluster key —
+    // scan cost scales with nprobe, never with nlist or corpus size.
+    "sim_ann_ivf_multiprobe" -> Q(
+      s"""WITH $IvfClSql,
+         |probes AS (
+         |  SELECT vec_id AS probe_id, embedding AS p_emb, c_label
+         |  FROM assign WHERE rk <= 2 AND vec_id < 10),
+         |sims AS (
+         |  SELECT p.probe_id, b.vec_id,
+         |    round(${cosineSql("p.p_emb", "b.embedding")}, 6) AS cos_r
+         |  FROM probes p JOIN cl b ON p.c_label = b.c_label)
+         |SELECT probe_id, vec_id, cos_r, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_r DESC, vec_id) AS rk
+         |  FROM sims) WHERE rk <= 3
+         |ORDER BY probe_id, rk""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      val probes = Tables.embeddings(s, d).filter(col("vec_id") < 10)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+        .crossJoin(broadcast(ivfCentroids(s, d)))
+        .withColumn("crk", row_number().over(Window.partitionBy("probe_id")
+          .orderBy(round(cosine("p_emb", "centroid"), 6).desc, col("c_label"))))
+        .filter(col("crk") <= 2)
+        .select(col("probe_id"), col("p_emb"), col("c_label"))
+      val scored = ivfAssigned(s, d)
+        .select(col("vec_id"), col("embedding").as("b_emb"), col("c_label"))
+        .join(broadcast(probes), "c_label")
         .select(col("probe_id"), col("vec_id"),
           round(cosine("p_emb", "b_emb"), 6).as("cos_r"))
       rankedTopK(scored, 3)

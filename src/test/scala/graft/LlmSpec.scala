@@ -203,6 +203,31 @@ class LlmSpec extends SparkSuite {
     assert(e2e >= 1.0 / 3, "end-to-end recall below the self-match floor — search is broken")
   }
 
+  test("multi-probe IVF: recall@3 dominates single-probe; self still first") {
+    // nprobe=2 scans a strict superset of nprobe=1's candidates, so its
+    // top-3 can only be closer to brute force — per probe AND in the
+    // mean. The dominance is the gate; the values are info.
+    val single = SparkEntry.queries("sim_ann_ivf_search")(spark, sf).collect()
+    val multi = SparkEntry.queries("sim_ann_ivf_multiprobe")(spark, sf).collect()
+    val brute = SparkEntry.queries("sim_cosine_topk")(spark, sf).collect()
+    def key(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val (sK, mK, bK) = (key(single), key(multi), key(brute))
+    multi.filter(_.getInt(3) == 1).foreach { r =>
+      assert(r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0,
+        s"probe ${r.getLong(0)} did not find itself first")
+    }
+    val perProbe = bK.keys.toSeq.sorted.map { p =>
+      (mK(p).intersect(bK(p)).size, sK(p).intersect(bK(p)).size)
+    }
+    perProbe.foreach { case (m, s1) =>
+      assert(m >= s1, s"multi-probe recall $m fell below single-probe $s1")
+    }
+    val (mSum, sSum) = (perProbe.map(_._1).sum, perProbe.map(_._2).sum)
+    info(f"recall@3 over ${perProbe.size} probes: single ${sSum / (3.0 * perProbe.size)}%.2f " +
+      f"-> multi ${mSum / (3.0 * perProbe.size)}%.2f")
+  }
+
   test("LSH search: self always found first with cosine 1") {
     val got = SparkEntry.queries("sim_ann_lsh_search")(spark, sf).collect()
     assert(got.nonEmpty)
