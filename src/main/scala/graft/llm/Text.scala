@@ -334,6 +334,89 @@ object Text {
         .agg(count(lit(1)).as("n_tokens"),
           (-sum(col("lp")).cast("double") / count(lit(1))).as("cross_entropy"))
         .orderBy("doc_id")
+    },
+
+    // duplicate-span flagging (round 6 — the n-gram-coverage side of
+    // "deduplicate training data": docs whose 5-grams largely appear in
+    // OTHER docs are boilerplate/templated candidates even when no
+    // single pair crosses a near-dup threshold). Per doc: distinct
+    // 5-grams, how many occur in >= 2 distinct docs, and the fraction.
+    // Shape: map-side explode -> two hash aggs -> one equi-join back —
+    // no pair enumeration anywhere, linear in corpus size.
+    "dedup_ngram_coverage" -> Q(
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |    WHERE len(t) >= 5)),
+        |df AS (SELECT gram, count(*) AS n_docs FROM grams GROUP BY gram)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  count(CASE WHEN n_docs >= 2 THEN 1 END) AS n_shared,
+        |  round(CAST(count(CASE WHEN n_docs >= 2 THEN 1 END) AS DOUBLE) / count(*), 6) AS shared_frac
+        |FROM grams JOIN df USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .withColumn("t", split(lower(col("text")), " "))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 4), i -> concat_ws(' ',
+            |  element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+            |  element_at(t, i + 3), element_at(t, i + 4)))""".stripMargin)).as("gram"))
+        .distinct()
+      val df = grams.groupBy("gram").agg(countDistinct(col("doc_id")).as("n_docs"))
+      grams.join(df, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("n_docs") >= 2, 1)).as("n_shared"),
+          round(count(when(col("n_docs") >= 2, 1)).cast("double") / count(lit(1)), 6)
+            .as("shared_frac"))
+        .orderBy("doc_id")
+    },
+
+    // batch packing (round 6 — the training-data sharding step: assign
+    // docs to fixed token-budget batches in a stable order). batch_id =
+    // floor(tokens-before-this-doc / budget), computed as a DISTRIBUTED
+    // prefix sum: per-shard cumulative sums (window partitioned by a
+    // doc_id shard) + broadcast shard offsets — the two-phase scan shape
+    // that survives any corpus size, where a global unpartitioned window
+    // would funnel every row through ONE task. The oracle replays the
+    // naive global cumsum — same numbers, different plan.
+    "pipeline_pack_batches" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id, len(string_split(lower(text), ' ')) AS n_tokens FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS before_t
+        |  FROM t)
+        |SELECT batch_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id
+        |FROM (SELECT doc_id, n_tokens, before_t // 2000 AS batch_id FROM c)
+        |GROUP BY batch_id ORDER BY batch_id""".stripMargin) { (s, d) =>
+      val budget = 2000L
+      val shardW = 125L
+      val t = Tables.documents(s, d)
+        .select(col("doc_id"), size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
+        .withColumn("shard", expr(s"doc_id div $shardW"))
+      val inShard = t.withColumn("cum_in", sum(col("n_tokens")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")
+          .orderBy("doc_id").rowsBetween(Long.MinValue, 0)))
+      // tiny per-shard totals -> running offsets (|shards| rows, broadcast)
+      val offsets = t.groupBy("shard").agg(sum("n_tokens").as("tot"))
+        .withColumn("offset", coalesce(sum(col("tot")).over(
+          org.apache.spark.sql.expressions.Window.orderBy("shard")
+            .rowsBetween(Long.MinValue, -1)), lit(0L)))
+        .select(col("shard"), col("offset"))
+      inShard.join(broadcast(offsets), "shard")
+        .select(col("doc_id"), col("n_tokens"),
+          ((col("offset") + col("cum_in") - col("n_tokens")) / budget)
+            .cast("long").as("batch_id"))
+        .groupBy("batch_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("batch_id")
     }
   )
 }

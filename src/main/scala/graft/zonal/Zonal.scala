@@ -406,6 +406,44 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // EXACT zonal median (round 6 — the exact twin of
+    // zonal_percentile_approx, closing the approx-only gap): lower
+    // median via counting, not sorting — per-(zone, value) counts (one
+    // hash agg over the rasterize join), then a window over the TINY
+    // distinct-value-per-zone table picks the smallest value whose
+    // cumulative count reaches ceil(n/2). Exact DECIMAL values group
+    // exactly; no row-level sort ever happens, so the shape survives
+    // any cells-per-zone count (the approx sketch stays the
+    // stream/merge path).
+    "zonal_median" -> Q(
+      Cube.withSql(
+        s"""SELECT zone_id, CAST(max(n) AS BIGINT) AS n_cells,
+           |  min(CASE WHEN cum >= (n + 1) // 2 THEN value END) AS median
+           |FROM (
+           |  SELECT zone_id, value, cnt,
+           |    sum(cnt) OVER (PARTITION BY zone_id ORDER BY value
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(cnt) OVER (PARTITION BY zone_id) AS n
+           |  FROM (
+           |    SELECT zone_id, value, count(*) AS cnt
+           |    ${Cube.RasterizeJoinSql}
+           |    GROUP BY zone_id, value))
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
+      val counts = Cube.rasterize(Cube.cells(s, d), Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("zone_id").orderBy("value").rowsBetween(Long.MinValue, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("zone_id")
+      counts
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+        .groupBy(col("zone_id"))
+        .agg(max(col("n")).as("n_cells"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("value"))).as("median"))
+        .orderBy("zone_id")
+    },
+
     "zonal_stats_weighted" -> Q(
       Cube.withSql(
         s"""SELECT zone_id,
