@@ -94,11 +94,14 @@ object Bench {
     // first — else the rerun reports the warm cache hit and the headline
     // credits accounting, not plan work
     val memoized = Set("dedup_text_cluster", "pipeline_dedup_keep_best")
+    val pqMemoized = Set("sim_pq_codes", "sim_pq_search", "sim_ann_ivfpq_search",
+      "dedup_embedding_pq")
     val rerun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = first.map { case (name, q, t1) =>
       if (t1 > thresh) {
         rerun(name) = t1
         if (memoized(name)) graft.llm.Dedup.clearTextClustersCache()
+        if (pqMemoized(name)) graft.llm.Sim.clearPqCodebookCache()
         name -> math.min(t1, run(q))
       } else name -> t1
     }

@@ -356,6 +356,20 @@ object Sim {
            | training — positional codes would shift; reseed or lower PqK') END""".stripMargin)
         .as("cbs"))
 
+  // memoized per (session, dir): the trained codebook is a MODEL
+  // artifact (one row, PqM×PqK centroids) built once and shared by all
+  // four PQ consumers — exactly how a deployment holds it. The eager
+  // localCheckpoint materializes the training once; Bench invalidates
+  // through clearPqCodebookCache before re-timing a memoized entry (the
+  // dedup_text_cluster honesty rule). Stopped sessions are evicted.
+  private val pqCbCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** Drop the memoized trained codebook so the next consumer pays the
+    * full cold training cost (Bench outlier-rerun honesty).
+    */
+  def clearPqCodebookCache(): Unit = pqCbCache.clear()
+
   /** One broadcast row: `cbs[m][k]` = TRAINED codebook entry k of
     * subspace m. Scale posture per iteration: one map-only argmin
     * projection against the broadcast centroid pack + one two-phase avg
@@ -364,24 +378,27 @@ object Sim {
     * [[kmeansAssigned]] shape run per subspace.
     */
   private def pqCodebook(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val sv = subVecs(s, d)
-    var cent = sv.filter(col("vec_id") < PqK)
-      .select(col("m"), (col("vec_id") + 1).cast("int").as("k"), col("sub").as("cent"))
-    for (_ <- 1 to PqIters) {
-      val packed = packCbs(cent)
-      val assigned = sv.crossJoin(broadcast(packed))
-        .select(col("m"), col("sub"),
-          expr(s"array_min(transform(sequence(1, $PqK), k -> " +
-            s"struct(${l2Expr("sub", "element_at(element_at(cbs, m + 1), k)")} AS d, k AS k))).k")
-            .as("k"))
-      cent = assigned
-        .select(col("m"), col("k"), posexplode(col("sub")).as(Seq("pos", "v")))
-        .groupBy(col("m"), col("k"), col("pos"))
-        .agg(round(avg(col("v")), 6).as("c"))
-        .groupBy(col("m"), col("k"))
-        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cent"))
-    }
-    packCbs(cent)
+    pqCbCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pqCbCache.computeIfAbsent((s, d), { _ =>
+      val sv = subVecs(s, d)
+      var cent = sv.filter(col("vec_id") < PqK)
+        .select(col("m"), (col("vec_id") + 1).cast("int").as("k"), col("sub").as("cent"))
+      for (_ <- 1 to PqIters) {
+        val packed = packCbs(cent)
+        val assigned = sv.crossJoin(broadcast(packed))
+          .select(col("m"), col("sub"),
+            expr(s"array_min(transform(sequence(1, $PqK), k -> " +
+              s"struct(${l2Expr("sub", "element_at(element_at(cbs, m + 1), k)")} AS d, k AS k))).k")
+              .as("k"))
+        cent = assigned
+          .select(col("m"), col("k"), posexplode(col("sub")).as(Seq("pos", "v")))
+          .groupBy(col("m"), col("k"), col("pos"))
+          .agg(round(avg(col("v")), 6).as("c"))
+          .groupBy(col("m"), col("k"))
+          .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cent"))
+      }
+      packCbs(cent).localCheckpoint(true)
+    })
   }
 
   /** (vec_id, code[PqM]) — 1-based codebook indices; argmin by

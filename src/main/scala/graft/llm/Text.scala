@@ -364,7 +364,9 @@ object Text {
             |  element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
             |  element_at(t, i + 3), element_at(t, i + 4)))""".stripMargin)).as("gram"))
         .distinct()
-      val df = grams.groupBy("gram").agg(countDistinct(col("doc_id")).as("n_docs"))
+      // grams is already distinct per (doc, gram): a plain count IS the
+      // document frequency — no second distinct pass
+      val df = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
       grams.join(df, "gram")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_grams"),

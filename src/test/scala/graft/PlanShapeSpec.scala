@@ -358,4 +358,26 @@ class PlanShapeSpec extends SparkSuite {
     assert(gp.contains("BroadcastHashJoin"), "geojson zones not broadcast")
     assert(!gp.contains("SortMergeJoin"), "geojson rasterize fell back to sort-merge")
   }
+
+  test("round-6 ops: shapefile zones broadcast, map algebra stays keyed, packing windows sharded") {
+    // shapefile zones ride the same broadcast rasterize as geojson
+    val shp = q("zonal_shapefile")
+    shp.collect()
+    val sp = shp.queryExecution.executedPlan.toString
+    assert(sp.contains("BroadcastHashJoin"), "shapefile zones not broadcast")
+    assert(!sp.contains("SortMergeJoin"), "shapefile rasterize fell back to sort-merge")
+    // map algebra: the two-raster combine must be a KEYED cell equi-join
+    val alg = q("raster_algebra")
+    alg.collect()
+    val ap = alg.queryExecution.executedPlan.toString
+    assert(!ap.contains("BroadcastNestedLoopJoin") && !ap.contains("CartesianProduct"),
+      s"map algebra degraded to an unkeyed join:\n${ap.take(1500)}")
+    // batch packing: the doc-level prefix sum must be the SHARDED window
+    // (a global unpartitioned window would single-task the corpus)
+    val pack = q("pipeline_pack_batches")
+    pack.collect()
+    val pp = pack.queryExecution.executedPlan.toString
+    assert(pp.contains("windowspecdefinition(shard"),
+      s"doc-level prefix sum not sharded:\n${pp.take(2000)}")
+  }
 }
