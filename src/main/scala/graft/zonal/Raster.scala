@@ -1752,6 +1752,87 @@ object Raster {
         .orderBy("zone_id")
     },
 
+    // reclassify — the lookup-table remap every raster tool ships
+    // (land-cover class rollups, elevation banding): a tiny bin table
+    // (lo, hi, class) broadcast-range-joins the cells; per-class counts
+    // + value range verify the remap. The bin table is built IN the
+    // plan (range + arithmetic), not collected — at 100 TB the cells
+    // never shuffle, the bins always broadcast.
+    "raster_reclass" -> Q(
+      s"""WITH cells AS (
+         |$FixtureCellsSql
+         |), bins AS (
+         |  SELECT b.range AS class, b.range * 200 AS lo, b.range * 200 + 199 AS hi
+         |  FROM range(0, 5) b)
+         |SELECT class, count(*) AS n_cells,
+         |  min(value) AS min_v, max(value) AS max_v
+         |FROM cells JOIN bins ON value BETWEEN lo AND hi
+         |GROUP BY class ORDER BY class""".stripMargin) { (s, _) =>
+      val bins = s.range(0, 5)
+        .select(col("id").as("class"), (col("id") * 200).as("lo"),
+          (col("id") * 200 + 199).as("hi"))
+      scanTiff(s, fixturePath())
+        .join(broadcast(bins), col("value").between(col("lo"), col("hi")))
+        .groupBy(col("class"))
+        .agg(count(lit(1)).as("n_cells"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("class")
+    },
+
+    // region labeling (round 6 — the "raster to regions" staple: group
+    // connected cells of one class into labeled regions, GDAL's
+    // sieve/polygonize precursor): mask cells → 4-neighbor adjacency by
+    // KEYED self-join on the shifted grid (each masked cell meets its
+    // right/down neighbor on a coordinate equi-join — never a spatial
+    // scan) → the SAME pointer-doubling connectedComponents fixpoint the
+    // dedup clusters use (O(log diameter) rounds, loud on
+    // non-convergence) → per-region size + bbox. The oracle replays the
+    // closure as a recursive CTE. Runs on the overview level: region
+    // labeling is a zoom-level operation in real pyramids.
+    "raster_region_label" -> Q(
+      s"""WITH RECURSIVE cells AS (
+         |  SELECT x.range AS cell_x, y.range AS cell_y,
+         |    CAST((31 * (2 * x.range) + 17 * (2 * y.range)) % 997 AS DOUBLE) AS value
+         |  FROM range(0, ${(FixW + 1) / 2}) x CROSS JOIN range(0, ${(FixH + 1) / 2}) y
+         |), m AS (
+         |  SELECT cell_x, cell_y, cell_y * ${(FixW + 1) / 2} + cell_x AS node
+         |  FROM cells WHERE CAST(value AS BIGINT) % 3 = 0
+         |), e0 AS (
+         |  SELECT a.node AS x, b.node AS y FROM m a JOIN m b
+         |    ON (b.cell_x = a.cell_x + 1 AND b.cell_y = a.cell_y)
+         |    OR (b.cell_x = a.cell_x AND b.cell_y = a.cell_y + 1)
+         |), edges AS (SELECT x, y FROM e0 UNION ALL SELECT y AS x, x AS y FROM e0
+         |), reach AS (
+         |  SELECT node, node AS root FROM m
+         |  UNION
+         |  SELECT e.y AS node, reach.root FROM reach JOIN edges e ON reach.node = e.x
+         |), comp AS (SELECT node, min(root) AS comp_id FROM reach GROUP BY node)
+         |SELECT comp_id, count(*) AS n_cells,
+         |  min(cell_x) AS rxmin, min(cell_y) AS rymin,
+         |  max(cell_x) AS rxmax, max(cell_y) AS rymax
+         |FROM comp JOIN m USING (node)
+         |GROUP BY comp_id ORDER BY comp_id""".stripMargin) { (s, _) =>
+      val w1 = (FixW + 1) / 2
+      val m = scanTiffLevel(s, ovFixturePath(), 1)
+        .filter(col("value").cast("long") % 3 === 0)
+        .select(col("cell_x"), col("cell_y"),
+          (col("cell_y") * w1 + col("cell_x")).cast("long").as("node"))
+      val shifted = m.select((col("cell_x") + 1).as("cell_x"), col("cell_y"),
+          col("node").as("nl"))
+        .union(m.select(col("cell_x"), (col("cell_y") + 1).as("cell_y"),
+          col("node").as("nl")))
+      val e0 = shifted.join(m, Seq("cell_x", "cell_y"))
+        .select(col("nl").as("x"), col("node").as("y"))
+      val edges = e0.union(e0.select(col("y").as("x"), col("x").as("y")))
+      val labels = graft.llm.Dedup.connectedComponents(m.select(col("node")), edges)
+      labels.join(m, "node")
+        .groupBy(col("comp").as("comp_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          min(col("cell_x")).as("rxmin"), min(col("cell_y")).as("rymin"),
+          max(col("cell_x")).as("rxmax"), max(col("cell_y")).as("rymax"))
+        .orderBy("comp_id")
+    },
+
     // n-epoch zonal time-series (round 6: the generalization of
     // zonal_raster_change from 2 epochs): three aligned rasters scanned
     // as ONE DataFrame tagged by epoch (one task per (epoch, tile)),
