@@ -122,6 +122,28 @@ class EdgeSpec extends SparkSuite {
     assert(got(0) == 1.0 && got(1) == 0.0)
   }
 
+  test("batch packing: batches are contiguous in doc order and bounded by budget + one doc") {
+    // the distributed prefix sum must reproduce the sequential packing
+    // invariants: batches cover disjoint contiguous doc_id ranges, and a
+    // batch's token sum can exceed the 2000 budget only by its straddling
+    // last doc
+    val rows = SparkEntry.queries("pipeline_pack_batches")(spark, sf).collect()
+      .sortBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(4) < b.getLong(3),
+          s"batches ${a.getLong(0)} and ${b.getLong(0)} overlap in doc ranges")
+      case _ =>
+    }
+    val maxDoc = graft.core.Tables.documents(spark, sf)
+      .select(max(size(split(lower(col("text")), " ")))).head.getInt(0)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= 2000L + maxDoc,
+        s"batch ${r.getLong(0)} sum ${r.getLong(2)} exceeds budget + max doc $maxDoc")
+    }
+  }
+
   test("LSH mega-bucket guard: 10k docs behind one band key fail loudly, never explode") {
     // a degenerate corpus region — 10k near-identical docs — lands every
     // doc in the same LSH bucket; the candidate generator must raise
