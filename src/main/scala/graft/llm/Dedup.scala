@@ -353,6 +353,27 @@ object Dedup {
     }
   }
 
+  /** Content-defined chunks of a documents table: (doc_id, chunk, fp) —
+    * a boundary falls after any token whose poly_hash lands in the 1/8
+    * gate, chunk index is the running boundary count (doc-keyed window),
+    * fp = md5 of the chunk's joined tokens. Boundaries are a pure
+    * function of content, so an insertion perturbs only its own chunk
+    * and chunking RESYNCS at the next boundary (LlmSpec proves it).
+    */
+  def cdcChunks(docs: DataFrame): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")).as(Seq("pos", "token")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos").rowsBetween(Long.MinValue, -1)
+    tok
+      .withColumn("boundary",
+        when(expr("poly_hash(token) % 8") === 0, 1).otherwise(0))
+      .withColumn("chunk", coalesce(sum(col("boundary")).over(w), lit(0)))
+      .groupBy(col("doc_id"), col("chunk"))
+      .agg(expr("md5(cast(concat_ws(' ', transform(sort_array(collect_list(" +
+        "struct(pos, token))), s -> s.token)) AS binary))").as("fp"))
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     // signature table: deterministic, but xxhash64 has no DuckDB twin →
     // property-tested (LlmSpec)
@@ -501,6 +522,54 @@ object Dedup {
         .select(col("comp_id"), col("n_members"),
           expr("concat_ws(',', transform(ms, x -> cast(x AS string)))").as("members"))
         .orderBy("comp_id")
+    },
+
+    // content-defined chunking dedup (round 6 — the storage-dedup
+    // primitive applied to text: chunk boundaries are a pure function of
+    // CONTENT, so an insertion shifts only its own chunk, and shared
+    // passages dedup at chunk granularity even when whole docs differ).
+    // Boundary after any token whose poly_hash lands in the 1/8 gate;
+    // chunk index = running boundary count per doc (a window partitioned
+    // by doc — the natural key); chunk fingerprint = md5 of the joined
+    // tokens. Output: per-doc chunk count, chunks shared with other
+    // docs, shared fraction. Every stage is a hash agg or doc-keyed
+    // window — no pair enumeration, linear in corpus size.
+    "dedup_cdc_chunks" -> Q(
+      s"""WITH tok AS (
+         |  SELECT doc_id, u.pos AS pos, u.t AS token FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(ts)),
+         |      i -> {'pos': i, 't': ts[i]})) AS u
+         |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts FROM documents))
+         |), flagged AS (
+         |  SELECT doc_id, pos, token,
+         |    CASE WHEN ${polyHashSql("token")} % 8 = 0 THEN 1 ELSE 0 END AS boundary
+         |  FROM tok
+         |), chunked AS (
+         |  SELECT doc_id, pos, token,
+         |    COALESCE(SUM(boundary) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+         |  FROM flagged
+         |), chunks AS (
+         |  SELECT doc_id, chunk, md5(string_agg(token, ' ' ORDER BY pos)) AS fp
+         |  FROM chunked GROUP BY doc_id, chunk
+         |), df AS (
+         |  SELECT fp, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY fp)
+         |SELECT doc_id, count(*) AS n_chunks,
+         |  count(CASE WHEN n_docs >= 2 THEN 1 END) AS n_shared,
+         |  round(CAST(count(CASE WHEN n_docs >= 2 THEN 1 END) AS DOUBLE) / count(*), 6)
+         |    AS shared_frac
+         |FROM chunks JOIN df USING (fp)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      val chunks = cdcChunks(Tables.documents(s, d))
+      val df = chunks.groupBy("fp").agg(countDistinct(col("doc_id")).as("n_docs"))
+      chunks.join(df, "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          count(when(col("n_docs") >= 2, 1)).as("n_shared"),
+          round(count(when(col("n_docs") >= 2, 1)).cast("double") / count(lit(1)), 6)
+            .as("shared_frac"))
+        .orderBy("doc_id")
     },
 
     "dedup_embedding" -> Q(

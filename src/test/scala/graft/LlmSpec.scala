@@ -128,6 +128,26 @@ class LlmSpec extends SparkSuite {
       "near-dup should be closer in hamming distance than unrelated doc")
   }
 
+  test("CDC chunking: an insertion perturbs at most two chunks, the rest resync") {
+    graft.ext.Ext.register(spark)
+    // 200 varied tokens -> ~25 content-defined boundaries; doc 2 inserts
+    // one token mid-stream. Boundaries depend only on token content, so
+    // every chunk strictly before the insertion is identical, the chunk
+    // containing it differs, and chunking resyncs at the next boundary —
+    // all later chunks dedup again. (Fixed-size chunking would shift
+    // EVERY downstream chunk.)
+    val base = (0 until 200).map(i => s"w${i * 37 % 211}x$i")
+    val ins = base.take(100) ++ Seq("INSERTED") ++ base.drop(100)
+    val docs = Seq((1L, base.mkString(" ")), (2L, ins.mkString(" ")))
+      .toDF("doc_id", "text")
+    val fps = Dedup.cdcChunks(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(2)).toSet).toMap
+    val shared = fps(1L).intersect(fps(2L)).size
+    assert(fps(1L).size >= 5, s"fixture produced only ${fps(1L).size} chunks — gate too sparse")
+    assert(shared >= fps(1L).size - 2,
+      s"insertion perturbed more than two chunks: ${fps(1L).size} vs $shared shared")
+  }
+
   test("LSH buckets: total assignment, and same-bucket self-search finds the probe") {
     val buckets = graft.llm.Sim.lshBuckets(spark, sf)
     val n = graft.core.Tables.embeddings(spark, sf).count()
