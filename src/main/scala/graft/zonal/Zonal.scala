@@ -552,6 +552,31 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // the SQL front door (SURVEY §3.2 E2) exercised end-to-end: the SAME
+    // polygon zonal query as zonal_stats_polygon, submitted as SQL TEXT
+    // over registered temp views and calling the codegen'd point_in_quad
+    // through the FunctionRegistry — DataFrame and SQL entries converge
+    // on the same Catalyst plan, proven by sharing the oracle family.
+    "sql_zonal_stats" -> Q(
+      Cube.withSql(
+        s"""SELECT zone_id, count(*) AS n_cells, ${dsumSql("value")} AS sum_v
+           |FROM cells JOIN (${Cube.PolyZonesSql}) pz
+           |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+           |WHERE ${Cube.pipSql("cell_x", "cell_y")}
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
+      graft.ext.Ext.register(s)
+      Cube.withTiles(Cube.cells(s, d)).createOrReplaceTempView("g_cells")
+      Cube.zoneTiles(Cube.polyZones(s, d)).createOrReplaceTempView("g_zone_tiles")
+      s.sql(
+        s"""SELECT /*+ BROADCAST(z) */ zone_id, count(*) AS n_cells,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+           |FROM g_cells c JOIN g_zone_tiles z
+           |  ON c.tile_x = z.tile_x AND c.tile_y = z.tile_y
+           |WHERE cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+           |  AND ${Cube.pipExpr("cell_x", "cell_y")}
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin)
+    },
+
     // polygon-with-hole (admin region minus its lake): even-odd over the
     // two rings reduces zone∖hole to an XOR of the ring containments —
     // still pure integer arithmetic, same string both engines.
