@@ -1168,6 +1168,60 @@ object Raster {
   import org.apache.spark.sql.functions._
   import graft.core.Q
 
+  // ---- shared central-difference gradient kernel: slope, aspect,
+  // hillshade and the zonal slope stats all consume ONE table of
+  // doubled interior-cell differences (dx2, dy2). Each cell sends
+  // ±value to its 4 axis neighbors via a map-side explode; one grid-key
+  // hash agg folds the contributions; edge cells (missing a neighbor on
+  // either axis) drop, mirroring GDAL's default edge handling. Exact
+  // BIGINTs throughout — consumers decide which single transcendental
+  // to round (sqrt / atan2 / the hillshade divide). ----
+
+  /** DuckDB `nb` CTE body: contribute-to-neighbors long form. */
+  private val GradNbSql =
+    """SELECT cell_x - 1 AS cell_x, cell_y, 'x' AS axis, CAST(value AS BIGINT) AS contrib FROM cells
+      |  UNION ALL SELECT cell_x + 1, cell_y, 'x', -CAST(value AS BIGINT) FROM cells
+      |  UNION ALL SELECT cell_x, cell_y - 1, 'y', CAST(value AS BIGINT) FROM cells
+      |  UNION ALL SELECT cell_x, cell_y + 1, 'y', -CAST(value AS BIGINT) FROM cells""".stripMargin
+
+  /** DuckDB CTE chain `cells → nb → grad(cell_x, cell_y, dx2, dy2)` —
+    * callers prefix `WITH ` (plus any CTEs of their own).
+    */
+  private val GradCteChain =
+    s"""cells AS (
+       |$FixtureCellsSql
+       |), nb AS (
+       |  $GradNbSql
+       |), grad AS (
+       |  SELECT cell_x, cell_y,
+       |    CAST(SUM(CASE WHEN axis = 'x' THEN contrib END) AS BIGINT) AS dx2,
+       |    CAST(SUM(CASE WHEN axis = 'y' THEN contrib END) AS BIGINT) AS dy2
+       |  FROM nb GROUP BY cell_x, cell_y
+       |  HAVING COUNT(CASE WHEN axis = 'x' THEN 1 END) = 2
+       |     AND COUNT(CASE WHEN axis = 'y' THEN 1 END) = 2
+       |     AND cell_x BETWEEN 0 AND ${FixW - 1} AND cell_y BETWEEN 0 AND ${FixH - 1})""".stripMargin
+
+  /** Spark twin of the `grad` CTE: (cell_x, cell_y, dx2, dy2). */
+  private def gradientTable(s: SparkSession): DataFrame = {
+    val contribs =
+      "array(struct(cell_x - 1 AS x, cell_y AS y, 'x' AS axis, CAST(value AS BIGINT) AS contrib), " +
+        "struct(cell_x + 1 AS x, cell_y AS y, 'x' AS axis, -CAST(value AS BIGINT) AS contrib), " +
+        "struct(cell_x AS x, cell_y - 1 AS y, 'y' AS axis, CAST(value AS BIGINT) AS contrib), " +
+        "struct(cell_x AS x, cell_y + 1 AS y, 'y' AS axis, -CAST(value AS BIGINT) AS contrib))"
+    scanTiff(s, fixturePath())
+      .select(explode(expr(contribs)).as("c"))
+      .select(col("c.x").as("cell_x"), col("c.y").as("cell_y"),
+        col("c.axis").as("axis"), col("c.contrib").as("contrib"))
+      .groupBy(col("cell_x"), col("cell_y"))
+      .agg(sum(when(col("axis") === "x", col("contrib"))).as("dx2"),
+        sum(when(col("axis") === "y", col("contrib"))).as("dy2"),
+        count(when(col("axis") === "x", 1)).as("nx"),
+        count(when(col("axis") === "y", 1)).as("ny"))
+      .filter(col("nx") === 2 && col("ny") === 2
+        && col("cell_x").between(0, FixW - 1) && col("cell_y").between(0, FixH - 1))
+      .select(col("cell_x"), col("cell_y"), col("dx2"), col("dy2"))
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     // raster ingestion end-to-end: write the deterministic GeoTIFF
     // fixture (once), scan it tile-parallel, emit the long-form cell
@@ -1457,42 +1511,11 @@ object Raster {
     // transcendental rule). Edge cells (missing a neighbor on either
     // axis) are excluded, mirroring GDAL's default edge handling.
     "raster_slope" -> Q(
-      s"""WITH cells AS (
-         |$FixtureCellsSql
-         |), nb AS (
-         |  SELECT cell_x - 1 AS cell_x, cell_y, 'x' AS axis, CAST(value AS BIGINT) AS contrib FROM cells
-         |  UNION ALL SELECT cell_x + 1, cell_y, 'x', -CAST(value AS BIGINT) FROM cells
-         |  UNION ALL SELECT cell_x, cell_y - 1, 'y', CAST(value AS BIGINT) FROM cells
-         |  UNION ALL SELECT cell_x, cell_y + 1, 'y', -CAST(value AS BIGINT) FROM cells)
-         |SELECT cell_x, cell_y,
-         |  CAST(SUM(CASE WHEN axis = 'x' THEN contrib END) AS BIGINT) AS dx2,
-         |  CAST(SUM(CASE WHEN axis = 'y' THEN contrib END) AS BIGINT) AS dy2,
-         |  round(sqrt(CAST(SUM(CASE WHEN axis = 'x' THEN contrib END)
-         |      * SUM(CASE WHEN axis = 'x' THEN contrib END)
-         |      + SUM(CASE WHEN axis = 'y' THEN contrib END)
-         |      * SUM(CASE WHEN axis = 'y' THEN contrib END) AS DOUBLE)) / 2, 6) AS slope
-         |FROM nb
-         |GROUP BY cell_x, cell_y
-         |HAVING COUNT(CASE WHEN axis = 'x' THEN 1 END) = 2
-         |   AND COUNT(CASE WHEN axis = 'y' THEN 1 END) = 2
-         |   AND cell_x BETWEEN 0 AND ${FixW - 1} AND cell_y BETWEEN 0 AND ${FixH - 1}
-         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
-      val contribs =
-        "array(struct(cell_x - 1 AS x, cell_y AS y, 'x' AS axis, CAST(value AS BIGINT) AS contrib), " +
-          "struct(cell_x + 1 AS x, cell_y AS y, 'x' AS axis, -CAST(value AS BIGINT) AS contrib), " +
-          "struct(cell_x AS x, cell_y - 1 AS y, 'y' AS axis, CAST(value AS BIGINT) AS contrib), " +
-          "struct(cell_x AS x, cell_y + 1 AS y, 'y' AS axis, -CAST(value AS BIGINT) AS contrib))"
-      scanTiff(s, fixturePath())
-        .select(explode(expr(contribs)).as("c"))
-        .select(col("c.x").as("cell_x"), col("c.y").as("cell_y"),
-          col("c.axis").as("axis"), col("c.contrib").as("contrib"))
-        .groupBy(col("cell_x"), col("cell_y"))
-        .agg(sum(when(col("axis") === "x", col("contrib"))).as("dx2"),
-          sum(when(col("axis") === "y", col("contrib"))).as("dy2"),
-          count(when(col("axis") === "x", 1)).as("nx"),
-          count(when(col("axis") === "y", 1)).as("ny"))
-        .filter(col("nx") === 2 && col("ny") === 2
-          && col("cell_x").between(0, FixW - 1) && col("cell_y").between(0, FixH - 1))
+      s"""WITH $GradCteChain
+         |SELECT cell_x, cell_y, dx2, dy2,
+         |  round(sqrt(CAST(dx2 * dx2 + dy2 * dy2 AS DOUBLE)) / 2, 6) AS slope
+         |FROM grad ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      gradientTable(s)
         .select(col("cell_x"), col("cell_y"), col("dx2"), col("dy2"),
           round(sqrt((col("dx2") * col("dx2") + col("dy2") * col("dy2")).cast("double")) / 2, 6)
             .as("slope"))
@@ -1504,38 +1527,11 @@ object Raster {
     // same round-6 rule as ln/sqrt/trig in fn_math). Downhill direction
     // convention: atan2(dy2, dx2) in radians, 0 = +x, counterclockwise.
     "raster_aspect" -> Q(
-      s"""WITH cells AS (
-         |$FixtureCellsSql
-         |), nb AS (
-         |  SELECT cell_x - 1 AS cell_x, cell_y, 'x' AS axis, CAST(value AS BIGINT) AS contrib FROM cells
-         |  UNION ALL SELECT cell_x + 1, cell_y, 'x', -CAST(value AS BIGINT) FROM cells
-         |  UNION ALL SELECT cell_x, cell_y - 1, 'y', CAST(value AS BIGINT) FROM cells
-         |  UNION ALL SELECT cell_x, cell_y + 1, 'y', -CAST(value AS BIGINT) FROM cells)
+      s"""WITH $GradCteChain
          |SELECT cell_x, cell_y,
-         |  round(atan2(CAST(SUM(CASE WHEN axis = 'y' THEN contrib END) AS DOUBLE),
-         |              CAST(SUM(CASE WHEN axis = 'x' THEN contrib END) AS DOUBLE)), 6) AS aspect
-         |FROM nb
-         |GROUP BY cell_x, cell_y
-         |HAVING COUNT(CASE WHEN axis = 'x' THEN 1 END) = 2
-         |   AND COUNT(CASE WHEN axis = 'y' THEN 1 END) = 2
-         |   AND cell_x BETWEEN 0 AND ${FixW - 1} AND cell_y BETWEEN 0 AND ${FixH - 1}
-         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
-      val contribs =
-        "array(struct(cell_x - 1 AS x, cell_y AS y, 'x' AS axis, CAST(value AS BIGINT) AS contrib), " +
-          "struct(cell_x + 1 AS x, cell_y AS y, 'x' AS axis, -CAST(value AS BIGINT) AS contrib), " +
-          "struct(cell_x AS x, cell_y - 1 AS y, 'y' AS axis, CAST(value AS BIGINT) AS contrib), " +
-          "struct(cell_x AS x, cell_y + 1 AS y, 'y' AS axis, -CAST(value AS BIGINT) AS contrib))"
-      scanTiff(s, fixturePath())
-        .select(explode(expr(contribs)).as("c"))
-        .select(col("c.x").as("cell_x"), col("c.y").as("cell_y"),
-          col("c.axis").as("axis"), col("c.contrib").as("contrib"))
-        .groupBy(col("cell_x"), col("cell_y"))
-        .agg(sum(when(col("axis") === "x", col("contrib"))).as("dx2"),
-          sum(when(col("axis") === "y", col("contrib"))).as("dy2"),
-          count(when(col("axis") === "x", 1)).as("nx"),
-          count(when(col("axis") === "y", 1)).as("ny"))
-        .filter(col("nx") === 2 && col("ny") === 2
-          && col("cell_x").between(0, FixW - 1) && col("cell_y").between(0, FixH - 1))
+         |  round(atan2(CAST(dy2 AS DOUBLE), CAST(dx2 AS DOUBLE)), 6) AS aspect
+         |FROM grad ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      gradientTable(s)
         .select(col("cell_x"), col("cell_y"),
           round(atan2(col("dy2").cast("double"), col("dx2").cast("double")), 6).as("aspect"))
         .orderBy("cell_x", "cell_y")
@@ -1548,43 +1544,14 @@ object Raster {
     "zonal_slope_stats" -> Q(
       s"""WITH zones AS (
          |${Cube.ZonesSql}
-         |), cells AS (
-         |$FixtureCellsSql
-         |), nb AS (
-         |  SELECT cell_x - 1 AS cell_x, cell_y, 'x' AS axis, CAST(value AS BIGINT) AS contrib FROM cells
-         |  UNION ALL SELECT cell_x + 1, cell_y, 'x', -CAST(value AS BIGINT) FROM cells
-         |  UNION ALL SELECT cell_x, cell_y - 1, 'y', CAST(value AS BIGINT) FROM cells
-         |  UNION ALL SELECT cell_x, cell_y + 1, 'y', -CAST(value AS BIGINT) FROM cells
-         |), grad AS (
-         |  SELECT cell_x, cell_y,
-         |    CAST(SUM(CASE WHEN axis = 'x' THEN contrib END) AS BIGINT) AS dx2,
-         |    CAST(SUM(CASE WHEN axis = 'y' THEN contrib END) AS BIGINT) AS dy2
-         |  FROM nb GROUP BY cell_x, cell_y
-         |  HAVING COUNT(CASE WHEN axis = 'x' THEN 1 END) = 2
-         |     AND COUNT(CASE WHEN axis = 'y' THEN 1 END) = 2
-         |     AND cell_x BETWEEN 0 AND ${FixW - 1} AND cell_y BETWEEN 0 AND ${FixH - 1})
+         |), $GradCteChain
          |SELECT zone_id, count(*) AS n_cells,
          |  CAST(SUM(dx2 * dx2 + dy2 * dy2) AS BIGINT) AS sum_grad_sq,
          |  round(CAST(SUM(dx2 * dx2 + dy2 * dy2) AS DOUBLE) / count(*), 6) AS mean_grad_sq
          |FROM grad JOIN zones
          |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
          |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
-      val contribs =
-        "array(struct(cell_x - 1 AS x, cell_y AS y, 'x' AS axis, CAST(value AS BIGINT) AS contrib), " +
-          "struct(cell_x + 1 AS x, cell_y AS y, 'x' AS axis, -CAST(value AS BIGINT) AS contrib), " +
-          "struct(cell_x AS x, cell_y - 1 AS y, 'y' AS axis, CAST(value AS BIGINT) AS contrib), " +
-          "struct(cell_x AS x, cell_y + 1 AS y, 'y' AS axis, -CAST(value AS BIGINT) AS contrib))"
-      val grad = scanTiff(s, fixturePath())
-        .select(explode(expr(contribs)).as("c"))
-        .select(col("c.x").as("cell_x"), col("c.y").as("cell_y"),
-          col("c.axis").as("axis"), col("c.contrib").as("contrib"))
-        .groupBy(col("cell_x"), col("cell_y"))
-        .agg(sum(when(col("axis") === "x", col("contrib"))).as("dx2"),
-          sum(when(col("axis") === "y", col("contrib"))).as("dy2"),
-          count(when(col("axis") === "x", 1)).as("nx"),
-          count(when(col("axis") === "y", 1)).as("ny"))
-        .filter(col("nx") === 2 && col("ny") === 2
-          && col("cell_x").between(0, FixW - 1) && col("cell_y").between(0, FixH - 1))
+      val grad = gradientTable(s)
         .withColumn("grad_sq", col("dx2") * col("dx2") + col("dy2") * col("dy2"))
       Cube.rasterize(grad, Cube.zones(s, d))
         .groupBy(col("zone_id"))
@@ -1626,47 +1593,20 @@ object Raster {
     // one divide out (the transcendental rule, round-6). Same explode +
     // grid-key hash agg topology as slope/aspect.
     "raster_hillshade" -> Q(
-      s"""WITH cells AS (
-         |$FixtureCellsSql
-         |), nb AS (
-         |  SELECT cell_x - 1 AS cell_x, cell_y, 'x' AS axis, CAST(value AS BIGINT) AS contrib FROM cells
-         |  UNION ALL SELECT cell_x + 1, cell_y, 'x', -CAST(value AS BIGINT) FROM cells
-         |  UNION ALL SELECT cell_x, cell_y - 1, 'y', CAST(value AS BIGINT) FROM cells
-         |  UNION ALL SELECT cell_x, cell_y + 1, 'y', -CAST(value AS BIGINT) FROM cells
-         |), grad AS (
-         |  SELECT cell_x, cell_y,
-         |    CAST(SUM(CASE WHEN axis = 'x' THEN contrib END) AS DOUBLE) AS dx2,
-         |    CAST(SUM(CASE WHEN axis = 'y' THEN contrib END) AS DOUBLE) AS dy2
-         |  FROM nb GROUP BY cell_x, cell_y
-         |  HAVING COUNT(CASE WHEN axis = 'x' THEN 1 END) = 2
-         |     AND COUNT(CASE WHEN axis = 'y' THEN 1 END) = 2
-         |     AND cell_x BETWEEN 0 AND ${FixW - 1} AND cell_y BETWEEN 0 AND ${FixH - 1})
+      s"""WITH $GradCteChain
          |SELECT cell_x, cell_y,
          |  round(greatest(CAST(0 AS DOUBLE),
-         |    (0.5 * dx2 - 0.5 * dy2 + 2 * 0.7071067811865476)
-         |      / sqrt(dx2 * dx2 + dy2 * dy2 + 4)) * 255, 6) AS hillshade
+         |    (0.5 * CAST(dx2 AS DOUBLE) - 0.5 * CAST(dy2 AS DOUBLE)
+         |       + 2 * 0.7071067811865476)
+         |      / sqrt(CAST(dx2 * dx2 + dy2 * dy2 AS DOUBLE) + 4)) * 255, 6) AS hillshade
          |FROM grad ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
-      val contribs =
-        "array(struct(cell_x - 1 AS x, cell_y AS y, 'x' AS axis, CAST(value AS BIGINT) AS contrib), " +
-          "struct(cell_x + 1 AS x, cell_y AS y, 'x' AS axis, -CAST(value AS BIGINT) AS contrib), " +
-          "struct(cell_x AS x, cell_y - 1 AS y, 'y' AS axis, CAST(value AS BIGINT) AS contrib), " +
-          "struct(cell_x AS x, cell_y + 1 AS y, 'y' AS axis, -CAST(value AS BIGINT) AS contrib))"
-      scanTiff(s, fixturePath())
-        .select(explode(expr(contribs)).as("c"))
-        .select(col("c.x").as("cell_x"), col("c.y").as("cell_y"),
-          col("c.axis").as("axis"), col("c.contrib").as("contrib"))
-        .groupBy(col("cell_x"), col("cell_y"))
-        .agg(sum(when(col("axis") === "x", col("contrib"))).cast("double").as("dx2"),
-          sum(when(col("axis") === "y", col("contrib"))).cast("double").as("dy2"),
-          count(when(col("axis") === "x", 1)).as("nx"),
-          count(when(col("axis") === "y", 1)).as("ny"))
-        .filter(col("nx") === 2 && col("ny") === 2
-          && col("cell_x").between(0, FixW - 1) && col("cell_y").between(0, FixH - 1))
+      gradientTable(s)
         .select(col("cell_x"), col("cell_y"),
           round(greatest(lit(0.0),
-            (lit(0.5) * col("dx2") - lit(0.5) * col("dy2") + lit(2) * lit(0.7071067811865476))
-              / sqrt(col("dx2") * col("dx2") + col("dy2") * col("dy2") + lit(4))) * 255, 6)
-            .as("hillshade"))
+            (lit(0.5) * col("dx2").cast("double") - lit(0.5) * col("dy2").cast("double")
+              + lit(2) * lit(0.7071067811865476))
+              / sqrt((col("dx2") * col("dx2") + col("dy2") * col("dy2")).cast("double") + lit(4)))
+            * 255, 6).as("hillshade"))
         .orderBy("cell_x", "cell_y")
     },
 
