@@ -32,13 +32,17 @@ object Zonal {
     * containment depends only on coordinates — then joined back to the
     * cells for the aggregation.
     */
-  private def eoOracleSql(rings: Seq[Cube.RingSpec]): String = {
+  /** The CTE chain `cells → zones → verts → edges → cellpar(crossings)`
+    * — parameterized over the cells source so the cube cells AND the
+    * scanned-raster cells share one parity replay.
+    */
+  private def eoCtes(rings: Seq[Cube.RingSpec], cellsSql: String): String = {
     def cross(px: String, py: String) =
       s"""((e.y1 > $py) <> (e.y2 > $py))
          |          AND (((e.y2 - e.y1) > 0 AND ((e.x2 - e.x1) * ($py - e.y1) - ($px - e.x1) * (e.y2 - e.y1)) > 0)
          |            OR ((e.y2 - e.y1) < 0 AND ((e.x2 - e.x1) * ($py - e.y1) - ($px - e.x1) * (e.y2 - e.y1)) < 0))""".stripMargin
     s"""WITH cells AS (
-       |${Cube.CellsSql}
+       |$cellsSql
        |), zones AS (
        |${Cube.ZonesSql}
        |), verts AS (
@@ -56,12 +60,15 @@ object Zonal {
        |        FROM cells c JOIN zones z
        |          ON c.cell_x BETWEEN z.xmin AND z.xmax AND c.cell_y BETWEEN z.ymin AND z.ymax) cz
        |  JOIN edges e ON e.zone_id = cz.zone_id
-       |  GROUP BY cz.zone_id, cz.cell_x, cz.cell_y)
+       |  GROUP BY cz.zone_id, cz.cell_x, cz.cell_y)""".stripMargin
+  }
+
+  private def eoOracleSql(rings: Seq[Cube.RingSpec]): String =
+    s"""${eoCtes(rings, Cube.CellsSql)}
        |SELECT p.zone_id, count(*) AS n_cells, ${dsumSql("value")} AS sum_v
        |FROM cells c JOIN cellpar p ON c.cell_x = p.cell_x AND c.cell_y = p.cell_y
        |WHERE p.crossings % 2 = 1
        |GROUP BY p.zone_id ORDER BY p.zone_id""".stripMargin
-  }
 
   /** DuckDB oracle for `zonal_stats_coverage_exact`: replay the EXACT
     * Sutherland–Hodgman clip of [[graft.ext.CellCover]] as four chained
@@ -575,6 +582,31 @@ object Zonal {
            |WHERE cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
            |  AND ${Cube.pipExpr("cell_x", "cell_y")}
            |GROUP BY zone_id ORDER BY zone_id""".stripMargin)
+    },
+
+    // the round-6 capstone: REAL vector format × REAL raster format —
+    // shapefile zones (record-manifest parse → make_wkb) over scanned
+    // GeoTIFF cells (tile-range-read), exact even-odd zonal stats. This
+    // is the reference's headline use case with both inputs arriving as
+    // the files a user actually has; gated by the same parity replay as
+    // the arithmetic geometry, over the raster formula cells.
+    "zonal_raster_shapefile" -> Q(
+      s"""${eoCtes(Cube.NGonRings, "SELECT cell_x, cell_y, value FROM (" +
+           Raster.FixtureCellsSql + ") rc")}
+         |SELECT p.zone_id, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |FROM cells c JOIN cellpar p ON c.cell_x = p.cell_x AND c.cell_y = p.cell_y
+         |WHERE p.crossings % 2 = 1
+         |GROUP BY p.zone_id ORDER BY p.zone_id""".stripMargin) { (s, d) =>
+      val zones = Shapefile.readZones(s, Shapefile.fixturePath(s, d))
+      Cube.rasterize(Raster.scanTiff(s, Raster.fixturePath()), zones)
+        .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("zone_id")
     },
 
     // polygon-with-hole (admin region minus its lake): even-odd over the
