@@ -451,6 +451,44 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // exact multi-quantile (round 6: the counting-median pattern
+    // generalized — p25/p50/p75 in ONE pass over the same tiny
+    // per-(zone, value) count table; lower-quantile rule: the smallest
+    // value whose cumulative count reaches ceil(q·n). ceil(n·q) is
+    // exact for q ∈ {.25, .5, .75}: the products are dyadic, so both
+    // engines compute identical targets.
+    "zonal_percentiles" -> Q(
+      Cube.withSql(
+        s"""SELECT zone_id, CAST(max(n) AS BIGINT) AS n_cells,
+           |  min(CASE WHEN cum >= ceil(n * 0.25) THEN value END) AS p25,
+           |  min(CASE WHEN cum >= ceil(n * 0.50) THEN value END) AS p50,
+           |  min(CASE WHEN cum >= ceil(n * 0.75) THEN value END) AS p75
+           |FROM (
+           |  SELECT zone_id, value, cnt,
+           |    sum(cnt) OVER (PARTITION BY zone_id ORDER BY value
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+           |    sum(cnt) OVER (PARTITION BY zone_id) AS n
+           |  FROM (
+           |    SELECT zone_id, value, count(*) AS cnt
+           |    ${Cube.RasterizeJoinSql}
+           |    GROUP BY zone_id, value))
+           |GROUP BY zone_id ORDER BY zone_id""".stripMargin)) { (s, d) =>
+      val counts = Cube.rasterize(Cube.cells(s, d), Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("value"))
+        .agg(count(lit(1)).as("cnt"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("zone_id").orderBy("value").rowsBetween(Long.MinValue, 0)
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy("zone_id")
+      val c = counts
+        .withColumn("cum", sum(col("cnt")).over(wCum))
+        .withColumn("n", sum(col("cnt")).over(wAll))
+      def q(p: Double, name: String) =
+        min(when(col("cum") >= ceil(col("n") * p), col("value"))).as(name)
+      c.groupBy(col("zone_id"))
+        .agg(max(col("n")).as("n_cells"), q(0.25, "p25"), q(0.50, "p50"), q(0.75, "p75"))
+        .orderBy("zone_id")
+    },
+
     "zonal_stats_weighted" -> Q(
       Cube.withSql(
         s"""SELECT zone_id,
