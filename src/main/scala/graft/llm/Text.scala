@@ -395,7 +395,7 @@ object Text {
         |SELECT batch_id, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  min(doc_id) AS min_id, max(doc_id) AS max_id
-        |FROM (SELECT doc_id, n_tokens, before_t // 2000 AS batch_id FROM c)
+        |FROM (SELECT doc_id, n_tokens, CAST(before_t // 2000 AS BIGINT) AS batch_id FROM c)
         |GROUP BY batch_id ORDER BY batch_id""".stripMargin) { (s, d) =>
       val budget = 2000L
       val shardW = 125L
@@ -413,8 +413,7 @@ object Text {
         .select(col("shard"), col("offset"))
       inShard.join(broadcast(offsets), "shard")
         .select(col("doc_id"), col("n_tokens"),
-          ((col("offset") + col("cum_in") - col("n_tokens")) / budget)
-            .cast("long").as("batch_id"))
+          expr(s"(offset + cum_in - n_tokens) div $budget").as("batch_id"))
         .groupBy("batch_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))

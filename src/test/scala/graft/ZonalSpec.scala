@@ -341,4 +341,52 @@ class ZonalSpec extends SparkSuite {
     assert(msgs(e).contains("fractional"), s"wanted the lattice guard, got: ${msgs(e)}")
     graft.core.Fs.rmTree(tmp)
   }
+
+  test("dbf reader pinned on hand-built bytes: types, nulls, deleted records") {
+    // bytes built INDEPENDENTLY of Shapefile.writeDbfFixture (the oracle
+    // gate covers the writer+reader pair; this covers the reader alone):
+    // 3 records over all five dBASE types, record 2 deleted, record 3
+    // all-blank fields (→ nulls)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dbf").toString
+    val fields = Seq(("TAG", 'C', 6, 0), ("CNT", 'N', 5, 0),
+      ("RATIO", 'N', 8, 2), ("ON", 'L', 1, 0), ("DAY", 'D', 8, 0))
+    val recSize = 1 + fields.map(_._3).sum
+    val headSize = 32 + 32 * fields.length + 1
+    val b = java.nio.ByteBuffer.allocate(headSize + 3 * recSize + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put(0x03.toByte).put(24.toByte).put(1.toByte).put(1.toByte)
+    b.putInt(3).putShort(headSize.toShort).putShort(recSize.toShort)
+    b.position(32)
+    fields.foreach { case (n, t, len, dec) =>
+      val fb = new Array[Byte](32)
+      n.getBytes("US-ASCII").copyToArray(fb)
+      fb(11) = t.toByte; fb(16) = len.toByte; fb(17) = dec.toByte
+      b.put(fb)
+    }
+    b.put(0x0D.toByte)
+    b.put((" " + "alpha " + "   42" + "   -3.50" + "T" + "20240229").getBytes("US-ASCII"))
+    b.put(("*" + "gone  " + "    9" + "    1.00" + "F" + "20240101").getBytes("US-ASCII"))
+    b.put((" " + "      " + "     " + "        " + "?" + "        ").getBytes("US-ASCII"))
+    b.put(0x1A.toByte)
+    val p = s"$tmp/attrs.dbf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), b.array())
+    val rows = graft.zonal.Shapefile.readAttrs(spark, p)
+      .orderBy("rec_no").collect()
+    assert(rows.length == 2, s"deleted record not dropped: ${rows.mkString(";")}")
+    val r1 = rows(0)
+    assert(r1.getInt(0) == 1 && r1.getString(1) == "alpha" && r1.getLong(2) == 42L
+      && r1.getDouble(3) == -3.5 && r1.getBoolean(4)
+      && r1.getDate(5).toString == "2024-02-29", s"record 1 wrong: $r1")
+    val r3 = rows(1)
+    assert(r3.getInt(0) == 3 && (1 to 5).forall(r3.isNullAt),
+      s"blank/'?' fields should all be null: $r3")
+    // a truncated file and a bad version byte both fail loudly
+    val bad = b.array().clone(); bad(0) = 0x04
+    val pBad = s"$tmp/bad.dbf"
+    java.nio.file.Files.write(java.nio.file.Paths.get(pBad), bad)
+    val e2 = intercept[IllegalArgumentException](
+      graft.zonal.Shapefile.readDbfHeader(pBad))
+    assert(e2.getMessage.contains("version"), e2.getMessage)
+    graft.core.Fs.rmTree(tmp)
+  }
 }

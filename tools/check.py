@@ -101,6 +101,21 @@ def main():
             bad.append(name)
             print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
             continue
+        # the driver's hash is DTYPE-KIND-sensitive (round-6 lesson:
+        # pipeline_pack_batches matched every value but DuckDB HUGEINT →
+        # pandas float64 vs Spark int64 flipped the hash, while int32 vs
+        # int64 rows passed all six rounds) — flag kind mismatches (int vs
+        # float vs object) before comparing values
+        def kind(d):
+            k = d.kind
+            return "i" if k == "u" else k
+        dt = [(c, str(exp[c].dtype), str(got[c].dtype)) for c in exp.columns
+              if kind(exp[c].dtype) != kind(got[c].dtype)]
+        if dt:
+            bad.append(name)
+            c, de, dg = dt[0]
+            print(f"FAIL {name}: DTYPE col={c} oracle={de} spark={dg}")
+            continue
         diff = None
         for c in exp.columns:
             ev, gv = exp[c].tolist(), got[c].tolist()
