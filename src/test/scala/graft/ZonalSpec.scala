@@ -342,6 +342,43 @@ class ZonalSpec extends SparkSuite {
     graft.core.Fs.rmTree(tmp)
   }
 
+  test("exact quantiles survive continuous values: correct + narrow resolve pass") {
+    import org.apache.spark.sql.functions._
+    // 50k DISTINCT doubles in one zone (the case where the round-6
+    // counting window degenerated into a per-zone sort of ~all cells),
+    // plus an all-equal zone (degenerate zmin == zmax span)
+    val n = 50000
+    val cells = spark.range(n).select(
+        lit(0).as("zone_id"),
+        (sin(col("id").cast("double")) * 1000).as("value"))
+      .union(spark.range(100).select(lit(1).as("zone_id"), lit(7.25).as("value")))
+    val got = graft.zonal.Zonal.exactQuantilesByBucket(cells,
+        Seq((0.25, "p25"), (0.50, "p50"), (0.75, "p75")))
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    // naive truth: k-th smallest at rank ceil(q·n) (the lower-quantile rule)
+    val vals = (0 until n).map(i => math.sin(i.toDouble) * 1000).sorted
+    def q(p: Double) = vals(math.ceil(n * p).toInt - 1)
+    assert(got(0) == ((n.toLong, q(0.25), q(0.50), q(0.75))),
+      s"continuous-zone quantiles wrong: ${got(0)}")
+    assert(got(1) == ((100L, 7.25, 7.25, 7.25)), s"all-equal zone wrong: ${got(1)}")
+    // the SHAPE claim: the resolve pass is narrow — every histogram
+    // bucket holds ≪ n rows, so no per-(zone, q) window ever sees the
+    // full multiset (the round-6 plan put all 50k distinct values
+    // through one zone's window)
+    val nb = 256
+    val zstats = cells.groupBy("zone_id").agg(
+      min(col("value")).as("zmin"), max(col("value")).as("zmax"))
+    val hist = graft.zonal.Zonal.withBuckets(cells, zstats, nb)
+      .groupBy("zone_id", "bucket").count().collect()
+    val maxBucket = hist.map(_.getLong(2)).max
+    assert(hist.count(_.getInt(0) == 0) <= nb, "more buckets than nb")
+    // sin() concentrates mass at the arcsine-distribution edges; even so
+    // every bucket must stay two orders below the zone's row count
+    assert(maxBucket < n / 16,
+      s"bucket histogram not narrow: max bucket $maxBucket of $n rows")
+  }
+
   test("dbf reader pinned on hand-built bytes: types, nulls, deleted records") {
     // bytes built INDEPENDENTLY of Shapefile.writeDbfFixture (the oracle
     // gate covers the writer+reader pair; this covers the reader alone):
