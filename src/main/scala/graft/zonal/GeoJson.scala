@@ -29,6 +29,8 @@ object GeoJson {
     */
   def writeFixture(s: SparkSession, d: String, rings: Seq[Cube.RingSpec],
       path: String): Unit = {
+    val names = Cube.zones(s, d).select("zone_id", "zone_name")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
     val verts = Cube.verts(s, d, rings)
       .select("zone_id", "part", "ring", "i", "vx", "vy")
       .collect()
@@ -47,7 +49,13 @@ object GeoJson {
         else
           s"""{"type": "MultiPolygon", "coordinates": ${
             parts.map(p => ringsOf(p._2)).mkString("[", ", ", "]")}}"""
-      s"""{"type": "Feature", "properties": {"zone_id": $zoneId},
+      // round 7: real FeatureCollections carry attributes, not just an
+      // id — name/class/weight share the .dbf fixture's derivations so
+      // one oracle family replays both vector formats' attributes
+      val cls = (zoneId % 3) match { case 0 => "urban"; case 1 => "rural"; case _ => "water" }
+      s"""{"type": "Feature", "properties": {"zone_id": $zoneId,
+         |   "name": "${names(zoneId)}", "class": "$cls",
+         |   "weight": ${(zoneId * 7) % 100 + 1}},
          | "geometry": $geom}""".stripMargin
     }
     val json = features.mkString(
@@ -75,13 +83,40 @@ object GeoJson {
   /** Line-delimited variant (RFC 8142 text sequences / GDAL's
     * GeoJSONSeq — one Feature per line, the shape a DISTRIBUTED writer
     * emits and `sink_geojson` produces): each json line IS a Feature.
+    * Round 7: feature `properties` surface as columns alongside the
+    * geometry — whatever attributes the file carries (schema-dynamic
+    * via the JSON reader's inference), joined back on zone_id; real
+    * FeatureCollections carry the zone names every report joins on.
     */
-  def readZonesSeq(s: SparkSession, path: String): DataFrame =
-    zonesFromFeatures(s,
-      s.read.json(path)
-        .select(col("properties.zone_id").cast("int").as("zone_id"),
-          col("geometry.type").as("gtype"),
-          col("geometry.coordinates").as("coords")))
+  def readZonesSeq(s: SparkSession, path: String): DataFrame = {
+    val feats = s.read.json(path)
+    withProps(zonesFromFeatures(s,
+      feats.select(col("properties.zone_id").cast("int").as("zone_id"),
+        col("geometry.type").as("gtype"),
+        col("geometry.coordinates").as("coords"))),
+      feats)
+  }
+
+  /** FeatureCollection variant of the properties surface: the zone
+    * shape of [[readZones]] plus every feature property as a column.
+    */
+  def readZonesProps(s: SparkSession, path: String): DataFrame = {
+    val feats = s.read.option("multiLine", "true").json(path)
+      .select(explode(col("features")).as("f")).select(col("f.*"))
+    withProps(readZones(s, path), feats)
+  }
+
+  /** Join the feature property columns (all of `properties.*` except
+    * the id, which the zone shape already carries) onto the zone table —
+    * per-zone constants on the broadcast-sized side, zero added
+    * shuffles for the cube.
+    */
+  private def withProps(zones: DataFrame, feats: DataFrame): DataFrame = {
+    val props = feats.select(col("properties.*"))
+      .withColumn("zone_id", col("zone_id").cast("int"))
+    if (props.columns.length == 1) zones // id-only properties
+    else zones.join(broadcast(props), "zone_id")
+  }
 
   private def zonesFromFeatures(s: SparkSession, feats: DataFrame): DataFrame = {
     graft.ext.Ext.register(s)
@@ -146,12 +181,16 @@ object GeoJson {
 
   private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  // fixture caches keyed on the data dir's CANONICAL path (round-7
+  // advice, same fix as Shapefile.fixturePath): content depends on the
+  // full dataset, so basename collisions must not reuse files
+
   /** Write-once per-sf MultiPolygon fixture of the MultiRings family. */
   def multiFixturePath(s: SparkSession, d: String): String = {
-    val sfName = new java.io.File(d).getName
-    fixtures.computeIfAbsent(s"$sfName/multi", { _ =>
+    val f = new java.io.File(d)
+    fixtures.computeIfAbsent(s"${f.getCanonicalPath}/multi", { _ =>
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_io/$sfName/zones_multi.geojson"
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/zones_multi.geojson"
       writeFixture(s, d, Cube.MultiRings, path)
       path
     })
@@ -159,10 +198,10 @@ object GeoJson {
 
   /** Write-once per-sf GeoJSON fixture of the NGonRings family. */
   def fixturePath(s: SparkSession, d: String): String = {
-    val sfName = new java.io.File(d).getName
-    fixtures.computeIfAbsent(sfName, { _ =>
+    val f = new java.io.File(d)
+    fixtures.computeIfAbsent(f.getCanonicalPath, { _ =>
       val path =
-        s"${System.getProperty("java.io.tmpdir")}/graft_io/$sfName/zones_ngon.geojson"
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/zones_ngon.geojson"
       writeFixture(s, d, Cube.NGonRings, path)
       path
     })

@@ -255,4 +255,78 @@ object TiffCodec {
       r += 1
     }
   }
+
+  // ---- Predictor=3: floating-point horizontal differencing (round 7 —
+  // TIFF TechNote 3, what GDAL writes for compressed float COGs). Per
+  // row the sample bytes are split into BYTE PLANES, most-significant
+  // plane first (plane order is big-endian REGARDLESS of file
+  // endianness), then byte-level horizontal differencing with stride =
+  // samples-per-pixel is applied across the whole planar row. Decode
+  // undoes both: byte-accumulate, then reassemble each sample's bytes
+  // from the planes in the FILE's endianness so the existing
+  // ByteBuffer-based sample reads work unchanged. ----
+
+  /** Decoder: in-place on one block's rows. `rowPx` pixels × `bands`
+    * samples of `bytesPer` bytes each per row.
+    */
+  def undoPredictor3Float(bytes: Array[Byte], rowPx: Int, rows: Int, bands: Int,
+      bytesPer: Int, bigEndian: Boolean): Unit = {
+    val wc = rowPx * bands          // samples per row
+    val rowBytes = wc * bytesPer
+    val tmp = new Array[Byte](rowBytes)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      // 1) undo byte-level differencing (stride = samples per pixel)
+      var i = bands
+      while (i < rowBytes) {
+        bytes(base + i) = (bytes(base + i) + bytes(base + i - bands)).toByte
+        i += 1
+      }
+      // 2) planes → interleaved samples
+      System.arraycopy(bytes, base, tmp, 0, rowBytes)
+      var k = 0
+      while (k < wc) {
+        var j = 0
+        while (j < bytesPer) {
+          val plane = if (bigEndian) j else bytesPer - 1 - j
+          bytes(base + bytesPer * k + j) = tmp(plane * wc + k)
+          j += 1
+        }
+        k += 1
+      }
+      r += 1
+    }
+  }
+
+  /** Writer side — exact inverse of [[undoPredictor3Float]]. */
+  def applyPredictor3Float(bytes: Array[Byte], rowPx: Int, rows: Int, bands: Int,
+      bytesPer: Int, bigEndian: Boolean): Unit = {
+    val wc = rowPx * bands
+    val rowBytes = wc * bytesPer
+    val tmp = new Array[Byte](rowBytes)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowBytes
+      // 1) interleaved samples → byte planes (MSB plane first)
+      var k = 0
+      while (k < wc) {
+        var j = 0
+        while (j < bytesPer) {
+          val plane = if (bigEndian) j else bytesPer - 1 - j
+          tmp(plane * wc + k) = bytes(base + bytesPer * k + j)
+          j += 1
+        }
+        k += 1
+      }
+      System.arraycopy(tmp, 0, bytes, base, rowBytes)
+      // 2) byte-level differencing, back-to-front
+      var i = rowBytes - 1
+      while (i >= bands) {
+        bytes(base + i) = (bytes(base + i) - bytes(base + i - bands)).toByte
+        i -= 1
+      }
+      r += 1
+    }
+  }
 }

@@ -240,6 +240,31 @@ class RasterSpec extends SparkSuite {
     assert(bytes.toSeq == bb.array().toSeq)
   }
 
+  test("predictor 3: decoder pinned on hand-built bytes; float64 2-band roundtrip") {
+    import graft.zonal.TiffCodec
+    // hand-derived per TechNote 3: row of two LE float32 samples
+    // (1.5f = 0x3FC00000, 2.5f = 0x40200000) → MSB-first byte planes
+    // [3F,40 | C0,20 | 00,00 | 00,00] → stride-1 byte differencing
+    val enc = Array(0x3F, 0x01, 0x80, 0x60, 0xE0, 0x00, 0x00, 0x00).map(_.toByte)
+    TiffCodec.undoPredictor3Float(enc, rowPx = 2, rows = 1, bands = 1,
+      bytesPer = 4, bigEndian = false)
+    val fb = java.nio.ByteBuffer.wrap(enc).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(fb.getFloat(0) == 1.5f && fb.getFloat(4) == 2.5f,
+      s"hand-built decode wrong: ${fb.getFloat(0)}, ${fb.getFloat(4)}")
+    // float64 2-band 2-row roundtrip (negatives, NaN payload bits kept)
+    val vals = Array(1.25, -3.75, 0.0, 1e300, -2.5e-20, 7.0, 42.125, -0.0)
+    val bb = java.nio.ByteBuffer.allocate(vals.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach(bb.putDouble)
+    val bytes = bb.array().clone()
+    TiffCodec.applyPredictor3Float(bytes, rowPx = 2, rows = 2, bands = 2,
+      bytesPer = 8, bigEndian = false)
+    assert(bytes.toSeq != bb.array().toSeq, "fp differencing changed nothing")
+    TiffCodec.undoPredictor3Float(bytes, rowPx = 2, rows = 2, bands = 2,
+      bytesPer = 8, bigEndian = false)
+    assert(bytes.toSeq == bb.array().toSeq)
+  }
+
   test("codec/layout fixtures all scan back to the exact formula") {
     val paths = Seq(
       "deflate" -> Raster.deflateFixturePath(),

@@ -342,6 +342,24 @@ class ZonalSpec extends SparkSuite {
     graft.core.Fs.rmTree(tmp)
   }
 
+  test("readZonesSeq surfaces feature properties as columns") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gjseq").toString
+    val lines = (0 until 3).map { z =>
+      s"""{"type":"Feature","properties":{"zone_id":$z,"name":"z$z","pop":${100 + z}},""" +
+        s""""geometry":{"type":"Polygon","coordinates":[[[0,0],[4,0],[4,4],[0,4],[0,0]]]}}"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/zones.jsonl"),
+      lines.mkString("\n").getBytes("UTF-8"))
+    val zones = graft.zonal.GeoJson.readZonesSeq(spark, s"$tmp/zones.jsonl")
+    assert(zones.columns.toSet == Set("zone_id", "geom", "xmin", "xmax", "ymin", "ymax",
+      "name", "pop"), s"columns: ${zones.columns.mkString(",")}")
+    val rows = zones.orderBy("zone_id").collect()
+    assert(rows.map(r => (r.getInt(0), r.getAs[String]("name"), r.getAs[Long]("pop"))).toSeq
+      == Seq((0, "z0", 100L), (1, "z1", 101L), (2, "z2", 102L)),
+      s"properties wrong: ${rows.mkString(";")}")
+    graft.core.Fs.rmTree(tmp)
+  }
+
   test("exact quantiles survive continuous values: correct + narrow resolve pass") {
     import org.apache.spark.sql.functions._
     // 50k DISTINCT doubles in one zone (the case where the round-6
