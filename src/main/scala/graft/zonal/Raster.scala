@@ -1191,7 +1191,20 @@ object Raster {
       val txt = new String(raw, "UTF-8")
       txt.split("\n").filter(_.nonEmpty).toSeq.map { line =>
         val a = line.split(",", 5)
-        TileStats(a(4), a(0).toInt, a(1).toInt, a(2).toDouble, a(3).toDouble)
+        if (a(0).matches("-?\\d+"))
+          TileStats(a(4), a(0).toInt, a(1).toInt, a(2).toDouble, a(3).toDouble)
+        else {
+          // legacy (pre-r6) field order: path FIRST. Detected by the
+          // first field being non-numeric (round-7 advice — a format
+          // change must not surface as a NumberFormatException); the
+          // trailing 4 fields are the numbers, everything before them
+          // re-joins as the path.
+          val p = line.split(",")
+          require(p.length >= 5, s"$dir/_tile_stats: unparseable line '$line'")
+          val t4 = p.takeRight(4)
+          TileStats(p.dropRight(4).mkString(","),
+            t4(0).toInt, t4(1).toInt, t4(2).toDouble, t4(3).toDouble)
+        }
       }
     } finally in.close()
   }

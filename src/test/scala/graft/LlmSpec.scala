@@ -180,7 +180,7 @@ class LlmSpec extends SparkSuite {
     assert(mean >= 1.0 / 3, "recall below the self-match floor — search is broken")
   }
 
-  test("IVF-PQ search: trained-codebook ADC recall@3 vs exact in-cluster L2 above the floor") {
+  test("IVF-PQ search (residual + nprobe=2 + refine): recall@3 floors") {
     // two recalls, gated separately from what each stage owns:
     //  - ADC recall@3: |exact-L2 top-3 WITHIN the probe's inverted list
     //    ∩ IVF-PQ top-5| / 3 — this is what the trained codebook + ADC
@@ -209,18 +209,29 @@ class LlmSpec extends SparkSuite {
         pqK(p).intersect(baseline(p)).size.toDouble / baseline(p).size)
       rs.sum / rs.size
     }
+    // round 7 (residual codes + nprobe=2 + exact refine): the ADC/refine
+    // baseline is exact L2 within the probe's TWO probed clusters — what
+    // the residual codebook + shortlist-30 refine are responsible for
+    // given the multiprobe candidate set
     val cl = Sim.ivfAssigned(spark, sf)
-    val probes = cl.filter(col("vec_id") < 3)
-      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"), col("c_label"))
-    val adc = meanRecall(top3(cl.join(broadcast(probes), "c_label")
+    val probes = graft.core.Tables.embeddings(spark, sf).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("p_emb"))
+    val probed = probes.crossJoin(broadcast(Sim.ivfCentroids(spark, sf)))
+      .withColumn("crk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("probe_id")
+        .orderBy(round(expr("cosine_sim(p_emb, centroid)"), 6).desc, col("c_label"))))
+      .filter(col("crk") <= 2)
+      .select(col("probe_id"), col("p_emb"), col("c_label"))
+    val adc = meanRecall(top3(cl.join(broadcast(probed), "c_label")
       .select(col("probe_id"), col("vec_id"), l2.as("d"))))
     val emb = graft.core.Tables.embeddings(spark, sf)
-    val e2e = meanRecall(top3(emb.crossJoin(broadcast(probes.drop("c_label")))
+    val e2e = meanRecall(top3(emb.crossJoin(broadcast(probes))
       .select(col("probe_id"), col("vec_id"), l2.as("d"))))
-    info(f"IVF-PQ ADC recall@3 (vs exact in-cluster L2): $adc%.2f; end-to-end (vs full-corpus L2): $e2e%.2f")
+    info(f"IVF-PQ ADC recall@3 (vs exact L2 in the 2 probed lists): $adc%.2f; end-to-end (vs full-corpus L2): $e2e%.2f")
     assert(adc >= 2.0 / 3,
-      f"ADC recall@3 $adc%.2f below the 0.67 floor — trained codebook/ADC path broken")
-    assert(e2e >= 1.0 / 3, "end-to-end recall below the self-match floor — search is broken")
+      f"ADC recall@3 $adc%.2f below the 0.67 floor — residual codebook/ADC path broken")
+    assert(e2e >= 0.6,
+      f"end-to-end recall@3 $e2e%.2f below 0.6 — residual+multiprobe should clear what raw nprobe=1 measured (0.44)")
   }
 
   test("multi-probe IVF: recall@3 dominates single-probe; self still first") {

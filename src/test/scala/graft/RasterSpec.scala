@@ -240,6 +240,19 @@ class RasterSpec extends SparkSuite {
     assert(bytes.toSeq == bb.array().toSeq)
   }
 
+  test("stats manifest reads both field orders (legacy path-first tolerated)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_stats").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/_tile_stats"),
+      ("10,20,1.5,9.5,/data/t,iles/a.tif\n" +  // current order, comma in path
+        "/data/b.tif,30,40,-2.0,7.25\n")        // legacy pre-r6 order
+        .getBytes("UTF-8"))
+    val got = Raster.readStatsManifest(tmp)
+    assert(got == Seq(
+      Raster.TileStats("/data/t,iles/a.tif", 10, 20, 1.5, 9.5),
+      Raster.TileStats("/data/b.tif", 30, 40, -2.0, 7.25)), got.toString)
+    graft.core.Fs.rmTree(tmp)
+  }
+
   test("predictor 3: decoder pinned on hand-built bytes; float64 2-band roundtrip") {
     import graft.zonal.TiffCodec
     // hand-derived per TechNote 3: row of two LE float32 samples
