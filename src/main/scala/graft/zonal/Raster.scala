@@ -39,6 +39,7 @@ object Raster {
       width: Int, height: Int, tileW: Int, tileH: Int,
       bits: Int, sampleFormat: Int, bigEndian: Boolean, bands: Int,
       compression: Int, predictor: Int, striped: Boolean,
+      planar: Boolean, // PlanarConfig 2: one stored block per (plane, tile)
       nodata: Option[Double],
       tileOffsets: Array[Long], tileByteCounts: Array[Long],
       // GeoTIFF georeference (identity when tags absent): model-space
@@ -49,12 +50,16 @@ object Raster {
     def tilesDown: Int = (height + tileH - 1) / tileH
   }
 
-  /** One executor work unit: a tile's byte range + pixel origin. */
+  /** One executor work unit: a tile's byte range + pixel origin.
+    * `planarBand >= 0` marks a PlanarConfig-2 block: the stored bytes
+    * hold ONLY that band's samples (stride 1), not a chunky interleave.
+    */
   final case class TileRef(
       path: String, offset: Long, count: Long, tx0: Int, ty0: Int,
       width: Int, height: Int, tileW: Int, tileH: Int,
       bits: Int, sampleFormat: Int, bigEndian: Boolean, bands: Int,
-      compression: Int = 1, predictor: Int = 1, striped: Boolean = false)
+      compression: Int = 1, predictor: Int = 1, striped: Boolean = false,
+      planarBand: Int = -1)
 
   // ---- IFD parsing (TIFF 6.0 baseline) ----
 
@@ -219,8 +224,14 @@ object Raster {
         s"$path: predictor $predictor unsupported (1=none, 2=horizontal, 3=floating-point)")
       val bands = scalar(TagSamplesPerPixel, default = 1).toInt
       require(bands >= 1, s"$path: SamplesPerPixel $bands invalid")
-      require(bands == 1 || scalar(TagPlanarConfig, default = 1) == 1,
-        s"$path: planar (band-separate) layout unsupported — chunky interleave only")
+      val planarCfg = scalar(TagPlanarConfig, default = 1).toInt
+      require(planarCfg == 1 || planarCfg == 2,
+        s"$path: PlanarConfiguration $planarCfg invalid (1=chunky, 2=planar)")
+      // PlanarConfig 2 (round 7): each band's tiles are stored as separate
+      // blocks — plane 0's full tile sequence first, then plane 1's, …
+      // (TIFF 6.0 §"PlanarConfiguration"). With one band the two layouts
+      // are byte-identical, so normalize to chunky.
+      val planar = bands > 1 && planarCfg == 2
       val tiled = tags.contains(TagTileOffsets)
       val striped = tags.contains(TagStripOffsets)
       require(tiled || striped,
@@ -278,7 +289,9 @@ object Raster {
       require(tw0 > 0 && th0 > 0, s"$path: non-positive block dims ${tw0}x$th0")
       val offTag = if (tiled) TagTileOffsets else TagStripOffsets
       val cntTag = if (tiled) TagTileByteCounts else TagStripByteCounts
-      val expTiles = ((w0 + tw0 - 1) / tw0) * ((h0 + th0 - 1) / th0)
+      // planar files carry one block per (plane, tile)
+      val expTiles = ((w0 + tw0 - 1) / tw0) * ((h0 + th0 - 1) / th0) *
+        (if (planar) bands else 1)
       require(values(offTag).length == expTiles
           && values(cntTag).length == expTiles,
         s"$path: block manifest has ${values(offTag).length} offsets / " +
@@ -288,6 +301,7 @@ object Raster {
         tileW = tw0, tileH = th0,
         bits = bits, sampleFormat = fmt, bigEndian = bigEndian, bands = bands,
         compression = comp, predictor = predictor, striped = striped,
+        planar = planar,
         nodata = nodata,
         tileOffsets = values(offTag),
         tileByteCounts = values(cntTag),
@@ -309,7 +323,10 @@ object Raster {
     val wIn = math.min(t.tileW, t.width - t.tx0) // valid columns in this tile
     val hIn = math.min(t.tileH, t.height - t.ty0)
     val storedRows = if (t.striped) hIn else t.tileH
-    val storedLen = storedRows * t.tileW * t.bands * bytesPer
+    // a PlanarConfig-2 block stores ONE band's samples (stride 1); the
+    // predictor therefore also differences at stride 1 within the plane
+    val spp = if (t.planarBand >= 0) 1 else t.bands
+    val storedLen = storedRows * t.tileW * spp * bytesPer
     val bytes = t.compression match {
       case 1 =>
         require(raw.length >= storedLen,
@@ -320,24 +337,24 @@ object Raster {
       case c => throw new IllegalStateException(s"unreachable: compression $c gated in readMeta")
     }
     if (t.predictor == 2)
-      TiffCodec.undoPredictor2Int32(bytes, t.tileW, storedRows, t.bands, t.bigEndian)
+      TiffCodec.undoPredictor2Int32(bytes, t.tileW, storedRows, spp, t.bigEndian)
     if (t.predictor == 3)
-      TiffCodec.undoPredictor3Float(bytes, t.tileW, storedRows, t.bands, bytesPer, t.bigEndian)
+      TiffCodec.undoPredictor3Float(bytes, t.tileW, storedRows, spp, bytesPer, t.bigEndian)
     val buf = java.nio.ByteBuffer.wrap(bytes).order(
       if (t.bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
     for {
       r <- Iterator.range(0, hIn)
       c <- Iterator.range(0, wIn)
-      b <- Iterator.range(0, t.bands)
+      b <- Iterator.range(0, spp)
     } yield {
-      val pos = ((r * t.tileW + c) * t.bands + b) * bytesPer
+      val pos = ((r * t.tileW + c) * spp + b) * bytesPer
       val v = (t.bits, t.sampleFormat) match {
         case (64, 3) => buf.getDouble(pos)
         case (32, 3) => buf.getFloat(pos).toDouble
         case (32, _) => buf.getInt(pos).toDouble
         case _ => throw new IllegalStateException("unreachable: type gated in readMeta")
       }
-      (t.tx0 + c, t.ty0 + r, b, v)
+      (t.tx0 + c, t.ty0 + r, if (t.planarBand >= 0) t.planarBand else b, v)
     }
   }
 
@@ -347,16 +364,25 @@ object Raster {
     decodeTileBands(bytes, t).map { case (x, y, _, v) => (x, y, v) }
   }
 
-  /** The file's tile manifest (driver-side arithmetic only). */
-  private[graft] def tileRefs(m: TiffMeta, path: String): Seq[TileRef] =
-    (0 until m.tilesAcross * m.tilesDown).map { i =>
-      TileRef(path, m.tileOffsets(i), m.tileByteCounts(i),
-        tx0 = (i % m.tilesAcross) * m.tileW, ty0 = (i / m.tilesAcross) * m.tileH,
-        width = m.width, height = m.height, tileW = m.tileW, tileH = m.tileH,
-        bits = m.bits, sampleFormat = m.sampleFormat, bigEndian = m.bigEndian,
-        bands = m.bands, compression = m.compression, predictor = m.predictor,
-        striped = m.striped)
-    }
+  /** The file's tile manifest (driver-side arithmetic only). Planar
+    * files yield bands × tiles refs — block `p·nTiles + i` is plane p's
+    * copy of tile i (TIFF 6.0 plane-major block order); each ref decodes
+    * independently, so a planar scan parallelizes across (plane, tile)
+    * with no added reads.
+    */
+  private[graft] def tileRefs(m: TiffMeta, path: String): Seq[TileRef] = {
+    val nTiles = m.tilesAcross * m.tilesDown
+    val planes = if (m.planar) m.bands else 1
+    for {
+      p <- 0 until planes
+      i <- 0 until nTiles
+    } yield TileRef(path, m.tileOffsets(p * nTiles + i), m.tileByteCounts(p * nTiles + i),
+      tx0 = (i % m.tilesAcross) * m.tileW, ty0 = (i / m.tilesAcross) * m.tileH,
+      width = m.width, height = m.height, tileW = m.tileW, tileH = m.tileH,
+      bits = m.bits, sampleFormat = m.sampleFormat, bigEndian = m.bigEndian,
+      bands = m.bands, compression = m.compression, predictor = m.predictor,
+      striped = m.striped, planarBand = if (m.planar) p else -1)
+  }
 
   /** Manifest subset whose tiles overlap the pixel window — the raster
     * analogue of parquet partition pruning: non-overlapping tiles are
@@ -688,7 +714,8 @@ object Raster {
       rowsPerStrip: Int = 16,
       bigTiff: Boolean = false,
       nodata: Option[Double] = None,
-      bands: Int = 1)           // chunky (pixel-interleaved, PlanarConfig 1)
+      bands: Int = 1,           // chunky (pixel-interleaved) unless planar
+      planar: Boolean = false)  // PlanarConfig 2: band-separate blocks
 
   /** Generalized single-band writer behind [[WriteOpts]]. */
   def writeTiffOpts(path: String, width: Int, height: Int, tileW: Int, tileH: Int,
@@ -713,17 +740,23 @@ object Raster {
       "predictor 2 requires int32 samples; predictor 3 requires float samples")
     require(Set(1, 5, 8)(o.compression), s"compression ${o.compression} unsupported")
     require(o.bands >= 1, s"bands ${o.bands} invalid")
+    require(!o.planar || o.bands > 1, "planar layout is only meaningful with >1 band")
     val bytesPer = o.bits / 8
     val (bw, bh) = if (o.striped) (width, o.rowsPerStrip) else (tileW, tileH)
     val ta = (width + bw - 1) / bw
     val td = (height + bh - 1) / bh
-    val nBlocks = ta * td
+    val nTiles = ta * td
+    // planar: one block per (plane, tile), plane-major; chunky: one per tile
+    val nBlocks = if (o.planar) nTiles * o.bands else nTiles
+    val spp = if (o.planar) 1 else o.bands // samples per pixel WITHIN a block
 
-    val blocks: Array[Array[Byte]] = Array.tabulate(nBlocks) { i =>
+    val blocks: Array[Array[Byte]] = Array.tabulate(nBlocks) { k =>
+      val plane = if (o.planar) k / nTiles else -1
+      val i = if (o.planar) k % nTiles else k
       val tx0 = (i % ta) * bw
       val ty0 = (i / ta) * bh
       val rows = if (o.striped) math.min(bh, height - ty0) else bh
-      val b = java.nio.ByteBuffer.allocate(rows * bw * o.bands * bytesPer)
+      val b = java.nio.ByteBuffer.allocate(rows * bw * spp * bytesPer)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
       var r = 0
       while (r < rows) {
@@ -731,8 +764,9 @@ object Raster {
         while (c < bw) {
           val x = tx0 + c; val y = ty0 + r
           var bd = 0
-          while (bd < o.bands) {
-            val v = if (x < width && y < height) f(x, y, bd) else 0.0
+          while (bd < spp) {
+            val band = if (o.planar) plane else bd
+            val v = if (x < width && y < height) f(x, y, band) else 0.0
             if (o.bits == 64) b.putDouble(v) else b.putInt(v.toInt)
             bd += 1
           }
@@ -742,9 +776,9 @@ object Raster {
       }
       val arr = b.array()
       if (o.predictor == 2)
-        TiffCodec.applyPredictor2Int32(arr, bw, rows, bands = o.bands, bigEndian = false)
+        TiffCodec.applyPredictor2Int32(arr, bw, rows, bands = spp, bigEndian = false)
       if (o.predictor == 3)
-        TiffCodec.applyPredictor3Float(arr, bw, rows, bands = o.bands,
+        TiffCodec.applyPredictor3Float(arr, bw, rows, bands = spp,
           bytesPer = bytesPer, bigEndian = false)
       o.compression match {
         case 1 => arr
@@ -767,7 +801,7 @@ object Raster {
       entsB += ((TagRowsPerStrip, 4, longs(bh)))
       entsB += ((TagStripByteCounts, 4, blockSizes.map(_.toLong)))
     }
-    entsB += ((TagPlanarConfig, 3, longs(1)))
+    entsB += ((TagPlanarConfig, 3, longs(if (o.planar) 2 else 1)))
     if (o.predictor != 1) entsB += ((TagPredictor, 3, longs(o.predictor)))
     if (!o.striped) {
       entsB += ((TagTileW, 4, longs(bw)))
@@ -1159,6 +1193,17 @@ object Raster {
         WriteOpts(compression = 8, bands = MbBands))(mbValue)
     }
 
+  /** 2-band PlanarConfig-2 fixture (round 7): same mbValue formula in the
+    * band-SEPARATE layout, Deflate-compressed with the float predictor —
+    * the stacked-band combination GDAL emits with `INTERLEAVE=BAND`.
+    */
+  def planarFixturePath(): String =
+    fixtureOnce(s"raster_planar_${MbW}x${MbH}x$MbBands.tif") { p =>
+      writeTiffBandsOpts(p, MbW, MbH, 32, 32,
+        WriteOpts(compression = 8, predictor = 3, bands = MbBands,
+          planar = true))(mbValue)
+    }
+
   // ---- per-tile stats sidecar: the parquet-footer pattern for rasters.
   // The WRITER records each tile file's value min/max in a tiny manifest;
   // a value-predicate scan prunes tiles whose [min,max] cannot match
@@ -1329,6 +1374,20 @@ object Raster {
          |FROM range(0, $MbW) x CROSS JOIN range(0, $MbH) y CROSS JOIN range(0, $MbBands) b
          |ORDER BY cell_x, cell_y, band""".stripMargin) { (s, _) =>
       scanTiffBands(s, mbFixturePath())
+        .select(col("cell_x"), col("cell_y"), col("band"), col("value"))
+        .orderBy("cell_x", "cell_y", "band")
+    },
+
+    // PlanarConfig-2 (band-separate) layout, Deflate + float predictor —
+    // the `INTERLEAVE=BAND` stack GDAL writes; one work unit per
+    // (plane, tile), so the scan parallelism is bands× the chunky file's
+    // at identical total bytes.
+    "scan_raster_planar" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y, b.range AS band,
+         |  CAST((31 * x.range + 17 * y.range + 7 * b.range) % 997 AS DOUBLE) AS value
+         |FROM range(0, $MbW) x CROSS JOIN range(0, $MbH) y CROSS JOIN range(0, $MbBands) b
+         |ORDER BY cell_x, cell_y, band""".stripMargin) { (s, _) =>
+      scanTiffBands(s, planarFixturePath())
         .select(col("cell_x"), col("cell_y"), col("band"), col("value"))
         .orderBy("cell_x", "cell_y", "band")
     },

@@ -154,6 +154,32 @@ class RasterSpec extends SparkSuite {
     assert(e.getMessage.contains("bands"))
   }
 
+  test("planar config 2: band-separate blocks decode identically to chunky; plane-major manifest") {
+    // hand-built PLANE block: 2×1 px, plane 1 of a 2-band image — stride-1
+    // samples of that band only (contrast with the chunky test above)
+    val t = Raster.TileRef("mem", 0, 16, 0, 0, 2, 1, 2, 1, 64, 3, bigEndian = false,
+      bands = 2, planarBand = 1)
+    val buf = java.nio.ByteBuffer.allocate(2 * 1 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(2.0, 4.0).foreach(buf.putDouble)
+    assert(Raster.decodeTileBands(buf.array(), t).toSet ==
+      Set((0, 0, 1, 2.0), (1, 0, 1, 4.0)))
+    // the planar fixture (Deflate + float predictor, INTERLEAVE=BAND)
+    // reads back cell-for-cell equal to the chunky fixture
+    val m = Raster.readMeta(Raster.planarFixturePath())
+    assert(m.planar && m.bands == Raster.MbBands)
+    val nTiles = m.tilesAcross * m.tilesDown
+    assert(m.tileOffsets.length == nTiles * Raster.MbBands) // plane-major
+    val refs = Raster.tileRefs(m, Raster.planarFixturePath())
+    assert(refs.length == nTiles * Raster.MbBands &&
+      refs.map(_.planarBand).distinct.sorted == Seq(0, 1))
+    val planar = Raster.scanTiffBands(spark, Raster.planarFixturePath()).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    val chunky = Raster.scanTiffBands(spark, Raster.mbFixturePath()).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(planar == chunky)
+  }
+
   test("overview chain: level 0 equals the flat file, level 1 is stride-2, level 2 is absent") {
     val p = Raster.ovFixturePath()
     // level 0 of the chained file scans identically to the flat fixture
