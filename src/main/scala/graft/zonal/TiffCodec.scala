@@ -58,6 +58,26 @@ object TiffCodec {
     } finally inf.end()
   }
 
+  // ---- ZSTD (Compression=50000, the GDAL registration — what
+  // `gdal_translate -co COMPRESS=ZSTD` writes; round 7). zstd-jni ships
+  // on every Spark classpath (Spark's own shuffle/parquet codecs), so
+  // this costs no new dependency. Same exact-length contract as
+  // [[inflate]]: short or long streams are corrupt tiles, loudly. ----
+
+  def zstdCompress(data: Array[Byte]): Array[Byte] =
+    com.github.luben.zstd.Zstd.compress(data, 3)
+
+  def zstdDecompress(data: Array[Byte], expectedLen: Int): Array[Byte] = {
+    val known = com.github.luben.zstd.Zstd.getFrameContentSize(data)
+    require(known < 0 || known == expectedLen.toLong,
+      s"zstd tile frame declares $known bytes, expected $expectedLen (corrupt)")
+    val out = new Array[Byte](expectedLen)
+    val n = com.github.luben.zstd.Zstd.decompress(out, data)
+    require(!com.github.luben.zstd.Zstd.isError(n) && n == expectedLen.toLong,
+      s"zstd tile decoded $n of expected $expectedLen bytes (truncated/corrupt)")
+    out
+  }
+
   // ---- TIFF LZW (Compression=5) ----
 
   private final val Clear = 256

@@ -320,10 +320,18 @@ object Zonal {
     */
   def exactQuantilesByBucket(cells: DataFrame,
       qs: Seq[(Double, String)], nb: Int = 256): DataFrame = {
-    val zstats = cells.groupBy("zone_id").agg(
+    // The three linear passes (zstats, histogram, resolve) each re-read
+    // `cells`, whose lineage is typically the full rasterize join —
+    // materialize the 16-byte (zone_id, value) projection ONCE instead of
+    // recomputing that join per pass. MEMORY_AND_DISK spills past
+    // executor memory, so the trade holds at any scale: one wide join +
+    // three scans of a narrow columnar cache, never three wide joins.
+    val slim = cells.select(col("zone_id"), col("value"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val zstats = slim.groupBy("zone_id").agg(
       min(col("value")).as("zmin"), max(col("value")).as("zmax"),
       count(lit(1)).as("n"))
-    val bucketed = withBuckets(cells, zstats, nb)
+    val bucketed = withBuckets(slim, zstats, nb)
     val wB = org.apache.spark.sql.expressions.Window
       .partitionBy("zone_id").orderBy("bucket")
     val hist = bucketed.groupBy(col("zone_id"), col("bucket"))

@@ -253,6 +253,24 @@ class RasterSpec extends SparkSuite {
     intercept[IllegalArgumentException](TiffCodec.inflate(z.take(z.length / 2), data.length))
   }
 
+  test("zstd: exact-length contract, roundtrip, truncation and wrong length fail loudly") {
+    import graft.zonal.TiffCodec
+    val data = Array.tabulate(65536)(i => ((i * 31 + i / 7) & 0xff).toByte)
+    val z = TiffCodec.zstdCompress(data)
+    assert(z.length < data.length)
+    assert(TiffCodec.zstdDecompress(z, data.length).toSeq == data.toSeq)
+    // the zstd frame header declares its content size — a mismatched
+    // expectation fails BEFORE any decode work
+    intercept[IllegalArgumentException](TiffCodec.zstdDecompress(z, data.length - 1))
+    intercept[Exception](TiffCodec.zstdDecompress(z.take(z.length / 2), data.length))
+    // end-to-end: the ZSTD+predictor-3 fixture scans back to the formula
+    val rows = Raster.scanTiff(spark, Raster.zstdFixturePath()).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(rows.size == Raster.FixW * Raster.FixH)
+    assert(rows((89, 69)) == Raster.floatFixtureValue(89, 69))
+    assert(rows((3, 4)) == Raster.floatFixtureValue(3, 4))
+  }
+
   test("predictor 2: apply/undo roundtrip with negatives and 2 bands") {
     import graft.zonal.TiffCodec
     val vals = Array(7, -5, 123456, 0, -1, 42, Int.MinValue + 3, 9)
