@@ -285,6 +285,100 @@ object Text {
         .orderBy("split")
     },
 
+    // stratified split (round 7): EXACT per-stratum proportions — docs
+    // are ranked inside each (lang, source) stratum by the
+    // engine-portable poly_hash (deterministic pseudo-random order,
+    // stable across reprocessing runs like split_hash) and the first
+    // ⌈0.8·n⌉ / next ⌈0.9·n⌉ ranks take train/val. Unlike the plain
+    // hash-bucket split, every stratum lands within 1 doc of its target
+    // ratio — the standard remedy when a small language would otherwise
+    // draw a lopsided split by binomial luck. Thresholds use integral
+    // ceil ((8n+9) DIV 10) so no float boundary exists on either
+    // engine. One window per stratum (each stratum hash-partitions
+    // independently) + one hash agg — scale is bounded by the largest
+    // stratum, not the corpus.
+    "split_stratified" -> Q(
+      s"""SELECT lang, source, split, count(*) AS n_docs,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM (
+         |  SELECT lang, source,  doc_id,
+         |    CASE WHEN rk <= (ns * 8 + 9) // 10 THEN 'train'
+         |         WHEN rk <= (ns * 9 + 9) // 10 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id, lang, source,
+         |      row_number() OVER (PARTITION BY lang, source
+         |        ORDER BY ph, doc_id) AS rk,
+         |      count(*) OVER (PARTITION BY lang, source) AS ns
+         |    FROM (SELECT doc_id, lang, source, ${graft.llm.Dedup.polyHashSql("ds")} AS ph
+         |          FROM (SELECT *, CAST(doc_id AS VARCHAR) AS ds FROM documents))))
+         |GROUP BY lang, source, split
+         |ORDER BY lang, source, split""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val byStratum = Window.partitionBy("lang", "source")
+      Tables.documents(s, d)
+        .withColumn("rk", row_number().over(byStratum
+          .orderBy(expr("poly_hash(cast(doc_id AS string))"), col("doc_id"))))
+        .withColumn("ns", count(lit(1)).over(byStratum))
+        .withColumn("split",
+          when(col("rk") <= expr("(ns * 8 + 9) div 10"), "train")
+            .when(col("rk") <= expr("(ns * 9 + 9) div 10"), "val")
+            .otherwise("test"))
+        .groupBy("lang", "source", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang", "source", "split")
+    },
+
+    // benchmark decontamination (round 7): the training-data hygiene
+    // pass every published pipeline runs — flag corpus documents whose
+    // 5-grams appear in a held-out benchmark set (here: source='src0'
+    // stands in for the benchmark corpus). Candidates come from an
+    // equi-join on the gram key against the DISTINCT benchmark gram set
+    // (broadcast: benchmark suites are small by construction), never a
+    // doc×doc comparison; per-doc contamination fraction rounds to 6
+    // (the transcendental rule).
+    "text_contamination" -> Q(
+      """WITH cg AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+        |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t
+        |          FROM documents WHERE source <> 'src0')
+        |    WHERE len(t) >= 5)),
+        |bg AS (
+        |  SELECT DISTINCT gram FROM (
+        |    SELECT unnest(list_transform(generate_series(1, len(t) - 4),
+        |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])) AS gram
+        |    FROM (SELECT string_split(lower(text), ' ') AS t
+        |          FROM documents WHERE source = 'src0')
+        |    WHERE len(t) >= 5))
+        |SELECT cg.doc_id, count(*) AS n_grams,
+        |  count(bg.gram) AS n_contam,
+        |  round(CAST(count(bg.gram) AS DOUBLE) / count(*), 6) AS contam_frac
+        |FROM cg LEFT JOIN bg ON cg.gram = bg.gram
+        |GROUP BY cg.doc_id ORDER BY cg.doc_id""".stripMargin) { (s, d) =>
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("t", split(lower(col("text")), " "))
+        .filter(size(col("t")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(t) - 4), i -> concat_ws(' ',
+            |  element_at(t, i), element_at(t, i + 1), element_at(t, i + 2),
+            |  element_at(t, i + 3), element_at(t, i + 4)))""".stripMargin)).as("gram"))
+        .distinct()
+      val docs = Tables.documents(s, d)
+      val corpus = grams(docs.filter(col("source") =!= "src0"))
+      val bench = grams(docs.filter(col("source") === "src0"))
+        .select("gram").distinct().withColumn("hit", lit(1))
+      corpus.join(broadcast(bench), Seq("gram"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          count(col("hit")).as("n_contam"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6).as("contam_frac"))
+        .orderBy("doc_id")
+    },
+
     "text_fingerprint" -> Q(
       """SELECT doc_id,
         |  md5(text) AS content_fp,

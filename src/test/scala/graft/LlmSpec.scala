@@ -335,6 +335,21 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("split_stratified: every stratum within 1 doc of the 80/10/10 target") {
+    val res = graft.SparkEntry.queries("split_stratified")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3)).toMap
+    val strata = res.keys.map { case (l, s, _) => (l, s) }.toSet
+    assert(strata.nonEmpty)
+    strata.foreach { case (l, s) =>
+      val n = Seq("train", "val", "test").map(sp => res.getOrElse((l, s, sp), 0L)).sum
+      val train = res.getOrElse((l, s, "train"), 0L)
+      val vali = res.getOrElse((l, s, "val"), 0L)
+      // integral-ceil thresholds: train = ⌈0.8n⌉ exactly, val = ⌈0.9n⌉−⌈0.8n⌉
+      assert(train == (n * 8 + 9) / 10, s"stratum ($l,$s): train $train of $n")
+      assert(vali == (n * 9 + 9) / 10 - (n * 8 + 9) / 10)
+    }
+  }
+
   test("tfidf: a term appearing in every doc scores 0") {
     val tfidf = q("text_tfidf")
     val nDocs = graft.core.Tables.documents(spark, sf).count()
