@@ -34,4 +34,20 @@ object Streaming {
   def dedupWithinWatermark(ev: DataFrame): DataFrame =
     ev.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+
+  /** Streaming zonal stats (round 7): events → lattice cells → static
+    * broadcast zone-envelope range join → tumbling per-zone agg. The
+    * stream-static join carries no state; only the windowed agg does.
+    */
+  def zonalStats(ev: DataFrame, zones: DataFrame): DataFrame =
+    ev.withWatermark("ts", "10 minutes")
+      .withColumn("cell_x", col("user_id") % 64)
+      .withColumn("cell_y", col("event_id") % 64)
+      .join(broadcast(zones),
+        col("cell_x").between(col("xmin"), col("xmax")) &&
+        col("cell_y").between(col("ymin"), col("ymax")))
+      .groupBy(window(col("ts"), "5 minutes"), col("zone_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+      .select(col("window.start").as("win_start"), col("zone_id"),
+        col("n"), col("sum_v"))
 }

@@ -173,6 +173,37 @@ object Streams {
       }.orderBy("click_id", "purchase_id")
     },
 
+    // streaming ZONAL stats (round 7) — the engine's two halves in one
+    // plan: each event maps to a lattice cell (same modulo derivation
+    // family as the cube), the tiny zone-envelope table broadcasts
+    // against every micro-batch (a stream ⋈ static range join — no
+    // stream state beyond the windowed agg), and the tumbling window
+    // keys the per-zone aggregate. At 100 TB of events this is one
+    // broadcast join + one windowed hash agg per micro-batch.
+    "stream_zonal_stats" -> Q(
+      s"""WITH zones AS (
+         |${graft.zonal.Cube.ZonesSql}
+         |)
+         |SELECT $winStartSql AS win_start, zone_id,
+         |  count(*) AS n, ${dsumSql("value")} AS sum_v
+         |FROM events JOIN zones
+         |  ON user_id % 64 BETWEEN xmin AND xmax
+         | AND event_id % 64 BETWEEN ymin AND ymax
+         |GROUP BY win_start, zone_id
+         |ORDER BY win_start, zone_id""".stripMargin) { (s, d) =>
+      val z = graft.zonal.Cube.zones(s, d)
+      Tables.events(s, d)
+        .withColumn("cell_x", col("user_id") % 64)
+        .withColumn("cell_y", col("event_id") % 64)
+        .join(broadcast(z),
+          col("cell_x").between(col("xmin"), col("xmax")) &&
+          col("cell_y").between(col("ymin"), col("ymax")))
+        .groupBy(window(col("ts"), "5 minutes"), col("zone_id"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_v"))
+        .select(col("window.start").as("win_start"), col("zone_id"), col("n"), col("sum_v"))
+        .orderBy("win_start", "zone_id")
+    },
+
     "stream_static_join" -> Q(
       """SELECT event_id, user_id, c_name, c_mktsegment, event_type FROM events
         |JOIN customer ON user_id = c_custkey

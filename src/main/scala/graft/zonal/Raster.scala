@@ -1577,6 +1577,23 @@ object Raster {
         .orderBy("cell_x", "cell_y")
     },
 
+    // average-kernel 2× downsample (GDAL `-r average`, the resample most
+    // analysis pyramids use — contrast with the write-path pyramid's
+    // nearest-neighbor): one hash agg keyed by the coarse cell, partial
+    // aggregation makes it map-side at any raster size. 90×70 has even
+    // dims, so every coarse cell averages a full 2×2 block — sums of
+    // ints / 4 are exact in float64 on both engines.
+    "raster_resample_avg" -> Q(
+      s"""SELECT cell_x // 2 AS rx, cell_y // 2 AS ry, count(*) AS n,
+         |  avg(value) AS avg_v
+         |FROM ($FixtureCellsSql)
+         |GROUP BY rx, ry ORDER BY rx, ry""".stripMargin) { (s, _) =>
+      scanTiff(s, fixturePath())
+        .groupBy(expr("cell_x div 2").as("rx"), expr("cell_y div 2").as("ry"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
+        .orderBy("rx", "ry")
+    },
+
     // ZSTD tiles (GDAL compression code 50000) behind the float
     // predictor — zstd-jni rides the existing Spark classpath, and at
     // 100 TB zstd's ~3-5× faster decode than Deflate is the difference

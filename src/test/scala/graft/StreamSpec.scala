@@ -33,6 +33,22 @@ class StreamSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming zonal stats equals the batch plan on the same rows") {
+    implicit val sq = spark.sqlContext
+    val rows = graft.core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .as[E].collect().toSeq
+    val ms = MemoryStream[E]
+    ms.addData(rows)
+    val q = Streaming.zonalStats(ms.toDF(), graft.zonal.Cube.zones(spark, sf))
+      .writeStream.format("memory").queryName("zonal_out")
+      .outputMode("complete").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("zonal_out")
+    val batch = SparkEntry.queries("stream_zonal_stats")(spark, sf)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("watermark drops a row later than (max event time - delay)") {
     implicit val sq = spark.sqlContext
     val ms = MemoryStream[E]
