@@ -285,6 +285,28 @@ object Text {
         .orderBy("split")
     },
 
+    // BPE-style regex token counting (round 7) — the GPT-2 tokenizer's
+    // pre-tokenization shape reduced to an engine-portable character
+    // class split: letter runs, digit runs, and single
+    // non-letter-digit-space marks each count as one pre-token (real
+    // BPE then only SPLITS pre-tokens, so this is the standard cheap
+    // upper-anchor next to the chars/4 estimate in text_stats). Pure
+    // regexp_extract_all on both engines; map-side only.
+    "text_token_regex" -> Q(
+      """SELECT doc_id,
+        |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_pretokens,
+        |  len(regexp_extract_all(lower(text), '[a-z]+')) AS n_word_runs,
+        |  len(regexp_extract_all(lower(text), '[0-9]+')) AS n_digit_runs
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+            .as("n_pretokens"),
+          size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("n_word_runs"),
+          size(expr("regexp_extract_all(lower(text), '[0-9]+', 0)")).as("n_digit_runs"))
+        .orderBy("doc_id")
+    },
+
     // stratified split (round 7): EXACT per-stratum proportions — docs
     // are ranked inside each (lang, source) stratum by the
     // engine-portable poly_hash (deterministic pseudo-random order,

@@ -1577,6 +1577,44 @@ object Raster {
         .orderBy("cell_x", "cell_y")
     },
 
+    // proximity raster (gdal_proximity): per-cell distance to the
+    // nearest TARGET cell. Targets are definitionally sparse (a mask:
+    // roads, water, fire pixels), so they are the broadcast side —
+    // cells × broadcast(targets) min-distance is one map-side pass with
+    // no shuffle of the raster; the in-plan raise_error guard refuses a
+    // dense target mask (where a distance transform, not a proximity
+    // query, is the right tool) instead of letting the cross product
+    // explode. Distance is exact squared-euclidean in integer lattice
+    // units (no sqrt → no float hazard).
+    "raster_proximity" -> Q(
+      s"""WITH cells AS ($FixtureCellsSql),
+         |t AS (SELECT cell_x AS tx, cell_y AS ty FROM cells WHERE value = 0)
+         |SELECT c.cell_x, c.cell_y,
+         |  min((c.cell_x - t.tx) * (c.cell_x - t.tx)
+         |    + (c.cell_y - t.ty) * (c.cell_y - t.ty)) AS d2
+         |FROM cells c CROSS JOIN t
+         |GROUP BY c.cell_x, c.cell_y
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val cells = scanTiff(s, fixturePath())
+      val targets = cells.filter(col("value") === 0)
+        .select(col("cell_x").as("tx"), col("cell_y").as("ty"))
+      val maxTargets = 100000
+      val guarded = targets
+        .join(broadcast(targets.select(count(lit(1)).as("n_t"))))
+        .select(col("tx"), col("ty"),
+          when(col("n_t") > maxTargets,
+            raise_error(concat(lit("raster_proximity: "), col("n_t"),
+              lit(s" target cells exceed the broadcast cap $maxTargets — " +
+                "dense masks need a distance transform, not a proximity query"))))
+            .otherwise(lit(null)).as("guard"))
+        .select("tx", "ty")
+      cells.crossJoin(broadcast(guarded))
+        .groupBy(col("cell_x"), col("cell_y"))
+        .agg(min((col("cell_x") - col("tx")) * (col("cell_x") - col("tx"))
+          + (col("cell_y") - col("ty")) * (col("cell_y") - col("ty"))).as("d2"))
+        .orderBy("cell_x", "cell_y")
+    },
+
     // average-kernel 2× downsample (GDAL `-r average`, the resample most
     // analysis pyramids use — contrast with the write-path pyramid's
     // nearest-neighbor): one hash agg keyed by the coarse cell, partial
