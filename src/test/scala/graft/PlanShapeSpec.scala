@@ -380,4 +380,37 @@ class PlanShapeSpec extends SparkSuite {
     assert(pp.contains("windowspecdefinition(shard"),
       s"doc-level prefix sum not sharded:\n${pp.take(2000)}")
   }
+
+  test("round-7 ops: contamination and proximity broadcast their sparse side; stream zonal broadcasts zones") {
+    // decontamination: the benchmark gram set is the broadcast side of
+    // an EQUI join — corpus grams never shuffle against it
+    val cont = q("text_contamination")
+    cont.collect()
+    val cp = cont.queryExecution.executedPlan.toString
+    assert(cp.contains("BroadcastHashJoin"), "benchmark grams not broadcast")
+    assert(!cp.contains("SortMergeJoin"),
+      s"contamination join fell back to sort-merge:\n${cp.take(1500)}")
+    // proximity: the sparse target mask broadcasts; the raster side must
+    // not shuffle for the join (nested-loop against broadcast is the
+    // declared shape for a min-over-targets scan)
+    val prox = q("raster_proximity")
+    prox.collect()
+    val xp = prox.queryExecution.executedPlan.toString
+    assert(xp.contains("BroadcastNestedLoopJoin") && !xp.contains("CartesianProduct"),
+      s"proximity targets not broadcast:\n${xp.take(1500)}")
+    // streaming zonal: the zone-envelope range join broadcasts zones
+    val sz = q("stream_zonal_stats")
+    sz.collect()
+    val zp = sz.queryExecution.executedPlan.toString
+    assert(zp.contains("Broadcast") && !zp.contains("SortMergeJoin") &&
+      !zp.contains("CartesianProduct"),
+      s"stream zonal envelope join not broadcast:\n${zp.take(1500)}")
+    // stratified split: one window per stratum, no join anywhere
+    val split = q("split_stratified")
+    split.collect()
+    val sp2 = split.queryExecution.executedPlan.toString
+    assert(sp2.contains("windowspecdefinition(lang"),
+      s"split window not stratum-partitioned:\n${sp2.take(1500)}")
+    assert(!sp2.contains("Join"), "stratified split should not join")
+  }
 }
