@@ -178,6 +178,15 @@ class RasterSpec extends SparkSuite {
     val chunky = Raster.scanTiffBands(spark, Raster.mbFixturePath()).collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
     assert(planar == chunky)
+    // STRIPED planar (plane-major strip order, row-clipped edge strips)
+    // decodes identically too — the strip and plane axes compose
+    val sp = s"${System.getProperty("java.io.tmpdir")}/graft_io/raster_planar_striped.tif"
+    Raster.writeTiffBandsOpts(sp, Raster.MbW, Raster.MbH, 32, 32,
+      Raster.WriteOpts(striped = true, rowsPerStrip = 16, bands = Raster.MbBands,
+        planar = true))(Raster.mbValue)
+    val striped = Raster.scanTiffBands(spark, sp).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(striped == chunky)
   }
 
   test("overview chain: level 0 equals the flat file, level 1 is stride-2, level 2 is absent") {
