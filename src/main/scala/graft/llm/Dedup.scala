@@ -317,7 +317,16 @@ object Dedup {
       if (ckptDir.isDefined) df.checkpoint(true) else df.localCheckpoint(false)
     graft.core.SessionConf.scoped(session, partsKey -> loopParts) {
       val e = pin(edges.select(col("x"), col("y")))
-      var labels = pin(nodes.select(col("node"), col("node").as("comp")))
+      // seed with the neighbor minimum (edges carry both directions, so
+      // min over y per x IS min over the adjacency): one free propagate
+      // before the loop. Near-dup clusters are mostly diameter ≤ 2, so
+      // this converts their first real round into the confirmation
+      // round — one fewer fixpoint round at one cheap agg+join.
+      val nbrMin = e.groupBy(col("x").as("node")).agg(min(col("y")).as("nb"))
+      var labels = pin(nodes.select(col("node"), col("node").as("comp"))
+        .join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nb"), col("comp"))).as("comp")))
       def sig(df: DataFrame): java.math.BigDecimal =
         df.agg(sum(col("comp").cast(DecimalType(38, 0)))).head.getDecimal(0)
       var prevSig = sig(labels)

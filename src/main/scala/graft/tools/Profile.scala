@@ -1,0 +1,39 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Scratch profiling main (not part of the driver contract): splits
+  * dedup_cluster's cost into edge construction vs CC fixpoint.
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.ext.Ext.register(spark)
+    def time[A](tag: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] $tag: ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
+    }
+    // warm session on a trivial action
+    time("warmup")(Tables.embeddings(spark, d).count())
+    val pairs = graft.llm.Sim.nearPairs(spark, d, 0.3)
+      .select(col("id1").as("x"), col("id2").as("y"))
+    val edges = pairs.union(pairs.select(col("y").as("x"), col("x").as("y")))
+    time("edges.count")(println("  n_edges=" + edges.count()))
+    val emb = Tables.embeddings(spark, d)
+    val labels = time("cc total")(
+      graft.llm.Dedup.connectedComponents(emb.select(col("vec_id").as("node")), edges))
+    time("final agg")(println("  n_comp=" + labels.select("comp").distinct().count()))
+    time("full query")(
+      graft.SparkEntry.queries("dedup_cluster")(spark, d).count())
+    spark.stop()
+  }
+}
