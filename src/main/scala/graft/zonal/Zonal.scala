@@ -378,6 +378,16 @@ object Zonal {
             floor((col("value").cast("double") - col("zmin").cast("double")) * nb
               / (col("zmax").cast("double") - col("zmin").cast("double"))).cast("int"))))
 
+  /** Morton (Z-order) interleave of the 6-bit lattice coordinates as an
+    * engine-portable arithmetic string; `idiv` is `//` (DuckDB) or `div`
+    * (Spark). z = Σ_b ((x>>b)&1)·4^b + 2·((y>>b)&1)·4^b ∈ [0, 4096).
+    */
+  private def zMortonSql(idiv: String): String =
+    (0 until 6).map { b =>
+      val p = 1 << b; val q = 1L << (2 * b)
+      s"(cell_x $idiv $p) % 2 * $q + (cell_y $idiv $p) % 2 * ${2 * q}"
+    }.mkString("(", " + ", ")")
+
   def defs: Seq[(String, Q)] = Seq(
     "scan_cells" -> Q(
       Cube.withSql(
@@ -395,6 +405,39 @@ object Zonal {
     "scan_zones" -> Q(
       Cube.withSql("SELECT * FROM zones ORDER BY zone_id")) { (s, d) =>
       Cube.zones(s, d).orderBy("zone_id")
+    },
+
+    // Z-order clustered sink (round 7): the 100-TB spatial-locality
+    // technique — interleave cell_x/cell_y bits into a Morton key, write
+    // the cube partitioned by the key's high bits, and any spatial
+    // window then touches only the partitions whose z-range overlaps it
+    // (the parquet analogue of COG tiling). The proof is IN the output:
+    // each z-bucket's bbox is a compact extent, not a full-lattice
+    // stripe. Pure integer arithmetic both engines replay exactly.
+    "sink_zorder" -> Q(
+      Cube.withSql(
+        s"""SELECT zbucket, count(*) AS n,
+           |  min(z) AS zmin, max(z) AS zmax,
+           |  min(cell_x) AS bxmin, max(cell_x) AS bxmax,
+           |  min(cell_y) AS bymin, max(cell_y) AS bymax
+           |FROM (SELECT cell_x, cell_y, ${zMortonSql("//")} AS z,
+           |        ${zMortonSql("//")} // 256 AS zbucket
+           |      FROM cells)
+           |GROUP BY zbucket ORDER BY zbucket""".stripMargin)) { (s, d) =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+        s"${new java.io.File(d).getName}/sink_zorder"
+      Cube.cells(s, d)
+        .withColumn("z", expr(zMortonSql("div")))
+        .withColumn("zbucket", expr(s"${zMortonSql("div")} div 256"))
+        .select("cell_x", "cell_y", "value", "z", "zbucket")
+        .write.mode("overwrite").partitionBy("zbucket").parquet(out)
+      s.read.parquet(out)
+        .groupBy(col("zbucket").cast("long").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min("z").as("zmin"), max("z").as("zmax"),
+          min("cell_x").as("bxmin"), max("cell_x").as("bxmax"),
+          min("cell_y").as("bymin"), max("cell_y").as("bymax"))
+        .orderBy("zbucket")
     },
 
     "zonal_fishnet" -> Q(
