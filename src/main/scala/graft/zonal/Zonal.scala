@@ -388,6 +388,23 @@ object Zonal {
       s"(cell_x $idiv $p) % 2 * $q + (cell_y $idiv $p) % 2 * ${2 * q}"
     }.mkString("(", " + ", ")")
 
+  /** Write-once-per-(JVM, sf) Z-ordered cube store backing the
+    * scan-side partition-pruning query (the sink op rewrites its own
+    * copy every call; the scan wants a stable store).
+    */
+  private val zStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ensureZStore(s: org.apache.spark.sql.SparkSession, d: String): String =
+    zStores.computeIfAbsent(new java.io.File(d).getCanonicalPath, { _ =>
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+        s"${new java.io.File(d).getName}/zorder_store"
+      Cube.cells(s, d)
+        .withColumn("z", expr(zMortonSql("div")))
+        .withColumn("zbucket", expr(s"${zMortonSql("div")} div 256"))
+        .select("cell_x", "cell_y", "value", "z", "zbucket")
+        .write.mode("overwrite").partitionBy("zbucket").parquet(out)
+      out
+    })
+
   def defs: Seq[(String, Q)] = Seq(
     "scan_cells" -> Q(
       Cube.withSql(
@@ -438,6 +455,31 @@ object Zonal {
           min("cell_x").as("bxmin"), max("cell_x").as("bxmax"),
           min("cell_y").as("bymin"), max("cell_y").as("bymax"))
         .orderBy("zbucket")
+    },
+
+    // the QUERY side of Z-ordering: a spatial window first prunes to the
+    // PARTITIONS whose coarse Morton bucket intersects it (zbucket is
+    // the morton code of (x div 16, y div 16), so the candidate list is
+    // driver arithmetic over the 4×4 coarse grid — at 100 TB this is
+    // the difference between touching 4 partitions and all of them;
+    // PlanShapeSpec asserts the PartitionFilters reach the scan), then
+    // the exact cell predicate refines inside the survivors.
+    "scan_zorder_window" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x, cell_y, value FROM cells
+           |WHERE cell_x BETWEEN 5 AND 20 AND cell_y BETWEEN 10 AND 25
+           |ORDER BY cell_x, cell_y, value""".stripMargin)) { (s, d) =>
+      val (x0, x1, y0, y1) = (5, 20, 10, 25)
+      // coarse 4×4 grid: bucket = morton2(x div 16, y div 16)
+      val buckets = for {
+        cx <- x0 / 16 to x1 / 16
+        cy <- y0 / 16 to y1 / 16
+      } yield (cx & 1) | ((cy & 1) << 1) | (((cx >> 1) & 1) << 2) | (((cy >> 1) & 1) << 3)
+      s.read.parquet(ensureZStore(s, d))
+        .filter(col("zbucket").isin(buckets.distinct: _*))
+        .filter(col("cell_x").between(x0, x1) && col("cell_y").between(y0, y1))
+        .select("cell_x", "cell_y", "value")
+        .orderBy("cell_x", "cell_y", "value")
     },
 
     "zonal_fishnet" -> Q(

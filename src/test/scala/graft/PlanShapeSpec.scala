@@ -413,4 +413,18 @@ class PlanShapeSpec extends SparkSuite {
       s"split window not stratum-partitioned:\n${sp2.take(1500)}")
     assert(!sp2.contains("Join"), "stratified split should not join")
   }
+
+  test("z-ordered store: the spatial window's bucket list reaches PartitionFilters") {
+    q("sink_zorder").collect() // ensure a store exists
+    val w = q("scan_zorder_window")
+    w.collect()
+    val p = w.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("zbucket"),
+      s"zbucket candidates did not become partition filters:\n${p.take(2000)}")
+    // the 16×16 window spans 4 of the 16 coarse buckets — the IN list
+    // must be a strict subset, or nothing was pruned
+    val in = "zbucket#\\d+L? IN \\(([^)]*)\\)".r.findFirstMatchIn(p)
+    assert(in.exists(_.group(1).split(",").length <= 4),
+      s"expected ≤4 candidate buckets in: ${in.map(_.matched).getOrElse(p.take(500))}")
+  }
 }
