@@ -247,13 +247,15 @@ object Raster {
         s"$path: per-band SampleFormat must be uniform, got ${fmtArr.mkString(",")}")
       val fmt = if (fmtArr.isEmpty) 1 else fmtArr(0).toInt
       require((bits == 64 && fmt == 3) || (bits == 32 && fmt == 3)
-        || (bits == 32 && (fmt == 1 || fmt == 2)),
-        s"$path: sample type bits=$bits format=$fmt unsupported (float64/float32/int32)")
+        || ((bits == 32 || bits == 16) && (fmt == 1 || fmt == 2))
+        || (bits == 8 && fmt == 1),
+        s"$path: sample type bits=$bits format=$fmt unsupported " +
+          "(float64/float32/int32/uint32/int16/uint16/uint8)")
       // predictor 2 is integer horizontal differencing, predictor 3 the
       // TechNote-3 floating-point byte-plane differencing (round 7) —
       // each must match its sample type
-      require(predictor != 2 || (bits == 32 && fmt != 3),
-        s"$path: predictor 2 requires 32-bit integer samples, got bits=$bits format=$fmt")
+      require(predictor != 2 || fmt != 3,
+        s"$path: predictor 2 requires integer samples, got bits=$bits format=$fmt")
       require(predictor != 3 || fmt == 3,
         s"$path: predictor 3 requires floating-point samples, got bits=$bits format=$fmt")
 
@@ -337,8 +339,11 @@ object Raster {
       case 50000 => TiffCodec.zstdDecompress(raw, storedLen)
       case c => throw new IllegalStateException(s"unreachable: compression $c gated in readMeta")
     }
-    if (t.predictor == 2)
-      TiffCodec.undoPredictor2Int32(bytes, t.tileW, storedRows, spp, t.bigEndian)
+    if (t.predictor == 2) t.bits match {
+      case 8 => TiffCodec.undoPredictor2Int8(bytes, t.tileW, storedRows, spp)
+      case 16 => TiffCodec.undoPredictor2Int16(bytes, t.tileW, storedRows, spp, t.bigEndian)
+      case _ => TiffCodec.undoPredictor2Int32(bytes, t.tileW, storedRows, spp, t.bigEndian)
+    }
     if (t.predictor == 3)
       TiffCodec.undoPredictor3Float(bytes, t.tileW, storedRows, spp, bytesPer, t.bigEndian)
     val buf = java.nio.ByteBuffer.wrap(bytes).order(
@@ -352,7 +357,11 @@ object Raster {
       val v = (t.bits, t.sampleFormat) match {
         case (64, 3) => buf.getDouble(pos)
         case (32, 3) => buf.getFloat(pos).toDouble
+        case (32, 1) => (buf.getInt(pos).toLong & 0xffffffffL).toDouble
         case (32, _) => buf.getInt(pos).toDouble
+        case (16, 1) => (buf.getShort(pos) & 0xffff).toDouble
+        case (16, _) => buf.getShort(pos).toDouble
+        case (8, _) => (buf.get(pos) & 0xff).toDouble
         case _ => throw new IllegalStateException("unreachable: type gated in readMeta")
       }
       (t.tx0 + c, t.ty0 + r, if (t.planarBand >= 0) t.planarBand else b, v)
@@ -734,11 +743,12 @@ object Raster {
     */
   def writeTiffBandsOpts(path: String, width: Int, height: Int, tileW: Int, tileH: Int,
       o: WriteOpts)(f: (Int, Int, Int) => Double): Unit = {
-    require((o.bits == 64 && o.sampleFormat == 3) || (o.bits == 32 && o.sampleFormat == 2),
-      "writer supports float64 (bits 64/fmt 3) or int32 (bits 32/fmt 2) samples")
-    require(o.predictor == 1 || (o.bits == 32 && o.predictor == 2)
+    require((o.bits == 64 && o.sampleFormat == 3) || (o.bits == 32 && o.sampleFormat == 2)
+        || (o.bits == 16 && o.sampleFormat == 2) || (o.bits == 8 && o.sampleFormat == 1),
+      "writer supports float64, int32, int16 or uint8 samples")
+    require(o.predictor == 1 || (o.sampleFormat != 3 && o.predictor == 2)
         || (o.sampleFormat == 3 && o.predictor == 3),
-      "predictor 2 requires int32 samples; predictor 3 requires float samples")
+      "predictor 2 requires integer samples; predictor 3 requires float samples")
     require(Set(1, 5, 8, 50000)(o.compression),
       s"compression ${o.compression} unsupported")
     require(o.bands >= 1, s"bands ${o.bands} invalid")
@@ -769,7 +779,12 @@ object Raster {
           while (bd < spp) {
             val band = if (o.planar) plane else bd
             val v = if (x < width && y < height) f(x, y, band) else 0.0
-            if (o.bits == 64) b.putDouble(v) else b.putInt(v.toInt)
+            o.bits match {
+              case 64 => b.putDouble(v)
+              case 32 => b.putInt(v.toInt)
+              case 16 => b.putShort(v.toInt.toShort)
+              case 8 => b.put(v.toInt.toByte)
+            }
             bd += 1
           }
           c += 1
@@ -777,8 +792,11 @@ object Raster {
         r += 1
       }
       val arr = b.array()
-      if (o.predictor == 2)
-        TiffCodec.applyPredictor2Int32(arr, bw, rows, bands = spp, bigEndian = false)
+      if (o.predictor == 2) o.bits match {
+        case 8 => TiffCodec.applyPredictor2Int8(arr, bw, rows, bands = spp)
+        case 16 => TiffCodec.applyPredictor2Int16(arr, bw, rows, bands = spp, bigEndian = false)
+        case _ => TiffCodec.applyPredictor2Int32(arr, bw, rows, bands = spp, bigEndian = false)
+      }
       if (o.predictor == 3)
         TiffCodec.applyPredictor3Float(arr, bw, rows, bands = spp,
           bytesPer = bytesPer, bigEndian = false)
@@ -1158,6 +1176,31 @@ object Raster {
     fixtureOnce(s"raster_zstd_${FixW}x$FixH.tif") { p =>
       writeTiffOpts(p, FixW, FixH, 32, 32,
         WriteOpts(compression = 50000, predictor = 3))(floatFixtureValue)
+    }
+
+  /** uint8 land-cover-style raster (round 7): the formula clamped into
+    * the byte range (mod 251 keeps it prime-spread), Deflate +
+    * byte-wise Predictor-2 — the classic categorical-raster container.
+    */
+  def uint8FixtureValue(x: Int, y: Int): Double = ((31 * x + 17 * y) % 251).toDouble
+
+  def uint8FixturePath(): String =
+    fixtureOnce(s"raster_uint8_${FixW}x$FixH.tif") { p =>
+      writeTiffOpts(p, FixW, FixH, 32, 32,
+        WriteOpts(bits = 8, sampleFormat = 1, compression = 8,
+          predictor = 2))(uint8FixtureValue)
+    }
+
+  /** int16 DEM-style raster (round 7): the formula recentered negative
+    * through positive, LZW + short-wise Predictor-2.
+    */
+  def int16FixtureValue(x: Int, y: Int): Double = ((31 * x + 17 * y) % 997 - 498).toDouble
+
+  def int16FixturePath(): String =
+    fixtureOnce(s"raster_int16_${FixW}x$FixH.tif") { p =>
+      writeTiffOpts(p, FixW, FixH, 32, 32,
+        WriteOpts(bits = 16, sampleFormat = 2, compression = 5,
+          predictor = 2))(int16FixtureValue)
     }
   def bigTiffFixturePath(): String =
     fixtureOnce(s"raster_bigtiff_${FixW}x$FixH.tif") { p =>
@@ -1630,6 +1673,31 @@ object Raster {
         .groupBy(expr("cell_x div 2").as("rx"), expr("cell_y div 2").as("ry"))
         .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_v"))
         .orderBy("rx", "ry")
+    },
+
+    // uint8 + int16 — the two most common real-world sample types (byte
+    // land-cover classes, short DEMs) that the 32/64-bit-only reader
+    // refused until round 7: narrow-width Predictor-2 differencing is
+    // modular per sample width, values widen to double at decode (the
+    // engine's one cell type), unsigned/signed read per SampleFormat.
+    "scan_raster_uint8" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y,
+         |  CAST((31 * x.range + 17 * y.range) % 251 AS DOUBLE) AS value
+         |FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanTiff(s, uint8FixturePath())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    "scan_raster_int16" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y,
+         |  CAST((31 * x.range + 17 * y.range) % 997 - 498 AS DOUBLE) AS value
+         |FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanTiff(s, int16FixturePath())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
     },
 
     // ZSTD tiles (GDAL compression code 50000) behind the float

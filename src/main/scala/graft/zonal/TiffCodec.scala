@@ -253,6 +253,92 @@ object TiffCodec {
     }
   }
 
+  // ---- Predictor 2 for the narrow integer widths (round 7: uint8
+  // land-cover and int16 DEM rasters — the most common real-world
+  // sample types). Differencing is modular per sample width, so sign
+  // and endianness (for 16-bit) fall out of the ring arithmetic the
+  // same way GDAL's does. ----
+
+  def applyPredictor2Int8(bytes: Array[Byte], rowPx: Int, rows: Int, bands: Int): Unit = {
+    var r = 0
+    while (r < rows) {
+      val base = r * rowPx * bands
+      var c = rowPx - 1
+      while (c >= 1) {
+        var b = 0
+        while (b < bands) {
+          val i = base + c * bands + b
+          bytes(i) = (bytes(i) - bytes(i - bands)).toByte
+          b += 1
+        }
+        c -= 1
+      }
+      r += 1
+    }
+  }
+
+  def undoPredictor2Int8(bytes: Array[Byte], rowPx: Int, rows: Int, bands: Int): Unit = {
+    var r = 0
+    while (r < rows) {
+      val base = r * rowPx * bands
+      var c = 1
+      while (c < rowPx) {
+        var b = 0
+        while (b < bands) {
+          val i = base + c * bands + b
+          bytes(i) = (bytes(i) + bytes(i - bands)).toByte
+          b += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+  }
+
+  def applyPredictor2Int16(bytes: Array[Byte], rowPx: Int, rows: Int, bands: Int,
+      bigEndian: Boolean): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowPx * bands
+      var c = rowPx - 1
+      while (c >= 1) {
+        var b = 0
+        while (b < bands) {
+          val i = (base + c * bands + b) * 2
+          val p = (base + (c - 1) * bands + b) * 2
+          bb.putShort(i, (bb.getShort(i) - bb.getShort(p)).toShort)
+          b += 1
+        }
+        c -= 1
+      }
+      r += 1
+    }
+  }
+
+  def undoPredictor2Int16(bytes: Array[Byte], rowPx: Int, rows: Int, bands: Int,
+      bigEndian: Boolean): Unit = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(
+      if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN else java.nio.ByteOrder.LITTLE_ENDIAN)
+    var r = 0
+    while (r < rows) {
+      val base = r * rowPx * bands
+      var c = 1
+      while (c < rowPx) {
+        var b = 0
+        while (b < bands) {
+          val i = (base + c * bands + b) * 2
+          val p = (base + (c - 1) * bands + b) * 2
+          bb.putShort(i, (bb.getShort(i) + bb.getShort(p)).toShort)
+          b += 1
+        }
+        c += 1
+      }
+      r += 1
+    }
+  }
+
   /** Forward differencing (writer side) — exact inverse of the above. */
   def applyPredictor2Int32(bytes: Array[Byte], rowPx: Int, rows: Int, bands: Int,
       bigEndian: Boolean): Unit = {

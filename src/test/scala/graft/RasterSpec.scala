@@ -280,6 +280,42 @@ class RasterSpec extends SparkSuite {
     assert(rows((3, 4)) == Raster.floatFixtureValue(3, 4))
   }
 
+  test("uint8/int16: signedness per SampleFormat, modular predictor-2, full fixture roundtrips") {
+    import graft.zonal.TiffCodec
+    // byte predictor wraps modularly: 200 then 100 stores diff -100 ≡ 156
+    val b8 = Array(200.toByte, 100.toByte, 0.toByte)
+    TiffCodec.applyPredictor2Int8(b8, rowPx = 3, rows = 1, bands = 1)
+    assert((b8(1) & 0xff) == 156, s"got ${b8(1) & 0xff}")
+    TiffCodec.undoPredictor2Int8(b8, rowPx = 3, rows = 1, bands = 1)
+    assert((b8(0) & 0xff) == 200 && (b8(1) & 0xff) == 100 && (b8(2) & 0xff) == 0)
+    // int16 predictor with negatives
+    val s16 = Array[Short](-500, 300, -2)
+    val bb = java.nio.ByteBuffer.allocate(6).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    s16.foreach(bb.putShort)
+    val arr = bb.array()
+    TiffCodec.applyPredictor2Int16(arr, rowPx = 3, rows = 1, bands = 1, bigEndian = false)
+    TiffCodec.undoPredictor2Int16(arr, rowPx = 3, rows = 1, bands = 1, bigEndian = false)
+    val rb = java.nio.ByteBuffer.wrap(arr).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    assert(Seq(rb.getShort(0), rb.getShort(2), rb.getShort(4)) == Seq(-500, 300, -2))
+    // decode signedness: the same 16-bit pattern 0xFF38 reads as 65336
+    // under SampleFormat 1 and -200 under SampleFormat 2
+    val raw = java.nio.ByteBuffer.allocate(2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putShort((-200).toShort).array()
+    def one(fmt: Int) = Raster.decodeTileBands(raw,
+      Raster.TileRef("mem", 0, 2, 0, 0, 1, 1, 1, 1, 16, fmt, bigEndian = false, bands = 1))
+      .next()._4
+    assert(one(2) == -200.0 && one(1) == 65336.0)
+    // full fixtures scan back to their formulas (deflate+pred2 uint8,
+    // LZW+pred2 int16 — negative through positive)
+    val u = Raster.scanTiff(spark, Raster.uint8FixturePath()).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(u((89, 69)) == Raster.uint8FixtureValue(89, 69) && u.size == 6300)
+    val i16 = Raster.scanTiff(spark, Raster.int16FixturePath()).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(i16((0, 0)) == -498.0 && i16((89, 69)) == Raster.int16FixtureValue(89, 69))
+    assert(i16.values.min < 0 && i16.values.max > 0)
+  }
+
   test("predictor 2: apply/undo roundtrip with negatives and 2 bands") {
     import graft.zonal.TiffCodec
     val vals = Array(7, -5, 123456, 0, -1, 42, Int.MinValue + 3, 9)
