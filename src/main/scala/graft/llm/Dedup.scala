@@ -543,6 +543,39 @@ object Dedup {
     // tokens. Output: per-doc chunk count, chunks shared with other
     // docs, shared fraction. Every stage is a hash agg or doc-keyed
     // window — no pair enumeration, linear in corpus size.
+    // incremental dedup against a HISTORICAL corpus (round 7): the
+    // daily-pipeline shape — the already-ingested corpus (80% of docs
+    // here; the re-ingestion batch overlaps it) is summarized once into
+    // a Bloom sketch (Spark's util.sketch via df.stat.bloomFilter, one
+    // aggregate pass), the batch probes the broadcast sketch map-side
+    // (typed filter; the novel docs never join against history at all),
+    // and only sketch-POSITIVES pay the exact semi-join that removes
+    // false positives. Bloom has no false negatives, so the verified
+    // output is exactly the true already-seen set — which is why the
+    // oracle is a plain join despite the sketch being implementation-
+    // defined bits. At extreme scale the sketch side is the bounded
+    // side (1e9 keys ≈ 1-2 GB at 1% fpp); past broadcast budget you
+    // shard it by key range.
+    "dedup_incremental_bloom" -> Q(
+      """SELECT n.doc_id, n.lang FROM documents n
+        |JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 5 <> 0) o
+        |  ON n.text = o.text
+        |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(col("doc_id") % 5 =!= 0)
+      val bf = hist.stat.bloomFilter("text", 100000L, 0.01)
+      val bfB = s.sparkContext.broadcast(bf)
+      import s.implicits._
+      val candidates = docs.select("doc_id", "lang", "text")
+        .as[(Long, String, String)]
+        .filter(r => bfB.value.mightContainString(r._3))
+        .toDF("doc_id", "lang", "text")
+      candidates
+        .join(hist.select(col("text")).distinct(), "text", "left_semi")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     "dedup_cdc_chunks" -> Q(
       s"""WITH tok AS (
          |  SELECT doc_id, u.pos AS pos, u.t AS token FROM (

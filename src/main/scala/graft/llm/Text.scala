@@ -353,6 +353,30 @@ object Text {
         .orderBy("lang", "source", "split")
     },
 
+    // reproducible subsampling (round 7): "give me a stable 5% sample"
+    // is a daily training-data need, and rand()-based sampling is
+    // neither reproducible across runs nor oracle-checkable. The
+    // standard remedy: rank by a deterministic hash of the key and keep
+    // the smallest N — uniform-ish, stable under reprocessing AND under
+    // corpus growth (a doc's hash never changes, so samples only gain/
+    // lose members at the threshold). Rides the native bounded-heap
+    // TopK (plans/TopK.scala): partial heaps per partition, ≤N rows
+    // shuffle, no global sort of the corpus.
+    "sample_hash" -> Q(
+      s"""SELECT doc_id, lang, source, ph FROM (
+         |  SELECT doc_id, lang, source, ${graft.llm.Dedup.polyHashSql("ds")} AS ph
+         |  FROM (SELECT *, CAST(doc_id AS VARCHAR) AS ds FROM documents))
+         |ORDER BY ph, doc_id LIMIT 25""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      val hashed = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("poly_hash(cast(doc_id AS string))").as("ph"))
+      graft.plans.TopK.topKPerGroup(hashed,
+        Nil, Seq(("ph", true), ("doc_id", true)), 25)
+        .select("doc_id", "lang", "source", "ph")
+        .orderBy("ph", "doc_id")
+    },
+
     // benchmark decontamination (round 7): the training-data hygiene
     // pass every published pipeline runs — flag corpus documents whose
     // 5-grams appear in a held-out benchmark set (here: source='src0'
