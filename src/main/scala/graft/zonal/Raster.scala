@@ -1675,6 +1675,61 @@ object Raster {
         .orderBy("rx", "ry")
     },
 
+    // the classic land-cover report, end-to-end on the realistic
+    // container: uint8 class raster (Deflate + byte predictor) → zones →
+    // per-(zone, class) counts and area FRACTIONS. Class = value div 32
+    // (8 classes); fraction = n / zone total, round-6 on both engines.
+    "zonal_raster_landcover" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), cells AS (
+         |  SELECT x.range AS cell_x, y.range AS cell_y,
+         |    CAST((31 * x.range + 17 * y.range) % 251 AS BIGINT) // 32 AS class
+         |  FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y
+         |)
+         |SELECT zone_id, class, count(*) AS n,
+         |  round(CAST(count(*) AS DOUBLE)
+         |    / sum(count(*)) OVER (PARTITION BY zone_id), 6) AS frac
+         |FROM cells JOIN zones
+         |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+         |GROUP BY zone_id, class
+         |ORDER BY zone_id, class""".stripMargin) { (s, d) =>
+      val classes = scanTiff(s, uint8FixturePath())
+        .select(col("cell_x"), col("cell_y"),
+          expr("CAST(value AS BIGINT) div 32").as("class"))
+      val wz = org.apache.spark.sql.expressions.Window.partitionBy("zone_id")
+      Cube.rasterize(classes, Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("class"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("frac", round(col("n").cast("double") / sum(col("n")).over(wz), 6))
+        .orderBy("zone_id", "class")
+    },
+
+    // band math WITHIN one multiband raster — the NDVI shape
+    // ((b1 − b0) / (b1 + b0)): pivot the long-form band rows to one row
+    // per cell with a conditional agg (one hash agg, no self-join), then
+    // the codegen'd ratio; round-6 (the transcendental/division rule).
+    "raster_band_math" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  round(CAST(b1 - b0 AS DOUBLE) / (b1 + b0), 6) AS ndvi
+         |FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y,
+         |    CAST((31 * x.range + 17 * y.range) % 997 AS BIGINT) AS b0,
+         |    CAST((31 * x.range + 17 * y.range + 7) % 997 AS BIGINT) AS b1
+         |  FROM range(0, $MbW) x CROSS JOIN range(0, $MbH) y)
+         |WHERE b1 + b0 <> 0
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanTiffBands(s, mbFixturePath())
+        .groupBy(col("cell_x"), col("cell_y"))
+        .agg(max(when(col("band") === 0, col("value"))).cast("long").as("b0"),
+          max(when(col("band") === 1, col("value"))).cast("long").as("b1"))
+        .filter(col("b1") + col("b0") =!= 0)
+        .select(col("cell_x"), col("cell_y"),
+          round((col("b1") - col("b0")).cast("double") / (col("b1") + col("b0")), 6)
+            .as("ndvi"))
+        .orderBy("cell_x", "cell_y")
+    },
+
     // uint8 + int16 — the two most common real-world sample types (byte
     // land-cover classes, short DEMs) that the 32/64-bit-only reader
     // refused until round 7: narrow-width Predictor-2 differencing is
