@@ -135,6 +135,107 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // Gopher-style repetition filters (Rae et al. 2021, §A1.1): flag
+    // templated/boilerplate docs by (a) the character fraction covered
+    // by the single most frequent word 2-gram and (b) the fraction of
+    // 5-gram OCCURRENCES that are repeats of an earlier 5-gram in the
+    // same doc. Shape: one explode per gram size -> per-(doc,gram) hash
+    // agg -> per-doc agg; the top-bigram pick is a window bounded by
+    // the doc's own distinct-bigram count (never corpus-wide). All
+    // outputs are integer ratios via one IEEE division — exact on both
+    // engines without rounding.
+    "text_repetition" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id, length(text) AS n_chars, string_split(lower(text), ' ') AS w
+        |  FROM documents WHERE len(string_split(lower(text), ' ')) >= 5),
+        |big AS (
+        |  SELECT doc_id, gram, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+        |      i -> w[i] || ' ' || w[i + 1])) AS gram FROM t)
+        |  GROUP BY doc_id, gram),
+        |top AS (
+        |  SELECT doc_id, gram AS top_bigram, cnt AS top_n FROM (
+        |    SELECT doc_id, gram, cnt,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram) AS rn
+        |    FROM big) WHERE rn = 1),
+        |five AS (
+        |  SELECT doc_id, count(*) AS n5, count(DISTINCT gram) AS n5_uniq FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+        |    FROM t)
+        |  GROUP BY doc_id)
+        |SELECT t.doc_id, top.top_bigram, top.top_n,
+        |  (CAST(top.top_n * length(top.top_bigram) AS DOUBLE) / t.n_chars) AS top2_char_frac,
+        |  five.n5, five.n5_uniq,
+        |  (CAST(five.n5 - five.n5_uniq AS DOUBLE) / five.n5) AS dup5_frac
+        |FROM t JOIN top USING (doc_id) JOIN five USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = Tables.documents(s, d)
+        .withColumn("w", split(lower(col("text")), " "))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), length(col("text")).as("n_chars"), col("w"))
+      val big = t.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 1), i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"))
+          .as("gram"))
+        .groupBy("doc_id", "gram").agg(count(lit(1)).as("cnt"))
+      val top = big
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("cnt").desc, col("gram"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("gram").as("top_bigram"), col("cnt").as("top_n"))
+      val five = t.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2), element_at(w, i+3), element_at(w, i+4)))"))
+          .as("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n5"), countDistinct(col("gram")).as("n5_uniq"))
+      t.select(col("doc_id"), col("n_chars"))
+        .join(top, "doc_id").join(five, "doc_id")
+        .select(col("doc_id"), col("top_bigram"), col("top_n"),
+          ((col("top_n") * length(col("top_bigram"))).cast("double") / col("n_chars"))
+            .as("top2_char_frac"),
+          col("n5"), col("n5_uniq"),
+          ((col("n5") - col("n5_uniq")).cast("double") / col("n5")).as("dup5_frac"))
+        .orderBy("doc_id")
+    },
+
+    // per-doc unigram Shannon entropy (nats) — the lexical-diversity
+    // quality signal next to text_quality's ratio heuristics: low
+    // entropy = repetitive/templated, high = diverse. Each term
+    // p·ln(p) rounds to 6 decimals and sums as DECIMAL(18,6) (the
+    // text_perplexity rule), so the per-doc total is exact and
+    // order-free on both engines. The per-doc token total is a window
+    // over the doc's own distinct words — bounded, never corpus-wide.
+    "text_entropy" -> Q(
+      """WITH counts AS (
+        |  SELECT doc_id, w, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY doc_id, w),
+        |terms AS (
+        |  SELECT doc_id, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tok
+        |  FROM counts)
+        |SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tokens, count(*) AS n_uniq,
+        |  -(CAST(sum(CAST(round((CAST(cnt AS DOUBLE) / n_tok)
+        |      * ln(CAST(cnt AS DOUBLE) / n_tok), 6) AS DECIMAL(18,6))) AS DOUBLE)) AS entropy
+        |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val counts = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+      counts
+        .withColumn("n_tok", sum(col("cnt")).over(Window.partitionBy("doc_id")))
+        .select(col("doc_id"), col("n_tok"),
+          round((col("cnt").cast("double") / col("n_tok"))
+              * log(col("cnt").cast("double") / col("n_tok")), 6)
+            .cast(org.apache.spark.sql.types.DecimalType(18, 6)).as("term"))
+        .groupBy("doc_id")
+        .agg(max(col("n_tok")).as("n_tokens"), count(lit(1)).as("n_uniq"),
+          (-sum(col("term")).cast("double")).as("entropy"))
+        .orderBy("doc_id")
+    },
+
     // redaction pass (the PII-masking shape): global regex replace +
     // per-doc match count. Spark regexp_replace is global by default;
     // DuckDB needs the 'g' flag. \b is ASCII word-boundary in both

@@ -350,6 +350,35 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("text_entropy: 0 <= H <= ln(n_uniq), equality only under uniform counts") {
+    val rows = q("text_entropy").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nUniq = r.getLong(r.fieldIndex("n_uniq"))
+      val h = r.getDouble(r.fieldIndex("entropy"))
+      // each p·ln p term rounds to 6 decimals before summing, so allow
+      // n_uniq·5e-7 of accumulated rounding slack on the bounds
+      val slack = nUniq * 5e-7 + 1e-9
+      assert(h >= -slack, s"doc ${r.getLong(0)}: entropy $h < 0")
+      assert(h <= math.log(nUniq.toDouble) + slack,
+        s"doc ${r.getLong(0)}: entropy $h exceeds ln($nUniq)")
+    }
+  }
+
+  test("text_repetition: fractions bounded; dup5 consistent with distinct counts") {
+    val rows = q("text_repetition").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val topN = r.getLong(r.fieldIndex("top_n"))
+      val n5 = r.getLong(r.fieldIndex("n5"))
+      val n5u = r.getLong(r.fieldIndex("n5_uniq"))
+      val dup = r.getDouble(r.fieldIndex("dup5_frac"))
+      assert(topN >= 1 && n5u >= 1 && n5u <= n5)
+      assert(math.abs(dup - (n5 - n5u).toDouble / n5) < 1e-12)
+      assert(dup >= 0.0 && dup < 1.0) // n5_uniq >= 1 keeps it strictly below 1
+    }
+  }
+
   test("tfidf: a term appearing in every doc scores 0") {
     val tfidf = q("text_tfidf")
     val nDocs = graft.core.Tables.documents(spark, sf).count()
