@@ -440,6 +440,68 @@ object Dedup {
         .limit(100)
     },
 
+    // ASYMMETRIC containment C(a→b) = |grams(a) ∩ grams(b)| / |grams(a)|
+    // — the partial-copy / quote-detection measure Jaccard misses when
+    // a short doc is swallowed by a long one (Broder's containment,
+    // the news-inclusion shape). Candidates come from the 5-gram
+    // inverted index itself: any pair with C > 0 shares a gram, so
+    // recall is EXACT by construction — no sketch. Scale contract: the
+    // index self-join is quadratic per gram posting list, so grams
+    // with df > 64 are excluded from PAIRING by definition (spelled in
+    // the oracle; boilerplate grams carry no identity signal), which
+    // caps per-gram work at 64² while denominators still count every
+    // gram. df=1 grams are pruned too — pure optimization, they cannot
+    // contribute to any intersection.
+    "dedup_containment" -> Q(
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        |  WHERE len(string_split(lower(text), ' ')) >= 5),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 4),
+        |      i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS gram
+        |    FROM t)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+        |df AS (SELECT gram, count(*) AS df FROM grams GROUP BY gram),
+        |idx AS (SELECT g.doc_id, g.gram FROM grams g JOIN df USING (gram)
+        |        WHERE df BETWEEN 2 AND 64),
+        |inter AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+        |  FROM idx a JOIN idx b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, s1.n AS n1, s2.n AS n2, n_shared,
+        |  (CAST(n_shared AS DOUBLE) / s1.n) AS c12,
+        |  (CAST(n_shared AS DOUBLE) / s2.n) AS c21
+        |FROM inter JOIN sz s1 ON id1 = s1.doc_id JOIN sz s2 ON id2 = s2.doc_id
+        |WHERE greatest(CAST(n_shared AS DOUBLE) / s1.n,
+        |               CAST(n_shared AS DOUBLE) / s2.n) >= 0.5
+        |ORDER BY id1, id2""".stripMargin) { (s, d) =>
+      val grams = Tables.documents(s, d)
+        .withColumn("w", split(lower(col("text")), " "))
+        .filter(size(col("w")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2), element_at(w, i+3), element_at(w, i+4)))"))
+          .as("gram"))
+        .distinct()
+      val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      val idx = grams.join(df.filter(col("df").between(2, 64)), "gram")
+        .select("doc_id", "gram")
+      val inter = idx.as("a").join(idx.as("b"),
+          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("n_shared"))
+      inter
+        .join(sz.as("s1"), col("id1") === col("s1.doc_id"))
+        .join(sz.as("s2"), col("id2") === col("s2.doc_id"))
+        .select(col("id1"), col("id2"),
+          col("s1.n").as("n1"), col("s2.n").as("n2"), col("n_shared"),
+          (col("n_shared").cast("double") / col("s1.n")).as("c12"),
+          (col("n_shared").cast("double") / col("s2.n")).as("c21"))
+        .filter(greatest(col("c12"), col("c21")) >= 0.5)
+        .orderBy("id1", "id2")
+    },
+
     // duplicate clusters over TEXT (the MinHash twin of dedup_cluster,
     // fully oracle-checked because every stage — poly_hash signatures,
     // banded candidates, exact Jaccard, transitive closure — has a

@@ -379,6 +379,19 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("dedup_containment: shared bounded by both sizes; threshold honored") {
+    val rows = q("dedup_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n1 = r.getLong(r.fieldIndex("n1")); val n2 = r.getLong(r.fieldIndex("n2"))
+      val sh = r.getLong(r.fieldIndex("n_shared"))
+      val c12 = r.getDouble(r.fieldIndex("c12")); val c21 = r.getDouble(r.fieldIndex("c21"))
+      assert(sh >= 1 && sh <= math.min(n1, n2))
+      assert(math.abs(c12 - sh.toDouble / n1) < 1e-12 && math.abs(c21 - sh.toDouble / n2) < 1e-12)
+      assert(math.max(c12, c21) >= 0.5)
+    }
+  }
+
   test("tfidf: a term appearing in every doc scores 0") {
     val tfidf = q("text_tfidf")
     val nDocs = graft.core.Tables.documents(spark, sf).count()

@@ -231,6 +231,9 @@ class PlanShapeSpec extends SparkSuite {
     // band join: |x−y| ≤ δ planned as a bucket equi-join, not NLJ
     val pb = joins("join_band")
     assert(pb.contains("bucket#"), s"band join not keyed by the δ-bucket:\n${pb.take(3000)}")
+    // containment: pairing is the gram inverted-index equi-join
+    val pc = joins("dedup_containment")
+    assert(pc.contains("gram#"), s"containment pairs not keyed by the gram:\n${pc.take(3000)}")
   }
 
   test("ANN family: native TopK ranks the searches; IVF assignment has no window; LSH is one projection") {
