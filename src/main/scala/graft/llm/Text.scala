@@ -478,6 +478,61 @@ object Text {
         .orderBy("ph", "doc_id")
     },
 
+    // temperature-weighted mixture sampling (the multilingual corpus
+    // recipe: sample language l with probability ∝ n_l^α, α<1, so
+    // low-resource languages are upsampled relative to their corpus
+    // share — XLM-R §3.1 / mC4). α=0.5 ON PURPOSE: sqrt is correctly
+    // rounded under IEEE-754 (unlike pow/ln), the per-lang sqrt rounds
+    // to 6 decimals and sums as DECIMAL (order-free), and every later
+    // step is a single mult/div — so the target-count arithmetic is
+    // BIT-IDENTICAL on both engines and the floor() boundary carries
+    // no cross-engine hazard at all. Budget B=300 of 500 docs. Doc
+    // picks are poly_hash ranks within each lang (stable under
+    // reprocessing and corpus growth, like sample_hash); the per-lang
+    // window is bounded by the largest language, not the corpus.
+    "sample_mixture" -> Q(
+      s"""WITH sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |w AS (SELECT lang, n,
+         |        CAST(round(sqrt(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS s FROM sz),
+         |tot AS (SELECT sum(s) AS ts FROM w),
+         |k AS (SELECT lang, n,
+         |        CAST(floor(round(300 * (CAST(s AS DOUBLE) / CAST(ts AS DOUBLE)), 6)) AS BIGINT) AS k_target
+         |      FROM w CROSS JOIN tot),
+         |ranked AS (
+         |  SELECT doc_id, lang,
+         |    row_number() OVER (PARTITION BY lang ORDER BY ph, doc_id) AS rk
+         |  FROM (SELECT doc_id, lang, ${graft.llm.Dedup.polyHashSql("ds")} AS ph
+         |        FROM (SELECT *, CAST(doc_id AS VARCHAR) AS ds FROM documents)))
+         |SELECT k.lang, k.n AS n_docs, k.k_target,
+         |  count(r.doc_id) AS n_sampled, min(r.doc_id) AS min_id, max(r.doc_id) AS max_id
+         |FROM k JOIN ranked r ON k.lang = r.lang AND r.rk <= k.k_target
+         |GROUP BY k.lang, k.n, k.k_target
+         |ORDER BY k.lang""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      import org.apache.spark.sql.expressions.Window
+      val sz = Tables.documents(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+      val w = sz.withColumn("s",
+        round(sqrt(col("n").cast("double")), 6)
+          .cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+      val tot = w.agg(sum(col("s")).as("ts"))
+      val k = w.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"),
+          floor(round(lit(300) * (col("s").cast("double") / col("ts").cast("double")), 6))
+            .cast("long").as("k_target"))
+      val ranked = Tables.documents(s, d)
+        .withColumn("rk", row_number().over(Window.partitionBy("lang")
+          .orderBy(expr("poly_hash(cast(doc_id AS string))"), col("doc_id"))))
+        .select(col("doc_id"), col("lang"), col("rk"))
+      ranked.join(broadcast(k), "lang")
+        .filter(col("rk") <= col("k_target"))
+        .groupBy("lang", "n", "k_target")
+        .agg(count(lit(1)).as("n_sampled"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .select(col("lang"), col("n").as("n_docs"), col("k_target"),
+          col("n_sampled"), col("min_id"), col("max_id"))
+        .orderBy("lang")
+    },
+
     // benchmark decontamination (round 7): the training-data hygiene
     // pass every published pipeline runs — flag corpus documents whose
     // 5-grams appear in a held-out benchmark set (here: source='src0'

@@ -379,6 +379,23 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("sample_mixture: budget respected; smaller languages sampled at higher rates") {
+    val rows = q("sample_mixture").collect()
+      .map(r => (r.getLong(r.fieldIndex("n_docs")),
+        r.getLong(r.fieldIndex("k_target")), r.getLong(r.fieldIndex("n_sampled"))))
+    assert(rows.length >= 2)
+    rows.foreach { case (n, k, got) =>
+      assert(got == math.min(k, n), s"sampled $got != min($k, $n)")
+    }
+    assert(rows.map(_._2).sum <= 300) // floor() keeps the total under budget
+    // α=0.5 temperature: sampling RATE k/n is monotone nonincreasing in n
+    val byN = rows.sortBy(_._1)
+    byN.sliding(2).foreach { case Array((n1, k1, _), (n2, k2, _)) =>
+      assert(k1.toDouble / n1 >= k2.toDouble / n2 - 1e-9,
+        s"rate not monotone: n=$n1 rate=${k1.toDouble / n1} vs n=$n2 rate=${k2.toDouble / n2}")
+    }
+  }
+
   test("dedup_containment: shared bounded by both sizes; threshold honored") {
     val rows = q("dedup_containment").collect()
     assert(rows.nonEmpty)
