@@ -688,6 +688,52 @@ object Dedup {
         .select(col("id1").as("keep_id"), col("id2").as("drop_id"),
           round(col("cos"), 6).as("cos_r"))
         .orderBy("keep_id", "drop_id")
+    },
+
+    // SemDeDup (Abbas et al. 2023): cluster-then-dedup — k-means first,
+    // exact cosine pairs enumerated ONLY inside each cluster, drop every
+    // vector that has a τ-similar clustermate with a lower vec_id (the
+    // deterministic stand-in for the paper's keep-one rule). The cluster
+    // IS the blocking unit: at scale k grows with the corpus so cluster
+    // size ~ n/k stays bounded, and the in-cluster product is guarded by
+    // the same cap as the LSH buckets (raise_error in-plan, never a
+    // silent quadratic). Differs from dedup_embedding by candidate
+    // source: k-means locality (semantic blocks) vs sign-band LSH —
+    // the paper's point is that cluster-local pairs capture semantic
+    // duplicates at far lower candidate volume than corpus-wide LSH.
+    "dedup_semantic" -> Q(
+      s"""WITH ${Sim.KmeansClSql},
+         |pairs AS (
+         |  SELECT a.cid, a.vec_id AS id1, b.vec_id AS id2,
+         |    round(${Sim.cosineSql("a.embedding", "b.embedding")}, 6) AS cos
+         |  FROM assign${Sim.KmeansIters} a JOIN assign${Sim.KmeansIters} b
+         |    ON a.cid = b.cid AND a.vec_id < b.vec_id)
+         |SELECT cid, id2 AS drop_id, min(id1) AS keep_id, count(*) AS n_nb,
+         |  max(cos) AS max_cos
+         |FROM pairs WHERE cos >= 0.4
+         |GROUP BY cid, id2 ORDER BY drop_id""".stripMargin) { (s, d) =>
+      val cap = bucketCap(s)
+      val cl = Sim.kmeansAssigned(s, d)
+      val sizes = cl.groupBy("cid").agg(count(lit(1)).as("cn"))
+      val guarded = cl.join(broadcast(sizes), "cid")
+        .withColumn("embedding", expr(
+          s"""CASE WHEN cn <= $cap THEN embedding
+             |ELSE raise_error(concat('semantic mega-cluster: ', cast(cn AS string),
+             |  ' vectors in one k-means cluster (cap $cap) — raise KmeansK for',
+             |  ' this corpus or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
+        .select("cid", "vec_id", "embedding")
+      guarded.as("a").join(guarded.as("b"),
+          col("a.cid") === col("b.cid") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.cid").as("cid"), col("a.vec_id").as("id1"),
+          col("b.vec_id").as("id2"),
+          round(Sim.cosine("a.embedding", "b.embedding"), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .groupBy("cid", "id2")
+        .agg(min(col("id1")).as("keep_id"), count(lit(1)).as("n_nb"),
+          max(col("cos")).as("max_cos"))
+        .select(col("cid"), col("id2").as("drop_id"), col("keep_id"),
+          col("n_nb"), col("max_cos"))
+        .orderBy("drop_id")
     }
   )
 }

@@ -260,7 +260,7 @@ object Sim {
     * iterations unrolled as CTE pairs (assign_i from cent_{i-1}, cent_i
     * from assign_i), ending with the final `assign` CTE.
     */
-  private val KmeansClSql: String = {
+  private[graft] val KmeansClSql: String = {
     val seed =
       s"""cent0 AS (
          |  SELECT CAST(vec_id AS INTEGER) AS cid,

@@ -396,6 +396,23 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("dedup_semantic: keep below drop; threshold honored; clusters actually block") {
+    val rows = q("dedup_semantic").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("keep_id")) < r.getLong(r.fieldIndex("drop_id")))
+      assert(r.getDouble(r.fieldIndex("max_cos")) >= 0.4)
+      assert(r.getLong(r.fieldIndex("n_nb")) >= 1)
+    }
+    // the blocking claim: in-cluster candidate volume is far below all-pairs
+    val sizes = graft.llm.Sim.kmeansAssigned(spark, sf)
+      .groupBy("cid").count().collect().map(_.getLong(1))
+    val n = sizes.sum
+    val inCluster = sizes.map(s => s * (s - 1) / 2).sum
+    assert(inCluster * 2 < n * (n - 1) / 2,
+      s"clusters don't block: $inCluster in-cluster pairs of ${n * (n - 1) / 2}")
+  }
+
   test("dedup_containment: shared bounded by both sizes; threshold honored") {
     val rows = q("dedup_containment").collect()
     assert(rows.nonEmpty)
