@@ -35,6 +35,25 @@ object Scans {
     out
   }
 
+  /** Lineitem written with a split-block bloom filter on l_partkey and
+    * small row groups (1 MiB) so point lookups have groups to skip.
+    * RelSpec reads the footer to prove the blooms are really there.
+    */
+  def bloomWrite(s: SparkSession, d: String): String = {
+    val out = tmpDir(d, "scan_parquet_bloom")
+    Tables.lineitem(s, d).write.mode("overwrite")
+      .option("parquet.bloom.filter.enabled#l_partkey", "true")
+      .option("parquet.bloom.filter.expected.ndv#l_partkey", "4096")
+      // parquet-mr suppresses the bloom when the column stays fully
+      // dictionary-encoded (the dict is already exact membership);
+      // force plain encoding for the key column — at real scale the
+      // dict page overflows anyway, which is exactly when blooms matter
+      .option("parquet.enable.dictionary#l_partkey", "false")
+      .option("parquet.block.size", (1 << 20).toString)
+      .parquet(out)
+    out
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     "scan_parquet" -> Q(
       "SELECT * FROM part ORDER BY p_partkey") { (s, d) =>
@@ -82,6 +101,28 @@ object Scans {
       val out = partitionedWrite(s, d)
       s.read.parquet(out).filter(org.apache.spark.sql.functions.col("o_orderstatus") === "F")
         .orderBy("o_orderkey")
+    },
+
+    // parquet BLOOM FILTERS (parquet-mr 1.12+): the point-lookup
+    // row-group skipping play for high-cardinality UNSORTED columns,
+    // where min/max stats never prune (every row group spans nearly the
+    // full key range). The writer embeds a split-block bloom per row
+    // group for l_partkey; the reader's predicate pushdown consults it
+    // and skips groups that definitely lack the key — at 100 TB this
+    // turns a point lookup over an unclustered table from a full scan
+    // into touching ~the one matching group per file. The oracle
+    // verifies the full write→filter→read round trip; RelSpec asserts
+    // the footer actually carries a bloom for the column (and only
+    // that column) — without it the read is silently a full scan.
+    "scan_parquet_bloom" -> Q(
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity
+        |FROM lineitem WHERE l_partkey = 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+      val out = bloomWrite(s, d)
+      s.read.parquet(out)
+        .filter(org.apache.spark.sql.functions.col("l_partkey") === 100)
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")
     },
 
     // small-files compaction (the lakehouse maintenance staple): a

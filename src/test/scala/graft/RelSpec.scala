@@ -30,6 +30,30 @@ class RelSpec extends SparkSuite {
       s"compaction did not reduce files: $nIn -> $nOut")
   }
 
+  test("scan_parquet_bloom: footer carries a bloom for l_partkey and only l_partkey") {
+    q("scan_parquet_bloom").count() // triggers the write
+    val sfName = new java.io.File(sf).getName
+    val dir = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_io/$sfName/scan_parquet_bloom")
+    val part = dir.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(part.getAbsolutePath), conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val rgs = reader.getFooter.getBlocks
+      assert(!rgs.isEmpty)
+      rgs.forEach { rg =>
+        rg.getColumns.forEach { cc =>
+          val hasBloom = cc.getBloomFilterOffset >= 0
+          val isKey = cc.getPath.toDotString == "l_partkey"
+          assert(hasBloom == isKey,
+            s"bloom presence wrong for ${cc.getPath.toDotString}: $hasBloom")
+        }
+      }
+    } finally reader.close()
+  }
+
   test("semi ⊎ anti partitions the left side") {
     val c = graft.core.Tables.customer(spark, sf)
     val hi = graft.core.Tables.orders(spark, sf).filter(col("o_totalprice") > 450000)
