@@ -1675,6 +1675,71 @@ object Raster {
         .orderBy("rx", "ry")
     },
 
+    // gdalwarp twin (nearest-neighbor, integer affine): target grid
+    // 41×35, forward map sx = 2·tx + (ty div 4) + 1, sy = 2·ty + 1 —
+    // scale 2 on both axes, a row-dependent SHEAR, and a translate, so
+    // this is a genuine affine family, not a stride resample. Planned
+    // as the INVERSE map applied per SOURCE cell (odd-row test →
+    // ty; undo shear/translate → tx): a pure filter+project over the
+    // scan, so the raster never shuffles and there is no gather join —
+    // the scale posture gdalwarp itself uses (each target block pulls a
+    // bounded source window; here the window is exactly one cell).
+    "raster_affine_warp" -> Q(
+      s"""SELECT (cell_x - (((cell_y - 1) // 2) // 4) - 1) // 2 AS tx,
+         |  (cell_y - 1) // 2 AS ty,
+         |  cell_x AS src_x, cell_y AS src_y, value
+         |FROM ($FixtureCellsSql)
+         |WHERE cell_y % 2 = 1
+         |  AND (cell_x - (((cell_y - 1) // 2) // 4) - 1) >= 0
+         |  AND (cell_x - (((cell_y - 1) // 2) // 4) - 1) % 2 = 0
+         |  AND (cell_x - (((cell_y - 1) // 2) // 4) - 1) // 2 <= 40
+         |ORDER BY tx, ty""".stripMargin) { (s, _) =>
+      scanTiff(s, fixturePath())
+        .filter(expr("cell_y % 2 = 1"))
+        .withColumn("ty", expr("(cell_y - 1) div 2"))
+        .withColumn("txn", expr("cell_x - (ty div 4) - 1"))
+        .filter(expr("txn >= 0 AND txn % 2 = 0 AND txn div 2 <= 40"))
+        .select(expr("txn div 2").as("tx"), col("ty"),
+          col("cell_x").as("src_x"), col("cell_y").as("src_y"), col("value"))
+        .orderBy("tx", "ty")
+    },
+
+    // gdal_contour twin on the lattice: a cell is a contour cell when
+    // the level bucket (value div 100) CHANGES across its right or down
+    // edge. Neighbors come from two self equi-joins on the shifted cell
+    // key ((x+1,y) / (x,y+1)) — hash-partitioned co-location, no window
+    // over a scanline (a per-row window would serialize each raster row
+    // through one task at scale). Border cells compare against nothing
+    // (left join, missing neighbor = no edge).
+    "raster_contour" -> Q(
+      s"""WITH c AS (
+         |  SELECT cell_x, cell_y, CAST(value AS BIGINT) // 100 AS level
+         |  FROM ($FixtureCellsSql))
+         |SELECT c.cell_x, c.cell_y, c.level,
+         |  coalesce(r.level <> c.level, false) AS edge_right,
+         |  coalesce(d.level <> c.level, false) AS edge_down
+         |FROM c
+         |LEFT JOIN c r ON r.cell_x = c.cell_x + 1 AND r.cell_y = c.cell_y
+         |LEFT JOIN c d ON d.cell_x = c.cell_x AND d.cell_y = c.cell_y + 1
+         |WHERE coalesce(r.level <> c.level, false)
+         |   OR coalesce(d.level <> c.level, false)
+         |ORDER BY c.cell_x, c.cell_y""".stripMargin) { (s, _) =>
+      val c = scanTiff(s, fixturePath())
+        .select(col("cell_x"), col("cell_y"),
+          expr("CAST(value AS BIGINT) div 100").as("level"))
+      val r = c.select(col("cell_x").as("rx"), col("cell_y").as("ry"),
+        col("level").as("rl"))
+      val dn = c.select(col("cell_x").as("dx"), col("cell_y").as("dy"),
+        col("level").as("dl"))
+      c.join(r, col("rx") === col("cell_x") + 1 && col("ry") === col("cell_y"), "left")
+        .join(dn, col("dx") === col("cell_x") && col("dy") === col("cell_y") + 1, "left")
+        .select(col("cell_x"), col("cell_y"), col("level"),
+          coalesce(col("rl") =!= col("level"), lit(false)).as("edge_right"),
+          coalesce(col("dl") =!= col("level"), lit(false)).as("edge_down"))
+        .filter(col("edge_right") || col("edge_down"))
+        .orderBy("cell_x", "cell_y")
+    },
+
     // the classic land-cover report, end-to-end on the realistic
     // container: uint8 class raster (Deflate + byte predictor) → zones →
     // per-(zone, class) counts and area FRACTIONS. Class = value div 32

@@ -9,6 +9,35 @@ import graft.zonal.Raster
   */
 class RasterSpec extends SparkSuite {
 
+  test("raster_affine_warp: full 41×35 target, forward map inverts, raster never shuffles before the sort") {
+    val rows = q("raster_affine_warp").collect()
+    assert(rows.length == 41 * 35, s"target grid incomplete: ${rows.length}")
+    rows.foreach { r =>
+      val tx = r.getLong(r.fieldIndex("tx")); val ty = r.getLong(r.fieldIndex("ty"))
+      val sx = r.getInt(r.fieldIndex("src_x")); val sy = r.getInt(r.fieldIndex("src_y"))
+      assert(sx == 2 * tx + ty / 4 + 1 && sy == 2 * ty + 1, s"($tx,$ty) -> ($sx,$sy)")
+      assert(r.getDouble(r.fieldIndex("value")) == ((31 * sx + 17 * sy) % 997).toDouble)
+    }
+    // inverse-map plan: pure filter+project over the scan — no join
+    val p = q("raster_affine_warp").queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"warp gathered via a join:\n${p.take(2000)}")
+  }
+
+  test("raster_contour: flags exactly the formula's level-change edges") {
+    def lvl(x: Int, y: Int): Long = ((31 * x + 17 * y) % 997) / 100
+    val expected = (for { x <- 0 until 90; y <- 0 until 70 } yield {
+      val er = x + 1 < 90 && lvl(x + 1, y) != lvl(x, y)
+      val ed = y + 1 < 70 && lvl(x, y + 1) != lvl(x, y)
+      ((x, y), (er, ed))
+    }).filter { case (_, (er, ed)) => er || ed }.toMap
+    val got = q("raster_contour").collect().map { r =>
+      ((r.getInt(0), r.getInt(1)),
+        (r.getBoolean(r.fieldIndex("edge_right")), r.getBoolean(r.fieldIndex("edge_down"))))
+    }.toMap
+    assert(got == expected,
+      s"contour mismatch: ${got.size} flagged vs ${expected.size} expected")
+  }
+
   test("roundtrip: written GeoTIFF scans back to the exact formula, edge tiles clipped") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
     val p = s"$tmp/rt.tif"
