@@ -99,6 +99,76 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"),
           md5(expr("substring(text, frame_idx * 64 + 1, 64)").cast("binary")).as("frame_md5"))
         .orderBy("doc_id", "frame_idx")
+    },
+
+    // byte-level NEAR-dup for opaque blobs (the perceptual-hash shape:
+    // mm_dedup catches only bit-identical content; re-encoded media
+    // needs a locality-sensitive signature): 16-bit SimHash over
+    // sliding 8-byte shingles hashed with the engine-portable
+    // poly_hash — so unlike dedup_simhash (xxhash64, no DuckDB twin)
+    // this signature IS oracle-replayable. The 16 bit votes are 16
+    // conditional sums inside ONE hash aggregate (no ×16 row blowup);
+    // candidate pairs come from a 3-segment (6+5+5 bit) pigeonhole
+    // equi-join — at Hamming ≤ 2 at most 2 segments differ, so one
+    // matches EXACTLY and recall is guaranteed by construction (the
+    // text_hamming_pairs rule); verify = bit_count(xor) on candidates.
+    "mm_near_dup" -> Q(MmNearDupSql) { (s, d) =>
+      graft.ext.Ext.register(s)
+      val shingles = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"))
+          .as("g"))
+        .distinct()
+        .select(col("doc_id"), expr("poly_hash(g)").as("h"))
+      val sigTerms = (0 until 16).map { j =>
+        s"(CASE WHEN sum(CASE WHEN (h div ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) >= 0" +
+          s" THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      val sig = shingles.groupBy("doc_id")
+        .agg(expr(s"CAST($sigTerms AS BIGINT)").as("sig"))
+      val segs = sig.select(col("doc_id"), col("sig"),
+          explode(expr(
+            """array(struct(0 AS si, sig % 32 AS sv),
+              |      struct(1 AS si, (sig div 32) % 32 AS sv),
+              |      struct(2 AS si, sig div 1024 AS sv))""".stripMargin)).as("seg"))
+        .select(col("doc_id"), col("sig"), col("seg.si"), col("seg.sv"))
+      segs.as("a").join(segs.as("b"),
+          col("a.si") === col("b.si") && col("a.sv") === col("b.sv")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+          expr("CAST(bit_count(CAST(a.sig AS INT) ^ CAST(b.sig AS INT)) AS INT)").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 2)
+        .orderBy("id1", "id2")
     }
   )
+
+  /** DuckDB twin of mm_near_dup: identical shingle/vote/segment
+    * arithmetic (poly_hash fold, 16 conditional sums, 3-segment
+    * pigeonhole, bit_count(xor) verify).
+    */
+  private lazy val MmNearDupSql: String = {
+    val sigTerms = (0 until 16).map { j =>
+      s"(CASE WHEN sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) >= 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, g FROM (
+       |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 7),
+       |      i -> substr(text, i, 8))) AS g
+       |    FROM documents)),
+       |hs AS (SELECT doc_id, ${graft.llm.Dedup.polyHashSql("g")} AS h FROM sh),
+       |sig AS (SELECT doc_id, CAST($sigTerms AS BIGINT) AS sig FROM hs GROUP BY doc_id),
+       |segs AS (
+       |  SELECT doc_id, sig, 0 AS si, sig % 32 AS sv FROM sig
+       |  UNION ALL SELECT doc_id, sig, 1, (sig // 32) % 32 FROM sig
+       |  UNION ALL SELECT doc_id, sig, 2, sig // 1024 FROM sig),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
+       |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |  FROM segs a JOIN segs b
+       |    ON a.si = b.si AND a.sv = b.sv AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, hamming FROM cand WHERE hamming <= 2
+       |ORDER BY id1, id2""".stripMargin
+  }
 }

@@ -478,6 +478,57 @@ object Text {
         .orderBy("ph", "doc_id")
     },
 
+    // corpus Zipf fit: least-squares slope of ln(freq) vs ln(rank) —
+    // the rank-frequency diagnostic (natural text ≈ −1; templated
+    // corpora flatten). Determinism: each ln rounds to 6 decimals and
+    // enters DECIMAL(18,6); the four moment sums are EXACT decimal
+    // sums (order-free), cast to double once, and the closed-form
+    // slope/intercept is then a fixed chain of IEEE mult/sub/div —
+    // bit-identical on both engines with no regr_slope() float-
+    // accumulation hazard. The rank window runs over the VOCABULARY
+    // (counts table), orders of magnitude below the corpus.
+    "text_zipf" -> Q(
+      """WITH counts AS (
+        |  SELECT word, count(*) AS f FROM (
+        |    SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+        |  WHERE word <> '' GROUP BY word),
+        |ranked AS (
+        |  SELECT f, row_number() OVER (ORDER BY f DESC, word) AS r FROM counts),
+        |t AS (
+        |  SELECT CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |         CAST(round(ln(CAST(f AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM ranked),
+        |m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy, CAST(sum(x * x) AS DOUBLE) AS sxx
+        |  FROM t)
+        |SELECT CAST(n AS BIGINT) AS n_words,
+        |  (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |  (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept
+        |FROM m""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+      val counts = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+        .groupBy("word").agg(count(lit(1)).as("f"))
+      val t = counts
+        .withColumn("r", row_number().over(Window.orderBy(col("f").desc, col("word"))))
+        .select(round(log(col("r").cast("double")), 6).cast(dec).as("x"),
+          round(log(col("f").cast("double")), 6).cast(dec).as("y"))
+      t.agg(count(lit(1)).cast("double").as("n"),
+          sum(col("x")).cast("double").as("sx"), sum(col("y")).cast("double").as("sy"),
+          sum(col("x") * col("y")).cast("double").as("sxy"),
+          sum(col("x") * col("x")).cast("double").as("sxx"))
+        .select(col("n").cast("long").as("n_words"),
+          ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))).as("slope"),
+          ((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy"))
+            / (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n"))
+            .as("intercept"))
+    },
+
     // temperature-weighted mixture sampling (the multilingual corpus
     // recipe: sample language l with probability ∝ n_l^α, α<1, so
     // low-resource languages are upsampled relative to their corpus

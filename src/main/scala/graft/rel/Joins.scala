@@ -279,6 +279,48 @@ object Joins {
         .agg(Det.drevenue(col("l_extendedprice"), col("l_discount")).as("revenue"),
           count(lit(1)).as("n_lines"))
         .orderBy("r_name", "n_name")
+    },
+
+    // table RECONCILIATION diff (the CDC / data-audit staple: "what
+    // changed between yesterday's snapshot and today's?"): one full
+    // outer join on the key classifies every row as added / removed /
+    // changed, unchanged rows drop out. Snapshots are derived from
+    // orders by deterministic key arithmetic (B deletes keys %7=0,
+    // bumps price by +1000 for keys %5=0 — an EXACT double add, so the
+    // changed-test needs no rounding rule). At scale this is the
+    // canonical co-partitioned shuffle join: both snapshots hash on the
+    // key, no broadcast side, and the value compare runs post-join in
+    // the same stage.
+    "join_table_diff" -> Q(
+      """WITH a AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+        |  WHERE o_orderkey % 10 <> 0),
+        |b AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
+        |         ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT coalesce(a.k, b.k) AS k,
+        |  CASE WHEN a.k IS NULL THEN 'added'
+        |       WHEN b.k IS NULL THEN 'removed' ELSE 'changed' END AS change,
+        |  a.v AS old_v, b.v AS new_v
+        |FROM a FULL JOIN b ON a.k = b.k
+        |WHERE a.k IS NULL OR b.k IS NULL OR a.v <> b.v
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("ka"), col("o_totalprice").as("va"))
+      val b = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("kb"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1000)
+            .otherwise(col("o_totalprice")).as("vb"))
+      a.join(b, col("ka") === col("kb"), "full_outer")
+        .filter(col("ka").isNull || col("kb").isNull || col("va") =!= col("vb"))
+        .select(coalesce(col("ka"), col("kb")).as("k"),
+          when(col("ka").isNull, "added")
+            .when(col("kb").isNull, "removed").otherwise("changed").as("change"),
+          col("va").as("old_v"), col("vb").as("new_v"))
+        .orderBy("k")
     }
   )
 }

@@ -125,6 +125,37 @@ object Scans {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
+    // SCHEMA EVOLUTION (the lakehouse reality: yesterday's files lack
+    // today's columns): generation 1 writes supplier without s_acctbal,
+    // generation 2 adds it; `mergeSchema` unions the footers at read
+    // time and back-fills NULL for the missing column — no rewrite of
+    // the old files. At 100 TB rewriting history for a column-add is a
+    // non-starter; footer-merge costs one metadata pass. Gen is carried
+    // as a column so the oracle can replay the exact NULL pattern.
+    "scan_parquet_evolve" -> Q(
+      """SELECT s_suppkey, s_name, s_nationkey, gen, bal AS s_acctbal FROM (
+        |  SELECT s_suppkey, s_name, s_nationkey, 1 AS gen,
+        |    CAST(NULL AS DOUBLE) AS bal
+        |  FROM supplier WHERE s_suppkey % 2 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, s_nationkey, 2 AS gen, s_acctbal AS bal
+        |  FROM supplier WHERE s_suppkey % 2 = 1)
+        |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.{col, lit}
+      val out = tmpDir(d, "scan_parquet_evolve")
+      val sup = Tables.supplier(s, d)
+      sup.filter(col("s_suppkey") % 2 === 0)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), lit(1).as("gen"))
+        .write.mode("overwrite").parquet(s"$out/g1")
+      sup.filter(col("s_suppkey") % 2 === 1)
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), lit(2).as("gen"),
+          col("s_acctbal"))
+        .write.mode("overwrite").parquet(s"$out/g2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/g1", s"$out/g2")
+        .select("s_suppkey", "s_name", "s_nationkey", "gen", "s_acctbal")
+        .orderBy("s_suppkey")
+    },
+
     // small-files compaction (the lakehouse maintenance staple): a
     // fragmented table (one file per shuffle partition) is rewritten to
     // a small fixed file count with coalesce — no shuffle, each output

@@ -353,6 +353,41 @@ object Streams {
         .orderBy("cohort")
     },
 
+    // time-series GAP FILL (the resample staple: turn an irregular
+    // event stream into a dense per-user daily series, zeros where
+    // nothing happened — what every downstream rolling metric assumes):
+    // per-user [first,last]-day span → sequence/explode generates the
+    // calendar (bounded by each user's own span, never a global
+    // calendar cross join) → left join the per-day counts, zero-fill.
+    // Both joins hash on (user_id, day) — co-partitioned, no broadcast
+    // of a corpus-sized side at any scale.
+    "events_gapfill" -> Q(
+      """WITH span AS (
+        |  SELECT user_id,
+        |    CAST(min(CAST(ts AS TIMESTAMP)) AS DATE) AS d0,
+        |    CAST(max(CAST(ts AS TIMESTAMP)) AS DATE) AS d1
+        |  FROM events GROUP BY user_id),
+        |days AS (
+        |  SELECT user_id, CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        |  FROM span),
+        |act AS (
+        |  SELECT user_id, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT days.user_id, days.day, coalesce(act.n, 0) AS n_events
+        |FROM days LEFT JOIN act ON days.user_id = act.user_id AND days.day = act.day
+        |ORDER BY days.user_id, days.day""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d).withColumn("day", to_date(col("ts")))
+      val days = ev.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val act = ev.groupBy("user_id", "day").agg(count(lit(1)).as("n"))
+      days.join(act, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          coalesce(col("n"), lit(0L)).as("n_events"))
+        .orderBy("user_id", "day")
+    },
+
     // batch sessionization — the window-function twin of stream_session:
     // a session breaks after a >10-minute gap; session index = running
     // sum of break flags per user (lag + cumulative sum), then one

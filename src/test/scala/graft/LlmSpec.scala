@@ -379,6 +379,27 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("text_zipf: finite fit over a nontrivial vocabulary") {
+    val r = q("text_zipf").collect().head
+    assert(r.getLong(r.fieldIndex("n_words")) >= 2)
+    val slope = r.getDouble(r.fieldIndex("slope"))
+    val icept = r.getDouble(r.fieldIndex("intercept"))
+    assert(!slope.isNaN && !slope.isInfinite && slope < 0.0, s"slope $slope")
+    assert(!icept.isNaN && !icept.isInfinite)
+  }
+
+  test("mm_near_dup: pairs ordered, hamming within the verify bound") {
+    val rows = q("mm_near_dup").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val h = r.getInt(r.fieldIndex("hamming"))
+      assert(h >= 0 && h <= 2)
+    }
+    // pairs are unique after the 3-segment union
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
+  }
+
   test("sample_mixture: budget respected; smaller languages sampled at higher rates") {
     val rows = q("sample_mixture").collect()
       .map(r => (r.getLong(r.fieldIndex("n_docs")),

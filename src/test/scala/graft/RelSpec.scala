@@ -54,6 +54,29 @@ class RelSpec extends SparkSuite {
     } finally reader.close()
   }
 
+  test("join_table_diff: classification matches the snapshot key arithmetic") {
+    val byChange = q("join_table_diff").collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    val keys = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val added = keys.count(k => k % 10 == 0 && k % 7 != 0)
+    val removed = keys.count(k => k % 10 != 0 && k % 7 == 0)
+    val changed = keys.count(k => k % 10 != 0 && k % 7 != 0 && k % 5 == 0)
+    assert(byChange.getOrElse("added", 0) == added)
+    assert(byChange.getOrElse("removed", 0) == removed)
+    assert(byChange.getOrElse("changed", 0) == changed)
+  }
+
+  test("scan_parquet_evolve: NULL back-fill lands exactly on the old generation") {
+    val rows = q("scan_parquet_evolve").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val gen = r.getInt(r.fieldIndex("gen"))
+      val isNull = r.isNullAt(r.fieldIndex("s_acctbal"))
+      assert(isNull == (gen == 1), s"key ${r.getLong(0)}: gen $gen null=$isNull")
+    }
+  }
+
   test("semi ⊎ anti partitions the left side") {
     val c = graft.core.Tables.customer(spark, sf)
     val hi = graft.core.Tables.orders(spark, sf).filter(col("o_totalprice") > 450000)

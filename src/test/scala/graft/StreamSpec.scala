@@ -17,6 +17,22 @@ class StreamSpec extends SparkSuite {
   private def ts(minute: Int, sec: Int = 0) =
     java.sql.Timestamp.valueOf(f"2024-01-01 00:$minute%02d:$sec%02d")
 
+  test("events_gapfill: dense per-user series, counts conserved") {
+    val rows = q("events_gapfill").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == graft.core.Tables.events(spark, sf).count(),
+      "gap fill lost or invented events")
+    // each user's series is contiguous: row count == span in days
+    rows.groupBy(_.getLong(0)).foreach { case (u, rs) =>
+      val days = rs.map(_.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(days.min, days.max) + 1
+      assert(rs.length == span, s"user $u: ${rs.length} rows over $span days")
+      assert(days.distinct.length == rs.length)
+    }
+    assert(rows.exists(_.getLong(2) == 0), "no gap rows — fixture has no gaps?")
+  }
+
   test("tumbling streaming agg equals batch agg on the same rows") {
     implicit val sq = spark.sqlContext
     val rows = graft.core.Tables.events(spark, sf)
