@@ -1740,6 +1740,106 @@ object Raster {
         .orderBy("cell_x", "cell_y")
     },
 
+    // D8 flow direction (the hydrology primitive slope/aspect/hillshade
+    // lead to): per cell, the ESRI power-of-two code of the neighbor
+    // with the STEEPEST DROP, ties to the lowest code, pits/flats 0.
+    // Chebyshev distances (all 8 neighbors at distance 1) keep the
+    // comparison pure integer — no √2 weighting, no float compare (the
+    // simplification several GIS engines offer as "rook+queen D8").
+    // Shape: the focal_mean scatter-explode (each cell ships its value
+    // to its 8 neighbors tagged with the receiver→sender code), one
+    // equi-join back to the grid for the center value, and an 8-row
+    // per-cell window for the argmax — every stage hash-partitions on
+    // the cell key.
+    "raster_flow_d8" -> Q(
+      s"""WITH cells AS (
+         |$FixtureCellsSql
+         |), nb AS (
+         |  SELECT c.cell_x + dx.range AS tx, c.cell_y + dy.range AS ty,
+         |    CAST(c.value AS BIGINT) AS nv,
+         |    CASE WHEN dx.range = -1 AND dy.range =  0 THEN 1
+         |         WHEN dx.range = -1 AND dy.range = -1 THEN 2
+         |         WHEN dx.range =  0 AND dy.range = -1 THEN 4
+         |         WHEN dx.range =  1 AND dy.range = -1 THEN 8
+         |         WHEN dx.range =  1 AND dy.range =  0 THEN 16
+         |         WHEN dx.range =  1 AND dy.range =  1 THEN 32
+         |         WHEN dx.range =  0 AND dy.range =  1 THEN 64
+         |         ELSE 128 END AS dir
+         |  FROM cells c CROSS JOIN range(-1, 2) dx CROSS JOIN range(-1, 2) dy
+         |  WHERE NOT (dx.range = 0 AND dy.range = 0)
+         |), j AS (
+         |  SELECT n.tx AS cell_x, n.ty AS cell_y,
+         |    CAST(c.value AS BIGINT) - n.nv AS drop, n.dir
+         |  FROM nb n JOIN cells c ON c.cell_x = n.tx AND c.cell_y = n.ty
+         |), ranked AS (
+         |  SELECT cell_x, cell_y, drop, dir,
+         |    row_number() OVER (PARTITION BY cell_x, cell_y
+         |      ORDER BY drop DESC, dir) AS rn
+         |  FROM j)
+         |SELECT cell_x, cell_y,
+         |  CASE WHEN drop > 0 THEN dir ELSE 0 END AS d8, drop AS max_drop
+         |FROM ranked WHERE rn = 1 ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      // keyed on the SENDER→receiver offset (dx,dy), same table as the
+      // oracle's CASE: the receiver sees the sender at (−dx,−dy), so this
+      // assigns ESRI y-down codes (E=1, SE=2, … NE=128) to that direction.
+      val codes = Map((-1, 0) -> 1, (-1, -1) -> 2, (0, -1) -> 4, (1, -1) -> 8,
+        (1, 0) -> 16, (1, 1) -> 32, (0, 1) -> 64) // (-1,1) falls to 128
+      val scatter = (for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0) yield {
+        val dir = codes.getOrElse((dx, dy), 128)
+        s"struct(cell_x + $dx AS tx, cell_y + $dy AS ty, $dir AS dir)"
+      }).mkString(", ")
+      val cells = scanTiff(s, fixturePath())
+      val nb = cells
+        .select(explode(expr(s"array($scatter)")).as("n"),
+          col("value").cast("long").as("nv"))
+        .select(col("n.tx"), col("n.ty"), col("n.dir"), col("nv"))
+      nb.join(cells, col("tx") === col("cell_x") && col("ty") === col("cell_y"))
+        .select(col("cell_x"), col("cell_y"),
+          (col("value").cast("long") - col("nv")).as("drop"), col("dir"))
+        .withColumn("rn", row_number().over(Window.partitionBy("cell_x", "cell_y")
+          .orderBy(col("drop").desc, col("dir"))))
+        .filter(col("rn") === 1)
+        .select(col("cell_x"), col("cell_y"),
+          when(col("drop") > 0, col("dir")).otherwise(0).as("d8"),
+          col("drop").as("max_drop"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // raster TRANSECT (the elevation-profile op: sample the raster
+    // along a line): each zone contributes the rounded-DDA line from
+    // (xmin,ymin) to (xmax,ymin+3) — dy≠steps on purpose so the
+    // integer rounding path (2·t·dy + steps) div (2·steps) actually
+    // exercises; the line cells are a TINY probe set (zones × steps)
+    // broadcast against the raster, so sampling is one broadcast
+    // equi-join on the cell key and the raster never shuffles.
+    "raster_transect" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), pts AS (
+         |  SELECT zone_id, t.range AS t,
+         |    xmin + t.range AS x,
+         |    ymin + (2 * t.range * 3 + 7) // 14 AS y
+         |  FROM zones CROSS JOIN range(0, 8) t
+         |), cells AS (
+         |$FixtureCellsSql
+         |)
+         |SELECT p.zone_id, p.t, p.x, p.y, c.value
+         |FROM pts p JOIN cells c ON c.cell_x = p.x AND c.cell_y = p.y
+         |ORDER BY p.zone_id, p.t""".stripMargin) { (s, d) =>
+      val pts = Cube.zones(s, d)
+        .select(col("zone_id"), explode(expr("sequence(0, 7)")).as("t"),
+          col("xmin"), col("ymin"))
+        .select(col("zone_id"), col("t"),
+          (col("xmin") + col("t")).as("x"),
+          expr("ymin + (2 * t * 3 + 7) div 14").as("y"))
+      scanTiff(s, fixturePath())
+        .join(broadcast(pts),
+          col("cell_x") === col("x") && col("cell_y") === col("y"))
+        .select(col("zone_id"), col("t"), col("x"), col("y"), col("value"))
+        .orderBy("zone_id", "t")
+    },
+
     // the classic land-cover report, end-to-end on the realistic
     // container: uint8 class raster (Deflate + byte predictor) → zones →
     // per-(zone, class) counts and area FRACTIONS. Class = value div 32

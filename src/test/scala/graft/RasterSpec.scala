@@ -38,6 +38,52 @@ class RasterSpec extends SparkSuite {
       s"contour mismatch: ${got.size} flagged vs ${expected.size} expected")
   }
 
+  test("raster_flow_d8: every cell carries the steepest-drop ESRI code, pits and flats 0") {
+    // local recomputation of the whole 90×70 grid: receiver→neighbor
+    // offsets carry ESRI y-down codes E=1, SE=2, S=4, SW=8, W=16,
+    // NW=32, N=64, NE=128; tie → lowest code; drop ≤ 0 → 0
+    val code = Map((1, 0) -> 1, (1, 1) -> 2, (0, 1) -> 4, (-1, 1) -> 8,
+      (-1, 0) -> 16, (-1, -1) -> 32, (0, -1) -> 64, (1, -1) -> 128)
+    def v(x: Int, y: Int): Long = Raster.fixtureValue(x, y).toLong
+    val expected = (for { x <- 0 until Raster.FixW; y <- 0 until Raster.FixH } yield {
+      val nb = for {
+        (off, c) <- code.toSeq
+        nx = x + off._1; ny = y + off._2
+        if nx >= 0 && nx < Raster.FixW && ny >= 0 && ny < Raster.FixH
+      } yield (v(x, y) - v(nx, ny), c)
+      val (drop, dir) = nb.maxBy { case (d, c) => (d, -c) }
+      ((x, y), (if (drop > 0) dir.toLong else 0L, drop))
+    }).toMap
+    val got = q("raster_flow_d8").collect().map { r =>
+      ((r.getInt(0), r.getInt(1)),
+        (r.getAs[Number](r.fieldIndex("d8")).longValue,
+          r.getAs[Number](r.fieldIndex("max_drop")).longValue))
+    }.toMap
+    assert(got.size == Raster.FixW * Raster.FixH)
+    assert(got == expected, {
+      val bad = got.collect { case (k, g) if expected(k) != g => s"$k got $g want ${expected(k)}" }
+      s"${bad.size} cells wrong, e.g. ${bad.take(3).mkString("; ")}"
+    })
+    assert(expected.values.exists(_._1 == 0L), "fixture should contain at least one pit/flat")
+  }
+
+  test("raster_transect: DDA line samples the exact fixture cells, probe side broadcast") {
+    val rows = q("raster_transect").collect()
+    assert(rows.length == 25 * 8, s"expected 200 samples, got ${rows.length}")
+    rows.foreach { r =>
+      val z = r.getAs[Number](r.fieldIndex("zone_id")).longValue
+      val t = r.getAs[Number](r.fieldIndex("t")).longValue
+      val x = r.getAs[Number](r.fieldIndex("x")).longValue
+      val y = r.getAs[Number](r.fieldIndex("y")).longValue
+      assert(x == (z * 2) % 56 + t && y == (z * 3) % 56 + (2 * t * 3 + 7) / 14,
+        s"zone $z t=$t at ($x,$y)")
+      assert(r.getDouble(r.fieldIndex("value")) == Raster.fixtureValue(x.toInt, y.toInt))
+    }
+    // the raster side must not shuffle: probe set broadcasts
+    val p = q("raster_transect").queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), s"transect probe not broadcast:\n${p.take(1500)}")
+  }
+
   test("roundtrip: written GeoTIFF scans back to the exact formula, edge tiles clipped") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_raster").toString
     val p = s"$tmp/rt.tif"
