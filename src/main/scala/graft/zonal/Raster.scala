@@ -1394,6 +1394,76 @@ object Raster {
       .select(col("cell_x"), col("cell_y"), col("dx2"), col("dy2"))
   }
 
+  // ---- shared D8 steepest-descent kernel: flow direction and flow
+  // accumulation both consume ONE ranked table of per-cell best-drop
+  // neighbors. Scatter-explode (each cell ships its value to its 8
+  // neighbors tagged with the receiver→sender ESRI y-down code), one
+  // equi-join back to the grid for the receiver value, an 8-row
+  // per-cell window for the argmax. Ties go to the lowest code. ----
+
+  /** DuckDB CTE chain `cells → nb → j → ranked(cell_x, cell_y, drop,
+    * dir, sx, sy)` with rn=1 preselected — callers prefix `WITH ` (or
+    * `WITH RECURSIVE `) plus CTEs of their own. (sx, sy) is the chosen
+    * neighbor, i.e. the D8 successor when drop > 0.
+    */
+  private val D8CteChain =
+    s"""cells AS (
+       |$FixtureCellsSql
+       |), nb AS (
+       |  SELECT c.cell_x + dx.range AS tx, c.cell_y + dy.range AS ty,
+       |    c.cell_x AS sx, c.cell_y AS sy,
+       |    CAST(c.value AS BIGINT) AS nv,
+       |    CASE WHEN dx.range = -1 AND dy.range =  0 THEN 1
+       |         WHEN dx.range = -1 AND dy.range = -1 THEN 2
+       |         WHEN dx.range =  0 AND dy.range = -1 THEN 4
+       |         WHEN dx.range =  1 AND dy.range = -1 THEN 8
+       |         WHEN dx.range =  1 AND dy.range =  0 THEN 16
+       |         WHEN dx.range =  1 AND dy.range =  1 THEN 32
+       |         WHEN dx.range =  0 AND dy.range =  1 THEN 64
+       |         ELSE 128 END AS dir
+       |  FROM cells c CROSS JOIN range(-1, 2) dx CROSS JOIN range(-1, 2) dy
+       |  WHERE NOT (dx.range = 0 AND dy.range = 0)
+       |), j AS (
+       |  SELECT n.tx AS cell_x, n.ty AS cell_y, n.sx, n.sy,
+       |    CAST(c.value AS BIGINT) - n.nv AS drop, n.dir
+       |  FROM nb n JOIN cells c ON c.cell_x = n.tx AND c.cell_y = n.ty
+       |), ranked AS (
+       |  SELECT * FROM (
+       |    SELECT cell_x, cell_y, drop, dir, sx, sy,
+       |      row_number() OVER (PARTITION BY cell_x, cell_y
+       |        ORDER BY drop DESC, dir) AS rn
+       |    FROM j) WHERE rn = 1)""".stripMargin
+
+  /** Spark twin of the `ranked` CTE (rn=1 rows only):
+    * (cell_x, cell_y, drop, dir, sx, sy).
+    */
+  private def d8Ranked(s: SparkSession): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // keyed on the SENDER→receiver offset (dx,dy), same table as the
+    // oracle's CASE: the receiver sees the sender at (−dx,−dy), so this
+    // assigns ESRI y-down codes (E=1, SE=2, … NE=128) to that direction.
+    val codes = Map((-1, 0) -> 1, (-1, -1) -> 2, (0, -1) -> 4, (1, -1) -> 8,
+      (1, 0) -> 16, (1, 1) -> 32, (0, 1) -> 64) // (-1,1) falls to 128
+    val scatter = (for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0) yield {
+      val dir = codes.getOrElse((dx, dy), 128)
+      s"struct(cell_x + $dx AS tx, cell_y + $dy AS ty, $dir AS dir, " +
+        "cell_x AS sx, cell_y AS sy)"
+    }).mkString(", ")
+    val cells = scanTiff(s, fixturePath())
+    val nb = cells
+      .select(explode(expr(s"array($scatter)")).as("n"),
+        col("value").cast("long").as("nv"))
+      .select(col("n.tx"), col("n.ty"), col("n.dir"), col("n.sx"), col("n.sy"), col("nv"))
+    nb.join(cells, col("tx") === col("cell_x") && col("ty") === col("cell_y"))
+      .select(col("cell_x"), col("cell_y"),
+        (col("value").cast("long") - col("nv")).as("drop"),
+        col("dir"), col("sx"), col("sy"))
+      .withColumn("rn", row_number().over(Window.partitionBy("cell_x", "cell_y")
+        .orderBy(col("drop").desc, col("dir"))))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     // raster ingestion end-to-end: write the deterministic GeoTIFF
     // fixture (once), scan it tile-parallel, emit the long-form cell
@@ -1500,6 +1570,46 @@ object Raster {
           sum(col("delta")).as("sum_delta"),
           (sum(abs(col("delta"))).cast("double") / count(lit(1))).as("mean_abs_delta"))
         .orderBy("zone_id")
+    },
+
+    // land-cover CHANGE MATRIX (the from/to cross-tabulation every
+    // change analysis publishes): both epochs classed by value div 250
+    // (4 classes over the 0..996 fixture range), one cell equi-join
+    // between the aligned epochs, zones gathered by the envelope join,
+    // then a single hash agg on (zone, class_a, class_b). At any raster
+    // size this is the two co-partitioned scans + one agg — the matrix
+    // itself is |zones|·classes², never cell-sized.
+    "zonal_change_matrix" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), a AS (
+         |$FixtureCellsSql
+         |), b AS (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, $Fixture2ValueSql AS value
+         |  FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y
+         |), cells AS (
+         |  SELECT a.cell_x, a.cell_y,
+         |    CAST(a.value AS BIGINT) // 250 AS class_a,
+         |    CAST(b.value AS BIGINT) // 250 AS class_b
+         |  FROM a JOIN b ON a.cell_x = b.cell_x AND a.cell_y = b.cell_y)
+         |SELECT zone_id, class_a, class_b, count(*) AS n_cells
+         |FROM cells JOIN zones
+         |  ON cell_x BETWEEN xmin AND xmax AND cell_y BETWEEN ymin AND ymax
+         |GROUP BY zone_id, class_a, class_b
+         |ORDER BY zone_id, class_a, class_b""".stripMargin) { (s, d) =>
+      val (pa, pb) = (fixturePath(), fixture2Path())
+      val (ma, mb2) = (readMeta(pa), readMeta(pb))
+      requireAligned(pa, ma, pb, mb2)
+      val a = scanTiff(s, pa, ma)
+      val b = scanTiff(s, pb, mb2).withColumnRenamed("value", "value2")
+      val classed = a.join(b, Seq("cell_x", "cell_y"))
+        .select(col("cell_x"), col("cell_y"),
+          expr("CAST(value AS BIGINT) div 250").as("class_a"),
+          expr("CAST(value2 AS BIGINT) div 250").as("class_b"))
+      Cube.rasterize(classed, Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("class_a"), col("class_b"))
+        .agg(count(lit(1)).as("n_cells"))
+        .orderBy("zone_id", "class_a", "class_b")
     },
 
     // the WRITE path: cells → one single-tile GeoTIFF per 16×16 tile,
@@ -1752,58 +1862,74 @@ object Raster {
     // per-cell window for the argmax — every stage hash-partitions on
     // the cell key.
     "raster_flow_d8" -> Q(
-      s"""WITH cells AS (
-         |$FixtureCellsSql
-         |), nb AS (
-         |  SELECT c.cell_x + dx.range AS tx, c.cell_y + dy.range AS ty,
-         |    CAST(c.value AS BIGINT) AS nv,
-         |    CASE WHEN dx.range = -1 AND dy.range =  0 THEN 1
-         |         WHEN dx.range = -1 AND dy.range = -1 THEN 2
-         |         WHEN dx.range =  0 AND dy.range = -1 THEN 4
-         |         WHEN dx.range =  1 AND dy.range = -1 THEN 8
-         |         WHEN dx.range =  1 AND dy.range =  0 THEN 16
-         |         WHEN dx.range =  1 AND dy.range =  1 THEN 32
-         |         WHEN dx.range =  0 AND dy.range =  1 THEN 64
-         |         ELSE 128 END AS dir
-         |  FROM cells c CROSS JOIN range(-1, 2) dx CROSS JOIN range(-1, 2) dy
-         |  WHERE NOT (dx.range = 0 AND dy.range = 0)
-         |), j AS (
-         |  SELECT n.tx AS cell_x, n.ty AS cell_y,
-         |    CAST(c.value AS BIGINT) - n.nv AS drop, n.dir
-         |  FROM nb n JOIN cells c ON c.cell_x = n.tx AND c.cell_y = n.ty
-         |), ranked AS (
-         |  SELECT cell_x, cell_y, drop, dir,
-         |    row_number() OVER (PARTITION BY cell_x, cell_y
-         |      ORDER BY drop DESC, dir) AS rn
-         |  FROM j)
+      s"""WITH $D8CteChain
          |SELECT cell_x, cell_y,
          |  CASE WHEN drop > 0 THEN dir ELSE 0 END AS d8, drop AS max_drop
-         |FROM ranked WHERE rn = 1 ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
-      import org.apache.spark.sql.expressions.Window
-      // keyed on the SENDER→receiver offset (dx,dy), same table as the
-      // oracle's CASE: the receiver sees the sender at (−dx,−dy), so this
-      // assigns ESRI y-down codes (E=1, SE=2, … NE=128) to that direction.
-      val codes = Map((-1, 0) -> 1, (-1, -1) -> 2, (0, -1) -> 4, (1, -1) -> 8,
-        (1, 0) -> 16, (1, 1) -> 32, (0, 1) -> 64) // (-1,1) falls to 128
-      val scatter = (for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0) yield {
-        val dir = codes.getOrElse((dx, dy), 128)
-        s"struct(cell_x + $dx AS tx, cell_y + $dy AS ty, $dir AS dir)"
-      }).mkString(", ")
-      val cells = scanTiff(s, fixturePath())
-      val nb = cells
-        .select(explode(expr(s"array($scatter)")).as("n"),
-          col("value").cast("long").as("nv"))
-        .select(col("n.tx"), col("n.ty"), col("n.dir"), col("nv"))
-      nb.join(cells, col("tx") === col("cell_x") && col("ty") === col("cell_y"))
-        .select(col("cell_x"), col("cell_y"),
-          (col("value").cast("long") - col("nv")).as("drop"), col("dir"))
-        .withColumn("rn", row_number().over(Window.partitionBy("cell_x", "cell_y")
-          .orderBy(col("drop").desc, col("dir"))))
-        .filter(col("rn") === 1)
+         |FROM ranked ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      d8Ranked(s)
         .select(col("cell_x"), col("cell_y"),
           when(col("drop") > 0, col("dir")).otherwise(0).as("d8"),
           col("drop").as("max_drop"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // D8 flow ACCUMULATION (the other half of the hydrology pair):
+    // acc(c) = number of cells whose steepest-descent path passes
+    // through c, itself included — the upstream-area raster streams and
+    // watersheds fall out of. The flow graph is a FOREST (each cell has
+    // ≤1 successor; strictly decreasing values make it acyclic), so the
+    // scale shape is parallel PATH DOUBLING, not per-step propagation:
+    // round k materializes every (cell, ancestor-within-2^k-steps) pair
+    // and squares the jump pointers, O(log depth) rounds of equi-joins
+    // on the cell key — the dedup_cluster CC posture (localCheckpoint
+    // lineage truncation, shuffle fan-out scoped to the loop). Total
+    // pair volume is Σ path lengths — the same output a sequential
+    // engine must write anyway. The oracle replays it as a recursive
+    // CTE over the identical successor table.
+    "raster_flow_acc" -> Q(
+      s"""WITH RECURSIVE $D8CteChain,
+         |succ AS (SELECT cell_x, cell_y, sx, sy FROM ranked WHERE drop > 0),
+         |paths AS (
+         |  SELECT cell_x AS ux, cell_y AS uy, cell_x AS wx, cell_y AS wy FROM cells
+         |  UNION ALL
+         |  SELECT p.ux, p.uy, s.sx AS wx, s.sy AS wy
+         |  FROM paths p JOIN succ s ON s.cell_x = p.wx AND s.cell_y = p.wy)
+         |SELECT wx AS cell_x, wy AS cell_y, CAST(count(*) AS BIGINT) AS acc
+         |FROM paths GROUP BY wx, wy ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val partsKey = "spark.sql.shuffle.partitions"
+      val loopParts = math.min(8, s.conf.get(partsKey).toInt).toString
+      graft.core.SessionConf.scoped(s, partsKey -> loopParts) {
+        def pin(df: DataFrame): DataFrame = df.localCheckpoint(false)
+        val ranked = d8Ranked(s)
+        // paths: all (u, w) with w on u's descent path, within 2^k steps
+        var paths = pin(ranked.select(
+          col("cell_x").as("ux"), col("cell_y").as("uy"),
+          col("cell_x").as("wx"), col("cell_y").as("wy")))
+        // jump: the 2^k-th successor of each cell that has one
+        var jump = pin(ranked.filter(col("drop") > 0)
+          .select(col("cell_x").as("x"), col("cell_y").as("y"),
+            col("sx").as("jx"), col("sy").as("jy")))
+        var n = jump.count()
+        var rounds = 0
+        while (n > 0 && rounds < 20) { // 20 ⇒ paths up to 2^20 cells
+          // (u, w) at distance 2^k ≤ d < 2^{k+1}: hop u's jump pointer,
+          // then reuse the target's already-materialized near half
+          val far = jump.join(paths,
+              col("jx") === col("ux") && col("jy") === col("uy"))
+            .select(col("x").as("ux"), col("y").as("uy"),
+              col("wx"), col("wy"))
+          paths = pin(paths.union(far))
+          val jb = jump.toDF("bx", "by", "bjx", "bjy")
+          jump = pin(jump.join(jb, col("jx") === col("bx") && col("jy") === col("by"))
+            .select(col("x"), col("y"), col("bjx").as("jx"), col("bjy").as("jy")))
+          n = jump.count()
+          rounds += 1
+        }
+        require(n == 0, s"flow paths exceed 2^20 cells after $rounds rounds")
+        paths.groupBy(col("wx").as("cell_x"), col("wy").as("cell_y"))
+          .agg(count(lit(1)).as("acc"))
+          .orderBy("cell_x", "cell_y")
+      }
     },
 
     // raster TRANSECT (the elevation-profile op: sample the raster

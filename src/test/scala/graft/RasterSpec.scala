@@ -67,6 +67,55 @@ class RasterSpec extends SparkSuite {
     assert(expected.values.exists(_._1 == 0L), "fixture should contain at least one pit/flat")
   }
 
+  test("raster_flow_acc: doubling matches a sequential walk; conservation holds") {
+    // sequential reference: follow each cell's steepest-descent path,
+    // counting every visited cell — the O(n·depth) walk the doubling
+    // loop must reproduce exactly
+    val code = Map((1, 0) -> 1, (1, 1) -> 2, (0, 1) -> 4, (-1, 1) -> 8,
+      (-1, 0) -> 16, (-1, -1) -> 32, (0, -1) -> 64, (1, -1) -> 128)
+    def v(x: Int, y: Int): Long = Raster.fixtureValue(x, y).toLong
+    val succ = (for { x <- 0 until Raster.FixW; y <- 0 until Raster.FixH } yield {
+      val nb = for {
+        (off, c) <- code.toSeq
+        nx = x + off._1; ny = y + off._2
+        if nx >= 0 && nx < Raster.FixW && ny >= 0 && ny < Raster.FixH
+      } yield (v(x, y) - v(nx, ny), c, (nx, ny))
+      val (drop, _, n) = nb.maxBy { case (d, c, _) => (d, -c) }
+      (x, y) -> (if (drop > 0) Some(n) else None)
+    }).toMap
+    val acc = scala.collection.mutable.Map.empty[(Int, Int), Long].withDefaultValue(0L)
+    var pathCells = 0L
+    for (u <- succ.keys) {
+      var c: Option[(Int, Int)] = Some(u)
+      while (c.isDefined) { acc(c.get) += 1; pathCells += 1; c = succ(c.get) }
+    }
+    val got = q("raster_flow_acc").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(r.fieldIndex("acc"))).toMap
+    assert(got.size == Raster.FixW * Raster.FixH)
+    assert(got == acc.toMap, {
+      val bad = got.collect { case (k, g) if acc(k) != g => s"$k got $g want ${acc(k)}" }
+      s"${bad.size} cells wrong, e.g. ${bad.take(3).mkString("; ")}"
+    })
+    // conservation: Σ acc = Σ path lengths; pits absorb everything upstream
+    assert(got.values.sum == pathCells)
+    assert(got.values.max > 100, "fixture should have a real drainage concentration")
+  }
+
+  test("zonal_change_matrix: per-zone counts sum to the 8×8 envelope, classes in range") {
+    val rows = q("zonal_change_matrix").collect()
+    val perZone = rows.groupBy(_.getAs[Number](0).longValue)
+      .view.mapValues(_.map(_.getAs[Number](3).longValue).sum).toMap
+    assert(perZone.size == 25 && perZone.values.forall(_ == 64L),
+      s"per-zone totals: ${perZone.toSeq.sortBy(_._1).take(5)}")
+    rows.foreach { r =>
+      val a = r.getAs[Number](1).longValue; val b = r.getAs[Number](2).longValue
+      assert(a >= 0 && a <= 3 && b >= 0 && b <= 3, s"class out of range: ($a,$b)")
+    }
+    // the two epochs genuinely differ: some off-diagonal mass exists
+    assert(rows.exists(r =>
+      r.getAs[Number](1).longValue != r.getAs[Number](2).longValue))
+  }
+
   test("raster_transect: DDA line samples the exact fixture cells, probe side broadcast") {
     val rows = q("raster_transect").collect()
     assert(rows.length == 25 * 8, s"expected 200 samples, got ${rows.length}")
