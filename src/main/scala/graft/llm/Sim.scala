@@ -584,6 +584,44 @@ object Sim {
         .orderBy("id1", "id2")
     },
 
+    // bulk k-NN GRAPH (the SemDeDup / graph-clustering / kNN-LM input:
+    // every node's top-3 neighbors at once, not a probe set): candidates
+    // from the sign-band LSH equi-join made symmetric (each undirected
+    // candidate pair feeds both endpoints' lists), exact cosine on
+    // candidates only, then the native bounded-heap TopK per node — the
+    // shuffle carries ≤k rows per (map partition, node), never the
+    // candidate volume. Nodes whose buckets yield no candidate simply
+    // have no rows — at 100 TB that sparsity is the point of LSH.
+    "sim_knn_graph" -> Q(
+      s"""WITH $SignCandSql,
+         |und AS (SELECT id1, id2 FROM cand
+         |        UNION ALL SELECT id2 AS id1, id1 AS id2 FROM cand),
+         |scored AS (
+         |  SELECT und.id1 AS probe_id, und.id2 AS vec_id,
+         |    round(${cosineSql("e1.embedding", "e2.embedding")}, 6) AS cos_r
+         |  FROM und JOIN embeddings e1 ON und.id1 = e1.vec_id
+         |           JOIN embeddings e2 ON und.id2 = e2.vec_id),
+         |ranked AS (
+         |  SELECT probe_id, vec_id, cos_r,
+         |    row_number() OVER (PARTITION BY probe_id
+         |      ORDER BY cos_r DESC, vec_id) AS rk
+         |  FROM scored)
+         |SELECT probe_id, rk, vec_id AS nbr_id, cos_r
+         |FROM ranked WHERE rk <= 3 ORDER BY probe_id, rk""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      val emb = Tables.embeddings(s, d)
+      val cand = signCandidates(s, d).select(col("id1"), col("id2"))
+      val und = cand.union(cand.select(col("id2").as("id1"), col("id1").as("id2")))
+      val scored = und
+        .join(emb.select(col("vec_id").as("id1"), col("embedding").as("e1")), "id1")
+        .join(emb.select(col("vec_id").as("id2"), col("embedding").as("e2")), "id2")
+        .select(col("id1").as("probe_id"), col("id2").as("vec_id"),
+          round(cosine("e1", "e2"), 6).as("cos_r"))
+      rankedTopK(scored, 3)
+        .select(col("probe_id"), col("rk"), col("vec_id").as("nbr_id"), col("cos_r"))
+        .orderBy("probe_id", "rk")
+    },
+
     "knn_centroid" -> Q(
       """SELECT label, u.pos - 1 AS pos, round(avg(u.v), 6) AS c FROM
         |  (SELECT label, unnest(list_transform(generate_series(1, len(embedding)),

@@ -168,6 +168,41 @@ object Scans {
       Tables.customer(s, d).repartition(16).write.mode("overwrite").parquet(frag)
       s.read.parquet(frag).coalesce(2).write.mode("overwrite").parquet(out)
       s.read.parquet(out).orderBy("c_custkey")
+    },
+
+    // MERGE INTO apply (the lakehouse CDC upsert): WHEN MATCHED UPDATE,
+    // WHEN NOT MATCHED INSERT, no delete clause — the applied table is
+    // changes ∪ (base ANTI-JOIN changes). Same base/changes snapshots
+    // as join_table_diff (that op REPORTS the delta; this one APPLIES
+    // it). The anti-join shuffles on the key like any co-partitioned
+    // MERGE; the write→read-back makes the gate cover the applied
+    // table on disk, not just the plan.
+    "sink_upsert" -> Q(
+      """WITH base AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS v FROM orders
+        |  WHERE o_orderkey % 10 <> 0),
+        |changes AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000
+        |         ELSE o_totalprice END AS v
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT k, v FROM changes
+        |UNION ALL
+        |SELECT k, v FROM base WHERE k NOT IN (SELECT k FROM changes)
+        |ORDER BY k""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.functions.{col, when}
+      val o = Tables.orders(s, d)
+      val base = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("v"))
+      val changes = o.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1000)
+            .otherwise(col("o_totalprice")).as("v"))
+      val merged = changes.union(
+        base.join(changes.select("k"), Seq("k"), "left_anti"))
+      val out = tmpDir(d, "sink_upsert")
+      merged.write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("k")
     }
   )
 }

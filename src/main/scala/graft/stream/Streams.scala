@@ -388,6 +388,42 @@ object Streams {
         .orderBy("user_id", "day")
     },
 
+    // z-score ANOMALY flags (the metric-monitoring staple): per-type
+    // population mean/std from EXACT decimal moment sums (raw 2-decimal
+    // values cast to DECIMAL(18,2); the square is computed IN decimal —
+    // the drevenue rule, casting a computed double is not portable),
+    // then one broadcast join of the 5-row stats table back onto the
+    // stream and a fixed IEEE chain per event: identical bits on both
+    // engines, so the |z| > 3 boundary needs no tolerance. One wide
+    // scan + one tiny-broadcast join at any event volume.
+    "events_anomaly" -> Q(
+      """WITH st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+        |    CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ss
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |  round((e.value - s / n) / sqrt(ss / n - (s / n) * (s / n)), 6) AS z_r
+        |FROM events e JOIN st ON e.event_type = st.event_type
+        |WHERE sqrt(ss / n - (s / n) * (s / n)) > 0
+        |  AND abs((e.value - s / n) / sqrt(ss / n - (s / n) * (s / n))) > 3
+        |ORDER BY event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val dec = col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+      val st = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(dec).cast("double").as("s"),
+          sum(dec * dec).cast("double").as("ss"))
+      val mean = col("s") / col("n")
+      val std = sqrt(col("ss") / col("n") - mean * mean)
+      val z = (col("value") - mean) / std
+      ev.join(broadcast(st), "event_type")
+        .filter(std > 0 && abs(z) > 3)
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(z, 6).as("z_r"))
+        .orderBy("event_id")
+    },
+
     // batch sessionization — the window-function twin of stream_session:
     // a session breaks after a >10-minute gap; session index = running
     // sum of break flags per user (lag + cumulative sum), then one

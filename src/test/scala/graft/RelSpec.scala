@@ -132,6 +132,33 @@ class RelSpec extends SparkSuite {
     assert(statuses.sameElements(Array("F")))
   }
 
+  test("sink_upsert applies MERGE semantics: updates win, inserts land, untouched rows survive") {
+    val orders = graft.core.Tables.orders(spark, sf)
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val got = q("sink_upsert").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val baseKeys = orders.keySet.filter(_ % 10 != 0)
+    val changeKeys = orders.keySet.filter(_ % 7 != 0)
+    assert(got.keySet == (baseKeys ++ changeKeys), "merged key set wrong")
+    got.foreach { case (k, v) =>
+      val expect =
+        if (changeKeys(k)) { if (k % 5 == 0) orders(k) + 1000 else orders(k) }
+        else orders(k)
+      assert(v == expect, s"key $k: got $v want $expect")
+    }
+  }
+
+  test("fn_variant agrees with the string-path JSON extraction") {
+    // two independent engine paths over the same column must agree:
+    // Σ sum_k over variant buckets == Σ k over get_json_object rows
+    val variantSum = q("fn_variant").collect().map(_.getLong(2)).sum
+    val stringSum = q("fn_json").agg(sum(col("k"))).head.getLong(0)
+    assert(variantSum == stringSum, s"$variantSum != $stringSum")
+    val n = q("fn_variant").collect().map(_.getLong(1)).sum
+    assert(n == q("fn_json").count())
+  }
+
   test("join_asof matches a hand-computed user") {
     val rows = q("join_asof").filter(col("user_id") === 12).collect()
     // events of user 12 ordered by ts; every prior_purchase_ts must be the

@@ -223,4 +223,26 @@ class StreamSpec extends SparkSuite {
     got.foreach(r => assert(direct(r.getLong(0)) == r.getLong(1),
       s"user ${r.getLong(0)} count mismatch"))
   }
+
+  test("events_anomaly flags exactly the >3σ tail of each event type") {
+    val rows = q("events_anomaly").collect()
+    assert(rows.nonEmpty, "the heavy-tailed fixture should have 3σ outliers")
+    rows.foreach { r =>
+      val z = r.getDouble(r.fieldIndex("z_r"))
+      assert(math.abs(z) > 3 && math.abs(z) < 20, s"z out of expected band: $z")
+    }
+    // count cross-check against an independent double-path recompute
+    // (population stddev; tolerance-free count because no fixture value
+    // sits within 1e-6 of the boundary)
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_type", "value").collect()
+      .map(r => r.getString(0) -> r.getDouble(1))
+    val expected = ev.groupBy(_._1).map { case (_, vs) =>
+      val xs = vs.map(_._2)
+      val m = xs.sum / xs.length
+      val sd = math.sqrt(xs.map(x => (x - m) * (x - m)).sum / xs.length)
+      xs.count(x => math.abs((x - m) / sd) > 3)
+    }.sum
+    assert(rows.length == expected, s"${rows.length} flagged vs $expected recomputed")
+  }
 }
