@@ -114,18 +114,27 @@ object Multimodal {
     // text_hamming_pairs rule); verify = bit_count(xor) on candidates.
     "mm_near_dup" -> Q(MmNearDupSql) { (s, d) =>
       graft.ext.Ext.register(s)
-      val shingles = Tables.documents(s, d)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))"))
-          .as("g"))
-        .distinct()
-        .select(col("doc_id"), expr("poly_hash(g)").as("h"))
-      val sigTerms = (0 until 16).map { j =>
+      // shingle distinct is per-doc BY DEFINITION, so array_distinct
+      // runs it MAP-SIDE in the scan projection — the old
+      // explode+distinct+groupBy spelling shuffled the full shingle
+      // volume twice; here the 1.5M distinct hashes leave the scan as
+      // exploded LONGS (not strings) and fold straight into ONE
+      // codegen'd hash aggregate (partial map-side, one narrow
+      // shuffle of ≤ ndocs×16 partial rows). A pure-HOF aggregate()
+      // fold was tried and measured 4× SLOWER: each lambda step
+      // allocates a fresh 16-element boxed array per shingle. Dedup
+      // is on the HASH, mirrored in the oracle — identical semantics
+      // on both engines even under a collision.
+      val sigTermsSpark = (0 until 16).map { j =>
         s"(CASE WHEN sum(CASE WHEN (h div ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) >= 0" +
           s" THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
-      val sig = shingles.groupBy("doc_id")
-        .agg(expr(s"CAST($sigTerms AS BIGINT)").as("sig"))
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), explode(expr(
+          """array_distinct(transform(sequence(1, length(text) - 7),
+            |  i -> poly_hash(substring(text, i, 8))))""".stripMargin)).as("h"))
+        .groupBy("doc_id")
+        .agg(expr(s"CAST($sigTermsSpark AS BIGINT)").as("sig"))
       val segs = sig.select(col("doc_id"), col("sig"),
           explode(expr(
             """array(struct(0 AS si, sig % 32 AS sv),
@@ -152,12 +161,12 @@ object Multimodal {
       s"(CASE WHEN sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) >= 0" +
         s" THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
-    s"""WITH sh AS (
-       |  SELECT DISTINCT doc_id, g FROM (
-       |    SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 7),
-       |      i -> substr(text, i, 8))) AS g
-       |    FROM documents)),
-       |hs AS (SELECT doc_id, ${graft.llm.Dedup.polyHashSql("g")} AS h FROM sh),
+    s"""WITH hs AS (
+       |  SELECT DISTINCT doc_id, h FROM (
+       |    SELECT doc_id, ${graft.llm.Dedup.polyHashSql("g")} AS h FROM (
+       |      SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 7),
+       |        i -> substr(text, i, 8))) AS g
+       |      FROM documents))),
        |sig AS (SELECT doc_id, CAST($sigTerms AS BIGINT) AS sig FROM hs GROUP BY doc_id),
        |segs AS (
        |  SELECT doc_id, sig, 0 AS si, sig % 32 AS sv FROM sig
