@@ -2542,5 +2542,77 @@ object Raster {
           Seq((mbFixturePath(), 0, 0), (mbDeflateFixturePath(), MbW, 0)))
         .select(col("cell_x"), col("cell_y"), col("band"), col("value"))
         .orderBy("cell_x", "cell_y", "band")
+    },
+
+    // Terrain Ruggedness Index (Riley et al. 1999; gdaldem TRI) — the
+    // roughness member of the terrain-derivative family next to slope /
+    // aspect / hillshade: mean |neighbor − center| over the 8-cell
+    // box. Shape = the D8 kernel: each cell SCATTERS its value to its
+    // 8 neighbors map-side, one equi-join back to the grid key brings
+    // the center value, one hash agg folds the 8 absolute gaps —
+    // every stage hash-partitions on the cell key (tile-partitioned
+    // storage keeps the halo exchange in one shuffle at 100 TB; never
+    // a per-scanline window). Integer cells → the abs-gap sum is an
+    // exact BIGINT; /8 is a power-of-two divide, exact in float64 on
+    // both engines. Interior cells only (all 8 present), the
+    // gdaldem edge convention.
+    "raster_tri" -> Q(
+      s"""WITH cells AS (
+         |$FixtureCellsSql
+         |), nb AS (
+         |  SELECT c.cell_x + dx.range AS x, c.cell_y + dy.range AS y, c.value AS nv
+         |  FROM cells c CROSS JOIN range(-1, 2) dx CROSS JOIN range(-1, 2) dy
+         |  WHERE NOT (dx.range = 0 AND dy.range = 0))
+         |SELECT g.cell_x, g.cell_y,
+         |  CAST(SUM(CAST(abs(n.nv - g.value) AS BIGINT)) AS DOUBLE) / 8 AS tri
+         |FROM nb n JOIN cells g ON g.cell_x = n.x AND g.cell_y = n.y
+         |GROUP BY g.cell_x, g.cell_y HAVING COUNT(*) = 8
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val neighbors = (for (dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0)
+        yield s"struct(cell_x + $dx AS x, cell_y + $dy AS y)").mkString(", ")
+      val grid = scanTiff(s, fixturePath())
+      val scattered = grid
+        .select(explode(expr(s"array($neighbors)")).as("n"), col("value").as("nv"))
+        .select(col("n.x").as("cell_x"), col("n.y").as("cell_y"), col("nv"))
+      scattered.join(grid, Seq("cell_x", "cell_y"))
+        .groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).as("n_nb"),
+          (sum(abs(col("nv") - col("value")).cast("long")).cast("double") / 8).as("tri"))
+        .filter(col("n_nb") === 8)
+        .select("cell_x", "cell_y", "tri")
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // discrete Laplacian curvature (∇²z = N+S+E+W − 4·center) — the
+    // second-derivative terrain member (ridges < 0 < channels; the
+    // profile-curvature primitive). Same scatter + grid-key equi-join
+    // + single hash agg as TRI but over the 4 axis neighbors, and the
+    // output stays PURE INTEGER — no float enters the plan at all.
+    // Interior cells only (all 4 present).
+    "raster_curvature" -> Q(
+      s"""WITH cells AS (
+         |$FixtureCellsSql
+         |), nb AS (
+         |  SELECT c.cell_x + d.dx AS x, c.cell_y + d.dy AS y, c.value AS nv
+         |  FROM cells c CROSS JOIN (VALUES (1, 0), (-1, 0), (0, 1), (0, -1)) d(dx, dy))
+         |SELECT g.cell_x, g.cell_y,
+         |  CAST(SUM(CAST(n.nv AS BIGINT)) - 4 * g.value AS BIGINT) AS curv
+         |FROM nb n JOIN cells g ON g.cell_x = n.x AND g.cell_y = n.y
+         |GROUP BY g.cell_x, g.cell_y, g.value HAVING COUNT(*) = 4
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val axis = Seq((1, 0), (-1, 0), (0, 1), (0, -1)).map { case (dx, dy) =>
+        s"struct(cell_x + $dx AS x, cell_y + $dy AS y)"
+      }.mkString(", ")
+      val grid = scanTiff(s, fixturePath())
+      val scattered = grid
+        .select(explode(expr(s"array($axis)")).as("n"), col("value").as("nv"))
+        .select(col("n.x").as("cell_x"), col("n.y").as("cell_y"), col("nv"))
+      scattered.join(grid, Seq("cell_x", "cell_y"))
+        .groupBy(col("cell_x"), col("cell_y"), col("value"))
+        .agg(count(lit(1)).as("n_nb"), sum(col("nv").cast("long")).as("nsum"))
+        .filter(col("n_nb") === 4)
+        .select(col("cell_x"), col("cell_y"),
+          (col("nsum") - lit(4) * col("value")).cast("long").as("curv"))
+        .orderBy("cell_x", "cell_y")
     })
 }

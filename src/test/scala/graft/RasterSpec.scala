@@ -23,6 +23,33 @@ class RasterSpec extends SparkSuite {
     assert(!p.contains("Join"), s"warp gathered via a join:\n${p.take(2000)}")
   }
 
+  test("raster_tri and raster_curvature: interior cells match local recompute") {
+    def v(x: Int, y: Int): Long = Raster.fixtureValue(x, y).toLong
+    val tri = q("raster_tri").collect().map(r =>
+      ((r.getInt(0), r.getInt(1)), r.getDouble(r.fieldIndex("tri")))).toMap
+    assert(tri.size == (Raster.FixW - 2) * (Raster.FixH - 2), s"tri interior: ${tri.size}")
+    val expTri = (for { x <- 1 until Raster.FixW - 1; y <- 1 until Raster.FixH - 1 } yield {
+      val s = (for { dx <- -1 to 1; dy <- -1 to 1 if dx != 0 || dy != 0 }
+        yield math.abs(v(x + dx, y + dy) - v(x, y))).sum
+      ((x, y), s.toDouble / 8)
+    }).toMap
+    assert(tri == expTri, {
+      val bad = tri.collect { case (k, g) if expTri(k) != g => s"$k got $g want ${expTri(k)}" }
+      s"${bad.size} TRI cells wrong, e.g. ${bad.take(3).mkString("; ")}"
+    })
+    val curv = q("raster_curvature").collect().map(r =>
+      ((r.getInt(0), r.getInt(1)), r.getLong(r.fieldIndex("curv")))).toMap
+    assert(curv.size == (Raster.FixW - 2) * (Raster.FixH - 2), s"curv interior: ${curv.size}")
+    val expCurv = (for { x <- 1 until Raster.FixW - 1; y <- 1 until Raster.FixH - 1 }
+      yield ((x, y), v(x + 1, y) + v(x - 1, y) + v(x, y + 1) + v(x, y - 1) - 4 * v(x, y))).toMap
+    assert(curv == expCurv, {
+      val bad = curv.collect { case (k, g) if expCurv(k) != g => s"$k got $g want ${expCurv(k)}" }
+      s"${bad.size} curvature cells wrong, e.g. ${bad.take(3).mkString("; ")}"
+    })
+    assert(expCurv.values.exists(_ < 0) && expCurv.values.exists(_ > 0),
+      "fixture should exercise both ridge and channel curvature signs")
+  }
+
   test("raster_contour: flags exactly the formula's level-change edges") {
     def lvl(x: Int, y: Int): Long = ((31 * x + 17 * y) % 997) / 100
     val expected = (for { x <- 0 until 90; y <- 0 until 70 } yield {
