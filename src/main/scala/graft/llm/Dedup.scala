@@ -734,6 +734,64 @@ object Dedup {
         .select(col("cid"), col("id2").as("drop_id"), col("keep_id"),
           col("n_nb"), col("max_cos"))
         .orderBy("drop_id")
+    },
+
+    // URL-normalization dedup — the FIRST pass of every web-corpus
+    // pipeline (CommonCrawl dedups by normalized URL before any
+    // content hash is computed): canonicalize scheme/host case, strip
+    // the default port, the www. prefix, utm_* tracking params, the
+    // fragment and the trailing slash, then keep the minimum doc_id
+    // per canonical URL. The URL column is derived deterministically
+    // from (doc_id, source, lang) — the fixture families' rule — and
+    // deliberately exercises every normalization clause. Shape: a
+    // map-side regexp_replace chain + ONE hash agg on the canonical
+    // key (partial map-side) — at 100 TB this is a single shuffle of
+    // (url, partial) pairs, the cheapest dedup in the whole family.
+    // The chain lowercases the WHOLE url (fixture paths are caseless
+    // digits; scheme+host-only casing would need a split the fixture
+    // cannot distinguish).
+    "dedup_url" -> Q(
+      """WITH u0 AS (
+        |  SELECT doc_id,
+        |    concat(CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'http://' END,
+        |      CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+        |      CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END, '.example.org',
+        |      CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+        |      '/docs/', CAST(doc_id % 50 AS VARCHAR),
+        |      CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+        |      CASE WHEN doc_id % 7 < 2 THEN concat('?utm_source=feed&q=', lang)
+        |           WHEN doc_id % 7 < 4 THEN concat('?q=', lang) ELSE '' END,
+        |      CASE WHEN doc_id % 11 = 0 THEN '#top' ELSE '' END) AS u
+        |  FROM documents),
+        |u1 AS (SELECT doc_id, lower(regexp_replace(u, '#.*$', '', 'g')) AS u FROM u0),
+        |u2 AS (SELECT doc_id, regexp_replace(u, '://www\.', '://', 'g') AS u FROM u1),
+        |u3 AS (SELECT doc_id, regexp_replace(u, ':80(/|\?|$)', '\1', 'g') AS u FROM u2),
+        |u4 AS (SELECT doc_id, regexp_replace(u, 'utm_[a-z]+=[^&#]*&?', '', 'g') AS u FROM u3),
+        |u5 AS (SELECT doc_id, regexp_replace(u, '[?&]$', '', 'g') AS u FROM u4),
+        |u6 AS (SELECT doc_id, regexp_replace(regexp_replace(u, '/\?', '?', 'g'), '/$', '', 'g') AS u FROM u5)
+        |SELECT u AS norm_url, CAST(min(doc_id) AS BIGINT) AS keep_id,
+        |  CAST(count(*) AS BIGINT) AS n_dupes
+        |FROM u6 GROUP BY u ORDER BY norm_url""".stripMargin) { (s, d) =>
+      Tables.documents(s, d)
+        .withColumn("u", expr(
+          """concat(CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'http://' END,
+            |  CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+            |  CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END, '.example.org',
+            |  CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END,
+            |  '/docs/', CAST(doc_id % 50 AS STRING),
+            |  CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END,
+            |  CASE WHEN doc_id % 7 < 2 THEN concat('?utm_source=feed&q=', lang)
+            |       WHEN doc_id % 7 < 4 THEN concat('?q=', lang) ELSE '' END,
+            |  CASE WHEN doc_id % 11 = 0 THEN '#top' ELSE '' END)""".stripMargin))
+        .withColumn("u", lower(regexp_replace(col("u"), "#.*$", "")))
+        .withColumn("u", regexp_replace(col("u"), "://www\\.", "://"))
+        .withColumn("u", regexp_replace(col("u"), ":80(/|\\?|$)", "$1"))
+        .withColumn("u", regexp_replace(col("u"), "utm_[a-z]+=[^&#]*&?", ""))
+        .withColumn("u", regexp_replace(col("u"), "[?&]$", ""))
+        .withColumn("u", regexp_replace(regexp_replace(col("u"), "/\\?", "?"), "/$", ""))
+        .groupBy(col("u").as("norm_url"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
+        .orderBy("norm_url")
     }
   )
 }

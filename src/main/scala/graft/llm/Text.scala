@@ -765,6 +765,60 @@ object Text {
         .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("batch_id")
+    },
+
+    // PARAGRAPH-level exact dedup with document RECONSTRUCTION — the
+    // sequence-level pass of Lee et al. 2022 ("Deduplicating Training
+    // Data Makes Language Models Better"): doc-level dedup misses the
+    // boilerplate paragraph pasted into thousands of otherwise-unique
+    // pages; here every 10-word span is hashed, the globally FIRST
+    // occurrence (min (doc_id, chunk_idx)) survives, later copies are
+    // cut and each doc is rebuilt from its surviving spans in order.
+    // Shape: map-side chunking (slice/transform on the word array — no
+    // per-word explode), one md5-keyed window bounded by each chunk's
+    // own duplicate count (never corpus-wide), one per-doc hash agg to
+    // rebuild; docs that lose EVERY span survive as empty text via the
+    // left join, so corpus row count is conserved. At 100 TB every
+    // stage keys on chunk-hash or doc_id — co-partitioned, no skew
+    // beyond the duplicate distribution itself (the paper's own
+    // bound).
+    "text_dedup_paragraph" -> Q(
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, c AS ci,
+        |    array_to_string(list_slice(w, c * 10 + 1, c * 10 + 10), ' ') AS chunk
+        |  FROM (SELECT doc_id, w, unnest(generate_series(0, (len(w) - 1) // 10)) AS c FROM w)),
+        |h AS (SELECT doc_id, ci, chunk, md5(chunk) AS h FROM ch),
+        |k AS (SELECT doc_id, ci, chunk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id, ci) AS rn FROM h)
+        |  WHERE rn = 1),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks FROM h GROUP BY doc_id),
+        |kp AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |         string_agg(chunk, ' ' ORDER BY ci) AS new_text
+        |       FROM k GROUP BY doc_id)
+        |SELECT st.doc_id, st.n_chunks, CAST(coalesce(kp.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(kp.new_text, '') AS new_text
+        |FROM st LEFT JOIN kp USING (doc_id) ORDER BY doc_id""".stripMargin) { (s, d) =>
+      val ch = Tables.documents(s, d)
+        .withColumn("w", split(col("text"), " "))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(sequence(0, (size(w) - 1) div 10),
+            |  c -> array_join(slice(w, c * 10 + 1, 10), ' '))""".stripMargin))
+          .as(Seq("ci", "chunk")))
+        .withColumn("h", md5(col("chunk").cast("binary")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("h").orderBy("doc_id", "ci")
+      val kept = ch.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      val stats = ch.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      val rebuilt = kept.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          expr("array_join(transform(array_sort(collect_list(struct(ci, chunk))), x -> x.chunk), ' ')")
+            .as("new_text"))
+      stats.join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("new_text"), lit("")).as("new_text"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -513,4 +513,48 @@ class LlmSpec extends SparkSuite {
         s"node $node: stored cos ${top._4} vs recomputed ${cos(v, nv)}")
     }
   }
+
+  test("text_dedup_paragraph: row conservation, kept bound, intact docs rebuild verbatim") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = q("text_dedup_paragraph").collect()
+    assert(rows.length == docs.size, "one output row per doc")
+    val idx = rows.head.fieldIndex _
+    // local recompute of the global first-occurrence rule
+    val allChunks = docs.toSeq.sortBy(_._1).flatMap { case (id, t) =>
+      t.split(" ", -1).grouped(10).zipWithIndex.map { case (c, i) => (id, i, c.mkString(" ")) }
+    }
+    val distinctChunks = allChunks.map(_._3).distinct.size
+    assert(rows.map(_.getLong(idx("n_kept"))).sum == distinctChunks,
+      "global kept count must equal the distinct chunk count")
+    assert(rows.exists(r => r.getLong(idx("n_kept")) < r.getLong(idx("n_chunks"))),
+      "fixture must cut at least one duplicated paragraph")
+    rows.foreach { r =>
+      val (id, kept, total) =
+        (r.getLong(idx("doc_id")), r.getLong(idx("n_kept")), r.getLong(idx("n_chunks")))
+      assert(kept <= total)
+      if (kept == total)
+        assert(r.getString(idx("new_text")) == docs(id), s"intact doc $id must rebuild verbatim")
+    }
+  }
+
+  test("dedup_url: canonical urls carry no un-normalized artifact; doc count conserved") {
+    val rows = q("dedup_url").collect()
+    assert(rows.nonEmpty)
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(rows.head.fieldIndex("n_dupes"))).sum == nDocs,
+      "every doc must land in exactly one canonical-url group")
+    assert(rows.exists(_.getLong(rows.head.fieldIndex("n_dupes")) > 1),
+      "fixture must produce at least one real url collision")
+    rows.map(_.getString(rows.head.fieldIndex("norm_url"))).foreach { u =>
+      assert(u == u.toLowerCase, s"un-lowercased: $u")
+      assert(!u.contains(":80"), s"default port survived: $u")
+      assert(!u.contains("utm_"), s"tracking param survived: $u")
+      assert(!u.contains("#") && !u.endsWith("/") && !u.endsWith("?") && !u.endsWith("&"),
+        s"fragment/trailing junk survived: $u")
+      assert(!u.contains("://www."), s"www prefix survived: $u")
+      assert(u.startsWith("http://"), s"scheme mangled: $u")
+    }
+  }
 }
