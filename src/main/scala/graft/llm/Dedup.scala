@@ -198,7 +198,7 @@ object Dedup {
     */
   val DefaultMaxBucket = 4096
 
-  private def bucketCap(s: org.apache.spark.sql.SparkSession): Int =
+  def bucketCap(s: org.apache.spark.sql.SparkSession): Int =
     s.conf.getOption("spark.graft.lsh.maxBucket").map(_.toInt).getOrElse(DefaultMaxBucket)
 
   /** Bucket-collect pair enumeration over a long-form (doc_id, band, bh)

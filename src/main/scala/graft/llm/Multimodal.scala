@@ -103,81 +103,132 @@ object Multimodal {
 
     // byte-level NEAR-dup for opaque blobs (the perceptual-hash shape:
     // mm_dedup catches only bit-identical content; re-encoded media
-    // needs a locality-sensitive signature): 16-bit SimHash over
-    // sliding 8-byte shingles hashed with the engine-portable
-    // poly_hash — so unlike dedup_simhash (xxhash64, no DuckDB twin)
-    // this signature IS oracle-replayable. The 16 bit votes are 16
-    // conditional sums inside ONE hash aggregate (no ×16 row blowup);
-    // candidate pairs come from a 3-segment (6+5+5 bit) pigeonhole
-    // equi-join — at Hamming ≤ 2 at most 2 segments differ, so one
-    // matches EXACTLY and recall is guaranteed by construction (the
-    // text_hamming_pairs rule); verify = bit_count(xor) on candidates.
+    // needs a locality-sensitive signature): the PUBLISHED 64-bit
+    // SimHash split into 4 × 16-bit segments (Manku, Jain & Das Sarma,
+    // WWW 2007 — the web-scale shape; round 7 shipped a 16-bit/3-seg
+    // variant whose 32-64 total buckets were quadratic at scale; 16-bit
+    // segments give 65 536 buckets per segment) over sliding 8-byte
+    // shingles hashed with the engine-portable poly_hash — so unlike
+    // dedup_simhash (xxhash64, no DuckDB twin) this signature IS
+    // oracle-replayable. The 64 bit votes are 64 conditional sums
+    // inside ONE hash aggregate (no ×64 row blowup); candidate pairs
+    // come from the 4-segment pigeonhole bucket-collect — at Hamming
+    // ≤ 3 at most 3 segments differ, so one matches EXACTLY and recall
+    // is guaranteed by construction; verify = summed per-segment
+    // bit_count(xor) on candidates, and a mega-bucket past the cap
+    // raises IN-PLAN before any pair is emitted (the r6 text-side
+    // guard, extended here per the round-7 verdict).
     "mm_near_dup" -> Q(MmNearDupSql) { (s, d) =>
-      graft.ext.Ext.register(s)
-      // shingle distinct is per-doc BY DEFINITION, so array_distinct
-      // runs it MAP-SIDE in the scan projection — the old
-      // explode+distinct+groupBy spelling shuffled the full shingle
-      // volume twice; here the 1.5M distinct hashes leave the scan as
-      // exploded LONGS (not strings) and fold straight into ONE
-      // codegen'd hash aggregate (partial map-side, one narrow
-      // shuffle of ≤ ndocs×16 partial rows). A pure-HOF aggregate()
-      // fold was tried and measured 4× SLOWER: each lambda step
-      // allocates a fresh 16-element boxed array per shingle. Dedup
-      // is on the HASH, mirrored in the oracle — identical semantics
-      // on both engines even under a collision.
-      val sigTermsSpark = (0 until 16).map { j =>
-        s"(CASE WHEN sum(CASE WHEN (h div ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) >= 0" +
-          s" THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
-      val sig = Tables.documents(s, d)
-        .select(col("doc_id"), explode(expr(
-          """array_distinct(transform(sequence(1, length(text) - 7),
-            |  i -> poly_hash(substring(text, i, 8))))""".stripMargin)).as("h"))
-        .groupBy("doc_id")
-        .agg(expr(s"CAST($sigTermsSpark AS BIGINT)").as("sig"))
-      val segs = sig.select(col("doc_id"), col("sig"),
-          explode(expr(
-            """array(struct(0 AS si, sig % 32 AS sv),
-              |      struct(1 AS si, (sig div 32) % 32 AS sv),
-              |      struct(2 AS si, sig div 1024 AS sv))""".stripMargin)).as("seg"))
-        .select(col("doc_id"), col("sig"), col("seg.si"), col("seg.sv"))
-      segs.as("a").join(segs.as("b"),
-          col("a.si") === col("b.si") && col("a.sv") === col("b.sv")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-          expr("CAST(bit_count(CAST(a.sig AS INT) ^ CAST(b.sig AS INT)) AS INT)").as("hamming"))
-        .distinct()
-        .filter(col("hamming") <= 2)
-        .orderBy("id1", "id2")
+      mmNearDupPairs(Tables.documents(s, d), graft.llm.Dedup.bucketCap(s))
     }
   )
 
+  /** 64 bits = 4 derived 16-bit hash views of the shingle's poly_hash
+    * (h_k = (A_k·h + B_k) mod M, bits 0..15 — HashMod is ~2^30 so the
+    * low 16 bits of each view are full-entropy); shared by the Spark
+    * builder and the DuckDB twin so both engines vote on identical bits.
+    */
+  private def seg(k: Int): (Long, Long) =
+    (graft.llm.Dedup.HashA(k), graft.llm.Dedup.HashB(k))
+
+  /** Spark body of mm_near_dup, parameterized so EdgeSpec can drive a
+    * degenerate corpus into the mega-bucket guard.
+    *
+    * Shingle distinct is per-doc BY DEFINITION, so array_distinct runs
+    * MAP-SIDE in the scan projection; the distinct hashes leave the
+    * scan as exploded LONGS and fold straight into ONE codegen'd hash
+    * aggregate (partial map-side, one narrow shuffle of ≤ ndocs×64
+    * partial rows). A pure-HOF aggregate() fold was tried in r7 and
+    * measured 4× SLOWER. Texts shorter than the 8-byte shingle are
+    * filtered on BOTH engines (Spark's sequence(1, len-7) turns
+    * DESCENDING below len 8 — bogus shingles — while DuckDB's
+    * generate_series yields an empty list: a silent cross-engine
+    * divergence flagged in round-7 advice).
+    */
+  def mmNearDupPairs(docs: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame = {
+    graft.ext.Ext.register(docs.sparkSession)
+    val m = graft.llm.Dedup.HashMod
+    val segSums = (0 until 4).map { k =>
+      val (a, b) = seg(k)
+      val terms = (0 until 16).map { j =>
+        s"(CASE WHEN sum(CASE WHEN ((($a * h + $b) % $m) div ${1L << j}) % 2 = 1" +
+          s" THEN 1 ELSE -1 END) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      expr(s"CAST($terms AS BIGINT)").as(s"s$k")
+    }
+    val sig = docs
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        """array_distinct(transform(sequence(1, length(text) - 7),
+          |  i -> poly_hash(substring(text, i, 8))))""".stripMargin)).as("h"))
+      .groupBy("doc_id")
+      .agg(segSums.head, segSums.tail: _*)
+    val segs = sig.select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
+        explode(expr(
+          """array(struct(0 AS si, s0 AS sv), struct(1 AS si, s1 AS sv),
+            |      struct(2 AS si, s2 AS sv), struct(3 AS si, s3 AS sv))""".stripMargin)).as("g"))
+      .select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
+        col("g.si"), col("g.sv"))
+    segs.groupBy("si", "sv")
+      .agg(sort_array(collect_list(struct(col("doc_id"),
+        col("s0"), col("s1"), col("s2"), col("s3")))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .withColumn("ids", expr(
+        s"""CASE WHEN size(ids) <= $cap THEN ids
+           |ELSE raise_error(concat('SimHash mega-bucket: ', cast(size(ids) AS string),
+           |  ' blobs share one 16-bit segment (cap $cap) — a degenerate corpus',
+           |  ' region; remove exact duplicates upstream (mm_dedup) or raise',
+           |  ' spark.graft.lsh.maxBucket')) END""".stripMargin))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)), j ->
+          |    struct(element_at(ids, i).doc_id AS id1, element_at(ids, j).doc_id AS id2,
+          |      CAST(bit_count(element_at(ids, i).s0 ^ element_at(ids, j).s0)
+          |         + bit_count(element_at(ids, i).s1 ^ element_at(ids, j).s1)
+          |         + bit_count(element_at(ids, i).s2 ^ element_at(ids, j).s2)
+          |         + bit_count(element_at(ids, i).s3 ^ element_at(ids, j).s3) AS INT)
+          |        AS hamming))))""".stripMargin)).as("pr"))
+      .select(col("pr.id1").as("id1"), col("pr.id2").as("id2"), col("pr.hamming").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 3)
+      .orderBy("id1", "id2")
+  }
+
   /** DuckDB twin of mm_near_dup: identical shingle/vote/segment
-    * arithmetic (poly_hash fold, 16 conditional sums, 3-segment
-    * pigeonhole, bit_count(xor) verify).
+    * arithmetic (poly_hash fold, 4 derived hash views, 64 conditional
+    * sums, 4×16-bit pigeonhole, per-segment bit_count(xor) verify).
     */
   private lazy val MmNearDupSql: String = {
-    val sigTerms = (0 until 16).map { j =>
-      s"(CASE WHEN sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) >= 0" +
-        s" THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
+    val m = graft.llm.Dedup.HashMod
+    val segSums = (0 until 4).map { k =>
+      val (a, b) = seg(k)
+      val terms = (0 until 16).map { j =>
+        s"(CASE WHEN sum(CASE WHEN ((($a * h + $b) % $m) // ${1L << j}) % 2 = 1" +
+          s" THEN 1 ELSE -1 END) >= 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" + ")
+      s"CAST($terms AS BIGINT) AS s$k"
+    }.mkString(",\n    ")
+    val segUnion = (0 until 4).map(k =>
+      s"SELECT doc_id, s0, s1, s2, s3, $k AS si, s$k AS sv FROM sig")
+      .mkString("\n  UNION ALL ")
     s"""WITH hs AS (
        |  SELECT DISTINCT doc_id, h FROM (
        |    SELECT doc_id, ${graft.llm.Dedup.polyHashSql("g")} AS h FROM (
        |      SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 7),
        |        i -> substr(text, i, 8))) AS g
-       |      FROM documents))),
-       |sig AS (SELECT doc_id, CAST($sigTerms AS BIGINT) AS sig FROM hs GROUP BY doc_id),
+       |      FROM documents WHERE length(text) >= 8))),
+       |sig AS (SELECT doc_id,
+       |    $segSums
+       |  FROM hs GROUP BY doc_id),
        |segs AS (
-       |  SELECT doc_id, sig, 0 AS si, sig % 32 AS sv FROM sig
-       |  UNION ALL SELECT doc_id, sig, 1, (sig // 32) % 32 FROM sig
-       |  UNION ALL SELECT doc_id, sig, 2, sig // 1024 FROM sig),
+       |  $segUnion),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2,
-       |    CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+       |    CAST(bit_count(xor(a.s0, b.s0)) + bit_count(xor(a.s1, b.s1))
+       |       + bit_count(xor(a.s2, b.s2)) + bit_count(xor(a.s3, b.s3)) AS INTEGER) AS hamming
        |  FROM segs a JOIN segs b
        |    ON a.si = b.si AND a.sv = b.sv AND a.doc_id < b.doc_id)
-       |SELECT id1, id2, hamming FROM cand WHERE hamming <= 2
+       |SELECT id1, id2, hamming FROM cand WHERE hamming <= 3
        |ORDER BY id1, id2""".stripMargin
   }
 }

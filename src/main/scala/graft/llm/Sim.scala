@@ -60,41 +60,131 @@ object Sim {
   val SigBands = 16
   val SigDims = 4
 
-  /** One band's signature terms; `ix` renders ONE-BASED array access for
-    * the target engine (Spark `element_at` / DuckDB `arr[i]`), keeping
-    * both spellings generated from the same constants.
+  /** Corpus-size signature knob (round-7 verdict: constant-width bands
+    * are quadratic at 100×). Band width follows the LSH bucket rule —
+    * ⌈log2 n⌉ − c bits/band keeps the EXPECTED bucket at 2^c vectors
+    * (c = 8 ⇒ 256) regardless of corpus size — and band COUNT follows
+    * the recall identity 1 − (1 − p^w)^B ≥ target with p = P(sign
+    * agree | cos ≥ τ) ≈ 0.6 at the τ = 0.3 the dedup family uses.
+    * B grows as 1/p^w, so it is clamped at [[MaxSigBands]]: a corpus
+    * wide enough to saturate the clamp should raise τ or move to the
+    * IVF family (`sim_ann_ivf*`), which is the honest trade — sign-LSH
+    * at low τ does not scale past that point and pretending otherwise
+    * just silently drops recall. The sf-scale default (16 × 4) is what
+    * this returns for n ≤ ~4096, keeping the oracle-replayed operators
+    * on the published constants.
+    */
+  val MaxSigBands = 64
+  def sigConfigFor(n: Long, slackBits: Int = 8, p: Double = 0.6,
+      target: Double = 0.98): (Int, Int) = {
+    val w = math.max(SigDims,
+      math.ceil(math.log(math.max(n, 2).toDouble) / math.log(2)).toInt - slackBits)
+    val b = math.min(MaxSigBands,
+      math.max(SigBands, math.ceil(math.log(1 - target) / math.log(1 - math.pow(p, w))).toInt))
+    (b, w)
+  }
+
+  /** One band's signature terms over RAW sign bits; `ix` renders
+    * ONE-BASED array access for the target engine (Spark `element_at` /
+    * DuckDB `arr[i]`), keeping both spellings generated from the same
+    * constants.
     */
   private def bandSigTerms(emb: String, b: Int, ix: (String, Int) => String): String =
     (0 until SigDims).map { j =>
       s"CASE WHEN ${ix(emb, b * SigDims + j + 1)} > 0 THEN ${1 << j} ELSE 0 END"
     }.mkString(" + ")
 
-  /** Spark: (vec_id, label, band, sig) long-form sign signatures —
-    * `stack` generator, fully codegen'd projection (no aggregation, no
-    * higher-order functions).
+  /** Deterministic ±1 Rademacher weight for hyperplane projection `p`,
+    * dim `i` — a Murmur3-style avalanche so projections are mutually
+    * independent (a plain linear-mod parity makes consecutive planes
+    * near-complements: a sign-flipped plane is the SAME hyperplane, so
+    * half the bands would carry no new information and recall collapses
+    * — measured 0.59 vs the ≥0.95 the band-count identity predicts).
     */
-  def signBands(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val stackArgs = (0 until SigBands).map { b =>
-      s"$b, ${bandSigTerms("embedding", b, (e, i) => s"element_at($e, $i)")}"
-    }.mkString(", ")
-    Tables.embeddings(s, d).selectExpr("vec_id", "label",
-      s"stack($SigBands, $stackArgs) AS (band, sig)")
+  private def planeWeight(p: Int, i: Int): Int = {
+    var x = p.toLong * 0x9E3779B97F4A7C15L + i.toLong * 0xC2B2AE3D27D4EB4FL
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL; x ^= x >>> 33
+    if ((x & 1L) == 0L) 1 else -1
   }
 
-  /** Candidate same-label pairs sharing ≥1 band signature. The join is a
-    * pure EQUI-join on (label, band, sig) — one shuffle on the band key,
-    * pair enumeration only inside signature buckets (bucket sizes are
-    * the corpus/2^SigDims LSH bound, not the label-block size).
+  /** Spark: (vec_id, label, band, sig) long-form sign signatures at the
+    * DEFAULT 16 × 4 config — `stack` generator over raw sign bits,
+    * fully codegen'd projection (no aggregation, no shuffle).
     */
-  def signCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
-    val sb = signBands(s, d)
-    sb.as("a").join(sb.as("b"),
-        col("a.label") === col("b.label") && col("a.band") === col("b.band")
-          && col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        col("a.label").as("label"))
-      .distinct()
+  def signBands(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    signBandsOf(Tables.embeddings(s, d))
+
+  /** Parameterized sign signatures. Two physical paths, same semantics:
+    *   - `bands·dims ≤ 64` (the embedding's raw dim count): each
+    *     projection is one raw sign bit — a pure codegen'd projection.
+    *   - wider (the 100-TB knob from [[sigConfigFor]]): projections
+    *     beyond the raw 64 are Rademacher hyperplanes (sign of a
+    *     ±1-weighted sum over all dims — random projection, the same
+    *     collision law). Planned LONG-FORM: posexplode dims ⋈ broadcast
+    *     plane table → two-phase (vec, proj) dot sums → one more agg
+    *     packs sign bits into band signatures. No quadratic anything,
+    *     no giant codegen expression; the plane table is bands·dims·64
+    *     rows — broadcast-tiny at any corpus size.
+    */
+  def signBandsOf(emb: DataFrame, bands: Int = SigBands, dims: Int = SigDims): DataFrame = {
+    require(bands > 0 && dims > 0, "sign-band config must be positive")
+    if (bands * dims <= 64) {
+      val stackArgs = (0 until bands).map { b =>
+        val terms = (0 until dims).map { j =>
+          s"CASE WHEN element_at(embedding, ${b * dims + j + 1}) > 0 THEN ${1 << j} ELSE 0 END"
+        }.mkString(" + ")
+        s"$b, $terms"
+      }.mkString(", ")
+      emb.selectExpr("vec_id", "label", s"stack($bands, $stackArgs) AS (band, sig)")
+    } else {
+      val s = emb.sparkSession
+      import s.implicits._
+      val planes = for (p <- 0 until bands * dims; i <- 0 until 64)
+        yield (p, i, planeWeight(p, i).toDouble)
+      val planeDf = planes.toDF("p", "dim", "w")
+      emb.select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("dim", "v")))
+        .join(broadcast(planeDf), "dim")
+        .groupBy(col("vec_id"), col("label"), col("p"))
+        .agg(sum(col("w") * col("v").cast("double")).as("dot"))
+        .groupBy(col("vec_id"), col("label"),
+          (col("p") / dims).cast("int").as("band"))
+        .agg(sum(when(col("dot") > 0,
+          expr(s"CAST(pow(2, p % $dims) AS BIGINT)")).otherwise(0L)).as("sig"))
+    }
   }
+
+  /** Candidate same-label pairs sharing ≥1 band signature, with the
+    * mega-bucket guard (round-7 verdict: the text-side LSH had it since
+    * r6, this embedding-side twin did not). Shape: ONE shuffle on
+    * (label, band, sig), bucket-collect pair enumeration — a bucket
+    * past the cap raises INSIDE the plan before any pair is emitted
+    * (embedding signs are correlated, so a degenerate corpus region
+    * CAN put O(corpus) vectors behind one signature; the guard turns
+    * the silent O(n²) task into a loud error naming the fix).
+    */
+  def signCandidates(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
+    signCandidatesOf(Tables.embeddings(s, d), Dedup.bucketCap(s))
+
+  def signCandidatesOf(emb: DataFrame, cap: Int = Dedup.DefaultMaxBucket,
+      bands: Int = SigBands, dims: Int = SigDims): DataFrame =
+    signBandsOf(emb, bands, dims)
+      .groupBy("label", "band", "sig")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .withColumn("ids", expr(
+        s"""CASE WHEN size(ids) <= $cap THEN ids
+           |ELSE raise_error(concat('LSH mega-bucket: ', cast(size(ids) AS string),
+           |  ' vectors share one sign-band signature (cap $cap) — a degenerate',
+           |  ' embedding region; widen the bands (sigConfigFor), dedup exact',
+           |  ' copies upstream, or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
+      .select(col("label"), explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> struct(element_at(ids, i) AS id1, element_at(ids, j) AS id2))))""".stripMargin))
+        .as("pr"))
+      .select(col("pr.id1").as("id1"), col("pr.id2").as("id2"), col("label"))
+      .distinct()
 
   /** DuckDB twins of [[signBands]]+[[signCandidates]] as WITH-clause
     * CTEs `sigs` and `cand(id1, id2, label)`.
@@ -187,14 +277,27 @@ object Sim {
     * expands ×nlist (the round-3 verdict flagged the old
     * crossJoin+window argmax, which shuffled corpus×nlist rows).
     */
-  /** Per-label mean centroids, long form (c_label, centroid). */
-  private[graft] def ivfCentroids(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
-      .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("c_label"), col("pos"))
-      .agg(avg(col("v").cast("double")).as("c"))
-      .groupBy(col("c_label"))
-      .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+  /** Per-label mean centroids, long form (c_label, centroid) — a MODEL
+    * artifact (nlist tiny rows), memoized per (session, dir) with an
+    * eager localCheckpoint: the IVF-PQ search plan otherwise recomputes
+    * this full-corpus aggregation three times in one query (probe
+    * assignment + ivfAssigned + the residual join — round-7 verdict
+    * item 8). Bench invalidates through [[clearPqCodebookCache]].
+    */
+  private val ivfCentCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+  private[graft] def ivfCentroids(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    ivfCentCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    ivfCentCache.computeIfAbsent((s, d), { _ =>
+      Tables.embeddings(s, d)
+        .select(col("label").as("c_label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("c_label"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("c"))
+        .groupBy(col("c_label"))
+        .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("centroid"))
+        .localCheckpoint(true)
+    })
+  }
 
   private[graft] def ivfAssigned(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     graft.ext.Ext.register(s)
@@ -365,11 +468,15 @@ object Sim {
   private val pqCbCache =
     new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
 
-  /** Drop the memoized trained codebooks (plain AND residual) so the
-    * next consumer pays the full cold training cost (Bench
-    * outlier-rerun honesty).
+  /** Drop ALL memoized index artifacts — trained codebooks (plain AND
+    * residual), coarse centroids, and the residual code table — so the
+    * next consumer pays the full cold build cost (Bench outlier-rerun
+    * honesty).
     */
-  def clearPqCodebookCache(): Unit = { pqCbCache.clear(); pqResCbCache.clear() }
+  def clearPqCodebookCache(): Unit = {
+    pqCbCache.clear(); pqResCbCache.clear()
+    ivfCentCache.clear(); pqResCodesCache.clear()
+  }
 
   /** Per-subspace Lloyd training over long-form sub-vectors `(vec_id,
     * m, sub)` → the ONE packed codebook row. Scale posture per
@@ -443,15 +550,30 @@ object Sim {
     pqResCbCache.computeIfAbsent((s, d), { _ => trainCodebook(resSubVecs(s, d)) })
   }
 
-  /** (vec_id, c_label, code[PqM]) over the residual codebook. */
-  private def pqResCodes(s: org.apache.spark.sql.SparkSession, d: String): DataFrame =
-    resVecs(s, d).crossJoin(broadcast(pqResCodebook(s, d)))
-      .select(col("vec_id"), col("c_label"),
-        expr(s"""transform(sequence(0, ${PqM - 1}), m ->
-          |  array_min(transform(sequence(1, $PqK), k ->
-          |    struct(${l2Expr(s"slice(vec, m * $PqW + 1, $PqW)",
-               "element_at(element_at(cbs, m + 1), k)")} AS d, k AS k))).k)""".stripMargin)
-          .as("code"))
+  private val pqResCodesCache =
+    new java.util.concurrent.ConcurrentHashMap[(org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  /** (vec_id, c_label, code[PqM]) over the residual codebook — the
+    * FAISS "inverted lists": PqM small ints per vector, built once at
+    * index time and reused by every search. Memoized with an eager
+    * localCheckpoint like the codebooks (the search plan otherwise
+    * re-encodes the whole corpus per query); Bench invalidates through
+    * [[clearPqCodebookCache]]. At cluster scale this is the table a
+    * deployment writes to storage, not a per-query recompute.
+    */
+  private def pqResCodes(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    pqResCodesCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    pqResCodesCache.computeIfAbsent((s, d), { _ =>
+      resVecs(s, d).crossJoin(broadcast(pqResCodebook(s, d)))
+        .select(col("vec_id"), col("c_label"),
+          expr(s"""transform(sequence(0, ${PqM - 1}), m ->
+            |  array_min(transform(sequence(1, $PqK), k ->
+            |    struct(${l2Expr(s"slice(vec, m * $PqW + 1, $PqW)",
+                 "element_at(element_at(cbs, m + 1), k)")} AS d, k AS k))).k)""".stripMargin)
+            .as("code"))
+        .localCheckpoint(true)
+    })
+  }
 
   /** (vec_id, code[PqM]) — 1-based codebook indices; argmin by
     * (round-6 distance, k) via array_min over orderable structs.

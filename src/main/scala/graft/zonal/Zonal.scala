@@ -320,49 +320,77 @@ object Zonal {
     */
   def exactQuantilesByBucket(cells: DataFrame,
       qs: Seq[(Double, String)], nb: Int = 256): DataFrame = {
-    // The three linear passes (zstats, histogram, resolve) each re-read
+    // The linear passes (zstats, histogram, resolve) each re-read
     // `cells`, whose lineage is typically the full rasterize join —
     // materialize the 16-byte (zone_id, value) projection ONCE instead of
     // recomputing that join per pass. MEMORY_AND_DISK spills past
     // executor memory, so the trade holds at any scale: one wide join +
     // three scans of a narrow columnar cache, never three wide joins.
+    // The whole build is EAGER (localCheckpoint of the tiny per-zone
+    // result) so the cache can be dropped in the finally — round-7
+    // advice: the un-unpersisted cache accumulated across a bench
+    // session on the three queries that share this path.
     val slim = cells.select(col("zone_id"), col("value"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val zstats = slim.groupBy("zone_id").agg(
-      min(col("value")).as("zmin"), max(col("value")).as("zmax"),
-      count(lit(1)).as("n"))
-    val bucketed = withBuckets(slim, zstats, nb)
-    val wB = org.apache.spark.sql.expressions.Window
-      .partitionBy("zone_id").orderBy("bucket")
-    val hist = bucketed.groupBy(col("zone_id"), col("bucket"))
-      .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(zstats.select("zone_id", "n")), "zone_id")
-      .withColumn("cumb", sum(col("cnt")).over(wB))
-    val qlit = explode(array(qs.map { case (q, nm) =>
-      struct(lit(q).as("q"), lit(nm).as("qname")) }: _*))
-    val targets = hist
-      .select(col("zone_id").as("tzone"), col("bucket").as("tb"),
-        col("cnt"), col("cumb"), col("n"), qlit.as("qq"))
-      .withColumn("rank", ceil(col("n") * col("qq.q")))
-      .filter(col("cumb") >= col("rank") && col("cumb") - col("cnt") < col("rank"))
-      .select(col("tzone"), col("qq.qname").as("qname"), col("tb"),
-        (col("cumb") - col("cnt")).as("cum_before"), col("rank"))
-    val wV = org.apache.spark.sql.expressions.Window
-      .partitionBy("zone_id", "qname").orderBy("value")
-    val picked = bucketed
-      .join(broadcast(targets),
-        col("zone_id") === col("tzone") && col("bucket") === col("tb"))
-      .groupBy(col("zone_id"), col("qname"), col("rank"), col("cum_before"), col("value"))
-      .agg(count(lit(1)).as("cnt2"))
-      .withColumn("cumv", sum(col("cnt2")).over(wV) + col("cum_before"))
-      .filter(col("cumv") >= col("rank"))
-      .groupBy(col("zone_id"), col("qname")).agg(min(col("value")).as("qv"))
-    val qcols = qs.map { case (_, nm) =>
-      min(when(col("qname") === nm, col("qv"))).as(nm) }
-    picked.groupBy(col("zone_id")).agg(qcols.head, qcols.tail: _*)
-      .join(broadcast(zstats.select(col("zone_id"), col("n").as("n_cells"))), "zone_id")
-      .select(col("zone_id") +: col("n_cells") +: qs.map(q => col(q._2)): _*)
-      .orderBy("zone_id")
+    try {
+      val zstats = slim.groupBy("zone_id").agg(
+        min(col("value")).as("zmin"), max(col("value")).as("zmax"),
+        count(lit(1)).as("n"), countDistinct(col("value")).as("nd"))
+      val qlit = explode(array(qs.map { case (q, nm) =>
+        struct(lit(q).as("q"), lit(nm).as("qname")) }: _*))
+      // Small-N fast path (round 8, recovering the r7 sf0.1 regression):
+      // when every zone's DISTINCT-value count fits one in-memory window
+      // (nb·64 ≈ 16k distinct rows per zone after the (zone, value)
+      // pre-aggregation), the plain counting window is already narrow —
+      // one pass, no histogram/resolve. The gate reads only the per-zone
+      // stats (tiny, computed anyway) and both paths share the same
+      // lower-quantile rank rule, so results are bit-identical.
+      val maxNd = zstats.agg(max(col("nd"))).head.getLong(0)
+      val picked = if (maxNd <= nb.toLong * 64) {
+        val wV = org.apache.spark.sql.expressions.Window
+          .partitionBy("zone_id").orderBy("value")
+        slim.groupBy(col("zone_id"), col("value"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("cum", sum(col("cnt")).over(wV))
+          .join(broadcast(zstats.select("zone_id", "n")), "zone_id")
+          .select(col("zone_id"), col("value"), col("cum"), col("n"), qlit.as("qq"))
+          .filter(col("cum") >= ceil(col("n") * col("qq.q")))
+          .groupBy(col("zone_id"), col("qq.qname").as("qname"))
+          .agg(min(col("value")).as("qv"))
+      } else {
+        val bucketed = withBuckets(slim, zstats, nb)
+        val wB = org.apache.spark.sql.expressions.Window
+          .partitionBy("zone_id").orderBy("bucket")
+        val hist = bucketed.groupBy(col("zone_id"), col("bucket"))
+          .agg(count(lit(1)).as("cnt"))
+          .join(broadcast(zstats.select("zone_id", "n")), "zone_id")
+          .withColumn("cumb", sum(col("cnt")).over(wB))
+        val targets = hist
+          .select(col("zone_id").as("tzone"), col("bucket").as("tb"),
+            col("cnt"), col("cumb"), col("n"), qlit.as("qq"))
+          .withColumn("rank", ceil(col("n") * col("qq.q")))
+          .filter(col("cumb") >= col("rank") && col("cumb") - col("cnt") < col("rank"))
+          .select(col("tzone"), col("qq.qname").as("qname"), col("tb"),
+            (col("cumb") - col("cnt")).as("cum_before"), col("rank"))
+        val wV = org.apache.spark.sql.expressions.Window
+          .partitionBy("zone_id", "qname").orderBy("value")
+        bucketed
+          .join(broadcast(targets),
+            col("zone_id") === col("tzone") && col("bucket") === col("tb"))
+          .groupBy(col("zone_id"), col("qname"), col("rank"), col("cum_before"), col("value"))
+          .agg(count(lit(1)).as("cnt2"))
+          .withColumn("cumv", sum(col("cnt2")).over(wV) + col("cum_before"))
+          .filter(col("cumv") >= col("rank"))
+          .groupBy(col("zone_id"), col("qname")).agg(min(col("value")).as("qv"))
+      }
+      val qcols = qs.map { case (_, nm) =>
+        min(when(col("qname") === nm, col("qv"))).as(nm) }
+      picked.groupBy(col("zone_id")).agg(qcols.head, qcols.tail: _*)
+        .join(broadcast(zstats.select(col("zone_id"), col("n").as("n_cells"))), "zone_id")
+        .select(col("zone_id") +: col("n_cells") +: qs.map(q => col(q._2)): _*)
+        .orderBy("zone_id")
+        .localCheckpoint()
+    } finally slim.unpersist(false)
   }
 
   /** Stage 2's bucket routing (exposed so ZonalSpec can assert the
@@ -394,9 +422,14 @@ object Zonal {
     */
   private val zStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ensureZStore(s: org.apache.spark.sql.SparkSession, d: String): String =
-    zStores.computeIfAbsent(new java.io.File(d).getCanonicalPath, { _ =>
+    zStores.computeIfAbsent(new java.io.File(d).getCanonicalPath, { canon =>
+      // key the output dir on the CANONICAL path (basename + a hash of
+      // the full path), not the basename alone — two data dirs sharing a
+      // basename must not clobber each other's store while the first
+      // memo entry still points at the overwritten path (round-7 advice;
+      // same basename-collision class the r7 fixture caches fixed)
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
-        s"${new java.io.File(d).getName}/zorder_store"
+        s"${new java.io.File(d).getName}_${Integer.toHexString(canon.hashCode)}/zorder_store"
       Cube.cells(s, d)
         .withColumn("z", expr(zMortonSql("div")))
         .withColumn("zbucket", expr(s"${zMortonSql("div")} div 256"))
@@ -441,8 +474,11 @@ object Zonal {
            |        ${zMortonSql("//")} // 256 AS zbucket
            |      FROM cells)
            |GROUP BY zbucket ORDER BY zbucket""".stripMargin)) { (s, d) =>
+      // canonical-path-hashed dir, same basename-collision fix as
+      // ensureZStore (round-7 advice)
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
-        s"${new java.io.File(d).getName}/sink_zorder"
+        s"${new java.io.File(d).getName}_${Integer.toHexString(
+          new java.io.File(d).getCanonicalPath.hashCode)}/sink_zorder"
       Cube.cells(s, d)
         .withColumn("z", expr(zMortonSql("div")))
         .withColumn("zbucket", expr(s"${zMortonSql("div")} div 256"))

@@ -162,4 +162,36 @@ class EdgeSpec extends SparkSuite {
       .toDF("doc_id", "text")
     assert(graft.llm.Dedup.minhashPairs(small).count() == 10) // C(5,2)
   }
+
+  private def msgs(t: Throwable): String =
+    if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+
+  test("sign-band mega-bucket guard: 10k identical embeddings fail loudly, never explode") {
+    // the embedding-side twin of the text guard (round-7 verdict item 1):
+    // correlated/degenerate embeddings put every vector behind one band
+    // signature — the candidate generator must raise BEFORE the in-bucket
+    // pair product, not OOM a task on ~50M pairs
+    val vec = Array.fill(64)(1.0f)
+    val degenerate = (1L to 10000L).map(i => (i, 1, vec))
+      .toDF("vec_id", "label", "embedding")
+    val e = intercept[Throwable](
+      graft.llm.Sim.signCandidatesOf(degenerate).count())
+    assert(msgs(e).contains("mega-bucket"), s"wanted the loud guard, got: ${msgs(e)}")
+    val small = (1L to 5L).map(i => (i, 1, vec)).toDF("vec_id", "label", "embedding")
+    assert(graft.llm.Sim.signCandidatesOf(small).count() == 10) // C(5,2)
+  }
+
+  test("SimHash segment mega-bucket guard: 10k identical blobs fail loudly, never explode") {
+    val boiler = (1L to 10000L).map(i =>
+      (i, "the exact same boilerplate blob content repeated across the corpus"))
+      .toDF("doc_id", "text")
+    val e = intercept[Throwable](
+      graft.llm.Multimodal.mmNearDupPairs(boiler, cap = 4096).count())
+    assert(msgs(e).contains("mega-bucket"), s"wanted the loud guard, got: ${msgs(e)}")
+    val small = (1L to 5L).map(i =>
+      (i, "the exact same boilerplate blob content repeated across the corpus"))
+      .toDF("doc_id", "text")
+    // identical blobs: Hamming 0, all C(5,2) pairs survive the verify
+    assert(graft.llm.Multimodal.mmNearDupPairs(small, cap = 4096).count() == 10)
+  }
 }

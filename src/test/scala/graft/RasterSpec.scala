@@ -754,6 +754,39 @@ class RasterSpec extends SparkSuite {
     assert(graft.zonal.TiffCodec.inflate(comp, 100).toSeq == data.toSeq)
   }
 
+  test("zonal_raster_world: geo tags roundtrip; non-integral transform fails loudly") {
+    // writer → reader roundtrip of ModelPixelScale/ModelTiepoint (the
+    // round-8 world-coordinate path hangs everything off these four)
+    val p = Raster.worldFixturePath()
+    val m = Raster.readMeta(p)
+    assert(m.originX == Raster.WorldOX.toDouble && m.originY == Raster.WorldOY.toDouble
+      && m.scaleX == Raster.WorldScale.toDouble && m.scaleY == Raster.WorldScale.toDouble)
+    // pixel content unaffected by georeferencing
+    val v = Raster.scanTiff(spark, p, m).where("cell_x = 3 AND cell_y = 5")
+      .collect().head.getDouble(2)
+    assert(v == Raster.fixtureValue(3, 5))
+    // the integral-coordinate discipline: a fractional scale or origin
+    // must fail AT PLAN BUILD, loudly, not silently shift zones
+    val zones = Raster.worldZones(spark, "/root/testdata/sf0.001")
+    val cells = Raster.scanTiff(spark, p, m)
+    val e1 = intercept[IllegalArgumentException](
+      Raster.zonalWorld(cells, zones, m.copy(scaleX = 30.5)))
+    assert(e1.getMessage.contains("integer-expressible"))
+    val e2 = intercept[IllegalArgumentException](
+      Raster.zonalWorld(cells, zones, m.copy(originY = 4650000.25)))
+    assert(e2.getMessage.contains("integer-expressible"))
+    // world zones that miss the raster contribute no rows; all stats
+    // rows carry centers inside the raster's world envelope
+    val rows = Raster.zonalWorld(cells, zones, m).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val wxMin = r.getDouble(r.fieldIndex("wcx_min"))
+      val wyMax = r.getDouble(r.fieldIndex("wcy_max"))
+      assert(wxMin >= Raster.WorldOX && wxMin <= Raster.WorldOX + 30.0 * Raster.FixW)
+      assert(wyMax <= Raster.WorldOY && wyMax >= Raster.WorldOY - 30.0 * Raster.FixH)
+    }
+  }
+
   test("multi-band deflate writer roundtrips through the band scanner") {
     val p = Raster.mbDeflateFixturePath()
     val m = Raster.readMeta(p)
