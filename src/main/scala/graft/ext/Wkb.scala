@@ -63,6 +63,44 @@ object Wkb {
     buf.array()
   }
 
+  /** Parse a Polygon/MultiPolygon WKB back to its CLOSED rings,
+    * flattened across parts (even-odd semantics make the part structure
+    * immaterial to every consumer here — same flattening the shapefile
+    * writer's Polygon record type uses). The exact inverse of [[build]]
+    * modulo that flattening; integral-coordinate discipline as
+    * [[pointIn]] (fractional vertices throw, never truncate).
+    */
+  def ringsOf(wkb: Array[Byte]): Seq[Seq[(Int, Int)]] = {
+    val buf = java.nio.ByteBuffer.wrap(wkb).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[(Int, Int)]]
+    def polygon(): Unit = {
+      require(buf.get() == 1.toByte, "big-endian WKB unsupported")
+      buf.getInt match {
+        case 3 =>
+          val nRings = buf.getInt
+          var r = 0
+          while (r < nRings) {
+            val npts = buf.getInt
+            out += Seq.tabulate(npts) { _ =>
+              val xd = buf.getDouble; val yd = buf.getDouble
+              if (xd.toInt.toDouble != xd || yd.toInt.toDouble != yd)
+                throw new IllegalArgumentException(
+                  s"wkb rings require integral lattice coordinates, got ($xd, $yd)")
+              (xd.toInt, yd.toInt)
+            }
+            r += 1
+          }
+        case 6 =>
+          val nPolys = buf.getInt
+          var p = 0
+          while (p < nPolys) { polygon(); p += 1 }
+        case t => throw new IllegalArgumentException(s"unsupported WKB type $t")
+      }
+    }
+    polygon()
+    out.toSeq
+  }
+
   /** Even-odd containment of the integer point (px, py): crossing
     * parity across every ring of every polygon. Exact long arithmetic,
     * half-open edge rule — identical to [[PointInQuad.inside]] and to

