@@ -198,6 +198,35 @@ object Dedup {
     */
   val DefaultMaxBucket = 4096
 
+  /** Sharded-Bloom prefilter behind `dedup_bloom_sharded` (exposed so
+    * LlmSpec can pin the cross-shard no-false-negative property): docs
+    * rows `(doc_id, lang, text, shard)` whose shard's history sketch
+    * reports already-seen. Shard = Spark-side xxhash64 mod `shards` on
+    * BOTH build and probe; each sketch is sized for history/shards keys
+    * — the key-range sharding that keeps any one broadcast under
+    * budget at 1e9-key history scale.
+    */
+  def shardedBloomCandidates(docs: DataFrame, hist: DataFrame,
+      shards: Int): DataFrame = {
+    require(shards >= 1, s"shards $shards")
+    val s = docs.sparkSession
+    import s.implicits._
+    def withShard(df: DataFrame): DataFrame = df.withColumn("shard",
+      pmod(xxhash64(col("text")), lit(shards.toLong)).cast("int"))
+    // per-shard build: each pass aggregates ONLY its shard's keys (at
+    // scale: one shard-repartition, each partition builds its own
+    // sketch — S independent small aggregations, no giant merge)
+    val filters = (0 until shards).map { i =>
+      withShard(hist).filter(col("shard") === i)
+        .stat.bloomFilter("text", math.max(1000L, 120000L / shards), 0.01)
+    }.toArray
+    val bfB = s.sparkContext.broadcast(filters)
+    withShard(docs.select(col("doc_id"), col("lang"), col("text")))
+      .as[(Long, String, String, Int)]
+      .filter(r => bfB.value(r._4).mightContainString(r._3))
+      .toDF("doc_id", "lang", "text", "shard")
+  }
+
   def bucketCap(s: org.apache.spark.sql.SparkSession): Int =
     s.conf.getOption("spark.graft.lsh.maxBucket").map(_.toInt).getOrElse(DefaultMaxBucket)
 
@@ -634,6 +663,34 @@ object Dedup {
         .toDF("doc_id", "lang", "text")
       candidates
         .join(hist.select(col("text")).distinct(), "text", "left_semi")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // KEY-RANGE-SHARDED incremental Bloom (round 8 — the documented
+    // ceiling above, implemented: a 1e9-key history sketch is 1-2 GB at
+    // 1% fpp, past any broadcast budget as ONE object). The key space
+    // splits into S hash shards; each shard gets its OWN sketch sized
+    // for history/S keys, and every probe consults exactly the one
+    // sketch its shard hash names — so at scale the sketches ship as S
+    // independent broadcasts (or ride a shard-repartitioned join, where
+    // each task holds total/S bytes), and the sketch BUILD parallelizes
+    // per shard instead of funneling one giant merge. Shard assignment
+    // is Spark-side xxhash64 on BOTH build and probe (computed in the
+    // plan, carried into the typed filter — never re-derived by a JVM
+    // hash that could disagree). Bloom's no-false-negative guarantee is
+    // preserved by construction: a history text lands in exactly one
+    // shard and its sketch answers the probes of that same shard — the
+    // property LlmSpec pins. Exact semi-join on positives, as above.
+    "dedup_bloom_sharded" -> Q(
+      """SELECT n.doc_id, n.lang FROM documents n
+        |JOIN (SELECT DISTINCT text FROM documents WHERE doc_id % 4 <> 0) o
+        |  ON n.text = o.text
+        |ORDER BY n.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d)
+      val hist = docs.filter(col("doc_id") % 4 =!= 0)
+      shardedBloomCandidates(docs, hist, shards = 4)
+        .join(hist.select(col("text")).distinct(), Seq("text"), "left_semi")
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },

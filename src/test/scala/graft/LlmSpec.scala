@@ -91,6 +91,25 @@ class LlmSpec extends SparkSuite {
         s"at $bands bands × $dims bits")
   }
 
+  test("sharded bloom: no false negatives across shards; shards partition the probes") {
+    // the key-range-sharding contract: a history text lands in exactly
+    // one shard and that shard's sketch answers its probes — so EVERY
+    // history doc must survive the sharded prefilter (Bloom never
+    // false-negatives within a shard; sharding must not break that)
+    val d = "/root/testdata/sf0.01"
+    val docs = graft.core.Tables.documents(spark, d)
+    val hist = docs.filter(col("doc_id") % 4 =!= 0)
+    val cand = graft.llm.Dedup.shardedBloomCandidates(docs, hist, shards = 4)
+    val histN = hist.count()
+    val histSurvived = cand.join(hist.select("doc_id"), "doc_id").count()
+    assert(histSurvived == histN, s"false negatives: $histSurvived / $histN history docs passed")
+    // shard assignment is total and within range
+    assert(cand.filter(col("shard") < 0 || col("shard") >= 4).count() == 0)
+    // the prefilter actually prunes: strictly fewer candidates than docs
+    // would be corpus-dependent; at minimum it must not EXPAND
+    assert(cand.count() <= docs.count())
+  }
+
   test("arith minhash: exact dups collide on every band; candidates stay sparse on the corpus") {
     graft.ext.Ext.register(spark)
     // identical docs → identical poly-hash minhash signature → all bands
