@@ -444,4 +444,32 @@ class ZonalSpec extends SparkSuite {
     assert(e2.getMessage.contains("version"), e2.getMessage)
     graft.core.Fs.rmTree(tmp)
   }
+
+  test("raster_polygonize: labels and rings agree — one outer ring per region, net area = cell count") {
+    val rings = graft.zonal.Polygonize.polygonize(spark).collect()
+    assert(rings.nonEmpty)
+    val labels = q("raster_region_label").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byRegion = rings.groupBy(_.getLong(0))
+    // ring regions are EXACTLY the labeled regions
+    assert(byRegion.keySet == labels.keySet,
+      s"ring/label region mismatch: ${byRegion.keySet.size} vs ${labels.keySet.size}")
+    byRegion.foreach { case (reg, rs) =>
+      val outer = rs.filterNot(_.getBoolean(rs.head.fieldIndex("is_hole")))
+      assert(outer.length == 1, s"region $reg: ${outer.length} outer rings")
+      // the clockwise-outer / counterclockwise-hole convention makes the
+      // NET shoelace area (outer positive, holes negative) equal the
+      // region's exact cell count — the label↔ring consistency identity
+      val net2 = rs.map(r => r.getLong(r.fieldIndex("area2"))).sum
+      assert(net2 == 2 * labels(reg),
+        s"region $reg: net area2 $net2 != 2 × ${labels(reg)} cells")
+      // rings are simplified: every vertex is a true corner, so vertex
+      // counts are even (alternating horizontal/vertical unit runs) and
+      // at least 4
+      rs.foreach { r =>
+        val nv = r.getInt(r.fieldIndex("n_vertices"))
+        assert(nv >= 4 && nv % 2 == 0, s"region $reg ring: $nv vertices")
+      }
+    }
+  }
 }
