@@ -1974,6 +1974,58 @@ object Raster {
         .orderBy("tx", "ty")
     },
 
+    // BILINEAR warp (round 8 — the kernel gap next to the nearest-only
+    // affine warp above; gdalwarp -r bilinear): target grid at 2/3
+    // scale with a quarter-pixel offset, so source positions are
+    // (6t+1)/4 — fractional parts ∈ {1/4, 3/4} and all four corner
+    // weights are SIXTEENTHS: the weighted sum runs as an exact BIGINT
+    // numerator (w16·value) and the one divide by 16 is dyadic-exact
+    // in float64 on both engines (the transcendental rule). Shape: the
+    // tiny target-corner table (4 rows per target pixel) BROADCASTS,
+    // cells equi-join on the grid key map-side, one hash agg folds the
+    // 4 corners — no gather loop, no window, scales as any cell join.
+    "raster_warp_bilinear" -> Q(
+      s"""WITH cells AS (
+         |$FixtureCellsSql
+         |), tgt AS (
+         |  SELECT x.range AS tx, y.range AS ty,
+         |    (6 * x.range + 1) // 4 AS x0, (6 * x.range + 1) % 4 AS fx4,
+         |    (6 * y.range + 1) // 4 AS y0, (6 * y.range + 1) % 4 AS fy4
+         |  FROM range(0, 59) x CROSS JOIN range(0, 45) y
+         |), corners AS (
+         |  SELECT tx, ty, x0 + dx.range AS cx, y0 + dy.range AS cy,
+         |    (CASE WHEN dx.range = 0 THEN 4 - fx4 ELSE fx4 END)
+         |      * (CASE WHEN dy.range = 0 THEN 4 - fy4 ELSE fy4 END) AS w16
+         |  FROM tgt CROSS JOIN range(0, 2) dx CROSS JOIN range(0, 2) dy
+         |)
+         |SELECT tx, ty,
+         |  CAST(sum(w16 * CAST(value AS BIGINT)) AS BIGINT) AS v16,
+         |  CAST(sum(w16 * CAST(value AS BIGINT)) AS DOUBLE) / 16 AS value
+         |FROM corners JOIN cells ON cell_x = cx AND cell_y = cy
+         |GROUP BY tx, ty ORDER BY tx, ty""".stripMargin) { (s, _) =>
+      val corners = s.range(0, 59).select(col("id").as("tx"))
+        .crossJoin(s.range(0, 45).select(col("id").as("ty")))
+        .withColumn("x0", expr("(6 * tx + 1) div 4"))
+        .withColumn("fx4", expr("(6 * tx + 1) % 4"))
+        .withColumn("y0", expr("(6 * ty + 1) div 4"))
+        .withColumn("fy4", expr("(6 * ty + 1) % 4"))
+        .select(col("tx"), col("ty"), explode(expr(
+          """array(
+            |  struct(x0 AS cx, y0 AS cy, (4 - fx4) * (4 - fy4) AS w16),
+            |  struct(x0 + 1 AS cx, y0 AS cy, fx4 * (4 - fy4) AS w16),
+            |  struct(x0 AS cx, y0 + 1 AS cy, (4 - fx4) * fy4 AS w16),
+            |  struct(x0 + 1 AS cx, y0 + 1 AS cy, fx4 * fy4 AS w16))""".stripMargin))
+          .as("c"))
+        .select(col("tx"), col("ty"), col("c.cx"), col("c.cy"), col("c.w16"))
+      scanTiff(s, fixturePath())
+        .join(broadcast(corners),
+          col("cell_x") === col("cx") && col("cell_y") === col("cy"))
+        .groupBy(col("tx"), col("ty"))
+        .agg(sum(col("w16") * col("value").cast("long")).as("v16"),
+          (sum(col("w16") * col("value").cast("long")).cast("double") / 16).as("value"))
+        .orderBy("tx", "ty")
+    },
+
     // gdal_contour twin on the lattice: a cell is a contour cell when
     // the level bucket (value div 100) CHANGES across its right or down
     // edge. Neighbors come from two self equi-joins on the shifted cell
