@@ -98,12 +98,14 @@ object Bench {
       "dedup_embedding_pq",
       // consumers of the memoized coarse centroids / residual codes
       "sim_ann_ivf", "sim_ann_ivf_search", "sim_ann_ivf_multiprobe")
+    val polyMemoized = Set("raster_polygonize", "raster_polygonize_geojson")
     val rerun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val results = first.map { case (name, q, t1) =>
       if (t1 > thresh) {
         rerun(name) = t1
         if (memoized(name)) graft.llm.Dedup.clearTextClustersCache()
         if (pqMemoized(name)) graft.llm.Sim.clearPqCodebookCache()
+        if (polyMemoized(name)) graft.zonal.Polygonize.clearCache()
         name -> math.min(t1, run(q))
       } else name -> t1
     }

@@ -320,49 +320,47 @@ object Zonal {
     */
   def exactQuantilesByBucket(cells: DataFrame,
       qs: Seq[(Double, String)], nb: Int = 256): DataFrame = {
-    // The linear passes (zstats, histogram, resolve) each re-read
-    // `cells`, whose lineage is typically the full rasterize join —
-    // materialize the 16-byte (zone_id, value) projection ONCE instead of
-    // recomputing that join per pass. MEMORY_AND_DISK spills past
-    // executor memory, so the trade holds at any scale: one wide join +
-    // three scans of a narrow columnar cache, never three wide joins.
-    // The whole build is EAGER (localCheckpoint of the tiny per-zone
-    // result) so the cache can be dropped in the finally — round-7
-    // advice: the un-unpersisted cache accumulated across a bench
-    // session on the three queries that share this path.
-    val slim = cells.select(col("zone_id"), col("value"))
+    // EVERY pass runs over the (zone, value, cnt) PRE-AGGREGATION, not
+    // the raw cells: the wide rasterize lineage is read exactly once
+    // (by the hash agg), and what persists is the distinct-value table
+    // — bounded by Σ nd(zone), typically orders of magnitude smaller
+    // than the cell count (MEMORY_AND_DISK for the float-raster case
+    // where nd ≈ n). The per-zone stats action below materializes that
+    // cache AND answers the path gate in one job; the build ends with
+    // an eager localCheckpoint of the tiny result so the cache can be
+    // dropped in the finally (round-7 advice: the un-unpersisted cache
+    // accumulated across a bench session).
+    val agg = cells.select(col("zone_id"), col("value"))
+      .groupBy(col("zone_id"), col("value")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val zstats = slim.groupBy("zone_id").agg(
+      val zstats = agg.groupBy("zone_id").agg(
         min(col("value")).as("zmin"), max(col("value")).as("zmax"),
-        count(lit(1)).as("n"), countDistinct(col("value")).as("nd"))
+        sum(col("cnt")).as("n"), count(lit(1)).as("nd"))
       val qlit = explode(array(qs.map { case (q, nm) =>
         struct(lit(q).as("q"), lit(nm).as("qname")) }: _*))
-      // Small-N fast path (round 8, recovering the r7 sf0.1 regression):
-      // when every zone's DISTINCT-value count fits one in-memory window
-      // (nb·64 ≈ 16k distinct rows per zone after the (zone, value)
-      // pre-aggregation), the plain counting window is already narrow —
-      // one pass, no histogram/resolve. The gate reads only the per-zone
-      // stats (tiny, computed anyway) and both paths share the same
+      // Small-ND fast path (round 8, recovering the r7 sf0.1
+      // regression): when every zone's DISTINCT-value count fits one
+      // in-memory window (nb·64 ≈ 16k rows per zone), the plain
+      // counting window over the pre-aggregation is already narrow —
+      // one pass, no histogram/resolve. Both paths share the same
       // lower-quantile rank rule, so results are bit-identical.
       val maxNd = zstats.agg(max(col("nd"))).head.getLong(0)
       val picked = if (maxNd <= nb.toLong * 64) {
         val wV = org.apache.spark.sql.expressions.Window
           .partitionBy("zone_id").orderBy("value")
-        slim.groupBy(col("zone_id"), col("value"))
-          .agg(count(lit(1)).as("cnt"))
-          .withColumn("cum", sum(col("cnt")).over(wV))
+        agg.withColumn("cum", sum(col("cnt")).over(wV))
           .join(broadcast(zstats.select("zone_id", "n")), "zone_id")
           .select(col("zone_id"), col("value"), col("cum"), col("n"), qlit.as("qq"))
           .filter(col("cum") >= ceil(col("n") * col("qq.q")))
           .groupBy(col("zone_id"), col("qq.qname").as("qname"))
           .agg(min(col("value")).as("qv"))
       } else {
-        val bucketed = withBuckets(slim, zstats, nb)
+        val bucketed = withBuckets(agg, zstats, nb)
         val wB = org.apache.spark.sql.expressions.Window
           .partitionBy("zone_id").orderBy("bucket")
         val hist = bucketed.groupBy(col("zone_id"), col("bucket"))
-          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("cnt"))
           .join(broadcast(zstats.select("zone_id", "n")), "zone_id")
           .withColumn("cumb", sum(col("cnt")).over(wB))
         val targets = hist
@@ -374,12 +372,12 @@ object Zonal {
             (col("cumb") - col("cnt")).as("cum_before"), col("rank"))
         val wV = org.apache.spark.sql.expressions.Window
           .partitionBy("zone_id", "qname").orderBy("value")
+        // rows are already distinct per (zone, value) — the resolve
+        // window cumulates the carried counts directly
         bucketed
           .join(broadcast(targets),
             col("zone_id") === col("tzone") && col("bucket") === col("tb"))
-          .groupBy(col("zone_id"), col("qname"), col("rank"), col("cum_before"), col("value"))
-          .agg(count(lit(1)).as("cnt2"))
-          .withColumn("cumv", sum(col("cnt2")).over(wV) + col("cum_before"))
+          .withColumn("cumv", sum(col("cnt")).over(wV) + col("cum_before"))
           .filter(col("cumv") >= col("rank"))
           .groupBy(col("zone_id"), col("qname")).agg(min(col("value")).as("qv"))
       }
@@ -390,7 +388,7 @@ object Zonal {
         .select(col("zone_id") +: col("n_cells") +: qs.map(q => col(q._2)): _*)
         .orderBy("zone_id")
         .localCheckpoint()
-    } finally slim.unpersist(false)
+    } finally agg.unpersist(false)
   }
 
   /** Stage 2's bucket routing (exposed so ZonalSpec can assert the

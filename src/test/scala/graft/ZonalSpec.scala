@@ -445,6 +445,48 @@ class ZonalSpec extends SparkSuite {
     graft.core.Fs.rmTree(tmp)
   }
 
+  test("raster_polygonize: donut mask yields a hole ring; pinch mask keeps rings separate") {
+    import spark.implicits._
+    // 3×3 donut: 8 cells around a missing center → exactly one outer
+    // ring (4 corners, positive area) and one hole ring (4 corners,
+    // negative area); net shoelace = 2 × 8 cells
+    val donut = Seq((0L, 0L), (1L, 0L), (2L, 0L), (0L, 1L), (2L, 1L),
+        (0L, 2L), (1L, 2L), (2L, 2L)).toDF("cx", "cy")
+    val dr = graft.zonal.Polygonize.polygonizeMask(donut, 10L).collect()
+    assert(dr.length == 2, s"donut: ${dr.length} rings")
+    val outer = dr.filter(!_.getBoolean(dr.head.fieldIndex("is_hole")))
+    val holes = dr.filter(_.getBoolean(dr.head.fieldIndex("is_hole")))
+    assert(outer.length == 1 && holes.length == 1)
+    assert(outer.head.getLong(outer.head.fieldIndex("area2")) == 18L) // 2 × 9
+    assert(holes.head.getLong(holes.head.fieldIndex("area2")) == -2L) // −2 × 1
+    assert(dr.map(_.getLong(dr.head.fieldIndex("area2"))).sum == 16L) // 2 × 8 cells
+    assert(outer.head.getInt(outer.head.fieldIndex("n_vertices")) == 4)
+    assert(holes.head.getInt(holes.head.fieldIndex("n_vertices")) == 4)
+    // outer ring is ring_seq 1 (the WKB/GeoJSON exterior-first contract)
+    assert(!dr.minBy(_.getInt(dr.head.fieldIndex("ring_seq")))
+      .getBoolean(dr.head.fieldIndex("is_hole")))
+
+    // diagonal pinch: cells (1,1) and (2,2) touch only at corner (2,2),
+    // connected around via a C-shape that surrounds (2,1). Foreground
+    // 4-connectivity implies BACKGROUND 8-connectivity (the Jordan-
+    // consistent pairing, GDAL's connectedness=4 default), so the
+    // surrounded cell escapes diagonally through the pinch corner and
+    // is NOT a hole: the rightmost-turn rule yields ONE ring that
+    // visits the pinch corner twice, net area still 2 × cell count
+    val pinch = Seq((1L, 1L), (2L, 2L), (1L, 0L), (2L, 0L), (3L, 0L),
+        (3L, 1L), (3L, 2L)).toDF("cx", "cy")
+    val pr = graft.zonal.Polygonize.polygonizeMask(pinch, 10L).collect()
+    assert(pr.forall(_.getLong(0) == pr.head.getLong(0)), "pinch: one region")
+    assert(pr.length == 1, s"pinch: ${pr.length} rings (background-8 fuses them)")
+    val p0 = pr.head
+    assert(!p0.getBoolean(p0.fieldIndex("is_hole")))
+    assert(p0.getLong(p0.fieldIndex("area2")) == 14L) // 2 × 7 cells
+    assert(p0.getInt(p0.fieldIndex("n_vertices")) == 10)
+    // the pinch corner 2,2 appears TWICE in the traversal
+    val verts = p0.getString(p0.fieldIndex("ring_wkt")).split(",")
+    assert(verts.count(_ == "2 2") == 2, s"ring: ${verts.mkString("|")}")
+  }
+
   test("raster_polygonize: labels and rings agree — one outer ring per region, net area = cell count") {
     val rings = graft.zonal.Polygonize.polygonize(spark).collect()
     assert(rings.nonEmpty)
