@@ -1299,6 +1299,53 @@ object Raster {
       .orderBy("zone_id")
   }
 
+  /** DuckDB twin of `zonal_raster_world_poly`: the shared ring family
+    * mapped to doubled world meters, even-odd crossing parity on the
+    * doubled lattice (the same half-open rule as `point_in_wkb` and the
+    * `eoCtes` family), candidates from the envelope ±1 pixel.
+    */
+  private lazy val WorldPolyOracleSql: String = {
+    def w2x(v: String) = s"(${2 * WorldOX} + ${2 * WorldScale} * $v + 14)"
+    def w2y(v: String) = s"(${2 * WorldOY} - ${2 * WorldScale} * $v - 22)"
+    val px = s"(${2 * WorldOX} + $WorldScale * (2 * cz.cell_x + 1))"
+    val py = s"(${2 * WorldOY} - $WorldScale * (2 * cz.cell_y + 1))"
+    val cross =
+      s"""((e.y1 > $py) <> (e.y2 > $py))
+         |          AND (((e.y2 - e.y1) > 0 AND ((e.x2 - e.x1) * ($py - e.y1) - ($px - e.x1) * (e.y2 - e.y1)) > 0)
+         |            OR ((e.y2 - e.y1) < 0 AND ((e.x2 - e.x1) * ($py - e.y1) - ($px - e.x1) * (e.y2 - e.y1)) < 0))""".stripMargin
+    s"""WITH cells AS (
+       |$FixtureCellsSql
+       |), zones AS (
+       |${Cube.ZonesSql}
+       |), verts AS (
+       |  ${Cube.vertsSql(Cube.NGonRings)}
+       |), edges AS (
+       |  SELECT v1.zone_id, ${w2x("v1.vx")} AS x1, ${w2y("v1.vy")} AS y1,
+       |         ${w2x("v2.vx")} AS x2, ${w2y("v2.vy")} AS y2
+       |  FROM verts v1 JOIN verts v2
+       |    ON v1.zone_id = v2.zone_id AND v1.part = v2.part AND v1.ring = v2.ring
+       |   AND v2.i = (v1.i + 1) % v1.n
+       |), cand AS (
+       |  SELECT z.zone_id, c.cell_x, c.cell_y, c.value
+       |  FROM cells c JOIN zones z
+       |    ON c.cell_x BETWEEN z.xmin - 1 AND z.xmax + 1
+       |   AND c.cell_y BETWEEN z.ymin - 1 AND z.ymax + 1
+       |), cellpar AS (
+       |  SELECT cz.zone_id, cz.cell_x, cz.cell_y,
+       |    SUM(CASE WHEN $cross THEN 1 ELSE 0 END) AS crossings
+       |  FROM (SELECT DISTINCT zone_id, cell_x, cell_y FROM cand) cz
+       |  JOIN edges e ON e.zone_id = cz.zone_id
+       |  GROUP BY cz.zone_id, cz.cell_x, cz.cell_y)
+       |SELECT c.zone_id, count(*) AS n_cells,
+       |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+       |  CAST(sum(CAST(value AS BIGINT)) AS DOUBLE) / count(*) AS mean_v,
+       |  min(value) AS min_v, max(value) AS max_v
+       |FROM cand c JOIN cellpar p
+       |  ON c.zone_id = p.zone_id AND c.cell_x = p.cell_x AND c.cell_y = p.cell_y
+       |WHERE p.crossings % 2 = 1
+       |GROUP BY c.zone_id ORDER BY c.zone_id""".stripMargin
+  }
+
   /** Pyramid level dims (stride-2 halvings until one level fits a
     * single tile) — shared by the writer, the scan and the oracle.
     */
@@ -2467,6 +2514,45 @@ object Raster {
       val p = worldFixturePath()
       val m = readMeta(p)
       zonalWorld(scanTiff(s, p, m), worldZones(s, d), m)
+    },
+
+    // world-coordinate POLYGON zones (round 8 — the companion to the
+    // envelope variant above: the real user's zones are lon/lat or UTM
+    // POLYGONS, not grid-aligned boxes). The shared ring family maps to
+    // world meters with a deliberate OFF-LATTICE shift (+7 m, −11 m) so
+    // no vertex coincides with a pixel center or boundary, and the
+    // even-odd test runs on the DOUBLED integer lattice: cell centers
+    // at 2·origin ± scale·(2c+1) and polygon vertices at 2·(world
+    // coords) are all exact BIGINTs, so `point_in_wkb`'s crossing
+    // arithmetic never sees a float. Shape: candidate cells from the
+    // zone envelope ±1 pixel via the same Raptor tile equi-join, exact
+    // parity refine on candidates only.
+    "zonal_raster_world_poly" -> Q(WorldPolyOracleSql) { (s, d) =>
+      graft.ext.Ext.register(s)
+      val p = worldFixturePath()
+      val m = readMeta(p)
+      require(m.originX == WorldOX.toDouble && m.originY == WorldOY.toDouble
+        && m.scaleX == WorldScale.toDouble && m.scaleY == WorldScale.toDouble,
+        s"world fixture geotransform drifted: $m")
+      val wverts = Cube.verts(s, d, Cube.NGonRings).select(
+        col("zone_id"), col("part"), col("ring"), col("i"),
+        (lit(2L * WorldOX) + lit(2L * WorldScale) * col("vx") + 14).cast("int").as("x"),
+        (lit(2L * WorldOY) - lit(2L * WorldScale) * col("vy") - 22).cast("int").as("y"))
+      val zonesWkb = wverts.groupBy("zone_id")
+        .agg(expr("make_wkb(sort_array(collect_list(struct(part, ring, i, x, y))))")
+          .as("geom"))
+        .join(Cube.zones(s, d).select(col("zone_id"),
+          (col("xmin") - 1).as("xmin"), (col("xmax") + 1).as("xmax"),
+          (col("ymin") - 1).as("ymin"), (col("ymax") + 1).as("ymax")), Seq("zone_id"))
+      Cube.rasterize(scanTiff(s, p, m), zonesWkb)
+        .filter(expr(s"point_in_wkb(${2 * WorldOX} + $WorldScale * (2 * cell_x + 1), " +
+          s"${2 * WorldOY} - $WorldScale * (2 * cell_y + 1), geom)"))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          (sum(col("value").cast("long")).cast("double") / count(lit(1))).as("mean_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("zone_id")
     },
 
     // hillshade — the terrain-visualization staple, composed WITHOUT
