@@ -1944,6 +1944,63 @@ object Raster {
     // query, is the right tool) instead of letting the cross product
     // explode. Distance is exact squared-euclidean in integer lattice
     // units (no sqrt → no float hazard).
+    // capped Euclidean DISTANCE TRANSFORM (round 8 — the operator
+    // raster_proximity's guard message sends dense masks to; GDAL
+    // gdal_proximity with -maxdist R). Exact d² to the nearest target
+    // within radius R via the SEPARABLE decomposition: any target
+    // within R lies within the Chebyshev box, so
+    //   d²(x,y) = min over rows r of (drow²(x,r) + (y−r)²),
+    // computed as two bounded SCATTER+hash-agg phases — targets
+    // scatter ±R horizontally (min dx² per (x, row)), the row minima
+    // scatter ±R vertically (min drow²+dy²) — never a per-scanline
+    // window (the engine's halo-exchange stance) and never a
+    // cells×targets product: fan-out is (targets + finite-row-cells)
+    // × (2R+1), linear in mask size at ANY density — exactly the case
+    // the proximity broadcast cap rejects. All-integer arithmetic.
+    "raster_distance_transform" -> Q({
+      val R = 16
+      s"""WITH cells AS ($FixtureCellsSql),
+         |t AS (SELECT cell_x AS tx, cell_y AS ty FROM cells
+         |      WHERE CAST(value AS BIGINT) % 97 = 0)
+         |SELECT c.cell_x, c.cell_y, m.d2
+         |FROM cells c LEFT JOIN (
+         |  SELECT c2.cell_x, c2.cell_y,
+         |    CAST(min((tx - c2.cell_x) * (tx - c2.cell_x)
+         |        + (ty - c2.cell_y) * (ty - c2.cell_y)) AS BIGINT) AS d2
+         |  FROM cells c2 JOIN t
+         |    ON tx BETWEEN c2.cell_x - $R AND c2.cell_x + $R
+         |   AND ty BETWEEN c2.cell_y - $R AND c2.cell_y + $R
+         |  WHERE (tx - c2.cell_x) * (tx - c2.cell_x)
+         |      + (ty - c2.cell_y) * (ty - c2.cell_y) <= ${R * R}
+         |  GROUP BY c2.cell_x, c2.cell_y) m
+         |  ON c.cell_x = m.cell_x AND c.cell_y = m.cell_y
+         |ORDER BY c.cell_x, c.cell_y""".stripMargin
+    }) { (s, _) =>
+      val R = 16
+      val cells = scanTiff(s, fixturePath())
+      val targets = cells.filter(col("value").cast("long") % 97 === 0)
+        .select(col("cell_x").as("tx"), col("cell_y").as("ty"))
+      // phase 1: nearest-in-row d² — targets scatter horizontally
+      val rowMin = targets
+        .select(explode(expr(s"sequence(-$R, $R)")).as("dx"), col("tx"), col("ty"))
+        .select((col("tx") + col("dx")).as("x"), col("ty").as("row"),
+          (col("dx") * col("dx")).as("dx2"))
+        .filter(col("x") >= 0 && col("x") < FixW)
+        .groupBy(col("x"), col("row")).agg(min(col("dx2")).as("drow2"))
+      // phase 2: row minima scatter vertically, exact ball filter
+      val d2 = rowMin
+        .select(col("x"), explode(expr(s"sequence(-$R, $R)")).as("dy"),
+          col("row"), col("drow2"))
+        .select(col("x"), (col("row") + col("dy")).as("y"),
+          (col("drow2") + col("dy") * col("dy")).as("cand"))
+        .filter(col("y") >= 0 && col("y") < FixH && col("cand") <= R * R)
+        .groupBy(col("x"), col("y")).agg(min(col("cand")).cast("long").as("d2"))
+      cells.select(col("cell_x"), col("cell_y"))
+        .join(d2, col("cell_x") === col("x") && col("cell_y") === col("y"), "left")
+        .select(col("cell_x"), col("cell_y"), col("d2"))
+        .orderBy("cell_x", "cell_y")
+    },
+
     "raster_proximity" -> Q(
       s"""WITH cells AS ($FixtureCellsSql),
          |t AS (SELECT cell_x AS tx, cell_y AS ty FROM cells WHERE value = 0)
