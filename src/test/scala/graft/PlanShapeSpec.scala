@@ -417,6 +417,40 @@ class PlanShapeSpec extends SparkSuite {
     assert(!sp2.contains("Join"), "stratified split should not join")
   }
 
+  test("round-8 ops: world zones and bilinear corners broadcast; distance transform never joins cells×targets") {
+    // world-coordinate zonal stats: the (tiny, world→cell-mapped) zone
+    // side broadcasts into the tile equi-join — the raster side must
+    // not shuffle before the aggregate
+    val w = q("zonal_raster_world")
+    w.collect()
+    val wp = w.queryExecution.executedPlan.toString
+    assert(wp.contains("BroadcastHashJoin") && !wp.contains("SortMergeJoin")
+      && !wp.contains("CartesianProduct"),
+      s"world zones not broadcast:\n${wp.take(1500)}")
+    // the polygon variant keeps the same broadcast-rasterize shape with
+    // the parity refine folded into the join filter side
+    val poly = q("zonal_raster_world_poly")
+    poly.collect()
+    val pp = poly.queryExecution.executedPlan.toString
+    assert(pp.contains("BroadcastHashJoin") && !pp.contains("CartesianProduct"),
+      s"world polygon zones not broadcast:\n${pp.take(1500)}")
+    // bilinear warp: the 4-rows-per-target corner table is the
+    // broadcast side of a grid equi-join; cells never shuffle for it
+    val bl = q("raster_warp_bilinear")
+    bl.collect()
+    val bp = bl.queryExecution.executedPlan.toString
+    assert(bp.contains("BroadcastHashJoin") && !bp.contains("SortMergeJoin"),
+      s"bilinear corner table not broadcast:\n${bp.take(1500)}")
+    // distance transform: two scatter phases + hash aggs — no
+    // cells×targets product anywhere (the exact thing it replaces)
+    val dt = q("raster_distance_transform")
+    dt.collect()
+    val dp = dt.queryExecution.executedPlan.toString
+    assert(!dp.contains("CartesianProduct") && !dp.contains("BroadcastNestedLoopJoin"),
+      s"distance transform degenerated to a product:\n${dp.take(1500)}")
+    assert(dp.contains("HashAggregate"), "scatter phases must fold through hash aggs")
+  }
+
   test("knn graph ranks through the native TopK; anomaly stats broadcast; upsert anti-joins") {
     val g = q("sim_knn_graph").queryExecution.executedPlan.toString
     assert(g.contains("TopKExec") || g.contains("TopK"),
