@@ -148,19 +148,27 @@ object Multimodal {
   def mmNearDupPairs(docs: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame = {
     graft.ext.Ext.register(docs.sparkSession)
     val m = graft.llm.Dedup.HashMod
+    // the 4 derived hash views are computed ONCE in the projection
+    // below the aggregate — referencing them inside all 64 conditional
+    // sums would evaluate the modmul 64× per shingle (no CSE across
+    // aggregate expressions)
     val segSums = (0 until 4).map { k =>
-      val (a, b) = seg(k)
       val terms = (0 until 16).map { j =>
-        s"(CASE WHEN sum(CASE WHEN ((($a * h + $b) % $m) div ${1L << j}) % 2 = 1" +
+        s"(CASE WHEN sum(CASE WHEN (h$k div ${1L << j}) % 2 = 1" +
           s" THEN 1 ELSE -1 END) >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       expr(s"CAST($terms AS BIGINT)").as(s"s$k")
+    }
+    val hViews = (0 until 4).map { k =>
+      val (a, b) = seg(k)
+      expr(s"($a * h + $b) % $m").as(s"h$k")
     }
     val sig = docs
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), explode(expr(
         """array_distinct(transform(sequence(1, length(text) - 7),
           |  i -> poly_hash(substring(text, i, 8))))""".stripMargin)).as("h"))
+      .select(col("doc_id") +: hViews: _*)
       .groupBy("doc_id")
       .agg(segSums.head, segSums.tail: _*)
     val segs = sig.select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
