@@ -129,6 +129,30 @@ object Aggregates {
         .orderBy("l_returnflag")
     },
 
+    // MERGEABLE sketch tables (round 8 — the 100-TB pre-aggregation
+    // pattern approx_count_distinct can't express: a daily pipeline
+    // materializes per-(group, partition) sketch BYTES once, then any
+    // later rollup UNIONS sketches instead of rescanning raw data).
+    // Spark 4's Apache DataSketches HLL functions: hll_sketch_agg
+    // builds per-(flag, status) sketches; hll_union_agg rolls them up
+    // to per-flag estimates WITHOUT touching lineitem again — the
+    // sketch column is what a deployment writes to its metrics store.
+    // Sketch bytes are implementation-defined → no DuckDB twin; the
+    // property spec bounds both estimate levels against exact distinct
+    // counts at sf.
+    "agg_sketch_union" -> Q.noOracle { (s, d) =>
+      val perStatus = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"),
+          count(lit(1)).as("n_rows"))
+      perStatus
+        .groupBy(col("l_returnflag"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)))
+            .cast("long").as("approx_parts_rollup"),
+          sum(col("n_rows")).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+
     "agg_stats" -> Q(
       """SELECT l_returnflag,
         |  round(stddev_samp(l_quantity), 4) AS sd_qty,

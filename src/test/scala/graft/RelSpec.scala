@@ -107,6 +107,25 @@ class RelSpec extends SparkSuite {
     }
   }
 
+  test("sketch union: rolled-up HLL estimate tracks exact distinct; rows conserved") {
+    // the mergeability property: estimates from UNIONED per-status
+    // sketches must track the exact per-flag distinct count as closely
+    // as a direct sketch would (lgK=14 → rse ≈ 0.8%, allow 5%)
+    val got = q("agg_sketch_union").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.core.Tables.lineitem(spark, sf)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"), count(lit(1)).as("rows"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exact.keySet)
+    exact.foreach { case (k, (ex, rows)) =>
+      val (ap, gotRows) = got(k)
+      assert(math.abs(ap.toDouble - ex) / ex < 0.05,
+        s"flag $k: union estimate $ap vs exact $ex")
+      assert(gotRows == rows, s"flag $k: row conservation $gotRows vs $rows")
+    }
+  }
+
   test("dedup_exact is idempotent and keyed-unique") {
     val d1 = q("dedup_exact")
     assert(d1.groupBy("l_orderkey", "l_linenumber").count()
