@@ -37,6 +37,22 @@ object Streams {
         .orderBy("win_start", "event_type")
     },
 
+    // windowed approx-distinct (round 8): per-window unique-user counts
+    // via HLL — THE streaming cardinality metric (exact distinct in a
+    // streaming agg would buffer every key per window; the sketch is
+    // constant-size state and merges across partitions map-side, the
+    // same mergeability agg_sketch_union materializes for batch).
+    // Sketch estimate ≠ hash-match → no DuckDB twin; StreamSpec bounds
+    // the estimate against the exact batch distinct per window.
+    "stream_approx_distinct" -> Q.noOracle { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "15 minutes"))
+        .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n"))
+        .select(col("window.start").as("win_start"), col("approx_users"), col("n"))
+        .orderBy("win_start")
+    },
+
     "stream_sliding" -> Q(
       s"""SELECT $winStartSql - to_seconds(off) AS win_start, count(*) AS n,
          |  ${dsumSql("value")} AS sum_v

@@ -49,6 +49,23 @@ class StreamSpec extends SparkSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("windowed approx-distinct tracks exact per-window uniques; rows conserved") {
+    val got = q("stream_approx_distinct").collect()
+      .map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = graft.core.Tables.events(spark, sf)
+      .groupBy(window(col("ts"), "15 minutes"))
+      .agg(countDistinct(col("user_id")).as("u"), count(lit(1)).as("n"))
+      .select(col("window.start"), col("u"), col("n"))
+      .collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got.keySet == exact.keySet && got.nonEmpty)
+    exact.foreach { case (w, (u, n)) =>
+      val (au, an) = got(w)
+      assert(an == n, s"window $w: row count $an vs $n")
+      assert(math.abs(au.toDouble - u) / math.max(u, 1L) < 0.1,
+        s"window $w: approx $au vs exact $u")
+    }
+  }
+
   test("streaming zonal stats equals the batch plan on the same rows") {
     implicit val sq = spark.sqlContext
     val rows = graft.core.Tables.events(spark, sf)
