@@ -254,6 +254,39 @@ object Joins {
         .orderBy("event_id")
     },
 
+    // as-of with a MATCH TOLERANCE (round 8; pandas merge_asof's
+    // `tolerance=` — sensor/trade enrichment where a stale prior row
+    // must NOT match): same one-shuffle union-window shape as
+    // join_asof, then the nearest prior is nulled when older than the
+    // 30-minute gap. Post-filtering the NEAREST prior is exactly
+    // "nearest within tolerance": if the nearest fails the gap, every
+    // earlier one does too.
+    "join_asof_tolerance" -> Q(
+      """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
+        |  CASE WHEN p.ts IS NOT NULL AND e.ts <= p.ts + INTERVAL 30 MINUTE
+        |       THEN CAST(p.ts AS TIMESTAMP) END AS recent_purchase_ts
+        |FROM events e ASOF LEFT JOIN
+        |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON e.user_id = p.user_id AND e.ts > p.ts
+        |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+      val ev = Tables.events(s, d)
+      val probes = ev.select(col("event_id"), col("user_id"), col("ts"),
+        lit(null).cast("timestamp").as("pts"), lit(0).as("tag"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(lit(null).cast("long").as("event_id"), col("user_id"), col("ts"),
+          col("ts").as("pts"), lit(1).as("tag"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      probes.unionByName(purchases)
+        .withColumn("prior", last(col("pts"), ignoreNulls = true).over(w))
+        .filter(col("tag") === 0)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("prior").isNotNull
+              && col("ts").cast("long") - col("prior").cast("long") <= 1800,
+            col("prior")).as("recent_purchase_ts"))
+        .orderBy("event_id")
+    },
+
     "join_star" -> Q(
       """SELECT r_name, n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
