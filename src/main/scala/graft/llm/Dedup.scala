@@ -202,29 +202,52 @@ object Dedup {
     * LlmSpec can pin the cross-shard no-false-negative property): docs
     * rows `(doc_id, lang, text, shard)` whose shard's history sketch
     * reports already-seen. Shard = Spark-side xxhash64 mod `shards` on
-    * BOTH build and probe; each sketch is sized for history/shards keys
-    * — the key-range sharding that keeps any one broadcast under
-    * budget at 1e9-key history scale.
+    * BOTH build and probe, so a key's sketch and its probes always land
+    * on the same shard (cross-shard false negatives impossible).
+    *
+    * Scale posture (the reason the op exists): NO task ever holds more
+    * than ONE shard's sketch. One aggregation pass counts keys per
+    * shard (S tiny rows to the driver); one shard-partitioned pass
+    * builds every sketch in parallel, each sized for its shard's
+    * actual key count (fpp stays at the nominal 1% however large the
+    * history grows — grow `shards`, not the per-sketch bits); probes
+    * are partitioned by the same explicit shard→partition map and
+    * zipPartitions hands each task only its own shard's sketch. Total
+    * sketch bytes are spread across the cluster, never concentrated in
+    * a driver broadcast.
     */
   def shardedBloomCandidates(docs: DataFrame, hist: DataFrame,
       shards: Int): DataFrame = {
     require(shards >= 1, s"shards $shards")
     val s = docs.sparkSession
-    import s.implicits._
+    import org.apache.spark.util.sketch.BloomFilter
     def withShard(df: DataFrame): DataFrame = df.withColumn("shard",
       pmod(xxhash64(col("text")), lit(shards.toLong)).cast("int"))
-    // per-shard build: each pass aggregates ONLY its shard's keys (at
-    // scale: one shard-repartition, each partition builds its own
-    // sketch — S independent small aggregations, no giant merge)
-    val filters = (0 until shards).map { i =>
-      withShard(hist).filter(col("shard") === i)
-        .stat.bloomFilter("text", math.max(1000L, 120000L / shards), 0.01)
-    }.toArray
-    val bfB = s.sparkContext.broadcast(filters)
-    withShard(docs.select(col("doc_id"), col("lang"), col("text")))
-      .as[(Long, String, String, Int)]
-      .filter(r => bfB.value(r._4).mightContainString(r._3))
-      .toDF("doc_id", "lang", "text", "shard")
+    // shard i → partition i, identically on both sides of zipPartitions
+    val part = new org.apache.spark.Partitioner {
+      override def numPartitions: Int = shards
+      override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+    }
+    val counts = withShard(hist).groupBy("shard").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val filtersRdd = withShard(hist).select(col("shard"), col("text")).rdd
+      .map(r => (r.getInt(0), r.getString(1)))
+      .partitionBy(part)
+      .mapPartitionsWithIndex({ (i, it) =>
+        val bf = BloomFilter.create(math.max(1000L, counts.getOrElse(i, 0L)), 0.01)
+        it.foreach(kv => bf.putString(kv._2))
+        Iterator((i, bf))
+      }, preservesPartitioning = true)
+    val probesRdd = withShard(docs.select(col("doc_id"), col("lang"), col("text")))
+      .select(col("shard"), col("doc_id"), col("lang"), col("text")).rdd
+      .map(r => (r.getInt(0), (r.getLong(1), r.getString(2), r.getString(3))))
+      .partitionBy(part)
+    val kept = probesRdd.zipPartitions(filtersRdd) { (pIt, fIt) =>
+      val bf = fIt.next()._2
+      pIt.filter(kv => bf.mightContainString(kv._2._3))
+        .map { case (sh, (id, lang, text)) => (id, lang, text, sh) }
+    }
+    s.createDataFrame(kept).toDF("doc_id", "lang", "text", "shard")
   }
 
   def bucketCap(s: org.apache.spark.sql.SparkSession): Int =

@@ -263,7 +263,8 @@ object Joins {
     // earlier one does too.
     "join_asof_tolerance" -> Q(
       """SELECT e.event_id, e.user_id, CAST(e.ts AS TIMESTAMP) AS ts,
-        |  CASE WHEN p.ts IS NOT NULL AND e.ts <= p.ts + INTERVAL 30 MINUTE
+        |  CASE WHEN p.ts IS NOT NULL
+        |        AND epoch_us(e.ts) - epoch_us(p.ts) <= 1800000000
         |       THEN CAST(p.ts AS TIMESTAMP) END AS recent_purchase_ts
         |FROM events e ASOF LEFT JOIN
         |  (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
@@ -281,8 +282,12 @@ object Joins {
         .withColumn("prior", last(col("pts"), ignoreNulls = true).over(w))
         .filter(col("tag") === 0)
         .select(col("event_id"), col("user_id"), col("ts"),
+          // Micros on BOTH engines (FIXTURES.md rule 3): cast-to-long
+          // truncates to whole seconds, so a true 1800.5 s gap would
+          // floor to 1800 here yet fail the oracle's full-precision
+          // interval check. epoch_us/unix_micros see identical values.
           when(col("prior").isNotNull
-              && col("ts").cast("long") - col("prior").cast("long") <= 1800,
+              && unix_micros(col("ts")) - unix_micros(col("prior")) <= 1800000000L,
             col("prior")).as("recent_purchase_ts"))
         .orderBy("event_id")
     },
