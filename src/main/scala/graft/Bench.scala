@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -74,12 +75,22 @@ object Bench {
     // registry (SURVEY §2) order, not Map hash order: deterministic
     // run-to-run, and related queries (e.g. minhash → minhash_pairs)
     // warm their successors' shared codegen instead of paying it twice
-    def run(q: graft.core.Q): Double = {
+    // A query that throws (at build OR execution) must never masquerade as
+    // a millisecond success deflating the headline: record it as an error
+    // and keep it OUT of the total (VERDICT r9 §wrong-3).
+    def run(q: graft.core.Q): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try { q.build(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      (System.nanoTime() - t0) / 1e9
+      try {
+        q.build(spark, sfDir).count()
+        Right((System.nanoTime() - t0) / 1e9)
+      } catch {
+        case e: Throwable =>
+          Left(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(160)}")
+      }
     }
-    val first = SparkEntry.registry.map { case (name, q) => (name, q, run(q)) }
+    val firstAll = SparkEntry.registry.map { case (name, q) => (name, q, run(q)) }
+    val errors = firstAll.collect { case (name, _, Left(msg)) => name -> msg }
+    val first = firstAll.collect { case (name, q, Right(t)) => (name, q, t) }
     // best-of-2 on outliers only (two rounds of phantom regressions from
     // ambient load): a query whose first pass exceeds max(0.75 s,
     // 3×median) is timed once more and reports the min — a transient
@@ -106,7 +117,8 @@ object Bench {
         if (memoized(name)) graft.llm.Dedup.clearTextClustersCache()
         if (pqMemoized(name)) graft.llm.Sim.clearPqCodebookCache()
         if (polyMemoized(name)) graft.zonal.Polygonize.clearCache()
-        name -> math.min(t1, run(q))
+        // a rerun that throws (first pass succeeded) keeps the first timing
+        name -> math.min(t1, run(q).getOrElse(t1))
       } else name -> t1
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -114,14 +126,17 @@ object Bench {
     val fp = rerun.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val errJson = errors.map { case (k, v) =>
+      s"\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+    }.mkString("{", ",", "}")
     // Two lines, distinct metric names so a grep-and-sum consumer never
     // double-counts: the long per-query detail first ("total_detail"),
     // then a short "total" summary as the VERY LAST stdout line — the
     // driver's tail-capture truncates long lines, so the parseable line
     // must be the short one (build.sbt turns off the [success] banner
     // and the [info] prefix that used to follow/wrap it).
-    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"first_pass":$fp,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total_detail","value":$total,"unit":"sec","queries":$qs,"first_pass":$fp,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
   }
 }

@@ -34,18 +34,42 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = load(s, d, "lineitem")
-  /** `events.ts` is Parquet `timestamp[ns]`, which Spark 4 rejects unless
-    * read as raw Long nanos (`nanosAsLong`, runtime-settable). Convert to
-    * a microsecond Timestamp with integer `div` — `/` would round-trip
-    * through Double and lose precision above 2^53 ns (~1970+104 days).
-    * DuckDB keeps ns natively, so every oracle touching `ts` casts it to
-    * plain TIMESTAMP (µs) — see SURVEY.md §1.2.
+  /** `events.ts` has shipped as two physical Parquet types across fixture
+    * generations, so the loader branches on the dtype Spark actually read:
+    *
+    *  - `timestamp[ns]`: Spark 4 rejects ns unless read as raw Long
+    *    (`nanosAsLong`, runtime-settable — set below, harmless for µs
+    *    files). Convert to a microsecond Timestamp with integer `div` —
+    *    `/` would round-trip through Double and lose precision above
+    *    2^53 ns (~1970+104 days).
+    *  - `timestamp[us]` (current fixtures): arrives as TIMESTAMP_NTZ
+    *    (no UTC-adjust flag in the footer); cast to the session
+    *    TimestampType — value-identical under the pinned-UTC session.
+    *
+    * Either way the published schema is `ts: TIMESTAMP` in microseconds.
+    * DuckDB reads both encodings natively, so oracles compare at µs or
+    * coarser — see SURVEY.md §1.2.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    normalizeEventsTs(load(s, d, "events"))
+  }
+
+  /** The dtype branch alone, shared with the streaming reader
+    * ([[graft.stream.Runner.eventsStream]]) and specs that read the raw
+    * file themselves — both fixture generations must normalize
+    * identically wherever the file is read.
+    */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => df
+      case other => throw new IllegalStateException(
+        s"events.ts: unsupported Parquet type $other (expected ns-as-long, timestamp_ntz, or timestamp)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -243,6 +243,9 @@ object Dedup {
       .map(r => (r.getInt(0), (r.getLong(1), r.getString(2), r.getString(3))))
       .partitionBy(part)
     val kept = probesRdd.zipPartitions(filtersRdd) { (pIt, fIt) =>
+      // invariant: the builder above emits EXACTLY one (i, bf) per
+      // partition, even for empty shards — loud fail if a refactor breaks it
+      require(fIt.hasNext, "sharded Bloom: missing sketch for this shard partition")
       val bf = fIt.next()._2
       pIt.filter(kv => bf.mightContainString(kv._2._3))
         .map { case (sh, (id, lang, text)) => (id, lang, text, sh) }
@@ -384,22 +387,28 @@ object Dedup {
       var prevSig = sig(labels)
       var iter = 0
       var converged = false
-      while (!converged && iter < maxIter) {
-        val prop = labels.join(e, labels("node") === e("x"))
+      // One propagate + two pointer jumps = one STEP (comp ←
+      // comp(comp(comp(u))) after the neighbor min). Each jump is one
+      // small equi-join of the label table with itself.
+      def step(l: DataFrame): DataFrame = {
+        val prop = l.join(e, l("node") === e("x"))
           .select(col("y").as("node"), col("comp"))
-        val m = labels.union(prop).groupBy("node").agg(min("comp").as("comp"))
-        // two pointer jumps per round (comp ← comp(comp(comp(u))) after
-        // the propagate): each jump is one small equi-join of the label
-        // table with itself, while each ROUND costs a localCheckpoint
-        // materialization — batching the hops roughly halves the rounds
-        // for the same total join work, and the checkpoint/job floor is
-        // what dominates the fixpoint locally.
+        val m = l.union(prop).groupBy("node").agg(min("comp").as("comp"))
         val jump = m.select(col("node").as("pn"), col("comp").as("pc"))
         val once = m.join(jump, m("comp") === jump("pn"))
           .select(m("node"), col("pc").as("comp"))
         val jump2 = once.select(col("node").as("pn"), col("comp").as("pc"))
-        val next = pin(once.join(jump2, once("comp") === jump2("pn"))
-          .select(once("node"), col("pc").as("comp")))
+        once.join(jump2, once("comp") === jump2("pn"))
+          .select(once("node"), col("pc").as("comp"))
+      }
+      while (!converged && iter < maxIter) {
+        // TWO steps per materialization/action (r9 verdict): the
+        // fixpoint's dominant local cost is the per-round job floor
+        // (checkpoint materialization + scheduling), not the join work,
+        // so batching steps halves wall-clock for identical labels. A
+        // fixpoint reached mid-batch is simply confirmed by the next
+        // round's unchanged signature — labels only ever decrease.
+        val next = pin(step(step(labels)))
         val s = sig(next)
         converged = s == prevSig
         prevSig = s

@@ -123,13 +123,56 @@ object Multimodal {
     }
   )
 
-  /** 64 bits = 4 derived 16-bit hash views of the shingle's poly_hash
-    * (h_k = (A_k·h + B_k) mod M, bits 0..15 — HashMod is ~2^30 so the
-    * low 16 bits of each view are full-entropy); shared by the Spark
-    * builder and the DuckDB twin so both engines vote on identical bits.
+  /** 64 bits = 4 derived 16-bit hash views of the shingle's poly_hash,
+    * avalanche-mixed (round-9 verdict: the earlier single linear
+    * congruence h_k = (A_k·h+B_k) mod M left the four views linearly
+    * correlated — e.g. bit j of 3h+1 and 5h+2 agree far more than half
+    * the time — so the 64-bit signature carried well under 64 effective
+    * bits and candidate rates inflated at scale).
+    *
+    * Mix (identical arithmetic on both engines, the in-plan analogue of
+    * the Scala-side [[graft.llm.Sim]] planeWeight avalanche):
+    *   y₀ = (A_k·h + B_k) mod M        — h < M ≈ 2^30, product < 2^60
+    *   y₁ = y₀ xor (y₀ >> 15)          — fold high entropy into low bits
+    *   y₂ = (C_k·y₁ + D_k) mod M       — second multiply round
+    *   h_k = y₂ xor (y₂ >> 15)         — bits 0..15 used for the vote
+    * Every intermediate stays < 2^30, so no BIGINT overflow under ANSI
+    * on Spark or DuckDB. Constants are arbitrary large odds < M, local
+    * to this op (Dedup.HashA/B stay untouched — minhash oracles pin
+    * them).
     */
-  private def seg(k: Int): (Long, Long) =
-    (graft.llm.Dedup.HashA(k), graft.llm.Dedup.HashB(k))
+  private val MixA = Seq(787697071L, 908041399L, 667623619L, 533000401L)
+  private val MixB = Seq(241291L, 514229L, 741721L, 986533L)
+  private val MixC = Seq(997525853L, 727595923L, 871396357L, 613651349L)
+  private val MixD = Seq(323467L, 178291L, 912391L, 462847L)
+
+  /** The mixed view as an SQL expression over column/expr `h`.
+    * `xorOp(a, b)` and `shr(a, n)` abstract the two engines' spellings
+    * (Spark: `a ^ b`, `shiftright(a, n)`; DuckDB: `xor(a, b)`, `a >> n`).
+    */
+  private def mixSql(k: Int, h: String,
+      xorOp: (String, String) => String, shr: (String, Int) => String): String = {
+    val m = graft.llm.Dedup.HashMod
+    val y0 = s"((${MixA(k)} * $h + ${MixB(k)}) % $m)"
+    val y1 = s"(${xorOp(y0, shr(y0, 15))})"
+    val y2 = s"((${MixC(k)} * $y1 + ${MixD(k)}) % $m)"
+    s"(${xorOp(y2, shr(y2, 15))})"
+  }
+  private def mixSpark(k: Int, h: String): String =
+    mixSql(k, h, (a, b) => s"$a ^ $b", (a, n) => s"shiftright($a, $n)")
+  private def mixDuck(k: Int, h: String): String =
+    mixSql(k, h, (a, b) => s"xor($a, $b)", (a, n) => s"($a >> $n)")
+
+  /** Pure-Scala twin of the SQL mix, exposed for LlmSpec's
+    * decorrelation property (per-bit cross-view agreement ≈ 1/2).
+    */
+  def mixedView(k: Int, h: Long): Long = {
+    val m = graft.llm.Dedup.HashMod
+    val y0 = (MixA(k) * h + MixB(k)) % m
+    val y1 = y0 ^ (y0 >> 15)
+    val y2 = (MixC(k) * y1 + MixD(k)) % m
+    y2 ^ (y2 >> 15)
+  }
 
   /** Spark body of mm_near_dup, parameterized so EdgeSpec can drive a
     * degenerate corpus into the mega-bucket guard.
@@ -147,11 +190,10 @@ object Multimodal {
     */
   def mmNearDupPairs(docs: org.apache.spark.sql.DataFrame, cap: Int): org.apache.spark.sql.DataFrame = {
     graft.ext.Ext.register(docs.sparkSession)
-    val m = graft.llm.Dedup.HashMod
-    // the 4 derived hash views are computed ONCE in the projection
-    // below the aggregate — referencing them inside all 64 conditional
-    // sums would evaluate the modmul 64× per shingle (no CSE across
-    // aggregate expressions)
+    // the 4 avalanche-mixed hash views are computed ONCE in the
+    // projection below the aggregate — referencing them inside all 64
+    // conditional sums would evaluate the mix 64× per shingle (no CSE
+    // across aggregate expressions)
     val segSums = (0 until 4).map { k =>
       val terms = (0 until 16).map { j =>
         s"(CASE WHEN sum(CASE WHEN (h$k div ${1L << j}) % 2 = 1" +
@@ -159,10 +201,7 @@ object Multimodal {
       }.mkString(" + ")
       expr(s"CAST($terms AS BIGINT)").as(s"s$k")
     }
-    val hViews = (0 until 4).map { k =>
-      val (a, b) = seg(k)
-      expr(s"($a * h + $b) % $m").as(s"h$k")
-    }
+    val hViews = (0 until 4).map(k => expr(mixSpark(k, "h")).as(s"h$k"))
     val sig = docs
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), explode(expr(
@@ -206,15 +245,14 @@ object Multimodal {
     * sums, 4×16-bit pigeonhole, per-segment bit_count(xor) verify).
     */
   private lazy val MmNearDupSql: String = {
-    val m = graft.llm.Dedup.HashMod
     val segSums = (0 until 4).map { k =>
-      val (a, b) = seg(k)
       val terms = (0 until 16).map { j =>
-        s"(CASE WHEN sum(CASE WHEN ((($a * h + $b) % $m) // ${1L << j}) % 2 = 1" +
+        s"(CASE WHEN sum(CASE WHEN (h$k // ${1L << j}) % 2 = 1" +
           s" THEN 1 ELSE -1 END) >= 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       s"CAST($terms AS BIGINT) AS s$k"
     }.mkString(",\n    ")
+    val hViews = (0 until 4).map(k => s"${mixDuck(k, "h")} AS h$k").mkString(", ")
     val segUnion = (0 until 4).map(k =>
       s"SELECT doc_id, s0, s1, s2, s3, $k AS si, s$k AS sv FROM sig")
       .mkString("\n  UNION ALL ")
@@ -224,9 +262,10 @@ object Multimodal {
        |      SELECT doc_id, unnest(list_transform(generate_series(1, length(text) - 7),
        |        i -> substr(text, i, 8))) AS g
        |      FROM documents WHERE length(text) >= 8))),
+       |hv AS (SELECT doc_id, $hViews FROM hs),
        |sig AS (SELECT doc_id,
        |    $segSums
-       |  FROM hs GROUP BY doc_id),
+       |  FROM hv GROUP BY doc_id),
        |segs AS (
        |  $segUnion),
        |cand AS (

@@ -14,16 +14,17 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   */
 object Runner {
 
-  /** The events table as a file-source STREAM — same ns→µs timestamp
-    * conversion as `Tables.events`; `pathGlobFilter` scopes the directory
-    * listing to the one table file, no staging copy.
+  /** The events table as a file-source STREAM — same ts normalization
+    * as `Tables.events` (shared dtype branch, both fixture generations);
+    * `pathGlobFilter` scopes the directory listing to the one table
+    * file, no staging copy.
     */
   def eventsStream(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = s.read.parquet(s"$d/events.parquet").schema
-    s.readStream.schema(rawSchema)
-      .option("pathGlobFilter", "events.parquet").parquet(d)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.core.Tables.normalizeEventsTs(
+      s.readStream.schema(rawSchema)
+        .option("pathGlobFilter", "events.parquet").parquet(d))
   }
 
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"

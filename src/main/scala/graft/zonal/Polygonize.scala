@@ -57,6 +57,12 @@ object Polygonize {
   // right turn = +1 mod 4. Edge key packs (start corner, direction).
   private val CornerW = W1 + 1
 
+  /** Successor-argmin pack multiplier: `min(pri·PackMult + ekey)` must
+    * keep ekey < PackMult or the unpack corrupts (guarded in-plan at
+    * ekey construction). Shared verbatim with the DuckDB twin.
+    */
+  private[zonal] val PackMult = 100000L
+
   /** The fixture mask: level-1 overview cells with value % 3 = 0 (the
     * raster_region_label family).
     */
@@ -103,6 +109,19 @@ object Polygonize {
         side(-1, 0, col("cx"), col("cy") + 1, col("cx"), col("cy"), 3))         // left → N
       .reduce(_ union _)
       .withColumn("ekey", (col("sy") * cornerW + col("sx")) * 4 + col("dir"))
+      // the successor argmin below packs (pri, ekey) as pri·PackMult +
+      // ekey — an ekey ≥ PackMult would silently corrupt the unpacked
+      // successor (r9 verdict). Guard IN-PLAN at ekey construction (the
+      // mega-bucket pattern): loud analysis-free fail before any pair
+      // of the walk is assembled, zero extra actions. A derived
+      // multiplier would need a full extra pass over the mask (max cy
+      // is unbounded by this API's contract), so the cap is explicit.
+      .withColumn("ekey", expr(
+        s"""CASE WHEN ekey < $PackMult THEN ekey
+           |ELSE raise_error(concat('polygonize: corner key ', cast(ekey AS string),
+           |  ' >= $PackMult — mask exceeds the packed-argmin range',
+           |  ' (~${PackMult / 4} corners, e.g. ≥158×158); tile the mask or widen',
+           |  ' PackMult in Polygonize')) END""".stripMargin))
 
     // 2. successor: same region, starts where this edge ends, rightmost
     // turn first (turn = (out − in) mod 4: 1 right, 0 straight, 3 left)
@@ -113,9 +132,10 @@ object Polygonize {
         expr("CASE (b.dir - a.dir + 4) % 4 WHEN 1 THEN 0 WHEN 0 THEN 1 WHEN 3 THEN 2 ELSE 3 END")
           .as("pri"))
     // argmin by (priority, ekey) — the packed-key min spelling is shared
-    // verbatim with the oracle so both engines break ties identically
+    // verbatim with the oracle so both engines break ties identically;
+    // the in-plan ekey < PackMult guard above makes the unpack exact
     val succ = cand.groupBy(col("e"))
-      .agg((min(col("pri") * 100000L + col("se")) % 100000L).as("next"))
+      .agg((min(col("pri") * PackMult + col("se")) % PackMult).as("next"))
 
     // 3a. ring id = CC over the successor cycles
     val rl = succ.select(col("e").as("x"), col("next").as("y"))
@@ -299,7 +319,7 @@ object Polygonize {
        |  FROM bnd a JOIN bnd b
        |    ON a.region = b.region AND a.ex = b.sx AND a.ey = b.sy
        |), succ AS (
-       |  SELECT e, min(pri * 100000 + se) % 100000 AS next FROM cand GROUP BY e
+       |  SELECT e, min(pri * $PackMult + se) % $PackMult AS next FROM cand GROUP BY e
        |), rsucc AS (
        |  SELECT e AS x, next AS y FROM succ UNION ALL SELECT next, e FROM succ
        |), rreach AS (

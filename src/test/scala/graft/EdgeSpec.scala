@@ -194,4 +194,25 @@ class EdgeSpec extends SparkSuite {
     // identical blobs: Hamming 0, all C(5,2) pairs survive the verify
     assert(graft.llm.Multimodal.mmNearDupPairs(small, cap = 4096).count() == 10)
   }
+
+  test("polygonize packed-argmin guard: a mask past the corner-key range fails loudly, never corrupts") {
+    // r9 verdict item 5: the successor argmin packs (pri, ekey) as
+    // pri·100000 + ekey; an ekey ≥ 100000 (≈158×158 corners — here a
+    // narrow mask at huge cy, so the test stays tiny) used to silently
+    // corrupt the unpacked successor through the public polygonizeMask
+    // entry point. The in-plan guard must raise before any ring walks.
+    val far = Seq((0L, 25000L), (1L, 25000L), (0L, 25001L), (1L, 25001L))
+      .toDF("cx", "cy")
+    val e = intercept[Throwable](
+      graft.zonal.Polygonize.polygonizeMask(far, 3L).count())
+    assert(msgs(e).contains("packed-argmin range"),
+      s"wanted the loud pack guard, got: ${msgs(e)}")
+    // the same shape at small coordinates polygonizes normally: one
+    // region, one 2×2 square ring of 4 corners, area 4
+    val near = Seq((0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L)).toDF("cx", "cy")
+    val rows = graft.zonal.Polygonize.polygonizeMask(near, 3L).collect()
+    assert(rows.length == 1 && rows.head.getAs[Long]("n_cells") == 4L
+      && rows.head.getAs[Long]("area2") == 8L,
+      s"control mask wrong: ${rows.mkString(";")}")
+  }
 }

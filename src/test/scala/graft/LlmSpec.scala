@@ -110,6 +110,59 @@ class LlmSpec extends SparkSuite {
     assert(cand.count() <= docs.count())
   }
 
+  test("sharded bloom at gate scale: 8 shards sized from real counts hold fpp ~1%, zero false negatives") {
+    // the r9 rewrite's own gate (r9 verdict item 3): per-shard sketches
+    // are sized from COUNTED keys per shard, so the history must be able
+    // to exceed the 1000-key sizing floor in every shard and still hold
+    // the nominal 1% fpp — and no probe may false-negative across the
+    // shard boundary (shard = pmod(xxhash64(text), shards) on BOTH
+    // build and probe).
+    val n = 40000L
+    val all = spark.range(n).selectExpr("id AS doc_id", "'en' AS lang",
+      "concat('synthetic gate-scale document number ', cast(id AS string), ' payload') AS text")
+    val hist = all.filter(col("doc_id") % 5 =!= 0) // 32k texts → ~4k keys/shard > the 1000 floor
+    val cand = graft.llm.Dedup.shardedBloomCandidates(all, hist, shards = 8)
+    val histN = hist.count()
+    val histSurvived = cand.join(hist.select("doc_id"), "doc_id").count()
+    assert(histSurvived == histN,
+      s"cross-shard false negatives: $histSurvived of $histN history texts passed the prefilter")
+    // novel docs passing the sketch are false positives — per-shard
+    // sizing must keep the pooled rate at the nominal 1% (3% allows
+    // sampling noise on 8k probes; an under-sized sketch would blow
+    // straight past this)
+    val novel = all.join(hist.select("doc_id"), Seq("doc_id"), "left_anti")
+    val novelN = novel.count()
+    val fp = cand.join(novel.select("doc_id"), "doc_id").count()
+    assert(fp.toDouble / novelN <= 0.03,
+      s"sharded fpp degraded: $fp of $novelN novel texts false-positived")
+  }
+
+  test("mm_near_dup hash views are decorrelated: cross-view bit agreement and bias ≈ 1/2") {
+    // the r9 verdict's quality defect: single linear congruences left
+    // the 4×16-bit views correlated (measured up to 8.7% deviation from
+    // the 50% independent-agreement rate on 20k hashes) → far fewer
+    // than 64 effective signature bits, inflated candidate rates. The
+    // avalanche mix must keep every cross-view per-bit agreement AND
+    // every per-bit one-rate within noise of 1/2 (±0.05 ≈ 14σ at n=20k
+    // — the linear views fail this, the mixed views sit at ≤1.4%).
+    val m = graft.llm.Dedup.HashMod
+    val rnd = new scala.util.Random(42)
+    val hs = Array.fill(20000)(((rnd.nextLong() % m) + m) % m)
+    val views = Array.tabulate(4)(k => hs.map(graft.llm.Multimodal.mixedView(k, _)))
+    for (k <- 0 until 4; l <- k + 1 until 4; j <- 0 until 16) {
+      val agree = views(k).indices.count(i =>
+        ((views(k)(i) >> j) & 1L) == ((views(l)(i) >> j) & 1L))
+      val frac = agree.toDouble / hs.length
+      assert(frac > 0.45 && frac < 0.55,
+        s"views $k,$l bit $j correlated: agreement $frac")
+    }
+    for (k <- 0 until 4; j <- 0 until 16) {
+      val ones = views(k).count(v => ((v >> j) & 1L) == 1L)
+      val frac = ones.toDouble / hs.length
+      assert(frac > 0.45 && frac < 0.55, s"view $k bit $j biased: $frac")
+    }
+  }
+
   test("arith minhash: exact dups collide on every band; candidates stay sparse on the corpus") {
     graft.ext.Ext.register(spark)
     // identical docs → identical poly-hash minhash signature → all bands

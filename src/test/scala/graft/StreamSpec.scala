@@ -145,8 +145,8 @@ class StreamSpec extends SparkSuite {
       Paths.get(inDir.getPath, "events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(inDir.getPath).schema
-    val ev = spark.readStream.schema(rawSchema).parquet(inDir.getPath)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val ev = graft.core.Tables.normalizeEventsTs(
+      spark.readStream.schema(rawSchema).parquet(inDir.getPath))
     val out = new java.io.File(tmp, "out").getPath
     val q = graft.stream.Streaming.tumbling(ev)
       .writeStream.format("parquet")
