@@ -41,6 +41,7 @@ object SparkEntry {
     rel.Udfs.defs ++
     zonal.Zonal.defs ++
     zonal.Raster.defs ++
+    zonal.Align.defs ++
     zonal.Polygonize.defs ++
     llm.Text.defs ++
     llm.Dedup.defs ++

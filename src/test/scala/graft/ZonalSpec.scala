@@ -514,4 +514,45 @@ class ZonalSpec extends SparkSuite {
       }
     }
   }
+
+  test("geojson snap ingest: scale 1 recovers jittered integers; scale 8 keeps sub-cell detail") {
+    import java.nio.file.Files
+    // a hand-written float FeatureCollection: a unit-ish square whose
+    // vertices carry eighth-cell offsets — round-half-up at each scale
+    val tmp = Files.createTempDirectory("graft_snap").toFile
+    val f = new java.io.File(tmp, "z.geojson")
+    val json =
+      """{"type": "FeatureCollection", "features": [
+        |  {"type": "Feature", "properties": {"zone_id": 1},
+        |   "geometry": {"type": "Polygon", "coordinates":
+        |     [[[0.125, 0.375], [4.125, 0.375], [4.125, 3.875], [0.125, 3.875], [0.125, 0.375]]]}}]}"""
+        .stripMargin
+    Files.writeString(f.toPath, json)
+    // scale 1: every coordinate rounds to the nearest whole cell
+    val z1 = graft.zonal.GeoJson.readZonesSnap(spark, f.getPath, 1L).collect().head
+    assert((z1.getInt(z1.fieldIndex("xmin")), z1.getInt(z1.fieldIndex("xmax")),
+        z1.getInt(z1.fieldIndex("ymin")), z1.getInt(z1.fieldIndex("ymax")))
+      == ((0, 4, 0, 4)), s"scale-1 bbox: $z1")
+    // scale 8: the eighth-cell offsets survive exactly (×8 lattice)
+    val z8 = graft.zonal.GeoJson.readZonesSnap(spark, f.getPath, 8L).collect().head
+    assert((z8.getInt(z8.fieldIndex("xmin")), z8.getInt(z8.fieldIndex("xmax")),
+        z8.getInt(z8.fieldIndex("ymin")), z8.getInt(z8.fieldIndex("ymax")))
+      == ((1, 33, 3, 31)), s"scale-8 bbox: $z8")
+    // the registered op's fixture jitter stays below the half-cell snap
+    // radius, so the snapped WKB equals the strict reader's on the
+    // exact fixture — byte-for-byte, not just statistically
+    val d = sf
+    val strict = graft.zonal.GeoJson.readZones(spark,
+      graft.zonal.GeoJson.fixturePath(spark, d))
+      .select("zone_id", "geom").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val snapped = graft.zonal.GeoJson.readZonesSnap(spark,
+      graft.zonal.GeoJson.floatFixturePath(spark, d))
+      .select("zone_id", "geom").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(strict.keySet == snapped.keySet)
+    strict.foreach { case (z, wkb) =>
+      assert(snapped(z) == wkb, s"zone $z: snapped WKB diverges from strict WKB")
+    }
+  }
 }
