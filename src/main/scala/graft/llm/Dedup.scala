@@ -228,8 +228,14 @@ object Dedup {
       override def numPartitions: Int = shards
       override def getPartition(key: Any): Int = key.asInstanceOf[Int]
     }
-    val counts = withShard(hist).groupBy("shard").agg(count(lit(1)).as("n"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // size each sketch from the shard's approximate DISTINCT text count
+    // (same single aggregation pass as a plain count): a duplicate-heavy
+    // history would oversize every sketch under a raw row count. The
+    // default 5% rsd can undershoot slightly — the 1.2× headroom keeps
+    // realized fpp at or below the nominal 1% (LlmSpec gates it at 3%).
+    val counts = withShard(hist).groupBy("shard")
+      .agg(approx_count_distinct(col("text")).as("n"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1) * 12L / 10L)).toMap
     val filtersRdd = withShard(hist).select(col("shard"), col("text")).rdd
       .map(r => (r.getInt(0), r.getString(1)))
       .partitionBy(part)

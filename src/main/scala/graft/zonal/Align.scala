@@ -211,5 +211,36 @@ object Align {
          |FROM blk JOIN a USING (cell_x, cell_y)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       alignAvg(s, Raster.worldFixturePath(), alnFixturePath())
+    },
+
+    // the same world-coordinate zone table, queried against a raster on
+    // a DIFFERENT lattice: zonalWorld derives the world→cell map from
+    // whatever header the raster carries, so zones written once serve
+    // every epoch/sensor grid — no zone-table rework when the raster
+    // resolution changes. Zones that miss this raster's (smaller)
+    // envelope simply contribute no rows.
+    "zonal_raster_autoalign" -> Q(
+      s"""WITH zones AS (
+         |${Raster.WorldZonesSql}
+         |), cells AS (
+         |  SELECT bx AS cell_x, by AS cell_y, vb AS value FROM ($AlnCellsSql)
+         |)
+         |SELECT zone_id, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  CAST(sum(CAST(value AS BIGINT)) AS DOUBLE) / count(*) AS mean_v,
+         |  min(value) AS min_v, max(value) AS max_v,
+         |  CAST($AlnOX + $AlnScale * min(cell_x) AS DOUBLE) + ${AlnScale / 2.0} AS wcx_min,
+         |  CAST($AlnOX + $AlnScale * max(cell_x) AS DOUBLE) + ${AlnScale / 2.0} AS wcx_max,
+         |  CAST($AlnOY - $AlnScale * max(cell_y) AS DOUBLE) - ${AlnScale / 2.0} AS wcy_min,
+         |  CAST($AlnOY - $AlnScale * min(cell_y) AS DOUBLE) - ${AlnScale / 2.0} AS wcy_max
+         |FROM cells JOIN zones
+         |  ON $AlnScale * (2 * cell_x + 1)
+         |       BETWEEN 2 * (wxmin - $AlnOX) AND 2 * (wxmax - $AlnOX)
+         |  AND $AlnScale * (2 * cell_y + 1)
+         |       BETWEEN 2 * ($AlnOY - wymax) AND 2 * ($AlnOY - wymin)
+         |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+      val p = alnFixturePath()
+      val m = Raster.readMeta(p)
+      Raster.zonalWorld(Raster.scanTiff(s, p, m), Raster.worldZones(s, d), m)
     })
 }
