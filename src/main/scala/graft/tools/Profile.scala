@@ -35,6 +35,9 @@ object Profile {
     time("final agg")(println("  n_comp=" + labels.select("comp").distinct().count()))
     time("full query")(
       graft.SparkEntry.queries("dedup_cluster")(spark, d).count())
+    graft.zonal.Polygonize.clearCache()
+    time("polygonize cold")(
+      graft.SparkEntry.queries("raster_polygonize")(spark, d).count())
     spark.stop()
   }
 }

@@ -147,19 +147,26 @@ object Polygonize {
     // 3b. rank along each cycle by distance-to-root pointer doubling:
     // (ptr, d) jumps to (ptr(ptr), d + d(ptr)) each round unless the
     // root is already reached — O(log perimeter) rounds, every step an
-    // equi-join, the driver holds only the convergence count
+    // equi-join, the driver holds only the convergence count. LAZY
+    // localCheckpoint (the CC-fixpoint rule, r10): the while-condition
+    // count is the round's single action — it materializes the
+    // checkpoint blocks AND answers convergence in ONE job instead of
+    // an eager-checkpoint job followed by a count job.
     var st = succ.join(ringLabels, "e")
       .select(col("e"), col("ring"), col("next").as("ptr"), lit(1L).as("d"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var it = 0
-    while (st.filter(col("ptr") =!= col("ring")).limit(1).count() > 0) {
+    // full count, not limit(1): the early-out would materialize only
+    // SOME partitions of the lazy checkpoint and leave RDD lineage
+    // chaining across rounds; the full scan is the materializer
+    while (st.filter(col("ptr") =!= col("ring")).count() > 0) {
       require(it < 40, "polygonize rank fixpoint did not converge in 40 rounds")
       val p = st.select(col("e").as("pe"), col("ptr").as("pp"), col("d").as("pd"))
       st = st.join(p, col("ptr") === col("pe"))
         .select(col("e"), col("ring"),
           when(col("ptr") === col("ring"), col("ptr")).otherwise(col("pp")).as("ptr"),
           when(col("ptr") === col("ring"), col("d")).otherwise(col("d") + col("pd")).as("d"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       it += 1
     }
     val ranked = st
