@@ -752,6 +752,96 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // incremental NEAR-dup against a HISTORICAL corpus (round 10 — the
+    // companion the bloom pair above leaves open: those catch only
+    // byte-identical re-ingestion, while the daily batch's real
+    // duplicates are lightly-edited copies of history). The new batch
+    // (doc_id % 5 = 0, mirroring the bloom split) joins history ONLY
+    // through shared arithmetic-MinHash band keys — ONE signature pass
+    // over the union (in a real pipeline the history side's signatures
+    // are precomputed and stored; they never recompute per batch), the
+    // band equi-join is mega-bucket-guarded like every pair generator,
+    // and exact bigram Jaccard ≥ 0.5 verifies candidates only. Output:
+    // each batch doc with its BEST history match (max Jaccard, tiebreak
+    // min history id) — the survivor-routing decision a daily ingest
+    // actually makes. Fully oracle-checked (poly_hash arithmetic).
+    "dedup_minhash_incremental" -> Q({
+      val perms = (0 until ArithPerms).map(p =>
+        s"min((${HashA(p)} * h + ${HashB(p)}) % $HashMod) AS am$p").mkString(", ")
+      val bands = (0 until ArithPerms / ArithBandSize).map(b =>
+        s"SELECT doc_id, $b AS band, am${2 * b} * $HashMod + am${2 * b + 1} AS bh FROM sig")
+        .mkString("\n  UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         |bgs AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |    i -> t[i] || ' ' || t[i + 1])) AS bg
+         |  FROM toks WHERE len(t) >= 2),
+         |hs AS (SELECT doc_id, ${polyHashSql("bg")} AS h FROM bgs),
+         |sig AS (SELECT doc_id, $perms FROM hs GROUP BY doc_id),
+         |bands AS (
+         |  $bands),
+         |sets AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 1),
+         |           i -> t[i] || ' ' || t[i + 1])) AS bg FROM toks WHERE len(t) >= 2),
+         |pairs AS (
+         |  SELECT DISTINCT b.doc_id AS doc_id, a.doc_id AS hist_id
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+         |  WHERE a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0),
+         |near AS (
+         |  SELECT doc_id, hist_id, jaccard FROM (
+         |    SELECT p.doc_id, p.hist_id,
+         |      CAST(len(list_intersect(sx.bg, sy.bg)) AS DOUBLE)
+         |        / (len(sx.bg) + len(sy.bg) - len(list_intersect(sx.bg, sy.bg))) AS jaccard
+         |    FROM pairs p JOIN sets sx ON p.doc_id = sx.doc_id
+         |                 JOIN sets sy ON p.hist_id = sy.doc_id)
+         |  WHERE jaccard >= 0.5),
+         |ranked AS (
+         |  SELECT doc_id, hist_id AS dup_of, jaccard,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY jaccard DESC, hist_id) AS rk
+         |  FROM near)
+         |SELECT doc_id, dup_of, jaccard FROM ranked WHERE rk = 1
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      graft.ext.Ext.register(s)
+      val docs = Tables.documents(s, d)
+      val cap = bucketCap(s)
+      val sigs = arithMinhash(docs).selectExpr("doc_id", ArithBandStackExpr)
+      // mega-bucket guard on the SHARED band key space (counted over both
+      // sides at once — the quadratic risk is the cross product)
+      val counts = sigs.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+      val guarded = sigs.join(counts, Seq("band", "bh"))
+        .withColumn("bh", expr(
+          s"""CASE WHEN bn <= $cap THEN bh
+             |ELSE raise_error(concat('LSH mega-bucket: ', cast(bn AS string),
+             |  ' docs share one band key (cap $cap) — a degenerate corpus region;',
+             |  ' remove exact duplicates upstream (pipeline_corpus_clean), split',
+             |  ' the region, or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
+        .select("doc_id", "band", "bh")
+      val pairs = guarded.filter(col("doc_id") % 5 === 0)
+        .join(guarded.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id").as("hist_id"), col("band"), col("bh")), Seq("band", "bh"))
+        .select("doc_id", "hist_id").distinct()
+      val bg = docs
+        .withColumn("t", split(lower(col("text")), " "))
+        .filter(size(col("t")) >= 2)
+        .withColumn("bg", sort_array(array_distinct(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))))
+        .select(col("doc_id"), col("bg"))
+      val inter = expr("sorted_intersect_count(a_bg, b_bg)")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("jaccard").desc, col("hist_id"))
+      pairs
+        .join(bg.select(col("doc_id"), col("bg").as("a_bg")), "doc_id")
+        .join(bg.select(col("doc_id").as("hist_id"), col("bg").as("b_bg")), "hist_id")
+        .select(col("doc_id"), col("hist_id"),
+          (inter.cast("double")
+            / (size(col("a_bg")) + size(col("b_bg")) - inter)).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("hist_id").as("dup_of"), col("jaccard"))
+        .orderBy("doc_id")
+    },
+
     "dedup_cdc_chunks" -> Q(
       s"""WITH tok AS (
          |  SELECT doc_id, u.pos AS pos, u.t AS token FROM (
