@@ -466,6 +466,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(q("sink_upsert").columns.toSeq == Seq("k", "v"))
   }
 
+  test("r10 ops join on keys, never cartesian; align maps are filter+project over the scans") {
+    // auto-align: the mapping is derived from headers and applied as a
+    // projection — the only join is the cell-key equi-join (broadcast or
+    // sort-merge, AQE's pick); a cartesian/NLJ would mean the mapping
+    // leaked into the join condition
+    for (name <- Seq("raster_align_nearest", "raster_align_avg",
+        "zonal_raster_autoalign", "dedup_minhash_incremental", "zonal_geojson_snap")) {
+      val p = q(name).queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"), s"$name planned a cartesian join")
+      assert(!(p.contains("BroadcastNestedLoopJoin") && name.startsWith("raster_align")),
+        s"$name planned an NLJ for the cell equi-join")
+    }
+  }
+
   test("z-ordered store: the spatial window's bucket list reaches PartitionFilters") {
     q("sink_zorder").collect() // ensure a store exists
     val w = q("scan_zorder_window")
