@@ -80,7 +80,31 @@ object Raster {
   private val TagSampleFormat = 339
   private val TagModelPixelScale = 33550
   private val TagModelTiepoint = 33922
+  private val TagModelTransformation = 34264 // full 4×4 affine (may rotate)
   private val TagGdalNodata = 42113 // ASCII, GDAL convention
+
+  /** Georeference from a GeoTIFF ModelTransformation (4×4 row-major:
+    * x = t0·col + t1·row + t3, y = t4·col + t5·row + t7). Only the
+    * axis-aligned north-up family maps onto the engine's (origin,
+    * scale) model — a rotated/sheared transform must FAIL here, because
+    * the old behavior (ignore the tag, default to identity) silently
+    * misplaced every cell of such a file in world space, and reading it
+    * as north-up would do the same. Returns (originX, originY, scaleX,
+    * scaleY) with the north-up sign convention (scaleY positive,
+    * world y decreasing as rows increase).
+    */
+  private[graft] def geoFromTransformation(path: String, t: Array[Double]): (Double, Double, Double, Double) = {
+    require(t.length >= 16,
+      s"$path: ModelTransformation carries ${t.length} doubles (want 16)")
+    require(t(1) == 0.0 && t(4) == 0.0,
+      s"$path: rotated/sheared ModelTransformation (row terms ${t(1)}, ${t(4)}) " +
+        "unsupported — warp to a north-up grid upstream; reading it as " +
+        "north-up would silently misplace every cell")
+    require(t(0) > 0.0 && t(5) < 0.0,
+      s"$path: ModelTransformation scale terms (${t(0)}, ${t(5)}) must be " +
+        "north-up (+x east, y decreasing down rows)")
+    (t(3), t(7), t(0), -t(5))
+  }
 
   /** Header-read accounting (test instrumentation): RasterSpec's mosaic
     * scale-shape test asserts one read per file, inside executor tasks.
@@ -280,6 +304,15 @@ object Raster {
 
       val geoScale = values(TagModelPixelScale).map(java.lang.Double.longBitsToDouble)
       val geoTie = values(TagModelTiepoint).map(java.lang.Double.longBitsToDouble)
+      // ModelTransformation (the other GeoTIFF georeference spelling —
+      // GDAL writes it whenever the transform is not pure scale+offset):
+      // validated/derived by [[geoFromTransformation]], which REJECTS
+      // rotation/shear loudly. Previously this tag was ignored, which
+      // read such files with an identity georeference — a silent
+      // world-space misplacement for every cell (r10).
+      val geoXf = values(TagModelTransformation).map(java.lang.Double.longBitsToDouble)
+      val xfGeo: Option[(Double, Double, Double, Double)] =
+        if (geoXf.nonEmpty) Some(geoFromTransformation(path, geoXf)) else None
       // a corrupt/truncated manifest must fail here, not as an index
       // error mid-scan in some executor
       val w0 = scalar(TagWidth).toInt; val h0 = scalar(TagHeight).toInt
@@ -307,10 +340,10 @@ object Raster {
         nodata = nodata,
         tileOffsets = values(offTag),
         tileByteCounts = values(cntTag),
-        originX = if (geoTie.length >= 4) geoTie(3) else 0.0,
-        originY = if (geoTie.length >= 5) geoTie(4) else 0.0,
-        scaleX = if (geoScale.length >= 1) geoScale(0) else 1.0,
-        scaleY = if (geoScale.length >= 2) geoScale(1) else 1.0)
+        originX = if (geoTie.length >= 4) geoTie(3) else xfGeo.map(_._1).getOrElse(0.0),
+        originY = if (geoTie.length >= 5) geoTie(4) else xfGeo.map(_._2).getOrElse(0.0),
+        scaleX = if (geoScale.length >= 1) geoScale(0) else xfGeo.map(_._3).getOrElse(1.0),
+        scaleY = if (geoScale.length >= 2) geoScale(1) else xfGeo.map(_._4).getOrElse(1.0))
     } finally in.close()
   }
 

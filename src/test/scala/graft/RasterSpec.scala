@@ -816,6 +816,30 @@ class RasterSpec extends SparkSuite {
       s"upsample coverage ${up.length}: B sits wholly inside A")
   }
 
+  test("ModelTransformation georeference: north-up derives (origin, scale); rotation fails loudly") {
+    // GeoTIFF's other georeference spelling (4×4 row-major affine).
+    // Previously the tag was ignored entirely — a rotated file read
+    // with an identity georeference, silently misplacing every cell in
+    // world space (r10). North-up member of the family:
+    //   x = 30·col + 510000, y = −30·row + 4650000
+    val t = Array.fill(16)(0.0)
+    t(0) = 30.0; t(3) = 510000.0; t(5) = -30.0; t(7) = 4650000.0; t(15) = 1.0
+    assert(Raster.geoFromTransformation("p", t) == ((510000.0, 4650000.0, 30.0, 30.0)))
+    // a rotation term makes the transform unrepresentable in the
+    // (origin, scale) model — must raise, never default
+    val rot = t.clone(); rot(1) = 5.0
+    val e = intercept[IllegalArgumentException](Raster.geoFromTransformation("p", rot))
+    assert(e.getMessage.contains("rotated"), e.getMessage)
+    // wrong orientation (y increasing down in world space) also raises
+    val flip = t.clone(); flip(5) = 30.0
+    val e2 = intercept[IllegalArgumentException](Raster.geoFromTransformation("p", flip))
+    assert(e2.getMessage.contains("north-up"), e2.getMessage)
+    // truncated tag payload raises rather than indexing garbage
+    val e3 = intercept[IllegalArgumentException](
+      Raster.geoFromTransformation("p", Array(30.0, 0.0, 0.0, 510000.0)))
+    assert(e3.getMessage.contains("16"), e3.getMessage)
+  }
+
   test("multi-band deflate writer roundtrips through the band scanner") {
     val p = Raster.mbDeflateFixturePath()
     val m = Raster.readMeta(p)
