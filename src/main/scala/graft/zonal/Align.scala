@@ -213,6 +213,46 @@ object Align {
       alignAvg(s, Raster.worldFixturePath(), alnFixturePath())
     },
 
+    // CROSS-LATTICE zonal statistics — the end-use the align kernels
+    // exist for: the zone layer is a RASTER on one lattice (world
+    // fixture classed by value div 100), the value raster sits on the
+    // mismatched 10 m lattice, and the nearest-kernel align brings them
+    // onto one grid inside the plan; per-class stats are then one hash
+    // agg. Zones and values never need co-registered inputs.
+    "zonal_align_stats" -> Q(
+      s"""WITH a AS (
+         |  SELECT cell_x, cell_y, value AS va FROM ($FixtureCellsSql)
+         |), b AS (
+         |$AlnCellsSql
+         |), m AS (
+         |  SELECT cell_x, cell_y, va,
+         |    (2 * $WorldOX + $WorldScale * (2 * cell_x + 1) - 2 * $AlnOX)
+         |      // (2 * $AlnScale) AS bx,
+         |    (2 * $AlnOY - (2 * $WorldOY - $WorldScale * (2 * cell_y + 1)))
+         |      // (2 * $AlnScale) AS by
+         |  FROM a
+         |  WHERE 2 * $WorldOX + $WorldScale * (2 * cell_x + 1) >= 2 * $AlnOX
+         |    AND 2 * $WorldOX + $WorldScale * (2 * cell_x + 1)
+         |          < 2 * $AlnOX + 2 * $AlnScale * $AlnW
+         |    AND 2 * $WorldOY - $WorldScale * (2 * cell_y + 1) <= 2 * $AlnOY
+         |    AND 2 * $WorldOY - $WorldScale * (2 * cell_y + 1)
+         |          > 2 * $AlnOY - 2 * $AlnScale * $AlnH)
+         |SELECT CAST(va AS BIGINT) // 100 AS zone_class, count(*) AS n_cells,
+         |  CAST(sum(CAST(vb AS BIGINT)) AS BIGINT) AS sum_v,
+         |  CAST(sum(CAST(vb AS BIGINT)) AS DOUBLE) / count(*) AS mean_v,
+         |  min(vb) AS min_v, max(vb) AS max_v
+         |FROM m JOIN b USING (bx, by)
+         |GROUP BY zone_class ORDER BY zone_class""".stripMargin) { (s, _) =>
+      alignNearest(s, Raster.worldFixturePath(), alnFixturePath())
+        .select(expr("CAST(va AS BIGINT) div 100").as("zone_class"), col("vb"))
+        .groupBy("zone_class")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("vb").cast("long")).as("sum_v"),
+          (sum(col("vb").cast("long")).cast("double") / count(lit(1))).as("mean_v"),
+          min(col("vb")).as("min_v"), max(col("vb")).as("max_v"))
+        .orderBy("zone_class")
+    },
+
     // the same world-coordinate zone table, queried against a raster on
     // a DIFFERENT lattice: zonalWorld derives the world→cell map from
     // whatever header the raster carries, so zones written once serve
