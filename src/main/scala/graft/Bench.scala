@@ -126,8 +126,11 @@ object Bench {
     val fp = rerun.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // strip EVERY JSON-hostile character, not just the common five — a
+    // native-layer exception message can carry \f, \b, or NULs, and one
+    // such byte would make the whole total_detail line unparseable
     val errJson = errors.map { case (k, v) =>
-      s"\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\n\\r\\t]", " ") + "\""
+      s"\"" + k + "\":\"" + v.replaceAll("[\"\\\\\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
     // Two lines, distinct metric names so a grep-and-sum consumer never
     // double-counts: the long per-query detail first ("total_detail"),

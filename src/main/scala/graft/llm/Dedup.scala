@@ -393,8 +393,17 @@ object Dedup {
       // corpus and iterating over the duplicates. Isolated nodes rejoin
       // as singleton labels after convergence (one anti-join + union,
       // outside the loop).
-      val isolated = nodes.join(e.select(col("x").as("node")), Seq("node"), "left_anti")
-        .select(col("node"), col("node").as("comp"))
+      // anti-join against BOTH endpoint sides: the both-directions edge
+      // contract makes them equal, but a caller passing directed-only
+      // edges must not see a y-side node classified isolated AND also
+      // labeled by propagation (two conflicting rows). distinct() guards
+      // the same double-emission for duplicate node rows — the iterated
+      // path dedups through its groupBy every round, this path never
+      // aggregates again.
+      val endpoints = e.select(col("x").as("node"))
+        .union(e.select(col("y").as("node")))
+      val isolated = nodes.join(endpoints, Seq("node"), "left_anti")
+        .select(col("node"), col("node").as("comp")).distinct()
       // seed with the neighbor minimum (edges carry both directions, so
       // min over y per x IS min over the adjacency): one free propagate
       // before the loop. Near-dup clusters are mostly diameter ≤ 2, so

@@ -68,12 +68,8 @@ object Align {
         scaleX = AlnScale.toDouble, scaleY = AlnScale.toDouble))(alnValue)
     }
 
-  private def intOf(v: Double, what: String): Long = {
-    require(v == math.rint(v) && math.abs(v) < (1L << 52).toDouble,
-      s"align: $what = $v is not integer-expressible — resample/reproject " +
-        "upstream (integral-coordinate discipline)")
-    math.rint(v).toLong
-  }
+  private def intOf(v: Double, what: String): Long =
+    Raster.requireIntegral(v, s"align: $what")
 
   /** Nearest-neighbor auto-align: raster B sampled at every A-cell
     * center, emitted on A's grid as `(cell_x, cell_y, va, vb, diff)`.
@@ -120,7 +116,8 @@ object Align {
     val (oxB, oyB) = (intOf(mb.originX, s"$pb originX"), intOf(mb.originY, s"$pb originY"))
     val (sxB, syB) = (intOf(mb.scaleX, s"$pb scaleX"), intOf(mb.scaleY, s"$pb scaleY"))
     require(sxA == syA && sxB == syB, "align avg: anisotropic pixels unsupported")
-    require(sxB > 0 && sxA % sxB == 0
+    require(sxA > 0 && sxB > 0, s"align avg: non-positive pixel scale ($sxA, $sxB)")
+    require(sxA % sxB == 0
         && math.floorMod(oxA - oxB, sxB) == 0 && math.floorMod(oyA - oyB, syB) == 0,
       s"align avg: B's lattice (origin ($oxB,$oyB), scale $sxB) does not nest " +
         s"in A's (origin ($oxA,$oyA), scale $sxA) — every A boundary must lie " +
@@ -140,7 +137,9 @@ object Align {
       .groupBy("cell_x", "cell_y")
       .agg(count(lit(1)).as("n_fine"),
         sum(col("vb").cast("long")).as("sb"))
-      .filter(col("n_fine") === k.toInt * k.toInt)
+      // Long k·k, never Int: a 46341+ scale ratio would overflow Int and
+      // silently match nothing
+      .filter(col("n_fine") === k * k)
       .select(col("cell_x"), col("cell_y"), col("n_fine"),
         (col("sb").cast("double") / (k * k)).as("vb_avg"))
     Raster.scanTiff(s, pa, ma)
@@ -159,28 +158,36 @@ object Align {
 
   import Raster.{FixtureCellsSql, WorldOX, WorldOY, WorldScale}
 
+  /** Shared oracle CTE chain `a, b, m`: both formula lattices plus the
+    * doubled-center floor-div mapping of A centers onto B indices —
+    * interpolated into every oracle that consumes the nearest-kernel
+    * alignment, so the arithmetic can never drift between them.
+    */
+  private lazy val AlnNearestMapSql: String =
+    s"""a AS (
+       |  SELECT cell_x, cell_y, value AS va FROM ($FixtureCellsSql)
+       |), b AS (
+       |$AlnCellsSql
+       |), m AS (
+       |  SELECT cell_x, cell_y, va,
+       |    (2 * $WorldOX + $WorldScale * (2 * cell_x + 1) - 2 * $AlnOX)
+       |      // (2 * $AlnScale) AS bx,
+       |    (2 * $AlnOY - (2 * $WorldOY - $WorldScale * (2 * cell_y + 1)))
+       |      // (2 * $AlnScale) AS by
+       |  FROM a
+       |  WHERE 2 * $WorldOX + $WorldScale * (2 * cell_x + 1) >= 2 * $AlnOX
+       |    AND 2 * $WorldOX + $WorldScale * (2 * cell_x + 1)
+       |          < 2 * $AlnOX + 2 * $AlnScale * $AlnW
+       |    AND 2 * $WorldOY - $WorldScale * (2 * cell_y + 1) <= 2 * $AlnOY
+       |    AND 2 * $WorldOY - $WorldScale * (2 * cell_y + 1)
+       |          > 2 * $AlnOY - 2 * $AlnScale * $AlnH)""".stripMargin
+
   def defs: Seq[(String, Q)] = Seq(
     // nearest-neighbor auto-align of the 10 m offset-origin fixture
     // onto the 30 m world grid — the oracle replays the identical
     // doubled-center floor-div arithmetic over the two formula lattices
     "raster_align_nearest" -> Q(
-      s"""WITH a AS (
-         |  SELECT cell_x, cell_y, value AS va FROM ($FixtureCellsSql)
-         |), b AS (
-         |$AlnCellsSql
-         |), m AS (
-         |  SELECT cell_x, cell_y, va,
-         |    (2 * $WorldOX + $WorldScale * (2 * cell_x + 1) - 2 * $AlnOX)
-         |      // (2 * $AlnScale) AS bx,
-         |    (2 * $AlnOY - (2 * $WorldOY - $WorldScale * (2 * cell_y + 1)))
-         |      // (2 * $AlnScale) AS by
-         |  FROM a
-         |  WHERE 2 * $WorldOX + $WorldScale * (2 * cell_x + 1) >= 2 * $AlnOX
-         |    AND 2 * $WorldOX + $WorldScale * (2 * cell_x + 1)
-         |          < 2 * $AlnOX + 2 * $AlnScale * $AlnW
-         |    AND 2 * $WorldOY - $WorldScale * (2 * cell_y + 1) <= 2 * $AlnOY
-         |    AND 2 * $WorldOY - $WorldScale * (2 * cell_y + 1)
-         |          > 2 * $AlnOY - 2 * $AlnScale * $AlnH)
+      s"""WITH $AlnNearestMapSql
          |SELECT cell_x, cell_y, va, vb, va - vb AS diff
          |FROM m JOIN b USING (bx, by)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
@@ -220,23 +227,7 @@ object Align {
     // onto one grid inside the plan; per-class stats are then one hash
     // agg. Zones and values never need co-registered inputs.
     "zonal_align_stats" -> Q(
-      s"""WITH a AS (
-         |  SELECT cell_x, cell_y, value AS va FROM ($FixtureCellsSql)
-         |), b AS (
-         |$AlnCellsSql
-         |), m AS (
-         |  SELECT cell_x, cell_y, va,
-         |    (2 * $WorldOX + $WorldScale * (2 * cell_x + 1) - 2 * $AlnOX)
-         |      // (2 * $AlnScale) AS bx,
-         |    (2 * $AlnOY - (2 * $WorldOY - $WorldScale * (2 * cell_y + 1)))
-         |      // (2 * $AlnScale) AS by
-         |  FROM a
-         |  WHERE 2 * $WorldOX + $WorldScale * (2 * cell_x + 1) >= 2 * $AlnOX
-         |    AND 2 * $WorldOX + $WorldScale * (2 * cell_x + 1)
-         |          < 2 * $AlnOX + 2 * $AlnScale * $AlnW
-         |    AND 2 * $WorldOY - $WorldScale * (2 * cell_y + 1) <= 2 * $AlnOY
-         |    AND 2 * $WorldOY - $WorldScale * (2 * cell_y + 1)
-         |          > 2 * $AlnOY - 2 * $AlnScale * $AlnH)
+      s"""WITH $AlnNearestMapSql
          |SELECT CAST(va AS BIGINT) // 100 AS zone_class, count(*) AS n_cells,
          |  CAST(sum(CAST(vb AS BIGINT)) AS BIGINT) AS sum_v,
          |  CAST(sum(CAST(vb AS BIGINT)) AS DOUBLE) / count(*) AS mean_v,

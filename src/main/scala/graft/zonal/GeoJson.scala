@@ -196,10 +196,14 @@ object GeoJson {
       .sortBy { case (z, p, rg, i, _, _) => (z, p, rg, i) }
     def jx(z: Int, rg: Int, i: Int): Double = ((z * 7 + rg * 3 + i) % 5 - 2) * 0.05
     def jy(z: Int, rg: Int, i: Int): Double = ((z * 5 + rg + i * 3) % 5 - 2) * 0.05
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma-decimal locale would render "[0,125000, 0,375000]" — valid
+    // JSON, silently garbage geometry
+    def num(v: Double): String = String.format(java.util.Locale.ROOT, "%.6f", Double.box(v))
     val features = verts.groupBy(_._1).toSeq.sortBy(_._1).map { case (zoneId, vs) =>
       val ringsJson = vs.groupBy(_._3).toSeq.sortBy(_._1).map { case (rg, pts) =>
         val ordered = pts.sortBy(_._4).map { case (z, _, r2, i, x, y) =>
-          f"[${x + jx(z, r2, i)}%.6f, ${y + jy(z, r2, i)}%.6f]"
+          s"[${num(x + jx(z, r2, i))}, ${num(y + jy(z, r2, i))}]"
         }
         (ordered :+ ordered.head).mkString("[", ", ", "]")
       }.mkString("[", ", ", "]")

@@ -340,10 +340,23 @@ object Raster {
         nodata = nodata,
         tileOffsets = values(offTag),
         tileByteCounts = values(cntTag),
-        originX = if (geoTie.length >= 4) geoTie(3) else xfGeo.map(_._1).getOrElse(0.0),
-        originY = if (geoTie.length >= 5) geoTie(4) else xfGeo.map(_._2).getOrElse(0.0),
-        scaleX = if (geoScale.length >= 1) geoScale(0) else xfGeo.map(_._3).getOrElse(1.0),
-        scaleY = if (geoScale.length >= 2) geoScale(1) else xfGeo.map(_._4).getOrElse(1.0))
+        // georeference spellings are ALL-OR-NOTHING: tiepoint/scale (the
+        // primary spelling) wins whenever either tag is present; the
+        // transformation tuple applies only when BOTH are absent. A
+        // per-component fallback would mix origin from one spelling
+        // with scale from the other — a composite matching neither.
+        originX = if (geoTie.nonEmpty || geoScale.nonEmpty) {
+            if (geoTie.length >= 4) geoTie(3) else 0.0
+          } else xfGeo.map(_._1).getOrElse(0.0),
+        originY = if (geoTie.nonEmpty || geoScale.nonEmpty) {
+            if (geoTie.length >= 5) geoTie(4) else 0.0
+          } else xfGeo.map(_._2).getOrElse(0.0),
+        scaleX = if (geoTie.nonEmpty || geoScale.nonEmpty) {
+            if (geoScale.length >= 1) geoScale(0) else 1.0
+          } else xfGeo.map(_._3).getOrElse(1.0),
+        scaleY = if (geoTie.nonEmpty || geoScale.nonEmpty) {
+            if (geoScale.length >= 2) geoScale(1) else 1.0
+          } else xfGeo.map(_._4).getOrElse(1.0))
     } finally in.close()
   }
 
@@ -1290,14 +1303,23 @@ object Raster {
     * misses the raster simply contributes no rows — no driver-side
     * clipping.
     */
+  /** The integral-coordinate discipline, shared by every world-space op
+    * (zonalWorld, the Align kernels): a georeference component that is
+    * not exactly a (safe) integer fails loudly — silently rounding a
+    * fractional geotransform would shift every zone by up to half a
+    * pixel.
+    */
+  private[zonal] def requireIntegral(v: Double, what: String): Long = {
+    require(v == math.rint(v) && math.abs(v) < (1L << 52).toDouble,
+      s"$what = $v is not integer-expressible — resample/reproject " +
+        "upstream (integral-coordinate discipline)")
+    math.rint(v).toLong
+  }
+
   def zonalWorld(cells: DataFrame, zones: DataFrame, m: TiffMeta): DataFrame = {
     import org.apache.spark.sql.functions._
-    def intOf(v: Double, what: String): Long = {
-      require(v == math.rint(v) && math.abs(v) < (1L << 52).toDouble,
-        s"zonal_raster_world: $what = $v is not integer-expressible — " +
-          "resample/reproject upstream (integral-coordinate discipline)")
-      math.rint(v).toLong
-    }
+    def intOf(v: Double, what: String): Long =
+      requireIntegral(v, s"zonal_raster_world: $what")
     val ox = intOf(m.originX, "originX"); val oy = intOf(m.originY, "originY")
     val sx = intOf(m.scaleX, "scaleX"); val sy = intOf(m.scaleY, "scaleY")
     require(sx >= 1 && sy >= 1,
