@@ -38,6 +38,32 @@ object Profile {
     graft.zonal.Polygonize.clearCache()
     time("polygonize cold")(
       graft.SparkEntry.queries("raster_polygonize")(spark, d).count())
+    // mm_near_dup split: signature aggregate alone vs the full query
+    locally {
+      val docs = Tables.documents(spark, d)
+      val m = graft.llm.Dedup.HashMod
+      time("mm shingle explode only")(
+        docs.filter(length(col("text")) >= 8)
+          .select(col("doc_id"), explode(expr(
+            """array_distinct(transform(sequence(1, length(text) - 7),
+              |  i -> poly_hash(substring(text, i, 8))))""".stripMargin)).as("h"))
+          .count())
+      time("mm full query")(
+        graft.SparkEntry.queries("mm_near_dup")(spark, d).count())
+      // alternative shingle formulation: explode POSITIONS, hash at the
+      // top level (codegen'd), dedup via a (doc, h) hash agg — MEASURED
+      // SLOWER (r10: 3.0 s vs 2.0 s for the shipped HOF+array_distinct
+      // form at sf0.1/local[32]): the extra dedup shuffle outweighs
+      // moving poly_hash out of the interpreted lambda. Kept as the
+      // comparison record.
+      time("mm positions+codegen hash+dedup agg")(
+        docs.filter(length(col("text")) >= 8)
+          .select(col("doc_id"), col("text"),
+            explode(expr("sequence(1, length(text) - 7)")).as("i"))
+          .select(col("doc_id"), expr("poly_hash(substring(text, i, 8))").as("h"))
+          .groupBy("doc_id", "h").agg(count(lit(1)))
+          .count())
+    }
     spark.stop()
   }
 }
