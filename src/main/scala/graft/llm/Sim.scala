@@ -221,7 +221,27 @@ object Sim {
   /** Spark twin of [[nearSql]]: candidates joined back to their vectors,
     * exact cosine verify. Output (id1, id2, label, cos).
     */
-  def nearPairs(s: org.apache.spark.sql.SparkSession, d: String, tau: Double): DataFrame = {
+  // memoized per (session, dir, tau): the verified near-pair table is an
+  // INDEX-style artifact shared by three registered consumers
+  // (dedup_embedding, dedup_cluster at τ=0.3; sim_pairs_threshold at
+  // τ=0.35) — the LSH candidate join + exact-cosine verify must not
+  // recompute per consumer, exactly the textClusters / PQ-codebook rule.
+  // Eager localCheckpoint materializes once (the survivor table is
+  // pair-scale, far below the corpus); Bench invalidates through
+  // clearNearPairsCache before re-timing a memoized entry.
+  private val nearPairsCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Double), DataFrame]()
+
+  /** Drop the memoized near-pair tables (Bench outlier-rerun honesty). */
+  def clearNearPairsCache(): Unit = nearPairsCache.clear()
+
+  /** The UNPINNED near-pair plan — what actually executes when the memo
+    * is cold; PlanShapeSpec asserts the banded equi-join shape on this
+    * (the memoized face below publishes a checkpoint scan, which hides
+    * the candidate join from the consumers' executed plans).
+    */
+  private[graft] def nearPairsPlan(s: org.apache.spark.sql.SparkSession,
+      d: String, tau: Double): DataFrame = {
     graft.ext.Ext.register(s)
     val emb = Tables.embeddings(s, d)
     signCandidates(s, d)
@@ -230,6 +250,12 @@ object Sim {
       .withColumn("cos", cosine("e1", "e2"))
       .filter(col("cos") >= tau)
       .select(col("id1"), col("id2"), col("label"), col("cos"))
+  }
+
+  def nearPairs(s: org.apache.spark.sql.SparkSession, d: String, tau: Double): DataFrame = {
+    nearPairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    nearPairsCache.computeIfAbsent((s, d, tau),
+      _ => nearPairsPlan(s, d, tau).localCheckpoint(true))
   }
 
   /** Per-group top-k + dense rank recomputation over the ≤k survivors.

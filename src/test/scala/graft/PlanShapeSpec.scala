@@ -210,20 +210,19 @@ class PlanShapeSpec extends SparkSuite {
         s"$name still contains a non-equi join:\n${p.take(3000)}")
       p
     }
-    Seq("dedup_embedding", "sim_pairs_threshold").foreach { n =>
-      val p = joins(n)
-      assert(p.contains("sig#") && p.contains("band#"),
-        s"$n candidate join is not keyed by the sign-band signature:\n${p.take(3000)}")
+    // the near-pair table is memoized behind a checkpoint (r10), so its
+    // consumers' executed plans start at a checkpoint scan — assert the
+    // no-NLJ property there, and the banded equi-join shape on the
+    // UNPINNED plan that executes when the memo is cold (both taus)
+    Seq("dedup_embedding", "sim_pairs_threshold").foreach(joins)
+    for (tau <- Seq(0.3, 0.35)) {
+      val edges = graft.llm.Sim.nearPairsPlan(spark, sf, tau)
+      edges.collect()
+      val ep = edges.queryExecution.executedPlan.toString
+      assert(!ep.contains("BroadcastNestedLoopJoin") && !ep.contains("CartesianProduct")
+        && ep.contains("sig#") && ep.contains("band#"),
+        s"near-pair generation (tau=$tau) is not the banded equi-join:\n${ep.take(3000)}")
     }
-    // dedup_cluster's published plan starts at a checkpoint (lineage is
-    // truncated every CC round), so assert on its EDGE step directly —
-    // the same nearPairs the registry entry consumes
-    val edges = graft.llm.Sim.nearPairs(spark, sf, 0.3)
-    edges.collect()
-    val ep = edges.queryExecution.executedPlan.toString
-    assert(!ep.contains("BroadcastNestedLoopJoin") && !ep.contains("CartesianProduct")
-      && ep.contains("sig#") && ep.contains("band#"),
-      s"cluster edge generation is not the banded equi-join:\n${ep.take(3000)}")
     // ngram path: candidates come from the banded-minhash bucket
     // aggregation (group on band/bh), not a self-join
     val p = joins("dedup_ngram_jaccard")
