@@ -324,6 +324,53 @@ object Dedup {
           / (size(col("a_bg")) + size(col("b_bg")) - inter)).as("jaccard"))
   }
 
+  /** Body of `dedup_minhash_incremental`, parameterized over the docs
+    * table so LlmSpec can inject controlled batches (batch = doc_id %
+    * 5 = 0, the registered split): each batch doc's best history match
+    * at bigram Jaccard ≥ 0.5 as (doc_id, dup_of, jaccard). ONE
+    * signature pass over the union; band equi-join mega-bucket-guarded;
+    * exact verify on candidates only.
+    */
+  def minhashIncremental(docs: DataFrame, cap: Int): DataFrame = {
+    graft.ext.Ext.register(docs.sparkSession)
+    val sigs = arithMinhash(docs).selectExpr("doc_id", ArithBandStackExpr)
+    // mega-bucket guard on the SHARED band key space (counted over both
+    // sides at once — the quadratic risk is the cross product)
+    val counts = sigs.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+    val guarded = sigs.join(counts, Seq("band", "bh"))
+      .withColumn("bh", expr(
+        s"""CASE WHEN bn <= $cap THEN bh
+           |ELSE raise_error(concat('LSH mega-bucket: ', cast(bn AS string),
+           |  ' docs share one band key (cap $cap) — a degenerate corpus region;',
+           |  ' remove exact duplicates upstream (pipeline_corpus_clean), split',
+           |  ' the region, or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
+      .select("doc_id", "band", "bh")
+    val pairs = guarded.filter(col("doc_id") % 5 === 0)
+      .join(guarded.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("hist_id"), col("band"), col("bh")), Seq("band", "bh"))
+      .select("doc_id", "hist_id").distinct()
+    val bg = docs
+      .withColumn("t", split(lower(col("text")), " "))
+      .filter(size(col("t")) >= 2)
+      .withColumn("bg", sort_array(array_distinct(expr(
+        "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))))
+      .select(col("doc_id"), col("bg"))
+    val inter = expr("sorted_intersect_count(a_bg, b_bg)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("jaccard").desc, col("hist_id"))
+    pairs
+      .join(bg.select(col("doc_id"), col("bg").as("a_bg")), "doc_id")
+      .join(bg.select(col("doc_id").as("hist_id"), col("bg").as("b_bg")), "hist_id")
+      .select(col("doc_id"), col("hist_id"),
+        (inter.cast("double")
+          / (size(col("a_bg")) + size(col("b_bg")) - inter)).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("hist_id").as("dup_of"), col("jaccard"))
+      .orderBy("doc_id")
+  }
+
   /** Distributed connected components over `nodes` (one `node` column,
     * ids orderable) and `edges` (`x` → `y`, BOTH directions present).
     *
@@ -810,45 +857,7 @@ object Dedup {
          |SELECT doc_id, dup_of, jaccard FROM ranked WHERE rk = 1
          |ORDER BY doc_id""".stripMargin
     }) { (s, d) =>
-      graft.ext.Ext.register(s)
-      val docs = Tables.documents(s, d)
-      val cap = bucketCap(s)
-      val sigs = arithMinhash(docs).selectExpr("doc_id", ArithBandStackExpr)
-      // mega-bucket guard on the SHARED band key space (counted over both
-      // sides at once — the quadratic risk is the cross product)
-      val counts = sigs.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
-      val guarded = sigs.join(counts, Seq("band", "bh"))
-        .withColumn("bh", expr(
-          s"""CASE WHEN bn <= $cap THEN bh
-             |ELSE raise_error(concat('LSH mega-bucket: ', cast(bn AS string),
-             |  ' docs share one band key (cap $cap) — a degenerate corpus region;',
-             |  ' remove exact duplicates upstream (pipeline_corpus_clean), split',
-             |  ' the region, or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
-        .select("doc_id", "band", "bh")
-      val pairs = guarded.filter(col("doc_id") % 5 === 0)
-        .join(guarded.filter(col("doc_id") % 5 =!= 0)
-          .select(col("doc_id").as("hist_id"), col("band"), col("bh")), Seq("band", "bh"))
-        .select("doc_id", "hist_id").distinct()
-      val bg = docs
-        .withColumn("t", split(lower(col("text")), " "))
-        .filter(size(col("t")) >= 2)
-        .withColumn("bg", sort_array(array_distinct(expr(
-          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))))
-        .select(col("doc_id"), col("bg"))
-      val inter = expr("sorted_intersect_count(a_bg, b_bg)")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy(col("jaccard").desc, col("hist_id"))
-      pairs
-        .join(bg.select(col("doc_id"), col("bg").as("a_bg")), "doc_id")
-        .join(bg.select(col("doc_id").as("hist_id"), col("bg").as("b_bg")), "hist_id")
-        .select(col("doc_id"), col("hist_id"),
-          (inter.cast("double")
-            / (size(col("a_bg")) + size(col("b_bg")) - inter)).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
-        .select(col("doc_id"), col("hist_id").as("dup_of"), col("jaccard"))
-        .orderBy("doc_id")
+      minhashIncremental(Tables.documents(s, d), bucketCap(s))
     },
 
     "dedup_cdc_chunks" -> Q(

@@ -163,6 +163,33 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("incremental near-dup: exact and edited history copies surface; novel batch docs don't") {
+    // batch = doc_id % 5 = 0 (the registered split). Doc 0 is an exact
+    // copy of history doc 1 (jaccard 1.0, guaranteed band collision);
+    // doc 5 is a one-word edit of history doc 6 (near-dup, high
+    // jaccard); doc 10 shares nothing (must not surface); doc 15's only
+    // similar doc is ALSO in the batch (cross-batch pairs are not this
+    // op's job — must not surface either).
+    val inc = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (5L, "pack my box with five dozen liquor jugs for the winter trip"),
+      (6L, "pack my box with five dozen liquor jugs for the summer trip"),
+      (10L, "completely unrelated text about spark catalyst optimizer internals"),
+      (15L, "shared batch-only sentence that history never saw at all"),
+      (20L, "shared batch-only sentence that history never saw at all")
+    ).toDF("doc_id", "text")
+    val rows = graft.llm.Dedup.minhashIncremental(inc, 4096).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows.contains(0L) && rows(0L) == ((1L, 1.0)),
+      s"exact history copy must match at jaccard 1.0: $rows")
+    assert(rows.contains(5L) && rows(5L)._1 == 6L && rows(5L)._2 >= 0.5,
+      s"edited history copy must surface above threshold: $rows")
+    assert(!rows.contains(10L), s"novel doc must not match history: $rows")
+    assert(!rows.contains(15L) && !rows.contains(20L),
+      s"batch-internal duplicates are not history matches: $rows")
+  }
+
   test("arith minhash: exact dups collide on every band; candidates stay sparse on the corpus") {
     graft.ext.Ext.register(spark)
     // identical docs → identical poly-hash minhash signature → all bands
