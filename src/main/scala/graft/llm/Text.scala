@@ -1,5 +1,6 @@
 package graft.llm
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables}
 
@@ -302,21 +303,7 @@ object Text {
         |                         string_split(b.p_name, ' '))) >= 1
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size", "p_name")
-      val w = p.withColumn("word", explode(split(col("p_name"), " ")))
-      w.as("a").join(w.as("b"),
-          col("a.p_brand") === col("b.p_brand")
-            && col("a.p_size") === col("b.p_size")
-            && col("a.word") === col("b.word")
-            && col("a.p_partkey") < col("b.p_partkey")
-            && abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 1)
-        .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
-          col("a.p_name").as("n1"), col("b.p_name").as("n2"))
-        .distinct()
-        .withColumn("dist", levenshtein(col("n1"), col("n2")))
-        .filter(col("dist") <= 2)
-        .select(col("id1"), col("id2"), col("dist"))
-        .orderBy("id1", "id2")
+      fuzzyMatch(Tables.part(s, d), graft.llm.Dedup.bucketCap(s))
     },
 
     // PassJoin-style segment blocking with a PROVABLE recall guarantee
@@ -344,22 +331,7 @@ object Text {
         |FROM cand
         |WHERE len(list_filter(generate_series(1, 24), i -> substr(k1, i, 1) <> substr(k2, i, 1))) <= 2
         |ORDER BY doc_id1, doc_id2""".stripMargin) { (s, d) =>
-      val keys = Tables.documents(s, d).select(col("doc_id"),
-        rpad(substring(regexp_replace(col("text"), " ", ""), 1, 24), 24, "#").as("k"))
-      val segs = keys.select(col("doc_id"), col("k"),
-        posexplode(array((1 to 3).map(i => substring(col("k"), (i - 1) * 8 + 1, 8)): _*))
-          .as(Seq("seg_ix", "seg")))
-      segs.as("a").join(segs.as("b"),
-          col("a.seg_ix") === col("b.seg_ix") && col("a.seg") === col("b.seg")
-            && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
-          col("a.k").as("k1"), col("b.k").as("k2"))
-        .distinct()
-        .withColumn("hd", expr(
-          "size(filter(sequence(1, 24), i -> substring(k1, i, 1) <> substring(k2, i, 1)))"))
-        .filter(col("hd") <= 2)
-        .select(col("doc_id1"), col("doc_id2"), col("hd"))
-        .orderBy("doc_id1", "doc_id2")
+      hammingPairs(Tables.documents(s, d), graft.llm.Dedup.bucketCap(s))
     },
 
     // deterministic train/val/test hash-split (80/10/10): the bucket is
@@ -821,4 +793,75 @@ object Text {
         .orderBy("doc_id")
     }
   )
+
+  /** Body of `text_fuzzy_match`, parameterized over the part table so
+    * EdgeSpec can inject a degenerate corpus against the mega-bucket
+    * guard. Candidate key = (p_brand, p_size, word): a stopword-like
+    * token shared by k parts within one (brand, size) group would emit
+    * k²/2 candidate rows, so the per-key count is checked IN the join
+    * key (the Multimodal SimHash-segment pattern) — the plan raises
+    * loudly before any pair is enumerated instead of OOMing a task.
+    */
+  def fuzzyMatch(parts: DataFrame, cap: Int = graft.llm.Dedup.DefaultMaxBucket): DataFrame = {
+    val p = parts.select("p_partkey", "p_brand", "p_size", "p_name")
+    val w = p.withColumn("word", explode(split(col("p_name"), " ")))
+    val counts = w.groupBy("p_brand", "p_size", "word").agg(count(lit(1)).as("bn"))
+    val guarded = w.join(counts, Seq("p_brand", "p_size", "word"))
+      .withColumn("word", expr(
+        s"""CASE WHEN bn <= $cap THEN word
+           |ELSE raise_error(concat('fuzzy-match mega-bucket: ', cast(bn AS string),
+           |  ' parts share one (brand, size, word) key (cap $cap) — a degenerate',
+           |  ' name region; normalize or stoplist the token upstream, or raise',
+           |  ' spark.graft.lsh.maxBucket')) END""".stripMargin))
+      .select("p_partkey", "p_brand", "p_size", "p_name", "word")
+    guarded.as("a").join(guarded.as("b"),
+        col("a.p_brand") === col("b.p_brand")
+          && col("a.p_size") === col("b.p_size")
+          && col("a.word") === col("b.word")
+          && col("a.p_partkey") < col("b.p_partkey")
+          && abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 1)
+      .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
+        col("a.p_name").as("n1"), col("b.p_name").as("n2"))
+      .distinct()
+      .withColumn("dist", levenshtein(col("n1"), col("n2")))
+      .filter(col("dist") <= 2)
+      .select(col("id1"), col("id2"), col("dist"))
+      .orderBy("id1", "id2")
+  }
+
+  /** Body of `text_hamming_pairs`, parameterized over the documents
+    * table so EdgeSpec can inject a degenerate corpus against the
+    * mega-bucket guard. Candidate key = (seg_ix, seg): k docs sharing
+    * one 8-char segment (boilerplate prefixes are near-certain in web
+    * corpora) would emit k²/2 candidate rows, so the per-key count is
+    * checked IN the join key — raises loudly before pair enumeration.
+    * The segment equi-join itself stays pigeonhole-exact for recall.
+    */
+  def hammingPairs(docs: DataFrame, cap: Int = graft.llm.Dedup.DefaultMaxBucket): DataFrame = {
+    val keys = docs.select(col("doc_id"),
+      rpad(substring(regexp_replace(col("text"), " ", ""), 1, 24), 24, "#").as("k"))
+    val segs = keys.select(col("doc_id"), col("k"),
+      posexplode(array((1 to 3).map(i => substring(col("k"), (i - 1) * 8 + 1, 8)): _*))
+        .as(Seq("seg_ix", "seg")))
+    val counts = segs.groupBy("seg_ix", "seg").agg(count(lit(1)).as("bn"))
+    val guarded = segs.join(counts, Seq("seg_ix", "seg"))
+      .withColumn("seg", expr(
+        s"""CASE WHEN bn <= $cap THEN seg
+           |ELSE raise_error(concat('Hamming mega-bucket: ', cast(bn AS string),
+           |  ' docs share one 8-char segment (cap $cap) — a degenerate corpus',
+           |  ' region; remove exact duplicates upstream (pipeline_corpus_clean)',
+           |  ' or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
+      .select("doc_id", "k", "seg_ix", "seg")
+    guarded.as("a").join(guarded.as("b"),
+        col("a.seg_ix") === col("b.seg_ix") && col("a.seg") === col("b.seg")
+          && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+        col("a.k").as("k1"), col("b.k").as("k2"))
+      .distinct()
+      .withColumn("hd", expr(
+        "size(filter(sequence(1, 24), i -> substring(k1, i, 1) <> substring(k2, i, 1)))"))
+      .filter(col("hd") <= 2)
+      .select(col("doc_id1"), col("doc_id2"), col("hd"))
+      .orderBy("doc_id1", "doc_id2")
+  }
 }

@@ -195,6 +195,39 @@ class EdgeSpec extends SparkSuite {
     assert(graft.llm.Multimodal.mmNearDupPairs(small, cap = 4096).count() == 10)
   }
 
+  test("Hamming segment mega-bucket guard: 10k shared-prefix docs fail loudly, never explode") {
+    // r10 verdict item 1: k docs sharing one 8-char normalized segment
+    // (boilerplate prefixes — near-certain in web corpora) used to emit
+    // k²/2 candidate rows with no cap; the guard must raise BEFORE the
+    // segment self-join enumerates the in-bucket product
+    val boiler = (1L to 10000L).map(i =>
+      (i, s"SAMEPREF IX then unique tail number $i padded out to length"))
+      .toDF("doc_id", "text")
+    val e = intercept[Throwable](graft.llm.Text.hammingPairs(boiler).count())
+    assert(msgs(e).contains("mega-bucket"), s"wanted the loud guard, got: ${msgs(e)}")
+    // identical docs under the cap: Hamming 0, all C(5,2) pairs survive
+    val small = (1L to 5L).map(i =>
+      (i, "the exact same boilerplate sentence repeated across the corpus"))
+      .toDF("doc_id", "text")
+    assert(graft.llm.Text.hammingPairs(small).count() == 10)
+  }
+
+  test("fuzzy-match mega-bucket guard: 10k parts sharing one word key fail loudly, never explode") {
+    // r10 verdict item 2: a stopword-like token shared by k parts within
+    // one (p_brand, p_size) group used to emit k²/2 candidates uncapped
+    val boiler = (1L to 10000L).map(i =>
+      (i, "Brand#11", 7, s"common shade widget $i"))
+      .toDF("p_partkey", "p_brand", "p_size", "p_name")
+    val e = intercept[Throwable](graft.llm.Text.fuzzyMatch(boiler).count())
+    assert(msgs(e).contains("mega-bucket"), s"wanted the loud guard, got: ${msgs(e)}")
+    // under the cap: names differ only in a 1-char tail digit → edit
+    // distance ≤ 2 everywhere, all C(5,2) pairs survive the verify
+    val small = (1L to 5L).map(i =>
+      (i, "Brand#11", 7, s"common shade widget $i"))
+      .toDF("p_partkey", "p_brand", "p_size", "p_name")
+    assert(graft.llm.Text.fuzzyMatch(small).count() == 10)
+  }
+
   test("polygonize packed-argmin guard: a mask past the corner-key range fails loudly, never corrupts") {
     // r9 verdict item 5: the successor argmin packs (pri, ekey) as
     // pri·100000 + ekey; an ekey ≥ 100000 (≈158×158 corners — here a
