@@ -9,11 +9,12 @@ import graft.core.{Q, Tables}
   * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
   * (Exact dedup is `dedup_exact` in rel.Aggregates.)
   *
-  * MinHash/SimHash build on Spark's xxhash64 (codegen'd, seedable by
-  * prepending a literal) — no DuckDB equivalent exists, so those two are
-  * property-tested (LlmSpec: exact duplicates always collide; hamming
-  * distance 0 for identical docs) per SURVEY.md §2.11's fallback; the
-  * Jaccard and embedding paths are fully oracle-checked.
+  * MinHash/SimHash build on the engine-portable [[graft.ext.PolyHash]]
+  * (a codegen'd Catalyst expression; DuckDB replays it with a
+  * list_reduce fold), so signatures, band keys, and SimHash values are
+  * all hash-matched by the oracle, and LlmSpec keeps the collision
+  * properties (exact duplicates always collide; hamming distance 0 for
+  * identical docs) on top.
   *
   * Scale posture: everything is per-document map-side work (shingle →
   * hash → min) followed by one shuffle on the LSH band key — the
@@ -26,32 +27,42 @@ object Dedup {
   val BandSize = 2 // → 4 bands of 2 minhashes each
 
   /** doc_id + MinHash signature (m0..m7) + LSH band keys (b0..b3), all
-    * FLAT columns.
+    * FLAT columns. Trigram shingles (the classic w=3 shingling; the
+    * bigram [[arithMinhash]] below is the candidate source for the
+    * Jaccard family), hashed with the engine-portable
+    * [[graft.ext.PolyHash]] and permuted as h_p = (A_p·h + B_p) mod
+    * HashMod — so DuckDB computes IDENTICAL signatures and the operator
+    * is hash-matched by the oracle (r10 verdict item 5; it was
+    * xxhash64-based and property-gated before).
     *
     * Formulated relationally — explode shingles to rows, then NumPerms
-    * `min(xxhash64(seed, shingle))` aggregates in ONE HashAggregate —
-    * rather than as nested array lambdas. Higher-order functions don't
-    * participate in whole-stage codegen AND Catalyst's projection
-    * collapse inlines staged array columns into every consumer (the
-    * shingle array would be recomputed per permutation per band,
-    * interpreted: measured ~50 ms/doc, ~270 s at sf0.1). The explode
-    * form is fully codegen'd with map-side partial mins; the shuffle
-    * carries one signature per (partition, doc). ~100× faster, same
-    * values. Flat columns (not arrays): array build + element_at/
-    * posexplode re-extraction only added codegen surface, and the
-    * driver's checker can't hash array cells anyway.
+    * permuted-min aggregates in ONE HashAggregate — rather than as
+    * nested array lambdas. Higher-order functions don't participate in
+    * whole-stage codegen AND Catalyst's projection collapse inlines
+    * staged array columns into every consumer (the shingle array would
+    * be recomputed per permutation per band, interpreted: measured
+    * ~50 ms/doc, ~270 s at sf0.1). The explode form is fully codegen'd
+    * with map-side partial mins; the shuffle carries one signature per
+    * (partition, doc). ~100× faster, same values. Flat columns (not
+    * arrays): array build + element_at/posexplode re-extraction only
+    * added codegen surface, and the driver's checker can't hash array
+    * cells anyway. Band key packs two mod-HashMod minhashes into one
+    * BIGINT (m·HashMod + m' < 2^60).
     */
   def minhash(docs: DataFrame): DataFrame = {
+    graft.ext.Ext.register(docs.sparkSession)
     val shingled = docs
       .withColumn("t", split(lower(col("text")), " "))
       .filter(size(col("t")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(1, size(t) - 2), i -> concat_ws(' ', element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))"))
         .as("sh"))
-    val mins = (0 until NumPerms).map(p => min(xxhash64(lit(p), col("sh"))).as(s"m$p"))
+      .withColumn("h", expr("poly_hash(sh)"))
+    val mins = (0 until NumPerms).map(p =>
+      min((col("h") * HashA(p) + HashB(p)) % HashMod).as(s"m$p"))
     val sig = shingled.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
     val bandCols = (0 until NumPerms / BandSize).map { b =>
-      xxhash64(lit(b) +: (0 until BandSize).map(j => col(s"m${b * BandSize + j}")): _*).as(s"b$b")
+      (col(s"m${b * BandSize}") * HashMod + col(s"m${b * BandSize + 1}")).as(s"b$b")
     }
     sig.select(col("doc_id") +:
       ((0 until NumPerms).map(p => col(s"m$p")) ++ bandCols): _*)
@@ -139,6 +150,59 @@ object Dedup {
        |           ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
        |sets AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - 1),
        |           i -> t[i] || ' ' || t[i + 1])) AS bg FROM toks WHERE len(t) >= 2)""".stripMargin
+  }
+
+  /** DuckDB twin CTEs for [[minhash]] (trigram shingles → poly_hash →
+    * permuted mins): `mtoks`, `msh`, `mhs`, `msig(doc_id, m0..m7)`.
+    */
+  val MinhashSigSql: String = {
+    val perms = (0 until NumPerms).map(p =>
+      s"min((${HashA(p)} * h + ${HashB(p)}) % $HashMod) AS m$p").mkString(", ")
+    s"""mtoks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+       |msh AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 2),
+       |    i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS sh
+       |  FROM mtoks WHERE len(t) >= 3),
+       |mhs AS (SELECT doc_id, ${polyHashSql("sh")} AS h FROM msh),
+       |msig AS (SELECT doc_id, $perms FROM mhs GROUP BY doc_id)""".stripMargin
+  }
+
+  /** Packed band-key select list over `msig` columns (b0..b3). */
+  val MinhashBandsSelect: String =
+    (0 until NumPerms / BandSize).map(b =>
+      s"m${b * BandSize} * $HashMod + m${b * BandSize + 1} AS b$b").mkString(", ")
+
+  /** 16-bit SimHash over poly_hash token hashes: per-bit majority vote
+    * (ties toward 0, matching the strict `> 0` threshold both engines
+    * spell), folded to one BIGINT. Relational form — explode tokens,
+    * 16 conditional sums in ONE HashAggregate — for the same codegen /
+    * map-side-partial reasons as [[minhash]]; engine-portable hash so
+    * the oracle hash-matches it (r10 verdict item 5).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    graft.ext.Ext.register(docs.sparkSession)
+    val terms = (0 until 16).map { j =>
+      s"(CASE WHEN sum(CASE WHEN (h div ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("h", expr("poly_hash(tok)"))
+      .groupBy("doc_id")
+      .agg(expr(s"CAST($terms AS BIGINT)").as("simhash"))
+  }
+
+  /** DuckDB twin of [[simhash]] (full query, ORDER BY doc_id). */
+  val SimhashSql: String = {
+    val terms = (0 until 16).map { j =>
+      s"(CASE WHEN sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
+        s" THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH stoks AS (
+       |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+       |shs AS (SELECT doc_id, ${polyHashSql("tok")} AS h FROM stoks)
+       |SELECT doc_id, CAST($terms AS BIGINT) AS simhash
+       |FROM shs GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   /** CTE chain `…, near, edges, reach, comp` for the TEXT near-dup
@@ -526,16 +590,30 @@ object Dedup {
   }
 
   def defs: Seq[(String, Q)] = Seq(
-    // signature table: deterministic, but xxhash64 has no DuckDB twin →
-    // property-tested (LlmSpec)
-    "dedup_minhash" -> Q.noOracle { (s, d) =>
+    // signature table: engine-portable poly_hash permutations, so the
+    // oracle hash-matches every signature and band key (r10 flip;
+    // LlmSpec keeps the collision properties as well)
+    "dedup_minhash" -> Q(
+      s"""WITH $MinhashSigSql
+         |SELECT doc_id, ${(0 until NumPerms).map(p => s"m$p").mkString(", ")},
+         |  $MinhashBandsSelect
+         |FROM msig ORDER BY doc_id""".stripMargin) { (s, d) =>
       minhash(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     // LSH candidate pairs: explode band keys, bucket-join, emit pairs.
     // May legitimately be empty (the synthetic corpus has no near-dups);
     // LlmSpec injects a duplicate and asserts collision.
-    "dedup_minhash_pairs" -> Q.noOracle { (s, d) =>
+    "dedup_minhash_pairs" -> Q(
+      s"""WITH $MinhashSigSql,
+         |mbands AS (
+         |  ${(0 until NumPerms / BandSize).map(b =>
+               s"SELECT doc_id, $b AS band, m${b * BandSize} * $HashMod + m${b * BandSize + 1} AS bh FROM msig")
+             .mkString("\n  UNION ALL ")})
+         |SELECT DISTINCT a.doc_id AS doc_id1, b.doc_id AS doc_id2
+         |FROM mbands a JOIN mbands b
+         |  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+         |ORDER BY doc_id1, doc_id2""".stripMargin) { (s, d) =>
       // bucket-collect instead of self-join: ONE minhash pass, group the
       // band keys, enumerate pairs inside each bucket ([[bucketPairs]] —
       // mega-bucket guarded, so a degenerate region fails loudly instead
@@ -544,20 +622,10 @@ object Dedup {
       minhashPairs(Tables.documents(s, d), bucketCap(s))
     },
 
-    // 16-bit SimHash from seeded token hashes: per-bit majority vote,
-    // folded back to an integer — all inside one codegen'd expression
-    "dedup_simhash" -> Q.noOracle { (s, d) =>
-      Tables.documents(s, d)
-        .withColumn("hs", expr("transform(split(lower(text), ' '), x -> xxhash64(x))"))
-        .withColumn("bits", expr(
-          """transform(sequence(0, 15), j ->
-            |  CASE WHEN aggregate(hs, CAST(0 AS BIGINT),
-            |    (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
-            |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
-        .withColumn("simhash", expr(
-          "aggregate(bits, CAST(0 AS BIGINT), (a, b) -> a * 2 + b)"))
-        .select("doc_id", "simhash")
-        .orderBy("doc_id")
+    // 16-bit SimHash from poly_hash token hashes: per-bit majority vote
+    // in one codegen'd HashAggregate, oracle hash-matched
+    "dedup_simhash" -> Q(SimhashSql) { (s, d) =>
+      simhash(Tables.documents(s, d)).orderBy("doc_id")
     },
 
     "dedup_ngram_jaccard" -> Q(

@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.llm.{Dedup, Sim}
 
-/** Property tests for the LLM operators the DuckDB oracle can't check
-  * (SURVEY.md §2.11: xxhash64-based MinHash/SimHash).
+/** Property tests for the LLM operators on top of (or, for the
+  * approx/sketch rows, instead of) the DuckDB oracle gate — collision
+  * properties for MinHash/SimHash, recall floors for the ANN family,
+  * state properties for the incremental dedup paths (SURVEY.md §2.11).
   */
 class LlmSpec extends SparkSuite {
   import spark.implicits._
@@ -241,13 +243,7 @@ class LlmSpec extends SparkSuite {
     val sh = SparkEntry.queries("dedup_simhash")(spark, sf) // runs on real docs
     assert(sh.count() > 0)
     // on the toy frame:
-    val toy = docs.withColumn("hs", expr("transform(split(lower(text), ' '), x -> xxhash64(x))"))
-      .withColumn("bits", expr(
-        """transform(sequence(0, 15), j ->
-          |  CASE WHEN aggregate(hs, CAST(0 AS BIGINT),
-          |    (a, h) -> a + CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) > 0
-          |  THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin))
-      .withColumn("simhash", expr("aggregate(bits, CAST(0 AS BIGINT), (a, b) -> a * 2 + b)"))
+    val toy = Dedup.simhash(docs)
       .select("doc_id", "simhash").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(toy(1L) == toy(2L))
     def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
