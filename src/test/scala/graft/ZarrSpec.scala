@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.zonal.Zarr
+
+/** Zarr v2 reader gates: hand-built stores (bytes written independently
+  * of [[Zarr.writeZarr]] — the oracle gate covers the writer+reader
+  * pair; these cover the reader alone), fill/missing-chunk semantics,
+  * dtype/endianness decode, and the named loud refusals.
+  */
+class ZarrSpec extends SparkSuite {
+
+  private def tmpDir(name: String): java.io.File = {
+    val d = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_io/zarrspec_$name")
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    d.mkdirs()
+    d
+  }
+
+  private def put(d: java.io.File, name: String, bytes: Array[Byte]): Unit = {
+    val f = new java.io.File(d, name)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, bytes)
+  }
+
+  private def putText(d: java.io.File, name: String, text: String): Unit =
+    put(d, name, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  test("hand-built raw <i4 store: exact cells, edge-pad clipped, missing chunk fills") {
+    // 5 rows x 4 cols, 3x3 chunks -> 2x2 chunk grid; chunk (1,1) ABSENT
+    // (fill_value 7 covers it); every other value = 100*y + x. Bytes are
+    // hand-assembled little-endian int32, pad cells poisoned with -1 to
+    // prove the reader clips them rather than trusting the writer's pad.
+    val d = tmpDir("rawi4")
+    putText(d, ".zarray",
+      """{"zarr_format": 2, "shape": [5, 4], "chunks": [3, 3],
+        |"dtype": "<i4", "compressor": null, "fill_value": 7,
+        |"order": "C", "filters": null}""".stripMargin)
+    def chunk(ci: Int, cj: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(9 * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (rr <- 0 until 3; cc <- 0 until 3) {
+        val y = ci * 3 + rr; val x = cj * 3 + cc
+        b.putInt(if (y < 5 && x < 4) 100 * y + x else -1)
+      }
+      b.array()
+    }
+    put(d, "0.0", chunk(0, 0))
+    put(d, "0.1", chunk(0, 1))
+    put(d, "1.0", chunk(1, 0))
+    // 1.1 deliberately absent -> fill 7 for its in-bounds cells
+    val got = Zarr.scanZarr(spark, d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 20, s"want 5x4 = 20 cells, got ${got.size}")
+    for (y <- 0 until 5; x <- 0 until 4) {
+      val want = if (y >= 3 && x >= 3) 7.0 else (100 * y + x).toDouble
+      assert(got((x, y)) == want, s"cell ($x,$y): got ${got((x, y))}, want $want")
+    }
+  }
+
+  test("hand-built big-endian >f4 store with / separator decodes exactly") {
+    val d = tmpDir("bef4")
+    putText(d, ".zarray",
+      """{"zarr_format": 2, "shape": [2, 3], "chunks": [2, 2],
+        |"dtype": ">f4", "compressor": null, "fill_value": 0.0,
+        |"order": "C", "filters": null, "dimension_separator": "/"}""".stripMargin)
+    def chunk(cj: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * 4).order(java.nio.ByteOrder.BIG_ENDIAN)
+      for (rr <- 0 until 2; cc <- 0 until 2) {
+        val y = rr; val x = cj * 2 + cc
+        b.putFloat(if (x < 3) (1.5f + x + 10 * y) else -9f)
+      }
+      b.array()
+    }
+    put(d, "0/0", chunk(0))
+    put(d, "0/1", chunk(1))
+    val got = Zarr.scanZarr(spark, d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(got((x, y)) == (1.5f + x + 10 * y).toDouble)
+  }
+
+  test("writer+reader round-trip across codecs and dtypes equals the formula") {
+    for ((comp, dtype) <- Seq(("raw", "<f8"), ("zlib", "<i4"), ("zstd", ">f8"),
+        ("zlib", "<i2"), ("raw", "|u1"))) {
+      val d = tmpDir(s"rt_${comp}_${dtype.replace("<", "l").replace(">", "b").replace("|", "n")}")
+      Zarr.writeZarr(d.getPath, 10, 13, 4, 5, comp, dtype)((x, y) => ((3 * x + 7 * y) % 120).toDouble)
+      val got = Zarr.scanZarr(spark, d.getPath).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(got.size == 130, s"$comp/$dtype: ${got.size} cells")
+      for (y <- 0 until 10; x <- 0 until 13)
+        assert(got((x, y)) == ((3 * x + 7 * y) % 120).toDouble, s"$comp/$dtype at ($x,$y)")
+    }
+  }
+
+  test("chunk-parallel scan plan: one task per chunk, no whole-store read") {
+    // the fixture is 80x70 at 32x32 -> 3x3 = 9 chunks; the scan's input
+    // dataset must carry exactly 9 work units
+    val m = Zarr.readMeta(Zarr.fixtureDir())
+    assert(m.chunksAcross == 3 && m.chunksDown == 3)
+    assert(Zarr.scanZarr(spark, Zarr.fixtureDir()).count() == 80L * 70L)
+  }
+
+  private def msgs(t: Throwable): String =
+    if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+
+  test("named loud refusals: blosc, F-order, 3-D, missing fill for absent chunk, v3") {
+    def store(name: String, zarray: String): String = {
+      val d = tmpDir(name)
+      putText(d, ".zarray", zarray)
+      d.getPath
+    }
+    val blosc = store("blosc",
+      """{"zarr_format": 2, "shape": [4, 4], "chunks": [2, 2], "dtype": "<f8",
+        |"compressor": {"id": "blosc", "cname": "lz4", "clevel": 5},
+        |"fill_value": 0, "order": "C", "filters": null}""".stripMargin)
+    assert(msgs(intercept[Throwable](Zarr.readMeta(blosc))).contains("blosc"))
+
+    val forder = store("forder",
+      """{"zarr_format": 2, "shape": [4, 4], "chunks": [2, 2], "dtype": "<f8",
+        |"compressor": null, "fill_value": 0, "order": "F", "filters": null}""".stripMargin)
+    assert(msgs(intercept[Throwable](Zarr.readMeta(forder))).contains("order"))
+
+    val threeD = store("threed",
+      """{"zarr_format": 2, "shape": [4, 4, 4], "chunks": [2, 2, 2], "dtype": "<f8",
+        |"compressor": null, "fill_value": 0, "order": "C", "filters": null}""".stripMargin)
+    assert(msgs(intercept[Throwable](Zarr.readMeta(threeD))).contains("3-D"))
+
+    // absent chunk + fill_value null -> loud at read time, not silent zeros
+    val noFill = store("nofill",
+      """{"zarr_format": 2, "shape": [2, 2], "chunks": [2, 2], "dtype": "<f8",
+        |"compressor": null, "fill_value": null, "order": "C", "filters": null}""".stripMargin)
+    assert(msgs(intercept[Throwable](
+      Zarr.scanZarr(spark, noFill).count())).contains("fill_value"))
+
+    // a v3 store (zarr.json, no .zarray) names the version boundary
+    val v3 = tmpDir("v3")
+    putText(v3, "zarr.json", """{"zarr_format": 3}""")
+    assert(msgs(intercept[Throwable](Zarr.readMeta(v3.getPath))).contains("v2"))
+  }
+
+  test("registry queries: scan_zarr cells match the formula; zonal stats cover all zones") {
+    val cells = q("scan_zarr")
+    assert(cells.count() == 80L * 70L)
+    val bad = cells.filter(
+      col("value") =!= (col("cell_x") * 29 + col("cell_y") * 13) % 991).count()
+    assert(bad == 0, s"$bad cells off-formula")
+    val zs = q("zonal_zarr_stats").collect()
+    assert(zs.length == 25, s"want 25 zones, got ${zs.length}")
+    assert(zs.forall(_.getLong(1) == 64L), "every 8x8 zone envelope lies inside the 80x70 cube")
+  }
+}
