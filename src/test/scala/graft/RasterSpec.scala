@@ -816,6 +816,55 @@ class RasterSpec extends SparkSuite {
       s"upsample coverage ${up.length}: B sits wholly inside A")
   }
 
+  test("general area-weighted align: 2x2-over-3x3 hand weights; degenerates to nested; fractional fails loudly") {
+    import graft.zonal.Align
+    // hand pair: A = 2x2 @ scale 6, B = 3x3 @ scale 4, same origin —
+    // NON-nesting (6 % 4 != 0), identical 12x12 world extent. Every A
+    // cell overlaps a 2x2 B block with x-weights (4,2) or (2,4), so the
+    // exact area-weighted means are hand-computable over vb = bx + 3*by
+    val tmp = System.getProperty("java.io.tmpdir")
+    val pa = s"$tmp/graft_io/align_gen_hand_a.tif"
+    Raster.writeTiffOpts(pa, 2, 2, 32, 32, Raster.WriteOpts(
+      bits = 32, sampleFormat = 2,
+      originX = 0.0, originY = 1000.0, scaleX = 6.0, scaleY = 6.0))(
+      (x, y) => (1 + x + 10 * y).toDouble)
+    val pb = s"$tmp/graft_io/align_gen_hand_b.tif"
+    Raster.writeTiffOpts(pb, 3, 3, 32, 32, Raster.WriteOpts(
+      bits = 32, sampleFormat = 2,
+      originX = 0.0, originY = 1000.0, scaleX = 4.0, scaleY = 4.0))(
+      (x, y) => (x + 3 * y).toDouble)
+    val got = Align.alignAvgGeneral(spark, pa, pb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got.size == 4, s"all four A cells fully covered: ${got.keySet}")
+    // Σw·vb over each 2x2 B block (Σw = 36 everywhere)
+    assert(got((0L, 0L)) == ((1.0, 36L, 48.0 / 36)), s"${got((0L, 0L))}")
+    assert(got((1L, 0L)) == ((2.0, 36L, 96.0 / 36)), s"${got((1L, 0L))}")
+    assert(got((0L, 1L)) == ((11.0, 36L, 192.0 / 36)), s"${got((0L, 1L))}")
+    assert(got((1L, 1L)) == ((12.0, 36L, 240.0 / 36)), s"${got((1L, 1L))}")
+    // on a NESTING pair the general kernel must equal the nested block
+    // mean exactly (weights all k² equal): same cells, same averages
+    val wa = Raster.worldFixturePath()
+    val nb = Align.alnFixturePath()
+    val gen = Align.alignAvgGeneral(spark, wa, nb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4))).toMap
+    val nested = Align.alignAvg(spark, wa, nb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(3), r.getDouble(4))).toMap
+    assert(gen.keySet == nested.keySet,
+      s"coverage differs: ${gen.size} vs ${nested.size}")
+    nested.foreach { case (k, (n, avg)) =>
+      assert(gen(k) == ((900L, avg)), s"cell $k: gen ${gen(k)} vs nested ($n, $avg)")
+    }
+    // fractional geotransform: loud at header time (integral discipline)
+    val pf = s"$tmp/graft_io/align_gen_frac.tif"
+    Raster.writeTiffOpts(pf, 2, 2, 32, 32, Raster.WriteOpts(
+      bits = 32, sampleFormat = 2,
+      originX = 0.0, originY = 1000.0, scaleX = 2.5, scaleY = 2.5))(
+      (x, y) => (x + y).toDouble)
+    val e = intercept[IllegalArgumentException](Align.alignAvgGeneral(spark, pa, pf))
+    assert(e.getMessage.contains("not integer-expressible"), e.getMessage)
+  }
+
   test("ModelTransformation georeference: north-up derives (origin, scale); rotation fails loudly") {
     // GeoTIFF's other georeference spelling (4×4 row-major affine).
     // Previously the tag was ignored entirely — a rotated file read
