@@ -63,6 +63,14 @@ object Tables {
   def normalizeEventsTs(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    // the NTZ→TIMESTAMP cast below is instant-preserving ONLY under a
+    // UTC session (the repo's entry points all pin it); a library caller
+    // on a zoned session would silently shift every event — fail loudly
+    // instead of skewing data
+    val tz = df.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"events.ts normalization requires spark.sql.session.timeZone=UTC " +
+        s"(got '$tz') — the TIMESTAMP_NTZ cast would shift every instant")
     df.schema("ts").dataType match {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))

@@ -295,10 +295,13 @@ object Dedup {
     // size each sketch from the shard's approximate DISTINCT text count
     // (same single aggregation pass as a plain count): a duplicate-heavy
     // history would oversize every sketch under a raw row count. The
-    // default 5% rsd can undershoot slightly — the 1.2× headroom keeps
-    // realized fpp at or below the nominal 1% (LlmSpec gates it at 3%).
+    // bound is PROBABILISTIC: rsd 2% (not the 5% default — at large
+    // shard counts some shard would eventually undershoot past the
+    // headroom) + 1.2× headroom means a sketch is undersized only on a
+    // ~9-sigma HLL deviation, keeping realized fpp at or below the
+    // nominal 1% (LlmSpec gates it at 3%).
     val counts = withShard(hist).groupBy("shard")
-      .agg(approx_count_distinct(col("text")).as("n"))
+      .agg(approx_count_distinct(col("text"), 0.02).as("n"))
       .collect().map(r => r.getInt(0) -> (r.getLong(1) * 12L / 10L)).toMap
     val filtersRdd = withShard(hist).select(col("shard"), col("text")).rdd
       .map(r => (r.getInt(0), r.getString(1)))

@@ -229,6 +229,15 @@ object Sim {
   // Eager localCheckpoint materializes once (the survivor table is
   // pair-scale, far below the corpus); Bench invalidates through
   // clearNearPairsCache before re-timing a memoized entry.
+  // IMMUTABLE-FIXTURE ASSUMPTION (like every index artifact here): the
+  // key is (session, dir, tau), NOT a data fingerprint — if the parquet
+  // under `dir` is rewritten within a session, call clearNearPairsCache()
+  // or the three consumers serve stale pairs. Fingerprinting the data
+  // would cost a full read per lookup, defeating the memo; the driver
+  // contract reads fixed per-SF dirs, so the assumption holds there.
+  // Stopped-session entries are evicted on the next call (removeIf below)
+  // — a checkpoint of a stopped session holds no executor memory, so lazy
+  // eviction only delays freeing the tiny driver-side plan object.
   private val nearPairsCache = new java.util.concurrent.ConcurrentHashMap[
     (org.apache.spark.sql.SparkSession, String, Double), DataFrame]()
 

@@ -234,7 +234,22 @@ object GeoJson {
     require(scale >= 1, s"snap scale $scale must be >= 1")
     val snap = (v: String) =>
       s"CAST(floor($v * CAST($scale AS DOUBLE) + 0.5D) AS INT)"
-    s.read.option("multiLine", "true").json(path)
+    val raw = s.read.option("multiLine", "true").json(path)
+    // geometry-type gate BEFORE any coordinate access: a MultiPolygon
+    // feature nests coordinates one level deeper, so the inferred JSON
+    // schema changes and the snap pipeline below would die on a
+    // schema/analysis error (or null coords) before the in-CASE
+    // raise_error is ever reached (round-10 advice). Zone files are
+    // broadcast-scale by the engine's doctrine, so this driver check
+    // costs one metadata-sized pass and names the offender.
+    val badTypes = raw.select(explode(col("features")).as("f"))
+      .select(col("f.geometry.type").as("gtype"))
+      .distinct().collect().map(_.getString(0)).filter(_ != "Polygon")
+    require(badTypes.isEmpty,
+      s"$path: only Polygon features supported, got ${badTypes.mkString(", ")}" +
+        " — split MultiPolygons into per-part Polygon features upstream" +
+        " (the strict multi reader handles MultiPolygon zone tables)")
+    raw
       .select(explode(col("features")).as("f"))
       .select(col("f.properties.zone_id").cast("int").as("zone_id"),
         col("f.geometry.type").as("gtype"),

@@ -555,4 +555,36 @@ class ZonalSpec extends SparkSuite {
       assert(snapped(z) == wkb, s"zone $z: snapped WKB diverges from strict WKB")
     }
   }
+
+  test("geojson snap ingest: a MultiPolygon feature is refused by NAME before any coordinate parse") {
+    import java.nio.file.Files
+    // a MultiPolygon nests coordinates one level deeper, so the inferred
+    // JSON schema changes and (pre-r11) the pipeline died on a confusing
+    // analysis/schema error instead of the intended message
+    val tmp = Files.createTempDirectory("graft_snap_mp").toFile
+    val f = new java.io.File(tmp, "mp.geojson")
+    Files.writeString(f.toPath,
+      """{"type": "FeatureCollection", "features": [
+        |  {"type": "Feature", "properties": {"zone_id": 1},
+        |   "geometry": {"type": "MultiPolygon", "coordinates":
+        |     [[[[0.1, 0.1], [2.1, 0.1], [2.1, 2.1], [0.1, 0.1]]]]}}]}""".stripMargin)
+    val e = intercept[IllegalArgumentException](
+      graft.zonal.GeoJson.readZonesSnap(spark, f.getPath, 1L))
+    assert(e.getMessage.contains("MultiPolygon") && e.getMessage.contains("Polygon"),
+      s"want the named geometry-type refusal, got: ${e.getMessage}")
+  }
+
+  test("events ts normalization refuses a non-UTC session loudly") {
+    // the NTZ→TIMESTAMP cast is instant-preserving only under UTC; a
+    // zoned session must fail by name, not silently shift every event
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException](
+        graft.core.Tables.events(spark, sf))
+      assert(e.getMessage.contains("UTC"), e.getMessage)
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
+    // and the restored UTC session reads normally
+    assert(graft.core.Tables.events(spark, sf).count() > 0)
+  }
 }
