@@ -181,21 +181,25 @@ object Dedup {
     */
   def simhash(docs: DataFrame): DataFrame = {
     graft.ext.Ext.register(docs.sparkSession)
-    val terms = (0 until 16).map { j =>
-      s"(CASE WHEN sum(CASE WHEN (h div ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
-        s" THEN ${1L << j} ELSE 0 END)"
-    }.mkString(" + ")
+    // branch-free bit sums inside the aggregate (the mm_near_dup r11
+    // form); the strict majority — sum(±1) > 0 ⇔ 2·ones > n — resolves
+    // in a post-agg projection over ndocs rows
+    val bitSums = (0 until 16).map(j =>
+      sum(expr(s"(shiftright(h, $j) & 1)")).as(s"c$j")) :+ count(lit(1)).as("cnt")
+    val fold = (0 until 16).map(j =>
+      s"(CASE WHEN 2 * c$j > cnt THEN ${1L << j} ELSE 0 END)").mkString(" + ")
     docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .withColumn("h", expr("poly_hash(tok)"))
       .groupBy("doc_id")
-      .agg(expr(s"CAST($terms AS BIGINT)").as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), expr(s"CAST($fold AS BIGINT)").as("simhash"))
   }
 
   /** DuckDB twin of [[simhash]] (full query, ORDER BY doc_id). */
   val SimhashSql: String = {
     val terms = (0 until 16).map { j =>
-      s"(CASE WHEN sum(CASE WHEN (h // ${1L << j}) % 2 = 1 THEN 1 ELSE -1 END) > 0" +
+      s"(CASE WHEN 2 * sum((h >> $j) & 1) > count(*)" +
         s" THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH stoks AS (

@@ -194,11 +194,15 @@ object Multimodal {
     // projection below the aggregate — referencing them inside all 64
     // conditional sums would evaluate the mix 64× per shingle (no CSE
     // across aggregate expressions)
-    val segSums = (0 until 4).map { k =>
-      val terms = (0 until 16).map { j =>
-        s"(CASE WHEN sum(CASE WHEN (h$k div ${1L << j}) % 2 = 1" +
-          s" THEN 1 ELSE -1 END) >= 0 THEN ${1L << j} ELSE 0 END)"
-      }.mkString(" + ")
+    // r11 reformulation: the per-shingle work inside the aggregate is 64
+    // BRANCH-FREE bit sums (shift + and, no CASE) plus one count; the
+    // majority vote — sum(±1) >= 0 ⇔ 2·ones >= n, identical arithmetic —
+    // moves to a post-agg projection over ndocs rows instead of nshingles
+    val bitSums = (for (k <- 0 until 4; j <- 0 until 16) yield
+      sum(expr(s"(shiftright(h$k, $j) & 1)")).as(s"c${k}_$j")) :+ count(lit(1)).as("cnt")
+    val segCols = (0 until 4).map { k =>
+      val terms = (0 until 16).map(j =>
+        s"(CASE WHEN 2 * c${k}_$j >= cnt THEN ${1L << j} ELSE 0 END)").mkString(" + ")
       expr(s"CAST($terms AS BIGINT)").as(s"s$k")
     }
     val hViews = (0 until 4).map(k => expr(mixSpark(k, "h")).as(s"h$k"))
@@ -209,7 +213,8 @@ object Multimodal {
           |  i -> poly_hash(substring(text, i, 8))))""".stripMargin)).as("h"))
       .select(col("doc_id") +: hViews: _*)
       .groupBy("doc_id")
-      .agg(segSums.head, segSums.tail: _*)
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id") +: segCols: _*)
     val segs = sig.select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
         explode(expr(
           """array(struct(0 AS si, s0 AS sv), struct(1 AS si, s1 AS sv),
@@ -245,10 +250,12 @@ object Multimodal {
     * sums, 4×16-bit pigeonhole, per-segment bit_count(xor) verify).
     */
   private lazy val MmNearDupSql: String = {
+    // identical bit-sum/majority arithmetic as the Spark side (r11:
+    // 2·ones >= n is the same predicate as the old ±1 vote >= 0)
     val segSums = (0 until 4).map { k =>
       val terms = (0 until 16).map { j =>
-        s"(CASE WHEN sum(CASE WHEN (h$k // ${1L << j}) % 2 = 1" +
-          s" THEN 1 ELSE -1 END) >= 0 THEN ${1L << j} ELSE 0 END)"
+        s"(CASE WHEN 2 * sum((h$k >> $j) & 1) >= count(*)" +
+          s" THEN ${1L << j} ELSE 0 END)"
       }.mkString(" + ")
       s"CAST($terms AS BIGINT) AS s$k"
     }.mkString(",\n    ")

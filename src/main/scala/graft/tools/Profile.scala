@@ -63,6 +63,19 @@ object Profile {
           .select(col("doc_id"), expr("poly_hash(substring(text, i, 8))").as("h"))
           .groupBy("doc_id", "h").agg(count(lit(1)))
           .count())
+      // r11 second look (solo RunOne, sf0.1/local[32], 3 runs each):
+      //  - vote-CASE form (r10-shipped): 6.3-7.5 s warm;
+      //    stage split: shingle explode 2.36 s, full 6.71 s — the 64
+      //    CASE-in-aggregate sums dominated the remainder.
+      //  - branch-free bit-sum form (r11-shipped: 64 shift+and sums +
+      //    count in the aggregate, majority CASE post-agg over ndocs
+      //    rows): 4.3-4.7 s warm, same 195 rows — ~35% faster. KEPT;
+      //    oracle twin carries the identical 2·ones>=n arithmetic.
+      // zonal quantile r9→r10 "doubling" (verdict item 4): solo RunOne
+      // measured zonal_percentiles 2.7-3.2 s / zonal_median 2.6-2.7 s
+      // warm — at/below the r9 bench numbers (2.21/3.87) and well under
+      // the r10 ones (4.05/5.00). No plan change existed; VERDICT:
+      // ambient bench-order drift, not a regression. No code change.
     }
     spark.stop()
   }
