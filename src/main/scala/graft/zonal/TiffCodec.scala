@@ -64,6 +64,74 @@ object TiffCodec {
   // this costs no new dependency. Same exact-length contract as
   // [[inflate]]: short or long streams are corrupt tiles, loudly. ----
 
+  // ---- PackBits (TIFF Compression=32773, the Macintosh RLE the spec
+  // mandates every baseline reader speak; legacy scanned-archive TIFFs
+  // still carry it). Control byte n: 0..127 → copy the next n+1 bytes
+  // literally; -1..-127 → repeat the next byte 1-n times; -128 → noop.
+  // Same exact-length contract as [[inflate]]. ----
+
+  def packBitsDecode(data: Array[Byte], expectedLen: Int): Array[Byte] = {
+    val out = new Array[Byte](expectedLen)
+    var i = 0
+    var o = 0
+    while (o < expectedLen) {
+      require(i < data.length,
+        s"PackBits stream truncated at byte $i (decoded $o of $expectedLen)")
+      val n = data(i); i += 1
+      if (n >= 0) {
+        val cnt = n + 1
+        require(i + cnt <= data.length && o + cnt <= expectedLen,
+          s"PackBits literal run of $cnt overruns (at $o of $expectedLen)")
+        System.arraycopy(data, i, out, o, cnt); i += cnt; o += cnt
+      } else if (n != -128) { // -128 is a spec'd noop
+        val cnt = 1 - n
+        require(i < data.length && o + cnt <= expectedLen,
+          s"PackBits repeat run of $cnt overruns (at $o of $expectedLen)")
+        java.util.Arrays.fill(out, o, o + cnt, data(i)); i += 1; o += cnt
+      }
+    }
+    // trailing garbage after the expected bytes is a corrupt block too
+    require(i == data.length,
+      s"PackBits stream has ${data.length - i} bytes past expected $expectedLen (corrupt)")
+    out
+  }
+
+  /** Encode one row: ≥2-byte runs become repeat packets, the rest
+    * literal packets (both capped at 128 per the control-byte range).
+    */
+  private def packBitsRow(data: Array[Byte], from: Int, until: Int,
+      out: java.io.ByteArrayOutputStream): Unit = {
+    var i = from
+    while (i < until) {
+      var run = 1
+      while (i + run < until && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 2) {
+        out.write(1 - run); out.write(data(i)); i += run
+      } else {
+        var j = i + 1
+        while (j < until && j - i < 128
+            && !(j + 1 < until && data(j) == data(j + 1))) j += 1
+        out.write(j - i - 1); out.write(data, i, j - i); i = j
+      }
+    }
+  }
+
+  /** TIFF PackBits: the spec packs each ROW independently (runs never
+    * cross a row boundary); concatenated row streams decode as one
+    * continuous stream, which is how [[packBitsDecode]] consumes them.
+    */
+  def packBitsEncodeRows(data: Array[Byte], rowBytes: Int): Array[Byte] = {
+    require(rowBytes > 0 && data.length % rowBytes == 0,
+      s"PackBits row length $rowBytes does not divide block of ${data.length}")
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    var r = 0
+    while (r < data.length) {
+      packBitsRow(data, r, r + rowBytes, out)
+      r += rowBytes
+    }
+    out.toByteArray
+  }
+
   def zstdCompress(data: Array[Byte]): Array[Byte] =
     com.github.luben.zstd.Zstd.compress(data, 3)
 

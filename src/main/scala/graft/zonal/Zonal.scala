@@ -1090,6 +1090,56 @@ object Zonal {
         .orderBy("class")
     },
 
+    // GeoPackage ingestion (round 11 — the third ubiquitous zone
+    // container): the hand-rolled read-only SQLite table-b-tree walker
+    // (zonal.Gpkg) parses the fixture db — 512-byte pages, several
+    // leaves under an interior root, one overflow chain — and the GPKG
+    // geometry blobs decode to the SAME vertex rows as the shapefile/
+    // GeoJSON family, so the identical verts oracle gates the whole
+    // container+record+WKB parse chain.
+    "scan_geopackage" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), verts AS (
+         |  ${Cube.vertsSql(Cube.NGonRings)}
+         |)
+         |SELECT zone_id, part, ring, CAST(i AS INTEGER) AS i, vx, vy
+         |FROM verts ORDER BY zone_id, part, ring, i""".stripMargin) { (s, d) =>
+      Gpkg.readVerts(s, Gpkg.fixturePath(s, d), "zones")
+        .select(col("zone_id"), col("part"), col("ring"),
+          col("i"), col("x").as("vx"), col("y").as("vy"))
+        .orderBy("zone_id", "part", "ring", "i")
+    },
+
+    // attribute face: SQLite record decoding across serial types and
+    // the rowid-aliased INTEGER PRIMARY KEY; zone 0's long note rides
+    // the overflow chain, replayed by the oracle's repeat()
+    "scan_geopackage_attrs" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |)
+         |SELECT zone_id, zone_name,
+         |  CASE WHEN zone_id = 0 THEN repeat('long-attribute ', 80)
+         |       ELSE 'zone ' || zone_id END AS note
+         |FROM zones ORDER BY zone_id""".stripMargin) { (s, d) =>
+      Gpkg.readAttrs(s, Gpkg.fixturePath(s, d), "zones")
+        .select(col("id").cast("int").as("zone_id"), col("zone_name"), col("note"))
+        .orderBy("zone_id")
+    },
+
+    // geopackage end-to-end: parsed zones → make_wkb → the SAME
+    // rasterize + point_in_wkb pipeline, gated by the SAME even-odd
+    // oracle as zonal_shapefile / zonal_geojson — proving the gpkg path
+    // byte-equivalent to the arithmetic-derived geometry.
+    "zonal_geopackage" -> Q(eoOracleSql(Cube.NGonRings)) { (s, d) =>
+      val zones = Gpkg.readZones(s, Gpkg.fixturePath(s, d), "zones")
+      Cube.rasterize(Cube.cells(s, d), zones)
+        .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
+        .orderBy("zone_id")
+    },
+
     // the vector WRITE path: WKB zones serialized as newline-delimited
     // GeoJSON Features (RFC 8142 text sequences — the format GDAL calls
     // GeoJSONSeq, and the one a DISTRIBUTED writer can emit: one

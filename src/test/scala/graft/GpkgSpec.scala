@@ -1,0 +1,155 @@
+package graft
+
+import graft.zonal.Gpkg
+
+/** The SQLite/GeoPackage reader against bytes built INDEPENDENTLY of
+  * [[Gpkg.writeTable]] (the oracle gate covers the writer+reader pair;
+  * these cover the reader alone): hand-assembled varints, record
+  * headers, a hand-packed leaf page, and the named loud refusals.
+  */
+class GpkgSpec extends SparkSuite {
+
+  test("varint: spec vectors round-trip both directions") {
+    // 1-byte, 2-byte, the 9-byte form (9th byte contributes 8 bits)
+    for (v <- Seq(0L, 1L, 127L, 128L, 255L, 16383L, 16384L, 1L << 40)) {
+      val enc = Gpkg.varintBytes(v)
+      assert(Gpkg.varint(enc, 0) == ((v, enc.length)), s"varint $v")
+    }
+    // hand vectors: 128 -> [0x81, 0x00]; 300 -> [0x82, 0x2C]
+    assert(Gpkg.varintBytes(128L).toSeq == Seq(0x81.toByte, 0x00.toByte))
+    assert(Gpkg.varint(Array(0x82.toByte, 0x2c.toByte), 0) == ((300L, 2)))
+  }
+
+  test("record decode: hand-assembled header across serial types") {
+    // record: [null, 42 (1-byte int), 3.5 (float64), "hi" (text 17), 2-byte blob (16)]
+    val body = new java.io.ByteArrayOutputStream()
+    val bits = java.lang.Double.doubleToLongBits(3.5)
+    body.write(42)
+    (7 to 0 by -1).foreach(i => body.write(((bits >> (8 * i)) & 0xff).toInt))
+    body.write('h'); body.write('i')
+    body.write(0xAB); body.write(0xCD)
+    val hdr = Array[Byte](6, 0, 1, 7, 17, 16) // hdrLen 6, then 5 types
+    val payload = hdr ++ body.toByteArray
+    val got = Gpkg.decodeRecord(payload, 5)
+    assert(got(0) == null && got(1) == 42L && got(2) == 3.5 && got(3) == "hi")
+    assert(got(4).asInstanceOf[Array[Byte]].toSeq == Seq(0xAB.toByte, 0xCD.toByte))
+  }
+
+  test("hand-packed single-leaf db: header, master, records decode exactly") {
+    // build a 512-byte-page db BY HAND: page 1 = header + master row for
+    // table t(a INTEGER PRIMARY KEY, b TEXT) rooted at page 2; page 2 =
+    // leaf with rows (rowid 1, [null, "x"]), (rowid 7, [null, "yy"])
+    val pageSize = 512
+    val file = new Array[Byte](2 * pageSize)
+    val bb = java.nio.ByteBuffer.wrap(file)
+    System.arraycopy("SQLite format 3".getBytes("ISO-8859-1"), 0, file, 0, 15)
+    bb.putShort(16, pageSize.toShort)
+    bb.putInt(28, 2)
+    bb.putInt(56, 1)
+    def cell(rowid: Long, payload: Array[Byte]): Array[Byte] =
+      Gpkg.varintBytes(payload.length.toLong) ++ Gpkg.varintBytes(rowid) ++ payload
+    // master record: type,name,tbl_name,rootpage,sql
+    val ddl = "CREATE TABLE t (a INTEGER PRIMARY KEY, b TEXT)"
+    def text(s: String): (Long, Array[Byte]) = (13L + 2 * s.length, s.getBytes)
+    val mvals = Seq(text("table"), text("t"), text("t"), (1L, Array[Byte](2)), text(ddl))
+    val mhdr = Array[Byte]((1 + mvals.size).toByte) ++ mvals.flatMap(v => Gpkg.varintBytes(v._1))
+    // header length must include the type varints (2-byte types for long text)
+    val mtypes = mvals.flatMap(v => Gpkg.varintBytes(v._1)).toArray
+    val mpayload = (Gpkg.varintBytes((1 + mtypes.length).toLong) ++ mtypes) ++ mvals.flatMap(_._2)
+    val mcell = cell(1L, mpayload)
+    file(100) = 0x0d
+    bb.putShort(103, 1.toShort)
+    val mOff = pageSize - mcell.length
+    System.arraycopy(mcell, 0, file, mOff, mcell.length)
+    bb.putShort(105, mOff.toShort)
+    bb.putShort(108, mOff.toShort)
+    // leaf page 2: two records, a NULL (pk alias) + text
+    def rec(s: String): Array[Byte] =
+      Array[Byte](3, 0, (13 + 2 * s.length).toByte) ++ s.getBytes
+    val c1 = cell(1L, rec("x")); val c2 = cell(7L, rec("yy"))
+    file(pageSize) = 0x0d
+    bb.putShort(pageSize + 3, 2.toShort)
+    var content = 2 * pageSize
+    content -= c1.length
+    System.arraycopy(c1, 0, file, content, c1.length)
+    bb.putShort(pageSize + 8, (content - pageSize).toShort)
+    content -= c2.length
+    System.arraycopy(c2, 0, file, content, c2.length)
+    bb.putShort(pageSize + 10, (content - pageSize).toShort)
+    bb.putShort(pageSize + 5, (content - pageSize).toShort)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_gpkg").toFile
+    val f = new java.io.File(dir, "hand.db")
+    java.nio.file.Files.write(f.toPath, file)
+
+    val db = Gpkg.readDbMeta(f.getPath)
+    assert(db.pageSize == 512 && db.reserved == 0)
+    val ti = Gpkg.tableInfo(db, "t")
+    assert(ti.rootPage == 2 && ti.columns == Seq("a", "b") && ti.pkOrdinal == 0)
+    val rows = Gpkg.leafPages(db, ti.rootPage)
+      .flatMap(p => Gpkg.leafRecords(db, p))
+      .map { case (rowid, payload) => (rowid, Gpkg.decodeRecord(payload, 2).toSeq) }
+    assert(rows == Seq((1L, Seq(null, "x")), (7L, Seq(null, "yy"))), rows.toString)
+  }
+
+  test("fixture db: interior root, overflow chain, and page-parallel refs") {
+    val path = Gpkg.fixturePath(spark, sf)
+    val db = Gpkg.readDbMeta(path)
+    val ti = Gpkg.tableInfo(db, "zones")
+    assert(ti.columns == Seq("id", "zone_name", "note", "geom") && ti.pkOrdinal == 0)
+    val leaves = Gpkg.leafPages(db, ti.rootPage)
+    assert(leaves.size > 1, s"fixture should span multiple leaves, got ${leaves.size}")
+    // all 25 zones come back with rowid-aliased ids, zone 0's note is
+    // the overflow-length string
+    val rows = leaves.flatMap(p => Gpkg.leafRecords(db, p))
+      .map { case (rowid, payload) =>
+        val v = Gpkg.decodeRecord(payload, 4)
+        (rowid, v(2).asInstanceOf[String].length)
+      }.toMap
+    assert(rows.size == 25)
+    assert(rows(0L) == "long-attribute ".length * 80,
+      s"zone 0 note length ${rows(0L)} — overflow chain broken")
+  }
+
+  test("geopackage zones equal shapefile zones byte-for-byte (same WKB pipeline)") {
+    import org.apache.spark.sql.functions.col
+    val g = Gpkg.readZones(spark, Gpkg.fixturePath(spark, sf), "zones")
+      .select("zone_id", "geom").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val sh = graft.zonal.Shapefile.readZones(spark,
+      graft.zonal.Shapefile.fixturePath(spark, sf))
+      .select("zone_id", "geom").collect()
+      .map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(g.keySet == sh.keySet)
+    g.foreach { case (z, wkb) =>
+      assert(wkb == sh(z), s"zone $z: gpkg WKB diverges from shapefile WKB")
+    }
+  }
+
+  private def msgs(t: Throwable): String =
+    if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+
+  test("named loud refusals: bad magic, missing table, non-Polygon WKB, fractional coords") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_gpkg_bad").toFile
+    val notDb = new java.io.File(dir, "not.db")
+    java.nio.file.Files.write(notDb.toPath, Array.fill[Byte](200)(7))
+    assert(msgs(intercept[Throwable](Gpkg.readDbMeta(notDb.getPath)))
+      .contains("not a SQLite 3"))
+    val db = Gpkg.readDbMeta(Gpkg.fixturePath(spark, sf))
+    assert(msgs(intercept[Throwable](Gpkg.tableInfo(db, "nope")))
+      .contains("no table 'nope'"))
+    // a MultiPolygon WKB (type 6) refuses by name
+    val mp = java.nio.ByteBuffer.allocate(9).put(1.toByte)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(1, 6).array()
+    assert(msgs(intercept[Throwable](
+      Gpkg.parseWkbPolygon(mp, 0, "test").toList)).contains("MultiPolygon"))
+    // fractional coordinates refuse with the lattice message
+    val frac = java.nio.ByteBuffer.allocate(9 + 4 + 4 * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    frac.put(1.toByte).putInt(3).putInt(1).putInt(4)
+    Seq((0.5, 0.0), (1.0, 0.0), (1.0, 1.0), (0.5, 0.0)).foreach { case (x, y) =>
+      frac.putDouble(x).putDouble(y) }
+    assert(msgs(intercept[Throwable](
+      Gpkg.parseWkbPolygon(frac.array(), 0, "test").toList)).contains("fractional"))
+  }
+}

@@ -404,6 +404,38 @@ class RasterSpec extends SparkSuite {
     intercept[IllegalArgumentException](TiffCodec.lzwDecode(cut, big.length))
   }
 
+  test("PackBits: pinned spec vectors, noop byte, roundtrip, truncation and overrun fail loudly") {
+    import graft.zonal.TiffCodec
+    // the TIFF-6 spec's own worked example: literal(3) AA BB CC,
+    // repeat(-2)=3x DD, noop(-128), literal(0) EE
+    val stream = Array(0x02, 0xAA, 0xBB, 0xCC, 0xFE, 0xDD, 0x80, 0x00, 0xEE)
+      .map(_.toByte)
+    assert(TiffCodec.packBitsDecode(stream, 7).toSeq
+      == Seq(0xAA, 0xBB, 0xCC, 0xDD, 0xDD, 0xDD, 0xEE).map(_.toByte))
+    // encoder pins: a pure run becomes one repeat packet; mixed content
+    // splits at the run boundary
+    assert(TiffCodec.packBitsEncodeRows(Array.fill(5)(9.toByte), 5).toSeq
+      == Seq((1 - 5).toByte, 9.toByte))
+    val mixed = Array[Byte](1, 2, 3, 3, 3, 4)
+    assert(TiffCodec.packBitsDecode(
+      TiffCodec.packBitsEncodeRows(mixed, 6), 6).toSeq == mixed.toSeq)
+    // rows pack independently: a run crossing the row boundary must NOT
+    // merge (two repeat packets, not one)
+    val twoRows = Array.fill(8)(5.toByte)
+    assert(TiffCodec.packBitsEncodeRows(twoRows, 4).toSeq
+      == Seq((1 - 4).toByte, 5.toByte, (1 - 4).toByte, 5.toByte))
+    // long literal + >128 run crosses the packet cap both ways
+    val big = Array.tabulate(100000)(i =>
+      (if (i % 700 < 350) i * 37 % 251 else 42).toByte)
+    assert(TiffCodec.packBitsDecode(
+      TiffCodec.packBitsEncodeRows(big, 1000), big.length).toSeq == big.toSeq)
+    // truncation and trailing garbage fail loudly
+    intercept[IllegalArgumentException](
+      TiffCodec.packBitsDecode(stream.take(5), 7))
+    intercept[IllegalArgumentException](
+      TiffCodec.packBitsDecode(stream :+ 0x00.toByte, 7))
+  }
+
   test("deflate: exact-length contract, roundtrip, truncation fails loudly") {
     import graft.zonal.TiffCodec
     val data = Array.tabulate(65536)(i => ((i * 31 + i / 7) & 0xff).toByte)
