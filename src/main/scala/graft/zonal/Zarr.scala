@@ -161,7 +161,7 @@ object Zarr {
     * grid position becomes a ref — present chunks with their byte
     * length, absent chunks as fill work units with `len = -1`.
     */
-  private[zonal] def chunkRefs(m: ZarrMeta, dir: String): Seq[ChunkRef] = {
+  private[graft] def chunkRefs(m: ZarrMeta, dir: String): Seq[ChunkRef] = {
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = hadoopFs(base)
     def listing(p: org.apache.hadoop.fs.Path): Map[String, Long] =
@@ -271,6 +271,50 @@ object Zarr {
     scanChunks(s, chunkRefs(m, dir))
   }
 
+  /** Window query: prune the chunk manifest to chunks OVERLAPPING the
+    * pixel window (no byte of a non-overlapping chunk is ever read —
+    * the COG-window pattern; ZarrSpec asserts the manifest size), then
+    * the exact residual filter trims boundary chunks.
+    */
+  def scanZarrWindow(s: SparkSession, dir: String,
+      x0: Int, x1: Int, y0: Int, y1: Int): DataFrame = {
+    val m = readMeta(dir)
+    val refs = chunkRefs(m, dir).filter(r =>
+      r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
+      r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0)
+    scanChunks(s, refs)
+      .filter(col("cell_x").between(x0, x1) && col("cell_y").between(y0, y1))
+  }
+
+  /** n-epoch aligned stack: every store must share one (shape, chunks)
+    * lattice (checked loudly at metadata time — the 3-D cube story:
+    * higher-rank Zarr slices upstream to one 2-D array per epoch, and
+    * this scans the whole stack as ONE DataFrame, one task per
+    * (epoch, chunk)). Output `(cell_x, cell_y, epoch, value)`.
+    */
+  def scanZarrEpochs(s: SparkSession, dirs: Seq[String]): DataFrame = {
+    import s.implicits._
+    require(dirs.nonEmpty, "scanZarrEpochs: empty store list")
+    val metas = dirs.map(d => (d, readMeta(d)))
+    val (d0, m0) = metas.head
+    metas.foreach { case (d, m) =>
+      require(m.height == m0.height && m.width == m0.width
+          && m.chunkH == m0.chunkH && m.chunkW == m0.chunkW,
+        s"misaligned Zarr stores: $d0 is ${m0.height}x${m0.width}/" +
+          s"${m0.chunkH}x${m0.chunkW} but $d is ${m.height}x${m.width}/" +
+          s"${m.chunkH}x${m.chunkW} — rechunk upstream, an epoch stack " +
+          "needs one lattice")
+    }
+    val refs = metas.zipWithIndex.flatMap { case ((d, m), e) =>
+      chunkRefs(m, d).map(r => (e, r))
+    }
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { case (e, r) => readChunk(r).map { case (x, y, v) => (x, y, e, v) } }
+      .toDF("cell_x", "cell_y", "epoch", "value")
+  }
+
   private def scanChunks(s: SparkSession, refs: Seq[ChunkRef]): DataFrame = {
     import s.implicits._
     s.createDataset(refs)
@@ -287,9 +331,11 @@ object Zarr {
     * the same spec the reader implements, exercised independently by
     * ZarrSpec's hand-built stores.
     */
-  def writeZarr(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
-      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0)
-      (f: (Int, Int) => Double): Unit = {
+  /** Driver-side `.zarray` metadata write (the tiny JSON document; the
+    * distributed sink pairs it with executor-written chunk files).
+    */
+  def writeZarrMeta(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
+      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0): Unit = {
     require(Set("raw", "zlib", "zstd").contains(compressor), compressor)
     val d = new java.io.File(dir)
     d.mkdirs()
@@ -315,35 +361,52 @@ object Zarr {
          |}""".stripMargin
     java.nio.file.Files.write(new java.io.File(d, ".zarray").toPath,
       meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** One chunk's encoded file bytes from a dense row-major value array
+    * (chunkH·chunkW doubles, pad already filled) — shared by the local
+    * fixture writer and the distributed sink's executor tasks.
+    */
+  def chunkFileBytes(vals: Array[Double], chunkH: Int, chunkW: Int,
+      compressor: String, dtype: String): Array[Byte] = {
+    require(vals.length == chunkH * chunkW)
     val elem = dtype.substring(2).toInt
     val kind = dtype.substring(1)
-    val big = dtype.charAt(0) == '>'
+    val buf = java.nio.ByteBuffer.allocate(chunkH * chunkW * elem)
+    buf.order(if (dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    vals.foreach { v =>
+      kind match {
+        case "f8" => buf.putDouble(v)
+        case "f4" => buf.putFloat(v.toFloat)
+        case "i4" => buf.putInt(v.toInt)
+        case "i2" => buf.putShort(v.toShort)
+        case "i1" => buf.put(v.toByte)
+        case "u1" => buf.put((v.toInt & 0xff).toByte)
+      }
+    }
+    compressor match {
+      case "raw" => buf.array()
+      case "zlib" => TiffCodec.deflate(buf.array())
+      case "zstd" => TiffCodec.zstdCompress(buf.array())
+    }
+  }
+
+  def writeZarr(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
+      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0)
+      (f: (Int, Int) => Double): Unit = {
+    writeZarrMeta(dir, height, width, chunkH, chunkW, compressor, dtype, fill)
+    val d = new java.io.File(dir)
     val down = (height + chunkH - 1) / chunkH
     val across = (width + chunkW - 1) / chunkW
     for (ci <- 0 until down; cj <- 0 until across) {
-      val buf = java.nio.ByteBuffer.allocate(chunkH * chunkW * elem)
-      buf.order(if (big) java.nio.ByteOrder.BIG_ENDIAN
-        else java.nio.ByteOrder.LITTLE_ENDIAN)
-      for (rr <- 0 until chunkH; cc <- 0 until chunkW) {
-        val y = ci * chunkH + rr
-        val x = cj * chunkW + cc
-        val v = if (y < height && x < width) f(x, y) else fill
-        kind match {
-          case "f8" => buf.putDouble(v)
-          case "f4" => buf.putFloat(v.toFloat)
-          case "i4" => buf.putInt(v.toInt)
-          case "i2" => buf.putShort(v.toShort)
-          case "i1" => buf.put(v.toByte)
-          case "u1" => buf.put((v.toInt & 0xff).toByte)
-        }
+      val vals = Array.tabulate(chunkH * chunkW) { i =>
+        val y = ci * chunkH + i / chunkW
+        val x = cj * chunkW + i % chunkW
+        if (y < height && x < width) f(x, y) else fill
       }
-      val raw = buf.array()
-      val out = compressor match {
-        case "raw" => raw
-        case "zlib" => TiffCodec.deflate(raw)
-        case "zstd" => TiffCodec.zstdCompress(raw)
-      }
-      java.nio.file.Files.write(new java.io.File(d, s"$ci.$cj").toPath, out)
+      java.nio.file.Files.write(new java.io.File(d, s"$ci.$cj").toPath,
+        chunkFileBytes(vals, chunkH, chunkW, compressor, dtype))
     }
   }
 
@@ -377,6 +440,29 @@ object Zarr {
     dir
   }
 
+  /** Second epoch on the SAME lattice: identical where (x+y)%3 = 0,
+    * shifted elsewhere (the change-detection shape the TIFF pair uses).
+    */
+  def zarrValue2(x: Int, y: Int): Double =
+    if ((x + y) % 3 == 0) zarrValue(x, y) else ((29 * x + 13 * y + x + 1) % 991).toDouble
+  private val Zarr2ValueSql =
+    "CAST(CASE WHEN (cell_x + cell_y) % 3 = 0 THEN (29 * cell_x + 13 * cell_y) % 991 " +
+      "ELSE (29 * cell_x + 13 * cell_y + cell_x + 1) % 991 END AS DOUBLE)"
+
+  private val fixture2Lock = new Object
+  @volatile private var fixture2Ready: String = null
+
+  def fixture2Dir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_fixture2_${ZarrW}x$ZarrH"
+    if (fixture2Ready != dir) fixture2Lock.synchronized {
+      if (fixture2Ready != dir) {
+        writeZarr(dir, ZarrH, ZarrW, 32, 32, compressor = "zstd")(zarrValue2)
+        fixture2Ready = dir
+      }
+    }
+    dir
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     // Zarr ingestion end-to-end: write the deterministic store (once),
     // scan it chunk-parallel, emit the long-form cell table. The oracle
@@ -388,6 +474,83 @@ object Zarr {
       scanZarr(s, fixtureDir())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // COG-window analogue for cubes: only the 4 of 9 chunks overlapping
+    // the window are range-read (ZarrSpec asserts the manifest pruning);
+    // the residual filter trims the boundary chunks exactly.
+    "scan_zarr_window" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
+         |WHERE cell_x BETWEEN 10 AND 50 AND cell_y BETWEEN 8 AND 40
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarrWindow(s, fixtureDir(), 10, 50, 8, 40)
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // the 3-D cube story: higher-rank Zarr slices upstream to one 2-D
+    // array per epoch; the stack scans as ONE DataFrame (one task per
+    // (epoch, chunk)) after a loud lattice-equality check — here across
+    // two stores that also differ by CODEC (zlib vs zstd)
+    "scan_zarr_epochs" -> Q(
+      s"""SELECT cell_x, cell_y, epoch, value FROM (
+         |  SELECT cell_x, cell_y, 0 AS epoch, value FROM ($ZarrCellsSql)
+         |  UNION ALL
+         |  SELECT cell_x, cell_y, 1 AS epoch, $Zarr2ValueSql AS value
+         |  FROM range(0, $ZarrW) x(cell_x) CROSS JOIN range(0, $ZarrH) y(cell_y))
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      scanZarrEpochs(s, Seq(fixtureDir(), fixture2Dir()))
+        .select(col("cell_x"), col("cell_y"), col("epoch"), col("value"))
+        .orderBy("cell_x", "cell_y", "epoch")
+    },
+
+    // the WRITE direction, distributed: per-cell aggregates of the
+    // synthetic cube chunk up via ONE groupByKey — each executor task
+    // assembles and writes exactly its own chunk file, the driver
+    // writes only the tiny .zarray — then the store is read back
+    // through the real scanner and aggregated per chunk. The oracle
+    // computes the same per-chunk stats straight from the source cells,
+    // so the gate covers the full write→read round trip. At 100 TB each
+    // task owns one chunk: exactly how xarray/Dask build cubes.
+    "sink_zarr" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS chunk_x, cell_y // 16 AS chunk_y,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |GROUP BY chunk_x, chunk_y ORDER BY chunk_x, chunk_y""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_sink"
+      graft.core.Fs.rmTree(dir)
+      val cs = 16
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      writeZarrMeta(dir, h, w, cs, cs, compressor = "zlib")
+      percell
+        .groupByKey(r => (r.getLong(1) / cs, r.getLong(0) / cs)) // (ci, cj)
+        .mapGroups { (key: (Long, Long), rows: Iterator[org.apache.spark.sql.Row]) =>
+          val (ci, cj) = key
+          val vals = new Array[Double](cs * cs)
+          rows.foreach { r =>
+            val x = (r.getLong(0) - cj * cs).toInt
+            val y = (r.getLong(1) - ci * cs).toInt
+            vals(y * cs + x) = r.getDouble(2)
+          }
+          java.nio.file.Files.write(
+            new java.io.File(dir, s"$ci.$cj").toPath,
+            chunkFileBytes(vals, cs, cs, "zlib", "<f8"))
+          (ci, cj)
+        }
+        .collect() // manifest only: one row per chunk file
+      scanZarr(s, dir)
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_x div $cs AS BIGINT)").as("chunk_x"),
+          expr(s"CAST(cell_y div $cs AS BIGINT)").as("chunk_y"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("chunk_x", "chunk_y")
     },
 
     // the end-use: zonal statistics straight over a Zarr cube — scan

@@ -140,6 +140,31 @@ class ZarrSpec extends SparkSuite {
     assert(msgs(intercept[Throwable](Zarr.readMeta(v3.getPath))).contains("v2"))
   }
 
+  test("window scan prunes the chunk manifest before any byte is read") {
+    // 80x70 at 32x32 -> 3x3 grid; window (10..50, 8..40) overlaps only
+    // the 2x2 low corner = 4 of 9 chunks
+    val m = Zarr.readMeta(Zarr.fixtureDir())
+    val all = Zarr.chunkRefs(m, Zarr.fixtureDir())
+    val kept = all.filter(r =>
+      r.cj * m.chunkW <= 50 && (r.cj + 1) * m.chunkW > 10 &&
+      r.ci * m.chunkH <= 40 && (r.ci + 1) * m.chunkH > 8)
+    assert(all.size == 9 && kept.size == 4, s"${all.size} -> ${kept.size}")
+    val rows = Zarr.scanZarrWindow(spark, Zarr.fixtureDir(), 10, 50, 8, 40).count()
+    assert(rows == 41L * 33L, s"window rows $rows")
+  }
+
+  test("epoch stack: one DataFrame across codec-heterogeneous stores; misaligned lattices refuse") {
+    val st = Zarr.scanZarrEpochs(spark,
+      Seq(Zarr.fixtureDir(), Zarr.fixture2Dir()))
+    assert(st.count() == 2L * 80 * 70)
+    // a store on a different lattice fails loudly at metadata time
+    val d = tmpDir("misaligned")
+    Zarr.writeZarr(d.getPath, 10, 10, 5, 5, "raw")((x, y) => x + y)
+    val e = intercept[IllegalArgumentException](
+      Zarr.scanZarrEpochs(spark, Seq(Zarr.fixtureDir(), d.getPath)))
+    assert(e.getMessage.contains("misaligned"), e.getMessage)
+  }
+
   test("registry queries: scan_zarr cells match the formula; zonal stats cover all zones") {
     val cells = q("scan_zarr")
     assert(cells.count() == 80L * 70L)
