@@ -44,6 +44,7 @@ object SparkEntry {
     zonal.Align.defs ++
     zonal.Polygonize.defs ++
     zonal.Zarr.defs ++
+    zonal.Reproject.defs ++
     llm.Text.defs ++
     llm.Dedup.defs ++
     llm.Sim.defs ++

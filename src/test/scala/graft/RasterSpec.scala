@@ -897,6 +897,33 @@ class RasterSpec extends SparkSuite {
     assert(e.getMessage.contains("not integer-expressible"), e.getMessage)
   }
 
+  test("web mercator reprojection: forward inverts inverse to sub-mm; cells land in the fixture window") {
+    import graft.zonal.Reproject
+    // closed-form round trip: meters -> degrees -> meters, everywhere on
+    // the fixture's extent, to well under a millimeter
+    for (x <- Seq(510000.0, 510015.0, 512685.0); y <- Seq(4647915.0, 4649000.0, 4649985.0)) {
+      val (lon, lat) = Reproject.inverse(x, y)
+      val (x2, y2) = Reproject.forward(lon, lat)
+      assert(math.abs(x2 - x) < 1e-4 && math.abs(y2 - y) < 1e-4,
+        s"round trip drifted: ($x,$y) -> ($lon,$lat) -> ($x2,$y2)")
+    }
+    // every projected cell falls inside the analytically known window
+    val rows = q("raster_reproject_wgs84").collect()
+    assert(rows.length == Raster.FixW * Raster.FixH)
+    rows.foreach { r =>
+      val lon = r.getDouble(r.fieldIndex("lon"))
+      val lat = r.getDouble(r.fieldIndex("lat"))
+      assert(lon >= 4.5815 && lon <= 4.6056, s"lon $lon outside window")
+      assert(lat >= 38.4832 && lat <= 38.4978, s"lat $lat outside window")
+    }
+    // monotonicity: lon strictly increases with cell_x, lat strictly
+    // decreases with cell_y (a sign/axis mixup would break one)
+    val byX = rows.filter(_.getInt(1) == 0).sortBy(_.getInt(0)).map(_.getDouble(2))
+    assert(byX.zip(byX.tail).forall { case (a, b) => a < b }, "lon not increasing in x")
+    val byY = rows.filter(_.getInt(0) == 0).sortBy(_.getInt(1)).map(_.getDouble(3))
+    assert(byY.zip(byY.tail).forall { case (a, b) => a > b }, "lat not decreasing in y")
+  }
+
   test("ModelTransformation georeference: north-up derives (origin, scale); rotation fails loudly") {
     // GeoTIFF's other georeference spelling (4×4 row-major affine).
     // Previously the tag was ignored entirely — a rotated file read
