@@ -44,7 +44,9 @@ object SparkEntry {
     zonal.Align.defs ++
     zonal.Polygonize.defs ++
     zonal.Zarr.defs ++
+    zonal.Netcdf.defs ++
     zonal.Reproject.defs ++
+    zonal.Utm.defs ++
     llm.Text.defs ++
     llm.Dedup.defs ++
     llm.Sim.defs ++

@@ -1,0 +1,184 @@
+package graft
+
+import graft.zonal.Netcdf
+
+/** NetCDF-3 classic reader gates: a hand-assembled CDF-1 file (bytes
+  * written independently of [[Netcdf.writeNetcdf]] — the oracle gate
+  * covers the writer+reader pair; these cover the reader alone), the
+  * record-stride arithmetic incl. the single-record-variable no-padding
+  * special case, _FillValue masking, CDF-2 64-bit begins, and the named
+  * loud refusals.
+  */
+class NetcdfSpec extends SparkSuite {
+
+  private def tmpFile(name: String): String = {
+    val f = new java.io.File(
+      s"${System.getProperty("java.io.tmpdir")}/graft_io/ncspec_$name")
+    f.getParentFile.mkdirs()
+    org.apache.commons.io.FileUtils.deleteQuietly(f)
+    f.getPath
+  }
+
+  /** Hand-assembled CDF-1 file: dims y=3, x=2; one double variable
+    * `v(y, x)` with value 10y + x — every byte placed by explicit
+    * arithmetic, no shared writer code.
+    */
+  private def handBuilt(): String = {
+    val p = tmpFile("hand.nc")
+    val bo = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bo)
+    o.writeBytes("CDF"); o.writeByte(1)
+    o.writeInt(0) // numrecs
+    o.writeInt(0x0A); o.writeInt(2) // NC_DIMENSION, 2 dims
+    o.writeInt(1); o.writeBytes("y"); o.write(new Array[Byte](3)); o.writeInt(3)
+    o.writeInt(1); o.writeBytes("x"); o.write(new Array[Byte](3)); o.writeInt(2)
+    o.writeInt(0); o.writeInt(0) // no global atts
+    o.writeInt(0x0B); o.writeInt(1) // NC_VARIABLE, 1 var
+    o.writeInt(1); o.writeBytes("v"); o.write(new Array[Byte](3))
+    o.writeInt(2); o.writeInt(0); o.writeInt(1) // rank 2: dims (y, x)
+    o.writeInt(0); o.writeInt(0) // no var atts
+    o.writeInt(6) // NC_DOUBLE
+    o.writeInt(48) // vsize = 3*2*8
+    val begin = bo.size + 4
+    o.writeInt(begin)
+    for (y <- 0 until 3; x <- 0 until 2) o.writeDouble(10 * y + x)
+    java.nio.file.Files.write(new java.io.File(p).toPath, bo.toByteArray)
+    p
+  }
+
+  test("hand-built CDF-1: exact cells from explicit bytes") {
+    val p = handBuilt()
+    val got = Netcdf.scanNetcdf(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    for (y <- 0 until 3; x <- 0 until 2)
+      assert(got((x, y)) == (10 * y + x).toDouble, s"cell ($x,$y)")
+  }
+
+  test("writer+reader round trip across all numeric types") {
+    for ((t, tag) <- Seq(("byte", 1), ("short", 3), ("int", 4), ("float", 5), ("double", 6))) {
+      val p = tmpFile(s"rt_$t.nc")
+      // values stay in int8 range so every type round-trips exactly
+      Netcdf.writeNetcdf(p, "v", 5, 7, tag)((x, y, _) => ((3 * x + 5 * y) % 120).toDouble)
+      val got = Netcdf.scanNetcdf(spark, p, "v").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(got.size == 35, s"$t: ${got.size} cells")
+      for (y <- 0 until 5; x <- 0 until 7)
+        assert(got((x, y)) == ((3 * x + 5 * y) % 120).toDouble, s"$t cell ($x,$y)")
+    }
+  }
+
+  test("record variable: slabs at the unpadded single-record-var stride") {
+    val p = tmpFile("rec.nc")
+    // int16 5x3 slabs: one record's raw size 30 bytes is NOT 4-aligned,
+    // so the single-record-variable no-padding rule is load-bearing —
+    // a reader using the padded vsize as stride reads garbage from
+    // record 1 onward.
+    Netcdf.writeNetcdf(p, "v", 5, 3, 3, epochs = 4)(
+      (x, y, t) => ((x + 10 * y + 100 * t) % 999).toDouble)
+    val m = Netcdf.readMeta(p)
+    assert(m.numRecs == 4)
+    assert(m.recSize == 30, s"stride ${m.recSize}, want unpadded 30")
+    val got = Netcdf.scanNetcdfEpochs(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 60)
+    for (t <- 0 until 4; y <- 0 until 5; x <- 0 until 3)
+      assert(got((x, y, t)) == ((x + 10 * y + 100 * t) % 999).toDouble,
+        s"cell ($x,$y,$t)")
+  }
+
+  test("_FillValue masking drops exactly the fill cells") {
+    val p = tmpFile("fill.nc")
+    Netcdf.writeNetcdf(p, "v", 6, 6, 3, fill = Some(-7.0))(
+      (x, y, _) => if ((x + y) % 4 == 0) -7.0 else (x + 10 * y).toDouble)
+    val got = Netcdf.scanNetcdfFill(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (y <- 0 until 6; x <- 0 until 6) {
+      if ((x + y) % 4 == 0) assert(!got.contains((x, y)), s"($x,$y) should be masked")
+      else assert(got((x, y)) == (x + 10 * y).toDouble, s"($x,$y)")
+    }
+    // unmasked scan keeps the fill cells verbatim
+    val raw = Netcdf.scanNetcdf(spark, p, "v").collect()
+    assert(raw.length == 36)
+    // masking a variable with no declared fill is a loud error
+    val p2 = tmpFile("nofill.nc")
+    Netcdf.writeNetcdf(p2, "v", 2, 2, 6)((x, y, _) => 1.0)
+    val e = intercept[Exception] { Netcdf.scanNetcdfFill(spark, p2, "v") }
+    assert(e.getMessage.contains("_FillValue"))
+  }
+
+  test("CDF-2 64-bit begins parse (header hand-patched to version 2)") {
+    // build a v1 file with the shared writer, then hand-rebuild it as
+    // CDF-2: bump the version byte and widen every begin to 8 bytes
+    val p1 = tmpFile("v1.nc")
+    Netcdf.writeNetcdf(p1, "v", 3, 4, 6, coordVars = false)(
+      (x, y, _) => (x + 10 * y).toDouble)
+    val b1 = java.nio.file.Files.readAllBytes(new java.io.File(p1).toPath)
+    val m1 = Netcdf.readMeta(p1)
+    val v1 = m1.variable("v")
+    // v1 header layout for this file ends with [..., nc_type, vsize,
+    // begin:4]; the CDF-2 twin is identical up to the begin field
+    val headEnd = b1.length - 3 * 4 * 8 - 4 // start of the 4-byte begin
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write(b1, 0, headEnd)
+    val begin2 = v1.begin + 4 // begin grows by the extra 4 bytes
+    val w = new java.io.DataOutputStream(bo)
+    w.writeLong(begin2)
+    bo.write(b1, headEnd + 4, b1.length - headEnd - 4)
+    val p2 = tmpFile("v2.nc")
+    val b2 = bo.toByteArray
+    b2(3) = 2 // CDF-2 magic
+    java.nio.file.Files.write(new java.io.File(p2).toPath, b2)
+    val got = Netcdf.scanNetcdf(spark, p2, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 12)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(got((x, y)) == (x + 10 * y).toDouble, s"cell ($x,$y)")
+  }
+
+  test("named refusals: HDF5 signature, CDF-5, missing variable, char data") {
+    val h5 = tmpFile("h5.nc")
+    java.nio.file.Files.write(new java.io.File(h5).toPath,
+      Array[Byte](0x89.toByte, 'H', 'D', 'F', 13, 10, 26, 10) ++ new Array[Byte](64))
+    val e1 = intercept[Exception] { Netcdf.readMeta(h5) }
+    assert(e1.getMessage.contains("NetCDF-4"))
+
+    val c5 = tmpFile("c5.nc")
+    java.nio.file.Files.write(new java.io.File(c5).toPath,
+      "CDF".getBytes("ISO-8859-1") ++ new Array[Byte](64))
+    val e2 = intercept[Exception] { Netcdf.readMeta(c5) }
+    assert(e2.getMessage.contains("CDF-5"))
+
+    val ok = tmpFile("okvar.nc")
+    Netcdf.writeNetcdf(ok, "v", 2, 2, 6)((x, y, _) => 1.0)
+    val e3 = intercept[Exception] { Netcdf.readMeta(ok).variable("nope") }
+    assert(e3.getMessage.contains("not in file"))
+  }
+
+  test("reader navigates past coordinate variables to the requested one") {
+    // fixture files carry y(y)/x(x) float coord vars before the data
+    // variable; a reader that ignores begins and assumes data-at-header-
+    // end would read the y coords as cells
+    val p = Netcdf.fixturePath()
+    val m = Netcdf.readMeta(p)
+    assert(m.vars.map(_.name) == Seq("y", "x", "t2m"))
+    val t2m = m.variable("t2m")
+    val yv = m.variable("y")
+    assert(t2m.begin > yv.begin)
+    val got = Netcdf.scanNetcdf(spark, p, "t2m")
+      .filter("cell_x = 79 AND cell_y = 69").collect()
+    assert(got.length == 1)
+    assert(got(0).getDouble(2) == Netcdf.ncValue(79, 69))
+  }
+
+  test("header growth: a header larger than the first read parses fine") {
+    val p = tmpFile("big_header.nc")
+    // ~12 KB of attribute padding via many coord-style vars is overkill;
+    // instead write a long variable name forcing the header past 8 KB
+    val longName = "v" + ("_x" * 5000)
+    Netcdf.writeNetcdf(p, longName, 3, 3, 6, coordVars = false)(
+      (x, y, _) => (x + y).toDouble)
+    val got = Netcdf.scanNetcdf(spark, p, longName).collect()
+    assert(got.length == 9)
+  }
+}
