@@ -45,7 +45,9 @@ object Raster {
       // GeoTIFF georeference (identity when tags absent): model-space
       // origin and per-pixel scale — exposed, not applied: cells stay in
       // pixel space, the engine's shared integer lattice (SURVEY §1.2)
-      originX: Double, originY: Double, scaleX: Double, scaleY: Double) {
+      originX: Double, originY: Double, scaleX: Double, scaleY: Double,
+      // Compression=7: shared abbreviated-stream tables (JPEGTables tag)
+      jpegTables: Array[Byte] = Array.emptyByteArray) {
     def tilesAcross: Int = (width + tileW - 1) / tileW
     def tilesDown: Int = (height + tileH - 1) / tileH
   }
@@ -59,7 +61,7 @@ object Raster {
       width: Int, height: Int, tileW: Int, tileH: Int,
       bits: Int, sampleFormat: Int, bigEndian: Boolean, bands: Int,
       compression: Int = 1, predictor: Int = 1, striped: Boolean = false,
-      planarBand: Int = -1)
+      planarBand: Int = -1, jpegTables: Array[Byte] = Array.emptyByteArray)
 
   // ---- IFD parsing (TIFF 6.0 baseline) ----
 
@@ -82,6 +84,7 @@ object Raster {
   private val TagModelTiepoint = 33922
   private val TagModelTransformation = 34264 // full 4×4 affine (may rotate)
   private val TagGdalNodata = 42113 // ASCII, GDAL convention
+  private val TagJpegTables = 347 // abbreviated-stream DQT/DHT (TIFF-EP)
 
   /** Georeference from a GeoTIFF ModelTransformation (4×4 row-major:
     * x = t0·col + t1·row + t3, y = t4·col + t5·row + t7). Only the
@@ -203,7 +206,7 @@ object Raster {
       }
 
       def typeSize(t: Int): Int = t match {
-        case 1 => 1; case 2 => 1; case 3 => 2; case 4 => 4; case 12 => 8; case 16 => 8
+        case 1 => 1; case 2 => 1; case 7 => 1; case 3 => 2; case 4 => 4; case 12 => 8; case 16 => 8
         case other => throw new IllegalArgumentException(s"$path: unsupported IFD type $other")
       }
       // scalar or array read honoring the inline-if-fits rule
@@ -224,7 +227,7 @@ object Raster {
             }
           Array.tabulate(cnt.toInt) { k =>
             tpe match {
-              case 1 | 2 => buf.get(k).toLong & 0xffL
+              case 1 | 2 | 7 => buf.get(k).toLong & 0xffL
               case 3 => (buf.getShort(k * 2) & 0xffff).toLong
               case 4 => buf.getInt(k * 4).toLong & 0xffffffffL
               case 12 => java.lang.Double.doubleToRawLongBits(buf.getDouble(k * 8))
@@ -241,9 +244,10 @@ object Raster {
       }
 
       val comp = scalar(TagCompression, default = 1).toInt
-      require(comp == 1 || comp == 5 || comp == 8 || comp == 32773 || comp == 50000,
-        s"$path: compression $comp unsupported (1=none, 5=LZW, 8=Deflate, " +
-          "32773=PackBits, 50000=ZSTD)")
+      require(comp == 1 || comp == 5 || comp == 7 || comp == 8 || comp == 32773
+          || comp == 50000,
+        s"$path: compression $comp unsupported (1=none, 5=LZW, 7=JPEG, " +
+          "8=Deflate, 32773=PackBits, 50000=ZSTD)")
       val predictor = scalar(TagPredictor, default = 1).toInt
       require(predictor == 1 || predictor == 2 || predictor == 3,
         s"$path: predictor $predictor unsupported (1=none, 2=horizontal, 3=floating-point)")
@@ -283,6 +287,14 @@ object Raster {
         s"$path: predictor 2 requires integer samples, got bits=$bits format=$fmt")
       require(predictor != 3 || fmt == 3,
         s"$path: predictor 3 requires floating-point samples, got bits=$bits format=$fmt")
+      // Compression=7 (baseline JPEG): 8-bit grayscale tiles only — the
+      // codec is defined on u8 samples; color/subsampled streams are
+      // refused inside the decoder by name
+      require(comp != 7 || (bits == 8 && bands == 1 && predictor == 1),
+        s"$path: JPEG compression requires uint8 single-band, no predictor " +
+          s"(got bits=$bits bands=$bands predictor=$predictor)")
+      val jpegTables: Array[Byte] =
+        if (comp == 7) values(TagJpegTables).map(_.toByte) else Array.emptyByteArray
 
       val nodata = values(TagGdalNodata) match {
         case bytes if bytes.nonEmpty =>
@@ -337,7 +349,7 @@ object Raster {
         tileW = tw0, tileH = th0,
         bits = bits, sampleFormat = fmt, bigEndian = bigEndian, bands = bands,
         compression = comp, predictor = predictor, striped = striped,
-        planar = planar,
+        planar = planar, jpegTables = jpegTables,
         nodata = nodata,
         tileOffsets = values(offTag),
         tileByteCounts = values(cntTag),
@@ -385,6 +397,17 @@ object Raster {
       case 8 => TiffCodec.inflate(raw, storedLen)
       case 32773 => TiffCodec.packBitsDecode(raw, storedLen)
       case 50000 => TiffCodec.zstdDecompress(raw, storedLen)
+      case 7 =>
+        // baseline JPEG tile: a complete (possibly abbreviated) stream;
+        // stored dims must equal the padded tile dims per TIFF-EP
+        val (jw, jh, samples) = Jpeg.decodeGray(raw,
+          if (t.jpegTables.nonEmpty) Some(t.jpegTables) else None)
+        require(jw == t.tileW && jh == storedRows,
+          s"${t.path}: JPEG tile is ${jw}x$jh, want ${t.tileW}x$storedRows")
+        val out = new Array[Byte](storedLen)
+        var i = 0
+        while (i < samples.length) { out(i) = samples(i).toByte; i += 1 }
+        out
       case c => throw new IllegalStateException(s"unreachable: compression $c gated in readMeta")
     }
     if (t.predictor == 2) t.bits match {
@@ -439,7 +462,8 @@ object Raster {
       width = m.width, height = m.height, tileW = m.tileW, tileH = m.tileH,
       bits = m.bits, sampleFormat = m.sampleFormat, bigEndian = m.bigEndian,
       bands = m.bands, compression = m.compression, predictor = m.predictor,
-      striped = m.striped, planarBand = if (m.planar) p else -1)
+      striped = m.striped, planarBand = if (m.planar) p else -1,
+      jpegTables = m.jpegTables)
   }
 
   /** Manifest subset whose tiles overlap the pixel window — the raster
@@ -802,8 +826,11 @@ object Raster {
     require(o.predictor == 1 || (o.sampleFormat != 3 && o.predictor == 2)
         || (o.sampleFormat == 3 && o.predictor == 3),
       "predictor 2 requires integer samples; predictor 3 requires float samples")
-    require(Set(1, 5, 8, 32773, 50000)(o.compression),
+    require(Set(1, 5, 7, 8, 32773, 50000)(o.compression),
       s"compression ${o.compression} unsupported")
+    require(o.compression != 7
+        || (o.bits == 8 && o.bands == 1 && o.predictor == 1 && !o.striped),
+      "JPEG compression writes uint8 single-band tiles with no predictor")
     require(o.bands >= 1, s"bands ${o.bands} invalid")
     require(!o.planar || o.bands > 1, "planar layout is only meaningful with >1 band")
     val bytesPer = o.bits / 8
@@ -856,6 +883,8 @@ object Raster {
       o.compression match {
         case 1 => arr
         case 5 => TiffCodec.lzwEncode(arr)
+        case 7 => Jpeg.encodeGray(arr.map(v => v & 0xff), bw, rows,
+          includeTables = false) // tables ride the JPEGTables tag
         case 8 => TiffCodec.deflate(arr)
         case 32773 => TiffCodec.packBitsEncodeRows(arr, bw * spp * bytesPer)
         case 50000 => TiffCodec.zstdCompress(arr)
@@ -885,6 +914,9 @@ object Raster {
       entsB += ((TagTileByteCounts, 4, blockSizes.map(_.toLong)))
     }
     entsB += ((TagSampleFormat, 3, Array.fill(o.bands)(o.sampleFormat.toLong)))
+    if (o.compression == 7)
+      entsB += ((TagJpegTables, 7,
+        Jpeg.tablesStream().map(_.toLong & 0xffL)))
     entsB += ((TagModelPixelScale, 12,
       Array(o.scaleX, o.scaleY, 0.0).map(java.lang.Double.doubleToRawLongBits)))
     entsB += ((TagModelTiepoint, 12,
@@ -904,7 +936,7 @@ object Raster {
     val nextW = if (o.bigTiff) 8 else 4
     val inlineCap = if (o.bigTiff) 8 else 4
     def tSize(t: Int): Int = t match {
-      case 1 | 2 => 1; case 3 => 2; case 4 => 4; case 12 | 16 => 8
+      case 1 | 2 | 7 => 1; case 3 => 2; case 4 => 4; case 12 | 16 => 8
     }
     val ifdOff = headerSize
     var overflowOff = ifdOff + countW + ents.length * entrySize + nextW
@@ -927,7 +959,7 @@ object Raster {
     buf.position(ifdOff)
     if (o.bigTiff) buf.putLong(ents.length.toLong) else buf.putShort(ents.length.toShort)
     def putVal(tpe: Int, v: Long): Unit = tpe match {
-      case 1 | 2 => buf.put((v & 0xffL).toByte)
+      case 1 | 2 | 7 => buf.put((v & 0xffL).toByte)
       case 3 => buf.putShort(v.toShort)
       case 4 => buf.putInt(v.toInt)
       case 12 => buf.putDouble(java.lang.Double.longBitsToDouble(v))
@@ -1465,6 +1497,28 @@ object Raster {
     fixtureOnce(s"raster_packbits_${FixW}x$FixH.tif") { p =>
       writeTiffOpts(p, FixW, FixH, 32, 32,
         WriteOpts(bits = 8, sampleFormat = 1, compression = 32773))(packBitsFixtureValue)
+    }
+
+  /** Baseline-JPEG tile raster (round 11): BLOCK-CONSTANT uint8 values
+    * (one value per 8×8 JPEG block), for which baseline JPEG under the
+    * fixture quant table is mathematically LOSSLESS — a constant block
+    * has only a DC coefficient 8·(v−128), the DC quant step of 8
+    * divides it exactly, and the float IDCT of a DC-only block is the
+    * constant back — so the DuckDB formula replay hash-matches the full
+    * encode∘decode round trip. Dims are multiples of 8 so no content
+    * block straddles the tile pad (pad blocks are constant 0); the
+    * tables ride the JPEGTables tag with abbreviated per-tile streams,
+    * the layout real JPEG COGs use.
+    */
+  val JpegW = 88
+  val JpegH = 64
+  def jpegFixtureValue(x: Int, y: Int): Double =
+    ((17 * (x / 8) + 29 * (y / 8) + 3) % 251).toDouble
+
+  def jpegFixturePath(): String =
+    fixtureOnce(s"raster_jpeg_${JpegW}x$JpegH.tif") { p =>
+      writeTiffOpts(p, JpegW, JpegH, 32, 32,
+        WriteOpts(bits = 8, sampleFormat = 1, compression = 7))(jpegFixtureValue)
     }
 
   /** int16 DEM-style raster (round 7): the formula recentered negative
@@ -2431,6 +2485,20 @@ object Raster {
          |FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanTiff(s, packBitsFixturePath())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // baseline JPEG (Compression=7) — the codec 8-bit imagery COGs ship
+    // with, implemented from the public T.81 spec; block-constant
+    // fixture makes the lossy codec exact (see jpegFixtureValue), and
+    // the JPEGTables-tag + abbreviated-stream layout is the real one
+    "scan_raster_jpeg" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y,
+         |  CAST((17 * (x.range // 8) + 29 * (y.range // 8) + 3) % 251 AS DOUBLE) AS value
+         |FROM range(0, $JpegW) x CROSS JOIN range(0, $JpegH) y
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanTiff(s, jpegFixturePath())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },
