@@ -40,11 +40,17 @@ object Zarr {
       dtype: String, // e.g. "<f8" — validated
       compressor: String, // "raw" | "zlib" | "zstd"
       fill: Double, hasFill: Boolean,
-      sep: String) { // "." (flat) or "/" (nested)
+      sep: String, // "." (flat) or "/" (nested)
+      v3: Boolean = false) { // v3: chunk keys are "c<sep>ci<sep>cj"
     def chunksDown: Int = (height + chunkH - 1) / chunkH
     def chunksAcross: Int = (width + chunkW - 1) / chunkW
     def elemSize: Int = dtype.substring(2).toInt
     def chunkBytes: Int = chunkH * chunkW * elemSize
+    /** Store-relative chunk key (v2: "ci.cj" / "ci/cj"; v3 default
+      * encoding: "c/ci/cj" or "c.ci.cj").
+      */
+    def chunkKey(ci: Int, cj: Int): String =
+      if (v3) s"c$sep$ci$sep$cj" else s"$ci$sep$cj"
   }
 
   /** One executor work unit: a chunk file (or a declared-absent fill
@@ -138,22 +144,131 @@ object Zarr {
       fill, hasFill, sep)
   }
 
+  private val V3Dtypes = Map(
+    "float64" -> "f8", "float32" -> "f4", "int32" -> "i4",
+    "int16" -> "i2", "int8" -> "i1", "uint8" -> "u1")
+
+  /** Parse + validate a v3 `zarr.json` array document (round 11 —
+    * completes the family: zarr-python 3 writes v3 by default). Every
+    * unsupported corner is a NAMED loud failure. A `chunk_key_encoding`
+    * of `v2` degrades to the v2 key layout over the same machinery.
+    */
+  private[zonal] def parseZarrV3(path: String, text: String): ZarrMeta = {
+    import org.json4s._
+    val j = org.json4s.jackson.JsonMethods.parse(text)
+    def field(n: String): JValue = j \ n
+    require(field("zarr_format") == JInt(3), s"$path: zarr_format ${field("zarr_format")}")
+    field("node_type") match {
+      case JString("array") => ()
+      case other => sys.error(s"$path: node_type $other is not an array " +
+        "(group documents have no chunks — point the scan at the array node)")
+    }
+    def dims(n: String, v: JValue): List[Int] = v match {
+      case JArray(ds) => ds.map {
+        case JInt(x) => x.toInt
+        case other => sys.error(s"$path: non-integer $n entry $other")
+      }
+      case other => sys.error(s"$path: $n $other is not an array")
+    }
+    val shape = dims("shape", field("shape"))
+    require(shape.length == 2,
+      s"$path: ${shape.length}-D array unsupported — slice higher-rank " +
+        "cubes upstream (one 2-D array per band/epoch)")
+    val grid = field("chunk_grid")
+    require(grid \ "name" == JString("regular"),
+      s"$path: chunk_grid ${grid \ "name"} unsupported (regular only)")
+    val chunks = dims("chunk_shape", grid \ "configuration" \ "chunk_shape")
+    require(chunks.length == 2 && chunks.forall(_ > 0),
+      s"$path: chunk_shape $chunks unsupported")
+    val dtypeName = field("data_type") match {
+      case JString(d) => d
+      case other => sys.error(s"$path: data_type $other")
+    }
+    val kind = V3Dtypes.getOrElse(dtypeName,
+      sys.error(s"$path: data_type '$dtypeName' unsupported (want " +
+        s"${V3Dtypes.keys.toSeq.sorted.mkString("/")})"))
+    // codecs: exactly one bytes (endian), optionally followed by one
+    // compression codec this engine speaks
+    val codecs = field("codecs") match {
+      case JArray(cs) => cs.map { c =>
+        (c \ "name") match {
+          case JString(n) => (n, c \ "configuration")
+          case other => sys.error(s"$path: codec without name: $other")
+        }
+      }
+      case other => sys.error(s"$path: codecs $other is not an array")
+    }
+    require(codecs.nonEmpty && codecs.head._1 == "bytes",
+      s"$path: codec chain ${codecs.map(_._1)} unsupported — want " +
+        "[bytes][, gzip|zstd] (sharding_indexed/transpose/blosc are not " +
+        "readable here; rechunk upstream)")
+    val endian = codecs.head._2 \ "endian" match {
+      case JString("little") | JNothing | JNull => "<"
+      case JString("big") => ">"
+      case other => sys.error(s"$path: bytes endian $other")
+    }
+    val compressor = codecs.tail match {
+      case Nil => "raw"
+      case (("gzip", _)) :: Nil => "zlib"
+      case (("zstd", _)) :: Nil => "zstd"
+      case other => sys.error(s"$path: codec chain bytes+" +
+        s"${other.map(_._1).mkString("+")} unsupported (gzip/zstd/none)")
+    }
+    val (fill, hasFill) = field("fill_value") match {
+      case JInt(v) => (v.toDouble, true)
+      case JDouble(v) => (v, true)
+      case JDecimal(v) => (v.toDouble, true)
+      case JString("NaN") => (Double.NaN, true)
+      case JNull | JNothing =>
+        sys.error(s"$path: fill_value is required in Zarr v3")
+      case other => sys.error(s"$path: fill_value $other unsupported")
+    }
+    val (sep, v3keys) = field("chunk_key_encoding") match {
+      case JNothing | JNull => ("/", true)
+      case cke =>
+        val s = (cke \ "configuration" \ "separator") match {
+          case JString(v) =>
+            require(v == "." || v == "/", s"$path: separator '$v'"); v
+          case JNothing | JNull => "/"
+          case other => sys.error(s"$path: separator $other")
+        }
+        (cke \ "name") match {
+          case JString("default") => (s, true)
+          case JString("v2") => (if (s == "/") "/" else ".", false)
+          case other => sys.error(s"$path: chunk_key_encoding $other")
+        }
+    }
+    field("storage_transformers") match {
+      case JNothing | JNull | JArray(Nil) => ()
+      case other => sys.error(s"$path: storage_transformers $other unsupported")
+    }
+    ZarrMeta(shape(0), shape(1), chunks(0), chunks(1), endian + kind,
+      compressor, fill, hasFill, sep, v3 = v3keys)
+  }
+
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(new org.apache.hadoop.conf.Configuration())
 
-  /** Driver-side metadata read: `.zarray` only (a few hundred bytes). */
+  /** Driver-side metadata read: `.zarray` (v2) or `zarr.json` (v3) —
+    * a few hundred bytes either way.
+    */
   def readMeta(dir: String): ZarrMeta = {
-    val p = new org.apache.hadoop.fs.Path(dir, ".zarray")
-    val fs = hadoopFs(p)
-    require(fs.exists(p), s"$dir: no .zarray — not a Zarr v2 array store " +
-      "(v3 stores carry zarr.json; only v2 is supported)")
-    val in = fs.open(p)
-    try {
-      val len = fs.getFileStatus(p).getLen.toInt
-      val bytes = new Array[Byte](len)
-      in.readFully(0, bytes)
-      parseZarray(s"$dir/.zarray", new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
-    } finally in.close()
+    val p2 = new org.apache.hadoop.fs.Path(dir, ".zarray")
+    val p3 = new org.apache.hadoop.fs.Path(dir, "zarr.json")
+    val fs = hadoopFs(p2)
+    def slurp(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try {
+        val len = fs.getFileStatus(p).getLen.toInt
+        val bytes = new Array[Byte](len)
+        in.readFully(0, bytes)
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      } finally in.close()
+    }
+    if (fs.exists(p2)) parseZarray(s"$dir/.zarray", slurp(p2))
+    else if (fs.exists(p3)) parseZarrV3(s"$dir/zarr.json", slurp(p3))
+    else sys.error(s"$dir: neither .zarray (v2) nor zarr.json (v3) present " +
+      "— not a Zarr array store")
   }
 
   /** Chunk manifest: ONE listing per directory level (flat "." stores
@@ -168,18 +283,23 @@ object Zarr {
       if (!fs.exists(p)) Map.empty
       else fs.listStatus(p).map(st => st.getPath.getName -> st.getLen).toMap
     if (m.sep == ".") {
+      // flat store: v2 names "ci.cj", v3 default-encoding names "c.ci.cj"
       val names = listing(base)
       for (ci <- 0 until m.chunksDown; cj <- 0 until m.chunksAcross) yield {
-        val n = s"$ci.$cj"
+        val n = m.chunkKey(ci, cj)
         ChunkRef(s"$dir/$n", names.getOrElse(n, -1L), ci, cj,
           m.height, m.width, m.chunkH, m.chunkW, m.dtype, m.compressor,
           m.fill, m.hasFill)
       }
     } else {
+      // nested store: v2 rows at "<dir>/ci/", v3 at "<dir>/c/ci/"
       (0 until m.chunksDown).flatMap { ci =>
-        val row = listing(new org.apache.hadoop.fs.Path(base, ci.toString))
+        val rowDir =
+          if (m.v3) new org.apache.hadoop.fs.Path(base, s"c/$ci")
+          else new org.apache.hadoop.fs.Path(base, ci.toString)
+        val row = listing(rowDir)
         (0 until m.chunksAcross).map { cj =>
-          ChunkRef(s"$dir/$ci/$cj", row.getOrElse(cj.toString, -1L), ci, cj,
+          ChunkRef(s"$dir/${m.chunkKey(ci, cj)}", row.getOrElse(cj.toString, -1L), ci, cj,
             m.height, m.width, m.chunkH, m.chunkW, m.dtype, m.compressor,
             m.fill, m.hasFill)
         }
@@ -410,6 +530,55 @@ object Zarr {
     }
   }
 
+  /** Write a 2-D Zarr v3 store: `zarr.json` + default-encoding chunk
+    * keys (`c/ci/cj`), same chunk encoder as v2.
+    */
+  def writeZarrV3(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
+      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0)
+      (f: (Int, Int) => Double): Unit = {
+    require(Set("raw", "zlib", "zstd").contains(compressor), compressor)
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val dtypeName = V3Dtypes.map(_.swap).apply(dtype.substring(1))
+    val endian = if (dtype.charAt(0) == '>') "big" else "little"
+    val codecJson = (s"""{"name": "bytes", "configuration": {"endian": "$endian"}}""" +:
+      (compressor match {
+        case "raw" => Nil
+        case "zlib" => Seq("""{"name": "gzip", "configuration": {"level": 6}}""")
+        case "zstd" => Seq("""{"name": "zstd", "configuration": {"level": 3}}""")
+      })).mkString("[", ", ", "]")
+    val fillJson =
+      if (fill.isNaN) "\"NaN\""
+      else if (fill == fill.floor && !fill.isInfinite) fill.toLong.toString
+      else fill.toString
+    val meta =
+      s"""{
+         |  "zarr_format": 3,
+         |  "node_type": "array",
+         |  "shape": [$height, $width],
+         |  "data_type": "$dtypeName",
+         |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$chunkH, $chunkW]}},
+         |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         |  "fill_value": $fillJson,
+         |  "codecs": $codecJson
+         |}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(d, "zarr.json").toPath,
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val down = (height + chunkH - 1) / chunkH
+    val across = (width + chunkW - 1) / chunkW
+    for (ci <- 0 until down; cj <- 0 until across) {
+      val vals = Array.tabulate(chunkH * chunkW) { i =>
+        val y = ci * chunkH + i / chunkW
+        val x = cj * chunkW + i % chunkW
+        if (y < height && x < width) f(x, y) else fill
+      }
+      val out = new java.io.File(d, s"c/$ci/$cj")
+      out.getParentFile.mkdirs()
+      java.nio.file.Files.write(out.toPath,
+        chunkFileBytes(vals, chunkH, chunkW, compressor, dtype))
+    }
+  }
+
   // ---- fixture + registry ----
 
   /** Fixture cube: 80×70 (NOT chunk-aligned — edge chunks exercise the
@@ -463,6 +632,24 @@ object Zarr {
     dir
   }
 
+  private val fixture3Lock = new Object
+  @volatile private var fixture3Ready: String = null
+
+  /** v3 fixture: SAME formula lattice, written as a Zarr v3 store —
+    * big-endian int32 + gzip, default `c/ci/cj` chunk keys — so the
+    * v3 metadata/key/codec path is gated by the identical oracle.
+    */
+  def fixture3Dir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr3_fixture_${ZarrW}x$ZarrH"
+    if (fixture3Ready != dir) fixture3Lock.synchronized {
+      if (fixture3Ready != dir) {
+        writeZarrV3(dir, ZarrH, ZarrW, 32, 32, compressor = "zlib", dtype = ">i4")(zarrValue)
+        fixture3Ready = dir
+      }
+    }
+    dir
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     // Zarr ingestion end-to-end: write the deterministic store (once),
     // scan it chunk-parallel, emit the long-form cell table. The oracle
@@ -472,6 +659,17 @@ object Zarr {
       s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanZarr(s, fixtureDir())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // Zarr v3 (zarr-python 3 default): zarr.json metadata, default
+    // c/ci/cj chunk keys, [bytes(big-endian), gzip] codec chain over
+    // int32 — the SAME oracle as scan_zarr gates the v3 path end to end
+    "scan_zarr_v3" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarr(s, fixture3Dir())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

@@ -134,10 +134,73 @@ class ZarrSpec extends SparkSuite {
     assert(msgs(intercept[Throwable](
       Zarr.scanZarr(spark, noFill).count())).contains("fill_value"))
 
-    // a v3 store (zarr.json, no .zarray) names the version boundary
-    val v3 = tmpDir("v3")
-    putText(v3, "zarr.json", """{"zarr_format": 3}""")
-    assert(msgs(intercept[Throwable](Zarr.readMeta(v3.getPath))).contains("v2"))
+    // a v3 GROUP document has no chunks — named refusal, not a misread
+    val v3g = tmpDir("v3group")
+    putText(v3g, "zarr.json", """{"zarr_format": 3, "node_type": "group"}""")
+    assert(msgs(intercept[Throwable](Zarr.readMeta(v3g.getPath))).contains("node_type"))
+
+    // v3 sharding/transpose codec chains are refused by name
+    val v3s = tmpDir("v3shard")
+    putText(v3s, "zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [4, 4],
+        |"data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
+        |"fill_value": 0,
+        |"codecs": [{"name": "sharding_indexed", "configuration": {}}]}""".stripMargin)
+    assert(msgs(intercept[Throwable](Zarr.readMeta(v3s.getPath))).contains("sharding"))
+  }
+
+  test("hand-built Zarr v3 store: default keys, gzip chain, v2 key encoding") {
+    // 5x4 of 3x3 int32 chunks under c/ci/cj, big-endian + gzip;
+    // chunk (1,1) absent -> fill 7
+    val d = tmpDir("v3hand")
+    putText(d, "zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [5, 4],
+        |"data_type": "int32",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [3, 3]}},
+        |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        |"fill_value": 7,
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "big"}},
+        |           {"name": "gzip", "configuration": {"level": 6}}]}""".stripMargin)
+    def chunk(ci: Int, cj: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(9 * 4).order(java.nio.ByteOrder.BIG_ENDIAN)
+      for (rr <- 0 until 3; cc <- 0 until 3) {
+        val y = ci * 3 + rr; val x = cj * 3 + cc
+        b.putInt(if (y < 5 && x < 4) 100 * y + x else -1)
+      }
+      graft.zonal.TiffCodec.deflate(b.array())
+    }
+    put(d, "c/0/0", chunk(0, 0))
+    put(d, "c/0/1", chunk(0, 1))
+    put(d, "c/1/0", chunk(1, 0))
+    val got = Zarr.scanZarr(spark, d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 20)
+    for (y <- 0 until 5; x <- 0 until 4) {
+      val want = if (y >= 3 && x >= 3) 7.0 else (100 * y + x).toDouble
+      assert(got((x, y)) == want, s"cell ($x,$y): got ${got((x, y))}")
+    }
+    // v2 chunk-key encoding inside a v3 document: flat ci.cj names
+    val d2 = tmpDir("v3v2keys")
+    putText(d2, "zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 2],
+        |"data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
+        |"chunk_key_encoding": {"name": "v2", "configuration": {"separator": "."}},
+        |"fill_value": 0,
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin)
+    val b2 = java.nio.ByteBuffer.allocate(4 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(1.0, 2.0, 3.0, 4.0).foreach(b2.putDouble)
+    put(d2, "0.0", b2.array())
+    val got2 = Zarr.scanZarr(spark, d2.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got2 == Map((0, 0) -> 1.0, (1, 0) -> 2.0, (0, 1) -> 3.0, (1, 1) -> 4.0))
+    // registry twin: the v3 fixture replays the same formula
+    val cells = q("scan_zarr_v3")
+    assert(cells.count() == 80L * 70L)
+    val bad = cells.filter(
+      col("value") =!= (col("cell_x") * 29 + col("cell_y") * 13) % 991).count()
+    assert(bad == 0, s"$bad cells off-formula")
   }
 
   test("window scan prunes the chunk manifest before any byte is read") {
