@@ -324,6 +324,36 @@ object Netcdf {
       .drop("epoch")
   }
 
+  /** Window query over a rank-2 variable. NetCDF stores rows
+    * contiguously full-width, so the Y-window prunes BYTES (stripes
+    * outside [y0, y1] are never read — the manifest starts at y0), and
+    * the X-window is necessarily a residual filter over decoded cells —
+    * that asymmetry is the format's layout, stated rather than hidden
+    * (an x-prunable cube is what Zarr chunking is for).
+    */
+  def scanNetcdfWindow(s: SparkSession, path: String, varName: String,
+      x0: Int, x1: Int, y0: Int, y1: Int): DataFrame = {
+    val m = readMeta(path)
+    val v = m.variable(varName)
+    require(v.dimIds.length == 2, s"$path: ${v.name} rank ${v.dimIds.length}, want 2")
+    require(v.ncType != NcChar, s"$path: char data variable ${v.name} unsupported")
+    val h = m.dims(v.dimIds(0)).length
+    val w = m.dims(v.dimIds(1)).length
+    require(h > 0 && w > 0, s"$path: ${v.name} must be on fixed dims")
+    val yLo = math.max(0, y0)
+    val yHi = math.min(h - 1, y1)
+    val elem = elemSize(v.ncType)
+    val rows = stripeRows(w, v.ncType, s.sparkContext.defaultParallelism, yHi - yLo + 1)
+    val refs = (yLo to yHi by rows).map { ys =>
+      val n = math.min(rows, yHi - ys + 1)
+      StripeRef(path, v.begin + ys.toLong * w * elem, ys, n, w,
+        v.ncType, 0, 0.0, hasFill = false)
+    }
+    scanStripes(s, refs)
+      .drop("epoch")
+      .filter(col("cell_x").between(x0, x1))
+  }
+
   /** Rank-3 `(t, y, x)` scan — the NetCDF time-series cube story. `t`
     * may be the record (UNLIMITED) dimension (slabs interleaved per
     * record at `recSize` stride, including the one-record-variable
@@ -472,6 +502,42 @@ object Netcdf {
     java.nio.file.Files.write(out.toPath, bo.toByteArray)
   }
 
+  /** Minimal classic header for a bare 2-D double variable (the sink's
+    * driver-side few hundred bytes): dims `(y, x)`, no attributes, no
+    * coordinate variables. The variable's `begin` is the header length
+    * itself — serialized with a placeholder and patched, since `begin`
+    * is the header's final field.
+    */
+  private[zonal] def headerBytes2D(varName: String, height: Int, width: Int,
+      ncType: Int): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bo)
+    def wname(s: String): Unit = {
+      o.writeInt(s.length); o.writeBytes(s)
+      val r = s.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
+    }
+    o.writeBytes("CDF"); o.writeByte(1)
+    o.writeInt(0)
+    o.writeInt(0x0A); o.writeInt(2)
+    wname("y"); o.writeInt(height)
+    wname("x"); o.writeInt(width)
+    o.writeInt(0); o.writeInt(0)
+    o.writeInt(0x0B); o.writeInt(1)
+    wname(varName)
+    o.writeInt(2); o.writeInt(0); o.writeInt(1)
+    o.writeInt(0); o.writeInt(0)
+    o.writeInt(ncType)
+    o.writeInt(((height.toLong * width * elemSize(ncType) + 3) / 4 * 4).toInt)
+    o.writeInt(0) // begin placeholder — patched below
+    val b = bo.toByteArray
+    val begin = b.length
+    b(b.length - 4) = (begin >> 24).toByte
+    b(b.length - 3) = (begin >> 16).toByte
+    b(b.length - 2) = (begin >> 8).toByte
+    b(b.length - 1) = begin.toByte
+    b
+  }
+
   // ---- fixtures + registry ----
 
   /** Fixture grid: 80×70 float64 `t2m`, value = (23x + 19y) mod 983 —
@@ -550,6 +616,78 @@ object Netcdf {
       scanNetcdfEpochs(s, epochsFixturePath(), "t2m")
         .select(col("cell_x"), col("cell_y"), col("epoch"), col("value"))
         .orderBy("cell_x", "cell_y", "epoch")
+    },
+
+    // Y-window pruning: stripes outside [y0, y1] are never read (the
+    // manifest starts at y0); the X-window is a residual filter by the
+    // format's row-major layout — stated, not hidden
+    "scan_netcdf_window" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($NcCellsSql)
+         |WHERE cell_x BETWEEN 10 AND 50 AND cell_y BETWEEN 8 AND 40
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdfWindow(s, fixturePath(), "t2m", 10, 50, 8, 40)
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // the WRITE direction, distributed: per-cell aggregates stripe up
+    // via ONE groupByKey — each executor task encodes exactly its own
+    // row-stripe slab (big-endian, the same bytes the reader decodes)
+    // into a part file; the driver writes only the tiny header and
+    // STREAMS the slabs into the single .nc in stripe order (bounded
+    // copy buffer — single-file containers concatenate, they are not
+    // built in memory). Read back through the real scanner and
+    // aggregated per stripe: the oracle computes the same stats from
+    // the source cells, so the gate covers the full write→read trip.
+    "sink_netcdf" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_y // 16 AS stripe,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |GROUP BY stripe ORDER BY stripe""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/nc_sink"
+      graft.core.Fs.rmTree(dir)
+      new java.io.File(dir, "parts").mkdirs()
+      val cs = 16
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      percell
+        .groupByKey(r => r.getLong(1) / cs)
+        .mapGroups { (si: Long, rows: Iterator[org.apache.spark.sql.Row]) =>
+          val y0 = si.toInt * cs
+          val n = math.min(cs, h - y0)
+          val slab = java.nio.ByteBuffer.allocate(n * w * 8)
+            .order(java.nio.ByteOrder.BIG_ENDIAN)
+          rows.foreach { r =>
+            val x = r.getLong(0).toInt
+            val y = r.getLong(1).toInt
+            slab.putDouble(((y - y0) * w + x) * 8, r.getDouble(2))
+          }
+          java.nio.file.Files.write(
+            new java.io.File(dir, f"parts/stripe_$si%05d.bin").toPath, slab.array())
+          si
+        }
+        .collect() // manifest only: one row per stripe part
+      // driver: header + ordered stream concat (empty stripes → zeros)
+      val out = new java.io.FileOutputStream(new java.io.File(dir, "sink.nc"))
+      try {
+        out.write(headerBytes2D("v", h, w, NcDouble))
+        for (si <- 0 until (h + cs - 1) / cs) {
+          val part = new java.io.File(dir, f"parts/stripe_$si%05d.bin")
+          if (part.exists()) java.nio.file.Files.copy(part.toPath, out)
+          else out.write(new Array[Byte](math.min(cs, h - si * cs) * w * 8))
+        }
+      } finally out.close()
+      scanNetcdf(s, s"$dir/sink.nc", "v")
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_y div $cs AS BIGINT)").as("stripe"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("stripe")
     },
 
     // the end-use: zonal statistics straight over a NetCDF cube — the

@@ -171,6 +171,27 @@ class NetcdfSpec extends SparkSuite {
     assert(got(0).getDouble(2) == Netcdf.ncValue(79, 69))
   }
 
+  test("window scan reads no bytes outside the y-window") {
+    val p = tmpFile("win.nc")
+    Netcdf.writeNetcdf(p, "v", 20, 4, 6, coordVars = false)(
+      (x, y, _) => (x + 10 * y).toDouble)
+    val m = Netcdf.readMeta(p)
+    val begin = m.variable("v").begin
+    // truncate the file after row 9: rows 10..19 are GONE, so any read
+    // past the window would throw — the pruned scan must not notice
+    val full = java.nio.file.Files.readAllBytes(new java.io.File(p).toPath)
+    val p2 = tmpFile("win_cut.nc")
+    java.nio.file.Files.write(new java.io.File(p2).toPath,
+      full.take(begin.toInt + 10 * 4 * 8))
+    val got = Netcdf.scanNetcdfWindow(spark, p2, "v", 1, 2, 3, 9).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 2 * 7, s"${got.size} cells")
+    for (y <- 3 to 9; x <- 1 to 2)
+      assert(got((x, y)) == (x + 10 * y).toDouble, s"cell ($x,$y)")
+    // the unpruned scan DOES need those bytes — truncation is loud
+    intercept[Throwable] { Netcdf.scanNetcdf(spark, p2, "v").collect() }
+  }
+
   test("header growth: a header larger than the first read parses fine") {
     val p = tmpFile("big_header.nc")
     // ~12 KB of attribute padding via many coord-style vars is overkill;
