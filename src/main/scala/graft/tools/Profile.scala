@@ -76,6 +76,13 @@ object Profile {
       // warm — at/below the r9 bench numbers (2.21/3.87) and well under
       // the r10 ones (4.05/5.00). No plan change existed; VERDICT:
       // ambient bench-order drift, not a regression. No code change.
+      // dedup_ngram_jaccard r10→r11 +1.4 s (bench 3.03 → 4.44; solo
+      // RunOne warm 4.4-4.6 s): no plan change — candidates are still
+      // the banded-MinHash bucket join, verify the codegen sorted-merge
+      // (PlanShapeSpec pins the shape), and zonal_median moved 5.0 →
+      // 2.0 in the SAME r11 bench. VERDICT: inside the documented
+      // ±30-40% ambient band (BASELINE.md r8). Watch next round; a
+      // third consecutive rise would make it real.
     }
     spark.stop()
   }

@@ -479,6 +479,44 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("cube scans (Zarr/NetCDF/JPEG-TIFF): manifest repartition is the only shuffle") {
+    Seq("scan_zarr", "scan_zarr_v3", "scan_netcdf", "scan_netcdf_window",
+        "scan_raster_jpeg").foreach { n =>
+      val df = q(n)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"$n grew a join:\n${p.take(2000)}")
+      val exchanges = "Exchange [a-z]+".r.findAllIn(p).toList.map(_.stripPrefix("Exchange "))
+      assert(exchanges.count(_ == "roundrobin") <= 1
+        && exchanges.forall(e => e == "roundrobin" || e == "rangepartitioning"),
+        s"$n has unexpected exchanges $exchanges:\n${p.take(3000)}")
+    }
+  }
+
+  test("reprojection: pure map-side projection, degree-zone join broadcasts") {
+    // the Krüger inverse must not add any exchange beyond the manifest
+    // repartition + the dump's range sort — at 100 TB the cell side of
+    // a reprojection NEVER shuffles
+    Seq("raster_reproject_wgs84", "raster_reproject_utm").foreach { n =>
+      val df = q(n)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"$n grew a join:\n${p.take(2000)}")
+      val exchanges = "Exchange [a-z]+".r.findAllIn(p).toList.map(_.stripPrefix("Exchange "))
+      assert(exchanges.forall(e => e == "roundrobin" || e == "rangepartitioning"),
+        s"$n has unexpected exchanges $exchanges")
+    }
+    // degree-space zonal: zones broadcast, cells stay put
+    Seq("zonal_raster_wgs84", "zonal_raster_utm").foreach { n =>
+      val df = q(n)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+        s"$n zone join is not broadcast:\n${p.take(2000)}")
+      assert(!p.contains("SortMergeJoin"), s"$n shuffled the cell side")
+    }
+  }
+
   test("z-ordered store: the spatial window's bucket list reaches PartitionFilters") {
     q("sink_zorder").collect() // ensure a store exists
     val w = q("scan_zorder_window")
