@@ -690,6 +690,67 @@ object Netcdf {
         .orderBy("stripe")
     },
 
+    // per-cell OLS trend across the epoch stack — the xarray polyfit
+    // workload (NDVI trend maps): ONE hash agg keyed by cell, the
+    // closed-form slope (n·Σtv − Σt·Σv)/(n·Σt² − (Σt)²) evaluated in
+    // DOUBLE with identical arithmetic on both engines (t and v are
+    // exact integers here, so the single division is the only float op)
+    "raster_epoch_trend" -> Q(
+      s"""WITH cells AS (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,
+         |    CAST((23 * x.range + 19 * y.range + 31 * t.range) % 983 AS DOUBLE) AS value
+         |  FROM range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |    CROSS JOIN range(0, $NcEpochs) t)
+         |SELECT cell_x, cell_y,
+         |  round((count(*) * sum(CAST(epoch AS DOUBLE) * value)
+         |         - sum(CAST(epoch AS DOUBLE)) * sum(value))
+         |        / (count(*) * sum(CAST(epoch AS DOUBLE) * CAST(epoch AS DOUBLE))
+         |           - sum(CAST(epoch AS DOUBLE)) * sum(CAST(epoch AS DOUBLE))), 6) AS slope
+         |FROM cells GROUP BY cell_x, cell_y
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val te = col("epoch").cast("double")
+      scanNetcdfEpochs(s, epochsFixturePath(), "t2m")
+        .groupBy(col("cell_x"), col("cell_y"))
+        .agg(round(
+          (count(lit(1)) * sum(te * col("value")) - sum(te) * sum(col("value")))
+            / (count(lit(1)) * sum(te * te) - sum(te) * sum(te)), 6).as("slope"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // per-zone trend of the zonal MEAN across epochs — the reporting
+    // face of the same workload: rasterize once (epoch rides along),
+    // per-(zone, epoch) mean, then the 3-point slope per zone
+    "zonal_epoch_trend" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), cells AS (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,
+         |    CAST((23 * x.range + 19 * y.range + 31 * t.range) % 983 AS DOUBLE) AS value
+         |  FROM range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |    CROSS JOIN range(0, $NcEpochs) t
+         |), zem AS (
+         |  SELECT zone_id, CAST(epoch AS DOUBLE) AS e,
+         |    sum(value) / count(*) AS mean_v
+         |  ${Cube.RasterizeJoinSql}
+         |  GROUP BY zone_id, epoch)
+         |SELECT zone_id,
+         |  round((count(*) * sum(e * mean_v) - sum(e) * sum(mean_v))
+         |        / (count(*) * sum(e * e) - sum(e) * sum(e)), 6) AS slope
+         |FROM zem GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+      val zem = Cube.rasterize(scanNetcdfEpochs(s, epochsFixturePath(), "t2m"),
+          Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("epoch"))
+        .agg((sum(col("value")) / count(lit(1))).as("mean_v"))
+        .withColumn("e", col("epoch").cast("double"))
+      zem.groupBy(col("zone_id"))
+        .agg(round(
+          (count(lit(1)) * sum(col("e") * col("mean_v"))
+            - sum(col("e")) * sum(col("mean_v")))
+            / (count(lit(1)) * sum(col("e") * col("e"))
+              - sum(col("e")) * sum(col("e"))), 6).as("slope"))
+        .orderBy("zone_id")
+    },
+
     // the end-use: zonal statistics straight over a NetCDF cube — the
     // xarray-style per-zone reduction with no conversion step; stripe
     // scan feeds the shared broadcast rasterize + ONE hash agg
