@@ -717,6 +717,30 @@ object Netcdf {
         .orderBy("cell_x", "cell_y")
     },
 
+    // per-cell ANOMALY from the cell's across-epoch mean — the
+    // climatology workload (value_t − climatology per pixel): one
+    // unordered window over the cell partition, no sort, no join; the
+    // mean's single division is the only float op and is spelled
+    // identically on both engines
+    "raster_epoch_anomaly" -> Q(
+      s"""WITH cells AS (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,
+         |    CAST((23 * x.range + 19 * y.range + 31 * t.range) % 983 AS DOUBLE) AS value
+         |  FROM range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |    CROSS JOIN range(0, $NcEpochs) t)
+         |SELECT cell_x, cell_y, epoch,
+         |  round(value - sum(value) OVER (PARTITION BY cell_x, cell_y)
+         |                / count(*) OVER (PARTITION BY cell_x, cell_y), 6) AS anomaly
+         |FROM cells
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cell_x", "cell_y")
+      scanNetcdfEpochs(s, epochsFixturePath(), "t2m")
+        .select(col("cell_x"), col("cell_y"), col("epoch"),
+          round(col("value") - sum(col("value")).over(w) / count(lit(1)).over(w), 6)
+            .as("anomaly"))
+        .orderBy("cell_x", "cell_y", "epoch")
+    },
+
     // per-zone trend of the zonal MEAN across epochs — the reporting
     // face of the same workload: rasterize once (epoch rides along),
     // per-(zone, epoch) mean, then the 3-point slope per zone

@@ -127,6 +127,31 @@ object Reproject {
           min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
           min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"))
         .orderBy("zone_id")
+    },
+
+    // GEODESIC zone area (km²) on the sphere — area-weighted reporting
+    // needs world-unit areas, and a lat-lon rectangle's spherical area
+    // is closed-form: R²·Δλ·(sin φ₂ − sin φ₁). The SAME SQL runs on
+    // both engines over the shared degree-envelope zone table (mean
+    // Earth radius R = 6371008.8 m, the IUGG value)
+    "zonal_geodesic_area" -> Q(
+      s"""WITH zones AS (
+         |$Wgs84ZonesSql
+         |)
+         |SELECT zone_id,
+         |  round(CAST(6371008.8 AS DOUBLE) * CAST(6371008.8 AS DOUBLE)
+         |        * radians(CAST(lonmax AS DOUBLE) - CAST(lonmin AS DOUBLE))
+         |        * (sin(radians(CAST(latmax AS DOUBLE))) - sin(radians(CAST(latmin AS DOUBLE))))
+         |        / CAST(1000000.0 AS DOUBLE), 6) AS area_km2
+         |FROM zones ORDER BY zone_id""".stripMargin) { (s, d) =>
+      wgs84Zones(s, d)
+        .select(col("zone_id"),
+          round(lit(6371008.8) * lit(6371008.8)
+            * radians(col("lonmax").cast("double") - col("lonmin").cast("double"))
+            * (sin(radians(col("latmax").cast("double")))
+              - sin(radians(col("latmin").cast("double"))))
+            / lit(1000000.0), 6).as("area_km2"))
+        .orderBy("zone_id")
     }
   )
 }
