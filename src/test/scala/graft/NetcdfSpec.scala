@@ -87,6 +87,37 @@ class NetcdfSpec extends SparkSuite {
         s"cell ($x,$y,$t)")
   }
 
+  test("rank-3 FIXED leading dimension scans as contiguous slabs") {
+    // hand-assembled: dims t=2, y=3, x=2 all fixed — epoch slabs are
+    // contiguous (no record machinery), value = 100t + 10y + x
+    val p = tmpFile("fixed3d.nc")
+    val bo = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bo)
+    o.writeBytes("CDF"); o.writeByte(1)
+    o.writeInt(0)
+    o.writeInt(0x0A); o.writeInt(3)
+    o.writeInt(1); o.writeBytes("t"); o.write(new Array[Byte](3)); o.writeInt(2)
+    o.writeInt(1); o.writeBytes("y"); o.write(new Array[Byte](3)); o.writeInt(3)
+    o.writeInt(1); o.writeBytes("x"); o.write(new Array[Byte](3)); o.writeInt(2)
+    o.writeInt(0); o.writeInt(0)
+    o.writeInt(0x0B); o.writeInt(1)
+    o.writeInt(1); o.writeBytes("v"); o.write(new Array[Byte](3))
+    o.writeInt(3); o.writeInt(0); o.writeInt(1); o.writeInt(2)
+    o.writeInt(0); o.writeInt(0)
+    o.writeInt(6) // NC_DOUBLE
+    o.writeInt(2 * 3 * 2 * 8)
+    val begin = bo.size + 4
+    o.writeInt(begin)
+    for (t <- 0 until 2; y <- 0 until 3; x <- 0 until 2)
+      o.writeDouble(100 * t + 10 * y + x)
+    java.nio.file.Files.write(new java.io.File(p).toPath, bo.toByteArray)
+    val got = Netcdf.scanNetcdfEpochs(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 12)
+    for (t <- 0 until 2; y <- 0 until 3; x <- 0 until 2)
+      assert(got((x, y, t)) == (100 * t + 10 * y + x).toDouble, s"($x,$y,$t)")
+  }
+
   test("_FillValue masking drops exactly the fill cells") {
     val p = tmpFile("fill.nc")
     Netcdf.writeNetcdf(p, "v", 6, 6, 3, fill = Some(-7.0))(
