@@ -136,6 +136,44 @@ object Text {
         .orderBy("doc_id")
     },
 
+    // MODEL-BASED quality scoring (the fasttext-shape linear filter
+    // every production corpus pipeline runs after the heuristics —
+    // CCNet/GPT-3-style): hashed bigram features (poly_hash → D=4096
+    // buckets), a deterministic weight per bucket (multiplicative
+    // Knuth hash of the bucket id — a stand-in weight table with the
+    // same execution shape as a trained one: at scale the weights
+    // would broadcast as a 4096-float map), mean feature weight per
+    // doc, logistic link. Plan: one explode + ONE hash agg with
+    // map-side partials; everything stays exact INTEGER until the two
+    // final float ops (one division, one exp), so both engines agree
+    // bit-for-bit. Score is sigmoid(10·(mean/1000003 − 0.5)).
+    "text_quality_model" -> Q(
+      s"""WITH feats AS (
+         |  SELECT doc_id,
+         |    ((${graft.llm.Dedup.polyHashSql("bg")} % 4096) * 2654435761) % 1000003 AS wnum
+         |  FROM (
+         |    SELECT doc_id, unnest(list_transform(generate_series(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i + 1])) AS bg
+         |    FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+         |    WHERE len(t) >= 2))
+         |SELECT doc_id, count(*) AS n_feats,
+         |  round(1.0 / (1.0 + exp(-10.0 * (CAST(sum(wnum) AS DOUBLE) / count(*) / 1000003.0 - 0.5))), 6) AS score
+         |FROM feats GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+      graft.ext.Ext.register(s)
+      Tables.documents(s, d)
+        .withColumn("t", split(lower(col("text")), " "))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bg"))
+        .withColumn("wnum", expr("((poly_hash(bg) % 4096) * 2654435761L) % 1000003"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_feats"),
+          round(lit(1.0) / (lit(1.0) + exp(lit(-10.0)
+            * (sum(col("wnum")).cast("double") / count(lit(1)) / lit(1000003.0) - lit(0.5)))), 6)
+            .as("score"))
+        .orderBy("doc_id")
+    },
+
     // Gopher-style repetition filters (Rae et al. 2021, §A1.1): flag
     // templated/boilerplate docs by (a) the character fraction covered
     // by the single most frequent word 2-gram and (b) the fraction of
