@@ -407,6 +407,26 @@ object Jpeg {
     }
   }
 
+  private def writeMarker(o: java.io.ByteArrayOutputStream, m: Int): Unit = {
+    o.write(0xff); o.write(m)
+  }
+  private def writeSeg(o: java.io.ByteArrayOutputStream, m: Int, body: Array[Int]): Unit = {
+    writeMarker(o, m)
+    val len = body.length + 2
+    o.write(len >> 8); o.write(len & 0xff)
+    body.foreach(o.write)
+  }
+  /** The DQT + DHT segments — ONE source for both the self-contained
+    * encoder and [[tablesStream]], so the JPEGTables tag can never
+    * desynchronize from the per-tile streams.
+    */
+  private def writeTableSegs(o: java.io.ByteArrayOutputStream,
+      quantZigzag: Array[Int]): Unit = {
+    writeSeg(o, 0xdb, Array(0x00) ++ quantZigzag) // DQT: Pq=0, Tq=0
+    writeSeg(o, 0xc4, Array(0x00) ++ DcBits.drop(1) ++ DcVals) // DHT DC 0
+    writeSeg(o, 0xc4, Array(0x10) ++ AcBits.drop(1) ++ AcVals) // DHT AC 0
+  }
+
   /** Encode a grayscale image as a self-contained baseline stream with
     * the Annex K Huffman tables and `quant` (natural order). Lossy in
     * general; EXACT for block-constant input under [[FixtureQuant]].
@@ -416,19 +436,10 @@ object Jpeg {
       includeTables: Boolean = true): Array[Byte] = {
     require(samples.length == w * h, s"${samples.length} samples for ${w}x$h")
     val o = new java.io.ByteArrayOutputStream()
-    def marker(m: Int): Unit = { o.write(0xff); o.write(m) }
-    def seg(m: Int, body: Array[Int]): Unit = {
-      marker(m)
-      val len = body.length + 2
-      o.write(len >> 8); o.write(len & 0xff)
-      body.foreach(o.write)
-    }
+    def marker(m: Int): Unit = writeMarker(o, m)
+    def seg(m: Int, body: Array[Int]): Unit = writeSeg(o, m, body)
     marker(0xd8) // SOI
-    if (includeTables) { // abbreviated streams rely on a JPEGTables twin
-      seg(0xdb, Array(0x00) ++ quantZigzag) // DQT: Pq=0, Tq=0
-      seg(0xc4, Array(0x00) ++ DcBits.drop(1) ++ DcVals) // DHT DC 0
-      seg(0xc4, Array(0x10) ++ AcBits.drop(1) ++ AcVals) // DHT AC 0
-    }
+    if (includeTables) writeTableSegs(o, quantZigzag) // else: JPEGTables twin
     seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0)) // SOF0
     seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
     val dcEnc = buildEncodeTable(DcBits, DcVals)
@@ -487,18 +498,9 @@ object Jpeg {
     */
   def tablesStream(quantZigzag: Array[Int] = FixtureQuant): Array[Byte] = {
     val o = new java.io.ByteArrayOutputStream()
-    def marker(m: Int): Unit = { o.write(0xff); o.write(m) }
-    def seg(m: Int, body: Array[Int]): Unit = {
-      marker(m)
-      val len = body.length + 2
-      o.write(len >> 8); o.write(len & 0xff)
-      body.foreach(o.write)
-    }
-    marker(0xd8)
-    seg(0xdb, Array(0x00) ++ quantZigzag)
-    seg(0xc4, Array(0x00) ++ DcBits.drop(1) ++ DcVals)
-    seg(0xc4, Array(0x10) ++ AcBits.drop(1) ++ AcVals)
-    marker(0xd9)
+    writeMarker(o, 0xd8)
+    writeTableSegs(o, quantZigzag)
+    writeMarker(o, 0xd9)
     o.toByteArray
   }
 }

@@ -190,16 +190,22 @@ object Netcdf {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = hadoopFs(p)
     val fileLen = fs.getFileStatus(p).getLen
-    var want = math.min(fileLen, 8192L).toInt
+    // the growth cap bounds driver memory AND keeps `want` a valid Int
+    // on multi-GB files: a header that large is corrupt, not real
+    val cap = math.min(fileLen, 1L << 30)
+    var want = math.min(cap, 8192L).toInt
     var meta: NcMeta = null
     while (meta == null) {
       val in = fs.open(p)
       val b = try { val a = new Array[Byte](want); in.readFully(0, a); a } finally in.close()
       try meta = parseHeader(path, b)
       catch {
-        case _: ArrayIndexOutOfBoundsException | _: IndexOutOfBoundsException
-            if want < fileLen =>
-          want = math.min(fileLen, want * 4L).toInt
+        case e @ (_: ArrayIndexOutOfBoundsException | _: IndexOutOfBoundsException) =>
+          val next = math.min(cap, want * 4L).toInt
+          if (next <= want) throw new IllegalArgumentException(
+            s"$path: header parse ran past $want bytes — corrupt or " +
+              "unsupported header", e)
+          want = next
       }
     }
     meta
@@ -291,7 +297,11 @@ object Netcdf {
       }
       (cc, r.y0 + rr, r.epoch, v)
     }
-    if (r.hasFill) out.filter(_._4 != r.fill) else out
+    // NaN is a common CF fill (xarray default for floats): NaN != NaN
+    // would make the equality filter a silent no-op
+    if (!r.hasFill) out
+    else if (r.fill.isNaN) out.filter(t => !t._4.isNaN)
+    else out.filter(_._4 != r.fill)
   }
 
   private def scanStripes(s: SparkSession, refs: Seq[StripeRef]): DataFrame = {

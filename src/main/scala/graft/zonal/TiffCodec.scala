@@ -58,6 +58,36 @@ object TiffCodec {
     } finally inf.end()
   }
 
+  // ---- gzip (RFC 1952 frames — the Zarr v3 `gzip` codec: zarr-python
+  // GzipCodec writes full gzip members, NOT raw zlib; conflating the
+  // two reads zero real stores). Same exact-length contract. ----
+
+  def gzipCompress(data: Array[Byte]): Array[Byte] = {
+    val bo = new java.io.ByteArrayOutputStream(math.max(64, data.length / 2))
+    val gz = new java.util.zip.GZIPOutputStream(bo)
+    gz.write(data); gz.close()
+    bo.toByteArray
+  }
+
+  def gzipDecompress(data: Array[Byte], expectedLen: Int): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(data))
+    try {
+      val out = new Array[Byte](expectedLen)
+      var off = 0
+      var n = if (expectedLen == 0) 0 else in.read(out, 0, expectedLen)
+      while (n > 0) {
+        off += n
+        n = if (off < expectedLen) in.read(out, off, expectedLen - off) else 0
+      }
+      require(off == expectedLen,
+        s"gzip chunk decoded $off of expected $expectedLen bytes (truncated/corrupt)")
+      require(in.read() < 0,
+        s"gzip chunk stream decodes past expected $expectedLen bytes (corrupt)")
+      out
+    } finally in.close()
+  }
+
   // ---- ZSTD (Compression=50000, the GDAL registration — what
   // `gdal_translate -co COMPRESS=ZSTD` writes; round 7). zstd-jni ships
   // on every Spark classpath (Spark's own shuffle/parquet codecs), so

@@ -63,9 +63,17 @@ object Utm {
   private def pow3: Double = n * n * n
   private def pow4: Double = n * n * n * n
 
-  /** Scala twin, inverse: (E, N, λ₀ deg) → (lon, lat) degrees, unrounded. */
-  def inverse(e: Double, nn: Double, lon0Deg: Double): (Double, Double) = {
-    val xi = nn / kA
+  /** Southern-hemisphere (EPSG:327xx) false northing: 10,000,000 m.
+    * The hemisphere is a CRS property, not recoverable from the file —
+    * the caller states it, exactly as the EPSG code does.
+    */
+  val SouthFalseNorthing = 10000000.0
+
+  /** Scala twin, inverse: (E, N, λ₀ deg) → (lon, lat) degrees,
+    * unrounded. `fn` = false northing (0 north / 1e7 south).
+    */
+  def inverse(e: Double, nn: Double, lon0Deg: Double, fn: Double = 0.0): (Double, Double) = {
+    val xi = (nn - fn) / kA
     val eta = (e - FalseEasting) / kA
     val xi2 = xi - (b1 * math.sin(2 * xi) * math.cosh(2 * eta)
       + b2 * math.sin(4 * xi) * math.cosh(4 * eta)
@@ -85,7 +93,8 @@ object Utm {
   /** Scala twin, forward: (lon, lat) degrees → (E, N); the round-trip
     * gate for the inverse series (UtmSpec: sub-mm closure).
     */
-  def forward(lonDeg: Double, latDeg: Double, lon0Deg: Double): (Double, Double) = {
+  def forward(lonDeg: Double, latDeg: Double, lon0Deg: Double,
+      fn: Double = 0.0): (Double, Double) = {
     val e2 = math.sqrt(f * (2 - f))
     val phi = math.toRadians(latDeg)
     val lam = math.toRadians(lonDeg - lon0Deg)
@@ -101,7 +110,7 @@ object Utm {
       a2 * math.cos(4 * xi1) * math.sinh(4 * eta1) +
       a3 * math.cos(6 * xi1) * math.sinh(6 * eta1) +
       a4 * math.cos(8 * xi1) * math.sinh(8 * eta1)
-    (FalseEasting + kA * eta, kA * xi)
+    (FalseEasting + kA * eta, fn + kA * xi)
   }
 
   // ---- the shared SQL spelling ----
@@ -114,14 +123,14 @@ object Utm {
   private def sh(t: String): String = s"((exp($t) - exp(-($t))) / 2)"
   private def ch(t: String): String = s"((exp($t) + exp(-($t))) / 2)"
 
-  /** The Krüger inverse as one shared SQL text over a derived table
-    * `cellsSql` providing `(cell_x, cell_y, value, e_utm, n_utm)` —
-    * easting/northing cell centers as DOUBLE. Both engines run this
-    * exact string; only the innermost FROM differs (Spark scans the
-    * TIFF, DuckDB replays the fixture formula), and those cells are
-    * exact integers either way.
+  /** The Krüger inverse as per-level projection expression lists —
+    * the SINGLE source of the arithmetic, consumed both by
+    * [[inverseSql]] (the nested-SELECT oracle text) and by
+    * [[applyInverse]] (the view-free Spark `selectExpr` chain). The
+    * strings are identical, so both engines parse the exact same
+    * expression trees. `fn` = false northing (0 north / 1e7 south).
     */
-  def inverseSql(cellsSql: String, lon0Deg: Int): String = {
+  private def levelExprs(lon0Deg: Int, fn: Long): Seq[Seq[String]] = {
     val beta = Seq(b1, b2, b3, b4).zipWithIndex.map { case (b, i) =>
       val j = 2 * (i + 1)
       (s"${dlit(b)} * sin($j * xi) * ${ch(s"$j * eta")}",
@@ -130,38 +139,62 @@ object Utm {
     val delta = Seq(d1, d2, d3, d4).zipWithIndex.map { case (d, i) =>
       s"${dlit(d)} * sin(${2 * (i + 1)} * chi)"
     }
-    s"""SELECT cell_x, cell_y, value,
-       |  round($lon0Deg + degrees(atan2(${sh("eta2")}, cos(xi2))), 6) AS lon,
-       |  round(degrees(chi + ${delta.mkString(" + ")}), 6) AS lat
-       |FROM (
-       |  SELECT cell_x, cell_y, value, xi2, eta2,
-       |    asin(sin(xi2) / ${ch("eta2")}) AS chi
-       |  FROM (
-       |    SELECT cell_x, cell_y, value,
-       |      xi - (${beta.map(_._1).mkString(" + ")}) AS xi2,
-       |      eta - (${beta.map(_._2).mkString(" + ")}) AS eta2
-       |    FROM (
-       |      SELECT cell_x, cell_y, value,
-       |        n_utm / ${dlit(kA)} AS xi,
-       |        (e_utm - ${dlit(FalseEasting)}) / ${dlit(kA)} AS eta
-       |      FROM ($cellsSql) utm_l0) utm_l1) utm_l2) utm_l3""".stripMargin
+    Seq(
+      Seq("cell_x", "cell_y", "value",
+        s"(n_utm - CAST($fn AS DOUBLE)) / ${dlit(kA)} AS xi",
+        s"(e_utm - ${dlit(FalseEasting)}) / ${dlit(kA)} AS eta"),
+      Seq("cell_x", "cell_y", "value",
+        s"xi - (${beta.map(_._1).mkString(" + ")}) AS xi2",
+        s"eta - (${beta.map(_._2).mkString(" + ")}) AS eta2"),
+      Seq("cell_x", "cell_y", "value", "xi2", "eta2",
+        s"asin(sin(xi2) / ${ch("eta2")}) AS chi"),
+      Seq("cell_x", "cell_y", "value",
+        s"round($lon0Deg + degrees(atan2(${sh("eta2")}, cos(xi2))), 6) AS lon",
+        s"round(degrees(chi + ${delta.mkString(" + ")}), 6) AS lat"))
   }
+
+  /** The Krüger inverse as one shared SQL text over a derived table
+    * `cellsSql` providing `(cell_x, cell_y, value, e_utm, n_utm)` —
+    * easting/northing cell centers as DOUBLE. The oracle runs this
+    * exact string; the Spark side runs [[applyInverse]] built from the
+    * SAME expression strings.
+    */
+  def inverseSql(cellsSql: String, lon0Deg: Int, fn: Long = 0L): String = {
+    val nested = levelExprs(lon0Deg, fn).zipWithIndex.foldLeft(s"($cellsSql) utm_l0") {
+      case (from, (exprs, i)) =>
+        s"(SELECT ${exprs.mkString(",\n    ")}\n  FROM $from) utm_l${i + 1}"
+    }
+    s"SELECT * FROM $nested"
+  }
+
+  /** View-free Spark twin of [[inverseSql]]: one `selectExpr` stage per
+    * level over the tile scan — a pure map-side projection, no view,
+    * no shuffle.
+    */
+  def applyInverse(cells: DataFrame, lon0Deg: Int, fn: Long = 0L): DataFrame =
+    levelExprs(lon0Deg, fn).foldLeft(cells)((df, exprs) => df.selectExpr(exprs: _*))
 
   /** Cell-center easting/northing projection over a derived table of
     * raw `(cell_x, cell_y, value)` — exact integer arithmetic under the
     * integral-geotransform discipline, identical on both engines.
     */
+  private def centerExprs(ox: Long, oy: Long, sx: Long, sy: Long): Seq[String] =
+    Seq("cell_x", "cell_y", "value",
+      s"CAST($ox + $sx * cell_x + ${sx / 2} AS DOUBLE) AS e_utm",
+      s"CAST($oy - $sy * cell_y - ${sy / 2} AS DOUBLE) AS n_utm")
+
   def centersSql(rawSql: String, ox: Long, oy: Long, sx: Long, sy: Long): String =
-    s"""SELECT cell_x, cell_y, value,
-       |  CAST($ox + $sx * cell_x + ${sx / 2} AS DOUBLE) AS e_utm,
-       |  CAST($oy - $sy * cell_y - ${sy / 2} AS DOUBLE) AS n_utm
+    s"""SELECT ${centerExprs(ox, oy, sx, sy).mkString(",\n  ")}
        |FROM ($rawSql) utm_raw""".stripMargin
 
   /** Per-cell lon/lat of a UTM-georeferenced raster: scan the TIFF,
-    * then run the SAME SQL text the oracle replays — a pure map-side
-    * projection (no shuffle; the view is just a name for the scan).
+    * then apply the SAME expression strings the oracle replays — a
+    * pure map-side projection (no view, no shuffle). `southern` states
+    * the hemisphere (EPSG:326xx vs 327xx — a CRS property the file
+    * cannot carry).
     */
-  def cellsLonLat(s: SparkSession, path: String, lon0Deg: Int): DataFrame = {
+  def cellsLonLat(s: SparkSession, path: String, lon0Deg: Int,
+      southern: Boolean = false): DataFrame = {
     val m = Raster.readMeta(path)
     val ox = Raster.requireIntegral(m.originX, s"$path originX")
     val oy = Raster.requireIntegral(m.originY, s"$path originY")
@@ -169,10 +202,10 @@ object Utm {
     val sy = Raster.requireIntegral(m.scaleY, s"$path scaleY")
     require(sx % 2 == 0 && sy % 2 == 0,
       s"$path: odd pixel scale ($sx, $sy) — centers leave the integer lattice")
-    val view = s"utm_cells_${java.util.UUID.randomUUID.toString.replace("-", "")}"
-    Raster.scanTiff(s, path, m).createOrReplaceTempView(view)
-    val df = s.sql(inverseSql(centersSql(s"SELECT * FROM $view", ox, oy, sx, sy), lon0Deg))
-    df
+    val fn = if (southern) SouthFalseNorthing.toLong else 0L
+    applyInverse(
+      Raster.scanTiff(s, path, m).selectExpr(centerExprs(ox, oy, sx, sy): _*),
+      lon0Deg, fn)
   }
 
   /** Deterministic WGS84-degree zone envelopes inside the UTM (zone

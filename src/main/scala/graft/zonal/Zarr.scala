@@ -25,12 +25,15 @@ import graft.core.Q
   * spec — emitted without any I/O (and refused loudly when the store
   * declares no fill).
   *
-  * Supported: zarr_format 2, 2-D C-order arrays, dtypes
-  * {<,>,|}{f8,f4,i4,i2,i1,u1}, compressor null (raw) / zlib / zstd
-  * (both already in [[TiffCodec]]). Blosc — numpy-default but a
-  * C-library codec unavailable offline — and F-order/filters fail
-  * loudly by name: silent misreads of a cube are how wrong science
-  * ships.
+  * Supported: zarr_format 2 AND 3 ([[parseZarrV3]] — zarr.json array
+  * documents over the same chunk machinery), 2-D C-order arrays,
+  * dtypes {<,>,|}{f8,f4,i4,i2,i1,u1}, v2 compressor null (raw) / zlib
+  * / zstd and the v3 codec chains [bytes(endian)][, gzip|zstd] — v3
+  * `gzip` is RFC-1952 FRAMES (what zarr-python's GzipCodec writes),
+  * decoded distinctly from v2's raw-zlib `zlib`. Blosc — numpy-default
+  * but a C-library codec unavailable offline — and
+  * F-order/filters/sharding fail loudly by name: silent misreads of a
+  * cube are how wrong science ships.
   */
 object Zarr {
 
@@ -38,7 +41,7 @@ object Zarr {
   final case class ZarrMeta(
       height: Int, width: Int, chunkH: Int, chunkW: Int,
       dtype: String, // e.g. "<f8" — validated
-      compressor: String, // "raw" | "zlib" | "zstd"
+      compressor: String, // "raw" | "zlib" (v2) | "gzip" (v3 frames) | "zstd"
       fill: Double, hasFill: Boolean,
       sep: String, // "." (flat) or "/" (nested)
       v3: Boolean = false) { // v3: chunk keys are "c<sep>ci<sep>cj"
@@ -209,7 +212,7 @@ object Zarr {
     }
     val compressor = codecs.tail match {
       case Nil => "raw"
-      case (("gzip", _)) :: Nil => "zlib"
+      case (("gzip", _)) :: Nil => "gzip" // RFC 1952 frames, NOT raw zlib
       case (("zstd", _)) :: Nil => "zstd"
       case other => sys.error(s"$path: codec chain bytes+" +
         s"${other.map(_._1).mkString("+")} unsupported (gzip/zstd/none)")
@@ -376,6 +379,7 @@ object Zarr {
       val raw = r.compressor match {
         case "raw" => bytes
         case "zlib" => TiffCodec.inflate(bytes, expected)
+        case "gzip" => TiffCodec.gzipDecompress(bytes, expected)
         case "zstd" => TiffCodec.zstdDecompress(bytes, expected)
       }
       decodeChunk(raw, r)
@@ -508,6 +512,7 @@ object Zarr {
     compressor match {
       case "raw" => buf.array()
       case "zlib" => TiffCodec.deflate(buf.array())
+      case "gzip" => TiffCodec.gzipCompress(buf.array())
       case "zstd" => TiffCodec.zstdCompress(buf.array())
     }
   }
@@ -536,7 +541,8 @@ object Zarr {
   def writeZarrV3(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
       compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0)
       (f: (Int, Int) => Double): Unit = {
-    require(Set("raw", "zlib", "zstd").contains(compressor), compressor)
+    require(Set("raw", "gzip", "zstd").contains(compressor),
+      s"$compressor: Zarr v3 codecs are gzip/zstd/none (v2 zlib is spelled gzip here)")
     val d = new java.io.File(dir)
     d.mkdirs()
     val dtypeName = V3Dtypes.map(_.swap).apply(dtype.substring(1))
@@ -544,7 +550,7 @@ object Zarr {
     val codecJson = (s"""{"name": "bytes", "configuration": {"endian": "$endian"}}""" +:
       (compressor match {
         case "raw" => Nil
-        case "zlib" => Seq("""{"name": "gzip", "configuration": {"level": 6}}""")
+        case "gzip" => Seq("""{"name": "gzip", "configuration": {"level": 6}}""")
         case "zstd" => Seq("""{"name": "zstd", "configuration": {"level": 3}}""")
       })).mkString("[", ", ", "]")
     val fillJson =
@@ -643,7 +649,7 @@ object Zarr {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr3_fixture_${ZarrW}x$ZarrH"
     if (fixture3Ready != dir) fixture3Lock.synchronized {
       if (fixture3Ready != dir) {
-        writeZarrV3(dir, ZarrH, ZarrW, 32, 32, compressor = "zlib", dtype = ">i4")(zarrValue)
+        writeZarrV3(dir, ZarrH, ZarrW, 32, 32, compressor = "gzip", dtype = ">i4")(zarrValue)
         fixture3Ready = dir
       }
     }

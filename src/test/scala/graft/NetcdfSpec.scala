@@ -136,6 +136,17 @@ class NetcdfSpec extends SparkSuite {
     Netcdf.writeNetcdf(p2, "v", 2, 2, 6)((x, y, _) => 1.0)
     val e = intercept[Exception] { Netcdf.scanNetcdfFill(spark, p2, "v") }
     assert(e.getMessage.contains("_FillValue"))
+    // NaN fill (the xarray float default): NaN != NaN must not turn
+    // the mask into a silent no-op
+    val p3 = tmpFile("nanfill.nc")
+    Netcdf.writeNetcdf(p3, "v", 4, 4, 6, fill = Some(Double.NaN))(
+      (x, y, _) => if ((x + y) % 3 == 0) Double.NaN else (x + 10 * y).toDouble)
+    val gotNan = Netcdf.scanNetcdfFill(spark, p3, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (y <- 0 until 4; x <- 0 until 4) {
+      if ((x + y) % 3 == 0) assert(!gotNan.contains((x, y)), s"($x,$y) NaN not masked")
+      else assert(gotNan((x, y)) == (x + 10 * y).toDouble)
+    }
   }
 
   test("CDF-2 64-bit begins parse (header hand-patched to version 2)") {

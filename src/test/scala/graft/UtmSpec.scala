@@ -42,6 +42,19 @@ class UtmSpec extends SparkSuite {
     assert(dLat > 0.99 && dLat < 1.01, s"111.1 km ≈ ${dLat}° of latitude")
   }
 
+  test("southern hemisphere: 1e7 false northing round-trips negative latitudes") {
+    // EPSG:327xx: N = 9,000,000 in zone 31S is ~9°S, not ~81°N
+    val (lonS, latS) = Utm.inverse(500000.0 + 20000, 9000000.0, 3, Utm.SouthFalseNorthing)
+    assert(latS < -8.9 && latS > -9.2, s"lat $latS should be ~ -9°")
+    val (e2, n2) = Utm.forward(lonS, latS, 3, Utm.SouthFalseNorthing)
+    assert(math.abs(e2 - 520000.0) < 1e-3 && math.abs(n2 - 9000000.0) < 1e-3,
+      s"south round trip: ($e2, $n2)")
+    // the northern interpretation of the same northing is wildly
+    // different — the hemisphere parameter is load-bearing
+    val (_, latN) = Utm.inverse(520000.0, 9000000.0, 3)
+    assert(latN > 80, s"northern reading should be ~81°, got $latN")
+  }
+
   test("monotonicity: easting → lon, northing → lat") {
     var prevLon = Double.NegativeInfinity
     for (e <- 480000 to 520000 by 5000) {

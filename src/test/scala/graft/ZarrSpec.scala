@@ -168,7 +168,13 @@ class ZarrSpec extends SparkSuite {
         val y = ci * 3 + rr; val x = cj * 3 + cc
         b.putInt(if (y < 5 && x < 4) 100 * y + x else -1)
       }
-      graft.zonal.TiffCodec.deflate(b.array())
+      // the v3 gzip codec is RFC-1952 FRAMES (what zarr-python writes),
+      // not raw zlib — built here with the JDK stream, independent of
+      // the reader's codec path
+      val bo = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bo)
+      gz.write(b.array()); gz.close()
+      bo.toByteArray
     }
     put(d, "c/0/0", chunk(0, 0))
     put(d, "c/0/1", chunk(0, 1))
