@@ -30,10 +30,12 @@ import graft.core.Q
   * dtypes {<,>,|}{f8,f4,i4,i2,i1,u1}, v2 compressor null (raw) / zlib
   * / zstd and the v3 codec chains [bytes(endian)][, gzip|zstd] — v3
   * `gzip` is RFC-1952 FRAMES (what zarr-python's GzipCodec writes),
-  * decoded distinctly from v2's raw-zlib `zlib`. Blosc — numpy-default
-  * but a C-library codec unavailable offline — and
-  * F-order/filters/sharding fail loudly by name: silent misreads of a
-  * cube are how wrong science ships.
+  * decoded distinctly from v2's raw-zlib `zlib` — plus the v3
+  * `sharding_indexed` codec ([[readShard]]: one shard file = an
+  * inner-chunk grid + a crc32c-checked u64 index footer; one shard =
+  * one task). Blosc — numpy-default but a C-library codec unavailable
+  * offline — and F-order/filters/transpose fail loudly by name:
+  * silent misreads of a cube are how wrong science ships.
   */
 object Zarr {
 
@@ -44,7 +46,12 @@ object Zarr {
       compressor: String, // "raw" | "zlib" (v2) | "gzip" (v3 frames) | "zstd"
       fill: Double, hasFill: Boolean,
       sep: String, // "." (flat) or "/" (nested)
-      v3: Boolean = false) { // v3: chunk keys are "c<sep>ci<sep>cj"
+      v3: Boolean = false, // v3: chunk keys are "c<sep>ci<sep>cj"
+      // sharding_indexed (v3): inner chunk dims (0 = unsharded), index
+      // checksum + placement; `compressor` is then the INNER chain's
+      innerH: Int = 0, innerW: Int = 0,
+      indexCrc: Boolean = false, indexAtEnd: Boolean = true) {
+    def sharded: Boolean = innerH > 0
     def chunksDown: Int = (height + chunkH - 1) / chunkH
     def chunksAcross: Int = (width + chunkW - 1) / chunkW
     def elemSize: Int = dtype.substring(2).toInt
@@ -62,7 +69,9 @@ object Zarr {
   final case class ChunkRef(
       path: String, len: Long, ci: Int, cj: Int,
       height: Int, width: Int, chunkH: Int, chunkW: Int,
-      dtype: String, compressor: String, fill: Double, hasFill: Boolean)
+      dtype: String, compressor: String, fill: Double, hasFill: Boolean,
+      innerH: Int = 0, innerW: Int = 0,
+      indexCrc: Boolean = false, indexAtEnd: Boolean = true)
 
   private val SupportedDtypes =
     Set("f8", "f4", "i4", "i2", "i1", "u1")
@@ -192,31 +201,72 @@ object Zarr {
         s"${V3Dtypes.keys.toSeq.sorted.mkString("/")})"))
     // codecs: exactly one bytes (endian), optionally followed by one
     // compression codec this engine speaks
-    val codecs = field("codecs") match {
+    def codecList(v: JValue, what: String): List[(String, JValue)] = v match {
       case JArray(cs) => cs.map { c =>
         (c \ "name") match {
           case JString(n) => (n, c \ "configuration")
-          case other => sys.error(s"$path: codec without name: $other")
+          case other => sys.error(s"$path: $what codec without name: $other")
         }
       }
-      case other => sys.error(s"$path: codecs $other is not an array")
+      case other => sys.error(s"$path: $what $other is not an array")
     }
-    require(codecs.nonEmpty && codecs.head._1 == "bytes",
-      s"$path: codec chain ${codecs.map(_._1)} unsupported — want " +
-        "[bytes][, gzip|zstd] (sharding_indexed/transpose/blosc are not " +
-        "readable here; rechunk upstream)")
-    val endian = codecs.head._2 \ "endian" match {
-      case JString("little") | JNothing | JNull => "<"
-      case JString("big") => ">"
-      case other => sys.error(s"$path: bytes endian $other")
+    /** A plain data chain `[bytes(endian)][, gzip|zstd]` → (endian, compressor). */
+    def parseChain(codecs: List[(String, JValue)], what: String): (String, String) = {
+      require(codecs.nonEmpty && codecs.head._1 == "bytes",
+        s"$path: $what chain ${codecs.map(_._1)} unsupported — want " +
+          "[bytes][, gzip|zstd] (transpose/blosc are not readable here; " +
+          "rechunk upstream)")
+      val endian = codecs.head._2 \ "endian" match {
+        case JString("little") | JNothing | JNull => "<"
+        case JString("big") => ">"
+        case other => sys.error(s"$path: bytes endian $other")
+      }
+      val compressor = codecs.tail match {
+        case Nil => "raw"
+        case (("gzip", _)) :: Nil => "gzip" // RFC 1952 frames, NOT raw zlib
+        case (("zstd", _)) :: Nil => "zstd"
+        case other => sys.error(s"$path: $what chain bytes+" +
+          s"${other.map(_._1).mkString("+")} unsupported (gzip/zstd/none)")
+      }
+      (endian, compressor)
     }
-    val compressor = codecs.tail match {
-      case Nil => "raw"
-      case (("gzip", _)) :: Nil => "gzip" // RFC 1952 frames, NOT raw zlib
-      case (("zstd", _)) :: Nil => "zstd"
-      case other => sys.error(s"$path: codec chain bytes+" +
-        s"${other.map(_._1).mkString("+")} unsupported (gzip/zstd/none)")
-    }
+    val topChain = codecList(field("codecs"), "codecs")
+    // sharding_indexed: one shard FILE holds a grid of inner chunks +
+    // an index of (offset, nbytes) u64-LE pairs (optionally crc32c'd),
+    // at the file start or end — how large v3 cubes actually ship
+    val (endian, compressor, innerDims, indexCrc, indexAtEnd) =
+      if (topChain.nonEmpty && topChain.head._1 == "sharding_indexed") {
+        require(topChain.tail.isEmpty,
+          s"$path: codecs after sharding_indexed unsupported")
+        val cfg = topChain.head._2
+        val inner = cfg \ "chunk_shape" match {
+          case JArray(ds) => ds.map { case JInt(v) => v.toInt
+            case other => sys.error(s"$path: shard chunk_shape entry $other") }
+          case other => sys.error(s"$path: shard chunk_shape $other")
+        }
+        require(inner.length == 2 && inner.forall(_ > 0),
+          s"$path: shard inner chunk_shape $inner unsupported")
+        require(chunks(0) % inner(0) == 0 && chunks(1) % inner(1) == 0,
+          s"$path: shard shape $chunks not a multiple of inner ${inner} " +
+            "(required by the sharding spec)")
+        val (e, c) = parseChain(codecList(cfg \ "codecs", "shard inner codecs"),
+          "shard inner codec")
+        val crc = codecList(cfg \ "index_codecs", "index_codecs").map(_._1) match {
+          case List("bytes") => false
+          case List("bytes", "crc32c") => true
+          case other => sys.error(s"$path: index_codecs $other unsupported " +
+            "([bytes] or [bytes, crc32c])")
+        }
+        val atEnd = cfg \ "index_location" match {
+          case JString("end") | JNothing | JNull => true
+          case JString("start") => false
+          case other => sys.error(s"$path: index_location $other")
+        }
+        (e, c, Some((inner(0), inner(1))), crc, atEnd)
+      } else {
+        val (e, c) = parseChain(topChain, "codec")
+        (e, c, None, false, true)
+      }
     val (fill, hasFill) = field("fill_value") match {
       case JInt(v) => (v.toDouble, true)
       case JDouble(v) => (v, true)
@@ -246,7 +296,10 @@ object Zarr {
       case other => sys.error(s"$path: storage_transformers $other unsupported")
     }
     ZarrMeta(shape(0), shape(1), chunks(0), chunks(1), endian + kind,
-      compressor, fill, hasFill, sep, v3 = v3keys)
+      compressor, fill, hasFill, sep, v3 = v3keys,
+      innerH = innerDims.map(_._1).getOrElse(0),
+      innerW = innerDims.map(_._2).getOrElse(0),
+      indexCrc = indexCrc, indexAtEnd = indexAtEnd)
   }
 
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =
@@ -292,7 +345,7 @@ object Zarr {
         val n = m.chunkKey(ci, cj)
         ChunkRef(s"$dir/$n", names.getOrElse(n, -1L), ci, cj,
           m.height, m.width, m.chunkH, m.chunkW, m.dtype, m.compressor,
-          m.fill, m.hasFill)
+          m.fill, m.hasFill, m.innerH, m.innerW, m.indexCrc, m.indexAtEnd)
       }
     } else {
       // nested store: v2 rows at "<dir>/ci/", v3 at "<dir>/c/ci/"
@@ -304,7 +357,7 @@ object Zarr {
         (0 until m.chunksAcross).map { cj =>
           ChunkRef(s"$dir/${m.chunkKey(ci, cj)}", row.getOrElse(cj.toString, -1L), ci, cj,
             m.height, m.width, m.chunkH, m.chunkW, m.dtype, m.compressor,
-            m.fill, m.hasFill)
+            m.fill, m.hasFill, m.innerH, m.innerW, m.indexCrc, m.indexAtEnd)
         }
       }
     }
@@ -347,6 +400,78 @@ object Zarr {
     }
   }
 
+  /** Decode one SHARD file: parse the (offset, nbytes) index (u64-LE
+    * pairs per inner chunk, row-major; optional crc32c verified
+    * loudly), then decode each present inner chunk through the normal
+    * chunk path at its GLOBAL inner-grid position; all-ones entries
+    * are absent inner chunks → fill (loud when no fill and the chunk
+    * intersects the array). One shard = one task = one bounded buffer.
+    */
+  private def readShard(r: ChunkRef, bytes: Array[Byte]): Iterator[(Int, Int, Double)] = {
+    val innerDown = r.chunkH / r.innerH
+    val innerAcross = r.chunkW / r.innerW
+    val n = innerDown * innerAcross
+    val idxDataLen = n * 16
+    val idxLen = idxDataLen + (if (r.indexCrc) 4 else 0)
+    require(bytes.length >= idxLen,
+      s"${r.path}: shard of ${bytes.length} bytes cannot hold a $idxLen-byte index")
+    val idxOff = if (r.indexAtEnd) bytes.length - idxLen else 0
+    if (r.indexCrc) {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(bytes, idxOff, idxDataLen)
+      val stored = java.nio.ByteBuffer.wrap(bytes, idxOff + idxDataLen, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(stored == crc.getValue.toInt,
+        s"${r.path}: shard index crc32c mismatch — corrupt shard")
+    }
+    val idx = java.nio.ByteBuffer.wrap(bytes, idxOff, idxDataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val elem = r.dtype.substring(2).toInt
+    val innerExpected = r.innerH * r.innerW * elem
+    Iterator.range(0, n).flatMap { k =>
+      val off = idx.getLong(idxOff + k * 16)
+      val nb = idx.getLong(idxOff + k * 16 + 8)
+      val gi = r.ci * innerDown + k / innerAcross
+      val gj = r.cj * innerAcross + k % innerAcross
+      val innerRef = ChunkRef(r.path, nb, gi, gj, r.height, r.width,
+        r.innerH, r.innerW, r.dtype, r.compressor, r.fill, r.hasFill)
+      val intersects = gi * r.innerH < r.height && gj * r.innerW < r.width
+      if (off == -1L && nb == -1L) {
+        if (!intersects) Iterator.empty
+        else {
+          require(r.hasFill, s"${r.path}: inner chunk ($gi,$gj) absent from " +
+            "the shard but fill_value is null — undefined cells; fix the store")
+          fillCells(innerRef)
+        }
+      } else {
+        require(off >= 0 && nb > 0 && off + nb <= bytes.length,
+          s"${r.path}: shard index entry $k out of range (off=$off, nbytes=$nb)")
+        val chunkBytes = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + nb).toInt)
+        val raw = r.compressor match {
+          case "raw" => chunkBytes
+          case "zlib" => TiffCodec.inflate(chunkBytes, innerExpected)
+          case "gzip" => TiffCodec.gzipDecompress(chunkBytes, innerExpected)
+          case "zstd" => TiffCodec.zstdDecompress(chunkBytes, innerExpected)
+        }
+        decodeChunk(raw, innerRef)
+      }
+    }
+  }
+
+  /** Fill cells for an absent (inner) chunk, clipped to array bounds. */
+  private def fillCells(r: ChunkRef): Iterator[(Int, Int, Double)] = {
+    val y0 = r.ci * r.chunkH
+    val x0 = r.cj * r.chunkW
+    for {
+      rr <- Iterator.range(0, r.chunkH)
+      y = y0 + rr
+      if y < r.height
+      cc <- Iterator.range(0, r.chunkW)
+      x = x0 + cc
+      if x < r.width
+    } yield (x, y, r.fill)
+  }
+
   /** One task's work: absent chunk → fill cells (no I/O; loud when the
     * store declares no fill), present chunk → read fully, decompress
     * ([[TiffCodec]] — exact-length contract), decode.
@@ -375,14 +500,17 @@ object Zarr {
         in.readFully(0, b)
         b
       } finally in.close()
-      val expected = r.chunkH * r.chunkW * r.dtype.substring(2).toInt
-      val raw = r.compressor match {
-        case "raw" => bytes
-        case "zlib" => TiffCodec.inflate(bytes, expected)
-        case "gzip" => TiffCodec.gzipDecompress(bytes, expected)
-        case "zstd" => TiffCodec.zstdDecompress(bytes, expected)
+      if (r.innerH > 0) readShard(r, bytes)
+      else {
+        val expected = r.chunkH * r.chunkW * r.dtype.substring(2).toInt
+        val raw = r.compressor match {
+          case "raw" => bytes
+          case "zlib" => TiffCodec.inflate(bytes, expected)
+          case "gzip" => TiffCodec.gzipDecompress(bytes, expected)
+          case "zstd" => TiffCodec.zstdDecompress(bytes, expected)
+        }
+        decodeChunk(raw, r)
       }
-      decodeChunk(raw, r)
     }
   }
 
@@ -539,7 +667,7 @@ object Zarr {
     * keys (`c/ci/cj`), same chunk encoder as v2.
     */
   def writeZarrV3(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
-      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0)
+      compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0)
       (f: (Int, Int) => Double): Unit = {
     require(Set("raw", "gzip", "zstd").contains(compressor),
       s"$compressor: Zarr v3 codecs are gzip/zstd/none (v2 zlib is spelled gzip here)")
@@ -582,6 +710,85 @@ object Zarr {
       out.getParentFile.mkdirs()
       java.nio.file.Files.write(out.toPath,
         chunkFileBytes(vals, chunkH, chunkW, compressor, dtype))
+    }
+  }
+
+  /** Write a SHARDED v3 store: `zarr.json` with the sharding_indexed
+    * codec, one shard file per outer chunk holding its inner-chunk
+    * grid + the u64-LE (offset, nbytes) index (crc32c'd, at the end).
+    * Inner chunks whose pad-filled values are ALL `fill` are omitted
+    * (all-ones index entries) — the storage saving sharding exists for.
+    */
+  def writeZarrV3Sharded(dir: String, height: Int, width: Int,
+      shardH: Int, shardW: Int, innerH: Int, innerW: Int,
+      compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0)
+      (f: (Int, Int) => Double): Unit = {
+    require(shardH % innerH == 0 && shardW % innerW == 0, "shard must tile by inner")
+    require(Set("raw", "gzip", "zstd").contains(compressor), compressor)
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val dtypeName = V3Dtypes.map(_.swap).apply(dtype.substring(1))
+    val endian = if (dtype.charAt(0) == '>') "big" else "little"
+    val innerCodecs = (s"""{"name": "bytes", "configuration": {"endian": "$endian"}}""" +:
+      (compressor match {
+        case "raw" => Nil
+        case "gzip" => Seq("""{"name": "gzip", "configuration": {"level": 6}}""")
+        case "zstd" => Seq("""{"name": "zstd", "configuration": {"level": 3}}""")
+      })).mkString("[", ", ", "]")
+    val fillJson =
+      if (fill.isNaN) "\"NaN\""
+      else if (fill == fill.floor && !fill.isInfinite) fill.toLong.toString
+      else fill.toString
+    val meta =
+      s"""{
+         |  "zarr_format": 3,
+         |  "node_type": "array",
+         |  "shape": [$height, $width],
+         |  "data_type": "$dtypeName",
+         |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$shardH, $shardW]}},
+         |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         |  "fill_value": $fillJson,
+         |  "codecs": [{"name": "sharding_indexed", "configuration": {
+         |    "chunk_shape": [$innerH, $innerW],
+         |    "codecs": $innerCodecs,
+         |    "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+         |                     {"name": "crc32c"}],
+         |    "index_location": "end"}}]
+         |}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(d, "zarr.json").toPath,
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val down = (height + shardH - 1) / shardH
+    val across = (width + shardW - 1) / shardW
+    val iDown = shardH / innerH
+    val iAcross = shardW / innerW
+    for (ci <- 0 until down; cj <- 0 until across) {
+      val body = new java.io.ByteArrayOutputStream()
+      val idx = java.nio.ByteBuffer.allocate(iDown * iAcross * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (ii <- 0 until iDown; jj <- 0 until iAcross) {
+        val y0 = ci * shardH + ii * innerH
+        val x0 = cj * shardW + jj * innerW
+        val vals = Array.tabulate(innerH * innerW) { i =>
+          val y = y0 + i / innerW
+          val x = x0 + i % innerW
+          if (y < height && x < width) f(x, y) else fill
+        }
+        if (vals.forall(_ == fill)) { idx.putLong(-1L); idx.putLong(-1L) }
+        else {
+          val enc = chunkFileBytes(vals, innerH, innerW, compressor, dtype)
+          idx.putLong(body.size.toLong); idx.putLong(enc.length.toLong)
+          body.write(enc)
+        }
+      }
+      val crc = new java.util.zip.CRC32C()
+      crc.update(idx.array())
+      body.write(idx.array())
+      val tail = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt)
+      body.write(tail.array())
+      val out = new java.io.File(d, s"c/$ci/$cj")
+      out.getParentFile.mkdirs()
+      java.nio.file.Files.write(out.toPath, body.toByteArray)
     }
   }
 
@@ -656,6 +863,23 @@ object Zarr {
     dir
   }
 
+  private val fixtureShLock = new Object
+  @volatile private var fixtureShReady: String = null
+
+  /** Sharded v3 fixture: same formula, 32x32 shards of 16x16 gzip
+    * inner chunks, crc32c index at the shard end.
+    */
+  def fixtureShardedDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr3s_fixture_${ZarrW}x$ZarrH"
+    if (fixtureShReady != dir) fixtureShLock.synchronized {
+      if (fixtureShReady != dir) {
+        writeZarrV3Sharded(dir, ZarrH, ZarrW, 32, 32, 16, 16)(zarrValue)
+        fixtureShReady = dir
+      }
+    }
+    dir
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     // Zarr ingestion end-to-end: write the deterministic store (once),
     // scan it chunk-parallel, emit the long-form cell table. The oracle
@@ -676,6 +900,18 @@ object Zarr {
       s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanZarr(s, fixture3Dir())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // sharded v3 (how large v3 cubes actually ship: many inner chunks
+    // per shard file + a u64 index footer, crc32c-checked): one shard =
+    // one task, inner chunks decode through the shared chunk path —
+    // gated by the SAME formula oracle
+    "scan_zarr_sharded" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarr(s, fixtureShardedDir())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

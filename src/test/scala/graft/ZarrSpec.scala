@@ -139,15 +139,88 @@ class ZarrSpec extends SparkSuite {
     putText(v3g, "zarr.json", """{"zarr_format": 3, "node_type": "group"}""")
     assert(msgs(intercept[Throwable](Zarr.readMeta(v3g.getPath))).contains("node_type"))
 
-    // v3 sharding/transpose codec chains are refused by name
-    val v3s = tmpDir("v3shard")
-    putText(v3s, "zarr.json",
+    // v3 transpose chains and unsupported sharding index codecs are
+    // refused by name (sharding itself IS supported — tested below)
+    val v3t = tmpDir("v3transpose")
+    putText(v3t, "zarr.json",
       """{"zarr_format": 3, "node_type": "array", "shape": [4, 4],
         |"data_type": "float64",
         |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
         |"fill_value": 0,
-        |"codecs": [{"name": "sharding_indexed", "configuration": {}}]}""".stripMargin)
-    assert(msgs(intercept[Throwable](Zarr.readMeta(v3s.getPath))).contains("sharding"))
+        |"codecs": [{"name": "transpose", "configuration": {"order": [1, 0]}},
+        |           {"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin)
+    assert(msgs(intercept[Throwable](Zarr.readMeta(v3t.getPath))).contains("transpose"))
+    val v3bad = tmpDir("v3badidx")
+    putText(v3bad, "zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [4, 4],
+        |"data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4, 4]}},
+        |"fill_value": 0,
+        |"codecs": [{"name": "sharding_indexed", "configuration": {
+        |  "chunk_shape": [2, 2],
+        |  "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |  "index_codecs": [{"name": "crc32c"}],
+        |  "index_location": "end"}}]}""".stripMargin)
+    assert(msgs(intercept[Throwable](Zarr.readMeta(v3bad.getPath))).contains("index_codecs"))
+  }
+
+  test("sharded v3 store: hand-built shard with index footer, crc, missing inner chunk") {
+    // 4x4 array = ONE 4x4 shard of 2x2 raw little-endian f8 inner
+    // chunks; inner (1,1) omitted (all-ones index entry) -> fill 9.
+    // Index: 4 x (offset, nbytes) u64 LE + crc32c, at the end.
+    val d = tmpDir("v3shand")
+    putText(d, "zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [4, 4],
+        |"data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [4, 4]}},
+        |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        |"fill_value": 9,
+        |"codecs": [{"name": "sharding_indexed", "configuration": {
+        |  "chunk_shape": [2, 2],
+        |  "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |  "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |                   {"name": "crc32c"}],
+        |  "index_location": "end"}}]}""".stripMargin)
+    def inner(ii: Int, jj: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (rr <- 0 until 2; cc <- 0 until 2)
+        b.putDouble(100 * (ii * 2 + rr) + (jj * 2 + cc))
+      b.array()
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    val idx = java.nio.ByteBuffer.allocate(4 * 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for ((ii, jj) <- Seq((0, 0), (0, 1), (1, 0))) {
+      val enc = inner(ii, jj)
+      idx.putLong(body.size.toLong); idx.putLong(enc.length.toLong)
+      body.write(enc)
+    }
+    idx.putLong(-1L); idx.putLong(-1L) // inner (1,1) absent -> fill
+    val crc = new java.util.zip.CRC32C()
+    crc.update(idx.array())
+    body.write(idx.array())
+    body.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt).array())
+    put(d, "c/0/0", body.toByteArray)
+    val got = Zarr.scanZarr(spark, d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 16)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val want = if (y >= 2 && x >= 2) 9.0 else (100 * y + x).toDouble
+      assert(got((x, y)) == want, s"cell ($x,$y): got ${got((x, y))}")
+    }
+    // corrupt one index byte -> the crc check is loud, not a misread
+    val fb = new java.io.File(d, "c/0/0")
+    val corrupted = java.nio.file.Files.readAllBytes(fb.toPath)
+    corrupted(corrupted.length - 12) = (corrupted(corrupted.length - 12) ^ 0x5a).toByte
+    java.nio.file.Files.write(fb.toPath, corrupted)
+    val e = intercept[Throwable] { Zarr.scanZarr(spark, d.getPath).collect() }
+    assert(msgs(e).contains("crc32c"), msgs(e))
+    // writer+reader round trip through the registry fixture formula
+    val cells = q("scan_zarr_sharded")
+    assert(cells.count() == 80L * 70L)
+    val bad = cells.filter(
+      col("value") =!= (col("cell_x") * 29 + col("cell_y") * 13) % 991).count()
+    assert(bad == 0, s"$bad cells off-formula")
   }
 
   test("hand-built Zarr v3 store: default keys, gzip chain, v2 key encoding") {
