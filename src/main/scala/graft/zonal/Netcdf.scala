@@ -26,12 +26,14 @@ import graft.core.Q
   * buffer; a 100 TB file fans out to as many range reads as it has
   * stripes, with no whole-file materialization anywhere.
   *
-  * Supported: classic CDF-1 and 64-bit-offset CDF-2, numeric types
+  * Supported: classic CDF-1, 64-bit-offset CDF-2 and 64-bit-data
+  * CDF-5 (NON_NEG fields widen to 8 bytes per the pnetcdf BNF),
+  * numeric types
   * byte/short/int/float/double, rank-2 `(y, x)` variables, rank-3
   * `(t, y, x)` variables where `t` is either the record (UNLIMITED)
   * dimension or a fixed leading dimension, per-variable `_FillValue`
   * masking, and the single-record-variable no-padding special case the
-  * spec calls out. CDF-5, NetCDF-4/HDF5 containers, char data
+  * spec calls out. NetCDF-4/HDF5 containers, char data
   * variables and rank ≥ 4 are refused loudly by name — a silently
   * misread cube is how wrong science ships.
   */
@@ -101,8 +103,20 @@ object Netcdf {
       val v = b.slice(pos, pos + n); pos += n; v
     }
     def pad4(): Unit = { val r = pos % 4; if (r != 0) pos += 4 - r }
+    /** NON_NEG field: 4 bytes in CDF-1/2, 8 bytes in CDF-5 (pnetcdf
+      * CDF-5 spec: counts, name lengths, dim lengths, rank, dimids,
+      * nelems and vsize all widen; tags and nc_type stay 4).
+      */
+    var wide = false
+    def cnt(): Long = if (wide) i64() else i32().toLong
+    def cntInt(what: String): Int = {
+      val v = cnt()
+      if (v < 0 || v > Int.MaxValue) throw new IndexOutOfBoundsException(
+        s"$what count $v out of range")
+      v.toInt
+    }
     def name(): String = {
-      val n = i32()
+      val n = cntInt("name")
       val s = new String(bytes(n), java.nio.charset.StandardCharsets.UTF_8)
       pad4(); s
     }
@@ -126,11 +140,11 @@ object Netcdf {
   }
 
   private def attrList(r: Reader, path: String): Seq[NcAttr] = {
-    val tag = r.i32(); val n = r.i32()
+    val tag = r.i32(); val n = r.cntInt("attr list")
     require((tag == 0x0C && n >= 0) || (tag == 0 && n == 0),
       s"$path: malformed attribute list (tag $tag, nelems $n)")
     (0 until n).map { _ =>
-      val nm = r.name(); val t = r.i32(); val cnt = r.i32()
+      val nm = r.name(); val t = r.i32(); val cnt = r.cntInt("attr values")
       val (num, text) = attrValues(r, t, cnt)
       NcAttr(nm, t, num, text)
     }
@@ -147,32 +161,47 @@ object Netcdf {
     require(b(0) == 'C' && b(1) == 'D' && b(2) == 'F',
       s"$path: not a NetCDF classic file (magic ${b.take(3).mkString(",")})")
     val version = b(3).toInt
-    require(version == 1 || version == 2,
-      s"$path: CDF-$version unsupported (classic CDF-1 / 64-bit-offset CDF-2 only; " +
-        "CDF-5 needs a 64-bit-dimension reader)")
+    require(version == 1 || version == 2 || version == 5,
+      s"$path: CDF-$version unsupported (classic CDF-1, 64-bit-offset CDF-2, " +
+        "64-bit-data CDF-5)")
     val r = new Reader(b)
+    r.wide = version == 5 // CDF-5: NON_NEG fields are 8 bytes
     r.pos = 4
-    val numRecs = r.i32()
-    require(numRecs != -1,
-      s"$path: STREAMING numrecs marker — finalize the file before scanning")
-    val dimTag = r.i32(); val nDims = r.i32()
+    val numRecs = if (version == 5) {
+      val v = r.i64()
+      require(v != -1L,
+        s"$path: STREAMING numrecs marker — finalize the file before scanning")
+      require(v >= 0 && v <= Int.MaxValue, s"$path: numrecs $v out of range")
+      v.toInt
+    } else {
+      val v = r.i32()
+      require(v != -1,
+        s"$path: STREAMING numrecs marker — finalize the file before scanning")
+      v
+    }
+    val dimTag = r.i32(); val nDims = r.cntInt("dim list")
     require((dimTag == 0x0A && nDims >= 0) || (dimTag == 0 && nDims == 0),
       s"$path: malformed dimension list (tag $dimTag)")
-    val dims = (0 until nDims).map { _ => NcDim(r.name(), r.i32()) }
+    val dims = (0 until nDims).map { _ =>
+      val nm = r.name()
+      val len = r.cnt()
+      require(len >= 0 && len <= Int.MaxValue, s"$path: dim $nm length $len")
+      NcDim(nm, len.toInt)
+    }
     require(dims.count(_.length == 0) <= 1, s"$path: multiple record dimensions")
     attrList(r, path) // global attributes: parsed for wellformedness, not used
-    val varTag = r.i32(); val nVars = r.i32()
+    val varTag = r.i32(); val nVars = r.cntInt("var list")
     require((varTag == 0x0B && nVars >= 0) || (varTag == 0 && nVars == 0),
       s"$path: malformed variable list (tag $varTag)")
     val vars = (0 until nVars).map { _ =>
       val nm = r.name()
-      val rank = r.i32()
-      val dimIds = (0 until rank).map(_ => r.i32())
+      val rank = r.cntInt("rank")
+      val dimIds = (0 until rank).map(_ => r.cntInt("dimid"))
       dimIds.foreach(id => require(id >= 0 && id < dims.length,
         s"$path: variable $nm references dimension $id of ${dims.length}"))
       val attrs = attrList(r, path)
       val t = r.i32()
-      val vsize = r.i32().toLong & 0xffffffffL
+      val vsize = if (version == 5) r.i64() else r.i32().toLong & 0xffffffffL
       val begin = if (version == 1) r.i32().toLong & 0xffffffffL else r.i64()
       NcVar(nm, dimIds, t, vsize, begin, attrs)
     }

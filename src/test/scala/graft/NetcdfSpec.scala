@@ -178,23 +178,55 @@ class NetcdfSpec extends SparkSuite {
       assert(got((x, y)) == (x + 10 * y).toDouble, s"cell ($x,$y)")
   }
 
-  test("named refusals: HDF5 signature, CDF-5, missing variable, char data") {
+  test("named refusals: HDF5 signature, unknown version, missing variable") {
     val h5 = tmpFile("h5.nc")
     java.nio.file.Files.write(new java.io.File(h5).toPath,
       Array[Byte](0x89.toByte, 'H', 'D', 'F', 13, 10, 26, 10) ++ new Array[Byte](64))
     val e1 = intercept[Exception] { Netcdf.readMeta(h5) }
     assert(e1.getMessage.contains("NetCDF-4"))
 
-    val c5 = tmpFile("c5.nc")
-    java.nio.file.Files.write(new java.io.File(c5).toPath,
-      "CDF".getBytes("ISO-8859-1") ++ new Array[Byte](64))
-    val e2 = intercept[Exception] { Netcdf.readMeta(c5) }
-    assert(e2.getMessage.contains("CDF-5"))
+    val c0 = tmpFile("c0.nc")
+    java.nio.file.Files.write(new java.io.File(c0).toPath,
+      "CDF".getBytes("ISO-8859-1") ++ new Array[Byte](64))
+    val e2 = intercept[Exception] { Netcdf.readMeta(c0) }
+    assert(e2.getMessage.contains("CDF-0 unsupported"))
 
     val ok = tmpFile("okvar.nc")
     Netcdf.writeNetcdf(ok, "v", 2, 2, 6)((x, y, _) => 1.0)
     val e3 = intercept[Exception] { Netcdf.readMeta(ok).variable("nope") }
     assert(e3.getMessage.contains("not in file"))
+  }
+
+  test("CDF-5: hand-built 64-bit-data header parses and scans") {
+    // every NON_NEG field 8 bytes (pnetcdf CDF-5 BNF): numrecs, list
+    // nelems, name lengths, dim lengths, rank, dimids, vsize; tags and
+    // nc_type stay 4; begin is 8 as in CDF-2
+    val p = tmpFile("cdf5.nc")
+    val bo = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bo)
+    o.writeBytes("CDF"); o.writeByte(5)
+    o.writeLong(0) // numrecs
+    o.writeInt(0x0A); o.writeLong(2)
+    o.writeLong(1); o.writeBytes("y"); o.write(new Array[Byte](3)); o.writeLong(3)
+    o.writeLong(1); o.writeBytes("x"); o.write(new Array[Byte](3)); o.writeLong(2)
+    o.writeInt(0); o.writeLong(0) // no global atts
+    o.writeInt(0x0B); o.writeLong(1)
+    o.writeLong(1); o.writeBytes("v"); o.write(new Array[Byte](3))
+    o.writeLong(2); o.writeLong(0); o.writeLong(1) // rank 2: dims (y, x)
+    o.writeInt(0); o.writeLong(0) // no var atts
+    o.writeInt(6) // NC_DOUBLE
+    o.writeLong(48) // vsize
+    val begin = bo.size + 8
+    o.writeLong(begin)
+    for (y <- 0 until 3; x <- 0 until 2) o.writeDouble(10 * y + x)
+    java.nio.file.Files.write(new java.io.File(p).toPath, bo.toByteArray)
+    val m = Netcdf.readMeta(p)
+    assert(m.version == 5 && m.variable("v").begin == begin)
+    val got = Netcdf.scanNetcdf(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    for (y <- 0 until 3; x <- 0 until 2)
+      assert(got((x, y)) == (10 * y + x).toDouble, s"cell ($x,$y)")
   }
 
   test("reader navigates past coordinate variables to the requested one") {
