@@ -114,6 +114,32 @@ class JpegSpec extends SparkSuite {
     assert(e4.getMessage.contains("restart"))
   }
 
+  test("corrupt streams are loud: truncated entropy data, stray marker") {
+    val w = 16; val h = 16
+    val samples = Array.tabulate(w * h)(i => (i * 7) % 256)
+    val enc = Jpeg.encodeGray(samples, w, h)
+    // truncate inside the entropy segment (before EOI)
+    val cut = java.util.Arrays.copyOfRange(enc, 0, enc.length - 8)
+    val e1 = intercept[Exception] { Jpeg.decodeGray(cut) }
+    assert(e1.getMessage.toLowerCase.contains("truncated")
+      || e1.getMessage.toLowerCase.contains("corrupt"), e1.getMessage)
+    // inject a stray restart marker mid-entropy: loud, not misread
+    val bad = enc.clone()
+    // find SOS, then stomp two bytes a little after it with FF D3
+    var sos = -1
+    var i = 0
+    while (sos < 0 && i < bad.length - 1) {
+      if ((bad(i) & 0xff) == 0xff && (bad(i + 1) & 0xff) == 0xda) sos = i
+      i += 1
+    }
+    assert(sos > 0)
+    bad(sos + 16) = 0xff.toByte
+    bad(sos + 17) = 0xd3.toByte
+    val e2 = intercept[Exception] { Jpeg.decodeGray(bad) }
+    assert(e2.getMessage.contains("restart") || e2.getMessage.contains("marker")
+      || e2.getMessage.toLowerCase.contains("corrupt"), e2.getMessage)
+  }
+
   test("TIFF integration: JPEG fixture scans to the exact block formula") {
     val df = Raster.scanTiff(spark, Raster.jpegFixturePath())
     val got = df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
