@@ -105,6 +105,11 @@ object Bench {
     // first — else the rerun reports the warm cache hit and the headline
     // credits accounting, not plan work
     val memoized = Set("dedup_text_cluster", "pipeline_dedup_keep_best")
+    // consumers of the memoized banded-candidate/Jaccard table: its
+    // memo must ALSO drop when their reruns should be cold (the CC
+    // memo alone would leave the candidate stage warm)
+    val candMemoized = Set("dedup_ngram_jaccard", "dedup_text_cluster",
+      "pipeline_dedup_keep_best")
     val pqMemoized = Set("sim_pq_codes", "sim_pq_search", "sim_ann_ivfpq_search",
       "dedup_embedding_pq",
       // consumers of the memoized coarse centroids / residual codes
@@ -116,6 +121,7 @@ object Bench {
       if (t1 > thresh) {
         rerun(name) = t1
         if (memoized(name)) graft.llm.Dedup.clearTextClustersCache()
+        if (candMemoized(name)) graft.llm.Dedup.clearArithCandCache()
         if (pqMemoized(name)) graft.llm.Sim.clearPqCodebookCache()
         if (polyMemoized(name)) graft.zonal.Polygonize.clearCache()
         if (nearMemoized(name)) graft.llm.Sim.clearNearPairsCache()

@@ -375,7 +375,25 @@ object Dedup {
     * `dedup_ngram_jaccard` and `dedup_text_cluster`. Output:
     * (doc_id1, doc_id2, jaccard).
     */
+  // Memoized per (session, dir) with the same contract as
+  // Sim.nearPairs: the fixture tables are immutable within a session
+  // (driver-generated parquet), so the verified candidate table is a
+  // session-stable artifact; Bench invalidates through
+  // [[clearArithCandCache]] before re-timing either consumer so cold
+  // timings stay cold. A caller mutating `d`'s documents mid-session
+  // must clear explicitly.
+  private val arithCandCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String), DataFrame]()
+
+  def clearArithCandCache(): Unit = arithCandCache.clear()
+
   def arithCandJaccard(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+    arithCandCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    arithCandCache.computeIfAbsent((s, d),
+      _ => arithCandJaccardPlan(s, d).localCheckpoint(true))
+  }
+
+  private def arithCandJaccardPlan(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     graft.ext.Ext.register(s)
     val docs = Tables.documents(s, d)
     val cand = bucketPairs(
