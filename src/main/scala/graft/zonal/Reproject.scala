@@ -129,6 +129,40 @@ object Reproject {
         .orderBy("zone_id")
     },
 
+    // haversine great-circle distance (km) — THE geospatial scalar:
+    // per-zone distance from the zone-envelope center to a reference
+    // point, the same closed form (2R·asin√(sin²Δφ/2 + cosφ₁cosφ₂
+    // sin²Δλ/2)) spelled identically on both engines; pure projection
+    "fn_haversine" -> Q(
+      s"""WITH zones AS (
+         |$Wgs84ZonesSql
+         |), pts AS (
+         |  SELECT zone_id,
+         |    radians((CAST(latmin AS DOUBLE) + CAST(latmax AS DOUBLE)) / 2) AS phi,
+         |    radians((CAST(lonmin AS DOUBLE) + CAST(lonmax AS DOUBLE)) / 2) AS lam
+         |  FROM zones)
+         |SELECT zone_id,
+         |  round(2 * 6371.0088 * asin(sqrt(
+         |    sin((phi - radians(38.49)) / 2) * sin((phi - radians(38.49)) / 2)
+         |    + cos(phi) * cos(radians(38.49))
+         |      * sin((lam - radians(4.59)) / 2) * sin((lam - radians(4.59)) / 2))), 6)
+         |    AS dist_km
+         |FROM pts ORDER BY zone_id""".stripMargin) { (s, d) =>
+      val phi = radians((col("latmin").cast("double") + col("latmax").cast("double")) / 2)
+      val lam = radians((col("lonmin").cast("double") + col("lonmax").cast("double")) / 2)
+      val phi0 = radians(lit(38.49))
+      val lam0 = radians(lit(4.59))
+      wgs84Zones(s, d)
+        .select(col("zone_id"), phi.as("phi"), lam.as("lam"))
+        .select(col("zone_id"),
+          round(lit(2) * lit(6371.0088) * asin(sqrt(
+            sin((col("phi") - phi0) / 2) * sin((col("phi") - phi0) / 2)
+              + cos(col("phi")) * cos(phi0)
+              * sin((col("lam") - lam0) / 2) * sin((col("lam") - lam0) / 2))), 6)
+            .as("dist_km"))
+        .orderBy("zone_id")
+    },
+
     // GEODESIC zone area (km²) on the sphere — area-weighted reporting
     // needs world-unit areas, and a lat-lon rectangle's spherical area
     // is closed-form: R²·Δλ·(sin φ₂ − sin φ₁). The SAME SQL runs on
