@@ -393,7 +393,7 @@ object Dedup {
       _ => arithCandJaccardPlan(s, d).localCheckpoint(true))
   }
 
-  private def arithCandJaccardPlan(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
+  private[graft] def arithCandJaccardPlan(s: org.apache.spark.sql.SparkSession, d: String): DataFrame = {
     graft.ext.Ext.register(s)
     val docs = Tables.documents(s, d)
     val cand = bucketPairs(

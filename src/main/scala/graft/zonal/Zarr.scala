@@ -71,7 +71,11 @@ object Zarr {
       height: Int, width: Int, chunkH: Int, chunkW: Int,
       dtype: String, compressor: String, fill: Double, hasFill: Boolean,
       innerH: Int = 0, innerW: Int = 0,
-      indexCrc: Boolean = false, indexAtEnd: Boolean = true)
+      indexCrc: Boolean = false, indexAtEnd: Boolean = true,
+      // pixel window for INNER pruning inside shards (full by default):
+      // a windowed query must not decode a whole 1 GB shard
+      wx0: Int = 0, wy0: Int = 0,
+      wx1: Int = Int.MaxValue, wy1: Int = Int.MaxValue)
 
   private val SupportedDtypes =
     Set("f8", "f4", "i4", "i2", "i1", "u1")
@@ -435,8 +439,15 @@ object Zarr {
       val gj = r.cj * innerAcross + k % innerAcross
       val innerRef = ChunkRef(r.path, nb, gi, gj, r.height, r.width,
         r.innerH, r.innerW, r.dtype, r.compressor, r.fill, r.hasFill)
-      val intersects = gi * r.innerH < r.height && gj * r.innerW < r.width
-      if (off == -1L && nb == -1L) {
+      // window prune BEFORE any decode: inner chunks outside the query
+      // window cost zero work (ZarrSpec proves it on a poisoned chunk)
+      val inWindow =
+        gj * r.innerW <= r.wx1 && (gj + 1) * r.innerW > r.wx0 &&
+        gi * r.innerH <= r.wy1 && (gi + 1) * r.innerH > r.wy0
+      val intersects = inWindow &&
+        gi * r.innerH < r.height && gj * r.innerW < r.width
+      if (!inWindow) Iterator.empty
+      else if (off == -1L && nb == -1L) {
         if (!intersects) Iterator.empty
         else {
           require(r.hasFill, s"${r.path}: inner chunk ($gi,$gj) absent from " +
@@ -534,6 +545,7 @@ object Zarr {
     val refs = chunkRefs(m, dir).filter(r =>
       r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
       r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0)
+      .map(r => r.copy(wx0 = x0, wy0 = y0, wx1 = x1, wy1 = y1))
     scanChunks(s, refs)
       .filter(col("cell_x").between(x0, x1) && col("cell_y").between(y0, y1))
   }

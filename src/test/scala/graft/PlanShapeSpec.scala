@@ -223,10 +223,17 @@ class PlanShapeSpec extends SparkSuite {
         && ep.contains("sig#") && ep.contains("band#"),
         s"near-pair generation (tau=$tau) is not the banded equi-join:\n${ep.take(3000)}")
     }
-    // ngram path: candidates come from the banded-minhash bucket
-    // aggregation (group on band/bh), not a self-join
-    val p = joins("dedup_ngram_jaccard")
-    assert(p.contains("bh#"), s"ngram candidates not keyed by minhash band:\n${p.take(3000)}")
+    // ngram path: the registry entry rides the candidate-table memo
+    // (a checkpoint scan — no-NLJ asserted via joins); the banded
+    // bucket-aggregation shape is asserted on the UNPINNED plan that
+    // executes when the memo is cold, like the near-pair family above
+    joins("dedup_ngram_jaccard")
+    val cand = graft.llm.Dedup.arithCandJaccardPlan(spark, sf)
+    cand.collect()
+    val p = cand.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct")
+      && p.contains("bh#"),
+      s"ngram candidates not keyed by minhash band:\n${p.take(3000)}")
     // band join: |x−y| ≤ δ planned as a bucket equi-join, not NLJ
     val pb = joins("join_band")
     assert(pb.contains("bucket#"), s"band join not keyed by the δ-bucket:\n${pb.take(3000)}")

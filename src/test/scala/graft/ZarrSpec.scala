@@ -215,6 +215,35 @@ class ZarrSpec extends SparkSuite {
     java.nio.file.Files.write(fb.toPath, corrupted)
     val e = intercept[Throwable] { Zarr.scanZarr(spark, d.getPath).collect() }
     assert(msgs(e).contains("crc32c"), msgs(e))
+    // windowed scan over a shard PRUNES inner chunks before decode:
+    // rebuild the shard with inner (1,1) POISONED (valid index entry,
+    // garbage bytes) — the full scan throws, the window that touches
+    // only inner (0,0) decodes fine because (1,1) is never touched
+    val d2 = tmpDir("v3swin")
+    putText(d2, "zarr.json",
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(d, "zarr.json").toPath),
+        java.nio.charset.StandardCharsets.UTF_8))
+    val body2 = new java.io.ByteArrayOutputStream()
+    val idx2 = java.nio.ByteBuffer.allocate(4 * 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for ((ii, jj) <- Seq((0, 0), (0, 1), (1, 0))) {
+      val enc = inner(ii, jj)
+      idx2.putLong(body2.size.toLong); idx2.putLong(enc.length.toLong)
+      body2.write(enc)
+    }
+    idx2.putLong(body2.size.toLong); idx2.putLong(8L) // poisoned (1,1)
+    body2.write(Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)) // not valid raw f8x4
+    val crc2 = new java.util.zip.CRC32C()
+    crc2.update(idx2.array())
+    body2.write(idx2.array())
+    body2.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc2.getValue.toInt).array())
+    put(d2, "c/0/0", body2.toByteArray)
+    intercept[Throwable] { Zarr.scanZarr(spark, d2.getPath).collect() }
+    val win = Zarr.scanZarrWindow(spark, d2.getPath, 0, 1, 0, 1).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(win == Map((0, 0) -> 0.0, (1, 0) -> 1.0, (0, 1) -> 100.0, (1, 1) -> 101.0))
+
     // writer+reader round trip through the registry fixture formula
     val cells = q("scan_zarr_sharded")
     assert(cells.count() == 80L * 70L)
