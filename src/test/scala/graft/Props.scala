@@ -164,6 +164,60 @@ object Props extends Properties("graft") {
       }
       .suchThat(_.size >= 3)
 
+  // ---- round-11 container codecs ----
+
+  property("JPEG: block-constant images round-trip EXACTLY under the fixture quant") =
+    forAll(Gen.listOfN(6, Gen.choose(0, 255))) { vals =>
+      // 2×3 blocks of 8×8 → 16×24 px; arbitrary u8 block values
+      val w = 24; val h = 16
+      val px = Array.tabulate(w * h) { i =>
+        vals((i / w / 8) * 3 + (i % w) / 8)
+      }
+      val dec = graft.zonal.Jpeg.decodeGray(graft.zonal.Jpeg.encodeGray(px, w, h))._3
+      dec.sameElements(px)
+    }
+
+  property("UTM Krüger series: forward∘inverse closes under 0.5 mm") =
+    forAll(Gen.choose(200000.0, 800000.0), Gen.choose(100000.0, 9000000.0)) { (e, n) =>
+      val (lon, lat) = graft.zonal.Utm.inverse(e, n, 3)
+      val (e2, n2) = graft.zonal.Utm.forward(lon, lat, 3)
+      math.abs(e2 - e) < 5e-4 && math.abs(n2 - n) < 5e-4
+    }
+
+  private val shardGen = for {
+    h <- Gen.choose(5, 25)
+    w <- Gen.choose(5, 25)
+    innerH <- Gen.oneOf(2, 4)
+    innerW <- Gen.oneOf(2, 4)
+    mult <- Gen.choose(1, 3)
+  } yield (h, w, innerH * mult, innerW * mult, innerH, innerW)
+
+  property("Zarr sharded store: write→scan is the identity on random lattices") =
+    forAll(shardGen) { case (h, w, sh, sw, ih, iw) =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/prop_zarr_shard"
+      graft.core.Fs.rmTree(dir)
+      graft.zonal.Zarr.writeZarrV3Sharded(dir, h, w, sh, sw, ih, iw)(
+        (x, y) => (x * 31 + y * 7) % 100)
+      val got = graft.zonal.Zarr.scanZarr(spark, dir).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      got.size == h * w && got.forall { case ((x, y), v) =>
+        v == ((x * 31 + y * 7) % 100).toDouble
+      }
+    }
+
+  property("NetCDF classic: write→scan is the identity on random dims/types") =
+    forAll(Gen.choose(3, 20), Gen.choose(3, 20), Gen.oneOf(3, 4, 5, 6)) { (h, w, t) =>
+      val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/prop_nc.nc"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(p))
+      graft.zonal.Netcdf.writeNetcdf(p, "v", h, w, t)(
+        (x, y, _) => ((x * 13 + y * 17) % 120).toDouble)
+      val got = graft.zonal.Netcdf.scanNetcdf(spark, p, "v").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      got.size == h * w && got.forall { case ((x, y), v) =>
+        v == ((x * 13 + y * 17) % 120).toDouble
+      }
+    }
+
   property("cell_cover: per-cell clipped areas sum EXACTLY to the polygon area") =
     forAll(hullGen) { hull =>
       import graft.ext.CellCover
