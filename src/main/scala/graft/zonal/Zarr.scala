@@ -1005,6 +1005,33 @@ object Zarr {
         .orderBy("chunk_x", "chunk_y")
     },
 
+    // per-zone per-epoch statistics straight over the Zarr epoch stack
+    // — the time-series end-use the stack exists for: ONE scan of all
+    // (epoch, chunk) tasks, one broadcast rasterize, one hash agg keyed
+    // (zone, epoch); change reporting with no conversion step
+    "zonal_zarr_timeseries" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), cells AS (
+         |  SELECT cell_x, cell_y, 0 AS epoch, value FROM ($ZarrCellsSql)
+         |  UNION ALL
+         |  SELECT cell_x, cell_y, 1 AS epoch, $Zarr2ValueSql AS value
+         |  FROM range(0, $ZarrW) x(cell_x) CROSS JOIN range(0, $ZarrH) y(cell_y)
+         |)
+         |SELECT zone_id, epoch, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |${Cube.RasterizeJoinSql}
+         |GROUP BY zone_id, epoch ORDER BY zone_id, epoch""".stripMargin) { (s, d) =>
+      Cube.rasterize(scanZarrEpochs(s, Seq(fixtureDir(), fixture2Dir())),
+          Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("epoch"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("zone_id", "epoch")
+    },
+
     // the end-use: zonal statistics straight over a Zarr cube — scan
     // chunks, Raptor-style broadcast rasterize against the zone
     // envelopes, ONE hash agg. Integral values → exact BIGINT sums.
