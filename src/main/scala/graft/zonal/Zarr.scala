@@ -735,6 +735,30 @@ object Zarr {
       shardH: Int, shardW: Int, innerH: Int, innerW: Int,
       compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0)
       (f: (Int, Int) => Double): Unit = {
+    writeShardedMeta(dir, height, width, shardH, shardW, innerH, innerW,
+      compressor, dtype, fill)
+    val down = (height + shardH - 1) / shardH
+    val across = (width + shardW - 1) / shardW
+    val d = new java.io.File(dir)
+    for (ci <- 0 until down; cj <- 0 until across) {
+      val vals = Array.tabulate(shardH * shardW) { i =>
+        val y = ci * shardH + i / shardW
+        val x = cj * shardW + i % shardW
+        if (y < height && x < width) f(x, y) else fill
+      }
+      val out = new java.io.File(d, s"c/$ci/$cj")
+      out.getParentFile.mkdirs()
+      java.nio.file.Files.write(out.toPath,
+        shardFileBytes(vals, shardH, shardW, innerH, innerW, compressor, dtype, fill))
+    }
+  }
+
+  /** Driver-side sharded `zarr.json` write (the tiny metadata document;
+    * the distributed sink pairs it with executor-written shard files).
+    */
+  def writeShardedMeta(dir: String, height: Int, width: Int,
+      shardH: Int, shardW: Int, innerH: Int, innerW: Int,
+      compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0): Unit = {
     require(shardH % innerH == 0 && shardW % innerW == 0, "shard must tile by inner")
     require(Set("raw", "gzip", "zstd").contains(compressor), compressor)
     val d = new java.io.File(dir)
@@ -769,39 +793,40 @@ object Zarr {
          |}""".stripMargin
     java.nio.file.Files.write(new java.io.File(d, "zarr.json").toPath,
       meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val down = (height + shardH - 1) / shardH
-    val across = (width + shardW - 1) / shardW
+  }
+
+  /** One shard file's bytes from a dense row-major shard value array
+    * (pad already filled): encoded inner chunks + the crc32c'd u64-LE
+    * index footer; all-fill inner chunks omitted via all-ones entries.
+    * Shared by the local fixture writer and the distributed sink's
+    * executor tasks.
+    */
+  def shardFileBytes(vals: Array[Double], shardH: Int, shardW: Int,
+      innerH: Int, innerW: Int, compressor: String, dtype: String,
+      fill: Double): Array[Byte] = {
+    require(vals.length == shardH * shardW)
     val iDown = shardH / innerH
     val iAcross = shardW / innerW
-    for (ci <- 0 until down; cj <- 0 until across) {
-      val body = new java.io.ByteArrayOutputStream()
-      val idx = java.nio.ByteBuffer.allocate(iDown * iAcross * 16)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      for (ii <- 0 until iDown; jj <- 0 until iAcross) {
-        val y0 = ci * shardH + ii * innerH
-        val x0 = cj * shardW + jj * innerW
-        val vals = Array.tabulate(innerH * innerW) { i =>
-          val y = y0 + i / innerW
-          val x = x0 + i % innerW
-          if (y < height && x < width) f(x, y) else fill
-        }
-        if (vals.forall(_ == fill)) { idx.putLong(-1L); idx.putLong(-1L) }
-        else {
-          val enc = chunkFileBytes(vals, innerH, innerW, compressor, dtype)
-          idx.putLong(body.size.toLong); idx.putLong(enc.length.toLong)
-          body.write(enc)
-        }
+    val body = new java.io.ByteArrayOutputStream()
+    val idx = java.nio.ByteBuffer.allocate(iDown * iAcross * 16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (ii <- 0 until iDown; jj <- 0 until iAcross) {
+      val inner = Array.tabulate(innerH * innerW) { i =>
+        vals((ii * innerH + i / innerW) * shardW + jj * innerW + i % innerW)
       }
-      val crc = new java.util.zip.CRC32C()
-      crc.update(idx.array())
-      body.write(idx.array())
-      val tail = java.nio.ByteBuffer.allocate(4)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt)
-      body.write(tail.array())
-      val out = new java.io.File(d, s"c/$ci/$cj")
-      out.getParentFile.mkdirs()
-      java.nio.file.Files.write(out.toPath, body.toByteArray)
+      if (inner.forall(_ == fill)) { idx.putLong(-1L); idx.putLong(-1L) }
+      else {
+        val enc = chunkFileBytes(inner, innerH, innerW, compressor, dtype)
+        idx.putLong(body.size.toLong); idx.putLong(enc.length.toLong)
+        body.write(enc)
+      }
     }
+    val crc = new java.util.zip.CRC32C()
+    crc.update(idx.array())
+    body.write(idx.array())
+    body.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt).array())
+    body.toByteArray
   }
 
   // ---- fixture + registry ----
@@ -1003,6 +1028,56 @@ object Zarr {
         .agg(count(lit(1)).as("n_cells_nonzero"),
           sum(col("value").cast("long")).as("sum_v"))
         .orderBy("chunk_x", "chunk_y")
+    },
+
+    // the sharded WRITE direction, distributed: per-cell aggregates
+    // shard up via ONE groupByKey — each executor task assembles and
+    // writes exactly its own shard FILE (inner chunks + crc32c'd index
+    // footer, all-fill inners omitted — the same bytes the reader
+    // speaks), the driver writes only the tiny zarr.json — then the
+    // store reads back through the real scanner and aggregates per
+    // shard. At 100 TB each task owns one multi-chunk shard: exactly
+    // how zarr-python 3 builds large stores.
+    "sink_zarr_sharded" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS shard_x, cell_y // 16 AS shard_y,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |GROUP BY shard_x, shard_y ORDER BY shard_x, shard_y""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_sink_sharded"
+      graft.core.Fs.rmTree(dir)
+      val ss = 16 // shard dims; 8×8 inner chunks
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      writeShardedMeta(dir, h, w, ss, ss, 8, 8, compressor = "gzip")
+      percell
+        .groupByKey(r => (r.getLong(1) / ss, r.getLong(0) / ss)) // (ci, cj)
+        .mapGroups { (key: (Long, Long), rows: Iterator[org.apache.spark.sql.Row]) =>
+          val (ci, cj) = key
+          val vals = new Array[Double](ss * ss)
+          rows.foreach { r =>
+            val x = (r.getLong(0) - cj * ss).toInt
+            val y = (r.getLong(1) - ci * ss).toInt
+            vals(y * ss + x) = r.getDouble(2)
+          }
+          val out = new java.io.File(dir, s"c/$ci/$cj")
+          out.getParentFile.mkdirs()
+          java.nio.file.Files.write(out.toPath,
+            shardFileBytes(vals, ss, ss, 8, 8, "gzip", "<f8", 0.0))
+          (ci, cj)
+        }
+        .collect() // manifest only: one row per shard file
+      scanZarr(s, dir)
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_x div $ss AS BIGINT)").as("shard_x"),
+          expr(s"CAST(cell_y div $ss AS BIGINT)").as("shard_y"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("shard_x", "shard_y")
     },
 
     // per-zone per-epoch statistics straight over the Zarr epoch stack
