@@ -177,8 +177,11 @@ object Align {
     val (sxA, syA) = (intOf(ma.scaleX, s"$pa scaleX"), intOf(ma.scaleY, s"$pa scaleY"))
     val (oxB, oyB) = (intOf(mb.originX, s"$pb originX"), intOf(mb.originY, s"$pb originY"))
     val (sxB, syB) = (intOf(mb.scaleX, s"$pb scaleX"), intOf(mb.scaleY, s"$pb scaleY"))
-    require(sxA == syA && sxB == syB, "align avg: anisotropic pixels unsupported")
-    require(sxA > 0 && sxB > 0, s"align avg: non-positive pixel scale ($sxA, $sxB)")
+    // anisotropic (rectangular) pixels are fine on BOTH sides: every
+    // span/weight term below already factors per axis (r12 — degree
+    // lattices routinely have sxB ≠ syB)
+    require(sxA > 0 && syA > 0 && sxB > 0 && syB > 0,
+      s"align avg: non-positive pixel scale ($sxA x $syA, $sxB x $syB)")
     val areaA = sxA * syA
     val blk = Raster.scanTiff(s, pb, mb)
       .select(col("cell_x").as("bx"), col("cell_y").as("by"), col("value").as("vb"))
@@ -228,6 +231,26 @@ object Align {
         bits = 32, sampleFormat = 2,
         originX = AlgOX.toDouble, originY = AlgOY.toDouble,
         scaleX = AlgScale.toDouble, scaleY = AlgScale.toDouble))(algValue)
+    }
+
+  /** ANISOTROPIC fixture (r12 — rectangular pixels, the degree-lattice
+    * shape): 7 m × 5 m cells at an off-lattice origin, neither axis
+    * nesting in the 30 m world grid.
+    */
+  val AnisoW = 390
+  val AnisoH = 425
+  val AnisoOX = 510003L
+  val AnisoOY = 4649989L
+  val AnisoSX = 7L
+  val AnisoSY = 5L
+  def anisoValue(x: Int, y: Int): Double = ((17 * x + 19 * y) % 977).toDouble
+
+  def anisoFixturePath(): String =
+    Raster.fixtureOnce(s"raster_align_aniso_${AnisoW}x$AnisoH.tif") { p =>
+      Raster.writeTiffOpts(p, AnisoW, AnisoH, 64, 64, Raster.WriteOpts(
+        bits = 32, sampleFormat = 2,
+        originX = AnisoOX.toDouble, originY = AnisoOY.toDouble,
+        scaleX = AnisoSX.toDouble, scaleY = AnisoSY.toDouble))(anisoValue)
     }
 
   /** DuckDB twin of the B fixture cells. */
@@ -343,6 +366,51 @@ object Align {
          |FROM blk JOIN a USING (cell_x, cell_y)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       alignAvgGeneral(s, Raster.worldFixturePath(), algFixturePath())
+    },
+
+    // ANISOTROPIC general align (r12): 7 m × 5 m rectangular pixels
+    // averaged onto the 30 m world grid — every span/weight term
+    // factors per axis; the oracle replays the identical per-axis
+    // arithmetic over the rectangular formula lattice
+    "raster_align_avg_aniso" -> Q(
+      s"""WITH a AS (
+         |  SELECT cell_x, cell_y, value AS va FROM ($FixtureCellsSql)
+         |), b AS (
+         |  SELECT x.range AS bx, y.range AS by,
+         |    CAST((17 * x.range + 19 * y.range) % 977 AS DOUBLE) AS vb
+         |  FROM range(0, $AnisoW) x CROSS JOIN range(0, $AnisoH) y
+         |), e AS (
+         |  SELECT vb, $AnisoOX - $WorldOX + $AnisoSX * bx AS xbl,
+         |    $WorldOY - $AnisoOY + $AnisoSY * by AS ybl
+         |  FROM b
+         |  WHERE $AnisoOX - $WorldOX + $AnisoSX * bx + $AnisoSX > 0
+         |    AND $AnisoOX - $WorldOX + $AnisoSX * bx < $WorldScale * ${Raster.FixW}
+         |    AND $WorldOY - $AnisoOY + $AnisoSY * by + $AnisoSY > 0
+         |    AND $WorldOY - $AnisoOY + $AnisoSY * by < $WorldScale * ${Raster.FixH}
+         |), ex AS (
+         |  SELECT vb, xbl, ybl,
+         |    unnest(generate_series(greatest(0, xbl // $WorldScale),
+         |      least(${Raster.FixW - 1}, (xbl + ${AnisoSX - 1}) // $WorldScale))) AS ax
+         |  FROM e
+         |), exy AS (
+         |  SELECT vb, xbl, ybl, ax,
+         |    unnest(generate_series(greatest(0, ybl // $WorldScale),
+         |      least(${Raster.FixH - 1}, (ybl + ${AnisoSY - 1}) // $WorldScale))) AS ay
+         |  FROM ex
+         |), g AS (
+         |  SELECT ax AS cell_x, ay AS cell_y, vb,
+         |    (least(xbl + $AnisoSX, (ax + 1) * $WorldScale) - greatest(xbl, ax * $WorldScale))
+         |      * (least(ybl + $AnisoSY, (ay + 1) * $WorldScale) - greatest(ybl, ay * $WorldScale)) AS w
+         |  FROM exy
+         |), blk AS (
+         |  SELECT cell_x, cell_y, CAST(sum(w) AS BIGINT) AS cover_area,
+         |    CAST(sum(w * CAST(vb AS BIGINT)) AS DOUBLE) / ${WorldScale * WorldScale} AS vb_wavg
+         |  FROM g GROUP BY cell_x, cell_y
+         |  HAVING sum(w) = ${WorldScale * WorldScale})
+         |SELECT cell_x, cell_y, va, cover_area, vb_wavg
+         |FROM blk JOIN a USING (cell_x, cell_y)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      alignAvgGeneral(s, Raster.worldFixturePath(), anisoFixturePath())
     },
 
     // CROSS-LATTICE zonal statistics — the end-use the align kernels

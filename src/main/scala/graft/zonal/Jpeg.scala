@@ -313,6 +313,11 @@ object Jpeg {
           require(ns == 1, s"$ns-component scan unsupported")
           val td = (b(p + 6) & 0xf0) >> 4
           val ta = b(p + 6) & 0x0f
+          // baseline scans span the full spectrum with no successive
+          // approximation; a spec-invalid Ss/Se/AhAl header would
+          // silently decode wrong coefficients without this check
+          require(b(p + 7) == 0 && (b(p + 8) & 0xff) == 63 && b(p + 9) == 0,
+            "non-baseline scan (Ss/Se/AhAl) unsupported")
           dcId = td; acId = ta
           sosAt = p + 2 + len
         case mm if (mm >= 0xe0 && mm <= 0xef) || mm == 0xfe => () // APPn/COM

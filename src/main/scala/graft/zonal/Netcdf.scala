@@ -511,7 +511,16 @@ object Netcdf {
         }
       }
       o.writeInt(v.t)
-      o.writeInt(v.slab(dimLen).toInt)
+      // vsize: the 4-padded slab — EXCEPT the sole record variable,
+      // where the spec stores the UNPADDED per-record size (records
+      // pack unpadded in that case, which the data writer below does;
+      // a strict external reader derives the record stride from vsize)
+      val soleRecord = record && v.dimIds.headOption.exists(dimLen(_) == 0)
+      val vsize =
+        if (soleRecord)
+          v.dimIds.tail.map(dimLen(_).toLong).product * elemSize(v.t)
+        else v.slab(dimLen)
+      o.writeInt(vsize.toInt)
       o.writeInt(begins(v.name).toInt)
     }
     require(bo.size == h0, s"writer header accounting: wrote ${bo.size}, sized $h0")

@@ -28,14 +28,18 @@ import graft.core.Q
   * Supported: zarr_format 2 AND 3 ([[parseZarrV3]] — zarr.json array
   * documents over the same chunk machinery), 2-D C-order arrays,
   * dtypes {<,>,|}{f8,f4,i4,i2,i1,u1}, v2 compressor null (raw) / zlib
-  * / zstd and the v3 codec chains [bytes(endian)][, gzip|zstd] — v3
-  * `gzip` is RFC-1952 FRAMES (what zarr-python's GzipCodec writes),
-  * decoded distinctly from v2's raw-zlib `zlib` — plus the v3
+  * / zstd / blosc ([[Blosc]] — r12: the zarr-python v2 DEFAULT, a
+  * hand-rolled frame decoder with lz4/zlib/zstd inner codecs and the
+  * byte shuffle) and the v3 codec chains
+  * [transpose,][bytes(endian)][, gzip|zstd|blosc] — v3 `gzip` is
+  * RFC-1952 FRAMES (what zarr-python's GzipCodec writes), decoded
+  * distinctly from v2's raw-zlib `zlib`; `transpose` (order [1,0]) is
+  * a pure index remap in [[decodeChunk]] — plus the v3
   * `sharding_indexed` codec ([[readShard]]: one shard file = an
   * inner-chunk grid + a crc32c-checked u64 index footer; one shard =
-  * one task). Blosc — numpy-default but a C-library codec unavailable
-  * offline — and F-order/filters/transpose fail loudly by name:
-  * silent misreads of a cube are how wrong science ships.
+  * one task). blosclz/snappy inner codecs, bit-shuffle, F-order and
+  * filters fail loudly by name: silent misreads of a cube are how
+  * wrong science ships.
   */
 object Zarr {
 
@@ -50,7 +54,9 @@ object Zarr {
       // sharding_indexed (v3): inner chunk dims (0 = unsharded), index
       // checksum + placement; `compressor` is then the INNER chain's
       innerH: Int = 0, innerW: Int = 0,
-      indexCrc: Boolean = false, indexAtEnd: Boolean = true) {
+      indexCrc: Boolean = false, indexAtEnd: Boolean = true,
+      // v3 `transpose` codec: chunks are stored column-major (r12)
+      transposed: Boolean = false) {
     def sharded: Boolean = innerH > 0
     def chunksDown: Int = (height + chunkH - 1) / chunkH
     def chunksAcross: Int = (width + chunkW - 1) / chunkW
@@ -72,6 +78,7 @@ object Zarr {
       dtype: String, compressor: String, fill: Double, hasFill: Boolean,
       innerH: Int = 0, innerW: Int = 0,
       indexCrc: Boolean = false, indexAtEnd: Boolean = true,
+      transposed: Boolean = false,
       // pixel window for INNER pruning inside shards (full by default):
       // a windowed query must not decode a whole 1 GB shard
       wx0: Int = 0, wy0: Int = 0,
@@ -122,12 +129,14 @@ object Zarr {
           .getOrElse(sys.error(s"$path: compressor without id"))
         id match {
           case "zlib" | "zstd" => id
-          case "blosc" => sys.error(s"$path: blosc-compressed store — the " +
-            "blosc C library is unavailable in this offline container; " +
-            "rechunk with compressor zlib/zstd/null upstream " +
-            "(zarr.save(..., compressor=numcodecs.Zlib()))")
+          // blosc (zarr-python v2's DEFAULT): the frame is fully
+          // self-describing — inner codec, shuffle and typesize live in
+          // its own 16-byte header, so the metadata hints need no
+          // validation here; unsupported corners (blosclz/snappy inner,
+          // bit-shuffle) refuse by name at decode ([[Blosc.decompress]])
+          case "blosc" => id
           case other => sys.error(s"$path: compressor '$other' unsupported " +
-            "(null/zlib/zstd)")
+            "(null/zlib/zstd/blosc)")
         }
       case other => sys.error(s"$path: compressor $other unsupported")
     }
@@ -214,12 +223,26 @@ object Zarr {
       }
       case other => sys.error(s"$path: $what $other is not an array")
     }
-    /** A plain data chain `[bytes(endian)][, gzip|zstd]` → (endian, compressor). */
-    def parseChain(codecs: List[(String, JValue)], what: String): (String, String) = {
+    /** A plain data chain `[transpose,][bytes(endian)][, gzip|zstd|blosc]`
+      * → (endian, compressor, transposed). The `transpose` codec (r12 —
+      * xarray can emit it) is a pure index remap handled in
+      * [[decodeChunk]]: order [1, 0] stores each chunk column-major;
+      * the identity order [0, 1] is accepted as a no-op.
+      */
+    def parseChain(codecs0: List[(String, JValue)], what: String): (String, String, Boolean) = {
+      val (codecs, transposed) = codecs0 match {
+        case ("transpose", cfg) :: rest =>
+          cfg \ "order" match {
+            case JArray(List(JInt(a), JInt(b))) if a == 1 && b == 0 => (rest, true)
+            case JArray(List(JInt(a), JInt(b))) if a == 0 && b == 1 => (rest, false)
+            case other => sys.error(s"$path: transpose order $other unsupported " +
+              "([1, 0] or the identity [0, 1] on a 2-D array)")
+          }
+        case cs => (cs, false)
+      }
       require(codecs.nonEmpty && codecs.head._1 == "bytes",
-        s"$path: $what chain ${codecs.map(_._1)} unsupported — want " +
-          "[bytes][, gzip|zstd] (transpose/blosc are not readable here; " +
-          "rechunk upstream)")
+        s"$path: $what chain ${codecs0.map(_._1)} unsupported — want " +
+          "[transpose,][bytes][, gzip|zstd|blosc]")
       val endian = codecs.head._2 \ "endian" match {
         case JString("little") | JNothing | JNull => "<"
         case JString("big") => ">"
@@ -229,16 +252,18 @@ object Zarr {
         case Nil => "raw"
         case (("gzip", _)) :: Nil => "gzip" // RFC 1952 frames, NOT raw zlib
         case (("zstd", _)) :: Nil => "zstd"
+        // self-describing frame — shuffle/inner-codec live in its header
+        case (("blosc", _)) :: Nil => "blosc"
         case other => sys.error(s"$path: $what chain bytes+" +
-          s"${other.map(_._1).mkString("+")} unsupported (gzip/zstd/none)")
+          s"${other.map(_._1).mkString("+")} unsupported (gzip/zstd/blosc/none)")
       }
-      (endian, compressor)
+      (endian, compressor, transposed)
     }
     val topChain = codecList(field("codecs"), "codecs")
     // sharding_indexed: one shard FILE holds a grid of inner chunks +
     // an index of (offset, nbytes) u64-LE pairs (optionally crc32c'd),
     // at the file start or end — how large v3 cubes actually ship
-    val (endian, compressor, innerDims, indexCrc, indexAtEnd) =
+    val (endian, compressor, transposed, innerDims, indexCrc, indexAtEnd) =
       if (topChain.nonEmpty && topChain.head._1 == "sharding_indexed") {
         require(topChain.tail.isEmpty,
           s"$path: codecs after sharding_indexed unsupported")
@@ -253,7 +278,7 @@ object Zarr {
         require(chunks(0) % inner(0) == 0 && chunks(1) % inner(1) == 0,
           s"$path: shard shape $chunks not a multiple of inner ${inner} " +
             "(required by the sharding spec)")
-        val (e, c) = parseChain(codecList(cfg \ "codecs", "shard inner codecs"),
+        val (e, c, tr) = parseChain(codecList(cfg \ "codecs", "shard inner codecs"),
           "shard inner codec")
         val crc = codecList(cfg \ "index_codecs", "index_codecs").map(_._1) match {
           case List("bytes") => false
@@ -266,10 +291,10 @@ object Zarr {
           case JString("start") => false
           case other => sys.error(s"$path: index_location $other")
         }
-        (e, c, Some((inner(0), inner(1))), crc, atEnd)
+        (e, c, tr, Some((inner(0), inner(1))), crc, atEnd)
       } else {
-        val (e, c) = parseChain(topChain, "codec")
-        (e, c, None, false, true)
+        val (e, c, tr) = parseChain(topChain, "codec")
+        (e, c, tr, None, false, true)
       }
     val (fill, hasFill) = field("fill_value") match {
       case JInt(v) => (v.toDouble, true)
@@ -303,7 +328,7 @@ object Zarr {
       compressor, fill, hasFill, sep, v3 = v3keys,
       innerH = innerDims.map(_._1).getOrElse(0),
       innerW = innerDims.map(_._2).getOrElse(0),
-      indexCrc = indexCrc, indexAtEnd = indexAtEnd)
+      indexCrc = indexCrc, indexAtEnd = indexAtEnd, transposed = transposed)
   }
 
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =
@@ -349,7 +374,8 @@ object Zarr {
         val n = m.chunkKey(ci, cj)
         ChunkRef(s"$dir/$n", names.getOrElse(n, -1L), ci, cj,
           m.height, m.width, m.chunkH, m.chunkW, m.dtype, m.compressor,
-          m.fill, m.hasFill, m.innerH, m.innerW, m.indexCrc, m.indexAtEnd)
+          m.fill, m.hasFill, m.innerH, m.innerW, m.indexCrc, m.indexAtEnd,
+          m.transposed)
       }
     } else {
       // nested store: v2 rows at "<dir>/ci/", v3 at "<dir>/c/ci/"
@@ -361,7 +387,8 @@ object Zarr {
         (0 until m.chunksAcross).map { cj =>
           ChunkRef(s"$dir/${m.chunkKey(ci, cj)}", row.getOrElse(cj.toString, -1L), ci, cj,
             m.height, m.width, m.chunkH, m.chunkW, m.dtype, m.compressor,
-            m.fill, m.hasFill, m.innerH, m.innerW, m.indexCrc, m.indexAtEnd)
+            m.fill, m.hasFill, m.innerH, m.innerW, m.indexCrc, m.indexAtEnd,
+            m.transposed)
         }
       }
     }
@@ -391,7 +418,9 @@ object Zarr {
       x = x0 + cc
       if x < r.width
     } yield {
-      val i = (rr * r.chunkW + cc) * elem
+      // transpose codec: the chunk buffer is column-major — a pure
+      // index remap, no second pass over the bytes
+      val i = (if (r.transposed) cc * r.chunkH + rr else rr * r.chunkW + cc) * elem
       val v = kind match {
         case "f8" => buf.getDouble(i)
         case "f4" => buf.getFloat(i).toDouble
@@ -438,7 +467,8 @@ object Zarr {
       val gi = r.ci * innerDown + k / innerAcross
       val gj = r.cj * innerAcross + k % innerAcross
       val innerRef = ChunkRef(r.path, nb, gi, gj, r.height, r.width,
-        r.innerH, r.innerW, r.dtype, r.compressor, r.fill, r.hasFill)
+        r.innerH, r.innerW, r.dtype, r.compressor, r.fill, r.hasFill,
+        transposed = r.transposed)
       // window prune BEFORE any decode: inner chunks outside the query
       // window cost zero work (ZarrSpec proves it on a poisoned chunk)
       val inWindow =
@@ -463,6 +493,7 @@ object Zarr {
           case "zlib" => TiffCodec.inflate(chunkBytes, innerExpected)
           case "gzip" => TiffCodec.gzipDecompress(chunkBytes, innerExpected)
           case "zstd" => TiffCodec.zstdDecompress(chunkBytes, innerExpected)
+          case "blosc" => Blosc.decompress(chunkBytes, innerExpected)
         }
         decodeChunk(raw, innerRef)
       }
@@ -519,6 +550,7 @@ object Zarr {
           case "zlib" => TiffCodec.inflate(bytes, expected)
           case "gzip" => TiffCodec.gzipDecompress(bytes, expected)
           case "zstd" => TiffCodec.zstdDecompress(bytes, expected)
+          case "blosc" => Blosc.decompress(bytes, expected)
         }
         decodeChunk(raw, r)
       }
@@ -600,13 +632,16 @@ object Zarr {
     */
   def writeZarrMeta(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
       compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0): Unit = {
-    require(Set("raw", "zlib", "zstd").contains(compressor), compressor)
+    require(Set("raw", "zlib", "zstd", "blosc").contains(compressor), compressor)
     val d = new java.io.File(dir)
     d.mkdirs()
     val compJson = compressor match {
       case "raw" => "null"
       case "zlib" => """{"id": "zlib", "level": 6}"""
       case "zstd" => """{"id": "zstd", "level": 3}"""
+      // the zarr-python v2 default (lz4 inner, byte shuffle)
+      case "blosc" =>
+        """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
     }
     val fillJson =
       if (fill.isNaN) "\"NaN\""
@@ -654,6 +689,12 @@ object Zarr {
       case "zlib" => TiffCodec.deflate(buf.array())
       case "gzip" => TiffCodec.gzipCompress(buf.array())
       case "zstd" => TiffCodec.zstdCompress(buf.array())
+      // writer-side variants (the reader needs none of this — frames
+      // self-describe): "blosc" = the numcodecs default lz4+shuffle
+      // (split path for elem ≤ 16), "blosc-zlib" = zlib inner
+      // (dont_split path), both through [[Blosc.compress]]
+      case "blosc" => Blosc.compress(buf.array(), elem, "lz4", shuffle = true)
+      case "blosc-zlib" => Blosc.compress(buf.array(), elem, "zlib", shuffle = true)
     }
   }
 
@@ -679,19 +720,25 @@ object Zarr {
     * keys (`c/ci/cj`), same chunk encoder as v2.
     */
   def writeZarrV3(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
-      compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0)
+      compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0,
+      transposed: Boolean = false)
       (f: (Int, Int) => Double): Unit = {
-    require(Set("raw", "gzip", "zstd").contains(compressor),
-      s"$compressor: Zarr v3 codecs are gzip/zstd/none (v2 zlib is spelled gzip here)")
+    require(Set("raw", "gzip", "zstd", "blosc-zlib").contains(compressor),
+      s"$compressor: Zarr v3 codecs are gzip/zstd/blosc-zlib/none (v2 zlib is spelled gzip here)")
     val d = new java.io.File(dir)
     d.mkdirs()
     val dtypeName = V3Dtypes.map(_.swap).apply(dtype.substring(1))
     val endian = if (dtype.charAt(0) == '>') "big" else "little"
-    val codecJson = (s"""{"name": "bytes", "configuration": {"endian": "$endian"}}""" +:
+    val elem = dtype.substring(2).toInt
+    val codecJson = ((if (transposed)
+        Seq("""{"name": "transpose", "configuration": {"order": [1, 0]}}""")
+      else Nil) ++
+      Seq(s"""{"name": "bytes", "configuration": {"endian": "$endian"}}""") ++
       (compressor match {
         case "raw" => Nil
         case "gzip" => Seq("""{"name": "gzip", "configuration": {"level": 6}}""")
         case "zstd" => Seq("""{"name": "zstd", "configuration": {"level": 3}}""")
+        case "blosc-zlib" => Seq(s"""{"name": "blosc", "configuration": {"cname": "zlib", "clevel": 5, "shuffle": "shuffle", "typesize": $elem, "blocksize": 0}}""")
       })).mkString("[", ", ", "]")
     val fillJson =
       if (fill.isNaN) "\"NaN\""
@@ -713,9 +760,13 @@ object Zarr {
     val down = (height + chunkH - 1) / chunkH
     val across = (width + chunkW - 1) / chunkW
     for (ci <- 0 until down; cj <- 0 until across) {
+      // transpose codec stores the chunk column-major: emit the values
+      // in that order and the shared encoder needs no second path
       val vals = Array.tabulate(chunkH * chunkW) { i =>
-        val y = ci * chunkH + i / chunkW
-        val x = cj * chunkW + i % chunkW
+        val (rr, cc) =
+          if (transposed) (i % chunkH, i / chunkH) else (i / chunkW, i % chunkW)
+        val y = ci * chunkH + rr
+        val x = cj * chunkW + cc
         if (y < height && x < width) f(x, y) else fill
       }
       val out = new java.io.File(d, s"c/$ci/$cj")
@@ -900,6 +951,65 @@ object Zarr {
     dir
   }
 
+  /** Third formula for the blosc epoch (distinct from both existing
+    * lattices so a cross-wired epoch read cannot cancel out).
+    */
+  def zarrValue3(x: Int, y: Int): Double = ((31 * x + 17 * y) % 997).toDouble
+  private val Zarr3ValueSql = "CAST((31 * cell_x + 17 * cell_y) % 997 AS DOUBLE)"
+
+  private val fixtureBloscLock = new Object
+  @volatile private var fixtureBloscReady: String = null
+
+  /** v2 BLOSC fixture (r12 — the zarr-python default compressor):
+    * lz4 inner + byte shuffle over float64, which takes the SPLIT
+    * stream path (typesize 8 ≤ 16) through [[Blosc]].
+    */
+  def fixtureBloscDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarrb_fixture_${ZarrW}x$ZarrH"
+    if (fixtureBloscReady != dir) fixtureBloscLock.synchronized {
+      if (fixtureBloscReady != dir) {
+        writeZarr(dir, ZarrH, ZarrW, 32, 32, compressor = "blosc")(zarrValue3)
+        fixtureBloscReady = dir
+      }
+    }
+    dir
+  }
+
+  private val fixtureBlosc3Lock = new Object
+  @volatile private var fixtureBlosc3Ready: String = null
+
+  /** v3 blosc fixture: [bytes(le), blosc(zlib-inner)] over int32 —
+    * the dont_split frame path (zlib never splits).
+    */
+  def fixtureBloscV3Dir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarrb3_fixture_${ZarrW}x$ZarrH"
+    if (fixtureBlosc3Ready != dir) fixtureBlosc3Lock.synchronized {
+      if (fixtureBlosc3Ready != dir) {
+        writeZarrV3(dir, ZarrH, ZarrW, 32, 32, compressor = "blosc-zlib", dtype = "<i4")(zarrValue)
+        fixtureBlosc3Ready = dir
+      }
+    }
+    dir
+  }
+
+  private val fixtureTrLock = new Object
+  @volatile private var fixtureTrReady: String = null
+
+  /** v3 TRANSPOSE fixture: [transpose([1,0]), bytes, gzip] over int16
+    * — chunks stored column-major, undone by the index remap.
+    */
+  def fixtureTransposeDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarrt_fixture_${ZarrW}x$ZarrH"
+    if (fixtureTrReady != dir) fixtureTrLock.synchronized {
+      if (fixtureTrReady != dir) {
+        writeZarrV3(dir, ZarrH, ZarrW, 32, 32, compressor = "gzip",
+          dtype = "<i2", transposed = true)(zarrValue)
+        fixtureTrReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureShLock = new Object
   @volatile private var fixtureShReady: String = null
 
@@ -953,6 +1063,42 @@ object Zarr {
         .orderBy("cell_x", "cell_y")
     },
 
+    // BLOSC v2 store (r12 — zarr-python v2's default compressor, the
+    // r11 verdict's top missing format): hand-rolled blosc1 frames,
+    // lz4 inner + byte shuffle over f8 = the SPLIT stream path; the
+    // formula oracle gates header parse, block index, stream decode
+    // and shuffle undo in one hash
+    "scan_zarr_blosc" -> Q(
+      s"""SELECT cell_x, cell_y, $Zarr3ValueSql AS value
+         |FROM range(0, $ZarrW) x(cell_x) CROSS JOIN range(0, $ZarrH) y(cell_y)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarr(s, fixtureBloscDir())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // BLOSC inside a v3 codec chain ([bytes(le), blosc(zlib inner)]
+    // over int32 — the dont_split frame path), same formula oracle
+    "scan_zarr_blosc_v3" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarr(s, fixtureBloscV3Dir())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // v3 TRANSPOSE codec (r12 — xarray can emit it): chunks stored
+    // column-major, undone by a pure index remap in decodeChunk — a
+    // reader ignoring the codec would transpose every chunk, which the
+    // formula oracle hash-catches on the non-square 80×70 lattice
+    "scan_zarr_transpose" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarr(s, fixtureTransposeDir())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
     // COG-window analogue for cubes: only the 4 of 9 chunks overlapping
     // the window are range-read (ZarrSpec asserts the manifest pruning);
     // the residual filter trims the boundary chunks exactly.
@@ -968,15 +1114,19 @@ object Zarr {
     // the 3-D cube story: higher-rank Zarr slices upstream to one 2-D
     // array per epoch; the stack scans as ONE DataFrame (one task per
     // (epoch, chunk)) after a loud lattice-equality check — here across
-    // two stores that also differ by CODEC (zlib vs zstd)
+    // three stores that also differ by CODEC (zlib vs zstd vs blosc,
+    // r12 — the codec-heterogeneous stack a long-lived cube accretes)
     "scan_zarr_epochs" -> Q(
       s"""SELECT cell_x, cell_y, epoch, value FROM (
          |  SELECT cell_x, cell_y, 0 AS epoch, value FROM ($ZarrCellsSql)
          |  UNION ALL
          |  SELECT cell_x, cell_y, 1 AS epoch, $Zarr2ValueSql AS value
+         |  FROM range(0, $ZarrW) x(cell_x) CROSS JOIN range(0, $ZarrH) y(cell_y)
+         |  UNION ALL
+         |  SELECT cell_x, cell_y, 2 AS epoch, $Zarr3ValueSql AS value
          |  FROM range(0, $ZarrW) x(cell_x) CROSS JOIN range(0, $ZarrH) y(cell_y))
          |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
-      scanZarrEpochs(s, Seq(fixtureDir(), fixture2Dir()))
+      scanZarrEpochs(s, Seq(fixtureDir(), fixture2Dir(), fixtureBloscDir()))
         .select(col("cell_x"), col("cell_y"), col("epoch"), col("value"))
         .orderBy("cell_x", "cell_y", "epoch")
     },

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.zonal.Blosc
+
+/** Blosc1 frame codec gates: hand-assembled frames pin the exact byte
+  * layout the decoder must speak (independent of [[Blosc.compress]] —
+  * the Zarr oracle gates the writer+reader pair; these gate the reader
+  * alone), plus named refusals, truncation loudness, and roundtrip
+  * properties across codec × shuffle × size (incl. leftover blocks and
+  * the memcpy fallback).
+  */
+class BloscSpec extends AnyFunSuite {
+
+  private def le32(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+    .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+
+  /** Hand-assemble a frame: header + bstarts + given stream blobs. */
+  private def frame(flags: Int, typesize: Int, nbytes: Int, blocksize: Int,
+      body: Array[Byte], nblocksOverride: Int = -1,
+      bstartsOverride: Seq[Int] = null): Array[Byte] = {
+    val nblocks =
+      if (nblocksOverride >= 0) nblocksOverride
+      else (nbytes + blocksize - 1) / blocksize
+    val bstarts =
+      if (bstartsOverride != null) bstartsOverride
+      else Seq(16 + 4 * nblocks) // single block at the body start
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](2, 1, flags.toByte, typesize.toByte))
+    out.write(le32(nbytes)); out.write(le32(blocksize))
+    out.write(le32(16 + 4 * nblocks + body.length))
+    bstarts.foreach(b => out.write(le32(b)))
+    out.write(body)
+    out.toByteArray
+  }
+
+  test("hand-assembled zlib frame, no shuffle, dont_split: exact bytes") {
+    val payload = Array.tabulate[Byte](48)(i => (i % 8).toByte)
+    val d = new java.util.zip.Deflater(6)
+    d.setInput(payload); d.finish()
+    val buf = new Array[Byte](256)
+    val n = d.deflate(buf); d.end()
+    val body = le32(n) ++ buf.take(n)
+    // flags: dont_split (0x10) | zlib (3 << 5)
+    val f = frame(0x10 | (3 << 5), 1, 48, 48, body)
+    assert(Blosc.decompress(f, 48).toSeq == payload.toSeq)
+  }
+
+  test("hand-assembled SPLIT lz4 frame with byte shuffle: planes reassemble") {
+    // 6 int16 elements (typesize 2), one block of 12 bytes, split into
+    // 2 streams = the 2 byte planes of the shuffled block; each stream
+    // stored RAW (cbytes == neblock) — the raw-stream fallback path.
+    val payload = Array[Byte](1, 10, 2, 20, 3, 30, 4, 40, 5, 50, 6, 60)
+    val lo = Array[Byte](1, 2, 3, 4, 5, 6) // byte plane 0
+    val hi = Array[Byte](10, 20, 30, 40, 50, 60) // byte plane 1
+    val body = le32(6) ++ lo ++ le32(6) ++ hi
+    // flags: shuffle (0x01) | lz4 (1 << 5), split (bit4 clear)
+    val f = frame(0x01 | (1 << 5), 2, 12, 12, body)
+    assert(Blosc.decompress(f, 12).toSeq == payload.toSeq)
+  }
+
+  test("memcpy'd frame returns the raw payload") {
+    val payload = Array.tabulate[Byte](24)(i => i.toByte)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](2, 1, (0x02 | (1 << 5)).toByte, 4))
+    out.write(le32(24)); out.write(le32(24)); out.write(le32(16 + 24))
+    out.write(payload)
+    assert(Blosc.decompress(out.toByteArray, 24).toSeq == payload.toSeq)
+  }
+
+  test("truncated frame fails loudly on the cbytes accounting") {
+    val f = Blosc.compress(Array.tabulate[Byte](100)(_.toByte), 4, "lz4", shuffle = true)
+    val cut = java.util.Arrays.copyOfRange(f, 0, f.length - 3)
+    val e = intercept[IllegalArgumentException](Blosc.decompress(cut, 100))
+    assert(e.getMessage.contains("truncated"))
+  }
+
+  test("named refusals: bit-shuffle, blosclz, snappy, ambiguous pre-1.11 split") {
+    def hdr(flags: Int, typesize: Int = 4): Array[Byte] =
+      frame(flags, typesize, 16, 16, le32(16) ++ new Array[Byte](16))
+    val bit = intercept[IllegalArgumentException](
+      Blosc.decompress(hdr(0x04 | (1 << 5)), 16))
+    assert(bit.getMessage.contains("bit-shuffled"))
+    val lz = intercept[RuntimeException](Blosc.decompress(hdr(0x10), 16))
+    assert(lz.getMessage.contains("blosclz"))
+    val sn = intercept[RuntimeException](Blosc.decompress(hdr(0x10 | (2 << 5)), 16))
+    assert(sn.getMessage.contains("snappy"))
+    // split frame (bit4 clear) with typesize 20 > 16: ambiguous pre-1.11
+    val amb = intercept[IllegalArgumentException](
+      Blosc.decompress(frame(1 << 5, 20, 20, 20, le32(20) ++ new Array[Byte](20)), 20))
+    assert(amb.getMessage.contains("pre-1.11"))
+  }
+
+  test("wrong expected size and bad stream lengths fail loudly") {
+    val f = Blosc.compress(Array.tabulate[Byte](64)(_.toByte), 8, "zlib", shuffle = true)
+    val e = intercept[IllegalArgumentException](Blosc.decompress(f, 65))
+    assert(e.getMessage.contains("expected 65"))
+    // a stream claiming to run past the frame end
+    val bad = frame(0x10 | (3 << 5), 1, 32, 32, le32(9999) ++ new Array[Byte](4))
+    val e2 = intercept[IllegalArgumentException](Blosc.decompress(bad, 32))
+    assert(e2.getMessage.contains("out of range"))
+  }
+
+  test("roundtrip: codec × shuffle × size (multi-block, leftover, odd tail)") {
+    val rnd = new scala.util.Random(42)
+    for {
+      cname <- Seq("lz4", "zlib", "zstd")
+      shuffle <- Seq(true, false)
+      (n, typesize) <- Seq((64, 8), (1000, 4), (4096, 2), (777, 8), (5, 1), (130001, 4))
+    } {
+      // compressible-but-structured payload: low-entropy high bytes,
+      // varying low bytes — exercises both shuffle benefit and the
+      // raw-stream fallback
+      val data = Array.tabulate[Byte](n)(i => ((i / 13) % 7 + (i % 3) * 40).toByte)
+      val f = Blosc.compress(data, typesize, cname, shuffle, blocksize0 = 1024)
+      assert(Blosc.decompress(f, n).toSeq == data.toSeq,
+        s"roundtrip $cname shuffle=$shuffle n=$n ts=$typesize")
+      // and an incompressible payload → memcpy or raw-stream path
+      val noise = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      val fn = Blosc.compress(noise, typesize, cname, shuffle, blocksize0 = 1024)
+      assert(Blosc.decompress(fn, n).toSeq == noise.toSeq,
+        s"noise roundtrip $cname shuffle=$shuffle n=$n ts=$typesize")
+    }
+  }
+
+  test("shuffle/unshuffle are exact inverses incl. non-multiple tails") {
+    val rnd = new scala.util.Random(7)
+    for ((n, ts) <- Seq((24, 8), (25, 8), (31, 4), (7, 2), (9, 16))) {
+      val data = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      val sh = Blosc.shuffleBytes(ts, data, 0, n)
+      val out = new Array[Byte](n)
+      Blosc.unshuffle(ts, sh, out, 0)
+      assert(out.toSeq == data.toSeq, s"n=$n ts=$ts")
+    }
+  }
+}

@@ -83,7 +83,7 @@ class ZarrSpec extends SparkSuite {
 
   test("writer+reader round-trip across codecs and dtypes equals the formula") {
     for ((comp, dtype) <- Seq(("raw", "<f8"), ("zlib", "<i4"), ("zstd", ">f8"),
-        ("zlib", "<i2"), ("raw", "|u1"))) {
+        ("zlib", "<i2"), ("raw", "|u1"), ("blosc", "<f8"), ("blosc", ">i2"))) {
       val d = tmpDir(s"rt_${comp}_${dtype.replace("<", "l").replace(">", "b").replace("|", "n")}")
       Zarr.writeZarr(d.getPath, 10, 13, 4, 5, comp, dtype)((x, y) => ((3 * x + 7 * y) % 120).toDouble)
       val got = Zarr.scanZarr(spark, d.getPath).collect()
@@ -105,18 +105,72 @@ class ZarrSpec extends SparkSuite {
   private def msgs(t: Throwable): String =
     if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
 
-  test("named loud refusals: blosc, F-order, 3-D, missing fill for absent chunk, v3") {
+  test("hand-built BLOSC v2 store scans (memcpy'd frame, reader-only bytes)") {
+    // a 2x2 <i4 store whose single chunk is a hand-assembled memcpy'd
+    // blosc frame — no [[graft.zonal.Blosc.compress]] involvement, so
+    // this gates the scan→decode integration for reader bytes alone
+    // (BloscSpec pins the compressed-frame layouts)
+    val d = tmpDir("bloscstore")
+    putText(d, ".zarray",
+      """{"zarr_format": 2, "shape": [2, 2], "chunks": [2, 2], "dtype": "<i4",
+        |"compressor": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0},
+        |"fill_value": 0, "order": "C", "filters": null}""".stripMargin)
+    val payload = java.nio.ByteBuffer.allocate(16)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(11).putInt(22).putInt(33).putInt(44).array()
+    val f = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(2.toByte).put(1.toByte).put((0x02 | (1 << 5)).toByte).put(4.toByte)
+      .putInt(16).putInt(16).putInt(32).put(payload).array()
+    put(d, "0.0", f)
+    val got = Zarr.scanZarr(spark, d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got == Map((0, 0) -> 11.0, (1, 0) -> 22.0, (0, 1) -> 33.0, (1, 1) -> 44.0))
+    // truncating the chunk fails loudly through the scan path too
+    put(d, "0.0", f.take(31))
+    assert(msgs(intercept[Throwable](
+      Zarr.scanZarr(spark, d.getPath).count())).contains("truncated"))
+  }
+
+  test("hand-built v3 TRANSPOSE store: column-major chunks remap exactly") {
+    // 2x3 array, one 2x3 chunk stored COLUMN-major (transpose [1,0]):
+    // values 100*y+x laid out x-fastest-last — a reader ignoring the
+    // codec would emit a transposed lattice
+    val d = tmpDir("v3trans")
+    putText(d, "zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 3],
+        |"data_type": "int32",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 3]}},
+        |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        |"fill_value": 0,
+        |"codecs": [{"name": "transpose", "configuration": {"order": [1, 0]}},
+        |           {"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin)
+    val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (x <- 0 until 3; y <- 0 until 2) b.putInt(100 * y + x) // column-major
+    put(d, "c/0/0", b.array())
+    val got = Zarr.scanZarr(spark, d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 6)
+    for (y <- 0 until 2; x <- 0 until 3)
+      assert(got((x, y)) == (100 * y + x).toDouble, s"($x,$y)")
+    // the identity order [0,1] is accepted as a no-op; a 3-entry order refuses
+    val bad = tmpDir("v3transbad")
+    putText(bad, "zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 3],
+        |"data_type": "int32",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 3]}},
+        |"fill_value": 0,
+        |"codecs": [{"name": "transpose", "configuration": {"order": [1, 0, 2]}},
+        |           {"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin)
+    assert(msgs(intercept[Throwable](Zarr.readMeta(bad.getPath))).contains("transpose"))
+  }
+
+  test("named loud refusals: F-order, 3-D, missing fill for absent chunk, v3") {
     def store(name: String, zarray: String): String = {
       val d = tmpDir(name)
       putText(d, ".zarray", zarray)
       d.getPath
     }
-    val blosc = store("blosc",
-      """{"zarr_format": 2, "shape": [4, 4], "chunks": [2, 2], "dtype": "<f8",
-        |"compressor": {"id": "blosc", "cname": "lz4", "clevel": 5},
-        |"fill_value": 0, "order": "C", "filters": null}""".stripMargin)
-    assert(msgs(intercept[Throwable](Zarr.readMeta(blosc))).contains("blosc"))
-
     val forder = store("forder",
       """{"zarr_format": 2, "shape": [4, 4], "chunks": [2, 2], "dtype": "<f8",
         |"compressor": null, "fill_value": 0, "order": "F", "filters": null}""".stripMargin)
@@ -139,17 +193,8 @@ class ZarrSpec extends SparkSuite {
     putText(v3g, "zarr.json", """{"zarr_format": 3, "node_type": "group"}""")
     assert(msgs(intercept[Throwable](Zarr.readMeta(v3g.getPath))).contains("node_type"))
 
-    // v3 transpose chains and unsupported sharding index codecs are
-    // refused by name (sharding itself IS supported — tested below)
-    val v3t = tmpDir("v3transpose")
-    putText(v3t, "zarr.json",
-      """{"zarr_format": 3, "node_type": "array", "shape": [4, 4],
-        |"data_type": "float64",
-        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
-        |"fill_value": 0,
-        |"codecs": [{"name": "transpose", "configuration": {"order": [1, 0]}},
-        |           {"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin)
-    assert(msgs(intercept[Throwable](Zarr.readMeta(v3t.getPath))).contains("transpose"))
+    // unsupported sharding index codecs are refused by name (sharding
+    // itself IS supported — tested below)
     val v3bad = tmpDir("v3badidx")
     putText(v3bad, "zarr.json",
       """{"zarr_format": 3, "node_type": "array", "shape": [4, 4],
