@@ -45,6 +45,7 @@ object SparkEntry {
     zonal.Polygonize.defs ++
     zonal.Zarr.defs ++
     zonal.Netcdf.defs ++
+    zonal.Hdf5.defs ++
     zonal.Reproject.defs ++
     zonal.Utm.defs ++
     llm.Text.defs ++

@@ -83,6 +83,26 @@ object Profile {
       // 2.0 in the SAME r11 bench. VERDICT: inside the documented
       // ±30-40% ambient band (BASELINE.md r8). Watch next round; a
       // third consecutive rise would make it real.
+      // r12 solo RunOne ×3 (sf0.1/local[32]) for the two r11 bench
+      // outliers flagged without a Profile verdict, plus the jaccard
+      // watch item:
+      //  - text_contamination: bench r11 cold 14.50 s; solo 3.62 cold /
+      //    0.93 / 0.90 warm. The plan is the intended one (map-side
+      //    gram explode, (doc_id, gram) hash-agg dedup, broadcast
+      //    benchmark grams, one doc_id agg — two shuffles total, both
+      //    partial-aggregated map-side; a fused count(DISTINCT) form
+      //    would replan through Expand and shuffle MORE data, so the
+      //    shipped shape is kept). VERDICT: ambient bench-order load,
+      //    4× off the solo cold number — no code change.
+      //  - dedup_ngram_coverage: bench r10 1.75 → r11 6.83 s with no
+      //    code change to the op; solo 2.43 cold / 1.53 / 1.41 warm —
+      //    at the r10 level. VERDICT: ambient, the 3.9× bench jump
+      //    does not reproduce solo. No code change.
+      //  - dedup_ngram_jaccard (watch from r11): solo 4.19 cold
+      //    (= the shared arithCandJaccard memo build, Bench-cleared by
+      //    design) / 0.25 / 0.22 warm. The r10→r11 bench rise was the
+      //    memo build landing on this query's cold slot. VERDICT: not
+      //    a regression; watch closed.
     }
     spark.stop()
   }

@@ -157,7 +157,8 @@ object Netcdf {
     require(b.length >= 8, s"$path: too short for a NetCDF header")
     if (b(0) == 0x89.toByte && b(1) == 'H' && b(2) == 'D' && b(3) == 'F')
       sys.error(s"$path: HDF5 signature — a NetCDF-4 file; this reader speaks " +
-        "classic CDF-1/CDF-2 only, convert upstream (nccopy -k classic)")
+        "classic CDF-1/CDF-2/CDF-5 — scan it with the netCDF-4 reader " +
+        "(Hdf5.scanNetcdf4 / the scan_netcdf4 operator) instead")
     require(b(0) == 'C' && b(1) == 'D' && b(2) == 'F',
       s"$path: not a NetCDF classic file (magic ${b.take(3).mkString(",")})")
     val version = b(3).toInt

@@ -1,0 +1,177 @@
+package graft
+
+import graft.zonal.Hdf5
+
+/** netCDF-4/HDF5 reader gates: dtype × layout × filter roundtrips,
+  * fill semantics for absent chunks, edge-pad clipping, named loud
+  * refusals via deterministic byte surgery on writer output (the
+  * writer's layout arithmetic is fixed, so structure offsets are
+  * computable), and a hand-grafted two-level chunk B-tree proving the
+  * recursive walk. The shared formula oracle gates the writer+reader
+  * pair; these gate the reader's corners.
+  */
+class Hdf5Spec extends SparkSuite {
+
+  private def tmp(name: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5spec_$name.nc"
+    new java.io.File(p).delete()
+    p
+  }
+
+  private def msgs(t: Throwable): String =
+    if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+
+  private def patch(path: String, off: Int, bytes: Array[Byte]): Unit = {
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    System.arraycopy(bytes, 0, b, off, bytes.length)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), b)
+  }
+
+  private def f(x: Int, y: Int): Double = ((5 * x + 11 * y) % 97).toDouble
+
+  test("dtype × layout × filter roundtrips equal the formula") {
+    val cases = Seq(
+      ("<f8", true, true, false), ("<f4", true, false, false),
+      (">i4", false, false, false), ("<i2", true, true, false),
+      ("<u1", false, false, false), (">f8", false, false, true),
+      ("<i4", false, false, true))
+    for (((dt, defl, shuf, contig), k) <- cases.zipWithIndex) {
+      val p = tmp(s"rt$k")
+      Hdf5.writeHdf5(p, "data", 10, 13, 4, 5, dtype = dt,
+        deflate = defl, shuffle = shuf, contiguous = contig)(f)
+      val got = Hdf5.scanNetcdf4(spark, p, "data").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(got.size == 130, s"$dt defl=$defl shuf=$shuf contig=$contig: ${got.size}")
+      for (y <- 0 until 10; x <- 0 until 13)
+        assert(got((x, y)) == f(x, y), s"$dt defl=$defl shuf=$shuf contig=$contig ($x,$y)")
+    }
+  }
+
+  test("edge-pad cells are clipped, never emitted") {
+    // pad value 999 never appears in the formula range [0, 97)
+    val p = tmp("pad")
+    Hdf5.writeHdf5(p, "v", 10, 13, 4, 5, dtype = "<f8",
+      deflate = true, fill = Some(999.0))(f)
+    val vals = Hdf5.scanNetcdf4(spark, p, "v").collect().map(_.getDouble(2))
+    assert(vals.length == 130 && !vals.contains(999.0))
+  }
+
+  test("absent chunk = fill value; absent chunk without fill is loud") {
+    val p = tmp("hole")
+    Hdf5.writeHdf5(p, "v", 10, 13, 4, 5, dtype = "<f4",
+      fill = Some(7.5), omit = Set((1, 1)))(f)
+    val got = Hdf5.scanNetcdf4(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 130)
+    // chunk (1,1) covers y 4-7, x 5-9 → fill; everything else formula
+    for (y <- 0 until 10; x <- 0 until 13) {
+      val want = if (y >= 4 && y < 8 && x >= 5 && x < 10) 7.5 else f(x, y)
+      assert(got((x, y)) == want, s"($x,$y)")
+    }
+    val p2 = tmp("holenofill")
+    Hdf5.writeHdf5(p2, "v", 10, 13, 4, 5, dtype = "<f4",
+      fill = None, omit = Set((0, 0)))(f)
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4(spark, p2, "v").count())).contains("no fill value"))
+  }
+
+  test("named loud refusals: magic, superblock version, OHDR, filter, variable") {
+    val p = tmp("refuse")
+    Hdf5.writeHdf5(p, "v", 8, 8, 4, 4, dtype = "<f4")(f)
+    assert(msgs(intercept[Throwable](
+      Hdf5.readMeta(p, "nope"))).contains("not in file"))
+    // superblock version byte lives at offset 8
+    val pv = tmp("sbver")
+    Hdf5.writeHdf5(pv, "v", 8, 8, 4, 4, dtype = "<f4")(f)
+    patch(pv, 8, Array[Byte](1))
+    assert(msgs(intercept[Throwable](Hdf5.readMeta(pv, "v"))).contains("superblock version 1"))
+    // root object header sits at offset 96 in this writer's layout
+    val po = tmp("ohdr")
+    Hdf5.writeHdf5(po, "v", 8, 8, 4, 4, dtype = "<f4")(f)
+    patch(po, 96, "OHDR".getBytes)
+    assert(msgs(intercept[Throwable](Hdf5.readMeta(po, "v"))).contains("OHDR"))
+    // a non-HDF5 file refuses on the signature
+    val pm = tmp("magic")
+    java.nio.file.Files.write(java.nio.file.Paths.get(pm), new Array[Byte](128))
+    assert(msgs(intercept[Throwable](Hdf5.readMeta(pm, "v"))).contains("signature"))
+    // filter id surgery: deflate-only f4 "v" → dataset header at 280
+    // (96 sb + 40 root + 32 heap hdr + 16 heap data + 48 btree +
+    // 48 snod), messages dataspace 32 + datatype 32 + fill 24 +
+    // layout 32, pipeline message header at 416, filter id at 424+8
+    val pf = tmp("filter")
+    Hdf5.writeHdf5(pf, "v", 8, 8, 4, 4, dtype = "<f4", deflate = true)(f)
+    patch(pf, 432, Array[Byte](4, 0)) // szip
+    assert(msgs(intercept[Throwable](Hdf5.readMeta(pf, "v"))).contains("filter id 4"))
+  }
+
+  test("truncated file fails loudly at the range read") {
+    val p = tmp("trunc")
+    Hdf5.writeHdf5(p, "v", 8, 8, 4, 4, dtype = "<f4", deflate = true)(f)
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // cut inside the dataset object header so the metadata walk itself
+    // over-reads (executor-side chunk reads fail via Hadoop's own EOF)
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      java.util.Arrays.copyOfRange(b, 0, 300))
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4(spark, p, "v").count())).contains("past EOF"))
+  }
+
+  test("chunk B-tree walk recurses through internal nodes") {
+    // raw (uncompressed) chunked file → deterministic chunk sizes and
+    // addresses; graft a level-1 node splitting the original leaf in
+    // two, then point the layout message at it.
+    val p = tmp("btree2")
+    Hdf5.writeHdf5(p, "v", 8, 8, 4, 4, dtype = "<f4",
+      deflate = false, shuffle = false)(f)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    // layout arithmetic (see refusals test): dataset header at 280,
+    // messages 32+32+24+32 (no pipeline) → chunk btree at 280+16+120 = 416
+    val aCbt = 416
+    assert(new String(bytes, aCbt, 4) == "TREE")
+    val keySize = 32
+    def le64(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    // original leaf: 4 entries at aCbt+24, each key(32)+child(8)
+    val entries = java.util.Arrays.copyOfRange(bytes, aCbt + 24,
+      aCbt + 24 + 4 * (keySize + 8) + keySize)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(bytes)
+    // leaf A: entries 0-1 (+ key2 as its final key)
+    val aLeafA = out.size
+    out.write("TREE".getBytes); out.write(Array[Byte](1, 0, 2, 0))
+    out.write(le64(-1L)); out.write(le64(-1L))
+    out.write(entries, 0, 2 * (keySize + 8) + keySize)
+    // leaf B: entries 2-3 (+ the original final key)
+    val aLeafB = out.size
+    out.write("TREE".getBytes); out.write(Array[Byte](1, 0, 2, 0))
+    out.write(le64(-1L)); out.write(le64(-1L))
+    out.write(entries, 2 * (keySize + 8), 2 * (keySize + 8) + keySize)
+    // internal node: two children keyed by their first chunk offsets
+    val aRoot = out.size
+    out.write("TREE".getBytes); out.write(Array[Byte](1, 1, 2, 0))
+    out.write(le64(-1L)); out.write(le64(-1L))
+    out.write(entries, 0, keySize); out.write(le64(aLeafA))
+    out.write(entries, 2 * (keySize + 8), keySize); out.write(le64(aLeafB))
+    out.write(entries, 4 * (keySize + 8), keySize)
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), out.toByteArray)
+    // patch the layout message's btree address (dataset header 280 +
+    // prefix 16 + dataspace 32 + datatype 32 + fill 24 + layout msg
+    // header 8 + ver/class/dim 3 = 395)
+    patch(p, 395, le64(aRoot))
+    val got = Hdf5.scanNetcdf4(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 64)
+    for (y <- 0 until 8; x <- 0 until 8) assert(got((x, y)) == f(x, y), s"($x,$y)")
+  }
+
+  test("registry: scan_netcdf4 matches the formula; zonal stats cover all zones") {
+    val cells = q("scan_netcdf4")
+    assert(cells.count() == 80L * 70L)
+    import org.apache.spark.sql.functions._
+    val bad = cells.filter(
+      col("value") =!= (col("cell_x") * 23 + col("cell_y") * 19) % 983).count()
+    assert(bad == 0, s"$bad cells off-formula")
+    val zs = q("zonal_netcdf4_stats").collect()
+    assert(zs.length == 25)
+  }
+}
