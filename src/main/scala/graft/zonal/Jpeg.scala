@@ -268,11 +268,69 @@ object Jpeg {
     }
   }
 
+  /** One frame component's facts (SOF) + its scan tables (SOS). */
+  private final class Comp(val id: Int, val hs: Int, val vs: Int, val tq: Int) {
+    var td = 0
+    var ta = 0
+  }
+
   /** Decode one baseline grayscale stream (optionally abbreviated,
     * with `tablesStream` carrying DQT/DHT — the TIFF JPEGTables
     * pattern). Returns (width, height, samples row-major u8-as-int).
     */
   def decodeGray(b: Array[Byte], tablesStream: Option[Array[Byte]] = None): (Int, Int, Array[Int]) = {
+    val (w, h, _, planes, pw, _) = decodeBaseline(b, tablesStream, 1)
+    // crop the block-padded plane to the image
+    val out = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) out(y * w + x) = planes(0)(y * pw(0) + x)
+    (w, h, out)
+  }
+
+  /** Decode one baseline YCbCr stream (r12 — PhotometricInterpretation=6
+    * tiles, the most common JPEG-in-TIFF payload: 8-bit RGB imagery
+    * COGs): 3 components, sampling factors 1 or 2 per axis (4:4:4,
+    * 4:2:2, 4:2:0), MCU-interleaved scan, chroma upsampled by sample
+    * replication, then the JFIF full-range YCbCr→RGB with the shared
+    * floor(x + 0.5) rounding (spelled identically in the DuckDB twin).
+    * Returns (width, height, Array(r, g, b) planes row-major).
+    */
+  def decodeColor(b: Array[Byte], tablesStream: Option[Array[Byte]] = None): (Int, Int, Array[Array[Int]]) = {
+    val (w, h, comps, planes, pw, _) = decodeBaseline(b, tablesStream, 3)
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val r = new Array[Int](w * h)
+    val g = new Array[Int](w * h)
+    val bl = new Array[Int](w * h)
+    def clamp8(v: Double): Int = {
+      val i = math.floor(v + 0.5).toInt
+      if (i < 0) 0 else if (i > 255) 255 else i
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        def samp(c: Int): Int =
+          planes(c)((y * comps(c).vs / vmax) * pw(c) + x * comps(c).hs / hmax)
+        val yv = samp(0).toDouble
+        val cb = samp(1).toDouble
+        val cr = samp(2).toDouble
+        val i = y * w + x
+        r(i) = clamp8(yv + 1.402 * (cr - 128.0))
+        g(i) = clamp8(yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0))
+        bl(i) = clamp8(yv + 1.772 * (cb - 128.0))
+        x += 1
+      }
+      y += 1
+    }
+    (w, h, Array(r, g, bl))
+  }
+
+  /** The shared baseline-sequential machine: marker parse, MCU-
+    * interleaved Huffman/DCT decode. Returns the components, their
+    * block-padded planes and the plane dims (stride = pw).
+    */
+  private def decodeBaseline(b: Array[Byte], tablesStream: Option[Array[Byte]],
+      nfWant: Int): (Int, Int, Array[Comp], Array[Array[Int]], Array[Int], Array[Int]) = {
     val t = new Tables
     tablesStream.foreach(ts => parseTables(ts, 0, t))
     require(b.length >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8,
@@ -280,9 +338,7 @@ object Jpeg {
     var p = 2
     var w = -1
     var h = -1
-    var dcId = 0
-    var acId = 0
-    var quantId = 0
+    var comps: Array[Comp] = null
     var sosAt = -1
     while (sosAt < 0) {
       require(p + 3 < b.length, "truncated JPEG: no SOS")
@@ -295,12 +351,18 @@ object Jpeg {
           h = ((b(p + 5) & 0xff) << 8) | (b(p + 6) & 0xff)
           w = ((b(p + 7) & 0xff) << 8) | (b(p + 8) & 0xff)
           val nf = b(p + 9) & 0xff
-          require(nf == 1, s"$nf-component JPEG unsupported — this engine's " +
-            "rasters are single-band grayscale; color (YCbCr) tiles must be " +
-            "split upstream")
-          val hv = b(p + 11) & 0xff
-          require(hv == 0x11, f"subsampling 0x$hv%02X unsupported (1x1 only)")
-          quantId = b(p + 12) & 0xff
+          require(nf == nfWant, s"$nf-component JPEG where $nfWant expected — " +
+            "grayscale tiles decode via decodeGray, YCbCr (Photometric=6) " +
+            "tiles via decodeColor")
+          comps = Array.tabulate(nf) { c =>
+            val o = p + 10 + 3 * c
+            val hv = b(o + 1) & 0xff
+            val (hs, vs) = ((hv >> 4) & 0x0f, hv & 0x0f)
+            if (nf == 1) require(hv == 0x11, f"subsampling 0x$hv%02X unsupported (1x1 only)")
+            else require(Set(1, 2).contains(hs) && Set(1, 2).contains(vs),
+              f"subsampling 0x$hv%02X unsupported (factors 1/2: 4:4:4, 4:2:2, 4:2:0)")
+            new Comp(b(o) & 0xff, hs, vs, b(o + 2) & 0xff)
+          }
         case 0xc2 => sys.error("progressive JPEG (SOF2) unsupported — baseline only")
         case mm if mm >= 0xc9 && mm <= 0xcb =>
           sys.error("arithmetic-coded JPEG unsupported — baseline Huffman only")
@@ -309,16 +371,23 @@ object Jpeg {
           val ri = ((b(p + 4) & 0xff) << 8) | (b(p + 5) & 0xff)
           require(ri == 0, s"restart interval $ri unsupported")
         case 0xda => // SOS
+          require(comps != null, "JPEG: SOS before SOF")
           val ns = b(p + 4) & 0xff
-          require(ns == 1, s"$ns-component scan unsupported")
-          val td = (b(p + 6) & 0xf0) >> 4
-          val ta = b(p + 6) & 0x0f
+          require(ns == comps.length, s"$ns-component scan over ${comps.length} " +
+            "frame components unsupported (one interleaved scan only)")
+          for (c <- 0 until ns) {
+            val cs = b(p + 5 + 2 * c) & 0xff
+            val comp = comps.find(_.id == cs).getOrElse(
+              sys.error(s"scan selects unknown component $cs"))
+            comp.td = (b(p + 6 + 2 * c) & 0xf0) >> 4
+            comp.ta = b(p + 6 + 2 * c) & 0x0f
+          }
           // baseline scans span the full spectrum with no successive
           // approximation; a spec-invalid Ss/Se/AhAl header would
           // silently decode wrong coefficients without this check
-          require(b(p + 7) == 0 && (b(p + 8) & 0xff) == 63 && b(p + 9) == 0,
+          val se = p + 5 + 2 * ns
+          require(b(se) == 0 && (b(se + 1) & 0xff) == 63 && b(se + 2) == 0,
             "non-baseline scan (Ss/Se/AhAl) unsupported")
-          dcId = td; acId = ta
           sosAt = p + 2 + len
         case mm if (mm >= 0xe0 && mm <= 0xef) || mm == 0xfe => () // APPn/COM
         case other => sys.error(f"unsupported JPEG marker 0xFF$other%02X")
@@ -326,63 +395,86 @@ object Jpeg {
       if (sosAt < 0) p += 2 + len
     }
     require(w > 0 && h > 0, "JPEG: SOS before SOF")
-    val q = t.quant(quantId)
-    require(q != null, s"quant table $quantId undefined (missing JPEGTables?)")
-    val dcDec = t.dcHuff(dcId)
-    val acDec = t.acHuff(acId)
-    require(dcDec != null && acDec != null,
-      s"huffman tables (dc $dcId, ac $acId) undefined (missing JPEGTables?)")
-    val bw = (w + 7) / 8
-    val bh = (h + 7) / 8
-    val out = new Array[Int](w * h)
+    val hmax = comps.map(_.hs).max
+    val vmax = comps.map(_.vs).max
+    val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+    val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+    val q = comps.map { c =>
+      val qt = t.quant(c.tq)
+      require(qt != null, s"quant table ${c.tq} undefined (missing JPEGTables?)")
+      qt
+    }
+    val dcDec = comps.map { c =>
+      val d = t.dcHuff(c.td)
+      require(d != null, s"huffman table (dc ${c.td}) undefined (missing JPEGTables?)")
+      d
+    }
+    val acDec = comps.map { c =>
+      val d = t.acHuff(c.ta)
+      require(d != null, s"huffman table (ac ${c.ta}) undefined (missing JPEGTables?)")
+      d
+    }
+    // block-padded planes: stride = blocks-across × 8
+    val pw = comps.map(c => mcusX * c.hs * 8)
+    val ph = comps.map(c => mcusY * c.vs * 8)
+    val planes = comps.indices.map(c => new Array[Int](pw(c) * ph(c))).toArray
     val br = new BitReader(b, sosAt)
     val coef = new Array[Int](64)
     val px = new Array[Int](64)
-    var pred = 0
-    var by = 0
-    while (by < bh) {
-      var bx = 0
-      while (bx < bw) {
-        java.util.Arrays.fill(coef, 0)
-        val cat = dcDec.decode(br)
-        require(cat <= 11, s"DC category $cat")
-        pred += extend(br.bitsVal(cat), cat)
-        coef(0) = pred * q(0)
-        var k = 1
-        while (k < 64) {
-          val rs = acDec.decode(br)
-          val run = rs >> 4
-          val size = rs & 0x0f
-          if (size == 0) {
-            if (run == 15) k += 16 // ZRL
-            else k = 64 // EOB
-          } else {
-            k += run
-            require(k < 64, "AC index overflow")
-            coef(Zigzag(k)) = extend(br.bitsVal(size), size) * q(Zigzag(k))
-            k += 1
-          }
-        }
-        idctBlock(coef, px)
-        // copy the block's in-bounds pixels
-        var yy = 0
-        while (yy < 8) {
-          val y = by * 8 + yy
-          if (y < h) {
-            var xx = 0
-            while (xx < 8) {
-              val x = bx * 8 + xx
-              if (x < w) out(y * w + x) = px(yy * 8 + xx)
-              xx += 1
+    val pred = new Array[Int](comps.length)
+    var my = 0
+    while (my < mcusY) {
+      var mx = 0
+      while (mx < mcusX) {
+        var c = 0
+        while (c < comps.length) {
+          var v = 0
+          while (v < comps(c).vs) {
+            var hh = 0
+            while (hh < comps(c).hs) {
+              java.util.Arrays.fill(coef, 0)
+              val cat = dcDec(c).decode(br)
+              require(cat <= 11, s"DC category $cat")
+              pred(c) += extend(br.bitsVal(cat), cat)
+              coef(0) = pred(c) * q(c)(0)
+              var k = 1
+              while (k < 64) {
+                val rs = acDec(c).decode(br)
+                val run = rs >> 4
+                val size = rs & 0x0f
+                if (size == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else k = 64 // EOB
+                } else {
+                  k += run
+                  require(k < 64, "AC index overflow")
+                  coef(Zigzag(k)) = extend(br.bitsVal(size), size) * q(c)(Zigzag(k))
+                  k += 1
+                }
+              }
+              idctBlock(coef, px)
+              val bx0 = (mx * comps(c).hs + hh) * 8
+              val by0 = (my * comps(c).vs + v) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  planes(c)((by0 + yy) * pw(c) + bx0 + xx) = px(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              hh += 1
             }
+            v += 1
           }
-          yy += 1
+          c += 1
         }
-        bx += 1
+        mx += 1
       }
-      by += 1
+      my += 1
     }
-    (w, h, out)
+    (w, h, comps, planes, pw, ph)
   }
 
   // ---- encoder ----
@@ -455,7 +547,6 @@ object Jpeg {
     val bh0 = (h + 7) / 8
     val bwr = new BitWriter(o)
     val px = new Array[Int](64)
-    val coef = new Array[Double](64)
     var pred = 0
     for (by <- 0 until bh0; bx <- 0 until bw0) {
       // edge blocks replicate the last row/column (keeps them constant
@@ -465,33 +556,101 @@ object Jpeg {
         val x = math.min(bx * 8 + xx, w - 1)
         px(yy * 8 + xx) = samples(y * w + x)
       }
-      fdctBlock(px, coef)
-      val qc = new Array[Int](64)
-      for (i <- 0 until 64)
-        qc(i) = math.rint(coef(i) / q(i)).toInt
-      val dcDiff = qc(0) - pred
-      pred = qc(0)
-      val cat = category(dcDiff)
-      val (c, l) = dcEnc(cat)
-      bwr.put(c, l)
-      if (cat > 0)
-        bwr.put(if (dcDiff < 0) dcDiff + (1 << cat) - 1 else dcDiff, cat)
-      var k = 1
-      var run = 0
-      while (k < 64) {
-        val v = qc(Zigzag(k))
-        if (v == 0) run += 1
-        else {
-          while (run > 15) { val (zc, zl) = acEnc(0xf0); bwr.put(zc, zl); run -= 16 }
-          val sz = category(v)
-          val (ac, al) = acEnc((run << 4) | sz)
-          bwr.put(ac, al)
-          bwr.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
-          run = 0
-        }
-        k += 1
+      pred = encodeBlock(px, pred, q, dcEnc, acEnc, bwr)
+    }
+    bwr.flush()
+    marker(0xd9) // EOI
+    o.toByteArray
+  }
+
+  /** FDCT + quantize + Huffman-encode one 8×8 block; returns the new
+    * DC predictor. Shared by the grayscale and YCbCr encoders.
+    */
+  private def encodeBlock(px: Array[Int], pred: Int, q: Array[Int],
+      dcEnc: Array[(Int, Int)], acEnc: Array[(Int, Int)],
+      bwr: BitWriter): Int = {
+    val coef = new Array[Double](64)
+    fdctBlock(px, coef)
+    val qc = new Array[Int](64)
+    for (i <- 0 until 64)
+      qc(i) = math.rint(coef(i) / q(i)).toInt
+    val dcDiff = qc(0) - pred
+    val cat = category(dcDiff)
+    val (c, l) = dcEnc(cat)
+    bwr.put(c, l)
+    if (cat > 0)
+      bwr.put(if (dcDiff < 0) dcDiff + (1 << cat) - 1 else dcDiff, cat)
+    var k = 1
+    var run = 0
+    while (k < 64) {
+      val v = qc(Zigzag(k))
+      if (v == 0) run += 1
+      else {
+        while (run > 15) { val (zc, zl) = acEnc(0xf0); bwr.put(zc, zl); run -= 16 }
+        val sz = category(v)
+        val (ac, al) = acEnc((run << 4) | sz)
+        bwr.put(ac, al)
+        bwr.put(if (v < 0) v + (1 << sz) - 1 else v, sz)
+        run = 0
       }
-      if (run > 0) { val (ec, el) = acEnc(0x00); bwr.put(ec, el) } // EOB
+      k += 1
+    }
+    if (run > 0) { val (ec, el) = acEnc(0x00); bwr.put(ec, el) } // EOB
+    qc(0)
+  }
+
+  /** Encode a baseline YCbCr stream from full-resolution Y/Cb/Cr planes
+    * (r12): 4:4:4 or 4:2:0 (chroma box-averaged over each 2×2 group —
+    * exact on MCU-constant fixtures), one interleaved scan, all
+    * components on the shared quant + Annex-K Huffman tables.
+    */
+  def encodeColor(yp: Array[Int], cb: Array[Int], cr: Array[Int],
+      w: Int, h: Int, subsample: Boolean,
+      quantZigzag: Array[Int] = FixtureQuant,
+      includeTables: Boolean = true): Array[Byte] = {
+    require(yp.length == w * h && cb.length == w * h && cr.length == w * h,
+      s"plane sizes for ${w}x$h")
+    val o = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = writeMarker(o, m)
+    def seg(m: Int, body: Array[Int]): Unit = writeSeg(o, m, body)
+    marker(0xd8) // SOI
+    if (includeTables) writeTableSegs(o, quantZigzag)
+    val s = if (subsample) 0x22 else 0x11
+    seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
+      1, s, 0, 2, 0x11, 0, 3, 0x11, 0)) // SOF0
+    seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)) // SOS
+    val dcEnc = buildEncodeTable(DcBits, DcVals)
+    val acEnc = buildEncodeTable(AcBits, AcVals)
+    val q = new Array[Int](64) // natural order
+    for (k <- 0 until 64) q(Zigzag(k)) = quantZigzag(k)
+    val f = if (subsample) 2 else 1
+    val mcusX = (w + 8 * f - 1) / (8 * f)
+    val mcusY = (h + 8 * f - 1) / (8 * f)
+    val bwr = new BitWriter(o)
+    val px = new Array[Int](64)
+    def lum(x: Int, y: Int): Int = yp(math.min(y, h - 1) * w + math.min(x, w - 1))
+    // chroma sample at chroma-grid (cx, cy): the box mean of its f×f
+    // pixel group (replicate-padded at edges)
+    def chroma(p: Array[Int], cx: Int, cy: Int): Int = {
+      var s0 = 0
+      for (dy <- 0 until f; dx <- 0 until f)
+        s0 += p(math.min(cy * f + dy, h - 1) * w + math.min(cx * f + dx, w - 1))
+      math.rint(s0.toDouble / (f * f)).toInt
+    }
+    val pred = new Array[Int](3)
+    for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      // Y blocks: f×f per MCU
+      for (v <- 0 until f; hh <- 0 until f) {
+        for (yy <- 0 until 8; xx <- 0 until 8)
+          px(yy * 8 + xx) = lum((mx * f + hh) * 8 + xx, (my * f + v) * 8 + yy)
+        pred(0) = encodeBlock(px, pred(0), q, dcEnc, acEnc, bwr)
+      }
+      // one Cb, one Cr block per MCU
+      for ((p, c) <- Seq((cb, 1), (cr, 2))) {
+        for (yy <- 0 until 8; xx <- 0 until 8)
+          px(yy * 8 + xx) = chroma(p, mx * 8 + xx, my * 8 + yy)
+        pred(c) = encodeBlock(px, pred(c), q, dcEnc, acEnc, bwr)
+      }
     }
     bwr.flush()
     marker(0xd9) // EOI

@@ -287,12 +287,13 @@ object Raster {
         s"$path: predictor 2 requires integer samples, got bits=$bits format=$fmt")
       require(predictor != 3 || fmt == 3,
         s"$path: predictor 3 requires floating-point samples, got bits=$bits format=$fmt")
-      // Compression=7 (baseline JPEG): 8-bit grayscale tiles only — the
-      // codec is defined on u8 samples; color/subsampled streams are
-      // refused inside the decoder by name
-      require(comp != 7 || (bits == 8 && bands == 1 && predictor == 1),
-        s"$path: JPEG compression requires uint8 single-band, no predictor " +
-          s"(got bits=$bits bands=$bands predictor=$predictor)")
+      // Compression=7 (baseline JPEG): 8-bit chunky tiles, 1 band
+      // (grayscale) or 3 bands (YCbCr → RGB, r12); planar JPEG is not a
+      // thing and predictors don't compose with DCT coding
+      require(comp != 7 || (bits == 8 && (bands == 1 || bands == 3)
+          && predictor == 1 && !planar),
+        s"$path: JPEG compression requires uint8 chunky 1- or 3-band, no " +
+          s"predictor (got bits=$bits bands=$bands predictor=$predictor planar=$planar)")
       val jpegTables: Array[Byte] =
         if (comp == 7) values(TagJpegTables).map(_.toByte) else Array.emptyByteArray
 
@@ -399,14 +400,28 @@ object Raster {
       case 50000 => TiffCodec.zstdDecompress(raw, storedLen)
       case 7 =>
         // baseline JPEG tile: a complete (possibly abbreviated) stream;
-        // stored dims must equal the padded tile dims per TIFF-EP
-        val (jw, jh, samples) = Jpeg.decodeGray(raw,
-          if (t.jpegTables.nonEmpty) Some(t.jpegTables) else None)
-        require(jw == t.tileW && jh == storedRows,
-          s"${t.path}: JPEG tile is ${jw}x$jh, want ${t.tileW}x$storedRows")
+        // stored dims must equal the padded tile dims per TIFF-EP.
+        // 3-band tiles are YCbCr (Photometric=6) decoded to RGB (r12).
+        val tables = if (t.jpegTables.nonEmpty) Some(t.jpegTables) else None
         val out = new Array[Byte](storedLen)
-        var i = 0
-        while (i < samples.length) { out(i) = samples(i).toByte; i += 1 }
+        if (spp == 1) {
+          val (jw, jh, samples) = Jpeg.decodeGray(raw, tables)
+          require(jw == t.tileW && jh == storedRows,
+            s"${t.path}: JPEG tile is ${jw}x$jh, want ${t.tileW}x$storedRows")
+          var i = 0
+          while (i < samples.length) { out(i) = samples(i).toByte; i += 1 }
+        } else {
+          val (jw, jh, rgb) = Jpeg.decodeColor(raw, tables)
+          require(jw == t.tileW && jh == storedRows,
+            s"${t.path}: JPEG tile is ${jw}x$jh, want ${t.tileW}x$storedRows")
+          var i = 0
+          while (i < jw * jh) {
+            out(3 * i) = rgb(0)(i).toByte
+            out(3 * i + 1) = rgb(1)(i).toByte
+            out(3 * i + 2) = rgb(2)(i).toByte
+            i += 1
+          }
+        }
         out
       case c => throw new IllegalStateException(s"unreachable: compression $c gated in readMeta")
     }
@@ -829,8 +844,10 @@ object Raster {
     require(Set(1, 5, 7, 8, 32773, 50000)(o.compression),
       s"compression ${o.compression} unsupported")
     require(o.compression != 7
-        || (o.bits == 8 && o.bands == 1 && o.predictor == 1 && !o.striped),
-      "JPEG compression writes uint8 single-band tiles with no predictor")
+        || (o.bits == 8 && (o.bands == 1 || (o.bands == 3 && !o.planar))
+          && o.predictor == 1 && !o.striped),
+      "JPEG compression writes uint8 chunky 1-band (gray) or 3-band " +
+        "(YCbCr) tiles with no predictor")
     require(o.bands >= 1, s"bands ${o.bands} invalid")
     require(!o.planar || o.bands > 1, "planar layout is only meaningful with >1 band")
     val bytesPer = o.bits / 8
@@ -883,8 +900,22 @@ object Raster {
       o.compression match {
         case 1 => arr
         case 5 => TiffCodec.lzwEncode(arr)
-        case 7 => Jpeg.encodeGray(arr.map(v => v & 0xff), bw, rows,
+        case 7 if spp == 1 => Jpeg.encodeGray(arr.map(v => v & 0xff), bw, rows,
           includeTables = false) // tables ride the JPEGTables tag
+        case 7 =>
+          // 3-band: the chunky band values ARE the Y/Cb/Cr planes (the
+          // stored photometric); the reader emits RGB (r12)
+          val n = bw * rows
+          val y0 = new Array[Int](n); val cb = new Array[Int](n); val cr = new Array[Int](n)
+          var i = 0
+          while (i < n) {
+            y0(i) = arr(3 * i) & 0xff
+            cb(i) = arr(3 * i + 1) & 0xff
+            cr(i) = arr(3 * i + 2) & 0xff
+            i += 1
+          }
+          Jpeg.encodeColor(y0, cb, cr, bw, rows, subsample = true,
+            includeTables = false)
         case 8 => TiffCodec.deflate(arr)
         case 32773 => TiffCodec.packBitsEncodeRows(arr, bw * spp * bytesPer)
         case 50000 => TiffCodec.zstdCompress(arr)
@@ -1519,6 +1550,34 @@ object Raster {
     fixtureOnce(s"raster_jpeg_${JpegW}x$JpegH.tif") { p =>
       writeTiffOpts(p, JpegW, JpegH, 32, 32,
         WriteOpts(bits = 8, sampleFormat = 1, compression = 7))(jpegFixtureValue)
+    }
+
+  /** YCbCr JPEG tile raster (r12 — PhotometricInterpretation=6, the
+    * most common JPEG-in-TIFF payload: 8-bit RGB imagery COGs): values
+    * are MCU-CONSTANT (one Y/Cb/Cr triple per 16×16 4:2:0 MCU), so the
+    * chroma box-average and every DCT are exact and encode∘decode
+    * recovers the stored Y/Cb/Cr bit-for-bit; the reader then emits
+    * RGB via the JFIF full-range conversion with floor(x+0.5)
+    * rounding, which the DuckDB twin replays with the identical
+    * spelling. Dims are multiples of 32 so tiles hold whole MCUs.
+    */
+  val JpegRgbW = 96
+  val JpegRgbH = 64
+  def jpegRgbFixtureValue(x: Int, y: Int, band: Int): Double = {
+    val mx = x / 16
+    val my = y / 16
+    band match {
+      case 0 => ((29 * mx + 13 * my + 40) % 256).toDouble // Y
+      case 1 => ((17 * mx + 31 * my + 90) % 256).toDouble // Cb
+      case _ => ((23 * mx + 7 * my + 160) % 256).toDouble // Cr
+    }
+  }
+
+  def jpegRgbFixturePath(): String =
+    fixtureOnce(s"raster_jpeg_rgb_${JpegRgbW}x$JpegRgbH.tif") { p =>
+      writeTiffBandsOpts(p, JpegRgbW, JpegRgbH, 32, 32,
+        WriteOpts(bits = 8, sampleFormat = 1, bands = 3,
+          compression = 7))(jpegRgbFixtureValue)
     }
 
   /** int16 DEM-style raster (round 7): the formula recentered negative
@@ -2501,6 +2560,31 @@ object Raster {
       scanTiff(s, jpegFixturePath())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // YCbCr baseline JPEG tiles (r12 — Photometric=6, the 8-bit RGB
+    // imagery COG payload): 4:2:0 MCU-interleaved decode + JFIF
+    // YCbCr→RGB; the MCU-constant fixture makes the codec exact and
+    // the oracle replays the IDENTICAL conversion arithmetic, so a
+    // sampling/upsample/conversion bug in any band hash-mismatches
+    "scan_raster_jpeg_rgb" -> Q(
+      s"""WITH m AS (
+         |  SELECT x.range AS cell_x, y.range AS cell_y,
+         |    CAST((29 * (x.range // 16) + 13 * (y.range // 16) + 40) % 256 AS DOUBLE) AS yv,
+         |    CAST((17 * (x.range // 16) + 31 * (y.range // 16) + 90) % 256 AS DOUBLE) AS cb,
+         |    CAST((23 * (x.range // 16) + 7 * (y.range // 16) + 160) % 256 AS DOUBLE) AS cr
+         |  FROM range(0, $JpegRgbW) x CROSS JOIN range(0, $JpegRgbH) y)
+         |SELECT cell_x, cell_y, b.range AS band,
+         |  CAST(CASE b.range
+         |    WHEN 0 THEN least(255, greatest(0, CAST(floor(yv + 1.402 * (cr - 128.0) + 0.5) AS BIGINT)))
+         |    WHEN 1 THEN least(255, greatest(0, CAST(floor(yv - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5) AS BIGINT)))
+         |    ELSE least(255, greatest(0, CAST(floor(yv + 1.772 * (cb - 128.0) + 0.5) AS BIGINT)))
+         |  END AS DOUBLE) AS value
+         |FROM m CROSS JOIN range(0, 3) b
+         |ORDER BY cell_x, cell_y, band""".stripMargin) { (s, _) =>
+      scanTiffBands(s, jpegRgbFixturePath())
+        .select(col("cell_x"), col("cell_y"), col("band"), col("value"))
+        .orderBy("cell_x", "cell_y", "band")
     },
 
     "scan_raster_int16" -> Q(

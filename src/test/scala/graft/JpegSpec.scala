@@ -140,6 +140,91 @@ class JpegSpec extends SparkSuite {
       || e2.getMessage.toLowerCase.contains("corrupt"), e2.getMessage)
   }
 
+  test("YCbCr: MCU-constant 4:2:0 and 4:4:4 round-trip the planes exactly") {
+    for (sub <- Seq(true, false)) {
+      val f = if (sub) 16 else 8
+      val (w, h) = (48, 32)
+      def plane(a: Int, b: Int, c: Int): Array[Int] =
+        Array.tabulate(w * h) { i =>
+          val (x, y) = (i % w, i / w)
+          (a * (x / f) + b * (y / f) + c) % 256
+        }
+      val (yp, cb, cr) = (plane(29, 13, 40), plane(17, 31, 90), plane(23, 7, 160))
+      val enc = Jpeg.encodeColor(yp, cb, cr, w, h, subsample = sub)
+      val (dw, dh, rgb) = Jpeg.decodeColor(enc)
+      assert(dw == w && dh == h)
+      // invert the exact JFIF conversion from known Y/Cb/Cr: the codec
+      // must have recovered the planes exactly for every pixel
+      def clamp8(v: Double): Int = math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+      for (i <- 0 until w * h) {
+        assert(rgb(0)(i) == clamp8(yp(i) + 1.402 * (cr(i) - 128.0)), s"R at $i")
+        assert(rgb(1)(i) == clamp8(yp(i) - 0.344136 * (cb(i) - 128.0)
+          - 0.714136 * (cr(i) - 128.0)), s"G at $i")
+        assert(rgb(2)(i) == clamp8(yp(i) + 1.772 * (cb(i) - 128.0)), s"B at $i")
+      }
+    }
+  }
+
+  test("YCbCr: general 4:4:4 image round-trips within the lossy bound") {
+    val rnd = new scala.util.Random(11)
+    val (w, h) = (24, 24)
+    def smooth(seed: Int): Array[Int] = Array.tabulate(w * h) { i =>
+      val (x, y) = (i % w, i / w)
+      128 + (40 * math.sin((x + seed) / 5.0) + 30 * math.cos(y / 4.0)).toInt
+    }
+    val (yp, cb, cr) = (smooth(0), smooth(7), smooth(13))
+    val enc = Jpeg.encodeColor(yp, cb, cr, w, h, subsample = false)
+    val (_, _, rgb) = Jpeg.decodeColor(enc)
+    // reference conversion from the ORIGINAL planes; decoded RGB must
+    // stay within a quantization-sized band of it
+    def clamp8(v: Double): Int = math.max(0, math.min(255, math.floor(v + 0.5).toInt))
+    for (i <- 0 until w * h) {
+      val er = clamp8(yp(i) + 1.402 * (cr(i) - 128.0))
+      assert(math.abs(rgb(0)(i) - er) <= 48, s"R at $i: ${rgb(0)(i)} vs $er")
+    }
+    assert(rnd != null)
+  }
+
+  test("YCbCr named refusals: wrong component count, 3x subsampling") {
+    val yc = Array.fill(64)(128)
+    val gray = Jpeg.encodeGray(yc, 8, 8)
+    val e1 = intercept[Exception] { Jpeg.decodeColor(gray) }
+    assert(e1.getMessage.contains("component"), e1.getMessage)
+    val color = Jpeg.encodeColor(yc, yc, yc, 8, 8, subsample = false)
+    val e2 = intercept[Exception] { Jpeg.decodeGray(color) }
+    assert(e2.getMessage.contains("component"), e2.getMessage)
+    // patch the Y sampling byte to 3x1: SOF body offset is fixed in the
+    // encoder's layout — find SOF0 and stomp the first component's h/v
+    var p = -1
+    var i = 0
+    while (p < 0 && i < color.length - 1) {
+      if ((color(i) & 0xff) == 0xff && (color(i + 1) & 0xff) == 0xc0) p = i
+      i += 1
+    }
+    assert(p > 0)
+    val bad = color.clone()
+    bad(p + 11) = 0x31.toByte // first comp: h=3, v=1
+    val e3 = intercept[Exception] { Jpeg.decodeColor(bad) }
+    assert(e3.getMessage.contains("subsampling"), e3.getMessage)
+  }
+
+  test("TIFF integration: YCbCr RGB fixture scans to the exact conversion") {
+    val df = Raster.scanTiffBands(spark, Raster.jpegRgbFixturePath())
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.size == Raster.JpegRgbW * Raster.JpegRgbH * 3)
+    def clamp8(v: Double): Double = math.max(0.0, math.min(255.0, math.floor(v + 0.5)))
+    for (y <- 0 until Raster.JpegRgbH; x <- 0 until Raster.JpegRgbW) {
+      val yv = Raster.jpegRgbFixtureValue(x, y, 0)
+      val cb = Raster.jpegRgbFixtureValue(x, y, 1)
+      val cr = Raster.jpegRgbFixtureValue(x, y, 2)
+      assert(got((x, y, 0)) == clamp8(yv + 1.402 * (cr - 128.0)), s"R ($x,$y)")
+      assert(got((x, y, 1)) == clamp8(yv - 0.344136 * (cb - 128.0)
+        - 0.714136 * (cr - 128.0)), s"G ($x,$y)")
+      assert(got((x, y, 2)) == clamp8(yv + 1.772 * (cb - 128.0)), s"B ($x,$y)")
+    }
+  }
+
   test("TIFF integration: JPEG fixture scans to the exact block formula") {
     val df = Raster.scanTiff(spark, Raster.jpegFixturePath())
     val got = df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
