@@ -273,21 +273,26 @@ object Gpkg {
     (cols.toSeq, pk)
   }
 
-  /** Locate a table in sqlite_master: (rootpage, columns, pk ordinal). */
-  def tableInfo(db: DbMeta, table: String): TableInfo = {
+  /** Locate a table in sqlite_master, or None (r12 — optional shadow
+    * tables like the rtree index are consulted only when present).
+    */
+  def tableInfoOpt(db: DbMeta, table: String): Option[TableInfo] = {
     val rows = leafPages(db, 1).iterator
       .flatMap(p => leafRecords(db, p))
       .map { case (_, payload) => decodeRecord(payload, 5) }
-    val hit = rows.collectFirst {
+    rows.collectFirst {
       case Array(t: String, n: String, _, rp: Long, sql: String)
-        if t == "table" && n == table => (rp.toInt, sql)
+        if t == "table" && n == table && rp > 0 =>
+        val (cols, pk) = parseColumns(sql)
+        TableInfo(table, rp.toInt, cols, pk)
     }
-    val (root, sql) = hit.getOrElse(sys.error(
+  }
+
+  /** Locate a table in sqlite_master: (rootpage, columns, pk ordinal). */
+  def tableInfo(db: DbMeta, table: String): TableInfo =
+    tableInfoOpt(db, table).getOrElse(sys.error(
       s"${db.path}: no table '$table' in sqlite_master (a GeoPackage names " +
         "its feature tables in gpkg_contents)"))
-    val (cols, pk) = parseColumns(sql)
-    TableInfo(table, root, cols, pk)
-  }
 
   // ---- GPKG geometry blob + WKB polygon ----
 
@@ -398,6 +403,178 @@ object Gpkg {
         min(col("y")).as("ymin"), max(col("y")).as("ymax"))
   }
 
+  // ---- rtree-pruned window read (r12 — the r11 verdict's missing #4
+  // second half: consult `gpkg_rtree` when present, pruning LEAF PAGES
+  // by envelope before any record is range-read, the .shx-manifest
+  // pattern) ----
+
+  /** GPKG header envelope (when carried): (minx, maxx, miny, maxy) in
+    * the header's own byte order.
+    */
+  private[graft] def blobEnvelope(blob: Array[Byte]): Option[(Double, Double, Double, Double)] = {
+    val flags = blob(3) & 0xff
+    if (((flags >> 1) & 0x7) == 0) None
+    else {
+      val bb = java.nio.ByteBuffer.wrap(blob)
+      bb.order(if ((flags & 1) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      Some((bb.getDouble(8), bb.getDouble(16), bb.getDouble(24), bb.getDouble(32)))
+    }
+  }
+
+  /** Leaf pages with their rowid ranges `(page, loExclusive,
+    * hiInclusive)` from the interior keys — the manifest that lets a
+    * rowid candidate set prune page reads.
+    */
+  private[graft] def leafPageRanges(db: DbMeta, root: Int,
+      lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Seq[(Int, Long, Long)] = {
+    val b = pageBytes(db, root)
+    val h = pageHeaderAt(root)
+    (b(h) & 0xff) match {
+      case 0x0d => Seq((root, lo, hi))
+      case 0x05 =>
+        val bb = java.nio.ByteBuffer.wrap(b)
+        val nCells = bb.getShort(h + 3) & 0xffff
+        val rightMost = bb.getInt(h + 8)
+        var prev = lo
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+        (0 until nCells).foreach { i =>
+          val cellOff = bb.getShort(h + 12 + 2 * i) & 0xffff
+          val kid = bb.getInt(cellOff)
+          val (key, _) = varint(b, cellOff + 4)
+          out ++= leafPageRanges(db, kid, prev, key)
+          prev = key
+        }
+        out ++= leafPageRanges(db, rightMost, prev, hi)
+        out.toSeq
+      case t => sys.error(s"${db.path}: page $root b-tree type 0x${t.toHexString}")
+    }
+  }
+
+  /** Walk the SQLite rtree shadow `_node` table (public rtree node
+    * format: 2-byte tree depth in the root, 2-byte cell count, then
+    * cells of 8-byte BE id/child + 4 BE float32 coords) → feature
+    * rowids whose boxes intersect the window. None when the file
+    * carries no rtree for (table, geomCol) — the reader then scans all
+    * pages and relies on the envelope residual filter alone.
+    */
+  private[graft] def rtreeCandidates(db: DbMeta, table: String, geomCol: String,
+      wx0: Double, wx1: Double, wy0: Double, wy1: Double): Option[Set[Long]] = {
+    tableInfoOpt(db, s"rtree_${table}_${geomCol}_node").map { ti =>
+      val dataIx = ti.columns.indexOf("data")
+      require(dataIx >= 0, s"${db.path}: rtree node table without a data column")
+      val nodes: Map[Long, Array[Byte]] = leafPages(db, ti.rootPage).iterator
+        .flatMap(p => leafRecords(db, p))
+        .map { case (rowid, payload) =>
+          val vals = decodeRecord(payload, ti.columns.size)
+          val nodeno = vals(0) match {
+            case l: Long => l
+            case null => rowid // INTEGER PRIMARY KEY alias
+            case other => sys.error(s"${db.path}: rtree nodeno holds $other")
+          }
+          nodeno -> (vals(dataIx) match {
+            case b: Array[Byte] => b
+            case other => sys.error(s"${db.path}: rtree node data holds " +
+              s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+          })
+        }.toMap
+      val out = Set.newBuilder[Long]
+      def walk(nodeno: Long, depth: Int): Unit = {
+        val b = nodes.getOrElse(nodeno,
+          sys.error(s"${db.path}: rtree node $nodeno missing from the shadow table"))
+        val bb = java.nio.ByteBuffer.wrap(b) // rtree nodes are big-endian
+        val n = bb.getShort(2) & 0xffff
+        require(b.length >= 4 + 24 * n, s"${db.path}: rtree node $nodeno truncated")
+        var i = 0
+        while (i < n) {
+          val off = 4 + 24 * i
+          val id = bb.getLong(off)
+          val minx = bb.getFloat(off + 8)
+          val maxx = bb.getFloat(off + 12)
+          val miny = bb.getFloat(off + 16)
+          val maxy = bb.getFloat(off + 20)
+          if (minx <= wx1 && maxx >= wx0 && miny <= wy1 && maxy >= wy0) {
+            if (depth == 0) out += id else walk(id, depth - 1)
+          }
+          i += 1
+        }
+      }
+      val root = nodes.getOrElse(1L, sys.error(s"${db.path}: rtree has no root node 1"))
+      walk(1L, java.nio.ByteBuffer.wrap(root).getShort(0) & 0xffff)
+      out.result()
+    }
+  }
+
+  /** The pruned leaf manifest for a window read: with an rtree, only
+    * leaves whose rowid range holds a candidate are kept (exposed for
+    * GpkgSpec's fewer-leaf-reads assertion).
+    */
+  private[graft] def windowLeafRefs(db: DbMeta, path: String, ti: TableInfo,
+      cands: Option[Set[Long]]): Seq[LeafRef] = {
+    val ranges = leafPageRanges(db, ti.rootPage)
+    val kept = cands match {
+      case Some(ids) => ranges.filter { case (_, lo, hi) =>
+        ids.exists(id => id > lo && id <= hi) }
+      case None => ranges
+    }
+    kept.map { case (p, _, _) =>
+      LeafRef(path, p, db.pageSize, db.reserved, ti.pkOrdinal, ti.columns.size) }
+  }
+
+  /** WINDOW feature read: rtree-pruned page manifest (when the file
+    * carries the index), then an executor-side header-envelope
+    * residual filter — so the RESULT is identical with or without the
+    * rtree (bbox-intersection semantics, like the index itself), and
+    * the index only saves I/O. Same long-form vertex shape as
+    * [[readVerts]].
+    */
+  def readVertsWindow(s: SparkSession, path: String, table: String,
+      wx0: Double, wx1: Double, wy0: Double, wy1: Double,
+      idCol: String = "id", geomCol: String = "geom"): DataFrame = {
+    import s.implicits._
+    val db = readDbMeta(path)
+    val ti = tableInfo(db, table)
+    val idIx = ti.columns.indexOf(idCol)
+    val geomIx = ti.columns.indexOf(geomCol)
+    require(idIx >= 0 && geomIx >= 0,
+      s"$path/$table: need columns '$idCol' and '$geomCol', have ${ti.columns.mkString(", ")}")
+    val cands = rtreeCandidates(db, table, geomCol, wx0, wx1, wy0, wy1)
+    val refs = windowLeafRefs(db, path, ti, cands)
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(math.max(1, refs.size),
+        s.sparkContext.defaultParallelism)))
+      .flatMap { ref =>
+        val rdb = DbMeta(ref.path, ref.pageSize, ref.reserved)
+        leafRecords(rdb, ref.page).flatMap { case (rowid, payload) =>
+          val vals = decodeRecord(payload, ref.nCols)
+          val zid = vals(idIx) match {
+            case l: Long => l
+            case null if idIx == ref.pkOrdinal => rowid
+            case other => sys.error(s"${ref.path}: id column holds $other")
+          }
+          val blob = vals(geomIx) match {
+            case b: Array[Byte] => b
+            case other => sys.error(s"${ref.path}: geometry column holds " +
+              s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+          }
+          val keep = blobEnvelope(blob) match {
+            case Some((minx, maxx, miny, maxy)) =>
+              minx <= wx1 && maxx >= wx0 && miny <= wy1 && maxy >= wy0
+            case None => sys.error(s"${ref.path} feature $zid: window read " +
+              "needs header envelopes (write with envelope indicator 1)")
+          }
+          if (!keep) Iterator.empty
+          else {
+            val what = s"${ref.path} feature $zid"
+            parseWkbPolygon(blob, wkbOffset(blob, what), what).map {
+              case (ring, i, x, y) => (zid.toInt, 0, ring, i, x, y)
+            }
+          }
+        }
+      }
+      .toDF("zone_id", "part", "ring", "i", "x", "y")
+  }
+
   // ---- writer (fixture generation; driver-side over the broadcast-
   // scale zone table — the READ path above is the operator). Builds a
   // REAL SQLite 3 main file from the format spec: header, page-1
@@ -456,12 +633,27 @@ object Gpkg {
     out.toByteArray
   }
 
-  /** Write a single-table SQLite db (page 1 = header + sqlite_master
-    * leaf; table b-tree from page 2; overflow pages appended). Records
-    * are (rowid, values) in ascending-rowid order.
+  /** Write a single-table SQLite db — the original r11 entry point,
+    * now a thin wrapper over the multi-table writer.
     */
   def writeTable(path: String, table: String, ddl: String,
-      records: Seq[(Long, Seq[Any])], pageSize: Int = 512): Unit = {
+      records: Seq[(Long, Seq[Any])], pageSize: Int = 512): Unit =
+    writeTables(path, Seq((table, ddl, records)), pageSize)
+
+  /** Write a MULTI-table SQLite db (r12 — a real GeoPackage carries
+    * gpkg_contents / gpkg_spatial_ref_sys / gpkg_geometry_columns
+    * alongside the feature table): page 1 = header + sqlite_master
+    * leaf with one row per table; each table's b-tree (interior root
+    * when its leaves overflow one page) and overflow chains follow
+    * sequentially. Records are (rowid, values) in ascending-rowid
+    * order. Driver-side by design — the honest posture for
+    * broadcast-scale zone exports (the same 2 GB-class container
+    * rationale as the shapefile sink; petabyte exports go through
+    * GeoJSONSeq).
+    */
+  def writeTables(path: String,
+      tables: Seq[(String, String, Seq[(Long, Seq[Any])])],
+      pageSize: Int = 512): Unit = {
     val u = pageSize // reserved = 0
     val x = u - 35
     val m = (u - 12) * 32 / 255 - 23
@@ -471,46 +663,59 @@ object Gpkg {
         varintBytes(payload.length.toLong).length + varintBytes(rowid).length +
           local + (if (local < payload.length) 4 else 0)
     }
-    val cells = records.map { case (rowid, vals) =>
-      val p = recordPayload(vals)
-      val local =
-        if (p.length <= x) p.length
-        else { val k = m + (p.length - m) % (u - 4); if (k <= x) k else m }
-      Cell(rowid, p, local)
-    }
-    // pack leaves greedily (leaf header 8 + 2 bytes/pointer + cells)
-    val leaves = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[Cell])
-    cells.foreach { c =>
-      val cur = leaves.last
-      val used = 8 + 2 * (cur.size + 1) + cur.map(_.bytesInLeaf).sum + c.bytesInLeaf
-      if (cur.nonEmpty && used > u) leaves += scala.collection.mutable.ArrayBuffer(c)
-      else cur += c
-    }
-    val nLeaves = leaves.size
-    val hasInterior = nLeaves > 1
-    val rootPage = 2 // what sqlite_master advertises
-    // layout: page 1 master; root at 2 (interior if >1 leaf, else the
-    // single leaf); leaves at 3..; overflow appended after
-    val leafPageNos =
-      if (hasInterior) (0 until nLeaves).map(3 + _) else Seq(2)
-    var nextOverflow = (if (hasInterior) 3 + nLeaves else 3)
-    val overflowOf = scala.collection.mutable.Map.empty[(Int, Int), Seq[Int]] // (leafIx, cellIx) -> pages
-    leaves.zipWithIndex.foreach { case (lv, li) =>
-      lv.zipWithIndex.foreach { case (c, ci) =>
-        if (c.local < c.payload.length) {
-          val rest = c.payload.length - c.local
-          val per = u - 4
-          val n = (rest + per - 1) / per
-          overflowOf((li, ci)) = (0 until n).map(i => nextOverflow + i)
-          nextOverflow += n
+    final case class Plan(name: String, ddl: String,
+        leaves: Seq[Seq[Cell]], rootPage: Int, leafPageNos: Seq[Int],
+        overflowOf: Map[(Int, Int), Seq[Int]])
+    var nextPage = 2
+    val plans = tables.map { case (table, ddl, records) =>
+      if (ddl.trim.toUpperCase.startsWith("CREATE VIRTUAL")) {
+        // a virtual table owns no pages: sqlite_master row with
+        // rootpage 0 (its data lives in the shadow tables)
+        require(records.isEmpty, s"gpkg writer: virtual table $table with records")
+        Plan(table, ddl, Nil, 0, Nil, Map.empty)
+      } else {
+      val cells = records.map { case (rowid, vals) =>
+        val p = recordPayload(vals)
+        val local =
+          if (p.length <= x) p.length
+          else { val k = m + (p.length - m) % (u - 4); if (k <= x) k else m }
+        Cell(rowid, p, local)
+      }
+      // pack leaves greedily (leaf header 8 + 2 bytes/pointer + cells)
+      val leaves = scala.collection.mutable.ArrayBuffer(scala.collection.mutable.ArrayBuffer.empty[Cell])
+      cells.foreach { c =>
+        val cur = leaves.last
+        val used = 8 + 2 * (cur.size + 1) + cur.map(_.bytesInLeaf).sum + c.bytesInLeaf
+        if (cur.nonEmpty && used > u) leaves += scala.collection.mutable.ArrayBuffer(c)
+        else cur += c
+      }
+      val nLeaves = leaves.size
+      val hasInterior = nLeaves > 1
+      val rootPage = nextPage
+      val leafPageNos =
+        if (hasInterior) (0 until nLeaves).map(rootPage + 1 + _) else Seq(rootPage)
+      nextPage = rootPage + (if (hasInterior) 1 + nLeaves else 1)
+      val overflowOf = scala.collection.mutable.Map.empty[(Int, Int), Seq[Int]]
+      leaves.zipWithIndex.foreach { case (lv, li) =>
+        lv.zipWithIndex.foreach { case (c, ci) =>
+          if (c.local < c.payload.length) {
+            val rest = c.payload.length - c.local
+            val per = u - 4
+            val n = (rest + per - 1) / per
+            overflowOf((li, ci)) = (0 until n).map(i => nextPage + i)
+            nextPage += n
+          }
         }
       }
+      Plan(table, ddl, leaves.map(_.toSeq).toSeq, rootPage, leafPageNos, overflowOf.toMap)
+      }
     }
-    val nPages = nextOverflow - 1
+    val nPages = nextPage - 1
     val file = new Array[Byte](nPages * pageSize)
     def bb(page: Int) = java.nio.ByteBuffer.wrap(file, (page - 1) * pageSize, pageSize).slice()
 
-    def writeLeaf(page: Int, lv: Seq[Cell], li: Int, headerAt: Int): Unit = {
+    def writeLeaf(page: Int, lv: Seq[Cell], li: Int, headerAt: Int,
+        overflowOf: Map[(Int, Int), Seq[Int]]): Unit = {
       val b = bb(page)
       b.put(headerAt, 0x0d.toByte)
       b.putShort(headerAt + 3, lv.size.toShort)
@@ -547,35 +752,38 @@ object Gpkg {
       }
     }
 
-    if (hasInterior) {
-      // interior root: one cell per leaf but the LAST (rightmost child
-      // rides the header pointer); key = max rowid in that leaf
-      val b = bb(rootPage)
-      b.put(0, 0x05.toByte)
-      b.putShort(3, (nLeaves - 1).toShort)
-      b.putInt(8, leafPageNos.last)
-      var content = pageSize
-      (0 until nLeaves - 1).foreach { i =>
-        val key = leaves(i).last.rowid
-        val cell = new java.io.ByteArrayOutputStream()
-        val kid = leafPageNos(i)
-        cell.write(Array[Byte]((kid >> 24).toByte, (kid >> 16).toByte,
-          (kid >> 8).toByte, kid.toByte))
-        cell.write(varintBytes(key))
-        val arr = cell.toByteArray
-        content -= arr.length
-        System.arraycopy(arr, 0, file, (rootPage - 1) * pageSize + content, arr.length)
-        b.putShort(12 + 2 * i, content.toShort)
+    plans.filter(_.rootPage > 0).foreach { pl =>
+      val nLeaves = pl.leaves.size
+      if (nLeaves > 1) {
+        // interior root: one cell per leaf but the LAST (rightmost child
+        // rides the header pointer); key = max rowid in that leaf
+        val b = bb(pl.rootPage)
+        b.put(0, 0x05.toByte)
+        b.putShort(3, (nLeaves - 1).toShort)
+        b.putInt(8, pl.leafPageNos.last)
+        var content = pageSize
+        (0 until nLeaves - 1).foreach { i =>
+          val key = pl.leaves(i).last.rowid
+          val cell = new java.io.ByteArrayOutputStream()
+          val kid = pl.leafPageNos(i)
+          cell.write(Array[Byte]((kid >> 24).toByte, (kid >> 16).toByte,
+            (kid >> 8).toByte, kid.toByte))
+          cell.write(varintBytes(key))
+          val arr = cell.toByteArray
+          content -= arr.length
+          System.arraycopy(arr, 0, file, (pl.rootPage - 1) * pageSize + content, arr.length)
+          b.putShort(12 + 2 * i, content.toShort)
+        }
+        b.putShort(5, content.toShort)
+        pl.leaves.zipWithIndex.foreach { case (lv, li) =>
+          writeLeaf(pl.leafPageNos(li), lv, li, 0, pl.overflowOf)
+        }
+      } else {
+        writeLeaf(pl.rootPage, pl.leaves.head, 0, 0, pl.overflowOf)
       }
-      b.putShort(5, content.toShort)
-      leaves.zipWithIndex.foreach { case (lv, li) =>
-        writeLeaf(leafPageNos(li), lv.toSeq, li, 0)
-      }
-    } else {
-      writeLeaf(2, leaves.head.toSeq, 0, 0)
     }
 
-    // page 1: 100-byte header + sqlite_master leaf with one table row
+    // page 1: 100-byte header + sqlite_master leaf, one row per table
     val hdr = bb(1)
     val magic = "SQLite format 3".getBytes("ISO-8859-1") :+ 0.toByte
     (0 until 16).foreach(i => hdr.put(i, magic(i)))
@@ -587,20 +795,26 @@ object Gpkg {
     hdr.putInt(44, 4)  // schema format
     hdr.putInt(48, 0)
     hdr.putInt(56, 1)  // UTF-8
-    val masterRow = recordPayload(Seq("table", table, table, rootPage.toLong, ddl))
-    require(masterRow.length <= x,
-      s"gpkg writer: sqlite_master row of ${masterRow.length} bytes needs overflow (unsupported here)")
     hdr.put(100, 0x0d.toByte)
-    hdr.putShort(103, 1.toShort)
-    val cell = new java.io.ByteArrayOutputStream()
-    cell.write(varintBytes(masterRow.length.toLong))
-    cell.write(varintBytes(1L))
-    cell.write(masterRow)
-    val arr = cell.toByteArray
-    val content = pageSize - arr.length
-    System.arraycopy(arr, 0, file, content, arr.length)
+    hdr.putShort(103, plans.size.toShort)
+    var content = pageSize
+    plans.zipWithIndex.foreach { case (pl, i) =>
+      val masterRow = recordPayload(
+        Seq("table", pl.name, pl.name, pl.rootPage.toLong, pl.ddl))
+      require(masterRow.length <= x,
+        s"gpkg writer: sqlite_master row of ${masterRow.length} bytes needs overflow (unsupported here)")
+      val cell = new java.io.ByteArrayOutputStream()
+      cell.write(varintBytes(masterRow.length.toLong))
+      cell.write(varintBytes((i + 1).toLong))
+      cell.write(masterRow)
+      val arr = cell.toByteArray
+      content -= arr.length
+      require(content > 108 + 2 * plans.size,
+        s"gpkg writer: ${plans.size} sqlite_master rows overflow page 1")
+      System.arraycopy(arr, 0, file, content, arr.length)
+      hdr.putShort(108 + 2 * i, content.toShort)
+    }
     hdr.putShort(105, content.toShort)
-    hdr.putShort(108, content.toShort)
 
     val f = new java.io.File(path)
     f.getParentFile.mkdirs()
@@ -667,6 +881,101 @@ object Gpkg {
     writeTable(path, "zones",
       "CREATE TABLE zones (id INTEGER PRIMARY KEY, zone_name TEXT, note TEXT, geom BLOB)",
       records)
+  }
+
+  /** Write a FULL GeoPackage (r12 — `sink_geopackage`): the three
+    * mandatory metadata tables (gpkg_spatial_ref_sys / gpkg_contents /
+    * gpkg_geometry_columns), the feature table, and the rtree spatial
+    * index (virtual-table master row + `_node`/`_rowid`/`_parent`
+    * shadow tables, single-root node with one BE-float32 box per
+    * feature). Driver-side over the broadcast-scale zone table — the
+    * same honest posture and 2 GB-class container rationale as the
+    * shapefile sink; petabyte vector exports go through GeoJSONSeq.
+    * Deviation noted: srs rows carry explicit srs_id values with
+    * sequential rowids (the spec's -1 srs would need a negative rowid,
+    * which the record writer refuses; our reader reads the explicit
+    * column either way).
+    */
+  def writeGeoPackage(s: SparkSession, d: String, path: String): Unit = {
+    val verts = Cube.verts(s, d, Cube.NGonRings)
+      .select("zone_id", "part", "ring", "i", "vx", "vy")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+    val zoneNames = Cube.zones(s, d).select("zone_id", "zone_name").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    val byZone = verts.groupBy(_._1).toSeq.sortBy(_._1)
+    val features = byZone.map { case (zoneId, vs) =>
+      val ringsClosed = vs.groupBy(v => (v._2, v._3)).toSeq.sortBy(_._1).map { case (_, pts) =>
+        val ordered = pts.sortBy(_._4).map { case (_, _, _, _, px, py) => (px, py) }.toSeq
+        ordered :+ ordered.head
+      }
+      (zoneId.toLong, Seq[Any](null, zoneNames(zoneId), s"zone $zoneId", gpkgBlob(ringsClosed)))
+    }
+    val envs = byZone.map { case (zoneId, vs) =>
+      val xs = vs.map(_._5); val ys = vs.map(_._6)
+      (zoneId.toLong, xs.min, xs.max, ys.min, ys.max)
+    }
+    // rtree root node: depth 0, one cell per feature (BE id + 4 BE f32)
+    val node = java.nio.ByteBuffer.allocate(4 + 24 * envs.size)
+    node.putShort(0, 0.toShort) // tree depth
+    node.putShort(2, envs.size.toShort)
+    envs.zipWithIndex.foreach { case ((id, x0, x1, y0, y1), i) =>
+      val off = 4 + 24 * i
+      node.putLong(off, id)
+      node.putFloat(off + 8, x0.toFloat)
+      node.putFloat(off + 12, x1.toFloat)
+      node.putFloat(off + 16, y0.toFloat)
+      node.putFloat(off + 20, y1.toFloat)
+    }
+    val totX0 = envs.map(_._2).min; val totX1 = envs.map(_._3).max
+    val totY0 = envs.map(_._4).min; val totY1 = envs.map(_._5).max
+    writeTables(path, Seq(
+      ("gpkg_spatial_ref_sys",
+        "CREATE TABLE gpkg_spatial_ref_sys (srs_name TEXT NOT NULL, srs_id INTEGER NOT NULL PRIMARY KEY, organization TEXT NOT NULL, organization_coordsys_id INTEGER NOT NULL, definition TEXT NOT NULL, description TEXT)",
+        Seq(
+          (1L, Seq[Any]("Undefined cartesian SRS", -1L, "NONE", -1L, "undefined", null)),
+          (2L, Seq[Any]("Undefined geographic SRS", 0L, "NONE", 0L, "undefined", null)),
+          (3L, Seq[Any]("WGS 84", 4326L, "EPSG", 4326L,
+            "GEOGCS[\"WGS 84\",DATUM[\"WGS_1984\"]]", null)))),
+      ("gpkg_contents",
+        "CREATE TABLE gpkg_contents (table_name TEXT NOT NULL PRIMARY KEY, data_type TEXT NOT NULL, identifier TEXT, description TEXT, last_change TEXT, min_x DOUBLE, min_y DOUBLE, max_x DOUBLE, max_y DOUBLE, srs_id INTEGER)",
+        Seq((1L, Seq[Any]("zones", "features", "zones", "graft zone export",
+          "2026-01-01T00:00:00.000Z", totX0.toDouble, totY0.toDouble,
+          totX1.toDouble, totY1.toDouble, 4326L)))),
+      ("gpkg_geometry_columns",
+        "CREATE TABLE gpkg_geometry_columns (table_name TEXT NOT NULL, column_name TEXT NOT NULL, geometry_type_name TEXT NOT NULL, srs_id INTEGER NOT NULL, z TINYINT NOT NULL, m TINYINT NOT NULL)",
+        Seq((1L, Seq[Any]("zones", "geom", "POLYGON", 4326L, 0L, 0L)))),
+      ("zones",
+        "CREATE TABLE zones (id INTEGER PRIMARY KEY, zone_name TEXT, note TEXT, geom BLOB)",
+        features),
+      ("rtree_zones_geom",
+        "CREATE VIRTUAL TABLE rtree_zones_geom USING rtree(id, minx, maxx, miny, maxy)",
+        Nil),
+      ("rtree_zones_geom_node",
+        "CREATE TABLE rtree_zones_geom_node (nodeno INTEGER PRIMARY KEY, data BLOB)",
+        Seq((1L, Seq[Any](null, node.array())))),
+      ("rtree_zones_geom_rowid",
+        "CREATE TABLE rtree_zones_geom_rowid (rowid INTEGER PRIMARY KEY, nodeno INTEGER)",
+        envs.map { case (id, _, _, _, _) => (id, Seq[Any](null, 1L)) }),
+      ("rtree_zones_geom_parent",
+        "CREATE TABLE rtree_zones_geom_parent (nodeno INTEGER PRIMARY KEY, parentnode INTEGER)",
+        Nil)),
+      // 8 tables of DDL on page 1 need more than the fixture writer's
+      // 512-byte pages (4096 is SQLite's own default)
+      pageSize = 4096)
+  }
+
+  private val fullFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once full-GeoPackage fixture (metadata + rtree + zones). */
+  def fullFixturePath(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d)
+    fullFixtures.computeIfAbsent(f.getCanonicalPath, { _ =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/zones_full.gpkg"
+      writeGeoPackage(s, d, path)
+      path
+    })
   }
 
   /** Attribute face: every non-geometry column as a DataFrame row per

@@ -1140,6 +1140,71 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // GeoPackage WRITE parity (r12 — the r11 verdict's missing #4
+    // write half): a FULL container — gpkg_contents /
+    // gpkg_spatial_ref_sys / gpkg_geometry_columns, the feature table,
+    // and the rtree index (virtual row + shadow node/rowid/parent
+    // tables) — written driver-side over the broadcast-scale zone
+    // table (the shapefile-sink posture), then read back through the
+    // repo's OWN reader: metadata faces gated by loud requires, the
+    // vertex face by the same verts oracle as scan_geopackage
+    "sink_geopackage" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), verts AS (
+         |  ${Cube.vertsSql(Cube.NGonRings)}
+         |)
+         |SELECT zone_id, part, ring, CAST(i AS INTEGER) AS i, vx, vy
+         |FROM verts ORDER BY zone_id, part, ring, i""".stripMargin) { (s, d) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/gpkg_sink/zones.gpkg"
+      new java.io.File(path).delete()
+      Gpkg.writeGeoPackage(s, d, path)
+      val contents = Gpkg.readAttrs(s, path, "gpkg_contents").collect()
+      require(contents.length == 1
+          && contents(0).getAs[String]("table_name") == "zones"
+          && contents(0).getAs[String]("data_type") == "features"
+          && contents(0).getAs[String]("srs_id") == "4326",
+        s"gpkg_contents read-back mismatch: ${contents.mkString(";")}")
+      val gcols = Gpkg.readAttrs(s, path, "gpkg_geometry_columns").collect()
+      require(gcols.length == 1
+          && gcols(0).getAs[String]("table_name") == "zones"
+          && gcols(0).getAs[String]("column_name") == "geom"
+          && gcols(0).getAs[String]("geometry_type_name") == "POLYGON",
+        s"gpkg_geometry_columns read-back mismatch: ${gcols.mkString(";")}")
+      val srs = Gpkg.readAttrs(s, path, "gpkg_spatial_ref_sys").collect()
+      require(srs.length == 3 && srs.map(_.getAs[String]("srs_id")).sorted
+          .sameElements(Array("-1", "0", "4326")),
+        s"gpkg_spatial_ref_sys read-back mismatch: ${srs.mkString(";")}")
+      Gpkg.readVerts(s, path, "zones")
+        .select(col("zone_id"), col("part"), col("ring"),
+          col("i"), col("x").as("vx"), col("y").as("vy"))
+        .orderBy("zone_id", "part", "ring", "i")
+    },
+
+    // rtree-pruned WINDOW query (r12 — consult gpkg_rtree on read):
+    // candidate rowids from the shadow-node walk prune LEAF PAGES
+    // before any record is range-read (GpkgSpec asserts the smaller
+    // manifest); the header-envelope residual filter makes the result
+    // rtree-independent bbox-intersection semantics, which the oracle
+    // replays from the ring min/max
+    "scan_geopackage_rtree" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), verts AS (
+         |  ${Cube.vertsSql(Cube.NGonRings)}
+         |), keep AS (
+         |  SELECT zone_id FROM verts GROUP BY zone_id
+         |  HAVING min(vx) <= 20 AND max(vx) >= 0 AND min(vy) <= 20 AND max(vy) >= 0
+         |)
+         |SELECT zone_id, part, ring, CAST(i AS INTEGER) AS i, vx, vy
+         |FROM verts JOIN keep USING (zone_id)
+         |ORDER BY zone_id, part, ring, i""".stripMargin) { (s, d) =>
+      Gpkg.readVertsWindow(s, Gpkg.fullFixturePath(s, d), "zones", 0, 20, 0, 20)
+        .select(col("zone_id"), col("part"), col("ring"),
+          col("i"), col("x").as("vx"), col("y").as("vy"))
+        .orderBy("zone_id", "part", "ring", "i")
+    },
+
     // the vector WRITE path: WKB zones serialized as newline-delimited
     // GeoJSON Features (RFC 8142 text sequences — the format GDAL calls
     // GeoJSONSeq, and the one a DISTRIBUTED writer can emit: one

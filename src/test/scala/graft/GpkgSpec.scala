@@ -111,6 +111,72 @@ class GpkgSpec extends SparkSuite {
       s"zone 0 note length ${rows(0L)} — overflow chain broken")
   }
 
+  test("full gpkg: rtree prunes the leaf manifest; candidates match envelopes") {
+    val path = Gpkg.fullFixturePath(spark, sf)
+    val db = Gpkg.readDbMeta(path)
+    val ti = Gpkg.tableInfo(db, "zones")
+    // the virtual rtree master row (rootpage 0) is invisible; its
+    // shadow node table resolves
+    assert(Gpkg.tableInfoOpt(db, "rtree_zones_geom").isEmpty)
+    assert(Gpkg.tableInfoOpt(db, "rtree_zones_geom_node").isDefined)
+    // expected candidates straight from the feature envelopes
+    val feats = Gpkg.leafPages(db, ti.rootPage)
+      .flatMap(p => Gpkg.leafRecords(db, p))
+      .map { case (rowid, payload) =>
+        val blob = Gpkg.decodeRecord(payload, 4)(3).asInstanceOf[Array[Byte]]
+        rowid -> Gpkg.blobEnvelope(blob).get
+      }.toMap
+    val (wx0, wx1, wy0, wy1) = (0.0, 20.0, 0.0, 20.0)
+    val want = feats.collect { case (id, (x0, x1, y0, y1))
+      if x0 <= wx1 && x1 >= wx0 && y0 <= wy1 && y1 >= wy0 => id }.toSet
+    val got = Gpkg.rtreeCandidates(db, "zones", "geom", wx0, wx1, wy0, wy1)
+    assert(got.contains(want), s"rtree $got vs envelope $want")
+    assert(want.nonEmpty && want.size < feats.size, "window should split the zones")
+    // the .shx-manifest effect: fewer leaf pages range-read under the
+    // window than a full scan touches
+    val full = Gpkg.windowLeafRefs(db, path, ti, None)
+    val pruned = Gpkg.windowLeafRefs(db, path, ti, got)
+    assert(full.size > 1 && pruned.size < full.size,
+      s"window read touches ${pruned.size} of ${full.size} leaves — no pruning")
+    // a no-rtree file degrades to the full manifest (None = no pruning)
+    val plain = Gpkg.readDbMeta(Gpkg.fixturePath(spark, sf))
+    assert(Gpkg.rtreeCandidates(plain, "zones", "geom", wx0, wx1, wy0, wy1).isEmpty)
+  }
+
+  test("hand-built TWO-LEVEL rtree: the node walk recurses by depth") {
+    // root (node 1, depth 1) -> two leaf nodes; boxes chosen so the
+    // window hits only leaf B's second entry
+    def node(depth: Int, cells: Seq[(Long, Float, Float, Float, Float)]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + 24 * cells.size)
+      b.putShort(0, depth.toShort)
+      b.putShort(2, cells.size.toShort)
+      cells.zipWithIndex.foreach { case ((id, x0, x1, y0, y1), i) =>
+        val off = 4 + 24 * i
+        b.putLong(off, id)
+        b.putFloat(off + 8, x0); b.putFloat(off + 12, x1)
+        b.putFloat(off + 16, y0); b.putFloat(off + 20, y1)
+      }
+      b.array()
+    }
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/gpkgspec_rtree2.db"
+    new java.io.File(p).delete()
+    Gpkg.writeTables(p, Seq(
+      ("t", "CREATE TABLE t (id INTEGER PRIMARY KEY, geom BLOB)", Nil),
+      ("rtree_t_geom_node",
+        "CREATE TABLE rtree_t_geom_node (nodeno INTEGER PRIMARY KEY, data BLOB)",
+        Seq(
+          (1L, Seq[Any](null, node(1, Seq((2L, 0f, 10f, 0f, 10f), (3L, 20f, 40f, 20f, 40f))))),
+          (2L, Seq[Any](null, node(0, Seq((100L, 0f, 5f, 0f, 5f), (101L, 6f, 10f, 6f, 10f))))),
+          (3L, Seq[Any](null, node(0, Seq((200L, 20f, 25f, 20f, 25f), (201L, 30f, 40f, 30f, 40f)))))))),
+      pageSize = 512)
+    val db = Gpkg.readDbMeta(p)
+    // window hits only (30..40)^2 → leaf node 3, entry 201
+    assert(Gpkg.rtreeCandidates(db, "t", "geom", 28, 35, 28, 35).contains(Set(201L)))
+    // window spanning both subtrees collects from both leaves
+    assert(Gpkg.rtreeCandidates(db, "t", "geom", 4, 22, 4, 22)
+      .contains(Set(100L, 101L, 200L)))
+  }
+
   test("geopackage zones equal shapefile zones byte-for-byte (same WKB pipeline)") {
     import org.apache.spark.sql.functions.col
     val g = Gpkg.readZones(spark, Gpkg.fixturePath(spark, sf), "zones")
