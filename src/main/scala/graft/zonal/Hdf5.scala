@@ -50,16 +50,20 @@ object Hdf5 {
       oy: Int, ox: Int, rows: Int, cols: Int,
       height: Int, width: Int, dtype: String,
       deflate: Boolean, shuffleTs: Int,
-      fill: Double, hasFill: Boolean)
+      fill: Double, hasFill: Boolean,
+      // rank-3 (r12): leading-dim origin/plane-count/extent (a rank-2
+      // chunk is the single plane of epoch 0)
+      ot: Int = 0, chunkT: Int = 1, epochs: Int = 1)
 
-  /** Parsed dataset facts (driver-side). */
+  /** Parsed dataset facts (driver-side). `epochs = 0` marks rank-2. */
   final case class H5Meta(
       height: Int, width: Int, chunkH: Int, chunkW: Int,
       dtype: String, // "<f8" spelling, shared with Zarr
       contiguous: Boolean, dataAddr: Long,
       deflate: Boolean, shuffleTs: Int,
       fill: Double, hasFill: Boolean,
-      chunks: Seq[(Int, Int, Long, Long, Int)]) // (oy, ox, addr, size, mask)
+      chunks: Seq[(Int, Int, Int, Long, Long, Int)], // (ot, oy, ox, addr, size, mask)
+      epochs: Int = 0, chunkT: Int = 1)
 
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -222,10 +226,13 @@ object Hdf5 {
         case 2 => (sp(1) & 0xff, 4)
         case v => sys.error(s"$path: dataspace version $v unsupported")
       }
-      require(rank == 2, s"$path: rank-$rank dataset unsupported — this " +
-        "engine's cube is a 2-D lattice; slice higher-rank variables upstream")
-      val height = le(sp).getLong(dimsOff).toInt
-      val width = le(sp).getLong(dimsOff + 8).toInt
+      require(rank == 2 || rank == 3, s"$path: rank-$rank dataset " +
+        "unsupported — 2-D lattices and rank-3 (t, y, x) cubes only")
+      val rank3 = rank == 3
+      val epochs0 = if (rank3) le(sp).getLong(dimsOff).toInt else 0
+      val spatialOff = if (rank3) dimsOff + 8 else dimsOff
+      val height = le(sp).getLong(spatialOff).toInt
+      val width = le(sp).getLong(spatialOff + 8).toInt
       // datatype (0x0003): class ∈ {fixed-point 0, float 1}
       val dt = one(0x0003, "datatype").body
       val dclass = dt(0) & 0x0f
@@ -293,39 +300,45 @@ object Hdf5 {
           require(!deflate && shuffleTs == 0,
             s"$path: filters on a contiguous dataset (corrupt)")
           H5Meta(height, width, 0, 0, dtype, contiguous = true, dataAddr,
-            deflate = false, shuffleTs = 0, fill, hasFill, Nil)
+            deflate = false, shuffleTs = 0, fill, hasFill, Nil,
+            epochs = epochs0)
         case 2 =>
           val dim = lay(2) & 0xff
-          require(dim == 3, s"$path: chunked rank ${dim - 1} unsupported (2-D)")
+          require(dim == rank + 1,
+            s"$path: chunked rank ${dim - 1} where the dataspace is rank-$rank (corrupt)")
           val btAddr = le(lay).getLong(3)
-          val chunkH = le(lay).getInt(11)
-          val chunkW = le(lay).getInt(15)
-          require(chunkH > 0 && chunkW > 0, s"$path: chunk dims $chunkH x $chunkW")
-          val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long, Int)]
+          val chunkT = if (rank3) le(lay).getInt(11) else 1
+          val chunkH = le(lay).getInt(if (rank3) 15 else 11)
+          val chunkW = le(lay).getInt(if (rank3) 19 else 15)
+          require(chunkT > 0 && chunkH > 0 && chunkW > 0,
+            s"$path: chunk dims $chunkT x $chunkH x $chunkW")
+          val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long, Long, Int)]
           def walk(a: Long): Unit = {
             val hd = r.bytes(a, 24)
             require(hd.take(4).sameElements("TREE".getBytes), s"$path: bad chunk B-tree node")
             require((hd(4) & 0xff) == 1, s"$path: B-tree node type ${hd(4)} where chunk (1) expected")
             val level = hd(5) & 0xff
             val used = le(hd).getShort(6) & 0xffff
-            val keySize = 8 + 8 * (dim + 0) // size(4) + mask(4) + (rank+1) offsets
+            val keySize = 8 + 8 * dim // size(4) + mask(4) + (rank+1) offsets
             val body = r.bytes(a + 24, used * (keySize + 8) + keySize)
             var i = 0
             while (i < used) {
               val kOff = i * (keySize + 8)
               val sizeB = le(body).getInt(kOff)
               val mask = le(body).getInt(kOff + 4)
-              val oy = le(body).getLong(kOff + 8).toInt
-              val ox = le(body).getLong(kOff + 16).toInt
+              val ot = if (rank3) le(body).getLong(kOff + 8).toInt else 0
+              val oy = le(body).getLong(kOff + 8 + (if (rank3) 8 else 0)).toInt
+              val ox = le(body).getLong(kOff + 16 + (if (rank3) 8 else 0)).toInt
               val child = le(body).getLong(kOff + keySize)
               if (level > 0) walk(child)
-              else chunks += ((oy, ox, child, sizeB.toLong & 0xffffffffL, mask))
+              else chunks += ((ot, oy, ox, child, sizeB.toLong & 0xffffffffL, mask))
               i += 1
             }
           }
           walk(btAddr)
           H5Meta(height, width, chunkH, chunkW, dtype, contiguous = false, Undef,
-            deflate, shuffleTs, fill, hasFill, chunks.toSeq)
+            deflate, shuffleTs, fill, hasFill, chunks.toSeq,
+            epochs = epochs0, chunkT = chunkT)
         case 0 => sys.error(s"$path: compact data layout unsupported (contiguous/chunked)")
         case c => sys.error(s"$path: data layout class $c unsupported")
       }
@@ -352,31 +365,36 @@ object Hdf5 {
     */
   private[zonal] def chunkRefs(path: String, m: H5Meta): Seq[H5ChunkRef] = {
     val elem = m.dtype.substring(2).toInt
+    val epochs = math.max(1, m.epochs)
     if (m.contiguous) {
       // row stripes sized like the classic NetCDF reader: bounded
-      // buffers, enough tasks to spread
+      // buffers, enough tasks to spread; rank-3 stripes per (t, rows)
       val rows = math.max(1, math.min(m.height,
         (4 << 20) / math.max(1, m.width * elem)))
-      (0 until m.height by rows).map { y0 =>
+      for (t <- 0 until epochs; y0 <- 0 until m.height by rows) yield {
         val n = math.min(rows, m.height - y0)
-        H5ChunkRef(path, m.dataAddr + y0.toLong * m.width * elem,
+        H5ChunkRef(path,
+          m.dataAddr + (t.toLong * m.height * m.width + y0.toLong * m.width) * elem,
           n.toLong * m.width * elem, 0, y0, 0, n, m.width,
           m.height, m.width, m.dtype, deflate = false, shuffleTs = 0,
-          m.fill, m.hasFill)
+          m.fill, m.hasFill, ot = t, chunkT = 1, epochs = epochs)
       }
     } else {
-      val present = m.chunks.map(c => (c._1, c._2) -> c).toMap
+      val present = m.chunks.map(c => (c._1, c._2, c._3) -> c).toMap
+      val along = (epochs + m.chunkT - 1) / m.chunkT
       val down = (m.height + m.chunkH - 1) / m.chunkH
       val across = (m.width + m.chunkW - 1) / m.chunkW
-      for (ci <- 0 until down; cj <- 0 until across) yield {
-        present.get((ci * m.chunkH, cj * m.chunkW)) match {
-          case Some((oy, ox, addr, size, mask)) =>
+      for (ck <- 0 until along; ci <- 0 until down; cj <- 0 until across) yield {
+        present.get((ck * m.chunkT, ci * m.chunkH, cj * m.chunkW)) match {
+          case Some((ot, oy, ox, addr, size, mask)) =>
             H5ChunkRef(path, addr, size, mask, oy, ox, m.chunkH, m.chunkW,
-              m.height, m.width, m.dtype, m.deflate, m.shuffleTs, m.fill, m.hasFill)
+              m.height, m.width, m.dtype, m.deflate, m.shuffleTs, m.fill,
+              m.hasFill, ot = ot, chunkT = m.chunkT, epochs = epochs)
           case None =>
             H5ChunkRef(path, -1L, 0L, 0, ci * m.chunkH, cj * m.chunkW,
               m.chunkH, m.chunkW, m.height, m.width, m.dtype,
-              m.deflate, m.shuffleTs, m.fill, m.hasFill)
+              m.deflate, m.shuffleTs, m.fill, m.hasFill,
+              ot = ck * m.chunkT, chunkT = m.chunkT, epochs = epochs)
         }
       }
     }
@@ -387,19 +405,23 @@ object Hdf5 {
     * reverse pipeline order honoring the per-chunk mask, decode, clip
     * the edge pad (HDF5 stores full-size edge chunks).
     */
-  private def readChunk(r: H5ChunkRef): Iterator[(Int, Int, Double)] = {
+  private def readChunk(r: H5ChunkRef): Iterator[(Int, Int, Int, Double)] = {
     val elem = r.dtype.substring(2).toInt
+    val inBounds = for {
+      tt <- Iterator.range(0, r.chunkT)
+      t = r.ot + tt
+      if t < r.epochs
+      rr <- Iterator.range(0, r.rows)
+      y = r.oy + rr
+      if y < r.height
+      cc <- Iterator.range(0, r.cols)
+      x = r.ox + cc
+      if x < r.width
+    } yield (tt, rr, cc, x, y, t)
     if (r.addr < 0) {
-      require(r.hasFill, s"${r.path}: chunk at (${r.oy},${r.ox}) absent from " +
-        "the B-tree but no fill value is defined — undefined cells; fix the file")
-      return for {
-        rr <- Iterator.range(0, r.rows)
-        y = r.oy + rr
-        if y < r.height
-        cc <- Iterator.range(0, r.cols)
-        x = r.ox + cc
-        if x < r.width
-      } yield (x, y, r.fill)
+      require(r.hasFill, s"${r.path}: chunk at (${r.ot},${r.oy},${r.ox}) absent " +
+        "from the B-tree but no fill value is defined — undefined cells; fix the file")
+      return inBounds.map { case (_, _, _, x, y, t) => (x, y, t, r.fill) }
     }
     val p = new org.apache.hadoop.fs.Path(r.path)
     val fs = hadoopFs(p)
@@ -409,7 +431,7 @@ object Hdf5 {
       in.readFully(r.addr, b)
       b
     } finally in.close()
-    val expected = r.rows * r.cols * elem
+    val expected = r.chunkT * r.rows * r.cols * elem
     // pipeline was [shuffle, deflate] on write → undo deflate then
     // shuffle; mask bit i set = pipeline filter i was SKIPPED
     val inflated =
@@ -431,15 +453,8 @@ object Hdf5 {
       .order(if (r.dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
         else java.nio.ByteOrder.LITTLE_ENDIAN)
     val kind = r.dtype.substring(1)
-    for {
-      rr <- Iterator.range(0, r.rows)
-      y = r.oy + rr
-      if y < r.height
-      cc <- Iterator.range(0, r.cols)
-      x = r.ox + cc
-      if x < r.width
-    } yield {
-      val i = (rr * r.cols + cc) * elem
+    inBounds.map { case (tt, rr, cc, x, y, t) =>
+      val i = ((tt * r.rows + rr) * r.cols + cc) * elem
       val v = kind match {
         case "f8" => buf.getDouble(i)
         case "f4" => buf.getFloat(i).toDouble
@@ -448,8 +463,16 @@ object Hdf5 {
         case "i1" => buf.get(i).toDouble
         case "u1" => (buf.get(i) & 0xff).toDouble
       }
-      (x, y, v)
+      (x, y, t, v)
     }
+  }
+
+  private def scanRefs(s: SparkSession, refs: Seq[H5ChunkRef]) = {
+    import s.implicits._
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(math.max(1, refs.size),
+        s.sparkContext.defaultParallelism)))
+      .flatMap(readChunk _)
   }
 
   /** Chunk-parallel scan of one 2-D netCDF-4/HDF5 variable → long-form
@@ -458,12 +481,48 @@ object Hdf5 {
     */
   def scanNetcdf4(s: SparkSession, path: String, varName: String): DataFrame = {
     import s.implicits._
-    val refs = chunkRefs(path, readMeta(path, varName))
-    s.createDataset(refs)
-      .repartition(math.max(1, math.min(refs.size,
-        s.sparkContext.defaultParallelism)))
-      .flatMap(readChunk _)
+    val m = readMeta(path, varName)
+    require(m.epochs == 0,
+      s"$path: '$varName' is rank-3 — scan it with scanNetcdf4Epochs")
+    scanRefs(s, chunkRefs(path, m)).map { case (x, y, _, v) => (x, y, v) }
       .toDF("cell_x", "cell_y", "value")
+  }
+
+  /** NATIVE rank-3 scan (r12): the whole (t, y, x) variable as ONE
+    * DataFrame `(cell_x, cell_y, epoch, value)`, one task per chunk
+    * (or per (t, stripe) when contiguous) — no upstream slicing.
+    */
+  def scanNetcdf4Epochs(s: SparkSession, path: String, varName: String): DataFrame = {
+    val m = readMeta(path, varName)
+    require(m.epochs > 0,
+      s"$path: '$varName' is rank-2 — scan it with scanNetcdf4")
+    scanRefs(s, chunkRefs(path, m))
+      .toDF("cell_x", "cell_y", "epoch", "value")
+  }
+
+  /** WINDOW scan of a chunked 2-D variable: the chunk manifest prunes
+    * to chunks overlapping the pixel window BEFORE any byte is read
+    * (the COG-window pattern on HDF5); a residual filter trims
+    * boundary chunks exactly.
+    */
+  def scanNetcdf4Window(s: SparkSession, path: String, varName: String,
+      x0: Int, x1: Int, y0: Int, y1: Int): DataFrame = {
+    import s.implicits._
+    val m = readMeta(path, varName)
+    require(m.epochs == 0, s"$path: '$varName' is rank-3 — window the 2-D face")
+    scanRefs(s, windowRefs(path, m, x0, x1, y0, y1))
+      .map { case (x, y, _, v) => (x, y, v) }
+      .toDF("cell_x", "cell_y", "value")
+      .filter(col("cell_x").between(x0, x1) && col("cell_y").between(y0, y1))
+  }
+
+  /** The pruned window manifest (exposed for Hdf5Spec's count assert). */
+  private[graft] def windowRefs(path: String, m: H5Meta,
+      x0: Int, x1: Int, y0: Int, y1: Int): Seq[H5ChunkRef] = {
+    require(!m.contiguous,
+      s"$path: window scans need a chunked dataset (contiguous prunes by stripe)")
+    chunkRefs(path, m).filter(r =>
+      r.ox <= x1 && r.ox + r.cols > x0 && r.oy <= y1 && r.oy + r.rows > y0)
   }
 
   // ---- writer (fixtures + the sink direction) ----
@@ -517,34 +576,58 @@ object Hdf5 {
       chunkH: Int, chunkW: Int, dtype: String = "<f4",
       deflate: Boolean = true, shuffle: Boolean = false,
       fill: Option[Double] = Some(0.0), contiguous: Boolean = false,
-      omit: Set[(Int, Int)] = Set.empty)(f: (Int, Int) => Double): Unit = {
+      omit: Set[(Int, Int)] = Set.empty)(f: (Int, Int) => Double): Unit =
+    writeHdf5Cube(path, varName, 0, height, width, 1, chunkH, chunkW,
+      dtype, deflate, shuffle, fill, contiguous,
+      omit.map { case (ci, cj) => (0, ci, cj) })((x, y, _) => f(x, y))
+
+  /** The general writer: rank-2 (`epochs = 0`) or rank-3 (t, y, x)
+    * datasets, chunked (deflate ± shuffle, omitted chunks) or
+    * contiguous. `f(x, y, t)`.
+    */
+  def writeHdf5Cube(path: String, varName: String, epochs: Int,
+      height: Int, width: Int, chunkT: Int, chunkH: Int, chunkW: Int,
+      dtype: String = "<f4",
+      deflate: Boolean = true, shuffle: Boolean = false,
+      fill: Option[Double] = Some(0.0), contiguous: Boolean = false,
+      omit: Set[(Int, Int, Int)] = Set.empty)(f: (Int, Int, Int) => Double): Unit = {
     val elem = dtype.substring(2).toInt
+    val rank3 = epochs > 0
+    val rank = if (rank3) 3 else 2
+    val nEpochs = math.max(1, epochs)
     require(!contiguous || (!deflate && !shuffle && omit.isEmpty),
       "contiguous datasets cannot carry filters or holes")
     // chunk blobs first (sizes feed the layout)
+    val along = if (contiguous) 0 else (nEpochs + chunkT - 1) / chunkT
     val down = if (contiguous) 0 else (height + chunkH - 1) / chunkH
     val across = if (contiguous) 0 else (width + chunkW - 1) / chunkW
-    val chunkBlobs: Seq[((Int, Int), Array[Byte])] =
+    val chunkBlobs: Seq[((Int, Int, Int), Array[Byte])] =
       if (contiguous) Nil
       else for {
+        ck <- 0 until along
         ci <- 0 until down
         cj <- 0 until across
-        if !omit.contains((ci, cj))
+        if !omit.contains((ck, ci, cj))
       } yield {
-        val vals = Array.tabulate(chunkH * chunkW) { i =>
-          val y = ci * chunkH + i / chunkW
+        val vals = Array.tabulate(chunkT * chunkH * chunkW) { i =>
+          val t = ck * chunkT + i / (chunkH * chunkW)
+          val y = ci * chunkH + i / chunkW % chunkH
           val x = cj * chunkW + i % chunkW
-          if (y < height && x < width) f(x, y) else fill.getOrElse(0.0)
+          if (t < nEpochs && y < height && x < width) f(x, y, t)
+          else fill.getOrElse(0.0)
         }
         var b = encodeCells(vals, dtype)
         if (shuffle) b = Blosc.shuffleBytes(elem, b, 0, b.length)
         if (deflate) b = TiffCodec.deflate(b)
-        ((ci * chunkH, cj * chunkW), b)
+        ((ck * chunkT, ci * chunkH, cj * chunkW), b)
       }
     val contBlob =
       if (!contiguous) Array.emptyByteArray
-      else encodeCells(Array.tabulate(height * width)(i =>
-        f(i % width, i / width)), dtype)
+      else encodeCells(Array.tabulate(nEpochs * height * width) { i =>
+        val t = i / (height * width)
+        val y = i / width % height
+        f(i % width, y, t)
+      }, dtype)
     // ---- layout (sizes known up front) ----
     val name = varName
     val heapDataSize = 8 + pad8(name.length + 1)
@@ -555,15 +638,21 @@ object Hdf5 {
     val aSnod = aGbt + 24 + 24
     val aDsHdr = aSnod + 8 + 40
     val nFilters = (if (shuffle) 1 else 0) + (if (deflate) 1 else 0)
+    // layout message body: contiguous 18→24; chunked rank-2 23→24,
+    // rank-3 27→32 (one more 4-byte chunk dim)
+    val layoutBody = if (!contiguous && rank3) 32 else 24
     val dsMsgs = Seq(
-      32, // dataspace
+      8 + 8 + 8 * rank, // dataspace (dims)
       8 + (if (dtype.substring(1).startsWith("f")) 24 else 16), // datatype
       8 + (if (fill.isDefined) 16 else 8), // fill v2
-      8 + 24 // layout v3 (chunked rank-3 AND contiguous both fit 24)
+      8 + layoutBody // layout v3
     ) ++ (if (nFilters > 0) Seq(8 + 8 + 16 * nFilters) else Nil)
     val dsHdrSize = 16 + dsMsgs.sum
     val aCbt = aDsHdr + dsHdrSize
-    val cbtSize = if (contiguous) 0 else 24 + chunkBlobs.size * (32 + 8) + 32
+    val keySize = 8 + 8 * (rank + 1) // chunk B-tree key
+    val cbtSize =
+      if (contiguous) 0
+      else 24 + chunkBlobs.size * (keySize + 8) + keySize
     var dataAddr = aCbt + cbtSize
     val chunkAddrs = chunkBlobs.map { case (k, b) =>
       val a = dataAddr; dataAddr += b.length; (k, a, b)
@@ -601,9 +690,11 @@ object Hdf5 {
     require(buf.size == aDsHdr, s"snod accounting: ${buf.size}")
     // dataset object header v1
     buf.u8(1).u8(0).u16(dsMsgs.size).u32(1).u32(dsMsgs.sum).u32(0)
-    // dataspace v1: rank 2, no max dims
-    buf.u16(0x0001).u16(24).u8(0).zeros(3)
-      .u8(1).u8(2).u8(0).zeros(5).u64(height).u64(width)
+    // dataspace v1: rank 2 or 3, no max dims
+    buf.u16(0x0001).u16(8 + 8 * rank).u8(0).zeros(3)
+      .u8(1).u8(rank).u8(0).zeros(5)
+    if (rank3) buf.u64(nEpochs)
+    buf.u64(height).u64(width)
     // datatype
     val bigE = if (dtype.charAt(0) == '>') 1 else 0
     if (dtype.substring(1).startsWith("f")) {
@@ -633,6 +724,10 @@ object Hdf5 {
     if (contiguous) {
       buf.u16(0x0008).u16(24).u8(0).zeros(3)
         .u8(3).u8(1).u64(contAddr).u64(contBlob.length.toLong).zeros(6)
+    } else if (rank3) {
+      buf.u16(0x0008).u16(32).u8(0).zeros(3)
+        .u8(3).u8(2).u8(4).u64(aCbt)
+        .u32(chunkT).u32(chunkH).u32(chunkW).u32(elem).u8(0).zeros(4)
     } else {
       buf.u16(0x0008).u16(24).u8(0).zeros(3)
         .u8(3).u8(2).u8(3).u64(aCbt).u32(chunkH).u32(chunkW).u32(elem).u8(0)
@@ -649,11 +744,15 @@ object Hdf5 {
     if (contiguous) buf.raw(contBlob)
     else {
       buf.raw("TREE".getBytes).u8(1).u8(0).u16(chunkAddrs.size).u64(Undef).u64(Undef)
-      chunkAddrs.foreach { case ((oy, ox), a, b) =>
-        buf.u32(b.length).u32(0).u64(oy).u64(ox).u64(0).u64(a)
+      chunkAddrs.foreach { case ((ot, oy, ox), a, b) =>
+        buf.u32(b.length).u32(0)
+        if (rank3) buf.u64(ot)
+        buf.u64(oy).u64(ox).u64(0).u64(a)
       }
-      // final key: one past the last chunk row
-      buf.u32(0).u32(0).u64(down.toLong * chunkH).u64(0).u64(0)
+      // final key: one past the last chunk along the leading axis
+      buf.u32(0).u32(0)
+      if (rank3) { buf.u64(along.toLong * chunkT).u64(0).u64(0).u64(0) }
+      else buf.u64(down.toLong * chunkH).u64(0).u64(0)
       chunkAddrs.foreach { case (_, _, b) => buf.raw(b) }
     }
     require(buf.size == eof, s"file accounting: ${buf.size} vs $eof")
@@ -713,6 +812,34 @@ object Hdf5 {
     p
   }
 
+  /** Rank-3 fixture formula over (x, y, t). */
+  val H5T = 5
+  def h5CubeValue(x: Int, y: Int, t: Int): Double =
+    ((23 * x + 19 * y + 37 * t) % 991).toDouble
+  private val H5CubeCellsSql =
+    s"""SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,
+       |  CAST((23 * x.range + 19 * y.range + 37 * t.range) % 991 AS DOUBLE) AS value
+       |FROM range(0, $H5W) x CROSS JOIN range(0, $H5H) y
+       |CROSS JOIN range(0, $H5T) t""".stripMargin
+
+  private val fixture3Lock = new Object
+  @volatile private var fixture3Ready: String = null
+
+  /** Rank-3 chunked + deflate fixture: 5×70×80 with 2×32×32 chunks —
+    * the 5 % 2 = 1 edge t-chunk exercises the t-pad clip.
+    */
+  def fixtureCubePath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5cube_fixture_${H5T}x${H5H}x$H5W.nc"
+    if (fixture3Ready != p) fixture3Lock.synchronized {
+      if (fixture3Ready != p) {
+        writeHdf5Cube(p, "v", H5T, H5H, H5W, 2, 32, 32, dtype = "<f4",
+          deflate = true, shuffle = false)(h5CubeValue)
+        fixture3Ready = p
+      }
+    }
+    p
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     // netCDF-4/HDF5 ingestion end-to-end (r12 — the r11 verdict's
     // missing #2: xarray's default to_netcdf() writes HDF5): chunked +
@@ -725,6 +852,29 @@ object Hdf5 {
       s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdf4(s, fixturePath(), "v")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // NATIVE rank-3 scan (r12): a (t, y, x) netCDF-4 variable as ONE
+    // DataFrame, one task per chunk, t-major plane decode, pad clipped
+    // in all three axes (the 5 % 2 = 1 edge t-chunk proves the t-clip)
+    "scan_netcdf4_epochs" -> Q(
+      s"""SELECT cell_x, cell_y, epoch, value FROM ($H5CubeCellsSql)
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      scanNetcdf4Epochs(s, fixtureCubePath(), "v")
+        .select(col("cell_x"), col("cell_y"), col("epoch"), col("value"))
+        .orderBy("cell_x", "cell_y", "epoch")
+    },
+
+    // COG-window pattern on HDF5 (r12): the chunk manifest prunes to
+    // chunks overlapping the pixel window BEFORE any byte is read
+    // (Hdf5Spec asserts 4-of-9), residual filter trims the boundary
+    "scan_netcdf4_window" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
+         |WHERE cell_x BETWEEN 10 AND 50 AND cell_y BETWEEN 8 AND 40
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdf4Window(s, fixturePath(), "v", 10, 50, 8, 40)
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

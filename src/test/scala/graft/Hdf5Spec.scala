@@ -164,6 +164,42 @@ class Hdf5Spec extends SparkSuite {
     for (y <- 0 until 8; x <- 0 until 8) assert(got((x, y)) == f(x, y), s"($x,$y)")
   }
 
+  test("rank-3 cube: chunked + contiguous roundtrips, absent-chunk fill, t-pad clip") {
+    def f3(x: Int, y: Int, t: Int): Double = ((3 * x + 7 * y + 11 * t) % 83).toDouble
+    // chunked with an edge t-chunk (3 % 2 = 1) and one omitted chunk
+    val p = tmp("cube")
+    Hdf5.writeHdf5Cube(p, "v", 3, 6, 8, 2, 4, 5, dtype = "<f8",
+      deflate = true, fill = Some(9.5), omit = Set((0, 1, 1)))(f3)
+    val got = Hdf5.scanNetcdf4Epochs(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 3 * 6 * 8)
+    for (t <- 0 until 3; y <- 0 until 6; x <- 0 until 8) {
+      // omitted chunk (0,1,1) covers t 0-1, y 4-5, x 5-7
+      val want = if (t < 2 && y >= 4 && x >= 5) 9.5 else f3(x, y, t)
+      assert(got((x, y, t)) == want, s"($x,$y,$t)")
+    }
+    // contiguous rank-3 stripes
+    val pc = tmp("cubec")
+    Hdf5.writeHdf5Cube(pc, "v", 3, 6, 8, 1, 0, 0, dtype = ">i2",
+      deflate = false, contiguous = true)(f3)
+    val gc = Hdf5.scanNetcdf4Epochs(spark, pc, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(gc.size == 3 * 6 * 8)
+    for (t <- 0 until 3; y <- 0 until 6; x <- 0 until 8)
+      assert(gc((x, y, t)) == f3(x, y, t), s"contig ($x,$y,$t)")
+    // the 2-D entry point refuses a rank-3 variable by name
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4(spark, p, "v"))).contains("scanNetcdf4Epochs"))
+  }
+
+  test("window scan prunes the chunk manifest before any byte is read") {
+    // the registry fixture is 80x70 at 32x32 → 3x3 chunks; the window
+    // overlaps exactly 4 of 9
+    val m = Hdf5.readMeta(Hdf5.fixturePath(), "v")
+    val refs = Hdf5.windowRefs(Hdf5.fixturePath(), m, 10, 50, 8, 40)
+    assert(refs.size == 4, s"want 4 of 9 chunks, got ${refs.size}")
+  }
+
   test("registry: scan_netcdf4 matches the formula; zonal stats cover all zones") {
     val cells = q("scan_netcdf4")
     assert(cells.count() == 80L * 70L)

@@ -165,6 +165,38 @@ class ZarrSpec extends SparkSuite {
     assert(msgs(intercept[Throwable](Zarr.readMeta(bad.getPath))).contains("transpose"))
   }
 
+  test("hand-built RANK-3 store: t-major planes, all-axis pad clip, absent-chunk fill") {
+    // 3×3×4 cube (t, y, x), chunks 2×2×3 → 2×2×2 grid; value
+    // 100*t + 10*y + x; chunk (1,1,1) ABSENT (fill 7); pads poisoned
+    val d = tmpDir("rank3")
+    putText(d, ".zarray",
+      """{"zarr_format": 2, "shape": [3, 3, 4], "chunks": [2, 2, 3],
+        |"dtype": "<i2", "compressor": null, "fill_value": 7,
+        |"order": "C", "filters": null}""".stripMargin)
+    def chunk(ck: Int, ci: Int, cj: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(2 * 2 * 3 * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (tt <- 0 until 2; rr <- 0 until 2; cc <- 0 until 3) {
+        val t = ck * 2 + tt; val y = ci * 2 + rr; val x = cj * 3 + cc
+        b.putShort(if (t < 3 && y < 3 && x < 4) (100 * t + 10 * y + x).toShort
+          else -1)
+      }
+      b.array()
+    }
+    for (ck <- 0 until 2; ci <- 0 until 2; cj <- 0 until 2
+         if (ck, ci, cj) != ((1, 1, 1)))
+      put(d, s"$ck.$ci.$cj", chunk(ck, ci, cj))
+    val got = Zarr.scanZarr3d(spark, d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 3 * 3 * 4)
+    for (t <- 0 until 3; y <- 0 until 3; x <- 0 until 4) {
+      // the absent chunk covers t=2, y=2, x=3 — all-fill there
+      val want = if (t >= 2 && y >= 2 && x >= 3) 7.0 else (100 * t + 10 * y + x).toDouble
+      assert(got((x, y, t)) == want, s"($x,$y,$t)")
+    }
+    assert(!got.values.exists(_ == -1.0), "poisoned pad leaked")
+  }
+
   test("named loud refusals: F-order, 3-D, missing fill for absent chunk, v3") {
     def store(name: String, zarray: String): String = {
       val d = tmpDir(name)
@@ -176,10 +208,16 @@ class ZarrSpec extends SparkSuite {
         |"compressor": null, "fill_value": 0, "order": "F", "filters": null}""".stripMargin)
     assert(msgs(intercept[Throwable](Zarr.readMeta(forder))).contains("order"))
 
+    // rank-3 is SUPPORTED as of r12 (scanZarr3d); rank-4 refuses, and
+    // the 2-D scan path refuses a rank-3 store by name
+    val fourD = store("fourd",
+      """{"zarr_format": 2, "shape": [2, 4, 4, 4], "chunks": [1, 2, 2, 2], "dtype": "<f8",
+        |"compressor": null, "fill_value": 0, "order": "C", "filters": null}""".stripMargin)
+    assert(msgs(intercept[Throwable](Zarr.readMeta(fourD))).contains("4-D"))
     val threeD = store("threed",
       """{"zarr_format": 2, "shape": [4, 4, 4], "chunks": [2, 2, 2], "dtype": "<f8",
         |"compressor": null, "fill_value": 0, "order": "C", "filters": null}""".stripMargin)
-    assert(msgs(intercept[Throwable](Zarr.readMeta(threeD))).contains("3-D"))
+    assert(msgs(intercept[Throwable](Zarr.scanZarr(spark, threeD))).contains("scanZarr3d"))
 
     // absent chunk + fill_value null -> loud at read time, not silent zeros
     val noFill = store("nofill",
