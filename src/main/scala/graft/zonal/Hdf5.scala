@@ -208,14 +208,24 @@ object Hdf5 {
   }
 
   /** Parse the dataset's messages into [[H5Meta]] (chunk manifest from
-    * the v1 chunk B-tree when chunked).
+    * the v1 chunk B-tree when chunked). `varName` may be a
+    * `/`-separated GROUP PATH (r12 — netCDF-4 groups: each component
+    * but the last resolves through that group's own symbol table).
     */
   def readMeta(path: String, varName: String): H5Meta = {
     val r = new RangeReader(path)
     try {
-      val syms = groupSymbols(path, r, rootHeaderAddr(path, r))
-      val dsAddr = syms.getOrElse(varName, sys.error(
-        s"$path: variable '$varName' not in file (have ${syms.keys.toSeq.sorted.mkString(", ")})"))
+      val parts = varName.split("/").filter(_.nonEmpty)
+      require(parts.nonEmpty, s"$path: empty variable name")
+      var hdr = rootHeaderAddr(path, r)
+      parts.init.foreach { g =>
+        val syms = groupSymbols(path, r, hdr)
+        hdr = syms.getOrElse(g, sys.error(
+          s"$path: group '$g' not in file (have ${syms.keys.toSeq.sorted.mkString(", ")})"))
+      }
+      val syms = groupSymbols(path, r, hdr)
+      val dsAddr = syms.getOrElse(parts.last, sys.error(
+        s"$path: variable '${parts.last}' not in file (have ${syms.keys.toSeq.sorted.mkString(", ")})"))
       val msgs = readHeaderV1(path, r, dsAddr)
       def one(t: Int, what: String): Msg = msgs.find(_.mtype == t)
         .getOrElse(sys.error(s"$path: dataset has no $what message"))
@@ -488,6 +498,26 @@ object Hdf5 {
       .toDF("cell_x", "cell_y", "value")
   }
 
+  /** CF-convention fill masking (the scan_netcdf_fill analogue, r12):
+    * cells carrying the dataset's fill value are dropped INSIDE the
+    * scan tasks before any shuffle; loud when the dataset declares no
+    * fill. NaN fills compare by isNaN (NaN != NaN would silently mask
+    * nothing).
+    */
+  def scanNetcdf4Fill(s: SparkSession, path: String, varName: String): DataFrame = {
+    import s.implicits._
+    val m = readMeta(path, varName)
+    require(m.epochs == 0,
+      s"$path: '$varName' is rank-3 — scan it with scanNetcdf4Epochs")
+    require(m.hasFill,
+      s"$path: '$varName' declares no fill value — nothing to mask")
+    val fillV = m.fill
+    scanRefs(s, chunkRefs(path, m))
+      .filter(c => if (fillV.isNaN) !c._4.isNaN else c._4 != fillV)
+      .map { case (x, y, _, v) => (x, y, v) }
+      .toDF("cell_x", "cell_y", "value")
+  }
+
   /** NATIVE rank-3 scan (r12): the whole (t, y, x) variable as ONE
     * DataFrame `(cell_x, cell_y, epoch, value)`, one task per chunk
     * (or per (t, stripe) when contiguous) — no upstream slicing.
@@ -629,14 +659,28 @@ object Hdf5 {
         f(i % width, y, t)
       }, dtype)
     // ---- layout (sizes known up front) ----
-    val name = varName
-    val heapDataSize = 8 + pad8(name.length + 1)
+    // `varName` may be "group/leaf" (one level): the root then links a
+    // GROUP header carrying its own heap/b-tree/SNOD chain
+    val parts = varName.split("/").filter(_.nonEmpty)
+    require(parts.length <= 2, s"writer supports at most one group level: $varName")
+    val rootName = parts.head
+    val leafName = parts.last
+    val grouped = parts.length == 2
+    val heapDataSize = 8 + pad8(rootName.length + 1)
+    val gHeapDataSize = 8 + pad8(leafName.length + 1)
     val aRootHdr = 96L
     val aHeapHdr = aRootHdr + 40
     val aHeapData = aHeapHdr + 32
     val aGbt = aHeapData + heapDataSize
     val aSnod = aGbt + 24 + 24
-    val aDsHdr = aSnod + 8 + 40
+    // group chain (when present): header 40, heap 32 + data, btree 48,
+    // snod 48
+    val aGrpHdr = aSnod + 8 + 40
+    val aGHeapHdr = aGrpHdr + 40
+    val aGHeapData = aGHeapHdr + 32
+    val aGGbt = aGHeapData + gHeapDataSize
+    val aGSnod = aGGbt + 48
+    val aDsHdr = if (grouped) aGSnod + 48 else aSnod + 8 + 40
     val nFilters = (if (shuffle) 1 else 0) + (if (deflate) 1 else 0)
     // layout message body: contiguous 18→24; chunked rank-2 23→24,
     // rank-3 27→32 (one more 4-byte chunk dim)
@@ -679,14 +723,32 @@ object Hdf5 {
     // local heap
     buf.raw("HEAP".getBytes).u8(0).zeros(3)
       .u64(heapDataSize).u64(Undef).u64(aHeapData)
-    buf.zeros(8).raw(name.getBytes).zeros(pad8(name.length + 1) - name.length)
+    buf.zeros(8).raw(rootName.getBytes)
+      .zeros(pad8(rootName.length + 1) - rootName.length)
     require(buf.size == aGbt, s"heap accounting: ${buf.size}")
     // group B-tree: one leaf entry → SNOD
     buf.raw("TREE".getBytes).u8(0).u8(0).u16(1).u64(Undef).u64(Undef)
       .u64(0).u64(aSnod).u64(8)
-    // SNOD with one symbol
+    // SNOD with one symbol: the subgroup's header when grouped, else
+    // the dataset's
     buf.raw("SNOD".getBytes).u8(1).u8(0).u16(1)
-      .u64(8).u64(aDsHdr).u32(0).u32(0).zeros(16)
+      .u64(8).u64(if (grouped) aGrpHdr else aDsHdr).u32(0).u32(0).zeros(16)
+    if (grouped) {
+      // subgroup: its own object header + heap + b-tree + SNOD chain
+      buf.u8(1).u8(0).u16(1).u32(1).u32(24).u32(0)
+        .u16(0x0011).u16(16).u8(0).zeros(3)
+        .u64(aGGbt).u64(aGHeapHdr)
+      require(buf.size == aGHeapHdr, s"group header accounting: ${buf.size}")
+      buf.raw("HEAP".getBytes).u8(0).zeros(3)
+        .u64(gHeapDataSize).u64(Undef).u64(aGHeapData)
+      buf.zeros(8).raw(leafName.getBytes)
+        .zeros(pad8(leafName.length + 1) - leafName.length)
+      require(buf.size == aGGbt, s"group heap accounting: ${buf.size}")
+      buf.raw("TREE".getBytes).u8(0).u8(0).u16(1).u64(Undef).u64(Undef)
+        .u64(0).u64(aGSnod).u64(8)
+      buf.raw("SNOD".getBytes).u8(1).u8(0).u16(1)
+        .u64(8).u64(aDsHdr).u32(0).u32(0).zeros(16)
+    }
     require(buf.size == aDsHdr, s"snod accounting: ${buf.size}")
     // dataset object header v1
     buf.u8(1).u8(0).u16(dsMsgs.size).u32(1).u32(dsMsgs.sum).u32(0)
@@ -840,6 +902,41 @@ object Hdf5 {
     p
   }
 
+  private val fixtureMaskLock = new Object
+  @volatile private var fixtureMaskReady: String = null
+
+  /** Fill-mask fixture: chunk (1,1) OMITTED with fill 1234 (outside
+    * the formula range), so the masked set is exactly that chunk's
+    * coverage.
+    */
+  def fixtureMaskPath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5m_fixture_${H5W}x$H5H.nc"
+    if (fixtureMaskReady != p) fixtureMaskLock.synchronized {
+      if (fixtureMaskReady != p) {
+        writeHdf5(p, "v", H5H, H5W, 32, 32, dtype = "<f8",
+          deflate = true, fill = Some(1234.0), omit = Set((1, 1)))(h5Value)
+        fixtureMaskReady = p
+      }
+    }
+    p
+  }
+
+  private val fixtureGrpLock = new Object
+  @volatile private var fixtureGrpReady: String = null
+
+  /** Grouped fixture: the variable lives at `g/v` — netCDF-4 groups. */
+  def fixtureGroupPath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5g_fixture_${H5W}x$H5H.nc"
+    if (fixtureGrpReady != p) fixtureGrpLock.synchronized {
+      if (fixtureGrpReady != p) {
+        writeHdf5Cube(p, "g/v", 0, H5H, H5W, 1, 32, 32, dtype = "<f8",
+          deflate = true)((x, y, _) => h5Value(x, y))
+        fixtureGrpReady = p
+      }
+    }
+    p
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     // netCDF-4/HDF5 ingestion end-to-end (r12 — the r11 verdict's
     // missing #2: xarray's default to_netcdf() writes HDF5): chunked +
@@ -852,6 +949,29 @@ object Hdf5 {
       s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdf4(s, fixturePath(), "v")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // CF fill masking (the scan_netcdf_fill analogue): the omitted
+    // chunk decodes as fill and the mask drops exactly its coverage
+    // inside the scan tasks — the oracle excludes that window
+    "scan_netcdf4_fill" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
+         |WHERE NOT (cell_x BETWEEN 32 AND 63 AND cell_y BETWEEN 32 AND 63)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdf4Fill(s, fixtureMaskPath(), "v")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // netCDF-4 GROUPS (r12): the variable resolves through a nested
+    // group's own symbol table ("g/v"); same formula oracle gates the
+    // whole group-walk path
+    "scan_netcdf4_group" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdf4(s, fixtureGroupPath(), "g/v")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

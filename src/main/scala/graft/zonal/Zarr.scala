@@ -861,10 +861,12 @@ object Zarr {
     * chunks, one file per (ck, ci, cj) chunk, t-major C-order planes,
     * pad filled in every axis. `f(x, y, t)`.
     */
-  def writeZarr3d(dir: String, epochs: Int, height: Int, width: Int,
+  /** Driver-side rank-3 `.zarray` write (the tiny metadata document;
+    * the distributed sink pairs it with executor-written chunk files).
+    */
+  def writeZarr3dMeta(dir: String, epochs: Int, height: Int, width: Int,
       chunkT: Int, chunkH: Int, chunkW: Int,
-      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0)
-      (f: (Int, Int, Int) => Double): Unit = {
+      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0): Unit = {
     require(Set("raw", "zlib", "zstd", "blosc").contains(compressor), compressor)
     val d = new java.io.File(dir)
     d.mkdirs()
@@ -892,6 +894,15 @@ object Zarr {
          |}""".stripMargin
     java.nio.file.Files.write(new java.io.File(d, ".zarray").toPath,
       meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def writeZarr3d(dir: String, epochs: Int, height: Int, width: Int,
+      chunkT: Int, chunkH: Int, chunkW: Int,
+      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0)
+      (f: (Int, Int, Int) => Double): Unit = {
+    writeZarr3dMeta(dir, epochs, height, width, chunkT, chunkH, chunkW,
+      compressor, dtype, fill)
+    val d = new java.io.File(dir)
     val along = (epochs + chunkT - 1) / chunkT
     val down = (height + chunkH - 1) / chunkH
     val across = (width + chunkW - 1) / chunkW
@@ -1435,6 +1446,65 @@ object Zarr {
         .agg(count(lit(1)).as("n_cells_nonzero"),
           sum(col("value").cast("long")).as("sum_v"))
         .orderBy("chunk_x", "chunk_y")
+    },
+
+    // the RANK-3 WRITE direction, distributed (r12): a 3-epoch cube
+    // chunks up via ONE groupByKey on (ck, ci, cj) — each executor
+    // task assembles and writes exactly its own (t, y, x) chunk file
+    // (t-major planes, the same bytes the rank-3 reader speaks; the
+    // 3 % 2 = 1 edge t-chunk carries fill pad), the driver writes only
+    // the tiny .zarray — then the cube reads back through scanZarr3d
+    // and aggregates per chunk. The oracle computes the same per-chunk
+    // stats straight from the source cells, gating the full
+    // write→read round trip.
+    "sink_zarr_3d" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS chunk_x, cell_y // 16 AS chunk_y,
+           |  t.range // 2 AS chunk_t,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n + 41 * t.range) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |CROSS JOIN range(0, 3) t
+           |GROUP BY chunk_x, chunk_y, chunk_t
+           |ORDER BY chunk_x, chunk_y, chunk_t""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_sink_3d"
+      graft.core.Fs.rmTree(dir)
+      val (cs, ct, ne) = (16, 2, 3)
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      writeZarr3dMeta(dir, ne, h, w, ct, cs, cs, compressor = "zlib")
+      percell
+        .select(col("cell_x"), col("cell_y"), col("v"),
+          explode(expr(s"sequence(0, ${ne - 1})")).as("t"))
+        .select(col("cell_x"), col("cell_y"), col("t"),
+          (col("v") + lit(41) * col("t")).as("tv"))
+        .groupByKey(r => (r.getInt(2) / ct, r.getLong(1) / cs, r.getLong(0) / cs))
+        .mapGroups { (key: (Int, Long, Long), rows: Iterator[org.apache.spark.sql.Row]) =>
+          val (ck, ci, cj) = key
+          val vals = new Array[Double](ct * cs * cs)
+          rows.foreach { r =>
+            val x = (r.getLong(0) - cj * cs).toInt
+            val y = (r.getLong(1) - ci * cs).toInt
+            val tt = r.getInt(2) - ck * ct
+            vals((tt * cs + y) * cs + x) = r.getDouble(3)
+          }
+          java.nio.file.Files.write(
+            new java.io.File(dir, s"$ck.$ci.$cj").toPath,
+            chunkFileBytes(vals, ct * cs, cs, "zlib", "<f8"))
+          (ck, ci, cj)
+        }
+        .collect() // manifest only: one row per chunk file
+      scanZarr3d(s, dir)
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_x div $cs AS BIGINT)").as("chunk_x"),
+          expr(s"CAST(cell_y div $cs AS BIGINT)").as("chunk_y"),
+          expr(s"CAST(epoch div $ct AS BIGINT)").as("chunk_t"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("chunk_x", "chunk_y", "chunk_t")
     },
 
     // the sharded WRITE direction, distributed: per-cell aggregates

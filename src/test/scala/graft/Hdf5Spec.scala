@@ -192,6 +192,35 @@ class Hdf5Spec extends SparkSuite {
       Hdf5.scanNetcdf4(spark, p, "v"))).contains("scanNetcdf4Epochs"))
   }
 
+  test("group paths: g/v resolves through the nested symbol table; misses are loud") {
+    val p = tmp("grp")
+    Hdf5.writeHdf5Cube(p, "outer/data", 0, 6, 8, 1, 4, 5, dtype = "<f4",
+      deflate = true)((x, y, _) => f(x, y))
+    val got = Hdf5.scanNetcdf4(spark, p, "outer/data").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 48)
+    for (y <- 0 until 6; x <- 0 until 8) assert(got((x, y)) == f(x, y))
+    assert(msgs(intercept[Throwable](
+      Hdf5.readMeta(p, "outer/nope"))).contains("not in file"))
+    assert(msgs(intercept[Throwable](
+      Hdf5.readMeta(p, "wrong/data"))).contains("group 'wrong'"))
+  }
+
+  test("fill mask drops exactly the fill cells; no-fill dataset refuses") {
+    val p = tmp("mask")
+    Hdf5.writeHdf5(p, "v", 10, 13, 4, 5, dtype = "<f8",
+      fill = Some(999.0), omit = Set((0, 0)))(f)
+    val got = Hdf5.scanNetcdf4Fill(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+    // chunk (0,0) covers y 0-3, x 0-4 → masked out
+    assert(got.size == 130 - 20)
+    assert(!got.exists { case (x, y) => x < 5 && y < 4 })
+    val p2 = tmp("masknone")
+    Hdf5.writeHdf5(p2, "v", 4, 4, 4, 4, dtype = "<f8", fill = None)(f)
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4Fill(spark, p2, "v"))).contains("no fill value"))
+  }
+
   test("window scan prunes the chunk manifest before any byte is read") {
     // the registry fixture is 80x70 at 32x32 → 3x3 chunks; the window
     // overlaps exactly 4 of 9
