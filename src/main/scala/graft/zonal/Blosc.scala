@@ -34,9 +34,16 @@ package graft.zonal
   * Inner codecs here: lz4 (the LZ4 block format — lz4-java, which
   * Spark itself ships), zlib (raw DEFLATE stream via
   * java.util.zip), zstd (zstd-jni, also Spark-shipped). blosclz and
-  * snappy refuse BY NAME; bit-shuffle refuses by name; a split frame
-  * with typesize > 16 is a pre-1.11 ambiguity and refuses loudly —
-  * silent misreads of a cube are how wrong science ships.
+  * snappy refuse BY NAME; a split frame with typesize > 16 is a
+  * pre-1.11 ambiguity and refuses loudly. BIT-shuffle also refuses by
+  * name — a deliberate boundary, not an omission: the bitshuffle
+  * bit-matrix layout has free parameters (intra-byte bit order, the
+  * 8-element blocking) that only a conformance fixture from the
+  * reference implementation could pin, and no such fixture can be
+  * produced in this offline container; a roundtrip-only decoder could
+  * silently misread every REAL bitshuffled store, which is exactly
+  * the failure mode this codec family exists to refuse. Silent
+  * misreads of a cube are how wrong science ships.
   */
 object Blosc {
 

@@ -761,6 +761,34 @@ object Zarr {
       .toDF("cell_x", "cell_y", "epoch", "value")
   }
 
+  /** TIME-SLICE + spatial window over the rank-3 cube (the xarray
+    * `cube.sel(time=..., x=..., y=...)` query): the chunk manifest
+    * prunes in ALL THREE axes before any byte is read, the residual
+    * filter trims boundary chunks exactly.
+    */
+  def scanZarr3dWindow(s: SparkSession, dir: String,
+      t0: Int, t1: Int, x0: Int, x1: Int, y0: Int, y1: Int): DataFrame = {
+    import s.implicits._
+    val m = readMeta(dir)
+    require(m.rank3, s"$dir: a 2-D array — window it with scanZarrWindow")
+    val refs = windowRefs3(m, dir, t0, t1, x0, x1, y0, y1)
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(math.max(1, refs.size),
+        s.sparkContext.defaultParallelism)))
+      .flatMap(readChunk3 _)
+      .toDF("cell_x", "cell_y", "epoch", "value")
+      .filter(col("cell_x").between(x0, x1) && col("cell_y").between(y0, y1)
+        && col("epoch").between(t0, t1))
+  }
+
+  /** The pruned rank-3 manifest (exposed for ZarrSpec's count assert). */
+  private[graft] def windowRefs3(m: ZarrMeta, dir: String,
+      t0: Int, t1: Int, x0: Int, x1: Int, y0: Int, y1: Int): Seq[ChunkRef3] =
+    chunkRefs3(m, dir).filter(r =>
+      r.ck * m.chunkT <= t1 && (r.ck + 1) * m.chunkT > t0 &&
+      r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
+      r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0)
+
   // ---- store writer (fixtures + the sink direction) ----
 
   /** Write a 2-D Zarr v2 store: `.zarray` + one file per chunk, edge
@@ -991,6 +1019,8 @@ object Zarr {
       shardH: Int, shardW: Int, innerH: Int, innerW: Int,
       compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0)
       (f: (Int, Int) => Double): Unit = {
+    // compressor may be raw/gzip/zstd/blosc-zlib — the inner chunks
+    // route through the same [[chunkFileBytes]] codecs
     writeShardedMeta(dir, height, width, shardH, shardW, innerH, innerW,
       compressor, dtype, fill)
     val down = (height + shardH - 1) / shardH
@@ -1016,7 +1046,7 @@ object Zarr {
       shardH: Int, shardW: Int, innerH: Int, innerW: Int,
       compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0): Unit = {
     require(shardH % innerH == 0 && shardW % innerW == 0, "shard must tile by inner")
-    require(Set("raw", "gzip", "zstd").contains(compressor), compressor)
+    require(Set("raw", "gzip", "zstd", "blosc-zlib").contains(compressor), compressor)
     val d = new java.io.File(dir)
     d.mkdirs()
     val dtypeName = V3Dtypes.map(_.swap).apply(dtype.substring(1))
@@ -1026,6 +1056,9 @@ object Zarr {
         case "raw" => Nil
         case "gzip" => Seq("""{"name": "gzip", "configuration": {"level": 6}}""")
         case "zstd" => Seq("""{"name": "zstd", "configuration": {"level": 3}}""")
+        case "blosc-zlib" =>
+          val elem = dtype.substring(2).toInt
+          Seq(s"""{"name": "blosc", "configuration": {"cname": "zlib", "clevel": 5, "shuffle": "shuffle", "typesize": $elem, "blocksize": 0}}""")
       })).mkString("[", ", ", "]")
     val fillJson =
       if (fill.isNaN) "\"NaN\""
@@ -1343,6 +1376,40 @@ object Zarr {
       scanZarr3d(s, fixture3dDir())
         .select(col("cell_x"), col("cell_y"), col("epoch"), col("value"))
         .orderBy("cell_x", "cell_y", "epoch")
+    },
+
+    // the xarray `cube.sel(time=, x=, y=)` query: the manifest prunes
+    // in ALL THREE axes before any byte is read (ZarrSpec asserts the
+    // chunk count), residual filter trims the boundaries exactly
+    "scan_zarr_3d_window" -> Q(
+      s"""SELECT cell_x, cell_y, epoch, value FROM ($Zarr3dCellsSql)
+         |WHERE cell_x BETWEEN 10 AND 50 AND cell_y BETWEEN 8 AND 40
+         |  AND epoch BETWEEN 2 AND 4
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      scanZarr3dWindow(s, fixture3dDir(), 2, 4, 10, 50, 8, 40)
+        .select(col("cell_x"), col("cell_y"), col("epoch"), col("value"))
+        .orderBy("cell_x", "cell_y", "epoch")
+    },
+
+    // per-cell OLS TREND straight over the native cube (the xarray
+    // polyfit workload with no slicing step): closed-form slope
+    // (n·Σtv − Σt·Σv)/(n·Σt² − (Σt)²) as ONE hash agg keyed by cell;
+    // t and v are exact integers so the single division is the only
+    // float op, identical on both engines
+    "zarr3d_epoch_trend" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  CAST(count(*) * sum(epoch * CAST(value AS BIGINT)) -
+         |         sum(epoch) * sum(CAST(value AS BIGINT)) AS DOUBLE)
+         |    / (count(*) * sum(epoch * epoch) - sum(epoch) * sum(epoch)) AS slope
+         |FROM ($Zarr3dCellsSql)
+         |GROUP BY cell_x, cell_y ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarr3d(s, fixture3dDir())
+        .groupBy(col("cell_x"), col("cell_y"))
+        .agg(((count(lit(1)) * sum(col("epoch") * col("value").cast("long")) -
+            sum(col("epoch")) * sum(col("value").cast("long"))).cast("double") /
+          (count(lit(1)) * sum(col("epoch") * col("epoch")) -
+            sum(col("epoch")) * sum(col("epoch")))).as("slope"))
+        .orderBy("cell_x", "cell_y")
     },
 
     // the rank-3 end-use: per-zone per-epoch statistics straight over

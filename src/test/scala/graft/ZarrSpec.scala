@@ -394,6 +394,26 @@ class ZarrSpec extends SparkSuite {
     assert(bad == 0, s"$bad cells off-formula")
   }
 
+  test("rank-3 window prunes the manifest in all three axes") {
+    // fixture grid: 3 t-chunks? 5/2 = 3 along, 3x3 spatial; the window
+    // (t 2-4, x 10-50, y 8-40) overlaps 2 (along) x 2 x 2 = 8 chunks
+    // of 27
+    val m = Zarr.readMeta(Zarr.fixture3dDir())
+    val refs = Zarr.windowRefs3(m, Zarr.fixture3dDir(), 2, 4, 10, 50, 8, 40)
+    assert(refs.size == 8, s"want 8 of 27 chunks, got ${refs.size}")
+  }
+
+  test("sharded store with blosc-zlib inner chunks round-trips the formula") {
+    val d = tmpDir("shardblosc")
+    Zarr.writeZarrV3Sharded(d.getPath, 20, 26, 16, 16, 8, 8,
+      compressor = "blosc-zlib")((x, y) => ((7 * x + 3 * y) % 97).toDouble)
+    val got = Zarr.scanZarr(spark, d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 20 * 26)
+    for (y <- 0 until 20; x <- 0 until 26)
+      assert(got((x, y)) == ((7 * x + 3 * y) % 97).toDouble, s"($x,$y)")
+  }
+
   test("window scan prunes the chunk manifest before any byte is read") {
     // 80x70 at 32x32 -> 3x3 grid; window (10..50, 8..40) overlaps only
     // the 2x2 low corner = 4 of 9 chunks
