@@ -658,6 +658,37 @@ object Hdf5 {
         val y = i / width % height
         f(i % width, y, t)
       }, dtype)
+    val hdr = hdf5HeaderBytes(varName, epochs, height, width,
+      chunkT, chunkH, chunkW, dtype, deflate, shuffle, fill, contiguous,
+      contBlob.length.toLong, chunkBlobs.map { case (k, b) => (k, b.length) })
+    val out = new java.io.ByteArrayOutputStream(hdr.length)
+    out.write(hdr)
+    if (contiguous) out.write(contBlob)
+    else chunkBlobs.foreach { case (_, b) => out.write(b) }
+    val p = new java.io.File(path)
+    p.getParentFile.mkdirs()
+    java.nio.file.Files.write(p.toPath, out.toByteArray)
+  }
+
+  /** The file PREFIX (superblock → chunk B-tree) for a dataset whose
+    * chunk blob SIZES are known: blob data begins immediately after,
+    * in `chunkSizes` order (addresses ascend). Shared by the local
+    * writer and the distributed sink's driver-side assembly — the
+    * driver writes this tiny prefix and STREAMS executor-written chunk
+    * blobs behind it (single-file containers concatenate, never
+    * materialize).
+    */
+  def hdf5HeaderBytes(varName: String, epochs: Int, height: Int, width: Int,
+      chunkT: Int, chunkH: Int, chunkW: Int, dtype: String,
+      deflate: Boolean, shuffle: Boolean, fill: Option[Double],
+      contiguous: Boolean, contBytes: Long,
+      chunkSizes: Seq[((Int, Int, Int), Int)]): Array[Byte] = {
+    val elem = dtype.substring(2).toInt
+    val rank3 = epochs > 0
+    val rank = if (rank3) 3 else 2
+    val nEpochs = math.max(1, epochs)
+    val along = if (contiguous) 0 else (nEpochs + chunkT - 1) / chunkT
+    val down = if (contiguous) 0 else (height + chunkH - 1) / chunkH
     // ---- layout (sizes known up front) ----
     // `varName` may be "group/leaf" (one level): the root then links a
     // GROUP header carrying its own heap/b-tree/SNOD chain
@@ -696,13 +727,13 @@ object Hdf5 {
     val keySize = 8 + 8 * (rank + 1) // chunk B-tree key
     val cbtSize =
       if (contiguous) 0
-      else 24 + chunkBlobs.size * (keySize + 8) + keySize
+      else 24 + chunkSizes.size * (keySize + 8) + keySize
     var dataAddr = aCbt + cbtSize
-    val chunkAddrs = chunkBlobs.map { case (k, b) =>
-      val a = dataAddr; dataAddr += b.length; (k, a, b)
+    val chunkAddrs = chunkSizes.map { case (k, n) =>
+      val a = dataAddr; dataAddr += n; (k, a, n)
     }
     val contAddr = if (contiguous) aCbt else Undef
-    val eof = if (contiguous) aCbt + contBlob.length else dataAddr
+    val eof = if (contiguous) aCbt + contBytes else dataAddr
     // ---- emit ----
     val buf = new Buf
     // superblock v0
@@ -785,7 +816,7 @@ object Hdf5 {
     // data layout v3
     if (contiguous) {
       buf.u16(0x0008).u16(24).u8(0).zeros(3)
-        .u8(3).u8(1).u64(contAddr).u64(contBlob.length.toLong).zeros(6)
+        .u8(3).u8(1).u64(contAddr).u64(contBytes).zeros(6)
     } else if (rank3) {
       buf.u16(0x0008).u16(32).u8(0).zeros(3)
         .u8(3).u8(2).u8(4).u64(aCbt)
@@ -802,12 +833,11 @@ object Hdf5 {
       if (deflate) buf.u16(1).u16(0).u16(0).u16(1).u32(6).zeros(4)
     }
     require(buf.size == aCbt, s"dataset header accounting: ${buf.size} vs $aCbt")
-    // chunk B-tree (single leaf) or contiguous data
-    if (contiguous) buf.raw(contBlob)
-    else {
+    // chunk B-tree (single leaf); blob data follows the prefix
+    if (!contiguous) {
       buf.raw("TREE".getBytes).u8(1).u8(0).u16(chunkAddrs.size).u64(Undef).u64(Undef)
-      chunkAddrs.foreach { case ((ot, oy, ox), a, b) =>
-        buf.u32(b.length).u32(0)
+      chunkAddrs.foreach { case ((ot, oy, ox), a, n) =>
+        buf.u32(n).u32(0)
         if (rank3) buf.u64(ot)
         buf.u64(oy).u64(ox).u64(0).u64(a)
       }
@@ -815,12 +845,10 @@ object Hdf5 {
       buf.u32(0).u32(0)
       if (rank3) { buf.u64(along.toLong * chunkT).u64(0).u64(0).u64(0) }
       else buf.u64(down.toLong * chunkH).u64(0).u64(0)
-      chunkAddrs.foreach { case (_, _, b) => buf.raw(b) }
     }
-    require(buf.size == eof, s"file accounting: ${buf.size} vs $eof")
-    val p = new java.io.File(path)
-    p.getParentFile.mkdirs()
-    java.nio.file.Files.write(p.toPath, buf.out)
+    require(buf.size == aCbt + cbtSize,
+      s"header accounting: ${buf.size} vs ${aCbt + cbtSize}")
+    buf.out
   }
 
   // ---- fixtures + registry ----
@@ -1007,6 +1035,77 @@ object Hdf5 {
       scanNetcdf4(s, fixtureContiguousPath(), "v")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // the WRITE direction, distributed (r12 — write parity for the
+    // HDF5 family, the posture every other format already has):
+    // per-cell aggregates chunk up via ONE groupByKey, each executor
+    // task encodes + deflates exactly its own chunk blob into a part
+    // file, the driver writes only the tiny prefix (superblock →
+    // chunk B-tree, addresses from the part-size manifest) and
+    // STREAMS the blobs behind it in key order with a bounded copy
+    // buffer — single-file containers concatenate, never materialize.
+    // Read back through the real scanner; per-chunk stats vs the
+    // source cells gate the full write→read round trip.
+    "sink_netcdf4" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS chunk_x, cell_y // 16 AS chunk_y,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |GROUP BY chunk_x, chunk_y ORDER BY chunk_x, chunk_y""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5_sink"
+      graft.core.Fs.rmTree(dir)
+      new java.io.File(s"$dir/parts").mkdirs()
+      val cs = 16
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      val manifest = percell
+        .groupByKey(r => (r.getLong(1) / cs, r.getLong(0) / cs)) // (ci, cj)
+        .mapGroups { (key: (Long, Long), rows: Iterator[org.apache.spark.sql.Row]) =>
+          val (ci, cj) = key
+          val vals = new Array[Double](cs * cs)
+          rows.foreach { r =>
+            val x = (r.getLong(0) - cj * cs).toInt
+            val y = (r.getLong(1) - ci * cs).toInt
+            vals(y * cs + x) = r.getDouble(2)
+          }
+          val blob = TiffCodec.deflate(encodeCells(vals, "<f8"))
+          java.nio.file.Files.write(
+            new java.io.File(dir, f"parts/chunk_${ci}%05d_${cj}%05d.bin").toPath, blob)
+          (ci.toInt, cj.toInt, blob.length)
+        }
+        .collect() // manifest only: one (key, size) row per chunk file
+        .sortBy(t => (t._1, t._2))
+      val hdr = hdf5HeaderBytes("v", 0, h, w, 1, cs, cs, "<f8",
+        deflate = true, shuffle = false, fill = Some(0.0),
+        contiguous = false, 0L,
+        manifest.map { case (ci, cj, n) => ((0, ci * cs, cj * cs), n) })
+      val outPath = s"$dir/cube.nc"
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(outPath))
+      try {
+        out.write(hdr)
+        val cbuf = new Array[Byte](1 << 16)
+        manifest.foreach { case (ci, cj, _) =>
+          val in = new java.io.FileInputStream(
+            new java.io.File(dir, f"parts/chunk_${ci}%05d_${cj}%05d.bin"))
+          try {
+            var n = in.read(cbuf)
+            while (n > 0) { out.write(cbuf, 0, n); n = in.read(cbuf) }
+          } finally in.close()
+        }
+      } finally out.close()
+      scanNetcdf4(s, outPath, "v")
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_x div $cs AS BIGINT)").as("chunk_x"),
+          expr(s"CAST(cell_y div $cs AS BIGINT)").as("chunk_y"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("chunk_x", "chunk_y")
     },
 
     // the end-use: zonal statistics straight over the netCDF-4 cube —
