@@ -376,6 +376,71 @@ object Zarr {
       "— not a Zarr array store")
   }
 
+  /** CONSOLIDATED metadata (r12 — zarr v2 `.zmetadata`, written by
+    * `zarr.consolidate_metadata`): one JSON document at the hierarchy
+    * root carrying every member array's `.zarray`, so an object-store
+    * client discovers N variables with ONE read instead of N. Returns
+    * (array path → meta); parse failures and unsupported corners
+    * refuse through the same [[parseZarray]] named errors.
+    */
+  def readZMetadata(dir: String): Map[String, ZarrMeta] = {
+    import org.json4s._
+    val p = new org.apache.hadoop.fs.Path(dir, ".zmetadata")
+    val fs = hadoopFs(p)
+    require(fs.exists(p), s"$dir: no .zmetadata — not a consolidated " +
+      "hierarchy (zarr.consolidate_metadata writes it)")
+    val in = fs.open(p)
+    val text = try {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val bytes = new Array[Byte](len)
+      in.readFully(0, bytes)
+      new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+    val j = org.json4s.jackson.JsonMethods.parse(text)
+    require(j \ "zarr_consolidated_format" == JInt(1),
+      s"$dir/.zmetadata: zarr_consolidated_format ${j \ "zarr_consolidated_format"} unsupported (1)")
+    (j \ "metadata") match {
+      case JObject(fields) => fields.collect {
+        case (key, v) if key.endsWith("/.zarray") =>
+          val path = key.stripSuffix("/.zarray")
+          path -> parseZarray(s"$dir/$key",
+            org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(v)))
+      }.toMap
+      case other => sys.error(s"$dir/.zmetadata: metadata $other is not an object")
+    }
+  }
+
+  /** Scan ONE member array of a consolidated hierarchy — the array's
+    * own `.zarray` is never read (the point of consolidation; the
+    * ZarrSpec fixture deletes it to prove the path).
+    */
+  def scanZarrConsolidated(s: SparkSession, dir: String, varPath: String): DataFrame = {
+    val metas = readZMetadata(dir)
+    val m = metas.getOrElse(varPath, sys.error(
+      s"$dir: array '$varPath' not in .zmetadata (have ${metas.keys.toSeq.sorted.mkString(", ")})"))
+    require(!m.rank3, s"$dir/$varPath: rank-3 — use the rank-3 scan")
+    scanChunks(s, chunkRefs(m, s"$dir/$varPath"))
+  }
+
+  /** Scan EVERY 2-D member array of a consolidated hierarchy as ONE
+    * DataFrame `(cell_x, cell_y, var_name, value)` — the multi-
+    * variable dataset read (an xarray Dataset is a group of aligned
+    * arrays); one task per (variable, chunk).
+    */
+  def scanZarrDataset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val metas = readZMetadata(dir).toSeq.sortBy(_._1).filter(!_._2.rank3)
+    require(metas.nonEmpty, s"$dir: no 2-D arrays in .zmetadata")
+    val refs = metas.flatMap { case (path, m) =>
+      chunkRefs(m, s"$dir/$path").map(r => (path, r))
+    }
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { case (v, r) => readChunk(r).map { case (x, y, w) => (x, y, v, w) } }
+      .toDF("cell_x", "cell_y", "var_name", "value")
+  }
+
   /** Chunk manifest: ONE listing per directory level (flat "." stores
     * list once; nested "/" stores list once per chunk row), then every
     * grid position becomes a ref — present chunks with their byte
@@ -1258,6 +1323,42 @@ object Zarr {
        |FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
        |CROSS JOIN range(0, $Zarr3T) t""".stripMargin
 
+  /** Write `.zmetadata` for a hierarchy by embedding each member
+    * array's own `.zarray` document (what `zarr.consolidate_metadata`
+    * does).
+    */
+  def consolidateMetadata(dir: String, arrays: Seq[String]): Unit = {
+    val entries = arrays.sorted.map { a =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(dir, s"$a/.zarray").toPath),
+        java.nio.charset.StandardCharsets.UTF_8)
+      s""""$a/.zarray": $text"""
+    }
+    java.nio.file.Files.write(new java.io.File(dir, ".zmetadata").toPath,
+      s"""{"zarr_consolidated_format": 1, "metadata": {${entries.mkString(", ")}}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  private val fixtureDsLock = new Object
+  @volatile private var fixtureDsReady: String = null
+
+  /** Consolidated-hierarchy fixture: two aligned arrays ("precip" on
+    * the main formula, "temp" on the second), `.zmetadata` at the
+    * root.
+    */
+  def fixtureDatasetDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_ds_fixture_${ZarrW}x$ZarrH"
+    if (fixtureDsReady != dir) fixtureDsLock.synchronized {
+      if (fixtureDsReady != dir) {
+        writeZarr(s"$dir/precip", ZarrH, ZarrW, 32, 32, compressor = "zlib")(zarrValue)
+        writeZarr(s"$dir/temp", ZarrH, ZarrW, 32, 32, compressor = "zstd")(zarrValue2)
+        consolidateMetadata(dir, Seq("precip", "temp"))
+        fixtureDsReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixture3dLock = new Object
   @volatile private var fixture3dReady: String = null
 
@@ -1363,6 +1464,33 @@ object Zarr {
       scanZarr(s, fixtureTransposeDir())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // CONSOLIDATED metadata (r12 — zarr.consolidate_metadata's
+    // .zmetadata: object-store clients discover N arrays in ONE read):
+    // the member array's own .zarray is never touched (ZarrSpec proves
+    // it by deleting one), same formula oracle
+    "scan_zarr_consolidated" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarrConsolidated(s, fixtureDatasetDir(), "precip")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // the multi-variable DATASET read (an xarray Dataset is a group of
+    // aligned arrays): every member scans as ONE DataFrame, one task
+    // per (variable, chunk), long-form (cell, var, value)
+    "scan_zarr_dataset" -> Q(
+      s"""SELECT cell_x, cell_y, var_name, value FROM (
+         |  SELECT cell_x, cell_y, 'precip' AS var_name, value FROM ($ZarrCellsSql)
+         |  UNION ALL
+         |  SELECT cell_x, cell_y, 'temp' AS var_name, $Zarr2ValueSql AS value
+         |  FROM range(0, $ZarrW) x(cell_x) CROSS JOIN range(0, $ZarrH) y(cell_y))
+         |ORDER BY cell_x, cell_y, var_name""".stripMargin) { (s, _) =>
+      scanZarrDataset(s, fixtureDatasetDir())
+        .select(col("cell_x"), col("cell_y"), col("var_name"), col("value"))
+        .orderBy("cell_x", "cell_y", "var_name")
     },
 
     // NATIVE rank-3 scan (r12 — the refusal the 2-D family documented

@@ -394,6 +394,32 @@ class ZarrSpec extends SparkSuite {
     assert(bad == 0, s"$bad cells off-formula")
   }
 
+  test("consolidated metadata: member .zarray never read (deleted), misses loud") {
+    val d = tmpDir("consol")
+    Zarr.writeZarr(s"$d/a", 4, 6, 2, 3, "raw", "<i4")((x, y) => (10 * y + x).toDouble)
+    Zarr.writeZarr(s"$d/b", 4, 6, 2, 3, "raw", "<i4")((x, y) => (100 + x + y).toDouble)
+    Zarr.consolidateMetadata(d.getPath, Seq("a", "b"))
+    // the PROOF: delete a's own .zarray — a consolidated reader must
+    // not touch it
+    assert(new java.io.File(d, "a/.zarray").delete())
+    val got = Zarr.scanZarrConsolidated(spark, d.getPath, "a").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 24)
+    for (y <- 0 until 4; x <- 0 until 6) assert(got((x, y)) == (10 * y + x).toDouble)
+    // the direct per-array path now fails (no .zarray) — consolidation
+    // really was the only metadata source
+    assert(msgs(intercept[Throwable](Zarr.readMeta(s"${d.getPath}/a"))).contains(".zarray"))
+    // unknown member and missing .zmetadata refuse by name
+    assert(msgs(intercept[Throwable](
+      Zarr.scanZarrConsolidated(spark, d.getPath, "nope"))).contains("not in .zmetadata"))
+    val d2 = tmpDir("noconsol")
+    assert(msgs(intercept[Throwable](
+      Zarr.readZMetadata(d2.getPath))).contains(".zmetadata"))
+    // the dataset scan unions both members with their names
+    val ds = Zarr.scanZarrDataset(spark, d.getPath).collect()
+    assert(ds.length == 48 && ds.map(_.getString(2)).toSet == Set("a", "b"))
+  }
+
   test("rank-3 window prunes the manifest in all three axes") {
     // fixture grid: 3 t-chunks? 5/2 = 3 along, 3x3 spatial; the window
     // (t 2-4, x 10-50, y 8-40) overlaps 2 (along) x 2 x 2 = 8 chunks
