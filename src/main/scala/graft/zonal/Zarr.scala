@@ -401,7 +401,16 @@ object Zarr {
       s"$dir/.zmetadata: zarr_consolidated_format ${j \ "zarr_consolidated_format"} unsupported (1)")
     (j \ "metadata") match {
       case JObject(fields) => fields.collect {
-        case (key, v) if key.endsWith("/.zarray") =>
+        case (key, v) if key.endsWith("/.zarray")
+            // 1-D COORDINATE arrays ("x", "y", "time" index vectors)
+            // are normal members of an xarray hierarchy — they are
+            // SKIPPED here, not refused: refusing them would make
+            // every real dataset unreadable. Rank-2/3 members still
+            // validate (and refuse) through the full parser.
+            && ((v \ "shape") match {
+              case JArray(ds) => ds.length == 2 || ds.length == 3
+              case _ => true // let parseZarray produce the named error
+            }) =>
           val path = key.stripSuffix("/.zarray")
           path -> parseZarray(s"$dir/$key",
             org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods.render(v)))

@@ -398,7 +398,14 @@ class ZarrSpec extends SparkSuite {
     val d = tmpDir("consol")
     Zarr.writeZarr(s"$d/a", 4, 6, 2, 3, "raw", "<i4")((x, y) => (10 * y + x).toDouble)
     Zarr.writeZarr(s"$d/b", 4, 6, 2, 3, "raw", "<i4")((x, y) => (100 + x + y).toDouble)
-    Zarr.consolidateMetadata(d.getPath, Seq("a", "b"))
+    // a 1-D COORDINATE array (every real xarray hierarchy has them):
+    // consolidation must SKIP it, not refuse the whole dataset
+    new java.io.File(d, "x").mkdirs()
+    putText(d, "x/.zarray",
+      """{"zarr_format": 2, "shape": [6], "chunks": [6], "dtype": "<i4",
+        |"compressor": null, "fill_value": 0, "order": "C", "filters": null}""".stripMargin)
+    Zarr.consolidateMetadata(d.getPath, Seq("a", "b", "x"))
+    assert(Zarr.readZMetadata(d.getPath).keySet == Set("a", "b"))
     // the PROOF: delete a's own .zarray — a consolidated reader must
     // not touch it
     assert(new java.io.File(d, "a/.zarray").delete())
