@@ -16,15 +16,20 @@ import graft.core.Q
   *  - v1 object headers (+ continuation blocks); v2 `OHDR` refused by
   *    name,
   *  - old-style groups: symbol-table message → v1 group B-tree →
-  *    SNOD symbol nodes → local heap names,
-  *  - one named 2-D dataset: dataspace v1/v2, datatype classes
-  *    fixed-point/float (1/2/4/8 bytes, either endian), fill value
-  *    message v1/v2/v3,
+  *    SNOD symbol nodes → local heap names, including NESTED group
+  *    paths ("g/v" — the netCDF-4 group model),
+  *  - named 2-D datasets AND rank-3 (t, y, x) cubes: dataspace v1/v2,
+  *    datatype classes fixed-point/float (1/2/4/8 bytes, either
+  *    endian), fill value message v1/v2/v3 (scan, window-pruned scan,
+  *    CF fill masking, epoch scan),
   *  - data layout v3: CONTIGUOUS (class 1 — xarray's shape without
   *    compression; scanned as row stripes) and CHUNKED (class 2 — the
   *    shape WITH compression; chunk addresses from the v1 B-tree, any
   *    tree depth), deflate (+ byte-shuffle) filter pipeline, per-chunk
   *    filter masks honored, chunks ABSENT from the tree = fill value,
+  *  - the WRITE direction both locally ([[writeHdf5Cube]]) and
+  *    distributed (`sink_netcdf4`: executor chunk blobs streamed
+  *    behind the driver's [[hdf5HeaderBytes]] prefix),
   *  - everything else refuses loudly by name (compact layout, v4
   *    layouts/new chunk indexes, compound/string datatypes, szip/
   *    fletcher filters, OHDR): silent misreads are how wrong science
