@@ -551,6 +551,92 @@ object Text {
     // picks are poly_hash ranks within each lang (stable under
     // reprocessing and corpus growth, like sample_hash); the per-lang
     // window is bounded by the largest language, not the corpus.
+    // DSIR-style importance RESAMPLING (r12 — Xie et al. 2023, the
+    // published data-selection method: score raw-pool documents by a
+    // hashed-n-gram importance log-ratio between a TARGET distribution
+    // and the pool, keep the top mass): hashed-bigram bucket counts
+    // (poly_hash % 256, engine-portable), +1-smoothed per-bucket
+    // log-likelihood ratios rounded to DECIMAL(18,6) (the
+    // text_perplexity discipline — decimal sums are order-independent,
+    // so the per-doc float accumulation hash-matches), one broadcast
+    // of the 256-row ratio table, ONE doc-keyed hash agg, and a
+    // deterministic top-k selection (weight desc, doc_id) instead of
+    // Gumbel noise — sampling jitter has no DuckDB twin. Scales: the
+    // pool never shuffles except the final doc agg; the bucket table
+    // is O(256) at any corpus size.
+    "sample_dsir" -> Q({
+      val llrExpr = "CAST(round(ln((CAST(tc AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 256.0)) " +
+        "- ln((CAST(rc AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 256.0)), 6) AS DECIMAL(18,6))"
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, string_split(lower(text), ' ') AS t FROM documents
+         |), bgs AS (
+         |  SELECT doc_id, source,
+         |    unnest(list_transform(generate_series(1, len(t) - 1),
+         |      i -> t[i] || ' ' || t[i+1])) AS bg
+         |  FROM toks WHERE len(t) >= 2
+         |), hb AS (
+         |  SELECT doc_id, source, ${Dedup.polyHashSql("bg")} % 256 AS b FROM bgs
+         |), tcounts AS (
+         |  SELECT b, count(*) AS tc FROM hb WHERE source = 'src0' GROUP BY b
+         |), rcounts AS (
+         |  SELECT b, count(*) AS rc FROM hb WHERE source <> 'src0' GROUP BY b
+         |), tots AS (
+         |  SELECT (SELECT count(*) FROM hb WHERE source = 'src0') AS tt,
+         |         (SELECT count(*) FROM hb WHERE source <> 'src0') AS tr
+         |), llr AS (
+         |  SELECT g.range AS b, $llrExpr AS llr
+         |  FROM range(0, 256) g
+         |  LEFT JOIN tcounts ON tcounts.b = g.range
+         |  LEFT JOIN rcounts ON rcounts.b = g.range
+         |  CROSS JOIN tots
+         |), scored AS (
+         |  SELECT hb.doc_id, count(*) AS n_grams,
+         |    CAST(sum(llr.llr) AS DOUBLE) AS weight
+         |  FROM hb JOIN llr USING (b) WHERE hb.source <> 'src0'
+         |  GROUP BY hb.doc_id
+         |)
+         |SELECT doc_id, n_grams, weight,
+         |  CASE WHEN row_number() OVER (ORDER BY weight DESC, doc_id) <= 200
+         |       THEN 1 ELSE 0 END AS selected
+         |FROM scored ORDER BY doc_id""".stripMargin
+        // DuckDB's tc/rc arrive NULL for empty buckets; the Spark side
+        // coalesces — spell the NULL-tolerant form on both engines
+        .replace("CAST(tc AS DOUBLE)", "CAST(coalesce(tc, 0) AS DOUBLE)")
+        .replace("CAST(rc AS DOUBLE)", "CAST(coalesce(rc, 0) AS DOUBLE)")
+    }) { (s, d) =>
+      graft.ext.Ext.register(s)
+      val docs = Tables.documents(s, d)
+      val grams = docs
+        .withColumn("t", split(lower(col("text")), " "))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(1, size(t) - 1), i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))")).as("bg"))
+        .select(col("doc_id"), col("source"), expr("poly_hash(bg) % 256").as("b"))
+      val tc = grams.filter(col("source") === "src0")
+        .groupBy("b").agg(count(lit(1)).as("tc"))
+      val rc = grams.filter(col("source") =!= "src0")
+        .groupBy("b").agg(count(lit(1)).as("rc"))
+      val tots = grams.agg(
+        sum(when(col("source") === "src0", 1L).otherwise(0L)).as("tt"),
+        sum(when(col("source") =!= "src0", 1L).otherwise(0L)).as("tr"))
+      val llr = s.range(0, 256).toDF("b")
+        .join(tc, Seq("b"), "left").join(rc, Seq("b"), "left")
+        .crossJoin(broadcast(tots))
+        .selectExpr("b",
+          "CAST(round(ln((CAST(coalesce(tc, 0) AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 256.0)) " +
+            "- ln((CAST(coalesce(rc, 0) AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 256.0)), 6) AS DECIMAL(18,6)) AS llr")
+      import org.apache.spark.sql.expressions.Window
+      grams.filter(col("source") =!= "src0")
+        .join(broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum(col("llr")).cast("double").as("weight"))
+        .withColumn("selected",
+          when(row_number().over(
+            Window.orderBy(col("weight").desc, col("doc_id"))) <= 200, 1).otherwise(0))
+        .select(col("doc_id"), col("n_grams"), col("weight"), col("selected"))
+        .orderBy("doc_id")
+    },
+
     "sample_mixture" -> Q(
       s"""WITH sz AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          |w AS (SELECT lang, n,

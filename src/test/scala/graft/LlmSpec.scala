@@ -523,6 +523,19 @@ class LlmSpec extends SparkSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
   }
 
+  test("sample_dsir: exactly 200 selected, selection is the top weight mass") {
+    val rows = q("sample_dsir").collect()
+    assert(rows.nonEmpty)
+    val sel = rows.filter(_.getInt(3) == 1)
+    val unsel = rows.filter(_.getInt(3) == 0)
+    assert(sel.length == 200, s"${sel.length} selected")
+    if (unsel.nonEmpty)
+      assert(sel.map(_.getDouble(2)).min >= unsel.map(_.getDouble(2)).max,
+        "a selected doc scores below an unselected one")
+    // target docs (source = src0) never appear in the pool scoring
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+  }
+
   test("sample_mixture: budget respected; smaller languages sampled at higher rates") {
     val rows = q("sample_mixture").collect()
       .map(r => (r.getLong(r.fieldIndex("n_docs")),
