@@ -551,6 +551,84 @@ object Text {
     // picks are poly_hash ranks within each lang (stable under
     // reprocessing and corpus growth, like sample_hash); the per-lang
     // window is bounded by the largest language, not the corpus.
+    // BPE MERGE TRAINING (r12 — the tokenizer-training op itself, not
+    // just the BPE-ish counting regex): 6 greedy merge rounds over the
+    // word-frequency table (GPT-2-style pre-tokenization: BPE runs
+    // within words, weighted by word count). Words are carried as
+    // boundary-wrapped strings (chr(31) fences every token), so one
+    // engine-portable `replace` applies a merge with the standard
+    // left-to-right non-overlapping greed on BOTH engines; pair counts
+    // are exact integers, ties break lexicographically, and the DuckDB
+    // twin unrolls the identical 6 rounds as CTEs (the IVF-kmeans
+    // replay pattern). Driver holds only the 1-row argmax per round —
+    // the corpus-scale word table never leaves the cluster.
+    "text_bpe_train" -> Q({
+      val S = "chr(31)"
+      val sb = new StringBuilder
+      sb.append(
+        s"""WITH words AS (
+           |  SELECT w, count(*) AS cnt FROM (
+           |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           |  WHERE w <> '' GROUP BY w
+           |), s0 AS (
+           |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+           |    i -> $S || w[i] || $S), '') AS s, cnt FROM words
+           |)""".stripMargin)
+      for (r <- 1 to 6) {
+        sb.append(
+          s""", tok$r AS (
+             |  SELECT list_transform(string_split(s, $S || $S), x -> trim(x, $S)) AS t, cnt
+             |  FROM s${r - 1}
+             |), pr$r AS (
+             |  SELECT t, cnt, unnest(generate_series(1, len(t) - 1)) AS i
+             |  FROM tok$r WHERE len(t) >= 2
+             |), pair$r AS (
+             |  SELECT t[i] AS lft, t[i + 1] AS rgt, CAST(sum(cnt) AS BIGINT) AS freq
+             |  FROM pr$r GROUP BY t[i], t[i + 1]
+             |), best$r AS (
+             |  SELECT lft, rgt, freq FROM pair$r ORDER BY freq DESC, lft, rgt LIMIT 1
+             |), s$r AS (
+             |  SELECT replace(s, $S || lft || $S || $S || rgt || $S,
+             |                 $S || lft || rgt || $S) AS s, cnt
+             |  FROM s${r - 1} CROSS JOIN best$r
+             |)""".stripMargin)
+      }
+      sb.append("\n" + (1 to 6).map(r =>
+        s"SELECT $r AS round, lft, rgt, freq FROM best$r").mkString("\nUNION ALL\n"))
+      sb.append("\nORDER BY round")
+      sb.toString
+    }) { (s, d) =>
+      val Sep = "\u001f" // the chr(31) token fence, spelled visibly
+      val words = Tables.documents(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      var cur = words.selectExpr(
+        "array_join(transform(split(w, ''), c -> chr(31) || c || chr(31)), '') AS s",
+        "cnt")
+      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (r <- 1 to 6) {
+        val toks = cur.selectExpr(
+          "transform(split(s, chr(31) || chr(31)), x -> trim(BOTH chr(31) FROM x)) AS t",
+          "cnt")
+        val best = toks.filter(size(col("t")) >= 2)
+          .select(col("t"), col("cnt"),
+            explode(expr("sequence(1, size(t) - 1)")).as("i"))
+          .select(expr("element_at(t, i)").as("lft"),
+            expr("element_at(t, i + 1)").as("rgt"), col("cnt"))
+          .groupBy("lft", "rgt").agg(sum("cnt").as("freq"))
+          .orderBy(col("freq").desc, col("lft"), col("rgt"))
+          .limit(1).head()
+        val (l, rt, f) = (best.getString(0), best.getString(1), best.getLong(2))
+        merges += ((r, l, rt, f))
+        cur = cur.select(
+          replace(col("s"), lit(s"$Sep$l$Sep$Sep$rt$Sep"), lit(s"$Sep$l$rt$Sep")).as("s"),
+          col("cnt"))
+      }
+      import s.implicits._
+      merges.toSeq.toDF("round", "lft", "rgt", "freq").orderBy("round")
+    },
+
     // DSIR-style importance RESAMPLING (r12 — Xie et al. 2023, the
     // published data-selection method: score raw-pool documents by a
     // hashed-n-gram importance log-ratio between a TARGET distribution

@@ -523,6 +523,27 @@ class LlmSpec extends SparkSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).distinct.length == rows.length)
   }
 
+  test("text_bpe_train: 6 merges, non-increasing frequency, growing symbols") {
+    val rows = q("text_bpe_train").collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 6))
+    val freqs = rows.map(_.getLong(3))
+    // the greedy argmax can never increase: a pair containing a new
+    // symbol occurs at most as often as the merge that created it
+    assert(freqs.zip(freqs.tail).forall { case (a, b) => a >= b }, freqs.toSeq)
+    assert(freqs.forall(_ > 0))
+    rows.foreach { r =>
+      assert(r.getString(1).nonEmpty && r.getString(2).nonEmpty)
+    }
+    // later merges build on earlier symbols: every merge operand is a
+    // single char or a concatenation produced by an earlier round
+    val known = scala.collection.mutable.Set.empty[String]
+    rows.foreach { r =>
+      for (tok <- Seq(r.getString(1), r.getString(2)))
+        assert(tok.length == 1 || known.contains(tok), s"unknown operand '$tok'")
+      known += r.getString(1) + r.getString(2)
+    }
+  }
+
   test("sample_dsir: exactly 200 selected, selection is the top weight mass") {
     val rows = q("sample_dsir").collect()
     assert(rows.nonEmpty)
