@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.{Q, Tables}
 
@@ -14,6 +14,79 @@ import graft.core.{Q, Tables}
   * (token, partial-count) pairs thanks to partial aggregation.
   */
 object Text {
+
+  // ---- shared BPE machinery (r12: text_bpe_train / text_bpe_encode) ----
+
+  /** DuckDB CTE prefix: word-frequency table, fenced word strings, and
+    * the 6 unrolled greedy merge rounds (`best1..best6`, `s6`).
+    */
+  private val BpeTrainCtes: String = {
+    val S = "chr(31)"
+    val sb = new StringBuilder
+    sb.append(
+      s"""WITH words AS (
+         |  SELECT w, count(*) AS cnt FROM (
+         |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w
+         |), s0 AS (
+         |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
+         |    i -> $S || w[i] || $S), '') AS s, cnt FROM words
+         |)""".stripMargin)
+    for (r <- 1 to 6) {
+      sb.append(
+        s""", tok$r AS (
+           |  SELECT list_transform(string_split(s, $S || $S), x -> trim(x, $S)) AS t, cnt
+           |  FROM s${r - 1}
+           |), pr$r AS (
+           |  SELECT t, cnt, unnest(generate_series(1, len(t) - 1)) AS i
+           |  FROM tok$r WHERE len(t) >= 2
+           |), pair$r AS (
+           |  SELECT t[i] AS lft, t[i + 1] AS rgt, CAST(sum(cnt) AS BIGINT) AS freq
+           |  FROM pr$r GROUP BY t[i], t[i + 1]
+           |), best$r AS (
+           |  SELECT lft, rgt, freq FROM pair$r ORDER BY freq DESC, lft, rgt LIMIT 1
+           |), s$r AS (
+           |  SELECT replace(s, $S || lft || $S || $S || rgt || $S,
+           |                 $S || lft || rgt || $S) AS s, cnt
+           |  FROM s${r - 1} CROSS JOIN best$r
+           |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** Spark side of the 6 greedy merge rounds: (round, left, right,
+    * freq) — only the per-round 1-row argmax touches the driver.
+    */
+  private def bpeMerges(s: SparkSession, d: String): Seq[(Int, String, String, Long)] = {
+    val Sep = "\u001f" // the chr(31) token fence, spelled visibly
+    val words = Tables.documents(s, d)
+      .select(explode(split(lower(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    var cur = words.selectExpr(
+      "array_join(transform(split(w, ''), c -> chr(31) || c || chr(31)), '') AS s",
+      "cnt")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (r <- 1 to 6) {
+      val toks = cur.selectExpr(
+        "transform(split(s, chr(31) || chr(31)), x -> trim(BOTH chr(31) FROM x)) AS t",
+        "cnt")
+      val best = toks.filter(size(col("t")) >= 2)
+        .select(col("t"), col("cnt"),
+          explode(expr("sequence(1, size(t) - 1)")).as("i"))
+        .select(expr("element_at(t, i)").as("lft"),
+          expr("element_at(t, i + 1)").as("rgt"), col("cnt"))
+        .groupBy("lft", "rgt").agg(sum("cnt").as("freq"))
+        .orderBy(col("freq").desc, col("lft"), col("rgt"))
+        .limit(1).head()
+      val (l, rt, f) = (best.getString(0), best.getString(1), best.getLong(2))
+      merges += ((r, l, rt, f))
+      cur = cur.select(
+        replace(col("s"), lit(s"$Sep$l$Sep$Sep$rt$Sep"), lit(s"$Sep$l$rt$Sep")).as("s"),
+        col("cnt"))
+    }
+    merges.toSeq
+  }
 
   def defs: Seq[(String, Q)] = Seq(
     "text_tokenize" -> Q(
@@ -562,71 +635,67 @@ object Text {
     // twin unrolls the identical 6 rounds as CTEs (the IVF-kmeans
     // replay pattern). Driver holds only the 1-row argmax per round —
     // the corpus-scale word table never leaves the cluster.
-    "text_bpe_train" -> Q({
-      val S = "chr(31)"
-      val sb = new StringBuilder
-      sb.append(
-        s"""WITH words AS (
-           |  SELECT w, count(*) AS cnt FROM (
-           |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-           |  WHERE w <> '' GROUP BY w
-           |), s0 AS (
-           |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
-           |    i -> $S || w[i] || $S), '') AS s, cnt FROM words
-           |)""".stripMargin)
-      for (r <- 1 to 6) {
-        sb.append(
-          s""", tok$r AS (
-             |  SELECT list_transform(string_split(s, $S || $S), x -> trim(x, $S)) AS t, cnt
-             |  FROM s${r - 1}
-             |), pr$r AS (
-             |  SELECT t, cnt, unnest(generate_series(1, len(t) - 1)) AS i
-             |  FROM tok$r WHERE len(t) >= 2
-             |), pair$r AS (
-             |  SELECT t[i] AS lft, t[i + 1] AS rgt, CAST(sum(cnt) AS BIGINT) AS freq
-             |  FROM pr$r GROUP BY t[i], t[i + 1]
-             |), best$r AS (
-             |  SELECT lft, rgt, freq FROM pair$r ORDER BY freq DESC, lft, rgt LIMIT 1
-             |), s$r AS (
-             |  SELECT replace(s, $S || lft || $S || $S || rgt || $S,
-             |                 $S || lft || rgt || $S) AS s, cnt
-             |  FROM s${r - 1} CROSS JOIN best$r
-             |)""".stripMargin)
-      }
-      sb.append("\n" + (1 to 6).map(r =>
-        s"SELECT $r AS round, lft, rgt, freq FROM best$r").mkString("\nUNION ALL\n"))
-      sb.append("\nORDER BY round")
-      sb.toString
-    }) { (s, d) =>
-      val Sep = "\u001f" // the chr(31) token fence, spelled visibly
-      val words = Tables.documents(s, d)
-        .select(explode(split(lower(col("text")), " ")).as("w"))
-        .filter(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("cnt"))
-      var cur = words.selectExpr(
-        "array_join(transform(split(w, ''), c -> chr(31) || c || chr(31)), '') AS s",
-        "cnt")
-      val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-      for (r <- 1 to 6) {
-        val toks = cur.selectExpr(
-          "transform(split(s, chr(31) || chr(31)), x -> trim(BOTH chr(31) FROM x)) AS t",
-          "cnt")
-        val best = toks.filter(size(col("t")) >= 2)
-          .select(col("t"), col("cnt"),
-            explode(expr("sequence(1, size(t) - 1)")).as("i"))
-          .select(expr("element_at(t, i)").as("lft"),
-            expr("element_at(t, i + 1)").as("rgt"), col("cnt"))
-          .groupBy("lft", "rgt").agg(sum("cnt").as("freq"))
-          .orderBy(col("freq").desc, col("lft"), col("rgt"))
-          .limit(1).head()
-        val (l, rt, f) = (best.getString(0), best.getString(1), best.getLong(2))
-        merges += ((r, l, rt, f))
-        cur = cur.select(
-          replace(col("s"), lit(s"$Sep$l$Sep$Sep$rt$Sep"), lit(s"$Sep$l$rt$Sep")).as("s"),
-          col("cnt"))
-      }
+    "text_bpe_train" -> Q(
+      BpeTrainCtes + "\n" + (1 to 6).map(r =>
+        s"SELECT $r AS round, lft, rgt, freq FROM best$r").mkString("\nUNION ALL\n")
+        + "\nORDER BY round") { (s, d) =>
       import s.implicits._
-      merges.toSeq.toDF("round", "lft", "rgt", "freq").orderBy("round")
+      bpeMerges(s, d).toDF("round", "lft", "rgt", "freq").orderBy("round")
+    },
+
+    // BPE ENCODING under the trained merges (r12 — the companion op:
+    // token counting with a REAL trained tokenizer, not a regex
+    // stand-in): each document's words are fenced and the 6 merges
+    // apply in rank order via the same engine-portable replace; output
+    // per doc = word count, BPE token count and the chars-per-token
+    // compression the tokenizer achieves. The merges recompute from
+    // the corpus on both engines, so the gate covers train + encode.
+    "text_bpe_encode" -> Q({
+      val S = "chr(31)"
+      BpeTrainCtes +
+        s""", docw AS (
+           |  SELECT doc_id, w FROM (
+           |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
+           |  WHERE w <> ''
+           |), d0 AS (
+           |  SELECT doc_id, length(w) AS n_chars,
+           |    array_to_string(list_transform(generate_series(1, length(w)),
+           |      i -> $S || w[i] || $S), '') AS s
+           |  FROM docw
+           |)""".stripMargin +
+        (1 to 6).map(r =>
+          s""", d$r AS (
+             |  SELECT doc_id, n_chars,
+             |    replace(s, $S || lft || $S || $S || rgt || $S,
+             |            $S || lft || rgt || $S) AS s
+             |  FROM d${r - 1} CROSS JOIN best$r
+             |)""".stripMargin).mkString +
+        s"""
+           |SELECT doc_id, count(*) AS n_words,
+           |  CAST(sum(len(string_split(s, $S || $S))) AS BIGINT) AS n_tokens,
+           |  round(CAST(sum(n_chars) AS DOUBLE)
+           |    / sum(len(string_split(s, $S || $S))), 6) AS chars_per_token
+           |FROM d6 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+      val Sep = "\u001f"
+      val merges = bpeMerges(s, d)
+      var cur = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .filter(col("w") =!= "")
+        .selectExpr("doc_id", "length(w) AS n_chars",
+          "array_join(transform(split(w, ''), c -> chr(31) || c || chr(31)), '') AS s")
+      merges.foreach { case (_, l, r, _) =>
+        cur = cur.withColumn("s",
+          replace(col("s"), lit(s"$Sep$l$Sep$Sep$r$Sep"), lit(s"$Sep$l$r$Sep")))
+      }
+      cur
+        .withColumn("n_toks", expr("size(split(s, chr(31) || chr(31)))"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("n_toks")).as("n_tokens"),
+          round(sum(col("n_chars")).cast("double") / sum(col("n_toks")), 6)
+            .as("chars_per_token"))
+        .orderBy("doc_id")
     },
 
     // DSIR-style importance RESAMPLING (r12 — Xie et al. 2023, the

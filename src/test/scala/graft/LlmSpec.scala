@@ -544,6 +544,18 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("text_bpe_encode: tokens never exceed chars, merges compress") {
+    val rows = q("text_bpe_encode").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (words, toks, cpt) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(toks >= words, "every word is at least one token")
+      assert(cpt >= 1.0, s"chars per token $cpt < 1 — a merge split something")
+    }
+    // the 6 merges must compress SOME documents below char-level
+    assert(rows.exists(_.getDouble(3) > 1.0), "no document compressed at all")
+  }
+
   test("sample_dsir: exactly 200 selected, selection is the top weight mass") {
     val rows = q("sample_dsir").collect()
     assert(rows.nonEmpty)
