@@ -1140,6 +1140,42 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // GeoParquet (r12 — the modern cloud-native vector format: WKB in
+    // ordinary parquet, Spark's own source carries the container so
+    // the write is DISTRIBUTED unlike the single-file vector sinks):
+    // write zones as WKB+bbox rows, read the verts back through the
+    // executor-side WKB parse — the same verts oracle as the other
+    // vector containers gates builder+parquet+parser end to end
+    "sink_geoparquet" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), verts AS (
+         |  ${Cube.vertsSql(Cube.NGonRings)}
+         |)
+         |SELECT zone_id, part, ring, CAST(i AS INTEGER) AS i, vx, vy
+         |FROM verts ORDER BY zone_id, part, ring, i""".stripMargin) { (s, d) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/geoparquet_sink"
+      GeoParquet.writeZones(s, d, path)
+      GeoParquet.readVerts(s, path)
+        .select(col("zone_id"), col("part"), col("ring"),
+          col("i"), col("x").as("vx"), col("y").as("vy"))
+        .orderBy("zone_id", "part", "ring", "i")
+    },
+
+    // GeoParquet end-to-end zonal stats: the parquet WKB column IS the
+    // zone table — straight into the shared rasterize + point_in_wkb
+    // pipeline, gated by the SAME even-odd oracle as shapefile /
+    // geojson / geopackage
+    "zonal_geoparquet" -> Q(eoOracleSql(Cube.NGonRings)) { (s, d) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/geoparquet_zones"
+      GeoParquet.writeZones(s, d, path)
+      Cube.rasterize(Cube.cells(s, d), GeoParquet.readZones(s, path))
+        .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"), dsum(col("value")).as("sum_v"))
+        .orderBy("zone_id")
+    },
+
     // GeoPackage WRITE parity (r12 — the r11 verdict's missing #4
     // write half): a FULL container — gpkg_contents /
     // gpkg_spatial_ref_sys / gpkg_geometry_columns, the feature table,
