@@ -63,9 +63,13 @@ object Text {
       .select(explode(split(lower(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
+    // the word table is vocabulary-scale (≪ corpus); each round's
+    // lineage would otherwise recompute all prior rounds — cut it with
+    // an eager localCheckpoint per round (per-invocation state, not a
+    // cross-query memo, so no Bench clear hook applies)
     var cur = words.selectExpr(
       "array_join(transform(split(w, ''), c -> chr(31) || c || chr(31)), '') AS s",
-      "cnt")
+      "cnt").localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (r <- 1 to 6) {
       val toks = cur.selectExpr(
@@ -83,7 +87,7 @@ object Text {
       merges += ((r, l, rt, f))
       cur = cur.select(
         replace(col("s"), lit(s"$Sep$l$Sep$Sep$rt$Sep"), lit(s"$Sep$l$rt$Sep")).as("s"),
-        col("cnt"))
+        col("cnt")).localCheckpoint(true)
     }
     merges.toSeq
   }
