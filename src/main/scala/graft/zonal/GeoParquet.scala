@@ -44,6 +44,18 @@ object GeoParquet {
       .select(col("zone_id"), col("geometry").as("geom"),
         col("xmin"), col("xmax"), col("ymin"), col("ymax"))
 
+  /** WINDOW query over the bbox columns: a plain parquet FILTER, which
+    * is the format's whole point — Spark pushes the bbox predicates to
+    * the scan (`PushedFilters`), parquet row-group min/max statistics
+    * prune matching pages, and no rtree sidecar is needed
+    * (PlanShapeSpec pins the pushdown).
+    */
+  def readZonesWindow(s: SparkSession, path: String,
+      wx0: Int, wx1: Int, wy0: Int, wy1: Int): DataFrame =
+    readZones(s, path)
+      .filter(col("xmin") <= wx1 && col("xmax") >= wx0
+        && col("ymin") <= wy1 && col("ymax") >= wy0)
+
   /** Long-form vertices from the WKB column (the shapefile/gpkg verts
     * shape), parsed executor-side.
     */

@@ -1176,6 +1176,30 @@ object Zonal {
         .orderBy("zone_id")
     },
 
+    // GeoParquet WINDOW query: the bbox columns make the spatial
+    // window a plain parquet filter — Spark pushes it to the scan
+    // (PlanShapeSpec pins PushedFilters) and row-group statistics
+    // prune; the gpkg rtree's job with zero format machinery
+    "scan_geoparquet_window" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), verts AS (
+         |  ${Cube.vertsSql(Cube.NGonRings)}
+         |), env AS (
+         |  SELECT zone_id, min(vx) AS xmin, max(vx) AS xmax,
+         |         min(vy) AS ymin, max(vy) AS ymax
+         |  FROM verts GROUP BY zone_id
+         |)
+         |SELECT zone_id, xmin, xmax, ymin, ymax FROM env
+         |WHERE xmin <= 20 AND xmax >= 0 AND ymin <= 20 AND ymax >= 0
+         |ORDER BY zone_id""".stripMargin) { (s, d) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/geoparquet_zones"
+      GeoParquet.writeZones(s, d, path)
+      GeoParquet.readZonesWindow(s, path, 0, 20, 0, 20)
+        .select(col("zone_id"), col("xmin"), col("xmax"), col("ymin"), col("ymax"))
+        .orderBy("zone_id")
+    },
+
     // GeoPackage WRITE parity (r12 — the r11 verdict's missing #4
     // write half): a FULL container — gpkg_contents /
     // gpkg_spatial_ref_sys / gpkg_geometry_columns, the feature table,

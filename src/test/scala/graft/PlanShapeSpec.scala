@@ -23,6 +23,15 @@ class PlanShapeSpec extends SparkSuite {
     assert(pushed.contains("GreaterThan(l_quantity"), s"no pushed quantity filter in: $pushed")
   }
 
+  test("geoparquet window: bbox predicates push to the parquet scan") {
+    val scans = q("scan_geoparquet_window").queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val pushed = scans.map(_.metadata("PushedFilters")).mkString
+    assert(pushed.contains("LessThanOrEqual(xmin") && pushed.contains("GreaterThanOrEqual(xmax"),
+      s"bbox filters not pushed: $pushed")
+  }
+
   test("column pruning reaches the scan (ReadSchema excludes unused columns)") {
     val p = plan("project_select")
     val readSchema = p.linesIterator.find(_.contains("ReadSchema:")).getOrElse("")
