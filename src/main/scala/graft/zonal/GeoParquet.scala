@@ -36,6 +36,22 @@ object GeoParquet {
       .write.mode("overwrite").parquet(path)
   }
 
+  private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once zone fixture per (data dir) — the read-side ops
+    * (zonal_geoparquet, scan_geoparquet_window) consume this; the
+    * write-side op (sink_geoparquet) writes fresh every run.
+    */
+  def fixturePath(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d)
+    fixtures.computeIfAbsent(f.getCanonicalPath, { _ =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/zones_geoparquet"
+      writeZones(s, d, path)
+      path
+    })
+  }
+
   /** Zones straight from the parquet WKB column — already the engine's
     * zone shape `(zone_id, geom, xmin, xmax, ymin, ymax)`.
     */

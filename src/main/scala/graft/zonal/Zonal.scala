@@ -1167,8 +1167,7 @@ object Zonal {
     // pipeline, gated by the SAME even-odd oracle as shapefile /
     // geojson / geopackage
     "zonal_geoparquet" -> Q(eoOracleSql(Cube.NGonRings)) { (s, d) =>
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/geoparquet_zones"
-      GeoParquet.writeZones(s, d, path)
+      val path = GeoParquet.fixturePath(s, d)
       Cube.rasterize(Cube.cells(s, d), GeoParquet.readZones(s, path))
         .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
         .groupBy(col("zone_id"))
@@ -1193,9 +1192,7 @@ object Zonal {
          |SELECT zone_id, xmin, xmax, ymin, ymax FROM env
          |WHERE xmin <= 20 AND xmax >= 0 AND ymin <= 20 AND ymax >= 0
          |ORDER BY zone_id""".stripMargin) { (s, d) =>
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/geoparquet_zones"
-      GeoParquet.writeZones(s, d, path)
-      GeoParquet.readZonesWindow(s, path, 0, 20, 0, 20)
+      GeoParquet.readZonesWindow(s, GeoParquet.fixturePath(s, d), 0, 20, 0, 20)
         .select(col("zone_id"), col("xmin"), col("xmax"), col("ymin"), col("ymax"))
         .orderBy("zone_id")
     },
