@@ -221,6 +221,51 @@ class Hdf5Spec extends SparkSuite {
       Hdf5.scanNetcdf4Fill(spark, p2, "v"))).contains("no fill value"))
   }
 
+  test("libver-latest (OHDR + fixed array): roundtrips, absent entry = fill") {
+    for ((dt, defl, k) <- Seq(("<f8", true, 0), (">i2", false, 1))) {
+      val p = tmp(s"v2rt$k")
+      Hdf5.writeHdf5V2(p, "d", 10, 13, 4, 5, dtype = dt,
+        deflate = defl, fill = 7.0, omit = Set((1, 1)))(f)
+      val got = Hdf5.scanNetcdf4(spark, p, "d").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(got.size == 130, s"$dt defl=$defl")
+      for (y <- 0 until 10; x <- 0 until 13) {
+        // omitted chunk (1,1): y 4-7, x 5-9 → fill via the undefined
+        // fixed-array entry
+        val want = if (y >= 4 && y < 8 && x >= 5 && x < 10) 7.0 else f(x, y)
+        assert(got((x, y)) == want, s"$dt defl=$defl ($x,$y)")
+      }
+    }
+  }
+
+  test("libver-latest refusals: paged fixed array, dense link storage") {
+    // layout arithmetic for varName "d", f4, deflate: root OHDR is 27
+    // bytes (link body 12), dataset OHDR chunk0 121 → FAHD at 207
+    val p = tmp("v2refuse")
+    Hdf5.writeHdf5V2(p, "d", 8, 8, 4, 4, dtype = "<f4", deflate = true)(f)
+    val aFahd = 48 + 27 + 132
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(new String(b, aFahd, 4) == "FAHD", "layout arithmetic drifted")
+    patch(p, aFahd + 7, Array[Byte](1)) // 2^1-entry pages < 4 chunks
+    assert(msgs(intercept[Throwable](Hdf5.readMeta(p, "d"))).contains("paged fixed array"))
+    // stomp the root link message's type byte → no links → dense refusal
+    val p2 = tmp("v2dense")
+    Hdf5.writeHdf5V2(p2, "d", 8, 8, 4, 4, dtype = "<f4", deflate = true)(f)
+    patch(p2, 48 + 7, Array[Byte](0x0C))
+    assert(msgs(intercept[Throwable](Hdf5.readMeta(p2, "d"))).contains("dense"))
+  }
+
+  test("libver-latest checksums sit where the spec puts them") {
+    val p = tmp("v2ck")
+    Hdf5.writeHdf5V2(p, "d", 8, 8, 4, 4, dtype = "<f4", deflate = true)(f)
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    def le32(off: Int) = java.nio.ByteBuffer.wrap(b)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(off)
+    assert(le32(44) == graft.zonal.Lookup3.hash(b, 0, 44), "superblock checksum")
+    // root OHDR checksum: bytes [48, 48+23) with the trailing word at 71
+    assert(le32(48 + 23) == graft.zonal.Lookup3.hash(b, 48, 23), "root OHDR checksum")
+  }
+
   test("window scan prunes the chunk manifest before any byte is read") {
     // the registry fixture is 80x70 at 32x32 → 3x3 chunks; the window
     // overlaps exactly 4 of 9
