@@ -28,15 +28,15 @@ import graft.core.Q
   *    compression, scanned as row stripes — and CHUNKED class 2 with
   *    chunk addresses from the v1 B-tree at any depth) AND v4 (r12 —
   *    libver 'latest' chunk indexes: single chunk, implicit, FIXED
-  *    ARRAY with its FAHD/FADB blocks; extensible array / v2 B-tree
-  *    refuse by name), deflate (+ byte-shuffle) filter pipelines v1
+  *    ARRAY with its FAHD/FADB blocks, paged or not; extensible
+  *    array / v2 B-tree refuse by name), deflate (+ byte-shuffle) filter pipelines v1
   *    and v2, per-chunk filter masks honored, chunks ABSENT from the
   *    index = fill value,
   *  - the WRITE direction both locally ([[writeHdf5Cube]]) and
   *    distributed (`sink_netcdf4`: executor chunk blobs streamed
   *    behind the driver's [[hdf5HeaderBytes]] prefix),
   *  - everything else refuses loudly by name (compact layout,
-  *    extensible-array/v2-B-tree chunk indexes, paged fixed arrays,
+  *    extensible-array/v2-B-tree chunk indexes,
   *    compound/string datatypes, szip/fletcher filters, dense link
   *    storage, soft/external links): silent misreads are how wrong
   *    science ships.
@@ -513,23 +513,51 @@ object Hdf5 {
     val pageBits = h(7) & 0xff
     val maxN = le(h).getLong(8)
     val dba = le(h).getLong(16)
-    require(maxN <= (1L << pageBits),
-      s"$path: paged fixed array ($maxN entries over 2^$pageBits-entry pages) unsupported")
     require(maxN == nChunks,
       s"$path: fixed array holds $maxN entries for $nChunks chunks")
     require(entrySize == (if (filtered) 16 else 8),
       s"$path: fixed-array entry size $entrySize unsupported")
-    val db = r.bytes(dba, 14 + nChunks * entrySize + 4)
-    require(db.take(4).sameElements("FADB".getBytes), s"$path: bad FADB signature")
-    require(le(db).getLong(6) == fahdAddr, s"$path: FADB does not point back at its FAHD")
-    (0 until nChunks).map { k =>
-      val off = 14 + k * entrySize
+    def entryAt(db: Array[Byte], off: Int, k: Int): (Int, Long, Long, Int) = {
       val addr = le(db).getLong(off)
       if (!filtered) (k, addr, chunkBytes.toLong, 0)
       else {
         val sz = le(db).getInt(off + 8).toLong & 0xffffffffL
         val mask = le(db).getInt(off + 12)
         (k, addr, sz, mask)
+      }
+    }
+    val pageSize = 1L << pageBits
+    if (maxN <= pageSize) {
+      val db = r.bytes(dba, 14 + nChunks * entrySize + 4)
+      require(db.take(4).sameElements("FADB".getBytes), s"$path: bad FADB signature")
+      require(le(db).getLong(6) == fahdAddr, s"$path: FADB does not point back at its FAHD")
+      (0 until nChunks).map(k => entryAt(db, 14 + k * entrySize, k))
+    } else {
+      // PAGED data block (r12 — how real >2^pageBits-chunk files ship):
+      // prefix carries a page-initialized bitmask; pages of `pageSize`
+      // elements (+ per-page checksum) follow contiguously, an
+      // uninitialized page meaning every entry absent
+      val nPages = ((maxN + pageSize - 1) / pageSize).toInt
+      val maskBytes = (nPages + 7) / 8
+      val prefixLen = 14 + maskBytes + 4
+      val prefix = r.bytes(dba, prefixLen)
+      require(prefix.take(4).sameElements("FADB".getBytes), s"$path: bad FADB signature")
+      require(le(prefix).getLong(6) == fahdAddr, s"$path: FADB does not point back at its FAHD")
+      def pageInit(k: Int): Boolean = (prefix(14 + k / 8) & (1 << (k % 8))) != 0
+      var pos = dba + prefixLen
+      (0 until nPages).flatMap { pg =>
+        val nInPage = math.min(pageSize, maxN - pg.toLong * pageSize).toInt
+        val out =
+          if (!pageInit(pg))
+            (0 until nInPage).map(j => (pg * pageSize.toInt + j, Undef, 0L, 0))
+          else {
+            val pgBytes = r.bytes(pos, nInPage * entrySize + 4)
+            (0 until nInPage).map(j =>
+              entryAt(pgBytes, j * entrySize, pg * pageSize.toInt + j))
+          }
+        // pages occupy file space whether or not initialized
+        pos += nInPage.toLong * entrySize + 4
+        out
       }
     }
   }
@@ -1041,7 +1069,8 @@ object Hdf5 {
   def writeHdf5V2(path: String, varName: String, height: Int, width: Int,
       chunkH: Int, chunkW: Int, dtype: String = "<f4",
       deflate: Boolean = true, fill: Double = 0.0,
-      omit: Set[(Int, Int)] = Set.empty)(f: (Int, Int) => Double): Unit = {
+      omit: Set[(Int, Int)] = Set.empty, pageBits: Int = 16)
+      (f: (Int, Int) => Double): Unit = {
     require(!varName.contains("/"), s"V2 writer links from the root: $varName")
     val elem = dtype.substring(2).toInt
     val down = (height + chunkH - 1) / chunkH
@@ -1077,7 +1106,21 @@ object Hdf5 {
     val aFahd = aDs + dsSize
     val aFadb = aFahd + 28
     val entry = if (deflate) 16 else 8
-    val fadbSize = 14 + n * entry + 4
+    // paged when the grid exceeds one 2^pageBits-entry page: prefix
+    // gains the page-init bitmask, elements split into checksummed
+    // pages (a page whose chunks are ALL omitted stays uninitialized)
+    val pageSz = 1 << pageBits
+    val paged = n > pageSz
+    val nPages = (n + pageSz - 1) / pageSz
+    val maskBytes = (nPages + 7) / 8
+    def pageCount(pg: Int): Int = math.min(pageSz, n - pg * pageSz)
+    def pagePresent(pg: Int): Boolean = (0 until pageCount(pg)).exists { j =>
+      val k = pg * pageSz + j
+      !omit.contains((k / across, k % across))
+    }
+    val fadbSize =
+      if (!paged) 14 + n * entry + 4
+      else 14 + maskBytes + 4 + (0 until nPages).map(pageCount(_) * entry + 4).sum
     var dataAddr = aFadb + fadbSize
     val addrs = blobs.map { case (k, ob) =>
       val a = ob.map { b => val x = dataAddr; dataAddr += b.length; x }
@@ -1121,24 +1164,38 @@ object Hdf5 {
     buf.u8(0x08).u16(39).u8(0)
       .u8(4).u8(2).u8(0).u8(3).u8(8)
       .u64(chunkH).u64(chunkW).u64(elem)
-      .u8(3).u8(16).u64(aFahd) // fixed array, 2^16-entry pages (unpaged)
+      .u8(3).u8(pageBits).u64(aFahd) // fixed array index
     buf.u32(0) // OHDR checksum patched
     require(buf.size == aFahd, s"dataset OHDR accounting: ${buf.size}")
     // FAHD + FADB
-    buf.raw("FAHD".getBytes).u8(0).u8(if (deflate) 1 else 0).u8(entry).u8(16)
+    buf.raw("FAHD".getBytes).u8(0).u8(if (deflate) 1 else 0).u8(entry).u8(pageBits)
       .u64(n).u64(aFadb).u32(0)
     buf.raw("FADB".getBytes).u8(0).u8(if (deflate) 1 else 0).u64(aFahd)
-    addrs.foreach { case (_, a, ob) =>
-      a match {
-        case Some(x) =>
-          buf.u64(x)
-          if (deflate) { buf.u32(ob.get.length).u32(0) }
-        case None =>
-          buf.u64(Undef)
-          if (deflate) { buf.u32(0).u32(0) }
+    def putEntry(k: Int): Unit = addrs(k) match {
+      case (_, Some(x), ob) =>
+        buf.u64(x)
+        if (deflate) { buf.u32(ob.get.length).u32(0) }
+      case (_, None, _) =>
+        buf.u64(Undef)
+        if (deflate) { buf.u32(0).u32(0) }
+    }
+    val pageChecksumAt = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    if (!paged) {
+      (0 until n).foreach(putEntry)
+      buf.u32(0) // FADB checksum patched
+    } else {
+      // page-init bitmask + data-block checksum, then checksummed pages
+      val mask = new Array[Byte](maskBytes)
+      (0 until nPages).foreach(pg =>
+        if (pagePresent(pg)) mask(pg / 8) = (mask(pg / 8) | (1 << (pg % 8))).toByte)
+      buf.raw(mask).u32(0) // prefix checksum patched below
+      (0 until nPages).foreach { pg =>
+        val from = buf.size.toLong
+        (0 until pageCount(pg)).foreach(j => putEntry(pg * pageSz + j))
+        pageChecksumAt += ((buf.size.toLong, from))
+        buf.u32(0) // page checksum patched
       }
     }
-    buf.u32(0) // FADB checksum patched
     require(buf.size == aFadb + fadbSize, s"FADB accounting: ${buf.size}")
     addrs.foreach { case (_, _, ob) => ob.foreach(buf.raw) }
     require(buf.size == eof, s"file accounting: ${buf.size} vs $eof")
@@ -1152,7 +1209,11 @@ object Hdf5 {
     patch(aDs - 4, aRoot, rootSize - 4)
     patch(aFahd - 4, aDs, dsSize - 4)
     patch(aFadb - 4, aFahd, 24)
-    patch(aFadb + fadbSize - 4, aFadb, fadbSize - 4)
+    if (!paged) patch(aFadb + fadbSize - 4, aFadb, fadbSize - 4)
+    else {
+      patch(aFadb + 14 + maskBytes, aFadb, 14 + maskBytes)
+      pageChecksumAt.foreach { case (at, from) => patch(at, from, (at - from).toInt) }
+    }
     val p = new java.io.File(path)
     p.getParentFile.mkdirs()
     java.nio.file.Files.write(p.toPath, out)

@@ -238,7 +238,24 @@ class Hdf5Spec extends SparkSuite {
     }
   }
 
-  test("libver-latest refusals: paged fixed array, dense link storage") {
+  test("libver-latest PAGED fixed array: pages + uninit-page fill round-trip") {
+    // 10x13 with 4x5 chunks = 3x3 grid; 2^2-entry pages → 3 pages.
+    // Page 1 (chunks 4-7) fully omitted → uninitialized bitmask bit →
+    // every covered cell reads as fill.
+    val p = tmp("v2paged")
+    val page1 = Set((1, 1), (1, 2), (2, 0), (2, 1))
+    Hdf5.writeHdf5V2(p, "d", 10, 13, 4, 5, dtype = "<f8",
+      deflate = true, fill = 7.0, omit = page1, pageBits = 2)(f)
+    val got = Hdf5.scanNetcdf4(spark, p, "d").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 130)
+    for (y <- 0 until 10; x <- 0 until 13) {
+      val omitted = page1.contains((y / 4, x / 5))
+      assert(got((x, y)) == (if (omitted) 7.0 else f(x, y)), s"($x,$y)")
+    }
+  }
+
+  test("libver-latest refusals: dense link storage; index-type surgery") {
     // layout arithmetic for varName "d", f4, deflate: root OHDR is 27
     // bytes (link body 12), dataset OHDR chunk0 121 → FAHD at 207
     val p = tmp("v2refuse")
@@ -246,8 +263,10 @@ class Hdf5Spec extends SparkSuite {
     val aFahd = 48 + 27 + 132
     val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
     assert(new String(b, aFahd, 4) == "FAHD", "layout arithmetic drifted")
-    patch(p, aFahd + 7, Array[Byte](1)) // 2^1-entry pages < 4 chunks
-    assert(msgs(intercept[Throwable](Hdf5.readMeta(p, "d"))).contains("paged fixed array"))
+    // layout tail is [idxType][pageBits][addr(8)][OHDR checksum(4)] —
+    // the index-type byte sits 14 bytes before the FAHD block
+    patch(p, aFahd - 14, Array[Byte](4)) // extensible array
+    assert(msgs(intercept[Throwable](Hdf5.readMeta(p, "d"))).contains("extensible"))
     // stomp the root link message's type byte → no links → dense refusal
     val p2 = tmp("v2dense")
     Hdf5.writeHdf5V2(p2, "d", 8, 8, 4, 4, dtype = "<f4", deflate = true)(f)
