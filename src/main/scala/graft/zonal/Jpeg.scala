@@ -124,7 +124,8 @@ object Jpeg {
           val m = b(pos) & 0xff
           if (m == 0x00) pos += 1 // stuffed data byte
           else if (m >= 0xd0 && m <= 0xd7)
-            sys.error("restart marker inside entropy data — DRI unsupported")
+            sys.error("restart marker inside entropy data where none was " +
+              "expected (interval desync) — corrupt")
           else {
             // marker: entropy data ended early (over-read) — corrupt
             sys.error(f"corrupt JPEG: marker 0xFF$m%02X inside entropy data")
@@ -141,6 +142,20 @@ object Jpeg {
       var i = 0
       while (i < n) { v = (v << 1) | bit(); i += 1 }
       v
+    }
+
+    /** Consume an expected RSTn marker (r12 — DRI support): drop the
+      * pad bits of the current byte, then require FF D(n). A missing
+      * or out-of-sequence restart is loud, never resynchronized —
+      * silent resync hides corrupt stripes.
+      */
+    def restart(expected: Int): Unit = {
+      nbits = 0 // byte-align: the encoder 1-padded the tail bits
+      require(pos + 1 < b.length, "corrupt JPEG: truncated at restart")
+      require((b(pos) & 0xff) == 0xff && (b(pos + 1) & 0xff) == (0xd0 | (expected & 7)),
+        f"corrupt JPEG: expected RST${expected & 7} at $pos, " +
+          f"found 0x${b(pos) & 0xff}%02X${b(pos + 1) & 0xff}%02X")
+      pos += 2
     }
   }
 
@@ -340,6 +355,7 @@ object Jpeg {
     var h = -1
     var comps: Array[Comp] = null
     var sosAt = -1
+    var restartInterval = 0
     while (sosAt < 0) {
       require(p + 3 < b.length, "truncated JPEG: no SOS")
       require((b(p) & 0xff) == 0xff, f"expected marker at $p")
@@ -367,9 +383,8 @@ object Jpeg {
         case mm if mm >= 0xc9 && mm <= 0xcb =>
           sys.error("arithmetic-coded JPEG unsupported — baseline Huffman only")
         case 0xc4 | 0xdb => readTableSegment(b, p + 4, p + 2 + len, m, t)
-        case 0xdd =>
-          val ri = ((b(p + 4) & 0xff) << 8) | (b(p + 5) & 0xff)
-          require(ri == 0, s"restart interval $ri unsupported")
+        case 0xdd => // DRI (r12 — supported: preds reset per interval)
+          restartInterval = ((b(p + 4) & 0xff) << 8) | (b(p + 5) & 0xff)
         case 0xda => // SOS
           require(comps != null, "JPEG: SOS before SOF")
           val ns = b(p + 4) & 0xff
@@ -422,10 +437,15 @@ object Jpeg {
     val coef = new Array[Int](64)
     val px = new Array[Int](64)
     val pred = new Array[Int](comps.length)
+    var mcusDone = 0
     var my = 0
     while (my < mcusY) {
       var mx = 0
       while (mx < mcusX) {
+        if (restartInterval > 0 && mcusDone > 0 && mcusDone % restartInterval == 0) {
+          br.restart((mcusDone / restartInterval - 1) & 7)
+          java.util.Arrays.fill(pred, 0)
+        }
         var c = 0
         while (c < comps.length) {
           var v = 0
@@ -470,6 +490,7 @@ object Jpeg {
           }
           c += 1
         }
+        mcusDone += 1
         mx += 1
       }
       my += 1
@@ -530,7 +551,8 @@ object Jpeg {
     */
   def encodeGray(samples: Array[Int], w: Int, h: Int,
       quantZigzag: Array[Int] = FixtureQuant,
-      includeTables: Boolean = true): Array[Byte] = {
+      includeTables: Boolean = true,
+      restartInterval: Int = 0): Array[Byte] = {
     require(samples.length == w * h, s"${samples.length} samples for ${w}x$h")
     val o = new java.io.ByteArrayOutputStream()
     def marker(m: Int): Unit = writeMarker(o, m)
@@ -538,6 +560,8 @@ object Jpeg {
     marker(0xd8) // SOI
     if (includeTables) writeTableSegs(o, quantZigzag) // else: JPEGTables twin
     seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0)) // SOF0
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff)) // DRI
     seg(0xda, Array(1, 1, 0x00, 0, 63, 0)) // SOS
     val dcEnc = buildEncodeTable(DcBits, DcVals)
     val acEnc = buildEncodeTable(AcBits, AcVals)
@@ -548,7 +572,13 @@ object Jpeg {
     val bwr = new BitWriter(o)
     val px = new Array[Int](64)
     var pred = 0
+    var done = 0
     for (by <- 0 until bh0; bx <- 0 until bw0) {
+      if (restartInterval > 0 && done > 0 && done % restartInterval == 0) {
+        bwr.flush()
+        marker(0xd0 | ((done / restartInterval - 1) & 7))
+        pred = 0
+      }
       // edge blocks replicate the last row/column (keeps them constant
       // when the image is block-aligned anyway)
       for (yy <- 0 until 8; xx <- 0 until 8) {
@@ -557,6 +587,7 @@ object Jpeg {
         px(yy * 8 + xx) = samples(y * w + x)
       }
       pred = encodeBlock(px, pred, q, dcEnc, acEnc, bwr)
+      done += 1
     }
     bwr.flush()
     marker(0xd9) // EOI
@@ -607,7 +638,8 @@ object Jpeg {
   def encodeColor(yp: Array[Int], cb: Array[Int], cr: Array[Int],
       w: Int, h: Int, subsample: Boolean,
       quantZigzag: Array[Int] = FixtureQuant,
-      includeTables: Boolean = true): Array[Byte] = {
+      includeTables: Boolean = true,
+      restartInterval: Int = 0): Array[Byte] = {
     require(yp.length == w * h && cb.length == w * h && cr.length == w * h,
       s"plane sizes for ${w}x$h")
     val o = new java.io.ByteArrayOutputStream()
@@ -618,6 +650,8 @@ object Jpeg {
     val s = if (subsample) 0x22 else 0x11
     seg(0xc0, Array(8, h >> 8, h & 0xff, w >> 8, w & 0xff, 3,
       1, s, 0, 2, 0x11, 0, 3, 0x11, 0)) // SOF0
+    if (restartInterval > 0)
+      seg(0xdd, Array(restartInterval >> 8, restartInterval & 0xff)) // DRI
     seg(0xda, Array(3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0)) // SOS
     val dcEnc = buildEncodeTable(DcBits, DcVals)
     val acEnc = buildEncodeTable(AcBits, AcVals)
@@ -638,7 +672,14 @@ object Jpeg {
       math.rint(s0.toDouble / (f * f)).toInt
     }
     val pred = new Array[Int](3)
+    var done = 0
     for (my <- 0 until mcusY; mx <- 0 until mcusX) {
+      if (restartInterval > 0 && done > 0 && done % restartInterval == 0) {
+        bwr.flush()
+        marker(0xd0 | ((done / restartInterval - 1) & 7))
+        java.util.Arrays.fill(pred, 0)
+      }
+      done += 1
       // Y blocks: f×f per MCU
       for (v <- 0 until f; hh <- 0 until f) {
         for (yy <- 0 until 8; xx <- 0 until 8)

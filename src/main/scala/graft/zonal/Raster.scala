@@ -813,6 +813,7 @@ object Raster {
       nodata: Option[Double] = None,
       bands: Int = 1,           // chunky (pixel-interleaved) unless planar
       planar: Boolean = false,  // PlanarConfig 2: band-separate blocks
+      jpegRestart: Int = 0,     // Compression=7: DRI restart interval (MCUs)
       // GeoTIFF georeference written to ModelPixelScale/ModelTiepoint:
       // model-space origin of raster point (0,0) and per-pixel scale
       // (north-up convention — world y DECREASES as rows increase)
@@ -901,7 +902,8 @@ object Raster {
         case 1 => arr
         case 5 => TiffCodec.lzwEncode(arr)
         case 7 if spp == 1 => Jpeg.encodeGray(arr.map(v => v & 0xff), bw, rows,
-          includeTables = false) // tables ride the JPEGTables tag
+          includeTables = false, // tables ride the JPEGTables tag
+          restartInterval = o.jpegRestart)
         case 7 =>
           // 3-band: the chunky band values ARE the Y/Cb/Cr planes (the
           // stored photometric); the reader emits RGB (r12)
@@ -1550,6 +1552,18 @@ object Raster {
     fixtureOnce(s"raster_jpeg_${JpegW}x$JpegH.tif") { p =>
       writeTiffOpts(p, JpegW, JpegH, 32, 32,
         WriteOpts(bits = 8, sampleFormat = 1, compression = 7))(jpegFixtureValue)
+    }
+
+  /** Restart-interval JPEG fixture (r12 — DRI is what real encoders
+    * write for error resilience): same block-constant invariant, DRI=3
+    * so every tile's 16 MCUs cross five restart markers with DC
+    * predictor resets.
+    */
+  def jpegRstFixturePath(): String =
+    fixtureOnce(s"raster_jpeg_rst_${JpegW}x$JpegH.tif") { p =>
+      writeTiffOpts(p, JpegW, JpegH, 32, 32,
+        WriteOpts(bits = 8, sampleFormat = 1, compression = 7,
+          jpegRestart = 3))(jpegFixtureValue)
     }
 
   /** YCbCr JPEG tile raster (r12 — PhotometricInterpretation=6, the
@@ -2558,6 +2572,21 @@ object Raster {
          |FROM range(0, $JpegW) x CROSS JOIN range(0, $JpegH) y
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanTiff(s, jpegFixturePath())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // DRI restart intervals (r12 — what real encoders write for error
+    // resilience; previously refused by name): RST markers every 3
+    // MCUs with DC predictor resets, same block-constant oracle — a
+    // missed reset or misaligned marker shifts every later DC and
+    // hash-mismatches
+    "scan_raster_jpeg_rst" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y,
+         |  CAST((17 * (x.range // 8) + 29 * (y.range // 8) + 3) % 251 AS DOUBLE) AS value
+         |FROM range(0, $JpegW) x CROSS JOIN range(0, $JpegH) y
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanTiff(s, jpegRstFixturePath())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

@@ -108,10 +108,43 @@ class JpegSpec extends SparkSuite {
       Jpeg.decodeGray(stream(0xc0, Seq(12, 0, 8, 0, 8, 1, 1, 0x11, 0)))
     }
     assert(e3.getMessage.contains("12-bit"))
-    val e4 = intercept[Exception] {
-      Jpeg.decodeGray(stream(0xdd, Seq(0, 32)))
+  }
+
+  test("DRI restart intervals: exact roundtrip, predictor resets, desync is loud") {
+    // block-constant 32x24 = 12 blocks, interval 2 → 5 restart markers
+    val (w, h) = (32, 24)
+    val samples = Array.tabulate(w * h) { i =>
+      (40 + 16 * ((i % w) / 8) + 48 * ((i / w) / 8)) % 256
     }
-    assert(e4.getMessage.contains("restart"))
+    val enc = Jpeg.encodeGray(samples, w, h, restartInterval = 2)
+    // the stream really carries RST markers
+    val nRst = enc.sliding(2).count(p =>
+      (p(0) & 0xff) == 0xff && (p(1) & 0xff) >= 0xd0 && (p(1) & 0xff) <= 0xd7)
+    assert(nRst == 5, s"$nRst restart markers")
+    val (dw, dh, out) = Jpeg.decodeGray(enc)
+    assert(dw == w && dh == h && out.sameElements(samples))
+    // a declared interval with no marker at the boundary is loud
+    val noRst = Jpeg.encodeGray(samples, w, h) // no DRI, no markers
+    // graft a DRI segment before SOS: find FFDA, insert FFDD 0004 0002
+    var sos = -1
+    var i = 0
+    while (sos < 0 && i < noRst.length - 1) {
+      if ((noRst(i) & 0xff) == 0xff && (noRst(i + 1) & 0xff) == 0xda) sos = i
+      i += 1
+    }
+    val grafted = noRst.take(sos) ++
+      Array[Byte](0xff.toByte, 0xdd.toByte, 0, 4, 0, 2) ++ noRst.drop(sos)
+    val e = intercept[Exception] { Jpeg.decodeGray(grafted) }
+    assert(e.getMessage.contains("RST") || e.getMessage.contains("restart"),
+      e.getMessage)
+    // color MCUs restart too
+    val yp = Array.fill(16 * 16)(120)
+    val cb = Array.fill(16 * 16)(90)
+    val cr = Array.fill(16 * 16)(160)
+    val cenc = Jpeg.encodeColor(yp, cb, cr, 16, 16, subsample = false,
+      restartInterval = 1)
+    val (_, _, rgb) = Jpeg.decodeColor(cenc)
+    assert(rgb(0).distinct.length == 1, "constant image must stay constant")
   }
 
   test("corrupt streams are loud: truncated entropy data, stray marker") {
