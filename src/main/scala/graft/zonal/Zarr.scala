@@ -147,11 +147,13 @@ object Zarr {
         }
       case other => sys.error(s"$path: compressor $other unsupported")
     }
-    field("order") match {
-      case JString("C") => ()
-      case other => sys.error(s"$path: order $other unsupported — only " +
-        "C-order chunks are readable; F-order would silently transpose " +
-        "every chunk")
+    val fOrder = field("order") match {
+      case JString("C") => false
+      // F-order 2-D chunks are column-major — exactly the transpose
+      // index remap (r12; Fortran/scipy pipelines emit these); rank-3
+      // F-order refuses below rather than silently scrambling planes
+      case JString("F") => true
+      case other => sys.error(s"$path: order $other unsupported (C/F)")
     }
     field("filters") match {
       case JNull | JNothing | JArray(Nil) => ()
@@ -172,12 +174,13 @@ object Zarr {
       case JNull | JNothing => "."
       case other => sys.error(s"$path: dimension_separator $other")
     }
-    if (shape.length == 3)
+    if (shape.length == 3) {
+      require(!fOrder, s"$path: F-order rank-3 arrays unsupported (2-D only)")
       ZarrMeta(shape(1), shape(2), chunks(1), chunks(2), dtype, compressor,
         fill, hasFill, sep, epochs = shape(0), chunkT = chunks(0))
-    else
+    } else
       ZarrMeta(shape(0), shape(1), chunks(0), chunks(1), dtype, compressor,
-        fill, hasFill, sep)
+        fill, hasFill, sep, transposed = fOrder)
   }
 
   private val V3Dtypes = Map(
@@ -947,16 +950,27 @@ object Zarr {
   }
 
   def writeZarr(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
-      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0)
+      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0,
+      fOrder: Boolean = false)
       (f: (Int, Int) => Double): Unit = {
     writeZarrMeta(dir, height, width, chunkH, chunkW, compressor, dtype, fill)
+    if (fOrder) {
+      // rewrite the order field (the meta writer emits C by default)
+      val mp = new java.io.File(dir, ".zarray").toPath
+      val txt = new String(java.nio.file.Files.readAllBytes(mp),
+        java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(mp, txt.replace("\"order\": \"C\"", "\"order\": \"F\"")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val d = new java.io.File(dir)
     val down = (height + chunkH - 1) / chunkH
     val across = (width + chunkW - 1) / chunkW
     for (ci <- 0 until down; cj <- 0 until across) {
       val vals = Array.tabulate(chunkH * chunkW) { i =>
-        val y = ci * chunkH + i / chunkW
-        val x = cj * chunkW + i % chunkW
+        val (rr, cc) =
+          if (fOrder) (i % chunkH, i / chunkH) else (i / chunkW, i % chunkW)
+        val y = ci * chunkH + rr
+        val x = cj * chunkW + cc
         if (y < height && x < width) f(x, y) else fill
       }
       java.nio.file.Files.write(new java.io.File(d, s"$ci.$cj").toPath,
@@ -1353,6 +1367,22 @@ object Zarr {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  private val fixtureFLock = new Object
+  @volatile private var fixtureFReady: String = null
+
+  /** F-order fixture: same formula, chunks stored column-major. */
+  def fixtureFDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarrf_fixture_${ZarrW}x$ZarrH"
+    if (fixtureFReady != dir) fixtureFLock.synchronized {
+      if (fixtureFReady != dir) {
+        writeZarr(dir, ZarrH, ZarrW, 32, 32, compressor = "zlib",
+          fOrder = true)(zarrValue)
+        fixtureFReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureDsLock = new Object
   @volatile private var fixtureDsReady: String = null
 
@@ -1476,6 +1506,18 @@ object Zarr {
       s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanZarr(s, fixtureTransposeDir())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // F-ORDER v2 arrays (r12 — Fortran/scipy pipelines emit these;
+    // previously refused by name): column-major chunks are the same
+    // pure index remap as the v3 transpose codec, hash-caught by the
+    // non-square 80×70 lattice
+    "scan_zarr_forder" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarr(s, fixtureFDir())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

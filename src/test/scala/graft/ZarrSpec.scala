@@ -203,10 +203,16 @@ class ZarrSpec extends SparkSuite {
       putText(d, ".zarray", zarray)
       d.getPath
     }
-    val forder = store("forder",
-      """{"zarr_format": 2, "shape": [4, 4], "chunks": [2, 2], "dtype": "<f8",
+    // F-order is SUPPORTED for 2-D as of r12; rank-3 F and unknown
+    // order strings refuse
+    val forder3 = store("forder3",
+      """{"zarr_format": 2, "shape": [4, 4, 4], "chunks": [2, 2, 2], "dtype": "<f8",
         |"compressor": null, "fill_value": 0, "order": "F", "filters": null}""".stripMargin)
-    assert(msgs(intercept[Throwable](Zarr.readMeta(forder))).contains("order"))
+    assert(msgs(intercept[Throwable](Zarr.readMeta(forder3))).contains("F-order rank-3"))
+    val forderX = store("forderx",
+      """{"zarr_format": 2, "shape": [4, 4], "chunks": [2, 2], "dtype": "<f8",
+        |"compressor": null, "fill_value": 0, "order": "X", "filters": null}""".stripMargin)
+    assert(msgs(intercept[Throwable](Zarr.readMeta(forderX))).contains("order"))
 
     // rank-3 is SUPPORTED as of r12 (scanZarr3d); rank-4 refuses, and
     // the 2-D scan path refuses a rank-3 store by name
