@@ -1071,7 +1071,13 @@ object Hdf5 {
       deflate: Boolean = true, fill: Double = 0.0,
       omit: Set[(Int, Int)] = Set.empty, pageBits: Int = 16)
       (f: (Int, Int) => Double): Unit = {
-    require(!varName.contains("/"), s"V2 writer links from the root: $varName")
+    // `varName` may be "group/leaf": the root OHDR then links a group
+    // OHDR carrying its own link message (the new-style nesting shape)
+    val vparts = varName.split("/").filter(_.nonEmpty)
+    require(vparts.length <= 2, s"V2 writer supports at most one group level: $varName")
+    val rootLinkName = vparts.head
+    val leafName = vparts.last
+    val grouped = vparts.length == 2
     val elem = dtype.substring(2).toInt
     val down = (height + chunkH - 1) / chunkH
     val across = (width + chunkW - 1) / chunkW
@@ -1093,11 +1099,14 @@ object Hdf5 {
       }
     }
     // layout
-    val linkBody = 3 + varName.length + 8
+    val linkBody = 3 + rootLinkName.length + 8
     val rootChunk0 = 4 + linkBody
     val aRoot = 48L
     val rootSize = 7 + rootChunk0 + 4
-    val aDs = aRoot + rootSize
+    val aGrp = aRoot + rootSize
+    val grpChunk0 = 4 + (3 + leafName.length + 8)
+    val grpSize = if (grouped) 7 + grpChunk0 + 4 else 0
+    val aDs = aGrp + grpSize
     val dsBodies = Seq(
       (0x01, 20), (0x03, if (isFloat) 20 else 12), (0x05, 6 + elem)) ++
       (if (deflate) Seq((0x0B, 12)) else Nil) ++ Seq((0x08, 39))
@@ -1133,11 +1142,19 @@ object Hdf5 {
       .u8(3).u8(8).u8(8).u8(0)
       .u64(0).u64(Undef).u64(eof).u64(aRoot).u32(0) // checksum patched
     require(buf.size == 48, s"superblock v3 accounting: ${buf.size}")
-    // root OHDR: one hard-link message
+    // root OHDR: one hard-link message (to the group when nested)
     buf.raw("OHDR".getBytes).u8(2).u8(0).u8(rootChunk0)
       .u8(0x06).u16(linkBody).u8(0)
-      .u8(1).u8(0).u8(varName.length).raw(varName.getBytes).u64(aDs)
+      .u8(1).u8(0).u8(rootLinkName.length).raw(rootLinkName.getBytes)
+      .u64(if (grouped) aGrp else aDs)
       .u32(0) // checksum patched
+    if (grouped) {
+      require(buf.size == aGrp, s"root OHDR accounting: ${buf.size}")
+      buf.raw("OHDR".getBytes).u8(2).u8(0).u8(grpChunk0)
+        .u8(0x06).u16(3 + leafName.length + 8).u8(0)
+        .u8(1).u8(0).u8(leafName.length).raw(leafName.getBytes).u64(aDs)
+        .u32(0) // checksum patched
+    }
     require(buf.size == aDs, s"root OHDR accounting: ${buf.size}")
     // dataset OHDR
     buf.raw("OHDR".getBytes).u8(2).u8(0).u8(dsChunk0)
@@ -1206,7 +1223,8 @@ object Hdf5 {
         .putInt(at.toInt, ck)
     }
     patch(44, 0, 44)
-    patch(aDs - 4, aRoot, rootSize - 4)
+    patch(aGrp - 4, aRoot, rootSize - 4)
+    if (grouped) patch(aDs - 4, aGrp, grpSize - 4)
     patch(aFahd - 4, aDs, dsSize - 4)
     patch(aFadb - 4, aFahd, 24)
     if (!paged) patch(aFadb + fadbSize - 4, aFadb, fadbSize - 4)

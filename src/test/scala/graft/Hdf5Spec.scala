@@ -238,6 +238,18 @@ class Hdf5Spec extends SparkSuite {
     }
   }
 
+  test("libver-latest NESTED group: OHDR root → OHDR group → dataset") {
+    val p = tmp("v2grp")
+    Hdf5.writeHdf5V2(p, "outer/data", 6, 8, 3, 4, dtype = "<f8",
+      deflate = true)(f)
+    val got = Hdf5.scanNetcdf4(spark, p, "outer/data").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 48)
+    for (y <- 0 until 6; x <- 0 until 8) assert(got((x, y)) == f(x, y), s"($x,$y)")
+    assert(msgs(intercept[Throwable](
+      Hdf5.readMeta(p, "wrong/data"))).contains("group 'wrong'"))
+  }
+
   test("libver-latest PAGED fixed array: pages + uninit-page fill round-trip") {
     // 10x13 with 4x5 chunks = 3x3 grid; 2^2-entry pages → 3 pages.
     // Page 1 (chunks 4-7) fully omitted → uninitialized bitmask bit →
