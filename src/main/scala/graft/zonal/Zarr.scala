@@ -59,12 +59,18 @@ object Zarr {
       transposed: Boolean = false,
       // rank-3 (t, y, x) arrays (r12): leading-dimension extent and
       // chunk size; 0 epochs = a plain 2-D array
-      epochs: Int = 0, chunkT: Int = 1) {
+      epochs: Int = 0, chunkT: Int = 1,
+      // rank-4 (t, level, y, x) cubes (r13 — pressure-level reanalysis
+      // and ensemble output): second-dimension extent and chunk size;
+      // 0 levels = rank ≤ 3
+      levels: Int = 0, chunkL: Int = 1) {
     def sharded: Boolean = innerH > 0
-    def rank3: Boolean = epochs > 0
+    def rank3: Boolean = epochs > 0 && levels == 0
+    def rank4: Boolean = levels > 0
     def chunksDown: Int = (height + chunkH - 1) / chunkH
     def chunksAcross: Int = (width + chunkW - 1) / chunkW
-    def chunksAlong: Int = if (rank3) (epochs + chunkT - 1) / chunkT else 1
+    def chunksAlong: Int = if (epochs > 0) (epochs + chunkT - 1) / chunkT else 1
+    def chunksLevel: Int = if (rank4) (levels + chunkL - 1) / chunkL else 1
     def elemSize: Int = dtype.substring(2).toInt
     def chunkBytes: Int = chunkH * chunkW * elemSize
     /** Store-relative chunk key (v2: "ci.cj" / "ci/cj"; v3 default
@@ -75,6 +81,8 @@ object Zarr {
       if (v3) s"c$sep$ci$sep$cj" else s"$ci$sep$cj"
     def chunkKey3(ck: Int, ci: Int, cj: Int): String =
       if (v3) s"c$sep$ck$sep$ci$sep$cj" else s"$ck$sep$ci$sep$cj"
+    def chunkKey4(ck: Int, cl: Int, ci: Int, cj: Int): String =
+      if (v3) s"c$sep$ck$sep$cl$sep$ci$sep$cj" else s"$ck$sep$cl$sep$ci$sep$cj"
   }
 
   /** One executor work unit: a chunk file (or a declared-absent fill
@@ -111,9 +119,10 @@ object Zarr {
       }
       case other => sys.error(s"$path: shape $other is not an array")
     }
-    require(shape.length == 2 || shape.length == 3,
-      s"$path: ${shape.length}-D array unsupported — 2-D lattices and " +
-        "rank-3 (t, y, x) cubes only; slice higher ranks upstream")
+    require(shape.length >= 2 && shape.length <= 4,
+      s"$path: ${shape.length}-D array unsupported — 2-D lattices, " +
+        "rank-3 (t, y, x) and rank-4 (t, level, y, x) cubes only; " +
+        "slice higher ranks upstream")
     val chunks = field("chunks") match {
       case JArray(ds) => ds.map { case JInt(v) => v.toInt
         case other => sys.error(s"$path: non-integer chunks entry $other") }
@@ -174,7 +183,12 @@ object Zarr {
       case JNull | JNothing => "."
       case other => sys.error(s"$path: dimension_separator $other")
     }
-    if (shape.length == 3) {
+    if (shape.length == 4) {
+      require(!fOrder, s"$path: F-order rank-4 arrays unsupported (2-D only)")
+      ZarrMeta(shape(2), shape(3), chunks(2), chunks(3), dtype, compressor,
+        fill, hasFill, sep, epochs = shape(0), chunkT = chunks(0),
+        levels = shape(1), chunkL = chunks(1))
+    } else if (shape.length == 3) {
       require(!fOrder, s"$path: F-order rank-3 arrays unsupported (2-D only)")
       ZarrMeta(shape(1), shape(2), chunks(1), chunks(2), dtype, compressor,
         fill, hasFill, sep, epochs = shape(0), chunkT = chunks(0))
@@ -210,9 +224,10 @@ object Zarr {
       case other => sys.error(s"$path: $n $other is not an array")
     }
     val shape = dims("shape", field("shape"))
-    require(shape.length == 2 || shape.length == 3,
-      s"$path: ${shape.length}-D array unsupported — 2-D lattices and " +
-        "rank-3 (t, y, x) cubes only; slice higher ranks upstream")
+    require(shape.length >= 2 && shape.length <= 4,
+      s"$path: ${shape.length}-D array unsupported — 2-D lattices, " +
+        "rank-3 (t, y, x) and rank-4 (t, level, y, x) cubes only; " +
+        "slice higher ranks upstream")
     val grid = field("chunk_grid")
     require(grid \ "name" == JString("regular"),
       s"$path: chunk_grid ${grid \ "name"} unsupported (regular only)")
@@ -338,14 +353,22 @@ object Zarr {
       case JNothing | JNull | JArray(Nil) => ()
       case other => sys.error(s"$path: storage_transformers $other unsupported")
     }
-    if (shape.length == 3) {
-      // rank-3 with per-chunk byte transforms that assume 2-D refuse
-      // loudly rather than silently scrambling the t-planes
-      require(!transposed, s"$path: transpose codec on a rank-3 array unsupported")
-      require(innerDims.isEmpty, s"$path: sharding_indexed on a rank-3 array unsupported")
-      ZarrMeta(shape(1), shape(2), chunks(1), chunks(2), endian + kind,
-        compressor, fill, hasFill, sep, v3 = v3keys,
-        epochs = shape(0), chunkT = chunks(0))
+    if (shape.length >= 3) {
+      // higher ranks with per-chunk byte transforms that assume 2-D
+      // refuse loudly rather than silently scrambling the planes
+      require(!transposed,
+        s"$path: transpose codec on a rank-${shape.length} array unsupported")
+      require(innerDims.isEmpty,
+        s"$path: sharding_indexed on a rank-${shape.length} array unsupported")
+      if (shape.length == 4)
+        ZarrMeta(shape(2), shape(3), chunks(2), chunks(3), endian + kind,
+          compressor, fill, hasFill, sep, v3 = v3keys,
+          epochs = shape(0), chunkT = chunks(0),
+          levels = shape(1), chunkL = chunks(1))
+      else
+        ZarrMeta(shape(1), shape(2), chunks(1), chunks(2), endian + kind,
+          compressor, fill, hasFill, sep, v3 = v3keys,
+          epochs = shape(0), chunkT = chunks(0))
     } else
       ZarrMeta(shape(0), shape(1), chunks(0), chunks(1), endian + kind,
         compressor, fill, hasFill, sep, v3 = v3keys,
@@ -411,7 +434,7 @@ object Zarr {
             // every real dataset unreadable. Rank-2/3 members still
             // validate (and refuse) through the full parser.
             && ((v \ "shape") match {
-              case JArray(ds) => ds.length == 2 || ds.length == 3
+              case JArray(ds) => ds.length >= 2 && ds.length <= 4
               case _ => true // let parseZarray produce the named error
             }) =>
           val path = key.stripSuffix("/.zarray")
@@ -441,7 +464,8 @@ object Zarr {
     */
   def scanZarrDataset(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val metas = readZMetadata(dir).toSeq.sortBy(_._1).filter(!_._2.rank3)
+    val metas = readZMetadata(dir).toSeq.sortBy(_._1)
+      .filter(m => !m._2.rank3 && !m._2.rank4)
     require(metas.nonEmpty, s"$dir: no 2-D arrays in .zmetadata")
     val refs = metas.flatMap { case (path, m) =>
       chunkRefs(m, s"$dir/$path").map(r => (path, r))
@@ -461,6 +485,8 @@ object Zarr {
   private[graft] def chunkRefs(m: ZarrMeta, dir: String): Seq[ChunkRef] = {
     require(!m.rank3,
       s"$dir: rank-3 (t, y, x) store — scan it with scanZarr3d, not the 2-D path")
+    require(!m.rank4,
+      s"$dir: rank-4 (t, level, y, x) store — scan it with scanZarr4d, not the 2-D path")
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = hadoopFs(base)
     def listing(p: org.apache.hadoop.fs.Path): Map[String, Long] =
@@ -741,7 +767,8 @@ object Zarr {
     * grid position a ref (absent = fill, `len = -1`).
     */
   private[graft] def chunkRefs3(m: ZarrMeta, dir: String): Seq[ChunkRef3] = {
-    require(m.rank3, s"$dir: not a rank-3 store")
+    require(m.rank3, s"$dir: not a rank-3 store" +
+      (if (m.rank4) " (rank-4 — scan it with scanZarr4d)" else ""))
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = hadoopFs(base)
     def listing(p: org.apache.hadoop.fs.Path): Map[String, Long] =
@@ -834,7 +861,8 @@ object Zarr {
   def scanZarr3d(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = readMeta(dir)
-    require(m.rank3, s"$dir: a 2-D array — scan it with scanZarr")
+    require(m.rank3, s"$dir: not a rank-3 store — scan 2-D with scanZarr" +
+      (if (m.rank4) ", rank-4 with scanZarr4d" else ""))
     val refs = chunkRefs3(m, dir)
     s.createDataset(refs)
       .repartition(math.max(1, math.min(refs.size,
@@ -852,7 +880,8 @@ object Zarr {
       t0: Int, t1: Int, x0: Int, x1: Int, y0: Int, y1: Int): DataFrame = {
     import s.implicits._
     val m = readMeta(dir)
-    require(m.rank3, s"$dir: a 2-D array — window it with scanZarrWindow")
+    require(m.rank3, s"$dir: not a rank-3 store — window 2-D with " +
+      s"scanZarrWindow" + (if (m.rank4) ", rank-4 with scanZarr4dWindow" else ""))
     val refs = windowRefs3(m, dir, t0, t1, x0, x1, y0, y1)
     s.createDataset(refs)
       .repartition(math.max(1, math.min(math.max(1, refs.size),
@@ -868,6 +897,164 @@ object Zarr {
       t0: Int, t1: Int, x0: Int, x1: Int, y0: Int, y1: Int): Seq[ChunkRef3] =
     chunkRefs3(m, dir).filter(r =>
       r.ck * m.chunkT <= t1 && (r.ck + 1) * m.chunkT > t0 &&
+      r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
+      r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0)
+
+  // ---- rank-4 (t, level, y, x) cubes (r13 — the actual shape of
+  // pressure-level reanalysis and ensemble output; until now rank-4
+  // refused by name and demanded upstream slicing) ----
+
+  /** Rank-4 work unit: one (t, level, y, x) chunk (or a declared-
+    * absent fill chunk, `len < 0`).
+    */
+  final case class ChunkRef4(
+      path: String, len: Long, ck: Int, cl: Int, ci: Int, cj: Int,
+      epochs: Int, levels: Int, height: Int, width: Int,
+      chunkT: Int, chunkL: Int, chunkH: Int, chunkW: Int,
+      dtype: String, compressor: String, fill: Double, hasFill: Boolean)
+
+  /** Rank-4 chunk manifest: one listing per directory level, every
+    * grid position a ref (absent = fill, `len = -1`).
+    */
+  private[graft] def chunkRefs4(m: ZarrMeta, dir: String): Seq[ChunkRef4] = {
+    require(m.rank4, s"$dir: not a rank-4 store")
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopFs(base)
+    def listing(p: org.apache.hadoop.fs.Path): Map[String, Long] =
+      if (!fs.exists(p)) Map.empty
+      else fs.listStatus(p).map(st => st.getPath.getName -> st.getLen).toMap
+    def ref(ck: Int, cl: Int, ci: Int, cj: Int, len: Long) =
+      ChunkRef4(s"$dir/${m.chunkKey4(ck, cl, ci, cj)}", len, ck, cl, ci, cj,
+        m.epochs, m.levels, m.height, m.width,
+        m.chunkT, m.chunkL, m.chunkH, m.chunkW,
+        m.dtype, m.compressor, m.fill, m.hasFill)
+    if (m.sep == ".") {
+      val names = listing(base)
+      for (ck <- 0 until m.chunksAlong; cl <- 0 until m.chunksLevel;
+           ci <- 0 until m.chunksDown; cj <- 0 until m.chunksAcross)
+        yield ref(ck, cl, ci, cj,
+          names.getOrElse(m.chunkKey4(ck, cl, ci, cj), -1L))
+    } else {
+      (for (ck <- 0 until m.chunksAlong; cl <- 0 until m.chunksLevel;
+            ci <- 0 until m.chunksDown) yield {
+        val rowDir =
+          if (m.v3) new org.apache.hadoop.fs.Path(base, s"c/$ck/$cl/$ci")
+          else new org.apache.hadoop.fs.Path(base, s"$ck/$cl/$ci")
+        val row = listing(rowDir)
+        (0 until m.chunksAcross).map(cj =>
+          ref(ck, cl, ci, cj, row.getOrElse(cj.toString, -1L)))
+      }).flatten
+    }
+  }
+
+  /** One rank-4 task: decode a (t, level, y, x) chunk to in-bounds
+    * cells — the buffer is C-order (t outermost, then level), each
+    * (t, level) plane a chunkH×chunkW lattice; pad in every axis
+    * clipped. Output tuples are (x, y, level, t, value).
+    */
+  private def readChunk4(r: ChunkRef4): Iterator[(Int, Int, Int, Int, Double)] = {
+    val elem = r.dtype.substring(2).toInt
+    val inBounds = for {
+      tt <- Iterator.range(0, r.chunkT)
+      t = r.ck * r.chunkT + tt
+      if t < r.epochs
+      ll <- Iterator.range(0, r.chunkL)
+      l = r.cl * r.chunkL + ll
+      if l < r.levels
+      rr <- Iterator.range(0, r.chunkH)
+      y = r.ci * r.chunkH + rr
+      if y < r.height
+      cc <- Iterator.range(0, r.chunkW)
+      x = r.cj * r.chunkW + cc
+      if x < r.width
+    } yield (tt, ll, rr, cc, x, y, l, t)
+    if (r.len < 0) {
+      require(r.hasFill, s"${r.path}: chunk absent from the store but " +
+        "fill_value is null — the cube has undefined cells; fix the store")
+      inBounds.map { case (_, _, _, _, x, y, l, t) => (x, y, l, t, r.fill) }
+    } else {
+      val p = new org.apache.hadoop.fs.Path(r.path)
+      val fs = hadoopFs(p)
+      val in = fs.open(p)
+      val bytes = try {
+        val b = new Array[Byte](r.len.toInt)
+        in.readFully(0, b)
+        b
+      } finally in.close()
+      val expected = r.chunkT * r.chunkL * r.chunkH * r.chunkW * elem
+      val raw = r.compressor match {
+        case "raw" => bytes
+        case "zlib" => TiffCodec.inflate(bytes, expected)
+        case "gzip" => TiffCodec.gzipDecompress(bytes, expected)
+        case "zstd" => TiffCodec.zstdDecompress(bytes, expected)
+        case "blosc" => Blosc.decompress(bytes, expected)
+      }
+      require(raw.length == expected,
+        s"${r.path}: chunk decoded to ${raw.length} bytes, want $expected")
+      val buf = java.nio.ByteBuffer.wrap(raw)
+      buf.order(if (r.dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val kind = r.dtype.substring(1)
+      inBounds.map { case (tt, ll, rr, cc, x, y, l, t) =>
+        val i = (((tt * r.chunkL + ll) * r.chunkH + rr) * r.chunkW + cc) * elem
+        val v = kind match {
+          case "f8" => buf.getDouble(i)
+          case "f4" => buf.getFloat(i).toDouble
+          case "i4" => buf.getInt(i).toDouble
+          case "i2" => buf.getShort(i).toDouble
+          case "i1" => buf.get(i).toDouble
+          case "u1" => (buf.get(i) & 0xff).toDouble
+        }
+        (x, y, l, t, v)
+      }
+    }
+  }
+
+  /** NATIVE rank-4 scan: the whole (t, level, y, x) cube as ONE
+    * DataFrame `(cell_x, cell_y, level, epoch, value)`, one task per
+    * chunk — no upstream slicing step at all.
+    */
+  def scanZarr4d(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = readMeta(dir)
+    require(m.rank4, s"$dir: not a rank-4 store — scan 2-D with " +
+      "scanZarr, rank-3 with scanZarr3d")
+    val refs = chunkRefs4(m, dir)
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap(readChunk4 _)
+      .toDF("cell_x", "cell_y", "level", "epoch", "value")
+  }
+
+  /** TIME + LEVEL + spatial window over the rank-4 cube (the xarray
+    * `cube.sel(time=, level=, x=, y=)` query): the chunk manifest
+    * prunes in ALL FOUR axes before any byte is read, the residual
+    * filter trims boundary chunks exactly.
+    */
+  def scanZarr4dWindow(s: SparkSession, dir: String,
+      t0: Int, t1: Int, l0: Int, l1: Int,
+      x0: Int, x1: Int, y0: Int, y1: Int): DataFrame = {
+    import s.implicits._
+    val m = readMeta(dir)
+    require(m.rank4, s"$dir: not a rank-4 store")
+    val refs = windowRefs4(m, dir, t0, t1, l0, l1, x0, x1, y0, y1)
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(math.max(1, refs.size),
+        s.sparkContext.defaultParallelism)))
+      .flatMap(readChunk4 _)
+      .toDF("cell_x", "cell_y", "level", "epoch", "value")
+      .filter(col("cell_x").between(x0, x1) && col("cell_y").between(y0, y1)
+        && col("level").between(l0, l1) && col("epoch").between(t0, t1))
+  }
+
+  /** The pruned rank-4 manifest (exposed for ZarrSpec's count assert). */
+  private[graft] def windowRefs4(m: ZarrMeta, dir: String,
+      t0: Int, t1: Int, l0: Int, l1: Int,
+      x0: Int, x1: Int, y0: Int, y1: Int): Seq[ChunkRef4] =
+    chunkRefs4(m, dir).filter(r =>
+      r.ck * m.chunkT <= t1 && (r.ck + 1) * m.chunkT > t0 &&
+      r.cl * m.chunkL <= l1 && (r.cl + 1) * m.chunkL > l0 &&
       r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
       r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0)
 
@@ -1039,6 +1226,75 @@ object Zarr {
       }
       java.nio.file.Files.write(new java.io.File(d, s"$ck.$ci.$cj").toPath,
         chunkFileBytes(vals, chunkT * chunkH, chunkW, compressor, dtype))
+    }
+  }
+
+  /** Driver-side rank-4 `.zarray` write (the tiny metadata document;
+    * the distributed sink pairs it with executor-written chunk files).
+    */
+  def writeZarr4dMeta(dir: String, epochs: Int, levels: Int, height: Int, width: Int,
+      chunkT: Int, chunkL: Int, chunkH: Int, chunkW: Int,
+      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0): Unit = {
+    require(Set("raw", "zlib", "zstd", "blosc").contains(compressor), compressor)
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val compJson = compressor match {
+      case "raw" => "null"
+      case "zlib" => """{"id": "zlib", "level": 6}"""
+      case "zstd" => """{"id": "zstd", "level": 3}"""
+      case "blosc" =>
+        """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+    }
+    val fillJson =
+      if (fill.isNaN) "\"NaN\""
+      else if (fill == fill.floor && !fill.isInfinite) fill.toLong.toString
+      else fill.toString
+    val meta =
+      s"""{
+         |  "zarr_format": 2,
+         |  "shape": [$epochs, $levels, $height, $width],
+         |  "chunks": [$chunkT, $chunkL, $chunkH, $chunkW],
+         |  "dtype": "$dtype",
+         |  "compressor": $compJson,
+         |  "fill_value": $fillJson,
+         |  "order": "C",
+         |  "filters": null
+         |}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(d, ".zarray").toPath,
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Write a RANK-4 (t, level, y, x) Zarr v2 store: one file per
+    * (ck, cl, ci, cj) chunk, C-order (t outermost, then level), pad
+    * filled in every axis. `f(x, y, l, t)`.
+    */
+  def writeZarr4d(dir: String, epochs: Int, levels: Int, height: Int, width: Int,
+      chunkT: Int, chunkL: Int, chunkH: Int, chunkW: Int,
+      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0)
+      (f: (Int, Int, Int, Int) => Double): Unit = {
+    writeZarr4dMeta(dir, epochs, levels, height, width,
+      chunkT, chunkL, chunkH, chunkW, compressor, dtype, fill)
+    val d = new java.io.File(dir)
+    val along = (epochs + chunkT - 1) / chunkT
+    val lvl = (levels + chunkL - 1) / chunkL
+    val down = (height + chunkH - 1) / chunkH
+    val across = (width + chunkW - 1) / chunkW
+    for (ck <- 0 until along; cl <- 0 until lvl;
+         ci <- 0 until down; cj <- 0 until across) {
+      val vals = Array.tabulate(chunkT * chunkL * chunkH * chunkW) { i =>
+        val tt = i / (chunkL * chunkH * chunkW)
+        val ll = i / (chunkH * chunkW) % chunkL
+        val rr = i / chunkW % chunkH
+        val cc = i % chunkW
+        val t = ck * chunkT + tt
+        val l = cl * chunkL + ll
+        val y = ci * chunkH + rr
+        val x = cj * chunkW + cc
+        if (t < epochs && l < levels && y < height && x < width) f(x, y, l, t)
+        else fill
+      }
+      java.nio.file.Files.write(new java.io.File(d, s"$ck.$cl.$ci.$cj").toPath,
+        chunkFileBytes(vals, chunkT * chunkL * chunkH, chunkW, compressor, dtype))
     }
   }
 
@@ -1421,6 +1677,38 @@ object Zarr {
     dir
   }
 
+  /** Rank-4 fixture formula over (x, y, level, t) — pairwise-distinct
+    * multipliers so any cross-wired axis hash-mismatches.
+    */
+  val Zarr4T = 3
+  val Zarr4L = 4
+  def zarr4dValue(x: Int, y: Int, l: Int, t: Int): Double =
+    ((29 * x + 13 * y + 53 * l + 41 * t) % 1013).toDouble
+  private val Zarr4dCellsSql =
+    s"""SELECT x.range AS cell_x, y.range AS cell_y, l.range AS level, t.range AS epoch,
+       |  CAST((29 * x.range + 13 * y.range + 53 * l.range + 41 * t.range) % 1013 AS DOUBLE) AS value
+       |FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+       |CROSS JOIN range(0, $Zarr4L) l CROSS JOIN range(0, $Zarr4T) t""".stripMargin
+
+  private val fixture4dLock = new Object
+  @volatile private var fixture4dReady: String = null
+
+  /** Rank-4 v2 fixture: 3×4×70×80 with 2×3×32×32 chunks — BOTH leading
+    * chunk grids have an edge chunk (3 % 2 = 1 along t, 4 % 3 = 1
+    * along level) so the pad clip is exercised in all four axes.
+    */
+  def fixture4dDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr4d_fixture_${Zarr4T}x${Zarr4L}x${ZarrH}x$ZarrW"
+    if (fixture4dReady != dir) fixture4dLock.synchronized {
+      if (fixture4dReady != dir) {
+        writeZarr4d(dir, Zarr4T, Zarr4L, ZarrH, ZarrW, 2, 3, 32, 32,
+          compressor = "zlib")(zarr4dValue)
+        fixture4dReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureShLock = new Object
   @volatile private var fixtureShReady: String = null
 
@@ -1618,6 +1906,55 @@ object Zarr {
         .orderBy("zone_id", "epoch")
     },
 
+    // NATIVE rank-4 scan (r13 — the r12 verdict's top ask: pressure-
+    // level reanalysis and ensemble output ARE (t, level, y, x), and
+    // until now rank-4 refused by name): one task per chunk, C-order
+    // (t, level)-plane decode, pad clipped in all FOUR axes (edge
+    // chunks along t (3 % 2) AND level (4 % 3) prove the leading-axis
+    // clips)
+    "scan_zarr_4d" -> Q(
+      s"""SELECT cell_x, cell_y, level, epoch, value FROM ($Zarr4dCellsSql)
+         |ORDER BY cell_x, cell_y, level, epoch""".stripMargin) { (s, _) =>
+      scanZarr4d(s, fixture4dDir())
+        .select(col("cell_x"), col("cell_y"), col("level"), col("epoch"), col("value"))
+        .orderBy("cell_x", "cell_y", "level", "epoch")
+    },
+
+    // the xarray `cube.sel(time=, level=, x=, y=)` query: the manifest
+    // prunes in ALL FOUR axes before any byte is read (ZarrSpec asserts
+    // the chunk count), residual filter trims the boundaries exactly
+    "scan_zarr_4d_window" -> Q(
+      s"""SELECT cell_x, cell_y, level, epoch, value FROM ($Zarr4dCellsSql)
+         |WHERE cell_x BETWEEN 10 AND 50 AND cell_y BETWEEN 8 AND 40
+         |  AND level BETWEEN 1 AND 2 AND epoch BETWEEN 2 AND 2
+         |ORDER BY cell_x, cell_y, level, epoch""".stripMargin) { (s, _) =>
+      scanZarr4dWindow(s, fixture4dDir(), 2, 2, 1, 2, 10, 50, 8, 40)
+        .select(col("cell_x"), col("cell_y"), col("level"), col("epoch"), col("value"))
+        .orderBy("cell_x", "cell_y", "level", "epoch")
+    },
+
+    // the rank-4 end-use: per-(zone, epoch, level) statistics straight
+    // over the cube — ONE scan, one broadcast rasterize (epoch AND
+    // level ride the tile equi-join), one hash agg
+    "zonal_zarr4d_stats" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), cells AS (
+         |$Zarr4dCellsSql
+         |)
+         |SELECT zone_id, epoch, level, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |${Cube.RasterizeJoinSql}
+         |GROUP BY zone_id, epoch, level ORDER BY zone_id, epoch, level""".stripMargin) { (s, d) =>
+      Cube.rasterize(scanZarr4d(s, fixture4dDir()), Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("epoch"), col("level"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("zone_id", "epoch", "level")
+    },
+
     // COG-window analogue for cubes: only the 4 of 9 chunks overlapping
     // the window are range-read (ZarrSpec asserts the manifest pruning);
     // the residual filter trims the boundary chunks exactly.
@@ -1756,6 +2093,70 @@ object Zarr {
         .agg(count(lit(1)).as("n_cells_nonzero"),
           sum(col("value").cast("long")).as("sum_v"))
         .orderBy("chunk_x", "chunk_y", "chunk_t")
+    },
+
+    // the RANK-4 WRITE direction, distributed (r13): a 3-epoch,
+    // 2-level cube chunks up via ONE groupByKey on (ck, cl, ci, cj) —
+    // each executor task assembles and writes exactly its own
+    // (t, level, y, x) chunk file (C-order t-then-level planes, the
+    // same bytes the rank-4 reader speaks; the 3 % 2 = 1 edge t-chunk
+    // carries fill pad), the driver writes only the tiny .zarray —
+    // then the cube reads back through scanZarr4d and aggregates per
+    // chunk. The oracle computes the same per-chunk stats straight
+    // from the source cells, gating the full write→read round trip.
+    "sink_zarr_4d" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS chunk_x, cell_y // 16 AS chunk_y,
+           |  t.range // 2 AS chunk_t, l.range AS chunk_l,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n + 41 * t.range + 53 * l.range) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |CROSS JOIN range(0, 3) t CROSS JOIN range(0, 2) l
+           |GROUP BY chunk_x, chunk_y, chunk_t, chunk_l
+           |ORDER BY chunk_x, chunk_y, chunk_t, chunk_l""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_sink_4d"
+      graft.core.Fs.rmTree(dir)
+      val (cs, ct, ne, nl) = (16, 2, 3, 2)
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      writeZarr4dMeta(dir, ne, nl, h, w, ct, 1, cs, cs, compressor = "zlib")
+      percell
+        .select(col("cell_x"), col("cell_y"), col("v"),
+          explode(expr(s"sequence(0, ${ne - 1})")).as("t"))
+        .select(col("cell_x"), col("cell_y"), col("t"),
+          explode(expr(s"sequence(0, ${nl - 1})")).as("l"),
+          col("v"))
+        .select(col("cell_x"), col("cell_y"), col("t"), col("l"),
+          (col("v") + lit(41) * col("t") + lit(53) * col("l")).as("tv"))
+        .groupByKey(r => (r.getInt(2) / ct, r.getInt(3),
+          r.getLong(1) / cs, r.getLong(0) / cs))
+        .mapGroups { (key: (Int, Int, Long, Long), rows: Iterator[org.apache.spark.sql.Row]) =>
+          val (ck, cl, ci, cj) = key
+          val vals = new Array[Double](ct * cs * cs) // chunkL = 1
+          rows.foreach { r =>
+            val x = (r.getLong(0) - cj * cs).toInt
+            val y = (r.getLong(1) - ci * cs).toInt
+            val tt = r.getInt(2) - ck * ct
+            vals((tt * cs + y) * cs + x) = r.getDouble(4)
+          }
+          java.nio.file.Files.write(
+            new java.io.File(dir, s"$ck.$cl.$ci.$cj").toPath,
+            chunkFileBytes(vals, ct * cs, cs, "zlib", "<f8"))
+          (ck, cl, ci, cj)
+        }
+        .collect() // manifest only: one row per chunk file
+      scanZarr4d(s, dir)
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_x div $cs AS BIGINT)").as("chunk_x"),
+          expr(s"CAST(cell_y div $cs AS BIGINT)").as("chunk_y"),
+          expr(s"CAST(epoch div $ct AS BIGINT)").as("chunk_t"),
+          col("level").cast("long").as("chunk_l"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("chunk_x", "chunk_y", "chunk_t", "chunk_l")
     },
 
     // the sharded WRITE direction, distributed: per-cell aggregates

@@ -214,16 +214,27 @@ class ZarrSpec extends SparkSuite {
         |"compressor": null, "fill_value": 0, "order": "X", "filters": null}""".stripMargin)
     assert(msgs(intercept[Throwable](Zarr.readMeta(forderX))).contains("order"))
 
-    // rank-3 is SUPPORTED as of r12 (scanZarr3d); rank-4 refuses, and
-    // the 2-D scan path refuses a rank-3 store by name
-    val fourD = store("fourd",
-      """{"zarr_format": 2, "shape": [2, 4, 4, 4], "chunks": [1, 2, 2, 2], "dtype": "<f8",
+    // rank-3 (r12) and rank-4 (r13) are SUPPORTED; rank-5 refuses, and
+    // the 2-D scan path refuses rank-3/rank-4 stores by name
+    val fiveD = store("fived",
+      """{"zarr_format": 2, "shape": [2, 2, 4, 4, 4], "chunks": [1, 1, 2, 2, 2], "dtype": "<f8",
         |"compressor": null, "fill_value": 0, "order": "C", "filters": null}""".stripMargin)
-    assert(msgs(intercept[Throwable](Zarr.readMeta(fourD))).contains("4-D"))
+    assert(msgs(intercept[Throwable](Zarr.readMeta(fiveD))).contains("5-D"))
     val threeD = store("threed",
       """{"zarr_format": 2, "shape": [4, 4, 4], "chunks": [2, 2, 2], "dtype": "<f8",
         |"compressor": null, "fill_value": 0, "order": "C", "filters": null}""".stripMargin)
     assert(msgs(intercept[Throwable](Zarr.scanZarr(spark, threeD))).contains("scanZarr3d"))
+    val fourD = store("fourd",
+      """{"zarr_format": 2, "shape": [2, 2, 4, 4], "chunks": [1, 1, 2, 2], "dtype": "<f8",
+        |"compressor": null, "fill_value": 0, "order": "C", "filters": null}""".stripMargin)
+    assert(msgs(intercept[Throwable](Zarr.scanZarr(spark, fourD))).contains("scanZarr4d"))
+    // ...and the rank-3 scan refuses a rank-4 store by name
+    assert(msgs(intercept[Throwable](Zarr.scanZarr3d(spark, fourD))).contains("scanZarr4d"))
+    // F-order rank-4 refuses like rank-3
+    val forder4 = store("forder4",
+      """{"zarr_format": 2, "shape": [2, 2, 4, 4], "chunks": [1, 1, 2, 2], "dtype": "<f8",
+        |"compressor": null, "fill_value": 0, "order": "F", "filters": null}""".stripMargin)
+    assert(msgs(intercept[Throwable](Zarr.readMeta(forder4))).contains("F-order rank-4"))
 
     // absent chunk + fill_value null -> loud at read time, not silent zeros
     val noFill = store("nofill",
@@ -431,6 +442,78 @@ class ZarrSpec extends SparkSuite {
     // the dataset scan unions both members with their names
     val ds = Zarr.scanZarrDataset(spark, d.getPath).collect()
     assert(ds.length == 48 && ds.map(_.getString(2)).toSet == Set("a", "b"))
+  }
+
+  test("hand-built RANK-4 store: (t, level)-major planes, all-axis pad clip, absent-chunk fill") {
+    // 3×2×3×4 cube (t, level, y, x), chunks 2×1×2×3 → 2×2×2×2 grid;
+    // value 1000*t + 100*l + 10*y + x; chunk (1,1,1,1) ABSENT
+    // (fill 7); pads poisoned
+    val d = tmpDir("rank4")
+    putText(d, ".zarray",
+      """{"zarr_format": 2, "shape": [3, 2, 3, 4], "chunks": [2, 1, 2, 3],
+        |"dtype": "<i2", "compressor": null, "fill_value": 7,
+        |"order": "C", "filters": null}""".stripMargin)
+    def chunk(ck: Int, cl: Int, ci: Int, cj: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(2 * 1 * 2 * 3 * 2)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (tt <- 0 until 2; ll <- 0 until 1; rr <- 0 until 2; cc <- 0 until 3) {
+        val t = ck * 2 + tt; val l = cl + ll
+        val y = ci * 2 + rr; val x = cj * 3 + cc
+        b.putShort(if (t < 3 && l < 2 && y < 3 && x < 4)
+          (1000 * t + 100 * l + 10 * y + x).toShort else -1)
+      }
+      b.array()
+    }
+    for (ck <- 0 until 2; cl <- 0 until 2; ci <- 0 until 2; cj <- 0 until 2
+         if (ck, cl, ci, cj) != ((1, 1, 1, 1)))
+      put(d, s"$ck.$cl.$ci.$cj", chunk(ck, cl, ci, cj))
+    val got = Zarr.scanZarr4d(spark, d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    assert(got.size == 3 * 2 * 3 * 4)
+    for (t <- 0 until 3; l <- 0 until 2; y <- 0 until 3; x <- 0 until 4) {
+      // the absent chunk covers t=2, l=1, y=2, x=3 — all-fill there
+      val want = if (t >= 2 && l >= 1 && y >= 2 && x >= 3) 7.0
+        else (1000 * t + 100 * l + 10 * y + x).toDouble
+      assert(got((x, y, l, t)) == want, s"($x,$y,$l,$t)")
+    }
+    assert(!got.values.exists(_ == -1.0), "poisoned pad leaked")
+  }
+
+  test("hand-built v3 RANK-4 store: nested c/ck/cl/ci/cj keys through the shared decode") {
+    // 2×2×2×3 (t, level, y, x), chunks 1×1×2×2 → keys c/ck/cl/ci/cj
+    val d = tmpDir("rank4v3")
+    putText(d, "zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 2, 2, 3],
+        |"data_type": "int32",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [1, 1, 2, 2]}},
+        |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        |"fill_value": 0,
+        |"codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]}""".stripMargin)
+    for (ck <- 0 until 2; cl <- 0 until 2; ci <- 0 until 1; cj <- 0 until 2) {
+      val b = java.nio.ByteBuffer.allocate(2 * 2 * 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (rr <- 0 until 2; cc <- 0 until 2) {
+        val y = rr; val x = cj * 2 + cc
+        b.putInt(if (y < 2 && x < 3) 1000 * ck + 100 * cl + 10 * y + x else -1)
+      }
+      val f = new java.io.File(d, s"c/$ck/$cl/$ci/$cj")
+      f.getParentFile.mkdirs()
+      java.nio.file.Files.write(f.toPath, b.array())
+    }
+    val got = Zarr.scanZarr4d(spark, d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    assert(got.size == 2 * 2 * 2 * 3)
+    for (t <- 0 until 2; l <- 0 until 2; y <- 0 until 2; x <- 0 until 3)
+      assert(got((x, y, l, t)) == (1000 * t + 100 * l + 10 * y + x).toDouble, s"($x,$y,$l,$t)")
+  }
+
+  test("rank-4 window prunes the manifest in all four axes") {
+    // fixture grid: 2 (t: 3/2) × 2 (level: 4/3) × 3 × 3 = 36 chunks;
+    // the window (t 2-2, l 1-2, x 10-50, y 8-40) overlaps
+    // 1 (t-chunk 1) × 1 (level-chunk 0) × 2 × 2 = 4 chunks of 36
+    val m = Zarr.readMeta(Zarr.fixture4dDir())
+    val refs = Zarr.windowRefs4(m, Zarr.fixture4dDir(), 2, 2, 1, 2, 10, 50, 8, 40)
+    assert(refs.size == 4, s"want 4 of 36 chunks, got ${refs.size}")
   }
 
   test("rank-3 window prunes the manifest in all three axes") {
