@@ -64,17 +64,23 @@ object Hdf5 {
       fill: Double, hasFill: Boolean,
       // rank-3 (r12): leading-dim origin/plane-count/extent (a rank-2
       // chunk is the single plane of epoch 0)
-      ot: Int = 0, chunkT: Int = 1, epochs: Int = 1)
+      ot: Int = 0, chunkT: Int = 1, epochs: Int = 1,
+      // rank-4 (r13): second-dim (level) origin/chunk-extent/extent (a
+      // rank ≤ 3 chunk is the single plane of level 0)
+      ol: Int = 0, chunkL: Int = 1, levels: Int = 1)
 
-  /** Parsed dataset facts (driver-side). `epochs = 0` marks rank-2. */
+  /** Parsed dataset facts (driver-side). `epochs = 0` marks rank-2;
+    * `levels > 0` marks rank-4 (t, level, y, x).
+    */
   final case class H5Meta(
       height: Int, width: Int, chunkH: Int, chunkW: Int,
       dtype: String, // "<f8" spelling, shared with Zarr
       contiguous: Boolean, dataAddr: Long,
       deflate: Boolean, shuffleTs: Int,
       fill: Double, hasFill: Boolean,
-      chunks: Seq[(Int, Int, Int, Long, Long, Int)], // (ot, oy, ox, addr, size, mask)
-      epochs: Int = 0, chunkT: Int = 1)
+      chunks: Seq[(Int, Int, Int, Int, Long, Long, Int)], // (ot, ol, oy, ox, addr, size, mask)
+      epochs: Int = 0, chunkT: Int = 1,
+      levels: Int = 0, chunkL: Int = 1)
 
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -324,11 +330,14 @@ object Hdf5 {
         case 2 => (sp(1) & 0xff, 4)
         case v => sys.error(s"$path: dataspace version $v unsupported")
       }
-      require(rank == 2 || rank == 3, s"$path: rank-$rank dataset " +
-        "unsupported — 2-D lattices and rank-3 (t, y, x) cubes only")
-      val rank3 = rank == 3
+      require(rank >= 2 && rank <= 4, s"$path: rank-$rank dataset " +
+        "unsupported — 2-D lattices, rank-3 (t, y, x) and rank-4 " +
+        "(t, level, y, x) cubes only")
+      val rank3 = rank >= 3
+      val rank4 = rank == 4
       val epochs0 = if (rank3) le(sp).getLong(dimsOff).toInt else 0
-      val spatialOff = if (rank3) dimsOff + 8 else dimsOff
+      val levels0 = if (rank4) le(sp).getLong(dimsOff + 8).toInt else 0
+      val spatialOff = dimsOff + 8 * (rank - 2)
       val height = le(sp).getLong(spatialOff).toInt
       val width = le(sp).getLong(spatialOff + 8).toInt
       // datatype (0x0003): class ∈ {fixed-point 0, float 1}
@@ -439,7 +448,7 @@ object Hdf5 {
             "B-tree mean unlimited dimensions; use a bounded shape)")
         }
         val chunks = located.collect { case (k, addr, size, mask) if addr != Undef =>
-          (0, (k / across) * chunkH, (k % across) * chunkW, addr, size, mask)
+          (0, 0, (k / across) * chunkH, (k % across) * chunkW, addr, size, mask)
         }
         return H5Meta(height, width, chunkH, chunkW, dtype, contiguous = false,
           Undef, deflate, shuffleTs, fill, hasFill, chunks)
@@ -451,18 +460,21 @@ object Hdf5 {
             s"$path: filters on a contiguous dataset (corrupt)")
           H5Meta(height, width, 0, 0, dtype, contiguous = true, dataAddr,
             deflate = false, shuffleTs = 0, fill, hasFill, Nil,
-            epochs = epochs0)
+            epochs = epochs0, levels = levels0)
         case 2 =>
           val dim = lay(2) & 0xff
           require(dim == rank + 1,
             s"$path: chunked rank ${dim - 1} where the dataspace is rank-$rank (corrupt)")
           val btAddr = le(lay).getLong(3)
+          // chunk dims follow the B-tree address: dim_i at 11 + 4i
+          // (leading dims first, element size last)
           val chunkT = if (rank3) le(lay).getInt(11) else 1
-          val chunkH = le(lay).getInt(if (rank3) 15 else 11)
-          val chunkW = le(lay).getInt(if (rank3) 19 else 15)
-          require(chunkT > 0 && chunkH > 0 && chunkW > 0,
-            s"$path: chunk dims $chunkT x $chunkH x $chunkW")
-          val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Long, Long, Int)]
+          val chunkL = if (rank4) le(lay).getInt(15) else 1
+          val chunkH = le(lay).getInt(11 + 4 * (rank - 2))
+          val chunkW = le(lay).getInt(11 + 4 * (rank - 1))
+          require(chunkT > 0 && chunkL > 0 && chunkH > 0 && chunkW > 0,
+            s"$path: chunk dims $chunkT x $chunkL x $chunkH x $chunkW")
+          val chunks = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int, Int, Long, Long, Int)]
           def walk(a: Long): Unit = {
             val hd = r.bytes(a, 24)
             require(hd.take(4).sameElements("TREE".getBytes), s"$path: bad chunk B-tree node")
@@ -476,19 +488,22 @@ object Hdf5 {
               val kOff = i * (keySize + 8)
               val sizeB = le(body).getInt(kOff)
               val mask = le(body).getInt(kOff + 4)
+              // rank offsets lead (t[, level], y, x); the element offset
+              // (always 0) trails
               val ot = if (rank3) le(body).getLong(kOff + 8).toInt else 0
-              val oy = le(body).getLong(kOff + 8 + (if (rank3) 8 else 0)).toInt
-              val ox = le(body).getLong(kOff + 16 + (if (rank3) 8 else 0)).toInt
+              val ol = if (rank4) le(body).getLong(kOff + 16).toInt else 0
+              val oy = le(body).getLong(kOff + 8 + 8 * (rank - 2)).toInt
+              val ox = le(body).getLong(kOff + 8 + 8 * (rank - 1)).toInt
               val child = le(body).getLong(kOff + keySize)
               if (level > 0) walk(child)
-              else chunks += ((ot, oy, ox, child, sizeB.toLong & 0xffffffffL, mask))
+              else chunks += ((ot, ol, oy, ox, child, sizeB.toLong & 0xffffffffL, mask))
               i += 1
             }
           }
           walk(btAddr)
           H5Meta(height, width, chunkH, chunkW, dtype, contiguous = false, Undef,
             deflate, shuffleTs, fill, hasFill, chunks.toSeq,
-            epochs = epochs0, chunkT = chunkT)
+            epochs = epochs0, chunkT = chunkT, levels = levels0, chunkL = chunkL)
         case 0 => sys.error(s"$path: compact data layout unsupported (contiguous/chunked)")
         case c => sys.error(s"$path: data layout class $c unsupported")
       }
@@ -583,35 +598,44 @@ object Hdf5 {
   private[zonal] def chunkRefs(path: String, m: H5Meta): Seq[H5ChunkRef] = {
     val elem = m.dtype.substring(2).toInt
     val epochs = math.max(1, m.epochs)
+    val levels = math.max(1, m.levels)
     if (m.contiguous) {
       // row stripes sized like the classic NetCDF reader: bounded
-      // buffers, enough tasks to spread; rank-3 stripes per (t, rows)
+      // buffers, enough tasks to spread; rank-3/4 stripes per
+      // (t[, level], rows)
       val rows = math.max(1, math.min(m.height,
         (4 << 20) / math.max(1, m.width * elem)))
-      for (t <- 0 until epochs; y0 <- 0 until m.height by rows) yield {
+      for (t <- 0 until epochs; l <- 0 until levels;
+           y0 <- 0 until m.height by rows) yield {
         val n = math.min(rows, m.height - y0)
         H5ChunkRef(path,
-          m.dataAddr + (t.toLong * m.height * m.width + y0.toLong * m.width) * elem,
+          m.dataAddr + (((t.toLong * levels + l) * m.height + y0) * m.width) * elem,
           n.toLong * m.width * elem, 0, y0, 0, n, m.width,
           m.height, m.width, m.dtype, deflate = false, shuffleTs = 0,
-          m.fill, m.hasFill, ot = t, chunkT = 1, epochs = epochs)
+          m.fill, m.hasFill, ot = t, chunkT = 1, epochs = epochs,
+          ol = l, chunkL = 1, levels = levels)
       }
     } else {
-      val present = m.chunks.map(c => (c._1, c._2, c._3) -> c).toMap
+      val present = m.chunks.map(c => (c._1, c._2, c._3, c._4) -> c).toMap
       val along = (epochs + m.chunkT - 1) / m.chunkT
+      val lvl = (levels + m.chunkL - 1) / m.chunkL
       val down = (m.height + m.chunkH - 1) / m.chunkH
       val across = (m.width + m.chunkW - 1) / m.chunkW
-      for (ck <- 0 until along; ci <- 0 until down; cj <- 0 until across) yield {
-        present.get((ck * m.chunkT, ci * m.chunkH, cj * m.chunkW)) match {
-          case Some((ot, oy, ox, addr, size, mask)) =>
+      for (ck <- 0 until along; cl <- 0 until lvl;
+           ci <- 0 until down; cj <- 0 until across) yield {
+        present.get((ck * m.chunkT, cl * m.chunkL,
+            ci * m.chunkH, cj * m.chunkW)) match {
+          case Some((ot, ol, oy, ox, addr, size, mask)) =>
             H5ChunkRef(path, addr, size, mask, oy, ox, m.chunkH, m.chunkW,
               m.height, m.width, m.dtype, m.deflate, m.shuffleTs, m.fill,
-              m.hasFill, ot = ot, chunkT = m.chunkT, epochs = epochs)
+              m.hasFill, ot = ot, chunkT = m.chunkT, epochs = epochs,
+              ol = ol, chunkL = m.chunkL, levels = levels)
           case None =>
             H5ChunkRef(path, -1L, 0L, 0, ci * m.chunkH, cj * m.chunkW,
               m.chunkH, m.chunkW, m.height, m.width, m.dtype,
               m.deflate, m.shuffleTs, m.fill, m.hasFill,
-              ot = ck * m.chunkT, chunkT = m.chunkT, epochs = epochs)
+              ot = ck * m.chunkT, chunkT = m.chunkT, epochs = epochs,
+              ol = cl * m.chunkL, chunkL = m.chunkL, levels = levels)
         }
       }
     }
@@ -622,23 +646,26 @@ object Hdf5 {
     * reverse pipeline order honoring the per-chunk mask, decode, clip
     * the edge pad (HDF5 stores full-size edge chunks).
     */
-  private def readChunk(r: H5ChunkRef): Iterator[(Int, Int, Int, Double)] = {
+  private def readChunk(r: H5ChunkRef): Iterator[(Int, Int, Int, Int, Double)] = {
     val elem = r.dtype.substring(2).toInt
     val inBounds = for {
       tt <- Iterator.range(0, r.chunkT)
       t = r.ot + tt
       if t < r.epochs
+      ll <- Iterator.range(0, r.chunkL)
+      l = r.ol + ll
+      if l < r.levels
       rr <- Iterator.range(0, r.rows)
       y = r.oy + rr
       if y < r.height
       cc <- Iterator.range(0, r.cols)
       x = r.ox + cc
       if x < r.width
-    } yield (tt, rr, cc, x, y, t)
+    } yield (tt, ll, rr, cc, x, y, l, t)
     if (r.addr < 0) {
-      require(r.hasFill, s"${r.path}: chunk at (${r.ot},${r.oy},${r.ox}) absent " +
+      require(r.hasFill, s"${r.path}: chunk at (${r.ot},${r.ol},${r.oy},${r.ox}) absent " +
         "from the B-tree but no fill value is defined — undefined cells; fix the file")
-      return inBounds.map { case (_, _, _, x, y, t) => (x, y, t, r.fill) }
+      return inBounds.map { case (_, _, _, _, x, y, l, t) => (x, y, l, t, r.fill) }
     }
     val p = new org.apache.hadoop.fs.Path(r.path)
     val fs = hadoopFs(p)
@@ -648,7 +675,7 @@ object Hdf5 {
       in.readFully(r.addr, b)
       b
     } finally in.close()
-    val expected = r.chunkT * r.rows * r.cols * elem
+    val expected = r.chunkT * r.chunkL * r.rows * r.cols * elem
     // pipeline was [shuffle, deflate] on write → undo deflate then
     // shuffle; mask bit i set = pipeline filter i was SKIPPED
     val inflated =
@@ -670,8 +697,8 @@ object Hdf5 {
       .order(if (r.dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
         else java.nio.ByteOrder.LITTLE_ENDIAN)
     val kind = r.dtype.substring(1)
-    inBounds.map { case (tt, rr, cc, x, y, t) =>
-      val i = ((tt * r.rows + rr) * r.cols + cc) * elem
+    inBounds.map { case (tt, ll, rr, cc, x, y, l, t) =>
+      val i = (((tt * r.chunkL + ll) * r.rows + rr) * r.cols + cc) * elem
       val v = kind match {
         case "f8" => buf.getDouble(i)
         case "f4" => buf.getFloat(i).toDouble
@@ -680,7 +707,7 @@ object Hdf5 {
         case "i1" => buf.get(i).toDouble
         case "u1" => (buf.get(i) & 0xff).toDouble
       }
-      (x, y, t, v)
+      (x, y, l, t, v)
     }
   }
 
@@ -700,8 +727,10 @@ object Hdf5 {
     import s.implicits._
     val m = readMeta(path, varName)
     require(m.epochs == 0,
-      s"$path: '$varName' is rank-3 — scan it with scanNetcdf4Epochs")
-    scanRefs(s, chunkRefs(path, m)).map { case (x, y, _, v) => (x, y, v) }
+      s"$path: '$varName' is rank-${if (m.levels > 0) "4" else "3"} — " +
+        "scan it with " +
+        (if (m.levels > 0) "scanNetcdf4Cube4d" else "scanNetcdf4Epochs"))
+    scanRefs(s, chunkRefs(path, m)).map { case (x, y, _, _, v) => (x, y, v) }
       .toDF("cell_x", "cell_y", "value")
   }
 
@@ -720,8 +749,8 @@ object Hdf5 {
       s"$path: '$varName' declares no fill value — nothing to mask")
     val fillV = m.fill
     scanRefs(s, chunkRefs(path, m))
-      .filter(c => if (fillV.isNaN) !c._4.isNaN else c._4 != fillV)
-      .map { case (x, y, _, v) => (x, y, v) }
+      .filter(c => if (fillV.isNaN) !c._5.isNaN else c._5 != fillV)
+      .map { case (x, y, _, _, v) => (x, y, v) }
       .toDF("cell_x", "cell_y", "value")
   }
 
@@ -730,11 +759,29 @@ object Hdf5 {
     * (or per (t, stripe) when contiguous) — no upstream slicing.
     */
   def scanNetcdf4Epochs(s: SparkSession, path: String, varName: String): DataFrame = {
+    import s.implicits._
     val m = readMeta(path, varName)
     require(m.epochs > 0,
       s"$path: '$varName' is rank-2 — scan it with scanNetcdf4")
+    require(m.levels == 0,
+      s"$path: '$varName' is rank-4 — scan it with scanNetcdf4Cube4d")
     scanRefs(s, chunkRefs(path, m))
+      .map { case (x, y, _, t, v) => (x, y, t, v) }
       .toDF("cell_x", "cell_y", "epoch", "value")
+  }
+
+  /** NATIVE rank-4 scan (r13): the whole (t, level, y, x) variable as
+    * ONE DataFrame `(cell_x, cell_y, level, epoch, value)`, one task
+    * per chunk (or per (t, level, stripe) when contiguous) — no
+    * upstream slicing.
+    */
+  def scanNetcdf4Cube4d(s: SparkSession, path: String, varName: String): DataFrame = {
+    val m = readMeta(path, varName)
+    require(m.levels > 0,
+      s"$path: '$varName' is rank-${if (m.epochs > 0) 3 else 2} — scan " +
+        "it with " + (if (m.epochs > 0) "scanNetcdf4Epochs" else "scanNetcdf4"))
+    scanRefs(s, chunkRefs(path, m))
+      .toDF("cell_x", "cell_y", "level", "epoch", "value")
   }
 
   /** WINDOW scan of a chunked 2-D variable: the chunk manifest prunes
@@ -746,9 +793,9 @@ object Hdf5 {
       x0: Int, x1: Int, y0: Int, y1: Int): DataFrame = {
     import s.implicits._
     val m = readMeta(path, varName)
-    require(m.epochs == 0, s"$path: '$varName' is rank-3 — window the 2-D face")
+    require(m.epochs == 0, s"$path: '$varName' is rank-3/4 — window the 2-D face")
     scanRefs(s, windowRefs(path, m, x0, x1, y0, y1))
-      .map { case (x, y, _, v) => (x, y, v) }
+      .map { case (x, y, _, _, v) => (x, y, v) }
       .toDF("cell_x", "cell_y", "value")
       .filter(col("cell_x").between(x0, x1) && col("cell_y").between(y0, y1))
   }
