@@ -192,6 +192,40 @@ class Hdf5Spec extends SparkSuite {
       Hdf5.scanNetcdf4(spark, p, "v"))).contains("scanNetcdf4Epochs"))
   }
 
+  test("rank-4 cube: roundtrip, omitted-chunk fill, pad clip in all four axes") {
+    def f4(x: Int, y: Int, l: Int, t: Int): Double =
+      ((3 * x + 7 * y + 5 * l + 11 * t) % 83).toDouble
+    // edge chunks in BOTH leading axes (3 % 2 along t, 4 % 3 along
+    // level) + one omitted chunk
+    val p = tmp("cube4")
+    Hdf5.writeHdf5Cube4d(p, "v", 3, 4, 6, 8, 2, 3, 4, 5, dtype = "<f8",
+      deflate = true, fill = Some(9.5), omit = Set((0, 1, 1, 1)))(f4)
+    val got = Hdf5.scanNetcdf4Cube4d(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4))
+      .toMap
+    assert(got.size == 3 * 4 * 6 * 8)
+    for (t <- 0 until 3; l <- 0 until 4; y <- 0 until 6; x <- 0 until 8) {
+      // omitted chunk (0,1,1,1) covers t 0-1, level 3, y 4-5, x 5-7
+      val want = if (t < 2 && l >= 3 && y >= 4 && x >= 5) 9.5 else f4(x, y, l, t)
+      assert(got((x, y, l, t)) == want, s"($x,$y,$l,$t)")
+    }
+    // rank mismatches are loud in both directions
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4Epochs(spark, p, "v"))).contains("scanNetcdf4Cube4d"))
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4Cube4d(spark, Hdf5.fixturePath(), "v"))).contains("scanNetcdf4"))
+  }
+
+  test("4-axis window scan prunes the chunk manifest before any byte is read") {
+    // the registry fixture is 3x4x70x80 at 2x3x32x32 → 2x2x3x3 = 36
+    // chunks; the (t 2-2, level 1-2, x 10-50, y 8-40) window overlaps
+    // exactly 1x1x2x2 = 4 of them
+    val m = Hdf5.readMeta(Hdf5.fixtureCube4dPath(), "v")
+    val refs = Hdf5.windowRefs4d(Hdf5.fixtureCube4dPath(), m,
+      2, 2, 1, 2, 10, 50, 8, 40)
+    assert(refs.size == 4, s"want 4 of 36 chunks, got ${refs.size}")
+  }
+
   test("group paths: g/v resolves through the nested symbol table; misses are loud") {
     val p = tmp("grp")
     Hdf5.writeHdf5Cube(p, "outer/data", 0, 6, 8, 1, 4, 5, dtype = "<f4",
