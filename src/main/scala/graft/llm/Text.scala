@@ -27,7 +27,7 @@ object Text {
       s"""WITH words AS (
          |  SELECT w, count(*) AS cnt FROM (
          |    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
-         |  WHERE w <> '' GROUP BY w
+         |  WHERE w <> '' AND instr(w, $S) = 0 GROUP BY w
          |), s0 AS (
          |  SELECT array_to_string(list_transform(generate_series(1, length(w)),
          |    i -> $S || w[i] || $S), '') AS s, cnt FROM words
@@ -61,7 +61,10 @@ object Text {
     val Sep = "\u001f" // the chr(31) token fence, spelled visibly
     val words = Tables.documents(s, d)
       .select(explode(split(lower(col("text")), " ")).as("w"))
-      .filter(col("w") =!= "")
+      // the fence char must be absent from words or the fenced encoding
+      // corrupts IDENTICALLY on both engines (the oracle can't catch
+      // it) — exclude it explicitly, same predicate both sides (r14)
+      .filter(col("w") =!= "" && expr("instr(w, chr(31)) = 0"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     // the word table is vocabulary-scale (≪ corpus); each round's
     // lineage would otherwise recompute all prior rounds — cut it with
@@ -660,7 +663,7 @@ object Text {
         s""", docw AS (
            |  SELECT doc_id, w FROM (
            |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents)
-           |  WHERE w <> ''
+           |  WHERE w <> '' AND instr(w, $S) = 0
            |), d0 AS (
            |  SELECT doc_id, length(w) AS n_chars,
            |    array_to_string(list_transform(generate_series(1, length(w)),
@@ -685,7 +688,7 @@ object Text {
       val merges = bpeMerges(s, d)
       var cur = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-        .filter(col("w") =!= "")
+        .filter(col("w") =!= "" && expr("instr(w, chr(31)) = 0"))
         .selectExpr("doc_id", "length(w) AS n_chars",
           "array_join(transform(split(w, ''), c -> chr(31) || c || chr(31)), '') AS s")
       merges.foreach { case (_, l, r, _) =>

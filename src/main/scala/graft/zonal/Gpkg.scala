@@ -380,6 +380,10 @@ object Gpkg {
             case other => sys.error(s"${ref.path}: geometry column holds " +
               s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
           }
+          // a 64-bit rowid above Int.MaxValue would silently truncate
+          // into a wrong (possibly colliding) zone_id — refuse by name
+          require(zid >= Int.MinValue && zid <= Int.MaxValue,
+            s"${ref.path}: feature id $zid outside the 32-bit zone_id range")
           val what = s"${ref.path} feature $zid"
           parseWkbPolygon(blob, wkbOffset(blob, what), what).map {
             case (ring, i, x, y) => (zid.toInt, 0, ring, i, x, y)
@@ -458,6 +462,22 @@ object Gpkg {
     * carries no rtree for (table, geomCol) — the reader then scans all
     * pages and relies on the envelope residual filter alone.
     */
+  /** Conservative double→float32 box rounding for WRITTEN rtree nodes
+    * (r14, ADVICE): nearest-rounding a min up (or a max down) would
+    * SHRINK the box and silently drop an intersecting feature from
+    * window reads, so mins round down and maxes round up whenever the
+    * conversion is inexact.
+    */
+  private[graft] def rtreeFloorF(v: Double): Float = {
+    val f = v.toFloat
+    if (f.toDouble > v) Math.nextDown(f) else f
+  }
+
+  private[graft] def rtreeCeilF(v: Double): Float = {
+    val f = v.toFloat
+    if (f.toDouble < v) Math.nextUp(f) else f
+  }
+
   private[graft] def rtreeCandidates(db: DbMeta, table: String, geomCol: String,
       wx0: Double, wx1: Double, wy0: Double, wy1: Double): Option[Set[Long]] = {
     tableInfoOpt(db, s"rtree_${table}_${geomCol}_node").map { ti =>
@@ -563,6 +583,8 @@ object Gpkg {
             case None => sys.error(s"${ref.path} feature $zid: window read " +
               "needs header envelopes (write with envelope indicator 1)")
           }
+          require(zid >= Int.MinValue && zid <= Int.MaxValue,
+            s"${ref.path}: feature id $zid outside the 32-bit zone_id range")
           if (!keep) Iterator.empty
           else {
             val what = s"${ref.path} feature $zid"
@@ -922,10 +944,10 @@ object Gpkg {
     envs.zipWithIndex.foreach { case ((id, x0, x1, y0, y1), i) =>
       val off = 4 + 24 * i
       node.putLong(off, id)
-      node.putFloat(off + 8, x0.toFloat)
-      node.putFloat(off + 12, x1.toFloat)
-      node.putFloat(off + 16, y0.toFloat)
-      node.putFloat(off + 20, y1.toFloat)
+      node.putFloat(off + 8, rtreeFloorF(x0))
+      node.putFloat(off + 12, rtreeCeilF(x1))
+      node.putFloat(off + 16, rtreeFloorF(y0))
+      node.putFloat(off + 20, rtreeCeilF(y1))
     }
     val totX0 = envs.map(_._2).min; val totX1 = envs.map(_._3).max
     val totY0 = envs.map(_._4).min; val totY1 = envs.map(_._5).max

@@ -69,6 +69,7 @@ object Raster {
   private val TagHeight = 257
   private val TagBits = 258
   private val TagCompression = 259
+  private val TagPhotometric = 262
   private val TagStripOffsets = 273
   private val TagSamplesPerPixel = 277
   private val TagRowsPerStrip = 278
@@ -294,6 +295,19 @@ object Raster {
           && predictor == 1 && !planar),
         s"$path: JPEG compression requires uint8 chunky 1- or 3-band, no " +
           s"predictor (got bits=$bits bands=$bands predictor=$predictor planar=$planar)")
+      // PhotometricInterpretation (262): a 3-band JPEG tile is decoded
+      // as YCbCr → RGB, which is only correct when the file SAYS the
+      // stored planes are YCbCr (6). An RGB-stored (2) JPEG — or a file
+      // omitting the mandatory tag — would silently color-rotate every
+      // pixel, so both refuse by name (r14, ADVICE medium).
+      val photometric = {
+        val a = values(TagPhotometric)
+        if (a.nonEmpty) a(0).toInt else -1
+      }
+      require(comp != 7 || bands != 3 || photometric == 6,
+        s"$path: 3-band JPEG tiles require PhotometricInterpretation=6 " +
+          s"(YCbCr); got ${if (photometric < 0) "no tag 262" else photometric} — " +
+          "an RGB-stored stream would be silently mis-converted")
       val jpegTables: Array[Byte] =
         if (comp == 7) values(TagJpegTables).map(_.toByte) else Array.emptyByteArray
 
@@ -932,6 +946,11 @@ object Raster {
     entsB += ((TagHeight, 4, longs(height)))
     entsB += ((TagBits, 3, Array.fill(o.bands)(o.bits.toLong)))
     entsB += ((TagCompression, 3, longs(o.compression)))
+    // PhotometricInterpretation (262): YCbCr for JPEG color, RGB for
+    // other 3+-band files, BlackIsZero otherwise
+    entsB += ((TagPhotometric, 3, longs(
+      if (o.compression == 7 && o.bands == 3) 6
+      else if (o.bands >= 3) 2 else 1)))
     if (o.striped) entsB += ((TagStripOffsets, offType, new Array[Long](nBlocks)))
     entsB += ((TagSamplesPerPixel, 3, longs(o.bands)))
     if (o.striped) {

@@ -453,7 +453,10 @@ object Zarr {
     val metas = readZMetadata(dir)
     val m = metas.getOrElse(varPath, sys.error(
       s"$dir: array '$varPath' not in .zmetadata (have ${metas.keys.toSeq.sorted.mkString(", ")})"))
-    require(!m.rank3, s"$dir/$varPath: rank-3 — use the rank-3 scan")
+    require(!m.rank3 && !m.rank4,
+      s"$dir/$varPath: rank-3/4 consolidated members are unsupported — " +
+        "scan the standalone store (its own .zarray intact) via " +
+        "scanZarr3d/scanZarr4d")
     scanChunks(s, chunkRefs(m, s"$dir/$varPath"))
   }
 

@@ -195,6 +195,31 @@ class GpkgSpec extends SparkSuite {
   private def msgs(t: Throwable): String =
     if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
 
+  test("feature ids above Int.MaxValue refuse instead of truncating") {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/gpkgspec_bigrowid.db"
+    new java.io.File(p).delete()
+    Gpkg.writeTables(p, Seq(
+      ("t", "CREATE TABLE t (id INTEGER PRIMARY KEY, geom BLOB)",
+        Seq((3000000000L, Seq[Any](null, Array[Byte](1)))))))
+    assert(msgs(intercept[Throwable](
+      Gpkg.readVerts(spark, p, "t").collect())).contains("32-bit zone_id"))
+  }
+
+  test("rtree float32 boxes round conservatively (min down, max up)") {
+    // 2^24 + 1 is not float-representable: nearest-rounding lands BELOW
+    // the true value, which would shrink a max bound — ceil pushes it
+    // back up; floor likewise never rises above the true min
+    val v = 16777217.0
+    assert(Gpkg.rtreeCeilF(v).toDouble >= v)
+    assert(Gpkg.rtreeFloorF(v).toDouble <= v)
+    assert(Gpkg.rtreeFloorF(-v).toDouble <= -v)
+    assert(Gpkg.rtreeCeilF(-v).toDouble >= -v)
+    // representable values pass through exactly
+    assert(Gpkg.rtreeFloorF(12.0) == 12.0f && Gpkg.rtreeCeilF(12.0) == 12.0f)
+    val w = 0.1 // below float precision in the other direction
+    assert(Gpkg.rtreeFloorF(w).toDouble <= w && Gpkg.rtreeCeilF(w).toDouble >= w)
+  }
+
   test("named loud refusals: bad magic, missing table, non-Polygon WKB, fractional coords") {
     val dir = java.nio.file.Files.createTempDirectory("graft_gpkg_bad").toFile
     val notDb = new java.io.File(dir, "not.db")

@@ -258,6 +258,29 @@ class JpegSpec extends SparkSuite {
     }
   }
 
+  test("TIFF integration: non-YCbCr photometric on 3-band JPEG refuses by name") {
+    // copy the valid RGB fixture and flip tag 262 from 6 (YCbCr) to 2
+    // (RGB-stored): the IFD entry is 12 LE bytes tag/type/count/value —
+    // locate by its unique (262, SHORT, 1) prefix, stomp the value
+    val src = java.nio.file.Paths.get(Raster.jpegRgbFixturePath())
+    val b = java.nio.file.Files.readAllBytes(src)
+    var p = -1
+    var i = 0
+    while (p < 0 && i < b.length - 12) {
+      if ((b(i) & 0xff) == 0x06 && (b(i + 1) & 0xff) == 0x01 &&
+          (b(i + 2) & 0xff) == 0x03 && (b(i + 3) & 0xff) == 0x00 &&
+          (b(i + 4) & 0xff) == 0x01 && (b(i + 5) & 0xff) == 0x00 &&
+          (b(i + 8) & 0xff) == 0x06) p = i
+      i += 1
+    }
+    assert(p > 0, "tag 262 entry not found")
+    b(p + 8) = 0x02
+    val bad = s"${System.getProperty("java.io.tmpdir")}/graft_io/jpeg_rgb_photo2.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad), b)
+    val e = intercept[Exception] { Raster.readMeta(bad) }
+    assert(e.getMessage.contains("PhotometricInterpretation"), e.getMessage)
+  }
+
   test("TIFF integration: JPEG fixture scans to the exact block formula") {
     val df = Raster.scanTiff(spark, Raster.jpegFixturePath())
     val got = df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap

@@ -442,6 +442,14 @@ class ZarrSpec extends SparkSuite {
     // the dataset scan unions both members with their names
     val ds = Zarr.scanZarrDataset(spark, d.getPath).collect()
     assert(ds.length == 48 && ds.map(_.getString(2)).toSet == Set("a", "b"))
+    // a rank-4 member passes .zmetadata parsing but the consolidated
+    // scan refuses it BY NAME up front (r14 — previously the guard let
+    // it through to fail later with dead-end advice)
+    Zarr.writeZarr4d(s"$d/c4", 2, 2, 4, 6, 1, 1, 2, 3,
+      compressor = "raw")((_, _, _, _) => 1.0)
+    Zarr.consolidateMetadata(d.getPath, Seq("b", "c4"))
+    assert(msgs(intercept[Throwable](
+      Zarr.scanZarrConsolidated(spark, d.getPath, "c4"))).contains("rank-3/4"))
   }
 
   test("hand-built RANK-4 store: (t, level)-major planes, all-axis pad clip, absent-chunk fill") {
