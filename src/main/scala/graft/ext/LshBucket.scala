@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -11,15 +11,20 @@ import org.apache.spark.sql.types._
   * against [[LshBucket.NumPlanes]] pseudo-random hyperplanes, packed
   * into a long.
   *
-  * The plane components are the SAME deterministic derivation the
-  * relational spelling used —
-  * `pmod(xxhash64(j, pos), 1000) / 1000.0 - 0.5` with `j`/`pos` as
-  * BIGINTs and seed 42 — but evaluated once at class-load via the
-  * identical [[XxHash64Function]] fold and baked into a static matrix
-  * (equivalence with the SQL `xxhash64` asserted in ExtSpec). The
-  * round-3 verdict flagged the relational form: a 64× `posexplode`, a
-  * plane join, and TWO aggregation shuffles to compute 8 dot products
-  * per row. This node is zero shuffles and zero row expansion.
+  * The plane components are ENGINE-PORTABLE universal-hash arithmetic
+  * (r14 — the r11 MinHash/SimHash poly_hash recipe, retiring the
+  * xxhash64 derivation that had no DuckDB twin):
+  * `((A_j·(pos+1) + B_j) mod 1009) / 1009.0 - 0.5` with per-plane
+  * literal constants [[LshBucket.PlaneA]]/[[LshBucket.PlaneB]] —
+  * distinct multipliers keep planes decorrelated (a shared multiplier
+  * would make consecutive planes near-complements and collapse
+  * recall), and both engines evaluate the identical expression, so
+  * bucket ids are now DuckDB-oracle-checked end to end. Components are
+  * evaluated once at class-load into a static matrix (equivalence with
+  * the SQL spelling asserted in ExtSpec). The round-3 verdict flagged
+  * the relational form: a 64× `posexplode`, a plane join, and TWO
+  * aggregation shuffles to compute 8 dot products per row. This node
+  * is zero shuffles and zero row expansion.
   *
   * Why an Expression and not a folded 8×64-term SQL projection: 512
   * inlined multiply-adds exceed HotSpot's huge-method JIT limit and the
@@ -59,14 +64,22 @@ object LshBucket {
   val NumPlanes = 8
   val Dims = 64
 
-  /** `pmod(xxhash64(CAST(j AS BIGINT), CAST(pos AS BIGINT)), 1000)
-    * / 1000.0 - 0.5` — the exact chained-seed fold of Spark's
-    * `xxhash64(a, b)` (seed 42, then the first hash seeds the second).
+  /** Per-plane universal-hash constants — LITERALS mirrored verbatim
+    * into the DuckDB twin (the MinHash HashA/HashB pattern). Distinct
+    * odd multipliers ≪ [[PlaneMod]] keep the 8 hyperplanes mutually
+    * decorrelated.
+    */
+  val PlaneA: Array[Long] = Array(383L, 479L, 541L, 619L, 701L, 797L, 863L, 941L)
+  val PlaneB: Array[Long] = Array(151L, 223L, 271L, 337L, 397L, 457L, 521L, 587L)
+  val PlaneMod = 1009L
+
+  /** `((A_j·(pos+1) + B_j) mod 1009) / 1009.0 - 0.5` — pure integer
+    * arithmetic until the one division, identical on both engines
+    * (`pos+1` matches DuckDB's 1-based `generate_series` index).
     */
   def component(j: Long, pos: Long): Double = {
-    val h1 = XxHash64Function.hash(j, LongType, 42L)
-    val h2 = XxHash64Function.hash(pos, LongType, h1)
-    (((h2 % 1000L) + 1000L) % 1000L).toDouble / 1000.0 - 0.5
+    val ji = j.toInt
+    ((PlaneA(ji) * (pos + 1) + PlaneB(ji)) % PlaneMod).toDouble / 1009.0 - 0.5
   }
 
   /** PLANES(j)(pos), materialized once. */

@@ -310,6 +310,27 @@ object Sim {
       .select(col("vec_id"), col("label"), expr("lsh_bucket(embedding)").as("bucket"))
   }
 
+  /** DuckDB twin of ONE plane's dot product (r14 — the poly_hash flip):
+    * plane components from the same literal constants
+    * ([[graft.ext.LshBucket.PlaneA]]/`PlaneB`), products summed in the
+    * same ascending-index sequential order [[graft.ext.LshBucket]]
+    * accumulates, so dot signs are bit-identical on both engines.
+    */
+  private def lshDotSql(emb: String, j: Int): String = {
+    val a = graft.ext.LshBucket.PlaneA(j)
+    val b = graft.ext.LshBucket.PlaneB(j)
+    s"list_aggregate(list_transform(generate_series(1, len($emb)), " +
+      s"i -> CAST($emb[i] AS DOUBLE) * (CAST(($a*i + $b) % 1009 AS DOUBLE)/1009.0 - 0.5)), 'sum')"
+  }
+
+  /** The full bucket id: sign bits of the 8 plane dots packed into a
+    * BIGINT — the [[lshBuckets]] twin.
+    */
+  private def lshBucketSql(emb: String): String =
+    s"CAST(${(0 until NumPlanes).map(j =>
+      s"(CASE WHEN ${lshDotSql(emb, j)} > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")} AS BIGINT)"
+
   /** IVF nearest-centroid assignment: (vec_id, label, embedding,
     * c_label). Centroids = per-label mean vectors, packed in label
     * order into ONE broadcast row; assignment is the per-row
@@ -800,12 +821,18 @@ object Sim {
     },
 
     // random-hyperplane LSH buckets — the other ANN scale path next to
-    // IVF. Planes are derived deterministically from xxhash64 (no DuckDB
-    // twin → property-tested in LlmSpec); the formulation is fully
-    // relational/codegen'd: explode dims, broadcast-join the tiny plane
-    // table, two-phase sum for the dots, fold sign bits to a bucket id.
-    // Search then probes only the matching bucket.
-    "sim_ann_lsh" -> Q.noOracle { (s, d) =>
+    // IVF. Planes are engine-portable universal-hash arithmetic (r14 —
+    // the r11 poly_hash recipe, retiring the xxhash64 derivation), so
+    // bucket ids are DuckDB-oracle-checked end to end; the hot path is
+    // ONE codegen'd projection (graft.ext.LshBucket) — zero shuffles,
+    // zero row expansion. Search then probes only the matching bucket.
+    "sim_ann_lsh" -> Q(
+      s"""WITH bk AS (
+         |  SELECT vec_id, label, ${lshBucketSql("embedding")} AS bucket
+         |  FROM embeddings)
+         |SELECT bucket, count(*) AS n_vectors,
+         |  count(DISTINCT label) AS n_labels
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, d) =>
       lshBuckets(s, d)
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_vectors"),
@@ -813,13 +840,24 @@ object Sim {
         .orderBy("bucket")
     },
 
-    // the LSH SEARCH path (rows-only: xxhash64-derived planes have no
-    // DuckDB twin): probe → same sign-signature bucket → top-3 by exact
+    // the LSH SEARCH path (r14 — now oracle-checked like the IVF
+    // searches): probe → same sign-signature bucket → top-3 by exact
     // cosine within the bucket. Candidates per probe ≈ corpus/2^planes;
     // probes broadcast, corpus never shuffles. LlmSpec asserts self-
-    // match-first; deterministic output (bucket ids and cosines are
-    // pure functions of the data).
-    "sim_ann_lsh_search" -> Q.noOracle { (s, d) =>
+    // match-first.
+    "sim_ann_lsh_search" -> Q(
+      s"""WITH bk AS (
+         |  SELECT vec_id, embedding, ${lshBucketSql("embedding")} AS bucket
+         |  FROM embeddings),
+         |sims AS (
+         |  SELECT p.vec_id AS probe_id, b.vec_id AS vec_id,
+         |    round(${cosineSql("p.embedding", "b.embedding")}, 6) AS cos_r
+         |  FROM bk p JOIN bk b ON p.bucket = b.bucket
+         |  WHERE p.vec_id < 10)
+         |SELECT probe_id, vec_id, cos_r, rk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY probe_id ORDER BY cos_r DESC, vec_id) AS rk
+         |  FROM sims) WHERE rk <= 3
+         |ORDER BY probe_id, rk""".stripMargin) { (s, d) =>
       graft.ext.Ext.register(s)
       val emb = Tables.embeddings(s, d)
       val bk = lshBuckets(s, d).select(col("vec_id"), col("bucket"))

@@ -218,20 +218,26 @@ class ExtSpec extends SparkSuite {
   test("lsh_bucket ≡ the legacy relational spelling (posexplode + plane join + two aggs)") {
     Ext.register(spark)
     val emb = graft.core.Tables.embeddings(spark, sf)
-    // plane components: driver-side XxHash64Function fold vs SQL xxhash64
+    // plane components: driver-side derivation vs the portable SQL
+    // universal-hash spelling (r14 — the same expression the DuckDB
+    // oracle evaluates)
+    val aCol = array(graft.ext.LshBucket.PlaneA.map(lit(_)): _*)
+    val bCol = array(graft.ext.LshBucket.PlaneB.map(lit(_)): _*)
+    def compCol = pmod(
+      element_at(aCol, col("j").cast("int") + 1) * (col("pos") + 1) +
+        element_at(bCol, col("j").cast("int") + 1),
+      lit(graft.ext.LshBucket.PlaneMod)).cast("double") / 1009.0 - 0.5
     val sqlComps = spark.range(graft.ext.LshBucket.NumPlanes).select(col("id").as("j"))
       .crossJoin(spark.range(64).select(col("id").as("pos")))
-      .withColumn("p",
-        pmod(xxhash64(col("j"), col("pos")), lit(1000)).cast("double") / 1000.0 - 0.5)
+      .withColumn("p", compCol)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
     for (j <- 0 until graft.ext.LshBucket.NumPlanes; pos <- 0 until 64)
       assert(graft.ext.LshBucket.component(j.toLong, pos.toLong) == sqlComps((j.toLong, pos.toLong)),
-        s"plane component ($j,$pos) diverges from SQL xxhash64")
+        s"plane component ($j,$pos) diverges from the SQL spelling")
     // full bucket ids over the corpus
     val planes = spark.range(graft.ext.LshBucket.NumPlanes).select(col("id").as("j"))
       .crossJoin(spark.range(64).select(col("id").as("pos")))
-      .withColumn("p",
-        pmod(xxhash64(col("j"), col("pos")), lit(1000)).cast("double") / 1000.0 - 0.5)
+      .withColumn("p", compCol)
     val legacy = emb
       .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .join(broadcast(planes), "pos")
