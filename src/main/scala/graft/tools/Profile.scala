@@ -115,6 +115,22 @@ object Profile {
       // r12 ops all land at or under the 0.5 s/q budget warm
       // (sample_dsir 0.9-1.0, sink_geopackage 0.7, sink_netcdf4 0.6,
       // scan_zarr_3d 0.21, scan_netcdf4_epochs 0.20).
+      // r13 bench-tail spikes (judge-run solo RunOne ×3, sf0.1,
+      // recorded r14 per the r12 discipline — r13 itself touched only
+      // Zarr/Hdf5, so code causation was impossible a priori):
+      //  - dedup_cluster: bench first-pass 50.8 s; solo 13.9 cold /
+      //    5.5-5.8 warm (r12 bench 6.53). VERDICT: ambient bench-order
+      //    load, not a regression.
+      //  - dedup_bloom_sharded: first-pass 9.7 s; solo 1.65 cold /
+      //    0.54-0.60 warm. VERDICT: ambient.
+      //  - dedup_minhash_incremental: first-pass 12.0 s; solo 4.33
+      //    cold / 1.8-2.3 warm. VERDICT: ambient.
+      //  - stream_session (open from the r12 list): r14 full bench
+      //    1.98 s in-band for a two-batch AvailableNow stateful stream
+      //    (checkpoint + two micro-batch plans) — no spike reproduces;
+      //    watch closed.
+      // r14 full-bench corroboration: 153.6 s / 345 q = 0.445 s/q with
+      // all three queries at their r12 levels in the same run.
     }
     spark.stop()
   }
