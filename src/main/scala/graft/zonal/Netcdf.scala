@@ -418,25 +418,34 @@ object Netcdf {
     */
   def writeNetcdf(path: String, varName: String, height: Int, width: Int,
       ncType: Int, epochs: Int = 0, fill: Option[Double] = None,
-      coordVars: Boolean = true)(f: (Int, Int, Int) => Double): Unit = {
+      coordVars: Boolean = true, version: Int = 1)(f: (Int, Int, Int) => Double): Unit = {
+    require(version == 1 || version == 5,
+      s"writer speaks CDF-1 and CDF-5, not version $version")
+    // CDF-5 (r14, pnetcdf BNF): every NON_NEG field widens 4 -> 8
+    // bytes (numrecs, list counts, name/dim lengths, rank, dimids,
+    // attr nelems, vsize) and begin is 8 bytes; tags and nc_type stay 4
+    val wide = version == 5
+    val nnW = if (wide) 8 else 4
+    val beginW = if (wide) 8 else 4
     val elem = elemSize(ncType)
     val bo = new java.io.ByteArrayOutputStream()
     val o = new java.io.DataOutputStream(bo)
+    def nn(v: Long): Unit = if (wide) o.writeLong(v) else o.writeInt(v.toInt)
     def wname(s: String): Unit = {
-      o.writeInt(s.length); o.writeBytes(s)
+      nn(s.length); o.writeBytes(s)
       val r = s.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
     }
     def wpadded(write: => Unit, len: Int): Unit = {
       write; val r = len % 4; if (r != 0) o.write(new Array[Byte](4 - r))
     }
     val record = epochs > 0
-    o.writeBytes("CDF"); o.writeByte(1)
-    o.writeInt(if (record) epochs else 0)
+    o.writeBytes("CDF"); o.writeByte(version)
+    nn(if (record) epochs else 0)
     // dim_list: [t,] y, x
     val dims = (if (record) Seq(("t", 0)) else Nil) ++ Seq(("y", height), ("x", width))
-    o.writeInt(0x0A); o.writeInt(dims.length)
-    dims.foreach { case (n, len) => wname(n); o.writeInt(len) }
-    o.writeInt(0); o.writeInt(0) // no global attributes
+    o.writeInt(0x0A); nn(dims.length)
+    dims.foreach { case (n, len) => wname(n); nn(len) }
+    o.writeInt(0); nn(0) // no global attributes
     val yDim = if (record) 1 else 0
     val xDim = if (record) 2 else 1
     // variable list: coord vars y(y) x(x) float, then the data variable
@@ -457,22 +466,22 @@ object Netcdf {
     def dimLen(i: Int): Int = dims(i)._2
     // header size must be known to place begins: build entries, measure
     def headerSize: Int = {
-      var sz = 4 + 4 // magic + numrecs
-      sz += 8 + dims.map { case (n, _) => 4 + ((n.length + 3) / 4 * 4) + 4 }.sum
-      sz += 8 // gatts absent
-      sz += 8
+      var sz = 4 + nnW // magic + numrecs
+      sz += 4 + nnW + dims.map { case (n, _) => nnW + ((n.length + 3) / 4 * 4) + nnW }.sum
+      sz += 4 + nnW // gatts absent
+      sz += 4 + nnW // var list tag + count
       vars.foreach { v =>
-        sz += 4 + ((v.name.length + 3) / 4 * 4)
-        sz += 4 + 4 * v.dimIds.length
-        sz += 8 // vatt list tag
+        sz += nnW + ((v.name.length + 3) / 4 * 4)
+        sz += nnW + nnW * v.dimIds.length
+        sz += 4 + nnW // vatt list tag
         v.attrs.foreach { case (an, at, av) =>
-          sz += 4 + ((an.length + 3) / 4 * 4) + 8
+          sz += nnW + ((an.length + 3) / 4 * 4) + 4 + nnW
           sz += (av match {
             case Left(_) => (elemSize(at) + 3) / 4 * 4
             case Right(sv) => (sv.length + 3) / 4 * 4
           })
         }
-        sz += 4 + 4 + 4 // nc_type + vsize + begin(v1)
+        sz += 4 + nnW + beginW // nc_type + vsize + begin
       }
       sz
     }
@@ -486,18 +495,18 @@ object Netcdf {
     vars.filter(v => v.dimIds.headOption.exists(dimLen(_) == 0)).foreach { v =>
       begins(v.name) = off; off += v.slab(dimLen)
     }
-    o.writeInt(0x0B); o.writeInt(vars.length)
+    o.writeInt(0x0B); nn(vars.length)
     vars.foreach { v =>
       wname(v.name)
-      o.writeInt(v.dimIds.length); v.dimIds.foreach(o.writeInt)
-      if (v.attrs.isEmpty) { o.writeInt(0); o.writeInt(0) }
+      nn(v.dimIds.length); v.dimIds.foreach(d => nn(d))
+      if (v.attrs.isEmpty) { o.writeInt(0); nn(0) }
       else {
-        o.writeInt(0x0C); o.writeInt(v.attrs.length)
+        o.writeInt(0x0C); nn(v.attrs.length)
         v.attrs.foreach { case (an, at, av) =>
           wname(an); o.writeInt(at)
           av match {
             case Left(d) =>
-              o.writeInt(1)
+              nn(1)
               wpadded(at match {
                 case NcByte => o.writeByte(d.toInt)
                 case NcShort => o.writeShort(d.toInt)
@@ -507,7 +516,7 @@ object Netcdf {
                 case NcChar => sys.error("char fill")
               }, elemSize(at))
             case Right(sv) =>
-              o.writeInt(sv.length); wpadded(o.writeBytes(sv), sv.length)
+              nn(sv.length); wpadded(o.writeBytes(sv), sv.length)
           }
         }
       }
@@ -521,8 +530,8 @@ object Netcdf {
         if (soleRecord)
           v.dimIds.tail.map(dimLen(_).toLong).product * elemSize(v.t)
         else v.slab(dimLen)
-      o.writeInt(vsize.toInt)
-      o.writeInt(begins(v.name).toInt)
+      nn(vsize)
+      if (wide) o.writeLong(begins(v.name)) else o.writeInt(begins(v.name).toInt)
     }
     require(bo.size == h0, s"writer header accounting: wrote ${bo.size}, sized $h0")
     // data: fixed variables in begin order
@@ -628,6 +637,14 @@ object Netcdf {
       writeNetcdf(p, "t2m", NcH, NcW, NcFloat, epochs = NcEpochs)(ncEpochValue)
     }
 
+  /** CDF-5 ("64-bit data") fixture: the same formula lattice through
+    * the widened header, coordinate variables included.
+    */
+  def cdf5FixturePath(): String =
+    Raster.fixtureOnce(s"nc5_fixture_${NcW}x$NcH.nc") { p =>
+      writeNetcdf(p, "t2m", NcH, NcW, NcDouble, version = 5)((x, y, _) => ncValue(x, y))
+    }
+
   def defs: Seq[(String, Q)] = Seq(
     // NetCDF ingestion end-to-end: write the deterministic classic file
     // (once), scan it stripe-parallel, emit the long-form cell table.
@@ -638,6 +655,19 @@ object Netcdf {
       s"""SELECT cell_x, cell_y, value FROM ($NcCellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdf(s, fixturePath(), "t2m")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // CDF-5 (r14 — pnetcdf/netCDF-c "64-bit data" classic, the format
+    // big parallel writers emit: every NON_NEG header field widens to
+    // 8 bytes): the reader's wide path was spec-tested only; now the
+    // writer speaks it too and the IDENTICAL formula oracle gates the
+    // pair end to end (NetcdfSpec still pins the hand-built bytes)
+    "scan_netcdf_cdf5" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($NcCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdf(s, cdf5FixturePath(), "t2m")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

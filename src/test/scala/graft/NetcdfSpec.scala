@@ -229,6 +229,33 @@ class NetcdfSpec extends SparkSuite {
       assert(got((x, y)) == (10 * y + x).toDouble, s"cell ($x,$y)")
   }
 
+  test("CDF-5: writer roundtrip with coord vars, record variable, and fill attr") {
+    // the writer's wide path against the reader's — all three header
+    // shapes the CDF-1 tests cover: fixed 2-D, record 3-D, _FillValue
+    val p = tmpFile("cdf5_w.nc")
+    Netcdf.writeNetcdf(p, "v", 6, 8, 6, version = 5)(
+      (x, y, _) => (3 * x + 7 * y).toDouble)
+    assert(Netcdf.readMeta(p).version == 5)
+    val got = Netcdf.scanNetcdf(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 48)
+    for (y <- 0 until 6; x <- 0 until 8)
+      assert(got((x, y)) == (3 * x + 7 * y).toDouble, s"($x,$y)")
+    val pr = tmpFile("cdf5_rec.nc")
+    Netcdf.writeNetcdf(pr, "v", 4, 6, 5, epochs = 3,
+      version = 5)((x, y, t) => (x + 10 * y + 100 * t).toDouble)
+    val gr = Netcdf.scanNetcdfEpochs(spark, pr, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(gr.size == 3 * 4 * 6)
+    for (t <- 0 until 3; y <- 0 until 4; x <- 0 until 6)
+      assert(gr((x, y, t)) == (x + 10 * y + 100 * t).toDouble, s"($x,$y,$t)")
+    val pf = tmpFile("cdf5_fill.nc")
+    Netcdf.writeNetcdf(pf, "v", 4, 6, 3, fill = Some(-9.0),
+      version = 5)((x, y, _) => if (x == y) -9.0 else (x + 10 * y).toDouble)
+    val gf = Netcdf.scanNetcdfFill(spark, pf, "v").collect()
+    assert(gf.length == 4 * 6 - 4)
+  }
+
   test("reader navigates past coordinate variables to the requested one") {
     // fixture files carry y(y)/x(x) float coord vars before the data
     // variable; a reader that ignores begins and assumes data-at-header-
