@@ -33,8 +33,10 @@ package graft.zonal
   *
   * Inner codecs here: lz4 (the LZ4 block format — lz4-java, which
   * Spark itself ships), zlib (raw DEFLATE stream via
-  * java.util.zip), zstd (zstd-jni, also Spark-shipped). blosclz and
-  * snappy refuse BY NAME; a split frame with typesize > 16 is a
+  * java.util.zip), zstd (zstd-jni, also Spark-shipped), and blosclz
+  * (r14 — c-blosc's own default inner codec, the FastLZ-derived LZ77
+  * token stream hand-rolled below from the public blosclz.c layout).
+  * snappy refuses BY NAME; a split frame with typesize > 16 is a
   * pre-1.11 ambiguity and refuses loudly. BIT-shuffle also refuses by
   * name — a deliberate boundary, not an omission: the bitshuffle
   * bit-matrix layout has free parameters (intra-byte bit order, the
@@ -50,6 +52,126 @@ object Blosc {
   private val MaxSplits = 16 // c-blosc MAX_STREAMS: larger never splits
 
   private def lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+  // ---- blosclz (r14): the FastLZ-derived token stream of blosclz.c ----
+  //
+  // Token grammar (public c-blosc 1.x layout; the FIRST token's high
+  // bits are masked — a stream always opens with a literal run):
+  //   ctrl < 32          literal run of ctrl+1 bytes, verbatim follow
+  //   ctrl >= 32         match; L = (ctrl>>5)+2 short form (3..8), or
+  //                      ctrl>>5 == 7 long form: L = 9 + Σcode with
+  //                      255-continuation bytes; then one distance-low
+  //                      byte: d = ((ctrl&31)<<8) + low + 1, UNLESS
+  //                      low == 255 and ctrl&31 == 31 → far match, two
+  //                      explicit bytes: d = (hi<<8) + lo + 8192
+  // MAX_DISTANCE 8191; matches may self-overlap (byte-serial copy).
+
+  private val LzMaxDistance = 8191
+
+  /** Decode one blosclz stream into `dst[dstOff, dstOff+expected)`;
+    * returns the byte count produced. Loud on any malformed token.
+    */
+  private[graft] def blosclzDecompress(in: Array[Byte], inOff: Int, inLen: Int,
+      dst: Array[Byte], dstOff: Int, expected: Int): Int = {
+    val ipEnd = inOff + inLen
+    var ip = inOff
+    var op = dstOff
+    val opEnd = dstOff + expected
+    require(inLen > 0, "blosclz: empty stream")
+    var ctrl = in(ip) & 31; ip += 1 // first token: literal run, high bits masked
+    var done = false
+    while (!done) {
+      if (ctrl >= 32) {
+        var len = (ctrl >> 5) - 1
+        val ofs = (ctrl & 31) << 8
+        if (len == 6) { // long match: 255-continued length bytes
+          var code = 255
+          while (code == 255) {
+            require(ip < ipEnd, "blosclz: truncated match length")
+            code = in(ip) & 0xff; ip += 1
+            len += code
+          }
+        }
+        require(ip < ipEnd, "blosclz: truncated match distance")
+        val code = in(ip) & 0xff; ip += 1
+        var ref = op - ofs - 1 - code
+        if (code == 255 && ofs == (31 << 8)) { // far match
+          require(ip + 1 < ipEnd, "blosclz: truncated far distance")
+          val far = ((in(ip) & 0xff) << 8) + (in(ip + 1) & 0xff); ip += 2
+          ref = op - far - LzMaxDistance - 1
+        }
+        len += 3
+        require(ref >= dstOff, s"blosclz: match distance ${op - ref} underruns the block")
+        require(op + len <= opEnd, s"blosclz: match overruns the declared size")
+        var k = 0
+        while (k < len) { dst(op) = dst(ref); op += 1; ref += 1; k += 1 }
+      } else {
+        val n = ctrl + 1
+        require(ip + n <= ipEnd, "blosclz: truncated literal run")
+        require(op + n <= opEnd, "blosclz: literal run overruns the declared size")
+        System.arraycopy(in, ip, dst, op, n)
+        ip += n; op += n
+      }
+      if (ip < ipEnd) { ctrl = in(ip) & 0xff; ip += 1 } else done = true
+    }
+    op - dstOff
+  }
+
+  /** Encode one blosclz stream (greedy hash-chain matcher, near
+    * distances only — every emitted token is within the decoder
+    * grammar above; returns null when the data won't shrink, matching
+    * c-blosc's raw-stream fallback).
+    */
+  private[graft] def blosclzCompress(src: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(len)
+    val htab = new Array[Int](1 << 14)
+    java.util.Arrays.fill(htab, -1)
+    def hash(p: Int): Int =
+      (((src(p) & 0xff) | ((src(p + 1) & 0xff) << 8) | ((src(p + 2) & 0xff) << 16))
+        * 2654435761L >>> 18).toInt & (htab.length - 1)
+    val end = off + len
+    var litStart = off
+    var p = off
+    def flushLits(upTo: Int): Unit = {
+      var s = litStart
+      while (s < upTo) {
+        val n = math.min(32, upTo - s)
+        out.write(n - 1)
+        out.write(src, s, n)
+        s += n
+      }
+      litStart = upTo
+    }
+    while (p + 3 <= end) {
+      val h = hash(p)
+      val cand = htab(h)
+      htab(h) = p
+      if (cand >= off && p - cand <= LzMaxDistance &&
+          src(cand) == src(p) && src(cand + 1) == src(p + 1) && src(cand + 2) == src(p + 2)) {
+        var l = 3
+        while (p + l < end && src(cand + l) == src(p + l)) l += 1
+        flushLits(p)
+        val d1 = p - cand - 1 // encoded distance - 1
+        if (l <= 8) {
+          out.write(((l - 2) << 5) | (d1 >> 8))
+          out.write(d1 & 0xff)
+        } else {
+          out.write((7 << 5) | (d1 >> 8))
+          var rem = l - 9
+          while (rem >= 255) { out.write(255); rem -= 255 }
+          out.write(rem)
+          out.write(d1 & 0xff)
+        }
+        // near-form low byte 255 with ofs 31<<8 would read as FAR: the
+        // p - cand <= 8191 guard above caps d1 at 8190, so that
+        // ambiguous spelling is never emitted
+        p += l
+        litStart = p
+      } else p += 1
+    }
+    flushLits(end)
+    if (out.size >= len) null else out.toByteArray
+  }
 
   /** Undo the per-block byte shuffle: input is `typesize` byte-planes
     * of `bsize/typesize` elements plus an unshuffled remainder tail.
@@ -126,13 +248,12 @@ object Blosc {
       return out
     }
     val codec = compcode match {
+      case 0 => "blosclz"
       case 1 => "lz4"
       case 3 => "zlib"
       case 4 => "zstd"
-      case 0 => sys.error("blosclz inner codec unsupported — recompress with " +
-        "numcodecs.Blosc(cname='lz4'|'zlib'|'zstd')")
       case 2 => sys.error("snappy inner blosc codec unsupported — recompress " +
-        "with numcodecs.Blosc(cname='lz4'|'zlib'|'zstd')")
+        "with numcodecs.Blosc(cname='blosclz'|'lz4'|'zlib'|'zstd')")
       case other => sys.error(s"blosc inner codec id $other unsupported")
     }
     require(blocksize > 0, s"blosc frame with blocksize $blocksize")
@@ -167,6 +288,10 @@ object Blosc {
         if (sc == neblock) {
           System.arraycopy(frame, src, dst, dstOff, neblock)
         } else codec match {
+          case "blosclz" =>
+            val n = blosclzDecompress(frame, src, sc, dst, dstOff, neblock)
+            require(n == neblock,
+              s"blosc block $i stream $j: blosclz decoded $n of $neblock bytes")
           case "lz4" =>
             val n = lz4.safeDecompressor().decompress(frame, src, sc, dst, dstOff, neblock)
             require(n == neblock,
@@ -207,17 +332,19 @@ object Blosc {
     require(typesize >= 1 && typesize <= 255, s"blosc typesize $typesize")
     val nbytes = data.length
     val compcode = cname match {
+      case "blosclz" => 0
       case "lz4" => 1
       case "zlib" => 3
       case "zstd" => 4
-      case other => sys.error(s"blosc writer cname '$other' (lz4/zlib/zstd)")
+      case other => sys.error(s"blosc writer cname '$other' (blosclz/lz4/zlib/zstd)")
     }
     var blocksize =
       if (blocksize0 > 0) blocksize0
       else math.min(64 * 1024, math.max(typesize, nbytes))
     blocksize = math.max(typesize, blocksize / typesize * typesize)
-    val split = cname == "lz4" && typesize > 1 && typesize <= MaxSplits &&
-      blocksize / typesize >= 32
+    // c-blosc 1.11+ splits the FAST codecs (blosclz, lz4) only
+    val split = (cname == "lz4" || cname == "blosclz") && typesize > 1 &&
+      typesize <= MaxSplits && blocksize / typesize >= 32
     val doShuffle = shuffle && typesize > 1
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val body = new java.io.ByteArrayOutputStream()
@@ -240,6 +367,11 @@ object Blosc {
       while (j < nsplits) {
         val sOff = j * neblock
         val enc: Array[Byte] = cname match {
+          case "blosclz" =>
+            val e = blosclzCompress(block, sOff, neblock)
+            // null = won't shrink → hand the raw-stream fallback below
+            // an exactly-incompressible length
+            if (e == null) java.util.Arrays.copyOfRange(block, sOff, sOff + neblock) else e
           case "lz4" =>
             val c = lz4.fastCompressor()
             val max = c.maxCompressedLength(neblock)

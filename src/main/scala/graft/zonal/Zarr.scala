@@ -1073,7 +1073,8 @@ object Zarr {
     */
   def writeZarrMeta(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
       compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0): Unit = {
-    require(Set("raw", "zlib", "zstd", "blosc").contains(compressor), compressor)
+    require(Set("raw", "zlib", "zstd", "blosc", "blosc-blosclz").contains(compressor),
+      compressor)
     val d = new java.io.File(dir)
     d.mkdirs()
     val compJson = compressor match {
@@ -1083,6 +1084,9 @@ object Zarr {
       // the zarr-python v2 default (lz4 inner, byte shuffle)
       case "blosc" =>
         """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+      // c-blosc's own default inner codec (r14)
+      case "blosc-blosclz" =>
+        """{"id": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
     }
     val fillJson =
       if (fill.isNaN) "\"NaN\""
@@ -1136,6 +1140,7 @@ object Zarr {
       // (dont_split path), both through [[Blosc.compress]]
       case "blosc" => Blosc.compress(buf.array(), elem, "lz4", shuffle = true)
       case "blosc-zlib" => Blosc.compress(buf.array(), elem, "zlib", shuffle = true)
+      case "blosc-blosclz" => Blosc.compress(buf.array(), elem, "blosclz", shuffle = true)
     }
   }
 
@@ -1565,6 +1570,25 @@ object Zarr {
     dir
   }
 
+  private val fixtureBlzLock = new Object
+  @volatile private var fixtureBlzReady: String = null
+
+  /** v2 blosclz fixture (r14 — c-blosc's own default inner codec):
+    * blosclz inner + byte shuffle over int16, the split path at
+    * typesize 2 with the hand-rolled FastLZ-derived token decoder.
+    */
+  def fixtureBlosclzDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarrblz_fixture_${ZarrW}x$ZarrH"
+    if (fixtureBlzReady != dir) fixtureBlzLock.synchronized {
+      if (fixtureBlzReady != dir) {
+        writeZarr(dir, ZarrH, ZarrW, 32, 32, compressor = "blosc-blosclz",
+          dtype = "<i2")(zarrValue)
+        fixtureBlzReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureBlosc3Lock = new Object
   @volatile private var fixtureBlosc3Ready: String = null
 
@@ -1775,6 +1799,18 @@ object Zarr {
          |FROM range(0, $ZarrW) x(cell_x) CROSS JOIN range(0, $ZarrH) y(cell_y)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanZarr(s, fixtureBloscDir())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // BLOSCLZ inner codec (r14 — c-blosc's own default, the last
+    // common inner that refused by name: the FastLZ-derived LZ77
+    // token stream hand-rolled from the public blosclz.c layout):
+    // int16 split path + byte shuffle, same formula oracle
+    "scan_zarr_blosclz" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarr(s, fixtureBlosclzDir())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

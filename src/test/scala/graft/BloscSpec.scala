@@ -75,20 +75,75 @@ class BloscSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
-  test("named refusals: bit-shuffle, blosclz, snappy, ambiguous pre-1.11 split") {
+  test("named refusals: bit-shuffle, snappy, ambiguous pre-1.11 split") {
     def hdr(flags: Int, typesize: Int = 4): Array[Byte] =
       frame(flags, typesize, 16, 16, le32(16) ++ new Array[Byte](16))
     val bit = intercept[IllegalArgumentException](
       Blosc.decompress(hdr(0x04 | (1 << 5)), 16))
     assert(bit.getMessage.contains("bit-shuffled"))
-    val lz = intercept[RuntimeException](Blosc.decompress(hdr(0x10), 16))
-    assert(lz.getMessage.contains("blosclz"))
     val sn = intercept[RuntimeException](Blosc.decompress(hdr(0x10 | (2 << 5)), 16))
     assert(sn.getMessage.contains("snappy"))
     // split frame (bit4 clear) with typesize 20 > 16: ambiguous pre-1.11
     val amb = intercept[IllegalArgumentException](
       Blosc.decompress(frame(1 << 5, 20, 20, 20, le32(20) ++ new Array[Byte](20)), 20))
     assert(amb.getMessage.contains("pre-1.11"))
+  }
+
+  test("hand-assembled blosclz stream: every token form decodes exactly") {
+    // decoded target: "abcabcabcabcXYXYXYXYXYXY..." built from
+    //  1. literal run "abc"                      → ctrl 2, 3 bytes
+    //  2. overlapping match d=3, L=9 (long form) → (7<<5)|0, len-extra
+    //     0, dist-low 2  → "abcabcabc" ×3 extension from 3 seed bytes
+    //  3. literal run "XY"                       → ctrl 1, 2 bytes
+    //  4. short match d=2, L=8                   → (6<<5)|0, low 1
+    //  5. far-form match d=8192 is out of range here; instead pin the
+    //     255-continued long length: d=2, L=264 = 9+255+0
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write(2); bo.write('a'); bo.write('b'); bo.write('c')   // lits "abc"
+    bo.write((7 << 5) | 0); bo.write(0); bo.write(2)           // match L=9 d=3
+    bo.write(1); bo.write('X'); bo.write('Y')                  // lits "XY"
+    bo.write((6 << 5) | 0); bo.write(1)                        // match L=8 d=2
+    bo.write((7 << 5) | 0); bo.write(255); bo.write(0); bo.write(1) // L=264 d=2
+    val stream = bo.toByteArray
+    val want = new StringBuilder
+    want.append("abc").append("abcabcabc").append("XY")
+    for (_ <- 0 until 4) want.append("XY")
+    for (i <- 0 until 264) want.append(if (i % 2 == 0) 'X' else 'Y')
+    val dst = new Array[Byte](want.length)
+    val n = Blosc.blosclzDecompress(stream, 0, stream.length, dst, 0, want.length)
+    assert(n == want.length)
+    assert(new String(dst, "US-ASCII") == want.toString)
+    // the FIRST token's high bits are masked: prepending (6<<5) to a
+    // literal ctrl byte must still read as a literal run
+    val masked = Array[Byte](((6 << 5) | 2).toByte, 'a', 'b', 'c')
+    val d3 = new Array[Byte](3)
+    assert(Blosc.blosclzDecompress(masked, 0, masked.length, d3, 0, 3) == 3)
+    assert(new String(d3, "US-ASCII") == "abc")
+    // malformed: match underrunning the block start is loud
+    val bad = Array[Byte](0, 'a', ((1 << 5) | 0).toByte, 9)
+    val e = intercept[IllegalArgumentException](
+      Blosc.blosclzDecompress(bad, 0, bad.length, new Array[Byte](16), 0, 16))
+    assert(e.getMessage.contains("underruns"))
+  }
+
+  test("blosclz encoder↔decoder roundtrip incl. long matches and noise") {
+    val rnd = new scala.util.Random(11)
+    for (n <- Seq(1, 3, 40, 1000, 70000)) {
+      val structured = Array.tabulate[Byte](n)(i => ((i / 17) % 5 + (i % 4) * 30).toByte)
+      val enc = Blosc.blosclzCompress(structured, 0, n)
+      if (enc != null) {
+        val dec = new Array[Byte](n)
+        assert(Blosc.blosclzDecompress(enc, 0, enc.length, dec, 0, n) == n)
+        assert(dec.toSeq == structured.toSeq, s"structured n=$n")
+      }
+      val noise = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      val encN = Blosc.blosclzCompress(noise, 0, n)
+      if (encN != null) {
+        val dec = new Array[Byte](n)
+        assert(Blosc.blosclzDecompress(encN, 0, encN.length, dec, 0, n) == n)
+        assert(dec.toSeq == noise.toSeq, s"noise n=$n")
+      }
+    }
   }
 
   test("wrong expected size and bad stream lengths fail loudly") {
