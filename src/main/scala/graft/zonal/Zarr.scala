@@ -52,8 +52,9 @@ object Zarr {
       sep: String, // "." (flat) or "/" (nested)
       v3: Boolean = false, // v3: chunk keys are "c<sep>ci<sep>cj"
       // sharding_indexed (v3): inner chunk dims (0 = unsharded), index
-      // checksum + placement; `compressor` is then the INNER chain's
-      innerH: Int = 0, innerW: Int = 0,
+      // checksum + placement; `compressor` is then the INNER chain's.
+      // Rank-3 shards (r14) additionally carry the leading inner dim.
+      innerH: Int = 0, innerW: Int = 0, innerT: Int = 0,
       indexCrc: Boolean = false, indexAtEnd: Boolean = true,
       // v3 `transpose` codec: chunks are stored column-major (r12)
       transposed: Boolean = false,
@@ -302,9 +303,10 @@ object Zarr {
             case other => sys.error(s"$path: shard chunk_shape entry $other") }
           case other => sys.error(s"$path: shard chunk_shape $other")
         }
-        require(inner.length == 2 && inner.forall(_ > 0),
-          s"$path: shard inner chunk_shape $inner unsupported")
-        require(chunks(0) % inner(0) == 0 && chunks(1) % inner(1) == 0,
+        require(inner.length == chunks.length && inner.forall(_ > 0),
+          s"$path: shard inner chunk_shape $inner must match the " +
+            s"rank-${chunks.length} chunk grid")
+        require(inner.indices.forall(i => chunks(i) % inner(i) == 0),
           s"$path: shard shape $chunks not a multiple of inner ${inner} " +
             "(required by the sharding spec)")
         val (e, c, tr) = parseChain(codecList(cfg \ "codecs", "shard inner codecs"),
@@ -320,7 +322,7 @@ object Zarr {
           case JString("start") => false
           case other => sys.error(s"$path: index_location $other")
         }
-        (e, c, tr, Some((inner(0), inner(1))), crc, atEnd)
+        (e, c, tr, Some(inner), crc, atEnd)
       } else {
         val (e, c, tr) = parseChain(topChain, "codec")
         (e, c, tr, None, false, true)
@@ -358,8 +360,9 @@ object Zarr {
       // refuse loudly rather than silently scrambling the planes
       require(!transposed,
         s"$path: transpose codec on a rank-${shape.length} array unsupported")
-      require(innerDims.isEmpty,
-        s"$path: sharding_indexed on a rank-${shape.length} array unsupported")
+      require(innerDims.isEmpty || shape.length == 3,
+        s"$path: sharding_indexed on a rank-${shape.length} array " +
+          "unsupported (2-D and rank-3 (t, y, x) shards only)")
       if (shape.length == 4)
         ZarrMeta(shape(2), shape(3), chunks(2), chunks(3), endian + kind,
           compressor, fill, hasFill, sep, v3 = v3keys,
@@ -368,12 +371,16 @@ object Zarr {
       else
         ZarrMeta(shape(1), shape(2), chunks(1), chunks(2), endian + kind,
           compressor, fill, hasFill, sep, v3 = v3keys,
-          epochs = shape(0), chunkT = chunks(0))
+          epochs = shape(0), chunkT = chunks(0),
+          innerT = innerDims.map(_(0)).getOrElse(0),
+          innerH = innerDims.map(_(1)).getOrElse(0),
+          innerW = innerDims.map(_(2)).getOrElse(0),
+          indexCrc = indexCrc, indexAtEnd = indexAtEnd)
     } else
       ZarrMeta(shape(0), shape(1), chunks(0), chunks(1), endian + kind,
         compressor, fill, hasFill, sep, v3 = v3keys,
-        innerH = innerDims.map(_._1).getOrElse(0),
-        innerW = innerDims.map(_._2).getOrElse(0),
+        innerH = innerDims.map(_(0)).getOrElse(0),
+        innerW = innerDims.map(_(1)).getOrElse(0),
         indexCrc = indexCrc, indexAtEnd = indexAtEnd, transposed = transposed)
   }
 
@@ -764,7 +771,10 @@ object Zarr {
       path: String, len: Long, ck: Int, ci: Int, cj: Int,
       epochs: Int, height: Int, width: Int,
       chunkT: Int, chunkH: Int, chunkW: Int,
-      dtype: String, compressor: String, fill: Double, hasFill: Boolean)
+      dtype: String, compressor: String, fill: Double, hasFill: Boolean,
+      // sharding_indexed (r14): inner dims (0 = unsharded) + index shape
+      innerT: Int = 0, innerH: Int = 0, innerW: Int = 0,
+      indexCrc: Boolean = false, indexAtEnd: Boolean = true)
 
   /** Rank-3 chunk manifest: one listing per directory level, every
     * grid position a ref (absent = fill, `len = -1`).
@@ -780,7 +790,10 @@ object Zarr {
     def ref(ck: Int, ci: Int, cj: Int, len: Long) =
       ChunkRef3(s"$dir/${m.chunkKey3(ck, ci, cj)}", len, ck, ci, cj,
         m.epochs, m.height, m.width, m.chunkT, m.chunkH, m.chunkW,
-        m.dtype, m.compressor, m.fill, m.hasFill)
+        m.dtype, m.compressor, m.fill, m.hasFill,
+        innerT = m.innerT, innerH = if (m.innerT > 0) m.innerH else 0,
+        innerW = if (m.innerT > 0) m.innerW else 0,
+        indexCrc = m.indexCrc, indexAtEnd = m.indexAtEnd)
     if (m.sep == ".") {
       val names = listing(base)
       for (ck <- 0 until m.chunksAlong; ci <- 0 until m.chunksDown;
@@ -798,13 +811,11 @@ object Zarr {
     }
   }
 
-  /** One rank-3 task: decode a (t, y, x) chunk to in-bounds cells —
-    * the buffer is C-order t-major, each t-plane a chunkH×chunkW
-    * lattice; pad in every axis clipped.
+  /** In-bounds lattice positions of one rank-3 chunk:
+    * `(tt, rr, cc, x, y, t)` with every axis pad-clipped.
     */
-  private def readChunk3(r: ChunkRef3): Iterator[(Int, Int, Int, Double)] = {
-    val elem = r.dtype.substring(2).toInt
-    val inBounds = for {
+  private def inBounds3(r: ChunkRef3): Iterator[(Int, Int, Int, Int, Int, Int)] =
+    for {
       tt <- Iterator.range(0, r.chunkT)
       t = r.ck * r.chunkT + tt
       if t < r.epochs
@@ -815,10 +826,106 @@ object Zarr {
       x = r.cj * r.chunkW + cc
       if x < r.width
     } yield (tt, rr, cc, x, y, t)
+
+  /** Decode one rank-3 chunk's decompressed bytes — C-order t-major,
+    * each t-plane a chunkH×chunkW lattice.
+    */
+  private def decode3(raw: Array[Byte], r: ChunkRef3): Iterator[(Int, Int, Int, Double)] = {
+    val elem = r.dtype.substring(2).toInt
+    val expected = r.chunkT * r.chunkH * r.chunkW * elem
+    require(raw.length == expected,
+      s"${r.path}: chunk decoded to ${raw.length} bytes, want $expected")
+    val buf = java.nio.ByteBuffer.wrap(raw)
+    buf.order(if (r.dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val kind = r.dtype.substring(1)
+    inBounds3(r).map { case (tt, rr, cc, x, y, t) =>
+      val i = ((tt * r.chunkH + rr) * r.chunkW + cc) * elem
+      val v = kind match {
+        case "f8" => buf.getDouble(i)
+        case "f4" => buf.getFloat(i).toDouble
+        case "i4" => buf.getInt(i).toDouble
+        case "i2" => buf.getShort(i).toDouble
+        case "i1" => buf.get(i).toDouble
+        case "u1" => (buf.get(i) & 0xff).toDouble
+      }
+      (x, y, t, v)
+    }
+  }
+
+  private def decompress3(bytes: Array[Byte], r: ChunkRef3): Array[Byte] = {
+    val expected = r.chunkT * r.chunkH * r.chunkW * r.dtype.substring(2).toInt
+    r.compressor match {
+      case "raw" => bytes
+      case "zlib" => TiffCodec.inflate(bytes, expected)
+      case "gzip" => TiffCodec.gzipDecompress(bytes, expected)
+      case "zstd" => TiffCodec.zstdDecompress(bytes, expected)
+      case "blosc" => Blosc.decompress(bytes, expected)
+    }
+  }
+
+  /** Decode one RANK-3 SHARD file (r14 — how large reanalysis cubes
+    * actually ship: one shard file = a (t, y, x) grid of inner chunks
+    * + the crc32c-checked u64-LE index, C-order over the inner grid):
+    * each present inner chunk decodes through the normal rank-3 path
+    * at its GLOBAL inner-grid position; all-ones entries are absent →
+    * fill. One shard = one task = one bounded buffer.
+    */
+  private def readShard3(r: ChunkRef3, bytes: Array[Byte]): Iterator[(Int, Int, Int, Double)] = {
+    val nT = r.chunkT / r.innerT
+    val nH = r.chunkH / r.innerH
+    val nW = r.chunkW / r.innerW
+    val n = nT * nH * nW
+    val idxDataLen = n * 16
+    val idxLen = idxDataLen + (if (r.indexCrc) 4 else 0)
+    require(bytes.length >= idxLen,
+      s"${r.path}: shard of ${bytes.length} bytes cannot hold a $idxLen-byte index")
+    val idxOff = if (r.indexAtEnd) bytes.length - idxLen else 0
+    if (r.indexCrc) {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(bytes, idxOff, idxDataLen)
+      val stored = java.nio.ByteBuffer.wrap(bytes, idxOff + idxDataLen, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(stored == crc.getValue.toInt,
+        s"${r.path}: shard index crc32c mismatch — corrupt shard")
+    }
+    val idx = java.nio.ByteBuffer.wrap(bytes, idxOff, idxDataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Iterator.range(0, n).flatMap { k =>
+      val off = idx.getLong(idxOff + k * 16)
+      val nb = idx.getLong(idxOff + k * 16 + 8)
+      val gk = r.ck * nT + k / (nH * nW)
+      val gi = r.ci * nH + k / nW % nH
+      val gj = r.cj * nW + k % nW
+      val innerRef = ChunkRef3(r.path, nb, gk, gi, gj,
+        r.epochs, r.height, r.width, r.innerT, r.innerH, r.innerW,
+        r.dtype, r.compressor, r.fill, r.hasFill)
+      val intersects = gk * r.innerT < r.epochs &&
+        gi * r.innerH < r.height && gj * r.innerW < r.width
+      if (off == -1L && nb == -1L) {
+        if (!intersects) Iterator.empty
+        else {
+          require(r.hasFill, s"${r.path}: inner chunk ($gk,$gi,$gj) absent " +
+            "from the shard but fill_value is null — undefined cells; fix the store")
+          inBounds3(innerRef).map { case (_, _, _, x, y, t) => (x, y, t, r.fill) }
+        }
+      } else {
+        require(off >= 0 && nb > 0 && off + nb <= bytes.length,
+          s"${r.path}: shard index entry $k out of range (off=$off, nbytes=$nb)")
+        val chunkBytes = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + nb).toInt)
+        decode3(decompress3(chunkBytes, innerRef), innerRef)
+      }
+    }
+  }
+
+  /** One rank-3 task: decode a (t, y, x) chunk (or shard) to in-bounds
+    * cells; pad in every axis clipped.
+    */
+  private def readChunk3(r: ChunkRef3): Iterator[(Int, Int, Int, Double)] = {
     if (r.len < 0) {
       require(r.hasFill, s"${r.path}: chunk absent from the store but " +
         "fill_value is null — the cube has undefined cells; fix the store")
-      inBounds.map { case (_, _, _, x, y, t) => (x, y, t, r.fill) }
+      inBounds3(r).map { case (_, _, _, x, y, t) => (x, y, t, r.fill) }
     } else {
       val p = new org.apache.hadoop.fs.Path(r.path)
       val fs = hadoopFs(p)
@@ -828,32 +935,8 @@ object Zarr {
         in.readFully(0, b)
         b
       } finally in.close()
-      val expected = r.chunkT * r.chunkH * r.chunkW * elem
-      val raw = r.compressor match {
-        case "raw" => bytes
-        case "zlib" => TiffCodec.inflate(bytes, expected)
-        case "gzip" => TiffCodec.gzipDecompress(bytes, expected)
-        case "zstd" => TiffCodec.zstdDecompress(bytes, expected)
-        case "blosc" => Blosc.decompress(bytes, expected)
-      }
-      require(raw.length == expected,
-        s"${r.path}: chunk decoded to ${raw.length} bytes, want $expected")
-      val buf = java.nio.ByteBuffer.wrap(raw)
-      buf.order(if (r.dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
-        else java.nio.ByteOrder.LITTLE_ENDIAN)
-      val kind = r.dtype.substring(1)
-      inBounds.map { case (tt, rr, cc, x, y, t) =>
-        val i = ((tt * r.chunkH + rr) * r.chunkW + cc) * elem
-        val v = kind match {
-          case "f8" => buf.getDouble(i)
-          case "f4" => buf.getFloat(i).toDouble
-          case "i4" => buf.getInt(i).toDouble
-          case "i2" => buf.getShort(i).toDouble
-          case "i1" => buf.get(i).toDouble
-          case "u1" => (buf.get(i) & 0xff).toDouble
-        }
-        (x, y, t, v)
-      }
+      if (r.innerT > 0) readShard3(r, bytes)
+      else decode3(decompress3(bytes, r), r)
     }
   }
 
@@ -1396,6 +1479,87 @@ object Zarr {
     }
   }
 
+  /** Write a SHARDED RANK-3 v3 store (r14 — a real reanalysis cube
+    * ships as (t, y, x) shards of many inner chunks): one shard file
+    * per outer chunk, inner grid C-order (t leading), crc32c'd index
+    * footer, all-fill inner chunks omitted via all-ones entries.
+    */
+  def writeZarr3dSharded(dir: String, epochs: Int, height: Int, width: Int,
+      shardT: Int, shardH: Int, shardW: Int,
+      innerT: Int, innerH: Int, innerW: Int,
+      compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0)
+      (f: (Int, Int, Int) => Double): Unit = {
+    require(shardT % innerT == 0 && shardH % innerH == 0 && shardW % innerW == 0,
+      "shard must tile by inner")
+    require(Set("raw", "gzip", "zstd", "blosc-zlib").contains(compressor), compressor)
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val dtypeName = V3Dtypes.map(_.swap).apply(dtype.substring(1))
+    val endian = if (dtype.charAt(0) == '>') "big" else "little"
+    val innerCodecs = (s"""{"name": "bytes", "configuration": {"endian": "$endian"}}""" +:
+      (compressor match {
+        case "raw" => Nil
+        case "gzip" => Seq("""{"name": "gzip", "configuration": {"level": 6}}""")
+        case "zstd" => Seq("""{"name": "zstd", "configuration": {"level": 3}}""")
+        case "blosc-zlib" =>
+          val elem = dtype.substring(2).toInt
+          Seq(s"""{"name": "blosc", "configuration": {"cname": "zlib", "clevel": 5, "shuffle": "shuffle", "typesize": $elem, "blocksize": 0}}""")
+      })).mkString("[", ", ", "]")
+    val fillJson =
+      if (fill.isNaN) "\"NaN\""
+      else if (fill == fill.floor && !fill.isInfinite) fill.toLong.toString
+      else fill.toString
+    val meta =
+      s"""{
+         |  "zarr_format": 3,
+         |  "node_type": "array",
+         |  "shape": [$epochs, $height, $width],
+         |  "data_type": "$dtypeName",
+         |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$shardT, $shardH, $shardW]}},
+         |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         |  "fill_value": $fillJson,
+         |  "codecs": [{"name": "sharding_indexed", "configuration": {
+         |    "chunk_shape": [$innerT, $innerH, $innerW],
+         |    "codecs": $innerCodecs,
+         |    "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+         |                     {"name": "crc32c"}],
+         |    "index_location": "end"}}]
+         |}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(d, "zarr.json").toPath,
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val along = (epochs + shardT - 1) / shardT
+    val down = (height + shardH - 1) / shardH
+    val across = (width + shardW - 1) / shardW
+    val nT = shardT / innerT; val nH = shardH / innerH; val nW = shardW / innerW
+    for (ck <- 0 until along; ci <- 0 until down; cj <- 0 until across) {
+      val body = new java.io.ByteArrayOutputStream()
+      val idx = java.nio.ByteBuffer.allocate(nT * nH * nW * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (it <- 0 until nT; ii <- 0 until nH; ij <- 0 until nW) {
+        val inner = Array.tabulate(innerT * innerH * innerW) { i =>
+          val t = ck * shardT + it * innerT + i / (innerH * innerW)
+          val y = ci * shardH + ii * innerH + i / innerW % innerH
+          val x = cj * shardW + ij * innerW + i % innerW
+          if (t < epochs && y < height && x < width) f(x, y, t) else fill
+        }
+        if (inner.forall(_ == fill)) { idx.putLong(-1L); idx.putLong(-1L) }
+        else {
+          val enc = chunkFileBytes(inner, innerT * innerH, innerW, compressor, dtype)
+          idx.putLong(body.size.toLong); idx.putLong(enc.length.toLong)
+          body.write(enc)
+        }
+      }
+      val crc = new java.util.zip.CRC32C()
+      crc.update(idx.array())
+      body.write(idx.array())
+      body.write(java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt).array())
+      val out = new java.io.File(d, s"c/$ck/$ci/$cj")
+      out.getParentFile.mkdirs()
+      java.nio.file.Files.write(out.toPath, body.toByteArray)
+    }
+  }
+
   /** Driver-side sharded `zarr.json` write (the tiny metadata document;
     * the distributed sink pairs it with executor-written shard files).
     */
@@ -1753,6 +1917,23 @@ object Zarr {
     dir
   }
 
+  private val fixtureSh3Lock = new Object
+  @volatile private var fixtureSh3Ready: String = null
+
+  /** Sharded RANK-3 v3 fixture (r14): 5×70×80 as 2×32×32 shards of
+    * 1×16×16 gzip inner chunks — edge shards in all three axes.
+    */
+  def fixtureSharded3dDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr3ds_fixture_${Zarr3T}x${ZarrH}x$ZarrW"
+    if (fixtureSh3Ready != dir) fixtureSh3Lock.synchronized {
+      if (fixtureSh3Ready != dir) {
+        writeZarr3dSharded(dir, Zarr3T, ZarrH, ZarrW, 2, 32, 32, 1, 16, 16)(zarr3dValue)
+        fixtureSh3Ready = dir
+      }
+    }
+    dir
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     // Zarr ingestion end-to-end: write the deterministic store (once),
     // scan it chunk-parallel, emit the long-form cell table. The oracle
@@ -1787,6 +1968,18 @@ object Zarr {
       scanZarr(s, fixtureShardedDir())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // sharded RANK-3 v3 (r14 — how a real reanalysis cube actually
+    // ships: (t, y, x) shards each holding a grid of inner chunks):
+    // the inner grid extends to the leading axis, C-order index, one
+    // shard = one task unchanged; same 3-factor formula oracle
+    "scan_zarr_3d_sharded" -> Q(
+      s"""SELECT cell_x, cell_y, epoch, value FROM ($Zarr3dCellsSql)
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      scanZarr3d(s, fixtureSharded3dDir())
+        .select(col("cell_x"), col("cell_y"), col("epoch"), col("value"))
+        .orderBy("cell_x", "cell_y", "epoch")
     },
 
     // BLOSC v2 store (r12 — zarr-python v2's default compressor, the

@@ -533,6 +533,79 @@ class ZarrSpec extends SparkSuite {
     assert(refs.size == 8, s"want 8 of 27 chunks, got ${refs.size}")
   }
 
+  test("hand-built RANK-3 shard: C-order inner grid with leading axis, absent inner fill") {
+    // 2x4x4 array = ONE 2x4x4 shard of 1x2x2 raw LE f8 inner chunks:
+    // inner grid is 2x2x2 in C-order (t leading); inner (1,1,1)
+    // omitted (all-ones entry) -> fill 9
+    val d = tmpDir("v3shand3")
+    putText(d, "zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 4, 4],
+        |"data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 4, 4]}},
+        |"chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+        |"fill_value": 9,
+        |"codecs": [{"name": "sharding_indexed", "configuration": {
+        |  "chunk_shape": [1, 2, 2],
+        |  "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |  "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |                   {"name": "crc32c"}],
+        |  "index_location": "end"}}]}""".stripMargin)
+    def f3(x: Int, y: Int, t: Int): Double = 1000 * t + 100 * y + x
+    def inner(it: Int, ii: Int, jj: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 * 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (rr <- 0 until 2; cc <- 0 until 2)
+        b.putDouble(f3(jj * 2 + cc, ii * 2 + rr, it))
+      b.array()
+    }
+    val body = new java.io.ByteArrayOutputStream()
+    val idx = java.nio.ByteBuffer.allocate(8 * 16).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (it <- 0 until 2; ii <- 0 until 2; jj <- 0 until 2) {
+      if (it == 1 && ii == 1 && jj == 1) { idx.putLong(-1L); idx.putLong(-1L) }
+      else {
+        val enc = inner(it, ii, jj)
+        idx.putLong(body.size.toLong); idx.putLong(enc.length.toLong)
+        body.write(enc)
+      }
+    }
+    val crc = new java.util.zip.CRC32C()
+    crc.update(idx.array())
+    body.write(idx.array())
+    body.write(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt).array())
+    put(d, "c/0/0/0", body.toByteArray)
+    val got = Zarr.scanZarr3d(spark, d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 32)
+    for (t <- 0 until 2; y <- 0 until 4; x <- 0 until 4) {
+      val want = if (t == 1 && y >= 2 && x >= 2) 9.0 else f3(x, y, t)
+      assert(got((x, y, t)) == want, s"cell ($x,$y,$t): got ${got((x, y, t))}")
+    }
+    // the writer+reader pair over a padded multi-shard cube, incl. an
+    // edge shard in every axis
+    val d2 = tmpDir("v3s3rt")
+    Zarr.writeZarr3dSharded(d2.getPath, 3, 5, 7, 2, 4, 4, 1, 2, 2)(f3)
+    val rt = Zarr.scanZarr3d(spark, d2.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(rt.size == 3 * 5 * 7)
+    for (t <- 0 until 3; y <- 0 until 5; x <- 0 until 7)
+      assert(rt((x, y, t)) == f3(x, y, t), s"rt ($x,$y,$t)")
+    // rank-4 sharding still refuses by name
+    val d4 = tmpDir("v3s4ref")
+    putText(d4, "zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 2, 4, 4],
+        |"data_type": "float64",
+        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2, 4, 4]}},
+        |"fill_value": 0,
+        |"codecs": [{"name": "sharding_indexed", "configuration": {
+        |  "chunk_shape": [1, 1, 2, 2],
+        |  "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+        |  "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+        |                   {"name": "crc32c"}],
+        |  "index_location": "end"}}]}""".stripMargin)
+    assert(msgs(intercept[Throwable](Zarr.readMeta(d4.getPath)))
+      .contains("rank-4"))
+  }
+
   test("sharded store with blosc-zlib inner chunks round-trips the formula") {
     val d = tmpDir("shardblosc")
     Zarr.writeZarrV3Sharded(d.getPath, 20, 26, 16, 16, 8, 8,
