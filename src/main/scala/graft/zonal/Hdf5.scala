@@ -443,9 +443,14 @@ object Hdf5 {
           case 3 => // fixed array: page bits + FAHD address
             fixedArrayChunks(path, r, le(lay).getLong(idxOff + 2),
               down * across, filtered, chunkBytes)
+          case 4 => // extensible array: 5 creation params + EAHD address
+            extensibleArrayChunks(path, r, le(lay).getLong(idxOff + 6),
+              lay(idxOff + 1) & 0xff, lay(idxOff + 2) & 0xff,
+              lay(idxOff + 3) & 0xff, lay(idxOff + 4) & 0xff,
+              lay(idxOff + 5) & 0xff, down * across, filtered, chunkBytes)
           case t => sys.error(s"$path: v4 chunk index type $t unsupported " +
-            "(single chunk/implicit/fixed array — extensible array and v2 " +
-            "B-tree mean unlimited dimensions; use a bounded shape)")
+            "(single chunk/implicit/fixed array/extensible array — a v2 " +
+            "B-tree means >1 unlimited dimension; use a bounded shape)")
         }
         val chunks = located.collect { case (k, addr, size, mask) if addr != Undef =>
           (0, 0, (k / across) * chunkH, (k % across) * chunkW, addr, size, mask)
@@ -573,6 +578,143 @@ object Hdf5 {
         // pages occupy file space whether or not initialized
         pos += nInPage.toLong * entrySize + 4
         out
+      }
+    }
+  }
+
+  /** Extensible-array geometry (the H5EA block math, from the public
+    * HDF5 source): super block `u` holds `2^(u/2)` data blocks of
+    * `2^((u+1)/2) · data_blk_min_elems` elements each; the index block
+    * stores the first `idx_blk_elems` elements inline plus DIRECT
+    * addresses for the data blocks of the first
+    * `2·log2(sup_blk_min_data_ptrs)` super blocks; later super blocks
+    * get super-block addresses (which refuse by name below — they mean
+    * hundreds of chunks under default creation parameters).
+    */
+  private[zonal] final case class EaSblk(ndblks: Int, dblkN: Int, startIdx: Long, startDblk: Int)
+
+  private def eaLog2(path: String, what: String, v: Int): Int = {
+    require(v > 0 && (v & (v - 1)) == 0, s"$path: $what $v is not a power of two")
+    java.lang.Integer.numberOfTrailingZeros(v)
+  }
+
+  private[zonal] def eaSblkInfo(path: String, maxBits: Int, minElems: Int): Array[EaSblk] = {
+    val n = 1 + (maxBits - eaLog2(path, "data_blk_min_elems", minElems))
+    require(n >= 1 && n <= 64, s"$path: extensible-array geometry n_sblks=$n")
+    val out = new Array[EaSblk](n)
+    var startIdx = 0L
+    var startDblk = 0
+    var u = 0
+    while (u < n) {
+      val ndblks = 1 << (u / 2)
+      val dblkN = (1 << ((u + 1) / 2)) * minElems
+      out(u) = EaSblk(ndblks, dblkN, startIdx, startDblk)
+      startIdx += ndblks.toLong * dblkN
+      startDblk += ndblks
+      u += 1
+    }
+    out
+  }
+
+  /** Parse an Extensible Array chunk index (EAHD header → EAIB index
+    * block → EADB data blocks): per-chunk (linearIdx, addr, size,
+    * filterMask); undefined addresses (or whole undefined data blocks)
+    * mark absent chunks. Elements past the directly-indexed region
+    * (super blocks) and paged data blocks refuse by name.
+    */
+  private def extensibleArrayChunks(path: String, r: RangeReader, eahdAddr: Long,
+      maxBits: Int, idxElems: Int, minPtrs: Int, minElems: Int, pageBits: Int,
+      nChunks: Int, filtered: Boolean, chunkBytes: Int): Seq[(Int, Long, Long, Int)] = {
+    val h = r.bytes(eahdAddr, 72)
+    require(h.take(4).sameElements("EAHD".getBytes), s"$path: bad EAHD signature")
+    require((h(4) & 0xff) == 0, s"$path: EAHD version ${h(4) & 0xff} unsupported (0)")
+    val clientId = h(5) & 0xff
+    require(clientId == (if (filtered) 1 else 0),
+      s"$path: EAHD client $clientId does not match the filter pipeline")
+    val entrySize = h(6) & 0xff
+    require(entrySize == (if (filtered) 16 else 8),
+      s"$path: extensible-array element size $entrySize unsupported")
+    require((h(7) & 0xff) == maxBits && (h(8) & 0xff) == idxElems &&
+        (h(9) & 0xff) == minElems && (h(10) & 0xff) == minPtrs &&
+        (h(11) & 0xff) == pageBits,
+      s"$path: EAHD creation parameters disagree with the layout message")
+    val iba = le(h).getLong(60)
+    require(iba != Undef, s"$path: extensible array without an index block")
+    val sblks = eaSblkInfo(path, maxBits, minElems)
+    val nsblksDirect = 2 * eaLog2(path, "sup_blk_min_data_ptrs", minPtrs)
+    require(nsblksDirect <= sblks.length,
+      s"$path: extensible-array direct region exceeds the geometry")
+    val ndblkAddrs =
+      if (nsblksDirect < sblks.length) sblks(nsblksDirect).startDblk
+      else sblks.last.startDblk + sblks.last.ndblks
+    val nsblkAddrs = math.max(0, sblks.length - nsblksDirect)
+    val ibSize = 14 + idxElems * entrySize + (ndblkAddrs + nsblkAddrs) * 8 + 4
+    val ib = r.bytes(iba, ibSize)
+    require(ib.take(4).sameElements("EAIB".getBytes), s"$path: bad EAIB signature")
+    require((ib(5) & 0xff) == clientId, s"$path: EAIB client mismatch")
+    require(le(ib).getLong(6) == eahdAddr, s"$path: EAIB does not point back at its EAHD")
+    val dblkAddrOff = 14 + idxElems * entrySize
+    val sblkAddrOff = dblkAddrOff + ndblkAddrs * 8
+    var k = 0
+    while (k < nsblkAddrs) {
+      require(le(ib).getLong(sblkAddrOff + 8 * k) == Undef,
+        s"$path: extensible-array SUPER blocks unsupported — elements past " +
+          s"the directly-indexed region (${idxElems + sblks(nsblksDirect).startIdx} " +
+          "chunks); rewrite with larger chunks or a bounded shape")
+      k += 1
+    }
+    def entryAt(b: Array[Byte], off: Int, idx: Int): (Int, Long, Long, Int) = {
+      val addr = le(b).getLong(off)
+      if (!filtered) (idx, addr, chunkBytes.toLong, 0)
+      else {
+        val sz = le(b).getInt(off + 8).toLong & 0xffffffffL
+        val mask = le(b).getInt(off + 12)
+        (idx, addr, sz, mask)
+      }
+    }
+    val arrOffSize = (maxBits + 7) / 8
+    val dblkCache = scala.collection.mutable.Map.empty[Int, Option[Array[Byte]]]
+    def dblk(dblkIdx: Int, dblkN: Int): Option[Array[Byte]] =
+      dblkCache.getOrElseUpdate(dblkIdx, {
+        val a = le(ib).getLong(dblkAddrOff + 8 * dblkIdx)
+        if (a == Undef) None
+        else {
+          require(dblkN <= (1 << pageBits),
+            s"$path: PAGED extensible-array data block ($dblkN elements > " +
+              s"2^$pageBits page) unsupported")
+          val size = 14 + arrOffSize + dblkN * entrySize + 4
+          val db = r.bytes(a, size)
+          require(db.take(4).sameElements("EADB".getBytes), s"$path: bad EADB signature")
+          require((db(5) & 0xff) == clientId, s"$path: EADB client mismatch")
+          require(le(db).getLong(6) == eahdAddr,
+            s"$path: EADB does not point back at its EAHD")
+          Some(db)
+        }
+      })
+    (0 until nChunks).map { idx =>
+      if (idx < idxElems) entryAt(ib, 14 + idx * entrySize, idx)
+      else {
+        val rel = idx - idxElems
+        val u = sblks.indexWhere(s =>
+          rel >= s.startIdx && rel < s.startIdx + s.ndblks.toLong * s.dblkN)
+        require(u >= 0 && u < nsblksDirect,
+          s"$path: chunk $idx beyond the extensible array's directly-indexed region")
+        val s = sblks(u)
+        val blkInS = ((rel - s.startIdx) / s.dblkN).toInt
+        val dblkIdx = s.startDblk + blkInS
+        dblk(dblkIdx, s.dblkN) match {
+          case None => (idx, Undef, 0L, 0)
+          case Some(db) =>
+            // block offset: the ABSOLUTE element index of the block start
+            val expectOff = idxElems + s.startIdx + blkInS.toLong * s.dblkN
+            var bo = 0L
+            var i = 0
+            while (i < arrOffSize) { bo |= (db(14 + i) & 0xffL) << (8 * i); i += 1 }
+            require(bo == expectOff,
+              s"$path: EADB block offset $bo, expected $expectOff")
+            val within = (rel - s.startIdx - blkInS.toLong * s.dblkN).toInt
+            entryAt(db, 14 + arrOffSize + within * entrySize, idx)
+        }
       }
     }
   }
@@ -1391,6 +1533,185 @@ object Hdf5 {
     java.nio.file.Files.write(p.toPath, out)
   }
 
+  /** Write a libver-'latest' file whose chunk index is an EXTENSIBLE
+    * ARRAY (r14 — what HDF5 emits for one unlimited dimension, the
+    * appendable-time shape): superblock v3, OHDR v2, data layout v4
+    * index type 4 with EAHD → EAIB (inline elements + direct data-
+    * block addresses, super-block slots undefined) → EADB blocks,
+    * lookup3-checksummed. Rank-2 chunked, plain variable name.
+    */
+  def writeHdf5V2Ea(path: String, varName: String, height: Int, width: Int,
+      chunkH: Int, chunkW: Int, dtype: String = "<f8",
+      deflate: Boolean = true, fill: Double = 0.0,
+      omit: Set[(Int, Int)] = Set.empty,
+      maxBits: Int = 32, idxElems: Int = 4, minPtrs: Int = 4,
+      minElems: Int = 4, pageBits: Int = 10)(f: (Int, Int) => Double): Unit = {
+    val elem = dtype.substring(2).toInt
+    val isFloat = dtype.substring(1).startsWith("f")
+    val down = (height + chunkH - 1) / chunkH
+    val across = (width + chunkW - 1) / chunkW
+    val n = down * across
+    val blobs: Seq[(Int, Option[Array[Byte]])] = (0 until n).map { k =>
+      val (ci, cj) = (k / across, k % across)
+      if (omit.contains((ci, cj))) (k, None)
+      else {
+        val vals = Array.tabulate(chunkH * chunkW) { i =>
+          val y = ci * chunkH + i / chunkW
+          val x = cj * chunkW + i % chunkW
+          if (y < height && x < width) f(x, y) else fill
+        }
+        var b = encodeCells(vals, dtype)
+        if (deflate) b = TiffCodec.deflate(b)
+        (k, Some(b))
+      }
+    }
+    val linkBody = 3 + varName.length + 8
+    val rootChunk0 = 4 + linkBody
+    val aRoot = 48L
+    val rootSize = 7 + rootChunk0 + 4
+    val aDs = aRoot + rootSize
+    val dsBodies = Seq(
+      (0x01, 20), (0x03, if (isFloat) 20 else 12), (0x05, 6 + elem)) ++
+      (if (deflate) Seq((0x0B, 12)) else Nil) ++ Seq((0x08, 43))
+    val dsChunk0 = dsBodies.map(4 + _._2).sum
+    val dsSize = 7 + dsChunk0 + 4
+    val aEahd = aDs + dsSize
+    val aEaib = aEahd + 72
+    val entry = if (deflate) 16 else 8
+    val arrOffSize = (maxBits + 7) / 8
+    val sblks = eaSblkInfo(path, maxBits, minElems)
+    val nsblksDirect = 2 * eaLog2(path, "sup_blk_min_data_ptrs", minPtrs)
+    val ndblkAddrs =
+      if (nsblksDirect < sblks.length) sblks(nsblksDirect).startDblk
+      else sblks.last.startDblk + sblks.last.ndblks
+    val nsblkAddrs = math.max(0, sblks.length - nsblksDirect)
+    val ibSize = 14 + idxElems * entry + (ndblkAddrs + nsblkAddrs) * 8 + 4
+    def loc(idx: Int): (EaSblk, Int, Int) = { // (sblk, dblkIdx, within)
+      val rel = idx - idxElems
+      val u = sblks.indexWhere(s =>
+        rel >= s.startIdx && rel < s.startIdx + s.ndblks.toLong * s.dblkN)
+      require(u >= 0 && u < nsblksDirect,
+        s"writeHdf5V2Ea: chunk $idx beyond the directly-indexed region")
+      val s = sblks(u)
+      val blkInS = ((rel - s.startIdx) / s.dblkN).toInt
+      (s, s.startDblk + blkInS, (rel - s.startIdx - blkInS.toLong * s.dblkN).toInt)
+    }
+    val neededDblks: Seq[(Int, EaSblk)] =
+      (idxElems until n).filter(k => blobs(k)._2.isDefined).map { k =>
+        val (s, dblkIdx, _) = loc(k); (dblkIdx, s)
+      }.distinctBy(_._1).sortBy(_._1)
+    neededDblks.foreach { case (_, s) =>
+      require(s.dblkN <= (1 << pageBits),
+        s"writeHdf5V2Ea: ${s.dblkN}-element data block would page") }
+    var cursor = aEaib + ibSize
+    val dbAddrs: Map[Int, (Long, Int)] = neededDblks.map { case (i, s) =>
+      val sz = 14 + arrOffSize + s.dblkN * entry + 4
+      val a = cursor; cursor += sz; i -> ((a, sz))
+    }.toMap
+    var dataAddr = cursor
+    val addrs = blobs.map { case (k, ob) =>
+      val a = ob.map { b => val x = dataAddr; dataAddr += b.length; x }
+      (k, a, ob)
+    }
+    val eof = dataAddr
+    val client = if (deflate) 1 else 0
+    val buf = new Buf
+    buf.raw(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+      .u8(3).u8(8).u8(8).u8(0)
+      .u64(0).u64(Undef).u64(eof).u64(aRoot).u32(0)
+    require(buf.size == 48, s"superblock v3 accounting: ${buf.size}")
+    buf.raw("OHDR".getBytes).u8(2).u8(0).u8(rootChunk0)
+      .u8(0x06).u16(linkBody).u8(0)
+      .u8(1).u8(0).u8(varName.length).raw(varName.getBytes).u64(aDs)
+      .u32(0)
+    require(buf.size == aDs, s"root OHDR accounting: ${buf.size}")
+    buf.raw("OHDR".getBytes).u8(2).u8(0).u8(dsChunk0)
+    buf.u8(0x01).u16(20).u8(0)
+      .u8(2).u8(2).u8(0).u8(1).u64(height).u64(width)
+    val bigE = if (dtype.charAt(0) == '>') 1 else 0
+    if (isFloat) {
+      val (expLoc, expSize, manSize, bias) =
+        if (elem == 8) (52, 11, 52, 1023) else (23, 8, 23, 127)
+      buf.u8(0x03).u16(20).u8(0)
+        .u8(0x11).u8(0x20 | bigE).u8(8 * elem - 1).u8(0).u32(elem)
+        .u16(0).u16(8 * elem).u8(expLoc).u8(expSize).u8(0).u8(manSize).u32(bias)
+    } else {
+      val signed = dtype.substring(1).startsWith("i")
+      buf.u8(0x03).u16(12).u8(0)
+        .u8(0x10).u8((if (signed) 0x08 else 0) | bigE).u8(0).u8(0).u32(elem)
+        .u16(0).u16(8 * elem)
+    }
+    buf.u8(0x05).u16(6 + elem).u8(0)
+      .u8(3).u8(0x22).u32(elem).raw(encodeCells(Array(fill), dtype))
+    if (deflate)
+      buf.u8(0x0B).u16(12).u8(0)
+        .u8(2).u8(1).u16(1).u16(0).u16(1).u32(6)
+    buf.u8(0x08).u16(43).u8(0)
+      .u8(4).u8(2).u8(0).u8(3).u8(8)
+      .u64(chunkH).u64(chunkW).u64(elem)
+      .u8(4).u8(maxBits).u8(idxElems).u8(minPtrs).u8(minElems).u8(pageBits)
+      .u64(aEahd)
+    buf.u32(0)
+    require(buf.size == aEahd, s"dataset OHDR accounting: ${buf.size}")
+    // EAHD (stats fields are informational)
+    buf.raw("EAHD".getBytes).u8(0).u8(client).u8(entry).u8(maxBits)
+      .u8(idxElems).u8(minElems).u8(minPtrs).u8(pageBits)
+      .u64(0).u64(0)
+      .u64(neededDblks.size).u64(dbAddrs.values.map(_._2.toLong).sum)
+      .u64(n).u64(n)
+      .u64(aEaib).u32(0)
+    require(buf.size == aEaib, s"EAHD accounting: ${buf.size}")
+    def putEntry(absIdx: Int): Unit =
+      if (absIdx < n) addrs(absIdx) match {
+        case (_, Some(x), ob) =>
+          buf.u64(x)
+          if (deflate) { buf.u32(ob.get.length).u32(0) }
+        case (_, None, _) =>
+          buf.u64(Undef)
+          if (deflate) { buf.u32(0).u32(0) }
+      } else {
+        buf.u64(Undef)
+        if (deflate) { buf.u32(0).u32(0) }
+      }
+    // EAIB: inline elements, direct data-block addrs, Undef super slots
+    buf.raw("EAIB".getBytes).u8(0).u8(client).u64(aEahd)
+    (0 until idxElems).foreach(putEntry)
+    (0 until ndblkAddrs).foreach(i =>
+      buf.u64(dbAddrs.get(i).map(_._1).getOrElse(Undef)))
+    (0 until nsblkAddrs).foreach(_ => buf.u64(Undef))
+    buf.u32(0)
+    require(buf.size == aEaib + ibSize, s"EAIB accounting: ${buf.size}")
+    // EADBs
+    neededDblks.foreach { case (dblkIdx, s) =>
+      val blockOff = idxElems + s.startIdx + (dblkIdx - s.startDblk).toLong * s.dblkN
+      buf.raw("EADB".getBytes).u8(0).u8(client).u64(aEahd)
+      (0 until arrOffSize).foreach(i => buf.u8(((blockOff >> (8 * i)) & 0xff).toInt))
+      (0 until s.dblkN).foreach(w => putEntry((blockOff + w).toInt))
+      buf.u32(0)
+    }
+    require(buf.size == cursor, s"EADB accounting: ${buf.size} vs $cursor")
+    addrs.foreach { case (_, _, ob) => ob.foreach(buf.raw) }
+    require(buf.size == eof, s"file accounting: ${buf.size} vs $eof")
+    val out = buf.out
+    def patch(at: Long, from: Long, len: Int): Unit = {
+      val ck = Lookup3.hash(out, from.toInt, len)
+      java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(at.toInt, ck)
+    }
+    patch(44, 0, 44)
+    patch(aDs - 4, aRoot, rootSize - 4)
+    patch(aEahd - 4, aDs, dsSize - 4)
+    patch(aEaib - 4, aEahd, 68)
+    patch(aEaib + ibSize - 4, aEaib, ibSize - 4)
+    neededDblks.foreach { case (dblkIdx, _) =>
+      val (a, sz) = dbAddrs(dblkIdx)
+      patch(a + sz - 4, a, sz - 4)
+    }
+    val p = new java.io.File(path)
+    p.getParentFile.mkdirs()
+    java.nio.file.Files.write(p.toPath, out)
+  }
+
   // ---- fixtures + registry ----
 
   /** Same formula lattice as the Zarr family (shared oracle shape):
@@ -1519,6 +1840,26 @@ object Hdf5 {
     p
   }
 
+  private val fixtureEaLock = new Object
+  @volatile private var fixtureEaReady: String = null
+
+  /** Extensible-array fixture (r14): layout v4 index type 4 over the
+    * same formula lattice — 9 chunks with small creation parameters so
+    * elements land inline (4), in a full data block (4) AND in a
+    * partially-used one (1 of 8, Undef tail).
+    */
+  def fixtureEaPath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5ea_fixture_${H5W}x$H5H.nc"
+    if (fixtureEaReady != p) fixtureEaLock.synchronized {
+      if (fixtureEaReady != p) {
+        writeHdf5V2Ea(p, "v", H5H, H5W, 32, 32, dtype = "<f8",
+          deflate = true)(h5Value)
+        fixtureEaReady = p
+      }
+    }
+    p
+  }
+
   private val fixtureMaskLock = new Object
   @volatile private var fixtureMaskReady: String = null
 
@@ -1582,6 +1923,22 @@ object Hdf5 {
       s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdf4(s, fixtureV2Path(), "v")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // EXTENSIBLE-ARRAY chunk index (r14 — what HDF5 writes for ONE
+    // unlimited dimension, the appendable-time netCDF-4 shape; the
+    // last v4 index that refused by name short of the v2 B-tree):
+    // EAHD → EAIB inline elements + direct data-block addresses →
+    // EADB blocks with the H5EA 2^(u/2) geometry; super blocks (past
+    // the directly-indexed region) still refuse by name. The fixture
+    // covers inline, full-block AND partially-used-block elements;
+    // the IDENTICAL formula oracle gates the whole path
+    "scan_netcdf4_earray" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdf4(s, fixtureEaPath(), "v")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

@@ -216,6 +216,58 @@ class Hdf5Spec extends SparkSuite {
       Hdf5.scanNetcdf4Cube4d(spark, Hdf5.fixturePath(), "v"))).contains("scanNetcdf4"))
   }
 
+  test("extensible-array index: inline/full-block/partial-block elements, fill, refusals") {
+    // 10x8 at 2x4 chunks -> 5x2 grid = 10 chunks with idxElems=4,
+    // minElems=4: 4 inline + dblk0 (rel 0-3) + dblk1 (rel 4-5 of 8);
+    // omit one inline chunk AND one data-block chunk -> fill
+    def fe(x: Int, y: Int): Double = ((7 * x + 3 * y) % 53).toDouble
+    val p = tmp("ea")
+    Hdf5.writeHdf5V2Ea(p, "v", 10, 8, 2, 4, dtype = "<f8", deflate = true,
+      fill = 7.5, omit = Set((1, 0), (4, 1)))(fe)
+    val got = Hdf5.scanNetcdf4(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 80)
+    for (y <- 0 until 10; x <- 0 until 8) {
+      // chunk (ci, cj) = (y/2, x/4); omitted (1,0) and (4,1)
+      val omitted = (y / 2 == 1 && x / 4 == 0) || (y / 2 == 4 && x / 4 == 1)
+      assert(got((x, y)) == (if (omitted) 7.5 else fe(x, y)), s"($x,$y)")
+    }
+    // an ENTIRELY-omitted data block leaves an Undef block address
+    val p2 = tmp("ea2")
+    Hdf5.writeHdf5V2Ea(p2, "v", 10, 8, 2, 4, dtype = "<f8", deflate = true,
+      fill = 7.5, omit = Set((2, 0), (2, 1), (3, 0), (3, 1)))(fe)
+    val g2 = Hdf5.scanNetcdf4(spark, p2, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (y <- 0 until 10; x <- 0 until 8) {
+      val omitted = y / 2 == 2 || y / 2 == 3
+      assert(g2((x, y)) == (if (omitted) 7.5 else fe(x, y)), s"p2 ($x,$y)")
+    }
+    // surgery: a DEFINED super-block slot refuses by name. Recompute
+    // the writer's deterministic layout: aEaib and the slot offsets
+    val aDs = 48 + 7 + (4 + 3 + 1 + 8) + 4
+    val dsSize = 7 + ((4 + 20) + (4 + 20) + (4 + 14) + (4 + 12) + (4 + 43)) + 4
+    val aEahd = aDs + dsSize
+    val aEaib = aEahd + 72
+    val entry = 16
+    val sblkAddrOff = 14 + 4 * entry + 6 * 8 // idxElems=4, ndblkAddrs=6
+    patch(p, aEaib + sblkAddrOff, Array.fill[Byte](8)(0x11))
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4(spark, p, "v").collect())).contains("SUPER blocks"))
+    // surgery: EAIB that does not point back at its EAHD is loud
+    patch(p2, aEaib + 6, Array.fill[Byte](8)(0x22))
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4(spark, p2, "v").collect())).contains("EAIB"))
+  }
+
+  test("registry: scan_netcdf4_earray fixture matches the formula") {
+    val cells = q("scan_netcdf4_earray")
+    assert(cells.count() == 80L * 70L)
+    import org.apache.spark.sql.functions._
+    val bad = cells.filter(
+      col("value") =!= (col("cell_x") * 23 + col("cell_y") * 19) % 983).count()
+    assert(bad == 0, s"$bad cells off-formula")
+  }
+
   test("4-axis window scan prunes the chunk manifest before any byte is read") {
     // the registry fixture is 3x4x70x80 at 2x3x32x32 → 2x2x3x3 = 36
     // chunks; the (t 2-2, level 1-2, x 10-50, y 8-40) window overlaps
@@ -311,8 +363,10 @@ class Hdf5Spec extends SparkSuite {
     assert(new String(b, aFahd, 4) == "FAHD", "layout arithmetic drifted")
     // layout tail is [idxType][pageBits][addr(8)][OHDR checksum(4)] —
     // the index-type byte sits 14 bytes before the FAHD block
-    patch(p, aFahd - 14, Array[Byte](4)) // extensible array
-    assert(msgs(intercept[Throwable](Hdf5.readMeta(p, "d"))).contains("extensible"))
+    // type 4 (extensible array) is SUPPORTED as of r14; the v2 B-tree
+    // (type 5, >1 unlimited dimension) is the remaining named refusal
+    patch(p, aFahd - 14, Array[Byte](5))
+    assert(msgs(intercept[Throwable](Hdf5.readMeta(p, "d"))).contains("B-tree"))
     // stomp the root link message's type byte → no links → dense refusal
     val p2 = tmp("v2dense")
     Hdf5.writeHdf5V2(p2, "d", 8, 8, 4, 4, dtype = "<f4", deflate = true)(f)
