@@ -221,36 +221,129 @@ object Hdf5 {
   /** Walk an old-style group (symbol table message → v1 B-tree → SNODs
     * → heap names) → (name → object header address).
     */
+  /** DENSE link storage (r14 — HDF5 spills group links into a FRACTAL
+    * HEAP indexed by a v2 B-TREE on name hash once they outgrow the
+    * compact header; netCDF-4 files with many variables per group ship
+    * this way): walk the name index's root leaf, fetch each record's
+    * heap object (a serialized link-message body) from the root DIRECT
+    * block, and parse it with the same hard-link parser the compact
+    * path uses. Scoped to the single-direct-block, root-leaf shape
+    * (a few hundred links at default parameters); indirect heap
+    * blocks, huge/tiny objects, filtered heaps and deeper B-trees
+    * refuse by name.
+    */
+  private def denseLinks(path: String, r: RangeReader,
+      fheapAddr: Long, btAddr: Long): Map[String, Long] = {
+    // fractal heap header (146 bytes without I/O filters)
+    val fh = r.bytes(fheapAddr, 146)
+    require(fh.take(4).sameElements("FRHP".getBytes), s"$path: bad FRHP signature")
+    require((fh(4) & 0xff) == 0, s"$path: FRHP version ${fh(4) & 0xff} unsupported")
+    val idLen = le(fh).getShort(5) & 0xffff
+    require((le(fh).getShort(7) & 0xffff) == 0,
+      s"$path: FILTERED fractal heap unsupported")
+    val maxManSize = le(fh).getInt(10)
+    require(le(fh).getLong(86) == 0 && le(fh).getLong(102) == 0,
+      s"$path: huge/tiny fractal-heap objects unsupported")
+    val startSize = le(fh).getLong(112)
+    val maxDirectSize = le(fh).getLong(120)
+    val maxHeapBits = le(fh).getShort(128) & 0xffff
+    val rootAddr = le(fh).getLong(132)
+    val curRows = le(fh).getShort(140) & 0xffff
+    require(curRows == 0,
+      s"$path: fractal heap with an INDIRECT root block unsupported " +
+        "(single direct block only — split the group)")
+    require(rootAddr != Undef, s"$path: fractal heap with no root block")
+    def bitsOf(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v - 1))
+    val heapOffSize = (maxHeapBits + 7) / 8
+    val maxDirBlkOffSize = (bitsOf(maxDirectSize) + 7) / 8
+    val heapLenSize = math.min(maxDirBlkOffSize,
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(1, maxManSize.toLong))) / 8 + 1)
+    require(1 + heapOffSize + heapLenSize <= idLen,
+      s"$path: fractal-heap id geometry ($heapOffSize+$heapLenSize) exceeds id length $idLen")
+    val db = r.bytes(rootAddr, startSize.toInt)
+    require(db.take(4).sameElements("FHDB".getBytes), s"$path: bad FHDB signature")
+    require(le(db).getLong(5) == fheapAddr,
+      s"$path: FHDB does not point back at its FRHP")
+    // v2 B-tree header: the name index (record type 5)
+    val bh = r.bytes(btAddr, 38)
+    require(bh.take(4).sameElements("BTHD".getBytes), s"$path: bad BTHD signature")
+    require((bh(4) & 0xff) == 0, s"$path: BTHD version ${bh(4) & 0xff} unsupported")
+    require((bh(5) & 0xff) == 5,
+      s"$path: v2 B-tree record type ${bh(5) & 0xff} where link-name (5) expected")
+    val recSize = le(bh).getShort(10) & 0xffff
+    val depth = le(bh).getShort(12) & 0xffff
+    require(depth == 0,
+      s"$path: v2 B-tree of depth $depth unsupported (root leaf only — split the group)")
+    require(recSize == 4 + idLen,
+      s"$path: link-name record size $recSize (want ${4 + idLen})")
+    val rootNodeAddr = le(bh).getLong(16)
+    val nrec = le(bh).getShort(24) & 0xffff
+    val leaf = r.bytes(rootNodeAddr, 6 + nrec * recSize + 4)
+    require(leaf.take(4).sameElements("BTLF".getBytes), s"$path: bad BTLF signature")
+    require((leaf(5) & 0xff) == 5, s"$path: BTLF record type ${leaf(5) & 0xff}")
+    (0 until nrec).map { i =>
+      val recOff = 6 + i * recSize
+      val id0 = leaf(recOff + 4) & 0xff
+      require((id0 >> 6) == 0, s"$path: heap id version ${id0 >> 6}")
+      require(((id0 >> 4) & 0x3) == 0,
+        s"$path: non-MANAGED heap object (type ${(id0 >> 4) & 0x3}) unsupported")
+      var off = 0L
+      (0 until heapOffSize).foreach(j =>
+        off |= (leaf(recOff + 5 + j) & 0xffL) << (8 * j))
+      var len = 0L
+      (0 until heapLenSize).foreach(j =>
+        len |= (leaf(recOff + 5 + heapOffSize + j) & 0xffL) << (8 * j))
+      require(off >= 0 && off + len <= db.length,
+        s"$path: heap object [$off, ${off + len}) outside the root direct block")
+      parseLinkBody(path, db, off.toInt)
+    }.toMap
+  }
+
+  /** Parse one hard-link BODY (the 0x06 message payload — identical
+    * bytes whether carried compactly in the header or as a fractal-
+    * heap object in dense storage): (name, object header address).
+    */
+  private def parseLinkBody(path: String, b: Array[Byte], off: Int): (String, Long) = {
+    require((b(off) & 0xff) == 1, s"$path: link message version ${b(off) & 0xff}")
+    val flags = b(off + 1) & 0xff
+    var q = off + 2
+    val linkType = if ((flags & 0x08) != 0) { val t = b(q) & 0xff; q += 1; t } else 0
+    require(linkType == 0,
+      s"$path: link type $linkType unsupported (hard links only — no soft/external)")
+    if ((flags & 0x04) != 0) q += 8 // creation order
+    if ((flags & 0x10) != 0) q += 1 // charset
+    val lenSize = 1 << (flags & 0x03)
+    var nameLen = 0L
+    (0 until lenSize).foreach(i => nameLen |= (b(q + i) & 0xffL) << (8 * i))
+    q += lenSize
+    val name = new String(b, q, nameLen.toInt,
+      java.nio.charset.StandardCharsets.US_ASCII)
+    q += nameLen.toInt
+    name -> le(b).getLong(q)
+  }
+
   private def groupSymbols(path: String, r: RangeReader, hdrAddr: Long): Map[String, Long] = {
     val msgs = readHeader(path, r, hdrAddr)
     val stOpt = msgs.find(_.mtype == 0x0011)
     if (stOpt.isEmpty) {
       // new-style group (r12): COMPACT hard-link messages carried in
-      // the header itself; dense storage (fractal heap) refuses by name
-      val links = msgs.filter(_.mtype == 0x06).map { m =>
-        val b = m.body
-        require((b(0) & 0xff) == 1, s"$path: link message version ${b(0) & 0xff}")
-        val flags = b(1) & 0xff
-        var q = 2
-        val linkType = if ((flags & 0x08) != 0) { val t = b(q) & 0xff; q += 1; t } else 0
-        require(linkType == 0,
-          s"$path: link type $linkType unsupported (hard links only — no soft/external)")
-        if ((flags & 0x04) != 0) q += 8 // creation order
-        if ((flags & 0x10) != 0) q += 1 // charset
-        val lenSize = 1 << (flags & 0x03)
-        var nameLen = 0L
-        (0 until lenSize).foreach(i => nameLen |= (b(q + i) & 0xffL) << (8 * i))
-        q += lenSize
-        val name = new String(b, q, nameLen.toInt,
-          java.nio.charset.StandardCharsets.US_ASCII)
-        q += nameLen.toInt
-        name -> le(b).getLong(q)
-      }
-      require(links.nonEmpty,
-        s"$path: group carries neither a symbol table nor compact link " +
-          "messages — dense (fractal-heap) link storage unsupported; " +
-          "rewrite with fewer links per group or default settings")
-      return links.toMap
+      // the header itself; DENSE storage (r14: fractal heap + v2
+      // B-tree name index, the Link Info message) when there are none
+      val links = msgs.filter(_.mtype == 0x06).map(m => parseLinkBody(path, m.body, 0))
+      if (links.nonEmpty) return links.toMap
+      val li = msgs.find(_.mtype == 0x02).getOrElse(sys.error(
+        s"$path: group carries neither a symbol table, compact link " +
+          "messages, nor a Link Info message — not a readable group"))
+      val b = li.body
+      require((b(0) & 0xff) == 0, s"$path: Link Info version ${b(0) & 0xff}")
+      val liFlags = b(1) & 0xff
+      var q = 2
+      if ((liFlags & 0x01) != 0) q += 8 // max creation index
+      val fheapAddr = le(b).getLong(q)
+      val nameBtAddr = le(b).getLong(q + 8)
+      require(fheapAddr != Undef && nameBtAddr != Undef,
+        s"$path: group has no links (empty Link Info)")
+      return denseLinks(path, r, fheapAddr, nameBtAddr)
     }
     val st = stOpt.get
     val btAddr = le(st.body).getLong(0)
@@ -1712,6 +1805,179 @@ object Hdf5 {
     java.nio.file.Files.write(p.toPath, out)
   }
 
+  /** Write a libver-'latest' file whose ROOT group uses DENSE link
+    * storage (r14): a fractal heap (single root direct block) holding
+    * the serialized link bodies, indexed by a root-leaf v2 B-tree on
+    * the lookup3 name hash — the shape HDF5 spills to once a group
+    * outgrows its compact header. Every link aliases ONE chunked
+    * fixed-array dataset (hard links may share a target), so resolving
+    * ANY name exercises the dense walk.
+    */
+  def writeHdf5V2Dense(path: String, linkNames: Seq[String],
+      height: Int, width: Int, chunkH: Int, chunkW: Int,
+      dtype: String = "<f8", deflate: Boolean = true, fill: Double = 0.0)
+      (f: (Int, Int) => Double): Unit = {
+    require(linkNames.nonEmpty && linkNames.forall(n => n.nonEmpty && n.length < 200))
+    val elem = dtype.substring(2).toInt
+    val isFloat = dtype.substring(1).startsWith("f")
+    val down = (height + chunkH - 1) / chunkH
+    val across = (width + chunkW - 1) / chunkW
+    val n = down * across
+    val blobs: Seq[Array[Byte]] = (0 until n).map { k =>
+      val (ci, cj) = (k / across, k % across)
+      val vals = Array.tabulate(chunkH * chunkW) { i =>
+        val y = ci * chunkH + i / chunkW
+        val x = cj * chunkW + i % chunkW
+        if (y < height && x < width) f(x, y) else fill
+      }
+      val b = encodeCells(vals, dtype)
+      if (deflate) TiffCodec.deflate(b) else b
+    }
+    // heap geometry (the H5G dense defaults)
+    val idLen = 7 // 1 + heapOffSize 4 + heapLenSize 2
+    val startSize = 512L
+    val aRoot = 48L
+    val rootChunk0 = 4 + 18 // one Link Info message
+    val rootSize = 7 + rootChunk0 + 4
+    val aFrhp = aRoot + rootSize
+    val aFhdb = aFrhp + 146
+    val aBthd = aFhdb + startSize
+    val aBtlf = aBthd + 38
+    val recSize = 4 + idLen
+    val btlfSize = 6 + linkNames.size * recSize + 4
+    val aDs = aBtlf + btlfSize
+    val dsBodies = Seq(
+      (0x01, 20), (0x03, if (isFloat) 20 else 12), (0x05, 6 + elem)) ++
+      (if (deflate) Seq((0x0B, 12)) else Nil) ++ Seq((0x08, 39))
+    val dsChunk0 = dsBodies.map(4 + _._2).sum
+    val dsSize = 7 + dsChunk0 + 4
+    val aFahd = aDs + dsSize
+    val aFadb = aFahd + 28
+    val entry = if (deflate) 16 else 8
+    val fadbSize = 14 + n * entry + 4
+    var dataAddr = aFadb + fadbSize
+    val addrs = blobs.map { b => val a = dataAddr; dataAddr += b.length; a }
+    val eof = dataAddr
+    // heap objects: link bodies at ascending heap offsets after the
+    // 21-byte FHDB header (sig 4 + ver 1 + hdr 8 + off 4 + checksum 4)
+    var heapOff = 21
+    val objs = linkNames.map { nm =>
+      val body = new Buf
+      body.u8(1).u8(0).u8(nm.length).raw(nm.getBytes).u64(aDs)
+      val o = (nm, heapOff, body.out)
+      heapOff += body.size
+      o
+    }
+    require(heapOff <= startSize, s"dense links overflow the ${startSize}B root block")
+    val records = objs.map { case (nm, off, b) =>
+      val hash = Lookup3.hash(nm.getBytes, 0, nm.length)
+      (hash.toLong & 0xffffffffL, off, b.length)
+    }.sortBy(_._1)
+    val buf = new Buf
+    buf.raw(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+      .u8(3).u8(8).u8(8).u8(0)
+      .u64(0).u64(Undef).u64(eof).u64(aRoot).u32(0)
+    require(buf.size == 48, s"superblock v3 accounting: ${buf.size}")
+    // root OHDR: ONE Link Info message (flags 0 → heap + name index)
+    buf.raw("OHDR".getBytes).u8(2).u8(0).u8(rootChunk0)
+      .u8(0x02).u16(18).u8(0)
+      .u8(0).u8(0).u64(aFrhp).u64(aBthd)
+      .u32(0)
+    require(buf.size == aFrhp, s"root OHDR accounting: ${buf.size}")
+    // FRHP (flags bit1: checksummed direct blocks)
+    buf.raw("FRHP".getBytes).u8(0).u16(idLen).u16(0).u8(2)
+      .u32(4096) // max managed object size
+      .u64(0).u64(Undef) // next huge id, huge btree
+      .u64(startSize - heapOff).u64(Undef) // free space, fs manager
+      .u64(startSize).u64(startSize).u64(startSize) // managed, alloc, iterator
+      .u64(linkNames.size) // managed objects
+      .u64(0).u64(0).u64(0).u64(0) // huge/tiny sizes + counts
+      .u16(4).u64(512).u64(65536).u16(32).u16(1) // width, start, max direct, heap bits, start rows
+      .u64(aFhdb).u16(0) // root block, current rows (0 = direct root)
+      .u32(0)
+    require(buf.size == aFrhp + 146, s"FRHP accounting: ${buf.size}")
+    // FHDB root direct block: header + objects, zero-padded to startSize
+    buf.raw("FHDB".getBytes).u8(0).u64(aFrhp).u32(0).u32(0) // block off 0, checksum
+    objs.foreach { case (_, off, b) =>
+      require(buf.size == aFhdb + off, s"heap object accounting: ${buf.size}")
+      buf.raw(b)
+    }
+    buf.zeros((aFhdb + startSize - buf.size).toInt)
+    // BTHD: link-name index, root leaf
+    buf.raw("BTHD".getBytes).u8(0).u8(5).u32(512).u16(recSize).u16(0)
+      .u8(100).u8(40)
+      .u64(aBtlf).u16(records.size).u64(records.size)
+      .u32(0)
+    require(buf.size == aBtlf, s"BTHD accounting: ${buf.size}")
+    // BTLF records: (hash, managed heap id) ascending by hash
+    buf.raw("BTLF".getBytes).u8(0).u8(5)
+    records.foreach { case (hash, off, len) =>
+      buf.u32(hash.toInt)
+      buf.u8(0) // managed id, version 0
+      buf.u32(off) // heap offset (4)
+      buf.u16(len) // length (2)
+    }
+    buf.u32(0)
+    require(buf.size == aDs, s"BTLF accounting: ${buf.size}")
+    // dataset OHDR (fixed-array index, the writeHdf5V2 shape)
+    buf.raw("OHDR".getBytes).u8(2).u8(0).u8(dsChunk0)
+    buf.u8(0x01).u16(20).u8(0)
+      .u8(2).u8(2).u8(0).u8(1).u64(height).u64(width)
+    val bigE = if (dtype.charAt(0) == '>') 1 else 0
+    if (isFloat) {
+      val (expLoc, expSize, manSize, bias) =
+        if (elem == 8) (52, 11, 52, 1023) else (23, 8, 23, 127)
+      buf.u8(0x03).u16(20).u8(0)
+        .u8(0x11).u8(0x20 | bigE).u8(8 * elem - 1).u8(0).u32(elem)
+        .u16(0).u16(8 * elem).u8(expLoc).u8(expSize).u8(0).u8(manSize).u32(bias)
+    } else {
+      val signed = dtype.substring(1).startsWith("i")
+      buf.u8(0x03).u16(12).u8(0)
+        .u8(0x10).u8((if (signed) 0x08 else 0) | bigE).u8(0).u8(0).u32(elem)
+        .u16(0).u16(8 * elem)
+    }
+    buf.u8(0x05).u16(6 + elem).u8(0)
+      .u8(3).u8(0x22).u32(elem).raw(encodeCells(Array(fill), dtype))
+    if (deflate)
+      buf.u8(0x0B).u16(12).u8(0)
+        .u8(2).u8(1).u16(1).u16(0).u16(1).u32(6)
+    buf.u8(0x08).u16(39).u8(0)
+      .u8(4).u8(2).u8(0).u8(3).u8(8)
+      .u64(chunkH).u64(chunkW).u64(elem)
+      .u8(3).u8(16).u64(aFahd)
+    buf.u32(0)
+    require(buf.size == aFahd, s"dataset OHDR accounting: ${buf.size}")
+    buf.raw("FAHD".getBytes).u8(0).u8(if (deflate) 1 else 0).u8(entry).u8(16)
+      .u64(n).u64(aFadb).u32(0)
+    buf.raw("FADB".getBytes).u8(0).u8(if (deflate) 1 else 0).u64(aFahd)
+    (0 until n).foreach { k =>
+      buf.u64(addrs(k))
+      if (deflate) { buf.u32(blobs(k).length).u32(0) }
+    }
+    buf.u32(0)
+    require(buf.size == aFadb + fadbSize, s"FADB accounting: ${buf.size}")
+    blobs.foreach(buf.raw)
+    require(buf.size == eof, s"file accounting: ${buf.size} vs $eof")
+    val out = buf.out
+    def patch(at: Long, from: Long, len: Int): Unit = {
+      val ck = Lookup3.hash(out, from.toInt, len)
+      java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(at.toInt, ck)
+    }
+    patch(44, 0, 44)
+    patch(aFrhp - 4, aRoot, rootSize - 4)
+    patch(aFrhp + 142, aFrhp, 142)
+    patch(aFhdb + 17, aFhdb, startSize.toInt) // whole block, slot zeroed
+    patch(aBthd + 34, aBthd, 34)
+    patch(aDs - 4, aBtlf, btlfSize - 4)
+    patch(aFahd - 4, aDs, dsSize - 4)
+    patch(aFadb - 4, aFahd, 24)
+    patch(aFadb + fadbSize - 4, aFadb, fadbSize - 4)
+    val p = new java.io.File(path)
+    p.getParentFile.mkdirs()
+    java.nio.file.Files.write(p.toPath, out)
+  }
+
   // ---- fixtures + registry ----
 
   /** Same formula lattice as the Zarr family (shared oracle shape):
@@ -1860,6 +2126,25 @@ object Hdf5 {
     p
   }
 
+  private val fixtureDenseLock = new Object
+  @volatile private var fixtureDenseReady: String = null
+
+  /** Dense-link fixture (r14): the root group's 12 links live in a
+    * fractal heap + v2 B-tree name index; every name aliases the one
+    * formula dataset, and the scan resolves through the dense walk.
+    */
+  def fixtureDensePath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5dense_fixture_${H5W}x$H5H.nc"
+    if (fixtureDenseReady != p) fixtureDenseLock.synchronized {
+      if (fixtureDenseReady != p) {
+        writeHdf5V2Dense(p, (0 until 12).map(i => f"v$i%02d"),
+          H5H, H5W, 32, 32, dtype = "<f8", deflate = true)(h5Value)
+        fixtureDenseReady = p
+      }
+    }
+    p
+  }
+
   private val fixtureMaskLock = new Object
   @volatile private var fixtureMaskReady: String = null
 
@@ -1939,6 +2224,21 @@ object Hdf5 {
       s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdf4(s, fixtureEaPath(), "v")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // DENSE link storage (r14 — the other half of the libver-latest
+    // story: a group past ~8 links spills them into a fractal heap
+    // indexed by a v2 B-tree on name hash, which previously refused by
+    // name): the 12-link fixture resolves a mid-pack name through the
+    // FRHP → FHDB → BTHD → BTLF walk; the identical formula oracle
+    // gates the dense resolution end to end. Indirect heap blocks,
+    // huge/tiny objects and deeper B-trees still refuse by name.
+    "scan_netcdf4_dense" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdf4(s, fixtureDensePath(), "v05")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

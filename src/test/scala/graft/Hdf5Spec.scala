@@ -367,11 +367,45 @@ class Hdf5Spec extends SparkSuite {
     // (type 5, >1 unlimited dimension) is the remaining named refusal
     patch(p, aFahd - 14, Array[Byte](5))
     assert(msgs(intercept[Throwable](Hdf5.readMeta(p, "d"))).contains("B-tree"))
-    // stomp the root link message's type byte → no links → dense refusal
+    // stomp the root link message's type byte → no links AND no Link
+    // Info message → the loud not-a-readable-group error
     val p2 = tmp("v2dense")
     Hdf5.writeHdf5V2(p2, "d", 8, 8, 4, 4, dtype = "<f4", deflate = true)(f)
     patch(p2, 48 + 7, Array[Byte](0x0C))
-    assert(msgs(intercept[Throwable](Hdf5.readMeta(p2, "d"))).contains("dense"))
+    assert(msgs(intercept[Throwable](Hdf5.readMeta(p2, "d"))).contains("Link Info"))
+  }
+
+  test("dense links: fractal-heap walk resolves every alias; misses and corners loud") {
+    def fd(x: Int, y: Int): Double = ((11 * x + 5 * y) % 89).toDouble
+    val p = tmp("dense")
+    Hdf5.writeHdf5V2Dense(p, Seq("alpha", "beta", "gamma", "delta",
+      "epsilon", "zeta", "eta", "theta", "iota", "kappa"),
+      10, 8, 4, 4, dtype = "<f8", deflate = true)(fd)
+    // every alias resolves to the same lattice through the dense walk
+    for (nm <- Seq("alpha", "kappa", "epsilon")) {
+      val got = Hdf5.scanNetcdf4(spark, p, nm).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(got.size == 80, nm)
+      for (y <- 0 until 10; x <- 0 until 8)
+        assert(got((x, y)) == fd(x, y), s"$nm ($x,$y)")
+    }
+    // a missing name lists what IS there
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4(spark, p, "nope"))).contains("alpha"))
+    // surgery: indirect root block (current rows != 0) refuses by name
+    val aFrhp = 48 + 33
+    val p2 = tmp("dense2")
+    Hdf5.writeHdf5V2Dense(p2, Seq("a", "b"), 4, 4, 4, 4)(fd)
+    patch(p2, aFrhp + 140, Array[Byte](2, 0))
+    assert(msgs(intercept[Throwable](
+      Hdf5.readMeta(p2, "a"))).contains("INDIRECT"))
+    // surgery: a deep v2 B-tree refuses by name (depth at BTHD+12)
+    val aBthd = aFrhp + 146 + 512
+    val p3 = tmp("dense3")
+    Hdf5.writeHdf5V2Dense(p3, Seq("a", "b"), 4, 4, 4, 4)(fd)
+    patch(p3, aBthd + 12, Array[Byte](1, 0))
+    assert(msgs(intercept[Throwable](
+      Hdf5.readMeta(p3, "a"))).contains("depth"))
   }
 
   test("libver-latest checksums sit where the spec puts them") {
