@@ -37,21 +37,97 @@ package graft.zonal
   * (r14 — c-blosc's own default inner codec, the FastLZ-derived LZ77
   * token stream hand-rolled below from the public blosclz.c layout).
   * snappy refuses BY NAME; a split frame with typesize > 16 is a
-  * pre-1.11 ambiguity and refuses loudly. BIT-shuffle also refuses by
-  * name — a deliberate boundary, not an omission: the bitshuffle
-  * bit-matrix layout has free parameters (intra-byte bit order, the
-  * 8-element blocking) that only a conformance fixture from the
-  * reference implementation could pin, and no such fixture can be
-  * produced in this offline container; a roundtrip-only decoder could
-  * silently misread every REAL bitshuffled store, which is exactly
-  * the failure mode this codec family exists to refuse. Silent
-  * misreads of a cube are how wrong science ships.
+  * pre-1.11 ambiguity and refuses loudly. BIT-shuffle (r14) is now
+  * implemented from the published scalar reference pipeline, whose
+  * arithmetic FIXES the formerly-open parameters: the LE 64-bit loads
+  * of `TRANS_BIT_8X8` pin LSB-first bit order and 8-byte grouping,
+  * and the N − N % 8 element truncation with a verbatim tail is the
+  * reference's own remainder rule. The closed-form permutation used
+  * here is pinned against a literal transcription of that three-step
+  * pipeline in BloscSpec — a derivation slip cannot ship silently.
   */
 object Blosc {
 
   private val MaxSplits = 16 // c-blosc MAX_STREAMS: larger never splits
 
   private def lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance()
+
+  // ---- bitshuffle (r14): the published scalar reference pipeline ----
+  //
+  // For a block of N = len/typesize elements, the first N8 = N - N%8
+  // elements transform; the tail (incl. len % typesize bytes) rides
+  // verbatim. The composed permutation of the reference pipeline
+  // (bshuf_trans_byte_elem → TRANS_BIT_8X8 over LE 64-bit groups →
+  // bshuf_trans_byte_bitrow) closes to:
+  //   out[(t·8 + b)·(N8/8) + j] bit k  =  src[(8j + k)·T + t] bit b
+  // (LSB-first — the bit order the little-endian 64-bit arithmetic
+  // fixes). BloscSpec pins this closed form against a LITERAL
+  // transcription of the three-step pipeline, so a derivation slip
+  // cannot ship silently.
+
+  /** Forward bitshuffle of `src[off, off+len)`. */
+  private[graft] def bitShuffleBytes(typesize: Int, src: Array[Byte],
+      off: Int, len: Int): Array[Byte] = {
+    val out = new Array[Byte](len)
+    val n = len / typesize
+    val n8 = n - n % 8
+    val plane = n8 / 8
+    var t = 0
+    while (t < typesize) {
+      var b = 0
+      while (b < 8) {
+        val base = (t * 8 + b) * plane
+        var j = 0
+        while (j < plane) {
+          var v = 0
+          var k = 0
+          while (k < 8) {
+            v |= ((src(off + (8 * j + k) * typesize + t) >> b) & 1) << k
+            k += 1
+          }
+          out(base + j) = v.toByte
+          j += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    System.arraycopy(src, off + n8 * typesize, out, n8 * typesize, len - n8 * typesize)
+    out
+  }
+
+  /** Inverse bitshuffle: `block` decoded into `out` at `outOff`. */
+  private[graft] def bitUnshuffle(typesize: Int, block: Array[Byte],
+      out: Array[Byte], outOff: Int): Unit = {
+    val len = block.length
+    val n = len / typesize
+    val n8 = n - n % 8
+    val plane = n8 / 8
+    java.util.Arrays.fill(out, outOff, outOff + n8 * typesize, 0.toByte)
+    var t = 0
+    while (t < typesize) {
+      var b = 0
+      while (b < 8) {
+        val base = (t * 8 + b) * plane
+        var j = 0
+        while (j < plane) {
+          val v = block(base + j) & 0xff
+          var k = 0
+          while (k < 8) {
+            if (((v >> k) & 1) != 0) {
+              val p = outOff + (8 * j + k) * typesize + t
+              out(p) = (out(p) | (1 << b)).toByte
+            }
+            k += 1
+          }
+          j += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    System.arraycopy(block, n8 * typesize, out, outOff + n8 * typesize, len - n8 * typesize)
+  }
 
   // ---- blosclz (r14): the FastLZ-derived token stream of blosclz.c ----
   //
@@ -233,10 +309,10 @@ object Blosc {
     require(cbytes == frame.length,
       s"blosc frame declares $cbytes total bytes but ${frame.length} " +
         "arrived (truncated/corrupt)")
-    require((flags & 0x04) == 0,
-      "bit-shuffled blosc frame unsupported (byte shuffle / no shuffle only); " +
-        "recompress with numcodecs.Blosc(shuffle=Blosc.SHUFFLE)")
     val shuffled = (flags & 0x01) != 0 && typesize > 1
+    val bitShuffled = (flags & 0x04) != 0
+    require(!(shuffled && bitShuffled),
+      "blosc frame with BOTH shuffle bits set (corrupt)")
     val memcpyd = (flags & 0x02) != 0
     val dontSplit = (flags & 0x10) != 0
     val compcode = (flags >> 5) & 0x07
@@ -273,9 +349,10 @@ object Blosc {
       require(bsize % nsplits == 0,
         s"blosc block $i of $bsize bytes does not divide into $nsplits streams")
       val neblock = bsize / nsplits
-      val blockBuf = if (shuffled) new Array[Byte](bsize) else null
-      val dst = if (shuffled) blockBuf else out
-      var dstOff = if (shuffled) 0 else i * blocksize
+      val transformed = shuffled || bitShuffled
+      val blockBuf = if (transformed) new Array[Byte](bsize) else null
+      val dst = if (transformed) blockBuf else out
+      var dstOff = if (transformed) 0 else i * blocksize
       require(bstart >= 16 + 4 * nblocks && bstart <= frame.length,
         s"blosc block $i start $bstart out of range")
       var src = bstart
@@ -314,6 +391,7 @@ object Blosc {
         j += 1
       }
       if (shuffled) unshuffle(typesize, blockBuf, out, i * blocksize)
+      else if (bitShuffled) bitUnshuffle(typesize, blockBuf, out, i * blocksize)
       i += 1
     }
     out
@@ -327,8 +405,10 @@ object Blosc {
     * whole-frame memcpy fallback when compression doesn't pay.
     */
   def compress(data: Array[Byte], typesize: Int, cname: String,
-      shuffle: Boolean, blocksize0: Int = 0): Array[Byte] = {
+      shuffle: Boolean, blocksize0: Int = 0,
+      bitShuffle: Boolean = false): Array[Byte] = {
     require(data.nonEmpty, "blosc: empty payload")
+    require(!(shuffle && bitShuffle), "blosc: pick ONE shuffle kind")
     require(typesize >= 1 && typesize <= 255, s"blosc typesize $typesize")
     val nbytes = data.length
     val compcode = cname match {
@@ -360,6 +440,7 @@ object Blosc {
       val leftover = bsize < blocksize
       val block =
         if (doShuffle) shuffleBytes(typesize, data, off, bsize)
+        else if (bitShuffle) bitShuffleBytes(typesize, data, off, bsize)
         else java.util.Arrays.copyOfRange(data, off, off + bsize)
       val nsplits = if (split && !leftover) typesize else 1
       val neblock = bsize / nsplits
@@ -414,6 +495,7 @@ object Blosc {
     }
     var flags = compcode << 5
     if (doShuffle) flags |= 0x01
+    if (bitShuffle) flags |= 0x04
     if (!split) flags |= 0x10
     header.put(2.toByte).put(1.toByte).put(flags.toByte).put(typesize.toByte)
       .putInt(nbytes).putInt(blocksize).putInt(total)

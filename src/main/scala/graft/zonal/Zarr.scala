@@ -1156,8 +1156,8 @@ object Zarr {
     */
   def writeZarrMeta(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
       compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0): Unit = {
-    require(Set("raw", "zlib", "zstd", "blosc", "blosc-blosclz").contains(compressor),
-      compressor)
+    require(Set("raw", "zlib", "zstd", "blosc", "blosc-blosclz",
+      "blosc-bitshuffle").contains(compressor), compressor)
     val d = new java.io.File(dir)
     d.mkdirs()
     val compJson = compressor match {
@@ -1170,6 +1170,9 @@ object Zarr {
       // c-blosc's own default inner codec (r14)
       case "blosc-blosclz" =>
         """{"id": "blosc", "cname": "blosclz", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+      // numcodecs shuffle=2 = BITSHUFFLE (r14)
+      case "blosc-bitshuffle" =>
+        """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2, "blocksize": 0}"""
     }
     val fillJson =
       if (fill.isNaN) "\"NaN\""
@@ -1224,6 +1227,8 @@ object Zarr {
       case "blosc" => Blosc.compress(buf.array(), elem, "lz4", shuffle = true)
       case "blosc-zlib" => Blosc.compress(buf.array(), elem, "zlib", shuffle = true)
       case "blosc-blosclz" => Blosc.compress(buf.array(), elem, "blosclz", shuffle = true)
+      case "blosc-bitshuffle" =>
+        Blosc.compress(buf.array(), elem, "lz4", shuffle = false, bitShuffle = true)
     }
   }
 
@@ -1753,6 +1758,24 @@ object Zarr {
     dir
   }
 
+  private val fixtureBitLock = new Object
+  @volatile private var fixtureBitReady: String = null
+
+  /** v2 BITSHUFFLE fixture (r14 — numcodecs shuffle=2, the HPC-world
+    * default for float cubes): lz4 inner + bitshuffle over float32.
+    */
+  def fixtureBitshuffleDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarrbit_fixture_${ZarrW}x$ZarrH"
+    if (fixtureBitReady != dir) fixtureBitLock.synchronized {
+      if (fixtureBitReady != dir) {
+        writeZarr(dir, ZarrH, ZarrW, 32, 32, compressor = "blosc-bitshuffle",
+          dtype = "<f4")(zarrValue)
+        fixtureBitReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureBlosc3Lock = new Object
   @volatile private var fixtureBlosc3Ready: String = null
 
@@ -2004,6 +2027,19 @@ object Zarr {
       s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanZarr(s, fixtureBlosclzDir())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // BITSHUFFLE blosc frames (r14 — numcodecs shuffle=2, the HPC
+    // default for float data; previously the named refusal next to
+    // byte shuffle): the published scalar reference pipeline's bit
+    // transpose, closed-form both directions, BloscSpec-pinned against
+    // a literal transcription; float32 + lz4 inner, same formula oracle
+    "scan_zarr_bitshuffle" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarr(s, fixtureBitshuffleDir())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

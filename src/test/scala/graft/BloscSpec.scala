@@ -75,12 +75,13 @@ class BloscSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
-  test("named refusals: bit-shuffle, snappy, ambiguous pre-1.11 split") {
+  test("named refusals: both shuffle bits, snappy, ambiguous pre-1.11 split") {
     def hdr(flags: Int, typesize: Int = 4): Array[Byte] =
       frame(flags, typesize, 16, 16, le32(16) ++ new Array[Byte](16))
+    // byte- AND bit-shuffle set together is corrupt, not a choice
     val bit = intercept[IllegalArgumentException](
-      Blosc.decompress(hdr(0x04 | (1 << 5)), 16))
-    assert(bit.getMessage.contains("bit-shuffled"))
+      Blosc.decompress(hdr(0x01 | 0x04 | (1 << 5)), 16))
+    assert(bit.getMessage.contains("BOTH shuffle bits"))
     val sn = intercept[RuntimeException](Blosc.decompress(hdr(0x10 | (2 << 5)), 16))
     assert(sn.getMessage.contains("snappy"))
     // split frame (bit4 clear) with typesize 20 > 16: ambiguous pre-1.11
@@ -175,6 +176,74 @@ class BloscSpec extends AnyFunSuite {
       val fn = Blosc.compress(noise, typesize, cname, shuffle, blocksize0 = 1024)
       assert(Blosc.decompress(fn, n).toSeq == noise.toSeq,
         s"noise roundtrip $cname shuffle=$shuffle n=$n ts=$typesize")
+    }
+  }
+
+  test("bitshuffle closed form ≡ the literal reference pipeline; inverse exact") {
+    // literal transcription of the published scalar pipeline:
+    // bshuf_trans_byte_elem → TRANS_BIT_8X8 over LE u64 groups →
+    // bshuf_trans_byte_bitrow, with the N − N % 8 truncation + tail
+    def literal(t: Int, src: Array[Byte]): Array[Byte] = {
+      val len = src.length
+      val n = len / t
+      val n8 = n - n % 8
+      val nbyte = n8 * t
+      val a = new Array[Byte](nbyte)
+      for (i <- 0 until n8; tt <- 0 until t) a(tt * n8 + i) = src(i * t + tt)
+      val rows = nbyte / 8
+      val b = new Array[Byte](nbyte)
+      for (g <- 0 until rows) {
+        var x = 0L
+        for (k <- 0 until 8) x |= (a(8 * g + k) & 0xffL) << (8 * k)
+        var tv = (x ^ (x >>> 7)) & 0x00AA00AA00AA00AAL
+        x = x ^ tv ^ (tv << 7)
+        tv = (x ^ (x >>> 14)) & 0x0000CCCC0000CCCCL
+        x = x ^ tv ^ (tv << 14)
+        tv = (x ^ (x >>> 28)) & 0x00000000F0F0F0F0L
+        x = x ^ tv ^ (tv << 28)
+        for (k <- 0 until 8) b(k * rows + g) = ((x >>> (8 * k)) & 0xff).toByte
+      }
+      val c = new Array[Byte](len)
+      val nbyteRow = n8 / 8
+      for (ii <- 0 until t; jj <- 0 until 8)
+        System.arraycopy(b, (jj * t + ii) * nbyteRow, c, (ii * 8 + jj) * nbyteRow, nbyteRow)
+      System.arraycopy(src, n8 * t, c, n8 * t, len - n8 * t)
+      c
+    }
+    val rnd = new scala.util.Random(23)
+    for ((n, t) <- Seq((64, 8), (40, 4), (100, 2), (33, 1), (17, 4), (8, 8), (7, 2))) {
+      val data = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      val fast = Blosc.bitShuffleBytes(t, data, 0, n)
+      val ref = literal(t, data)
+      assert(fast.toSeq == ref.toSeq, s"closed form diverges at n=$n t=$t")
+      val back = new Array[Byte](n)
+      Blosc.bitUnshuffle(t, fast, back, 0)
+      assert(back.toSeq == data.toSeq, s"inverse at n=$n t=$t")
+    }
+    // a worked micro-vector: one u16 octet, elements 2^i → byte plane
+    // (t=0, b=i) has exactly element i's bit set
+    val v = new Array[Byte](16)
+    for (i <- 0 until 8) v(2 * i) = (1 << i).toByte // LE u16 = 1 << i
+    val sh = Blosc.bitShuffleBytes(2, v, 0, 16)
+    for (b <- 0 until 8)
+      assert((sh(b) & 0xff) == (1 << b), s"plane (0,$b): ${sh(b)}")
+    assert(sh.drop(8).forall(_ == 0))
+  }
+
+  test("bitshuffled blosc frames roundtrip across codecs and odd tails") {
+    val rnd = new scala.util.Random(31)
+    for {
+      cname <- Seq("lz4", "zlib", "blosclz")
+      (n, ts) <- Seq((64, 8), (1000, 4), (777, 2), (130001, 4), (50, 1))
+    } {
+      val data = Array.tabulate[Byte](n)(i => ((i / 11) % 6 + (i % 5) * 20).toByte)
+      val f = Blosc.compress(data, ts, cname, shuffle = false,
+        blocksize0 = 1024, bitShuffle = true)
+      assert(Blosc.decompress(f, n).toSeq == data.toSeq, s"$cname n=$n ts=$ts")
+      val noise = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      val fn = Blosc.compress(noise, ts, cname, shuffle = false,
+        blocksize0 = 1024, bitShuffle = true)
+      assert(Blosc.decompress(fn, n).toSeq == noise.toSeq, s"noise $cname n=$n ts=$ts")
     }
   }
 
