@@ -33,10 +33,12 @@ package graft.zonal
   *
   * Inner codecs here: lz4 (the LZ4 block format — lz4-java, which
   * Spark itself ships), zlib (raw DEFLATE stream via
-  * java.util.zip), zstd (zstd-jni, also Spark-shipped), and blosclz
+  * java.util.zip), zstd (zstd-jni, also Spark-shipped), blosclz
   * (r14 — c-blosc's own default inner codec, the FastLZ-derived LZ77
-  * token stream hand-rolled below from the public blosclz.c layout).
-  * snappy refuses BY NAME; a split frame with typesize > 16 is a
+  * token stream hand-rolled below from the public blosclz.c layout),
+  * and snappy (r14 — the public block format: varint preamble +
+  * literal/copy tags; ALL five c-blosc inner ids now decode).
+  * A split frame with typesize > 16 is a
   * pre-1.11 ambiguity and refuses loudly. BIT-shuffle (r14) is now
   * implemented from the published scalar reference pipeline, whose
   * arithmetic FIXES the formerly-open parameters: the LE 64-bit loads
@@ -127,6 +129,132 @@ object Blosc {
       t += 1
     }
     System.arraycopy(block, n8 * typesize, out, outOff + n8 * typesize, len - n8 * typesize)
+  }
+
+  // ---- snappy (r14): the public snappy block format ----
+  //
+  // Preamble: uncompressed length as a little-endian base-128 varint.
+  // Elements by tag low 2 bits: 00 literal (len-1 in the high 6 bits,
+  // values 60-63 → 1-4 extra LE length bytes); 01 copy len 4-11 with
+  // an 11-bit offset (3 high tag bits + 1 byte); 10 copy len 1-64 with
+  // a 2-byte LE offset; 11 copy with a 4-byte LE offset. Copies may
+  // self-overlap (byte-serial), offset 0 is invalid.
+
+  /** Decode one snappy block into `dst[dstOff, dstOff+expected)`. */
+  private[graft] def snappyDecompress(in: Array[Byte], inOff: Int, inLen: Int,
+      dst: Array[Byte], dstOff: Int, expected: Int): Int = {
+    var ip = inOff
+    val end = inOff + inLen
+    var ulen = 0L
+    var shift = 0
+    var cont = true
+    while (cont) {
+      require(ip < end, "snappy: truncated length varint")
+      val b = in(ip) & 0xff; ip += 1
+      ulen |= (b & 0x7fL) << shift; shift += 7
+      cont = (b & 0x80) != 0
+      require(shift <= 35, "snappy: length varint too long")
+    }
+    require(ulen == expected,
+      s"snappy: stream declares $ulen bytes, expected $expected")
+    var op = dstOff
+    val opEnd = dstOff + expected
+    def copy(offset: Int, len: Int): Unit = {
+      require(offset > 0 && op - offset >= dstOff,
+        s"snappy: copy offset $offset underruns the block")
+      require(op + len <= opEnd, "snappy: copy overruns the declared size")
+      var ref = op - offset
+      var k = 0
+      while (k < len) { dst(op) = dst(ref); op += 1; ref += 1; k += 1 }
+    }
+    while (ip < end) {
+      val tag = in(ip) & 0xff; ip += 1
+      (tag & 3) match {
+        case 0 =>
+          var len = (tag >> 2) + 1
+          if (len > 60) {
+            val extra = len - 60 // 1..4 length bytes
+            require(ip + extra <= end, "snappy: truncated literal length")
+            var l = 0L
+            var i = 0
+            while (i < extra) { l |= (in(ip + i) & 0xffL) << (8 * i); i += 1 }
+            ip += extra
+            len = l.toInt + 1
+          }
+          require(ip + len <= end, "snappy: truncated literal run")
+          require(op + len <= opEnd, "snappy: literal overruns the declared size")
+          System.arraycopy(in, ip, dst, op, len)
+          ip += len; op += len
+        case 1 =>
+          require(ip < end, "snappy: truncated near copy")
+          copy(((tag >> 5) << 8) | (in(ip) & 0xff), ((tag >> 2) & 0x7) + 4)
+          ip += 1
+        case 2 =>
+          require(ip + 2 <= end, "snappy: truncated 2-byte-offset copy")
+          copy((in(ip) & 0xff) | ((in(ip + 1) & 0xff) << 8), (tag >> 2) + 1)
+          ip += 2
+        case 3 =>
+          require(ip + 4 <= end, "snappy: truncated 4-byte-offset copy")
+          copy((in(ip) & 0xff) | ((in(ip + 1) & 0xff) << 8) |
+            ((in(ip + 2) & 0xff) << 16) | ((in(ip + 3) & 0x7f) << 24), (tag >> 2) + 1)
+          ip += 4
+      }
+    }
+    require(op == opEnd, s"snappy: decoded ${op - dstOff} of $expected bytes")
+    op - dstOff
+  }
+
+  /** Encode one snappy block (greedy hash matcher, 2-byte-offset
+    * copies only — every emitted element is within the grammar above).
+    */
+  private[graft] def snappyCompress(src: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(len / 2 + 16)
+    var v = len
+    while ((v & ~0x7f) != 0) { out.write((v & 0x7f) | 0x80); v >>>= 7 }
+    out.write(v)
+    def emitLiteral(from: Int, n: Int): Unit = {
+      var s = from; var rem = n
+      while (rem > 0) {
+        val take = math.min(rem, 60) // single-byte literal tags only
+        out.write((take - 1) << 2)
+        out.write(src, s, take)
+        s += take; rem -= take
+      }
+    }
+    val htab = new Array[Int](1 << 14)
+    java.util.Arrays.fill(htab, -1)
+    def hash(p: Int): Int =
+      (((src(p) & 0xff) | ((src(p + 1) & 0xff) << 8) | ((src(p + 2) & 0xff) << 16) |
+        ((src(p + 3) & 0xffL) << 24)) * 0x1e35a7bd >>> 18).toInt & (htab.length - 1)
+    val end = off + len
+    var litStart = off
+    var p = off
+    while (p + 4 <= end) {
+      val h = hash(p)
+      val cand = htab(h)
+      htab(h) = p
+      if (cand >= off && p - cand <= 0xffff &&
+          src(cand) == src(p) && src(cand + 1) == src(p + 1) &&
+          src(cand + 2) == src(p + 2) && src(cand + 3) == src(p + 3)) {
+        var l = 4
+        while (p + l < end && src(cand + l) == src(p + l)) l += 1
+        emitLiteral(litStart, p - litStart)
+        val offDist = p - cand
+        var rem = l
+        while (rem > 0) {
+          // 2-byte-offset copies carry any length 1..64, so plain
+          // 64-byte slices need no sliver handling
+          val take = math.min(rem, 64)
+          out.write(((take - 1) << 2) | 2)
+          out.write(offDist & 0xff); out.write((offDist >> 8) & 0xff)
+          rem -= take
+        }
+        p += l
+        litStart = p
+      } else p += 1
+    }
+    emitLiteral(litStart, end - litStart)
+    if (out.size >= len) null else out.toByteArray
   }
 
   // ---- blosclz (r14): the FastLZ-derived token stream of blosclz.c ----
@@ -326,10 +454,9 @@ object Blosc {
     val codec = compcode match {
       case 0 => "blosclz"
       case 1 => "lz4"
+      case 2 => "snappy"
       case 3 => "zlib"
       case 4 => "zstd"
-      case 2 => sys.error("snappy inner blosc codec unsupported — recompress " +
-        "with numcodecs.Blosc(cname='blosclz'|'lz4'|'zlib'|'zstd')")
       case other => sys.error(s"blosc inner codec id $other unsupported")
     }
     require(blocksize > 0, s"blosc frame with blocksize $blocksize")
@@ -369,6 +496,10 @@ object Blosc {
             val n = blosclzDecompress(frame, src, sc, dst, dstOff, neblock)
             require(n == neblock,
               s"blosc block $i stream $j: blosclz decoded $n of $neblock bytes")
+          case "snappy" =>
+            val n = snappyDecompress(frame, src, sc, dst, dstOff, neblock)
+            require(n == neblock,
+              s"blosc block $i stream $j: snappy decoded $n of $neblock bytes")
           case "lz4" =>
             val n = lz4.safeDecompressor().decompress(frame, src, sc, dst, dstOff, neblock)
             require(n == neblock,
@@ -414,17 +545,18 @@ object Blosc {
     val compcode = cname match {
       case "blosclz" => 0
       case "lz4" => 1
+      case "snappy" => 2
       case "zlib" => 3
       case "zstd" => 4
-      case other => sys.error(s"blosc writer cname '$other' (blosclz/lz4/zlib/zstd)")
+      case other => sys.error(s"blosc writer cname '$other' (blosclz/lz4/snappy/zlib/zstd)")
     }
     var blocksize =
       if (blocksize0 > 0) blocksize0
       else math.min(64 * 1024, math.max(typesize, nbytes))
     blocksize = math.max(typesize, blocksize / typesize * typesize)
-    // c-blosc 1.11+ splits the FAST codecs (blosclz, lz4) only
-    val split = (cname == "lz4" || cname == "blosclz") && typesize > 1 &&
-      typesize <= MaxSplits && blocksize / typesize >= 32
+    // c-blosc 1.11+ splits the FAST codecs (blosclz, lz4, snappy) only
+    val split = (cname == "lz4" || cname == "blosclz" || cname == "snappy") &&
+      typesize > 1 && typesize <= MaxSplits && blocksize / typesize >= 32
     val doShuffle = shuffle && typesize > 1
     val nblocks = (nbytes + blocksize - 1) / blocksize
     val body = new java.io.ByteArrayOutputStream()
@@ -452,6 +584,9 @@ object Blosc {
             val e = blosclzCompress(block, sOff, neblock)
             // null = won't shrink → hand the raw-stream fallback below
             // an exactly-incompressible length
+            if (e == null) java.util.Arrays.copyOfRange(block, sOff, sOff + neblock) else e
+          case "snappy" =>
+            val e = snappyCompress(block, sOff, neblock)
             if (e == null) java.util.Arrays.copyOfRange(block, sOff, sOff + neblock) else e
           case "lz4" =>
             val c = lz4.fastCompressor()

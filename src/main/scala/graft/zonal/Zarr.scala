@@ -1157,7 +1157,7 @@ object Zarr {
   def writeZarrMeta(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
       compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0): Unit = {
     require(Set("raw", "zlib", "zstd", "blosc", "blosc-blosclz",
-      "blosc-bitshuffle").contains(compressor), compressor)
+      "blosc-bitshuffle", "blosc-snappy").contains(compressor), compressor)
     val d = new java.io.File(dir)
     d.mkdirs()
     val compJson = compressor match {
@@ -1173,6 +1173,8 @@ object Zarr {
       // numcodecs shuffle=2 = BITSHUFFLE (r14)
       case "blosc-bitshuffle" =>
         """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 2, "blocksize": 0}"""
+      case "blosc-snappy" =>
+        """{"id": "blosc", "cname": "snappy", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
     }
     val fillJson =
       if (fill.isNaN) "\"NaN\""
@@ -1229,6 +1231,7 @@ object Zarr {
       case "blosc-blosclz" => Blosc.compress(buf.array(), elem, "blosclz", shuffle = true)
       case "blosc-bitshuffle" =>
         Blosc.compress(buf.array(), elem, "lz4", shuffle = false, bitShuffle = true)
+      case "blosc-snappy" => Blosc.compress(buf.array(), elem, "snappy", shuffle = true)
     }
   }
 
@@ -1776,6 +1779,24 @@ object Zarr {
     dir
   }
 
+  private val fixtureSnLock = new Object
+  @volatile private var fixtureSnReady: String = null
+
+  /** v2 SNAPPY-inner fixture (r14 — the last c-blosc inner codec):
+    * snappy + byte shuffle over int32, the split path at typesize 4.
+    */
+  def fixtureSnappyDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarrsn_fixture_${ZarrW}x$ZarrH"
+    if (fixtureSnReady != dir) fixtureSnLock.synchronized {
+      if (fixtureSnReady != dir) {
+        writeZarr(dir, ZarrH, ZarrW, 32, 32, compressor = "blosc-snappy",
+          dtype = "<i4")(zarrValue)
+        fixtureSnReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureBlosc3Lock = new Object
   @volatile private var fixtureBlosc3Ready: String = null
 
@@ -2040,6 +2061,18 @@ object Zarr {
       s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanZarr(s, fixtureBitshuffleDir())
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // SNAPPY inner codec (r14 — the last c-blosc inner id, from the
+    // public snappy block format: varint preamble + literal/copy tags;
+    // inner-codec refusals are now ZERO): int32 split path + byte
+    // shuffle, same formula oracle
+    "scan_zarr_snappy" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($ZarrCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarr(s, fixtureSnappyDir())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

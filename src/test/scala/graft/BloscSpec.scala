@@ -75,15 +75,15 @@ class BloscSpec extends AnyFunSuite {
     assert(e.getMessage.contains("truncated"))
   }
 
-  test("named refusals: both shuffle bits, snappy, ambiguous pre-1.11 split") {
+  test("named refusals: both shuffle bits, unknown codec id, ambiguous pre-1.11 split") {
     def hdr(flags: Int, typesize: Int = 4): Array[Byte] =
       frame(flags, typesize, 16, 16, le32(16) ++ new Array[Byte](16))
     // byte- AND bit-shuffle set together is corrupt, not a choice
     val bit = intercept[IllegalArgumentException](
       Blosc.decompress(hdr(0x01 | 0x04 | (1 << 5)), 16))
     assert(bit.getMessage.contains("BOTH shuffle bits"))
-    val sn = intercept[RuntimeException](Blosc.decompress(hdr(0x10 | (2 << 5)), 16))
-    assert(sn.getMessage.contains("snappy"))
+    val un = intercept[RuntimeException](Blosc.decompress(hdr(0x10 | (5 << 5)), 16))
+    assert(un.getMessage.contains("codec id 5"))
     // split frame (bit4 clear) with typesize 20 > 16: ambiguous pre-1.11
     val amb = intercept[IllegalArgumentException](
       Blosc.decompress(frame(1 << 5, 20, 20, 20, le32(20) ++ new Array[Byte](20)), 20))
@@ -228,6 +228,62 @@ class BloscSpec extends AnyFunSuite {
     for (b <- 0 until 8)
       assert((sh(b) & 0xff) == (1 << b), s"plane (0,$b): ${sh(b)}")
     assert(sh.drop(8).forall(_ == 0))
+  }
+
+  test("hand-assembled snappy stream: every tag form decodes exactly") {
+    // target: "abcdabcdabcd" + "XY"*40 via
+    //  varint(92), literal "abcd", near copy (type 1: len 8, off 4),
+    //  literal "XY", 2-byte-offset copy (type 2: len 64, off 2),
+    //  4-byte-offset copy (type 3: len 14, off 2)
+    val bo = new java.io.ByteArrayOutputStream()
+    bo.write(92) // uncompressed length varint
+    bo.write(3 << 2); bo.write('a'); bo.write('b'); bo.write('c'); bo.write('d')
+    bo.write(((8 - 4) << 2) | 1 | (0 << 5)); bo.write(4) // copy len 8 off 4
+    bo.write(1 << 2); bo.write('X'); bo.write('Y')
+    bo.write((63 << 2) | 2); bo.write(2); bo.write(0) // copy len 64 off 2
+    bo.write((13 << 2) | 3); bo.write(2); bo.write(0); bo.write(0); bo.write(0)
+    val stream = bo.toByteArray
+    val want = "abcd" * 3 + "XY" * 40
+    assert(want.length == 92)
+    val dst = new Array[Byte](92)
+    assert(Blosc.snappyDecompress(stream, 0, stream.length, dst, 0, 92) == 92)
+    assert(new String(dst, "US-ASCII") == want)
+    // long literal (61-tag = 1 extra length byte)
+    val bo2 = new java.io.ByteArrayOutputStream()
+    bo2.write(100); bo2.write(60 << 2); bo2.write(99) // len byte: 99 + 1 = 100
+    (0 until 100).foreach(i => bo2.write('a' + i % 26))
+    val s2 = bo2.toByteArray
+    val d2 = new Array[Byte](100)
+    assert(Blosc.snappyDecompress(s2, 0, s2.length, d2, 0, 100) == 100)
+    for (i <- 0 until 100) assert(d2(i) == ('a' + i % 26).toByte)
+    // malformed: offset underrun + wrong declared length are loud
+    val bad = Array[Byte](4, (0 << 2).toByte, 'q', ((4 - 4) << 2 | 1).toByte, 9)
+    val e = intercept[IllegalArgumentException](
+      Blosc.snappyDecompress(bad, 0, bad.length, new Array[Byte](4), 0, 4))
+    assert(e.getMessage.contains("underruns"))
+    val e2 = intercept[IllegalArgumentException](
+      Blosc.snappyDecompress(stream, 0, stream.length, new Array[Byte](91), 0, 91))
+    assert(e2.getMessage.contains("declares"))
+  }
+
+  test("snappy encoder↔decoder roundtrip incl. noise") {
+    val rnd = new scala.util.Random(17)
+    for (n <- Seq(1, 4, 100, 5000, 70000)) {
+      val structured = Array.tabulate[Byte](n)(i => ((i / 13) % 7 + (i % 3) * 40).toByte)
+      val enc = Blosc.snappyCompress(structured, 0, n)
+      if (enc != null) {
+        val dec = new Array[Byte](n)
+        assert(Blosc.snappyDecompress(enc, 0, enc.length, dec, 0, n) == n)
+        assert(dec.toSeq == structured.toSeq, s"structured n=$n")
+      }
+      val noise = Array.fill[Byte](n)(rnd.nextInt().toByte)
+      val encN = Blosc.snappyCompress(noise, 0, n)
+      if (encN != null) {
+        val dec = new Array[Byte](n)
+        assert(Blosc.snappyDecompress(encN, 0, encN.length, dec, 0, n) == n)
+        assert(dec.toSeq == noise.toSeq, s"noise n=$n")
+      }
+    }
   }
 
   test("bitshuffled blosc frames roundtrip across codecs and odd tails") {
