@@ -2419,6 +2419,93 @@ object Hdf5 {
         .orderBy("chunk_x", "chunk_y")
     },
 
+    // RANK-4 WRITE parity (r14 — the sink direction for (t, level, y,
+    // x) netCDF-4, completing the rank-4 family): per-cell aggregates
+    // expand across (epoch, level), chunk up via ONE groupByKey, each
+    // executor task encodes + deflates exactly its own rank-4 chunk
+    // blob into a part file, and the driver writes only the tiny
+    // prefix (superblock → 5-offset chunk B-tree via the shared
+    // hdf5HeaderBytes4d) then STREAMS the blobs behind it in key
+    // order — the sink_netcdf4 stream-concat posture. Read back
+    // through the real rank-4 scanner; per-chunk stats vs the source
+    // cells gate the round trip.
+    "sink_netcdf4_4d" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS chunk_x, cell_y // 16 AS chunk_y,
+           |  t.range // 2 AS chunk_t, l.range AS chunk_l,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n + 41 * t.range + 53 * l.range) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |CROSS JOIN range(0, 3) t CROSS JOIN range(0, 2) l
+           |GROUP BY chunk_x, chunk_y, chunk_t, chunk_l
+           |ORDER BY chunk_x, chunk_y, chunk_t, chunk_l""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5_sink_4d"
+      graft.core.Fs.rmTree(dir)
+      new java.io.File(s"$dir/parts").mkdirs()
+      val (cs, ct, ne, nl) = (16, 2, 3, 2)
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      val manifest = percell
+        .select(col("cell_x"), col("cell_y"), col("v"),
+          explode(expr(s"sequence(0, ${ne - 1})")).as("t"))
+        .select(col("cell_x"), col("cell_y"), col("t"),
+          explode(expr(s"sequence(0, ${nl - 1})")).as("l"),
+          col("v"))
+        .select(col("cell_x"), col("cell_y"), col("t"), col("l"),
+          (col("v") + lit(41) * col("t") + lit(53) * col("l")).as("tv"))
+        .groupByKey(r => (r.getInt(2) / ct, r.getInt(3),
+          r.getLong(1) / cs, r.getLong(0) / cs))
+        .mapGroups { (key: (Int, Int, Long, Long), rows: Iterator[org.apache.spark.sql.Row]) =>
+          val (ck, cl, ci, cj) = key
+          val vals = new Array[Double](ct * cs * cs) // chunkL = 1
+          rows.foreach { r =>
+            val x = (r.getLong(0) - cj * cs).toInt
+            val y = (r.getLong(1) - ci * cs).toInt
+            val tt = r.getInt(2) - ck * ct
+            vals((tt * cs + y) * cs + x) = r.getDouble(4)
+          }
+          val blob = TiffCodec.deflate(encodeCells(vals, "<f8"))
+          java.nio.file.Files.write(
+            new java.io.File(dir, f"parts/chunk_${ck}%03d_${cl}%03d_${ci}%05d_${cj}%05d.bin").toPath,
+            blob)
+          (ck, cl, ci.toInt, cj.toInt, blob.length)
+        }
+        .collect() // manifest only: one (key, size) row per chunk file
+        .sortBy(t => (t._1, t._2, t._3, t._4))
+      val hdr = hdf5HeaderBytes4d("v", ne, nl, h, w, ct, 1, cs, cs, "<f8",
+        deflate = true, shuffle = false, fill = Some(0.0),
+        contiguous = false, 0L,
+        manifest.map { case (ck, cl, ci, cj, n) =>
+          ((ck * ct, cl, ci * cs, cj * cs), n) })
+      val outPath = s"$dir/cube4d.nc"
+      val out = new java.io.BufferedOutputStream(
+        new java.io.FileOutputStream(outPath))
+      try {
+        out.write(hdr)
+        val cbuf = new Array[Byte](1 << 16)
+        manifest.foreach { case (ck, cl, ci, cj, _) =>
+          val in = new java.io.FileInputStream(new java.io.File(dir,
+            f"parts/chunk_${ck}%03d_${cl}%03d_${ci}%05d_${cj}%05d.bin"))
+          try {
+            var n = in.read(cbuf)
+            while (n > 0) { out.write(cbuf, 0, n); n = in.read(cbuf) }
+          } finally in.close()
+        }
+      } finally out.close()
+      scanNetcdf4Cube4d(s, outPath, "v")
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_x div $cs AS BIGINT)").as("chunk_x"),
+          expr(s"CAST(cell_y div $cs AS BIGINT)").as("chunk_y"),
+          expr(s"CAST(epoch div $ct AS BIGINT)").as("chunk_t"),
+          col("level").cast("long").as("chunk_l"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("chunk_x", "chunk_y", "chunk_t", "chunk_l")
+    },
+
     // the end-use: zonal statistics straight over the netCDF-4 cube —
     // chunk-parallel scan feeds the shared Raptor broadcast-rasterize
     // + ONE hash agg; integral values → exact BIGINT sums
