@@ -53,8 +53,8 @@ object Zarr {
       v3: Boolean = false, // v3: chunk keys are "c<sep>ci<sep>cj"
       // sharding_indexed (v3): inner chunk dims (0 = unsharded), index
       // checksum + placement; `compressor` is then the INNER chain's.
-      // Rank-3 shards (r14) additionally carry the leading inner dim.
-      innerH: Int = 0, innerW: Int = 0, innerT: Int = 0,
+      // Rank-3/4 shards (r14) additionally carry the leading inner dims.
+      innerH: Int = 0, innerW: Int = 0, innerT: Int = 0, innerL: Int = 0,
       indexCrc: Boolean = false, indexAtEnd: Boolean = true,
       // v3 `transpose` codec: chunks are stored column-major (r12)
       transposed: Boolean = false,
@@ -360,14 +360,16 @@ object Zarr {
       // refuse loudly rather than silently scrambling the planes
       require(!transposed,
         s"$path: transpose codec on a rank-${shape.length} array unsupported")
-      require(innerDims.isEmpty || shape.length == 3,
-        s"$path: sharding_indexed on a rank-${shape.length} array " +
-          "unsupported (2-D and rank-3 (t, y, x) shards only)")
       if (shape.length == 4)
         ZarrMeta(shape(2), shape(3), chunks(2), chunks(3), endian + kind,
           compressor, fill, hasFill, sep, v3 = v3keys,
           epochs = shape(0), chunkT = chunks(0),
-          levels = shape(1), chunkL = chunks(1))
+          levels = shape(1), chunkL = chunks(1),
+          innerT = innerDims.map(_(0)).getOrElse(0),
+          innerL = innerDims.map(_(1)).getOrElse(0),
+          innerH = innerDims.map(_(2)).getOrElse(0),
+          innerW = innerDims.map(_(3)).getOrElse(0),
+          indexCrc = indexCrc, indexAtEnd = indexAtEnd)
       else
         ZarrMeta(shape(1), shape(2), chunks(1), chunks(2), endian + kind,
           compressor, fill, hasFill, sep, v3 = v3keys,
@@ -997,7 +999,10 @@ object Zarr {
       path: String, len: Long, ck: Int, cl: Int, ci: Int, cj: Int,
       epochs: Int, levels: Int, height: Int, width: Int,
       chunkT: Int, chunkL: Int, chunkH: Int, chunkW: Int,
-      dtype: String, compressor: String, fill: Double, hasFill: Boolean)
+      dtype: String, compressor: String, fill: Double, hasFill: Boolean,
+      // sharding_indexed (r14): inner dims (0 = unsharded) + index shape
+      innerT: Int = 0, innerL: Int = 0, innerH: Int = 0, innerW: Int = 0,
+      indexCrc: Boolean = false, indexAtEnd: Boolean = true)
 
   /** Rank-4 chunk manifest: one listing per directory level, every
     * grid position a ref (absent = fill, `len = -1`).
@@ -1013,7 +1018,11 @@ object Zarr {
       ChunkRef4(s"$dir/${m.chunkKey4(ck, cl, ci, cj)}", len, ck, cl, ci, cj,
         m.epochs, m.levels, m.height, m.width,
         m.chunkT, m.chunkL, m.chunkH, m.chunkW,
-        m.dtype, m.compressor, m.fill, m.hasFill)
+        m.dtype, m.compressor, m.fill, m.hasFill,
+        innerT = m.innerT, innerL = if (m.innerT > 0) m.innerL else 0,
+        innerH = if (m.innerT > 0) m.innerH else 0,
+        innerW = if (m.innerT > 0) m.innerW else 0,
+        indexCrc = m.indexCrc, indexAtEnd = m.indexAtEnd)
     if (m.sep == ".") {
       val names = listing(base)
       for (ck <- 0 until m.chunksAlong; cl <- 0 until m.chunksLevel;
@@ -1033,14 +1042,11 @@ object Zarr {
     }
   }
 
-  /** One rank-4 task: decode a (t, level, y, x) chunk to in-bounds
-    * cells — the buffer is C-order (t outermost, then level), each
-    * (t, level) plane a chunkH×chunkW lattice; pad in every axis
-    * clipped. Output tuples are (x, y, level, t, value).
+  /** In-bounds lattice positions of one rank-4 chunk:
+    * `(tt, ll, rr, cc, x, y, l, t)` with every axis pad-clipped.
     */
-  private def readChunk4(r: ChunkRef4): Iterator[(Int, Int, Int, Int, Double)] = {
-    val elem = r.dtype.substring(2).toInt
-    val inBounds = for {
+  private def inBounds4(r: ChunkRef4): Iterator[(Int, Int, Int, Int, Int, Int, Int, Int)] =
+    for {
       tt <- Iterator.range(0, r.chunkT)
       t = r.ck * r.chunkT + tt
       if t < r.epochs
@@ -1054,10 +1060,108 @@ object Zarr {
       x = r.cj * r.chunkW + cc
       if x < r.width
     } yield (tt, ll, rr, cc, x, y, l, t)
+
+  /** Decode one rank-4 chunk's decompressed bytes — C-order with t
+    * outermost then level, each (t, level) plane a chunkH×chunkW
+    * lattice. Output tuples are (x, y, level, t, value).
+    */
+  private def decode4(raw: Array[Byte], r: ChunkRef4): Iterator[(Int, Int, Int, Int, Double)] = {
+    val elem = r.dtype.substring(2).toInt
+    val expected = r.chunkT * r.chunkL * r.chunkH * r.chunkW * elem
+    require(raw.length == expected,
+      s"${r.path}: chunk decoded to ${raw.length} bytes, want $expected")
+    val buf = java.nio.ByteBuffer.wrap(raw)
+    buf.order(if (r.dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val kind = r.dtype.substring(1)
+    inBounds4(r).map { case (tt, ll, rr, cc, x, y, l, t) =>
+      val i = (((tt * r.chunkL + ll) * r.chunkH + rr) * r.chunkW + cc) * elem
+      val v = kind match {
+        case "f8" => buf.getDouble(i)
+        case "f4" => buf.getFloat(i).toDouble
+        case "i4" => buf.getInt(i).toDouble
+        case "i2" => buf.getShort(i).toDouble
+        case "i1" => buf.get(i).toDouble
+        case "u1" => (buf.get(i) & 0xff).toDouble
+      }
+      (x, y, l, t, v)
+    }
+  }
+
+  private def decompress4(bytes: Array[Byte], r: ChunkRef4): Array[Byte] = {
+    val expected = r.chunkT * r.chunkL * r.chunkH * r.chunkW * r.dtype.substring(2).toInt
+    r.compressor match {
+      case "raw" => bytes
+      case "zlib" => TiffCodec.inflate(bytes, expected)
+      case "gzip" => TiffCodec.gzipDecompress(bytes, expected)
+      case "zstd" => TiffCodec.zstdDecompress(bytes, expected)
+      case "blosc" => Blosc.decompress(bytes, expected)
+    }
+  }
+
+  /** Decode one RANK-4 SHARD file (r14): C-order inner grid over all
+    * four axes + the crc32c-checked u64-LE index; each present inner
+    * chunk decodes at its GLOBAL inner-grid position, all-ones entries
+    * are absent → fill. One shard = one task = one bounded buffer.
+    */
+  private def readShard4(r: ChunkRef4, bytes: Array[Byte]): Iterator[(Int, Int, Int, Int, Double)] = {
+    val nT = r.chunkT / r.innerT
+    val nL = r.chunkL / r.innerL
+    val nH = r.chunkH / r.innerH
+    val nW = r.chunkW / r.innerW
+    val n = nT * nL * nH * nW
+    val idxDataLen = n * 16
+    val idxLen = idxDataLen + (if (r.indexCrc) 4 else 0)
+    require(bytes.length >= idxLen,
+      s"${r.path}: shard of ${bytes.length} bytes cannot hold a $idxLen-byte index")
+    val idxOff = if (r.indexAtEnd) bytes.length - idxLen else 0
+    if (r.indexCrc) {
+      val crc = new java.util.zip.CRC32C()
+      crc.update(bytes, idxOff, idxDataLen)
+      val stored = java.nio.ByteBuffer.wrap(bytes, idxOff + idxDataLen, 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      require(stored == crc.getValue.toInt,
+        s"${r.path}: shard index crc32c mismatch — corrupt shard")
+    }
+    val idx = java.nio.ByteBuffer.wrap(bytes, idxOff, idxDataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Iterator.range(0, n).flatMap { k =>
+      val off = idx.getLong(idxOff + k * 16)
+      val nb = idx.getLong(idxOff + k * 16 + 8)
+      val gk = r.ck * nT + k / (nL * nH * nW)
+      val gl = r.cl * nL + k / (nH * nW) % nL
+      val gi = r.ci * nH + k / nW % nH
+      val gj = r.cj * nW + k % nW
+      val innerRef = ChunkRef4(r.path, nb, gk, gl, gi, gj,
+        r.epochs, r.levels, r.height, r.width,
+        r.innerT, r.innerL, r.innerH, r.innerW,
+        r.dtype, r.compressor, r.fill, r.hasFill)
+      val intersects = gk * r.innerT < r.epochs && gl * r.innerL < r.levels &&
+        gi * r.innerH < r.height && gj * r.innerW < r.width
+      if (off == -1L && nb == -1L) {
+        if (!intersects) Iterator.empty
+        else {
+          require(r.hasFill, s"${r.path}: inner chunk ($gk,$gl,$gi,$gj) absent " +
+            "from the shard but fill_value is null — undefined cells; fix the store")
+          inBounds4(innerRef).map { case (_, _, _, _, x, y, l, t) => (x, y, l, t, r.fill) }
+        }
+      } else {
+        require(off >= 0 && nb > 0 && off + nb <= bytes.length,
+          s"${r.path}: shard index entry $k out of range (off=$off, nbytes=$nb)")
+        val chunkBytes = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + nb).toInt)
+        decode4(decompress4(chunkBytes, innerRef), innerRef)
+      }
+    }
+  }
+
+  /** One rank-4 task: decode a (t, level, y, x) chunk (or shard) to
+    * in-bounds cells; pad in every axis clipped.
+    */
+  private def readChunk4(r: ChunkRef4): Iterator[(Int, Int, Int, Int, Double)] = {
     if (r.len < 0) {
       require(r.hasFill, s"${r.path}: chunk absent from the store but " +
         "fill_value is null — the cube has undefined cells; fix the store")
-      inBounds.map { case (_, _, _, _, x, y, l, t) => (x, y, l, t, r.fill) }
+      inBounds4(r).map { case (_, _, _, _, x, y, l, t) => (x, y, l, t, r.fill) }
     } else {
       val p = new org.apache.hadoop.fs.Path(r.path)
       val fs = hadoopFs(p)
@@ -1067,32 +1171,8 @@ object Zarr {
         in.readFully(0, b)
         b
       } finally in.close()
-      val expected = r.chunkT * r.chunkL * r.chunkH * r.chunkW * elem
-      val raw = r.compressor match {
-        case "raw" => bytes
-        case "zlib" => TiffCodec.inflate(bytes, expected)
-        case "gzip" => TiffCodec.gzipDecompress(bytes, expected)
-        case "zstd" => TiffCodec.zstdDecompress(bytes, expected)
-        case "blosc" => Blosc.decompress(bytes, expected)
-      }
-      require(raw.length == expected,
-        s"${r.path}: chunk decoded to ${raw.length} bytes, want $expected")
-      val buf = java.nio.ByteBuffer.wrap(raw)
-      buf.order(if (r.dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
-        else java.nio.ByteOrder.LITTLE_ENDIAN)
-      val kind = r.dtype.substring(1)
-      inBounds.map { case (tt, ll, rr, cc, x, y, l, t) =>
-        val i = (((tt * r.chunkL + ll) * r.chunkH + rr) * r.chunkW + cc) * elem
-        val v = kind match {
-          case "f8" => buf.getDouble(i)
-          case "f4" => buf.getFloat(i).toDouble
-          case "i4" => buf.getInt(i).toDouble
-          case "i2" => buf.getShort(i).toDouble
-          case "i1" => buf.get(i).toDouble
-          case "u1" => (buf.get(i) & 0xff).toDouble
-        }
-        (x, y, l, t, v)
-      }
+      if (r.innerT > 0) readShard4(r, bytes)
+      else decode4(decompress4(bytes, r), r)
     }
   }
 
@@ -1568,6 +1648,92 @@ object Zarr {
     }
   }
 
+  /** Write a SHARDED RANK-4 v3 store (r14): one shard file per outer
+    * (t, level, y, x) chunk, inner grid C-order over all four axes,
+    * crc32c'd index footer, all-fill inner chunks omitted.
+    */
+  def writeZarr4dSharded(dir: String, epochs: Int, levels: Int,
+      height: Int, width: Int,
+      shardT: Int, shardL: Int, shardH: Int, shardW: Int,
+      innerT: Int, innerL: Int, innerH: Int, innerW: Int,
+      compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0)
+      (f: (Int, Int, Int, Int) => Double): Unit = {
+    require(shardT % innerT == 0 && shardL % innerL == 0 &&
+      shardH % innerH == 0 && shardW % innerW == 0, "shard must tile by inner")
+    require(Set("raw", "gzip", "zstd", "blosc-zlib").contains(compressor), compressor)
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val dtypeName = V3Dtypes.map(_.swap).apply(dtype.substring(1))
+    val endian = if (dtype.charAt(0) == '>') "big" else "little"
+    val innerCodecs = (s"""{"name": "bytes", "configuration": {"endian": "$endian"}}""" +:
+      (compressor match {
+        case "raw" => Nil
+        case "gzip" => Seq("""{"name": "gzip", "configuration": {"level": 6}}""")
+        case "zstd" => Seq("""{"name": "zstd", "configuration": {"level": 3}}""")
+        case "blosc-zlib" =>
+          val elem = dtype.substring(2).toInt
+          Seq(s"""{"name": "blosc", "configuration": {"cname": "zlib", "clevel": 5, "shuffle": "shuffle", "typesize": $elem, "blocksize": 0}}""")
+      })).mkString("[", ", ", "]")
+    val fillJson =
+      if (fill.isNaN) "\"NaN\""
+      else if (fill == fill.floor && !fill.isInfinite) fill.toLong.toString
+      else fill.toString
+    val meta =
+      s"""{
+         |  "zarr_format": 3,
+         |  "node_type": "array",
+         |  "shape": [$epochs, $levels, $height, $width],
+         |  "data_type": "$dtypeName",
+         |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$shardT, $shardL, $shardH, $shardW]}},
+         |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         |  "fill_value": $fillJson,
+         |  "codecs": [{"name": "sharding_indexed", "configuration": {
+         |    "chunk_shape": [$innerT, $innerL, $innerH, $innerW],
+         |    "codecs": $innerCodecs,
+         |    "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
+         |                     {"name": "crc32c"}],
+         |    "index_location": "end"}}]
+         |}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(d, "zarr.json").toPath,
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val along = (epochs + shardT - 1) / shardT
+    val lvl = (levels + shardL - 1) / shardL
+    val down = (height + shardH - 1) / shardH
+    val across = (width + shardW - 1) / shardW
+    val nT = shardT / innerT; val nL = shardL / innerL
+    val nH = shardH / innerH; val nW = shardW / innerW
+    for (ck <- 0 until along; cl <- 0 until lvl;
+         ci <- 0 until down; cj <- 0 until across) {
+      val body = new java.io.ByteArrayOutputStream()
+      val idx = java.nio.ByteBuffer.allocate(nT * nL * nH * nW * 16)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      for (it <- 0 until nT; il <- 0 until nL; ii <- 0 until nH; ij <- 0 until nW) {
+        val plane = innerH * innerW
+        val inner = Array.tabulate(innerT * innerL * plane) { i =>
+          val t = ck * shardT + it * innerT + i / (innerL * plane)
+          val l = cl * shardL + il * innerL + i / plane % innerL
+          val y = ci * shardH + ii * innerH + i / innerW % innerH
+          val x = cj * shardW + ij * innerW + i % innerW
+          if (t < epochs && l < levels && y < height && x < width) f(x, y, l, t) else fill
+        }
+        if (inner.forall(_ == fill)) { idx.putLong(-1L); idx.putLong(-1L) }
+        else {
+          val enc = chunkFileBytes(inner, innerT * innerL * innerH, innerW, compressor, dtype)
+          idx.putLong(body.size.toLong); idx.putLong(enc.length.toLong)
+          body.write(enc)
+        }
+      }
+      val crc = new java.util.zip.CRC32C()
+      crc.update(idx.array())
+      body.write(idx.array())
+      body.write(java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(crc.getValue.toInt).array())
+      val out = new java.io.File(d, s"c/$ck/$cl/$ci/$cj")
+      out.getParentFile.mkdirs()
+      java.nio.file.Files.write(out.toPath, body.toByteArray)
+    }
+  }
+
   /** Driver-side sharded `zarr.json` write (the tiny metadata document;
     * the distributed sink pairs it with executor-written shard files).
     */
@@ -1978,6 +2144,24 @@ object Zarr {
     dir
   }
 
+  private val fixtureSh4Lock = new Object
+  @volatile private var fixtureSh4Ready: String = null
+
+  /** Sharded RANK-4 v3 fixture (r14): 3×4×70×80 as 2×3×32×32 shards of
+    * 1×1×16×16 gzip inner chunks — edge shards in all four axes.
+    */
+  def fixtureSharded4dDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr4ds_fixture_${Zarr4T}x${Zarr4L}x${ZarrH}x$ZarrW"
+    if (fixtureSh4Ready != dir) fixtureSh4Lock.synchronized {
+      if (fixtureSh4Ready != dir) {
+        writeZarr4dSharded(dir, Zarr4T, Zarr4L, ZarrH, ZarrW,
+          2, 3, 32, 32, 1, 1, 16, 16)(zarr4dValue)
+        fixtureSh4Ready = dir
+      }
+    }
+    dir
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     // Zarr ingestion end-to-end: write the deterministic store (once),
     // scan it chunk-parallel, emit the long-form cell table. The oracle
@@ -2012,6 +2196,17 @@ object Zarr {
       scanZarr(s, fixtureShardedDir())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // sharded RANK-4 v3 (r14): the full (t, level, y, x) sharded
+    // reanalysis shape — inner grid C-order over all four axes, one
+    // shard = one task; same 4-factor formula oracle
+    "scan_zarr_4d_sharded" -> Q(
+      s"""SELECT cell_x, cell_y, level, epoch, value FROM ($Zarr4dCellsSql)
+         |ORDER BY cell_x, cell_y, level, epoch""".stripMargin) { (s, _) =>
+      scanZarr4d(s, fixtureSharded4dDir())
+        .select(col("cell_x"), col("cell_y"), col("level"), col("epoch"), col("value"))
+        .orderBy("cell_x", "cell_y", "level", "epoch")
     },
 
     // sharded RANK-3 v3 (r14 — how a real reanalysis cube actually

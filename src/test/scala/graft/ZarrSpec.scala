@@ -589,21 +589,18 @@ class ZarrSpec extends SparkSuite {
     assert(rt.size == 3 * 5 * 7)
     for (t <- 0 until 3; y <- 0 until 5; x <- 0 until 7)
       assert(rt((x, y, t)) == f3(x, y, t), s"rt ($x,$y,$t)")
-    // rank-4 sharding still refuses by name
-    val d4 = tmpDir("v3s4ref")
-    putText(d4, "zarr.json",
-      """{"zarr_format": 3, "node_type": "array", "shape": [2, 2, 4, 4],
-        |"data_type": "float64",
-        |"chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2, 4, 4]}},
-        |"fill_value": 0,
-        |"codecs": [{"name": "sharding_indexed", "configuration": {
-        |  "chunk_shape": [1, 1, 2, 2],
-        |  "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
-        |  "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}},
-        |                   {"name": "crc32c"}],
-        |  "index_location": "end"}}]}""".stripMargin)
-    assert(msgs(intercept[Throwable](Zarr.readMeta(d4.getPath)))
-      .contains("rank-4"))
+    // rank-4 sharding (r14): writer+reader pair over a padded
+    // multi-shard cube with edge shards in every axis
+    def f4(x: Int, y: Int, l: Int, t: Int): Double =
+      10000 * t + 1000 * l + 100 * y + x
+    val d4 = tmpDir("v3s4rt")
+    Zarr.writeZarr4dSharded(d4.getPath, 3, 2, 5, 7, 2, 1, 4, 4, 1, 1, 2, 2)(f4)
+    val rt4 = Zarr.scanZarr4d(spark, d4.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4))
+      .toMap
+    assert(rt4.size == 3 * 2 * 5 * 7)
+    for (t <- 0 until 3; l <- 0 until 2; y <- 0 until 5; x <- 0 until 7)
+      assert(rt4((x, y, l, t)) == f4(x, y, l, t), s"rt4 ($x,$y,$l,$t)")
   }
 
   test("sharded store with blosc-zlib inner chunks round-trips the formula") {
