@@ -541,9 +541,10 @@ object Hdf5 {
               lay(idxOff + 1) & 0xff, lay(idxOff + 2) & 0xff,
               lay(idxOff + 3) & 0xff, lay(idxOff + 4) & 0xff,
               lay(idxOff + 5) & 0xff, down * across, filtered, chunkBytes)
-          case t => sys.error(s"$path: v4 chunk index type $t unsupported " +
-            "(single chunk/implicit/fixed array/extensible array — a v2 " +
-            "B-tree means >1 unlimited dimension; use a bounded shape)")
+          case 5 => // v2 B-tree: node size (4) + split/merge (1+1) + address
+            v2BtreeChunks(path, r, le(lay).getLong(idxOff + 7),
+              2, down, across, filtered, chunkBytes)
+          case t => sys.error(s"$path: v4 chunk index type $t unsupported")
         }
         val chunks = located.collect { case (k, addr, size, mask) if addr != Undef =>
           (0, 0, (k / across) * chunkH, (k % across) * chunkW, addr, size, mask)
@@ -808,6 +809,83 @@ object Hdf5 {
             val within = (rel - s.startIdx - blkInS.toLong * s.dblkN).toInt
             entryAt(db, 14 + arrOffSize + within * entrySize, idx)
         }
+      }
+    }
+  }
+
+  /** Parse a V2 B-TREE chunk index (r14 — what HDF5 writes for MORE
+    * THAN ONE unlimited dimension; the last v4 index that refused by
+    * name): BTHD header + root BTLF leaf of type-10 (non-filtered:
+    * address + scaled offsets) or type-11 (filtered: address + chunk
+    * size + filter mask + scaled offsets) records. Scaled offsets ARE
+    * chunk-grid indices; records may carry `rank` or `rank+1` offset
+    * fields (the trailing element offset must be 0) — the record size
+    * disambiguates. Chunks without a record are absent → fill. Deeper
+    * B-trees refuse by name (thousands of chunks per node at default
+    * node sizes).
+    */
+  private def v2BtreeChunks(path: String, r: RangeReader, btAddr: Long,
+      rank: Int, down: Int, across: Int, filtered: Boolean,
+      chunkBytes: Int): Seq[(Int, Long, Long, Int)] = {
+    val bh = r.bytes(btAddr, 38)
+    require(bh.take(4).sameElements("BTHD".getBytes), s"$path: bad BTHD signature")
+    require((bh(4) & 0xff) == 0, s"$path: BTHD version ${bh(4) & 0xff} unsupported")
+    val btype = bh(5) & 0xff
+    require(btype == (if (filtered) 11 else 10),
+      s"$path: v2 B-tree record type $btype does not match the filter pipeline")
+    val recSize = le(bh).getShort(10) & 0xffff
+    val depth = le(bh).getShort(12) & 0xffff
+    require(depth == 0,
+      s"$path: chunk v2 B-tree of depth $depth unsupported (root leaf only)")
+    val rootAddr = le(bh).getLong(16)
+    val nrec = le(bh).getShort(24) & 0xffff
+    // derive (chunk-size field width, offset count) from the record size
+    val (sizeLen, ndims) =
+      if (!filtered) {
+        require(recSize == 8 + 8 * rank || recSize == 8 + 8 * (rank + 1),
+          s"$path: type-10 record size $recSize does not fit rank $rank")
+        (0, (recSize - 8) / 8)
+      } else {
+        val sl = recSize - 12 - 8 * rank
+        val sl1 = recSize - 12 - 8 * (rank + 1)
+        if (sl >= 1 && sl <= 8) (sl, rank)
+        else {
+          require(sl1 >= 1 && sl1 <= 8,
+            s"$path: type-11 record size $recSize does not fit rank $rank")
+          (sl1, rank + 1)
+        }
+      }
+    val leaf = r.bytes(rootAddr, 6 + nrec * recSize + 4)
+    require(leaf.take(4).sameElements("BTLF".getBytes), s"$path: bad BTLF signature")
+    require((leaf(5) & 0xff) == btype, s"$path: BTLF record type ${leaf(5) & 0xff}")
+    val present = (0 until nrec).map { i =>
+      val off = 6 + i * recSize
+      val addr = le(leaf).getLong(off)
+      var p = off + 8
+      val (size, mask) =
+        if (!filtered) (chunkBytes.toLong, 0)
+        else {
+          var sz = 0L
+          (0 until sizeLen).foreach(j => sz |= (leaf(p + j) & 0xffL) << (8 * j))
+          p += sizeLen
+          val m = le(leaf).getInt(p); p += 4
+          (sz, m)
+        }
+      val d0 = le(leaf).getLong(p).toInt
+      val d1 = le(leaf).getLong(p + 8).toInt
+      (2 until ndims).foreach { j =>
+        require(le(leaf).getLong(p + 8 * j) == 0,
+          s"$path: nonzero trailing scaled offset in chunk record $i")
+      }
+      require(d0 >= 0 && d0 < down && d1 >= 0 && d1 < across,
+        s"$path: chunk record at scaled offset ($d0, $d1) outside the " +
+          s"$down x $across grid")
+      (d0 * across + d1) -> ((addr, size, mask))
+    }.toMap
+    (0 until down * across).map { k =>
+      present.get(k) match {
+        case Some((a, sz, m)) => (k, a, sz, m)
+        case None => (k, Undef, 0L, 0)
       }
     }
   }
@@ -1805,6 +1883,125 @@ object Hdf5 {
     java.nio.file.Files.write(p.toPath, out)
   }
 
+  /** Write a libver-'latest' file whose chunk index is a V2 B-TREE
+    * (r14 — what HDF5 emits for >1 unlimited dimension): layout v4
+    * index type 5, BTHD header + one root BTLF leaf of type-10/11
+    * records with rank-many scaled offsets, records sorted row-major,
+    * omitted chunks simply recordless (→ fill on read).
+    */
+  def writeHdf5V2Bt2(path: String, varName: String, height: Int, width: Int,
+      chunkH: Int, chunkW: Int, dtype: String = "<f8",
+      deflate: Boolean = true, fill: Double = 0.0,
+      omit: Set[(Int, Int)] = Set.empty)(f: (Int, Int) => Double): Unit = {
+    val elem = dtype.substring(2).toInt
+    val isFloat = dtype.substring(1).startsWith("f")
+    val down = (height + chunkH - 1) / chunkH
+    val across = (width + chunkW - 1) / chunkW
+    val n = down * across
+    val blobs: Seq[(Int, Option[Array[Byte]])] = (0 until n).map { k =>
+      val (ci, cj) = (k / across, k % across)
+      if (omit.contains((ci, cj))) (k, None)
+      else {
+        val vals = Array.tabulate(chunkH * chunkW) { i =>
+          val y = ci * chunkH + i / chunkW
+          val x = cj * chunkW + i % chunkW
+          if (y < height && x < width) f(x, y) else fill
+        }
+        var b = encodeCells(vals, dtype)
+        if (deflate) b = TiffCodec.deflate(b)
+        (k, Some(b))
+      }
+    }
+    val present = blobs.collect { case (k, Some(b)) => (k, b) }
+    val sizeLen = 4 // chunk-size field width for filtered records
+    val recSize = if (deflate) 12 + sizeLen + 8 * 2 else 8 + 8 * 2
+    val linkBody = 3 + varName.length + 8
+    val rootChunk0 = 4 + linkBody
+    val aRoot = 48L
+    val rootSize = 7 + rootChunk0 + 4
+    val aDs = aRoot + rootSize
+    val dsBodies = Seq(
+      (0x01, 20), (0x03, if (isFloat) 20 else 12), (0x05, 6 + elem)) ++
+      (if (deflate) Seq((0x0B, 12)) else Nil) ++ Seq((0x08, 44))
+    val dsChunk0 = dsBodies.map(4 + _._2).sum
+    val dsSize = 7 + dsChunk0 + 4
+    val aBthd = aDs + dsSize
+    val aBtlf = aBthd + 38
+    val btlfSize = 6 + present.size * recSize + 4
+    var dataAddr = aBtlf + btlfSize
+    val addrs: Map[Int, (Long, Int)] = present.map { case (k, b) =>
+      val a = dataAddr; dataAddr += b.length; k -> ((a, b.length))
+    }.toMap
+    val eof = dataAddr
+    val buf = new Buf
+    buf.raw(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+      .u8(3).u8(8).u8(8).u8(0)
+      .u64(0).u64(Undef).u64(eof).u64(aRoot).u32(0)
+    require(buf.size == 48, s"superblock v3 accounting: ${buf.size}")
+    buf.raw("OHDR".getBytes).u8(2).u8(0).u8(rootChunk0)
+      .u8(0x06).u16(linkBody).u8(0)
+      .u8(1).u8(0).u8(varName.length).raw(varName.getBytes).u64(aDs)
+      .u32(0)
+    require(buf.size == aDs, s"root OHDR accounting: ${buf.size}")
+    buf.raw("OHDR".getBytes).u8(2).u8(0).u8(dsChunk0)
+    buf.u8(0x01).u16(20).u8(0)
+      .u8(2).u8(2).u8(0).u8(1).u64(height).u64(width)
+    val bigE = if (dtype.charAt(0) == '>') 1 else 0
+    if (isFloat) {
+      val (expLoc, expSize, manSize, bias) =
+        if (elem == 8) (52, 11, 52, 1023) else (23, 8, 23, 127)
+      buf.u8(0x03).u16(20).u8(0)
+        .u8(0x11).u8(0x20 | bigE).u8(8 * elem - 1).u8(0).u32(elem)
+        .u16(0).u16(8 * elem).u8(expLoc).u8(expSize).u8(0).u8(manSize).u32(bias)
+    } else {
+      val signed = dtype.substring(1).startsWith("i")
+      buf.u8(0x03).u16(12).u8(0)
+        .u8(0x10).u8((if (signed) 0x08 else 0) | bigE).u8(0).u8(0).u32(elem)
+        .u16(0).u16(8 * elem)
+    }
+    buf.u8(0x05).u16(6 + elem).u8(0)
+      .u8(3).u8(0x22).u32(elem).raw(encodeCells(Array(fill), dtype))
+    if (deflate)
+      buf.u8(0x0B).u16(12).u8(0)
+        .u8(2).u8(1).u16(1).u16(0).u16(1).u32(6)
+    buf.u8(0x08).u16(44).u8(0)
+      .u8(4).u8(2).u8(0).u8(3).u8(8)
+      .u64(chunkH).u64(chunkW).u64(elem)
+      .u8(5).u32(512).u8(100).u8(40).u64(aBthd)
+    buf.u32(0)
+    require(buf.size == aBthd, s"dataset OHDR accounting: ${buf.size}")
+    buf.raw("BTHD".getBytes).u8(0).u8(if (deflate) 11 else 10)
+      .u32(512).u16(recSize).u16(0)
+      .u8(100).u8(40)
+      .u64(aBtlf).u16(present.size).u64(present.size)
+      .u32(0)
+    require(buf.size == aBtlf, s"BTHD accounting: ${buf.size}")
+    buf.raw("BTLF".getBytes).u8(0).u8(if (deflate) 11 else 10)
+    present.foreach { case (k, b) =>
+      buf.u64(addrs(k)._1)
+      if (deflate) { buf.u32(b.length).u32(0) }
+      buf.u64(k / across).u64(k % across)
+    }
+    buf.u32(0)
+    require(buf.size == aBtlf + btlfSize, s"BTLF accounting: ${buf.size}")
+    present.foreach { case (_, b) => buf.raw(b) }
+    require(buf.size == eof, s"file accounting: ${buf.size} vs $eof")
+    val out = buf.out
+    def patch(at: Long, from: Long, len: Int): Unit = {
+      val ck = Lookup3.hash(out, from.toInt, len)
+      java.nio.ByteBuffer.wrap(out).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putInt(at.toInt, ck)
+    }
+    patch(44, 0, 44)
+    patch(aDs - 4, aRoot, rootSize - 4)
+    patch(aBthd - 4, aDs, dsSize - 4)
+    patch(aBtlf - 4, aBthd, 34)
+    patch(aBtlf + btlfSize - 4, aBtlf, btlfSize - 4)
+    val p = new java.io.File(path)
+    p.getParentFile.mkdirs()
+    java.nio.file.Files.write(p.toPath, out)
+  }
+
   /** Write a libver-'latest' file whose ROOT group uses DENSE link
     * storage (r14): a fractal heap (single root direct block) holding
     * the serialized link bodies, indexed by a root-leaf v2 B-tree on
@@ -2126,6 +2323,24 @@ object Hdf5 {
     p
   }
 
+  private val fixtureBt2Lock = new Object
+  @volatile private var fixtureBt2Ready: String = null
+
+  /** v2 B-tree chunk-index fixture (r14): layout v4 index type 5 over
+    * the same formula lattice, filtered (deflate) records.
+    */
+  def fixtureBt2Path(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5bt2_fixture_${H5W}x$H5H.nc"
+    if (fixtureBt2Ready != p) fixtureBt2Lock.synchronized {
+      if (fixtureBt2Ready != p) {
+        writeHdf5V2Bt2(p, "v", H5H, H5W, 32, 32, dtype = "<f8",
+          deflate = true)(h5Value)
+        fixtureBt2Ready = p
+      }
+    }
+    p
+  }
+
   private val fixtureDenseLock = new Object
   @volatile private var fixtureDenseReady: String = null
 
@@ -2224,6 +2439,20 @@ object Hdf5 {
       s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdf4(s, fixtureEaPath(), "v")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // V2 B-TREE chunk index (r14 — what HDF5 writes for >1 unlimited
+    // dimension; the LAST v4 index that refused by name — every v4
+    // index type now reads): BTHD → root BTLF leaf of type-11 records
+    // (address + chunk size + filter mask + scaled chunk-grid
+    // offsets), recordless chunks = fill; deeper B-trees refuse by
+    // name. The identical formula oracle gates the whole path
+    "scan_netcdf4_btree2" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdf4(s, fixtureBt2Path(), "v")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

@@ -259,6 +259,37 @@ class Hdf5Spec extends SparkSuite {
       Hdf5.scanNetcdf4(spark, p2, "v").collect())).contains("EAIB"))
   }
 
+  test("v2 B-tree chunk index: roundtrips, recordless-chunk fill, depth refusal") {
+    def fb(x: Int, y: Int): Double = ((13 * x + 9 * y) % 71).toDouble
+    // filtered records with an omitted (recordless) chunk -> fill
+    val p = tmp("bt2")
+    Hdf5.writeHdf5V2Bt2(p, "v", 10, 8, 4, 4, dtype = "<f8", deflate = true,
+      fill = 6.5, omit = Set((1, 1)))(fb)
+    val got = Hdf5.scanNetcdf4(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 80)
+    for (y <- 0 until 10; x <- 0 until 8) {
+      val omitted = y / 4 == 1 && x / 4 == 1
+      assert(got((x, y)) == (if (omitted) 6.5 else fb(x, y)), s"($x,$y)")
+    }
+    // non-filtered type-10 records
+    val p2 = tmp("bt2raw")
+    Hdf5.writeHdf5V2Bt2(p2, "v", 6, 6, 3, 3, dtype = "<f8", deflate = false)(fb)
+    val g2 = Hdf5.scanNetcdf4(spark, p2, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (y <- 0 until 6; x <- 0 until 6) assert(g2((x, y)) == fb(x, y), s"raw ($x,$y)")
+    // surgery: a deep chunk B-tree refuses by name (depth at BTHD+12;
+    // BTHD sits right after the dataset OHDR — recompute its address)
+    val aDs = 48 + 7 + (4 + 3 + 1 + 8) + 4
+    val dsSize = 7 + ((4 + 20) + (4 + 20) + (4 + 14) + (4 + 12) + (4 + 44)) + 4
+    val aBthd = aDs + dsSize
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(new String(b, aBthd, 4) == "BTHD", "layout arithmetic drifted")
+    patch(p, aBthd + 12, Array[Byte](1, 0))
+    assert(msgs(intercept[Throwable](
+      Hdf5.readMeta(p, "v"))).contains("depth"))
+  }
+
   test("registry: scan_netcdf4_earray fixture matches the formula") {
     val cells = q("scan_netcdf4_earray")
     assert(cells.count() == 80L * 70L)
@@ -363,10 +394,10 @@ class Hdf5Spec extends SparkSuite {
     assert(new String(b, aFahd, 4) == "FAHD", "layout arithmetic drifted")
     // layout tail is [idxType][pageBits][addr(8)][OHDR checksum(4)] —
     // the index-type byte sits 14 bytes before the FAHD block
-    // type 4 (extensible array) is SUPPORTED as of r14; the v2 B-tree
-    // (type 5, >1 unlimited dimension) is the remaining named refusal
-    patch(p, aFahd - 14, Array[Byte](5))
-    assert(msgs(intercept[Throwable](Hdf5.readMeta(p, "d"))).contains("B-tree"))
+    // every DEFINED v4 index type (1-5) now reads; an unknown id is
+    // the remaining loud refusal
+    patch(p, aFahd - 14, Array[Byte](6))
+    assert(msgs(intercept[Throwable](Hdf5.readMeta(p, "d"))).contains("type 6 unsupported"))
     // stomp the root link message's type byte → no links AND no Link
     // Info message → the loud not-a-readable-group error
     val p2 = tmp("v2dense")
