@@ -67,7 +67,10 @@ object Hdf5 {
       ot: Int = 0, chunkT: Int = 1, epochs: Int = 1,
       // rank-4 (r13): second-dim (level) origin/chunk-extent/extent (a
       // rank ≤ 3 chunk is the single plane of level 0)
-      ol: Int = 0, chunkL: Int = 1, levels: Int = 1)
+      ol: Int = 0, chunkL: Int = 1, levels: Int = 1,
+      // fletcher32 checksum filter (r14): raw-data checksum appended
+      // before shuffle/deflate (the netCDF-4 pipeline order)
+      fletcher: Boolean = false)
 
   /** Parsed dataset facts (driver-side). `epochs = 0` marks rank-2;
     * `levels > 0` marks rank-4 (t, level, y, x).
@@ -80,7 +83,8 @@ object Hdf5 {
       fill: Double, hasFill: Boolean,
       chunks: Seq[(Int, Int, Int, Int, Long, Long, Int)], // (ot, ol, oy, ox, addr, size, mask)
       epochs: Int = 0, chunkT: Int = 1,
-      levels: Int = 0, chunkL: Int = 1)
+      levels: Int = 0, chunkL: Int = 1,
+      fletcher: Boolean = false)
 
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -463,9 +467,13 @@ object Hdf5 {
           case v => sys.error(s"$path: fill value message version $v unsupported")
         }
       }.getOrElse((0.0, false))
-      // filter pipeline (0x000B) v1/v2: deflate (1) and shuffle (2) only
+      // filter pipeline (0x000B) v1/v2: fletcher32 (3, r14), shuffle
+      // (2), deflate (1) — in that WRITE order, the netCDF-4 shape
+      // (the checksum guards the raw data, then shuffle + compress)
       var deflate = false
       var shuffleTs = 0
+      var fletcher = false
+      val filterOrder = scala.collection.mutable.ArrayBuffer.empty[Int]
       msgs.find(_.mtype == 0x000B).foreach { m =>
         val b = m.body
         val ver = b(0) & 0xff
@@ -485,13 +493,22 @@ object Hdf5 {
             case 2 =>
               require(ncl >= 1, s"$path: shuffle filter without typesize")
               shuffleTs = le(b).getInt(cdOff)
+            case 3 => fletcher = true
             case other => sys.error(s"$path: filter id $other unsupported " +
-              "(deflate/shuffle only — no szip/fletcher32/nbit/scaleoffset)")
+              "(fletcher32/shuffle/deflate only — no szip/nbit/scaleoffset)")
           }
+          filterOrder += id
           p = cdOff + 4 * ncl + (if (ver == 1 && ncl % 2 == 1) 4 else 0)
           i += 1
         }
       }
+      // the decode path assumes the netCDF-4 write order [fletcher32,
+      // shuffle, deflate]; any other arrangement refuses rather than
+      // checksumming the wrong bytes
+      require(filterOrder.toSeq ==
+          filterOrder.toSeq.sortBy(id => Seq(3, 2, 1).indexOf(id)),
+        s"$path: filter pipeline order ${filterOrder.mkString(",")} " +
+          "unsupported (fletcher32 → shuffle → deflate)")
       // data layout (0x0008): v3 (contiguous/chunked, v1 B-tree) or v4
       // (r12 — libver 'latest' chunk indexes: single chunk, implicit,
       // fixed array; extensible array / v2 B-tree refuse by name)
@@ -550,7 +567,7 @@ object Hdf5 {
           (0, 0, (k / across) * chunkH, (k % across) * chunkW, addr, size, mask)
         }
         return H5Meta(height, width, chunkH, chunkW, dtype, contiguous = false,
-          Undef, deflate, shuffleTs, fill, hasFill, chunks)
+          Undef, deflate, shuffleTs, fill, hasFill, chunks, fletcher = fletcher)
       }
       (lay(1) & 0xff) match {
         case 1 => // contiguous: address (8) + size (8); filters impossible
@@ -602,7 +619,8 @@ object Hdf5 {
           walk(btAddr)
           H5Meta(height, width, chunkH, chunkW, dtype, contiguous = false, Undef,
             deflate, shuffleTs, fill, hasFill, chunks.toSeq,
-            epochs = epochs0, chunkT = chunkT, levels = levels0, chunkL = chunkL)
+            epochs = epochs0, chunkT = chunkT, levels = levels0, chunkL = chunkL,
+            fletcher = fletcher)
         case 0 => sys.error(s"$path: compact data layout unsupported (contiguous/chunked)")
         case c => sys.error(s"$path: data layout class $c unsupported")
       }
@@ -890,6 +908,38 @@ object Hdf5 {
     }
   }
 
+  /** HDF5's Fletcher-32 (r14, from the public H5checksum algorithm):
+    * big-endian 16-bit words, 360-word partial-sum blocks with ones-
+    * complement folds, odd trailing byte high-padded.
+    */
+  private[graft] def fletcher32(data: Array[Byte], off: Int, len: Int): Int = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var words = len / 2
+    var p = off
+    while (words > 0) {
+      var tlen = math.min(words, 360)
+      words -= tlen
+      while (tlen > 0) {
+        sum1 += ((data(p) & 0xffL) << 8) | (data(p + 1) & 0xffL)
+        p += 2
+        sum2 += sum1
+        tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(off + len - 1) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    ((sum2 << 16) | sum1).toInt
+  }
+
   private def decodeScalar(b: Array[Byte], off: Int, dtype: String): Double = {
     val bb = java.nio.ByteBuffer.wrap(b)
       .order(if (dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
@@ -942,13 +992,15 @@ object Hdf5 {
             H5ChunkRef(path, addr, size, mask, oy, ox, m.chunkH, m.chunkW,
               m.height, m.width, m.dtype, m.deflate, m.shuffleTs, m.fill,
               m.hasFill, ot = ot, chunkT = m.chunkT, epochs = epochs,
-              ol = ol, chunkL = m.chunkL, levels = levels)
+              ol = ol, chunkL = m.chunkL, levels = levels,
+              fletcher = m.fletcher)
           case None =>
             H5ChunkRef(path, -1L, 0L, 0, ci * m.chunkH, cj * m.chunkW,
               m.chunkH, m.chunkW, m.height, m.width, m.dtype,
               m.deflate, m.shuffleTs, m.fill, m.hasFill,
               ot = ck * m.chunkT, chunkT = m.chunkT, epochs = epochs,
-              ol = cl * m.chunkL, chunkL = m.chunkL, levels = levels)
+              ol = cl * m.chunkL, chunkL = m.chunkL, levels = levels,
+              fletcher = m.fletcher)
         }
       }
     }
@@ -989,23 +1041,36 @@ object Hdf5 {
       b
     } finally in.close()
     val expected = r.chunkT * r.chunkL * r.rows * r.cols * elem
-    // pipeline was [shuffle, deflate] on write → undo deflate then
-    // shuffle; mask bit i set = pipeline filter i was SKIPPED
+    // pipeline was [fletcher32, shuffle, deflate] on write → undo
+    // deflate, then shuffle, then verify + strip the checksum; mask
+    // bit i set = pipeline filter i was SKIPPED for this chunk
+    val fBit = 0x1
+    val sBit = 1 << (if (r.fletcher) 1 else 0)
+    val dBit = 1 << ((if (r.fletcher) 1 else 0) + (if (r.shuffleTs > 0) 1 else 0))
+    val fletcherActive = r.fletcher && (r.mask & fBit) == 0
+    val payload = expected + (if (fletcherActive) 4 else 0)
     val inflated =
-      if (r.deflate && (r.mask & (if (r.shuffleTs > 0) 0x2 else 0x1)) == 0)
-        TiffCodec.inflate(stored, expected)
+      if (r.deflate && (r.mask & dBit) == 0)
+        TiffCodec.inflate(stored, payload)
       else stored
-    require(inflated.length == expected,
+    require(inflated.length == payload,
       s"${r.path}: chunk at (${r.oy},${r.ox}) decoded to ${inflated.length} " +
-        s"bytes, want $expected")
+        s"bytes, want $payload")
     val raw =
-      if (r.shuffleTs > 0 && (r.mask & 0x1) == 0) {
+      if (r.shuffleTs > 0 && (r.mask & sBit) == 0) {
         require(r.shuffleTs == elem,
           s"${r.path}: shuffle typesize ${r.shuffleTs} != element size $elem")
-        val out = new Array[Byte](expected)
+        val out = new Array[Byte](payload)
         Blosc.unshuffle(elem, inflated, out, 0)
         out
       } else inflated
+    if (fletcherActive) {
+      val want = le(raw).getInt(expected)
+      val got = fletcher32(raw, 0, expected)
+      require(want == got,
+        f"${r.path}: fletcher32 mismatch on chunk at (${r.oy},${r.ox}) — " +
+          f"stored 0x$want%08x, computed 0x$got%08x (corrupt chunk)")
+    }
     val buf = java.nio.ByteBuffer.wrap(raw)
       .order(if (r.dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
         else java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -1171,6 +1236,19 @@ object Hdf5 {
     def out: Array[Byte] = bo.toByteArray
   }
 
+  /** Append the LE fletcher32 of the whole buffer (the filter's
+    * encode direction).
+    */
+  private def appendFletcher(b: Array[Byte]): Array[Byte] = {
+    val ck = fletcher32(b, 0, b.length)
+    val out = java.util.Arrays.copyOf(b, b.length + 4)
+    out(b.length) = (ck & 0xff).toByte
+    out(b.length + 1) = ((ck >> 8) & 0xff).toByte
+    out(b.length + 2) = ((ck >> 16) & 0xff).toByte
+    out(b.length + 3) = ((ck >> 24) & 0xff).toByte
+    out
+  }
+
   private def encodeCells(vals: Array[Double], dtype: String): Array[Byte] = {
     val elem = dtype.substring(2).toInt
     val bb = java.nio.ByteBuffer.allocate(vals.length * elem)
@@ -1200,10 +1278,12 @@ object Hdf5 {
       chunkH: Int, chunkW: Int, dtype: String = "<f4",
       deflate: Boolean = true, shuffle: Boolean = false,
       fill: Option[Double] = Some(0.0), contiguous: Boolean = false,
-      omit: Set[(Int, Int)] = Set.empty)(f: (Int, Int) => Double): Unit =
+      omit: Set[(Int, Int)] = Set.empty,
+      fletcher: Boolean = false)(f: (Int, Int) => Double): Unit =
     writeHdf5Cube(path, varName, 0, height, width, 1, chunkH, chunkW,
       dtype, deflate, shuffle, fill, contiguous,
-      omit.map { case (ci, cj) => (0, ci, cj) })((x, y, _) => f(x, y))
+      omit.map { case (ci, cj) => (0, ci, cj) },
+      fletcher = fletcher)((x, y, _) => f(x, y))
 
   /** The general writer: rank-2 (`epochs = 0`) or rank-3 (t, y, x)
     * datasets, chunked (deflate ± shuffle, omitted chunks) or
@@ -1214,7 +1294,8 @@ object Hdf5 {
       dtype: String = "<f4",
       deflate: Boolean = true, shuffle: Boolean = false,
       fill: Option[Double] = Some(0.0), contiguous: Boolean = false,
-      omit: Set[(Int, Int, Int)] = Set.empty)(f: (Int, Int, Int) => Double): Unit = {
+      omit: Set[(Int, Int, Int)] = Set.empty,
+      fletcher: Boolean = false)(f: (Int, Int, Int) => Double): Unit = {
     val elem = dtype.substring(2).toInt
     val rank3 = epochs > 0
     val rank = if (rank3) 3 else 2
@@ -1241,6 +1322,7 @@ object Hdf5 {
           else fill.getOrElse(0.0)
         }
         var b = encodeCells(vals, dtype)
+        if (fletcher) b = appendFletcher(b)
         if (shuffle) b = Blosc.shuffleBytes(elem, b, 0, b.length)
         if (deflate) b = TiffCodec.deflate(b)
         ((ck * chunkT, ci * chunkH, cj * chunkW), b)
@@ -1252,9 +1334,11 @@ object Hdf5 {
         val y = i / width % height
         f(i % width, y, t)
       }, dtype)
-    val hdr = hdf5HeaderBytes(varName, epochs, height, width,
-      chunkT, chunkH, chunkW, dtype, deflate, shuffle, fill, contiguous,
-      contBlob.length.toLong, chunkBlobs.map { case (k, b) => (k, b.length) })
+    val hdr = hdf5HeaderBytes4d(varName, epochs, 0, height, width,
+      chunkT, 1, chunkH, chunkW, dtype, deflate, shuffle, fill, contiguous,
+      contBlob.length.toLong,
+      chunkBlobs.map { case ((ot, oy, ox), b) => ((ot, 0, oy, ox), b.length) },
+      fletcher = fletcher)
     val out = new java.io.ByteArrayOutputStream(hdr.length)
     out.write(hdr)
     if (contiguous) out.write(contBlob)
@@ -1345,7 +1429,8 @@ object Hdf5 {
       chunkT: Int, chunkL: Int, chunkH: Int, chunkW: Int, dtype: String,
       deflate: Boolean, shuffle: Boolean, fill: Option[Double],
       contiguous: Boolean, contBytes: Long,
-      chunkSizes: Seq[((Int, Int, Int, Int), Int)]): Array[Byte] = {
+      chunkSizes: Seq[((Int, Int, Int, Int), Int)],
+      fletcher: Boolean = false): Array[Byte] = {
     val elem = dtype.substring(2).toInt
     require(levels == 0 || epochs > 0,
       s"rank-4 needs both leading dims: epochs=$epochs levels=$levels")
@@ -1379,7 +1464,12 @@ object Hdf5 {
     val aGGbt = aGHeapData + gHeapDataSize
     val aGSnod = aGGbt + 48
     val aDsHdr = if (grouped) aGSnod + 48 else aSnod + 8 + 40
-    val nFilters = (if (shuffle) 1 else 0) + (if (deflate) 1 else 0)
+    val nFilters = (if (fletcher) 1 else 0) + (if (shuffle) 1 else 0) +
+      (if (deflate) 1 else 0)
+    // fletcher32's v1 pipeline entry is 8 bytes (no client values);
+    // shuffle/deflate entries are 16
+    val filterBytes = (if (fletcher) 8 else 0) +
+      16 * ((if (shuffle) 1 else 0) + (if (deflate) 1 else 0))
     // layout message body: contiguous 18→24; chunked rank-2 23→24,
     // rank-3 27→32 (one more 4-byte chunk dim)
     val layoutBody = if (!contiguous && rank3) 32 else 24
@@ -1388,7 +1478,7 @@ object Hdf5 {
       8 + (if (dtype.substring(1).startsWith("f")) 24 else 16), // datatype
       8 + (if (fill.isDefined) 16 else 8), // fill v2
       8 + layoutBody // layout v3
-    ) ++ (if (nFilters > 0) Seq(8 + 8 + 16 * nFilters) else Nil)
+    ) ++ (if (nFilters > 0) Seq(8 + 8 + filterBytes) else Nil)
     val dsHdrSize = 16 + dsMsgs.sum
     val aCbt = aDsHdr + dsHdrSize
     val keySize = 8 + 8 * (rank + 1) // chunk B-tree key
@@ -1497,10 +1587,11 @@ object Hdf5 {
       buf.u16(0x0008).u16(24).u8(0).zeros(3)
         .u8(3).u8(2).u8(3).u64(aCbt).u32(chunkH).u32(chunkW).u32(elem).u8(0)
     }
-    // filter pipeline v1 (write order: shuffle then deflate)
+    // filter pipeline v1 (write order: fletcher32, shuffle, deflate)
     if (nFilters > 0) {
-      buf.u16(0x000B).u16(8 + 16 * nFilters).u8(0).zeros(3)
+      buf.u16(0x000B).u16(8 + filterBytes).u8(0).zeros(3)
         .u8(1).u8(nFilters).zeros(6)
+      if (fletcher) buf.u16(3).u16(0).u16(0).u16(0)
       if (shuffle) buf.u16(2).u16(0).u16(0).u16(1).u32(elem).zeros(4)
       if (deflate) buf.u16(1).u16(0).u16(0).u16(1).u32(6).zeros(4)
     }
@@ -2323,6 +2414,24 @@ object Hdf5 {
     p
   }
 
+  private val fixtureFlLock = new Object
+  @volatile private var fixtureFlReady: String = null
+
+  /** fletcher32 fixture (r14 — netCDF-4's checksum option): the FULL
+    * [fletcher32, shuffle, deflate] pipeline over the formula lattice.
+    */
+  def fixtureFletcherPath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5fl_fixture_${H5W}x$H5H.nc"
+    if (fixtureFlReady != p) fixtureFlLock.synchronized {
+      if (fixtureFlReady != p) {
+        writeHdf5(p, "v", H5H, H5W, 32, 32, dtype = "<f4",
+          deflate = true, shuffle = true, fletcher = true)(h5Value)
+        fixtureFlReady = p
+      }
+    }
+    p
+  }
+
   private val fixtureBt2Lock = new Object
   @volatile private var fixtureBt2Ready: String = null
 
@@ -2439,6 +2548,20 @@ object Hdf5 {
       s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdf4(s, fixtureEaPath(), "v")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // FLETCHER32 checksum filter (r14 — netCDF-4's
+    // nc_def_var_fletcher32 option; previously refused by name): the
+    // full [fletcher32, shuffle, deflate] pipeline — the checksum
+    // guards the RAW data, verified after un-deflate + un-shuffle;
+    // a corrupt chunk fails loudly instead of shipping wrong cells.
+    // The identical formula oracle gates the whole pipeline
+    "scan_netcdf4_fletcher" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdf4(s, fixtureFletcherPath(), "v")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

@@ -290,6 +290,40 @@ class Hdf5Spec extends SparkSuite {
       Hdf5.readMeta(p, "v"))).contains("depth"))
   }
 
+  test("fletcher32: checksummed pipeline roundtrips; corruption is loud") {
+    def ff(x: Int, y: Int): Double = ((17 * x + 23 * y) % 97).toDouble
+    val p = tmp("fl")
+    Hdf5.writeHdf5(p, "v", 10, 8, 4, 4, dtype = "<f8",
+      deflate = false, shuffle = false, fletcher = true)(ff)
+    val got = Hdf5.scanNetcdf4(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 80)
+    for (y <- 0 until 10; x <- 0 until 8) assert(got((x, y)) == ff(x, y), s"($x,$y)")
+    // with the full [fletcher32, shuffle, deflate] pipeline too
+    val p2 = tmp("fl2")
+    Hdf5.writeHdf5(p2, "v", 10, 8, 4, 4, dtype = "<f4",
+      deflate = true, shuffle = true, fletcher = true)(ff)
+    val g2 = Hdf5.scanNetcdf4(spark, p2, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (y <- 0 until 10; x <- 0 until 8) assert(g2((x, y)) == ff(x, y), s"p2 ($x,$y)")
+    // flip ONE raw data byte (no compression → data sits at the file
+    // tail) → the checksum catches it loudly, never wrong cells
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    b(b.length - 40) = (b(b.length - 40) ^ 0x01).toByte
+    val pc = tmp("flbad")
+    java.nio.file.Files.write(java.nio.file.Paths.get(pc), b)
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4(spark, pc, "v").collect())).contains("fletcher32"))
+    // the published algorithm's structure: known tiny vectors — a
+    // one-word buffer checks sum1 = the BE word, sum2 = sum1
+    val one = Array[Byte](0x12, 0x34)
+    assert(Hdf5.fletcher32(one, 0, 2) == ((0x1234 << 16) | 0x1234))
+    // odd trailing byte is high-padded
+    val odd = Array[Byte](0x12, 0x34, 0x56)
+    val s1 = 0x1234 + 0x5600
+    assert(Hdf5.fletcher32(odd, 0, 3) == ((s1 + 0x1234) << 16 | s1))
+  }
+
   test("registry: scan_netcdf4_earray fixture matches the formula") {
     val cells = q("scan_netcdf4_earray")
     assert(cells.count() == 80L * 70L)
