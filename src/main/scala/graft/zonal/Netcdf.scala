@@ -364,6 +364,27 @@ object Netcdf {
       .drop("epoch")
   }
 
+  /** CF PACKED-variable scan (r14 — the `scale_factor`/`add_offset`
+    * convention: small integer samples unpack to physical units as
+    * `raw · scale + offset`): the unpack rides INSIDE the plan as one
+    * codegen'd projection over the stripe scan. Loud when the variable
+    * declares no scale_factor; a missing add_offset defaults to 0 per
+    * CF.
+    */
+  def scanNetcdfPacked(s: SparkSession, path: String, varName: String): DataFrame = {
+    val m = readMeta(path)
+    val v = m.variable(varName)
+    val scale = v.attrs.find(_.name == "scale_factor").map(_.num).getOrElse(
+      sys.error(s"$path: ${v.name} declares no scale_factor — not a packed " +
+        "variable (scan it with scanNetcdf)"))
+    val offset = v.attrs.find(_.name == "add_offset").map(_.num).getOrElse(0.0)
+    scanStripes(s, stripes2d(path, m, v,
+      s.sparkContext.defaultParallelism, dropFill = false))
+      .drop("epoch")
+      .select(col("cell_x"), col("cell_y"),
+        (col("value") * lit(scale) + lit(offset)).as("value"))
+  }
+
   /** Window query over a rank-2 variable. NetCDF stores rows
     * contiguously full-width, so the Y-window prunes BYTES (stripes
     * outside [y0, y1] are never read — the manifest starts at y0), and
@@ -418,7 +439,8 @@ object Netcdf {
     */
   def writeNetcdf(path: String, varName: String, height: Int, width: Int,
       ncType: Int, epochs: Int = 0, fill: Option[Double] = None,
-      coordVars: Boolean = true, version: Int = 1)(f: (Int, Int, Int) => Double): Unit = {
+      coordVars: Boolean = true, version: Int = 1,
+      pack: Option[(Double, Double)] = None)(f: (Int, Int, Int) => Double): Unit = {
     require(version == 1 || version == 5,
       s"writer speaks CDF-1 and CDF-5, not version $version")
     // CDF-5 (r14, pnetcdf BNF): every NON_NEG field widens 4 -> 8
@@ -457,7 +479,9 @@ object Netcdf {
         (raw + 3) / 4 * 4
       }
     }
-    val fillAttrs = fill.toSeq.map(v => ("_FillValue", ncType, Left(v)))
+    val fillAttrs = fill.toSeq.map(v => ("_FillValue", ncType, Left(v))) ++
+      pack.toSeq.flatMap { case (sc, ofs) => Seq(
+        ("scale_factor", NcDouble, Left(sc)), ("add_offset", NcDouble, Left(ofs))) }
     val vars =
       (if (coordVars) Seq(
         W("y", Seq(yDim), NcFloat, Nil),
@@ -637,6 +661,16 @@ object Netcdf {
       writeNetcdf(p, "t2m", NcH, NcW, NcFloat, epochs = NcEpochs)(ncEpochValue)
     }
 
+  /** PACKED int16 fixture: raw formula samples with scale 0.25 /
+    * offset 16 (both exact in binary, so the unpack arithmetic is
+    * bit-identical on both engines).
+    */
+  def packedFixturePath(): String =
+    Raster.fixtureOnce(s"nc_packed_${NcW}x$NcH.nc") { p =>
+      writeNetcdf(p, "t2m", NcH, NcW, NcShort,
+        pack = Some((0.25, 16.0)))((x, y, _) => ncValue(x, y))
+    }
+
   /** CDF-5 ("64-bit data") fixture: the same formula lattice through
     * the widened header, coordinate variables included.
     */
@@ -668,6 +702,21 @@ object Netcdf {
       s"""SELECT cell_x, cell_y, value FROM ($NcCellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdf(s, cdf5FixturePath(), "t2m")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // CF PACKED variables (r14 — scale_factor/add_offset, how most
+    // real observational NetCDF ships: int16 samples unpacking to
+    // physical units): the unpack is ONE codegen'd projection inside
+    // the plan; scale 0.25 / offset 16 are exact in binary so the
+    // identical arithmetic hash-matches
+    "scan_netcdf_packed" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  CAST($NcValueSql * 0.25 + 16.0 AS DOUBLE) AS value
+         |FROM range(0, $NcW) x(cell_x) CROSS JOIN range(0, $NcH) y(cell_y)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdfPacked(s, packedFixturePath(), "t2m")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

@@ -256,6 +256,29 @@ class NetcdfSpec extends SparkSuite {
     assert(gf.length == 4 * 6 - 4)
   }
 
+  test("CF packed variables: unpack arithmetic, no-scale refusal") {
+    val p = tmpFile("packed.nc")
+    Netcdf.writeNetcdf(p, "v", 4, 6, 3, pack = Some((0.5, -8.0)))(
+      (x, y, _) => (x + 10 * y).toDouble)
+    val got = Netcdf.scanNetcdfPacked(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 24)
+    for (y <- 0 until 4; x <- 0 until 6)
+      assert(got((x, y)) == (x + 10 * y) * 0.5 - 8.0, s"($x,$y)")
+    // an unpacked variable refuses the packed scan by name
+    val p2 = tmpFile("unpacked.nc")
+    Netcdf.writeNetcdf(p2, "v", 2, 2, 6)((x, y, _) => 1.0)
+    val e = intercept[Exception] { Netcdf.scanNetcdfPacked(spark, p2, "v") }
+    assert(e.getMessage.contains("scale_factor"))
+    // add_offset defaults to 0 when absent — write scale via raw attrs
+    val p3 = tmpFile("packed_noofs.nc")
+    Netcdf.writeNetcdf(p3, "v", 2, 3, 3, pack = Some((2.0, 0.0)))(
+      (x, y, _) => (x + y).toDouble)
+    val g3 = Netcdf.scanNetcdfPacked(spark, p3, "v").collect()
+    assert(g3.map(_.getDouble(2)).sorted.toSeq ==
+      (for (y <- 0 until 2; x <- 0 until 3) yield (x + y) * 2.0).sorted.toSeq)
+  }
+
   test("reader navigates past coordinate variables to the requested one") {
     // fixture files carry y(y)/x(x) float coord vars before the data
     // variable; a reader that ignores begins and assumes data-at-header-
