@@ -84,7 +84,9 @@ object Hdf5 {
       chunks: Seq[(Int, Int, Int, Int, Long, Long, Int)], // (ot, ol, oy, ox, addr, size, mask)
       epochs: Int = 0, chunkT: Int = 1,
       levels: Int = 0, chunkL: Int = 1,
-      fletcher: Boolean = false)
+      fletcher: Boolean = false,
+      // scalar numeric attributes (r14): the CF metadata face
+      attrs: Map[String, Double] = Map.empty)
 
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -420,6 +422,8 @@ object Hdf5 {
       val msgs = readHeader(path, r, dsAddr)
       def one(t: Int, what: String): Msg = msgs.find(_.mtype == t)
         .getOrElse(sys.error(s"$path: dataset has no $what message"))
+      val attrs0: Map[String, Double] =
+        msgs.filter(_.mtype == 0x000C).flatMap(m => parseNumAttr(m.body)).toMap
       // dataspace (0x0001) v1/v2 → (height, width)
       val sp = one(0x0001, "dataspace").body
       val (rank, dimsOff) = (sp(0) & 0xff) match {
@@ -567,7 +571,8 @@ object Hdf5 {
           (0, 0, (k / across) * chunkH, (k % across) * chunkW, addr, size, mask)
         }
         return H5Meta(height, width, chunkH, chunkW, dtype, contiguous = false,
-          Undef, deflate, shuffleTs, fill, hasFill, chunks, fletcher = fletcher)
+          Undef, deflate, shuffleTs, fill, hasFill, chunks, fletcher = fletcher,
+          attrs = attrs0)
       }
       (lay(1) & 0xff) match {
         case 1 => // contiguous: address (8) + size (8); filters impossible
@@ -576,7 +581,7 @@ object Hdf5 {
             s"$path: filters on a contiguous dataset (corrupt)")
           H5Meta(height, width, 0, 0, dtype, contiguous = true, dataAddr,
             deflate = false, shuffleTs = 0, fill, hasFill, Nil,
-            epochs = epochs0, levels = levels0)
+            epochs = epochs0, levels = levels0, attrs = attrs0)
         case 2 =>
           val dim = lay(2) & 0xff
           require(dim == rank + 1,
@@ -620,7 +625,7 @@ object Hdf5 {
           H5Meta(height, width, chunkH, chunkW, dtype, contiguous = false, Undef,
             deflate, shuffleTs, fill, hasFill, chunks.toSeq,
             epochs = epochs0, chunkT = chunkT, levels = levels0, chunkL = chunkL,
-            fletcher = fletcher)
+            fletcher = fletcher, attrs = attrs0)
         case 0 => sys.error(s"$path: compact data layout unsupported (contiguous/chunked)")
         case c => sys.error(s"$path: data layout class $c unsupported")
       }
@@ -908,6 +913,51 @@ object Hdf5 {
     }
   }
 
+  /** Parse one ATTRIBUTE message (0x000C, r14 — netCDF-4 stores CF
+    * metadata like scale_factor/add_offset as attributes) into
+    * (name, value) for SCALAR NUMERIC attributes; anything else
+    * (strings, arrays, compounds) is skipped, not fatal — tolerance
+    * for the normal members a real file carries.
+    */
+  private def parseNumAttr(b: Array[Byte]): Option[(String, Double)] = {
+    val ver = b(0) & 0xff
+    if (ver != 1 && ver != 3) return None
+    val nameSize = le(b).getShort(2) & 0xffff
+    val dtSize = le(b).getShort(4) & 0xffff
+    val dsSize = le(b).getShort(6) & 0xffff
+    var p = 8
+    if (ver == 3) p += 1 // name character-set encoding byte
+    val nameEnd = {
+      var e = p
+      while (e < b.length && b(e) != 0) e += 1
+      e
+    }
+    val name = new String(b, p, nameEnd - p, java.nio.charset.StandardCharsets.US_ASCII)
+    // v1 pads each part to 8; v3 packs them
+    p += (if (ver == 1) (nameSize + 7) / 8 * 8 else nameSize)
+    val dtOff = p
+    p += (if (ver == 1) (dtSize + 7) / 8 * 8 else dtSize)
+    val dsOff = p
+    p += (if (ver == 1) (dsSize + 7) / 8 * 8 else dsSize)
+    // scalar dataspace: version 1/2, rank 0
+    val dsRank = b(dsOff + 1) & 0xff
+    if (dsRank != 0) return None
+    val dclass = b(dtOff) & 0x0f
+    if (dclass != 0 && dclass != 1) return None
+    val dsz = le(b).getInt(dtOff + 4)
+    if (!Set(1, 2, 4, 8).contains(dsz)) return None
+    val bigEndian = (b(dtOff + 1) & 0x01) != 0
+    val signed = dclass == 0 && (b(dtOff + 1) & 0x08) != 0
+    val kind =
+      if (dclass == 1) s"f$dsz"
+      else if (signed) s"i$dsz"
+      else if (dsz == 1) "u1"
+      else return None
+    if (dclass == 1 && dsz < 4) return None
+    if (p + dsz > b.length) return None
+    Some(name -> decodeScalar(b, p, (if (bigEndian) ">" else "<") + kind))
+  }
+
   /** HDF5's Fletcher-32 (r14, from the public H5checksum algorithm):
     * big-endian 16-bit words, 360-word partial-sum blocks with ones-
     * complement folds, odd trailing byte high-padded.
@@ -1132,6 +1182,26 @@ object Hdf5 {
       .toDF("cell_x", "cell_y", "value")
   }
 
+  /** CF PACKED-variable scan on netCDF-4 (r14 — scale_factor/
+    * add_offset attributes parsed from the dataset's HDF5 attribute
+    * messages): the unpack rides INSIDE the plan as one projection
+    * over the chunk scan; loud when no scale_factor is declared,
+    * missing add_offset defaults to 0 per CF.
+    */
+  def scanNetcdf4Packed(s: SparkSession, path: String, varName: String): DataFrame = {
+    import s.implicits._
+    val m = readMeta(path, varName)
+    require(m.epochs == 0, s"$path: '$varName' is rank-3/4 — unpack the 2-D face")
+    val scale = m.attrs.getOrElse("scale_factor", sys.error(
+      s"$path: '$varName' declares no scale_factor attribute — not a " +
+        "packed variable (scan it with scanNetcdf4)"))
+    val offset = m.attrs.getOrElse("add_offset", 0.0)
+    scanRefs(s, chunkRefs(path, m)).map { case (x, y, _, _, v) => (x, y, v) }
+      .toDF("cell_x", "cell_y", "value")
+      .select(col("cell_x"), col("cell_y"),
+        (col("value") * lit(scale) + lit(offset)).as("value"))
+  }
+
   /** NATIVE rank-3 scan (r12): the whole (t, y, x) variable as ONE
     * DataFrame `(cell_x, cell_y, epoch, value)`, one task per chunk
     * (or per (t, stripe) when contiguous) — no upstream slicing.
@@ -1295,7 +1365,8 @@ object Hdf5 {
       deflate: Boolean = true, shuffle: Boolean = false,
       fill: Option[Double] = Some(0.0), contiguous: Boolean = false,
       omit: Set[(Int, Int, Int)] = Set.empty,
-      fletcher: Boolean = false)(f: (Int, Int, Int) => Double): Unit = {
+      fletcher: Boolean = false,
+      attrs: Seq[(String, Double)] = Nil)(f: (Int, Int, Int) => Double): Unit = {
     val elem = dtype.substring(2).toInt
     val rank3 = epochs > 0
     val rank = if (rank3) 3 else 2
@@ -1338,7 +1409,7 @@ object Hdf5 {
       chunkT, 1, chunkH, chunkW, dtype, deflate, shuffle, fill, contiguous,
       contBlob.length.toLong,
       chunkBlobs.map { case ((ot, oy, ox), b) => ((ot, 0, oy, ox), b.length) },
-      fletcher = fletcher)
+      fletcher = fletcher, attrs = attrs)
     val out = new java.io.ByteArrayOutputStream(hdr.length)
     out.write(hdr)
     if (contiguous) out.write(contBlob)
@@ -1430,7 +1501,8 @@ object Hdf5 {
       deflate: Boolean, shuffle: Boolean, fill: Option[Double],
       contiguous: Boolean, contBytes: Long,
       chunkSizes: Seq[((Int, Int, Int, Int), Int)],
-      fletcher: Boolean = false): Array[Byte] = {
+      fletcher: Boolean = false,
+      attrs: Seq[(String, Double)] = Nil): Array[Byte] = {
     val elem = dtype.substring(2).toInt
     require(levels == 0 || epochs > 0,
       s"rank-4 needs both leading dims: epochs=$epochs levels=$levels")
@@ -1478,7 +1550,8 @@ object Hdf5 {
       8 + (if (dtype.substring(1).startsWith("f")) 24 else 16), // datatype
       8 + (if (fill.isDefined) 16 else 8), // fill v2
       8 + layoutBody // layout v3
-    ) ++ (if (nFilters > 0) Seq(8 + 8 + filterBytes) else Nil)
+    ) ++ (if (nFilters > 0) Seq(8 + 8 + filterBytes) else Nil) ++
+      attrs.map { case (nm, _) => 8 + 8 + pad8(nm.length + 1) + 24 + 8 + 8 }
     val dsHdrSize = 16 + dsMsgs.sum
     val aCbt = aDsHdr + dsHdrSize
     val keySize = 8 + 8 * (rank + 1) // chunk B-tree key
@@ -1594,6 +1667,17 @@ object Hdf5 {
       if (fletcher) buf.u16(3).u16(0).u16(0).u16(0)
       if (shuffle) buf.u16(2).u16(0).u16(0).u16(1).u32(elem).zeros(4)
       if (deflate) buf.u16(1).u16(0).u16(0).u16(1).u32(6).zeros(4)
+    }
+    // attribute messages v1 (r14): f8 scalar CF metadata
+    attrs.foreach { case (nm, v) =>
+      val body = 8 + pad8(nm.length + 1) + 24 + 8 + 8
+      buf.u16(0x000C).u16(body).u8(0).zeros(3)
+      buf.u8(1).u8(0).u16(nm.length + 1).u16(24).u16(8)
+      buf.raw(nm.getBytes).zeros(pad8(nm.length + 1) - nm.length)
+      buf.u8(0x11).u8(0x20).u8(63).u8(0).u32(8)
+        .u16(0).u16(64).u8(52).u8(11).u8(0).u8(52).u32(1023).zeros(4)
+      buf.u8(1).u8(0).u8(0).zeros(5)
+      buf.raw(encodeCells(Array(v), "<f8"))
     }
     require(buf.size == aCbt, s"dataset header accounting: ${buf.size} vs $aCbt")
     // chunk B-tree (single leaf); blob data follows the prefix
@@ -2414,6 +2498,25 @@ object Hdf5 {
     p
   }
 
+  private val fixturePkLock = new Object
+  @volatile private var fixturePkReady: String = null
+
+  /** Packed int16 fixture (r14): raw formula samples + scale 0.25 /
+    * add_offset 16 as f8 attributes (both exact in binary).
+    */
+  def fixturePackedPath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5pk_fixture_${H5W}x$H5H.nc"
+    if (fixturePkReady != p) fixturePkLock.synchronized {
+      if (fixturePkReady != p) {
+        writeHdf5Cube(p, "v", 0, H5H, H5W, 1, 32, 32, dtype = "<i2",
+          deflate = true, attrs = Seq(("scale_factor", 0.25), ("add_offset", 16.0)))(
+          (x, y, _) => h5Value(x, y))
+        fixturePkReady = p
+      }
+    }
+    p
+  }
+
   private val fixtureFlLock = new Object
   @volatile private var fixtureFlReady: String = null
 
@@ -2548,6 +2651,20 @@ object Hdf5 {
       s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdf4(s, fixtureEaPath(), "v")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // CF PACKED variables on netCDF-4 (r14 — scale_factor/add_offset
+    // parsed from HDF5 ATTRIBUTE messages, previously unread): int16
+    // samples unpack to physical units as ONE in-plan projection;
+    // exact-binary 0.25/16.0 make the arithmetic hash-identical
+    "scan_netcdf4_packed" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  CAST($H5ValueSql * 0.25 + 16.0 AS DOUBLE) AS value
+         |FROM range(0, $H5W) x(cell_x) CROSS JOIN range(0, $H5H) y(cell_y)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdf4Packed(s, fixturePackedPath(), "v")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

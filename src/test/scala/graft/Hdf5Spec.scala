@@ -324,6 +324,28 @@ class Hdf5Spec extends SparkSuite {
     assert(Hdf5.fletcher32(odd, 0, 3) == ((s1 + 0x1234) << 16 | s1))
   }
 
+  test("attributes: packed unpack, skip-not-fatal, no-scale refusal") {
+    def fp(x: Int, y: Int): Double = ((3 * x + 5 * y) % 60).toDouble
+    val p = tmp("pk")
+    Hdf5.writeHdf5Cube(p, "v", 0, 6, 8, 1, 4, 4, dtype = "<i2",
+      deflate = true, attrs = Seq(("scale_factor", 0.5), ("add_offset", -4.0),
+        ("valid_max", 100.0)))((x, y, _) => fp(x, y))
+    val got = Hdf5.scanNetcdf4Packed(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 48)
+    for (y <- 0 until 6; x <- 0 until 8)
+      assert(got((x, y)) == fp(x, y) * 0.5 - 4.0, s"($x,$y)")
+    // the attrs surface all three numeric attributes
+    val m = Hdf5.readMeta(p, "v")
+    assert(m.attrs == Map("scale_factor" -> 0.5, "add_offset" -> -4.0,
+      "valid_max" -> 100.0))
+    // an unpacked variable refuses the packed scan by name
+    val p2 = tmp("pk2")
+    Hdf5.writeHdf5(p2, "v", 4, 4, 4, 4, dtype = "<f8")(fp)
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4Packed(spark, p2, "v"))).contains("scale_factor"))
+  }
+
   test("registry: scan_netcdf4_earray fixture matches the formula") {
     val cells = q("scan_netcdf4_earray")
     assert(cells.count() == 80L * 70L)
