@@ -345,6 +345,45 @@ object Gpkg {
     }
   }
 
+  /** Parse a WKB Polygon OR MultiPolygon (r14 — parity with the
+    * shapefile reader's multi-part semantics) to
+    * `(part, ring, i, x, y)` vertex rows; every child polygon carries
+    * its own endianness byte per WKB. Other geometry types throw.
+    */
+  private[graft] def parseWkbGeometry(blob: Array[Byte], off: Int,
+      what: String): Iterator[(Int, Int, Int, Int, Int)] = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    bb.order(if (blob(off) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.getInt(off + 1) match {
+      case 3 =>
+        parseWkbPolygon(blob, off, what).map { case (ring, i, x, y) =>
+          (0, ring, i, x, y)
+        }
+      case 6 =>
+        val n = bb.getInt(off + 5)
+        require(n >= 1, s"$what: empty MultiPolygon")
+        var p = off + 9
+        (0 until n).iterator.flatMap { part =>
+          val start = p
+          val cb = java.nio.ByteBuffer.wrap(blob)
+          cb.order(if (blob(start) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+            else java.nio.ByteOrder.BIG_ENDIAN)
+          require(cb.getInt(start + 1) == 3,
+            s"$what part $part: MultiPolygon child type ${cb.getInt(start + 1)}")
+          val nRings = cb.getInt(start + 5)
+          var q = start + 9
+          (0 until nRings).foreach { _ => q += 4 + 16 * cb.getInt(q) }
+          p = q
+          parseWkbPolygon(blob, start, s"$what part $part").map {
+            case (ring, i, x, y) => (part, ring, i, x, y)
+          }
+        }
+      case other => sys.error(s"$what: WKB geometry type $other unsupported " +
+        "(3 = Polygon, 6 = MultiPolygon)")
+    }
+  }
+
   // ---- the readers ----
 
   /** Page-parallel feature scan → long-form vertices
@@ -385,8 +424,8 @@ object Gpkg {
           require(zid >= Int.MinValue && zid <= Int.MaxValue,
             s"${ref.path}: feature id $zid outside the 32-bit zone_id range")
           val what = s"${ref.path} feature $zid"
-          parseWkbPolygon(blob, wkbOffset(blob, what), what).map {
-            case (ring, i, x, y) => (zid.toInt, 0, ring, i, x, y)
+          parseWkbGeometry(blob, wkbOffset(blob, what), what).map {
+            case (part, ring, i, x, y) => (zid.toInt, part, ring, i, x, y)
           }
         }
       }
@@ -588,8 +627,8 @@ object Gpkg {
           if (!keep) Iterator.empty
           else {
             val what = s"${ref.path} feature $zid"
-            parseWkbPolygon(blob, wkbOffset(blob, what), what).map {
-              case (ring, i, x, y) => (zid.toInt, 0, ring, i, x, y)
+            parseWkbGeometry(blob, wkbOffset(blob, what), what).map {
+              case (part, ring, i, x, y) => (zid.toInt, part, ring, i, x, y)
             }
           }
         }
@@ -864,6 +903,61 @@ object Gpkg {
     require(nPts == ringsClosed.map(_.size).sum)
     b.array()
   }
+
+  /** GPKG geometry blob for a MULTIPOLYGON of closed integer rings
+    * (r14): standard header + WKB type 6, one child Polygon per part.
+    */
+  private[graft] def gpkgBlobMulti(parts: Seq[Seq[Seq[(Int, Int)]]]): Array[Byte] = {
+    val all = parts.flatten.flatten
+    val wkbLen = 9 + parts.map(p => 9 + p.map(4 + 16 * _.size).sum).sum
+    val b = java.nio.ByteBuffer.allocate(8 + 32 + wkbLen)
+    b.put('G'.toByte).put('P'.toByte).put(0.toByte)
+    b.put(((1 << 1) | 1).toByte)
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0)
+    b.putDouble(all.map(_._1).min).putDouble(all.map(_._1).max)
+    b.putDouble(all.map(_._2).min).putDouble(all.map(_._2).max)
+    b.put(1.toByte).putInt(6).putInt(parts.size)
+    parts.foreach { rings =>
+      b.put(1.toByte).putInt(3).putInt(rings.size)
+      rings.foreach { ring =>
+        b.putInt(ring.size)
+        ring.foreach { case (px, py) => b.putDouble(px.toDouble).putDouble(py.toDouble) }
+      }
+    }
+    b.array()
+  }
+
+  /** Write-once per-sf MULTIPOLYGON GeoPackage fixture of the
+    * MultiRings family (r14): one WKB type-6 blob per zone, parts
+    * preserved.
+    */
+  def multiFixturePath(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d)
+    multiFixtures.computeIfAbsent(f.getCanonicalPath, { _ =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/zones_multi.gpkg"
+      val verts = Cube.verts(s, d, Cube.MultiRings)
+        .select("zone_id", "part", "ring", "i", "vx", "vy")
+        .collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+      val records = verts.groupBy(_._1).toSeq.sortBy(_._1).map { case (zoneId, vs) =>
+        val parts = vs.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, pvs) =>
+          pvs.groupBy(_._3).toSeq.sortBy(_._1).map { case (_, pts) =>
+            val ordered = pts.sortBy(_._4).map { case (_, _, _, _, px, py) => (px, py) }.toSeq
+            ordered :+ ordered.head
+          }
+        }
+        (zoneId.toLong, Seq[Any](null, s"zone $zoneId", gpkgBlobMulti(parts)))
+      }
+      writeTable(path, "zones",
+        "CREATE TABLE zones (id INTEGER PRIMARY KEY, zone_name TEXT, geom BLOB)",
+        records)
+      path
+    })
+  }
+
+  private val multiFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Write-once per-sf GeoPackage fixture of the NGonRings family: the
     * `zones` feature table (id INTEGER PRIMARY KEY — rowid-aliased —

@@ -1111,6 +1111,25 @@ object Zonal {
         .orderBy("zone_id", "part", "ring", "i")
     },
 
+    // MULTIPOLYGON GeoPackage features (r14 — parity with the
+    // shapefile reader's multi-part semantics; WKB type 6 previously
+    // refused by name): each child polygon decodes at its real part
+    // index, gated by the SAME MultiRings verts oracle as the
+    // shapefile/GeoJSON multi family
+    "scan_geopackage_multi" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), verts AS (
+         |  ${Cube.vertsSql(Cube.MultiRings)}
+         |)
+         |SELECT zone_id, part, ring, CAST(i AS INTEGER) AS i, vx, vy
+         |FROM verts ORDER BY zone_id, part, ring, i""".stripMargin) { (s, d) =>
+      Gpkg.readVerts(s, Gpkg.multiFixturePath(s, d), "zones")
+        .select(col("zone_id"), col("part"), col("ring"),
+          col("i"), col("x").as("vx"), col("y").as("vy"))
+        .orderBy("zone_id", "part", "ring", "i")
+    },
+
     // attribute face: SQLite record decoding across serial types and
     // the rowid-aliased INTEGER PRIMARY KEY; zone 0's long note rides
     // the overflow chain, replayed by the oracle's repeat()

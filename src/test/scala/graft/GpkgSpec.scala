@@ -195,6 +195,34 @@ class GpkgSpec extends SparkSuite {
   private def msgs(t: Throwable): String =
     if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
 
+  test("WKB MultiPolygon: per-part decode incl. mixed endianness; bad types loud") {
+    // hand-build a 2-part multi: part 0 little-endian, part 1 BIG —
+    // each child carries its own endianness per WKB
+    val bo = new java.io.ByteArrayOutputStream()
+    def le32(v: Int) = java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def le64(v: Double) = java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(v).array()
+    def be64(v: Double) = java.nio.ByteBuffer.allocate(8).putDouble(v).array()
+    bo.write(1); bo.write(le32(6)); bo.write(le32(2))
+    bo.write(1); bo.write(le32(3)); bo.write(le32(1)); bo.write(le32(4))
+    Seq((0, 0), (2, 0), (2, 2), (0, 0)).foreach { case (x, y) =>
+      bo.write(le64(x)); bo.write(le64(y)) }
+    bo.write(0); bo.write(be32(3)); bo.write(be32(1)); bo.write(be32(4))
+    Seq((10, 0), (12, 0), (12, 2), (10, 0)).foreach { case (x, y) =>
+      bo.write(be64(x)); bo.write(be64(y)) }
+    val got = Gpkg.parseWkbGeometry(bo.toByteArray, 0, "test").toList
+    assert(got == List(
+      (0, 0, 0, 0, 0), (0, 0, 1, 2, 0), (0, 0, 2, 2, 2),
+      (1, 0, 0, 10, 0), (1, 0, 1, 12, 0), (1, 0, 2, 12, 2)))
+    // a LineString (2) refuses by name at the geometry dispatch
+    val ls = java.nio.ByteBuffer.allocate(9).put(1.toByte)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(1, 2).array()
+    assert(msgs(intercept[Throwable](
+      Gpkg.parseWkbGeometry(ls, 0, "test").toList)).contains("MultiPolygon"))
+  }
+
   test("feature ids above Int.MaxValue refuse instead of truncating") {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/gpkgspec_bigrowid.db"
     new java.io.File(p).delete()
