@@ -385,6 +385,38 @@ object Netcdf {
         (col("value") * lit(scale) + lit(offset)).as("value"))
   }
 
+  /** Decode a rank-2 variable's FULL grid from in-memory file bytes
+    * (r14 — the streaming-ingest face: a landed .nc file arrives whole
+    * through the binaryFile source and decodes without touching the
+    * filesystem again).
+    */
+  private[graft] def decodeCells(bytes: Array[Byte],
+      varName: String): Iterator[(Int, Int, Double)] = {
+    val m = parseHeader("<stream>", bytes)
+    val v = m.variable(varName)
+    require(v.dimIds.length == 2,
+      s"<stream>: ${v.name} rank ${v.dimIds.length}, want 2 (y, x)")
+    require(v.ncType != NcChar, s"<stream>: char data variable unsupported")
+    val h = m.dims(v.dimIds(0)).length
+    val w = m.dims(v.dimIds(1)).length
+    val elem = elemSize(v.ncType)
+    val bb = java.nio.ByteBuffer.wrap(bytes) // classic NetCDF is big-endian
+    for {
+      y <- Iterator.range(0, h)
+      x <- Iterator.range(0, w)
+    } yield {
+      val off = (v.begin + (y.toLong * w + x) * elem).toInt
+      val value = v.ncType match {
+        case NcByte => bb.get(off).toDouble
+        case NcShort => bb.getShort(off).toDouble
+        case NcInt => bb.getInt(off).toDouble
+        case NcFloat => bb.getFloat(off).toDouble
+        case NcDouble => bb.getDouble(off)
+      }
+      (x, y, value)
+    }
+  }
+
   /** Window query over a rank-2 variable. NetCDF stores rows
     * contiguously full-width, so the Y-window prunes BYTES (stripes
     * outside [y0, y1] are never read — the manifest starts at y0), and
@@ -671,6 +703,21 @@ object Netcdf {
         pack = Some((0.25, 16.0)))((x, y, _) => ncValue(x, y))
     }
 
+  /** Landing-directory fixture (r14 — streaming ingest): one .nc file
+    * per epoch, each a rank-2 grid of the 3-factor formula.
+    */
+  def streamFixtureDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/nc_stream_landing"
+    Raster.fixtureOnce("nc_stream_landing_marker") { _ =>
+      graft.core.Fs.rmTree(dir)
+      new java.io.File(dir).mkdirs()
+      for (t <- 0 until NcEpochs)
+        writeNetcdf(s"$dir/epoch_$t.nc", "t2m", NcH, NcW, NcDouble,
+          coordVars = false)((x, y, _) => ncEpochValue(x, y, t))
+    }
+    dir
+  }
+
   /** CDF-5 ("64-bit data") fixture: the same formula lattice through
     * the widened header, coordinate variables included.
     */
@@ -901,6 +948,57 @@ object Netcdf {
             / (count(lit(1)) * sum(col("e") * col("e"))
               - sum(col("e")) * sum(col("e"))), 6).as("slope"))
         .orderBy("zone_id")
+    },
+
+    // STREAMING ingestion (r14 — the live-feed story for NetCDF: one
+    // .nc file LANDS per epoch and each micro-batch decodes only the
+    // new arrivals): a binaryFile Structured Streaming source over the
+    // landing directory, epoch parsed from the file name, whole-file
+    // in-memory decode, cells appended to a parquet sink;
+    // maxFilesPerTrigger=1 splits the replay into real micro-batches
+    // under AvailableNow. The oracle is batching-independent per-epoch
+    // statistics — a dropped or duplicated batch hash-mismatches.
+    "stream_netcdf_ingest" -> Q(
+      s"""SELECT t.range AS epoch, count(*) AS n_cells,
+         |  CAST(sum((23 * x.range + 19 * y.range + 31 * t.range) % 983) AS BIGINT) AS sum_v
+         |FROM range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |CROSS JOIN range(0, $NcEpochs) t
+         |GROUP BY epoch ORDER BY epoch""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val dir = streamFixtureDir()
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_io/nc_stream"
+      graft.core.Fs.rmTree(s"$base/out")
+      graft.core.Fs.rmTree(s"$base/ckpt")
+      val binarySchema = new org.apache.spark.sql.types.StructType()
+        .add("path", org.apache.spark.sql.types.StringType)
+        .add("modificationTime", org.apache.spark.sql.types.TimestampType)
+        .add("length", org.apache.spark.sql.types.LongType)
+        .add("content", org.apache.spark.sql.types.BinaryType)
+      val q = s.readStream.format("binaryFile")
+        .schema(binarySchema)
+        .option("maxFilesPerTrigger", 1)
+        .load(dir)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (p, bytes) =>
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          require(name.startsWith("epoch_") && name.endsWith(".nc"),
+            s"$p: not an epoch landing file")
+          val t = name.stripPrefix("epoch_").stripSuffix(".nc").toInt
+          decodeCells(bytes, "t2m").map { case (x, y, v) => (x, y, t, v) }
+        }
+        .toDF("cell_x", "cell_y", "epoch", "value")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("epoch").cast("long").as("epoch"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("epoch")
     },
 
     // the end-use: zonal statistics straight over a NetCDF cube — the
