@@ -239,7 +239,7 @@ object Hdf5 {
     * refuse by name.
     */
   private def denseLinks(path: String, r: RangeReader,
-      fheapAddr: Long, btAddr: Long): Map[String, Long] = {
+      fheapAddr: Long, btAddr: Long): Map[String, Either[Long, String]] = {
     // fractal heap header (146 bytes without I/O filters)
     val fh = r.bytes(fheapAddr, 146)
     require(fh.take(4).sameElements("FRHP".getBytes), s"$path: bad FRHP signature")
@@ -305,17 +305,22 @@ object Hdf5 {
     }.toMap
   }
 
-  /** Parse one hard-link BODY (the 0x06 message payload — identical
-    * bytes whether carried compactly in the header or as a fractal-
-    * heap object in dense storage): (name, object header address).
+  /** Parse one link BODY (the 0x06 message payload — identical bytes
+    * whether carried compactly in the header or as a fractal-heap
+    * object in dense storage): `(name, Left(objectHeaderAddr))` for a
+    * HARD link, `(name, Right(targetPath))` for a SOFT link (r14 —
+    * within-file aliases, resolved by the group walk). External links
+    * (cross-file) refuse by name.
     */
-  private def parseLinkBody(path: String, b: Array[Byte], off: Int): (String, Long) = {
+  private def parseLinkBody(path: String, b: Array[Byte],
+      off: Int): (String, Either[Long, String]) = {
     require((b(off) & 0xff) == 1, s"$path: link message version ${b(off) & 0xff}")
     val flags = b(off + 1) & 0xff
     var q = off + 2
     val linkType = if ((flags & 0x08) != 0) { val t = b(q) & 0xff; q += 1; t } else 0
-    require(linkType == 0,
-      s"$path: link type $linkType unsupported (hard links only — no soft/external)")
+    require(linkType == 0 || linkType == 1,
+      s"$path: link type $linkType unsupported (hard/soft only — " +
+        "EXTERNAL links cross files and refuse by name)")
     if ((flags & 0x04) != 0) q += 8 // creation order
     if ((flags & 0x10) != 0) q += 1 // charset
     val lenSize = 1 << (flags & 0x03)
@@ -325,10 +330,16 @@ object Hdf5 {
     val name = new String(b, q, nameLen.toInt,
       java.nio.charset.StandardCharsets.US_ASCII)
     q += nameLen.toInt
-    name -> le(b).getLong(q)
+    if (linkType == 0) name -> Left(le(b).getLong(q))
+    else {
+      val tlen = le(b).getShort(q) & 0xffff
+      name -> Right(new String(b, q + 2, tlen,
+        java.nio.charset.StandardCharsets.US_ASCII))
+    }
   }
 
-  private def groupSymbols(path: String, r: RangeReader, hdrAddr: Long): Map[String, Long] = {
+  private def groupSymbols(path: String, r: RangeReader,
+      hdrAddr: Long): Map[String, Either[Long, String]] = {
     val msgs = readHeader(path, r, hdrAddr)
     val stOpt = msgs.find(_.mtype == 0x0011)
     if (stOpt.isEmpty) {
@@ -367,7 +378,7 @@ object Hdf5 {
       new String(heapData, off.toInt, e - off.toInt,
         java.nio.charset.StandardCharsets.US_ASCII)
     }
-    val out = scala.collection.mutable.Map.empty[String, Long]
+    val out = scala.collection.mutable.Map.empty[String, Either[Long, String]]
     def walkNode(a: Long): Unit = {
       val hd = r.bytes(a, 24)
       require(hd.take(4).sameElements("TREE".getBytes), s"$path: bad group B-tree node")
@@ -389,7 +400,7 @@ object Hdf5 {
           while (k < nsym) {
             val nameOff = le(entries).getLong(k * 40)
             val oh = le(entries).getLong(k * 40 + 8)
-            out(name(nameOff)) = oh
+            out(name(nameOff)) = Left(oh)
             k += 1
           }
         }
@@ -410,15 +421,33 @@ object Hdf5 {
     try {
       val parts = varName.split("/").filter(_.nonEmpty)
       require(parts.nonEmpty, s"$path: empty variable name")
-      var hdr = rootHeaderAddr(path, r)
-      parts.init.foreach { g =>
-        val syms = groupSymbols(path, r, hdr)
-        hdr = syms.getOrElse(g, sys.error(
-          s"$path: group '$g' not in file (have ${syms.keys.toSeq.sorted.mkString(", ")})"))
+      // resolve the path component by component; SOFT links (r14)
+      // restart at their target (absolute from the root, relative from
+      // the link's own group), with a depth cap against cycles
+      def resolve(start: Long, comps: List[String], depth: Int): Long = {
+        require(depth < 8,
+          s"$path: soft-link chain deeper than 8 — cyclic links?")
+        comps match {
+          case Nil => start
+          case c :: rest =>
+            val syms = groupSymbols(path, r, start)
+            syms.get(c) match {
+              case Some(Left(addr)) => resolve(addr, rest, depth)
+              case Some(Right(target)) =>
+                val tcomps = target.split("/").filter(_.nonEmpty).toList
+                require(!tcomps.contains(".."),
+                  s"$path: soft link '$c' uses '..' — unsupported")
+                val base =
+                  if (target.startsWith("/")) rootHeaderAddr(path, r) else start
+                resolve(base, tcomps ::: rest, depth + 1)
+              case None =>
+                val what = if (rest.isEmpty) s"variable '$c'" else s"group '$c'"
+                sys.error(s"$path: $what not in file " +
+                  s"(have ${syms.keys.toSeq.sorted.mkString(", ")})")
+            }
+        }
       }
-      val syms = groupSymbols(path, r, hdr)
-      val dsAddr = syms.getOrElse(parts.last, sys.error(
-        s"$path: variable '${parts.last}' not in file (have ${syms.keys.toSeq.sorted.mkString(", ")})"))
+      val dsAddr = resolve(rootHeaderAddr(path, r), parts.toList, 0)
       val msgs = readHeader(path, r, dsAddr)
       def one(t: Int, what: String): Msg = msgs.find(_.mtype == t)
         .getOrElse(sys.error(s"$path: dataset has no $what message"))
@@ -1431,10 +1460,32 @@ object Hdf5 {
       dtype: String = "<f4",
       deflate: Boolean = true, shuffle: Boolean = false,
       fill: Option[Double] = Some(0.0),
-      omit: Set[(Int, Int, Int, Int)] = Set.empty)
+      omit: Set[(Int, Int, Int, Int)] = Set.empty,
+      contiguous: Boolean = false)
       (f: (Int, Int, Int, Int) => Double): Unit = {
     require(epochs > 0 && levels > 0,
       s"rank-4 needs both leading dims: epochs=$epochs levels=$levels")
+    require(!contiguous || (!deflate && !shuffle && omit.isEmpty),
+      "contiguous datasets cannot carry filters or holes")
+    if (contiguous) {
+      val contBlob = encodeCells(
+        Array.tabulate(epochs * levels * height * width) { i =>
+          val t = i / (levels * height * width)
+          val l = i / (height * width) % levels
+          val y = i / width % height
+          val x = i % width
+          f(x, y, l, t)
+        }, dtype)
+      val hdr = hdf5HeaderBytes4d(varName, epochs, levels, height, width,
+        1, 1, 0, 0, dtype, deflate = false, shuffle = false, fill,
+        contiguous = true, contBlob.length.toLong, Nil)
+      val out = new java.io.ByteArrayOutputStream(hdr.length + contBlob.length)
+      out.write(hdr); out.write(contBlob)
+      val p = new java.io.File(path)
+      p.getParentFile.mkdirs()
+      java.nio.file.Files.write(p.toPath, out.toByteArray)
+      return
+    }
     val elem = dtype.substring(2).toInt
     val along = (epochs + chunkT - 1) / chunkT
     val lvl = (levels + chunkL - 1) / chunkL
@@ -1711,7 +1762,8 @@ object Hdf5 {
   def writeHdf5V2(path: String, varName: String, height: Int, width: Int,
       chunkH: Int, chunkW: Int, dtype: String = "<f4",
       deflate: Boolean = true, fill: Double = 0.0,
-      omit: Set[(Int, Int)] = Set.empty, pageBits: Int = 16)
+      omit: Set[(Int, Int)] = Set.empty, pageBits: Int = 16,
+      softAliases: Seq[(String, String)] = Nil)
       (f: (Int, Int) => Double): Unit = {
     // `varName` may be "group/leaf": the root OHDR then links a group
     // OHDR carrying its own link message (the new-style nesting shape)
@@ -1742,7 +1794,11 @@ object Hdf5 {
     }
     // layout
     val linkBody = 3 + rootLinkName.length + 8
-    val rootChunk0 = 4 + linkBody
+    // soft-link alias messages (r14): ver+flags(0x08)+type+nameLen +
+    // name + 2-byte target length + target
+    def softBody(nm: String, target: String): Int = 4 + nm.length + 2 + target.length
+    val rootChunk0 = 4 + linkBody +
+      softAliases.map { case (nm, t) => 4 + softBody(nm, t) }.sum
     val aRoot = 48L
     val rootSize = 7 + rootChunk0 + 4
     val aGrp = aRoot + rootSize
@@ -1789,7 +1845,12 @@ object Hdf5 {
       .u8(0x06).u16(linkBody).u8(0)
       .u8(1).u8(0).u8(rootLinkName.length).raw(rootLinkName.getBytes)
       .u64(if (grouped) aGrp else aDs)
-      .u32(0) // checksum patched
+    softAliases.foreach { case (nm, t) =>
+      buf.u8(0x06).u16(softBody(nm, t)).u8(0)
+        .u8(1).u8(0x08).u8(1).u8(nm.length).raw(nm.getBytes)
+        .u16(t.length).raw(t.getBytes)
+    }
+    buf.u32(0) // checksum patched
     if (grouped) {
       require(buf.size == aGrp, s"root OHDR accounting: ${buf.size}")
       buf.raw("OHDR".getBytes).u8(2).u8(0).u8(grpChunk0)
@@ -2535,6 +2596,24 @@ object Hdf5 {
     p
   }
 
+  private val fixtureSoftLock = new Object
+  @volatile private var fixtureSoftReady: String = null
+
+  /** Soft-link fixture (r14): the dataset lives at `data`; the scan
+    * resolves the absolute soft alias `v → /data`.
+    */
+  def fixtureSoftPath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5soft_fixture_${H5W}x$H5H.nc"
+    if (fixtureSoftReady != p) fixtureSoftLock.synchronized {
+      if (fixtureSoftReady != p) {
+        writeHdf5V2(p, "data", H5H, H5W, 32, 32, dtype = "<f8",
+          deflate = true, softAliases = Seq(("v", "/data")))(h5Value)
+        fixtureSoftReady = p
+      }
+    }
+    p
+  }
+
   private val fixtureBt2Lock = new Object
   @volatile private var fixtureBt2Ready: String = null
 
@@ -2679,6 +2758,20 @@ object Hdf5 {
       s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdf4(s, fixtureFletcherPath(), "v")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // SOFT links (r14 — within-file aliases, the other named link
+    // refusal next to external): the group walk restarts at the
+    // link's target (absolute from the root, relative from the link's
+    // group) with a depth cap against cycles; the scan resolves the
+    // fixture's `v → /data` alias, gated by the identical formula
+    // oracle. EXTERNAL links (cross-file) still refuse by name
+    "scan_netcdf4_softlink" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdf4(s, fixtureSoftPath(), "v")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

@@ -214,6 +214,17 @@ class Hdf5Spec extends SparkSuite {
       Hdf5.scanNetcdf4Epochs(spark, p, "v"))).contains("scanNetcdf4Cube4d"))
     assert(msgs(intercept[Throwable](
       Hdf5.scanNetcdf4Cube4d(spark, Hdf5.fixturePath(), "v"))).contains("scanNetcdf4"))
+    // contiguous rank-4 stripes (r14 — gates the reader's per-(t,
+    // level, stripe) contiguous manifest)
+    val pc = tmp("cube4c")
+    Hdf5.writeHdf5Cube4d(pc, "v", 3, 4, 6, 8, 1, 1, 0, 0, dtype = ">i2",
+      deflate = false, contiguous = true)(f4)
+    val gc = Hdf5.scanNetcdf4Cube4d(spark, pc, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4))
+      .toMap
+    assert(gc.size == 3 * 4 * 6 * 8)
+    for (t <- 0 until 3; l <- 0 until 4; y <- 0 until 6; x <- 0 until 8)
+      assert(gc((x, y, l, t)) == f4(x, y, l, t), s"contig ($x,$y,$l,$t)")
   }
 
   test("extensible-array index: inline/full-block/partial-block elements, fill, refusals") {
@@ -344,6 +355,32 @@ class Hdf5Spec extends SparkSuite {
     Hdf5.writeHdf5(p2, "v", 4, 4, 4, 4, dtype = "<f8")(fp)
     assert(msgs(intercept[Throwable](
       Hdf5.scanNetcdf4Packed(spark, p2, "v"))).contains("scale_factor"))
+  }
+
+  test("soft links: absolute + relative aliases resolve; cycles and externals loud") {
+    val p = tmp("soft")
+    Hdf5.writeHdf5V2(p, "data", 8, 8, 4, 4, dtype = "<f4", deflate = true,
+      softAliases = Seq(("abs", "/data"), ("rel", "data"),
+        ("hop", "/abs"), ("loop", "/loop")))(f)
+    for (nm <- Seq("data", "abs", "rel", "hop")) {
+      val got = Hdf5.scanNetcdf4(spark, p, nm).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(got.size == 64, nm)
+      for (y <- 0 until 8; x <- 0 until 8) assert(got((x, y)) == f(x, y), s"$nm ($x,$y)")
+    }
+    // a self-referential soft link hits the depth cap loudly
+    assert(msgs(intercept[Throwable](
+      Hdf5.readMeta(p, "loop"))).contains("cyclic"))
+    // an EXTERNAL link (type 64) refuses by name: stomp a soft link's
+    // type byte — root OHDR at 48, first soft message follows the
+    // 7-byte prefix + 4 + (3 + 4 + 8) hard-link message, type at +6
+    val p2 = tmp("soft2")
+    Hdf5.writeHdf5V2(p2, "data", 8, 8, 4, 4, dtype = "<f4", deflate = true,
+      softAliases = Seq(("al", "/data")))(f)
+    val softMsgOff = 48 + 7 + 4 + (3 + 4 + 8)
+    patch(p2, softMsgOff + 4 + 2, Array[Byte](64))
+    assert(msgs(intercept[Throwable](
+      Hdf5.readMeta(p2, "al"))).contains("EXTERNAL"))
   }
 
   test("registry: scan_netcdf4_earray fixture matches the formula") {
