@@ -385,6 +385,31 @@ object Netcdf {
         (col("value") * lit(scale) + lit(offset)).as("value"))
   }
 
+  /** CF VALID-RANGE masking (r14 — the `valid_min`/`valid_max`
+    * convention next to `_FillValue`): cells outside the declared
+    * range are dropped inside the plan. Loud when the variable
+    * declares neither bound.
+    */
+  def scanNetcdfValid(s: SparkSession, path: String, varName: String): DataFrame = {
+    val m = readMeta(path)
+    val v = m.variable(varName)
+    val lo = v.attrs.find(_.name == "valid_min").map(_.num)
+    val hi = v.attrs.find(_.name == "valid_max").map(_.num)
+    require(lo.isDefined || hi.isDefined,
+      s"$path: ${v.name} declares neither valid_min nor valid_max — " +
+        "nothing to mask (scan it with scanNetcdf)")
+    val base = scanStripes(s, stripes2d(path, m, v,
+      s.sparkContext.defaultParallelism, dropFill = false))
+      .drop("epoch")
+    val kept = (lo, hi) match {
+      case (Some(a), Some(b)) => base.filter(col("value").between(a, b))
+      case (Some(a), None) => base.filter(col("value") >= a)
+      case (None, Some(b)) => base.filter(col("value") <= b)
+      case _ => base
+    }
+    kept.select(col("cell_x"), col("cell_y"), col("value"))
+  }
+
   /** Decode a rank-2 variable's FULL grid from in-memory file bytes
     * (r14 — the streaming-ingest face: a landed .nc file arrives whole
     * through the binaryFile source and decodes without touching the
@@ -472,7 +497,8 @@ object Netcdf {
   def writeNetcdf(path: String, varName: String, height: Int, width: Int,
       ncType: Int, epochs: Int = 0, fill: Option[Double] = None,
       coordVars: Boolean = true, version: Int = 1,
-      pack: Option[(Double, Double)] = None)(f: (Int, Int, Int) => Double): Unit = {
+      pack: Option[(Double, Double)] = None,
+      extraAttrs: Seq[(String, Double)] = Nil)(f: (Int, Int, Int) => Double): Unit = {
     require(version == 1 || version == 5,
       s"writer speaks CDF-1 and CDF-5, not version $version")
     // CDF-5 (r14, pnetcdf BNF): every NON_NEG field widens 4 -> 8
@@ -513,7 +539,8 @@ object Netcdf {
     }
     val fillAttrs = fill.toSeq.map(v => ("_FillValue", ncType, Left(v))) ++
       pack.toSeq.flatMap { case (sc, ofs) => Seq(
-        ("scale_factor", NcDouble, Left(sc)), ("add_offset", NcDouble, Left(ofs))) }
+        ("scale_factor", NcDouble, Left(sc)), ("add_offset", NcDouble, Left(ofs))) } ++
+      extraAttrs.map { case (nm, v) => (nm, NcDouble, Left(v)) }
     val vars =
       (if (coordVars) Seq(
         W("y", Seq(yDim), NcFloat, Nil),
@@ -718,6 +745,16 @@ object Netcdf {
     dir
   }
 
+  /** valid-range fixture: double samples with valid_min/valid_max
+    * attributes bracketing the formula's middle band.
+    */
+  def validFixturePath(): String =
+    Raster.fixtureOnce(s"nc_valid_${NcW}x$NcH.nc") { p =>
+      writeNetcdf(p, "t2m", NcH, NcW, NcDouble,
+        extraAttrs = Seq(("valid_min", 100.0), ("valid_max", 800.0)))(
+        (x, y, _) => ncValue(x, y))
+    }
+
   /** CDF-5 ("64-bit data") fixture: the same formula lattice through
     * the widened header, coordinate variables included.
     */
@@ -764,6 +801,19 @@ object Netcdf {
          |FROM range(0, $NcW) x(cell_x) CROSS JOIN range(0, $NcH) y(cell_y)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdfPacked(s, packedFixturePath(), "t2m")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // CF VALID-RANGE masking (r14 — valid_min/valid_max, the other
+    // half of the CF nodata story next to _FillValue): cells outside
+    // the declared band are dropped in-plan; the oracle inverts the
+    // same predicate
+    "scan_netcdf_valid" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($NcCellsSql)
+         |WHERE value BETWEEN 100.0 AND 800.0
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdfValid(s, validFixturePath(), "t2m")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },
