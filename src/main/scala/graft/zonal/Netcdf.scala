@@ -85,7 +85,9 @@ object Netcdf {
     */
   final case class StripeRef(
       path: String, offset: Long, y0: Int, rows: Int, width: Int,
-      ncType: Int, epoch: Int, fill: Double, hasFill: Boolean)
+      ncType: Int, epoch: Int, fill: Double, hasFill: Boolean,
+      // rank-4 (r14): the stripe's level-plane index
+      level: Int = 0)
 
   // ---- header parse (big-endian, driver-side only) ----
 
@@ -302,6 +304,37 @@ object Netcdf {
       y0, math.min(rows, h - y0), w, v.ncType, e, 0.0, hasFill = false)
   }
 
+  /** Rank-4 stripe manifest (r14): per-(t, level) slabs of (y, x) row
+    * stripes — `t` record (UNLIMITED) or fixed, `level` always fixed.
+    */
+  private def stripes4d(path: String, m: NcMeta, v: NcVar,
+      parallelHint: Int): Seq[StripeRef] = {
+    require(v.dimIds.length == 4,
+      s"$path: variable ${v.name} has rank ${v.dimIds.length}, want 4 (t, level, y, x)")
+    require(v.ncType != NcChar, s"$path: char data variable ${v.name} unsupported")
+    val d0 = m.dims(v.dimIds(0))
+    val levels = m.dims(v.dimIds(1)).length
+    val h = m.dims(v.dimIds(2)).length
+    val w = m.dims(v.dimIds(3)).length
+    require(levels > 0 && h > 0 && w > 0,
+      s"$path: ${v.name} inner dims must be fixed")
+    val elem = elemSize(v.ncType)
+    val (epochs, tStride) =
+      if (d0.length == 0) (m.numRecs, m.recSize) // record variable
+      else (d0.length, levels.toLong * h * w * elem) // fixed: contiguous
+    val lStride = h.toLong * w * elem
+    val rows = stripeRows(w, v.ncType, parallelHint,
+      h * math.max(1, epochs * levels))
+    for {
+      e <- 0 until epochs
+      l <- 0 until levels
+      y0 <- 0 until h by rows
+    } yield StripeRef(path,
+      v.begin + e * tStride + l * lStride + y0.toLong * w * elem,
+      y0, math.min(rows, h - y0), w, v.ncType, e, 0.0, hasFill = false,
+      level = l)
+  }
+
   /** One task's work: seek+read exactly the stripe's byte range, decode
     * big-endian samples, emit in-bounds cells (fill-masked when asked).
     */
@@ -340,6 +373,27 @@ object Netcdf {
       .repartition(math.max(1, math.min(refs.size, s.sparkContext.defaultParallelism)))
       .flatMap(readStripe _)
       .toDF("cell_x", "cell_y", "epoch", "value")
+  }
+
+  private def scanStripes4(s: SparkSession, refs: Seq[StripeRef]): DataFrame = {
+    import s.implicits._
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size, s.sparkContext.defaultParallelism)))
+      .flatMap(r => readStripe(r).map { case (x, y, t, v) => (x, y, r.level, t, v) })
+      .toDF("cell_x", "cell_y", "level", "epoch", "value")
+  }
+
+  /** NATIVE rank-4 scan (r14 — parity with scanZarr4d and
+    * scanNetcdf4Cube4d: a classic (t, level, y, x) variable as ONE
+    * DataFrame, one task per (t, level, stripe)).
+    */
+  def scanNetcdfCube4d(s: SparkSession, path: String, varName: String): DataFrame = {
+    val m = readMeta(path)
+    val v = m.variable(varName)
+    require(v.dimIds.length == 4,
+      s"$path: ${v.name} is rank ${v.dimIds.length} — scan rank-2 with " +
+        "scanNetcdf, rank-3 with scanNetcdfEpochs")
+    scanStripes4(s, stripes4d(path, m, v, s.sparkContext.defaultParallelism))
   }
 
   /** Stripe-parallel scan of a rank-2 variable → long-form
@@ -643,6 +697,58 @@ object Netcdf {
     java.nio.file.Files.write(out.toPath, bo.toByteArray)
   }
 
+  /** Write a classic CDF-1 RANK-4 file (r14): dims `(t, lev, y, x)`
+    * with `t` either UNLIMITED (record) or fixed, one data variable,
+    * no coordinate variables. `f(x, y, l, t)`.
+    */
+  def writeNetcdf4d(path: String, varName: String, epochs: Int, levels: Int,
+      height: Int, width: Int, ncType: Int, record: Boolean = true)
+      (f: (Int, Int, Int, Int) => Double): Unit = {
+    require(epochs > 0 && levels > 0 && height > 0 && width > 0)
+    val elem = elemSize(ncType)
+    val bo = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bo)
+    def wname(s: String): Unit = {
+      o.writeInt(s.length); o.writeBytes(s)
+      val r = s.length % 4; if (r != 0) o.write(new Array[Byte](4 - r))
+    }
+    o.writeBytes("CDF"); o.writeByte(1)
+    o.writeInt(if (record) epochs else 0)
+    val dims = Seq(("t", if (record) 0 else epochs), ("lev", levels),
+      ("y", height), ("x", width))
+    o.writeInt(0x0A); o.writeInt(dims.length)
+    dims.foreach { case (n, len) => wname(n); o.writeInt(len) }
+    o.writeInt(0); o.writeInt(0) // no global attributes
+    o.writeInt(0x0B); o.writeInt(1)
+    wname(varName)
+    o.writeInt(4); (0 until 4).foreach(o.writeInt)
+    o.writeInt(0); o.writeInt(0) // no var attributes
+    o.writeInt(ncType)
+    val slabRaw = levels.toLong * height * width * elem
+    // sole record variable → the spec's UNPADDED vsize; fixed t → the
+    // padded full extent
+    val vsize =
+      if (record) slabRaw
+      else (epochs * slabRaw + 3) / 4 * 4
+    o.writeInt(vsize.toInt)
+    val begin = bo.size + 4
+    o.writeInt(begin)
+    def sample(v: Double): Unit = ncType match {
+      case NcByte => o.writeByte(v.toInt)
+      case NcShort => o.writeShort(v.toInt)
+      case NcInt => o.writeInt(v.toInt)
+      case NcFloat => o.writeFloat(v.toFloat)
+      case NcDouble => o.writeDouble(v)
+      case NcChar => sys.error("char data")
+    }
+    for (t <- 0 until epochs; l <- 0 until levels;
+         y <- 0 until height; x <- 0 until width)
+      sample(f(x, y, l, t))
+    val out = new java.io.File(path)
+    out.getParentFile.mkdirs()
+    java.nio.file.Files.write(out.toPath, bo.toByteArray)
+  }
+
   /** Minimal classic header for a bare 2-D double variable (the sink's
     * driver-side few hundred bytes): dims `(y, x)`, no attributes, no
     * coordinate variables. The variable's `begin` is the header length
@@ -745,6 +851,17 @@ object Netcdf {
     dir
   }
 
+  /** Rank-4 fixture formula over (x, y, l, t) — float32-exact. */
+  val Nc4T = 3
+  val Nc4L = 2
+  def nc4Value(x: Int, y: Int, l: Int, t: Int): Double =
+    ((23 * x + 19 * y + 29 * l + 31 * t) % 983).toDouble
+
+  def cube4dFixturePath(): String =
+    Raster.fixtureOnce(s"nc_cube4d_${Nc4T}x${Nc4L}x${NcH}x$NcW.nc") { p =>
+      writeNetcdf4d(p, "t2m", Nc4T, Nc4L, NcH, NcW, NcFloat)(nc4Value)
+    }
+
   /** valid-range fixture: double samples with valid_min/valid_max
     * attributes bracketing the formula's middle band.
     */
@@ -803,6 +920,22 @@ object Netcdf {
       scanNetcdfPacked(s, packedFixturePath(), "t2m")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // NATIVE rank-4 classic scan (r14 — rank-4 parity across all
+    // three cube formats; classic rank >= 4 previously refused): one
+    // task per (t, level, stripe), t record-strided per the spec's
+    // sole-record-variable rule, level contiguous within the slab
+    "scan_netcdf_4d" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y,
+         |  l.range AS level, t.range AS epoch,
+         |  CAST((23 * x.range + 19 * y.range + 29 * l.range + 31 * t.range) % 983 AS DOUBLE) AS value
+         |FROM range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |CROSS JOIN range(0, $Nc4L) l CROSS JOIN range(0, $Nc4T) t
+         |ORDER BY cell_x, cell_y, level, epoch""".stripMargin) { (s, _) =>
+      scanNetcdfCube4d(s, cube4dFixturePath(), "t2m")
+        .select(col("cell_x"), col("cell_y"), col("level"), col("epoch"), col("value"))
+        .orderBy("cell_x", "cell_y", "level", "epoch")
     },
 
     // CF VALID-RANGE masking (r14 — valid_min/valid_max, the other

@@ -256,6 +256,35 @@ class NetcdfSpec extends SparkSuite {
     assert(gf.length == 4 * 6 - 4)
   }
 
+  test("rank-4 cube: record AND fixed leading dimension, rank mismatches loud") {
+    def f4(x: Int, y: Int, l: Int, t: Int): Double =
+      (1000 * t + 100 * l + 10 * y + x).toDouble
+    // record t (the sole-record-variable stride) ...
+    val p = tmpFile("cube4r.nc")
+    Netcdf.writeNetcdf4d(p, "v", 3, 2, 4, 5, 6, record = true)(f4)
+    val got = Netcdf.scanNetcdfCube4d(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4))
+      .toMap
+    assert(got.size == 3 * 2 * 4 * 5)
+    for (t <- 0 until 3; l <- 0 until 2; y <- 0 until 4; x <- 0 until 5)
+      assert(got((x, y, l, t)) == f4(x, y, l, t), s"rec ($x,$y,$l,$t)")
+    // ... and fixed t (contiguous slabs)
+    val pf = tmpFile("cube4f.nc")
+    Netcdf.writeNetcdf4d(pf, "v", 3, 2, 4, 5, 6, record = false)(f4)
+    val gf = Netcdf.scanNetcdfCube4d(spark, pf, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4))
+      .toMap
+    assert(gf.size == 3 * 2 * 4 * 5)
+    for (t <- 0 until 3; l <- 0 until 2; y <- 0 until 4; x <- 0 until 5)
+      assert(gf((x, y, l, t)) == f4(x, y, l, t), s"fix ($x,$y,$l,$t)")
+    // the 2-D and rank-4 entry points reject each other's ranks
+    val e1 = intercept[Exception] { Netcdf.scanNetcdf(spark, p, "v") }
+    assert(e1.getMessage.contains("want 2"))
+    val e2 = intercept[Exception] {
+      Netcdf.scanNetcdfCube4d(spark, Netcdf.fixturePath(), "t2m") }
+    assert(e2.getMessage.contains("rank 2"))
+  }
+
   test("CF packed variables: unpack arithmetic, no-scale refusal") {
     val p = tmpFile("packed.nc")
     Netcdf.writeNetcdf(p, "v", 4, 6, 3, pack = Some((0.5, -8.0)))(
