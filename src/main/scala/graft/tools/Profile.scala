@@ -131,6 +131,13 @@ object Profile {
       //    watch closed.
       // r14 full-bench corroboration: 153.6 s / 345 q = 0.445 s/q with
       // all three queries at their r12 levels in the same run.
+      // r14 new-op timing sweep (full bench, sf0.1): all 21 new
+      // operators land at 0.13-0.74 s except stream_netcdf_ingest
+      // (1.16 s — three AvailableNow micro-batches with checkpointing,
+      // the same class as stream_zarr_ingest/stream_session). The
+      // round's three full runs (0.445 / 0.511 / 0.542 s/q) span the
+      // documented ambient band on substantially identical hot code;
+      // slowest-five membership unchanged since r12.
     }
     spark.stop()
   }
