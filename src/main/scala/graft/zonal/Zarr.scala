@@ -190,9 +190,11 @@ object Zarr {
         fill, hasFill, sep, epochs = shape(0), chunkT = chunks(0),
         levels = shape(1), chunkL = chunks(1))
     } else if (shape.length == 3) {
-      require(!fOrder, s"$path: F-order rank-3 arrays unsupported (2-D only)")
+      // F-order rank-3 (r14): column-major = FIRST index fastest — the
+      // same pure index remap as 2-D, one more stride
       ZarrMeta(shape(1), shape(2), chunks(1), chunks(2), dtype, compressor,
-        fill, hasFill, sep, epochs = shape(0), chunkT = chunks(0))
+        fill, hasFill, sep, epochs = shape(0), chunkT = chunks(0),
+        transposed = fOrder)
     } else
       ZarrMeta(shape(0), shape(1), chunks(0), chunks(1), dtype, compressor,
         fill, hasFill, sep, transposed = fOrder)
@@ -776,7 +778,9 @@ object Zarr {
       dtype: String, compressor: String, fill: Double, hasFill: Boolean,
       // sharding_indexed (r14): inner dims (0 = unsharded) + index shape
       innerT: Int = 0, innerH: Int = 0, innerW: Int = 0,
-      indexCrc: Boolean = false, indexAtEnd: Boolean = true)
+      indexCrc: Boolean = false, indexAtEnd: Boolean = true,
+      // v2 "order": "F" (r14): column-major chunk buffers
+      transposed: Boolean = false)
 
   /** Rank-3 chunk manifest: one listing per directory level, every
     * grid position a ref (absent = fill, `len = -1`).
@@ -795,7 +799,8 @@ object Zarr {
         m.dtype, m.compressor, m.fill, m.hasFill,
         innerT = m.innerT, innerH = if (m.innerT > 0) m.innerH else 0,
         innerW = if (m.innerT > 0) m.innerW else 0,
-        indexCrc = m.indexCrc, indexAtEnd = m.indexAtEnd)
+        indexCrc = m.indexCrc, indexAtEnd = m.indexAtEnd,
+        transposed = m.transposed)
     if (m.sep == ".") {
       val names = listing(base)
       for (ck <- 0 until m.chunksAlong; ci <- 0 until m.chunksDown;
@@ -842,7 +847,11 @@ object Zarr {
       else java.nio.ByteOrder.LITTLE_ENDIAN)
     val kind = r.dtype.substring(1)
     inBounds3(r).map { case (tt, rr, cc, x, y, t) =>
-      val i = ((tt * r.chunkH + rr) * r.chunkW + cc) * elem
+      // F-order: first index fastest — a pure index remap, no second
+      // pass over the bytes (the 2-D transpose with one more stride)
+      val i =
+        (if (r.transposed) tt + (rr + cc * r.chunkH) * r.chunkT
+         else (tt * r.chunkH + rr) * r.chunkW + cc) * elem
       val v = kind match {
         case "f8" => buf.getDouble(i)
         case "f4" => buf.getFloat(i).toDouble
@@ -1385,19 +1394,29 @@ object Zarr {
 
   def writeZarr3d(dir: String, epochs: Int, height: Int, width: Int,
       chunkT: Int, chunkH: Int, chunkW: Int,
-      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0)
+      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0,
+      fOrder: Boolean = false)
       (f: (Int, Int, Int) => Double): Unit = {
     writeZarr3dMeta(dir, epochs, height, width, chunkT, chunkH, chunkW,
       compressor, dtype, fill)
+    if (fOrder) {
+      val mp = new java.io.File(dir, ".zarray").toPath
+      val txt = new String(java.nio.file.Files.readAllBytes(mp),
+        java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(mp, txt.replace("\"order\": \"C\"", "\"order\": \"F\"")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val d = new java.io.File(dir)
     val along = (epochs + chunkT - 1) / chunkT
     val down = (height + chunkH - 1) / chunkH
     val across = (width + chunkW - 1) / chunkW
     for (ck <- 0 until along; ci <- 0 until down; cj <- 0 until across) {
       val vals = Array.tabulate(chunkT * chunkH * chunkW) { i =>
-        val tt = i / (chunkH * chunkW)
-        val rr = i / chunkW % chunkH
-        val cc = i % chunkW
+        // C-order buffer position i → lattice (tt, rr, cc); F-order
+        // stores the SAME lattice with the first index fastest
+        val (tt, rr, cc) =
+          if (fOrder) (i % chunkT, i / chunkT % chunkH, i / (chunkT * chunkH))
+          else (i / (chunkH * chunkW), i / chunkW % chunkH, i % chunkW)
         val t = ck * chunkT + tt
         val y = ci * chunkH + rr
         val x = cj * chunkW + cc
@@ -2144,6 +2163,22 @@ object Zarr {
     dir
   }
 
+  private val fixtureF3Lock = new Object
+  @volatile private var fixtureF3Ready: String = null
+
+  /** F-ORDER rank-3 fixture (r14): the same cube column-major. */
+  def fixtureForder3dDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr3f_fixture_${Zarr3T}x${ZarrH}x$ZarrW"
+    if (fixtureF3Ready != dir) fixtureF3Lock.synchronized {
+      if (fixtureF3Ready != dir) {
+        writeZarr3d(dir, Zarr3T, ZarrH, ZarrW, 2, 32, 32, compressor = "zlib",
+          fOrder = true)(zarr3dValue)
+        fixtureF3Ready = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureSh4Lock = new Object
   @volatile private var fixtureSh4Ready: String = null
 
@@ -2196,6 +2231,17 @@ object Zarr {
       scanZarr(s, fixtureShardedDir())
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // F-ORDER rank-3 (r14 — Fortran/scipy cubes; previously refused
+    // by name): column-major chunks decode by the SAME pure index
+    // remap as 2-D F with one more stride; rank-4 F still refuses
+    "scan_zarr_3d_forder" -> Q(
+      s"""SELECT cell_x, cell_y, epoch, value FROM ($Zarr3dCellsSql)
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      scanZarr3d(s, fixtureForder3dDir())
+        .select(col("cell_x"), col("cell_y"), col("epoch"), col("value"))
+        .orderBy("cell_x", "cell_y", "epoch")
     },
 
     // sharded RANK-4 v3 (r14): the full (t, level, y, x) sharded

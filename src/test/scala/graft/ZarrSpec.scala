@@ -203,12 +203,22 @@ class ZarrSpec extends SparkSuite {
       putText(d, ".zarray", zarray)
       d.getPath
     }
-    // F-order is SUPPORTED for 2-D as of r12; rank-3 F and unknown
-    // order strings refuse
-    val forder3 = store("forder3",
-      """{"zarr_format": 2, "shape": [4, 4, 4], "chunks": [2, 2, 2], "dtype": "<f8",
+    // F-order is SUPPORTED for 2-D (r12) and rank-3 (r14); rank-4 F
+    // and unknown order strings refuse
+    val forder4r = store("forder4r",
+      """{"zarr_format": 2, "shape": [2, 2, 4, 4], "chunks": [1, 1, 2, 2], "dtype": "<f8",
         |"compressor": null, "fill_value": 0, "order": "F", "filters": null}""".stripMargin)
-    assert(msgs(intercept[Throwable](Zarr.readMeta(forder3))).contains("F-order rank-3"))
+    assert(msgs(intercept[Throwable](Zarr.readMeta(forder4r))).contains("F-order rank-4"))
+    // rank-3 F roundtrips through the writer+reader pair
+    val f3d = tmpDir("forder3rt")
+    def ff3(x: Int, y: Int, t: Int): Double = 100 * t + 10 * y + x
+    Zarr.writeZarr3d(f3d.getPath, 3, 4, 5, 2, 2, 3, compressor = "zlib",
+      fOrder = true)(ff3)
+    val g3 = Zarr.scanZarr3d(spark, f3d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(g3.size == 3 * 4 * 5)
+    for (t <- 0 until 3; y <- 0 until 4; x <- 0 until 5)
+      assert(g3((x, y, t)) == ff3(x, y, t), s"F3 ($x,$y,$t)")
     val forderX = store("forderx",
       """{"zarr_format": 2, "shape": [4, 4], "chunks": [2, 2], "dtype": "<f8",
         |"compressor": null, "fill_value": 0, "order": "X", "filters": null}""".stripMargin)
