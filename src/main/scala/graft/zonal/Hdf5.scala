@@ -567,7 +567,9 @@ object Hdf5 {
         val down = (height + chunkH - 1) / chunkH
         val across = (width + chunkW - 1) / chunkW
         val idxOff = 5 + 3 * encLen
-        val filtered = deflate || shuffleTs > 0
+        // HDF5 treats a fletcher32-ONLY pipeline as filtered too: index
+        // entries carry size+mask and readH5Chunk strips the checksum
+        val filtered = deflate || shuffleTs > 0 || fletcher
         val chunkBytes = chunkH * chunkW * elem
         val located: Seq[(Int, Long, Long, Int)] = (lay(idxOff) & 0xff) match {
           case 1 => // single chunk: [size + mask when filtered] + address
@@ -1215,7 +1217,10 @@ object Hdf5 {
     * add_offset attributes parsed from the dataset's HDF5 attribute
     * messages): the unpack rides INSIDE the plan as one projection
     * over the chunk scan; loud when no scale_factor is declared,
-    * missing add_offset defaults to 0 per CF.
+    * missing add_offset defaults to 0 per CF. Per CF, a declared fill
+    * applies to the PACKED raw samples — raw==fill cells are dropped
+    * inside the scan tasks BEFORE the unpack, never scaled into
+    * plausible physical values.
     */
   def scanNetcdf4Packed(s: SparkSession, path: String, varName: String): DataFrame = {
     import s.implicits._
@@ -1225,7 +1230,12 @@ object Hdf5 {
       s"$path: '$varName' declares no scale_factor attribute — not a " +
         "packed variable (scan it with scanNetcdf4)"))
     val offset = m.attrs.getOrElse("add_offset", 0.0)
-    scanRefs(s, chunkRefs(path, m)).map { case (x, y, _, _, v) => (x, y, v) }
+    val (hasFill, fillV) = (m.hasFill, m.fill)
+    val raw = scanRefs(s, chunkRefs(path, m))
+    val masked =
+      if (!hasFill) raw
+      else raw.filter(c => if (fillV.isNaN) !c._5.isNaN else c._5 != fillV)
+    masked.map { case (x, y, _, _, v) => (x, y, v) }
       .toDF("cell_x", "cell_y", "value")
       .select(col("cell_x"), col("cell_y"),
         (col("value") * lit(scale) + lit(offset)).as("value"))
@@ -1763,8 +1773,12 @@ object Hdf5 {
       chunkH: Int, chunkW: Int, dtype: String = "<f4",
       deflate: Boolean = true, fill: Double = 0.0,
       omit: Set[(Int, Int)] = Set.empty, pageBits: Int = 16,
-      softAliases: Seq[(String, String)] = Nil)
+      softAliases: Seq[(String, String)] = Nil,
+      fletcher: Boolean = false)
       (f: (Int, Int) => Double): Unit = {
+    // HDF5 calls a fletcher32-ONLY pipeline filtered too: 16-byte
+    // index entries, client id 1 — the shape the ADVICE r14 item pins
+    val filtered = deflate || fletcher
     // `varName` may be "group/leaf": the root OHDR then links a group
     // OHDR carrying its own link message (the new-style nesting shape)
     val vparts = varName.split("/").filter(_.nonEmpty)
@@ -1788,6 +1802,7 @@ object Hdf5 {
           if (y < height && x < width) f(x, y) else fill
         }
         var b = encodeCells(vals, dtype)
+        if (fletcher) b = appendFletcher(b)
         if (deflate) b = TiffCodec.deflate(b)
         (k, Some(b))
       }
@@ -1805,14 +1820,17 @@ object Hdf5 {
     val grpChunk0 = 4 + (3 + leafName.length + 8)
     val grpSize = if (grouped) 7 + grpChunk0 + 4 else 0
     val aDs = aGrp + grpSize
+    // pipeline v2 body: ver+nfilters (2) + fletcher entry (6, no
+    // client values) + deflate entry (10, one client value)
+    val pipeBody = 2 + (if (fletcher) 6 else 0) + (if (deflate) 10 else 0)
     val dsBodies = Seq(
       (0x01, 20), (0x03, if (isFloat) 20 else 12), (0x05, 6 + elem)) ++
-      (if (deflate) Seq((0x0B, 12)) else Nil) ++ Seq((0x08, 39))
+      (if (filtered) Seq((0x0B, pipeBody)) else Nil) ++ Seq((0x08, 39))
     val dsChunk0 = dsBodies.map(4 + _._2).sum
     val dsSize = 7 + dsChunk0 + 4
     val aFahd = aDs + dsSize
     val aFadb = aFahd + 28
-    val entry = if (deflate) 16 else 8
+    val entry = if (filtered) 16 else 8
     // paged when the grid exceeds one 2^pageBits-entry page: prefix
     // gains the page-init bitmask, elements split into checksummed
     // pages (a page whose chunks are ALL omitted stays uninitialized)
@@ -1878,9 +1896,12 @@ object Hdf5 {
     }
     buf.u8(0x05).u16(6 + elem).u8(0)
       .u8(3).u8(0x22).u32(elem).raw(encodeCells(Array(fill), dtype)) // fill v3
-    if (deflate)
-      buf.u8(0x0B).u16(12).u8(0)
-        .u8(2).u8(1).u16(1).u16(0).u16(1).u32(6) // pipeline v2, deflate
+    if (filtered) {
+      buf.u8(0x0B).u16(pipeBody).u8(0)
+        .u8(2).u8((if (fletcher) 1 else 0) + (if (deflate) 1 else 0))
+      if (fletcher) buf.u16(3).u16(0).u16(0) // fletcher32, no client vals
+      if (deflate) buf.u16(1).u16(0).u16(1).u32(6) // deflate, level 6
+    }
     buf.u8(0x08).u16(39).u8(0)
       .u8(4).u8(2).u8(0).u8(3).u8(8)
       .u64(chunkH).u64(chunkW).u64(elem)
@@ -1888,16 +1909,16 @@ object Hdf5 {
     buf.u32(0) // OHDR checksum patched
     require(buf.size == aFahd, s"dataset OHDR accounting: ${buf.size}")
     // FAHD + FADB
-    buf.raw("FAHD".getBytes).u8(0).u8(if (deflate) 1 else 0).u8(entry).u8(pageBits)
+    buf.raw("FAHD".getBytes).u8(0).u8(if (filtered) 1 else 0).u8(entry).u8(pageBits)
       .u64(n).u64(aFadb).u32(0)
-    buf.raw("FADB".getBytes).u8(0).u8(if (deflate) 1 else 0).u64(aFahd)
+    buf.raw("FADB".getBytes).u8(0).u8(if (filtered) 1 else 0).u64(aFahd)
     def putEntry(k: Int): Unit = addrs(k) match {
       case (_, Some(x), ob) =>
         buf.u64(x)
-        if (deflate) { buf.u32(ob.get.length).u32(0) }
+        if (filtered) { buf.u32(ob.get.length).u32(0) }
       case (_, None, _) =>
         buf.u64(Undef)
-        if (deflate) { buf.u32(0).u32(0) }
+        if (filtered) { buf.u32(0).u32(0) }
     }
     val pageChecksumAt = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     if (!paged) {
@@ -2569,8 +2590,11 @@ object Hdf5 {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5pk_fixture_${H5W}x$H5H.nc"
     if (fixturePkReady != p) fixturePkLock.synchronized {
       if (fixturePkReady != p) {
+        // no declared fill: raw 0 is a LIVE sample here (h5Value(0,0)=0);
+        // the packed+fill drop path is spec-gated separately
         writeHdf5Cube(p, "v", 0, H5H, H5W, 1, 32, 32, dtype = "<i2",
-          deflate = true, attrs = Seq(("scale_factor", 0.25), ("add_offset", 16.0)))(
+          deflate = true, fill = None,
+          attrs = Seq(("scale_factor", 0.25), ("add_offset", 16.0)))(
           (x, y, _) => h5Value(x, y))
         fixturePkReady = p
       }

@@ -423,7 +423,10 @@ object Netcdf {
     * `raw · scale + offset`): the unpack rides INSIDE the plan as one
     * codegen'd projection over the stripe scan. Loud when the variable
     * declares no scale_factor; a missing add_offset defaults to 0 per
-    * CF.
+    * CF. Per CF, `_FillValue` applies to the PACKED raw samples — when
+    * the variable also declares a fill (the ERA5-style int16 + -32767
+    * shape), raw==fill cells are dropped in the stripe decoder BEFORE
+    * the unpack, never scaled into plausible physical values.
     */
   def scanNetcdfPacked(s: SparkSession, path: String, varName: String): DataFrame = {
     val m = readMeta(path)
@@ -433,7 +436,7 @@ object Netcdf {
         "variable (scan it with scanNetcdf)"))
     val offset = v.attrs.find(_.name == "add_offset").map(_.num).getOrElse(0.0)
     scanStripes(s, stripes2d(path, m, v,
-      s.sparkContext.defaultParallelism, dropFill = false))
+      s.sparkContext.defaultParallelism, dropFill = fillOf(v)._2))
       .drop("epoch")
       .select(col("cell_x"), col("cell_y"),
         (col("value") * lit(scale) + lit(offset)).as("value"))
@@ -442,7 +445,11 @@ object Netcdf {
   /** CF VALID-RANGE masking (r14 — the `valid_min`/`valid_max`
     * convention next to `_FillValue`): cells outside the declared
     * range are dropped inside the plan. Loud when the variable
-    * declares neither bound.
+    * declares neither bound. Per CF, valid bounds apply to the PACKED
+    * raw samples — when the variable also declares `scale_factor`, the
+    * mask filters raw values and the unpack projection composes on top
+    * in the SAME scan, so a packed-and-masked variable emits physical
+    * units, never raw integers.
     */
   def scanNetcdfValid(s: SparkSession, path: String, varName: String): DataFrame = {
     val m = readMeta(path)
@@ -461,7 +468,13 @@ object Netcdf {
       case (None, Some(b)) => base.filter(col("value") <= b)
       case _ => base
     }
-    kept.select(col("cell_x"), col("cell_y"), col("value"))
+    val unpacked = v.attrs.find(_.name == "scale_factor").map(_.num) match {
+      case Some(scale) =>
+        val offset = v.attrs.find(_.name == "add_offset").map(_.num).getOrElse(0.0)
+        kept.withColumn("value", col("value") * lit(scale) + lit(offset))
+      case None => kept
+    }
+    unpacked.select(col("cell_x"), col("cell_y"), col("value"))
   }
 
   /** Decode a rank-2 variable's FULL grid from in-memory file bytes
@@ -730,9 +743,14 @@ object Netcdf {
     val vsize =
       if (record) slabRaw
       else (epochs * slabRaw + 3) / 4 * 4
+    // CDF-1 header fields are 4 bytes: a cube past 2 GiB would silently
+    // wrap vsize/begin — refuse loudly (emit CDF-5 for bigger cubes)
+    val begin = bo.size.toLong + 8
+    require(vsize <= Int.MaxValue && begin <= Int.MaxValue,
+      s"$path: vsize=$vsize begin=$begin overflow CDF-1's 4-byte header " +
+        "fields — write CDF-5 for cubes past 2 GiB")
     o.writeInt(vsize.toInt)
-    val begin = bo.size + 4
-    o.writeInt(begin)
+    o.writeInt(begin.toInt)
     def sample(v: Double): Unit = ncType match {
       case NcByte => o.writeByte(v.toInt)
       case NcShort => o.writeShort(v.toInt)

@@ -335,11 +335,58 @@ class Hdf5Spec extends SparkSuite {
     assert(Hdf5.fletcher32(odd, 0, 3) == ((s1 + 0x1234) << 16 | s1))
   }
 
+  test("libver-latest fletcher32-ONLY pipeline: filtered fixed-array entries read") {
+    // HDF5 treats a fletcher-only pipeline as FILTERED (16-byte index
+    // entries, client id 1) — the r14 advice trap was requiring
+    // deflate/shuffle for filtered-ness and rejecting these files
+    def ff(x: Int, y: Int): Double = ((17 * x + 23 * y) % 97).toDouble
+    val p = tmp("flv2")
+    Hdf5.writeHdf5V2(p, "v", 10, 8, 4, 4, dtype = "<f4",
+      deflate = false, fletcher = true)(ff)
+    val got = Hdf5.scanNetcdf4(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 80)
+    for (y <- 0 until 10; x <- 0 until 8) assert(got((x, y)) == ff(x, y), s"($x,$y)")
+    // corruption in a raw chunk byte is loud, never wrong cells
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    b(b.length - 40) = (b(b.length - 40) ^ 0x01).toByte
+    val pc = tmp("flv2bad")
+    java.nio.file.Files.write(java.nio.file.Paths.get(pc), b)
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4(spark, pc, "v").collect())).contains("fletcher32"))
+    // fletcher + deflate through the same v2 pipeline message
+    val p2 = tmp("flv2both")
+    Hdf5.writeHdf5V2(p2, "v", 10, 8, 4, 4, dtype = "<f4",
+      deflate = true, fletcher = true)(ff)
+    val g2 = Hdf5.scanNetcdf4(spark, p2, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (y <- 0 until 10; x <- 0 until 8) assert(g2((x, y)) == ff(x, y), s"p2 ($x,$y)")
+  }
+
+  test("CF packed + fill on netCDF-4: raw fill cells drop BEFORE the unpack") {
+    val fillRaw = -999.0
+    def raw(x: Int, y: Int): Double =
+      if ((x + y) % 5 == 0) fillRaw else ((3 * x + 5 * y) % 60).toDouble
+    val p = tmp("pkfill")
+    Hdf5.writeHdf5Cube(p, "v", 0, 6, 8, 1, 4, 4, dtype = "<i2",
+      deflate = true, fill = Some(fillRaw),
+      attrs = Seq(("scale_factor", 0.5), ("add_offset", -4.0)))(
+      (x, y, _) => raw(x, y))
+    val got = Hdf5.scanNetcdf4Packed(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val live = for (y <- 0 until 6; x <- 0 until 8 if (x + y) % 5 != 0) yield (x, y)
+    assert(got.size == live.size, s"${got.size} vs ${live.size}")
+    live.foreach { case (x, y) =>
+      assert(got((x, y)) == raw(x, y) * 0.5 - 4.0, s"($x,$y)") }
+    assert(!got.values.exists(_ == fillRaw * 0.5 - 4.0))
+  }
+
   test("attributes: packed unpack, skip-not-fatal, no-scale refusal") {
     def fp(x: Int, y: Int): Double = ((3 * x + 5 * y) % 60).toDouble
     val p = tmp("pk")
     Hdf5.writeHdf5Cube(p, "v", 0, 6, 8, 1, 4, 4, dtype = "<i2",
-      deflate = true, attrs = Seq(("scale_factor", 0.5), ("add_offset", -4.0),
+      deflate = true, fill = None,
+      attrs = Seq(("scale_factor", 0.5), ("add_offset", -4.0),
         ("valid_max", 100.0)))((x, y, _) => fp(x, y))
     val got = Hdf5.scanNetcdf4Packed(spark, p, "v").collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap

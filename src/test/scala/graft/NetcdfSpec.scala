@@ -345,6 +345,59 @@ class NetcdfSpec extends SparkSuite {
     intercept[Throwable] { Netcdf.scanNetcdf(spark, p2, "v").collect() }
   }
 
+  test("CF packed + _FillValue: raw fill cells drop BEFORE the unpack") {
+    // ERA5 shape: int16 raw with fill -32767 AND scale/offset — per CF
+    // the fill applies to the PACKED values, so fill cells must never
+    // be scaled into plausible physical units
+    val p = tmpFile("packed_fill.nc")
+    val fillRaw = -32767.0
+    def raw(x: Int, y: Int): Double =
+      if ((x + y) % 5 == 0) fillRaw else (x + 10 * y).toDouble
+    Netcdf.writeNetcdf(p, "v", 4, 6, 3, fill = Some(fillRaw),
+      pack = Some((0.25, 16.0)))((x, y, _) => raw(x, y))
+    val got = Netcdf.scanNetcdfPacked(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val live = for (y <- 0 until 4; x <- 0 until 6 if (x + y) % 5 != 0) yield (x, y)
+    assert(got.size == live.size, s"${got.size} vs ${live.size}")
+    live.foreach { case (x, y) =>
+      assert(got((x, y)) == (x + 10 * y) * 0.25 + 16.0, s"($x,$y)") }
+    // and no unpacked ghost of the fill value survives
+    assert(!got.values.exists(_ == fillRaw * 0.25 + 16.0))
+  }
+
+  test("CF valid_range + scale_factor compose: mask raw, emit physical") {
+    // per CF valid bounds apply to the PACKED raw samples; a variable
+    // that is both packed and range-masked must filter on raw values
+    // and still emit physical units (the r14 advice trap: raw leak)
+    val p = tmpFile("valid_packed.nc")
+    Netcdf.writeNetcdf(p, "v", 4, 6, 3, pack = Some((0.5, 100.0)),
+      extraAttrs = Seq(("valid_min", 3.0), ("valid_max", 8.0)))(
+      (x, y, _) => (x + y).toDouble)
+    val got = Netcdf.scanNetcdfValid(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val live = for (y <- 0 until 4; x <- 0 until 6
+                    if x + y >= 3 && x + y <= 8) yield (x, y)
+    assert(got.size == live.size, s"${got.size} vs ${live.size}")
+    live.foreach { case (x, y) =>
+      assert(got((x, y)) == (x + y) * 0.5 + 100.0, s"($x,$y)") }
+    // an UNPACKED range-masked variable still emits stored values
+    val p2 = tmpFile("valid_plain.nc")
+    Netcdf.writeNetcdf(p2, "v", 2, 3, 6,
+      extraAttrs = Seq(("valid_min", 1.0)))((x, y, _) => (x + y).toDouble)
+    val g2 = Netcdf.scanNetcdfValid(spark, p2, "v").collect()
+    assert(g2.map(_.getDouble(2)).sorted.toSeq == Seq(1.0, 1.0, 2.0, 2.0, 3.0))
+  }
+
+  test("writeNetcdf4d refuses CDF-1 header-field overflow loudly") {
+    // a fixed-t cube past 2 GiB would wrap the 4-byte vsize/begin —
+    // the guard throws BEFORE any data bytes are generated
+    val e = intercept[Exception] {
+      Netcdf.writeNetcdf4d(tmpFile("overflow.nc"), "v", 1, 1, 46341, 46341,
+        6, record = false)((_, _, _, _) => 0.0)
+    }
+    assert(e.getMessage.contains("CDF-5"), e.getMessage)
+  }
+
   test("header growth: a header larger than the first read parses fine") {
     val p = tmpFile("big_header.nc")
     // ~12 KB of attribute padding via many coord-style vars is overkill;
