@@ -711,7 +711,8 @@ object Hdf5 {
       val prefix = r.bytes(dba, prefixLen)
       require(prefix.take(4).sameElements("FADB".getBytes), s"$path: bad FADB signature")
       require(le(prefix).getLong(6) == fahdAddr, s"$path: FADB does not point back at its FAHD")
-      def pageInit(k: Int): Boolean = (prefix(14 + k / 8) & (1 << (k % 8))) != 0
+      // MSB-first bit order per H5VM_bit_get's `1 << (7 - offset%8)`
+      def pageInit(k: Int): Boolean = (prefix(14 + k / 8) & (1 << (7 - k % 8))) != 0
       var pos = dba + prefixLen
       (0 until nPages).flatMap { pg =>
         val nInPage = math.min(pageSize, maxN - pg.toLong * pageSize).toInt
@@ -765,10 +766,16 @@ object Hdf5 {
   }
 
   /** Parse an Extensible Array chunk index (EAHD header → EAIB index
-    * block → EADB data blocks): per-chunk (linearIdx, addr, size,
-    * filterMask); undefined addresses (or whole undefined data blocks)
-    * mark absent chunks. Elements past the directly-indexed region
-    * (super blocks) and paged data blocks refuse by name.
+    * block → [EASB super blocks →] EADB data blocks [→ pages]):
+    * per-chunk (linearIdx, addr, size, filterMask); undefined
+    * addresses (or whole undefined data/super blocks) mark absent
+    * chunks. r15: elements past the directly-indexed region resolve
+    * through SUPER blocks (the H5EA geometry: super block `u` holds
+    * `2^(u/2)` data blocks of `2^((u+1)/2)·min_elems` elements), and a
+    * data block wider than one `2^page_bits` page splits into PAGES —
+    * prefix-only EADB, per-page checksummed element runs, page-init
+    * bitmap carried by the owning super block (one MSB-first bit per
+    * (block, page) pair, per H5VM_bit_get's `1 << (7 - offset%8)`).
     */
   private def extensibleArrayChunks(path: String, r: RangeReader, eahdAddr: Long,
       maxBits: Int, idxElems: Int, minPtrs: Int, minElems: Int, pageBits: Int,
@@ -803,14 +810,6 @@ object Hdf5 {
     require(le(ib).getLong(6) == eahdAddr, s"$path: EAIB does not point back at its EAHD")
     val dblkAddrOff = 14 + idxElems * entrySize
     val sblkAddrOff = dblkAddrOff + ndblkAddrs * 8
-    var k = 0
-    while (k < nsblkAddrs) {
-      require(le(ib).getLong(sblkAddrOff + 8 * k) == Undef,
-        s"$path: extensible-array SUPER blocks unsupported — elements past " +
-          s"the directly-indexed region (${idxElems + sblks(nsblksDirect).startIdx} " +
-          "chunks); rewrite with larger chunks or a bounded shape")
-      k += 1
-    }
     def entryAt(b: Array[Byte], off: Int, idx: Int): (Int, Long, Long, Int) = {
       val addr = le(b).getLong(off)
       if (!filtered) (idx, addr, chunkBytes.toLong, 0)
@@ -821,47 +820,116 @@ object Hdf5 {
       }
     }
     val arrOffSize = (maxBits + 7) / 8
-    val dblkCache = scala.collection.mutable.Map.empty[Int, Option[Array[Byte]]]
-    def dblk(dblkIdx: Int, dblkN: Int): Option[Array[Byte]] =
-      dblkCache.getOrElseUpdate(dblkIdx, {
-        val a = le(ib).getLong(dblkAddrOff + 8 * dblkIdx)
-        if (a == Undef) None
-        else {
-          require(dblkN <= (1 << pageBits),
-            s"$path: PAGED extensible-array data block ($dblkN elements > " +
-              s"2^$pageBits page) unsupported")
-          val size = 14 + arrOffSize + dblkN * entrySize + 4
-          val db = r.bytes(a, size)
-          require(db.take(4).sameElements("EADB".getBytes), s"$path: bad EADB signature")
-          require((db(5) & 0xff) == clientId, s"$path: EADB client mismatch")
-          require(le(db).getLong(6) == eahdAddr,
-            s"$path: EADB does not point back at its EAHD")
-          Some(db)
-        }
+    val pageElems = 1 << pageBits
+    def blockOffOf(b: Array[Byte]): Long = {
+      var bo = 0L
+      var i = 0
+      while (i < arrOffSize) { bo |= (b(14 + i) & 0xffL) << (8 * i); i += 1 }
+      bo
+    }
+    // UNPAGED data block: elements inline after the prefix
+    val dblkCache = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+    def unpagedEntry(a: Long, dblkN: Int, expectOff: Long,
+        within: Int, idx: Int): (Int, Long, Long, Int) = {
+      val db = dblkCache.getOrElseUpdate(a, {
+        val size = 14 + arrOffSize + dblkN * entrySize + 4
+        val db = r.bytes(a, size)
+        require(db.take(4).sameElements("EADB".getBytes), s"$path: bad EADB signature")
+        require((db(5) & 0xff) == clientId, s"$path: EADB client mismatch")
+        require(le(db).getLong(6) == eahdAddr,
+          s"$path: EADB does not point back at its EAHD")
+        db
       })
+      // block offset: the ABSOLUTE element index of the block start
+      require(blockOffOf(db) == expectOff,
+        s"$path: EADB block offset ${blockOffOf(db)}, expected $expectOff")
+      entryAt(db, 14 + arrOffSize + within * entrySize, idx)
+    }
+    // PAGED data block: prefix-only EADB (no inline elements, no
+    // trailing checksum — H5EA_DBLOCK_SIZE drops both when npages > 0),
+    // pages of pageElems·entrySize + 4-byte checksum follow contiguously
+    val pagedPrefixOk = scala.collection.mutable.Set.empty[Long]
+    val pageCache = scala.collection.mutable.Map.empty[(Long, Int), Array[Byte]]
+    def pagedEntry(a: Long, expectOff: Long, within: Int,
+        idx: Int): (Int, Long, Long, Int) = {
+      if (!pagedPrefixOk.contains(a)) {
+        val db = r.bytes(a, 14 + arrOffSize)
+        require(db.take(4).sameElements("EADB".getBytes), s"$path: bad EADB signature")
+        require((db(5) & 0xff) == clientId, s"$path: EADB client mismatch")
+        require(le(db).getLong(6) == eahdAddr,
+          s"$path: EADB does not point back at its EAHD")
+        require(blockOffOf(db) == expectOff,
+          s"$path: EADB block offset ${blockOffOf(db)}, expected $expectOff")
+        pagedPrefixOk += a
+      }
+      val pg = within / pageElems
+      val pgBytes = pageCache.getOrElseUpdate((a, pg),
+        r.bytes(a + 14 + arrOffSize + pg.toLong * (pageElems * entrySize + 4),
+          pageElems * entrySize))
+      val e = entryAt(pgBytes, (within % pageElems) * entrySize, idx)
+      (idx, e._2, e._3, e._4)
+    }
+    // SUPER block: prefix + page-init bitmap (when its data blocks
+    // page) + data block addresses + checksum
+    final case class Sb(dblkAddrs: IndexedSeq[Long],
+        pageInit: Int => Boolean, npages: Int)
+    val sblkCache = scala.collection.mutable.Map.empty[Int, Option[Sb]]
+    def sblock(u: Int): Option[Sb] = sblkCache.getOrElseUpdate(u, {
+      val a = le(ib).getLong(sblkAddrOff + 8 * (u - nsblksDirect))
+      if (a == Undef) None
+      else {
+        val s = sblks(u)
+        val npages = if (s.dblkN > pageElems) s.dblkN / pageElems else 0
+        val bitmapBytes = if (npages > 0) (s.ndblks * npages + 7) / 8 else 0
+        val size = 14 + arrOffSize + bitmapBytes + s.ndblks * 8 + 4
+        val sb = r.bytes(a, size)
+        require(sb.take(4).sameElements("EASB".getBytes), s"$path: bad EASB signature")
+        require((sb(4) & 0xff) == 0, s"$path: EASB version ${sb(4) & 0xff} unsupported (0)")
+        require((sb(5) & 0xff) == clientId, s"$path: EASB client mismatch")
+        require(le(sb).getLong(6) == eahdAddr,
+          s"$path: EASB does not point back at its EAHD")
+        val expectOff = idxElems + s.startIdx
+        require(blockOffOf(sb) == expectOff,
+          s"$path: EASB block offset ${blockOffOf(sb)}, expected $expectOff")
+        val bitmapOff = 14 + arrOffSize
+        val addrOff = bitmapOff + bitmapBytes
+        Some(Sb(
+          (0 until s.ndblks).map(i => le(sb).getLong(addrOff + 8 * i)),
+          k => (sb(bitmapOff + k / 8) & (1 << (7 - k % 8))) != 0,
+          npages))
+      }
+    })
     (0 until nChunks).map { idx =>
       if (idx < idxElems) entryAt(ib, 14 + idx * entrySize, idx)
       else {
         val rel = idx - idxElems
         val u = sblks.indexWhere(s =>
           rel >= s.startIdx && rel < s.startIdx + s.ndblks.toLong * s.dblkN)
-        require(u >= 0 && u < nsblksDirect,
-          s"$path: chunk $idx beyond the extensible array's directly-indexed region")
+        require(u >= 0,
+          s"$path: chunk $idx beyond the extensible array geometry")
         val s = sblks(u)
         val blkInS = ((rel - s.startIdx) / s.dblkN).toInt
-        val dblkIdx = s.startDblk + blkInS
-        dblk(dblkIdx, s.dblkN) match {
+        val within = (rel - s.startIdx - blkInS.toLong * s.dblkN).toInt
+        val expectOff = idxElems + s.startIdx + blkInS.toLong * s.dblkN
+        if (u < nsblksDirect) {
+          // directly-indexed region: data block address in the index
+          // block; direct blocks never page under real creation
+          // parameters (max direct width = min_ptrs·min_elems ≤ a page)
+          require(s.dblkN <= pageElems,
+            s"$path: PAGED extensible-array data block (${s.dblkN} elements" +
+              s" > 2^$pageBits page) in the directly-indexed region unsupported")
+          val a = le(ib).getLong(dblkAddrOff + 8 * (s.startDblk + blkInS))
+          if (a == Undef) (idx, Undef, 0L, 0)
+          else unpagedEntry(a, s.dblkN, expectOff, within, idx)
+        } else sblock(u) match {
           case None => (idx, Undef, 0L, 0)
-          case Some(db) =>
-            // block offset: the ABSOLUTE element index of the block start
-            val expectOff = idxElems + s.startIdx + blkInS.toLong * s.dblkN
-            var bo = 0L
-            var i = 0
-            while (i < arrOffSize) { bo |= (db(14 + i) & 0xffL) << (8 * i); i += 1 }
-            require(bo == expectOff,
-              s"$path: EADB block offset $bo, expected $expectOff")
-            val within = (rel - s.startIdx - blkInS.toLong * s.dblkN).toInt
-            entryAt(db, 14 + arrOffSize + within * entrySize, idx)
+          case Some(sb) =>
+            val a = sb.dblkAddrs(blkInS)
+            if (a == Undef) (idx, Undef, 0L, 0)
+            else if (sb.npages == 0) unpagedEntry(a, s.dblkN, expectOff, within, idx)
+            else if (!sb.pageInit(blkInS * sb.npages + within / pageElems))
+              (idx, Undef, 0L, 0)
+            else pagedEntry(a, expectOff, within, idx)
         }
       }
     }
@@ -874,9 +942,13 @@ object Hdf5 {
     * size + filter mask + scaled offsets) records. Scaled offsets ARE
     * chunk-grid indices; records may carry `rank` or `rank+1` offset
     * fields (the trailing element offset must be 0) — the record size
-    * disambiguates. Chunks without a record are absent → fill. Deeper
-    * B-trees refuse by name (thousands of chunks per node at default
-    * node sizes).
+    * disambiguates. Chunks without a record are absent → fill. r15:
+    * INTERNAL nodes (BTIN) walk recursively — child pointers are
+    * (address, nrec[, subtree total]) with the H5B2 width rules
+    * (nrec field sized from the LEAF max `(node_size − 10)/rec_size`;
+    * the subtree-total field appears only under depth ≥ 2 and is
+    * sized from the cumulative per-level maxima) and internal nodes
+    * carry real records of their own.
     */
   private def v2BtreeChunks(path: String, r: RangeReader, btAddr: Long,
       rank: Int, down: Int, across: Int, filtered: Boolean,
@@ -887,10 +959,9 @@ object Hdf5 {
     val btype = bh(5) & 0xff
     require(btype == (if (filtered) 11 else 10),
       s"$path: v2 B-tree record type $btype does not match the filter pipeline")
+    val nodeSize = le(bh).getInt(6)
     val recSize = le(bh).getShort(10) & 0xffff
     val depth = le(bh).getShort(12) & 0xffff
-    require(depth == 0,
-      s"$path: chunk v2 B-tree of depth $depth unsupported (root leaf only)")
     val rootAddr = le(bh).getLong(16)
     val nrec = le(bh).getShort(24) & 0xffff
     // derive (chunk-size field width, offset count) from the record size
@@ -909,33 +980,73 @@ object Hdf5 {
           (sl1, rank + 1)
         }
       }
-    val leaf = r.bytes(rootAddr, 6 + nrec * recSize + 4)
-    require(leaf.take(4).sameElements("BTLF".getBytes), s"$path: bad BTLF signature")
-    require((leaf(5) & 0xff) == btype, s"$path: BTLF record type ${leaf(5) & 0xff}")
-    val present = (0 until nrec).map { i =>
-      val off = 6 + i * recSize
-      val addr = le(leaf).getLong(off)
+    // H5B2 count-field widths: bytes to encode a value = floor(log2)/8+1
+    def encSize(v: Long): Int = (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v))) / 8 + 1
+    val maxNrecLeaf = (nodeSize - 10) / recSize
+    require(maxNrecLeaf >= 1, s"$path: v2 B-tree node size $nodeSize below one record")
+    val maxNrecSize = encSize(maxNrecLeaf)
+    // cumulative per-level maxima (H5B2: cum(u) = (max(u)+1)·cum(u−1) + max(u))
+    val cumMaxNrecSize = new Array[Int](depth + 1)
+    var cumMaxNrec = maxNrecLeaf.toLong
+    cumMaxNrecSize(0) = 0
+    var lvl = 1
+    while (lvl <= depth) {
+      val ptrSize = 8 + maxNrecSize + cumMaxNrecSize(lvl - 1)
+      val maxNrecInt = (nodeSize - (10 + ptrSize)) / (recSize + ptrSize)
+      require(maxNrecInt >= 1, s"$path: v2 B-tree internal fan-out at depth $lvl")
+      cumMaxNrec = (maxNrecInt + 1).toLong * cumMaxNrec + maxNrecInt
+      cumMaxNrecSize(lvl) = encSize(cumMaxNrec)
+      lvl += 1
+    }
+    def decodeRecord(b: Array[Byte], off: Int): (Int, (Long, Long, Int)) = {
+      val addr = le(b).getLong(off)
       var p = off + 8
       val (size, mask) =
         if (!filtered) (chunkBytes.toLong, 0)
         else {
           var sz = 0L
-          (0 until sizeLen).foreach(j => sz |= (leaf(p + j) & 0xffL) << (8 * j))
+          (0 until sizeLen).foreach(j => sz |= (b(p + j) & 0xffL) << (8 * j))
           p += sizeLen
-          val m = le(leaf).getInt(p); p += 4
+          val m = le(b).getInt(p); p += 4
           (sz, m)
         }
-      val d0 = le(leaf).getLong(p).toInt
-      val d1 = le(leaf).getLong(p + 8).toInt
+      val d0 = le(b).getLong(p).toInt
+      val d1 = le(b).getLong(p + 8).toInt
       (2 until ndims).foreach { j =>
-        require(le(leaf).getLong(p + 8 * j) == 0,
-          s"$path: nonzero trailing scaled offset in chunk record $i")
+        require(le(b).getLong(p + 8 * j) == 0,
+          s"$path: nonzero trailing scaled offset in chunk record")
       }
       require(d0 >= 0 && d0 < down && d1 >= 0 && d1 < across,
         s"$path: chunk record at scaled offset ($d0, $d1) outside the " +
           s"$down x $across grid")
       (d0 * across + d1) -> ((addr, size, mask))
-    }.toMap
+    }
+    val present = scala.collection.mutable.Map.empty[Int, (Long, Long, Int)]
+    def walk(addr: Long, n: Int, d: Int): Unit =
+      if (d == 0) {
+        val leaf = r.bytes(addr, 6 + n * recSize + 4)
+        require(leaf.take(4).sameElements("BTLF".getBytes), s"$path: bad BTLF signature")
+        require((leaf(5) & 0xff) == btype, s"$path: BTLF record type ${leaf(5) & 0xff}")
+        (0 until n).foreach(i => present += decodeRecord(leaf, 6 + i * recSize))
+      } else {
+        // BTIN: records interleave child pointers (addr + child nrec
+        // [+ subtree total under depth >= 2])
+        val ptrSize = 8 + maxNrecSize + cumMaxNrecSize(d - 1)
+        val node = r.bytes(addr, 6 + n * recSize + (n + 1) * ptrSize + 4)
+        require(node.take(4).sameElements("BTIN".getBytes), s"$path: bad BTIN signature")
+        require((node(5) & 0xff) == btype, s"$path: BTIN record type ${node(5) & 0xff}")
+        (0 until n).foreach(i => present += decodeRecord(node, 6 + i * recSize))
+        val ptrBase = 6 + n * recSize
+        (0 to n).foreach { i =>
+          val po = ptrBase + i * ptrSize
+          val childAddr = le(node).getLong(po)
+          var childNrec = 0L
+          (0 until maxNrecSize).foreach(j =>
+            childNrec |= (node(po + 8 + j) & 0xffL) << (8 * j))
+          walk(childAddr, childNrec.toInt, d - 1)
+        }
+      }
+    walk(rootAddr, nrec, depth)
     (0 until down * across).map { k =>
       present.get(k) match {
         case Some((a, sz, m)) => (k, a, sz, m)
@@ -1927,8 +2038,8 @@ object Hdf5 {
     } else {
       // page-init bitmask + data-block checksum, then checksummed pages
       val mask = new Array[Byte](maskBytes)
-      (0 until nPages).foreach(pg =>
-        if (pagePresent(pg)) mask(pg / 8) = (mask(pg / 8) | (1 << (pg % 8))).toByte)
+      (0 until nPages).foreach(pg => // MSB-first per H5VM_bit_set
+        if (pagePresent(pg)) mask(pg / 8) = (mask(pg / 8) | (1 << (7 - pg % 8))).toByte)
       buf.raw(mask).u32(0) // prefix checksum patched below
       (0 until nPages).foreach { pg =>
         val from = buf.size.toLong
@@ -1965,7 +2076,11 @@ object Hdf5 {
     * ARRAY (r14 — what HDF5 emits for one unlimited dimension, the
     * appendable-time shape): superblock v3, OHDR v2, data layout v4
     * index type 4 with EAHD → EAIB (inline elements + direct data-
-    * block addresses, super-block slots undefined) → EADB blocks,
+    * block addresses + super-block addresses) → EASB super blocks
+    * (r15 — page-init bitmap + data-block addresses, the past-the-
+    * direct-region shape real appendable files reach at a few hundred
+    * chunks) → EADB blocks (paged when wider than one 2^pageBits
+    * page: prefix-only header, per-page checksummed element runs),
     * lookup3-checksummed. Rank-2 chunked, plain variable name.
     */
   def writeHdf5V2Ea(path: String, varName: String, height: Int, width: Int,
@@ -2014,27 +2129,56 @@ object Hdf5 {
       else sblks.last.startDblk + sblks.last.ndblks
     val nsblkAddrs = math.max(0, sblks.length - nsblksDirect)
     val ibSize = 14 + idxElems * entry + (ndblkAddrs + nsblkAddrs) * 8 + 4
-    def loc(idx: Int): (EaSblk, Int, Int) = { // (sblk, dblkIdx, within)
+    val pageElems = 1 << pageBits
+    def loc(idx: Int): (Int, EaSblk, Int, Int) = { // (u, sblk, blkInS, within)
       val rel = idx - idxElems
       val u = sblks.indexWhere(s =>
         rel >= s.startIdx && rel < s.startIdx + s.ndblks.toLong * s.dblkN)
-      require(u >= 0 && u < nsblksDirect,
-        s"writeHdf5V2Ea: chunk $idx beyond the directly-indexed region")
+      require(u >= 0, s"writeHdf5V2Ea: chunk $idx beyond the array geometry")
       val s = sblks(u)
       val blkInS = ((rel - s.startIdx) / s.dblkN).toInt
-      (s, s.startDblk + blkInS, (rel - s.startIdx - blkInS.toLong * s.dblkN).toInt)
+      (u, s, blkInS, (rel - s.startIdx - blkInS.toLong * s.dblkN).toInt)
     }
+    // direct region: data blocks addressed straight from the index block
     val neededDblks: Seq[(Int, EaSblk)] =
-      (idxElems until n).filter(k => blobs(k)._2.isDefined).map { k =>
-        val (s, dblkIdx, _) = loc(k); (dblkIdx, s)
-      }.distinctBy(_._1).sortBy(_._1)
+      (idxElems until n).filter(k => blobs(k)._2.isDefined).map(loc)
+        .collect { case (u, s, blkInS, _) if u < nsblksDirect =>
+          (s.startDblk + blkInS, s) }
+        .distinctBy(_._1).sortBy(_._1)
     neededDblks.foreach { case (_, s) =>
-      require(s.dblkN <= (1 << pageBits),
-        s"writeHdf5V2Ea: ${s.dblkN}-element data block would page") }
+      require(s.dblkN <= pageElems,
+        s"writeHdf5V2Ea: ${s.dblkN}-element DIRECT-region data block would page") }
+    // super region: one EASB per super block holding any present chunk;
+    // its data blocks page when dblkN exceeds one 2^pageBits page
+    def npagesOf(s: EaSblk): Int = if (s.dblkN > pageElems) s.dblkN / pageElems else 0
+    val superPresent: Map[Int, Seq[Int]] = // u -> present blkInS list
+      (idxElems until n).filter(k => blobs(k)._2.isDefined)
+        .map(loc).collect { case (u, _, blkInS, _) if u >= nsblksDirect => (u, blkInS) }
+        .distinct.groupMap(_._1)(_._2).map { case (u, bs) => (u, bs.sorted) }
+    val superUs = superPresent.keys.toSeq.sorted
+    def sblkSize(u: Int): Int = {
+      val s = sblks(u)
+      val np = npagesOf(s)
+      val bitmapBytes = if (np > 0) (s.ndblks * np + 7) / 8 else 0
+      14 + arrOffSize + bitmapBytes + s.ndblks * 8 + 4
+    }
+    def dblkSize(s: EaSblk): Int = {
+      val np = npagesOf(s)
+      if (np == 0) 14 + arrOffSize + s.dblkN * entry + 4
+      else 14 + arrOffSize + np * (pageElems * entry + 4)
+    }
     var cursor = aEaib + ibSize
     val dbAddrs: Map[Int, (Long, Int)] = neededDblks.map { case (i, s) =>
-      val sz = 14 + arrOffSize + s.dblkN * entry + 4
+      val sz = dblkSize(s)
       val a = cursor; cursor += sz; i -> ((a, sz))
+    }.toMap
+    val sbAddrs: Map[Int, Long] = superUs.map { u =>
+      val a = cursor; cursor += sblkSize(u); u -> a
+    }.toMap
+    val superDbAddrs: Map[(Int, Int), Long] = superUs.flatMap { u =>
+      superPresent(u).map { blkInS =>
+        val a = cursor; cursor += dblkSize(sblks(u)); (u, blkInS) -> a
+      }
     }.toMap
     var dataAddr = cursor
     val addrs = blobs.map { case (k, ob) =>
@@ -2101,21 +2245,78 @@ object Hdf5 {
         buf.u64(Undef)
         if (deflate) { buf.u32(0).u32(0) }
       }
-    // EAIB: inline elements, direct data-block addrs, Undef super slots
+    // EAIB: inline elements, direct data-block addrs, super-block addrs
     buf.raw("EAIB".getBytes).u8(0).u8(client).u64(aEahd)
     (0 until idxElems).foreach(putEntry)
     (0 until ndblkAddrs).foreach(i =>
       buf.u64(dbAddrs.get(i).map(_._1).getOrElse(Undef)))
-    (0 until nsblkAddrs).foreach(_ => buf.u64(Undef))
+    (0 until nsblkAddrs).foreach(i =>
+      buf.u64(sbAddrs.getOrElse(nsblksDirect + i, Undef)))
     buf.u32(0)
     require(buf.size == aEaib + ibSize, s"EAIB accounting: ${buf.size}")
-    // EADBs
+    def putBlockOff(blockOff: Long): Unit =
+      (0 until arrOffSize).foreach(i => buf.u8(((blockOff >> (8 * i)) & 0xff).toInt))
+    // direct-region EADBs (unpaged: inline elements + checksum)
     neededDblks.foreach { case (dblkIdx, s) =>
       val blockOff = idxElems + s.startIdx + (dblkIdx - s.startDblk).toLong * s.dblkN
       buf.raw("EADB".getBytes).u8(0).u8(client).u64(aEahd)
-      (0 until arrOffSize).foreach(i => buf.u8(((blockOff >> (8 * i)) & 0xff).toInt))
+      putBlockOff(blockOff)
       (0 until s.dblkN).foreach(w => putEntry((blockOff + w).toInt))
       buf.u32(0)
+    }
+    // EASBs: prefix + page-init bitmap (MSB-first per H5VM_bit_set,
+    // one bit per (block, page)) + data block addresses + checksum
+    def pagePresentIn(u: Int, blkInS: Int, pg: Int): Boolean = {
+      val s = sblks(u)
+      val base = idxElems + s.startIdx + blkInS.toLong * s.dblkN + pg.toLong * pageElems
+      (0 until pageElems).exists(w =>
+        base + w < n && blobs((base + w).toInt)._2.isDefined)
+    }
+    superUs.foreach { u =>
+      val s = sblks(u)
+      val np = npagesOf(s)
+      buf.raw("EASB".getBytes).u8(0).u8(client).u64(aEahd)
+      putBlockOff(idxElems + s.startIdx)
+      if (np > 0) {
+        val bm = new Array[Byte]((s.ndblks * np + 7) / 8)
+        for (b <- 0 until s.ndblks; pg <- 0 until np) {
+          val k = b * np + pg
+          if (superDbAddrs.contains((u, b)) && pagePresentIn(u, b, pg))
+            bm(k / 8) = (bm(k / 8) | (1 << (7 - k % 8))).toByte
+        }
+        buf.raw(bm)
+      }
+      (0 until s.ndblks).foreach(b =>
+        buf.u64(superDbAddrs.getOrElse((u, b), Undef)))
+      buf.u32(0)
+    }
+    // super-region EADBs: unpaged like the direct region; PAGED blocks
+    // are prefix-only (no inline elements, no prefix checksum) with
+    // contiguous per-page element runs + page checksums after them —
+    // uninitialized pages occupy zeroed space
+    val pagePatches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    superUs.foreach { u =>
+      val s = sblks(u)
+      val np = npagesOf(s)
+      superPresent(u).foreach { blkInS =>
+        val blockOff = idxElems + s.startIdx + blkInS.toLong * s.dblkN
+        require(buf.size == superDbAddrs((u, blkInS)),
+          s"super EADB accounting: ${buf.size}")
+        buf.raw("EADB".getBytes).u8(0).u8(client).u64(aEahd)
+        putBlockOff(blockOff)
+        if (np == 0) {
+          (0 until s.dblkN).foreach(w => putEntry((blockOff + w).toInt))
+          buf.u32(0)
+        } else (0 until np).foreach { pg =>
+          val from = buf.size.toLong
+          if (pagePresentIn(u, blkInS, pg)) {
+            (0 until pageElems).foreach(w =>
+              putEntry((blockOff + pg.toLong * pageElems + w).toInt))
+            pagePatches += ((buf.size.toLong, from))
+            buf.u32(0) // page checksum patched
+          } else buf.raw(new Array[Byte](pageElems * entry + 4))
+        }
+      }
     }
     require(buf.size == cursor, s"EADB accounting: ${buf.size} vs $cursor")
     addrs.foreach { case (_, _, ob) => ob.foreach(buf.raw) }
@@ -2135,6 +2336,16 @@ object Hdf5 {
       val (a, sz) = dbAddrs(dblkIdx)
       patch(a + sz - 4, a, sz - 4)
     }
+    superUs.foreach { u =>
+      val sz = sblkSize(u)
+      patch(sbAddrs(u) + sz - 4, sbAddrs(u), sz - 4)
+      if (npagesOf(sblks(u)) == 0) superPresent(u).foreach { blkInS =>
+        val a = superDbAddrs((u, blkInS))
+        val sz = dblkSize(sblks(u))
+        patch(a + sz - 4, a, sz - 4)
+      }
+    }
+    pagePatches.foreach { case (at, from) => patch(at, from, (at - from).toInt) }
     val p = new java.io.File(path)
     p.getParentFile.mkdirs()
     java.nio.file.Files.write(p.toPath, out)
@@ -2142,14 +2353,18 @@ object Hdf5 {
 
   /** Write a libver-'latest' file whose chunk index is a V2 B-TREE
     * (r14 — what HDF5 emits for >1 unlimited dimension): layout v4
-    * index type 5, BTHD header + one root BTLF leaf of type-10/11
-    * records with rank-many scaled offsets, records sorted row-major,
-    * omitted chunks simply recordless (→ fill on read).
+    * index type 5, BTHD header + type-10/11 records with rank-many
+    * scaled offsets, records sorted row-major, omitted chunks simply
+    * recordless (→ fill on read). r15: `btDepth > 0` builds a REAL
+    * multi-level tree — BTIN internal nodes carrying separator
+    * records and (addr, nrec[, subtree-total]) child pointers with
+    * the H5B2 width rules, leaves under them.
     */
   def writeHdf5V2Bt2(path: String, varName: String, height: Int, width: Int,
       chunkH: Int, chunkW: Int, dtype: String = "<f8",
       deflate: Boolean = true, fill: Double = 0.0,
-      omit: Set[(Int, Int)] = Set.empty)(f: (Int, Int) => Double): Unit = {
+      omit: Set[(Int, Int)] = Set.empty, btDepth: Int = 0,
+      leafRecs: Int = 4)(f: (Int, Int) => Double): Unit = {
     val elem = dtype.substring(2).toInt
     val isFloat = dtype.substring(1).startsWith("f")
     val down = (height + chunkH - 1) / chunkH
@@ -2183,9 +2398,78 @@ object Hdf5 {
     val dsChunk0 = dsBodies.map(4 + _._2).sum
     val dsSize = 7 + dsChunk0 + 4
     val aBthd = aDs + dsSize
-    val aBtlf = aBthd + 38
-    val btlfSize = 6 + present.size * recSize + 4
-    var dataAddr = aBtlf + btlfSize
+    // H5B2 width rules (shared with the reader): nrec fields sized
+    // from the leaf max, subtree totals from cumulative level maxima
+    val nodeSize = 512
+    def encSize(v: Long): Int =
+      (63 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v))) / 8 + 1
+    val maxNrecLeaf = (nodeSize - 10) / recSize
+    val maxNrecSize = encSize(maxNrecLeaf)
+    val cumMaxNrecSize = new Array[Int](btDepth + 1)
+    var cumMaxNrec = maxNrecLeaf.toLong
+    (1 to btDepth).foreach { lvl =>
+      val ps = 8 + maxNrecSize + cumMaxNrecSize(lvl - 1)
+      val maxNrecInt = (nodeSize - (10 + ps)) / (recSize + ps)
+      cumMaxNrec = (maxNrecInt + 1).toLong * cumMaxNrec + maxNrecInt
+      cumMaxNrecSize(lvl) = encSize(cumMaxNrec)
+    }
+    def ptrSize(d: Int): Int = 8 + maxNrecSize + cumMaxNrecSize(d - 1)
+    // build the tree: leaves of ~leafRecs records, separator records
+    // pulled up into the internal nodes (records stay in sorted order)
+    sealed trait Node { def recs: Vector[Int]; def total: Long }
+    final case class Leaf(recs: Vector[Int]) extends Node {
+      def total: Long = recs.length
+    }
+    final case class Internal(recs: Vector[Int], kids: Vector[Node]) extends Node {
+      def total: Long = recs.length + kids.map(_.total).sum
+    }
+    def cap(d: Int): Int =
+      if (d == 0) leafRecs
+      else 3 * cap(d - 1) + 2 // 3 children per internal level
+    def build(d: Int, recs: Vector[Int]): Node =
+      if (d == 0) Leaf(recs)
+      else {
+        val capChild = cap(d - 1)
+        val kids = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
+        val seps = scala.collection.mutable.ArrayBuffer.empty[Int]
+        var i = 0
+        while (i < recs.length) {
+          val take = math.min(capChild, recs.length - i)
+          kids += recs.slice(i, i + take)
+          i += take
+          if (i < recs.length) { seps += recs(i); i += 1 }
+        }
+        if (seps.length == kids.length) { // separator ended the run
+          kids += Vector(seps.remove(seps.length - 1))
+        }
+        if (kids.length == 1) { // an internal node needs >= 2 children
+          val g = kids.remove(0)
+          require(g.length >= 3, s"writeHdf5V2Bt2: too few records for depth $d")
+          val half = g.length / 2
+          kids += g.slice(0, half); seps += g(half); kids += g.slice(half + 1, g.length)
+        }
+        Internal(seps.toVector, kids.map(build(d - 1, _)).toVector)
+      }
+    val sortedKs = present.map(_._1).sorted.toVector
+    val tree = build(btDepth, sortedKs)
+    def nodeBytes(nd: Node, d: Int): Int = nd match {
+      case Leaf(rs) => 6 + rs.length * recSize + 4
+      case Internal(rs, kids) =>
+        6 + rs.length * recSize + kids.length * ptrSize(d) + 4
+    }
+    // depth-first address assignment: node, then its children
+    val nodeAddr = scala.collection.mutable.Map.empty[Node, Long]
+    var cursor = aBthd + 38
+    def assign(nd: Node, d: Int): Unit = {
+      nodeAddr(nd) = cursor; cursor += nodeBytes(nd, d)
+      nd match {
+        case Internal(_, kids) => kids.foreach(assign(_, d - 1))
+        case _ =>
+      }
+    }
+    assign(tree, btDepth)
+    var dataAddr = cursor
+    val blobByK = present.toMap
     val addrs: Map[Int, (Long, Int)] = present.map { case (k, b) =>
       val a = dataAddr; dataAddr += b.length; k -> ((a, b.length))
     }.toMap
@@ -2227,20 +2511,45 @@ object Hdf5 {
       .u8(5).u32(512).u8(100).u8(40).u64(aBthd)
     buf.u32(0)
     require(buf.size == aBthd, s"dataset OHDR accounting: ${buf.size}")
-    buf.raw("BTHD".getBytes).u8(0).u8(if (deflate) 11 else 10)
-      .u32(512).u16(recSize).u16(0)
+    val btype = if (deflate) 11 else 10
+    buf.raw("BTHD".getBytes).u8(0).u8(btype)
+      .u32(nodeSize).u16(recSize).u16(btDepth)
       .u8(100).u8(40)
-      .u64(aBtlf).u16(present.size).u64(present.size)
+      .u64(nodeAddr(tree)).u16(tree.recs.length).u64(tree.total)
       .u32(0)
-    require(buf.size == aBtlf, s"BTHD accounting: ${buf.size}")
-    buf.raw("BTLF".getBytes).u8(0).u8(if (deflate) 11 else 10)
-    present.foreach { case (k, b) =>
+    require(buf.size == aBthd + 38, s"BTHD accounting: ${buf.size}")
+    def putRec(k: Int): Unit = {
       buf.u64(addrs(k)._1)
-      if (deflate) { buf.u32(b.length).u32(0) }
+      if (deflate) { buf.u32(blobByK(k).length).u32(0) }
       buf.u64(k / across).u64(k % across)
     }
-    buf.u32(0)
-    require(buf.size == aBtlf + btlfSize, s"BTLF accounting: ${buf.size}")
+    def putCount(v: Long, width: Int): Unit =
+      (0 until width).foreach(i => buf.u8(((v >> (8 * i)) & 0xff).toInt))
+    val nodePatches = scala.collection.mutable.ArrayBuffer.empty[(Long, Int)]
+    def emit(nd: Node, d: Int): Unit = {
+      require(buf.size == nodeAddr(nd), s"node accounting: ${buf.size}")
+      nd match {
+        case Leaf(rs) =>
+          buf.raw("BTLF".getBytes).u8(0).u8(btype)
+          rs.foreach(putRec)
+        case Internal(rs, kids) =>
+          buf.raw("BTIN".getBytes).u8(0).u8(btype)
+          rs.foreach(putRec)
+          kids.foreach { kid =>
+            buf.u64(nodeAddr(kid))
+            putCount(kid.recs.length, maxNrecSize)
+            if (d >= 2) putCount(kid.total, cumMaxNrecSize(d - 1))
+          }
+      }
+      nodePatches += ((nodeAddr(nd), nodeBytes(nd, d)))
+      buf.u32(0) // checksum patched
+      nd match {
+        case Internal(_, kids) => kids.foreach(emit(_, d - 1))
+        case _ =>
+      }
+    }
+    emit(tree, btDepth)
+    require(buf.size == cursor, s"tree accounting: ${buf.size} vs $cursor")
     present.foreach { case (_, b) => buf.raw(b) }
     require(buf.size == eof, s"file accounting: ${buf.size} vs $eof")
     val out = buf.out
@@ -2252,8 +2561,8 @@ object Hdf5 {
     patch(44, 0, 44)
     patch(aDs - 4, aRoot, rootSize - 4)
     patch(aBthd - 4, aDs, dsSize - 4)
-    patch(aBtlf - 4, aBthd, 34)
-    patch(aBtlf + btlfSize - 4, aBtlf, btlfSize - 4)
+    patch(aBthd + 34, aBthd, 34)
+    nodePatches.foreach { case (a, sz) => patch(a + sz - 4, a, sz - 4) }
     val p = new java.io.File(path)
     p.getParentFile.mkdirs()
     java.nio.file.Files.write(p.toPath, out)
@@ -2572,8 +2881,11 @@ object Hdf5 {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5ea_fixture_${H5W}x$H5H.nc"
     if (fixtureEaReady != p) fixtureEaLock.synchronized {
       if (fixtureEaReady != p) {
-        writeHdf5V2Ea(p, "v", H5H, H5W, 32, 32, dtype = "<f8",
-          deflate = true)(h5Value)
+        // 4x8 chunks -> 18x10 = 180 chunks: past the 64-chunk direct
+        // region into SUPER blocks (r15), incl. sblk5's PAGED data
+        // blocks (32 elements over 2^4-element pages)
+        writeHdf5V2Ea(p, "v", H5H, H5W, 4, 8, dtype = "<f8",
+          deflate = true, pageBits = 4)(h5Value)
         fixtureEaReady = p
       }
     }

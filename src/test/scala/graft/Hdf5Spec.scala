@@ -253,21 +253,52 @@ class Hdf5Spec extends SparkSuite {
       val omitted = y / 2 == 2 || y / 2 == 3
       assert(g2((x, y)) == (if (omitted) 7.5 else fe(x, y)), s"p2 ($x,$y)")
     }
-    // surgery: a DEFINED super-block slot refuses by name. Recompute
-    // the writer's deterministic layout: aEaib and the slot offsets
+    // surgery: EAIB that does not point back at its EAHD is loud
     val aDs = 48 + 7 + (4 + 3 + 1 + 8) + 4
     val dsSize = 7 + ((4 + 20) + (4 + 20) + (4 + 14) + (4 + 12) + (4 + 43)) + 4
     val aEahd = aDs + dsSize
     val aEaib = aEahd + 72
-    val entry = 16
-    val sblkAddrOff = 14 + 4 * entry + 6 * 8 // idxElems=4, ndblkAddrs=6
-    patch(p, aEaib + sblkAddrOff, Array.fill[Byte](8)(0x11))
-    assert(msgs(intercept[Throwable](
-      Hdf5.scanNetcdf4(spark, p, "v").collect())).contains("SUPER blocks"))
-    // surgery: EAIB that does not point back at its EAHD is loud
     patch(p2, aEaib + 6, Array.fill[Byte](8)(0x22))
     assert(msgs(intercept[Throwable](
       Hdf5.scanNetcdf4(spark, p2, "v").collect())).contains("EAIB"))
+  }
+
+  test("extensible-array SUPER blocks: unpaged + paged data blocks, uninit pages, absences") {
+    // 1x1-cell chunks on a 16x9 grid = 144 chunks with idxElems=4,
+    // minPtrs=4, minElems=4, pageBits=4 (16-element pages):
+    //   direct region = 4 inline + sblks 0-3 (4+8+16+32 = 60) = 64
+    //   sblk4 = 4 dblks x 16 (chunks 64..127, UNPAGED: 16 <= page)
+    //   sblk5 = 4 dblks x 32 (chunks 128..255, PAGED: 2 pages each)
+    // chunk k sits at cell (x, y) = (k % 9, k / 9)
+    def fe(x: Int, y: Int): Double = ((7 * x + 3 * y) % 53).toDouble
+    val omitK = Set(1, 10) ++ (80 to 95).toSet + 130
+    def omitCell(k: Int) = (k / 9, k % 9)
+    val p = tmp("easb")
+    Hdf5.writeHdf5V2Ea(p, "v", 16, 9, 1, 1, dtype = "<f8", deflate = true,
+      fill = 9.25, omit = omitK.map(omitCell),
+      pageBits = 4)(fe)
+    val got = Hdf5.scanNetcdf4(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 144)
+    for (k <- 0 until 144) {
+      val (x, y) = (k % 9, k / 9)
+      val want = if (omitK.contains(k)) 9.25 else fe(x, y)
+      assert(got((x, y)) == want, s"chunk $k cell ($x,$y)")
+    }
+    // the paged region really engaged: chunks 128..143 are page 0 of
+    // sblk5 dblk0 (with 130 absent INSIDE an initialized page) and the
+    // never-written page 1 (144..159 beyond the grid) stayed uninit
+    // while the whole sblk4 dblk1 (80..95) is an Undef block address
+    // — all covered by the value sweep above. Corrupt EASB magic: loud
+    val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val sbAt = (0 until b.length - 4).indexWhere(i =>
+      b(i) == 'E' && b(i + 1) == 'A' && b(i + 2) == 'S' && b(i + 3) == 'B')
+    assert(sbAt > 0, "fixture contains an EASB super block")
+    val pc = tmp("easbbad")
+    b(sbAt) = 'X'
+    java.nio.file.Files.write(java.nio.file.Paths.get(pc), b)
+    assert(msgs(intercept[Throwable](
+      Hdf5.scanNetcdf4(spark, pc, "v").collect())).contains("EASB"))
   }
 
   test("v2 B-tree chunk index: roundtrips, recordless-chunk fill, depth refusal") {
@@ -289,8 +320,8 @@ class Hdf5Spec extends SparkSuite {
     val g2 = Hdf5.scanNetcdf4(spark, p2, "v").collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     for (y <- 0 until 6; x <- 0 until 6) assert(g2((x, y)) == fb(x, y), s"raw ($x,$y)")
-    // surgery: a deep chunk B-tree refuses by name (depth at BTHD+12;
-    // BTHD sits right after the dataset OHDR — recompute its address)
+    // surgery: a lying depth field is loud (the claimed BTIN at the
+    // root-leaf address fails the signature check, never wrong cells)
     val aDs = 48 + 7 + (4 + 3 + 1 + 8) + 4
     val dsSize = 7 + ((4 + 20) + (4 + 20) + (4 + 14) + (4 + 12) + (4 + 44)) + 4
     val aBthd = aDs + dsSize
@@ -298,7 +329,41 @@ class Hdf5Spec extends SparkSuite {
     assert(new String(b, aBthd, 4) == "BTHD", "layout arithmetic drifted")
     patch(p, aBthd + 12, Array[Byte](1, 0))
     assert(msgs(intercept[Throwable](
-      Hdf5.readMeta(p, "v"))).contains("depth"))
+      Hdf5.readMeta(p, "v"))).contains("BTIN"))
+  }
+
+  test("v2 B-tree INTERNAL nodes: depth 1 and 2 walk, separators included, fill") {
+    // r15 — the two-unlimited-dimension shape past one leaf's capacity:
+    // records split across leaves, separator records pulled up into
+    // BTIN internal nodes (which the walk must ALSO emit), child
+    // pointers carrying (addr, nrec[, subtree total]) per H5B2 widths
+    def fb(x: Int, y: Int): Double = ((13 * x + 9 * y) % 71).toDouble
+    for (depth <- 1 to 2) {
+      // 1x1-cell chunks on a 9x8 grid = 72 records; leaves of 4
+      val p = tmp(s"btin$depth")
+      Hdf5.writeHdf5V2Bt2(p, "v", 9, 8, 1, 1, dtype = "<f8", deflate = true,
+        fill = 3.25, omit = Set((2, 3), (7, 1)), btDepth = depth)(fb)
+      val got = Hdf5.scanNetcdf4(spark, p, "v").collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(got.size == 72, s"depth $depth")
+      for (y <- 0 until 9; x <- 0 until 8) {
+        val omitted = (y == 2 && x == 3) || (y == 7 && x == 1)
+        assert(got((x, y)) == (if (omitted) 3.25 else fb(x, y)),
+          s"depth $depth ($x,$y)")
+      }
+      // the tree really has internal nodes
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+      val hasBtin = (0 until b.length - 4).exists(i =>
+        b(i) == 'B' && b(i + 1) == 'T' && b(i + 2) == 'I' && b(i + 3) == 'N')
+      assert(hasBtin, s"depth $depth fixture contains a BTIN node")
+    }
+    // non-filtered type-10 records through the same deep walk
+    val p2 = tmp("btinraw")
+    Hdf5.writeHdf5V2Bt2(p2, "v", 9, 8, 1, 1, dtype = "<f8", deflate = false,
+      btDepth = 1)(fb)
+    val g2 = Hdf5.scanNetcdf4(spark, p2, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (y <- 0 until 9; x <- 0 until 8) assert(g2((x, y)) == fb(x, y), s"raw ($x,$y)")
   }
 
   test("fletcher32: checksummed pipeline roundtrips; corruption is loud") {
