@@ -737,8 +737,10 @@ object Hdf5 {
     * stores the first `idx_blk_elems` elements inline plus DIRECT
     * addresses for the data blocks of the first
     * `2·log2(sup_blk_min_data_ptrs)` super blocks; later super blocks
-    * get super-block addresses (which refuse by name below — they mean
-    * hundreds of chunks under default creation parameters).
+    * get super-block (EASB) addresses, resolved below (r15) through
+    * the EASB's per-data-block page-init bitmasks and data-block
+    * address array — the shape real appendable files reach at a few
+    * hundred chunks under default creation parameters.
     */
   private[zonal] final case class EaSblk(ndblks: Int, dblkN: Int, startIdx: Long, startDblk: Int)
 
@@ -845,9 +847,12 @@ object Hdf5 {
         s"$path: EADB block offset ${blockOffOf(db)}, expected $expectOff")
       entryAt(db, 14 + arrOffSize + within * entrySize, idx)
     }
-    // PAGED data block: prefix-only EADB (no inline elements, no
-    // trailing checksum — H5EA_DBLOCK_SIZE drops both when npages > 0),
-    // pages of pageElems·entrySize + 4-byte checksum follow contiguously
+    // PAGED data block: prefix-only EADB — no inline elements
+    // (H5EA_DBLOCK_SIZE drops them when npages > 0) but the prefix DOES
+    // keep its own 4-byte metadata checksum (H5EA_DBLOCK_PREFIX_SIZE =
+    // H5EA_METADATA_PREFIX_SIZE(true) + addr + block-off, the checksum
+    // counted inside the metadata prefix) — pages of
+    // pageElems·entrySize + 4-byte checksum follow contiguously AFTER it
     val pagedPrefixOk = scala.collection.mutable.Set.empty[Long]
     val pageCache = scala.collection.mutable.Map.empty[(Long, Int), Array[Byte]]
     def pagedEntry(a: Long, expectOff: Long, within: Int,
@@ -864,15 +869,17 @@ object Hdf5 {
       }
       val pg = within / pageElems
       val pgBytes = pageCache.getOrElseUpdate((a, pg),
-        r.bytes(a + 14 + arrOffSize + pg.toLong * (pageElems * entrySize + 4),
+        r.bytes(a + 14 + arrOffSize + 4 + pg.toLong * (pageElems * entrySize + 4),
           pageElems * entrySize))
       val e = entryAt(pgBytes, (within % pageElems) * entrySize, idx)
       (idx, e._2, e._3, e._4)
     }
-    // SUPER block: prefix + page-init bitmap (when its data blocks
-    // page) + data block addresses + checksum
+    // SUPER block: prefix + page-init bitmaps (when its data blocks
+    // page: ONE byte-aligned ceil(npages/8)-byte mask PER data block —
+    // H5EA's dblk_page_init_size × ndblks, NOT one packed bitfield) +
+    // data block addresses + checksum
     final case class Sb(dblkAddrs: IndexedSeq[Long],
-        pageInit: Int => Boolean, npages: Int)
+        pageInit: (Int, Int) => Boolean, npages: Int)
     val sblkCache = scala.collection.mutable.Map.empty[Int, Option[Sb]]
     def sblock(u: Int): Option[Sb] = sblkCache.getOrElseUpdate(u, {
       val a = le(ib).getLong(sblkAddrOff + 8 * (u - nsblksDirect))
@@ -880,7 +887,8 @@ object Hdf5 {
       else {
         val s = sblks(u)
         val npages = if (s.dblkN > pageElems) s.dblkN / pageElems else 0
-        val bitmapBytes = if (npages > 0) (s.ndblks * npages + 7) / 8 else 0
+        val perBlkMask = (npages + 7) / 8
+        val bitmapBytes = if (npages > 0) s.ndblks * perBlkMask else 0
         val size = 14 + arrOffSize + bitmapBytes + s.ndblks * 8 + 4
         val sb = r.bytes(a, size)
         require(sb.take(4).sameElements("EASB".getBytes), s"$path: bad EASB signature")
@@ -895,7 +903,8 @@ object Hdf5 {
         val addrOff = bitmapOff + bitmapBytes
         Some(Sb(
           (0 until s.ndblks).map(i => le(sb).getLong(addrOff + 8 * i)),
-          k => (sb(bitmapOff + k / 8) & (1 << (7 - k % 8))) != 0,
+          (blk, pg) =>
+            (sb(bitmapOff + blk * perBlkMask + pg / 8) & (1 << (7 - pg % 8))) != 0,
           npages))
       }
     })
@@ -927,7 +936,7 @@ object Hdf5 {
             val a = sb.dblkAddrs(blkInS)
             if (a == Undef) (idx, Undef, 0L, 0)
             else if (sb.npages == 0) unpagedEntry(a, s.dblkN, expectOff, within, idx)
-            else if (!sb.pageInit(blkInS * sb.npages + within / pageElems))
+            else if (!sb.pageInit(blkInS, within / pageElems))
               (idx, Undef, 0L, 0)
             else pagedEntry(a, expectOff, within, idx)
         }
@@ -2159,13 +2168,17 @@ object Hdf5 {
     def sblkSize(u: Int): Int = {
       val s = sblks(u)
       val np = npagesOf(s)
-      val bitmapBytes = if (np > 0) (s.ndblks * np + 7) / 8 else 0
+      // one byte-aligned ceil(np/8)-byte mask PER data block (H5EA's
+      // dblk_page_init_size × ndblks), not one packed bitfield
+      val bitmapBytes = if (np > 0) s.ndblks * ((np + 7) / 8) else 0
       14 + arrOffSize + bitmapBytes + s.ndblks * 8 + 4
     }
     def dblkSize(s: EaSblk): Int = {
       val np = npagesOf(s)
       if (np == 0) 14 + arrOffSize + s.dblkN * entry + 4
-      else 14 + arrOffSize + np * (pageElems * entry + 4)
+      // paged: the prefix keeps its own 4-byte metadata checksum
+      // (H5EA_DBLOCK_PREFIX_SIZE includes it); pages follow after it
+      else 14 + arrOffSize + 4 + np * (pageElems * entry + 4)
     }
     var cursor = aEaib + ibSize
     val dbAddrs: Map[Int, (Long, Int)] = neededDblks.map { case (i, s) =>
@@ -2264,8 +2277,9 @@ object Hdf5 {
       (0 until s.dblkN).foreach(w => putEntry((blockOff + w).toInt))
       buf.u32(0)
     }
-    // EASBs: prefix + page-init bitmap (MSB-first per H5VM_bit_set,
-    // one bit per (block, page)) + data block addresses + checksum
+    // EASBs: prefix + page-init bitmaps (one byte-aligned ceil(np/8)-
+    // byte mask PER data block, MSB-first within each byte per
+    // H5VM_bit_set) + data block addresses + checksum
     def pagePresentIn(u: Int, blkInS: Int, pg: Int): Boolean = {
       val s = sblks(u)
       val base = idxElems + s.startIdx + blkInS.toLong * s.dblkN + pg.toLong * pageElems
@@ -2278,11 +2292,11 @@ object Hdf5 {
       buf.raw("EASB".getBytes).u8(0).u8(client).u64(aEahd)
       putBlockOff(idxElems + s.startIdx)
       if (np > 0) {
-        val bm = new Array[Byte]((s.ndblks * np + 7) / 8)
+        val perBlk = (np + 7) / 8
+        val bm = new Array[Byte](s.ndblks * perBlk)
         for (b <- 0 until s.ndblks; pg <- 0 until np) {
-          val k = b * np + pg
           if (superDbAddrs.contains((u, b)) && pagePresentIn(u, b, pg))
-            bm(k / 8) = (bm(k / 8) | (1 << (7 - k % 8))).toByte
+            bm(b * perBlk + pg / 8) = (bm(b * perBlk + pg / 8) | (1 << (7 - pg % 8))).toByte
         }
         buf.raw(bm)
       }
@@ -2291,9 +2305,9 @@ object Hdf5 {
       buf.u32(0)
     }
     // super-region EADBs: unpaged like the direct region; PAGED blocks
-    // are prefix-only (no inline elements, no prefix checksum) with
-    // contiguous per-page element runs + page checksums after them —
-    // uninitialized pages occupy zeroed space
+    // are prefix-only (no inline elements) but the prefix KEEPS its own
+    // 4-byte metadata checksum, then contiguous per-page element runs +
+    // page checksums follow — uninitialized pages occupy zeroed space
     val pagePatches = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     superUs.foreach { u =>
       val s = sblks(u)
@@ -2307,14 +2321,17 @@ object Hdf5 {
         if (np == 0) {
           (0 until s.dblkN).foreach(w => putEntry((blockOff + w).toInt))
           buf.u32(0)
-        } else (0 until np).foreach { pg =>
-          val from = buf.size.toLong
-          if (pagePresentIn(u, blkInS, pg)) {
-            (0 until pageElems).foreach(w =>
-              putEntry((blockOff + pg.toLong * pageElems + w).toInt))
-            pagePatches += ((buf.size.toLong, from))
-            buf.u32(0) // page checksum patched
-          } else buf.raw(new Array[Byte](pageElems * entry + 4))
+        } else {
+          buf.u32(0) // prefix checksum (patched below)
+          (0 until np).foreach { pg =>
+            val from = buf.size.toLong
+            if (pagePresentIn(u, blkInS, pg)) {
+              (0 until pageElems).foreach(w =>
+                putEntry((blockOff + pg.toLong * pageElems + w).toInt))
+              pagePatches += ((buf.size.toLong, from))
+              buf.u32(0) // page checksum patched
+            } else buf.raw(new Array[Byte](pageElems * entry + 4))
+          }
         }
       }
     }
@@ -2339,10 +2356,13 @@ object Hdf5 {
     superUs.foreach { u =>
       val sz = sblkSize(u)
       patch(sbAddrs(u) + sz - 4, sbAddrs(u), sz - 4)
-      if (npagesOf(sblks(u)) == 0) superPresent(u).foreach { blkInS =>
+      superPresent(u).foreach { blkInS =>
         val a = superDbAddrs((u, blkInS))
-        val sz = dblkSize(sblks(u))
-        patch(a + sz - 4, a, sz - 4)
+        if (npagesOf(sblks(u)) == 0) {
+          val sz = dblkSize(sblks(u))
+          patch(a + sz - 4, a, sz - 4)
+        } else // paged: checksum over the prefix alone
+          patch(a + 14 + arrOffSize, a, 14 + arrOffSize)
       }
     }
     pagePatches.foreach { case (at, from) => patch(at, from, (at - from).toInt) }
@@ -2429,24 +2449,22 @@ object Hdf5 {
     def build(d: Int, recs: Vector[Int]): Node =
       if (d == 0) Leaf(recs)
       else {
+        // nk children of ≤ cap(d−1) records with EXACTLY nk−1 separator
+        // records between them (a kids = seps+2 shape would make the
+        // reader's 0..nrec child walk drop the last subtree)
         val capChild = cap(d - 1)
+        val nk = math.max(2, (recs.length + 1 + capChild) / (capChild + 1))
+        val inKids = recs.length - (nk - 1)
+        require(inKids >= nk, s"writeHdf5V2Bt2: too few records for depth $d")
+        val base = inKids / nk
+        val extra = inKids % nk
         val kids = scala.collection.mutable.ArrayBuffer.empty[Vector[Int]]
         val seps = scala.collection.mutable.ArrayBuffer.empty[Int]
         var i = 0
-        while (i < recs.length) {
-          val take = math.min(capChild, recs.length - i)
-          kids += recs.slice(i, i + take)
-          i += take
-          if (i < recs.length) { seps += recs(i); i += 1 }
-        }
-        if (seps.length == kids.length) { // separator ended the run
-          kids += Vector(seps.remove(seps.length - 1))
-        }
-        if (kids.length == 1) { // an internal node needs >= 2 children
-          val g = kids.remove(0)
-          require(g.length >= 3, s"writeHdf5V2Bt2: too few records for depth $d")
-          val half = g.length / 2
-          kids += g.slice(0, half); seps += g(half); kids += g.slice(half + 1, g.length)
+        (0 until nk).foreach { c =>
+          val take = base + (if (c < extra) 1 else 0)
+          kids += recs.slice(i, i + take); i += take
+          if (c < nk - 1) { seps += recs(i); i += 1 }
         }
         Internal(seps.toVector, kids.map(build(d - 1, _)).toVector)
       }

@@ -294,6 +294,34 @@ class Hdf5Spec extends SparkSuite {
     val sbAt = (0 until b.length - 4).indexWhere(i =>
       b(i) == 'E' && b(i + 1) == 'A' && b(i + 2) == 'S' && b(i + 3) == 'B')
     assert(sbAt > 0, "fixture contains an EASB super block")
+    // r16 (ADVICE r15): pin the REAL paged layout at hand-derived
+    // offsets so a shared writer+reader slip can't hide in roundtrips:
+    // (a) the EASB carries ONE byte-aligned ceil(npages/8)-byte
+    //     page-init mask PER data block (H5EA dblk_page_init_size ×
+    //     ndblks — 4 bytes here for sblk5: 4 dblks × 2 pages), and
+    // (b) a paged EADB's prefix ends with its OWN lookup3 checksum
+    //     (H5EA_DBLOCK_PREFIX_SIZE includes it) BEFORE the pages.
+    val arrOff = 4 // (maxBits=32+7)/8
+    val easbs = (0 until b.length - 4).filter(i =>
+      b(i) == 'E' && b(i + 1) == 'A' && b(i + 2) == 'S' && b(i + 3) == 'B')
+    assert(easbs.size == 2, s"sblk4 + sblk5 EASBs, got ${easbs.size}")
+    val s5 = easbs(1) // sblk5: 4 dblks × 32 elems = 2 pages of 16 each
+    val m0 = s5 + 14 + arrOff // dblk0's 1-byte mask
+    assert((b(m0) & 0x80) != 0, "dblk0 page0 bit set (chunk 128 present), MSB-first")
+    assert((b(m0) & 0x40) == 0, "dblk0 page1 uninit (beyond the 144-chunk grid)")
+    assert(b(m0 + 1) == 0 && b(m0 + 2) == 0 && b(m0 + 3) == 0,
+      "dblk1-3 masks are their OWN bytes and stay clear")
+    def leLong(at: Int): Long = java.nio.ByteBuffer.wrap(b, at, 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getLong
+    val d0 = leLong(m0 + 4) // address array starts after ndblks masks
+    assert(d0 > 0 && d0 < b.length, s"sblk5 dblk0 address $d0")
+    assert(new String(b, d0.toInt, 4, "ASCII") == "EADB",
+      "per-block masks precede the data-block address array")
+    val pre = 14 + arrOff
+    val ck = java.nio.ByteBuffer.wrap(b, d0.toInt + pre, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    assert(ck == graft.zonal.Lookup3.hash(b, d0.toInt, pre),
+      "paged EADB prefix checksum sits after the block offset, before page 0")
     val pc = tmp("easbbad")
     b(sbAt) = 'X'
     java.nio.file.Files.write(java.nio.file.Paths.get(pc), b)
