@@ -274,6 +274,52 @@ object Cube {
   def vertsSql(rings: Seq[RingSpec]): String =
     rings.map(ringVertsSql).mkString("\n  UNION ALL ")
 
+  // ---- point features (r16: stations — the vector POINT family) ----
+
+  /** DuckDB spelling of the station (point-feature) derivation: one
+    * integer lattice point per supplier on the SAME 64×64 grid as the
+    * cube cells, plus a money value for the zonal aggregates. Pure
+    * arithmetic — both engines derive identical points, keeping every
+    * point operator DuckDB-oracle-checkable.
+    */
+  val StationsSql: String =
+    """SELECT CAST(s_suppkey AS INTEGER) AS station_id,
+      |  CAST((s_suppkey * 7 + 5) % 64 AS INTEGER) AS px,
+      |  CAST((s_suppkey * 11 + 3) % 64 AS INTEGER) AS py,
+      |  s_acctbal AS sval
+      |FROM supplier""".stripMargin
+
+  /** Station points `(station_id, px, py, sval)` — Spark twin
+    * (s_suppkey ships as INT64; the lattice columns are int).
+    */
+  def stations(s: SparkSession, d: String): DataFrame =
+    Tables.supplier(s, d).select(
+      col("s_suppkey").cast("int").as("station_id"),
+      ((col("s_suppkey") * 7 + 5) % 64).cast("int").as("px"),
+      ((col("s_suppkey") * 11 + 3) % 64).cast("int").as("py"),
+      col("s_acctbal").as("sval"))
+
+  /** MultiPoint derivation: station k carries `2 + k % 3` member
+    * points, member j at `((px + 9j) % 64, (py + 13j) % 64)` —
+    * long-form `(station_id, i, qx, qy)`.
+    */
+  def multiPoints(s: SparkSession, d: String): DataFrame =
+    stations(s, d)
+      .select(col("station_id"), col("px"), col("py"),
+        explode(expr("sequence(0, (2 + station_id % 3) - 1)")).as("i"))
+      .select(col("station_id"), col("i").cast("int").as("i"),
+        ((col("px") + col("i") * 9) % 64).cast("int").as("qx"),
+        ((col("py") + col("i") * 13) % 64).cast("int").as("qy"))
+
+  /** DuckDB twin of [[multiPoints]] (needs a `stations` CTE in scope). */
+  val MultiPointsSql: String =
+    """SELECT station_id, CAST(i AS INTEGER) AS i,
+      |  CAST((px + 9 * i) % 64 AS INTEGER) AS qx,
+      |  CAST((py + 13 * i) % 64 AS INTEGER) AS qy
+      |FROM (SELECT station_id, px, py,
+      |        unnest(generate_series(0, (2 + station_id % 3) - 1)) AS i
+      |      FROM stations) t""".stripMargin
+
   /** Zones with real WKB `BinaryType` geometry (SURVEY §1.2): assemble
     * each zone's rings into standard WKB (Polygon / MultiPolygon) via
     * the [[graft.ext.MakeWkb]] expression — runs once per zone on the

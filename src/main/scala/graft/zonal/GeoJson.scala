@@ -298,6 +298,56 @@ object GeoJson {
     })
   }
 
+  // ---- point features (r16) ----
+
+  /** Write the station derivation as a Point FeatureCollection fixture
+    * (one Feature per station, `station_id` property, ascending order).
+    */
+  def writePointsFixture(s: SparkSession, d: String, path: String): Unit = {
+    val pts = Cube.stations(s, d).select("station_id", "px", "py").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val features = pts.map { case (id, x, y) =>
+      s"""{"type": "Feature", "properties": {"station_id": $id},
+         | "geometry": {"type": "Point", "coordinates": [$x, $y]}}""".stripMargin
+    }
+    val json = features.mkString(
+      """{"type": "FeatureCollection", "features": [""", ",\n", "]}")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Point FeatureCollection scan (r16): `(station_id, x, y)` — the
+    * geometry type is checked IN THE PLAN (`raise_error` inside the
+    * projection), the same loud-refusal posture as the polygon readers.
+    */
+  def readPoints(s: SparkSession, path: String): DataFrame =
+    s.read.option("multiLine", "true").json(path)
+      .select(explode(col("features")).as("f"))
+      .select(col("f.properties.station_id").cast("int").as("station_id"),
+        col("f.geometry.type").as("gtype"),
+        col("f.geometry.coordinates").as("coords"))
+      .select(col("station_id"),
+        when(col("gtype") === "Point", element_at(col("coords"), 1))
+          .otherwise(raise_error(concat(lit(s"$path: GeoJSON geometry type "),
+            col("gtype"), lit(" unsupported (Point)"))))
+          .cast("int").as("x"),
+        element_at(col("coords"), 2).cast("int").as("y"))
+
+  private val ptFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once per-sf Point GeoJSON fixture of the stations. */
+  def pointsFixturePath(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d)
+    ptFixtures.computeIfAbsent(f.getCanonicalPath, { _ =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/stations.geojson"
+      writePointsFixture(s, d, path)
+      path
+    })
+  }
+
   /** Write-once per-sf FLOAT-jittered fixture of the NGonRings family. */
   def floatFixturePath(s: SparkSession, d: String): String = {
     val f = new java.io.File(d)

@@ -345,6 +345,39 @@ object Gpkg {
     }
   }
 
+  /** Parse a WKB Point OR MultiPoint (r16 — the station-feature types)
+    * to `(i, x, y)` member rows; every MultiPoint member is a full WKB
+    * Point carrying its own endianness byte per the spec. Other
+    * geometry types throw.
+    */
+  private[graft] def parseWkbPoints(blob: Array[Byte], off: Int,
+      what: String): Iterator[(Int, Int, Int)] = {
+    def onePt(start: Int, i: Int): (Int, Int, Int) = {
+      val cb = java.nio.ByteBuffer.wrap(blob)
+      cb.order(if (blob(start) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+      require(cb.getInt(start + 1) == 1,
+        s"$what member $i: WKB child type ${cb.getInt(start + 1)}, want Point (1)")
+      val x = cb.getDouble(start + 5)
+      val y = cb.getDouble(start + 13)
+      require(x == math.rint(x) && y == math.rint(y),
+        s"$what member $i: fractional coordinate ($x, $y) — align to the lattice")
+      (i, x.toInt, y.toInt)
+    }
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    bb.order(if (blob(off) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.getInt(off + 1) match {
+      case 1 => Iterator.single(onePt(off, 0))
+      case 4 =>
+        val n = bb.getInt(off + 5)
+        require(n >= 1, s"$what: empty MultiPoint")
+        (0 until n).iterator.map(j => onePt(off + 9 + 21 * j, j))
+      case other => sys.error(s"$what: WKB geometry type $other unsupported " +
+        "(1 = Point, 4 = MultiPoint)")
+    }
+  }
+
   /** Parse a WKB Polygon OR MultiPolygon (r14 — parity with the
     * shapefile reader's multi-part semantics) to
     * `(part, ring, i, x, y)` vertex rows; every child polygon carries
@@ -444,6 +477,95 @@ object Gpkg {
       .agg(expr("make_wkb(sort_array(collect_list(struct(part, ring, i, x, y))))").as("geom"),
         min(col("x")).as("xmin"), max(col("x")).as("xmax"),
         min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+  }
+
+  /** Shared point-feature scan (r16): leaf-page-parallel record walk →
+    * `(station_id, i, x, y)` member rows through [[parseWkbPoints]].
+    */
+  private def readPointRows(s: SparkSession, path: String, table: String,
+      idCol: String, geomCol: String): DataFrame = {
+    import s.implicits._
+    val db = readDbMeta(path)
+    val ti = tableInfo(db, table)
+    val idIx = ti.columns.indexOf(idCol)
+    val geomIx = ti.columns.indexOf(geomCol)
+    require(idIx >= 0 && geomIx >= 0,
+      s"$path/$table: need columns '$idCol' and '$geomCol', have ${ti.columns.mkString(", ")}")
+    val refs = leafPages(db, ti.rootPage)
+      .map(p => LeafRef(path, p, db.pageSize, db.reserved, ti.pkOrdinal, ti.columns.size))
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { ref =>
+        val rdb = DbMeta(ref.path, ref.pageSize, ref.reserved)
+        leafRecords(rdb, ref.page).flatMap { case (rowid, payload) =>
+          val vals = decodeRecord(payload, ref.nCols)
+          val sid = vals(idIx) match {
+            case l: Long => l
+            case null if idIx == ref.pkOrdinal => rowid
+            case other => sys.error(s"${ref.path}: id column holds $other")
+          }
+          val blob = vals(geomIx) match {
+            case b: Array[Byte] => b
+            case other => sys.error(s"${ref.path}: geometry column holds " +
+              s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+          }
+          require(sid >= Int.MinValue && sid <= Int.MaxValue,
+            s"${ref.path}: feature id $sid outside the 32-bit station_id range")
+          val what = s"${ref.path} feature $sid"
+          parseWkbPoints(blob, wkbOffset(blob, what), what).map {
+            case (i, x, y) => (sid.toInt, i, x, y)
+          }
+        }
+      }
+      .toDF("station_id", "i", "x", "y")
+  }
+
+  /** Point-feature scan (r16 — WKB type 1): `(station_id, x, y)`. */
+  def readPoints(s: SparkSession, path: String, table: String,
+      idCol: String = "id", geomCol: String = "geom"): DataFrame =
+    readPointRows(s, path, table, idCol, geomCol).drop("i")
+
+  /** MultiPoint-feature scan (r16 — WKB type 4): long-form
+    * `(station_id, i, x, y)` member rows.
+    */
+  def readMultiPoints(s: SparkSession, path: String, table: String,
+      idCol: String = "id", geomCol: String = "geom"): DataFrame =
+    readPointRows(s, path, table, idCol, geomCol)
+
+  /** Write-once per-sf stations GeoPackage fixture: a Point table AND
+    * a MultiPoint table in one db (512-byte pages → several leaves, so
+    * the page-parallel path is exercised on both).
+    */
+  def writePointsFixture(s: SparkSession, d: String, path: String): Unit = {
+    val pts = Cube.stations(s, d).select("station_id", "px", "py").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    val mpts = Cube.multiPoints(s, d).select("station_id", "i", "qx", "qy").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (id, ms) => (id, ms.sortBy(_._2).map(m => (m._3, m._4)).toSeq) }
+    writeTables(path, Seq(
+      ("stations",
+        "CREATE TABLE stations (id INTEGER PRIMARY KEY, name TEXT, geom BLOB)",
+        pts.map { case (id, x, y) =>
+          (id.toLong, Seq[Any](null, s"station $id", gpkgBlobPoint(x, y))) }),
+      ("stations_multi",
+        "CREATE TABLE stations_multi (id INTEGER PRIMARY KEY, geom BLOB)",
+        mpts.map { case (id, ms) =>
+          (id.toLong, Seq[Any](null, gpkgBlobMultiPoint(ms))) })))
+  }
+
+  private val ptFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once per-sf stations GeoPackage fixture path. */
+  def pointsFixturePath(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d)
+    ptFixtures.computeIfAbsent(f.getCanonicalPath, { _ =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/stations.gpkg"
+      writePointsFixture(s, d, path)
+      path
+    })
   }
 
   // ---- rtree-pruned window read (r12 — the r11 verdict's missing #4
@@ -907,6 +1029,37 @@ object Gpkg {
   /** GPKG geometry blob for a MULTIPOLYGON of closed integer rings
     * (r14): standard header + WKB type 6, one child Polygon per part.
     */
+  /** GPKG geometry blob around a WKB Point (r16). */
+  private[graft] def gpkgBlobPoint(x: Int, y: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + 32 + 21)
+    b.put('G'.toByte).put('P'.toByte).put(0.toByte)
+    b.put(((1 << 1) | 1).toByte) // xy envelope, little-endian
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0) // srs_id
+    b.putDouble(x.toDouble).putDouble(x.toDouble)
+    b.putDouble(y.toDouble).putDouble(y.toDouble)
+    b.put(1.toByte).putInt(1).putDouble(x.toDouble).putDouble(y.toDouble)
+    b.array()
+  }
+
+  /** GPKG geometry blob around a WKB MultiPoint (r16) — each member is
+    * a full WKB Point with its own endianness byte, per the spec.
+    */
+  private[graft] def gpkgBlobMultiPoint(pts: Seq[(Int, Int)]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + 32 + 9 + 21 * pts.size)
+    b.put('G'.toByte).put('P'.toByte).put(0.toByte)
+    b.put(((1 << 1) | 1).toByte)
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0)
+    b.putDouble(pts.map(_._1).min.toDouble).putDouble(pts.map(_._1).max.toDouble)
+    b.putDouble(pts.map(_._2).min.toDouble).putDouble(pts.map(_._2).max.toDouble)
+    b.put(1.toByte).putInt(4).putInt(pts.size)
+    pts.foreach { case (px, py) =>
+      b.put(1.toByte).putInt(1).putDouble(px.toDouble).putDouble(py.toDouble)
+    }
+    b.array()
+  }
+
   private[graft] def gpkgBlobMulti(parts: Seq[Seq[Seq[(Int, Int)]]]): Array[Byte] = {
     val all = parts.flatten.flatten
     val wkbLen = 9 + parts.map(p => 9 + p.map(4 + 16 * _.size).sum).sum

@@ -29,6 +29,8 @@ object Shapefile {
   private val FileCode = 9994
   private val Version = 1000
   private val TypePolygon = 5
+  private val TypePoint = 1
+  private val TypeMultiPoint = 8
 
   /** One executor work unit: a record's byte range in the .shp. */
   final case class ShpRef(path: String, recNo: Int, offset: Long, contentBytes: Int)
@@ -80,26 +82,31 @@ object Shapefile {
       b.array()
     }
 
-    def mainHeader(fileBytes: Int, xs: Seq[Int], ys: Seq[Int]): Array[Byte] = {
+    val allPts = zones.flatMap(_._2.flatten)
+    writeShpFile(path, TypePolygon, records, allPts.map(_._1), allPts.map(_._2))
+  }
+
+  /** Shared .shp/.shx byte assembly: main headers + per-record headers
+    * + the .shx manifest, for any shape type.
+    */
+  private def writeShpFile(path: String, shapeType: Int,
+      records: Seq[Array[Byte]], xs: Seq[Int], ys: Seq[Int]): Unit = {
+    def mainHeader(fileBytes: Int): Array[Byte] = {
       val h = java.nio.ByteBuffer.allocate(100) // BIG_ENDIAN default
       h.putInt(0, FileCode)
       h.putInt(24, fileBytes / 2) // length in 16-bit words
       h.order(java.nio.ByteOrder.LITTLE_ENDIAN)
       h.putInt(28, Version)
-      h.putInt(32, TypePolygon)
+      h.putInt(32, shapeType)
       h.putDouble(36, xs.min).putDouble(44, ys.min)
       h.putDouble(52, xs.max).putDouble(60, ys.max)
       h.array()
     }
-    val allPts = zones.flatMap(_._2.flatten)
-    val allX = allPts.map(_._1)
-    val allY = allPts.map(_._2)
-
     val shpBytes = 100 + records.map(8 + _.length).sum
     val shp = java.nio.ByteBuffer.allocate(shpBytes)
-    shp.put(mainHeader(shpBytes, allX, allY))
+    shp.put(mainHeader(shpBytes))
     val shx = java.nio.ByteBuffer.allocate(100 + 8 * records.length)
-    shx.put(mainHeader(100 + 8 * records.length, allX, allY))
+    shx.put(mainHeader(100 + 8 * records.length))
     var off = 100
     records.zipWithIndex.foreach { case (content, i) =>
       shx.putInt(off / 2).putInt(content.length / 2)
@@ -118,12 +125,52 @@ object Shapefile {
     writeAll(path.stripSuffix(".shp") + ".shx", shx.array())
   }
 
+  /** Serialize the station derivation as a POINT .shp/.shx (r16 —
+    * shape type 1, the other ubiquitous feature type next to Polygon):
+    * one 20-byte record per station, ascending station_id order so
+    * recNo − 1 = station_id.
+    */
+  def writePointsFixture(s: SparkSession, d: String, path: String): Unit = {
+    val pts = Cube.stations(s, d).select("station_id", "px", "py").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
+    val records = pts.map { case (_, x, y) =>
+      val b = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(TypePoint).putDouble(x.toDouble).putDouble(y.toDouble)
+      b.array()
+    }
+    writeShpFile(path, TypePoint, records, pts.map(_._2), pts.map(_._3))
+  }
+
+  /** Serialize the multi-point derivation as a MULTIPOINT .shp/.shx
+    * (r16 — shape type 8): one record per station carrying its member
+    * points in ascending member order.
+    */
+  def writeMultiPointFixture(s: SparkSession, d: String, path: String): Unit = {
+    val pts = Cube.multiPoints(s, d).select("station_id", "i", "qx", "qy").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val byStation = pts.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, ms) =>
+      (id, ms.sortBy(_._2).map(m => (m._3, m._4)).toSeq)
+    }
+    val records = byStation.map { case (_, ms) =>
+      val b = java.nio.ByteBuffer.allocate(40 + 16 * ms.size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(TypeMultiPoint)
+      b.putDouble(ms.map(_._1).min.toDouble).putDouble(ms.map(_._2).min.toDouble)
+      b.putDouble(ms.map(_._1).max.toDouble).putDouble(ms.map(_._2).max.toDouble)
+      b.putInt(ms.size)
+      ms.foreach { case (x, y) => b.putDouble(x.toDouble).putDouble(y.toDouble) }
+      b.array()
+    }
+    val all = byStation.flatMap(_._2)
+    writeShpFile(path, TypeMultiPoint, records, all.map(_._1), all.map(_._2))
+  }
+
   // ---- reader ----
 
   /** Driver-side index read: the `.shx` is 100 + 8n bytes — the vector
     * analogue of the TIFF header/IFD.
     */
-  def readIndex(shpPath: String): Seq[ShpRef] = {
+  def readIndex(shpPath: String, wantType: Int = TypePolygon): Seq[ShpRef] = {
     val ix = shpPath.stripSuffix(".shp") + ".shx"
     val p = new org.apache.hadoop.fs.Path(ix)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -135,8 +182,8 @@ object Shapefile {
     val b = java.nio.ByteBuffer.wrap(raw) // BIG_ENDIAN default
     require(b.getInt(0) == FileCode, s"$ix: bad file code ${b.getInt(0)} (want $FileCode)")
     val shapeType = b.order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt(32)
-    require(shapeType == TypePolygon,
-      s"$shpPath: shape type $shapeType unsupported (5 = Polygon)")
+    require(shapeType == wantType,
+      s"$shpPath: shape type $shapeType unsupported (want $wantType)")
     b.order(java.nio.ByteOrder.BIG_ENDIAN)
     (0 until (len - 100) / 8).map { i =>
       // offsets/lengths are in 16-bit words; the offset addresses the
@@ -217,6 +264,96 @@ object Shapefile {
       .agg(expr("make_wkb(sort_array(collect_list(struct(part, ring, i, x, y))))").as("geom"),
         min(col("x")).as("xmin"), max(col("x")).as("xmax"),
         min(col("y")).as("ymin"), max(col("y")).as("ymax"))
+  }
+
+  /** POINT record scan (r16): one 20-byte record per feature, parsed
+    * to `(station_id, x, y)` — station_id = recNo − 1, the fixture's
+    * dense order (real deployments join the .dbf on recNo). Same
+    * record-manifest fan-out as the polygon reader.
+    */
+  def readPoints(s: SparkSession, shpPath: String): DataFrame = {
+    import s.implicits._
+    val refs = readIndex(shpPath, TypePoint)
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .map { ref =>
+        val p = new org.apache.hadoop.fs.Path(ref.path)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        try {
+          val raw = new Array[Byte](ref.contentBytes)
+          in.readFully(ref.offset, raw)
+          val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val st = b.getInt(0)
+          require(st == TypePoint,
+            s"${ref.path} record ${ref.recNo}: shape type $st, want Point (1)")
+          val x = b.getDouble(4); val y = b.getDouble(12)
+          require(x == math.rint(x) && y == math.rint(y),
+            s"${ref.path} record ${ref.recNo}: fractional coordinate ($x, $y)")
+          (ref.recNo - 1, x.toInt, y.toInt)
+        } finally in.close()
+      }
+      .toDF("station_id", "x", "y")
+  }
+
+  /** MULTIPOINT record scan (r16): type-8 records parsed to long-form
+    * `(station_id, i, x, y)` member rows in stored order.
+    */
+  def readMultiPoints(s: SparkSession, shpPath: String): DataFrame = {
+    import s.implicits._
+    val refs = readIndex(shpPath, TypeMultiPoint)
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { ref =>
+        val p = new org.apache.hadoop.fs.Path(ref.path)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        try {
+          val raw = new Array[Byte](ref.contentBytes)
+          in.readFully(ref.offset, raw)
+          val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val st = b.getInt(0)
+          require(st == TypeMultiPoint,
+            s"${ref.path} record ${ref.recNo}: shape type $st, want MultiPoint (8)")
+          val n = b.getInt(36)
+          require(raw.length >= 40 + 16 * n,
+            s"${ref.path} record ${ref.recNo}: truncated ($n points, ${raw.length} bytes)")
+          (0 until n).map { j =>
+            val x = b.getDouble(40 + 16 * j); val y = b.getDouble(48 + 16 * j)
+            require(x == math.rint(x) && y == math.rint(y),
+              s"${ref.path} record ${ref.recNo}: fractional coordinate ($x, $y)")
+            (ref.recNo - 1, j, x.toInt, y.toInt)
+          }
+        } finally in.close()
+      }
+      .toDF("station_id", "i", "x", "y")
+  }
+
+  private val ptFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val mptFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once per-sf Point shapefile fixture of the stations. */
+  def pointsFixturePath(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d)
+    ptFixtures.computeIfAbsent(f.getCanonicalPath, { _ =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/stations_pt.shp"
+      writePointsFixture(s, d, path)
+      path
+    })
+  }
+
+  /** Write-once per-sf MultiPoint shapefile fixture. */
+  def multiPointFixturePath(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d)
+    mptFixtures.computeIfAbsent(f.getCanonicalPath, { _ =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/stations_mpt.shp"
+      writeMultiPointFixture(s, d, path)
+      path
+    })
   }
 
   private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -1,0 +1,103 @@
+package graft
+
+import graft.zonal.{Cube, GeoJson, Gpkg, Shapefile}
+
+/** Point/MultiPoint vector features (r16): container roundtrips
+  * against the arithmetic station derivation, hand-built WKB blobs
+  * pinning the parser alone, and the loud-refusal guards.
+  */
+class PointsSpec extends SparkSuite {
+
+  private def stations(): Map[Int, (Int, Int)] =
+    Cube.stations(spark, sf).select("station_id", "px", "py").collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+
+  test("shapefile Point records roundtrip the station derivation") {
+    val got = Shapefile.readPoints(spark, Shapefile.pointsFixturePath(spark, sf))
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    val want = stations()
+    assert(got == want)
+    // a Point reader pointed at the polygon fixture refuses by type
+    val e = intercept[Exception](
+      Shapefile.readPoints(spark, Shapefile.fixturePath(spark, sf)))
+    assert(e.getMessage.contains("shape type"))
+  }
+
+  test("shapefile MultiPoint records roundtrip the member derivation") {
+    val got = Shapefile.readMultiPoints(spark, Shapefile.multiPointFixturePath(spark, sf))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3)))).toMap
+    val want = Cube.multiPoints(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(got == want)
+    want.foreach { case ((id, i), _) => assert(i < 2 + id % 3) }
+  }
+
+  test("geopackage Point + MultiPoint tables roundtrip; geojson Points match") {
+    val p = Gpkg.pointsFixturePath(spark, sf)
+    val got = Gpkg.readPoints(spark, p, "stations")
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(got == stations())
+    val gotM = Gpkg.readMultiPoints(spark, p, "stations_multi")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3)))).toMap
+    val wantM = Cube.multiPoints(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(gotM == wantM)
+    val gotJ = GeoJson.readPoints(spark, GeoJson.pointsFixturePath(spark, sf))
+      .collect().map(r => r.getInt(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(gotJ == stations())
+  }
+
+  test("WKB point parser: hand-built blobs, mixed endianness, refusals") {
+    // big-endian WKB Point inside a little-endian GPKG header
+    def bePoint(x: Double, y: Double): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(21) // BIG_ENDIAN default
+      b.put(0.toByte).putInt(1).putDouble(x).putDouble(y)
+      b.array()
+    }
+    def lePoint(x: Double, y: Double): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).putInt(1).putDouble(x).putDouble(y)
+      b.array()
+    }
+    assert(Gpkg.parseWkbPoints(bePoint(7, 11), 0, "t").toSeq == Seq((0, 7, 11)))
+    // MultiPoint whose members alternate endianness — each member's own
+    // byte-order byte governs, per the WKB spec
+    val mp = java.nio.ByteBuffer.allocate(9 + 42).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    mp.put(1.toByte).putInt(4).putInt(2)
+    mp.put(bePoint(3, 4)).put(lePoint(60, 2))
+    assert(Gpkg.parseWkbPoints(mp.array(), 0, "t").toSeq ==
+      Seq((0, 3, 4), (1, 60, 2)))
+    // non-point type refuses by name
+    val ln = java.nio.ByteBuffer.allocate(9).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ln.put(1.toByte).putInt(2).putInt(0) // LineString
+    val e1 = intercept[Exception](Gpkg.parseWkbPoints(ln.array(), 0, "t").toSeq)
+    assert(e1.getMessage.contains("type 2"))
+    // fractional coordinates refuse (the integral-lattice contract)
+    val e2 = intercept[Exception](Gpkg.parseWkbPoints(lePoint(1.5, 2), 0, "t").toSeq)
+    assert(e2.getMessage.contains("fractional"))
+  }
+
+  test("geojson non-Point geometry is loud IN the plan") {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/bad_points.geojson"
+    val json =
+      """{"type": "FeatureCollection", "features": [
+        |{"type": "Feature", "properties": {"station_id": 0},
+        | "geometry": {"type": "Point", "coordinates": [1, 2]}},
+        |{"type": "Feature", "properties": {"station_id": 1},
+        | "geometry": {"type": "LineString", "coordinates": [3, 4]}}]}""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get(p), json.getBytes("UTF-8"))
+    val e = intercept[Exception](GeoJson.readPoints(spark, p).collect())
+    assert(e.getMessage.contains("LineString") ||
+      e.getCause != null && e.getCause.getMessage.contains("LineString"))
+  }
+
+  test("registry: zonal_points covers every zone a station parity-hits") {
+    val rows = q("zonal_points").collect()
+    assert(rows.nonEmpty)
+    // counts are positive and sums are finite money values
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(!r.getDouble(2).isNaN)
+    }
+  }
+}
