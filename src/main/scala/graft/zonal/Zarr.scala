@@ -185,10 +185,11 @@ object Zarr {
       case other => sys.error(s"$path: dimension_separator $other")
     }
     if (shape.length == 4) {
-      require(!fOrder, s"$path: F-order rank-4 arrays unsupported (2-D only)")
+      // F-order rank-4 (r16): column-major = FIRST index fastest — the
+      // same pure index remap as 2-D/rank-3, two more strides
       ZarrMeta(shape(2), shape(3), chunks(2), chunks(3), dtype, compressor,
         fill, hasFill, sep, epochs = shape(0), chunkT = chunks(0),
-        levels = shape(1), chunkL = chunks(1))
+        levels = shape(1), chunkL = chunks(1), transposed = fOrder)
     } else if (shape.length == 3) {
       // F-order rank-3 (r14): column-major = FIRST index fastest — the
       // same pure index remap as 2-D, one more stride
@@ -1011,7 +1012,8 @@ object Zarr {
       dtype: String, compressor: String, fill: Double, hasFill: Boolean,
       // sharding_indexed (r14): inner dims (0 = unsharded) + index shape
       innerT: Int = 0, innerL: Int = 0, innerH: Int = 0, innerW: Int = 0,
-      indexCrc: Boolean = false, indexAtEnd: Boolean = true)
+      indexCrc: Boolean = false, indexAtEnd: Boolean = true,
+      transposed: Boolean = false)
 
   /** Rank-4 chunk manifest: one listing per directory level, every
     * grid position a ref (absent = fill, `len = -1`).
@@ -1031,7 +1033,8 @@ object Zarr {
         innerT = m.innerT, innerL = if (m.innerT > 0) m.innerL else 0,
         innerH = if (m.innerT > 0) m.innerH else 0,
         innerW = if (m.innerT > 0) m.innerW else 0,
-        indexCrc = m.indexCrc, indexAtEnd = m.indexAtEnd)
+        indexCrc = m.indexCrc, indexAtEnd = m.indexAtEnd,
+        transposed = m.transposed)
     if (m.sep == ".") {
       val names = listing(base)
       for (ck <- 0 until m.chunksAlong; cl <- 0 until m.chunksLevel;
@@ -1084,7 +1087,11 @@ object Zarr {
       else java.nio.ByteOrder.LITTLE_ENDIAN)
     val kind = r.dtype.substring(1)
     inBounds4(r).map { case (tt, ll, rr, cc, x, y, l, t) =>
-      val i = (((tt * r.chunkL + ll) * r.chunkH + rr) * r.chunkW + cc) * elem
+      // F-order (r16): first index fastest — the pure index remap with
+      // two more strides than the 2-D transpose
+      val i =
+        (if (r.transposed) tt + (ll + (rr + cc * r.chunkH) * r.chunkL) * r.chunkT
+         else ((tt * r.chunkL + ll) * r.chunkH + rr) * r.chunkW + cc) * elem
       val v = kind match {
         case "f8" => buf.getDouble(i)
         case "f4" => buf.getFloat(i).toDouble
@@ -1468,10 +1475,18 @@ object Zarr {
     */
   def writeZarr4d(dir: String, epochs: Int, levels: Int, height: Int, width: Int,
       chunkT: Int, chunkL: Int, chunkH: Int, chunkW: Int,
-      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0)
+      compressor: String = "zlib", dtype: String = "<f8", fill: Double = 0.0,
+      fOrder: Boolean = false)
       (f: (Int, Int, Int, Int) => Double): Unit = {
     writeZarr4dMeta(dir, epochs, levels, height, width,
       chunkT, chunkL, chunkH, chunkW, compressor, dtype, fill)
+    if (fOrder) {
+      val mp = new java.io.File(dir, ".zarray").toPath
+      val txt = new String(java.nio.file.Files.readAllBytes(mp),
+        java.nio.charset.StandardCharsets.UTF_8)
+      java.nio.file.Files.write(mp, txt.replace("\"order\": \"C\"", "\"order\": \"F\"")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val d = new java.io.File(dir)
     val along = (epochs + chunkT - 1) / chunkT
     val lvl = (levels + chunkL - 1) / chunkL
@@ -1480,10 +1495,15 @@ object Zarr {
     for (ck <- 0 until along; cl <- 0 until lvl;
          ci <- 0 until down; cj <- 0 until across) {
       val vals = Array.tabulate(chunkT * chunkL * chunkH * chunkW) { i =>
-        val tt = i / (chunkL * chunkH * chunkW)
-        val ll = i / (chunkH * chunkW) % chunkL
-        val rr = i / chunkW % chunkH
-        val cc = i % chunkW
+        // C-order buffer position i → lattice (tt, ll, rr, cc);
+        // F-order stores the SAME lattice with the first index fastest
+        val (tt, ll, rr, cc) =
+          if (fOrder)
+            (i % chunkT, i / chunkT % chunkL,
+              i / (chunkT * chunkL) % chunkH, i / (chunkT * chunkL * chunkH))
+          else
+            (i / (chunkL * chunkH * chunkW), i / (chunkH * chunkW) % chunkL,
+              i / chunkW % chunkH, i % chunkW)
         val t = ck * chunkT + tt
         val l = cl * chunkL + ll
         val y = ci * chunkH + rr
@@ -2179,6 +2199,24 @@ object Zarr {
     dir
   }
 
+  private val fixtureF4Lock = new Object
+  @volatile private var fixtureF4Ready: String = null
+
+  /** F-order RANK-4 v2 fixture (r16): same lattice as the C-order
+    * rank-4 fixture, column-major chunk buffers.
+    */
+  def fixtureForder4dDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr4f_fixture_${Zarr4T}x${Zarr4L}x${ZarrH}x$ZarrW"
+    if (fixtureF4Ready != dir) fixtureF4Lock.synchronized {
+      if (fixtureF4Ready != dir) {
+        writeZarr4d(dir, Zarr4T, Zarr4L, ZarrH, ZarrW, 2, 3, 32, 32,
+          compressor = "zlib", fOrder = true)(zarr4dValue)
+        fixtureF4Ready = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureSh4Lock = new Object
   @volatile private var fixtureSh4Ready: String = null
 
@@ -2242,6 +2280,18 @@ object Zarr {
       scanZarr3d(s, fixtureForder3dDir())
         .select(col("cell_x"), col("cell_y"), col("epoch"), col("value"))
         .orderBy("cell_x", "cell_y", "epoch")
+    },
+
+    // F-ORDER rank-4 (r16 — retiring the last F-order refusal: the
+    // full Fortran/scipy (t, level, y, x) shape): column-major chunks
+    // decode by the SAME pure index remap with two more strides; the
+    // writer emits real F-order stores; same 4-factor formula oracle
+    "scan_zarr_4d_forder" -> Q(
+      s"""SELECT cell_x, cell_y, level, epoch, value FROM ($Zarr4dCellsSql)
+         |ORDER BY cell_x, cell_y, level, epoch""".stripMargin) { (s, _) =>
+      scanZarr4d(s, fixtureForder4dDir())
+        .select(col("cell_x"), col("cell_y"), col("level"), col("epoch"), col("value"))
+        .orderBy("cell_x", "cell_y", "level", "epoch")
     },
 
     // sharded RANK-4 v3 (r14): the full (t, level, y, x) sharded

@@ -203,12 +203,8 @@ class ZarrSpec extends SparkSuite {
       putText(d, ".zarray", zarray)
       d.getPath
     }
-    // F-order is SUPPORTED for 2-D (r12) and rank-3 (r14); rank-4 F
-    // and unknown order strings refuse
-    val forder4r = store("forder4r",
-      """{"zarr_format": 2, "shape": [2, 2, 4, 4], "chunks": [1, 1, 2, 2], "dtype": "<f8",
-        |"compressor": null, "fill_value": 0, "order": "F", "filters": null}""".stripMargin)
-    assert(msgs(intercept[Throwable](Zarr.readMeta(forder4r))).contains("F-order rank-4"))
+    // F-order is SUPPORTED at every rank (2-D r12, rank-3 r14, rank-4
+    // r16); only unknown order strings refuse
     // rank-3 F roundtrips through the writer+reader pair
     val f3d = tmpDir("forder3rt")
     def ff3(x: Int, y: Int, t: Int): Double = 100 * t + 10 * y + x
@@ -240,11 +236,18 @@ class ZarrSpec extends SparkSuite {
     assert(msgs(intercept[Throwable](Zarr.scanZarr(spark, fourD))).contains("scanZarr4d"))
     // ...and the rank-3 scan refuses a rank-4 store by name
     assert(msgs(intercept[Throwable](Zarr.scanZarr3d(spark, fourD))).contains("scanZarr4d"))
-    // F-order rank-4 refuses like rank-3
-    val forder4 = store("forder4",
-      """{"zarr_format": 2, "shape": [2, 2, 4, 4], "chunks": [1, 1, 2, 2], "dtype": "<f8",
-        |"compressor": null, "fill_value": 0, "order": "F", "filters": null}""".stripMargin)
-    assert(msgs(intercept[Throwable](Zarr.readMeta(forder4))).contains("F-order rank-4"))
+    // rank-4 F (r16) roundtrips through the writer+reader pair — a
+    // non-uniform lattice so any axis mixup in the remap mismatches
+    val f4d = tmpDir("forder4rt")
+    def ff4(x: Int, y: Int, l: Int, t: Int): Double =
+      1000 * t + 100 * l + 10 * y + x
+    Zarr.writeZarr4d(f4d.getPath, 3, 2, 4, 5, 2, 1, 2, 3, compressor = "zlib",
+      fOrder = true)(ff4)
+    val g4 = Zarr.scanZarr4d(spark, f4d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    assert(g4.size == 3 * 2 * 4 * 5)
+    for (t <- 0 until 3; l <- 0 until 2; y <- 0 until 4; x <- 0 until 5)
+      assert(g4((x, y, l, t)) == ff4(x, y, l, t), s"F4 ($x,$y,$l,$t)")
 
     // absent chunk + fill_value null -> loud at read time, not silent zeros
     val noFill = store("nofill",
