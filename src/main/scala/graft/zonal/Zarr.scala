@@ -218,7 +218,8 @@ object Zarr {
     field("node_type") match {
       case JString("array") => ()
       case other => sys.error(s"$path: node_type $other is not an array " +
-        "(group documents have no chunks — point the scan at the array node)")
+        "(group documents have no chunks — scan the hierarchy with " +
+        "scanZarrV3Dataset, or point this scan at the array node)")
     }
     def dims(n: String, v: JValue): List[Int] = v match {
       case JArray(ds) => ds.map {
@@ -482,6 +483,99 @@ object Zarr {
     val metas = readZMetadata(dir).toSeq.sortBy(_._1)
       .filter(m => !m._2.rank3 && !m._2.rank4)
     require(metas.nonEmpty, s"$dir: no 2-D arrays in .zmetadata")
+    val refs = metas.flatMap { case (path, m) =>
+      chunkRefs(m, s"$dir/$path").map(r => (path, r))
+    }
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { case (v, r) => readChunk(r).map { case (x, y, w) => (x, y, v, w) } }
+      .toDF("cell_x", "cell_y", "var_name", "value")
+  }
+
+  /** Parse a Zarr V3 GROUP hierarchy (r16 — zarr-python 3 writes v3 by
+    * default, so a current xarray Dataset IS a v3 group of aligned
+    * arrays): the root `zarr.json` (node_type=group), members either
+    * from the inline `consolidated_metadata` document zarr-python 3
+    * emits on consolidation, or by walking child directories for their
+    * own `zarr.json` (the default un-consolidated layout). 1-D
+    * coordinate arrays ("x"/"y"/"time" index vectors) are SKIPPED —
+    * normal members of every real dataset, the v2 `.zmetadata` rule —
+    * and nested subgroups recurse (depth-capped). Returns member path
+    * → parsed array meta; rank-2/3/4 members validate (and refuse)
+    * through the full v3 parser.
+    */
+  private[graft] def readV3Group(dir: String): Map[String, ZarrMeta] = {
+    import org.json4s._
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopFs(base)
+    def readJson(p: org.apache.hadoop.fs.Path): JValue = {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val raw = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, raw) finally in.close()
+      org.json4s.jackson.JsonMethods.parse(
+        new String(raw, java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val root = readJson(new org.apache.hadoop.fs.Path(base, "zarr.json"))
+    require(root \ "zarr_format" == JInt(3),
+      s"$dir/zarr.json: zarr_format ${root \ "zarr_format"} (want 3)")
+    require(root \ "node_type" == JString("group"),
+      s"$dir/zarr.json: node_type ${root \ "node_type"} is not a group " +
+        "(array nodes scan via scanZarr/scanZarr3d/scanZarr4d)")
+    def fromDoc(path: String, v: JValue): Option[(String, ZarrMeta)] =
+      v \ "node_type" match {
+        case JString("array") =>
+          v \ "shape" match {
+            case JArray(ds) if ds.length == 1 => None // coordinate vector
+            case _ => Some(path -> parseZarrV3(s"$dir/$path/zarr.json",
+              org.json4s.jackson.JsonMethods.compact(
+                org.json4s.jackson.JsonMethods.render(v))))
+          }
+        case JString("group") => None // its members carry their own keys
+        case other => sys.error(s"$dir/$path: node_type $other unsupported")
+      }
+    root \ "consolidated_metadata" match {
+      case JNothing | JNull =>
+        // un-consolidated: walk child directories for zarr.json nodes
+        def walk(prefix: String, p: org.apache.hadoop.fs.Path,
+            depth: Int): Seq[(String, ZarrMeta)] = {
+          require(depth <= 4, s"$dir: group nesting deeper than 4 unsupported")
+          fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+            val child = st.getPath
+            val doc = new org.apache.hadoop.fs.Path(child, "zarr.json")
+            if (!fs.exists(doc)) Nil
+            else {
+              val name =
+                if (prefix.isEmpty) child.getName else s"$prefix/${child.getName}"
+              val j = readJson(doc)
+              if (j \ "node_type" == JString("group")) walk(name, child, depth + 1)
+              else fromDoc(name, j).toSeq
+            }
+          }
+        }
+        walk("", base, 0).toMap
+      case cm =>
+        // zarr-python 3 consolidation: a flattened member map inline
+        // in the ROOT document — no child reads at all
+        cm \ "metadata" match {
+          case JObject(fields) => fields.flatMap { case (k, v) => fromDoc(k, v) }.toMap
+          case other => sys.error(
+            s"$dir/zarr.json: consolidated_metadata.metadata $other is not an object")
+        }
+    }
+  }
+
+  /** Scan EVERY 2-D member array of a v3 GROUP hierarchy as ONE
+    * DataFrame `(cell_x, cell_y, var_name, value)` — the zarr-python-3
+    * xarray Dataset read (the v3 twin of [[scanZarrDataset]]); one
+    * task per (variable, chunk).
+    */
+  def scanZarrV3Dataset(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val metas = readV3Group(dir).toSeq.sortBy(_._1)
+      .filter(m => !m._2.rank3 && !m._2.rank4)
+    require(metas.nonEmpty, s"$dir: no 2-D arrays in the v3 group")
     val refs = metas.flatMap { case (path, m) =>
       chunkRefs(m, s"$dir/$path").map(r => (path, r))
     }
@@ -2099,6 +2193,61 @@ object Zarr {
     dir
   }
 
+  private val fixtureV3DsLock = new Object
+  @volatile private var fixtureV3DsReady: String = null
+
+  /** V3 GROUP fixture (r16): root group document (NO consolidated
+    * metadata — the zarr-python-3 default), two aligned 2-D member
+    * arrays on the shared formulas, and a 1-D coordinate member the
+    * walk must SKIP, not refuse.
+    */
+  def fixtureV3DatasetDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_v3ds_fixture_${ZarrW}x$ZarrH"
+    if (fixtureV3DsReady != dir) fixtureV3DsLock.synchronized {
+      if (fixtureV3DsReady != dir) {
+        writeZarrV3(s"$dir/precip", ZarrH, ZarrW, 32, 32, compressor = "gzip")(zarrValue)
+        writeZarrV3(s"$dir/temp", ZarrH, ZarrW, 32, 32, compressor = "zstd")(zarrValue2)
+        writeV3GroupDoc(dir)
+        writeV3Coord(s"$dir/x", ZarrW)
+        fixtureV3DsReady = dir
+      }
+    }
+    dir
+  }
+
+  /** Emit a v3 root GROUP document. */
+  def writeV3GroupDoc(dir: String): Unit = {
+    new java.io.File(dir).mkdirs()
+    java.nio.file.Files.write(new java.io.File(dir, "zarr.json").toPath,
+      """{"zarr_format": 3, "node_type": "group",
+        | "attributes": {"title": "graft v3 dataset"}}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Emit a 1-D float64 coordinate member (0, 1, 2, …) — the index
+    * vector every xarray Dataset carries next to its data variables.
+    */
+  def writeV3Coord(dir: String, n: Int): Unit = {
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    java.nio.file.Files.write(new java.io.File(d, "zarr.json").toPath,
+      s"""{
+         |  "zarr_format": 3,
+         |  "node_type": "array",
+         |  "shape": [$n],
+         |  "data_type": "float64",
+         |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$n]}},
+         |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         |  "fill_value": 0,
+         |  "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}]
+         |}""".stripMargin.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val b = java.nio.ByteBuffer.allocate(8 * n).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => b.putDouble(i.toDouble))
+    val out = new java.io.File(d, "c/0")
+    out.getParentFile.mkdirs()
+    java.nio.file.Files.write(out.toPath, b.array())
+  }
+
   private val fixture3dLock = new Object
   @volatile private var fixture3dReady: String = null
 
@@ -2425,6 +2574,24 @@ object Zarr {
          |  FROM range(0, $ZarrW) x(cell_x) CROSS JOIN range(0, $ZarrH) y(cell_y))
          |ORDER BY cell_x, cell_y, var_name""".stripMargin) { (s, _) =>
       scanZarrDataset(s, fixtureDatasetDir())
+        .select(col("cell_x"), col("cell_y"), col("var_name"), col("value"))
+        .orderBy("cell_x", "cell_y", "var_name")
+    },
+
+    // V3 GROUP hierarchy (r16 — zarr-python 3 writes v3 by default,
+    // so a CURRENT xarray Dataset is a v3 group of aligned arrays):
+    // the root group document + per-member zarr.json walk (or the
+    // inline consolidated map when present), 1-D coordinate members
+    // skipped; the same two-formula UNION oracle as scan_zarr_dataset
+    // gates the whole hierarchy read
+    "scan_zarr_v3_dataset" -> Q(
+      s"""SELECT cell_x, cell_y, var_name, value FROM (
+         |  SELECT cell_x, cell_y, 'precip' AS var_name, value FROM ($ZarrCellsSql)
+         |  UNION ALL
+         |  SELECT cell_x, cell_y, 'temp' AS var_name, $Zarr2ValueSql AS value
+         |  FROM range(0, $ZarrW) x(cell_x) CROSS JOIN range(0, $ZarrH) y(cell_y))
+         |ORDER BY cell_x, cell_y, var_name""".stripMargin) { (s, _) =>
+      scanZarrV3Dataset(s, fixtureV3DatasetDir())
         .select(col("cell_x"), col("cell_y"), col("var_name"), col("value"))
         .orderBy("cell_x", "cell_y", "var_name")
     },

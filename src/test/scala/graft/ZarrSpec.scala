@@ -465,6 +465,56 @@ class ZarrSpec extends SparkSuite {
       Zarr.scanZarrConsolidated(spark, d.getPath, "c4"))).contains("rank-3/4"))
   }
 
+  test("v3 GROUP hierarchy: directory walk, inline consolidation, nesting, skips, refusals") {
+    def fv(x: Int, y: Int): Double = (10 * y + x).toDouble
+    def fw(x: Int, y: Int): Double = (100 + x + y).toDouble
+    // un-consolidated: root group doc + per-member zarr.json walk,
+    // with a NESTED subgroup and a 1-D coordinate member to skip
+    val d = tmpDir("v3grp")
+    Zarr.writeV3GroupDoc(d.getPath)
+    Zarr.writeZarrV3(s"$d/a", 4, 6, 2, 3, compressor = "raw")(fv)
+    Zarr.writeV3GroupDoc(s"$d/sub")
+    Zarr.writeZarrV3(s"$d/sub/b", 4, 6, 2, 3, compressor = "gzip")(fw)
+    Zarr.writeV3Coord(s"$d/x", 6)
+    val got = Zarr.scanZarrV3Dataset(spark, d.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 48)
+    assert(got.keySet.map(_._3) == Set("a", "sub/b"))
+    for (y <- 0 until 4; x <- 0 until 6) {
+      assert(got((x, y, "a")) == fv(x, y), s"a ($x,$y)")
+      assert(got((x, y, "sub/b")) == fw(x, y), s"sub/b ($x,$y)")
+    }
+    // inline consolidated metadata (zarr-python 3 consolidation): the
+    // members come from the ROOT document — the PROOF deletes a child
+    // zarr.json and the scan still reads it
+    val c = tmpDir("v3consol")
+    Zarr.writeZarrV3(s"$c/a", 4, 6, 2, 3, compressor = "raw")(fv)
+    val aDoc = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(c, "a/zarr.json").toPath), "UTF-8")
+    putText(c, "zarr.json",
+      s"""{"zarr_format": 3, "node_type": "group",
+         | "consolidated_metadata": {"kind": "inline", "must_understand": false,
+         |   "metadata": {"a": $aDoc,
+         |     "x": {"node_type": "array", "shape": [6]},
+         |     "sub": {"node_type": "group"}}}}""".stripMargin)
+    assert(new java.io.File(c, "a/zarr.json").delete())
+    val gc = Zarr.scanZarrV3Dataset(spark, c.getPath).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(gc.size == 24)
+    for (y <- 0 until 4; x <- 0 until 6) assert(gc((x, y)) == fv(x, y))
+    // refusals: root that is an ARRAY document, and an empty group
+    val e1 = msgs(intercept[Throwable](
+      Zarr.readV3Group(s"${d.getPath}/a")))
+    assert(e1.contains("not a group"))
+    val e2 = tmpDir("v3empty")
+    Zarr.writeV3GroupDoc(e2.getPath)
+    assert(msgs(intercept[Throwable](
+      Zarr.scanZarrV3Dataset(spark, e2.getPath).collect())).contains("no 2-D arrays"))
+    // ...and an ARRAY scan pointed at a group document names the fix
+    assert(msgs(intercept[Throwable](
+      Zarr.readMeta(d.getPath))).contains("scanZarrV3Dataset"))
+  }
+
   test("hand-built RANK-4 store: (t, level)-major planes, all-axis pad clip, absent-chunk fill") {
     // 3×2×3×4 cube (t, level, y, x), chunks 2×1×2×3 → 2×2×2×2 grid;
     // value 1000*t + 100*l + 10*y + x; chunk (1,1,1,1) ABSENT
