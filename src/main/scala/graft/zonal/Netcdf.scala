@@ -552,6 +552,44 @@ object Netcdf {
       s.sparkContext.defaultParallelism))
   }
 
+  /** Scan a 1-D COORDINATE variable (r16 — the axis-label vectors
+    * every CF file carries next to its data variables): one task, the
+    * vector is axis-sized by construction. Returns `(idx, coord)`.
+    */
+  def scanNetcdfCoord(s: SparkSession, path: String, name: String): DataFrame = {
+    import s.implicits._
+    val m = readMeta(path)
+    val v = m.variable(name)
+    require(v.dimIds.length == 1,
+      s"$path: $name has rank ${v.dimIds.length}, want a 1-D coordinate")
+    require(v.ncType != NcChar, s"$path: char coordinate $name unsupported")
+    val n = m.dims(v.dimIds.head).length
+    require(n > 0, s"$path: record coordinate $name unsupported (fixed axes only)")
+    val ref = StripeRef(path, v.begin, 0, 1, n, v.ncType, 0, 0.0, hasFill = false)
+    s.createDataset(Seq(ref))
+      .flatMap(r => readStripe(r).map { case (i, _, _, c) => (i, c) })
+      .toDF("idx", "coord")
+  }
+
+  /** Cube scan WITH axis labels (r16 — the r14 verdict's missing #5:
+    * selection by degree/timestamp stops being the caller's
+    * re-derivation): the data variable joined to its x/y coordinate
+    * vectors. Coordinates are broadcast-scale by construction — two
+    * broadcast hash joins on the integer index, the cube side's plan
+    * untouched at any file size.
+    */
+  def scanNetcdfCoords(s: SparkSession, path: String, varName: String,
+      xCoord: String = "x", yCoord: String = "y"): DataFrame = {
+    val cube = scanNetcdf(s, path, varName)
+    val xs = scanNetcdfCoord(s, path, xCoord)
+      .select(col("idx").as("cell_x"), col("coord").as("x_coord"))
+    val ys = scanNetcdfCoord(s, path, yCoord)
+      .select(col("idx").as("cell_y"), col("coord").as("y_coord"))
+    cube.join(broadcast(xs), Seq("cell_x")).join(broadcast(ys), Seq("cell_y"))
+      .select(col("cell_x"), col("cell_y"),
+        col("x_coord"), col("y_coord"), col("value"))
+  }
+
   // ---- writer (fixtures + the sink direction's encoder) ----
 
   /** Write a classic CDF-1 file: dims `(y, x)` (+ an UNLIMITED `t` when
@@ -565,7 +603,13 @@ object Netcdf {
       ncType: Int, epochs: Int = 0, fill: Option[Double] = None,
       coordVars: Boolean = true, version: Int = 1,
       pack: Option[(Double, Double)] = None,
-      extraAttrs: Seq[(String, Double)] = Nil)(f: (Int, Int, Int) => Double): Unit = {
+      extraAttrs: Seq[(String, Double)] = Nil,
+      coordY: Int => Double = _.toDouble,
+      coordX: Int => Double = _.toDouble,
+      // r16: an optional CHAR variable (name, one string per y row) —
+      // the CF station-name / long_name-table shape real mixed-content
+      // files carry next to their numeric cubes
+      charVar: Option[(String, Seq[String])] = None)(f: (Int, Int, Int) => Double): Unit = {
     require(version == 1 || version == 5,
       s"writer speaks CDF-1 and CDF-5, not version $version")
     // CDF-5 (r14, pnetcdf BNF): every NON_NEG field widens 4 -> 8
@@ -586,15 +630,20 @@ object Netcdf {
       write; val r = len % 4; if (r != 0) o.write(new Array[Byte](4 - r))
     }
     val record = epochs > 0
+    charVar.foreach { case (_, strs) =>
+      require(strs.length == height, s"charVar needs one string per y row") }
     o.writeBytes("CDF"); o.writeByte(version)
     nn(if (record) epochs else 0)
-    // dim_list: [t,] y, x
-    val dims = (if (record) Seq(("t", 0)) else Nil) ++ Seq(("y", height), ("x", width))
+    // dim_list: [t,] y, x [, nchar]
+    val dims = (if (record) Seq(("t", 0)) else Nil) ++
+      Seq(("y", height), ("x", width)) ++
+      charVar.toSeq.map { case (_, strs) => ("nchar", strs.map(_.length).max) }
     o.writeInt(0x0A); nn(dims.length)
     dims.foreach { case (n, len) => wname(n); nn(len) }
     o.writeInt(0); nn(0) // no global attributes
     val yDim = if (record) 1 else 0
     val xDim = if (record) 2 else 1
+    val ncharDim = dims.length - 1
     // variable list: coord vars y(y) x(x) float, then the data variable
     final case class W(name: String, dimIds: Seq[Int], t: Int,
         attrs: Seq[(String, Int, Either[Double, String])]) {
@@ -611,7 +660,8 @@ object Netcdf {
     val vars =
       (if (coordVars) Seq(
         W("y", Seq(yDim), NcFloat, Nil),
-        W("x", Seq(xDim), NcFloat, Nil)) else Nil) :+
+        W("x", Seq(xDim), NcFloat, Nil)) else Nil) ++
+      charVar.toSeq.map { case (nm, _) => W(nm, Seq(yDim, ncharDim), NcChar, Nil) } :+
       W(varName, (if (record) Seq(0) else Nil) ++ Seq(yDim, xDim), ncType, fillAttrs)
     def dimLen(i: Int): Int = dims(i)._2
     // header size must be known to place begins: build entries, measure
@@ -694,8 +744,13 @@ object Netcdf {
       case NcChar => sys.error("char data")
     }
     if (coordVars) {
-      wpadded((0 until height).foreach(y => o.writeFloat(y.toFloat)), height * 4)
-      wpadded((0 until width).foreach(x => o.writeFloat(x.toFloat)), width * 4)
+      wpadded((0 until height).foreach(y => o.writeFloat(coordY(y).toFloat)), height * 4)
+      wpadded((0 until width).foreach(x => o.writeFloat(coordX(x).toFloat)), width * 4)
+    }
+    charVar.foreach { case (_, strs) =>
+      val strLen = strs.map(_.length).max
+      wpadded(strs.foreach(s0 => o.writeBytes(s0.padTo(strLen, ' '))),
+        height * strLen)
     }
     if (!record) {
       wpadded(for (y <- 0 until height; x <- 0 until width) { sample(ncType, f(x, y, 0)) },
@@ -823,6 +878,30 @@ object Netcdf {
       writeNetcdf(p, "t2m", NcH, NcW, NcDouble)((x, y, _) => ncValue(x, y))
     }
 
+  /** Degree-labelled fixture (r16): same data formula, float32 x/y
+    * coordinate variables on quarter-degree steps — 0.25 increments
+    * and the bases are exact in binary, so the coordinate decode
+    * hash-gates against the identical arithmetic in DuckDB.
+    */
+  def coordsFixturePath(): String =
+    Raster.fixtureOnce(s"nc_coords_${NcW}x$NcH.nc") { p =>
+      writeNetcdf(p, "t2m", NcH, NcW, NcDouble,
+        coordY = y => 40.0 + 0.25 * y,
+        coordX = x => -120.0 + 0.25 * x)((x, y, _) => ncValue(x, y))
+    }
+
+  /** Mixed-content fixture (r16): the same numeric cube NEXT TO a CF
+    * char variable (`station_name(y, nchar)` — the long_name-table /
+    * station-name shape): char members are tolerated, never block the
+    * numeric scan; requesting the char variable itself refuses by name.
+    */
+  def charFixturePath(): String =
+    Raster.fixtureOnce(s"nc_char_${NcW}x$NcH.nc") { p =>
+      writeNetcdf(p, "t2m", NcH, NcW, NcDouble,
+        charVar = Some(("station_name",
+          (0 until NcH).map(y => s"stn-$y"))))((x, y, _) => ncValue(x, y))
+    }
+
   /** int16 + `_FillValue` fixture: fill where (7x + 11y) mod 13 = 0. */
   val NcFill = -999.0
   def ncFilled(x: Int, y: Int): Boolean = (7 * x + 11 * y) % 13 == 0
@@ -908,6 +987,40 @@ object Netcdf {
       s"""SELECT cell_x, cell_y, value FROM ($NcCellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdf(s, fixturePath(), "t2m")
+        .select(col("cell_x"), col("cell_y"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // COORDINATE-variable decode (r16 — the axis labels every CF file
+    // carries: selection by degree instead of index stops being the
+    // caller's re-derivation): the 1-D x/y vectors surface as real
+    // columns via two BROADCAST joins on the integer index — the cube
+    // side's stripe plan is untouched at any file size; the oracle
+    // replays the quarter-degree coordinate formula alongside the data
+    // formula (both exact in binary)
+    "scan_netcdf_coords" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  CAST(-120.0 + 0.25 * cell_x AS DOUBLE) AS x_coord,
+         |  CAST(40.0 + 0.25 * cell_y AS DOUBLE) AS y_coord,
+         |  value FROM ($NcCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdfCoords(s, coordsFixturePath(), "t2m")
+        .select(col("cell_x"), col("cell_y"),
+          col("x_coord"), col("y_coord"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // CHAR-member tolerance (r16 — mixed-content classic files: CF
+    // long_name tables and station-name vars live NEXT TO the numeric
+    // cube; a char member must never block it): the char variable's
+    // header entry parses and its slab sits between the coordinate
+    // vectors and the data variable, so the formula oracle gates the
+    // begin accounting — a mis-sized char slab would shift every data
+    // byte; requesting the char variable itself still refuses by name
+    "scan_netcdf_char" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM ($NcCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdf(s, charFixturePath(), "t2m")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

@@ -398,6 +398,43 @@ class NetcdfSpec extends SparkSuite {
     assert(e.getMessage.contains("CDF-5"), e.getMessage)
   }
 
+  test("coordinate decode: axis labels join the cube; rank/char refusals") {
+    val p = tmpFile("coords.nc")
+    Netcdf.writeNetcdf(p, "v", 3, 4, 6,
+      coordY = y => 40.0 + 0.25 * y,
+      coordX = x => -120.0 + 0.25 * x)((x, y, _) => (10 * y + x).toDouble)
+    val got = Netcdf.scanNetcdfCoords(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got.size == 12)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(got((x, y)) == ((-120.0 + 0.25 * x, 40.0 + 0.25 * y, (10 * y + x).toDouble)))
+    // the bare coordinate scan: (idx, coord) in axis order
+    val xs = Netcdf.scanNetcdfCoord(spark, p, "x").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(xs == (0 until 4).map(x => x -> (-120.0 + 0.25 * x)).toMap)
+    // a 2-D variable is not a coordinate; missing coords are loud
+    val e1 = intercept[Exception] { Netcdf.scanNetcdfCoord(spark, p, "v") }
+    assert(e1.getMessage.contains("rank"))
+    val p2 = tmpFile("nocoords.nc")
+    Netcdf.writeNetcdf(p2, "v", 3, 4, 6, coordVars = false)((x, y, _) => 1.0)
+    val e2 = intercept[Exception] { Netcdf.scanNetcdfCoords(spark, p2, "v") }
+    assert(e2.getMessage.contains("not in file"))
+  }
+
+  test("char members tolerated: numeric cube scans, char var itself refuses") {
+    val p = tmpFile("charvar.nc")
+    Netcdf.writeNetcdf(p, "v", 3, 4, 6,
+      charVar = Some(("station_name", Seq("alpha", "b", "gamma-long"))))(
+      (x, y, _) => (10 * y + x).toDouble)
+    val got = Netcdf.scanNetcdf(spark, p, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(got.size == 12)
+    for (y <- 0 until 3; x <- 0 until 4) assert(got((x, y)) == (10 * y + x).toDouble)
+    val e = intercept[Exception] { Netcdf.scanNetcdf(spark, p, "station_name") }
+    assert(e.getMessage.contains("char"))
+  }
+
   test("header growth: a header larger than the first read parses fine") {
     val p = tmpFile("big_header.nc")
     // ~12 KB of attribute padding via many coord-style vars is overkill;
