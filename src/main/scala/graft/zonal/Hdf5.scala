@@ -231,12 +231,14 @@ object Hdf5 {
     * HEAP indexed by a v2 B-TREE on name hash once they outgrow the
     * compact header; netCDF-4 files with many variables per group ship
     * this way): walk the name index's root leaf, fetch each record's
-    * heap object (a serialized link-message body) from the root DIRECT
+    * heap object (a serialized link-message body) from its DIRECT
     * block, and parse it with the same hard-link parser the compact
-    * path uses. Scoped to the single-direct-block, root-leaf shape
-    * (a few hundred links at default parameters); indirect heap
-    * blocks, huge/tiny objects, filtered heaps and deeper B-trees
-    * refuse by name.
+    * path uses. r16: INDIRECT roots walk too — an FHIB root carries a
+    * row-major direct-block address array over the doubling table
+    * (rows 0/1 at `startSize`, row k ≥ 2 at `startSize·2^(k-1)`,
+    * `tableWidth` blocks per row), the thousand-link-group shape.
+    * Huge/tiny objects, filtered heaps, indirect CHILDREN of indirect
+    * blocks and deeper B-trees refuse by name.
     */
   private def denseLinks(path: String, r: RangeReader,
       fheapAddr: Long, btAddr: Long): Map[String, Either[Long, String]] = {
@@ -250,14 +252,13 @@ object Hdf5 {
     val maxManSize = le(fh).getInt(10)
     require(le(fh).getLong(86) == 0 && le(fh).getLong(102) == 0,
       s"$path: huge/tiny fractal-heap objects unsupported")
+    val tableWidth = le(fh).getShort(110) & 0xffff
+    require(tableWidth >= 1, s"$path: fractal-heap table width $tableWidth")
     val startSize = le(fh).getLong(112)
     val maxDirectSize = le(fh).getLong(120)
     val maxHeapBits = le(fh).getShort(128) & 0xffff
     val rootAddr = le(fh).getLong(132)
     val curRows = le(fh).getShort(140) & 0xffff
-    require(curRows == 0,
-      s"$path: fractal heap with an INDIRECT root block unsupported " +
-        "(single direct block only — split the group)")
     require(rootAddr != Undef, s"$path: fractal heap with no root block")
     def bitsOf(v: Long): Int = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, v - 1))
     val heapOffSize = (maxHeapBits + 7) / 8
@@ -266,10 +267,60 @@ object Hdf5 {
       (63 - java.lang.Long.numberOfLeadingZeros(math.max(1, maxManSize.toLong))) / 8 + 1)
     require(1 + heapOffSize + heapLenSize <= idLen,
       s"$path: fractal-heap id geometry ($heapOffSize+$heapLenSize) exceeds id length $idLen")
-    val db = r.bytes(rootAddr, startSize.toInt)
-    require(db.take(4).sameElements("FHDB".getBytes), s"$path: bad FHDB signature")
-    require(le(db).getLong(5) == fheapAddr,
-      s"$path: FHDB does not point back at its FRHP")
+    // doubling-table geometry: heap-space extent of each block row
+    def rowBlkSize(row: Int): Long =
+      if (row < 2) startSize else startSize << (row - 1)
+    def rowStart(row: Int): Long = {
+      var o = 0L; var r2 = 0
+      while (r2 < row) { o += tableWidth * rowBlkSize(r2); r2 += 1 }
+      o
+    }
+    // direct-block address per (row, col): a direct root IS block
+    // (0, 0); an indirect (FHIB) root carries the row-major array
+    val dblkAddrAt: (Int, Int) => Long =
+      if (curRows == 0) { (row, col) =>
+        if (row == 0 && col == 0) rootAddr else Undef
+      } else {
+        val maxDirectRows = (bitsOf(maxDirectSize) - bitsOf(startSize)) + 2
+        require(curRows <= maxDirectRows,
+          s"$path: fractal heap rows $curRows exceed the $maxDirectRows " +
+            "direct rows — INDIRECT child blocks unsupported")
+        val ibSize = 13 + heapOffSize + curRows * tableWidth * 8 + 4
+        val ib = r.bytes(rootAddr, ibSize)
+        require(ib.take(4).sameElements("FHIB".getBytes), s"$path: bad FHIB signature")
+        require((ib(4) & 0xff) == 0, s"$path: FHIB version ${ib(4) & 0xff} unsupported")
+        require(le(ib).getLong(5) == fheapAddr,
+          s"$path: FHIB does not point back at its FRHP")
+        (row, col) =>
+          if (row >= curRows || col >= tableWidth) Undef
+          else le(ib).getLong(13 + heapOffSize + 8 * (row * tableWidth + col))
+      }
+    val dblkCache = scala.collection.mutable.Map.empty[Long, Array[Byte]]
+    // resolve a heap-space offset to (block bytes, offset within) —
+    // heap offsets count every block's own header as heap space
+    def objectAt(off: Long, len: Long): (Array[Byte], Int) = {
+      var row = 0
+      while (off >= rowStart(row) + tableWidth * rowBlkSize(row)) row += 1
+      val bs = rowBlkSize(row)
+      val col = ((off - rowStart(row)) / bs).toInt
+      val blockOff = rowStart(row) + col * bs
+      val a = dblkAddrAt(row, col)
+      require(a != Undef,
+        s"$path: heap object at offset $off in an absent direct block")
+      val db = dblkCache.getOrElseUpdate(a, {
+        val b = r.bytes(a, bs.toInt)
+        require(b.take(4).sameElements("FHDB".getBytes), s"$path: bad FHDB signature")
+        require(le(b).getLong(5) == fheapAddr,
+          s"$path: FHDB does not point back at its FRHP")
+        var bo = 0L
+        (0 until heapOffSize).foreach(j => bo |= (b(13 + j) & 0xffL) << (8 * j))
+        require(bo == blockOff, s"$path: FHDB block offset $bo, expected $blockOff")
+        b
+      })
+      require(off - blockOff >= 0 && off + len - blockOff <= bs,
+        s"$path: heap object [$off, ${off + len}) outside its direct block")
+      (db, (off - blockOff).toInt)
+    }
     // v2 B-tree header: the name index (record type 5)
     val bh = r.bytes(btAddr, 38)
     require(bh.take(4).sameElements("BTHD".getBytes), s"$path: bad BTHD signature")
@@ -299,9 +350,8 @@ object Hdf5 {
       var len = 0L
       (0 until heapLenSize).foreach(j =>
         len |= (leaf(recOff + 5 + heapOffSize + j) & 0xffL) << (8 * j))
-      require(off >= 0 && off + len <= db.length,
-        s"$path: heap object [$off, ${off + len}) outside the root direct block")
-      parseLinkBody(path, db, off.toInt)
+      val (db, o) = objectAt(off, len)
+      parseLinkBody(path, db, o)
     }.toMap
   }
 
@@ -2617,12 +2667,47 @@ object Hdf5 {
     // heap geometry (the H5G dense defaults)
     val idLen = 7 // 1 + heapOffSize 4 + heapLenSize 2
     val startSize = 512L
+    val tblW = 4
+    val blkHdr = 21L // sig 4 + ver 1 + hdr addr 8 + block off 4 + checksum 4
+    def rowBlkSize(row: Int): Long =
+      if (row < 2) startSize else startSize << (row - 1)
+    def rowStart(row: Int): Long = {
+      var o = 0L; var r2 = 0
+      while (r2 < row) { o += tblW * rowBlkSize(r2); r2 += 1 }
+      o
+    }
+    // greedy placement of link bodies into direct blocks in heap order
+    // (r16: spills past one block into an FHIB indirect root — the
+    // thousand-link-group shape)
+    def bodyLen(nm: String): Long = 3L + nm.length + 8
+    final case class DBlk(row: Int, col: Int, blockOff: Long, size: Long)
+    val dblks = scala.collection.mutable.ArrayBuffer.empty[DBlk]
+    var used = 0L
+    val placed: Seq[(String, Long)] = linkNames.map { nm =>
+      val len = bodyLen(nm)
+      if (dblks.isEmpty || used + len > dblks.last.size) {
+        val bi = dblks.size
+        val (row, col) = (bi / tblW, bi % tblW)
+        dblks += DBlk(row, col, rowStart(row) + col * rowBlkSize(row), rowBlkSize(row))
+        used = blkHdr
+        require(len <= dblks.last.size - blkHdr,
+          s"dense link body ${len}B overflows a ${dblks.last.size}B block")
+      }
+      val off = dblks.last.blockOff + used
+      used += len
+      (nm, off)
+    }
+    val indirect = dblks.size > 1
+    val nrows = dblks.last.row + 1
     val aRoot = 48L
     val rootChunk0 = 4 + 18 // one Link Info message
     val rootSize = 7 + rootChunk0 + 4
     val aFrhp = aRoot + rootSize
-    val aFhdb = aFrhp + 146
-    val aBthd = aFhdb + startSize
+    val ibSize = if (indirect) 13 + 4 + nrows * tblW * 8 + 4 else 0
+    val aFhib = aFrhp + 146
+    val aHeap0 = aFhib + ibSize // first direct block
+    val dblkAddrs: Seq[Long] = dblks.scanLeft(aHeap0)((a, b) => a + b.size).init.toSeq
+    val aBthd = aHeap0 + dblks.map(_.size).sum
     val aBtlf = aBthd + 38
     val recSize = 4 + idLen
     val btlfSize = 6 + linkNames.size * recSize + 4
@@ -2639,17 +2724,14 @@ object Hdf5 {
     var dataAddr = aFadb + fadbSize
     val addrs = blobs.map { b => val a = dataAddr; dataAddr += b.length; a }
     val eof = dataAddr
-    // heap objects: link bodies at ascending heap offsets after the
-    // 21-byte FHDB header (sig 4 + ver 1 + hdr 8 + off 4 + checksum 4)
-    var heapOff = 21
-    val objs = linkNames.map { nm =>
+    // heap objects: link bodies at their placed heap-space offsets
+    // (heap offsets count every block's own header as heap space)
+    val objs = placed.map { case (nm, off) =>
       val body = new Buf
       body.u8(1).u8(0).u8(nm.length).raw(nm.getBytes).u64(aDs)
-      val o = (nm, heapOff, body.out)
-      heapOff += body.size
-      o
+      require(body.size == bodyLen(nm), s"link body accounting for $nm")
+      (nm, off, body.out)
     }
-    require(heapOff <= startSize, s"dense links overflow the ${startSize}B root block")
     val records = objs.map { case (nm, off, b) =>
       val hash = Lookup3.hash(nm.getBytes, 0, nm.length)
       (hash.toLong & 0xffffffffL, off, b.length)
@@ -2666,24 +2748,42 @@ object Hdf5 {
       .u32(0)
     require(buf.size == aFrhp, s"root OHDR accounting: ${buf.size}")
     // FRHP (flags bit1: checksummed direct blocks)
+    val heapSpace = dblks.last.blockOff + dblks.last.size
     buf.raw("FRHP".getBytes).u8(0).u16(idLen).u16(0).u8(2)
       .u32(4096) // max managed object size
       .u64(0).u64(Undef) // next huge id, huge btree
-      .u64(startSize - heapOff).u64(Undef) // free space, fs manager
-      .u64(startSize).u64(startSize).u64(startSize) // managed, alloc, iterator
+      .u64(dblks.last.blockOff + dblks.last.size - (dblks.last.blockOff + used))
+      .u64(Undef) // free space, fs manager
+      .u64(heapSpace).u64(heapSpace).u64(heapSpace) // managed, alloc, iterator
       .u64(linkNames.size) // managed objects
       .u64(0).u64(0).u64(0).u64(0) // huge/tiny sizes + counts
-      .u16(4).u64(512).u64(65536).u16(32).u16(1) // width, start, max direct, heap bits, start rows
-      .u64(aFhdb).u16(0) // root block, current rows (0 = direct root)
+      .u16(tblW).u64(startSize).u64(65536).u16(32).u16(1) // width, start, max direct, heap bits, start rows
+      .u64(if (indirect) aFhib else aHeap0) // root block
+      .u16(if (indirect) nrows else 0) // current rows (0 = direct root)
       .u32(0)
     require(buf.size == aFrhp + 146, s"FRHP accounting: ${buf.size}")
-    // FHDB root direct block: header + objects, zero-padded to startSize
-    buf.raw("FHDB".getBytes).u8(0).u64(aFrhp).u32(0).u32(0) // block off 0, checksum
-    objs.foreach { case (_, off, b) =>
-      require(buf.size == aFhdb + off, s"heap object accounting: ${buf.size}")
-      buf.raw(b)
+    if (indirect) {
+      // FHIB root: row-major direct-block addresses, absent slots Undef
+      buf.raw("FHIB".getBytes).u8(0).u64(aFrhp).u32(0) // block offset 0
+      (0 until nrows * tblW).foreach(i =>
+        buf.u64(if (i < dblks.size) dblkAddrs(i) else Undef))
+      buf.u32(0) // checksum patched
+      require(buf.size == aHeap0, s"FHIB accounting: ${buf.size}")
     }
-    buf.zeros((aFhdb + startSize - buf.size).toInt)
+    // FHDB direct blocks: header + objects, zero-padded to block size
+    dblks.zipWithIndex.foreach { case (blk, i) =>
+      require(buf.size == dblkAddrs(i), s"FHDB accounting: ${buf.size}")
+      buf.raw("FHDB".getBytes).u8(0).u64(aFrhp)
+        .u32(blk.blockOff.toInt).u32(0) // block offset, checksum
+      objs.filter { case (_, off, _) =>
+        off >= blk.blockOff && off < blk.blockOff + blk.size
+      }.foreach { case (_, off, b) =>
+        require(buf.size == dblkAddrs(i) + (off - blk.blockOff),
+          s"heap object accounting: ${buf.size}")
+        buf.raw(b)
+      }
+      buf.zeros((dblkAddrs(i) + blk.size - buf.size).toInt)
+    }
     // BTHD: link-name index, root leaf
     buf.raw("BTHD".getBytes).u8(0).u8(5).u32(512).u16(recSize).u16(0)
       .u8(100).u8(40)
@@ -2695,7 +2795,7 @@ object Hdf5 {
     records.foreach { case (hash, off, len) =>
       buf.u32(hash.toInt)
       buf.u8(0) // managed id, version 0
-      buf.u32(off) // heap offset (4)
+      buf.u32(off.toInt) // heap offset (4)
       buf.u16(len) // length (2)
     }
     buf.u32(0)
@@ -2748,7 +2848,10 @@ object Hdf5 {
     patch(44, 0, 44)
     patch(aFrhp - 4, aRoot, rootSize - 4)
     patch(aFrhp + 142, aFrhp, 142)
-    patch(aFhdb + 17, aFhdb, startSize.toInt) // whole block, slot zeroed
+    if (indirect) patch(aHeap0 - 4, aFhib, ibSize - 4)
+    dblks.zipWithIndex.foreach { case (blk, i) =>
+      patch(dblkAddrs(i) + 17, dblkAddrs(i), blk.size.toInt) // slot zeroed
+    }
     patch(aBthd + 34, aBthd, 34)
     patch(aDs - 4, aBtlf, btlfSize - 4)
     patch(aFahd - 4, aDs, dsSize - 4)
@@ -2989,15 +3092,18 @@ object Hdf5 {
   private val fixtureDenseLock = new Object
   @volatile private var fixtureDenseReady: String = null
 
-  /** Dense-link fixture (r14): the root group's 12 links live in a
-    * fractal heap + v2 B-tree name index; every name aliases the one
-    * formula dataset, and the scan resolves through the dense walk.
+  /** Dense-link fixture (r14; widened r16): the root group's 150
+    * links live in a fractal heap + v2 B-tree name index — enough to
+    * SPILL past one direct block into an FHIB INDIRECT root (5 direct
+    * blocks across doubling-table rows 0-1, Undef slots in row 1);
+    * every name aliases the one formula dataset, and resolving any
+    * name parses all 150 records, so the scan exercises every block.
     */
   def fixtureDensePath(): String = {
     val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5dense_fixture_${H5W}x$H5H.nc"
     if (fixtureDenseReady != p) fixtureDenseLock.synchronized {
       if (fixtureDenseReady != p) {
-        writeHdf5V2Dense(p, (0 until 12).map(i => f"v$i%02d"),
+        writeHdf5V2Dense(p, (0 until 150).map(i => f"v$i%03d"),
           H5H, H5W, 32, 32, dtype = "<f8", deflate = true)(h5Value)
         fixtureDenseReady = p
       }
@@ -3154,7 +3260,7 @@ object Hdf5 {
     "scan_netcdf4_dense" -> Q(
       s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
-      scanNetcdf4(s, fixtureDensePath(), "v05")
+      scanNetcdf4(s, fixtureDensePath(), "v105")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

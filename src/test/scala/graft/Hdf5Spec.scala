@@ -656,11 +656,32 @@ class Hdf5Spec extends SparkSuite {
     // a missing name lists what IS there
     assert(msgs(intercept[Throwable](
       Hdf5.scanNetcdf4(spark, p, "nope"))).contains("alpha"))
-    // surgery: indirect root block (current rows != 0) refuses by name
+    // r16: an INDIRECT root walks for real — 150 links spill into 5
+    // direct blocks (rows 0-1 of the doubling table) under an FHIB
+    // root with Undef slots in row 1; resolving ANY name parses every
+    // record, so one scan exercises all blocks
+    val pi = tmp("denseind")
+    val many = (0 until 150).map(i => f"v$i%03d")
+    Hdf5.writeHdf5V2Dense(pi, many, 10, 8, 4, 4, dtype = "<f8",
+      deflate = true)(fd)
+    for (nm <- Seq("v000", "v074", "v149")) {
+      val got = Hdf5.scanNetcdf4(spark, pi, nm).collect()
+        .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      assert(got.size == 80, nm)
+      for (y <- 0 until 10; x <- 0 until 8)
+        assert(got((x, y)) == fd(x, y), s"$nm ($x,$y)")
+    }
+    // the fixture really has an indirect root (FHIB present)
+    val bi = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(pi))
+    assert((0 until bi.length - 4).exists(i =>
+      bi(i) == 'F' && bi(i + 1) == 'H' && bi(i + 2) == 'I' && bi(i + 3) == 'B'),
+      "indirect fixture contains an FHIB root")
+    // surgery: rows past the direct region (indirect CHILD blocks)
+    // refuse by name — curRows=12 > the 9 direct rows at 512/65536
     val aFrhp = 48 + 33
     val p2 = tmp("dense2")
     Hdf5.writeHdf5V2Dense(p2, Seq("a", "b"), 4, 4, 4, 4)(fd)
-    patch(p2, aFrhp + 140, Array[Byte](2, 0))
+    patch(p2, aFrhp + 140, Array[Byte](12, 0))
     assert(msgs(intercept[Throwable](
       Hdf5.readMeta(p2, "a"))).contains("INDIRECT"))
     // surgery: a deep v2 B-tree refuses by name (depth at BTHD+12)
