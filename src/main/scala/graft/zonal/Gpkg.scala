@@ -153,13 +153,13 @@ object Gpkg {
 
   // ---- b-tree walking ----
 
-  private def pageBytes(db: DbMeta, page: Int): Array[Byte] =
+  private[graft] def pageBytes(db: DbMeta, page: Int): Array[Byte] =
     readRange(db.path, (page - 1).toLong * db.pageSize, db.pageSize)
 
   /** Cells of one table page: (payloadLen, rowid, payloadOffsetInPage)
     * for leaves; (leftChild, key) for interiors.
     */
-  private def pageHeaderAt(page: Int): Int = if (page == 1) 100 else 0
+  private[graft] def pageHeaderAt(page: Int): Int = if (page == 1) 100 else 0
 
   /** Walk a table b-tree from `root`, returning all LEAF page numbers.
     * Interior pages only — the b-tree's fanout metadata (≈ nLeaves /
@@ -848,7 +848,10 @@ object Gpkg {
     }
     final case class Plan(name: String, ddl: String,
         leaves: Seq[Seq[Cell]], rootPage: Int, leafPageNos: Seq[Int],
-        overflowOf: Map[(Int, Int), Seq[Int]])
+        overflowOf: Map[(Int, Int), Seq[Int]],
+        // r16: interior pages at ANY depth — (page, child pages, child
+        // max rowids), root first; empty for a single-leaf table
+        interior: Seq[(Int, Seq[Int], Seq[Long])] = Nil)
     var nextPage = 2
     val plans = tables.map { case (table, ddl, records) =>
       if (ddl.trim.toUpperCase.startsWith("CREATE VIRTUAL")) {
@@ -873,11 +876,43 @@ object Gpkg {
         else cur += c
       }
       val nLeaves = leaves.size
-      val hasInterior = nLeaves > 1
       val rootPage = nextPage
+      // r16: interior levels BOTTOM-UP until one node fits as root —
+      // the single-level root silently overflowed its page past a few
+      // hundred leaves. Fan-out is bounded by the page: 12-byte header
+      // + 2 B pointer + ≤13 B cell per child (the right-most child
+      // rides the header pointer, costing nothing)
+      val fanout = math.max(2, 1 + (u - 12) / 15)
+      val sizes = scala.collection.mutable.ArrayBuffer(nLeaves)
+      while (sizes.last > 1) sizes += (sizes.last + fanout - 1) / fanout
+      val kTop = sizes.length - 1 // 0 = single leaf, no interior
+      val nInterior = if (kTop == 0) 0 else sizes.tail.sum
       val leafPageNos =
-        if (hasInterior) (0 until nLeaves).map(rootPage + 1 + _) else Seq(rootPage)
-      nextPage = rootPage + (if (hasInterior) 1 + nLeaves else 1)
+        if (kTop == 0) Seq(rootPage)
+        else (0 until nLeaves).map(rootPage + nInterior + _)
+      def levelBase(j: Int): Int = // first page of interior level j
+        rootPage + (j + 1 to kTop).map(sizes(_)).sum
+      def nodePage(j: Int, i: Int): Int =
+        if (j == 0) leafPageNos(i) else levelBase(j) + i
+      val leafMaxes: IndexedSeq[Long] = // an EMPTY table is one bare leaf
+        leaves.map(lv => if (lv.isEmpty) 0L else lv.last.rowid).toIndexedSeq
+      val maxes = scala.collection.mutable.ArrayBuffer[IndexedSeq[Long]](leafMaxes)
+      (1 to kTop).foreach { j =>
+        maxes += (0 until sizes(j)).map(i =>
+          maxes(j - 1)(math.min((i + 1) * fanout, sizes(j - 1)) - 1)).toIndexedSeq
+      }
+      val interior: Seq[(Int, Seq[Int], Seq[Long])] =
+        (1 to kTop).flatMap { j =>
+          (0 until sizes(j)).map { i =>
+            val lo = i * fanout
+            val hi = math.min(lo + fanout, sizes(j - 1))
+            (nodePage(j, i), (lo until hi).map(nodePage(j - 1, _)),
+              (lo until hi).map(maxes(j - 1)(_)))
+          }
+        }
+      require(kTop == 0 || nodePage(kTop, 0) == rootPage,
+        s"gpkg writer: interior page accounting for $table")
+      nextPage = rootPage + nInterior + (if (kTop == 0) 1 else nLeaves)
       val overflowOf = scala.collection.mutable.Map.empty[(Int, Int), Seq[Int]]
       leaves.zipWithIndex.foreach { case (lv, li) =>
         lv.zipWithIndex.foreach { case (c, ci) =>
@@ -890,7 +925,8 @@ object Gpkg {
           }
         }
       }
-      Plan(table, ddl, leaves.map(_.toSeq).toSeq, rootPage, leafPageNos, overflowOf.toMap)
+      Plan(table, ddl, leaves.map(_.toSeq).toSeq, rootPage, leafPageNos,
+        overflowOf.toMap, interior)
       }
     }
     val nPages = nextPage - 1
@@ -936,33 +972,32 @@ object Gpkg {
     }
 
     plans.filter(_.rootPage > 0).foreach { pl =>
-      val nLeaves = pl.leaves.size
-      if (nLeaves > 1) {
-        // interior root: one cell per leaf but the LAST (rightmost child
-        // rides the header pointer); key = max rowid in that leaf
-        val b = bb(pl.rootPage)
+      // interior pages at any depth (r16): one cell per child but the
+      // LAST (rightmost child rides the header pointer); key = max
+      // rowid in that child's subtree
+      pl.interior.foreach { case (page, kids, maxs) =>
+        val b = bb(page)
         b.put(0, 0x05.toByte)
-        b.putShort(3, (nLeaves - 1).toShort)
-        b.putInt(8, pl.leafPageNos.last)
+        b.putShort(3, (kids.size - 1).toShort)
+        b.putInt(8, kids.last)
         var content = pageSize
-        (0 until nLeaves - 1).foreach { i =>
-          val key = pl.leaves(i).last.rowid
+        (0 until kids.size - 1).foreach { i =>
           val cell = new java.io.ByteArrayOutputStream()
-          val kid = pl.leafPageNos(i)
+          val kid = kids(i)
           cell.write(Array[Byte]((kid >> 24).toByte, (kid >> 16).toByte,
             (kid >> 8).toByte, kid.toByte))
-          cell.write(varintBytes(key))
+          cell.write(varintBytes(maxs(i)))
           val arr = cell.toByteArray
           content -= arr.length
-          System.arraycopy(arr, 0, file, (pl.rootPage - 1) * pageSize + content, arr.length)
+          System.arraycopy(arr, 0, file, (page - 1) * pageSize + content, arr.length)
           b.putShort(12 + 2 * i, content.toShort)
         }
+        require(content >= 12 + 2 * (kids.size - 1),
+          s"$path: interior page $page overflowed (${kids.size} children)")
         b.putShort(5, content.toShort)
-        pl.leaves.zipWithIndex.foreach { case (lv, li) =>
-          writeLeaf(pl.leafPageNos(li), lv, li, 0, pl.overflowOf)
-        }
-      } else {
-        writeLeaf(pl.rootPage, pl.leaves.head, 0, 0, pl.overflowOf)
+      }
+      pl.leaves.zipWithIndex.foreach { case (lv, li) =>
+        writeLeaf(pl.leafPageNos(li), lv, li, 0, pl.overflowOf)
       }
     }
 
@@ -1058,6 +1093,42 @@ object Gpkg {
       b.put(1.toByte).putInt(1).putDouble(px.toDouble).putDouble(py.toDouble)
     }
     b.array()
+  }
+
+  /** GPKG geometry blob around a WKB LineString (r16). */
+  private[graft] def gpkgBlobLine(pts: Seq[(Int, Int)]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(8 + 32 + 9 + 16 * pts.size)
+    b.put('G'.toByte).put('P'.toByte).put(0.toByte)
+    b.put(((1 << 1) | 1).toByte)
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0)
+    b.putDouble(pts.map(_._1).min.toDouble).putDouble(pts.map(_._1).max.toDouble)
+    b.putDouble(pts.map(_._2).min.toDouble).putDouble(pts.map(_._2).max.toDouble)
+    b.put(1.toByte).putInt(2).putInt(pts.size)
+    pts.foreach { case (px, py) => b.putDouble(px.toDouble).putDouble(py.toDouble) }
+    b.array()
+  }
+
+  /** Parse a WKB LineString (r16 — the road-feature type) to
+    * `(i, x, y)` vertex rows; other geometry types throw.
+    */
+  private[graft] def parseWkbLine(blob: Array[Byte], off: Int,
+      what: String): Iterator[(Int, Int, Int)] = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    bb.order(if (blob(off) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    val gtype = bb.getInt(off + 1)
+    require(gtype == 2, s"$what: WKB geometry type $gtype unsupported " +
+      "(2 = LineString)")
+    val n = bb.getInt(off + 5)
+    require(n >= 2, s"$what: $n-point LineString (min 2)")
+    (0 until n).iterator.map { i =>
+      val x = bb.getDouble(off + 9 + 16 * i)
+      val y = bb.getDouble(off + 9 + 16 * i + 8)
+      require(x == math.rint(x) && y == math.rint(y),
+        s"$what vertex $i: fractional coordinate ($x, $y) — align to the lattice")
+      (i, x.toInt, y.toInt)
+    }
   }
 
   private[graft] def gpkgBlobMulti(parts: Seq[Seq[Seq[(Int, Int)]]]): Array[Byte] = {

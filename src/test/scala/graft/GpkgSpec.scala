@@ -111,6 +111,40 @@ class GpkgSpec extends SparkSuite {
       s"zone 0 note length ${rows(0L)} — overflow chain broken")
   }
 
+  test("MULTI-LEVEL interior b-tree: 1200 rows at 512-byte pages roundtrip") {
+    // r16: the single-level interior root silently overflowed its page
+    // past a few hundred leaves (the sf0.1 stations fixture hit it);
+    // 1200 tiny rows → ~50 leaves → a 2-level interior tree under the
+    // 34-way fan-out, walked by the already-recursive leafPages
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/gpkgspec_deep.db"
+    new java.io.File(p).delete()
+    val n = 3000
+    def pad(i: Int): String = f"row-$i%05d-${"x" * 24}"
+    Gpkg.writeTables(p, Seq(
+      ("t", "CREATE TABLE t (id INTEGER PRIMARY KEY, v TEXT)",
+        (0 until n).map(i => (i.toLong, Seq[Any](null, pad(i)))))))
+    val db = Gpkg.readDbMeta(p)
+    val ti = Gpkg.tableInfo(db, "t")
+    // the tree REALLY has two interior levels: the root's children are
+    // interior pages, not leaves
+    val rb = Gpkg.pageBytes(db, ti.rootPage)
+    val rh = Gpkg.pageHeaderAt(ti.rootPage)
+    assert((rb(rh) & 0xff) == 0x05, "interior root")
+    val child = java.nio.ByteBuffer.wrap(rb).getInt(
+      java.nio.ByteBuffer.wrap(rb).getShort(rh + 12) & 0xffff)
+    val cb = Gpkg.pageBytes(db, child)
+    assert((cb(Gpkg.pageHeaderAt(child)) & 0xff) == 0x05,
+      "root children are interior pages — a real second level")
+    val leaves = Gpkg.leafPages(db, ti.rootPage)
+    assert(leaves.size > 34, s"leaf count ${leaves.size} spans >1 interior node")
+    val rows = leaves.flatMap(pg => Gpkg.leafRecords(db, pg))
+      .map { case (rowid, payload) =>
+        rowid -> Gpkg.decodeRecord(payload, 2)(1).asInstanceOf[String]
+      }.toMap
+    assert(rows.size == n)
+    (0 until n).foreach(i => assert(rows(i.toLong) == pad(i), s"row $i"))
+  }
+
   test("full gpkg: rtree prunes the leaf manifest; candidates match envelopes") {
     val path = Gpkg.fullFixturePath(spark, sf)
     val db = Gpkg.readDbMeta(path)
