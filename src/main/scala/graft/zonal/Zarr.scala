@@ -586,6 +586,148 @@ object Zarr {
       .toDF("cell_x", "cell_y", "var_name", "value")
   }
 
+  /** Parse + scan a RANK-1 coordinate array (r16 — the axis-label
+    * vectors an xarray Zarr hierarchy carries next to its data
+    * variables; the 2-D parser deliberately refuses rank 1, so the
+    * coordinate path has its own minimal v2 reader): C-order chunks
+    * keyed by the bare chunk index, numeric dtypes either endian,
+    * null/zlib/zstd/blosc codecs. One task — coordinates are
+    * axis-sized by construction. Returns `(idx, coord)`.
+    */
+  def scanZarrCoord(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.json4s._
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopFs(base)
+    val mp = new org.apache.hadoop.fs.Path(base, ".zarray")
+    require(fs.exists(mp), s"$dir: no .zarray — not a Zarr v2 array")
+    val text = {
+      val len = fs.getFileStatus(mp).getLen.toInt
+      val raw = new Array[Byte](len)
+      val in = fs.open(mp)
+      try in.readFully(0, raw) finally in.close()
+      new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val j = org.json4s.jackson.JsonMethods.parse(text)
+    require(j \ "zarr_format" == JInt(2), s"$dir: zarr_format ${j \ "zarr_format"}")
+    val (n, chunk) = (j \ "shape", j \ "chunks") match {
+      case (JArray(List(JInt(sn))), JArray(List(JInt(ck)))) => (sn.toInt, ck.toInt)
+      case other => sys.error(s"$dir: not a rank-1 coordinate array ($other)")
+    }
+    require(n > 0 && chunk > 0, s"$dir: coordinate geometry $n/$chunk")
+    val dtype = j \ "dtype" match {
+      case JString(d) =>
+        require(d.length == 3 && "<>|".contains(d.charAt(0)) &&
+          Set("f8", "f4", "i4", "i2", "i1", "u1").contains(d.substring(1)),
+          s"$dir: coordinate dtype $d unsupported")
+        d
+      case other => sys.error(s"$dir: dtype $other")
+    }
+    val compressor = j \ "compressor" match {
+      case JNull | JNothing => "raw"
+      case c => c \ "id" match {
+        case JString(id) if Set("zlib", "zstd", "blosc").contains(id) => id
+        case other => sys.error(s"$dir: coordinate compressor $other unsupported")
+      }
+    }
+    (j \ "order") match {
+      case JString("C") | JString("F") => () // rank-1: identical layouts
+      case other => sys.error(s"$dir: order $other")
+    }
+    val elem = dtype.substring(2).toInt
+    val nChunks = (n + chunk - 1) / chunk
+    val refs = (0 until nChunks).map(ci => (s"$dir/$ci", ci))
+    s.createDataset(refs)
+      .flatMap { case (p, ci) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val cfs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        require(cfs.exists(hp), s"$p: absent coordinate chunk")
+        val len = cfs.getFileStatus(hp).getLen.toInt
+        val raw = new Array[Byte](len)
+        val in = cfs.open(hp)
+        try in.readFully(0, raw) finally in.close()
+        val expected = chunk * elem
+        val bytes = compressor match {
+          case "raw" => raw
+          case "zlib" => TiffCodec.inflate(raw, expected)
+          case "zstd" => TiffCodec.zstdDecompress(raw, expected)
+          case "blosc" => Blosc.decompress(raw, expected)
+        }
+        require(bytes.length == expected,
+          s"$p: coordinate chunk ${bytes.length} bytes, want $expected")
+        val buf = java.nio.ByteBuffer.wrap(bytes)
+        buf.order(if (dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        val kind = dtype.substring(1)
+        (0 until chunk).iterator
+          .filter(k => ci * chunk + k < n)
+          .map { k =>
+            val i = k * elem
+            val v = kind match {
+              case "f8" => buf.getDouble(i)
+              case "f4" => buf.getFloat(i).toDouble
+              case "i4" => buf.getInt(i).toDouble
+              case "i2" => buf.getShort(i).toDouble
+              case "i1" => buf.get(i).toDouble
+              case "u1" => (buf.get(i) & 0xff).toDouble
+            }
+            (ci * chunk + k, v)
+          }
+      }
+      .toDF("idx", "coord")
+  }
+
+  /** Write a rank-1 coordinate array: `.zarray` + bare-index chunks. */
+  def writeZarrCoord(dir: String, n: Int, chunk: Int,
+      compressor: String = "zlib", dtype: String = "<f8")
+      (f: Int => Double): Unit = {
+    require(Set("raw", "zlib", "zstd", "blosc").contains(compressor), compressor)
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val compJson = compressor match {
+      case "raw" => "null"
+      case "zlib" => """{"id": "zlib", "level": 6}"""
+      case "zstd" => """{"id": "zstd", "level": 3}"""
+      case "blosc" =>
+        """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+    }
+    java.nio.file.Files.write(new java.io.File(d, ".zarray").toPath,
+      s"""{
+         |  "zarr_format": 2,
+         |  "shape": [$n],
+         |  "chunks": [$chunk],
+         |  "dtype": "$dtype",
+         |  "compressor": $compJson,
+         |  "fill_value": 0,
+         |  "order": "C",
+         |  "filters": null
+         |}""".stripMargin.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val nChunks = (n + chunk - 1) / chunk
+    for (ci <- 0 until nChunks) {
+      val vals = Array.tabulate(chunk)(k =>
+        if (ci * chunk + k < n) f(ci * chunk + k) else 0.0)
+      java.nio.file.Files.write(new java.io.File(d, ci.toString).toPath,
+        chunkFileBytes(vals, 1, chunk, compressor, dtype))
+    }
+  }
+
+  /** Cube scan WITH axis labels (r16 — the Zarr twin of
+    * [[Netcdf.scanNetcdfCoords]]): the hierarchy's 2-D member joined
+    * to its x/y coordinate members via two BROADCAST hash joins on the
+    * integer index — the chunk plan untouched at any store size.
+    */
+  def scanZarrCoords(s: SparkSession, dir: String, varName: String,
+      xCoord: String = "x", yCoord: String = "y"): DataFrame = {
+    val cube = scanZarr(s, s"$dir/$varName")
+    val xs = scanZarrCoord(s, s"$dir/$xCoord")
+      .select(col("idx").as("cell_x"), col("coord").as("x_coord"))
+    val ys = scanZarrCoord(s, s"$dir/$yCoord")
+      .select(col("idx").as("cell_y"), col("coord").as("y_coord"))
+    cube.join(broadcast(xs), Seq("cell_x")).join(broadcast(ys), Seq("cell_y"))
+      .select(col("cell_x"), col("cell_y"),
+        col("x_coord"), col("y_coord"), col("value"))
+  }
+
   /** Chunk manifest: ONE listing per directory level (flat "." stores
     * list once; nested "/" stores list once per chunk row), then every
     * grid position becomes a ref — present chunks with their byte
@@ -2193,6 +2335,27 @@ object Zarr {
     dir
   }
 
+  private val fixtureCoordsLock = new Object
+  @volatile private var fixtureCoordsReady: String = null
+
+  /** Coordinate-labelled hierarchy fixture (r16): the 2-D formula
+    * member next to 1-D x/y coordinate members on quarter-degree steps
+    * (exact in binary), two chunks along x to prove the multi-chunk
+    * coordinate path.
+    */
+  def fixtureCoordsDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_coords_fixture_${ZarrW}x$ZarrH"
+    if (fixtureCoordsReady != dir) fixtureCoordsLock.synchronized {
+      if (fixtureCoordsReady != dir) {
+        writeZarr(s"$dir/precip", ZarrH, ZarrW, 32, 32, compressor = "zlib")(zarrValue)
+        writeZarrCoord(s"$dir/x", ZarrW, 48)(x => -120.0 + 0.25 * x)
+        writeZarrCoord(s"$dir/y", ZarrH, ZarrH)(y => 40.0 + 0.25 * y)
+        fixtureCoordsReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureV3DsLock = new Object
   @volatile private var fixtureV3DsReady: String = null
 
@@ -2576,6 +2739,25 @@ object Zarr {
       scanZarrDataset(s, fixtureDatasetDir())
         .select(col("cell_x"), col("cell_y"), col("var_name"), col("value"))
         .orderBy("cell_x", "cell_y", "var_name")
+    },
+
+    // COORDINATE decode over a Zarr hierarchy (r16 — the Netcdf
+    // coords twin: axis labels every xarray store carries): 1-D
+    // coordinate members read by a dedicated rank-1 path (the 2-D
+    // parser deliberately refuses rank 1) and joined onto the cube by
+    // two BROADCAST hash joins on the integer index — the chunk plan
+    // untouched; the oracle replays the quarter-degree formula
+    // alongside the data formula
+    "scan_zarr_coords" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  CAST(-120.0 + 0.25 * cell_x AS DOUBLE) AS x_coord,
+         |  CAST(40.0 + 0.25 * cell_y AS DOUBLE) AS y_coord,
+         |  value FROM ($ZarrCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarrCoords(s, fixtureCoordsDir(), "precip")
+        .select(col("cell_x"), col("cell_y"),
+          col("x_coord"), col("y_coord"), col("value"))
+        .orderBy("cell_x", "cell_y")
     },
 
     // V3 GROUP hierarchy (r16 — zarr-python 3 writes v3 by default,
