@@ -320,6 +320,32 @@ object Cube {
       |        unnest(generate_series(0, (2 + station_id % 3) - 1)) AS i
       |      FROM stations) t""".stripMargin
 
+  // ---- line features (r16: roads — the vector POLYLINE family) ----
+
+  /** Road (open polyline) derivation: one polyline per customer with
+    * `3 + k % 3` integer lattice vertices, vertex j at
+    * `((5k + 7 + 3j) % 64, (3k + 11 + 5j) % 64)` — consecutive
+    * vertices always differ (3, 5 ≢ 0 mod 64) and segments stay short
+    * enough that many land wholly inside one zone. Pure arithmetic with
+    * a DuckDB twin, the stations pattern.
+    */
+  def roadVerts(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(col("c_custkey").cast("int").as("road_id"))
+      .select(col("road_id"),
+        explode(expr("sequence(0, (3 + road_id % 3) - 1)")).as("j"))
+      .select(col("road_id"), col("j").cast("int").as("j"),
+        ((col("road_id") * 5 + 7 + col("j") * 3) % 64).cast("int").as("rx"),
+        ((col("road_id") * 3 + 11 + col("j") * 5) % 64).cast("int").as("ry"))
+
+  /** DuckDB twin of [[roadVerts]]. */
+  val RoadVertsSql: String =
+    """SELECT road_id, CAST(j AS INTEGER) AS j,
+      |  CAST((road_id * 5 + 7 + 3 * j) % 64 AS INTEGER) AS rx,
+      |  CAST((road_id * 3 + 11 + 5 * j) % 64 AS INTEGER) AS ry
+      |FROM (SELECT CAST(c_custkey AS INTEGER) AS road_id,
+      |        unnest(generate_series(0, (3 + CAST(c_custkey AS INTEGER) % 3) - 1)) AS j
+      |      FROM customer) t""".stripMargin
+
   /** Zones with real WKB `BinaryType` geometry (SURVEY §1.2): assemble
     * each zone's rings into standard WKB (Polygon / MultiPolygon) via
     * the [[graft.ext.MakeWkb]] expression — runs once per zone on the

@@ -335,6 +335,57 @@ object GeoJson {
           .cast("int").as("x"),
         element_at(col("coords"), 2).cast("int").as("y"))
 
+  /** Write the road derivation as a LineString FeatureCollection
+    * fixture (one Feature per road, `road_id` property).
+    */
+  def writeLinesFixture(s: SparkSession, d: String, path: String): Unit = {
+    val vs = Cube.roadVerts(s, d).select("road_id", "j", "rx", "ry").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val features = vs.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, ms) =>
+      val coords = ms.sortBy(_._2).map(m => s"[${m._3}, ${m._4}]")
+        .mkString("[", ", ", "]")
+      s"""{"type": "Feature", "properties": {"road_id": $id},
+         | "geometry": {"type": "LineString", "coordinates": $coords}}""".stripMargin
+    }
+    val json = features.mkString(
+      """{"type": "FeatureCollection", "features": [""", ",\n", "]}")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** LineString FeatureCollection scan (r16): long-form
+    * `(road_id, i, x, y)` vertex rows — the geometry-type check rides
+    * IN the plan, the [[readPoints]] posture.
+    */
+  def readLines(s: SparkSession, path: String): DataFrame =
+    s.read.option("multiLine", "true").json(path)
+      .select(explode(col("features")).as("f"))
+      .select(col("f.properties.road_id").cast("int").as("road_id"),
+        col("f.geometry.type").as("gtype"),
+        col("f.geometry.coordinates").as("coords"))
+      .select(col("road_id"), posexplode(
+        when(col("gtype") === "LineString", col("coords"))
+          .otherwise(raise_error(concat(lit(s"$path: GeoJSON geometry type "),
+            col("gtype"), lit(" unsupported (LineString)"))))))
+      .select(col("road_id"), col("pos").cast("int").as("i"),
+        element_at(col("col"), 1).cast("int").as("x"),
+        element_at(col("col"), 2).cast("int").as("y"))
+
+  private val lnFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once per-sf LineString GeoJSON fixture of the roads. */
+  def linesFixturePath(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d)
+    lnFixtures.computeIfAbsent(f.getCanonicalPath, { _ =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/roads.geojson"
+      writeLinesFixture(s, d, path)
+      path
+    })
+  }
+
   private val ptFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Write-once per-sf Point GeoJSON fixture of the stations. */

@@ -533,14 +533,62 @@ object Gpkg {
       idCol: String = "id", geomCol: String = "geom"): DataFrame =
     readPointRows(s, path, table, idCol, geomCol)
 
-  /** Write-once per-sf stations GeoPackage fixture: a Point table AND
-    * a MultiPoint table in one db (512-byte pages → several leaves, so
-    * the page-parallel path is exercised on both).
+  /** LineString-feature scan (r16 — WKB type 2): long-form
+    * `(road_id, i, x, y)` vertex rows through [[parseWkbLine]], the
+    * same leaf-page-parallel walk as the other feature readers.
+    */
+  def readLines(s: SparkSession, path: String, table: String,
+      idCol: String = "id", geomCol: String = "geom"): DataFrame = {
+    import s.implicits._
+    val db = readDbMeta(path)
+    val ti = tableInfo(db, table)
+    val idIx = ti.columns.indexOf(idCol)
+    val geomIx = ti.columns.indexOf(geomCol)
+    require(idIx >= 0 && geomIx >= 0,
+      s"$path/$table: need columns '$idCol' and '$geomCol', have ${ti.columns.mkString(", ")}")
+    val refs = leafPages(db, ti.rootPage)
+      .map(p => LeafRef(path, p, db.pageSize, db.reserved, ti.pkOrdinal, ti.columns.size))
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { ref =>
+        val rdb = DbMeta(ref.path, ref.pageSize, ref.reserved)
+        leafRecords(rdb, ref.page).flatMap { case (rowid, payload) =>
+          val vals = decodeRecord(payload, ref.nCols)
+          val rid = vals(idIx) match {
+            case l: Long => l
+            case null if idIx == ref.pkOrdinal => rowid
+            case other => sys.error(s"${ref.path}: id column holds $other")
+          }
+          val blob = vals(geomIx) match {
+            case b: Array[Byte] => b
+            case other => sys.error(s"${ref.path}: geometry column holds " +
+              s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+          }
+          require(rid >= Int.MinValue && rid <= Int.MaxValue,
+            s"${ref.path}: feature id $rid outside the 32-bit road_id range")
+          val what = s"${ref.path} feature $rid"
+          parseWkbLine(blob, wkbOffset(blob, what), what).map {
+            case (i, x, y) => (rid.toInt, i, x, y)
+          }
+        }
+      }
+      .toDF("road_id", "i", "x", "y")
+  }
+
+  /** Write-once per-sf feature GeoPackage fixture: a Point table, a
+    * MultiPoint table AND a LineString table in one db (512-byte
+    * pages → several leaves + multi-level interiors at real SFs, so
+    * the page-parallel path is exercised on all three).
     */
   def writePointsFixture(s: SparkSession, d: String, path: String): Unit = {
     val pts = Cube.stations(s, d).select("station_id", "px", "py").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).sortBy(_._1).toSeq
     val mpts = Cube.multiPoints(s, d).select("station_id", "i", "qx", "qy").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (id, ms) => (id, ms.sortBy(_._2).map(m => (m._3, m._4)).toSeq) }
+    val roads = Cube.roadVerts(s, d).select("road_id", "j", "rx", "ry").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (id, ms) => (id, ms.sortBy(_._2).map(m => (m._3, m._4)).toSeq) }
@@ -552,7 +600,11 @@ object Gpkg {
       ("stations_multi",
         "CREATE TABLE stations_multi (id INTEGER PRIMARY KEY, geom BLOB)",
         mpts.map { case (id, ms) =>
-          (id.toLong, Seq[Any](null, gpkgBlobMultiPoint(ms))) })))
+          (id.toLong, Seq[Any](null, gpkgBlobMultiPoint(ms))) }),
+      ("roads",
+        "CREATE TABLE roads (id INTEGER PRIMARY KEY, geom BLOB)",
+        roads.map { case (id, ms) =>
+          (id.toLong, Seq[Any](null, gpkgBlobLine(ms))) })))
   }
 
   private val ptFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -31,6 +31,7 @@ object Shapefile {
   private val TypePolygon = 5
   private val TypePoint = 1
   private val TypeMultiPoint = 8
+  private val TypePolyLine = 3
 
   /** One executor work unit: a record's byte range in the .shp. */
   final case class ShpRef(path: String, recNo: Int, offset: Long, contentBytes: Int)
@@ -329,6 +330,87 @@ object Shapefile {
         } finally in.close()
       }
       .toDF("station_id", "i", "x", "y")
+  }
+
+  /** Serialize the road derivation as a POLYLINE .shp/.shx (r16 —
+    * shape type 3: roads/rivers/tracks, the third ubiquitous feature
+    * type): one single-part record per road, ascending road_id order.
+    */
+  def writeLinesFixture(s: SparkSession, d: String, path: String): Unit = {
+    val vs = Cube.roadVerts(s, d).select("road_id", "j", "rx", "ry").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val byRoad = vs.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, ms) =>
+      (id, ms.sortBy(_._2).map(m => (m._3, m._4)).toSeq)
+    }
+    val records = byRoad.map { case (_, pts) =>
+      val b = java.nio.ByteBuffer.allocate(44 + 4 + 16 * pts.size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(TypePolyLine)
+      b.putDouble(pts.map(_._1).min.toDouble).putDouble(pts.map(_._2).min.toDouble)
+      b.putDouble(pts.map(_._1).max.toDouble).putDouble(pts.map(_._2).max.toDouble)
+      b.putInt(1).putInt(pts.size).putInt(0) // one part at index 0
+      pts.foreach { case (x, y) => b.putDouble(x.toDouble).putDouble(y.toDouble) }
+      b.array()
+    }
+    val all = byRoad.flatMap(_._2)
+    writeShpFile(path, TypePolyLine, records, all.map(_._1), all.map(_._2))
+  }
+
+  /** POLYLINE record scan (r16): type-3 records parsed to long-form
+    * `(road_id, part, i, x, y)` vertex rows (i restarts per part).
+    */
+  def readLines(s: SparkSession, shpPath: String): DataFrame = {
+    import s.implicits._
+    val refs = readIndex(shpPath, TypePolyLine)
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { ref =>
+        val p = new org.apache.hadoop.fs.Path(ref.path)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        try {
+          val raw = new Array[Byte](ref.contentBytes)
+          in.readFully(ref.offset, raw)
+          val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val st = b.getInt(0)
+          require(st == TypePolyLine,
+            s"${ref.path} record ${ref.recNo}: shape type $st, want PolyLine (3)")
+          val numParts = b.getInt(36)
+          val numPoints = b.getInt(40)
+          require(raw.length >= 44 + 4 * numParts + 16 * numPoints,
+            s"${ref.path} record ${ref.recNo}: truncated")
+          val starts = Array.tabulate(numParts)(q => b.getInt(44 + 4 * q))
+          val ptsOff = 44 + 4 * numParts
+          (0 until numParts).flatMap { part =>
+            val lo = starts(part)
+            val hi = if (part + 1 < numParts) starts(part + 1) else numPoints
+            require(hi - lo >= 2,
+              s"${ref.path} record ${ref.recNo} part $part: ${hi - lo} points (min 2)")
+            (lo until hi).map { q =>
+              val x = b.getDouble(ptsOff + 16 * q)
+              val y = b.getDouble(ptsOff + 16 * q + 8)
+              require(x == math.rint(x) && y == math.rint(y),
+                s"${ref.path} record ${ref.recNo}: fractional coordinate ($x, $y)")
+              (ref.recNo - 1, part, q - lo, x.toInt, y.toInt)
+            }
+          }
+        } finally in.close()
+      }
+      .toDF("road_id", "part", "i", "x", "y")
+  }
+
+  private val lnFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once per-sf PolyLine shapefile fixture of the roads. */
+  def linesFixturePath(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d)
+    lnFixtures.computeIfAbsent(f.getCanonicalPath, { _ =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/roads.shp"
+      writeLinesFixture(s, d, path)
+      path
+    })
   }
 
   private val ptFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()

@@ -89,6 +89,21 @@ object Zonal {
       |  s_acctbal AS value
       |FROM supplier""".stripMargin
 
+  /** Oracle for the LineString scans: the road-vertex derivation. */
+  private val LineScanSql: String =
+    s"""WITH rv AS (
+       |${Cube.RoadVertsSql}
+       |)
+       |SELECT road_id, j, rx, ry FROM rv ORDER BY road_id, j""".stripMargin
+
+  /** Road vertices respelled as the `cells` CTE shape so [[eoCtes]]
+    * replays the even-odd parity over LINE vertices for `zonal_lines`.
+    */
+  private val RoadCellsSql: String =
+    s"""SELECT rx AS cell_x, ry AS cell_y FROM (
+       |${Cube.RoadVertsSql}
+       |) t0""".stripMargin
+
   private def eoOracleSql(rings: Seq[Cube.RingSpec]): String =
     s"""${eoCtes(rings, Cube.CellsSql)}
        |SELECT p.zone_id, count(*) AS n_cells, ${dsumSql("value")} AS sum_v
@@ -1252,6 +1267,81 @@ object Zonal {
         .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
         .groupBy(col("zone_id"))
         .agg(count(lit(1)).as("n_stations"), dsum(col("value")).as("sum_v"))
+        .orderBy("zone_id")
+    },
+
+    // POLYLINE vector features (r16 — roads/rivers/tracks, the third
+    // ubiquitous feature type next to polygons and points): shp type 3
+    // / GeoJSON LineString / WKB type 2 across all three containers,
+    // each gated vertex-by-vertex against the arithmetic road
+    // derivation (Cube.RoadVertsSql).
+    "scan_shapefile_lines" -> Q(LineScanSql) { (s, d) =>
+      Shapefile.readLines(s, Shapefile.linesFixturePath(s, d))
+        .select(col("road_id"), col("i").as("j"),
+          col("x").as("rx"), col("y").as("ry"))
+        .orderBy("road_id", "j")
+    },
+
+    "scan_geojson_lines" -> Q(LineScanSql) { (s, d) =>
+      GeoJson.readLines(s, GeoJson.linesFixturePath(s, d))
+        .select(col("road_id"), col("i").as("j"),
+          col("x").as("rx"), col("y").as("ry"))
+        .orderBy("road_id", "j")
+    },
+
+    "scan_geopackage_lines" -> Q(LineScanSql) { (s, d) =>
+      Gpkg.readLines(s, Gpkg.pointsFixturePath(s, d), "roads")
+        .select(col("road_id"), col("i").as("j"),
+          col("x").as("rx"), col("y").as("ry"))
+        .orderBy("road_id", "j")
+    },
+
+    // roads-per-zone: line features END TO END — segments from the
+    // PolyLine shapefile scan (one window shuffle by road), endpoint
+    // parity via the SAME rasterize + point_in_wkb even-odd pipeline
+    // over the DISTINCT vertex lattice, then a segment counts as a
+    // zone's when BOTH endpoints parity-land inside it; length stats
+    // as EXACT integer squared lengths (no sqrt → no float hazard).
+    // At 100 TB of lines: parity is |distinct vertices| (bounded by
+    // the lattice) → broadcast both endpoint joins, one hash agg.
+    "zonal_lines" -> Q(
+      s"""${eoCtes(Cube.NGonRings, RoadCellsSql)}
+         |, rv AS (
+         |${Cube.RoadVertsSql}
+         |), segs AS (
+         |  SELECT v1.road_id, v1.rx AS x1, v1.ry AS y1, v2.rx AS x2, v2.ry AS y2
+         |  FROM rv v1 JOIN rv v2 ON v1.road_id = v2.road_id AND v2.j = v1.j + 1
+         |), inside AS (
+         |  SELECT zone_id, cell_x, cell_y FROM cellpar WHERE crossings % 2 = 1
+         |)
+         |SELECT i1.zone_id, count(*) AS n_segs,
+         |  CAST(SUM((s.x2 - s.x1) * (s.x2 - s.x1) + (s.y2 - s.y1) * (s.y2 - s.y1)) AS BIGINT) AS sum_len2
+         |FROM segs s
+         |JOIN inside i1 ON s.x1 = i1.cell_x AND s.y1 = i1.cell_y
+         |JOIN inside i2 ON s.x2 = i2.cell_x AND s.y2 = i2.cell_y
+         |  AND i1.zone_id = i2.zone_id
+         |GROUP BY i1.zone_id ORDER BY i1.zone_id""".stripMargin) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val rv = Shapefile.readLines(s, Shapefile.linesFixturePath(s, d))
+        .select(col("road_id"), col("i").as("j"), col("x"), col("y"))
+      val w = Window.partitionBy("road_id").orderBy("j")
+      val segs = rv.select(col("road_id"), col("j"),
+        col("x").as("x1"), col("y").as("y1"),
+        lead(col("x"), 1).over(w).as("x2"), lead(col("y"), 1).over(w).as("y2"))
+        .filter(col("x2").isNotNull)
+      val pts = rv.select(col("x").as("cell_x"), col("y").as("cell_y")).distinct()
+      val inside = Cube.rasterize(pts, Cube.wkbZones(s, d, Cube.NGonRings))
+        .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
+        .select(col("zone_id"), col("cell_x"), col("cell_y"))
+      val in1 = inside.select(col("zone_id"), col("cell_x").as("x1"), col("cell_y").as("y1"))
+      val in2 = inside.select(col("zone_id"), col("cell_x").as("x2"), col("cell_y").as("y2"))
+      segs.join(broadcast(in1), Seq("x1", "y1"))
+        .join(broadcast(in2), Seq("x2", "y2", "zone_id"))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_segs"),
+          sum((col("x2") - col("x1")) * (col("x2") - col("x1"))
+            + (col("y2") - col("y1")) * (col("y2") - col("y1")))
+            .cast("long").as("sum_len2"))
         .orderBy("zone_id")
     },
 

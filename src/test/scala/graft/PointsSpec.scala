@@ -91,6 +91,51 @@ class PointsSpec extends SparkSuite {
       e.getCause != null && e.getCause.getMessage.contains("LineString"))
   }
 
+  test("lines: all three containers roundtrip the road derivation") {
+    val want = Cube.roadVerts(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3)))).toMap
+    val shp = Shapefile.readLines(spark, Shapefile.linesFixturePath(spark, sf))
+      .collect().map(r => (r.getInt(0), r.getInt(2)) -> ((r.getInt(3), r.getInt(4)))).toMap
+    assert(shp == want)
+    val gj = GeoJson.readLines(spark, GeoJson.linesFixturePath(spark, sf))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(gj == want)
+    val gp = Gpkg.readLines(spark, Gpkg.pointsFixturePath(spark, sf), "roads")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(gp == want)
+  }
+
+  test("WKB LineString parser: hand-built vertices; refusals") {
+    def line(pts: Seq[(Double, Double)]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(9 + 16 * pts.size)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).putInt(2).putInt(pts.size)
+      pts.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+      b.array()
+    }
+    assert(Gpkg.parseWkbLine(line(Seq((1, 2), (3, 4), (5, 6))), 0, "t").toSeq ==
+      Seq((0, 1, 2), (1, 3, 4), (2, 5, 6)))
+    // a 1-point line, a Point-typed blob, and fractional coords refuse
+    val e1 = intercept[Exception](Gpkg.parseWkbLine(line(Seq((1, 2))), 0, "t").toSeq)
+    assert(e1.getMessage.contains("min 2"))
+    val pt = java.nio.ByteBuffer.allocate(21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    pt.put(1.toByte).putInt(1).putDouble(0).putDouble(0)
+    val e2 = intercept[Exception](Gpkg.parseWkbLine(pt.array(), 0, "t").toSeq)
+    assert(e2.getMessage.contains("type 1"))
+    val e3 = intercept[Exception](
+      Gpkg.parseWkbLine(line(Seq((1.5, 2), (3, 4))), 0, "t").toSeq)
+    assert(e3.getMessage.contains("fractional"))
+  }
+
+  test("registry: zonal_lines counts only both-endpoints-inside segments") {
+    val rows = q("zonal_lines").collect()
+    assert(rows.nonEmpty, "short segments must land inside zones")
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0)
+      assert(r.getLong(2) > 0) // squared lengths are positive integers
+    }
+  }
+
   test("registry: zonal_points covers every zone a station parity-hits") {
     val rows = q("zonal_points").collect()
     assert(rows.nonEmpty)
