@@ -510,16 +510,20 @@ object Hdf5 {
         case 2 => (sp(1) & 0xff, 4)
         case v => sys.error(s"$path: dataspace version $v unsupported")
       }
-      require(rank >= 2 && rank <= 4, s"$path: rank-$rank dataset " +
-        "unsupported — 2-D lattices, rank-3 (t, y, x) and rank-4 " +
-        "(t, level, y, x) cubes only")
+      require(rank >= 1 && rank <= 4, s"$path: rank-$rank dataset " +
+        "unsupported — 1-D coordinate vectors, 2-D lattices, rank-3 " +
+        "(t, y, x) and rank-4 (t, level, y, x) cubes only")
       val rank3 = rank >= 3
       val rank4 = rank == 4
       val epochs0 = if (rank3) le(sp).getLong(dimsOff).toInt else 0
       val levels0 = if (rank4) le(sp).getLong(dimsOff + 8).toInt else 0
+      // rank-1 coordinate vectors (r16) surface as a 1×n lattice —
+      // CONTIGUOUS only (the layout parse below refuses rank-1 chunks)
       val spatialOff = dimsOff + 8 * (rank - 2)
-      val height = le(sp).getLong(spatialOff).toInt
-      val width = le(sp).getLong(spatialOff + 8).toInt
+      val height = if (rank == 1) 1 else le(sp).getLong(spatialOff).toInt
+      val width =
+        if (rank == 1) le(sp).getLong(dimsOff).toInt
+        else le(sp).getLong(spatialOff + 8).toInt
       // datatype (0x0003): class ∈ {fixed-point 0, float 1}
       val dt = one(0x0003, "datatype").body
       val dclass = dt(0) & 0x0f
@@ -664,6 +668,9 @@ object Hdf5 {
             deflate = false, shuffleTs = 0, fill, hasFill, Nil,
             epochs = epochs0, levels = levels0, attrs = attrs0)
         case 2 =>
+          require(rank >= 2,
+            s"$path: CHUNKED rank-1 coordinate vectors unsupported " +
+              "(contiguous only — coordinate vectors are axis-sized)")
           val dim = lay(2) & 0xff
           require(dim == rank + 1,
             s"$path: chunked rank ${dim - 1} where the dataspace is rank-$rank (corrupt)")
@@ -1363,6 +1370,35 @@ object Hdf5 {
       .toDF("cell_x", "cell_y", "value")
   }
 
+  /** Scan a 1-D COORDINATE dataset (r16 — the axis-label vectors a
+    * netCDF-4/HDF5 file carries next to its data variables): the
+    * rank-1 contiguous read surfaces as `(idx, coord)`.
+    */
+  def scanNetcdf4Coord(s: SparkSession, path: String, name: String): DataFrame = {
+    val m = readMeta(path, name)
+    require(m.height == 1 && m.epochs == 0,
+      s"$path: '$name' is ${m.height}×${m.width} — not a 1-D coordinate vector")
+    scanNetcdf4(s, path, name)
+      .select(col("cell_x").as("idx"), col("value").as("coord"))
+  }
+
+  /** Cube scan WITH axis labels (r16 — the netCDF-4 twin of
+    * [[Netcdf.scanNetcdfCoords]], completing the coordinate story
+    * across all three cube formats): two BROADCAST hash joins on the
+    * integer index, the chunk plan untouched at any file size.
+    */
+  def scanNetcdf4Coords(s: SparkSession, path: String, varName: String,
+      xCoord: String = "x", yCoord: String = "y"): DataFrame = {
+    val cube = scanNetcdf4(s, path, varName)
+    val xs = scanNetcdf4Coord(s, path, xCoord)
+      .select(col("idx").as("cell_x"), col("coord").as("x_coord"))
+    val ys = scanNetcdf4Coord(s, path, yCoord)
+      .select(col("idx").as("cell_y"), col("coord").as("y_coord"))
+    cube.join(broadcast(xs), Seq("cell_x")).join(broadcast(ys), Seq("cell_y"))
+      .select(col("cell_x"), col("cell_y"),
+        col("x_coord"), col("y_coord"), col("value"))
+  }
+
   /** CF-convention fill masking (the scan_netcdf_fill analogue, r12):
     * cells carrying the dataset's fill value are dropped INSIDE the
     * scan tasks before any shuffle; loud when the dataset declares no
@@ -1626,6 +1662,103 @@ object Hdf5 {
     val p = new java.io.File(path)
     p.getParentFile.mkdirs()
     java.nio.file.Files.write(p.toPath, out.toByteArray)
+  }
+
+  /** Write SEVERAL CONTIGUOUS datasets into ONE old-style root group
+    * (r16 — the coordinate-fixture shape: 1-D x/y axis vectors next to
+    * the 2-D data variable, as a real netCDF-4 file carries them).
+    * Each var is (name, dims of rank 1 or 2, dtype, C-order values).
+    */
+  def writeHdf5Multi(path: String,
+      vars: Seq[(String, Seq[Int], String, Array[Double])]): Unit = {
+    require(vars.nonEmpty && vars.map(_._1).distinct.size == vars.size,
+      "writeHdf5Multi: duplicate/empty variable list")
+    vars.foreach { case (nm, dims, _, vals) =>
+      require(dims.nonEmpty && dims.size <= 2 && dims.product == vals.length,
+        s"writeHdf5Multi: $nm dims $dims vs ${vals.length} values") }
+    val sorted = vars.sortBy(_._1) // SNOD symbols sort by name
+    // local heap: zero slot + each name, 8-padded
+    val nameOffs = sorted.map(_._1).scanLeft(8L)((o, nm) => o + pad8(nm.length + 1)).init
+    val heapDataSize = 8 + sorted.map(v => pad8(v._1.length + 1).toLong).sum
+    val aRootHdr = 96L
+    val aHeapHdr = aRootHdr + 40
+    val aHeapData = aHeapHdr + 32
+    val aGbt = aHeapData + heapDataSize
+    val aSnod = aGbt + 48
+    val aHdr0 = aSnod + 8 + 40L * sorted.size
+    def dsBody(v: (String, Seq[Int], String, Array[Double])): Int = {
+      val isF = v._3.substring(1).startsWith("f")
+      (8 + 8 + 8 * v._2.size) + (8 + (if (isF) 24 else 16)) + (8 + 8) + (8 + 24)
+    }
+    val hdrAddrs = sorted.scanLeft(aHdr0)((a, v) => a + 16 + dsBody(v)).init
+    var dataAddr = hdrAddrs.last + 16 + dsBody(sorted.last)
+    val dataAddrs = sorted.map { v =>
+      val a = dataAddr
+      dataAddr += v._4.length.toLong * v._3.substring(2).toInt
+      a
+    }
+    val eof = dataAddr
+    val buf = new Buf
+    buf.raw(Array[Byte](0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n'))
+      .u8(0).u8(0).u8(0).u8(0)
+      .u8(0).u8(8).u8(8).u8(0)
+      .u16(4).u16(16).u32(0)
+      .u64(0).u64(Undef).u64(eof).u64(Undef)
+      .u64(0).u64(aRootHdr).u32(1).u32(0).u64(aGbt).u64(aHeapHdr)
+    require(buf.size == 96, s"superblock accounting: ${buf.size}")
+    buf.u8(1).u8(0).u16(1).u32(1).u32(24).u32(0)
+      .u16(0x0011).u16(16).u8(0).zeros(3)
+      .u64(aGbt).u64(aHeapHdr)
+    require(buf.size == aHeapHdr, s"root header accounting: ${buf.size}")
+    buf.raw("HEAP".getBytes).u8(0).zeros(3)
+      .u64(heapDataSize).u64(Undef).u64(aHeapData)
+    buf.zeros(8)
+    sorted.foreach { case (nm, _, _, _) =>
+      buf.raw(nm.getBytes).zeros(pad8(nm.length + 1) - nm.length)
+    }
+    require(buf.size == aGbt, s"heap accounting: ${buf.size}")
+    buf.raw("TREE".getBytes).u8(0).u8(0).u16(1).u64(Undef).u64(Undef)
+      .u64(0).u64(aSnod).u64(nameOffs.last)
+    require(buf.size == aSnod, s"btree accounting: ${buf.size}")
+    buf.raw("SNOD".getBytes).u8(1).u8(0).u16(sorted.size)
+    sorted.zipWithIndex.foreach { case (_, i) =>
+      buf.u64(nameOffs(i)).u64(hdrAddrs(i)).u32(0).u32(0).zeros(16)
+    }
+    sorted.zipWithIndex.foreach { case (v @ (nm, dims, dtype, vals), i) =>
+      require(buf.size == hdrAddrs(i), s"$nm header accounting: ${buf.size}")
+      val elem = dtype.substring(2).toInt
+      val isF = dtype.substring(1).startsWith("f")
+      buf.u8(1).u8(0).u16(4).u32(1).u32(dsBody(v)).u32(0)
+      buf.u16(0x0001).u16(8 + 8 * dims.size).u8(0).zeros(3)
+        .u8(1).u8(dims.size).u8(0).zeros(5)
+      dims.foreach(d => buf.u64(d))
+      val bigE = if (dtype.charAt(0) == '>') 1 else 0
+      if (isF) {
+        val (expLoc, expSize, manSize, bias) =
+          if (elem == 8) (52, 11, 52, 1023) else (23, 8, 23, 127)
+        buf.u16(0x0003).u16(24).u8(0).zeros(3)
+          .u8(0x11).u8(0x20 | bigE).u8(8 * elem - 1).u8(0).u32(elem)
+          .u16(0).u16(8 * elem).u8(expLoc).u8(expSize).u8(0).u8(manSize)
+          .u32(bias).zeros(4)
+      } else {
+        val signed = dtype.substring(1).startsWith("i")
+        buf.u16(0x0003).u16(16).u8(0).zeros(3)
+          .u8(0x10).u8((if (signed) 0x08 else 0) | bigE).u8(0).u8(0).u32(elem)
+          .u16(0).u16(8 * elem).zeros(4)
+      }
+      buf.u16(0x0005).u16(8).u8(0).zeros(3)
+        .u8(2).u8(2).u8(0).u8(0).u32(0)
+      buf.u16(0x0008).u16(24).u8(0).zeros(3)
+        .u8(3).u8(1).u64(dataAddrs(i)).u64(vals.length.toLong * elem).zeros(6)
+    }
+    sorted.zipWithIndex.foreach { case ((nm, _, dtype, vals), i) =>
+      require(buf.size == dataAddrs(i), s"$nm data accounting: ${buf.size}")
+      buf.raw(encodeCells(vals, dtype))
+    }
+    require(buf.size == eof, s"file accounting: ${buf.size} vs $eof")
+    val p = new java.io.File(path)
+    p.getParentFile.mkdirs()
+    java.nio.file.Files.write(p.toPath, buf.out)
   }
 
   /** RANK-4 writer (r14 — the fixture + sink direction for
@@ -3053,6 +3186,31 @@ object Hdf5 {
     p
   }
 
+  private val fixtureCoordsLock = new Object
+  @volatile private var fixtureCoordsReady: String = null
+
+  /** Coordinate-labelled fixture (r16): the 2-D formula variable as a
+    * CONTIGUOUS dataset next to 1-D float32 x/y coordinate vectors on
+    * quarter-degree steps (exact in binary) — three datasets in one
+    * old-style group, the real netCDF-4 shape.
+    */
+  def fixtureCoordsPath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5coords_fixture_${H5W}x$H5H.nc"
+    if (fixtureCoordsReady != p) fixtureCoordsLock.synchronized {
+      if (fixtureCoordsReady != p) {
+        writeHdf5Multi(p, Seq(
+          ("v", Seq(H5H, H5W), "<f8",
+            Array.tabulate(H5H * H5W)(i => h5Value(i % H5W, i / H5W))),
+          ("x", Seq(H5W), "<f4",
+            Array.tabulate(H5W)(x => -120.0 + 0.25 * x)),
+          ("y", Seq(H5H), "<f4",
+            Array.tabulate(H5H)(y => 40.0 + 0.25 * y))))
+        fixtureCoordsReady = p
+      }
+    }
+    p
+  }
+
   private val fixtureSoftLock = new Object
   @volatile private var fixtureSoftReady: String = null
 
@@ -3257,6 +3415,24 @@ object Hdf5 {
     // FRHP → FHDB → BTHD → BTLF walk; the identical formula oracle
     // gates the dense resolution end to end. Indirect heap blocks,
     // huge/tiny objects and deeper B-trees still refuse by name.
+    // COORDINATE decode over netCDF-4 (r16 — completing the axis-label
+    // story across all three cube formats): rank-1 CONTIGUOUS datasets
+    // read as 1×n lattices (chunked rank-1 refuses by name), labels
+    // joined by two BROADCAST hash joins on the integer index; the
+    // fixture is three datasets in one old-style group, the real
+    // netCDF-4 shape
+    "scan_netcdf4_coords" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  CAST(-120.0 + 0.25 * cell_x AS DOUBLE) AS x_coord,
+         |  CAST(40.0 + 0.25 * cell_y AS DOUBLE) AS y_coord,
+         |  value FROM ($H5CellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdf4Coords(s, fixtureCoordsPath(), "v")
+        .select(col("cell_x"), col("cell_y"),
+          col("x_coord"), col("y_coord"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
     "scan_netcdf4_dense" -> Q(
       s"""SELECT cell_x, cell_y, value FROM ($H5CellsSql)
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
