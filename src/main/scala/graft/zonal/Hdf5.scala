@@ -466,38 +466,45 @@ object Hdf5 {
     * `/`-separated GROUP PATH (r12 — netCDF-4 groups: each component
     * but the last resolves through that group's own symbol table).
     */
+  /** Resolve a `/`-separated path to a dataset header address — the
+    * group walk shared by [[readMeta]] and the string-table reader.
+    * SOFT links (r14) restart at their target (absolute from the root,
+    * relative from the link's own group), with a depth cap against
+    * cycles.
+    */
+  private def resolvePath(path: String, r: RangeReader, varName: String): Long = {
+    val parts = varName.split("/").filter(_.nonEmpty)
+    require(parts.nonEmpty, s"$path: empty variable name")
+    def resolve(start: Long, comps: List[String], depth: Int): Long = {
+      require(depth < 8,
+        s"$path: soft-link chain deeper than 8 — cyclic links?")
+      comps match {
+        case Nil => start
+        case c :: rest =>
+          val syms = groupSymbols(path, r, start)
+          syms.get(c) match {
+            case Some(Left(addr)) => resolve(addr, rest, depth)
+            case Some(Right(target)) =>
+              val tcomps = target.split("/").filter(_.nonEmpty).toList
+              require(!tcomps.contains(".."),
+                s"$path: soft link '$c' uses '..' — unsupported")
+              val base =
+                if (target.startsWith("/")) rootHeaderAddr(path, r) else start
+              resolve(base, tcomps ::: rest, depth + 1)
+            case None =>
+              val what = if (rest.isEmpty) s"variable '$c'" else s"group '$c'"
+              sys.error(s"$path: $what not in file " +
+                s"(have ${syms.keys.toSeq.sorted.mkString(", ")})")
+          }
+      }
+    }
+    resolve(rootHeaderAddr(path, r), parts.toList, 0)
+  }
+
   def readMeta(path: String, varName: String): H5Meta = {
     val r = new RangeReader(path)
     try {
-      val parts = varName.split("/").filter(_.nonEmpty)
-      require(parts.nonEmpty, s"$path: empty variable name")
-      // resolve the path component by component; SOFT links (r14)
-      // restart at their target (absolute from the root, relative from
-      // the link's own group), with a depth cap against cycles
-      def resolve(start: Long, comps: List[String], depth: Int): Long = {
-        require(depth < 8,
-          s"$path: soft-link chain deeper than 8 — cyclic links?")
-        comps match {
-          case Nil => start
-          case c :: rest =>
-            val syms = groupSymbols(path, r, start)
-            syms.get(c) match {
-              case Some(Left(addr)) => resolve(addr, rest, depth)
-              case Some(Right(target)) =>
-                val tcomps = target.split("/").filter(_.nonEmpty).toList
-                require(!tcomps.contains(".."),
-                  s"$path: soft link '$c' uses '..' — unsupported")
-                val base =
-                  if (target.startsWith("/")) rootHeaderAddr(path, r) else start
-                resolve(base, tcomps ::: rest, depth + 1)
-              case None =>
-                val what = if (rest.isEmpty) s"variable '$c'" else s"group '$c'"
-                sys.error(s"$path: $what not in file " +
-                  s"(have ${syms.keys.toSeq.sorted.mkString(", ")})")
-            }
-        }
-      }
-      val dsAddr = resolve(rootHeaderAddr(path, r), parts.toList, 0)
+      val dsAddr = resolvePath(path, r, varName)
       val msgs = readHeader(path, r, dsAddr)
       def one(t: Int, what: String): Msg = msgs.find(_.mtype == t)
         .getOrElse(sys.error(s"$path: dataset has no $what message"))
@@ -529,7 +536,8 @@ object Hdf5 {
       val dclass = dt(0) & 0x0f
       val dsize = le(dt).getInt(4)
       require(dclass == 0 || dclass == 1, s"$path: datatype class $dclass " +
-        "unsupported (fixed-point/float only — no strings/compounds)")
+        "unsupported (fixed-point/float only — STRING tables read via " +
+        "scanNetcdf4Strings; compounds refuse)")
       require(Set(1, 2, 4, 8).contains(dsize), s"$path: $dsize-byte datatype unsupported")
       val bigEndian = (dt(1) & 0x01) != 0
       val signed = dclass == 0 && (dt(1) & 0x08) != 0
@@ -1399,6 +1407,69 @@ object Hdf5 {
         col("x_coord"), col("y_coord"), col("value"))
   }
 
+  /** Read a FIXED-LENGTH STRING dataset (r16 — HDF5 datatype class 3:
+    * the station-name / label tables real files carry next to their
+    * numeric cubes, previously a named refusal): rank-1 CONTIGUOUS,
+    * null-terminate/null-pad/space-pad classes trimmed per the
+    * declared pad. One task — label tables are axis-sized. Returns
+    * `(idx, name)`.
+    */
+  def scanNetcdf4Strings(s: SparkSession, path: String, varName: String): DataFrame = {
+    import s.implicits._
+    val r = new RangeReader(path)
+    val (n, strLen, padClass, dataAddr) = try {
+      val dsAddr = resolvePath(path, r, varName)
+      val msgs = readHeader(path, r, dsAddr)
+      def one(t: Int, what: String): Msg = msgs.find(_.mtype == t)
+        .getOrElse(sys.error(s"$path: dataset has no $what message"))
+      val sp = one(0x0001, "dataspace").body
+      val (rank, dimsOff) = (sp(0) & 0xff) match {
+        case 1 => (sp(1) & 0xff, 8)
+        case 2 => (sp(1) & 0xff, 4)
+        case v => sys.error(s"$path: dataspace version $v unsupported")
+      }
+      require(rank == 1,
+        s"$path: '$varName' is rank-$rank — string tables are 1-D")
+      val n = le(sp).getLong(dimsOff).toInt
+      val dt = one(0x0003, "datatype").body
+      val dclass = dt(0) & 0x0f
+      require(dclass == 3,
+        s"$path: '$varName' datatype class $dclass is not STRING (3) — " +
+          "numeric variables scan via scanNetcdf4")
+      val padClass = dt(1) & 0x0f
+      require(padClass <= 2,
+        s"$path: string pad class $padClass unsupported (0/1/2)")
+      val strLen = le(dt).getInt(4)
+      require(strLen > 0, s"$path: zero-length string datatype")
+      val lay = one(0x0008, "data layout").body
+      require((lay(0) & 0xff) == 3 && (lay(1) & 0xff) == 1,
+        s"$path: '$varName' string table must be CONTIGUOUS (layout v3 class 1)")
+      (n, strLen, padClass, le(lay).getLong(2))
+    } finally r.close()
+    s.createDataset(Seq((path, dataAddr, n, strLen, padClass)))
+      .flatMap { case (p, addr, n2, l, pc) =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        val fs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(hp)
+        val bytes = try {
+          val b = new Array[Byte](n2 * l); in.readFully(addr, b); b
+        } finally in.close()
+        (0 until n2).iterator.map { i =>
+          val base = i * l
+          var end = base
+          if (pc == 2) { // space-padded: strip trailing spaces
+            end = base + l
+            while (end > base && bytes(end - 1) == ' '.toByte) end -= 1
+          } else { // null-terminated / null-padded: stop at first NUL
+            while (end < base + l && bytes(end) != 0) end += 1
+          }
+          (i, new String(bytes, base, end - base,
+            java.nio.charset.StandardCharsets.US_ASCII))
+        }
+      }
+      .toDF("idx", "name")
+  }
+
   /** CF-convention fill masking (the scan_netcdf_fill analogue, r12):
     * cells carrying the dataset's fill value are dropped INSIDE the
     * scan tasks before any shuffle; loud when the dataset declares no
@@ -1670,13 +1741,24 @@ object Hdf5 {
     * Each var is (name, dims of rank 1 or 2, dtype, C-order values).
     */
   def writeHdf5Multi(path: String,
-      vars: Seq[(String, Seq[Int], String, Array[Double])]): Unit = {
-    require(vars.nonEmpty && vars.map(_._1).distinct.size == vars.size,
+      vars: Seq[(String, Seq[Int], String, Array[Double])],
+      strVars: Seq[(String, Seq[String])] = Nil): Unit = {
+    // internal member shape: numeric Left((dtype, values)) or
+    // fixed-length STRING Right((strLen, strings)) — r16, null-padded
+    // datatype class 3
+    val members: Seq[(String, Seq[Int], Either[(String, Array[Double]), (Int, Seq[String])])] =
+      vars.map { case (nm, dims, dt, vals) => (nm, dims, Left((dt, vals))) } ++
+      strVars.map { case (nm, strs) =>
+        require(strs.nonEmpty, s"writeHdf5Multi: $nm has no strings")
+        (nm, Seq(strs.length),
+          Right((math.max(1, strs.map(_.length).max), strs)))
+      }
+    require(members.nonEmpty && members.map(_._1).distinct.size == members.size,
       "writeHdf5Multi: duplicate/empty variable list")
     vars.foreach { case (nm, dims, _, vals) =>
       require(dims.nonEmpty && dims.size <= 2 && dims.product == vals.length,
         s"writeHdf5Multi: $nm dims $dims vs ${vals.length} values") }
-    val sorted = vars.sortBy(_._1) // SNOD symbols sort by name
+    val sorted = members.sortBy(_._1) // SNOD symbols sort by name
     // local heap: zero slot + each name, 8-padded
     val nameOffs = sorted.map(_._1).scanLeft(8L)((o, nm) => o + pad8(nm.length + 1)).init
     val heapDataSize = 8 + sorted.map(v => pad8(v._1.length + 1).toLong).sum
@@ -1686,15 +1768,23 @@ object Hdf5 {
     val aGbt = aHeapData + heapDataSize
     val aSnod = aGbt + 48
     val aHdr0 = aSnod + 8 + 40L * sorted.size
-    def dsBody(v: (String, Seq[Int], String, Array[Double])): Int = {
-      val isF = v._3.substring(1).startsWith("f")
-      (8 + 8 + 8 * v._2.size) + (8 + (if (isF) 24 else 16)) + (8 + 8) + (8 + 24)
+    def dsBody(v: (String, Seq[Int], Either[(String, Array[Double]), (Int, Seq[String])])): Int = {
+      val dtBody = v._3 match {
+        case Left((dt, _)) => if (dt.substring(1).startsWith("f")) 24 else 16
+        case Right(_) => 8 // string datatype: no property bytes
+      }
+      (8 + 8 + 8 * v._2.size) + (8 + dtBody) + (8 + 8) + (8 + 24)
     }
+    def elemOf(v: (String, Seq[Int], Either[(String, Array[Double]), (Int, Seq[String])])): Int =
+      v._3 match {
+        case Left((dt, _)) => dt.substring(2).toInt
+        case Right((l, _)) => l
+      }
     val hdrAddrs = sorted.scanLeft(aHdr0)((a, v) => a + 16 + dsBody(v)).init
     var dataAddr = hdrAddrs.last + 16 + dsBody(sorted.last)
     val dataAddrs = sorted.map { v =>
       val a = dataAddr
-      dataAddr += v._4.length.toLong * v._3.substring(2).toInt
+      dataAddr += v._2.product.toLong * elemOf(v)
       a
     }
     val eof = dataAddr
@@ -1713,7 +1803,7 @@ object Hdf5 {
     buf.raw("HEAP".getBytes).u8(0).zeros(3)
       .u64(heapDataSize).u64(Undef).u64(aHeapData)
     buf.zeros(8)
-    sorted.foreach { case (nm, _, _, _) =>
+    sorted.foreach { case (nm, _, _) =>
       buf.raw(nm.getBytes).zeros(pad8(nm.length + 1) - nm.length)
     }
     require(buf.size == aGbt, s"heap accounting: ${buf.size}")
@@ -1724,36 +1814,48 @@ object Hdf5 {
     sorted.zipWithIndex.foreach { case (_, i) =>
       buf.u64(nameOffs(i)).u64(hdrAddrs(i)).u32(0).u32(0).zeros(16)
     }
-    sorted.zipWithIndex.foreach { case (v @ (nm, dims, dtype, vals), i) =>
+    sorted.zipWithIndex.foreach { case (v @ (nm, dims, kind), i) =>
       require(buf.size == hdrAddrs(i), s"$nm header accounting: ${buf.size}")
-      val elem = dtype.substring(2).toInt
-      val isF = dtype.substring(1).startsWith("f")
+      val elem = elemOf(v)
       buf.u8(1).u8(0).u16(4).u32(1).u32(dsBody(v)).u32(0)
       buf.u16(0x0001).u16(8 + 8 * dims.size).u8(0).zeros(3)
         .u8(1).u8(dims.size).u8(0).zeros(5)
       dims.foreach(d => buf.u64(d))
-      val bigE = if (dtype.charAt(0) == '>') 1 else 0
-      if (isF) {
-        val (expLoc, expSize, manSize, bias) =
-          if (elem == 8) (52, 11, 52, 1023) else (23, 8, 23, 127)
-        buf.u16(0x0003).u16(24).u8(0).zeros(3)
-          .u8(0x11).u8(0x20 | bigE).u8(8 * elem - 1).u8(0).u32(elem)
-          .u16(0).u16(8 * elem).u8(expLoc).u8(expSize).u8(0).u8(manSize)
-          .u32(bias).zeros(4)
-      } else {
-        val signed = dtype.substring(1).startsWith("i")
-        buf.u16(0x0003).u16(16).u8(0).zeros(3)
-          .u8(0x10).u8((if (signed) 0x08 else 0) | bigE).u8(0).u8(0).u32(elem)
-          .u16(0).u16(8 * elem).zeros(4)
+      kind match {
+        case Left((dtype, _)) =>
+          val bigE = if (dtype.charAt(0) == '>') 1 else 0
+          if (dtype.substring(1).startsWith("f")) {
+            val (expLoc, expSize, manSize, bias) =
+              if (elem == 8) (52, 11, 52, 1023) else (23, 8, 23, 127)
+            buf.u16(0x0003).u16(24).u8(0).zeros(3)
+              .u8(0x11).u8(0x20 | bigE).u8(8 * elem - 1).u8(0).u32(elem)
+              .u16(0).u16(8 * elem).u8(expLoc).u8(expSize).u8(0).u8(manSize)
+              .u32(bias).zeros(4)
+          } else {
+            val signed = dtype.substring(1).startsWith("i")
+            buf.u16(0x0003).u16(16).u8(0).zeros(3)
+              .u8(0x10).u8((if (signed) 0x08 else 0) | bigE).u8(0).u8(0).u32(elem)
+              .u16(0).u16(8 * elem).zeros(4)
+          }
+        case Right(_) =>
+          // datatype class 3 (STRING), null-padded (pad class 1)
+          buf.u16(0x0003).u16(8).u8(0).zeros(3)
+            .u8(0x13).u8(0x01).u8(0).u8(0).u32(elem)
       }
       buf.u16(0x0005).u16(8).u8(0).zeros(3)
         .u8(2).u8(2).u8(0).u8(0).u32(0)
       buf.u16(0x0008).u16(24).u8(0).zeros(3)
-        .u8(3).u8(1).u64(dataAddrs(i)).u64(vals.length.toLong * elem).zeros(6)
+        .u8(3).u8(1).u64(dataAddrs(i)).u64(dims.product.toLong * elem).zeros(6)
     }
-    sorted.zipWithIndex.foreach { case ((nm, _, dtype, vals), i) =>
+    sorted.zipWithIndex.foreach { case ((nm, _, kind), i) =>
       require(buf.size == dataAddrs(i), s"$nm data accounting: ${buf.size}")
-      buf.raw(encodeCells(vals, dtype))
+      kind match {
+        case Left((dtype, vals)) => buf.raw(encodeCells(vals, dtype))
+        case Right((l, strs)) => strs.foreach { s0 =>
+          buf.raw(s0.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+            .zeros(l - s0.length)
+        }
+      }
     }
     require(buf.size == eof, s"file accounting: ${buf.size} vs $eof")
     val p = new java.io.File(path)
@@ -3204,7 +3306,12 @@ object Hdf5 {
           ("x", Seq(H5W), "<f4",
             Array.tabulate(H5W)(x => -120.0 + 0.25 * x)),
           ("y", Seq(H5H), "<f4",
-            Array.tabulate(H5H)(y => 40.0 + 0.25 * y))))
+            Array.tabulate(H5H)(y => 40.0 + 0.25 * y))),
+          // a STRING member rides along (r16): its slab participates
+          // in the address accounting the coords oracle gates, and
+          // scan_netcdf4_strings reads it back
+          strVars = Seq(("station",
+            (0 until H5H).map(y => s"stn-${(y * 7) % 100}"))))
         fixtureCoordsReady = p
       }
     }
@@ -3431,6 +3538,21 @@ object Hdf5 {
         .select(col("cell_x"), col("cell_y"),
           col("x_coord"), col("y_coord"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // FIXED-LENGTH STRING datasets (r16 — HDF5 datatype class 3, the
+    // station-name/label tables next to numeric cubes; previously the
+    // "no strings/compounds" refusal): rank-1 contiguous read with the
+    // declared pad class trimmed; numeric scans of the SAME group are
+    // untouched by the string member (its slab shifts every later
+    // address, so the coords oracle above gates the accounting)
+    "scan_netcdf4_strings" -> Q(
+      s"""SELECT y.range AS idx,
+         |  'stn-' || CAST((y.range * 7) % 100 AS VARCHAR) AS name
+         |FROM range(0, $H5H) y ORDER BY idx""".stripMargin) { (s, _) =>
+      scanNetcdf4Strings(s, fixtureCoordsPath(), "station")
+        .select(col("idx").cast("long").as("idx"), col("name"))
+        .orderBy("idx")
     },
 
     "scan_netcdf4_dense" -> Q(

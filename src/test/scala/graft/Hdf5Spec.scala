@@ -718,6 +718,27 @@ class Hdf5Spec extends SparkSuite {
     // checking a chunked 2-D fixture still reads (guard is rank >= 2)
     val g2 = Hdf5.scanNetcdf4(spark, Hdf5.fixturePath(), "v").count()
     assert(g2 == 80 * 70)
+    // STRING members (r16): a class-3 fixed-length table next to the
+    // numeric datasets reads back trimmed; mixing up the entry points
+    // is loud in both directions
+    val p2 = tmp("strtab")
+    Hdf5.writeHdf5Multi(p2, Seq(
+      ("v", Seq(2, 3), "<f8", Array.tabulate(6)(_.toDouble)),
+      ("x2", Seq(3), "<f4", Array.tabulate(3)(_.toDouble))),
+      strVars = Seq(("names", Seq("alpha", "b", "gamma-long"))))
+    val ns = Hdf5.scanNetcdf4Strings(spark, p2, "names").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(ns == Map(0 -> "alpha", 1 -> "b", 2 -> "gamma-long"))
+    val vb = Hdf5.scanNetcdf4(spark, p2, "v").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(vb.size == 6 && vb((2, 1)) == 5.0)
+    val e2 = intercept[Exception](Hdf5.scanNetcdf4Strings(spark, p2, "v"))
+    assert(e2.getMessage.contains("string tables are 1-D"))
+    // a NUMERIC 1-D vector is not a string table either
+    val e2b = intercept[Exception](Hdf5.scanNetcdf4Strings(spark, p2, "x2"))
+    assert(e2b.getMessage.contains("not STRING"))
+    val e3 = intercept[Exception](Hdf5.scanNetcdf4(spark, p2, "names"))
+    assert(e3.getMessage.contains("scanNetcdf4Strings"))
   }
 
   test("libver-latest checksums sit where the spec puts them") {
