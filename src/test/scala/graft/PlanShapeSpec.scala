@@ -546,4 +546,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(in.exists(_.group(1).split(",").length <= 4),
       s"expected ≤4 candidate buckets in: ${in.map(_.matched).getOrElse(p.take(500))}")
   }
+
+  test("r16 feature ops: zonal_points and zonal_lines stay broadcast-shaped") {
+    // stations-per-zone: the attrs join AND the rasterize tile join are
+    // broadcast hash joins — the point side never shuffles for a join
+    val pp = plan("zonal_points")
+    assert(pp.contains("BroadcastHashJoin"),
+      s"zonal_points lost its broadcast joins:\n${pp.take(1500)}")
+    assert(!pp.contains("SortMergeJoin"),
+      s"zonal_points shuffles a side that should broadcast:\n${pp.take(1500)}")
+    // roads-per-zone: both endpoint-parity joins broadcast; the only
+    // shuffles are the lead window (by road) and the final hash agg
+    val pl = plan("zonal_lines")
+    assert(pl.contains("BroadcastHashJoin"),
+      s"zonal_lines lost its broadcast parity joins:\n${pl.take(1500)}")
+    assert(pl.contains("Window"), "zonal_lines segments should come from a lead window")
+    assert(!pl.contains("SortMergeJoin"),
+      s"zonal_lines shuffles a join side that should broadcast:\n${pl.take(1500)}")
+  }
 }
