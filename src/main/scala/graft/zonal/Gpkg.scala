@@ -156,6 +156,16 @@ object Gpkg {
   private[graft] def pageBytes(db: DbMeta, page: Int): Array[Byte] =
     readRange(db.path, (page - 1).toLong * db.pageSize, db.pageSize)
 
+  /** Page read over an ALREADY-OPEN stream (r16 — executors read many
+    * pages per task; one open per (partition, path), not per page).
+    */
+  private[graft] def pageBytesIn(in: org.apache.hadoop.fs.FSDataInputStream,
+      db: DbMeta, page: Int): Array[Byte] = {
+    val b = new Array[Byte](db.pageSize)
+    in.readFully((page - 1).toLong * db.pageSize, b)
+    b
+  }
+
   /** Cells of one table page: (payloadLen, rowid, payloadOffsetInPage)
     * for leaves; (leftChild, key) for interiors.
     */
@@ -166,7 +176,14 @@ object Gpkg {
     * (pageSize/16) pages), read driver-side like the TIFF IFD.
     */
   private[graft] def leafPages(db: DbMeta, root: Int): Seq[Int] = {
-    val b = pageBytes(db, root)
+    val hp = new org.apache.hadoop.fs.Path(db.path)
+    val in = hadoopFs(hp).open(hp)
+    try leafPagesIn(in, db, root) finally in.close()
+  }
+
+  private def leafPagesIn(in: org.apache.hadoop.fs.FSDataInputStream,
+      db: DbMeta, root: Int): Seq[Int] = {
+    val b = pageBytesIn(in, db, root)
     val h = pageHeaderAt(root)
     val typ = b(h) & 0xff
     typ match {
@@ -179,7 +196,14 @@ object Gpkg {
           val cellOff = bb.getShort(h + 12 + 2 * i) & 0xffff
           bb.getInt(cellOff)
         } :+ rightMost
-        kids.flatMap(k => leafPages(db, k))
+        // b-tree leaves share ONE depth: probe the FIRST child's type
+        // instead of reading every child page — the naive recursion
+        // cost O(leaves) serial driver reads (r16: 2500 pages = tens
+        // of seconds); a mixed-type corruption still fails loudly in
+        // the executor-side leafRecords type check
+        val probe = pageBytesIn(in, db, kids.head)
+        if ((probe(pageHeaderAt(kids.head)) & 0xff) == 0x0d) kids
+        else kids.flatMap(k => leafPagesIn(in, db, k))
       case t => sys.error(
         s"${db.path}: page $root has b-tree type 0x${t.toHexString} — " +
           "expected a table b-tree (0x05/0x0d); index/freelist/ptrmap " +
@@ -190,8 +214,19 @@ object Gpkg {
   /** Iterate one LEAF page's full record payloads as (rowid, payload),
     * following overflow chains through `readChain`.
     */
-  private[graft] def leafRecords(db: DbMeta, pageNo: Int): Iterator[(Long, Array[Byte])] = {
-    val b = pageBytes(db, pageNo)
+  private[graft] def leafRecords(db: DbMeta, pageNo: Int): Iterator[(Long, Array[Byte])] =
+    leafRecordsBy(pageBytes(db, _), db, pageNo)
+
+  /** [[leafRecords]] over an already-open stream — overflow chains ride
+    * the same handle. The caller keeps the stream open while iterating.
+    */
+  private[graft] def leafRecordsIn(in: org.apache.hadoop.fs.FSDataInputStream,
+      db: DbMeta, pageNo: Int): Iterator[(Long, Array[Byte])] =
+    leafRecordsBy(pageBytesIn(in, db, _), db, pageNo)
+
+  private def leafRecordsBy(fetch: Int => Array[Byte], db: DbMeta,
+      pageNo: Int): Iterator[(Long, Array[Byte])] = {
+    val b = fetch(pageNo)
     val h = pageHeaderAt(pageNo)
     require((b(h) & 0xff) == 0x0d,
       s"${db.path}: page $pageNo is not a table leaf (0x${(b(h) & 0xff).toHexString})")
@@ -218,7 +253,7 @@ object Gpkg {
         var next = bb.getInt(contentOff + local)
         while (got < p) {
           require(next != 0, s"${db.path}: overflow chain ended at $got of $p bytes")
-          val ob = pageBytes(db, next)
+          val ob = fetch(next)
           next = java.nio.ByteBuffer.wrap(ob).getInt(0)
           val take = math.min(p - got, u - 4)
           System.arraycopy(ob, 4, out, got, take)
@@ -419,6 +454,33 @@ object Gpkg {
 
   // ---- the readers ----
 
+  /** Run `parse` over each leaf page's `(rowid, payload)` records with
+    * ONE file open per (partition, path) — the per-page open made a
+    * 2500-page road table IO-bound on opens (r16; the
+    * Shapefile.scanRecords rationale applied to the page walk).
+    */
+  private def scanLeaves[T](s: SparkSession, refs: Seq[LeafRef])(
+      parse: (LeafRef, Long, Array[Byte]) => IterableOnce[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+    import s.implicits._
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.toArray.groupBy(_.path).iterator.flatMap { case (p, rs) =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val in = hp.getFileSystem(conf).open(hp)
+          try rs.toSeq.flatMap { ref =>
+            val rdb = DbMeta(ref.path, ref.pageSize, ref.reserved)
+            leafRecordsIn(in, rdb, ref.page).toSeq.flatMap { case (rowid, payload) =>
+              parse(ref, rowid, payload)
+            }
+          } finally in.close()
+        }
+      }
+  }
+
   /** Page-parallel feature scan → long-form vertices
     * `(zone_id, part, ring, i, x, y)` (zone_id = the id column via
     * rowid aliasing), the exact [[Shapefile.readVerts]] shape.
@@ -435,34 +497,27 @@ object Gpkg {
       s"$path/$table: need columns '$idCol' and '$geomCol', have ${ti.columns.mkString(", ")}")
     val refs = leafPages(db, ti.rootPage)
       .map(p => LeafRef(path, p, db.pageSize, db.reserved, ti.pkOrdinal, ti.columns.size))
-    s.createDataset(refs)
-      .repartition(math.max(1, math.min(refs.size,
-        s.sparkContext.defaultParallelism)))
-      .flatMap { ref =>
-        val rdb = DbMeta(ref.path, ref.pageSize, ref.reserved)
-        leafRecords(rdb, ref.page).flatMap { case (rowid, payload) =>
-          val vals = decodeRecord(payload, ref.nCols)
-          val zid = vals(idIx) match {
-            case l: Long => l
-            case null if idIx == ref.pkOrdinal => rowid // INTEGER PRIMARY KEY alias
-            case other => sys.error(s"${ref.path}: id column holds $other")
-          }
-          val blob = vals(geomIx) match {
-            case b: Array[Byte] => b
-            case other => sys.error(s"${ref.path}: geometry column holds " +
-              s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
-          }
-          // a 64-bit rowid above Int.MaxValue would silently truncate
-          // into a wrong (possibly colliding) zone_id — refuse by name
-          require(zid >= Int.MinValue && zid <= Int.MaxValue,
-            s"${ref.path}: feature id $zid outside the 32-bit zone_id range")
-          val what = s"${ref.path} feature $zid"
-          parseWkbGeometry(blob, wkbOffset(blob, what), what).map {
-            case (part, ring, i, x, y) => (zid.toInt, part, ring, i, x, y)
-          }
-        }
+    scanLeaves(s, refs) { (ref, rowid, payload) =>
+      val vals = decodeRecord(payload, ref.nCols)
+      val zid = vals(idIx) match {
+        case l: Long => l
+        case null if idIx == ref.pkOrdinal => rowid // INTEGER PRIMARY KEY alias
+        case other => sys.error(s"${ref.path}: id column holds $other")
       }
-      .toDF("zone_id", "part", "ring", "i", "x", "y")
+      val blob = vals(geomIx) match {
+        case b: Array[Byte] => b
+        case other => sys.error(s"${ref.path}: geometry column holds " +
+          s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+      }
+      // a 64-bit rowid above Int.MaxValue would silently truncate
+      // into a wrong (possibly colliding) zone_id — refuse by name
+      require(zid >= Int.MinValue && zid <= Int.MaxValue,
+        s"${ref.path}: feature id $zid outside the 32-bit zone_id range")
+      val what = s"${ref.path} feature $zid"
+      parseWkbGeometry(blob, wkbOffset(blob, what), what).map {
+        case (part, ring, i, x, y) => (zid.toInt, part, ring, i, x, y)
+      }
+    }.toDF("zone_id", "part", "ring", "i", "x", "y")
   }
 
   /** The operator face: GeoPackage → the engine's zone shape
@@ -493,32 +548,25 @@ object Gpkg {
       s"$path/$table: need columns '$idCol' and '$geomCol', have ${ti.columns.mkString(", ")}")
     val refs = leafPages(db, ti.rootPage)
       .map(p => LeafRef(path, p, db.pageSize, db.reserved, ti.pkOrdinal, ti.columns.size))
-    s.createDataset(refs)
-      .repartition(math.max(1, math.min(refs.size,
-        s.sparkContext.defaultParallelism)))
-      .flatMap { ref =>
-        val rdb = DbMeta(ref.path, ref.pageSize, ref.reserved)
-        leafRecords(rdb, ref.page).flatMap { case (rowid, payload) =>
-          val vals = decodeRecord(payload, ref.nCols)
-          val sid = vals(idIx) match {
-            case l: Long => l
-            case null if idIx == ref.pkOrdinal => rowid
-            case other => sys.error(s"${ref.path}: id column holds $other")
-          }
-          val blob = vals(geomIx) match {
-            case b: Array[Byte] => b
-            case other => sys.error(s"${ref.path}: geometry column holds " +
-              s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
-          }
-          require(sid >= Int.MinValue && sid <= Int.MaxValue,
-            s"${ref.path}: feature id $sid outside the 32-bit station_id range")
-          val what = s"${ref.path} feature $sid"
-          parseWkbPoints(blob, wkbOffset(blob, what), what).map {
-            case (i, x, y) => (sid.toInt, i, x, y)
-          }
-        }
+    scanLeaves(s, refs) { (ref, rowid, payload) =>
+      val vals = decodeRecord(payload, ref.nCols)
+      val sid = vals(idIx) match {
+        case l: Long => l
+        case null if idIx == ref.pkOrdinal => rowid
+        case other => sys.error(s"${ref.path}: id column holds $other")
       }
-      .toDF("station_id", "i", "x", "y")
+      val blob = vals(geomIx) match {
+        case b: Array[Byte] => b
+        case other => sys.error(s"${ref.path}: geometry column holds " +
+          s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+      }
+      require(sid >= Int.MinValue && sid <= Int.MaxValue,
+        s"${ref.path}: feature id $sid outside the 32-bit station_id range")
+      val what = s"${ref.path} feature $sid"
+      parseWkbPoints(blob, wkbOffset(blob, what), what).map {
+        case (i, x, y) => (sid.toInt, i, x, y)
+      }
+    }.toDF("station_id", "i", "x", "y")
   }
 
   /** Point-feature scan (r16 — WKB type 1): `(station_id, x, y)`. */
@@ -548,32 +596,25 @@ object Gpkg {
       s"$path/$table: need columns '$idCol' and '$geomCol', have ${ti.columns.mkString(", ")}")
     val refs = leafPages(db, ti.rootPage)
       .map(p => LeafRef(path, p, db.pageSize, db.reserved, ti.pkOrdinal, ti.columns.size))
-    s.createDataset(refs)
-      .repartition(math.max(1, math.min(refs.size,
-        s.sparkContext.defaultParallelism)))
-      .flatMap { ref =>
-        val rdb = DbMeta(ref.path, ref.pageSize, ref.reserved)
-        leafRecords(rdb, ref.page).flatMap { case (rowid, payload) =>
-          val vals = decodeRecord(payload, ref.nCols)
-          val rid = vals(idIx) match {
-            case l: Long => l
-            case null if idIx == ref.pkOrdinal => rowid
-            case other => sys.error(s"${ref.path}: id column holds $other")
-          }
-          val blob = vals(geomIx) match {
-            case b: Array[Byte] => b
-            case other => sys.error(s"${ref.path}: geometry column holds " +
-              s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
-          }
-          require(rid >= Int.MinValue && rid <= Int.MaxValue,
-            s"${ref.path}: feature id $rid outside the 32-bit road_id range")
-          val what = s"${ref.path} feature $rid"
-          parseWkbLine(blob, wkbOffset(blob, what), what).map {
-            case (i, x, y) => (rid.toInt, i, x, y)
-          }
-        }
+    scanLeaves(s, refs) { (ref, rowid, payload) =>
+      val vals = decodeRecord(payload, ref.nCols)
+      val rid = vals(idIx) match {
+        case l: Long => l
+        case null if idIx == ref.pkOrdinal => rowid
+        case other => sys.error(s"${ref.path}: id column holds $other")
       }
-      .toDF("road_id", "i", "x", "y")
+      val blob = vals(geomIx) match {
+        case b: Array[Byte] => b
+        case other => sys.error(s"${ref.path}: geometry column holds " +
+          s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+      }
+      require(rid >= Int.MinValue && rid <= Int.MaxValue,
+        s"${ref.path}: feature id $rid outside the 32-bit road_id range")
+      val what = s"${ref.path} feature $rid"
+      parseWkbLine(blob, wkbOffset(blob, what), what).map {
+        case (i, x, y) => (rid.toInt, i, x, y)
+      }
+    }.toDF("road_id", "i", "x", "y")
   }
 
   /** Write-once per-sf feature GeoPackage fixture: a Point table, a
@@ -1383,19 +1424,13 @@ object Gpkg {
     val keep = ti.columns.zipWithIndex.filter(_._2 != geomIx)
     val refs = leafPages(db, ti.rootPage)
       .map(p => LeafRef(path, p, db.pageSize, db.reserved, ti.pkOrdinal, ti.columns.size))
-    val rows = s.createDataset(refs)
-      .repartition(math.max(1, math.min(refs.size,
-        s.sparkContext.defaultParallelism)))
-      .flatMap { ref =>
-        val rdb = DbMeta(ref.path, ref.pageSize, ref.reserved)
-        leafRecords(rdb, ref.page).map { case (rowid, payload) =>
-          val vals = decodeRecord(payload, ref.nCols)
-          if (ref.pkOrdinal >= 0 && vals(ref.pkOrdinal) == null)
-            vals(ref.pkOrdinal) = rowid
-          // stringly-typed transport; the select below re-types per use
-          (rowid, vals.map(v => if (v == null) null else v.toString).toSeq)
-        }
-      }
+    val rows = scanLeaves(s, refs) { (ref, rowid, payload) =>
+      val vals = decodeRecord(payload, ref.nCols)
+      if (ref.pkOrdinal >= 0 && vals(ref.pkOrdinal) == null)
+        vals(ref.pkOrdinal) = rowid
+      // stringly-typed transport; the select below re-types per use
+      Seq((rowid, vals.map(v => if (v == null) null else v.toString).toSeq))
+    }
     rows.toDF("rowid", "vals")
       .select(col("rowid") +: keep.map { case (n, i) =>
         element_at(col("vals"), i + 1).as(n) }: _*)

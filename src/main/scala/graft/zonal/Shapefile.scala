@@ -227,6 +227,32 @@ object Shapefile {
     }
   }
 
+  /** Run `parse` over each record's content bytes with ONE file open
+    * per (partition, path) — the naive per-record open makes a
+    * 100k-record shapefile cost 100k opens (r16: 15k-road scans were
+    * IO-bound on opens, not bytes).
+    */
+  private def scanRecords[T](s: SparkSession, refs: Seq[ShpRef])(
+      parse: (ShpRef, Array[Byte]) => IterableOnce[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+    import s.implicits._
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .mapPartitions { it =>
+        val conf = new org.apache.hadoop.conf.Configuration()
+        it.toArray.groupBy(_.path).iterator.flatMap { case (p, rs) =>
+          val hp = new org.apache.hadoop.fs.Path(p)
+          val in = hp.getFileSystem(conf).open(hp)
+          try rs.toSeq.flatMap { ref =>
+            val raw = new Array[Byte](ref.contentBytes)
+            in.readFully(ref.offset, raw)
+            parse(ref, raw)
+          } finally in.close()
+        }
+      }
+  }
+
   /** Long-form parsed vertices `(zone_id, part, ring, i, x, y)` — one
     * task per record manifest slice. zone_id = recNo - 1 (the fixture
     * writes records in ascending dense zone order; real deployments join
@@ -235,23 +261,11 @@ object Shapefile {
     */
   def readVerts(s: SparkSession, shpPath: String): DataFrame = {
     import s.implicits._
-    val refs = readIndex(shpPath)
-    s.createDataset(refs)
-      .repartition(math.max(1, math.min(refs.size,
-        s.sparkContext.defaultParallelism)))
-      .flatMap { ref =>
-        val p = new org.apache.hadoop.fs.Path(ref.path)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val in = fs.open(p)
-        try {
-          val raw = new Array[Byte](ref.contentBytes)
-          in.readFully(ref.offset, raw)
-          parseRecord(raw, ref.recNo, ref.path).map { case (ring, i, x, y) =>
-            (ref.recNo - 1, 0, ring, i, x, y)
-          }
-        } finally in.close()
+    scanRecords(s, readIndex(shpPath)) { (ref, raw) =>
+      parseRecord(raw, ref.recNo, ref.path).map { case (ring, i, x, y) =>
+        (ref.recNo - 1, 0, ring, i, x, y)
       }
-      .toDF("zone_id", "part", "ring", "i", "x", "y")
+    }.toDF("zone_id", "part", "ring", "i", "x", "y")
   }
 
   /** The operator: shapefile → the engine's zone shape
@@ -274,28 +288,16 @@ object Shapefile {
     */
   def readPoints(s: SparkSession, shpPath: String): DataFrame = {
     import s.implicits._
-    val refs = readIndex(shpPath, TypePoint)
-    s.createDataset(refs)
-      .repartition(math.max(1, math.min(refs.size,
-        s.sparkContext.defaultParallelism)))
-      .map { ref =>
-        val p = new org.apache.hadoop.fs.Path(ref.path)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val in = fs.open(p)
-        try {
-          val raw = new Array[Byte](ref.contentBytes)
-          in.readFully(ref.offset, raw)
-          val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val st = b.getInt(0)
-          require(st == TypePoint,
-            s"${ref.path} record ${ref.recNo}: shape type $st, want Point (1)")
-          val x = b.getDouble(4); val y = b.getDouble(12)
-          require(x == math.rint(x) && y == math.rint(y),
-            s"${ref.path} record ${ref.recNo}: fractional coordinate ($x, $y)")
-          (ref.recNo - 1, x.toInt, y.toInt)
-        } finally in.close()
-      }
-      .toDF("station_id", "x", "y")
+    scanRecords(s, readIndex(shpPath, TypePoint)) { (ref, raw) =>
+      val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val st = b.getInt(0)
+      require(st == TypePoint,
+        s"${ref.path} record ${ref.recNo}: shape type $st, want Point (1)")
+      val x = b.getDouble(4); val y = b.getDouble(12)
+      require(x == math.rint(x) && y == math.rint(y),
+        s"${ref.path} record ${ref.recNo}: fractional coordinate ($x, $y)")
+      Seq((ref.recNo - 1, x.toInt, y.toInt))
+    }.toDF("station_id", "x", "y")
   }
 
   /** MULTIPOINT record scan (r16): type-8 records parsed to long-form
@@ -303,33 +305,21 @@ object Shapefile {
     */
   def readMultiPoints(s: SparkSession, shpPath: String): DataFrame = {
     import s.implicits._
-    val refs = readIndex(shpPath, TypeMultiPoint)
-    s.createDataset(refs)
-      .repartition(math.max(1, math.min(refs.size,
-        s.sparkContext.defaultParallelism)))
-      .flatMap { ref =>
-        val p = new org.apache.hadoop.fs.Path(ref.path)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val in = fs.open(p)
-        try {
-          val raw = new Array[Byte](ref.contentBytes)
-          in.readFully(ref.offset, raw)
-          val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val st = b.getInt(0)
-          require(st == TypeMultiPoint,
-            s"${ref.path} record ${ref.recNo}: shape type $st, want MultiPoint (8)")
-          val n = b.getInt(36)
-          require(raw.length >= 40 + 16 * n,
-            s"${ref.path} record ${ref.recNo}: truncated ($n points, ${raw.length} bytes)")
-          (0 until n).map { j =>
-            val x = b.getDouble(40 + 16 * j); val y = b.getDouble(48 + 16 * j)
-            require(x == math.rint(x) && y == math.rint(y),
-              s"${ref.path} record ${ref.recNo}: fractional coordinate ($x, $y)")
-            (ref.recNo - 1, j, x.toInt, y.toInt)
-          }
-        } finally in.close()
+    scanRecords(s, readIndex(shpPath, TypeMultiPoint)) { (ref, raw) =>
+      val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val st = b.getInt(0)
+      require(st == TypeMultiPoint,
+        s"${ref.path} record ${ref.recNo}: shape type $st, want MultiPoint (8)")
+      val n = b.getInt(36)
+      require(raw.length >= 40 + 16 * n,
+        s"${ref.path} record ${ref.recNo}: truncated ($n points, ${raw.length} bytes)")
+      (0 until n).map { j =>
+        val x = b.getDouble(40 + 16 * j); val y = b.getDouble(48 + 16 * j)
+        require(x == math.rint(x) && y == math.rint(y),
+          s"${ref.path} record ${ref.recNo}: fractional coordinate ($x, $y)")
+        (ref.recNo - 1, j, x.toInt, y.toInt)
       }
-      .toDF("station_id", "i", "x", "y")
+    }.toDF("station_id", "i", "x", "y")
   }
 
   /** Serialize the road derivation as a POLYLINE .shp/.shx (r16 —
@@ -361,43 +351,31 @@ object Shapefile {
     */
   def readLines(s: SparkSession, shpPath: String): DataFrame = {
     import s.implicits._
-    val refs = readIndex(shpPath, TypePolyLine)
-    s.createDataset(refs)
-      .repartition(math.max(1, math.min(refs.size,
-        s.sparkContext.defaultParallelism)))
-      .flatMap { ref =>
-        val p = new org.apache.hadoop.fs.Path(ref.path)
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        val in = fs.open(p)
-        try {
-          val raw = new Array[Byte](ref.contentBytes)
-          in.readFully(ref.offset, raw)
-          val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          val st = b.getInt(0)
-          require(st == TypePolyLine,
-            s"${ref.path} record ${ref.recNo}: shape type $st, want PolyLine (3)")
-          val numParts = b.getInt(36)
-          val numPoints = b.getInt(40)
-          require(raw.length >= 44 + 4 * numParts + 16 * numPoints,
-            s"${ref.path} record ${ref.recNo}: truncated")
-          val starts = Array.tabulate(numParts)(q => b.getInt(44 + 4 * q))
-          val ptsOff = 44 + 4 * numParts
-          (0 until numParts).flatMap { part =>
-            val lo = starts(part)
-            val hi = if (part + 1 < numParts) starts(part + 1) else numPoints
-            require(hi - lo >= 2,
-              s"${ref.path} record ${ref.recNo} part $part: ${hi - lo} points (min 2)")
-            (lo until hi).map { q =>
-              val x = b.getDouble(ptsOff + 16 * q)
-              val y = b.getDouble(ptsOff + 16 * q + 8)
-              require(x == math.rint(x) && y == math.rint(y),
-                s"${ref.path} record ${ref.recNo}: fractional coordinate ($x, $y)")
-              (ref.recNo - 1, part, q - lo, x.toInt, y.toInt)
-            }
-          }
-        } finally in.close()
+    scanRecords(s, readIndex(shpPath, TypePolyLine)) { (ref, raw) =>
+      val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val st = b.getInt(0)
+      require(st == TypePolyLine,
+        s"${ref.path} record ${ref.recNo}: shape type $st, want PolyLine (3)")
+      val numParts = b.getInt(36)
+      val numPoints = b.getInt(40)
+      require(raw.length >= 44 + 4 * numParts + 16 * numPoints,
+        s"${ref.path} record ${ref.recNo}: truncated")
+      val starts = Array.tabulate(numParts)(q => b.getInt(44 + 4 * q))
+      val ptsOff = 44 + 4 * numParts
+      (0 until numParts).flatMap { part =>
+        val lo = starts(part)
+        val hi = if (part + 1 < numParts) starts(part + 1) else numPoints
+        require(hi - lo >= 2,
+          s"${ref.path} record ${ref.recNo} part $part: ${hi - lo} points (min 2)")
+        (lo until hi).map { q =>
+          val x = b.getDouble(ptsOff + 16 * q)
+          val y = b.getDouble(ptsOff + 16 * q + 8)
+          require(x == math.rint(x) && y == math.rint(y),
+            s"${ref.path} record ${ref.recNo}: fractional coordinate ($x, $y)")
+          (ref.recNo - 1, part, q - lo, x.toInt, y.toInt)
+        }
       }
-      .toDF("road_id", "part", "i", "x", "y")
+    }.toDF("road_id", "part", "i", "x", "y")
   }
 
   private val lnFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
