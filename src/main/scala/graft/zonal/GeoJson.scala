@@ -373,6 +373,57 @@ object GeoJson {
         element_at(col("col"), 1).cast("int").as("x"),
         element_at(col("col"), 2).cast("int").as("y"))
 
+  /** Write the multi-point derivation as a MultiPoint
+    * FeatureCollection fixture (one Feature per station).
+    */
+  def writeMultiPointsFixture(s: SparkSession, d: String, path: String): Unit = {
+    val vs = Cube.multiPoints(s, d).select("station_id", "i", "qx", "qy").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val features = vs.groupBy(_._1).toSeq.sortBy(_._1).map { case (id, ms) =>
+      val coords = ms.sortBy(_._2).map(m => s"[${m._3}, ${m._4}]")
+        .mkString("[", ", ", "]")
+      s"""{"type": "Feature", "properties": {"station_id": $id},
+         | "geometry": {"type": "MultiPoint", "coordinates": $coords}}""".stripMargin
+    }
+    val json = features.mkString(
+      """{"type": "FeatureCollection", "features": [""", ",\n", "]}")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** MultiPoint FeatureCollection scan (r16): long-form
+    * `(station_id, i, x, y)` member rows — the [[readLines]] shape
+    * with the MultiPoint type check in the plan.
+    */
+  def readMultiPoints(s: SparkSession, path: String): DataFrame =
+    s.read.option("multiLine", "true").json(path)
+      .select(explode(col("features")).as("f"))
+      .select(col("f.properties.station_id").cast("int").as("station_id"),
+        col("f.geometry.type").as("gtype"),
+        col("f.geometry.coordinates").as("coords"))
+      .select(col("station_id"), posexplode(
+        when(col("gtype") === "MultiPoint", col("coords"))
+          .otherwise(raise_error(concat(lit(s"$path: GeoJSON geometry type "),
+            col("gtype"), lit(" unsupported (MultiPoint)"))))))
+      .select(col("station_id"), col("pos").cast("int").as("i"),
+        element_at(col("col"), 1).cast("int").as("x"),
+        element_at(col("col"), 2).cast("int").as("y"))
+
+  private val mptFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Write-once per-sf MultiPoint GeoJSON fixture of the stations. */
+  def multiPointsFixturePath(s: SparkSession, d: String): String = {
+    val f = new java.io.File(d)
+    mptFixtures.computeIfAbsent(f.getCanonicalPath, { _ =>
+      val path =
+        s"${System.getProperty("java.io.tmpdir")}/graft_io/${f.getName}/stations_multi.geojson"
+      writeMultiPointsFixture(s, d, path)
+      path
+    })
+  }
+
   private val lnFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Write-once per-sf LineString GeoJSON fixture of the roads. */

@@ -617,10 +617,47 @@ object Gpkg {
     }.toDF("road_id", "i", "x", "y")
   }
 
+  /** MultiLineString-feature scan (r16 — WKB type 5: branched
+    * rivers/track networks): long-form `(road_id, part, i, x, y)`
+    * vertex rows through [[parseWkbLines]].
+    */
+  def readMultiLines(s: SparkSession, path: String, table: String,
+      idCol: String = "id", geomCol: String = "geom"): DataFrame = {
+    import s.implicits._
+    val db = readDbMeta(path)
+    val ti = tableInfo(db, table)
+    val idIx = ti.columns.indexOf(idCol)
+    val geomIx = ti.columns.indexOf(geomCol)
+    require(idIx >= 0 && geomIx >= 0,
+      s"$path/$table: need columns '$idCol' and '$geomCol', have ${ti.columns.mkString(", ")}")
+    val refs = leafPages(db, ti.rootPage)
+      .map(p => LeafRef(path, p, db.pageSize, db.reserved, ti.pkOrdinal, ti.columns.size))
+    scanLeaves(s, refs) { (ref, rowid, payload) =>
+      val vals = decodeRecord(payload, ref.nCols)
+      val rid = vals(idIx) match {
+        case l: Long => l
+        case null if idIx == ref.pkOrdinal => rowid
+        case other => sys.error(s"${ref.path}: id column holds $other")
+      }
+      val blob = vals(geomIx) match {
+        case b: Array[Byte] => b
+        case other => sys.error(s"${ref.path}: geometry column holds " +
+          s"${if (other == null) "NULL" else other.getClass.getSimpleName}")
+      }
+      require(rid >= Int.MinValue && rid <= Int.MaxValue,
+        s"${ref.path}: feature id $rid outside the 32-bit road_id range")
+      val what = s"${ref.path} feature $rid"
+      parseWkbLines(blob, wkbOffset(blob, what), what).map {
+        case (part, i, x, y) => (rid.toInt, part, i, x, y)
+      }
+    }.toDF("road_id", "part", "i", "x", "y")
+  }
+
   /** Write-once per-sf feature GeoPackage fixture: a Point table, a
-    * MultiPoint table AND a LineString table in one db (512-byte
-    * pages → several leaves + multi-level interiors at real SFs, so
-    * the page-parallel path is exercised on all three).
+    * MultiPoint table, a LineString table AND a MultiLineString table
+    * in one db (512-byte pages → several leaves + multi-level
+    * interiors at real SFs, so the page-parallel path is exercised on
+    * all four).
     */
   def writePointsFixture(s: SparkSession, d: String, path: String): Unit = {
     val pts = Cube.stations(s, d).select("station_id", "px", "py").collect()
@@ -645,7 +682,15 @@ object Gpkg {
       ("roads",
         "CREATE TABLE roads (id INTEGER PRIMARY KEY, geom BLOB)",
         roads.map { case (id, ms) =>
-          (id.toLong, Seq[Any](null, gpkgBlobLine(ms))) })))
+          (id.toLong, Seq[Any](null, gpkgBlobLine(ms))) }),
+      // branched twin: branch 0 = the first segment, branch 1 = the
+      // rest (overlapping at vertex 1 so every branch has ≥ 2 points
+      // for any 3..5-vertex road)
+      ("roads_multi",
+        "CREATE TABLE roads_multi (id INTEGER PRIMARY KEY, geom BLOB)",
+        roads.map { case (id, ms) =>
+          (id.toLong, Seq[Any](null,
+            gpkgBlobMultiLine(Seq(ms.take(2), ms.drop(1))))) })))
   }
 
   private val ptFixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1221,6 +1266,61 @@ object Gpkg {
       require(x == math.rint(x) && y == math.rint(y),
         s"$what vertex $i: fractional coordinate ($x, $y) — align to the lattice")
       (i, x.toInt, y.toInt)
+    }
+  }
+
+  /** GPKG geometry blob around a WKB MultiLineString (r16) — each
+    * branch a full WKB LineString with its own endianness byte.
+    */
+  private[graft] def gpkgBlobMultiLine(parts: Seq[Seq[(Int, Int)]]): Array[Byte] = {
+    val all = parts.flatten
+    val b = java.nio.ByteBuffer.allocate(
+      8 + 32 + 9 + parts.map(9 + 16 * _.size).sum)
+    b.put('G'.toByte).put('P'.toByte).put(0.toByte)
+    b.put(((1 << 1) | 1).toByte)
+    b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putInt(0)
+    b.putDouble(all.map(_._1).min.toDouble).putDouble(all.map(_._1).max.toDouble)
+    b.putDouble(all.map(_._2).min.toDouble).putDouble(all.map(_._2).max.toDouble)
+    b.put(1.toByte).putInt(5).putInt(parts.size)
+    parts.foreach { pts =>
+      b.put(1.toByte).putInt(2).putInt(pts.size)
+      pts.foreach { case (px, py) => b.putDouble(px.toDouble).putDouble(py.toDouble) }
+    }
+    b.array()
+  }
+
+  /** Parse a WKB LineString OR MultiLineString (r16) to long-form
+    * `(part, i, x, y)` vertex rows; every MultiLineString branch is a
+    * full WKB LineString carrying its own endianness byte per the
+    * spec. Other geometry types throw.
+    */
+  private[graft] def parseWkbLines(blob: Array[Byte], off: Int,
+      what: String): Iterator[(Int, Int, Int, Int)] = {
+    val bb = java.nio.ByteBuffer.wrap(blob)
+    bb.order(if (blob(off) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
+    bb.getInt(off + 1) match {
+      case 2 =>
+        parseWkbLine(blob, off, what).map { case (i, x, y) => (0, i, x, y) }
+      case 5 =>
+        val n = bb.getInt(off + 5)
+        require(n >= 1, s"$what: empty MultiLineString")
+        var p = off + 9
+        (0 until n).iterator.flatMap { part =>
+          val start = p
+          val cb = java.nio.ByteBuffer.wrap(blob)
+          cb.order(if (blob(start) == 1) java.nio.ByteOrder.LITTLE_ENDIAN
+            else java.nio.ByteOrder.BIG_ENDIAN)
+          require(cb.getInt(start + 1) == 2,
+            s"$what branch $part: MultiLineString child type ${cb.getInt(start + 1)}")
+          p = start + 9 + 16 * cb.getInt(start + 5)
+          parseWkbLine(blob, start, s"$what branch $part").map {
+            case (i, x, y) => (part, i, x, y)
+          }
+        }
+      case other => sys.error(s"$what: WKB geometry type $other unsupported " +
+        "(2 = LineString, 5 = MultiLineString)")
     }
   }
 

@@ -1296,6 +1296,35 @@ object Zonal {
         .orderBy("road_id", "j")
     },
 
+    // GeoJSON MultiPoint features (r16 — member-parity with the
+    // shp/gpkg multipoint readers; the type check rides in the plan)
+    "scan_geojson_multipoint" -> Q(MultiPointScanSql) { (s, d) =>
+      GeoJson.readMultiPoints(s, GeoJson.multiPointsFixturePath(s, d))
+        .select(col("station_id"), col("i"),
+          col("x").as("qx"), col("y").as("qy"))
+        .orderBy("station_id", "i")
+    },
+
+    // GeoPackage MultiLineString features (r16 — WKB type 5, branched
+    // river/track networks; every branch a full WKB LineString with
+    // its own endianness byte): branch 0 = the road's first segment,
+    // branch 1 = the rest, overlapping at vertex 1 — the derivation
+    // replays as two UNION'd projections of the road vertices
+    "scan_geopackage_multiline" -> Q(
+      s"""WITH rv AS (
+         |${Cube.RoadVertsSql}
+         |)
+         |SELECT road_id, part, i, rx, ry FROM (
+         |  SELECT road_id, 0 AS part, j AS i, rx, ry FROM rv WHERE j <= 1
+         |  UNION ALL
+         |  SELECT road_id, 1 AS part, j - 1 AS i, rx, ry FROM rv WHERE j >= 1
+         |) m ORDER BY road_id, part, i""".stripMargin) { (s, d) =>
+      Gpkg.readMultiLines(s, Gpkg.pointsFixturePath(s, d), "roads_multi")
+        .select(col("road_id"), col("part"), col("i"),
+          col("x").as("rx"), col("y").as("ry"))
+        .orderBy("road_id", "part", "i")
+    },
+
     // roads-per-zone: line features END TO END — segments from the
     // PolyLine shapefile scan (one window shuffle by road), endpoint
     // parity via the SAME rasterize + point_in_wkb even-odd pipeline

@@ -127,6 +127,46 @@ class PointsSpec extends SparkSuite {
     assert(e3.getMessage.contains("fractional"))
   }
 
+  test("multi-geometry parity: geojson MultiPoint + gpkg MultiLineString roundtrip") {
+    val wantM = Cube.multiPoints(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3)))).toMap
+    val gj = GeoJson.readMultiPoints(spark, GeoJson.multiPointsFixturePath(spark, sf))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> ((r.getInt(2), r.getInt(3)))).toMap
+    assert(gj == wantM)
+    val roads = Cube.roadVerts(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(m => (m._3, m._4)).toSeq).toMap
+    val gotML = Gpkg.readMultiLines(spark, Gpkg.pointsFixturePath(spark, sf), "roads_multi")
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> ((r.getInt(3), r.getInt(4)))).toMap
+    roads.foreach { case (id, pts) =>
+      pts.take(2).zipWithIndex.foreach { case (p, i) =>
+        assert(gotML((id, 0, i)) == p, s"road $id branch 0 vertex $i") }
+      pts.drop(1).zipWithIndex.foreach { case (p, i) =>
+        assert(gotML((id, 1, i)) == p, s"road $id branch 1 vertex $i") }
+    }
+    assert(gotML.size == roads.values.map(ps => 2 + ps.size - 1).sum)
+    // hand-built mixed-endianness MultiLineString; bad child type loud
+    def leLine(pts: Seq[(Double, Double)], be: Boolean = false): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(9 + 16 * pts.size)
+      if (!be) b.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(if (be) 0.toByte else 1.toByte).putInt(2).putInt(pts.size)
+      pts.foreach { case (x, y) => b.putDouble(x).putDouble(y) }
+      b.array()
+    }
+    val ml = java.nio.ByteBuffer.allocate(9 + 2 * (9 + 32))
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ml.put(1.toByte).putInt(5).putInt(2)
+    ml.put(leLine(Seq((1, 2), (3, 4)), be = true))
+    ml.put(leLine(Seq((5, 6), (7, 8))))
+    assert(Gpkg.parseWkbLines(ml.array(), 0, "t").toSeq ==
+      Seq((0, 0, 1, 2), (0, 1, 3, 4), (1, 0, 5, 6), (1, 1, 7, 8)))
+    val bad = java.nio.ByteBuffer.allocate(9 + 21).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bad.put(1.toByte).putInt(5).putInt(1)
+    bad.put(1.toByte).putInt(1).putDouble(0).putDouble(0) // a Point child
+    val e = intercept[Exception](Gpkg.parseWkbLines(bad.array(), 0, "t").toSeq)
+    assert(e.getMessage.contains("child type 1"))
+  }
+
   test("registry: zonal_lines counts only both-endpoints-inside segments") {
     val rows = q("zonal_lines").collect()
     assert(rows.nonEmpty, "short segments must land inside zones")
