@@ -167,6 +167,41 @@ class PointsSpec extends SparkSuite {
     assert(e.getMessage.contains("child type 1"))
   }
 
+  test("multi-part shapefile PolyLine records parse per part") {
+    // hand-built .shp/.shx with ONE 2-part PolyLine record — the parts
+    // array path the single-part fixtures never exercise
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/shpspec_mpl"
+    new java.io.File(dir).mkdirs()
+    val pts = Seq((1, 2), (3, 4), (5, 6), (10, 11), (12, 13)) // parts at 0 and 3
+    val content = java.nio.ByteBuffer.allocate(44 + 8 + 16 * pts.size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    content.putInt(3) // PolyLine
+    content.putDouble(1).putDouble(2).putDouble(12).putDouble(13)
+    content.putInt(2).putInt(pts.size).putInt(0).putInt(3)
+    pts.foreach { case (x, y) => content.putDouble(x.toDouble).putDouble(y.toDouble) }
+    val rec = content.array()
+    def mainHeader(fileBytes: Int): Array[Byte] = {
+      val h = java.nio.ByteBuffer.allocate(100)
+      h.putInt(0, 9994); h.putInt(24, fileBytes / 2)
+      h.order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      h.putInt(28, 1000); h.putInt(32, 3)
+      h.putDouble(36, 1).putDouble(44, 2).putDouble(52, 12).putDouble(60, 13)
+      h.array()
+    }
+    val shp = java.nio.ByteBuffer.allocate(100 + 8 + rec.length)
+    shp.put(mainHeader(100 + 8 + rec.length))
+    shp.putInt(1).putInt(rec.length / 2).put(rec)
+    val shx = java.nio.ByteBuffer.allocate(108)
+    shx.put(mainHeader(108)).putInt(50).putInt(rec.length / 2)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/r.shp"), shp.array())
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/r.shx"), shx.array())
+    val got = Shapefile.readLines(spark, s"$dir/r.shp").collect()
+      .map(r => (r.getInt(1), r.getInt(2)) -> ((r.getInt(3), r.getInt(4)))).toMap
+    assert(got == Map(
+      (0, 0) -> ((1, 2)), (0, 1) -> ((3, 4)), (0, 2) -> ((5, 6)),
+      (1, 0) -> ((10, 11)), (1, 1) -> ((12, 13))))
+  }
+
   test("registry: zonal_lines counts only both-endpoints-inside segments") {
     val rows = q("zonal_lines").collect()
     assert(rows.nonEmpty, "short segments must land inside zones")
