@@ -366,9 +366,12 @@ object GeoJson {
         col("f.geometry.type").as("gtype"),
         col("f.geometry.coordinates").as("coords"))
       .select(col("road_id"), posexplode(
-        when(col("gtype") === "LineString", col("coords"))
+        // null/missing coordinates would be silently dropped by
+        // posexplode (explode of null → no rows) — route to raise_error
+        when(col("gtype") === "LineString" && col("coords").isNotNull,
+          col("coords"))
           .otherwise(raise_error(concat(lit(s"$path: GeoJSON geometry type "),
-            col("gtype"), lit(" unsupported (LineString)"))))))
+            col("gtype"), lit(" unsupported or null coordinates (LineString)"))))))
       .select(col("road_id"), col("pos").cast("int").as("i"),
         element_at(col("col"), 1).cast("int").as("x"),
         element_at(col("col"), 2).cast("int").as("y"))
@@ -404,9 +407,11 @@ object GeoJson {
         col("f.geometry.type").as("gtype"),
         col("f.geometry.coordinates").as("coords"))
       .select(col("station_id"), posexplode(
-        when(col("gtype") === "MultiPoint", col("coords"))
+        // null coordinates would vanish via posexplode — refuse loudly
+        when(col("gtype") === "MultiPoint" && col("coords").isNotNull,
+          col("coords"))
           .otherwise(raise_error(concat(lit(s"$path: GeoJSON geometry type "),
-            col("gtype"), lit(" unsupported (MultiPoint)"))))))
+            col("gtype"), lit(" unsupported or null coordinates (MultiPoint)"))))))
       .select(col("station_id"), col("pos").cast("int").as("i"),
         element_at(col("col"), 1).cast("int").as("x"),
         element_at(col("col"), 2).cast("int").as("y"))

@@ -208,6 +208,10 @@ object Shapefile {
     require(raw.length >= 44 + 4 * numParts + 16 * numPoints,
       s"$path record $recNo: truncated ($numParts parts, $numPoints points, ${raw.length} bytes)")
     val starts = Array.tabulate(numParts)(p => b.getInt(44 + 4 * p))
+    // A positive starts(0) would silently drop vertices 0..k-1 (the
+    // hi-lo>=4 require only catches non-monotonic starts) — refuse.
+    require(starts.isEmpty || starts(0) == 0,
+      s"$path record $recNo: first part starts at ${starts(0)}, want 0")
     val ptsOff = 44 + 4 * numParts
     def pt(j: Int): (Int, Int) = {
       val x = b.getDouble(ptsOff + 16 * j)
@@ -361,6 +365,9 @@ object Shapefile {
       require(raw.length >= 44 + 4 * numParts + 16 * numPoints,
         s"${ref.path} record ${ref.recNo}: truncated")
       val starts = Array.tabulate(numParts)(q => b.getInt(44 + 4 * q))
+      // starts(0) > 0 would silently drop leading vertices — refuse.
+      require(starts.isEmpty || starts(0) == 0,
+        s"${ref.path} record ${ref.recNo}: first part starts at ${starts(0)}, want 0")
       val ptsOff = 44 + 4 * numParts
       (0 until numParts).flatMap { part =>
         val lo = starts(part)

@@ -634,6 +634,13 @@ object Zarr {
       case JString("C") | JString("F") => () // rank-1: identical layouts
       case other => sys.error(s"$dir: order $other")
     }
+    // Filter chains (delta etc.) are common on coordinate vectors; a
+    // filtered chunk would pass the length check after decompression
+    // yet decode wrong values — refuse loudly like the 2-D parser.
+    (j \ "filters") match {
+      case JNull | JNothing | JArray(Nil) => ()
+      case other => sys.error(s"$dir: coordinate filters $other unsupported (none)")
+    }
     val elem = dtype.substring(2).toInt
     val nChunks = (n + chunk - 1) / chunk
     val refs = (0 until nChunks).map(ci => (s"$dir/$ci", ci))

@@ -797,16 +797,23 @@ class RasterSpec extends SparkSuite {
     val v = Raster.scanTiff(spark, p, m).where("cell_x = 3 AND cell_y = 5")
       .collect().head.getDouble(2)
     assert(v == Raster.fixtureValue(3, 5))
-    // the integral-coordinate discipline: a fractional scale or origin
-    // must fail AT PLAN BUILD, loudly, not silently shift zones
+    // the rationally-generalized integral-coordinate discipline (r17):
+    // a fractional-but-RATIONAL scale or origin now composes (scaled
+    // BIGINT lattice) instead of refusing — but a truly irrational
+    // transform must still fail AT PLAN BUILD, loudly, not silently
+    // shift zones by a sub-pixel amount
     val zones = Raster.worldZones(spark, "/root/testdata/sf0.001")
     val cells = Raster.scanTiff(spark, p, m)
-    val e1 = intercept[IllegalArgumentException](
-      Raster.zonalWorld(cells, zones, m.copy(scaleX = 30.5)))
-    assert(e1.getMessage.contains("integer-expressible"))
-    val e2 = intercept[IllegalArgumentException](
-      Raster.zonalWorld(cells, zones, m.copy(originY = 4650000.25)))
-    assert(e2.getMessage.contains("integer-expressible"))
+    assert(Raster.zonalWorld(cells, zones, m.copy(scaleX = 30.5))
+      .collect().nonEmpty) // den = 2 lattice
+    assert(Raster.zonalWorld(cells, zones, m.copy(originY = 4650000.25))
+      .collect().nonEmpty) // den = 4 lattice
+    val e1 = intercept[RuntimeException](
+      Raster.zonalWorld(cells, zones, m.copy(scaleX = 30.0 * math.sqrt(2.0))))
+    assert(e1.getMessage.contains("not rational-expressible"), e1.getMessage)
+    val e2 = intercept[RuntimeException](
+      Raster.zonalWorld(cells, zones, m.copy(originY = 4650000.0 + math.Pi)))
+    assert(e2.getMessage.contains("not rational-expressible"), e2.getMessage)
     // world zones that miss the raster contribute no rows; all stats
     // rows carry centers inside the raster's world envelope
     val rows = Raster.zonalWorld(cells, zones, m).collect()
@@ -817,6 +824,41 @@ class RasterSpec extends SparkSuite {
       assert(wxMin >= Raster.WorldOX && wxMin <= Raster.WorldOX + 30.0 * Raster.FixW)
       assert(wyMax <= Raster.WorldOY && wyMax >= Raster.WorldOY - 30.0 * Raster.FixH)
     }
+  }
+
+  test("zonal_raster_degree: quarter-degree transform rationalizes to den=4; lattice stats match hand arithmetic") {
+    val p = Raster.degreeFixturePath()
+    val m = Raster.readMeta(p)
+    // fractional geotransform round-trips through the TIFF tags exactly
+    assert(m.originX == -30.0 && m.originY == 40.0
+      && m.scaleX == 0.25 && m.scaleY == 0.25, m.toString)
+    assert(Raster.rationalDen(m, "spec") == 4L)
+    // hand zone: one pixel-interior envelope in eighths around pixel
+    // (2, 3): pixel world x ∈ [-29.5, -29.25] = eighths [-236, -234],
+    // center at -235 (odd). Envelope [-235, -233] (odd bounds, off
+    // every pixel boundary) catches centers of pixels 2 and 3 in x.
+    import spark.implicits._
+    // y envelope [293, 295] in eighths: row centers sit at 320-(2y+1),
+    // so rows 12 (295) and 13 (293) land inside, row 11 (297) outside
+    val zone = Seq((0L, -235L, -233L, 293L, 295L))
+      .toDF("zone_id", "wxmin", "wxmax", "wymin", "wymax")
+    val cells = Raster.scanTiff(spark, p, m)
+    val got = Raster.zonalWorldScaled(cells, zone, m, Raster.DegDen, "spec")
+      .collect()
+    assert(got.length == 1, got.mkString(","))
+    val r = got.head
+    // x centers at -235 (cell 2) and -233 (cell 3) are INSIDE [-235,-233];
+    // y centers at 2·oy - 2·(2y+1) … envelope [293,295] catches odd
+    // centers 293 (row 13) and 295 (row 12) → 2×2 = 4 cells
+    assert(r.getLong(r.fieldIndex("n_cells")) == 4L, r.toString)
+    val expSum = Seq((2, 12), (2, 13), (3, 12), (3, 13))
+      .map { case (x, y) => Raster.fixtureValue(x, y).toLong }.sum
+    assert(r.getLong(r.fieldIndex("sum_v")) == expSum, r.toString)
+    // world centers are exact dyadic degrees: min center x = -30 + 2·2/8 + 0.125
+    assert(r.getDouble(r.fieldIndex("wcx_min")) == -30.0 + 0.5 + 0.125)
+    assert(r.getDouble(r.fieldIndex("wcx_max")) == -30.0 + 0.75 + 0.125)
+    assert(r.getDouble(r.fieldIndex("wcy_max")) == 40.0 - 3.0 - 0.125)
+    assert(r.getDouble(r.fieldIndex("wcy_min")) == 40.0 - 3.25 - 0.125)
   }
 
   test("auto-align: nearest and block-average agree with hand arithmetic; non-nesting pairs fail loudly") {
