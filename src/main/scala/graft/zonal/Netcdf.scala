@@ -590,6 +590,111 @@ object Netcdf {
         col("x_coord"), col("y_coord"), col("value"))
   }
 
+  /** Parse a CF time-units attribute — `[<mult>] <unit> since
+    * <date>[ <time>][Z|UTC]` (udunits grammar subset: the optional
+    * integer multiplier, day/hour/minute/second singular or plural) —
+    * to `(epochMicros, unitMicros)`, both exact BIGINT microseconds.
+    * Anything else (months/years — calendar-dependent, silently wrong
+    * to approximate — or a non-UTC offset) refuses loudly.
+    */
+  private[graft] def cfTimeUnits(units: String, what: String): (Long, Long) = {
+    val Re = ("""^\s*(?:(\d+)\s+)?(days?|hours?|minutes?|seconds?)\s+since\s+""" +
+      """(\d{4})-(\d{1,2})-(\d{1,2})(?:[T ](\d{1,2}):(\d{2})(?::(\d{2}))?)?""" +
+      """\s*(?:Z|UTC)?\s*$""").r
+    units match {
+      case Re(mult, unit, yy, mm, dd, h, mi, sec) =>
+        val base = unit.stripSuffix("s") match {
+          case "day" => 86400000000L
+          case "hour" => 3600000000L
+          case "minute" => 60000000L
+          case "second" => 1000000L
+        }
+        val unitMicros = (if (mult == null) 1L else mult.toLong) * base
+        val ldt = java.time.LocalDateTime.of(yy.toInt, mm.toInt, dd.toInt,
+          if (h == null) 0 else h.toInt, if (mi == null) 0 else mi.toInt,
+          if (sec == null) 0 else sec.toInt)
+        val epochMicros = ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+        (epochMicros, unitMicros)
+      case _ => sys.error(s"$what: CF time units '$units' unsupported — " +
+        "expected '[<mult>] (days|hours|minutes|seconds) since " +
+        "YYYY-MM-DD[ hh:mm[:ss]][Z]' (months/years are calendar-dependent; " +
+        "non-UTC offsets unsupported)")
+    }
+  }
+
+  /** CF TIME decode + timestamp-window epoch pruning (r17 — verdict
+    * missing #2): the `units` attribute on the time coordinate turns
+    * the raw axis values into a real `TimestampType` column, and an
+    * optional window `[lo, hi]` prunes the STRIPE MANIFEST — the axis
+    * vector is header-scale, so the kept epoch set is computed before
+    * any data stripe is read and non-matching epochs cost zero bytes
+    * (the raster-window partition-pruning posture). Time values must
+    * be integral multiples of the unit (fractional values would need
+    * float timestamp arithmetic — refuse rather than round silently).
+    * Output: `(epoch, t_ts, cell_x, cell_y, value)`.
+    */
+  def scanNetcdfTime(s: SparkSession, path: String, varName: String,
+      timeVar: String = "t",
+      window: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+    import s.implicits._
+    val m = readMeta(path)
+    val tv = m.variable(timeVar)
+    val units = tv.attrs.find(_.name == "units").map(_.text).getOrElse(
+      sys.error(s"$path: time coordinate $timeVar has no units attribute"))
+    val (epochMicros, unitMicros) = cfTimeUnits(units, s"$path:$timeVar")
+    require(tv.dimIds.length == 1,
+      s"$path: $timeVar has rank ${tv.dimIds.length}, want a 1-D time coordinate")
+    val n = m.dims(tv.dimIds.head).length
+    require(n > 0, s"$path: record time coordinate unsupported (fixed axes only)")
+    // axis-sized: read the vector here (header-scale metadata, the
+    // readMeta posture) so the manifest prunes before any data read
+    val raw = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val in = fs.open(new org.apache.hadoop.fs.Path(path))
+      try {
+        val buf = new Array[Byte](n * elemSize(tv.ncType))
+        in.readFully(tv.begin, buf)
+        val bb = java.nio.ByteBuffer.wrap(buf)
+        (0 until n).map(i => tv.ncType match {
+          case NcDouble => bb.getDouble(i * 8)
+          case NcFloat => bb.getFloat(i * 4).toDouble
+          case NcInt => bb.getInt(i * 4).toDouble
+          case NcShort => bb.getShort(i * 2).toDouble
+          case other => sys.error(s"$path: time coordinate type $other unsupported")
+        })
+      } finally in.close()
+    }
+    val ts = raw.zipWithIndex.map { case (v, i) =>
+      require(v == math.rint(v) && math.abs(v) < (1L << 52).toDouble,
+        s"$path:$timeVar[$i] = $v is not an integral unit count — fractional " +
+          "time offsets unsupported (integral-coordinate discipline)")
+      (i, epochMicros + math.rint(v).toLong * unitMicros)
+    }
+    val kept = window match {
+      case None => ts
+      case Some((lo, hi)) =>
+        val (loU, hiU) = (lo.getTime * 1000L + lo.getNanos / 1000 % 1000,
+          hi.getTime * 1000L + hi.getNanos / 1000 % 1000)
+        ts.filter { case (_, u) => u >= loU && u <= hiU }
+    }
+    // micros → java.sql.Timestamp without dropping sub-ms precision
+    def micTs(u: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(Math.floorDiv(u, 1000L))
+      t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+      t
+    }
+    val labels = kept.map { case (i, u) => (i, micTs(u)) }.toDF("epoch", "t_ts")
+    // prune the stripe manifest to kept epochs BEFORE the scan
+    val keep = kept.map(_._1).toSet
+    val v = m.variable(varName)
+    val refs = stripes3d(path, m, v, s.sparkContext.defaultParallelism)
+      .filter(r => keep.contains(r.epoch))
+    scanStripes(s, refs)
+      .join(broadcast(labels), Seq("epoch"))
+      .select(col("epoch"), col("t_ts"), col("cell_x"), col("cell_y"), col("value"))
+  }
+
   // ---- writer (fixtures + the sink direction's encoder) ----
 
   /** Write a classic CDF-1 file: dims `(y, x)` (+ an UNLIMITED `t` when
@@ -609,9 +714,18 @@ object Netcdf {
       // r16: an optional CHAR variable (name, one string per y row) —
       // the CF station-name / long_name-table shape real mixed-content
       // files carry next to their numeric cubes
-      charVar: Option[(String, Seq[String])] = None)(f: (Int, Int, Int) => Double): Unit = {
+      charVar: Option[(String, Seq[String])] = None,
+      // r17: an optional FIXED leading time axis (length, value(i),
+      // CF units string) — dims become (t, y, x), a double coordinate
+      // variable t(t) with a `units` char attribute is written, and the
+      // data variable gains the leading t dimension (contiguous slabs,
+      // the fixed-leading-dim path of stripes3d)
+      timeAxis: Option[(Int, Int => Double, String)] = None)(
+      f: (Int, Int, Int) => Double): Unit = {
     require(version == 1 || version == 5,
       s"writer speaks CDF-1 and CDF-5, not version $version")
+    require(timeAxis.isEmpty || epochs == 0,
+      "timeAxis is the FIXED-t shape; epochs > 0 is the record shape — pick one")
     // CDF-5 (r14, pnetcdf BNF): every NON_NEG field widens 4 -> 8
     // bytes (numrecs, list counts, name/dim lengths, rank, dimids,
     // attr nelems, vsize) and begin is 8 bytes; tags and nc_type stay 4
@@ -630,19 +744,21 @@ object Netcdf {
       write; val r = len % 4; if (r != 0) o.write(new Array[Byte](4 - r))
     }
     val record = epochs > 0
+    val lead = if (record || timeAxis.isDefined) 1 else 0
     charVar.foreach { case (_, strs) =>
       require(strs.length == height, s"charVar needs one string per y row") }
     o.writeBytes("CDF"); o.writeByte(version)
     nn(if (record) epochs else 0)
-    // dim_list: [t,] y, x [, nchar]
-    val dims = (if (record) Seq(("t", 0)) else Nil) ++
+    // dim_list: [t,] y, x [, nchar] — t UNLIMITED (record) or fixed
+    val dims = (if (record) Seq(("t", 0))
+      else timeAxis.toSeq.map { case (tn, _, _) => ("t", tn) }) ++
       Seq(("y", height), ("x", width)) ++
       charVar.toSeq.map { case (_, strs) => ("nchar", strs.map(_.length).max) }
     o.writeInt(0x0A); nn(dims.length)
     dims.foreach { case (n, len) => wname(n); nn(len) }
     o.writeInt(0); nn(0) // no global attributes
-    val yDim = if (record) 1 else 0
-    val xDim = if (record) 2 else 1
+    val yDim = lead
+    val xDim = lead + 1
     val ncharDim = dims.length - 1
     // variable list: coord vars y(y) x(x) float, then the data variable
     final case class W(name: String, dimIds: Seq[Int], t: Int,
@@ -661,8 +777,10 @@ object Netcdf {
       (if (coordVars) Seq(
         W("y", Seq(yDim), NcFloat, Nil),
         W("x", Seq(xDim), NcFloat, Nil)) else Nil) ++
-      charVar.toSeq.map { case (nm, _) => W(nm, Seq(yDim, ncharDim), NcChar, Nil) } :+
-      W(varName, (if (record) Seq(0) else Nil) ++ Seq(yDim, xDim), ncType, fillAttrs)
+      charVar.toSeq.map { case (nm, _) => W(nm, Seq(yDim, ncharDim), NcChar, Nil) } ++
+      timeAxis.toSeq.map { case (_, _, units) =>
+        W("t", Seq(0), NcDouble, Seq(("units", NcChar, Right(units)))) } :+
+      W(varName, (if (lead == 1) Seq(0) else Nil) ++ Seq(yDim, xDim), ncType, fillAttrs)
     def dimLen(i: Int): Int = dims(i)._2
     // header size must be known to place begins: build entries, measure
     def headerSize: Int = {
@@ -752,9 +870,14 @@ object Netcdf {
       wpadded(strs.foreach(s0 => o.writeBytes(s0.padTo(strLen, ' '))),
         height * strLen)
     }
+    timeAxis.foreach { case (tn, tv, _) =>
+      wpadded((0 until tn).foreach(i => o.writeDouble(tv(i))), tn * 8)
+    }
     if (!record) {
-      wpadded(for (y <- 0 until height; x <- 0 until width) { sample(ncType, f(x, y, 0)) },
-        height * width * elem)
+      val fixedEpochs = timeAxis.map(_._1).getOrElse(1)
+      wpadded(for (e <- 0 until fixedEpochs; y <- 0 until height; x <- 0 until width) {
+        sample(ncType, f(x, y, e))
+      }, fixedEpochs * height * width * elem)
     } else {
       // one record variable → unpadded records per the spec special case
       for (e <- 0 until epochs; y <- 0 until height; x <- 0 until width)
@@ -923,6 +1046,20 @@ object Netcdf {
       writeNetcdf(p, "t2m", NcH, NcW, NcFloat, epochs = NcEpochs)(ncEpochValue)
     }
 
+  /** CF time fixture (r17): FIXED t axis of [[NcTimeEpochs]] epochs,
+    * double time coordinate t(t) with values 7i+3 and a `units` char
+    * attribute (`hours since …`), float32 data cube on the shared
+    * 3-factor epoch formula.
+    */
+  val NcTimeEpochs = 5
+  val NcTimeUnits = "hours since 2020-03-01 06:00:00"
+  def timeFixturePath(): String =
+    Raster.fixtureOnce(s"nc_time_${NcW}x$NcH.nc") { p =>
+      writeNetcdf(p, "t2m", NcH, NcW, NcFloat,
+        timeAxis = Some((NcTimeEpochs, i => 7.0 * i + 3.0, NcTimeUnits)))(
+        ncEpochValue)
+    }
+
   /** PACKED int16 fixture: raw formula samples with scale 0.25 /
     * offset 16 (both exact in binary, so the unpack arithmetic is
     * bit-identical on both engines).
@@ -1008,6 +1145,34 @@ object Netcdf {
         .select(col("cell_x"), col("cell_y"),
           col("x_coord"), col("y_coord"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // CF TIME-units decode + timestamp-window pruning (r17 — verdict
+    // missing #2: "days/hours since <epoch>" is how every CF file
+    // labels its time axis): the units attribute parses to exact
+    // BIGINT (epochMicros, unitMicros), the raw axis values become a
+    // real TimestampType column, and the query's timestamp window
+    // prunes the STRIPE MANIFEST — epochs 0 and 4 cost zero data bytes
+    // here (the raster-window partition-pruning posture; the window's
+    // lower bound EQUALS epoch 1's timestamp, gating inclusivity). The
+    // oracle replays `TIMESTAMP base + to_hours(7t+3)` — a parser or
+    // epoch-arithmetic bug off by one second hash-mismatches
+    "scan_netcdf_time" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $NcTimeEpochs) t
+         |)
+         |SELECT epoch, t_ts, x.range AS cell_x, y.range AS cell_y,
+         |  CAST((23 * x.range + 19 * y.range + 31 * epoch) % 983 AS DOUBLE) AS value
+         |FROM epochs CROSS JOIN range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |  AND TIMESTAMP '2020-03-02 06:00:00'
+         |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
+      val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
+      scanNetcdfTime(s, timeFixturePath(), "t2m", "t", Some(win))
+        .orderBy("epoch", "cell_x", "cell_y")
     },
 
     // CHAR-member tolerance (r16 — mixed-content classic files: CF

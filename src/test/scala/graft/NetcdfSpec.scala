@@ -435,6 +435,51 @@ class NetcdfSpec extends SparkSuite {
     assert(e.getMessage.contains("char"))
   }
 
+  test("CF time units: hand vectors, window prunes epochs, fractional and calendar units refuse") {
+    // parser hand-vectors (micros): base 2000-01-02T03:04:05Z
+    val base = java.time.Instant.parse("2000-01-02T03:04:05Z").getEpochSecond * 1000000L
+    assert(Netcdf.cfTimeUnits("days since 2000-01-02 03:04:05", "t") == ((base, 86400000000L)))
+    assert(Netcdf.cfTimeUnits("hours since 2000-01-02T03:04:05Z", "t") == ((base, 3600000000L)))
+    assert(Netcdf.cfTimeUnits("3 hours since 2000-01-02 03:04:05", "t") == ((base, 10800000000L)))
+    assert(Netcdf.cfTimeUnits("seconds since 2000-01-02 03:04:05 UTC", "t") == ((base, 1000000L)))
+    assert(Netcdf.cfTimeUnits("minutes since 2000-01-02", "t") ==
+      ((java.time.Instant.parse("2000-01-02T00:00:00Z").getEpochSecond * 1000000L, 60000000L)))
+    // calendar-dependent and non-UTC units refuse loudly
+    for (bad <- Seq("months since 2000-01-01", "years since 2000-01-01",
+        "hours since 2000-01-01 00:00:00 +05:30", "fortnights since 2000-01-01")) {
+      val e = intercept[RuntimeException](Netcdf.cfTimeUnits(bad, "t"))
+      assert(e.getMessage.contains("unsupported"), s"$bad: ${e.getMessage}")
+    }
+    // full decode: no window → all 5 epochs with exact timestamps
+    val p = Netcdf.timeFixturePath()
+    val all = Netcdf.scanNetcdfTime(spark, p, "t2m").select("epoch", "t_ts")
+      .distinct().collect().map(r => (r.getInt(0), r.getTimestamp(1))).toMap
+    assert(all.size == Netcdf.NcTimeEpochs)
+    val b = java.time.Instant.parse("2020-03-01T06:00:00Z")
+    for (i <- 0 until Netcdf.NcTimeEpochs)
+      assert(all(i).toInstant == b.plusSeconds((7L * i + 3) * 3600), s"epoch $i: ${all(i)}")
+    // window [epoch1, epoch3] keeps exactly {1, 2, 3}: the lower bound
+    // EQUALS epoch 1's timestamp (inclusive), 0 and 4 cost zero reads
+    val win = (java.sql.Timestamp.from(b.plusSeconds(10 * 3600)),
+      java.sql.Timestamp.from(b.plusSeconds(24 * 3600)))
+    val kept = Netcdf.scanNetcdfTime(spark, p, "t2m", "t", Some(win))
+      .select("epoch").distinct().collect().map(_.getInt(0)).toSet
+    assert(kept == Set(1, 2, 3), kept.toString)
+    // fractional time value refuses loudly (no silent rounding)
+    val pf = tmpFile("time_frac.nc")
+    Netcdf.writeNetcdf(pf, "v", 3, 3, 6, coordVars = false,
+      timeAxis = Some((2, i => i + 0.5, "hours since 2020-01-01")))(
+      (x, y, _) => (x + y).toDouble)
+    val ef = intercept[IllegalArgumentException](Netcdf.scanNetcdfTime(spark, pf, "v"))
+    assert(ef.getMessage.contains("integral"), ef.getMessage)
+    // missing units attribute refuses loudly
+    val pn = tmpFile("time_nounits.nc")
+    Netcdf.writeNetcdf(pn, "v", 3, 3, 6, coordVars = false, epochs = 2)(
+      (x, y, t) => (x + y + t).toDouble)
+    val en = intercept[RuntimeException](Netcdf.scanNetcdfTime(spark, pn, "v", "v"))
+    assert(en.getMessage.contains("units") || en.getMessage.contains("rank"), en.getMessage)
+  }
+
   test("header growth: a header larger than the first read parses fine") {
     val p = tmpFile("big_header.nc")
     // ~12 KB of attribute padding via many coord-style vars is overkill;
