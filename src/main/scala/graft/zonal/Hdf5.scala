@@ -1407,6 +1407,70 @@ object Hdf5 {
         col("x_coord"), col("y_coord"), col("value"))
   }
 
+  /** Enumerate every RANK-2 NUMERIC dataset under the root group
+    * (r17 — the member walk behind [[scanNetcdf4Dataset]]): groups
+    * recurse depth-capped through old-style symbol tables, compact
+    * link messages and dense storage alike (the [[groupSymbols]]
+    * machinery); rank-1 coordinate vectors, string label tables
+    * (datatype class 3) and rank-3/4 cubes are NORMAL members of a
+    * real file and are skipped, never fatal — the
+    * [[Zarr.readV3Group]] rule. SOFT links are aliases: following
+    * them here would double-count their targets, so they are skipped
+    * too. Returns sorted `/`-separated member paths.
+    */
+  private[graft] def listDatasets2d(path: String): Seq[String] = {
+    val r = new RangeReader(path)
+    try {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      def walk(prefix: String, hdrAddr: Long, depth: Int): Unit = {
+        require(depth < 8, s"$path: group nesting deeper than 8")
+        groupSymbols(path, r, hdrAddr).toSeq.sortBy(_._1).foreach {
+          case (nm, Left(addr)) =>
+            val msgs = readHeader(path, r, addr)
+            val isGroup = msgs.exists(m =>
+              m.mtype == 0x0011 || m.mtype == 0x02 || m.mtype == 0x06)
+            if (isGroup) walk(s"$prefix$nm/", addr, depth + 1)
+            else msgs.find(_.mtype == 0x0001).foreach { spMsg =>
+              val sp = spMsg.body
+              val rank = (sp(0) & 0xff) match {
+                case 1 | 2 => sp(1) & 0xff
+                case v => sys.error(
+                  s"$path: $prefix$nm dataspace version $v unsupported")
+              }
+              val dtClass = msgs.find(_.mtype == 0x0003).map(m => m.body(0) & 0x0f)
+                .getOrElse(sys.error(s"$path: $prefix$nm has no datatype message"))
+              if (rank == 2 && dtClass != 3) out += s"$prefix$nm"
+            }
+          case (_, Right(_)) => () // soft link — alias, skip
+        }
+      }
+      walk("", rootHeaderAddr(path, r), 0)
+      out.toList
+    } finally r.close()
+  }
+
+  /** Multi-variable DATASET scan (r17 — verdict missing #3: an xarray
+    * `open_dataset` on a netCDF-4 file sees every variable at once;
+    * parity with [[Zarr.scanZarrDataset]]): every rank-2 numeric
+    * dataset in the group walk scans as ONE long-form DataFrame
+    * `(cell_x, cell_y, var_name, value)`, one task per
+    * (variable, chunk/stripe).
+    */
+  def scanNetcdf4Dataset(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val names = listDatasets2d(path)
+    require(names.nonEmpty, s"$path: no rank-2 numeric datasets in the file")
+    val refs: Seq[(String, H5ChunkRef)] = names.flatMap { n =>
+      chunkRefs(path, readMeta(path, n)).map(n -> _)
+    }
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { case (n, cr) =>
+        readChunk(cr).map { case (x, y, _, _, v) => (x, y, n, v) } }
+      .toDF("cell_x", "cell_y", "var_name", "value")
+  }
+
   /** Read a FIXED-LENGTH STRING dataset (r16 — HDF5 datatype class 3:
     * the station-name / label tables real files carry next to their
     * numeric cubes, previously a named refusal): rank-1 CONTIGUOUS,
@@ -3110,6 +3174,40 @@ object Hdf5 {
     s"""SELECT x.range AS cell_x, y.range AS cell_y, $H5ValueSql AS value
        |FROM range(0, $H5W) x CROSS JOIN range(0, $H5H) y""".stripMargin
 
+  /** Second dataset-member formula (r17): coprime factors vs
+    * [[h5Value]] so a member-swap bug hash-mismatches; exact in f8.
+    */
+  def h5Value2(x: Int, y: Int): Double = ((29 * x + 17 * y) % 911).toDouble
+  private val H5Value2Sql = "CAST((29 * cell_x + 17 * cell_y) % 911 AS DOUBLE)"
+
+  private val fixtureDsLock = new Object
+  @volatile private var fixtureDsReady: String = null
+
+  /** Multi-variable Dataset fixture (r17): TWO rank-2 data members
+    * (`precip` on the first formula, `temp` on the second) next to a
+    * rank-1 coordinate vector and a string station table — the member
+    * mix a real xarray to_netcdf() Dataset carries, proving the walk
+    * skips non-lattice members instead of tripping on them.
+    */
+  def fixtureDatasetPath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5ds_fixture_${H5W}x$H5H.nc"
+    if (fixtureDsReady != p) fixtureDsLock.synchronized {
+      if (fixtureDsReady != p) {
+        writeHdf5Multi(p, Seq(
+          ("precip", Seq(H5H, H5W), "<f8",
+            Array.tabulate(H5H * H5W)(i => h5Value(i % H5W, i / H5W))),
+          ("temp", Seq(H5H, H5W), "<f8",
+            Array.tabulate(H5H * H5W)(i => h5Value2(i % H5W, i / H5W))),
+          ("x", Seq(H5W), "<f4",
+            Array.tabulate(H5W)(x => -120.0 + 0.25 * x))),
+          strVars = Seq(("station",
+            (0 until H5H).map(y => s"stn-${(y * 7) % 100}"))))
+        fixtureDsReady = p
+      }
+    }
+    p
+  }
+
   private val fixtureLock = new Object
   @volatile private var fixtureReady: String = null
 
@@ -3584,6 +3682,27 @@ object Hdf5 {
       scanNetcdf4(s, fixtureGroupPath(), "g/v")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // Multi-variable DATASET scan (r17 — verdict missing #3: xarray's
+    // open_dataset on a .nc file sees all variables at once; parity
+    // with scan_zarr_dataset): the root-group walk surfaces BOTH
+    // rank-2 members long-form with a var_name tag, one task per
+    // (variable, stripe); the rank-1 coordinate vector and the string
+    // station table are skipped, not fatal. The two-formula UNION
+    // oracle — a walk bug that drops, doubles or mislabels a member
+    // hash-mismatches
+    "scan_netcdf4_dataset" -> Q(
+      s"""SELECT cell_x, cell_y, var_name, value FROM (
+         |  SELECT cell_x, cell_y, 'precip' AS var_name, value FROM ($H5CellsSql)
+         |  UNION ALL
+         |  SELECT x.range AS cell_x, y.range AS cell_y, 'temp' AS var_name,
+         |    $H5Value2Sql AS value
+         |  FROM range(0, $H5W) x CROSS JOIN range(0, $H5H) y)
+         |ORDER BY cell_x, cell_y, var_name""".stripMargin) { (s, _) =>
+      scanNetcdf4Dataset(s, fixtureDatasetPath())
+        .select(col("cell_x"), col("cell_y"), col("var_name"), col("value"))
+        .orderBy("cell_x", "cell_y", "var_name")
     },
 
     // NATIVE rank-3 scan (r12): a (t, y, x) netCDF-4 variable as ONE

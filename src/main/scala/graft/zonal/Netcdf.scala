@@ -407,6 +407,31 @@ object Netcdf {
       .drop("epoch")
   }
 
+  /** Multi-variable DATASET scan (r17 — an xarray `open_dataset` on a
+    * classic .nc sees every variable at once, not one name at a time):
+    * EVERY rank-2 numeric (y, x) variable scans as ONE long-form
+    * DataFrame `(cell_x, cell_y, var_name, value)`, one task per
+    * (variable, stripe). Rank-1 coordinate vectors, char label tables
+    * and record/cube variables are NORMAL members of a real file and
+    * are skipped, never fatal — the [[Zarr.scanZarrDataset]] rule
+    * (scan cubes with [[scanNetcdfEpochs]]/[[scanNetcdfCube4d]]).
+    */
+  def scanNetcdfDataset(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val m = readMeta(path)
+    val vars = m.vars.filter(v => v.dimIds.length == 2 && v.ncType != NcChar &&
+      v.dimIds.forall(d => m.dims(d).length > 0)).sortBy(_.name)
+    require(vars.nonEmpty, s"$path: no rank-2 numeric (y, x) variables " +
+      s"(have ${m.vars.map(_.name).mkString(", ")})")
+    val hint = s.sparkContext.defaultParallelism
+    val refs: Seq[(String, StripeRef)] = vars.flatMap(v =>
+      stripes2d(path, m, v, hint, dropFill = false).map(v.name -> _))
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size, hint)))
+      .flatMap { case (n, r) => readStripe(r).map { case (x, y, _, v) => (x, y, n, v) } }
+      .toDF("cell_x", "cell_y", "var_name", "value")
+  }
+
   /** [[scanNetcdf]] with `_FillValue` cells DROPPED (CF-convention
     * nodata masking — the scan_raster_nodata analogue). Loud when the
     * variable declares no fill.
@@ -720,7 +745,11 @@ object Netcdf {
       // variable t(t) with a `units` char attribute is written, and the
       // data variable gains the leading t dimension (contiguous slabs,
       // the fixed-leading-dim path of stripes3d)
-      timeAxis: Option[(Int, Int => Double, String)] = None)(
+      timeAxis: Option[(Int, Int => Double, String)] = None,
+      // r17: additional rank-2 (y, x) data variables `(name, ncType,
+      // value(x, y))` — the multi-variable Dataset shape an xarray
+      // to_netcdf() of several aligned arrays produces
+      extraVars: Seq[(String, Int, (Int, Int) => Double)] = Nil)(
       f: (Int, Int, Int) => Double): Unit = {
     require(version == 1 || version == 5,
       s"writer speaks CDF-1 and CDF-5, not version $version")
@@ -779,7 +808,8 @@ object Netcdf {
         W("x", Seq(xDim), NcFloat, Nil)) else Nil) ++
       charVar.toSeq.map { case (nm, _) => W(nm, Seq(yDim, ncharDim), NcChar, Nil) } ++
       timeAxis.toSeq.map { case (_, _, units) =>
-        W("t", Seq(0), NcDouble, Seq(("units", NcChar, Right(units)))) } :+
+        W("t", Seq(0), NcDouble, Seq(("units", NcChar, Right(units)))) } ++
+      extraVars.map { case (nm, t, _) => W(nm, Seq(yDim, xDim), t, Nil) } :+
       W(varName, (if (lead == 1) Seq(0) else Nil) ++ Seq(yDim, xDim), ncType, fillAttrs)
     def dimLen(i: Int): Int = dims(i)._2
     // header size must be known to place begins: build entries, measure
@@ -872,6 +902,10 @@ object Netcdf {
     }
     timeAxis.foreach { case (tn, tv, _) =>
       wpadded((0 until tn).foreach(i => o.writeDouble(tv(i))), tn * 8)
+    }
+    extraVars.foreach { case (_, t, g) =>
+      wpadded(for (y <- 0 until height; x <- 0 until width) sample(t, g(x, y)),
+        height * width * elemSize(t))
     }
     if (!record) {
       val fixedEpochs = timeAxis.map(_._1).getOrElse(1)
@@ -1025,6 +1059,27 @@ object Netcdf {
           (0 until NcH).map(y => s"stn-$y"))))((x, y, _) => ncValue(x, y))
     }
 
+  /** Second dataset-member formula (r17): coprime factors vs
+    * [[ncValue]] so a variable-swap bug hash-mismatches; exact in
+    * float64.
+    */
+  def ncValue2(x: Int, y: Int): Double = ((29 * x + 17 * y) % 911).toDouble
+  private val NcValue2Sql = "CAST((29 * cell_x + 17 * cell_y) % 911 AS DOUBLE)"
+
+  /** Multi-variable Dataset fixture (r17): TWO rank-2 data variables
+    * (`swvl` on the second formula, `t2m` on the first) next to the
+    * rank-1 coordinate vectors and a char station table — the members
+    * a real xarray to_netcdf() Dataset carries, proving the scan skips
+    * non-lattice members instead of tripping on them.
+    */
+  def datasetFixturePath(): String =
+    Raster.fixtureOnce(s"nc_dataset_${NcW}x$NcH.nc") { p =>
+      writeNetcdf(p, "t2m", NcH, NcW, NcDouble,
+        charVar = Some(("station_name", (0 until NcH).map(y => s"stn-$y"))),
+        extraVars = Seq(("swvl", NcDouble, (x, y) => ncValue2(x, y))))(
+        (x, y, _) => ncValue(x, y))
+    }
+
   /** int16 + `_FillValue` fixture: fill where (7x + 11y) mod 13 = 0. */
   val NcFill = -999.0
   def ncFilled(x: Int, y: Int): Boolean = (7 * x + 11 * y) % 13 == 0
@@ -1173,6 +1228,26 @@ object Netcdf {
         java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
       scanNetcdfTime(s, timeFixturePath(), "t2m", "t", Some(win))
         .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // Multi-variable DATASET scan (r17 — verdict missing #3: xarray's
+    // open_dataset sees every variable at once; parity with
+    // scan_zarr_dataset): both rank-2 members surface long-form with a
+    // var_name tag, one task per (variable, stripe); the rank-1
+    // coordinate vectors and the char station table are skipped, not
+    // fatal. The two-formula UNION oracle — a begin-accounting bug
+    // that bleeds one variable's slab into the other hash-mismatches
+    "scan_netcdf_dataset" -> Q(
+      s"""SELECT cell_x, cell_y, var_name, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, 'swvl' AS var_name,
+         |    $NcValue2Sql AS value
+         |  FROM range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |  UNION ALL
+         |  SELECT cell_x, cell_y, 't2m' AS var_name, value FROM ($NcCellsSql))
+         |ORDER BY cell_x, cell_y, var_name""".stripMargin) { (s, _) =>
+      scanNetcdfDataset(s, datasetFixturePath())
+        .select(col("cell_x"), col("cell_y"), col("var_name"), col("value"))
+        .orderBy("cell_x", "cell_y", "var_name")
     },
 
     // CHAR-member tolerance (r16 — mixed-content classic files: CF

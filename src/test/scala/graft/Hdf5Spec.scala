@@ -693,6 +693,30 @@ class Hdf5Spec extends SparkSuite {
       Hdf5.readMeta(p3, "a"))).contains("depth"))
   }
 
+  test("dataset scan: rank-2 members tagged, coords/strings skip, groups recurse, soft links skip") {
+    val p = tmp("dswalk")
+    def fa(x: Int, y: Int): Double = ((3 * x + 7 * y) % 31).toDouble
+    def fb(x: Int, y: Int): Double = ((5 * x + 11 * y) % 29).toDouble
+    Hdf5.writeHdf5Multi(p, Seq(
+      ("a", Seq(4, 6), "<f8", Array.tabulate(24)(i => fa(i % 6, i / 6))),
+      ("b", Seq(4, 6), "<f8", Array.tabulate(24)(i => fb(i % 6, i / 6))),
+      ("x", Seq(6), "<f4", Array.tabulate(6)(x => -10.0 + 0.5 * x))),
+      strVars = Seq(("station", Seq("s0", "s1", "s2", "s3"))))
+    assert(Hdf5.listDatasets2d(p) == Seq("a", "b"))
+    val got = Hdf5.scanNetcdf4Dataset(spark, p).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 48)
+    for (y <- 0 until 4; x <- 0 until 6) {
+      assert(got((x, y, "a")) == fa(x, y))
+      assert(got((x, y, "b")) == fb(x, y))
+    }
+    // the group fixture's dataset lives at g/v — the walk recurses
+    assert(Hdf5.listDatasets2d(Hdf5.fixtureGroupPath()) == Seq("g/v"))
+    // the soft-link fixture aliases v -> /data: only the target lists
+    // (following the alias would double-count its cells)
+    assert(Hdf5.listDatasets2d(Hdf5.fixtureSoftPath()) == Seq("data"))
+  }
+
   test("multi-dataset group + rank-1 coordinates: decode, joins, refusals") {
     val p = tmp("coords")
     def fv(x: Int, y: Int): Double = ((3 * x + 7 * y) % 31).toDouble

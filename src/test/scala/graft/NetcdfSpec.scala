@@ -435,6 +435,28 @@ class NetcdfSpec extends SparkSuite {
     assert(e.getMessage.contains("char"))
   }
 
+  test("dataset scan: every rank-2 numeric var, non-lattice members skip, empty refuses") {
+    val p = tmpFile("dataset.nc")
+    Netcdf.writeNetcdf(p, "b", 3, 4, 6,
+      charVar = Some(("station_name", Seq("alpha", "b", "gamma-long"))),
+      extraVars = Seq(("a", 5, (x, y) => (100 * y + x).toDouble)))(
+      (x, y, _) => (10 * y + x).toDouble)
+    val got = Netcdf.scanNetcdfDataset(spark, p).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getDouble(3)).toMap
+    // 2 vars × 12 cells; coord vectors y/x and the char table skipped
+    assert(got.size == 24)
+    for (y <- 0 until 3; x <- 0 until 4) {
+      assert(got((x, y, "a")) == (100 * y + x).toDouble)
+      assert(got((x, y, "b")) == (10 * y + x).toDouble)
+    }
+    // a record-variable-only file has no fixed (y, x) lattice members
+    val p2 = tmpFile("dataset_rec.nc")
+    Netcdf.writeNetcdf(p2, "v", 3, 4, 5, epochs = 2, coordVars = false)(
+      (x, y, t) => (100 * t + 10 * y + x).toDouble)
+    val e = intercept[Exception](Netcdf.scanNetcdfDataset(spark, p2))
+    assert(e.getMessage.contains("no rank-2 numeric"))
+  }
+
   test("CF time units: hand vectors, window prunes epochs, fractional and calendar units refuse") {
     // parser hand-vectors (micros): base 2000-01-02T03:04:05Z
     val base = java.time.Instant.parse("2000-01-02T03:04:05Z").getEpochSecond * 1000000L
