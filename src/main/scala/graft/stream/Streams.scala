@@ -189,6 +189,61 @@ object Streams {
       }.orderBy("click_id", "purchase_id")
     },
 
+    // REAL watermarked stream-stream LEFT OUTER join (r17 — verdict
+    // missing #4: the clicks-without-purchase enrichment): unlike the
+    // inner join's match-time emission, the null-extended side is
+    // WATERMARK-GATED — an unmatched click emits only once its state
+    // expires, i.e. when the final watermark (min of both sides'
+    // max − 10 min) passes click_ts + 30 min, the latest instant a
+    // purchase could still match it. The trailing no-data batch of
+    // Trigger.AvailableNow performs exactly that eviction, so the
+    // oracle is the range left-join PLUS the eviction filter on the
+    // null-extended rows (open-tail clicks stay in state by design —
+    // the stream_session posture). StreamSpec pins the two-batch
+    // emission order the batch oracle can't show.
+    "stream_stream_left" -> Q(
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS click_ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+        |    CAST(ts AS TIMESTAMP) AS purchase_ts FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(click_ts) FROM c),
+        |    (SELECT max(purchase_ts) FROM p)) - INTERVAL 10 MINUTE AS w)
+        |SELECT * FROM (
+        |  SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+        |  FROM c JOIN p ON c.user_id = p.p_user
+        |    AND p.purchase_ts >= c.click_ts
+        |    AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+        |  UNION ALL
+        |  SELECT c.click_id, NULL, c.user_id, c.click_ts, NULL
+        |  FROM c CROSS JOIN wm
+        |  WHERE c.click_ts + INTERVAL 30 MINUTE < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM p WHERE p.p_user = c.user_id
+        |      AND p.purchase_ts >= c.click_ts
+        |      AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE))
+        |ORDER BY click_id, purchase_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val clicks = Runner.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = Runner.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      Runner.runToTable(s, "graft_ssl_out", statePartitions = Some(8)) {
+        clicks.join(purchases,
+            col("user_id") === col("p_user")
+              && col("purchase_ts") >= col("click_ts")
+              && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTE"),
+            "left_outer")
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            col("click_ts"), col("purchase_ts"))
+          .writeStream.format("memory").queryName("graft_ssl_out")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      }.orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
+    },
+
     // streaming ZONAL stats (round 7) — the engine's two halves in one
     // plan: each event maps to a lattice cell (same modulo derivation
     // family as the cube), the tiny zone-envelope table broadcasts
