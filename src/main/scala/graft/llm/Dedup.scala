@@ -614,6 +614,55 @@ object Dedup {
         "struct(pos, token))), s -> s.token)) AS binary))").as("fp"))
   }
 
+  /** Exact-substring duplicated-span detection (r17 — the published
+    * ExactSubstr pass of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better", re-expressed shuffle-bounded
+    * instead of via a monolithic suffix array): a maximal span is
+    * flagged iff EVERY `n`-char window inside it occurs at least
+    * twice in the corpus — cross-document and within-document repeats
+    * both count, per the paper. Pipeline:
+    *
+    *  1. per-offset [[graft.ext.PolyHash]] shingles — the wide first
+    *     shuffle carries 8-byte hashes, never the n-char text;
+    *  2. hash prefilter `count >= 2` — ONE hash agg with map-side
+    *     partial combine (the duplicated-hash set is tiny relative to
+    *     the corpus in any real dataset);
+    *  3. EXACT confirm — candidate offsets rejoin their documents,
+    *     re-extract the real substring, and only string-equal groups
+    *     of size >= 2 survive. A hash collision can only ADD a
+    *     candidate, never survive the equality, so the result is
+    *     exact at any scale (LlmSpec pins a constructed poly_hash
+    *     collision pair dying here);
+    *  4. per-doc gaps-and-islands merge of consecutive duplicated
+    *     offsets into maximal spans `(doc_id, span_start, span_len)` —
+    *     the only window function, bounded by document length.
+    */
+  def substringSpans(docs: DataFrame, n: Int = 50): DataFrame = {
+    graft.ext.Ext.register(docs.sparkSession)
+    val base = docs.filter(length(col("text")) >= n)
+      .select(col("doc_id"), col("text"))
+    val offs = base.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(1, length(text) - ${n - 1}), " +
+          s"i -> poly_hash(substring(text, i, $n)))")))
+      .select(col("doc_id"), col("pos").as("off"), col("col").as("h"))
+    val dupH = offs.groupBy("h").agg(count(lit(1)).as("hn"))
+      .filter(col("hn") >= 2).select("h")
+    val candOffs = offs.join(dupH, "h").select("doc_id", "off")
+    val cand = candOffs.join(base, "doc_id")
+      .select(col("doc_id"), col("off"),
+        expr(s"substring(text, off + 1, $n)").as("sh"))
+    val dupSh = cand.groupBy("sh").agg(count(lit(1)).as("sn"))
+      .filter(col("sn") >= 2).select("sh")
+    val marked = cand.join(dupSh, "sh").select("doc_id", "off")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("off")
+    marked.withColumn("grp", col("off") - row_number().over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("off")).cast("long").as("span_start"),
+        (max(col("off")) - min(col("off")) + n).cast("long").as("span_len"))
+      .select("doc_id", "span_start", "span_len")
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     // signature table: engine-portable poly_hash permutations, so the
     // oracle hash-matches every signature and band key (r10 flip;
@@ -1107,6 +1156,33 @@ object Dedup {
         .groupBy(col("u").as("norm_url"))
         .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dupes"))
         .orderBy("norm_url")
+    },
+
+    // EXACT substring dedup (r17 — verdict missing #6: the Lee et al.
+    // "Deduplicating Training Data Makes Language Models Better"
+    // ExactSubstr pass: duplicated >= 50-char spans at ARBITRARY
+    // offsets, not just aligned chunks): maximal per-doc spans where
+    // every 50-char window occurs >= 2x in the corpus (cross- AND
+    // within-document, per the paper). The oracle replays the plain
+    // exact substring groupBy; the Spark plan reaches the same result
+    // through the hash-prefilter + exact-confirm pipeline of
+    // substringSpans (collisions can only add candidates, never
+    // survive the string equality)
+    "dedup_substring" -> Q(
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 50),
+        |offs AS (SELECT doc_id, i.i - 1 AS off, substr(text, i.i, 50) AS sh
+        |  FROM docs, LATERAL unnest(generate_series(1, length(text) - 49)) AS i(i)),
+        |dup AS (SELECT sh FROM offs GROUP BY sh HAVING count(*) >= 2),
+        |marked AS (SELECT doc_id, off FROM offs JOIN dup USING (sh)),
+        |runs AS (SELECT doc_id, off,
+        |    off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
+        |  FROM marked)
+        |SELECT doc_id, min(off) AS span_start,
+        |  max(off) - min(off) + 50 AS span_len
+        |FROM runs GROUP BY doc_id, grp
+        |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
+      substringSpans(Tables.documents(s, d))
+        .orderBy("doc_id", "span_start")
     }
   )
 }

@@ -708,6 +708,37 @@ class LlmSpec extends SparkSuite {
     }
   }
 
+  test("dedup_substring: hand spans, within-doc repeats, collision-safe exact confirm") {
+    // D: a 50-char block duplicated across (and within) documents;
+    // U: a 30-char unique spacer keeping A's two D occurrences apart
+    val D = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMN"
+      .take(50) // 50 chars exactly
+    assert(D.length == 50)
+    val U = "~!@#$%^&*()_+=-[]{};:<>,.?/|ZZ".take(30)
+    assert(U.length == 30)
+    // C/D': constructed poly_hash COLLISION — equal 48-char prefix,
+    // then ("az" vs "b["): 97*31+122 == 98*31+91, so the two 50-char
+    // strings share a polynomial hash but differ as strings. The hash
+    // prefilter marks both; the exact confirm must kill them.
+    val pre = "collision-prefix-0123456789-collision-prefix-012"
+    assert(pre.length == 48)
+    val c1 = pre + "az"
+    val c2 = pre + "b["
+    def ph(s: String): Long = s.foldLeft(0L)((h, c) => (31 * h + c) % 1000000007L)
+    assert(ph(c1) == ph(c2), "constructed collision must hold")
+    val docs = Seq(
+      (1L, D + U + D),   // two in-doc occurrences, split by U
+      (2L, "yyy" + D + "zzz"),
+      (3L, c1),
+      (4L, c2),
+      (5L, "short")      // < 50 chars: filtered, never fatal
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 0L, 50L), (1L, 80L, 50L), (2L, 3L, 50L)),
+      s"expected the three D spans only, got ${got.mkString(",")}")
+  }
+
   test("dedup_url: canonical urls carry no un-normalized artifact; doc count conserved") {
     val rows = q("dedup_url").collect()
     assert(rows.nonEmpty)
