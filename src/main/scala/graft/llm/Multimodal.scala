@@ -6,11 +6,14 @@ import graft.core.{Q, Tables}
 /** Multimodal columns (BASELINE.json:6): image/audio/video as opaque
   * `binary` columns with typed metadata.
   *
-  * The testdata ships no media, so the binary column is derived
-  * (`CAST(text AS BINARY)`) and the *decode* step is a deterministic
-  * fake (no media libs in this container — SURVEY.md §7 trap 7); the
-  * Spark-side plumbing is real: binary schema, per-row metadata,
-  * fixed-size frame sampling via explode, byte-level feature extraction
+  * The testdata ships no media, so most entries derive the binary
+  * column (`CAST(text AS BINARY)`) with deterministic byte-level
+  * stand-ins for the codec step (no media libs in this container —
+  * SURVEY.md §7 trap 7); `mm_decode_jpeg` (r17) is the REAL decode:
+  * baseline-JPEG blobs through the in-repo zonal/Jpeg.scala codec via
+  * Spark's binaryFile source. The Spark-side plumbing is real
+  * throughout: binary schema, per-row metadata, fixed-size frame
+  * sampling via explode, byte-level feature extraction
   * (`mm_byte_features`, a custom Catalyst expression in graft.ext).
   *
   * Scale posture: all per-row map-side work — no shuffle at all until an
@@ -18,7 +21,86 @@ import graft.core.{Q, Tables}
   */
 object Multimodal {
 
+  /** REAL-decode fixture geometry (r17): [[MmJpegN]] baseline-JPEG
+    * blobs of [[MmJpegW]]×[[MmJpegH]] gray, each 8×8 block CONSTANT at
+    * [[mmJpegLuma]] — the block-constant discipline (a constant block
+    * has only a DC coefficient that the DC quant step divides exactly,
+    * so encode∘decode is bit-exact and the formula oracle hash-gates
+    * the full blob → pixels path).
+    */
+  val MmJpegN = 16
+  val MmJpegW = 32
+  val MmJpegH = 24
+  def mmJpegLuma(k: Int, bx: Int, by: Int): Int =
+    (17 * bx + 29 * by + 41 * k + 3) % 251
+
+  /** Write-once blob directory: one standalone .jpg per image. */
+  def jpegBlobDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/mm_jpeg_blobs"
+    graft.zonal.Raster.fixtureOnce("mm_jpeg_blobs_marker") { _ =>
+      graft.core.Fs.rmTree(dir)
+      new java.io.File(dir).mkdirs()
+      for (k <- 0 until MmJpegN) {
+        val px = Array.tabulate(MmJpegW * MmJpegH)(i =>
+          mmJpegLuma(k, (i % MmJpegW) / 8, (i / MmJpegW) / 8))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"img_$k%03d.jpg"),
+          graft.zonal.Jpeg.encodeGray(px, MmJpegW, MmJpegH))
+      }
+    }
+    dir
+  }
+
+  /** REAL JPEG decode over a blob column (r17 — verdict missing #7:
+    * `mm_byte_features` was the declared stub decoder while a real
+    * baseline-JPEG codec lived in zonal/Jpeg.scala; this wires them):
+    * Spark's `binaryFile` source reads the blobs, each decodes ONCE
+    * per row via the in-repo Huffman+IDCT path (the codec is itself
+    * oracle-gated through scan_raster_jpeg), and per-8×8-block
+    * mean/min/max luma surface long-form. Pure map-side flatMap —
+    * blobs never serialize through a join or shuffle; dims stay with
+    * their row.
+    */
+  def decodeJpegBlobs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").option("pathGlobFilter", "*.jpg").load(dir)
+      .select(regexp_extract(col("path"), "img_(\\d+)\\.jpg", 1)
+        .cast("long").as("img_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        val (w, h, px) = graft.zonal.Jpeg.decodeGray(blob)
+        for (by <- 0 until h / 8; bx <- 0 until w / 8) yield {
+          var sum = 0L; var mn = 255; var mx = 0
+          for (yy <- 0 until 8; xx <- 0 until 8) {
+            val v = px((by * 8 + yy) * w + bx * 8 + xx)
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          }
+          (id, w, h, bx, by, sum / 64.0, mn, mx)
+        }
+      }
+      .toDF("img_id", "width", "height", "bx", "by",
+        "block_mean", "block_min", "block_max")
+  }
+
   def defs: Seq[(String, Q)] = Seq(
+    // REAL JPEG decode for multimodal blobs (r17): binaryFile source →
+    // in-repo baseline decoder → per-block luma stats; the
+    // block-constant fixture makes encode∘decode exact, so the DuckDB
+    // formula replay gates the ENTIRE blob → pixel path (a Huffman,
+    // dequant, IDCT or indexing bug anywhere hash-mismatches)
+    "mm_decode_jpeg" -> Q(
+      s"""SELECT k.range AS img_id, $MmJpegW AS width, $MmJpegH AS height,
+         |  x.range AS bx, y.range AS by,
+         |  CAST((17 * x.range + 29 * y.range + 41 * k.range + 3) % 251 AS DOUBLE) AS block_mean,
+         |  (17 * x.range + 29 * y.range + 41 * k.range + 3) % 251 AS block_min,
+         |  (17 * x.range + 29 * y.range + 41 * k.range + 3) % 251 AS block_max
+         |FROM range(0, $MmJpegN) k CROSS JOIN range(0, ${MmJpegW / 8}) x
+         |  CROSS JOIN range(0, ${MmJpegH / 8}) y
+         |ORDER BY img_id, by, bx""".stripMargin) { (s, _) =>
+      decodeJpegBlobs(s, jpegBlobDir()).orderBy("img_id", "by", "bx")
+    },
+
     "mm_meta" -> Q(
       """SELECT doc_id,
         |  octet_length(encode(text)) AS n_bytes,

@@ -1292,7 +1292,7 @@ object Raster {
   /** Write-once keyed fixture; computeIfAbsent blocks concurrent callers
     * until the write completes (the Bucketed.ensure lesson from r3).
     */
-  private[zonal] def fixtureOnce(file: String)(write: String => Unit): String =
+  private[graft] def fixtureOnce(file: String)(write: String => Unit): String =
     fixtures.computeIfAbsent(file, { f =>
       val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/$f"
       write(path)

@@ -739,6 +739,31 @@ class LlmSpec extends SparkSuite {
       s"expected the three D spans only, got ${got.mkString(",")}")
   }
 
+  test("mm_decode_jpeg: block stats equal a direct local decode, non-constant blocks included") {
+    // NON-block-constant image: encode∘decode is lossy here, but decode
+    // is deterministic — the DataFrame path must equal a local decode of
+    // the same bytes, pinning the binaryFile + id-parse + stats plumbing
+    // independent of the oracle's block-constant fixture
+    val (w, h) = (16, 16)
+    val px = Array.tabulate(w * h)(i => (i * 37 + 11) % 256)
+    val blob = graft.zonal.Jpeg.encodeGray(px, w, h)
+    val dir = java.nio.file.Files.createTempDirectory("mmjpeg").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "img_007.jpg"), blob)
+    val got = graft.llm.Multimodal.decodeJpegBlobs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(3), r.getInt(4)) ->
+        ((r.getInt(1), r.getInt(2), r.getDouble(5), r.getInt(6), r.getInt(7)))).toMap
+    val (dw, dh, dec) = graft.zonal.Jpeg.decodeGray(blob)
+    assert((dw, dh) == ((w, h)))
+    assert(got.size == 4, "16x16 = 2x2 blocks")
+    for (by <- 0 until 2; bx <- 0 until 2) {
+      val vs = for (yy <- 0 until 8; xx <- 0 until 8)
+        yield dec((by * 8 + yy) * dw + bx * 8 + xx)
+      assert(got((7L, bx, by)) ==
+        ((w, h, vs.sum / 64.0, vs.min, vs.max)),
+        s"block ($bx,$by) stats must equal the local decode")
+    }
+  }
+
   test("dedup_url: canonical urls carry no un-normalized artifact; doc count conserved") {
     val rows = q("dedup_url").collect()
     assert(rows.nonEmpty)
