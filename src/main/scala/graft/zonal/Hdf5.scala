@@ -16,29 +16,34 @@ import graft.core.Q
   *  - v1 object headers (+ continuation blocks) AND v2 `OHDR` headers
   *    (+ `OCHK` continuations, lookup3-checksummed by the writer),
   *  - old-style groups (symbol-table message → v1 group B-tree →
-  *    SNOD symbol nodes → local heap names) AND new-style COMPACT
-  *    groups (hard Link messages), including NESTED group paths
-  *    ("g/v" — the netCDF-4 group model); dense (fractal-heap) link
-  *    storage refuses by name,
-  *  - named 2-D datasets AND rank-3 (t, y, x) cubes: dataspace v1/v2,
-  *    datatype classes fixed-point/float (1/2/4/8 bytes, either
-  *    endian), fill value message v1/v2/v3 (scan, window-pruned scan,
-  *    CF fill masking, epoch scan),
+  *    SNOD symbol nodes → local heap names), new-style COMPACT groups
+  *    (hard Link messages), AND dense (fractal-heap + v2-B-tree name
+  *    index) link storage incl. indirect heap roots (r14/r16);
+  *    NESTED group paths ("g/v" — the netCDF-4 group model), SOFT
+  *    links within the file (r14), and the multi-variable root walk
+  *    (`scan_netcdf4_dataset`, r17),
+  *  - named datasets rank 1–4: 1-D coordinate vectors + fixed-length
+  *    STRING label tables (r16), 2-D lattices, rank-3 (t, y, x) and
+  *    rank-4 (t, level, y, x) cubes: dataspace v1/v2, datatype
+  *    classes fixed-point/float (1/2/4/8 bytes, either endian) and
+  *    class-3 strings, fill value message v1/v2/v3 (scan,
+  *    window-pruned scan, CF fill masking, epoch scan),
   *  - data layouts v3 (CONTIGUOUS class 1 — xarray's shape without
   *    compression, scanned as row stripes — and CHUNKED class 2 with
-  *    chunk addresses from the v1 B-tree at any depth) AND v4 (r12 —
+  *    chunk addresses from the v1 B-tree at any depth) AND v4 —
   *    libver 'latest' chunk indexes: single chunk, implicit, FIXED
-  *    ARRAY with its FAHD/FADB blocks, paged or not; extensible
-  *    array / v2 B-tree refuse by name), deflate (+ byte-shuffle) filter pipelines v1
-  *    and v2, per-chunk filter masks honored, chunks ABSENT from the
-  *    index = fill value,
+  *    ARRAY with its FAHD/FADB blocks paged or not (r12), EXTENSIBLE
+  *    ARRAY incl. super blocks and paged data blocks (r14/r16), and
+  *    v2 B-TREE (BTHD/BTLF/BTIN, filtered records, internal nodes;
+  *    r14/r16) — deflate (+ byte-shuffle) filter pipelines v1 and v2
+  *    plus fletcher32 verification (r14), per-chunk filter masks
+  *    honored, chunks ABSENT from the index = fill value,
   *  - the WRITE direction both locally ([[writeHdf5Cube]]) and
   *    distributed (`sink_netcdf4`: executor chunk blobs streamed
   *    behind the driver's [[hdf5HeaderBytes]] prefix),
-  *  - everything else refuses loudly by name (compact layout,
-  *    extensible-array/v2-B-tree chunk indexes,
-  *    compound/string datatypes, szip/fletcher filters, dense link
-  *    storage, soft/external links): silent misreads are how wrong
+  *  - what still refuses does so loudly by name (compact layout,
+  *    compound datatypes, szip, EXTERNAL cross-file links, filtered
+  *    fractal heaps, rank ≥ 5): silent misreads are how wrong
   *    science ships.
   *
   * Scale design (the established container posture): the driver reads

@@ -28,14 +28,19 @@ import graft.core.Q
   *
   * Supported: classic CDF-1, 64-bit-offset CDF-2 and 64-bit-data
   * CDF-5 (NON_NEG fields widen to 8 bytes per the pnetcdf BNF),
-  * numeric types
-  * byte/short/int/float/double, rank-2 `(y, x)` variables, rank-3
-  * `(t, y, x)` variables where `t` is either the record (UNLIMITED)
-  * dimension or a fixed leading dimension, per-variable `_FillValue`
-  * masking, and the single-record-variable no-padding special case the
-  * spec calls out. NetCDF-4/HDF5 containers, char data
-  * variables and rank ≥ 4 are refused loudly by name — a silently
-  * misread cube is how wrong science ships.
+  * numeric types byte/short/int/float/double, rank-2 `(y, x)`
+  * variables, rank-3 `(t, y, x)` and rank-4 `(t, level, y, x)` cubes
+  * (r14) where `t` is either the record (UNLIMITED) dimension or a
+  * fixed leading dimension, per-variable `_FillValue` masking, the
+  * single-record-variable no-padding special case the spec calls out,
+  * coordinate-variable decode (r16), CF time-units decode with
+  * timestamp-window manifest pruning (r17, [[scanNetcdfTime]]), and
+  * the multi-variable Dataset scan (r17, [[scanNetcdfDataset]]).
+  * Char variables are tolerated as members — their slabs ride the
+  * begin accounting; requesting one as data refuses by name.
+  * NetCDF-4/HDF5 containers refuse by name here (the [[Hdf5]] reader
+  * is their path) and rank ≥ 5 refuses loudly — a silently misread
+  * cube is how wrong science ships.
   */
 object Netcdf {
 

@@ -37,9 +37,13 @@ import graft.core.Q
   * a pure index remap in [[decodeChunk]] — plus the v3
   * `sharding_indexed` codec ([[readShard]]: one shard file = an
   * inner-chunk grid + a crc32c-checked u64 index footer; one shard =
-  * one task). blosclz/snappy inner codecs, bit-shuffle, F-order and
-  * filters fail loudly by name: silent misreads of a cube are how
-  * wrong science ships.
+  * one task). The r14 round retired the named codec refusals into
+  * real support: blosclz and snappy inner codecs, BIT-shuffle (the
+  * closed-form bit transpose, spec-pinned against the 3-step
+  * pipeline), and F-order (column-major index remap) across rank
+  * 2/3/4. v2 filter chains (delta etc.) still fail loudly by name —
+  * on data arrays and coordinate vectors alike: silent misreads of a
+  * cube are how wrong science ships.
   */
 object Zarr {
 
