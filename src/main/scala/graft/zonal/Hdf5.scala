@@ -530,7 +530,7 @@ object Hdf5 {
       val epochs0 = if (rank3) le(sp).getLong(dimsOff).toInt else 0
       val levels0 = if (rank4) le(sp).getLong(dimsOff + 8).toInt else 0
       // rank-1 coordinate vectors (r16) surface as a 1×n lattice —
-      // CONTIGUOUS only (the layout parse below refuses rank-1 chunks)
+      // contiguous OR chunked along the single axis (r17)
       val spatialOff = dimsOff + 8 * (rank - 2)
       val height = if (rank == 1) 1 else le(sp).getLong(spatialOff).toInt
       val width =
@@ -681,18 +681,18 @@ object Hdf5 {
             deflate = false, shuffleTs = 0, fill, hasFill, Nil,
             epochs = epochs0, levels = levels0, attrs = attrs0)
         case 2 =>
-          require(rank >= 2,
-            s"$path: CHUNKED rank-1 coordinate vectors unsupported " +
-              "(contiguous only — coordinate vectors are axis-sized)")
           val dim = lay(2) & 0xff
           require(dim == rank + 1,
             s"$path: chunked rank ${dim - 1} where the dataspace is rank-$rank (corrupt)")
           val btAddr = le(lay).getLong(3)
           // chunk dims follow the B-tree address: dim_i at 11 + 4i
-          // (leading dims first, element size last)
+          // (leading dims first, element size last). CHUNKED rank-1
+          // (r17 — real writers sometimes chunk coordinate vectors):
+          // the vector chunks along its single axis — a 1×c chunk
+          // grid on the 1×n lattice, oy pinned to 0 below.
           val chunkT = if (rank3) le(lay).getInt(11) else 1
           val chunkL = if (rank4) le(lay).getInt(15) else 1
-          val chunkH = le(lay).getInt(11 + 4 * (rank - 2))
+          val chunkH = if (rank == 1) 1 else le(lay).getInt(11 + 4 * (rank - 2))
           val chunkW = le(lay).getInt(11 + 4 * (rank - 1))
           require(chunkT > 0 && chunkL > 0 && chunkH > 0 && chunkW > 0,
             s"$path: chunk dims $chunkT x $chunkL x $chunkH x $chunkW")
@@ -714,7 +714,8 @@ object Hdf5 {
               // (always 0) trails
               val ot = if (rank3) le(body).getLong(kOff + 8).toInt else 0
               val ol = if (rank4) le(body).getLong(kOff + 16).toInt else 0
-              val oy = le(body).getLong(kOff + 8 + 8 * (rank - 2)).toInt
+              val oy = if (rank == 1) 0
+                else le(body).getLong(kOff + 8 + 8 * (rank - 2)).toInt
               val ox = le(body).getLong(kOff + 8 + 8 * (rank - 1)).toInt
               val child = le(body).getLong(kOff + keySize)
               if (level > 0) walk(child)
@@ -1804,23 +1805,36 @@ object Hdf5 {
     java.nio.file.Files.write(p.toPath, out.toByteArray)
   }
 
-  /** Write SEVERAL CONTIGUOUS datasets into ONE old-style root group
-    * (r16 — the coordinate-fixture shape: 1-D x/y axis vectors next to
-    * the 2-D data variable, as a real netCDF-4 file carries them).
-    * Each var is (name, dims of rank 1 or 2, dtype, C-order values).
+  private sealed trait MultiKind
+  private final case class MNum(dtype: String, vals: Array[Double]) extends MultiKind
+  private final case class MStr(strLen: Int, strs: Seq[String]) extends MultiKind
+  private final case class MChunk(dtype: String, vals: Array[Double],
+      chunkLen: Int) extends MultiKind
+
+  /** Write SEVERAL datasets into ONE old-style root group (r16 — the
+    * coordinate-fixture shape: 1-D x/y axis vectors next to the 2-D
+    * data variable, as a real netCDF-4 file carries them). Numeric
+    * members are CONTIGUOUS (`vars`: name, dims of rank 1 or 2, dtype,
+    * C-order values) or CHUNKED rank-1 (`chunkedCoords`, r17: name,
+    * dtype, values, chunk length — unfiltered chunks behind a v1 chunk
+    * B-tree leaf, the shape real writers emit when they chunk a
+    * coordinate vector); string members are fixed-length class 3.
     */
   def writeHdf5Multi(path: String,
       vars: Seq[(String, Seq[Int], String, Array[Double])],
-      strVars: Seq[(String, Seq[String])] = Nil): Unit = {
-    // internal member shape: numeric Left((dtype, values)) or
-    // fixed-length STRING Right((strLen, strings)) — r16, null-padded
-    // datatype class 3
-    val members: Seq[(String, Seq[Int], Either[(String, Array[Double]), (Int, Seq[String])])] =
-      vars.map { case (nm, dims, dt, vals) => (nm, dims, Left((dt, vals))) } ++
+      strVars: Seq[(String, Seq[String])] = Nil,
+      chunkedCoords: Seq[(String, String, Array[Double], Int)] = Nil): Unit = {
+    val members: Seq[(String, Seq[Int], MultiKind)] =
+      vars.map { case (nm, dims, dt, vals) => (nm, dims, MNum(dt, vals)) } ++
       strVars.map { case (nm, strs) =>
         require(strs.nonEmpty, s"writeHdf5Multi: $nm has no strings")
         (nm, Seq(strs.length),
-          Right((math.max(1, strs.map(_.length).max), strs)))
+          MStr(math.max(1, strs.map(_.length).max), strs))
+      } ++
+      chunkedCoords.map { case (nm, dt, vals, cl) =>
+        require(cl > 0 && vals.nonEmpty,
+          s"writeHdf5Multi: $nm chunked coord needs values + chunk length")
+        (nm, Seq(vals.length), MChunk(dt, vals, cl))
       }
     require(members.nonEmpty && members.map(_._1).distinct.size == members.size,
       "writeHdf5Multi: duplicate/empty variable list")
@@ -1837,23 +1851,41 @@ object Hdf5 {
     val aGbt = aHeapData + heapDataSize
     val aSnod = aGbt + 48
     val aHdr0 = aSnod + 8 + 40L * sorted.size
-    def dsBody(v: (String, Seq[Int], Either[(String, Array[Double]), (Int, Seq[String])])): Int = {
+    def dsBody(v: (String, Seq[Int], MultiKind)): Int = {
       val dtBody = v._3 match {
-        case Left((dt, _)) => if (dt.substring(1).startsWith("f")) 24 else 16
-        case Right(_) => 8 // string datatype: no property bytes
+        case MNum(dt, _) => if (dt.substring(1).startsWith("f")) 24 else 16
+        case MChunk(dt, _, _) => if (dt.substring(1).startsWith("f")) 24 else 16
+        case MStr(_, _) => 8 // string datatype: no property bytes
       }
       (8 + 8 + 8 * v._2.size) + (8 + dtBody) + (8 + 8) + (8 + 24)
     }
-    def elemOf(v: (String, Seq[Int], Either[(String, Array[Double]), (Int, Seq[String])])): Int =
+    def elemOf(v: (String, Seq[Int], MultiKind)): Int =
       v._3 match {
-        case Left((dt, _)) => dt.substring(2).toInt
-        case Right((l, _)) => l
+        case MNum(dt, _) => dt.substring(2).toInt
+        case MChunk(dt, _, _) => dt.substring(2).toInt
+        case MStr(l, _) => l
       }
+    def nChunksOf(v: (String, Seq[Int], MultiKind)): Int = v._3 match {
+      case MChunk(_, vals, cl) => (vals.length + cl - 1) / cl
+      case _ => 0
+    }
+    // chunked member data region: v1 B-tree leaf (24-byte header,
+    // nc entries of key(24)+child(8), one trailing key) then the
+    // full-size raw chunk blobs
+    def btSizeOf(v: (String, Seq[Int], MultiKind)): Long = v._3 match {
+      case MChunk(_, _, _) => 24L + nChunksOf(v) * 32L + 24L
+      case _ => 0L
+    }
+    def dataSize(v: (String, Seq[Int], MultiKind)): Long = v._3 match {
+      case MChunk(_, _, cl) =>
+        btSizeOf(v) + nChunksOf(v).toLong * cl * elemOf(v)
+      case _ => v._2.product.toLong * elemOf(v)
+    }
     val hdrAddrs = sorted.scanLeft(aHdr0)((a, v) => a + 16 + dsBody(v)).init
     var dataAddr = hdrAddrs.last + 16 + dsBody(sorted.last)
     val dataAddrs = sorted.map { v =>
       val a = dataAddr
-      dataAddr += v._2.product.toLong * elemOf(v)
+      dataAddr += dataSize(v)
       a
     }
     val eof = dataAddr
@@ -1890,40 +1922,69 @@ object Hdf5 {
       buf.u16(0x0001).u16(8 + 8 * dims.size).u8(0).zeros(3)
         .u8(1).u8(dims.size).u8(0).zeros(5)
       dims.foreach(d => buf.u64(d))
+      def numericDatatype(dtype: String): Unit = {
+        val bigE = if (dtype.charAt(0) == '>') 1 else 0
+        if (dtype.substring(1).startsWith("f")) {
+          val (expLoc, expSize, manSize, bias) =
+            if (elem == 8) (52, 11, 52, 1023) else (23, 8, 23, 127)
+          buf.u16(0x0003).u16(24).u8(0).zeros(3)
+            .u8(0x11).u8(0x20 | bigE).u8(8 * elem - 1).u8(0).u32(elem)
+            .u16(0).u16(8 * elem).u8(expLoc).u8(expSize).u8(0).u8(manSize)
+            .u32(bias).zeros(4)
+        } else {
+          val signed = dtype.substring(1).startsWith("i")
+          buf.u16(0x0003).u16(16).u8(0).zeros(3)
+            .u8(0x10).u8((if (signed) 0x08 else 0) | bigE).u8(0).u8(0).u32(elem)
+            .u16(0).u16(8 * elem).zeros(4)
+        }
+      }
       kind match {
-        case Left((dtype, _)) =>
-          val bigE = if (dtype.charAt(0) == '>') 1 else 0
-          if (dtype.substring(1).startsWith("f")) {
-            val (expLoc, expSize, manSize, bias) =
-              if (elem == 8) (52, 11, 52, 1023) else (23, 8, 23, 127)
-            buf.u16(0x0003).u16(24).u8(0).zeros(3)
-              .u8(0x11).u8(0x20 | bigE).u8(8 * elem - 1).u8(0).u32(elem)
-              .u16(0).u16(8 * elem).u8(expLoc).u8(expSize).u8(0).u8(manSize)
-              .u32(bias).zeros(4)
-          } else {
-            val signed = dtype.substring(1).startsWith("i")
-            buf.u16(0x0003).u16(16).u8(0).zeros(3)
-              .u8(0x10).u8((if (signed) 0x08 else 0) | bigE).u8(0).u8(0).u32(elem)
-              .u16(0).u16(8 * elem).zeros(4)
-          }
-        case Right(_) =>
+        case MNum(dtype, _) => numericDatatype(dtype)
+        case MChunk(dtype, _, _) => numericDatatype(dtype)
+        case MStr(_, _) =>
           // datatype class 3 (STRING), null-padded (pad class 1)
           buf.u16(0x0003).u16(8).u8(0).zeros(3)
             .u8(0x13).u8(0x01).u8(0).u8(0).u32(elem)
       }
       buf.u16(0x0005).u16(8).u8(0).zeros(3)
         .u8(2).u8(2).u8(0).u8(0).u32(0)
-      buf.u16(0x0008).u16(24).u8(0).zeros(3)
-        .u8(3).u8(1).u64(dataAddrs(i)).u64(dims.product.toLong * elem).zeros(6)
+      kind match {
+        case MChunk(_, _, cl) =>
+          // layout v3 class 2 (CHUNKED), dim = rank + 1 = 2: B-tree
+          // address + [chunk length, element size]
+          buf.u16(0x0008).u16(24).u8(0).zeros(3)
+            .u8(3).u8(2).u8(2).u64(dataAddrs(i)).u32(cl).u32(elem).zeros(5)
+        case _ =>
+          buf.u16(0x0008).u16(24).u8(0).zeros(3)
+            .u8(3).u8(1).u64(dataAddrs(i)).u64(dims.product.toLong * elem).zeros(6)
+      }
     }
-    sorted.zipWithIndex.foreach { case ((nm, _, kind), i) =>
+    sorted.zipWithIndex.foreach { case (v @ (nm, _, kind), i) =>
       require(buf.size == dataAddrs(i), s"$nm data accounting: ${buf.size}")
       kind match {
-        case Left((dtype, vals)) => buf.raw(encodeCells(vals, dtype))
-        case Right((l, strs)) => strs.foreach { s0 =>
+        case MNum(dtype, vals) => buf.raw(encodeCells(vals, dtype))
+        case MStr(l, strs) => strs.foreach { s0 =>
           buf.raw(s0.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
             .zeros(l - s0.length)
         }
+        case MChunk(dtype, vals, cl) =>
+          val elem = elemOf(v)
+          val nc = nChunksOf(v)
+          val blob0 = dataAddrs(i) + btSizeOf(v)
+          buf.raw("TREE".getBytes).u8(1).u8(0).u16(nc).u64(Undef).u64(Undef)
+          (0 until nc).foreach { k =>
+            // key: chunk byte size, filter mask, x offset, element offset
+            buf.u32(cl * elem).u32(0).u64(k.toLong * cl).u64(0)
+            buf.u64(blob0 + k.toLong * cl * elem)
+          }
+          // trailing key: the chunk-grid end (readers stop at `used`)
+          buf.u32(0).u32(0).u64(nc.toLong * cl).u64(elem)
+          (0 until nc).foreach { k =>
+            // full-size edge chunks per the spec; pad values are 0
+            val chunk = Array.tabulate(cl)(j =>
+              if (k * cl + j < vals.length) vals(k * cl + j) else 0.0)
+            buf.raw(encodeCells(chunk, dtype))
+          }
       }
     }
     require(buf.size == eof, s"file accounting: ${buf.size} vs $eof")
@@ -3406,15 +3467,19 @@ object Hdf5 {
         writeHdf5Multi(p, Seq(
           ("v", Seq(H5H, H5W), "<f8",
             Array.tabulate(H5H * H5W)(i => h5Value(i % H5W, i / H5W))),
-          ("x", Seq(H5W), "<f4",
-            Array.tabulate(H5W)(x => -120.0 + 0.25 * x)),
           ("y", Seq(H5H), "<f4",
             Array.tabulate(H5H)(y => 40.0 + 0.25 * y))),
           // a STRING member rides along (r16): its slab participates
           // in the address accounting the coords oracle gates, and
           // scan_netcdf4_strings reads it back
           strVars = Seq(("station",
-            (0 until H5H).map(y => s"stn-${(y * 7) % 100}"))))
+            (0 until H5H).map(y => s"stn-${(y * 7) % 100}"))),
+          // the x coordinate is CHUNKED (r17 — real writers sometimes
+          // chunk coordinate vectors; 32-wide chunks over 80 values =
+          // 3 chunks incl. one partial edge): the same coords oracle
+          // now gates the rank-1 chunked read path
+          chunkedCoords = Seq(("x", "<f4",
+            Array.tabulate(H5W)(x => -120.0 + 0.25 * x), 32)))
         fixtureCoordsReady = p
       }
     }
@@ -3623,14 +3688,18 @@ object Hdf5 {
     // indexed by a v2 B-tree on name hash, which previously refused by
     // name): the 12-link fixture resolves a mid-pack name through the
     // FRHP → FHDB → BTHD → BTLF walk; the identical formula oracle
-    // gates the dense resolution end to end. Indirect heap blocks,
-    // huge/tiny objects and deeper B-trees still refuse by name.
+    // gates the dense resolution end to end. INDIRECT heap roots
+    // retired into real support r16 (the 150-link fixture in
+    // Hdf5Spec); indirect CHILDREN of indirect blocks, huge/tiny
+    // objects, filtered heaps and deeper B-trees still refuse by name.
     // COORDINATE decode over netCDF-4 (r16 — completing the axis-label
-    // story across all three cube formats): rank-1 CONTIGUOUS datasets
-    // read as 1×n lattices (chunked rank-1 refuses by name), labels
-    // joined by two BROADCAST hash joins on the integer index; the
-    // fixture is three datasets in one old-style group, the real
-    // netCDF-4 shape
+    // story across all three cube formats; r17 widened to CHUNKED
+    // rank-1, which real writers sometimes emit): rank-1 datasets read
+    // as 1×n lattices — contiguous OR chunked along the single axis —
+    // labels joined by two BROADCAST hash joins on the integer index;
+    // the fixture is four members in one old-style group with the x
+    // coordinate CHUNKED (3 chunks incl. a partial edge), so this
+    // oracle gates the rank-1 chunked read path
     "scan_netcdf4_coords" -> Q(
       s"""SELECT cell_x, cell_y,
          |  CAST(-120.0 + 0.25 * cell_x AS DOUBLE) AS x_coord,

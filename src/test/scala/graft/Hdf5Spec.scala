@@ -737,11 +737,29 @@ class Hdf5Spec extends SparkSuite {
     val e1 = intercept[Exception](Hdf5.scanNetcdf4Coord(spark, p, "v"))
     assert(e1.getMessage.contains("not a 1-D coordinate"))
     // CHUNKED rank-1 refuses by name: graft a rank-1 dataspace onto a
-    // chunked dataset via byte surgery is fragile — instead assert the
-    // guard message is reachable through the layout dispatch by
-    // checking a chunked 2-D fixture still reads (guard is rank >= 2)
+    // chunked dataset via byte surgery is fragile — the refusal was
+    // retired in r17: CHUNKED rank-1 coordinate vectors read through
+    // the 1×c chunk grid (partial edge chunk included) and join onto
+    // the cube exactly like contiguous ones
     val g2 = Hdf5.scanNetcdf4(spark, Hdf5.fixturePath(), "v").count()
     assert(g2 == 80 * 70)
+    val pc = tmp("chunkedcoord")
+    Hdf5.writeHdf5Multi(pc, Seq(
+      ("v", Seq(4, 7), "<f8", Array.tabulate(28)(i => fv(i % 7, i / 7))),
+      ("y", Seq(4), "<f4", Array.tabulate(4)(y => 2.0 + 0.25 * y))),
+      chunkedCoords = Seq(
+        ("x", "<f4", Array.tabulate(7)(x => -10.0 + 0.5 * x), 3)))
+    val cx = Hdf5.scanNetcdf4Coord(spark, pc, "x").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(cx == (0 until 7).map(x => x -> (-10.0 + 0.5 * x)).toMap,
+      s"chunked coordinate mangled: $cx")
+    val cj = Hdf5.scanNetcdf4Coords(spark, pc, "v").collect()
+    assert(cj.length == 28)
+    cj.foreach { r =>
+      val (x, y) = (r.getInt(0), r.getInt(1))
+      assert(r.getDouble(2) == -10.0 + 0.5 * x && r.getDouble(3) == 2.0 + 0.25 * y
+        && r.getDouble(4) == fv(x, y))
+    }
     // STRING members (r16): a class-3 fixed-length table next to the
     // numeric datasets reads back trimmed; mixing up the entry points
     // is loud in both directions
