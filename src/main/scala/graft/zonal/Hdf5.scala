@@ -91,7 +91,9 @@ object Hdf5 {
       levels: Int = 0, chunkL: Int = 1,
       fletcher: Boolean = false,
       // scalar numeric attributes (r14): the CF metadata face
-      attrs: Map[String, Double] = Map.empty)
+      attrs: Map[String, Double] = Map.empty,
+      // scalar STRING attributes (r17): CF `units` and friends
+      strAttrs: Map[String, String] = Map.empty)
 
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -515,6 +517,8 @@ object Hdf5 {
         .getOrElse(sys.error(s"$path: dataset has no $what message"))
       val attrs0: Map[String, Double] =
         msgs.filter(_.mtype == 0x000C).flatMap(m => parseNumAttr(m.body)).toMap
+      val sAttrs0: Map[String, String] =
+        msgs.filter(_.mtype == 0x000C).flatMap(m => parseStrAttr(m.body)).toMap
       // dataspace (0x0001) v1/v2 → (height, width)
       val sp = one(0x0001, "dataspace").body
       val (rank, dimsOff) = (sp(0) & 0xff) match {
@@ -670,7 +674,7 @@ object Hdf5 {
         }
         return H5Meta(height, width, chunkH, chunkW, dtype, contiguous = false,
           Undef, deflate, shuffleTs, fill, hasFill, chunks, fletcher = fletcher,
-          attrs = attrs0)
+          attrs = attrs0, strAttrs = sAttrs0)
       }
       (lay(1) & 0xff) match {
         case 1 => // contiguous: address (8) + size (8); filters impossible
@@ -679,7 +683,7 @@ object Hdf5 {
             s"$path: filters on a contiguous dataset (corrupt)")
           H5Meta(height, width, 0, 0, dtype, contiguous = true, dataAddr,
             deflate = false, shuffleTs = 0, fill, hasFill, Nil,
-            epochs = epochs0, levels = levels0, attrs = attrs0)
+            epochs = epochs0, levels = levels0, attrs = attrs0, strAttrs = sAttrs0)
         case 2 =>
           val dim = lay(2) & 0xff
           require(dim == rank + 1,
@@ -727,7 +731,7 @@ object Hdf5 {
           H5Meta(height, width, chunkH, chunkW, dtype, contiguous = false, Undef,
             deflate, shuffleTs, fill, hasFill, chunks.toSeq,
             epochs = epochs0, chunkT = chunkT, levels = levels0, chunkL = chunkL,
-            fletcher = fletcher, attrs = attrs0)
+            fletcher = fletcher, attrs = attrs0, strAttrs = sAttrs0)
         case 0 => sys.error(s"$path: compact data layout unsupported (contiguous/chunked)")
         case c => sys.error(s"$path: data layout class $c unsupported")
       }
@@ -1141,6 +1145,39 @@ object Hdf5 {
     * (strings, arrays, compounds) is skipped, not fatal — tolerance
     * for the normal members a real file carries.
     */
+  /** Scalar fixed-length STRING attribute (r17 — datatype class 3,
+    * scalar dataspace: the CF `units` shape): returns the value with
+    * trailing nulls/spaces trimmed; anything else yields None (normal
+    * members, never fatal — the [[parseNumAttr]] rule).
+    */
+  private def parseStrAttr(b: Array[Byte]): Option[(String, String)] = {
+    val ver = b(0) & 0xff
+    if (ver != 1 && ver != 3) return None
+    val nameSize = le(b).getShort(2) & 0xffff
+    val dtSize = le(b).getShort(4) & 0xffff
+    val dsSize = le(b).getShort(6) & 0xffff
+    var p = 8
+    if (ver == 3) p += 1
+    val nameEnd = {
+      var e = p
+      while (e < b.length && b(e) != 0) e += 1
+      e
+    }
+    val name = new String(b, p, nameEnd - p, java.nio.charset.StandardCharsets.US_ASCII)
+    p += (if (ver == 1) (nameSize + 7) / 8 * 8 else nameSize)
+    val dtOff = p
+    p += (if (ver == 1) (dtSize + 7) / 8 * 8 else dtSize)
+    val dsOff = p
+    p += (if (ver == 1) (dsSize + 7) / 8 * 8 else dsSize)
+    if ((b(dsOff + 1) & 0xff) != 0) return None // scalar dataspace only
+    if ((b(dtOff) & 0x0f) != 3) return None // STRING class only
+    val len = le(b).getInt(dtOff + 4)
+    if (len <= 0 || p + len > b.length) return None
+    var e = p + len
+    while (e > p && (b(e - 1) == 0 || b(e - 1) == ' ')) e -= 1
+    Some(name -> new String(b, p, e - p, java.nio.charset.StandardCharsets.US_ASCII))
+  }
+
   private def parseNumAttr(b: Array[Byte]): Option[(String, Double)] = {
     val ver = b(0) & 0xff
     if (ver != 1 && ver != 3) return None
@@ -1475,6 +1512,49 @@ object Hdf5 {
       .flatMap { case (n, cr) =>
         readChunk(cr).map { case (x, y, _, _, v) => (x, y, n, v) } }
       .toDF("cell_x", "cell_y", "var_name", "value")
+  }
+
+  /** CF TIME decode + timestamp-window chunk pruning over netCDF-4
+    * (r17 — the HDF5 twin of [[Netcdf.scanNetcdfTime]], completing
+    * the time story across all three cube formats): the time
+    * coordinate's `units` STRING attribute (a real v1/v3 attribute
+    * message, class-3 scalar) parses to exact BIGINT micros, the
+    * axis values become a real `TimestampType` column, and an
+    * optional window prunes the rank-3 CHUNK MANIFEST before any
+    * data read. The axis vector reads DRIVER-SIDE through the same
+    * chunk machinery the executors use (axis-sized = header-scale
+    * metadata, the readMeta posture).
+    * Output: `(epoch, t_ts, cell_x, cell_y, value)`.
+    */
+  def scanNetcdf4Time(s: SparkSession, path: String, varName: String,
+      timeVar: String = "t",
+      window: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+    import s.implicits._
+    val tm = readMeta(path, timeVar)
+    require(tm.height == 1 && tm.epochs == 0,
+      s"$path: '$timeVar' is ${tm.height}×${tm.width} — not a 1-D time coordinate")
+    val units = tm.strAttrs.getOrElse("units",
+      sys.error(s"$path: time coordinate $timeVar has no units attribute"))
+    val (epochMicros, unitMicros) = Netcdf.cfTimeUnits(units, s"$path:$timeVar")
+    val raw = chunkRefs(path, tm)
+      .flatMap(r => readChunk(r).map { case (x, _, _, _, v) => (x, v) })
+      .sortBy(_._1).map(_._2)
+    val m = readMeta(path, varName)
+    require(m.epochs > 0 && m.levels == 0,
+      s"$path: '$varName' is not a rank-3 (t, y, x) cube")
+    require(m.epochs == raw.length,
+      s"$path: time axis has ${raw.length} values but $varName has ${m.epochs} epochs")
+    val kept = Netcdf.cfEpochLabels(raw, epochMicros, unitMicros, window,
+      s"$path:$timeVar")
+    val labels = kept.map { case (i, u) => (i, Netcdf.microsTimestamp(u)) }
+      .toDF("epoch", "t_ts")
+    val keep = kept.map(_._1).toSet
+    val refs = chunkRefs(path, m).filter(r =>
+      (r.ot until math.min(r.ot + r.chunkT, m.epochs)).exists(keep))
+    scanRefs(s, refs).map { case (x, y, _, t, v) => (x, y, t, v) }
+      .toDF("cell_x", "cell_y", "epoch", "value")
+      .join(broadcast(labels), Seq("epoch"))
+      .select(col("epoch"), col("t_ts"), col("cell_x"), col("cell_y"), col("value"))
   }
 
   /** Read a FIXED-LENGTH STRING dataset (r16 — HDF5 datatype class 3:
@@ -1823,7 +1903,10 @@ object Hdf5 {
   def writeHdf5Multi(path: String,
       vars: Seq[(String, Seq[Int], String, Array[Double])],
       strVars: Seq[(String, Seq[String])] = Nil,
-      chunkedCoords: Seq[(String, String, Array[Double], Int)] = Nil): Unit = {
+      chunkedCoords: Seq[(String, String, Array[Double], Int)] = Nil,
+      // r17: per-member scalar STRING attributes (CF `units` etc.),
+      // keyed by member name — real v1 attribute messages
+      memberStrAttrs: Map[String, Seq[(String, String)]] = Map.empty): Unit = {
     val members: Seq[(String, Seq[Int], MultiKind)] =
       vars.map { case (nm, dims, dt, vals) => (nm, dims, MNum(dt, vals)) } ++
       strVars.map { case (nm, strs) =>
@@ -1839,8 +1922,10 @@ object Hdf5 {
     require(members.nonEmpty && members.map(_._1).distinct.size == members.size,
       "writeHdf5Multi: duplicate/empty variable list")
     vars.foreach { case (nm, dims, _, vals) =>
-      require(dims.nonEmpty && dims.size <= 2 && dims.product == vals.length,
+      require(dims.nonEmpty && dims.size <= 3 && dims.product == vals.length,
         s"writeHdf5Multi: $nm dims $dims vs ${vals.length} values") }
+    memberStrAttrs.keys.foreach(k => require(members.exists(_._1 == k),
+      s"writeHdf5Multi: attrs for unknown member '$k'"))
     val sorted = members.sortBy(_._1) // SNOD symbols sort by name
     // local heap: zero slot + each name, 8-padded
     val nameOffs = sorted.map(_._1).scanLeft(8L)((o, nm) => o + pad8(nm.length + 1)).init
@@ -1851,13 +1936,20 @@ object Hdf5 {
     val aGbt = aHeapData + heapDataSize
     val aSnod = aGbt + 48
     val aHdr0 = aSnod + 8 + 40L * sorted.size
+    def attrsOf(nm: String): Seq[(String, String)] =
+      memberStrAttrs.getOrElse(nm, Nil)
+    // v1 attribute message body: header(8) + padded name + string
+    // datatype(8) + scalar dataspace(8) + padded value
+    def attrBody(an: String, av: String): Int =
+      8 + pad8(an.length + 1) + 8 + 8 + pad8(math.max(1, av.length))
     def dsBody(v: (String, Seq[Int], MultiKind)): Int = {
       val dtBody = v._3 match {
         case MNum(dt, _) => if (dt.substring(1).startsWith("f")) 24 else 16
         case MChunk(dt, _, _) => if (dt.substring(1).startsWith("f")) 24 else 16
         case MStr(_, _) => 8 // string datatype: no property bytes
       }
-      (8 + 8 + 8 * v._2.size) + (8 + dtBody) + (8 + 8) + (8 + 24)
+      (8 + 8 + 8 * v._2.size) + (8 + dtBody) + (8 + 8) + (8 + 24) +
+        attrsOf(v._1).map { case (an, av) => 8 + attrBody(an, av) }.sum
     }
     def elemOf(v: (String, Seq[Int], MultiKind)): Int =
       v._3 match {
@@ -1918,7 +2010,7 @@ object Hdf5 {
     sorted.zipWithIndex.foreach { case (v @ (nm, dims, kind), i) =>
       require(buf.size == hdrAddrs(i), s"$nm header accounting: ${buf.size}")
       val elem = elemOf(v)
-      buf.u8(1).u8(0).u16(4).u32(1).u32(dsBody(v)).u32(0)
+      buf.u8(1).u8(0).u16(4 + attrsOf(nm).size).u32(1).u32(dsBody(v)).u32(0)
       buf.u16(0x0001).u16(8 + 8 * dims.size).u8(0).zeros(3)
         .u8(1).u8(dims.size).u8(0).zeros(5)
       dims.foreach(d => buf.u64(d))
@@ -1948,6 +2040,18 @@ object Hdf5 {
       }
       buf.u16(0x0005).u16(8).u8(0).zeros(3)
         .u8(2).u8(2).u8(0).u8(0).u32(0)
+      attrsOf(nm).foreach { case (an, av) =>
+        // v1 attribute message: each part 8-padded per the spec
+        buf.u16(0x000C).u16(attrBody(an, av)).u8(0).zeros(3)
+        buf.u8(1).u8(0).u16(an.length + 1).u16(8).u16(8)
+        buf.raw(an.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .zeros(pad8(an.length + 1) - an.length)
+        val avLen = math.max(1, av.length)
+        buf.u8(0x13).u8(0x01).u8(0).u8(0).u32(avLen) // string datatype
+        buf.u8(1).u8(0).u8(0).zeros(5) // scalar dataspace v1
+        buf.raw(av.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .zeros(pad8(avLen) - av.length)
+      }
       kind match {
         case MChunk(_, _, cl) =>
           // layout v3 class 2 (CHUNKED), dim = rank + 1 = 2: B-tree
@@ -3340,6 +3444,32 @@ object Hdf5 {
     p
   }
 
+  private val fixtureTimeLock = new Object
+  @volatile private var fixtureTimeReady: String = null
+
+  /** CF time fixture (r17): the rank-3 cube (contiguous f8) next to a
+    * CHUNKED `t` coordinate whose v1 attribute messages carry the CF
+    * `units` string — values 7i+3 hours since the shared base.
+    */
+  val H5TimeUnits = "hours since 2020-03-01 06:00:00"
+  def fixtureTimePath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5time_fixture_${H5T}x${H5H}x$H5W.nc"
+    if (fixtureTimeReady != p) fixtureTimeLock.synchronized {
+      if (fixtureTimeReady != p) {
+        writeHdf5Multi(p, Seq(
+          ("v", Seq(H5T, H5H, H5W), "<f8",
+            Array.tabulate(H5T * H5H * H5W)(i =>
+              h5CubeValue(i % H5W, i / H5W % H5H, i / (H5H * H5W))))),
+          chunkedCoords = Seq(("t", "<f8",
+            Array.tabulate(H5T)(i => 7.0 * i + 3.0), 2)),
+          memberStrAttrs = Map("t" ->
+            Seq(("units", H5TimeUnits), ("calendar", "standard"))))
+        fixtureTimeReady = p
+      }
+    }
+    p
+  }
+
   /** Rank-4 fixture formula over (x, y, l, t). */
   val H54T = 3
   val H54L = 4
@@ -3756,6 +3886,33 @@ object Hdf5 {
       scanNetcdf4(s, fixtureGroupPath(), "g/v")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // CF TIME-units decode + timestamp-window chunk pruning (r17 —
+    // the netCDF-4 twin of scan_netcdf_time, completing the time
+    // story across all three cube formats): the t coordinate's units
+    // STRING attribute (a real v1 attribute message on a CHUNKED
+    // rank-1 member) parses to exact BIGINT micros, axis values
+    // become a real TimestampType column, and the window prunes the
+    // rank-3 manifest — epochs 0 and 4 cost zero data bytes (the
+    // lower bound EQUALS epoch 1's timestamp, gating inclusivity).
+    // Identical interval-replay oracle as the classic/zarr twins
+    "scan_netcdf4_time" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $H5T) t
+         |)
+         |SELECT epoch, t_ts, x.range AS cell_x, y.range AS cell_y,
+         |  CAST((23 * x.range + 19 * y.range + 37 * epoch) % 991 AS DOUBLE) AS value
+         |FROM epochs CROSS JOIN range(0, $H5W) x CROSS JOIN range(0, $H5H) y
+         |WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |  AND TIMESTAMP '2020-03-02 06:00:00'
+         |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
+      val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
+      scanNetcdf4Time(s, fixtureTimePath(), "v", "t", Some(win))
+        .orderBy("epoch", "cell_x", "cell_y")
     },
 
     // Multi-variable DATASET scan (r17 — verdict missing #3: xarray's

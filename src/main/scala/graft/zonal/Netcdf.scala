@@ -652,6 +652,38 @@ object Netcdf {
     }
   }
 
+  /** Epoch index → exact timestamp micros, windowed (shared by the
+    * classic, Zarr and netCDF-4 time decodes): integral-multiple
+    * enforcement (fractional unit counts would need float timestamp
+    * arithmetic — refuse rather than round silently), then the
+    * inclusive window filter in exact BIGINT micros.
+    */
+  private[graft] def cfEpochLabels(raw: Seq[Double], epochMicros: Long,
+      unitMicros: Long,
+      window: Option[(java.sql.Timestamp, java.sql.Timestamp)],
+      what: String): Seq[(Int, Long)] = {
+    val ts = raw.zipWithIndex.map { case (v, i) =>
+      require(v == math.rint(v) && math.abs(v) < (1L << 52).toDouble,
+        s"$what[$i] = $v is not an integral unit count — fractional " +
+          "time offsets unsupported (integral-coordinate discipline)")
+      (i, epochMicros + math.rint(v).toLong * unitMicros)
+    }
+    window match {
+      case None => ts
+      case Some((lo, hi)) =>
+        val (loU, hiU) = (lo.getTime * 1000L + lo.getNanos / 1000 % 1000,
+          hi.getTime * 1000L + hi.getNanos / 1000 % 1000)
+        ts.filter { case (_, u) => u >= loU && u <= hiU }
+    }
+  }
+
+  /** micros → java.sql.Timestamp without dropping sub-ms precision. */
+  private[graft] def microsTimestamp(u: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(u, 1000L))
+    t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
+    t
+  }
+
   /** CF TIME decode + timestamp-window epoch pruning (r17 — verdict
     * missing #2): the `units` attribute on the time coordinate turns
     * the raw axis values into a real `TimestampType` column, and an
@@ -695,26 +727,10 @@ object Netcdf {
         })
       } finally in.close()
     }
-    val ts = raw.zipWithIndex.map { case (v, i) =>
-      require(v == math.rint(v) && math.abs(v) < (1L << 52).toDouble,
-        s"$path:$timeVar[$i] = $v is not an integral unit count — fractional " +
-          "time offsets unsupported (integral-coordinate discipline)")
-      (i, epochMicros + math.rint(v).toLong * unitMicros)
-    }
-    val kept = window match {
-      case None => ts
-      case Some((lo, hi)) =>
-        val (loU, hiU) = (lo.getTime * 1000L + lo.getNanos / 1000 % 1000,
-          hi.getTime * 1000L + hi.getNanos / 1000 % 1000)
-        ts.filter { case (_, u) => u >= loU && u <= hiU }
-    }
-    // micros → java.sql.Timestamp without dropping sub-ms precision
-    def micTs(u: Long): java.sql.Timestamp = {
-      val t = new java.sql.Timestamp(Math.floorDiv(u, 1000L))
-      t.setNanos((Math.floorMod(u, 1000000L) * 1000L).toInt)
-      t
-    }
-    val labels = kept.map { case (i, u) => (i, micTs(u)) }.toDF("epoch", "t_ts")
+    val kept = cfEpochLabels(raw, epochMicros, unitMicros, window,
+      s"$path:$timeVar")
+    val labels = kept.map { case (i, u) => (i, microsTimestamp(u)) }
+      .toDF("epoch", "t_ts")
     // prune the stripe manifest to kept epochs BEFORE the scan
     val keep = kept.map(_._1).toSet
     val v = m.variable(varName)

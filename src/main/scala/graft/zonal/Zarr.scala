@@ -598,8 +598,16 @@ object Zarr {
     * null/zlib/zstd/blosc codecs. One task — coordinates are
     * axis-sized by construction. Returns `(idx, coord)`.
     */
-  def scanZarrCoord(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** Parsed rank-1 coordinate geometry (primitives only — serialized
+    * into the distributed tasks of [[scanZarrCoord]]).
+    */
+  private[graft] final case class CoordMeta(
+      dir: String, n: Int, chunk: Int, dtype: String, compressor: String) {
+    def elem: Int = dtype.substring(2).toInt
+    def nChunks: Int = (n + chunk - 1) / chunk
+  }
+
+  private[graft] def coordMeta(dir: String): CoordMeta = {
     import org.json4s._
     val base = new org.apache.hadoop.fs.Path(dir)
     val fs = hadoopFs(base)
@@ -645,47 +653,125 @@ object Zarr {
       case JNull | JNothing | JArray(Nil) => ()
       case other => sys.error(s"$dir: coordinate filters $other unsupported (none)")
     }
-    val elem = dtype.substring(2).toInt
-    val nChunks = (n + chunk - 1) / chunk
-    val refs = (0 until nChunks).map(ci => (s"$dir/$ci", ci))
-    s.createDataset(refs)
-      .flatMap { case (p, ci) =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        val cfs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
-        require(cfs.exists(hp), s"$p: absent coordinate chunk")
-        val len = cfs.getFileStatus(hp).getLen.toInt
-        val raw = new Array[Byte](len)
-        val in = cfs.open(hp)
-        try in.readFully(0, raw) finally in.close()
-        val expected = chunk * elem
-        val bytes = compressor match {
-          case "raw" => raw
-          case "zlib" => TiffCodec.inflate(raw, expected)
-          case "zstd" => TiffCodec.zstdDecompress(raw, expected)
-          case "blosc" => Blosc.decompress(raw, expected)
+    CoordMeta(dir, n, chunk, dtype, compressor)
+  }
+
+  /** Read + decode ONE coordinate chunk file to `(idx, value)`. */
+  private[graft] def readCoordChunk(m: CoordMeta, ci: Int): Iterator[(Int, Double)] = {
+    val p = s"${m.dir}/$ci"
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val cfs = hp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    require(cfs.exists(hp), s"$p: absent coordinate chunk")
+    val len = cfs.getFileStatus(hp).getLen.toInt
+    val raw = new Array[Byte](len)
+    val in = cfs.open(hp)
+    try in.readFully(0, raw) finally in.close()
+    val expected = m.chunk * m.elem
+    val bytes = m.compressor match {
+      case "raw" => raw
+      case "zlib" => TiffCodec.inflate(raw, expected)
+      case "zstd" => TiffCodec.zstdDecompress(raw, expected)
+      case "blosc" => Blosc.decompress(raw, expected)
+    }
+    require(bytes.length == expected,
+      s"$p: coordinate chunk ${bytes.length} bytes, want $expected")
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    buf.order(if (m.dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val kind = m.dtype.substring(1)
+    (0 until m.chunk).iterator
+      .filter(k => ci * m.chunk + k < m.n)
+      .map { k =>
+        val i = k * m.elem
+        val v = kind match {
+          case "f8" => buf.getDouble(i)
+          case "f4" => buf.getFloat(i).toDouble
+          case "i4" => buf.getInt(i).toDouble
+          case "i2" => buf.getShort(i).toDouble
+          case "i1" => buf.get(i).toDouble
+          case "u1" => (buf.get(i) & 0xff).toDouble
         }
-        require(bytes.length == expected,
-          s"$p: coordinate chunk ${bytes.length} bytes, want $expected")
-        val buf = java.nio.ByteBuffer.wrap(bytes)
-        buf.order(if (dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
-          else java.nio.ByteOrder.LITTLE_ENDIAN)
-        val kind = dtype.substring(1)
-        (0 until chunk).iterator
-          .filter(k => ci * chunk + k < n)
-          .map { k =>
-            val i = k * elem
-            val v = kind match {
-              case "f8" => buf.getDouble(i)
-              case "f4" => buf.getFloat(i).toDouble
-              case "i4" => buf.getInt(i).toDouble
-              case "i2" => buf.getShort(i).toDouble
-              case "i1" => buf.get(i).toDouble
-              case "u1" => (buf.get(i) & 0xff).toDouble
-            }
-            (ci * chunk + k, v)
-          }
+        (ci * m.chunk + k, v)
       }
+  }
+
+  def scanZarrCoord(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val m = coordMeta(dir)
+    s.createDataset(0 until m.nChunks)
+      .flatMap(ci => readCoordChunk(m, ci))
       .toDF("idx", "coord")
+  }
+
+  /** Driver-side coordinate read — axis-sized by construction, the
+    * header-scale-metadata posture of [[Netcdf.scanNetcdfTime]]'s axis
+    * read (the time decode needs the values BEFORE building the chunk
+    * manifest, so pruned epochs cost zero data bytes).
+    */
+  private[graft] def readCoordValues(dir: String): IndexedSeq[Double] = {
+    val m = coordMeta(dir)
+    (0 until m.nChunks).flatMap(ci => readCoordChunk(m, ci)).sortBy(_._1)
+      .map(_._2)
+  }
+
+  /** Read a member's `.zattrs` STRING attributes (the xarray
+    * convention: CF metadata like `units` lives here). Absent file =
+    * no attributes; non-string values are skipped, not fatal.
+    */
+  private[graft] def readZattrs(dir: String): Map[String, String] = {
+    import org.json4s._
+    val p = new org.apache.hadoop.fs.Path(dir, ".zattrs")
+    val fs = hadoopFs(p)
+    if (!fs.exists(p)) return Map.empty
+    val len = fs.getFileStatus(p).getLen.toInt
+    val raw = new Array[Byte](len)
+    val in = fs.open(p)
+    try in.readFully(0, raw) finally in.close()
+    org.json4s.jackson.JsonMethods.parse(
+      new String(raw, java.nio.charset.StandardCharsets.UTF_8)) match {
+      case JObject(fields) =>
+        fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case other => sys.error(s"$dir/.zattrs: $other is not an object")
+    }
+  }
+
+  /** CF TIME decode + timestamp-window chunk pruning over a Zarr v2
+    * HIERARCHY (r17 — parity with [[Netcdf.scanNetcdfTime]] across
+    * all three cube formats): the time member's `.zattrs` `units`
+    * parses to exact BIGINT (epoch, unit) micros, the axis values
+    * become a real `TimestampType` column, and an optional window
+    * prunes the rank-3 CHUNK MANIFEST — a t-chunk with no kept epoch
+    * costs zero bytes; boundary chunks trim exactly through the label
+    * join. Output: `(epoch, t_ts, cell_x, cell_y, value)`.
+    */
+  def scanZarrTime(s: SparkSession, dir: String, varName: String = "v",
+      timeName: String = "t",
+      window: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+    import s.implicits._
+    val units = readZattrs(s"$dir/$timeName").getOrElse("units",
+      sys.error(s"$dir/$timeName: time coordinate has no units attribute"))
+    val (epochMicros, unitMicros) = Netcdf.cfTimeUnits(units, s"$dir/$timeName")
+    val raw = readCoordValues(s"$dir/$timeName")
+    val m = readMeta(s"$dir/$varName")
+    require(m.rank3 && !m.rank4,
+      s"$dir/$varName: not a rank-3 (t, y, x) cube")
+    require(m.epochs == raw.length,
+      s"$dir: time axis has ${raw.length} values but $varName has ${m.epochs} epochs")
+    val kept = Netcdf.cfEpochLabels(raw, epochMicros, unitMicros, window,
+      s"$dir/$timeName")
+    val labels = kept.map { case (i, u) => (i, Netcdf.microsTimestamp(u)) }
+      .toDF("epoch", "t_ts")
+    val keep = kept.map(_._1).toSet
+    val refs = chunkRefs3(m, s"$dir/$varName").filter(r =>
+      (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
+        .exists(keep))
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(math.max(1, refs.size),
+        s.sparkContext.defaultParallelism)))
+      .flatMap(readChunk3 _)
+      .toDF("cell_x", "cell_y", "epoch", "value")
+      .join(broadcast(labels), Seq("epoch"))
+      .select(col("epoch"), col("t_ts"), col("cell_x"), col("cell_y"), col("value"))
   }
 
   /** Write a rank-1 coordinate array: `.zarray` + bare-index chunks. */
@@ -2367,6 +2453,32 @@ object Zarr {
     dir
   }
 
+  private val fixtureTimeLock = new Object
+  @volatile private var fixtureTimeReady: String = null
+
+  /** CF time fixture (r17): the rank-3 cube next to a `t` coordinate
+    * member whose `.zattrs` carries the CF `units` string — values
+    * 7i+3 hours since the shared base, matching the classic fixture's
+    * grammar so the decode discipline is format-independent.
+    */
+  val ZarrTimeUnits = "hours since 2020-03-01 06:00:00"
+  def fixtureTimeDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_time_fixture_${Zarr3T}x${ZarrH}x$ZarrW"
+    if (fixtureTimeReady != dir) fixtureTimeLock.synchronized {
+      if (fixtureTimeReady != dir) {
+        writeZarr3d(s"$dir/v", Zarr3T, ZarrH, ZarrW, 2, 32, 32,
+          compressor = "zlib")(zarr3dValue)
+        writeZarrCoord(s"$dir/t", Zarr3T, 2)(i => 7.0 * i + 3.0)
+        java.nio.file.Files.write(
+          new java.io.File(s"$dir/t", ".zattrs").toPath,
+          s"""{"units": "$ZarrTimeUnits", "calendar": "standard"}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        fixtureTimeReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureV3DsLock = new Object
   @volatile private var fixtureV3DsReady: String = null
 
@@ -2769,6 +2881,32 @@ object Zarr {
         .select(col("cell_x"), col("cell_y"),
           col("x_coord"), col("y_coord"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // CF TIME-units decode + timestamp-window chunk pruning (r17 —
+    // the Zarr twin of scan_netcdf_time, completing the time story
+    // across the cube formats): the t member's .zattrs units parse to
+    // exact BIGINT micros, axis values become a real TimestampType
+    // column, and the window prunes the rank-3 chunk manifest (the
+    // t-chunk covering epoch 4 alone costs zero bytes here; the lower
+    // bound EQUALS epoch 1's timestamp, gating inclusivity). Identical
+    // interval-replay oracle as the classic twin over the zarr formula
+    "scan_zarr_time" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $Zarr3T) t
+         |)
+         |SELECT epoch, t_ts, x.range AS cell_x, y.range AS cell_y,
+         |  CAST((29 * x.range + 13 * y.range + 41 * epoch) % 1009 AS DOUBLE) AS value
+         |FROM epochs CROSS JOIN range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |  AND TIMESTAMP '2020-03-02 06:00:00'
+         |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
+      val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
+      scanZarrTime(s, fixtureTimeDir(), "v", "t", Some(win))
+        .orderBy("epoch", "cell_x", "cell_y")
     },
 
     // V3 GROUP hierarchy (r16 — zarr-python 3 writes v3 by default,

@@ -717,6 +717,29 @@ class Hdf5Spec extends SparkSuite {
     assert(Hdf5.listDatasets2d(Hdf5.fixtureSoftPath()) == Seq("data"))
   }
 
+  test("CF time decode over HDF5: string attrs parse, window prunes, missing units refuses") {
+    val p = Hdf5.fixtureTimePath()
+    // the units STRING attribute round-trips the v1 attribute message
+    val tm = Hdf5.readMeta(p, "t")
+    assert(tm.strAttrs.get("units").contains(Hdf5.H5TimeUnits))
+    assert(tm.strAttrs.get("calendar").contains("standard"))
+    val all = Hdf5.scanNetcdf4Time(spark, p, "v", "t", None)
+    assert(all.count() == 5L * 70 * 80)
+    val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
+    val got = Hdf5.scanNetcdf4Time(spark, p, "v", "t", Some(win))
+      .select("epoch").distinct().collect().map(_.getInt(0)).toSet
+    assert(got == Set(1, 2, 3), s"kept epochs $got")
+    // a coordinate without a units attribute refuses loudly
+    val p2 = tmp("timeless")
+    Hdf5.writeHdf5Multi(p2, Seq(
+      ("v", Seq(2, 3, 4), "<f8", Array.tabulate(24)(_.toDouble)),
+      ("t", Seq(2), "<f8", Array.tabulate(2)(_.toDouble))))
+    val e = intercept[Exception](
+      Hdf5.scanNetcdf4Time(spark, p2, "v", "t", None).collect())
+    assert(e.getMessage.contains("units"))
+  }
+
   test("multi-dataset group + rank-1 coordinates: decode, joins, refusals") {
     val p = tmp("coords")
     def fv(x: Int, y: Int): Double = ((3 * x + 7 * y) % 31).toDouble

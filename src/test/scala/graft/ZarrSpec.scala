@@ -702,6 +702,27 @@ class ZarrSpec extends SparkSuite {
     assert(e.getMessage.contains("misaligned"), e.getMessage)
   }
 
+  test("CF time decode: window keeps exactly the in-range epochs; missing units refuses") {
+    val dir = Zarr.fixtureTimeDir()
+    // unwindowed: every epoch labelled, count conserved
+    val all = Zarr.scanZarrTime(spark, dir, "v", "t", None)
+    assert(all.count() == 5L * 70 * 80)
+    // windowed: inclusive lower bound keeps epoch 1 (16:00 exactly)
+    val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
+    val got = Zarr.scanZarrTime(spark, dir, "v", "t", Some(win))
+      .select("epoch").distinct().collect().map(_.getInt(0)).toSet
+    assert(got == Set(1, 2, 3), s"kept epochs $got")
+    // a coordinate without units refuses loudly
+    val bare = java.nio.file.Files.createTempDirectory("zt").toString
+    Zarr.writeZarr3d(s"$bare/v", 2, 4, 4, 1, 4, 4, compressor = "raw")(
+      (x, y, t) => (x + y + t).toDouble)
+    Zarr.writeZarrCoord(s"$bare/t", 2, 2, compressor = "raw")(_.toDouble)
+    val e = intercept[Exception](
+      Zarr.scanZarrTime(spark, bare, "v", "t", None).collect())
+    assert(e.getMessage.contains("units"))
+  }
+
   test("registry queries: scan_zarr cells match the formula; zonal stats cover all zones") {
     val cells = q("scan_zarr")
     assert(cells.count() == 80L * 70L)
