@@ -590,6 +590,79 @@ object Zarr {
       .toDF("cell_x", "cell_y", "var_name", "value")
   }
 
+  /** Parse a Zarr V2 GROUP hierarchy WITHOUT consolidated metadata
+    * (r17 — `.zmetadata` only exists after an explicit
+    * `zarr.consolidate_metadata()` call; a plain xarray `to_zarr()`
+    * leaves `.zgroup` + per-member `.zarray`, which
+    * [[scanZarrDataset]] could not read): the root `.zgroup` proves
+    * zarr_format 2, child directories with `.zarray` parse through
+    * the full v2 parser, RANK-1 coordinate members are SKIPPED
+    * (normal members of every real dataset — the `.zmetadata` rule),
+    * and nested `.zgroup` subgroups recurse depth-capped.
+    */
+  private[graft] def readV2Group(dir: String): Map[String, ZarrMeta] = {
+    import org.json4s._
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopFs(base)
+    def readText(p: org.apache.hadoop.fs.Path): String = {
+      val len = fs.getFileStatus(p).getLen.toInt
+      val raw = new Array[Byte](len)
+      val in = fs.open(p)
+      try in.readFully(0, raw) finally in.close()
+      new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val gp = new org.apache.hadoop.fs.Path(base, ".zgroup")
+    require(fs.exists(gp), s"$dir: no .zgroup — not a Zarr v2 group " +
+      "(consolidated hierarchies read via scanZarrDataset)")
+    require(org.json4s.jackson.JsonMethods.parse(readText(gp)) \ "zarr_format" == JInt(2),
+      s"$dir/.zgroup: not zarr_format 2")
+    def walk(prefix: String, p: org.apache.hadoop.fs.Path,
+        depth: Int): Seq[(String, ZarrMeta)] = {
+      require(depth <= 4, s"$dir: group nesting deeper than 4 unsupported")
+      fs.listStatus(p).toSeq.filter(_.isDirectory).flatMap { st =>
+        val child = st.getPath
+        val name =
+          if (prefix.isEmpty) child.getName else s"$prefix/${child.getName}"
+        if (fs.exists(new org.apache.hadoop.fs.Path(child, ".zgroup")))
+          walk(name, child, depth + 1)
+        else {
+          val ap = new org.apache.hadoop.fs.Path(child, ".zarray")
+          if (!fs.exists(ap)) Nil
+          else {
+            val text = readText(ap)
+            val rank = org.json4s.jackson.JsonMethods.parse(text) \ "shape" match {
+              case JArray(ds) => ds.length
+              case other => sys.error(s"$dir/$name: shape $other")
+            }
+            if (rank == 1) Nil // coordinate vector — skip, never fatal
+            else Seq(name -> parseZarray(s"$dir/$name/.zarray", text))
+          }
+        }
+      }
+    }
+    walk("", base, 0).toMap
+  }
+
+  /** Scan EVERY 2-D member of an UN-CONSOLIDATED v2 group as ONE
+    * DataFrame `(cell_x, cell_y, var_name, value)` — the v2 twin of
+    * [[scanZarrV3Dataset]]'s directory walk; one task per
+    * (variable, chunk).
+    */
+  def scanZarrGroup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val metas = readV2Group(dir).toSeq.sortBy(_._1)
+      .filter(m => !m._2.rank3 && !m._2.rank4)
+    require(metas.nonEmpty, s"$dir: no 2-D arrays in the v2 group")
+    val refs = metas.flatMap { case (path, m) =>
+      chunkRefs(m, s"$dir/$path").map(r => (path, r))
+    }
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { case (v, r) => readChunk(r).map { case (x, y, w) => (x, y, v, w) } }
+      .toDF("cell_x", "cell_y", "var_name", "value")
+  }
+
   /** Parse + scan a RANK-1 coordinate array (r16 — the axis-label
     * vectors an xarray Zarr hierarchy carries next to its data
     * variables; the 2-D parser deliberately refuses rank 1, so the
@@ -2432,6 +2505,30 @@ object Zarr {
     dir
   }
 
+  private val fixtureV2GrpLock = new Object
+  @volatile private var fixtureV2GrpReady: String = null
+
+  /** UN-consolidated v2 group fixture (r17): `.zgroup` + two aligned
+    * 2-D members + a 1-D coordinate member the walk must SKIP — the
+    * plain `to_zarr()` layout, NO `.zmetadata`.
+    */
+  def fixtureV2GroupDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_v2grp_fixture_${ZarrW}x$ZarrH"
+    if (fixtureV2GrpReady != dir) fixtureV2GrpLock.synchronized {
+      if (fixtureV2GrpReady != dir) {
+        new java.io.File(dir).mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(dir, ".zgroup").toPath,
+          """{"zarr_format": 2}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        writeZarr(s"$dir/precip", ZarrH, ZarrW, 32, 32, compressor = "zlib")(zarrValue)
+        writeZarr(s"$dir/temp", ZarrH, ZarrW, 32, 32, compressor = "zstd")(zarrValue2)
+        writeZarrCoord(s"$dir/x", ZarrW, 48)(x => -120.0 + 0.25 * x)
+        fixtureV2GrpReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureCoordsLock = new Object
   @volatile private var fixtureCoordsReady: String = null
 
@@ -2881,6 +2978,24 @@ object Zarr {
         .select(col("cell_x"), col("cell_y"),
           col("x_coord"), col("y_coord"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // UN-consolidated v2 GROUP read (r17 — .zmetadata only exists
+    // after an explicit zarr.consolidate_metadata(); a plain xarray
+    // to_zarr() leaves .zgroup + per-member .zarray, which
+    // scan_zarr_dataset could not read): the directory walk surfaces
+    // both 2-D members long-form, the 1-D coordinate member skips;
+    // the same two-formula UNION oracle as the consolidated read
+    "scan_zarr_group" -> Q(
+      s"""SELECT cell_x, cell_y, var_name, value FROM (
+         |  SELECT cell_x, cell_y, 'precip' AS var_name, value FROM ($ZarrCellsSql)
+         |  UNION ALL
+         |  SELECT cell_x, cell_y, 'temp' AS var_name, $Zarr2ValueSql AS value
+         |  FROM range(0, $ZarrW) x(cell_x) CROSS JOIN range(0, $ZarrH) y(cell_y))
+         |ORDER BY cell_x, cell_y, var_name""".stripMargin) { (s, _) =>
+      scanZarrGroup(s, fixtureV2GroupDir())
+        .select(col("cell_x"), col("cell_y"), col("var_name"), col("value"))
+        .orderBy("cell_x", "cell_y", "var_name")
     },
 
     // CF TIME-units decode + timestamp-window chunk pruning (r17 —

@@ -702,6 +702,29 @@ class ZarrSpec extends SparkSuite {
     assert(e.getMessage.contains("misaligned"), e.getMessage)
   }
 
+  test("un-consolidated v2 group: walk finds nested members, skips coords, refuses non-groups") {
+    val dir = java.nio.file.Files.createTempDirectory("zgrp").toString
+    def grp(d: String): Unit = {
+      new java.io.File(d).mkdirs()
+      java.nio.file.Files.write(new java.io.File(d, ".zgroup").toPath,
+        """{"zarr_format": 2}""".getBytes("UTF-8"))
+    }
+    grp(dir); grp(s"$dir/sub")
+    Zarr.writeZarr(s"$dir/a", 3, 4, 2, 2, compressor = "raw")((x, y) => (10 * y + x).toDouble)
+    Zarr.writeZarr(s"$dir/sub/b", 3, 4, 4, 4, compressor = "zlib")((x, y) => (100 * y + x).toDouble)
+    Zarr.writeZarrCoord(s"$dir/x", 4, 4, compressor = "raw")(_.toDouble)
+    val got = Zarr.scanZarrGroup(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getString(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 24, s"2 members x 12 cells, coord skipped: ${got.size}")
+    for (y <- 0 until 3; x <- 0 until 4) {
+      assert(got((x, y, "a")) == (10 * y + x).toDouble)
+      assert(got((x, y, "sub/b")) == (100 * y + x).toDouble)
+    }
+    // a bare array dir is not a group
+    val e = intercept[Exception](Zarr.scanZarrGroup(spark, s"$dir/a"))
+    assert(e.getMessage.contains(".zgroup"))
+  }
+
   test("CF time decode: window keeps exactly the in-range epochs; missing units refuses") {
     val dir = Zarr.fixtureTimeDir()
     // unwindowed: every epoch labelled, count conserved
