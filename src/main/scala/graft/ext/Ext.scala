@@ -21,6 +21,7 @@ object Ext {
     "byte_stats" -> (es => ByteStats(es.head)),
     "sorted_intersect_count" -> (es => SortedIntersectCount(es(0), es(1))),
     "poly_hash" -> (es => PolyHash(es.head)),
+    "poly_hash_shingles" -> (es => PolyHashShingles(es(0), es(1))),
     "point_in_quad" -> (es => PointInQuad(es)),
     "cell_cover" -> (es => CellCover(es)),
     "argmax_cosine" -> (es => ArgmaxCosine(es(0), es(1))),

@@ -641,9 +641,11 @@ object Dedup {
     graft.ext.Ext.register(docs.sparkSession)
     val base = docs.filter(length(col("text")) >= n)
       .select(col("doc_id"), col("text"))
-    val offs = base.select(col("doc_id"), posexplode(expr(
-        s"transform(sequence(1, length(text) - ${n - 1}), " +
-          s"i -> poly_hash(substring(text, i, $n)))")))
+    // ROLLING hash (r17 perf: O(len) total vs O(len·n) for per-window
+    // poly_hash — 8 s → sub-second shingling at sf0.1); element k IS
+    // poly_hash(substring(text, k+1, n)) exactly (ExtSpec pins it)
+    val offs = base.select(col("doc_id"),
+        posexplode(expr(s"poly_hash_shingles(text, $n)")))
       .select(col("doc_id"), col("pos").as("off"), col("col").as("h"))
     val dupH = offs.groupBy("h").agg(count(lit(1)).as("hn"))
       .filter(col("hn") >= 2).select("h")
@@ -651,9 +653,12 @@ object Dedup {
     val cand = candOffs.join(base, "doc_id")
       .select(col("doc_id"), col("off"),
         expr(s"substring(text, off + 1, $n)").as("sh"))
-    val dupSh = cand.groupBy("sh").agg(count(lit(1)).as("sn"))
-      .filter(col("sn") >= 2).select("sh")
-    val marked = cand.join(dupSh, "sh").select("doc_id", "off")
+    // confirm via ONE window count over sh (a groupBy + self-join here
+    // recomputes the whole candidate pipeline twice — r17 plan audit);
+    // partitions are per-substring, bounded by the duplication factor
+    val wsh = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    val marked = cand.withColumn("sn", count(lit(1)).over(wsh))
+      .filter(col("sn") >= 2).select("doc_id", "off")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("off")
     marked.withColumn("grp", col("off") - row_number().over(w))
@@ -1183,6 +1188,67 @@ object Dedup {
         |ORDER BY doc_id, span_start""".stripMargin) { (s, d) =>
       substringSpans(Tables.documents(s, d))
         .orderBy("doc_id", "span_start")
+    },
+
+    // EXACT substring REMOVAL (r17 — the other half of the Lee et al.
+    // pass: their published tool EXCISES every duplicated span, both
+    // copies, and re-trains on the cleaned text): every doc rebuilt
+    // with its flagged spans cut out — the spans are maximal and
+    // non-overlapping by construction, so one ordered fold over
+    // (span_start, span_len) rebuilds the kept segments exactly. The
+    // oracle rebuilds per-character (keep chars no span covers) —
+    // structurally different arithmetic reaching the same string, so
+    // a fold off-by-one on either engine hash-mismatches
+    "dedup_substring_remove" -> Q(
+      """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 50),
+        |offs AS (SELECT doc_id, i.i - 1 AS off, substr(text, i.i, 50) AS sh
+        |  FROM docs, LATERAL unnest(generate_series(1, length(text) - 49)) AS i(i)),
+        |dup AS (SELECT sh FROM offs GROUP BY sh HAVING count(*) >= 2),
+        |marked AS (SELECT doc_id, off FROM offs JOIN dup USING (sh)),
+        |runs AS (SELECT doc_id, off,
+        |    off - row_number() OVER (PARTITION BY doc_id ORDER BY off) AS grp
+        |  FROM marked),
+        |spans AS (SELECT doc_id, min(off) AS span_start,
+        |    max(off) - min(off) + 50 AS span_len
+        |  FROM runs GROUP BY doc_id, grp),
+        |alldocs AS (SELECT doc_id, text FROM documents),
+        |chars AS (SELECT doc_id, i.i AS i, substr(text, i.i, 1) AS ch
+        |  FROM alldocs, LATERAL unnest(generate_series(1, length(text))) AS i(i)),
+        |kept AS (SELECT c.doc_id, c.i, c.ch FROM chars c WHERE NOT EXISTS (
+        |  SELECT 1 FROM spans s WHERE s.doc_id = c.doc_id
+        |    AND c.i - 1 >= s.span_start AND c.i - 1 < s.span_start + s.span_len)),
+        |rebuilt AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS new_text
+        |  FROM kept GROUP BY doc_id),
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(sum(span_len) AS BIGINT) AS removed_chars
+        |  FROM spans GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(st.n_spans, 0) AS n_spans,
+        |  coalesce(st.removed_chars, 0) AS removed_chars,
+        |  coalesce(r.new_text, '') AS new_text
+        |FROM alldocs d
+        |LEFT JOIN st ON d.doc_id = st.doc_id
+        |LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val spans = substringSpans(docs)
+      val agg = spans.groupBy("doc_id").agg(
+        count(lit(1)).as("n_spans"),
+        sum(col("span_len")).as("removed_chars"),
+        expr("sort_array(collect_list(struct(span_start, span_len)))").as("sp"))
+      docs.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
+          when(col("sp").isNull, col("text")).otherwise(expr(
+            """aggregate(sp,
+              |  struct(CAST(0 AS BIGINT) AS pos, CAST('' AS STRING) AS acc),
+              |  (a, s) -> struct(s.span_start + s.span_len AS pos,
+              |    concat(a.acc, substring(text, CAST(a.pos + 1 AS INT),
+              |      CAST(s.span_start - a.pos AS INT))) AS acc),
+              |  a -> concat(a.acc, substring(text, CAST(a.pos + 1 AS INT))))""".stripMargin))
+            .as("new_text"))
+        .orderBy("doc_id")
     }
   )
 }

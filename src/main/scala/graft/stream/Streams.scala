@@ -244,6 +244,65 @@ object Streams {
       }.orderBy(col("click_id"), col("purchase_id").asc_nulls_first)
     },
 
+    // REAL watermarked stream-stream FULL OUTER join (r17 — completes
+    // the outer family next to stream_stream_left): null emission on
+    // BOTH sides, each gated by its own state eviction — an unmatched
+    // click once the watermark passes click_ts + 30 min (its last
+    // possible match instant), an unmatched purchase once the
+    // watermark passes purchase_ts itself (matching clicks cannot be
+    // later than the purchase). The oracle is the range full-join
+    // plus BOTH eviction filters.
+    "stream_stream_full" -> Q(
+      """WITH c AS (SELECT event_id AS click_id, user_id,
+        |    CAST(ts AS TIMESTAMP) AS click_ts FROM events WHERE event_type = 'click'),
+        |p AS (SELECT event_id AS purchase_id, user_id AS p_user,
+        |    CAST(ts AS TIMESTAMP) AS purchase_ts FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT least((SELECT max(click_ts) FROM c),
+        |    (SELECT max(purchase_ts) FROM p)) - INTERVAL 10 MINUTE AS w)
+        |SELECT * FROM (
+        |  SELECT c.click_id, p.purchase_id, c.user_id, c.click_ts, p.purchase_ts
+        |  FROM c JOIN p ON c.user_id = p.p_user
+        |    AND p.purchase_ts >= c.click_ts
+        |    AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE
+        |  UNION ALL
+        |  SELECT c.click_id, NULL, c.user_id, c.click_ts, NULL
+        |  FROM c CROSS JOIN wm
+        |  WHERE c.click_ts + INTERVAL 30 MINUTE < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM p WHERE p.p_user = c.user_id
+        |      AND p.purchase_ts >= c.click_ts
+        |      AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE)
+        |  UNION ALL
+        |  SELECT NULL, p.purchase_id, p.p_user AS user_id, NULL, p.purchase_ts
+        |  FROM p CROSS JOIN wm
+        |  WHERE p.purchase_ts < wm.w
+        |    AND NOT EXISTS (SELECT 1 FROM c WHERE c.user_id = p.p_user
+        |      AND p.purchase_ts >= c.click_ts
+        |      AND p.purchase_ts <= c.click_ts + INTERVAL 30 MINUTE))
+        |ORDER BY click_id NULLS FIRST, purchase_id NULLS FIRST""".stripMargin) { (s, d) =>
+      val clicks = Runner.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = Runner.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      Runner.runToTable(s, "graft_ssf_out", statePartitions = Some(8)) {
+        clicks.join(purchases,
+            col("user_id") === col("p_user")
+              && col("purchase_ts") >= col("click_ts")
+              && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTE"),
+            "full_outer")
+          .select(col("click_id"), col("purchase_id"),
+            coalesce(col("user_id"), col("p_user")).as("user_id"),
+            col("click_ts"), col("purchase_ts"))
+          .writeStream.format("memory").queryName("graft_ssf_out")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      }.orderBy(col("click_id").asc_nulls_first, col("purchase_id").asc_nulls_first)
+    },
+
     // streaming ZONAL stats (round 7) — the engine's two halves in one
     // plan: each event maps to a lattice cell (same modulo derivation
     // family as the cube), the tiny zone-envelope table broadcasts

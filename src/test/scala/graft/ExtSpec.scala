@@ -50,6 +50,27 @@ class ExtSpec extends SparkSuite {
     assert(graft.ext.PolyHash(Literal("ab cd")).eval(null) == 92534976L)
   }
 
+  test("poly_hash_shingles: rolling hash equals per-window poly_hash, edge cases") {
+    import spark.implicits._
+    graft.ext.Ext.register(spark)
+    // random-ish deterministic text incl. repeats and non-ASCII BMP
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog the quick brown fox",
+      "aaaaaaaaaaaa", "abc", "ab", "", "çédille-ünïcode-text-çédille")
+    for (t <- texts; n <- Seq(1, 3, 5)) {
+      val rolled = Seq(t).toDF("s")
+        .selectExpr(s"poly_hash_shingles(s, $n) AS hs")
+        .collect().head.getSeq[Long](0)
+      val direct = Seq(t).toDF("s").selectExpr(
+        s"CASE WHEN length(s) < $n THEN array() " +
+          s"ELSE transform(sequence(1, length(s) - ${n - 1}), " +
+          s"i -> poly_hash(substring(s, i, $n))) END AS hs")
+        .collect().head.getSeq[Long](0)
+      assert(rolled == direct, s"n=$n text='$t': $rolled vs $direct")
+      assert(rolled.length == math.max(0, t.codePointCount(0, t.length) - n + 1))
+    }
+  }
+
   test("point_in_quad expression ≡ the composed pipSql predicate on every grid point") {
     graft.ext.Ext.register(spark)
     // all zones × all 64×64 grid points, both spellings side by side

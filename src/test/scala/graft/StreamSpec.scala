@@ -160,6 +160,45 @@ class StreamSpec extends SparkSuite {
       s"unmatched click must emit null-extended after watermark passes: ${b2.mkString(",")}")
   }
 
+  test("stream-stream full outer: both null sides watermark-gated") {
+    implicit val sq = spark.sqlContext
+    val mc = MemoryStream[E]
+    val mp = MemoryStream[E]
+    val clicks = mc.toDF()
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = mp.toDF()
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    val q = clicks.join(purchases,
+        col("user_id") === col("p_user")
+          && col("purchase_ts") >= col("click_ts")
+          && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTE"),
+        "full_outer")
+      .select(col("click_id"), col("purchase_id"))
+      .writeStream.format("memory").queryName("ssfull_out")
+      .outputMode("append").start()
+    // batch 1: user 1 click unmatched; user 3 purchase unmatched;
+    // user 2 matches
+    mc.addData(Seq(E(1, ts(0), 1, "click", 1.0), E(2, ts(1), 2, "click", 1.0)))
+    mp.addData(Seq(E(10, ts(5), 2, "purchase", 9.0), E(11, ts(6), 3, "purchase", 2.0)))
+    q.processAllAvailable()
+    val b1 = spark.table("ssfull_out").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(b1 == Set((Some(2L), Some(10L))),
+      s"batch 1 must emit only the match: ${b1.mkString(",")}")
+    // batch 2: watermark advances far — BOTH unmatched rows emit
+    val far = java.sql.Timestamp.valueOf("2024-01-01 02:00:00")
+    mc.addData(Seq(E(3, far, 9, "click", 1.0)))
+    mp.addData(Seq(E(12, far, 9, "purchase", 1.0)))
+    q.processAllAvailable(); q.stop()
+    val b2 = spark.table("ssfull_out").collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)))).toSet
+    assert(b2.contains((Some(1L), None)) && b2.contains((None, Some(11L))),
+      s"both unmatched sides must emit after eviction: ${b2.mkString(",")}")
+  }
+
   test("flatMapGroupsWithState capped spend equals the batch twin") {
     implicit val sq = spark.sqlContext
     val rows = graft.core.Tables.events(spark, sf)
