@@ -743,6 +743,7 @@ object Zarr {
     val bytes = m.compressor match {
       case "raw" => raw
       case "zlib" => TiffCodec.inflate(raw, expected)
+      case "gzip" => TiffCodec.gzipDecompress(raw, expected) // v3 frames
       case "zstd" => TiffCodec.zstdDecompress(raw, expected)
       case "blosc" => Blosc.decompress(raw, expected)
     }
@@ -771,6 +772,94 @@ object Zarr {
   def scanZarrCoord(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val m = coordMeta(dir)
+    s.createDataset(0 until m.nChunks)
+      .flatMap(ci => readCoordChunk(m, ci))
+      .toDF("idx", "coord")
+  }
+
+  /** Minimal RANK-1 v3 coordinate parse (r17 — zarr-python 3 writes v3
+    * by default, so a current xarray store's axis vectors are v3 array
+    * nodes): `zarr.json` rank-1 array, codec chain
+    * `[bytes(endian)][, gzip|zstd|blosc]` (transpose is meaningless at
+    * rank 1 and refuses), DEFAULT chunk-key encoding with the `/`
+    * separator (chunk files at `c/<i>` — the zarr-python default; the
+    * `.` separator refuses loudly). Returns the [[CoordMeta]] pointed
+    * at the `c` key prefix so [[readCoordChunk]] serves both versions,
+    * plus the node's STRING attributes (v3 keeps attributes INLINE in
+    * zarr.json — there is no `.zattrs`).
+    */
+  private[graft] def v3CoordMeta(dir: String): (CoordMeta, Map[String, String]) = {
+    import org.json4s._
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = hadoopFs(base)
+    val mp = new org.apache.hadoop.fs.Path(base, "zarr.json")
+    require(fs.exists(mp), s"$dir: no zarr.json — not a Zarr v3 array")
+    val text = {
+      val len = fs.getFileStatus(mp).getLen.toInt
+      val raw = new Array[Byte](len)
+      val in = fs.open(mp)
+      try in.readFully(0, raw) finally in.close()
+      new String(raw, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    val j = org.json4s.jackson.JsonMethods.parse(text)
+    require(j \ "zarr_format" == JInt(3), s"$dir: zarr_format ${j \ "zarr_format"}")
+    require(j \ "node_type" == JString("array"), s"$dir: not an array node")
+    val (n, chunk) = (j \ "shape",
+        j \ "chunk_grid" \ "configuration" \ "chunk_shape") match {
+      case (JArray(List(JInt(sn))), JArray(List(JInt(ck)))) => (sn.toInt, ck.toInt)
+      case other => sys.error(s"$dir: not a rank-1 coordinate array ($other)")
+    }
+    require(n > 0 && chunk > 0, s"$dir: coordinate geometry $n/$chunk")
+    val kind = j \ "data_type" match {
+      case JString(d) => V3Dtypes.getOrElse(d,
+        sys.error(s"$dir: data_type '$d' unsupported"))
+      case other => sys.error(s"$dir: data_type $other")
+    }
+    val codecs = j \ "codecs" match {
+      case JArray(cs) => cs.map(c => ((c \ "name") match {
+        case JString(nm) => nm
+        case other => sys.error(s"$dir: codec without name: $other")
+      }) -> (c \ "configuration"))
+      case other => sys.error(s"$dir: codecs $other")
+    }
+    require(codecs.nonEmpty && codecs.head._1 == "bytes",
+      s"$dir: coordinate codec chain ${codecs.map(_._1)} unsupported — " +
+        "want [bytes][, gzip|zstd|blosc]")
+    val endian = codecs.head._2 \ "endian" match {
+      case JString("little") | JNothing | JNull => "<"
+      case JString("big") => ">"
+      case other => sys.error(s"$dir: bytes endian $other")
+    }
+    val compressor = codecs.tail match {
+      case Nil => "raw"
+      case ("gzip", _) :: Nil => "gzip"
+      case ("zstd", _) :: Nil => "zstd"
+      case ("blosc", _) :: Nil => "blosc"
+      case other => sys.error(s"$dir: coordinate chain bytes+" +
+        s"${other.map(_._1).mkString("+")} unsupported")
+    }
+    (j \ "chunk_key_encoding") match {
+      case JNothing | JNull => ()
+      case cke =>
+        require(cke \ "name" == JString("default") &&
+          ((cke \ "configuration" \ "separator") match {
+            case JString("/") | JNothing | JNull => true
+            case _ => false
+          }), s"$dir: chunk_key_encoding ${org.json4s.jackson.JsonMethods
+            .compact(org.json4s.jackson.JsonMethods.render(cke))} " +
+            "unsupported (default with '/' separator)")
+    }
+    val attrs = (j \ "attributes") match {
+      case JObject(fields) => fields.collect { case (k, JString(v)) => k -> v }.toMap
+      case _ => Map.empty[String, String]
+    }
+    (CoordMeta(s"$dir/c", n, chunk, endian + kind, compressor), attrs)
+  }
+
+  /** v3 twin of [[scanZarrCoord]]: rank-1 axis labels from a v3 node. */
+  def scanZarrV3Coord(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (m, _) = v3CoordMeta(dir)
     s.createDataset(0 until m.nChunks)
       .flatMap(ci => readCoordChunk(m, ci))
       .toDF("idx", "coord")
@@ -896,6 +985,57 @@ object Zarr {
     cube.join(broadcast(xs), Seq("cell_x")).join(broadcast(ys), Seq("cell_y"))
       .select(col("cell_x"), col("cell_y"),
         col("x_coord"), col("y_coord"), col("value"))
+  }
+
+  /** v3 twin of [[scanZarrCoords]]: cube + v3 axis labels, the same
+    * two broadcast joins on the integer index.
+    */
+  def scanZarrV3Coords(s: SparkSession, dir: String, varName: String,
+      xCoord: String = "x", yCoord: String = "y"): DataFrame = {
+    val cube = scanZarr(s, s"$dir/$varName")
+    val xs = scanZarrV3Coord(s, s"$dir/$xCoord")
+      .select(col("idx").as("cell_x"), col("coord").as("x_coord"))
+    val ys = scanZarrV3Coord(s, s"$dir/$yCoord")
+      .select(col("idx").as("cell_y"), col("coord").as("y_coord"))
+    cube.join(broadcast(xs), Seq("cell_x")).join(broadcast(ys), Seq("cell_y"))
+      .select(col("cell_x"), col("cell_y"),
+        col("x_coord"), col("y_coord"), col("value"))
+  }
+
+  /** v3 twin of [[scanZarrTime]] (r17): the time member's INLINE
+    * zarr.json attributes carry the CF `units`; everything else is the
+    * shared epoch-label + pruned rank-3 manifest machinery.
+    */
+  def scanZarrV3Time(s: SparkSession, dir: String, varName: String = "v",
+      timeName: String = "t",
+      window: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+    import s.implicits._
+    val (tm, attrs) = v3CoordMeta(s"$dir/$timeName")
+    val units = attrs.getOrElse("units",
+      sys.error(s"$dir/$timeName: time coordinate has no units attribute"))
+    val (epochMicros, unitMicros) = Netcdf.cfTimeUnits(units, s"$dir/$timeName")
+    val raw = (0 until tm.nChunks).flatMap(ci => readCoordChunk(tm, ci))
+      .sortBy(_._1).map(_._2)
+    val m = readMeta(s"$dir/$varName")
+    require(m.rank3 && !m.rank4,
+      s"$dir/$varName: not a rank-3 (t, y, x) cube")
+    require(m.epochs == raw.length,
+      s"$dir: time axis has ${raw.length} values but $varName has ${m.epochs} epochs")
+    val kept = Netcdf.cfEpochLabels(raw, epochMicros, unitMicros, window,
+      s"$dir/$timeName")
+    val labels = kept.map { case (i, u) => (i, Netcdf.microsTimestamp(u)) }
+      .toDF("epoch", "t_ts")
+    val keep = kept.map(_._1).toSet
+    val refs = chunkRefs3(m, s"$dir/$varName").filter(r =>
+      (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
+        .exists(keep))
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(math.max(1, refs.size),
+        s.sparkContext.defaultParallelism)))
+      .flatMap(readChunk3 _)
+      .toDF("cell_x", "cell_y", "epoch", "value")
+      .join(broadcast(labels), Seq("epoch"))
+      .select(col("epoch"), col("t_ts"), col("cell_x"), col("cell_y"), col("value"))
   }
 
   /** Chunk manifest: ONE listing per directory level (flat "." stores
@@ -1982,6 +2122,103 @@ object Zarr {
     }
   }
 
+  /** Write a RANK-1 v3 coordinate node (r17): `zarr.json` with inline
+    * `attributes` (v3 has no `.zattrs`), chunk files at `c/<i>`.
+    */
+  def writeZarrV3Coord(dir: String, n: Int, chunk: Int,
+      compressor: String = "gzip", dtype: String = "<f8",
+      attrs: Seq[(String, String)] = Nil)(f: Int => Double): Unit = {
+    require(Set("raw", "gzip", "zstd").contains(compressor), compressor)
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val dtypeName = V3Dtypes.map(_.swap).apply(dtype.substring(1))
+    val endian = if (dtype.charAt(0) == '>') "big" else "little"
+    val codecJson = (Seq(
+      s"""{"name": "bytes", "configuration": {"endian": "$endian"}}""") ++
+      (compressor match {
+        case "raw" => Nil
+        case "gzip" => Seq("""{"name": "gzip", "configuration": {"level": 6}}""")
+        case "zstd" => Seq("""{"name": "zstd", "configuration": {"level": 3}}""")
+      })).mkString("[", ", ", "]")
+    val attrsJson =
+      attrs.map { case (k, v) => s""""$k": "$v"""" }.mkString("{", ", ", "}")
+    val meta =
+      s"""{
+         |  "zarr_format": 3,
+         |  "node_type": "array",
+         |  "shape": [$n],
+         |  "data_type": "$dtypeName",
+         |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$chunk]}},
+         |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         |  "fill_value": 0,
+         |  "attributes": $attrsJson,
+         |  "codecs": $codecJson
+         |}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(d, "zarr.json").toPath,
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val nChunks = (n + chunk - 1) / chunk
+    for (ci <- 0 until nChunks) {
+      val vals = Array.tabulate(chunk)(k =>
+        if (ci * chunk + k < n) f(ci * chunk + k) else 0.0)
+      val out = new java.io.File(d, s"c/$ci")
+      out.getParentFile.mkdirs()
+      java.nio.file.Files.write(out.toPath,
+        chunkFileBytes(vals, 1, chunk, compressor, dtype))
+    }
+  }
+
+  /** Write a RANK-3 v3 store (r17): `zarr.json` (t, y, x) array node,
+    * chunk files at `c/<ck>/<ci>/<cj>`.
+    */
+  def writeZarr3dV3(dir: String, epochs: Int, height: Int, width: Int,
+      chunkT: Int, chunkH: Int, chunkW: Int,
+      compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0)
+      (f: (Int, Int, Int) => Double): Unit = {
+    require(Set("raw", "gzip", "zstd").contains(compressor), compressor)
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    val dtypeName = V3Dtypes.map(_.swap).apply(dtype.substring(1))
+    val endian = if (dtype.charAt(0) == '>') "big" else "little"
+    val codecJson = (Seq(
+      s"""{"name": "bytes", "configuration": {"endian": "$endian"}}""") ++
+      (compressor match {
+        case "raw" => Nil
+        case "gzip" => Seq("""{"name": "gzip", "configuration": {"level": 6}}""")
+        case "zstd" => Seq("""{"name": "zstd", "configuration": {"level": 3}}""")
+      })).mkString("[", ", ", "]")
+    val fillJson =
+      if (fill == fill.floor && !fill.isInfinite) fill.toLong.toString
+      else fill.toString
+    val meta =
+      s"""{
+         |  "zarr_format": 3,
+         |  "node_type": "array",
+         |  "shape": [$epochs, $height, $width],
+         |  "data_type": "$dtypeName",
+         |  "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$chunkT, $chunkH, $chunkW]}},
+         |  "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+         |  "fill_value": $fillJson,
+         |  "codecs": $codecJson
+         |}""".stripMargin
+    java.nio.file.Files.write(new java.io.File(d, "zarr.json").toPath,
+      meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val along = (epochs + chunkT - 1) / chunkT
+    val down = (height + chunkH - 1) / chunkH
+    val across = (width + chunkW - 1) / chunkW
+    for (ck <- 0 until along; ci <- 0 until down; cj <- 0 until across) {
+      val vals = Array.tabulate(chunkT * chunkH * chunkW) { i =>
+        val t = ck * chunkT + i / (chunkH * chunkW)
+        val y = ci * chunkH + i / chunkW % chunkH
+        val x = cj * chunkW + i % chunkW
+        if (t < epochs && y < height && x < width) f(x, y, t) else fill
+      }
+      val out = new java.io.File(d, s"c/$ck/$ci/$cj")
+      out.getParentFile.mkdirs()
+      java.nio.file.Files.write(out.toPath,
+        chunkFileBytes(vals, chunkT * chunkH, chunkW, compressor, dtype))
+    }
+  }
+
   /** Write a SHARDED v3 store: `zarr.json` with the sharding_indexed
     * codec, one shard file per outer chunk holding its inner-chunk
     * grid + the u64-LE (offset, nbytes) index (crc32c'd, at the end).
@@ -2505,6 +2742,48 @@ object Zarr {
     dir
   }
 
+  private val fixtureV3CoLock = new Object
+  @volatile private var fixtureV3CoReady: String = null
+
+  /** v3 coordinate-labelled hierarchy fixture (r17): the 2-D formula
+    * member next to v3 rank-1 x/y coordinate nodes on quarter-degree
+    * steps, two chunks along x.
+    */
+  def fixtureV3CoordsDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_v3coords_fixture_${ZarrW}x$ZarrH"
+    if (fixtureV3CoReady != dir) fixtureV3CoLock.synchronized {
+      if (fixtureV3CoReady != dir) {
+        writeZarrV3(s"$dir/precip", ZarrH, ZarrW, 32, 32, compressor = "gzip")(zarrValue)
+        writeZarrV3Coord(s"$dir/x", ZarrW, 48)(x => -120.0 + 0.25 * x)
+        writeZarrV3Coord(s"$dir/y", ZarrH, ZarrH, compressor = "zstd",
+          dtype = "<f4")(y => 40.0 + 0.25 * y)
+        fixtureV3CoReady = dir
+      }
+    }
+    dir
+  }
+
+  private val fixtureV3TimeLock = new Object
+  @volatile private var fixtureV3TimeReady: String = null
+
+  /** v3 CF time fixture (r17): rank-3 v3 cube next to a v3 `t`
+    * coordinate whose INLINE zarr.json attributes carry the units.
+    */
+  def fixtureV3TimeDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_v3time_fixture_${Zarr3T}x${ZarrH}x$ZarrW"
+    if (fixtureV3TimeReady != dir) fixtureV3TimeLock.synchronized {
+      if (fixtureV3TimeReady != dir) {
+        writeZarr3dV3(s"$dir/v", Zarr3T, ZarrH, ZarrW, 2, 32, 32,
+          compressor = "gzip")(zarr3dValue)
+        writeZarrV3Coord(s"$dir/t", Zarr3T, 2,
+          attrs = Seq(("units", ZarrTimeUnits), ("calendar", "standard")))(
+          i => 7.0 * i + 3.0)
+        fixtureV3TimeReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureV2GrpLock = new Object
   @volatile private var fixtureV2GrpReady: String = null
 
@@ -3021,6 +3300,46 @@ object Zarr {
       val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
         java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
       scanZarrTime(s, fixtureTimeDir(), "v", "t", Some(win))
+        .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // v3 COORDINATE decode (r17 — zarr-python 3 writes v3 by default,
+    // so a CURRENT xarray store's axis vectors are v3 rank-1 nodes;
+    // the r16 coordinate story covered v2 only): the same broadcast
+    // index joins over the v3 rank-1 reader (mixed gzip/zstd codecs,
+    // two chunks along x), identical quarter-degree replay
+    "scan_zarr_v3_coords" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  CAST(-120.0 + 0.25 * cell_x AS DOUBLE) AS x_coord,
+         |  CAST(40.0 + 0.25 * cell_y AS DOUBLE) AS y_coord,
+         |  value FROM ($ZarrCellsSql)
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanZarrV3Coords(s, fixtureV3CoordsDir(), "precip")
+        .select(col("cell_x"), col("cell_y"),
+          col("x_coord"), col("y_coord"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // v3 CF TIME decode (r17 — completing the time story for the
+    // CURRENT xarray default format): v3 keeps attributes INLINE in
+    // the array node's zarr.json (no .zattrs) — the same shared
+    // grammar, epoch labels, and rank-3 manifest pruning; identical
+    // interval-replay oracle as the v2/classic/HDF5 twins
+    "scan_zarr_v3_time" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $Zarr3T) t
+         |)
+         |SELECT epoch, t_ts, x.range AS cell_x, y.range AS cell_y,
+         |  CAST((29 * x.range + 13 * y.range + 41 * epoch) % 1009 AS DOUBLE) AS value
+         |FROM epochs CROSS JOIN range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |  AND TIMESTAMP '2020-03-02 06:00:00'
+         |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
+      val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
+      scanZarrV3Time(s, fixtureV3TimeDir(), "v", "t", Some(win))
         .orderBy("epoch", "cell_x", "cell_y")
     },
 

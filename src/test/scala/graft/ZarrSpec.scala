@@ -746,6 +746,33 @@ class ZarrSpec extends SparkSuite {
     assert(e.getMessage.contains("units"))
   }
 
+  test("v3 coordinates + time: inline attributes, window pruning, refusals") {
+    // v3 rank-1 roundtrip across codecs + a partial edge chunk
+    val cd = java.nio.file.Files.createTempDirectory("v3c").toString
+    Zarr.writeZarrV3Coord(s"$cd/x", 7, 3, compressor = "zstd")(i => 2.5 * i - 1.0)
+    val xs = Zarr.scanZarrV3Coord(spark, s"$cd/x").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(xs == (0 until 7).map(i => i -> (2.5 * i - 1.0)).toMap)
+    // time: unwindowed conserves, window keeps epochs 1-3, no units refuses
+    val td = Zarr.fixtureV3TimeDir()
+    assert(Zarr.scanZarrV3Time(spark, td, "v", "t", None).count() == 5L * 70 * 80)
+    val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
+    val kept = Zarr.scanZarrV3Time(spark, td, "v", "t", Some(win))
+      .select("epoch").distinct().collect().map(_.getInt(0)).toSet
+    assert(kept == Set(1, 2, 3), s"kept $kept")
+    val bare = java.nio.file.Files.createTempDirectory("v3t").toString
+    Zarr.writeZarr3dV3(s"$bare/v", 2, 4, 4, 1, 4, 4, compressor = "raw")(
+      (x, y, t) => (x + y + t).toDouble)
+    Zarr.writeZarrV3Coord(s"$bare/t", 2, 2, compressor = "raw")(_.toDouble)
+    val e = intercept[Exception](
+      Zarr.scanZarrV3Time(spark, bare, "v", "t", None).collect())
+    assert(e.getMessage.contains("units"))
+    // a 2-D node is not a coordinate
+    val e2 = intercept[Exception](Zarr.scanZarrV3Coord(spark, s"$bare/v"))
+    assert(e2.getMessage.contains("rank-1"))
+  }
+
   test("registry queries: scan_zarr cells match the formula; zonal stats cover all zones") {
     val cells = q("scan_zarr")
     assert(cells.count() == 80L * 70L)
