@@ -1579,6 +1579,47 @@ object Netcdf {
     // the end-use: zonal statistics straight over a NetCDF cube — the
     // xarray-style per-zone reduction with no conversion step; stripe
     // scan feeds the shared broadcast rasterize + ONE hash agg
+    // ZONAL stats by TIMESTAMP WINDOW (r17 — the time decode's
+    // end-use: "per-zone means for the queried dates" straight off a
+    // CF cube, the xarray sel(time=slice(..)).groupby(zones).mean()
+    // story): the window prunes the stripe manifest BEFORE any data
+    // read (epochs 0 and 4 cost zero bytes), the broadcast tile
+    // rasterize carries (epoch, t_ts) through the equi-join, ONE hash
+    // agg keyed (zone, epoch). Oracle: epoch labels × formula cells ×
+    // zones with the identical window filter
+    "zonal_netcdf_time" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $NcTimeEpochs) t
+         |), cells AS (
+         |  SELECT epoch, t_ts, x.range AS cell_x, y.range AS cell_y,
+         |    CAST((23 * x.range + 19 * y.range + 31 * epoch) % 983 AS DOUBLE) AS value
+         |  FROM epochs CROSS JOIN range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |  WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |    AND TIMESTAMP '2020-03-02 06:00:00')
+         |SELECT zone_id, epoch, t_ts, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  CAST(sum(CAST(value AS BIGINT)) AS DOUBLE) / count(*) AS mean_v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |${Cube.RasterizeJoinSql}
+         |GROUP BY zone_id, epoch, t_ts
+         |ORDER BY zone_id, epoch""".stripMargin) { (s, d) =>
+      val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
+      Cube.rasterize(
+          scanNetcdfTime(s, timeFixturePath(), "t2m", "t", Some(win)),
+          Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("epoch"), col("t_ts"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          (sum(col("value").cast("long")).cast("double") / count(lit(1))).as("mean_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("zone_id", "epoch")
+    },
+
     "zonal_netcdf_stats" -> Q(
       s"""WITH zones AS (
          |${Cube.ZonesSql}

@@ -3343,6 +3343,42 @@ object Zarr {
         .orderBy("epoch", "cell_x", "cell_y")
     },
 
+    // ZONAL stats by TIMESTAMP WINDOW over the Zarr hierarchy (r17 —
+    // the zonal_netcdf_time twin: per-zone stats for the queried
+    // dates straight off the cube, manifest pruned before any read)
+    "zonal_zarr_time" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $Zarr3T) t
+         |), cells AS (
+         |  SELECT epoch, t_ts, x.range AS cell_x, y.range AS cell_y,
+         |    CAST((29 * x.range + 13 * y.range + 41 * epoch) % 1009 AS DOUBLE) AS value
+         |  FROM epochs CROSS JOIN range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |  WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |    AND TIMESTAMP '2020-03-02 06:00:00')
+         |SELECT zone_id, epoch, t_ts, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  CAST(sum(CAST(value AS BIGINT)) AS DOUBLE) / count(*) AS mean_v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |${Cube.RasterizeJoinSql}
+         |GROUP BY zone_id, epoch, t_ts
+         |ORDER BY zone_id, epoch""".stripMargin) { (s, d) =>
+      val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
+      Cube.rasterize(
+          scanZarrTime(s, fixtureTimeDir(), "v", "t", Some(win)),
+          Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("epoch"), col("t_ts"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          (sum(col("value").cast("long")).cast("double") / count(lit(1))).as("mean_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("zone_id", "epoch")
+    },
+
     // V3 GROUP hierarchy (r16 — zarr-python 3 writes v3 by default,
     // so a CURRENT xarray Dataset is a v3 group of aligned arrays):
     // the root group document + per-member zarr.json walk (or the
