@@ -457,6 +457,25 @@ class NetcdfSpec extends SparkSuite {
     assert(e.getMessage.contains("no rank-2 numeric"))
   }
 
+  test("time window prunes the STRIPE MANIFEST: a truncated out-of-window slab is never read") {
+    val p = tmpFile("time_trunc.nc")
+    Netcdf.writeNetcdf(p, "v", 4, 4, 6,
+      timeAxis = Some((5, i => 7.0 * i + 3.0, "hours since 2020-03-01 06:00:00")))(
+      (x, y, t) => (x + 10 * y + 100 * t).toDouble)
+    // truncate the file so epoch 4's slab (the last, fixed-t contiguous
+    // layout) is past EOF: reading it throws; pruning never touches it
+    val full = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      java.util.Arrays.copyOf(full, full.length - 4 * 4 * 8 + 8))
+    val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
+    val got = Netcdf.scanNetcdfTime(spark, p, "v", "t", Some(win))
+    assert(got.count() == 3L * 16)
+    val e = intercept[Exception](
+      Netcdf.scanNetcdfTime(spark, p, "v", "t", None).count())
+    assert(e != null)
+  }
+
   test("CF time units: hand vectors, window prunes epochs, fractional and calendar units refuse") {
     // parser hand-vectors (micros): base 2000-01-02T03:04:05Z
     val base = java.time.Instant.parse("2000-01-02T03:04:05Z").getEpochSecond * 1000000L

@@ -746,6 +746,26 @@ class ZarrSpec extends SparkSuite {
     assert(e.getMessage.contains("units"))
   }
 
+  test("time window prunes the CHUNK MANIFEST: a poisoned out-of-window chunk is never read") {
+    val dir = java.nio.file.Files.createTempDirectory("ztp").toString
+    Zarr.writeZarr3d(s"$dir/v", 5, 8, 8, 1, 8, 8, compressor = "zlib")(
+      (x, y, t) => (x + 10 * y + 100 * t).toDouble)
+    Zarr.writeZarrCoord(s"$dir/t", 5, 5, compressor = "raw")(i => 7.0 * i + 3.0)
+    java.nio.file.Files.write(new java.io.File(s"$dir/t", ".zattrs").toPath,
+      """{"units": "hours since 2020-03-01 06:00:00"}""".getBytes("UTF-8"))
+    // poison epoch 4's chunk: zlib inflate of garbage fails LOUDLY if read
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/v/4.0.0"),
+      Array[Byte](1, 2, 3, 4, 5))
+    val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
+    // windowed (epochs 1-3): the poisoned chunk costs zero bytes
+    val got = Zarr.scanZarrTime(spark, dir, "v", "t", Some(win))
+    assert(got.count() == 3L * 64)
+    // unwindowed: the poisoned chunk IS read and fails loudly
+    val e = intercept[Exception](Zarr.scanZarrTime(spark, dir, "v", "t", None).count())
+    assert(e != null)
+  }
+
   test("v3 coordinates + time: inline attributes, window pruning, refusals") {
     // v3 rank-1 roundtrip across codecs + a partial edge chunk
     val cd = java.nio.file.Files.createTempDirectory("v3c").toString
