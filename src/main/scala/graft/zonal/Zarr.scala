@@ -2065,10 +2065,14 @@ object Zarr {
   /** Write a 2-D Zarr v3 store: `zarr.json` + default-encoding chunk
     * keys (`c/ci/cj`), same chunk encoder as v2.
     */
-  def writeZarrV3(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
+  /** Write ONLY the v3 array document (r17 — the meta half of
+    * [[writeZarrV3]], shared with the distributed `sink_zarr_v3`
+    * whose executors write the chunk files).
+    */
+  def writeZarrV3Meta(dir: String, height: Int, width: Int,
+      chunkH: Int, chunkW: Int,
       compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0,
-      transposed: Boolean = false)
-      (f: (Int, Int) => Double): Unit = {
+      transposed: Boolean = false): Unit = {
     require(Set("raw", "gzip", "zstd", "blosc-zlib").contains(compressor),
       s"$compressor: Zarr v3 codecs are gzip/zstd/blosc-zlib/none (v2 zlib is spelled gzip here)")
     val d = new java.io.File(dir)
@@ -2103,6 +2107,15 @@ object Zarr {
          |}""".stripMargin
     java.nio.file.Files.write(new java.io.File(d, "zarr.json").toPath,
       meta.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  def writeZarrV3(dir: String, height: Int, width: Int, chunkH: Int, chunkW: Int,
+      compressor: String = "gzip", dtype: String = "<f8", fill: Double = 0.0,
+      transposed: Boolean = false)
+      (f: (Int, Int) => Double): Unit = {
+    writeZarrV3Meta(dir, height, width, chunkH, chunkW, compressor, dtype,
+      fill, transposed)
+    val d = new java.io.File(dir)
     val down = (height + chunkH - 1) / chunkH
     val across = (width + chunkW - 1) / chunkW
     for (ci <- 0 until down; cj <- 0 until across) {
@@ -3584,6 +3597,53 @@ object Zarr {
           java.nio.file.Files.write(
             new java.io.File(dir, s"$ci.$cj").toPath,
             chunkFileBytes(vals, cs, cs, "zlib", "<f8"))
+          (ci, cj)
+        }
+        .collect() // manifest only: one row per chunk file
+      scanZarr(s, dir)
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_x div $cs AS BIGINT)").as("chunk_x"),
+          expr(s"CAST(cell_y div $cs AS BIGINT)").as("chunk_y"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("chunk_x", "chunk_y")
+    },
+
+    // distributed Zarr V3 sink (r17 — write parity with the v2
+    // sink_zarr for the CURRENT default format: driver writes ONLY
+    // zarr.json, executors each encode + write their own c/ci/cj
+    // chunk files in one mapGroups pass, gzip frames): the write+read
+    // round trip is gated by the same per-chunk aggregate oracle
+    "sink_zarr_v3" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS chunk_x, cell_y // 16 AS chunk_y,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |GROUP BY chunk_x, chunk_y ORDER BY chunk_x, chunk_y""".stripMargin)) { (s, d) =>
+      import s.implicits._
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_v3_sink"
+      graft.core.Fs.rmTree(dir)
+      val cs = 16
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      writeZarrV3Meta(dir, h, w, cs, cs, compressor = "gzip")
+      percell
+        .groupByKey(r => (r.getLong(1) / cs, r.getLong(0) / cs)) // (ci, cj)
+        .mapGroups { (key: (Long, Long), rows: Iterator[org.apache.spark.sql.Row]) =>
+          val (ci, cj) = key
+          val vals = new Array[Double](cs * cs)
+          rows.foreach { r =>
+            val x = (r.getLong(0) - cj * cs).toInt
+            val y = (r.getLong(1) - ci * cs).toInt
+            vals(y * cs + x) = r.getDouble(2)
+          }
+          val out = new java.io.File(dir, s"c/$ci/$cj")
+          out.getParentFile.mkdirs()
+          java.nio.file.Files.write(out.toPath,
+            chunkFileBytes(vals, cs, cs, "gzip", "<f8"))
           (ci, cj)
         }
         .collect() // manifest only: one row per chunk file
