@@ -1461,7 +1461,14 @@ object Hdf5 {
     * them here would double-count their targets, so they are skipped
     * too. Returns sorted `/`-separated member paths.
     */
-  private[graft] def listDatasets2d(path: String): Seq[String] = {
+  private[graft] def listDatasets2d(path: String): Seq[String] =
+    listDatasetsByRank(path, 2)
+
+  /** Rank-3 members — the cube half of the Dataset walk (r17). */
+  private[graft] def listDatasets3d(path: String): Seq[String] =
+    listDatasetsByRank(path, 3)
+
+  private def listDatasetsByRank(path: String, wantRank: Int): Seq[String] = {
     val r = new RangeReader(path)
     try {
       val out = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1482,7 +1489,7 @@ object Hdf5 {
               }
               val dtClass = msgs.find(_.mtype == 0x0003).map(m => m.body(0) & 0x0f)
                 .getOrElse(sys.error(s"$path: $prefix$nm has no datatype message"))
-              if (rank == 2 && dtClass != 3) out += s"$prefix$nm"
+              if (rank == wantRank && dtClass != 3) out += s"$prefix$nm"
             }
           case (_, Right(_)) => () // soft link — alias, skip
         }
@@ -1512,6 +1519,29 @@ object Hdf5 {
       .flatMap { case (n, cr) =>
         readChunk(cr).map { case (x, y, _, _, v) => (x, y, n, v) } }
       .toDF("cell_x", "cell_y", "var_name", "value")
+  }
+
+  /** RANK-3 multi-variable DATASET scan (r17 — the cube half of the
+    * Dataset story next to [[scanNetcdf4Dataset]]: a typical climate
+    * Dataset is a group of aligned (t, y, x) variables): every rank-3
+    * numeric dataset in the group walk scans as ONE long-form
+    * DataFrame `(cell_x, cell_y, epoch, var_name, value)`.
+    */
+  def scanNetcdf4Dataset3d(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val names = listDatasets3d(path)
+    require(names.nonEmpty, s"$path: no rank-3 numeric datasets in the file")
+    val refs: Seq[(String, H5ChunkRef)] = names.flatMap { n =>
+      val m = readMeta(path, n)
+      require(m.levels == 0, s"$path: '$n' is rank-4 — scan with scanNetcdf4Cube4d")
+      chunkRefs(path, m).map(n -> _)
+    }
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { case (n, cr) =>
+        readChunk(cr).map { case (x, y, _, t, v) => (x, y, t, n, v) } }
+      .toDF("cell_x", "cell_y", "epoch", "var_name", "value")
   }
 
   /** CF TIME decode + timestamp-window chunk pruning over netCDF-4
@@ -3444,6 +3474,33 @@ object Hdf5 {
     p
   }
 
+  /** Second rank-3 member formula (r17). */
+  def h5CubeValue2(x: Int, y: Int, t: Int): Double =
+    ((29 * x + 17 * y + 41 * t) % 983).toDouble
+
+  private val fixtureDs3Lock = new Object
+  @volatile private var fixtureDs3Ready: String = null
+
+  /** Rank-3 Dataset fixture (r17): TWO aligned contiguous (t, y, x)
+    * members next to a rank-1 coordinate the cube walk must skip.
+    */
+  def fixtureDataset3dPath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5ds3_fixture_${H5T}x${H5H}x$H5W.nc"
+    if (fixtureDs3Ready != p) fixtureDs3Lock.synchronized {
+      if (fixtureDs3Ready != p) {
+        def cOrder(f: (Int, Int, Int) => Double): Array[Double] =
+          Array.tabulate(H5T * H5H * H5W)(i =>
+            f(i % H5W, i / H5W % H5H, i / (H5H * H5W)))
+        writeHdf5Multi(p, Seq(
+          ("pr", Seq(H5T, H5H, H5W), "<f8", cOrder(h5CubeValue)),
+          ("tas", Seq(H5T, H5H, H5W), "<f8", cOrder(h5CubeValue2)),
+          ("t", Seq(H5T), "<f8", Array.tabulate(H5T)(i => 7.0 * i + 3.0))))
+        fixtureDs3Ready = p
+      }
+    }
+    p
+  }
+
   private val fixtureTimeLock = new Object
   @volatile private var fixtureTimeReady: String = null
 
@@ -3886,6 +3943,30 @@ object Hdf5 {
       scanNetcdf4(s, fixtureGroupPath(), "g/v")
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // RANK-3 multi-variable DATASET scan (r17 — the cube half of the
+    // Dataset story next to scan_netcdf4_dataset: a typical climate
+    // Dataset is a group of aligned (t, y, x) variables): both cube
+    // members surface long-form, the rank-1 coordinate skips; the
+    // two-3-factor-formula UNION oracle
+    "scan_netcdf4_dataset_3d" -> Q(
+      s"""SELECT cell_x, cell_y, epoch, var_name, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,
+         |    'pr' AS var_name,
+         |    CAST((23 * x.range + 19 * y.range + 37 * t.range) % 991 AS DOUBLE) AS value
+         |  FROM range(0, $H5W) x CROSS JOIN range(0, $H5H) y
+         |  CROSS JOIN range(0, $H5T) t
+         |  UNION ALL
+         |  SELECT x.range, y.range, t.range, 'tas',
+         |    CAST((29 * x.range + 17 * y.range + 41 * t.range) % 983 AS DOUBLE)
+         |  FROM range(0, $H5W) x CROSS JOIN range(0, $H5H) y
+         |  CROSS JOIN range(0, $H5T) t)
+         |ORDER BY cell_x, cell_y, epoch, var_name""".stripMargin) { (s, _) =>
+      scanNetcdf4Dataset3d(s, fixtureDataset3dPath())
+        .select(col("cell_x"), col("cell_y"), col("epoch"),
+          col("var_name"), col("value"))
+        .orderBy("cell_x", "cell_y", "epoch", "var_name")
     },
 
     // CF TIME-units decode + timestamp-window chunk pruning (r17 —

@@ -663,6 +663,28 @@ object Zarr {
       .toDF("cell_x", "cell_y", "var_name", "value")
   }
 
+  /** Scan EVERY RANK-3 member of an un-consolidated v2 group as ONE
+    * DataFrame `(cell_x, cell_y, epoch, var_name, value)` (r17 — the
+    * cube half of the Dataset story: a typical climate Dataset is a
+    * group of aligned (t, y, x) variables, which [[scanZarrGroup]]
+    * rightly skips); one task per (variable, chunk).
+    */
+  def scanZarrGroup3d(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val metas = readV2Group(dir).toSeq.sortBy(_._1)
+      .filter(m => m._2.rank3 && !m._2.rank4)
+    require(metas.nonEmpty, s"$dir: no rank-3 arrays in the v2 group")
+    val refs = metas.flatMap { case (path, m) =>
+      chunkRefs3(m, s"$dir/$path").map(r => (path, r))
+    }
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { case (v, r) =>
+        readChunk3(r).map { case (x, y, t, w) => (x, y, t, v, w) } }
+      .toDF("cell_x", "cell_y", "epoch", "var_name", "value")
+  }
+
   /** Parse + scan a RANK-1 coordinate array (r16 — the axis-label
     * vectors an xarray Zarr hierarchy carries next to its data
     * variables; the 2-D parser deliberately refuses rank 1, so the
@@ -2755,6 +2777,37 @@ object Zarr {
     dir
   }
 
+  /** Second rank-3 member formula (r17): coprime factors vs
+    * [[zarr3dValue]] so a member/axis swap hash-mismatches.
+    */
+  def zarr3dValue2(x: Int, y: Int, t: Int): Double =
+    ((31 * x + 19 * y + 43 * t) % 1013).toDouble
+
+  private val fixtureGrp3dLock = new Object
+  @volatile private var fixtureGrp3dReady: String = null
+
+  /** Rank-3 Dataset fixture (r17): TWO aligned (t, y, x) members next
+    * to a rank-1 `t` coordinate the cube walk must skip.
+    */
+  def fixtureGroup3dDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_grp3d_fixture_${Zarr3T}x${ZarrH}x$ZarrW"
+    if (fixtureGrp3dReady != dir) fixtureGrp3dLock.synchronized {
+      if (fixtureGrp3dReady != dir) {
+        new java.io.File(dir).mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(dir, ".zgroup").toPath,
+          """{"zarr_format": 2}""".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        writeZarr3d(s"$dir/pr", Zarr3T, ZarrH, ZarrW, 2, 32, 32,
+          compressor = "zlib")(zarr3dValue)
+        writeZarr3d(s"$dir/tas", Zarr3T, ZarrH, ZarrW, 3, 48, 48,
+          compressor = "zstd")(zarr3dValue2)
+        writeZarrCoord(s"$dir/t", Zarr3T, Zarr3T)(i => 7.0 * i + 3.0)
+        fixtureGrp3dReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureV3CoLock = new Object
   @volatile private var fixtureV3CoReady: String = null
 
@@ -3288,6 +3341,32 @@ object Zarr {
       scanZarrGroup(s, fixtureV2GroupDir())
         .select(col("cell_x"), col("cell_y"), col("var_name"), col("value"))
         .orderBy("cell_x", "cell_y", "var_name")
+    },
+
+    // RANK-3 multi-variable DATASET read (r17 — the cube half of the
+    // Dataset story: a typical climate Dataset is a GROUP of aligned
+    // (t, y, x) variables, which the 2-D dataset scans rightly skip):
+    // both cube members surface long-form with a var_name tag across
+    // HETEROGENEOUS chunk grids and codecs (2×32×32 zlib vs 3×48×48
+    // zstd), the rank-1 t coordinate skips; two-3-factor-formula
+    // UNION oracle
+    "scan_zarr_dataset_3d" -> Q(
+      s"""SELECT cell_x, cell_y, epoch, var_name, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,
+         |    'pr' AS var_name,
+         |    CAST((29 * x.range + 13 * y.range + 41 * t.range) % 1009 AS DOUBLE) AS value
+         |  FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |  CROSS JOIN range(0, $Zarr3T) t
+         |  UNION ALL
+         |  SELECT x.range, y.range, t.range, 'tas',
+         |    CAST((31 * x.range + 19 * y.range + 43 * t.range) % 1013 AS DOUBLE)
+         |  FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |  CROSS JOIN range(0, $Zarr3T) t)
+         |ORDER BY cell_x, cell_y, epoch, var_name""".stripMargin) { (s, _) =>
+      scanZarrGroup3d(s, fixtureGroup3dDir())
+        .select(col("cell_x"), col("cell_y"), col("epoch"),
+          col("var_name"), col("value"))
+        .orderBy("cell_x", "cell_y", "epoch", "var_name")
     },
 
     // CF TIME-units decode + timestamp-window chunk pruning (r17 —

@@ -712,6 +712,10 @@ class Hdf5Spec extends SparkSuite {
     }
     // the group fixture's dataset lives at g/v — the walk recurses
     assert(Hdf5.listDatasets2d(Hdf5.fixtureGroupPath()) == Seq("g/v"))
+    // rank dispatch: the rank-3 fixture lists under 3d, not 2d, and
+    // its rank-1 coordinate member appears in neither
+    assert(Hdf5.listDatasets3d(Hdf5.fixtureDataset3dPath()) == Seq("pr", "tas"))
+    assert(Hdf5.listDatasets2d(Hdf5.fixtureDataset3dPath()).isEmpty)
     // the soft-link fixture aliases v -> /data: only the target lists
     // (following the alias would double-count its cells)
     assert(Hdf5.listDatasets2d(Hdf5.fixtureSoftPath()) == Seq("data"))

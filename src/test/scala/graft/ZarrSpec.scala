@@ -723,6 +723,12 @@ class ZarrSpec extends SparkSuite {
     // a bare array dir is not a group
     val e = intercept[Exception](Zarr.scanZarrGroup(spark, s"$dir/a"))
     assert(e.getMessage.contains(".zgroup"))
+    // rank dispatch: a cube-only group has no 2-D members and vice versa
+    val e2 = intercept[Exception](
+      Zarr.scanZarrGroup(spark, Zarr.fixtureGroup3dDir()))
+    assert(e2.getMessage.contains("no 2-D arrays"))
+    val e3 = intercept[Exception](Zarr.scanZarrGroup3d(spark, dir))
+    assert(e3.getMessage.contains("no rank-3 arrays"))
   }
 
   test("CF time decode: window keeps exactly the in-range epochs; missing units refuses") {
