@@ -437,6 +437,31 @@ object Netcdf {
       .toDF("cell_x", "cell_y", "var_name", "value")
   }
 
+  /** RANK-3 multi-variable DATASET scan (r17 — the classic twin of
+    * [[Hdf5.scanNetcdf4Dataset3d]]: a typical climate Dataset is a
+    * file of aligned (t, y, x) variables): every rank-3 numeric
+    * variable — record OR fixed leading dim; interleaved records
+    * stride via recSize exactly like the single-variable scan — as
+    * ONE long-form DataFrame `(cell_x, cell_y, epoch, var_name,
+    * value)`, one task per (variable, epoch, stripe).
+    */
+  def scanNetcdfDataset3d(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val m = readMeta(path)
+    val vars = m.vars.filter(v => v.dimIds.length == 3 && v.ncType != NcChar)
+      .sortBy(_.name)
+    require(vars.nonEmpty, s"$path: no rank-3 numeric (t, y, x) variables " +
+      s"(have ${m.vars.map(_.name).mkString(", ")})")
+    val hint = s.sparkContext.defaultParallelism
+    val refs: Seq[(String, StripeRef)] = vars.flatMap(v =>
+      stripes3d(path, m, v, hint).map(v.name -> _))
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size, hint)))
+      .flatMap { case (n, r) =>
+        readStripe(r).map { case (x, y, t, v) => (x, y, t, n, v) } }
+      .toDF("cell_x", "cell_y", "epoch", "var_name", "value")
+  }
+
   /** [[scanNetcdf]] with `_FillValue` cells DROPPED (CF-convention
     * nodata masking — the scan_raster_nodata analogue). Loud when the
     * variable declares no fill.
@@ -770,8 +795,14 @@ object Netcdf {
       // r17: additional rank-2 (y, x) data variables `(name, ncType,
       // value(x, y))` — the multi-variable Dataset shape an xarray
       // to_netcdf() of several aligned arrays produces
-      extraVars: Seq[(String, Int, (Int, Int) => Double)] = Nil)(
+      extraVars: Seq[(String, Int, (Int, Int) => Double)] = Nil,
+      // r17: additional rank-3 (t, y, x) variables over the FIXED
+      // timeAxis `(name, ncType, value(x, y, t))` — the multi-cube
+      // climate-Dataset shape
+      extraVars3: Seq[(String, Int, (Int, Int, Int) => Double)] = Nil)(
       f: (Int, Int, Int) => Double): Unit = {
+    require(extraVars3.isEmpty || timeAxis.isDefined,
+      "extraVars3 are (t, y, x) cubes over the FIXED timeAxis — set it")
     require(version == 1 || version == 5,
       s"writer speaks CDF-1 and CDF-5, not version $version")
     require(timeAxis.isEmpty || epochs == 0,
@@ -830,7 +861,8 @@ object Netcdf {
       charVar.toSeq.map { case (nm, _) => W(nm, Seq(yDim, ncharDim), NcChar, Nil) } ++
       timeAxis.toSeq.map { case (_, _, units) =>
         W("t", Seq(0), NcDouble, Seq(("units", NcChar, Right(units)))) } ++
-      extraVars.map { case (nm, t, _) => W(nm, Seq(yDim, xDim), t, Nil) } :+
+      extraVars.map { case (nm, t, _) => W(nm, Seq(yDim, xDim), t, Nil) } ++
+      extraVars3.map { case (nm, t, _) => W(nm, Seq(0, yDim, xDim), t, Nil) } :+
       W(varName, (if (lead == 1) Seq(0) else Nil) ++ Seq(yDim, xDim), ncType, fillAttrs)
     def dimLen(i: Int): Int = dims(i)._2
     // header size must be known to place begins: build entries, measure
@@ -927,6 +959,11 @@ object Netcdf {
     extraVars.foreach { case (_, t, g) =>
       wpadded(for (y <- 0 until height; x <- 0 until width) sample(t, g(x, y)),
         height * width * elemSize(t))
+    }
+    extraVars3.foreach { case (_, t, g) =>
+      val tn = timeAxis.map(_._1).getOrElse(0)
+      wpadded(for (e <- 0 until tn; y <- 0 until height; x <- 0 until width)
+        sample(t, g(x, y, e)), tn * height * width * elemSize(t))
     }
     if (!record) {
       val fixedEpochs = timeAxis.map(_._1).getOrElse(1)
@@ -1101,6 +1138,20 @@ object Netcdf {
         (x, y, _) => ncValue(x, y))
     }
 
+  /** Second 3-factor member formula (r17). */
+  def ncEpochValue2(x: Int, y: Int, t: Int): Double =
+    ((29 * x + 17 * y + 41 * t) % 911).toDouble
+
+  /** Rank-3 Dataset fixture (r17): TWO aligned (t, y, x) variables
+    * over the fixed time axis next to the rank-1 y/x/t coordinates.
+    */
+  def dataset3dFixturePath(): String =
+    Raster.fixtureOnce(s"nc_dataset3d_${NcW}x$NcH.nc") { p =>
+      writeNetcdf(p, "t2m", NcH, NcW, NcFloat,
+        timeAxis = Some((NcTimeEpochs, i => 7.0 * i + 3.0, NcTimeUnits)),
+        extraVars3 = Seq(("pr", NcDouble, ncEpochValue2)))(ncEpochValue)
+    }
+
   /** int16 + `_FillValue` fixture: fill where (7x + 11y) mod 13 = 0. */
   val NcFill = -999.0
   def ncFilled(x: Int, y: Int): Boolean = (7 * x + 11 * y) % 13 == 0
@@ -1269,6 +1320,30 @@ object Netcdf {
       scanNetcdfDataset(s, datasetFixturePath())
         .select(col("cell_x"), col("cell_y"), col("var_name"), col("value"))
         .orderBy("cell_x", "cell_y", "var_name")
+    },
+
+    // RANK-3 multi-variable DATASET scan (r17 — the classic twin of
+    // scan_netcdf4_dataset_3d / scan_zarr_dataset_3d, completing the
+    // cube-Dataset story across all three formats): both (t, y, x)
+    // variables surface long-form with an epoch column, the rank-1
+    // y/x/t coordinates skip; two-3-factor-formula UNION oracle
+    "scan_netcdf_dataset_3d" -> Q(
+      s"""SELECT cell_x, cell_y, epoch, var_name, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,
+         |    'pr' AS var_name,
+         |    CAST((29 * x.range + 17 * y.range + 41 * t.range) % 911 AS DOUBLE) AS value
+         |  FROM range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |  CROSS JOIN range(0, $NcTimeEpochs) t
+         |  UNION ALL
+         |  SELECT x.range, y.range, t.range, 't2m',
+         |    CAST((23 * x.range + 19 * y.range + 31 * t.range) % 983 AS DOUBLE)
+         |  FROM range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |  CROSS JOIN range(0, $NcTimeEpochs) t)
+         |ORDER BY cell_x, cell_y, epoch, var_name""".stripMargin) { (s, _) =>
+      scanNetcdfDataset3d(s, dataset3dFixturePath())
+        .select(col("cell_x"), col("cell_y"), col("epoch"),
+          col("var_name"), col("value"))
+        .orderBy("cell_x", "cell_y", "epoch", "var_name")
     },
 
     // CHAR-member tolerance (r16 — mixed-content classic files: CF
