@@ -3996,6 +3996,43 @@ object Hdf5 {
         .orderBy("epoch", "cell_x", "cell_y")
     },
 
+    // ZONAL stats by TIMESTAMP WINDOW over netCDF-4 (r17 — completes
+    // the windowed-zonal trio next to zonal_netcdf_time and
+    // zonal_zarr_time: per-zone stats for the queried dates straight
+    // off the HDF5 cube, chunk manifest pruned before any read)
+    "zonal_netcdf4_time" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $H5T) t
+         |), cells AS (
+         |  SELECT epoch, t_ts, x.range AS cell_x, y.range AS cell_y,
+         |    CAST((23 * x.range + 19 * y.range + 37 * epoch) % 991 AS DOUBLE) AS value
+         |  FROM epochs CROSS JOIN range(0, $H5W) x CROSS JOIN range(0, $H5H) y
+         |  WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |    AND TIMESTAMP '2020-03-02 06:00:00')
+         |SELECT zone_id, epoch, t_ts, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  CAST(sum(CAST(value AS BIGINT)) AS DOUBLE) / count(*) AS mean_v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |${Cube.RasterizeJoinSql}
+         |GROUP BY zone_id, epoch, t_ts
+         |ORDER BY zone_id, epoch""".stripMargin) { (s, d) =>
+      val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
+      Cube.rasterize(
+          scanNetcdf4Time(s, fixtureTimePath(), "v", "t", Some(win)),
+          Cube.zones(s, d))
+        .groupBy(col("zone_id"), col("epoch"), col("t_ts"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          (sum(col("value").cast("long")).cast("double") / count(lit(1))).as("mean_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("zone_id", "epoch")
+    },
+
     // Multi-variable DATASET scan (r17 — verdict missing #3: xarray's
     // open_dataset on a .nc file sees all variables at once; parity
     // with scan_zarr_dataset): the root-group walk surfaces BOTH
