@@ -3501,6 +3501,41 @@ object Hdf5 {
     p
   }
 
+  /** Landing-directory fixture (r17 — streaming ingest): one netCDF-4
+    * file per epoch, each a chunked+deflate rank-2 grid of the
+    * 3-factor formula.
+    */
+  def streamFixtureDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5_stream_landing"
+    graft.zonal.Raster.fixtureOnce("h5_stream_landing_marker") { _ =>
+      graft.core.Fs.rmTree(dir)
+      new java.io.File(dir).mkdirs()
+      for (t <- 0 until H5T)
+        writeHdf5(s"$dir/epoch_$t.nc", "v", H5H, H5W, 32, 32, dtype = "<f8",
+          deflate = true)((x, y) => h5CubeValue(x, y, t))
+    }
+    dir
+  }
+
+  /** Decode ONE whole netCDF-4 landing blob to cells (r17 — the
+    * executor-side step of `stream_netcdf4_ingest`): the blob lands
+    * on task-local scratch and decodes through the REAL reader
+    * (superblock → group → B-tree → chunks), so the streaming path
+    * exercises the same code as the batch scan. Landing files are
+    * per-epoch tiles, bounded by construction.
+    */
+  private[graft] def decodeBlob(bytes: Array[Byte],
+      varName: String): Seq[(Int, Int, Double)] = {
+    val tmp = java.nio.file.Files.createTempFile("h5ingest", ".nc")
+    try {
+      java.nio.file.Files.write(tmp, bytes)
+      val p = tmp.toString
+      val m = readMeta(p, varName)
+      chunkRefs(p, m).flatMap(r =>
+        readChunk(r).map { case (x, y, _, _, v) => (x, y, v) })
+    } finally java.nio.file.Files.deleteIfExists(tmp)
+  }
+
   private val fixtureTimeLock = new Object
   @volatile private var fixtureTimeReady: String = null
 
@@ -3994,6 +4029,54 @@ object Hdf5 {
         java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
       scanNetcdf4Time(s, fixtureTimePath(), "v", "t", Some(win))
         .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // STREAMING netCDF-4 ingestion (r17 — completes the ingest trio
+    // next to stream_netcdf_ingest and stream_zarr_ingest: a landing
+    // directory of per-epoch HDF5 files consumed as a real file-source
+    // stream, one file per micro-batch, exactly-once parquet sink):
+    // each blob decodes through the REAL reader on task-local scratch
+    "stream_netcdf4_ingest" -> Q(
+      s"""SELECT t.range AS epoch, count(*) AS n_cells,
+         |  CAST(sum((23 * x.range + 19 * y.range + 37 * t.range) % 991) AS BIGINT) AS sum_v
+         |FROM range(0, $H5W) x CROSS JOIN range(0, $H5H) y
+         |CROSS JOIN range(0, $H5T) t
+         |GROUP BY epoch ORDER BY epoch""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val dir = streamFixtureDir()
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5_stream"
+      graft.core.Fs.rmTree(s"$base/out")
+      graft.core.Fs.rmTree(s"$base/ckpt")
+      val binarySchema = new org.apache.spark.sql.types.StructType()
+        .add("path", org.apache.spark.sql.types.StringType)
+        .add("modificationTime", org.apache.spark.sql.types.TimestampType)
+        .add("length", org.apache.spark.sql.types.LongType)
+        .add("content", org.apache.spark.sql.types.BinaryType)
+      val q = s.readStream.format("binaryFile")
+        .schema(binarySchema)
+        .option("maxFilesPerTrigger", 1)
+        .load(dir)
+        .select(col("path"), col("content"))
+        .as[(String, Array[Byte])]
+        .flatMap { case (p, bytes) =>
+          val name = p.substring(p.lastIndexOf('/') + 1)
+          require(name.startsWith("epoch_") && name.endsWith(".nc"),
+            s"$p: not an epoch landing file")
+          val t = name.stripPrefix("epoch_").stripSuffix(".nc").toInt
+          decodeBlob(bytes, "v").map { case (x, y, v) => (x, y, t, v) }
+        }
+        .toDF("cell_x", "cell_y", "epoch", "value")
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("epoch").cast("long").as("epoch"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("epoch")
     },
 
     // ZONAL stats by TIMESTAMP WINDOW over netCDF-4 (r17 — completes

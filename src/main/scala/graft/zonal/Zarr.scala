@@ -685,6 +685,25 @@ object Zarr {
       .toDF("cell_x", "cell_y", "epoch", "var_name", "value")
   }
 
+  /** v3 twin of [[scanZarrGroup3d]] (r17): every RANK-3 member of a
+    * v3 group hierarchy long-form; one task per (variable, chunk).
+    */
+  def scanZarrV3Dataset3d(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val metas = readV3Group(dir).toSeq.sortBy(_._1)
+      .filter(m => m._2.rank3 && !m._2.rank4)
+    require(metas.nonEmpty, s"$dir: no rank-3 arrays in the v3 group")
+    val refs = metas.flatMap { case (path, m) =>
+      chunkRefs3(m, s"$dir/$path").map(r => (path, r))
+    }
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(refs.size,
+        s.sparkContext.defaultParallelism)))
+      .flatMap { case (v, r) =>
+        readChunk3(r).map { case (x, y, t, w) => (x, y, t, v, w) } }
+      .toDF("cell_x", "cell_y", "epoch", "var_name", "value")
+  }
+
   /** Parse + scan a RANK-1 coordinate array (r16 — the axis-label
     * vectors an xarray Zarr hierarchy carries next to its data
     * variables; the 2-D parser deliberately refuses rank 1, so the
@@ -2808,6 +2827,33 @@ object Zarr {
     dir
   }
 
+  private val fixtureV3G3Lock = new Object
+  @volatile private var fixtureV3G3Ready: String = null
+
+  /** v3 rank-3 GROUP fixture (r17): root group document, two aligned
+    * (t, y, x) members on the shared formulas, a rank-1 coordinate
+    * the cube walk must skip.
+    */
+  def fixtureV3Group3dDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_v3g3_fixture_${Zarr3T}x${ZarrH}x$ZarrW"
+    if (fixtureV3G3Ready != dir) fixtureV3G3Lock.synchronized {
+      if (fixtureV3G3Ready != dir) {
+        new java.io.File(dir).mkdirs()
+        java.nio.file.Files.write(
+          new java.io.File(dir, "zarr.json").toPath,
+          """{"zarr_format": 3, "node_type": "group"}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        writeZarr3dV3(s"$dir/pr", Zarr3T, ZarrH, ZarrW, 2, 32, 32,
+          compressor = "gzip")(zarr3dValue)
+        writeZarr3dV3(s"$dir/tas", Zarr3T, ZarrH, ZarrW, 3, 48, 48,
+          compressor = "zstd")(zarr3dValue2)
+        writeZarrV3Coord(s"$dir/t", Zarr3T, Zarr3T)(i => 7.0 * i + 3.0)
+        fixtureV3G3Ready = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureV3CoLock = new Object
   @volatile private var fixtureV3CoReady: String = null
 
@@ -3393,6 +3439,29 @@ object Zarr {
         java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
       scanZarrTime(s, fixtureTimeDir(), "v", "t", Some(win))
         .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // v3 RANK-3 multi-variable DATASET read (r17 — the cube half for
+    // the CURRENT default format; heterogeneous chunk grids + codecs,
+    // rank-1 coordinate skipped): same two-3-factor-formula oracle as
+    // the v2 twin
+    "scan_zarr_v3_dataset_3d" -> Q(
+      s"""SELECT cell_x, cell_y, epoch, var_name, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,
+         |    'pr' AS var_name,
+         |    CAST((29 * x.range + 13 * y.range + 41 * t.range) % 1009 AS DOUBLE) AS value
+         |  FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |  CROSS JOIN range(0, $Zarr3T) t
+         |  UNION ALL
+         |  SELECT x.range, y.range, t.range, 'tas',
+         |    CAST((31 * x.range + 19 * y.range + 43 * t.range) % 1013 AS DOUBLE)
+         |  FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |  CROSS JOIN range(0, $Zarr3T) t)
+         |ORDER BY cell_x, cell_y, epoch, var_name""".stripMargin) { (s, _) =>
+      scanZarrV3Dataset3d(s, fixtureV3Group3dDir())
+        .select(col("cell_x"), col("cell_y"), col("epoch"),
+          col("var_name"), col("value"))
+        .orderBy("cell_x", "cell_y", "epoch", "var_name")
     },
 
     // v3 COORDINATE decode (r17 — zarr-python 3 writes v3 by default,
