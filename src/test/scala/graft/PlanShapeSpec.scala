@@ -45,6 +45,22 @@ class PlanShapeSpec extends SparkSuite {
     assert(plan("join_theta").contains("BroadcastNestedLoopJoin"))
   }
 
+  test("r17 time-zonal + dataset scans: broadcasts where claimed, no sort-merge on the cube side") {
+    // windowed zonal: the zone rasterize AND the epoch-label join both
+    // broadcast — the cube side never shuffles before the aggregation
+    for (nm <- Seq("zonal_netcdf_time", "zonal_zarr_time", "zonal_netcdf4_time")) {
+      val p = plan(nm)
+      assert(p.contains("BroadcastHashJoin"), s"$nm: no broadcast join\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$nm: cube side shuffled into a sort-merge join\n$p")
+    }
+    // coordinate decode: two broadcast index joins, plan otherwise flat
+    for (nm <- Seq("scan_zarr_v3_coords", "scan_netcdf4_coords")) {
+      val p = plan(nm)
+      assert(p.contains("BroadcastHashJoin"), s"$nm: labels not broadcast\n$p")
+      assert(!p.contains("SortMergeJoin"), s"$nm: label join shuffled\n$p")
+    }
+  }
+
   test("limit_n plans as TakeOrderedAndProject (no global sort)") {
     val p = plan("limit_n")
     assert(p.contains("TakeOrderedAndProject"), p.take(1000))
