@@ -721,6 +721,44 @@ class Hdf5Spec extends SparkSuite {
     assert(Hdf5.listDatasets2d(Hdf5.fixtureSoftPath()) == Seq("data"))
   }
 
+  test("writeHdf5Multi mixed-member accounting: rank-1/2/3 + chunked + strings + attrs in one file") {
+    // every member kind in ONE group: the writer's address accounting
+    // (dsBody/dataSize/hdrAddrs/dataAddrs) self-checks with loud
+    // requires, and every member must read back exactly
+    val p = tmp("mixedmulti")
+    def f2(x: Int, y: Int): Double = ((3 * x + 7 * y) % 31).toDouble
+    def f3(x: Int, y: Int, t: Int): Double = ((3 * x + 7 * y + 11 * t) % 29).toDouble
+    Hdf5.writeHdf5Multi(p, Seq(
+      ("cube", Seq(2, 3, 5), "<f8", Array.tabulate(30)(i => f3(i % 5, i / 5 % 3, i / 15))),
+      ("grid", Seq(3, 5), ">f4", Array.tabulate(15)(i => f2(i % 5, i / 5))),
+      ("y", Seq(3), "<f4", Array.tabulate(3)(y => 2.0 + 0.25 * y))),
+      strVars = Seq(("names", Seq("a", "bb", "ccc"))),
+      chunkedCoords = Seq(("x", "<f8", Array.tabulate(5)(x => 1.5 * x), 2)),
+      memberStrAttrs = Map(
+        "x" -> Seq(("units", "degrees_east"), ("axis", "X")),
+        "grid" -> Seq(("long_name", "test grid"))))
+    val cube = Hdf5.scanNetcdf4Epochs(spark, p, "cube").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(cube.size == 30)
+    for (t <- 0 until 2; y <- 0 until 3; x <- 0 until 5)
+      assert(cube((x, y, t)) == f3(x, y, t))
+    val grid = Hdf5.scanNetcdf4(spark, p, "grid").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(grid.size == 15 && grid((4, 2)) == f2(4, 2))
+    val xs = Hdf5.scanNetcdf4Coord(spark, p, "x").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(xs == (0 until 5).map(x => x -> 1.5 * x).toMap)
+    val ns = Hdf5.scanNetcdf4Strings(spark, p, "names").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(ns == Map(0 -> "a", 1 -> "bb", 2 -> "ccc"))
+    assert(Hdf5.readMeta(p, "x").strAttrs ==
+      Map("units" -> "degrees_east", "axis" -> "X"))
+    assert(Hdf5.readMeta(p, "grid").strAttrs == Map("long_name" -> "test grid"))
+    // rank dispatch over the mixed file
+    assert(Hdf5.listDatasets2d(p) == Seq("grid"))
+    assert(Hdf5.listDatasets3d(p) == Seq("cube"))
+  }
+
   test("CF time decode over HDF5: string attrs parse, window prunes, missing units refuses") {
     val p = Hdf5.fixtureTimePath()
     // the units STRING attribute round-trips the v1 attribute message
