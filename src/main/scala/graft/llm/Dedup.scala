@@ -26,6 +26,11 @@ object Dedup {
   val NumPerms = 8
   val BandSize = 2 // → 4 bands of 2 minhashes each
 
+  /** Salt fan-out for the [[substringSpans]] exact-confirm count: a hot
+    * duplicated substring's occurrences spread over this many partial-
+    * aggregation keys instead of funneling into one task. */
+  val ConfirmSalts = 32
+
   /** doc_id + MinHash signature (m0..m7) + LSH band keys (b0..b3), all
     * FLAT columns. Trigram shingles (the classic w=3 shingling; the
     * bigram [[arithMinhash]] below is the candidate source for the
@@ -653,12 +658,25 @@ object Dedup {
     val cand = candOffs.join(base, "doc_id")
       .select(col("doc_id"), col("off"),
         expr(s"substring(text, off + 1, $n)").as("sh"))
-    // confirm via ONE window count over sh (a groupBy + self-join here
-    // recomputes the whole candidate pipeline twice — r17 plan audit);
-    // partitions are per-substring, bounded by the duplication factor
-    val wsh = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-    val marked = cand.withColumn("sn", count(lit(1)).over(wsh))
-      .filter(col("sn") >= 2).select("doc_id", "off")
+    // exact confirm — SALTED two-phase count (r18 scale fix: the r17
+    // `count over (partition by sh)` funneled EVERY occurrence of a hot
+    // boilerplate substring — a license header, a nav bar — into ONE
+    // window task, and window partitions cannot be skew-split; on
+    // exactly the corpora this operator targets that is a single-task
+    // funnel at 100 TB). Phase 1 counts per (sh, salt) so a hot
+    // substring spreads over ConfirmSalts reducers; phase 2 sums <=
+    // ConfirmSalts partials per key; the rejoin back to cand is a plain
+    // equi-join that AQE skew-split CAN divide. Counting the raw string
+    // keeps the confirm EXACT — a poly_hash collision still dies at the
+    // string equality of the groupBy key. The two consumers of cand
+    // share its upstream exchanges via ReuseExchange (PlanShapeSpec
+    // pins the shape), so the candidate pipeline is not recomputed.
+    val salt = pmod(xxhash64(col("doc_id"), col("off")), lit(ConfirmSalts))
+    val confirmed = cand.groupBy(col("sh"), salt.as("salt"))
+      .agg(count(lit(1)).as("pc"))
+      .groupBy("sh").agg(sum(col("pc")).as("sn"))
+      .filter(col("sn") >= 2).select("sh")
+    val marked = cand.join(confirmed, "sh").select("doc_id", "off")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("off")
     marked.withColumn("grp", col("off") - row_number().over(w))
@@ -666,6 +684,40 @@ object Dedup {
       .agg(min(col("off")).cast("long").as("span_start"),
         (max(col("off")) - min(col("off")) + n).cast("long").as("span_len"))
       .select("doc_id", "span_start", "span_len")
+  }
+
+  /** Every doc rebuilt with its [[substringSpans]] cut out (the removal
+    * half of the Lee et al. pass). Spans from distinct gaps-and-islands
+    * groups CAN overlap (offsets {0, 10}, n=50 → [0,50) and [10,60));
+    * the ordered fold handles that: a span starting inside
+    * already-consumed text contributes a negative-length (= empty) kept
+    * segment and only advances `pos`. `removed_chars` is
+    * length(text) - length(new_text) — chars ACTUALLY removed, which
+    * under overlap is less than sum(span_len). LlmSpec pins the
+    * overlapping-span case.
+    */
+  def substringRemove(docs0: DataFrame): DataFrame = {
+    val docs = docs0.select(col("doc_id"), col("text"))
+    val spans = substringSpans(docs)
+    val agg = spans.groupBy("doc_id").agg(
+      count(lit(1)).as("n_spans"),
+      expr("sort_array(collect_list(struct(span_start, span_len)))").as("sp"))
+    docs.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        when(col("sp").isNull, col("text")).otherwise(expr(
+          """aggregate(sp,
+            |  struct(CAST(0 AS BIGINT) AS pos, CAST('' AS STRING) AS acc),
+            |  (a, s) -> struct(greatest(s.span_start + s.span_len, a.pos) AS pos,
+            |    concat(a.acc, substring(text, CAST(a.pos + 1 AS INT),
+            |      CAST(s.span_start - a.pos AS INT))) AS acc),
+            |  a -> concat(a.acc, substring(text, CAST(a.pos + 1 AS INT))))""".stripMargin))
+          .as("new_text"),
+        col("text"))
+      .select(col("doc_id"), col("n_spans"),
+        (length(col("text")) - length(col("new_text"))).cast("long")
+          .as("removed_chars"),
+        col("new_text"))
   }
 
   def defs: Seq[(String, Q)] = Seq(
@@ -1193,12 +1245,18 @@ object Dedup {
     // EXACT substring REMOVAL (r17 — the other half of the Lee et al.
     // pass: their published tool EXCISES every duplicated span, both
     // copies, and re-trains on the cleaned text): every doc rebuilt
-    // with its flagged spans cut out — the spans are maximal and
-    // non-overlapping by construction, so one ordered fold over
-    // (span_start, span_len) rebuilds the kept segments exactly. The
-    // oracle rebuilds per-character (keep chars no span covers) —
-    // structurally different arithmetic reaching the same string, so
-    // a fold off-by-one on either engine hash-mismatches
+    // with its flagged spans cut out. Spans from DISTINCT
+    // gaps-and-islands groups CAN overlap (duplicated offsets {0, 10}
+    // with n=50 give [0,50) and [10,60) — r17 advice); the ordered fold
+    // still rebuilds the union complement exactly because a span
+    // starting inside already-consumed text contributes a
+    // negative-length (= empty) kept segment and only advances `pos`.
+    // `removed_chars` is therefore length(text) - length(new_text) —
+    // the chars ACTUALLY removed — not sum(span_len), which
+    // double-counts overlap. The oracle rebuilds per-character (keep
+    // chars no span covers) — structurally different arithmetic
+    // reaching the same string, so a fold off-by-one on either engine
+    // hash-mismatches
     "dedup_substring_remove" -> Q(
       """WITH docs AS (SELECT doc_id, text FROM documents WHERE length(text) >= 50),
         |offs AS (SELECT doc_id, i.i - 1 AS off, substr(text, i.i, 50) AS sh
@@ -1219,35 +1277,20 @@ object Dedup {
         |    AND c.i - 1 >= s.span_start AND c.i - 1 < s.span_start + s.span_len)),
         |rebuilt AS (SELECT doc_id, string_agg(ch, '' ORDER BY i) AS new_text
         |  FROM kept GROUP BY doc_id),
-        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
-        |    CAST(sum(span_len) AS BIGINT) AS removed_chars
-        |  FROM spans GROUP BY doc_id)
-        |SELECT d.doc_id,
-        |  coalesce(st.n_spans, 0) AS n_spans,
-        |  coalesce(st.removed_chars, 0) AS removed_chars,
-        |  coalesce(r.new_text, '') AS new_text
-        |FROM alldocs d
-        |LEFT JOIN st ON d.doc_id = st.doc_id
-        |LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
-        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-      val spans = substringSpans(docs)
-      val agg = spans.groupBy("doc_id").agg(
-        count(lit(1)).as("n_spans"),
-        sum(col("span_len")).as("removed_chars"),
-        expr("sort_array(collect_list(struct(span_start, span_len)))").as("sp"))
-      docs.join(agg, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-          coalesce(col("removed_chars"), lit(0L)).as("removed_chars"),
-          when(col("sp").isNull, col("text")).otherwise(expr(
-            """aggregate(sp,
-              |  struct(CAST(0 AS BIGINT) AS pos, CAST('' AS STRING) AS acc),
-              |  (a, s) -> struct(s.span_start + s.span_len AS pos,
-              |    concat(a.acc, substring(text, CAST(a.pos + 1 AS INT),
-              |      CAST(s.span_start - a.pos AS INT))) AS acc),
-              |  a -> concat(a.acc, substring(text, CAST(a.pos + 1 AS INT))))""".stripMargin))
-            .as("new_text"))
+        |st AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+        |  FROM spans GROUP BY doc_id),
+        |joined AS (SELECT d.doc_id, d.text,
+        |    coalesce(st.n_spans, 0) AS n_spans,
+        |    CASE WHEN st.n_spans IS NULL THEN d.text
+        |         ELSE coalesce(r.new_text, '') END AS new_text
+        |  FROM alldocs d
+        |  LEFT JOIN st ON d.doc_id = st.doc_id
+        |  LEFT JOIN rebuilt r ON d.doc_id = r.doc_id)
+        |SELECT doc_id, n_spans,
+        |  CAST(length(text) - length(new_text) AS BIGINT) AS removed_chars,
+        |  new_text
+        |FROM joined ORDER BY doc_id""".stripMargin) { (s, d) =>
+      substringRemove(Tables.documents(s, d).select(col("doc_id"), col("text")))
         .orderBy("doc_id")
     }
   )

@@ -739,6 +739,53 @@ class LlmSpec extends SparkSuite {
       s"expected the three D spans only, got ${got.mkString(",")}")
   }
 
+  test("dedup_substring: hot boilerplate substring takes the salted confirm, not a window funnel (r18)") {
+    // 2000 copies of one 50-char header — the boilerplate shape the r17
+    // verdict flagged: under the old `count over (partition by sh)`
+    // every occurrence landed in ONE window task. The salted two-phase
+    // confirm must (a) still be exact and (b) plan with no window over
+    // the substring — the only Window is the per-doc gaps-and-islands.
+    val H = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMN"
+    assert(H.length == 50)
+    val docs = (1L to 2000L).map(i => (i, H)).toDF("doc_id", "text")
+    val df = Dedup.substringSpans(docs)
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 2000 && got.forall { case (_, s, l) => s == 0L && l == 50L },
+      "every copy must flag its full-header span")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition(sh"),
+      s"exact confirm still windows over the raw substring:\n${p.take(3000)}")
+    assert(p.contains("pmod(xxhash64(doc_id"),
+      s"no salted partial count in the confirm:\n${p.take(3000)}")
+  }
+
+  test("dedup_substring_remove: overlapping spans — removed_chars is the true length delta (r18)") {
+    // d1 has duplicated offsets {0, 10}: two gaps-and-islands groups →
+    // spans [0,50) and [10,60) OVERLAP (r17 advice). The fold must
+    // rebuild the union complement (here: everything removed) and
+    // removed_chars must be len(text) - len(new_text) = 60, NOT
+    // sum(span_len) = 100.
+    val d1 = "0123456789abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWX"
+    assert(d1.length == 60 && d1.distinct.length == 60)
+    val docs = Seq(
+      (1L, d1),            // windows @0 and @10 duplicated, @1..9 unique
+      (2L, d1.take(50)),   // = d1's window @0
+      (3L, d1.drop(10)),   // = d1's window @10
+      (4L, "no dups here, and also at least fifty characters long!!")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.substringSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(spans == Set((1L, 0L, 50L), (1L, 10L, 50L), (2L, 0L, 50L), (3L, 0L, 50L)),
+      s"expected the two overlapping d1 spans + full d2/d3, got $spans")
+    val got = Dedup.substringRemove(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 60L, "")),
+      s"overlap: removed_chars must be the 60-char length delta, got ${got(1L)}")
+    assert(got(2L) == ((1L, 50L, "")) && got(3L) == ((1L, 50L, "")))
+    assert(got(4L)._1 == 0L && got(4L)._2 == 0L && got(4L)._3.length >= 50,
+      "clean doc passes through intact")
+  }
+
   test("mm_decode_jpeg: block stats equal a direct local decode, non-constant blocks included") {
     // NON-block-constant image: encode∘decode is lossy here, but decode
     // is deterministic — the DataFrame path must equal a local decode of

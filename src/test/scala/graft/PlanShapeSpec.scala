@@ -294,6 +294,27 @@ class PlanShapeSpec extends SparkSuite {
       s"sim_ann_lsh still expands rows / joins planes:\n${pLsh.take(3000)}")
   }
 
+  test("r18 dedup_substring: salted two-phase exact confirm, candidate exchanges reused") {
+    // the r17 scale-killer: `count over (partition by sh)` funneled a
+    // hot boilerplate substring into one window task. The fix must show
+    // (a) no Window over sh — the only Window is the per-doc
+    // gaps-and-islands; (b) the salted partial count keyed by
+    // (sh, pmod(xxhash64(doc_id, off), salts)); (c) ReusedExchange —
+    // the two consumers of the candidate table share its upstream
+    // shuffles instead of recomputing the pipeline
+    val df = q("dedup_substring")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("windowspecdefinition(sh"),
+      s"exact confirm still windows over the raw substring:\n${p.take(3000)}")
+    assert(p.contains("windowspecdefinition(doc_id"),
+      "the per-doc gaps-and-islands window must remain")
+    assert(p.contains("pmod(xxhash64(doc_id"),
+      s"no salted partial count in the confirm:\n${p.take(3000)}")
+    assert(p.contains("ReusedExchange"),
+      s"candidate pipeline recomputed instead of exchange reuse:\n${p.take(3000)}")
+  }
+
   test("asof join shuffles once on the partition key (no join at all)") {
     val p = plan("join_asof")
     assert(!p.contains("SortMergeJoin") && !p.contains("NestedLoop"),
