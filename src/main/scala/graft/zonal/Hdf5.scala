@@ -1565,7 +1565,8 @@ object Hdf5 {
       s"$path: '$timeVar' is ${tm.height}×${tm.width} — not a 1-D time coordinate")
     val units = tm.strAttrs.getOrElse("units",
       sys.error(s"$path: time coordinate $timeVar has no units attribute"))
-    val (epochMicros, unitMicros) = Netcdf.cfTimeUnits(units, s"$path:$timeVar")
+    val scale = Netcdf.cfTimeScale(units, tm.strAttrs.get("calendar"),
+      s"$path:$timeVar")
     val raw = chunkRefs(path, tm)
       .flatMap(r => readChunk(r).map { case (x, _, _, _, v) => (x, v) })
       .sortBy(_._1).map(_._2)
@@ -1574,8 +1575,7 @@ object Hdf5 {
       s"$path: '$varName' is not a rank-3 (t, y, x) cube")
     require(m.epochs == raw.length,
       s"$path: time axis has ${raw.length} values but $varName has ${m.epochs} epochs")
-    val kept = Netcdf.cfEpochLabels(raw, epochMicros, unitMicros, window,
-      s"$path:$timeVar")
+    val kept = Netcdf.cfEpochLabels(raw, scale, window, s"$path:$timeVar")
     val labels = kept.map { case (i, u) => (i, Netcdf.microsTimestamp(u)) }
       .toDF("epoch", "t_ts")
     val keep = kept.map(_._1).toSet

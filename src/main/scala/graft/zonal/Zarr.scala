@@ -951,17 +951,18 @@ object Zarr {
       timeName: String = "t",
       window: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
     import s.implicits._
-    val units = readZattrs(s"$dir/$timeName").getOrElse("units",
+    val zattrs = readZattrs(s"$dir/$timeName")
+    val units = zattrs.getOrElse("units",
       sys.error(s"$dir/$timeName: time coordinate has no units attribute"))
-    val (epochMicros, unitMicros) = Netcdf.cfTimeUnits(units, s"$dir/$timeName")
+    val scale = Netcdf.cfTimeScale(units, zattrs.get("calendar"),
+      s"$dir/$timeName")
     val raw = readCoordValues(s"$dir/$timeName")
     val m = readMeta(s"$dir/$varName")
     require(m.rank3 && !m.rank4,
       s"$dir/$varName: not a rank-3 (t, y, x) cube")
     require(m.epochs == raw.length,
       s"$dir: time axis has ${raw.length} values but $varName has ${m.epochs} epochs")
-    val kept = Netcdf.cfEpochLabels(raw, epochMicros, unitMicros, window,
-      s"$dir/$timeName")
+    val kept = Netcdf.cfEpochLabels(raw, scale, window, s"$dir/$timeName")
     val labels = kept.map { case (i, u) => (i, Netcdf.microsTimestamp(u)) }
       .toDF("epoch", "t_ts")
     val keep = kept.map(_._1).toSet
@@ -1054,7 +1055,8 @@ object Zarr {
     val (tm, attrs) = v3CoordMeta(s"$dir/$timeName")
     val units = attrs.getOrElse("units",
       sys.error(s"$dir/$timeName: time coordinate has no units attribute"))
-    val (epochMicros, unitMicros) = Netcdf.cfTimeUnits(units, s"$dir/$timeName")
+    val scale = Netcdf.cfTimeScale(units, attrs.get("calendar"),
+      s"$dir/$timeName")
     val raw = (0 until tm.nChunks).flatMap(ci => readCoordChunk(tm, ci))
       .sortBy(_._1).map(_._2)
     val m = readMeta(s"$dir/$varName")
@@ -1062,8 +1064,7 @@ object Zarr {
       s"$dir/$varName: not a rank-3 (t, y, x) cube")
     require(m.epochs == raw.length,
       s"$dir: time axis has ${raw.length} values but $varName has ${m.epochs} epochs")
-    val kept = Netcdf.cfEpochLabels(raw, epochMicros, unitMicros, window,
-      s"$dir/$timeName")
+    val kept = Netcdf.cfEpochLabels(raw, scale, window, s"$dir/$timeName")
     val labels = kept.map { case (i, u) => (i, Netcdf.microsTimestamp(u)) }
       .toDF("epoch", "t_ts")
     val keep = kept.map(_._1).toSet

@@ -476,6 +476,75 @@ class NetcdfSpec extends SparkSuite {
     assert(e != null)
   }
 
+  test("CF calendar attribute: gregorian family + noleap decode, the rest refuses (r18)") {
+    def lab(units: String, cal: Option[String], v: Long): java.time.Instant = {
+      val s = Netcdf.cfTimeScale(units, cal, "t")
+      java.time.Instant.ofEpochSecond(Math.floorDiv(s.label(v), 1000000L),
+        Math.floorMod(s.label(v), 1000000L) * 1000L)
+    }
+    val d0 = "days since 2000-01-01"
+    // absent calendar = standard = proleptic-Gregorian post-cutover:
+    // all three spellings and absent agree, and 2000 IS a leap year
+    for (cal <- Seq(None, Some("standard"), Some("gregorian"),
+        Some("proleptic_gregorian"), Some(" Standard "))) {
+      assert(lab(d0, cal, 59) == java.time.Instant.parse("2000-02-29T00:00:00Z"),
+        s"cal=$cal")
+      assert(lab(d0, cal, 60) == java.time.Instant.parse("2000-03-01T00:00:00Z"))
+    }
+    // noleap: no Feb 29 — day 59 is ALREADY March 1; year boundary at
+    // 365; backwards offsets work; nominal date renders as Gregorian
+    for (cal <- Seq(Some("noleap"), Some("365_day"))) {
+      assert(lab(d0, cal, 58) == java.time.Instant.parse("2000-02-28T00:00:00Z"))
+      assert(lab(d0, cal, 59) == java.time.Instant.parse("2000-03-01T00:00:00Z"),
+        s"cal=$cal must skip the nonexistent noleap Feb 29")
+      assert(lab(d0, cal, 364) == java.time.Instant.parse("2000-12-31T00:00:00Z"))
+      assert(lab(d0, cal, 365) == java.time.Instant.parse("2001-01-01T00:00:00Z"))
+      assert(lab(d0, cal, -1) == java.time.Instant.parse("1999-12-31T00:00:00Z"))
+      assert(lab("12 hours since 2000-02-28 06:00:00", cal, 2) ==
+        java.time.Instant.parse("2000-03-01T06:00:00Z"),
+        "sub-day units carry time-of-day through the noleap day math")
+    }
+    // everything else refuses loudly, naming the calendar
+    for (bad <- Seq("360_day", "julian", "all_leap", "366_day", "none")) {
+      val e = intercept[RuntimeException](
+        Netcdf.cfTimeScale(d0, Some(bad), "t"))
+      assert(e.getMessage.contains("unsupported") && e.getMessage.contains(bad),
+        s"$bad: ${e.getMessage}")
+    }
+    // the MIXED standard calendar refuses pre-1582-cutover epochs and
+    // decoded instants (Julian arithmetic territory); proleptic accepts
+    val old = "days since 1500-01-01"
+    for (cal <- Seq(None, Some("standard"), Some("gregorian"))) {
+      val e = intercept[RuntimeException](Netcdf.cfTimeScale(old, cal, "t"))
+      assert(e.getMessage.contains("cutover"), s"$cal: ${e.getMessage}")
+    }
+    assert(lab(old, Some("proleptic_gregorian"), 0) ==
+      java.time.Instant.parse("1500-01-01T00:00:00Z"))
+    val e2 = intercept[RuntimeException](
+      Netcdf.cfTimeScale("days since 1583-01-01", Some("standard"), "t")
+        .label(-365L))
+    assert(e2.getMessage.contains("cutover"),
+      "a post-cutover epoch with a pre-cutover decoded instant must refuse")
+  }
+
+  test("netCDF time scan refuses a 360_day file loudly; noleap file decodes (r18)") {
+    val dir = java.nio.file.Files.createTempDirectory("nc_cal").toString
+    val p360 = s"$dir/c360.nc"
+    Netcdf.writeNetcdf(p360, "v", 4, 4, 5,
+      timeAxis = Some((2, i => i.toDouble, "days since 2000-01-01")),
+      timeCalendar = Some("360_day"))((x, y, t) => (x + y + t).toDouble)
+    val e = intercept[RuntimeException](
+      Netcdf.scanNetcdfTime(spark, p360, "v", "t").count())
+    assert(e.getMessage.contains("360_day") && e.getMessage.contains("unsupported"))
+    // the noleap registry fixture end-to-end: day 59 labels March 1
+    val labels = Netcdf.scanNetcdfTime(spark, Netcdf.noleapFixturePath(), "t2m")
+      .select("epoch", "t_ts").distinct().collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).toInstant)).toMap
+    assert(labels(2) == java.time.Instant.parse("2000-03-01T00:00:00Z"),
+      "noleap day 59 must skip the (real) 2000 leap day")
+    assert(labels(4) == java.time.Instant.parse("2001-01-01T00:00:00Z"))
+  }
+
   test("CF time units: hand vectors, window prunes epochs, fractional and calendar units refuse") {
     // parser hand-vectors (micros): base 2000-01-02T03:04:05Z
     val base = java.time.Instant.parse("2000-01-02T03:04:05Z").getEpochSecond * 1000000L
