@@ -189,6 +189,7 @@ object Helmert {
     */
   def cellsLonLat(s: SparkSession, path: String): DataFrame = {
     val m = Raster.readMeta(path)
+    Raster.requireCrs(m, path, _ == 4269, "EPSG:4269 (NAD83 geographic degrees)")
     applyShift(Raster.scanTiff(s, path, m).selectExpr(centerExprs: _*))
   }
 

@@ -47,7 +47,14 @@ object Raster {
       // pixel space, the engine's shared integer lattice (SURVEY §1.2)
       originX: Double, originY: Double, scaleX: Double, scaleY: Double,
       // Compression=7: shared abbreviated-stream tables (JPEGTables tag)
-      jpegTables: Array[Byte] = Array.emptyByteArray) {
+      jpegTables: Array[Byte] = Array.emptyByteArray,
+      // GeoKey directory (tag 34735, r18): the EPSG code the file
+      // DECLARES for its model space — ProjectedCSType (key 3072) or
+      // GeographicType (key 2048). None when the directory is absent or
+      // the code is user-defined (32767): the caller's assertion then
+      // stands, as before. CRS-assuming ops refuse a CONTRADICTING
+      // declaration via [[Raster.requireCrs]].
+      crsEpsg: Option[Int] = None) {
     def tilesAcross: Int = (width + tileW - 1) / tileW
     def tilesDown: Int = (height + tileH - 1) / tileH
   }
@@ -84,6 +91,7 @@ object Raster {
   private val TagModelPixelScale = 33550
   private val TagModelTiepoint = 33922
   private val TagModelTransformation = 34264 // full 4×4 affine (may rotate)
+  private val TagGeoKeyDirectory = 34735 // GeoTIFF key directory (SHORTs)
   private val TagGdalNodata = 42113 // ASCII, GDAL convention
   private val TagJpegTables = 347 // abbreviated-stream DQT/DHT (TIFF-EP)
 
@@ -109,6 +117,24 @@ object Raster {
         "north-up (+x east, y decreasing down rows)")
     (t(3), t(7), t(0), -t(5))
   }
+
+  /** CRS contradiction guard (r18): a CRS-assuming op (Web-Mercator /
+    * UTM / NAD83 inverse) must refuse a file whose GeoKey directory
+    * DECLARES a different model space — running the wrong inverse
+    * georeferences every cell silently wrong, the misread class the
+    * engine refuses everywhere else. A file declaring nothing (or a
+    * user-defined 32767 code) passes: the caller's assertion stands,
+    * exactly as before GeoKeys were parsed.
+    */
+  private[graft] def requireCrs(m: TiffMeta, path: String, ok: Int => Boolean,
+      assumed: String): Unit =
+    m.crsEpsg.foreach { code =>
+      require(ok(code),
+        s"$path declares EPSG:$code in its GeoKey directory but this " +
+          s"operator assumes $assumed — refusing the contradiction " +
+          "(run the operator matching the declared CRS, or strip the " +
+          "wrong declaration upstream)")
+    }
 
   /** Header-read accounting (test instrumentation): RasterSpec's mosaic
     * scale-shape test asserts one read per file, inside executor tasks.
@@ -330,6 +356,40 @@ object Raster {
         case _ => None
       }
 
+      // GeoKey directory (r18 — the r17 verdict's missing #2: the
+      // file's DECLARED CRS was invisible, so wgs84-vs-utm-vs-nad83 was
+      // purely the caller's assertion and a Web-Mercator file run
+      // through the UTM op georeferenced silently wrong). Header is 4
+      // SHORTs (KeyDirectoryVersion=1, KeyRevision, MinorRevision,
+      // NumberOfKeys) then 4-SHORT entries (KeyID, TIFFTagLocation,
+      // Count, ValueOffset); a SHORT-valued key has TIFFTagLocation=0
+      // and its value inline. We surface the EPSG model-space code:
+      // ProjectedCSType (3072) wins over GeographicType (2048) — a
+      // projected file carries BOTH (the geographic key names the
+      // datum underneath). 32767 = user-defined → no code to check.
+      val crsEpsg: Option[Int] = {
+        val gk = values(TagGeoKeyDirectory)
+        if (gk.isEmpty) None
+        else {
+          require(gk.length >= 4 && gk(0) == 1L,
+            s"$path: GeoKey directory version ${if (gk.isEmpty) "?" else gk(0)} " +
+              s"/ length ${gk.length} malformed (want version 1, >= 4 shorts)")
+          val nKeys = gk(3).toInt
+          require(gk.length >= 4 + 4 * nKeys,
+            s"$path: GeoKey directory declares $nKeys keys but carries " +
+              s"only ${(gk.length - 4) / 4}")
+          val inline = (0 until nKeys).flatMap { k =>
+            val base = 4 + 4 * k
+            if (gk(base + 1) == 0L && gk(base + 2) == 1L)
+              Some(gk(base).toInt -> gk(base + 3).toInt)
+            else None
+          }.toMap
+          def code(key: Int): Option[Int] =
+            inline.get(key).filter(c => c >= 1024 && c <= 32766)
+          code(3072).orElse(code(2048))
+        }
+      }
+
       val geoScale = values(TagModelPixelScale).map(java.lang.Double.longBitsToDouble)
       val geoTie = values(TagModelTiepoint).map(java.lang.Double.longBitsToDouble)
       // ModelTransformation (the other GeoTIFF georeference spelling —
@@ -364,7 +424,7 @@ object Raster {
         tileW = tw0, tileH = th0,
         bits = bits, sampleFormat = fmt, bigEndian = bigEndian, bands = bands,
         compression = comp, predictor = predictor, striped = striped,
-        planar = planar, jpegTables = jpegTables,
+        planar = planar, jpegTables = jpegTables, crsEpsg = crsEpsg,
         nodata = nodata,
         tileOffsets = values(offTag),
         tileByteCounts = values(cntTag),
@@ -832,7 +892,15 @@ object Raster {
       // model-space origin of raster point (0,0) and per-pixel scale
       // (north-up convention — world y DECREASES as rows increase)
       originX: Double = 0.0, originY: Double = 0.0,
-      scaleX: Double = 1.0, scaleY: Double = 1.0)
+      scaleX: Double = 1.0, scaleY: Double = 1.0,
+      // r18: declared CRS — writes a GeoKey directory (tag 34735) with
+      // GTModelType + GTRasterType=PixelIsArea + the EPSG code under
+      // GeographicType (geographic family) or ProjectedCSType (else)
+      epsg: Option[Int] = None)
+
+  /** Geographic (degree-model-space) EPSG codes the writer keys under
+    * GeographicTypeGeoKey; everything else writes ProjectedCSType. */
+  private val GeographicEpsg = Set(4326, 4269, 4258, 4267)
 
   /** Generalized single-band writer behind [[WriteOpts]]. */
   def writeTiffOpts(path: String, width: Int, height: Int, tileW: Int, tileH: Int,
@@ -974,6 +1042,14 @@ object Raster {
     entsB += ((TagModelTiepoint, 12,
       Array(0.0, 0.0, 0.0, o.originX, o.originY, 0.0)
         .map(java.lang.Double.doubleToRawLongBits)))
+    o.epsg.foreach { code =>
+      val geographic = GeographicEpsg(code)
+      entsB += ((TagGeoKeyDirectory, 3, Array[Long](
+        1, 1, 0, 3, // version 1.1.0, 3 keys, key-ascending per spec
+        1024, 0, 1, if (geographic) 2L else 1L, // GTModelType
+        1025, 0, 1, 1L, // GTRasterType = PixelIsArea
+        if (geographic) 2048L else 3072L, 0, 1, code.toLong)))
+    }
     o.nodata.foreach { d =>
       val s = if (d == d.toLong.toDouble) d.toLong.toString else d.toString
       entsB += ((TagGdalNodata, 2, s.getBytes("US-ASCII").map(_.toLong & 0xffL) :+ 0L))
@@ -1347,6 +1423,19 @@ object Raster {
       writeTiffOpts(p, FixW, FixH, 32, 32, WriteOpts(
         originX = WorldOX.toDouble, originY = WorldOY.toDouble,
         scaleX = WorldScale.toDouble, scaleY = WorldScale.toDouble))(fixtureValue)
+    }
+
+  /** The world fixture with a DECLARED CRS (r18): identical content and
+    * georeference, plus a GeoKey directory declaring EPSG:3857 — the
+    * auto-dispatch op picks its inverse from this declaration, and the
+    * UTM/NAD83 ops must refuse the contradiction.
+    */
+  def crs3857FixturePath(): String =
+    fixtureOnce(s"raster_crs3857_${FixW}x$FixH.tif") { p =>
+      writeTiffOpts(p, FixW, FixH, 32, 32, WriteOpts(
+        originX = WorldOX.toDouble, originY = WorldOY.toDouble,
+        scaleX = WorldScale.toDouble, scaleY = WorldScale.toDouble,
+        epsg = Some(3857)))(fixtureValue)
     }
 
   /** Deterministic world-coordinate zones (meters, integer, NOT

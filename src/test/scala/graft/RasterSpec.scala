@@ -966,6 +966,63 @@ class RasterSpec extends SparkSuite {
     assert(byY.zip(byY.tail).forall { case (a, b) => a > b }, "lat not decreasing in y")
   }
 
+  test("GeoKey directory: declared CRS surfaces, contradictions refuse, auto op dispatches (r18)") {
+    val dir = java.nio.file.Files.createTempDirectory("geokey").toString
+    def write(p: String, epsg: Option[Int]): String = {
+      Raster.writeTiffOpts(p, 8, 8, 8, 8,
+        Raster.WriteOpts(epsg = epsg))((x, y) => (x + y).toDouble)
+      p
+    }
+    // roundtrip: projected key (3072) and geographic key (2048)
+    assert(Raster.readMeta(write(s"$dir/a.tif", Some(3857))).crsEpsg.contains(3857))
+    assert(Raster.readMeta(write(s"$dir/b.tif", Some(4269))).crsEpsg.contains(4269))
+    // user-defined code (32767) carries no checkable declaration
+    assert(Raster.readMeta(write(s"$dir/c.tif", Some(32767))).crsEpsg.isEmpty)
+    // absent directory: unchanged legacy behavior
+    assert(Raster.readMeta(write(s"$dir/d.tif", None)).crsEpsg.isEmpty)
+    // malformed directory version refuses loudly: patch the header
+    // short of the written key directory (pattern 1,1,0,3 LE)
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(s"$dir/a.tif"))
+    val pat = Array[Byte](1, 0, 1, 0, 0, 0, 3, 0)
+    val at = raw.indices.indexWhere(i => i + 8 <= raw.length &&
+      (0 until 8).forall(k => raw(i + k) == pat(k)))
+    assert(at > 0, "GeoKey header pattern must exist in the fixture")
+    raw(at) = 2
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/bad.tif"), raw)
+    val eBad = intercept[IllegalArgumentException](Raster.readMeta(s"$dir/bad.tif"))
+    assert(eBad.getMessage.contains("GeoKey"), eBad.getMessage)
+    // contradiction refusals: each CRS-assuming op refuses a file
+    // declaring a DIFFERENT model space, naming both sides
+    val p3857 = Raster.crs3857FixturePath()
+    val eUtm = intercept[IllegalArgumentException](
+      graft.zonal.Utm.cellsLonLat(spark, p3857, 3))
+    assert(eUtm.getMessage.contains("declares EPSG:3857")
+      && eUtm.getMessage.contains("32631"), eUtm.getMessage)
+    val eHel = intercept[IllegalArgumentException](
+      graft.zonal.Helmert.cellsLonLat(spark, p3857))
+    assert(eHel.getMessage.contains("declares EPSG:3857")
+      && eHel.getMessage.contains("4269"), eHel.getMessage)
+    val eMerc = intercept[IllegalArgumentException](
+      graft.zonal.Reproject.cellsLonLat(spark, write(s"$dir/e.tif", Some(4269))))
+    assert(eMerc.getMessage.contains("declares EPSG:4269"), eMerc.getMessage)
+    // matching declaration passes and equals the undeclared twin
+    val auto = graft.zonal.Reproject.cellsLonLatAuto(spark, p3857)
+      .select("cell_x", "cell_y", "lon", "lat").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSet
+    val explicit = graft.zonal.Reproject.cellsLonLat(spark, Raster.worldFixturePath())
+      .select("cell_x", "cell_y", "lon", "lat").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(auto == explicit,
+      "auto dispatch on the declared 3857 must equal the explicit Mercator path")
+    // the auto op refuses undeclared files and unsupported declarations
+    val eNone = intercept[RuntimeException](
+      graft.zonal.Reproject.cellsLonLatAuto(spark, Raster.worldFixturePath()))
+    assert(eNone.getMessage.contains("no GeoKey"), eNone.getMessage)
+    val eUnsup = intercept[RuntimeException](
+      graft.zonal.Reproject.cellsLonLatAuto(spark, write(s"$dir/f.tif", Some(2154))))
+    assert(eUnsup.getMessage.contains("2154"), eUnsup.getMessage)
+  }
+
   test("ModelTransformation georeference: north-up derives (origin, scale); rotation fails loudly") {
     // GeoTIFF's other georeference spelling (4×4 row-major affine).
     // Previously the tag was ignored entirely — a rotated file read
