@@ -476,6 +476,63 @@ class NetcdfSpec extends SparkSuite {
     assert(e != null)
   }
 
+  test("multi-file concat: global axis + window prunes whole files; overlap and shape refuse (r18)") {
+    val dir = java.nio.file.Files.createTempDirectory("nc_mf").toString
+    def member(k: Int, days: Seq[Int], w: Int = 6, h: Int = 5): String = {
+      val p = s"$dir/m_$k.nc"
+      Netcdf.writeNetcdf(p, "v", h, w, 5,
+        timeAxis = Some((days.length, j => days(j).toDouble,
+          "days since 2000-01-01")))(
+        (x, y, t) => (x + 10 * y + 100 * (2 * k + t)).toDouble)
+      p
+    }
+    member(0, Seq(5, 15)); member(1, Seq(35, 45)); member(2, Seq(65, 75))
+    // full scan: global epochs 0..5 with exact timestamps
+    val all = Netcdf.scanNetcdfMf(spark, dir, "v")
+    val labs = all.select("epoch", "t_ts").distinct().collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).toInstant)).toMap
+    assert(labs.size == 6)
+    assert(labs(0) == java.time.Instant.parse("2000-01-06T00:00:00Z"))
+    assert(labs(5) == java.time.Instant.parse("2000-03-16T00:00:00Z"))
+    // values carry the GLOBAL epoch through the concat
+    val g3 = all.filter("epoch = 3 AND cell_x = 2 AND cell_y = 1")
+      .select("value").collect().map(_.getDouble(0))
+    assert(g3.toSeq == Seq(2 + 10 * 1 + 100 * 3.0),
+      s"global epoch 3 must read member 1's second slab, got ${g3.toSeq}")
+    // window pruning is FILE-level: truncate member 0's data bytes away
+    // entirely — a windowed scan that excludes it must never touch them
+    val p0 = java.nio.file.Paths.get(s"$dir/m_0.nc")
+    val raw = java.nio.file.Files.readAllBytes(p0)
+    java.nio.file.Files.write(p0,
+      java.util.Arrays.copyOf(raw, raw.length - 2 * 6 * 5 * 4))
+    val win = (java.sql.Timestamp.from(java.time.Instant.parse("2000-02-01T00:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2000-03-07T00:00:00Z")))
+    val kept = Netcdf.scanNetcdfMf(spark, dir, "v", "t", Some(win))
+    assert(kept.select("epoch").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(2, 3, 4), "window [Feb 1, Mar 7] keeps global epochs 2..4")
+    assert(kept.count() == 3L * 6 * 5)
+    intercept[Exception](Netcdf.scanNetcdfMf(spark, dir, "v").count())
+    // overlapping members refuse loudly
+    val dir2 = java.nio.file.Files.createTempDirectory("nc_mf_bad").toString
+    def member2(d2: String, k: Int, days: Seq[Int], w: Int = 6): String = {
+      val p = s"$d2/m_$k.nc"
+      Netcdf.writeNetcdf(p, "v", 5, w, 5,
+        timeAxis = Some((days.length, j => days(j).toDouble,
+          "days since 2000-01-01")))((x, y, t) => 1.0)
+      p
+    }
+    member2(dir2, 0, Seq(5, 45)); member2(dir2, 1, Seq(35, 75))
+    val eOv = intercept[IllegalArgumentException](
+      Netcdf.scanNetcdfMf(spark, dir2, "v").count())
+    assert(eOv.getMessage.contains("strictly"), eOv.getMessage)
+    // mismatched member shape refuses loudly
+    val dir3 = java.nio.file.Files.createTempDirectory("nc_mf_shape").toString
+    member2(dir3, 0, Seq(5)); member2(dir3, 1, Seq(35), w = 7)
+    val eSh = intercept[Exception](
+      Netcdf.scanNetcdfMf(spark, dir3, "v").count())
+    assert(eSh.getMessage.contains("differs"), eSh.getMessage)
+  }
+
   test("CF calendar attribute: gregorian family + noleap decode, the rest refuses (r18)") {
     def lab(units: String, cal: Option[String], v: Long): java.time.Instant = {
       val s = Netcdf.cfTimeScale(units, cal, "t")
