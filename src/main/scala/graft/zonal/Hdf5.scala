@@ -1556,10 +1556,10 @@ object Hdf5 {
     * metadata, the readMeta posture).
     * Output: `(epoch, t_ts, cell_x, cell_y, value)`.
     */
-  def scanNetcdf4Time(s: SparkSession, path: String, varName: String,
-      timeVar: String = "t",
-      window: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
-    import s.implicits._
+  /** Read + CF-decode the file's 1-D time coordinate (shared by the
+    * rank-3 and rank-4 time scans): `(raw axis values, scale)`. */
+  private def h5TimeAxis(path: String,
+      timeVar: String): (Seq[Double], Netcdf.CfTimeScale) = {
     val tm = readMeta(path, timeVar)
     require(tm.height == 1 && tm.epochs == 0,
       s"$path: '$timeVar' is ${tm.height}×${tm.width} — not a 1-D time coordinate")
@@ -1570,9 +1570,18 @@ object Hdf5 {
     val raw = chunkRefs(path, tm)
       .flatMap(r => readChunk(r).map { case (x, _, _, _, v) => (x, v) })
       .sortBy(_._1).map(_._2)
+    (raw, scale)
+  }
+
+  def scanNetcdf4Time(s: SparkSession, path: String, varName: String,
+      timeVar: String = "t",
+      window: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+    import s.implicits._
+    val (raw, scale) = h5TimeAxis(path, timeVar)
     val m = readMeta(path, varName)
     require(m.epochs > 0 && m.levels == 0,
-      s"$path: '$varName' is not a rank-3 (t, y, x) cube")
+      s"$path: '$varName' is not a rank-3 (t, y, x) cube" +
+        (if (m.levels > 0) " — use scanNetcdf4Time4d" else ""))
     require(m.epochs == raw.length,
       s"$path: time axis has ${raw.length} values but $varName has ${m.epochs} epochs")
     val kept = Netcdf.cfEpochLabels(raw, scale, window, s"$path:$timeVar")
@@ -1585,6 +1594,40 @@ object Hdf5 {
       .toDF("cell_x", "cell_y", "epoch", "value")
       .join(broadcast(labels), Seq("epoch"))
       .select(col("epoch"), col("t_ts"), col("cell_x"), col("cell_y"), col("value"))
+  }
+
+  /** RANK-4 CF TIME decode (r18 — the r17 verdict's missing #4: the
+    * standard pressure-level (t, level, y, x) shape could scan via
+    * scan_netcdf4_4d but could not get real timestamps or
+    * timestamp-windowed pruning; scanNetcdf4Time required rank 3): the
+    * time coordinate decodes through the same shared grammar (units +
+    * calendar), the LEVEL axis is surfaced alongside the labels, and a
+    * timestamp window prunes the rank-4 CHUNK MANIFEST on the t axis
+    * before any data read.
+    * Output: `(epoch, t_ts, level, cell_x, cell_y, value)`.
+    */
+  def scanNetcdf4Time4d(s: SparkSession, path: String, varName: String,
+      timeVar: String = "t",
+      window: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+    import s.implicits._
+    val (raw, scale) = h5TimeAxis(path, timeVar)
+    val m = readMeta(path, varName)
+    require(m.levels > 0,
+      s"$path: '$varName' is not a rank-4 (t, level, y, x) cube — " +
+        "use scanNetcdf4Time for rank 3")
+    require(m.epochs == raw.length,
+      s"$path: time axis has ${raw.length} values but $varName has ${m.epochs} epochs")
+    val kept = Netcdf.cfEpochLabels(raw, scale, window, s"$path:$timeVar")
+    val labels = kept.map { case (i, u) => (i, Netcdf.microsTimestamp(u)) }
+      .toDF("epoch", "t_ts")
+    val keep = kept.map(_._1).toSet
+    val refs = chunkRefs(path, m).filter(r =>
+      (r.ot until math.min(r.ot + r.chunkT, m.epochs)).exists(keep))
+    scanRefs(s, refs)
+      .toDF("cell_x", "cell_y", "level", "epoch", "value")
+      .join(broadcast(labels), Seq("epoch"))
+      .select(col("epoch"), col("t_ts"), col("level"),
+        col("cell_x"), col("cell_y"), col("value"))
   }
 
   /** Read a FIXED-LENGTH STRING dataset (r16 — HDF5 datatype class 3:
@@ -1952,7 +1995,7 @@ object Hdf5 {
     require(members.nonEmpty && members.map(_._1).distinct.size == members.size,
       "writeHdf5Multi: duplicate/empty variable list")
     vars.foreach { case (nm, dims, _, vals) =>
-      require(dims.nonEmpty && dims.size <= 3 && dims.product == vals.length,
+      require(dims.nonEmpty && dims.size <= 4 && dims.product == vals.length,
         s"writeHdf5Multi: $nm dims $dims vs ${vals.length} values") }
     memberStrAttrs.keys.foreach(k => require(members.exists(_._1 == k),
       s"writeHdf5Multi: attrs for unknown member '$k'"))
@@ -3562,6 +3605,35 @@ object Hdf5 {
     p
   }
 
+  private val fixtureTime4dLock = new Object
+  @volatile private var fixtureTime4dReady: String = null
+
+  /** Rank-4 CF time fixture (r18): a CONTIGUOUS (t, level, y, x) cube
+    * (the pressure-level shape) next to the same chunked CF `t`
+    * coordinate as the rank-3 time fixture — writeHdf5Multi's rank
+    * gate lifted to 4 for exactly this member.
+    */
+  def fixtureTime4dPath(): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5time4d_fixture_${H54T}x${H54L}x${H5H}x$H5W.nc"
+    if (fixtureTime4dReady != p) fixtureTime4dLock.synchronized {
+      if (fixtureTime4dReady != p) {
+        writeHdf5Multi(p, Seq(
+          ("v", Seq(H54T, H54L, H5H, H5W), "<f8",
+            Array.tabulate(H54T * H54L * H5H * H5W) { i =>
+              val x = i % H5W; val y = i / H5W % H5H
+              val l = i / (H5W * H5H) % H54L; val t = i / (H5W * H5H * H54L)
+              h5Cube4dValue(x, y, l, t)
+            })),
+          chunkedCoords = Seq(("t", "<f8",
+            Array.tabulate(H54T)(i => 7.0 * i + 3.0), 2)),
+          memberStrAttrs = Map("t" ->
+            Seq(("units", H5TimeUnits), ("calendar", "standard"))))
+        fixtureTime4dReady = p
+      }
+    }
+    p
+  }
+
   /** Rank-4 fixture formula over (x, y, l, t). */
   val H54T = 3
   val H54L = 4
@@ -4029,6 +4101,31 @@ object Hdf5 {
         java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
       scanNetcdf4Time(s, fixtureTimePath(), "v", "t", Some(win))
         .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // RANK-4 CF time decode (r18 — verdict missing #4: the standard
+    // pressure-level (t, level, y, x) shape gets real timestamps and
+    // timestamp-windowed manifest pruning; previously rank-3 only).
+    // The window [16:00, 23:00] drops epoch 0 — its (t, level, stripe)
+    // refs never read — and the level axis rides through untouched.
+    // The oracle replays the interval labels × the 4-factor formula
+    "scan_netcdf4_4d_time" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $H54T) t
+         |)
+         |SELECT epoch, t_ts, l.range AS level, x.range AS cell_x, y.range AS cell_y,
+         |  CAST((23 * x.range + 19 * y.range + 31 * l.range + 37 * epoch) % 991 AS DOUBLE) AS value
+         |FROM epochs CROSS JOIN range(0, $H54L) l
+         |CROSS JOIN range(0, $H5W) x CROSS JOIN range(0, $H5H) y
+         |WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |  AND TIMESTAMP '2020-03-01 23:00:00'
+         |ORDER BY epoch, level, cell_x, cell_y""".stripMargin) { (s, _) =>
+      val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T23:00:00Z")))
+      scanNetcdf4Time4d(s, fixtureTime4dPath(), "v", "t", Some(win))
+        .orderBy("epoch", "level", "cell_x", "cell_y")
     },
 
     // STREAMING netCDF-4 ingestion (r17 — completes the ingest trio

@@ -978,6 +978,46 @@ object Zarr {
       .select(col("epoch"), col("t_ts"), col("cell_x"), col("cell_y"), col("value"))
   }
 
+  /** RANK-4 CF TIME decode over a Zarr v2 hierarchy (r18 — the Zarr
+    * twin of [[Hdf5.scanNetcdf4Time4d]]: the pressure-level
+    * (t, level, y, x) shape with real timestamps and timestamp-
+    * windowed chunk pruning; the LEVEL axis rides through). A t-chunk
+    * with no kept epoch costs zero bytes.
+    * Output: `(epoch, t_ts, level, cell_x, cell_y, value)`.
+    */
+  def scanZarrTime4d(s: SparkSession, dir: String, varName: String = "v",
+      timeName: String = "t",
+      window: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+    import s.implicits._
+    val zattrs = readZattrs(s"$dir/$timeName")
+    val units = zattrs.getOrElse("units",
+      sys.error(s"$dir/$timeName: time coordinate has no units attribute"))
+    val scale = Netcdf.cfTimeScale(units, zattrs.get("calendar"),
+      s"$dir/$timeName")
+    val raw = readCoordValues(s"$dir/$timeName")
+    val m = readMeta(s"$dir/$varName")
+    require(m.rank4,
+      s"$dir/$varName: not a rank-4 (t, level, y, x) cube — " +
+        "use scanZarrTime for rank 3")
+    require(m.epochs == raw.length,
+      s"$dir: time axis has ${raw.length} values but $varName has ${m.epochs} epochs")
+    val kept = Netcdf.cfEpochLabels(raw, scale, window, s"$dir/$timeName")
+    val labels = kept.map { case (i, u) => (i, Netcdf.microsTimestamp(u)) }
+      .toDF("epoch", "t_ts")
+    val keep = kept.map(_._1).toSet
+    val refs = chunkRefs4(m, s"$dir/$varName").filter(r =>
+      (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
+        .exists(keep))
+    s.createDataset(refs)
+      .repartition(math.max(1, math.min(math.max(1, refs.size),
+        s.sparkContext.defaultParallelism)))
+      .flatMap(readChunk4 _)
+      .toDF("cell_x", "cell_y", "level", "epoch", "value")
+      .join(broadcast(labels), Seq("epoch"))
+      .select(col("epoch"), col("t_ts"), col("level"),
+        col("cell_x"), col("cell_y"), col("value"))
+  }
+
   /** Write a rank-1 coordinate array: `.zarray` + bare-index chunks. */
   def writeZarrCoord(dir: String, n: Int, chunk: Int,
       compressor: String = "zlib", dtype: String = "<f8")
@@ -3054,6 +3094,30 @@ object Zarr {
        |FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
        |CROSS JOIN range(0, $Zarr4L) l CROSS JOIN range(0, $Zarr4T) t""".stripMargin
 
+  private val fixtureTime4dLock = new Object
+  @volatile private var fixtureTime4dReady: String = null
+
+  /** Rank-4 CF time fixture (r18): the (t, level, y, x) v2 cube next
+    * to a `t` coordinate member with CF `units` + `calendar` — the
+    * Zarr twin of [[Hdf5.fixtureTime4dPath]].
+    */
+  def fixtureTime4dDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_time4d_fixture_${Zarr4T}x${Zarr4L}x${ZarrH}x$ZarrW"
+    if (fixtureTime4dReady != dir) fixtureTime4dLock.synchronized {
+      if (fixtureTime4dReady != dir) {
+        writeZarr4d(s"$dir/v", Zarr4T, Zarr4L, ZarrH, ZarrW, 2, 3, 32, 32,
+          compressor = "zlib")(zarr4dValue)
+        writeZarrCoord(s"$dir/t", Zarr4T, 2)(i => 7.0 * i + 3.0)
+        java.nio.file.Files.write(
+          new java.io.File(s"$dir/t", ".zattrs").toPath,
+          s"""{"units": "$ZarrTimeUnits", "calendar": "standard"}"""
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        fixtureTime4dReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixture4dLock = new Object
   @volatile private var fixture4dReady: String = null
 
@@ -3440,6 +3504,31 @@ object Zarr {
         java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
       scanZarrTime(s, fixtureTimeDir(), "v", "t", Some(win))
         .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // RANK-4 CF time decode, Zarr twin (r18 — verdict missing #4): the
+    // pressure-level (t, level, y, x) cube with real timestamps; the
+    // window [16:00, 23:00] drops epoch 0 (its t-chunk column never
+    // read when chunkT-aligned; here chunkT=2 keeps the boundary chunk
+    // and the label join trims it exactly) and the level axis rides
+    // through untouched. Oracle: interval labels × the 4-factor formula
+    "scan_zarr_4d_time" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $Zarr4T) t
+         |)
+         |SELECT epoch, t_ts, l.range AS level, x.range AS cell_x, y.range AS cell_y,
+         |  CAST((29 * x.range + 13 * y.range + 53 * l.range + 41 * epoch) % 1013 AS DOUBLE) AS value
+         |FROM epochs CROSS JOIN range(0, $Zarr4L) l
+         |CROSS JOIN range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |  AND TIMESTAMP '2020-03-01 23:00:00'
+         |ORDER BY epoch, level, cell_x, cell_y""".stripMargin) { (s, _) =>
+      val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T23:00:00Z")))
+      scanZarrTime4d(s, fixtureTime4dDir(), "v", "t", Some(win))
+        .orderBy("epoch", "level", "cell_x", "cell_y")
     },
 
     // v3 RANK-3 multi-variable DATASET read (r17 — the cube half for

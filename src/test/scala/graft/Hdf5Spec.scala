@@ -782,6 +782,45 @@ class Hdf5Spec extends SparkSuite {
     assert(e.getMessage.contains("units"))
   }
 
+  test("rank-4 CF time: level rides through, window prunes data reads, rank refusals both ways (r18)") {
+    // refusals: rank-3 fixture into the 4d scan and vice versa
+    val e3 = intercept[IllegalArgumentException](
+      Hdf5.scanNetcdf4Time4d(spark, Hdf5.fixtureTimePath(), "v").count())
+    assert(e3.getMessage.contains("rank-4"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      Hdf5.scanNetcdf4Time(spark, Hdf5.fixtureTime4dPath(), "v").count())
+    assert(e4.getMessage.contains("scanNetcdf4Time4d"), e4.getMessage)
+    // labels + level axis on the shared fixture
+    val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T23:00:00Z")))
+    val got = Hdf5.scanNetcdf4Time4d(spark, Hdf5.fixtureTime4dPath(), "v", "t", Some(win))
+    val eps = got.select("epoch").distinct().collect().map(_.getInt(0)).toSet
+    assert(eps == Set(1, 2), s"kept epochs $eps")
+    assert(got.select("level").distinct().count() == Hdf5.H54L.toLong)
+    val one = got.filter("epoch = 1 AND level = 2 AND cell_x = 3 AND cell_y = 4")
+      .collect()
+    assert(one.length == 1 && one(0).getDouble(5) == Hdf5.h5Cube4dValue(3, 4, 2, 1)
+      && one(0).getTimestamp(1).toInstant ==
+        java.time.Instant.parse("2020-03-01T16:00:00Z"))
+    // window prunes BEFORE data reads: truncate the last epoch's
+    // contiguous planes away — a window excluding it never touches them
+    val p = tmp("t4trunc")
+    Hdf5.writeHdf5Multi(p, Seq(
+      ("v", Seq(3, 2, 4, 5), "<f8", Array.tabulate(3 * 2 * 4 * 5)(_.toDouble)),
+      ("tc", Seq(3), "<f8", Array(3.0, 10.0, 17.0))),
+      memberStrAttrs = Map("tc" ->
+        Seq(("units", "hours since 2020-03-01 06:00:00"))))
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    java.nio.file.Files.write(java.nio.file.Paths.get(p),
+      java.util.Arrays.copyOf(raw, raw.length - 2 * 4 * 5 * 8))
+    val win2 = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T06:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T17:00:00Z")))
+    assert(Hdf5.scanNetcdf4Time4d(spark, p, "v", "tc", Some(win2)).count()
+      == 2L * 2 * 4 * 5)
+    intercept[Exception](
+      Hdf5.scanNetcdf4Time4d(spark, p, "v", "tc", None).count())
+  }
+
   test("multi-dataset group + rank-1 coordinates: decode, joins, refusals") {
     val p = tmp("coords")
     def fv(x: Int, y: Int): Double = ((3 * x + 7 * y) % 31).toDouble

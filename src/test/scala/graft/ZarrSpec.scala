@@ -772,6 +772,41 @@ class ZarrSpec extends SparkSuite {
     assert(e != null)
   }
 
+  test("rank-4 CF time (Zarr): poisoned out-of-window t-chunk never read; rank refusals (r18)") {
+    val dir = java.nio.file.Files.createTempDirectory("z4tp").toString
+    // T=4 L=2, chunkT=2 → t-chunks {0,1} and {2,3}
+    Zarr.writeZarr4d(s"$dir/v", 4, 2, 8, 8, 2, 2, 8, 8, compressor = "zlib")(
+      (x, y, l, t) => (x + 10 * y + 100 * l + 1000 * t).toDouble)
+    Zarr.writeZarrCoord(s"$dir/t", 4, 4, compressor = "raw")(i => 7.0 * i + 3.0)
+    java.nio.file.Files.write(new java.io.File(s"$dir/t", ".zattrs").toPath,
+      """{"units": "hours since 2020-03-01 06:00:00"}""".getBytes("UTF-8"))
+    // poison the second t-chunk column (ck=1): inflate fails if read
+    for (cl <- 0 until 1; ci <- 0 until 1; cj <- 0 until 1)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/v/1.$cl.$ci.$cj"),
+        Array[Byte](1, 2, 3, 4, 5))
+    // window keeps epochs 0-1 (09:00, 16:00): ck=1 costs zero bytes
+    val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T06:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")))
+    val got = Zarr.scanZarrTime4d(spark, dir, "v", "t", Some(win))
+    assert(got.count() == 2L * 2 * 64)
+    val one = got.filter("epoch = 1 AND level = 1 AND cell_x = 2 AND cell_y = 3")
+      .collect()
+    assert(one.length == 1 && one(0).getDouble(5) == (2 + 30 + 100 + 1000).toDouble
+      && one(0).getTimestamp(1).toInstant ==
+        java.time.Instant.parse("2020-03-01T16:00:00Z"))
+    // unwindowed: the poisoned chunk IS read and fails loudly
+    intercept[Exception](Zarr.scanZarrTime4d(spark, dir, "v", "t", None).count())
+    // rank refusals both ways
+    val e3 = intercept[IllegalArgumentException](
+      Zarr.scanZarrTime4d(spark, Zarr.fixtureTimeDir(), "v").count())
+    assert(e3.getMessage.contains("rank-4"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      Zarr.scanZarrTime(spark, Zarr.fixtureTime4dDir(), "v").count())
+    assert(e4.getMessage.contains("rank-3") || e4.getMessage.contains("rank-4"),
+      e4.getMessage)
+  }
+
   test("v3 coordinates + time: inline attributes, window pruning, refusals") {
     // v3 rank-1 roundtrip across codecs + a partial edge chunk
     val cd = java.nio.file.Files.createTempDirectory("v3c").toString
