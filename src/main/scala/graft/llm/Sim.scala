@@ -564,20 +564,36 @@ object Sim {
         val tmp = s"$p.tmp_${ProcessHandle.current().pid()}"
         build.write.mode("overwrite").parquet(tmp)
         if (!new java.io.File(p).exists) {
-          require(new java.io.File(tmp).renameTo(new java.io.File(p)),
-            s"ann index cache: rename $tmp -> $p failed")
+          if (!new java.io.File(tmp).renameTo(new java.io.File(p))) {
+            // cross-process race (r17 advice): two JVMs can both pass
+            // the inner existence check; the rename loser reads the
+            // winner's artifact instead of crashing the query, and only
+            // fails when the target is genuinely still absent
+            require(new java.io.File(p).exists,
+              s"ann index cache: rename $tmp -> $p failed with no winner present")
+            graft.core.Fs.rmTree(tmp)
+          }
         } else graft.core.Fs.rmTree(tmp)
       }
     }
     s.read.parquet(p)
   }
 
-  /** Cache key: params + a digest of the data dir (two dirs never
-    * share an artifact; a params change invalidates by name).
+  /** Cache key: params + a digest of the data dir AND a content
+    * fingerprint of the embeddings table (total byte size + newest
+    * mtime — r17 advice: a dataset REGENERATED at the same path must
+    * not silently serve a stale trained index; two dirs never share an
+    * artifact; a params change invalidates by name).
     */
   private def indexKey(d: String, variant: String): String = {
+    val f = new java.io.File(s"$d/embeddings.parquet")
+    val (sz, mt) =
+      if (f.isDirectory) {
+        val kids = Option(f.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+        (kids.map(_.length).sum, kids.map(_.lastModified).maxOption.getOrElse(0L))
+      } else (f.length, f.lastModified)
     val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(d.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .digest(s"$d|$sz|$mt".getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map("%02x".format(_)).mkString.take(12)
     s"${variant}_m${PqM}k${PqK}w${PqW}i${PqIters}_$h"
   }
