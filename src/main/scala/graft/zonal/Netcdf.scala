@@ -564,6 +564,64 @@ object Netcdf {
     }
   }
 
+  /** Decode a landed cube's cells WITH their CF timestamps, from raw
+    * bytes (r18 — the streaming-ingest composition: each landing file
+    * carries its OWN time axis + units/calendar, so a late-arriving
+    * epoch file streams in with real timestamps instead of a
+    * filename-parsed index). Rank-3 (t, y, x) over a FIXED t axis;
+    * emits `(labelMicros, cell_x, cell_y, value)`.
+    */
+  private[graft] def decodeTimedCells(bytes: Array[Byte], varName: String,
+      timeVar: String): Iterator[(Long, Int, Int, Double)] = {
+    val m = parseHeader("<stream>", bytes)
+    val tv = m.variable(timeVar)
+    require(tv.dimIds.length == 1,
+      s"<stream>: $timeVar rank ${tv.dimIds.length}, want a 1-D time coordinate")
+    val n = m.dims(tv.dimIds.head).length
+    require(n > 0, s"<stream>: record time coordinate unsupported")
+    val units = tv.attrs.find(_.name == "units").map(_.text).getOrElse(
+      sys.error(s"<stream>: time coordinate $timeVar has no units attribute"))
+    val scale = cfTimeScale(units,
+      tv.attrs.find(_.name == "calendar").map(_.text), s"<stream>:$timeVar")
+    val bb = java.nio.ByteBuffer.wrap(bytes) // classic NetCDF is big-endian
+    val tElem = elemSize(tv.ncType)
+    val raw = (0 until n).map { i =>
+      val off = (tv.begin + i.toLong * tElem).toInt
+      tv.ncType match {
+        case NcDouble => bb.getDouble(off)
+        case NcFloat => bb.getFloat(off).toDouble
+        case NcInt => bb.getInt(off).toDouble
+        case NcShort => bb.getShort(off).toDouble
+        case other => sys.error(s"<stream>: time coordinate type $other unsupported")
+      }
+    }
+    val labels = cfEpochLabels(raw, scale, None, s"<stream>:$timeVar").map(_._2)
+    val v = m.variable(varName)
+    require(v.dimIds.length == 3,
+      s"<stream>: ${v.name} rank ${v.dimIds.length}, want 3 (t, y, x)")
+    require(v.ncType != NcChar, s"<stream>: char data variable unsupported")
+    require(m.dims(v.dimIds(0)).length == n,
+      s"<stream>: ${v.name} has ${m.dims(v.dimIds(0)).length} epochs, axis has $n")
+    val h = m.dims(v.dimIds(1)).length
+    val w = m.dims(v.dimIds(2)).length
+    val elem = elemSize(v.ncType)
+    for {
+      t <- Iterator.range(0, n)
+      y <- Iterator.range(0, h)
+      x <- Iterator.range(0, w)
+    } yield {
+      val off = (v.begin + ((t.toLong * h + y) * w + x) * elem).toInt
+      val value = v.ncType match {
+        case NcByte => bb.get(off).toDouble
+        case NcShort => bb.getShort(off).toDouble
+        case NcInt => bb.getInt(off).toDouble
+        case NcFloat => bb.getFloat(off).toDouble
+        case NcDouble => bb.getDouble(off)
+      }
+      (labels(t), x, y, value)
+    }
+  }
+
   /** Window query over a rank-2 variable. NetCDF stores rows
     * contiguously full-width, so the Y-window prunes BYTES (stripes
     * outside [y0, y1] are never read — the manifest starts at y0), and
@@ -1600,6 +1658,55 @@ object Netcdf {
         java.sql.Timestamp.from(java.time.Instant.parse("2000-04-05T00:00:00Z")))
       scanNetcdfMf(s, mfFixtureDir(), "t2m", "t", Some(win))
         .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // STREAMING cube ingest with REAL timestamps (r18 — verdict next
+    // #9: the ingest trio landed raw filename-parsed epochs; here each
+    // landing file's OWN CF time axis decodes in the stream, the rows
+    // carry TimestampType, and a watermarked 30-day tumbling aggregate
+    // runs in APPEND mode — the batch-equivalent oracle replays the
+    // window arithmetic in exact unix-day integers PLUS the emission
+    // filter (windows closed by the final watermark = max − 5 days;
+    // the last window stays open in state by design, the
+    // stream_session discipline)
+    "stream_cube_time" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS g,
+         |    10957 + 30 * (t.range // 2) + 5 + 10 * (t.range % 2) AS d
+         |  FROM range(0, ${2 * MfFilesN}) t),
+         |win AS (SELECT g, (d // 30) * 30 AS ws FROM epochs
+         |  WHERE (d // 30) * 30 + 30 <= 10957 + 105 - 5)
+         |SELECT TIMESTAMP '1970-01-01' + to_days(CAST(ws AS INTEGER)) AS win_start,
+         |  count(*) AS n_cells,
+         |  CAST(sum((23 * x.range + 19 * y.range + 31 * g) % 983) AS BIGINT) AS sum_v
+         |FROM win CROSS JOIN range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |GROUP BY ws ORDER BY win_start""".stripMargin) { (s, _) =>
+      import s.implicits._
+      val dir = mfFixtureDir()
+      val binarySchema = new org.apache.spark.sql.types.StructType()
+        .add("path", org.apache.spark.sql.types.StringType)
+        .add("modificationTime", org.apache.spark.sql.types.TimestampType)
+        .add("length", org.apache.spark.sql.types.LongType)
+        .add("content", org.apache.spark.sql.types.BinaryType)
+      graft.stream.Runner.runToTable(s, "cube_time_tbl",
+          statePartitions = Some(8)) {
+        s.readStream.format("binaryFile").schema(binarySchema)
+          .option("maxFilesPerTrigger", 1).load(dir)
+          .select(col("content")).as[Array[Byte]]
+          .flatMap(bytes => decodeTimedCells(bytes, "t2m", "t"))
+          .toDF("us", "cell_x", "cell_y", "value")
+          .select(expr("timestamp_micros(us)").as("t_ts"),
+            col("cell_x"), col("cell_y"), col("value"))
+          .withWatermark("t_ts", "5 days")
+          .groupBy(window(col("t_ts"), "30 days"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(col("value").cast("long")).as("sum_v"))
+          .select(col("window.start").as("win_start"),
+            col("n_cells"), col("sum_v"))
+          .writeStream.format("memory").queryName("cube_time_tbl")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      }.orderBy("win_start")
     },
 
     // the concat's end-use: windowed zonal stats straight over the

@@ -319,6 +319,20 @@ class StreamSpec extends SparkSuite {
       s"user ${r.getLong(0)} count mismatch"))
   }
 
+  test("stream_cube_time: per-file CF axes decode in-stream; final watermark holds the open tail (r18)") {
+    val rows = q("stream_cube_time").collect()
+    // 4 monthly landing files → 4 tumbling 30-day windows, the LAST
+    // held open by the 5-day watermark (append-mode emission rule)
+    assert(rows.length == 3, s"expected 3 closed windows, got ${rows.length}")
+    val starts = rows.map(_.getTimestamp(0).toInstant.toEpochMilli).sorted
+    assert(starts.sliding(2).forall(w => w.length < 2
+      || w(1) - w(0) == 30L * 86400 * 1000), "window starts 30 days apart")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_cells")) == 2L * 80 * 70,
+        "each closed window holds exactly its member's two epochs")
+    }
+  }
+
   test("events_anomaly flags exactly the >3σ tail of each event type") {
     val rows = q("events_anomaly").collect()
     assert(rows.nonEmpty, "the heavy-tailed fixture should have 3σ outliers")

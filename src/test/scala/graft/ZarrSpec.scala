@@ -772,6 +772,36 @@ class ZarrSpec extends SparkSuite {
     assert(e != null)
   }
 
+  test("v3 SHARDED cube + CF time compose: decode, window prune at shard granularity (r18)") {
+    // the r17 v3 time decode and the sharding codec existed separately;
+    // this pins their composition: a sharded rank-3 v3 cube next to a
+    // v3 t coordinate, time-decoded and windowed through the same
+    // scanZarrV3Time path (shard = 2 epochs × 8×8, inner 1×4×4)
+    val dir = java.nio.file.Files.createTempDirectory("z3sht").toString
+    def f(x: Int, y: Int, t: Int): Double = (x + 10 * y + 100 * t).toDouble
+    Zarr.writeZarr3dSharded(s"$dir/v", 4, 8, 8, 2, 8, 8, 1, 4, 4,
+      compressor = "gzip")(f)
+    Zarr.writeZarrV3Coord(s"$dir/t", 4, 4,
+      attrs = Seq(("units", "hours since 2020-03-01 06:00:00"),
+        ("calendar", "standard")))(i => 7.0 * i + 3.0)
+    val all = Zarr.scanZarrV3Time(spark, dir, "v", "t", None)
+    assert(all.count() == 4L * 64)
+    val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T06:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")))
+    val got = Zarr.scanZarrV3Time(spark, dir, "v", "t", Some(win))
+    assert(got.select("epoch").distinct().collect().map(_.getInt(0)).toSet
+      == Set(0, 1), "window keeps epochs 0-1 (09:00, 16:00)")
+    val rows = got.collect().map(r =>
+      (r.getInt(0), r.getInt(2), r.getInt(3)) ->
+        ((r.getTimestamp(1).toInstant, r.getDouble(4)))).toMap
+    assert(rows.size == 2 * 64)
+    for (t <- 0 until 2; y <- 0 until 8; x <- 0 until 8)
+      assert(rows((t, x, y)) == ((
+        java.time.Instant.parse("2020-03-01T06:00:00Z")
+          .plusSeconds((7L * t + 3) * 3600), f(x, y, t))),
+        s"cell ($x,$y,$t)")
+  }
+
   test("rank-4 CF time (Zarr): poisoned out-of-window t-chunk never read; rank refusals (r18)") {
     val dir = java.nio.file.Files.createTempDirectory("z4tp").toString
     // T=4 L=2, chunkT=2 → t-chunks {0,1} and {2,3}
