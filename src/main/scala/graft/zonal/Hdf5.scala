@@ -1596,6 +1596,94 @@ object Hdf5 {
       .select(col("epoch"), col("t_ts"), col("cell_x"), col("cell_y"), col("value"))
   }
 
+  /** One member of a multi-file concat (r18): decoded axis labels +
+    * chunk manifest (LOCAL epoch indices) + uniformity shape — built
+    * executor-side, collected at manifest scale.
+    */
+  private final case class H5MfFile(path: String, labels: Seq[Long],
+      refs: Seq[H5ChunkRef], height: Int, width: Int, dtype: String)
+
+  /** MULTI-FILE time concatenation over netCDF-4/HDF5 (r18 — the HDF5
+    * twin of [[Netcdf.scanNetcdfMf]], the `open_mfdataset` shape): a
+    * directory of rank-3 members, each with its own CF time coordinate,
+    * scans as ONE cube with a GLOBAL time axis. Distributed per-file
+    * header + axis reads; strictly-increasing concat enforcement;
+    * (h, w, dtype) uniformity; window prunes whole files and t-chunks
+    * before any byte is read (boundary chunks trim through the label
+    * join). Chunk decode stays LOCAL-epoch (pad clipping intact); the
+    * global shift applies per emitted cell.
+    * Output: `(epoch, t_ts, cell_x, cell_y, value)`.
+    */
+  def scanNetcdf4Mf(s: SparkSession, root: String, varName: String,
+      timeVar: String = "t",
+      window: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+    import s.implicits._
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val rfs = rp.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val files = rfs.listStatus(rp).filter(!_.isDirectory)
+      .map(_.getPath.toString).filter(_.endsWith(".nc")).sorted.toSeq
+    require(files.nonEmpty, s"$root: no .nc members to concatenate")
+    val slices = math.max(1, math.min(files.size, s.sparkContext.defaultParallelism))
+    val perFile: Seq[H5MfFile] = s.sparkContext.parallelize(files, slices)
+      .map { path =>
+        val (raw, scale) = h5TimeAxis(path, timeVar)
+        val labels = Netcdf.cfEpochLabels(raw, scale, None, s"$path:$timeVar")
+          .map(_._2)
+        val m = readMeta(path, varName)
+        require(m.epochs > 0 && m.levels == 0,
+          s"$path: '$varName' is not a rank-3 (t, y, x) cube")
+        require(m.epochs == labels.length,
+          s"$path: time axis has ${labels.length} values but $varName " +
+            s"has ${m.epochs} epochs")
+        H5MfFile(path, labels, chunkRefs(path, m), m.height, m.width, m.dtype)
+      }.collect().toSeq
+    val first = perFile.head
+    perFile.foreach { f =>
+      require(f.height == first.height && f.width == first.width
+          && f.dtype == first.dtype,
+        s"${f.path}: shape ${f.height}x${f.width} dtype ${f.dtype} differs " +
+          s"from ${first.path}'s ${first.height}x${first.width} ${first.dtype}")
+    }
+    val ordered = perFile.sortBy(_.labels.head)
+    ordered.flatMap(f => f.labels.map(u => (f.path, u))).sliding(2).foreach {
+      case Seq((pa, a), (pb, b)) =>
+        require(a < b, s"$root: concatenated time axis not strictly " +
+          s"increasing ($pa has ${Netcdf.microsTimestamp(a)} before or at " +
+          s"$pb's ${Netcdf.microsTimestamp(b)}) — overlapping or unsorted members")
+      case _ => ()
+    }
+    val winU = window.map { case (lo, hi) =>
+      (lo.getTime * 1000L + lo.getNanos / 1000 % 1000,
+        hi.getTime * 1000L + hi.getNanos / 1000 % 1000)
+    }
+    def keepU(u: Long): Boolean =
+      winU.forall { case (lo, hi) => u >= lo && u <= hi }
+    val offsets = ordered.scanLeft(0)(_ + _.labels.length)
+    val labels = ordered.zip(offsets).flatMap { case (f, off) =>
+      f.labels.zipWithIndex.collect {
+        case (u, e) if keepU(u) => (off + e, Netcdf.microsTimestamp(u))
+      }
+    }
+    val tagged = ordered.zip(offsets).flatMap { case (f, off) =>
+      val keptLocal = f.labels.zipWithIndex.collect {
+        case (u, e) if keepU(u) => e
+      }.toSet
+      f.refs.filter(r =>
+        (r.ot until math.min(r.ot + r.chunkT, f.labels.length))
+          .exists(keptLocal))
+        .map((off, _))
+    }
+    s.createDataset(tagged)
+      .repartition(math.max(1, math.min(math.max(1, tagged.size),
+        s.sparkContext.defaultParallelism)))
+      .flatMap { case (off, r) =>
+        readChunk(r).map { case (x, y, _, t, v) => (x, y, off + t, v) }
+      }
+      .toDF("cell_x", "cell_y", "epoch", "value")
+      .join(broadcast(labels.toDF("epoch", "t_ts")), Seq("epoch"))
+      .select(col("epoch"), col("t_ts"), col("cell_x"), col("cell_y"), col("value"))
+  }
+
   /** RANK-4 CF TIME decode (r18 — the r17 verdict's missing #4: the
     * standard pressure-level (t, level, y, x) shape could scan via
     * scan_netcdf4_4d but could not get real timestamps or
@@ -3605,6 +3693,36 @@ object Hdf5 {
     p
   }
 
+  private val fixtureMfLock = new Object
+  @volatile private var fixtureMfReady: String = null
+
+  /** Multi-file concat fixture (r18): [[H5MfN]] "monthly" netCDF-4
+    * members, each a CONTIGUOUS rank-3 (t=2, y, x) cube + its own
+    * chunked CF `t` coordinate (days since 2000-01-01: member k carries
+    * days 30k+5 and 30k+15), data keyed by the GLOBAL epoch 2k+j.
+    */
+  val H5MfN = 3
+  def fixtureMfDir(): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5_mf_fixture_${H5W}x$H5H"
+    if (fixtureMfReady != root) fixtureMfLock.synchronized {
+      if (fixtureMfReady != root) {
+        for (k <- 0 until H5MfN)
+          writeHdf5Multi(s"$root/month_$k.nc", Seq(
+            ("v", Seq(2, H5H, H5W), "<f8",
+              Array.tabulate(2 * H5H * H5W) { i =>
+                val x = i % H5W; val y = i / H5W % H5H; val j = i / (H5W * H5H)
+                h5CubeValue(x, y, 2 * k + j)
+              })),
+            chunkedCoords = Seq(("t", "<f8",
+              Array.tabulate(2)(j => (30 * k + 5 + 10 * j).toDouble), 2)),
+            memberStrAttrs = Map("t" ->
+              Seq(("units", "days since 2000-01-01"), ("calendar", "standard"))))
+        fixtureMfReady = root
+      }
+    }
+    root
+  }
+
   private val fixtureTime4dLock = new Object
   @volatile private var fixtureTime4dReady: String = null
 
@@ -4100,6 +4218,30 @@ object Hdf5 {
       val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
         java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
       scanNetcdf4Time(s, fixtureTimePath(), "v", "t", Some(win))
+        .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // MULTI-FILE time concatenation, HDF5 twin (r18): a directory of
+    // per-month netCDF-4 members scans as one cube with a global time
+    // axis; the window drops member 0's chunks entirely. Same
+    // global-axis + global-epoch-formula oracle discipline as
+    // scan_netcdf_mf
+    "scan_netcdf4_mf" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2000-01-01 00:00:00'
+         |      + to_days(CAST(30 * (t.range // 2) + 5 + 10 * (t.range % 2) AS INTEGER)) AS t_ts
+         |  FROM range(0, ${2 * H5MfN}) t
+         |)
+         |SELECT epoch, t_ts, x.range AS cell_x, y.range AS cell_y,
+         |  CAST((23 * x.range + 19 * y.range + 37 * epoch) % 991 AS DOUBLE) AS value
+         |FROM epochs CROSS JOIN range(0, $H5W) x CROSS JOIN range(0, $H5H) y
+         |WHERE t_ts BETWEEN TIMESTAMP '2000-02-05 00:00:00'
+         |  AND TIMESTAMP '2000-04-05 00:00:00'
+         |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
+      val win = (java.sql.Timestamp.from(java.time.Instant.parse("2000-02-05T00:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2000-04-05T00:00:00Z")))
+      scanNetcdf4Mf(s, fixtureMfDir(), "v", "t", Some(win))
         .orderBy("epoch", "cell_x", "cell_y")
     },
 

@@ -1018,6 +1018,99 @@ object Zarr {
         col("cell_x"), col("cell_y"), col("value"))
   }
 
+  /** One member of a multi-hierarchy concat (r18): decoded axis labels
+    * (micros), rank-3 chunk manifest, and the uniformity-check shape —
+    * built EXECUTOR-side, collected at manifest scale.
+    */
+  private final case class ZarrMfDir(dir: String, labels: Seq[Long],
+      refs: Seq[ChunkRef3], height: Int, width: Int, dtype: String)
+
+  /** MULTI-HIERARCHY time concatenation (r18 — the Zarr twin of
+    * [[Netcdf.scanNetcdfMf]], the `open_mfdataset` shape): a directory
+    * of per-period Zarr v2 hierarchies (each `member/v` + `member/t`
+    * with CF `units`/`calendar`) scans as ONE cube with a GLOBAL time
+    * axis. Distributed per-member header + axis reads; members ordered
+    * by first timestamp, concatenated labels required STRICTLY
+    * increasing; (h, w, dtype) uniformity enforced; the window prunes
+    * whole members and t-chunks before any byte is read (boundary
+    * chunks trim exactly through the label join). `epoch` is the
+    * global concatenated index.
+    * Output: `(epoch, t_ts, cell_x, cell_y, value)`.
+    */
+  def scanZarrMf(s: SparkSession, root: String, varName: String = "v",
+      timeName: String = "t",
+      window: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
+    import s.implicits._
+    val rp = new org.apache.hadoop.fs.Path(root)
+    val rfs = hadoopFs(rp)
+    val dirs = rfs.listStatus(rp).filter(_.isDirectory)
+      .map(_.getPath.toString).sorted.toSeq
+    require(dirs.nonEmpty, s"$root: no member hierarchies to concatenate")
+    val slices = math.max(1, math.min(dirs.size, s.sparkContext.defaultParallelism))
+    val perDir: Seq[ZarrMfDir] = s.sparkContext.parallelize(dirs, slices)
+      .map { d =>
+        val zattrs = readZattrs(s"$d/$timeName")
+        val units = zattrs.getOrElse("units",
+          sys.error(s"$d/$timeName: time coordinate has no units attribute"))
+        val scale = Netcdf.cfTimeScale(units, zattrs.get("calendar"),
+          s"$d/$timeName")
+        val raw = readCoordValues(s"$d/$timeName")
+        val m = readMeta(s"$d/$varName")
+        require(m.rank3 && !m.rank4, s"$d/$varName: not a rank-3 (t, y, x) cube")
+        require(m.epochs == raw.length,
+          s"$d: time axis has ${raw.length} values but $varName has ${m.epochs} epochs")
+        val labels = Netcdf.cfEpochLabels(raw, scale, None, s"$d/$timeName")
+          .map(_._2)
+        ZarrMfDir(d, labels, chunkRefs3(m, s"$d/$varName"),
+          m.height, m.width, m.dtype)
+      }.collect().toSeq
+    val first = perDir.head
+    perDir.foreach { f =>
+      require(f.height == first.height && f.width == first.width
+          && f.dtype == first.dtype,
+        s"${f.dir}: shape ${f.height}x${f.width} dtype ${f.dtype} differs " +
+          s"from ${first.dir}'s ${first.height}x${first.width} ${first.dtype}")
+    }
+    val ordered = perDir.sortBy(_.labels.head)
+    ordered.flatMap(f => f.labels.map(u => (f.dir, u))).sliding(2).foreach {
+      case Seq((pa, a), (pb, b)) =>
+        require(a < b, s"$root: concatenated time axis not strictly " +
+          s"increasing ($pa has ${Netcdf.microsTimestamp(a)} before or at " +
+          s"$pb's ${Netcdf.microsTimestamp(b)}) — overlapping or unsorted members")
+      case _ => ()
+    }
+    val winU = window.map { case (lo, hi) =>
+      (lo.getTime * 1000L + lo.getNanos / 1000 % 1000,
+        hi.getTime * 1000L + hi.getNanos / 1000 % 1000)
+    }
+    def keepU(u: Long): Boolean =
+      winU.forall { case (lo, hi) => u >= lo && u <= hi }
+    val offsets = ordered.scanLeft(0)(_ + _.labels.length)
+    val labels = ordered.zip(offsets).flatMap { case (f, off) =>
+      f.labels.zipWithIndex.collect {
+        case (u, e) if keepU(u) => (off + e, Netcdf.microsTimestamp(u))
+      }
+    }
+    val tagged = ordered.zip(offsets).flatMap { case (f, off) =>
+      val keptLocal = f.labels.zipWithIndex.collect {
+        case (u, e) if keepU(u) => e
+      }.toSet
+      f.refs.filter(r =>
+        (r.ck * r.chunkT until
+          math.min((r.ck + 1) * r.chunkT, f.labels.length)).exists(keptLocal))
+        .map((off, _))
+    }
+    s.createDataset(tagged)
+      .repartition(math.max(1, math.min(math.max(1, tagged.size),
+        s.sparkContext.defaultParallelism)))
+      .flatMap { case (off, r) =>
+        readChunk3(r).map { case (x, y, t, v) => (x, y, off + t, v) }
+      }
+      .toDF("cell_x", "cell_y", "epoch", "value")
+      .join(broadcast(labels.toDF("epoch", "t_ts")), Seq("epoch"))
+      .select(col("epoch"), col("t_ts"), col("cell_x"), col("cell_y"), col("value"))
+  }
+
   /** Write a rank-1 coordinate array: `.zarray` + bare-index chunks. */
   def writeZarrCoord(dir: String, n: Int, chunk: Int,
       compressor: String = "zlib", dtype: String = "<f8")
@@ -3094,6 +3187,35 @@ object Zarr {
        |FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
        |CROSS JOIN range(0, $Zarr4L) l CROSS JOIN range(0, $Zarr4T) t""".stripMargin
 
+  private val fixtureMfLock = new Object
+  @volatile private var fixtureMfReady: String = null
+
+  /** Multi-hierarchy concat fixture (r18): [[ZarrMfN]] "monthly" member
+    * hierarchies, each a rank-3 (t=2, y, x) cube + its OWN CF time
+    * axis (days since 2000-01-01: member k carries days 30k+5 and
+    * 30k+15), data keyed by the GLOBAL epoch 2k+j.
+    */
+  val ZarrMfN = 3
+  def fixtureMfDir(): String = {
+    val root = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_mf_fixture_${ZarrW}x$ZarrH"
+    if (fixtureMfReady != root) fixtureMfLock.synchronized {
+      if (fixtureMfReady != root) {
+        for (k <- 0 until ZarrMfN) {
+          val d = s"$root/month_$k"
+          writeZarr3d(s"$d/v", 2, ZarrH, ZarrW, 2, 32, 32,
+            compressor = "zlib")((x, y, t) => zarr3dValue(x, y, 2 * k + t))
+          writeZarrCoord(s"$d/t", 2, 2)(j => (30 * k + 5 + 10 * j).toDouble)
+          java.nio.file.Files.write(
+            new java.io.File(s"$d/t", ".zattrs").toPath,
+            """{"units": "days since 2000-01-01", "calendar": "standard"}"""
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        fixtureMfReady = root
+      }
+    }
+    root
+  }
+
   private val fixtureTime4dLock = new Object
   @volatile private var fixtureTime4dReady: String = null
 
@@ -3503,6 +3625,30 @@ object Zarr {
       val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
         java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
       scanZarrTime(s, fixtureTimeDir(), "v", "t", Some(win))
+        .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // MULTI-HIERARCHY time concatenation, Zarr twin (r18): a directory
+    // of per-month hierarchies scans as one cube with a global time
+    // axis; the window drops member 0's chunks entirely. Same
+    // global-axis + global-epoch-formula oracle discipline as
+    // scan_netcdf_mf
+    "scan_zarr_mf" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2000-01-01 00:00:00'
+         |      + to_days(CAST(30 * (t.range // 2) + 5 + 10 * (t.range % 2) AS INTEGER)) AS t_ts
+         |  FROM range(0, ${2 * ZarrMfN}) t
+         |)
+         |SELECT epoch, t_ts, x.range AS cell_x, y.range AS cell_y,
+         |  CAST((29 * x.range + 13 * y.range + 41 * epoch) % 1009 AS DOUBLE) AS value
+         |FROM epochs CROSS JOIN range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |WHERE t_ts BETWEEN TIMESTAMP '2000-02-05 00:00:00'
+         |  AND TIMESTAMP '2000-04-05 00:00:00'
+         |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
+      val win = (java.sql.Timestamp.from(java.time.Instant.parse("2000-02-05T00:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("2000-04-05T00:00:00Z")))
+      scanZarrMf(s, fixtureMfDir(), "v", "t", Some(win))
         .orderBy("epoch", "cell_x", "cell_y")
     },
 

@@ -821,6 +821,63 @@ class Hdf5Spec extends SparkSuite {
       Hdf5.scanNetcdf4Time4d(spark, p, "v", "tc", None).count())
   }
 
+  test("multi-file concat (HDF5): global axis, file-level prune via truncation, refusals (r18)") {
+    val root = java.nio.file.Files.createTempDirectory("h5mf").toString
+    def member(k: Int, days: Seq[Int], w: Int = 6): String = {
+      val p = s"$root/m_$k.nc"
+      Hdf5.writeHdf5Multi(p, Seq(
+        ("v", Seq(days.length, 5, w), "<f8",
+          Array.tabulate(days.length * 5 * w) { i =>
+            val x = i % w; val y = i / w % 5; val j = i / (w * 5)
+            (x + 10 * y + 100 * (2 * k + j)).toDouble
+          })),
+        chunkedCoords = Seq(("t", "<f8", days.map(_.toDouble).toArray, 2)),
+        memberStrAttrs = Map("t" ->
+          Seq(("units", "days since 2000-01-01"))))
+      p
+    }
+    member(0, Seq(5, 15)); member(1, Seq(35, 45)); member(2, Seq(65, 75))
+    val all = Hdf5.scanNetcdf4Mf(spark, root, "v")
+    assert(all.count() == 6L * 30)
+    val labs = all.select("epoch", "t_ts").distinct().collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).toInstant)).toMap
+    assert(labs(0) == java.time.Instant.parse("2000-01-06T00:00:00Z"))
+    assert(labs(5) == java.time.Instant.parse("2000-03-16T00:00:00Z"))
+    val g3 = all.filter("epoch = 3 AND cell_x = 2 AND cell_y = 1").collect()
+    assert(g3.length == 1 && g3(0).getDouble(4) == (2 + 10 + 300).toDouble,
+      "global epoch 3 must read member 1's second slab")
+    // file-level prune: truncate member 0's contiguous data tail ('v'
+    // sorts after 't', so its blob is last) — the windowed scan that
+    // excludes it never reads the missing bytes
+    val p0 = java.nio.file.Paths.get(s"$root/m_0.nc")
+    val raw = java.nio.file.Files.readAllBytes(p0)
+    java.nio.file.Files.write(p0,
+      java.util.Arrays.copyOf(raw, raw.length - 2 * 5 * 6 * 8))
+    val win = (java.sql.Timestamp.from(java.time.Instant.parse("2000-02-01T00:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2000-03-07T00:00:00Z")))
+    assert(Hdf5.scanNetcdf4Mf(spark, root, "v", "t", Some(win))
+      .select("epoch").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(2, 3, 4))
+    intercept[Exception](Hdf5.scanNetcdf4Mf(spark, root, "v").count())
+    // overlap + shape refusals
+    val r2 = java.nio.file.Files.createTempDirectory("h5mf_bad").toString
+    def m2(r: String, k: Int, days: Seq[Int], w: Int = 6): Unit =
+      Hdf5.writeHdf5Multi(s"$r/m_$k.nc", Seq(
+        ("v", Seq(days.length, 5, w), "<f8",
+          Array.fill(days.length * 5 * w)(1.0))),
+        chunkedCoords = Seq(("t", "<f8", days.map(_.toDouble).toArray, 2)),
+        memberStrAttrs = Map("t" ->
+          Seq(("units", "days since 2000-01-01"))))
+    m2(r2, 0, Seq(5, 45)); m2(r2, 1, Seq(35, 75))
+    val eOv = intercept[IllegalArgumentException](
+      Hdf5.scanNetcdf4Mf(spark, r2, "v").count())
+    assert(eOv.getMessage.contains("strictly"), eOv.getMessage)
+    val r3 = java.nio.file.Files.createTempDirectory("h5mf_shape").toString
+    m2(r3, 0, Seq(5)); m2(r3, 1, Seq(35), w = 7)
+    val eSh = intercept[Exception](Hdf5.scanNetcdf4Mf(spark, r3, "v").count())
+    assert(eSh.getMessage.contains("differs"), eSh.getMessage)
+  }
+
   test("multi-dataset group + rank-1 coordinates: decode, joins, refusals") {
     val p = tmp("coords")
     def fv(x: Int, y: Int): Double = ((3 * x + 7 * y) % 31).toDouble

@@ -802,6 +802,59 @@ class ZarrSpec extends SparkSuite {
         s"cell ($x,$y,$t)")
   }
 
+  test("multi-hierarchy concat (Zarr): global axis, member-level prune, overlap/shape refusals (r18)") {
+    val root = java.nio.file.Files.createTempDirectory("zmf").toString
+    def member(k: Int, days: Seq[Int], w: Int = 8): Unit = {
+      val d = s"$root/m_$k"
+      Zarr.writeZarr3d(s"$d/v", days.length, 5, w, days.length, 5, w,
+        compressor = "zlib")((x, y, t) => (x + 10 * y + 100 * (2 * k + t)).toDouble)
+      Zarr.writeZarrCoord(s"$d/t", days.length, days.length,
+        compressor = "raw")(j => days(j).toDouble)
+      java.nio.file.Files.write(new java.io.File(s"$d/t", ".zattrs").toPath,
+        """{"units": "days since 2000-01-01"}""".getBytes("UTF-8"))
+    }
+    member(0, Seq(5, 15)); member(1, Seq(35, 45)); member(2, Seq(65, 75))
+    val all = Zarr.scanZarrMf(spark, root, "v")
+    assert(all.count() == 6L * 40)
+    val labs = all.select("epoch", "t_ts").distinct().collect()
+      .map(r => (r.getInt(0), r.getTimestamp(1).toInstant)).toMap
+    assert(labs(0) == java.time.Instant.parse("2000-01-06T00:00:00Z"))
+    assert(labs(5) == java.time.Instant.parse("2000-03-16T00:00:00Z"))
+    val g3 = all.filter("epoch = 3 AND cell_x = 2 AND cell_y = 1").collect()
+    assert(g3.length == 1 && g3(0).getDouble(4) == (2 + 10 + 300).toDouble,
+      "global epoch 3 must read member 1's second slab")
+    // member-level prune: poison member 0's only chunk — a window
+    // excluding it never touches the bytes; unwindowed fails loudly
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$root/m_0/v/0.0.0"),
+      Array[Byte](9, 9, 9))
+    val win = (java.sql.Timestamp.from(java.time.Instant.parse("2000-02-01T00:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2000-03-07T00:00:00Z")))
+    assert(Zarr.scanZarrMf(spark, root, "v", "t", Some(win))
+      .select("epoch").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(2, 3, 4))
+    intercept[Exception](Zarr.scanZarrMf(spark, root, "v").count())
+    // overlapping members refuse
+    val r2 = java.nio.file.Files.createTempDirectory("zmf_bad").toString
+    def m2(r: String, k: Int, days: Seq[Int], w: Int = 8): Unit = {
+      val d = s"$r/m_$k"
+      Zarr.writeZarr3d(s"$d/v", days.length, 5, w, days.length, 5, w,
+        compressor = "raw")((x, y, t) => 1.0)
+      Zarr.writeZarrCoord(s"$d/t", days.length, days.length,
+        compressor = "raw")(j => days(j).toDouble)
+      java.nio.file.Files.write(new java.io.File(s"$d/t", ".zattrs").toPath,
+        """{"units": "days since 2000-01-01"}""".getBytes("UTF-8"))
+    }
+    m2(r2, 0, Seq(5, 45)); m2(r2, 1, Seq(35, 75))
+    val eOv = intercept[IllegalArgumentException](
+      Zarr.scanZarrMf(spark, r2, "v").count())
+    assert(eOv.getMessage.contains("strictly"), eOv.getMessage)
+    // mismatched shape refuses
+    val r3 = java.nio.file.Files.createTempDirectory("zmf_shape").toString
+    m2(r3, 0, Seq(5)); m2(r3, 1, Seq(35), w = 9)
+    val eSh = intercept[Exception](Zarr.scanZarrMf(spark, r3, "v").count())
+    assert(eSh.getMessage.contains("differs"), eSh.getMessage)
+  }
+
   test("rank-4 CF time (Zarr): poisoned out-of-window t-chunk never read; rank refusals (r18)") {
     val dir = java.nio.file.Files.createTempDirectory("z4tp").toString
     // T=4 L=2, chunkT=2 → t-chunks {0,1} and {2,3}
