@@ -294,6 +294,29 @@ class PlanShapeSpec extends SparkSuite {
       s"sim_ann_lsh still expands rows / joins planes:\n${pLsh.take(3000)}")
   }
 
+  test("r18 multi-file concat scans: label join broadcasts, manifest repartition the only data shuffle") {
+    // the mf scans at 100 TB: thousands of member files → the chunk
+    // manifests must be the only roundrobin shuffle, the global label
+    // table (axis-sized) must BROADCAST onto the cells, and nothing may
+    // sort-merge the cube side
+    Seq("scan_netcdf_mf", "scan_zarr_mf", "scan_netcdf4_mf",
+        "scan_netcdf_time_noleap", "scan_netcdf4_4d_time", "scan_zarr_4d_time")
+      .foreach { n =>
+        val df = q(n)
+        df.collect()
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("BroadcastHashJoin"),
+          s"$n: epoch labels not broadcast onto the cells:\n${p.take(3000)}")
+        assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+          s"$n shuffles the cube side for the label join:\n${p.take(3000)}")
+        val exchanges = "Exchange [a-z]+".r.findAllIn(p).toList
+          .map(_.stripPrefix("Exchange "))
+        assert(exchanges.count(_ == "roundrobin") <= 1
+          && exchanges.forall(e => e == "roundrobin" || e == "rangepartitioning"),
+          s"$n has unexpected exchanges $exchanges:\n${p.take(3000)}")
+      }
+  }
+
   test("r18 dedup_substring: salted two-phase exact confirm, candidate exchanges reused") {
     // the r17 scale-killer: `count over (partition by sh)` funneled a
     // hot boilerplate substring into one window task. The fix must show
