@@ -1379,7 +1379,7 @@ object Zarr {
     * store declares no fill), present chunk → read fully, decompress
     * ([[TiffCodec]] — exact-length contract), decode.
     */
-  private def readChunk(r: ChunkRef): Iterator[(Int, Int, Double)] = {
+  private[zonal] def readChunk(r: ChunkRef): Iterator[(Int, Int, Double)] = {
     if (r.len < 0) {
       require(r.hasFill, s"${r.path}: chunk absent from the store but " +
         "fill_value is null — the array has undefined cells; fix the " +
@@ -1543,7 +1543,7 @@ object Zarr {
   /** In-bounds lattice positions of one rank-3 chunk:
     * `(tt, rr, cc, x, y, t)` with every axis pad-clipped.
     */
-  private def inBounds3(r: ChunkRef3): Iterator[(Int, Int, Int, Int, Int, Int)] =
+  private[zonal] def inBounds3(r: ChunkRef3): Iterator[(Int, Int, Int, Int, Int, Int)] =
     for {
       tt <- Iterator.range(0, r.chunkT)
       t = r.ck * r.chunkT + tt
@@ -1654,7 +1654,7 @@ object Zarr {
   /** One rank-3 task: decode a (t, y, x) chunk (or shard) to in-bounds
     * cells; pad in every axis clipped.
     */
-  private def readChunk3(r: ChunkRef3): Iterator[(Int, Int, Int, Double)] = {
+  private[zonal] def readChunk3(r: ChunkRef3): Iterator[(Int, Int, Int, Double)] = {
     if (r.len < 0) {
       require(r.hasFill, s"${r.path}: chunk absent from the store but " +
         "fill_value is null — the cube has undefined cells; fix the store")
@@ -3626,6 +3626,25 @@ object Zarr {
         java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
       scanZarrTime(s, fixtureTimeDir(), "v", "t", Some(win))
         .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // DSv2 face of the cube reader (r18 — the Zarr twin of
+    // scan_raster_source): spark.read.format(...).load(dir) plans one
+    // InputPartition per chunk from the driver manifest, the xarray
+    // sel(time=, x=, y=) query is a plain .filter whose cell/epoch
+    // comparisons push down and prune chunks at planning time, and
+    // column pruning reaches the decoder (count(*) reads zero chunk
+    // bytes). PlanShapeSpec pins BatchScan, partition pruning, zero
+    // Exchange, and the pruned-decode contract
+    "scan_zarr_source" -> Q(
+      s"""SELECT cell_x, cell_y, epoch, value FROM ($Zarr3dCellsSql)
+         |WHERE cell_x BETWEEN 10 AND 40 AND cell_y BETWEEN 5 AND 35
+         |  AND epoch >= 2
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.ZarrSource").load(fixture3dDir())
+        .filter(col("cell_x").between(10, 40) && col("cell_y").between(5, 35)
+          && col("epoch") >= 2)
+        .orderBy("cell_x", "cell_y", "epoch")
     },
 
     // MULTI-HIERARCHY time concatenation, Zarr twin (r18): a directory

@@ -1,0 +1,216 @@
+package graft.zonal
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 face of the Zarr reader (r18 — the cube twin of
+  * [[TiffSource]], the Spark-idiomatic architecture for an array-store
+  * scan):
+  *
+  *  - `spark.read.format("graft.zonal.ZarrSource").load(dir)` plans ONE
+  *    `InputPartition` per chunk straight from the driver-side manifest
+  *    — no `createDataset(refs).repartition(...)` round and ZERO
+  *    shuffle anywhere in the scan;
+  *  - the schema is inferred from the store's RANK: a 2-D array reads
+  *    `(cell_x, cell_y, value)`, a rank-3 (t, y, x) cube
+  *    `(cell_x, cell_y, epoch, value)` — so the xarray
+  *    `cube.sel(time=, x=, y=)` query becomes a plain `.filter` whose
+  *    cell_x / cell_y / epoch comparisons PUSH DOWN and prune the chunk
+  *    manifest at planning time (visible as PushedFilters in EXPLAIN;
+  *    pruning is chunk-granular, so every pushed filter also stays
+  *    residual and Spark re-applies it exactly to boundary chunks);
+  *  - column pruning reaches the decoder: a projection without `value`
+  *    (or an empty projection — `count(*)`) computes positions/counts
+  *    from chunk geometry and reads ZERO chunk bytes, absent-chunk fill
+  *    semantics included (fill is a value, not a mask, so counts never
+  *    depend on the data).
+  *
+  * At 100 TB this is the cube scan you want: the driver touches only
+  * the store metadata, executors see exactly the pruned chunk list, and
+  * Catalyst reasons about the source like any parquet scan. Rank-4
+  * stores refuse here (the `scanZarr4d` Dataset path is their face).
+  */
+class ZarrSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ZarrSource.schemaFor(options.get("path"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    require(path != null && path.nonEmpty,
+      "graft.zonal.ZarrSource: a load(dir) is required")
+    new ZarrTable(path)
+  }
+}
+
+object ZarrSource {
+  private[zonal] def schemaFor(path: String): StructType = {
+    require(path != null && path.nonEmpty,
+      "graft.zonal.ZarrSource: a load(dir) is required")
+    val m = Zarr.readMeta(path)
+    require(!m.rank4,
+      s"$path: rank-4 store — the DSv2 source is rank 2/3 (use scanZarr4d)")
+    val pos = Seq(
+      StructField("cell_x", IntegerType, nullable = false),
+      StructField("cell_y", IntegerType, nullable = false))
+    val tail = (if (m.rank3) Seq(StructField("epoch", IntegerType, nullable = false))
+      else Nil) :+ StructField("value", DoubleType, nullable = false)
+    StructType(pos ++ tail)
+  }
+}
+
+final class ZarrTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"zarr:$path"
+  override def schema(): StructType = ZarrSource.schemaFor(path)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrScanBuilder(path)
+}
+
+/** Accumulates a (t, y, x) window from pushed comparisons and the
+  * pruned column set; `build()` freezes both into the scan.
+  */
+final class ZarrScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var x0 = Int.MinValue; private var x1 = Int.MaxValue
+  private var y0 = Int.MinValue; private var y1 = Int.MaxValue
+  private var t0 = Int.MinValue; private var t1 = Int.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ZarrSource.schemaFor(path)
+
+  private def bound(f: Filter): Boolean = f match {
+    case And(l, r) => val a = bound(l); val b = bound(r); a || b
+    case GreaterThanOrEqual(c, v: Number) => clamp(c, lo = v.longValue())
+    case GreaterThan(c, v: Number) => clamp(c, lo = v.longValue() + 1)
+    case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
+    case LessThan(c, v: Number) => clamp(c, hi = v.longValue() - 1)
+    case EqualTo(c, v: Number) => clamp(c, lo = v.longValue()) | clamp(c, hi = v.longValue())
+    case _ => false
+  }
+  private def clamp(col: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
+    def toI(v: Long): Int = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt
+    col match {
+      case "cell_x" => x0 = math.max(x0, toI(lo)); x1 = math.min(x1, toI(hi)); true
+      case "cell_y" => y0 = math.max(y0, toI(lo)); y1 = math.min(y1, toI(hi)); true
+      case "epoch" => t0 = math.max(t0, toI(lo)); t1 = math.min(t1, toI(hi)); true
+      case _ => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(bound)
+    filters // chunk-granular pruning: every filter stays residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(s: StructType): Unit = required = s
+  override def build(): Scan =
+    new ZarrScan(path, required, x0, x1, y0, y1, t0, t1)
+}
+
+final class ZarrScan(path: String, required: StructType,
+    x0: Int, x1: Int, y0: Int, y1: Int, t0: Int, t1: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-zarr $path window=[$x0..$x1]x[$y0..$y1] t=[$t0..$t1] " +
+      s"cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = Zarr.readMeta(path)
+    require(!m.rank4,
+      s"$path: rank-4 store — the DSv2 source is rank 2/3 (use scanZarr4d)")
+    if (m.rank3)
+      Zarr.chunkRefs3(m, path)
+        .filter(r =>
+          r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
+          r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0 &&
+          r.ck * m.chunkT <= t1 && (r.ck + 1) * m.chunkT > t0)
+        .map(r => Zarr3InputPartition(r): InputPartition).toArray
+    else
+      Zarr.chunkRefs(m, path)
+        .filter(r =>
+          r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
+          r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0)
+        .map(r => Zarr2InputPartition(r): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ZarrReaderFactory(required.fieldNames)
+}
+
+final case class Zarr2InputPartition(ref: Zarr.ChunkRef) extends InputPartition
+final case class Zarr3InputPartition(ref: Zarr.ChunkRef3) extends InputPartition
+
+final class ZarrReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
+    case Zarr2InputPartition(r) => new Zarr2PartitionReader(r, cols)
+    case Zarr3InputPartition(r) => new Zarr3PartitionReader(r, cols)
+  }
+}
+
+/** One 2-D chunk's reader. With `value` pruned the chunk bytes are
+  * never read — positions come from chunk geometry (edge clip intact).
+  */
+final class Zarr2PartitionReader(c: Zarr.ChunkRef, cols: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val needsValue = cols.contains("value")
+  private val it: Iterator[(Int, Int, Double)] =
+    if (needsValue) Zarr.readChunk(c)
+    else for {
+      rr <- Iterator.range(0, c.chunkH)
+      y = c.ci * c.chunkH + rr
+      if y < c.height
+      cc <- Iterator.range(0, c.chunkW)
+      x = c.cj * c.chunkW + cc
+      if x < c.width
+    } yield (x, y, 0.0)
+  private var cur: (Int, Int, Double) = _
+  override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(cols.length)
+    var k = 0
+    while (k < cols.length) {
+      cols(k) match {
+        case "cell_x" => row.update(k, cur._1)
+        case "cell_y" => row.update(k, cur._2)
+        case "value" => row.update(k, cur._3)
+      }
+      k += 1
+    }
+    row
+  }
+  override def close(): Unit = ()
+}
+
+/** One rank-3 chunk's reader — same pruned-decode contract. */
+final class Zarr3PartitionReader(c: Zarr.ChunkRef3, cols: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val needsValue = cols.contains("value")
+  private val it: Iterator[(Int, Int, Int, Double)] =
+    if (needsValue) Zarr.readChunk3(c)
+    else Zarr.inBounds3(c).map { case (_, _, _, x, y, t) => (x, y, t, 0.0) }
+  private var cur: (Int, Int, Int, Double) = _
+  override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(cols.length)
+    var k = 0
+    while (k < cols.length) {
+      cols(k) match {
+        case "cell_x" => row.update(k, cur._1)
+        case "cell_y" => row.update(k, cur._2)
+        case "epoch" => row.update(k, cur._3)
+        case "value" => row.update(k, cur._4)
+      }
+      k += 1
+    }
+    row
+  }
+  override def close(): Unit = ()
+}

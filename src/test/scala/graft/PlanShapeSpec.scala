@@ -294,6 +294,44 @@ class PlanShapeSpec extends SparkSuite {
       s"sim_ann_lsh still expands rows / joins planes:\n${pLsh.take(3000)}")
   }
 
+  test("r18 DSv2 zarr source: pushed filters prune chunks, zero scan shuffle, pruned decode reads no bytes") {
+    import org.apache.spark.sql.functions.col
+    val dir = graft.zonal.Zarr.fixture3dDir()
+    val df = spark.read.format("graft.zonal.ZarrSource").load(dir)
+      .filter(col("cell_x").between(10, 40) && col("cell_y").between(5, 35)
+        && col("epoch") >= 2)
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 31 * 31 * 3)
+    assert(got((10, 5, 2)) == graft.zonal.Zarr.zarr3dValue(10, 5, 2))
+    assert(got((40, 35, 4)) == graft.zonal.Zarr.zarr3dValue(40, 35, 4))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), s"not a DSv2 scan:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"), s"DSv2 zarr scan grew a shuffle:\n${p.take(2000)}")
+    // planning pruned the 3x3x3 chunk grid to 2x2x2 overlapping chunks
+    assert(df.rdd.getNumPartitions == 8,
+      s"expected 8 pruned chunk partitions, got ${df.rdd.getNumPartitions}")
+    val full = spark.read.format("graft.zonal.ZarrSource").load(dir)
+    assert(full.rdd.getNumPartitions == 27)
+    assert(full.count() ==
+      graft.zonal.Zarr.Zarr3T.toLong * graft.zonal.Zarr.ZarrH * graft.zonal.Zarr.ZarrW)
+    // pruned decode reads ZERO chunk bytes: corrupt one chunk of a small
+    // store — count(*) stays exact, a value read fails loudly
+    val small = java.nio.file.Files.createTempDirectory("zdsv2").toString
+    graft.zonal.Zarr.writeZarr(s"$small/v", 8, 8, 8, 8, compressor = "zlib")(
+      (x, y) => (x + y).toDouble)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$small/v/0.0"),
+      Array[Byte](1, 2, 3))
+    val sm = spark.read.format("graft.zonal.ZarrSource").load(s"$small/v")
+    assert(sm.count() == 64, "count(*) must come from chunk geometry, not bytes")
+    assert(sm.select("cell_x", "cell_y").collect().length == 64,
+      "positions-only projection must not decode the chunk")
+    intercept[Exception](sm.select("value").collect())
+    // a rank-2 store carries no epoch column
+    assert(!sm.schema.fieldNames.contains("epoch")
+      && sm.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "value"))
+  }
+
   test("r18 multi-file concat scans: label join broadcasts, manifest repartition the only data shuffle") {
     // the mf scans at 100 TB: thousands of member files → the chunk
     // manifests must be the only roundrobin shuffle, the global label
