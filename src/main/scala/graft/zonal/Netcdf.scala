@@ -817,9 +817,33 @@ object Netcdf {
         "standard/gregorian/proleptic_gregorian decode exactly, " +
         "noleap/365_day decodes via 365-day integer arithmetic; " +
         "360_day produces dates (e.g. Feb 30) no timestamp can carry " +
-        "and julian/all_leap/366_day/none are not implemented — " +
-        "refusing rather than decoding silently wrong timestamps")
+        "(scanNetcdfTime360 surfaces its NOMINAL (year, month, day) " +
+        "columns instead) and julian/all_leap/366_day/none are not " +
+        "implemented — refusing rather than decoding silently wrong " +
+        "timestamps")
     }
+  }
+
+  /** 360_day nominal-date labeller (r18): the model calendar whose
+    * dates (Feb 30) no `TimestampType` can carry — an integral unit
+    * count maps to the NOMINAL `(year, month, day, todMicros)` by pure
+    * base-360/base-30 integer arithmetic (every month is 30 days).
+    * This is the cftime object model surfaced as columns.
+    */
+  private[graft] def cf360Label(units: String,
+      what: String): (Long, Long => (Int, Int, Int, Long)) = {
+    val (unitMicros, y0, m0, d0, tod0) = cfUnitsParts(units, what)
+    val epochTot = (y0.toLong * 360L + (m0 - 1) * 30L + (d0 - 1)) *
+      86400000000L + tod0
+    (unitMicros, { v =>
+      val tot = epochTot + v * unitMicros
+      val day = Math.floorDiv(tot, 86400000000L)
+      val tod = Math.floorMod(tot, 86400000000L)
+      val yr = Math.floorDiv(day, 360L)
+      val doy = Math.floorMod(day, 360L).toInt
+      require(yr >= 0 && yr <= Int.MaxValue, s"$what: 360_day year $yr out of range")
+      (yr.toInt, doy / 30 + 1, doy % 30 + 1, tod)
+    })
   }
 
   /** Epoch index → exact timestamp micros, windowed (shared by the
@@ -919,6 +943,64 @@ object Netcdf {
     scanStripes(s, refs)
       .join(broadcast(labels), Seq("epoch"))
       .select(col("epoch"), col("t_ts"), col("cell_x"), col("cell_y"), col("value"))
+  }
+
+  /** 360_day-calendar TIME decode (r18): the time axis of a `360_day`
+    * cube surfaces as NOMINAL `(t_year, t_month, t_day)` INTEGER
+    * columns next to the epoch index — the cftime object model as
+    * columns, because dates like Feb 30 exist in this calendar and no
+    * `TimestampType` can carry them (the timestamp path refuses them by
+    * name). Requires the file to DECLARE `calendar: 360_day`; a
+    * Gregorian-family file must use [[scanNetcdfTime]] instead — the
+    * two decodes disagree and silently picking one would be the
+    * misread class the engine refuses everywhere else.
+    * Output: `(epoch, t_year, t_month, t_day, cell_x, cell_y, value)`.
+    */
+  def scanNetcdfTime360(s: SparkSession, path: String, varName: String,
+      timeVar: String = "t"): DataFrame = {
+    import s.implicits._
+    val m = readMeta(path)
+    val tv = m.variable(timeVar)
+    val units = tv.attrs.find(_.name == "units").map(_.text).getOrElse(
+      sys.error(s"$path: time coordinate $timeVar has no units attribute"))
+    val cal = tv.attrs.find(_.name == "calendar").map(_.text.trim.toLowerCase)
+    require(cal.contains("360_day"),
+      s"$path: calendar ${cal.getOrElse("(absent)")} is not 360_day — " +
+        "use scanNetcdfTime for the Gregorian family (this op's base-360 " +
+        "arithmetic would silently mislabel it)")
+    val label = cf360Label(units, s"$path:$timeVar")._2
+    require(tv.dimIds.length == 1,
+      s"$path: $timeVar has rank ${tv.dimIds.length}, want a 1-D time coordinate")
+    val raw = {
+      val n = m.dims(tv.dimIds.head).length
+      require(n > 0, s"$path: record time coordinate unsupported (fixed axes only)")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val in = fs.open(new org.apache.hadoop.fs.Path(path))
+      try {
+        val buf = new Array[Byte](n * elemSize(tv.ncType))
+        in.readFully(tv.begin, buf)
+        val bb = java.nio.ByteBuffer.wrap(buf)
+        (0 until n).map(i => tv.ncType match {
+          case NcDouble => bb.getDouble(i * 8)
+          case NcFloat => bb.getFloat(i * 4).toDouble
+          case NcInt => bb.getInt(i * 4).toDouble
+          case NcShort => bb.getShort(i * 2).toDouble
+          case other => sys.error(s"$path: time coordinate type $other unsupported")
+        })
+      } finally in.close()
+    }
+    val labels = raw.zipWithIndex.map { case (v, i) =>
+      require(v == math.rint(v) && math.abs(v) < (1L << 52).toDouble,
+        s"$path:$timeVar[$i] = $v is not an integral unit count")
+      val (yy, mm, dd, _) = label(math.rint(v).toLong)
+      (i, yy, mm, dd)
+    }.toDF("epoch", "t_year", "t_month", "t_day")
+    val v = m.variable(varName)
+    scanStripes(s, stripes3d(path, m, v, s.sparkContext.defaultParallelism))
+      .join(broadcast(labels), Seq("epoch"))
+      .select(col("epoch"), col("t_year"), col("t_month"), col("t_day"),
+        col("cell_x"), col("cell_y"), col("value"))
   }
 
   /** One member of a multi-file concat: its decoded axis labels
@@ -1464,6 +1546,20 @@ object Netcdf {
           (x, y, t) => ncEpochValue(x, y, 2 * k + t))
     }
 
+  /** 360_day-calendar fixture (r18): axis values covering the dates
+    * that make this calendar special — day 58 = Feb 29, day 59 =
+    * Feb 30 (!), day 60 = Mar 1, day 360 = next Jan 1.
+    */
+  val Nc360Vals = Seq(58, 59, 60, 360)
+  def time360FixturePath(): String =
+    Raster.fixtureOnce(s"nc_time_360_${NcW}x$NcH.nc") { p =>
+      writeNetcdf(p, "t2m", NcH, NcW, NcFloat,
+        timeAxis = Some((Nc360Vals.length,
+          i => Nc360Vals(i).toDouble, "days since 2000-01-01")),
+        timeCalendar = Some("360_day"))(
+        ncEpochValue)
+    }
+
   /** noleap-calendar CF time fixture (r18): the dominant CMIP model
     * calendar — `days since 2000-01-01` with `calendar: "noleap"`.
     * Axis values cross 2000's (real) Feb 29 — which noleap does NOT
@@ -1628,6 +1724,30 @@ object Netcdf {
       val win = (java.sql.Timestamp.from(java.time.Instant.parse("2000-02-28T00:00:00Z")),
         java.sql.Timestamp.from(java.time.Instant.parse("2001-01-01T00:00:00Z")))
       scanNetcdfTime(s, noleapFixturePath(), "t2m", "t", Some(win))
+        .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // 360_day calendar as NOMINAL date columns (r18): Feb 30 exists in
+    // this model calendar and no TimestampType can carry it, so the
+    // axis surfaces as (t_year, t_month, t_day) integers — the cftime
+    // object model as columns; the timestamp path refuses 360_day by
+    // name and THIS op refuses non-360_day declarations (the decodes
+    // disagree). Oracle: base-360/base-30 integer replay — day 59 MUST
+    // label (2000, 2, 30)
+    "scan_netcdf_time_360day" -> Q(
+      s"""WITH vals(epoch, v) AS (VALUES
+         |    ${Nc360Vals.zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")}),
+         |lab AS (SELECT epoch,
+         |    (720000 + v) // 360 AS t_year,
+         |    ((720000 + v) % 360) // 30 + 1 AS t_month,
+         |    (720000 + v) % 30 + 1 AS t_day
+         |  FROM vals)
+         |SELECT epoch, t_year, t_month, t_day,
+         |  x.range AS cell_x, y.range AS cell_y,
+         |  CAST((23 * x.range + 19 * y.range + 31 * epoch) % 983 AS DOUBLE) AS value
+         |FROM lab CROSS JOIN range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdfTime360(s, time360FixturePath(), "t2m", "t")
         .orderBy("epoch", "cell_x", "cell_y")
     },
 

@@ -533,6 +533,24 @@ class NetcdfSpec extends SparkSuite {
     assert(eSh.getMessage.contains("differs"), eSh.getMessage)
   }
 
+  test("360_day calendar: nominal Feb 30 surfaces as columns; wrong-calendar dispatch refuses (r18)") {
+    val p = Netcdf.time360FixturePath()
+    val labs = Netcdf.scanNetcdfTime360(spark, p, "t2m")
+      .select("epoch", "t_year", "t_month", "t_day").distinct().collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(labs(1) == ((2000, 2, 30)), "day 59 IS Feb 30 in the 360_day calendar")
+    assert(labs(0) == ((2000, 2, 29)) && labs(2) == ((2000, 3, 1))
+      && labs(3) == ((2001, 1, 1)), labs.toString)
+    // the timestamp path refuses this file by name...
+    val e1 = intercept[RuntimeException](
+      Netcdf.scanNetcdfTime(spark, p, "t2m").count())
+    assert(e1.getMessage.contains("360_day"), e1.getMessage)
+    // ...and this op refuses a Gregorian-family file
+    val e2 = intercept[IllegalArgumentException](
+      Netcdf.scanNetcdfTime360(spark, Netcdf.timeFixturePath(), "t2m").count())
+    assert(e2.getMessage.contains("not 360_day"), e2.getMessage)
+  }
+
   test("CF calendar attribute: gregorian family + noleap decode, the rest refuses (r18)") {
     def lab(units: String, cal: Option[String], v: Long): java.time.Instant = {
       val s = Netcdf.cfTimeScale(units, cal, "t")
