@@ -774,9 +774,15 @@ object Netcdf {
     *    noleap date renders as the proleptic-Gregorian UTC timestamp
     *    with the same fields (the cftime/xarray nominal-date rendering;
     *    noleap has no Feb 29, so every nominal date is renderable).
-    *  - `360_day` produces dates (Feb 30) no TimestampType can carry,
-    *    and `julian` / `all_leap` / `366_day` / `none` need arithmetic
-    *    not implemented here — all refuse loudly.
+    *  - `julian` (r18): with fixed-length units the only calendar
+    *    dependence is the EPOCH date, so the decode is exact and
+    *    affine once the Julian epoch converts to a real instant
+    *    (Julian day count anchored at Julian 1969-12-19 ≡ Gregorian
+    *    1970-01-01).
+    *  - `360_day` produces dates (Feb 30) no TimestampType can carry
+    *    ([[scanNetcdfTime360]] surfaces its nominal columns instead),
+    *    and `all_leap` / `366_day` / `none` are not implemented — all
+    *    refuse loudly.
     */
   private[graft] def cfTimeScale(units: String, calendar: Option[String],
       what: String): CfTimeScale = {
@@ -798,6 +804,27 @@ object Netcdf {
               "1582-10-15 Gregorian cutover — refusing Julian-era dates")
           u
         })
+      case "julian" =>
+        // Julian calendar (r18): with fixed-length units (days/hours/
+        // minutes/seconds) the ONLY calendar dependence is the EPOCH
+        // date — elapsed real time is v·unitMicros in any calendar —
+        // so the decode is exact and affine once the Julian epoch date
+        // converts to a real instant. Day count since Julian 0001-01-01
+        // plus the anchor Julian 1969-12-19 ≡ Gregorian 1970-01-01
+        // (epochDay 0): (y−1)·365 + ⌊(y−1)/4⌋ + cum + (d−1) − 719164.
+        // NetcdfSpec pins the anchor and the Julian-only 1900-02-29.
+        require(m0 >= 1 && m0 <= 12, s"$what: month $m0 out of range")
+        val mlen =
+          if (m0 == 12) 31
+          else NoleapCum(m0) - NoleapCum(m0 - 1) +
+            (if (m0 == 2 && y0 % 4 == 0) 1 else 0)
+        require(d0 >= 1 && d0 <= mlen,
+          s"$what: day $d0 invalid for Julian $y0-$m0 (month has $mlen days)")
+        val epochDay = (y0.toLong - 1) * 365L + (y0.toLong - 1) / 4L +
+          NoleapCum(m0 - 1) + (d0 - 1) +
+          (if (m0 > 2 && y0 % 4 == 0) 1L else 0L) - 719164L
+        val epochMicros = epochDay * 86400000000L + tod0
+        CfTimeScale(unitMicros, v => epochMicros + v * unitMicros)
       case "noleap" | "365_day" =>
         val epochTot = (y0.toLong * 365L + NoleapCum(m0 - 1) + (d0 - 1)) *
           86400000000L + tod0
@@ -814,13 +841,13 @@ object Netcdf {
             .toEpochDay * 86400000000L + tod
         })
       case other => sys.error(s"$what: CF calendar '$other' unsupported — " +
-        "standard/gregorian/proleptic_gregorian decode exactly, " +
-        "noleap/365_day decodes via 365-day integer arithmetic; " +
+        "standard/gregorian/proleptic_gregorian and julian decode " +
+        "exactly, noleap/365_day via 365-day integer arithmetic; " +
         "360_day produces dates (e.g. Feb 30) no timestamp can carry " +
         "(scanNetcdfTime360 surfaces its NOMINAL (year, month, day) " +
-        "columns instead) and julian/all_leap/366_day/none are not " +
-        "implemented — refusing rather than decoding silently wrong " +
-        "timestamps")
+        "columns instead) and all_leap/366_day (a Feb 29 EVERY year — " +
+        "most of them unrenderable) and 'none' are not implemented — " +
+        "refusing rather than decoding silently wrong timestamps")
     }
   }
 
@@ -1546,6 +1573,22 @@ object Netcdf {
           (x, y, t) => ncEpochValue(x, y, 2 * k + t))
     }
 
+  /** Julian-calendar fixture (r18): epoch Julian 1969-12-19 ≡ Gregorian
+    * 1970-01-01 (the 13-day 20th-century offset), so every label is the
+    * unix-day value — the oracle replays that trivially while the Scala
+    * side runs the full Julian day-count formula, an independent
+    * derivation of the same instants.
+    */
+  val NcJulianVals = Seq(0, 13, 44, 378)
+  def timeJulianFixturePath(): String =
+    Raster.fixtureOnce(s"nc_time_julian_${NcW}x$NcH.nc") { p =>
+      writeNetcdf(p, "t2m", NcH, NcW, NcFloat,
+        timeAxis = Some((NcJulianVals.length,
+          i => NcJulianVals(i).toDouble, "days since 1969-12-19")),
+        timeCalendar = Some("julian"))(
+        ncEpochValue)
+    }
+
   /** 360_day-calendar fixture (r18): axis values covering the dates
     * that make this calendar special — day 58 = Feb 29, day 59 =
     * Feb 30 (!), day 60 = Mar 1, day 360 = next Jan 1.
@@ -1724,6 +1767,30 @@ object Netcdf {
       val win = (java.sql.Timestamp.from(java.time.Instant.parse("2000-02-28T00:00:00Z")),
         java.sql.Timestamp.from(java.time.Instant.parse("2001-01-01T00:00:00Z")))
       scanNetcdfTime(s, noleapFixturePath(), "t2m", "t", Some(win))
+        .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // Julian CALENDAR decode (r18): the epoch date is Julian — here
+    // Julian 1969-12-19, which IS Gregorian 1970-01-01 under the
+    // 13-day 20th-century offset — so every label equals the unix-day
+    // value and the oracle replays that directly, while the Scala side
+    // derives the same instants through the full Julian day-count
+    // formula (anchor + leap-every-4 rule). The window drops epoch 0
+    "scan_netcdf_time_julian" -> Q(
+      s"""WITH vals(epoch, v) AS (VALUES
+         |    ${NcJulianVals.zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")}),
+         |lab AS (SELECT epoch,
+         |    TIMESTAMP '1970-01-01 00:00:00' + to_days(v) AS t_ts
+         |  FROM vals)
+         |SELECT epoch, t_ts, x.range AS cell_x, y.range AS cell_y,
+         |  CAST((23 * x.range + 19 * y.range + 31 * epoch) % 983 AS DOUBLE) AS value
+         |FROM lab CROSS JOIN range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |WHERE t_ts BETWEEN TIMESTAMP '1970-01-10 00:00:00'
+         |  AND TIMESTAMP '1971-02-01 00:00:00'
+         |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
+      val win = (java.sql.Timestamp.from(java.time.Instant.parse("1970-01-10T00:00:00Z")),
+        java.sql.Timestamp.from(java.time.Instant.parse("1971-02-01T00:00:00Z")))
+      scanNetcdfTime(s, timeJulianFixturePath(), "t2m", "t", Some(win))
         .orderBy("epoch", "cell_x", "cell_y")
     },
 

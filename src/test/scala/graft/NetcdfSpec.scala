@@ -579,8 +579,28 @@ class NetcdfSpec extends SparkSuite {
         java.time.Instant.parse("2000-03-01T06:00:00Z"),
         "sub-day units carry time-of-day through the noleap day math")
     }
+    // julian (r18): affine in real time, only the EPOCH date is
+    // calendar-dependent — anchor Julian 1969-12-19 ≡ 1970-01-01
+    assert(lab("days since 1969-12-19", Some("julian"), 0) ==
+      java.time.Instant.parse("1970-01-01T00:00:00Z"))
+    assert(lab("days since 1969-12-19", Some("julian"), 13) ==
+      java.time.Instant.parse("1970-01-14T00:00:00Z"))
+    // Julian 1900-02-29 EXISTS (every 4th year leaps, 1900 included)
+    // and is Gregorian 1900-03-13 under the 13-day offset; the
+    // Gregorian parse of the same epoch string fails
+    assert(lab("hours since 1900-02-29 06:00:00", Some("julian"), 2) ==
+      java.time.Instant.parse("1900-03-13T08:00:00Z"))
+    intercept[Exception](
+      Netcdf.cfTimeScale("days since 1900-02-29", Some("standard"), "t"))
+    // Julian 1900-02-30 does not exist even in Julian
+    val eJd = intercept[IllegalArgumentException](
+      Netcdf.cfTimeScale("days since 1900-02-30", Some("julian"), "t"))
+    assert(eJd.getMessage.contains("invalid"), eJd.getMessage)
+    // 12-day offset century: Julian 1850-01-01 = Gregorian 1850-01-13
+    assert(lab("days since 1850-01-01", Some("julian"), 0) ==
+      java.time.Instant.parse("1850-01-13T00:00:00Z"))
     // everything else refuses loudly, naming the calendar
-    for (bad <- Seq("360_day", "julian", "all_leap", "366_day", "none")) {
+    for (bad <- Seq("360_day", "all_leap", "366_day", "none")) {
       val e = intercept[RuntimeException](
         Netcdf.cfTimeScale(d0, Some(bad), "t"))
       assert(e.getMessage.contains("unsupported") && e.getMessage.contains(bad),
