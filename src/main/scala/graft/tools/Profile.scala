@@ -151,6 +151,14 @@ object Profile {
       //    flagged as a SCALE hazard (hot-substring window funnel) and
       //    replaced r18 with the salted two-phase count + equi-join
       //    rejoin (PlanShapeSpec pins the shape).
+      // r18 in-round bench tail check (solo RunOne ×3, sf0.1):
+      //  - dedup_ngram_jaccard: bench 4.61 s; solo 7.4 s cold / 0.17-
+      //    0.20 s warm (memoized candidate table; bench measures the
+      //    cold build). VERDICT: at its historical cold level, no
+      //    regression.
+      //  - dedup_cluster: bench 5.81 s; solo 10.5 cold / 5.2-5.8 warm —
+      //    exactly the r12-r17 plateau for the pointer-doubling CC
+      //    fixpoint. VERDICT: unchanged.
     }
     spark.stop()
   }

@@ -2906,6 +2906,24 @@ object Raster {
         .orderBy("cell_x", "cell_y")
     },
 
+    // DSv2 MULTIBAND (r18 — the source's declared single-band
+    // restriction retired): schema infers the `band` column from the
+    // file's band count, pixel windows still prune tiles at planning
+    // time, and a band predicate prunes whole BLOCKS on planar files
+    // (chunky files interleave bands per pixel, so there it stays
+    // residual — stated, not hidden). PlanShapeSpec pins the planar
+    // block pruning and the chunky schema
+    "scan_raster_source_multiband" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y, b.range AS band,
+         |  CAST((31 * x.range + 17 * y.range + 7 * b.range) % 997 AS DOUBLE) AS value
+         |FROM range(0, $MbW) x CROSS JOIN range(0, $MbH) y CROSS JOIN range(0, $MbBands) b
+         |WHERE x.range BETWEEN 8 AND 40 AND b.range = 1
+         |ORDER BY cell_x, cell_y, band""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.TiffSource").load(mbFixturePath())
+        .filter(col("cell_x").between(8, 40) && col("band") === 1)
+        .orderBy("cell_x", "cell_y", "band")
+    },
+
     // parquet-footer-style stats pruning for rasters: the writer records
     // per-tile value min/max in a sidecar; a value predicate prunes tile
     // FILES before any read (3 of 6 survive here — RasterSpec asserts),

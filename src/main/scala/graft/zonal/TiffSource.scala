@@ -33,7 +33,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * ([[Raster.scanTiffBands]]) remains for multiband work.
   */
 class TiffSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType = TiffSource.Schema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    TiffSource.schemaFor(options.get("path"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
@@ -47,11 +48,27 @@ object TiffSource {
     StructField("cell_x", IntegerType, nullable = false),
     StructField("cell_y", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
+
+  /** Schema infers from the file's BAND COUNT (r18 — the single-band
+    * restriction retired): 1 band reads `(cell_x, cell_y, value)`,
+    * multiband adds a `band` column before `value` — the long form the
+    * Dataset path (`scanTiffBands`) emits.
+    */
+  private[zonal] def schemaFor(path: String): StructType = {
+    require(path != null && path.nonEmpty,
+      "graft.zonal.TiffSource: a load(path) is required")
+    if (Raster.readMeta(path).bands == 1) Schema
+    else StructType(Seq(
+      StructField("cell_x", IntegerType, nullable = false),
+      StructField("cell_y", IntegerType, nullable = false),
+      StructField("band", IntegerType, nullable = false),
+      StructField("value", DoubleType, nullable = false)))
+  }
 }
 
 final class TiffTable(path: String) extends Table with SupportsRead {
   override def name(): String = s"tiff:$path"
-  override def schema(): StructType = TiffSource.Schema
+  override def schema(): StructType = TiffSource.schemaFor(path)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -66,8 +83,9 @@ final class TiffScanBuilder(path: String)
 
   private var x0 = Int.MinValue; private var x1 = Int.MaxValue
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
+  private var b0 = Int.MinValue; private var b1 = Int.MaxValue
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = TiffSource.Schema
+  private var required: StructType = TiffSource.schemaFor(path)
 
   // bound tightening; returns true when the filter narrowed the window
   private def bound(f: Filter): Boolean = f match {
@@ -84,6 +102,7 @@ final class TiffScanBuilder(path: String)
     col match {
       case "cell_x" => x0 = math.max(x0, toI(lo)); x1 = math.min(x1, toI(hi)); true
       case "cell_y" => y0 = math.max(y0, toI(lo)); y1 = math.min(y1, toI(hi)); true
+      case "band" => b0 = math.max(b0, toI(lo)); b1 = math.min(b1, toI(hi)); true
       case _ => false
     }
   }
@@ -94,23 +113,28 @@ final class TiffScanBuilder(path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = required = s
-  override def build(): Scan = new TiffScan(path, required, x0, x1, y0, y1)
+  override def build(): Scan = new TiffScan(path, required, x0, x1, y0, y1, b0, b1)
 }
 
 final class TiffScan(path: String, required: StructType,
-    x0: Int, x1: Int, y0: Int, y1: Int) extends Scan with Batch {
+    x0: Int, x1: Int, y0: Int, y1: Int, b0: Int, b1: Int) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-tiff $path window=[$x0..$x1]x[$y0..$y1] cols=${required.fieldNames.mkString(",")}"
+    s"graft-tiff $path window=[$x0..$x1]x[$y0..$y1] bands=[$b0..$b1] " +
+      s"cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val m = Raster.readMeta(path)
-    require(m.bands == 1,
-      s"$path has ${m.bands} bands — the DSv2 source is single-band (use scanTiffBands)")
-    Raster.windowRefs(m, path, x0, x1, y0, y1)
-      .map(r => TiffInputPartition(r): InputPartition).toArray
+    val refs = Raster.windowRefs(m, path, x0, x1, y0, y1)
+    // PLANAR files store one block per (plane, tile), so a band
+    // predicate prunes whole BLOCKS at planning time (chunky files
+    // interleave bands per pixel — the band filter stays residual)
+    val pruned =
+      if (m.planar) refs.filter(r => r.planarBand >= b0 && r.planarBand <= b1)
+      else refs
+    pruned.map(r => TiffInputPartition(r): InputPartition).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new TiffReaderFactory(required.fieldNames)
@@ -123,9 +147,11 @@ final class TiffReaderFactory(cols: Array[String]) extends PartitionReaderFactor
     new TiffPartitionReader(p.asInstanceOf[TiffInputPartition].ref, cols)
 }
 
-/** One tile's reader. With `value` pruned away the sample bytes are
-  * never read at all — positions alone satisfy the projection; with an
-  * empty projection (count(*)) it just emits `wIn·hIn` empty rows.
+/** One block's reader. With `value` pruned away the sample bytes are
+  * never read at all — positions (and the band index, from the
+  * chunky-interleave order or the block's plane) alone satisfy the
+  * projection; with an empty projection (count(*)) it just emits
+  * `wIn·hIn·spp` empty rows.
   */
 final class TiffPartitionReader(t: Raster.TileRef, cols: Array[String])
     extends PartitionReader[InternalRow] {
@@ -133,35 +159,41 @@ final class TiffPartitionReader(t: Raster.TileRef, cols: Array[String])
   private val needsValue = cols.contains("value")
   private val wIn = math.max(0, math.min(t.tileW, t.width - t.tx0))
   private val hIn = math.max(0, math.min(t.tileH, t.height - t.ty0))
-  private var i = -1 // row-major index over the wIn×hIn valid cells
-  private lazy val values: Iterator[(Int, Int, Double)] = {
+  // samples per pixel WITHIN this block: planar blocks carry one band
+  private val spp = if (t.planarBand >= 0) 1 else t.bands
+  private var i = -1 // (pixel, band)-major index over the block's cells
+  private lazy val values: Iterator[(Int, Int, Int, Double)] = {
     val p = new org.apache.hadoop.fs.Path(t.path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val in = fs.open(p)
     try {
       val bytes = new Array[Byte](t.count.toInt)
       in.readFully(t.offset, bytes)
-      Raster.decodeTile(bytes, t)
+      Raster.decodeTileBands(bytes, t)
     } finally in.close()
   }
-  private var cur: (Int, Int, Double) = _
+  private var cur: (Int, Int, Int, Double) = _
 
   override def next(): Boolean = {
     i += 1
-    if (i >= wIn * hIn) false
+    if (i >= wIn * hIn * spp) false
     else {
       if (needsValue) cur = values.next()
       true
     }
   }
   override def get(): InternalRow = {
+    val pix = i / spp
     val row = new GenericInternalRow(cols.length)
     var k = 0
     while (k < cols.length) {
       cols(k) match {
-        case "cell_x" => row.update(k, if (needsValue) cur._1 else t.tx0 + i % wIn)
-        case "cell_y" => row.update(k, if (needsValue) cur._2 else t.ty0 + i / wIn)
-        case "value" => row.update(k, cur._3)
+        case "cell_x" => row.update(k, if (needsValue) cur._1 else t.tx0 + pix % wIn)
+        case "cell_y" => row.update(k, if (needsValue) cur._2 else t.ty0 + pix / wIn)
+        case "band" => row.update(k,
+          if (needsValue) cur._3
+          else if (t.planarBand >= 0) t.planarBand else i % spp)
+        case "value" => row.update(k, cur._4)
       }
       k += 1
     }

@@ -332,6 +332,37 @@ class PlanShapeSpec extends SparkSuite {
       && sm.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "value"))
   }
 
+  test("r18 DSv2 tiff multiband: band column infers, planar band predicate prunes blocks") {
+    import org.apache.spark.sql.functions.col
+    // chunky multiband: band column present, values exact, zero shuffle
+    val mb = spark.read.format("graft.zonal.TiffSource")
+      .load(graft.zonal.Raster.mbFixturePath())
+    assert(mb.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "band", "value"))
+    val got = mb.filter(col("band") === 1).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(got.size == 48 * 40)
+    assert(got((7, 9)) == graft.zonal.Raster.mbValue(7, 9, 1))
+    // planar: one block per (plane, tile) → a band predicate halves the
+    // planned partitions (8 blocks → 4), and the values stay exact
+    // through the per-plane predictor-3 decode
+    val pl = spark.read.format("graft.zonal.TiffSource")
+      .load(graft.zonal.Raster.planarFixturePath())
+    assert(pl.rdd.getNumPartitions == 8)
+    val plB1 = pl.filter(col("band") === 1)
+    assert(plB1.rdd.getNumPartitions == 4,
+      s"planar band predicate must prune blocks, got ${plB1.rdd.getNumPartitions}")
+    val gotP = plB1.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    assert(gotP.size == 48 * 40 && gotP((7, 9)) == graft.zonal.Raster.mbValue(7, 9, 1))
+    assert(!plB1.queryExecution.executedPlan.toString.contains("Exchange"))
+    // count(*) and positions-only reads stay decode-free on multiband
+    assert(mb.count() == 48L * 40 * 2)
+    assert(mb.select("cell_x", "cell_y", "band").distinct().count() == 48L * 40 * 2)
+    // single-band schema unchanged
+    val sb = spark.read.format("graft.zonal.TiffSource")
+      .load(graft.zonal.Raster.fixturePath())
+    assert(sb.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "value"))
+  }
+
   test("r18 multi-file concat scans: label join broadcasts, manifest repartition the only data shuffle") {
     // the mf scans at 100 TB: thousands of member files → the chunk
     // manifests must be the only roundrobin shuffle, the global label
