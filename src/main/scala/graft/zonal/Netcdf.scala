@@ -779,10 +779,11 @@ object Netcdf {
     *    affine once the Julian epoch converts to a real instant
     *    (Julian day count anchored at Julian 1969-12-19 ≡ Gregorian
     *    1970-01-01).
-    *  - `360_day` produces dates (Feb 30) no TimestampType can carry
-    *    ([[scanNetcdfTime360]] surfaces its nominal columns instead),
-    *    and `all_leap` / `366_day` / `none` are not implemented — all
-    *    refuse loudly.
+    *  - `360_day` produces dates (Feb 30) and `all_leap`/`366_day` a
+    *    Feb 29 every year — dates no TimestampType can carry, so
+    *    [[scanNetcdfTime360]] / [[scanNetcdfTimeAllLeap]] surface
+    *    their nominal columns instead; `none` is not implemented —
+    *    all refuse loudly here.
     */
   private[graft] def cfTimeScale(units: String, calendar: Option[String],
       what: String): CfTimeScale = {
@@ -843,10 +844,10 @@ object Netcdf {
       case other => sys.error(s"$what: CF calendar '$other' unsupported — " +
         "standard/gregorian/proleptic_gregorian and julian decode " +
         "exactly, noleap/365_day via 365-day integer arithmetic; " +
-        "360_day produces dates (e.g. Feb 30) no timestamp can carry " +
-        "(scanNetcdfTime360 surfaces its NOMINAL (year, month, day) " +
-        "columns instead) and all_leap/366_day (a Feb 29 EVERY year — " +
-        "most of them unrenderable) and 'none' are not implemented — " +
+        "360_day produces dates (e.g. Feb 30) and all_leap/366_day a " +
+        "Feb 29 EVERY year — dates no timestamp can carry, so " +
+        "scanNetcdfTime360/scanNetcdfTimeAllLeap surface their NOMINAL " +
+        "(year, month, day) columns instead; 'none' is not implemented — " +
         "refusing rather than decoding silently wrong timestamps")
     }
   }
@@ -870,6 +871,41 @@ object Netcdf {
       val doy = Math.floorMod(day, 360L).toInt
       require(yr >= 0 && yr <= Int.MaxValue, s"$what: 360_day year $yr out of range")
       (yr.toInt, doy / 30 + 1, doy % 30 + 1, tod)
+    })
+  }
+
+  /** all_leap / 366_day cumulative month-start table: every year has
+    * 366 days — February has 29 days EVERY year.
+    */
+  private val AllLeapCum =
+    Array(0, 31, 60, 91, 121, 152, 182, 213, 244, 274, 305, 335)
+
+  /** all_leap/366_day nominal-date labeller (r18 — the last model
+    * calendar retired from the refusal list): every year carries a
+    * Feb 29, so most years' Feb 29 (2001-02-29, 2002-02-29, …) exists
+    * in NO Gregorian rendering — like 360_day the axis must surface as
+    * NOMINAL `(year, month, day)` columns, not timestamps. Pure base-366
+    * integer arithmetic with the fixed 366-day month table.
+    */
+  private[graft] def cfAllLeapLabel(units: String,
+      what: String): (Long, Long => (Int, Int, Int, Long)) = {
+    val (unitMicros, y0, m0, d0, tod0) = cfUnitsParts(units, what)
+    require(m0 >= 1 && m0 <= 12, s"$what: month $m0 out of range")
+    val mlen = (if (m0 == 12) 366 else AllLeapCum(m0)) - AllLeapCum(m0 - 1)
+    require(d0 >= 1 && d0 <= mlen,
+      s"$what: day $d0 invalid for all_leap $y0-$m0 (month has $mlen days)")
+    val epochTot = (y0.toLong * 366L + AllLeapCum(m0 - 1) + (d0 - 1)) *
+      86400000000L + tod0
+    (unitMicros, { v =>
+      val tot = epochTot + v * unitMicros
+      val day = Math.floorDiv(tot, 86400000000L)
+      val tod = Math.floorMod(tot, 86400000000L)
+      val yr = Math.floorDiv(day, 366L)
+      val doy = Math.floorMod(day, 366L).toInt
+      require(yr >= 0 && yr <= Int.MaxValue,
+        s"$what: all_leap year $yr out of range")
+      val mo = AllLeapCum.lastIndexWhere(_ <= doy)
+      (yr.toInt, mo + 1, doy - AllLeapCum(mo) + 1, tod)
     })
   }
 
@@ -984,18 +1020,45 @@ object Netcdf {
     * Output: `(epoch, t_year, t_month, t_day, cell_x, cell_y, value)`.
     */
   def scanNetcdfTime360(s: SparkSession, path: String, varName: String,
-      timeVar: String = "t"): DataFrame = {
+      timeVar: String = "t"): DataFrame =
+    scanNominalCalendar(s, path, varName, timeVar,
+      Set("360_day"), cf360Label)
+
+  /** all_leap/366_day-calendar TIME decode (r18): like 360_day, the
+    * axis surfaces as NOMINAL `(t_year, t_month, t_day)` columns —
+    * every all_leap year has a Feb 29, so most of them (2001-02-29, …)
+    * exist in no Gregorian rendering and no `TimestampType` can carry
+    * them. Requires the file to DECLARE `calendar: all_leap` (or
+    * `366_day`); any other declaration refuses — the decodes disagree
+    * and silently picking one is the misread class the engine refuses
+    * everywhere else.
+    * Output: `(epoch, t_year, t_month, t_day, cell_x, cell_y, value)`.
+    */
+  def scanNetcdfTimeAllLeap(s: SparkSession, path: String, varName: String,
+      timeVar: String = "t"): DataFrame =
+    scanNominalCalendar(s, path, varName, timeVar,
+      Set("all_leap", "366_day"), cfAllLeapLabel)
+
+  /** Shared nominal-calendar scan (r18): the 360_day and all_leap
+    * decodes differ only in the accepted calendar declarations and the
+    * labeller's base arithmetic — the axis read, the integral-count
+    * enforcement, and the broadcast stripe join are identical.
+    */
+  private def scanNominalCalendar(s: SparkSession, path: String,
+      varName: String, timeVar: String, wanted: Set[String],
+      labeller: (String, String) => (Long, Long => (Int, Int, Int, Long))): DataFrame = {
     import s.implicits._
     val m = readMeta(path)
     val tv = m.variable(timeVar)
     val units = tv.attrs.find(_.name == "units").map(_.text).getOrElse(
       sys.error(s"$path: time coordinate $timeVar has no units attribute"))
     val cal = tv.attrs.find(_.name == "calendar").map(_.text.trim.toLowerCase)
-    require(cal.contains("360_day"),
-      s"$path: calendar ${cal.getOrElse("(absent)")} is not 360_day — " +
-        "use scanNetcdfTime for the Gregorian family (this op's base-360 " +
-        "arithmetic would silently mislabel it)")
-    val label = cf360Label(units, s"$path:$timeVar")._2
+    require(cal.exists(wanted),
+      s"$path: calendar ${cal.getOrElse("(absent)")} is not " +
+        s"${wanted.toSeq.sorted.mkString("/")} — use scanNetcdfTime for the " +
+        "Gregorian family (this op's nominal arithmetic would silently " +
+        "mislabel it)")
+    val label = labeller(units, s"$path:$timeVar")._2
     require(tv.dimIds.length == 1,
       s"$path: $timeVar has rank ${tv.dimIds.length}, want a 1-D time coordinate")
     val raw = {
@@ -1603,6 +1666,22 @@ object Netcdf {
         ncEpochValue)
     }
 
+  /** all_leap-calendar fixture (r18): axis values covering the dates
+    * that make this calendar special — day 59 = Feb 29 of the epoch
+    * year 2000 (a real leap year), day 425 = 2001-02-29 (!) — a date
+    * that exists in NO Gregorian year — plus the Mar 1 and year-
+    * boundary neighbours.
+    */
+  val NcAllLeapVals = Seq(58, 59, 60, 365, 366, 425)
+  def timeAllLeapFixturePath(): String =
+    Raster.fixtureOnce(s"nc_time_allleap_${NcW}x$NcH.nc") { p =>
+      writeNetcdf(p, "t2m", NcH, NcW, NcFloat,
+        timeAxis = Some((NcAllLeapVals.length,
+          i => NcAllLeapVals(i).toDouble, "days since 2000-01-01")),
+        timeCalendar = Some("all_leap"))(
+        ncEpochValue)
+    }
+
   /** noleap-calendar CF time fixture (r18): the dominant CMIP model
     * calendar — `days since 2000-01-01` with `calendar: "noleap"`.
     * Axis values cross 2000's (real) Feb 29 — which noleap does NOT
@@ -1815,6 +1894,40 @@ object Netcdf {
          |FROM lab CROSS JOIN range(0, $NcW) x CROSS JOIN range(0, $NcH) y
          |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
       scanNetcdfTime360(s, time360FixturePath(), "t2m", "t")
+        .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // all_leap/366_day calendar as NOMINAL date columns (r18 — the
+    // last model calendar retired from the refusal list): every year
+    // has a Feb 29, so 2001-02-29 (day 425 here) exists in NO
+    // Gregorian rendering — like 360_day the axis surfaces as
+    // (t_year, t_month, t_day) integers. Oracle: base-366 integer
+    // replay with the fixed 366-day month table spelled as CASE
+    // ladders — day 425 MUST label (2001, 2, 29)
+    "scan_netcdf_time_allleap" -> Q(
+      s"""WITH vals(epoch, v) AS (VALUES
+         |    ${NcAllLeapVals.zipWithIndex.map { case (v, i) => s"($i, $v)" }.mkString(", ")}),
+         |lab0 AS (SELECT epoch,
+         |    (732000 + v) // 366 AS t_year,
+         |    (732000 + v) % 366 AS doy
+         |  FROM vals),
+         |lab AS (SELECT epoch, t_year,
+         |    CASE WHEN doy < 31 THEN 1 WHEN doy < 60 THEN 2 WHEN doy < 91 THEN 3
+         |         WHEN doy < 121 THEN 4 WHEN doy < 152 THEN 5 WHEN doy < 182 THEN 6
+         |         WHEN doy < 213 THEN 7 WHEN doy < 244 THEN 8 WHEN doy < 274 THEN 9
+         |         WHEN doy < 305 THEN 10 WHEN doy < 335 THEN 11 ELSE 12 END AS t_month,
+         |    doy + 1 -
+         |    CASE WHEN doy < 31 THEN 0 WHEN doy < 60 THEN 31 WHEN doy < 91 THEN 60
+         |         WHEN doy < 121 THEN 91 WHEN doy < 152 THEN 121 WHEN doy < 182 THEN 152
+         |         WHEN doy < 213 THEN 182 WHEN doy < 244 THEN 213 WHEN doy < 274 THEN 244
+         |         WHEN doy < 305 THEN 274 WHEN doy < 335 THEN 305 ELSE 335 END AS t_day
+         |  FROM lab0)
+         |SELECT epoch, t_year, t_month, t_day,
+         |  x.range AS cell_x, y.range AS cell_y,
+         |  CAST((23 * x.range + 19 * y.range + 31 * epoch) % 983 AS DOUBLE) AS value
+         |FROM lab CROSS JOIN range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdfTimeAllLeap(s, timeAllLeapFixturePath(), "t2m", "t")
         .orderBy("epoch", "cell_x", "cell_y")
     },
 

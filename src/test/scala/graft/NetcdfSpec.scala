@@ -551,6 +551,38 @@ class NetcdfSpec extends SparkSuite {
     assert(e2.getMessage.contains("not 360_day"), e2.getMessage)
   }
 
+  test("all_leap calendar: a Feb 29 EVERY year as nominal columns; dispatch refuses both ways (r18)") {
+    val p = Netcdf.timeAllLeapFixturePath()
+    val labs = Netcdf.scanNetcdfTimeAllLeap(spark, p, "t2m")
+      .select("epoch", "t_year", "t_month", "t_day").distinct().collect()
+      .map(r => r.getInt(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    // day 425 = 366 + 59 IS 2001-02-29 — a date no Gregorian year has
+    assert(labs(5) == ((2001, 2, 29)), labs.toString)
+    assert(labs(0) == ((2000, 2, 28)) && labs(1) == ((2000, 2, 29))
+      && labs(2) == ((2000, 3, 1)) && labs(3) == ((2000, 12, 31))
+      && labs(4) == ((2001, 1, 1)), labs.toString)
+    // the timestamp path refuses this file by name...
+    val e1 = intercept[RuntimeException](
+      Netcdf.scanNetcdfTime(spark, p, "t2m").count())
+    assert(e1.getMessage.contains("all_leap"), e1.getMessage)
+    // ...this op refuses Gregorian AND 360_day files (the nominal
+    // arithmetics disagree too)
+    val e2 = intercept[IllegalArgumentException](
+      Netcdf.scanNetcdfTimeAllLeap(spark, Netcdf.timeFixturePath(), "t2m").count())
+    assert(e2.getMessage.contains("not 366_day/all_leap")
+      || e2.getMessage.contains("not all_leap/366_day"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Netcdf.scanNetcdfTimeAllLeap(spark, Netcdf.time360FixturePath(), "t2m").count())
+    assert(e3.getMessage.contains("360_day is not"), e3.getMessage)
+    // an all_leap epoch date itself validates under the 366-day table
+    val eD = intercept[IllegalArgumentException](
+      Netcdf.cfAllLeapLabel("days since 2000-02-30", "t"))
+    assert(eD.getMessage.contains("invalid"), eD.getMessage)
+    // labeller spot-check: Feb 29 of the epoch year via hours units
+    val lab = Netcdf.cfAllLeapLabel("hours since 2000-01-01", "t")._2
+    assert(lab(59L * 24 + 6) == ((2000, 2, 29, 6L * 3600000000L)))
+  }
+
   test("CF calendar attribute: gregorian family + noleap decode, the rest refuses (r18)") {
     def lab(units: String, cal: Option[String], v: Long): java.time.Instant = {
       val s = Netcdf.cfTimeScale(units, cal, "t")
