@@ -1320,7 +1320,7 @@ object Hdf5 {
     * reverse pipeline order honoring the per-chunk mask, decode, clip
     * the edge pad (HDF5 stores full-size edge chunks).
     */
-  private def readChunk(r: H5ChunkRef): Iterator[(Int, Int, Int, Int, Double)] = {
+  private[zonal] def readChunk(r: H5ChunkRef): Iterator[(Int, Int, Int, Int, Double)] = {
     val elem = r.dtype.substring(2).toInt
     val inBounds = for {
       tt <- Iterator.range(0, r.chunkT)
@@ -4411,6 +4411,38 @@ object Hdf5 {
          |ORDER BY cell_x, cell_y, level, epoch""".stripMargin) { (s, _) =>
       scanNetcdf4Cube4dWindow(s, fixtureCube4dPath(), "v", 2, 2, 1, 2, 10, 50, 8, 40)
         .select(col("cell_x"), col("cell_y"), col("level"), col("epoch"), col("value"))
+        .orderBy("cell_x", "cell_y", "level", "epoch")
+    },
+
+    // DSv2 face of the HDF5 reader (r18 — completing the trio next to
+    // TiffSource and ZarrSource): one InputPartition per chunk straight
+    // from the B-tree manifest, zero shuffle, rank-inferred schema; the
+    // pushed window prunes the chunk manifest at planning time
+    // (PlanShapeSpec pins 8-of-27 partitions and the decode-free count)
+    "scan_hdf5_source" -> Q(
+      s"""SELECT cell_x, cell_y, epoch, value FROM ($H5CubeCellsSql)
+         |WHERE cell_x BETWEEN 10 AND 40 AND cell_y BETWEEN 5 AND 35
+         |  AND epoch >= 2
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.Hdf5Source").option("var", "v")
+        .load(fixtureCubePath())
+        .filter(col("cell_x").between(10, 40) && col("cell_y").between(5, 35)
+          && col("epoch") >= 2)
+        .orderBy("cell_x", "cell_y", "epoch")
+    },
+
+    // the DSv2 face at rank 4: the xarray cube.sel(time=, level=, x=)
+    // query as plain filters, pruned in all FOUR axes at planning time
+    // (level=1 keeps only the first level-chunk column; epoch>=1 keeps
+    // both t-chunks — the boundary chunk trims through the residual)
+    "scan_hdf5_source_4d" -> Q(
+      s"""SELECT cell_x, cell_y, level, epoch, value FROM ($H5Cube4dCellsSql)
+         |WHERE cell_x BETWEEN 16 AND 47 AND level = 1 AND epoch >= 1
+         |ORDER BY cell_x, cell_y, level, epoch""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.Hdf5Source").option("var", "v")
+        .load(fixtureCube4dPath())
+        .filter(col("cell_x").between(16, 47) && col("level") === 1
+          && col("epoch") >= 1)
         .orderBy("cell_x", "cell_y", "level", "epoch")
     },
 

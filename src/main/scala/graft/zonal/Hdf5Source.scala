@@ -1,0 +1,192 @@
+package graft.zonal
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 face of the netCDF-4/HDF5 reader (r18 — completing
+  * the DSv2 trio next to [[TiffSource]] and [[ZarrSource]]):
+  *
+  *  - `spark.read.format("graft.zonal.Hdf5Source").option("var", name)
+  *    .load(path)` plans ONE `InputPartition` per chunk straight from
+  *    the driver-side B-tree manifest — zero shuffle anywhere in the
+  *    scan (the Dataset paths pay a `createDataset(refs).repartition`
+  *    round; this face does not);
+  *  - the schema infers from the variable's RANK: rank-2 reads
+  *    `(cell_x, cell_y, value)`, rank-3 (t, y, x) adds `epoch`,
+  *    rank-4 (t, level, y, x) adds `level` and `epoch` — so the xarray
+  *    `cube.sel(time=, level=, x=, y=)` query is a plain `.filter`
+  *    whose comparisons PUSH DOWN and prune the chunk manifest at
+  *    planning time in ALL FOUR axes (chunk-granular, so every pushed
+  *    filter also stays residual and Spark re-applies it exactly to
+  *    boundary chunks);
+  *  - column pruning reaches the decoder: a projection without `value`
+  *    (or `count(*)`) computes positions from chunk geometry — pad
+  *    clipping included — and reads ZERO chunk bytes; absent chunks
+  *    contribute fill VALUES, not masks, so counts never touch data.
+  *
+  * At 100 TB this is the cube scan you want: the driver touches only
+  * header + B-tree metadata, executors see exactly the pruned chunk
+  * list, and Catalyst reasons about the source like a parquet scan.
+  */
+class Hdf5Source extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Hdf5Source.schemaFor(options.get("path"), options.get("var"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new Hdf5Table(properties.get("path"), properties.get("var"))
+}
+
+object Hdf5Source {
+  private[zonal] def schemaFor(path: String, varName: String): StructType = {
+    require(path != null && path.nonEmpty,
+      "graft.zonal.Hdf5Source: a load(path) is required")
+    require(varName != null && varName.nonEmpty,
+      "graft.zonal.Hdf5Source: .option(\"var\", <dataset name>) is required")
+    val m = Hdf5.readMeta(path, varName)
+    val pos = Seq(
+      StructField("cell_x", IntegerType, nullable = false),
+      StructField("cell_y", IntegerType, nullable = false))
+    val mid =
+      (if (m.levels > 0) Seq(StructField("level", IntegerType, nullable = false)) else Nil) ++
+      (if (m.epochs > 0) Seq(StructField("epoch", IntegerType, nullable = false)) else Nil)
+    StructType(pos ++ mid :+ StructField("value", DoubleType, nullable = false))
+  }
+}
+
+final class Hdf5Table(path: String, varName: String) extends Table with SupportsRead {
+  override def name(): String = s"hdf5:$path#$varName"
+  override def schema(): StructType = Hdf5Source.schemaFor(path, varName)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new Hdf5ScanBuilder(path, varName)
+}
+
+/** Accumulates a (t, level, y, x) window from pushed comparisons and
+  * the pruned column set; `build()` freezes both into the scan.
+  */
+final class Hdf5ScanBuilder(path: String, varName: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var x0 = Int.MinValue; private var x1 = Int.MaxValue
+  private var y0 = Int.MinValue; private var y1 = Int.MaxValue
+  private var t0 = Int.MinValue; private var t1 = Int.MaxValue
+  private var l0 = Int.MinValue; private var l1 = Int.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = Hdf5Source.schemaFor(path, varName)
+
+  private def bound(f: Filter): Boolean = f match {
+    case And(l, r) => val a = bound(l); val b = bound(r); a || b
+    case GreaterThanOrEqual(c, v: Number) => clamp(c, lo = v.longValue())
+    case GreaterThan(c, v: Number) => clamp(c, lo = v.longValue() + 1)
+    case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
+    case LessThan(c, v: Number) => clamp(c, hi = v.longValue() - 1)
+    case EqualTo(c, v: Number) => clamp(c, lo = v.longValue()) | clamp(c, hi = v.longValue())
+    case _ => false
+  }
+  private def clamp(col: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
+    def toI(v: Long): Int = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt
+    col match {
+      case "cell_x" => x0 = math.max(x0, toI(lo)); x1 = math.min(x1, toI(hi)); true
+      case "cell_y" => y0 = math.max(y0, toI(lo)); y1 = math.min(y1, toI(hi)); true
+      case "epoch" => t0 = math.max(t0, toI(lo)); t1 = math.min(t1, toI(hi)); true
+      case "level" => l0 = math.max(l0, toI(lo)); l1 = math.min(l1, toI(hi)); true
+      case _ => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(bound)
+    filters // chunk-granular pruning: every filter stays residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(s: StructType): Unit = required = s
+  override def build(): Scan =
+    new Hdf5Scan(path, varName, required, x0, x1, y0, y1, t0, t1, l0, l1)
+}
+
+final class Hdf5Scan(path: String, varName: String, required: StructType,
+    x0: Int, x1: Int, y0: Int, y1: Int,
+    t0: Int, t1: Int, l0: Int, l1: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-hdf5 $path#$varName window=[$x0..$x1]x[$y0..$y1] " +
+      s"t=[$t0..$t1] level=[$l0..$l1] cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = Hdf5.readMeta(path, varName)
+    // a chunk covers [ox, ox+cols) × [oy, oy+rows) × [ot, ot+chunkT) ×
+    // [ol, ol+chunkL) — keep it iff every axis overlaps its window
+    // (rank-2/3 refs carry chunkT/chunkL = 1 so the unbounded defaults
+    // pass through)
+    Hdf5.chunkRefs(path, m)
+      .filter(r =>
+        r.ox <= x1 && r.ox + r.cols > x0 &&
+        r.oy <= y1 && r.oy + r.rows > y0 &&
+        r.ot <= t1 && r.ot + r.chunkT > t0 &&
+        r.ol <= l1 && r.ol + r.chunkL > l0)
+      .map(r => Hdf5InputPartition(r): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Hdf5ReaderFactory(required.fieldNames)
+}
+
+final case class Hdf5InputPartition(ref: Hdf5.H5ChunkRef) extends InputPartition
+
+final class Hdf5ReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new Hdf5PartitionReader(p.asInstanceOf[Hdf5InputPartition].ref, cols)
+}
+
+/** One chunk's reader. With `value` pruned away the chunk bytes are
+  * never read — positions come from chunk geometry with the pad clip
+  * applied in all four axes (HDF5 stores full-size edge chunks).
+  */
+final class Hdf5PartitionReader(r: Hdf5.H5ChunkRef, cols: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val needsValue = cols.contains("value")
+  private val it: Iterator[(Int, Int, Int, Int, Double)] =
+    if (needsValue) Hdf5.readChunk(r)
+    else for {
+      tt <- Iterator.range(0, r.chunkT)
+      t = r.ot + tt
+      if t < r.epochs
+      ll <- Iterator.range(0, r.chunkL)
+      l = r.ol + ll
+      if l < r.levels
+      rr <- Iterator.range(0, r.rows)
+      y = r.oy + rr
+      if y < r.height
+      cc <- Iterator.range(0, r.cols)
+      x = r.ox + cc
+      if x < r.width
+    } yield (x, y, l, t, 0.0)
+  private var cur: (Int, Int, Int, Int, Double) = _
+
+  override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(cols.length)
+    var k = 0
+    while (k < cols.length) {
+      cols(k) match {
+        case "cell_x" => row.update(k, cur._1)
+        case "cell_y" => row.update(k, cur._2)
+        case "level" => row.update(k, cur._3)
+        case "epoch" => row.update(k, cur._4)
+        case "value" => row.update(k, cur._5)
+      }
+      k += 1
+    }
+    row
+  }
+  override def close(): Unit = ()
+}

@@ -332,6 +332,53 @@ class PlanShapeSpec extends SparkSuite {
       && sm.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "value"))
   }
 
+  test("r18 DSv2 hdf5 source: 4-axis chunk pruning, zero scan shuffle, pruned decode reads no bytes") {
+    import org.apache.spark.sql.functions.col
+    // rank-3: 3x3x3 chunk grid pruned to 2x2x2 by the pushed window
+    val df = spark.read.format("graft.zonal.Hdf5Source").option("var", "v")
+      .load(graft.zonal.Hdf5.fixtureCubePath())
+      .filter(col("cell_x").between(10, 40) && col("cell_y").between(5, 35)
+        && col("epoch") >= 2)
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 31 * 31 * 3)
+    assert(got((10, 5, 2)) == graft.zonal.Hdf5.h5CubeValue(10, 5, 2))
+    assert(got((40, 35, 4)) == graft.zonal.Hdf5.h5CubeValue(40, 35, 4))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), s"not a DSv2 scan:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"), s"DSv2 hdf5 scan grew a shuffle:\n${p.take(2000)}")
+    assert(df.rdd.getNumPartitions == 8,
+      s"expected 8 pruned chunk partitions, got ${df.rdd.getNumPartitions}")
+    // rank-4: level + epoch prune their chunk axes too (2x2x3x3 grid →
+    // level=1 keeps 1 of 2 level-chunks, x window 2 of 3 → 12)
+    val d4 = spark.read.format("graft.zonal.Hdf5Source").option("var", "v")
+      .load(graft.zonal.Hdf5.fixtureCube4dPath())
+    assert(d4.schema.fieldNames.toSeq ==
+      Seq("cell_x", "cell_y", "level", "epoch", "value"))
+    assert(d4.rdd.getNumPartitions == 36)
+    val w4 = d4.filter(col("cell_x").between(16, 47) && col("level") === 1
+      && col("epoch") >= 1)
+    assert(w4.rdd.getNumPartitions == 12,
+      s"expected 12 pruned chunk partitions, got ${w4.rdd.getNumPartitions}")
+    assert(w4.collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3)) -> r.getDouble(4))
+      .toMap.apply((16, 0, 1, 2)) == graft.zonal.Hdf5.h5Cube4dValue(16, 0, 1, 2))
+    // pruned decode reads ZERO chunk bytes: corrupt one chunk of a
+    // small file — count(*) stays exact, a value read fails loudly
+    val dir = java.nio.file.Files.createTempDirectory("h5dsv2").toString
+    val small = s"$dir/c.nc"
+    graft.zonal.Hdf5.writeHdf5(small, "v", 8, 8, 8, 8)((x, y) => (x + y).toDouble)
+    val addr = graft.zonal.Hdf5.readMeta(small, "v").chunks.head._5
+    val raf = new java.io.RandomAccessFile(small, "rw")
+    try { raf.seek(addr); raf.write(Array[Byte](9, 9, 9, 9, 9, 9)) } finally raf.close()
+    val sm = spark.read.format("graft.zonal.Hdf5Source").option("var", "v").load(small)
+    assert(sm.count() == 64, "count(*) must come from chunk geometry, not bytes")
+    assert(sm.select("cell_x", "cell_y").collect().length == 64,
+      "positions-only projection must not decode the chunk")
+    intercept[Exception](sm.select("value").collect())
+    // a rank-2 dataset carries neither epoch nor level
+    assert(sm.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "value"))
+  }
+
   test("r18 DSv2 tiff multiband: band column infers, planar band predicate prunes blocks") {
     import org.apache.spark.sql.functions.col
     // chunky multiband: band column present, values exact, zero shuffle
