@@ -267,7 +267,7 @@ object Netcdf {
   }
 
   /** Row-stripe manifest for a rank-2 `(y, x)` variable. */
-  private def stripes2d(path: String, m: NcMeta, v: NcVar, parallelHint: Int,
+  private[zonal] def stripes2d(path: String, m: NcMeta, v: NcVar, parallelHint: Int,
       dropFill: Boolean): Seq[StripeRef] = {
     require(v.dimIds.length == 2,
       s"$path: variable ${v.name} has rank ${v.dimIds.length}, want 2 (y, x)")
@@ -288,7 +288,7 @@ object Netcdf {
   }
 
   /** (record|fixed, y, x) manifest: one stripe set per leading index. */
-  private def stripes3d(path: String, m: NcMeta, v: NcVar,
+  private[zonal] def stripes3d(path: String, m: NcMeta, v: NcVar,
       parallelHint: Int): Seq[StripeRef] = {
     require(v.dimIds.length == 3,
       s"$path: variable ${v.name} has rank ${v.dimIds.length}, want 3 (t, y, x)")
@@ -312,7 +312,7 @@ object Netcdf {
   /** Rank-4 stripe manifest (r14): per-(t, level) slabs of (y, x) row
     * stripes — `t` record (UNLIMITED) or fixed, `level` always fixed.
     */
-  private def stripes4d(path: String, m: NcMeta, v: NcVar,
+  private[zonal] def stripes4d(path: String, m: NcMeta, v: NcVar,
       parallelHint: Int): Seq[StripeRef] = {
     require(v.dimIds.length == 4,
       s"$path: variable ${v.name} has rank ${v.dimIds.length}, want 4 (t, level, y, x)")
@@ -343,7 +343,7 @@ object Netcdf {
   /** One task's work: seek+read exactly the stripe's byte range, decode
     * big-endian samples, emit in-bounds cells (fill-masked when asked).
     */
-  private def readStripe(r: StripeRef): Iterator[(Int, Int, Int, Double)] = {
+  private[zonal] def readStripe(r: StripeRef): Iterator[(Int, Int, Int, Double)] = {
     val p = new org.apache.hadoop.fs.Path(r.path)
     val fs = hadoopFs(p)
     val elem = elemSize(r.ncType)
@@ -2185,6 +2185,41 @@ object Netcdf {
       scanNetcdfEpochs(s, epochsFixturePath(), "t2m")
         .select(col("cell_x"), col("cell_y"), col("epoch"), col("value"))
         .orderBy("cell_x", "cell_y", "epoch")
+    },
+
+    // DSv2 face of the classic reader (r18 — the fourth member of the
+    // DSv2 quartet): one InputPartition per row stripe straight from
+    // the header, zero shuffle; pushed cell_y/epoch comparisons prune
+    // the stripe manifest at planning time (cell_x stays residual —
+    // row-major stripes span the width, stated not hidden);
+    // positions-only/count(*) reads zero data bytes
+    "scan_netcdf_source" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,
+         |  CAST((23 * x.range + 19 * y.range + 31 * t.range) % 983 AS DOUBLE) AS value
+         |FROM range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |  CROSS JOIN range(0, $NcEpochs) t
+         |WHERE y.range BETWEEN 8 AND 40 AND t.range >= 1
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.NetcdfSource").option("var", "t2m")
+        .load(epochsFixturePath())
+        .filter(col("cell_y").between(8, 40) && col("epoch") >= 1)
+        .orderBy("cell_x", "cell_y", "epoch")
+    },
+
+    // the DSv2 face at rank 4: level + epoch prune whole (t, level)
+    // stripe planes at planning time, the y window prunes within them
+    "scan_netcdf_source_4d" -> Q(
+      s"""SELECT x.range AS cell_x, y.range AS cell_y,
+         |  l.range AS level, t.range AS epoch,
+         |  CAST((23 * x.range + 19 * y.range + 29 * l.range + 31 * t.range) % 983 AS DOUBLE) AS value
+         |FROM range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |CROSS JOIN range(0, $Nc4L) l CROSS JOIN range(0, $Nc4T) t
+         |WHERE l.range = 1 AND t.range >= 1 AND y.range <= 40
+         |ORDER BY cell_x, cell_y, level, epoch""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.NetcdfSource").option("var", "t2m")
+        .load(cube4dFixturePath())
+        .filter(col("level") === 1 && col("epoch") >= 1 && col("cell_y") <= 40)
+        .orderBy("cell_x", "cell_y", "level", "epoch")
     },
 
     // Y-window pruning: stripes outside [y0, y1] are never read (the

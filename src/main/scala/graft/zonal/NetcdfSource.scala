@@ -1,0 +1,188 @@
+package graft.zonal
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** DataSource V2 face of the classic NetCDF reader (r18 — the fourth
+  * and last member of the DSv2 quartet next to [[TiffSource]],
+  * [[ZarrSource]] and [[Hdf5Source]]):
+  *
+  *  - `spark.read.format("graft.zonal.NetcdfSource").option("var",
+  *    name).load(path)` plans ONE `InputPartition` per row stripe
+  *    straight from the driver-side header — zero shuffle anywhere;
+  *  - the schema infers from the variable's RANK: rank-2 `(y, x)`
+  *    reads `(cell_x, cell_y, value)`, rank-3 `(t, y, x)` — record or
+  *    fixed leading dim — adds `epoch`, rank-4 `(t, level, y, x)`
+  *    adds `level` and `epoch`;
+  *  - pushed `cell_y` / `epoch` / `level` comparisons prune the STRIPE
+  *    manifest at planning time (stripe-granular, every filter kept
+  *    residual). A `cell_x` bound is NOT pushed: classic NetCDF is
+  *    row-major contiguous, a stripe always spans the full width —
+  *    the filter stays a plain residual, stated not hidden;
+  *  - column pruning reaches the decoder: positions-only / `count(*)`
+  *    projections compute cells from stripe geometry and read ZERO
+  *    data bytes. Values surface RAW (`_FillValue` is data here; the
+  *    fill-masking face is [[Netcdf.scanNetcdfFill]]), which is what
+  *    makes the geometry shortcut exact.
+  */
+class NetcdfSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NetcdfSource.schemaFor(options.get("path"), options.get("var"))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new NetcdfTable(properties.get("path"), properties.get("var"))
+}
+
+object NetcdfSource {
+  private[zonal] def rankOf(path: String, varName: String): Int = {
+    require(path != null && path.nonEmpty,
+      "graft.zonal.NetcdfSource: a load(path) is required")
+    require(varName != null && varName.nonEmpty,
+      "graft.zonal.NetcdfSource: .option(\"var\", <variable name>) is required")
+    val v = Netcdf.readMeta(path).variable(varName)
+    val r = v.dimIds.length
+    require(r >= 2 && r <= 4,
+      s"$path: '$varName' is rank $r — the DSv2 source reads rank 2/3/4")
+    r
+  }
+  private[zonal] def schemaFor(path: String, varName: String): StructType = {
+    val r = rankOf(path, varName)
+    val pos = Seq(
+      StructField("cell_x", IntegerType, nullable = false),
+      StructField("cell_y", IntegerType, nullable = false))
+    val mid =
+      (if (r == 4) Seq(StructField("level", IntegerType, nullable = false)) else Nil) ++
+      (if (r >= 3) Seq(StructField("epoch", IntegerType, nullable = false)) else Nil)
+    StructType(pos ++ mid :+ StructField("value", DoubleType, nullable = false))
+  }
+}
+
+final class NetcdfTable(path: String, varName: String) extends Table with SupportsRead {
+  override def name(): String = s"netcdf:$path#$varName"
+  override def schema(): StructType = NetcdfSource.schemaFor(path, varName)
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NetcdfScanBuilder(path, varName)
+}
+
+/** Accumulates a (t, level, y) window from pushed comparisons and the
+  * pruned column set; `build()` freezes both into the scan. `cell_x`
+  * deliberately does NOT clamp (row-major stripes span the width).
+  */
+final class NetcdfScanBuilder(path: String, varName: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var y0 = Int.MinValue; private var y1 = Int.MaxValue
+  private var t0 = Int.MinValue; private var t1 = Int.MaxValue
+  private var l0 = Int.MinValue; private var l1 = Int.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = NetcdfSource.schemaFor(path, varName)
+
+  private def bound(f: Filter): Boolean = f match {
+    case And(l, r) => val a = bound(l); val b = bound(r); a || b
+    case GreaterThanOrEqual(c, v: Number) => clamp(c, lo = v.longValue())
+    case GreaterThan(c, v: Number) => clamp(c, lo = v.longValue() + 1)
+    case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
+    case LessThan(c, v: Number) => clamp(c, hi = v.longValue() - 1)
+    case EqualTo(c, v: Number) => clamp(c, lo = v.longValue()) | clamp(c, hi = v.longValue())
+    case _ => false
+  }
+  private def clamp(col: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
+    def toI(v: Long): Int = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt
+    col match {
+      case "cell_y" => y0 = math.max(y0, toI(lo)); y1 = math.min(y1, toI(hi)); true
+      case "epoch" => t0 = math.max(t0, toI(lo)); t1 = math.min(t1, toI(hi)); true
+      case "level" => l0 = math.max(l0, toI(lo)); l1 = math.min(l1, toI(hi)); true
+      case _ => false
+    }
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(bound)
+    filters // stripe-granular pruning: every filter stays residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(s: StructType): Unit = required = s
+  override def build(): Scan =
+    new NetcdfScan(path, varName, required, y0, y1, t0, t1, l0, l1)
+}
+
+final class NetcdfScan(path: String, varName: String, required: StructType,
+    y0: Int, y1: Int, t0: Int, t1: Int, l0: Int, l1: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-netcdf $path#$varName y=[$y0..$y1] t=[$t0..$t1] " +
+      s"level=[$l0..$l1] cols=${required.fieldNames.mkString(",")}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = Netcdf.readMeta(path)
+    val v = m.variable(varName)
+    val hint = org.apache.spark.sql.SparkSession.active
+      .sparkContext.defaultParallelism
+    val refs = v.dimIds.length match {
+      case 2 => Netcdf.stripes2d(path, m, v, hint, dropFill = false)
+      case 3 => Netcdf.stripes3d(path, m, v, hint)
+      case 4 => Netcdf.stripes4d(path, m, v, hint)
+      case r => sys.error(s"$path: '$varName' is rank $r — want 2/3/4")
+    }
+    // a stripe covers rows [y0, y0+rows) of ONE (epoch, level) plane
+    refs.filter(r =>
+        r.y0 <= y1 && r.y0 + r.rows > y0 &&
+        r.epoch >= t0 && r.epoch <= t1 &&
+        r.level >= l0 && r.level <= l1)
+      .map(r => NetcdfInputPartition(r): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NetcdfReaderFactory(required.fieldNames)
+}
+
+final case class NetcdfInputPartition(ref: Netcdf.StripeRef) extends InputPartition
+
+final class NetcdfReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new NetcdfPartitionReader(p.asInstanceOf[NetcdfInputPartition].ref, cols)
+}
+
+/** One stripe's reader. With `value` pruned away the stripe bytes are
+  * never read — positions come from stripe geometry (full-width rows,
+  * the stripe's own epoch/level plane).
+  */
+final class NetcdfPartitionReader(r: Netcdf.StripeRef, cols: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val needsValue = cols.contains("value")
+  private val it: Iterator[(Int, Int, Int, Double)] =
+    if (needsValue) Netcdf.readStripe(r)
+    else for {
+      rr <- Iterator.range(0, r.rows)
+      cc <- Iterator.range(0, r.width)
+    } yield (cc, r.y0 + rr, r.epoch, 0.0)
+  private var cur: (Int, Int, Int, Double) = _
+
+  override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(cols.length)
+    var k = 0
+    while (k < cols.length) {
+      cols(k) match {
+        case "cell_x" => row.update(k, cur._1)
+        case "cell_y" => row.update(k, cur._2)
+        case "level" => row.update(k, r.level)
+        case "epoch" => row.update(k, cur._3)
+        case "value" => row.update(k, cur._4)
+      }
+      k += 1
+    }
+    row
+  }
+  override def close(): Unit = ()
+}

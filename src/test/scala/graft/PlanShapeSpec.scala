@@ -379,6 +379,56 @@ class PlanShapeSpec extends SparkSuite {
     assert(sm.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "value"))
   }
 
+  test("r18 DSv2 netcdf source: stripe pruning on y/epoch/level, zero scan shuffle, decode-free positions") {
+    import org.apache.spark.sql.functions.col
+    // rank-3 record variable: epoch predicate prunes whole per-epoch
+    // stripe sets — exactly (NcEpochs-1)/NcEpochs of the full manifest
+    // survives epoch >= 1 (ratio pin: stripe height is a sizing
+    // heuristic, the per-epoch stripe count is not)
+    val full = spark.read.format("graft.zonal.NetcdfSource").option("var", "t2m")
+      .load(graft.zonal.Netcdf.epochsFixturePath())
+    val nFull = full.rdd.getNumPartitions
+    assert(nFull % graft.zonal.Netcdf.NcEpochs == 0)
+    val byEpoch = full.filter(col("epoch") >= 1)
+    assert(byEpoch.rdd.getNumPartitions ==
+      nFull / graft.zonal.Netcdf.NcEpochs * (graft.zonal.Netcdf.NcEpochs - 1),
+      s"epoch predicate must prune per-epoch stripe sets: $nFull → ${byEpoch.rdd.getNumPartitions}")
+    // y window prunes within a plane; values exact through the decode
+    val w = full.filter(col("cell_y").between(8, 40) && col("epoch") >= 1)
+    assert(w.rdd.getNumPartitions < byEpoch.rdd.getNumPartitions)
+    val got = w.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getDouble(3)).toMap
+    assert(got.size == 80 * 33 * 2)
+    assert(got((10, 8, 1)) == graft.zonal.Netcdf.ncEpochValue(10, 8, 1))
+    assert(got((79, 40, 2)) == graft.zonal.Netcdf.ncEpochValue(79, 40, 2))
+    val p = w.queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), s"not a DSv2 scan:\n${p.take(2000)}")
+    assert(!p.contains("Exchange"), s"DSv2 netcdf scan grew a shuffle:\n${p.take(2000)}")
+    // rank-4: level equality halves the (t, level) plane set
+    val d4 = spark.read.format("graft.zonal.NetcdfSource").option("var", "t2m")
+      .load(graft.zonal.Netcdf.cube4dFixturePath())
+    assert(d4.schema.fieldNames.toSeq ==
+      Seq("cell_x", "cell_y", "level", "epoch", "value"))
+    val n4 = d4.rdd.getNumPartitions
+    assert(d4.filter(col("level") === 1).rdd.getNumPartitions * graft.zonal.Netcdf.Nc4L == n4)
+    // decode-free positions: count(*) and positions-only projections
+    // read no data bytes — truncate a copy's tail so any value read
+    // fails loudly while geometry stays exact
+    val dir = java.nio.file.Files.createTempDirectory("ncdsv2").toString
+    val small = s"$dir/c.nc"
+    graft.zonal.Netcdf.writeNetcdf(small, "v", 8, 8, 6 /* NC_DOUBLE */,
+      coordVars = false)((x, y, _) => (x + y).toDouble)
+    val len = new java.io.File(small).length()
+    val raf = new java.io.RandomAccessFile(small, "rw")
+    try raf.setLength(len - 8 * 8 * 4) finally raf.close() // half the cells gone
+    val sm = spark.read.format("graft.zonal.NetcdfSource").option("var", "v").load(small)
+    assert(sm.count() == 64, "count(*) must come from stripe geometry, not bytes")
+    assert(sm.select("cell_x", "cell_y").collect().length == 64,
+      "positions-only projection must not read the stripe")
+    intercept[Exception](sm.select("value").collect())
+    assert(sm.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "value"))
+  }
+
   test("r18 DSv2 tiff multiband: band column infers, planar band predicate prunes blocks") {
     import org.apache.spark.sql.functions.col
     // chunky multiband: band column present, values exact, zero shuffle
