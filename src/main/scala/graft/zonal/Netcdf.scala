@@ -2222,6 +2222,33 @@ object Netcdf {
         .orderBy("cell_x", "cell_y", "level", "epoch")
     },
 
+    // the DSv2 face with CF TIME (r18): .option("time", "t") adds a
+    // real t_ts TIMESTAMP column and a pushed t_ts window prunes the
+    // stripe manifest at planning time — xarray's sel(time=slice(...))
+    // as a plain SQL WHERE (the window keeps epochs 1..3 of 5;
+    // PlanShapeSpec pins the pruned partition ratio)
+    "scan_netcdf_source_time" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $NcTimeEpochs) t
+         |)
+         |SELECT cell_x, cell_y, epoch, t_ts, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, epoch, t_ts,
+         |    CAST((23 * x.range + 19 * y.range + 31 * epoch) % 983 AS DOUBLE) AS value
+         |  FROM epochs CROSS JOIN range(0, $NcW) x CROSS JOIN range(0, $NcH) y)
+         |WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |  AND TIMESTAMP '2020-03-02 06:00:00'
+         |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.NetcdfSource")
+        .option("var", "t2m").option("time", "t")
+        .load(timeFixturePath())
+        .filter(col("t_ts").between(
+          lit("2020-03-01 16:00:00").cast("timestamp"),
+          lit("2020-03-02 06:00:00").cast("timestamp")))
+        .orderBy("epoch", "cell_x", "cell_y")
+    },
+
     // Y-window pruning: stripes outside [y0, y1] are never read (the
     // manifest starts at y0); the X-window is a residual filter by the
     // format's row-major layout — stated, not hidden

@@ -29,14 +29,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    projections compute cells from stripe geometry and read ZERO
   *    data bytes. Values surface RAW (`_FillValue` is data here; the
   *    fill-masking face is [[Netcdf.scanNetcdfFill]]), which is what
-  *    makes the geometry shortcut exact.
+  *    makes the geometry shortcut exact;
+  *  - `.option("time", <coord name>)` on a rank-3 variable adds a real
+  *    `t_ts` TIMESTAMP column, CF-decoded (units + calendar) from the
+  *    coordinate driver-side — and a pushed `t_ts` comparison prunes
+  *    the stripe manifest at planning time: the xarray
+  *    `cube.sel(time=slice(...))` query as a plain SQL WHERE over a
+  *    DSv2 table.
   */
 class NetcdfSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    NetcdfSource.schemaFor(options.get("path"), options.get("var"))
+    NetcdfSource.schemaFor(options.get("path"), options.get("var"),
+      options.get("time"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new NetcdfTable(properties.get("path"), properties.get("var"))
+    new NetcdfTable(properties.get("path"), properties.get("var"),
+      properties.get("time"))
 }
 
 object NetcdfSource {
@@ -51,40 +59,57 @@ object NetcdfSource {
       s"$path: '$varName' is rank $r — the DSv2 source reads rank 2/3/4")
     r
   }
-  private[zonal] def schemaFor(path: String, varName: String): StructType = {
+  private[zonal] def schemaFor(path: String, varName: String,
+      timeVar: String): StructType = {
     val r = rankOf(path, varName)
+    require(timeVar == null || r == 3,
+      s"$path: .option(\"time\", ...) needs a rank-3 (t, y, x) variable " +
+        s"('$varName' is rank $r)")
     val pos = Seq(
       StructField("cell_x", IntegerType, nullable = false),
       StructField("cell_y", IntegerType, nullable = false))
     val mid =
       (if (r == 4) Seq(StructField("level", IntegerType, nullable = false)) else Nil) ++
-      (if (r >= 3) Seq(StructField("epoch", IntegerType, nullable = false)) else Nil)
+      (if (r >= 3) Seq(StructField("epoch", IntegerType, nullable = false)) else Nil) ++
+      (if (timeVar != null) Seq(StructField("t_ts", TimestampType, nullable = false)) else Nil)
     StructType(pos ++ mid :+ StructField("value", DoubleType, nullable = false))
   }
 }
 
-final class NetcdfTable(path: String, varName: String) extends Table with SupportsRead {
+final class NetcdfTable(path: String, varName: String, timeVar: String)
+    extends Table with SupportsRead {
   override def name(): String = s"netcdf:$path#$varName"
-  override def schema(): StructType = NetcdfSource.schemaFor(path, varName)
+  override def schema(): StructType = NetcdfSource.schemaFor(path, varName, timeVar)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NetcdfScanBuilder(path, varName)
+    new NetcdfScanBuilder(path, varName, timeVar)
 }
 
 /** Accumulates a (t, level, y) window from pushed comparisons and the
   * pruned column set; `build()` freezes both into the scan. `cell_x`
   * deliberately does NOT clamp (row-major stripes span the width).
   */
-final class NetcdfScanBuilder(path: String, varName: String)
+final class NetcdfScanBuilder(path: String, varName: String, timeVar: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
   private var t0 = Int.MinValue; private var t1 = Int.MaxValue
   private var l0 = Int.MinValue; private var l1 = Int.MaxValue
+  private var u0 = Long.MinValue; private var u1 = Long.MaxValue // t_ts micros
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = NetcdfSource.schemaFor(path, varName)
+  private var required: StructType = NetcdfSource.schemaFor(path, varName, timeVar)
 
+  // a pushed timestamp arrives as java.sql.Timestamp (or Instant under
+  // the java8 datetime API) — either way an exact micros instant
+  private def micros(v: Any): Option[Long] = v match {
+    case ts: java.sql.Timestamp =>
+      Some(ts.getTime * 1000L + ts.getNanos / 1000 % 1000)
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L))
+    case _ => None
+  }
   private def bound(f: Filter): Boolean = f match {
     case And(l, r) => val a = bound(l); val b = bound(r); a || b
     case GreaterThanOrEqual(c, v: Number) => clamp(c, lo = v.longValue())
@@ -92,7 +117,15 @@ final class NetcdfScanBuilder(path: String, varName: String)
     case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
     case LessThan(c, v: Number) => clamp(c, hi = v.longValue() - 1)
     case EqualTo(c, v: Number) => clamp(c, lo = v.longValue()) | clamp(c, hi = v.longValue())
+    case GreaterThanOrEqual("t_ts", v) => micros(v).exists(u => tsClamp(lo = u))
+    case GreaterThan("t_ts", v) => micros(v).exists(u => tsClamp(lo = u + 1))
+    case LessThanOrEqual("t_ts", v) => micros(v).exists(u => tsClamp(hi = u))
+    case LessThan("t_ts", v) => micros(v).exists(u => tsClamp(hi = u - 1))
+    case EqualTo("t_ts", v) => micros(v).exists(u => tsClamp(lo = u) | tsClamp(hi = u))
     case _ => false
+  }
+  private def tsClamp(lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
+    u0 = math.max(u0, lo); u1 = math.min(u1, hi); true
   }
   private def clamp(col: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
     def toI(v: Long): Int = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt
@@ -111,23 +144,36 @@ final class NetcdfScanBuilder(path: String, varName: String)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = required = s
   override def build(): Scan =
-    new NetcdfScan(path, varName, required, y0, y1, t0, t1, l0, l1)
+    new NetcdfScan(path, varName, timeVar, required, y0, y1, t0, t1, l0, l1, u0, u1)
 }
 
-final class NetcdfScan(path: String, varName: String, required: StructType,
-    y0: Int, y1: Int, t0: Int, t1: Int, l0: Int, l1: Int) extends Scan with Batch {
+final class NetcdfScan(path: String, varName: String, timeVar: String,
+    required: StructType, y0: Int, y1: Int, t0: Int, t1: Int,
+    l0: Int, l1: Int, u0: Long, u1: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-netcdf $path#$varName y=[$y0..$y1] t=[$t0..$t1] " +
-      s"level=[$l0..$l1] cols=${required.fieldNames.mkString(",")}"
+      s"level=[$l0..$l1] t_ts=[$u0..$u1] cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val m = Netcdf.readMeta(path)
     val v = m.variable(varName)
     val hint = org.apache.spark.sql.SparkSession.active
       .sparkContext.defaultParallelism
+    // with a time coordinate declared, CF-decode the axis (units +
+    // calendar) driver-side — header-scale — and intersect the pushed
+    // TIMESTAMP window with the labels: epochs outside it vanish from
+    // the stripe manifest before any data read (the xarray
+    // `sel(time=slice(...))` posture, as a plain SQL WHERE)
+    val labels: Map[Int, Long] =
+      if (timeVar == null) Map.empty
+      else {
+        val (raw, scale) = Netcdf.readTimeAxis(path, m, timeVar)
+        Netcdf.cfEpochLabels(raw, scale, None, s"$path:$timeVar")
+          .filter { case (_, u) => u >= u0 && u <= u1 }.toMap
+      }
     val refs = v.dimIds.length match {
       case 2 => Netcdf.stripes2d(path, m, v, hint, dropFill = false)
       case 3 => Netcdf.stripes3d(path, m, v, hint)
@@ -138,25 +184,32 @@ final class NetcdfScan(path: String, varName: String, required: StructType,
     refs.filter(r =>
         r.y0 <= y1 && r.y0 + r.rows > y0 &&
         r.epoch >= t0 && r.epoch <= t1 &&
-        r.level >= l0 && r.level <= l1)
-      .map(r => NetcdfInputPartition(r): InputPartition).toArray
+        r.level >= l0 && r.level <= l1 &&
+        (timeVar == null || labels.contains(r.epoch)))
+      .map(r => NetcdfInputPartition(r,
+        if (timeVar == null) 0L else labels(r.epoch)): InputPartition)
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new NetcdfReaderFactory(required.fieldNames)
 }
 
-final case class NetcdfInputPartition(ref: Netcdf.StripeRef) extends InputPartition
+final case class NetcdfInputPartition(ref: Netcdf.StripeRef,
+    labelMicros: Long = 0L) extends InputPartition
 
 final class NetcdfReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new NetcdfPartitionReader(p.asInstanceOf[NetcdfInputPartition].ref, cols)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ip = p.asInstanceOf[NetcdfInputPartition]
+    new NetcdfPartitionReader(ip.ref, ip.labelMicros, cols)
+  }
 }
 
 /** One stripe's reader. With `value` pruned away the stripe bytes are
   * never read — positions come from stripe geometry (full-width rows,
   * the stripe's own epoch/level plane).
   */
-final class NetcdfPartitionReader(r: Netcdf.StripeRef, cols: Array[String])
+final class NetcdfPartitionReader(r: Netcdf.StripeRef, labelMicros: Long,
+    cols: Array[String])
     extends PartitionReader[InternalRow] {
 
   private val needsValue = cols.contains("value")
@@ -178,6 +231,7 @@ final class NetcdfPartitionReader(r: Netcdf.StripeRef, cols: Array[String])
         case "cell_y" => row.update(k, cur._2)
         case "level" => row.update(k, r.level)
         case "epoch" => row.update(k, cur._3)
+        case "t_ts" => row.update(k, labelMicros) // TimestampType = micros
         case "value" => row.update(k, cur._4)
       }
       k += 1

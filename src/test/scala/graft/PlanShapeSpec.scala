@@ -427,6 +427,25 @@ class PlanShapeSpec extends SparkSuite {
       "positions-only projection must not read the stripe")
     intercept[Exception](sm.select("value").collect())
     assert(sm.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "value"))
+    // CF time option: a pushed TIMESTAMP window prunes the stripe
+    // manifest at planning time — epochs 1..3 of 5 survive
+    val tdf = spark.read.format("graft.zonal.NetcdfSource")
+      .option("var", "t2m").option("time", "t")
+      .load(graft.zonal.Netcdf.timeFixturePath())
+    assert(tdf.schema.fieldNames.toSeq ==
+      Seq("cell_x", "cell_y", "epoch", "t_ts", "value"))
+    val nT = tdf.rdd.getNumPartitions
+    assert(nT % graft.zonal.Netcdf.NcTimeEpochs == 0)
+    val tw = tdf.filter(col("t_ts").between(
+      org.apache.spark.sql.functions.lit("2020-03-01 16:00:00").cast("timestamp"),
+      org.apache.spark.sql.functions.lit("2020-03-02 06:00:00").cast("timestamp")))
+    assert(tw.rdd.getNumPartitions == nT / graft.zonal.Netcdf.NcTimeEpochs * 3,
+      s"timestamp window must prune per-epoch stripe sets: $nT → ${tw.rdd.getNumPartitions}")
+    val lab = tw.select("epoch", "t_ts").distinct().collect()
+      .map(r => r.getInt(0) -> r.getTimestamp(1).toInstant).toMap
+    assert(lab.keySet == Set(1, 2, 3))
+    assert(lab(1) == java.time.Instant.parse("2020-03-01T16:00:00Z"), lab.toString)
+    assert(lab(3) == java.time.Instant.parse("2020-03-02T06:00:00Z"), lab.toString)
   }
 
   test("r18 DSv2 tiff multiband: band column infers, planar band predicate prunes blocks") {
