@@ -1558,7 +1558,7 @@ object Hdf5 {
     */
   /** Read + CF-decode the file's 1-D time coordinate (shared by the
     * rank-3 and rank-4 time scans): `(raw axis values, scale)`. */
-  private def h5TimeAxis(path: String,
+  private[zonal] def h5TimeAxis(path: String,
       timeVar: String): (Seq[Double], Netcdf.CfTimeScale) = {
     val tm = readMeta(path, timeVar)
     require(tm.height == 1 && tm.epochs == 0,
@@ -4218,6 +4218,33 @@ object Hdf5 {
       val win = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T16:00:00Z")),
         java.sql.Timestamp.from(java.time.Instant.parse("2020-03-02T06:00:00Z")))
       scanNetcdf4Time(s, fixtureTimePath(), "v", "t", Some(win))
+        .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // the DSv2 face with CF TIME (r18): .option("time", "t") decodes
+    // the file's own coordinate dataset, adds a real t_ts column, and
+    // a pushed t_ts window prunes the CHUNK manifest at planning time
+    // (chunkT=2 keeps the boundary chunk; its out-of-window epoch
+    // trims through the residual — PlanShapeSpec pins the ratio)
+    "scan_hdf5_source_time" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $H5T) t
+         |)
+         |SELECT cell_x, cell_y, epoch, t_ts, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, epoch, t_ts,
+         |    CAST((23 * x.range + 19 * y.range + 37 * epoch) % 991 AS DOUBLE) AS value
+         |  FROM epochs CROSS JOIN range(0, $H5W) x CROSS JOIN range(0, $H5H) y)
+         |WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |  AND TIMESTAMP '2020-03-02 06:00:00'
+         |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.Hdf5Source")
+        .option("var", "v").option("time", "t")
+        .load(fixtureTimePath())
+        .filter(col("t_ts").between(
+          lit("2020-03-01 16:00:00").cast("timestamp"),
+          lit("2020-03-02 06:00:00").cast("timestamp")))
         .orderBy("epoch", "cell_x", "cell_y")
     },
 

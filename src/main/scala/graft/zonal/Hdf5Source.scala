@@ -36,51 +36,82 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class Hdf5Source extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Hdf5Source.schemaFor(options.get("path"), options.get("var"))
+    Hdf5Source.schemaFor(options.get("path"), options.get("var"),
+      options.get("time"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
-    new Hdf5Table(properties.get("path"), properties.get("var"))
+    new Hdf5Table(properties.get("path"), properties.get("var"),
+      properties.get("time"))
 }
 
 object Hdf5Source {
-  private[zonal] def schemaFor(path: String, varName: String): StructType = {
+  private[zonal] def schemaFor(path: String, varName: String,
+      timeVar: String = null): StructType = {
     require(path != null && path.nonEmpty,
       "graft.zonal.Hdf5Source: a load(path) is required")
     require(varName != null && varName.nonEmpty,
       "graft.zonal.Hdf5Source: .option(\"var\", <dataset name>) is required")
     val m = Hdf5.readMeta(path, varName)
+    require(timeVar == null || (m.epochs > 0 && m.levels == 0),
+      s"$path: .option(\"time\", ...) needs a rank-3 (t, y, x) dataset " +
+        s"('$varName' is rank ${if (m.levels > 0) 4 else if (m.epochs > 0) 3 else 2})")
     val pos = Seq(
       StructField("cell_x", IntegerType, nullable = false),
       StructField("cell_y", IntegerType, nullable = false))
     val mid =
       (if (m.levels > 0) Seq(StructField("level", IntegerType, nullable = false)) else Nil) ++
-      (if (m.epochs > 0) Seq(StructField("epoch", IntegerType, nullable = false)) else Nil)
+      (if (m.epochs > 0) Seq(StructField("epoch", IntegerType, nullable = false)) else Nil) ++
+      (if (timeVar != null) Seq(StructField("t_ts", TimestampType, nullable = false)) else Nil)
     StructType(pos ++ mid :+ StructField("value", DoubleType, nullable = false))
+  }
+
+  /** Full-axis CF labels of the file's own time coordinate dataset:
+    * (epoch, micros). Windowing happens at the chunk-prune,
+    * residual-trim stage.
+    */
+  private[zonal] def timeLabels(path: String, timeVar: String,
+      epochs: Int): Map[Int, Long] = {
+    val (raw, scale) = Hdf5.h5TimeAxis(path, timeVar)
+    require(raw.length == epochs,
+      s"$path: time axis has ${raw.length} values but the cube has $epochs epochs")
+    Netcdf.cfEpochLabels(raw, scale, None, s"$path:$timeVar").toMap
   }
 }
 
-final class Hdf5Table(path: String, varName: String) extends Table with SupportsRead {
+final class Hdf5Table(path: String, varName: String, timeVar: String = null)
+    extends Table with SupportsRead {
   override def name(): String = s"hdf5:$path#$varName"
-  override def schema(): StructType = Hdf5Source.schemaFor(path, varName)
+  override def schema(): StructType = Hdf5Source.schemaFor(path, varName, timeVar)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new Hdf5ScanBuilder(path, varName)
+    new Hdf5ScanBuilder(path, varName, timeVar)
 }
 
 /** Accumulates a (t, level, y, x) window from pushed comparisons and
   * the pruned column set; `build()` freezes both into the scan.
   */
-final class Hdf5ScanBuilder(path: String, varName: String)
+final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = null)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var x0 = Int.MinValue; private var x1 = Int.MaxValue
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
   private var t0 = Int.MinValue; private var t1 = Int.MaxValue
   private var l0 = Int.MinValue; private var l1 = Int.MaxValue
+  private var u0 = Long.MinValue; private var u1 = Long.MaxValue // t_ts micros
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = Hdf5Source.schemaFor(path, varName)
+  private var required: StructType = Hdf5Source.schemaFor(path, varName, timeVar)
 
+  // a pushed timestamp arrives as java.sql.Timestamp (or Instant under
+  // the java8 datetime API) — either way an exact micros instant
+  private def micros(v: Any): Option[Long] = v match {
+    case ts: java.sql.Timestamp =>
+      Some(ts.getTime * 1000L + ts.getNanos / 1000 % 1000)
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L))
+    case _ => None
+  }
   private def bound(f: Filter): Boolean = f match {
     case And(l, r) => val a = bound(l); val b = bound(r); a || b
     case GreaterThanOrEqual(c, v: Number) => clamp(c, lo = v.longValue())
@@ -88,7 +119,15 @@ final class Hdf5ScanBuilder(path: String, varName: String)
     case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
     case LessThan(c, v: Number) => clamp(c, hi = v.longValue() - 1)
     case EqualTo(c, v: Number) => clamp(c, lo = v.longValue()) | clamp(c, hi = v.longValue())
+    case GreaterThanOrEqual("t_ts", v) => micros(v).exists(u => tsClamp(lo = u))
+    case GreaterThan("t_ts", v) => micros(v).exists(u => tsClamp(lo = u + 1))
+    case LessThanOrEqual("t_ts", v) => micros(v).exists(u => tsClamp(hi = u))
+    case LessThan("t_ts", v) => micros(v).exists(u => tsClamp(hi = u - 1))
+    case EqualTo("t_ts", v) => micros(v).exists(u => tsClamp(lo = u) | tsClamp(hi = u))
     case _ => false
+  }
+  private def tsClamp(lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
+    u0 = math.max(u0, lo); u1 = math.min(u1, hi); true
   }
   private def clamp(col: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
     def toI(v: Long): Int = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt
@@ -108,21 +147,33 @@ final class Hdf5ScanBuilder(path: String, varName: String)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = required = s
   override def build(): Scan =
-    new Hdf5Scan(path, varName, required, x0, x1, y0, y1, t0, t1, l0, l1)
+    new Hdf5Scan(path, varName, timeVar, required, x0, x1, y0, y1, t0, t1, l0, l1, u0, u1)
 }
 
-final class Hdf5Scan(path: String, varName: String, required: StructType,
-    x0: Int, x1: Int, y0: Int, y1: Int,
-    t0: Int, t1: Int, l0: Int, l1: Int) extends Scan with Batch {
+final class Hdf5Scan(path: String, varName: String, timeVar: String,
+    required: StructType, x0: Int, x1: Int, y0: Int, y1: Int,
+    t0: Int, t1: Int, l0: Int, l1: Int, u0: Long, u1: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-hdf5 $path#$varName window=[$x0..$x1]x[$y0..$y1] " +
-      s"t=[$t0..$t1] level=[$l0..$l1] cols=${required.fieldNames.mkString(",")}"
+      s"t=[$t0..$t1] level=[$l0..$l1] t_ts=[$u0..$u1] " +
+      s"cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val m = Hdf5.readMeta(path, varName)
+    // with a time dataset declared, CF-decode its axis driver-side and
+    // intersect the pushed TIMESTAMP window with the labels: a chunk
+    // survives iff ANY of its epochs is in-window; each partition
+    // carries ALL its epochs' label micros so boundary epochs get real
+    // t_ts values and the residual filter trims them exactly
+    val labels: Map[Int, Long] =
+      if (timeVar == null) Map.empty
+      else Hdf5Source.timeLabels(path, timeVar, m.epochs)
+    val inWin: Int => Boolean =
+      e => timeVar == null || { val u = labels(e); u >= u0 && u <= u1 }
+    val nEpochs = math.max(1, m.epochs)
     // a chunk covers [ox, ox+cols) × [oy, oy+rows) × [ot, ot+chunkT) ×
     // [ol, ol+chunkL) — keep it iff every axis overlaps its window
     // (rank-2/3 refs carry chunkT/chunkL = 1 so the unbounded defaults
@@ -132,25 +183,35 @@ final class Hdf5Scan(path: String, varName: String, required: StructType,
         r.ox <= x1 && r.ox + r.cols > x0 &&
         r.oy <= y1 && r.oy + r.rows > y0 &&
         r.ot <= t1 && r.ot + r.chunkT > t0 &&
-        r.ol <= l1 && r.ol + r.chunkL > l0)
-      .map(r => Hdf5InputPartition(r): InputPartition).toArray
+        r.ol <= l1 && r.ol + r.chunkL > l0 &&
+        (timeVar == null ||
+          (r.ot until math.min(r.ot + r.chunkT, nEpochs)).exists(inWin)))
+      .map(r => Hdf5InputPartition(r,
+        if (timeVar == null) Map.empty
+        else (r.ot until math.min(r.ot + r.chunkT, nEpochs))
+          .map(e => e -> labels(e)).toMap): InputPartition)
+      .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new Hdf5ReaderFactory(required.fieldNames)
 }
 
-final case class Hdf5InputPartition(ref: Hdf5.H5ChunkRef) extends InputPartition
+final case class Hdf5InputPartition(ref: Hdf5.H5ChunkRef,
+    labelMicros: Map[Int, Long] = Map.empty) extends InputPartition
 
 final class Hdf5ReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
-  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
-    new Hdf5PartitionReader(p.asInstanceOf[Hdf5InputPartition].ref, cols)
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ip = p.asInstanceOf[Hdf5InputPartition]
+    new Hdf5PartitionReader(ip.ref, ip.labelMicros, cols)
+  }
 }
 
 /** One chunk's reader. With `value` pruned away the chunk bytes are
   * never read — positions come from chunk geometry with the pad clip
   * applied in all four axes (HDF5 stores full-size edge chunks).
   */
-final class Hdf5PartitionReader(r: Hdf5.H5ChunkRef, cols: Array[String])
+final class Hdf5PartitionReader(r: Hdf5.H5ChunkRef,
+    labelMicros: Map[Int, Long], cols: Array[String])
     extends PartitionReader[InternalRow] {
 
   private val needsValue = cols.contains("value")
@@ -182,6 +243,7 @@ final class Hdf5PartitionReader(r: Hdf5.H5ChunkRef, cols: Array[String])
         case "cell_y" => row.update(k, cur._2)
         case "level" => row.update(k, cur._3)
         case "epoch" => row.update(k, cur._4)
+        case "t_ts" => row.update(k, labelMicros(cur._4)) // TimestampType = micros
         case "value" => row.update(k, cur._5)
       }
       k += 1

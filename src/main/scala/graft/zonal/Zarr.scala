@@ -3647,6 +3647,32 @@ object Zarr {
         .orderBy("cell_x", "cell_y", "epoch")
     },
 
+    // the DSv2 face with CF TIME (r18): .option("time", "t") resolves
+    // the sibling coordinate member, adds a real t_ts column, and a
+    // pushed t_ts window prunes the CHUNK manifest at planning time
+    // (chunkT=2 keeps the boundary chunk; its out-of-window epoch
+    // trims through the residual — PlanShapeSpec pins 27 → 18)
+    "scan_zarr_source_time" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $Zarr3T) t
+         |)
+         |SELECT cell_x, cell_y, epoch, t_ts, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, epoch, t_ts,
+         |    CAST((29 * x.range + 13 * y.range + 41 * epoch) % 1009 AS DOUBLE) AS value
+         |  FROM epochs CROSS JOIN range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y)
+         |WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |  AND TIMESTAMP '2020-03-02 06:00:00'
+         |ORDER BY epoch, cell_x, cell_y""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.ZarrSource").option("time", "t")
+        .load(s"${fixtureTimeDir()}/v")
+        .filter(col("t_ts").between(
+          lit("2020-03-01 16:00:00").cast("timestamp"),
+          lit("2020-03-02 06:00:00").cast("timestamp")))
+        .orderBy("epoch", "cell_x", "cell_y")
+    },
+
     // MULTI-HIERARCHY time concatenation, Zarr twin (r18): a directory
     // of per-month hierarchies scans as one cube with a global time
     // axis; the window drops member 0's chunks entirely. Same

@@ -38,53 +38,90 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class ZarrSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZarrSource.schemaFor(options.get("path"))
+    ZarrSource.schemaFor(options.get("path"), options.get("time"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "graft.zonal.ZarrSource: a load(dir) is required")
-    new ZarrTable(path)
+    new ZarrTable(path, properties.get("time"))
   }
 }
 
 object ZarrSource {
-  private[zonal] def schemaFor(path: String): StructType = {
+  private[zonal] def schemaFor(path: String, timeName: String = null): StructType = {
     require(path != null && path.nonEmpty,
       "graft.zonal.ZarrSource: a load(dir) is required")
     val m = Zarr.readMeta(path)
     require(!m.rank4,
       s"$path: rank-4 store — the DSv2 source is rank 2/3 (use scanZarr4d)")
+    require(timeName == null || m.rank3,
+      s"$path: .option(\"time\", ...) needs a rank-3 (t, y, x) store")
     val pos = Seq(
       StructField("cell_x", IntegerType, nullable = false),
       StructField("cell_y", IntegerType, nullable = false))
     val tail = (if (m.rank3) Seq(StructField("epoch", IntegerType, nullable = false))
-      else Nil) :+ StructField("value", DoubleType, nullable = false)
+      else Nil) ++
+      (if (timeName != null) Seq(StructField("t_ts", TimestampType, nullable = false))
+       else Nil) :+ StructField("value", DoubleType, nullable = false)
     StructType(pos ++ tail)
+  }
+
+  /** The `time` option names a SIBLING coordinate member of the loaded
+    * array (`load(".../hier/v")` + `option("time", "t")` reads
+    * `.../hier/t`) — the standard xarray hierarchy layout. Decoded
+    * labels: (epoch, micros), full axis (windowing happens at the
+    * chunk-prune, residual-trim stage).
+    */
+  private[zonal] def timeLabels(path: String, timeName: String,
+      epochs: Int): Map[Int, Long] = {
+    val parent = new org.apache.hadoop.fs.Path(path).getParent
+    require(parent != null, s"$path: no parent directory to resolve time member '$timeName'")
+    val tDir = new org.apache.hadoop.fs.Path(parent, timeName).toString
+    val zattrs = Zarr.readZattrs(tDir)
+    val units = zattrs.getOrElse("units",
+      sys.error(s"$tDir: time coordinate has no units attribute"))
+    val scale = Netcdf.cfTimeScale(units, zattrs.get("calendar"), tDir)
+    val raw = Zarr.readCoordValues(tDir)
+    require(raw.length == epochs,
+      s"$tDir: time axis has ${raw.length} values but the cube has $epochs epochs")
+    Netcdf.cfEpochLabels(raw, scale, None, tDir).toMap
   }
 }
 
-final class ZarrTable(path: String) extends Table with SupportsRead {
+final class ZarrTable(path: String, timeName: String = null)
+    extends Table with SupportsRead {
   override def name(): String = s"zarr:$path"
-  override def schema(): StructType = ZarrSource.schemaFor(path)
+  override def schema(): StructType = ZarrSource.schemaFor(path, timeName)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path)
+    new ZarrScanBuilder(path, timeName)
 }
 
 /** Accumulates a (t, y, x) window from pushed comparisons and the
   * pruned column set; `build()` freezes both into the scan.
   */
-final class ZarrScanBuilder(path: String)
+final class ZarrScanBuilder(path: String, timeName: String = null)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var x0 = Int.MinValue; private var x1 = Int.MaxValue
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
   private var t0 = Int.MinValue; private var t1 = Int.MaxValue
+  private var u0 = Long.MinValue; private var u1 = Long.MaxValue // t_ts micros
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = ZarrSource.schemaFor(path)
+  private var required: StructType = ZarrSource.schemaFor(path, timeName)
 
+  // a pushed timestamp arrives as java.sql.Timestamp (or Instant under
+  // the java8 datetime API) — either way an exact micros instant
+  private def micros(v: Any): Option[Long] = v match {
+    case ts: java.sql.Timestamp =>
+      Some(ts.getTime * 1000L + ts.getNanos / 1000 % 1000)
+    case i: java.time.Instant =>
+      Some(Math.addExact(Math.multiplyExact(i.getEpochSecond, 1000000L),
+        i.getNano / 1000L))
+    case _ => None
+  }
   private def bound(f: Filter): Boolean = f match {
     case And(l, r) => val a = bound(l); val b = bound(r); a || b
     case GreaterThanOrEqual(c, v: Number) => clamp(c, lo = v.longValue())
@@ -92,7 +129,15 @@ final class ZarrScanBuilder(path: String)
     case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
     case LessThan(c, v: Number) => clamp(c, hi = v.longValue() - 1)
     case EqualTo(c, v: Number) => clamp(c, lo = v.longValue()) | clamp(c, hi = v.longValue())
+    case GreaterThanOrEqual("t_ts", v) => micros(v).exists(u => tsClamp(lo = u))
+    case GreaterThan("t_ts", v) => micros(v).exists(u => tsClamp(lo = u + 1))
+    case LessThanOrEqual("t_ts", v) => micros(v).exists(u => tsClamp(hi = u))
+    case LessThan("t_ts", v) => micros(v).exists(u => tsClamp(hi = u - 1))
+    case EqualTo("t_ts", v) => micros(v).exists(u => tsClamp(lo = u) | tsClamp(hi = u))
     case _ => false
+  }
+  private def tsClamp(lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
+    u0 = math.max(u0, lo); u1 = math.min(u1, hi); true
   }
   private def clamp(col: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
     def toI(v: Long): Int = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt
@@ -111,30 +156,48 @@ final class ZarrScanBuilder(path: String)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = required = s
   override def build(): Scan =
-    new ZarrScan(path, required, x0, x1, y0, y1, t0, t1)
+    new ZarrScan(path, timeName, required, x0, x1, y0, y1, t0, t1, u0, u1)
 }
 
-final class ZarrScan(path: String, required: StructType,
-    x0: Int, x1: Int, y0: Int, y1: Int, t0: Int, t1: Int) extends Scan with Batch {
+final class ZarrScan(path: String, timeName: String, required: StructType,
+    x0: Int, x1: Int, y0: Int, y1: Int, t0: Int, t1: Int,
+    u0: Long, u1: Long) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-zarr $path window=[$x0..$x1]x[$y0..$y1] t=[$t0..$t1] " +
-      s"cols=${required.fieldNames.mkString(",")}"
+      s"t_ts=[$u0..$u1] cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val m = Zarr.readMeta(path)
     require(!m.rank4,
       s"$path: rank-4 store — the DSv2 source is rank 2/3 (use scanZarr4d)")
-    if (m.rank3)
+    if (m.rank3) {
+      // with a time member declared, CF-decode its axis driver-side and
+      // intersect the pushed TIMESTAMP window with the labels: a chunk
+      // survives iff ANY of its epochs is in-window (a chunk spans
+      // chunkT epochs); each partition carries ALL its epochs' label
+      // micros so boundary epochs get real t_ts values and the residual
+      // filter trims them exactly
+      val labels: Map[Int, Long] =
+        if (timeName == null) Map.empty
+        else ZarrSource.timeLabels(path, timeName, m.epochs)
+      val inWin: Int => Boolean =
+        e => timeName == null || { val u = labels(e); u >= u0 && u <= u1 }
       Zarr.chunkRefs3(m, path)
         .filter(r =>
           r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
           r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0 &&
-          r.ck * m.chunkT <= t1 && (r.ck + 1) * m.chunkT > t0)
-        .map(r => Zarr3InputPartition(r): InputPartition).toArray
-    else
+          r.ck * m.chunkT <= t1 && (r.ck + 1) * m.chunkT > t0 &&
+          (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
+            .exists(inWin))
+        .map(r => Zarr3InputPartition(r,
+          if (timeName == null) Map.empty
+          else (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
+            .map(e => e -> labels(e)).toMap): InputPartition)
+        .toArray
+    } else
       Zarr.chunkRefs(m, path)
         .filter(r =>
           r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
@@ -146,12 +209,13 @@ final class ZarrScan(path: String, required: StructType,
 }
 
 final case class Zarr2InputPartition(ref: Zarr.ChunkRef) extends InputPartition
-final case class Zarr3InputPartition(ref: Zarr.ChunkRef3) extends InputPartition
+final case class Zarr3InputPartition(ref: Zarr.ChunkRef3,
+    labelMicros: Map[Int, Long] = Map.empty) extends InputPartition
 
 final class ZarrReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case Zarr2InputPartition(r) => new Zarr2PartitionReader(r, cols)
-    case Zarr3InputPartition(r) => new Zarr3PartitionReader(r, cols)
+    case Zarr3InputPartition(r, lm) => new Zarr3PartitionReader(r, lm, cols)
   }
 }
 
@@ -190,7 +254,8 @@ final class Zarr2PartitionReader(c: Zarr.ChunkRef, cols: Array[String])
 }
 
 /** One rank-3 chunk's reader — same pruned-decode contract. */
-final class Zarr3PartitionReader(c: Zarr.ChunkRef3, cols: Array[String])
+final class Zarr3PartitionReader(c: Zarr.ChunkRef3,
+    labelMicros: Map[Int, Long], cols: Array[String])
     extends PartitionReader[InternalRow] {
   private val needsValue = cols.contains("value")
   private val it: Iterator[(Int, Int, Int, Double)] =
@@ -206,6 +271,7 @@ final class Zarr3PartitionReader(c: Zarr.ChunkRef3, cols: Array[String])
         case "cell_x" => row.update(k, cur._1)
         case "cell_y" => row.update(k, cur._2)
         case "epoch" => row.update(k, cur._3)
+        case "t_ts" => row.update(k, labelMicros(cur._3)) // TimestampType = micros
         case "value" => row.update(k, cur._4)
       }
       k += 1

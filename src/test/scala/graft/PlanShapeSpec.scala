@@ -377,6 +377,45 @@ class PlanShapeSpec extends SparkSuite {
     intercept[Exception](sm.select("value").collect())
     // a rank-2 dataset carries neither epoch nor level
     assert(sm.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "value"))
+    // CF time option: the pushed TIMESTAMP window prunes per-epoch
+    // stripe sets of the contiguous cube — epochs 1..3 of 5 survive
+    val tdf = spark.read.format("graft.zonal.Hdf5Source")
+      .option("var", "v").option("time", "t")
+      .load(graft.zonal.Hdf5.fixtureTimePath())
+    assert(tdf.schema.fieldNames.toSeq ==
+      Seq("cell_x", "cell_y", "epoch", "t_ts", "value"))
+    val nT = tdf.rdd.getNumPartitions
+    assert(nT % graft.zonal.Hdf5.H5T == 0)
+    val tw = tdf.filter(col("t_ts").between(
+      org.apache.spark.sql.functions.lit("2020-03-01 16:00:00").cast("timestamp"),
+      org.apache.spark.sql.functions.lit("2020-03-02 06:00:00").cast("timestamp")))
+    assert(tw.rdd.getNumPartitions == nT / graft.zonal.Hdf5.H5T * 3,
+      s"timestamp window must prune per-epoch stripe sets: $nT → ${tw.rdd.getNumPartitions}")
+    assert(tw.select("epoch").distinct().collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
+  }
+
+  test("r18 DSv2 zarr time option: pushed timestamp window prunes chunks, boundary epoch trims residually") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val tdf = spark.read.format("graft.zonal.ZarrSource").option("time", "t")
+      .load(s"${graft.zonal.Zarr.fixtureTimeDir()}/v")
+    assert(tdf.schema.fieldNames.toSeq ==
+      Seq("cell_x", "cell_y", "epoch", "t_ts", "value"))
+    assert(tdf.rdd.getNumPartitions == 27)
+    // window keeps epochs 1..3; chunkT=2 → t-chunks [0,2) and [2,4)
+    // survive, [4,5) prunes → 18 planned partitions; epoch 0 rides in
+    // a kept chunk and MUST be trimmed by the residual t_ts filter
+    val tw = tdf.filter(col("t_ts").between(
+      lit("2020-03-01 16:00:00").cast("timestamp"),
+      lit("2020-03-02 06:00:00").cast("timestamp")))
+    assert(tw.rdd.getNumPartitions == 18,
+      s"timestamp window must prune t-chunks: 27 → ${tw.rdd.getNumPartitions}")
+    val lab = tw.select("epoch", "t_ts").distinct().collect()
+      .map(r => r.getInt(0) -> r.getTimestamp(1).toInstant).toMap
+    assert(lab.keySet == Set(1, 2, 3), lab.toString)
+    assert(lab(1) == java.time.Instant.parse("2020-03-01T16:00:00Z"), lab.toString)
+    val got = tw.filter(col("epoch") === 2).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(4)).toMap
+    assert(got((10, 5)) == graft.zonal.Zarr.zarr3dValue(10, 5, 2))
   }
 
   test("r18 DSv2 netcdf source: stripe pruning on y/epoch/level, zero scan shuffle, decode-free positions") {
