@@ -3,6 +3,7 @@ package graft.zonal
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
@@ -92,7 +93,8 @@ final class Hdf5Table(path: String, varName: String, timeVar: String = null)
   * the pruned column set; `build()` freezes both into the scan.
   */
 final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = null)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var x0 = Int.MinValue; private var x1 = Int.MaxValue
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
@@ -146,8 +148,31 @@ final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = nul
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = required = s
+
+  // COUNT(*) from metadata (r18): dimension product, zero chunks
+  // planned; fill is a value so absent chunks never change the count.
+  private var countPushed = false
+  private def canPushCount(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
+      pushed.isEmpty && x0 == Int.MinValue && x1 == Int.MaxValue &&
+      y0 == Int.MinValue && y1 == Int.MaxValue &&
+      t0 == Int.MinValue && t1 == Int.MaxValue &&
+      l0 == Int.MinValue && l1 == Int.MaxValue &&
+      u0 == Long.MinValue && u1 == Long.MaxValue
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPushCount(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countPushed = canPushCount(agg); countPushed
+  }
+
   override def build(): Scan =
-    new Hdf5Scan(path, varName, timeVar, required, x0, x1, y0, y1, t0, t1, l0, l1, u0, u1)
+    if (countPushed) {
+      val m = Hdf5.readMeta(path, varName)
+      val n = m.width.toLong * m.height *
+        math.max(1, m.epochs).toLong * math.max(1, m.levels).toLong
+      new MetaCountScan(n, s"hdf5:$path#$varName")
+    } else new Hdf5Scan(path, varName, timeVar, required, x0, x1, y0, y1, t0, t1, l0, l1, u0, u1)
 }
 
 final class Hdf5Scan(path: String, varName: String, timeVar: String,

@@ -1,0 +1,46 @@
+package graft.zonal
+
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+
+/** COUNT(*) answered from METADATA alone (r18 — the parquet
+  * footer-count optimization for the DSv2 quartet): when Spark pushes
+  * a bare `count(*)` aggregation (no grouping, no filters — Spark only
+  * attempts aggregate pushdown when every post-scan filter is gone,
+  * and the builders additionally refuse if any window clamp was
+  * accepted), the scan is replaced by this ONE-partition, one-row
+  * source whose value is the dimension product from the already-parsed
+  * header/manifest. At 100 TB a `SELECT count(*) FROM cube` touches
+  * zero chunks, zero stripes, zero tasks-per-chunk — one metadata row.
+  * Exactness holds because fill is a VALUE in every format here
+  * (absent chunks decode to fill cells, never to missing rows).
+  */
+final class MetaCountScan(count: Long, what: String) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"graft-meta-count $what count=$count"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MetaCountPartition(count))
+  override def createReaderFactory(): PartitionReaderFactory =
+    MetaCountReaderFactory
+}
+
+final case class MetaCountPartition(count: Long) extends InputPartition
+
+object MetaCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private val n = p.asInstanceOf[MetaCountPartition].count
+      override def next(): Boolean = { val h = !done; done = true; h }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(1)
+        row.update(0, n)
+        row
+      }
+      override def close(): Unit = ()
+    }
+}

@@ -3,6 +3,7 @@ package graft.zonal
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
@@ -91,7 +92,8 @@ final class NetcdfTable(path: String, varName: String, timeVar: String)
   * deliberately does NOT clamp (row-major stripes span the width).
   */
 final class NetcdfScanBuilder(path: String, varName: String, timeVar: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
   private var t0 = Int.MinValue; private var t1 = Int.MaxValue
@@ -143,8 +145,33 @@ final class NetcdfScanBuilder(path: String, varName: String, timeVar: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = required = s
+
+  // COUNT(*) from metadata (r18): dimension product straight from the
+  // header (record epochs via numRecs), zero stripes planned.
+  private var countPushed = false
+  private def canPushCount(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
+      pushed.isEmpty && y0 == Int.MinValue && y1 == Int.MaxValue &&
+      t0 == Int.MinValue && t1 == Int.MaxValue &&
+      l0 == Int.MinValue && l1 == Int.MaxValue &&
+      u0 == Long.MinValue && u1 == Long.MaxValue
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPushCount(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countPushed = canPushCount(agg); countPushed
+  }
+
   override def build(): Scan =
-    new NetcdfScan(path, varName, timeVar, required, y0, y1, t0, t1, l0, l1, u0, u1)
+    if (countPushed) {
+      val m = Netcdf.readMeta(path)
+      val v = m.variable(varName)
+      val n = v.dimIds.map { d =>
+        val len = m.dims(d).length
+        (if (len == 0) m.numRecs else len).toLong
+      }.product
+      new MetaCountScan(n, s"netcdf:$path#$varName")
+    } else new NetcdfScan(path, varName, timeVar, required, y0, y1, t0, t1, l0, l1, u0, u1)
 }
 
 final class NetcdfScan(path: String, varName: String, timeVar: String,

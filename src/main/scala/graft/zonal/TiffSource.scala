@@ -3,6 +3,7 @@ package graft.zonal
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
@@ -79,7 +80,8 @@ final class TiffTable(path: String) extends Table with SupportsRead {
   * the pruned column set; `build()` freezes both into the scan.
   */
 final class TiffScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var x0 = Int.MinValue; private var x1 = Int.MaxValue
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
@@ -113,7 +115,27 @@ final class TiffScanBuilder(path: String)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = required = s
-  override def build(): Scan = new TiffScan(path, required, x0, x1, y0, y1, b0, b1)
+
+  // COUNT(*) from metadata (r18): width × height × bands straight from
+  // the IFD, zero tiles planned.
+  private var countPushed = false
+  private def canPushCount(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
+      pushed.isEmpty && x0 == Int.MinValue && x1 == Int.MaxValue &&
+      y0 == Int.MinValue && y1 == Int.MaxValue &&
+      b0 == Int.MinValue && b1 == Int.MaxValue
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPushCount(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countPushed = canPushCount(agg); countPushed
+  }
+
+  override def build(): Scan =
+    if (countPushed) {
+      val m = Raster.readMeta(path)
+      new MetaCountScan(m.width.toLong * m.height * m.bands, s"tiff:$path")
+    } else new TiffScan(path, required, x0, x1, y0, y1, b0, b1)
 }
 
 final class TiffScan(path: String, required: StructType,

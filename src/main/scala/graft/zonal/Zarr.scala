@@ -3647,6 +3647,34 @@ object Zarr {
         .orderBy("cell_x", "cell_y", "epoch")
     },
 
+    // COUNT(*) answered from METADATA alone (r18 — the parquet
+    // footer-count optimization for the whole DSv2 quartet): a bare
+    // count over any of the four sources pushes down as a CountStar
+    // aggregation and the scan is REPLACED by a one-partition,
+    // one-row MetaCountScan whose value is the dimension product from
+    // the already-parsed header — zero chunks, stripes or tiles
+    // planned (PlanShapeSpec pins 1 partition + a corrupted chunk the
+    // count never touches). Exact because fill is a VALUE everywhere
+    "scan_source_count_meta" -> Q(
+      s"""SELECT src, n FROM (VALUES
+         |  ('hdf5', CAST(${Hdf5.H5T} * ${Hdf5.H5H} * ${Hdf5.H5W} AS BIGINT)),
+         |  ('netcdf', CAST(${Netcdf.NcEpochs} * ${Netcdf.NcH} * ${Netcdf.NcW} AS BIGINT)),
+         |  ('tiff', CAST(${Raster.FixH} * ${Raster.FixW} AS BIGINT)),
+         |  ('zarr', CAST($Zarr3T * $ZarrH * $ZarrW AS BIGINT))) AS t(src, n)
+         |ORDER BY src""".stripMargin) { (s, _) =>
+      val srcs = Seq(
+        "hdf5" -> s.read.format("graft.zonal.Hdf5Source")
+          .option("var", "v").load(Hdf5.fixtureCubePath()),
+        "netcdf" -> s.read.format("graft.zonal.NetcdfSource")
+          .option("var", "t2m").load(Netcdf.epochsFixturePath()),
+        "tiff" -> s.read.format("graft.zonal.TiffSource")
+          .load(Raster.fixturePath()),
+        "zarr" -> s.read.format("graft.zonal.ZarrSource").load(fixture3dDir()))
+      srcs.map { case (k, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(k).as("src"), col("n"))
+      }.reduce(_ unionAll _).orderBy("src")
+    },
+
     // the DSv2 face with CF TIME (r18): .option("time", "t") resolves
     // the sibling coordinate member, adds a real t_ts column, and a
     // pushed t_ts window prunes the CHUNK manifest at planning time

@@ -3,6 +3,7 @@ package graft.zonal
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
@@ -103,7 +104,8 @@ final class ZarrTable(path: String, timeName: String = null)
   * pruned column set; `build()` freezes both into the scan.
   */
 final class ZarrScanBuilder(path: String, timeName: String = null)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var x0 = Int.MinValue; private var x1 = Int.MaxValue
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
@@ -155,8 +157,30 @@ final class ZarrScanBuilder(path: String, timeName: String = null)
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = required = s
+
+  // COUNT(*) from metadata (r18): a bare count over the whole store is
+  // the dimension product — no chunk is planned at all. Defensive: any
+  // accepted window clamp (Spark should never combine the two) refuses.
+  private var countPushed = false
+  private def canPushCount(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty &&
+      agg.aggregateExpressions.length == 1 &&
+      agg.aggregateExpressions()(0).isInstanceOf[CountStar] &&
+      pushed.isEmpty && x0 == Int.MinValue && x1 == Int.MaxValue &&
+      y0 == Int.MinValue && y1 == Int.MaxValue &&
+      t0 == Int.MinValue && t1 == Int.MaxValue &&
+      u0 == Long.MinValue && u1 == Long.MaxValue
+  override def supportCompletePushDown(agg: Aggregation): Boolean = canPushCount(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    countPushed = canPushCount(agg); countPushed
+  }
+
   override def build(): Scan =
-    new ZarrScan(path, timeName, required, x0, x1, y0, y1, t0, t1, u0, u1)
+    if (countPushed) {
+      val m = Zarr.readMeta(path)
+      val n = m.width.toLong * m.height * (if (m.rank3) m.epochs.toLong else 1L)
+      new MetaCountScan(n, s"zarr:$path")
+    } else new ZarrScan(path, timeName, required, x0, x1, y0, y1, t0, t1, u0, u1)
 }
 
 final class ZarrScan(path: String, timeName: String, required: StructType,

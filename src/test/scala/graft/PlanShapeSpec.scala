@@ -394,6 +394,52 @@ class PlanShapeSpec extends SparkSuite {
     assert(tw.select("epoch").distinct().collect().map(_.getInt(0)).toSet == Set(1, 2, 3))
   }
 
+  test("r18 DSv2 count(*) pushdown: one metadata row, zero chunk partitions, filters disable it") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // a bare count over each source plans ONE partition (the
+    // MetaCountScan), not one per chunk/stripe/tile
+    val zarr = spark.read.format("graft.zonal.ZarrSource")
+      .load(graft.zonal.Zarr.fixture3dDir())
+    val zc = zarr.agg(count(lit(1)).as("n"))
+    assert(zc.queryExecution.executedPlan.toString.contains("graft-meta-count"),
+      s"count(*) must push down:\n${zc.queryExecution.executedPlan.toString.take(2000)}")
+    assert(zc.rdd.getNumPartitions == 1)
+    assert(zc.head().getLong(0) ==
+      graft.zonal.Zarr.Zarr3T.toLong * graft.zonal.Zarr.ZarrH * graft.zonal.Zarr.ZarrW)
+    // the pushed count never touches data: a store with a CORRUPT
+    // chunk still counts exactly
+    val dir = java.nio.file.Files.createTempDirectory("zcnt").toString
+    graft.zonal.Zarr.writeZarr(s"$dir/v", 8, 8, 8, 8, compressor = "zlib")(
+      (x, y) => (x + y).toDouble)
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/v/0.0"),
+      Array[Byte](1, 2, 3))
+    val sm = spark.read.format("graft.zonal.ZarrSource").load(s"$dir/v")
+    assert(sm.agg(count(lit(1))).head().getLong(0) == 64)
+    // with ANY filter the aggregation must NOT push (the residual
+    // filter forbids it) — the geometry path still answers exactly
+    val filtered = zarr.filter(col("epoch") >= 2).agg(count(lit(1)).as("n"))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("graft-meta-count"))
+    assert(filtered.head().getLong(0) ==
+      3L * graft.zonal.Zarr.ZarrH * graft.zonal.Zarr.ZarrW)
+    // group-by never pushes
+    val grouped = zarr.groupBy("epoch").agg(count(lit(1)).as("n"))
+    assert(!grouped.queryExecution.executedPlan.toString.contains("graft-meta-count"))
+    assert(grouped.collect().length == graft.zonal.Zarr.Zarr3T)
+    // the other three sources push the same way
+    for ((label, df) <- Seq(
+        "hdf5" -> spark.read.format("graft.zonal.Hdf5Source")
+          .option("var", "v").load(graft.zonal.Hdf5.fixtureCubePath()),
+        "netcdf" -> spark.read.format("graft.zonal.NetcdfSource")
+          .option("var", "t2m").load(graft.zonal.Netcdf.epochsFixturePath()),
+        "tiff" -> spark.read.format("graft.zonal.TiffSource")
+          .load(graft.zonal.Raster.fixturePath()))) {
+      val c = df.agg(count(lit(1)).as("n"))
+      assert(c.queryExecution.executedPlan.toString.contains("graft-meta-count"),
+        s"$label count(*) must push down")
+      assert(c.rdd.getNumPartitions == 1, label)
+    }
+  }
+
   test("r18 DSv2 zarr time option: pushed timestamp window prunes chunks, boundary epoch trims residually") {
     import org.apache.spark.sql.functions.{col, lit}
     val tdf = spark.read.format("graft.zonal.ZarrSource").option("time", "t")
