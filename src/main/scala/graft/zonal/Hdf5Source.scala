@@ -94,7 +94,8 @@ final class Hdf5Table(path: String, varName: String, timeVar: String = null)
   */
 final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = null)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var x0 = Int.MinValue; private var x1 = Int.MaxValue
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
@@ -166,18 +167,54 @@ final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = nul
     countPushed = canPushCount(agg); countPushed
   }
 
+  // LIMIT pushdown (r18): partial — keep the shortest chunk-partition
+  // PREFIX whose in-bounds cell count covers the limit.
+  private var limit = -1
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
     if (countPushed) {
       val m = Hdf5.readMeta(path, varName)
       val n = m.width.toLong * m.height *
         math.max(1, m.epochs).toLong * math.max(1, m.levels).toLong
       new MetaCountScan(n, s"hdf5:$path#$varName")
-    } else new Hdf5Scan(path, varName, timeVar, required, x0, x1, y0, y1, t0, t1, l0, l1, u0, u1)
+    } else new Hdf5Scan(path, varName, timeVar, required, x0, x1, y0, y1, t0, t1, l0, l1, u0, u1, limit)
 }
 
 final class Hdf5Scan(path: String, varName: String, timeVar: String,
     required: StructType, x0: Int, x1: Int, y0: Int, y1: Int,
-    t0: Int, t1: Int, l0: Int, l1: Int, u0: Long, u1: Long) extends Scan with Batch {
+    t0: Int, t1: Int, l0: Int, l1: Int, u0: Long, u1: Long,
+    limit: Int = -1) extends Scan with Batch with SupportsRuntimeFiltering {
+
+  // RUNTIME filtering (r18 — DPP for cubes): join-key In/EqualTo values
+  // arriving after planning re-prune the chunk manifest; unknown filter
+  // shapes are ignored (the scan stays a superset, the join stays exact)
+  private var rt = Map.empty[String, Set[Int]]
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    required.fieldNames.filter(Set("cell_x", "cell_y", "epoch", "level"))
+      .map(Expressions.column).toArray
+  }
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In(c, vs) => rtSet(c, vs.collect { case n: Number => n.intValue() }.toSet)
+    case EqualTo(c, v: Number) => rtSet(c, Set(v.intValue()))
+    case _ => ()
+  }
+  private def rtSet(c: String, vs: Set[Int]): Unit =
+    if (Set("cell_x", "cell_y", "epoch", "level")(c))
+      rt = rt.updated(c, rt.get(c).fold(vs)(_ intersect vs))
+  private def rtKeep(c: String, lo: Int, n: Int): Boolean =
+    rt.get(c).forall(vs => vs.exists(v => v >= lo && v < lo + n))
+
+  // shortest prefix of partitions covering a pushed LIMIT
+  private def limitPrefix[P](ps: Seq[(P, Long)]): Seq[P] =
+    if (limit < 0) ps.map(_._1)
+    else {
+      var acc = 0L
+      ps.takeWhile { case (_, n) => val keep = acc < limit; acc += n; keep }
+        .map(_._1)
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -203,19 +240,29 @@ final class Hdf5Scan(path: String, varName: String, timeVar: String,
     // [ol, ol+chunkL) — keep it iff every axis overlaps its window
     // (rank-2/3 refs carry chunkT/chunkL = 1 so the unbounded defaults
     // pass through)
-    Hdf5.chunkRefs(path, m)
+    val nLevels = math.max(1, m.levels)
+    val kept = Hdf5.chunkRefs(path, m)
       .filter(r =>
         r.ox <= x1 && r.ox + r.cols > x0 &&
         r.oy <= y1 && r.oy + r.rows > y0 &&
         r.ot <= t1 && r.ot + r.chunkT > t0 &&
         r.ol <= l1 && r.ol + r.chunkL > l0 &&
+        rtKeep("cell_x", r.ox, r.cols) && rtKeep("cell_y", r.oy, r.rows) &&
+        rtKeep("epoch", r.ot, r.chunkT) && rtKeep("level", r.ol, r.chunkL) &&
         (timeVar == null ||
           (r.ot until math.min(r.ot + r.chunkT, nEpochs)).exists(inWin)))
-      .map(r => Hdf5InputPartition(r,
-        if (timeVar == null) Map.empty
-        else (r.ot until math.min(r.ot + r.chunkT, nEpochs))
-          .map(e => e -> labels(e)).toMap): InputPartition)
-      .toArray
+      .map { r =>
+        val cells =
+          (math.min(r.ox + r.cols, m.width) - r.ox).toLong *
+          (math.min(r.oy + r.rows, m.height) - r.oy) *
+          (math.min(r.ot + r.chunkT, nEpochs) - r.ot) *
+          (math.min(r.ol + r.chunkL, nLevels) - r.ol)
+        (Hdf5InputPartition(r,
+          if (timeVar == null) Map.empty
+          else (r.ot until math.min(r.ot + r.chunkT, nEpochs))
+            .map(e => e -> labels(e)).toMap): InputPartition, cells)
+      }
+    limitPrefix(kept).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new Hdf5ReaderFactory(required.fieldNames)

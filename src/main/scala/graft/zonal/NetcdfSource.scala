@@ -93,7 +93,8 @@ final class NetcdfTable(path: String, varName: String, timeVar: String)
   */
 final class NetcdfScanBuilder(path: String, varName: String, timeVar: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
   private var t0 = Int.MinValue; private var t1 = Int.MaxValue
@@ -146,6 +147,12 @@ final class NetcdfScanBuilder(path: String, varName: String, timeVar: String)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = required = s
 
+  // LIMIT pushdown (r18): partial — keep the shortest stripe PREFIX
+  // whose cell count covers the limit.
+  private var limit = -1
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
   // COUNT(*) from metadata (r18): dimension product straight from the
   // header (record epochs via numRecs), zero stripes planned.
   private var countPushed = false
@@ -171,12 +178,43 @@ final class NetcdfScanBuilder(path: String, varName: String, timeVar: String)
         (if (len == 0) m.numRecs else len).toLong
       }.product
       new MetaCountScan(n, s"netcdf:$path#$varName")
-    } else new NetcdfScan(path, varName, timeVar, required, y0, y1, t0, t1, l0, l1, u0, u1)
+    } else new NetcdfScan(path, varName, timeVar, required, y0, y1, t0, t1, l0, l1, u0, u1, limit)
 }
 
 final class NetcdfScan(path: String, varName: String, timeVar: String,
     required: StructType, y0: Int, y1: Int, t0: Int, t1: Int,
-    l0: Int, l1: Int, u0: Long, u1: Long) extends Scan with Batch {
+    l0: Int, l1: Int, u0: Long, u1: Long,
+    limit: Int = -1) extends Scan with Batch with SupportsRuntimeFiltering {
+
+  // RUNTIME filtering (r18): join-key In/EqualTo values arriving after
+  // planning re-prune the stripe manifest (cell_x is deliberately NOT
+  // offered — row-major stripes span the width); unknown shapes are
+  // ignored (the scan stays a superset, the join stays exact)
+  private var rt = Map.empty[String, Set[Int]]
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    required.fieldNames.filter(Set("cell_y", "epoch", "level"))
+      .map(Expressions.column).toArray
+  }
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In(c, vs) => rtSet(c, vs.collect { case n: Number => n.intValue() }.toSet)
+    case EqualTo(c, v: Number) => rtSet(c, Set(v.intValue()))
+    case _ => ()
+  }
+  private def rtSet(c: String, vs: Set[Int]): Unit =
+    if (Set("cell_y", "epoch", "level")(c))
+      rt = rt.updated(c, rt.get(c).fold(vs)(_ intersect vs))
+  private def rtKeep(c: String, lo: Int, n: Int): Boolean =
+    rt.get(c).forall(vs => vs.exists(v => v >= lo && v < lo + n))
+
+  // shortest prefix of stripes covering a pushed LIMIT
+  private def limitPrefix[P](ps: Seq[(P, Long)]): Seq[P] =
+    if (limit < 0) ps.map(_._1)
+    else {
+      var acc = 0L
+      ps.takeWhile { case (_, n) => val keep = acc < limit; acc += n; keep }
+        .map(_._1)
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -208,14 +246,17 @@ final class NetcdfScan(path: String, varName: String, timeVar: String,
       case r => sys.error(s"$path: '$varName' is rank $r — want 2/3/4")
     }
     // a stripe covers rows [y0, y0+rows) of ONE (epoch, level) plane
-    refs.filter(r =>
+    val kept = refs.filter(r =>
         r.y0 <= y1 && r.y0 + r.rows > y0 &&
         r.epoch >= t0 && r.epoch <= t1 &&
         r.level >= l0 && r.level <= l1 &&
+        rtKeep("cell_y", r.y0, r.rows) &&
+        rtKeep("epoch", r.epoch, 1) && rtKeep("level", r.level, 1) &&
         (timeVar == null || labels.contains(r.epoch)))
-      .map(r => NetcdfInputPartition(r,
-        if (timeVar == null) 0L else labels(r.epoch)): InputPartition)
-      .toArray
+      .map(r => (NetcdfInputPartition(r,
+        if (timeVar == null) 0L else labels(r.epoch)): InputPartition,
+        r.rows.toLong * r.width))
+    limitPrefix(kept).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new NetcdfReaderFactory(required.fieldNames)

@@ -81,7 +81,8 @@ final class TiffTable(path: String) extends Table with SupportsRead {
   */
 final class TiffScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var x0 = Int.MinValue; private var x1 = Int.MaxValue
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
@@ -116,6 +117,12 @@ final class TiffScanBuilder(path: String)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(s: StructType): Unit = required = s
 
+  // LIMIT pushdown (r18): partial — keep the shortest tile PREFIX
+  // whose in-bounds cell count covers the limit.
+  private var limit = -1
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
   // COUNT(*) from metadata (r18): width × height × bands straight from
   // the IFD, zero tiles planned.
   private var countPushed = false
@@ -135,11 +142,41 @@ final class TiffScanBuilder(path: String)
     if (countPushed) {
       val m = Raster.readMeta(path)
       new MetaCountScan(m.width.toLong * m.height * m.bands, s"tiff:$path")
-    } else new TiffScan(path, required, x0, x1, y0, y1, b0, b1)
+    } else new TiffScan(path, required, x0, x1, y0, y1, b0, b1, limit)
 }
 
 final class TiffScan(path: String, required: StructType,
-    x0: Int, x1: Int, y0: Int, y1: Int, b0: Int, b1: Int) extends Scan with Batch {
+    x0: Int, x1: Int, y0: Int, y1: Int, b0: Int, b1: Int,
+    limit: Int = -1) extends Scan with Batch with SupportsRuntimeFiltering {
+
+  // RUNTIME filtering (r18): join-key In/EqualTo values arriving after
+  // planning re-prune the tile manifest (band prunes whole blocks on
+  // planar files only — chunky blocks carry every band)
+  private var rt = Map.empty[String, Set[Int]]
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    required.fieldNames.filter(Set("cell_x", "cell_y", "band"))
+      .map(Expressions.column).toArray
+  }
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In(c, vs) => rtSet(c, vs.collect { case n: Number => n.intValue() }.toSet)
+    case EqualTo(c, v: Number) => rtSet(c, Set(v.intValue()))
+    case _ => ()
+  }
+  private def rtSet(c: String, vs: Set[Int]): Unit =
+    if (Set("cell_x", "cell_y", "band")(c))
+      rt = rt.updated(c, rt.get(c).fold(vs)(_ intersect vs))
+  private def rtKeep(c: String, lo: Int, n: Int): Boolean =
+    rt.get(c).forall(vs => vs.exists(v => v >= lo && v < lo + n))
+
+  // shortest prefix of blocks covering a pushed LIMIT
+  private def limitPrefix[P](ps: Seq[(P, Long)]): Seq[P] =
+    if (limit < 0) ps.map(_._1)
+    else {
+      var acc = 0L
+      ps.takeWhile { case (_, n) => val keep = acc < limit; acc += n; keep }
+        .map(_._1)
+    }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -154,9 +191,22 @@ final class TiffScan(path: String, required: StructType,
     // predicate prunes whole BLOCKS at planning time (chunky files
     // interleave bands per pixel — the band filter stays residual)
     val pruned =
-      if (m.planar) refs.filter(r => r.planarBand >= b0 && r.planarBand <= b1)
-      else refs
-    pruned.map(r => TiffInputPartition(r): InputPartition).toArray
+      (if (m.planar) refs.filter(r => r.planarBand >= b0 && r.planarBand <= b1)
+       else refs)
+      .filter { r =>
+        val wIn = math.max(0, math.min(r.tileW, r.width - r.tx0))
+        val hIn = math.max(0, math.min(r.tileH, r.height - r.ty0))
+        rtKeep("cell_x", r.tx0, wIn) && rtKeep("cell_y", r.ty0, hIn) &&
+        (if (r.planarBand >= 0) rtKeep("band", r.planarBand, 1)
+         else rtKeep("band", 0, m.bands))
+      }
+      .map { r =>
+        val wIn = math.max(0, math.min(r.tileW, r.width - r.tx0)).toLong
+        val hIn = math.max(0, math.min(r.tileH, r.height - r.ty0)).toLong
+        val spp = if (r.planarBand >= 0) 1L else m.bands.toLong
+        (TiffInputPartition(r): InputPartition, wIn * hIn * spp)
+      }
+    limitPrefix(pruned).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new TiffReaderFactory(required.fieldNames)

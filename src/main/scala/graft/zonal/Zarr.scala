@@ -3675,6 +3675,53 @@ object Zarr {
       }.reduce(_ unionAll _).orderBy("src")
     },
 
+    // LIMIT pushdown across the quartet (r18): a pushed LIMIT keeps
+    // only the shortest PREFIX of chunk/stripe/tile partitions whose
+    // in-bounds cell count covers it — LIMIT 500 on a petabyte store
+    // plans one chunk (PlanShapeSpec pins the partition counts); the
+    // push is PARTIAL, Spark's LocalLimit still trims exactly
+    "scan_source_limit_prune" -> Q(
+      s"""SELECT src, n FROM (VALUES
+         |  ('hdf5', CAST(500 AS BIGINT)), ('netcdf', CAST(500 AS BIGINT)),
+         |  ('tiff', CAST(500 AS BIGINT)), ('zarr', CAST(500 AS BIGINT))) AS t(src, n)
+         |ORDER BY src""".stripMargin) { (s, _) =>
+      val srcs = Seq(
+        "hdf5" -> s.read.format("graft.zonal.Hdf5Source")
+          .option("var", "v").load(Hdf5.fixtureCubePath()),
+        "netcdf" -> s.read.format("graft.zonal.NetcdfSource")
+          .option("var", "t2m").load(Netcdf.epochsFixturePath()),
+        "tiff" -> s.read.format("graft.zonal.TiffSource")
+          .load(Raster.fixturePath()),
+        "zarr" -> s.read.format("graft.zonal.ZarrSource").load(fixture3dDir()))
+      srcs.map { case (k, df) =>
+        df.limit(500).agg(count(lit(1)).as("n")).select(lit(k).as("src"), col("n"))
+      }.reduce(_ unionAll _).orderBy("src")
+    },
+
+    // RUNTIME (DPP-style) filtering (r18): the DSv2 scans implement
+    // SupportsRuntimeFiltering — a broadcast join's build-side key
+    // values (In/EqualTo on epoch/cell axes) re-prune the chunk
+    // manifest AFTER planning, the dynamic-partition-pruning contract
+    // for cubes; result exact whether or not the optimizer injects the
+    // filter (PlanShapeSpec pins the filter() semantics directly)
+    "scan_zarr_source_dpp" -> Q(
+      s"""SELECT epoch, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST((29 * cell_x + 13 * cell_y + 41 * epoch) % 1009 AS BIGINT)) AS BIGINT) AS sum_v
+         |FROM (SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch
+         |      FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |      CROSS JOIN range(0, $Zarr3T) t)
+         |WHERE epoch % 2 = 1
+         |GROUP BY epoch ORDER BY epoch""".stripMargin) { (s, _) =>
+      val cube = s.read.format("graft.zonal.ZarrSource").load(fixture3dDir())
+      val dim = s.range(0, Zarr3T).toDF("e")
+        .filter(col("e") % 2 === 1).select(col("e").cast("int").as("epoch"))
+      cube.join(broadcast(dim), Seq("epoch"))
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("epoch")
+    },
+
     // the DSv2 face with CF TIME (r18): .option("time", "t") resolves
     // the sibling coordinate member, adds a real t_ts column, and a
     // pushed t_ts window prunes the CHUNK manifest at planning time

@@ -105,7 +105,8 @@ final class ZarrTable(path: String, timeName: String = null)
   */
 final class ZarrScanBuilder(path: String, timeName: String = null)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var x0 = Int.MinValue; private var x1 = Int.MaxValue
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
@@ -175,23 +176,75 @@ final class ZarrScanBuilder(path: String, timeName: String = null)
     countPushed = canPushCount(agg); countPushed
   }
 
+  // LIMIT pushdown (r18): partial — the scan keeps only the shortest
+  // PREFIX of chunk partitions whose in-bounds cell count covers the
+  // limit (geometry is exact, so LIMIT 10 on a petabyte store plans
+  // one chunk); Spark still applies the final LocalLimit on top.
+  private var limit = -1
+  override def pushLimit(n: Int): Boolean = { limit = n; true }
+  override def isPartiallyPushed(): Boolean = true
+
   override def build(): Scan =
     if (countPushed) {
       val m = Zarr.readMeta(path)
       val n = m.width.toLong * m.height * (if (m.rank3) m.epochs.toLong else 1L)
       new MetaCountScan(n, s"zarr:$path")
-    } else new ZarrScan(path, timeName, required, x0, x1, y0, y1, t0, t1, u0, u1)
+    } else new ZarrScan(path, timeName, required, x0, x1, y0, y1, t0, t1, u0, u1, limit)
 }
 
 final class ZarrScan(path: String, timeName: String, required: StructType,
     x0: Int, x1: Int, y0: Int, y1: Int, t0: Int, t1: Int,
-    u0: Long, u1: Long) extends Scan with Batch {
+    u0: Long, u1: Long, limit: Int = -1) extends Scan with Batch
+    with SupportsRuntimeFiltering {
+
+  // RUNTIME filtering (r18 — DPP for cubes): Spark injects the build
+  // side's join-key values (In/EqualTo on epoch, cell_x or cell_y)
+  // into the scan AFTER planning but BEFORE execution, and the chunk
+  // manifest re-prunes — the dynamic-partition-pruning contract, chunk
+  // granular. Unknown filter shapes are ignored: the scan stays a
+  // superset and the join itself keeps the result exact.
+  private var rtEpochs: Option[Set[Int]] = None
+  private var rtXs: Option[Set[Int]] = None
+  private var rtYs: Option[Set[Int]] = None
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    // only columns the (pruned) scan still OUTPUTS — Spark resolves
+    // these against readSchema, so a pruned-away axis must not appear
+    required.fieldNames.filter(Set("cell_x", "cell_y", "epoch"))
+      .map(Expressions.column).toArray
+  }
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In(c, vs) => rtSet(c, vs.collect { case n: Number => n.intValue() }.toSet)
+    case EqualTo(c, v: Number) => rtSet(c, Set(v.intValue()))
+    case _ => () // anything else: no runtime pruning, residual stays exact
+  }
+  private def rtSet(c: String, vs: Set[Int]): Unit = c match {
+    case "epoch" => rtEpochs = Some(rtEpochs.fold(vs)(_ intersect vs))
+    case "cell_x" => rtXs = Some(rtXs.fold(vs)(_ intersect vs))
+    case "cell_y" => rtYs = Some(rtYs.fold(vs)(_ intersect vs))
+    case _ => ()
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-zarr $path window=[$x0..$x1]x[$y0..$y1] t=[$t0..$t1] " +
       s"t_ts=[$u0..$u1] cols=${required.fieldNames.mkString(",")}"
+
+  // the runtime In/EqualTo sets prune at CHUNK granularity too: a
+  // chunk survives iff any kept value falls in its axis range
+  private def rtKeep(set: Option[Set[Int]], lo: Int, n: Int): Boolean =
+    set.forall(vs => vs.exists(v => v >= lo && v < lo + n))
+
+  // shortest prefix of partitions whose in-bounds cell count covers a
+  // pushed LIMIT — geometry is exact, so LIMIT k plans O(k) cells
+  private def limitPrefix[P](ps: Seq[(P, Long)]): Seq[P] =
+    if (limit < 0) ps.map(_._1)
+    else {
+      var acc = 0L
+      ps.takeWhile { case (_, n) => val keep = acc < limit; acc += n; keep }
+        .map(_._1)
+    }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val m = Zarr.readMeta(path)
@@ -209,24 +262,42 @@ final class ZarrScan(path: String, timeName: String, required: StructType,
         else ZarrSource.timeLabels(path, timeName, m.epochs)
       val inWin: Int => Boolean =
         e => timeName == null || { val u = labels(e); u >= u0 && u <= u1 }
-      Zarr.chunkRefs3(m, path)
+      val kept = Zarr.chunkRefs3(m, path)
         .filter(r =>
           r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
           r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0 &&
           r.ck * m.chunkT <= t1 && (r.ck + 1) * m.chunkT > t0 &&
+          rtKeep(rtXs, r.cj * m.chunkW, m.chunkW) &&
+          rtKeep(rtYs, r.ci * m.chunkH, m.chunkH) &&
+          rtKeep(rtEpochs, r.ck * m.chunkT, m.chunkT) &&
           (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
             .exists(inWin))
-        .map(r => Zarr3InputPartition(r,
-          if (timeName == null) Map.empty
-          else (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
-            .map(e => e -> labels(e)).toMap): InputPartition)
-        .toArray
-    } else
-      Zarr.chunkRefs(m, path)
+        .map { r =>
+          val cells =
+            (math.min((r.cj + 1) * m.chunkW, m.width) - r.cj * m.chunkW).toLong *
+            (math.min((r.ci + 1) * m.chunkH, m.height) - r.ci * m.chunkH) *
+            (math.min((r.ck + 1) * m.chunkT, m.epochs) - r.ck * m.chunkT)
+          (Zarr3InputPartition(r,
+            if (timeName == null) Map.empty
+            else (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
+              .map(e => e -> labels(e)).toMap): InputPartition, cells)
+        }
+      limitPrefix(kept).toArray
+    } else {
+      val kept = Zarr.chunkRefs(m, path)
         .filter(r =>
           r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
-          r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0)
-        .map(r => Zarr2InputPartition(r): InputPartition).toArray
+          r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0 &&
+          rtKeep(rtXs, r.cj * m.chunkW, m.chunkW) &&
+          rtKeep(rtYs, r.ci * m.chunkH, m.chunkH))
+        .map { r =>
+          val cells =
+            (math.min((r.cj + 1) * m.chunkW, m.width) - r.cj * m.chunkW).toLong *
+            (math.min((r.ci + 1) * m.chunkH, m.height) - r.ci * m.chunkH)
+          (Zarr2InputPartition(r): InputPartition, cells)
+        }
+      limitPrefix(kept).toArray
+    }
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new ZarrReaderFactory(required.fieldNames)

@@ -440,6 +440,86 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("r18 DSv2 limit + runtime filtering: limit plans a chunk prefix, DPP re-prunes at runtime") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val cube = spark.read.format("graft.zonal.ZarrSource")
+      .load(graft.zonal.Zarr.fixture3dDir())
+    // LIMIT pushdown: geometry-exact prefix — 100 cells fit in the
+    // first 2x32x32 chunk, so ONE partition plans (of 27); the final
+    // LocalLimit still trims to exactly 100
+    val lim = cube.limit(100)
+    val limPlan = lim.queryExecution.executedPlan.toString
+    assert(lim.count() == 100)
+    val sc = lim.queryExecution.executedPlan.collectLeaves()
+      .find(_.toString.contains("BatchScan"))
+    assert(sc.isDefined, limPlan.take(1000))
+    assert(cube.limit(100).select("cell_x").collect().length == 100)
+    // partitions: rdd materializes the pushed-limit scan
+    assert(spark.read.format("graft.zonal.ZarrSource")
+      .load(graft.zonal.Zarr.fixture3dDir()).limit(100).rdd.getNumPartitions <= 2,
+      "LIMIT 100 must plan a chunk prefix, not all 27 chunks")
+    // RUNTIME filtering contract, pinned directly on the Scan: an
+    // In(epoch, ...) arriving after planning re-prunes the manifest
+    val b = new graft.zonal.ZarrScanBuilder(graft.zonal.Zarr.fixture3dDir())
+    val scan = b.build().asInstanceOf[graft.zonal.ZarrScan]
+    assert(scan.planInputPartitions().length == 27)
+    assert(scan.filterAttributes().map(_.describe()).toSet ==
+      Set("cell_x", "cell_y", "epoch"))
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("epoch", Array(4))))
+    // epoch 4 lives in the last t-chunk [4,5) → 1x3x3 = 9 partitions
+    assert(scan.planInputPartitions().length == 9,
+      s"runtime epoch filter must re-prune: got ${scan.planInputPartitions().length}")
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("cell_x", 40)))
+    // x=40 lives in x-chunk [32,64) → 1x3x1 = 3
+    assert(scan.planInputPartitions().length == 3)
+    // end-to-end: a broadcast join on epoch with DPP enabled stays
+    // exact whether or not the optimizer injects the runtime filter
+    val dim = spark.range(0, 5).toDF("e").filter(col("e") % 2 === 1)
+      .select(col("e").cast("int").as("epoch"))
+    val j = cube.join(dim, Seq("epoch")).agg(count(lit(1)).as("n"))
+    assert(j.head().getLong(0) ==
+      2L * graft.zonal.Zarr.ZarrH * graft.zonal.Zarr.ZarrW)
+    // the other three sources honor the same contracts
+    // hdf5: 27-chunk cube — epoch EqualTo(4) keeps the edge t-chunk row
+    val hb = new graft.zonal.Hdf5ScanBuilder(
+      graft.zonal.Hdf5.fixtureCubePath(), "v")
+    val hs = hb.build().asInstanceOf[graft.zonal.Hdf5Scan]
+    assert(hs.planInputPartitions().length == 27)
+    hs.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("epoch", 4)))
+    assert(hs.planInputPartitions().length == 9)
+    // netcdf: per-epoch stripe sets — epoch In(Seq(0)) keeps 1 of 3 sets
+    val nb = new graft.zonal.NetcdfScanBuilder(
+      graft.zonal.Netcdf.epochsFixturePath(), "t2m", null)
+    val ns = nb.build().asInstanceOf[graft.zonal.NetcdfScan]
+    val nAll = ns.planInputPartitions().length
+    ns.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("epoch", Array(0))))
+    assert(ns.planInputPartitions().length * graft.zonal.Netcdf.NcEpochs == nAll)
+    // tiff planar: band EqualTo(0) halves the block set at runtime
+    val tb = new graft.zonal.TiffScanBuilder(graft.zonal.Raster.planarFixturePath())
+    val ts = tb.build().asInstanceOf[graft.zonal.TiffScan]
+    assert(ts.planInputPartitions().length == 8)
+    ts.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("band", 0)))
+    assert(ts.planInputPartitions().length == 4)
+    // limit prefixes on the other sources: a small limit plans few
+    // partitions and still returns exactly n rows
+    for ((label, df) <- Seq(
+        "hdf5" -> spark.read.format("graft.zonal.Hdf5Source")
+          .option("var", "v").load(graft.zonal.Hdf5.fixtureCubePath()),
+        "netcdf" -> spark.read.format("graft.zonal.NetcdfSource")
+          .option("var", "t2m").load(graft.zonal.Netcdf.epochsFixturePath()),
+        "tiff" -> spark.read.format("graft.zonal.TiffSource")
+          .load(graft.zonal.Raster.fixturePath()))) {
+      val lim = df.limit(50)
+      assert(lim.rdd.getNumPartitions <= 2, s"$label LIMIT must plan a prefix")
+      assert(lim.count() == 50, label)
+    }
+  }
+
   test("r18 DSv2 zarr time option: pushed timestamp window prunes chunks, boundary epoch trims residually") {
     import org.apache.spark.sql.functions.{col, lit}
     val tdf = spark.read.format("graft.zonal.ZarrSource").option("time", "t")
