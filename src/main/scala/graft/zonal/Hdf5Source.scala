@@ -102,6 +102,7 @@ final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = nul
   private var t0 = Int.MinValue; private var t1 = Int.MaxValue
   private var l0 = Int.MinValue; private var l1 = Int.MaxValue
   private var u0 = Long.MinValue; private var u1 = Long.MaxValue // t_ts micros
+  private var inSets = Map.empty[String, Set[Int]] // static IN lists
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = Hdf5Source.schemaFor(path, varName, timeVar)
 
@@ -122,6 +123,12 @@ final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = nul
     case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
     case LessThan(c, v: Number) => clamp(c, hi = v.longValue() - 1)
     case EqualTo(c, v: Number) => clamp(c, lo = v.longValue()) | clamp(c, hi = v.longValue())
+    case In(c, vs) if Set("cell_x", "cell_y", "epoch", "level")(c)
+        && vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+      inSets = inSets.updated(c, inSets.get(c)
+        .fold(vs.map(_.asInstanceOf[Number].intValue()).toSet)(
+          _ intersect vs.map(_.asInstanceOf[Number].intValue()).toSet))
+      true
     case GreaterThanOrEqual("t_ts", v) => micros(v).exists(u => tsClamp(lo = u))
     case GreaterThan("t_ts", v) => micros(v).exists(u => tsClamp(lo = u + 1))
     case LessThanOrEqual("t_ts", v) => micros(v).exists(u => tsClamp(hi = u))
@@ -179,18 +186,20 @@ final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = nul
       val n = m.width.toLong * m.height *
         math.max(1, m.epochs).toLong * math.max(1, m.levels).toLong
       new MetaCountScan(n, s"hdf5:$path#$varName")
-    } else new Hdf5Scan(path, varName, timeVar, required, x0, x1, y0, y1, t0, t1, l0, l1, u0, u1, limit)
+    } else new Hdf5Scan(path, varName, timeVar, required, x0, x1, y0, y1, t0, t1, l0, l1, u0, u1, limit, inSets)
 }
 
 final class Hdf5Scan(path: String, varName: String, timeVar: String,
     required: StructType, x0: Int, x1: Int, y0: Int, y1: Int,
     t0: Int, t1: Int, l0: Int, l1: Int, u0: Long, u1: Long,
-    limit: Int = -1) extends Scan with Batch with SupportsRuntimeFiltering {
+    limit: Int = -1, inSets: Map[String, Set[Int]] = Map.empty)
+    extends Scan with Batch with SupportsRuntimeFiltering {
 
   // RUNTIME filtering (r18 — DPP for cubes): join-key In/EqualTo values
   // arriving after planning re-prune the chunk manifest; unknown filter
-  // shapes are ignored (the scan stays a superset, the join stays exact)
-  private var rt = Map.empty[String, Set[Int]]
+  // shapes are ignored (the scan stays a superset, the join stays
+  // exact). Seeded with the builder's STATIC IN-list pushdown.
+  private var rt: Map[String, Set[Int]] = inSets
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     import org.apache.spark.sql.connector.expressions.Expressions
     required.fieldNames.filter(Set("cell_x", "cell_y", "epoch", "level"))

@@ -87,6 +87,7 @@ final class TiffScanBuilder(path: String)
   private var x0 = Int.MinValue; private var x1 = Int.MaxValue
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
   private var b0 = Int.MinValue; private var b1 = Int.MaxValue
+  private var inSets = Map.empty[String, Set[Int]] // static IN lists
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = TiffSource.schemaFor(path)
 
@@ -98,6 +99,12 @@ final class TiffScanBuilder(path: String)
     case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
     case LessThan(c, v: Number) => clamp(c, hi = v.longValue() - 1)
     case EqualTo(c, v: Number) => clamp(c, lo = v.longValue()) | clamp(c, hi = v.longValue())
+    case In(c, vs) if Set("cell_x", "cell_y", "band")(c)
+        && vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+      inSets = inSets.updated(c, inSets.get(c)
+        .fold(vs.map(_.asInstanceOf[Number].intValue()).toSet)(
+          _ intersect vs.map(_.asInstanceOf[Number].intValue()).toSet))
+      true
     case _ => false
   }
   private def clamp(col: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
@@ -142,17 +149,19 @@ final class TiffScanBuilder(path: String)
     if (countPushed) {
       val m = Raster.readMeta(path)
       new MetaCountScan(m.width.toLong * m.height * m.bands, s"tiff:$path")
-    } else new TiffScan(path, required, x0, x1, y0, y1, b0, b1, limit)
+    } else new TiffScan(path, required, x0, x1, y0, y1, b0, b1, limit, inSets)
 }
 
 final class TiffScan(path: String, required: StructType,
     x0: Int, x1: Int, y0: Int, y1: Int, b0: Int, b1: Int,
-    limit: Int = -1) extends Scan with Batch with SupportsRuntimeFiltering {
+    limit: Int = -1, inSets: Map[String, Set[Int]] = Map.empty)
+    extends Scan with Batch with SupportsRuntimeFiltering {
 
   // RUNTIME filtering (r18): join-key In/EqualTo values arriving after
   // planning re-prune the tile manifest (band prunes whole blocks on
-  // planar files only — chunky blocks carry every band)
-  private var rt = Map.empty[String, Set[Int]]
+  // planar files only — chunky blocks carry every band).
+  // Seeded with the builder's STATIC IN-list pushdown.
+  private var rt: Map[String, Set[Int]] = inSets
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     import org.apache.spark.sql.connector.expressions.Expressions
     required.fieldNames.filter(Set("cell_x", "cell_y", "band"))

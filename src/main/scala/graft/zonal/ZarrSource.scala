@@ -112,6 +112,7 @@ final class ZarrScanBuilder(path: String, timeName: String = null)
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
   private var t0 = Int.MinValue; private var t1 = Int.MaxValue
   private var u0 = Long.MinValue; private var u1 = Long.MaxValue // t_ts micros
+  private var inSets = Map.empty[String, Set[Int]] // static IN lists
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ZarrSource.schemaFor(path, timeName)
 
@@ -132,6 +133,12 @@ final class ZarrScanBuilder(path: String, timeName: String = null)
     case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
     case LessThan(c, v: Number) => clamp(c, hi = v.longValue() - 1)
     case EqualTo(c, v: Number) => clamp(c, lo = v.longValue()) | clamp(c, hi = v.longValue())
+    case In(c, vs) if Set("cell_x", "cell_y", "epoch")(c)
+        && vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
+      inSets = inSets.updated(c, inSets.get(c)
+        .fold(vs.map(_.asInstanceOf[Number].intValue()).toSet)(
+          _ intersect vs.map(_.asInstanceOf[Number].intValue()).toSet))
+      true
     case GreaterThanOrEqual("t_ts", v) => micros(v).exists(u => tsClamp(lo = u))
     case GreaterThan("t_ts", v) => micros(v).exists(u => tsClamp(lo = u + 1))
     case LessThanOrEqual("t_ts", v) => micros(v).exists(u => tsClamp(hi = u))
@@ -189,12 +196,13 @@ final class ZarrScanBuilder(path: String, timeName: String = null)
       val m = Zarr.readMeta(path)
       val n = m.width.toLong * m.height * (if (m.rank3) m.epochs.toLong else 1L)
       new MetaCountScan(n, s"zarr:$path")
-    } else new ZarrScan(path, timeName, required, x0, x1, y0, y1, t0, t1, u0, u1, limit)
+    } else new ZarrScan(path, timeName, required, x0, x1, y0, y1, t0, t1, u0, u1, limit, inSets)
 }
 
 final class ZarrScan(path: String, timeName: String, required: StructType,
     x0: Int, x1: Int, y0: Int, y1: Int, t0: Int, t1: Int,
-    u0: Long, u1: Long, limit: Int = -1) extends Scan with Batch
+    u0: Long, u1: Long, limit: Int = -1,
+    inSets: Map[String, Set[Int]] = Map.empty) extends Scan with Batch
     with SupportsRuntimeFiltering {
 
   // RUNTIME filtering (r18 — DPP for cubes): Spark injects the build
@@ -203,9 +211,12 @@ final class ZarrScan(path: String, timeName: String, required: StructType,
   // manifest re-prunes — the dynamic-partition-pruning contract, chunk
   // granular. Unknown filter shapes are ignored: the scan stays a
   // superset and the join itself keeps the result exact.
-  private var rtEpochs: Option[Set[Int]] = None
-  private var rtXs: Option[Set[Int]] = None
-  private var rtYs: Option[Set[Int]] = None
+  // seeded by the builder's STATIC IN-list pushdown (r18): `epoch IN
+  // (0, 4)` prunes the two matching t-chunk columns at planning time —
+  // non-contiguous sets a min/max window cannot express
+  private var rtEpochs: Option[Set[Int]] = inSets.get("epoch")
+  private var rtXs: Option[Set[Int]] = inSets.get("cell_x")
+  private var rtYs: Option[Set[Int]] = inSets.get("cell_y")
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     import org.apache.spark.sql.connector.expressions.Expressions
     // only columns the (pruned) scan still OUTPUTS — Spark resolves

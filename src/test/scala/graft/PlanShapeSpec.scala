@@ -505,6 +505,13 @@ class PlanShapeSpec extends SparkSuite {
     ts.filter(Array[org.apache.spark.sql.sources.Filter](
       org.apache.spark.sql.sources.EqualTo("band", 0)))
     assert(ts.planInputPartitions().length == 4)
+    // STATIC IN-list pushdown: epoch IN (0, 4) is non-contiguous — a
+    // min/max window keeps all 3 t-chunks, the set prunes to 2 (18)
+    val inDf = cube.filter(col("epoch").isin(0, 4))
+    assert(inDf.rdd.getNumPartitions == 18,
+      s"static IN must prune t-chunks: got ${inDf.rdd.getNumPartitions}")
+    assert(inDf.select("epoch").distinct().collect().map(_.getInt(0)).toSet
+      == Set(0, 4))
     // limit prefixes on the other sources: a small limit plans few
     // partitions and still returns exactly n rows
     for ((label, df) <- Seq(
