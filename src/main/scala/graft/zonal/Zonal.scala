@@ -1496,6 +1496,30 @@ object Zonal {
         .orderBy("zone_id", "part", "ring", "i")
     },
 
+    // DSv2 face of the GeoPackage reader (r18 — the vector member of
+    // the DSv2 family): one InputPartition per SQLite leaf page;
+    // pushed x/y comparisons become an envelope window that prunes
+    // pages through the gpkg_rtree at planning time (superset by
+    // envelope granularity — the residual trims to ROW-level
+    // semantics, vertices in the box, the relational contract;
+    // feature-level bbox intersection stays readVertsWindow)
+    "scan_gpkg_source" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), verts AS (
+         |  ${Cube.vertsSql(Cube.NGonRings)}
+         |)
+         |SELECT zone_id, part, ring, CAST(i AS INTEGER) AS i, vx, vy
+         |FROM verts WHERE vx BETWEEN 0 AND 20 AND vy BETWEEN 0 AND 20
+         |ORDER BY zone_id, part, ring, i""".stripMargin) { (s, d) =>
+      s.read.format("graft.zonal.GpkgSource").option("table", "zones")
+        .load(Gpkg.fullFixturePath(s, d))
+        .filter(col("x").between(0, 20) && col("y").between(0, 20))
+        .select(col("zone_id"), col("part"), col("ring"),
+          col("i"), col("x").as("vx"), col("y").as("vy"))
+        .orderBy("zone_id", "part", "ring", "i")
+    },
+
     // the vector WRITE path: WKB zones serialized as newline-delimited
     // GeoJSON Features (RFC 8142 text sequences — the format GDAL calls
     // GeoJSONSeq, and the one a DISTRIBUTED writer can emit: one

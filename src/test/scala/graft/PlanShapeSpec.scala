@@ -527,6 +527,35 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("r18 DSv2 gpkg source: rtree window prunes leaf pages, row-level residual, id lookup prunes by rowid") {
+    import org.apache.spark.sql.functions.col
+    val path = graft.zonal.Gpkg.fullFixturePath(spark, sf)
+    val full = spark.read.format("graft.zonal.GpkgSource")
+      .option("table", "zones").load(path)
+    val nFull = full.rdd.getNumPartitions
+    assert(nFull >= 2, s"fixture should span several leaf pages, got $nFull")
+    // envelope window prunes pages through the rtree at planning time
+    val w = full.filter(col("x").between(0, 20) && col("y").between(0, 20))
+    assert(w.rdd.getNumPartitions < nFull,
+      s"rtree window must prune leaf pages: $nFull → ${w.rdd.getNumPartitions}")
+    assert(!w.queryExecution.executedPlan.toString.contains("Exchange"))
+    // ROW-level semantics: exactly the vertices in the box (the
+    // feature-level face readVertsWindow returns whole features — this
+    // one must NOT)
+    val got = w.collect()
+    assert(got.forall(r => r.getInt(4) >= 0 && r.getInt(4) <= 20
+      && r.getInt(5) >= 0 && r.getInt(5) <= 20))
+    val viaDataset = graft.zonal.Gpkg.readVerts(spark, path, "zones")
+      .filter(col("x").between(0, 20) && col("y").between(0, 20))
+    assert(got.length == viaDataset.count(),
+      "DSv2 row-level result must equal the filtered full read")
+    // an INTEGER-PRIMARY-KEY id lookup prunes by rowid range
+    val one = full.filter(col("zone_id") === 1)
+    assert(one.rdd.getNumPartitions <= math.max(1, nFull - 1),
+      s"id lookup should prune pages: $nFull → ${one.rdd.getNumPartitions}")
+    assert(one.select("zone_id").distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("r18 DSv2 zarr time option: pushed timestamp window prunes chunks, boundary epoch trims residually") {
     import org.apache.spark.sql.functions.{col, lit}
     val tdf = spark.read.format("graft.zonal.ZarrSource").option("time", "t")
