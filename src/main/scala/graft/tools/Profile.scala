@@ -159,6 +159,12 @@ object Profile {
       //  - dedup_cluster: bench 5.81 s; solo 10.5 cold / 5.2-5.8 warm —
       //    exactly the r12-r17 plateau for the pointer-doubling CC
       //    fixpoint. VERDICT: unchanged.
+      // r18 late-round (after the DSv2 suite, clean solo full run):
+      //    189.2 s / 432 = 0.438 s/q, 0 errors — best per-query to
+      //    date; every new DSv2 op lands 0.10-0.47 s. An overlapping
+      //    background bench earlier in the session was killed and its
+      //    numbers DISCARDED (it ran beside sbt test JVMs — the
+      //    never-overlap rule); the clean rerun is the recorded figure.
     }
     spark.stop()
   }
