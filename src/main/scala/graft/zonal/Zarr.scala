@@ -4420,6 +4420,36 @@ object Zarr {
     // the end-use: zonal statistics straight over a Zarr cube — scan
     // chunks, Raptor-style broadcast rasterize against the zone
     // envelopes, ONE hash agg. Integral values → exact BIGINT sums.
+    // the DSv2 end-use (r18): the SHARDED v3 cube reads through the
+    // DSv2 face (proving sharding_indexed composes with the
+    // TableProvider path), the epoch equality pushes down and prunes
+    // shard columns at planning time, and the engine's own zonal
+    // kernel (broadcast rasterize + hash agg) runs on top — the whole
+    // stack as one declarative plan
+    "zonal_source_stats" -> Q(
+      s"""WITH zones AS (
+         |${Cube.ZonesSql}
+         |), cells AS (
+         |  SELECT x.range AS cell_x, y.range AS cell_y,
+         |    CAST((29 * x.range + 13 * y.range + 82) % 1009 AS DOUBLE) AS value
+         |  FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |)
+         |SELECT zone_id, count(*) AS n_cells,
+         |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+         |  min(value) AS min_v, max(value) AS max_v
+         |${Cube.RasterizeJoinSql}
+         |GROUP BY zone_id ORDER BY zone_id""".stripMargin) { (s, d) =>
+      val cube = s.read.format("graft.zonal.ZarrSource")
+        .load(fixtureSharded3dDir())
+        .filter(col("epoch") === 2).drop("epoch")
+      Cube.rasterize(cube, Cube.zones(s, d))
+        .groupBy(col("zone_id"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"),
+          min(col("value")).as("min_v"), max(col("value")).as("max_v"))
+        .orderBy("zone_id")
+    },
+
     "zonal_zarr_stats" -> Q(
       s"""WITH zones AS (
          |${Cube.ZonesSql}

@@ -527,6 +527,28 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("r18 DSv2 sharded-store + zonal end-use: epoch pushdown prunes shards, rasterize broadcasts") {
+    import org.apache.spark.sql.functions.col
+    // the sharded v3 cube reads through the DSv2 face; the epoch
+    // equality prunes shard columns at planning time (shard grid
+    // 3x3x3 on chunkT=2 → epoch 2 keeps the middle t-shard: 9)
+    val sh = spark.read.format("graft.zonal.ZarrSource")
+      .load(graft.zonal.Zarr.fixtureSharded3dDir())
+    assert(sh.rdd.getNumPartitions == 27)
+    val e2 = sh.filter(col("epoch") === 2)
+    assert(e2.rdd.getNumPartitions == 9,
+      s"epoch pushdown must prune shard columns: got ${e2.rdd.getNumPartitions}")
+    assert(e2.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(3))
+      .toMap.apply((10, 5)) == graft.zonal.Zarr.zarr3dValue(10, 5, 2))
+    // zonal-over-DSv2: the whole stack stays one declarative plan —
+    // broadcast rasterize, no sort-merge join, no extra exchange
+    // before the aggregation's own shuffle
+    val p = q("zonal_source_stats").queryExecution.executedPlan.toString
+    assert(p.contains("BatchScan"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("r18 DSv2 gpkg source: rtree window prunes leaf pages, row-level residual, id lookup prunes by rowid") {
     import org.apache.spark.sql.functions.col
     val path = graft.zonal.Gpkg.fullFixturePath(spark, sf)
