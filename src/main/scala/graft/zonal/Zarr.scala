@@ -3293,6 +3293,28 @@ object Zarr {
     dir
   }
 
+  private val streamMembersLock = new Object
+  @volatile private var streamMembersReady: String = null
+
+  /** Member LANDING directory for the streaming DSv2 face (r18):
+    * [[StreamMembersN]] per-epoch 2-D stores with zero-padded names —
+    * the append-only one-store-per-period layout. Values keyed by the
+    * GLOBAL member ordinal so an epoch-order bug hash-mismatches.
+    */
+  val StreamMembersN = 4
+  def streamMembersDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_stream_members_${StreamMembersN}x${ZarrH}x$ZarrW"
+    if (streamMembersReady != dir) streamMembersLock.synchronized {
+      if (streamMembersReady != dir) {
+        for (k <- 0 until StreamMembersN)
+          writeZarr(f"$dir/part-$k%04d", ZarrH, ZarrW, 32, 32,
+            compressor = "zlib")((x, y) => zarr3dValue(x, y, k))
+        streamMembersReady = dir
+      }
+    }
+    dir
+  }
+
   private val fixtureF3Lock = new Object
   @volatile private var fixtureF3Ready: String = null
 
@@ -4343,6 +4365,41 @@ object Zarr {
     // micro-batches under AvailableNow. The oracle is batching-
     // independent per-chunk statistics — a dropped/duplicated batch
     // hash-mismatches.
+    // STREAMING DSv2 face (r18): a landing directory of per-epoch
+    // member stores streamed through readStream.format(ZarrSource) —
+    // our own MicroBatchStream with member-count offsets, admission
+    // control (members_per_batch=2 → at least 2 micro-batches for 4
+    // members, StreamSpec pins it) and Trigger.AvailableNow drain;
+    // each batch plans the new members' chunks as input partitions
+    // (one task per chunk, executor-side decode). Oracle: the 4-member
+    // formula replay on the read-back
+    "stream_zarr_source" -> Q(
+      s"""SELECT epoch, CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(CAST((29 * cell_x + 13 * cell_y + 41 * epoch) % 1009 AS BIGINT)) AS BIGINT) AS sum_v
+         |FROM (SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch
+         |      FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |      CROSS JOIN range(0, $StreamMembersN) t)
+         |GROUP BY epoch ORDER BY epoch""".stripMargin) { (s, _) =>
+      val dir = streamMembersDir()
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_stream_dsv2"
+      graft.core.Fs.rmTree(s"$base/out")
+      graft.core.Fs.rmTree(s"$base/ckpt")
+      val q = s.readStream.format("graft.zonal.ZarrSource")
+        .option("members_per_batch", "2")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("epoch")
+    },
+
     "stream_zarr_ingest" -> Q(
       s"""SELECT cell_x // 32 AS chunk_x, cell_y // 32 AS chunk_y,
          |  count(*) AS n_cells,

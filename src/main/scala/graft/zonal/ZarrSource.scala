@@ -38,14 +38,23 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * stores refuse here (the `scanZarr4d` Dataset path is their face).
   */
 class ZarrSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZarrSource.schemaFor(options.get("path"), options.get("time"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    // a MEMBER LANDING directory (no array doc at the root, member
+    // stores below) is the STREAMING face — see [[ZarrMembersTable]]
+    if (path != null && path.nonEmpty && ZarrMembersTable.isMemberDir(path))
+      ZarrMembersTable.Schema
+    else ZarrSource.schemaFor(path, options.get("time"))
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
       "graft.zonal.ZarrSource: a load(dir) is required")
-    new ZarrTable(path, properties.get("time"))
+    if (ZarrMembersTable.isMemberDir(path))
+      new ZarrMembersTable(path,
+        Option(properties.get("members_per_batch")).map(_.toInt).getOrElse(-1))
+    else new ZarrTable(path, properties.get("time"))
   }
 }
 

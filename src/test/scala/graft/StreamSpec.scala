@@ -333,6 +333,47 @@ class StreamSpec extends SparkSuite {
     }
   }
 
+  test("r18 streaming DSv2 face: admission control batches, exactly-once resume on a late member") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("zstream").toString
+    val land = s"$base/land"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    for (k <- 0 until 3)
+      graft.zonal.Zarr.writeZarr(f"$land/part-$k%04d", 16, 16, 16, 16)(
+        (x, y) => (x + y + 100 * k).toDouble)
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.format("graft.zonal.ZarrSource")
+        .option("members_per_batch", "2").load(land)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q
+    }
+    val q1 = drain()
+    // admission control: 3 members at 2/batch → at least 2 micro-batches
+    val batches1 = q1.recentProgress.count(_.numInputRows > 0)
+    assert(batches1 >= 2, s"expected >= 2 admission-controlled batches, got $batches1")
+    val r1 = spark.read.parquet(out)
+    assert(r1.count() == 3L * 16 * 16)
+    assert(r1.select("epoch").distinct().collect().map(_.getInt(0)).toSet == Set(0, 1, 2))
+    // a LATE member lands (name-sorted after the committed prefix):
+    // a fresh AvailableNow run from the SAME checkpoint reads exactly
+    // the new member — no re-read, no skip
+    graft.zonal.Zarr.writeZarr(f"$land/part-0003", 16, 16, 16, 16)(
+      (x, y) => (x + y + 300).toDouble)
+    drain()
+    val r2 = spark.read.parquet(out)
+    assert(r2.count() == 4L * 16 * 16, "resume must add exactly the late member")
+    val e3 = r2.filter(col("epoch") === 3)
+    assert(e3.count() == 16L * 16)
+    assert(e3.filter(col("cell_x") === 1 && col("cell_y") === 2)
+      .head().getDouble(3) == 303.0)
+    // batch read of the same landing dir sees the full cube
+    val batch = spark.read.format("graft.zonal.ZarrSource").load(land)
+    assert(batch.count() == 4L * 16 * 16)
+    assert(batch.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "epoch", "value"))
+  }
+
   test("events_anomaly flags exactly the >3σ tail of each event type") {
     val rows = q("events_anomaly").collect()
     assert(rows.nonEmpty, "the heavy-tailed fixture should have 3σ outliers")
