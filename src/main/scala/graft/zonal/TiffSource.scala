@@ -30,8 +30,11 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *
   * At 100 TB this is the scan you want: the driver touches only headers,
   * executors see exactly the pruned tile list, and Catalyst reasons
-  * about the source like any parquet scan. Single band; the Dataset path
-  * ([[Raster.scanTiffBands]]) remains for multiband work.
+  * about the source like any parquet scan. Multiband (r18): the schema
+  * infers a `band` column from the file's band count, and a `band`
+  * predicate prunes whole BLOCKS on planar files. Since r18 the source
+  * also pushes COUNT(*) to metadata, LIMIT to a tile prefix, static IN
+  * lists, and accepts runtime (DPP) join-key filters.
   */
 class TiffSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
