@@ -193,7 +193,16 @@ final class Hdf5Scan(path: String, varName: String, timeVar: String,
     required: StructType, x0: Int, x1: Int, y0: Int, y1: Int,
     t0: Int, t1: Int, l0: Int, l1: Int, u0: Long, u1: Long,
     limit: Int = -1, inSets: Map[String, Set[Int]] = Map.empty)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  // EXACT statistics from geometry (r18): rows = in-bounds cells of the
+  // pruned manifest (capped by a pushed limit)
+  override def estimateStatistics(): Statistics = {
+    val total = plannedWithCells().map(_._2).sum
+    val rows = if (limit >= 0) math.min(limit.toLong, total) else total
+    GeomStats(rows, math.max(1, required.fields.map(_.dataType.defaultSize).sum))
+  }
 
   // RUNTIME filtering (r18 — DPP for cubes): join-key In/EqualTo values
   // arriving after planning re-prune the chunk manifest; unknown filter
@@ -232,7 +241,10 @@ final class Hdf5Scan(path: String, varName: String, timeVar: String,
       s"t=[$t0..$t1] level=[$l0..$l1] t_ts=[$u0..$u1] " +
       s"cols=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    limitPrefix(plannedWithCells()).toArray
+
+  private def plannedWithCells(): Seq[(InputPartition, Long)] = {
     val m = Hdf5.readMeta(path, varName)
     // with a time dataset declared, CF-decode its axis driver-side and
     // intersect the pushed TIMESTAMP window with the labels: a chunk
@@ -250,7 +262,7 @@ final class Hdf5Scan(path: String, varName: String, timeVar: String,
     // (rank-2/3 refs carry chunkT/chunkL = 1 so the unbounded defaults
     // pass through)
     val nLevels = math.max(1, m.levels)
-    val kept = Hdf5.chunkRefs(path, m)
+    Hdf5.chunkRefs(path, m)
       .filter(r =>
         r.ox <= x1 && r.ox + r.cols > x0 &&
         r.oy <= y1 && r.oy + r.rows > y0 &&
@@ -271,7 +283,6 @@ final class Hdf5Scan(path: String, varName: String, timeVar: String,
           else (r.ot until math.min(r.ot + r.chunkT, nEpochs))
             .map(e => e -> labels(e)).toMap): InputPartition, cells)
       }
-    limitPrefix(kept).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new Hdf5ReaderFactory(required.fieldNames)

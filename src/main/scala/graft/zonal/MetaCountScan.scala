@@ -5,6 +5,20 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.types._
 
+/** Exact scan statistics from geometry (r18): the pruned partition
+  * manifests know their in-bounds cell counts exactly, so the DSv2
+  * scans report PRECISE numRows/sizeInBytes — Catalyst's join-side
+  * sizing and AQE see a heavily-windowed cube scan as the tiny
+  * relation it is and BROADCAST it (a statistics-less DSv2 scan
+  * defaults to "huge" and never broadcasts).
+  */
+private[zonal] final case class GeomStats(rows: Long, rowBytes: Long)
+    extends Statistics {
+  override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  override def sizeInBytes(): java.util.OptionalLong =
+    java.util.OptionalLong.of(rows * rowBytes)
+}
+
 /** COUNT(*) answered from METADATA alone (r18 — the parquet
   * footer-count optimization for the DSv2 quartet): when Spark pushes
   * a bare `count(*)` aggregation (no grouping, no filters — Spark only
@@ -17,7 +31,11 @@ import org.apache.spark.sql.types._
   * Exactness holds because fill is a VALUE in every format here
   * (absent chunks decode to fill cells, never to missing rows).
   */
-final class MetaCountScan(count: Long, what: String) extends Scan with Batch {
+
+
+final class MetaCountScan(count: Long, what: String) extends Scan with Batch
+    with SupportsReportStatistics {
+  override def estimateStatistics(): Statistics = GeomStats(1L, 8L)
   override def readSchema(): StructType =
     StructType(Seq(StructField("count", LongType, nullable = false)))
   override def toBatch: Batch = this

@@ -192,7 +192,16 @@ final class NetcdfScan(path: String, varName: String, timeVar: String,
     required: StructType, y0: Int, y1: Int, t0: Int, t1: Int,
     l0: Int, l1: Int, u0: Long, u1: Long,
     limit: Int = -1, inSets: Map[String, Set[Int]] = Map.empty)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  // EXACT statistics from geometry (r18): rows = in-bounds cells of the
+  // pruned manifest (capped by a pushed limit)
+  override def estimateStatistics(): Statistics = {
+    val total = plannedWithCells().map(_._2).sum
+    val rows = if (limit >= 0) math.min(limit.toLong, total) else total
+    GeomStats(rows, math.max(1, required.fields.map(_.dataType.defaultSize).sum))
+  }
 
   // RUNTIME filtering (r18): join-key In/EqualTo values arriving after
   // planning re-prune the stripe manifest (cell_x is deliberately NOT
@@ -231,7 +240,10 @@ final class NetcdfScan(path: String, varName: String, timeVar: String,
     s"graft-netcdf $path#$varName y=[$y0..$y1] t=[$t0..$t1] " +
       s"level=[$l0..$l1] t_ts=[$u0..$u1] cols=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    limitPrefix(plannedWithCells()).toArray
+
+  private def plannedWithCells(): Seq[(InputPartition, Long)] = {
     val m = Netcdf.readMeta(path)
     val v = m.variable(varName)
     val hint = org.apache.spark.sql.SparkSession.active
@@ -255,7 +267,7 @@ final class NetcdfScan(path: String, varName: String, timeVar: String,
       case r => sys.error(s"$path: '$varName' is rank $r — want 2/3/4")
     }
     // a stripe covers rows [y0, y0+rows) of ONE (epoch, level) plane
-    val kept = refs.filter(r =>
+    refs.filter(r =>
         r.y0 <= y1 && r.y0 + r.rows > y0 &&
         r.epoch >= t0 && r.epoch <= t1 &&
         r.level >= l0 && r.level <= l1 &&
@@ -265,7 +277,6 @@ final class NetcdfScan(path: String, varName: String, timeVar: String,
       .map(r => (NetcdfInputPartition(r,
         if (timeVar == null) 0L else labels(r.epoch)): InputPartition,
         r.rows.toLong * r.width))
-    limitPrefix(kept).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new NetcdfReaderFactory(required.fieldNames)

@@ -158,7 +158,16 @@ final class TiffScanBuilder(path: String)
 final class TiffScan(path: String, required: StructType,
     x0: Int, x1: Int, y0: Int, y1: Int, b0: Int, b1: Int,
     limit: Int = -1, inSets: Map[String, Set[Int]] = Map.empty)
-    extends Scan with Batch with SupportsRuntimeFiltering {
+    extends Scan with Batch with SupportsRuntimeFiltering
+    with SupportsReportStatistics {
+
+  // EXACT statistics from geometry (r18): rows = in-bounds cells of the
+  // pruned manifest (capped by a pushed limit)
+  override def estimateStatistics(): Statistics = {
+    val total = plannedWithCells().map(_._2).sum
+    val rows = if (limit >= 0) math.min(limit.toLong, total) else total
+    GeomStats(rows, math.max(1, required.fields.map(_.dataType.defaultSize).sum))
+  }
 
   // RUNTIME filtering (r18): join-key In/EqualTo values arriving after
   // planning re-prune the tile manifest (band prunes whole blocks on
@@ -196,14 +205,16 @@ final class TiffScan(path: String, required: StructType,
     s"graft-tiff $path window=[$x0..$x1]x[$y0..$y1] bands=[$b0..$b1] " +
       s"cols=${required.fieldNames.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    limitPrefix(plannedWithCells()).toArray
+
+  private def plannedWithCells(): Seq[(InputPartition, Long)] = {
     val m = Raster.readMeta(path)
     val refs = Raster.windowRefs(m, path, x0, x1, y0, y1)
     // PLANAR files store one block per (plane, tile), so a band
     // predicate prunes whole BLOCKS at planning time (chunky files
     // interleave bands per pixel — the band filter stays residual)
-    val pruned =
-      (if (m.planar) refs.filter(r => r.planarBand >= b0 && r.planarBand <= b1)
+    (if (m.planar) refs.filter(r => r.planarBand >= b0 && r.planarBand <= b1)
        else refs)
       .filter { r =>
         val wIn = math.max(0, math.min(r.tileW, r.width - r.tx0))
@@ -218,7 +229,6 @@ final class TiffScan(path: String, required: StructType,
         val spp = if (r.planarBand >= 0) 1L else m.bands.toLong
         (TiffInputPartition(r): InputPartition, wIn * hIn * spp)
       }
-    limitPrefix(pruned).toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
     new TiffReaderFactory(required.fieldNames)

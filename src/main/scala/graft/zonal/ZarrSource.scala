@@ -212,7 +212,16 @@ final class ZarrScan(path: String, timeName: String, required: StructType,
     x0: Int, x1: Int, y0: Int, y1: Int, t0: Int, t1: Int,
     u0: Long, u1: Long, limit: Int = -1,
     inSets: Map[String, Set[Int]] = Map.empty) extends Scan with Batch
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+  // EXACT statistics from geometry (r18): rows = in-bounds cells of the
+  // pruned manifest (capped by a pushed limit) — a heavily-windowed
+  // cube scan sizes as the tiny relation it is and can broadcast
+  override def estimateStatistics(): Statistics = {
+    val total = plannedWithCells().map(_._2).sum
+    val rows = if (limit >= 0) math.min(limit.toLong, total) else total
+    GeomStats(rows, math.max(1, required.fields.map(_.dataType.defaultSize).sum))
+  }
 
   // RUNTIME filtering (r18 — DPP for cubes): Spark injects the build
   // side's join-key values (In/EqualTo on epoch, cell_x or cell_y)
@@ -266,7 +275,10 @@ final class ZarrScan(path: String, timeName: String, required: StructType,
         .map(_._1)
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
+  override def planInputPartitions(): Array[InputPartition] =
+    limitPrefix(plannedWithCells()).toArray
+
+  private def plannedWithCells(): Seq[(InputPartition, Long)] = {
     val m = Zarr.readMeta(path)
     require(!m.rank4,
       s"$path: rank-4 store — the DSv2 source is rank 2/3 (use scanZarr4d)")
@@ -282,7 +294,7 @@ final class ZarrScan(path: String, timeName: String, required: StructType,
         else ZarrSource.timeLabels(path, timeName, m.epochs)
       val inWin: Int => Boolean =
         e => timeName == null || { val u = labels(e); u >= u0 && u <= u1 }
-      val kept = Zarr.chunkRefs3(m, path)
+      Zarr.chunkRefs3(m, path)
         .filter(r =>
           r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
           r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0 &&
@@ -302,9 +314,8 @@ final class ZarrScan(path: String, timeName: String, required: StructType,
             else (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
               .map(e => e -> labels(e)).toMap): InputPartition, cells)
         }
-      limitPrefix(kept).toArray
     } else {
-      val kept = Zarr.chunkRefs(m, path)
+      Zarr.chunkRefs(m, path)
         .filter(r =>
           r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
           r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0 &&
@@ -316,7 +327,6 @@ final class ZarrScan(path: String, timeName: String, required: StructType,
             (math.min((r.ci + 1) * m.chunkH, m.height) - r.ci * m.chunkH)
           (Zarr2InputPartition(r): InputPartition, cells)
         }
-      limitPrefix(kept).toArray
     }
   }
   override def createReaderFactory(): PartitionReaderFactory =

@@ -549,6 +549,45 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("r18 DSv2 statistics: geometry-exact numRows, a windowed cube broadcasts against a bigger side") {
+    import org.apache.spark.sql.functions.col
+    // direct: the scan reports EXACT in-bounds cell counts
+    val b = new graft.zonal.ZarrScanBuilder(graft.zonal.Zarr.fixture3dDir())
+    b.pushFilters(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.EqualTo("epoch", 2)))
+    val st = b.build().asInstanceOf[graft.zonal.ZarrScan].estimateStatistics()
+    // epoch 2 keeps t-chunk [2,4): epochs 2 AND 3 in-bounds (chunk
+    // granularity — the stat counts what the scan EMITS pre-residual)
+    assert(st.numRows().getAsLong ==
+      2L * graft.zonal.Zarr.ZarrH * graft.zonal.Zarr.ZarrW, st.numRows())
+    assert(st.sizeInBytes().getAsLong == st.numRows().getAsLong * (4 + 4 + 4 + 8))
+    val full = new graft.zonal.ZarrScanBuilder(graft.zonal.Zarr.fixture3dDir())
+      .build().asInstanceOf[graft.zonal.ZarrScan].estimateStatistics()
+    assert(full.numRows().getAsLong ==
+      graft.zonal.Zarr.Zarr3T.toLong * graft.zonal.Zarr.ZarrH * graft.zonal.Zarr.ZarrW)
+    // end-to-end: a tiny windowed cube scan BROADCASTS against a bigger
+    // relation — the decision the statistics enable (a stats-less DSv2
+    // scan defaults to "huge" and would shuffle both sides)
+    val tiny = spark.read.format("graft.zonal.ZarrSource")
+      .load(graft.zonal.Zarr.fixture3dDir())
+      .filter(col("cell_x") < 3 && col("cell_y") < 3 && col("epoch") === 0)
+    val big = spark.range(0, 200000)
+      .select((org.apache.spark.sql.functions.col("id") % 80).cast("int").as("cell_x"),
+        org.apache.spark.sql.functions.col("id").as("payload"))
+    val j = tiny.join(big, Seq("cell_x"))
+    j.collect()
+    // AQE hides stages from collect() — assert on the final rendering:
+    // the BatchScan must sit INSIDE the broadcast (left/build) subtree,
+    // i.e. after the BroadcastExchange and before the Range side
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"windowed cube must broadcast-join:\n${p.take(2000)}")
+    val (iBe, iBs, iRg) =
+      (p.indexOf("BroadcastExchange"), p.indexOf("BatchScan"), p.indexOf("Range ("))
+    assert(iBe >= 0 && iBs > iBe && iRg > iBs,
+      s"the CUBE side (BatchScan) must be the broadcast build side:\n${p.take(2000)}")
+  }
+
   test("r18 DSv2 gpkg source: rtree window prunes leaf pages, row-level residual, id lookup prunes by rowid") {
     import org.apache.spark.sql.functions.col
     val path = graft.zonal.Gpkg.fullFixturePath(spark, sf)
