@@ -1960,6 +1960,71 @@ object Netcdf {
         .orderBy("epoch", "cell_x", "cell_y")
     },
 
+    // CALENDAR resample (r18 — xarray's resample(time="1M").mean(),
+    // the monthly-means staple): the multi-month mf cube's real
+    // timestamps bucket by date_trunc('month') and ONE hash agg (map-
+    // side partial) produces per-(cell, month) means — no window, no
+    // join, composes at any cube size. Exact: integer sums, one final
+    // division (each fixture month holds exactly 2 epochs)
+    "cube_resample_monthly" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2000-01-01 00:00:00'
+         |      + to_days(CAST(30 * (t.range // 2) + 5 + 10 * (t.range % 2) AS INTEGER)) AS t_ts
+         |  FROM range(0, ${2 * MfFilesN}) t
+         |), cells AS (
+         |  SELECT epoch, t_ts, x.range AS cell_x, y.range AS cell_y,
+         |    CAST((23 * x.range + 19 * y.range + 31 * epoch) % 983 AS DOUBLE) AS value
+         |  FROM epochs CROSS JOIN range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |)
+         |SELECT date_trunc('month', t_ts) AS month, cell_x, cell_y,
+         |  CAST(count(*) AS BIGINT) AS n_epochs,
+         |  CAST(sum(CAST(value AS BIGINT)) AS DOUBLE) / count(*) AS mean_v
+         |FROM cells GROUP BY 1, 2, 3
+         |ORDER BY month, cell_x, cell_y""".stripMargin) { (s, _) =>
+      scanNetcdfMf(s, mfFixtureDir(), "t2m", "t", None)
+        .groupBy(date_trunc("month", col("t_ts")).as("month"),
+          col("cell_x"), col("cell_y"))
+        .agg(count(lit(1)).as("n_epochs"),
+          (sum(col("value").cast("long")).cast("double") / count(lit(1))).as("mean_v"))
+        .orderBy("month", "cell_x", "cell_y")
+    },
+
+    // ROLLING mean along time (r18 — xarray's rolling(time=3).mean()):
+    // per-cell ordered window, ROWS BETWEEN 2 PRECEDING AND CURRENT —
+    // ONE shuffle keyed by the cell (epochs-per-cell is the tiny axis,
+    // so the within-partition sort is cheap at any raster size).
+    // Exact: integer window sums, one final division per row
+    "cube_rolling_mean" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch FROM range(0, $NcTimeEpochs) t
+         |), cells AS (
+         |  SELECT epoch, x.range AS cell_x, y.range AS cell_y,
+         |    CAST((23 * x.range + 19 * y.range + 31 * epoch) % 983 AS DOUBLE) AS value
+         |  FROM epochs CROSS JOIN range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |)
+         |SELECT epoch, cell_x, cell_y, value,
+         |  CAST(n3 AS BIGINT) AS roll_n, CAST(s3 AS DOUBLE) / n3 AS roll_mean
+         |FROM (
+         |  SELECT epoch, cell_x, cell_y, value,
+         |    sum(CAST(value AS BIGINT)) OVER w AS s3, count(*) OVER w AS n3
+         |  FROM cells
+         |  WINDOW w AS (PARTITION BY cell_x, cell_y ORDER BY epoch
+         |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("cell_x", "cell_y").orderBy("epoch")
+        .rowsBetween(-2, 0)
+      scanNetcdfTime(s, timeFixturePath(), "t2m")
+        .select(col("epoch"), col("cell_x"), col("cell_y"), col("value"))
+        .withColumn("s3", sum(col("value").cast("long")).over(w))
+        .withColumn("roll_n", count(lit(1)).over(w))
+        .select(col("epoch"), col("cell_x"), col("cell_y"), col("value"),
+          col("roll_n"),
+          (col("s3").cast("double") / col("roll_n")).as("roll_mean"))
+        .orderBy("cell_x", "cell_y", "epoch")
+    },
+
     // STREAMING cube ingest with REAL timestamps (r18 — verdict next
     // #9: the ingest trio landed raw filename-parsed epochs; here each
     // landing file's OWN CF time axis decodes in the stream, the rows

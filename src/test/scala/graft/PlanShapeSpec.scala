@@ -549,6 +549,23 @@ class PlanShapeSpec extends SparkSuite {
     assert(!p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("r18 temporal staples: resample is one hash agg, rolling is one cell-keyed exchange") {
+    // monthly resample: partial aggregation before the single shuffle,
+    // no window, no join anywhere
+    val pr = plan("cube_resample_monthly")
+    assert(pr.contains("partial_"), s"resample must partial-aggregate:\n${pr.take(2000)}")
+    // the only join is the mf scan's broadcast LABEL join; the resample
+    // itself adds no window and no shuffle join
+    assert(!pr.contains("Window") && !pr.contains("SortMergeJoin"), pr.take(2000))
+    // rolling mean: exactly one data exchange (the cell hash), the
+    // window sorts within partitions
+    val pw = plan("cube_rolling_mean")
+    assert(pw.contains("Window"), pw.take(2000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(pw).length
+    assert(exchanges == 1,
+      s"rolling mean must shuffle ONCE on the cell key, got $exchanges:\n${pw.take(2000)}")
+  }
+
   test("r18 DSv2 statistics: geometry-exact numRows, a windowed cube broadcasts against a bigger side") {
     import org.apache.spark.sql.functions.col
     // direct: the scan reports EXACT in-bounds cell counts
