@@ -1990,6 +1990,43 @@ object Netcdf {
         .orderBy("month", "cell_x", "cell_y")
     },
 
+    // MONTHLY anomaly (r18 — xarray's `ds - ds.groupby('time.month')
+    // .mean()`, the deseasonalization staple): value minus its own
+    // (cell, month) climatology via ONE unordered window over the
+    // (cell, month) partition — no join, no sort; the fixed two-op
+    // IEEE chain (int-sum division, then subtraction) is spelled
+    // identically on both engines
+    "cube_anomaly_monthly" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2000-01-01 00:00:00'
+         |      + to_days(CAST(30 * (t.range // 2) + 5 + 10 * (t.range % 2) AS INTEGER)) AS t_ts
+         |  FROM range(0, ${2 * MfFilesN}) t
+         |), cells AS (
+         |  SELECT epoch, t_ts, x.range AS cell_x, y.range AS cell_y,
+         |    CAST((23 * x.range + 19 * y.range + 31 * epoch) % 983 AS DOUBLE) AS value
+         |  FROM epochs CROSS JOIN range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |)
+         |SELECT epoch, cell_x, cell_y, value,
+         |  value - CAST(sum(CAST(value AS BIGINT))
+         |      OVER (PARTITION BY cell_x, cell_y, date_trunc('month', t_ts)) AS DOUBLE)
+         |    / count(*) OVER (PARTITION BY cell_x, cell_y, date_trunc('month', t_ts))
+         |    AS anom
+         |FROM cells
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("cell_x"), col("cell_y"),
+        date_trunc("month", col("t_ts")))
+      scanNetcdfMf(s, mfFixtureDir(), "t2m", "t", None)
+        .select(col("epoch"), col("cell_x"), col("cell_y"),
+          col("value"), col("t_ts"))
+        .withColumn("anom",
+          col("value") - sum(col("value").cast("long")).over(w).cast("double")
+            / count(lit(1)).over(w))
+        .select("epoch", "cell_x", "cell_y", "value", "anom")
+        .orderBy("cell_x", "cell_y", "epoch")
+    },
+
     // ROLLING mean along time (r18 — xarray's rolling(time=3).mean()):
     // per-cell ordered window, ROWS BETWEEN 2 PRECEDING AND CURRENT —
     // ONE shuffle keyed by the cell (epochs-per-cell is the tiny axis,
