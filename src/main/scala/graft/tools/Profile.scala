@@ -165,6 +165,9 @@ object Profile {
       //    background bench earlier in the session was killed and its
       //    numbers DISCARDED (it ran beside sbt test JVMs — the
       //    never-overlap rule); the clean rerun is the recorded figure.
+      //    Close-out run: 191.8 s / 437 = 0.439 s/q, 0 errors —
+      //    temporal staples 0.11-0.37 s, stream_zarr_source 1.5 s
+      //    (streaming micro-batch floor class, expected).
     }
     spark.stop()
   }
