@@ -16,11 +16,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    where `dir` holds member stores (each its own `.zarray` /
   *    `zarr.json` array) streams them in NAME ORDER; the offset is the
   *    count of members consumed, so recovery from the checkpoint is
-  *    exactly-once at member granularity. Members must land with
+  *    exactly-once at member granularity. Members MUST land with
   *    lexicographically increasing names (the zero-padded `part-0003`
-  *    convention) — a member sorting BEFORE the committed offset would
-  *    be silently skipped, so `planInputPartitions` re-checks the
-  *    committed prefix and refuses loudly if it changed;
+  *    convention): the offset stores only a count, so a late member
+  *    sorting INTO the committed prefix would shift every later
+  *    ordinal and is NOT detectable — that landing pattern is outside
+  *    the contract. What IS detected: a committed member vanishing
+  *    (the offset exceeding the member count refuses loudly);
   *  - each micro-batch plans the new members' CHUNKS as input
   *    partitions (one task per chunk, executor-side decode — the
   *    batch DSv2 posture), rows tagged `epoch` = global member ordinal;
