@@ -4297,6 +4297,36 @@ object Hdf5 {
         .orderBy("epoch", "level", "cell_x", "cell_y")
     },
 
+    // the DSv2 face at RANK 4 WITH TIME (r18): the pressure-level cube
+    // through the TableProvider path — sel(time=slice, level=) as two
+    // plain SQL predicates, the t_ts window AND the level equality
+    // both pruning the chunk manifest at planning time, the level axis
+    // riding through untouched
+    "scan_hdf5_source_4d_time" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $H54T) t
+         |)
+         |SELECT cell_x, cell_y, level, epoch, t_ts, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, l.range AS level,
+         |    epoch, t_ts,
+         |    CAST((23 * x.range + 19 * y.range + 31 * l.range + 37 * epoch) % 991 AS DOUBLE) AS value
+         |  FROM epochs CROSS JOIN range(0, $H54L) l
+         |  CROSS JOIN range(0, $H5W) x CROSS JOIN range(0, $H5H) y)
+         |WHERE t_ts BETWEEN TIMESTAMP '2020-03-01 16:00:00'
+         |  AND TIMESTAMP '2020-03-01 23:00:00'
+         |  AND level = 2
+         |ORDER BY epoch, level, cell_x, cell_y""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.Hdf5Source")
+        .option("var", "v").option("time", "t")
+        .load(fixtureTime4dPath())
+        .filter(col("t_ts").between(
+          lit("2020-03-01 16:00:00").cast("timestamp"),
+          lit("2020-03-01 23:00:00").cast("timestamp")) && col("level") === 2)
+        .orderBy("epoch", "level", "cell_x", "cell_y")
+    },
+
     // STREAMING netCDF-4 ingestion (r17 — completes the ingest trio
     // next to stream_netcdf_ingest and stream_zarr_ingest: a landing
     // directory of per-epoch HDF5 files consumed as a real file-source

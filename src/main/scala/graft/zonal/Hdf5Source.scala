@@ -53,9 +53,9 @@ object Hdf5Source {
     require(varName != null && varName.nonEmpty,
       "graft.zonal.Hdf5Source: .option(\"var\", <dataset name>) is required")
     val m = Hdf5.readMeta(path, varName)
-    require(timeVar == null || (m.epochs > 0 && m.levels == 0),
-      s"$path: .option(\"time\", ...) needs a rank-3 (t, y, x) dataset " +
-        s"('$varName' is rank ${if (m.levels > 0) 4 else if (m.epochs > 0) 3 else 2})")
+    require(timeVar == null || m.epochs > 0,
+      s"$path: .option(\"time\", ...) needs a time axis " +
+        s"('$varName' is rank 2)")
     val pos = Seq(
       StructField("cell_x", IntegerType, nullable = false),
       StructField("cell_y", IntegerType, nullable = false))
