@@ -31,12 +31,14 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    data bytes. Values surface RAW (`_FillValue` is data here; the
   *    fill-masking face is [[Netcdf.scanNetcdfFill]]), which is what
   *    makes the geometry shortcut exact;
-  *  - `.option("time", <coord name>)` on a rank-3 variable adds a real
-  *    `t_ts` TIMESTAMP column, CF-decoded (units + calendar) from the
-  *    coordinate driver-side — and a pushed `t_ts` comparison prunes
-  *    the stripe manifest at planning time: the xarray
-  *    `cube.sel(time=slice(...))` query as a plain SQL WHERE over a
-  *    DSv2 table.
+  *  - `.option("time", <coord name>)` on a rank-3 or rank-4 variable
+  *    adds a real `t_ts` TIMESTAMP column, CF-decoded (units +
+  *    calendar) from the coordinate driver-side — and a pushed `t_ts`
+  *    comparison prunes the stripe manifest at planning time: the
+  *    xarray `cube.sel(time=slice(...))` query as a plain SQL WHERE
+  *    over a DSv2 table (the oracle-gated fixture is rank-3; rank-4
+  *    rides the same epoch-keyed labels since stripes carry one
+  *    epoch each).
   */
 class NetcdfSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -63,9 +65,9 @@ object NetcdfSource {
   private[zonal] def schemaFor(path: String, varName: String,
       timeVar: String): StructType = {
     val r = rankOf(path, varName)
-    require(timeVar == null || r == 3,
-      s"$path: .option(\"time\", ...) needs a rank-3 (t, y, x) variable " +
-        s"('$varName' is rank $r)")
+    require(timeVar == null || r >= 3,
+      s"$path: .option(\"time\", ...) needs a time axis " +
+        s"('$varName' is rank 2)")
     val pos = Seq(
       StructField("cell_x", IntegerType, nullable = false),
       StructField("cell_y", IntegerType, nullable = false))
