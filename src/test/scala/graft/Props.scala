@@ -218,6 +218,34 @@ object Props extends Properties("graft") {
       }
     }
 
+  // r18: the DSv2 chunk-pruning arithmetic under RANDOM windows —
+  // every (window, epoch-set) combination must return exactly what the
+  // unpruned scan + the same predicate returns (a pruning off-by-one
+  // on any chunk boundary surfaces as a lost or phantom cell)
+  private val winGen: Gen[(Int, Int, Int, Int, Int, List[Int])] = for {
+    x0 <- Gen.choose(-5, 85); dx <- Gen.choose(0, 90)
+    y0 <- Gen.choose(-5, 75); dy <- Gen.choose(0, 80)
+    t0 <- Gen.choose(0, 4)
+    es <- Gen.nonEmptyListOf(Gen.choose(0, 4))
+  } yield (x0, x0 + dx, y0, dy + y0, t0, es)
+
+  property("DSv2 zarr pruning ≡ unpruned scan under random windows and IN sets") =
+    forAll(winGen) { case (x0, x1, y0, y1, t0, es) =>
+      import org.apache.spark.sql.functions.col
+      val dir = graft.zonal.Zarr.fixture3dDir()
+      val pred = col("cell_x").between(x0, x1) &&
+        col("cell_y").between(y0, y1) && col("epoch") >= t0 &&
+        col("epoch").isin(es.distinct: _*)
+      val viaDsv2 = spark.read.format("graft.zonal.ZarrSource").load(dir)
+        .filter(pred).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sorted
+      // the unpruned reference: the Dataset scan with the same predicate
+      val viaDataset = graft.zonal.Zarr.scanZarr3d(spark, dir)
+        .filter(pred).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sorted
+      viaDsv2.sameElements(viaDataset)
+    }
+
   property("cell_cover: per-cell clipped areas sum EXACTLY to the polygon area") =
     forAll(hullGen) { hull =>
       import graft.ext.CellCover
