@@ -246,6 +246,40 @@ object Props extends Properties("graft") {
       viaDsv2.sameElements(viaDataset)
     }
 
+  property("DSv2 hdf5 pruning ≡ unpruned scan under random 4-axis windows") =
+    forAll(winGen) { case (x0, x1, y0, y1, t0, es) =>
+      import org.apache.spark.sql.functions.col
+      val p = graft.zonal.Hdf5.fixtureCube4dPath()
+      val lv = es.head % 4 // one random level equality
+      val pred = col("cell_x").between(x0, x1) &&
+        col("cell_y").between(y0, y1) && col("epoch") >= (t0 % 3) &&
+        col("level") === lv
+      val viaDsv2 = spark.read.format("graft.zonal.Hdf5Source")
+        .option("var", "v").load(p).filter(pred).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))).sorted
+      val viaDataset = graft.zonal.Hdf5.scanNetcdf4Cube4d(spark, p, "v")
+        .select("cell_x", "cell_y", "level", "epoch", "value")
+        .filter(pred).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getDouble(4))).sorted
+      viaDsv2.sameElements(viaDataset)
+    }
+
+  property("DSv2 netcdf stripe pruning ≡ unpruned scan under random windows") =
+    forAll(winGen) { case (_, _, y0, y1, t0, es) =>
+      import org.apache.spark.sql.functions.col
+      val p = graft.zonal.Netcdf.epochsFixturePath()
+      val pred = col("cell_y").between(y0, y1) && col("epoch") >= (t0 % 3) &&
+        col("epoch").isin(es.map(_ % 3).distinct: _*)
+      val viaDsv2 = spark.read.format("graft.zonal.NetcdfSource")
+        .option("var", "t2m").load(p).filter(pred).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sorted
+      val viaDataset = graft.zonal.Netcdf.scanNetcdfEpochs(spark, p, "t2m")
+        .select("cell_x", "cell_y", "epoch", "value")
+        .filter(pred).collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).sorted
+      viaDsv2.sameElements(viaDataset)
+    }
+
   property("cell_cover: per-cell clipped areas sum EXACTLY to the polygon area") =
     forAll(hullGen) { hull =>
       import graft.ext.CellCover
