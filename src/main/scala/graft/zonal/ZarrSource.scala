@@ -325,7 +325,12 @@ final class ZarrScan(path: String, timeName: String, required: StructType,
           val cells =
             (math.min((r.cj + 1) * m.chunkW, m.width) - r.cj * m.chunkW).toLong *
             (math.min((r.ci + 1) * m.chunkH, m.height) - r.ci * m.chunkH)
-          (Zarr2InputPartition(r): InputPartition, cells)
+          // thread the window INTO the ref: on sharded stores the
+          // reader prunes INNER chunks against it before any decode —
+          // a windowed query must not decode a whole shard
+          (Zarr2InputPartition(
+            r.copy(wx0 = x0, wy0 = y0, wx1 = x1, wy1 = y1)): InputPartition,
+            cells)
         }
     }
   }

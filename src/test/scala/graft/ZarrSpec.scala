@@ -356,6 +356,16 @@ class ZarrSpec extends SparkSuite {
     val win = Zarr.scanZarrWindow(spark, d2.getPath, 0, 1, 0, 1).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
     assert(win == Map((0, 0) -> 0.0, (1, 0) -> 1.0, (0, 1) -> 100.0, (1, 1) -> 101.0))
+    // the DSv2 face threads its pushed window into the ref the same
+    // way (r18): the windowed read never touches the poisoned inner
+    // chunk, the full read fails on it
+    import org.apache.spark.sql.functions.col
+    val dsv2 = spark.read.format("graft.zonal.ZarrSource").load(d2.getPath)
+    intercept[Throwable] { dsv2.select("value").collect() }
+    val winD = dsv2
+      .filter(col("cell_x").between(0, 1) && col("cell_y").between(0, 1))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(winD == win, s"DSv2 windowed shard read must equal the Dataset path: $winD")
 
     // writer+reader round trip through the registry fixture formula
     val cells = q("scan_zarr_sharded")
