@@ -969,6 +969,10 @@ object Zarr {
     val refs = chunkRefs3(m, s"$dir/$varName").filter(r =>
       (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
         .exists(keep))
+      // inner-shard t pruning (r18): the kept-epoch RANGE is a sound
+      // superset of the set — inner t-chunks outside it never decode
+      .map(r => if (keep.isEmpty) r
+        else r.copy(wt0 = keep.min, wt1 = keep.max))
     s.createDataset(refs)
       .repartition(math.max(1, math.min(math.max(1, refs.size),
         s.sparkContext.defaultParallelism)))
@@ -1204,6 +1208,10 @@ object Zarr {
     val refs = chunkRefs3(m, s"$dir/$varName").filter(r =>
       (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
         .exists(keep))
+      // inner-shard t pruning (r18): the kept-epoch RANGE is a sound
+      // superset of the set — inner t-chunks outside it never decode
+      .map(r => if (keep.isEmpty) r
+        else r.copy(wt0 = keep.min, wt1 = keep.max))
     s.createDataset(refs)
       .repartition(math.max(1, math.min(math.max(1, refs.size),
         s.sparkContext.defaultParallelism)))
@@ -1502,7 +1510,12 @@ object Zarr {
       innerT: Int = 0, innerH: Int = 0, innerW: Int = 0,
       indexCrc: Boolean = false, indexAtEnd: Boolean = true,
       // v2 "order": "F" (r14): column-major chunk buffers
-      transposed: Boolean = false)
+      transposed: Boolean = false,
+      // query window for INNER pruning inside shards (r18, full by
+      // default): a windowed query must not decode a whole shard
+      wt0: Int = Int.MinValue, wt1: Int = Int.MaxValue,
+      wy0: Int = Int.MinValue, wy1: Int = Int.MaxValue,
+      wx0: Int = Int.MinValue, wx1: Int = Int.MaxValue)
 
   /** Rank-3 chunk manifest: one listing per directory level, every
     * grid position a ref (absent = fill, `len = -1`).
@@ -1633,9 +1646,16 @@ object Zarr {
       val innerRef = ChunkRef3(r.path, nb, gk, gi, gj,
         r.epochs, r.height, r.width, r.innerT, r.innerH, r.innerW,
         r.dtype, r.compressor, r.fill, r.hasFill)
-      val intersects = gk * r.innerT < r.epochs &&
+      // window prune BEFORE any decode (r18): inner chunks outside the
+      // query window cost zero work — the rank-2 shard rule, all axes
+      val inWindow =
+        gk * r.innerT <= r.wt1 && (gk + 1) * r.innerT > r.wt0 &&
+        gi * r.innerH <= r.wy1 && (gi + 1) * r.innerH > r.wy0 &&
+        gj * r.innerW <= r.wx1 && (gj + 1) * r.innerW > r.wx0
+      val intersects = inWindow && gk * r.innerT < r.epochs &&
         gi * r.innerH < r.height && gj * r.innerW < r.width
-      if (off == -1L && nb == -1L) {
+      if (!inWindow) Iterator.empty
+      else if (off == -1L && nb == -1L) {
         if (!intersects) Iterator.empty
         else {
           require(r.hasFill, s"${r.path}: inner chunk ($gk,$gi,$gj) absent " +

@@ -309,7 +309,15 @@ final class ZarrScan(path: String, timeName: String, required: StructType,
             (math.min((r.cj + 1) * m.chunkW, m.width) - r.cj * m.chunkW).toLong *
             (math.min((r.ci + 1) * m.chunkH, m.height) - r.ci * m.chunkH) *
             (math.min((r.ck + 1) * m.chunkT, m.epochs) - r.ck * m.chunkT)
-          (Zarr3InputPartition(r,
+          // thread the window INTO the ref (r18): sharded stores prune
+          // INNER chunks against it before any decode; the timestamp
+          // window contributes its in-window epoch RANGE (a sound
+          // superset of the kept set)
+          val inWin = labels.filter { case (_, u) => u >= u0 && u <= u1 }.keys
+          val wt0 = if (timeName != null && inWin.nonEmpty) math.max(t0, inWin.min) else t0
+          val wt1 = if (timeName != null && inWin.nonEmpty) math.min(t1, inWin.max) else t1
+          (Zarr3InputPartition(
+            r.copy(wx0 = x0, wx1 = x1, wy0 = y0, wy1 = y1, wt0 = wt0, wt1 = wt1),
             if (timeName == null) Map.empty
             else (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
               .map(e => e -> labels(e)).toMap): InputPartition, cells)

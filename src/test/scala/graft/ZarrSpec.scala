@@ -810,6 +810,29 @@ class ZarrSpec extends SparkSuite {
         java.time.Instant.parse("2020-03-01T06:00:00Z")
           .plusSeconds((7L * t + 3) * 3600), f(x, y, t))),
         s"cell ($x,$y,$t)")
+    // INNER t-chunk pruning inside a shard (r18): poison every epoch-1
+    // inner chunk of shard 0 (entries k=4..7 in the C-order index) —
+    // a window keeping only epoch 0 must never decode them, while the
+    // unwindowed scan fails loudly on the garbage gzip bytes
+    val shard = new java.io.File(s"$dir/v/c/0/0/0")
+    val bytes = java.nio.file.Files.readAllBytes(shard.toPath)
+    val idxDataLen = 8 * 16
+    val idxOff = bytes.length - idxDataLen - 4 // crc32c-suffixed index
+    val bb = java.nio.ByteBuffer.wrap(bytes, idxOff, idxDataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    for (k <- 4 until 8) { // gk=1 inner chunks: k = 1*4 + i*2 + j
+      val off = bb.getLong(idxOff + k * 16).toInt
+      val nb = bb.getLong(idxOff + k * 16 + 8).toInt
+      java.util.Arrays.fill(bytes, off, off + nb, 0x5a.toByte)
+    }
+    java.nio.file.Files.write(shard.toPath, bytes)
+    val w0 = (java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T06:00:00Z")),
+      java.sql.Timestamp.from(java.time.Instant.parse("2020-03-01T10:00:00Z")))
+    val only0 = Zarr.scanZarrV3Time(spark, dir, "v", "t", Some(w0))
+    assert(only0.count() == 64, "epoch-0 window must skip the poisoned epoch-1 inner chunks")
+    assert(only0.select("epoch").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    intercept[Exception](
+      Zarr.scanZarrV3Time(spark, dir, "v", "t", None).select("value").collect())
   }
 
   test("multi-hierarchy concat (Zarr): global axis, member-level prune, overlap/shape refusals (r18)") {
