@@ -1012,6 +1012,9 @@ object Zarr {
     val refs = chunkRefs4(m, s"$dir/$varName").filter(r =>
       (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
         .exists(keep))
+      // inner-shard t pruning (r18): the kept-epoch RANGE, like rank 3
+      .map(r => if (keep.isEmpty) r
+        else r.copy(wt0 = keep.min, wt1 = keep.max))
     s.createDataset(refs)
       .repartition(math.max(1, math.min(math.max(1, refs.size),
         s.sparkContext.defaultParallelism)))
@@ -1754,7 +1757,9 @@ object Zarr {
       // sharding_indexed (r14): inner dims (0 = unsharded) + index shape
       innerT: Int = 0, innerL: Int = 0, innerH: Int = 0, innerW: Int = 0,
       indexCrc: Boolean = false, indexAtEnd: Boolean = true,
-      transposed: Boolean = false)
+      transposed: Boolean = false,
+      // t window for INNER pruning inside shards (r18, full by default)
+      wt0: Int = Int.MinValue, wt1: Int = Int.MaxValue)
 
   /** Rank-4 chunk manifest: one listing per directory level, every
     * grid position a ref (absent = fill, `len = -1`).
@@ -1893,9 +1898,15 @@ object Zarr {
         r.epochs, r.levels, r.height, r.width,
         r.innerT, r.innerL, r.innerH, r.innerW,
         r.dtype, r.compressor, r.fill, r.hasFill)
-      val intersects = gk * r.innerT < r.epochs && gl * r.innerL < r.levels &&
+      // t-window prune BEFORE any decode (r18): inner t-chunks outside
+      // the kept-epoch range cost zero work
+      val inWindow =
+        gk * r.innerT <= r.wt1 && (gk + 1) * r.innerT > r.wt0
+      val intersects = inWindow &&
+        gk * r.innerT < r.epochs && gl * r.innerL < r.levels &&
         gi * r.innerH < r.height && gj * r.innerW < r.width
-      if (off == -1L && nb == -1L) {
+      if (!inWindow) Iterator.empty
+      else if (off == -1L && nb == -1L) {
         if (!intersects) Iterator.empty
         else {
           require(r.hasFill, s"${r.path}: inner chunk ($gk,$gl,$gi,$gj) absent " +
