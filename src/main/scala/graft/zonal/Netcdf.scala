@@ -1636,6 +1636,18 @@ object Netcdf {
           (x, y, t) => ncEpochValue(x, y, 2 * k + t))
     }
 
+  /** Member LANDING directory for the streaming DSv2 face (r18): 4
+    * per-epoch rank-2 .nc files with zero-padded names; values keyed by
+    * the GLOBAL member ordinal so an epoch-order bug hash-mismatches.
+    */
+  val StreamNcMembersN = 4
+  def streamNcMembersDir(): String =
+    Raster.fixtureOnce(s"nc_stream_members_${StreamNcMembersN}x${NcH}x$NcW") { dir =>
+      for (k <- 0 until StreamNcMembersN)
+        writeNetcdf(f"$dir/part-$k%04d.nc", "t2m", NcH, NcW, NcFloat,
+          coordVars = false)((x, y, _) => ncEpochValue(x, y, k))
+    }
+
   /** Julian-calendar fixture (r18): epoch Julian 1969-12-19 ≡ Gregorian
     * 1970-01-01 (the 13-day 20th-century offset), so every label is the
     * unix-day value — the oracle replays that trivially while the Scala
@@ -1958,6 +1970,40 @@ object Netcdf {
         java.sql.Timestamp.from(java.time.Instant.parse("2000-04-05T00:00:00Z")))
       scanNetcdfMf(s, mfFixtureDir(), "t2m", "t", Some(win))
         .orderBy("epoch", "cell_x", "cell_y")
+    },
+
+    // STREAMING DSv2 face, classic twin (r18): a landing directory of
+    // per-epoch .nc FILES streamed through readStream.format(
+    // NetcdfSource) — file-count offsets, admission control (2 files/
+    // batch → at least 2 micro-batches for 4 members), AvailableNow
+    // drain; each batch plans the new files' stripes (headers driver-
+    // side, stripe bytes executor-side). Oracle: the 4-member formula
+    // replay on the read-back
+    "stream_netcdf_source" -> Q(
+      s"""SELECT epoch, CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(CAST((23 * cell_x + 19 * cell_y + 31 * epoch) % 983 AS BIGINT)) AS BIGINT) AS sum_v
+         |FROM (SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch
+         |      FROM range(0, $NcW) x CROSS JOIN range(0, $NcH) y
+         |      CROSS JOIN range(0, $StreamNcMembersN) t)
+         |GROUP BY epoch ORDER BY epoch""".stripMargin) { (s, _) =>
+      val dir = streamNcMembersDir()
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_io/nc_stream_dsv2"
+      graft.core.Fs.rmTree(s"$base/out")
+      graft.core.Fs.rmTree(s"$base/ckpt")
+      val q = s.readStream.format("graft.zonal.NetcdfSource")
+        .option("var", "t2m").option("members_per_batch", "2")
+        .load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("epoch")
     },
 
     // CALENDAR resample (r18 — xarray's resample(time="1M").mean(),

@@ -41,13 +41,25 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *    epoch each).
   */
 class NetcdfSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    NetcdfSource.schemaFor(options.get("path"), options.get("var"),
-      options.get("time"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    // a LANDING DIRECTORY of .nc member files is the STREAMING face —
+    // see [[NetcdfMembersTable]]
+    if (path != null && path.nonEmpty && NetcdfMembersTable.isMemberDir(path))
+      NetcdfMembersTable.Schema
+    else NetcdfSource.schemaFor(path, options.get("var"), options.get("time"))
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new NetcdfTable(properties.get("path"), properties.get("var"),
-      properties.get("time"))
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    if (path != null && path.nonEmpty && NetcdfMembersTable.isMemberDir(path)) {
+      val varName = properties.get("var")
+      require(varName != null && varName.nonEmpty,
+        "graft.zonal.NetcdfSource: .option(\"var\", <variable>) is required")
+      new NetcdfMembersTable(path, varName,
+        Option(properties.get("members_per_batch")).map(_.toInt).getOrElse(-1))
+    } else new NetcdfTable(path, properties.get("var"), properties.get("time"))
+  }
 }
 
 object NetcdfSource {
