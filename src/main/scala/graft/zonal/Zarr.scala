@@ -3775,6 +3775,27 @@ object Zarr {
         .orderBy("epoch")
     },
 
+    // LABEL-BASED selection on the DSv2 face (r18 — xarray's
+    // sel(x=slice(lon0, lon1), y=slice(...)) with real coordinate
+    // VALUES): .option("coords", "x,y") resolves the sibling axis
+    // members, the pushed x_coord/y_coord comparisons INVERT to index
+    // windows driver-side (strictly-monotonic axes enforced) and prune
+    // chunks at planning time — PlanShapeSpec pins 9 → 4
+    "scan_zarr_source_sel" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  CAST(-120.0 + 0.25 * cell_x AS DOUBLE) AS x_coord,
+         |  CAST(40.0 + 0.25 * cell_y AS DOUBLE) AS y_coord,
+         |  value FROM ($ZarrCellsSql)
+         |WHERE -120.0 + 0.25 * cell_x BETWEEN -115.0 AND -105.0
+         |  AND 40.0 + 0.25 * cell_y >= 50.0
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.ZarrSource").option("coords", "x,y")
+        .load(s"${fixtureCoordsDir()}/precip")
+        .filter(col("x_coord").between(-115.0, -105.0)
+          && col("y_coord") >= 50.0)
+        .orderBy("cell_x", "cell_y")
+    },
+
     // the DSv2 face with CF TIME (r18): .option("time", "t") resolves
     // the sibling coordinate member, adds a real t_ts column, and a
     // pushed t_ts window prunes the CHUNK manifest at planning time

@@ -44,7 +44,7 @@ class ZarrSource extends TableProvider {
     // stores below) is the STREAMING face — see [[ZarrMembersTable]]
     if (path != null && path.nonEmpty && ZarrMembersTable.isMemberDir(path))
       ZarrMembersTable.Schema
-    else ZarrSource.schemaFor(path, options.get("time"))
+    else ZarrSource.schemaFor(path, options.get("time"), options.get("coords"))
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -54,12 +54,13 @@ class ZarrSource extends TableProvider {
     if (ZarrMembersTable.isMemberDir(path))
       new ZarrMembersTable(path,
         Option(properties.get("members_per_batch")).map(_.toInt).getOrElse(-1))
-    else new ZarrTable(path, properties.get("time"))
+    else new ZarrTable(path, properties.get("time"), properties.get("coords"))
   }
 }
 
 object ZarrSource {
-  private[zonal] def schemaFor(path: String, timeName: String = null): StructType = {
+  private[zonal] def schemaFor(path: String, timeName: String = null,
+      coords: String = null): StructType = {
     require(path != null && path.nonEmpty,
       "graft.zonal.ZarrSource: a load(dir) is required")
     val m = Zarr.readMeta(path)
@@ -67,14 +68,57 @@ object ZarrSource {
       s"$path: rank-4 store — the DSv2 source is rank 2/3 (use scanZarr4d)")
     require(timeName == null || m.rank3,
       s"$path: .option(\"time\", ...) needs a rank-3 (t, y, x) store")
+    require(coords == null || (!m.rank3 && timeName == null),
+      s"$path: .option(\"coords\", ...) is the 2-D label face " +
+        "(combine with scanZarrTime for cubes)")
     val pos = Seq(
       StructField("cell_x", IntegerType, nullable = false),
       StructField("cell_y", IntegerType, nullable = false))
     val tail = (if (m.rank3) Seq(StructField("epoch", IntegerType, nullable = false))
       else Nil) ++
+      (if (coords != null) Seq(
+        StructField("x_coord", DoubleType, nullable = false),
+        StructField("y_coord", DoubleType, nullable = false)) else Nil) ++
       (if (timeName != null) Seq(StructField("t_ts", TimestampType, nullable = false))
        else Nil) :+ StructField("value", DoubleType, nullable = false)
     StructType(pos ++ tail)
+  }
+
+  /** The `coords` option names the two SIBLING axis members
+    * ("x,y" order): strictly monotonic coordinate vectors, read
+    * driver-side (axis-scale). Returns (xs, ys).
+    */
+  private[zonal] def coordAxes(path: String,
+      coords: String): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    val parts = coords.split(",").map(_.trim)
+    require(parts.length == 2,
+      s"$path: .option(\"coords\", \"x,y\") wants exactly two member names")
+    val parent = new org.apache.hadoop.fs.Path(path).getParent
+    require(parent != null, s"$path: no parent directory to resolve coord members")
+    def axis(n: String): IndexedSeq[Double] = {
+      val vs = Zarr.readCoordValues(
+        new org.apache.hadoop.fs.Path(parent, n).toString)
+      val inc = vs.sliding(2).forall(w => w.length < 2 || w(0) < w(1))
+      val dec = vs.sliding(2).forall(w => w.length < 2 || w(0) > w(1))
+      require(inc || dec, s"$path/$n: coordinate axis must be strictly " +
+        "monotonic for label-based selection — silently inverting a " +
+        "non-monotonic axis would mislabel cells")
+      vs
+    }
+    (axis(parts(0)), axis(parts(1)))
+  }
+
+  /** Invert a coordinate-VALUE window to an index window — a SUPERSET
+    * ([first, last] index whose coord lies inside), sound because the
+    * residual filter re-applies the exact predicate.
+    */
+  private[zonal] def valueWindowToIndex(vs: IndexedSeq[Double],
+      lo: Double, hi: Double): (Int, Int) = {
+    val inWin = vs.indices.filter(i => vs(i) >= lo && vs(i) <= hi)
+    // a truly empty sentinel: an inverted interval like (1, 0) would
+    // still "overlap" chunk 0 under the interval test
+    if (inWin.isEmpty) (Int.MaxValue, Int.MinValue)
+    else (inWin.head, inWin.last)
   }
 
   /** The `time` option names a SIBLING coordinate member of the loaded
@@ -99,20 +143,21 @@ object ZarrSource {
   }
 }
 
-final class ZarrTable(path: String, timeName: String = null)
-    extends Table with SupportsRead {
+final class ZarrTable(path: String, timeName: String = null,
+    coords: String = null) extends Table with SupportsRead {
   override def name(): String = s"zarr:$path"
-  override def schema(): StructType = ZarrSource.schemaFor(path, timeName)
+  override def schema(): StructType = ZarrSource.schemaFor(path, timeName, coords)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path, timeName)
+    new ZarrScanBuilder(path, timeName, coords)
 }
 
 /** Accumulates a (t, y, x) window from pushed comparisons and the
   * pruned column set; `build()` freezes both into the scan.
   */
-final class ZarrScanBuilder(path: String, timeName: String = null)
+final class ZarrScanBuilder(path: String, timeName: String = null,
+    coords: String = null)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -121,9 +166,11 @@ final class ZarrScanBuilder(path: String, timeName: String = null)
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
   private var t0 = Int.MinValue; private var t1 = Int.MaxValue
   private var u0 = Long.MinValue; private var u1 = Long.MaxValue // t_ts micros
+  private var vx0 = Double.NegativeInfinity; private var vx1 = Double.PositiveInfinity
+  private var vy0 = Double.NegativeInfinity; private var vy1 = Double.PositiveInfinity
   private var inSets = Map.empty[String, Set[Int]] // static IN lists
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = ZarrSource.schemaFor(path, timeName)
+  private var required: StructType = ZarrSource.schemaFor(path, timeName, coords)
 
   // a pushed timestamp arrives as java.sql.Timestamp (or Instant under
   // the java8 datetime API) — either way an exact micros instant
@@ -137,6 +184,16 @@ final class ZarrScanBuilder(path: String, timeName: String = null)
   }
   private def bound(f: Filter): Boolean = f match {
     case And(l, r) => val a = bound(l); val b = bound(r); a || b
+    // label-based selection (r18): coordinate-VALUE bounds — MUST match
+    // before the generic integer clamps (those truncate via longValue);
+    // strict comparisons clamp inclusively (the index window is a
+    // superset, the residual trims exactly)
+    case GreaterThanOrEqual(c @ ("x_coord" | "y_coord"), v: Number) => vClamp(c, lo = v.doubleValue())
+    case GreaterThan(c @ ("x_coord" | "y_coord"), v: Number) => vClamp(c, lo = v.doubleValue())
+    case LessThanOrEqual(c @ ("x_coord" | "y_coord"), v: Number) => vClamp(c, hi = v.doubleValue())
+    case LessThan(c @ ("x_coord" | "y_coord"), v: Number) => vClamp(c, hi = v.doubleValue())
+    case EqualTo(c @ ("x_coord" | "y_coord"), v: Number) =>
+      vClamp(c, lo = v.doubleValue()) | vClamp(c, hi = v.doubleValue())
     case GreaterThanOrEqual(c, v: Number) => clamp(c, lo = v.longValue())
     case GreaterThan(c, v: Number) => clamp(c, lo = v.longValue() + 1)
     case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
@@ -153,6 +210,12 @@ final class ZarrScanBuilder(path: String, timeName: String = null)
     case LessThanOrEqual("t_ts", v) => micros(v).exists(u => tsClamp(hi = u))
     case LessThan("t_ts", v) => micros(v).exists(u => tsClamp(hi = u - 1))
     case EqualTo("t_ts", v) => micros(v).exists(u => tsClamp(lo = u) | tsClamp(hi = u))
+    case _ => false
+  }
+  private def vClamp(col: String, lo: Double = Double.NegativeInfinity,
+      hi: Double = Double.PositiveInfinity): Boolean = col match {
+    case "x_coord" => vx0 = math.max(vx0, lo); vx1 = math.min(vx1, hi); true
+    case "y_coord" => vy0 = math.max(vy0, lo); vy1 = math.min(vy1, hi); true
     case _ => false
   }
   private def tsClamp(lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
@@ -205,13 +268,18 @@ final class ZarrScanBuilder(path: String, timeName: String = null)
       val m = Zarr.readMeta(path)
       val n = m.width.toLong * m.height * (if (m.rank3) m.epochs.toLong else 1L)
       new MetaCountScan(n, s"zarr:$path")
-    } else new ZarrScan(path, timeName, required, x0, x1, y0, y1, t0, t1, u0, u1, limit, inSets)
+    } else new ZarrScan(path, timeName, coords, required,
+      x0, x1, y0, y1, t0, t1, u0, u1, limit, inSets, vx0, vx1, vy0, vy1)
 }
 
-final class ZarrScan(path: String, timeName: String, required: StructType,
+final class ZarrScan(path: String, timeName: String, coords: String,
+    required: StructType,
     x0: Int, x1: Int, y0: Int, y1: Int, t0: Int, t1: Int,
     u0: Long, u1: Long, limit: Int = -1,
-    inSets: Map[String, Set[Int]] = Map.empty) extends Scan with Batch
+    inSets: Map[String, Set[Int]] = Map.empty,
+    vx0: Double = Double.NegativeInfinity, vx1: Double = Double.PositiveInfinity,
+    vy0: Double = Double.NegativeInfinity, vy1: Double = Double.PositiveInfinity)
+    extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   // EXACT statistics from geometry (r18): rows = in-bounds cells of the
@@ -323,21 +391,39 @@ final class ZarrScan(path: String, timeName: String, required: StructType,
               .map(e => e -> labels(e)).toMap): InputPartition, cells)
         }
     } else {
+      // label-based selection (r18): invert the pushed coordinate-VALUE
+      // windows to INDEX windows driver-side (axis-scale binary
+      // structure, strictly monotonic enforced) and intersect with the
+      // pushed index window — sel(x=slice(lon0, lon1)) prunes chunks
+      val (axes, ex0, ex1, ey0, ey1) =
+        if (coords == null) (null: (IndexedSeq[Double], IndexedSeq[Double]), x0, x1, y0, y1)
+        else {
+          val a = ZarrSource.coordAxes(path, coords)
+          val (ix0, ix1) = ZarrSource.valueWindowToIndex(a._1, vx0, vx1)
+          val (iy0, iy1) = ZarrSource.valueWindowToIndex(a._2, vy0, vy1)
+          (a, math.max(x0, ix0), math.min(x1, ix1),
+            math.max(y0, iy0), math.min(y1, iy1))
+        }
       Zarr.chunkRefs(m, path)
         .filter(r =>
-          r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
-          r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0 &&
+          r.cj * m.chunkW <= ex1 && (r.cj + 1) * m.chunkW > ex0 &&
+          r.ci * m.chunkH <= ey1 && (r.ci + 1) * m.chunkH > ey0 &&
           rtKeep(rtXs, r.cj * m.chunkW, m.chunkW) &&
           rtKeep(rtYs, r.ci * m.chunkH, m.chunkH))
         .map { r =>
-          val cells =
-            (math.min((r.cj + 1) * m.chunkW, m.width) - r.cj * m.chunkW).toLong *
-            (math.min((r.ci + 1) * m.chunkH, m.height) - r.ci * m.chunkH)
+          val xLo = r.cj * m.chunkW
+          val xHi = math.min((r.cj + 1) * m.chunkW, m.width)
+          val yLo = r.ci * m.chunkH
+          val yHi = math.min((r.ci + 1) * m.chunkH, m.height)
+          val cells = (xHi - xLo).toLong * (yHi - yLo)
           // thread the window INTO the ref: on sharded stores the
           // reader prunes INNER chunks against it before any decode —
           // a windowed query must not decode a whole shard
           (Zarr2InputPartition(
-            r.copy(wx0 = x0, wy0 = y0, wx1 = x1, wy1 = y1)): InputPartition,
+            r.copy(wx0 = ex0, wy0 = ey0, wx1 = ex1, wy1 = ey1),
+            if (axes == null) null
+            else (xLo, axes._1.slice(xLo, xHi).toArray,
+              yLo, axes._2.slice(yLo, yHi).toArray)): InputPartition,
             cells)
         }
     }
@@ -346,13 +432,16 @@ final class ZarrScan(path: String, timeName: String, required: StructType,
     new ZarrReaderFactory(required.fieldNames)
 }
 
-final case class Zarr2InputPartition(ref: Zarr.ChunkRef) extends InputPartition
+final case class Zarr2InputPartition(ref: Zarr.ChunkRef,
+    // label slices for this chunk's axis range: (x0, xs, y0, ys)
+    coordSlices: (Int, Array[Double], Int, Array[Double]) = null)
+    extends InputPartition
 final case class Zarr3InputPartition(ref: Zarr.ChunkRef3,
     labelMicros: Map[Int, Long] = Map.empty) extends InputPartition
 
 final class ZarrReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
-    case Zarr2InputPartition(r) => new Zarr2PartitionReader(r, cols)
+    case Zarr2InputPartition(r, cs) => new Zarr2PartitionReader(r, cs, cols)
     case Zarr3InputPartition(r, lm) => new Zarr3PartitionReader(r, lm, cols)
   }
 }
@@ -360,7 +449,8 @@ final class ZarrReaderFactory(cols: Array[String]) extends PartitionReaderFactor
 /** One 2-D chunk's reader. With `value` pruned the chunk bytes are
   * never read — positions come from chunk geometry (edge clip intact).
   */
-final class Zarr2PartitionReader(c: Zarr.ChunkRef, cols: Array[String])
+final class Zarr2PartitionReader(c: Zarr.ChunkRef,
+    coordSlices: (Int, Array[Double], Int, Array[Double]), cols: Array[String])
     extends PartitionReader[InternalRow] {
   private val needsValue = cols.contains("value")
   private val it: Iterator[(Int, Int, Double)] =
@@ -382,6 +472,10 @@ final class Zarr2PartitionReader(c: Zarr.ChunkRef, cols: Array[String])
       cols(k) match {
         case "cell_x" => row.update(k, cur._1)
         case "cell_y" => row.update(k, cur._2)
+        case "x_coord" =>
+          row.update(k, coordSlices._2(cur._1 - coordSlices._1))
+        case "y_coord" =>
+          row.update(k, coordSlices._4(cur._2 - coordSlices._3))
         case "value" => row.update(k, cur._3)
       }
       k += 1

@@ -566,6 +566,38 @@ class PlanShapeSpec extends SparkSuite {
       s"rolling mean must shuffle ONCE on the cell key, got $exchanges:\n${pw.take(2000)}")
   }
 
+  test("r18 DSv2 label selection: coordinate-value pushdown inverts to index windows and prunes chunks") {
+    import org.apache.spark.sql.functions.col
+    val arr = s"${graft.zonal.Zarr.fixtureCoordsDir()}/precip"
+    val df = spark.read.format("graft.zonal.ZarrSource").option("coords", "x,y")
+      .load(arr)
+    assert(df.schema.fieldNames.toSeq ==
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value"))
+    assert(df.rdd.getNumPartitions == 9)
+    // sel(x=[-115,-105], y>=50): x index [20,60] → 2 of 3 x-chunks,
+    // y index [40,69] → 2 of 3 y-chunks → 4 planned partitions
+    val sel = df.filter(col("x_coord").between(-115.0, -105.0)
+      && col("y_coord") >= 50.0)
+    assert(sel.rdd.getNumPartitions == 4,
+      s"label window must prune chunks: 9 → ${sel.rdd.getNumPartitions}")
+    val got = sel.collect()
+    assert(got.length == 41 * 30, got.length) // x 20..60, y 40..69
+    assert(got.forall(r => r.getDouble(2) >= -115.0 && r.getDouble(2) <= -105.0
+      && r.getDouble(3) >= 50.0))
+    assert(!sel.queryExecution.executedPlan.toString.contains("Exchange"))
+    // an empty label window plans ZERO chunks
+    assert(df.filter(col("x_coord") > 1e9).rdd.getNumPartitions == 0)
+    // a non-monotonic axis refuses loudly
+    val bad = java.nio.file.Files.createTempDirectory("zsel").toString
+    graft.zonal.Zarr.writeZarr(s"$bad/v", 4, 4, 4, 4)((x, y) => (x + y).toDouble)
+    graft.zonal.Zarr.writeZarrCoord(s"$bad/x", 4, 4)(i => if (i == 2) 0.0 else i.toDouble)
+    graft.zonal.Zarr.writeZarrCoord(s"$bad/y", 4, 4)(_.toDouble)
+    val e = intercept[Exception](
+      spark.read.format("graft.zonal.ZarrSource").option("coords", "x,y")
+        .load(s"$bad/v").filter(col("x_coord") >= 1.0).collect())
+    assert(e.getMessage.contains("monotonic"), e.getMessage)
+  }
+
   test("r18 DSv2 statistics: geometry-exact numRows, a windowed cube broadcasts against a bigger side") {
     import org.apache.spark.sql.functions.col
     // direct: the scan reports EXACT in-bounds cell counts
