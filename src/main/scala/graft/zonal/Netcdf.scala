@@ -987,6 +987,33 @@ object Netcdf {
     (raw, scale)
   }
 
+  /** Driver-side raw read of a 1-D coordinate variable — axis-sized
+    * (header-scale metadata), for the DSv2 label-selection face.
+    */
+  private[zonal] def readCoordAxis(path: String, m: NcMeta,
+      name: String): IndexedSeq[Double] = {
+    val v = m.variable(name)
+    require(v.dimIds.length == 1,
+      s"$path: $name has rank ${v.dimIds.length}, want a 1-D coordinate")
+    val n = m.dims(v.dimIds.head).length
+    require(n > 0, s"$path: record coordinate unsupported (fixed axes only)")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val in = fs.open(new org.apache.hadoop.fs.Path(path))
+    try {
+      val buf = new Array[Byte](n * elemSize(v.ncType))
+      in.readFully(v.begin, buf)
+      val bb = java.nio.ByteBuffer.wrap(buf)
+      (0 until n).map(i => v.ncType match {
+        case NcDouble => bb.getDouble(i * 8)
+        case NcFloat => bb.getFloat(i * 4).toDouble
+        case NcInt => bb.getInt(i * 4).toDouble
+        case NcShort => bb.getShort(i * 2).toDouble
+        case other => sys.error(s"$path: coordinate type $other unsupported")
+      })
+    } finally in.close()
+  }
+
   def scanNetcdfTime(s: SparkSession, path: String, varName: String,
       timeVar: String = "t",
       window: Option[(java.sql.Timestamp, java.sql.Timestamp)] = None): DataFrame = {
@@ -2368,6 +2395,28 @@ object Netcdf {
         .load(cube4dFixturePath())
         .filter(col("level") === 1 && col("epoch") >= 1 && col("cell_y") <= 40)
         .orderBy("cell_x", "cell_y", "level", "epoch")
+    },
+
+    // LABEL-BASED selection on the classic DSv2 face (r18 — the
+    // Zarr-face twin): .option("coords", "x,y") reads the file's own
+    // coordinate variables, pushed x_coord/y_coord comparisons invert
+    // to index windows driver-side, the y window prunes STRIPES, the
+    // x window stays residual (row-major stripes span the width —
+    // stated, not hidden)
+    "scan_netcdf_source_sel" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  CAST(-120.0 + 0.25 * cell_x AS DOUBLE) AS x_coord,
+         |  CAST(40.0 + 0.25 * cell_y AS DOUBLE) AS y_coord,
+         |  value FROM ($NcCellsSql)
+         |WHERE -120.0 + 0.25 * cell_x BETWEEN -115.0 AND -105.0
+         |  AND 40.0 + 0.25 * cell_y >= 50.0
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.NetcdfSource")
+        .option("var", "t2m").option("coords", "x,y")
+        .load(coordsFixturePath())
+        .filter(col("x_coord").between(-115.0, -105.0)
+          && col("y_coord") >= 50.0)
+        .orderBy("cell_x", "cell_y")
     },
 
     // the DSv2 face with CF TIME (r18): .option("time", "t") adds a

@@ -47,7 +47,8 @@ class NetcdfSource extends TableProvider {
     // see [[NetcdfMembersTable]]
     if (path != null && path.nonEmpty && NetcdfMembersTable.isMemberDir(path))
       NetcdfMembersTable.Schema
-    else NetcdfSource.schemaFor(path, options.get("var"), options.get("time"))
+    else NetcdfSource.schemaFor(path, options.get("var"), options.get("time"),
+      options.get("coords"))
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -58,7 +59,8 @@ class NetcdfSource extends TableProvider {
         "graft.zonal.NetcdfSource: .option(\"var\", <variable>) is required")
       new NetcdfMembersTable(path, varName,
         Option(properties.get("members_per_batch")).map(_.toInt).getOrElse(-1))
-    } else new NetcdfTable(path, properties.get("var"), properties.get("time"))
+    } else new NetcdfTable(path, properties.get("var"), properties.get("time"),
+      properties.get("coords"))
   }
 }
 
@@ -75,37 +77,66 @@ object NetcdfSource {
     r
   }
   private[zonal] def schemaFor(path: String, varName: String,
-      timeVar: String): StructType = {
+      timeVar: String, coords: String = null): StructType = {
     val r = rankOf(path, varName)
     require(timeVar == null || r >= 3,
       s"$path: .option(\"time\", ...) needs a time axis " +
         s"('$varName' is rank 2)")
+    require(coords == null || (r == 2 && timeVar == null),
+      s"$path: .option(\"coords\", ...) is the 2-D label face")
     val pos = Seq(
       StructField("cell_x", IntegerType, nullable = false),
       StructField("cell_y", IntegerType, nullable = false))
     val mid =
       (if (r == 4) Seq(StructField("level", IntegerType, nullable = false)) else Nil) ++
       (if (r >= 3) Seq(StructField("epoch", IntegerType, nullable = false)) else Nil) ++
+      (if (coords != null) Seq(
+        StructField("x_coord", DoubleType, nullable = false),
+        StructField("y_coord", DoubleType, nullable = false)) else Nil) ++
       (if (timeVar != null) Seq(StructField("t_ts", TimestampType, nullable = false)) else Nil)
     StructType(pos ++ mid :+ StructField("value", DoubleType, nullable = false))
   }
+
+  /** The `coords` option names the file's own 1-D coordinate
+    * VARIABLES ("x,y" order): strictly monotonic, read driver-side
+    * (axis-scale). NOTE: classic stripes span the full width, so the
+    * x axis ships whole per partition — the broadcast-join face
+    * ([[Netcdf.scanNetcdfCoords]]) is the form for extreme widths.
+    */
+  private[zonal] def coordAxes(path: String, m: Netcdf.NcMeta,
+      coords: String): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    val parts = coords.split(",").map(_.trim)
+    require(parts.length == 2,
+      s"$path: .option(\"coords\", \"x,y\") wants exactly two variable names")
+    def axis(n: String): IndexedSeq[Double] = {
+      val vs = Netcdf.readCoordAxis(path, m, n)
+      val inc = vs.sliding(2).forall(w => w.length < 2 || w(0) < w(1))
+      val dec = vs.sliding(2).forall(w => w.length < 2 || w(0) > w(1))
+      require(inc || dec, s"$path/$n: coordinate axis must be strictly " +
+        "monotonic for label-based selection")
+      vs
+    }
+    (axis(parts(0)), axis(parts(1)))
+  }
 }
 
-final class NetcdfTable(path: String, varName: String, timeVar: String)
-    extends Table with SupportsRead {
+final class NetcdfTable(path: String, varName: String, timeVar: String,
+    coords: String = null) extends Table with SupportsRead {
   override def name(): String = s"netcdf:$path#$varName"
-  override def schema(): StructType = NetcdfSource.schemaFor(path, varName, timeVar)
+  override def schema(): StructType =
+    NetcdfSource.schemaFor(path, varName, timeVar, coords)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NetcdfScanBuilder(path, varName, timeVar)
+    new NetcdfScanBuilder(path, varName, timeVar, coords)
 }
 
 /** Accumulates a (t, level, y) window from pushed comparisons and the
   * pruned column set; `build()` freezes both into the scan. `cell_x`
   * deliberately does NOT clamp (row-major stripes span the width).
   */
-final class NetcdfScanBuilder(path: String, varName: String, timeVar: String)
+final class NetcdfScanBuilder(path: String, varName: String, timeVar: String,
+    coords: String = null)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -114,9 +145,12 @@ final class NetcdfScanBuilder(path: String, varName: String, timeVar: String)
   private var t0 = Int.MinValue; private var t1 = Int.MaxValue
   private var l0 = Int.MinValue; private var l1 = Int.MaxValue
   private var u0 = Long.MinValue; private var u1 = Long.MaxValue // t_ts micros
+  private var vx0 = Double.NegativeInfinity; private var vx1 = Double.PositiveInfinity
+  private var vy0 = Double.NegativeInfinity; private var vy1 = Double.PositiveInfinity
   private var inSets = Map.empty[String, Set[Int]] // static IN lists
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = NetcdfSource.schemaFor(path, varName, timeVar)
+  private var required: StructType =
+    NetcdfSource.schemaFor(path, varName, timeVar, coords)
 
   // a pushed timestamp arrives as java.sql.Timestamp (or Instant under
   // the java8 datetime API) — either way an exact micros instant
@@ -130,6 +164,14 @@ final class NetcdfScanBuilder(path: String, varName: String, timeVar: String)
   }
   private def bound(f: Filter): Boolean = f match {
     case And(l, r) => val a = bound(l); val b = bound(r); a || b
+    // label-based selection (r18): coordinate-VALUE bounds — MUST match
+    // before the generic integer clamps (those truncate via longValue)
+    case GreaterThanOrEqual(c @ ("x_coord" | "y_coord"), v: Number) => vClamp(c, lo = v.doubleValue())
+    case GreaterThan(c @ ("x_coord" | "y_coord"), v: Number) => vClamp(c, lo = v.doubleValue())
+    case LessThanOrEqual(c @ ("x_coord" | "y_coord"), v: Number) => vClamp(c, hi = v.doubleValue())
+    case LessThan(c @ ("x_coord" | "y_coord"), v: Number) => vClamp(c, hi = v.doubleValue())
+    case EqualTo(c @ ("x_coord" | "y_coord"), v: Number) =>
+      vClamp(c, lo = v.doubleValue()) | vClamp(c, hi = v.doubleValue())
     case GreaterThanOrEqual(c, v: Number) => clamp(c, lo = v.longValue())
     case GreaterThan(c, v: Number) => clamp(c, lo = v.longValue() + 1)
     case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
@@ -150,6 +192,12 @@ final class NetcdfScanBuilder(path: String, varName: String, timeVar: String)
   }
   private def tsClamp(lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
     u0 = math.max(u0, lo); u1 = math.min(u1, hi); true
+  }
+  private def vClamp(col: String, lo: Double = Double.NegativeInfinity,
+      hi: Double = Double.PositiveInfinity): Boolean = col match {
+    case "x_coord" => vx0 = math.max(vx0, lo); vx1 = math.min(vx1, hi); true
+    case "y_coord" => vy0 = math.max(vy0, lo); vy1 = math.min(vy1, hi); true
+    case _ => false
   }
   private def clamp(col: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
     def toI(v: Long): Int = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt
@@ -199,13 +247,16 @@ final class NetcdfScanBuilder(path: String, varName: String, timeVar: String)
         (if (len == 0) m.numRecs else len).toLong
       }.product
       new MetaCountScan(n, s"netcdf:$path#$varName")
-    } else new NetcdfScan(path, varName, timeVar, required, y0, y1, t0, t1, l0, l1, u0, u1, limit, inSets)
+    } else new NetcdfScan(path, varName, timeVar, coords, required,
+      y0, y1, t0, t1, l0, l1, u0, u1, limit, inSets, vx0, vx1, vy0, vy1)
 }
 
 final class NetcdfScan(path: String, varName: String, timeVar: String,
-    required: StructType, y0: Int, y1: Int, t0: Int, t1: Int,
+    coords: String, required: StructType, y0: Int, y1: Int, t0: Int, t1: Int,
     l0: Int, l1: Int, u0: Long, u1: Long,
-    limit: Int = -1, inSets: Map[String, Set[Int]] = Map.empty)
+    limit: Int = -1, inSets: Map[String, Set[Int]] = Map.empty,
+    vx0: Double = Double.NegativeInfinity, vx1: Double = Double.PositiveInfinity,
+    vy0: Double = Double.NegativeInfinity, vy1: Double = Double.PositiveInfinity)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -260,6 +311,17 @@ final class NetcdfScan(path: String, varName: String, timeVar: String,
   private def plannedWithCells(): Seq[(InputPartition, Long)] = {
     val m = Netcdf.readMeta(path)
     val v = m.variable(varName)
+    // label-based selection (r18): invert the pushed coordinate-VALUE
+    // windows to INDEX windows driver-side; the y window prunes
+    // stripes, the x window stays residual (stripes span the width)
+    val (axes, ey0, ey1) =
+      if (coords == null)
+        (null: (IndexedSeq[Double], IndexedSeq[Double]), y0, y1)
+      else {
+        val a = NetcdfSource.coordAxes(path, m, coords)
+        val (iy0, iy1) = ZarrSource.valueWindowToIndex(a._2, vy0, vy1)
+        (a, math.max(y0, iy0), math.min(y1, iy1))
+      }
     val hint = org.apache.spark.sql.SparkSession.active
       .sparkContext.defaultParallelism
     // with a time coordinate declared, CF-decode the axis (units +
@@ -282,14 +344,16 @@ final class NetcdfScan(path: String, varName: String, timeVar: String,
     }
     // a stripe covers rows [y0, y0+rows) of ONE (epoch, level) plane
     refs.filter(r =>
-        r.y0 <= y1 && r.y0 + r.rows > y0 &&
+        r.y0 <= ey1 && r.y0 + r.rows > ey0 &&
         r.epoch >= t0 && r.epoch <= t1 &&
         r.level >= l0 && r.level <= l1 &&
         rtKeep("cell_y", r.y0, r.rows) &&
         rtKeep("epoch", r.epoch, 1) && rtKeep("level", r.level, 1) &&
         (timeVar == null || labels.contains(r.epoch)))
       .map(r => (NetcdfInputPartition(r,
-        if (timeVar == null) 0L else labels(r.epoch)): InputPartition,
+        if (timeVar == null) 0L else labels(r.epoch),
+        if (axes == null) null
+        else (axes._1.toArray, r.y0, axes._2.slice(r.y0, r.y0 + r.rows).toArray)): InputPartition,
         r.rows.toLong * r.width))
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -297,12 +361,15 @@ final class NetcdfScan(path: String, varName: String, timeVar: String,
 }
 
 final case class NetcdfInputPartition(ref: Netcdf.StripeRef,
-    labelMicros: Long = 0L) extends InputPartition
+    labelMicros: Long = 0L,
+    // label slices: (full x axis, stripe y0, stripe's y-axis slice)
+    coordSlices: (Array[Double], Int, Array[Double]) = null)
+    extends InputPartition
 
 final class NetcdfReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val ip = p.asInstanceOf[NetcdfInputPartition]
-    new NetcdfPartitionReader(ip.ref, ip.labelMicros, cols)
+    new NetcdfPartitionReader(ip.ref, ip.labelMicros, ip.coordSlices, cols)
   }
 }
 
@@ -311,7 +378,7 @@ final class NetcdfReaderFactory(cols: Array[String]) extends PartitionReaderFact
   * the stripe's own epoch/level plane).
   */
 final class NetcdfPartitionReader(r: Netcdf.StripeRef, labelMicros: Long,
-    cols: Array[String])
+    coordSlices: (Array[Double], Int, Array[Double]), cols: Array[String])
     extends PartitionReader[InternalRow] {
 
   private val needsValue = cols.contains("value")
@@ -333,6 +400,8 @@ final class NetcdfPartitionReader(r: Netcdf.StripeRef, labelMicros: Long,
         case "cell_y" => row.update(k, cur._2)
         case "level" => row.update(k, r.level)
         case "epoch" => row.update(k, cur._3)
+        case "x_coord" => row.update(k, coordSlices._1(cur._1))
+        case "y_coord" => row.update(k, coordSlices._3(cur._2 - coordSlices._2))
         case "t_ts" => row.update(k, labelMicros) // TimestampType = micros
         case "value" => row.update(k, cur._4)
       }

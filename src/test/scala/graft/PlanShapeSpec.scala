@@ -587,6 +587,20 @@ class PlanShapeSpec extends SparkSuite {
     assert(!sel.queryExecution.executedPlan.toString.contains("Exchange"))
     // an empty label window plans ZERO chunks
     assert(df.filter(col("x_coord") > 1e9).rdd.getNumPartitions == 0)
+    // classic twin: the y label window prunes STRIPES (x stays
+    // residual — row-major stripes span the width)
+    val nc = spark.read.format("graft.zonal.NetcdfSource")
+      .option("var", "t2m").option("coords", "x,y")
+      .load(graft.zonal.Netcdf.coordsFixturePath())
+    assert(nc.schema.fieldNames.toSeq ==
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value"))
+    val nFullNc = nc.rdd.getNumPartitions
+    val selNc = nc.filter(col("y_coord") >= 50.0) // y index >= 40 of 70
+    assert(selNc.rdd.getNumPartitions < nFullNc,
+      s"y label window must prune stripes: $nFullNc → ${selNc.rdd.getNumPartitions}")
+    val gotNc = selNc.collect()
+    assert(gotNc.length == 80 * 30)
+    assert(gotNc.forall(_.getDouble(3) >= 50.0))
     // a non-monotonic axis refuses loudly
     val bad = java.nio.file.Files.createTempDirectory("zsel").toString
     graft.zonal.Zarr.writeZarr(s"$bad/v", 4, 4, 4, 4)((x, y) => (x + y).toDouble)
