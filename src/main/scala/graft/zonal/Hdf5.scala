@@ -1558,19 +1558,24 @@ object Hdf5 {
     */
   /** Read + CF-decode the file's 1-D time coordinate (shared by the
     * rank-3 and rank-4 time scans): `(raw axis values, scale)`. */
+  /** Driver-side raw read of a 1-D coordinate dataset — axis-sized. */
+  private[zonal] def h5CoordAxis(path: String, name: String): IndexedSeq[Double] = {
+    val tm = readMeta(path, name)
+    require(tm.height == 1 && tm.epochs == 0,
+      s"$path: '$name' is ${tm.height}×${tm.width} — not a 1-D coordinate")
+    chunkRefs(path, tm)
+      .flatMap(r => readChunk(r).map { case (x, _, _, _, v) => (x, v) })
+      .sortBy(_._1).map(_._2).toIndexedSeq
+  }
+
   private[zonal] def h5TimeAxis(path: String,
       timeVar: String): (Seq[Double], Netcdf.CfTimeScale) = {
     val tm = readMeta(path, timeVar)
-    require(tm.height == 1 && tm.epochs == 0,
-      s"$path: '$timeVar' is ${tm.height}×${tm.width} — not a 1-D time coordinate")
     val units = tm.strAttrs.getOrElse("units",
       sys.error(s"$path: time coordinate $timeVar has no units attribute"))
     val scale = Netcdf.cfTimeScale(units, tm.strAttrs.get("calendar"),
       s"$path:$timeVar")
-    val raw = chunkRefs(path, tm)
-      .flatMap(r => readChunk(r).map { case (x, _, _, _, v) => (x, v) })
-      .sortBy(_._1).map(_._2)
-    (raw, scale)
+    (h5CoordAxis(path, timeVar), scale)
   }
 
   def scanNetcdf4Time(s: SparkSession, path: String, varName: String,
@@ -4121,6 +4126,27 @@ object Hdf5 {
       scanNetcdf4Coords(s, fixtureCoordsPath(), "v")
         .select(col("cell_x"), col("cell_y"),
           col("x_coord"), col("y_coord"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // LABEL-BASED selection on the HDF5 DSv2 face (r18 — the third
+    // twin): .option("coords", "x,y") reads the file's own coordinate
+    // datasets, pushed x_coord/y_coord comparisons invert to index
+    // windows driver-side and prune CHUNKS in BOTH axes (HDF5 chunks
+    // are (oy, ox) windows, unlike classic stripes)
+    "scan_hdf5_source_sel" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  CAST(-120.0 + 0.25 * cell_x AS DOUBLE) AS x_coord,
+         |  CAST(40.0 + 0.25 * cell_y AS DOUBLE) AS y_coord,
+         |  value FROM ($H5CellsSql)
+         |WHERE -120.0 + 0.25 * cell_x BETWEEN -115.0 AND -105.0
+         |  AND 40.0 + 0.25 * cell_y >= 50.0
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.Hdf5Source")
+        .option("var", "v").option("coords", "x,y")
+        .load(fixtureCoordsPath())
+        .filter(col("x_coord").between(-115.0, -105.0)
+          && col("y_coord") >= 50.0)
         .orderBy("cell_x", "cell_y")
     },
 

@@ -38,16 +38,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class Hdf5Source extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     Hdf5Source.schemaFor(options.get("path"), options.get("var"),
-      options.get("time"))
+      options.get("time"), options.get("coords"))
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table =
     new Hdf5Table(properties.get("path"), properties.get("var"),
-      properties.get("time"))
+      properties.get("time"), properties.get("coords"))
 }
 
 object Hdf5Source {
   private[zonal] def schemaFor(path: String, varName: String,
-      timeVar: String = null): StructType = {
+      timeVar: String = null, coords: String = null): StructType = {
     require(path != null && path.nonEmpty,
       "graft.zonal.Hdf5Source: a load(path) is required")
     require(varName != null && varName.nonEmpty,
@@ -56,14 +56,38 @@ object Hdf5Source {
     require(timeVar == null || m.epochs > 0,
       s"$path: .option(\"time\", ...) needs a time axis " +
         s"('$varName' is rank 2)")
+    require(coords == null || (m.epochs == 0 && timeVar == null),
+      s"$path: .option(\"coords\", ...) is the 2-D label face")
     val pos = Seq(
       StructField("cell_x", IntegerType, nullable = false),
       StructField("cell_y", IntegerType, nullable = false))
     val mid =
       (if (m.levels > 0) Seq(StructField("level", IntegerType, nullable = false)) else Nil) ++
       (if (m.epochs > 0) Seq(StructField("epoch", IntegerType, nullable = false)) else Nil) ++
+      (if (coords != null) Seq(
+        StructField("x_coord", DoubleType, nullable = false),
+        StructField("y_coord", DoubleType, nullable = false)) else Nil) ++
       (if (timeVar != null) Seq(StructField("t_ts", TimestampType, nullable = false)) else Nil)
     StructType(pos ++ mid :+ StructField("value", DoubleType, nullable = false))
+  }
+
+  /** The `coords` option names the file's own 1-D coordinate
+    * DATASETS ("x,y" order): strictly monotonic, read driver-side.
+    */
+  private[zonal] def coordAxes(path: String,
+      coords: String): (IndexedSeq[Double], IndexedSeq[Double]) = {
+    val parts = coords.split(",").map(_.trim)
+    require(parts.length == 2,
+      s"$path: .option(\"coords\", \"x,y\") wants exactly two dataset names")
+    def axis(n: String): IndexedSeq[Double] = {
+      val vs = Hdf5.h5CoordAxis(path, n)
+      val inc = vs.sliding(2).forall(w => w.length < 2 || w(0) < w(1))
+      val dec = vs.sliding(2).forall(w => w.length < 2 || w(0) > w(1))
+      require(inc || dec, s"$path/$n: coordinate axis must be strictly " +
+        "monotonic for label-based selection")
+      vs
+    }
+    (axis(parts(0)), axis(parts(1)))
   }
 
   /** Full-axis CF labels of the file's own time coordinate dataset:
@@ -79,20 +103,22 @@ object Hdf5Source {
   }
 }
 
-final class Hdf5Table(path: String, varName: String, timeVar: String = null)
-    extends Table with SupportsRead {
+final class Hdf5Table(path: String, varName: String, timeVar: String = null,
+    coords: String = null) extends Table with SupportsRead {
   override def name(): String = s"hdf5:$path#$varName"
-  override def schema(): StructType = Hdf5Source.schemaFor(path, varName, timeVar)
+  override def schema(): StructType =
+    Hdf5Source.schemaFor(path, varName, timeVar, coords)
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new Hdf5ScanBuilder(path, varName, timeVar)
+    new Hdf5ScanBuilder(path, varName, timeVar, coords)
 }
 
 /** Accumulates a (t, level, y, x) window from pushed comparisons and
   * the pruned column set; `build()` freezes both into the scan.
   */
-final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = null)
+final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = null,
+    coords: String = null)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -102,9 +128,12 @@ final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = nul
   private var t0 = Int.MinValue; private var t1 = Int.MaxValue
   private var l0 = Int.MinValue; private var l1 = Int.MaxValue
   private var u0 = Long.MinValue; private var u1 = Long.MaxValue // t_ts micros
+  private var vx0 = Double.NegativeInfinity; private var vx1 = Double.PositiveInfinity
+  private var vy0 = Double.NegativeInfinity; private var vy1 = Double.PositiveInfinity
   private var inSets = Map.empty[String, Set[Int]] // static IN lists
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = Hdf5Source.schemaFor(path, varName, timeVar)
+  private var required: StructType =
+    Hdf5Source.schemaFor(path, varName, timeVar, coords)
 
   // a pushed timestamp arrives as java.sql.Timestamp (or Instant under
   // the java8 datetime API) — either way an exact micros instant
@@ -118,6 +147,14 @@ final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = nul
   }
   private def bound(f: Filter): Boolean = f match {
     case And(l, r) => val a = bound(l); val b = bound(r); a || b
+    // label-based selection (r18): coordinate-VALUE bounds — MUST match
+    // before the generic integer clamps (those truncate via longValue)
+    case GreaterThanOrEqual(c @ ("x_coord" | "y_coord"), v: Number) => vClamp(c, lo = v.doubleValue())
+    case GreaterThan(c @ ("x_coord" | "y_coord"), v: Number) => vClamp(c, lo = v.doubleValue())
+    case LessThanOrEqual(c @ ("x_coord" | "y_coord"), v: Number) => vClamp(c, hi = v.doubleValue())
+    case LessThan(c @ ("x_coord" | "y_coord"), v: Number) => vClamp(c, hi = v.doubleValue())
+    case EqualTo(c @ ("x_coord" | "y_coord"), v: Number) =>
+      vClamp(c, lo = v.doubleValue()) | vClamp(c, hi = v.doubleValue())
     case GreaterThanOrEqual(c, v: Number) => clamp(c, lo = v.longValue())
     case GreaterThan(c, v: Number) => clamp(c, lo = v.longValue() + 1)
     case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
@@ -138,6 +175,12 @@ final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = nul
   }
   private def tsClamp(lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
     u0 = math.max(u0, lo); u1 = math.min(u1, hi); true
+  }
+  private def vClamp(col: String, lo: Double = Double.NegativeInfinity,
+      hi: Double = Double.PositiveInfinity): Boolean = col match {
+    case "x_coord" => vx0 = math.max(vx0, lo); vx1 = math.min(vx1, hi); true
+    case "y_coord" => vy0 = math.max(vy0, lo); vy1 = math.min(vy1, hi); true
+    case _ => false
   }
   private def clamp(col: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
     def toI(v: Long): Int = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt
@@ -186,13 +229,16 @@ final class Hdf5ScanBuilder(path: String, varName: String, timeVar: String = nul
       val n = m.width.toLong * m.height *
         math.max(1, m.epochs).toLong * math.max(1, m.levels).toLong
       new MetaCountScan(n, s"hdf5:$path#$varName")
-    } else new Hdf5Scan(path, varName, timeVar, required, x0, x1, y0, y1, t0, t1, l0, l1, u0, u1, limit, inSets)
+    } else new Hdf5Scan(path, varName, timeVar, coords, required,
+      x0, x1, y0, y1, t0, t1, l0, l1, u0, u1, limit, inSets, vx0, vx1, vy0, vy1)
 }
 
 final class Hdf5Scan(path: String, varName: String, timeVar: String,
-    required: StructType, x0: Int, x1: Int, y0: Int, y1: Int,
+    coords: String, required: StructType, x0: Int, x1: Int, y0: Int, y1: Int,
     t0: Int, t1: Int, l0: Int, l1: Int, u0: Long, u1: Long,
-    limit: Int = -1, inSets: Map[String, Set[Int]] = Map.empty)
+    limit: Int = -1, inSets: Map[String, Set[Int]] = Map.empty,
+    vx0: Double = Double.NegativeInfinity, vx1: Double = Double.PositiveInfinity,
+    vy0: Double = Double.NegativeInfinity, vy1: Double = Double.PositiveInfinity)
     extends Scan with Batch with SupportsRuntimeFiltering
     with SupportsReportStatistics {
 
@@ -246,6 +292,19 @@ final class Hdf5Scan(path: String, varName: String, timeVar: String,
 
   private def plannedWithCells(): Seq[(InputPartition, Long)] = {
     val m = Hdf5.readMeta(path, varName)
+    // label-based selection (r18): invert the pushed coordinate-VALUE
+    // windows to INDEX windows driver-side — BOTH axes prune chunks
+    // (HDF5 chunks are (oy, ox) windows, unlike classic stripes)
+    val (axes, ex0, ex1, ey0, ey1) =
+      if (coords == null)
+        (null: (IndexedSeq[Double], IndexedSeq[Double]), x0, x1, y0, y1)
+      else {
+        val a = Hdf5Source.coordAxes(path, coords)
+        val (ix0, ix1) = ZarrSource.valueWindowToIndex(a._1, vx0, vx1)
+        val (iy0, iy1) = ZarrSource.valueWindowToIndex(a._2, vy0, vy1)
+        (a, math.max(x0, ix0), math.min(x1, ix1),
+          math.max(y0, iy0), math.min(y1, iy1))
+      }
     // with a time dataset declared, CF-decode its axis driver-side and
     // intersect the pushed TIMESTAMP window with the labels: a chunk
     // survives iff ANY of its epochs is in-window; each partition
@@ -264,8 +323,8 @@ final class Hdf5Scan(path: String, varName: String, timeVar: String,
     val nLevels = math.max(1, m.levels)
     Hdf5.chunkRefs(path, m)
       .filter(r =>
-        r.ox <= x1 && r.ox + r.cols > x0 &&
-        r.oy <= y1 && r.oy + r.rows > y0 &&
+        r.ox <= ex1 && r.ox + r.cols > ex0 &&
+        r.oy <= ey1 && r.oy + r.rows > ey0 &&
         r.ot <= t1 && r.ot + r.chunkT > t0 &&
         r.ol <= l1 && r.ol + r.chunkL > l0 &&
         rtKeep("cell_x", r.ox, r.cols) && rtKeep("cell_y", r.oy, r.rows) &&
@@ -281,7 +340,11 @@ final class Hdf5Scan(path: String, varName: String, timeVar: String,
         (Hdf5InputPartition(r,
           if (timeVar == null) Map.empty
           else (r.ot until math.min(r.ot + r.chunkT, nEpochs))
-            .map(e => e -> labels(e)).toMap): InputPartition, cells)
+            .map(e => e -> labels(e)).toMap,
+          if (axes == null) null
+          else (r.ox, axes._1.slice(r.ox, math.min(r.ox + r.cols, m.width)).toArray,
+            r.oy, axes._2.slice(r.oy, math.min(r.oy + r.rows, m.height)).toArray)): InputPartition,
+          cells)
       }
   }
   override def createReaderFactory(): PartitionReaderFactory =
@@ -289,12 +352,15 @@ final class Hdf5Scan(path: String, varName: String, timeVar: String,
 }
 
 final case class Hdf5InputPartition(ref: Hdf5.H5ChunkRef,
-    labelMicros: Map[Int, Long] = Map.empty) extends InputPartition
+    labelMicros: Map[Int, Long] = Map.empty,
+    // label slices: (chunk x0, x slice, chunk y0, y slice)
+    coordSlices: (Int, Array[Double], Int, Array[Double]) = null)
+    extends InputPartition
 
 final class Hdf5ReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val ip = p.asInstanceOf[Hdf5InputPartition]
-    new Hdf5PartitionReader(ip.ref, ip.labelMicros, cols)
+    new Hdf5PartitionReader(ip.ref, ip.labelMicros, ip.coordSlices, cols)
   }
 }
 
@@ -303,7 +369,8 @@ final class Hdf5ReaderFactory(cols: Array[String]) extends PartitionReaderFactor
   * applied in all four axes (HDF5 stores full-size edge chunks).
   */
 final class Hdf5PartitionReader(r: Hdf5.H5ChunkRef,
-    labelMicros: Map[Int, Long], cols: Array[String])
+    labelMicros: Map[Int, Long],
+    coordSlices: (Int, Array[Double], Int, Array[Double]), cols: Array[String])
     extends PartitionReader[InternalRow] {
 
   private val needsValue = cols.contains("value")
@@ -335,6 +402,8 @@ final class Hdf5PartitionReader(r: Hdf5.H5ChunkRef,
         case "cell_y" => row.update(k, cur._2)
         case "level" => row.update(k, cur._3)
         case "epoch" => row.update(k, cur._4)
+        case "x_coord" => row.update(k, coordSlices._2(cur._1 - coordSlices._1))
+        case "y_coord" => row.update(k, coordSlices._4(cur._2 - coordSlices._3))
         case "t_ts" => row.update(k, labelMicros(cur._4)) // TimestampType = micros
         case "value" => row.update(k, cur._5)
       }

@@ -601,6 +601,19 @@ class PlanShapeSpec extends SparkSuite {
     val gotNc = selNc.collect()
     assert(gotNc.length == 80 * 30)
     assert(gotNc.forall(_.getDouble(3) >= 50.0))
+    // hdf5 twin: the coords fixture's v is one contiguous stripe, so
+    // the pin here is label-VALUE exactness plus the inversion (an
+    // empty label window plans zero chunks — proof the index windows
+    // reach the manifest; chunk-granular pruning itself is pinned on
+    // the zarr face above, same code path via valueWindowToIndex)
+    val h5 = spark.read.format("graft.zonal.Hdf5Source")
+      .option("var", "v").option("coords", "x,y")
+      .load(graft.zonal.Hdf5.fixtureCoordsPath())
+    val selH5 = h5.filter(col("x_coord").between(-115.0, -105.0)
+      && col("y_coord") >= 50.0)
+    assert(selH5.count() == 41L * 30)
+    assert(h5.filter(col("y_coord") > 1e9).rdd.getNumPartitions == 0,
+      "an empty hdf5 label window must plan zero chunks")
     // a non-monotonic axis refuses loudly
     val bad = java.nio.file.Files.createTempDirectory("zsel").toString
     graft.zonal.Zarr.writeZarr(s"$bad/v", 4, 4, 4, 4)((x, y) => (x + y).toDouble)
