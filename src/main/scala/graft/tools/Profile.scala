@@ -170,6 +170,9 @@ object Profile {
       //    (streaming micro-batch floor class, expected). FINAL
       //    close-out after the inner-shard pruning sweep: 179.8 s /
       //    438 = 0.411 s/q, 0 errors — best per-query to date.
+      //    True final (after the label-selection trio + classic
+      //    streaming face): 196.2 s / 442 = 0.444 s/q, 0 errors —
+      //    the session's runs (0.411-0.502 s/q) are the ambient band.
     }
     spark.stop()
   }
