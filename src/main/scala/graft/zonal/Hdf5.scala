@@ -3592,23 +3592,15 @@ object Hdf5 {
        |FROM range(0, $H5W) x CROSS JOIN range(0, $H5H) y
        |CROSS JOIN range(0, $H5T) t""".stripMargin
 
-  private val fixture3Lock = new Object
-  @volatile private var fixture3Ready: String = null
-
   /** Rank-3 chunked + deflate fixture: 5×70×80 with 2×32×32 chunks —
-    * the 5 % 2 = 1 edge t-chunk exercises the t-pad clip.
+    * the 5 % 2 = 1 edge t-chunk exercises the t-pad clip. (r19: atomic
+    * stamped install via [[Raster.fixtureOnce]].)
     */
-  def fixtureCubePath(): String = {
-    val p = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5cube_fixture_${H5T}x${H5H}x$H5W.nc"
-    if (fixture3Ready != p) fixture3Lock.synchronized {
-      if (fixture3Ready != p) {
-        writeHdf5Cube(p, "v", H5T, H5H, H5W, 2, 32, 32, dtype = "<f4",
-          deflate = true, shuffle = false)(h5CubeValue)
-        fixture3Ready = p
-      }
+  def fixtureCubePath(): String =
+    Raster.fixtureOnce(s"h5cube_fixture_${H5T}x${H5H}x$H5W.nc") { p =>
+      writeHdf5Cube(p, "v", H5T, H5H, H5W, 2, 32, 32, dtype = "<f4",
+        deflate = true, shuffle = false)(h5CubeValue)
     }
-    p
-  }
 
   /** Second rank-3 member formula (r17). */
   def h5CubeValue2(x: Int, y: Int, t: Int): Double =

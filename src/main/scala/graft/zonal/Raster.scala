@@ -1279,20 +1279,13 @@ object Raster {
   def fixtureValue(x: Int, y: Int): Double = ((31 * x + 17 * y) % 997).toDouble
   val FixtureValueSql = "CAST((31 * cell_x + 17 * cell_y) % 997 AS DOUBLE)"
 
-  private val fixtureLock = new Object
-  @volatile private var fixtureReady: String = null
-
-  /** Write-once deterministic fixture; returns its path. */
-  def fixturePath(): String = {
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/raster_fixture_${FixW}x$FixH.tif"
-    if (fixtureReady != path) fixtureLock.synchronized {
-      if (fixtureReady != path) {
-        writeTiff(path, FixW, FixH, 32, 32)(fixtureValue)
-        fixtureReady = path
-      }
+  /** Write-once deterministic fixture; returns its path (r19: atomic
+    * stamped install via [[fixtureOnce]]).
+    */
+  def fixturePath(): String =
+    fixtureOnce(s"raster_fixture_${FixW}x$FixH.tif") { p =>
+      writeTiff(p, FixW, FixH, 32, 32)(fixtureValue)
     }
-    path
-  }
 
   /** DuckDB spelling of the fixture's cell table: the raster's content
     * is a pure integer formula, so the oracle derives the cells without
@@ -1365,14 +1358,53 @@ object Raster {
 
   private val fixtures = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Fixture generation stamp (r19): bump whenever ANY fixture formula
+    * or writer layout changes, so a file left on /tmp by an OLDER build
+    * is rebuilt instead of silently reused (the r18
+    * `scan_source_limit_prune` nondeterminism class).
+    */
+  private[graft] val FixtureStamp = "r19"
+
+  private def rmrf(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmrf)
+    f.delete(); ()
+  }
+
   /** Write-once keyed fixture; computeIfAbsent blocks concurrent callers
     * until the write completes (the Bucketed.ensure lesson from r3).
+    *
+    * r19 hardening against CONCURRENT-JVM races (a Verify JVM reading a
+    * fixture while an overlapping sbt/Bench JVM rewrites it can tear the
+    * read — BASELINE.md r16 note): the fixture is built into a
+    * process-private temp name and atomically renamed into place, and a
+    * sibling stamp file records [[FixtureStamp]] so an already-built
+    * current-generation fixture is NEVER rewritten — steady state is
+    * zero writes, hence zero cross-JVM write/read races.
     */
   private[graft] def fixtureOnce(file: String)(write: String => Unit): String =
     fixtures.computeIfAbsent(file, { f =>
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/$f"
-      write(path)
-      path
+      val root = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_io")
+      root.mkdirs()
+      val dst = new java.io.File(root, f)
+      val stamp = new java.io.File(root, s".fp_${FixtureStamp}_$f")
+      if (!(dst.exists() && stamp.exists())) {
+        val tmp = new java.io.File(root,
+          s".build_${ProcessHandle.current().pid()}_${System.nanoTime()}_$f")
+        write(tmp.getPath)
+        try {
+          if (dst.exists()) rmrf(dst)
+          java.nio.file.Files.move(tmp.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          // another JVM won the install race — its fixture is
+          // byte-identical (pure formula), keep theirs, drop ours
+          case _: java.nio.file.FileAlreadyExistsException => rmrf(tmp)
+          case _: java.nio.file.FileSystemException => rmrf(tmp)
+        }
+        stamp.createNewFile()
+      }
+      dst.getPath
     })
 
   /** Same 90×70 formula raster in each real-world container variant the

@@ -164,8 +164,12 @@ final class TiffScan(path: String, required: StructType,
   // EXACT statistics from geometry (r18): rows = in-bounds cells of the
   // pruned manifest (capped by a pushed limit)
   override def estimateStatistics(): Statistics = {
-    val total = plannedWithCells().map(_._2).sum
-    val rows = if (limit >= 0) math.min(limit.toLong, total) else total
+    // r19: report the cells the scan will actually EMIT (the pruned,
+    // limit-prefixed manifest), NEVER min(limit, total) — a rowCount
+    // capped at the limit lets EliminateLimits drop Spark's GlobalLimit
+    // while multiple prefix partitions each LocalLimit-truncate, which
+    // over-delivers (the r18 scan_source_limit_prune red row)
+    val rows = limitPrefix(plannedWithCells()).map(_._2).sum
     GeomStats(rows, math.max(1, required.fields.map(_.dataType.defaultSize).sum))
   }
 
@@ -191,12 +195,18 @@ final class TiffScan(path: String, required: StructType,
     rt.get(c).forall(vs => vs.exists(v => v >= lo && v < lo + n))
 
   // shortest prefix of blocks covering a pushed LIMIT
-  private def limitPrefix[P](ps: Seq[(P, Long)]): Seq[P] =
-    if (limit < 0) ps.map(_._1)
+  private def limitPrefix[P](ps: Seq[(P, Long)]): Seq[(P, Long)] =
+    if (limit < 0) ps
     else {
+      // r19: keep ONE partition of slack past the covering prefix —
+      // pruning-only insurance (never a correctness lever) against any
+      // geometry-count drift on an exact-boundary prefix
       var acc = 0L
-      ps.takeWhile { case (_, n) => val keep = acc < limit; acc += n; keep }
-        .map(_._1)
+      var slack = 1
+      ps.takeWhile { case (_, n) =>
+        val keep = acc < limit || { val k = slack > 0; slack -= 1; k }
+        acc += n; keep
+      }
     }
 
   override def readSchema(): StructType = required
@@ -206,7 +216,7 @@ final class TiffScan(path: String, required: StructType,
       s"cols=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] =
-    limitPrefix(plannedWithCells()).toArray
+    limitPrefix(plannedWithCells()).map(_._1).toArray
 
   private def plannedWithCells(): Seq[(InputPartition, Long)] = {
     val m = Raster.readMeta(path)

@@ -3187,23 +3187,15 @@ object Zarr {
     java.nio.file.Files.write(out.toPath, b.array())
   }
 
-  private val fixture3dLock = new Object
-  @volatile private var fixture3dReady: String = null
-
   /** Rank-3 v2 fixture: 5×70×80 with 2×32×32 chunks — the t-chunk
     * grid has an edge chunk (5 % 2 = 1) so the t-pad clip path is
-    * exercised alongside both spatial pads.
+    * exercised alongside both spatial pads. (r19: atomic stamped
+    * install via [[Raster.fixtureOnce]].)
     */
-  def fixture3dDir(): String = {
-    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr3d_fixture_${Zarr3T}x${ZarrH}x$ZarrW"
-    if (fixture3dReady != dir) fixture3dLock.synchronized {
-      if (fixture3dReady != dir) {
-        writeZarr3d(dir, Zarr3T, ZarrH, ZarrW, 2, 32, 32, compressor = "zlib")(zarr3dValue)
-        fixture3dReady = dir
-      }
+  def fixture3dDir(): String =
+    Raster.fixtureOnce(s"zarr3d_fixture_${Zarr3T}x${ZarrH}x$ZarrW") { dir =>
+      writeZarr3d(dir, Zarr3T, ZarrH, ZarrW, 2, 32, 32, compressor = "zlib")(zarr3dValue)
     }
-    dir
-  }
 
   /** Rank-4 fixture formula over (x, y, level, t) — pairwise-distinct
     * multipliers so any cross-wired axis hash-mismatches.

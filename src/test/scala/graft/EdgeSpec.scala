@@ -248,4 +248,45 @@ class EdgeSpec extends SparkSuite {
       && rows.head.getAs[Long]("area2") == 8L,
       s"control mask wrong: ${rows.mkString(";")}")
   }
+
+  test("r19 DSv2 LIMIT boundary sweep: limit(K) returns exactly min(K, total) on all four sources") {
+    // the r18 scan_source_limit_prune red row: a pushed LIMIT plans a
+    // geometry-exact chunk/stripe/tile prefix — sweep K at and around
+    // every first-partition boundary (1024 = one 32x32 tile, 2048 = one
+    // 2x32x32 chunk) plus the exact-total edge, so an off-by-one in the
+    // covering-prefix arithmetic (acc == limit boundary) under-delivers
+    // loudly here instead of nondeterministically in the driver artifact
+    val srcs: Seq[(String, Long, () => org.apache.spark.sql.DataFrame)] = Seq(
+      ("zarr", graft.zonal.Zarr.Zarr3T.toLong * graft.zonal.Zarr.ZarrH * graft.zonal.Zarr.ZarrW,
+        () => spark.read.format("graft.zonal.ZarrSource").load(graft.zonal.Zarr.fixture3dDir())),
+      ("hdf5", graft.zonal.Hdf5.H5T.toLong * graft.zonal.Hdf5.H5H * graft.zonal.Hdf5.H5W,
+        () => spark.read.format("graft.zonal.Hdf5Source")
+          .option("var", "v").load(graft.zonal.Hdf5.fixtureCubePath())),
+      ("netcdf", graft.zonal.Netcdf.NcEpochs.toLong * graft.zonal.Netcdf.NcH * graft.zonal.Netcdf.NcW,
+        () => spark.read.format("graft.zonal.NetcdfSource")
+          .option("var", "t2m").load(graft.zonal.Netcdf.epochsFixturePath())),
+      ("tiff", graft.zonal.Raster.FixW.toLong * graft.zonal.Raster.FixH,
+        () => spark.read.format("graft.zonal.TiffSource").load(graft.zonal.Raster.fixturePath())))
+    for ((label, total, mk) <- srcs) {
+      val ks = Seq(1L, 500L, 1023L, 1024L, 1025L, 2047L, 2048L, 2049L,
+        total - 1, total, total + 7)
+      for (k <- ks if k >= 1) {
+        val got = mk().limit(k.toInt).count()
+        assert(got == math.min(k, total),
+          s"$label limit($k): got $got, want ${math.min(k, total)} (total $total)")
+      }
+    }
+    // the exact r18 red-row shape: limit(500).agg(count) per source,
+    // UNIONed, under AQE — a scan whose reported rowCount is capped at
+    // the pushed limit lets EliminateLimits drop the GlobalLimit while
+    // TWO prefix partitions each LocalLimit-truncate to 500 → 1000.
+    // The stat must be the emitted-cell count of the planned prefix.
+    val u = srcs.map { case (label, _, mk) =>
+      mk().limit(500).agg(count(lit(1)).as("n"))
+        .select(lit(label).as("src"), col("n"))
+    }.reduce(_ unionAll _).orderBy("src")
+    assert(u.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      srcs.map(_._1).sorted.map(_ -> 500L),
+      "unioned limit+agg must return exactly 500 per source (EliminateLimits regression)")
+  }
 }
