@@ -40,9 +40,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class ZarrSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
+    // WRITE face (r19): height/width options declare the target grid —
+    // the destination need not exist yet, so never probe it for a schema
+    if (options.containsKey("height") && options.containsKey("width"))
+      ZarrWrite.WriteSchema
     // a MEMBER LANDING directory (no array doc at the root, member
     // stores below) is the STREAMING face — see [[ZarrMembersTable]]
-    if (path != null && path.nonEmpty && ZarrMembersTable.isMemberDir(path))
+    else if (path != null && path.nonEmpty && ZarrMembersTable.isMemberDir(path))
       ZarrMembersTable.Schema
     else ZarrSource.schemaFor(path, options.get("time"), options.get("coords"))
   }
@@ -50,11 +54,12 @@ class ZarrSource extends TableProvider {
       properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty,
-      "graft.zonal.ZarrSource: a load(dir) is required")
-    if (ZarrMembersTable.isMemberDir(path))
+      "graft.zonal.ZarrSource: a load(dir)/save(dir) is required")
+    val geom = ZarrWrite.geomFrom(properties)
+    if (geom.isEmpty && ZarrMembersTable.isMemberDir(path))
       new ZarrMembersTable(path,
         Option(properties.get("members_per_batch")).map(_.toInt).getOrElse(-1))
-    else new ZarrTable(path, properties.get("time"), properties.get("coords"))
+    else new ZarrTable(path, properties.get("time"), properties.get("coords"), geom)
   }
 }
 
@@ -144,13 +149,31 @@ object ZarrSource {
 }
 
 final class ZarrTable(path: String, timeName: String = null,
-    coords: String = null) extends Table with SupportsRead {
+    coords: String = null, geom: Option[ZarrGeom] = None) extends Table
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"zarr:$path"
-  override def schema(): StructType = ZarrSource.schemaFor(path, timeName, coords)
+  override def schema(): StructType =
+    // with write geometry declared the table IS the write face — the
+    // destination may not exist yet, so don't probe it
+    if (geom.isDefined) ZarrWrite.WriteSchema
+    else ZarrSource.schemaFor(path, timeName, coords)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (geom.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(path, timeName, coords)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val g = geom.getOrElse(throw new IllegalArgumentException(
+      s"$path: the Zarr write face wants .option(\"height\", h).option(\"width\", w) " +
+        "(+ optional chunk/compressor/dtype/fill)"))
+    require(timeName == null && coords == null,
+      s"$path: time/coords are read-face options; the write face is the plain 2-D grid")
+    new ZarrWriteBuilder(path, g, info)
+  }
 }
 
 /** Accumulates a (t, y, x) window from pushed comparisons and the
@@ -520,5 +543,247 @@ final class Zarr3PartitionReader(c: Zarr.ChunkRef3,
     }
     row
   }
+  override def close(): Unit = ()
+}
+
+// ======================================================================
+// DSv2 WRITE face (r19): `df.write.format("graft.zonal.ZarrSource")
+//   .option("height", h).option("width", w).mode(...).save(dir)`
+// produces a Zarr v2 store the read face scans back.
+//
+// Execution model (the sink_zarr one-task-one-chunk writer behind
+// BatchWrite): each DataWriter task assembles DENSE per-chunk arrays
+// for the chunks it sees and stages them (final chunk encoding + a tiny
+// presence bitmap sidecar) under <dir>/.stage_<queryId>; the driver's
+// commit() installs single-fragment chunks by ATOMIC RENAME (pure
+// metadata — zero data bytes through the driver) and only decodes+merges
+// chunks that genuinely arrived split across input partitions. A
+// chunk-aligned input (repartition by (cell_y div chunkH, cell_x div
+// chunkW) — the posture at scale, and what the registry op does) makes
+// every chunk single-fragment: one task = one chunk file, commit is
+// rename-only. abort() deletes the staging directory, leaving an
+// existing store untouched.
+//
+// DSv2's write-side distribution contract can't request the chunk-key
+// clustering itself: V2ExpressionUtils.toCatalystOpt on the write path
+// resolves only Literal/Transform/FieldReference (no arithmetic), so a
+// (cell_y div chunkH) clustering is inexpressible — hence staged
+// fragments + metadata-only commit instead of
+// RequiresDistributionAndOrdering.
+// ======================================================================
+
+/** Write geometry, parsed from writer options. */
+private[zonal] case class ZarrGeom(h: Int, w: Int, chunkH: Int, chunkW: Int,
+    compressor: String, dtype: String, fill: Double)
+
+private[graft] object ZarrWrite {
+  val WriteSchema: StructType = StructType(Seq(
+    StructField("cell_x", IntegerType, nullable = false),
+    StructField("cell_y", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  /** Last commit's (chunks installed, chunks that needed a merge) — a
+    * test hook for the one-task-one-chunk pin; never read by the engine.
+    */
+  @volatile var lastCommit: (Int, Int) = (0, 0)
+
+  private[zonal] def geomFrom(p: java.util.Map[String, String]): Option[ZarrGeom] = {
+    val h = p.get("height"); val w = p.get("width")
+    if (h == null || w == null) None
+    else {
+      val chunk = Option(p.get("chunk")).getOrElse("16,16").split(",").map(_.trim.toInt)
+      require(chunk.length == 2 && chunk.forall(_ > 0),
+        s"""option "chunk" wants "chunkH,chunkW", got ${p.get("chunk")}""")
+      Some(ZarrGeom(h.toInt, w.toInt, chunk(0), chunk(1),
+        Option(p.get("compressor")).getOrElse("zlib"),
+        Option(p.get("dtype")).getOrElse("<f8"),
+        Option(p.get("fill")).map(_.toDouble).getOrElse(0.0)))
+    }
+  }
+
+  /** Inverse of [[Zarr.chunkFileBytes]] for the staged-fragment merge
+    * path. Restricted to self-inverting codecs; blosc-framed stores
+    * must arrive chunk-aligned (single fragment = rename, no decode).
+    */
+  private[zonal] def decodeDense(bytes: Array[Byte], n: Int,
+      compressor: String, dtype: String): Array[Double] = {
+    val elem = dtype.substring(2).toInt
+    val raw = compressor match {
+      case "raw" => bytes
+      case "zlib" => TiffCodec.inflate(bytes, n * elem)
+      case "gzip" => TiffCodec.gzipDecompress(bytes, n * elem)
+      case "zstd" => TiffCodec.zstdDecompress(bytes, n * elem)
+      case c => throw new IllegalArgumentException(
+        s"compressor $c: a multi-fragment chunk merge is not supported — " +
+          "repartition the input by chunk key so each chunk is written by one task")
+    }
+    val buf = java.nio.ByteBuffer.wrap(raw)
+    buf.order(if (dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
+      else java.nio.ByteOrder.LITTLE_ENDIAN)
+    val kind = dtype.substring(1)
+    Array.fill(n)(kind match {
+      case "f8" => buf.getDouble
+      case "f4" => buf.getFloat.toDouble
+      case "i4" => buf.getInt.toDouble
+      case "i2" => buf.getShort.toDouble
+      case "i1" => buf.get.toDouble
+      case "u1" => (buf.get & 0xff).toDouble
+    })
+  }
+
+  private[zonal] def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete(); ()
+  }
+}
+
+/** One staged chunk fragment: chunk grid position + staged file path. */
+private[zonal] case class ZarrFrag(ci: Int, cj: Int, file: String)
+private[zonal] case class ZarrChunkMsg(frags: Seq[ZarrFrag])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class ZarrWriteBuilder(path: String, g: ZarrGeom,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new ZarrBatchWrite(path, g, info.schema(), info.queryId(), doTruncate)
+}
+
+final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
+    queryId: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graft-zarr-write $path ${g.h}x${g.w} chunks=${g.chunkH}x${g.chunkW} " +
+      s"${g.compressor} ${g.dtype} truncate=$truncate"
+
+  private def stageDir = new java.io.File(path, s".stage_$queryId")
+
+  override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
+    def idx(n: String): Int = {
+      val i = in.fieldNames.indexOf(n)
+      require(i >= 0, s"$path: the Zarr write face wants columns " +
+        s"(cell_x, cell_y, value); missing $n in ${in.fieldNames.mkString(",")}")
+      i
+    }
+    // geometry guard up front (before any task runs): an existing store
+    // must match, or the caller must truncate — appending chunks of a
+    // DIFFERENT grid would silently corrupt reads
+    val metaF = new java.io.File(path, ".zarray")
+    if (metaF.exists() && !truncate) {
+      val m = Zarr.readMeta(path)
+      require(!m.rank3 && !m.rank4 && m.height == g.h && m.width == g.w
+          && m.chunkH == g.chunkH && m.chunkW == g.chunkW,
+        s"$path: existing store geometry differs from the write options — " +
+          "use mode(\"overwrite\") to replace it")
+    }
+    stageDir.mkdirs()
+    new ZarrWriterFactory(path, g, idx("cell_x"), idx("cell_y"), idx("value"), queryId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val frags = messages.collect { case m: ZarrChunkMsg => m.frags }.flatten.toSeq
+    val dir = new java.io.File(path)
+    if (truncate) {
+      val old = dir.listFiles()
+      if (old != null) old.filter(_.getName.matches("""\d+\.\d+""")).foreach(_.delete())
+    }
+    Zarr.writeZarrMeta(path, g.h, g.w, g.chunkH, g.chunkW, g.compressor, g.dtype, g.fill)
+    val n = g.chunkH * g.chunkW
+    var merged = 0
+    frags.groupBy(f => (f.ci, f.cj)).foreach { case ((ci, cj), fs) =>
+      val out = new java.io.File(dir, s"$ci.$cj")
+      if (fs.size == 1) {
+        // the hot path: install by atomic rename, zero data bytes read
+        java.nio.file.Files.move(new java.io.File(fs.head.file).toPath, out.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } else {
+        merged += 1
+        val acc = Array.fill(n)(g.fill)
+        val seen = new java.util.BitSet(n)
+        fs.foreach { f =>
+          val vals = ZarrWrite.decodeDense(
+            java.nio.file.Files.readAllBytes(new java.io.File(f.file).toPath),
+            n, g.compressor, g.dtype)
+          val bm = java.util.BitSet.valueOf(
+            java.nio.file.Files.readAllBytes(new java.io.File(f.file + ".bm").toPath))
+          var i = bm.nextSetBit(0)
+          while (i >= 0) {
+            require(!seen.get(i),
+              s"$path chunk $ci.$cj: cell $i written from two partitions — duplicate " +
+                "(cell_x, cell_y) rows in the input")
+            seen.set(i); acc(i) = vals(i)
+            i = bm.nextSetBit(i + 1)
+          }
+        }
+        java.nio.file.Files.write(out.toPath,
+          Zarr.chunkFileBytes(acc, g.chunkH, g.chunkW, g.compressor, g.dtype))
+      }
+    }
+    ZarrWrite.lastCommit = (frags.groupBy(f => (f.ci, f.cj)).size, merged)
+    ZarrWrite.rmTree(stageDir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ZarrWrite.rmTree(stageDir)
+}
+
+final class ZarrWriterFactory(path: String, g: ZarrGeom,
+    xi: Int, yi: Int, vi: Int, queryId: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new ZarrChunkDataWriter(path, g, xi, yi, vi, queryId, partitionId, taskId)
+}
+
+/** Buffers dense per-chunk arrays for the chunks this task sees; stages
+  * final-encoded chunk files + presence bitmaps on commit. Memory is
+  * bounded by (distinct chunks per task) × chunk size — chunk-aligned
+  * inputs hold exactly the chunks the task owns.
+  */
+final class ZarrChunkDataWriter(path: String, g: ZarrGeom,
+    xi: Int, yi: Int, vi: Int, queryId: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val n = g.chunkH * g.chunkW
+  private val bufs = scala.collection.mutable.HashMap
+    .empty[(Int, Int), (Array[Double], java.util.BitSet)]
+
+  override def write(r: InternalRow): Unit = {
+    require(!r.isNullAt(xi) && !r.isNullAt(yi) && !r.isNullAt(vi),
+      s"$path: NULL in (cell_x, cell_y, value) — the Zarr grid has no null cells")
+    val x = r.getInt(xi); val y = r.getInt(yi); val v = r.getDouble(vi)
+    require(x >= 0 && x < g.w && y >= 0 && y < g.h,
+      s"$path: cell ($x, $y) outside the ${g.h}x${g.w} grid")
+    val ci = y / g.chunkH; val cj = x / g.chunkW
+    val (arr, bm) = bufs.getOrElseUpdate((ci, cj),
+      (Array.fill(n)(g.fill), new java.util.BitSet(n)))
+    val idx = (y - ci * g.chunkH) * g.chunkW + (x - cj * g.chunkW)
+    arr(idx) = v; bm.set(idx)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val stage = new java.io.File(path, s".stage_$queryId")
+    val frags = bufs.toSeq.map { case ((ci, cj), (arr, bm)) =>
+      val f = new java.io.File(stage, s"$ci.$cj.p${partitionId}_t$taskId")
+      java.nio.file.Files.write(f.toPath,
+        Zarr.chunkFileBytes(arr, g.chunkH, g.chunkW, g.compressor, g.dtype))
+      java.nio.file.Files.write(new java.io.File(f.getPath + ".bm").toPath,
+        bm.toByteArray)
+      ZarrFrag(ci, cj, f.getPath)
+    }
+    ZarrChunkMsg(frags)
+  }
+
+  override def abort(): Unit = () // driver-side abort removes the stage dir
   override def close(): Unit = ()
 }
