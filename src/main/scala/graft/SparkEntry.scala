@@ -48,6 +48,7 @@ object SparkEntry {
     zonal.Hdf5.defs ++
     zonal.Reproject.defs ++
     zonal.Utm.defs ++
+    zonal.GridMapping.defs ++
     zonal.Helmert.defs ++
     llm.Text.defs ++
     llm.Dedup.defs ++

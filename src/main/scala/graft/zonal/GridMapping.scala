@@ -1,0 +1,360 @@
+package graft.zonal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Q, Tables}
+
+/** CF `grid_mapping` projections on the cube paths (r19 — VERDICT r18
+  * next-#3): the NetCDF/HDF5/Zarr worlds georeference non-lat/lon grids
+  * through a grid-mapping VARIABLE (CF Conventions §5.6 + Appendix F)
+  * named by the data variable's `grid_mapping` attribute. The two
+  * mappings regional climate + NWP output actually ships:
+  *
+  *  - `rotated_latitude_longitude` (CORDEX): the grid's pole is moved
+  *    to (grid_north_pole_latitude, grid_north_pole_longitude); the
+  *    inverse (rotated → true) is the closed-form spherical rotation
+  *      φ = asin(sin φ' sin φp + cos φ' cos φp cos λ')
+  *      λ = λp + atan2(cos φ' sin λ', sin φ' cos φp − cos φ' sin φp cos λ')
+  *    (checks: rotated pole (90, ·) → (φp, λp); grid center (0, 0) →
+  *    (90 − φp, λp + 180) — the CORDEX EUR-11 placement).
+  *  - `lambert_conformal_conic` (WRF): spherical LCC per the published
+  *    Snyder 1987 closed forms (eqs. 14-1..15-5, spherical case),
+  *    cone constant n from the two standard parallels (or n = sin φ1
+  *    for one), F, ρ0 precomputed driver-side to full double precision
+  *    and embedded as round-trippable literals (the Utm.scala
+  *    coefficient discipline):
+  *      ρ = √(x² + (ρ0 − y)²), θ = atan2(x, ρ0 − y)
+  *      φ = 2 atan((RF/ρ)^(1/n)) − π/2, λ = λ0 + θ/n
+  *
+  * Both are pure per-cell closed-form projections: codegen'd math over
+  * the stripe scan, no shuffle added; zone assignment stays a broadcast
+  * interval join in degree space — at 100 TB the cell side never
+  * shuffles (the zonal_raster_utm posture). Outputs round at 6 decimals
+  * per the transcendental discipline; the pole/cone constants embed as
+  * shortest-repr double literals so Spark and DuckDB evaluate the
+  * IDENTICAL expression tree.
+  *
+  * Dispatch discipline (the r18 GeoKey pattern): parameters are READ
+  * FROM THE FILE (a mapping the file doesn't declare is never assumed),
+  * a `grid_mapping` attribute naming a missing variable refuses, an
+  * unknown `grid_mapping_name` refuses BY NAME, a rotated mapping with
+  * a nonzero `north_pole_grid_longitude` (a third rotation this engine
+  * doesn't speak) refuses, and an LCC without a spherical earth
+  * (`earth_radius`, or equal semi-axes) refuses rather than silently
+  * running the spherical math on an ellipsoidal grid.
+  */
+object GridMapping {
+
+  // ---- parameter extraction from the classic-NetCDF header ----
+
+  import Netcdf.{NcMeta, NcVar}
+
+  /** The grid-mapping variable of `varName`, if declared. */
+  def mappingOf(path: String, m: NcMeta, varName: String): Option[NcVar] = {
+    val v = m.vars.find(_.name == varName).getOrElse(
+      sys.error(s"$path: no variable $varName"))
+    v.attrs.find(_.name == "grid_mapping").map { a =>
+      val gm = a.text.trim
+      m.vars.find(_.name == gm).getOrElse(sys.error(
+        s"$path: $varName declares grid_mapping '$gm' but no such variable exists — " +
+          "refusing to guess a projection"))
+    }
+  }
+
+  private def num(path: String, gm: NcVar, name: String): Double =
+    gm.attrs.find(_.name == name).map(_.num).getOrElse(sys.error(
+      s"$path: grid mapping ${gm.name} lacks required parameter $name"))
+
+  final case class Rotated(poleLat: Double, poleLon: Double)
+  final case class Lcc(n: Double, rf: Double, rho0: Double, lon0Deg: Double,
+      fe: Double, fn: Double)
+
+  /** Rotated-pole parameters, with the named refusals. */
+  def rotatedParams(path: String, gm: NcVar): Rotated = {
+    val name = gm.attrs.find(_.name == "grid_mapping_name").map(_.text.trim)
+      .getOrElse(sys.error(s"$path: ${gm.name} has no grid_mapping_name"))
+    require(name == "rotated_latitude_longitude",
+      s"$path: grid_mapping_name '$name' where rotated_latitude_longitude expected")
+    val npgl = gm.attrs.find(_.name == "north_pole_grid_longitude").map(_.num)
+    require(npgl.forall(_ == 0.0),
+      s"$path: north_pole_grid_longitude ${npgl.get} — the third rotation is " +
+        "not implemented; refusing rather than mislabeling every cell")
+    Rotated(num(path, gm, "grid_north_pole_latitude"),
+      num(path, gm, "grid_north_pole_longitude"))
+  }
+
+  /** Spherical-LCC derived constants, with the named refusals. */
+  def lccParams(path: String, gm: NcVar): Lcc = {
+    val name = gm.attrs.find(_.name == "grid_mapping_name").map(_.text.trim)
+      .getOrElse(sys.error(s"$path: ${gm.name} has no grid_mapping_name"))
+    require(name == "lambert_conformal_conic",
+      s"$path: grid_mapping_name '$name' where lambert_conformal_conic expected")
+    val r = gm.attrs.find(_.name == "earth_radius").map(_.num).orElse {
+      val maj = gm.attrs.find(_.name == "semi_major_axis").map(_.num)
+      val min = gm.attrs.find(_.name == "semi_minor_axis").map(_.num)
+      (maj, min) match {
+        case (Some(a), Some(b)) if a == b => Some(a)
+        case (Some(a), None) => Some(a)
+        case _ => None
+      }
+    }.getOrElse(sys.error(
+      s"$path: lambert_conformal_conic without a spherical earth " +
+        "(earth_radius, or equal semi-axes) — the ellipsoidal LCC inverse " +
+        "is not implemented; refusing rather than running spherical math on it"))
+    require(!gm.attrs.exists(a => a.name == "semi_minor_axis" &&
+        gm.attrs.exists(b => b.name == "semi_major_axis" && b.num != a.num)),
+      s"$path: ellipsoidal LCC (unequal semi-axes) refused by name")
+    val sps = gm.attrs.find(_.name == "standard_parallel").map(a =>
+      if (a.nums.nonEmpty) a.nums else Seq(a.num)).getOrElse(
+      sys.error(s"$path: lambert_conformal_conic lacks standard_parallel"))
+    require(sps.length == 1 || sps.length == 2,
+      s"$path: standard_parallel wants 1 or 2 values, got ${sps.length}")
+    val lon0 = num(path, gm, "longitude_of_central_meridian")
+    val lat0 = num(path, gm, "latitude_of_projection_origin")
+    val fe = gm.attrs.find(_.name == "false_easting").map(_.num).getOrElse(0.0)
+    val fn = gm.attrs.find(_.name == "false_northing").map(_.num).getOrElse(0.0)
+    val p1 = math.toRadians(sps.head)
+    val p2 = math.toRadians(sps.last)
+    val n =
+      if (sps.length == 1 || sps.head == sps.last) math.sin(p1)
+      else math.log(math.cos(p1) / math.cos(p2)) /
+        math.log(math.tan(math.Pi / 4 + p2 / 2) / math.tan(math.Pi / 4 + p1 / 2))
+    require(n > 0,
+      s"$path: southern-cone LCC (n = $n) — not implemented, refusing")
+    val f = math.cos(p1) * math.pow(math.tan(math.Pi / 4 + p1 / 2), n) / n
+    val rf = r * f
+    val rho0 = rf / math.pow(math.tan(math.Pi / 4 + math.toRadians(lat0) / 2), n)
+    Lcc(n, rf, rho0, lon0, fe, fn)
+  }
+
+  // ---- the shared SQL (identical text on both engines) ----
+
+  /** Unrotate `(x_coord = rlon deg, y_coord = rlat deg)` → lon/lat.
+    * Pole sin/cos embed as full-precision literals; the longitude
+    * normalizes into (−180, 180] BEFORE the round-6.
+    */
+  def rotatedExprs(p: Rotated): Seq[Seq[String]] = {
+    val sinP = math.sin(math.toRadians(p.poleLat))
+    val cosP = math.cos(math.toRadians(p.poleLat))
+    val lRad = math.toRadians(p.poleLon)
+    Seq(
+      Seq("*",
+        "sin(radians(y_coord)) AS srl", "cos(radians(y_coord)) AS crl",
+        "sin(radians(x_coord)) AS srn", "cos(radians(x_coord)) AS crn"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"degrees(asin(srl * $sinP + crl * $cosP * crn)) AS lat_raw",
+        s"degrees($lRad + atan2(crl * srn, srl * $cosP - crl * $sinP * crn)) AS lon_raw"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        "round(lat_raw, 6) AS lat",
+        "round(CASE WHEN lon_raw > 180 THEN lon_raw - 360 " +
+          "WHEN lon_raw <= -180 THEN lon_raw + 360 ELSE lon_raw END, 6) AS lon"))
+  }
+
+  /** Spherical-LCC inverse over `(x_coord, y_coord)` projection meters. */
+  def lccExprs(p: Lcc): Seq[Seq[String]] = {
+    val invN = 1.0 / p.n
+    val lon0Rad = math.toRadians(p.lon0Deg)
+    Seq(
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"CAST(x_coord - ${p.fe} AS DOUBLE) AS px",
+        s"CAST(${p.rho0} - (y_coord - ${p.fn}) AS DOUBLE) AS py"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        "sqrt(px * px + py * py) AS rho", "atan2(px, py) AS theta"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"round(degrees(2 * atan(pow(${p.rf} / rho, $invN)) - 1.5707963267948966), 6) AS lat",
+        s"round(degrees($lon0Rad + theta * $invN), 6) AS lon"))
+  }
+
+  def exprsSql(cellsSql: String, levels: Seq[Seq[String]], tag: String): String = {
+    val nested = levels.zipWithIndex.foldLeft(s"($cellsSql) ${tag}_l0") {
+      case (from, (exprs, i)) =>
+        s"(SELECT ${exprs.mkString(",\n    ")}\n  FROM $from) ${tag}_l${i + 1}"
+    }
+    s"SELECT * FROM $nested"
+  }
+
+  private def applyExprs(df: DataFrame, levels: Seq[Seq[String]]): DataFrame =
+    levels.foldLeft(df)((d, exprs) => d.selectExpr(exprs: _*))
+
+  /** Per-cell lon/lat of a grid-mapped classic-NetCDF cube, dispatching
+    * on the FILE's declared grid_mapping_name (the zonal_raster_crs_auto
+    * posture): a pure map-side projection over the stripe scan.
+    */
+  def cellsLonLat(s: SparkSession, path: String, varName: String): DataFrame = {
+    val m = Netcdf.readMeta(path)
+    val gm = mappingOf(path, m, varName).getOrElse(sys.error(
+      s"$path: $varName declares no grid_mapping — refusing to assume a projection"))
+    val name = gm.attrs.find(_.name == "grid_mapping_name").map(_.text.trim)
+      .getOrElse(sys.error(s"$path: ${gm.name} has no grid_mapping_name"))
+    val levels = name match {
+      case "rotated_latitude_longitude" => rotatedExprs(rotatedParams(path, gm))
+      case "lambert_conformal_conic" => lccExprs(lccParams(path, gm))
+      case other => sys.error(
+        s"$path: grid_mapping_name '$other' is not implemented " +
+          "(rotated_latitude_longitude and lambert_conformal_conic are) — " +
+          "refusing rather than mislabeling every cell")
+    }
+    applyExprs(Netcdf.scanNetcdfCoords(s, path, varName), levels)
+  }
+
+  // ---- fixtures (formula grids; coord steps exactly representable in
+  // f32 so the file's float coordinate variables replay as exact
+  // formulas on both engines) ----
+
+  val GmW = 60
+  val GmH = 50
+  def gmValue(x: Int, y: Int): Double = ((23 * x + 19 * y) % 991).toDouble
+  private val GmCellsSql =
+    s"""SELECT x.range AS cell_x, y.range AS cell_y,
+       |  CAST((23 * x.range + 19 * y.range) % 991 AS DOUBLE) AS value
+       |FROM range(0, $GmW) x CROSS JOIN range(0, $GmH) y""".stripMargin
+
+  // CORDEX-like pole; rlon = -4 + 0.125 x, rlat = -3 + 0.125 y
+  val PoleLat = 39.25
+  val PoleLon = -162.0
+  def rotatedFixturePath(): String =
+    Raster.fixtureOnce(s"nc_rotated_${GmW}x$GmH.nc") { p =>
+      Netcdf.writeNetcdf(p, "tas", GmH, GmW, Netcdf.NcFloat,
+        coordY = y => -3.0 + 0.125 * y, coordX = x => -4.0 + 0.125 * x,
+        gridMapping = Some(("rotated_pole", Seq(
+          ("grid_mapping_name", Right("rotated_latitude_longitude")),
+          ("grid_north_pole_latitude", Left(Seq(PoleLat))),
+          ("grid_north_pole_longitude", Left(Seq(PoleLon)))))))(
+        (x, y, _) => gmValue(x, y))
+    }
+
+  // WRF-like CONUS cone; x = -90000 + 3000 i, y = -75000 + 3000 j (m)
+  val LccSp1 = 30.0
+  val LccSp2 = 60.0
+  val LccLat0 = 45.0
+  val LccLon0 = -97.0
+  val LccRadius = 6370000.0
+  def lccFixturePath(): String =
+    Raster.fixtureOnce(s"nc_lcc_${GmW}x$GmH.nc") { p =>
+      Netcdf.writeNetcdf(p, "tas", GmH, GmW, Netcdf.NcFloat,
+        coordY = y => -75000.0 + 3000.0 * y, coordX = x => -90000.0 + 3000.0 * x,
+        gridMapping = Some(("lcc", Seq(
+          ("grid_mapping_name", Right("lambert_conformal_conic")),
+          ("standard_parallel", Left(Seq(LccSp1, LccSp2))),
+          ("longitude_of_central_meridian", Left(Seq(LccLon0))),
+          ("latitude_of_projection_origin", Left(Seq(LccLat0))),
+          ("earth_radius", Left(Seq(LccRadius)))))))(
+        (x, y, _) => gmValue(x, y))
+    }
+
+  // oracle-side coord formulas (f32-exact steps)
+  private val RotCoordsSql =
+    s"""SELECT cell_x, cell_y, value,
+       |  CAST(-4.0 + 0.125 * cell_x AS DOUBLE) AS x_coord,
+       |  CAST(-3.0 + 0.125 * cell_y AS DOUBLE) AS y_coord
+       |FROM ($GmCellsSql) gm_raw""".stripMargin
+  private val LccCoordsSql =
+    s"""SELECT cell_x, cell_y, value,
+       |  CAST(-90000.0 + 3000.0 * cell_x AS DOUBLE) AS x_coord,
+       |  CAST(-75000.0 + 3000.0 * cell_y AS DOUBLE) AS y_coord
+       |FROM ($GmCellsSql) gm_raw""".stripMargin
+
+  // fixture-side Scala twins of the derived constants — the ORACLE
+  // builds its SQL from these, the ENGINE re-derives them from the
+  // file's attributes, so a parameter misread hash-fails
+  private def oracleRotatedSql: String =
+    exprsSql(RotCoordsSql, rotatedExprs(Rotated(PoleLat, PoleLon)), "rot")
+  private def oracleLccSql: String = {
+    val p1 = math.toRadians(LccSp1); val p2 = math.toRadians(LccSp2)
+    val n = math.log(math.cos(p1) / math.cos(p2)) /
+      math.log(math.tan(math.Pi / 4 + p2 / 2) / math.tan(math.Pi / 4 + p1 / 2))
+    val rf = LccRadius * math.cos(p1) * math.pow(math.tan(math.Pi / 4 + p1 / 2), n) / n
+    val rho0 = rf / math.pow(math.tan(math.Pi / 4 + math.toRadians(LccLat0) / 2), n)
+    exprsSql(LccCoordsSql, lccExprs(Lcc(n, rf, rho0, LccLon0, 0.0, 0.0)), "lcc")
+  }
+
+  /** Degree-space zone envelopes inside an extent, keyed off nation. */
+  private def zonesSql(lon0: Double, dLon: Double, wLon: Double,
+      lat0: Double, dLat: Double, hLat: Double): String =
+    s"""SELECT n_nationkey AS zone_id,
+       |  $lon0 + (n_nationkey * 2 % 56) * $dLon AS lonmin,
+       |  $lon0 + (n_nationkey * 2 % 56) * $dLon + $wLon AS lonmax,
+       |  $lat0 + (n_nationkey * 3 % 56) * $dLat AS latmin,
+       |  $lat0 + (n_nationkey * 3 % 56) * $dLat + $hLat AS latmax
+       |FROM nation""".stripMargin
+
+  // rotated extent: lon 12.3..24.8, lat 47.5..53.8
+  private val RotZonesSql = zonesSql(13.0, 0.15, 0.4, 48.0, 0.09, 0.25)
+  // lcc extent: lon -98.2..-95.8, lat 44.3..45.7
+  private val LccZonesSql = zonesSql(-98.0, 0.035, 0.08, 44.4, 0.02, 0.05)
+
+  private def zones(s: SparkSession, d: String, sql: String): DataFrame = {
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+    s.sql(sql)
+  }
+
+  private def zonalSql(cellsSql: String, zonesSqlText: String): String =
+    s"""WITH zones AS (
+       |$zonesSqlText
+       |), cells AS (
+       |$cellsSql
+       |)
+       |SELECT zone_id, count(*) AS n_cells,
+       |  CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS sum_v,
+       |  min(lon) AS lon_min, max(lon) AS lon_max,
+       |  min(lat) AS lat_min, max(lat) AS lat_max
+       |FROM cells JOIN zones
+       |  ON lon BETWEEN lonmin AND lonmax AND lat BETWEEN latmin AND latmax
+       |GROUP BY zone_id ORDER BY zone_id""".stripMargin
+
+  private def zonalStats(cells: DataFrame, zs: DataFrame): DataFrame =
+    cells.join(broadcast(zs),
+        col("lon").between(col("lonmin"), col("lonmax"))
+          && col("lat").between(col("latmin"), col("latmax")))
+      .groupBy("zone_id")
+      .agg(count(lit(1)).as("n_cells"),
+        sum(col("value").cast("long")).as("sum_v"),
+        min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
+        min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"))
+      .orderBy("zone_id")
+
+  def defs: Seq[(String, Q)] = Seq(
+    // the unrotation primitive: every cell of the CORDEX-style fixture
+    // annotated with true lon/lat via the closed-form spherical
+    // rotation, parameters READ FROM THE FILE's grid-mapping variable —
+    // the oracle replays the identical expression tree from the fixture
+    // constants, so a pole misread, sign flip, or normalization bug
+    // hash-fails
+    "scan_netcdf_rotated" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleRotatedSql) rot_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLat(s, rotatedFixturePath(), "tas")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // the end-use: WGS84-degree zones straight over a rotated-pole cube
+    // — per-cell unrotation INSIDE the plan, broadcast interval join in
+    // degree space, one hash agg (the zonal_raster_utm posture)
+    "zonal_netcdf_rotated" -> Q(
+      zonalSql(oracleRotatedSql, RotZonesSql)) { (s, d) =>
+      zonalStats(cellsLonLat(s, rotatedFixturePath(), "tas"),
+        zones(s, d, RotZonesSql))
+    },
+
+    // the LCC primitive: WRF-style spherical Lambert conformal conic,
+    // cone constants derived from the file's standard_parallel PAIR
+    // (the CF array attribute) + origin/radius, embedded as literals
+    "scan_netcdf_lcc" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleLccSql) lcc_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLat(s, lccFixturePath(), "tas")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // degree-space zones over the LCC grid
+    "zonal_netcdf_lcc" -> Q(
+      zonalSql(oracleLccSql, LccZonesSql)) { (s, d) =>
+      zonalStats(cellsLonLat(s, lccFixturePath(), "tas"),
+        zones(s, d, LccZonesSql))
+    }
+  )
+}

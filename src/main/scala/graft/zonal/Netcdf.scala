@@ -49,7 +49,7 @@ object Netcdf {
   private val NcChar = 2
   private val NcShort = 3
   private val NcInt = 4
-  private val NcFloat = 5
+  private[graft] val NcFloat = 5
   private val NcDouble = 6
 
   private def elemSize(t: Int): Int = t match {
@@ -61,7 +61,11 @@ object Netcdf {
   }
 
   final case class NcDim(name: String, length: Int) // length 0 = record dim
-  final case class NcAttr(name: String, ncType: Int, num: Double, text: String)
+  final case class NcAttr(name: String, ncType: Int, num: Double, text: String,
+      // r19: the FULL numeric value list (CF array attributes — e.g.
+      // lambert_conformal_conic's two standard_parallel values; `num`
+      // keeps the first for the existing single-value call sites)
+      nums: Seq[Double] = Nil)
   final case class NcVar(
       name: String, dimIds: Seq[Int], ncType: Int,
       vsize: Long, begin: Long, attrs: Seq[NcAttr])
@@ -129,20 +133,20 @@ object Netcdf {
     }
   }
 
-  private def attrValues(r: Reader, t: Int, n: Int): (Double, String) = t match {
+  private def attrValues(r: Reader, t: Int, n: Int): (Double, String, Seq[Double]) = t match {
     case NcChar =>
       val s = new String(r.bytes(n), java.nio.charset.StandardCharsets.UTF_8)
-      r.pad4(); (Double.NaN, s)
+      r.pad4(); (Double.NaN, s, Nil)
     case NcByte => val vs = (0 until n).map(_ => r.u8().toByte.toDouble); r.pad4()
-      (vs.headOption.getOrElse(Double.NaN), "")
+      (vs.headOption.getOrElse(Double.NaN), "", vs)
     case NcShort => val vs = (0 until n).map(_ => ((r.u8() << 8 | r.u8()).toShort).toDouble)
-      r.pad4(); (vs.headOption.getOrElse(Double.NaN), "")
+      r.pad4(); (vs.headOption.getOrElse(Double.NaN), "", vs)
     case NcInt => val vs = (0 until n).map(_ => r.i32().toDouble)
-      (vs.headOption.getOrElse(Double.NaN), "")
+      (vs.headOption.getOrElse(Double.NaN), "", vs)
     case NcFloat => val vs = (0 until n).map(_ => r.f32().toDouble)
-      (vs.headOption.getOrElse(Double.NaN), "")
+      (vs.headOption.getOrElse(Double.NaN), "", vs)
     case NcDouble => val vs = (0 until n).map(_ => r.f64())
-      (vs.headOption.getOrElse(Double.NaN), "")
+      (vs.headOption.getOrElse(Double.NaN), "", vs)
     case other => sys.error(s"attribute nc_type $other unsupported")
   }
 
@@ -152,8 +156,8 @@ object Netcdf {
       s"$path: malformed attribute list (tag $tag, nelems $n)")
     (0 until n).map { _ =>
       val nm = r.name(); val t = r.i32(); val cnt = r.cntInt("attr values")
-      val (num, text) = attrValues(r, t, cnt)
-      NcAttr(nm, t, num, text)
+      val (num, text, nums) = attrValues(r, t, cnt)
+      NcAttr(nm, t, num, text, nums)
     }
   }
 
@@ -1255,7 +1259,13 @@ object Netcdf {
       // r17: additional rank-3 (t, y, x) variables over the FIXED
       // timeAxis `(name, ncType, value(x, y, t))` — the multi-cube
       // climate-Dataset shape
-      extraVars3: Seq[(String, Int, (Int, Int, Int) => Double)] = Nil)(
+      extraVars3: Seq[(String, Int, (Int, Int, Int) => Double)] = Nil,
+      // r19: optional CF grid mapping — (gmVarName, attrs) writes a
+      // SCALAR int variable carrying the attrs (Left = double, possibly
+      // repeated name for array values like two standard_parallel;
+      // Right = char) and stamps `grid_mapping = gmVarName` on the data
+      // variable — the CF projection container shape (CORDEX/WRF)
+      gridMapping: Option[(String, Seq[(String, Either[Seq[Double], String])])] = None)(
       f: (Int, Int, Int) => Double): Unit = {
     require(extraVars3.isEmpty || timeAxis.isDefined,
       "extraVars3 are (t, y, x) cubes over the FIXED timeAxis — set it")
@@ -1299,17 +1309,18 @@ object Netcdf {
     val ncharDim = dims.length - 1
     // variable list: coord vars y(y) x(x) float, then the data variable
     final case class W(name: String, dimIds: Seq[Int], t: Int,
-        attrs: Seq[(String, Int, Either[Double, String])]) {
+        attrs: Seq[(String, Int, Either[Seq[Double], String])]) {
       def slab(dimLens: Int => Int): Long = {
         val fixed = dimIds.filter(d => dimLens(d) > 0)
         val raw = fixed.map(dimLens(_).toLong).product * elemSize(t)
         (raw + 3) / 4 * 4
       }
     }
-    val fillAttrs = fill.toSeq.map(v => ("_FillValue", ncType, Left(v))) ++
+    val fillAttrs = fill.toSeq.map(v => ("_FillValue", ncType, Left(Seq(v)))) ++
       pack.toSeq.flatMap { case (sc, ofs) => Seq(
-        ("scale_factor", NcDouble, Left(sc)), ("add_offset", NcDouble, Left(ofs))) } ++
-      extraAttrs.map { case (nm, v) => (nm, NcDouble, Left(v)) }
+        ("scale_factor", NcDouble, Left(Seq(sc))), ("add_offset", NcDouble, Left(Seq(ofs)))) } ++
+      extraAttrs.map { case (nm, v) => (nm, NcDouble, Left(Seq(v))) } ++
+      gridMapping.toSeq.map { case (gm, _) => ("grid_mapping", NcChar, Right(gm)) }
     val vars =
       (if (coordVars) Seq(
         W("y", Seq(yDim), NcFloat, Nil),
@@ -1319,7 +1330,12 @@ object Netcdf {
         W("t", Seq(0), NcDouble, Seq(("units", NcChar, Right(units))) ++
           timeCalendar.map(c => ("calendar", NcChar, Right(c)))) } ++
       extraVars.map { case (nm, t, _) => W(nm, Seq(yDim, xDim), t, Nil) } ++
-      extraVars3.map { case (nm, t, _) => W(nm, Seq(0, yDim, xDim), t, Nil) } :+
+      extraVars3.map { case (nm, t, _) => W(nm, Seq(0, yDim, xDim), t, Nil) } ++
+      gridMapping.toSeq.map { case (gm, as) =>
+        W(gm, Nil, NcInt, as.map {
+          case (nm, Left(ds)) => (nm, NcDouble, Left(ds))
+          case (nm, Right(sv)) => (nm, NcChar, Right(sv))
+        }) } :+
       W(varName, (if (lead == 1) Seq(0) else Nil) ++ Seq(yDim, xDim), ncType, fillAttrs)
     def dimLen(i: Int): Int = dims(i)._2
     // header size must be known to place begins: build entries, measure
@@ -1335,7 +1351,7 @@ object Netcdf {
         v.attrs.foreach { case (an, at, av) =>
           sz += nnW + ((an.length + 3) / 4 * 4) + 4 + nnW
           sz += (av match {
-            case Left(_) => (elemSize(at) + 3) / 4 * 4
+            case Left(ds) => (ds.length * elemSize(at) + 3) / 4 * 4
             case Right(sv) => (sv.length + 3) / 4 * 4
           })
         }
@@ -1363,16 +1379,16 @@ object Netcdf {
         v.attrs.foreach { case (an, at, av) =>
           wname(an); o.writeInt(at)
           av match {
-            case Left(d) =>
-              nn(1)
-              wpadded(at match {
+            case Left(ds) =>
+              nn(ds.length)
+              wpadded(ds.foreach(d => at match {
                 case NcByte => o.writeByte(d.toInt)
                 case NcShort => o.writeShort(d.toInt)
                 case NcInt => o.writeInt(d.toInt)
                 case NcFloat => o.writeFloat(d.toFloat)
                 case NcDouble => o.writeDouble(d)
                 case NcChar => sys.error("char fill")
-              }, elemSize(at))
+              }), ds.length * elemSize(at))
             case Right(sv) =>
               nn(sv.length); wpadded(o.writeBytes(sv), sv.length)
           }
@@ -1422,6 +1438,7 @@ object Netcdf {
       wpadded(for (e <- 0 until tn; y <- 0 until height; x <- 0 until width)
         sample(t, g(x, y, e)), tn * height * width * elemSize(t))
     }
+    gridMapping.foreach { _ => wpadded(o.writeInt(0), 4) }
     if (!record) {
       val fixedEpochs = timeAxis.map(_._1).getOrElse(1)
       wpadded(for (e <- 0 until fixedEpochs; y <- 0 until height; x <- 0 until width) {

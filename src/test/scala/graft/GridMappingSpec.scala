@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** CF grid_mapping projections (r19): known-point pins, an LCC
+  * forward∘inverse round trip, the single-standard-parallel variant,
+  * and the dispatch refusals (unknown name, dangling reference, third
+  * rotation, ellipsoidal LCC, no mapping at all).
+  */
+class GridMappingSpec extends SparkSuite {
+  import graft.zonal.{GridMapping => GM, Netcdf, Raster}
+
+  private def msgs(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+      .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+
+  test("rotated pole: grid (rlon=0, rlat=0) maps to (90 - poleLat, poleLon + 180) — the CORDEX center") {
+    val df = GM.cellsLonLat(spark, GM.rotatedFixturePath(), "tas")
+    // rlon = -4 + 0.125x = 0 at x=32; rlat = -3 + 0.125y = 0 at y=24
+    val r = df.filter(col("cell_x") === 32 && col("cell_y") === 24).head()
+    assert(r.getAs[Double]("lon") == 18.0 && r.getAs[Double]("lat") == 50.75,
+      s"center: ${r}")
+    // every lat inside the computed corner band, lons normalized
+    val ex = df.agg(min("lat"), max("lat"), min("lon"), max("lon")).head()
+    assert(ex.getDouble(0) > 47.0 && ex.getDouble(1) < 54.0
+      && ex.getDouble(2) > 12.0 && ex.getDouble(3) < 25.0, ex.toString)
+  }
+
+  test("lcc: the projection origin maps to (lon0, lat0); forward re-projection round-trips sub-mm") {
+    val df = GM.cellsLonLat(spark, GM.lccFixturePath(), "tas")
+    // x = -90000 + 3000i = 0 at i=30; y = -75000 + 3000j = 0 at j=25
+    val o = df.filter(col("cell_x") === 30 && col("cell_y") === 25).head()
+    assert(o.getAs[Double]("lon") == -97.0 && o.getAs[Double]("lat") == 45.0, o.toString)
+    // forward LCC (Snyder spherical) over a sample of inverse outputs
+    val p1 = math.toRadians(GM.LccSp1); val p2 = math.toRadians(GM.LccSp2)
+    val n = math.log(math.cos(p1) / math.cos(p2)) /
+      math.log(math.tan(math.Pi / 4 + p2 / 2) / math.tan(math.Pi / 4 + p1 / 2))
+    val rf = GM.LccRadius * math.cos(p1) * math.pow(math.tan(math.Pi / 4 + p1 / 2), n) / n
+    val rho0 = rf / math.pow(math.tan(math.Pi / 4 + math.toRadians(GM.LccLat0) / 2), n)
+    val sample = df.filter(col("cell_x") % 17 === 0 && col("cell_y") % 13 === 0)
+      .select("x_coord", "y_coord", "lon", "lat").collect()
+    assert(sample.length > 10)
+    sample.foreach { r =>
+      val rho = rf / math.pow(math.tan(math.Pi / 4 + math.toRadians(r.getDouble(3)) / 2), n)
+      val th = n * math.toRadians(r.getDouble(2) - GM.LccLon0)
+      val x = rho * math.sin(th); val y = rho0 - rho * math.cos(th)
+      // round-6 on lat/lon ≈ 0.11 m of position; the round trip must
+      // land within that rounding radius
+      assert(math.abs(x - r.getDouble(0)) < 0.2 && math.abs(y - r.getDouble(1)) < 0.2,
+        s"round trip: ($x, $y) vs (${r.getDouble(0)}, ${r.getDouble(1)})")
+    }
+  }
+
+  test("lcc with ONE standard parallel: n = sin(sp) and the origin still lands on (lon0, lat0)") {
+    val p = Raster.fixtureOnce("nc_lcc1_8x8.nc") { f =>
+      Netcdf.writeNetcdf(f, "tas", 8, 8, Netcdf.NcFloat,
+        coordY = y => -12000.0 + 3000.0 * y, coordX = x => -12000.0 + 3000.0 * x,
+        gridMapping = Some(("lcc", Seq(
+          ("grid_mapping_name", Right("lambert_conformal_conic")),
+          ("standard_parallel", Left(Seq(45.0))),
+          ("longitude_of_central_meridian", Left(Seq(-97.0))),
+          ("latitude_of_projection_origin", Left(Seq(45.0))),
+          ("earth_radius", Left(Seq(6370000.0)))))))((x, y, _) => (x + y).toDouble)
+    }
+    val df = GM.cellsLonLat(spark, p, "tas")
+    val o = df.filter(col("cell_x") === 4 && col("cell_y") === 4).head()
+    assert(o.getAs[Double]("lon") == -97.0 && o.getAs[Double]("lat") == 45.0, o.toString)
+  }
+
+  test("refusals: unknown mapping name, third rotation, ellipsoidal LCC, no mapping") {
+    def gmFile(tag: String, gm: Option[(String, Seq[(String, Either[Seq[Double], String])])]): String =
+      Raster.fixtureOnce(s"nc_gm_$tag.nc") { f =>
+        Netcdf.writeNetcdf(f, "tas", 4, 4, Netcdf.NcFloat,
+          gridMapping = gm)((x, y, _) => (x + y).toDouble)
+      }
+    val unknown = gmFile("unknown", Some(("m", Seq(
+      ("grid_mapping_name", Right("polar_stereographic"))))))
+    val e1 = intercept[Throwable](GM.cellsLonLat(spark, unknown, "tas"))
+    assert(msgs(e1).contains("polar_stereographic") && msgs(e1).contains("not implemented"), msgs(e1))
+
+    val third = gmFile("third", Some(("m", Seq(
+      ("grid_mapping_name", Right("rotated_latitude_longitude")),
+      ("grid_north_pole_latitude", Left(Seq(39.25))),
+      ("grid_north_pole_longitude", Left(Seq(-162.0))),
+      ("north_pole_grid_longitude", Left(Seq(10.0)))))))
+    val m3 = Netcdf.readMeta(third)
+    val e3 = intercept[Throwable](
+      GM.rotatedParams(third, GM.mappingOf(third, m3, "tas").get))
+    assert(msgs(e3).contains("third rotation"), msgs(e3))
+
+    val ell = gmFile("ell", Some(("m", Seq(
+      ("grid_mapping_name", Right("lambert_conformal_conic")),
+      ("standard_parallel", Left(Seq(30.0, 60.0))),
+      ("longitude_of_central_meridian", Left(Seq(-97.0))),
+      ("latitude_of_projection_origin", Left(Seq(45.0))),
+      ("semi_major_axis", Left(Seq(6378137.0))),
+      ("semi_minor_axis", Left(Seq(6356752.3142)))))))
+    val e4 = intercept[Throwable](GM.cellsLonLat(spark, ell, "tas"))
+    assert(msgs(e4).toLowerCase.contains("lcc") || msgs(e4).contains("spherical"), msgs(e4))
+
+    val none = gmFile("none", None)
+    val e5 = intercept[Throwable](GM.cellsLonLat(spark, none, "tas"))
+    assert(msgs(e5).contains("no grid_mapping"), msgs(e5))
+  }
+
+  test("two standard parallel values survive the classic attr parse (array attribute)") {
+    val m = Netcdf.readMeta(GM.lccFixturePath())
+    val gm = GM.mappingOf(GM.lccFixturePath(), m, "tas").get
+    val sp = gm.attrs.find(_.name == "standard_parallel").get
+    assert(sp.nums == Seq(30.0, 60.0), sp.toString)
+  }
+}
