@@ -3690,6 +3690,23 @@ object Hdf5 {
     p
   }
 
+  /** Full-selection fixture (r19): the rank-3 cube next to x, y AND a
+    * chunked CF t coordinate — sel(time=, x=, y=) on one DSv2 scan.
+    */
+  def fixtureSel3Path(): String =
+    Raster.fixtureOnce(s"h5sel3_fixture_${H5T}x${H5H}x$H5W.nc") { p =>
+      writeHdf5Multi(p, Seq(
+        ("v", Seq(H5T, H5H, H5W), "<f8",
+          Array.tabulate(H5T * H5H * H5W)(i =>
+            h5CubeValue(i % H5W, i / H5W % H5H, i / (H5H * H5W)))),
+        ("x", Seq(H5W), "<f8", Array.tabulate(H5W)(x => -120.0 + 0.25 * x)),
+        ("y", Seq(H5H), "<f8", Array.tabulate(H5H)(y => 40.0 + 0.25 * y))),
+        chunkedCoords = Seq(("t", "<f8",
+          Array.tabulate(H5T)(i => 7.0 * i + 3.0), 2)),
+        memberStrAttrs = Map("t" ->
+          Seq(("units", H5TimeUnits), ("calendar", "standard"))))
+    }
+
   private val fixtureMfLock = new Object
   @volatile private var fixtureMfReady: String = null
 
@@ -4244,6 +4261,34 @@ object Hdf5 {
     // a pushed t_ts window prunes the CHUNK manifest at planning time
     // (chunkT=2 keeps the boundary chunk; its out-of-window epoch
     // trims through the residual — PlanShapeSpec pins the ratio)
+    // FULL label-based selection on ONE rank-3 DSv2 scan (r19): the
+    // coordinate-VALUE windows AND the CF-time window prune the same
+    // chunk manifest — the xarray sel(time=, x=, y=) composition the
+    // r18 face refused (coords was rank-2-only)
+    "scan_hdf5_source_sel3" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $H5T) t)
+         |SELECT cell_x, cell_y, epoch, x_coord, y_coord, t_ts, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, epoch,
+         |    CAST(-120.0 + 0.25 * x.range AS DOUBLE) AS x_coord,
+         |    CAST(40.0 + 0.25 * y.range AS DOUBLE) AS y_coord, t_ts,
+         |    CAST((23 * x.range + 19 * y.range + 37 * epoch) % 991 AS DOUBLE) AS value
+         |  FROM epochs CROSS JOIN range(0, $H5W) x CROSS JOIN range(0, $H5H) y)
+         |WHERE x_coord BETWEEN -115.0 AND -105.0 AND y_coord >= 50.0
+         |  AND t_ts <= TIMESTAMP '2020-03-01 16:00:00'
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.Hdf5Source")
+        .option("var", "v").option("coords", "x,y").option("time", "t")
+        .load(fixtureSel3Path())
+        .filter(col("x_coord").between(-115.0, -105.0)
+          && col("y_coord") >= 50.0
+          && col("t_ts") <= lit("2020-03-01 16:00:00").cast("timestamp"))
+        .select("cell_x", "cell_y", "epoch", "x_coord", "y_coord", "t_ts", "value")
+        .orderBy("cell_x", "cell_y", "epoch")
+    },
+
     "scan_hdf5_source_time" -> Q(
       s"""WITH epochs AS (
          |  SELECT t.range AS epoch,

@@ -56,8 +56,8 @@ object Hdf5Source {
     require(timeVar == null || m.epochs > 0,
       s"$path: .option(\"time\", ...) needs a time axis " +
         s"('$varName' is rank 2)")
-    require(coords == null || (m.epochs == 0 && timeVar == null),
-      s"$path: .option(\"coords\", ...) is the 2-D label face")
+    // r19: coords compose with rank-3/4 and the time face — the chunk
+    // planner prunes every axis on the same manifest
     val pos = Seq(
       StructField("cell_x", IntegerType, nullable = false),
       StructField("cell_y", IntegerType, nullable = false))

@@ -1803,7 +1803,7 @@ object Zarr {
   /** In-bounds lattice positions of one rank-4 chunk:
     * `(tt, ll, rr, cc, x, y, l, t)` with every axis pad-clipped.
     */
-  private def inBounds4(r: ChunkRef4): Iterator[(Int, Int, Int, Int, Int, Int, Int, Int)] =
+  private[zonal] def inBounds4(r: ChunkRef4): Iterator[(Int, Int, Int, Int, Int, Int, Int, Int)] =
     for {
       tt <- Iterator.range(0, r.chunkT)
       t = r.ck * r.chunkT + tt
@@ -1925,7 +1925,7 @@ object Zarr {
   /** One rank-4 task: decode a (t, level, y, x) chunk (or shard) to
     * in-bounds cells; pad in every axis clipped.
     */
-  private def readChunk4(r: ChunkRef4): Iterator[(Int, Int, Int, Int, Double)] = {
+  private[zonal] def readChunk4(r: ChunkRef4): Iterator[(Int, Int, Int, Int, Double)] = {
     if (r.len < 0) {
       require(r.hasFill, s"${r.path}: chunk absent from the store but " +
         "fill_value is null — the cube has undefined cells; fix the store")
@@ -3132,6 +3132,23 @@ object Zarr {
     dir
   }
 
+  /** Full-selection fixture (r19): the rank-3 cube next to x, y AND t
+    * coordinate members — the xarray `ds.sel(time=slice, x=slice,
+    * y=slice)` hierarchy, exercised through ONE DSv2 scan.
+    */
+  def fixtureSel3Dir(): String =
+    Raster.fixtureOnce(s"zarr_sel3_fixture_${Zarr3T}x${ZarrH}x$ZarrW") { dir =>
+      writeZarr3d(s"$dir/v", Zarr3T, ZarrH, ZarrW, 2, 32, 32,
+        compressor = "zlib")(zarr3dValue)
+      writeZarrCoord(s"$dir/x", ZarrW, 48)(x => -120.0 + 0.25 * x)
+      writeZarrCoord(s"$dir/y", ZarrH, ZarrH)(y => 40.0 + 0.25 * y)
+      writeZarrCoord(s"$dir/t", Zarr3T, 2)(i => 7.0 * i + 3.0)
+      java.nio.file.Files.write(
+        new java.io.File(s"$dir/t", ".zattrs").toPath,
+        s"""{"units": "$ZarrTimeUnits", "calendar": "standard"}"""
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
   private val fixtureV3DsLock = new Object
   @volatile private var fixtureV3DsReady: String = null
 
@@ -3786,6 +3803,54 @@ object Zarr {
         .filter(col("x_coord").between(-115.0, -105.0)
           && col("y_coord") >= 50.0)
         .orderBy("cell_x", "cell_y")
+    },
+
+    // FULL label-based selection on ONE rank-3 DSv2 scan (r19 —
+    // VERDICT r18 next-#4: the r18 face restricted coords to rank-2):
+    // sel(time=slice, x=slice, y=slice) as three plain filters — the
+    // coordinate-VALUE windows invert to index windows and the CF-time
+    // window prunes t-chunks, all on the SAME chunk manifest
+    // (PlanShapeSpec pins the 3-axis partition count)
+    "scan_zarr_source_sel3" -> Q(
+      s"""WITH epochs AS (
+         |  SELECT t.range AS epoch,
+         |    TIMESTAMP '2020-03-01 06:00:00' + to_hours(7 * t.range + 3) AS t_ts
+         |  FROM range(0, $Zarr3T) t)
+         |SELECT cell_x, cell_y, epoch, x_coord, y_coord, t_ts, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, epoch,
+         |    CAST(-120.0 + 0.25 * x.range AS DOUBLE) AS x_coord,
+         |    CAST(40.0 + 0.25 * y.range AS DOUBLE) AS y_coord, t_ts,
+         |    CAST((29 * x.range + 13 * y.range + 41 * epoch) % 1009 AS DOUBLE) AS value
+         |  FROM epochs CROSS JOIN range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y)
+         |WHERE x_coord BETWEEN -115.0 AND -105.0 AND y_coord >= 50.0
+         |  AND t_ts <= TIMESTAMP '2020-03-01 16:00:00'
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.ZarrSource")
+        .option("coords", "x,y").option("time", "t")
+        .load(s"${fixtureSel3Dir()}/v")
+        .filter(col("x_coord").between(-115.0, -105.0)
+          && col("y_coord") >= 50.0
+          && col("t_ts") <= lit("2020-03-01 16:00:00").cast("timestamp"))
+        .select("cell_x", "cell_y", "epoch", "x_coord", "y_coord", "t_ts", "value")
+        .orderBy("cell_x", "cell_y", "epoch")
+    },
+
+    // the rank-4 DSv2 face (r19 — retiring the r18 refusal): the
+    // (t, l, y, x) store reads as (cell_x, cell_y, level, epoch, value)
+    // with all four axes pruning the chunkRefs4 manifest at planning
+    // time (PlanShapeSpec pins the 4-axis partition count)
+    "scan_zarr_source_4d" -> Q(
+      s"""SELECT cell_x, cell_y, level, epoch, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, l.range AS level, t.range AS epoch,
+         |    CAST((29 * x.range + 13 * y.range + 53 * l.range + 41 * t.range) % 1013 AS DOUBLE) AS value
+         |  FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |  CROSS JOIN range(0, $Zarr4L) l CROSS JOIN range(0, $Zarr4T) t)
+         |WHERE level = 2 AND epoch BETWEEN 1 AND 2 AND cell_x < 40
+         |ORDER BY cell_x, cell_y, level, epoch""".stripMargin) { (s, _) =>
+      s.read.format("graft.zonal.ZarrSource").load(fixture4dDir())
+        .filter(col("level") === 2 && col("epoch").between(1, 2)
+          && col("cell_x") < 40)
+        .orderBy("cell_x", "cell_y", "level", "epoch")
     },
 
     // the DSv2 face with CF TIME (r18): .option("time", "t") resolves

@@ -35,7 +35,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * At 100 TB this is the cube scan you want: the driver touches only
   * the store metadata, executors see exactly the pruned chunk list, and
   * Catalyst reasons about the source like any parquet scan. Rank-4
-  * stores refuse here (the `scanZarr4d` Dataset path is their face).
+  * stores read through this face too (r19): (cell_x, cell_y, level,
+  * epoch, value) with all four axes pruning the chunkRefs4 manifest.
   */
 class ZarrSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
@@ -69,18 +70,20 @@ object ZarrSource {
     require(path != null && path.nonEmpty,
       "graft.zonal.ZarrSource: a load(dir) is required")
     val m = Zarr.readMeta(path)
-    require(!m.rank4,
-      s"$path: rank-4 store — the DSv2 source is rank 2/3 (use scanZarr4d)")
+    // r19: rank-4 reads through the DSv2 face too (the chunkRefs4
+    // manifest — index axes only); time/coords options stay the rank-3
+    // and rank-2/3 faces respectively
     require(timeName == null || m.rank3,
       s"$path: .option(\"time\", ...) needs a rank-3 (t, y, x) store")
-    require(coords == null || (!m.rank3 && timeName == null),
-      s"$path: .option(\"coords\", ...) is the 2-D label face " +
-        "(combine with scanZarrTime for cubes)")
+    require(coords == null || !m.rank4,
+      s"$path: .option(\"coords\", ...) is the rank-2/3 label face")
     val pos = Seq(
       StructField("cell_x", IntegerType, nullable = false),
       StructField("cell_y", IntegerType, nullable = false))
-    val tail = (if (m.rank3) Seq(StructField("epoch", IntegerType, nullable = false))
-      else Nil) ++
+    val tail =
+      (if (m.rank4) Seq(StructField("level", IntegerType, nullable = false)) else Nil) ++
+      (if (m.rank3 || m.rank4) Seq(StructField("epoch", IntegerType, nullable = false))
+       else Nil) ++
       (if (coords != null) Seq(
         StructField("x_coord", DoubleType, nullable = false),
         StructField("y_coord", DoubleType, nullable = false)) else Nil) ++
@@ -188,6 +191,7 @@ final class ZarrScanBuilder(path: String, timeName: String = null,
   private var x0 = Int.MinValue; private var x1 = Int.MaxValue
   private var y0 = Int.MinValue; private var y1 = Int.MaxValue
   private var t0 = Int.MinValue; private var t1 = Int.MaxValue
+  private var l0 = Int.MinValue; private var l1 = Int.MaxValue // rank-4 level
   private var u0 = Long.MinValue; private var u1 = Long.MaxValue // t_ts micros
   private var vx0 = Double.NegativeInfinity; private var vx1 = Double.PositiveInfinity
   private var vy0 = Double.NegativeInfinity; private var vy1 = Double.PositiveInfinity
@@ -222,7 +226,7 @@ final class ZarrScanBuilder(path: String, timeName: String = null,
     case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
     case LessThan(c, v: Number) => clamp(c, hi = v.longValue() - 1)
     case EqualTo(c, v: Number) => clamp(c, lo = v.longValue()) | clamp(c, hi = v.longValue())
-    case In(c, vs) if Set("cell_x", "cell_y", "epoch")(c)
+    case In(c, vs) if Set("cell_x", "cell_y", "epoch", "level")(c)
         && vs.nonEmpty && vs.forall(_.isInstanceOf[Number]) =>
       inSets = inSets.updated(c, inSets.get(c)
         .fold(vs.map(_.asInstanceOf[Number].intValue()).toSet)(
@@ -250,6 +254,7 @@ final class ZarrScanBuilder(path: String, timeName: String = null,
       case "cell_x" => x0 = math.max(x0, toI(lo)); x1 = math.min(x1, toI(hi)); true
       case "cell_y" => y0 = math.max(y0, toI(lo)); y1 = math.min(y1, toI(hi)); true
       case "epoch" => t0 = math.max(t0, toI(lo)); t1 = math.min(t1, toI(hi)); true
+      case "level" => l0 = math.max(l0, toI(lo)); l1 = math.min(l1, toI(hi)); true
       case _ => false
     }
   }
@@ -272,6 +277,7 @@ final class ZarrScanBuilder(path: String, timeName: String = null,
       pushed.isEmpty && x0 == Int.MinValue && x1 == Int.MaxValue &&
       y0 == Int.MinValue && y1 == Int.MaxValue &&
       t0 == Int.MinValue && t1 == Int.MaxValue &&
+      l0 == Int.MinValue && l1 == Int.MaxValue &&
       u0 == Long.MinValue && u1 == Long.MaxValue
   override def supportCompletePushDown(agg: Aggregation): Boolean = canPushCount(agg)
   override def pushAggregation(agg: Aggregation): Boolean = {
@@ -289,10 +295,12 @@ final class ZarrScanBuilder(path: String, timeName: String = null,
   override def build(): Scan =
     if (countPushed) {
       val m = Zarr.readMeta(path)
-      val n = m.width.toLong * m.height * (if (m.rank3) m.epochs.toLong else 1L)
+      val n = m.width.toLong * m.height *
+        (if (m.rank3 || m.rank4) m.epochs.toLong else 1L) *
+        (if (m.rank4) m.levels.toLong else 1L)
       new MetaCountScan(n, s"zarr:$path")
     } else new ZarrScan(path, timeName, coords, required,
-      x0, x1, y0, y1, t0, t1, u0, u1, limit, inSets, vx0, vx1, vy0, vy1)
+      x0, x1, y0, y1, t0, t1, u0, u1, limit, inSets, vx0, vx1, vy0, vy1, l0, l1)
 }
 
 final class ZarrScan(path: String, timeName: String, coords: String,
@@ -301,7 +309,8 @@ final class ZarrScan(path: String, timeName: String, coords: String,
     u0: Long, u1: Long, limit: Int = -1,
     inSets: Map[String, Set[Int]] = Map.empty,
     vx0: Double = Double.NegativeInfinity, vx1: Double = Double.PositiveInfinity,
-    vy0: Double = Double.NegativeInfinity, vy1: Double = Double.PositiveInfinity)
+    vy0: Double = Double.NegativeInfinity, vy1: Double = Double.PositiveInfinity,
+    l0: Int = Int.MinValue, l1: Int = Int.MaxValue)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
@@ -330,11 +339,12 @@ final class ZarrScan(path: String, timeName: String, coords: String,
   private var rtEpochs: Option[Set[Int]] = inSets.get("epoch")
   private var rtXs: Option[Set[Int]] = inSets.get("cell_x")
   private var rtYs: Option[Set[Int]] = inSets.get("cell_y")
+  private var rtLs: Option[Set[Int]] = inSets.get("level")
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
     import org.apache.spark.sql.connector.expressions.Expressions
     // only columns the (pruned) scan still OUTPUTS — Spark resolves
     // these against readSchema, so a pruned-away axis must not appear
-    required.fieldNames.filter(Set("cell_x", "cell_y", "epoch"))
+    required.fieldNames.filter(Set("cell_x", "cell_y", "epoch", "level"))
       .map(Expressions.column).toArray
   }
   override def filter(filters: Array[Filter]): Unit = filters.foreach {
@@ -346,6 +356,7 @@ final class ZarrScan(path: String, timeName: String, coords: String,
     case "epoch" => rtEpochs = Some(rtEpochs.fold(vs)(_ intersect vs))
     case "cell_x" => rtXs = Some(rtXs.fold(vs)(_ intersect vs))
     case "cell_y" => rtYs = Some(rtYs.fold(vs)(_ intersect vs))
+    case "level" => rtLs = Some(rtLs.fold(vs)(_ intersect vs))
     case _ => ()
   }
 
@@ -381,9 +392,32 @@ final class ZarrScan(path: String, timeName: String, coords: String,
 
   private def plannedWithCells(): Seq[(InputPartition, Long)] = {
     val m = Zarr.readMeta(path)
-    require(!m.rank4,
-      s"$path: rank-4 store — the DSv2 source is rank 2/3 (use scanZarr4d)")
-    if (m.rank3) {
+    if (m.rank4) {
+      // r19: the rank-4 index face — one partition per (t, l, y, x)
+      // chunk from the existing chunkRefs4 manifest, all four axes
+      // pruning at planning AND runtime (the scanZarr4d semantics
+      // behind pushdown)
+      Zarr.chunkRefs4(m, path)
+        .filter(r =>
+          r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
+          r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0 &&
+          r.cl * m.chunkL <= l1 && (r.cl + 1) * m.chunkL > l0 &&
+          r.ck * m.chunkT <= t1 && (r.ck + 1) * m.chunkT > t0 &&
+          rtKeep(rtXs, r.cj * m.chunkW, m.chunkW) &&
+          rtKeep(rtYs, r.ci * m.chunkH, m.chunkH) &&
+          rtKeep(rtLs, r.cl * m.chunkL, m.chunkL) &&
+          rtKeep(rtEpochs, r.ck * m.chunkT, m.chunkT))
+        .map { r =>
+          val cells =
+            (math.min((r.cj + 1) * m.chunkW, m.width) - r.cj * m.chunkW).toLong *
+            (math.min((r.ci + 1) * m.chunkH, m.height) - r.ci * m.chunkH) *
+            (math.min((r.cl + 1) * m.chunkL, m.levels) - r.cl * m.chunkL) *
+            (math.min((r.ck + 1) * m.chunkT, m.epochs) - r.ck * m.chunkT)
+          // thread the t window for inner-shard pruning (the rank-4
+          // shard readers prune inner chunks against wt)
+          (Zarr4InputPartition(r.copy(wt0 = t0, wt1 = t1)): InputPartition, cells)
+        }
+    } else if (m.rank3) {
       // with a time member declared, CF-decode its axis driver-side and
       // intersect the pushed TIMESTAMP window with the labels: a chunk
       // survives iff ANY of its epochs is in-window (a chunk spans
@@ -395,10 +429,23 @@ final class ZarrScan(path: String, timeName: String, coords: String,
         else ZarrSource.timeLabels(path, timeName, m.epochs)
       val inWin: Int => Boolean =
         e => timeName == null || { val u = labels(e); u >= u0 && u <= u1 }
+      // label-based selection composed with the cube (r19): invert the
+      // pushed coordinate-VALUE windows to INDEX windows exactly like
+      // the rank-2 face — sel(time=slice, x=slice, y=slice) prunes the
+      // 3-D chunk grid on every axis in ONE scan
+      val (axes, ex0, ex1, ey0, ey1) =
+        if (coords == null) (null: (IndexedSeq[Double], IndexedSeq[Double]), x0, x1, y0, y1)
+        else {
+          val a = ZarrSource.coordAxes(path, coords)
+          val (ix0, ix1) = ZarrSource.valueWindowToIndex(a._1, vx0, vx1)
+          val (iy0, iy1) = ZarrSource.valueWindowToIndex(a._2, vy0, vy1)
+          (a, math.max(x0, ix0), math.min(x1, ix1),
+            math.max(y0, iy0), math.min(y1, iy1))
+        }
       Zarr.chunkRefs3(m, path)
         .filter(r =>
-          r.cj * m.chunkW <= x1 && (r.cj + 1) * m.chunkW > x0 &&
-          r.ci * m.chunkH <= y1 && (r.ci + 1) * m.chunkH > y0 &&
+          r.cj * m.chunkW <= ex1 && (r.cj + 1) * m.chunkW > ex0 &&
+          r.ci * m.chunkH <= ey1 && (r.ci + 1) * m.chunkH > ey0 &&
           r.ck * m.chunkT <= t1 && (r.ck + 1) * m.chunkT > t0 &&
           rtKeep(rtXs, r.cj * m.chunkW, m.chunkW) &&
           rtKeep(rtYs, r.ci * m.chunkH, m.chunkH) &&
@@ -417,11 +464,18 @@ final class ZarrScan(path: String, timeName: String, coords: String,
           val inWin = labels.filter { case (_, u) => u >= u0 && u <= u1 }.keys
           val wt0 = if (timeName != null && inWin.nonEmpty) math.max(t0, inWin.min) else t0
           val wt1 = if (timeName != null && inWin.nonEmpty) math.min(t1, inWin.max) else t1
+          val xLo = r.cj * m.chunkW
+          val xHi = math.min((r.cj + 1) * m.chunkW, m.width)
+          val yLo = r.ci * m.chunkH
+          val yHi = math.min((r.ci + 1) * m.chunkH, m.height)
           (Zarr3InputPartition(
-            r.copy(wx0 = x0, wx1 = x1, wy0 = y0, wy1 = y1, wt0 = wt0, wt1 = wt1),
+            r.copy(wx0 = ex0, wx1 = ex1, wy0 = ey0, wy1 = ey1, wt0 = wt0, wt1 = wt1),
             if (timeName == null) Map.empty
             else (r.ck * m.chunkT until math.min((r.ck + 1) * m.chunkT, m.epochs))
-              .map(e => e -> labels(e)).toMap): InputPartition, cells)
+              .map(e => e -> labels(e)).toMap,
+            if (axes == null) null
+            else (xLo, axes._1.slice(xLo, xHi).toArray,
+              yLo, axes._2.slice(yLo, yHi).toArray)): InputPartition, cells)
         }
     } else {
       // label-based selection (r18): invert the pushed coordinate-VALUE
@@ -470,12 +524,17 @@ final case class Zarr2InputPartition(ref: Zarr.ChunkRef,
     coordSlices: (Int, Array[Double], Int, Array[Double]) = null)
     extends InputPartition
 final case class Zarr3InputPartition(ref: Zarr.ChunkRef3,
-    labelMicros: Map[Int, Long] = Map.empty) extends InputPartition
+    labelMicros: Map[Int, Long] = Map.empty,
+    // label slices for this chunk's axis range: (x0, xs, y0, ys)
+    coordSlices: (Int, Array[Double], Int, Array[Double]) = null)
+    extends InputPartition
+final case class Zarr4InputPartition(ref: Zarr.ChunkRef4) extends InputPartition
 
 final class ZarrReaderFactory(cols: Array[String]) extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = p match {
     case Zarr2InputPartition(r, cs) => new Zarr2PartitionReader(r, cs, cols)
-    case Zarr3InputPartition(r, lm) => new Zarr3PartitionReader(r, lm, cols)
+    case Zarr3InputPartition(r, lm, cs) => new Zarr3PartitionReader(r, lm, cs, cols)
+    case Zarr4InputPartition(r) => new Zarr4PartitionReader(r, cols)
   }
 }
 
@@ -520,7 +579,8 @@ final class Zarr2PartitionReader(c: Zarr.ChunkRef,
 
 /** One rank-3 chunk's reader — same pruned-decode contract. */
 final class Zarr3PartitionReader(c: Zarr.ChunkRef3,
-    labelMicros: Map[Int, Long], cols: Array[String])
+    labelMicros: Map[Int, Long],
+    coordSlices: (Int, Array[Double], Int, Array[Double]), cols: Array[String])
     extends PartitionReader[InternalRow] {
   private val needsValue = cols.contains("value")
   private val it: Iterator[(Int, Int, Int, Double)] =
@@ -536,6 +596,8 @@ final class Zarr3PartitionReader(c: Zarr.ChunkRef3,
         case "cell_x" => row.update(k, cur._1)
         case "cell_y" => row.update(k, cur._2)
         case "epoch" => row.update(k, cur._3)
+        case "x_coord" => row.update(k, coordSlices._2(cur._1 - coordSlices._1))
+        case "y_coord" => row.update(k, coordSlices._4(cur._2 - coordSlices._3))
         case "t_ts" => row.update(k, labelMicros(cur._3)) // TimestampType = micros
         case "value" => row.update(k, cur._4)
       }
@@ -785,5 +847,37 @@ final class ZarrChunkDataWriter(path: String, g: ZarrGeom,
   }
 
   override def abort(): Unit = () // driver-side abort removes the stage dir
+  override def close(): Unit = ()
+}
+
+
+/** One rank-4 (t, l, y, x) chunk's reader (r19) — the same
+  * pruned-decode contract: with `value` pruned the chunk bytes are
+  * never read, positions come from chunk geometry with all four pads
+  * clipped.
+  */
+final class Zarr4PartitionReader(c: Zarr.ChunkRef4, cols: Array[String])
+    extends PartitionReader[InternalRow] {
+  private val needsValue = cols.contains("value")
+  private val it: Iterator[(Int, Int, Int, Int, Double)] =
+    if (needsValue) Zarr.readChunk4(c)
+    else Zarr.inBounds4(c).map { case (_, _, _, _, x, y, l, t) => (x, y, l, t, 0.0) }
+  private var cur: (Int, Int, Int, Int, Double) = _
+  override def next(): Boolean = { val h = it.hasNext; if (h) cur = it.next(); h }
+  override def get(): InternalRow = {
+    val row = new GenericInternalRow(cols.length)
+    var k = 0
+    while (k < cols.length) {
+      cols(k) match {
+        case "cell_x" => row.update(k, cur._1)
+        case "cell_y" => row.update(k, cur._2)
+        case "level" => row.update(k, cur._3)
+        case "epoch" => row.update(k, cur._4)
+        case "value" => row.update(k, cur._5)
+      }
+      k += 1
+    }
+    row
+  }
   override def close(): Unit = ()
 }

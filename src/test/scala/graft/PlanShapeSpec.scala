@@ -527,6 +527,52 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("r19 DSv2 composed selection: sel(time, x, y) and rank-4 windows prune the chunk manifest") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // rank-3 + coords + time in ONE scan: x_coord [-115,-105] -> x in
+    // [20,60] -> 2 of 3 x-chunks; y_coord >= 50 -> y >= 40 -> 2 of 3;
+    // t_ts <= 16:00 keeps epochs {0,1} -> 1 of 3 t-chunks => 4 of 27
+    val sel3 = spark.read.format("graft.zonal.ZarrSource")
+      .option("coords", "x,y").option("time", "t")
+      .load(s"${graft.zonal.Zarr.fixtureSel3Dir()}/v")
+      .filter(col("x_coord").between(-115.0, -105.0)
+        && col("y_coord") >= 50.0
+        && col("t_ts") <= lit("2020-03-01 16:00:00").cast("timestamp"))
+    assert(sel3.rdd.getNumPartitions == 4,
+      s"zarr sel3 must plan 4 of 27 chunks, got ${sel3.rdd.getNumPartitions}")
+    assert(sel3.count() == 41L * 30 * 2, sel3.count().toString)
+    // hdf5 twin: the sel3 fixture's cube is CONTIGUOUS (row stripes
+    // span the width), so the y window and the time window prune while
+    // the x window stays residual — pruned strictly below the full plan
+    val h5All = spark.read.format("graft.zonal.Hdf5Source")
+      .option("var", "v").option("coords", "x,y").option("time", "t")
+      .load(graft.zonal.Hdf5.fixtureSel3Path())
+    val h5 = h5All
+      .filter(col("x_coord").between(-115.0, -105.0)
+        && col("y_coord") >= 50.0
+        && col("t_ts") <= lit("2020-03-01 16:00:00").cast("timestamp"))
+    val (h5N, h5AllN) = (h5.rdd.getNumPartitions, h5All.rdd.getNumPartitions)
+    assert(h5N < h5AllN && h5N >= 1,
+      s"hdf5 sel3 must prune the stripe manifest: $h5N of $h5AllN")
+    assert(h5.count() == 41L * 30 * 2)
+    // rank-4 through the DSv2 face (r18 refusal retired): level = 2 ->
+    // 1 of 2 l-chunks, epoch [1,2] -> both t-chunks, cell_x < 40 -> 2
+    // of 3 x-chunks => 2*1*3*2 = 12 of 36; count = 40*70*1*2
+    val c4 = spark.read.format("graft.zonal.ZarrSource")
+      .load(graft.zonal.Zarr.fixture4dDir())
+      .filter(col("level") === 2 && col("epoch").between(1, 2) && col("cell_x") < 40)
+    assert(c4.rdd.getNumPartitions == 12,
+      s"zarr 4d window must plan 12 of 36 chunks, got ${c4.rdd.getNumPartitions}")
+    assert(c4.count() == 40L * 70 * 2)
+    // rank-4 count(*) answers from metadata: w*h*levels*epochs
+    val cnt = spark.read.format("graft.zonal.ZarrSource")
+      .load(graft.zonal.Zarr.fixture4dDir())
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+    assert(cnt.queryExecution.executedPlan.toString.contains("graft-meta-count"))
+    assert(cnt.head().getLong(0) ==
+      80L * 70 * graft.zonal.Zarr.Zarr4L * graft.zonal.Zarr.Zarr4T)
+  }
+
   test("r18 DSv2 sharded-store + zonal end-use: epoch pushdown prunes shards, rasterize broadcasts") {
     import org.apache.spark.sql.functions.col
     // the sharded v3 cube reads through the DSv2 face; the epoch
