@@ -62,3 +62,39 @@ object MetaCountReaderFactory extends PartitionReaderFactory {
       override def close(): Unit = ()
     }
 }
+
+/** One-row metadata-answer scan (r19 — the MIN/MAX generalization of
+  * [[MetaCountScan]]): a completely-pushed aggregation whose answer is
+  * EXACT from trusted metadata (the `_tile_stats` sidecar) plans this
+  * single-partition, single-row scan — zero data files opened.
+  */
+final class MetaRowScan(schema: StructType, values: Array[Any], what: String)
+    extends Scan with Batch with SupportsReportStatistics {
+  require(schema.length == values.length, s"$what: ${schema.length} fields, ${values.length} values")
+  override def estimateStatistics(): Statistics = GeomStats(1L, 8L * values.length)
+  override def readSchema(): StructType = schema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-meta-row $what ${schema.fieldNames.zip(values).map { case (n, v) => s"$n=$v" }.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(MetaRowPartition(values))
+  override def createReaderFactory(): PartitionReaderFactory = MetaRowReaderFactory
+}
+
+final case class MetaRowPartition(values: Array[Any]) extends InputPartition
+
+object MetaRowReaderFactory extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var done = false
+      private val vs = p.asInstanceOf[MetaRowPartition].values
+      override def next(): Boolean = { val h = !done; done = true; h }
+      override def get(): InternalRow = {
+        val row = new GenericInternalRow(vs.length)
+        var i = 0
+        while (i < vs.length) { row.update(i, vs(i)); i += 1 }
+        row
+      }
+      override def close(): Unit = ()
+    }
+}

@@ -3,7 +3,7 @@ package graft.zonal
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.sources._
@@ -37,17 +37,22 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * lists, and accepts runtime (DPP) join-key filters.
   */
 class TiffSource extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    TiffSource.schemaFor(options.get("path"))
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    if (TiffSource.isMosaic(path)) TiffSource.Schema
+    else TiffSource.schemaFor(path)
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
     require(path != null && path.nonEmpty, "graft.zonal.TiffSource: a load(path) is required")
-    new TiffTable(path)
+    if (TiffSource.isMosaic(path)) new TiffMosaicTable(path)
+    else new TiffTable(path)
   }
 }
 
 object TiffSource {
+  private[zonal] def isMosaic(path: String): Boolean = TiffMosaic.isMosaic(path)
   val Schema: StructType = StructType(Seq(
     StructField("cell_x", IntegerType, nullable = false),
     StructField("cell_y", IntegerType, nullable = false),
@@ -68,6 +73,154 @@ object TiffSource {
       StructField("band", IntegerType, nullable = false),
       StructField("value", DoubleType, nullable = false)))
   }
+}
+
+object TiffMosaic {
+  /** A directory carrying the `_tile_stats` sidecar is the MOSAIC face. */
+  private[zonal] def isMosaic(path: String): Boolean = {
+    if (path == null || path.isEmpty) false
+    else {
+      val p = new org.apache.hadoop.fs.Path(path, "_tile_stats")
+      try p.getFileSystem(new org.apache.hadoop.conf.Configuration()).exists(p)
+      catch { case _: Exception => false }
+    }
+  }
+}
+
+/** MOSAIC face (r19): a tile-collection directory with the
+  * `_tile_stats` sidecar — the COG-catalog shape. One partition per
+  * tile block across all member files; MIN/MAX(value) aggregations
+  * push down COMPLETELY to the sidecar (per-file min/max are exact),
+  * so `SELECT min(value), max(value) FROM mosaic` opens ZERO data
+  * files — the raster analogue of parquet footer statistics. Anything
+  * the sidecar cannot answer exactly (a filter, a grouping, any other
+  * aggregate) falls back to the real scan — never approximated.
+  */
+final class TiffMosaicTable(dir: String) extends Table with SupportsRead {
+  override def name(): String = s"tiff-mosaic:$dir"
+  override def schema(): StructType = TiffSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new TiffMosaicScanBuilder(dir)
+}
+
+final class TiffMosaicScanBuilder(dir: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+
+  private var x0 = Int.MinValue; private var x1 = Int.MaxValue
+  private var y0 = Int.MinValue; private var y1 = Int.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = TiffSource.Schema
+
+  private def bound(f: Filter): Boolean = f match {
+    case And(l, r) => val a = bound(l); val b = bound(r); a || b
+    case GreaterThanOrEqual(c, v: Number) => clamp(c, lo = v.longValue())
+    case GreaterThan(c, v: Number) => clamp(c, lo = v.longValue() + 1)
+    case LessThanOrEqual(c, v: Number) => clamp(c, hi = v.longValue())
+    case LessThan(c, v: Number) => clamp(c, hi = v.longValue() - 1)
+    case EqualTo(c, v: Number) => clamp(c, lo = v.longValue()) | clamp(c, hi = v.longValue())
+    case _ => false
+  }
+  private def clamp(col: String, lo: Long = Long.MinValue, hi: Long = Long.MaxValue): Boolean = {
+    def toI(v: Long): Int = math.max(Int.MinValue.toLong, math.min(Int.MaxValue.toLong, v)).toInt
+    col match {
+      case "cell_x" => x0 = math.max(x0, toI(lo)); x1 = math.min(x1, toI(hi)); true
+      case "cell_y" => y0 = math.max(y0, toI(lo)); y1 = math.min(y1, toI(hi)); true
+      case _ => false
+    }
+  }
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(bound)
+    filters // tile-granular pruning: every filter stays residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(s: StructType): Unit = required = s
+
+  // MIN/MAX(value) from the sidecar (r19 — VERDICT r18 next-#5): exact
+  // because each line records the tile's true min/max; ONLY with no
+  // grouping and no accepted window — everything else falls back to
+  // the scan (exactness over cleverness, never approximate)
+  private var aggPushed: Seq[AnyRef] = Nil
+  private def minMaxOnValue(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      pushed.isEmpty && x0 == Int.MinValue && x1 == Int.MaxValue &&
+      y0 == Int.MinValue && y1 == Int.MaxValue &&
+      agg.aggregateExpressions.forall {
+        case m: Min => m.column() match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+            r.fieldNames.sameElements(Array("value"))
+          case _ => false
+        }
+        case m: Max => m.column() match {
+          case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+            r.fieldNames.sameElements(Array("value"))
+          case _ => false
+        }
+        case _ => false
+      }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = minMaxOnValue(agg)
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (!minMaxOnValue(agg)) false
+    else { aggPushed = agg.aggregateExpressions.toSeq; true }
+  }
+
+  override def build(): Scan =
+    if (aggPushed.nonEmpty) {
+      val st = Raster.readStatsManifest(dir)
+      require(st.nonEmpty, s"$dir: empty _tile_stats sidecar")
+      val values: Array[Any] = aggPushed.map {
+        case _: Min => st.map(_.vmin).min: Any
+        case _: Max => st.map(_.vmax).max: Any
+        case other => sys.error(s"unreachable pushed aggregate $other")
+      }.toArray
+      val schema = StructType(aggPushed.zipWithIndex.map {
+        case (_: Min, i) => StructField(s"vmin_$i", DoubleType, nullable = false)
+        case (_, i) => StructField(s"vmax_$i", DoubleType, nullable = false)
+      })
+      new MetaRowScan(schema, values, s"tiff-mosaic:$dir")
+    } else new TiffMosaicScan(dir, required, x0, x1, y0, y1)
+}
+
+/** The real mosaic scan: headers read once per file in EXECUTOR tasks
+  * (the mosaicMetas fan-out), one partition per tile block, window
+  * pruned at planning, zero shuffle.
+  */
+final class TiffMosaicScan(dir: String, required: StructType,
+    x0: Int, x1: Int, y0: Int, y1: Int)
+    extends Scan with Batch with SupportsReportStatistics {
+  override def estimateStatistics(): Statistics = {
+    val rows = plannedWithCells().map(_._2).sum
+    GeomStats(rows, math.max(1, required.fields.map(_.dataType.defaultSize).sum))
+  }
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-tiff-mosaic $dir window=[$x0..$x1]x[$y0..$y1] " +
+      s"cols=${required.fieldNames.mkString(",")}"
+  override def planInputPartitions(): Array[InputPartition] =
+    plannedWithCells().map(_._1).toArray
+  private def plannedWithCells(): Seq[(InputPartition, Long)] = {
+    val st = Raster.readStatsManifest(dir)
+    val metas = Raster.mosaicMetas(org.apache.spark.sql.SparkSession.active,
+      st.map(t => (t.path, t.ox, t.oy)))
+    metas.foreach { case (p, _, _, m) =>
+      require(m.bands == 1, s"$p: ${m.bands} bands — the mosaic face is single-band") }
+    metas.flatMap((Raster.shiftedRefs _).tupled)
+      .filter { r =>
+        val wIn = math.max(0, math.min(r.tileW, r.width - r.tx0))
+        val hIn = math.max(0, math.min(r.tileH, r.height - r.ty0))
+        r.tx0 <= x1 && r.tx0 + wIn > x0 && r.ty0 <= y1 && r.ty0 + hIn > y0
+      }
+      .map { r =>
+        val wIn = math.max(0, math.min(r.tileW, r.width - r.tx0)).toLong
+        val hIn = math.max(0, math.min(r.tileH, r.height - r.ty0)).toLong
+        (TiffInputPartition(r): InputPartition, wIn * hIn)
+      }
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new TiffReaderFactory(required.fieldNames)
 }
 
 final class TiffTable(path: String) extends Table with SupportsRead {

@@ -527,6 +527,35 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("r19 MIN/MAX aggregate pushdown: the mosaic sidecar answers without opening one data file") {
+    import org.apache.spark.sql.functions.{col, min, max}
+    // hand-built mosaic: 2 tiles + exact sidecar, then one tile's bytes
+    // POISONED — the pushed min/max must still answer (zero data reads),
+    // while a real scan over the same mosaic fails loudly
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/minmax_poison_mosaic"
+    graft.core.Fs.rmTree(dir)
+    graft.zonal.Raster.writeTiff(s"$dir/a.tif", 16, 16, 16, 16)((x, y) => (x + y).toDouble)
+    graft.zonal.Raster.writeTiff(s"$dir/b.tif", 16, 16, 16, 16)((x, y) => (100 + x + y).toDouble)
+    graft.zonal.Raster.writeStatsManifest(dir, Seq(
+      graft.zonal.Raster.TileStats("a.tif", 0, 0, 0.0, 30.0),
+      graft.zonal.Raster.TileStats("b.tif", 16, 0, 100.0, 130.0)))
+    // poison tile b's data region (keep the header: readMeta still works)
+    val raf = new java.io.RandomAccessFile(s"$dir/b.tif", "rw")
+    try { raf.seek(raf.length() - 64); raf.write(Array.fill(32)(0x7f.toByte)) }
+    finally raf.close()
+    val mosaic = spark.read.format("graft.zonal.TiffSource").load(dir)
+    val agg = mosaic.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    assert(agg.queryExecution.executedPlan.toString.contains("graft-meta-row"),
+      agg.queryExecution.executedPlan.toString.take(800))
+    val r = agg.head()
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 130.0, r.toString)
+    // fallback posture: a filtered aggregate must NOT push down...
+    val filtered = mosaic.filter(col("cell_x") < 8).agg(min(col("value")))
+    assert(!filtered.queryExecution.executedPlan.toString.contains("graft-meta-row"))
+    // ...and the real scan touches data bytes, so the poison surfaces
+    intercept[Throwable](mosaic.agg(org.apache.spark.sql.functions.sum("value")).head())
+  }
+
   test("r19 DSv2 composed selection: sel(time, x, y) and rank-4 windows prune the chunk manifest") {
     import org.apache.spark.sql.functions.{col, lit}
     // rank-3 + coords + time in ONE scan: x_coord [-115,-105] -> x in
