@@ -36,13 +36,27 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * list, and Catalyst reasons about the source like a parquet scan.
   */
 class Hdf5Source extends TableProvider {
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Hdf5Source.schemaFor(options.get("path"), options.get("var"),
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = options.get("path")
+    // a MEMBER LANDING directory is the STREAMING face (r19) — see
+    // [[Hdf5MembersTable]]
+    if (path != null && path.nonEmpty && Hdf5MembersTable.isMemberDir(path))
+      Hdf5MembersTable.Schema
+    else Hdf5Source.schemaFor(path, options.get("var"),
       options.get("time"), options.get("coords"))
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new Hdf5Table(properties.get("path"), properties.get("var"),
+      properties: java.util.Map[String, String]): Table = {
+    val path = properties.get("path")
+    if (path != null && path.nonEmpty && Hdf5MembersTable.isMemberDir(path)) {
+      val varName = properties.get("var")
+      require(varName != null && varName.nonEmpty,
+        "graft.zonal.Hdf5Source: .option(\"var\", <dataset name>) is required")
+      new Hdf5MembersTable(path, varName,
+        Option(properties.get("members_per_batch")).map(_.toInt).getOrElse(-1))
+    } else new Hdf5Table(path, properties.get("var"),
       properties.get("time"), properties.get("coords"))
+  }
 }
 
 object Hdf5Source {

@@ -3760,6 +3760,30 @@ object Zarr {
       }.reduce(_ unionAll _).orderBy("src")
     },
 
+    // SQL DDL over the DSv2 face (r19 — VERDICT r18 next-#6): the cube
+    // registers in the session catalog via
+    // `CREATE TABLE ... USING graft.zonal.ZarrSource OPTIONS (path ...)`
+    // and a windowed SELECT runs through the CATALOG path — pushdown
+    // still fires (PlanShapeSpec pins PushedFilters + the pruned
+    // partition count through this route); the table is metadata-only,
+    // the store stays where it is
+    "sql_cube_select" -> Q(
+      s"""SELECT cell_x, cell_y, epoch, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,
+         |    CAST((29 * x.range + 13 * y.range + 41 * t.range) % 1009 AS DOUBLE) AS value
+         |  FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+         |  CROSS JOIN range(0, $Zarr3T) t)
+         |WHERE cell_x BETWEEN 8 AND 40 AND cell_y >= 35 AND epoch = 2
+         |ORDER BY cell_x, cell_y, epoch""".stripMargin) { (s, _) =>
+      s.sql("DROP TABLE IF EXISTS graft_cube_sql")
+      s.sql(s"""CREATE TABLE graft_cube_sql
+               |USING graft.zonal.ZarrSource
+               |OPTIONS (path '${fixture3dDir()}')""".stripMargin)
+      s.sql("""SELECT cell_x, cell_y, epoch, value FROM graft_cube_sql
+              |WHERE cell_x BETWEEN 8 AND 40 AND cell_y >= 35 AND epoch = 2
+              |ORDER BY cell_x, cell_y, epoch""".stripMargin)
+    },
+
     // RUNTIME (DPP-style) filtering (r18): the DSv2 scans implement
     // SupportsRuntimeFiltering — a broadcast join's build-side key
     // values (In/EqualTo on epoch/cell axes) re-prune the chunk

@@ -527,6 +527,27 @@ class PlanShapeSpec extends SparkSuite {
     }
   }
 
+  test("r19 SQL DDL over the DSv2 face: catalog-path SELECT still pushes filters and prunes chunks") {
+    spark.sql("DROP TABLE IF EXISTS graft_cube_ddl")
+    spark.sql(s"""CREATE TABLE graft_cube_ddl
+                 |USING graft.zonal.ZarrSource
+                 |OPTIONS (path '${graft.zonal.Zarr.fixture3dDir()}')""".stripMargin)
+    val q = spark.sql("""SELECT cell_x, cell_y, epoch, value FROM graft_cube_ddl
+                        |WHERE cell_x BETWEEN 8 AND 40 AND cell_y >= 35 AND epoch = 2""".stripMargin)
+    // pushdown fires through the catalog route: the scan description
+    // carries the clamped window, and the chunk manifest prunes —
+    // x in [8,40] -> 2 of 3, y >= 35 -> 2 of 3, epoch 2 -> 1 of 3 => 4
+    val scanDesc = q.queryExecution.executedPlan.collectLeaves().mkString
+    assert(scanDesc.contains("graft-zarr"), scanDesc.take(500))
+    assert(q.rdd.getNumPartitions == 4,
+      s"catalog-path window must prune 4 of 27 chunks, got ${q.rdd.getNumPartitions}")
+    assert(q.count() == 33L * 35)
+    val pushed = q.queryExecution.optimizedPlan.toString
+    assert(pushed.contains("PushedFilters") || scanDesc.contains("window=[8..40]"),
+      "pushed window not visible in the plan")
+    spark.sql("DROP TABLE graft_cube_ddl")
+  }
+
   test("r19 MIN/MAX aggregate pushdown: the mosaic sidecar answers without opening one data file") {
     import org.apache.spark.sql.functions.{col, min, max}
     // hand-built mosaic: 2 tiles + exact sidecar, then one tile's bytes

@@ -410,6 +410,42 @@ class StreamSpec extends SparkSuite {
     assert(batch.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "epoch", "value"))
   }
 
+  test("r19 streaming DSv2, hdf5 twin: chunked members batch under admission control and resume exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("h5stream").toString
+    val land = s"$base/land"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(land).mkdirs()
+    for (k <- 0 until 3)
+      graft.zonal.Hdf5.writeHdf5(f"$land/part-$k%04d.nc", "v", 8, 8, 4, 4,
+        dtype = "<f8", deflate = true)((x, y) => (x + y + 100 * k).toDouble)
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.format("graft.zonal.Hdf5Source")
+        .option("var", "v").option("members_per_batch", "2").load(land)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q
+    }
+    val q1 = drain()
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 2,
+      "3 members at 2/batch need >= 2 micro-batches")
+    assert(spark.read.parquet(out).count() == 3L * 64)
+    // a late file resumes exactly-once from the same checkpoint
+    graft.zonal.Hdf5.writeHdf5(f"$land/part-0003.nc", "v", 8, 8, 4, 4,
+      dtype = "<f8", deflate = true)((x, y) => (x + y + 300).toDouble)
+    drain()
+    val r2 = spark.read.parquet(out)
+    assert(r2.count() == 4L * 64)
+    assert(r2.filter(col("epoch") === 3 && col("cell_x") === 1 && col("cell_y") === 2)
+      .head().getDouble(3) == 303.0)
+    // the same landing dir batch-reads as the full cube
+    val batch = spark.read.format("graft.zonal.Hdf5Source")
+      .option("var", "v").load(land)
+    assert(batch.count() == 4L * 64)
+    assert(batch.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "epoch", "value"))
+  }
+
   test("events_anomaly flags exactly the >3σ tail of each event type") {
     val rows = q("events_anomaly").collect()
     assert(rows.nonEmpty, "the heavy-tailed fixture should have 3σ outliers")
