@@ -61,58 +61,77 @@ object GridMapping {
     }
   }
 
-  private def num(path: String, gm: NcVar, name: String): Double =
-    gm.attrs.find(_.name == name).map(_.num).getOrElse(sys.error(
-      s"$path: grid mapping ${gm.name} lacks required parameter $name"))
+  /** Format-agnostic attribute view of a grid-mapping container (r19):
+    * the classic-NetCDF attr list, a Zarr member's `.zattrs`, and an
+    * HDF5 member's attribute messages all validate through ONE path.
+    */
+  final case class GmAttrs(where: String, strs: Map[String, String],
+      nums: Map[String, Seq[Double]]) {
+    def str(name: String): Option[String] = strs.get(name).map(_.trim)
+    def num1(name: String): Option[Double] = nums.get(name).map(_.head)
+    def mappingName: String = str("grid_mapping_name").getOrElse(
+      sys.error(s"$where: grid-mapping container has no grid_mapping_name"))
+  }
+
+  private[zonal] def gmAttrsOf(path: String, gm: NcVar): GmAttrs =
+    GmAttrs(s"$path:${gm.name}",
+      gm.attrs.filter(_.ncType == Netcdf.NcChar).map(a => a.name -> a.text).toMap,
+      gm.attrs.filter(a => a.nums.nonEmpty || !a.num.isNaN)
+        .map(a => a.name -> (if (a.nums.nonEmpty) a.nums else Seq(a.num))).toMap)
+
+  private def num(a: GmAttrs, name: String): Double =
+    a.num1(name).getOrElse(sys.error(
+      s"${a.where}: grid mapping lacks required parameter $name"))
 
   final case class Rotated(poleLat: Double, poleLon: Double)
   final case class Lcc(n: Double, rf: Double, rho0: Double, lon0Deg: Double,
       fe: Double, fn: Double)
 
   /** Rotated-pole parameters, with the named refusals. */
-  def rotatedParams(path: String, gm: NcVar): Rotated = {
-    val name = gm.attrs.find(_.name == "grid_mapping_name").map(_.text.trim)
-      .getOrElse(sys.error(s"$path: ${gm.name} has no grid_mapping_name"))
+  def rotatedParams(path: String, gm: NcVar): Rotated =
+    rotatedFrom(gmAttrsOf(path, gm))
+
+  def rotatedFrom(a: GmAttrs): Rotated = {
+    val name = a.mappingName
     require(name == "rotated_latitude_longitude",
-      s"$path: grid_mapping_name '$name' where rotated_latitude_longitude expected")
-    val npgl = gm.attrs.find(_.name == "north_pole_grid_longitude").map(_.num)
+      s"${a.where}: grid_mapping_name '$name' where rotated_latitude_longitude expected")
+    val npgl = a.num1("north_pole_grid_longitude")
     require(npgl.forall(_ == 0.0),
-      s"$path: north_pole_grid_longitude ${npgl.get} — the third rotation is " +
+      s"${a.where}: north_pole_grid_longitude ${npgl.get} — the third rotation is " +
         "not implemented; refusing rather than mislabeling every cell")
-    Rotated(num(path, gm, "grid_north_pole_latitude"),
-      num(path, gm, "grid_north_pole_longitude"))
+    Rotated(num(a, "grid_north_pole_latitude"),
+      num(a, "grid_north_pole_longitude"))
   }
 
   /** Spherical-LCC derived constants, with the named refusals. */
-  def lccParams(path: String, gm: NcVar): Lcc = {
-    val name = gm.attrs.find(_.name == "grid_mapping_name").map(_.text.trim)
-      .getOrElse(sys.error(s"$path: ${gm.name} has no grid_mapping_name"))
+  def lccParams(path: String, gm: NcVar): Lcc =
+    lccFrom(gmAttrsOf(path, gm))
+
+  def lccFrom(a: GmAttrs): Lcc = {
+    val name = a.mappingName
     require(name == "lambert_conformal_conic",
-      s"$path: grid_mapping_name '$name' where lambert_conformal_conic expected")
-    val r = gm.attrs.find(_.name == "earth_radius").map(_.num).orElse {
-      val maj = gm.attrs.find(_.name == "semi_major_axis").map(_.num)
-      val min = gm.attrs.find(_.name == "semi_minor_axis").map(_.num)
-      (maj, min) match {
-        case (Some(a), Some(b)) if a == b => Some(a)
-        case (Some(a), None) => Some(a)
+      s"${a.where}: grid_mapping_name '$name' where lambert_conformal_conic expected")
+    val r = a.num1("earth_radius").orElse {
+      (a.num1("semi_major_axis"), a.num1("semi_minor_axis")) match {
+        case (Some(x), Some(b)) if x == b => Some(x)
+        case (Some(x), None) => Some(x)
         case _ => None
       }
     }.getOrElse(sys.error(
-      s"$path: lambert_conformal_conic without a spherical earth " +
+      s"${a.where}: lambert_conformal_conic without a spherical earth " +
         "(earth_radius, or equal semi-axes) — the ellipsoidal LCC inverse " +
         "is not implemented; refusing rather than running spherical math on it"))
-    require(!gm.attrs.exists(a => a.name == "semi_minor_axis" &&
-        gm.attrs.exists(b => b.name == "semi_major_axis" && b.num != a.num)),
-      s"$path: ellipsoidal LCC (unequal semi-axes) refused by name")
-    val sps = gm.attrs.find(_.name == "standard_parallel").map(a =>
-      if (a.nums.nonEmpty) a.nums else Seq(a.num)).getOrElse(
-      sys.error(s"$path: lambert_conformal_conic lacks standard_parallel"))
+    require(!(a.num1("semi_minor_axis").isDefined && a.num1("semi_major_axis").isDefined
+        && a.num1("semi_minor_axis") != a.num1("semi_major_axis")),
+      s"${a.where}: ellipsoidal LCC (unequal semi-axes) refused by name")
+    val sps = a.nums.getOrElse("standard_parallel",
+      sys.error(s"${a.where}: lambert_conformal_conic lacks standard_parallel"))
     require(sps.length == 1 || sps.length == 2,
-      s"$path: standard_parallel wants 1 or 2 values, got ${sps.length}")
-    val lon0 = num(path, gm, "longitude_of_central_meridian")
-    val lat0 = num(path, gm, "latitude_of_projection_origin")
-    val fe = gm.attrs.find(_.name == "false_easting").map(_.num).getOrElse(0.0)
-    val fn = gm.attrs.find(_.name == "false_northing").map(_.num).getOrElse(0.0)
+      s"${a.where}: standard_parallel wants 1 or 2 values, got ${sps.length}")
+    val lon0 = num(a, "longitude_of_central_meridian")
+    val lat0 = num(a, "latitude_of_projection_origin")
+    val fe = a.num1("false_easting").getOrElse(0.0)
+    val fn = a.num1("false_northing").getOrElse(0.0)
     val p1 = math.toRadians(sps.head)
     val p2 = math.toRadians(sps.last)
     val n =
@@ -120,7 +139,7 @@ object GridMapping {
       else math.log(math.cos(p1) / math.cos(p2)) /
         math.log(math.tan(math.Pi / 4 + p2 / 2) / math.tan(math.Pi / 4 + p1 / 2))
     require(n > 0,
-      s"$path: southern-cone LCC (n = $n) — not implemented, refusing")
+      s"${a.where}: southern-cone LCC (n = $n) — not implemented, refusing")
     val f = math.cos(p1) * math.pow(math.tan(math.Pi / 4 + p1 / 2), n) / n
     val rf = r * f
     val rho0 = rf / math.pow(math.tan(math.Pi / 4 + math.toRadians(lat0) / 2), n)
@@ -197,6 +216,59 @@ object GridMapping {
     applyExprs(Netcdf.scanNetcdfCoords(s, path, varName), levels)
   }
 
+  private def levelsFor(a: GmAttrs): Seq[Seq[String]] = a.mappingName match {
+    case "rotated_latitude_longitude" => rotatedExprs(rotatedFrom(a))
+    case "lambert_conformal_conic" => lccExprs(lccFrom(a))
+    case other => sys.error(
+      s"${a.where}: grid_mapping_name '$other' is not implemented " +
+        "(rotated_latitude_longitude and lambert_conformal_conic are) — " +
+        "refusing rather than mislabeling every cell")
+  }
+
+  /** Zarr attribute path (r19): the ARRAY's `.zattrs` names the
+    * grid-mapping MEMBER (a sibling of the array, like coordinate
+    * members); its `.zattrs` carries the CF parameters — numbers and
+    * the two-value standard_parallel array included. Cells + coords
+    * ride the DSv2 face (`coords` = "x,y" siblings), the projection is
+    * the same map-side expression stack.
+    */
+  def cellsLonLatZarr(s: SparkSession, arrayDir: String): DataFrame = {
+    val (strs, _) = Zarr.readZattrsFull(arrayDir)
+    val gmName = strs.getOrElse("grid_mapping", sys.error(
+      s"$arrayDir: array declares no grid_mapping — refusing to assume a projection"))
+    val parent = new org.apache.hadoop.fs.Path(arrayDir).getParent
+    require(parent != null, s"$arrayDir: no parent to resolve grid mapping '$gmName'")
+    val gmDir = new org.apache.hadoop.fs.Path(parent, gmName).toString
+    val (gs, gn) = Zarr.readZattrsFull(gmDir)
+    require(gs.nonEmpty || gn.nonEmpty,
+      s"$arrayDir: grid_mapping '$gmName' names no attributed sibling member — " +
+        "refusing to guess a projection")
+    applyExprs(
+      s.read.format("graft.zonal.ZarrSource").option("coords", "x,y").load(arrayDir),
+      levelsFor(GmAttrs(gmDir, gs, gn)))
+  }
+
+  /** netCDF-4/HDF5 attribute path (r19): the data DATASET's string
+    * attribute names the grid-mapping member dataset; its numeric +
+    * string attribute messages carry the parameters (array attributes
+    * included — the rank-1 standard_parallel pair). Cells + coords ride
+    * the DSv2 face.
+    */
+  def cellsLonLatHdf5(s: SparkSession, path: String, varName: String): DataFrame = {
+    val m = Hdf5.readMeta(path, varName)
+    val gmName = m.strAttrs.getOrElse("grid_mapping", sys.error(
+      s"$path: $varName declares no grid_mapping — refusing to assume a projection"))
+    val gm =
+      try Hdf5.readMeta(path, gmName)
+      catch { case e: Exception => sys.error(
+        s"$path: $varName declares grid_mapping '$gmName' but no such dataset " +
+          s"exists — refusing to guess a projection (${e.getMessage})") }
+    applyExprs(
+      s.read.format("graft.zonal.Hdf5Source")
+        .option("var", varName).option("coords", "x,y").load(path),
+      levelsFor(GmAttrs(s"$path:$gmName", gm.strAttrs, gm.numAttrs)))
+  }
+
   // ---- fixtures (formula grids; coord steps exactly representable in
   // f32 so the file's float coordinate variables replay as exact
   // formulas on both engines) ----
@@ -241,6 +313,86 @@ object GridMapping {
           ("earth_radius", Left(Seq(LccRadius)))))))(
         (x, y, _) => gmValue(x, y))
     }
+
+  /** Zarr hierarchy twin of the rotated fixture: tas + x/y coord
+    * members + a `rotated_pole` member whose `.zattrs` carries the CF
+    * parameters (numbers in JSON — the format's native attr shape).
+    */
+  def rotatedZarrDir(): String =
+    Raster.fixtureOnce(s"zarr_rotated_${GmW}x$GmH") { dir =>
+      Zarr.writeZarr(s"$dir/tas", GmH, GmW, 32, 32)(gmValue)
+      write(s"$dir/tas/.zattrs", """{"grid_mapping": "rotated_pole"}""")
+      Zarr.writeZarrCoord(s"$dir/x", GmW, GmW)(x => -4.0 + 0.125 * x)
+      Zarr.writeZarrCoord(s"$dir/y", GmH, GmH)(y => -3.0 + 0.125 * y)
+      Zarr.writeZarrCoord(s"$dir/rotated_pole", 1, 1)(_ => 0.0)
+      write(s"$dir/rotated_pole/.zattrs",
+        s"""{"grid_mapping_name": "rotated_latitude_longitude",
+           | "grid_north_pole_latitude": $PoleLat,
+           | "grid_north_pole_longitude": $PoleLon}""".stripMargin)
+    }
+
+  /** Zarr LCC twin: projection-meter coord members + the `lcc` member
+    * with the JSON array standard_parallel.
+    */
+  def lccZarrDir(): String =
+    Raster.fixtureOnce(s"zarr_lcc_${GmW}x$GmH") { dir =>
+      Zarr.writeZarr(s"$dir/tas", GmH, GmW, 32, 32)(gmValue)
+      write(s"$dir/tas/.zattrs", """{"grid_mapping": "lcc"}""")
+      Zarr.writeZarrCoord(s"$dir/x", GmW, GmW)(x => -90000.0 + 3000.0 * x)
+      Zarr.writeZarrCoord(s"$dir/y", GmH, GmH)(y => -75000.0 + 3000.0 * y)
+      Zarr.writeZarrCoord(s"$dir/lcc", 1, 1)(_ => 0.0)
+      write(s"$dir/lcc/.zattrs",
+        s"""{"grid_mapping_name": "lambert_conformal_conic",
+           | "standard_parallel": [$LccSp1, $LccSp2],
+           | "longitude_of_central_meridian": $LccLon0,
+           | "latitude_of_projection_origin": $LccLat0,
+           | "earth_radius": $LccRadius}""".stripMargin)
+    }
+
+  /** netCDF-4/HDF5 twin of the rotated fixture: datasets tas + x/y +
+    * the `rotated_pole` container dataset carrying real v1 numeric
+    * attribute messages.
+    */
+  def rotatedHdf5Path(): String =
+    Raster.fixtureOnce(s"h5_rotated_${GmW}x$GmH.nc") { p =>
+      Hdf5.writeHdf5Multi(p, Seq(
+        ("tas", Seq(GmH, GmW), "<f8",
+          Array.tabulate(GmH * GmW)(i => gmValue(i % GmW, i / GmW))),
+        ("x", Seq(GmW), "<f8", Array.tabulate(GmW)(x => -4.0 + 0.125 * x)),
+        ("y", Seq(GmH), "<f8", Array.tabulate(GmH)(y => -3.0 + 0.125 * y)),
+        ("rotated_pole", Seq(1), "<f8", Array(0.0))),
+        memberStrAttrs = Map(
+          "tas" -> Seq(("grid_mapping", "rotated_pole")),
+          "rotated_pole" -> Seq(("grid_mapping_name", "rotated_latitude_longitude"))),
+        memberNumAttrs = Map("rotated_pole" -> Seq(
+          ("grid_north_pole_latitude", Seq(PoleLat)),
+          ("grid_north_pole_longitude", Seq(PoleLon)))))
+    }
+
+  /** netCDF-4/HDF5 LCC twin — the standard_parallel PAIR rides a
+    * rank-1 float64 attribute message (array attrs both directions).
+    */
+  def lccHdf5Path(): String =
+    Raster.fixtureOnce(s"h5_lcc_${GmW}x$GmH.nc") { p =>
+      Hdf5.writeHdf5Multi(p, Seq(
+        ("tas", Seq(GmH, GmW), "<f8",
+          Array.tabulate(GmH * GmW)(i => gmValue(i % GmW, i / GmW))),
+        ("x", Seq(GmW), "<f8", Array.tabulate(GmW)(x => -90000.0 + 3000.0 * x)),
+        ("y", Seq(GmH), "<f8", Array.tabulate(GmH)(y => -75000.0 + 3000.0 * y)),
+        ("lcc", Seq(1), "<f8", Array(0.0))),
+        memberStrAttrs = Map(
+          "tas" -> Seq(("grid_mapping", "lcc")),
+          "lcc" -> Seq(("grid_mapping_name", "lambert_conformal_conic"))),
+        memberNumAttrs = Map("lcc" -> Seq(
+          ("standard_parallel", Seq(LccSp1, LccSp2)),
+          ("longitude_of_central_meridian", Seq(LccLon0)),
+          ("latitude_of_projection_origin", Seq(LccLat0)),
+          ("earth_radius", Seq(LccRadius)))))
+    }
+
+  private def write(path: String, text: String): Unit =
+    java.nio.file.Files.write(new java.io.File(path).toPath,
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
   // oracle-side coord formulas (f32-exact steps)
   private val RotCoordsSql =
@@ -355,6 +507,48 @@ object GridMapping {
       zonalSql(oracleLccSql, LccZonesSql)) { (s, d) =>
       zonalStats(cellsLonLat(s, lccFixturePath(), "tas"),
         zones(s, d, LccZonesSql))
+    },
+
+    // the ZARR attribute path (r19): the array's .zattrs names the
+    // grid-mapping MEMBER, parameters parse from its JSON attrs (the
+    // format's native shape), cells+coords ride the DSv2 face — same
+    // formula, same oracle, different container: a parameter misread
+    // on the Zarr path hash-fails independently of the classic path
+    "scan_zarr_rotated" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleRotatedSql) rot_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLatZarr(s, s"${rotatedZarrDir()}/tas")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // degree-space zones over a Zarr LCC grid (the JSON-array
+    // standard_parallel pair exercises numeric-array zattrs)
+    "zonal_zarr_lcc" -> Q(
+      zonalSql(oracleLccSql, LccZonesSql)) { (s, d) =>
+      zonalStats(cellsLonLatZarr(s, s"${lccZarrDir()}/tas"),
+        zones(s, d, LccZonesSql))
+    },
+
+    // the netCDF-4/HDF5 attribute path (r19): the dataset's string
+    // attribute names the container dataset; numeric v1 attribute
+    // messages carry the parameters — the standard_parallel PAIR rides
+    // a rank-1 float64 attribute (array attrs in both directions)
+    "scan_netcdf4_lcc" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleLccSql) lcc_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLatHdf5(s, lccHdf5Path(), "tas")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // degree-space zones over a rotated-pole netCDF-4 cube
+    "zonal_netcdf4_rotated" -> Q(
+      zonalSql(oracleRotatedSql, RotZonesSql)) { (s, d) =>
+      zonalStats(cellsLonLatHdf5(s, rotatedHdf5Path(), "tas"),
+        zones(s, d, RotZonesSql))
     }
   )
 }

@@ -93,7 +93,10 @@ object Hdf5 {
       // scalar numeric attributes (r14): the CF metadata face
       attrs: Map[String, Double] = Map.empty,
       // scalar STRING attributes (r17): CF `units` and friends
-      strAttrs: Map[String, String] = Map.empty)
+      strAttrs: Map[String, String] = Map.empty,
+      // FULL numeric attribute values (r19): rank-1 array attributes —
+      // the CF two-value standard_parallel; scalars appear as 1-seqs
+      numAttrs: Map[String, Seq[Double]] = Map.empty)
 
   private def hadoopFs(p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(new org.apache.hadoop.conf.Configuration())
@@ -515,8 +518,9 @@ object Hdf5 {
       val msgs = readHeader(path, r, dsAddr)
       def one(t: Int, what: String): Msg = msgs.find(_.mtype == t)
         .getOrElse(sys.error(s"$path: dataset has no $what message"))
-      val attrs0: Map[String, Double] =
+      val numAttrs0: Map[String, Seq[Double]] =
         msgs.filter(_.mtype == 0x000C).flatMap(m => parseNumAttr(m.body)).toMap
+      val attrs0: Map[String, Double] = numAttrs0.map { case (k, v) => k -> v.head }
       val sAttrs0: Map[String, String] =
         msgs.filter(_.mtype == 0x000C).flatMap(m => parseStrAttr(m.body)).toMap
       // dataspace (0x0001) v1/v2 → (height, width)
@@ -674,7 +678,7 @@ object Hdf5 {
         }
         return H5Meta(height, width, chunkH, chunkW, dtype, contiguous = false,
           Undef, deflate, shuffleTs, fill, hasFill, chunks, fletcher = fletcher,
-          attrs = attrs0, strAttrs = sAttrs0)
+          attrs = attrs0, strAttrs = sAttrs0, numAttrs = numAttrs0)
       }
       (lay(1) & 0xff) match {
         case 1 => // contiguous: address (8) + size (8); filters impossible
@@ -683,7 +687,7 @@ object Hdf5 {
             s"$path: filters on a contiguous dataset (corrupt)")
           H5Meta(height, width, 0, 0, dtype, contiguous = true, dataAddr,
             deflate = false, shuffleTs = 0, fill, hasFill, Nil,
-            epochs = epochs0, levels = levels0, attrs = attrs0, strAttrs = sAttrs0)
+            epochs = epochs0, levels = levels0, attrs = attrs0, strAttrs = sAttrs0, numAttrs = numAttrs0)
         case 2 =>
           val dim = lay(2) & 0xff
           require(dim == rank + 1,
@@ -731,7 +735,7 @@ object Hdf5 {
           H5Meta(height, width, chunkH, chunkW, dtype, contiguous = false, Undef,
             deflate, shuffleTs, fill, hasFill, chunks.toSeq,
             epochs = epochs0, chunkT = chunkT, levels = levels0, chunkL = chunkL,
-            fletcher = fletcher, attrs = attrs0, strAttrs = sAttrs0)
+            fletcher = fletcher, attrs = attrs0, strAttrs = sAttrs0, numAttrs = numAttrs0)
         case 0 => sys.error(s"$path: compact data layout unsupported (contiguous/chunked)")
         case c => sys.error(s"$path: data layout class $c unsupported")
       }
@@ -1178,7 +1182,7 @@ object Hdf5 {
     Some(name -> new String(b, p, e - p, java.nio.charset.StandardCharsets.US_ASCII))
   }
 
-  private def parseNumAttr(b: Array[Byte]): Option[(String, Double)] = {
+  private def parseNumAttr(b: Array[Byte]): Option[(String, Seq[Double])] = {
     val ver = b(0) & 0xff
     if (ver != 1 && ver != 3) return None
     val nameSize = le(b).getShort(2) & 0xffff
@@ -1198,9 +1202,14 @@ object Hdf5 {
     p += (if (ver == 1) (dtSize + 7) / 8 * 8 else dtSize)
     val dsOff = p
     p += (if (ver == 1) (dsSize + 7) / 8 * 8 else dsSize)
-    // scalar dataspace: version 1/2, rank 0
+    // scalar (rank 0) or 1-D array (rank 1) dataspace, version 1/2
     val dsRank = b(dsOff + 1) & 0xff
-    if (dsRank != 0) return None
+    if (dsRank != 0 && dsRank != 1) return None
+    val dsVer = b(dsOff) & 0xff
+    val dimsOff = dsOff + (if (dsVer == 2) 4 else 8)
+    val nVals =
+      if (dsRank == 0) 1
+      else le(b).getLong(dimsOff).toInt
     val dclass = b(dtOff) & 0x0f
     if (dclass != 0 && dclass != 1) return None
     val dsz = le(b).getInt(dtOff + 4)
@@ -1213,8 +1222,9 @@ object Hdf5 {
       else if (dsz == 1) "u1"
       else return None
     if (dclass == 1 && dsz < 4) return None
-    if (p + dsz > b.length) return None
-    Some(name -> decodeScalar(b, p, (if (bigEndian) ">" else "<") + kind))
+    if (nVals < 1 || p + dsz.toLong * nVals > b.length) return None
+    val dt = (if (bigEndian) ">" else "<") + kind
+    Some(name -> (0 until nVals).map(i => decodeScalar(b, p + i * dsz, dt)))
   }
 
   /** HDF5's Fletcher-32 (r14, from the public H5checksum algorithm):
@@ -2072,7 +2082,10 @@ object Hdf5 {
       chunkedCoords: Seq[(String, String, Array[Double], Int)] = Nil,
       // r17: per-member scalar STRING attributes (CF `units` etc.),
       // keyed by member name — real v1 attribute messages
-      memberStrAttrs: Map[String, Seq[(String, String)]] = Map.empty): Unit = {
+      memberStrAttrs: Map[String, Seq[(String, String)]] = Map.empty,
+      // r19: per-member NUMERIC attributes (float64; one value = scalar
+      // dataspace, several = rank-1 — the CF standard_parallel pair)
+      memberNumAttrs: Map[String, Seq[(String, Seq[Double])]] = Map.empty): Unit = {
     val members: Seq[(String, Seq[Int], MultiKind)] =
       vars.map { case (nm, dims, dt, vals) => (nm, dims, MNum(dt, vals)) } ++
       strVars.map { case (nm, strs) =>
@@ -2104,10 +2117,16 @@ object Hdf5 {
     val aHdr0 = aSnod + 8 + 40L * sorted.size
     def attrsOf(nm: String): Seq[(String, String)] =
       memberStrAttrs.getOrElse(nm, Nil)
+    def numAttrsOf(nm: String): Seq[(String, Seq[Double])] =
+      memberNumAttrs.getOrElse(nm, Nil)
     // v1 attribute message body: header(8) + padded name + string
     // datatype(8) + scalar dataspace(8) + padded value
     def attrBody(an: String, av: String): Int =
       8 + pad8(an.length + 1) + 8 + 8 + pad8(math.max(1, av.length))
+    // numeric v1 attribute: header(8) + padded name + f8 datatype(24)
+    // + dataspace (8 scalar / 16 rank-1) + 8n value bytes
+    def numAttrBody(an: String, vs: Seq[Double]): Int =
+      8 + pad8(an.length + 1) + 24 + (if (vs.length == 1) 8 else 16) + 8 * vs.length
     def dsBody(v: (String, Seq[Int], MultiKind)): Int = {
       val dtBody = v._3 match {
         case MNum(dt, _) => if (dt.substring(1).startsWith("f")) 24 else 16
@@ -2115,7 +2134,8 @@ object Hdf5 {
         case MStr(_, _) => 8 // string datatype: no property bytes
       }
       (8 + 8 + 8 * v._2.size) + (8 + dtBody) + (8 + 8) + (8 + 24) +
-        attrsOf(v._1).map { case (an, av) => 8 + attrBody(an, av) }.sum
+        attrsOf(v._1).map { case (an, av) => 8 + attrBody(an, av) }.sum +
+        numAttrsOf(v._1).map { case (an, vs) => 8 + numAttrBody(an, vs) }.sum
     }
     def elemOf(v: (String, Seq[Int], MultiKind)): Int =
       v._3 match {
@@ -2176,7 +2196,7 @@ object Hdf5 {
     sorted.zipWithIndex.foreach { case (v @ (nm, dims, kind), i) =>
       require(buf.size == hdrAddrs(i), s"$nm header accounting: ${buf.size}")
       val elem = elemOf(v)
-      buf.u8(1).u8(0).u16(4 + attrsOf(nm).size).u32(1).u32(dsBody(v)).u32(0)
+      buf.u8(1).u8(0).u16(4 + attrsOf(nm).size + numAttrsOf(nm).size).u32(1).u32(dsBody(v)).u32(0)
       buf.u16(0x0001).u16(8 + 8 * dims.size).u8(0).zeros(3)
         .u8(1).u8(dims.size).u8(0).zeros(5)
       dims.foreach(d => buf.u64(d))
@@ -2217,6 +2237,20 @@ object Hdf5 {
         buf.u8(1).u8(0).u8(0).zeros(5) // scalar dataspace v1
         buf.raw(av.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
           .zeros(pad8(avLen) - av.length)
+      }
+      numAttrsOf(nm).foreach { case (an, vs) =>
+        // numeric v1 attribute (r19): float64 LE datatype; one value =
+        // scalar dataspace, several = rank-1 (the CF array-attr shape)
+        buf.u16(0x000C).u16(numAttrBody(an, vs)).u8(0).zeros(3)
+        buf.u8(1).u8(0).u16(an.length + 1).u16(24)
+          .u16(if (vs.length == 1) 8 else 16)
+        buf.raw(an.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          .zeros(pad8(an.length + 1) - an.length)
+        buf.u8(0x11).u8(0x20).u8(63).u8(0).u32(8) // IEEE f8 LE
+          .u16(0).u16(64).u8(52).u8(11).u8(0).u8(52).u32(1023).zeros(4)
+        if (vs.length == 1) buf.u8(1).u8(0).u8(0).zeros(5) // scalar ds v1
+        else { buf.u8(1).u8(1).u8(0).zeros(5).u64(vs.length.toLong) }
+        vs.foreach(d => buf.u64(java.lang.Double.doubleToLongBits(d)))
       }
       kind match {
         case MChunk(_, _, cl) =>

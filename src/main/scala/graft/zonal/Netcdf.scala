@@ -46,7 +46,7 @@ object Netcdf {
 
   // nc_type tags (public spec, "The NetCDF Classic Format Specification")
   private val NcByte = 1
-  private val NcChar = 2
+  private[zonal] val NcChar = 2
   private val NcShort = 3
   private val NcInt = 4
   private[graft] val NcFloat = 5

@@ -921,11 +921,19 @@ object Zarr {
     * convention: CF metadata like `units` lives here). Absent file =
     * no attributes; non-string values are skipped, not fatal.
     */
-  private[graft] def readZattrs(dir: String): Map[String, String] = {
+  private[graft] def readZattrs(dir: String): Map[String, String] =
+    readZattrsFull(dir)._1
+
+  /** `.zattrs` with NUMERIC values too (r19 — CF grid-mapping
+    * parameters): strings, plus numbers and number ARRAYS (the
+    * two-value `standard_parallel`) as Seq[Double].
+    */
+  private[graft] def readZattrsFull(dir: String)
+      : (Map[String, String], Map[String, Seq[Double]]) = {
     import org.json4s._
     val p = new org.apache.hadoop.fs.Path(dir, ".zattrs")
     val fs = hadoopFs(p)
-    if (!fs.exists(p)) return Map.empty
+    if (!fs.exists(p)) return (Map.empty, Map.empty)
     val len = fs.getFileStatus(p).getLen.toInt
     val raw = new Array[Byte](len)
     val in = fs.open(p)
@@ -933,7 +941,21 @@ object Zarr {
     org.json4s.jackson.JsonMethods.parse(
       new String(raw, java.nio.charset.StandardCharsets.UTF_8)) match {
       case JObject(fields) =>
-        fields.collect { case (k, JString(v)) => k -> v }.toMap
+        def num(v: JValue): Option[Double] = v match {
+          case JDouble(d) => Some(d)
+          case JInt(i) => Some(i.toDouble)
+          case JLong(l) => Some(l.toDouble)
+          case JDecimal(d) => Some(d.toDouble)
+          case _ => None
+        }
+        val strs = fields.collect { case (k, JString(v)) => k -> v }.toMap
+        val nums = fields.flatMap {
+          case (k, JArray(vs)) =>
+            val ds = vs.flatMap(num)
+            if (ds.length == vs.length && ds.nonEmpty) Some(k -> ds) else None
+          case (k, v) => num(v).map(d => k -> Seq(d))
+        }.toMap
+        (strs, nums)
       case other => sys.error(s"$dir/.zattrs: $other is not an object")
     }
   }

@@ -103,6 +103,45 @@ class GridMappingSpec extends SparkSuite {
     assert(msgs(e5).contains("no grid_mapping"), msgs(e5))
   }
 
+  test("zarr + hdf5 attribute paths agree with the classic path cell-for-cell") {
+    import graft.zonal.{GridMapping => GM}
+    // same formula grids, three containers: any parameter misread on
+    // one attribute path diverges from the others
+    val nc = GM.cellsLonLat(spark, GM.rotatedFixturePath(), "tas")
+      .select("cell_x", "cell_y", "lon", "lat", "value")
+    val zr = GM.cellsLonLatZarr(spark, s"${GM.rotatedZarrDir()}/tas")
+      .select("cell_x", "cell_y", "lon", "lat", "value")
+    assert(nc.exceptAll(zr).count() == 0 && zr.exceptAll(nc).count() == 0)
+    val h5 = GM.cellsLonLatHdf5(spark, GM.lccHdf5Path(), "tas")
+      .select("cell_x", "cell_y", "lon", "lat", "value")
+    val ncl = GM.cellsLonLat(spark, GM.lccFixturePath(), "tas")
+      .select("cell_x", "cell_y", "lon", "lat", "value")
+    assert(h5.exceptAll(ncl).count() == 0 && ncl.exceptAll(h5).count() == 0)
+  }
+
+  test("hdf5 rank-1 numeric attribute roundtrips: the standard_parallel pair") {
+    val m = graft.zonal.Hdf5.readMeta(graft.zonal.GridMapping.lccHdf5Path(), "lcc")
+    assert(m.numAttrs("standard_parallel") == Seq(30.0, 60.0), m.numAttrs.toString)
+    assert(m.numAttrs("earth_radius") == Seq(6370000.0))
+    assert(m.strAttrs("grid_mapping_name") == "lambert_conformal_conic")
+  }
+
+  test("zarr attribute-path refusals: dangling member and undeclared mapping") {
+    import graft.zonal.{GridMapping => GM, Zarr, Raster}
+    val dangling = Raster.fixtureOnce("zarr_gm_dangling") { dir =>
+      Zarr.writeZarr(s"$dir/tas", 8, 8, 8, 8)((x, y) => (x + y).toDouble)
+      java.nio.file.Files.write(new java.io.File(s"$dir/tas/.zattrs").toPath,
+        """{"grid_mapping": "ghost"}""".getBytes("UTF-8"))
+    }
+    val e1 = intercept[Throwable](GM.cellsLonLatZarr(spark, s"$dangling/tas"))
+    assert(msgs(e1).contains("ghost"), msgs(e1))
+    val none = Raster.fixtureOnce("zarr_gm_none") { dir =>
+      Zarr.writeZarr(s"$dir/tas", 8, 8, 8, 8)((x, y) => (x + y).toDouble)
+    }
+    val e2 = intercept[Throwable](GM.cellsLonLatZarr(spark, s"$none/tas"))
+    assert(msgs(e2).contains("no grid_mapping"), msgs(e2))
+  }
+
   test("two standard parallel values survive the classic attr parse (array attribute)") {
     val m = Netcdf.readMeta(GM.lccFixturePath())
     val gm = GM.mappingOf(GM.lccFixturePath(), m, "tas").get
