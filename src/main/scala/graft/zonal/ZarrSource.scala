@@ -44,7 +44,8 @@ class ZarrSource extends TableProvider {
     // WRITE face (r19): height/width options declare the target grid —
     // the destination need not exist yet, so never probe it for a schema
     if (options.containsKey("height") && options.containsKey("width"))
-      ZarrWrite.WriteSchema
+      ZarrWrite.geomFrom(options.asCaseSensitiveMap()).map(ZarrWrite.writeSchemaFor)
+        .getOrElse(ZarrWrite.WriteSchema)
     // a MEMBER LANDING directory (no array doc at the root, member
     // stores below) is the STREAMING face — see [[ZarrMembersTable]]
     else if (path != null && path.nonEmpty && ZarrMembersTable.isMemberDir(path))
@@ -158,8 +159,8 @@ final class ZarrTable(path: String, timeName: String = null,
   override def schema(): StructType =
     // with write geometry declared the table IS the write face — the
     // destination may not exist yet, so don't probe it
-    if (geom.isDefined) ZarrWrite.WriteSchema
-    else ZarrSource.schemaFor(path, timeName, coords)
+    geom.map(ZarrWrite.writeSchemaFor)
+      .getOrElse(ZarrSource.schemaFor(path, timeName, coords))
   override def capabilities(): java.util.Set[TableCapability] =
     if (geom.isDefined)
       java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -634,15 +635,29 @@ final class Zarr3PartitionReader(c: Zarr.ChunkRef3,
 // RequiresDistributionAndOrdering.
 // ======================================================================
 
-/** Write geometry, parsed from writer options. */
+/** Write geometry, parsed from writer options. `t > 0` = rank-3. */
 private[zonal] case class ZarrGeom(h: Int, w: Int, chunkH: Int, chunkW: Int,
-    compressor: String, dtype: String, fill: Double)
+    compressor: String, dtype: String, fill: Double,
+    t: Int = 0, chunkT: Int = 1) {
+  def rank3: Boolean = t > 0
+  def cellsPerChunk: Int = chunkT * chunkH * chunkW
+}
 
 private[graft] object ZarrWrite {
   val WriteSchema: StructType = StructType(Seq(
     StructField("cell_x", IntegerType, nullable = false),
     StructField("cell_y", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
+
+  /** Rank-3 (r19): the epoch column joins the grid columns. */
+  val WriteSchema3: StructType = StructType(Seq(
+    StructField("cell_x", IntegerType, nullable = false),
+    StructField("cell_y", IntegerType, nullable = false),
+    StructField("epoch", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  private[zonal] def writeSchemaFor(g: ZarrGeom): StructType =
+    if (g.rank3) WriteSchema3 else WriteSchema
 
   /** Last commit's (chunks installed, chunks that needed a merge) — a
     * test hook for the one-task-one-chunk pin; never read by the engine.
@@ -653,13 +668,19 @@ private[graft] object ZarrWrite {
     val h = p.get("height"); val w = p.get("width")
     if (h == null || w == null) None
     else {
-      val chunk = Option(p.get("chunk")).getOrElse("16,16").split(",").map(_.trim.toInt)
-      require(chunk.length == 2 && chunk.forall(_ > 0),
-        s"""option "chunk" wants "chunkH,chunkW", got ${p.get("chunk")}""")
-      Some(ZarrGeom(h.toInt, w.toInt, chunk(0), chunk(1),
+      val t = Option(p.get("epochs")).map(_.toInt).getOrElse(0)
+      val chunk = Option(p.get("chunk"))
+        .getOrElse(if (t > 0) "2,16,16" else "16,16").split(",").map(_.trim.toInt)
+      require((if (t > 0) chunk.length == 3 else chunk.length == 2)
+          && chunk.forall(_ > 0),
+        s"""option "chunk" wants ${if (t > 0) "\"chunkT,chunkH,chunkW\""
+           else "\"chunkH,chunkW\""}, got ${p.get("chunk")}""")
+      val (ct, chh, chw) =
+        if (t > 0) (chunk(0), chunk(1), chunk(2)) else (1, chunk(0), chunk(1))
+      Some(ZarrGeom(h.toInt, w.toInt, chh, chw,
         Option(p.get("compressor")).getOrElse("zlib"),
         Option(p.get("dtype")).getOrElse("<f8"),
-        Option(p.get("fill")).map(_.toDouble).getOrElse(0.0)))
+        Option(p.get("fill")).map(_.toDouble).getOrElse(0.0), t, ct))
     }
   }
 
@@ -700,8 +721,10 @@ private[graft] object ZarrWrite {
   }
 }
 
-/** One staged chunk fragment: chunk grid position + staged file path. */
-private[zonal] case class ZarrFrag(ci: Int, cj: Int, file: String)
+/** One staged chunk fragment: chunk grid position + staged file path
+  * (`ck` = -1 on rank-2 stores).
+  */
+private[zonal] case class ZarrFrag(ck: Int, ci: Int, cj: Int, file: String)
 private[zonal] case class ZarrChunkMsg(frags: Seq[ZarrFrag])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
@@ -734,7 +757,8 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
     def idx(n: String): Int = {
       val i = in.fieldNames.indexOf(n)
       require(i >= 0, s"$path: the Zarr write face wants columns " +
-        s"(cell_x, cell_y, value); missing $n in ${in.fieldNames.mkString(",")}")
+        s"(cell_x, cell_y${if (g.rank3) ", epoch" else ""}, value); " +
+        s"missing $n in ${in.fieldNames.mkString(",")}")
       i
     }
     // geometry guard up front (before any task runs): an existing store
@@ -743,13 +767,15 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
     val metaF = new java.io.File(path, ".zarray")
     if (metaF.exists() && !truncate) {
       val m = Zarr.readMeta(path)
-      require(!m.rank3 && !m.rank4 && m.height == g.h && m.width == g.w
-          && m.chunkH == g.chunkH && m.chunkW == g.chunkW,
+      require(m.rank3 == g.rank3 && !m.rank4 && m.height == g.h && m.width == g.w
+          && m.chunkH == g.chunkH && m.chunkW == g.chunkW
+          && (!g.rank3 || (m.epochs == g.t && m.chunkT == g.chunkT)),
         s"$path: existing store geometry differs from the write options — " +
           "use mode(\"overwrite\") to replace it")
     }
     stageDir.mkdirs()
-    new ZarrWriterFactory(path, g, idx("cell_x"), idx("cell_y"), idx("value"), queryId)
+    new ZarrWriterFactory(path, g, idx("cell_x"), idx("cell_y"),
+      if (g.rank3) idx("epoch") else -1, idx("value"), queryId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -757,13 +783,19 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
     val dir = new java.io.File(path)
     if (truncate) {
       val old = dir.listFiles()
-      if (old != null) old.filter(_.getName.matches("""\d+\.\d+""")).foreach(_.delete())
+      if (old != null) old.filter(_.getName.matches("""\d+\.\d+(\.\d+)?"""))
+        .foreach(_.delete())
     }
-    Zarr.writeZarrMeta(path, g.h, g.w, g.chunkH, g.chunkW, g.compressor, g.dtype, g.fill)
-    val n = g.chunkH * g.chunkW
+    if (g.rank3)
+      Zarr.writeZarr3dMeta(path, g.t, g.h, g.w, g.chunkT, g.chunkH, g.chunkW,
+        g.compressor, g.dtype, g.fill)
+    else
+      Zarr.writeZarrMeta(path, g.h, g.w, g.chunkH, g.chunkW, g.compressor, g.dtype, g.fill)
+    val n = g.cellsPerChunk
     var merged = 0
-    frags.groupBy(f => (f.ci, f.cj)).foreach { case ((ci, cj), fs) =>
-      val out = new java.io.File(dir, s"$ci.$cj")
+    frags.groupBy(f => (f.ck, f.ci, f.cj)).foreach { case ((ck, ci, cj), fs) =>
+      val out = new java.io.File(dir,
+        if (g.rank3) s"$ck.$ci.$cj" else s"$ci.$cj")
       if (fs.size == 1) {
         // the hot path: install by atomic rename, zero data bytes read
         java.nio.file.Files.move(new java.io.File(fs.head.file).toPath, out.toPath,
@@ -782,17 +814,17 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
           var i = bm.nextSetBit(0)
           while (i >= 0) {
             require(!seen.get(i),
-              s"$path chunk $ci.$cj: cell $i written from two partitions — duplicate " +
-                "(cell_x, cell_y) rows in the input")
+              s"$path chunk ${out.getName}: cell $i written from two partitions — " +
+                "duplicate grid rows in the input")
             seen.set(i); acc(i) = vals(i)
             i = bm.nextSetBit(i + 1)
           }
         }
         java.nio.file.Files.write(out.toPath,
-          Zarr.chunkFileBytes(acc, g.chunkH, g.chunkW, g.compressor, g.dtype))
+          Zarr.chunkFileBytes(acc, g.chunkT * g.chunkH, g.chunkW, g.compressor, g.dtype))
       }
     }
-    ZarrWrite.lastCommit = (frags.groupBy(f => (f.ci, f.cj)).size, merged)
+    ZarrWrite.lastCommit = (frags.groupBy(f => (f.ck, f.ci, f.cj)).size, merged)
     ZarrWrite.rmTree(stageDir)
   }
 
@@ -801,11 +833,11 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
 }
 
 final class ZarrWriterFactory(path: String, g: ZarrGeom,
-    xi: Int, yi: Int, vi: Int, queryId: String)
+    xi: Int, yi: Int, ti: Int, vi: Int, queryId: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new ZarrChunkDataWriter(path, g, xi, yi, vi, queryId, partitionId, taskId)
+    new ZarrChunkDataWriter(path, g, xi, yi, ti, vi, queryId, partitionId, taskId)
 }
 
 /** Buffers dense per-chunk arrays for the chunks this task sees; stages
@@ -814,34 +846,41 @@ final class ZarrWriterFactory(path: String, g: ZarrGeom,
   * inputs hold exactly the chunks the task owns.
   */
 final class ZarrChunkDataWriter(path: String, g: ZarrGeom,
-    xi: Int, yi: Int, vi: Int, queryId: String, partitionId: Int, taskId: Long)
+    xi: Int, yi: Int, ti: Int, vi: Int, queryId: String,
+    partitionId: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
-  private val n = g.chunkH * g.chunkW
+  private val n = g.cellsPerChunk
   private val bufs = scala.collection.mutable.HashMap
-    .empty[(Int, Int), (Array[Double], java.util.BitSet)]
+    .empty[(Int, Int, Int), (Array[Double], java.util.BitSet)]
 
   override def write(r: InternalRow): Unit = {
-    require(!r.isNullAt(xi) && !r.isNullAt(yi) && !r.isNullAt(vi),
-      s"$path: NULL in (cell_x, cell_y, value) — the Zarr grid has no null cells")
+    require(!r.isNullAt(xi) && !r.isNullAt(yi) && !r.isNullAt(vi)
+        && (ti < 0 || !r.isNullAt(ti)),
+      s"$path: NULL in a grid column — the Zarr grid has no null cells")
     val x = r.getInt(xi); val y = r.getInt(yi); val v = r.getDouble(vi)
-    require(x >= 0 && x < g.w && y >= 0 && y < g.h,
-      s"$path: cell ($x, $y) outside the ${g.h}x${g.w} grid")
+    val t = if (ti < 0) 0 else r.getInt(ti)
+    require(x >= 0 && x < g.w && y >= 0 && y < g.h
+        && t >= 0 && (g.t == 0 || t < g.t),
+      s"$path: cell ($x, $y, t=$t) outside the " +
+        s"${if (g.rank3) s"${g.t}x" else ""}${g.h}x${g.w} grid")
+    val ck = if (ti < 0) -1 else t / g.chunkT
     val ci = y / g.chunkH; val cj = x / g.chunkW
-    val (arr, bm) = bufs.getOrElseUpdate((ci, cj),
+    val (arr, bm) = bufs.getOrElseUpdate((ck, ci, cj),
       (Array.fill(n)(g.fill), new java.util.BitSet(n)))
-    val idx = (y - ci * g.chunkH) * g.chunkW + (x - cj * g.chunkW)
+    val tt = if (ti < 0) 0 else t - ck * g.chunkT
+    val idx = (tt * g.chunkH + (y - ci * g.chunkH)) * g.chunkW + (x - cj * g.chunkW)
     arr(idx) = v; bm.set(idx)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     val stage = new java.io.File(path, s".stage_$queryId")
-    val frags = bufs.toSeq.map { case ((ci, cj), (arr, bm)) =>
-      val f = new java.io.File(stage, s"$ci.$cj.p${partitionId}_t$taskId")
+    val frags = bufs.toSeq.map { case ((ck, ci, cj), (arr, bm)) =>
+      val f = new java.io.File(stage, s"$ck.$ci.$cj.p${partitionId}_t$taskId")
       java.nio.file.Files.write(f.toPath,
-        Zarr.chunkFileBytes(arr, g.chunkH, g.chunkW, g.compressor, g.dtype))
+        Zarr.chunkFileBytes(arr, g.chunkT * g.chunkH, g.chunkW, g.compressor, g.dtype))
       java.nio.file.Files.write(new java.io.File(f.getPath + ".bm").toPath,
         bm.toByteArray)
-      ZarrFrag(ci, cj, f.getPath)
+      ZarrFrag(ck, ci, cj, f.getPath)
     }
     ZarrChunkMsg(frags)
   }

@@ -126,6 +126,41 @@ class ZarrWriteSpec extends SparkSuite {
       msgs(dup).contains("two partitions"), msgs(dup))
   }
 
+  test("rank-3 write face: chunk-aligned cube write commits rename-only and reads back exactly") {
+    val dir = s"$tmp/graft_io/zarrw_3d"
+    graft.core.Fs.rmTree(dir)
+    val (w, h, t, cs, ct) = (40, 24, 5, 16, 2)
+    val cube = (0 until w).flatMap(x => (0 until h).flatMap(y => (0 until t).map(e =>
+      (x, y, e, ((7 * x + 11 * y + 13 * e) % 101).toDouble))))
+      .toDF("cell_x", "cell_y", "epoch", "value")
+    cube.repartition(expr(s"epoch div $ct"), expr(s"cell_y div $cs"),
+        expr(s"cell_x div $cs"))
+      .write.format("graft.zonal.ZarrSource")
+      .option("height", h).option("width", w).option("epochs", t)
+      .option("chunk", s"$ct,$cs,$cs")
+      .mode("overwrite").save(dir)
+    // 40x24x5 at 2x16x16 chunks -> 3 t-chunks x 2 x 3 = 18, zero merges
+    assert(graft.zonal.ZarrWrite.lastCommit == (18, 0),
+      s"want (18, 0), got ${graft.zonal.ZarrWrite.lastCommit}")
+    val back = spark.read.format("graft.zonal.ZarrSource").load(dir)
+    assert(back.count() == w.toLong * h * t)
+    assert(back.filter(col("value") =!=
+      (col("cell_x") * 7 + col("cell_y") * 11 + col("epoch") * 13) % 101).count() == 0)
+    // scattered rank-3 input still exact via merge
+    graft.core.Fs.rmTree(dir)
+    cube.repartition(8)
+      .write.format("graft.zonal.ZarrSource")
+      .option("height", h).option("width", w).option("epochs", t)
+      .option("chunk", s"$ct,$cs,$cs")
+      .mode("overwrite").save(dir)
+    assert(graft.zonal.ZarrWrite.lastCommit._1 == 18
+      && graft.zonal.ZarrWrite.lastCommit._2 > 0)
+    val back2 = spark.read.format("graft.zonal.ZarrSource").load(dir)
+    assert(back2.count() == w.toLong * h * t)
+    assert(back2.filter(col("value") =!=
+      (col("cell_x") * 7 + col("cell_y") * 11 + col("epoch") * 13) % 101).count() == 0)
+  }
+
   test("registry op: sink_zarr_dsv2 round trip matches the per-chunk formula and commits rename-only") {
     val r = q("sink_zarr_dsv2").collect()
     assert(r.nonEmpty)
