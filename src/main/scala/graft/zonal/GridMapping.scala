@@ -86,6 +86,12 @@ object GridMapping {
   final case class Rotated(poleLat: Double, poleLon: Double)
   final case class Lcc(n: Double, rf: Double, rho0: Double, lon0Deg: Double,
       fe: Double, fn: Double)
+  /** Spherical polar stereographic (r19): `south` flips the aspect;
+    * `twoRk0` = 2·R·k0 with k0 = (1 + sin φts)/2 from the standard
+    * parallel, or the declared scale_factor_at_projection_origin.
+    */
+  final case class PolarStereo(twoRk0: Double, lon0Deg: Double,
+      south: Boolean, fe: Double, fn: Double)
 
   /** Rotated-pole parameters, with the named refusals. */
   def rotatedParams(path: String, gm: NcVar): Rotated =
@@ -146,6 +152,39 @@ object GridMapping {
     Lcc(n, rf, rho0, lon0, fe, fn)
   }
 
+  /** Spherical polar-stereographic constants (Snyder 1987 eqs.
+    * 20-14..21-15, spherical case), with the named refusals: exactly
+    * one of standard_parallel / scale_factor_at_projection_origin, a
+    * ±90 origin, a spherical earth.
+    */
+  def psFrom(a: GmAttrs): PolarStereo = {
+    val name = a.mappingName
+    require(name == "polar_stereographic",
+      s"${a.where}: grid_mapping_name '$name' where polar_stereographic expected")
+    val r = a.num1("earth_radius").getOrElse(sys.error(
+      s"${a.where}: polar_stereographic without earth_radius — the ellipsoidal " +
+        "inverse is not implemented; refusing rather than running spherical math"))
+    val lat0 = num(a, "latitude_of_projection_origin")
+    require(lat0 == 90.0 || lat0 == -90.0,
+      s"${a.where}: polar_stereographic origin must be a pole, got $lat0")
+    val south = lat0 < 0
+    val lon0 = num(a, "straight_vertical_longitude_from_pole")
+    val sp = a.num1("standard_parallel")
+    val k0a = a.num1("scale_factor_at_projection_origin")
+    require(sp.isDefined != k0a.isDefined,
+      s"${a.where}: want exactly ONE of standard_parallel / " +
+        "scale_factor_at_projection_origin")
+    val k0 = k0a.getOrElse {
+      val ts = sp.get
+      require(south == (ts < 0),
+        s"${a.where}: standard_parallel $ts is in the wrong hemisphere for origin $lat0")
+      (1.0 + math.sin(math.toRadians(math.abs(ts)))) / 2.0
+    }
+    PolarStereo(2.0 * r * k0, lon0,
+      south, a.num1("false_easting").getOrElse(0.0),
+      a.num1("false_northing").getOrElse(0.0))
+  }
+
   // ---- the shared SQL (identical text on both engines) ----
 
   /** Unrotate `(x_coord = rlon deg, y_coord = rlat deg)` → lon/lat.
@@ -184,6 +223,27 @@ object GridMapping {
         s"round(degrees($lon0Rad + theta * $invN), 6) AS lon"))
   }
 
+  /** Spherical polar-stereographic inverse over projection meters:
+    * north aspect φ = 90 − 2·atan(ρ/2Rk0)·(180/π), λ = λ0 + atan2(x, −y);
+    * south flips both signs. Longitude normalizes before the round-6.
+    */
+  def psExprs(p: PolarStereo): Seq[Seq[String]] = {
+    val lon0Rad = math.toRadians(p.lon0Deg)
+    val sgn = if (p.south) -1 else 1
+    Seq(
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"CAST(x_coord - ${p.fe} AS DOUBLE) AS px",
+        s"CAST(y_coord - ${p.fn} AS DOUBLE) AS py"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"degrees($sgn * (1.5707963267948966 - " +
+          s"2 * atan(sqrt(px * px + py * py) / ${p.twoRk0}))) AS lat_raw",
+        s"degrees($lon0Rad + atan2(px, ${if (p.south) "py" else "-py"})) AS lon_raw"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        "round(lat_raw, 6) AS lat",
+        "round(CASE WHEN lon_raw > 180 THEN lon_raw - 360 " +
+          "WHEN lon_raw <= -180 THEN lon_raw + 360 ELSE lon_raw END, 6) AS lon"))
+  }
+
   def exprsSql(cellsSql: String, levels: Seq[Seq[String]], tag: String): String = {
     val nested = levels.zipWithIndex.foldLeft(s"($cellsSql) ${tag}_l0") {
       case (from, (exprs, i)) =>
@@ -205,24 +265,18 @@ object GridMapping {
       s"$path: $varName declares no grid_mapping — refusing to assume a projection"))
     val name = gm.attrs.find(_.name == "grid_mapping_name").map(_.text.trim)
       .getOrElse(sys.error(s"$path: ${gm.name} has no grid_mapping_name"))
-    val levels = name match {
-      case "rotated_latitude_longitude" => rotatedExprs(rotatedParams(path, gm))
-      case "lambert_conformal_conic" => lccExprs(lccParams(path, gm))
-      case other => sys.error(
-        s"$path: grid_mapping_name '$other' is not implemented " +
-          "(rotated_latitude_longitude and lambert_conformal_conic are) — " +
-          "refusing rather than mislabeling every cell")
-    }
-    applyExprs(Netcdf.scanNetcdfCoords(s, path, varName), levels)
+    applyExprs(Netcdf.scanNetcdfCoords(s, path, varName),
+      levelsFor(gmAttrsOf(path, gm)))
   }
 
   private def levelsFor(a: GmAttrs): Seq[Seq[String]] = a.mappingName match {
     case "rotated_latitude_longitude" => rotatedExprs(rotatedFrom(a))
     case "lambert_conformal_conic" => lccExprs(lccFrom(a))
+    case "polar_stereographic" => psExprs(psFrom(a))
     case other => sys.error(
       s"${a.where}: grid_mapping_name '$other' is not implemented " +
-        "(rotated_latitude_longitude and lambert_conformal_conic are) — " +
-        "refusing rather than mislabeling every cell")
+        "(rotated_latitude_longitude, lambert_conformal_conic and " +
+        "polar_stereographic are) — refusing rather than mislabeling every cell")
   }
 
   /** Zarr attribute path (r19): the ARRAY's `.zattrs` names the
@@ -390,6 +444,40 @@ object GridMapping {
           ("earth_radius", Seq(LccRadius)))))
     }
 
+  // NSIDC-style north polar stereographic: true scale at 70N, the
+  // straight meridian at -45, sphere radius 6370 km; the grid straddles
+  // the pole with offsets chosen so no cell lands exactly ON it
+  val PsSp = 70.0
+  val PsLon0 = -45.0
+  val PsRadius = 6370000.0
+  def psFixturePath(): String =
+    Raster.fixtureOnce(s"nc_ps_${GmW}x$GmH.nc") { p =>
+      Netcdf.writeNetcdf(p, "sic", GmH, GmW, Netcdf.NcFloat,
+        coordY = y => -123000.0 + 5000.0 * y, coordX = x => -149000.0 + 5000.0 * x,
+        gridMapping = Some(("ps", Seq(
+          ("grid_mapping_name", Right("polar_stereographic")),
+          ("latitude_of_projection_origin", Left(Seq(90.0))),
+          ("straight_vertical_longitude_from_pole", Left(Seq(PsLon0))),
+          ("standard_parallel", Left(Seq(PsSp))),
+          ("earth_radius", Left(Seq(PsRadius)))))))(
+        (x, y, _) => gmValue(x, y))
+    }
+
+  private val PsCoordsSql =
+    s"""SELECT cell_x, cell_y, value,
+       |  CAST(-149000.0 + 5000.0 * cell_x AS DOUBLE) AS x_coord,
+       |  CAST(-123000.0 + 5000.0 * cell_y AS DOUBLE) AS y_coord
+       |FROM ($GmCellsSql) gm_raw""".stripMargin
+
+  private def oraclePsSql: String = {
+    val twoRk0 = 2.0 * PsRadius * (1.0 + math.sin(math.toRadians(PsSp))) / 2.0
+    exprsSql(PsCoordsSql,
+      psExprs(PolarStereo(twoRk0, PsLon0, south = false, 0.0, 0.0)), "ps")
+  }
+
+  // ps extent: lat 88.2..90 around the pole, lon the full circle
+  private val PsZonesSql = zonesSql(-175.0, 6.0, 15.0, 88.25, 0.028, 0.08)
+
   private def write(path: String, text: String): Unit =
     java.nio.file.Files.write(new java.io.File(path).toPath,
       text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -549,6 +637,29 @@ object GridMapping {
       zonalSql(oracleRotatedSql, RotZonesSql)) { (s, d) =>
       zonalStats(cellsLonLatHdf5(s, rotatedHdf5Path(), "tas"),
         zones(s, d, RotZonesSql))
+    },
+
+    // polar stereographic (r19 — the NSIDC sea-ice grid, the third CF
+    // mapping polar products actually ship): spherical Snyder inverse
+    // with true scale at the declared standard parallel, the grid
+    // STRADDLING the pole (longitude wraps the full circle and
+    // normalizes before round-6) — retiring the refusal the r19 spec
+    // originally pinned by name
+    "scan_netcdf_polar" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oraclePsSql) ps_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLat(s, psFixturePath(), "sic")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // degree-space zones over the polar grid — zones on BOTH sides of
+    // the antimeridian exercise the wrap
+    "zonal_netcdf_polar" -> Q(
+      zonalSql(oraclePsSql, PsZonesSql)) { (s, d) =>
+      zonalStats(cellsLonLat(s, psFixturePath(), "sic"),
+        zones(s, d, PsZonesSql))
     }
   )
 }

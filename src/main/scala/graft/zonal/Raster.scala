@@ -1363,7 +1363,7 @@ object Raster {
     * is rebuilt instead of silently reused (the r18
     * `scan_source_limit_prune` nondeterminism class).
     */
-  private[graft] val FixtureStamp = "r19"
+  private[graft] val FixtureStamp = "r19b" // bumped: nc_gm_unknown content changed
 
   private def rmrf(f: java.io.File): Unit = {
     val kids = f.listFiles()

@@ -74,9 +74,9 @@ class GridMappingSpec extends SparkSuite {
           gridMapping = gm)((x, y, _) => (x + y).toDouble)
       }
     val unknown = gmFile("unknown", Some(("m", Seq(
-      ("grid_mapping_name", Right("polar_stereographic"))))))
+      ("grid_mapping_name", Right("mercator"))))))
     val e1 = intercept[Throwable](GM.cellsLonLat(spark, unknown, "tas"))
-    assert(msgs(e1).contains("polar_stereographic") && msgs(e1).contains("not implemented"), msgs(e1))
+    assert(msgs(e1).contains("mercator") && msgs(e1).contains("not implemented"), msgs(e1))
 
     val third = gmFile("third", Some(("m", Seq(
       ("grid_mapping_name", Right("rotated_latitude_longitude")),
@@ -140,6 +140,42 @@ class GridMappingSpec extends SparkSuite {
     }
     val e2 = intercept[Throwable](GM.cellsLonLatZarr(spark, s"$none/tas"))
     assert(msgs(e2).contains("no grid_mapping"), msgs(e2))
+  }
+
+  test("polar stereographic: pole proximity, aspect, and forward round trip") {
+    import graft.zonal.{GridMapping => GM}
+    val df = GM.cellsLonLat(spark, GM.psFixturePath(), "sic")
+    // the whole grid sits inside the 88.2..90 polar cap; lons wrap the
+    // full normalized circle
+    val ex = df.agg(min("lat"), max("lat"), min("lon"), max("lon")).head()
+    assert(ex.getDouble(0) > 88.19 && ex.getDouble(1) < 90.0
+      && ex.getDouble(2) >= -180.0 && ex.getDouble(3) <= 180.0, ex.toString)
+    // nearest cell to the pole: (x, y) = (1000, 2000) m -> lat ~ 89.979
+    val near = df.filter(col("cell_x") === 30 && col("cell_y") === 25).head()
+    assert(math.abs(near.getAs[Double]("lat") - 89.9793) < 1e-3, near.toString)
+    // forward re-projection round-trips within the round-6 radius
+    val twoRk0 = 2.0 * GM.PsRadius * (1.0 + math.sin(math.toRadians(GM.PsSp))) / 2.0
+    df.filter(col("cell_x") % 13 === 0 && col("cell_y") % 11 === 0)
+      .select("x_coord", "y_coord", "lon", "lat").collect().foreach { r =>
+        val rho = twoRk0 * math.tan(math.Pi / 4 - math.toRadians(r.getDouble(3)) / 2)
+        val th = math.toRadians(r.getDouble(2) - GM.PsLon0)
+        val x = rho * math.sin(th); val y = -rho * math.cos(th)
+        assert(math.abs(x - r.getDouble(0)) < 0.5 && math.abs(y - r.getDouble(1)) < 0.5,
+          s"round trip: ($x, $y) vs (${r.getDouble(0)}, ${r.getDouble(1)})")
+      }
+    // refusals: a non-pole origin, both parallel AND scale factor
+    def msgs2(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val badOrigin = GM.GmAttrs("t", Map("grid_mapping_name" -> "polar_stereographic"),
+      Map("latitude_of_projection_origin" -> Seq(70.0),
+        "straight_vertical_longitude_from_pole" -> Seq(0.0),
+        "standard_parallel" -> Seq(70.0), "earth_radius" -> Seq(6370000.0)))
+    assert(msgs2(intercept[Throwable](GM.psFrom(badOrigin))).contains("pole"))
+    val both = badOrigin.copy(nums = badOrigin.nums +
+      ("latitude_of_projection_origin" -> Seq(90.0)) +
+      ("scale_factor_at_projection_origin" -> Seq(0.97)))
+    assert(msgs2(intercept[Throwable](GM.psFrom(both))).contains("exactly ONE"))
   }
 
   test("two standard parallel values survive the classic attr parse (array attribute)") {
