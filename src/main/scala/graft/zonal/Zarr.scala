@@ -4373,6 +4373,41 @@ object Zarr {
         .orderBy("chunk_x", "chunk_y", "chunk_t")
     },
 
+    // v3 through the DSv2 WRITE face (r19): the CURRENT zarr-python
+    // default format behind the same staged-chunk commit —
+    // .option("format", "v3") writes zarr.json + nested c/ci/cj gzip
+    // frames the v3 reader scans straight back
+    "sink_zarr_dsv2_v3" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS chunk_x, cell_y // 16 AS chunk_y,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |GROUP BY chunk_x, chunk_y ORDER BY chunk_x, chunk_y""".stripMargin)) { (s, d) =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_dsv2_sink_v3"
+      graft.core.Fs.rmTree(dir)
+      val cs = 16
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("value"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      percell
+        .select(col("cell_x").cast("int").as("cell_x"),
+          col("cell_y").cast("int").as("cell_y"), col("value"))
+        .repartition(expr(s"cell_y div $cs"), expr(s"cell_x div $cs"))
+        .write.format("graft.zonal.ZarrSource")
+        .option("height", h).option("width", w)
+        .option("chunk", s"$cs,$cs").option("format", "v3")
+        .mode("overwrite").save(dir)
+      scanZarr(s, dir)
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_x div $cs AS BIGINT)").as("chunk_x"),
+          expr(s"CAST(cell_y div $cs AS BIGINT)").as("chunk_y"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("chunk_x", "chunk_y")
+    },
+
     // distributed Zarr V3 sink (r17 — write parity with the v2
     // sink_zarr for the CURRENT default format: driver writes ONLY
     // zarr.json, executors each encode + write their own c/ci/cj

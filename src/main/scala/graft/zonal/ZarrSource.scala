@@ -635,10 +635,13 @@ final class Zarr3PartitionReader(c: Zarr.ChunkRef3,
 // RequiresDistributionAndOrdering.
 // ======================================================================
 
-/** Write geometry, parsed from writer options. `t > 0` = rank-3. */
+/** Write geometry, parsed from writer options. `t > 0` = rank-3;
+  * `v3` = the current zarr-python default format (zarr.json + nested
+  * `c/ci/cj` chunk keys, gzip frames).
+  */
 private[zonal] case class ZarrGeom(h: Int, w: Int, chunkH: Int, chunkW: Int,
     compressor: String, dtype: String, fill: Double,
-    t: Int = 0, chunkT: Int = 1) {
+    t: Int = 0, chunkT: Int = 1, v3: Boolean = false) {
   def rank3: Boolean = t > 0
   def cellsPerChunk: Int = chunkT * chunkH * chunkW
 }
@@ -677,10 +680,18 @@ private[graft] object ZarrWrite {
            else "\"chunkH,chunkW\""}, got ${p.get("chunk")}""")
       val (ct, chh, chw) =
         if (t > 0) (chunk(0), chunk(1), chunk(2)) else (1, chunk(0), chunk(1))
+      val v3 = Option(p.get("format")).map(_.trim.toLowerCase) match {
+        case None | Some("v2") => false
+        case Some("v3") => true
+        case Some(other) => sys.error(
+          s"""option "format" wants v2 or v3, got $other""")
+      }
+      require(!v3 || t == 0,
+        "the v3 write face is rank-2 (the rank-3 v3 direction is sink_zarr_3d territory)")
       Some(ZarrGeom(h.toInt, w.toInt, chh, chw,
-        Option(p.get("compressor")).getOrElse("zlib"),
+        Option(p.get("compressor")).getOrElse(if (v3) "gzip" else "zlib"),
         Option(p.get("dtype")).getOrElse("<f8"),
-        Option(p.get("fill")).map(_.toDouble).getOrElse(0.0), t, ct))
+        Option(p.get("fill")).map(_.toDouble).getOrElse(0.0), t, ct, v3))
     }
   }
 
@@ -764,10 +775,11 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
     // geometry guard up front (before any task runs): an existing store
     // must match, or the caller must truncate — appending chunks of a
     // DIFFERENT grid would silently corrupt reads
-    val metaF = new java.io.File(path, ".zarray")
+    val metaF = new java.io.File(path, if (g.v3) "zarr.json" else ".zarray")
     if (metaF.exists() && !truncate) {
       val m = Zarr.readMeta(path)
-      require(m.rank3 == g.rank3 && !m.rank4 && m.height == g.h && m.width == g.w
+      require(m.rank3 == g.rank3 && !m.rank4 && m.v3 == g.v3
+          && m.height == g.h && m.width == g.w
           && m.chunkH == g.chunkH && m.chunkW == g.chunkW
           && (!g.rank3 || (m.epochs == g.t && m.chunkT == g.chunkT)),
         s"$path: existing store geometry differs from the write options — " +
@@ -785,8 +797,12 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
       val old = dir.listFiles()
       if (old != null) old.filter(_.getName.matches("""\d+\.\d+(\.\d+)?"""))
         .foreach(_.delete())
+      if (g.v3) ZarrWrite.rmTree(new java.io.File(dir, "c"))
     }
-    if (g.rank3)
+    if (g.v3)
+      Zarr.writeZarrV3Meta(path, g.h, g.w, g.chunkH, g.chunkW,
+        g.compressor, g.dtype, g.fill)
+    else if (g.rank3)
       Zarr.writeZarr3dMeta(path, g.t, g.h, g.w, g.chunkT, g.chunkH, g.chunkW,
         g.compressor, g.dtype, g.fill)
     else
@@ -795,7 +811,9 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
     var merged = 0
     frags.groupBy(f => (f.ck, f.ci, f.cj)).foreach { case ((ck, ci, cj), fs) =>
       val out = new java.io.File(dir,
-        if (g.rank3) s"$ck.$ci.$cj" else s"$ci.$cj")
+        if (g.v3) s"c/$ci/$cj"
+        else if (g.rank3) s"$ck.$ci.$cj" else s"$ci.$cj")
+      out.getParentFile.mkdirs()
       if (fs.size == 1) {
         // the hot path: install by atomic rename, zero data bytes read
         java.nio.file.Files.move(new java.io.File(fs.head.file).toPath, out.toPath,

@@ -161,6 +161,35 @@ class ZarrWriteSpec extends SparkSuite {
       (col("cell_x") * 7 + col("cell_y") * 11 + col("epoch") * 13) % 101).count() == 0)
   }
 
+  test("v3 write face: format option writes zarr.json + nested chunk keys, reads back exactly") {
+    val dir = s"$tmp/graft_io/zarrw_v3"
+    graft.core.Fs.rmTree(dir)
+    val (w, h, cs) = (40, 24, 16)
+    grid(w, h)
+      .repartition(expr(s"cell_y div $cs"), expr(s"cell_x div $cs"))
+      .write.format("graft.zonal.ZarrSource")
+      .option("height", h).option("width", w).option("chunk", s"$cs,$cs")
+      .option("format", "v3")
+      .mode("overwrite").save(dir)
+    assert(graft.zonal.ZarrWrite.lastCommit == (6, 0))
+    assert(new java.io.File(dir, "zarr.json").exists(), "v3 store wants zarr.json")
+    assert(new java.io.File(dir, "c/0/0").exists(), "v3 chunks key as c/ci/cj")
+    val back = spark.read.format("graft.zonal.ZarrSource").load(dir)
+    assert(back.count() == w.toLong * h)
+    assert(back.filter(
+      col("value") =!= (col("cell_x") * 7 + col("cell_y") * 11) % 101).count() == 0)
+    // unknown format refuses loudly
+    val e = intercept[Throwable] {
+      grid(8, 8).write.format("graft.zonal.ZarrSource")
+        .option("height", 8).option("width", 8).option("format", "v9")
+        .mode("overwrite").save(s"$tmp/graft_io/zarrw_v9")
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("v2 or v3"), msgs(e))
+  }
+
   test("registry op: sink_zarr_dsv2 round trip matches the per-chunk formula and commits rename-only") {
     val r = q("sink_zarr_dsv2").collect()
     assert(r.nonEmpty)
