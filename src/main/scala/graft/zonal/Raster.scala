@@ -2285,6 +2285,56 @@ object Raster {
         .orderBy("zone_id", "class_a", "class_b")
     },
 
+    // the mosaic through the DSv2 WRITE face (r19): the same COG-
+    // catalog build as ONE df.write — members stage task-side with
+    // exact min/max, commit renames + assembles the `_tile_stats`
+    // sidecar, and the follow-up min/max aggregation answers FROM that
+    // sidecar (graft-meta-row, zero data files opened) — the write and
+    // the stats pushdown gate each other in one op
+    "sink_raster_dsv2" -> Q(
+      Cube.withSql(
+        s""", percell AS (
+           |  SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |SELECT tile_x, tile_y, n_cells_nonzero, sum_v, vmin, vmax FROM (
+           |  SELECT cell_x // 16 AS tile_x, cell_y // 16 AS tile_y,
+           |    count(*) AS n_cells_nonzero,
+           |    CAST(sum(n) AS BIGINT) AS sum_v
+           |  FROM percell GROUP BY tile_x, tile_y)
+           |CROSS JOIN (
+           |  SELECT CASE WHEN count(*) < (max(cell_x) + 1) * (max(cell_y) + 1)
+           |      THEN CAST(0 AS DOUBLE) ELSE CAST(min(n) AS DOUBLE) END AS vmin,
+           |    CAST(max(n) AS DOUBLE) AS vmax
+           |  FROM percell)
+           |ORDER BY tile_x, tile_y""".stripMargin)) { (s, d) =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/raster_dsv2_sink"
+      graft.core.Fs.rmTree(dir)
+      val ts = 16
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("value"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      percell
+        .select(col("cell_x").cast("int").as("cell_x"),
+          col("cell_y").cast("int").as("cell_y"), col("value"))
+        .repartition(expr(s"cell_y div $ts"), expr(s"cell_x div $ts"))
+        .write.format("graft.zonal.TiffSource")
+        .option("height", h).option("width", w).option("tile", s"$ts,$ts")
+        .mode("overwrite").save(dir)
+      // read back through the mosaic DSv2 face; min/max answers from
+      // the sidecar the commit just wrote (absent cells inside the
+      // extent are 0.0 by the mosaic contract, so vmin is 0 exactly
+      // when coverage is partial — the oracle states the same CASE)
+      val mosaic = s.read.format("graft.zonal.TiffSource").load(dir)
+      val mm = mosaic.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      mosaic.filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_x div $ts AS BIGINT)").as("tile_x"),
+          expr(s"CAST(cell_y div $ts AS BIGINT)").as("tile_y"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .crossJoin(mm)
+        .orderBy("tile_x", "tile_y")
+    },
+
     // the WRITE path: cells → one single-tile GeoTIFF per 16×16 tile,
     // written INSIDE the tasks (mapGroups: per-tile bounded buffer, no
     // cell ever reaches the driver — only the 16-row manifest does),

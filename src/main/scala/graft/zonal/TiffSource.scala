@@ -39,14 +39,20 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class TiffSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
-    if (TiffSource.isMosaic(path)) TiffSource.Schema
+    // WRITE face (r19): height/width declare the target grid — the
+    // destination need not exist yet, so never probe it for a schema
+    if (options.containsKey("height") && options.containsKey("width"))
+      TiffSource.Schema
+    else if (TiffSource.isMosaic(path)) TiffSource.Schema
     else TiffSource.schemaFor(path)
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
-    require(path != null && path.nonEmpty, "graft.zonal.TiffSource: a load(path) is required")
-    if (TiffSource.isMosaic(path)) new TiffMosaicTable(path)
+    require(path != null && path.nonEmpty,
+      "graft.zonal.TiffSource: a load(path)/save(dir) is required")
+    val geom = TiffWrite.geomFrom(properties)
+    if (geom.isDefined || TiffSource.isMosaic(path)) new TiffMosaicTable(path, geom)
     else new TiffTable(path)
   }
 }
@@ -96,13 +102,26 @@ object TiffMosaic {
   * the sidecar cannot answer exactly (a filter, a grouping, any other
   * aggregate) falls back to the real scan — never approximated.
   */
-final class TiffMosaicTable(dir: String) extends Table with SupportsRead {
+final class TiffMosaicTable(dir: String, geom: Option[TiffGeom] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"tiff-mosaic:$dir"
   override def schema(): StructType = TiffSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (geom.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new TiffMosaicScanBuilder(dir)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val g = geom.getOrElse(throw new IllegalArgumentException(
+      s"$dir: the mosaic write face wants .option(\"height\", h)" +
+        ".option(\"width\", w) (+ optional tile)"))
+    new TiffMosaicWriteBuilder(dir, g, info)
+  }
 }
 
 final class TiffMosaicScanBuilder(dir: String)
@@ -456,5 +475,224 @@ final class TiffPartitionReader(t: Raster.TileRef, cols: Array[String])
     }
     row
   }
+  override def close(): Unit = ()
+}
+
+// ======================================================================
+// Mosaic DSv2 WRITE face (r19): `df.write.format("graft.zonal.TiffSource")
+//   .option("height", h).option("width", w).option("tile", "th,tw")
+//   .mode(...).save(dir)`
+// builds a tile-collection directory — one single-tile GeoTIFF member
+// per (ty, tx) grid tile plus the `_tile_stats` sidecar with EXACT
+// per-member min/max, i.e. the COG-catalog layout the mosaic READ face
+// scans and the MIN/MAX aggregate pushdown answers from. Tasks stage
+// member files + presence bitmaps; the driver's commit installs
+// single-fragment members by atomic rename and writes the sidecar from
+// the task-computed stats (tile-aligned input ⇒ one task = one member
+// file, metadata-only commit). Absent cells of a partially-covered
+// member are 0.0 (TIFF carries no fill attribute) and participate in
+// the member's min/max so the sidecar stays exact.
+// ======================================================================
+
+private[zonal] case class TiffGeom(h: Int, w: Int, tileH: Int, tileW: Int)
+
+private[graft] object TiffWrite {
+  /** Last commit's (members installed, members merged) — a test hook. */
+  @volatile var lastCommit: (Int, Int) = (0, 0)
+
+  private[zonal] def geomFrom(p: java.util.Map[String, String]): Option[TiffGeom] = {
+    val h = p.get("height"); val w = p.get("width")
+    if (h == null || w == null) None
+    else {
+      val t = Option(p.get("tile")).getOrElse("16,16").split(",").map(_.trim.toInt)
+      require(t.length == 2 && t.forall(_ > 0),
+        s"""option "tile" wants "tileH,tileW", got ${p.get("tile")}""")
+      Some(TiffGeom(h.toInt, w.toInt, t(0), t(1)))
+    }
+  }
+
+  /** Local (driver-side, merge-path only) cell iterator over one staged
+    * member file — the same decode the partition reader runs.
+    */
+  private[zonal] def localCells(path: String): Iterator[(Int, Int, Double)] = {
+    val m = Raster.readMeta(path)
+    Raster.tileRefs(m, path).iterator.flatMap { ref =>
+      val rd = new TiffPartitionReader(ref, Array("cell_x", "cell_y", "value"))
+      Iterator.continually(rd).takeWhile(_.next()).map { r =>
+        val row = r.get(); (row.getInt(0), row.getInt(1), row.getDouble(2))
+      }
+    }
+  }
+
+  private[zonal] def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete(); ()
+  }
+}
+
+private[zonal] case class TiffFrag(tx: Int, ty: Int, file: String,
+    vmin: Double, vmax: Double, full: Boolean)
+private[zonal] case class TiffTilesMsg(frags: Seq[TiffFrag])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class TiffMosaicWriteBuilder(dir: String, g: TiffGeom,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new TiffMosaicBatchWrite(dir, g, info.schema(), info.queryId(), doTruncate)
+}
+
+final class TiffMosaicBatchWrite(dir: String, g: TiffGeom, in: StructType,
+    queryId: String, truncate: Boolean)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graft-tiff-mosaic-write $dir ${g.h}x${g.w} tiles=${g.tileH}x${g.tileW} " +
+      s"truncate=$truncate"
+
+  private def stageDir = new java.io.File(dir, s".stage_$queryId")
+
+  override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
+    def idx(n: String): Int = {
+      val i = in.fieldNames.indexOf(n)
+      require(i >= 0, s"$dir: the mosaic write face wants columns " +
+        s"(cell_x, cell_y, value); missing $n in ${in.fieldNames.mkString(",")}")
+      i
+    }
+    stageDir.mkdirs()
+    new TiffTileWriterFactory(dir, g, idx("cell_x"), idx("cell_y"), idx("value"), queryId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val frags = messages.collect { case m: TiffTilesMsg => m.frags }.flatten.toSeq
+    val root = new java.io.File(dir)
+    if (truncate) {
+      val old = root.listFiles()
+      if (old != null) old.filter(f => f.getName.matches("""tile_\d+_\d+\.tif""")
+        || f.getName == "_tile_stats").foreach(_.delete())
+    }
+    var merged = 0
+    val newStats = frags.groupBy(f => (f.tx, f.ty)).map { case ((tx, ty), fs) =>
+      val name = s"tile_${tx}_$ty.tif"
+      val out = new java.io.File(root, name)
+      val st =
+        if (fs.size == 1) {
+          java.nio.file.Files.move(new java.io.File(fs.head.file).toPath, out.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          fs.head
+        } else {
+          // the rare split-member path: decode + merge the staged tiffs
+          merged += 1
+          val wIn = math.min(g.tileW, g.w - tx * g.tileW)
+          val hIn = math.min(g.tileH, g.h - ty * g.tileH)
+          val acc = new Array[Double](wIn * hIn)
+          val seen = new java.util.BitSet(wIn * hIn)
+          fs.foreach { f =>
+            val bm = java.util.BitSet.valueOf(
+              java.nio.file.Files.readAllBytes(new java.io.File(f.file + ".bm").toPath))
+            TiffWrite.localCells(f.file).foreach { case (x, y, v) =>
+              val i = y * wIn + x
+              if (bm.get(i)) {
+                require(!seen.get(i),
+                  s"$dir member $name: cell $i written from two partitions — " +
+                    "duplicate (cell_x, cell_y) rows in the input")
+                seen.set(i); acc(i) = v
+              }
+            }
+          }
+          Raster.writeTiff(out.getPath, wIn, hIn, g.tileW, g.tileH)(
+            (x, y) => acc(y * wIn + x))
+          TiffFrag(tx, ty, out.getPath, acc.min, acc.max, full = true)
+        }
+      Raster.TileStats(name, tx * g.tileW, ty * g.tileH, st.vmin, st.vmax)
+    }.toSeq
+    // sidecar: new members replace same-name lines, others survive (the
+    // chunk-granular upsert posture); paths stay RELATIVE
+    val keepOld =
+      if (truncate || !new java.io.File(root, "_tile_stats").exists()) Nil
+      else Raster.readStatsManifest(dir)
+        .filterNot(t => newStats.exists(n =>
+          new java.io.File(t.path).getName == n.path))
+        .map(t => t.copy(path = new java.io.File(t.path).getName))
+    // append geometry guard: a surviving member whose origin is off this
+    // write's tile grid, or one sharing an origin with a new member under
+    // a different name, would overlap geometry on read — refuse loudly
+    keepOld.foreach { t =>
+      require(t.ox % g.tileW == 0 && t.oy % g.tileH == 0,
+        s"$dir append: existing member ${t.path} at origin (${t.ox}, ${t.oy}) " +
+          s"is off the ${g.tileH}x${g.tileW} tile-grid geometry — refusing the upsert")
+      require(!newStats.exists(n => n.ox == t.ox && n.oy == t.oy),
+        s"$dir append: existing member ${t.path} shares origin (${t.ox}, ${t.oy}) " +
+          "with a new member under a different name — same tile geometry, two members")
+    }
+    Raster.writeStatsManifest(dir,
+      (keepOld ++ newStats).sortBy(t => (t.oy, t.ox)))
+    TiffWrite.lastCommit = (newStats.size, merged)
+    TiffWrite.rmTree(stageDir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    TiffWrite.rmTree(stageDir)
+}
+
+final class TiffTileWriterFactory(dir: String, g: TiffGeom,
+    xi: Int, yi: Int, vi: Int, queryId: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new TiffTileDataWriter(dir, g, xi, yi, vi, queryId, partitionId, taskId)
+}
+
+/** Buffers dense per-member arrays; stages REAL single-tile GeoTIFF
+  * files + presence bitmaps with task-computed exact min/max on commit.
+  */
+final class TiffTileDataWriter(dir: String, g: TiffGeom,
+    xi: Int, yi: Int, vi: Int, queryId: String, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val bufs = scala.collection.mutable.HashMap
+    .empty[(Int, Int), (Array[Double], java.util.BitSet)]
+
+  override def write(r: InternalRow): Unit = {
+    require(!r.isNullAt(xi) && !r.isNullAt(yi) && !r.isNullAt(vi),
+      s"$dir: NULL in (cell_x, cell_y, value) — the raster grid has no null cells")
+    val x = r.getInt(xi); val y = r.getInt(yi); val v = r.getDouble(vi)
+    require(x >= 0 && x < g.w && y >= 0 && y < g.h,
+      s"$dir: cell ($x, $y) outside the ${g.h}x${g.w} grid")
+    val tx = x / g.tileW; val ty = y / g.tileH
+    val wIn = math.min(g.tileW, g.w - tx * g.tileW)
+    val hIn = math.min(g.tileH, g.h - ty * g.tileH)
+    val (arr, bm) = bufs.getOrElseUpdate((tx, ty),
+      (new Array[Double](wIn * hIn), new java.util.BitSet(wIn * hIn)))
+    val idx = (y - ty * g.tileH) * wIn + (x - tx * g.tileW)
+    arr(idx) = v; bm.set(idx)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val stage = new java.io.File(dir, s".stage_$queryId")
+    val frags = bufs.toSeq.map { case ((tx, ty), (arr, bm)) =>
+      val wIn = math.min(g.tileW, g.w - tx * g.tileW)
+      val hIn = math.min(g.tileH, g.h - ty * g.tileH)
+      val f = new java.io.File(stage, s"tile_${tx}_$ty.p${partitionId}_t$taskId.tif")
+      Raster.writeTiff(f.getPath, wIn, hIn, g.tileW, g.tileH)(
+        (x, y) => arr(y * wIn + x))
+      java.nio.file.Files.write(new java.io.File(f.getPath + ".bm").toPath,
+        bm.toByteArray)
+      TiffFrag(tx, ty, f.getPath, arr.min, arr.max,
+        full = bm.cardinality() == wIn * hIn)
+    }
+    TiffTilesMsg(frags)
+  }
+
+  override def abort(): Unit = ()
   override def close(): Unit = ()
 }
