@@ -1961,7 +1961,7 @@ object Hdf5 {
     out
   }
 
-  private def encodeCells(vals: Array[Double], dtype: String): Array[Byte] = {
+  private[zonal] def encodeCells(vals: Array[Double], dtype: String): Array[Byte] = {
     val elem = dtype.substring(2).toInt
     val bb = java.nio.ByteBuffer.allocate(vals.length * elem)
       .order(if (dtype.charAt(0) == '>') java.nio.ByteOrder.BIG_ENDIAN
@@ -4690,6 +4690,41 @@ object Hdf5 {
     // buffer — single-file containers concatenate, never materialize.
     // Read back through the real scanner; per-chunk stats vs the
     // source cells gate the full write→read round trip.
+    // the same single-file netCDF-4 build through the DSv2 WRITE face
+    // (r19): df.write.format("graft.zonal.Hdf5Source") — tasks stage
+    // final DEFLATED chunk blobs (compression in the tasks), the commit
+    // writes header + v1 chunk B-tree sized from the staged lengths and
+    // streams the blobs in C-order, installing by atomic rename; read
+    // back through the DSv2 READ face — one op gates the whole
+    // df.write → spark.read round trip on the same TableProvider
+    "sink_netcdf4_dsv2" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS chunk_x, cell_y // 16 AS chunk_y,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |GROUP BY chunk_x, chunk_y ORDER BY chunk_x, chunk_y""".stripMargin)) { (s, d) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5_dsv2_sink.nc"
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("value"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      percell
+        .select(col("cell_x").cast("int").as("cell_x"),
+          col("cell_y").cast("int").as("cell_y"), col("value"))
+        .repartition(expr("cell_y div 16"), expr("cell_x div 16"))
+        .write.format("graft.zonal.Hdf5Source")
+        .option("height", h).option("width", w).option("chunk", "16,16")
+        .mode("overwrite").save(path)
+      s.read.format("graft.zonal.Hdf5Source").option("var", "v").load(path)
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr("CAST(cell_x div 16 AS BIGINT)").as("chunk_x"),
+          expr("CAST(cell_y div 16 AS BIGINT)").as("chunk_y"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("chunk_x", "chunk_y")
+    },
+
     "sink_netcdf4" -> Q(
       Cube.withSql(
         s"""SELECT cell_x // 16 AS chunk_x, cell_y // 16 AS chunk_y,

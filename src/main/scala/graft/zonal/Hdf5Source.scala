@@ -38,9 +38,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class Hdf5Source extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
+    // WRITE face (r19): height/width declare the target grid — the
+    // destination file need not exist yet, so never probe it
+    if (options.containsKey("height") && options.containsKey("width"))
+      NetcdfWrite.WriteSchema
     // a MEMBER LANDING directory is the STREAMING face (r19) — see
     // [[Hdf5MembersTable]]
-    if (path != null && path.nonEmpty && Hdf5MembersTable.isMemberDir(path))
+    else if (path != null && path.nonEmpty && Hdf5MembersTable.isMemberDir(path))
       Hdf5MembersTable.Schema
     else Hdf5Source.schemaFor(path, options.get("var"),
       options.get("time"), options.get("coords"))
@@ -48,7 +52,11 @@ class Hdf5Source extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
-    if (path != null && path.nonEmpty && Hdf5MembersTable.isMemberDir(path)) {
+    val geom = H5Write.geomFrom(properties)
+    if (geom.isDefined)
+      new Hdf5Table(path, Option(properties.get("var")).getOrElse("v"),
+        null, null, geom)
+    else if (path != null && path.nonEmpty && Hdf5MembersTable.isMemberDir(path)) {
       val varName = properties.get("var")
       require(varName != null && varName.nonEmpty,
         "graft.zonal.Hdf5Source: .option(\"var\", <dataset name>) is required")
@@ -118,14 +126,28 @@ object Hdf5Source {
 }
 
 final class Hdf5Table(path: String, varName: String, timeVar: String = null,
-    coords: String = null) extends Table with SupportsRead {
+    coords: String = null, geom: Option[H5WGeom] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"hdf5:$path#$varName"
   override def schema(): StructType =
-    Hdf5Source.schemaFor(path, varName, timeVar, coords)
+    if (geom.isDefined) NetcdfWrite.WriteSchema
+    else Hdf5Source.schemaFor(path, varName, timeVar, coords)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (geom.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new Hdf5ScanBuilder(path, varName, timeVar, coords)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val g = geom.getOrElse(throw new IllegalArgumentException(
+      s"$path: the netCDF-4/HDF5 write face wants .option(\"height\", h)" +
+        ".option(\"width\", w) (+ optional chunk, var)"))
+    new H5WriteBuilder(path, g, info)
+  }
 }
 
 /** Accumulates a (t, level, y, x) window from pushed comparisons and
@@ -435,5 +457,191 @@ final class Hdf5PartitionReader(r: Hdf5.H5ChunkRef,
     }
     row
   }
+  override def close(): Unit = ()
+}
+
+// ======================================================================
+// netCDF-4/HDF5 DSv2 WRITE face (r19):
+//   `df.write.format("graft.zonal.Hdf5Source").option("height", h)
+//    .option("width", w).option("chunk", "ch,cw").option("var", name)
+//    .mode("overwrite").save(path)`
+// builds ONE netCDF-4 (HDF5) file with a deflate-chunked rank-2
+// variable. Tasks stage FINAL deflated chunk blobs (the exact bytes
+// the reader inflates) plus presence bitmaps; the driver's commit
+// inflates + merges only chunks genuinely split across partitions
+// (cross-partition duplicates refuse loudly), writes the header —
+// superblock, object headers, the v1 chunk B-tree sized from the
+// staged blob lengths — and streams the blobs in C-order into a temp
+// file installed by atomic rename. A single-file container
+// concatenates: the driver moves compressed BYTES, never cells.
+// Absent cells are 0.0 (= the declared fill). Append REFUSES — the
+// chunk-granular upsert face is the Zarr store.
+// ======================================================================
+
+private[zonal] case class H5WGeom(h: Int, w: Int, ch: Int, cw: Int,
+    varName: String)
+
+private[graft] object H5Write {
+  /** Last commit's (chunks written, chunks merged) — a test hook. */
+  @volatile var lastCommit: (Int, Int) = (0, 0)
+
+  private[zonal] def geomFrom(p: java.util.Map[String, String]): Option[H5WGeom] = {
+    val h = p.get("height"); val w = p.get("width")
+    if (h == null || w == null) None
+    else {
+      val c = Option(p.get("chunk")).getOrElse("16,16").split(",").map(_.trim.toInt)
+      require(c.length == 2 && c.forall(_ > 0),
+        s"""option "chunk" wants "chunkH,chunkW", got ${p.get("chunk")}""")
+      Some(H5WGeom(h.toInt, w.toInt, c(0), c(1),
+        Option(p.get("var")).getOrElse("v")))
+    }
+  }
+}
+
+private[zonal] case class H5ChunkFrag(ci: Int, cj: Int, file: String)
+private[zonal] case class H5ChunksMsg(frags: Seq[H5ChunkFrag])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class H5WriteBuilder(path: String, g: H5WGeom,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    require(doTruncate,
+      s"$path: netCDF-4/HDF5 is one flat file — an append would rewrite " +
+        "every byte, so only mode(\"overwrite\") is supported here; the " +
+        "chunk-granular upsert face is the Zarr store")
+    new H5BatchWrite(path, g, info.schema(), info.queryId())
+  }
+}
+
+final class H5BatchWrite(path: String, g: H5WGeom, in: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graft-hdf5-write $path ${g.h}x${g.w} chunk=${g.ch}x${g.cw} var=${g.varName}"
+
+  private def stageDir = {
+    val f = new java.io.File(path)
+    new java.io.File(Option(f.getParentFile).getOrElse(new java.io.File(".")),
+      s".stage_${f.getName}_$queryId")
+  }
+
+  override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
+    val (xi, yi, vi) = NetcdfWrite.requireCols(in, path)
+    stageDir.mkdirs()
+    new H5ChunkWriterFactory(stageDir.getPath, g, xi, yi, vi)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val frags = messages.collect { case m: H5ChunksMsg => m.frags }.flatten.toSeq
+    var merged = 0
+    val blobs = frags.groupBy(f => (f.ci, f.cj)).map { case ((ci, cj), fs) =>
+      val file =
+        if (fs.size == 1) fs.head.file
+        else {
+          // the split-chunk path: inflate, bitmap-merge, re-deflate
+          merged += 1
+          val n = g.ch * g.cw
+          val acc = new Array[Byte](n * 8)
+          val seen = new java.util.BitSet(n)
+          fs.foreach { f =>
+            val raw = TiffCodec.inflate(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(f.file)), n * 8)
+            val bm = java.util.BitSet.valueOf(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(f.file + ".bm")))
+            var i = bm.nextSetBit(0)
+            while (i >= 0) {
+              require(!seen.get(i),
+                s"$path chunk ($ci, $cj): cell $i written from two partitions " +
+                  "— duplicate (cell_x, cell_y) rows in the input")
+              seen.set(i)
+              System.arraycopy(raw, i * 8, acc, i * 8, 8)
+              i = bm.nextSetBit(i + 1)
+            }
+          }
+          val out = new java.io.File(stageDir, f"merged_$ci%05d_$cj%05d.bin")
+          java.nio.file.Files.write(out.toPath, TiffCodec.deflate(acc))
+          out.getPath
+        }
+      (ci, cj) -> file
+    }.toSeq.sortBy(_._1)
+    val sizes = blobs.map { case ((ci, cj), f) =>
+      ((0, ci * g.ch, cj * g.cw), new java.io.File(f).length().toInt)
+    }
+    val tmp = new java.io.File(stageDir, "sink.tmp")
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
+    try {
+      out.write(Hdf5.hdf5HeaderBytes(g.varName, 0, g.h, g.w, 1, g.ch, g.cw,
+        "<f8", deflate = true, shuffle = false, fill = Some(0.0),
+        contiguous = false, 0L, sizes))
+      blobs.foreach { case (_, f) =>
+        java.nio.file.Files.copy(java.nio.file.Paths.get(f), out)
+      }
+    } finally out.close()
+    java.nio.file.Files.move(tmp.toPath, java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    H5Write.lastCommit = (blobs.size, merged)
+    NetcdfWrite.rmTree(stageDir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    NetcdfWrite.rmTree(stageDir)
+}
+
+final class H5ChunkWriterFactory(stage: String, g: H5WGeom,
+    xi: Int, yi: Int, vi: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new H5ChunkDataWriter(stage, g, xi, yi, vi, partitionId, taskId)
+}
+
+/** Buffers dense per-chunk arrays (HDF5 chunks are always full-size;
+  * the reader clips the pad); stages final DEFLATED blobs + presence
+  * bitmaps — compression happens in the tasks, never on the driver.
+  */
+final class H5ChunkDataWriter(stage: String, g: H5WGeom,
+    xi: Int, yi: Int, vi: Int, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val bufs = scala.collection.mutable.HashMap
+    .empty[(Int, Int), (Array[Double], java.util.BitSet)]
+
+  override def write(r: InternalRow): Unit = {
+    require(!r.isNullAt(xi) && !r.isNullAt(yi) && !r.isNullAt(vi),
+      s"NULL in (cell_x, cell_y, value) — the raster grid has no null cells")
+    val x = r.getInt(xi); val y = r.getInt(yi); val v = r.getDouble(vi)
+    require(x >= 0 && x < g.w && y >= 0 && y < g.h,
+      s"cell ($x, $y) outside the ${g.h}x${g.w} grid")
+    val ci = y / g.ch; val cj = x / g.cw
+    val (arr, bm) = bufs.getOrElseUpdate((ci, cj),
+      (new Array[Double](g.ch * g.cw), new java.util.BitSet(g.ch * g.cw)))
+    val idx = (y - ci * g.ch) * g.cw + (x - cj * g.cw)
+    arr(idx) = v; bm.set(idx)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val frags = bufs.toSeq.map { case ((ci, cj), (arr, bm)) =>
+      val f = new java.io.File(stage,
+        f"chunk_$ci%05d_$cj%05d.p${partitionId}_t$taskId.bin")
+      java.nio.file.Files.write(f.toPath,
+        TiffCodec.deflate(Hdf5.encodeCells(arr, "<f8")))
+      java.nio.file.Files.write(new java.io.File(f.getPath + ".bm").toPath,
+        bm.toByteArray)
+      H5ChunkFrag(ci, cj, f.getPath)
+    }
+    H5ChunksMsg(frags)
+  }
+
+  override def abort(): Unit = ()
   override def close(): Unit = ()
 }

@@ -50,7 +50,7 @@ object Netcdf {
   private val NcShort = 3
   private val NcInt = 4
   private[graft] val NcFloat = 5
-  private val NcDouble = 6
+  private[zonal] val NcDouble = 6
 
   private def elemSize(t: Int): Int = t match {
     case NcByte | NcChar => 1
@@ -2473,6 +2473,39 @@ object Netcdf {
       scanNetcdfWindow(s, fixturePath(), "t2m", 10, 50, 8, 40)
         .select(col("cell_x"), col("cell_y"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // the same single-file build through the DSv2 WRITE face (r19):
+    // df.write.format("graft.zonal.NetcdfSource") — tasks stage dense
+    // per-stripe slabs (the exact reader bytes), the commit streams
+    // header + slabs in stripe order and installs by atomic rename;
+    // read back through the DSv2 READ face, so one op gates the whole
+    // df.write → spark.read round trip on the same TableProvider
+    "sink_netcdf_dsv2" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_y // 16 AS stripe,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |GROUP BY stripe ORDER BY stripe""".stripMargin)) { (s, d) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/nc_dsv2_sink.nc"
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("value"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      percell
+        .select(col("cell_x").cast("int").as("cell_x"),
+          col("cell_y").cast("int").as("cell_y"), col("value"))
+        .repartition(expr("cell_y div 16"))
+        .write.format("graft.zonal.NetcdfSource")
+        .option("height", h).option("width", w).option("stripe", 16)
+        .mode("overwrite").save(path)
+      s.read.format("graft.zonal.NetcdfSource").option("var", "v").load(path)
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr("CAST(cell_y div 16 AS BIGINT)").as("stripe"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("stripe")
     },
 
     // the WRITE direction, distributed: per-cell aggregates stripe up

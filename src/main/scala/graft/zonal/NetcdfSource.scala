@@ -43,9 +43,13 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 class NetcdfSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val path = options.get("path")
+    // WRITE face (r19): height/width declare the target grid — the
+    // destination file need not exist yet, so never probe it
+    if (options.containsKey("height") && options.containsKey("width"))
+      NetcdfWrite.WriteSchema
     // a LANDING DIRECTORY of .nc member files is the STREAMING face —
     // see [[NetcdfMembersTable]]
-    if (path != null && path.nonEmpty && NetcdfMembersTable.isMemberDir(path))
+    else if (path != null && path.nonEmpty && NetcdfMembersTable.isMemberDir(path))
       NetcdfMembersTable.Schema
     else NetcdfSource.schemaFor(path, options.get("var"), options.get("time"),
       options.get("coords"))
@@ -53,7 +57,11 @@ class NetcdfSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
-    if (path != null && path.nonEmpty && NetcdfMembersTable.isMemberDir(path)) {
+    val geom = NetcdfWrite.geomFrom(properties)
+    if (geom.isDefined)
+      new NetcdfTable(path, Option(properties.get("var")).getOrElse("v"),
+        null, null, geom)
+    else if (path != null && path.nonEmpty && NetcdfMembersTable.isMemberDir(path)) {
       val varName = properties.get("var")
       require(varName != null && varName.nonEmpty,
         "graft.zonal.NetcdfSource: .option(\"var\", <variable>) is required")
@@ -121,14 +129,28 @@ object NetcdfSource {
 }
 
 final class NetcdfTable(path: String, varName: String, timeVar: String,
-    coords: String = null) extends Table with SupportsRead {
+    coords: String = null, geom: Option[NcWGeom] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"netcdf:$path#$varName"
   override def schema(): StructType =
-    NetcdfSource.schemaFor(path, varName, timeVar, coords)
+    if (geom.isDefined) NetcdfWrite.WriteSchema
+    else NetcdfSource.schemaFor(path, varName, timeVar, coords)
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    if (geom.isDefined)
+      java.util.EnumSet.of(TableCapability.BATCH_READ,
+        TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new NetcdfScanBuilder(path, varName, timeVar, coords)
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val g = geom.getOrElse(throw new IllegalArgumentException(
+      s"$path: the classic-NetCDF write face wants .option(\"height\", h)" +
+        ".option(\"width\", w) (+ optional stripe, var)"))
+    new NcWriteBuilder(path, g, info)
+  }
 }
 
 /** Accumulates a (t, level, y) window from pushed comparisons and the
@@ -419,5 +441,221 @@ final class NetcdfPartitionReader(r: Netcdf.StripeRef, labelMicros: Long,
     }
     row
   }
+  override def close(): Unit = ()
+}
+
+// ======================================================================
+// Classic-NetCDF DSv2 WRITE face (r19):
+//   `df.write.format("graft.zonal.NetcdfSource").option("height", h)
+//    .option("width", w).option("stripe", rows).option("var", name)
+//    .mode("overwrite").save(path)`
+// builds ONE classic CDF-1 file. Tasks stage dense per-stripe slabs
+// (the exact big-endian bytes the reader decodes) plus presence
+// bitmaps; the driver's commit merges only stripes genuinely split
+// across input partitions (cross-partition duplicate cells refuse
+// loudly), then streams header + slabs in stripe order into a temp
+// file and installs it by atomic rename. A single-file container
+// concatenates — the driver moves BYTES (bounded copy buffer), never
+// decoded cells, and the slab bytes themselves are task-encoded.
+// Absent cells are 0.0 (the sink_netcdf contract). Append REFUSES:
+// rewriting a classic file in place would rewrite every byte — the
+// chunk-granular upsert face is the Zarr store.
+// ======================================================================
+
+private[zonal] case class NcWGeom(h: Int, w: Int, stripe: Int, varName: String)
+
+private[graft] object NetcdfWrite {
+  /** Last commit's (stripes with data, stripes merged) — a test hook. */
+  @volatile var lastCommit: (Int, Int) = (0, 0)
+
+  val WriteSchema: StructType = StructType(Seq(
+    StructField("cell_x", IntegerType, nullable = false),
+    StructField("cell_y", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  private[zonal] def geomFrom(p: java.util.Map[String, String]): Option[NcWGeom] = {
+    val h = p.get("height"); val w = p.get("width")
+    if (h == null || w == null) None
+    else {
+      val st = Option(p.get("stripe")).map(_.trim.toInt).getOrElse(16)
+      require(st > 0, s"""option "stripe" wants a positive row count, got ${p.get("stripe")}""")
+      Some(NcWGeom(h.toInt, w.toInt, st, Option(p.get("var")).getOrElse("v")))
+    }
+  }
+
+  private[zonal] def requireCols(in: StructType, path: String): (Int, Int, Int) = {
+    def idx(n: String): Int = {
+      val i = in.fieldNames.indexOf(n)
+      require(i >= 0, s"$path: the cube write face wants columns " +
+        s"(cell_x, cell_y, value); missing $n in ${in.fieldNames.mkString(",")}")
+      i
+    }
+    (idx("cell_x"), idx("cell_y"), idx("value"))
+  }
+
+  private[zonal] def rmTree(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmTree)
+    f.delete(); ()
+  }
+
+  /** Merge staged (slab, bitmap) fragments of one stripe; duplicate
+    * cells across fragments refuse loudly.
+    */
+  private[zonal] def mergeSlabs(files: Seq[String], nBytes: Int,
+      what: String): Array[Byte] = {
+    val acc = new Array[Byte](nBytes)
+    val seen = new java.util.BitSet(nBytes / 8)
+    files.foreach { f =>
+      val slab = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f))
+      require(slab.length == nBytes,
+        s"$what: staged fragment $f is ${slab.length} bytes, want $nBytes")
+      val bm = java.util.BitSet.valueOf(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(f + ".bm")))
+      var i = bm.nextSetBit(0)
+      while (i >= 0) {
+        require(!seen.get(i),
+          s"$what: cell $i written from two partitions — " +
+            "duplicate (cell_x, cell_y) rows in the input")
+        seen.set(i)
+        System.arraycopy(slab, i * 8, acc, i * 8, 8)
+        i = bm.nextSetBit(i + 1)
+      }
+    }
+    acc
+  }
+}
+
+private[zonal] case class NcStripeFrag(si: Int, file: String)
+private[zonal] case class NcStripesMsg(frags: Seq[NcStripeFrag])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+final class NcWriteBuilder(path: String, g: NcWGeom,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    doTruncate = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    require(doTruncate,
+      s"$path: classic NetCDF is one flat file — an append would rewrite " +
+        "every byte, so only mode(\"overwrite\") is supported here; the " +
+        "chunk-granular upsert face is the Zarr store")
+    new NcBatchWrite(path, g, info.schema(), info.queryId())
+  }
+}
+
+final class NcBatchWrite(path: String, g: NcWGeom, in: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: BatchWrite = this
+  override def description(): String =
+    s"graft-netcdf-write $path ${g.h}x${g.w} stripe=${g.stripe} var=${g.varName}"
+
+  private def stageDir = {
+    val f = new java.io.File(path)
+    new java.io.File(Option(f.getParentFile).getOrElse(new java.io.File(".")),
+      s".stage_${f.getName}_$queryId")
+  }
+
+  override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
+    val (xi, yi, vi) = NetcdfWrite.requireCols(in, path)
+    stageDir.mkdirs()
+    new NcStripeWriterFactory(stageDir.getPath, g, xi, yi, vi)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val frags = messages.collect { case m: NcStripesMsg => m.frags }.flatten.toSeq
+    var merged = 0
+    val bySi = frags.groupBy(_.si).map { case (si, fs) =>
+      val y0 = si * g.stripe
+      val n = math.min(g.stripe, g.h - y0)
+      val slabFile =
+        if (fs.size == 1) fs.head.file
+        else {
+          merged += 1
+          val out = new java.io.File(stageDir, f"merged_$si%05d.bin")
+          java.nio.file.Files.write(out.toPath,
+            NetcdfWrite.mergeSlabs(fs.map(_.file), n * g.w * 8,
+              s"$path stripe $si"))
+          out.getPath
+        }
+      si -> slabFile
+    }
+    // header + ordered byte stream into a temp twin, then atomic rename
+    val tmp = new java.io.File(stageDir, "sink.tmp")
+    val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
+    try {
+      out.write(Netcdf.headerBytes2D(g.varName, g.h, g.w, Netcdf.NcDouble))
+      for (si <- 0 until (g.h + g.stripe - 1) / g.stripe) {
+        bySi.get(si) match {
+          case Some(f) =>
+            java.nio.file.Files.copy(java.nio.file.Paths.get(f), out)
+          case None =>
+            out.write(new Array[Byte](math.min(g.stripe, g.h - si * g.stripe) * g.w * 8))
+        }
+      }
+    } finally out.close()
+    java.nio.file.Files.move(tmp.toPath, java.nio.file.Paths.get(path),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    NetcdfWrite.lastCommit = (bySi.size, merged)
+    NetcdfWrite.rmTree(stageDir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    NetcdfWrite.rmTree(stageDir)
+}
+
+final class NcStripeWriterFactory(stage: String, g: NcWGeom,
+    xi: Int, yi: Int, vi: Int)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new NcStripeDataWriter(stage, g, xi, yi, vi, partitionId, taskId)
+}
+
+/** Buffers dense per-stripe slabs; stages the exact big-endian reader
+  * bytes + presence bitmaps.
+  */
+final class NcStripeDataWriter(stage: String, g: NcWGeom,
+    xi: Int, yi: Int, vi: Int, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  private val bufs = scala.collection.mutable.HashMap
+    .empty[Int, (java.nio.ByteBuffer, java.util.BitSet)]
+
+  override def write(r: InternalRow): Unit = {
+    require(!r.isNullAt(xi) && !r.isNullAt(yi) && !r.isNullAt(vi),
+      s"NULL in (cell_x, cell_y, value) — the raster grid has no null cells")
+    val x = r.getInt(xi); val y = r.getInt(yi); val v = r.getDouble(vi)
+    require(x >= 0 && x < g.w && y >= 0 && y < g.h,
+      s"cell ($x, $y) outside the ${g.h}x${g.w} grid")
+    val si = y / g.stripe
+    val n = math.min(g.stripe, g.h - si * g.stripe)
+    val (bb, bm) = bufs.getOrElseUpdate(si,
+      (java.nio.ByteBuffer.allocate(n * g.w * 8)
+        .order(java.nio.ByteOrder.BIG_ENDIAN),
+        new java.util.BitSet(n * g.w)))
+    val idx = (y - si * g.stripe) * g.w + x
+    bb.putDouble(idx * 8, v); bm.set(idx)
+  }
+
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    val frags = bufs.toSeq.map { case (si, (bb, bm)) =>
+      val f = new java.io.File(stage, f"stripe_$si%05d.p${partitionId}_t$taskId.bin")
+      java.nio.file.Files.write(f.toPath, bb.array())
+      java.nio.file.Files.write(new java.io.File(f.getPath + ".bm").toPath,
+        bm.toByteArray)
+      NcStripeFrag(si, f.getPath)
+    }
+    NcStripesMsg(frags)
+  }
+
+  override def abort(): Unit = ()
   override def close(): Unit = ()
 }
