@@ -1407,6 +1407,17 @@ object Raster {
       dst.getPath
     })
 
+  /** Landing directory of per-epoch single-band scenes for the
+    * streaming DSv2 face — name order IS epoch order.
+    */
+  def streamSceneDir(): String =
+    fixtureOnce("tiff_stream_landing") { p =>
+      val d = new java.io.File(p); d.mkdirs()
+      for (t <- 0 until 3)
+        writeTiff(s"$p/scene_$t.tif", FixW, FixH, 32, 32)(
+          (x, y) => ((23 * x + 19 * y + 37 * t) % 991).toDouble)
+    }
+
   /** Same 90×70 formula raster in each real-world container variant the
     * reader speaks — one fixture per codec/layout axis so a regression
     * pins to its axis.
@@ -2333,6 +2344,36 @@ object Raster {
           sum(col("value").cast("long")).as("sum_v"))
         .crossJoin(mm)
         .orderBy("tile_x", "tile_y")
+    },
+
+    // the STREAMING face over a landing directory of per-epoch scenes
+    // (r19 — the GeoTIFF member of the landing-directory quartet): new
+    // .tif files arriving in a directory surface as growing-cube
+    // micro-batches, exactly-once at file granularity
+    "stream_tiff_source" -> Q(
+      s"""SELECT epoch, CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(CAST((23 * cell_x + 19 * cell_y + 37 * epoch) % 991 AS BIGINT)) AS BIGINT) AS sum_v
+         |FROM (SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch
+         |      FROM range(0, $FixW) x CROSS JOIN range(0, $FixH) y
+         |      CROSS JOIN range(0, 3) t)
+         |GROUP BY epoch ORDER BY epoch""".stripMargin) { (s, _) =>
+      val dir = streamSceneDir()
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_io/tiff_stream_dsv2"
+      graft.core.Fs.rmTree(s"$base/out")
+      graft.core.Fs.rmTree(s"$base/ckpt")
+      val q = s.readStream.format("graft.zonal.TiffSource")
+        .option("members_per_batch", "2").load(dir)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out")
+        .option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("epoch")
     },
 
     // the WRITE path: cells → one single-tile GeoTIFF per 16×16 tile,

@@ -44,6 +44,9 @@ class TiffSource extends TableProvider {
     if (options.containsKey("height") && options.containsKey("width"))
       TiffSource.Schema
     else if (TiffSource.isMosaic(path)) TiffSource.Schema
+    // a sidecar-less LANDING DIRECTORY of .tif scenes is the STREAMING
+    // face (r19) — see [[TiffMembersTable]]
+    else if (TiffMembersTable.isMemberDir(path)) TiffMembersTable.Schema
     else TiffSource.schemaFor(path)
   }
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -53,6 +56,9 @@ class TiffSource extends TableProvider {
       "graft.zonal.TiffSource: a load(path)/save(dir) is required")
     val geom = TiffWrite.geomFrom(properties)
     if (geom.isDefined || TiffSource.isMosaic(path)) new TiffMosaicTable(path, geom)
+    else if (TiffMembersTable.isMemberDir(path))
+      new TiffMembersTable(path,
+        Option(properties.get("members_per_batch")).map(_.toInt).getOrElse(-1))
     else new TiffTable(path)
   }
 }

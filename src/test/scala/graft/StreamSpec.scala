@@ -446,6 +446,52 @@ class StreamSpec extends SparkSuite {
     assert(batch.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "epoch", "value"))
   }
 
+  test("r19 streaming DSv2, tiff twin: scene members batch under admission control and resume exactly-once") {
+    import org.apache.spark.sql.functions.col
+    val base = java.nio.file.Files.createTempDirectory("tifstream").toString
+    val land = s"$base/land"; val out = s"$base/out"; val ckpt = s"$base/ckpt"
+    new java.io.File(land).mkdirs()
+    for (k <- 0 until 3)
+      graft.zonal.Raster.writeTiff(f"$land/part-$k%04d.tif", 8, 8, 8, 8)(
+        (x, y) => (x + y + 100 * k).toDouble)
+    def drain(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val q = spark.readStream.format("graft.zonal.TiffSource")
+        .option("members_per_batch", "2").load(land)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(); q
+    }
+    val q1 = drain()
+    assert(q1.recentProgress.count(_.numInputRows > 0) >= 2,
+      "3 members at 2/batch need >= 2 micro-batches")
+    assert(spark.read.parquet(out).count() == 3L * 64)
+    // a late scene resumes exactly-once from the same checkpoint
+    graft.zonal.Raster.writeTiff(f"$land/part-0003.tif", 8, 8, 8, 8)(
+      (x, y) => (x + y + 300).toDouble)
+    drain()
+    val r2 = spark.read.parquet(out)
+    assert(r2.count() == 4L * 64)
+    assert(r2.filter(col("epoch") === 3 && col("cell_x") === 1 && col("cell_y") === 2)
+      .head().getDouble(3) == 303.0)
+    // the same landing dir batch-reads as the full scene stack
+    val batch = spark.read.format("graft.zonal.TiffSource").load(land)
+    assert(batch.count() == 4L * 64)
+    assert(batch.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "epoch", "value"))
+    // a multiband scene in the landing dir refuses loudly (one epoch
+    // per single-band file is the contract)
+    graft.zonal.Raster.writeTiffBands(f"$land/part-0004.tif", 8, 8, 8, 8, 2)(
+      (x, y, b) => (x + y + b).toDouble)
+    val e = intercept[Throwable] {
+      spark.read.format("graft.zonal.TiffSource").load(land).count()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("single-band"), msgs(e))
+  }
+
   test("events_anomaly flags exactly the >3σ tail of each event type") {
     val rows = q("events_anomaly").collect()
     assert(rows.nonEmpty, "the heavy-tailed fixture should have 3σ outliers")
