@@ -92,6 +92,10 @@ object GridMapping {
     */
   final case class PolarStereo(twoRk0: Double, lon0Deg: Double,
       south: Boolean, fe: Double, fn: Double)
+  /** Spherical sinusoidal (r19 — the MODIS grid): equal-area,
+    * φ = y/R, λ = λ0 + x/(R cos φ).
+    */
+  final case class Sinu(r: Double, lon0Deg: Double, fe: Double, fn: Double)
 
   /** Rotated-pole parameters, with the named refusals. */
   def rotatedParams(path: String, gm: NcVar): Rotated =
@@ -185,6 +189,29 @@ object GridMapping {
       a.num1("false_northing").getOrElse(0.0))
   }
 
+  /** Sinusoidal parameters (CF Appendix F), with the named refusals:
+    * a spherical earth (MODIS declares R = 6371007.181) and the
+    * projection-origin longitude.
+    */
+  def sinuFrom(a: GmAttrs): Sinu = {
+    val name = a.mappingName
+    require(name == "sinusoidal",
+      s"${a.where}: grid_mapping_name '$name' where sinusoidal expected")
+    val r = a.num1("earth_radius").orElse {
+      (a.num1("semi_major_axis"), a.num1("semi_minor_axis")) match {
+        case (Some(x), Some(b)) if x == b => Some(x)
+        case (Some(x), None) => Some(x)
+        case _ => None
+      }
+    }.getOrElse(sys.error(
+      s"${a.where}: sinusoidal without a spherical earth (earth_radius, or " +
+        "equal semi-axes) — the ellipsoidal inverse is not implemented; " +
+        "refusing rather than running spherical math on it"))
+    Sinu(r, num(a, "longitude_of_projection_origin"),
+      a.num1("false_easting").getOrElse(0.0),
+      a.num1("false_northing").getOrElse(0.0))
+  }
+
   // ---- the shared SQL (identical text on both engines) ----
 
   /** Unrotate `(x_coord = rlon deg, y_coord = rlat deg)` → lon/lat.
@@ -244,6 +271,24 @@ object GridMapping {
           "WHEN lon_raw <= -180 THEN lon_raw + 360 ELSE lon_raw END, 6) AS lon"))
   }
 
+  /** Spherical sinusoidal inverse over projection meters: φ = y/R,
+    * λ = λ0 + x/(R cos φ). Longitude normalizes before the round-6.
+    */
+  def sinuExprs(p: Sinu): Seq[Seq[String]] = {
+    val lon0Rad = math.toRadians(p.lon0Deg)
+    Seq(
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"CAST(x_coord - ${p.fe} AS DOUBLE) AS px",
+        s"CAST((y_coord - ${p.fn}) / ${p.r} AS DOUBLE) AS phi"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        "degrees(phi) AS lat_raw",
+        s"degrees($lon0Rad + px / (${p.r} * cos(phi))) AS lon_raw"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        "round(lat_raw, 6) AS lat",
+        "round(CASE WHEN lon_raw > 180 THEN lon_raw - 360 " +
+          "WHEN lon_raw <= -180 THEN lon_raw + 360 ELSE lon_raw END, 6) AS lon"))
+  }
+
   def exprsSql(cellsSql: String, levels: Seq[Seq[String]], tag: String): String = {
     val nested = levels.zipWithIndex.foldLeft(s"($cellsSql) ${tag}_l0") {
       case (from, (exprs, i)) =>
@@ -273,10 +318,12 @@ object GridMapping {
     case "rotated_latitude_longitude" => rotatedExprs(rotatedFrom(a))
     case "lambert_conformal_conic" => lccExprs(lccFrom(a))
     case "polar_stereographic" => psExprs(psFrom(a))
+    case "sinusoidal" => sinuExprs(sinuFrom(a))
     case other => sys.error(
       s"${a.where}: grid_mapping_name '$other' is not implemented " +
-        "(rotated_latitude_longitude, lambert_conformal_conic and " +
-        "polar_stereographic are) — refusing rather than mislabeling every cell")
+        "(rotated_latitude_longitude, lambert_conformal_conic, " +
+        "polar_stereographic and sinusoidal are) — refusing rather than " +
+        "mislabeling every cell")
   }
 
   /** Zarr attribute path (r19): the ARRAY's `.zattrs` names the
@@ -462,6 +509,55 @@ object GridMapping {
           ("earth_radius", Left(Seq(PsRadius)))))))(
         (x, y, _) => gmValue(x, y))
     }
+
+  // MODIS-style sinusoidal: the sphere MODIS actually declares
+  // (R = 6371007.181), origin meridian 0, a mid-latitude tile-corner
+  // extent; projection-meter steps are integers < 2^24 so the f32
+  // coordinate variables replay as exact formulas
+  val SinuRadius = 6371007.181
+  val SinuLon0 = 0.0
+  def sinuFixturePath(): String =
+    Raster.fixtureOnce(s"nc_sinu_${GmW}x$GmH.nc") { p =>
+      Netcdf.writeNetcdf(p, "sur_refl", GmH, GmW, Netcdf.NcFloat,
+        coordY = y => 3336000.0 + 1000.0 * y, coordX = x => -10007000.0 + 1000.0 * x,
+        gridMapping = Some(("sinu", Seq(
+          ("grid_mapping_name", Right("sinusoidal")),
+          ("longitude_of_projection_origin", Left(Seq(SinuLon0))),
+          ("earth_radius", Left(Seq(SinuRadius)))))))(
+        (x, y, _) => gmValue(x, y))
+    }
+
+  /** netCDF-4/HDF5 sinusoidal twin — the HDF-EOS5 shape MODIS-family
+    * products actually ship in.
+    */
+  def sinuHdf5Path(): String =
+    Raster.fixtureOnce(s"h5_sinu_${GmW}x$GmH.nc") { p =>
+      Hdf5.writeHdf5Multi(p, Seq(
+        ("sur_refl", Seq(GmH, GmW), "<f8",
+          Array.tabulate(GmH * GmW)(i => gmValue(i % GmW, i / GmW))),
+        ("x", Seq(GmW), "<f8", Array.tabulate(GmW)(x => -10007000.0 + 1000.0 * x)),
+        ("y", Seq(GmH), "<f8", Array.tabulate(GmH)(y => 3336000.0 + 1000.0 * y)),
+        ("sinu", Seq(1), "<f8", Array(0.0))),
+        memberStrAttrs = Map(
+          "sur_refl" -> Seq(("grid_mapping", "sinu")),
+          "sinu" -> Seq(("grid_mapping_name", "sinusoidal"))),
+        memberNumAttrs = Map("sinu" -> Seq(
+          ("longitude_of_projection_origin", Seq(SinuLon0)),
+          ("earth_radius", Seq(SinuRadius)))))
+    }
+
+  private val SinuCoordsSql =
+    s"""SELECT cell_x, cell_y, value,
+       |  CAST(-10007000.0 + 1000.0 * cell_x AS DOUBLE) AS x_coord,
+       |  CAST(3336000.0 + 1000.0 * cell_y AS DOUBLE) AS y_coord
+       |FROM ($GmCellsSql) gm_raw""".stripMargin
+
+  private def oracleSinuSql: String =
+    exprsSql(SinuCoordsSql,
+      sinuExprs(Sinu(SinuRadius, SinuLon0, 0.0, 0.0)), "sinu")
+
+  // sinusoidal extent: lon -104.39..-103.31, lat 30.00..30.44
+  private val SinuZonesSql = zonesSql(-104.35, 0.017, 0.05, 30.02, 0.0072, 0.02)
 
   private val PsCoordsSql =
     s"""SELECT cell_x, cell_y, value,
@@ -660,6 +756,38 @@ object GridMapping {
       zonalSql(oraclePsSql, PsZonesSql)) { (s, d) =>
       zonalStats(cellsLonLat(s, psFixturePath(), "sic"),
         zones(s, d, PsZonesSql))
+    },
+
+    // sinusoidal (r19 — the MODIS grid, the equal-area mapping the
+    // global land-product tiles ship in): φ = y/R, λ = λ0 + x/(R cos φ)
+    // with the sphere READ FROM THE FILE (MODIS's R = 6371007.181)
+    "scan_netcdf_sinusoidal" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleSinuSql) sinu_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLat(s, sinuFixturePath(), "sur_refl")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // degree-space zones straight over the sinusoidal tile — the
+    // "zonal stats of a MODIS tile" end-use
+    "zonal_netcdf_sinusoidal" -> Q(
+      zonalSql(oracleSinuSql, SinuZonesSql)) { (s, d) =>
+      zonalStats(cellsLonLat(s, sinuFixturePath(), "sur_refl"),
+        zones(s, d, SinuZonesSql))
+    },
+
+    // the HDF-EOS5 shape: same mapping through the netCDF-4/HDF5
+    // attribute path — a parameter misread on the HDF5 path hash-fails
+    // independently of the classic path
+    "scan_netcdf4_sinusoidal" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleSinuSql) sinu_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLatHdf5(s, sinuHdf5Path(), "sur_refl")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
     }
   )
 }

@@ -178,6 +178,43 @@ class GridMappingSpec extends SparkSuite {
     assert(msgs2(intercept[Throwable](GM.psFrom(both))).contains("exactly ONE"))
   }
 
+  test("sinusoidal: exact latitude line, forward round trip, hdf5 twin, refusals") {
+    import graft.zonal.{GridMapping => GM}
+    val df = GM.cellsLonLat(spark, GM.sinuFixturePath(), "sur_refl")
+    // φ = y/R exactly: row 0 sits at 3336000 m -> lat = degrees(3336000/R)
+    val lat0 = math.toDegrees(3336000.0 / GM.SinuRadius)
+    val r0 = df.filter(col("cell_y") === 0 && col("cell_x") === 0).head()
+    assert(math.abs(r0.getAs[Double]("lat") - lat0) < 1e-6, r0.toString)
+    // every cell of one row shares its latitude (the defining property)
+    assert(df.filter(col("cell_y") === 7)
+      .select("lat").distinct().count() == 1, "a sinusoidal row is a parallel")
+    // forward re-projection x = R (λ-λ0) cos φ, y = R φ round-trips
+    df.filter(col("cell_x") % 13 === 0 && col("cell_y") % 11 === 0)
+      .select("x_coord", "y_coord", "lon", "lat").collect().foreach { r =>
+        val phi = math.toRadians(r.getDouble(3))
+        val x = GM.SinuRadius * math.toRadians(r.getDouble(2) - GM.SinuLon0) * math.cos(phi)
+        val y = GM.SinuRadius * phi
+        assert(math.abs(x - r.getDouble(0)) < 0.5 && math.abs(y - r.getDouble(1)) < 0.5,
+          s"round trip: ($x, $y) vs (${r.getDouble(0)}, ${r.getDouble(1)})")
+      }
+    // the hdf5 attribute path agrees cell-for-cell
+    val h5 = GM.cellsLonLatHdf5(spark, GM.sinuHdf5Path(), "sur_refl")
+      .select("cell_x", "cell_y", "lon", "lat", "value")
+    assert(h5.exceptAll(df.select("cell_x", "cell_y", "lon", "lat", "value"))
+      .count() == 0, "hdf5 twin must agree with the classic path")
+    // refusals: no spherical earth, missing origin longitude
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val noR = GM.GmAttrs("t", Map("grid_mapping_name" -> "sinusoidal"),
+      Map("longitude_of_projection_origin" -> Seq(0.0)))
+    assert(msgs(intercept[Throwable](GM.sinuFrom(noR))).contains("spherical"))
+    val noLon = GM.GmAttrs("t", Map("grid_mapping_name" -> "sinusoidal"),
+      Map("earth_radius" -> Seq(6371007.181)))
+    assert(msgs(intercept[Throwable](GM.sinuFrom(noLon)))
+      .contains("longitude_of_projection_origin"))
+  }
+
   test("two standard parallel values survive the classic attr parse (array attribute)") {
     val m = Netcdf.readMeta(GM.lccFixturePath())
     val gm = GM.mappingOf(GM.lccFixturePath(), m, "tas").get
