@@ -96,6 +96,17 @@ object GridMapping {
     * φ = y/R, λ = λ0 + x/(R cos φ).
     */
   final case class Sinu(r: Double, lon0Deg: Double, fe: Double, fn: Double)
+  /** Spherical Albers equal-area conic (r19 — the USGS/NLCD CONUS
+    * projection): cone constant n = (sin φ1 + sin φ2)/2,
+    * C = cos²φ1 + 2n sin φ1, ρ0 = R√(C − 2n sin φ0)/n.
+    */
+  final case class Albers(n: Double, c: Double, r: Double, rho0: Double,
+      lon0Deg: Double, fe: Double, fn: Double)
+  /** Spherical Mercator (r19 — ocean-model grids): `rk0` = R·k0 with
+    * k0 = cos φts from the standard parallel, or the declared
+    * scale_factor_at_projection_origin.
+    */
+  final case class Merc(rk0: Double, lon0Deg: Double, fe: Double, fn: Double)
 
   /** Rotated-pole parameters, with the named refusals. */
   def rotatedParams(path: String, gm: NcVar): Rotated =
@@ -189,6 +200,19 @@ object GridMapping {
       a.num1("false_northing").getOrElse(0.0))
   }
 
+  /** A spherical earth from the attrs, or the named ellipsoid refusal. */
+  private def sphereRadius(a: GmAttrs, what: String): Double =
+    a.num1("earth_radius").orElse {
+      (a.num1("semi_major_axis"), a.num1("semi_minor_axis")) match {
+        case (Some(x), Some(b)) if x == b => Some(x)
+        case (Some(x), None) => Some(x)
+        case _ => None
+      }
+    }.getOrElse(sys.error(
+      s"${a.where}: $what without a spherical earth (earth_radius, or " +
+        "equal semi-axes) — the ellipsoidal inverse is not implemented; " +
+        "refusing rather than running spherical math on it"))
+
   /** Sinusoidal parameters (CF Appendix F), with the named refusals:
     * a spherical earth (MODIS declares R = 6371007.181) and the
     * projection-origin longitude.
@@ -197,17 +221,53 @@ object GridMapping {
     val name = a.mappingName
     require(name == "sinusoidal",
       s"${a.where}: grid_mapping_name '$name' where sinusoidal expected")
-    val r = a.num1("earth_radius").orElse {
-      (a.num1("semi_major_axis"), a.num1("semi_minor_axis")) match {
-        case (Some(x), Some(b)) if x == b => Some(x)
-        case (Some(x), None) => Some(x)
-        case _ => None
-      }
-    }.getOrElse(sys.error(
-      s"${a.where}: sinusoidal without a spherical earth (earth_radius, or " +
-        "equal semi-axes) — the ellipsoidal inverse is not implemented; " +
-        "refusing rather than running spherical math on it"))
-    Sinu(r, num(a, "longitude_of_projection_origin"),
+    Sinu(sphereRadius(a, "sinusoidal"), num(a, "longitude_of_projection_origin"),
+      a.num1("false_easting").getOrElse(0.0),
+      a.num1("false_northing").getOrElse(0.0))
+  }
+
+  /** Albers equal-area conic derived constants (Snyder 1987 eqs.
+    * 14-3..14-6 spherical), with the named refusals: a spherical earth
+    * and a northern cone (n > 0).
+    */
+  def albersFrom(a: GmAttrs): Albers = {
+    val name = a.mappingName
+    require(name == "albers_conical_equal_area",
+      s"${a.where}: grid_mapping_name '$name' where albers_conical_equal_area expected")
+    val r = sphereRadius(a, "albers_conical_equal_area")
+    val sps = a.nums.getOrElse("standard_parallel",
+      sys.error(s"${a.where}: albers_conical_equal_area lacks standard_parallel"))
+    require(sps.length == 1 || sps.length == 2,
+      s"${a.where}: standard_parallel wants 1 or 2 values, got ${sps.length}")
+    val p1 = math.toRadians(sps.head)
+    val p2 = math.toRadians(sps.last)
+    val n = (math.sin(p1) + math.sin(p2)) / 2
+    require(n > 0,
+      s"${a.where}: southern-cone Albers (n = $n) — not implemented, refusing")
+    val c = math.cos(p1) * math.cos(p1) + 2 * n * math.sin(p1)
+    val lat0 = num(a, "latitude_of_projection_origin")
+    val rho0 = r * math.sqrt(c - 2 * n * math.sin(math.toRadians(lat0))) / n
+    Albers(n, c, r, rho0, num(a, "longitude_of_central_meridian"),
+      a.num1("false_easting").getOrElse(0.0),
+      a.num1("false_northing").getOrElse(0.0))
+  }
+
+  /** Mercator parameters, with the named refusals: a spherical earth
+    * and exactly ONE of standard_parallel /
+    * scale_factor_at_projection_origin (the polar-stereographic rule).
+    */
+  def mercFrom(a: GmAttrs): Merc = {
+    val name = a.mappingName
+    require(name == "mercator",
+      s"${a.where}: grid_mapping_name '$name' where mercator expected")
+    val r = sphereRadius(a, "mercator")
+    val sp = a.num1("standard_parallel")
+    val k0a = a.num1("scale_factor_at_projection_origin")
+    require(sp.isDefined != k0a.isDefined,
+      s"${a.where}: want exactly ONE of standard_parallel / " +
+        "scale_factor_at_projection_origin")
+    val k0 = k0a.getOrElse(math.cos(math.toRadians(sp.get)))
+    Merc(r * k0, num(a, "longitude_of_projection_origin"),
       a.num1("false_easting").getOrElse(0.0),
       a.num1("false_northing").getOrElse(0.0))
   }
@@ -289,6 +349,47 @@ object GridMapping {
           "WHEN lon_raw <= -180 THEN lon_raw + 360 ELSE lon_raw END, 6) AS lon"))
   }
 
+  /** Spherical Albers inverse over projection meters (Snyder eqs.
+    * 14-10/14-11): ρ = √(x² + (ρ0−y)²), θ = atan2(x, ρ0−y),
+    * φ = asin((C − (ρn/R)²)/(2n)), λ = λ0 + θ/n.
+    */
+  def albersExprs(p: Albers): Seq[Seq[String]] = {
+    val invN = 1.0 / p.n
+    val lon0Rad = math.toRadians(p.lon0Deg)
+    val nOverR = p.n / p.r
+    Seq(
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"CAST(x_coord - ${p.fe} AS DOUBLE) AS px",
+        s"CAST(${p.rho0} - (y_coord - ${p.fn}) AS DOUBLE) AS py"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"sqrt(px * px + py * py) * $nOverR AS rhon", "atan2(px, py) AS theta"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"degrees(asin((${p.c} - rhon * rhon) / ${2 * p.n})) AS lat_raw",
+        s"degrees($lon0Rad + theta * $invN) AS lon_raw"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        "round(lat_raw, 6) AS lat",
+        "round(CASE WHEN lon_raw > 180 THEN lon_raw - 360 " +
+          "WHEN lon_raw <= -180 THEN lon_raw + 360 ELSE lon_raw END, 6) AS lon"))
+  }
+
+  /** Spherical Mercator inverse over projection meters:
+    * φ = 2·atan(exp(y/(R·k0))) − π/2, λ = λ0 + x/(R·k0).
+    */
+  def mercExprs(p: Merc): Seq[Seq[String]] = {
+    val lon0Rad = math.toRadians(p.lon0Deg)
+    Seq(
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"CAST((x_coord - ${p.fe}) / ${p.rk0} AS DOUBLE) AS px",
+        s"CAST((y_coord - ${p.fn}) / ${p.rk0} AS DOUBLE) AS py"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        "degrees(2 * atan(exp(py)) - 1.5707963267948966) AS lat_raw",
+        s"degrees($lon0Rad + px) AS lon_raw"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        "round(lat_raw, 6) AS lat",
+        "round(CASE WHEN lon_raw > 180 THEN lon_raw - 360 " +
+          "WHEN lon_raw <= -180 THEN lon_raw + 360 ELSE lon_raw END, 6) AS lon"))
+  }
+
   def exprsSql(cellsSql: String, levels: Seq[Seq[String]], tag: String): String = {
     val nested = levels.zipWithIndex.foldLeft(s"($cellsSql) ${tag}_l0") {
       case (from, (exprs, i)) =>
@@ -319,11 +420,13 @@ object GridMapping {
     case "lambert_conformal_conic" => lccExprs(lccFrom(a))
     case "polar_stereographic" => psExprs(psFrom(a))
     case "sinusoidal" => sinuExprs(sinuFrom(a))
+    case "albers_conical_equal_area" => albersExprs(albersFrom(a))
+    case "mercator" => mercExprs(mercFrom(a))
     case other => sys.error(
       s"${a.where}: grid_mapping_name '$other' is not implemented " +
         "(rotated_latitude_longitude, lambert_conformal_conic, " +
-        "polar_stereographic and sinusoidal are) — refusing rather than " +
-        "mislabeling every cell")
+        "polar_stereographic, sinusoidal, albers_conical_equal_area and " +
+        "mercator are) — refusing rather than mislabeling every cell")
   }
 
   /** Zarr attribute path (r19): the ARRAY's `.zattrs` names the
@@ -559,6 +662,74 @@ object GridMapping {
   // sinusoidal extent: lon -104.39..-103.31, lat 30.00..30.44
   private val SinuZonesSql = zonesSql(-104.35, 0.017, 0.05, 30.02, 0.0072, 0.02)
 
+  // USGS/NLCD-style CONUS Albers: the classic Clarke-sphere radius,
+  // parallels 29.5/45.5, origin (23, -96); a northern-plains extent
+  val AlbSp1 = 29.5
+  val AlbSp2 = 45.5
+  val AlbLat0 = 23.0
+  val AlbLon0 = -96.0
+  val AlbRadius = 6370997.0
+  def albersFixturePath(): String =
+    Raster.fixtureOnce(s"nc_albers_${GmW}x$GmH.nc") { p =>
+      Netcdf.writeNetcdf(p, "landcov", GmH, GmW, Netcdf.NcFloat,
+        coordY = y => 2280000.0 + 3000.0 * y, coordX = x => -120000.0 + 3000.0 * x,
+        gridMapping = Some(("albers", Seq(
+          ("grid_mapping_name", Right("albers_conical_equal_area")),
+          ("standard_parallel", Left(Seq(AlbSp1, AlbSp2))),
+          ("longitude_of_central_meridian", Left(Seq(AlbLon0))),
+          ("latitude_of_projection_origin", Left(Seq(AlbLat0))),
+          ("earth_radius", Left(Seq(AlbRadius)))))))(
+        (x, y, _) => gmValue(x, y))
+    }
+
+  private val AlbCoordsSql =
+    s"""SELECT cell_x, cell_y, value,
+       |  CAST(-120000.0 + 3000.0 * cell_x AS DOUBLE) AS x_coord,
+       |  CAST(2280000.0 + 3000.0 * cell_y AS DOUBLE) AS y_coord
+       |FROM ($GmCellsSql) gm_raw""".stripMargin
+
+  private def oracleAlbersSql: String = {
+    val p1 = math.toRadians(AlbSp1); val p2 = math.toRadians(AlbSp2)
+    val n = (math.sin(p1) + math.sin(p2)) / 2
+    val c = math.cos(p1) * math.cos(p1) + 2 * n * math.sin(p1)
+    val rho0 = AlbRadius * math.sqrt(c - 2 * n * math.sin(math.toRadians(AlbLat0))) / n
+    exprsSql(AlbCoordsSql,
+      albersExprs(Albers(n, c, AlbRadius, rho0, AlbLon0, 0.0, 0.0)), "alb")
+  }
+
+  // albers extent: lon -97.52..-95.28, lat 43.45..44.78
+  private val AlbZonesSql = zonesSql(-97.45, 0.035, 0.09, 43.5, 0.021, 0.06)
+
+  // ocean-model Mercator: true scale at 20N, origin meridian -40
+  val MercSp = 20.0
+  val MercLon0 = -40.0
+  val MercRadius = 6371000.0
+  def mercFixturePath(): String =
+    Raster.fixtureOnce(s"nc_merc_${GmW}x$GmH.nc") { p =>
+      Netcdf.writeNetcdf(p, "sst", GmH, GmW, Netcdf.NcFloat,
+        coordY = y => 3000000.0 + 20000.0 * y, coordX = x => -500000.0 + 20000.0 * x,
+        gridMapping = Some(("merc", Seq(
+          ("grid_mapping_name", Right("mercator")),
+          ("longitude_of_projection_origin", Left(Seq(MercLon0))),
+          ("standard_parallel", Left(Seq(MercSp))),
+          ("earth_radius", Left(Seq(MercRadius)))))))(
+        (x, y, _) => gmValue(x, y))
+    }
+
+  private val MercCoordsSql =
+    s"""SELECT cell_x, cell_y, value,
+       |  CAST(-500000.0 + 20000.0 * cell_x AS DOUBLE) AS x_coord,
+       |  CAST(3000000.0 + 20000.0 * cell_y AS DOUBLE) AS y_coord
+       |FROM ($GmCellsSql) gm_raw""".stripMargin
+
+  private def oracleMercSql: String =
+    exprsSql(MercCoordsSql,
+      mercExprs(Merc(MercRadius * math.cos(math.toRadians(MercSp)),
+        MercLon0, 0.0, 0.0)), "merc")
+
+  // mercator extent: lon -44.79..-33.49, lat 27.58..35.56
+  private val MercZonesSql = zonesSql(-44.5, 0.18, 0.45, 27.8, 0.13, 0.35)
+
   private val PsCoordsSql =
     s"""SELECT cell_x, cell_y, value,
        |  CAST(-149000.0 + 5000.0 * cell_x AS DOUBLE) AS x_coord,
@@ -788,6 +959,46 @@ object GridMapping {
       cellsLonLatHdf5(s, sinuHdf5Path(), "sur_refl")
         .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // Albers equal-area conic (r19 — the USGS projection: NLCD, the
+    // land-cover raster every CONUS zonal-stats job reads, ships in
+    // it): spherical Snyder inverse, cone constants n/C/ρ0 derived
+    // from the file's standard_parallel pair + origin + radius
+    "scan_netcdf_albers" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleAlbersSql) alb_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLat(s, albersFixturePath(), "landcov")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // degree-space zones over the Albers grid — the "NLCD class areas
+    // per county" query shape
+    "zonal_netcdf_albers" -> Q(
+      zonalSql(oracleAlbersSql, AlbZonesSql)) { (s, d) =>
+      zonalStats(cellsLonLat(s, albersFixturePath(), "landcov"),
+        zones(s, d, AlbZonesSql))
+    },
+
+    // Mercator (r19 — ocean-model output grids): spherical inverse
+    // φ = 2·atan(exp(y/Rk0)) − π/2 with k0 = cos φts from the file's
+    // standard parallel (or its declared scale factor — exactly one)
+    "scan_netcdf_mercator" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleMercSql) merc_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLat(s, mercFixturePath(), "sst")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // degree-space zones over the Mercator grid
+    "zonal_netcdf_mercator" -> Q(
+      zonalSql(oracleMercSql, MercZonesSql)) { (s, d) =>
+      zonalStats(cellsLonLat(s, mercFixturePath(), "sst"),
+        zones(s, d, MercZonesSql))
     }
   )
 }

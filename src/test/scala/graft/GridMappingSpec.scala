@@ -215,6 +215,68 @@ class GridMappingSpec extends SparkSuite {
       .contains("longitude_of_projection_origin"))
   }
 
+  test("albers: equal-area forward round trip, cone constants, refusals") {
+    import graft.zonal.{GridMapping => GM}
+    val df = GM.cellsLonLat(spark, GM.albersFixturePath(), "landcov")
+    // derived constants (the oracle's twins)
+    val p1 = math.toRadians(GM.AlbSp1); val p2 = math.toRadians(GM.AlbSp2)
+    val n = (math.sin(p1) + math.sin(p2)) / 2
+    val c = math.cos(p1) * math.cos(p1) + 2 * n * math.sin(p1)
+    val rho0 = GM.AlbRadius * math.sqrt(c - 2 * n * math.sin(math.toRadians(GM.AlbLat0))) / n
+    // forward re-projection (Snyder 14-1..14-4) round-trips sub-meter
+    df.filter(col("cell_x") % 13 === 0 && col("cell_y") % 11 === 0)
+      .select("x_coord", "y_coord", "lon", "lat").collect().foreach { r =>
+        val rho = GM.AlbRadius * math.sqrt(
+          c - 2 * n * math.sin(math.toRadians(r.getDouble(3)))) / n
+        val th = n * math.toRadians(r.getDouble(2) - GM.AlbLon0)
+        val x = rho * math.sin(th); val y = rho0 - rho * math.cos(th)
+        assert(math.abs(x - r.getDouble(0)) < 0.5 && math.abs(y - r.getDouble(1)) < 0.5,
+          s"round trip: ($x, $y) vs (${r.getDouble(0)}, ${r.getDouble(1)})")
+      }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // southern cone and missing sphere refuse
+    val south = GM.GmAttrs("t", Map("grid_mapping_name" -> "albers_conical_equal_area"),
+      Map("standard_parallel" -> Seq(-29.5, -45.5),
+        "longitude_of_central_meridian" -> Seq(0.0),
+        "latitude_of_projection_origin" -> Seq(-23.0),
+        "earth_radius" -> Seq(6370997.0)))
+    assert(msgs(intercept[Throwable](GM.albersFrom(south))).contains("southern"))
+    val noR = GM.GmAttrs("t", Map("grid_mapping_name" -> "albers_conical_equal_area"),
+      Map("standard_parallel" -> Seq(29.5, 45.5),
+        "longitude_of_central_meridian" -> Seq(-96.0),
+        "latitude_of_projection_origin" -> Seq(23.0),
+        "semi_major_axis" -> Seq(6378137.0), "semi_minor_axis" -> Seq(6356752.3)))
+    assert(msgs(intercept[Throwable](GM.albersFrom(noR))).contains("spherical"))
+  }
+
+  test("mercator: constant-latitude rows, forward round trip, exactly-one-scale rule") {
+    import graft.zonal.{GridMapping => GM}
+    val df = GM.cellsLonLat(spark, GM.mercFixturePath(), "sst")
+    // a Mercator row is a parallel; a column is a meridian
+    assert(df.filter(col("cell_y") === 9).select("lat").distinct().count() == 1)
+    assert(df.filter(col("cell_x") === 9).select("lon").distinct().count() == 1)
+    // forward x = R k0 (λ-λ0), y = R k0 ln tan(π/4 + φ/2) round-trips
+    val rk0 = GM.MercRadius * math.cos(math.toRadians(GM.MercSp))
+    df.filter(col("cell_x") % 13 === 0 && col("cell_y") % 11 === 0)
+      .select("x_coord", "y_coord", "lon", "lat").collect().foreach { r =>
+        val x = rk0 * math.toRadians(r.getDouble(2) - GM.MercLon0)
+        val y = rk0 * math.log(math.tan(math.Pi / 4 + math.toRadians(r.getDouble(3)) / 2))
+        assert(math.abs(x - r.getDouble(0)) < 0.5 && math.abs(y - r.getDouble(1)) < 0.5,
+          s"round trip: ($x, $y) vs (${r.getDouble(0)}, ${r.getDouble(1)})")
+      }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val both = GM.GmAttrs("t", Map("grid_mapping_name" -> "mercator"),
+      Map("longitude_of_projection_origin" -> Seq(0.0),
+        "standard_parallel" -> Seq(20.0),
+        "scale_factor_at_projection_origin" -> Seq(0.94),
+        "earth_radius" -> Seq(6371000.0)))
+    assert(msgs(intercept[Throwable](GM.mercFrom(both))).contains("exactly ONE"))
+  }
+
   test("two standard parallel values survive the classic attr parse (array attribute)") {
     val m = Netcdf.readMeta(GM.lccFixturePath())
     val gm = GM.mappingOf(GM.lccFixturePath(), m, "tas").get
