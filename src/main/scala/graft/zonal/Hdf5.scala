@@ -4725,6 +4725,50 @@ object Hdf5 {
         .orderBy("chunk_x", "chunk_y")
     },
 
+    // RANK-3 through the single-file DSv2 WRITE face (r19 — the xarray
+    // to_netcdf cube-building workflow as one df.write, the netCDF-4
+    // twin of sink_zarr_dsv2_3d): (cell_x, cell_y, epoch, value) rows
+    // with .option("epochs", t).option("chunk", "ct,ch,cw") stage dense
+    // (t, y, x) deflate chunks; the commit streams header + blobs in
+    // C-order into the one .nc
+    "sink_netcdf4_dsv2_3d" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS chunk_x, cell_y // 16 AS chunk_y,
+           |  t.range // 2 AS chunk_t,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n + 41 * t.range) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |CROSS JOIN range(0, 3) t
+           |GROUP BY chunk_x, chunk_y, chunk_t
+           |ORDER BY chunk_x, chunk_y, chunk_t""".stripMargin)) { (s, d) =>
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_io/h5_dsv2_sink_3d.nc"
+      val (cs, ct, ne) = (16, 2, 3)
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      percell
+        .select(col("cell_x").cast("int").as("cell_x"),
+          col("cell_y").cast("int").as("cell_y"), col("v"),
+          explode(expr(s"sequence(0, ${ne - 1})")).as("epoch"))
+        .select(col("cell_x"), col("cell_y"), col("epoch").cast("int").as("epoch"),
+          (col("v") + lit(41) * col("epoch")).as("value"))
+        .repartition(expr(s"epoch div $ct"), expr(s"cell_y div $cs"),
+          expr(s"cell_x div $cs"))
+        .write.format("graft.zonal.Hdf5Source")
+        .option("height", h).option("width", w).option("epochs", ne)
+        .option("chunk", s"$ct,$cs,$cs")
+        .mode("overwrite").save(path)
+      s.read.format("graft.zonal.Hdf5Source").option("var", "v").load(path)
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_x div $cs AS BIGINT)").as("chunk_x"),
+          expr(s"CAST(cell_y div $cs AS BIGINT)").as("chunk_y"),
+          expr(s"CAST(epoch div $ct AS BIGINT)").as("chunk_t"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("chunk_x", "chunk_y", "chunk_t")
+    },
+
     "sink_netcdf4" -> Q(
       Cube.withSql(
         s"""SELECT cell_x // 16 AS chunk_x, cell_y // 16 AS chunk_y,

@@ -41,7 +41,8 @@ class Hdf5Source extends TableProvider {
     // WRITE face (r19): height/width declare the target grid — the
     // destination file need not exist yet, so never probe it
     if (options.containsKey("height") && options.containsKey("width"))
-      NetcdfWrite.WriteSchema
+      (if (options.containsKey("epochs") && options.get("epochs").trim.toInt > 0)
+        H5Write.WriteSchema3 else NetcdfWrite.WriteSchema)
     // a MEMBER LANDING directory is the STREAMING face (r19) — see
     // [[Hdf5MembersTable]]
     else if (path != null && path.nonEmpty && Hdf5MembersTable.isMemberDir(path))
@@ -131,7 +132,8 @@ final class Hdf5Table(path: String, varName: String, timeVar: String = null,
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"hdf5:$path#$varName"
   override def schema(): StructType =
-    if (geom.isDefined) NetcdfWrite.WriteSchema
+    if (geom.isDefined)
+      (if (geom.get.rank3) H5Write.WriteSchema3 else NetcdfWrite.WriteSchema)
     else Hdf5Source.schemaFor(path, varName, timeVar, coords)
   override def capabilities(): java.util.Set[TableCapability] =
     if (geom.isDefined)
@@ -478,27 +480,46 @@ final class Hdf5PartitionReader(r: Hdf5.H5ChunkRef,
 // chunk-granular upsert face is the Zarr store.
 // ======================================================================
 
-private[zonal] case class H5WGeom(h: Int, w: Int, ch: Int, cw: Int,
-    varName: String)
+private[zonal] case class H5WGeom(h: Int, w: Int, epochs: Int, ct: Int,
+    ch: Int, cw: Int, varName: String) {
+  def rank3: Boolean = epochs > 0
+}
 
 private[graft] object H5Write {
   /** Last commit's (chunks written, chunks merged) — a test hook. */
   @volatile var lastCommit: (Int, Int) = (0, 0)
 
+  /** Rank-3 write schema: the read face's (cell_x, cell_y, epoch, value). */
+  val WriteSchema3: StructType = StructType(Seq(
+    StructField("cell_x", IntegerType, nullable = false),
+    StructField("cell_y", IntegerType, nullable = false),
+    StructField("epoch", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
   private[zonal] def geomFrom(p: java.util.Map[String, String]): Option[H5WGeom] = {
     val h = p.get("height"); val w = p.get("width")
     if (h == null || w == null) None
     else {
-      val c = Option(p.get("chunk")).getOrElse("16,16").split(",").map(_.trim.toInt)
-      require(c.length == 2 && c.forall(_ > 0),
-        s"""option "chunk" wants "chunkH,chunkW", got ${p.get("chunk")}""")
-      Some(H5WGeom(h.toInt, w.toInt, c(0), c(1),
-        Option(p.get("var")).getOrElse("v")))
+      val ne = Option(p.get("epochs")).map(_.trim.toInt).getOrElse(0)
+      require(ne >= 0, s"""option "epochs" wants a non-negative count, got $ne""")
+      val c = Option(p.get("chunk")).getOrElse(if (ne > 0) "1,16,16" else "16,16")
+        .split(",").map(_.trim.toInt)
+      if (ne > 0) {
+        require(c.length == 3 && c.forall(_ > 0),
+          s"""option "chunk" wants "chunkT,chunkH,chunkW" on a rank-3 write, got ${p.get("chunk")}""")
+        Some(H5WGeom(h.toInt, w.toInt, ne, c(0), c(1), c(2),
+          Option(p.get("var")).getOrElse("v")))
+      } else {
+        require(c.length == 2 && c.forall(_ > 0),
+          s"""option "chunk" wants "chunkH,chunkW", got ${p.get("chunk")}""")
+        Some(H5WGeom(h.toInt, w.toInt, 0, 1, c(0), c(1),
+          Option(p.get("var")).getOrElse("v")))
+      }
     }
   }
 }
 
-private[zonal] case class H5ChunkFrag(ci: Int, cj: Int, file: String)
+private[zonal] case class H5ChunkFrag(ot: Int, ci: Int, cj: Int, file: String)
 private[zonal] case class H5ChunksMsg(frags: Seq[H5ChunkFrag])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
@@ -537,20 +558,28 @@ final class H5BatchWrite(path: String, g: H5WGeom, in: StructType,
 
   override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
     val (xi, yi, vi) = NetcdfWrite.requireCols(in, path)
+    val ti =
+      if (!g.rank3) -1
+      else {
+        val i = in.fieldNames.indexOf("epoch")
+        require(i >= 0, s"$path: a rank-3 cube write wants an epoch column; " +
+          s"missing in ${in.fieldNames.mkString(",")}")
+        i
+      }
     stageDir.mkdirs()
-    new H5ChunkWriterFactory(stageDir.getPath, g, xi, yi, vi)
+    new H5ChunkWriterFactory(stageDir.getPath, g, xi, yi, vi, ti)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val frags = messages.collect { case m: H5ChunksMsg => m.frags }.flatten.toSeq
     var merged = 0
-    val blobs = frags.groupBy(f => (f.ci, f.cj)).map { case ((ci, cj), fs) =>
+    val blobs = frags.groupBy(f => (f.ot, f.ci, f.cj)).map { case ((ot, ci, cj), fs) =>
       val file =
         if (fs.size == 1) fs.head.file
         else {
           // the split-chunk path: inflate, bitmap-merge, re-deflate
           merged += 1
-          val n = g.ch * g.cw
+          val n = g.ct * g.ch * g.cw
           val acc = new Array[Byte](n * 8)
           val seen = new java.util.BitSet(n)
           fs.foreach { f =>
@@ -561,26 +590,27 @@ final class H5BatchWrite(path: String, g: H5WGeom, in: StructType,
             var i = bm.nextSetBit(0)
             while (i >= 0) {
               require(!seen.get(i),
-                s"$path chunk ($ci, $cj): cell $i written from two partitions " +
-                  "— duplicate (cell_x, cell_y) rows in the input")
+                s"$path chunk ($ot, $ci, $cj): cell $i written from two partitions " +
+                  "— duplicate (cell_x, cell_y, epoch) rows in the input")
               seen.set(i)
               System.arraycopy(raw, i * 8, acc, i * 8, 8)
               i = bm.nextSetBit(i + 1)
             }
           }
-          val out = new java.io.File(stageDir, f"merged_$ci%05d_$cj%05d.bin")
+          val out = new java.io.File(stageDir,
+            f"merged_$ot%05d_$ci%05d_$cj%05d.bin")
           java.nio.file.Files.write(out.toPath, TiffCodec.deflate(acc))
           out.getPath
         }
-      (ci, cj) -> file
+      (ot, ci, cj) -> file
     }.toSeq.sortBy(_._1)
-    val sizes = blobs.map { case ((ci, cj), f) =>
-      ((0, ci * g.ch, cj * g.cw), new java.io.File(f).length().toInt)
+    val sizes = blobs.map { case ((ot, ci, cj), f) =>
+      ((ot * g.ct, ci * g.ch, cj * g.cw), new java.io.File(f).length().toInt)
     }
     val tmp = new java.io.File(stageDir, "sink.tmp")
     val out = new java.io.BufferedOutputStream(new java.io.FileOutputStream(tmp))
     try {
-      out.write(Hdf5.hdf5HeaderBytes(g.varName, 0, g.h, g.w, 1, g.ch, g.cw,
+      out.write(Hdf5.hdf5HeaderBytes(g.varName, g.epochs, g.h, g.w, g.ct, g.ch, g.cw,
         "<f8", deflate = true, shuffle = false, fill = Some(0.0),
         contiguous = false, 0L, sizes))
       blobs.foreach { case (_, f) =>
@@ -599,11 +629,11 @@ final class H5BatchWrite(path: String, g: H5WGeom, in: StructType,
 }
 
 final class H5ChunkWriterFactory(stage: String, g: H5WGeom,
-    xi: Int, yi: Int, vi: Int)
+    xi: Int, yi: Int, vi: Int, ti: Int)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new H5ChunkDataWriter(stage, g, xi, yi, vi, partitionId, taskId)
+    new H5ChunkDataWriter(stage, g, xi, yi, vi, ti, partitionId, taskId)
 }
 
 /** Buffers dense per-chunk arrays (HDF5 chunks are always full-size;
@@ -611,33 +641,38 @@ final class H5ChunkWriterFactory(stage: String, g: H5WGeom,
   * bitmaps — compression happens in the tasks, never on the driver.
   */
 final class H5ChunkDataWriter(stage: String, g: H5WGeom,
-    xi: Int, yi: Int, vi: Int, partitionId: Int, taskId: Long)
+    xi: Int, yi: Int, vi: Int, ti: Int, partitionId: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val bufs = scala.collection.mutable.HashMap
-    .empty[(Int, Int), (Array[Double], java.util.BitSet)]
+    .empty[(Int, Int, Int), (Array[Double], java.util.BitSet)]
 
   override def write(r: InternalRow): Unit = {
-    require(!r.isNullAt(xi) && !r.isNullAt(yi) && !r.isNullAt(vi),
-      s"NULL in (cell_x, cell_y, value) — the raster grid has no null cells")
+    require(!r.isNullAt(xi) && !r.isNullAt(yi) && !r.isNullAt(vi)
+        && (ti < 0 || !r.isNullAt(ti)),
+      s"NULL in (cell_x, cell_y, epoch, value) — the cube grid has no null cells")
     val x = r.getInt(xi); val y = r.getInt(yi); val v = r.getDouble(vi)
+    val t = if (ti < 0) 0 else r.getInt(ti)
     require(x >= 0 && x < g.w && y >= 0 && y < g.h,
       s"cell ($x, $y) outside the ${g.h}x${g.w} grid")
-    val ci = y / g.ch; val cj = x / g.cw
-    val (arr, bm) = bufs.getOrElseUpdate((ci, cj),
-      (new Array[Double](g.ch * g.cw), new java.util.BitSet(g.ch * g.cw)))
-    val idx = (y - ci * g.ch) * g.cw + (x - cj * g.cw)
+    require(ti < 0 || (t >= 0 && t < g.epochs),
+      s"epoch $t outside the ${g.epochs}-epoch cube")
+    val ot = t / g.ct; val ci = y / g.ch; val cj = x / g.cw
+    val n = g.ct * g.ch * g.cw
+    val (arr, bm) = bufs.getOrElseUpdate((ot, ci, cj),
+      (new Array[Double](n), new java.util.BitSet(n)))
+    val idx = ((t - ot * g.ct) * g.ch + (y - ci * g.ch)) * g.cw + (x - cj * g.cw)
     arr(idx) = v; bm.set(idx)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
-    val frags = bufs.toSeq.map { case ((ci, cj), (arr, bm)) =>
+    val frags = bufs.toSeq.map { case ((ot, ci, cj), (arr, bm)) =>
       val f = new java.io.File(stage,
-        f"chunk_$ci%05d_$cj%05d.p${partitionId}_t$taskId.bin")
+        f"chunk_$ot%05d_$ci%05d_$cj%05d.p${partitionId}_t$taskId.bin")
       java.nio.file.Files.write(f.toPath,
         TiffCodec.deflate(Hdf5.encodeCells(arr, "<f8")))
       java.nio.file.Files.write(new java.io.File(f.getPath + ".bm").toPath,
         bm.toByteArray)
-      H5ChunkFrag(ci, cj, f.getPath)
+      H5ChunkFrag(ot, ci, cj, f.getPath)
     }
     H5ChunksMsg(frags)
   }

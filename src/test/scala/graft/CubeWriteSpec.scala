@@ -100,6 +100,49 @@ class CubeWriteSpec extends SparkSuite {
       col("value") =!= (col("cell_x") * 7 + col("cell_y") * 11) % 101).count() == 0)
   }
 
+  test("hdf5 rank-3: chunk-aligned cube write, scattered merge, epoch guard") {
+    val path = s"$tmp/graft_io/h5w_3d.nc"
+    val (w, h, t, cs, ct) = (40, 24, 5, 16, 2)
+    val cube = (0 until w).flatMap(x => (0 until h).flatMap(y => (0 until t).map(e =>
+      (x, y, e, ((7 * x + 11 * y + 13 * e) % 101).toDouble))))
+      .toDF("cell_x", "cell_y", "epoch", "value")
+    cube.repartition(expr(s"epoch div $ct"), expr(s"cell_y div $cs"),
+        expr(s"cell_x div $cs"))
+      .write.format("graft.zonal.Hdf5Source")
+      .option("height", h).option("width", w).option("epochs", t)
+      .option("chunk", s"$ct,$cs,$cs")
+      .mode("overwrite").save(path)
+    // 40x24x5 at 2x16x16 chunks -> 3 t-chunks x 2 x 3 = 18, zero merges
+    assert(graft.zonal.H5Write.lastCommit == (18, 0),
+      s"want (18, 0), got ${graft.zonal.H5Write.lastCommit}")
+    val back = spark.read.format("graft.zonal.Hdf5Source")
+      .option("var", "v").load(path)
+    assert(back.count() == w.toLong * h * t)
+    assert(back.filter(col("value") =!=
+      (col("cell_x") * 7 + col("cell_y") * 11 + col("epoch") * 13) % 101).count() == 0)
+    // scattered rank-3 input still exact via merge
+    cube.repartition(8)
+      .write.format("graft.zonal.Hdf5Source")
+      .option("height", h).option("width", w).option("epochs", t)
+      .option("chunk", s"$ct,$cs,$cs")
+      .mode("overwrite").save(path)
+    assert(graft.zonal.H5Write.lastCommit._1 == 18
+      && graft.zonal.H5Write.lastCommit._2 > 0)
+    val back2 = spark.read.format("graft.zonal.Hdf5Source")
+      .option("var", "v").load(path)
+    assert(back2.count() == w.toLong * h * t)
+    assert(back2.filter(col("value") =!=
+      (col("cell_x") * 7 + col("cell_y") * 11 + col("epoch") * 13) % 101).count() == 0)
+    // an out-of-cube epoch refuses loudly
+    val e = intercept[Throwable] {
+      Seq((0, 0, 9, 1.0)).toDF("cell_x", "cell_y", "epoch", "value")
+        .write.format("graft.zonal.Hdf5Source")
+        .option("height", 8).option("width", 8).option("epochs", 2)
+        .option("chunk", "1,8,8").mode("overwrite").save(s"$tmp/graft_io/h5w_3d_bad.nc")
+    }
+    assert(msgs(e).contains("epoch"), msgs(e))
+  }
+
   test("append refuses on both single-file faces; guards refuse loudly") {
     val nc = s"$tmp/graft_io/ncw_append.nc"
     grid(8, 8).write.format("graft.zonal.NetcdfSource")
