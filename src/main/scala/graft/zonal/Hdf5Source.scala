@@ -55,8 +55,8 @@ class Hdf5Source extends TableProvider {
     val path = properties.get("path")
     val geom = H5Write.geomFrom(properties)
     if (geom.isDefined)
-      new Hdf5Table(path, Option(properties.get("var")).getOrElse("v"),
-        null, null, geom)
+      new Hdf5Table(NetcdfWrite.localWritePath(path),
+        Option(properties.get("var")).getOrElse("v"), null, null, geom)
     else if (path != null && path.nonEmpty && Hdf5MembersTable.isMemberDir(path)) {
       val varName = properties.get("var")
       require(varName != null && varName.nonEmpty,

@@ -59,8 +59,8 @@ class NetcdfSource extends TableProvider {
     val path = properties.get("path")
     val geom = NetcdfWrite.geomFrom(properties)
     if (geom.isDefined)
-      new NetcdfTable(path, Option(properties.get("var")).getOrElse("v"),
-        null, null, geom)
+      new NetcdfTable(NetcdfWrite.localWritePath(path),
+        Option(properties.get("var")).getOrElse("v"), null, null, geom)
     else if (path != null && path.nonEmpty && NetcdfMembersTable.isMemberDir(path)) {
       val varName = properties.get("var")
       require(varName != null && varName.nonEmpty,
@@ -491,6 +491,18 @@ private[graft] object NetcdfWrite {
       i
     }
     (idx("cell_x"), idx("cell_y"), idx("value"))
+  }
+
+  /** The write faces stage with java.io — normalize the catalog's
+    * `file:` URI form to a plain local path, refuse remote schemes
+    * loudly (a silent literal-"file:" directory is the alternative).
+    */
+  private[zonal] def localWritePath(p: String): String = {
+    val uri = new org.apache.hadoop.fs.Path(p).toUri
+    require(uri.getScheme == null || uri.getScheme == "file",
+      s"$p: the DSv2 write faces stage to the local filesystem — " +
+        s"scheme '${uri.getScheme}' is not supported for writes")
+    if (uri.getScheme == null) p else uri.getPath
   }
 
   private[zonal] def rmTree(f: java.io.File): Unit = {

@@ -55,7 +55,9 @@ class TiffSource extends TableProvider {
     require(path != null && path.nonEmpty,
       "graft.zonal.TiffSource: a load(path)/save(dir) is required")
     val geom = TiffWrite.geomFrom(properties)
-    if (geom.isDefined || TiffSource.isMosaic(path)) new TiffMosaicTable(path, geom)
+    if (geom.isDefined || TiffSource.isMosaic(path))
+      new TiffMosaicTable(
+        if (geom.isDefined) NetcdfWrite.localWritePath(path) else path, geom)
     else if (TiffMembersTable.isMemberDir(path))
       new TiffMembersTable(path,
         Option(properties.get("members_per_batch")).map(_.toInt).getOrElse(-1))

@@ -3789,6 +3789,37 @@ object Zarr {
     // still fires (PlanShapeSpec pins PushedFilters + the pruned
     // partition count through this route); the table is metadata-only,
     // the store stays where it is
+    // the SQL WRITE front door (r19): CREATE TABLE ... USING the DSv2
+    // write face + INSERT INTO ... SELECT — the form a SQL-only user
+    // types to BUILD a cube, proving DML routes through the BatchWrite
+    // commit (the catalog hands a file: URI; the face normalizes it)
+    "sql_cube_insert" -> Q(
+      Cube.withSql(
+        s""", percell AS (
+           |  SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |SELECT cell_x, cell_y, CAST(n AS DOUBLE) AS value FROM percell
+           |WHERE cell_x BETWEEN 10 AND 50 AND cell_y BETWEEN 8 AND 40
+           |ORDER BY cell_x, cell_y""".stripMargin)) { (s, d) =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_sql_insert"
+      graft.core.Fs.rmTree(dir)
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("value"))
+      percell.createOrReplaceTempView("sql_ins_cells")
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      s.sql("DROP TABLE IF EXISTS graft_cube_ins")
+      s.sql(s"""CREATE TABLE graft_cube_ins
+               |USING graft.zonal.ZarrSource
+               |OPTIONS (path '$dir', height '$h', width '$w', chunk '16,16')""".stripMargin)
+      s.sql("""INSERT INTO graft_cube_ins
+              |SELECT CAST(cell_x AS INT), CAST(cell_y AS INT), value
+              |FROM sql_ins_cells""".stripMargin)
+      s.sql("""SELECT cell_x, cell_y, value FROM graft_cube_ins
+              |WHERE cell_x BETWEEN 10 AND 50 AND cell_y BETWEEN 8 AND 40
+              |  AND value <> 0.0
+              |ORDER BY cell_x, cell_y""".stripMargin)
+    },
+
     "sql_cube_select" -> Q(
       s"""SELECT cell_x, cell_y, epoch, value FROM (
          |  SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,

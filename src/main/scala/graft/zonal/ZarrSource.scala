@@ -61,7 +61,9 @@ class ZarrSource extends TableProvider {
     if (geom.isEmpty && ZarrMembersTable.isMemberDir(path))
       new ZarrMembersTable(path,
         Option(properties.get("members_per_batch")).map(_.toInt).getOrElse(-1))
-    else new ZarrTable(path, properties.get("time"), properties.get("coords"), geom)
+    else new ZarrTable(
+      if (geom.isDefined) NetcdfWrite.localWritePath(path) else path,
+      properties.get("time"), properties.get("coords"), geom)
   }
 }
 
