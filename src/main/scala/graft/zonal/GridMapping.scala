@@ -7,8 +7,12 @@ import graft.core.{Q, Tables}
 /** CF `grid_mapping` projections on the cube paths (r19 — VERDICT r18
   * next-#3): the NetCDF/HDF5/Zarr worlds georeference non-lat/lon grids
   * through a grid-mapping VARIABLE (CF Conventions §5.6 + Appendix F)
-  * named by the data variable's `grid_mapping` attribute. The two
-  * mappings regional climate + NWP output actually ships:
+  * named by the data variable's `grid_mapping` attribute. Six mappings
+  * dispatch — rotated_latitude_longitude (CORDEX),
+  * lambert_conformal_conic (WRF/NWP), polar_stereographic (NSIDC
+  * sea-ice), sinusoidal (MODIS), albers_conical_equal_area (USGS/NLCD)
+  * and mercator (ocean models) — all closed-form spherical inverses
+  * under one discipline. The first two in detail:
   *
   *  - `rotated_latitude_longitude` (CORDEX): the grid's pole is moved
   *    to (grid_north_pole_latitude, grid_north_pole_longitude); the

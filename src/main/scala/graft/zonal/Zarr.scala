@@ -4617,6 +4617,43 @@ object Zarr {
     // store reads back through the real scanner and aggregates per
     // shard. At 100 TB each task owns one multi-chunk shard: exactly
     // how zarr-python 3 builds large stores.
+    // SHARDED v3 through the DSv2 WRITE face (r19 — how zarr-python 3
+    // builds LARGE stores: chunks = inner unit, shards = file unit):
+    // .option("chunk", "8,8").option("shard", "16,16") stages one
+    // sharding_indexed FILE per shard task-side (inner chunks encoded
+    // + the crc32c'd u64 index footer — the reader's exact bytes);
+    // shard-aligned input ⇒ rename-only commit
+    "sink_zarr_dsv2_sharded" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS shard_x, cell_y // 16 AS shard_y,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |GROUP BY shard_x, shard_y ORDER BY shard_x, shard_y""".stripMargin)) { (s, d) =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_dsv2_sink_sharded"
+      graft.core.Fs.rmTree(dir)
+      val ss = 16
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("value"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      percell
+        .select(col("cell_x").cast("int").as("cell_x"),
+          col("cell_y").cast("int").as("cell_y"), col("value"))
+        .repartition(expr(s"cell_y div $ss"), expr(s"cell_x div $ss"))
+        .write.format("graft.zonal.ZarrSource")
+        .option("height", h).option("width", w)
+        .option("chunk", "8,8").option("shard", s"$ss,$ss")
+        .mode("overwrite").save(dir)
+      s.read.format("graft.zonal.ZarrSource").load(dir)
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_x div $ss AS BIGINT)").as("shard_x"),
+          expr(s"CAST(cell_y div $ss AS BIGINT)").as("shard_y"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("shard_x", "shard_y")
+    },
+
     "sink_zarr_sharded" -> Q(
       Cube.withSql(
         s"""SELECT cell_x // 16 AS shard_x, cell_y // 16 AS shard_y,

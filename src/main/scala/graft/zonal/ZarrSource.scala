@@ -643,9 +643,16 @@ final class Zarr3PartitionReader(c: Zarr.ChunkRef3,
   */
 private[zonal] case class ZarrGeom(h: Int, w: Int, chunkH: Int, chunkW: Int,
     compressor: String, dtype: String, fill: Double,
-    t: Int = 0, chunkT: Int = 1, v3: Boolean = false) {
+    t: Int = 0, chunkT: Int = 1, v3: Boolean = false,
+    shardH: Int = 0, shardW: Int = 0) {
   def rank3: Boolean = t > 0
-  def cellsPerChunk: Int = chunkT * chunkH * chunkW
+  /** Sharded v3 (r19): `chunk` = the INNER chunk, `shard` = the file
+    * unit (zarr-python's chunks/shards naming).
+    */
+  def sharded: Boolean = shardH > 0
+  /** Cells per STAGED FILE — the shard when sharded, else the chunk. */
+  def cellsPerChunk: Int =
+    if (sharded) shardH * shardW else chunkT * chunkH * chunkW
 }
 
 private[graft] object ZarrWrite {
@@ -690,10 +697,22 @@ private[graft] object ZarrWrite {
       }
       require(!v3 || t == 0,
         "the v3 write face is rank-2 (the rank-3 v3 direction is sink_zarr_3d territory)")
+      val shard = Option(p.get("shard")).map(_.split(",").map(_.trim.toInt))
+      shard.foreach { sd =>
+        require(sd.length == 2 && sd.forall(_ > 0),
+          s"""option "shard" wants "shardH,shardW", got ${p.get("shard")}""")
+        require(t == 0, "the sharded write face is rank-2")
+        require(Option(p.get("format")).forall(_.trim.toLowerCase == "v3"),
+          "sharding is a Zarr v3 feature — drop format=v2")
+        require(sd(0) % chh == 0 && sd(1) % chw == 0,
+          s"shard ${sd(0)}x${sd(1)} must tile by the inner chunk ${chh}x$chw")
+      }
+      val sharded = shard.isDefined
       Some(ZarrGeom(h.toInt, w.toInt, chh, chw,
-        Option(p.get("compressor")).getOrElse(if (v3) "gzip" else "zlib"),
+        Option(p.get("compressor")).getOrElse(if (v3 || sharded) "gzip" else "zlib"),
         Option(p.get("dtype")).getOrElse("<f8"),
-        Option(p.get("fill")).map(_.toDouble).getOrElse(0.0), t, ct, v3))
+        Option(p.get("fill")).map(_.toDouble).getOrElse(0.0), t, ct,
+        v3 || sharded, shard.map(_(0)).getOrElse(0), shard.map(_(1)).getOrElse(0)))
     }
   }
 
@@ -725,6 +744,34 @@ private[graft] object ZarrWrite {
       case "i1" => buf.get.toDouble
       case "u1" => (buf.get & 0xff).toDouble
     })
+  }
+
+  /** Inverse of [[Zarr.shardFileBytes]] for the staged-fragment merge
+    * path: parse the trailing crc32c'd u64 index, decode present inner
+    * chunks, fill absent ones.
+    */
+  private[zonal] def decodeShardDense(bytes: Array[Byte], g: ZarrGeom): Array[Double] = {
+    val iDown = g.shardH / g.chunkH; val iAcross = g.shardW / g.chunkW
+    val nIdx = iDown * iAcross * 16
+    val idxOff = bytes.length - nIdx - 4
+    require(idxOff >= 0, s"staged shard of ${bytes.length} bytes has no index")
+    val idx = java.nio.ByteBuffer.wrap(bytes, idxOff, nIdx)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val acc = Array.fill(g.shardH * g.shardW)(g.fill)
+    for (k <- 0 until iDown * iAcross) {
+      val off = idx.getLong(idxOff + k * 16)
+      val nb = idx.getLong(idxOff + k * 16 + 8)
+      if (off >= 0) {
+        val inner = decodeDense(
+          java.util.Arrays.copyOfRange(bytes, off.toInt, (off + nb).toInt),
+          g.chunkH * g.chunkW, g.compressor, g.dtype)
+        val ii = k / iAcross; val jj = k % iAcross
+        for (r <- 0 until g.chunkH; c <- 0 until g.chunkW)
+          acc((ii * g.chunkH + r) * g.shardW + jj * g.chunkW + c) =
+            inner(r * g.chunkW + c)
+      }
+    }
+    acc
   }
 
   private[zonal] def rmTree(f: java.io.File): Unit = {
@@ -782,7 +829,11 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
       val m = Zarr.readMeta(path)
       require(m.rank3 == g.rank3 && !m.rank4 && m.v3 == g.v3
           && m.height == g.h && m.width == g.w
-          && m.chunkH == g.chunkH && m.chunkW == g.chunkW
+          && m.sharded == g.sharded
+          && (if (g.sharded)
+                m.chunkH == g.shardH && m.chunkW == g.shardW
+                  && m.innerH == g.chunkH && m.innerW == g.chunkW
+              else m.chunkH == g.chunkH && m.chunkW == g.chunkW)
           && (!g.rank3 || (m.epochs == g.t && m.chunkT == g.chunkT)),
         s"$path: existing store geometry differs from the write options — " +
           "use mode(\"overwrite\") to replace it")
@@ -801,7 +852,10 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
         .foreach(_.delete())
       if (g.v3) ZarrWrite.rmTree(new java.io.File(dir, "c"))
     }
-    if (g.v3)
+    if (g.sharded)
+      Zarr.writeShardedMeta(path, g.h, g.w, g.shardH, g.shardW,
+        g.chunkH, g.chunkW, g.compressor, g.dtype, g.fill)
+    else if (g.v3)
       Zarr.writeZarrV3Meta(path, g.h, g.w, g.chunkH, g.chunkW,
         g.compressor, g.dtype, g.fill)
     else if (g.rank3)
@@ -826,9 +880,10 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
         val acc = Array.fill(n)(g.fill)
         val seen = new java.util.BitSet(n)
         fs.foreach { f =>
-          val vals = ZarrWrite.decodeDense(
-            java.nio.file.Files.readAllBytes(new java.io.File(f.file).toPath),
-            n, g.compressor, g.dtype)
+          val raw = java.nio.file.Files.readAllBytes(new java.io.File(f.file).toPath)
+          val vals =
+            if (g.sharded) ZarrWrite.decodeShardDense(raw, g)
+            else ZarrWrite.decodeDense(raw, n, g.compressor, g.dtype)
           val bm = java.util.BitSet.valueOf(
             java.nio.file.Files.readAllBytes(new java.io.File(f.file + ".bm").toPath))
           var i = bm.nextSetBit(0)
@@ -841,7 +896,11 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
           }
         }
         java.nio.file.Files.write(out.toPath,
-          Zarr.chunkFileBytes(acc, g.chunkT * g.chunkH, g.chunkW, g.compressor, g.dtype))
+          if (g.sharded)
+            Zarr.shardFileBytes(acc, g.shardH, g.shardW, g.chunkH, g.chunkW,
+              g.compressor, g.dtype, g.fill)
+          else
+            Zarr.chunkFileBytes(acc, g.chunkT * g.chunkH, g.chunkW, g.compressor, g.dtype))
       }
     }
     ZarrWrite.lastCommit = (frags.groupBy(f => (f.ck, f.ci, f.cj)).size, merged)
@@ -884,11 +943,14 @@ final class ZarrChunkDataWriter(path: String, g: ZarrGeom,
       s"$path: cell ($x, $y, t=$t) outside the " +
         s"${if (g.rank3) s"${g.t}x" else ""}${g.h}x${g.w} grid")
     val ck = if (ti < 0) -1 else t / g.chunkT
-    val ci = y / g.chunkH; val cj = x / g.chunkW
+    val ci = y / (if (g.sharded) g.shardH else g.chunkH)
+    val cj = x / (if (g.sharded) g.shardW else g.chunkW)
     val (arr, bm) = bufs.getOrElseUpdate((ck, ci, cj),
       (Array.fill(n)(g.fill), new java.util.BitSet(n)))
     val tt = if (ti < 0) 0 else t - ck * g.chunkT
-    val idx = (tt * g.chunkH + (y - ci * g.chunkH)) * g.chunkW + (x - cj * g.chunkW)
+    val idx =
+      if (g.sharded) (y - ci * g.shardH) * g.shardW + (x - cj * g.shardW)
+      else (tt * g.chunkH + (y - ci * g.chunkH)) * g.chunkW + (x - cj * g.chunkW)
     arr(idx) = v; bm.set(idx)
   }
 
@@ -897,7 +959,11 @@ final class ZarrChunkDataWriter(path: String, g: ZarrGeom,
     val frags = bufs.toSeq.map { case ((ck, ci, cj), (arr, bm)) =>
       val f = new java.io.File(stage, s"$ck.$ci.$cj.p${partitionId}_t$taskId")
       java.nio.file.Files.write(f.toPath,
-        Zarr.chunkFileBytes(arr, g.chunkT * g.chunkH, g.chunkW, g.compressor, g.dtype))
+        if (g.sharded)
+          Zarr.shardFileBytes(arr, g.shardH, g.shardW, g.chunkH, g.chunkW,
+            g.compressor, g.dtype, g.fill)
+        else
+          Zarr.chunkFileBytes(arr, g.chunkT * g.chunkH, g.chunkW, g.compressor, g.dtype))
       java.nio.file.Files.write(new java.io.File(f.getPath + ".bm").toPath,
         bm.toByteArray)
       ZarrFrag(ck, ci, cj, f.getPath)

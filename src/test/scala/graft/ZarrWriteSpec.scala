@@ -190,6 +190,59 @@ class ZarrWriteSpec extends SparkSuite {
     assert(msgs(e).contains("v2 or v3"), msgs(e))
   }
 
+  test("sharded v3 write face: shard-aligned rename-only, inner pruning on read, scattered merge") {
+    val dir = s"$tmp/graft_io/zarrw_sharded"
+    graft.core.Fs.rmTree(dir)
+    val (w, h, ss, ic) = (40, 24, 16, 8)
+    grid(w, h)
+      .repartition(expr(s"cell_y div $ss"), expr(s"cell_x div $ss"))
+      .write.format("graft.zonal.ZarrSource")
+      .option("height", h).option("width", w)
+      .option("chunk", s"$ic,$ic").option("shard", s"$ss,$ss")
+      .mode("overwrite").save(dir)
+    // 40x24 at 16x16 shards -> 3x2 shard files, ZERO merges
+    assert(graft.zonal.ZarrWrite.lastCommit == (6, 0),
+      s"want (6 shards, 0 merges), got ${graft.zonal.ZarrWrite.lastCommit}")
+    assert(new java.io.File(dir, "zarr.json").exists())
+    assert(new java.io.File(dir, "c/0/0").exists(), "sharded keys are c/ci/cj")
+    val back = spark.read.format("graft.zonal.ZarrSource").load(dir)
+    assert(back.count() == w.toLong * h)
+    assert(back.filter(
+      col("value") =!= (col("cell_x") * 7 + col("cell_y") * 11) % 101).count() == 0)
+    // scattered input still writes exactly via the shard merge path
+    graft.core.Fs.rmTree(dir)
+    grid(w, h).repartition(8)
+      .write.format("graft.zonal.ZarrSource")
+      .option("height", h).option("width", w)
+      .option("chunk", s"$ic,$ic").option("shard", s"$ss,$ss")
+      .mode("overwrite").save(dir)
+    assert(graft.zonal.ZarrWrite.lastCommit._1 == 6
+      && graft.zonal.ZarrWrite.lastCommit._2 > 0)
+    val back2 = spark.read.format("graft.zonal.ZarrSource").load(dir)
+    assert(back2.count() == w.toLong * h)
+    assert(back2.filter(
+      col("value") =!= (col("cell_x") * 7 + col("cell_y") * 11) % 101).count() == 0)
+    // guard: a shard that doesn't tile by the inner chunk refuses
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val bad = intercept[Throwable] {
+      grid(8, 8).write.format("graft.zonal.ZarrSource")
+        .option("height", 8).option("width", 8)
+        .option("chunk", "5,5").option("shard", "16,16")
+        .mode("overwrite").save(s"$tmp/graft_io/zarrw_badshard")
+    }
+    assert(msgs(bad).contains("tile"), msgs(bad))
+    // guard: sharding under format=v2 refuses
+    val v2 = intercept[Throwable] {
+      grid(8, 8).write.format("graft.zonal.ZarrSource")
+        .option("height", 8).option("width", 8)
+        .option("chunk", "8,8").option("shard", "8,8").option("format", "v2")
+        .mode("overwrite").save(s"$tmp/graft_io/zarrw_v2shard")
+    }
+    assert(msgs(v2).contains("v3 feature"), msgs(v2))
+  }
+
   test("registry op: sink_zarr_dsv2 round trip matches the per-chunk formula and commits rename-only") {
     val r = q("sink_zarr_dsv2").collect()
     assert(r.nonEmpty)
