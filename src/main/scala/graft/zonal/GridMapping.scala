@@ -394,6 +394,17 @@ object GridMapping {
           "WHEN lon_raw <= -180 THEN lon_raw + 360 ELSE lon_raw END, 6) AS lon"))
   }
 
+  /** The `latitude_longitude` IDENTITY mapping (CF's explicit
+    * no-projection declaration): coordinates ARE degrees — only the
+    * longitude convention normalizes (CF files commonly carry 0..360
+    * longitudes; zones live in (−180, 180]).
+    */
+  def latLonExprs: Seq[Seq[String]] = Seq(
+    Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+      "round(y_coord, 6) AS lat",
+      "round(CASE WHEN x_coord > 180 THEN x_coord - 360 " +
+        "WHEN x_coord <= -180 THEN x_coord + 360 ELSE x_coord END, 6) AS lon"))
+
   def exprsSql(cellsSql: String, levels: Seq[Seq[String]], tag: String): String = {
     val nested = levels.zipWithIndex.foldLeft(s"($cellsSql) ${tag}_l0") {
       case (from, (exprs, i)) =>
@@ -426,11 +437,13 @@ object GridMapping {
     case "sinusoidal" => sinuExprs(sinuFrom(a))
     case "albers_conical_equal_area" => albersExprs(albersFrom(a))
     case "mercator" => mercExprs(mercFrom(a))
+    case "latitude_longitude" => latLonExprs
     case other => sys.error(
       s"${a.where}: grid_mapping_name '$other' is not implemented " +
         "(rotated_latitude_longitude, lambert_conformal_conic, " +
-        "polar_stereographic, sinusoidal, albers_conical_equal_area and " +
-        "mercator are) — refusing rather than mislabeling every cell")
+        "polar_stereographic, sinusoidal, albers_conical_equal_area, " +
+        "mercator and latitude_longitude are) — refusing rather than " +
+        "mislabeling every cell")
   }
 
   /** Zarr attribute path (r19): the ARRAY's `.zattrs` names the
@@ -734,6 +747,27 @@ object GridMapping {
   // mercator extent: lon -44.79..-33.49, lat 27.58..35.56
   private val MercZonesSql = zonesSql(-44.5, 0.18, 0.45, 27.8, 0.13, 0.35)
 
+  // explicit latitude_longitude with 0..360 longitudes (the common CF
+  // convention the wrap normalizes): lon 350..357.375 -> -10..-2.625
+  def latLonFixturePath(): String =
+    Raster.fixtureOnce(s"nc_latlon_${GmW}x$GmH.nc") { p =>
+      Netcdf.writeNetcdf(p, "tas", GmH, GmW, Netcdf.NcFloat,
+        coordY = y => -3.0 + 0.125 * y, coordX = x => 350.0 + 0.125 * x,
+        gridMapping = Some(("crs", Seq(
+          ("grid_mapping_name", Right("latitude_longitude")),
+          ("earth_radius", Left(Seq(6371000.0)))))))(
+        (x, y, _) => gmValue(x, y))
+    }
+
+  private val LatLonCoordsSql =
+    s"""SELECT cell_x, cell_y, value,
+       |  CAST(350.0 + 0.125 * cell_x AS DOUBLE) AS x_coord,
+       |  CAST(-3.0 + 0.125 * cell_y AS DOUBLE) AS y_coord
+       |FROM ($GmCellsSql) gm_raw""".stripMargin
+
+  private def oracleLatLonSql: String =
+    exprsSql(LatLonCoordsSql, latLonExprs, "ll")
+
   private val PsCoordsSql =
     s"""SELECT cell_x, cell_y, value,
        |  CAST(-149000.0 + 5000.0 * cell_x AS DOUBLE) AS x_coord,
@@ -1003,6 +1037,20 @@ object GridMapping {
       zonalSql(oracleMercSql, MercZonesSql)) { (s, d) =>
       zonalStats(cellsLonLat(s, mercFixturePath(), "sst"),
         zones(s, d, MercZonesSql))
+    },
+
+    // latitude_longitude (r19 — CF's EXPLICIT no-projection
+    // declaration, which previously refused as unknown): coordinates
+    // are already degrees, only the 0..360 longitude convention
+    // normalizes into (-180, 180] — the one transform a "plain
+    // lat/lon" file still needs
+    "scan_netcdf_latlon" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleLatLonSql) ll_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLat(s, latLonFixturePath(), "tas")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
     }
   )
 }

@@ -277,6 +277,16 @@ class GridMappingSpec extends SparkSuite {
     assert(msgs(intercept[Throwable](GM.mercFrom(both))).contains("exactly ONE"))
   }
 
+  test("latitude_longitude: identity mapping with the 0..360 longitude wrap") {
+    import graft.zonal.{GridMapping => GM}
+    val df = GM.cellsLonLat(spark, GM.latLonFixturePath(), "tas")
+    // latitudes pass through untouched; 350..357.375 wraps to -10..-2.625
+    val r = df.filter(col("cell_x") === 0 && col("cell_y") === 0).head()
+    assert(r.getAs[Double]("lat") == -3.0 && r.getAs[Double]("lon") == -10.0, r.toString)
+    val ex = df.agg(min("lon"), max("lon")).head()
+    assert(ex.getDouble(0) == -10.0 && ex.getDouble(1) == -2.625, ex.toString)
+  }
+
   test("two standard parallel values survive the classic attr parse (array attribute)") {
     val m = Netcdf.readMeta(GM.lccFixturePath())
     val gm = GM.mappingOf(GM.lccFixturePath(), m, "tas").get
