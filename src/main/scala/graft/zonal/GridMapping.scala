@@ -111,6 +111,11 @@ object GridMapping {
     * scale_factor_at_projection_origin.
     */
   final case class Merc(rk0: Double, lon0Deg: Double, fe: Double, fn: Double)
+  /** Ellipsoidal transverse Mercator (r19 — dispatches to the Krüger
+    * series in Utm.scala with coefficients from the DECLARED ellipsoid).
+    */
+  final case class Tm(a: Double, f: Double, k0: Double, lon0Deg: Double,
+      fe: Double, fn: Double)
 
   /** Rotated-pole parameters, with the named refusals. */
   def rotatedParams(path: String, gm: NcVar): Rotated =
@@ -201,6 +206,37 @@ object GridMapping {
     }
     PolarStereo(2.0 * r * k0, lon0,
       south, a.num1("false_easting").getOrElse(0.0),
+      a.num1("false_northing").getOrElse(0.0))
+  }
+
+  /** Transverse-Mercator parameters (CF Appendix F), with the named
+    * refusals: a nonzero latitude_of_projection_origin needs the
+    * meridian-arc northing offset this dispatch doesn't add.
+    */
+  def tmFrom(a: GmAttrs): Tm = {
+    val name = a.mappingName
+    require(name == "transverse_mercator",
+      s"${a.where}: grid_mapping_name '$name' where transverse_mercator expected")
+    val (ax, f) = a.num1("earth_radius") match {
+      case Some(r) => (r, 0.0)
+      case None =>
+        val maj = a.num1("semi_major_axis").getOrElse(sys.error(
+          s"${a.where}: transverse_mercator lacks an ellipsoid " +
+            "(semi_major_axis + inverse_flattening/semi_minor_axis, or earth_radius)"))
+        val f = a.num1("inverse_flattening").map(1.0 / _).orElse(
+          a.num1("semi_minor_axis").map(b => (maj - b) / maj)).getOrElse(sys.error(
+          s"${a.where}: transverse_mercator lacks inverse_flattening/semi_minor_axis"))
+        (maj, f)
+    }
+    val lat0 = a.num1("latitude_of_projection_origin").getOrElse(0.0)
+    require(lat0 == 0.0,
+      s"${a.where}: latitude_of_projection_origin $lat0 — the nonzero-origin " +
+        "northing offset (meridian arc) is not implemented; refusing rather " +
+        "than shifting every cell")
+    Tm(ax, f,
+      a.num1("scale_factor_at_central_meridian").getOrElse(1.0),
+      num(a, "longitude_of_central_meridian"),
+      a.num1("false_easting").getOrElse(0.0),
       a.num1("false_northing").getOrElse(0.0))
   }
 
@@ -438,12 +474,14 @@ object GridMapping {
     case "albers_conical_equal_area" => albersExprs(albersFrom(a))
     case "mercator" => mercExprs(mercFrom(a))
     case "latitude_longitude" => latLonExprs
+    case "transverse_mercator" =>
+      val p = tmFrom(a); Utm.tmLevelExprs(p.a, p.f, p.k0, p.lon0Deg, p.fe, p.fn)
     case other => sys.error(
       s"${a.where}: grid_mapping_name '$other' is not implemented " +
         "(rotated_latitude_longitude, lambert_conformal_conic, " +
         "polar_stereographic, sinusoidal, albers_conical_equal_area, " +
-        "mercator and latitude_longitude are) — refusing rather than " +
-        "mislabeling every cell")
+        "mercator, latitude_longitude and transverse_mercator are) — " +
+        "refusing rather than mislabeling every cell")
   }
 
   /** Zarr attribute path (r19): the ARRAY's `.zattrs` names the
@@ -768,6 +806,35 @@ object GridMapping {
   private def oracleLatLonSql: String =
     exprsSql(LatLonCoordsSql, latLonExprs, "ll")
 
+  // CF-declared transverse Mercator on the WGS84 ellipsoid shaped like
+  // UTM 18N — every parameter READ FROM THE FILE, none assumed
+  val TmLon0 = -75.0
+  def tmFixturePath(): String =
+    Raster.fixtureOnce(s"nc_tm_${GmW}x$GmH.nc") { p =>
+      Netcdf.writeNetcdf(p, "dem", GmH, GmW, Netcdf.NcFloat,
+        coordY = y => 4300000.0 + 2000.0 * y, coordX = x => 440000.0 + 2000.0 * x,
+        gridMapping = Some(("tmerc", Seq(
+          ("grid_mapping_name", Right("transverse_mercator")),
+          ("longitude_of_central_meridian", Left(Seq(TmLon0))),
+          ("latitude_of_projection_origin", Left(Seq(0.0))),
+          ("scale_factor_at_central_meridian", Left(Seq(0.9996))),
+          ("false_easting", Left(Seq(500000.0))),
+          ("semi_major_axis", Left(Seq(6378137.0))),
+          ("inverse_flattening", Left(Seq(298.257223563)))))))(
+        (x, y, _) => gmValue(x, y))
+    }
+
+  private val TmCoordsSql =
+    s"""SELECT cell_x, cell_y, value,
+       |  CAST(440000.0 + 2000.0 * cell_x AS DOUBLE) AS x_coord,
+       |  CAST(4300000.0 + 2000.0 * cell_y AS DOUBLE) AS y_coord
+       |FROM ($GmCellsSql) gm_raw""".stripMargin
+
+  private def oracleTmSql: String =
+    exprsSql(TmCoordsSql,
+      Utm.tmLevelExprs(6378137.0, 1.0 / 298.257223563, 0.9996,
+        TmLon0, 500000.0, 0.0), "tm")
+
   private val PsCoordsSql =
     s"""SELECT cell_x, cell_y, value,
        |  CAST(-149000.0 + 5000.0 * cell_x AS DOUBLE) AS x_coord,
@@ -1037,6 +1104,20 @@ object GridMapping {
       zonalSql(oracleMercSql, MercZonesSql)) { (s, d) =>
       zonalStats(cellsLonLat(s, mercFixturePath(), "sst"),
         zones(s, d, MercZonesSql))
+    },
+
+    // transverse Mercator (r19 — the projected-CRS staple, CF-declared:
+    // regional DEMs and national grids ship as TM with explicit
+    // ellipsoid + scale + meridian): dispatches to the SAME Krüger
+    // series as the UTM ops, coefficients recomputed from the file's
+    // declared flattening — a misread ellipsoid hash-fails
+    "scan_netcdf_tm" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleTmSql) tm_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLat(s, tmFixturePath(), "dem")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
     },
 
     // latitude_longitude (r19 — CF's EXPLICIT no-projection

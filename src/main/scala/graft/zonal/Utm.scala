@@ -123,6 +123,57 @@ object Utm {
   private def sh(t: String): String = s"((exp($t) - exp(-($t))) / 2)"
   private def ch(t: String): String = s"((exp($t) + exp(-($t))) / 2)"
 
+  /** The Krüger series coefficients for an arbitrary third flattening
+    * (r19 — the CF `transverse_mercator` dispatch recomputes them from
+    * the DECLARED ellipsoid; the WGS84 vals above are this at n).
+    */
+  private[zonal] def kruegerBetaDelta(n3: Double): (Seq[Double], Seq[Double]) = {
+    val p2 = n3 * n3; val p3 = p2 * n3; val p4 = p3 * n3
+    (Seq(n3 / 2 - 2 * p2 / 3 + 37 * p3 / 96 - p4 / 360,
+      p2 / 48 + p3 / 15 - 437 * p4 / 1440,
+      17 * p3 / 480 - 37 * p4 / 840,
+      4397 * p4 / 161280),
+      Seq(2 * n3 - 2 * p2 / 3 - 2 * p3 + 116 * p4 / 45,
+        7 * p2 / 3 - 8 * p3 / 5 - 227 * p4 / 45,
+        56 * p3 / 15 - 136 * p4 / 35,
+        4279 * p4 / 630))
+  }
+
+  /** Krüger inverse levels over the GridMapping column contract
+    * `(cell_x, cell_y, x_coord, y_coord, value)` with EVERY parameter
+    * from the file: ellipsoid (a, f), scale k0, central meridian,
+    * false easting/northing — the CF `transverse_mercator` form. The
+    * same series, same spelling, coefficients recomputed from the
+    * declared flattening (f = 0 degenerates to the exact spherical TM).
+    */
+  def tmLevelExprs(aAxis: Double, flat: Double, k0v: Double,
+      lon0Deg: Double, fe: Double, fnv: Double): Seq[Seq[String]] = {
+    val n3 = flat / (2.0 - flat)
+    val (bs, ds) = kruegerBetaDelta(n3)
+    val bigA = aAxis / (1.0 + n3) *
+      (1.0 + n3 * n3 / 4.0 + n3 * n3 * n3 * n3 / 64.0)
+    val kAv = k0v * bigA
+    val beta = bs.zipWithIndex.map { case (b, i) =>
+      val j = 2 * (i + 1)
+      (s"${dlit(b)} * sin($j * xi) * ${ch(s"$j * eta")}",
+        s"${dlit(b)} * cos($j * xi) * ${sh(s"$j * eta")}")
+    }
+    val delta = ds.zipWithIndex.map { case (d, i) =>
+      s"${dlit(d)} * sin(${2 * (i + 1)} * chi)" }
+    Seq(
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"(y_coord - ${dlit(fnv)}) / ${dlit(kAv)} AS xi",
+        s"(x_coord - ${dlit(fe)}) / ${dlit(kAv)} AS eta"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"xi - (${beta.map(_._1).mkString(" + ")}) AS xi2",
+        s"eta - (${beta.map(_._2).mkString(" + ")}) AS eta2"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value", "xi2", "eta2",
+        s"asin(sin(xi2) / ${ch("eta2")}) AS chi"),
+      Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
+        s"round(${dlit(lon0Deg)} + degrees(atan2(${sh("eta2")}, cos(xi2))), 6) AS lon",
+        s"round(degrees(chi + ${delta.mkString(" + ")}), 6) AS lat"))
+  }
+
   /** The Krüger inverse as per-level projection expression lists —
     * the SINGLE source of the arithmetic, consumed both by
     * [[inverseSql]] (the nested-SELECT oracle text) and by

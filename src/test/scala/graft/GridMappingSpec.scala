@@ -277,6 +277,39 @@ class GridMappingSpec extends SparkSuite {
     assert(msgs(intercept[Throwable](GM.mercFrom(both))).contains("exactly ONE"))
   }
 
+  test("transverse_mercator: CF dispatch agrees with the UTM Krüger twin; nonzero origin refuses") {
+    import graft.zonal.{GridMapping => GM, Utm}
+    val df = GM.cellsLonLat(spark, GM.tmFixturePath(), "dem")
+    // the fixture IS UTM 18N (WGS84, 0.9996, FE 500000), so the
+    // existing Utm.inverse Scala twin must agree at the round-6 radius
+    df.filter(col("cell_x") % 13 === 0 && col("cell_y") % 11 === 0)
+      .select("x_coord", "y_coord", "lon", "lat").collect().foreach { r =>
+        val (lon, lat) = Utm.inverse(r.getDouble(0), r.getDouble(1), -75.0)
+        assert(math.abs(lon - r.getDouble(2)) < 2e-6
+          && math.abs(lat - r.getDouble(3)) < 2e-6,
+          s"($lon, $lat) vs (${r.getDouble(2)}, ${r.getDouble(3)})")
+      }
+    // forward round trip through the published forward series: sub-meter
+    df.filter(col("cell_x") % 17 === 0 && col("cell_y") % 13 === 0)
+      .select("x_coord", "y_coord", "lon", "lat").collect().foreach { r =>
+        val (e, n) = Utm.forward(r.getDouble(2), r.getDouble(3), -75.0)
+        assert(math.abs(e - r.getDouble(0)) < 0.5 && math.abs(n - r.getDouble(1)) < 0.5,
+          s"($e, $n) vs (${r.getDouble(0)}, ${r.getDouble(1)})")
+      }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val badOrigin = GM.GmAttrs("t", Map("grid_mapping_name" -> "transverse_mercator"),
+      Map("longitude_of_central_meridian" -> Seq(-75.0),
+        "latitude_of_projection_origin" -> Seq(40.0),
+        "semi_major_axis" -> Seq(6378137.0),
+        "inverse_flattening" -> Seq(298.257223563)))
+    assert(msgs(intercept[Throwable](GM.tmFrom(badOrigin))).contains("meridian arc"))
+    val noEllipsoid = GM.GmAttrs("t", Map("grid_mapping_name" -> "transverse_mercator"),
+      Map("longitude_of_central_meridian" -> Seq(-75.0)))
+    assert(msgs(intercept[Throwable](GM.tmFrom(noEllipsoid))).contains("ellipsoid"))
+  }
+
   test("latitude_longitude: identity mapping with the 0..360 longitude wrap") {
     import graft.zonal.{GridMapping => GM}
     val df = GM.cellsLonLat(spark, GM.latLonFixturePath(), "tas")
