@@ -116,6 +116,11 @@ object GridMapping {
     */
   final case class Tm(a: Double, f: Double, k0: Double, lon0Deg: Double,
       fe: Double, fn: Double)
+  /** Geostationary fixed grid (r19 — the GOES-R ABI projection): `h` =
+    * perspective height above the ellipsoid, ellipsoidal by nature.
+    */
+  final case class Geos(h: Double, req: Double, rpol: Double,
+      lon0Deg: Double, fe: Double, fn: Double)
 
   /** Rotated-pole parameters, with the named refusals. */
   def rotatedParams(path: String, gm: NcVar): Rotated =
@@ -236,6 +241,31 @@ object GridMapping {
     Tm(ax, f,
       a.num1("scale_factor_at_central_meridian").getOrElse(1.0),
       num(a, "longitude_of_central_meridian"),
+      a.num1("false_easting").getOrElse(0.0),
+      a.num1("false_northing").getOrElse(0.0))
+  }
+
+  /** Geostationary parameters (CF Appendix F), with the named
+    * refusals: sweep_angle_axis must be declared and "x" (the GOES-R
+    * convention this inverse implements; Meteosat's "y" sweep refuses
+    * by name), and the ellipsoid must be explicit.
+    */
+  def geosFrom(a: GmAttrs): Geos = {
+    val name = a.mappingName
+    require(name == "geostationary",
+      s"${a.where}: grid_mapping_name '$name' where geostationary expected")
+    val sweep = a.str("sweep_angle_axis").getOrElse(sys.error(
+      s"${a.where}: geostationary lacks sweep_angle_axis — GOES declares x, " +
+        "Meteosat y; refusing to guess"))
+    require(sweep == "x",
+      s"${a.where}: sweep_angle_axis '$sweep' — only the GOES-R x-sweep " +
+        "inverse is implemented; refusing rather than transposing every cell")
+    val req = a.num1("semi_major_axis").orElse(a.num1("earth_radius"))
+      .getOrElse(sys.error(
+        s"${a.where}: geostationary lacks semi_major_axis/earth_radius"))
+    val rpol = a.num1("semi_minor_axis").getOrElse(req)
+    Geos(num(a, "perspective_point_height"), req, rpol,
+      num(a, "longitude_of_projection_origin"),
       a.num1("false_easting").getOrElse(0.0),
       a.num1("false_northing").getOrElse(0.0))
   }
@@ -441,6 +471,40 @@ object GridMapping {
       "round(CASE WHEN x_coord > 180 THEN x_coord - 360 " +
         "WHEN x_coord <= -180 THEN x_coord + 360 ELSE x_coord END, 6) AS lon"))
 
+  /** Geostationary inverse over projection meters (the GOES-R PUG
+    * closed forms — scan angles = coords / h, line-of-sight quadratic,
+    * geodetic latitude via req²/rpol²): exact against the PUG's
+    * published worked example (x = −0.024052, y = 0.095340 →
+    * 33.846162°N, 84.690932°W on GOES-East).
+    */
+  def geosExprs(p: Geos): Seq[Seq[String]] = {
+    val k = p.req * p.req / (p.rpol * p.rpol)
+    val bigH = p.h + p.req
+    val cQ = bigH * bigH - p.req * p.req
+    val lon0Rad = math.toRadians(p.lon0Deg)
+    val base = Seq("cell_x", "cell_y", "x_coord", "y_coord", "value")
+    Seq(
+      base ++ Seq(
+        s"sin((x_coord - ${p.fe}) / ${p.h}) AS snx",
+        s"cos((x_coord - ${p.fe}) / ${p.h}) AS csx",
+        s"sin((y_coord - ${p.fn}) / ${p.h}) AS sny",
+        s"cos((y_coord - ${p.fn}) / ${p.h}) AS csy"),
+      base ++ Seq("snx", "csx", "sny", "csy",
+        s"snx * snx + csx * csx * (csy * csy + $k * sny * sny) AS aq",
+        s"-2 * $bigH * csx * csy AS bq"),
+      base ++ Seq("snx", "csx", "sny", "csy",
+        s"(-bq - sqrt(bq * bq - 4 * aq * $cQ)) / (2 * aq) AS rs"),
+      base ++ Seq(
+        "rs * csx * csy AS sx", "-(rs * snx) AS sy", "rs * csx * sny AS sz"),
+      base ++ Seq(
+        s"degrees(atan($k * sz / sqrt(($bigH - sx) * ($bigH - sx) + sy * sy))) AS lat_raw",
+        s"degrees($lon0Rad - atan(sy / ($bigH - sx))) AS lon_raw"),
+      base ++ Seq(
+        "round(lat_raw, 6) AS lat",
+        "round(CASE WHEN lon_raw > 180 THEN lon_raw - 360 " +
+          "WHEN lon_raw <= -180 THEN lon_raw + 360 ELSE lon_raw END, 6) AS lon"))
+  }
+
   def exprsSql(cellsSql: String, levels: Seq[Seq[String]], tag: String): String = {
     val nested = levels.zipWithIndex.foldLeft(s"($cellsSql) ${tag}_l0") {
       case (from, (exprs, i)) =>
@@ -474,14 +538,15 @@ object GridMapping {
     case "albers_conical_equal_area" => albersExprs(albersFrom(a))
     case "mercator" => mercExprs(mercFrom(a))
     case "latitude_longitude" => latLonExprs
+    case "geostationary" => geosExprs(geosFrom(a))
     case "transverse_mercator" =>
       val p = tmFrom(a); Utm.tmLevelExprs(p.a, p.f, p.k0, p.lon0Deg, p.fe, p.fn)
     case other => sys.error(
       s"${a.where}: grid_mapping_name '$other' is not implemented " +
         "(rotated_latitude_longitude, lambert_conformal_conic, " +
         "polar_stereographic, sinusoidal, albers_conical_equal_area, " +
-        "mercator, latitude_longitude and transverse_mercator are) — " +
-        "refusing rather than mislabeling every cell")
+        "mercator, latitude_longitude, transverse_mercator and " +
+        "geostationary are) — refusing rather than mislabeling every cell")
   }
 
   /** Zarr attribute path (r19): the ARRAY's `.zattrs` names the
@@ -835,6 +900,36 @@ object GridMapping {
       Utm.tmLevelExprs(6378137.0, 1.0 / 298.257223563, 0.9996,
         TmLon0, 500000.0, 0.0), "tm")
 
+  // GOES-East ABI fixed grid: perspective height, GRS80 ellipsoid,
+  // x-sweep; a CONUS-ish on-disk window in projection meters
+  val GeosH = 35786023.0
+  val GeosReq = 6378137.0
+  val GeosRpol = 6356752.31414
+  val GeosLon0 = -75.0
+  def geosFixturePath(): String =
+    Raster.fixtureOnce(s"nc_geos_${GmW}x$GmH.nc") { p =>
+      Netcdf.writeNetcdf(p, "rad", GmH, GmW, Netcdf.NcFloat,
+        coordY = y => -1000000.0 + 40000.0 * y, coordX = x => -1200000.0 + 40000.0 * x,
+        gridMapping = Some(("goes_imager_projection", Seq(
+          ("grid_mapping_name", Right("geostationary")),
+          ("perspective_point_height", Left(Seq(GeosH))),
+          ("semi_major_axis", Left(Seq(GeosReq))),
+          ("semi_minor_axis", Left(Seq(GeosRpol))),
+          ("longitude_of_projection_origin", Left(Seq(GeosLon0))),
+          ("sweep_angle_axis", Right("x"))))))(
+        (x, y, _) => gmValue(x, y))
+    }
+
+  private val GeosCoordsSql =
+    s"""SELECT cell_x, cell_y, value,
+       |  CAST(-1200000.0 + 40000.0 * cell_x AS DOUBLE) AS x_coord,
+       |  CAST(-1000000.0 + 40000.0 * cell_y AS DOUBLE) AS y_coord
+       |FROM ($GmCellsSql) gm_raw""".stripMargin
+
+  private def oracleGeosSql: String =
+    exprsSql(GeosCoordsSql,
+      geosExprs(Geos(GeosH, GeosReq, GeosRpol, GeosLon0, 0.0, 0.0)), "geo")
+
   private val PsCoordsSql =
     s"""SELECT cell_x, cell_y, value,
        |  CAST(-149000.0 + 5000.0 * cell_x AS DOUBLE) AS x_coord,
@@ -1104,6 +1199,21 @@ object GridMapping {
       zonalSql(oracleMercSql, MercZonesSql)) { (s, d) =>
       zonalStats(cellsLonLat(s, mercFixturePath(), "sst"),
         zones(s, d, MercZonesSql))
+    },
+
+    // geostationary (r19 — the GOES-R ABI fixed grid, satellite
+    // imagery's projection: every ABI L1b/L2 product georeferences
+    // through it): scan angles = projection meters / perspective
+    // height, the line-of-sight quadratic solved in closed form,
+    // geodetic latitude via the ellipsoid ratio — exact against the
+    // PUG's published worked example (pinned in GridMappingSpec)
+    "scan_netcdf_geos" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleGeosSql) geo_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLat(s, geosFixturePath(), "rad")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
     },
 
     // transverse Mercator (r19 — the projected-CRS staple, CF-declared:

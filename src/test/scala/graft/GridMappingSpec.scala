@@ -310,6 +310,43 @@ class GridMappingSpec extends SparkSuite {
     assert(msgs(intercept[Throwable](GM.tmFrom(noEllipsoid))).contains("ellipsoid"))
   }
 
+  test("geostationary: the GOES-R PUG worked example, sub-satellite point, refusals") {
+    import graft.zonal.{GridMapping => GM}
+    val geos = GM.Geos(GM.GeosH, GM.GeosReq, GM.GeosRpol, GM.GeosLon0, 0.0, 0.0)
+    def ll(xAng: Double, yAng: Double): (Double, Double) = {
+      val sql = GM.exprsSql(
+        s"""SELECT 0 AS cell_x, 0 AS cell_y, 0.0 AS value,
+           |  CAST($xAng * ${GM.GeosH} AS DOUBLE) AS x_coord,
+           |  CAST($yAng * ${GM.GeosH} AS DOUBLE) AS y_coord""".stripMargin,
+        GM.geosExprs(geos), "g")
+      val r = spark.sql(sql).head()
+      (r.getAs[Double]("lon"), r.getAs[Double]("lat"))
+    }
+    // the PUG's published L1b worked example (GOES-East): scan angles
+    // (-0.024052, 0.095340) -> 33.846162 N, 84.690932 W
+    val (lonEx, latEx) = ll(-0.024052, 0.095340)
+    assert(math.abs(latEx - 33.846162) < 1e-5 && math.abs(lonEx - -84.690932) < 1e-5,
+      s"($lonEx, $latEx)")
+    // the sub-satellite point: scan (0, 0) -> (lon0, 0)
+    val (lon0, lat0) = ll(0.0, 0.0)
+    assert(lon0 == GM.GeosLon0 && lat0 == 0.0, s"($lon0, $lat0)")
+    // the fixture scans through the dispatch path
+    val df = GM.cellsLonLat(spark, GM.geosFixturePath(), "rad")
+    assert(df.count() == 60L * 50)
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // sweep y (Meteosat) and missing sweep refuse by name
+    val sweepY = GM.GmAttrs("t",
+      Map("grid_mapping_name" -> "geostationary", "sweep_angle_axis" -> "y"),
+      Map("perspective_point_height" -> Seq(GM.GeosH),
+        "semi_major_axis" -> Seq(GM.GeosReq),
+        "longitude_of_projection_origin" -> Seq(0.0)))
+    assert(msgs(intercept[Throwable](GM.geosFrom(sweepY))).contains("x-sweep"))
+    val noSweep = sweepY.copy(strs = Map("grid_mapping_name" -> "geostationary"))
+    assert(msgs(intercept[Throwable](GM.geosFrom(noSweep))).contains("sweep_angle_axis"))
+  }
+
   test("latitude_longitude: identity mapping with the 0..360 longitude wrap") {
     import graft.zonal.{GridMapping => GM}
     val df = GM.cellsLonLat(spark, GM.latLonFixturePath(), "tas")
