@@ -930,6 +930,11 @@ object GridMapping {
     exprsSql(GeosCoordsSql,
       geosExprs(Geos(GeosH, GeosReq, GeosRpol, GeosLon0, 0.0, 0.0)), "geo")
 
+  // geos extent: lon -86.05..-64.32, lat -9.13..8.76
+  private val GeosZonesSql = zonesSql(-85.5, 0.36, 1.0, -8.8, 0.3, 0.8)
+  // tm extent: lon -75.70..-74.32, lat 38.85..39.73
+  private val TmZonesSql = zonesSql(-75.65, 0.022, 0.06, 38.88, 0.014, 0.04)
+
   private val PsCoordsSql =
     s"""SELECT cell_x, cell_y, value,
        |  CAST(-149000.0 + 5000.0 * cell_x AS DOUBLE) AS x_coord,
@@ -1216,6 +1221,14 @@ object GridMapping {
         .orderBy("cell_x", "cell_y")
     },
 
+    // degree-space zones over the GOES fixed grid — "mean radiance per
+    // region" straight off the ABI full-disk window
+    "zonal_netcdf_geos" -> Q(
+      zonalSql(oracleGeosSql, GeosZonesSql)) { (s, d) =>
+      zonalStats(cellsLonLat(s, geosFixturePath(), "rad"),
+        zones(s, d, GeosZonesSql))
+    },
+
     // transverse Mercator (r19 — the projected-CRS staple, CF-declared:
     // regional DEMs and national grids ship as TM with explicit
     // ellipsoid + scale + meridian): dispatches to the SAME Krüger
@@ -1228,6 +1241,13 @@ object GridMapping {
       cellsLonLat(s, tmFixturePath(), "dem")
         .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
         .orderBy("cell_x", "cell_y")
+    },
+
+    // degree-space zones over the declared-TM grid
+    "zonal_netcdf_tm" -> Q(
+      zonalSql(oracleTmSql, TmZonesSql)) { (s, d) =>
+      zonalStats(cellsLonLat(s, tmFixturePath(), "dem"),
+        zones(s, d, TmZonesSql))
     },
 
     // latitude_longitude (r19 — CF's EXPLICIT no-projection
