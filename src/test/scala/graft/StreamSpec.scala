@@ -492,6 +492,18 @@ class StreamSpec extends SparkSuite {
     assert(msgs(e).contains("single-band"), msgs(e))
   }
 
+  test("r19 streaming cube build: per-batch appends commit rename-only and the cube reads back whole") {
+    val rows = q("stream_cube_build").collect()
+    assert(rows.length == 3, s"3 epochs, got ${rows.length}")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_cells")) == 90L * 70,
+        "each appended epoch holds one full scene")
+    }
+    // epoch-aligned chunks mean the LAST batch's append merged nothing
+    assert(graft.zonal.ZarrWrite.lastCommit._2 == 0,
+      "per-epoch appends must be rename-only commits")
+  }
+
   test("events_anomaly flags exactly the >3σ tail of each event type") {
     val rows = q("events_anomaly").collect()
     assert(rows.nonEmpty, "the heavy-tailed fixture should have 3σ outliers")
