@@ -4654,6 +4654,56 @@ object Zarr {
         .orderBy("shard_x", "shard_y")
     },
 
+    // RANK-4 through the DSv2 WRITE face (r19 — completing write parity
+    // at every rank the read face speaks: the (t, level, y, x)
+    // pressure-level cube as one df.write): .option("epochs", t)
+    // .option("levels", l).option("chunk", "ct,cl,ch,cw") stages dense
+    // 4-D chunks keyed ck.cl.ci.cj; chunk-aligned repartition ⇒
+    // rename-only commit
+    "sink_zarr_dsv2_4d" -> Q(
+      Cube.withSql(
+        s"""SELECT cell_x // 16 AS chunk_x, cell_y // 16 AS chunk_y,
+           |  t.range // 2 AS chunk_t, l.range AS chunk_l,
+           |  count(*) AS n_cells_nonzero,
+           |  CAST(sum(n + 41 * t.range + 53 * l.range) AS BIGINT) AS sum_v
+           |FROM (SELECT cell_x, cell_y, count(*) AS n FROM cells GROUP BY cell_x, cell_y)
+           |CROSS JOIN range(0, 3) t CROSS JOIN range(0, 2) l
+           |GROUP BY chunk_x, chunk_y, chunk_t, chunk_l
+           |ORDER BY chunk_x, chunk_y, chunk_t, chunk_l""".stripMargin)) { (s, d) =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_dsv2_sink_4d"
+      graft.core.Fs.rmTree(dir)
+      val (cs, ct, ne, nl) = (16, 2, 3, 2)
+      val percell = Cube.cells(s, d).groupBy("cell_x", "cell_y")
+        .agg(count(lit(1)).cast("double").as("v"))
+      val ext = percell.agg(max(col("cell_x")), max(col("cell_y"))).head()
+      val (w, h) = (ext.getLong(0).toInt + 1, ext.getLong(1).toInt + 1)
+      percell
+        .select(col("cell_x").cast("int").as("cell_x"),
+          col("cell_y").cast("int").as("cell_y"), col("v"),
+          explode(expr(s"sequence(0, ${ne - 1})")).as("t"))
+        .select(col("cell_x"), col("cell_y"), col("t"),
+          explode(expr(s"sequence(0, ${nl - 1})")).as("l"), col("v"))
+        .select(col("cell_x"), col("cell_y"),
+          col("l").cast("int").as("level"), col("t").cast("int").as("epoch"),
+          (col("v") + lit(41) * col("t") + lit(53) * col("l")).as("value"))
+        .repartition(expr(s"epoch div $ct"), expr("level"),
+          expr(s"cell_y div $cs"), expr(s"cell_x div $cs"))
+        .write.format("graft.zonal.ZarrSource")
+        .option("height", h).option("width", w)
+        .option("epochs", ne).option("levels", nl)
+        .option("chunk", s"$ct,1,$cs,$cs")
+        .mode("overwrite").save(dir)
+      scanZarr4d(s, dir)
+        .filter(col("value") =!= 0.0)
+        .groupBy(expr(s"CAST(cell_x div $cs AS BIGINT)").as("chunk_x"),
+          expr(s"CAST(cell_y div $cs AS BIGINT)").as("chunk_y"),
+          expr(s"CAST(epoch div $ct AS BIGINT)").as("chunk_t"),
+          col("level").cast("long").as("chunk_l"))
+        .agg(count(lit(1)).as("n_cells_nonzero"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("chunk_x", "chunk_y", "chunk_t", "chunk_l")
+    },
+
     "sink_zarr_sharded" -> Q(
       Cube.withSql(
         s"""SELECT cell_x // 16 AS shard_x, cell_y // 16 AS shard_y,

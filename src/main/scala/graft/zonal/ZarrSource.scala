@@ -644,15 +644,16 @@ final class Zarr3PartitionReader(c: Zarr.ChunkRef3,
 private[zonal] case class ZarrGeom(h: Int, w: Int, chunkH: Int, chunkW: Int,
     compressor: String, dtype: String, fill: Double,
     t: Int = 0, chunkT: Int = 1, v3: Boolean = false,
-    shardH: Int = 0, shardW: Int = 0) {
-  def rank3: Boolean = t > 0
+    shardH: Int = 0, shardW: Int = 0, l: Int = 0, chunkL: Int = 1) {
+  def rank3: Boolean = t > 0 && l == 0
+  def rank4: Boolean = l > 0
   /** Sharded v3 (r19): `chunk` = the INNER chunk, `shard` = the file
     * unit (zarr-python's chunks/shards naming).
     */
   def sharded: Boolean = shardH > 0
   /** Cells per STAGED FILE — the shard when sharded, else the chunk. */
   def cellsPerChunk: Int =
-    if (sharded) shardH * shardW else chunkT * chunkH * chunkW
+    if (sharded) shardH * shardW else chunkT * chunkL * chunkH * chunkW
 }
 
 private[graft] object ZarrWrite {
@@ -668,8 +669,16 @@ private[graft] object ZarrWrite {
     StructField("epoch", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
+  /** Rank-4 (r19): the read face's (cell_x, cell_y, level, epoch, value). */
+  val WriteSchema4: StructType = StructType(Seq(
+    StructField("cell_x", IntegerType, nullable = false),
+    StructField("cell_y", IntegerType, nullable = false),
+    StructField("level", IntegerType, nullable = false),
+    StructField("epoch", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
   private[zonal] def writeSchemaFor(g: ZarrGeom): StructType =
-    if (g.rank3) WriteSchema3 else WriteSchema
+    if (g.rank4) WriteSchema4 else if (g.rank3) WriteSchema3 else WriteSchema
 
   /** Last commit's (chunks installed, chunks that needed a merge) — a
     * test hook for the one-task-one-chunk pin; never read by the engine.
@@ -681,14 +690,20 @@ private[graft] object ZarrWrite {
     if (h == null || w == null) None
     else {
       val t = Option(p.get("epochs")).map(_.toInt).getOrElse(0)
+      val nl = Option(p.get("levels")).map(_.toInt).getOrElse(0)
+      require(nl == 0 || t > 0,
+        """option "levels" (rank 4) also wants "epochs"""")
+      val rank = if (nl > 0) 4 else if (t > 0) 3 else 2
       val chunk = Option(p.get("chunk"))
-        .getOrElse(if (t > 0) "2,16,16" else "16,16").split(",").map(_.trim.toInt)
-      require((if (t > 0) chunk.length == 3 else chunk.length == 2)
-          && chunk.forall(_ > 0),
-        s"""option "chunk" wants ${if (t > 0) "\"chunkT,chunkH,chunkW\""
-           else "\"chunkH,chunkW\""}, got ${p.get("chunk")}""")
-      val (ct, chh, chw) =
-        if (t > 0) (chunk(0), chunk(1), chunk(2)) else (1, chunk(0), chunk(1))
+        .getOrElse(rank match { case 4 => "2,1,16,16"; case 3 => "2,16,16"; case _ => "16,16" })
+        .split(",").map(_.trim.toInt)
+      require(chunk.length == rank && chunk.forall(_ > 0),
+        s"""option "chunk" wants $rank positive dims on a rank-$rank write, got ${p.get("chunk")}""")
+      val (ct, cl, chh, chw) = rank match {
+        case 4 => (chunk(0), chunk(1), chunk(2), chunk(3))
+        case 3 => (chunk(0), 1, chunk(1), chunk(2))
+        case _ => (1, 1, chunk(0), chunk(1))
+      }
       val v3 = Option(p.get("format")).map(_.trim.toLowerCase) match {
         case None | Some("v2") => false
         case Some("v3") => true
@@ -712,7 +727,8 @@ private[graft] object ZarrWrite {
         Option(p.get("compressor")).getOrElse(if (v3 || sharded) "gzip" else "zlib"),
         Option(p.get("dtype")).getOrElse("<f8"),
         Option(p.get("fill")).map(_.toDouble).getOrElse(0.0), t, ct,
-        v3 || sharded, shard.map(_(0)).getOrElse(0), shard.map(_(1)).getOrElse(0)))
+        v3 || sharded, shard.map(_(0)).getOrElse(0), shard.map(_(1)).getOrElse(0),
+        nl, cl))
     }
   }
 
@@ -784,7 +800,7 @@ private[graft] object ZarrWrite {
 /** One staged chunk fragment: chunk grid position + staged file path
   * (`ck` = -1 on rank-2 stores).
   */
-private[zonal] case class ZarrFrag(ck: Int, ci: Int, cj: Int, file: String)
+private[zonal] case class ZarrFrag(ck: Int, cl: Int, ci: Int, cj: Int, file: String)
 private[zonal] case class ZarrChunkMsg(frags: Seq[ZarrFrag])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
@@ -827,20 +843,22 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
     val metaF = new java.io.File(path, if (g.v3) "zarr.json" else ".zarray")
     if (metaF.exists() && !truncate) {
       val m = Zarr.readMeta(path)
-      require(m.rank3 == g.rank3 && !m.rank4 && m.v3 == g.v3
+      require(m.rank3 == g.rank3 && m.rank4 == g.rank4 && m.v3 == g.v3
           && m.height == g.h && m.width == g.w
           && m.sharded == g.sharded
           && (if (g.sharded)
                 m.chunkH == g.shardH && m.chunkW == g.shardW
                   && m.innerH == g.chunkH && m.innerW == g.chunkW
               else m.chunkH == g.chunkH && m.chunkW == g.chunkW)
-          && (!g.rank3 || (m.epochs == g.t && m.chunkT == g.chunkT)),
+          && (!(g.rank3 || g.rank4) || (m.epochs == g.t && m.chunkT == g.chunkT))
+          && (!g.rank4 || (m.levels == g.l && m.chunkL == g.chunkL)),
         s"$path: existing store geometry differs from the write options — " +
           "use mode(\"overwrite\") to replace it")
     }
     stageDir.mkdirs()
     new ZarrWriterFactory(path, g, idx("cell_x"), idx("cell_y"),
-      if (g.rank3) idx("epoch") else -1, idx("value"), queryId)
+      if (g.rank3 || g.rank4) idx("epoch") else -1,
+      if (g.rank4) idx("level") else -1, idx("value"), queryId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -848,7 +866,7 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
     val dir = new java.io.File(path)
     if (truncate) {
       val old = dir.listFiles()
-      if (old != null) old.filter(_.getName.matches("""\d+\.\d+(\.\d+)?"""))
+      if (old != null) old.filter(_.getName.matches("""\d+\.\d+(\.\d+){0,2}"""))
         .foreach(_.delete())
       if (g.v3) ZarrWrite.rmTree(new java.io.File(dir, "c"))
     }
@@ -858,6 +876,9 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
     else if (g.v3)
       Zarr.writeZarrV3Meta(path, g.h, g.w, g.chunkH, g.chunkW,
         g.compressor, g.dtype, g.fill)
+    else if (g.rank4)
+      Zarr.writeZarr4dMeta(path, g.t, g.l, g.h, g.w, g.chunkT, g.chunkL,
+        g.chunkH, g.chunkW, g.compressor, g.dtype, g.fill)
     else if (g.rank3)
       Zarr.writeZarr3dMeta(path, g.t, g.h, g.w, g.chunkT, g.chunkH, g.chunkW,
         g.compressor, g.dtype, g.fill)
@@ -865,9 +886,10 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
       Zarr.writeZarrMeta(path, g.h, g.w, g.chunkH, g.chunkW, g.compressor, g.dtype, g.fill)
     val n = g.cellsPerChunk
     var merged = 0
-    frags.groupBy(f => (f.ck, f.ci, f.cj)).foreach { case ((ck, ci, cj), fs) =>
+    frags.groupBy(f => (f.ck, f.cl, f.ci, f.cj)).foreach { case ((ck, cl, ci, cj), fs) =>
       val out = new java.io.File(dir,
         if (g.v3) s"c/$ci/$cj"
+        else if (g.rank4) s"$ck.$cl.$ci.$cj"
         else if (g.rank3) s"$ck.$ci.$cj" else s"$ci.$cj")
       out.getParentFile.mkdirs()
       if (fs.size == 1) {
@@ -900,10 +922,11 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
             Zarr.shardFileBytes(acc, g.shardH, g.shardW, g.chunkH, g.chunkW,
               g.compressor, g.dtype, g.fill)
           else
-            Zarr.chunkFileBytes(acc, g.chunkT * g.chunkH, g.chunkW, g.compressor, g.dtype))
+            Zarr.chunkFileBytes(acc, g.chunkT * g.chunkL * g.chunkH, g.chunkW,
+              g.compressor, g.dtype))
       }
     }
-    ZarrWrite.lastCommit = (frags.groupBy(f => (f.ck, f.ci, f.cj)).size, merged)
+    ZarrWrite.lastCommit = (frags.groupBy(f => (f.ck, f.cl, f.ci, f.cj)).size, merged)
     ZarrWrite.rmTree(stageDir)
   }
 
@@ -912,11 +935,11 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
 }
 
 final class ZarrWriterFactory(path: String, g: ZarrGeom,
-    xi: Int, yi: Int, ti: Int, vi: Int, queryId: String)
+    xi: Int, yi: Int, ti: Int, li: Int, vi: Int, queryId: String)
     extends org.apache.spark.sql.connector.write.DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long)
       : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
-    new ZarrChunkDataWriter(path, g, xi, yi, ti, vi, queryId, partitionId, taskId)
+    new ZarrChunkDataWriter(path, g, xi, yi, ti, li, vi, queryId, partitionId, taskId)
 }
 
 /** Buffers dense per-chunk arrays for the chunks this task sees; stages
@@ -925,48 +948,55 @@ final class ZarrWriterFactory(path: String, g: ZarrGeom,
   * inputs hold exactly the chunks the task owns.
   */
 final class ZarrChunkDataWriter(path: String, g: ZarrGeom,
-    xi: Int, yi: Int, ti: Int, vi: Int, queryId: String,
+    xi: Int, yi: Int, ti: Int, li: Int, vi: Int, queryId: String,
     partitionId: Int, taskId: Long)
     extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
   private val n = g.cellsPerChunk
   private val bufs = scala.collection.mutable.HashMap
-    .empty[(Int, Int, Int), (Array[Double], java.util.BitSet)]
+    .empty[(Int, Int, Int, Int), (Array[Double], java.util.BitSet)]
 
   override def write(r: InternalRow): Unit = {
     require(!r.isNullAt(xi) && !r.isNullAt(yi) && !r.isNullAt(vi)
-        && (ti < 0 || !r.isNullAt(ti)),
+        && (ti < 0 || !r.isNullAt(ti)) && (li < 0 || !r.isNullAt(li)),
       s"$path: NULL in a grid column — the Zarr grid has no null cells")
     val x = r.getInt(xi); val y = r.getInt(yi); val v = r.getDouble(vi)
     val t = if (ti < 0) 0 else r.getInt(ti)
+    val lv = if (li < 0) 0 else r.getInt(li)
     require(x >= 0 && x < g.w && y >= 0 && y < g.h
-        && t >= 0 && (g.t == 0 || t < g.t),
-      s"$path: cell ($x, $y, t=$t) outside the " +
-        s"${if (g.rank3) s"${g.t}x" else ""}${g.h}x${g.w} grid")
+        && t >= 0 && (g.t == 0 || t < g.t)
+        && lv >= 0 && (g.l == 0 || lv < g.l),
+      s"$path: cell ($x, $y, t=$t, l=$lv) outside the " +
+        s"${if (g.rank4) s"${g.t}x${g.l}x" else if (g.rank3) s"${g.t}x" else ""}" +
+        s"${g.h}x${g.w} grid")
     val ck = if (ti < 0) -1 else t / g.chunkT
+    val cl = if (li < 0) -1 else lv / g.chunkL
     val ci = y / (if (g.sharded) g.shardH else g.chunkH)
     val cj = x / (if (g.sharded) g.shardW else g.chunkW)
-    val (arr, bm) = bufs.getOrElseUpdate((ck, ci, cj),
+    val (arr, bm) = bufs.getOrElseUpdate((ck, cl, ci, cj),
       (Array.fill(n)(g.fill), new java.util.BitSet(n)))
     val tt = if (ti < 0) 0 else t - ck * g.chunkT
+    val ll = if (li < 0) 0 else lv - cl * g.chunkL
     val idx =
       if (g.sharded) (y - ci * g.shardH) * g.shardW + (x - cj * g.shardW)
-      else (tt * g.chunkH + (y - ci * g.chunkH)) * g.chunkW + (x - cj * g.chunkW)
+      else ((tt * g.chunkL + ll) * g.chunkH + (y - ci * g.chunkH)) * g.chunkW +
+        (x - cj * g.chunkW)
     arr(idx) = v; bm.set(idx)
   }
 
   override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
     val stage = new java.io.File(path, s".stage_$queryId")
-    val frags = bufs.toSeq.map { case ((ck, ci, cj), (arr, bm)) =>
-      val f = new java.io.File(stage, s"$ck.$ci.$cj.p${partitionId}_t$taskId")
+    val frags = bufs.toSeq.map { case ((ck, cl, ci, cj), (arr, bm)) =>
+      val f = new java.io.File(stage, s"$ck.$cl.$ci.$cj.p${partitionId}_t$taskId")
       java.nio.file.Files.write(f.toPath,
         if (g.sharded)
           Zarr.shardFileBytes(arr, g.shardH, g.shardW, g.chunkH, g.chunkW,
             g.compressor, g.dtype, g.fill)
         else
-          Zarr.chunkFileBytes(arr, g.chunkT * g.chunkH, g.chunkW, g.compressor, g.dtype))
+          Zarr.chunkFileBytes(arr, g.chunkT * g.chunkL * g.chunkH, g.chunkW,
+            g.compressor, g.dtype))
       java.nio.file.Files.write(new java.io.File(f.getPath + ".bm").toPath,
         bm.toByteArray)
-      ZarrFrag(ck, ci, cj, f.getPath)
+      ZarrFrag(ck, cl, ci, cj, f.getPath)
     }
     ZarrChunkMsg(frags)
   }

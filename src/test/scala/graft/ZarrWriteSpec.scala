@@ -161,6 +161,57 @@ class ZarrWriteSpec extends SparkSuite {
       (col("cell_x") * 7 + col("cell_y") * 11 + col("epoch") * 13) % 101).count() == 0)
   }
 
+  test("rank-4 write face: chunk-aligned pressure-level cube, scattered merge, level guard") {
+    val dir = s"$tmp/graft_io/zarrw_4d"
+    graft.core.Fs.rmTree(dir)
+    val (w, h, t, nl, cs, ct) = (40, 24, 4, 2, 16, 2)
+    val cube = (0 until w).flatMap(x => (0 until h).flatMap(y =>
+      (0 until t).flatMap(e => (0 until nl).map(l =>
+        (x, y, l, e, ((7 * x + 11 * y + 13 * e + 17 * l) % 101).toDouble)))))
+      .toDF("cell_x", "cell_y", "level", "epoch", "value")
+    cube.repartition(expr(s"epoch div $ct"), expr("level"),
+        expr(s"cell_y div $cs"), expr(s"cell_x div $cs"))
+      .write.format("graft.zonal.ZarrSource")
+      .option("height", h).option("width", w)
+      .option("epochs", t).option("levels", nl)
+      .option("chunk", s"$ct,1,$cs,$cs")
+      .mode("overwrite").save(dir)
+    // 4x2x24x40 at 2x1x16x16 chunks -> 2 t x 2 l x 2 y x 3 x = 24, zero merges
+    assert(graft.zonal.ZarrWrite.lastCommit == (24, 0),
+      s"want (24, 0), got ${graft.zonal.ZarrWrite.lastCommit}")
+    val back = spark.read.format("graft.zonal.ZarrSource").load(dir)
+    assert(back.schema.fieldNames.toSeq ==
+      Seq("cell_x", "cell_y", "level", "epoch", "value"))
+    assert(back.count() == w.toLong * h * t * nl)
+    assert(back.filter(col("value") =!= (col("cell_x") * 7 + col("cell_y") * 11
+      + col("epoch") * 13 + col("level") * 17) % 101).count() == 0)
+    // scattered input still exact via the 4-D merge
+    cube.repartition(8)
+      .write.format("graft.zonal.ZarrSource")
+      .option("height", h).option("width", w)
+      .option("epochs", t).option("levels", nl)
+      .option("chunk", s"$ct,1,$cs,$cs")
+      .mode("overwrite").save(dir)
+    assert(graft.zonal.ZarrWrite.lastCommit._1 == 24
+      && graft.zonal.ZarrWrite.lastCommit._2 > 0)
+    val back2 = spark.read.format("graft.zonal.ZarrSource").load(dir)
+    assert(back2.count() == w.toLong * h * t * nl)
+    assert(back2.filter(col("value") =!= (col("cell_x") * 7 + col("cell_y") * 11
+      + col("epoch") * 13 + col("level") * 17) % 101).count() == 0)
+    // an out-of-cube level refuses loudly
+    def msgs(x: Throwable): String =
+      Iterator.iterate(x)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Throwable] {
+      Seq((0, 0, 9, 0, 1.0)).toDF("cell_x", "cell_y", "level", "epoch", "value")
+        .write.format("graft.zonal.ZarrSource")
+        .option("height", 8).option("width", 8)
+        .option("epochs", 2).option("levels", 2).option("chunk", "1,1,8,8")
+        .mode("overwrite").save(s"$tmp/graft_io/zarrw_4d_bad")
+    }
+    assert(msgs(e).contains("outside"), msgs(e))
+  }
+
   test("v3 write face: format option writes zarr.json + nested chunk keys, reads back exactly") {
     val dir = s"$tmp/graft_io/zarrw_v3"
     graft.core.Fs.rmTree(dir)
