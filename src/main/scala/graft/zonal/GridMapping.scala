@@ -18,9 +18,16 @@ import graft.core.{Q, Tables}
   *    to (grid_north_pole_latitude, grid_north_pole_longitude); the
   *    inverse (rotated → true) is the closed-form spherical rotation
   *      φ = asin(sin φ' sin φp + cos φ' cos φp cos λ')
-  *      λ = λp + atan2(cos φ' sin λ', sin φ' cos φp − cos φ' sin φp cos λ')
+  *      λ = λp − atan2(cos φ' sin λ', sin φ' cos φp − cos φ' sin φp cos λ')
   *    (checks: rotated pole (90, ·) → (φp, λp); grid center (0, 0) →
-  *    (90 − φp, λp + 180) — the CORDEX EUR-11 placement).
+  *    (90 − φp, λp + 180) — the CORDEX EUR-11 placement; the MINUS on
+  *    the atan2 is load-bearing: with a plus, every off-meridian cell
+  *    mirrors east/west about the λp+180 meridian — r19 shipped that
+  *    mirror and the shared-expression oracle could not see it; r20
+  *    fixed it and pinned the independently-derived EUR-11 corner
+  *    (rotated (−23.375, −28.375) → 21.99 N, −10.06 E) in
+  *    GridMappingSpec, verified against a rotation-matrix derivation
+  *    R = Rz(λp + π)·Ry(φp − π/2)).
   *  - `lambert_conformal_conic` (WRF): spherical LCC per the published
   *    Snyder 1987 closed forms (eqs. 14-1..15-5, spherical case),
   *    cone constant n from the two standard parallels (or n = sin φ1
@@ -156,9 +163,6 @@ object GridMapping {
       s"${a.where}: lambert_conformal_conic without a spherical earth " +
         "(earth_radius, or equal semi-axes) — the ellipsoidal LCC inverse " +
         "is not implemented; refusing rather than running spherical math on it"))
-    require(!(a.num1("semi_minor_axis").isDefined && a.num1("semi_major_axis").isDefined
-        && a.num1("semi_minor_axis") != a.num1("semi_major_axis")),
-      s"${a.where}: ellipsoidal LCC (unequal semi-axes) refused by name")
     val sps = a.nums.getOrElse("standard_parallel",
       sys.error(s"${a.where}: lambert_conformal_conic lacks standard_parallel"))
     require(sps.length == 1 || sps.length == 2,
@@ -358,7 +362,7 @@ object GridMapping {
         "sin(radians(x_coord)) AS srn", "cos(radians(x_coord)) AS crn"),
       Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
         s"degrees(asin(srl * $sinP + crl * $cosP * crn)) AS lat_raw",
-        s"degrees($lRad + atan2(crl * srn, srl * $cosP - crl * $sinP * crn)) AS lon_raw"),
+        s"degrees($lRad - atan2(crl * srn, srl * $cosP - crl * $sinP * crn)) AS lon_raw"),
       Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
         "round(lat_raw, 6) AS lat",
         "round(CASE WHEN lon_raw > 180 THEN lon_raw - 360 " +
@@ -990,7 +994,9 @@ object GridMapping {
        |  $lat0 + (n_nationkey * 3 % 56) * $dLat + $hLat AS latmax
        |FROM nation""".stripMargin
 
-  // rotated extent: lon 12.3..24.8, lat 47.5..53.8
+  // rotated extent: lon 11.2..23.7, lat 47.5..53.9 (corrected r20 —
+  // the r19 mirror read 12.3..24.8); the zone band 13.0..20.6 sits
+  // inside both, so the constants stand
   private val RotZonesSql = zonesSql(13.0, 0.15, 0.4, 48.0, 0.09, 0.25)
   // lcc extent: lon -98.2..-95.8, lat 44.3..45.7
   private val LccZonesSql = zonesSql(-98.0, 0.035, 0.08, 44.4, 0.02, 0.05)

@@ -20,10 +20,35 @@ class GridMappingSpec extends SparkSuite {
     val r = df.filter(col("cell_x") === 32 && col("cell_y") === 24).head()
     assert(r.getAs[Double]("lon") == 18.0 && r.getAs[Double]("lat") == 50.75,
       s"center: ${r}")
-    // every lat inside the computed corner band, lons normalized
+    // OFF-MERIDIAN pin (r20 — the r19 longitude mirror): the center and
+    // pole both sit on the mirror axis, so only a point with rlon != 0
+    // is sensitive to the atan2 sign. Rotated (rlat 0, rlon 1) — cell
+    // (x 40, y 24) — maps to lon 19.580274 E (the mirrored formula gave
+    // 16.42 E), derived independently via R = Rz(λp+π)·Ry(φp−π/2)
+    val off = df.filter(col("cell_x") === 40 && col("cell_y") === 24).head()
+    assert(math.abs(off.getAs[Double]("lon") - 19.580274) < 1.1e-6
+      && math.abs(off.getAs[Double]("lat") - 50.739321) < 1.1e-6, s"off: $off")
+    // lat band from the corrected corners; lon band 11.2..23.7 (the
+    // mirror read 12.3..24.8 — the band must EXCLUDE the mirrored max)
     val ex = df.agg(min("lat"), max("lat"), min("lon"), max("lon")).head()
     assert(ex.getDouble(0) > 47.0 && ex.getDouble(1) < 54.0
-      && ex.getDouble(2) > 12.0 && ex.getDouble(3) < 25.0, ex.toString)
+      && ex.getDouble(2) > 11.0 && ex.getDouble(2) < 11.5
+      && ex.getDouble(3) > 23.4 && ex.getDouble(3) < 24.0, ex.toString)
+  }
+
+  test("rotated pole: the published CORDEX EUR-11 SW corner (independent worked example)") {
+    import graft.zonal.{GridMapping => GM}
+    // rotated (rlat -23.375, rlon -28.375) under pole (39.25, -162)
+    // must land at ~(21.99 N, 10.06 W) — the EUR-11 domain's published
+    // south-west corner; the r19 mirrored formula put it at 46.06 E
+    val sql = GM.exprsSql(
+      """SELECT 0 AS cell_x, 0 AS cell_y, 0.0 AS value,
+        |  CAST(-28.375 AS DOUBLE) AS x_coord,
+        |  CAST(-23.375 AS DOUBLE) AS y_coord""".stripMargin,
+      GM.rotatedExprs(GM.Rotated(GM.PoleLat, GM.PoleLon)), "rp")
+    val r = spark.sql(sql).head()
+    assert(math.abs(r.getAs[Double]("lat") - 21.987829) < 1.1e-6
+      && math.abs(r.getAs[Double]("lon") - -10.06388) < 1.1e-6, r.toString)
   }
 
   test("lcc: the projection origin maps to (lon0, lat0); forward re-projection round-trips sub-mm") {
