@@ -128,6 +128,61 @@ object GridMapping {
     */
   final case class Geos(h: Double, req: Double, rpol: Double,
       lon0Deg: Double, fe: Double, fn: Double)
+  /** The χ → φ inverse series (Snyder 1987 eq. 3-5), shared by the
+    * ellipsoidal conformal inverses (PS + LCC): coefficients depend
+    * only on e², precomputed driver-side and embedded as literals
+    * (the Utm.scala Krüger coefficient discipline). Exact to ~1e-11
+    * rad for earth flattenings — far inside the round-6 radius.
+    */
+  final case class ChiSeries(a2: Double, a4: Double, a6: Double, a8: Double) {
+    def sql(chi: String): String =
+      s"$chi + $a2 * sin(2 * $chi) + $a4 * sin(4 * $chi) + " +
+        s"$a6 * sin(6 * $chi) + $a8 * sin(8 * $chi)"
+  }
+  def chiSeriesOf(e2: Double): ChiSeries = {
+    val e4 = e2 * e2; val e6 = e4 * e2; val e8 = e4 * e4
+    ChiSeries(
+      e2 / 2 + 5 * e4 / 24 + e6 / 12 + 13 * e8 / 360,
+      7 * e4 / 48 + 29 * e6 / 240 + 811 * e8 / 11520,
+      7 * e6 / 120 + 81 * e8 / 1120,
+      4279 * e8 / 161280)
+  }
+  /** Ellipsoidal polar stereographic (r20 — the grids the mapping
+    * EXISTS for: NSIDC EPSG 3411 on Hughes 1980, EPSG 3413/3976 on
+    * WGS84): t = ρ/ρf with ρf = a·m_c/t_c (true scale at the standard
+    * parallel, Snyder eq. 21-40) or 2·a·k0/√((1+e)^(1+e)·(1−e)^(1−e))
+    * (declared scale factor, eq. 21-39); χ = π/2 − 2·atan t; φ via
+    * the χ series.
+    */
+  final case class PsEll(rhoFac: Double, lon0Deg: Double, south: Boolean,
+      fe: Double, fn: Double, chi: ChiSeries)
+  /** Ellipsoidal Lambert conformal conic (r20 — Daymet, NWP products):
+    * Snyder eqs. 15-1..15-11 with m(φ), t(φ); the same χ series closes
+    * the inverse.
+    */
+  final case class LccEll(n: Double, aF: Double, rho0: Double,
+      lon0Deg: Double, fe: Double, fn: Double, chi: ChiSeries)
+
+  /** Snyder's m(φ) = cos φ/√(1 − e²sin²φ) (eq. 14-15). */
+  def snyderM(phi: Double, e: Double): Double =
+    math.cos(phi) / math.sqrt(1 - e * e * math.sin(phi) * math.sin(phi))
+  /** Snyder's t(φ) = tan(π/4 − φ/2)/((1 − e sin φ)/(1 + e sin φ))^(e/2)
+    * (eq. 15-9).
+    */
+  def snyderT(phi: Double, e: Double): Double =
+    math.tan(math.Pi / 4 - phi / 2) /
+      math.pow((1 - e * math.sin(phi)) / (1 + e * math.sin(phi)), e / 2)
+
+  /** The DECLARED ellipsoid (a, f) when it has genuine flattening:
+    * semi_major_axis plus inverse_flattening or an UNEQUAL
+    * semi_minor_axis. earth_radius / equal semi-axes / a lone
+    * semi_major_axis stay the sphere (the pre-r20 paths).
+    */
+  private[zonal] def declaredEllipsoid(a: GmAttrs): Option[(Double, Double)] =
+    a.num1("semi_major_axis").flatMap { maj =>
+      a.num1("inverse_flattening").filter(_ != 0.0).map(invf => (maj, 1.0 / invf))
+        .orElse(a.num1("semi_minor_axis").filter(_ != maj).map(b => (maj, (maj - b) / maj)))
+    }
 
   /** Rotated-pole parameters, with the named refusals. */
   def rotatedParams(path: String, gm: NcVar): Rotated =
@@ -160,9 +215,10 @@ object GridMapping {
         case _ => None
       }
     }.getOrElse(sys.error(
-      s"${a.where}: lambert_conformal_conic without a spherical earth " +
-        "(earth_radius, or equal semi-axes) — the ellipsoidal LCC inverse " +
-        "is not implemented; refusing rather than running spherical math on it"))
+      s"${a.where}: lambert_conformal_conic declares neither a spherical " +
+        "earth (earth_radius / equal semi-axes) nor an ellipsoid " +
+        "(semi_major_axis + inverse_flattening / semi_minor_axis) — " +
+        "refusing to guess a datum"))
     val sps = a.nums.getOrElse("standard_parallel",
       sys.error(s"${a.where}: lambert_conformal_conic lacks standard_parallel"))
     require(sps.length == 1 || sps.length == 2,
@@ -194,9 +250,7 @@ object GridMapping {
     val name = a.mappingName
     require(name == "polar_stereographic",
       s"${a.where}: grid_mapping_name '$name' where polar_stereographic expected")
-    val r = a.num1("earth_radius").getOrElse(sys.error(
-      s"${a.where}: polar_stereographic without earth_radius — the ellipsoidal " +
-        "inverse is not implemented; refusing rather than running spherical math"))
+    val r = sphereRadius(a, "polar_stereographic")
     val lat0 = num(a, "latitude_of_projection_origin")
     require(lat0 == 90.0 || lat0 == -90.0,
       s"${a.where}: polar_stereographic origin must be a pole, got $lat0")
@@ -216,6 +270,75 @@ object GridMapping {
     PolarStereo(2.0 * r * k0, lon0,
       south, a.num1("false_easting").getOrElse(0.0),
       a.num1("false_northing").getOrElse(0.0))
+  }
+
+  /** Ellipsoidal polar-stereographic constants (r20 — Snyder 1987 eqs.
+    * 21-39/21-40 + 3-5). Dispatched when the file declares a genuine
+    * ellipsoid; shares the spherical validations (pole origin,
+    * exactly-one scale rule, hemisphere check).
+    */
+  def psEllFrom(a: GmAttrs): PsEll = {
+    val name = a.mappingName
+    require(name == "polar_stereographic",
+      s"${a.where}: grid_mapping_name '$name' where polar_stereographic expected")
+    val (ax, f) = declaredEllipsoid(a).getOrElse(sys.error(
+      s"${a.where}: psEllFrom wants a declared ellipsoid"))
+    val e = math.sqrt(2 * f - f * f)
+    val lat0 = num(a, "latitude_of_projection_origin")
+    require(lat0 == 90.0 || lat0 == -90.0,
+      s"${a.where}: polar_stereographic origin must be a pole, got $lat0")
+    val south = lat0 < 0
+    val lon0 = num(a, "straight_vertical_longitude_from_pole")
+    val sp = a.num1("standard_parallel")
+    val k0a = a.num1("scale_factor_at_projection_origin")
+    require(sp.isDefined != k0a.isDefined,
+      s"${a.where}: want exactly ONE of standard_parallel / " +
+        "scale_factor_at_projection_origin")
+    val rhoFac = k0a match {
+      case Some(k0) =>
+        2.0 * ax * k0 /
+          math.sqrt(math.pow(1 + e, 1 + e) * math.pow(1 - e, 1 - e))
+      case None =>
+        val ts = sp.get
+        require(south == (ts < 0),
+          s"${a.where}: standard_parallel $ts is in the wrong hemisphere for origin $lat0")
+        val tc = math.toRadians(math.abs(ts))
+        ax * snyderM(tc, e) / snyderT(tc, e)
+    }
+    PsEll(rhoFac, lon0, south, a.num1("false_easting").getOrElse(0.0),
+      a.num1("false_northing").getOrElse(0.0), chiSeriesOf(e * e))
+  }
+
+  /** Ellipsoidal-LCC derived constants (r20 — Snyder 1987 eqs.
+    * 15-1..15-11): n from ln m/ln t over the two standard parallels
+    * (n = sin φ1 for one), F = m1/(n·t1ⁿ), ρ0 = a·F·t(φ0)ⁿ.
+    */
+  def lccEllFrom(a: GmAttrs): LccEll = {
+    val name = a.mappingName
+    require(name == "lambert_conformal_conic",
+      s"${a.where}: grid_mapping_name '$name' where lambert_conformal_conic expected")
+    val (ax, f) = declaredEllipsoid(a).getOrElse(sys.error(
+      s"${a.where}: lccEllFrom wants a declared ellipsoid"))
+    val e = math.sqrt(2 * f - f * f)
+    val sps = a.nums.getOrElse("standard_parallel",
+      sys.error(s"${a.where}: lambert_conformal_conic lacks standard_parallel"))
+    require(sps.length == 1 || sps.length == 2,
+      s"${a.where}: standard_parallel wants 1 or 2 values, got ${sps.length}")
+    val p1 = math.toRadians(sps.head)
+    val p2 = math.toRadians(sps.last)
+    val n =
+      if (sps.length == 1 || sps.head == sps.last) math.sin(p1)
+      else (math.log(snyderM(p1, e)) - math.log(snyderM(p2, e))) /
+        (math.log(snyderT(p1, e)) - math.log(snyderT(p2, e)))
+    require(n > 0,
+      s"${a.where}: southern-cone LCC (n = $n) — not implemented, refusing")
+    val bigF = snyderM(p1, e) / (n * math.pow(snyderT(p1, e), n))
+    val aF = ax * bigF
+    val lat0 = num(a, "latitude_of_projection_origin")
+    val rho0 = aF * math.pow(snyderT(math.toRadians(lat0), e), n)
+    LccEll(n, aF, rho0, num(a, "longitude_of_central_meridian"),
+      a.num1("false_easting").getOrElse(0.0),
+      a.num1("false_northing").getOrElse(0.0), chiSeriesOf(e * e))
   }
 
   /** Transverse-Mercator parameters (CF Appendix F), with the named
@@ -405,6 +528,54 @@ object GridMapping {
           "WHEN lon_raw <= -180 THEN lon_raw + 360 ELSE lon_raw END, 6) AS lon"))
   }
 
+  /** Ellipsoidal polar-stereographic inverse over projection meters
+    * (r20): t = ρ/ρf, χ = π/2 − 2·atan t, φ = χ + series (Snyder
+    * eqs. 21-39/21-40 + 3-5); longitude identical to the spherical
+    * aspect rule. South flips signs exactly as the spherical form.
+    */
+  def psEllExprs(p: PsEll): Seq[Seq[String]] = {
+    val lon0Rad = math.toRadians(p.lon0Deg)
+    val sgn = if (p.south) -1 else 1
+    val base = Seq("cell_x", "cell_y", "x_coord", "y_coord", "value")
+    Seq(
+      base ++ Seq(
+        s"CAST(x_coord - ${p.fe} AS DOUBLE) AS px",
+        s"CAST(y_coord - ${p.fn} AS DOUBLE) AS py"),
+      base ++ Seq("px", "py",
+        s"1.5707963267948966 - 2 * atan(sqrt(px * px + py * py) / ${p.rhoFac}) AS chi"),
+      base ++ Seq(
+        s"degrees($sgn * (${p.chi.sql("chi")})) AS lat_raw",
+        s"degrees($lon0Rad + atan2(px, ${if (p.south) "py" else "-py"})) AS lon_raw"),
+      base ++ Seq(
+        "round(lat_raw, 6) AS lat",
+        "round(CASE WHEN lon_raw > 180 THEN lon_raw - 360 " +
+          "WHEN lon_raw <= -180 THEN lon_raw + 360 ELSE lon_raw END, 6) AS lon"))
+  }
+
+  /** Ellipsoidal-LCC inverse over projection meters (r20): ρ, θ as the
+    * spherical form; t = (ρ/aF)^(1/n), χ = π/2 − 2·atan t, φ = χ +
+    * series, λ = λ0 + θ/n (Snyder eqs. 15-1..15-11 inverted + 3-5).
+    */
+  def lccEllExprs(p: LccEll): Seq[Seq[String]] = {
+    val invN = 1.0 / p.n
+    val lon0Rad = math.toRadians(p.lon0Deg)
+    val base = Seq("cell_x", "cell_y", "x_coord", "y_coord", "value")
+    Seq(
+      base ++ Seq(
+        s"CAST(x_coord - ${p.fe} AS DOUBLE) AS px",
+        s"CAST(${p.rho0} - (y_coord - ${p.fn}) AS DOUBLE) AS py"),
+      base ++ Seq("sqrt(px * px + py * py) AS rho", "atan2(px, py) AS theta"),
+      base ++ Seq("theta",
+        s"1.5707963267948966 - 2 * atan(pow(rho / ${p.aF}, $invN)) AS chi"),
+      base ++ Seq(
+        s"degrees(${p.chi.sql("chi")}) AS lat_raw",
+        s"degrees($lon0Rad + theta * $invN) AS lon_raw"),
+      base ++ Seq(
+        "round(lat_raw, 6) AS lat",
+        "round(CASE WHEN lon_raw > 180 THEN lon_raw - 360 " +
+          "WHEN lon_raw <= -180 THEN lon_raw + 360 ELSE lon_raw END, 6) AS lon"))
+  }
+
   /** Spherical sinusoidal inverse over projection meters: φ = y/R,
     * λ = λ0 + x/(R cos φ). Longitude normalizes before the round-6.
     */
@@ -536,8 +707,16 @@ object GridMapping {
 
   private def levelsFor(a: GmAttrs): Seq[Seq[String]] = a.mappingName match {
     case "rotated_latitude_longitude" => rotatedExprs(rotatedFrom(a))
-    case "lambert_conformal_conic" => lccExprs(lccFrom(a))
-    case "polar_stereographic" => psExprs(psFrom(a))
+    // PS + LCC dispatch on the DECLARED datum (r20): a genuine
+    // ellipsoid takes the Snyder ellipsoidal series, a sphere keeps
+    // the closed spherical fast path — the real NSIDC (EPSG 3411/3413)
+    // and Daymet grids stop refusing
+    case "lambert_conformal_conic" =>
+      if (declaredEllipsoid(a).isDefined) lccEllExprs(lccEllFrom(a))
+      else lccExprs(lccFrom(a))
+    case "polar_stereographic" =>
+      if (declaredEllipsoid(a).isDefined) psEllExprs(psEllFrom(a))
+      else psExprs(psFrom(a))
     case "sinusoidal" => sinuExprs(sinuFrom(a))
     case "albers_conical_equal_area" => albersExprs(albersFrom(a))
     case "mercator" => mercExprs(mercFrom(a))
@@ -736,6 +915,75 @@ object GridMapping {
           ("earth_radius", Left(Seq(PsRadius)))))))(
         (x, y, _) => gmValue(x, y))
     }
+
+  // the REAL NSIDC north grid shape (EPSG 3411): the Hughes 1980
+  // ellipsoid NSIDC sea-ice products actually declare (a = 6378273,
+  // 1/f = 298.279411123064), true scale at 70N, straight meridian -45
+  // — the ellipsoidal twin of psFixturePath, same pole-straddling grid
+  val PsEllA = 6378273.0
+  val PsEllInvF = 298.279411123064
+  def psEllFixturePath(): String =
+    Raster.fixtureOnce(s"nc_ps_ell_${GmW}x$GmH.nc") { p =>
+      Netcdf.writeNetcdf(p, "sic", GmH, GmW, Netcdf.NcFloat,
+        coordY = y => -123000.0 + 5000.0 * y, coordX = x => -149000.0 + 5000.0 * x,
+        gridMapping = Some(("ps", Seq(
+          ("grid_mapping_name", Right("polar_stereographic")),
+          ("latitude_of_projection_origin", Left(Seq(90.0))),
+          ("straight_vertical_longitude_from_pole", Left(Seq(PsLon0))),
+          ("standard_parallel", Left(Seq(PsSp))),
+          ("semi_major_axis", Left(Seq(PsEllA))),
+          ("inverse_flattening", Left(Seq(PsEllInvF)))))))(
+        (x, y, _) => gmValue(x, y))
+    }
+
+  // Daymet-style ellipsoidal LCC: WGS84, parallels 25/60, central
+  // meridian -100, origin 42.5 — the projection the Daymet CONUS
+  // dailies actually declare
+  val LccEllSp1 = 25.0
+  val LccEllSp2 = 60.0
+  val LccEllLat0 = 42.5
+  val LccEllLon0 = -100.0
+  val LccEllA = 6378137.0
+  val LccEllInvF = 298.257223563
+  def lccEllFixturePath(): String =
+    Raster.fixtureOnce(s"nc_lcc_ell_${GmW}x$GmH.nc") { p =>
+      Netcdf.writeNetcdf(p, "prcp", GmH, GmW, Netcdf.NcFloat,
+        coordY = y => -75000.0 + 3000.0 * y, coordX = x => -90000.0 + 3000.0 * x,
+        gridMapping = Some(("lcc", Seq(
+          ("grid_mapping_name", Right("lambert_conformal_conic")),
+          ("standard_parallel", Left(Seq(LccEllSp1, LccEllSp2))),
+          ("longitude_of_central_meridian", Left(Seq(LccEllLon0))),
+          ("latitude_of_projection_origin", Left(Seq(LccEllLat0))),
+          ("semi_major_axis", Left(Seq(LccEllA))),
+          ("inverse_flattening", Left(Seq(LccEllInvF)))))))(
+        (x, y, _) => gmValue(x, y))
+    }
+
+  // fixture-side Scala twins of the ellipsoidal constants (the oracle
+  // re-derives from these literals, the engine from the file's attrs)
+  private def oraclePsEllSql: String = {
+    val f = 1.0 / PsEllInvF; val e = math.sqrt(2 * f - f * f)
+    val tc = math.toRadians(PsSp)
+    exprsSql(PsCoordsSql,
+      psEllExprs(PsEll(PsEllA * snyderM(tc, e) / snyderT(tc, e), PsLon0,
+        south = false, 0.0, 0.0, chiSeriesOf(e * e))), "pse")
+  }
+  private def oracleLccEllSql: String = {
+    val f = 1.0 / LccEllInvF; val e = math.sqrt(2 * f - f * f)
+    val p1 = math.toRadians(LccEllSp1); val p2 = math.toRadians(LccEllSp2)
+    val n = (math.log(snyderM(p1, e)) - math.log(snyderM(p2, e))) /
+      (math.log(snyderT(p1, e)) - math.log(snyderT(p2, e)))
+    val aF = LccEllA * snyderM(p1, e) / (n * math.pow(snyderT(p1, e), n))
+    val rho0 = aF * math.pow(snyderT(math.toRadians(LccEllLat0), e), n)
+    exprsSql(LccCoordsSql,
+      lccEllExprs(LccEll(n, aF, rho0, LccEllLon0, 0.0, 0.0,
+        chiSeriesOf(e * e))), "lce")
+  }
+
+  // lcc_ell extent: lon -101.16..-98.88, lat 41.79..43.18
+  private val LccEllZonesSql = zonesSql(-101.0, 0.032, 0.08, 41.85, 0.021, 0.05)
+  // ps_ell extent: lat 88.22..89.98, lon the full circle — PsZonesSql
+  // (88.25.. band) sits inside it, so the spherical zones are reused
 
   // MODIS-style sinusoidal: the sphere MODIS actually declares
   // (R = 6371007.181), origin meridian 0, a mid-latitude tile-corner
@@ -1138,6 +1386,49 @@ object GridMapping {
       zonalSql(oraclePsSql, PsZonesSql)) { (s, d) =>
       zonalStats(cellsLonLat(s, psFixturePath(), "sic"),
         zones(s, d, PsZonesSql))
+    },
+
+    // ELLIPSOIDAL polar stereographic (r20 — the r19 verdict's #1
+    // real-file gap): the actual NSIDC grids are EPSG 3411 (Hughes
+    // 1980) / 3413 (WGS84), so the headline sea-ice use case refused
+    // on real files until now. Snyder's ellipsoidal series (eqs.
+    // 21-39/21-40 + the χ series 3-5) under the Krüger coefficient
+    // discipline — constants driver-precomputed from the DECLARED
+    // ellipsoid, embedded as round-trippable literals; the spherical
+    // fast path stays for spherical files
+    "scan_netcdf_polar_ell" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oraclePsEllSql) pse_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLat(s, psEllFixturePath(), "sic")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // degree-space zones over the Hughes-1980 polar grid — "sea-ice
+    // stats per sector" on the file NSIDC actually ships
+    "zonal_netcdf_polar_ell" -> Q(
+      zonalSql(oraclePsEllSql, PsZonesSql)) { (s, d) =>
+      zonalStats(cellsLonLat(s, psEllFixturePath(), "sic"),
+        zones(s, d, PsZonesSql))
+    },
+
+    // ELLIPSOIDAL LCC (r20): Daymet and many NWP products declare
+    // WGS84 LCC — Snyder eqs. 15-1..15-11 + the shared χ series
+    "scan_netcdf_lcc_ell" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleLccEllSql) lce_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLat(s, lccEllFixturePath(), "prcp")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // degree-space zones over the Daymet-style grid
+    "zonal_netcdf_lcc_ell" -> Q(
+      zonalSql(oracleLccEllSql, LccEllZonesSql)) { (s, d) =>
+      zonalStats(cellsLonLat(s, lccEllFixturePath(), "prcp"),
+        zones(s, d, LccEllZonesSql))
     },
 
     // sinusoidal (r19 — the MODIS grid, the equal-area mapping the

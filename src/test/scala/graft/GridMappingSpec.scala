@@ -113,15 +113,15 @@ class GridMappingSpec extends SparkSuite {
       GM.rotatedParams(third, GM.mappingOf(third, m3, "tas").get))
     assert(msgs(e3).contains("third rotation"), msgs(e3))
 
-    val ell = gmFile("ell", Some(("m", Seq(
+    // r20: unequal semi-axes now DISPATCH to the ellipsoidal LCC —
+    // the refusal left is a mapping with no datum at all
+    val noDatum = gmFile("nodatum", Some(("m", Seq(
       ("grid_mapping_name", Right("lambert_conformal_conic")),
       ("standard_parallel", Left(Seq(30.0, 60.0))),
       ("longitude_of_central_meridian", Left(Seq(-97.0))),
-      ("latitude_of_projection_origin", Left(Seq(45.0))),
-      ("semi_major_axis", Left(Seq(6378137.0))),
-      ("semi_minor_axis", Left(Seq(6356752.3142)))))))
-    val e4 = intercept[Throwable](GM.cellsLonLat(spark, ell, "tas"))
-    assert(msgs(e4).toLowerCase.contains("lcc") || msgs(e4).contains("spherical"), msgs(e4))
+      ("latitude_of_projection_origin", Left(Seq(45.0)))))))
+    val e4 = intercept[Throwable](GM.cellsLonLat(spark, noDatum, "tas"))
+    assert(msgs(e4).contains("datum"), msgs(e4))
 
     val none = gmFile("none", None)
     val e5 = intercept[Throwable](GM.cellsLonLat(spark, none, "tas"))
@@ -370,6 +370,112 @@ class GridMappingSpec extends SparkSuite {
     assert(msgs(intercept[Throwable](GM.geosFrom(sweepY))).contains("x-sweep"))
     val noSweep = sweepY.copy(strs = Map("grid_mapping_name" -> "geostationary"))
     assert(msgs(intercept[Throwable](GM.geosFrom(noSweep))).contains("sweep_angle_axis"))
+  }
+
+  test("ellipsoidal polar stereographic: EPSG-3413 worked point, Hughes fixture, forward round trip") {
+    import graft.zonal.{GridMapping => GM}
+    // EPSG 3413 (WGS84, true scale 70N, meridian -45): (x, y) =
+    // (1 000 000, -2 000 000) m -> 69.568766 N, 18.434949 W — derived
+    // with the ITERATIVE inverse (Snyder eq. 7-9, series-free), so the
+    // pin is independent of the χ-series implementation under test
+    val p3413 = GM.psEllFrom(GM.GmAttrs("t",
+      Map("grid_mapping_name" -> "polar_stereographic"),
+      Map("latitude_of_projection_origin" -> Seq(90.0),
+        "straight_vertical_longitude_from_pole" -> Seq(-45.0),
+        "standard_parallel" -> Seq(70.0),
+        "semi_major_axis" -> Seq(6378137.0),
+        "inverse_flattening" -> Seq(298.257223563))))
+    def at(p: GM.PsEll, x: Double, y: Double): (Double, Double) = {
+      val sql = GM.exprsSql(
+        s"""SELECT 0 AS cell_x, 0 AS cell_y, 0.0 AS value,
+           |  CAST($x AS DOUBLE) AS x_coord, CAST($y AS DOUBLE) AS y_coord""".stripMargin,
+        GM.psEllExprs(p), "pse")
+      val r = spark.sql(sql).head()
+      (r.getAs[Double]("lon"), r.getAs[Double]("lat"))
+    }
+    val (lon1, lat1) = at(p3413, 1000000.0, -2000000.0)
+    assert(math.abs(lat1 - 69.568766) < 1.1e-6 && math.abs(lon1 - -18.434949) < 1.1e-6,
+      s"($lon1, $lat1)")
+    // the Hughes-1980 fixture through the FILE dispatch path: cell
+    // (30, 25) sits at (1000, 2000) m -> 89.979359 N, 108.434949 E
+    // (iterative-inverse derived; the SPHERICAL formula would differ
+    // in latitude here by ~the flattening)
+    val df = GM.cellsLonLat(spark, GM.psEllFixturePath(), "sic")
+    val near = df.filter(col("cell_x") === 30 && col("cell_y") === 25).head()
+    assert(math.abs(near.getAs[Double]("lat") - 89.979359) < 1.1e-6
+      && math.abs(near.getAs[Double]("lon") - 108.434949) < 1.1e-6, near.toString)
+    // forward re-projection (Snyder eqs. 21-33/21-34: ρ = ρf·t(φ),
+    // x = ρ sin θ, y = −ρ cos θ) round-trips inside the round-6 radius
+    val f = 1.0 / GM.PsEllInvF; val e = math.sqrt(2 * f - f * f)
+    val tc = math.toRadians(GM.PsSp)
+    val rhoFac = GM.PsEllA * GM.snyderM(tc, e) / GM.snyderT(tc, e)
+    df.filter(col("cell_x") % 13 === 0 && col("cell_y") % 11 === 0)
+      .select("x_coord", "y_coord", "lon", "lat").collect().foreach { r =>
+        val rho = rhoFac * GM.snyderT(math.toRadians(r.getDouble(3)), e)
+        val th = math.toRadians(r.getDouble(2) - GM.PsLon0)
+        val x = rho * math.sin(th); val y = -rho * math.cos(th)
+        assert(math.abs(x - r.getDouble(0)) < 0.5 && math.abs(y - r.getDouble(1)) < 0.5,
+          s"round trip: ($x, $y) vs (${r.getDouble(0)}, ${r.getDouble(1)})")
+      }
+  }
+
+  test("ellipsoidal LCC: Daymet fixture pin, forward round trip, f=0 degeneracy for both families") {
+    import graft.zonal.{GridMapping => GM}
+    val df = GM.cellsLonLat(spark, GM.lccEllFixturePath(), "prcp")
+    // cell (0, 0) = (-90000, -75000) m -> 41.786207 N, 101.135136 W
+    // (iterative-inverse derived, series-free)
+    val c0 = df.filter(col("cell_x") === 0 && col("cell_y") === 0).head()
+    assert(math.abs(c0.getAs[Double]("lat") - 41.786207) < 1.1e-6
+      && math.abs(c0.getAs[Double]("lon") - -101.135136) < 1.1e-6, c0.toString)
+    // forward (ρ = aF·tⁿ, θ = n(λ−λ0)) round-trips inside round-6
+    val f = 1.0 / GM.LccEllInvF; val e = math.sqrt(2 * f - f * f)
+    val p1 = math.toRadians(GM.LccEllSp1); val p2 = math.toRadians(GM.LccEllSp2)
+    val n = (math.log(GM.snyderM(p1, e)) - math.log(GM.snyderM(p2, e))) /
+      (math.log(GM.snyderT(p1, e)) - math.log(GM.snyderT(p2, e)))
+    val aF = GM.LccEllA * GM.snyderM(p1, e) / (n * math.pow(GM.snyderT(p1, e), n))
+    val rho0 = aF * math.pow(GM.snyderT(math.toRadians(GM.LccEllLat0), e), n)
+    df.filter(col("cell_x") % 13 === 0 && col("cell_y") % 11 === 0)
+      .select("x_coord", "y_coord", "lon", "lat").collect().foreach { r =>
+        val rho = aF * math.pow(GM.snyderT(math.toRadians(r.getDouble(3)), e), n)
+        val th = n * math.toRadians(r.getDouble(2) - GM.LccEllLon0)
+        val x = rho * math.sin(th); val y = rho0 - rho * math.cos(th)
+        assert(math.abs(x - r.getDouble(0)) < 0.5 && math.abs(y - r.getDouble(1)) < 0.5,
+          s"round trip: ($x, $y) vs (${r.getDouble(0)}, ${r.getDouble(1)})")
+      }
+    // f = 0 degeneracy: the ellipsoidal forms with e = 0 constants
+    // must equal the spherical fast paths cell-for-cell (the series
+    // vanishes; t(φ) becomes tan(π/4 − φ/2) = 1/tan(π/4 + φ/2))
+    val grid =
+      """SELECT x.id AS cell_x, y.id AS cell_y, 0.0 AS value,
+        |  CAST(-149000.0 + 30000.0 * x.id AS DOUBLE) AS x_coord,
+        |  CAST(-123000.0 + 30000.0 * y.id AS DOUBLE) AS y_coord
+        |FROM range(0, 10) x CROSS JOIN range(0, 9) y""".stripMargin
+    val zeroChi = GM.chiSeriesOf(0.0)
+    val psSph = spark.sql(GM.exprsSql(grid,
+      GM.psExprs(GM.PolarStereo(2.0 * 6370000.0 * 0.97, -45.0, south = false, 0.0, 0.0)), "a"))
+    val psDeg = spark.sql(GM.exprsSql(grid,
+      GM.psEllExprs(GM.PsEll(2.0 * 6370000.0 * 0.97, -45.0, south = false, 0.0, 0.0, zeroChi)), "b"))
+    assert(psSph.select("cell_x", "cell_y", "lon", "lat")
+      .exceptAll(psDeg.select("cell_x", "cell_y", "lon", "lat")).count() == 0,
+      "e=0 PS ellipsoidal must equal spherical")
+    val sphLcc = GM.lccFrom(GM.GmAttrs("t",
+      Map("grid_mapping_name" -> "lambert_conformal_conic"),
+      Map("standard_parallel" -> Seq(30.0, 60.0),
+        "longitude_of_central_meridian" -> Seq(-97.0),
+        "latitude_of_projection_origin" -> Seq(45.0),
+        "earth_radius" -> Seq(6370000.0))))
+    val ellLcc0 = GM.lccEllFrom(GM.GmAttrs("t",
+      Map("grid_mapping_name" -> "lambert_conformal_conic"),
+      Map("standard_parallel" -> Seq(30.0, 60.0),
+        "longitude_of_central_meridian" -> Seq(-97.0),
+        "latitude_of_projection_origin" -> Seq(45.0),
+        "semi_major_axis" -> Seq(6370000.0),
+        "inverse_flattening" -> Seq(1e15))))
+    val lccSph = spark.sql(GM.exprsSql(grid, GM.lccExprs(sphLcc), "c"))
+    val lccDeg = spark.sql(GM.exprsSql(grid, GM.lccEllExprs(ellLcc0), "d"))
+    assert(lccSph.select("cell_x", "cell_y", "lon", "lat")
+      .exceptAll(lccDeg.select("cell_x", "cell_y", "lon", "lat")).count() == 0,
+      "f->0 LCC ellipsoidal must equal spherical")
   }
 
   test("latitude_longitude: identity mapping with the 0..360 longitude wrap") {
