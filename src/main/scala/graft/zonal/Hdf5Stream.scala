@@ -48,21 +48,24 @@ object Hdf5MembersTable {
       '\r'.toByte, '\n'.toByte, 0x1a.toByte, '\n'.toByte)
 
   /** Member files under the landing dir, name-sorted — the global
-    * epoch order. A member is a regular file with the HDF5 signature.
+    * epoch order. A member is a regular file with the HDF5 signature;
+    * verdicts memoize per (path, length) — see [[MemberSig]].
     */
   private[zonal] def members(path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     if (!fs.getFileStatus(p).isDirectory) Seq.empty
-    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).sorted
-      .filter { n =>
-        val in = fs.open(new org.apache.hadoop.fs.Path(p, n))
-        try {
-          val m = new Array[Byte](8)
-          in.readFully(0, m)
-          m.sameElements(Magic)
-        } catch { case _: java.io.IOException => false } finally in.close()
-      }.toSeq
+    else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+      .filter { st =>
+        MemberSig.check(st.getPath.toString, st.getLen) {
+          val in = fs.open(st.getPath)
+          try {
+            val m = new Array[Byte](8)
+            in.readFully(0, m)
+            m.sameElements(Magic)
+          } catch { case _: java.io.IOException => false } finally in.close()
+        }
+      }.map(_.getPath.getName).toSeq
   }
 
   private[zonal] def isMemberDir(path: String): Boolean = {

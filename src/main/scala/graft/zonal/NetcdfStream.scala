@@ -51,15 +51,18 @@ object NetcdfMembersTable {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     if (!fs.getFileStatus(p).isDirectory) Seq.empty
-    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).sorted
-      .filter { n =>
-        val in = fs.open(new org.apache.hadoop.fs.Path(p, n))
-        try {
-          val m = new Array[Byte](3)
-          in.readFully(0, m)
-          m.sameElements("CDF".getBytes)
-        } catch { case _: java.io.IOException => false } finally in.close()
-      }.toSeq
+    else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+      .filter { st =>
+        // per-(path, length) memo — see [[MemberSig]] (r20)
+        MemberSig.check(st.getPath.toString, st.getLen) {
+          val in = fs.open(st.getPath)
+          try {
+            val m = new Array[Byte](3)
+            in.readFully(0, m)
+            m.sameElements("CDF".getBytes)
+          } catch { case _: java.io.IOException => false } finally in.close()
+        }
+      }.map(_.getPath.getName).toSeq
   }
 
   private[zonal] def isMemberDir(path: String): Boolean = {

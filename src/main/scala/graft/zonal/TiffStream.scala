@@ -48,26 +48,33 @@ object TiffMembersTable {
     StructField("epoch", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
+  // CLASSIC TIFF only, both byte orders (r20 — ADVICE r19: version 43
+  // is BigTIFF, which the classic reader does not parse; admitting a
+  // BigTIFF member here only moved the failure into the micro-batch —
+  // filter it out like any other non-member instead)
   private def isTiffMagic(m: Array[Byte]): Boolean =
     (m(0) == 'I' && m(1) == 'I' && m(2) == 42 && m(3) == 0) ||
-    (m(0) == 'M' && m(1) == 'M' && m(2) == 0 && (m(3) == 42 || m(3) == 43))
+    (m(0) == 'M' && m(1) == 'M' && m(2) == 0 && m(3) == 42)
 
   /** Member files under the landing dir, name-sorted — the global
-    * epoch order. A member is a regular file with the TIFF magic.
+    * epoch order. A member is a regular file with the classic TIFF
+    * magic; verdicts memoize per (path, length) — see [[MemberSig]].
     */
   private[zonal] def members(path: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     if (!fs.getFileStatus(p).isDirectory) Seq.empty
-    else fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).sorted
-      .filter { n =>
-        val in = fs.open(new org.apache.hadoop.fs.Path(p, n))
-        try {
-          val m = new Array[Byte](4)
-          in.readFully(0, m)
-          isTiffMagic(m)
-        } catch { case _: java.io.IOException => false } finally in.close()
-      }.toSeq
+    else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
+      .filter { st =>
+        MemberSig.check(st.getPath.toString, st.getLen) {
+          val in = fs.open(st.getPath)
+          try {
+            val m = new Array[Byte](4)
+            in.readFully(0, m)
+            isTiffMagic(m)
+          } catch { case _: java.io.IOException => false } finally in.close()
+        }
+      }.map(_.getPath.getName).toSeq
   }
 
   /** A landing directory: TIFF members present and NO `_tile_stats`

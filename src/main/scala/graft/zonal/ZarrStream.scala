@@ -59,8 +59,12 @@ object ZarrMembersTable {
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName).sorted
       .filter { n =>
-        fs.exists(new org.apache.hadoop.fs.Path(p, s"$n/.zarray")) ||
-        fs.exists(new org.apache.hadoop.fs.Path(p, s"$n/zarr.json"))
+        // positive-only memo (a store stays a member once its array
+        // doc exists) — see [[MemberSig]] (r20)
+        MemberSig.checkPositive(new org.apache.hadoop.fs.Path(p, n).toString) {
+          fs.exists(new org.apache.hadoop.fs.Path(p, s"$n/.zarray")) ||
+          fs.exists(new org.apache.hadoop.fs.Path(p, s"$n/zarr.json"))
+        }
       }.toSeq
   }
 

@@ -446,6 +446,23 @@ class StreamSpec extends SparkSuite {
     assert(batch.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "epoch", "value"))
   }
 
+  test("r20: BigTIFF impostors are filtered out of the TIFF landing face, both byte orders") {
+    // ADVICE r19: the magic check admitted big-endian BigTIFF (MM\0 43)
+    // members the classic reader cannot parse, failing the micro-batch
+    // instead of skipping the non-member; only classic version 42 admits
+    val land = java.nio.file.Files.createTempDirectory("tifbig").toString
+    graft.zonal.Raster.writeTiff(s"$land/part-0000.tif", 8, 8, 8, 8)(
+      (x, y) => (x + y).toDouble)
+    // hand-assembled BigTIFF magics (version 43), both byte orders
+    java.nio.file.Files.write(new java.io.File(s"$land/part-0001.tif").toPath,
+      Array[Byte]('M', 'M', 0, 43, 0, 8, 0, 0))
+    java.nio.file.Files.write(new java.io.File(s"$land/part-0002.tif").toPath,
+      Array[Byte]('I', 'I', 43, 0, 8, 0, 0, 0))
+    val batch = spark.read.format("graft.zonal.TiffSource").load(land)
+    assert(batch.count() == 64, "only the classic scene is a member")
+    assert(batch.select("epoch").distinct().count() == 1)
+  }
+
   test("r19 streaming DSv2, tiff twin: scene members batch under admission control and resume exactly-once") {
     import org.apache.spark.sql.functions.col
     val base = java.nio.file.Files.createTempDirectory("tifstream").toString
