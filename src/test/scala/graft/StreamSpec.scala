@@ -446,6 +446,49 @@ class StreamSpec extends SparkSuite {
     assert(batch.schema.fieldNames.toSeq == Seq("cell_x", "cell_y", "epoch", "value"))
   }
 
+  test("r20 native streaming cube write: one declarative plan; a replayed batch must not double-append its epoch") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = java.nio.file.Files.createTempDirectory("zarrnative").toString
+    val land = s"$base/land"; val store = s"$base/store"; val ckpt = s"$base/ckpt"
+    new java.io.File(land).mkdirs()
+    for (k <- 0 until 3)
+      graft.zonal.Raster.writeTiff(f"$land/part-$k%04d.tif", 8, 8, 8, 8)(
+        (x, y) => (x + y + 10 * k).toDouble)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.zonal.TiffSource")
+        .option("members_per_batch", "1").load(land)
+        .repartition(expr("epoch"))
+        .writeStream.format("graft.zonal.ZarrSource")
+        .option("height", 8).option("width", 8).option("epochs", 3)
+        .option("chunk", "1,8,8")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(store)
+      q.awaitTermination()
+    }
+    drain()
+    val back = spark.read.format("graft.zonal.ZarrSource").load(store)
+    assert(back.count() == 3L * 64)
+    assert(back.filter(col("epoch") === 2 && col("cell_x") === 3 && col("cell_y") === 1)
+      .select("value").head().getDouble(0) == 24.0)
+    val log = new java.io.File(store, ".stream_commits")
+    assert(log.exists() && java.nio.file.Files.readAllLines(log.toPath).size() == 3,
+      "three epochs, three commit-log lines")
+    // force a REPLAY: removing the checkpoint's last commit marker makes
+    // the engine re-execute batch 2 on restart — the store's commit log
+    // must swallow it instead of double-appending the epoch
+    assert(new java.io.File(s"$ckpt/commits/2").delete(), "checkpoint commit marker")
+    new java.io.File(s"$ckpt/commits/.2.crc").delete() // checksum-FS sidecar
+    val skips0 = graft.zonal.ZarrWrite.streamSkips
+    drain()
+    assert(graft.zonal.ZarrWrite.streamSkips > skips0,
+      "the replayed epoch must be SKIPPED via the store commit log")
+    val back2 = spark.read.format("graft.zonal.ZarrSource").load(store)
+    assert(back2.count() == 3L * 64, "no double-append")
+    assert(java.nio.file.Files.readAllLines(log.toPath).size() == 3,
+      "the commit log must not grow on replay")
+  }
+
   test("r20: BigTIFF impostors are filtered out of the TIFF landing face, both byte orders") {
     // ADVICE r19: the magic check admitted big-endian BigTIFF (MM\0 43)
     // members the classic reader cannot parse, failing the micro-batch
