@@ -52,6 +52,11 @@ class ZarrSource extends TableProvider {
       ZarrMembersTable.Schema
     else ZarrSource.schemaFor(path, options.get("time"), options.get("coords"))
   }
+  // r20 (CTAS): the catalog hands the QUERY's schema to getTable on
+  // `CREATE TABLE … USING … AS SELECT` — accept external metadata so
+  // the CTAS front door works; the write face re-validates the column
+  // names/types, and a contradicting schema on a READ table refuses
+  override def supportsExternalMetadata(): Boolean = true
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = properties.get("path")
@@ -61,9 +66,16 @@ class ZarrSource extends TableProvider {
     if (geom.isEmpty && ZarrMembersTable.isMemberDir(path))
       new ZarrMembersTable(path,
         Option(properties.get("members_per_batch")).map(_.toInt).getOrElse(-1))
-    else new ZarrTable(
-      if (geom.isDefined) NetcdfWrite.localWritePath(path) else path,
-      properties.get("time"), properties.get("coords"), geom)
+    else {
+      val t = new ZarrTable(
+        if (geom.isDefined) NetcdfWrite.localWritePath(path) else path,
+        properties.get("time"), properties.get("coords"), geom)
+      require(geom.isDefined || schema == null || schema.isEmpty
+          || schema == t.schema(),
+        s"$path: a user-declared schema must match the store's own " +
+          s"(${t.schema().simpleString}) — refusing to mislabel columns")
+      t
+    }
   }
 }
 

@@ -11,6 +11,33 @@ import org.apache.spark.sql.functions._
   */
 class SqlWriteSpec extends SparkSuite {
 
+  test("r20 CTAS: CREATE TABLE ... USING ZarrSource AS SELECT builds the store; pushdown fires on the catalog read") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/sqlw_ctas"
+    graft.core.Fs.rmTree(dir)
+    spark.sql("DROP TABLE IF EXISTS sqlw_ctas")
+    spark.sql(
+      s"""CREATE TABLE sqlw_ctas
+         |USING graft.zonal.ZarrSource
+         |OPTIONS (path '$dir', height '16', width '32', chunk '16,16')
+         |AS SELECT CAST(x.id AS INT) AS cell_x, CAST(y.id AS INT) AS cell_y,
+         |  CAST((7 * x.id + 11 * y.id) % 101 AS DOUBLE) AS value
+         |FROM range(0, 32) x CROSS JOIN range(0, 16) y""".stripMargin)
+    // the store is real on disk (the write went through the DSv2
+    // BatchWrite, not a catalog-side copy)
+    assert(new java.io.File(dir, ".zarray").exists(), "CTAS must build the store")
+    val back = spark.sql(
+      "SELECT * FROM sqlw_ctas WHERE cell_x < 16 AND cell_y < 16")
+    assert(back.count() == 256)
+    assert(back.filter(org.apache.spark.sql.functions.expr(
+      "value <> CAST((7 * cell_x + 11 * cell_y) % 101 AS DOUBLE)")).count() == 0)
+    // pushdown still fires on the subsequent catalog read: the window
+    // above prunes to ONE of the 1x2 chunk columns
+    val plan = back.queryExecution.executedPlan.toString
+    assert(plan.contains("BatchScan") || plan.contains("graft"), plan.take(400))
+    val parts = back.rdd.getNumPartitions
+    assert(parts == 1, s"chunk pruning through the catalog: want 1 partition, got $parts")
+  }
+
   test("INSERT INTO a ZarrSource catalog table writes the store; OVERWRITE truncates") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/sqlw_zarr"
     graft.core.Fs.rmTree(dir)
