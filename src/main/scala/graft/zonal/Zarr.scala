@@ -3850,6 +3850,49 @@ object Zarr {
           |ORDER BY cell_x, cell_y""".stripMargin)
     },
 
+    // SQL MERGE INTO over the cube (r20 — VERDICT r19 next-#3, the
+    // lakehouse front door): SupportsRowLevelOperations + SupportsDelta
+    // — Spark rewrites the MERGE into ONE co-partitioned equi-join on
+    // the merge keys and hands the writer ONLY the changed rows; the
+    // apply is a chunk-granular read-modify-write inside executor
+    // tasks (untouched chunks are never opened). DELETE refuses by
+    // name (a dense grid has no missing cells)
+    "sql_cube_merge" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  CASE WHEN cell_y = 7 AND cell_x BETWEEN 12 AND 30
+         |       THEN CAST(5000 + cell_x AS DOUBLE)
+         |       ELSE CAST((17 * cell_x + 23 * cell_y) % 997 AS DOUBLE) END AS value
+         |FROM (SELECT x.range AS cell_x, y.range AS cell_y
+         |      FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y)
+         |WHERE cell_x BETWEEN 10 AND 40 AND cell_y BETWEEN 5 AND 20
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_sql_merge"
+      graft.core.Fs.rmTree(dir)
+      s.sql("DROP TABLE IF EXISTS graft_cube_merge")
+      s.sql(
+        s"""CREATE TABLE graft_cube_merge
+           |USING graft.zonal.ZarrSource
+           |OPTIONS (path '$dir', height '$ZarrH', width '$ZarrW', chunk '16,16')
+           |AS SELECT CAST(x.id AS INT) AS cell_x, CAST(y.id AS INT) AS cell_y,
+           |  CAST((17 * x.id + 23 * y.id) % 997 AS DOUBLE) AS value
+           |FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y""".stripMargin)
+      s.sql(
+        """CREATE OR REPLACE TEMP VIEW graft_merge_changes AS
+          |SELECT CAST(id AS INT) AS cell_x, CAST(7 AS INT) AS cell_y,
+          |  CAST(5000 + id AS DOUBLE) AS value
+          |FROM range(12, 31)""".stripMargin)
+      s.sql(
+        """MERGE INTO graft_cube_merge t USING graft_merge_changes s
+          |ON t.cell_x = s.cell_x AND t.cell_y = s.cell_y
+          |WHEN MATCHED THEN UPDATE SET value = s.value
+          |WHEN NOT MATCHED THEN INSERT (cell_x, cell_y, value)
+          |  VALUES (s.cell_x, s.cell_y, s.value)""".stripMargin)
+      s.sql(
+        """SELECT cell_x, cell_y, value FROM graft_cube_merge
+          |WHERE cell_x BETWEEN 10 AND 40 AND cell_y BETWEEN 5 AND 20
+          |ORDER BY cell_x, cell_y""".stripMargin)
+    },
+
     "sql_cube_select" -> Q(
       s"""SELECT cell_x, cell_y, epoch, value FROM (
          |  SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,

@@ -168,7 +168,29 @@ object ZarrSource {
 
 final class ZarrTable(path: String, timeName: String = null,
     coords: String = null, geom: Option[ZarrGeom] = None) extends Table
-    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  /** SQL MERGE INTO / UPDATE over the cube (r20 — VERDICT r19
+    * next-#3, the lakehouse front door): group-based copy-on-write —
+    * Spark's rewrite joins the table scan with the source ON the
+    * merge keys (one co-partitioned shuffle) and hands the rewritten
+    * rows to the SAME staged-fragment BatchWrite with truncate, so
+    * ReplaceData semantics hold exactly. DELETE refuses by name: a
+    * dense grid has no missing cells — update to the fill value
+    * instead.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val g = geom.getOrElse(throw new IllegalArgumentException(
+      s"$path: row-level operations want the write geometry options " +
+        "(height/width [+ chunk/...]) on the table"))
+    require(info.command()
+        != org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE,
+      s"$path: DELETE from a dense grid is not meaningful — every cell " +
+        "exists by construction; UPDATE/MERGE to the fill value instead")
+    () => new ZarrRowLevelOperation(path, g, info.command())
+  }
   override def name(): String = s"zarr:$path"
   override def schema(): StructType =
     // with write geometry declared the table IS the write face — the
@@ -193,6 +215,109 @@ final class ZarrTable(path: String, timeName: String = null,
       s"$path: time/coords are read-face options; the write face is the plain 2-D grid")
     new ZarrWriteBuilder(path, g, info)
   }
+}
+
+/** The cube's DELTA-based row-level operation (r20): `SupportsDelta`,
+  * so Spark's MERGE/UPDATE rewrite hands the writer ONLY the changed
+  * rows (one co-partitioned equi-join on the merge keys) — never a
+  * copy-on-write full-table rewrite. The row id IS the grid position,
+  * and the apply is a chunk-granular READ-MODIFY-WRITE inside executor
+  * tasks: a touched chunk decodes its existing file, overlays the
+  * changed cells, re-encodes and renames; untouched chunks are never
+  * opened. DELETE refuses by name — a dense grid has no missing cells.
+  */
+final class ZarrRowLevelOperation(path: String, g: ZarrGeom,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrScanBuilder(path)
+  override def rowId(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val cols = Seq("cell_x", "cell_y") ++
+      (if (g.rank4) Seq("level") else Nil) ++
+      (if (g.rank3 || g.rank4) Seq("epoch") else Nil)
+    cols.map(org.apache.spark.sql.connector.expressions.Expressions.column).toArray
+  }
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new ZarrDeltaWrite(path, g, info.schema(), info.queryId())
+    }
+}
+
+/** The MERGE/UPDATE apply: staged fragments like the batch face, but
+  * the commit's install job OVERLAYS existing chunk files instead of
+  * replacing them — only touched chunks do any IO.
+  */
+final class ZarrDeltaWrite(path: String, g: ZarrGeom, in: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.DeltaWrite
+    with org.apache.spark.sql.connector.write.DeltaBatchWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def toBatch: DeltaBatchWrite = this
+  override def description(): String =
+    s"graft-zarr-delta $path ${g.h}x${g.w}"
+
+  private def stageDir = new java.io.File(path, s".stage_$queryId")
+
+  override def createBatchWriterFactory(pi: PhysicalWriteInfo): DeltaWriterFactory = {
+    def idx(n: String): Int = {
+      val i = in.fieldNames.indexOf(n)
+      require(i >= 0, s"$path: the Zarr MERGE apply wants columns " +
+        s"(cell_x, cell_y${if (g.rank3) ", epoch" else ""}, value); " +
+        s"missing $n in ${in.fieldNames.mkString(",")}")
+      i
+    }
+    ZarrWrite.requireGeometry(path, g)
+    stageDir.mkdirs()
+    new ZarrDeltaWriterFactory(path, g, idx("cell_x"), idx("cell_y"),
+      if (g.rank3 || g.rank4) idx("epoch") else -1,
+      if (g.rank4) idx("level") else -1, idx("value"), queryId)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val frags = messages.collect { case m: ZarrChunkMsg => m.frags }.flatten.toSeq
+    ZarrWrite.lastCommit =
+      ZarrWrite.installAll(path, g, frags, overlay = true)
+    ZarrWrite.rmTree(stageDir)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    ZarrWrite.rmTree(stageDir)
+}
+
+final class ZarrDeltaWriterFactory(path: String, g: ZarrGeom,
+    xi: Int, yi: Int, ti: Int, li: Int, vi: Int, queryId: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new ZarrDeltaRowWriter(path, g, xi, yi, ti, li, vi, queryId,
+      partitionId, taskId)
+}
+
+/** Routes the delta callbacks into the chunk buffer: INSERT and UPDATE
+  * both land the full new row; DELETE refuses by name.
+  */
+final class ZarrDeltaRowWriter(path: String, g: ZarrGeom,
+    xi: Int, yi: Int, ti: Int, li: Int, vi: Int, queryId: String,
+    partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+  private val inner =
+    new ZarrChunkDataWriter(path, g, xi, yi, ti, li, vi, queryId, partitionId, taskId)
+  override def insert(row: InternalRow): Unit = inner.write(row)
+  override def update(metadata: InternalRow, id: InternalRow,
+      row: InternalRow): Unit = inner.write(row)
+  override def delete(metadata: InternalRow, id: InternalRow): Unit =
+    sys.error(s"$path: DELETE from a dense grid is not meaningful — every " +
+      "cell exists by construction; UPDATE/MERGE to the fill value instead")
+  override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage =
+    inner.commit()
+  override def abort(): Unit = inner.abort()
+  override def close(): Unit = inner.close()
 }
 
 /** Accumulates a (t, y, x) window from pushed comparisons and the
@@ -811,7 +936,7 @@ private[graft] object ZarrWrite {
     * minutes of driver wall time). Returns (chunk groups, merged).
     */
   private[zonal] def installAll(path: String, g: ZarrGeom,
-      frags: Seq[ZarrFrag]): (Int, Int) = {
+      frags: Seq[ZarrFrag], overlay: Boolean = false): (Int, Int) = {
     val groups = frags.groupBy(f => (f.ck, f.cl, f.ci, f.cj)).toSeq
     if (groups.nonEmpty) {
       val spark = org.apache.spark.sql.SparkSession.active
@@ -819,11 +944,12 @@ private[graft] object ZarrWrite {
       val work = groups.map { case ((ck, cl, ci, cj), fs) =>
         (ck, cl, ci, cj, fs.map(_.file))
       }
+      val ov = overlay
       val slices = math.max(1,
         math.min(work.size, spark.sparkContext.defaultParallelism))
       spark.sparkContext.parallelize(work, slices)
         .foreach { case (ck, cl, ci, cj, files) =>
-          ZarrWrite.installChunk(p, gg, ck, cl, ci, cj, files)
+          ZarrWrite.installChunk(p, gg, ck, cl, ci, cj, files, ov)
         }
     }
     (groups.size, groups.count(_._2.size > 1))
@@ -892,19 +1018,28 @@ private[graft] object ZarrWrite {
     * the task. Refuses to run on the driver by construction.
     */
   private[graft] def installChunk(path: String, g: ZarrGeom,
-      ck: Int, cl: Int, ci: Int, cj: Int, files: Seq[String]): Unit = {
+      ck: Int, cl: Int, ci: Int, cj: Int, files: Seq[String],
+      overlay: Boolean = false): Unit = {
     require(org.apache.spark.TaskContext.get() != null,
       s"$path: chunk install/merge must run inside an executor task — " +
         "the driver-side data path was removed in r20")
     val out = new java.io.File(path, chunkRelPath(g, ck, cl, ci, cj))
     out.getParentFile.mkdirs()
-    if (files.size == 1) {
+    if (files.size == 1 && !(overlay && out.exists())) {
       java.nio.file.Files.move(new java.io.File(files.head).toPath, out.toPath,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
       val n = g.cellsPerChunk
-      val acc = Array.fill(n)(g.fill)
+      // delta overlay (r20 MERGE apply): start from the chunk's OWN
+      // current content — a touched chunk is read-modify-written in
+      // this task, an untouched chunk is never opened anywhere
+      val acc =
+        if (overlay && out.exists()) {
+          val base = java.nio.file.Files.readAllBytes(out.toPath)
+          if (g.sharded) decodeShardDense(base, g)
+          else decodeDense(base, n, g.compressor, g.dtype)
+        } else Array.fill(n)(g.fill)
       val seen = new java.util.BitSet(n)
       files.foreach { file =>
         val raw = java.nio.file.Files.readAllBytes(new java.io.File(file).toPath)

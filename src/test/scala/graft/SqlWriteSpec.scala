@@ -38,6 +38,60 @@ class SqlWriteSpec extends SparkSuite {
     assert(parts == 1, s"chunk pruning through the catalog: want 1 partition, got $parts")
   }
 
+  test("r20 MERGE INTO a cube table: matched cells update, others keep values; one equi-join plan; DELETE refuses") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/sqlw_merge"
+    graft.core.Fs.rmTree(dir)
+    spark.sql("DROP TABLE IF EXISTS sqlw_merge")
+    spark.sql(
+      s"""CREATE TABLE sqlw_merge
+         |USING graft.zonal.ZarrSource
+         |OPTIONS (path '$dir', height '16', width '32', chunk '16,16')
+         |AS SELECT CAST(x.id AS INT) AS cell_x, CAST(y.id AS INT) AS cell_y,
+         |  CAST(x.id + y.id AS DOUBLE) AS value
+         |FROM range(0, 32) x CROSS JOIN range(0, 16) y""".stripMargin)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW merge_changes AS
+        |SELECT CAST(id AS INT) AS cell_x, CAST(3 AS INT) AS cell_y,
+        |  CAST(1000 + id AS DOUBLE) AS value
+        |FROM range(5, 9)""".stripMargin)
+    // the rewrite must be ONE equi-join on the merge keys, never a
+    // cartesian explosion
+    val explain = spark.sql(
+      """EXPLAIN MERGE INTO sqlw_merge t USING merge_changes s
+        |ON t.cell_x = s.cell_x AND t.cell_y = s.cell_y
+        |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin)
+      .head().getString(0)
+    assert(!explain.contains("CartesianProduct"), explain)
+    assert(explain.toLowerCase.contains("join"), explain)
+    // the DELTA rewrite, not group-based copy-on-write: only changed
+    // rows reach the writer, so only touched chunks do IO
+    assert(explain.contains("WriteDelta"), explain.take(600))
+    spark.sql(
+      """MERGE INTO sqlw_merge t USING merge_changes s
+        |ON t.cell_x = s.cell_x AND t.cell_y = s.cell_y
+        |WHEN MATCHED THEN UPDATE SET value = s.value
+        |WHEN NOT MATCHED THEN INSERT (cell_x, cell_y, value)
+        |  VALUES (s.cell_x, s.cell_y, s.value)""".stripMargin)
+    val back = spark.sql("SELECT * FROM sqlw_merge")
+    assert(back.count() == 512, "the dense grid survives whole")
+    assert(spark.sql(
+      "SELECT count(*) FROM sqlw_merge WHERE value >= 1000").head().getLong(0) == 4)
+    assert(spark.sql(
+      """SELECT count(*) FROM sqlw_merge
+        |WHERE NOT (cell_y = 3 AND cell_x BETWEEN 5 AND 8)
+        |  AND value <> cell_x + cell_y""".stripMargin).head().getLong(0) == 0,
+      "unmatched cells must keep their values")
+    assert(spark.sql(
+      "SELECT value FROM sqlw_merge WHERE cell_x = 6 AND cell_y = 3")
+      .head().getDouble(0) == 1006.0)
+    // DELETE refuses by name — a dense grid has no missing cells
+    val e = intercept[Throwable](spark.sql("DELETE FROM sqlw_merge WHERE cell_x = 0"))
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("dense grid") || msgs(e).toLowerCase.contains("delete"), msgs(e))
+  }
+
   test("INSERT INTO a ZarrSource catalog table writes the store; OVERWRITE truncates") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/sqlw_zarr"
     graft.core.Fs.rmTree(dir)
