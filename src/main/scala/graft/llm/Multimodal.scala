@@ -83,7 +83,75 @@ object Multimodal {
         "block_mean", "block_min", "block_max")
   }
 
+  /** PNG twin of the JPEG blob fixture (r20): PNG is LOSSLESS, so the
+    * block-constant discipline is free — but the y%5 default filter
+    * rotation makes every scanline filter (None/Sub/Up/Average/Paeth)
+    * part of the oracle-gated path.
+    */
+  def mmPngLuma(k: Int, bx: Int, by: Int): Int =
+    (19 * bx + 23 * by + 43 * k + 7) % 251
+
+  def pngBlobDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/mm_png_blobs"
+    graft.zonal.Raster.fixtureOnce("mm_png_blobs_marker") { _ =>
+      graft.core.Fs.rmTree(dir)
+      new java.io.File(dir).mkdirs()
+      for (k <- 0 until MmJpegN) {
+        val px = Array.tabulate(MmJpegW * MmJpegH)(i =>
+          mmPngLuma(k, (i % MmJpegW) / 8, (i / MmJpegW) / 8))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"img_$k%03d.png"),
+          graft.zonal.Png.encodeGray(px, MmJpegW, MmJpegH))
+      }
+    }
+    dir
+  }
+
+  /** REAL PNG decode over a blob column (r20 — VERDICT r19 next-#6):
+    * same shape as [[decodeJpegBlobs]] through the from-spec
+    * zonal/Png.scala codec (zlib inflate + all five scanline
+    * unfilters); pure map-side flatMap, blobs never cross a shuffle.
+    */
+  def decodePngBlobs(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    s.read.format("binaryFile").option("pathGlobFilter", "*.png").load(dir)
+      .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+        .cast("long").as("img_id"), col("content"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, blob) =>
+        val (w, h, px) = graft.zonal.Png.decodeGray(blob)
+        for (by <- 0 until h / 8; bx <- 0 until w / 8) yield {
+          var sum = 0L; var mn = 255; var mx = 0
+          for (yy <- 0 until 8; xx <- 0 until 8) {
+            val v = px((by * 8 + yy) * w + bx * 8 + xx)
+            sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+          }
+          (id, w, h, bx, by, sum / 64.0, mn, mx)
+        }
+      }
+      .toDF("img_id", "width", "height", "bx", "by",
+        "block_mean", "block_min", "block_max")
+  }
+
   def defs: Seq[(String, Q)] = Seq(
+    // REAL PNG decode for multimodal blobs (r20 — the other ubiquitous
+    // training-corpus image container next to mm_decode_jpeg): blobs
+    // through the from-spec codec — signature, chunk CRCs, zlib IDAT,
+    // all five scanline filters (the y%5 rotation puts every filter on
+    // the gated path); lossless, so the formula replay hash-gates the
+    // ENTIRE blob → pixel path with no block-constant crutch needed
+    "mm_decode_png" -> Q(
+      s"""SELECT k.range AS img_id, $MmJpegW AS width, $MmJpegH AS height,
+         |  x.range AS bx, y.range AS by,
+         |  CAST((19 * x.range + 23 * y.range + 43 * k.range + 7) % 251 AS DOUBLE) AS block_mean,
+         |  (19 * x.range + 23 * y.range + 43 * k.range + 7) % 251 AS block_min,
+         |  (19 * x.range + 23 * y.range + 43 * k.range + 7) % 251 AS block_max
+         |FROM range(0, $MmJpegN) k CROSS JOIN range(0, ${MmJpegW / 8}) x
+         |  CROSS JOIN range(0, ${MmJpegH / 8}) y
+         |ORDER BY img_id, by, bx""".stripMargin) { (s, _) =>
+      decodePngBlobs(s, pngBlobDir()).orderBy("img_id", "by", "bx")
+    },
     // REAL JPEG decode for multimodal blobs (r17): binaryFile source →
     // in-repo baseline decoder → per-block luma stats; the
     // block-constant fixture makes encode∘decode exact, so the DuckDB

@@ -1,0 +1,103 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.zonal.Png
+
+/** The from-spec PNG codec (r20): per-filter round trips on
+  * non-constant data, HAND-ASSEMBLED filter vectors (so a decoder bug
+  * can't hide behind its own encoder), chunk-CRC corruption loud-fail,
+  * and the out-of-boundary refusals.
+  */
+class PngSpec extends AnyFunSuite {
+
+  private def px(w: Int, h: Int): Array[Int] =
+    Array.tabulate(w * h)(i => (i * 37 + (i * i) % 91 + 5) % 256)
+
+  test("each filter type round-trips exactly on non-constant data") {
+    val (w, h) = (23, 9) // odd sizes: no block alignment to lean on
+    val p = px(w, h)
+    for (f <- 0 to 4) {
+      val blob = Png.encodeGray(p, w, h, _ => f)
+      val (dw, dh, back) = Png.decodeGray(blob)
+      assert(dw == w && dh == h)
+      assert(back.sameElements(p), s"filter $f round trip")
+    }
+    // the default rotation exercises all five in one image
+    val (_, _, rot) = Png.decodeGray(Png.encodeGray(p, w, h))
+    assert(rot.sameElements(p))
+  }
+
+  test("hand-assembled filter vectors: Sub, Paeth and Average scanlines decode to the pinned pixels") {
+    // 3x2 gray: row0 = [10,20,30] (Sub), row1 = [40,60,90] (Paeth).
+    // Hand-filtered (spec section 6):
+    //   row0 Sub:   10, 20-10=10, 30-20=10            -> 1,10,10,10
+    //   row1 Paeth: x0 pred=b=10 -> 30; x1 pred=a=40 -> 20;
+    //               x2 pred=a=60 -> 30                -> 4,30,20,30
+    def assemble(raw: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val sig = Array(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n').map(_.toByte)
+      def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+        val t = tpe.getBytes("US-ASCII")
+        val c = new java.util.zip.CRC32(); c.update(t); c.update(data)
+        val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+        bb.putInt(data.length).put(t).put(data).putInt(c.getValue.toInt)
+        bb.array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+      ihdr.putInt(w).putInt(h).put(8.toByte).put(0.toByte)
+        .put(0.toByte).put(0.toByte).put(0.toByte)
+      sig ++ chunk("IHDR", ihdr.array()) ++
+        chunk("IDAT", graft.zonal.TiffCodec.deflate(raw.map(_.toByte))) ++
+        chunk("IEND", Array.emptyByteArray)
+    }
+    val subPaeth = assemble(Array(1, 10, 10, 10, 4, 30, 20, 30), 3, 2)
+    val (_, _, p1) = Png.decodeGray(subPaeth)
+    assert(p1.sameElements(Array(10, 20, 30, 40, 60, 90)), p1.mkString(","))
+    // row1 as Average instead: x0 floor(10/2)=5 -> 35; x1 (40+20)/2=30
+    // -> 30; x2 (60+30)/2=45 -> 45                -> 3,35,30,45
+    val subAvg = assemble(Array(1, 10, 10, 10, 3, 35, 30, 45), 3, 2)
+    val (_, _, p2) = Png.decodeGray(subAvg)
+    assert(p2.sameElements(Array(10, 20, 30, 40, 60, 90)), p2.mkString(","))
+    // Up on row1: 40-10=30, 60-20=40, 90-30=60     -> 2,30,40,60
+    val subUp = assemble(Array(1, 10, 10, 10, 2, 30, 40, 60), 3, 2)
+    val (_, _, p3) = Png.decodeGray(subUp)
+    assert(p3.sameElements(Array(10, 20, 30, 40, 60, 90)), p3.mkString(","))
+  }
+
+  test("a flipped IDAT byte fails the chunk CRC loudly; refusals by name") {
+    val blob = Png.encodeGray(px(16, 8), 16, 8)
+    // find the IDAT payload and flip one byte
+    val idx = blob.indexOfSlice("IDAT".getBytes("US-ASCII"))
+    val bad = blob.clone(); bad(idx + 6) = (bad(idx + 6) ^ 0x41).toByte
+    val e = intercept[IllegalArgumentException](Png.decodeGray(bad))
+    assert(e.getMessage.contains("CRC"), e.getMessage)
+    // refusals: colour type, bit depth, interlace
+    def tweak(off: Int, v: Byte): Array[Byte] = {
+      // IHDR data starts at 8 (sig) + 8 (len+type); fix up the CRC
+      val b = blob.clone(); b(16 + off) = v
+      val c = new java.util.zip.CRC32(); c.update(b, 12, 4 + 13)
+      java.nio.ByteBuffer.wrap(b, 29, 4).putInt(c.getValue.toInt)
+      b
+    }
+    assert(intercept[IllegalArgumentException](
+      Png.decodeGray(tweak(9, 2))).getMessage.contains("colour type"))
+    assert(intercept[IllegalArgumentException](
+      Png.decodeGray(tweak(8, 16))).getMessage.contains("bit depth"))
+    assert(intercept[IllegalArgumentException](
+      Png.decodeGray(tweak(12, 1))).getMessage.contains("interlace"))
+    assert(intercept[IllegalArgumentException](
+      Png.decodeGray(Array.fill(20)(0x11.toByte))).getMessage.contains("signature"))
+  }
+
+  test("the registry fixture: every image decodes to its block formula") {
+    import graft.llm.Multimodal
+    val dir = Multimodal.pngBlobDir()
+    for (k <- Seq(0, 7, 15)) {
+      val blob = java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(dir, f"img_$k%03d.png"))
+      val (w, h, p) = Png.decodeGray(blob)
+      assert(w == Multimodal.MmJpegW && h == Multimodal.MmJpegH)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(p(y * w + x) == Multimodal.mmPngLuma(k, x / 8, y / 8))
+    }
+  }
+}
