@@ -134,7 +134,65 @@ object Multimodal {
         "block_mean", "block_min", "block_max")
   }
 
+  /** Truecolour twin (r20): per-channel block formulas — the RGB
+    * sample interleave and the bpp=3 filter offsets are on the gated
+    * path (a channel swap or a bpp-1 filter bug hash-fails).
+    */
+  def mmPngR(k: Int, bx: Int, by: Int): Int = (11 * bx + 17 * by + 19 * k + 1) % 251
+  def mmPngG(k: Int, bx: Int, by: Int): Int = (7 * bx + 29 * by + 23 * k + 2) % 251
+  def mmPngB(k: Int, bx: Int, by: Int): Int = (13 * bx + 5 * by + 37 * k + 3) % 251
+
+  def pngRgbBlobDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/mm_png_rgb_blobs"
+    graft.zonal.Raster.fixtureOnce("mm_png_rgb_blobs_marker") { _ =>
+      graft.core.Fs.rmTree(dir)
+      new java.io.File(dir).mkdirs()
+      for (k <- 0 until MmJpegN) {
+        val px = Array.tabulate(MmJpegW * MmJpegH) { i =>
+          val bx = (i % MmJpegW) / 8; val by = (i / MmJpegW) / 8
+          (mmPngR(k, bx, by) << 16) | (mmPngG(k, bx, by) << 8) | mmPngB(k, bx, by)
+        }
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"img_$k%03d.png"),
+          graft.zonal.Png.encodeRgb(px, MmJpegW, MmJpegH))
+      }
+    }
+    dir
+  }
+
   def defs: Seq[(String, Q)] = Seq(
+    // TRUECOLOUR PNG decode (r20): the dominant real-corpus PNG shape —
+    // packed RGB through the same from-spec codec; per-block per-CHANNEL
+    // means gate the sample interleave and the bpp=3 filter offsets
+    "mm_decode_png_rgb" -> Q(
+      s"""SELECT k.range AS img_id, x.range AS bx, y.range AS by,
+         |  CAST((11 * x.range + 17 * y.range + 19 * k.range + 1) % 251 AS DOUBLE) AS r_mean,
+         |  CAST((7 * x.range + 29 * y.range + 23 * k.range + 2) % 251 AS DOUBLE) AS g_mean,
+         |  CAST((13 * x.range + 5 * y.range + 37 * k.range + 3) % 251 AS DOUBLE) AS b_mean
+         |FROM range(0, $MmJpegN) k CROSS JOIN range(0, ${MmJpegW / 8}) x
+         |  CROSS JOIN range(0, ${MmJpegH / 8}) y
+         |ORDER BY img_id, by, bx""".stripMargin) { (s, _) =>
+      import s.implicits._
+      s.read.format("binaryFile").option("pathGlobFilter", "*.png")
+        .load(pngRgbBlobDir())
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+          .cast("long").as("img_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, blob) =>
+          val (w, h, px) = graft.zonal.Png.decodeRgb(blob)
+          for (by <- 0 until h / 8; bx <- 0 until w / 8) yield {
+            var (sr, sg, sb) = (0L, 0L, 0L)
+            for (yy <- 0 until 8; xx <- 0 until 8) {
+              val v = px((by * 8 + yy) * w + bx * 8 + xx)
+              sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+            }
+            (id, bx, by, sr / 64.0, sg / 64.0, sb / 64.0)
+          }
+        }
+        .toDF("img_id", "bx", "by", "r_mean", "g_mean", "b_mean")
+        .orderBy("img_id", "by", "bx")
+    },
+
     // REAL PNG decode for multimodal blobs (r20 — the other ubiquitous
     // training-corpus image container next to mm_decode_jpeg): blobs
     // through the from-spec codec — signature, chunk CRCs, zlib IDAT,

@@ -2,18 +2,20 @@ package graft.zonal
 
 /** Minimal from-spec PNG codec (r20 — VERDICT r19 next-#6: the other
   * ubiquitous training-corpus image container next to the r17 baseline
-  * JPEG). 8-bit GRAYSCALE (colour type 0), non-interlaced, all FIVE
-  * scanline filters in BOTH directions (PNG spec / RFC 2083 §6:
-  * None, Sub, Up, Average, Paeth), zlib IDAT via the shared
-  * [[TiffCodec]] deflate/inflate pair, per-chunk CRC-32 verified on
-  * read and emitted on write.
+  * JPEG). 8-bit GRAYSCALE (colour type 0) and 8-bit TRUECOLOUR (colour
+  * type 2 — the dominant real-corpus variant), non-interlaced, all
+  * FIVE scanline filters in BOTH directions (PNG spec / RFC 2083 §6:
+  * None, Sub, Up, Average, Paeth — filters operate BYTE-wise with the
+  * `left` sample bpp bytes back, so one loop serves both colour
+  * types), zlib IDAT via the shared [[TiffCodec]] deflate/inflate
+  * pair, per-chunk CRC-32 verified on read and emitted on write.
   *
   * Encode picks the filter per scanline deterministically (y mod 5 by
   * default) so a fixture directory exercises every filter path; decode
   * accepts any filter per scanline. Out-of-boundary refusals by name:
-  * colour types other than 0 (incl. palette), bit depths other than 8,
-  * interlace, a missing/short IHDR, and a chunk whose CRC does not
-  * match (corrupt blobs fail loudly, never decode to garbage).
+  * palette/alpha colour types, bit depths other than 8, interlace, a
+  * missing/short IHDR, and a chunk whose CRC does not match (corrupt
+  * blobs fail loudly, never decode to garbage).
   *
   * Scale note: the codec runs per blob inside scan tasks — one bounded
   * buffer per image, the read topology unchanged (the mm_decode_jpeg
@@ -45,23 +47,22 @@ object Png {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode 8-bit grayscale; `filterOf(y)` picks each scanline's filter
-    * (default y mod 5 — every filter type exercised on any image of
-    * 5+ rows).
+  /** Filter `samples` ((1 + w·bpp)-stride scanlines) in place into the
+    * raw IDAT layout — byte-wise with `left` bpp bytes back (spec §6).
     */
-  def encodeGray(px: Array[Int], w: Int, h: Int,
-      filterOf: Int => Int = _ % 5): Array[Byte] = {
-    require(px.length == w * h, s"png encode: ${px.length} pixels for ${w}x$h")
-    val raw = new Array[Byte](h * (1 + w))
+  private def filterScanlines(samples: Array[Int], w: Int, h: Int,
+      bpp: Int, filterOf: Int => Int): Array[Byte] = {
+    val stride = w * bpp
+    val raw = new Array[Byte](h * (1 + stride))
     for (y <- 0 until h) {
       val f = filterOf(y)
       require(f >= 0 && f <= 4, s"png encode: filter $f")
-      raw(y * (1 + w)) = f.toByte
-      for (x <- 0 until w) {
-        val cur = px(y * w + x) & 0xff
-        val left = if (x > 0) px(y * w + x - 1) & 0xff else 0
-        val up = if (y > 0) px((y - 1) * w + x) & 0xff else 0
-        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) & 0xff else 0
+      raw(y * (1 + stride)) = f.toByte
+      for (x <- 0 until stride) {
+        val cur = samples(y * stride + x) & 0xff
+        val left = if (x >= bpp) samples(y * stride + x - bpp) & 0xff else 0
+        val up = if (y > 0) samples((y - 1) * stride + x) & 0xff else 0
+        val ul = if (x >= bpp && y > 0) samples((y - 1) * stride + x - bpp) & 0xff else 0
         val v = f match {
           case 0 => cur
           case 1 => cur - left
@@ -69,30 +70,75 @@ object Png {
           case 3 => cur - ((left + up) >> 1)
           case 4 => cur - paeth(left, up, ul)
         }
-        raw(y * (1 + w) + 1 + x) = (v & 0xff).toByte
+        raw(y * (1 + stride) + 1 + x) = (v & 0xff).toByte
       }
     }
+    raw
+  }
+
+  private def assemble(w: Int, h: Int, colour: Int,
+      raw: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Sig)
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(w).putInt(h)
-      .put(8.toByte)  // bit depth
-      .put(0.toByte)  // colour type: grayscale
-      .put(0.toByte)  // compression: deflate
-      .put(0.toByte)  // filter method 0
-      .put(0.toByte)  // no interlace
+      .put(8.toByte)          // bit depth
+      .put(colour.toByte)     // 0 = grayscale, 2 = truecolour
+      .put(0.toByte)          // compression: deflate
+      .put(0.toByte)          // filter method 0
+      .put(0.toByte)          // no interlace
     chunk(out, "IHDR", ihdr.array())
     chunk(out, "IDAT", TiffCodec.deflate(raw))
     chunk(out, "IEND", Array.emptyByteArray)
     out.toByteArray
   }
 
+  /** Encode 8-bit grayscale; `filterOf(y)` picks each scanline's filter
+    * (default y mod 5 — every filter type exercised on any image of
+    * 5+ rows).
+    */
+  def encodeGray(px: Array[Int], w: Int, h: Int,
+      filterOf: Int => Int = _ % 5): Array[Byte] = {
+    require(px.length == w * h, s"png encode: ${px.length} pixels for ${w}x$h")
+    assemble(w, h, 0, filterScanlines(px, w, h, 1, filterOf))
+  }
+
+  /** Encode 8-bit truecolour from packed 0xRRGGBB pixels. */
+  def encodeRgb(px: Array[Int], w: Int, h: Int,
+      filterOf: Int => Int = _ % 5): Array[Byte] = {
+    require(px.length == w * h, s"png encode: ${px.length} pixels for ${w}x$h")
+    val samples = new Array[Int](w * h * 3)
+    for (i <- 0 until w * h) {
+      samples(3 * i) = (px(i) >> 16) & 0xff
+      samples(3 * i + 1) = (px(i) >> 8) & 0xff
+      samples(3 * i + 2) = px(i) & 0xff
+    }
+    assemble(w, h, 2, filterScanlines(samples, w, h, 3, filterOf))
+  }
+
   /** Decode an 8-bit grayscale PNG → (width, height, pixels). */
   def decodeGray(blob: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (w, h, colour, sm) = decodeSamples(blob)
+    require(colour == 0, s"png: colour type $colour where grayscale (0) " +
+      "expected — decodeRgb reads truecolour")
+    (w, h, sm)
+  }
+
+  /** Decode an 8-bit truecolour PNG → (width, height, packed 0xRRGGBB). */
+  def decodeRgb(blob: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (w, h, colour, sm) = decodeSamples(blob)
+    require(colour == 2, s"png: colour type $colour where truecolour (2) " +
+      "expected — decodeGray reads grayscale")
+    (w, h, Array.tabulate(w * h)(i =>
+      (sm(3 * i) << 16) | (sm(3 * i + 1) << 8) | sm(3 * i + 2)))
+  }
+
+  /** Shared chunk walk + unfilter → (w, h, colour type, samples). */
+  private def decodeSamples(blob: Array[Byte]): (Int, Int, Int, Array[Int]) = {
     require(blob.length >= 8 && blob.take(8).sameElements(Sig),
       "png: bad signature")
     val bb = java.nio.ByteBuffer.wrap(blob, 8, blob.length - 8)
-    var w = -1; var h = -1
+    var w = -1; var h = -1; var ct = -1
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
@@ -112,8 +158,9 @@ object Png {
           val depth = ib.get(); val colour = ib.get()
           val comp = ib.get(); val filt = ib.get(); val inter = ib.get()
           require(depth == 8, s"png: bit depth $depth — only 8-bit is implemented; refusing")
-          require(colour == 0, s"png: colour type $colour — only grayscale (0) is " +
-            "implemented (palette/truecolour/alpha refuse rather than mislabel bytes)")
+          require(colour == 0 || colour == 2, s"png: colour type $colour — grayscale (0) " +
+            "and truecolour (2) are implemented (palette/alpha refuse rather than mislabel bytes)")
+          ct = colour
           require(comp == 0 && filt == 0, s"png: compression=$comp filter=$filt")
           require(inter == 0, "png: interlaced (Adam7) — not implemented; refusing")
         case "IDAT" => idat.write(data)
@@ -122,17 +169,19 @@ object Png {
       }
     }
     require(w > 0 && h > 0, "png: no IHDR before IDAT/IEND")
-    val raw = TiffCodec.inflate(idat.toByteArray, h * (1 + w))
-    val px = new Array[Int](w * h)
+    val bpp = if (ct == 2) 3 else 1
+    val stride = w * bpp
+    val raw = TiffCodec.inflate(idat.toByteArray, h * (1 + stride))
+    val sm = new Array[Int](stride * h)
     for (y <- 0 until h) {
-      val f = raw(y * (1 + w)) & 0xff
+      val f = raw(y * (1 + stride)) & 0xff
       require(f <= 4, s"png: scanline $y declares filter $f")
-      for (x <- 0 until w) {
-        val v = raw(y * (1 + w) + 1 + x) & 0xff
-        val left = if (x > 0) px(y * w + x - 1) else 0
-        val up = if (y > 0) px((y - 1) * w + x) else 0
-        val ul = if (x > 0 && y > 0) px((y - 1) * w + x - 1) else 0
-        px(y * w + x) = f match {
+      for (x <- 0 until stride) {
+        val v = raw(y * (1 + stride) + 1 + x) & 0xff
+        val left = if (x >= bpp) sm(y * stride + x - bpp) else 0
+        val up = if (y > 0) sm((y - 1) * stride + x) else 0
+        val ul = if (x >= bpp && y > 0) sm((y - 1) * stride + x - bpp) else 0
+        sm(y * stride + x) = f match {
           case 0 => v
           case 1 => (v + left) & 0xff
           case 2 => (v + up) & 0xff
@@ -141,6 +190,6 @@ object Png {
         }
       }
     }
-    (w, h, px)
+    (w, h, ct, sm)
   }
 }

@@ -3893,6 +3893,40 @@ object Zarr {
           |ORDER BY cell_x, cell_y""".stripMargin)
     },
 
+    // SQL UPDATE over the cube (r20 — the second row-level verb
+    // through the same SupportsDelta plumbing): the rewrite hands the
+    // writer only the rows the WHERE hits, and the NON-chunk-aligned
+    // update window makes the overlay semantics load-bearing — cells
+    // of a touched chunk OUTSIDE the window must survive the
+    // read-modify-write, which the windowed oracle checks cell-exactly
+    "sql_cube_update" -> Q(
+      s"""SELECT cell_x, cell_y,
+         |  CASE WHEN cell_x BETWEEN 24 AND 47 AND cell_y BETWEEN 12 AND 27
+         |       THEN CAST(((17 * cell_x + 23 * cell_y) % 997) + 100000 AS DOUBLE)
+         |       ELSE CAST((17 * cell_x + 23 * cell_y) % 997 AS DOUBLE) END AS value
+         |FROM (SELECT x.range AS cell_x, y.range AS cell_y
+         |      FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y)
+         |WHERE cell_x BETWEEN 16 AND 55 AND cell_y BETWEEN 8 AND 35
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/zarr_sql_update"
+      graft.core.Fs.rmTree(dir)
+      s.sql("DROP TABLE IF EXISTS graft_cube_upd")
+      s.sql(
+        s"""CREATE TABLE graft_cube_upd
+           |USING graft.zonal.ZarrSource
+           |OPTIONS (path '$dir', height '$ZarrH', width '$ZarrW', chunk '16,16')
+           |AS SELECT CAST(x.id AS INT) AS cell_x, CAST(y.id AS INT) AS cell_y,
+           |  CAST((17 * x.id + 23 * y.id) % 997 AS DOUBLE) AS value
+           |FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y""".stripMargin)
+      s.sql(
+        """UPDATE graft_cube_upd SET value = value + 100000
+          |WHERE cell_x BETWEEN 24 AND 47 AND cell_y BETWEEN 12 AND 27""".stripMargin)
+      s.sql(
+        """SELECT cell_x, cell_y, value FROM graft_cube_upd
+          |WHERE cell_x BETWEEN 16 AND 55 AND cell_y BETWEEN 8 AND 35
+          |ORDER BY cell_x, cell_y""".stripMargin)
+    },
+
     "sql_cube_select" -> Q(
       s"""SELECT cell_x, cell_y, epoch, value FROM (
          |  SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,

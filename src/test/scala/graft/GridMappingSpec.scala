@@ -404,6 +404,19 @@ class GridMappingSpec extends SparkSuite {
     val near = df.filter(col("cell_x") === 30 && col("cell_y") === 25).head()
     assert(math.abs(near.getAs[Double]("lat") - 89.979359) < 1.1e-6
       && math.abs(near.getAs[Double]("lon") - 108.434949) < 1.1e-6, near.toString)
+    // SOUTH aspect (the EPSG-3976 shape: WGS84, true scale 70S,
+    // meridian 0): (1 500 000, 2 000 000) m -> 67.214773 S,
+    // 36.869898 E — iterative-inverse derived, series-free
+    val p3976 = GM.psEllFrom(GM.GmAttrs("t",
+      Map("grid_mapping_name" -> "polar_stereographic"),
+      Map("latitude_of_projection_origin" -> Seq(-90.0),
+        "straight_vertical_longitude_from_pole" -> Seq(0.0),
+        "standard_parallel" -> Seq(-70.0),
+        "semi_major_axis" -> Seq(6378137.0),
+        "inverse_flattening" -> Seq(298.257223563))))
+    val (lonS, latS) = at(p3976, 1500000.0, 2000000.0)
+    assert(math.abs(latS - -67.214773) < 1.1e-6 && math.abs(lonS - 36.869898) < 1.1e-6,
+      s"($lonS, $latS)")
     // forward re-projection (Snyder eqs. 21-33/21-34: ρ = ρf·t(φ),
     // x = ρ sin θ, y = −ρ cos θ) round-trips inside the round-6 radius
     val f = 1.0 / GM.PsEllInvF; val e = math.sqrt(2 * f - f * f)

@@ -79,13 +79,30 @@ class PngSpec extends AnyFunSuite {
       b
     }
     assert(intercept[IllegalArgumentException](
-      Png.decodeGray(tweak(9, 2))).getMessage.contains("colour type"))
+      Png.decodeGray(tweak(9, 3))).getMessage.contains("colour type")) // palette
     assert(intercept[IllegalArgumentException](
       Png.decodeGray(tweak(8, 16))).getMessage.contains("bit depth"))
     assert(intercept[IllegalArgumentException](
       Png.decodeGray(tweak(12, 1))).getMessage.contains("interlace"))
     assert(intercept[IllegalArgumentException](
       Png.decodeGray(Array.fill(20)(0x11.toByte))).getMessage.contains("signature"))
+  }
+
+  test("r20 truecolour: per-filter RGB round trips; gray/rgb entry points refuse each other") {
+    val (w, h) = (11, 7)
+    val p = Array.tabulate(w * h)(i =>
+      (((i * 53 + 11) % 256) << 16) | (((i * 29 + 7) % 256) << 8) | ((i * 71 + 3) % 256))
+    for (f <- 0 to 4) {
+      val (dw, dh, back) = Png.decodeRgb(Png.encodeRgb(p, w, h, _ => f))
+      assert(dw == w && dh == h)
+      assert(back.sameElements(p), s"rgb filter $f round trip")
+    }
+    val gray = Png.encodeGray(px(8, 8), 8, 8)
+    val rgb = Png.encodeRgb(p, w, h)
+    assert(intercept[IllegalArgumentException](Png.decodeRgb(gray))
+      .getMessage.contains("truecolour (2) expected"))
+    assert(intercept[IllegalArgumentException](Png.decodeGray(rgb))
+      .getMessage.contains("grayscale (0) expected"))
   }
 
   test("the registry fixture: every image decodes to its block formula") {

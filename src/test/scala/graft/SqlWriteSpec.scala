@@ -92,6 +92,43 @@ class SqlWriteSpec extends SparkSuite {
     assert(msgs(e).contains("dense grid") || msgs(e).toLowerCase.contains("delete"), msgs(e))
   }
 
+  test("r20 MERGE on a rank-3 cube: the epoch joins the row id; overlay keeps every other cell") {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/sqlw_merge3"
+    graft.core.Fs.rmTree(dir)
+    spark.sql("DROP TABLE IF EXISTS sqlw_merge3")
+    spark.sql(
+      s"""CREATE TABLE sqlw_merge3
+         |USING graft.zonal.ZarrSource
+         |OPTIONS (path '$dir', height '8', width '16', epochs '3', chunk '1,8,8')""".stripMargin)
+    spark.sql(
+      """INSERT INTO sqlw_merge3
+        |SELECT CAST(id % 16 AS INT), CAST((id DIV 16) % 8 AS INT),
+        |  CAST(id DIV 128 AS INT),
+        |  CAST(id % 16 + 2 * ((id DIV 16) % 8) + 100 * (id DIV 128) AS DOUBLE)
+        |FROM range(0, 384)""".stripMargin)
+    spark.sql(
+      """MERGE INTO sqlw_merge3 t
+        |USING (SELECT CAST(id AS INT) AS cell_x, CAST(4 AS INT) AS cell_y,
+        |         CAST(1 AS INT) AS epoch, CAST(900 + id AS DOUBLE) AS value
+        |       FROM range(2, 6)) s
+        |ON t.cell_x = s.cell_x AND t.cell_y = s.cell_y AND t.epoch = s.epoch
+        |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin)
+    val back = spark.sql("SELECT * FROM sqlw_merge3")
+    assert(back.count() == 384)
+    assert(spark.sql("SELECT count(*) FROM sqlw_merge3 WHERE value >= 900 AND value < 1000")
+      .head().getLong(0) == 4)
+    // epochs 0 and 2, and every epoch-1 cell outside the window, keep
+    // their formula values — the overlay read-modify-write in action
+    assert(spark.sql(
+      """SELECT count(*) FROM sqlw_merge3
+        |WHERE NOT (epoch = 1 AND cell_y = 4 AND cell_x BETWEEN 2 AND 5)
+        |  AND value <> cell_x + 2 * cell_y + 100 * epoch""".stripMargin)
+      .head().getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT value FROM sqlw_merge3 WHERE cell_x = 3 AND cell_y = 4 AND epoch = 1")
+      .head().getDouble(0) == 903.0)
+  }
+
   test("INSERT INTO a ZarrSource catalog table writes the store; OVERWRITE truncates") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/sqlw_zarr"
     graft.core.Fs.rmTree(dir)
