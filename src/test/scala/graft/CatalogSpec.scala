@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The graft V2 catalog (r20): requested chunk clustering through
+  * RequiresDistributionAndOrdering + the catalog's own chunk_div
+  * function — Spark shuffles ARBITRARY input into chunk-aligned tasks,
+  * so every commit is rename-only with no manual repartition (the r19
+  * verdict's "write-side distribution contract gap", closed the
+  * FunctionCatalog way).
+  */
+class CatalogSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def setup(): String = {
+    val wh = java.nio.file.Files.createTempDirectory("graftwh").toString
+    spark.conf.set("spark.sql.catalog.graft", "graft.zonal.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    wh
+  }
+
+  test("a SCATTERED writeTo through the catalog commits rename-only: Spark applies the requested clustering") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft.cubes.t")
+    spark.sql(
+      """CREATE TABLE graft.cubes.t (cell_x INT, cell_y INT, value DOUBLE)
+        |OPTIONS (height '24', width '40', chunk '16,16')""".stripMargin)
+    val (w, h) = (40, 24)
+    val df = (0 until w).flatMap(x => (0 until h).map(y =>
+        (x, y, ((7 * x + 11 * y) % 101).toDouble)))
+      .toDF("cell_x", "cell_y", "value")
+      .repartition(8) // round-robin: every chunk's cells scatter
+    df.writeTo("graft.cubes.t").append()
+    // the pin: the path-based face would merge here (ZarrWriteSpec's
+    // scattered test proves merges > 0 on identical input); through
+    // the catalog Spark clusters on chunk_div and NO chunk splits
+    assert(graft.zonal.ZarrWrite.lastCommit == (6, 0),
+      s"requested distribution must make the commit rename-only, " +
+        s"got ${graft.zonal.ZarrWrite.lastCommit}")
+    val back = spark.table("graft.cubes.t")
+    assert(back.count() == w.toLong * h)
+    assert(back.filter(
+      col("value") =!= (col("cell_x") * 7 + col("cell_y") * 11) % 101).count() == 0)
+  }
+
+  test("rank-3 catalog table: scattered SQL INSERT clusters on (epoch, y, x) chunk ordinals") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft.cubes.cube3")
+    spark.sql(
+      """CREATE TABLE graft.cubes.cube3 (cell_x INT, cell_y INT, epoch INT, value DOUBLE)
+        |OPTIONS (height '16', width '16', epochs '4', chunk '1,16,16')""".stripMargin)
+    // DISTRIBUTE BY a hash unrelated to chunks: deliberately scattered
+    spark.sql(
+      """INSERT INTO graft.cubes.cube3
+        |SELECT CAST(id % 16 AS INT), CAST((id DIV 16) % 16 AS INT),
+        |  CAST(id DIV 256 AS INT), CAST(id AS DOUBLE)
+        |FROM range(0, 1024) DISTRIBUTE BY pmod(id, 7)""".stripMargin)
+    assert(graft.zonal.ZarrWrite.lastCommit == (4, 0),
+      s"4 epoch chunks, zero merges — got ${graft.zonal.ZarrWrite.lastCommit}")
+    assert(spark.table("graft.cubes.cube3").count() == 1024)
+    assert(spark.sql(
+      "SELECT value FROM graft.cubes.cube3 WHERE cell_x = 3 AND cell_y = 2 AND epoch = 1")
+      .head().getDouble(0) == 256 + 32 + 3)
+  }
+
+  test("catalog hygiene: duplicate create refuses, rename moves the store, drop removes it, ALTER refuses") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft.ns.a")
+    spark.sql("DROP TABLE IF EXISTS graft.ns.b")
+    spark.sql(
+      """CREATE TABLE graft.ns.a (cell_x INT, cell_y INT, value DOUBLE)
+        |OPTIONS (height '8', width '8', chunk '8,8')""".stripMargin)
+    val dup = intercept[Throwable](spark.sql(
+      """CREATE TABLE graft.ns.a (cell_x INT, cell_y INT, value DOUBLE)
+        |OPTIONS (height '8', width '8')""".stripMargin))
+    assert(dup.getMessage.toLowerCase.contains("already exists"), dup.getMessage)
+    spark.sql("INSERT INTO graft.ns.a SELECT CAST(id % 8 AS INT), CAST(id DIV 8 AS INT), 1.0 FROM range(0, 64)")
+    spark.sql("ALTER TABLE graft.ns.a RENAME TO graft.ns.b")
+    assert(spark.table("graft.ns.b").count() == 64)
+    assert(!spark.catalog.tableExists("graft.ns.a"))
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val alter = intercept[Throwable](
+      spark.sql("ALTER TABLE graft.ns.b SET TBLPROPERTIES ('height'='9')"))
+    assert(msgs(alter).contains("immutable"), msgs(alter))
+    spark.sql("DROP TABLE graft.ns.b")
+    assert(!spark.catalog.tableExists("graft.ns.b"))
+    // a geometry-less create refuses loudly
+    val noGeom = intercept[Throwable](spark.sql(
+      "CREATE TABLE graft.ns.c (cell_x INT, cell_y INT, value DOUBLE)"))
+    assert(msgs(noGeom).contains("height"), msgs(noGeom))
+  }
+}
