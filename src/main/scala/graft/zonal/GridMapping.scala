@@ -959,6 +959,50 @@ object GridMapping {
         (x, y, _) => gmValue(x, y))
     }
 
+  /** Zarr twin of the Hughes-1980 polar fixture (r20): the ellipsoid
+    * parameters ride `.zattrs` JSON numbers — `declaredEllipsoid`
+    * through the Zarr attribute parser.
+    */
+  def psEllZarrDir(): String =
+    Raster.fixtureOnce(s"zarr_ps_ell_${GmW}x$GmH") { dir =>
+      Zarr.writeZarr(s"$dir/sic", GmH, GmW, 32, 32)(gmValue)
+      write(s"$dir/sic/.zattrs", """{"grid_mapping": "ps"}""")
+      Zarr.writeZarrCoord(s"$dir/x", GmW, GmW)(x => -149000.0 + 5000.0 * x)
+      Zarr.writeZarrCoord(s"$dir/y", GmH, GmH)(y => -123000.0 + 5000.0 * y)
+      Zarr.writeZarrCoord(s"$dir/ps", 1, 1)(_ => 0.0)
+      write(s"$dir/ps/.zattrs",
+        s"""{"grid_mapping_name": "polar_stereographic",
+           | "latitude_of_projection_origin": 90.0,
+           | "straight_vertical_longitude_from_pole": $PsLon0,
+           | "standard_parallel": $PsSp,
+           | "semi_major_axis": $PsEllA,
+           | "inverse_flattening": $PsEllInvF}""".stripMargin)
+    }
+
+  /** netCDF-4/HDF5 twin of the Daymet-style ellipsoidal LCC (r20):
+    * the standard_parallel PAIR plus the ellipsoid ride real v1
+    * numeric attribute messages — `declaredEllipsoid` through the
+    * HDF5 attribute parser.
+    */
+  def lccEllHdf5Path(): String =
+    Raster.fixtureOnce(s"h5_lcc_ell_${GmW}x$GmH.nc") { p =>
+      Hdf5.writeHdf5Multi(p, Seq(
+        ("prcp", Seq(GmH, GmW), "<f8",
+          Array.tabulate(GmH * GmW)(i => gmValue(i % GmW, i / GmW))),
+        ("x", Seq(GmW), "<f8", Array.tabulate(GmW)(x => -90000.0 + 3000.0 * x)),
+        ("y", Seq(GmH), "<f8", Array.tabulate(GmH)(y => -75000.0 + 3000.0 * y)),
+        ("lcc", Seq(1), "<f8", Array(0.0))),
+        memberStrAttrs = Map(
+          "prcp" -> Seq(("grid_mapping", "lcc")),
+          "lcc" -> Seq(("grid_mapping_name", "lambert_conformal_conic"))),
+        memberNumAttrs = Map("lcc" -> Seq(
+          ("standard_parallel", Seq(LccEllSp1, LccEllSp2)),
+          ("longitude_of_central_meridian", Seq(LccEllLon0)),
+          ("latitude_of_projection_origin", Seq(LccEllLat0)),
+          ("semi_major_axis", Seq(LccEllA)),
+          ("inverse_flattening", Seq(LccEllInvF)))))
+    }
+
   // fixture-side Scala twins of the ellipsoidal constants (the oracle
   // re-derives from these literals, the engine from the file's attrs)
   private def oraclePsEllSql: String = {
@@ -1413,6 +1457,18 @@ object GridMapping {
         zones(s, d, PsZonesSql))
     },
 
+    // the Zarr attribute path: ellipsoid parameters through `.zattrs`
+    // JSON — a declaredEllipsoid misread on this parser hash-fails
+    // independently of the classic path
+    "scan_zarr_polar_ell" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oraclePsEllSql) pse_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLatZarr(s, s"${psEllZarrDir()}/sic")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
     // ELLIPSOIDAL LCC (r20): Daymet and many NWP products declare
     // WGS84 LCC — Snyder eqs. 15-1..15-11 + the shared χ series
     "scan_netcdf_lcc_ell" -> Q(
@@ -1429,6 +1485,17 @@ object GridMapping {
       zonalSql(oracleLccEllSql, LccEllZonesSql)) { (s, d) =>
       zonalStats(cellsLonLat(s, lccEllFixturePath(), "prcp"),
         zones(s, d, LccEllZonesSql))
+    },
+
+    // the HDF5 attribute path: the ellipsoid + the standard_parallel
+    // PAIR through real v1 numeric attribute messages
+    "scan_netcdf4_lcc_ell" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleLccEllSql) lce_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLatHdf5(s, lccEllHdf5Path(), "prcp")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
     },
 
     // sinusoidal (r19 — the MODIS grid, the equal-area mapping the
