@@ -63,6 +63,35 @@ class CatalogSpec extends SparkSuite {
       .head().getDouble(0) == 256 + 32 + 3)
   }
 
+  test("catalog CTAS clusters the scattered query; MERGE delta-applies through the catalog") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft.cubes.ct")
+    spark.sql(
+      """CREATE TABLE graft.cubes.ct
+        |OPTIONS (height '24', width '40', chunk '16,16')
+        |AS SELECT CAST(x.id AS INT) AS cell_x, CAST(y.id AS INT) AS cell_y,
+        |  CAST((3 * x.id + 5 * y.id) % 97 AS DOUBLE) AS value
+        |FROM range(0, 40) x CROSS JOIN range(0, 24) y
+        |DISTRIBUTE BY pmod(x.id * 7 + y.id, 11)""".stripMargin)
+    assert(graft.zonal.ZarrWrite.lastCommit == (6, 0),
+      s"CTAS through the catalog must cluster too, got ${graft.zonal.ZarrWrite.lastCommit}")
+    assert(spark.table("graft.cubes.ct").count() == 40L * 24)
+    // MERGE through the catalog table: the same SupportsDelta apply
+    spark.sql(
+      """MERGE INTO graft.cubes.ct t
+        |USING (SELECT CAST(id AS INT) AS cell_x, CAST(5 AS INT) AS cell_y,
+        |         CAST(7777 AS DOUBLE) AS value FROM range(30, 34)) s
+        |ON t.cell_x = s.cell_x AND t.cell_y = s.cell_y
+        |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin)
+    assert(spark.sql(
+      "SELECT count(*) FROM graft.cubes.ct WHERE value = 7777").head().getLong(0) == 4)
+    assert(spark.sql(
+      """SELECT count(*) FROM graft.cubes.ct
+        |WHERE NOT (cell_y = 5 AND cell_x BETWEEN 30 AND 33)
+        |  AND value <> (3 * cell_x + 5 * cell_y) % 97""".stripMargin)
+      .head().getLong(0) == 0, "untouched cells keep their values")
+  }
+
   test("catalog hygiene: duplicate create refuses, rename moves the store, drop removes it, ALTER refuses") {
     setup()
     spark.sql("DROP TABLE IF EXISTS graft.ns.a")
