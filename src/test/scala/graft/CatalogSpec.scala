@@ -92,6 +92,35 @@ class CatalogSpec extends SparkSuite {
       .head().getLong(0) == 0, "untouched cells keep their values")
   }
 
+  test("sharded v3 catalog table: scattered INSERT clusters on SHARD ordinals; MERGE rebuilds the touched shard") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft.cubes.sh")
+    spark.sql(
+      """CREATE TABLE graft.cubes.sh (cell_x INT, cell_y INT, value DOUBLE)
+        |OPTIONS (height '32', width '32', chunk '8,8', shard '16,16', format 'v3')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.cubes.sh
+        |SELECT CAST(id % 32 AS INT), CAST(id DIV 32 AS INT), CAST(id AS DOUBLE)
+        |FROM range(0, 1024) DISTRIBUTE BY pmod(id, 9)""".stripMargin)
+    assert(graft.zonal.ZarrWrite.lastCommit == (4, 0),
+      s"4 shards, zero merges — got ${graft.zonal.ZarrWrite.lastCommit}")
+    spark.sql(
+      """MERGE INTO graft.cubes.sh t
+        |USING (SELECT CAST(id AS INT) AS cell_x, CAST(9 AS INT) AS cell_y,
+        |         CAST(55555 AS DOUBLE) AS value FROM range(3, 6)) s
+        |ON t.cell_x = s.cell_x AND t.cell_y = s.cell_y
+        |WHEN MATCHED THEN UPDATE SET value = s.value""".stripMargin)
+    val back = spark.table("graft.cubes.sh")
+    assert(back.count() == 1024)
+    assert(spark.sql("SELECT count(*) FROM graft.cubes.sh WHERE value = 55555")
+      .head().getLong(0) == 3)
+    // every other cell of the TOUCHED shard (and all others) intact
+    assert(spark.sql(
+      """SELECT count(*) FROM graft.cubes.sh
+        |WHERE NOT (cell_y = 9 AND cell_x BETWEEN 3 AND 5)
+        |  AND value <> cell_y * 32 + cell_x""".stripMargin).head().getLong(0) == 0)
+  }
+
   test("catalog hygiene: duplicate create refuses, rename moves the store, drop removes it, ALTER refuses") {
     setup()
     spark.sql("DROP TABLE IF EXISTS graft.ns.a")
