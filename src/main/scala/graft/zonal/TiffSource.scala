@@ -502,7 +502,7 @@ final class TiffPartitionReader(t: Raster.TileRef, cols: Array[String])
 // the member's min/max so the sidecar stays exact.
 // ======================================================================
 
-private[zonal] case class TiffGeom(h: Int, w: Int, tileH: Int, tileW: Int)
+private[graft] case class TiffGeom(h: Int, w: Int, tileH: Int, tileW: Int)
 
 private[graft] object TiffWrite {
   /** Last commit's (members installed, members merged) — a test hook. */
@@ -519,8 +519,57 @@ private[graft] object TiffWrite {
     }
   }
 
-  /** Local (driver-side, merge-path only) cell iterator over one staged
-    * member file — the same decode the partition reader runs.
+  /** Install one committed mosaic member INSIDE AN EXECUTOR TASK (r20
+    * — the ZarrWrite.installChunk twin): a single staged member
+    * renames; a split member decodes its staged tiffs, bitmap-merges,
+    * rewrites through a stage-side temp and renames. Returns the tiny
+    * TileStats row the driver's sidecar assembly needs. Refuses to run
+    * on the driver by construction.
+    */
+  private[graft] def installMember(dir: String, g: TiffGeom,
+      tx: Int, ty: Int, fs: Seq[TiffFrag]): Raster.TileStats = {
+    require(org.apache.spark.TaskContext.get() != null,
+      s"$dir: mosaic member install/merge must run inside an executor task — " +
+        "the driver-side data path was removed in r20")
+    val name = s"tile_${tx}_$ty.tif"
+    val out = new java.io.File(dir, name)
+    val st =
+      if (fs.size == 1) {
+        java.nio.file.Files.move(new java.io.File(fs.head.file).toPath, out.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        fs.head
+      } else {
+        val wIn = math.min(g.tileW, g.w - tx * g.tileW)
+        val hIn = math.min(g.tileH, g.h - ty * g.tileH)
+        val acc = new Array[Double](wIn * hIn)
+        val seen = new java.util.BitSet(wIn * hIn)
+        fs.foreach { f =>
+          val bm = java.util.BitSet.valueOf(
+            java.nio.file.Files.readAllBytes(new java.io.File(f.file + ".bm").toPath))
+          localCells(f.file).foreach { case (x, y, v) =>
+            val i = y * wIn + x
+            if (bm.get(i)) {
+              require(!seen.get(i),
+                s"$dir member $name: cell $i written from two partitions — " +
+                  "duplicate (cell_x, cell_y) rows in the input")
+              seen.set(i); acc(i) = v
+            }
+          }
+        }
+        val tmp = new java.io.File(fs.head.file + ".merged.tif")
+        Raster.writeTiff(tmp.getPath, wIn, hIn, g.tileW, g.tileH)(
+          (x, y) => acc(y * wIn + x))
+        java.nio.file.Files.move(tmp.toPath, out.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        TiffFrag(tx, ty, out.getPath, acc.min, acc.max, full = true)
+      }
+    Raster.TileStats(name, tx * g.tileW, ty * g.tileH, st.vmin, st.vmax)
+  }
+
+  /** Task-side cell iterator over one staged member file — the same
+    * decode the partition reader runs (merge path only).
     */
   private[zonal] def localCells(path: String): Iterator[(Int, Int, Double)] = {
     val m = Raster.readMeta(path)
@@ -588,42 +637,25 @@ final class TiffMosaicBatchWrite(dir: String, g: TiffGeom, in: StructType,
       if (old != null) old.filter(f => f.getName.matches("""tile_\d+_\d+\.tif""")
         || f.getName == "_tile_stats").foreach(_.delete())
     }
-    var merged = 0
-    val newStats = frags.groupBy(f => (f.tx, f.ty)).map { case ((tx, ty), fs) =>
-      val name = s"tile_${tx}_$ty.tif"
-      val out = new java.io.File(root, name)
-      val st =
-        if (fs.size == 1) {
-          java.nio.file.Files.move(new java.io.File(fs.head.file).toPath, out.toPath,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-          fs.head
-        } else {
-          // the rare split-member path: decode + merge the staged tiffs
-          merged += 1
-          val wIn = math.min(g.tileW, g.w - tx * g.tileW)
-          val hIn = math.min(g.tileH, g.h - ty * g.tileH)
-          val acc = new Array[Double](wIn * hIn)
-          val seen = new java.util.BitSet(wIn * hIn)
-          fs.foreach { f =>
-            val bm = java.util.BitSet.valueOf(
-              java.nio.file.Files.readAllBytes(new java.io.File(f.file + ".bm").toPath))
-            TiffWrite.localCells(f.file).foreach { case (x, y, v) =>
-              val i = y * wIn + x
-              if (bm.get(i)) {
-                require(!seen.get(i),
-                  s"$dir member $name: cell $i written from two partitions — " +
-                    "duplicate (cell_x, cell_y) rows in the input")
-                seen.set(i); acc(i) = v
-              }
-            }
-          }
-          Raster.writeTiff(out.getPath, wIn, hIn, g.tileW, g.tileH)(
-            (x, y) => acc(y * wIn + x))
-          TiffFrag(tx, ty, out.getPath, acc.min, acc.max, full = true)
-        }
-      Raster.TileStats(name, tx * g.tileW, ty * g.tileH, st.vmin, st.vmax)
-    }.toSeq
+    // r20 (the ZarrSource commit fix mirrored — VERDICT r19 wrong-#1's
+    // TIFF twin): installs and split-member merges run as ONE EXECUTOR
+    // JOB over the staged members; the driver collects only the tiny
+    // per-member TileStats rows the sidecar needs (the documented
+    // header-scale posture) and never reads a data byte
+    val groups = frags.groupBy(f => (f.tx, f.ty)).toSeq
+    val merged = groups.count(_._2.size > 1)
+    val newStats: Seq[Raster.TileStats] =
+      if (groups.isEmpty) Seq.empty
+      else {
+        val spark = org.apache.spark.sql.SparkSession.active
+        val gg = g; val d = dir
+        val work = groups.map { case ((tx, ty), fs) => (tx, ty, fs) }
+        val slices = math.max(1,
+          math.min(work.size, spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(work, slices)
+          .map { case (tx, ty, fs) => TiffWrite.installMember(d, gg, tx, ty, fs) }
+          .collect().toSeq
+      }
     // sidecar: new members replace same-name lines, others survive (the
     // chunk-granular upsert posture); paths stay RELATIVE
     val keepOld =

@@ -48,6 +48,17 @@ class TiffWriteSpec extends SparkSuite {
     assert(st.vmin == vs.min && st.vmax == vs.max, st.toString)
   }
 
+  test("r20: the mosaic install/merge path refuses to run on the driver") {
+    // the ZarrWrite.installChunk twin: the guard IS the pin — the
+    // scattered-write test below (merges > 0, exact read-back) proves
+    // the split-member merge now runs executor-side
+    val e = intercept[IllegalArgumentException] {
+      graft.zonal.TiffWrite.installMember("/nonexistent",
+        graft.zonal.TiffGeom(8, 8, 8, 8), 0, 0, Seq.empty)
+    }
+    assert(e.getMessage.contains("executor task"), e.getMessage)
+  }
+
   test("arbitrary (non-aligned) partitioning still writes exactly, via fragment merge") {
     val dir = s"$tmp/graft_io/tiffw_split"
     graft.core.Fs.rmTree(dir)
