@@ -58,12 +58,21 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
     try p.load(in) finally in.close()
     val opts = new java.util.HashMap[String, String]()
     p.stringPropertyNames().forEach(k => opts.put(k, p.getProperty(k)))
-    val geom = ZarrWrite.geomFrom(opts)
-    require(geom.isDefined, s"$ident: table metadata lacks height/width")
     // clusterWrite: writes THROUGH THE CATALOG may request the chunk
     // clustering (this catalog resolves chunk_div); path-based writes
     // cannot (no FunctionCatalog in scope) and stay unspecified
-    new ZarrTable(tableDir(ident).getPath, null, null, geom, clusterWrite = true)
+    opts.getOrDefault("face", "zarr") match {
+      case "zarr" =>
+        val geom = ZarrWrite.geomFrom(opts)
+        require(geom.isDefined, s"$ident: table metadata lacks height/width")
+        new ZarrTable(tableDir(ident).getPath, null, null, geom, clusterWrite = true)
+      case "tiff" =>
+        val geom = TiffWrite.geomFrom(opts)
+        require(geom.isDefined, s"$ident: table metadata lacks height/width")
+        new TiffMosaicTable(tableDir(ident).getPath, geom, clusterWrite = true)
+      case other => sys.error(
+        s"$ident: face '$other' — zarr (default) and tiff are the catalog faces")
+    }
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -84,12 +93,23 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
           TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_EXTERNAL).contains(k))
         opts.put(k, v)
     }
-    val geom = ZarrWrite.geomFrom(opts)
-    require(geom.isDefined,
-      s"$ident: a cube table wants OPTIONS (height, width [, chunk/shard/epochs/levels/...])")
+    val face = opts.getOrDefault("face", "zarr")
+    require(face == "zarr" || face == "tiff",
+      s"$ident: face '$face' — zarr (default) and tiff are the catalog faces")
+    val want =
+      if (face == "tiff") {
+        val geom = TiffWrite.geomFrom(opts)
+        require(geom.isDefined,
+          s"$ident: a mosaic table wants OPTIONS (height, width [, tile])")
+        TiffSource.Schema
+      } else {
+        val geom = ZarrWrite.geomFrom(opts)
+        require(geom.isDefined,
+          s"$ident: a cube table wants OPTIONS (height, width [, chunk/shard/epochs/levels/...])")
+        ZarrWrite.writeSchemaFor(geom.get)
+      }
     // the declared columns must be the geometry's own write schema
     // (names + types; CTAS hands the query's schema here)
-    val want = ZarrWrite.writeSchemaFor(geom.get)
     require(schema.isEmpty
         || schema.fields.map(f => (f.name, f.dataType)).toSeq ==
            want.fields.map(f => (f.name, f.dataType)).toSeq,

@@ -110,7 +110,8 @@ object TiffMosaic {
   * the sidecar cannot answer exactly (a filter, a grouping, any other
   * aggregate) falls back to the real scan — never approximated.
   */
-final class TiffMosaicTable(dir: String, geom: Option[TiffGeom] = None)
+final class TiffMosaicTable(dir: String, geom: Option[TiffGeom] = None,
+    clusterWrite: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"tiff-mosaic:$dir"
@@ -128,7 +129,7 @@ final class TiffMosaicTable(dir: String, geom: Option[TiffGeom] = None)
     val g = geom.getOrElse(throw new IllegalArgumentException(
       s"$dir: the mosaic write face wants .option(\"height\", h)" +
         ".option(\"width\", w) (+ optional tile)"))
-    new TiffMosaicWriteBuilder(dir, g, info)
+    new TiffMosaicWriteBuilder(dir, g, info, clusterWrite)
   }
 }
 
@@ -594,7 +595,8 @@ private[zonal] case class TiffTilesMsg(frags: Seq[TiffFrag])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 final class TiffMosaicWriteBuilder(dir: String, g: TiffGeom,
-    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo,
+    clusterWrite: Boolean = false)
     extends org.apache.spark.sql.connector.write.WriteBuilder
     with org.apache.spark.sql.connector.write.SupportsTruncate {
   private var doTruncate = false
@@ -602,14 +604,37 @@ final class TiffMosaicWriteBuilder(dir: String, g: TiffGeom,
     doTruncate = true; this
   }
   override def build(): org.apache.spark.sql.connector.write.Write =
-    new TiffMosaicBatchWrite(dir, g, info.schema(), info.queryId(), doTruncate)
+    new TiffMosaicBatchWrite(dir, g, info.schema(), info.queryId(), doTruncate,
+      clusterWrite)
 }
 
 final class TiffMosaicBatchWrite(dir: String, g: TiffGeom, in: StructType,
-    queryId: String, truncate: Boolean)
+    queryId: String, truncate: Boolean, clusterWrite: Boolean = false)
     extends org.apache.spark.sql.connector.write.Write
-    with org.apache.spark.sql.connector.write.BatchWrite {
+    with org.apache.spark.sql.connector.write.BatchWrite
+    with org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
   import org.apache.spark.sql.connector.write._
+
+  /** Requested tile clustering (r20 — the graft-catalog posture, the
+    * Zarr face's twin): through [[GraftCatalog]] Spark hash-clusters
+    * rows on their member's tile ordinal so every member installs
+    * rename-only; path-based writes stay unspecified.
+    */
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (!clusterWrite)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else {
+      import org.apache.spark.sql.connector.expressions.Expressions
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(Array(
+        Expressions.apply("chunk_div", Expressions.column("cell_y"),
+          Expressions.literal(g.tileH)),
+        Expressions.apply("chunk_div", Expressions.column("cell_x"),
+          Expressions.literal(g.tileW))))
+    }
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
 
   override def toBatch: BatchWrite = this
   override def description(): String =

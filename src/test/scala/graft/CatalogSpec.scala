@@ -121,6 +121,25 @@ class CatalogSpec extends SparkSuite {
         |  AND value <> cell_y * 32 + cell_x""".stripMargin).head().getLong(0) == 0)
   }
 
+  test("tiff-face catalog table: scattered INSERT clusters on tile ordinals; sidecar min/max answers through the catalog") {
+    setup()
+    spark.sql("DROP TABLE IF EXISTS graft.cubes.mosaic")
+    spark.sql(
+      """CREATE TABLE graft.cubes.mosaic (cell_x INT, cell_y INT, value DOUBLE)
+        |OPTIONS (face 'tiff', height '24', width '40', tile '16,16')""".stripMargin)
+    spark.sql(
+      """INSERT INTO graft.cubes.mosaic
+        |SELECT CAST(id % 40 AS INT), CAST(id DIV 40 AS INT), CAST(id AS DOUBLE)
+        |FROM range(0, 960) DISTRIBUTE BY pmod(id, 7)""".stripMargin)
+    assert(graft.zonal.TiffWrite.lastCommit == (6, 0),
+      s"6 members, zero merges — got ${graft.zonal.TiffWrite.lastCommit}")
+    val back = spark.table("graft.cubes.mosaic")
+    assert(back.count() == 960)
+    // the sidecar-answered aggregate works through the catalog read
+    val mm = spark.sql("SELECT min(value), max(value) FROM graft.cubes.mosaic").head()
+    assert(mm.getDouble(0) == 0.0 && mm.getDouble(1) == 959.0, mm.toString)
+  }
+
   test("catalog hygiene: duplicate create refuses, rename moves the store, drop removes it, ALTER refuses") {
     setup()
     spark.sql("DROP TABLE IF EXISTS graft.ns.a")
