@@ -63,6 +63,23 @@ class JpegSpec extends SparkSuite {
     assert(dec.sameElements(samples), "block-constant round trip must be exact")
   }
 
+  test("r20 interop: the JDK's ImageIO decodes our block-constant JPEGs pixel-exactly") {
+    // an INDEPENDENT decoder on our encoder's output: a block-constant
+    // image has only DC coefficients, which the fixture quant divides
+    // exactly, so even across different IDCT implementations the
+    // decoded pixels must agree exactly (any disagreement means the
+    // STREAM is wrong — headers, Huffman tables, coefficient coding)
+    val (w, h) = (32, 24)
+    val px = Array.tabulate(w * h)(i =>
+      ((17 * ((i % w) / 8) + 29 * ((i / w) / 8) + 3) % 251))
+    val blob = Jpeg.encodeGray(px, w, h)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+    assert(img != null && img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRaster.getSample(x, y, 0) & 0xff) == px(y * w + x),
+        s"ImageIO at ($x, $y): ${img.getRaster.getSample(x, y, 0)} vs ${px(y * w + x)}")
+  }
+
   test("general image round-trips within quantization error") {
     val w = 32; val h = 24
     val samples = Array.tabulate(w * h) { i =>

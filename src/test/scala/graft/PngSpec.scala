@@ -105,6 +105,45 @@ class PngSpec extends AnyFunSuite {
       .getMessage.contains("grayscale (0) expected"))
   }
 
+  test("r20 interop: the JDK's ImageIO decodes our PNGs and our decoder reads ImageIO's — pixel-exact both ways") {
+    // javax.imageio is a fully INDEPENDENT codec in the JDK — PNG is
+    // lossless, so cross-decoding must be bit-exact in both directions
+    // (a from-spec misreading that our own encode∘decode round trip
+    // cannot see dies here)
+    val (w, h) = (19, 11)
+    val gray = px(w, h)
+    // ours -> ImageIO
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Png.encodeGray(gray, w, h)))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRaster.getSample(x, y, 0) & 0xff) == gray(y * w + x),
+        s"ImageIO gray at ($x, $y)")
+    val rgb = Array.tabulate(w * h)(i =>
+      (((i * 53 + 11) % 256) << 16) | (((i * 29 + 7) % 256) << 8) | ((i * 71 + 3) % 256))
+    val imgC = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Png.encodeRgb(rgb, w, h)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((imgC.getRGB(x, y) & 0xffffff) == rgb(y * w + x),
+        s"ImageIO rgb at ($x, $y)")
+    // ImageIO -> ours
+    val biG = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      biG.getRaster.setSample(x, y, 0, gray(y * w + x))
+    val outG = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(biG, "png", outG))
+    val (gw, gh, gBack) = Png.decodeGray(outG.toByteArray)
+    assert(gw == w && gh == h && gBack.sameElements(gray), "our decoder on ImageIO gray")
+    val biC = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) biC.setRGB(x, y, rgb(y * w + x))
+    val outC = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(biC, "png", outC))
+    val (cw, ch, cBack) = Png.decodeRgb(outC.toByteArray)
+    assert(cw == w && ch == h && cBack.sameElements(rgb), "our decoder on ImageIO rgb")
+  }
+
   test("the registry fixture: every image decodes to its block formula") {
     import graft.llm.Multimodal
     val dir = Multimodal.pngBlobDir()
