@@ -94,7 +94,15 @@ object GridMapping {
     a.num1(name).getOrElse(sys.error(
       s"${a.where}: grid mapping lacks required parameter $name"))
 
-  final case class Rotated(poleLat: Double, poleLon: Double)
+  /** `npgl` (r20 — `north_pole_grid_longitude`, previously a named
+    * refusal): the true north pole's longitude IN THE ROTATED SYSTEM —
+    * the third rotation is the substitution λ' → λ' − npgl before the
+    * two-angle unrotation (verified against the matrix derivation
+    * R = Rz(λp+π)·Ry(φp−90°)·, with the defining property rotated
+    * (φp, npgl) → the true pole pinned in GridMappingSpec).
+    */
+  final case class Rotated(poleLat: Double, poleLon: Double,
+      npgl: Double = 0.0)
   final case class Lcc(n: Double, rf: Double, rho0: Double, lon0Deg: Double,
       fe: Double, fn: Double)
   /** Spherical polar stereographic (r19): `south` flips the aspect;
@@ -188,16 +196,13 @@ object GridMapping {
   def rotatedParams(path: String, gm: NcVar): Rotated =
     rotatedFrom(gmAttrsOf(path, gm))
 
-  def rotatedFrom(a: GmAttrs): Rotated = {
+  def rotatedFrom(a: GmAttrs): Rotated =  {
     val name = a.mappingName
     require(name == "rotated_latitude_longitude",
       s"${a.where}: grid_mapping_name '$name' where rotated_latitude_longitude expected")
-    val npgl = a.num1("north_pole_grid_longitude")
-    require(npgl.forall(_ == 0.0),
-      s"${a.where}: north_pole_grid_longitude ${npgl.get} — the third rotation is " +
-        "not implemented; refusing rather than mislabeling every cell")
     Rotated(num(a, "grid_north_pole_latitude"),
-      num(a, "grid_north_pole_longitude"))
+      num(a, "grid_north_pole_longitude"),
+      a.num1("north_pole_grid_longitude").getOrElse(0.0))
   }
 
   /** Spherical-LCC derived constants, with the named refusals. */
@@ -479,10 +484,13 @@ object GridMapping {
     val sinP = math.sin(math.toRadians(p.poleLat))
     val cosP = math.cos(math.toRadians(p.poleLat))
     val lRad = math.toRadians(p.poleLon)
+    // the third rotation (r20): λ' − npgl before the unrotation; the
+    // npgl = 0 text stays byte-identical to the two-angle form
+    val xn = if (p.npgl == 0.0) "x_coord" else s"(x_coord - ${p.npgl})"
     Seq(
       Seq("*",
         "sin(radians(y_coord)) AS srl", "cos(radians(y_coord)) AS crl",
-        "sin(radians(x_coord)) AS srn", "cos(radians(x_coord)) AS crn"),
+        s"sin(radians($xn)) AS srn", s"cos(radians($xn)) AS crn"),
       Seq("cell_x", "cell_y", "x_coord", "y_coord", "value",
         s"degrees(asin(srl * $sinP + crl * $cosP * crn)) AS lat_raw",
         s"degrees($lRad - atan2(crl * srn, srl * $cosP - crl * $sinP * crn)) AS lon_raw"),
@@ -799,6 +807,21 @@ object GridMapping {
           ("grid_mapping_name", Right("rotated_latitude_longitude")),
           ("grid_north_pole_latitude", Left(Seq(PoleLat))),
           ("grid_north_pole_longitude", Left(Seq(PoleLon)))))))(
+        (x, y, _) => gmValue(x, y))
+    }
+
+  // the THIRD-rotation variant (r20): same pole, the true north pole at
+  // rotated longitude 10 — some CORDEX-style domains declare it
+  val Npgl = 10.0
+  def rotatedNpglFixturePath(): String =
+    Raster.fixtureOnce(s"nc_rotated_npgl_${GmW}x$GmH.nc") { p =>
+      Netcdf.writeNetcdf(p, "tas", GmH, GmW, Netcdf.NcFloat,
+        coordY = y => -3.0 + 0.125 * y, coordX = x => -4.0 + 0.125 * x,
+        gridMapping = Some(("rotated_pole", Seq(
+          ("grid_mapping_name", Right("rotated_latitude_longitude")),
+          ("grid_north_pole_latitude", Left(Seq(PoleLat))),
+          ("grid_north_pole_longitude", Left(Seq(PoleLon))),
+          ("north_pole_grid_longitude", Left(Seq(Npgl)))))))(
         (x, y, _) => gmValue(x, y))
     }
 
@@ -1267,6 +1290,8 @@ object GridMapping {
   // file's attributes, so a parameter misread hash-fails
   private def oracleRotatedSql: String =
     exprsSql(RotCoordsSql, rotatedExprs(Rotated(PoleLat, PoleLon)), "rot")
+  private def oracleRotatedNpglSql: String =
+    exprsSql(RotCoordsSql, rotatedExprs(Rotated(PoleLat, PoleLon, Npgl)), "rotn")
   private def oracleLccSql: String = {
     val p1 = math.toRadians(LccSp1); val p2 = math.toRadians(LccSp2)
     val n = math.log(math.cos(p1) / math.cos(p2)) /
@@ -1335,6 +1360,20 @@ object GridMapping {
          |FROM ($oracleRotatedSql) rot_out
          |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       cellsLonLat(s, rotatedFixturePath(), "tas")
+        .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
+        .orderBy("cell_x", "cell_y")
+    },
+
+    // the THIRD rotation (r20 — north_pole_grid_longitude, previously
+    // refused by name): λ' − npgl before the two-angle unrotation,
+    // verified against the rotation-matrix derivation and the CF
+    // defining property (rotated (φp, npgl) → the true pole) pinned
+    // in GridMappingSpec
+    "scan_netcdf_rotated_npgl" -> Q(
+      s"""SELECT cell_x, cell_y, lon, lat, value
+         |FROM ($oracleRotatedNpglSql) rotn_out
+         |ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
+      cellsLonLat(s, rotatedNpglFixturePath(), "tas")
         .select(col("cell_x"), col("cell_y"), col("lon"), col("lat"), col("value"))
         .orderBy("cell_x", "cell_y")
     },

@@ -36,6 +36,38 @@ class GridMappingSpec extends SparkSuite {
       && ex.getDouble(3) > 23.4 && ex.getDouble(3) < 24.0, ex.toString)
   }
 
+  test("rotated pole third rotation (npgl): the defining property and matrix-derived points") {
+    import graft.zonal.{GridMapping => GM}
+    def at(rlat: Double, rlon: Double): (Double, Double) = {
+      val sql = GM.exprsSql(
+        s"""SELECT 0 AS cell_x, 0 AS cell_y, 0.0 AS value,
+           |  CAST($rlon AS DOUBLE) AS x_coord,
+           |  CAST($rlat AS DOUBLE) AS y_coord""".stripMargin,
+        GM.rotatedExprs(GM.Rotated(GM.PoleLat, GM.PoleLon, GM.Npgl)), "rn")
+      val r = spark.sql(sql).head()
+      (r.getAs[Double]("lat"), r.getAs[Double]("lon"))
+    }
+    // CF defining property: the TRUE north pole sits at rotated
+    // (φp, npgl) — lat reaches 90 within the round-6 radius (asin at
+    // its endpoint under FP)
+    assert(math.abs(at(GM.PoleLat, GM.Npgl)._1 - 90.0) < 1.1e-6)
+    // the npgl=0 domain center moves to rotated lon = npgl
+    val c = at(0.0, GM.Npgl)
+    assert(c._1 == 50.75 && c._2 == 18.0, c.toString)
+    // matrix-derived off-points (R = Rz(λp+π)·Ry(φp−90°), λ'−npgl)
+    val p1 = at(-23.375, -28.375)
+    assert(math.abs(p1._1 - 17.833164) < 1.1e-6
+      && math.abs(p1._2 - -18.770917) < 1.1e-6, p1.toString)
+    val p2 = at(5.0, 12.0)
+    assert(math.abs(p2._1 - 55.702187) < 1.1e-6
+      && math.abs(p2._2 - 21.537303) < 1.1e-6, p2.toString)
+    // the fixture dispatches through the FILE path
+    val df = GM.cellsLonLat(spark, GM.rotatedNpglFixturePath(), "tas")
+    val r0 = df.filter(col("cell_x") === 32 && col("cell_y") === 24).head()
+    assert(math.abs(r0.getAs[Double]("lat") - 49.696417) < 1.1e-6
+      && math.abs(r0.getAs[Double]("lon") - 2.427518) < 1.1e-6, r0.toString)
+  }
+
   test("rotated pole: the published CORDEX EUR-11 SW corner (independent worked example)") {
     import graft.zonal.{GridMapping => GM}
     // rotated (rlat -23.375, rlon -28.375) under pole (39.25, -162)
@@ -103,15 +135,8 @@ class GridMappingSpec extends SparkSuite {
     val e1 = intercept[Throwable](GM.cellsLonLat(spark, unknown, "tas"))
     assert(msgs(e1).contains("mercator") && msgs(e1).contains("not implemented"), msgs(e1))
 
-    val third = gmFile("third", Some(("m", Seq(
-      ("grid_mapping_name", Right("rotated_latitude_longitude")),
-      ("grid_north_pole_latitude", Left(Seq(39.25))),
-      ("grid_north_pole_longitude", Left(Seq(-162.0))),
-      ("north_pole_grid_longitude", Left(Seq(10.0)))))))
-    val m3 = Netcdf.readMeta(third)
-    val e3 = intercept[Throwable](
-      GM.rotatedParams(third, GM.mappingOf(third, m3, "tas").get))
-    assert(msgs(e3).contains("third rotation"), msgs(e3))
+    // r20: north_pole_grid_longitude now DISPATCHES (the third
+    // rotation — λ' − npgl); the dedicated test below pins its math
 
     // r20: unequal semi-axes now DISPATCH to the ellipsoidal LCC —
     // the refusal left is a mapping with no datum at all
