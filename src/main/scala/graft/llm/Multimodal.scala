@@ -160,7 +160,63 @@ object Multimodal {
     dir
   }
 
+  /** 16-bit grayscale twin (r20 — the DEM/elevation PNG form): values
+    * above 255 prove the big-endian sample pairs and the bpp=2 filter
+    * offsets are on the gated path.
+    */
+  def mmPng16(k: Int, bx: Int, by: Int): Int =
+    (1234 * k + 517 * bx + 263 * by + 11) % 60001
+
+  def png16BlobDir(): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/mm_png16_blobs"
+    graft.zonal.Raster.fixtureOnce("mm_png16_blobs_marker") { _ =>
+      graft.core.Fs.rmTree(dir)
+      new java.io.File(dir).mkdirs()
+      for (k <- 0 until MmJpegN) {
+        val px = Array.tabulate(MmJpegW * MmJpegH)(i =>
+          mmPng16(k, (i % MmJpegW) / 8, (i / MmJpegW) / 8))
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, f"img_$k%03d.png"),
+          graft.zonal.Png.encodeGray16(px, MmJpegW, MmJpegH))
+      }
+    }
+    dir
+  }
+
   def defs: Seq[(String, Q)] = Seq(
+    // 16-BIT grayscale PNG decode (r20 — the DEM/elevation container):
+    // big-endian sample pairs + bpp=2 byte-wise filters through the
+    // same from-spec codec; block values up to 60000 overflow any
+    // 8-bit misread, so a depth/stride bug hash-fails loudly
+    "mm_decode_png16" -> Q(
+      s"""SELECT k.range AS img_id, x.range AS bx, y.range AS by,
+         |  CAST((1234 * k.range + 517 * x.range + 263 * y.range + 11) % 60001 AS DOUBLE) AS block_mean,
+         |  (1234 * k.range + 517 * x.range + 263 * y.range + 11) % 60001 AS block_min,
+         |  (1234 * k.range + 517 * x.range + 263 * y.range + 11) % 60001 AS block_max
+         |FROM range(0, $MmJpegN) k CROSS JOIN range(0, ${MmJpegW / 8}) x
+         |  CROSS JOIN range(0, ${MmJpegH / 8}) y
+         |ORDER BY img_id, by, bx""".stripMargin) { (s, _) =>
+      import s.implicits._
+      s.read.format("binaryFile").option("pathGlobFilter", "*.png")
+        .load(png16BlobDir())
+        .select(regexp_extract(col("path"), "img_(\\d+)\\.png", 1)
+          .cast("long").as("img_id"), col("content"))
+        .as[(Long, Array[Byte])]
+        .flatMap { case (id, blob) =>
+          val (w, h, px) = graft.zonal.Png.decodeGray16(blob)
+          for (by <- 0 until h / 8; bx <- 0 until w / 8) yield {
+            var sum = 0L; var mn = 65535; var mx = 0
+            for (yy <- 0 until 8; xx <- 0 until 8) {
+              val v = px((by * 8 + yy) * w + bx * 8 + xx)
+              sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+            }
+            (id, bx, by, sum / 64.0, mn, mx)
+          }
+        }
+        .toDF("img_id", "bx", "by", "block_mean", "block_min", "block_max")
+        .orderBy("img_id", "by", "bx")
+    },
+
     // TRUECOLOUR PNG decode (r20): the dominant real-corpus PNG shape —
     // packed RGB through the same from-spec codec; per-block per-CHANNEL
     // means gate the sample interleave and the bpp=3 filter offsets

@@ -76,13 +76,13 @@ object Png {
     raw
   }
 
-  private def assemble(w: Int, h: Int, colour: Int,
+  private def assemble(w: Int, h: Int, colour: Int, depth: Int,
       raw: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     out.write(Sig)
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(w).putInt(h)
-      .put(8.toByte)          // bit depth
+      .put(depth.toByte)      // bit depth: 8 or 16
       .put(colour.toByte)     // 0 = grayscale, 2 = truecolour
       .put(0.toByte)          // compression: deflate
       .put(0.toByte)          // filter method 0
@@ -100,7 +100,23 @@ object Png {
   def encodeGray(px: Array[Int], w: Int, h: Int,
       filterOf: Int => Int = _ % 5): Array[Byte] = {
     require(px.length == w * h, s"png encode: ${px.length} pixels for ${w}x$h")
-    assemble(w, h, 0, filterScanlines(px, w, h, 1, filterOf))
+    assemble(w, h, 0, 8, filterScanlines(px, w, h, 1, filterOf))
+  }
+
+  /** Encode 16-bit grayscale (r20 — the DEM/elevation PNG form):
+    * big-endian sample pairs, the filters byte-wise at bpp = 2
+    * (spec §6 — `left` is the corresponding byte of the PRIOR sample).
+    */
+  def encodeGray16(px: Array[Int], w: Int, h: Int,
+      filterOf: Int => Int = _ % 5): Array[Byte] = {
+    require(px.length == w * h, s"png encode: ${px.length} pixels for ${w}x$h")
+    val samples = new Array[Int](w * h * 2)
+    for (i <- 0 until w * h) {
+      require(px(i) >= 0 && px(i) <= 0xffff, s"png encode: 16-bit sample ${px(i)}")
+      samples(2 * i) = (px(i) >> 8) & 0xff
+      samples(2 * i + 1) = px(i) & 0xff
+    }
+    assemble(w, h, 0, 16, filterScanlines(samples, w, h, 2, filterOf))
   }
 
   /** Encode 8-bit truecolour from packed 0xRRGGBB pixels. */
@@ -113,32 +129,43 @@ object Png {
       samples(3 * i + 1) = (px(i) >> 8) & 0xff
       samples(3 * i + 2) = px(i) & 0xff
     }
-    assemble(w, h, 2, filterScanlines(samples, w, h, 3, filterOf))
+    assemble(w, h, 2, 8, filterScanlines(samples, w, h, 3, filterOf))
   }
 
   /** Decode an 8-bit grayscale PNG → (width, height, pixels). */
   def decodeGray(blob: Array[Byte]): (Int, Int, Array[Int]) = {
-    val (w, h, colour, sm) = decodeSamples(blob)
+    val (w, h, colour, depth, sm) = decodeSamples(blob)
     require(colour == 0, s"png: colour type $colour where grayscale (0) " +
       "expected — decodeRgb reads truecolour")
+    require(depth == 8, s"png: bit depth $depth where 8 expected — " +
+      "decodeGray16 reads 16-bit grayscale")
     (w, h, sm)
+  }
+
+  /** Decode a 16-bit grayscale PNG → (width, height, 0..65535 pixels). */
+  def decodeGray16(blob: Array[Byte]): (Int, Int, Array[Int]) = {
+    val (w, h, colour, depth, sm) = decodeSamples(blob)
+    require(colour == 0 && depth == 16,
+      s"png: colour $colour depth $depth where 16-bit grayscale expected")
+    (w, h, Array.tabulate(w * h)(i => (sm(2 * i) << 8) | sm(2 * i + 1)))
   }
 
   /** Decode an 8-bit truecolour PNG → (width, height, packed 0xRRGGBB). */
   def decodeRgb(blob: Array[Byte]): (Int, Int, Array[Int]) = {
-    val (w, h, colour, sm) = decodeSamples(blob)
+    val (w, h, colour, depth, sm) = decodeSamples(blob)
     require(colour == 2, s"png: colour type $colour where truecolour (2) " +
       "expected — decodeGray reads grayscale")
+    require(depth == 8, s"png: bit depth $depth — 16-bit truecolour is not implemented")
     (w, h, Array.tabulate(w * h)(i =>
       (sm(3 * i) << 16) | (sm(3 * i + 1) << 8) | sm(3 * i + 2)))
   }
 
-  /** Shared chunk walk + unfilter → (w, h, colour type, samples). */
-  private def decodeSamples(blob: Array[Byte]): (Int, Int, Int, Array[Int]) = {
+  /** Shared chunk walk + unfilter → (w, h, colour, depth, samples). */
+  private def decodeSamples(blob: Array[Byte]): (Int, Int, Int, Int, Array[Int]) = {
     require(blob.length >= 8 && blob.take(8).sameElements(Sig),
       "png: bad signature")
     val bb = java.nio.ByteBuffer.wrap(blob, 8, blob.length - 8)
-    var w = -1; var h = -1; var ct = -1
+    var w = -1; var h = -1; var ct = -1; var bd = -1
     val idat = new java.io.ByteArrayOutputStream()
     var done = false
     while (!done) {
@@ -157,10 +184,12 @@ object Png {
           w = ib.getInt; h = ib.getInt
           val depth = ib.get(); val colour = ib.get()
           val comp = ib.get(); val filt = ib.get(); val inter = ib.get()
-          require(depth == 8, s"png: bit depth $depth — only 8-bit is implemented; refusing")
+          require(depth == 8 || (depth == 16 && colour == 0),
+            s"png: bit depth $depth / colour $colour — 8-bit gray/truecolour and " +
+              "16-bit grayscale are implemented; refusing")
           require(colour == 0 || colour == 2, s"png: colour type $colour — grayscale (0) " +
             "and truecolour (2) are implemented (palette/alpha refuse rather than mislabel bytes)")
-          ct = colour
+          ct = colour; bd = depth
           require(comp == 0 && filt == 0, s"png: compression=$comp filter=$filt")
           require(inter == 0, "png: interlaced (Adam7) — not implemented; refusing")
         case "IDAT" => idat.write(data)
@@ -169,7 +198,7 @@ object Png {
       }
     }
     require(w > 0 && h > 0, "png: no IHDR before IDAT/IEND")
-    val bpp = if (ct == 2) 3 else 1
+    val bpp = if (ct == 2) 3 else if (bd == 16) 2 else 1
     val stride = w * bpp
     val raw = TiffCodec.inflate(idat.toByteArray, h * (1 + stride))
     val sm = new Array[Int](stride * h)
@@ -190,6 +219,6 @@ object Png {
         }
       }
     }
-    (w, h, ct, sm)
+    (w, h, ct, bd, sm)
   }
 }

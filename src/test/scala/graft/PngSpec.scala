@@ -81,7 +81,7 @@ class PngSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](
       Png.decodeGray(tweak(9, 3))).getMessage.contains("colour type")) // palette
     assert(intercept[IllegalArgumentException](
-      Png.decodeGray(tweak(8, 16))).getMessage.contains("bit depth"))
+      Png.decodeGray(tweak(8, 4))).getMessage.contains("bit depth")) // 4-bit
     assert(intercept[IllegalArgumentException](
       Png.decodeGray(tweak(12, 1))).getMessage.contains("interlace"))
     assert(intercept[IllegalArgumentException](
@@ -142,6 +142,35 @@ class PngSpec extends AnyFunSuite {
     assert(javax.imageio.ImageIO.write(biC, "png", outC))
     val (cw, ch, cBack) = Png.decodeRgb(outC.toByteArray)
     assert(cw == w && ch == h && cBack.sameElements(rgb), "our decoder on ImageIO rgb")
+  }
+
+  test("r20 16-bit grayscale: per-filter round trips, ImageIO interop both ways, 8/16 entry points refuse each other") {
+    val (w, h) = (13, 9)
+    val p = Array.tabulate(w * h)(i => (i * 5737 + (i * i) % 911 + 3) % 65536)
+    for (f <- 0 to 4) {
+      val (dw, dh, back) = Png.decodeGray16(Png.encodeGray16(p, w, h, _ => f))
+      assert(dw == w && dh == h && back.sameElements(p), s"16-bit filter $f")
+    }
+    // ours -> ImageIO (TYPE_USHORT_GRAY)
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Png.encodeGray16(p, w, h)))
+    for (y <- 0 until h; x <- 0 until w)
+      assert((img.getRaster.getSample(x, y, 0) & 0xffff) == p(y * w + x),
+        s"ImageIO 16-bit at ($x, $y)")
+    // ImageIO -> ours
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w) bi.getRaster.setSample(x, y, 0, p(y * w + x))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "png", out))
+    val (bw, bh, back) = Png.decodeGray16(out.toByteArray)
+    assert(bw == w && bh == h && back.sameElements(p), "our decoder on ImageIO 16-bit")
+    // entry-point mismatches refuse by name
+    assert(intercept[IllegalArgumentException](
+      Png.decodeGray(Png.encodeGray16(p, w, h))).getMessage.contains("decodeGray16"))
+    assert(intercept[IllegalArgumentException](
+      Png.decodeGray16(Png.encodeGray(px(8, 8), 8, 8)))
+      .getMessage.contains("16-bit grayscale expected"))
   }
 
   test("the registry fixture: every image decodes to its block formula") {
