@@ -2456,6 +2456,48 @@ object Raster {
         .orderBy("epoch")
     },
 
+    // the cube TAIL face (r20 — the READING half of the ingest
+    // pipeline: scenes land, the cube grows, downstream consumers
+    // tail it): readStream over the rank-3 store itself emits each
+    // epoch exactly once as its chunk files land (offset = the
+    // contiguous landed-epoch frontier, mid-commit epochs withheld
+    // via the .stage guard — StreamSpec pins the hold and the
+    // exactly-once resume)
+    "stream_cube_tail" -> Q(
+      s"""SELECT epoch, CAST(count(*) AS BIGINT) AS n_cells,
+         |  CAST(sum(CAST((23 * cell_x + 19 * cell_y + 37 * epoch) % 991 AS BIGINT)) AS BIGINT) AS sum_v
+         |FROM (SELECT x.range AS cell_x, y.range AS cell_y, t.range AS epoch
+         |      FROM range(0, 64) x CROSS JOIN range(0, 48) y
+         |      CROSS JOIN range(0, 3) t)
+         |GROUP BY epoch ORDER BY epoch""".stripMargin) { (s, _) =>
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_io/stream_cube_tail"
+      graft.core.Fs.rmTree(base)
+      val store = s"$base/store"
+      for (e <- 0 until 3)
+        s.sql(
+          s"""SELECT CAST(id % 64 AS INT) AS cell_x, CAST(id DIV 64 AS INT) AS cell_y,
+             |  CAST($e AS INT) AS epoch,
+             |  CAST((23 * (id % 64) + 19 * (id DIV 64) + 37 * $e) % 991 AS DOUBLE) AS value
+             |FROM range(0, ${64 * 48})""".stripMargin)
+          .repartition(expr("epoch"))
+          .write.format("graft.zonal.ZarrSource")
+          .option("height", 48).option("width", 64).option("epochs", 3)
+          .option("chunk", "1,48,64")
+          .mode(if (e == 0) "overwrite" else "append").save(store)
+      val q = s.readStream.format("graft.zonal.ZarrSource")
+        .option("epochs_per_batch", "1").load(store)
+        .writeStream.format("parquet")
+        .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(s"$base/out")
+        .groupBy(col("epoch").cast("int").as("epoch"))
+        .agg(count(lit(1)).as("n_cells"),
+          sum(col("value").cast("long")).as("sum_v"))
+        .orderBy("epoch")
+    },
+
     // the WRITE path: cells → one single-tile GeoTIFF per 16×16 tile,
     // written INSIDE the tasks (mapGroups: per-tile bounded buffer, no
     // cell ever reaches the driver — only the 16-row manifest does),

@@ -203,9 +203,14 @@ final class ZarrTable(path: String, timeName: String = null,
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
         TableCapability.STREAMING_WRITE)
-    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+    // MICRO_BATCH_READ on the read face is the cube TAIL (r20 —
+    // [[ZarrTail]]); a non-tailable store refuses loudly at stream
+    // planning, not here (capabilities stay metadata-free)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path, timeName, coords)
+    new ZarrScanBuilder(path, timeName, coords,
+      Option(options.get("epochs_per_batch")).map(_.toInt).getOrElse(-1))
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -325,7 +330,7 @@ final class ZarrDeltaRowWriter(path: String, g: ZarrGeom,
   * pruned column set; `build()` freezes both into the scan.
   */
 final class ZarrScanBuilder(path: String, timeName: String = null,
-    coords: String = null)
+    coords: String = null, epochsPerBatch: Int = -1)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
@@ -442,7 +447,8 @@ final class ZarrScanBuilder(path: String, timeName: String = null,
         (if (m.rank4) m.levels.toLong else 1L)
       new MetaCountScan(n, s"zarr:$path")
     } else new ZarrScan(path, timeName, coords, required,
-      x0, x1, y0, y1, t0, t1, u0, u1, limit, inSets, vx0, vx1, vy0, vy1, l0, l1)
+      x0, x1, y0, y1, t0, t1, u0, u1, limit, inSets, vx0, vx1, vy0, vy1, l0, l1,
+      epochsPerBatch)
 }
 
 final class ZarrScan(path: String, timeName: String, coords: String,
@@ -452,9 +458,19 @@ final class ZarrScan(path: String, timeName: String, coords: String,
     inSets: Map[String, Set[Int]] = Map.empty,
     vx0: Double = Double.NegativeInfinity, vx1: Double = Double.PositiveInfinity,
     vy0: Double = Double.NegativeInfinity, vy1: Double = Double.PositiveInfinity,
-    l0: Int = Int.MinValue, l1: Int = Int.MaxValue)
+    l0: Int = Int.MinValue, l1: Int = Int.MaxValue,
+    epochsPerBatch: Int = -1)
     extends Scan with Batch
     with SupportsRuntimeFiltering with SupportsReportStatistics {
+
+  /** The cube TAIL (r20): readStream over the store emits landed
+    * epochs per micro-batch — see [[ZarrTail]].
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    ZarrTail.requireTailable(path)
+    new ZarrTailStream(path, epochsPerBatch)
+  }
 
   // EXACT statistics from geometry (r18): rows = in-bounds cells of the
   // pruned manifest (capped by a pushed limit) — a heavily-windowed

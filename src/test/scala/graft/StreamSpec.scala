@@ -489,6 +489,71 @@ class StreamSpec extends SparkSuite {
       "the commit log must not grow on replay")
   }
 
+  test("r20 cube TAIL face: epochs stream as they land, resume exactly-once, pending stages hold the frontier") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val base = java.nio.file.Files.createTempDirectory("zarrtail").toString
+    val store = s"$base/store"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    def appendEpoch(e: Int): Unit =
+      spark.sql(
+        s"""SELECT CAST(id % 16 AS INT) AS cell_x, CAST(id DIV 16 AS INT) AS cell_y,
+           |  CAST($e AS INT) AS epoch,
+           |  CAST(id % 16 + 2 * (id DIV 16) + 100 * $e AS DOUBLE) AS value
+           |FROM range(0, 256)""".stripMargin)
+        .repartition(expr("epoch"))
+        .write.format("graft.zonal.ZarrSource")
+        .option("height", 16).option("width", 16).option("epochs", 4)
+        .option("chunk", "1,16,16")
+        .mode(if (e == 0) "overwrite" else "append").save(store)
+    appendEpoch(0); appendEpoch(1)
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft.zonal.ZarrSource").load(store)
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() == 2L * 256)
+    // a pending staged fragment HOLDS the frontier: epoch 2's chunk
+    // file alone must not emit while a write is mid-commit
+    val stage = new java.io.File(store, ".stage_probe"); stage.mkdirs()
+    java.nio.file.Files.write(new java.io.File(stage, "2.-1.0.0.p0_t0").toPath,
+      Array[Byte](1))
+    java.nio.file.Files.write(new java.io.File(store, "2.0.0").toPath,
+      Array[Byte](1, 2, 3)) // dummy bytes — withheld, so never decoded
+    drain()
+    assert(spark.read.parquet(out).count() == 2L * 256,
+      "a mid-commit epoch must be withheld")
+    // commit completes: the stage vanishes, the real epoch lands — the
+    // resumed stream emits ONLY epoch 2, exactly once
+    graft.core.Fs.rmTree(stage.getPath)
+    new java.io.File(store, "2.0.0").delete()
+    appendEpoch(2)
+    drain()
+    val r = spark.read.parquet(out)
+    assert(r.count() == 3L * 256)
+    assert(r.filter(col("epoch") === 2).count() == 256)
+    assert(r.filter(col("epoch") === 2 && col("cell_x") === 3 && col("cell_y") === 4)
+      .select("value").head().getDouble(0) == 3 + 8 + 200)
+    // refusal: a rank-2 store has no epoch axis to tail
+    val flat = s"$base/flat"
+    spark.sql("SELECT CAST(id % 8 AS INT), CAST(id DIV 8 AS INT), CAST(id AS DOUBLE) FROM range(0, 64)")
+      .toDF("cell_x", "cell_y", "value")
+      .write.format("graft.zonal.ZarrSource")
+      .option("height", 8).option("width", 8).mode("overwrite").save(flat)
+    val e = intercept[Throwable] {
+      spark.readStream.format("graft.zonal.ZarrSource").load(flat)
+        .writeStream.format("console")
+        .option("checkpointLocation", s"$base/ckpt2")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    assert(msgs(e).contains("rank-3"), msgs(e))
+  }
+
   test("r20: BigTIFF impostors are filtered out of the TIFF landing face, both byte orders") {
     // ADVICE r19: the magic check admitted big-endian BigTIFF (MM\0 43)
     // members the classic reader cannot parse, failing the micro-batch
