@@ -202,7 +202,7 @@ final class ZarrTable(path: String, timeName: String = null,
     if (geom.isDefined)
       java.util.EnumSet.of(TableCapability.BATCH_READ,
         TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-        TableCapability.STREAMING_WRITE)
+        TableCapability.STREAMING_WRITE, TableCapability.MICRO_BATCH_READ)
     // MICRO_BATCH_READ on the read face is the cube TAIL (r20 —
     // [[ZarrTail]]); a non-tailable store refuses loudly at stream
     // planning, not here (capabilities stay metadata-free)

@@ -140,6 +140,28 @@ class CatalogSpec extends SparkSuite {
     assert(mm.getDouble(0) == 0.0 && mm.getDouble(1) == 959.0, mm.toString)
   }
 
+  test("a rank-3 catalog cube TAILS as a stream: readStream.table emits landed epochs") {
+    setup()
+    val base = java.nio.file.Files.createTempDirectory("cattail").toString
+    spark.sql("DROP TABLE IF EXISTS graft.cubes.tail3")
+    spark.sql(
+      """CREATE TABLE graft.cubes.tail3 (cell_x INT, cell_y INT, epoch INT, value DOUBLE)
+        |OPTIONS (height '8', width '8', epochs '3', chunk '1,8,8')""".stripMargin)
+    for (e <- 0 until 2)
+      spark.sql(
+        s"""INSERT INTO graft.cubes.tail3
+           |SELECT CAST(id % 8 AS INT), CAST(id DIV 8 AS INT),
+           |  CAST($e AS INT), CAST(id + 10 * $e AS DOUBLE) FROM range(0, 64)""".stripMargin)
+    val q = spark.readStream.table("graft.cubes.tail3")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val r = spark.read.parquet(s"$base/out")
+    assert(r.count() == 2L * 64)
+    assert(r.select("epoch").distinct().count() == 2)
+  }
+
   test("catalog hygiene: duplicate create refuses, rename moves the store, drop removes it, ALTER refuses") {
     setup()
     spark.sql("DROP TABLE IF EXISTS graft.ns.a")
