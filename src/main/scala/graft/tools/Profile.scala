@@ -194,6 +194,14 @@ object Profile {
       //    spillover; nothing to fix in the scan.
       //  - zonal_geopackage: bench r18 3.2 s; solo 1.55 cold / 0.58-0.65
       //    warm. VERDICT: same class, done.
+      //  - dedup_cluster: bench r20 close-out 8.28 s (vs 5.4-7.0 across
+      //    r12-r19); solo RunOne ×3 this session 17.1 cold / 6.95 / 6.61
+      //    warm — the same cold/warm shape as every prior audit, ~+15%
+      //    ambient on a session whose EVERY figure ran hot (0.522 s/q
+      //    suite average vs 0.482 same-code earlier in the session).
+      //    VERDICT: ambient drift on the audited multi-round CC
+      //    fixpoint; no plan change this round touched it, no bisect
+      //    warranted (the r16 controlled A/B covers this pattern).
     }
     spark.stop()
   }
