@@ -155,8 +155,7 @@ class GraftCatalog extends TableCatalog with FunctionCatalog {
 
   override def loadFunction(ident: Identifier): UnboundFunction = {
     if (ident.name() != "chunk_div")
-      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-        Seq(ident.name()))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
     GraftCatalog.ChunkDiv
   }
 }

@@ -216,7 +216,11 @@ object GridMapping {
     val r = a.num1("earth_radius").orElse {
       (a.num1("semi_major_axis"), a.num1("semi_minor_axis")) match {
         case (Some(x), Some(b)) if x == b => Some(x)
-        case (Some(x), None) => Some(x)
+        case (Some(x), None) => sys.error(
+          s"${a.where}: lambert_conformal_conic declares a lone " +
+            s"semi_major_axis ($x) — an ellipsoid's equatorial radius, not " +
+            "a sphere; declare earth_radius or add inverse_flattening/" +
+            "semi_minor_axis")
         case _ => None
       }
     }.getOrElse(sys.error(
@@ -402,12 +406,21 @@ object GridMapping {
       a.num1("false_northing").getOrElse(0.0))
   }
 
-  /** A spherical earth from the attrs, or the named ellipsoid refusal. */
+  /** A spherical earth from the attrs, or the named ellipsoid refusal.
+    * A LONE semi_major_axis refuses (r20 code review): it is an
+    * ellipsoid's equatorial radius with the flattening omitted —
+    * treating it as a sphere silently mislabels every cell by up to
+    * the flattening (km-scale at high latitudes).
+    */
   private def sphereRadius(a: GmAttrs, what: String): Double =
     a.num1("earth_radius").orElse {
       (a.num1("semi_major_axis"), a.num1("semi_minor_axis")) match {
         case (Some(x), Some(b)) if x == b => Some(x)
-        case (Some(x), None) => Some(x)
+        case (Some(x), None) => sys.error(
+          s"${a.where}: $what declares a lone semi_major_axis ($x) — that " +
+            "is an ellipsoid's equatorial radius, not a sphere; declare " +
+            "earth_radius (sphere) or add inverse_flattening/semi_minor_axis " +
+            "(ellipsoid) rather than running spherical math on it")
         case _ => None
       }
     }.getOrElse(sys.error(

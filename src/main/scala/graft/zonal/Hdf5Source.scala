@@ -560,12 +560,8 @@ final class H5BatchWrite(path: String, g: H5WGeom, in: StructType,
     val (xi, yi, vi) = NetcdfWrite.requireCols(in, path)
     val ti =
       if (!g.rank3) -1
-      else {
-        val i = in.fieldNames.indexOf("epoch")
-        require(i >= 0, s"$path: a rank-3 cube write wants an epoch column; " +
-          s"missing in ${in.fieldNames.mkString(",")}")
-        i
-      }
+      else NetcdfWrite.typedIdx(in, path, "epoch",
+        org.apache.spark.sql.types.IntegerType, "cell_x, cell_y, epoch, value")
     stageDir.mkdirs()
     new H5ChunkWriterFactory(stageDir.getPath, g, xi, yi, vi, ti)
   }

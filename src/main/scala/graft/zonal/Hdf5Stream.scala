@@ -57,14 +57,17 @@ object Hdf5MembersTable {
     if (!fs.getFileStatus(p).isDirectory) Seq.empty
     else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
       .filter { st =>
-        MemberSig.check(st.getPath.toString, st.getLen) {
+        // the IOException guard sits OUTSIDE the memo (r20 code
+        // review): a transient IO failure is "not a member THIS tick",
+        // never a cached-forever verdict
+        try MemberSig.check(st.getPath.toString, st.getLen) {
           val in = fs.open(st.getPath)
           try {
             val m = new Array[Byte](8)
             in.readFully(0, m)
             m.sameElements(Magic)
-          } catch { case _: java.io.IOException => false } finally in.close()
-        }
+          } finally in.close()
+        } catch { case _: java.io.IOException => false }
       }.map(_.getPath.getName).toSeq
   }
 

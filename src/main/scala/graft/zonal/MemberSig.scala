@@ -20,9 +20,18 @@ private[zonal] object MemberSig {
     new java.util.concurrent.ConcurrentHashMap[(String, Long), java.lang.Boolean]()
   private val positive = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Memoized probe for an immutable-at-length FILE member. */
-  def check(key: String, len: Long)(probe: => Boolean): Boolean =
+  /** Memoized probe for an immutable-at-length FILE member. A probe
+    * that THROWS is not cached (r20 code review: a transient IO error
+    * must not permanently exclude a valid member — computeIfAbsent
+    * propagates the exception without recording a verdict; the caller
+    * treats it as "not a member THIS tick" and re-probes next tick).
+    * The memo is crudely bounded: a pathological churn of
+    * (path, length) pairs clears it rather than growing without end.
+    */
+  def check(key: String, len: Long)(probe: => Boolean): Boolean = {
+    if (byLen.size() > 4_000_000) byLen.clear()
     byLen.computeIfAbsent((key, len), _ => probe)
+  }
 
   /** Positive-only memoized probe for a DIRECTORY member. */
   def checkPositive(key: String)(probe: => Boolean): Boolean =

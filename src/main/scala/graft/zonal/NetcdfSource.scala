@@ -483,14 +483,28 @@ private[graft] object NetcdfWrite {
     }
   }
 
+  /** Column lookup with a TYPE gate (r20 code review): getInt/getDouble
+    * on a mismatched UnsafeRow slot silently reinterprets raw bits (an
+    * un-CAST BIGINT value column would write garbage cells) — refuse
+    * with a CAST hint instead.
+    */
+  private[graft] def typedIdx(in: StructType, path: String, n: String,
+      want: org.apache.spark.sql.types.DataType, cols: String): Int = {
+    val i = in.fieldNames.indexOf(n)
+    require(i >= 0, s"$path: the write face wants columns ($cols); " +
+      s"missing $n in ${in.fieldNames.mkString(",")}")
+    require(in.fields(i).dataType == want,
+      s"$path: column $n is ${in.fields(i).dataType.simpleString} where " +
+        s"${want.simpleString} is required — CAST it; refusing rather than " +
+        "reinterpreting raw bits")
+    i
+  }
+
   private[zonal] def requireCols(in: StructType, path: String): (Int, Int, Int) = {
-    def idx(n: String): Int = {
-      val i = in.fieldNames.indexOf(n)
-      require(i >= 0, s"$path: the cube write face wants columns " +
-        s"(cell_x, cell_y, value); missing $n in ${in.fieldNames.mkString(",")}")
-      i
-    }
-    (idx("cell_x"), idx("cell_y"), idx("value"))
+    val cols = "cell_x, cell_y, value"
+    (typedIdx(in, path, "cell_x", org.apache.spark.sql.types.IntegerType, cols),
+      typedIdx(in, path, "cell_y", org.apache.spark.sql.types.IntegerType, cols),
+      typedIdx(in, path, "value", org.apache.spark.sql.types.DoubleType, cols))
   }
 
   /** The write faces stage with java.io — normalize the catalog's

@@ -54,14 +54,17 @@ object NetcdfMembersTable {
     else fs.listStatus(p).filter(_.isFile).sortBy(_.getPath.getName)
       .filter { st =>
         // per-(path, length) memo — see [[MemberSig]] (r20)
-        MemberSig.check(st.getPath.toString, st.getLen) {
+        // the IOException guard sits OUTSIDE the memo (r20 code
+        // review): a transient IO failure is "not a member THIS tick",
+        // never a cached-forever verdict
+        try MemberSig.check(st.getPath.toString, st.getLen) {
           val in = fs.open(st.getPath)
           try {
             val m = new Array[Byte](3)
             in.readFully(0, m)
             m.sameElements("CDF".getBytes)
-          } catch { case _: java.io.IOException => false } finally in.close()
-        }
+          } finally in.close()
+        } catch { case _: java.io.IOException => false }
       }.map(_.getPath.getName).toSeq
   }
 

@@ -644,14 +644,9 @@ final class TiffMosaicBatchWrite(dir: String, g: TiffGeom, in: StructType,
   private def stageDir = new java.io.File(dir, s".stage_$queryId")
 
   override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
-    def idx(n: String): Int = {
-      val i = in.fieldNames.indexOf(n)
-      require(i >= 0, s"$dir: the mosaic write face wants columns " +
-        s"(cell_x, cell_y, value); missing $n in ${in.fieldNames.mkString(",")}")
-      i
-    }
+    val (xi, yi, vi) = NetcdfWrite.requireCols(in, dir)
     stageDir.mkdirs()
-    new TiffTileWriterFactory(dir, g, idx("cell_x"), idx("cell_y"), idx("value"), queryId)
+    new TiffTileWriterFactory(dir, g, xi, yi, vi, queryId)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {

@@ -70,8 +70,13 @@ class ZarrSource extends TableProvider {
       val t = new ZarrTable(
         if (geom.isDefined) NetcdfWrite.localWritePath(path) else path,
         properties.get("time"), properties.get("coords"), geom)
+      // names + types only (r20 code review): SQL DDL columns default
+      // to nullable while the store's own schema is non-null — strict
+      // StructType equality would refuse the very flow
+      // supportsExternalMetadata enables
       require(geom.isDefined || schema == null || schema.isEmpty
-          || schema == t.schema(),
+          || schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+             t.schema().fields.map(f => (f.name, f.dataType)).toSeq,
         s"$path: a user-declared schema must match the store's own " +
           s"(${t.schema().simpleString}) — refusing to mislabel columns")
       t
@@ -271,13 +276,11 @@ final class ZarrDeltaWrite(path: String, g: ZarrGeom, in: StructType,
   private def stageDir = new java.io.File(path, s".stage_$queryId")
 
   override def createBatchWriterFactory(pi: PhysicalWriteInfo): DeltaWriterFactory = {
-    def idx(n: String): Int = {
-      val i = in.fieldNames.indexOf(n)
-      require(i >= 0, s"$path: the Zarr MERGE apply wants columns " +
-        s"(cell_x, cell_y${if (g.rank3) ", epoch" else ""}, value); " +
-        s"missing $n in ${in.fieldNames.mkString(",")}")
-      i
-    }
+    val colsHint = s"cell_x, cell_y${if (g.rank3) ", epoch" else ""}" +
+      s"${if (g.rank4) ", level, epoch" else ""}, value"
+    def idx(n: String): Int = NetcdfWrite.typedIdx(in, path, n,
+      if (n == "value") org.apache.spark.sql.types.DoubleType
+      else org.apache.spark.sql.types.IntegerType, colsHint)
     ZarrWrite.requireGeometry(path, g)
     stageDir.mkdirs()
     new ZarrDeltaWriterFactory(path, g, idx("cell_x"), idx("cell_y"),
@@ -1175,13 +1178,11 @@ final class ZarrBatchWrite(path: String, g: ZarrGeom, in: StructType,
   private def stageDir = new java.io.File(path, s".stage_$queryId")
 
   override def createBatchWriterFactory(pi: PhysicalWriteInfo): DataWriterFactory = {
-    def idx(n: String): Int = {
-      val i = in.fieldNames.indexOf(n)
-      require(i >= 0, s"$path: the Zarr write face wants columns " +
-        s"(cell_x, cell_y${if (g.rank3) ", epoch" else ""}, value); " +
-        s"missing $n in ${in.fieldNames.mkString(",")}")
-      i
-    }
+    val colsHint = s"cell_x, cell_y${if (g.rank3) ", epoch" else ""}" +
+      s"${if (g.rank4) ", level, epoch" else ""}, value"
+    def idx(n: String): Int = NetcdfWrite.typedIdx(in, path, n,
+      if (n == "value") org.apache.spark.sql.types.DoubleType
+      else org.apache.spark.sql.types.IntegerType, colsHint)
     // geometry guard up front (before any task runs): an existing store
     // must match, or the caller must truncate — appending chunks of a
     // DIFFERENT grid would silently corrupt reads
@@ -1249,13 +1250,11 @@ final class ZarrStreamingWrite(path: String, g: ZarrGeom, in: StructType,
 
   override def createStreamingWriterFactory(pi: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory = {
-    def idx(n: String): Int = {
-      val i = in.fieldNames.indexOf(n)
-      require(i >= 0, s"$path: the Zarr streaming write face wants columns " +
-        s"(cell_x, cell_y${if (g.rank3) ", epoch" else ""}, value); " +
-        s"missing $n in ${in.fieldNames.mkString(",")}")
-      i
-    }
+    val colsHint = s"cell_x, cell_y${if (g.rank3) ", epoch" else ""}" +
+      s"${if (g.rank4) ", level, epoch" else ""}, value"
+    def idx(n: String): Int = NetcdfWrite.typedIdx(in, path, n,
+      if (n == "value") org.apache.spark.sql.types.DoubleType
+      else org.apache.spark.sql.types.IntegerType, colsHint)
     new java.io.File(path).mkdirs()
     ZarrWrite.requireGeometry(path, g)
     new ZarrStreamingWriterFactory(path, g, idx("cell_x"), idx("cell_y"),
@@ -1265,8 +1264,15 @@ final class ZarrStreamingWrite(path: String, g: ZarrGeom, in: StructType,
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
+    // the dedup key SCOPES BY QUERY (r20 code review): Spark batch ids
+    // restart at 0 for every new streaming query, so a bare-epochId key
+    // would make a NEW query (fresh checkpoint) appending to an
+    // existing store silently drop its first batches — the query id is
+    // stable across checkpoint restarts, which is exactly the lineage
+    // the replay guarantee belongs to
+    val key = s"$queryId/$epochId"
     val applied = commitLog.exists() &&
-      java.nio.file.Files.readAllLines(commitLog.toPath).contains(epochId.toString)
+      java.nio.file.Files.readAllLines(commitLog.toPath).contains(key)
     if (applied) {
       // checkpoint replay of a committed batch: dropping it here IS the
       // exactly-once guarantee — the epoch is already in the store
@@ -1276,7 +1282,7 @@ final class ZarrStreamingWrite(path: String, g: ZarrGeom, in: StructType,
       ZarrWrite.writeMetaDocs(path, g)
       ZarrWrite.lastCommit = ZarrWrite.installAll(path, g, frags)
       java.nio.file.Files.write(commitLog.toPath,
-        (epochId.toString + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        (key + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
     }

@@ -129,6 +129,41 @@ class SqlWriteSpec extends SparkSuite {
       .head().getDouble(0) == 903.0)
   }
 
+  test("r20: an un-CAST column type refuses loudly instead of reinterpreting raw bits") {
+    // code-review finding: getDouble on a BIGINT UnsafeRow slot would
+    // silently write garbage cells — every write face now type-gates
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/sqlw_typegate"
+    graft.core.Fs.rmTree(dir)
+    def msgs(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    // the DataFrameWriter path auto-casts against the declared table
+    // schema (TableOutputResolver), so the exposure is CTAS, where the
+    // QUERY's schema becomes the table's via supportsExternalMetadata
+    spark.sql("DROP TABLE IF EXISTS sqlw_typegate")
+    val e = intercept[Throwable] {
+      spark.sql(
+        s"""CREATE TABLE sqlw_typegate
+           |USING graft.zonal.ZarrSource
+           |OPTIONS (path '$dir', height '8', width '8')
+           |AS SELECT CAST(id % 8 AS INT) AS cell_x, CAST(id DIV 8 AS INT) AS cell_y,
+           |  id * 2 AS value FROM range(0, 64)""".stripMargin) // value is BIGINT
+    }
+    // Spark's own schema check fires first on this path (the table
+    // reports its geometry schema); the write-face typedIdx gate is the
+    // defense-in-depth for paths that bypass it — either way, LOUD
+    assert(msgs(e).contains("CAST it") || msgs(e).contains("SCHEMA_MISMATCH"),
+      msgs(e))
+    // the gate itself stays pinned directly
+    val g = intercept[IllegalArgumentException](
+      graft.zonal.NetcdfWrite.typedIdx(
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.LongType))),
+        "/t", "value", org.apache.spark.sql.types.DoubleType, "value"))
+    assert(g.getMessage.contains("CAST it"), g.getMessage)
+  }
+
   test("INSERT INTO a ZarrSource catalog table writes the store; OVERWRITE truncates") {
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft_io/sqlw_zarr"
     graft.core.Fs.rmTree(dir)

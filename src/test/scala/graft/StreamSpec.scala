@@ -489,6 +489,38 @@ class StreamSpec extends SparkSuite {
       "the commit log must not grow on replay")
   }
 
+  test("r20: a NEW streaming query (fresh checkpoint) into an existing store is not deduped against the old query's batches") {
+    // code-review finding: a bare-epochId commit-log key would make a
+    // new query's batch 0..n collide with the old query's and silently
+    // drop data — the key scopes by the checkpoint-stable query id
+    import org.apache.spark.sql.functions.expr
+    val base = java.nio.file.Files.createTempDirectory("zarrnewq").toString
+    val store = s"$base/store"
+    def run(land: String, ckpt: String, bias: Int): Unit = {
+      new java.io.File(land).mkdirs()
+      for (k <- 0 until 2)
+        graft.zonal.Raster.writeTiff(f"$land/part-$k%04d.tif", 8, 8, 8, 8)(
+          (x, y) => (x + y + 10 * k + bias).toDouble)
+      val q = spark.readStream.format("graft.zonal.TiffSource")
+        .option("members_per_batch", "1").load(land)
+        .repartition(expr("epoch"))
+        .writeStream.format("graft.zonal.ZarrSource")
+        .option("height", 8).option("width", 8).option("epochs", 2)
+        .option("chunk", "1,8,8")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(store)
+      q.awaitTermination()
+    }
+    run(s"$base/land_a", s"$base/ckpt_a", bias = 0)
+    // query B: fresh checkpoint, fresh landing dir, SAME store — its
+    // batch ids restart at 0 but its epochs must still apply
+    run(s"$base/land_b", s"$base/ckpt_b", bias = 1000)
+    val back = spark.read.format("graft.zonal.ZarrSource").load(store)
+    assert(back.filter(org.apache.spark.sql.functions.col("value") >= 1000)
+      .count() == 2L * 64, "the new query's batches must not be dropped")
+  }
+
   test("r20 cube TAIL face: epochs stream as they land, resume exactly-once, pending stages hold the frontier") {
     import org.apache.spark.sql.functions.{col, expr}
     val base = java.nio.file.Files.createTempDirectory("zarrtail").toString
