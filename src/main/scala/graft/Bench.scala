@@ -67,6 +67,74 @@ object Bench {
       // cost; verdict recorded in tools/Profile.scala). Deployment
       // steady state is scan-an-existing-file, so the build is setup.
       graft.zonal.Gpkg.pointsFixturePath(spark, sfDir)
+      // r21 (VERDICT r20 next-#4, same gpkg precedent): the SQL-DML /
+      // catalog / DSv2-store first-touch. The sql_cube_* quartet,
+      // sink_zarr_catalog and the DSv2 source scans paid one-time costs
+      // inside the driver's timed region (artifact rows 5-10 s vs
+      // 0.4-2.7 s solo-warm): catalog + WriteDelta rewrite-rule class
+      // loading, janino codegen of the V2 write/merge plan shapes, and
+      // the memoized fixture-store builds. Warm them here with a TINY
+      // scratch store (16x16, two chunks) exercising CREATE/CTAS/INSERT/
+      // MERGE/UPDATE + the graft catalog path end to end, then drop it;
+      // and pre-build the four cross-format fixture stores the
+      // scan_source_* family opens. Deployment steady state is
+      // write-into-existing-session / scan-an-existing-store, so both
+      // are setup, not query cost — each timed query still rebuilds its
+      // OWN store from its inputs (they rmTree their target first).
+      try {
+        val warmDir = s"${System.getProperty("java.io.tmpdir")}/graft_io/bench_warm_cube"
+        graft.core.Fs.rmTree(warmDir)
+        spark.sql("DROP TABLE IF EXISTS bench_warm_cube")
+        spark.sql(s"""CREATE TABLE bench_warm_cube
+                     |USING graft.zonal.ZarrSource
+                     |OPTIONS (path '$warmDir', height '16', width '16', chunk '16,8')""".stripMargin)
+        spark.sql("""INSERT INTO bench_warm_cube
+                    |SELECT CAST(x.id AS INT), CAST(pmod(x.id, 16) AS INT),
+                    |  CAST(x.id AS DOUBLE) FROM range(0, 16) x""".stripMargin)
+        spark.sql("""MERGE INTO bench_warm_cube t
+                    |USING (SELECT CAST(3 AS INT) AS cell_x, CAST(3 AS INT) AS cell_y,
+                    |       CAST(99 AS DOUBLE) AS value) s
+                    |ON t.cell_x = s.cell_x AND t.cell_y = s.cell_y
+                    |WHEN MATCHED THEN UPDATE SET value = s.value
+                    |WHEN NOT MATCHED THEN INSERT (cell_x, cell_y, value)
+                    |  VALUES (s.cell_x, s.cell_y, s.value)""".stripMargin)
+        spark.sql("UPDATE bench_warm_cube SET value = value + 1 WHERE cell_x = 5")
+        spark.sql("SELECT count(*) FROM bench_warm_cube WHERE cell_x BETWEEN 2 AND 9").collect()
+        spark.sql("DROP TABLE IF EXISTS bench_warm_cube")
+        val warmCtas = s"${System.getProperty("java.io.tmpdir")}/graft_io/bench_warm_ctas"
+        graft.core.Fs.rmTree(warmCtas)
+        spark.sql("DROP TABLE IF EXISTS bench_warm_ctas")
+        spark.sql(s"""CREATE TABLE bench_warm_ctas
+                     |USING graft.zonal.ZarrSource
+                     |OPTIONS (path '$warmCtas', height '8', width '8', chunk '8,8')
+                     |AS SELECT CAST(x.id AS INT) AS cell_x, CAST(pmod(x.id, 8) AS INT) AS cell_y,
+                     |  CAST(x.id AS DOUBLE) AS value FROM range(0, 8) x""".stripMargin)
+        spark.sql("DROP TABLE IF EXISTS bench_warm_ctas")
+        val wh = s"${System.getProperty("java.io.tmpdir")}/graft_io/graft_warehouse"
+        spark.conf.set("spark.sql.catalog.graft", "graft.zonal.GraftCatalog")
+        spark.conf.set("spark.sql.catalog.graft.warehouse", wh)
+        graft.core.Fs.rmTree(s"$wh/reg/bench_warm")
+        spark.sql("DROP TABLE IF EXISTS graft.reg.bench_warm")
+        spark.sql("""CREATE TABLE graft.reg.bench_warm (cell_x INT, cell_y INT, value DOUBLE)
+                    |OPTIONS (height '8', width '8', chunk '8,8')""".stripMargin)
+        spark.sql("""INSERT INTO graft.reg.bench_warm
+                    |SELECT CAST(x.id AS INT), CAST(pmod(x.id, 8) AS INT), CAST(x.id AS DOUBLE)
+                    |FROM range(0, 8) x DISTRIBUTE BY pmod(x.id, 2)""".stripMargin)
+        spark.sql("DROP TABLE IF EXISTS graft.reg.bench_warm")
+        graft.core.Fs.rmTree(s"$wh/reg/bench_warm")
+        // memoized cross-format fixture stores (scan_source_* / DPP /
+        // sel scans open these; builds are driver-side one-time setup)
+        graft.zonal.Zarr.fixture3dDir()
+        graft.zonal.Hdf5.fixtureCubePath()
+        graft.zonal.Netcdf.epochsFixturePath()
+        graft.zonal.Raster.fixturePath()
+      } catch {
+        // warmup is setup, never a result: a failure here must not kill
+        // the bench (the affected queries just pay their own first-touch,
+        // exactly the pre-r21 behavior) — but it must be LOUD on stderr
+        case e: Throwable =>
+          Console.err.println(s"[bench] cube warmup block failed (continuing): $e")
+      }
       locally {
         import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
         import org.apache.spark.sql.streaming.Trigger

@@ -560,19 +560,30 @@ object Dedup {
       var prevSig = sig(labels)
       var iter = 0
       var converged = false
-      // One propagate + two pointer jumps = one STEP (comp ←
-      // comp(comp(comp(u))) after the neighbor min). Each jump is one
-      // small equi-join of the label table with itself.
+      // One propagate + `ccJumps` pointer jumps = one STEP. Each jump
+      // SQUARES the label mapping (jump k composes the post-jump-(k−1)
+      // mapping with itself), so after the neighbor min the step applies
+      // comp ← m^(2^jumps)(u) — each jump is one small equi-join of the
+      // label table with itself. Default 2 (comp ← m⁴, the audited r10
+      // shape); `spark.graft.cc.jumps` tunes the rounds-vs-joins trade
+      // for graphs whose min-label has to travel far (r21: the
+      // embedding near graph at tau 0.3 converged in 18 rounds — extra
+      // jumps are cheap label-table self-joins, extra ROUNDS each pay a
+      // checkpoint + action floor).
+      val ccJumps = session.conf.getOption("spark.graft.cc.jumps")
+        .map(_.toInt).getOrElse(2)
       def step(l: DataFrame): DataFrame = {
         val prop = l.join(e, l("node") === e("x"))
           .select(col("y").as("node"), col("comp"))
-        val m = l.union(prop).groupBy("node").agg(min("comp").as("comp"))
-        val jump = m.select(col("node").as("pn"), col("comp").as("pc"))
-        val once = m.join(jump, m("comp") === jump("pn"))
-          .select(m("node"), col("pc").as("comp"))
-        val jump2 = once.select(col("node").as("pn"), col("comp").as("pc"))
-        once.join(jump2, once("comp") === jump2("pn"))
-          .select(once("node"), col("pc").as("comp"))
+        var cur = l.union(prop).groupBy("node").agg(min("comp").as("comp"))
+        var j = 0
+        while (j < ccJumps) {
+          val jump = cur.select(col("node").as("pn"), col("comp").as("pc"))
+          cur = cur.join(jump, cur("comp") === jump("pn"))
+            .select(cur("node"), col("pc").as("comp"))
+          j += 1
+        }
+        cur
       }
       while (!converged && iter < maxIter) {
         // ONE step per materialization/action. Batching 2 or 3 steps per
@@ -594,6 +605,10 @@ object Dedup {
         s"connectedComponents did not converge within $maxIter rounds — " +
           "raise maxIter; results were NOT returned because unconverged " +
           "labels are not components")
+      // r21 (VERDICT r20 next-#10): log the converged round count so the
+      // recurring "is the dedup_cluster figure still the same fixpoint?"
+      // bench audit is a constant-time stderr check, not a rerun
+      Console.err.println(s"[graft.cc] converged in $iter rounds")
       labels.union(isolated)
     }
   }

@@ -470,11 +470,17 @@ object Multimodal {
       expr(s"CAST($terms AS BIGINT)").as(s"s$k")
     }
     val hViews = (0 until 4).map(k => expr(mixSpark(k, "h")).as(s"h$k"))
+    // r21 perf: ROLLING poly_hash_shingles (O(len), zero per-window
+    // substring allocations) replaces the transform+substring spelling
+    // (O(len·8) plus one UTF8String per window) — element k is
+    // poly_hash(substring(text, k+1, 8)) EXACTLY (ExtSpec pins it), so
+    // the signature, the candidates, and the oracle are unchanged; the
+    // same swap took dedup_substring's shingle stage from 8 s to
+    // sub-second in r17.
     val sig = docs
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), explode(expr(
-        """array_distinct(transform(sequence(1, length(text) - 7),
-          |  i -> poly_hash(substring(text, i, 8))))""".stripMargin)).as("h"))
+        "array_distinct(poly_hash_shingles(text, 8))")).as("h"))
       .select(col("doc_id") +: hViews: _*)
       .groupBy("doc_id")
       .agg(bitSums.head, bitSums.tail: _*)

@@ -171,7 +171,11 @@ object Png {
     while (!done) {
       require(bb.remaining >= 12, "png: truncated chunk header")
       val len = bb.getInt
-      require(len >= 0 && bb.remaining >= len + 8, s"png: chunk of $len bytes overruns blob")
+      // Long arithmetic: a declared length near Int.MaxValue would wrap
+      // `len + 8` negative and slip past the bound into a late
+      // OOM/BufferUnderflow instead of this named refusal (r20 advice)
+      require(len >= 0 && bb.remaining.toLong >= len.toLong + 8L,
+        s"png: chunk of $len bytes overruns blob")
       val tpe = new Array[Byte](4); bb.get(tpe)
       val data = new Array[Byte](len); bb.get(data)
       val want = bb.getInt

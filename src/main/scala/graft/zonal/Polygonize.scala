@@ -169,6 +169,10 @@ object Polygonize {
         .localCheckpoint(false)
       it += 1
     }
+    // r21: round-count log (the CC-instrumentation discipline) — the
+    // polygonize cost is fixpoint-round-bound, so the audit check is
+    // constant-time on stderr instead of a rerun
+    Console.err.println(s"[graft.polygonize] rank fixpoint converged in $it rounds")
     val ranked = st
       .join(st.groupBy("ring").agg(count(lit(1)).as("len")), "ring")
       .select(col("e"), col("ring"), col("len"),

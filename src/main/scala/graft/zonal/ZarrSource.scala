@@ -1248,6 +1248,18 @@ final class ZarrStreamingWrite(path: String, g: ZarrGeom, in: StructType,
     new java.io.File(path, s".stage_${queryId}_e$epochId")
   private def commitLog = new java.io.File(path, ".stream_commits")
 
+  // applied-key set loaded ONCE per writer lifetime and maintained
+  // alongside the file append (r20 advice: re-reading the whole log
+  // every epoch made a long-lived query's commit path O(epochs²) in
+  // IO). A restart builds a fresh writer, which re-seeds from the log
+  // exactly once — the file stays the source of truth.
+  private lazy val appliedKeys: scala.collection.mutable.Set[String] = {
+    val s = scala.collection.mutable.Set.empty[String]
+    if (commitLog.exists())
+      java.nio.file.Files.readAllLines(commitLog.toPath).forEach(k => s += k)
+    s
+  }
+
   override def createStreamingWriterFactory(pi: PhysicalWriteInfo)
       : streaming.StreamingDataWriterFactory = {
     val colsHint = s"cell_x, cell_y${if (g.rank3) ", epoch" else ""}" +
@@ -1271,8 +1283,7 @@ final class ZarrStreamingWrite(path: String, g: ZarrGeom, in: StructType,
     // stable across checkpoint restarts, which is exactly the lineage
     // the replay guarantee belongs to
     val key = s"$queryId/$epochId"
-    val applied = commitLog.exists() &&
-      java.nio.file.Files.readAllLines(commitLog.toPath).contains(key)
+    val applied = appliedKeys.contains(key)
     if (applied) {
       // checkpoint replay of a committed batch: dropping it here IS the
       // exactly-once guarantee — the epoch is already in the store
@@ -1285,6 +1296,7 @@ final class ZarrStreamingWrite(path: String, g: ZarrGeom, in: StructType,
         (key + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
+      appliedKeys += key
     }
     ZarrWrite.rmTree(stageDir(epochId))
   }

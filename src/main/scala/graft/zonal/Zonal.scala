@@ -375,9 +375,20 @@ object Zonal {
       .groupBy(col("zone_id"), col("value")).agg(count(lit(1)).as("cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val zstats = agg.groupBy("zone_id").agg(
+      // r21: per-zone stats are collected ONCE and republished as a
+      // LocalRelation — they were already broadcast to every join below
+      // (bounded by the zone count by this API's contract), but each of
+      // the three consumers used to re-scan the cached distinct table
+      // and re-aggregate; the collect materializes the persist AND
+      // replaces the old separate max(nd) action, so the build drops
+      // from 3 aggregation stages over the cache to 1.
+      val session = cells.sparkSession
+      val zstatsAgg = agg.groupBy("zone_id").agg(
         min(col("value")).as("zmin"), max(col("value")).as("zmax"),
         sum(col("cnt")).as("n"), count(lit(1)).as("nd"))
+      val zstatsRows = zstatsAgg.collect()
+      val zstats = session.createDataFrame(
+        java.util.Arrays.asList(zstatsRows: _*), zstatsAgg.schema)
       val qlit = explode(array(qs.map { case (q, nm) =>
         struct(lit(q).as("q"), lit(nm).as("qname")) }: _*))
       // Small-ND fast path (round 8, recovering the r7 sf0.1
@@ -386,7 +397,7 @@ object Zonal {
       // counting window over the pre-aggregation is already narrow —
       // one pass, no histogram/resolve. Both paths share the same
       // lower-quantile rank rule, so results are bit-identical.
-      val maxNd = zstats.agg(max(col("nd"))).head.getLong(0)
+      val maxNd = zstatsRows.foldLeft(0L)((m, r) => math.max(m, r.getLong(3)))
       val picked = if (maxNd <= nb.toLong * 64) {
         val wV = org.apache.spark.sql.expressions.Window
           .partitionBy("zone_id").orderBy("value")
