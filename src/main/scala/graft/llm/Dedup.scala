@@ -428,21 +428,34 @@ object Dedup {
   def minhashIncremental(docs: DataFrame, cap: Int): DataFrame = {
     graft.ext.Ext.register(docs.sparkSession)
     val sigs = arithMinhash(docs).selectExpr("doc_id", ArithBandStackExpr)
-    // mega-bucket guard on the SHARED band key space (counted over both
-    // sides at once — the quadratic risk is the cross product)
-    val counts = sigs.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
-    val guarded = sigs.join(counts, Seq("band", "bh"))
-      .withColumn("bh", expr(
-        s"""CASE WHEN bn <= $cap THEN bh
+    // r21 (guide §2.4 — remove shuffles outright): the pre-r21 spelling
+    // (counts = sigs⋈agg(sigs), guarded self-joined batch×history) put
+    // FOUR full evaluations of the arithMinhash explode+agg pipeline and
+    // six scans of `documents` into one plan (solo RunOne: 7.6 s cold /
+    // 2.1 s warm). Bucket-collect instead — ONE signature pass, group
+    // the band keys, enumerate batch×history pairs inside each bucket —
+    // the exact [[bucketPairs]] topology `dedup_minhash_pairs` uses. The
+    // mega-bucket guard is the same total-bucket-size cap on the SHARED
+    // band key space (the quadratic risk is the cross product), raised
+    // in-plan before any pair is emitted.
+    val pairs = sigs
+      .groupBy("band", "bh")
+      .agg(count(lit(1)).as("bn"),
+        sort_array(collect_list(when(col("doc_id") % 5 === 0, col("doc_id"))))
+          .as("bids"),
+        sort_array(collect_list(when(col("doc_id") % 5 =!= 0, col("doc_id"))))
+          .as("hids"))
+      .withColumn("bids", expr(
+        s"""CASE WHEN bn <= $cap THEN bids
            |ELSE raise_error(concat('LSH mega-bucket: ', cast(bn AS string),
            |  ' docs share one band key (cap $cap) — a degenerate corpus region;',
            |  ' remove exact duplicates upstream (pipeline_corpus_clean), split',
            |  ' the region, or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
-      .select("doc_id", "band", "bh")
-    val pairs = guarded.filter(col("doc_id") % 5 === 0)
-      .join(guarded.filter(col("doc_id") % 5 =!= 0)
-        .select(col("doc_id").as("hist_id"), col("band"), col("bh")), Seq("band", "bh"))
-      .select("doc_id", "hist_id").distinct()
+      .filter(size(col("bids")) >= 1 && size(col("hids")) >= 1)
+      .select(explode(expr(
+        """flatten(transform(bids, b -> transform(hids,
+          |  h -> struct(b AS doc_id, h AS hist_id))))""".stripMargin)).as("p"))
+      .select(col("p.doc_id"), col("p.hist_id")).distinct()
     val bg = docs
       .withColumn("t", split(lower(col("text")), " "))
       .filter(size(col("t")) >= 2)
@@ -452,9 +465,17 @@ object Dedup {
     val inter = expr("sorted_intersect_count(a_bg, b_bg)")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("jaccard").desc, col("hist_id"))
+    // merge-hint both bg joins: the hint pins the bg side to a shuffle
+    // (not a broadcast of the pair side probing bg twice), and the two
+    // exchanges canonicalize identically — AQE's ReuseExchange evaluates
+    // the tokenize+sort bigram pipeline ONCE and replays the shuffle
+    // files for the second join (r21, guide §2.4: two operations keyed
+    // the same way share one exchange; measured 1.9 → 1.2 s warm at
+    // sf0.1). At 100 TB the trade is one corpus scan + one reused
+    // corpus shuffle vs two corpus scans of an expensive pipeline.
     pairs
-      .join(bg.select(col("doc_id"), col("bg").as("a_bg")), "doc_id")
-      .join(bg.select(col("doc_id").as("hist_id"), col("bg").as("b_bg")), "hist_id")
+      .join(bg.hint("merge").select(col("doc_id"), col("bg").as("a_bg")), "doc_id")
+      .join(bg.hint("merge").select(col("doc_id").as("hist_id"), col("bg").as("b_bg")), "hist_id")
       .select(col("doc_id"), col("hist_id"),
         (inter.cast("double")
           / (size(col("a_bg")) + size(col("b_bg")) - inter)).as("jaccard"))
@@ -564,14 +585,18 @@ object Dedup {
       // SQUARES the label mapping (jump k composes the post-jump-(k−1)
       // mapping with itself), so after the neighbor min the step applies
       // comp ← m^(2^jumps)(u) — each jump is one small equi-join of the
-      // label table with itself. Default 2 (comp ← m⁴, the audited r10
-      // shape); `spark.graft.cc.jumps` tunes the rounds-vs-joins trade
-      // for graphs whose min-label has to travel far (r21: the
-      // embedding near graph at tau 0.3 converged in 18 rounds — extra
-      // jumps are cheap label-table self-joins, extra ROUNDS each pay a
-      // checkpoint + action floor).
+      // label table with itself. Default 1 (r21 measurement on the
+      // embedding near graph at tau 0.3, sf0.1/local[32]: jumps=1 and
+      // jumps=2 BOTH converge in 18 rounds — min-label ids are scattered
+      // along the candidate chains, so composing the mapping with itself
+      // more than once extends no frontier — while jumps=0 needs 30
+      // rounds; warm solo timings 4.6-5.0 s / 5.7-6.5 s / 4.9-5.7 s for
+      // 1/2/0 jumps, so one jump pays for itself and the second is a
+      // pure per-round join cost). `spark.graft.cc.jumps` tunes the
+      // rounds-vs-joins trade for graphs whose min-label travels along
+      // id-ordered chains (where extra jumps DO double coverage).
       val ccJumps = session.conf.getOption("spark.graft.cc.jumps")
-        .map(_.toInt).getOrElse(2)
+        .map(_.toInt).getOrElse(1)
       def step(l: DataFrame): DataFrame = {
         val prop = l.join(e, l("node") === e("x"))
           .select(col("y").as("node"), col("comp"))
@@ -840,12 +865,25 @@ object Dedup {
           .as("gram"))
         .distinct()
       val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val df = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-      val idx = grams.join(df.filter(col("df").between(2, 64)), "gram")
-        .select("doc_id", "gram")
-      val inter = idx.as("a").join(idx.as("b"),
-          col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      // r21 (guide §2.4): posting-list bucket-collect instead of the
+      // idx-a ⋈ idx-b gram self-join — the old plan evaluated the
+      // explode+distinct gram pipeline FOUR times (sz, df, and once per
+      // self-join side; 6 documents scans). One groupBy(gram) collects
+      // each posting list (df ≤ 64 bounds the array and the in-bucket
+      // product at 64²/2, exactly the pairing cap the oracle spells),
+      // pairs explode inside the bucket, and the gram pipeline runs
+      // twice total (sz + posts). Same pair set: a (id1 < id2) pair is
+      // emitted once per shared 2-≤df≤64 gram, then counted.
+      val posts = grams.groupBy("gram")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .filter(size(col("ids")).between(2, 64))
+      val inter = posts
+        .select(explode(expr(
+          """flatten(transform(sequence(1, size(ids) - 1),
+            |  i -> transform(sequence(i + 1, size(ids)),
+            |    j -> struct(element_at(ids, i) AS id1, element_at(ids, j) AS id2))))""".stripMargin))
+          .as("p"))
+        .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
         .agg(count(lit(1)).as("n_shared"))
       inter
         .join(sz.as("s1"), col("id1") === col("s1.doc_id"))

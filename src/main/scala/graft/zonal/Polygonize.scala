@@ -201,13 +201,35 @@ object Polygonize {
     */
   def clearCache(): Unit = pipeCache.clear()
 
+  /** Optionally scope the polygonize pipeline's shuffle fan-out to the
+    * boundary/ring scale via `spark.graft.polygonize.partitions` (r21):
+    * every stage after the mask scan operates on mask cells, boundary
+    * edges, or ring vertices — perimeter-scale tables orders of
+    * magnitude below the raster — so a cluster-scale fan-out is pure
+    * task-scheduling overhead there. Default: the session setting,
+    * UNCHANGED — an r21 A/B at sf0.1/local[32] measured 8-way vs 32-way
+    * fan-out as identical (5.0-6.2 s either way: the pipeline cost is
+    * its ~13 serial fixpoint/checkpoint actions, not task count), and a
+    * silently shrunken default would under-parallelize a continental
+    * boundary on a real cluster. The knob exists for deployments that
+    * KNOW their perimeter scale.
+    */
+  private def scopedParts[A](s: SparkSession)(f: => A): A =
+    s.conf.getOption("spark.graft.polygonize.partitions") match {
+      case Some(p) => graft.core.SessionConf.scoped(s,
+        "spark.sql.shuffle.partitions" -> p.toInt.toString)(f)
+      case None => f
+    }
+
   private def fixturePipeline(s: SparkSession): (DataFrame, DataFrame) = {
     pipeCache.keySet.removeIf(k => k.sparkContext.isStopped)
     pipeCache.computeIfAbsent(s, { _ =>
-      val cells = labeled(fixtureMask(s), W1).localCheckpoint(true)
-      val kept = keptVerticesOf(cells, W1).localCheckpoint(true)
-      val nCells = cells.groupBy("region").agg(count(lit(1)).as("n_cells"))
-      (kept, nCells)
+      scopedParts(s) {
+        val cells = labeled(fixtureMask(s), W1).localCheckpoint(true)
+        val kept = keptVerticesOf(cells, W1).localCheckpoint(true)
+        val nCells = cells.groupBy("region").agg(count(lit(1)).as("n_cells"))
+        (kept, nCells)
+      }
     })
   }
 
@@ -215,6 +237,10 @@ object Polygonize {
     * AND the spec entry point for hand-built donut/pinch masks.
     */
   def polygonizeMask(m0: DataFrame, w: Long): DataFrame = {
+    // (no scopedParts here: this face returns a LAZY frame — the conf
+    // scope would be restored before any action plans the shuffles. The
+    // CC calls inside `labeled` scope themselves; spec callers drive
+    // hand-built masks where fan-out is irrelevant.)
     val cells = labeled(m0, w)
     val kept = keptVerticesOf(cells, w)
     val nCells = cells.groupBy("region").agg(count(lit(1)).as("n_cells"))
