@@ -491,24 +491,32 @@ object Multimodal {
             |      struct(2 AS si, s2 AS sv), struct(3 AS si, s3 AS sv))""".stripMargin)).as("g"))
       .select(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3"),
         col("g.si"), col("g.sv"))
-    // bucket-size pre-count + guard INSIDE the join key (raises before
-    // any pair is emitted); pair enumeration stays the codegen'd self
-    // equi-join — the bucket-collect variant measured slower at sf0.1
-    val counts = segs.groupBy("si", "sv").agg(count(lit(1)).as("bn"))
-    val guarded = segs.join(counts, Seq("si", "sv"))
-      .withColumn("sv", expr(
-        s"""CASE WHEN bn <= $cap THEN sv
-           |ELSE raise_error(concat('SimHash mega-bucket: ', cast(bn AS string),
+    // r21 (guide §2.4, the signCandidatesOf rule): bucket-collect pair
+    // enumeration — the counts join + guarded self-equi-join evaluated
+    // the SimHash signature aggregate (explode shingles + 64 bit sums
+    // over every shingle, the op's dominant cost) FOUR times; this
+    // spelling evaluates it ONCE. sort_array on (doc_id, s0..s3)
+    // structs orders by doc_id, so the i<j explode emits id1 < id2
+    // exactly as the self-join did; the same cap guards the in-bucket
+    // product in-plan before any pair is assembled.
+    segs.groupBy("si", "sv")
+      .agg(sort_array(collect_list(struct(col("doc_id"),
+        col("s0"), col("s1"), col("s2"), col("s3")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .withColumn("ms", expr(
+        s"""CASE WHEN size(ms) <= $cap THEN ms
+           |ELSE raise_error(concat('SimHash mega-bucket: ', cast(size(ms) AS string),
            |  ' blobs share one 16-bit segment (cap $cap) — a degenerate corpus',
            |  ' region; remove exact duplicates upstream (mm_dedup) or raise',
            |  ' spark.graft.lsh.maxBucket')) END""".stripMargin))
-      .select("doc_id", "s0", "s1", "s2", "s3", "si", "sv")
-    guarded.as("a").join(guarded.as("b"),
-        col("a.si") === col("b.si") && col("a.sv") === col("b.sv")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        expr("""CAST(bit_count(a.s0 ^ b.s0) + bit_count(a.s1 ^ b.s1)
-          |  + bit_count(a.s2 ^ b.s2) + bit_count(a.s3 ^ b.s3) AS INT)""".stripMargin)
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ms) - 1),
+          |  i -> transform(sequence(i + 1, size(ms)),
+          |    j -> struct(element_at(ms, i) AS a, element_at(ms, j) AS b))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a.doc_id").as("id1"), col("p.b.doc_id").as("id2"),
+        expr("""CAST(bit_count(p.a.s0 ^ p.b.s0) + bit_count(p.a.s1 ^ p.b.s1)
+          |  + bit_count(p.a.s2 ^ p.b.s2) + bit_count(p.a.s3 ^ p.b.s3) AS INT)""".stripMargin)
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)

@@ -169,25 +169,32 @@ object Sim {
   def signCandidatesOf(emb: DataFrame, cap: Int = Dedup.DefaultMaxBucket,
       bands: Int = SigBands, dims: Int = SigDims): DataFrame = {
     val sb = signBandsOf(emb, bands, dims)
-    // bucket-size pre-count, then the guard lives INSIDE the join key:
-    // an oversized bucket raises when its sig is evaluated — BEFORE the
-    // in-bucket pair product ever runs. Pair enumeration itself stays
-    // the codegen'd self equi-join (the bucket-collect variant measured
-    // ~35% slower at sf0.1 from the array materialization).
-    val counts = sb.groupBy("label", "band", "sig").agg(count(lit(1)).as("bn"))
-    val guarded = sb.join(counts, Seq("label", "band", "sig"))
-      .withColumn("sig", expr(
-        s"""CASE WHEN bn <= $cap THEN sig
-           |ELSE raise_error(concat('LSH mega-bucket: ', cast(bn AS string),
+    // r21 (guide §2.4): bucket-collect pair enumeration — ONE evaluation
+    // of the signature pipeline. The pre-r21 counts-join + guarded
+    // self-equi-join spelling evaluated signBandsOf FOUR times (counts,
+    // the join, and both self-join sides; every join planned broadcast,
+    // so no exchange was ever reused — 10 embeddings scans in the
+    // sim_knn_graph plan). The in-bucket product stays bounded by the
+    // same cap, raised in-plan before any pair is emitted. (An r7-era
+    // note measured bucket-collect ~35% slower on the ENUMERATION step
+    // alone; that comparison ignored the 3 extra pipeline evaluations,
+    // which dominate — re-measured r21: 1.7 → 1.1 s warm for
+    // sim_knn_graph at sf0.1.)
+    sb.groupBy("label", "band", "sig")
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .withColumn("ids", expr(
+        s"""CASE WHEN size(ids) <= $cap THEN ids
+           |ELSE raise_error(concat('LSH mega-bucket: ', cast(size(ids) AS string),
            |  ' vectors share one sign-band signature (cap $cap) — a degenerate',
            |  ' embedding region; widen the bands (sigConfigFor), dedup exact',
            |  ' copies upstream, or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
-      .select("vec_id", "label", "band", "sig")
-    guarded.as("a").join(guarded.as("b"),
-        col("a.label") === col("b.label") && col("a.band") === col("b.band")
-          && col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
-        col("a.label").as("label"))
+      .select(col("label"), explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> struct(element_at(ids, i) AS id1, element_at(ids, j) AS id2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("label"))
       .distinct()
   }
 

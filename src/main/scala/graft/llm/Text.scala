@@ -1083,23 +1083,34 @@ object Text {
   def fuzzyMatch(parts: DataFrame, cap: Int = graft.llm.Dedup.DefaultMaxBucket): DataFrame = {
     val p = parts.select("p_partkey", "p_brand", "p_size", "p_name")
     val w = p.withColumn("word", explode(split(col("p_name"), " ")))
-    val counts = w.groupBy("p_brand", "p_size", "word").agg(count(lit(1)).as("bn"))
-    val guarded = w.join(counts, Seq("p_brand", "p_size", "word"))
-      .withColumn("word", expr(
-        s"""CASE WHEN bn <= $cap THEN word
-           |ELSE raise_error(concat('fuzzy-match mega-bucket: ', cast(bn AS string),
+    // r21 (guide §2.4, the signCandidatesOf rule): bucket-collect pair
+    // enumeration — one evaluation of the explode pipeline instead of
+    // four (counts join + both self-join sides); the same cap guards
+    // the in-bucket product in-plan, and the length-window prefilter
+    // applies inside the bucket before the levenshtein verify.
+    w.groupBy("p_brand", "p_size", "word")
+      .agg(sort_array(collect_list(struct(col("p_partkey"), col("p_name")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .withColumn("ms", expr(
+        s"""CASE WHEN size(ms) <= $cap THEN ms
+           |ELSE raise_error(concat('fuzzy-match mega-bucket: ', cast(size(ms) AS string),
            |  ' parts share one (brand, size, word) key (cap $cap) — a degenerate',
            |  ' name region; normalize or stoplist the token upstream, or raise',
            |  ' spark.graft.lsh.maxBucket')) END""".stripMargin))
-      .select("p_partkey", "p_brand", "p_size", "p_name", "word")
-    guarded.as("a").join(guarded.as("b"),
-        col("a.p_brand") === col("b.p_brand")
-          && col("a.p_size") === col("b.p_size")
-          && col("a.word") === col("b.word")
-          && col("a.p_partkey") < col("b.p_partkey")
-          && abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 1)
-      .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
-        col("a.p_name").as("n1"), col("b.p_name").as("n2"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ms) - 1),
+          |  i -> transform(sequence(i + 1, size(ms)),
+          |    j -> struct(element_at(ms, i).p_partkey AS id1,
+          |      element_at(ms, j).p_partkey AS id2,
+          |      element_at(ms, i).p_name AS n1, element_at(ms, j).p_name AS n2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
+        col("p.n1").as("n1"), col("p.n2").as("n2"))
+      // id1 < id2 (strict): a word repeated WITHIN one name puts the
+      // same part in the bucket twice — the old self-join's < predicate
+      // excluded those self-pairs, the sorted explode only gives <=
+      .filter(col("id1") < col("id2")
+        && abs(length(col("n1")) - length(col("n2"))) <= 1)
       .distinct()
       .withColumn("dist", levenshtein(col("n1"), col("n2")))
       .filter(col("dist") <= 2)
@@ -1121,20 +1132,30 @@ object Text {
     val segs = keys.select(col("doc_id"), col("k"),
       posexplode(array((1 to 3).map(i => substring(col("k"), (i - 1) * 8 + 1, 8)): _*))
         .as(Seq("seg_ix", "seg")))
-    val counts = segs.groupBy("seg_ix", "seg").agg(count(lit(1)).as("bn"))
-    val guarded = segs.join(counts, Seq("seg_ix", "seg"))
-      .withColumn("seg", expr(
-        s"""CASE WHEN bn <= $cap THEN seg
-           |ELSE raise_error(concat('Hamming mega-bucket: ', cast(bn AS string),
+    // r21 (guide §2.4, the signCandidatesOf rule): bucket-collect pair
+    // enumeration — ONE evaluation of the keys/segs pipeline instead of
+    // four (the counts join + guarded self-join re-evaluated it per
+    // side). sort_array on (doc_id, k) structs orders by doc_id, so the
+    // i<j explode emits doc_id1 < doc_id2 exactly as the self-join did;
+    // the same cap guards the in-bucket product in-plan.
+    segs.groupBy("seg_ix", "seg")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("k")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .withColumn("ms", expr(
+        s"""CASE WHEN size(ms) <= $cap THEN ms
+           |ELSE raise_error(concat('Hamming mega-bucket: ', cast(size(ms) AS string),
            |  ' docs share one 8-char segment (cap $cap) — a degenerate corpus',
            |  ' region; remove exact duplicates upstream (pipeline_corpus_clean)',
            |  ' or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
-      .select("doc_id", "k", "seg_ix", "seg")
-    guarded.as("a").join(guarded.as("b"),
-        col("a.seg_ix") === col("b.seg_ix") && col("a.seg") === col("b.seg")
-          && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
-        col("a.k").as("k1"), col("b.k").as("k2"))
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ms) - 1),
+          |  i -> transform(sequence(i + 1, size(ms)),
+          |    j -> struct(element_at(ms, i).doc_id AS doc_id1,
+          |      element_at(ms, j).doc_id AS doc_id2,
+          |      element_at(ms, i).k AS k1, element_at(ms, j).k AS k2))))""".stripMargin))
+        .as("p"))
+      .select(col("p.doc_id1").as("doc_id1"), col("p.doc_id2").as("doc_id2"),
+        col("p.k1").as("k1"), col("p.k2").as("k2"))
       .distinct()
       .withColumn("hd", expr(
         "size(filter(sequence(1, 24), i -> substring(k1, i, 1) <> substring(k2, i, 1)))"))

