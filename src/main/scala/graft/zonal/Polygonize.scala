@@ -137,46 +137,60 @@ object Polygonize {
     val succ = cand.groupBy(col("e"))
       .agg((min(col("pri") * PackMult + col("se")) % PackMult).as("next"))
 
-    // 3a. ring id = CC over the successor cycles
-    val rl = succ.select(col("e").as("x"), col("next").as("y"))
-    val ringLabels = graft.llm.Dedup.connectedComponents(
-        succ.select(col("e").as("node")),
-        rl.union(rl.select(col("y").as("x"), col("x").as("y"))))
-      .select(col("node").as("e"), col("comp").as("ring"))
-
-    // 3b. rank along each cycle by distance-to-root pointer doubling:
-    // (ptr, d) jumps to (ptr(ptr), d + d(ptr)) each round unless the
-    // root is already reached — O(log perimeter) rounds, every step an
-    // equi-join, the driver holds only the convergence count. LAZY
-    // localCheckpoint (the CC-fixpoint rule, r10): the while-condition
-    // count is the round's single action — it materializes the
-    // checkpoint blocks AND answers convergence in ONE job instead of
-    // an eager-checkpoint job followed by a count job.
-    var st = succ.join(ringLabels, "e")
-      .select(col("e"), col("ring"), col("next").as("ptr"), lit(1L).as("d"))
+    // 3. ring id AND traversal distance in ONE pointer-doubling
+    // fixpoint over the successor cycles (r21 — fusing the former
+    // generic-CC ring labeling with the separate distance-to-root
+    // loop halves the serial action count of the whole walk).
+    // State per edge e after round k:
+    //   ptr = succ^(2^k)(e)                (the 2^k-th successor)
+    //   d   = 2^k                          (window width)
+    //   m   = min ekey in window [e, ptr)  (2^k consecutive edges)
+    //   dm  = distance from e to that min's FIRST occurrence
+    // Round: join each e with its partner at ptr and combine the two
+    // half-windows — ptr←ptr', d←d+d', m←min(m,m'), dm←(m'<m ? d+dm' :
+    // dm). ekeys are unique, so ties cannot occur across distinct
+    // nodes; when both halves contain the cycle min, m'==m keeps the
+    // FIRST occurrence's distance, which is the true dist(e→root).
+    // Convergence: sum(m) unchanged — windows tile the cycle for any
+    // (d, L), so a fully stable round proves every m is its cycle's
+    // min (= the ring id the old CC produced) and every dm is
+    // dist(e→root). rank = (len − dm) % len, exactly the old rule
+    // (root: dm 0 → rank 0; the edge before root: dm 1 → rank len−1).
+    // LAZY localCheckpoint + the signature aggregate as the round's
+    // single action (the CC-fixpoint rule, r10).
+    var st = succ
+      .select(col("e"), col("next").as("ptr"), lit(1L).as("d"),
+        col("e").as("m"), lit(0L).as("dm"))
       .localCheckpoint(false)
+    def msig(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("m").cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevSig = msig(st)
     var it = 0
-    // full count, not limit(1): the early-out would materialize only
-    // SOME partitions of the lazy checkpoint and leave RDD lineage
-    // chaining across rounds; the full scan is the materializer
-    while (st.filter(col("ptr") =!= col("ring")).count() > 0) {
-      require(it < 40, "polygonize rank fixpoint did not converge in 40 rounds")
-      val p = st.select(col("e").as("pe"), col("ptr").as("pp"), col("d").as("pd"))
+    var stable = false
+    while (!stable) {
+      require(it < 40, "polygonize ring fixpoint did not converge in 40 rounds")
+      val p = st.select(col("e").as("pe"), col("ptr").as("pp"),
+        col("d").as("pd"), col("m").as("pm"), col("dm").as("pdm"))
       st = st.join(p, col("ptr") === col("pe"))
-        .select(col("e"), col("ring"),
-          when(col("ptr") === col("ring"), col("ptr")).otherwise(col("pp")).as("ptr"),
-          when(col("ptr") === col("ring"), col("d")).otherwise(col("d") + col("pd")).as("d"))
+        .select(col("e"), col("pp").as("ptr"), (col("d") + col("pd")).as("d"),
+          when(col("pm") < col("m"), col("pm")).otherwise(col("m")).as("m"),
+          when(col("pm") < col("m"), col("d") + col("pdm")).otherwise(col("dm")).as("dm"))
         .localCheckpoint(false)
+      val s = msig(st)
+      stable = s == prevSig
+      prevSig = s
       it += 1
     }
-    // r21: round-count log (the CC-instrumentation discipline) — the
+    // round-count log (the CC-instrumentation discipline) — the
     // polygonize cost is fixpoint-round-bound, so the audit check is
     // constant-time on stderr instead of a rerun
-    Console.err.println(s"[graft.polygonize] rank fixpoint converged in $it rounds")
-    val ranked = st
-      .join(st.groupBy("ring").agg(count(lit(1)).as("len")), "ring")
+    Console.err.println(s"[graft.polygonize] ring fixpoint converged in $it rounds")
+    val labeled = st.select(col("e"), col("m").as("ring"), col("dm"))
+    val ranked = labeled
+      .join(labeled.groupBy("ring").agg(count(lit(1)).as("len")), "ring")
       .select(col("e"), col("ring"), col("len"),
-        ((col("len") - col("d")) % col("len")).as("rank"))
+        ((col("len") - col("dm")) % col("len")).as("rank"))
 
     // 4. simplify (drop collinear) + assemble rings + classify
     val geo = bnd.join(ranked, bnd("ekey") === ranked("e"))

@@ -2907,6 +2907,12 @@ object Raster {
           .select(col("cell_x").as("x"), col("cell_y").as("y"),
             col("sx").as("jx"), col("sy").as("jy")))
         var n = jump.count()
+        // r21 (the CC adaptive-fan-out rule): the loop's joins carry the
+        // jump table (n rows, four ints) and the growing paths table —
+        // derive the round fan-out from the measured jump count the
+        // loop already pays for, clamped to the session setting
+        s.conf.set(partsKey, math.max(1L,
+          math.min(s.conf.get(partsKey).toInt.toLong, n / 65536L + 1L)).toString)
         var rounds = 0
         while (n > 0 && rounds < 20) { // 20 ⇒ paths up to 2^20 cells
           // (u, w) at distance 2^k ≤ d < 2^{k+1}: hop u's jump pointer,
@@ -2923,6 +2929,8 @@ object Raster {
           rounds += 1
         }
         require(n == 0, s"flow paths exceed 2^20 cells after $rounds rounds")
+        // round-count log (the CC-instrumentation discipline)
+        Console.err.println(s"[graft.flowacc] path doubling converged in $rounds rounds")
         paths.groupBy(col("wx").as("cell_x"), col("wy").as("cell_y"))
           .agg(count(lit(1)).as("acc"))
           .orderBy("cell_x", "cell_y")
