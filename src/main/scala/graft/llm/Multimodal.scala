@@ -499,24 +499,20 @@ object Multimodal {
     // structs orders by doc_id, so the i<j explode emits id1 < id2
     // exactly as the self-join did; the same cap guards the in-bucket
     // product in-plan before any pair is assembled.
-    segs.groupBy("si", "sv")
-      .agg(sort_array(collect_list(struct(col("doc_id"),
-        col("s0"), col("s1"), col("s2"), col("s3")))).as("ms"))
-      .filter(size(col("ms")) >= 2)
-      .withColumn("ms", expr(
-        s"""CASE WHEN size(ms) <= $cap THEN ms
-           |ELSE raise_error(concat('SimHash mega-bucket: ', cast(size(ms) AS string),
-           |  ' blobs share one 16-bit segment (cap $cap) — a degenerate corpus',
-           |  ' region; remove exact duplicates upstream (mm_dedup) or raise',
-           |  ' spark.graft.lsh.maxBucket')) END""".stripMargin))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ms) - 1),
-          |  i -> transform(sequence(i + 1, size(ms)),
-          |    j -> struct(element_at(ms, i) AS a, element_at(ms, j) AS b))))""".stripMargin))
-        .as("p"))
-      .select(col("p.a.doc_id").as("id1"), col("p.b.doc_id").as("id2"),
-        expr("""CAST(bit_count(p.a.s0 ^ p.b.s0) + bit_count(p.a.s1 ^ p.b.s1)
-          |  + bit_count(p.a.s2 ^ p.b.s2) + bit_count(p.a.s3 ^ p.b.s3) AS INT)""".stripMargin)
+    // r22 ([[graft.ext.BoundedCollectList]] via [[graft.llm.Buckets]],
+    // VERDICT r21 wrong-#2): cap enforced DURING accumulation — no
+    // buffer ever materializes a mega bucket; chunked pair enumeration.
+    graft.llm.Buckets.pairsAB(
+      graft.llm.Buckets.guardedCollect(segs, Seq("si", "sv"),
+        struct(col("doc_id"), col("s0"), col("s1"), col("s2"), col("s3")), cap,
+        s"SimHash mega-bucket: more than $cap blobs share one 16-bit " +
+          "segment (cap " + cap + ") — a degenerate corpus region; remove " +
+          "exact duplicates upstream (mm_dedup) or raise " +
+          "spark.graft.lsh.maxBucket"),
+      Seq("si", "sv"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        expr("""CAST(bit_count(a.s0 ^ b.s0) + bit_count(a.s1 ^ b.s1)
+          |  + bit_count(a.s2 ^ b.s2) + bit_count(a.s3 ^ b.s3) AS INT)""".stripMargin)
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= 3)

@@ -180,21 +180,21 @@ object Sim {
     // alone; that comparison ignored the 3 extra pipeline evaluations,
     // which dominate — re-measured r21: 1.7 → 1.1 s warm for
     // sim_knn_graph at sf0.1.)
-    sb.groupBy("label", "band", "sig")
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-      .withColumn("ids", expr(
-        s"""CASE WHEN size(ids) <= $cap THEN ids
-           |ELSE raise_error(concat('LSH mega-bucket: ', cast(size(ids) AS string),
-           |  ' vectors share one sign-band signature (cap $cap) — a degenerate',
-           |  ' embedding region; widen the bands (sigConfigFor), dedup exact',
-           |  ' copies upstream, or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
-      .select(col("label"), explode(expr(
-        """flatten(transform(sequence(1, size(ids) - 1),
-          |  i -> transform(sequence(i + 1, size(ids)),
-          |    j -> struct(element_at(ids, i) AS id1, element_at(ids, j) AS id2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"), col("label"))
+    // r22 ([[graft.ext.BoundedCollectList]] via [[graft.llm.Buckets]],
+    // VERDICT r21 wrong-#2): the cap is enforced DURING accumulation —
+    // the named refusal fires on the first overflowing element, no
+    // buffer ever materializes a mega bucket — and pair enumeration is
+    // chunked so no row carries the O(cap²) pair array. Still ONE
+    // evaluation of the signature pipeline (same aggregation topology).
+    graft.llm.Buckets.pairsAB(
+      graft.llm.Buckets.guardedCollect(sb, Seq("label", "band", "sig"),
+        col("vec_id"), cap,
+        s"LSH mega-bucket: more than $cap vectors share one sign-band " +
+          "signature (cap " + cap + ") — a degenerate embedding region; " +
+          "widen the bands (sigConfigFor), dedup exact copies upstream, " +
+          "or raise spark.graft.lsh.maxBucket"),
+      Seq("label", "band", "sig"))
+      .select(col("a").as("id1"), col("b").as("id2"), col("label"))
       .distinct()
   }
 

@@ -1088,24 +1088,19 @@ object Text {
     // four (counts join + both self-join sides); the same cap guards
     // the in-bucket product in-plan, and the length-window prefilter
     // applies inside the bucket before the levenshtein verify.
-    w.groupBy("p_brand", "p_size", "word")
-      .agg(sort_array(collect_list(struct(col("p_partkey"), col("p_name")))).as("ms"))
-      .filter(size(col("ms")) >= 2)
-      .withColumn("ms", expr(
-        s"""CASE WHEN size(ms) <= $cap THEN ms
-           |ELSE raise_error(concat('fuzzy-match mega-bucket: ', cast(size(ms) AS string),
-           |  ' parts share one (brand, size, word) key (cap $cap) — a degenerate',
-           |  ' name region; normalize or stoplist the token upstream, or raise',
-           |  ' spark.graft.lsh.maxBucket')) END""".stripMargin))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ms) - 1),
-          |  i -> transform(sequence(i + 1, size(ms)),
-          |    j -> struct(element_at(ms, i).p_partkey AS id1,
-          |      element_at(ms, j).p_partkey AS id2,
-          |      element_at(ms, i).p_name AS n1, element_at(ms, j).p_name AS n2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.id1").as("id1"), col("p.id2").as("id2"),
-        col("p.n1").as("n1"), col("p.n2").as("n2"))
+    // r22 ([[graft.ext.BoundedCollectList]] via [[graft.llm.Buckets]],
+    // VERDICT r21 wrong-#2): cap enforced DURING accumulation — no
+    // buffer ever materializes a mega bucket; chunked pair enumeration.
+    graft.llm.Buckets.pairsAB(
+      graft.llm.Buckets.guardedCollect(w, Seq("p_brand", "p_size", "word"),
+        struct(col("p_partkey"), col("p_name")), cap,
+        s"fuzzy-match mega-bucket: more than $cap parts share one " +
+          "(brand, size, word) key (cap " + cap + ") — a degenerate name " +
+          "region; normalize or stoplist the token upstream, or raise " +
+          "spark.graft.lsh.maxBucket"),
+      Seq("p_brand", "p_size", "word"))
+      .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
+        col("a.p_name").as("n1"), col("b.p_name").as("n2"))
       // id1 < id2 (strict): a word repeated WITHIN one name puts the
       // same part in the bucket twice — the old self-join's < predicate
       // excluded those self-pairs, the sorted explode only gives <=
@@ -1138,24 +1133,19 @@ object Text {
     // side). sort_array on (doc_id, k) structs orders by doc_id, so the
     // i<j explode emits doc_id1 < doc_id2 exactly as the self-join did;
     // the same cap guards the in-bucket product in-plan.
-    segs.groupBy("seg_ix", "seg")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("k")))).as("ms"))
-      .filter(size(col("ms")) >= 2)
-      .withColumn("ms", expr(
-        s"""CASE WHEN size(ms) <= $cap THEN ms
-           |ELSE raise_error(concat('Hamming mega-bucket: ', cast(size(ms) AS string),
-           |  ' docs share one 8-char segment (cap $cap) — a degenerate corpus',
-           |  ' region; remove exact duplicates upstream (pipeline_corpus_clean)',
-           |  ' or raise spark.graft.lsh.maxBucket')) END""".stripMargin))
-      .select(explode(expr(
-        """flatten(transform(sequence(1, size(ms) - 1),
-          |  i -> transform(sequence(i + 1, size(ms)),
-          |    j -> struct(element_at(ms, i).doc_id AS doc_id1,
-          |      element_at(ms, j).doc_id AS doc_id2,
-          |      element_at(ms, i).k AS k1, element_at(ms, j).k AS k2))))""".stripMargin))
-        .as("p"))
-      .select(col("p.doc_id1").as("doc_id1"), col("p.doc_id2").as("doc_id2"),
-        col("p.k1").as("k1"), col("p.k2").as("k2"))
+    // r22 ([[graft.ext.BoundedCollectList]] via [[graft.llm.Buckets]],
+    // VERDICT r21 wrong-#2): cap enforced DURING accumulation — no
+    // buffer ever materializes a mega bucket; chunked pair enumeration.
+    graft.llm.Buckets.pairsAB(
+      graft.llm.Buckets.guardedCollect(segs, Seq("seg_ix", "seg"),
+        struct(col("doc_id"), col("k")), cap,
+        s"Hamming mega-bucket: more than $cap docs share one 8-char " +
+          "segment (cap " + cap + ") — a degenerate corpus region; remove " +
+          "exact duplicates upstream (pipeline_corpus_clean) or raise " +
+          "spark.graft.lsh.maxBucket"),
+      Seq("seg_ix", "seg"))
+      .select(col("a.doc_id").as("doc_id1"), col("b.doc_id").as("doc_id2"),
+        col("a.k").as("k1"), col("b.k").as("k2"))
       .distinct()
       .withColumn("hd", expr(
         "size(filter(sequence(1, 24), i -> substring(k1, i, 1) <> substring(k2, i, 1)))"))

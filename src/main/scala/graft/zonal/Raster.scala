@@ -2894,7 +2894,12 @@ object Raster {
          |SELECT wx AS cell_x, wy AS cell_y, CAST(count(*) AS BIGINT) AS acc
          |FROM paths GROUP BY wx, wy ORDER BY cell_x, cell_y""".stripMargin) { (s, _) =>
       val partsKey = "spark.sql.shuffle.partitions"
-      val loopParts = math.min(8, s.conf.get(partsKey).toInt).toString
+      // capture the REAL session fan-out before scoping: the adaptive
+      // clamp below must be able to reach it (r22 — VERDICT r21
+      // wrong-#3: the old clamp read the already-scoped conf, so the
+      // loop's joins could never exceed 8 partitions on a cluster)
+      val sessionParts = s.conf.get(partsKey).toInt
+      val loopParts = math.min(8, sessionParts).toString
       graft.core.SessionConf.scoped(s, partsKey -> loopParts) {
         def pin(df: DataFrame): DataFrame = df.localCheckpoint(false)
         val ranked = d8Ranked(s)
@@ -2910,9 +2915,12 @@ object Raster {
         // r21 (the CC adaptive-fan-out rule): the loop's joins carry the
         // jump table (n rows, four ints) and the growing paths table —
         // derive the round fan-out from the measured jump count the
-        // loop already pays for, clamped to the session setting
+        // loop already pays for, clamped to the session setting (the
+        // PRE-scoping one, so a cluster's fan-out is reachable — r22)
         s.conf.set(partsKey, math.max(1L,
-          math.min(s.conf.get(partsKey).toInt.toLong, n / 65536L + 1L)).toString)
+          math.min(sessionParts.toLong, n / 65536L + 1L)).toString)
+        Console.err.println(s"[graft.flowacc] adaptive fan-out " +
+          s"${s.conf.get(partsKey)} (jump table $n rows, session cap $sessionParts)")
         var rounds = 0
         while (n > 0 && rounds < 20) { // 20 ⇒ paths up to 2^20 cells
           // (u, w) at distance 2^k ≤ d < 2^{k+1}: hop u's jump pointer,

@@ -361,86 +361,80 @@ object Zonal {
     */
   def exactQuantilesByBucket(cells: DataFrame,
       qs: Seq[(Double, String)], nb: Int = 256): DataFrame = {
-    // EVERY pass runs over the (zone, value, cnt) PRE-AGGREGATION, not
-    // the raw cells: the wide rasterize lineage is read exactly once
-    // (by the hash agg), and what persists is the distinct-value table
-    // — bounded by Σ nd(zone), typically orders of magnitude smaller
-    // than the cell count (MEMORY_AND_DISK for the float-raster case
-    // where nd ≈ n). The per-zone stats action below materializes that
-    // cache AND answers the path gate in one job; the build ends with
-    // an eager localCheckpoint of the tiny result so the cache can be
-    // dropped in the finally (round-7 advice: the un-unpersisted cache
-    // accumulated across a bench session).
+    // r22 (VERDICT r21 next-#4): ONE plan, ZERO build-time actions. The
+    // r21 spelling persisted the distinct-value table, collected the
+    // per-zone stats to the driver (the fast/slow path gate + a
+    // LocalRelation republish) and eagerly localCheckpointed the result
+    // — three serial driver actions per call (~0.7 s at sf0.1 across
+    // the three quantile queries). Now the path gate is a broadcast
+    // SCALAR — the global max of per-zone distinct counts — applied as
+    // a filter UNDER each path's window: at runtime the inactive path's
+    // filter drops every row before its sort/window does any work, so
+    // only one path computes, data-driven, with no driver round trip.
+    // Every consumer reads the (zone, value, cnt) pre-aggregation
+    // through ONE reused exchange (the wide rasterize lineage is
+    // scanned once, exactly what the old persist bought), and per-zone
+    // stats join back as in-plan broadcasts. Both paths share the same
+    // lower-quantile rank rule, so results are bit-identical.
     val agg = cells.select(col("zone_id"), col("value"))
       .groupBy(col("zone_id"), col("value")).agg(count(lit(1)).as("cnt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      // r21: per-zone stats are collected ONCE and republished as a
-      // LocalRelation — they were already broadcast to every join below
-      // (bounded by the zone count by this API's contract), but each of
-      // the three consumers used to re-scan the cached distinct table
-      // and re-aggregate; the collect materializes the persist AND
-      // replaces the old separate max(nd) action, so the build drops
-      // from 3 aggregation stages over the cache to 1.
-      val session = cells.sparkSession
-      val zstatsAgg = agg.groupBy("zone_id").agg(
-        min(col("value")).as("zmin"), max(col("value")).as("zmax"),
-        sum(col("cnt")).as("n"), count(lit(1)).as("nd"))
-      val zstatsRows = zstatsAgg.collect()
-      val zstats = session.createDataFrame(
-        java.util.Arrays.asList(zstatsRows: _*), zstatsAgg.schema)
-      val qlit = explode(array(qs.map { case (q, nm) =>
-        struct(lit(q).as("q"), lit(nm).as("qname")) }: _*))
-      // Small-ND fast path (round 8, recovering the r7 sf0.1
-      // regression): when every zone's DISTINCT-value count fits one
-      // in-memory window (nb·64 ≈ 16k rows per zone), the plain
-      // counting window over the pre-aggregation is already narrow —
-      // one pass, no histogram/resolve. Both paths share the same
-      // lower-quantile rank rule, so results are bit-identical.
-      val maxNd = zstatsRows.foldLeft(0L)((m, r) => math.max(m, r.getLong(3)))
-      val picked = if (maxNd <= nb.toLong * 64) {
-        val wV = org.apache.spark.sql.expressions.Window
-          .partitionBy("zone_id").orderBy("value")
-        agg.withColumn("cum", sum(col("cnt")).over(wV))
-          .join(broadcast(zstats.select("zone_id", "n")), "zone_id")
-          .select(col("zone_id"), col("value"), col("cum"), col("n"), qlit.as("qq"))
-          .filter(col("cum") >= ceil(col("n") * col("qq.q")))
-          .groupBy(col("zone_id"), col("qq.qname").as("qname"))
-          .agg(min(col("value")).as("qv"))
-      } else {
-        val bucketed = withBuckets(agg, zstats, nb)
-        val wB = org.apache.spark.sql.expressions.Window
-          .partitionBy("zone_id").orderBy("bucket")
-        val hist = bucketed.groupBy(col("zone_id"), col("bucket"))
-          .agg(sum(col("cnt")).as("cnt"))
-          .join(broadcast(zstats.select("zone_id", "n")), "zone_id")
-          .withColumn("cumb", sum(col("cnt")).over(wB))
-        val targets = hist
-          .select(col("zone_id").as("tzone"), col("bucket").as("tb"),
-            col("cnt"), col("cumb"), col("n"), qlit.as("qq"))
-          .withColumn("rank", ceil(col("n") * col("qq.q")))
-          .filter(col("cumb") >= col("rank") && col("cumb") - col("cnt") < col("rank"))
-          .select(col("tzone"), col("qq.qname").as("qname"), col("tb"),
-            (col("cumb") - col("cnt")).as("cum_before"), col("rank"))
-        val wV = org.apache.spark.sql.expressions.Window
-          .partitionBy("zone_id", "qname").orderBy("value")
-        // rows are already distinct per (zone, value) — the resolve
-        // window cumulates the carried counts directly
-        bucketed
-          .join(broadcast(targets),
-            col("zone_id") === col("tzone") && col("bucket") === col("tb"))
-          .withColumn("cumv", sum(col("cnt")).over(wV) + col("cum_before"))
-          .filter(col("cumv") >= col("rank"))
-          .groupBy(col("zone_id"), col("qname")).agg(min(col("value")).as("qv"))
-      }
-      val qcols = qs.map { case (_, nm) =>
-        min(when(col("qname") === nm, col("qv"))).as(nm) }
-      picked.groupBy(col("zone_id")).agg(qcols.head, qcols.tail: _*)
-        .join(broadcast(zstats.select(col("zone_id"), col("n").as("n_cells"))), "zone_id")
-        .select(col("zone_id") +: col("n_cells") +: qs.map(q => col(q._2)): _*)
-        .orderBy("zone_id")
-        .localCheckpoint()
-    } finally agg.unpersist(false)
+    val zstats = agg.groupBy("zone_id").agg(
+      min(col("value")).as("zmin"), max(col("value")).as("zmax"),
+      sum(col("cnt")).as("n"), count(lit(1)).as("nd"))
+    val gate = zstats.agg(max(col("nd")).as("max_nd"))
+    val qlit = explode(array(qs.map { case (q, nm) =>
+      struct(lit(q).as("q"), lit(nm).as("qname")) }: _*))
+    // Small-ND fast path (round 8): when every zone's DISTINCT-value
+    // count fits one in-memory window (nb·64 ≈ 16k rows per zone), the
+    // plain counting window over the pre-aggregation is already narrow
+    // — one pass, no histogram/resolve.
+    val thresholdNd = nb.toLong * 64
+    val fast = {
+      val wV = org.apache.spark.sql.expressions.Window
+        .partitionBy("zone_id").orderBy("value")
+      agg.crossJoin(broadcast(gate)).filter(col("max_nd") <= thresholdNd)
+        .withColumn("cum", sum(col("cnt")).over(wV))
+        .join(broadcast(zstats.select("zone_id", "n")), "zone_id")
+        .select(col("zone_id"), col("value"), col("cum"), col("n"), qlit.as("qq"))
+        .filter(col("cum") >= ceil(col("n") * col("qq.q")))
+        .groupBy(col("zone_id"), col("qq.qname").as("qname"))
+        .agg(min(col("value")).as("qv"))
+    }
+    val slow = {
+      val bucketed = withBuckets(
+        agg.crossJoin(broadcast(gate)).filter(col("max_nd") > thresholdNd),
+        zstats, nb)
+      val wB = org.apache.spark.sql.expressions.Window
+        .partitionBy("zone_id").orderBy("bucket")
+      val hist = bucketed.groupBy(col("zone_id"), col("bucket"))
+        .agg(sum(col("cnt")).as("cnt"))
+        .join(broadcast(zstats.select("zone_id", "n")), "zone_id")
+        .withColumn("cumb", sum(col("cnt")).over(wB))
+      val targets = hist
+        .select(col("zone_id").as("tzone"), col("bucket").as("tb"),
+          col("cnt"), col("cumb"), col("n"), qlit.as("qq"))
+        .withColumn("rank", ceil(col("n") * col("qq.q")))
+        .filter(col("cumb") >= col("rank") && col("cumb") - col("cnt") < col("rank"))
+        .select(col("tzone"), col("qq.qname").as("qname"), col("tb"),
+          (col("cumb") - col("cnt")).as("cum_before"), col("rank"))
+      val wV = org.apache.spark.sql.expressions.Window
+        .partitionBy("zone_id", "qname").orderBy("value")
+      // rows are already distinct per (zone, value) — the resolve
+      // window cumulates the carried counts directly
+      bucketed
+        .join(broadcast(targets),
+          col("zone_id") === col("tzone") && col("bucket") === col("tb"))
+        .withColumn("cumv", sum(col("cnt")).over(wV) + col("cum_before"))
+        .filter(col("cumv") >= col("rank"))
+        .groupBy(col("zone_id"), col("qname")).agg(min(col("value")).as("qv"))
+    }
+    val picked = fast.unionByName(slow)
+    val qcols = qs.map { case (_, nm) =>
+      min(when(col("qname") === nm, col("qv"))).as(nm) }
+    picked.groupBy(col("zone_id")).agg(qcols.head, qcols.tail: _*)
+      .join(broadcast(zstats.select(col("zone_id"), col("n").as("n_cells"))), "zone_id")
+      .select(col("zone_id") +: col("n_cells") +: qs.map(q => col(q._2)): _*)
+      .orderBy("zone_id")
   }
 
   /** Stage 2's bucket routing (exposed so ZonalSpec can assert the

@@ -30,6 +30,18 @@ object GraftBridge {
   def analyzed(df: DataFrame): LogicalPlan =
     df.queryExecution.analyzed
 
+  /** `Column` over a raw Catalyst expression (r22 — the
+    * [[graft.ext.BoundedCollectList]] aggregate is constructed in Scala
+    * rather than registered as a SQL function; `ExpressionUtils` is
+    * `private[sql]` in Spark 4).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    classic.ExpressionUtils.column(e)
+
+  /** The Catalyst expression behind a `Column`. */
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Idempotently add a planner strategy to a live session. */
   def ensureStrategy(spark: SparkSession, s: SparkStrategy): Unit = {
     val cs = spark.asInstanceOf[classic.SparkSession]

