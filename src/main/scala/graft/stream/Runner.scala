@@ -27,6 +27,30 @@ object Runner {
         .option("pathGlobFilter", "events.parquet").parquet(d))
   }
 
+  /** Adaptive state fan-out for the events-stream family (r22 — VERDICT
+    * r21 next-#7). A streaming query pins its state partitioning at
+    * first start and every micro-batch commits one state file per
+    * store instance per partition, so fan-out is a per-batch COST, not
+    * parallelism, once partitions outnumber the state. Derive it from
+    * the INPUT SIZE (one driver-side file-status call, no extra job):
+    * one state partition per 32 MB of source bytes, clamped to the
+    * session setting — at sf0.1 (2 MB events.parquet) that is 1
+    * partition (measured on stream_stream_left: 2.6 s at the old
+    * constant 8 → 2.1-2.4 s), at a 100 TB source the session cap wins,
+    * so a cluster is never under-parallelized. Data-derived, so the
+    * bench stays comparable across SPARK_GRAFT_CPUS values.
+    */
+  def eventsStateFanout(s: SparkSession, d: String): Option[Int] = {
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val bytes = try {
+      val p = new org.apache.hadoop.fs.Path(s"$d/events.parquet")
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case _: Throwable => Long.MaxValue } // unknown => session
+    Some(math.max(1L, math.min(sessionParts.toLong,
+      bytes / (32L << 20) + 1L)).toInt)
+  }
+
   private val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
   private val RocksDb =
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"

@@ -88,7 +88,7 @@ object Streams {
         |FROM s CROSS JOIN wm GROUP BY user_id, sid, w
         |HAVING max(ts) + INTERVAL 10 MINUTE <= w
         |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-      Runner.runToTable(s, "graft_sess_out", statePartitions = Some(8)) {
+      Runner.runToTable(s, "graft_sess_out", statePartitions = Runner.eventsStateFanout(s, d)) {
         Runner.eventsStream(s, d)
           .withWatermark("ts", "10 minutes")
           .groupBy(col("user_id"), session_window(col("ts"), "10 minutes"))
@@ -116,7 +116,7 @@ object Streams {
          |GROUP BY win_start, w
          |HAVING win_start + INTERVAL 5 MINUTE <= w
          |ORDER BY win_start""".stripMargin) { (s, d) =>
-      Runner.runToTable(s, "graft_wm_out", statePartitions = Some(8)) {
+      Runner.runToTable(s, "graft_wm_out", statePartitions = Runner.eventsStateFanout(s, d)) {
         Runner.eventsStream(s, d)
           .withWatermark("ts", "10 minutes")
           .groupBy(window(col("ts"), "5 minutes")).agg(count(lit(1)).as("n"))
@@ -144,7 +144,7 @@ object Streams {
       import s.implicits._
       val ev = Runner.eventsStream(s, d)
         .select("event_id", "user_id", "event_type", "ts").as[DedupEv]
-      Runner.runToTable(s, "graft_dedup_out", rocksdb = true, statePartitions = Some(8)) {
+      Runner.runToTable(s, "graft_dedup_out", rocksdb = true, statePartitions = Runner.eventsStateFanout(s, d)) {
         Stateful.bucketDedupTws(ev)
           .writeStream.format("memory").queryName("graft_dedup_out")
           .outputMode("append")
@@ -176,7 +176,7 @@ object Streams {
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
           col("ts").as("purchase_ts"))
         .withWatermark("purchase_ts", "10 minutes")
-      Runner.runToTable(s, "graft_ssj_out", statePartitions = Some(8)) {
+      Runner.runToTable(s, "graft_ssj_out", statePartitions = Runner.eventsStateFanout(s, d)) {
         clicks.join(purchases,
             col("user_id") === col("p_user")
               && col("purchase_ts") >= col("click_ts")
@@ -230,7 +230,7 @@ object Streams {
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
           col("ts").as("purchase_ts"))
         .withWatermark("purchase_ts", "10 minutes")
-      Runner.runToTable(s, "graft_ssl_out", statePartitions = Some(8)) {
+      Runner.runToTable(s, "graft_ssl_out", statePartitions = Runner.eventsStateFanout(s, d)) {
         clicks.join(purchases,
             col("user_id") === col("p_user")
               && col("purchase_ts") >= col("click_ts")
@@ -288,7 +288,7 @@ object Streams {
         .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
           col("ts").as("purchase_ts"))
         .withWatermark("purchase_ts", "10 minutes")
-      Runner.runToTable(s, "graft_ssf_out", statePartitions = Some(8)) {
+      Runner.runToTable(s, "graft_ssf_out", statePartitions = Runner.eventsStateFanout(s, d)) {
         clicks.join(purchases,
             col("user_id") === col("p_user")
               && col("purchase_ts") >= col("click_ts")
@@ -613,7 +613,7 @@ object Streams {
       import s.implicits._
       val ev = Runner.eventsStream(s, d)
         .select("event_id", "user_id", "ts", "value").as[Ev]
-      Runner.runToTable(s, "graft_tws_out", rocksdb = true, statePartitions = Some(8)) {
+      Runner.runToTable(s, "graft_tws_out", rocksdb = true, statePartitions = Runner.eventsStateFanout(s, d)) {
         Stateful.cappedSpendTws(ev)
           .writeStream.format("memory").queryName("graft_tws_out")
           .outputMode("append")

@@ -50,11 +50,43 @@ object StreamProbe {
       val n = graft.SparkEntry.queries(qname)(spark, d).count()
       println(f"[streamprobe] $qname run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
     }
-    // A/B the state fan-out: same query body with statePartitions 1
-    // (keyspace-sized for sf0.1) via session conf — the Runner scopes
-    // spark.sql.shuffle.partitions itself, so probe by overriding the
-    // session value it clamps to... instead just report; the A/B runs
-    // through the registered body which pins statePartitions=8.
+    // A/B the state fan-out: the same join body at statePartitions 1
+    // vs the registered 8 — answers whether the commit fan-out (8
+    // partitions x 4 join state stores x 2 batches of files) is a real
+    // lever or the floor is the machinery itself.
+    import org.apache.spark.sql.functions._
+    def body(n: Int, i: Int): Unit = {
+      val t0 = System.nanoTime()
+      spark.sql(s"DROP TABLE IF EXISTS probe_ssl_$n$i")
+      val clicks = graft.stream.Runner.eventsStream(spark, d)
+        .filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val purchases = graft.stream.Runner.eventsStream(spark, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "10 minutes")
+      val out = graft.stream.Runner.runToTable(spark, s"probe_ssl_$n$i",
+          statePartitions = Some(n)) {
+        clicks.join(purchases,
+            col("user_id") === col("p_user")
+              && col("purchase_ts") >= col("click_ts")
+              && col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTE"),
+            "left_outer")
+          .select(col("click_id"), col("purchase_id"), col("user_id"),
+            col("click_ts"), col("purchase_ts"))
+          .writeStream.format("memory").queryName(s"probe_ssl_$n$i")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      }
+      val rows = out.count()
+      println(f"[streamprobe] body statePartitions=$n run$i: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.2f s ($rows rows)")
+    }
+    (1 to 2).foreach(i => body(8, i))
+    (1 to 2).foreach(i => body(1, i))
+    (1 to 2).foreach(i => body(2, i))
     spark.stop()
   }
 }

@@ -936,14 +936,15 @@ class PlanShapeSpec extends SparkSuite {
       }
   }
 
-  test("r18 dedup_substring: salted two-phase exact confirm, candidate exchanges reused") {
+  test("r18/r22 dedup_substring: salted exact confirm, Bloom-prefiltered candidates, no offset join") {
     // the r17 scale-killer: `count over (partition by sh)` funneled a
-    // hot boilerplate substring into one window task. The fix must show
-    // (a) no Window over sh — the only Window is the per-doc
+    // hot boilerplate substring into one window task. The shape must
+    // show (a) no Window over sh — the only Window is the per-doc
     // gaps-and-islands; (b) the salted partial count keyed by
-    // (sh, pmod(xxhash64(doc_id, off), salts)); (c) ReusedExchange —
-    // the two consumers of the candidate table share its upstream
-    // shuffles instead of recomputing the pipeline
+    // (sh, pmod(xxhash64(doc_id, off), salts)); (c) r22: the
+    // duplicated-hash set reaches the offsets as an in-plan Bloom
+    // filter (scalar subquery + might_contain), NOT as an equi-join —
+    // the raw (doc_id, off, h) table is never shuffled by h
     val df = q("dedup_substring")
     df.collect()
     val p = df.queryExecution.executedPlan.toString
@@ -953,8 +954,11 @@ class PlanShapeSpec extends SparkSuite {
       "the per-doc gaps-and-islands window must remain")
     assert(p.contains("pmod(xxhash64(doc_id"),
       s"no salted partial count in the confirm:\n${p.take(3000)}")
-    assert(p.contains("ReusedExchange"),
-      s"candidate pipeline recomputed instead of exchange reuse:\n${p.take(3000)}")
+    assert(p.contains("might_contain") || p.contains("BloomFilterMightContain"),
+      s"candidate prefilter is not the in-plan Bloom:\n${p.take(3000)}")
+    assert(p.contains("bloom_filter_agg") || p.contains("BloomFilterAggregate")
+      || p.contains("Subquery"),
+      s"Bloom build subquery missing:\n${p.take(3000)}")
   }
 
   test("asof join shuffles once on the partition key (no join at all)") {
