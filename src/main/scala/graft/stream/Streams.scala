@@ -144,7 +144,13 @@ object Streams {
       import s.implicits._
       val ev = Runner.eventsStream(s, d)
         .select("event_id", "user_id", "event_type", "ts").as[DedupEv]
-      Runner.runToTable(s, "graft_dedup_out", rocksdb = true, statePartitions = Runner.eventsStateFanout(s, d)) {
+      // statePartitions stays the r18 constant here (NOT the r22
+      // adaptive input-size rule): this query runs every row through
+      // flatMapGroupsWithState — per-row COMPUTE dominates, not state
+      // commits — and the adaptive 1-partition value serializes it
+      // (measured 2.2-3.0 s vs 1.5-2.2 s at 8, while the commit-bound
+      // join/window family moved the other way).
+      Runner.runToTable(s, "graft_dedup_out", rocksdb = true, statePartitions = Some(8)) {
         Stateful.bucketDedupTws(ev)
           .writeStream.format("memory").queryName("graft_dedup_out")
           .outputMode("append")
@@ -613,7 +619,9 @@ object Streams {
       import s.implicits._
       val ev = Runner.eventsStream(s, d)
         .select("event_id", "user_id", "ts", "value").as[Ev]
-      Runner.runToTable(s, "graft_tws_out", rocksdb = true, statePartitions = Runner.eventsStateFanout(s, d)) {
+      // constant fan-out, same reason as stream_dedup: per-row
+      // transformWithState compute, not commit-bound
+      Runner.runToTable(s, "graft_tws_out", rocksdb = true, statePartitions = Some(8)) {
         Stateful.cappedSpendTws(ev)
           .writeStream.format("memory").queryName("graft_tws_out")
           .outputMode("append")

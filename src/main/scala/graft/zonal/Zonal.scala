@@ -1364,9 +1364,16 @@ object Zonal {
         lead(col("x"), 1).over(w).as("x2"), lead(col("y"), 1).over(w).as("y2"))
         .filter(col("x2").isNotNull)
       val pts = rv.select(col("x").as("cell_x"), col("y").as("cell_y")).distinct()
+      // r22 (guide §2.4): the two broadcast legs below used to rebuild
+      // the rasterize + point_in_wkb pipeline ONCE EACH (rasterize is a
+      // broadcast join + filter — no exchange, so nothing reused). A
+      // repartition pins one exchange under both broadcast builds; the
+      // point-in-polygon test now evaluates once and the shuffle files
+      // replay for the second build.
       val inside = Cube.rasterize(pts, Cube.wkbZones(s, d, Cube.NGonRings))
         .filter(expr("point_in_wkb(cell_x, cell_y, geom)"))
         .select(col("zone_id"), col("cell_x"), col("cell_y"))
+        .repartition(col("cell_x"), col("cell_y"))
       val in1 = inside.select(col("zone_id"), col("cell_x").as("x1"), col("cell_y").as("y1"))
       val in2 = inside.select(col("zone_id"), col("cell_x").as("x2"), col("cell_y").as("y2"))
       segs.join(broadcast(in1), Seq("x1", "y1"))
